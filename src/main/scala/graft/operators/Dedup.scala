@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over the `documents` table — the LLM-data-pipeline
+  * operators (builder brief; SURVEY.md §2C).
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is a single hash-aggregate on a content digest — one
+  *     shuffle on the digest, map-side partial aggregation, no full-text
+  *     shuffle (only the 16-byte digest + keys move);
+  *   - n-gram Jaccard avoids the O(n^2) pair space by joining on shingles
+  *     (inverted-index style): only documents sharing a shingle meet. At
+  *     100 TB you first bucket by MinHash-LSH (below) and only score
+  *     candidate pairs — both steps are shuffle-on-key joins that AQE can
+  *     re-plan for skew (a stop-shingle appearing in every doc would be a
+  *     hot key; production would drop top-frequency shingles first);
+  *   - MinHash-LSH: signatures are a single groupBy over (doc, shingle-hash)
+  *     with k min-aggregates; banding turns near-dup search into an
+  *     equi-join on (band, band-signature) — the classic sub-quadratic path;
+  *   - SimHash: one explode + one groupBy with 32 conditional sums; the
+  *     64->32-bit variant keeps every aggregate in whole-stage codegen.
+  *
+  * All hashes are engine-portable by construction: md5 hex prefixes
+  * reinterpreted as integers, so the DuckDB oracles compute bit-identical
+  * values (verified: conv(substr(md5('abc'),1,8),16,10) = 2416005272 on
+  * both engines).
+  */
+object Dedup {
+
+  /** distinct word 3-gram shingles per document (lowercased, ws-split) */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("shingle"))
+      .distinct()
+  }
+
+  private val shinglesSql =
+    """sh AS (
+      SELECT DISTINCT doc_id,
+        UNNEST([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                FOR i IN generate_series(1, len(ws)-2)]) AS shingle
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+            FROM documents)
+      WHERE len(ws) >= 3)"""
+
+  // MinHash parameters: 8 permutations = 4 bands x 2 rows.
+  // (a*h + b) mod p with h < 2^32 and a < 2^21 stays within int64.
+  private val P = 2147483647L
+  private val perms: Seq[(Long, Long)] = Seq(
+    (1299721L, 104729L), (1299827L, 224737L), (1301081L, 350377L),
+    (1302151L, 479909L), (1303241L, 611953L), (1304281L, 746773L),
+    (1305407L, 882377L), (1306601L, 1020379L))
+  private val nBands = 4
+
+  val defs: Seq[Q] = Seq(
+
+    // ----- exact dedup: content-hash groupBy ------------------------------
+    Q("dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .groupBy(md5($"text".cast("binary")).as("content_hash"))
+          .agg(min($"doc_id").as("keep_doc_id"),
+            count(lit(1)).as("n_copies"))
+      },
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+        COUNT(*) AS n_copies FROM documents GROUP BY 1""")),
+
+    // ----- n-gram Jaccard near-dup via shingle inverted index -------------
+    Q("dedup_ngram_jaccard",
+      (s, d) => {
+        import s.implicits._
+        val sh = shingles(s, d).cache()
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+        val common = sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.select($"doc_id".as("doc1"), $"n_sh".as("n1")), "doc1")
+          .join(sizes.select($"doc_id".as("doc2"), $"n_sh".as("n2")), "doc2")
+          .select($"doc1", $"doc2",
+            ($"common".cast("double") / ($"n1" + $"n2" - $"common"))
+              .as("jaccard"))
+          .filter($"jaccard" >= 0.5)
+      },
+      Some(s"""WITH $shinglesSql,
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc1, doc2,
+          CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) AS jaccard
+        FROM common
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5""")),
+
+    // ----- MinHash + LSH banding: candidate near-dup pairs ----------------
+    Q("dedup_minhash_lsh",
+      (s, d) => {
+        import s.implicits._
+        val h = shingles(s, d).select($"doc_id",
+          conv(substring(md5($"shingle".cast("binary")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+          min(($"h" * a + b) % P).as(s"m$i")
+        }
+        val sig = h.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+        val bands = (0 until nBands).map { bi =>
+          sig.select(lit(bi).as("band"), $"doc_id",
+            col(s"m${2 * bi}").as("x"), col(s"m${2 * bi + 1}").as("y"))
+        }.reduce(_ union _)
+        bands.as("l")
+          .join(bands.as("r"),
+            col("l.band") === col("r.band") &&
+            col("l.x") === col("r.x") && col("l.y") === col("r.y") &&
+            col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc1"), col("r.doc_id").as("doc2"))
+          .distinct()
+      },
+      Some {
+        val minExprs = perms.zipWithIndex.map { case ((a, b), i) =>
+          s"MIN((h * $a + $b) % $P) AS m$i"
+        }.mkString(", ")
+        val bandSelects = (0 until nBands).map { bi =>
+          s"SELECT $bi AS band, doc_id, m${2 * bi} AS x, m${2 * bi + 1} AS y FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shinglesSql,
+        hv AS (SELECT doc_id,
+          CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh),
+        sig AS (SELECT doc_id, $minExprs FROM hv GROUP BY doc_id),
+        bands AS ($bandSelects)
+        SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.x = r.x AND l.y = r.y
+          AND l.doc_id < r.doc_id"""
+      }),
+
+    // ----- SimHash (32-bit) fingerprints ----------------------------------
+    Q("dedup_simhash",
+      (s, d) => {
+        import s.implicits._
+        val words = Tables.documents(s, d)
+          .select($"doc_id",
+            explode(split(lower($"text"), "\\s+")).as("word"))
+          .select($"doc_id",
+            conv(substring(md5($"word".cast("binary")), 1, 8), 16, 10)
+              .cast("long").as("h"))
+        val sumCols = (0 until 32).map { b =>
+          sum(when(shiftright($"h", b).bitwiseAND(1L) === 1L, 1L)
+            .otherwise(-1L)).as(s"b$b")
+        }
+        val bitSums = words.groupBy($"doc_id")
+          .agg(sumCols.head, sumCols.tail: _*)
+        bitSums.select($"doc_id",
+          (0 until 32).map { b =>
+            when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+          }.reduce(_ + _).as("simhash"))
+      },
+      Some {
+        val sums = (0 until 32).map { b =>
+          s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+        }.mkString(", ")
+        val bits = (0 until 32).map { b =>
+          s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH words AS (
+          SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+          FROM (SELECT doc_id,
+                  UNNEST(string_split_regex(lower(text), '\\s+')) AS w
+                FROM documents)),
+        bitsums AS (SELECT doc_id, $sums FROM words GROUP BY doc_id)
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM bitsums"""
+      })
+  )
+}

@@ -1,0 +1,454 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational surface of the engine (SURVEY.md §2B).
+  *
+  * The reference delegates all of this to Hive/MapReduce over its SerDe
+  * (`/root/reference/hadoop-pcap-serde/README.md:21-60`,
+  * `/root/reference/hadoop-pcap-lib/README.md:20-81`); here each capability
+  * is expressed Spark-first with the DataFrame/Dataset API (or `spark.sql`
+  * where the SQL path itself is the thing under test) and verified against a
+  * DuckDB oracle.
+  *
+  * Scale notes (100 TB design intent, per query):
+  *   - filters/projections are applied before joins/aggs so parquet scans
+  *     get pushdown + pruning;
+  *   - small dimensions (region/nation/supplier/part at TPC-H ratios) are
+  *     broadcast explicitly; fact-fact joins shuffle on their join key and
+  *     rely on AQE for skew;
+  *   - aggregations are partial (map-side) automatically since all are
+  *     built-in hash aggregates;
+  *   - top-k uses orderBy+limit which plans as TakeOrderedAndProject
+  *     (per-partition heap, no full sort/shuffle of the data).
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+  /** exact decimal sum of a double expression, returned as DOUBLE */
+  private def dsum2(c: Column): Column = sum(dec2(c)).cast("double")
+  private def dsum6(c: Column): Column = sum(dec6(c)).cast("double")
+
+  val defs: Seq[Q] = Seq(
+
+    // ----- aggregation: hash agg w/ partial+final, multiple aggregates -----
+    Q("q01_pricing_summary",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum2($"l_quantity").as("sum_qty"),
+            dsum2($"l_extendedprice").as("sum_base_price"),
+            dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .as("sum_disc_price"),
+            (dsum2($"l_quantity") / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus"""),
+      headline = true),
+
+    // ----- scan: selective filter + narrow projection (pushdown/pruning) ---
+    Q("q02_filter_project",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d)
+          .filter($"p_size" >= 30 && $"p_type".isin("PROMO", "ECONOMY"))
+          .select($"p_partkey", $"p_name", $"p_retailprice")
+      },
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+        WHERE p_size >= 30 AND p_type IN ('PROMO','ECONOMY')""")),
+
+    // ----- star join: broadcast dims, shuffle facts (TPC-H Q5 shape) ------
+    Q("q03_revenue_by_nation",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val ord  = Tables.orders(s, d)
+        val li   = Tables.lineitem(s, d)
+        val nat  = Tables.nation(s, d)
+        val reg  = Tables.region(s, d).filter($"r_name" === "EUROPE")
+        cust
+          .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+          .join(ord, $"c_custkey" === $"o_custkey")
+          .join(li, $"o_orderkey" === $"l_orderkey")
+          .groupBy($"n_name")
+          .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY n_name"""),
+      headline = true),
+
+    // ----- semi join (EXISTS), TPC-H Q4 shape -----------------------------
+    Q("q04_semi_join",
+      (s, d) => {
+        import s.implicits._
+        val ord = Tables.orders(s, d)
+        val bigItems = Tables.lineitem(s, d)
+          .filter($"l_quantity" > 45).select($"l_orderkey")
+        ord.join(bigItems, $"o_orderkey" === $"l_orderkey", "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority""")),
+
+    // ----- anti join (NOT EXISTS) -----------------------------------------
+    Q("q05_anti_join",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val ord  = Tables.orders(s, d)
+          .filter($"o_orderstatus" === "P").select($"o_custkey")
+        cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        GROUP BY c_mktsegment""")),
+
+    // ----- window: ranking with deterministic tiebreak --------------------
+    Q("q06_window_rank",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) WHERE rn <= 3""")),
+
+    // ----- window: running (cumulative) aggregate, exact decimal ----------
+    Q("q07_window_running",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select($"event_id", $"user_id",
+            sum(dec2($"value")).over(w).cast("double").as("running_value"))
+      },
+      Some("""SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+          PARTITION BY user_id ORDER BY event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS running_value
+        FROM events""")),
+
+    // ----- top-k: TakeOrderedAndProject, no full sort ---------------------
+    Q("q08_topk",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+          .limit(10)
+          .select($"o_orderkey", $"o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ----- set operations: UNION (distinct) then EXCEPT -------------------
+    Q("q09_setops",
+      (s, d) => {
+        import s.implicits._
+        val building = Tables.customer(s, d)
+          .filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey".as("custkey"))
+        val rich = Tables.customer(s, d)
+          .filter($"c_acctbal" > 9000.0)
+          .select($"c_custkey".as("custkey"))
+        val pending = Tables.orders(s, d)
+          .filter($"o_orderstatus" === "P")
+          .select($"o_custkey".as("custkey"))
+        building.union(rich).distinct().except(pending)
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000.0
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders
+          WHERE o_orderstatus = 'P'""")),
+
+    // ----- rollup ---------------------------------------------------------
+    Q("q10_rollup",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum2($"l_quantity").as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // ----- cube -----------------------------------------------------------
+    Q("q11_cube",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // ----- grouping sets (SQL path) ---------------------------------------
+    Q("q12_grouping_sets",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+          FROM customer
+          GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))""")
+      },
+      Some("""SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))""")),
+
+    // ----- exact distinct aggregation -------------------------------------
+    Q("q13_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d).agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          countDistinct($"l_partkey", $"l_suppkey").as("n_part_supp"),
+          count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps,
+        COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+        COUNT(*) AS n_rows FROM lineitem""")),
+
+    // ----- scalar string functions ----------------------------------------
+    Q("q14_string_funcs",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d).select(
+          $"p_partkey",
+          upper($"p_name").as("up_name"),
+          length($"p_name").as("name_len"),
+          substring($"p_name", 1, 5).as("name5"),
+          concat($"p_brand", lit(":"), $"p_type").as("brand_type"),
+          regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+          lpad($"p_brand", 12, "*").as("brand_pad"))
+      },
+      Some("""SELECT p_partkey,
+        UPPER(p_name) AS up_name,
+        CAST(LENGTH(p_name) AS INT) AS name_len,
+        SUBSTR(p_name, 1, 5) AS name5,
+        CONCAT(p_brand, ':', p_type) AS brand_type,
+        REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        LPAD(p_brand, 12, '*') AS brand_pad
+        FROM part""")),
+
+    // ----- date/time functions --------------------------------------------
+    Q("q15_date_funcs",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select(
+            year($"o_orderdate").as("o_year"),
+            month($"o_orderdate").as("o_month"),
+            quarter($"o_orderdate").as("o_quarter"))
+          .groupBy($"o_year", $"o_month", $"o_quarter")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+        CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS o_quarter,
+        COUNT(*) AS n
+        FROM orders GROUP BY 1, 2, 3""")),
+
+    // ----- conditional aggregation (TPC-H Q14 shape) ----------------------
+    Q("q16_case_agg",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val pt = Tables.part(s, d).select($"p_partkey", $"p_type")
+        li.join(broadcast(pt), $"l_partkey" === $"p_partkey")
+          .agg(
+            (sum(when($"p_type" === "PROMO",
+                dec6($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+              .otherwise(dec6(lit(0.0)))).cast("double") /
+             sum(dec6($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+              .cast("double")).as("promo_ratio"))
+      },
+      Some("""SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO'
+          THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+          ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+          AS DOUBLE) AS promo_ratio
+        FROM lineitem JOIN part ON l_partkey = p_partkey""")),
+
+    // ----- having ---------------------------------------------------------
+    Q("q17_having",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("n_items"))
+          .filter($"n_items" > 250)
+      },
+      Some("""SELECT l_suppkey, COUNT(*) AS n_items FROM lineitem
+        GROUP BY l_suppkey HAVING COUNT(*) > 250""")),
+
+    // ----- uncorrelated scalar subquery (SQL path) ------------------------
+    Q("q18_scalar_subquery",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_totalprice > 1.8 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) FROM orders)""")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 1.8 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) FROM orders)""")),
+
+    // ----- sessionization: lag + gap detection + two-level agg ------------
+    Q("q19_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id".asc)
+        Tables.events(s, d)
+          .select($"user_id", $"event_id", $"ts")
+          .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+          .withColumn("new_session",
+            when($"prev_us".isNull ||
+                 unix_micros($"ts") - $"prev_us" > 1800000000L, 1L)
+              .otherwise(0L))
+          .groupBy($"user_id")
+          .agg(sum($"new_session").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT user_id, SUM(new_session) AS n_sessions,
+          COUNT(*) AS n_events
+        FROM (
+          SELECT user_id,
+            CASE WHEN prev_us IS NULL
+                   OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, ts,
+              LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+                PARTITION BY user_id ORDER BY event_id ASC) AS prev_us
+            FROM events))
+        GROUP BY user_id""")),
+
+    // ----- time bucketing (tumbling window, batch form) -------------------
+    Q("q20_hourly_events",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy(
+            dayofmonth($"ts").as("e_day"),
+            hour($"ts").as("e_hour"),
+            $"event_type")
+          .agg(count(lit(1)).as("n"), dsum2($"value").as("sum_value"))
+      },
+      Some("""SELECT CAST(EXTRACT(day FROM ts) AS INT) AS e_day,
+        CAST(EXTRACT(hour FROM ts) AS INT) AS e_hour, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2, 3""")),
+
+    // ----- semi-structured: JSON field extraction -------------------------
+    Q("q21_json_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select(get_json_object($"props", "$.k").cast("int").as("k"))
+          .groupBy($"k")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        COUNT(*) AS n FROM events GROUP BY 1""")),
+
+    // ----- 6-table star join (TPC-H Q5 with local-supplier condition) -----
+    Q("q22_local_supplier_volume",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey")
+          .join(li, $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(Tables.supplier(s, d)),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(Tables.nation(s, d)),
+            $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                  $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+          .groupBy($"n_name")
+          .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("revenue"))
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name"""),
+      headline = true),
+
+    // ----- pivot (conditional-aggregation equivalent in the oracle) -------
+    Q("q23_pivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority")
+          .pivot($"o_orderstatus", Seq("F", "O", "P"))
+          .count()
+      },
+      // NULLIF: Spark's pivot yields NULL (not 0) for an empty cell
+      Some("""SELECT o_orderpriority,
+        NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS "F",
+        NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS "O",
+        NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS "P"
+        FROM orders GROUP BY o_orderpriority"""))
+  )
+}

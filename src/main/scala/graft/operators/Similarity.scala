@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (builder brief;
+  * SURVEY.md §2C): brute-force cosine top-k as the exact baseline, and
+  * random-hyperplane LSH bucketing as the approximate 100 TB path.
+  *
+  * Scale design:
+  *   - brute force is a broadcast nested-loop of a *small query set*
+  *     against the corpus — the corpus is never shuffled, queries are
+  *     broadcast, and the per-partition top-k heap
+  *     (`TakeOrderedAndProject` after `row_number <= k`) keeps the result
+  *     exchange tiny. O(|Q| * N) compute is the honest cost of exact
+  *     search; it parallelizes linearly with executors.
+  *   - LSH replaces the cross product with an equi-join on bucket id:
+  *     each vector is hashed once (16 hyperplane sign bits), candidates
+  *     meet only within a bucket, then exact cosine reranks. That is the
+  *     standard sub-linear ANN shape for cluster execution.
+  *
+  * Float determinism vs the DuckDB oracle: dot products fold the arrays
+  * sequentially (`aggregate(zip_with(...))` in Spark, `list_sum` of a list
+  * comprehension in DuckDB) after exact float->double casts, so sums are
+  * bit-identical; hyperplane weights derive from md5 prefixes (integer
+  * arithmetic), so they are identical too.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def norm(a: String): Column = sqrt(dot(a, a))
+
+  /** Deterministic hyperplane weight for (plane j, dim i0):
+    * md5-prefix integer mapped into [-1, 1]. Mirrors the SQL
+    * `(CAST('0x'||substr(md5(j||':'||i0),1,8) AS BIGINT) % 2000001 - 1000000) / 1000000.0`. */
+  private[operators] def planeWeight(j: Int, i0: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$j:$i0".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    val h = java.lang.Long.parseLong(hex, 16)
+    (h % 2000001L - 1000000L) / 1000000.0
+  }
+
+  private val nPlanes = 16
+  private val dim = 64
+
+  val defs: Seq[Q] = Seq(
+
+    // ----- exact brute-force cosine top-k ---------------------------------
+    Q("sim_cosine_topk",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val queries = emb.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qe"))
+        val corpus = emb.select($"vec_id".as("cid"), $"embedding".as("ce"))
+        val w = Window.partitionBy($"qid")
+          .orderBy($"cos".desc, $"cid".asc)
+        broadcast(queries).join(corpus, $"qid" =!= $"cid")
+          .select($"qid", $"cid",
+            (dot("qe", "ce") / (norm("qe") * norm("ce"))).as("cos"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"qid", $"cid", $"cos", $"rn")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 50 = 0),
+        pairs AS (
+          SELECT qid, e.vec_id AS cid,
+            list_sum([qe[i] * emb[i] FOR i IN generate_series(1, len(qe))])
+              / (sqrt(list_sum([x * x FOR x IN qe])) *
+                 sqrt(list_sum([x * x FOR x IN emb]))) AS cos
+          FROM q JOIN e ON e.vec_id <> qid)
+        SELECT qid, cid, cos, rn FROM (
+          SELECT qid, cid, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cid ASC) AS INT) AS rn
+          FROM pairs) WHERE rn <= 5"""),
+      headline = true),
+
+    // ----- embedding near-duplicate pairs (cosine threshold) --------------
+    Q("sim_near_dup_pairs",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+          .filter($"vec_id" < 2000)
+          .select($"vec_id", $"embedding")
+        val a = emb.select($"vec_id".as("v1"), $"embedding".as("e1"))
+        val b = emb.select($"vec_id".as("v2"), $"embedding".as("e2"))
+        a.join(b, $"v1" < $"v2")
+          .select($"v1", $"v2",
+            (dot("e1", "e2") / (norm("e1") * norm("e2"))).as("cos"))
+          .filter($"cos" > 0.35)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+          FROM embeddings WHERE vec_id < 2000)
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+          list_sum([ae[i] * be[i] FOR i IN generate_series(1, len(ae))])
+            / (sqrt(list_sum([x * x FOR x IN ae])) *
+               sqrt(list_sum([x * x FOR x IN be]))) AS cos
+        FROM (SELECT vec_id, emb AS ae FROM e) a
+        JOIN (SELECT vec_id, emb AS be FROM e) b ON a.vec_id < b.vec_id
+        WHERE list_sum([ae[i] * be[i] FOR i IN generate_series(1, len(ae))])
+            / (sqrt(list_sum([x * x FOR x IN ae])) *
+               sqrt(list_sum([x * x FOR x IN be]))) > 0.35""")),
+
+    // ----- LSH bucketing: 16 hyperplane sign bits per vector --------------
+    Q("sim_lsh_buckets",
+      (s, d) => {
+        import s.implicits._
+        val planes: Seq[(Int, Seq[Double])] =
+          (0 until nPlanes).map(j => j -> (0 until dim).map(planeWeight(j, _)))
+        val planeDf = planes.toDF("plane", "w")
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        emb.crossJoin(broadcast(planeDf))
+          .select($"vec_id", $"plane", dot("embedding", "w").as("dp"))
+          .groupBy($"vec_id")
+          .agg(sum(when($"dp" > 0.0, expr("shiftleft(CAST(1 AS BIGINT), plane)"))
+            .otherwise(0L)).as("bucket"))
+      },
+      Some("""WITH planes AS (
+          SELECT j AS plane,
+            [(CAST('0x' || substr(md5(j || ':' || (i-1)), 1, 8) AS BIGINT)
+              % 2000001 - 1000000) / 1000000.0
+             FOR i IN generate_series(1, 64)] AS w
+          FROM generate_series(0, 15) t(j)),
+        dots AS (
+          SELECT vec_id, plane,
+            list_sum([CAST(embedding[i] AS DOUBLE) * w[i]
+                      FOR i IN generate_series(1, len(w))]) AS dp
+          FROM embeddings, planes)
+        SELECT vec_id,
+          SUM(CASE WHEN dp > 0.0 THEN (CAST(1 AS BIGINT) << plane)
+              ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id""")),
+
+    // ----- ANN via LSH: bucket-join candidates + exact rerank -------------
+    Q("sim_ann_lsh",
+      (s, d) => {
+        import s.implicits._
+        val planes: Seq[(Int, Seq[Double])] =
+          (0 until 8).map(j => j -> (0 until dim).map(planeWeight(j, _)))
+        val planeDf = planes.toDF("plane", "w")
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val buckets = emb.crossJoin(broadcast(planeDf))
+          .select($"vec_id", $"plane", dot("embedding", "w").as("dp"))
+          .groupBy($"vec_id")
+          .agg(sum(when($"dp" > 0.0, expr("shiftleft(CAST(1 AS BIGINT), plane)"))
+            .otherwise(0L)).as("bucket"))
+        val withB = emb.join(buckets, "vec_id")
+        val q = withB.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qe"),
+            $"bucket".as("qb"))
+        val c = withB.select($"vec_id".as("cid"), $"embedding".as("ce"),
+          $"bucket".as("cb"))
+        val w2 = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+        broadcast(q).join(c, $"qb" === $"cb" && $"qid" =!= $"cid")
+          .select($"qid", $"cid",
+            (dot("qe", "ce") / (norm("qe") * norm("ce"))).as("cos"))
+          .withColumn("rn", row_number().over(w2))
+          .filter($"rn" <= 5)
+          .select($"qid", $"cid", $"cos", $"rn")
+      },
+      Some("""WITH planes AS (
+          SELECT j AS plane,
+            [(CAST('0x' || substr(md5(j || ':' || (i-1)), 1, 8) AS BIGINT)
+              % 2000001 - 1000000) / 1000000.0
+             FOR i IN generate_series(1, 64)] AS w
+          FROM generate_series(0, 7) t(j)),
+        e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+              FROM embeddings),
+        dots AS (
+          SELECT vec_id, plane,
+            list_sum([emb[i] * w[i] FOR i IN generate_series(1, len(w))]) AS dp
+          FROM e, planes),
+        buckets AS (
+          SELECT vec_id,
+            SUM(CASE WHEN dp > 0.0 THEN (CAST(1 AS BIGINT) << plane)
+                ELSE 0 END) AS bucket
+          FROM dots GROUP BY vec_id),
+        wb AS (SELECT e.vec_id, emb, bucket FROM e
+               JOIN buckets ON e.vec_id = buckets.vec_id),
+        cand AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            list_sum([qe[i] * ce[i] FOR i IN generate_series(1, len(qe))])
+              / (sqrt(list_sum([x * x FOR x IN qe])) *
+                 sqrt(list_sum([x * x FOR x IN ce]))) AS cos
+          FROM (SELECT vec_id, emb AS qe, bucket FROM wb
+                WHERE vec_id % 50 = 0) q
+          JOIN (SELECT vec_id, emb AS ce, bucket FROM wb) c
+            ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+        SELECT qid, cid, cos, rn FROM (
+          SELECT qid, cid, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cid ASC) AS INT) AS rn
+          FROM cand) WHERE rn <= 5"""))
+  )
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (builder brief; SURVEY.md §2C):
+  * token counting, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * All are embarrassingly parallel scalar pipelines — no shuffle at all
+  * except where a final aggregate is the point. At 100 TB these run as a
+  * single scan stage inside whole-stage codegen; every function below is a
+  * built-in `org.apache.spark.sql.functions` expression (or a native
+  * Catalyst expression, see [[graft.functions.RollingHash]]), never a UDF.
+  *
+  * Float determinism: every ratio is a single division of exactly-computed
+  * integer counts, so the DuckDB oracle values are bit-identical.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "or", "and", "of", "in", "to")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[Q] = Seq(
+
+    // ----- token counting: whitespace + word-regex + BPE-ish pieces -------
+    Q("text_tokens",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(
+          $"doc_id",
+          size(split($"text", "\\s+")).as("n_ws_tokens"),
+          regexp_count($"text", lit("[a-z0-9]+")).as("n_word_tokens"),
+          regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+            .as("n_bpeish_tokens"),
+          length($"text").as("n_chars_m"))
+      },
+      Some("""SELECT doc_id,
+        CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_word_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpeish_tokens,
+        CAST(LENGTH(text) AS INT) AS n_chars_m
+        FROM documents""")),
+
+    // ----- quality scoring: length/stopword/digit signals -----------------
+    Q("text_quality",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", $"text",
+            split(lower($"text"), "\\s+").as("ws"))
+          .select(
+            $"doc_id",
+            size($"ws").as("n_tokens"),
+            expr(s"size(filter(ws, w -> w IN ($stopList)))").as("n_stop"),
+            (length($"text") -
+              length(regexp_replace($"text", "[0-9]", ""))).as("n_digits"),
+            length($"text").as("n_chars_m"))
+          .select(
+            $"doc_id", $"n_tokens", $"n_stop", $"n_digits",
+            ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
+            ($"n_digits".cast("double") / $"n_chars_m").as("digit_ratio"),
+            (($"n_stop".cast("double") / $"n_tokens") * 0.5 +
+              when($"n_tokens" >= 40, 0.5).otherwise(0.0)).as("quality_score"))
+      },
+      Some(s"""SELECT doc_id, n_tokens, n_stop, n_digits,
+        CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        CAST(n_digits AS DOUBLE) / n_chars_m AS digit_ratio,
+        (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5 +
+          (CASE WHEN n_tokens >= 40 THEN 0.5 ELSE 0.0 END) AS quality_score
+        FROM (
+          SELECT doc_id,
+            CAST(len(ws) AS INT) AS n_tokens,
+            CAST(len([w FOR w IN ws IF w IN ($stopList)]) AS INT) AS n_stop,
+            CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+            CAST(LENGTH(text) AS INT) AS n_chars_m
+          FROM (SELECT doc_id, text,
+            string_split_regex(lower(text), '\\s+') AS ws FROM documents))""")),
+
+    // ----- language-ID heuristic (stopword-density n-gram proxy) ----------
+    Q("text_lang_id",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            split(lower($"text"), "\\s+").as("ws"))
+          .select($"doc_id", $"lang",
+            (expr(s"size(filter(ws, w -> w IN ($stopList)))").cast("double") /
+              size($"ws")).as("stop_ratio"))
+          .select($"doc_id", $"lang",
+            when($"stop_ratio" > 0.04, "en").otherwise("unknown")
+              .as("pred_lang"))
+      },
+      Some(s"""SELECT doc_id, lang,
+        CASE WHEN CAST(len([w FOR w IN ws IF w IN ($stopList)]) AS INT)
+                  / CAST(len(ws) AS DOUBLE) > 0.04
+             THEN 'en' ELSE 'unknown' END AS pred_lang
+        FROM (SELECT doc_id, lang,
+          string_split_regex(lower(text), '\\s+') AS ws FROM documents)""")),
+
+    // ----- canonical fingerprint: md5 of sorted distinct word set ---------
+    Q("text_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(
+          $"doc_id",
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(lower($"text"), "\\s+"))))
+            .cast("binary")).as("fingerprint"))
+      },
+      Some("""SELECT doc_id,
+        md5(array_to_string(
+          list_sort(list_distinct(string_split_regex(lower(text), '\s+'))),
+          ' ')) AS fingerprint
+        FROM documents""")),
+
+    // ----- rolling (Rabin-Karp) hash via native Catalyst expression -------
+    Q("text_rolling_hash",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.RollingHash.rolling_hash
+        Tables.documents(s, d)
+          .select($"doc_id", rolling_hash($"text").as("rhash"))
+      },
+      Some("""SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
+          (acc, c) -> (acc * 257 + c) % 2147483647) AS rhash
+        FROM documents"""))
+  )
+}
