@@ -1,0 +1,219 @@
+package graft.pcap
+
+import scala.collection.mutable.ArrayBuffer
+
+/** From-scratch DNS wire-format parser (RFC 1035 + EDNS0), replacing the
+  * reference's dnsjava dependency (DnsPcapReader.java:35-57; dnsjava is
+  * LGPL and unavailable in this offline build — SURVEY.md §7.4).
+  *
+  * Output contract mirrors the reference's observable behavior:
+  *   - any parse failure → None (the reference silently swallows decode
+  *     errors, DnsPcapReader.java:53-55);
+  *   - `flags` is the space-separated lowercase flag mnemonics in header
+  *     bit order: qr aa tc rd ra ad cd (dnsjava Header.printFlags);
+  *   - `qname` is lowercased with trailing dot (DnsPcapReader.java:68-74);
+  *   - RR sections render one presentation string per record in a
+  *     documented canonical format `name ttl CLASS TYPE rdata`, then get
+  *     the reference's whitespace normalization (runs of whitespace → one
+  *     space, DnsPcapReader.java:98-107). Exact dnsjava formatting parity
+  *     is explicitly out of scope (SURVEY.md §7.4); the OPT
+  *     pseudo-record follows dnsjava's shape since the reference test
+  *     asserts it: `. <ttl> CLASS<size> OPT ; payload <n>, xrcode <n>,
+  *     version <n>, flags <n>`.
+  */
+object DnsParser {
+
+  private val Opcodes = Map(0 -> "QUERY", 1 -> "IQUERY", 2 -> "STATUS",
+    4 -> "NOTIFY", 5 -> "UPDATE")
+  private val Rcodes = Map(0 -> "NOERROR", 1 -> "FORMERR", 2 -> "SERVFAIL",
+    3 -> "NXDOMAIN", 4 -> "NOTIMP", 5 -> "REFUSED", 6 -> "YXDOMAIN",
+    7 -> "YXRRSET", 8 -> "NXRRSET", 9 -> "NOTAUTH", 10 -> "NOTZONE",
+    16 -> "BADVERS")
+  private val Types = Map(
+    1 -> "A", 2 -> "NS", 3 -> "MD", 4 -> "MF", 5 -> "CNAME", 6 -> "SOA",
+    7 -> "MB", 8 -> "MG", 9 -> "MR", 10 -> "NULL", 11 -> "WKS", 12 -> "PTR",
+    13 -> "HINFO", 14 -> "MINFO", 15 -> "MX", 16 -> "TXT", 17 -> "RP",
+    18 -> "AFSDB", 24 -> "SIG", 25 -> "KEY", 28 -> "AAAA", 29 -> "LOC",
+    33 -> "SRV", 35 -> "NAPTR", 36 -> "KX", 37 -> "CERT", 39 -> "DNAME",
+    41 -> "OPT", 43 -> "DS", 44 -> "SSHFP", 45 -> "IPSECKEY", 46 -> "RRSIG",
+    47 -> "NSEC", 48 -> "DNSKEY", 49 -> "DHCID", 50 -> "NSEC3",
+    51 -> "NSEC3PARAM", 52 -> "TLSA", 99 -> "SPF", 250 -> "TSIG",
+    251 -> "IXFR", 252 -> "AXFR", 255 -> "ANY", 257 -> "CAA")
+  private val Classes = Map(1 -> "IN", 3 -> "CH", 4 -> "HS",
+    254 -> "NONE", 255 -> "ANY")
+
+  def typeString(t: Int): String = Types.getOrElse(t, s"TYPE$t")
+  def classString(c: Int): String = Classes.getOrElse(c, s"CLASS$c")
+
+  def parse(payload: Array[Byte]): Option[DnsFields] =
+    try Some(parseStrict(payload))
+    catch { case _: Exception => None }
+
+  private final class Cursor(val data: Array[Byte]) {
+    var pos = 0
+    def u8(): Int = { val v = data(pos) & 0xFF; pos += 1; v }
+    def u16(): Int = { val v = ((data(pos) & 0xFF) << 8) | (data(pos + 1) & 0xFF); pos += 2; v }
+    def u32(): Long = { (u16().toLong << 16) | u16().toLong }
+    def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || pos + n > data.length) throw new IndexOutOfBoundsException
+      val r = java.util.Arrays.copyOfRange(data, pos, pos + n); pos += n; r
+    }
+  }
+
+  /** Decompress a domain name at the cursor (pointer-loop safe: total
+    * jumps bounded by message size). Preserves wire case; escapes
+    * non-printable/special bytes RFC-1035-style. */
+  private def readName(c: Cursor): String = {
+    val sb = new StringBuilder
+    var jumps = 0
+    var p = c.pos
+    var after = -1            // cursor position after the first pointer
+    var done = false
+    while (!done) {
+      val len = c.data(p) & 0xFF
+      if ((len & 0xC0) == 0xC0) {
+        val ptr = ((len & 0x3F) << 8) | (c.data(p + 1) & 0xFF)
+        if (after < 0) after = p + 2
+        jumps += 1
+        if (jumps > c.data.length) throw new IllegalStateException("pointer loop")
+        p = ptr
+      } else if (len == 0) {
+        p += 1
+        done = true
+      } else {
+        if (p + 1 + len > c.data.length) throw new IndexOutOfBoundsException
+        var i = p + 1
+        while (i < p + 1 + len) {
+          val b = c.data(i) & 0xFF
+          if (b < 0x21 || b > 0x7E) sb.append(f"\\$b%03d")
+          else if (b == '.' || b == ';' || b == '\\' || b == '(' || b == ')' ||
+                   b == '"' || b == '@' || b == '$') sb.append('\\').append(b.toChar)
+          else sb.append(b.toChar)
+          i += 1
+        }
+        sb.append('.')
+        p += 1 + len
+      }
+    }
+    c.pos = if (after >= 0) after else p
+    if (sb.isEmpty) "." else sb.toString
+  }
+
+  private def parseStrict(payload: Array[Byte]): DnsFields = {
+    require(payload.length >= 12, "short DNS header")
+    val c = new Cursor(payload)
+    val id = c.u16()
+    val flagsWord = c.u16()
+    val qd = c.u16(); val an = c.u16(); val ns = c.u16(); val ar = c.u16()
+
+    val qr = (flagsWord & 0x8000) != 0
+    val opcode = (flagsWord >> 11) & 0xF
+    val rcode = flagsWord & 0xF
+    val flagNames = Seq(
+      0x8000 -> "qr", 0x0400 -> "aa", 0x0200 -> "tc", 0x0100 -> "rd",
+      0x0080 -> "ra", 0x0020 -> "ad", 0x0010 -> "cd")
+      .collect { case (bit, n) if (flagsWord & bit) != 0 => n }
+
+    var qname: Option[String] = None
+    var qtype = 0
+    var i = 0
+    while (i < qd) {
+      val name = readName(c)
+      val t = c.u16(); c.u16() // qclass
+      if (i == 0) { qname = Some(name.toLowerCase); qtype = t }
+      i += 1
+    }
+
+    def section(n: Int): Seq[String] = {
+      val out = new ArrayBuffer[String](n)
+      var k = 0
+      while (k < n) { out += normalize(readRecord(c)); k += 1 }
+      out.toSeq
+    }
+
+    val answer = section(an)
+    val authority = section(ns)
+    val additional = section(ar)
+
+    DnsFields(
+      queryId = id,
+      flags = flagNames.mkString(" "),
+      qr = qr,
+      opcode = Opcodes.getOrElse(opcode, opcode.toString),
+      rcode = Rcodes.getOrElse(rcode, rcode.toString),
+      qname = qname,
+      qtype = qtype,
+      qtypeStr = qname.map(_ => typeString(qtype)),
+      answer = answer,
+      authority = authority,
+      additional = additional)
+  }
+
+  /** One resource record → canonical presentation string. */
+  private def readRecord(c: Cursor): String = {
+    val name = readName(c)
+    val t = c.u16()
+    val cls = c.u16()
+    val ttl = c.u32()
+    val rdlen = c.u16()
+    val rdStart = c.pos
+    val rdEnd = rdStart + rdlen
+    if (rdEnd > c.data.length) throw new IndexOutOfBoundsException
+    val rdata = formatRdata(c, t, cls, ttl, rdStart, rdlen)
+    c.pos = rdEnd
+    if (t == 41) {
+      // OPT pseudo-record (EDNS0): class = UDP payload size, ttl packs
+      // xrcode/version/flags — dnsjava-shaped line, fixture-asserted.
+      val xrcode = (ttl >> 24) & 0xFF
+      val version = (ttl >> 16) & 0xFF
+      val fl = ttl & 0xFFFF
+      s"$name $ttl CLASS$cls OPT ; payload $cls, xrcode $xrcode, version $version, flags $fl"
+    } else {
+      s"$name $ttl ${classString(cls)} ${typeString(t)} $rdata"
+    }
+  }
+
+  private def formatRdata(c: Cursor, t: Int, cls: Int, ttl: Long,
+      rdStart: Int, rdlen: Int): String = {
+    c.pos = rdStart
+    t match {
+      case 1 if rdlen == 4 =>                       // A
+        PcapStreamReader.ipv4String(c.data, rdStart)
+      case 28 if rdlen == 16 =>                     // AAAA
+        PcapStreamReader.ipv6String(c.data, rdStart)
+      case 2 | 5 | 12 | 39 =>                       // NS / CNAME / PTR / DNAME
+        readName(c)
+      case 6 =>                                     // SOA
+        val mname = readName(c); val rname = readName(c)
+        val serial = c.u32(); val refresh = c.u32(); val retry = c.u32()
+        val expire = c.u32(); val minimum = c.u32()
+        s"$mname $rname $serial $refresh $retry $expire $minimum"
+      case 15 =>                                    // MX
+        val pref = c.u16(); val target = readName(c)
+        s"$pref $target"
+      case 16 =>                                    // TXT: quoted strings
+        val parts = new ArrayBuffer[String]
+        while (c.pos < rdStart + rdlen) {
+          val n = c.u8()
+          val s = new String(c.bytes(n), java.nio.charset.StandardCharsets.ISO_8859_1)
+          parts += "\"" + s.flatMap {
+            case ch if ch == '"' || ch == '\\' => "\\" + ch
+            case ch if ch < 0x20 || ch > 0x7E => f"\\${ch.toInt & 0xFF}%03d"
+            case ch => ch.toString
+          } + "\""
+        }
+        parts.mkString(" ")
+      case 33 =>                                    // SRV
+        val prio = c.u16(); val weight = c.u16(); val port = c.u16()
+        val target = readName(c)
+        s"$prio $weight $port $target"
+      case _ =>                                     // RFC 3597 unknown form
+        val hex = c.bytes(rdlen).map(b => f"${b & 0xFF}%02X").mkString
+        if (rdlen == 0) "\\# 0" else s"\\# $rdlen $hex"
+    }
+  }
+
+  /** The reference's record normalization (DnsPcapReader.java:98-107). */
+  def normalize(s: String): String =
+    s.replaceAll("\\s{2,}", " ").replaceAll("\\t{1,}", " ")
+}

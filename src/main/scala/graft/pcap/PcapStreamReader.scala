@@ -1,0 +1,340 @@
+package graft.pcap
+
+import java.io.{DataInputStream, EOFException, IOException, InputStream}
+import java.security.MessageDigest
+
+/** Which optional work the decoder performs. Column pruning in the Spark
+  * source maps requested columns onto these switches so unrequested work
+  * (DNS parse, MD5 digest, payload retention) is skipped entirely — an
+  * improvement over the reference, which always decodes every field and
+  * lets the Hive SerDe drop them afterwards (SURVEY.md §4).
+  */
+final case class DecodeOptions(
+    dnsDecode: Boolean = false,
+    md5: Boolean = false,
+    keepPayload: Boolean = false)
+
+/** Streaming classic-libpcap decoder: validates the 24-byte global header,
+  * then yields one [[PacketRecord]] per packet.
+  *
+  * Semantics match the reference decoder
+  * (hadoop-pcap-lib/.../PcapReader.java) — see the quirk register in
+  * SURVEY.md §7.5. Notable parity points:
+  *   - little-endian container only, magic 0xA1B2C3D4 (PcapReader.java:107);
+  *     pcapng / big-endian / nanosecond variants are rejected;
+  *   - link types NULL(0)/EN10MB(1)/RAW(101)/LOOP(108) only
+  *     (PcapReader.java:238-254), others throw at open;
+  *   - empty stream yields zero packets without error
+  *     (PcapReader.java:94-105);
+  *   - truncated packet body yields a record carrying only `ts`
+  *     (PcapReader.java:177-180);
+  *   - one 802.1Q tag unwrapped; QinQ → no IP decode
+  *     (PcapReader.java:288-295);
+  *   - L4 decode only for TCP/UDP (PcapReader.java:199-217);
+  *   - DNS decode only for UDP port 53 — DNS-over-TCP keeps its 2-byte
+  *     length prefix and never parses in the reference (dnsjava), so we
+  *     don't attempt it (DnsPcapReader.java:38,53-55).
+  *
+  * Deliberate fixes (flagged per SURVEY.md §7.5):
+  *   - IPv6 UDP checksum uses a real IPv6 pseudo-header (the reference
+  *     reuses IPv4 offsets on the v6 path — garbage results,
+  *     PcapReader.java:140-141);
+  *   - the IPv6 extension-header walk advances by the RFC 8200 sizes
+  *     ((hdrExtLen+1)*8; AH (len+2)*4) — the reference advances by
+  *     `1 + len` bytes (PcapReader.java:409-413), which misparses every
+  *     real extension chain.
+  */
+final class PcapStreamReader(
+    in: InputStream,
+    options: DecodeOptions = DecodeOptions())
+  extends Iterator[PacketRecord] {
+
+  import PcapStreamReader._
+
+  private val is = new DataInputStream(in)
+  private var eof = false
+  private var nextRec: PacketRecord = _
+
+  /** None only for an empty stream (parity: "skipping empty file"). */
+  private val linkType: Option[Int] = {
+    val hdr = new Array[Byte](GlobalHeaderSize)
+    if (!readFully(hdr)) {
+      if (!eof) throw new IOException("Couldn't read PCAP header")
+      None
+    } else {
+      if (leU32(hdr, 0) != Magic)
+        throw new IOException("Not a PCAP file (Couldn't find magic number)")
+      val lt = leU32(hdr, 20).toInt
+      if (!SupportedLinkTypes.contains(lt))
+        throw new IOException(s"Unsupported link type: $lt")
+      Some(lt)
+    }
+  }
+
+  private val md = if (options.md5) Some(MessageDigest.getInstance("MD5")) else None
+
+  override def hasNext: Boolean = {
+    if (nextRec == null && linkType.isDefined) nextRec = readPacket()
+    nextRec != null
+  }
+
+  override def next(): PacketRecord = {
+    if (!hasNext) throw new NoSuchElementException("end of pcap stream")
+    val r = nextRec; nextRec = null; r
+  }
+
+  private def readFully(buf: Array[Byte]): Boolean =
+    try { is.readFully(buf); true }
+    catch {
+      case _: EOFException => eof = true; false
+      case _: IOException => false
+    }
+
+  private def readPacket(): PacketRecord = {
+    val hdr = new Array[Byte](PacketHeaderSize)
+    if (!readFully(hdr)) return null
+
+    val tsSec = leU32(hdr, 0)
+    val tsUsec = leU32(hdr, 4)
+    val capLen = leU32(hdr, 8)
+
+    val base = PacketRecord(
+      ts = Some(tsSec),
+      tsMicro = Some(tsSec * 1000000L + tsUsec))
+
+    val data = new Array[Byte](capLen.toInt)
+    if (!readFully(data)) return base   // truncated body → ts-only record
+
+    val withFrame = base.copy(
+      size = Some(capLen),
+      md5 = md.map(m => upperHex(m.digest(data))),
+      etherType = Some(etherTypeName(linkType.get, data)))
+
+    ipStart(linkType.get, data) match {
+      case None => withFrame
+      case Some(ip) => decodeIp(withFrame, data, ip)
+    }
+  }
+
+  private def decodeIp(rec0: PacketRecord, data: Array[Byte], ip: Int): PacketRecord = {
+    if (ip >= data.length) return rec0
+    (data(ip) >> 4) & 0xF match {
+      case 4 =>
+        val rec = decodeV4Header(rec0, data, ip)
+        if (rec.protocol.exists(p => p == "TCP" || p == "UDP")) {
+          val ihl = (data(ip) & 0xF) * 4
+          val (rec2, payload) = decodeL4(rec, data, ip, ihl, v6 = false)
+          finishPayload(rec2, payload)
+        } else rec
+      case 6 =>
+        val rec1 = decodeV6Header(rec0, data, ip)
+        val (rec, dataStart) = walkV6ExtHeaders(rec1, data, ip)
+        if (dataStart > 0 &&
+            rec.protocol.exists(p => p == "TCP" || p == "UDP")) {
+          val (rec2, payload) = decodeL4(rec, data, ip, dataStart, v6 = true)
+          finishPayload(rec2, payload)
+        } else rec
+      case _ => rec0
+    }
+  }
+
+  private def decodeV4Header(rec: PacketRecord, data: Array[Byte], ip: Int): PacketRecord =
+    rec.copy(
+      ttl = Some(data(ip + 8) & 0xFF),
+      protocol = Some(protocolName(data(ip + 9) & 0xFF)),
+      src = Some(ipv4String(data, ip + 12)),
+      dst = Some(ipv4String(data, ip + 16)))
+
+  private def decodeV6Header(rec: PacketRecord, data: Array[Byte], ip: Int): PacketRecord =
+    rec.copy(
+      ttl = Some(data(ip + 7) & 0xFF),
+      payloadLen = Some(beU16(data, ip + 4)),
+      src = Some(ipv6String(data, ip + 8)),
+      dst = Some(ipv6String(data, ip + 24)))
+
+  /** Walk the v6 extension chain. Returns (record, L4 offset from ip) —
+    * -1 when No-Next-Header terminates the chain. */
+  private def walkV6ExtHeaders(rec0: PacketRecord, data: Array[Byte], ip: Int): (PacketRecord, Int) = {
+    var rec = rec0
+    var count = 0
+    var offset = 40
+    var next = data(ip + 6) & 0xFF
+    var chain = new StringBuilder
+    var result = -1
+    var done = false
+    while (!done && ip + offset < data.length) {
+      val isExt = ExtHeaderNames.contains(next)
+      val name = if (isExt) ExtHeaderNames(next) else protocolName(next)
+      chain.append('[').append(name).append(']')
+      if (next == NoNextHeader) {
+        done = true                       // result stays -1
+      } else if (!isExt) {
+        rec = rec.copy(protocol = Some(name))
+        result = offset
+        done = true
+      } else {
+        count += 1
+        if (next == FragmentHeader) {
+          rec = rec.copy(frag = Some(true))
+          next = data(ip + offset) & 0xFF
+          offset += 8                     // fragment header is fixed 8 bytes
+        } else if (next == AuthHeader) {
+          next = data(ip + offset) & 0xFF
+          offset += ((data(ip + offset + 1) & 0xFF) + 2) * 4
+        } else {
+          next = data(ip + offset) & 0xFF
+          offset += ((data(ip + offset + 1) & 0xFF) + 1) * 8
+        }
+      }
+    }
+    val rec2 = rec.copy(
+      extCount = Some(count),
+      extHeaders = if (chain.nonEmpty) Some(chain.toString) else rec.extHeaders)
+    (rec2, result)
+  }
+
+  /** Ports + (UDP) checksum + payload slice. `l4Start` is relative to ip. */
+  private def decodeL4(rec: PacketRecord, data: Array[Byte], ip: Int,
+      l4Start: Int, v6: Boolean): (PacketRecord, Array[Byte]) = {
+    val l4 = ip + l4Start
+    if (l4 + 4 > data.length) return (rec, Array.emptyByteArray)
+    var r = rec.copy(
+      srcPort = Some(beU16(data, l4)),
+      dstPort = Some(beU16(data, l4 + 2)))
+    val headerSize = r.protocol match {
+      case Some("UDP") =>
+        udpChecksum(data, ip, l4Start, v6).foreach(c => r = r.copy(udpsum = Some(c)))
+        8
+      case Some("TCP") =>
+        if (l4 + 13 > data.length) return (r, Array.emptyByteArray)
+        ((data(l4 + 12) >> 4) & 0xF) * 4
+      case _ => return (r, Array.emptyByteArray)
+    }
+    val payloadStart = l4 + headerSize
+    val payload =
+      if (payloadStart > data.length) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(data, payloadStart, data.length)
+    (r.copy(len = Some(payload.length)), payload)
+  }
+
+  private def finishPayload(rec: PacketRecord, payload: Array[Byte]): PacketRecord = {
+    val withDns =
+      if (options.dnsDecode && rec.protocol.contains("UDP") &&
+          (rec.srcPort.contains(53) || rec.dstPort.contains(53)))
+        rec.copy(dns = DnsParser.parse(payload))
+      else rec
+    if (options.keepPayload) withDns.copy(payload = Some(payload)) else withDns
+  }
+
+  /** One's-complement checksum residual over pseudo-header + captured UDP
+    * segment: 0 = valid. None when the checksum field is zero or the
+    * packet is too short (parity with getUdpChecksum returning -1,
+    * PcapReader.java:123-165). The v6 pseudo-header fix is documented in
+    * the class Scaladoc. */
+  private def udpChecksum(data: Array[Byte], ip: Int, l4Start: Int, v6: Boolean): Option[Int] = {
+    val l4 = ip + l4Start
+    try {
+      if (data(l4 + 6) == 0 && data(l4 + 7) == 0) return None
+      val addrLen = if (v6) 16 else 4
+      val srcOff = if (v6) ip + 8 else ip + 12
+      val dstOff = if (v6) ip + 24 else ip + 16
+      val segLen = data.length - l4
+      val buf = new Array[Byte](2 * addrLen + 4 + segLen)
+      System.arraycopy(data, srcOff, buf, 0, addrLen)
+      System.arraycopy(data, dstOff, buf, addrLen, addrLen)
+      buf(2 * addrLen) = 0
+      buf(2 * addrLen + 1) = 17
+      buf(2 * addrLen + 2) = data(l4 + 4)
+      buf(2 * addrLen + 3) = data(l4 + 5)
+      System.arraycopy(data, l4, buf, 2 * addrLen + 4, segLen)
+      var sum = 0
+      var i = 0
+      while (i < buf.length) {
+        val v = buf(i) & 0xFF
+        sum += (if (i % 2 == 0) v << 8 else v)
+        i += 1
+      }
+      sum = (sum >> 16) + (sum & 0xFFFF)
+      sum += sum >> 16
+      Some(~sum & 0xFFFF)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+}
+
+object PcapStreamReader {
+  val Magic = 0xA1B2C3D4L
+  val GlobalHeaderSize = 24
+  val PacketHeaderSize = 16
+  val SupportedLinkTypes: Set[Int] = Set(0, 1, 101, 108)
+  val NoNextHeader = 59
+  val FragmentHeader = 44
+  val AuthHeader = 51
+
+  val ProtocolNames: Map[Int, String] = Map(
+    1 -> "ICMP", 6 -> "TCP", 17 -> "UDP",
+    46 -> "RSVP", 47 -> "GRE", 58 -> "ICMPv6")
+
+  val ExtHeaderNames: Map[Int, String] = Map(
+    0 -> "HopByHop", 43 -> "Routing", 44 -> "Fragment",
+    50 -> "ESP", 51 -> "AuthHeader", 60 -> "DestOpts", 135 -> "Mobility")
+
+  def protocolName(id: Int): String = ProtocolNames.getOrElse(id, id.toString)
+
+  def leU32(b: Array[Byte], off: Int): Long =
+    ((b(off + 3) & 0xFFL) << 24) | ((b(off + 2) & 0xFFL) << 16) |
+    ((b(off + 1) & 0xFFL) << 8) | (b(off) & 0xFFL)
+
+  def beU16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+  /** Ethertype display name; "" for non-Ethernet links
+    * (PcapReader.java:257-281). */
+  def etherTypeName(linkType: Int, frame: Array[Byte]): String =
+    if (linkType != 1) ""
+    else if (frame.length < 14) ""
+    else beU16(frame, 12) match {
+      case 0x0800 => "IPv4"
+      case 0x0806 => "arp"
+      case 0x8035 => "rarp"
+      case 0x86DD => "IPv6"
+      case 0x8100 => "vlan"
+      case other => f"0x$other%04x"
+    }
+
+  /** Offset of the IP header in the frame, None when not IP
+    * (PcapReader.java:283-303): one 802.1Q tag unwrapped on Ethernet. */
+  def ipStart(linkType: Int, frame: Array[Byte]): Option[Int] = linkType match {
+    case 0 | 101 => Some(0)
+    case 108 => Some(4)
+    case 1 =>
+      if (frame.length < 14) None
+      else {
+        var start = 14
+        var et = beU16(frame, 12)
+        if (et == 0x8100 && frame.length >= 18) {
+          et = beU16(frame, 16)
+          start += 4
+        }
+        if (et == 0x0800 || et == 0x86DD) Some(start) else None
+      }
+    case _ => None
+  }
+
+  def ipv4String(b: Array[Byte], off: Int): String =
+    s"${b(off) & 0xFF}.${b(off + 1) & 0xFF}.${b(off + 2) & 0xFF}.${b(off + 3) & 0xFF}"
+
+  /** RFC-form IPv6 text via InetAddress, matching
+    * PcapReaderUtil.convertIPv6Address (java.net formatting, no `::`
+    * compression). */
+  def ipv6String(b: Array[Byte], off: Int): String =
+    java.net.InetAddress.getByAddress(
+      java.util.Arrays.copyOfRange(b, off, off + 16)).getHostAddress
+
+  def upperHex(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xFF}%02X"))
+    sb.toString
+  }
+}

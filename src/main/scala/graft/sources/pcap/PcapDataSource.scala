@@ -1,0 +1,209 @@
+package graft.sources.pcap
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.pcap.DecodeOptions
+
+/** `spark.read.format("pcap")` — DataSource V2 batch source for classic
+  * libpcap capture files.
+  *
+  * Architecture (SURVEY.md §1.4/§2A): the reference exposes packets to SQL
+  * through a Hadoop `InputFormat` + Hive SerDe pair
+  * (hadoop-pcap-lib/.../io/PcapInputFormat.java,
+  * hadoop-pcap-serde/.../PcapDeserializer.java); the Spark-native shape is
+  * a DSv2 `TableProvider` whose `PartitionReader` runs the decoder core and
+  * writes `InternalRow`s directly — no boxing boundary, with column
+  * pruning pushed *into* the decoder (skip DNS parse / MD5 / payload
+  * retention when unrequested), which the reference cannot do.
+  *
+  * Scale design:
+  *   - pcap has no sync markers → never byte-range split
+  *     (`isSplitable=false` in the reference, PcapInputFormat.java:66-75);
+  *     parallelism unit is the whole file;
+  *   - small files are bin-packed into partitions up to
+  *     `spark.sql.files.maxPartitionBytes` (the reference's
+  *     CombinePcapInputFormat + 100 MB split guidance,
+  *     hadoop-pcap-serde/README.md:16-19), so a 100 TB landing directory
+  *     of many captures still yields bounded, balanced tasks;
+  *   - `.gz` (any Hadoop codec) transparently decompressed, matching
+  *     PcapInputFormat.java:46-49.
+  *
+  * Options: `decoder` = `ip` (default) | `dns`; `md5` = `true` to compute
+  * the frame digest (reference conf flag
+  * net.ripe.hadoop.pcap.PcapReader.calculateMD5, PcapReader.java:19).
+  */
+class PcapDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "pcap"
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PcapSchema.full
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PcapTable(new CaseInsensitiveStringMap(properties))
+}
+
+class PcapTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"pcap(${PcapTable.paths(options).mkString(",")})"
+  override def schema(): StructType = PcapSchema.full
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // `options` (table properties) carries the path; scan options carry
+    // per-read settings. Merge, scan options winning.
+    val merged = new util.HashMap[String, String]()
+    merged.putAll(options)
+    merged.putAll(caseInsensitiveOptions)
+    new PcapScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+object PcapTable {
+  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map { json =>
+      // minimal JSON string-array parse: ["a","b"]
+      json.trim.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+        .filter(_.nonEmpty)
+    }.getOrElse(Seq.empty)
+    val single = Option(options.get("path")).toSeq
+    (multi ++ single).distinct
+  }
+}
+
+class PcapScanBuilder(options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = PcapSchema.full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new PcapScan(required, options)
+}
+
+class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PcapScan(columns=[${requiredSchema.fieldNames.mkString(",")}])"
+
+  private def sparkSession = SparkSession.active
+
+  private def hadoopConf: Configuration =
+    sparkSession.sessionState.newHadoopConf()
+
+  private def listFiles(): Seq[FileStatus] = {
+    val conf = hadoopConf
+    val declared = PcapTable.paths(options)
+    if (declared.isEmpty)
+      throw new IllegalArgumentException("pcap source requires a path")
+    declared.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse {
+        if (fs.exists(path)) Seq(fs.getFileStatus(path)) else Seq.empty
+      }
+      if (matches.isEmpty)
+        throw new java.io.FileNotFoundException(s"pcap path does not exist: $p")
+      matches.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+            .filterNot(_.getPath.getName.startsWith("_"))
+        else Seq(st)
+      }
+    }
+  }
+
+  /** Whole-file partitions, bin-packed to maxPartitionBytes (greedy
+    * first-fit decreasing). A file larger than the target gets its own
+    * partition — pcap is not byte-range splittable. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxBytes = sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
+    val files = listFiles().map(f => f.getPath.toString -> f.getLen)
+      .sortBy(-_._2)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[
+      (scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
+    files.foreach { case (p, len) =>
+      val cost = len + openCost
+      bins.indexWhere(_._2 + cost <= maxBytes) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(p -> len), cost))
+        case i =>
+          bins(i)._1 += (p -> len)
+          bins(i) = (bins(i)._1, bins(i)._2 + cost)
+      }
+    }
+    bins.map(b => PcapInputPartition(b._1.toSeq.map(_._1)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val decodeDns = "dns".equalsIgnoreCase(options.getOrDefault("decoder", "ip"))
+    val wantsDnsCols = requiredSchema.fieldNames.exists(_.startsWith("dns_"))
+    val decode = DecodeOptions(
+      dnsDecode = decodeDns && wantsDnsCols,
+      md5 = options.getBoolean("md5", false) &&
+        requiredSchema.fieldNames.contains("md5"),
+      keepPayload = requiredSchema.fieldNames.contains("payload"))
+    new PcapReaderFactory(new SerializableHadoopConf(hadoopConf),
+      requiredSchema, decode)
+  }
+}
+
+/** Files of one task. Serialized to executors; paths only. */
+case class PcapInputPartition(files: Seq[String]) extends InputPartition
+
+class PcapReaderFactory(conf: SerializableHadoopConf, schema: StructType,
+    decode: DecodeOptions) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[
+    org.apache.spark.sql.catalyst.InternalRow] =
+    new PcapPartitionReader(
+      partition.asInstanceOf[PcapInputPartition].files, conf.value, schema,
+      decode)
+}
+
+/** Minimal serializable Hadoop Configuration wrapper (the Spark-internal
+  * one is `private[spark]`). */
+class SerializableHadoopConf(@transient var value: Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** Helper to open a (possibly codec-compressed) pcap file as a stream. */
+object PcapFileOpener {
+  def open(conf: Configuration, pathStr: String): java.io.InputStream = {
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(conf)
+    val raw = fs.open(path)
+    Option(new CompressionCodecFactory(conf).getCodec(path))
+      .map(_.createInputStream(raw).asInstanceOf[java.io.InputStream])
+      .getOrElse(raw)
+  }
+}

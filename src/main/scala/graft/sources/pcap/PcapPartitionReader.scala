@@ -1,0 +1,56 @@
+package graft.sources.pcap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pcap.{DecodeOptions, PacketRecord, PcapStreamReader}
+
+/** Reads the files of one [[PcapInputPartition]] sequentially, streaming
+  * decoded packets as `InternalRow`s (the Spark analogue of
+  * PcapRecordReader + CombinePcapRecordReader under
+  * hadoop-pcap-lib/.../io/reader/). `pkt_idx` restarts at 1 per
+  * file, matching the reference's per-split LongWritable key
+  * (PcapRecordReader.java:43-54). */
+class PcapPartitionReader(
+    files: Seq[String],
+    conf: Configuration,
+    schema: StructType,
+    decode: DecodeOptions) extends PartitionReader[InternalRow] {
+
+  private val build = PcapSchema.rowBuilder(schema)
+  private val fileIter = files.iterator
+  private var stream: java.io.InputStream = _
+  private var packets: Iterator[PacketRecord] = Iterator.empty
+  private var currentFile: UTF8String = _
+  private var pktIdx = 0L
+  private var row: InternalRow = _
+
+  private def advanceFile(): Boolean = {
+    if (stream != null) { stream.close(); stream = null }
+    if (!fileIter.hasNext) return false
+    val path = fileIter.next()
+    currentFile = UTF8String.fromString(path)
+    stream = PcapFileOpener.open(conf, path)
+    packets = new PcapStreamReader(stream, decode)
+    pktIdx = 0L
+    true
+  }
+
+  override def next(): Boolean = {
+    while (!packets.hasNext) {
+      if (!advanceFile()) return false
+    }
+    val rec = packets.next()
+    pktIdx += 1
+    row = build(rec, pktIdx, currentFile)
+    true
+  }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit =
+    if (stream != null) { stream.close(); stream = null }
+}

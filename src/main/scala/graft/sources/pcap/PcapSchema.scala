@@ -1,0 +1,107 @@
+package graft.sources.pcap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pcap.PacketRecord
+
+/** The fixed wide schema of the `pcap` format — the union of every field
+  * the reference can emit (packet/Packet.java:9-24, packet/DnsPacket.java:
+  * 6-16), every column nullable; a field the decoder didn't populate is
+  * NULL, exactly reproducing the Hive SerDe's name-projection semantics
+  * (PcapDeserializer.java:54-58). Parity-extension columns (SURVEY.md
+  * §1.4): `ts_micro`, `time`, `pkt_idx`, `file`, `payload`.
+  */
+object PcapSchema {
+
+  val full: StructType = StructType(Seq(
+    StructField("ts", LongType),
+    StructField("ts_micro", LongType),
+    StructField("time", TimestampType),
+    StructField("size", LongType),
+    StructField("md5", StringType),
+    StructField("ether_type", StringType),
+    StructField("ttl", IntegerType),
+    StructField("protocol", StringType),
+    StructField("src", StringType),
+    StructField("dst", StringType),
+    StructField("src_port", IntegerType),
+    StructField("dst_port", IntegerType),
+    StructField("udpsum", IntegerType),
+    StructField("len", IntegerType),
+    StructField("frag", BooleanType),
+    StructField("payload_len", IntegerType),
+    StructField("ext_count", IntegerType),
+    StructField("ext_headers", StringType),
+    StructField("dns_queryid", IntegerType),
+    StructField("dns_flags", StringType),
+    StructField("dns_qr", BooleanType),
+    StructField("dns_opcode", StringType),
+    StructField("dns_rcode", StringType),
+    StructField("dns_qname", StringType),
+    StructField("dns_qtype", IntegerType),
+    StructField("dns_qtype_str", StringType),
+    StructField("dns_answer", ArrayType(StringType)),
+    StructField("dns_authority", ArrayType(StringType)),
+    StructField("dns_additional", ArrayType(StringType)),
+    StructField("pkt_idx", LongType),
+    StructField("file", StringType),
+    StructField("payload", BinaryType)))
+
+  private def utf8(s: String): AnyRef = UTF8String.fromString(s)
+  private def strArray(xs: Seq[String]): AnyRef =
+    ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray)
+
+  /** Per-column extractor: (record, pktIdx, fileName) → Catalyst value. */
+  type Extractor = (PacketRecord, Long, UTF8String) => AnyRef
+
+  private val extractors: Map[String, Extractor] = Map(
+    "ts" -> ((r, _, _) => r.ts.map(java.lang.Long.valueOf).orNull),
+    "ts_micro" -> ((r, _, _) => r.tsMicro.map(java.lang.Long.valueOf).orNull),
+    "time" -> ((r, _, _) => r.tsMicro.map(java.lang.Long.valueOf).orNull),
+    "size" -> ((r, _, _) => r.size.map(java.lang.Long.valueOf).orNull),
+    "md5" -> ((r, _, _) => r.md5.map(utf8).orNull),
+    "ether_type" -> ((r, _, _) => r.etherType.map(utf8).orNull),
+    "ttl" -> ((r, _, _) => r.ttl.map(Int.box).orNull),
+    "protocol" -> ((r, _, _) => r.protocol.map(utf8).orNull),
+    "src" -> ((r, _, _) => r.src.map(utf8).orNull),
+    "dst" -> ((r, _, _) => r.dst.map(utf8).orNull),
+    "src_port" -> ((r, _, _) => r.srcPort.map(Int.box).orNull),
+    "dst_port" -> ((r, _, _) => r.dstPort.map(Int.box).orNull),
+    "udpsum" -> ((r, _, _) => r.udpsum.map(Int.box).orNull),
+    "len" -> ((r, _, _) => r.len.map(Int.box).orNull),
+    "frag" -> ((r, _, _) => r.frag.map(Boolean.box).orNull),
+    "payload_len" -> ((r, _, _) => r.payloadLen.map(Int.box).orNull),
+    "ext_count" -> ((r, _, _) => r.extCount.map(Int.box).orNull),
+    "ext_headers" -> ((r, _, _) => r.extHeaders.map(utf8).orNull),
+    "dns_queryid" -> ((r, _, _) => r.dns.map(d => Int.box(d.queryId)).orNull),
+    "dns_flags" -> ((r, _, _) => r.dns.map(d => utf8(d.flags)).orNull),
+    "dns_qr" -> ((r, _, _) => r.dns.map(d => Boolean.box(d.qr)).orNull),
+    "dns_opcode" -> ((r, _, _) => r.dns.map(d => utf8(d.opcode)).orNull),
+    "dns_rcode" -> ((r, _, _) => r.dns.map(d => utf8(d.rcode)).orNull),
+    "dns_qname" -> ((r, _, _) => r.dns.flatMap(_.qname).map(utf8).orNull),
+    "dns_qtype" -> ((r, _, _) => r.dns.map(d => Int.box(d.qtype)).orNull),
+    "dns_qtype_str" -> ((r, _, _) => r.dns.flatMap(_.qtypeStr).map(utf8).orNull),
+    "dns_answer" -> ((r, _, _) => r.dns.map(d => strArray(d.answer)).orNull),
+    "dns_authority" -> ((r, _, _) => r.dns.map(d => strArray(d.authority)).orNull),
+    "dns_additional" -> ((r, _, _) => r.dns.map(d => strArray(d.additional)).orNull),
+    "pkt_idx" -> ((_, idx, _) => java.lang.Long.valueOf(idx)),
+    "file" -> ((_, _, f) => f),
+    "payload" -> ((r, _, _) => r.payload.orNull))
+
+  /** Compile the pruned schema into a row writer. */
+  def rowBuilder(schema: StructType): (PacketRecord, Long, UTF8String) => InternalRow = {
+    val fns = schema.fieldNames.map(extractors)
+    (rec, idx, file) => {
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fns.length)
+      var i = 0
+      while (i < fns.length) {
+        row.update(i, fns(i)(rec, idx, file))
+        i += 1
+      }
+      row
+    }
+  }
+}

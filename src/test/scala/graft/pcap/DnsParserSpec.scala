@@ -1,0 +1,91 @@
+package graft.pcap
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DnsParserSpec extends AnyFunSuite {
+
+  test("whitespace normalization (DnsPcapReaderTest.java:24-29 invariant)") {
+    assert(DnsParser.normalize("a\t\tb   c\td") == "a b c d")
+    assert(DnsParser.normalize(". 32768\tCLASS4096  OPT") == ". 32768 CLASS4096 OPT")
+  }
+
+  test("parse minimal query: header, flags, lowercased qname") {
+    val msg = TestPcap.dnsQuery(0x1234, "WWW.Example.COM", qtype = 28)
+    val d = DnsParser.parse(msg).get
+    assert(d.queryId == 0x1234)
+    assert(d.flags == "rd")
+    assert(!d.qr)
+    assert(d.opcode == "QUERY")
+    assert(d.rcode == "NOERROR")
+    assert(d.qname.contains("www.example.com."))
+    assert(d.qtype == 28)
+    assert(d.qtypeStr.contains("AAAA"))
+    assert(d.answer.isEmpty && d.authority.isEmpty && d.additional.isEmpty)
+  }
+
+  test("garbage payload returns None (silent-drop parity)") {
+    assert(DnsParser.parse(Array[Byte](1, 2, 3)).isEmpty)
+    assert(DnsParser.parse(Array.fill[Byte](64)(-1)).isEmpty)
+  }
+
+  test("empty question section: qname absent, qtype 0") {
+    // header only, all counts 0
+    val msg = TestPcap.be16(7) ++ TestPcap.be16(0x8000) ++
+      TestPcap.be16(0) ++ TestPcap.be16(0) ++ TestPcap.be16(0) ++ TestPcap.be16(0)
+    val d = DnsParser.parse(msg).get
+    assert(d.qname.isEmpty && d.qtype == 0 && d.qtypeStr.isEmpty)
+    assert(d.qr && d.flags == "qr")
+  }
+
+  test("compression pointers resolve; pointer loops rejected") {
+    // question: full name at offset 12; answer RR name: pointer to 12
+    val msg = TestPcap.be16(1) ++ TestPcap.be16(0x8100) ++
+      TestPcap.be16(1) ++ TestPcap.be16(1) ++
+      TestPcap.be16(0) ++ TestPcap.be16(0) ++
+      Array[Byte](3) ++ "www".getBytes ++
+      Array[Byte](7) ++ "example".getBytes ++
+      Array[Byte](3) ++ "com".getBytes ++ Array[Byte](0) ++
+      TestPcap.be16(1) ++ TestPcap.be16(1) ++
+      Array[Byte](0xC0.toByte, 12) ++ TestPcap.be16(1) ++ TestPcap.be16(1) ++
+      Array[Byte](0, 0, 0, 60) ++ TestPcap.be16(4) ++
+      Array[Byte](1, 2, 3, 4)
+    val d = DnsParser.parse(msg).get
+    assert(d.qname.contains("www.example.com."))
+    assert(d.answer == Seq("www.example.com. 60 IN A 1.2.3.4"))
+
+    // self-pointing loop must fail, not hang
+    val loop = TestPcap.be16(1) ++ TestPcap.be16(0x0100) ++
+      TestPcap.be16(1) ++ TestPcap.be16(0) ++ TestPcap.be16(0) ++
+      TestPcap.be16(0) ++ Array[Byte](0xC0.toByte, 12)
+    assert(DnsParser.parse(loop ++ TestPcap.be16(1) ++ TestPcap.be16(1)).isEmpty)
+  }
+
+  test("OPT pseudo-record renders dnsjava-shaped string") {
+    // OPT: name=root, type 41, class 4096 (payload), ttl 0x00008000
+    val msg = TestPcap.be16(9) ++ TestPcap.be16(0x8000) ++
+      TestPcap.be16(0) ++ TestPcap.be16(0) ++ TestPcap.be16(0) ++
+      TestPcap.be16(1) ++
+      Array[Byte](0) ++ TestPcap.be16(41) ++ TestPcap.be16(4096) ++
+      Array[Byte](0, 0, 0x80.toByte, 0) ++ TestPcap.be16(0)
+    val d = DnsParser.parse(msg).get
+    assert(d.additional == Seq(
+      ". 32768 CLASS4096 OPT ; payload 4096, xrcode 0, version 0, flags 32768"))
+  }
+
+  test("TXT records quote strings; unknown types use RFC3597 form") {
+    val txtRdata = Array[Byte](5) ++ "hello".getBytes
+    val msg = TestPcap.be16(9) ++ TestPcap.be16(0x8000) ++
+      TestPcap.be16(0) ++ TestPcap.be16(2) ++ TestPcap.be16(0) ++
+      TestPcap.be16(0) ++
+      // TXT
+      Array[Byte](0) ++ TestPcap.be16(16) ++ TestPcap.be16(1) ++
+      Array[Byte](0, 0, 0, 1) ++ TestPcap.be16(txtRdata.length) ++ txtRdata ++
+      // unknown type 999, 2 rdata bytes
+      Array[Byte](0) ++ TestPcap.be16(999) ++ TestPcap.be16(1) ++
+      Array[Byte](0, 0, 0, 1) ++ TestPcap.be16(2) ++ Array[Byte](0xAB.toByte, 0xCD.toByte)
+    val d = DnsParser.parse(msg).get
+    assert(d.answer == Seq(
+      ". 1 IN TXT \"hello\"",
+      ". 1 IN TYPE999 \\# 2 ABCD"))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.pcap
+
+import java.io.ByteArrayInputStream
+import java.io.IOException
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit vectors ported from the reference tests (SURVEY.md §5,
+  * FIXTURES.md §3): PcapReaderTest.java link-type / IP-offset / payload
+  * cases, plus the robustness contract of §1.3. */
+class PcapCoreSpec extends AnyFunSuite {
+  import PcapStreamReader._
+
+  // -- IP offset discovery (PcapReaderTest.java:53-108) --------------------
+
+  test("ip start: NULL/RAW at 0, LOOP at 4") {
+    assert(ipStart(0, new Array[Byte](64)).contains(0))
+    assert(ipStart(101, new Array[Byte](64)).contains(0))
+    assert(ipStart(108, new Array[Byte](64)).contains(4))
+  }
+
+  private def etherFrame(etherType: Int, vlanInner: Option[Int] = None): Array[Byte] = {
+    val f = new Array[Byte](64)
+    f(12) = ((etherType >> 8) & 0xFF).toByte
+    f(13) = (etherType & 0xFF).toByte
+    vlanInner.foreach { inner =>
+      f(16) = ((inner >> 8) & 0xFF).toByte
+      f(17) = (inner & 0xFF).toByte
+    }
+    f
+  }
+
+  test("ip start: EN10MB ipv4 at 14") {
+    assert(ipStart(1, etherFrame(0x0800)).contains(14))
+  }
+
+  test("ip start: EN10MB 802.1Q + ipv4 at 18") {
+    assert(ipStart(1, etherFrame(0x8100, Some(0x0800))).contains(18))
+  }
+
+  test("ip start: unknown ethertype -> none") {
+    assert(ipStart(1, etherFrame(0xFFFF)).isEmpty)
+  }
+
+  test("ether type names (PcapReader.java:257-281)") {
+    assert(etherTypeName(1, etherFrame(0x0800)) == "IPv4")
+    assert(etherTypeName(1, etherFrame(0x0806)) == "arp")
+    assert(etherTypeName(1, etherFrame(0x8035)) == "rarp")
+    assert(etherTypeName(1, etherFrame(0x86DD)) == "IPv6")
+    assert(etherTypeName(1, etherFrame(0x8100)) == "vlan")
+    assert(etherTypeName(1, etherFrame(0xABCD)) == "0xabcd")
+    assert(etherTypeName(0, new Array[Byte](64)) == "")
+  }
+
+  // -- container robustness (SURVEY.md §1.3) -------------------------------
+
+  test("empty stream yields zero packets, no error") {
+    val r = new PcapStreamReader(new ByteArrayInputStream(Array.emptyByteArray))
+    assert(!r.hasNext)
+  }
+
+  test("bad magic throws") {
+    val junk = Array.fill[Byte](24)(0x42)
+    assertThrows[IOException] {
+      new PcapStreamReader(new ByteArrayInputStream(junk))
+    }
+  }
+
+  test("unsupported link type throws") {
+    val hdr = TestPcap.globalHeader(linkType = 42)
+    assertThrows[IOException] {
+      new PcapStreamReader(new ByteArrayInputStream(hdr))
+    }
+  }
+
+  test("truncated packet body yields ts-only record") {
+    val bytes = TestPcap.globalHeader() ++
+      TestPcap.packetHeader(100L, 7L, 500) ++ Array.fill[Byte](10)(1)
+    val r = new PcapStreamReader(new ByteArrayInputStream(bytes))
+    val rec = r.next()
+    assert(rec.ts.contains(100L))
+    assert(rec.tsMicro.contains(100000007L))
+    assert(rec.size.isEmpty && rec.etherType.isEmpty)
+    assert(!r.hasNext)
+  }
+
+  test("non-IP frame: ts, size, ether_type only") {
+    val frame = etherFrame(0x0806) // ARP
+    val bytes = TestPcap.file(Seq((5L, 0L, frame)))
+    val r = new PcapStreamReader(new ByteArrayInputStream(bytes))
+    val rec = r.next()
+    assert(rec.ts.contains(5L))
+    assert(rec.size.contains(frame.length.toLong))
+    assert(rec.etherType.contains("arp"))
+    assert(rec.src.isEmpty && rec.protocol.isEmpty)
+  }
+
+  // -- v4/v6 decode on synthesized frames ----------------------------------
+
+  test("ipv4 udp frame decodes ports, ttl, addresses, payload len") {
+    val frame = TestPcap.ipv4UdpFrame(
+      src = Array(10, 0, 0, 1).map(_.toByte),
+      dst = Array(10, 0, 0, 2).map(_.toByte),
+      srcPort = 1234, dstPort = 53, ttl = 17,
+      payload = "hello".getBytes)
+    val r = new PcapStreamReader(
+      new ByteArrayInputStream(TestPcap.file(Seq((9L, 1L, frame)))))
+    val rec = r.next()
+    assert(rec.etherType.contains("IPv4"))
+    assert(rec.protocol.contains("UDP"))
+    assert(rec.ttl.contains(17))
+    assert(rec.src.contains("10.0.0.1"))
+    assert(rec.dst.contains("10.0.0.2"))
+    assert(rec.srcPort.contains(1234))
+    assert(rec.dstPort.contains(53))
+    assert(rec.len.contains(5))
+    assert(rec.frag.isEmpty && rec.extCount.isEmpty)
+  }
+
+  test("ipv6 with fragment ext header sets frag, walks chain") {
+    val frame = TestPcap.ipv6UdpFrame(
+      srcPort = 4000, dstPort = 53, hopLimit = 64,
+      payload = "abcdef".getBytes, withFragmentHeader = true)
+    val r = new PcapStreamReader(
+      new ByteArrayInputStream(TestPcap.file(Seq((9L, 1L, frame)))))
+    val rec = r.next()
+    assert(rec.etherType.contains("IPv6"))
+    assert(rec.protocol.contains("UDP"))
+    assert(rec.frag.contains(true))
+    assert(rec.extCount.contains(1))
+    assert(rec.extHeaders.contains("[Fragment][UDP]"))
+    assert(rec.srcPort.contains(4000))
+    assert(rec.len.contains(6))
+  }
+
+  test("udp checksum residual: zero for valid, absent when field is 0") {
+    val valid = TestPcap.ipv4UdpFrame(
+      src = Array(1, 2, 3, 4).map(_.toByte),
+      dst = Array(5, 6, 7, 8).map(_.toByte),
+      srcPort = 1, dstPort = 2, ttl = 3,
+      payload = "xy".getBytes, withChecksum = true)
+    val r1 = new PcapStreamReader(
+      new ByteArrayInputStream(TestPcap.file(Seq((1L, 0L, valid)))))
+    assert(r1.next().udpsum.contains(0))
+
+    val noCk = TestPcap.ipv4UdpFrame(
+      src = Array(1, 2, 3, 4).map(_.toByte),
+      dst = Array(5, 6, 7, 8).map(_.toByte),
+      srcPort = 1, dstPort = 2, ttl = 3,
+      payload = "xy".getBytes, withChecksum = false)
+    val r2 = new PcapStreamReader(
+      new ByteArrayInputStream(TestPcap.file(Seq((1L, 0L, noCk)))))
+    assert(r2.next().udpsum.isEmpty)
+  }
+
+  test("md5 option computes uppercase frame digest") {
+    val frame = etherFrame(0x0806)
+    val r = new PcapStreamReader(
+      new ByteArrayInputStream(TestPcap.file(Seq((1L, 0L, frame)))),
+      DecodeOptions(md5 = true))
+    val got = r.next().md5.get
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(frame).map(b => f"${b & 0xFF}%02X").mkString
+    assert(got == expect && got == got.toUpperCase)
+  }
+}

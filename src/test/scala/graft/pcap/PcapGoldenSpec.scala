@@ -1,0 +1,133 @@
+package graft.pcap
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden end-to-end assertions for `spark.read.format("pcap")` on the
+  * reference fixture (FIXTURES.md §2: 2 packets — a DNS A query for
+  * ripe.net and its referral response). */
+class PcapGoldenSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val fixture = getClass.getResource("/test.pcap").getPath
+
+  test("golden: both packets, all columns (decoder=dns, md5 on)") {
+    val rows = spark.read.format("pcap")
+      .option("decoder", "dns").option("md5", "true")
+      .load(fixture)
+      .orderBy("pkt_idx")
+      .collect()
+    assert(rows.length == 2)
+
+    val q = rows(0) // query packet
+    assert(q.getAs[Long]("ts") == 1317993942L)
+    assert(q.getAs[Long]("ts_micro") == 1317993942105851L)
+    assert(q.getAs[Long]("size") == 68L)
+    assert(q.getAs[String]("ether_type") == "IPv4")
+    assert(q.getAs[Int]("ttl") == 64)
+    assert(q.getAs[String]("protocol") == "UDP")
+    assert(q.getAs[String]("src") == "193.0.10.82")
+    assert(q.getAs[String]("dst") == "193.0.14.129")
+    assert(q.getAs[Int]("src_port") == 52938)
+    assert(q.getAs[Int]("dst_port") == 53)
+    assert(q.getAs[Int]("udpsum") == 0)
+    assert(q.getAs[Int]("len") == 26)
+    assert(q.isNullAt(q.fieldIndex("frag")))
+    assert(q.isNullAt(q.fieldIndex("payload_len")))
+    assert(q.isNullAt(q.fieldIndex("ext_count")))
+    assert(q.isNullAt(q.fieldIndex("ext_headers")))
+    assert(q.getAs[Int]("dns_queryid") == 49638)
+    assert(q.getAs[String]("dns_flags") == "rd")
+    assert(!q.getAs[Boolean]("dns_qr"))
+    assert(q.getAs[String]("dns_opcode") == "QUERY")
+    assert(q.getAs[String]("dns_rcode") == "NOERROR")
+    assert(q.getAs[String]("dns_qname") == "ripe.net.")
+    assert(q.getAs[Int]("dns_qtype") == 1)
+    assert(q.getAs[String]("dns_qtype_str") == "A")
+    assert(q.getSeq[String](q.fieldIndex("dns_answer")).isEmpty)
+    assert(q.getSeq[String](q.fieldIndex("dns_authority")).isEmpty)
+    assert(q.getSeq[String](q.fieldIndex("dns_additional")).isEmpty)
+    assert(q.getAs[String]("md5").matches("[0-9A-F]{32}"))
+    assert(q.getAs[Long]("pkt_idx") == 1L)
+
+    val r = rows(1) // referral response
+    assert(r.getAs[Long]("ts") == 1317993942L)
+    assert(r.getAs[Long]("ts_micro") == 1317993942107792L)
+    assert(r.getAs[Long]("size") == 553L)
+    assert(r.getAs[Int]("ttl") == 62)
+    assert(r.getAs[String]("src") == "193.0.14.129")
+    assert(r.getAs[String]("dst") == "193.0.10.82")
+    assert(r.getAs[Int]("src_port") == 53)
+    assert(r.getAs[Int]("dst_port") == 52938)
+    assert(r.getAs[Int]("udpsum") == 0)
+    assert(r.getAs[Int]("len") == 511)
+    assert(r.getAs[Int]("dns_queryid") == 49638)
+    assert(r.getAs[String]("dns_flags") == "qr rd")
+    assert(r.getAs[Boolean]("dns_qr"))
+    assert(r.getAs[String]("dns_qname") == "ripe.net.")
+    val auth = r.getSeq[String](r.fieldIndex("dns_authority"))
+    assert(auth.length == 13)
+    // referral NS set for the net. zone: a.–m.gtld-servers.net
+    assert(auth.forall(_.matches(
+      "net\\. 172800 IN NS [a-m]\\.gtld-servers\\.net\\.")))
+    val add = r.getSeq[String](r.fieldIndex("dns_additional"))
+    assert(add.length == 15)
+    // glue set: 13 IPv4 + 2 IPv6 addresses (no OPT in this capture)
+    assert(add.count(_.contains(" IN A ")) == 13)
+    assert(add.count(_.contains(" IN AAAA ")) == 2)
+  }
+
+  test("column pruning reaches the decoder plan") {
+    val df = spark.read.format("pcap").load(fixture)
+      .select("src_port").where("dst_port = 53")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PcapScan"))
+    // only the needed columns in the scan schema
+    assert(df.count() == 1)
+  }
+
+  test("reference canonical query: count by src_port") {
+    val got = spark.read.format("pcap").load(fixture)
+      .groupBy("src_port").count()
+      .collect().map(r => r.getAs[Int]("src_port") -> r.getAs[Long]("count"))
+      .toMap
+    assert(got == Map(52938 -> 1L, 53 -> 1L))
+  }
+
+  test("decoder=ip leaves dns columns null") {
+    val rows = spark.read.format("pcap").load(fixture).collect()
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("dns_queryid"))))
+    // md5 off by default
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("md5"))))
+  }
+
+  test("gzipped pcap decodes transparently") {
+    val tmp = java.nio.file.Files.createTempDirectory("pcapgz")
+    val gz = tmp.resolve("test.pcap.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture)))
+    out.close()
+    val n = spark.read.format("pcap").load(gz.toString).count()
+    assert(n == 2)
+  }
+
+  test("many-file directory scan bin-packs into few partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("pcapmany")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture))
+    (1 to 20).foreach { i =>
+      java.nio.file.Files.write(tmp.resolve(f"f$i%02d.pcap"), bytes)
+    }
+    val df = spark.read.format("pcap").load(tmp.toString)
+    assert(df.count() == 40)
+    assert(df.rdd.getNumPartitions == 1) // 20 tiny files pack into one task
+  }
+}
