@@ -29,10 +29,30 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // decode-throughput proxy (BASELINE.md): full-decode scan of a
+    // deterministic 256 MB DNS-heavy capture, split into 8 files so all
+    // cores participate (pcap is whole-file parallel).
+    val benchDir = java.nio.file.Paths.get("/tmp/graft_pcap_bench")
+    java.nio.file.Files.createDirectories(benchDir)
+    val bytes = (0 until 8).map { i =>
+      graft.pcap.PcapSynth.ensureFile(
+        benchDir.resolve(s"part$i.pcap"), 32L << 20)
+    }.sum
+    val t0 = System.nanoTime()
+    spark.read.format("pcap").option("decoder", "dns")
+      .load(benchDir.toString)
+      .filter("dns_qname is not null").groupBy("dns_qtype_str").count()
+      .collect()
+    val decodeSec = (System.nanoTime() - t0) / 1e9
+    val mbps = bytes / 1e6 / decodeSec
+    val decode = Seq(
+      "pcap_decode_dns_256m" -> decodeSec)
+
+    val qs = (results ++ decode).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = (results ++ decode).map(_._2).sum
+    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pcap_decode_mb_s":$mbps%.1f}""")
     spark.stop()
   }
 }

@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Relational.defs ++
     operators.Dedup.defs ++
     operators.TextAnalysis.defs ++
-    operators.Similarity.defs
+    operators.Similarity.defs ++
+    operators.PcapQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

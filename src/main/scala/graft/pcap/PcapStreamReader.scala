@@ -15,7 +15,9 @@ final case class DecodeOptions(
     keepPayload: Boolean = false)
 
 /** Streaming classic-libpcap decoder: validates the 24-byte global header,
-  * then yields one [[PacketRecord]] per packet.
+  * then yields one [[PacketRecord]] per packet. Decoding accumulates into
+  * a single mutable builder per packet (one record allocation, no
+  * copy-chain churn — this loop runs per packet at 100 TB).
   *
   * Semantics match the reference decoder
   * (hadoop-pcap-lib/.../PcapReader.java) — see the quirk register in
@@ -54,6 +56,7 @@ final class PcapStreamReader(
   private val is = new DataInputStream(in)
   private var eof = false
   private var nextRec: PacketRecord = _
+  private val hdrBuf = new Array[Byte](PacketHeaderSize)
 
   /** None only for an empty stream (parity: "skipping empty file"). */
   private val linkType: Option[Int] = {
@@ -90,76 +93,84 @@ final class PcapStreamReader(
       case _: IOException => false
     }
 
+  /** Mutable per-packet accumulator; one PacketRecord built at the end. */
+  private final class B {
+    var ts, tsMicro, size: Option[Long] = None
+    var md5v, etherType, protocol, src, dst, extHeaders: Option[String] = None
+    var ttl, srcPort, dstPort, udpsum, len, payloadLen, extCount: Option[Int] = None
+    var frag: Option[Boolean] = None
+    var dns: Option[DnsFields] = None
+    var payload: Option[Array[Byte]] = None
+
+    def build(): PacketRecord = PacketRecord(
+      ts = ts, tsMicro = tsMicro, size = size, md5 = md5v,
+      etherType = etherType, ttl = ttl, protocol = protocol,
+      src = src, dst = dst, srcPort = srcPort, dstPort = dstPort,
+      udpsum = udpsum, len = len, frag = frag, payloadLen = payloadLen,
+      extCount = extCount, extHeaders = extHeaders, dns = dns,
+      payload = payload)
+  }
+
   private def readPacket(): PacketRecord = {
-    val hdr = new Array[Byte](PacketHeaderSize)
-    if (!readFully(hdr)) return null
+    if (!readFully(hdrBuf)) return null
 
-    val tsSec = leU32(hdr, 0)
-    val tsUsec = leU32(hdr, 4)
-    val capLen = leU32(hdr, 8)
+    val tsSec = leU32(hdrBuf, 0)
+    val tsUsec = leU32(hdrBuf, 4)
+    val capLen = leU32(hdrBuf, 8)
 
-    val base = PacketRecord(
-      ts = Some(tsSec),
-      tsMicro = Some(tsSec * 1000000L + tsUsec))
+    val b = new B
+    b.ts = Some(tsSec)
+    b.tsMicro = Some(tsSec * 1000000L + tsUsec)
 
     val data = new Array[Byte](capLen.toInt)
-    if (!readFully(data)) return base   // truncated body → ts-only record
+    if (!readFully(data)) return b.build() // truncated body → ts-only record
 
-    val withFrame = base.copy(
-      size = Some(capLen),
-      md5 = md.map(m => upperHex(m.digest(data))),
-      etherType = Some(etherTypeName(linkType.get, data)))
+    b.size = Some(capLen)
+    md.foreach(m => b.md5v = Some(upperHex(m.digest(data))))
+    b.etherType = Some(etherTypeName(linkType.get, data))
 
     ipStart(linkType.get, data) match {
-      case None => withFrame
-      case Some(ip) => decodeIp(withFrame, data, ip)
+      case Some(ip) if ip < data.length => decodeIp(b, data, ip)
+      case _ => ()
     }
+    b.build()
   }
 
-  private def decodeIp(rec0: PacketRecord, data: Array[Byte], ip: Int): PacketRecord = {
-    if (ip >= data.length) return rec0
+  private def decodeIp(b: B, data: Array[Byte], ip: Int): Unit =
     (data(ip) >> 4) & 0xF match {
       case 4 =>
-        val rec = decodeV4Header(rec0, data, ip)
-        if (rec.protocol.exists(p => p == "TCP" || p == "UDP")) {
+        b.ttl = Some(data(ip + 8) & 0xFF)
+        b.protocol = Some(protocolName(data(ip + 9) & 0xFF))
+        b.src = Some(ipv4String(data, ip + 12))
+        b.dst = Some(ipv4String(data, ip + 16))
+        if (isTcpUdp(b.protocol)) {
           val ihl = (data(ip) & 0xF) * 4
-          val (rec2, payload) = decodeL4(rec, data, ip, ihl, v6 = false)
-          finishPayload(rec2, payload)
-        } else rec
+          decodeL4(b, data, ip, ihl, v6 = false)
+        }
       case 6 =>
-        val rec1 = decodeV6Header(rec0, data, ip)
-        val (rec, dataStart) = walkV6ExtHeaders(rec1, data, ip)
-        if (dataStart > 0 &&
-            rec.protocol.exists(p => p == "TCP" || p == "UDP")) {
-          val (rec2, payload) = decodeL4(rec, data, ip, dataStart, v6 = true)
-          finishPayload(rec2, payload)
-        } else rec
-      case _ => rec0
+        b.ttl = Some(data(ip + 7) & 0xFF)
+        b.payloadLen = Some(beU16(data, ip + 4))
+        b.src = Some(ipv6String(data, ip + 8))
+        b.dst = Some(ipv6String(data, ip + 24))
+        val dataStart = walkV6ExtHeaders(b, data, ip)
+        if (dataStart > 0 && isTcpUdp(b.protocol))
+          decodeL4(b, data, ip, dataStart, v6 = true)
+      case _ => ()
     }
-  }
 
-  private def decodeV4Header(rec: PacketRecord, data: Array[Byte], ip: Int): PacketRecord =
-    rec.copy(
-      ttl = Some(data(ip + 8) & 0xFF),
-      protocol = Some(protocolName(data(ip + 9) & 0xFF)),
-      src = Some(ipv4String(data, ip + 12)),
-      dst = Some(ipv4String(data, ip + 16)))
+  private def isTcpUdp(p: Option[String]): Boolean =
+    p match {
+      case Some(s) => s == "TCP" || s == "UDP"
+      case None => false
+    }
 
-  private def decodeV6Header(rec: PacketRecord, data: Array[Byte], ip: Int): PacketRecord =
-    rec.copy(
-      ttl = Some(data(ip + 7) & 0xFF),
-      payloadLen = Some(beU16(data, ip + 4)),
-      src = Some(ipv6String(data, ip + 8)),
-      dst = Some(ipv6String(data, ip + 24)))
-
-  /** Walk the v6 extension chain. Returns (record, L4 offset from ip) —
+  /** Walk the v6 extension chain. Returns the L4 offset from ip —
     * -1 when No-Next-Header terminates the chain. */
-  private def walkV6ExtHeaders(rec0: PacketRecord, data: Array[Byte], ip: Int): (PacketRecord, Int) = {
-    var rec = rec0
+  private def walkV6ExtHeaders(b: B, data: Array[Byte], ip: Int): Int = {
     var count = 0
     var offset = 40
     var next = data(ip + 6) & 0xFF
-    var chain = new StringBuilder
+    val chain = new StringBuilder
     var result = -1
     var done = false
     while (!done && ip + offset < data.length) {
@@ -169,13 +180,13 @@ final class PcapStreamReader(
       if (next == NoNextHeader) {
         done = true                       // result stays -1
       } else if (!isExt) {
-        rec = rec.copy(protocol = Some(name))
+        b.protocol = Some(name)
         result = offset
         done = true
       } else {
         count += 1
         if (next == FragmentHeader) {
-          rec = rec.copy(frag = Some(true))
+          b.frag = Some(true)
           next = data(ip + offset) & 0xFF
           offset += 8                     // fragment header is fixed 8 bytes
         } else if (next == AuthHeader) {
@@ -187,43 +198,37 @@ final class PcapStreamReader(
         }
       }
     }
-    val rec2 = rec.copy(
-      extCount = Some(count),
-      extHeaders = if (chain.nonEmpty) Some(chain.toString) else rec.extHeaders)
-    (rec2, result)
+    b.extCount = Some(count)
+    if (chain.nonEmpty) b.extHeaders = Some(chain.toString)
+    result
   }
 
-  /** Ports + (UDP) checksum + payload slice. `l4Start` is relative to ip. */
-  private def decodeL4(rec: PacketRecord, data: Array[Byte], ip: Int,
-      l4Start: Int, v6: Boolean): (PacketRecord, Array[Byte]) = {
+  /** Ports + (UDP) checksum + payload slice + optional DNS decode.
+    * `l4Start` is relative to ip. */
+  private def decodeL4(b: B, data: Array[Byte], ip: Int, l4Start: Int,
+      v6: Boolean): Unit = {
     val l4 = ip + l4Start
-    if (l4 + 4 > data.length) return (rec, Array.emptyByteArray)
-    var r = rec.copy(
-      srcPort = Some(beU16(data, l4)),
-      dstPort = Some(beU16(data, l4 + 2)))
-    val headerSize = r.protocol match {
+    if (l4 + 4 > data.length) return
+    b.srcPort = Some(beU16(data, l4))
+    b.dstPort = Some(beU16(data, l4 + 2))
+    val headerSize = b.protocol match {
       case Some("UDP") =>
-        udpChecksum(data, ip, l4Start, v6).foreach(c => r = r.copy(udpsum = Some(c)))
+        b.udpsum = udpChecksum(data, ip, l4Start, v6)
         8
       case Some("TCP") =>
-        if (l4 + 13 > data.length) return (r, Array.emptyByteArray)
+        if (l4 + 13 > data.length) return
         ((data(l4 + 12) >> 4) & 0xF) * 4
-      case _ => return (r, Array.emptyByteArray)
+      case _ => return
     }
     val payloadStart = l4 + headerSize
     val payload =
       if (payloadStart > data.length) Array.emptyByteArray
       else java.util.Arrays.copyOfRange(data, payloadStart, data.length)
-    (r.copy(len = Some(payload.length)), payload)
-  }
-
-  private def finishPayload(rec: PacketRecord, payload: Array[Byte]): PacketRecord = {
-    val withDns =
-      if (options.dnsDecode && rec.protocol.contains("UDP") &&
-          (rec.srcPort.contains(53) || rec.dstPort.contains(53)))
-        rec.copy(dns = DnsParser.parse(payload))
-      else rec
-    if (options.keepPayload) withDns.copy(payload = Some(payload)) else withDns
+    b.len = Some(payload.length)
+    if (options.dnsDecode && b.protocol.contains("UDP") &&
+        (b.srcPort.contains(53) || b.dstPort.contains(53)))
+      b.dns = DnsParser.parse(payload)
+    if (options.keepPayload) b.payload = Some(payload)
   }
 
   /** One's-complement checksum residual over pseudo-header + captured UDP
@@ -239,19 +244,25 @@ final class PcapStreamReader(
       val srcOff = if (v6) ip + 8 else ip + 12
       val dstOff = if (v6) ip + 24 else ip + 16
       val segLen = data.length - l4
-      val buf = new Array[Byte](2 * addrLen + 4 + segLen)
-      System.arraycopy(data, srcOff, buf, 0, addrLen)
-      System.arraycopy(data, dstOff, buf, addrLen, addrLen)
-      buf(2 * addrLen) = 0
-      buf(2 * addrLen + 1) = 17
-      buf(2 * addrLen + 2) = data(l4 + 4)
-      buf(2 * addrLen + 3) = data(l4 + 5)
-      System.arraycopy(data, l4, buf, 2 * addrLen + 4, segLen)
       var sum = 0
       var i = 0
-      while (i < buf.length) {
-        val v = buf(i) & 0xFF
-        sum += (if (i % 2 == 0) v << 8 else v)
+      // pseudo-header: src, dst, 0, proto(17), udp length — summed with
+      // the reference's byte-position weighting (even → high byte)
+      while (i < addrLen) {
+        sum += (data(srcOff + i) & 0xFF) << (if (i % 2 == 0) 8 else 0)
+        i += 1
+      }
+      i = 0
+      while (i < addrLen) {
+        sum += (data(dstOff + i) & 0xFF) << (if (i % 2 == 0) 8 else 0)
+        i += 1
+      }
+      sum += 17 // [0, 17] at even/odd positions
+      sum += (data(l4 + 4) & 0xFF) << 8
+      sum += data(l4 + 5) & 0xFF
+      i = 0
+      while (i < segLen) {
+        sum += (data(l4 + i) & 0xFF) << (if (i % 2 == 0) 8 else 0)
         i += 1
       }
       sum = (sum >> 16) + (sum & 0xFFFF)

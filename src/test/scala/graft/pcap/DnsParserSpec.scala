@@ -10,7 +10,7 @@ class DnsParserSpec extends AnyFunSuite {
   }
 
   test("parse minimal query: header, flags, lowercased qname") {
-    val msg = TestPcap.dnsQuery(0x1234, "WWW.Example.COM", qtype = 28)
+    val msg = PcapSynth.dnsQuery(0x1234, "WWW.Example.COM", qtype = 28)
     val d = DnsParser.parse(msg).get
     assert(d.queryId == 0x1234)
     assert(d.flags == "rd")
@@ -30,8 +30,8 @@ class DnsParserSpec extends AnyFunSuite {
 
   test("empty question section: qname absent, qtype 0") {
     // header only, all counts 0
-    val msg = TestPcap.be16(7) ++ TestPcap.be16(0x8000) ++
-      TestPcap.be16(0) ++ TestPcap.be16(0) ++ TestPcap.be16(0) ++ TestPcap.be16(0)
+    val msg = PcapSynth.be16(7) ++ PcapSynth.be16(0x8000) ++
+      PcapSynth.be16(0) ++ PcapSynth.be16(0) ++ PcapSynth.be16(0) ++ PcapSynth.be16(0)
     val d = DnsParser.parse(msg).get
     assert(d.qname.isEmpty && d.qtype == 0 && d.qtypeStr.isEmpty)
     assert(d.qr && d.flags == "qr")
@@ -39,34 +39,34 @@ class DnsParserSpec extends AnyFunSuite {
 
   test("compression pointers resolve; pointer loops rejected") {
     // question: full name at offset 12; answer RR name: pointer to 12
-    val msg = TestPcap.be16(1) ++ TestPcap.be16(0x8100) ++
-      TestPcap.be16(1) ++ TestPcap.be16(1) ++
-      TestPcap.be16(0) ++ TestPcap.be16(0) ++
+    val msg = PcapSynth.be16(1) ++ PcapSynth.be16(0x8100) ++
+      PcapSynth.be16(1) ++ PcapSynth.be16(1) ++
+      PcapSynth.be16(0) ++ PcapSynth.be16(0) ++
       Array[Byte](3) ++ "www".getBytes ++
       Array[Byte](7) ++ "example".getBytes ++
       Array[Byte](3) ++ "com".getBytes ++ Array[Byte](0) ++
-      TestPcap.be16(1) ++ TestPcap.be16(1) ++
-      Array[Byte](0xC0.toByte, 12) ++ TestPcap.be16(1) ++ TestPcap.be16(1) ++
-      Array[Byte](0, 0, 0, 60) ++ TestPcap.be16(4) ++
+      PcapSynth.be16(1) ++ PcapSynth.be16(1) ++
+      Array[Byte](0xC0.toByte, 12) ++ PcapSynth.be16(1) ++ PcapSynth.be16(1) ++
+      Array[Byte](0, 0, 0, 60) ++ PcapSynth.be16(4) ++
       Array[Byte](1, 2, 3, 4)
     val d = DnsParser.parse(msg).get
     assert(d.qname.contains("www.example.com."))
     assert(d.answer == Seq("www.example.com. 60 IN A 1.2.3.4"))
 
     // self-pointing loop must fail, not hang
-    val loop = TestPcap.be16(1) ++ TestPcap.be16(0x0100) ++
-      TestPcap.be16(1) ++ TestPcap.be16(0) ++ TestPcap.be16(0) ++
-      TestPcap.be16(0) ++ Array[Byte](0xC0.toByte, 12)
-    assert(DnsParser.parse(loop ++ TestPcap.be16(1) ++ TestPcap.be16(1)).isEmpty)
+    val loop = PcapSynth.be16(1) ++ PcapSynth.be16(0x0100) ++
+      PcapSynth.be16(1) ++ PcapSynth.be16(0) ++ PcapSynth.be16(0) ++
+      PcapSynth.be16(0) ++ Array[Byte](0xC0.toByte, 12)
+    assert(DnsParser.parse(loop ++ PcapSynth.be16(1) ++ PcapSynth.be16(1)).isEmpty)
   }
 
   test("OPT pseudo-record renders dnsjava-shaped string") {
     // OPT: name=root, type 41, class 4096 (payload), ttl 0x00008000
-    val msg = TestPcap.be16(9) ++ TestPcap.be16(0x8000) ++
-      TestPcap.be16(0) ++ TestPcap.be16(0) ++ TestPcap.be16(0) ++
-      TestPcap.be16(1) ++
-      Array[Byte](0) ++ TestPcap.be16(41) ++ TestPcap.be16(4096) ++
-      Array[Byte](0, 0, 0x80.toByte, 0) ++ TestPcap.be16(0)
+    val msg = PcapSynth.be16(9) ++ PcapSynth.be16(0x8000) ++
+      PcapSynth.be16(0) ++ PcapSynth.be16(0) ++ PcapSynth.be16(0) ++
+      PcapSynth.be16(1) ++
+      Array[Byte](0) ++ PcapSynth.be16(41) ++ PcapSynth.be16(4096) ++
+      Array[Byte](0, 0, 0x80.toByte, 0) ++ PcapSynth.be16(0)
     val d = DnsParser.parse(msg).get
     assert(d.additional == Seq(
       ". 32768 CLASS4096 OPT ; payload 4096, xrcode 0, version 0, flags 32768"))
@@ -74,15 +74,15 @@ class DnsParserSpec extends AnyFunSuite {
 
   test("TXT records quote strings; unknown types use RFC3597 form") {
     val txtRdata = Array[Byte](5) ++ "hello".getBytes
-    val msg = TestPcap.be16(9) ++ TestPcap.be16(0x8000) ++
-      TestPcap.be16(0) ++ TestPcap.be16(2) ++ TestPcap.be16(0) ++
-      TestPcap.be16(0) ++
+    val msg = PcapSynth.be16(9) ++ PcapSynth.be16(0x8000) ++
+      PcapSynth.be16(0) ++ PcapSynth.be16(2) ++ PcapSynth.be16(0) ++
+      PcapSynth.be16(0) ++
       // TXT
-      Array[Byte](0) ++ TestPcap.be16(16) ++ TestPcap.be16(1) ++
-      Array[Byte](0, 0, 0, 1) ++ TestPcap.be16(txtRdata.length) ++ txtRdata ++
+      Array[Byte](0) ++ PcapSynth.be16(16) ++ PcapSynth.be16(1) ++
+      Array[Byte](0, 0, 0, 1) ++ PcapSynth.be16(txtRdata.length) ++ txtRdata ++
       // unknown type 999, 2 rdata bytes
-      Array[Byte](0) ++ TestPcap.be16(999) ++ TestPcap.be16(1) ++
-      Array[Byte](0, 0, 0, 1) ++ TestPcap.be16(2) ++ Array[Byte](0xAB.toByte, 0xCD.toByte)
+      Array[Byte](0) ++ PcapSynth.be16(999) ++ PcapSynth.be16(1) ++
+      Array[Byte](0, 0, 0, 1) ++ PcapSynth.be16(2) ++ Array[Byte](0xAB.toByte, 0xCD.toByte)
     val d = DnsParser.parse(msg).get
     assert(d.answer == Seq(
       ". 1 IN TXT \"hello\"",

@@ -67,15 +67,15 @@ class PcapCoreSpec extends AnyFunSuite {
   }
 
   test("unsupported link type throws") {
-    val hdr = TestPcap.globalHeader(linkType = 42)
+    val hdr = PcapSynth.globalHeader(linkType = 42)
     assertThrows[IOException] {
       new PcapStreamReader(new ByteArrayInputStream(hdr))
     }
   }
 
   test("truncated packet body yields ts-only record") {
-    val bytes = TestPcap.globalHeader() ++
-      TestPcap.packetHeader(100L, 7L, 500) ++ Array.fill[Byte](10)(1)
+    val bytes = PcapSynth.globalHeader() ++
+      PcapSynth.packetHeader(100L, 7L, 500) ++ Array.fill[Byte](10)(1)
     val r = new PcapStreamReader(new ByteArrayInputStream(bytes))
     val rec = r.next()
     assert(rec.ts.contains(100L))
@@ -86,7 +86,7 @@ class PcapCoreSpec extends AnyFunSuite {
 
   test("non-IP frame: ts, size, ether_type only") {
     val frame = etherFrame(0x0806) // ARP
-    val bytes = TestPcap.file(Seq((5L, 0L, frame)))
+    val bytes = PcapSynth.file(Seq((5L, 0L, frame)))
     val r = new PcapStreamReader(new ByteArrayInputStream(bytes))
     val rec = r.next()
     assert(rec.ts.contains(5L))
@@ -98,13 +98,13 @@ class PcapCoreSpec extends AnyFunSuite {
   // -- v4/v6 decode on synthesized frames ----------------------------------
 
   test("ipv4 udp frame decodes ports, ttl, addresses, payload len") {
-    val frame = TestPcap.ipv4UdpFrame(
+    val frame = PcapSynth.ipv4UdpFrame(
       src = Array(10, 0, 0, 1).map(_.toByte),
       dst = Array(10, 0, 0, 2).map(_.toByte),
       srcPort = 1234, dstPort = 53, ttl = 17,
       payload = "hello".getBytes)
     val r = new PcapStreamReader(
-      new ByteArrayInputStream(TestPcap.file(Seq((9L, 1L, frame)))))
+      new ByteArrayInputStream(PcapSynth.file(Seq((9L, 1L, frame)))))
     val rec = r.next()
     assert(rec.etherType.contains("IPv4"))
     assert(rec.protocol.contains("UDP"))
@@ -118,11 +118,11 @@ class PcapCoreSpec extends AnyFunSuite {
   }
 
   test("ipv6 with fragment ext header sets frag, walks chain") {
-    val frame = TestPcap.ipv6UdpFrame(
+    val frame = PcapSynth.ipv6UdpFrame(
       srcPort = 4000, dstPort = 53, hopLimit = 64,
       payload = "abcdef".getBytes, withFragmentHeader = true)
     val r = new PcapStreamReader(
-      new ByteArrayInputStream(TestPcap.file(Seq((9L, 1L, frame)))))
+      new ByteArrayInputStream(PcapSynth.file(Seq((9L, 1L, frame)))))
     val rec = r.next()
     assert(rec.etherType.contains("IPv6"))
     assert(rec.protocol.contains("UDP"))
@@ -134,29 +134,29 @@ class PcapCoreSpec extends AnyFunSuite {
   }
 
   test("udp checksum residual: zero for valid, absent when field is 0") {
-    val valid = TestPcap.ipv4UdpFrame(
+    val valid = PcapSynth.ipv4UdpFrame(
       src = Array(1, 2, 3, 4).map(_.toByte),
       dst = Array(5, 6, 7, 8).map(_.toByte),
       srcPort = 1, dstPort = 2, ttl = 3,
       payload = "xy".getBytes, withChecksum = true)
     val r1 = new PcapStreamReader(
-      new ByteArrayInputStream(TestPcap.file(Seq((1L, 0L, valid)))))
+      new ByteArrayInputStream(PcapSynth.file(Seq((1L, 0L, valid)))))
     assert(r1.next().udpsum.contains(0))
 
-    val noCk = TestPcap.ipv4UdpFrame(
+    val noCk = PcapSynth.ipv4UdpFrame(
       src = Array(1, 2, 3, 4).map(_.toByte),
       dst = Array(5, 6, 7, 8).map(_.toByte),
       srcPort = 1, dstPort = 2, ttl = 3,
       payload = "xy".getBytes, withChecksum = false)
     val r2 = new PcapStreamReader(
-      new ByteArrayInputStream(TestPcap.file(Seq((1L, 0L, noCk)))))
+      new ByteArrayInputStream(PcapSynth.file(Seq((1L, 0L, noCk)))))
     assert(r2.next().udpsum.isEmpty)
   }
 
   test("md5 option computes uppercase frame digest") {
     val frame = etherFrame(0x0806)
     val r = new PcapStreamReader(
-      new ByteArrayInputStream(TestPcap.file(Seq((1L, 0L, frame)))),
+      new ByteArrayInputStream(PcapSynth.file(Seq((1L, 0L, frame)))),
       DecodeOptions(md5 = true))
     val got = r.next().md5.get
     val expect = java.security.MessageDigest.getInstance("MD5")
