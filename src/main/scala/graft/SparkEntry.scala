@@ -14,6 +14,8 @@ object SparkEntry {
     operators.Dedup.defs ++
     operators.TextAnalysis.defs ++
     operators.Similarity.defs ++
+    operators.Multimodal.defs ++
+    graft.streaming.StreamingQueries.defs ++
     operators.PcapQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

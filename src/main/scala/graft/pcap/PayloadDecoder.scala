@@ -1,0 +1,55 @@
+package graft.pcap
+
+/** Application-layer decoder plug-in point — the Spark mapping of the
+  * reference's reader-subclass hook (`createPacket` /
+  * `processPacketPayload`, PcapReader.java:228-232, selected via conf key
+  * `net.ripe.hadoop.pcap.io.reader.class`, PcapInputFormat.java:29,55-64;
+  * usage doc hadoop-pcap-lib/README.md:6-15).
+  *
+  * A decoder inspects the L4 payload of a TCP/UDP packet and may
+  * contribute app-layer fields (the `dns_*` column family). Selection is
+  * by name via the source option `decoder`; third-party decoders register
+  * through `java.util.ServiceLoader` (drop a provider-configuration file
+  * for `graft.pcap.PayloadDecoder` on the classpath), mirroring how the
+  * reference lets users point the conf key at their own subclass.
+  */
+trait PayloadDecoder extends Serializable {
+  /** Option name this decoder answers to (e.g. "dns"). */
+  def name: String
+
+  /** App-layer decode; None when the packet isn't this protocol or fails
+    * to parse (failures must be swallowed — reference contract,
+    * DnsPcapReader.java:53-55). */
+  def decode(protocol: String, srcPort: Int, dstPort: Int,
+      payload: Array[Byte]): Option[DnsFields]
+}
+
+/** The shipped instance: DNS over UDP port 53 (DnsPcapReader.java:23,38;
+  * DNS-over-TCP never parses in the reference and is skipped here —
+  * SURVEY.md §7.5). */
+object DnsPayloadDecoder extends PayloadDecoder {
+  override def name: String = "dns"
+  override def decode(protocol: String, srcPort: Int, dstPort: Int,
+      payload: Array[Byte]): Option[DnsFields] =
+    if (protocol == "UDP" && (srcPort == 53 || dstPort == 53))
+      DnsParser.parse(payload)
+    else None
+}
+
+object PayloadDecoders {
+  private lazy val loaded: Map[String, PayloadDecoder] = {
+    import scala.jdk.CollectionConverters._
+    val sl = java.util.ServiceLoader.load(classOf[PayloadDecoder])
+      .iterator().asScala.map(d => d.name -> d).toMap
+    sl + (DnsPayloadDecoder.name -> DnsPayloadDecoder)
+  }
+
+  /** Resolve an option value; "ip" (the base reader) means no app-layer
+    * decode. Unknown names fail fast at planning time. */
+  def forName(name: String): Option[PayloadDecoder] = name.toLowerCase match {
+    case "ip" => None
+    case n => Some(loaded.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"unknown pcap decoder '$name'; available: ip, ${loaded.keys.mkString(", ")}")))
+  }
+}

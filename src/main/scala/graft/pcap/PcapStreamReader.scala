@@ -10,9 +10,14 @@ import java.security.MessageDigest
   * lets the Hive SerDe drop them afterwards (SURVEY.md §4).
   */
 final case class DecodeOptions(
-    dnsDecode: Boolean = false,
+    appDecoder: Option[PayloadDecoder] = None,
     md5: Boolean = false,
     keepPayload: Boolean = false)
+
+object DecodeOptions {
+  /** Convenience for the common case. */
+  def dns: DecodeOptions = DecodeOptions(appDecoder = Some(DnsPayloadDecoder))
+}
 
 /** Streaming classic-libpcap decoder: validates the 24-byte global header,
   * then yields one [[PacketRecord]] per packet. Decoding accumulates into
@@ -225,9 +230,9 @@ final class PcapStreamReader(
       if (payloadStart > data.length) Array.emptyByteArray
       else java.util.Arrays.copyOfRange(data, payloadStart, data.length)
     b.len = Some(payload.length)
-    if (options.dnsDecode && b.protocol.contains("UDP") &&
-        (b.srcPort.contains(53) || b.dstPort.contains(53)))
-      b.dns = DnsParser.parse(payload)
+    options.appDecoder.foreach { dec =>
+      b.dns = dec.decode(b.protocol.get, b.srcPort.get, b.dstPort.get, payload)
+    }
     if (options.keepPayload) b.payload = Some(payload)
   }
 

@@ -15,7 +15,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.pcap.DecodeOptions
+import graft.pcap.{DecodeOptions, PayloadDecoders}
 
 /** `spark.read.format("pcap")` — DataSource V2 batch source for classic
   * libpcap capture files.
@@ -157,10 +157,11 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val decodeDns = "dns".equalsIgnoreCase(options.getOrDefault("decoder", "ip"))
+    val appDecoder = PayloadDecoders.forName(
+      options.getOrDefault("decoder", "ip"))
     val wantsDnsCols = requiredSchema.fieldNames.exists(_.startsWith("dns_"))
     val decode = DecodeOptions(
-      dnsDecode = decodeDns && wantsDnsCols,
+      appDecoder = if (wantsDnsCols) appDecoder else None,
       md5 = options.getBoolean("md5", false) &&
         requiredSchema.fieldNames.contains("md5"),
       keepPayload = requiredSchema.fieldNames.contains("payload"))

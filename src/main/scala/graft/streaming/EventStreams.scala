@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming extension (SURVEY.md §2B "streaming": the
+  * reference is strictly batch over closed files; this is the natural
+  * Spark-native extension — `readStream` + watermark + windowed
+  * aggregation, with the identical transformation usable in batch mode).
+  *
+  * The transformation is defined once over an untyped DataFrame so the
+  * SAME code runs in a `readStream` (incremental, stateful, late-data
+  * tolerant via watermark) and in plain batch (used by the `q24` oracle
+  * check) — the recommended Structured Streaming design.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts + exact decimal sums per event type.
+    * Output keys the window by epoch seconds so results are
+    * engine-portable (no timestamp-type drift). */
+  def hourlyAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp($"window.start").as("window_start_s"),
+        $"event_type", $"n", $"sum_value")
+  }
+
+  /** Same aggregation as a late-data-tolerant stream. */
+  def hourlyAggStream(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp($"window.start").as("window_start_s"),
+        $"event_type", $"n", $"sum_value")
+  }
+
+  /** Stateful sessionization with flatMapGroupsWithState: emits one row
+    * per closed session (30-minute inactivity gap). */
+  final case class SessionOut(user_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** per-user in-flight session state */
+  final case class St(nEvents: Long, startUs: Long, lastUs: Long)
+
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    // keep the watermarked ts column itself — projecting it into a long
+    // would detach the watermark from the stateful operator
+    val typed = events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select($"user_id".as[Long], $"ts".as[java.sql.Timestamp])
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[St, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[St]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.nEvents, st.startUs, st.lastUs))
+          } else {
+            val times = rows.map(r => r._2.getTime * 1000L +
+              (r._2.getNanos / 1000) % 1000).toSeq.sorted
+            var out = List.empty[SessionOut]
+            var st = state.getOption.getOrElse(St(0, times.head, times.head))
+            times.foreach { t =>
+              if (st.nEvents > 0 && t - st.lastUs > gapUs) {
+                out ::= SessionOut(user, st.nEvents, st.startUs, st.lastUs)
+                st = St(1, t, t)
+              } else {
+                st = St(st.nEvents + 1,
+                  if (st.nEvents == 0) t else st.startUs, t)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastUs / 1000 + gapMinutes * 60000L)
+            out.reverseIterator
+          }
+      }.toDF()
+  }
+}
+
+/** Batch-mode twins of the streaming transforms, registered as oracle-
+  * checked queries (identical code path as the stream). */
+object StreamingQueries {
+  import graft.{Q, Tables}
+
+  val defs: Seq[Q] = Seq(
+    Q("q24_stream_hourly_batch_twin",
+      (s, d) => EventStreams.hourlyAgg(Tables.events(s, d)),
+      Some("""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600
+          AS window_start_s,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2""")))
+}

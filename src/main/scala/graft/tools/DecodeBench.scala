@@ -9,7 +9,7 @@ object DecodeBench {
       val t0 = System.nanoTime()
       var n = 0L
       val r = new PcapStreamReader(new java.io.ByteArrayInputStream(bytes),
-        DecodeOptions(dnsDecode = true))
+        DecodeOptions.dns)
       while (r.hasNext) { r.next(); n += 1 }
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"round $round: $n pkts in $sec%.2f s = ${bytes.length / 1e6 / sec}%.1f MB/s, ${n / sec / 1000}%.0f kpkt/s")

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourly windowed aggregation over a real stream matches batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = EventStreams.hourlyAggStream(events, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+
+    // batch 1: two events in hour 0, one in hour 1
+    input.addData((ts(5), "click", 1.5), (ts(50), "click", 2.5),
+      (ts(70), "view", 4.0))
+    query.processAllAvailable()
+    // nothing final yet (watermark hasn't passed hour 0)
+    // batch 2: late-ish event inside watermark + an event far ahead that
+    // closes both earlier windows
+    input.addData((ts(55), "click", 1.0), (ts(200), "view", 9.0))
+    query.processAllAvailable()
+    val out = spark.table("hourly_out")
+      .orderBy("window_start_s", "event_type").collect()
+    query.stop()
+
+    // hour 0 (start 1704067200): 3 clicks summing 5.0; hour 1: 1 view 4.0
+    val hour0 = 1704067200L
+    assert(out.exists(r => r.getLong(0) == hour0 &&
+      r.getString(1) == "click" && r.getLong(2) == 3 && r.getDouble(3) == 5.0))
+    assert(out.exists(r => r.getLong(0) == hour0 + 3600 &&
+      r.getString(1) == "view" && r.getLong(2) == 1 && r.getDouble(3) == 4.0))
+  }
+
+  test("late data beyond the watermark is dropped") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStreams.hourlyAggStream(events, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+
+    input.addData((ts(5), "click", 1.0))
+    query.processAllAvailable()
+    input.addData((ts(500), "view", 1.0)) // advances watermark far past hour 0
+    query.processAllAvailable()
+    input.addData((ts(6), "click", 99.0)) // too late — must be dropped
+    input.addData((ts(600), "view", 1.0)) // closes more windows
+    query.processAllAvailable()
+    val out = spark.table("late_out").collect()
+    query.stop()
+
+    val hour0 = out.filter(r => r.getLong(0) == 1704067200L &&
+      r.getString(1) == "click")
+    assert(hour0.length == 1)
+    assert(hour0.head.getLong(2) == 1 && hour0.head.getDouble(3) == 1.0)
+  }
+
+  test("stateful sessionization emits closed sessions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val query = EventStreams.sessionizeStream(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+
+    // user 1: events at minute 0, 10 (one session), then 100 (new session)
+    input.addData((ts(0), 1L, 0.0), (ts(10), 1L, 0.0))
+    query.processAllAvailable()
+    input.addData((ts(100), 1L, 0.0))
+    query.processAllAvailable()
+    input.addData((ts(600), 2L, 0.0)) // push watermark way ahead
+    query.processAllAvailable()
+    input.addData((ts(1200), 2L, 0.0)) // another advance to fire timeouts
+    query.processAllAvailable()
+    val out = spark.table("sess_out").orderBy("start_us").collect()
+    query.stop()
+
+    // first session of user 1 closed: 2 events, 0..10min
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("batch twin equals direct batch aggregation") {
+    import spark.implicits._
+    val df = Seq(
+      (ts(5), "a", 1.0), (ts(20), "a", 2.0), (ts(70), "b", 3.0))
+      .toDF("ts", "event_type", "value")
+    val got = EventStreams.hourlyAgg(df)
+      .orderBy("window_start_s", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1704067200L, "a", 2L, 3.0),
+      (1704070800L, "b", 1L, 3.0)))
+  }
+}
