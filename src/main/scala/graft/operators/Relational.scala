@@ -449,6 +449,77 @@ object Relational {
         NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS "F",
         NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS "O",
         NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS "P"
-        FROM orders GROUP BY o_orderpriority"""))
+        FROM orders GROUP BY o_orderpriority""")),
+
+    // ----- correlated scalar subquery (TPC-H Q17 shape, decorrelated) ----
+    Q("q25_correlated_subquery",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS total_price,
+          COUNT(*) AS n_items
+          FROM lineitem
+          WHERE l_quantity < (
+            SELECT 0.4 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*))
+            FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""")
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_price,
+        COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_quantity < (
+          SELECT 0.4 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                        / COUNT(*))
+          FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""")),
+
+    // ----- range (band) join on event time ------------------------------
+    Q("q26_range_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+            $"event_type")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("purchase_id"),
+            $"us".as("pus"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("cu"), $"event_id".as("click_id"),
+            $"us".as("cus"))
+        // clicks within 30 min before each purchase by the same user
+        purchases.join(clicks,
+            $"user_id" === $"cu" &&
+            $"cus" >= $"pus" - 1800000000L && $"cus" < $"pus")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_attributed"),
+            countDistinct($"purchase_id").as("n_purchases"))
+      },
+      Some("""SELECT p.user_id, COUNT(*) AS n_attributed,
+        COUNT(DISTINCT p.event_id) AS n_purchases
+        FROM (SELECT user_id, event_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS pus FROM events
+              WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, event_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS cus FROM events
+              WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+          AND c.cus >= p.pus - 1800000000 AND c.cus < p.pus
+        GROUP BY p.user_id""")),
+
+    // ----- approximate sketches: HLL + quantile summaries ----------------
+    // No oracle: DuckDB's approx algorithms differ by construction; the
+    // exact counterparts are covered by q13 (distinct) and min/max aggs.
+    Q("q27_sketches",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d).agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          approx_count_distinct($"l_orderkey").as("approx_orders"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(10000))
+            .as("approx_median_price"),
+          percentile_approx($"l_quantity", lit(0.95), lit(10000))
+            .as("approx_p95_qty"))
+      }, None)
+
   )
 }

@@ -143,7 +143,10 @@ final class PcapStreamReader(
 
   private def decodeIp(b: B, data: Array[Byte], ip: Int): Unit =
     (data(ip) >> 4) & 0xF match {
-      case 4 =>
+      // length guards: a frame shorter than the fixed L3 header yields a
+      // record without L3 fields rather than an exception (fuzz-found;
+      // the reference would AIOOBE here)
+      case 4 if ip + 20 <= data.length =>
         b.ttl = Some(data(ip + 8) & 0xFF)
         b.protocol = Some(protocolName(data(ip + 9) & 0xFF))
         b.src = Some(ipv4String(data, ip + 12))
@@ -152,7 +155,7 @@ final class PcapStreamReader(
           val ihl = (data(ip) & 0xF) * 4
           decodeL4(b, data, ip, ihl, v6 = false)
         }
-      case 6 =>
+      case 6 if ip + 40 <= data.length =>
         b.ttl = Some(data(ip + 7) & 0xFF)
         b.payloadLen = Some(beU16(data, ip + 4))
         b.src = Some(ipv6String(data, ip + 8))
@@ -194,6 +197,8 @@ final class PcapStreamReader(
           b.frag = Some(true)
           next = data(ip + offset) & 0xFF
           offset += 8                     // fragment header is fixed 8 bytes
+        } else if (ip + offset + 1 >= data.length) {
+          done = true                     // ext header length byte truncated
         } else if (next == AuthHeader) {
           next = data(ip + offset) & 0xFF
           offset += ((data(ip + offset + 1) & 0xFF) + 2) * 4
