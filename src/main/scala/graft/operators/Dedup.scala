@@ -184,6 +184,40 @@ object Dedup {
                 FROM documents)),
         bitsums AS (SELECT doc_id, $sums FROM words GROUP BY doc_id)
         SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM bitsums"""
+      }),
+
+    // ----- SimHash via native TypedImperativeAggregate --------------------
+    // Same semantics and oracle as dedup_simhash, but one single-pass
+    // custom aggregate (graft.functions.SimHashAgg) instead of 32 SUM
+    // columns — the preferred shape at scale (one buffer, map-side
+    // combine, no wide intermediate row).
+    Q("dedup_simhash_native",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.SimHashAgg.simhash_agg
+        Tables.documents(s, d)
+          .select($"doc_id",
+            explode(split(lower($"text"), "\\s+")).as("word"))
+          .select($"doc_id",
+            conv(substring(md5($"word".cast("binary")), 1, 8), 16, 10)
+              .cast("long").as("h"))
+          .groupBy($"doc_id")
+          .agg(simhash_agg($"h").as("simhash"))
+      },
+      Some {
+        val sums = (0 until 32).map { b =>
+          s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+        }.mkString(", ")
+        val bits = (0 until 32).map { b =>
+          s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH words AS (
+          SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+          FROM (SELECT doc_id,
+                  UNNEST(string_split_regex(lower(text), '\\s+')) AS w
+                FROM documents)),
+        bitsums AS (SELECT doc_id, $sums FROM words GROUP BY doc_id)
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM bitsums"""
       })
   )
 }

@@ -506,6 +506,55 @@ object Relational {
           AND c.cus >= p.pus - 1800000000 AND c.cus < p.pus
         GROUP BY p.user_id""")),
 
+    // ----- as-of join: latest prior click per purchase -------------------
+    Q("q28_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+            $"event_type")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("purchase_id"), $"us".as("pus"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("cu"), $"us".as("cus"))
+        // as-of = band join + max-per-left; DuckDB expresses the same
+        // operator natively as ASOF JOIN (the oracle)
+        purchases.join(clicks, $"user_id" === $"cu" && $"cus" <= $"pus")
+          .groupBy($"purchase_id", $"user_id", $"pus")
+          .agg(max($"cus").as("prev_click_us"))
+          .select($"purchase_id", $"user_id",
+            ($"pus" - $"prev_click_us").as("gap_us"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id,
+          p.pus - c.cus AS gap_us
+        FROM (SELECT user_id, event_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS pus FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS cus FROM events
+              WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.pus >= c.cus""")),
+
+    // ----- salted two-phase aggregation (skew mitigation pattern) --------
+    // Identical result to a plain groupBy — the oracle is the plain SQL —
+    // but phase 1 spreads a hot key over 16 salt buckets before the
+    // final combine. Decimal partials keep both phases exact.
+    Q("q29_salted_agg",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .withColumn("salt", pmod($"event_id", lit(16)))
+          .groupBy($"event_type", $"salt")
+          .agg(count(lit(1)).as("pn"),
+            sum(dec2($"value")).as("psum"))
+          .groupBy($"event_type")
+          .agg(sum($"pn").as("n"),
+            sum($"psum").cast("double").as("sum_value"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type""")),
+
     // ----- approximate sketches: HLL + quantile summaries ----------------
     // No oracle: DuckDB's approx algorithms differ by construction; the
     // exact counterparts are covered by q13 (distinct) and min/max aggs.
