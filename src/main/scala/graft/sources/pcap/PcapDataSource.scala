@@ -61,7 +61,8 @@ class PcapTable(options: CaseInsensitiveStringMap) extends Table with SupportsRe
   override def name(): String = s"pcap(${PcapTable.paths(options).mkString(",")})"
   override def schema(): StructType = PcapSchema.full
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // `options` (table properties) carries the path; scan options carry
@@ -102,6 +103,10 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap)
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PcapMicroBatchStream(options, requiredSchema, hadoopConf)
   override def description(): String =
     s"PcapScan(columns=[${requiredSchema.fieldNames.mkString(",")}])"
 

@@ -1,0 +1,87 @@
+package graft.sources.pcap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+import graft.pcap.DecodeOptions
+
+/** Streaming extension of the pcap source: `readStream.format("pcap")`
+  * over a landing directory of capture files (SURVEY.md §1.4 flags this
+  * as the natural Structured Streaming extension — the reference is
+  * strictly batch over closed files).
+  *
+  * File-discovery micro-batch model (the same contract as Spark's file
+  * stream source): files are ordered by (modification time, path); an
+  * offset is a count into that stable order; each micro-batch reads the
+  * newly-landed whole files (pcap is never byte-range split). Files must
+  * be immutable once landed — the standard landing-directory contract.
+  */
+class PcapMicroBatchStream(
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+    schema: StructType,
+    conf: Configuration) extends MicroBatchStream {
+
+  private case class FileEntry(path: String, mtime: Long, len: Long)
+
+  /** stable discovery order: everything seen so far, sorted */
+  @volatile private var discovered: Vector[FileEntry] = Vector.empty
+
+  private def refresh(): Unit = {
+    val found = PcapTable.paths(options).flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      matches.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+            .filterNot(_.getPath.getName.startsWith("_"))
+            .filterNot(_.getPath.getName.startsWith("."))
+        else Seq(st)
+      }
+    }.map(st => FileEntry(st.getPath.toString, st.getModificationTime, st.getLen))
+    val known = discovered.map(_.path).toSet
+    val fresh = found.filterNot(f => known.contains(f.path))
+      .sortBy(f => (f.mtime, f.path))
+    discovered = discovered ++ fresh
+  }
+
+  override def initialOffset(): Offset = PcapStreamOffset(0)
+
+  override def latestOffset(): Offset = {
+    refresh()
+    PcapStreamOffset(discovered.length)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    PcapStreamOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PcapStreamOffset].count
+    val e = end.asInstanceOf[PcapStreamOffset].count
+    // one partition per newly-landed file (micro-batches are small by
+    // construction; batch reads do the bin-packing)
+    discovered.slice(s, e).map(f =>
+      PcapInputPartition(Seq(f.path)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val appDecoder = graft.pcap.PayloadDecoders.forName(
+      options.getOrDefault("decoder", "ip"))
+    val decode = DecodeOptions(
+      appDecoder = appDecoder,
+      md5 = options.getBoolean("md5", false),
+      keepPayload = schema.fieldNames.contains("payload"))
+    new PcapReaderFactory(new SerializableHadoopConf(conf), schema, decode)
+  }
+
+  override def stop(): Unit = ()
+}
+
+case class PcapStreamOffset(count: Int) extends Offset {
+  override def json(): String = count.toString
+}
