@@ -46,17 +46,32 @@ object DnsParser {
   def classString(c: Int): String = Classes.getOrElse(c, s"CLASS$c")
 
   def parse(payload: Array[Byte]): Option[DnsFields] =
-    try Some(parseStrict(payload))
+    parse(payload, 0, payload.length)
+
+  /** In-place variant: parses `data[start, end)` without copying the
+    * payload out of the captured frame (hot path: one call per port-53
+    * packet at 100 TB). All message offsets (compression pointers) are
+    * relative to `start`. */
+  def parse(data: Array[Byte], start: Int, end: Int): Option[DnsFields] =
+    try Some(parseStrict(new Cursor(data, start, end)))
     catch { case _: Exception => None }
 
-  private final class Cursor(val data: Array[Byte]) {
+  private final class Cursor(val raw: Array[Byte], val base: Int, val limit: Int) {
+    // `pos` is message-relative; raw access adds `base`
     var pos = 0
-    def u8(): Int = { val v = data(pos) & 0xFF; pos += 1; v }
-    def u16(): Int = { val v = ((data(pos) & 0xFF) << 8) | (data(pos + 1) & 0xFF); pos += 2; v }
+    def length: Int = limit - base
+    def at(i: Int): Int = {
+      val j = base + i
+      if (i < 0 || j >= limit) throw new IndexOutOfBoundsException
+      raw(j) & 0xFF
+    }
+    def u8(): Int = { val v = at(pos); pos += 1; v }
+    def u16(): Int = { val v = (at(pos) << 8) | at(pos + 1); pos += 2; v }
     def u32(): Long = { (u16().toLong << 16) | u16().toLong }
     def bytes(n: Int): Array[Byte] = {
-      if (n < 0 || pos + n > data.length) throw new IndexOutOfBoundsException
-      val r = java.util.Arrays.copyOfRange(data, pos, pos + n); pos += n; r
+      if (n < 0 || base + pos + n > limit) throw new IndexOutOfBoundsException
+      val r = java.util.Arrays.copyOfRange(raw, base + pos, base + pos + n)
+      pos += n; r
     }
   }
 
@@ -70,21 +85,21 @@ object DnsParser {
     var after = -1            // cursor position after the first pointer
     var done = false
     while (!done) {
-      val len = c.data(p) & 0xFF
+      val len = c.at(p)
       if ((len & 0xC0) == 0xC0) {
-        val ptr = ((len & 0x3F) << 8) | (c.data(p + 1) & 0xFF)
+        val ptr = ((len & 0x3F) << 8) | c.at(p + 1)
         if (after < 0) after = p + 2
         jumps += 1
-        if (jumps > c.data.length) throw new IllegalStateException("pointer loop")
+        if (jumps > c.length) throw new IllegalStateException("pointer loop")
         p = ptr
       } else if (len == 0) {
         p += 1
         done = true
       } else {
-        if (p + 1 + len > c.data.length) throw new IndexOutOfBoundsException
+        if (p + 1 + len > c.length) throw new IndexOutOfBoundsException
         var i = p + 1
         while (i < p + 1 + len) {
-          val b = c.data(i) & 0xFF
+          val b = c.at(i)
           if (b < 0x21 || b > 0x7E) sb.append(f"\\$b%03d")
           else if (b == '.' || b == ';' || b == '\\' || b == '(' || b == ')' ||
                    b == '"' || b == '@' || b == '$') sb.append('\\').append(b.toChar)
@@ -99,9 +114,8 @@ object DnsParser {
     if (sb.isEmpty) "." else sb.toString
   }
 
-  private def parseStrict(payload: Array[Byte]): DnsFields = {
-    require(payload.length >= 12, "short DNS header")
-    val c = new Cursor(payload)
+  private def parseStrict(c: Cursor): DnsFields = {
+    require(c.length >= 12, "short DNS header")
     val id = c.u16()
     val flagsWord = c.u16()
     val qd = c.u16(); val an = c.u16(); val ns = c.u16(); val ar = c.u16()
@@ -158,7 +172,7 @@ object DnsParser {
     val rdlen = c.u16()
     val rdStart = c.pos
     val rdEnd = rdStart + rdlen
-    if (rdEnd > c.data.length) throw new IndexOutOfBoundsException
+    if (c.base + rdEnd > c.limit) throw new IndexOutOfBoundsException
     val rdata = formatRdata(c, t, cls, ttl, rdStart, rdlen)
     c.pos = rdEnd
     if (t == 41) {
@@ -178,9 +192,9 @@ object DnsParser {
     c.pos = rdStart
     t match {
       case 1 if rdlen == 4 =>                       // A
-        PcapStreamReader.ipv4String(c.data, rdStart)
+        PcapStreamReader.ipv4String(c.raw, c.base + rdStart)
       case 28 if rdlen == 16 =>                     // AAAA
-        PcapStreamReader.ipv6String(c.data, rdStart)
+        PcapStreamReader.ipv6String(c.raw, c.base + rdStart)
       case 2 | 5 | 12 | 39 =>                       // NS / CNAME / PTR / DNAME
         readName(c)
       case 6 =>                                     // SOA

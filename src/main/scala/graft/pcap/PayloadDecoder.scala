@@ -22,6 +22,13 @@ trait PayloadDecoder extends Serializable {
     * DnsPcapReader.java:53-55). */
   def decode(protocol: String, srcPort: Int, dstPort: Int,
       payload: Array[Byte]): Option[DnsFields]
+
+  /** In-place variant over the captured frame (hot path; default copies).
+    * `start`/`end` delimit the L4 payload inside `frame`. */
+  def decodeAt(protocol: String, srcPort: Int, dstPort: Int,
+      frame: Array[Byte], start: Int, end: Int): Option[DnsFields] =
+    decode(protocol, srcPort, dstPort,
+      java.util.Arrays.copyOfRange(frame, start, end))
 }
 
 /** The shipped instance: DNS over UDP port 53 (DnsPcapReader.java:23,38;
@@ -33,6 +40,12 @@ object DnsPayloadDecoder extends PayloadDecoder {
       payload: Array[Byte]): Option[DnsFields] =
     if (protocol == "UDP" && (srcPort == 53 || dstPort == 53))
       DnsParser.parse(payload)
+    else None
+
+  override def decodeAt(protocol: String, srcPort: Int, dstPort: Int,
+      frame: Array[Byte], start: Int, end: Int): Option[DnsFields] =
+    if (protocol == "UDP" && (srcPort == 53 || dstPort == 53))
+      DnsParser.parse(frame, start, end)
     else None
 }
 

@@ -231,14 +231,17 @@ final class PcapStreamReader(
       case _ => return
     }
     val payloadStart = l4 + headerSize
-    val payload =
-      if (payloadStart > data.length) Array.emptyByteArray
-      else java.util.Arrays.copyOfRange(data, payloadStart, data.length)
-    b.len = Some(payload.length)
+    val payloadLen =
+      if (payloadStart > data.length) 0 else data.length - payloadStart
+    b.len = Some(payloadLen)
+    // app-layer decode runs in place over the frame — no payload copy
     options.appDecoder.foreach { dec =>
-      b.dns = dec.decode(b.protocol.get, b.srcPort.get, b.dstPort.get, payload)
+      b.dns = dec.decodeAt(b.protocol.get, b.srcPort.get, b.dstPort.get,
+        data, data.length - payloadLen, data.length)
     }
-    if (options.keepPayload) b.payload = Some(payload)
+    if (options.keepPayload)
+      b.payload = Some(java.util.Arrays.copyOfRange(
+        data, data.length - payloadLen, data.length))
   }
 
   /** One's-complement checksum residual over pseudo-header + captured UDP

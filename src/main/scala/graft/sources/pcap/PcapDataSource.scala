@@ -141,7 +141,11 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap)
     * first-fit decreasing). A file larger than the target gets its own
     * partition — pcap is not byte-range splittable. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val maxBytes = sparkSession.sessionState.conf.filesMaxPartitionBytes
+    // source option override, e.g. .option("maxBytesPerPartition", "16m"),
+    // for decode-bound workloads where smaller tasks beat fewer tasks
+    val maxBytes = Option(options.get("maxBytesPerPartition"))
+      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+      .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
     val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
     val files = listFiles().map(f => f.getPath.toString -> f.getLen)
       .sortBy(-_._2)
