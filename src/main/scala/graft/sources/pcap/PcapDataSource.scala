@@ -104,6 +104,13 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap)
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
+  // task-level decode metrics in the Spark UI / listener bus — the DSv2
+  // mapping of the reference's getPos/getProgress reporting
+  // (PcapRecordReader.java:66-76, SURVEY.md §2A op 6)
+  override def supportedCustomMetrics():
+      Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PcapPacketsMetric, new PcapBytesMetric)
+
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new PcapMicroBatchStream(options, requiredSchema, hadoopConf)
@@ -189,6 +196,16 @@ class PcapReaderFactory(conf: SerializableHadoopConf, schema: StructType,
     new PcapPartitionReader(
       partition.asInstanceOf[PcapInputPartition].files, conf.value, schema,
       decode)
+}
+
+class PcapPacketsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "packetsDecoded"
+  override def description(): String = "number of packets decoded"
+}
+
+class PcapBytesMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "bytesDecoded"
+  override def description(): String = "pcap bytes decoded"
 }
 
 /** Minimal serializable Hadoop Configuration wrapper (the Spark-internal

@@ -26,6 +26,8 @@ class PcapPartitionReader(
   private var packets: Iterator[PacketRecord] = Iterator.empty
   private var currentFile: UTF8String = _
   private var pktIdx = 0L
+  private var nPackets = 0L
+  private var nBytes = 0L
   private var row: InternalRow = _
 
   private def advanceFile(): Boolean = {
@@ -45,11 +47,28 @@ class PcapPartitionReader(
     }
     val rec = packets.next()
     pktIdx += 1
+    nPackets += 1
+    nBytes += rec.size.getOrElse(0L) + 16L
     row = build(rec, pktIdx, currentFile)
     true
   }
 
   override def get(): InternalRow = row
+
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val pkts = nPackets
+    val bytes = nBytes
+    Array(
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = "packetsDecoded"
+        override def value(): Long = pkts
+      },
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = "bytesDecoded"
+        override def value(): Long = bytes
+      })
+  }
 
   override def close(): Unit =
     if (stream != null) { stream.close(); stream = null }
