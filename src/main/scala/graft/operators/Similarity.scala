@@ -112,6 +112,32 @@ object Similarity {
             / (sqrt(list_sum([x * x FOR x IN ae])) *
                sqrt(list_sum([x * x FOR x IN be]))) > 0.35""")),
 
+    // ----- int8 quantization (training-pipeline compression) -------------
+    // Symmetric per-vector quantization: q = floor(x / max_abs * 127 + .5).
+    // Output exploded to (vec_id, pos, q) rows so the oracle hash-compares
+    // scalars, not arrays. All math is exact-deterministic: abs/max are
+    // order-free, the divide+floor is a fixed double expression.
+    Q("sim_quantize_int8",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .select($"vec_id", $"embedding",
+            expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))")
+              .as("max_abs"))
+          .select($"vec_id", $"max_abs",
+            posexplode(expr(
+              "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / max_abs * 127.0 + 0.5) AS INT))")))
+          .select($"vec_id", $"pos", $"col".as("q"),
+            round($"max_abs", 6).as("scale_r"))
+      },
+      Some("""SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+          CAST(floor(CAST(embedding[i] AS DOUBLE) / m * 127.0 + 0.5) AS INT) AS q,
+          round(m, 6) AS scale_r
+        FROM (SELECT vec_id, embedding,
+                list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS m
+              FROM embeddings),
+          LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS i) t""")),
+
     // ----- LSH bucketing: 16 hyperplane sign bits per vector --------------
     Q("sim_lsh_buckets",
       (s, d) => {

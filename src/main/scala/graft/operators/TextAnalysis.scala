@@ -113,6 +113,38 @@ object TextAnalysis {
           ' ')) AS fingerprint
         FROM documents""")),
 
+    // ----- canonical-document selection after fingerprint dedup ----------
+    // The survivor-picking half of dedup: group by content fingerprint,
+    // keep the "best" doc (longest, then lowest id) — the standard
+    // keep-one policy in training-data pipelines.
+    Q("text_canonical_pick",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val fp = Tables.documents(s, d).select(
+          $"doc_id", $"n_chars",
+          md5(concat_ws(" ",
+            array_sort(array_distinct(split(lower($"text"), "\\s+"))))
+            .cast("binary")).as("fp"))
+        val w = Window.partitionBy($"fp")
+          .orderBy($"n_chars".desc, $"doc_id".asc)
+        fp.withColumn("rn", row_number().over(w))
+          .withColumn("group_size", count(lit(1)).over(
+            Window.partitionBy($"fp")))
+          .filter($"rn" === 1)
+          .select($"fp", $"doc_id".as("keep_doc_id"), $"group_size")
+      },
+      Some("""SELECT fp, doc_id AS keep_doc_id, group_size FROM (
+          SELECT fp, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY fp
+              ORDER BY n_chars DESC, doc_id ASC) AS rn,
+            COUNT(*) OVER (PARTITION BY fp) AS group_size
+          FROM (SELECT doc_id, n_chars,
+            md5(array_to_string(list_sort(list_distinct(
+              string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+            FROM documents))
+        WHERE rn = 1""")),
+
     // ----- rolling (Rabin-Karp) hash via native Catalyst expression -------
     Q("text_rolling_hash",
       (s, d) => {

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the 100 TB techniques: bucketed co-located
+  * joins (no shuffle), broadcast joins, pushdown, and the typed packet
+  * Dataset. These tests read `.queryExecution.executedPlan`, the same
+  * evidence `.explain` shows. */
+class ScaleTechniquesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without a shuffle") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    Tables.orders(spark, sf).write
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    Tables.lineitem(spark, sf).write
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      // disable auto-broadcast so the join must be sort-merge — the point
+      // is that bucketing removes the per-join shuffle entirely
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val n = joined.count()
+        assert(n == 5)
+        val shuffles = joined.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        // exactly one exchange (for the final groupBy) — none for the join
+        assert(shuffles.length == 1, joined.queryExecution.executedPlan)
+        assert(joined.queryExecution.executedPlan.toString
+          .contains("SortMergeJoin"))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val df = SparkEntry.queries("q03_revenue_by_nation")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+
+  test("parquet scans receive pushed filters and pruned columns") {
+    import spark.implicits._
+    val df = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" <= lit("1996-01-01").cast("timestamp"))
+      .select($"l_orderkey")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate"))
+  }
+
+  test("typed packet Dataset decodes with case-class access") {
+    val fixture = getClass.getResource("/test.pcap").getPath
+    val ds = graft.pcap.PcapIO.packets(spark, fixture,
+      graft.pcap.DecodeOptions.dns)
+    val recs = ds.collect().sortBy(_.tsMicro)
+    assert(recs.length == 2)
+    assert(recs.head.dstPort.contains(53))
+    assert(recs.head.dns.exists(_.qname.contains("ripe.net.")))
+    // typed filter pipeline
+    assert(ds.filter(_.protocol.contains("UDP")).count() == 2)
+  }
+}
