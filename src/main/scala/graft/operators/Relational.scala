@@ -555,6 +555,80 @@ object Relational {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY event_type""")),
 
+    // ----- outer joins: full outer with nulls on both sides --------------
+    Q("q30_outer_join",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+          .filter($"c_acctbal" > 9500.0)
+          .select($"c_custkey", $"c_acctbal")
+        val bigOrders = Tables.orders(s, d)
+          .filter($"o_totalprice" > 450000.0)
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_big"))
+        cust.join(bigOrders, $"c_custkey" === $"o_custkey", "full_outer")
+          .select(
+            coalesce($"c_custkey", $"o_custkey").as("custkey"),
+            $"c_acctbal", $"n_big")
+      },
+      Some("""SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+          c_acctbal, n_big
+        FROM (SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_acctbal > 9500.0) c
+        FULL OUTER JOIN (
+          SELECT o_custkey, COUNT(*) AS n_big FROM orders
+          WHERE o_totalprice > 450000.0 GROUP BY o_custkey) o
+        ON c_custkey = o_custkey""")),
+
+    // ----- window RANGE frame: 7-day trailing sum per supplier -----------
+    Q("q31_range_frame",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d)
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+            (unix_micros($"l_shipdate".cast("timestamp")) / 1000000L)
+              .cast("long").as("ship_s"),
+            dec2($"l_quantity").as("qty_dec"))
+        val w = Window.partitionBy($"l_suppkey").orderBy($"ship_s")
+          .rangeBetween(-7L * 86400, 0)
+        li.select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+            sum($"qty_dec").over(w).cast("double").as("qty_7d"))
+          .filter($"l_suppkey" < 20)
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          PARTITION BY l_suppkey ORDER BY epoch(CAST(l_shipdate AS TIMESTAMP))
+          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_7d
+        FROM lineitem WHERE l_suppkey < 20""")),
+
+    // ----- deterministic math scalar functions ---------------------------
+    // sqrt is IEEE-exact; abs/sign/floor/ceil/mod/greatest/least are
+    // integer-or-exact — no libm cross-engine drift (pow/log/exp excluded
+    // deliberately).
+    Q("q32_math_funcs",
+      (s, d) => {
+        import s.implicits._
+        Tables.part(s, d).select(
+          $"p_partkey",
+          abs($"p_retailprice" - 1000.0).as("abs_dev"),
+          sqrt($"p_retailprice").as("sqrt_price"),
+          floor($"p_retailprice").cast("long").as("floor_price"),
+          ceil($"p_retailprice").cast("long").as("ceil_price"),
+          signum($"p_retailprice" - 1000.0).as("sign_dev"),
+          ($"p_size" % 7).as("size_mod7"),
+          greatest($"p_size", lit(25)).as("size_floor25"))
+      },
+      Some("""SELECT p_partkey,
+        abs(p_retailprice - 1000.0) AS abs_dev,
+        sqrt(p_retailprice) AS sqrt_price,
+        CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+        CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+        CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS sign_dev,
+        CAST(p_size % 7 AS INT) AS size_mod7,
+        CAST(greatest(p_size, 25) AS INT) AS size_floor25
+        FROM part""")),
+
     // ----- approximate sketches: HLL + quantile summaries ----------------
     // No oracle: DuckDB's approx algorithms differ by construction; the
     // exact counterparts are covered by q13 (distinct) and min/max aggs.

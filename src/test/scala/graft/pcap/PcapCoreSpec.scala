@@ -163,4 +163,51 @@ class PcapCoreSpec extends AnyFunSuite {
       .digest(frame).map(b => f"${b & 0xFF}%02X").mkString
     assert(got == expect && got == got.toUpperCase)
   }
+
+  // -- additional §7.5 quirk coverage --------------------------------------
+
+  test("QinQ (double VLAN) falls through to no IP decode") {
+    // outer 0x8100, inner also 0x8100 — reference unwraps only one tag
+    val f = etherFrame(0x8100, Some(0x8100))
+    assert(PcapStreamReader.ipStart(1, f).isEmpty)
+    assert(PcapStreamReader.etherTypeName(1, f) == "vlan")
+  }
+
+  test("IPv6 No-Next-Header terminates chain without protocol") {
+    // v6 header with next=59, enough trailing bytes to enter the walk
+    val src = Array.tabulate[Byte](16)(i => (i + 1).toByte)
+    val dst = Array.tabulate[Byte](16)(i => (i + 101).toByte)
+    val ip6 = Array[Byte](0x60, 0, 0, 0) ++ PcapSynth.be16(0) ++
+      Array[Byte](59, 64) ++ src ++ dst ++ new Array[Byte](8)
+    val frame = Array.fill[Byte](12)(0x02) ++ PcapSynth.be16(0x86DD) ++ ip6
+    val r = new PcapStreamReader(new java.io.ByteArrayInputStream(
+      PcapSynth.file(Seq((1L, 0L, frame)))))
+    val rec = r.next()
+    assert(rec.protocol.isEmpty)
+    assert(rec.extCount.contains(0))
+    assert(rec.extHeaders.contains("[59]"))
+    assert(rec.srcPort.isEmpty)
+  }
+
+  test("IPv6 HopByHop + Fragment chain walks both headers") {
+    val src = Array.tabulate[Byte](16)(i => (i + 1).toByte)
+    val dst = Array.tabulate[Byte](16)(i => (i + 101).toByte)
+    val udp = PcapSynth.udpSegment(9000, 53, "zz".getBytes,
+      src ++ dst ++ Array[Byte](0, 17), withChecksum = false)
+    // HopByHop: next=44 (Fragment), len=0 (8 bytes); Fragment: next=17
+    val hbh = Array[Byte](44, 0, 0, 0, 0, 0, 0, 0)
+    val frag = Array[Byte](17, 0, 0, 0, 0, 0, 0, 1)
+    val payloadLen = hbh.length + frag.length + udp.length
+    val ip6 = Array[Byte](0x60, 0, 0, 0) ++ PcapSynth.be16(payloadLen) ++
+      Array[Byte](0, 64) ++ src ++ dst ++ hbh ++ frag ++ udp
+    val frame = Array.fill[Byte](12)(0x02) ++ PcapSynth.be16(0x86DD) ++ ip6
+    val r = new PcapStreamReader(new java.io.ByteArrayInputStream(
+      PcapSynth.file(Seq((1L, 0L, frame)))))
+    val rec = r.next()
+    assert(rec.protocol.contains("UDP"))
+    assert(rec.extCount.contains(2))
+    assert(rec.extHeaders.contains("[HopByHop][Fragment][UDP]"))
+    assert(rec.frag.contains(true))
+    assert(rec.srcPort.contains(9000))
+  }
 }
