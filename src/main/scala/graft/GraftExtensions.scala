@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` entry point: registers the engine's native
+  * functions for SQL use session-wide.
+  *
+  * Usage: `--conf spark.sql.extensions=graft.GraftExtensions`, or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * Kept deliberately small (SURVEY.md §4: no planner rules or strategies
+  * are needed for this engine — DSv2 + built-ins cover the plan space);
+  * the extension surface is function registration only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash",
+        "rolling_hash(str) - Rabin-Karp polynomial hash of the string"),
+      (exprs: Seq[Expression]) => functions.RollingHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      info("simhash_agg",
+        "simhash_agg(h) - 32-bit SimHash of a group of token hashes"),
+      (exprs: Seq[Expression]) =>
+        functions.SimHashAgg(exprs.head).toAggregateExpression()))
+  }
+}

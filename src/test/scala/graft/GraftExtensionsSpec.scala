@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** spark.sql.extensions registration path — a fresh session with
+  * GraftExtensions gets the native functions in plain SQL. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions registers rolling_hash and simhash_agg for SQL") {
+    // getOrCreate would silently reuse another suite's session (without
+    // extensions); force a genuinely fresh one
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      Tables.registerViews(spark, "/root/testdata/sf0.001")
+      val h = spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
+      assert(h == graft.functions.RollingHash.hash("abc"))
+
+      val sh = spark.sql("""
+        SELECT simhash_agg(CAST(conv(substr(md5(CAST(w AS BINARY)),1,8),16,10) AS BIGINT)) AS s
+        FROM (SELECT explode(split(lower(text), '\\s+')) AS w
+              FROM documents WHERE doc_id = 0)""").head().getLong(0)
+      assert(sh != 0L)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
