@@ -45,6 +45,25 @@ object DnsParser {
   def typeString(t: Int): String = Types.getOrElse(t, s"TYPE$t")
   def classString(c: Int): String = Classes.getOrElse(c, s"CLASS$c")
 
+  private val FlagBits = Array(
+    0x8000 -> "qr", 0x0400 -> "aa", 0x0200 -> "tc", 0x0100 -> "rd",
+    0x0080 -> "ra", 0x0020 -> "ad", 0x0010 -> "cd")
+  // 2^7 printable flag combinations — precompute every string once
+  private val flagCache: Map[Int, String] = {
+    val masks = FlagBits.map(_._1)
+    (0 until (1 << masks.length)).map { combo =>
+      val word = masks.zipWithIndex.collect {
+        case (m, i) if (combo & (1 << i)) != 0 => m
+      }.sum
+      word -> FlagBits.collect {
+        case (bit, n) if (word & bit) != 0 => n
+      }.mkString(" ")
+    }.toMap
+  }
+  private val flagMask = FlagBits.map(_._1).sum
+  private def flagString(flagsWord: Int): String =
+    flagCache(flagsWord & flagMask)
+
   def parse(payload: Array[Byte]): Option[DnsFields] =
     parse(payload, 0, payload.length)
 
@@ -123,10 +142,7 @@ object DnsParser {
     val qr = (flagsWord & 0x8000) != 0
     val opcode = (flagsWord >> 11) & 0xF
     val rcode = flagsWord & 0xF
-    val flagNames = Seq(
-      0x8000 -> "qr", 0x0400 -> "aa", 0x0200 -> "tc", 0x0100 -> "rd",
-      0x0080 -> "ra", 0x0020 -> "ad", 0x0010 -> "cd")
-      .collect { case (bit, n) if (flagsWord & bit) != 0 => n }
+    val flagsStr = flagString(flagsWord)
 
     var qname: Option[String] = None
     var qtype = 0
@@ -138,12 +154,14 @@ object DnsParser {
       i += 1
     }
 
-    def section(n: Int): Seq[String] = {
-      val out = new ArrayBuffer[String](n)
-      var k = 0
-      while (k < n) { out += normalize(readRecord(c)); k += 1 }
-      out.toSeq
-    }
+    def section(n: Int): Seq[String] =
+      if (n == 0) Nil
+      else {
+        val out = new ArrayBuffer[String](n)
+        var k = 0
+        while (k < n) { out += normalize(readRecord(c)); k += 1 }
+        out.toSeq
+      }
 
     val answer = section(an)
     val authority = section(ns)
@@ -151,7 +169,7 @@ object DnsParser {
 
     DnsFields(
       queryId = id,
-      flags = flagNames.mkString(" "),
+      flags = flagsStr,
       qr = qr,
       opcode = Opcodes.getOrElse(opcode, opcode.toString),
       rcode = Rcodes.getOrElse(rcode, rcode.toString),

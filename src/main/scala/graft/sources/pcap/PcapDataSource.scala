@@ -229,8 +229,11 @@ object PcapFileOpener {
     val path = new Path(pathStr)
     val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
-    Option(new CompressionCodecFactory(conf).getCodec(path))
+    val decoded = Option(new CompressionCodecFactory(conf).getCodec(path))
       .map(_.createInputStream(raw).asInstanceOf[java.io.InputStream])
-      .getOrElse(raw)
+      .getOrElse(raw: java.io.InputStream)
+    // the decoder issues many small reads (16-byte packet headers);
+    // unbuffered they each hit the (checksummed) Hadoop stream
+    new java.io.BufferedInputStream(decoded, 1 << 20)
   }
 }

@@ -51,8 +51,26 @@ object PcapSchema {
     StructField("payload", BinaryType)))
 
   private def utf8(s: String): AnyRef = UTF8String.fromString(s)
+
+  /** Low-cardinality columns (protocol names, flag combos, type mnemonics)
+    * repeat millions of times at scale; intern their UTF8String forms.
+    * Bounded: only the first 4096 distinct values are cached. */
+  private val interned =
+    new java.util.concurrent.ConcurrentHashMap[String, UTF8String]()
+  private def utf8i(s: String): AnyRef = {
+    val cached = interned.get(s)
+    if (cached != null) cached
+    else {
+      val v = UTF8String.fromString(s)
+      if (interned.size < 4096) interned.putIfAbsent(s, v)
+      v
+    }
+  }
+
+  private val emptyStrArray: AnyRef = ArrayData.toArrayData(Array.empty[AnyRef])
   private def strArray(xs: Seq[String]): AnyRef =
-    ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray)
+    if (xs.isEmpty) emptyStrArray
+    else ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray)
 
   /** Per-column extractor: (record, pktIdx, fileName) → Catalyst value. */
   type Extractor = (PacketRecord, Long, UTF8String) => AnyRef
@@ -63,9 +81,9 @@ object PcapSchema {
     "time" -> ((r, _, _) => r.tsMicro.map(java.lang.Long.valueOf).orNull),
     "size" -> ((r, _, _) => r.size.map(java.lang.Long.valueOf).orNull),
     "md5" -> ((r, _, _) => r.md5.map(utf8).orNull),
-    "ether_type" -> ((r, _, _) => r.etherType.map(utf8).orNull),
+    "ether_type" -> ((r, _, _) => r.etherType.map(utf8i).orNull),
     "ttl" -> ((r, _, _) => r.ttl.map(Int.box).orNull),
-    "protocol" -> ((r, _, _) => r.protocol.map(utf8).orNull),
+    "protocol" -> ((r, _, _) => r.protocol.map(utf8i).orNull),
     "src" -> ((r, _, _) => r.src.map(utf8).orNull),
     "dst" -> ((r, _, _) => r.dst.map(utf8).orNull),
     "src_port" -> ((r, _, _) => r.srcPort.map(Int.box).orNull),
@@ -77,13 +95,13 @@ object PcapSchema {
     "ext_count" -> ((r, _, _) => r.extCount.map(Int.box).orNull),
     "ext_headers" -> ((r, _, _) => r.extHeaders.map(utf8).orNull),
     "dns_queryid" -> ((r, _, _) => r.dns.map(d => Int.box(d.queryId)).orNull),
-    "dns_flags" -> ((r, _, _) => r.dns.map(d => utf8(d.flags)).orNull),
+    "dns_flags" -> ((r, _, _) => r.dns.map(d => utf8i(d.flags)).orNull),
     "dns_qr" -> ((r, _, _) => r.dns.map(d => Boolean.box(d.qr)).orNull),
-    "dns_opcode" -> ((r, _, _) => r.dns.map(d => utf8(d.opcode)).orNull),
-    "dns_rcode" -> ((r, _, _) => r.dns.map(d => utf8(d.rcode)).orNull),
+    "dns_opcode" -> ((r, _, _) => r.dns.map(d => utf8i(d.opcode)).orNull),
+    "dns_rcode" -> ((r, _, _) => r.dns.map(d => utf8i(d.rcode)).orNull),
     "dns_qname" -> ((r, _, _) => r.dns.flatMap(_.qname).map(utf8).orNull),
     "dns_qtype" -> ((r, _, _) => r.dns.map(d => Int.box(d.qtype)).orNull),
-    "dns_qtype_str" -> ((r, _, _) => r.dns.flatMap(_.qtypeStr).map(utf8).orNull),
+    "dns_qtype_str" -> ((r, _, _) => r.dns.flatMap(_.qtypeStr).map(utf8i).orNull),
     "dns_answer" -> ((r, _, _) => r.dns.map(d => strArray(d.answer)).orNull),
     "dns_authority" -> ((r, _, _) => r.dns.map(d => strArray(d.authority)).orNull),
     "dns_additional" -> ((r, _, _) => r.dns.map(d => strArray(d.additional)).orNull),
