@@ -147,7 +147,8 @@ object Relational {
           .filter($"rn" <= 3)
           .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
       },
-      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(rn AS INT) AS rn FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
           ROW_NUMBER() OVER (PARTITION BY o_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -359,7 +360,7 @@ object Relational {
           .agg(sum($"new_session").as("n_sessions"),
             count(lit(1)).as("n_events"))
       },
-      Some("""SELECT user_id, SUM(new_session) AS n_sessions,
+      Some("""SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
           COUNT(*) AS n_events
         FROM (
           SELECT user_id,

@@ -164,8 +164,8 @@ object Similarity {
                       FOR i IN generate_series(1, len(w))]) AS dp
           FROM embeddings, planes)
         SELECT vec_id,
-          SUM(CASE WHEN dp > 0.0 THEN (CAST(1 AS BIGINT) << plane)
-              ELSE 0 END) AS bucket
+          CAST(SUM(CASE WHEN dp > 0.0 THEN (CAST(1 AS BIGINT) << plane)
+              ELSE 0 END) AS BIGINT) AS bucket
         FROM dots GROUP BY vec_id""")),
 
     // ----- ANN via LSH: bucket-join candidates + exact rerank -------------
