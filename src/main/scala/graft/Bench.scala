@@ -18,8 +18,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.headline
-    // warm-up: JIT + codegen + parquet footer caches, once, not timed
-    names.headOption.foreach { n =>
+    // warm-up pass: JIT + codegen + parquet footer caches, not timed —
+    // the timed pass measures steady-state engine throughput
+    names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
