@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "rolling_hash(str) - Rabin-Karp polynomial hash of the string"),
       (exprs: Seq[Expression]) => functions.RollingHash(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot",
+        "vec_dot(a, b) - sequential-fold double dot product of numeric arrays"),
+      (exprs: Seq[Expression]) =>
+        functions.VecDot(exprs.head, exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("simhash_agg"),
       info("simhash_agg",
         "simhash_agg(h) - 32-bit SimHash of a group of token hashes"),

@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays, in double. */
+  /** Sequential-fold dot product in double — the native codegen'd
+    * [[graft.functions.VecDot]] expression (bit-identical to the
+    * aggregate(zip_with(...)) formulation, ~10x faster: tight generated
+    * loop instead of per-element interpreted lambdas). */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    graft.functions.VecDot.vec_dot(col(a), col(b))
 
   private def norm(a: String): Column = sqrt(dot(a, a))
 

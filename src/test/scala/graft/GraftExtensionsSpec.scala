@@ -24,6 +24,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val h = spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
       assert(h == graft.functions.RollingHash.hash("abc"))
 
+      val dotv = spark.sql(
+        "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+        .head().getDouble(0)
+      assert(dotv == 11.0)
+
       val sh = spark.sql("""
         SELECT simhash_agg(CAST(conv(substr(md5(CAST(w AS BINARY)),1,8),16,10) AS BIGINT)) AS s
         FROM (SELECT explode(split(lower(text), '\\s+')) AS w
