@@ -118,7 +118,11 @@ object Dedup {
         val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
           min(($"h" * a + b) % P).as(s"m$i")
         }
+        // the band self-join consumes `sig` twice; cache so shingling +
+        // hashing + the min-aggregation run once (at 100 TB: persist to
+        // disk or checkpoint — signatures are tiny vs the corpus)
         val sig = h.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+          .cache()
         val bands = (0 until nBands).map { bi =>
           sig.select(lit(bi).as("band"), $"doc_id",
             col(s"m${2 * bi}").as("x"), col(s"m${2 * bi + 1}").as("y"))

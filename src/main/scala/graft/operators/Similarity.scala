@@ -184,6 +184,7 @@ object Similarity {
           .groupBy($"vec_id")
           .agg(sum(when($"dp" > 0.0, expr("shiftleft(CAST(1 AS BIGINT), plane)"))
             .otherwise(0L)).as("bucket"))
+          .cache() // consumed twice (query + candidate sides)
         val withB = emb.join(buckets, "vec_id")
         val q = withB.filter($"vec_id" % 50 === 0)
           .select($"vec_id".as("qid"), $"embedding".as("qe"),

@@ -210,4 +210,34 @@ class PcapCoreSpec extends AnyFunSuite {
     assert(rec.frag.contains(true))
     assert(rec.srcPort.contains(9000))
   }
+
+  test("TCP frame: ports, header-length walk, payload slice, no udpsum") {
+    val frame = PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      srcPort = 443, dstPort = 51000, ttl = 55,
+      payload = "tcp-data".getBytes, tcpHeaderWords = 8) // 32-byte header
+    val r = new PcapStreamReader(new java.io.ByteArrayInputStream(
+      PcapSynth.file(Seq((1L, 0L, frame)))), DecodeOptions.dns)
+    val rec = r.next()
+    assert(rec.protocol.contains("TCP"))
+    assert(rec.srcPort.contains(443))
+    assert(rec.dstPort.contains(51000))
+    assert(rec.len.contains(8))       // payload after the 32-byte header
+    assert(rec.udpsum.isEmpty)        // UDP-only field
+    assert(rec.dns.isEmpty)
+  }
+
+  test("DNS-over-TCP is never decoded (reference parity)") {
+    // valid DNS message on TCP port 53 — reference's dnsjava always fails
+    // on the stream framing, so fields stay absent; we skip by protocol
+    val frame = PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](1, 1, 1, 1), dst = Array[Byte](2, 2, 2, 2),
+      srcPort = 40000, dstPort = 53, ttl = 60,
+      payload = PcapSynth.be16(30) ++ PcapSynth.dnsQuery(5, "x.example.com"))
+    val r = new PcapStreamReader(new java.io.ByteArrayInputStream(
+      PcapSynth.file(Seq((1L, 0L, frame)))), DecodeOptions.dns)
+    val rec = r.next()
+    assert(rec.protocol.contains("TCP") && rec.dstPort.contains(53))
+    assert(rec.dns.isEmpty)
+  }
 }
