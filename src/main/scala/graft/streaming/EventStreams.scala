@@ -95,6 +95,26 @@ object StreamingQueries {
   import graft.{Q, Tables}
 
   val defs: Seq[Q] = Seq(
+    // sliding window: 2-hour windows sliding by 1 hour — every event lands
+    // in exactly two windows; the oracle expands the window membership
+    // with a lateral offset unnest
+    Q("q33_sliding_window",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val events = Tables.events(s, d)
+        import events.sparkSession.implicits._
+        events
+          .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp($"window.start").as("window_start_s"),
+            $"event_type", $"n")
+      },
+      Some("""SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) - o.o)
+            * 3600 AS window_start_s,
+          event_type, COUNT(*) AS n
+        FROM events, LATERAL (SELECT UNNEST([0, 1]) AS o) o
+        GROUP BY 1, 2""")),
+
     Q("q24_stream_hourly_batch_twin",
       (s, d) => EventStreams.hourlyAgg(Tables.events(s, d)),
       Some("""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600
