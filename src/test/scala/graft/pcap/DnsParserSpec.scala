@@ -88,4 +88,32 @@ class DnsParserSpec extends AnyFunSuite {
       ". 1 IN TXT \"hello\"",
       ". 1 IN TYPE999 \\# 2 ABCD"))
   }
+
+  test("SOA, MX, SRV, AAAA rdata render canonically") {
+    def rr(name: Array[Byte], t: Int, rdata: Array[Byte]): Array[Byte] =
+      name ++ PcapSynth.be16(t) ++ PcapSynth.be16(1) ++
+        Array[Byte](0, 0, 0, 10) ++ PcapSynth.be16(rdata.length) ++ rdata
+    def n(labels: String*): Array[Byte] =
+      labels.flatMap(l => Array(l.length.toByte) ++ l.getBytes).toArray ++
+        Array[Byte](0)
+    val soaRdata = n("ns1", "x") ++ n("admin", "x") ++
+      Array[Byte](0, 0, 0, 1) ++ Array[Byte](0, 0, 0, 2) ++
+      Array[Byte](0, 0, 0, 3) ++ Array[Byte](0, 0, 0, 4) ++
+      Array[Byte](0, 0, 0, 5)
+    val mxRdata = PcapSynth.be16(10) ++ n("mail", "x")
+    val srvRdata = PcapSynth.be16(1) ++ PcapSynth.be16(2) ++
+      PcapSynth.be16(8080) ++ n("svc", "x")
+    val aaaaRdata = Array.tabulate[Byte](16)(i => if (i == 15) 1 else 0)
+    val msg = PcapSynth.be16(1) ++ PcapSynth.be16(0x8000) ++
+      PcapSynth.be16(0) ++ PcapSynth.be16(4) ++ PcapSynth.be16(0) ++
+      PcapSynth.be16(0) ++
+      rr(n("a"), 6, soaRdata) ++ rr(n("b"), 15, mxRdata) ++
+      rr(n("c"), 33, srvRdata) ++ rr(n("d"), 28, aaaaRdata)
+    val d = DnsParser.parse(msg).get
+    assert(d.answer == Seq(
+      "a. 10 IN SOA ns1.x. admin.x. 1 2 3 4 5",
+      "b. 10 IN MX 10 mail.x.",
+      "c. 10 IN SRV 1 2 8080 svc.x.",
+      "d. 10 IN AAAA 0:0:0:0:0:0:0:1"))
+  }
 }

@@ -130,4 +130,51 @@ class PcapGoldenSpec extends AnyFunSuite {
     assert(df.count() == 40)
     assert(df.rdd.getNumPartitions == 1) // 20 tiny files pack into one task
   }
+
+  test("synthesized IPv6 pcap end-to-end through the Spark source") {
+    val tmp = java.nio.file.Files.createTempDirectory("pcap_v6")
+    val f = tmp.resolve("v6.pcap")
+    java.nio.file.Files.write(f, PcapSynth.file(Seq(
+      (10L, 500L, PcapSynth.ipv6UdpFrame(5353, 53, hopLimit = 7,
+        payload = PcapSynth.dnsQuery(42, "v6.example.org", 28),
+        withFragmentHeader = true)),
+      (11L, 600L, PcapSynth.ipv6UdpFrame(40000, 9999, hopLimit = 3,
+        payload = "plain".getBytes)))))
+    val rows = spark.read.format("pcap").option("decoder", "dns")
+      .load(f.toString).orderBy("pkt_idx").collect()
+    assert(rows.length == 2)
+    val a = rows(0)
+    assert(a.getAs[String]("ether_type") == "IPv6")
+    assert(a.getAs[Int]("ttl") == 7)
+    assert(a.getAs[String]("protocol") == "UDP")
+    assert(a.getAs[Boolean]("frag"))
+    assert(a.getAs[Int]("ext_count") == 1)
+    assert(a.getAs[String]("ext_headers") == "[Fragment][UDP]")
+    assert(a.getAs[Int]("payload_len") > 0)
+    assert(a.getAs[String]("src").contains(":"))
+    assert(a.getAs[Int]("dns_queryid") == 42)
+    assert(a.getAs[String]("dns_qname") == "v6.example.org.")
+    assert(a.getAs[String]("dns_qtype_str") == "AAAA")
+    val b = rows(1)
+    assert(b.getAs[Int]("ttl") == 3)
+    assert(b.isNullAt(b.fieldIndex("dns_queryid"))) // port != 53
+    assert(b.getAs[Int]("len") == 5)
+  }
+
+  test("RAW link type (101): IP starts at offset 0") {
+    // strip the 14-byte Ethernet header off a v4 UDP frame
+    val ether = PcapSynth.ipv4UdpFrame(
+      Array[Byte](9, 8, 7, 6), Array[Byte](1, 2, 3, 4),
+      srcPort = 1111, dstPort = 2222, ttl = 9, payload = "raw".getBytes)
+    val rawFrame = ether.drop(14)
+    val tmp = java.nio.file.Files.createTempDirectory("pcap_raw")
+    val f = tmp.resolve("raw.pcap")
+    java.nio.file.Files.write(f,
+      PcapSynth.file(Seq((1L, 0L, rawFrame)), linkType = 101))
+    val r = spark.read.format("pcap").load(f.toString).collect().head
+    assert(r.getAs[String]("ether_type") == "") // non-Ethernet
+    assert(r.getAs[String]("src") == "9.8.7.6")
+    assert(r.getAs[Int]("src_port") == 1111)
+    assert(r.getAs[Int]("len") == 3)
+  }
 }
