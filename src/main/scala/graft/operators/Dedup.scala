@@ -30,16 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** distinct word 3-gram shingles per document (lowercased, ws-split) */
+  /** Distinct word 3-gram shingles per document (lowercased, ws-split).
+    * Deduplication happens per-document with `array_distinct` BEFORE the
+    * explode — (doc_id, shingle) pairs are then globally distinct by
+    * construction, avoiding the full shuffle a `.distinct()` would cost
+    * (at 100 TB that shuffle would be the largest stage of the job). */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
       .filter(size($"ws") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
         .as("shingle"))
-      .distinct()
   }
 
   private val shinglesSql =
