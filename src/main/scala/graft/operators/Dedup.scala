@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   *   - SimHash: one explode + one groupBy with 32 conditional sums; the
   *     64->32-bit variant keeps every aggregate in whole-stage codegen.
   *
+  * Background: MinHash resemblance sketching (Broder, "On the resemblance
+  * and containment of documents", SEQUENCES 1997) with LSH banding
+  * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3);
+  * SimHash (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002) as deployed for web-scale near-dup detection
+  * (Manku/Jain/Sarma, WWW 2007).
+  *
   * All hashes are engine-portable by construction: md5 hex prefixes
   * reinterpreted as integers, so the DuckDB oracles compute bit-identical
   * values (verified: conv(substr(md5('abc'),1,8),16,10) = 2416005272 on

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   *     meet only within a bucket, then exact cosine reranks. That is the
   *     standard sub-linear ANN shape for cluster execution.
   *
+  * Background: random-hyperplane LSH for cosine similarity (Charikar,
+  * STOC 2002); bucket-join + exact rerank is the standard two-stage ANN
+  * shape (e.g. IVF-style candidate generation, Jegou et al., PQ, TPAMI
+  * 2011 — here with sign buckets instead of coarse quantizers).
+  *
   * Float determinism vs the DuckDB oracle: dot products fold the arrays
   * sequentially (`aggregate(zip_with(...))` in Spark, `list_sum` of a list
   * comprehension in DuckDB) after exact float->double casts, so sums are

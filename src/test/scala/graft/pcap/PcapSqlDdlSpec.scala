@@ -65,4 +65,20 @@ class PcapSqlDdlSpec extends AnyFunSuite {
     assert(m("packetsDecoded").value == 2L)
     assert(m("bytesDecoded").value == 677L - 24L) // file minus global header
   }
+
+  test("pcap -> parquet ETL round trip (the archive workflow)") {
+    val tmp = java.nio.file.Files.createTempDirectory("pcap_etl")
+    val decoded = spark.read.format("pcap")
+      .option("decoder", "dns").load(fixture)
+      .drop("payload") // binary payloads excluded from the archive
+    decoded.write.mode("overwrite").parquet(tmp.resolve("pq").toString)
+    val back = spark.read.parquet(tmp.resolve("pq").toString)
+    assert(back.count() == 2)
+    // full column equality both directions
+    assert(decoded.exceptAll(back).isEmpty)
+    assert(back.exceptAll(decoded).isEmpty)
+    // and the archive is queryable like any parquet table
+    val n = back.where("dns_qname = 'ripe.net.'").count()
+    assert(n == 2)
+  }
 }
