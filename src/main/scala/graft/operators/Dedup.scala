@@ -61,6 +61,52 @@ object Dedup {
             FROM documents)
       WHERE len(ws) >= 3)"""
 
+  /** LSH candidate pairs (doc1 < doc2) — shared by dedup_minhash_lsh and
+    * dedup_components. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = shingles(s, d).select($"doc_id",
+      conv(substring(md5($"shingle".cast("binary")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(($"h" * a + b) % P).as(s"m$i")
+    }
+    // the band self-join consumes `sig` twice; cache so shingling +
+    // hashing + the min-aggregation run once (at 100 TB: persist to
+    // disk or checkpoint — signatures are tiny vs the corpus)
+    val sig = h.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      .cache()
+    val bands = (0 until nBands).map { bi =>
+      sig.select(lit(bi).as("band"), $"doc_id",
+        col(s"m${2 * bi}").as("x"), col(s"m${2 * bi + 1}").as("y"))
+    }.reduce(_ union _)
+    bands.as("l")
+      .join(bands.as("r"),
+        col("l.band") === col("r.band") &&
+        col("l.x") === col("r.x") && col("l.y") === col("r.y") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc1"), col("r.doc_id").as("doc2"))
+      .distinct()
+  }
+
+  private lazy val minhashPairsSql: String = {
+    val minExprs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $P) AS m$i"
+    }.mkString(", ")
+    val bandSelects = (0 until nBands).map { bi =>
+      s"SELECT $bi AS band, doc_id, m${2 * bi} AS x, m${2 * bi + 1} AS y FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shinglesSql,
+    hv AS (SELECT doc_id,
+      CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh),
+    sig AS (SELECT doc_id, $minExprs FROM hv GROUP BY doc_id),
+    bands AS ($bandSelects)
+    SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.x = r.x AND l.y = r.y
+      AND l.doc_id < r.doc_id"""
+  }
+
   // MinHash parameters: 8 permutations = 4 bands x 2 rows.
   // (a*h + b) mod p with h < 2^32 and a < 2^21 stays within int64.
   private val P = 2147483647L
@@ -120,48 +166,59 @@ object Dedup {
 
     // ----- MinHash + LSH banding: candidate near-dup pairs ----------------
     Q("dedup_minhash_lsh",
+      (s, d) => minhashPairs(s, d),
+      Some(minhashPairsSql)),
+
+    // ----- connected components over candidate pairs (dedup clusters) ----
+    // Pregel-style min-label propagation over the LSH candidate graph:
+    // each doc's component id converges to the minimum doc_id reachable.
+    // Iterative (a driver loop of joins) — the standard Spark shape for
+    // small-diameter graphs; near-dup clusters converge in a few rounds.
+    // The oracle computes the same fixpoint with a recursive CTE.
+    Q("dedup_components",
       (s, d) => {
         import s.implicits._
-        val h = shingles(s, d).select($"doc_id",
-          conv(substring(md5($"shingle".cast("binary")), 1, 8), 16, 10)
-            .cast("long").as("h"))
-        val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
-          min(($"h" * a + b) % P).as(s"m$i")
-        }
-        // the band self-join consumes `sig` twice; cache so shingling +
-        // hashing + the min-aggregation run once (at 100 TB: persist to
-        // disk or checkpoint — signatures are tiny vs the corpus)
-        val sig = h.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+        val pairs = minhashPairs(s, d).cache()
+        val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+          .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
           .cache()
-        val bands = (0 until nBands).map { bi =>
-          sig.select(lit(bi).as("band"), $"doc_id",
-            col(s"m${2 * bi}").as("x"), col(s"m${2 * bi + 1}").as("y"))
-        }.reduce(_ union _)
-        bands.as("l")
-          .join(bands.as("r"),
-            col("l.band") === col("r.band") &&
-            col("l.x") === col("r.x") && col("l.y") === col("r.y") &&
-            col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("doc1"), col("r.doc_id").as("doc2"))
+        var labels = edges.select($"src".as("doc_id"))
           .distinct()
+          .withColumn("component", $"doc_id")
+          .cache()
+        var converged = false
+        var iters = 0
+        while (!converged && iters < 20) {
+          val viaNeighbors = edges
+            .join(labels, $"dst" === $"doc_id")
+            .groupBy($"src")
+            .agg(min($"component").as("ncomp"))
+          val next = labels
+            .join(viaNeighbors, $"doc_id" === $"src", "left")
+            .select($"doc_id",
+              least($"component", coalesce($"ncomp", $"component"))
+                .as("component"))
+            .cache()
+          val changed = next.as("n").join(labels.as("o"),
+              col("n.doc_id") === col("o.doc_id") &&
+              col("n.component") =!= col("o.component"))
+            .count()
+          labels = next
+          converged = changed == 0
+          iters += 1
+        }
+        labels
       },
-      Some {
-        val minExprs = perms.zipWithIndex.map { case ((a, b), i) =>
-          s"MIN((h * $a + $b) % $P) AS m$i"
-        }.mkString(", ")
-        val bandSelects = (0 until nBands).map { bi =>
-          s"SELECT $bi AS band, doc_id, m${2 * bi} AS x, m${2 * bi + 1} AS y FROM sig"
-        }.mkString(" UNION ALL ")
-        s"""WITH $shinglesSql,
-        hv AS (SELECT doc_id,
-          CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh),
-        sig AS (SELECT doc_id, $minExprs FROM hv GROUP BY doc_id),
-        bands AS ($bandSelects)
-        SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
-        FROM bands l JOIN bands r
-          ON l.band = r.band AND l.x = r.x AND l.y = r.y
-          AND l.doc_id < r.doc_id"""
-      }),
+      Some(s"""WITH RECURSIVE cand AS ($minhashPairsSql),
+        edges AS (SELECT doc1 AS a, doc2 AS b FROM cand
+                  UNION SELECT doc2, doc1 FROM cand),
+        nodes AS (SELECT DISTINCT a AS doc FROM edges),
+        reach(doc, r) AS (
+          SELECT doc, doc FROM nodes
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc)
+        SELECT doc AS doc_id, MIN(r) AS component
+        FROM reach GROUP BY doc""")),
 
     // ----- SimHash (32-bit) fingerprints ----------------------------------
     Q("dedup_simhash",

@@ -145,6 +145,43 @@ object TextAnalysis {
             FROM documents))
         WHERE rn = 1""")),
 
+    // ----- BM25-style relevance scoring ----------------------------------
+    // Per (doc, term) tf/df statistics with a rational idf surrogate
+    // (N - df + 0.5)/(df + 0.5) — the BM25 idf numerator without the log,
+    // keeping the arithmetic libm-free so the oracle is bit-exact. One
+    // row per matched term; downstream ranking sums/weights as needed.
+    Q("text_bm25ish",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val terms = Seq("spark", "query", "data")
+        val words = docs
+          .select($"doc_id",
+            explode(split(lower($"text"), "\\s+")).as("w"))
+          .filter($"w".isin(terms: _*))
+        val tf = words.groupBy($"doc_id", $"w")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(broadcast(df), "w")
+          .crossJoin(broadcast(n))
+          .select($"doc_id", $"w".as("term"), $"tf", $"df",
+            (($"tf" * ($"n_docs" - $"df" + 0.5)) / ($"df" + 0.5))
+              .as("score_term"))
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, w
+          FROM (SELECT doc_id,
+                  UNNEST(string_split_regex(lower(text), '\s+')) AS w
+                FROM documents)
+          WHERE w IN ('spark', 'query', 'data')),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+        df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, tf.w AS term, tf.tf, df.df,
+          (tf.tf * (n.n_docs - df.df + 0.5)) / (df.df + 0.5) AS score_term
+        FROM tf JOIN df ON tf.w = df.w CROSS JOIN n""")),
+
     // ----- rolling (Rabin-Karp) hash via native Catalyst expression -------
     Q("text_rolling_hash",
       (s, d) => {
