@@ -182,6 +182,47 @@ object TextAnalysis {
           (tf.tf * (n.n_docs - df.df + 0.5)) / (df.df + 0.5) AS score_term
         FROM tf JOIN df ON tf.w = df.w CROSS JOIN n""")),
 
+    // ----- deterministic train/val/test split ----------------------------
+    // Content-hash bucketing (md5-prefix mod 100): stable across runs and
+    // engines, independent of row order/partitioning — the standard way
+    // to split a training corpus so that re-ingests land identically.
+    Q("pipeline_split",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            (conv(substring(md5($"text".cast("binary")), 1, 8), 16, 10)
+              .cast("long") % 100).as("bucket"))
+          .select($"doc_id",
+            when($"bucket" < 80, "train")
+              .when($"bucket" < 90, "val")
+              .otherwise("test").as("split"))
+      },
+      Some("""SELECT doc_id,
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS b
+              FROM documents)""")),
+
+    // ----- stratified systematic sampling --------------------------------
+    // Per-language rates via id-modulus (systematic sampling): exact,
+    // order-independent, reproducible — for class-balanced curation.
+    Q("pipeline_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .filter(
+            when($"lang" === "en", $"doc_id" % 2 === 0)      // keep 1/2
+              .otherwise($"doc_id" % 5 === 0))               // keep 1/5
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_sampled"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_sampled FROM documents
+        WHERE (lang = 'en' AND doc_id % 2 = 0)
+           OR (lang <> 'en' AND doc_id % 5 = 0)
+        GROUP BY lang""")),
+
     // ----- rolling (Rabin-Karp) hash via native Catalyst expression -------
     Q("text_rolling_hash",
       (s, d) => {
