@@ -88,17 +88,32 @@ object PcapTable {
 }
 
 class PcapScanBuilder(options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = PcapSchema.full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PcapScan(required, options)
+  /** Accept simple comparisons the decoder can evaluate per packet; all
+    * filters are also returned as residual so Spark re-checks them —
+    * the pushdown is a row-skipping optimization, never a semantic
+    * contract (SURVEY.md §4 roadmap item). */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
+      Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(PcapPacketFilter.supported)
+    filters // everything stays post-scan too
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new PcapScan(required, options, pushed)
 }
 
-class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap)
+class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -115,7 +130,8 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap)
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new PcapMicroBatchStream(options, requiredSchema, hadoopConf)
   override def description(): String =
-    s"PcapScan(columns=[${requiredSchema.fieldNames.mkString(",")}])"
+    s"PcapScan(columns=[${requiredSchema.fieldNames.mkString(",")}], " +
+      s"pushedFilters=[${pushedFilters.mkString(",")}])"
 
   private def sparkSession = SparkSession.active
 
@@ -182,7 +198,7 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap)
         requiredSchema.fieldNames.contains("md5"),
       keepPayload = requiredSchema.fieldNames.contains("payload"))
     new PcapReaderFactory(new SerializableHadoopConf(hadoopConf),
-      requiredSchema, decode)
+      requiredSchema, decode, PcapPacketFilter.compile(pushedFilters))
   }
 }
 
@@ -190,12 +206,14 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap)
 case class PcapInputPartition(files: Seq[String]) extends InputPartition
 
 class PcapReaderFactory(conf: SerializableHadoopConf, schema: StructType,
-    decode: DecodeOptions) extends PartitionReaderFactory {
+    decode: DecodeOptions,
+    filter: PcapPacketFilter.Predicate = PcapPacketFilter.acceptAll)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[
     org.apache.spark.sql.catalyst.InternalRow] =
     new PcapPartitionReader(
       partition.asInstanceOf[PcapInputPartition].files, conf.value, schema,
-      decode)
+      decode, filter)
 }
 
 class PcapPacketsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {

@@ -18,7 +18,9 @@ class PcapPartitionReader(
     files: Seq[String],
     conf: Configuration,
     schema: StructType,
-    decode: DecodeOptions) extends PartitionReader[InternalRow] {
+    decode: DecodeOptions,
+    filter: PcapPacketFilter.Predicate = PcapPacketFilter.acceptAll)
+  extends PartitionReader[InternalRow] {
 
   private val build = PcapSchema.rowBuilder(schema)
   private val fileIter = files.iterator
@@ -42,15 +44,21 @@ class PcapPartitionReader(
   }
 
   override def next(): Boolean = {
-    while (!packets.hasNext) {
-      if (!advanceFile()) return false
+    while (true) {
+      while (!packets.hasNext) {
+        if (!advanceFile()) return false
+      }
+      val rec = packets.next()
+      pktIdx += 1
+      nPackets += 1
+      nBytes += rec.size.getOrElse(0L) + 16L
+      if (filter(rec)) {
+        row = build(rec, pktIdx, currentFile)
+        return true
+      }
+      // pushed-filter miss: skip row materialization entirely
     }
-    val rec = packets.next()
-    pktIdx += 1
-    nPackets += 1
-    nBytes += rec.size.getOrElse(0L) + 16L
-    row = build(rec, pktIdx, currentFile)
-    true
+    false
   }
 
   override def get(): InternalRow = row

@@ -177,4 +177,16 @@ class PcapGoldenSpec extends AnyFunSuite {
     assert(r.getAs[Int]("src_port") == 1111)
     assert(r.getAs[Int]("len") == 3)
   }
+
+  test("filters push into the decoder (and results stay correct)") {
+    val df = spark.read.format("pcap").load(fixture)
+      .where("dst_port = 53 AND ts >= 1317993942")
+    val scanDesc = df.queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(scanDesc.contains("EqualTo(dst_port,53)"))
+    assert(scanDesc.contains("GreaterThanOrEqual(ts,1317993942)"))
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Int]("src_port") == 52938)
+  }
 }
