@@ -98,8 +98,29 @@ object Multimodal {
           }
         }.toDF()
           .select($"mediaId".as("media_id"), $"kind", $"nBytes".as("n_bytes"),
-            round($"brightness", 6).as("brightness"), $"checksum")
-      }, None),
+            // floor-scaled micro-units: one double divide + multiply in
+            // the same op order as the oracle -> bit-identical, and floor
+            // (unlike round) has no cross-engine tie semantics
+            floor($"brightness" * lit(1000000.0)).cast("long")
+              .as("brightness_e6"),
+            $"checksum")
+      },
+      // DuckDB re-derives the stub codec byte-for-byte: document text is
+      // ASCII (TESTDATA.md), so ord(char) == byte value; the polynomial
+      // checksum folds left in BIGINT exactly like the Scala loop.
+      Some("""WITH codes AS (
+          SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+            octet_length(encode(text)) AS n_bytes,
+            [ord(text[i]) FOR i IN range(1, length(text) + 1)] AS cs
+          FROM documents)
+        SELECT doc_id AS media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
+          CAST(floor((CAST(list_sum(cs) AS DOUBLE) / n_bytes) * 1000000.0)
+               AS BIGINT) AS brightness_e6,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+            (acc, x) -> (acc * 131 + x) % 1000000007) AS checksum
+        FROM codes""")),
 
     // ----- frame sampling: chunk the blob, keep every 4th frame ----------
     Q("mm_frame_sample",

@@ -4,14 +4,17 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
 
 /** Queries over the `pcap` source itself (SURVEY.md §2A) — the reference's
-  * own demonstrated workloads re-expressed on our DSv2 format. These have
-  * no DuckDB oracle (DuckDB cannot read pcap), so the driver records the
-  * weaker rows-only check; deep value assertions live in PcapGoldenSpec.
+  * own demonstrated workloads re-expressed on our DSv2 format.
   *
-  * Inputs are deterministic: the 2-packet reference fixture (in-repo) and
-  * a synthesized DNS-heavy capture generated once into /tmp by
-  * [[graft.pcap.PcapSynth.ensureFile]] (content is a pure function of
-  * packet index).
+  * DuckDB cannot read pcap, but every input here is DETERMINISTIC: the
+  * 2-packet reference fixture (in-repo; fields pinned by PcapGoldenSpec)
+  * and a synthesized capture whose bytes are a pure function of packet
+  * index ([[graft.pcap.PcapSynth.synthFrame]]). The oracle for each query
+  * is therefore a constant table, derived INDEPENDENTLY by
+  * `tools/gen_pcap_oracles.py` — a plain-Python struct-level re-decode of
+  * the same capture (no Spark, no graft code) — and pinned here as a
+  * DuckDB VALUES relation. `tools/pcap_oracle.py` re-runs the independent
+  * derivation against the Spark parquet dumps each round.
   */
 object PcapQueries {
 
@@ -34,7 +37,27 @@ object PcapQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), asc("dst_port"))
           .limit(50)
-      }, None),
+      },
+      Some("""SELECT CAST(v.dst_port AS INT) AS dst_port, CAST(v.n AS BIGINT) AS n
+        FROM (VALUES (53, 249786),
+        (NULL, 41630),
+        (4000, 2449),
+        (4001, 2449),
+        (4002, 2449),
+        (4003, 2449),
+        (4004, 2449),
+        (4005, 2449),
+        (4006, 2449),
+        (4008, 2449),
+        (4009, 2449),
+        (4010, 2449),
+        (4011, 2449),
+        (4012, 2449),
+        (4013, 2449),
+        (4014, 2449),
+        (4016, 2449),
+        (4007, 2448),
+        (4015, 2448)) AS v(dst_port, n)""")),
 
     // the Hive SerDe's documented DNS table workload
     // (hadoop-pcap-serde/README.md:25-60)
@@ -46,19 +69,67 @@ object PcapQueries {
           .groupBy($"dns_qtype_str")
           .agg(count(lit(1)).as("n"),
             countDistinct($"dns_qname").as("n_names"))
-      }, None),
+      },
+      Some("""SELECT CAST(v.dns_qtype_str AS VARCHAR) AS dns_qtype_str,
+        CAST(v.n AS BIGINT) AS n, CAST(v.n_names AS BIGINT) AS n_names
+        FROM (VALUES ('A', 199828, 60000),
+        ('AAAA', 49958, 15000)) AS v(dns_qtype_str, n, n_names)""")),
 
-    // full-schema scan of the golden fixture (2 rows, all columns)
+    // full-schema scan of the golden fixture (2 rows, all columns).
+    // Array RR-lists ride as JSON strings and the timestamp as a UTC
+    // string so the driver's row-sort compare (pandas) can hash them.
     Q("pcap_fixture_scan",
       (s, d) => {
+        import s.implicits._
         s.read.format("pcap")
           .option("decoder", "dns").option("md5", "true")
           .load(fixturePath)
           .drop("payload", "file") // unstable-across-hosts columns out
-      }, None),
+          .withColumn("time",
+            date_format($"time", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .withColumn("dns_answer", to_json($"dns_answer"))
+          .withColumn("dns_authority", to_json($"dns_authority"))
+          .withColumn("dns_additional", to_json($"dns_additional"))
+      },
+      Some("""SELECT CAST(v.ts AS BIGINT) AS ts,
+          CAST(v.ts_micro AS BIGINT) AS ts_micro,
+          CAST(v."time" AS VARCHAR) AS "time",
+          CAST(v.size AS BIGINT) AS size,
+          CAST(v.md5 AS VARCHAR) AS md5,
+          CAST(v.ether_type AS VARCHAR) AS ether_type,
+          CAST(v.ttl AS INT) AS ttl,
+          CAST(v.protocol AS VARCHAR) AS protocol,
+          CAST(v.src AS VARCHAR) AS src,
+          CAST(v.dst AS VARCHAR) AS dst,
+          CAST(v.src_port AS INT) AS src_port,
+          CAST(v.dst_port AS INT) AS dst_port,
+          CAST(v.udpsum AS INT) AS udpsum,
+          CAST(v.len AS INT) AS len,
+          CAST(v.frag AS BOOLEAN) AS frag,
+          CAST(v.payload_len AS INT) AS payload_len,
+          CAST(v.ext_count AS INT) AS ext_count,
+          CAST(v.ext_headers AS VARCHAR) AS ext_headers,
+          CAST(v.dns_queryid AS INT) AS dns_queryid,
+          CAST(v.dns_flags AS VARCHAR) AS dns_flags,
+          CAST(v.dns_qr AS BOOLEAN) AS dns_qr,
+          CAST(v.dns_opcode AS VARCHAR) AS dns_opcode,
+          CAST(v.dns_rcode AS VARCHAR) AS dns_rcode,
+          CAST(v.dns_qname AS VARCHAR) AS dns_qname,
+          CAST(v.dns_qtype AS INT) AS dns_qtype,
+          CAST(v.dns_qtype_str AS VARCHAR) AS dns_qtype_str,
+          CAST(v.dns_answer AS VARCHAR) AS dns_answer,
+          CAST(v.dns_authority AS VARCHAR) AS dns_authority,
+          CAST(v.dns_additional AS VARCHAR) AS dns_additional,
+          CAST(v.pkt_idx AS BIGINT) AS pkt_idx
+        FROM (VALUES
+          (1317993942, 1317993942105851, '2011-10-07 13:25:42.105851', 68, '4156549794A3EB9FEA035E5F6A701DC2', 'IPv4', 64, 'UDP', '193.0.10.82', '193.0.14.129', 52938, 53, 0, 26, NULL, NULL, NULL, NULL, 49638, 'rd', FALSE, 'QUERY', 'NOERROR', 'ripe.net.', 1, 'A', '[]', '[]', '[]', 1),
+          (1317993942, 1317993942107792, '2011-10-07 13:25:42.107792', 553, 'DFC5AD58862D3F8AFC9D5DE34B6F44BC', 'IPv4', 62, 'UDP', '193.0.14.129', '193.0.10.82', 53, 52938, 0, 511, NULL, NULL, NULL, NULL, 49638, 'qr rd', TRUE, 'QUERY', 'NOERROR', 'ripe.net.', 1, 'A', '[]', '["net. 172800 IN NS a.gtld-servers.net.","net. 172800 IN NS b.gtld-servers.net.","net. 172800 IN NS c.gtld-servers.net.","net. 172800 IN NS d.gtld-servers.net.","net. 172800 IN NS e.gtld-servers.net.","net. 172800 IN NS f.gtld-servers.net.","net. 172800 IN NS g.gtld-servers.net.","net. 172800 IN NS h.gtld-servers.net.","net. 172800 IN NS i.gtld-servers.net.","net. 172800 IN NS j.gtld-servers.net.","net. 172800 IN NS k.gtld-servers.net.","net. 172800 IN NS l.gtld-servers.net.","net. 172800 IN NS m.gtld-servers.net."]', '["a.gtld-servers.net. 172800 IN A 192.5.6.30","b.gtld-servers.net. 172800 IN A 192.33.14.30","c.gtld-servers.net. 172800 IN A 192.26.92.30","d.gtld-servers.net. 172800 IN A 192.31.80.30","e.gtld-servers.net. 172800 IN A 192.12.94.30","f.gtld-servers.net. 172800 IN A 192.35.51.30","g.gtld-servers.net. 172800 IN A 192.42.93.30","h.gtld-servers.net. 172800 IN A 192.54.112.30","i.gtld-servers.net. 172800 IN A 192.43.172.30","j.gtld-servers.net. 172800 IN A 192.48.79.30","k.gtld-servers.net. 172800 IN A 192.52.178.30","l.gtld-servers.net. 172800 IN A 192.41.162.30","m.gtld-servers.net. 172800 IN A 192.55.83.30","a.gtld-servers.net. 172800 IN AAAA 2001:503:a83e:0:0:0:2:30","b.gtld-servers.net. 172800 IN AAAA 2001:503:231d:0:0:0:2:30"]', 2))
+          AS v(ts, ts_micro, "time", size, md5, ether_type, ttl, protocol, src, dst, src_port, dst_port, udpsum, len, frag, payload_len, ext_count, ext_headers, dns_queryid, dns_flags, dns_qr, dns_opcode, dns_rcode, dns_qname, dns_qtype, dns_qtype_str, dns_answer, dns_authority, dns_additional, pkt_idx)""")),
 
     // duplicate-packet detection — the motivation for the reference's MD5
-    // conf flag (PcapReader.java:183 comment)
+    // conf flag (PcapReader.java:183 comment). In the synth capture the
+    // only byte-identical frames are the ARP fillers (pure function of
+    // nothing — every i%8==7 frame is the same bytes).
     Q("pcap_dedup_md5",
       (s, d) => {
         import s.implicits._
@@ -68,7 +139,10 @@ object PcapQueries {
           .filter($"copies" > 1)
           .agg(count(lit(1)).as("n_dup_groups"),
             coalesce(sum($"copies"), lit(0L)).as("n_dup_packets"))
-      }, None),
+      },
+      Some("""SELECT CAST(v.n_dup_groups AS BIGINT) AS n_dup_groups,
+        CAST(v.n_dup_packets AS BIGINT) AS n_dup_packets
+        FROM (VALUES (1, 41630)) AS v(n_dup_groups, n_dup_packets)""")),
 
     // protocol mix over the synthetic capture (exercises non-IP path)
     Q("pcap_protocol_mix",
@@ -78,6 +152,11 @@ object PcapQueries {
           .groupBy($"ether_type", $"protocol")
           .agg(count(lit(1)).as("n"),
             sum($"size").as("bytes"))
-      }, None)
+      },
+      Some("""SELECT CAST(v.ether_type AS VARCHAR) AS ether_type,
+        CAST(v.protocol AS VARCHAR) AS protocol,
+        CAST(v.n AS BIGINT) AS n, CAST(v.bytes AS BIGINT) AS bytes
+        FROM (VALUES ('IPv4', 'UDP', 291417, 26477224),
+        ('arp', NULL, 41630, 1748460)) AS v(ether_type, protocol, n, bytes)"""))
   )
 }

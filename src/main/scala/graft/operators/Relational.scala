@@ -631,19 +631,47 @@ object Relational {
         FROM part""")),
 
     // ----- approximate sketches: HLL + quantile summaries ----------------
-    // No oracle: DuckDB's approx algorithms differ by construction; the
-    // exact counterparts are covered by q13 (distinct) and min/max aggs.
+    // DuckDB's approx algorithms differ by construction, so the raw
+    // estimates can't hash-match. Instead the query returns the EXACT
+    // values (oracled against DuckDB) plus booleans asserting each sketch
+    // estimate landed inside its error bound — Spark computes both sketch
+    // and exact side, DuckDB re-computes the exact side and pins TRUE.
     Q("q27_sketches",
       (s, d) => {
         import s.implicits._
         Tables.lineitem(s, d).agg(
-          approx_count_distinct($"l_partkey").as("approx_parts"),
-          approx_count_distinct($"l_orderkey").as("approx_orders"),
+          countDistinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_partkey").as("hll_parts"),
+          countDistinct($"l_orderkey").as("exact_orders"),
+          approx_count_distinct($"l_orderkey").as("hll_orders"),
           percentile_approx($"l_extendedprice", lit(0.5), lit(10000))
-            .as("approx_median_price"),
+            .as("apx_median"),
+          expr("percentile(l_extendedprice, 0.49)").as("p49"),
+          expr("percentile(l_extendedprice, 0.51)").as("p51"),
           percentile_approx($"l_quantity", lit(0.95), lit(10000))
-            .as("approx_p95_qty"))
-      }, None)
+            .as("apx_p95"),
+          expr("percentile(l_quantity, 0.94)").as("p94"),
+          expr("percentile(l_quantity, 0.96)").as("p96"))
+          .select(
+            $"exact_parts",
+            // default HLL++ rsd is 5%; 3x that is a deterministic-pass
+            // bound (the sketch itself is deterministic for fixed input)
+            (abs($"hll_parts" - $"exact_parts") <=
+              $"exact_parts" * 0.15).as("hll_parts_ok"),
+            $"exact_orders",
+            (abs($"hll_orders" - $"exact_orders") <=
+              $"exact_orders" * 0.15).as("hll_orders_ok"),
+            ($"apx_median" >= $"p49" && $"apx_median" <= $"p51")
+              .as("median_ok"),
+            ($"apx_p95" >= $"p94" && $"apx_p95" <= $"p96").as("p95_ok"))
+      },
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+        TRUE AS hll_parts_ok,
+        count(DISTINCT l_orderkey) AS exact_orders,
+        TRUE AS hll_orders_ok,
+        TRUE AS median_ok,
+        TRUE AS p95_ok
+        FROM lineitem"""))
 
   )
 }

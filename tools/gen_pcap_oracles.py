@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Independently derive the deterministic results of the pcap queries from
+the synthetic capture (pure struct-level decode — no Spark, no graft code),
+cross-check them against the Spark outputs in <verifyOutDir>, and emit the
+DuckDB VALUES oracle SQL to pin into SparkEntry.oracleSql.
+
+The synth capture is a pure function of packet index (PcapSynth.scala), so
+its query results are constants; a VALUES oracle is therefore a real
+cross-check, not a self-fulfilling one, because THIS script derives the
+values with an independent decoder. Usage: gen_pcap_oracles.py <verifyOutDir>
+"""
+import glob, hashlib, struct, sys
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/v2"
+data = open("/tmp/graft_synth_32m.pcap", "rb").read()
+assert struct.unpack_from("<I", data, 0)[0] == 0xA1B2C3D4
+
+ports = Counter()          # dst_port -> n  (None = no L4 port, e.g. ARP)
+qtypes = Counter()         # qtype_str -> n
+qnames = {}                # qtype_str -> set of qnames
+proto = Counter()          # (ether_type, protocol) -> [n, bytes]
+proto_bytes = Counter()
+md5s = Counter()
+
+QT = {1: "A", 28: "AAAA"}
+
+def parse_qname(payload, off):
+    labels = []
+    while payload[off] != 0:
+        n = payload[off]
+        labels.append(payload[off + 1:off + 1 + n].decode("ascii"))
+        off += 1 + n
+    return ".".join(labels).lower() + ".", off + 1
+
+offp = 24
+while offp < len(data):
+    ts, us, cl, ol = struct.unpack_from("<IIII", data, offp)
+    offp += 16
+    frame = data[offp:offp + cl]
+    offp += cl
+    md5s[hashlib.md5(frame).hexdigest().upper()] += 1
+    et = struct.unpack_from(">H", frame, 12)[0]
+    if et == 0x0806:
+        proto[("arp", None)] += 1
+        proto_bytes[("arp", None)] += cl
+        ports[None] += 1
+        continue
+    assert et == 0x0800
+    p = frame[14 + 9]
+    assert p == 17
+    proto[("IPv4", "UDP")] += 1
+    proto_bytes[("IPv4", "UDP")] += cl
+    ihl = (frame[14] & 0xF) * 4
+    dport = struct.unpack_from(">H", frame, 14 + ihl + 2)[0]
+    ports[dport] += 1
+    if dport == 53:
+        payload = frame[14 + ihl + 8:]
+        qname, qoff = parse_qname(payload, 12)
+        qtype = struct.unpack_from(">H", payload, qoff)[0]
+        qs = QT[qtype]
+        qtypes[qs] += 1
+        qnames.setdefault(qs, set()).add(qname)
+
+fails = 0
+def check(name, expect_rows, got_rows):
+    global fails
+    if sorted(map(str, expect_rows)) != sorted(map(str, got_rows)):
+        print(f"FAIL {name}")
+        for a, b in zip(sorted(map(str, expect_rows))[:3],
+                        sorted(map(str, got_rows))[:3]):
+            print("  want", a, "\n  got ", b)
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(expect_rows)} rows)")
+
+def spark_rows(name, cols):
+    t = pq.read_table(glob.glob(f"{out}/{name}/*.parquet")[0]).to_pandas()
+    return [tuple(None if v != v else (int(v) if isinstance(v, float) and
+            float(v).is_integer() and c not in ("brightness",) else v)
+            for c, v in zip(cols, row))
+            for row in t[list(cols)].itertuples(index=False, name=None)]
+
+# ---- pcap_port_histogram: top 50 by (n desc, port asc) -------------------
+hist = sorted(ports.items(),
+              key=lambda kv: (-kv[1], kv[0] if kv[0] is not None else 1 << 30))[:50]
+check("pcap_port_histogram", [(p, n) for p, n in hist],
+      spark_rows("pcap_port_histogram", ("dst_port", "n")))
+
+# ---- pcap_dns_qtype_agg --------------------------------------------------
+qt_rows = [(k, qtypes[k], len(qnames[k])) for k in sorted(qtypes)]
+check("pcap_dns_qtype_agg", qt_rows,
+      spark_rows("pcap_dns_qtype_agg", ("dns_qtype_str", "n", "n_names")))
+
+# ---- pcap_dedup_md5 ------------------------------------------------------
+dup_groups = {m: c for m, c in md5s.items() if c > 1}
+md5_row = (len(dup_groups), sum(dup_groups.values()))
+check("pcap_dedup_md5", [md5_row],
+      spark_rows("pcap_dedup_md5", ("n_dup_groups", "n_dup_packets")))
+
+# ---- pcap_protocol_mix ---------------------------------------------------
+mix_rows = [(et, pr, proto[(et, pr)], proto_bytes[(et, pr)])
+            for (et, pr) in sorted(proto, key=str)]
+check("pcap_protocol_mix", mix_rows,
+      spark_rows("pcap_protocol_mix", ("ether_type", "protocol", "n", "bytes")))
+
+print("independent derivation:", "FAIL" if fails else "PASS")
+if fails:
+    sys.exit(1)
+
+# ---- emit the VALUES oracle SQL -----------------------------------------
+def lit(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+def values_sql(rows, cols, types):
+    vals = ",\n        ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    sel = ", ".join(f"CAST(v.{c} AS {t}) AS {c}" for c, t in zip(cols, types))
+    return (f"SELECT {sel}\n        FROM (VALUES {vals}) "
+            f"AS v({', '.join(cols)})")
+
+print("\n=== pcap_port_histogram ===")
+print(values_sql(hist, ("dst_port", "n"), ("INT", "BIGINT")))
+print("\n=== pcap_dns_qtype_agg ===")
+print(values_sql(qt_rows, ("dns_qtype_str", "n", "n_names"),
+                 ("VARCHAR", "BIGINT", "BIGINT")))
+print("\n=== pcap_dedup_md5 ===")
+print(values_sql([md5_row], ("n_dup_groups", "n_dup_packets"),
+                 ("BIGINT", "BIGINT")))
+print("\n=== pcap_protocol_mix ===")
+print(values_sql(mix_rows, ("ether_type", "protocol", "n", "bytes"),
+                 ("VARCHAR", "VARCHAR", "BIGINT", "BIGINT")))
