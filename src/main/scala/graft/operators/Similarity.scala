@@ -236,6 +236,92 @@ object Similarity {
           SELECT qid, cid, cos,
             CAST(ROW_NUMBER() OVER (PARTITION BY qid
               ORDER BY cos DESC, cid ASC) AS INT) AS rn
+          FROM cand) WHERE rn <= 5""")),
+
+    // ----- ANN via IVF-Flat: inverted lists + nprobe probing --------------
+    // The other standard ANN scale path (Jegou et al., TPAMI 2011): a
+    // coarse quantizer partitions the corpus into nlist inverted lists;
+    // a query probes only its nprobe nearest lists and reranks exactly.
+    // "Training" here is a deterministic corpus sample as centroid seeds
+    // (nlist ~ sqrt(N)); a production build would run Lloyd iterations as
+    // a periodic batch job — the query-time plan is identical.
+    //
+    // Scale: the centroid set is tiny and broadcast everywhere; list
+    // assignment is one narrow pass + map-side-combined argmax per
+    // vector; query-time work is |Q| * (N * nprobe / nlist) instead of
+    // |Q| * N, an nlist/nprobe-fold cut of the candidate join.
+    Q("sim_ann_ivf",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val cents = emb.filter($"vec_id" % 31 === 0)
+          .select($"vec_id".as("list_id"), $"embedding".as("cvec"))
+        // inverted lists: nearest centroid per vector (cosine, ties ->
+        // lowest list id; -list_id in the struct makes max_by pick it)
+        val assign = emb.crossJoin(broadcast(cents))
+          .select($"vec_id", $"list_id",
+            (dot("embedding", "cvec") / (norm("embedding") * norm("cvec")))
+              .as("csim"))
+          .groupBy($"vec_id")
+          .agg(expr("max_by(list_id, struct(csim, -list_id))").as("list_id"))
+        val withList = emb.join(assign, "vec_id")
+        val queries = emb.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qe"))
+        val wp = Window.partitionBy($"qid").orderBy($"csim".desc, $"list_id".asc)
+        val probes = broadcast(queries).crossJoin(broadcast(cents))
+          .select($"qid", $"qe", $"list_id",
+            (dot("qe", "cvec") / (norm("qe") * norm("cvec"))).as("csim"))
+          .withColumn("pr", row_number().over(wp))
+          .filter($"pr" <= 2) // nprobe = 2
+          .select($"qid", $"qe", $"list_id")
+        val wr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+        broadcast(probes).join(withList, Seq("list_id"))
+          .filter($"qid" =!= $"vec_id")
+          .select($"qid", $"vec_id".as("cid"),
+            (dot("qe", "embedding") / (norm("qe") * norm("embedding")))
+              .as("cos"))
+          .withColumn("rn", row_number().over(wr))
+          .filter($"rn" <= 5)
+          .select($"qid", $"cid", $"cos", $"rn")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+          FROM embeddings),
+        cents AS (SELECT vec_id AS list_id, emb AS cvec
+                  FROM e WHERE vec_id % 31 = 0),
+        asg AS (
+          SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, list_id,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum([emb[i] * cvec[i]
+                          FOR i IN generate_series(1, len(emb))])
+                  / (sqrt(list_sum([x * x FOR x IN emb])) *
+                     sqrt(list_sum([x * x FOR x IN cvec]))) DESC,
+                list_id ASC) AS rn
+            FROM e, cents) WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 50 = 0),
+        probes AS (
+          SELECT qid, qe, list_id FROM (
+            SELECT qid, qe, list_id,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                list_sum([qe[i] * cvec[i]
+                          FOR i IN generate_series(1, len(qe))])
+                  / (sqrt(list_sum([x * x FOR x IN qe])) *
+                     sqrt(list_sum([x * x FOR x IN cvec]))) DESC,
+                list_id ASC) AS rn
+            FROM q, cents) WHERE rn <= 2),
+        cand AS (
+          SELECT qid, e.vec_id AS cid,
+            list_sum([qe[i] * emb[i] FOR i IN generate_series(1, len(qe))])
+              / (sqrt(list_sum([x * x FOR x IN qe])) *
+                 sqrt(list_sum([x * x FOR x IN emb]))) AS cos
+          FROM probes JOIN asg ON probes.list_id = asg.list_id
+          JOIN e ON e.vec_id = asg.vec_id
+          WHERE qid <> e.vec_id)
+        SELECT qid, cid, cos, rn FROM (
+          SELECT qid, cid, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cid ASC) AS INT) AS rn
           FROM cand) WHERE rn <= 5"""))
   )
 }
