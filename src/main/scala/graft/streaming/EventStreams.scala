@@ -50,6 +50,37 @@ object EventStreams {
   /** per-user in-flight session state */
   final case class St(nEvents: Long, startUs: Long, lastUs: Long)
 
+  /** View->purchase attribution as a stream-stream INTERVAL JOIN: a
+    * purchase joins every view by the same user in the preceding hour.
+    * Defined once over DataFrames; the streaming wrapper adds watermarks
+    * on both sides so Spark bounds the join state (views older than
+    * watermark+1h are evicted) and emits append-mode results.
+    *
+    * Scale: the join shuffles both streams by user_id only; state per
+    * key is bounded by the time condition, so throughput is governed by
+    * events-per-user-per-hour, not history length. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    import views.sparkSession.implicits._
+    val v = views.select($"user_id", $"ts".as("view_ts"),
+      $"event_id".as("view_id"))
+    val p = purchases.select($"user_id".as("p_user"), $"ts".as("buy_ts"),
+      $"event_id".as("buy_id"), $"value".as("buy_value"))
+    v.join(p, $"user_id" === $"p_user" &&
+        $"buy_ts" > $"view_ts" &&
+        $"buy_ts" <= $"view_ts" + expr("interval 1 hour"))
+      .select($"user_id", $"view_id", $"buy_id",
+        unix_micros($"view_ts").as("view_us"),
+        unix_micros($"buy_ts").as("buy_us"),
+        $"buy_value")
+  }
+
+  /** Same join against live streams (watermarks bound the state). */
+  def viewPurchaseJoinStream(views: DataFrame, purchases: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    viewPurchaseJoin(
+      views.withWatermark("ts", watermark),
+      purchases.withWatermark("ts", watermark))
+
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -114,6 +145,29 @@ object StreamingQueries {
           event_type, COUNT(*) AS n
         FROM events, LATERAL (SELECT UNNEST([0, 1]) AS o) o
         GROUP BY 1, 2""")),
+
+    // stream-stream interval join, batch twin (the streaming form is
+    // driven end-to-end in EventStreamsSpec). Oracle compares at micro
+    // precision on both sides: Spark timestamps are micros, so the
+    // DuckDB TIMESTAMP_NS input is truncated before the interval test.
+    Q("q34_stream_interval_join_twin",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.events(s, d)
+        EventStreams.viewPurchaseJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"))
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS buy_id,
+          epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_us,
+          epoch_us(CAST(p.ts AS TIMESTAMP)) AS buy_us,
+          p.value AS buy_value
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+         AND CAST(p.ts AS TIMESTAMP) <=
+             CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'""")),
 
     Q("q24_stream_hourly_batch_twin",
       (s, d) => EventStreams.hourlyAgg(Tables.events(s, d)),

@@ -100,6 +100,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("stream-stream interval join emits in-window pairs only") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long, Long, Double)]
+    val buys = MemoryStream[(Timestamp, Long, Long, Double)]
+    val cols = Seq("ts", "user_id", "event_id", "value")
+    val query = EventStreams.viewPurchaseJoinStream(
+        views.toDF().toDF(cols: _*), buys.toDF().toDF(cols: _*),
+        watermark = "30 minutes")
+      .writeStream.format("memory").queryName("vp_out")
+      .outputMode("append").start()
+
+    // user 1 views at minute 0; buys at minute 30 (in window) and
+    // minute 90 (outside the 1-hour window); user 2 buys with no view
+    views.addData((ts(0), 1L, 100L, 0.0))
+    buys.addData((ts(30), 1L, 200L, 9.99), (ts(90), 1L, 201L, 5.0),
+      (ts(40), 2L, 300L, 1.0))
+    query.processAllAvailable()
+    val out = spark.table("vp_out").collect()
+    query.stop()
+
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("user_id") == 1L &&
+      r.getAs[Long]("view_id") == 100L &&
+      r.getAs[Long]("buy_id") == 200L &&
+      r.getAs[Double]("buy_value") == 9.99)
+  }
+
   test("batch twin equals direct batch aggregation") {
     import spark.implicits._
     val df = Seq(
