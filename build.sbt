@@ -26,10 +26,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+javaOptions ++= jdk17AddOpens ++
+  sys.env.get("EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty) ++ Seq(
   // batch-throughput workload: ParallelGC beats G1's latency bias here
   "-XX:+UseParallelGC",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // fixed-size heap: growth-triggered young GCs during the first seconds
+  // of a forked run distort best-of-N timings (measured: heap resizing
+  // 3.3G->6.3G mid-benchmark)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
