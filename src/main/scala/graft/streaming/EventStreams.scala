@@ -81,6 +81,16 @@ object EventStreams {
       views.withWatermark("ts", watermark),
       purchases.withWatermark("ts", watermark))
 
+  /** Streaming exact dedup — the streaming form of the pipeline's
+    * `dedup_exact` operator: drop re-deliveries of the same event id,
+    * keeping state only within the watermark so it cannot grow without
+    * bound (the difference between `dropDuplicates`, which remembers
+    * every key forever, and the production-safe variant). */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-battery plan lint: structural assertions over every query's
+  * physical plan, the automated form of ".explain and iterate". Catches
+  * the plan regressions that stay invisible at test scale but kill a
+  * 1000-executor run:
+  *   - an accidental CartesianProduct (a broadcast NLJ over a tiny
+  *     broadcast side is fine and intended in the ANN queries; an
+  *     unbroadcast cartesian never is);
+  *   - shuffle-count explosions (a rewrite that silently adds exchanges).
+  */
+class PlanLintSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(collectNodes) ++
+      p.subqueries.flatMap(collectNodes)
+  }
+
+  // generous ceiling: the deepest intended plans (connected components
+  // iterate a fixed number of label-propagation rounds) stay below it
+  private val maxShuffles = 24
+
+  test("no query plans an unbroadcast cartesian product or shuffle explosion") {
+    val offenders = SparkEntry.all.flatMap { q =>
+      val nodes = collectNodes(
+        q.fn(spark, sf).queryExecution.executedPlan)
+      val cartesian = nodes.count(_.isInstanceOf[CartesianProductExec])
+      val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+      val problems =
+        (if (cartesian > 0) Seq(s"${q.name}: $cartesian CartesianProductExec")
+         else Nil) ++
+        (if (shuffles > maxShuffles)
+           Seq(s"${q.name}: $shuffles shuffle exchanges") else Nil)
+      problems
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("pcap scans decode only the requested columns") {
+    val df = spark.read.format("pcap").option("decoder", "dns")
+      .load("/root/repo/src/test/resources/test.pcap")
+      .select("dns_qname", "dst_port")
+    val scans = collectNodes(df.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("BatchScan"))
+    assert(scans.nonEmpty)
+    // pruned output: exactly the two requested columns reach the scan
+    assert(scans.head.output.map(_.name).toSet == Set("dns_qname", "dst_port"))
+  }
+}

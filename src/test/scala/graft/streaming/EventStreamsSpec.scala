@@ -129,6 +129,26 @@ class EventStreamsSpec extends AnyFunSuite {
       r.getAs[Double]("buy_value") == 9.99)
   }
 
+  test("streaming dedup drops re-delivered event ids within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "event_id", "event_type")
+    val query = EventStreams.dedupStream(events, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    input.addData((ts(0), 1L, "click"), (ts(1), 2L, "view"))
+    query.processAllAvailable()
+    // re-delivery of id 1 inside the watermark window + one new id
+    input.addData((ts(2), 1L, "click"), (ts(3), 3L, "view"))
+    query.processAllAvailable()
+    val out = spark.table("dedup_out").collect()
+    query.stop()
+
+    assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("batch twin equals direct batch aggregation") {
     import spark.implicits._
     val df = Seq(
