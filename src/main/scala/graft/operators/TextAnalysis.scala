@@ -205,6 +205,89 @@ object TextAnalysis {
                 CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS b
               FROM documents)""")),
 
+    // ----- repetition signals (Gopher-style quality filters) -------------
+    // Duplicate n-gram fractions + most-frequent-word share, the standard
+    // repetition filters for web-scale training corpora (Rae et al. 2021,
+    // "Scaling Language Models" §A1.1). Pure per-row array expressions:
+    // no shuffle, whole-stage codegen, O(words^2) only within one doc.
+    // Ratios are single divisions of exact integer counts -> bit-exact.
+    Q("text_repetition",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
+          .selectExpr("doc_id", "ws", "size(ws) AS n_words",
+            """CASE WHEN size(ws) >= 2 THEN
+                 transform(sequence(1, size(ws) - 1),
+                   i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+               ELSE array() END AS bigrams""")
+          .selectExpr("doc_id", "n_words",
+            """CASE WHEN size(bigrams) > 0 THEN
+                 CAST(size(bigrams) - size(array_distinct(bigrams)) AS DOUBLE)
+                   / CAST(size(bigrams) AS DOUBLE)
+               ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac""",
+            """CAST(array_max(transform(array_distinct(ws),
+                 w -> size(filter(ws, x -> x = w)))) AS DOUBLE)
+               / CAST(n_words AS DOUBLE) AS top_word_frac""")
+      },
+      Some("""SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+          CASE WHEN len(ws) >= 2 THEN
+            CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE)
+              / CAST(len(bigrams) AS DOUBLE)
+          ELSE 0.0 END AS dup_bigram_frac,
+          CAST(list_max([len(list_filter(ws, x -> x = w))
+                         FOR w IN list_distinct(ws)]) AS DOUBLE)
+            / CAST(len(ws) AS DOUBLE) AS top_word_frac
+        FROM (SELECT doc_id, ws,
+                CASE WHEN len(ws) >= 2 THEN
+                  [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]
+                ELSE [] END AS bigrams
+              FROM (SELECT doc_id,
+                      string_split_regex(lower(text), '\s+') AS ws
+                    FROM documents))""")),
+
+    // ----- PII scrubbing --------------------------------------------------
+    // Regex redaction of emails / IPv4s / long digit runs, with per-doc
+    // match counts. The synthetic corpus has no PII, so the query first
+    // derives a deterministic contact line from doc_id (identically in
+    // the oracle) — the scrub then has real matches to remove. Patterns
+    // are restricted to syntax with identical semantics in Java regex and
+    // RE2. Narrow scalar pipeline: no shuffle, codegen throughout.
+    Q("text_pii_scrub",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            concat($"text", lit(" contact user"), $"doc_id",
+              lit("@example.com ip 10.0."), $"doc_id" % 256,
+              lit(".1 card 4111111111111"), $"doc_id" % 10).as("raw"))
+          .select($"doc_id",
+            regexp_count($"raw", lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"))
+              .as("n_emails"),
+            regexp_count($"raw",
+              lit("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}")).as("n_ips"),
+            regexp_count($"raw", lit("\\d{8,}")).as("n_longnums"),
+            regexp_replace(regexp_replace(regexp_replace($"raw",
+              "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+", "<EMAIL>"),
+              "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"),
+              "\\d{8,}", "<NUM>").as("clean"))
+      },
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(raw,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(raw,
+            '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INT) AS n_ips,
+          CAST(len(regexp_extract_all(raw, '\d{8,}')) AS INT) AS n_longnums,
+          regexp_replace(regexp_replace(regexp_replace(raw,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g'),
+            '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+            '\d{8,}', '<NUM>', 'g') AS clean
+        FROM (SELECT doc_id,
+                text || ' contact user' || doc_id || '@example.com ip 10.0.'
+                  || (doc_id % 256) || '.1 card 4111111111111'
+                  || (doc_id % 10) AS raw
+              FROM documents)""")),
+
     // ----- stratified systematic sampling --------------------------------
     // Per-language rates via id-modulus (systematic sampling): exact,
     // order-independent, reproducible — for class-balanced curation.
