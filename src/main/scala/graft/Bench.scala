@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line the driver collects into BENCH_r{N}.json. */
+/** Benchmark main: times the headline queries (relational star joins,
+  * pricing summary, embedding top-k, MinHash-LSH dedup) plus the pcap
+  * decode proxy on SPARK_GRAFT_SF_DIR, and prints one JSON line the
+  * driver collects into BENCH_r{N}.json. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

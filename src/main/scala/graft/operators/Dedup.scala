@@ -167,7 +167,8 @@ object Dedup {
     // ----- MinHash + LSH banding: candidate near-dup pairs ----------------
     Q("dedup_minhash_lsh",
       (s, d) => minhashPairs(s, d),
-      Some(minhashPairsSql)),
+      Some(minhashPairsSql),
+      headline = true),
 
     // ----- connected components over candidate pairs (dedup clusters) ----
     // Pregel-style min-label propagation over the LSH candidate graph:

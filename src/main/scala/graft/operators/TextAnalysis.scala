@@ -306,6 +306,36 @@ object TextAnalysis {
            OR (lang <> 'en' AND doc_id % 5 = 0)
         GROUP BY lang""")),
 
+    // ----- training-sequence packing --------------------------------------
+    // Greedy contiguous packing: documents fill fixed-token-budget
+    // training sequences (budget 256 word-tokens) in doc_id order WITHIN
+    // each source partition — a global ordering would serialize at 100 TB;
+    // per-source packing runs one window per shard in parallel, which is
+    // how production packers shard anyway. pack_id = tokens-before div
+    // budget: exact integer arithmetic, engine-portable.
+    Q("pipeline_pack_sequences",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d).select($"source", $"doc_id",
+          size(split($"text", "\\s+")).cast("long").as("n_tokens"))
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs
+          .withColumn("tok_before",
+            coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .selectExpr("source", "doc_id", "n_tokens",
+            "tok_before div 256 AS pack_id")
+      },
+      Some("""SELECT source, doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 256 AS pack_id
+        FROM (SELECT source, doc_id,
+                CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                  AS n_tokens
+              FROM documents)""")),
+
     // ----- rolling (Rabin-Karp) hash via native Catalyst expression -------
     Q("text_rolling_hash",
       (s, d) => {
