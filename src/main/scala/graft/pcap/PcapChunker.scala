@@ -31,8 +31,20 @@ object PcapChunker {
       val globalHeader = new Array[Byte](PcapStreamReader.GlobalHeaderSize)
       try in.readFully(globalHeader)
       catch { case _: EOFException => return Seq.empty } // empty file
-      if (PcapStreamReader.leU32(globalHeader, 0) != PcapStreamReader.Magic)
-        throw new IOException("Not a PCAP file (Couldn't find magic number)")
+      // chunks inherit the source's container variant verbatim (the
+      // global header is copied), so only capLen needs endian awareness
+      val magic = PcapStreamReader.leU32(globalHeader, 0)
+      val bigEndian = magic match {
+        case PcapStreamReader.Magic | PcapStreamReader.MagicNano => false
+        case PcapStreamReader.MagicBe | PcapStreamReader.MagicBeNano => true
+        case _ =>
+          throw new IOException("Not a PCAP file (Couldn't find magic number)")
+      }
+      def capLenOf(hdr: Array[Byte]): Int =
+        if (bigEndian)
+          (((hdr(8) & 0xFF) << 24) | ((hdr(9) & 0xFF) << 16) |
+           ((hdr(10) & 0xFF) << 8) | (hdr(11) & 0xFF))
+        else PcapStreamReader.leU32(hdr, 8).toInt
 
       val base = srcPath.getName.stripSuffix(".pcap").stripSuffix(".gz")
         .stripSuffix(".pcap")
@@ -58,7 +70,7 @@ object PcapChunker {
         try in.readFully(hdr)
         catch { case _: EOFException => eof = true }
         if (!eof) {
-          val capLen = PcapStreamReader.leU32(hdr, 8).toInt
+          val capLen = capLenOf(hdr)
           val body = new Array[Byte](capLen)
           val truncated =
             try { in.readFully(body); false }

@@ -39,7 +39,7 @@ object PcapIO {
         // executor-side: fresh Hadoop conf (not serializable across the
         // closure); decoder streams the file
         val c = new org.apache.hadoop.conf.Configuration()
-        new PcapStreamReader(
+        PacketReaders.open(
           graft.sources.pcap.PcapFileOpener.open(c, file), options)
       }
   }

@@ -1,7 +1,6 @@
 package graft.pcap
 
 import java.io.{DataInputStream, EOFException, IOException, InputStream}
-import java.security.MessageDigest
 
 /** Which optional work the decoder performs. Column pruning in the Spark
   * source maps requested columns onto these switches so unrequested work
@@ -27,8 +26,11 @@ object DecodeOptions {
   * Semantics match the reference decoder
   * (hadoop-pcap-lib/.../PcapReader.java) — see the quirk register in
   * SURVEY.md §7.5. Notable parity points:
-  *   - little-endian container only, magic 0xA1B2C3D4 (PcapReader.java:107);
-  *     pcapng / big-endian / nanosecond variants are rejected;
+  *   - classic-libpcap container; beyond the reference (which accepts
+  *     only LE-microsecond files, PcapReader.java:107) the big-endian
+  *     and nanosecond magic variants are auto-detected and decoded
+  *     (nanos truncate to micros); pcapng is handled by
+  *     [[PcapNgStreamReader]] via the [[PacketReaders]] sniffer;
   *   - link types NULL(0)/EN10MB(1)/RAW(101)/LOOP(108) only
   *     (PcapReader.java:238-254), others throw at open;
   *   - empty stream yields zero packets without error
@@ -63,6 +65,19 @@ final class PcapStreamReader(
   private var nextRec: PacketRecord = _
   private val hdrBuf = new Array[Byte](PacketHeaderSize)
 
+  // Container variant, detected from the magic (extension beyond the
+  // reference, which accepts little-endian microsecond files only,
+  // PcapReader.java:107): big-endian writers and nanosecond-resolution
+  // captures (tcpdump --nano) decode transparently. Nanosecond stamps
+  // truncate to the microsecond column precision.
+  private var bigEndian = false
+  private var nanoRes = false
+
+  private def cu32(b: Array[Byte], off: Int): Long =
+    if (bigEndian) ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+    else leU32(b, off)
+
   /** None only for an empty stream (parity: "skipping empty file"). */
   private val linkType: Option[Int] = {
     val hdr = new Array[Byte](GlobalHeaderSize)
@@ -70,16 +85,22 @@ final class PcapStreamReader(
       if (!eof) throw new IOException("Couldn't read PCAP header")
       None
     } else {
-      if (leU32(hdr, 0) != Magic)
-        throw new IOException("Not a PCAP file (Couldn't find magic number)")
-      val lt = leU32(hdr, 20).toInt
+      leU32(hdr, 0) match {
+        case Magic => ()
+        case MagicNano => nanoRes = true
+        case MagicBe => bigEndian = true
+        case MagicBeNano => bigEndian = true; nanoRes = true
+        case _ =>
+          throw new IOException("Not a PCAP file (Couldn't find magic number)")
+      }
+      val lt = cu32(hdr, 20).toInt
       if (!SupportedLinkTypes.contains(lt))
         throw new IOException(s"Unsupported link type: $lt")
       Some(lt)
     }
   }
 
-  private val md = if (options.md5) Some(MessageDigest.getInstance("MD5")) else None
+  private val frameDecoder = new FrameDecoder(options)
 
   override def hasNext: Boolean = {
     if (nextRec == null && linkType.isDefined) nextRec = readPacket()
@@ -98,197 +119,34 @@ final class PcapStreamReader(
       case _: IOException => false
     }
 
-  /** Mutable per-packet accumulator; one PacketRecord built at the end. */
-  private final class B {
-    var ts, tsMicro, size: Option[Long] = None
-    var md5v, etherType, protocol, src, dst, extHeaders: Option[String] = None
-    var ttl, srcPort, dstPort, udpsum, len, payloadLen, extCount: Option[Int] = None
-    var frag: Option[Boolean] = None
-    var dns: Option[DnsFields] = None
-    var payload: Option[Array[Byte]] = None
-
-    def build(): PacketRecord = PacketRecord(
-      ts = ts, tsMicro = tsMicro, size = size, md5 = md5v,
-      etherType = etherType, ttl = ttl, protocol = protocol,
-      src = src, dst = dst, srcPort = srcPort, dstPort = dstPort,
-      udpsum = udpsum, len = len, frag = frag, payloadLen = payloadLen,
-      extCount = extCount, extHeaders = extHeaders, dns = dns,
-      payload = payload)
-  }
-
   private def readPacket(): PacketRecord = {
     if (!readFully(hdrBuf)) return null
 
-    val tsSec = leU32(hdrBuf, 0)
-    val tsUsec = leU32(hdrBuf, 4)
-    val capLen = leU32(hdrBuf, 8)
+    val tsSec = cu32(hdrBuf, 0)
+    val tsSub = cu32(hdrBuf, 4)
+    val tsUsec = if (nanoRes) tsSub / 1000 else tsSub
+    val capLen = cu32(hdrBuf, 8)
 
-    val b = new B
+    val b = new PacketBuilder
     b.ts = Some(tsSec)
     b.tsMicro = Some(tsSec * 1000000L + tsUsec)
 
     val data = new Array[Byte](capLen.toInt)
-    if (!readFully(data)) return b.build() // truncated body → ts-only record
+    if (!readFully(data)) return b.build() // truncated body -> ts-only record
 
     b.size = Some(capLen)
-    md.foreach(m => b.md5v = Some(upperHex(m.digest(data))))
-    b.etherType = Some(etherTypeName(linkType.get, data))
-
-    ipStart(linkType.get, data) match {
-      case Some(ip) if ip < data.length => decodeIp(b, data, ip)
-      case _ => ()
-    }
+    frameDecoder.decode(b, data, linkType.get)
     b.build()
-  }
-
-  private def decodeIp(b: B, data: Array[Byte], ip: Int): Unit =
-    (data(ip) >> 4) & 0xF match {
-      // length guards: a frame shorter than the fixed L3 header yields a
-      // record without L3 fields rather than an exception (fuzz-found;
-      // the reference would AIOOBE here)
-      case 4 if ip + 20 <= data.length =>
-        b.ttl = Some(data(ip + 8) & 0xFF)
-        b.protocol = Some(protocolName(data(ip + 9) & 0xFF))
-        b.src = Some(ipv4String(data, ip + 12))
-        b.dst = Some(ipv4String(data, ip + 16))
-        if (isTcpUdp(b.protocol)) {
-          val ihl = (data(ip) & 0xF) * 4
-          decodeL4(b, data, ip, ihl, v6 = false)
-        }
-      case 6 if ip + 40 <= data.length =>
-        b.ttl = Some(data(ip + 7) & 0xFF)
-        b.payloadLen = Some(beU16(data, ip + 4))
-        b.src = Some(ipv6String(data, ip + 8))
-        b.dst = Some(ipv6String(data, ip + 24))
-        val dataStart = walkV6ExtHeaders(b, data, ip)
-        if (dataStart > 0 && isTcpUdp(b.protocol))
-          decodeL4(b, data, ip, dataStart, v6 = true)
-      case _ => ()
-    }
-
-  private def isTcpUdp(p: Option[String]): Boolean =
-    p match {
-      case Some(s) => s == "TCP" || s == "UDP"
-      case None => false
-    }
-
-  /** Walk the v6 extension chain. Returns the L4 offset from ip —
-    * -1 when No-Next-Header terminates the chain. */
-  private def walkV6ExtHeaders(b: B, data: Array[Byte], ip: Int): Int = {
-    var count = 0
-    var offset = 40
-    var next = data(ip + 6) & 0xFF
-    val chain = new StringBuilder
-    var result = -1
-    var done = false
-    while (!done && ip + offset < data.length) {
-      val isExt = ExtHeaderNames.contains(next)
-      val name = if (isExt) ExtHeaderNames(next) else protocolName(next)
-      chain.append('[').append(name).append(']')
-      if (next == NoNextHeader) {
-        done = true                       // result stays -1
-      } else if (!isExt) {
-        b.protocol = Some(name)
-        result = offset
-        done = true
-      } else {
-        count += 1
-        if (next == FragmentHeader) {
-          b.frag = Some(true)
-          next = data(ip + offset) & 0xFF
-          offset += 8                     // fragment header is fixed 8 bytes
-        } else if (ip + offset + 1 >= data.length) {
-          done = true                     // ext header length byte truncated
-        } else if (next == AuthHeader) {
-          next = data(ip + offset) & 0xFF
-          offset += ((data(ip + offset + 1) & 0xFF) + 2) * 4
-        } else {
-          next = data(ip + offset) & 0xFF
-          offset += ((data(ip + offset + 1) & 0xFF) + 1) * 8
-        }
-      }
-    }
-    b.extCount = Some(count)
-    if (chain.nonEmpty) b.extHeaders = Some(chain.toString)
-    result
-  }
-
-  /** Ports + (UDP) checksum + payload slice + optional DNS decode.
-    * `l4Start` is relative to ip. */
-  private def decodeL4(b: B, data: Array[Byte], ip: Int, l4Start: Int,
-      v6: Boolean): Unit = {
-    val l4 = ip + l4Start
-    if (l4 + 4 > data.length) return
-    b.srcPort = Some(beU16(data, l4))
-    b.dstPort = Some(beU16(data, l4 + 2))
-    val headerSize = b.protocol match {
-      case Some("UDP") =>
-        b.udpsum = udpChecksum(data, ip, l4Start, v6)
-        8
-      case Some("TCP") =>
-        if (l4 + 13 > data.length) return
-        ((data(l4 + 12) >> 4) & 0xF) * 4
-      case _ => return
-    }
-    val payloadStart = l4 + headerSize
-    val payloadLen =
-      if (payloadStart > data.length) 0 else data.length - payloadStart
-    b.len = Some(payloadLen)
-    // app-layer decode runs in place over the frame — no payload copy
-    options.appDecoder.foreach { dec =>
-      b.dns = dec.decodeAt(b.protocol.get, b.srcPort.get, b.dstPort.get,
-        data, data.length - payloadLen, data.length)
-    }
-    if (options.keepPayload)
-      b.payload = Some(java.util.Arrays.copyOfRange(
-        data, data.length - payloadLen, data.length))
-  }
-
-  /** One's-complement checksum residual over pseudo-header + captured UDP
-    * segment: 0 = valid. None when the checksum field is zero or the
-    * packet is too short (parity with getUdpChecksum returning -1,
-    * PcapReader.java:123-165). The v6 pseudo-header fix is documented in
-    * the class Scaladoc. */
-  private def udpChecksum(data: Array[Byte], ip: Int, l4Start: Int, v6: Boolean): Option[Int] = {
-    val l4 = ip + l4Start
-    try {
-      if (data(l4 + 6) == 0 && data(l4 + 7) == 0) return None
-      val addrLen = if (v6) 16 else 4
-      val srcOff = if (v6) ip + 8 else ip + 12
-      val dstOff = if (v6) ip + 24 else ip + 16
-      val segLen = data.length - l4
-      var sum = 0
-      var i = 0
-      // pseudo-header: src, dst, 0, proto(17), udp length — summed with
-      // the reference's byte-position weighting (even → high byte)
-      while (i < addrLen) {
-        sum += (data(srcOff + i) & 0xFF) << (if (i % 2 == 0) 8 else 0)
-        i += 1
-      }
-      i = 0
-      while (i < addrLen) {
-        sum += (data(dstOff + i) & 0xFF) << (if (i % 2 == 0) 8 else 0)
-        i += 1
-      }
-      sum += 17 // [0, 17] at even/odd positions
-      sum += (data(l4 + 4) & 0xFF) << 8
-      sum += data(l4 + 5) & 0xFF
-      i = 0
-      while (i < segLen) {
-        sum += (data(l4 + i) & 0xFF) << (if (i % 2 == 0) 8 else 0)
-        i += 1
-      }
-      sum = (sum >> 16) + (sum & 0xFFFF)
-      sum += sum >> 16
-      Some(~sum & 0xFFFF)
-    } catch {
-      case _: ArrayIndexOutOfBoundsException => None
-    }
   }
 }
 
 object PcapStreamReader {
   val Magic = 0xA1B2C3D4L
+  /** nanosecond-resolution variant (tcpdump --nano), read little-endian */
+  val MagicNano = 0xA1B23C4DL
+  /** the same magics as seen when the writer was big-endian */
+  val MagicBe = 0xD4C3B2A1L
+  val MagicBeNano = 0x4D3CB2A1L
   val GlobalHeaderSize = 24
   val PacketHeaderSize = 16
   val SupportedLinkTypes: Set[Int] = Set(0, 1, 101, 108)

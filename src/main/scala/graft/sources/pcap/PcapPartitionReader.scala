@@ -38,7 +38,7 @@ class PcapPartitionReader(
     val path = fileIter.next()
     currentFile = UTF8String.fromString(path)
     stream = PcapFileOpener.open(conf, path)
-    packets = new PcapStreamReader(stream, decode)
+    packets = graft.pcap.PacketReaders.open(stream, decode)
     pktIdx = 0L
     true
   }

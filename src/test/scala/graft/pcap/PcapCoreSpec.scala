@@ -66,6 +66,35 @@ class PcapCoreSpec extends AnyFunSuite {
     }
   }
 
+  // -- container-variant auto-detection (extension beyond the reference,
+  // which accepts LE-microsecond files only) -------------------------------
+
+  private def udpPkt(i: Int): Array[Byte] = PcapSynth.ipv4UdpFrame(
+    Array[Byte](10, 0, 0, i.toByte), Array[Byte](10, 0, 0, 99),
+    1000 + i, 2000, ttl = 64, payload = new Array[Byte](8))
+
+  test("big-endian pcap decodes identically to little-endian") {
+    val pkts = (1 to 3).map(i => (1700000000L + i, 500000L + i, udpPkt(i)))
+    val le = new PcapStreamReader(
+      new ByteArrayInputStream(PcapSynth.file(pkts)), DecodeOptions()).toList
+    val be = new PcapStreamReader(
+      new ByteArrayInputStream(PcapSynth.fileBe(pkts)), DecodeOptions()).toList
+    assert(le == be)
+    assert(be.map(_.tsMicro.get) ==
+      pkts.map { case (s, u, _) => s * 1000000L + u })
+  }
+
+  test("nanosecond pcap truncates sub-second stamps to micros") {
+    val pkts = Seq((1700000000L, 123456789L, udpPkt(1)))
+    val nano = new PcapStreamReader(
+      new ByteArrayInputStream(PcapSynth.fileNano(pkts)), DecodeOptions()).toList
+    assert(nano.head.tsMicro.contains(1700000000L * 1000000L + 123456L))
+    val beNano = new PcapStreamReader(
+      new ByteArrayInputStream(PcapSynth.fileBe(pkts, nano = true)),
+      DecodeOptions()).toList
+    assert(beNano == nano)
+  }
+
   test("unsupported link type throws") {
     val hdr = PcapSynth.globalHeader(linkType = 42)
     assertThrows[IOException] {

@@ -119,6 +119,25 @@ class PcapGoldenSpec extends AnyFunSuite {
     assert(n == 2)
   }
 
+  test("pcapng file decodes through the Spark source (sniffed container)") {
+    import graft.pcap.PcapSynth
+    val tmp = java.nio.file.Files.createTempDirectory("pcapng")
+    val dnsFrame = PcapSynth.ipv4UdpFrame(
+      Array[Byte](10, 0, 0, 1), Array[Byte](10, 0, 0, 2),
+      5353, 53, ttl = 64,
+      payload = PcapSynth.dnsQuery(7, "ripe.net", qtype = 1))
+    val ng = PcapSynth.fileNg(Seq(1),
+      Seq((0, 1317993942L * 1000000L + 105851L, dnsFrame)))
+    java.nio.file.Files.write(tmp.resolve("cap.pcapng"), ng)
+    val row = spark.read.format("pcap").option("decoder", "dns")
+      .load(tmp.toString)
+      .selectExpr("ts", "dns_qname", "dst_port").collect()
+    assert(row.length == 1)
+    assert(row.head.getLong(0) == 1317993942L)
+    assert(row.head.getString(1) == "ripe.net.")
+    assert(row.head.getInt(2) == 53)
+  }
+
   test("many-file directory scan bin-packs into few partitions") {
     val tmp = java.nio.file.Files.createTempDirectory("pcapmany")
     val bytes = java.nio.file.Files.readAllBytes(

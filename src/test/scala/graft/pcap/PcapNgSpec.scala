@@ -1,0 +1,95 @@
+package graft.pcap
+
+import java.io.{ByteArrayInputStream, IOException}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** pcapng container reader: block framing, per-interface link types and
+  * timestamp resolutions, sniffer dispatch, DNS parity with classic pcap. */
+class PcapNgSpec extends AnyFunSuite {
+
+  private def udpPkt(i: Int, payload: Array[Byte] = new Array[Byte](8)) =
+    PcapSynth.ipv4UdpFrame(
+      Array[Byte](10, 0, 0, i.toByte), Array[Byte](10, 0, 0, 99),
+      1000 + i, 2000, ttl = 64, payload = payload)
+
+  private def read(bytes: Array[Byte],
+      opts: DecodeOptions = DecodeOptions()): List[PacketRecord] =
+    PacketReaders.open(new ByteArrayInputStream(bytes), opts).toList
+
+  test("EPB packets decode identically to the same frames in classic pcap") {
+    val frames = (1 to 3).map(udpPkt(_))
+    val sec = 1700000000L
+    val ng = PcapSynth.fileNg(Seq(1),
+      frames.zipWithIndex.map { case (f, i) =>
+        (0, (sec + i) * 1000000L + 42L, f) })
+    val classic = PcapSynth.file(
+      frames.zipWithIndex.map { case (f, i) => (sec + i, 42L, f) })
+    val got = read(ng)
+    val want = read(classic)
+    assert(got == want)
+    assert(got.head.tsMicro.contains(sec * 1000000L + 42L))
+  }
+
+  test("if_tsresol is honored (millisecond and 2^-10 resolutions)") {
+    val f = udpPkt(1)
+    // 10^-3: units are milliseconds
+    val ms = read(PcapSynth.fileNg(Seq(1),
+      Seq((0, 1700000000L * 1000L + 123L, f)), tsresolRaw = 3))
+    assert(ms.head.ts.contains(1700000000L))
+    assert(ms.head.tsMicro.contains(1700000000L * 1000000L + 123000L))
+    // 2^-10: 1024 units per second
+    val p2 = read(PcapSynth.fileNg(Seq(1),
+      Seq((0, 1700000000L * 1024L + 512L, f)), tsresolRaw = 0x8A))
+    assert(p2.head.ts.contains(1700000000L))
+    assert(p2.head.tsMicro.contains(1700000000L * 1000000L + 500000L))
+  }
+
+  test("multi-interface file routes frames to each interface's link type") {
+    // if0 = EN10MB (Ethernet frame), if1 = RAW (bare IP packet)
+    val ether = udpPkt(1)
+    val rawIp = ether.drop(14)
+    val ng = PcapSynth.fileNg(Seq(1, 101), Seq(
+      (0, 1700000000L * 1000000L, ether),
+      (1, 1700000001L * 1000000L, rawIp)))
+    val got = read(ng)
+    assert(got.length == 2)
+    assert(got(0).etherType.contains("IPv4"))
+    assert(got(1).etherType.contains("")) // non-Ethernet link: "" (parity)
+    assert(got.forall(_.srcPort.contains(1001)))
+  }
+
+  test("DNS decodes through pcapng exactly as through classic pcap") {
+    val dnsFrame = PcapSynth.ipv4UdpFrame(
+      Array[Byte](10, 0, 0, 1), Array[Byte](10, 0, 0, 2),
+      5353, 53, ttl = 64,
+      payload = PcapSynth.dnsQuery(7, "Example.COM", qtype = 28))
+    val ng = PcapSynth.fileNg(Seq(1), Seq((0, 1L, dnsFrame)))
+    val got = read(ng, DecodeOptions.dns)
+    assert(got.head.dns.flatMap(_.qname).contains("example.com."))
+    assert(got.head.dns.flatMap(_.qtypeStr).contains("AAAA"))
+  }
+
+  test("unknown blocks are skipped; sniffer picks the right reader") {
+    val f = udpPkt(1)
+    val base = PcapSynth.fileNg(Seq(1), Seq((0, 1L, f)))
+    // splice a Name Resolution Block (type 4) between IDB and EPB:
+    // locate the EPB (type 6) and insert before it
+    def le(v: Long) = PcapSynth.le32(v)
+    val nrb = le(4L) ++ le(16L) ++ le(0L) ++ le(16L)
+    // EPB starts after SHB(28) + IDB(20)
+    val insertAt = 28 + 20
+    val spliced = base.take(insertAt) ++ nrb ++ base.drop(insertAt)
+    assert(read(spliced).length == 1)
+    // classic files still route to the classic reader through the sniffer
+    val classic = PcapSynth.file(Seq((1L, 0L, f)))
+    assert(read(classic).length == 1)
+  }
+
+  test("bad byte-order magic throws") {
+    val base = PcapSynth.fileNg(Seq(1), Seq((0, 1L, udpPkt(1))))
+    val bad = base.clone()
+    bad(8) = 0x42 // corrupt the byte-order magic inside the SHB
+    assertThrows[IOException] { read(bad) }
+  }
+}
