@@ -26,6 +26,22 @@ object PcapQueries {
     p.toString
   }
 
+  /** Deterministic pcapng capture: the same pure-function frames as the
+    * classic synth file (synthFrame(i), i < 50000), written as
+    * SHB + IDB + EPBs. */
+  private def ngSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_50k.pcapng")
+    if (!java.nio.file.Files.exists(p)) {
+      val pkts = (0 until 50000).map { i =>
+        (0, 1700000000L * 1000000L + i * 1000L,
+          graft.pcap.PcapSynth.synthFrame(i))
+      }
+      java.nio.file.Files.write(p,
+        graft.pcap.PcapSynth.fileNg(Seq(1), pkts))
+    }
+    p.toString
+  }
+
   val defs: Seq[Q] = Seq(
 
     // the reference's canonical MR example: count by source port
@@ -143,6 +159,26 @@ object PcapQueries {
       Some("""SELECT CAST(v.n_dup_groups AS BIGINT) AS n_dup_groups,
         CAST(v.n_dup_packets AS BIGINT) AS n_dup_packets
         FROM (VALUES (1, 41630)) AS v(n_dup_groups, n_dup_packets)""")),
+
+    // the same workload over a pcapng container (extension: the
+    // reference rejects pcapng; oracle derived independently by
+    // tools/gen_pcap_oracles.py from the same pure frame function)
+    Q("pcapng_dns_qtype_agg",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").option("decoder", "dns").load(ngSynthPath)
+          .filter($"dns_qname".isNotNull)
+          .groupBy($"dns_qtype_str")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"dns_qname").as("n_names"),
+            min($"ts").as("min_ts"), max($"ts").as("max_ts"))
+      },
+      Some("""SELECT CAST(v.dns_qtype_str AS VARCHAR) AS dns_qtype_str,
+        CAST(v.n AS BIGINT) AS n, CAST(v.n_names AS BIGINT) AS n_names,
+        CAST(v.min_ts AS BIGINT) AS min_ts, CAST(v.max_ts AS BIGINT) AS max_ts
+        FROM (VALUES ('A', 30000, 30000, 1700000000, 1700000049),
+        ('AAAA', 7500, 7500, 1700000000, 1700000049))
+        AS v(dns_qtype_str, n, n_names, min_ts, max_ts)""")),
 
     // protocol mix over the synthetic capture (exercises non-IP path)
     Q("pcap_protocol_mix",

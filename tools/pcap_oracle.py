@@ -53,5 +53,61 @@ if gm != em:
 else:
     print(f"OK   pcap_protocol_mix {gm}")
 
+# pcapng: independent block-level parse of the synthesized .pcapng file
+ngp = "/tmp/graft_synth_50k.pcapng"
+import os
+QT = {1: "A", 28: "AAAA"}
+
+def parse_qname(payload, qoff):
+    labels = []
+    while payload[qoff] != 0:
+        n2 = payload[qoff]
+        labels.append(payload[qoff + 1:qoff + 1 + n2].decode("ascii"))
+        qoff += 1 + n2
+    return ".".join(labels).lower() + ".", qoff + 1
+
+if os.path.exists(ngp) and glob.glob(f"{out}/pcapng_dns_qtype_agg/*.parquet"):
+    nd = open(ngp, "rb").read()
+    off2, qt_agg = 0, {}
+    iface_lt = []
+    while off2 < len(nd):
+        btype, blen = struct.unpack_from("<II", nd, off2)
+        body = nd[off2 + 8:off2 + blen - 4]
+        if btype == 0x0A0D0D0A:
+            assert struct.unpack_from("<I", body, 0)[0] == 0x1A2B3C4D
+        elif btype == 1:
+            iface_lt.append(struct.unpack_from("<H", body, 0)[0])
+        elif btype == 6:
+            ifid, tsh, tsl, cl, ol = struct.unpack_from("<IIIII", body, 0)
+            ts_us = (tsh << 32) | tsl
+            frame = body[20:20 + cl]
+            if struct.unpack_from(">H", frame, 12)[0] == 0x0800:
+                ihl2 = (frame[14] & 0xF) * 4
+                if frame[14 + 9] == 17:
+                    dp = struct.unpack_from(">H", frame, 14 + ihl2 + 2)[0]
+                    if dp == 53:
+                        payload = frame[14 + ihl2 + 8:]
+                        qn, qo = parse_qname(payload, 12)
+                        qt = struct.unpack_from(">H", payload, qo)[0]
+                        k = QT[qt]
+                        e = qt_agg.setdefault(k, [0, set(), 1 << 62, 0])
+                        e[0] += 1
+                        e[1].add(qn)
+                        sec = ts_us // 1000000
+                        e[2] = min(e[2], sec)
+                        e[3] = max(e[3], sec)
+        off2 += blen
+    ng_rows = sorted((k, v[0], len(v[1]), v[2], v[3])
+                     for k, v in qt_agg.items())
+    gng = pq.read_table(glob.glob(
+        f"{out}/pcapng_dns_qtype_agg/*.parquet")[0]).to_pandas()
+    got_ng = sorted((r.dns_qtype_str, int(r.n), int(r.n_names),
+                     int(r.min_ts), int(r.max_ts))
+                    for r in gng.itertuples())
+    if got_ng != ng_rows:
+        print(f"FAIL pcapng_dns_qtype_agg: {got_ng} vs {ng_rows}"); fails += 1
+    else:
+        print(f"OK   pcapng_dns_qtype_agg {got_ng}")
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
