@@ -74,4 +74,15 @@ class UdfSurfaceSpec extends AnyFunSuite {
         .filter("doc_id = 0").head().getAs[String]("text"))
     assert(viaSql == direct)
   }
+
+  test("reference parity UDFs: protocol_name / ipv6_ext_name / to_hex_upper") {
+    graft.functions.ParityFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT protocol_name(17), protocol_name(99),
+         ipv6_ext_name(44), to_hex_upper(CAST('AB' AS BINARY))""").head()
+    assert(r.getString(0) == "UDP")
+    assert(r.getString(1) == "99") // unknown id -> numeric string (parity)
+    assert(r.getString(2) == "Fragment")
+    assert(r.getString(3) == "4142")
+  }
 }
