@@ -46,6 +46,27 @@ class PcapStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("mixed classic + pcapng files stream from one landing directory") {
+    val dir = Files.createTempDirectory("pcap_landing_mixed")
+    val frame = graft.pcap.PcapSynth.ipv4UdpFrame(
+      Array[Byte](10, 0, 0, 1), Array[Byte](10, 0, 0, 2),
+      4000, 5000, ttl = 64, payload = new Array[Byte](8))
+    val stream = spark.readStream.format("pcap").load(dir.toString)
+      .groupBy("dst_port").count()
+    val query = stream.writeStream.format("memory")
+      .queryName("pcap_mixed_out").outputMode("complete").start()
+    try {
+      Files.write(dir.resolve("a.pcap"),
+        graft.pcap.PcapSynth.file(Seq((1L, 0L, frame))))
+      Files.write(dir.resolve("b.pcapng"),
+        graft.pcap.PcapSynth.fileNg(Seq(1), Seq((0, 1000000L, frame))))
+      query.processAllAvailable()
+      val got = spark.table("pcap_mixed_out").collect()
+        .map(r => r.getAs[Int]("dst_port") -> r.getAs[Long]("count")).toMap
+      assert(got == Map(5000 -> 2L))
+    } finally query.stop()
+  }
+
   test("streamed dns columns decode like batch") {
     val dir = Files.createTempDirectory("pcap_landing2")
     val fixture = java.nio.file.Paths.get(
