@@ -79,6 +79,45 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate"))
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // one hot key (0) carrying ~90% of the left side; wide payload so the
+    // hot partition crosses the (lowered) skew threshold
+    // payload must survive the shuffle and resist compression, or the
+    // hot partition never crosses the skew threshold: 4 chained md5s of
+    // the row id ~ 128 incompressible bytes per row
+    val left = spark.range(0, 20000)
+      .select((when($"id" % 10 === 0, $"id" % 97).otherwise(0L)).as("k"),
+        concat(md5($"id".cast("string")), md5(($"id" + 1).cast("string")),
+          md5(($"id" + 2).cast("string")), md5(($"id" + 3).cast("string")))
+          .as("pad"))
+    val right = spark.range(0, 97).select($"id".as("k"),
+      ($"id" * 2).as("v"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val joined = left.join(right, "k")
+      // execute THIS plan (count() would plan a separate query execution
+      // whose adaptive plan is the one that finalizes)
+      assert(joined.collect().length == 20000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      // AQE marks the rewritten join and the split shuffle read
+      assert(finalPlan.contains("skew=true"), finalPlan.take(2000))
+    } finally {
+      Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled")
+        .foreach(spark.conf.unset)
+    }
+  }
+
   test("typed packet Dataset decodes with case-class access") {
     val fixture = getClass.getResource("/test.pcap").getPath
     val ds = graft.pcap.PcapIO.packets(spark, fixture,
