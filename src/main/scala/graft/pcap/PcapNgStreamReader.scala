@@ -76,9 +76,13 @@ final class PcapNgStreamReader(
     if (!inSection)
       throw new IOException("pcapng: block before Section Header")
     val blockType = u32(head, 0)
-    val totalLen = u32(head, 4).toInt
-    if (totalLen < 12 || totalLen % 4 != 0)
-      throw new IOException(s"pcapng: bad block length $totalLen")
+    val totalLenRaw = u32(head, 4)
+    // corrupt-length guard: bound the block-body allocation (largest
+    // legitimate blocks are snaplen-sized EPBs, far below this)
+    if (totalLenRaw < 12 || totalLenRaw % 4 != 0 ||
+        totalLenRaw > PcapStreamReader.MaxCapturedLength)
+      throw new IOException(s"pcapng: bad block length $totalLenRaw")
+    val totalLen = totalLenRaw.toInt
     val body = new Array[Byte](totalLen - 12)
     if (!readFully(body)) return null
     skip(4) // trailing total length
@@ -108,6 +112,8 @@ final class PcapNgStreamReader(
   }
 
   private def readIdb(body: Array[Byte]): Unit = {
+    if (body.length < 8)
+      throw new IOException("pcapng: truncated IDB")
     val linkType = u16(body, 0)
     if (!PcapStreamReader.SupportedLinkTypes.contains(linkType))
       throw new IOException(s"Unsupported link type: $linkType")
@@ -133,8 +139,10 @@ final class PcapNgStreamReader(
   }
 
   private def readEpb(body: Array[Byte]): PacketRecord = {
+    if (body.length < 20)
+      throw new IOException("pcapng: truncated EPB")
     val ifId = u32(body, 0).toInt
-    if (ifId >= interfaces.length)
+    if (ifId < 0 || ifId >= interfaces.length)
       throw new IOException(s"pcapng: undeclared interface $ifId")
     val (linkType, unitsPerSec) = interfaces(ifId)
     val tsUnits = (u32(body, 4) << 32) | u32(body, 8)
@@ -158,6 +166,8 @@ final class PcapNgStreamReader(
     // 4-byte original-length field).
     if (interfaces.isEmpty)
       throw new IOException("pcapng: SPB before any IDB")
+    if (body.length < 4)
+      throw new IOException("pcapng: truncated SPB")
     val (linkType, _) = interfaces(0)
     val origLen = u32(body, 0).toInt
     val capLen = math.min(origLen, body.length - 4)

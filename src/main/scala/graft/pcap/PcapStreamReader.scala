@@ -126,6 +126,12 @@ final class PcapStreamReader(
     val tsSub = cu32(hdrBuf, 4)
     val tsUsec = if (nanoRes) tsSub / 1000 else tsSub
     val capLen = cu32(hdrBuf, 8)
+    // corrupt-header guard: a fuzzed/truncated capture can carry a bogus
+    // length (u32 up to 4 GiB) — fail cleanly instead of attempting the
+    // allocation (snaplen-sized frames are < 64 KiB; jumbo captures stay
+    // far under this bound)
+    if (capLen > MaxCapturedLength)
+      throw new IOException(s"corrupt pcap: captured length $capLen")
 
     val b = new PacketBuilder
     b.ts = Some(tsSec)
@@ -149,6 +155,8 @@ object PcapStreamReader {
   val MagicBeNano = 0x4D3CB2A1L
   val GlobalHeaderSize = 24
   val PacketHeaderSize = 16
+  /** sanity bound for per-packet captured length (fuzz guard) */
+  val MaxCapturedLength = 64L << 20
   val SupportedLinkTypes: Set[Int] = Set(0, 1, 101, 108)
   val NoNextHeader = 59
   val FragmentHeader = 44

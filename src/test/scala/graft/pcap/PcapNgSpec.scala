@@ -86,6 +86,41 @@ class PcapNgSpec extends AnyFunSuite {
     assert(read(classic).length == 1)
   }
 
+  test("corrupt lengths fail cleanly (no huge allocations, no hangs)") {
+    // classic: capLen = 0xFFFFFFFF must raise IOException, not attempt a
+    // 4 GiB allocation / NegativeArraySizeException
+    val classic = PcapSynth.file(Seq((1L, 0L, udpPkt(1))))
+    val badCap = classic.clone()
+    (24 + 8 until 24 + 12).foreach(i => badCap(i) = 0xFF.toByte)
+    assertThrows[IOException] {
+      new PcapStreamReader(
+        new ByteArrayInputStream(badCap), DecodeOptions()).toList
+    }
+    // pcapng: corrupt block total length likewise
+    val ng = PcapSynth.fileNg(Seq(1), Seq((0, 1L, udpPkt(1))))
+    val badBlock = ng.clone()
+    (28 + 4 until 28 + 8).foreach(i => badBlock(i) = 0xFF.toByte)
+    assertThrows[IOException] { read(badBlock) }
+  }
+
+  test("seeded byte-mutation fuzz: reader terminates, IOException at worst") {
+    val rnd = new scala.util.Random(4242)
+    val base = PcapSynth.fileNg(Seq(1),
+      (1 to 5).map(i => (0, i.toLong * 1000000L, udpPkt(i))))
+    (1 to 300).foreach { _ =>
+      val mutated = base.clone()
+      (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      try {
+        val recs = read(mutated)
+        assert(recs.length <= 64) // framing bounds: no runaway record loop
+      } catch {
+        case _: IOException => () // clean rejection is fine
+      }
+    }
+  }
+
   test("bad byte-order magic throws") {
     val base = PcapSynth.fileNg(Seq(1), Seq((0, 1L, udpPkt(1))))
     val bad = base.clone()
