@@ -32,10 +32,11 @@ object Bench {
       catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    // best of two timed runs per query: a single run is dominated by GC /
-    // AQE-replan / straggler noise at these (sub-second) scales
+    // best of three timed runs per query: a single run is dominated by
+    // GC / AQE-replan / host-steal noise at these (sub-second) scales
+    // (observed: the same query 1.2 s vs 6.5 s minutes apart)
     val results = names.map { name =>
-      name -> math.min(timedQuery(name), timedQuery(name))
+      name -> Seq.fill(3)(timedQuery(name)).min
     }
 
     // decode-throughput proxy (BASELINE.md): full-decode scan of a
