@@ -49,12 +49,41 @@ object DnsPayloadDecoder extends PayloadDecoder {
     else None
 }
 
+/** EXTENSION (SURVEY.md §7.5 "TCP-DNS as extension option"): additionally
+  * parses DNS over TCP port 53 by skipping the RFC 1035 §4.2.2 two-byte
+  * length prefix — the very bytes that make dnsjava (and therefore the
+  * reference) fail on every DNS-over-TCP packet. UDP behavior is
+  * identical to [[DnsPayloadDecoder]]. Select with `decoder=dns+tcp`.
+  * Only a complete single-message segment parses (a length prefix larger
+  * than the captured payload means the message continues in another
+  * segment — no cross-packet reassembly, same packet-at-a-time contract
+  * as everything else). */
+object DnsTcpPayloadDecoder extends PayloadDecoder {
+  override def name: String = "dns+tcp"
+  override def decode(protocol: String, srcPort: Int, dstPort: Int,
+      payload: Array[Byte]): Option[DnsFields] =
+    decodeAt(protocol, srcPort, dstPort, payload, 0, payload.length)
+
+  override def decodeAt(protocol: String, srcPort: Int, dstPort: Int,
+      frame: Array[Byte], start: Int, end: Int): Option[DnsFields] =
+    if (srcPort != 53 && dstPort != 53) None
+    else protocol match {
+      case "UDP" => DnsParser.parse(frame, start, end)
+      case "TCP" if end - start >= 2 =>
+        val msgLen = ((frame(start) & 0xFF) << 8) | (frame(start + 1) & 0xFF)
+        if (msgLen == 0 || start + 2 + msgLen > end) None
+        else DnsParser.parse(frame, start + 2, start + 2 + msgLen)
+      case _ => None
+    }
+}
+
 object PayloadDecoders {
   private lazy val loaded: Map[String, PayloadDecoder] = {
     import scala.jdk.CollectionConverters._
     val sl = java.util.ServiceLoader.load(classOf[PayloadDecoder])
       .iterator().asScala.map(d => d.name -> d).toMap
-    sl + (DnsPayloadDecoder.name -> DnsPayloadDecoder)
+    sl + (DnsPayloadDecoder.name -> DnsPayloadDecoder) +
+      (DnsTcpPayloadDecoder.name -> DnsTcpPayloadDecoder)
   }
 
   /** Resolve an option value; "ip" (the base reader) means no app-layer

@@ -121,6 +121,30 @@ class PcapNgSpec extends AnyFunSuite {
     }
   }
 
+  test("dns+tcp decoder parses DNS-over-TCP; plain dns decoder skips it") {
+    val q = PcapSynth.dnsQuery(9, "tcp.example.org", qtype = 1)
+    val tcpPayload = PcapSynth.be16(q.length) ++ q // RFC 1035 length prefix
+    val frame = PcapSynth.ipv4TcpFrame(
+      Array[Byte](10, 0, 0, 1), Array[Byte](10, 0, 0, 2),
+      40000, 53, ttl = 64, payload = tcpPayload)
+    val f = PcapSynth.file(Seq((1L, 0L, frame)))
+    // reference-parity decoder: DNS-over-TCP stays undecoded
+    val plain = read(f, DecodeOptions(appDecoder = Some(DnsPayloadDecoder)))
+    assert(plain.head.dns.isEmpty)
+    // extension decoder: strips the 2-byte prefix and parses
+    val tcp = read(f, DecodeOptions(appDecoder = Some(DnsTcpPayloadDecoder)))
+    assert(tcp.head.dns.flatMap(_.qname).contains("tcp.example.org."))
+    assert(tcp.head.dns.map(_.queryId).contains(9))
+    // truncated message (prefix longer than capture) -> silently skipped
+    val shortFrame = PcapSynth.ipv4TcpFrame(
+      Array[Byte](10, 0, 0, 1), Array[Byte](10, 0, 0, 2),
+      40000, 53, ttl = 64,
+      payload = PcapSynth.be16(q.length + 100) ++ q)
+    val cut = read(PcapSynth.file(Seq((1L, 0L, shortFrame))),
+      DecodeOptions(appDecoder = Some(DnsTcpPayloadDecoder)))
+    assert(cut.head.dns.isEmpty)
+  }
+
   test("bad byte-order magic throws") {
     val base = PcapSynth.fileNg(Seq(1), Seq((0, 1L, udpPkt(1))))
     val bad = base.clone()
