@@ -9,7 +9,9 @@ object ExplainAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q03_revenue_by_nation",
-        "q22_local_supplier_volume", "dedup_minhash_lsh", "sim_cosine_topk")
+        "q22_local_supplier_volume", "dedup_minhash_lsh", "sim_cosine_topk",
+        "sim_ann_ivf", "q34_stream_interval_join_twin",
+        "pipeline_pack_sequences")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
