@@ -180,6 +180,34 @@ object PcapQueries {
         ('AAAA', 7500, 7500, 1700000000, 1700000049))
         AS v(dns_qtype_str, n, n_names, min_ts, max_ts)""")),
 
+    // DNS-tunneling / exfiltration signals — the DNS-research workload
+    // the reference stack was built for: per registered domain, the
+    // unique-subdomain rate (tunnels encode data in ever-changing
+    // labels) and name-length statistics. All integer counts + single
+    // divisions -> engine-exact; VALUES oracle derived independently by
+    // tools/gen_pcap_oracles.py.
+    Q("pcap_dns_tunnel_signals",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").option("decoder", "dns").load(synthPath)
+          .filter($"dns_qname".isNotNull)
+          .select(
+            regexp_extract($"dns_qname", "([a-z0-9-]+\\.[a-z]+\\.)$", 1)
+              .as("sld"),
+            $"dns_qname")
+          .groupBy($"sld")
+          .agg(
+            count(lit(1)).as("n_queries"),
+            countDistinct($"dns_qname").as("n_unique"),
+            sum(length($"dns_qname").cast("long")).as("total_len"),
+            max(length($"dns_qname")).as("max_len"))
+          .select($"sld", $"n_queries", $"n_unique", $"total_len", $"max_len",
+            ($"n_unique".cast("double") / $"n_queries").as("uniq_rate"))
+          .orderBy(desc("uniq_rate"), asc("sld"))
+          .limit(20)
+      },
+      Some(TunnelSignalsOracle.sql)),
+
     // protocol mix over the synthetic capture (exercises non-IP path)
     Q("pcap_protocol_mix",
       (s, d) => {

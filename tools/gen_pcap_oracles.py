@@ -125,6 +125,36 @@ def values_sql(rows, cols, types):
     return (f"SELECT {sel}\n        FROM (VALUES {vals}) "
             f"AS v({', '.join(cols)})")
 
+# ---- pcap_dns_tunnel_signals: per-SLD subdomain stats, top 20 -----------
+sld_groups = {}
+offp = 24
+while offp < len(data):
+    ts, us, cl, ol = struct.unpack_from("<IIII", data, offp)
+    offp += 16
+    frame = data[offp:offp + cl]
+    offp += cl
+    if struct.unpack_from(">H", frame, 12)[0] != 0x0800:
+        continue
+    ihl = (frame[14] & 0xF) * 4
+    if frame[14 + 9] != 17:
+        continue
+    if struct.unpack_from(">H", frame, 14 + ihl + 2)[0] != 53:
+        continue
+    payload = frame[14 + ihl + 8:]
+    qn, _ = parse_qname(payload, 12)
+    parts = qn.rstrip('.').split('.')
+    sld = parts[-2] + '.' + parts[-1] + '.'
+    g = sld_groups.setdefault(sld, [0, set(), 0, 0])
+    g[0] += 1; g[1].add(qn); g[2] += len(qn); g[3] = max(g[3], len(qn))
+tunnel = sorted(
+    ((s, n, len(u), tl, ml, len(u) / n)
+     for s, (n, u, tl, ml) in sld_groups.items()),
+    key=lambda r: (-r[5], r[0]))[:20]
+check("pcap_dns_tunnel_signals", tunnel,
+      spark_rows("pcap_dns_tunnel_signals",
+                 ("sld", "n_queries", "n_unique", "total_len", "max_len",
+                  "uniq_rate")))
+
 print("\n=== pcap_port_histogram ===")
 print(values_sql(hist, ("dst_port", "n"), ("INT", "BIGINT")))
 print("\n=== pcap_dns_qtype_agg ===")
