@@ -328,9 +328,10 @@ object TextAnalysis {
             "tok_before div 256 AS pack_id")
       },
       Some("""SELECT source, doc_id, n_tokens,
-          COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            // 256 AS pack_id
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 256 AS BIGINT) AS pack_id
         FROM (SELECT source, doc_id,
                 CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
                   AS n_tokens
