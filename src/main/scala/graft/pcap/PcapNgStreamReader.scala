@@ -38,8 +38,8 @@ final class PcapNgStreamReader(
 
   private var bigEndian = false
   private var inSection = false
-  /** per-interface (link type, ts units per second), this section */
-  private var interfaces = Vector.empty[(Int, Long)]
+  /** per-interface decode parameters, this section */
+  private var interfaces = Vector.empty[Iface]
 
   private def u32(b: Array[Byte], off: Int): Long =
     if (bigEndian)
@@ -105,9 +105,15 @@ final class PcapNgStreamReader(
     }
     inSection = true
     interfaces = Vector.empty // a new section resets interface numbering
-    val totalLen = u32(head, 4).toInt
+    val totalLen = u32(head, 4)
+    // SHB is >= 28 bytes (header 8 + bom/version/seclen 16 + trailer 4);
+    // a smaller or misaligned value would make the skip a silent no-op
+    // and desynchronize the stream
+    if (totalLen < 28 || totalLen % 4 != 0 ||
+        totalLen > PcapStreamReader.MaxCapturedLength)
+      throw new IOException(s"pcapng: bad SHB block length $totalLen")
     // consume the remainder of the SHB (options + trailing length)
-    skip(totalLen - head.length - rest.length)
+    skip(totalLen.toInt - head.length - rest.length)
     null
   }
 
@@ -117,6 +123,7 @@ final class PcapNgStreamReader(
     val linkType = u16(body, 0)
     if (!PcapStreamReader.SupportedLinkTypes.contains(linkType))
       throw new IOException(s"Unsupported link type: $linkType")
+    val snapLen = u32(body, 4) // 0 = no limit
     var unitsPerSec = 1000000L
     // options: code u16, len u16, value padded to 4
     var off = 8
@@ -128,25 +135,46 @@ final class PcapNgStreamReader(
       else {
         if (code == TsResolOption && len >= 1) {
           val v = body(off + 4) & 0xFF
-          unitsPerSec =
-            if ((v & 0x80) == 0) math.pow(10, v & 0x7F).toLong
-            else 1L << (v & 0x7F)
+          val exp = v & 0x7F
+          // bound the exponent: 10^19 / 2^63 overflow Long silently
+          // (math.pow saturates, << wraps mod 64) -> nonsense timestamps
+          if ((v & 0x80) == 0) {
+            if (exp > 18)
+              throw new IOException(s"pcapng: bad if_tsresol 10^-$exp")
+            unitsPerSec = pow10(exp)
+          } else {
+            if (exp > 62)
+              throw new IOException(s"pcapng: bad if_tsresol 2^-$exp")
+            unitsPerSec = 1L << exp
+          }
         }
         off += 4 + ((len + 3) / 4) * 4
       }
     }
-    interfaces :+= ((linkType, unitsPerSec))
+    interfaces :+= Iface(linkType, unitsPerSec, snapLen)
+  }
+
+  private def pow10(exp: Int): Long = {
+    var r = 1L
+    var i = 0
+    while (i < exp) { r *= 10L; i += 1 }
+    r
   }
 
   private def readEpb(body: Array[Byte]): PacketRecord = {
     if (body.length < 20)
       throw new IOException("pcapng: truncated EPB")
-    val ifId = u32(body, 0).toInt
-    if (ifId < 0 || ifId >= interfaces.length)
-      throw new IOException(s"pcapng: undeclared interface $ifId")
-    val (linkType, unitsPerSec) = interfaces(ifId)
+    val ifIdRaw = u32(body, 0)
+    if (ifIdRaw >= interfaces.length)
+      throw new IOException(s"pcapng: undeclared interface $ifIdRaw")
+    val Iface(linkType, unitsPerSec, _) = interfaces(ifIdRaw.toInt)
     val tsUnits = (u32(body, 4) << 32) | u32(body, 8)
-    val capLen = u32(body, 12).toInt
+    val capLenRaw = u32(body, 12)
+    // corrupt-length guard: a value >= 2^31 would wrap negative on toInt
+    // and silently emit a record with a negative size
+    if (capLenRaw > PcapStreamReader.MaxCapturedLength)
+      throw new IOException(s"pcapng: bad EPB captured length $capLenRaw")
+    val capLen = capLenRaw.toInt
     val b = new PacketBuilder
     val tsSec = java.lang.Long.divideUnsigned(tsUnits, unitsPerSec)
     val sub = java.lang.Long.remainderUnsigned(tsUnits, unitsPerSec)
@@ -162,15 +190,24 @@ final class PcapNgStreamReader(
 
   private def readSpb(body: Array[Byte]): PacketRecord = {
     // Simple Packet Block: no interface id / timestamp; belongs to
-    // interface 0 by spec. capLen = min(origLen, body bytes after the
-    // 4-byte original-length field).
+    // interface 0 by spec. The SPB itself has no captured-length field:
+    // capLen = min(origLen, interface snaplen), clamped to the block
+    // body — the body is 32-bit padded, so body.length-4 alone would
+    // count up to 3 pad bytes as packet data on snaplen truncation.
     if (interfaces.isEmpty)
       throw new IOException("pcapng: SPB before any IDB")
     if (body.length < 4)
       throw new IOException("pcapng: truncated SPB")
-    val (linkType, _) = interfaces(0)
-    val origLen = u32(body, 0).toInt
-    val capLen = math.min(origLen, body.length - 4)
+    val Iface(linkType, _, snapLen) = interfaces(0)
+    val origLenRaw = u32(body, 0)
+    if (origLenRaw > PcapStreamReader.MaxCapturedLength)
+      throw new IOException(s"pcapng: bad SPB original length $origLenRaw")
+    val origLen = origLenRaw.toInt
+    val effSnap =
+      if (snapLen == 0L) Int.MaxValue.toLong else snapLen
+    val capLen =
+      math.min(math.min(origLen.toLong, effSnap), (body.length - 4).toLong)
+        .toInt
     val b = new PacketBuilder
     b.size = Some(capLen.toLong)
     if (capLen > 0) {
@@ -192,6 +229,9 @@ final class PcapNgStreamReader(
 }
 
 object PcapNgStreamReader {
+  /** Per-interface decode parameters from the IDB. snapLen 0 = no limit. */
+  final case class Iface(linkType: Int, unitsPerSec: Long, snapLen: Long)
+
   val ShbType = 0x0A0D0D0AL
   val IdbType = 0x00000001L
   val EpbType = 0x00000006L

@@ -110,6 +110,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       assert(finalPlan.contains("skew=true"), finalPlan.take(2000))
     } finally {
       Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",

@@ -145,6 +145,61 @@ class PcapNgSpec extends AnyFunSuite {
     assert(cut.head.dns.isEmpty)
   }
 
+  test("SPB: snaplen clamps captured length; pad bytes never leak") {
+    val frame = udpPkt(1) // 50 bytes on the wire
+    // untruncated SPB: full frame decodes like an EPB would
+    val full = read(PcapSynth.fileNgSpb(1, 65535L,
+      Seq((frame.length.toLong, frame))))
+    assert(full.head.size.contains(frame.length.toLong))
+    assert(full.head.srcPort.contains(1001))
+    assert(full.head.ts.isEmpty) // SPB has no timestamp
+    // snaplen-truncated SPB: writer stored only snaplen bytes, body is
+    // 32-bit padded. capLen must be snaplen (10), not body-4 (12) —
+    // the 2 pad bytes are not packet data
+    val snap = 10L
+    val stored = frame.take(10)
+    val trunc = read(PcapSynth.fileNgSpb(1, snap,
+      Seq((frame.length.toLong, stored))))
+    assert(trunc.head.size.contains(10L))
+    // snaplen 0 = no limit: falls back to origLen/body clamp
+    val nolimit = read(PcapSynth.fileNgSpb(1, 0L,
+      Seq((frame.length.toLong, frame))))
+    assert(nolimit.head.size.contains(frame.length.toLong))
+  }
+
+  test("SPB/EPB corrupt 32-bit lengths throw instead of wrapping negative") {
+    // SPB origLen = 0xFFFFFFFF: would wrap to -1 via toInt
+    val badSpb = PcapSynth.fileNgSpb(1, 65535L,
+      Seq((0xFFFFFFFFL, udpPkt(1))))
+    assertThrows[IOException] { read(badSpb) }
+    // EPB capLen forced to 0xFFFFFFF0 (keeps block length plausible)
+    val ng = PcapSynth.fileNg(Seq(1), Seq((0, 1L, udpPkt(1))))
+    val epbAt = 28 + 20 // SHB(28) + IDB(20)
+    val bad = ng.clone()
+    val capOff = epbAt + 8 + 12 // block header 8 + ifId/tsHi/tsLo 12
+    bad(capOff) = 0xF0.toByte; bad(capOff + 1) = 0xFF.toByte
+    bad(capOff + 2) = 0xFF.toByte; bad(capOff + 3) = 0xFF.toByte
+    assertThrows[IOException] { read(bad) }
+  }
+
+  test("corrupt SHB total length / exotic tsresol rejected") {
+    val ng = PcapSynth.fileNg(Seq(1), Seq((0, 1L, udpPkt(1))))
+    // SHB total length 12 (< 28): must throw, not silently no-op the skip
+    val badShb = ng.clone()
+    val le12 = PcapSynth.le32(12L)
+    (0 until 4).foreach(i => badShb(4 + i) = le12(i))
+    assertThrows[IOException] { read(badShb) }
+    // if_tsresol 10^-42 and 2^-77 overflow a Long: clean rejection
+    assertThrows[IOException] {
+      read(PcapSynth.fileNg(Seq(1), Seq((0, 1L, udpPkt(1))),
+        tsresolRaw = 42))
+    }
+    assertThrows[IOException] {
+      read(PcapSynth.fileNg(Seq(1), Seq((0, 1L, udpPkt(1))),
+        tsresolRaw = 0x80 | 77))
+    }
+  }
+
   test("bad byte-order magic throws") {
     val base = PcapSynth.fileNg(Seq(1), Seq((0, 1L, udpPkt(1))))
     val bad = base.clone()
