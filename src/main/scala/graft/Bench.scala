@@ -19,38 +19,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.headline
-    // warm-up pass: JIT + codegen + parquet footer caches, not timed —
-    // the timed pass measures steady-state engine throughput
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    def timedQuery(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
-    }
-    // best of three timed runs per query: a single run is dominated by
-    // GC / AQE-replan / host-steal noise at these (sub-second) scales
-    // (observed: the same query 1.2 s vs 6.5 s minutes apart)
-    val results = names.map { name =>
-      name -> Seq.fill(3)(timedQuery(name)).min
-    }
-
-    // decode-throughput proxy (BASELINE.md): full-decode scan of a
-    // deterministic 256 MB DNS-heavy capture, split into 8 files so all
-    // cores participate (pcap is whole-file parallel).
+    // decode-throughput proxy input (BASELINE.md): a deterministic
+    // 256 MB DNS-heavy capture in 32 files so all cores participate
+    // (pcap is whole-file parallel)
     val benchDir = java.nio.file.Paths.get("/tmp/graft_pcap_bench32")
     java.nio.file.Files.createDirectories(benchDir)
     val bytes = (0 until 32).map { i =>
       graft.pcap.PcapSynth.ensureFile(
         benchDir.resolve(f"part$i%02d.pcap"), 8L << 20)
     }.sum
-    // JIT warm-up on one file so the timed run measures decode, not C2
-    spark.read.format("pcap").option("decoder", "dns")
-      .load(benchDir.resolve("part00.pcap").toString).count()
     def timedDecode(): Double = {
       val t0 = System.nanoTime()
       spark.read.format("pcap").option("decoder", "dns")
@@ -60,17 +37,38 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }
-    // best of five: the decode proxy saturates every core, so it is
-    // maximally exposed to host-side CPU steal — more reps raise the odds
-    // of catching a quiet window (measured same-JVM spread: 58-537 MB/s)
-    val decodeSec = Seq.fill(5)(timedDecode()).min
-    val mbps = bytes / 1e6 / decodeSec
-    val decode = Seq(
-      "pcap_decode_dns_256m" -> decodeSec)
+    val DecodeName = "pcap_decode_dns_256m"
 
-    val qs = (results ++ decode).map { case (k, v) => "\"" + k + "\":" + v }
+    def timedQuery(name: String): Double =
+      if (name == DecodeName) timedDecode()
+      else {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+
+    val names = SparkEntry.headline :+ DecodeName
+    // warm-up pass: JIT + codegen + parquet footer caches, not timed —
+    // the timed passes measure steady-state engine throughput
+    names.foreach { n => try timedQuery(n) catch { case _: Throwable => () } }
+
+    // best of five timed runs per query, round-robin across the query
+    // list: a single run is dominated by GC / AQE-replan / host-steal
+    // noise at these (sub-second) scales (observed: the same query
+    // 1.2 s vs 6.5 s minutes apart, same JVM). Round-robin spreads each
+    // query's reps over the whole bench window, so one steal burst can
+    // no longer consume every rep of the same query — consecutive reps
+    // all land inside the burst, interleaved ones mostly don't
+    val samples = Seq.fill(5)(names.map(n => n -> timedQuery(n))).flatten
+    val results = names.map { name =>
+      name -> samples.collect { case (`name`, s) => s }.min
+    }
+
+    val mbps = bytes / 1e6 / results.toMap.apply(DecodeName)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = (results ++ decode).map(_._2).sum
+    val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pcap_decode_mb_s":$mbps%.1f}""")
     spark.stop()
   }
