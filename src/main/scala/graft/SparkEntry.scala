@@ -14,6 +14,8 @@ object SparkEntry {
     operators.Dedup.defs ++
     operators.TextAnalysis.defs ++
     operators.Similarity.defs ++
+    operators.Clustering.defs ++
+    operators.Pipeline.defs ++
     operators.Multimodal.defs ++
     graft.streaming.StreamingQueries.defs ++
     operators.PcapQueries.defs

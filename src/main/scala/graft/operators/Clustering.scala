@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering (builder brief; SURVEY.md §2C): deterministic
+  * k-means (Lloyd's algorithm) over the `embeddings` table — the standard
+  * corpus-curation primitive behind semantic dedup, topic balancing, and
+  * IVF index training.
+  *
+  * Scale design (100 TB): this is the canonical Spark k-means shape (the
+  * same one MLlib uses):
+  *   - centroids are k x dim doubles — collected to the driver once per
+  *     iteration and broadcast back; the corpus itself never shuffles,
+  *   - assignment is a narrow map over a broadcast of k centroids,
+  *   - the update step is one hash aggregation per iteration: per-cluster
+  *     per-dimension sums with map-side partial aggregation — only
+  *     k * dim partial sums per task cross the wire.
+  *
+  * Cross-engine determinism (hash-matched against an unrolled DuckDB
+  * oracle, see Registry.scala notes):
+  *   - per-dimension cluster sums are exact scaled integers
+  *     (floor(x * 10^12) as BIGINT), so Spark's partial-aggregation
+  *     order and DuckDB's sequential order cannot diverge — the
+  *     centroid update is order-independent and EXACT,
+  *     which also makes the whole clustering independent of partitioning
+  *     (rerun-stable at any cluster size, a property float-sum k-means
+  *     implementations do not have);
+  *   - distances fold sequentially in array order (zip_with + aggregate
+  *     vs DuckDB list comprehension) — bit-identical doubles;
+  *   - init is the first k vectors by vec_id; assignment ties break to
+  *     the lowest centroid id on both engines.
+  *
+  * Background: Lloyd, "Least squares quantization in PCM" (IEEE Trans.
+  * Inf. Theory 1982); same broadcast-assign/aggregate-update shape as
+  * Spark MLlib KMeans.
+  */
+object Clustering {
+
+  private val K = 8
+  private val Iters = 3
+  private val Dim = 64
+
+  /** Squared-L2 distance, sequential fold (bit-identical to the oracle's
+    * `list_sum([(v[i]-c[i])^2 ...])`). */
+  private val distExpr =
+    "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+
+  /** One Lloyd assignment pass: nearest centroid per vector (ties -> the
+    * lowest centroid id; min over struct(dist, cid) mirrors the oracle's
+    * ORDER BY dist, cid). */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.crossJoin(broadcast(cents))
+      .select($"vec_id", expr(distExpr).as("dist"), $"cid")
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist", $"cid")).as("m"))
+      .select($"vec_id", $"m.cid".as("cluster"), $"m.dist".as("dist"))
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    Q("sim_kmeans_cluster",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id",
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .cache() // scanned once per iteration (assign + update)
+        var cents = e.filter($"vec_id" < K)
+          .select($"vec_id".as("cid"), $"v".as("c"))
+        for (_ <- 1 to Iters) {
+          // update: exact decimal per-dimension means, then the k x dim
+          // centroid table returns to the driver (tiny) and is broadcast
+          // into the next assignment — the corpus never shuffles
+          // exact arithmetic: each element is floor-scaled to a BIGINT
+          // (floor(x * 10^12) — one correctly-rounded IEEE multiply and
+          // a floor, identical on both engines; decimal casts are NOT
+          // portable: Spark rounds the shortest string repr, DuckDB a
+          // scaled double). The per-cluster sum stays integer
+          // (order-free); sum and 10^12 are both < 2^53 so the casts to
+          // double are exact and the two divisions are identical IEEE
+          // ops on both engines. At production row counts the scaled
+          // sum would outgrow int64; there you'd sum DECIMAL(38,12) and
+          // accept last-ulp wobble.
+          val centRows = assign(e, cents)
+            .join(e, "vec_id")
+            .select($"cluster", posexplode($"v"))
+            .groupBy($"cluster", $"pos")
+            .agg((sum(floor($"col" * lit(1.0e12))).cast("double") /
+              lit(1.0e12) / count(lit(1))).as("cv"))
+            .groupBy($"cluster")
+            .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("ps"))
+            .select($"cluster", expr("transform(ps, p -> p.cv)").as("c"))
+            .collect()
+          val next = centRows.map(r =>
+            (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+          cents = next.toDF("cid", "c")
+        }
+        assign(e, cents)
+      },
+      Some {
+        def iter(it: Int): String = {
+          val prev = s"c${it - 1}"
+          s"""a$it AS (
+            SELECT vec_id, v, cluster, dist FROM (
+              SELECT e.vec_id, e.v, $prev.cid AS cluster,
+                list_sum([(v[i]-c[i])*(v[i]-c[i])
+                          FOR i IN generate_series(1, len(v))]) AS dist,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                  list_sum([(v[i]-c[i])*(v[i]-c[i])
+                            FOR i IN generate_series(1, len(v))]) ASC,
+                  $prev.cid ASC) AS rn
+              FROM e, $prev) WHERE rn = 1),
+          s$it AS (
+            SELECT cluster, j,
+              CAST(CAST(SUM(CAST(floor(v[j] * 1000000000000.0) AS BIGINT))
+                  AS BIGINT) AS DOUBLE)
+                / 1000000000000.0 / COUNT(*) AS cv
+            FROM a$it, generate_series(1, $Dim) t(j) GROUP BY cluster, j),
+          c$it AS (
+            SELECT cluster AS cid, list(cv ORDER BY j) AS c
+            FROM s$it GROUP BY cluster)"""
+        }
+        s"""WITH e AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $K),
+        ${(1 to Iters).map(iter).mkString(",\n")}
+        SELECT vec_id, cluster, dist FROM (
+          SELECT e.vec_id, c$Iters.cid AS cluster,
+            list_sum([(v[i]-c[i])*(v[i]-c[i])
+                      FOR i IN generate_series(1, len(v))]) AS dist,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              list_sum([(v[i]-c[i])*(v[i]-c[i])
+                        FOR i IN generate_series(1, len(v))]) ASC,
+              c$Iters.cid ASC) AS rn
+          FROM e, c$Iters) WHERE rn = 1"""
+      })
+  )
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the per-document text family
+  * (builder brief; SURVEY.md §2C): incremental corpus dedup with a Bloom
+  * pre-filter, train/eval contamination detection, and weighted domain
+  * mixing.
+  *
+  * Scale design (100 TB):
+  *   - **Bloom pre-filter**: deduping an incoming batch against a huge
+  *     reference corpus is an anti-join whose shuffle moves *both* sides.
+  *     A Bloom filter built from the reference keys (one aggregation, a
+  *     few GB of bits for 10^10 keys at 1% fp) is broadcast to the batch
+  *     scan; definite-misses short-circuit locally and only the ~1% fp +
+  *     true-dup remainder pays the exact join. This is the same shape
+  *     Spark's own runtime row-level filtering (InjectRuntimeFilter)
+  *     applies to shuffle joins — expressed here explicitly so the batch
+  *     side never shuffles at all. The final answer stays EXACT: the
+  *     Bloom only routes rows, the join confirms.
+  *   - **Contamination**: exploding documents to distinct n-gram keys
+  *     turns train x eval overlap detection into an equi-join on the
+  *     n-gram (inverted-index shape, same as dedup_ngram_jaccard) — the
+  *     eval side is tiny and broadcastable; nothing quadratic.
+  *   - **Domain mixing**: hash-threshold sampling is stateless per row
+  *     (no shuffle at all until the audit aggregation) and reproducible
+  *     under re-ingest/retry because the keep decision depends only on
+  *     content-stable keys, never on partitioning or row order.
+  *
+  * Background: Bloom-filtered distributed joins (Bloom, CACM 1970;
+  * standard semi-join reduction in distributed query processing);
+  * n-gram decontamination as in GPT-3 (Brown et al. 2020, appendix C)
+  * and The Pile; domain-weight mixing as in LLM data recipes
+  * (e.g. DoReMi, Xie et al. 2023 — weights here are a deterministic
+  * stand-in).
+  */
+object Pipeline {
+
+  /** Content key for incremental dedup: md5 of the first 8 lowercased
+    * whitespace tokens — a cheap prefix fingerprint that catches
+    * boilerplate/near-duplicate re-crawls that exact full-text hashing
+    * misses. Mirrors the SQL
+    * `md5(array_to_string(string_split_regex(lower(text),'\s+')[1:8],' '))`. */
+  private def contentKey(c: org.apache.spark.sql.Column) =
+    md5(array_join(slice(split(lower(c), "\\s+"), 1, 8), " ").cast("binary"))
+
+  val defs: Seq[Q] = Seq(
+
+    // ----- Bloom-prefiltered incremental dedup ----------------------------
+    // Batch = doc_id % 5 == 0 (the "incoming crawl"), reference = the
+    // rest. Output is exact: every batch doc with its key and whether the
+    // reference already contains it. The Bloom filter only decides which
+    // rows pay the exact semi-join — false positives are resolved by the
+    // join, false negatives are impossible.
+    Q("dedup_bloom_prefilter",
+      (s, d) => {
+        import s.implicits._
+        val keyed = Tables.documents(s, d)
+          .select($"doc_id", contentKey($"text").as("content_key"))
+        val ref = keyed.filter($"doc_id" % 5 =!= 0).cache()
+        val batch = keyed.filter($"doc_id" % 5 === 0)
+        // one pass over the reference builds the filter (distributed
+        // aggregation; only the bit array returns to the driver)
+        val bloom = ref.stat.bloomFilter("content_key", 100000L, 0.01)
+        val bloomB = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: String) => bloomB.value.mightContainString(k))
+        // definite misses: no join work at all
+        val misses = batch.filter(!mightContain($"content_key"))
+          .select($"doc_id", $"content_key", lit(false).as("is_dup"))
+        // bloom-positive rows: exact semi/anti join against the reference
+        val candidates = batch.filter(mightContain($"content_key"))
+        val refKeys = ref.select($"content_key").distinct()
+        val confirmed = candidates
+          .join(refKeys, Seq("content_key"), "left_semi")
+          .select($"doc_id", $"content_key", lit(true).as("is_dup"))
+        val falsePos = candidates
+          .join(refKeys, Seq("content_key"), "left_anti")
+          .select($"doc_id", $"content_key", lit(false).as("is_dup"))
+        misses.union(confirmed).union(falsePos)
+      },
+      Some("""WITH k AS (
+          SELECT doc_id,
+            md5(array_to_string(
+              string_split_regex(lower(text), '\s+')[1:8], ' '))
+              AS content_key
+          FROM documents)
+        SELECT b.doc_id, b.content_key,
+          EXISTS (SELECT 1 FROM k r
+                  WHERE r.doc_id % 5 <> 0
+                    AND r.content_key = b.content_key) AS is_dup
+        FROM k b WHERE b.doc_id % 5 = 0""")),
+
+    // ----- train/eval n-gram contamination --------------------------------
+    // Eval set = doc_id % 20 == 0. A train doc is contaminated by an eval
+    // doc when they share a word 4-gram; eval_frac = shared / eval doc's
+    // distinct 4-grams. array_distinct runs BEFORE the explode so the
+    // (doc, gram) pairs are distinct without a global shuffle.
+    Q("pipeline_contamination",
+      (s, d) => {
+        import s.implicits._
+        val grams = Tables.documents(s, d)
+          .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
+          .filter(size($"ws") >= 4)
+          .select($"doc_id", explode(array_distinct(expr(
+            "transform(sequence(1, size(ws) - 3), i -> array_join(slice(ws, i, 4), ' '))")))
+            .as("g"))
+        val train = grams.filter($"doc_id" % 20 =!= 0)
+          .select($"doc_id".as("train_doc_id"), $"g")
+        val eval = grams.filter($"doc_id" % 20 === 0)
+          .select($"doc_id".as("eval_doc_id"), $"g")
+        val evalSizes = eval.groupBy($"eval_doc_id")
+          .agg(count(lit(1)).as("n_eval_grams"))
+        train.join(broadcast(eval), "g")
+          .groupBy($"train_doc_id", $"eval_doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(evalSizes), "eval_doc_id")
+          .select($"train_doc_id", $"eval_doc_id", $"n_shared",
+            ($"n_shared".cast("double") / $"n_eval_grams").as("eval_frac"))
+      },
+      Some("""WITH sh AS (
+          SELECT DISTINCT doc_id,
+            UNNEST([array_to_string(ws[i:i+3], ' ')
+                    FOR i IN generate_series(1, len(ws) - 3)]) AS g
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+                FROM documents)
+          WHERE len(ws) >= 4),
+        ev AS (SELECT doc_id AS eval_doc_id, g FROM sh WHERE doc_id % 20 = 0),
+        tr AS (SELECT doc_id AS train_doc_id, g FROM sh WHERE doc_id % 20 <> 0),
+        sizes AS (SELECT eval_doc_id, COUNT(*) AS n_eval_grams
+                  FROM ev GROUP BY 1),
+        shared AS (
+          SELECT train_doc_id, eval_doc_id, COUNT(*) AS n_shared
+          FROM tr JOIN ev ON tr.g = ev.g GROUP BY 1, 2)
+        SELECT train_doc_id, shared.eval_doc_id, n_shared,
+          CAST(n_shared AS DOUBLE) / n_eval_grams AS eval_frac
+        FROM shared JOIN sizes ON shared.eval_doc_id = sizes.eval_doc_id""")),
+
+    // ----- weighted domain mixing -----------------------------------------
+    // Each source gets a deterministic target keep-rate in [20%, 99%]
+    // (md5 of the source name — a stand-in for a tuned mixture weight);
+    // each doc keeps iff an md5 hash of (source, doc_id) falls under the
+    // rate. Pure integer arithmetic end to end: hash * 100 < pct * 2^32
+    // avoids any float rounding. Output is the per-source audit (totals,
+    // kept counts, and the kept-id checksum that pins exact membership).
+    Q("pipeline_domain_mix",
+      (s, d) => {
+        import s.implicits._
+        val keyed = Tables.documents(s, d).select($"source", $"doc_id",
+          (conv(substring(md5(concat($"source", lit(":"),
+            $"doc_id".cast("string")).cast("binary")), 1, 8), 16, 10)
+            .cast("long") * 100L).as("h"),
+          ((conv(substring(md5($"source".cast("binary")), 1, 4), 16, 10)
+            .cast("long") % 80L) + 20L).as("target_pct"))
+        keyed.groupBy($"source", $"target_pct")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when($"h" < $"target_pct" * 4294967296L, 1L).otherwise(0L))
+              .as("n_kept"),
+            sum(when($"h" < $"target_pct" * 4294967296L, $"doc_id"))
+              .as("kept_doc_id_sum"))
+      },
+      Some("""WITH k AS (
+          SELECT source, doc_id,
+            CAST('0x' || substr(md5(source || ':' || doc_id), 1, 8)
+              AS BIGINT) * 100 AS h,
+            (CAST('0x' || substr(md5(source), 1, 4) AS BIGINT) % 80) + 20
+              AS target_pct
+          FROM documents)
+        SELECT source, target_pct, COUNT(*) AS n_total,
+          CAST(SUM(CASE WHEN h < target_pct * 4294967296 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN h < target_pct * 4294967296 THEN doc_id END)
+            AS BIGINT) AS kept_doc_id_sum
+        FROM k GROUP BY 1, 2"""))
+  )
+}
