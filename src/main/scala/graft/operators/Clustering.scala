@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** Embedding clustering (builder brief; SURVEY.md §2C): deterministic
   * k-means (Lloyd's algorithm) over the `embeddings` table — the standard
   * corpus-curation primitive behind semantic dedup, topic balancing, and
-  * IVF index training.
+  * IVF index training — plus SemDeDup-style semantic deduplication that
+  * uses the clusters as blocking.
   *
   * Scale design (100 TB): this is the canonical Spark k-means shape (the
   * same one MLlib uses):
@@ -17,15 +18,19 @@ import org.apache.spark.sql.functions._
   *   - the update step is one hash aggregation per iteration: per-cluster
   *     per-dimension sums with map-side partial aggregation — only
   *     k * dim partial sums per task cross the wire.
+  * Semantic dedup then self-joins WITHIN clusters only: the quadratic
+  * pair space shrinks by ~k (with balanced clusters) and the join is a
+  * shuffle on the cluster id — the cross-cluster pairs k-means separates
+  * are exactly the ones SemDeDup's approximation discards.
   *
   * Cross-engine determinism (hash-matched against an unrolled DuckDB
   * oracle, see Registry.scala notes):
   *   - per-dimension cluster sums are exact scaled integers
   *     (floor(x * 10^12) as BIGINT), so Spark's partial-aggregation
   *     order and DuckDB's sequential order cannot diverge — the
-  *     centroid update is order-independent and EXACT,
-  *     which also makes the whole clustering independent of partitioning
-  *     (rerun-stable at any cluster size, a property float-sum k-means
+  *     centroid update is order-independent and EXACT, which also makes
+  *     the whole clustering independent of partitioning (rerun-stable
+  *     at any cluster size, a property float-sum k-means
   *     implementations do not have);
   *   - distances fold sequentially in array order (zip_with + aggregate
   *     vs DuckDB list comprehension) — bit-identical doubles;
@@ -34,19 +39,29 @@ import org.apache.spark.sql.functions._
   *
   * Background: Lloyd, "Least squares quantization in PCM" (IEEE Trans.
   * Inf. Theory 1982); same broadcast-assign/aggregate-update shape as
-  * Spark MLlib KMeans.
+  * Spark MLlib KMeans; semantic dedup as in SemDeDup (Abbas et al.,
+  * 2023): cluster first, then near-dup search within clusters only.
   */
 object Clustering {
 
   private val K = 8
   private val Iters = 3
   private val Dim = 64
+  private val SemThreshold = 0.3
 
   /** Squared-L2 distance, sequential fold (bit-identical to the oracle's
     * `list_sum([(v[i]-c[i])^2 ...])`). */
   private val distExpr =
     "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
       "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+
+  private def embDouble(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .cache() // scanned once per iteration (assign + update)
+  }
 
   /** One Lloyd assignment pass: nearest centroid per vector (ties -> the
     * lowest centroid id; min over struct(dist, cid) mirrors the oracle's
@@ -61,84 +76,123 @@ object Clustering {
       .select($"vec_id", $"m.cid".as("cluster"), $"m.dist".as("dist"))
   }
 
-  val defs: Seq[Q] = Seq(
+  /** Full deterministic k-means run -> (vec_id, cluster, dist). */
+  private[graft] def kmeans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, d)
+    var cents = e.filter($"vec_id" < K)
+      .select($"vec_id".as("cid"), $"v".as("c"))
+    for (_ <- 1 to Iters) {
+      // update: exact per-dimension means, then the k x dim centroid
+      // table returns to the driver (tiny) and is broadcast into the
+      // next assignment — the corpus never shuffles. Each element is
+      // floor-scaled to a BIGINT (floor(x * 10^12) — one
+      // correctly-rounded IEEE multiply and a floor, identical on both
+      // engines; decimal casts are NOT portable: Spark rounds the
+      // shortest string repr, DuckDB a scaled double). The per-cluster
+      // sum stays integer (order-free); sum and 10^12 are both < 2^53
+      // so the casts to double are exact and the two divisions are
+      // identical IEEE ops on both engines. At production row counts
+      // the scaled sum would outgrow int64; there you'd sum
+      // DECIMAL(38,12) and accept last-ulp wobble.
+      val centRows = assign(e, cents)
+        .join(e, "vec_id")
+        .select($"cluster", posexplode($"v"))
+        .groupBy($"cluster", $"pos")
+        .agg((sum(floor($"col" * lit(1.0e12))).cast("double") /
+          lit(1.0e12) / count(lit(1))).as("cv"))
+        .groupBy($"cluster")
+        .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("ps"))
+        .select($"cluster", expr("transform(ps, p -> p.cv)").as("c"))
+        .collect()
+      val next = centRows.map(r =>
+        (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+      cents = next.toDF("cid", "c")
+    }
+    assign(e, cents)
+  }
 
-    Q("sim_kmeans_cluster",
-      (s, d) => {
-        import s.implicits._
-        val e = Tables.embeddings(s, d)
-          .select($"vec_id",
-            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-          .cache() // scanned once per iteration (assign + update)
-        var cents = e.filter($"vec_id" < K)
-          .select($"vec_id".as("cid"), $"v".as("c"))
-        for (_ <- 1 to Iters) {
-          // update: exact decimal per-dimension means, then the k x dim
-          // centroid table returns to the driver (tiny) and is broadcast
-          // into the next assignment — the corpus never shuffles
-          // exact arithmetic: each element is floor-scaled to a BIGINT
-          // (floor(x * 10^12) — one correctly-rounded IEEE multiply and
-          // a floor, identical on both engines; decimal casts are NOT
-          // portable: Spark rounds the shortest string repr, DuckDB a
-          // scaled double). The per-cluster sum stays integer
-          // (order-free); sum and 10^12 are both < 2^53 so the casts to
-          // double are exact and the two divisions are identical IEEE
-          // ops on both engines. At production row counts the scaled
-          // sum would outgrow int64; there you'd sum DECIMAL(38,12) and
-          // accept last-ulp wobble.
-          val centRows = assign(e, cents)
-            .join(e, "vec_id")
-            .select($"cluster", posexplode($"v"))
-            .groupBy($"cluster", $"pos")
-            .agg((sum(floor($"col" * lit(1.0e12))).cast("double") /
-              lit(1.0e12) / count(lit(1))).as("cv"))
-            .groupBy($"cluster")
-            .agg(array_sort(collect_list(struct($"pos", $"cv"))).as("ps"))
-            .select($"cluster", expr("transform(ps, p -> p.cv)").as("c"))
-            .collect()
-          val next = centRows.map(r =>
-            (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-          cents = next.toDF("cid", "c")
-        }
-        assign(e, cents)
-      },
-      Some {
-        def iter(it: Int): String = {
-          val prev = s"c${it - 1}"
-          s"""a$it AS (
-            SELECT vec_id, v, cluster, dist FROM (
-              SELECT e.vec_id, e.v, $prev.cid AS cluster,
-                list_sum([(v[i]-c[i])*(v[i]-c[i])
-                          FOR i IN generate_series(1, len(v))]) AS dist,
-                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                  list_sum([(v[i]-c[i])*(v[i]-c[i])
-                            FOR i IN generate_series(1, len(v))]) ASC,
-                  $prev.cid ASC) AS rn
-              FROM e, $prev) WHERE rn = 1),
-          s$it AS (
-            SELECT cluster, j,
-              CAST(CAST(SUM(CAST(floor(v[j] * 1000000000000.0) AS BIGINT))
-                  AS BIGINT) AS DOUBLE)
-                / 1000000000000.0 / COUNT(*) AS cv
-            FROM a$it, generate_series(1, $Dim) t(j) GROUP BY cluster, j),
-          c$it AS (
-            SELECT cluster AS cid, list(cv ORDER BY j) AS c
-            FROM s$it GROUP BY cluster)"""
-        }
-        s"""WITH e AS (
-          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
-          FROM embeddings),
-        c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $K),
-        ${(1 to Iters).map(iter).mkString(",\n")}
-        SELECT vec_id, cluster, dist FROM (
-          SELECT e.vec_id, c$Iters.cid AS cluster,
+  /** Shared oracle prefix: CTEs through the final assignment `fin`
+    * (vec_id, v, cluster, dist). */
+  private lazy val kmeansCtes: String = {
+    def iter(it: Int): String = {
+      val prev = s"c${it - 1}"
+      s"""a$it AS (
+        SELECT vec_id, v, cluster, dist FROM (
+          SELECT e.vec_id, e.v, $prev.cid AS cluster,
             list_sum([(v[i]-c[i])*(v[i]-c[i])
                       FOR i IN generate_series(1, len(v))]) AS dist,
             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
               list_sum([(v[i]-c[i])*(v[i]-c[i])
                         FOR i IN generate_series(1, len(v))]) ASC,
-              c$Iters.cid ASC) AS rn
-          FROM e, c$Iters) WHERE rn = 1"""
-      })
+              $prev.cid ASC) AS rn
+          FROM e, $prev) WHERE rn = 1),
+      s$it AS (
+        SELECT cluster, j,
+          CAST(CAST(SUM(CAST(floor(v[j] * 1000000000000.0) AS BIGINT))
+              AS BIGINT) AS DOUBLE)
+            / 1000000000000.0 / COUNT(*) AS cv
+        FROM a$it, generate_series(1, $Dim) t(j) GROUP BY cluster, j),
+      c$it AS (
+        SELECT cluster AS cid, list(cv ORDER BY j) AS c
+        FROM s$it GROUP BY cluster)"""
+    }
+    s"""e AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $K),
+    ${(1 to Iters).map(iter).mkString(",\n")},
+    fin AS (
+      SELECT vec_id, v, cluster, dist FROM (
+        SELECT e.vec_id, e.v, c$Iters.cid AS cluster,
+          list_sum([(v[i]-c[i])*(v[i]-c[i])
+                    FOR i IN generate_series(1, len(v))]) AS dist,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum([(v[i]-c[i])*(v[i]-c[i])
+                      FOR i IN generate_series(1, len(v))]) ASC,
+            c$Iters.cid ASC) AS rn
+        FROM e, c$Iters) WHERE rn = 1)"""
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    Q("sim_kmeans_cluster",
+      (s, d) => kmeans(s, d),
+      Some(s"WITH $kmeansCtes SELECT vec_id, cluster, dist FROM fin")),
+
+    // ----- semantic dedup: within-cluster cosine near-dup pairs -----------
+    // SemDeDup shape: the k-means clusters block the pair space, the
+    // cosine threshold decides near-duplicates. The self-join shuffles
+    // on the cluster id only; pairs split across clusters are the
+    // accepted approximation (they are exactly the pairs the clustering
+    // judged dissimilar).
+    Q("dedup_semantic",
+      (s, d) => {
+        import s.implicits._
+        val withV = kmeans(s, d).select($"vec_id", $"cluster")
+          .join(embDouble(s, d), "vec_id")
+        val l = withV.select($"cluster".as("cl"), $"vec_id".as("v1"),
+          $"v".as("av"))
+        val r = withV.select($"cluster".as("cr"), $"vec_id".as("v2"),
+          $"v".as("bv"))
+        l.join(r, $"cl" === $"cr" && $"v1" < $"v2")
+          .select($"cl".as("cluster"), $"v1", $"v2",
+            (graft.functions.VecDot.vec_dot($"av", $"bv") /
+              (sqrt(graft.functions.VecDot.vec_dot($"av", $"av")) *
+               sqrt(graft.functions.VecDot.vec_dot($"bv", $"bv"))))
+              .as("cos"))
+          .filter($"cos" > SemThreshold)
+      },
+      Some(s"""WITH $kmeansCtes
+        SELECT a.cluster, a.vec_id AS v1, b.vec_id AS v2,
+          list_sum([av[i] * bv[i] FOR i IN generate_series(1, len(av))])
+            / (sqrt(list_sum([x * x FOR x IN av])) *
+               sqrt(list_sum([x * x FOR x IN bv]))) AS cos
+        FROM (SELECT cluster, vec_id, v AS av FROM fin) a
+        JOIN (SELECT cluster, vec_id, v AS bv FROM fin) b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE list_sum([av[i] * bv[i] FOR i IN generate_series(1, len(av))])
+            / (sqrt(list_sum([x * x FOR x IN av])) *
+               sqrt(list_sum([x * x FOR x IN bv]))) > $SemThreshold"""))
   )
 }

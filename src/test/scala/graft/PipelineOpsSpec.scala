@@ -112,4 +112,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.map(_._3).sum < k1,
       s"kmeans objective ${out.map(_._3).sum} vs k=1 $k1")
   }
+
+  test("semantic dedup: pairs are within-cluster and above threshold") {
+    import spark.implicits._
+    val clusters = SparkEntry.queries("sim_kmeans_cluster")(spark, sf)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    val pairs = SparkEntry.queries("dedup_semantic")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (cl, v1, v2, cos) =>
+      assert(v1 < v2)
+      assert(clusters(v1) == cl && clusters(v2) == cl,
+        s"pair ($v1, $v2) not in cluster $cl")
+      assert(cos > 0.3)
+    }
+  }
 }
