@@ -72,7 +72,19 @@ object DnsParser {
     * packet at 100 TB). All message offsets (compression pointers) are
     * relative to `start`. */
   def parse(data: Array[Byte], start: Int, end: Int): Option[DnsFields] =
-    try Some(parseStrict(new Cursor(data, start, end)))
+    parse(data, start, end, emitSections = true)
+
+  /** `emitSections = false` skips building the answer/authority/
+    * additional presentation strings (they come back empty) while
+    * running the exact same wire walk — every read, bounds check, and
+    * pointer chase still happens, so a message that fails to parse
+    * fully fails identically in both modes. Column pruning maps
+    * unrequested section columns onto this switch: the common telemetry
+    * projection (qname/qtype aggregations) then skips all RR string
+    * formatting, which is the bulk of the per-packet allocation. */
+  def parse(data: Array[Byte], start: Int, end: Int,
+      emitSections: Boolean): Option[DnsFields] =
+    try Some(parseStrict(new Cursor(data, start, end), emitSections))
     catch { case _: Exception => None }
 
   private final class Cursor(val raw: Array[Byte], val base: Int, val limit: Int) {
@@ -92,6 +104,11 @@ object DnsParser {
       val r = java.util.Arrays.copyOfRange(raw, base + pos, base + pos + n)
       pos += n; r
     }
+    /** Same bounds contract as `bytes`, no copy (skip mode). */
+    def skipBytes(n: Int): Unit = {
+      if (n < 0 || base + pos + n > limit) throw new IndexOutOfBoundsException
+      pos += n
+    }
   }
 
   /** Decompress a domain name at the cursor (pointer-loop safe: total
@@ -99,6 +116,14 @@ object DnsParser {
     * non-printable/special bytes RFC-1035-style. */
   private def readName(c: Cursor): String = {
     val sb = new StringBuilder
+    readNameInto(c, sb)
+    if (sb.isEmpty) "." else sb.toString
+  }
+
+  /** `sb == null` walks (and validates) the name without building the
+    * string — the identical pointer chase and bounds checks, zero
+    * allocation. */
+  private def readNameInto(c: Cursor, sb: StringBuilder): Unit = {
     var jumps = 0
     var p = c.pos
     var after = -1            // cursor position after the first pointer
@@ -119,21 +144,22 @@ object DnsParser {
         var i = p + 1
         while (i < p + 1 + len) {
           val b = c.at(i)
-          if (b < 0x21 || b > 0x7E) sb.append(f"\\$b%03d")
-          else if (b == '.' || b == ';' || b == '\\' || b == '(' || b == ')' ||
-                   b == '"' || b == '@' || b == '$') sb.append('\\').append(b.toChar)
-          else sb.append(b.toChar)
+          if (sb != null) {
+            if (b < 0x21 || b > 0x7E) sb.append(f"\\$b%03d")
+            else if (b == '.' || b == ';' || b == '\\' || b == '(' || b == ')' ||
+                     b == '"' || b == '@' || b == '$') sb.append('\\').append(b.toChar)
+            else sb.append(b.toChar)
+          }
           i += 1
         }
-        sb.append('.')
+        if (sb != null) sb.append('.')
         p += 1 + len
       }
     }
     c.pos = if (after >= 0) after else p
-    if (sb.isEmpty) "." else sb.toString
   }
 
-  private def parseStrict(c: Cursor): DnsFields = {
+  private def parseStrict(c: Cursor, emitSections: Boolean): DnsFields = {
     require(c.length >= 12, "short DNS header")
     val id = c.u16()
     val flagsWord = c.u16()
@@ -156,10 +182,15 @@ object DnsParser {
 
     def section(n: Int): Seq[String] =
       if (n == 0) Nil
-      else {
+      else if (!emitSections) {
+        // identical wire walk and validation, no string building
+        var k = 0
+        while (k < n) { readRecord(c, emit = false); k += 1 }
+        Nil
+      } else {
         val out = new ArrayBuffer[String](n)
         var k = 0
-        while (k < n) { out += normalize(readRecord(c)); k += 1 }
+        while (k < n) { out += normalize(readRecord(c, emit = true)); k += 1 }
         out.toSeq
       }
 
@@ -181,9 +212,11 @@ object DnsParser {
       additional = additional)
   }
 
-  /** One resource record → canonical presentation string. */
-  private def readRecord(c: Cursor): String = {
-    val name = readName(c)
+  /** One resource record → canonical presentation string (`emit = false`
+    * performs the same reads and checks but returns null without
+    * allocating). */
+  private def readRecord(c: Cursor, emit: Boolean): String = {
+    val name = if (emit) readName(c) else { readNameInto(c, null); null }
     val t = c.u16()
     val cls = c.u16()
     val ttl = c.u32()
@@ -191,9 +224,10 @@ object DnsParser {
     val rdStart = c.pos
     val rdEnd = rdStart + rdlen
     if (c.base + rdEnd > c.limit) throw new IndexOutOfBoundsException
-    val rdata = formatRdata(c, t, cls, ttl, rdStart, rdlen)
+    val rdata = formatRdata(c, t, cls, ttl, rdStart, rdlen, emit)
     c.pos = rdEnd
-    if (t == 41) {
+    if (!emit) null
+    else if (t == 41) {
       // OPT pseudo-record (EDNS0): class = UDP payload size, ttl packs
       // xrcode/version/flags — dnsjava-shaped line, fixture-asserted.
       val xrcode = (ttl >> 24) & 0xFF
@@ -205,47 +239,90 @@ object DnsParser {
     }
   }
 
+  /** `emit = false` performs the same cursor reads and bounds checks (so
+    * malformed rdata fails identically) but builds no strings. */
   private def formatRdata(c: Cursor, t: Int, cls: Int, ttl: Long,
-      rdStart: Int, rdlen: Int): String = {
+      rdStart: Int, rdlen: Int, emit: Boolean): String = {
     c.pos = rdStart
     t match {
       case 1 if rdlen == 4 =>                       // A
-        PcapStreamReader.ipv4String(c.raw, c.base + rdStart)
+        if (!emit) null
+        else PcapStreamReader.ipv4String(c.raw, c.base + rdStart)
       case 28 if rdlen == 16 =>                     // AAAA
-        PcapStreamReader.ipv6String(c.raw, c.base + rdStart)
+        if (!emit) null
+        else PcapStreamReader.ipv6String(c.raw, c.base + rdStart)
       case 2 | 5 | 12 | 39 =>                       // NS / CNAME / PTR / DNAME
-        readName(c)
+        if (!emit) { readNameInto(c, null); null } else readName(c)
       case 6 =>                                     // SOA
-        val mname = readName(c); val rname = readName(c)
-        val serial = c.u32(); val refresh = c.u32(); val retry = c.u32()
-        val expire = c.u32(); val minimum = c.u32()
-        s"$mname $rname $serial $refresh $retry $expire $minimum"
-      case 15 =>                                    // MX
-        val pref = c.u16(); val target = readName(c)
-        s"$pref $target"
-      case 16 =>                                    // TXT: quoted strings
-        val parts = new ArrayBuffer[String]
-        while (c.pos < rdStart + rdlen) {
-          val n = c.u8()
-          val s = new String(c.bytes(n), java.nio.charset.StandardCharsets.ISO_8859_1)
-          parts += "\"" + s.flatMap {
-            case ch if ch == '"' || ch == '\\' => "\\" + ch
-            case ch if ch < 0x20 || ch > 0x7E => f"\\${ch.toInt & 0xFF}%03d"
-            case ch => ch.toString
-          } + "\""
+        if (!emit) {
+          readNameInto(c, null); readNameInto(c, null)
+          c.u32(); c.u32(); c.u32(); c.u32(); c.u32(); null
+        } else {
+          val mname = readName(c); val rname = readName(c)
+          val serial = c.u32(); val refresh = c.u32(); val retry = c.u32()
+          val expire = c.u32(); val minimum = c.u32()
+          s"$mname $rname $serial $refresh $retry $expire $minimum"
         }
-        parts.mkString(" ")
+      case 15 =>                                    // MX
+        if (!emit) { c.u16(); readNameInto(c, null); null }
+        else {
+          val pref = c.u16(); val target = readName(c)
+          s"$pref $target"
+        }
+      case 16 =>                                    // TXT: quoted strings
+        if (!emit) {
+          while (c.pos < rdStart + rdlen) { val n = c.u8(); c.skipBytes(n) }
+          null
+        } else {
+          val parts = new ArrayBuffer[String]
+          while (c.pos < rdStart + rdlen) {
+            val n = c.u8()
+            val s = new String(c.bytes(n), java.nio.charset.StandardCharsets.ISO_8859_1)
+            parts += "\"" + s.flatMap {
+              case ch if ch == '"' || ch == '\\' => "\\" + ch
+              case ch if ch < 0x20 || ch > 0x7E => f"\\${ch.toInt & 0xFF}%03d"
+              case ch => ch.toString
+            } + "\""
+          }
+          parts.mkString(" ")
+        }
       case 33 =>                                    // SRV
-        val prio = c.u16(); val weight = c.u16(); val port = c.u16()
-        val target = readName(c)
-        s"$prio $weight $port $target"
+        if (!emit) { c.u16(); c.u16(); c.u16(); readNameInto(c, null); null }
+        else {
+          val prio = c.u16(); val weight = c.u16(); val port = c.u16()
+          val target = readName(c)
+          s"$prio $weight $port $target"
+        }
       case _ =>                                     // RFC 3597 unknown form
-        val hex = c.bytes(rdlen).map(b => f"${b & 0xFF}%02X").mkString
-        if (rdlen == 0) "\\# 0" else s"\\# $rdlen $hex"
+        if (!emit) { c.skipBytes(rdlen); null }
+        else {
+          val hex = c.bytes(rdlen).map(b => f"${b & 0xFF}%02X").mkString
+          if (rdlen == 0) "\\# 0" else s"\\# $rdlen $hex"
+        }
     }
   }
 
-  /** The reference's record normalization (DnsPcapReader.java:98-107). */
-  def normalize(s: String): String =
-    s.replaceAll("\\s{2,}", " ").replaceAll("\\t{1,}", " ")
+  // precompiled (replaceAll compiles its pattern on every call — that is
+  // two regex compilations per record on the decode hot path)
+  private val MultiWs = java.util.regex.Pattern.compile("\\s{2,}")
+  private val Tabs = java.util.regex.Pattern.compile("\\t{1,}")
+
+  /** The reference's record normalization (DnsPcapReader.java:98-107).
+    * Fast path: canonical strings contain runs/tabs only when a name or
+    * TXT rdata embedded whitespace — scan once and return unchanged
+    * otherwise. */
+  def normalize(s: String): String = {
+    var i = 0
+    var needs = false
+    var prevWs = false
+    while (i < s.length && !needs) {
+      val ch = s.charAt(i)
+      val ws = Character.isWhitespace(ch)
+      if (ch == '\t' || (ws && prevWs)) needs = true
+      prevWs = ws
+      i += 1
+    }
+    if (!needs) s
+    else Tabs.matcher(MultiWs.matcher(s).replaceAll(" ")).replaceAll(" ")
+  }
 }

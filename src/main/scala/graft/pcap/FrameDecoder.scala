@@ -137,7 +137,7 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
     // app-layer decode runs in place over the frame — no payload copy
     options.appDecoder.foreach { dec =>
       b.dns = dec.decodeAt(b.protocol.get, b.srcPort.get, b.dstPort.get,
-        data, data.length - payloadLen, data.length)
+        data, data.length - payloadLen, data.length, options.dnsSections)
     }
     if (options.keepPayload)
       b.payload = Some(java.util.Arrays.copyOfRange(

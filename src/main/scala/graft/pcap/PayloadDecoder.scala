@@ -29,6 +29,16 @@ trait PayloadDecoder extends Serializable {
       frame: Array[Byte], start: Int, end: Int): Option[DnsFields] =
     decode(protocol, srcPort, dstPort,
       java.util.Arrays.copyOfRange(frame, start, end))
+
+  /** Pruning hint: `emitSections = false` means the caller will not read
+    * the answer/authority/additional columns, so a decoder MAY skip
+    * building them (it must still fail on the same malformed input —
+    * pruning must never change which packets decode). Default ignores
+    * the hint, so third-party decoders are unaffected. */
+  def decodeAt(protocol: String, srcPort: Int, dstPort: Int,
+      frame: Array[Byte], start: Int, end: Int,
+      emitSections: Boolean): Option[DnsFields] =
+    decodeAt(protocol, srcPort, dstPort, frame, start, end)
 }
 
 /** The shipped instance: DNS over UDP port 53 (DnsPcapReader.java:23,38;
@@ -44,8 +54,14 @@ object DnsPayloadDecoder extends PayloadDecoder {
 
   override def decodeAt(protocol: String, srcPort: Int, dstPort: Int,
       frame: Array[Byte], start: Int, end: Int): Option[DnsFields] =
+    decodeAt(protocol, srcPort, dstPort, frame, start, end,
+      emitSections = true)
+
+  override def decodeAt(protocol: String, srcPort: Int, dstPort: Int,
+      frame: Array[Byte], start: Int, end: Int,
+      emitSections: Boolean): Option[DnsFields] =
     if (protocol == "UDP" && (srcPort == 53 || dstPort == 53))
-      DnsParser.parse(frame, start, end)
+      DnsParser.parse(frame, start, end, emitSections)
     else None
 }
 
@@ -66,13 +82,20 @@ object DnsTcpPayloadDecoder extends PayloadDecoder {
 
   override def decodeAt(protocol: String, srcPort: Int, dstPort: Int,
       frame: Array[Byte], start: Int, end: Int): Option[DnsFields] =
+    decodeAt(protocol, srcPort, dstPort, frame, start, end,
+      emitSections = true)
+
+  override def decodeAt(protocol: String, srcPort: Int, dstPort: Int,
+      frame: Array[Byte], start: Int, end: Int,
+      emitSections: Boolean): Option[DnsFields] =
     if (srcPort != 53 && dstPort != 53) None
     else protocol match {
-      case "UDP" => DnsParser.parse(frame, start, end)
+      case "UDP" => DnsParser.parse(frame, start, end, emitSections)
       case "TCP" if end - start >= 2 =>
         val msgLen = ((frame(start) & 0xFF) << 8) | (frame(start + 1) & 0xFF)
         if (msgLen == 0 || start + 2 + msgLen > end) None
-        else DnsParser.parse(frame, start + 2, start + 2 + msgLen)
+        else DnsParser.parse(frame, start + 2, start + 2 + msgLen,
+          emitSections)
       case _ => None
     }
 }

@@ -11,7 +11,11 @@ import java.io.{DataInputStream, EOFException, IOException, InputStream}
 final case class DecodeOptions(
     appDecoder: Option[PayloadDecoder] = None,
     md5: Boolean = false,
-    keepPayload: Boolean = false)
+    keepPayload: Boolean = false,
+    /** false when no dns_answer/dns_authority/dns_additional column is
+      * requested: the decoder still walks (and validates) the RR
+      * sections but skips building their presentation strings. */
+    dnsSections: Boolean = true)
 
 object DecodeOptions {
   /** Convenience for the common case. */

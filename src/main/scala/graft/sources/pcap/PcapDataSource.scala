@@ -192,11 +192,15 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
     val appDecoder = PayloadDecoders.forName(
       options.getOrDefault("decoder", "ip"))
     val wantsDnsCols = requiredSchema.fieldNames.exists(_.startsWith("dns_"))
+    val sectionCols = Set("dns_answer", "dns_authority", "dns_additional")
     val decode = DecodeOptions(
       appDecoder = if (wantsDnsCols) appDecoder else None,
       md5 = options.getBoolean("md5", false) &&
         requiredSchema.fieldNames.contains("md5"),
-      keepPayload = requiredSchema.fieldNames.contains("payload"))
+      keepPayload = requiredSchema.fieldNames.contains("payload"),
+      // prune RR-section string building when none of the section
+      // columns is requested (qname/qtype telemetry projections)
+      dnsSections = requiredSchema.fieldNames.exists(sectionCols))
     new PcapReaderFactory(new SerializableHadoopConf(hadoopConf),
       requiredSchema, decode, PcapPacketFilter.compile(pushedFilters))
   }

@@ -11,7 +11,9 @@ object ExplainAudit {
       else Seq("q01_pricing_summary", "q03_revenue_by_nation",
         "q22_local_supplier_volume", "dedup_minhash_lsh", "sim_cosine_topk",
         "sim_ann_ivf", "q34_stream_interval_join_twin",
-        "pipeline_pack_sequences")
+        "pipeline_pack_sequences", "dedup_bloom_prefilter",
+        "pipeline_contamination", "pipeline_domain_mix",
+        "sim_kmeans_cluster", "dedup_semantic")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -115,5 +115,55 @@ class DnsParserSpec extends AnyFunSuite {
       "b. 10 IN MX 10 mail.x.",
       "c. 10 IN SRV 1 2 8080 svc.x.",
       "d. 10 IN AAAA 0:0:0:0:0:0:0:1"))
+
+    // section-pruned parse: identical header/question fields, empty
+    // sections, and the SAME accept/reject decision on every input
+    val p = DnsParser.parse(msg, 0, msg.length, emitSections = false).get
+    assert(p.queryId == d.queryId && p.flags == d.flags &&
+      p.qname == d.qname && p.qtype == d.qtype && p.rcode == d.rcode)
+    assert(p.answer.isEmpty && p.authority.isEmpty && p.additional.isEmpty)
+  }
+
+  test("section pruning never changes which messages decode") {
+    // well-formed with compression: both modes accept
+    val ok = PcapSynth.be16(1) ++ PcapSynth.be16(0x8100) ++
+      PcapSynth.be16(1) ++ PcapSynth.be16(1) ++
+      PcapSynth.be16(0) ++ PcapSynth.be16(0) ++
+      Array[Byte](3) ++ "www".getBytes ++
+      Array[Byte](7) ++ "example".getBytes ++
+      Array[Byte](3) ++ "com".getBytes ++ Array[Byte](0) ++
+      PcapSynth.be16(1) ++ PcapSynth.be16(1) ++
+      Array[Byte](0xC0.toByte, 12) ++ PcapSynth.be16(1) ++ PcapSynth.be16(1) ++
+      Array[Byte](0, 0, 0, 60) ++ PcapSynth.be16(4) ++
+      Array[Byte](1, 2, 3, 4)
+    assert(DnsParser.parse(ok, 0, ok.length, emitSections = false)
+      .get.qname.contains("www.example.com."))
+    // corrupt variants must be rejected by BOTH modes (pruning must not
+    // resurrect packets the full parse drops)
+    val corrupt = Seq(
+      ok.dropRight(3),                         // truncated rdata
+      { val b = ok.clone()                     // answer-name pointer loop
+        b(34) = 33; b },                       // C0 21: points at itself
+      { val b = ok.clone()                     // rdlen overruns message
+        b(ok.length - 6) = 0x7F; b })
+    corrupt.foreach { m =>
+      val full = DnsParser.parse(m, 0, m.length, emitSections = true)
+      val pruned = DnsParser.parse(m, 0, m.length, emitSections = false)
+      assert(full.isEmpty == pruned.isEmpty, m.toSeq.toString)
+    }
+    // seeded random corruption sweep: decisions always agree
+    val rnd = new scala.util.Random(42)
+    (0 until 500).foreach { _ =>
+      val m = ok.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      }
+      val full = DnsParser.parse(m, 0, m.length, emitSections = true)
+      val pruned = DnsParser.parse(m, 0, m.length, emitSections = false)
+      assert(full.isEmpty == pruned.isEmpty, m.toSeq.toString)
+      if (full.nonEmpty)
+        assert(full.get.qname == pruned.get.qname &&
+          full.get.flags == pruned.get.flags)
+    }
   }
 }

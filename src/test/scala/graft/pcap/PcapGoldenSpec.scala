@@ -92,6 +92,27 @@ class PcapGoldenSpec extends AnyFunSuite {
     assert(df.count() == 1)
   }
 
+  test("section-pruned projection matches the full decode (qname/qtype)") {
+    // dns_answer/authority/additional unrequested -> the decoder skips RR
+    // string building; the visible columns must be identical to a full
+    // projection of the same fixture (13 NS + 15 glue records walked
+    // either way)
+    val full = spark.read.format("pcap").option("decoder", "dns")
+      .load(fixture)
+      // requesting dns_authority in the collected output forces the
+      // full section decode (dropping it pre-collect would re-prune)
+      .select("pkt_idx", "dns_qname", "dns_qtype_str", "dns_rcode",
+        "dns_flags", "dns_authority")
+      .collect().map(_.toSeq.take(5)).sortBy(_.head.asInstanceOf[Long])
+    val pruned = spark.read.format("pcap").option("decoder", "dns")
+      .load(fixture)
+      .select("pkt_idx", "dns_qname", "dns_qtype_str", "dns_rcode", "dns_flags")
+      .where("dns_qname is not null")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(full.filter(_(1) != null).toSeq == pruned.toSeq)
+    assert(pruned.forall(_(1) == "ripe.net."))
+  }
+
   test("reference canonical query: count by src_port") {
     val got = spark.read.format("pcap").load(fixture)
       .groupBy("src_port").count()
