@@ -73,9 +73,14 @@ class PcapMicroBatchStream(
     val appDecoder = graft.pcap.PayloadDecoders.forName(
       options.getOrDefault("decoder", "ip"))
     val decode = DecodeOptions(
-      appDecoder = appDecoder,
-      md5 = options.getBoolean("md5", false),
-      keepPayload = schema.fieldNames.contains("payload"))
+      appDecoder =
+        if (schema.fieldNames.exists(_.startsWith("dns_"))) appDecoder
+        else None,
+      md5 = options.getBoolean("md5", false) &&
+        schema.fieldNames.contains("md5"),
+      keepPayload = schema.fieldNames.contains("payload"),
+      dnsSections = schema.fieldNames.exists(
+        Set("dns_answer", "dns_authority", "dns_additional")))
     new PcapReaderFactory(new SerializableHadoopConf(conf), schema, decode)
   }
 
