@@ -337,6 +337,61 @@ object TextAnalysis {
                   AS n_tokens
               FROM documents)""")),
 
+    // ----- composite quality gate (Gopher-style keep/drop verdict) --------
+    // The curation decision production filters actually emit: every doc
+    // gets keep/drop plus the first failing rule, combining length,
+    // repetition, and word-shape signals (Rae et al. 2021 §A1.1 rule
+    // style). Narrow per-row array expressions — no shuffle, codegen
+    // throughout; every ratio is a single division of exact integer
+    // counts, so the float comparisons agree across engines.
+    Q("pipeline_quality_gate",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", length($"text").as("nc"),
+            split(lower($"text"), "\\s+").as("ws"))
+          .selectExpr("doc_id",
+            "size(ws) AS n_tokens",
+            """CAST(array_max(transform(array_distinct(ws),
+                 w -> size(filter(ws, x -> x = w)))) AS DOUBLE)
+               / CAST(size(ws) AS DOUBLE) AS top_word_frac""",
+            """CAST(size(ws) - size(array_distinct(ws)) AS DOUBLE)
+               / CAST(size(ws) AS DOUBLE) AS dup_word_frac""",
+            "CAST(nc AS DOUBLE) / CAST(size(ws) AS DOUBLE) AS chars_per_token")
+          .selectExpr("doc_id", "n_tokens", "top_word_frac",
+            "dup_word_frac", "chars_per_token",
+            """CASE WHEN n_tokens < 20 THEN 'too_short'
+                    WHEN top_word_frac > 0.2 THEN 'top_word'
+                    WHEN dup_word_frac > 0.6 THEN 'dup_words'
+                    WHEN chars_per_token > 6.0 THEN 'word_len'
+                    ELSE 'ok' END AS reason""")
+          .selectExpr("doc_id", "n_tokens", "top_word_frac",
+            "dup_word_frac", "chars_per_token",
+            "reason = 'ok' AS keep", "reason")
+      },
+      Some("""SELECT doc_id, n_tokens, top_word_frac, dup_word_frac,
+          chars_per_token, reason = 'ok' AS keep, reason
+        FROM (
+          SELECT doc_id, n_tokens, top_word_frac, dup_word_frac,
+            chars_per_token,
+            CASE WHEN n_tokens < 20 THEN 'too_short'
+                 WHEN top_word_frac > 0.2 THEN 'top_word'
+                 WHEN dup_word_frac > 0.6 THEN 'dup_words'
+                 WHEN chars_per_token > 6.0 THEN 'word_len'
+                 ELSE 'ok' END AS reason
+          FROM (
+            SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+              CAST(list_max([len(list_filter(ws, x -> x = w))
+                             FOR w IN list_distinct(ws)]) AS DOUBLE)
+                / CAST(len(ws) AS DOUBLE) AS top_word_frac,
+              CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+                / CAST(len(ws) AS DOUBLE) AS dup_word_frac,
+              CAST(nc AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+                AS chars_per_token
+            FROM (SELECT doc_id, LENGTH(text) AS nc,
+                    string_split_regex(lower(text), '\s+') AS ws
+                  FROM documents)))""")),
+
     // ----- rolling (Rabin-Karp) hash via native Catalyst expression -------
     Q("text_rolling_hash",
       (s, d) => {
