@@ -77,7 +77,13 @@ object Clustering {
   }
 
   /** Full deterministic k-means run -> (vec_id, cluster, dist). */
-  private[graft] def kmeans(s: SparkSession, d: String): DataFrame = {
+  private[graft] def kmeans(s: SparkSession, d: String): DataFrame =
+    kmeansCore(s, d)._2
+
+  /** The trained model + assignment: (centroids (cid, c), assignment
+    * (vec_id, cluster, dist)) after [[Iters]] Lloyd iterations. */
+  private[graft] def kmeansCore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
     val e = embDouble(s, d)
     var cents = e.filter($"vec_id" < K)
@@ -109,7 +115,7 @@ object Clustering {
         (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
       cents = next.toDF("cid", "c")
     }
-    assign(e, cents)
+    (cents, assign(e, cents))
   }
 
   /** Shared oracle prefix: CTEs through the final assignment `fin`
@@ -193,6 +199,66 @@ object Clustering {
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         WHERE list_sum([av[i] * bv[i] FOR i IN generate_series(1, len(av))])
             / (sqrt(list_sum([x * x FOR x IN av])) *
-               sqrt(list_sum([x * x FOR x IN bv]))) > $SemThreshold"""))
+               sqrt(list_sum([x * x FOR x IN bv]))) > $SemThreshold""")),
+
+    // ----- IVF ANN over TRAINED centroids ---------------------------------
+    // sim_ann_ivf seeds its coarse quantizer with a corpus sample and
+    // notes "a production build would run Lloyd iterations as a periodic
+    // batch job". This is that build: the inverted lists are the k-means
+    // clusters, probing ranks the trained centroids by the same squared-L2
+    // metric the clustering minimized (nprobe = 2), and candidates get
+    // the exact cosine rerank. Same query-time plan and cost model as
+    // sim_ann_ivf; only the (offline) training differs.
+    Q("sim_ann_ivf_kmeans",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val (cents, asg) = kmeansCore(s, d)
+        val e = embDouble(s, d)
+        val lists = asg.select($"vec_id", $"cluster").join(e, "vec_id")
+        val queries = e.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"v".as("qe"))
+        // probe: nearest 2 trained centroids by the training metric
+        val wp = Window.partitionBy($"qid").orderBy($"qdist".asc, $"cid".asc)
+        val probes = broadcast(queries).crossJoin(broadcast(cents))
+          .select($"qid", $"qe", $"cid",
+            expr("aggregate(zip_with(qe, c, (x, y) -> (x - y) * (x - y)), " +
+              "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)").as("qdist"))
+          .withColumn("pr", row_number().over(wp))
+          .filter($"pr" <= 2)
+          .select($"qid", $"qe", $"cid".as("cluster"))
+        val dot = graft.functions.VecDot.vec_dot _
+        val wr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+        broadcast(probes).join(lists, Seq("cluster"))
+          .filter($"qid" =!= $"vec_id")
+          .select($"qid", $"vec_id".as("cid"),
+            (dot($"qe", $"v") / (sqrt(dot($"qe", $"qe")) *
+              sqrt(dot($"v", $"v")))).as("cos"))
+          .withColumn("rn", row_number().over(wr))
+          .filter($"rn" <= 5)
+          .select($"qid", $"cid", $"cos", $"rn")
+      },
+      Some(s"""WITH $kmeansCtes,
+        q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id % 50 = 0),
+        probes AS (
+          SELECT qid, qe, cluster FROM (
+            SELECT qid, qe, c$Iters.cid AS cluster,
+              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                list_sum([(qe[i]-c[i])*(qe[i]-c[i])
+                          FOR i IN generate_series(1, len(qe))]) ASC,
+                c$Iters.cid ASC) AS pr
+            FROM q, c$Iters) WHERE pr <= 2),
+        cand AS (
+          SELECT qid, fin.vec_id AS cid,
+            list_sum([qe[i] * v[i] FOR i IN generate_series(1, len(qe))])
+              / (sqrt(list_sum([x * x FOR x IN qe])) *
+                 sqrt(list_sum([x * x FOR x IN v]))) AS cos
+          FROM probes JOIN fin ON probes.cluster = fin.cluster
+          WHERE qid <> fin.vec_id)
+        SELECT qid, cid, cos, rn FROM (
+          SELECT qid, cid, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cid ASC) AS INT) AS rn
+          FROM cand) WHERE rn <= 5"""))
   )
 }

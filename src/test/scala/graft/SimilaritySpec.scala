@@ -39,4 +39,17 @@ class SimilaritySpec extends AnyFunSuite {
   test("IVF result is deterministic across runs") {
     assert(topkPairs("sim_ann_ivf") == topkPairs("sim_ann_ivf"))
   }
+
+  test("kmeans-trained IVF reaches at least sample-seeded recall class") {
+    val exact = topkPairs("sim_cosine_topk")
+    val trained = topkPairs("sim_ann_ivf_kmeans")
+    assert(exact.nonEmpty && trained.nonEmpty)
+    val recall = trained.intersect(exact).size.toDouble / exact.size
+    // nprobe=2 of 8 trained lists scans ~1/4 of the corpus; recall must
+    // clear the random-scan rate by a wide margin
+    assert(recall >= 0.3, s"trained-IVF recall $recall")
+    val rns = SparkEntry.queries("sim_ann_ivf_kmeans")(spark, sf)
+      .select("rn").collect().map(_.getInt(0))
+    assert(rns.forall(r => r >= 1 && r <= 5))
+  }
 }
