@@ -20,6 +20,34 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "or", "and", "of", "in", "to")
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The quality-gate transform on any (doc_id, text) relation — written
+    * once, runs identically in batch and as a stateless streaming stage
+    * (per-row expressions only; EventStreamsSpec drives it through a real
+    * stream). */
+  private[graft] def qualityGate(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), length(col("text")).as("nc"),
+        split(lower(col("text")), "\\s+").as("ws"))
+      .selectExpr("doc_id",
+        "size(ws) AS n_tokens",
+        """CAST(array_max(transform(array_distinct(ws),
+             w -> size(filter(ws, x -> x = w)))) AS DOUBLE)
+           / CAST(size(ws) AS DOUBLE) AS top_word_frac""",
+        """CAST(size(ws) - size(array_distinct(ws)) AS DOUBLE)
+           / CAST(size(ws) AS DOUBLE) AS dup_word_frac""",
+        "CAST(nc AS DOUBLE) / CAST(size(ws) AS DOUBLE) AS chars_per_token")
+      .selectExpr("doc_id", "n_tokens", "top_word_frac",
+        "dup_word_frac", "chars_per_token",
+        """CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN top_word_frac > 0.2 THEN 'top_word'
+                WHEN dup_word_frac > 0.6 THEN 'dup_words'
+                WHEN chars_per_token > 6.0 THEN 'word_len'
+                ELSE 'ok' END AS reason""")
+      .selectExpr("doc_id", "n_tokens", "top_word_frac",
+        "dup_word_frac", "chars_per_token",
+        "reason = 'ok' AS keep", "reason")
+
   val defs: Seq[Q] = Seq(
 
     // ----- token counting: whitespace + word-regex + BPE-ish pieces -------
@@ -345,30 +373,7 @@ object TextAnalysis {
     // throughout; every ratio is a single division of exact integer
     // counts, so the float comparisons agree across engines.
     Q("pipeline_quality_gate",
-      (s, d) => {
-        import s.implicits._
-        Tables.documents(s, d)
-          .select($"doc_id", length($"text").as("nc"),
-            split(lower($"text"), "\\s+").as("ws"))
-          .selectExpr("doc_id",
-            "size(ws) AS n_tokens",
-            """CAST(array_max(transform(array_distinct(ws),
-                 w -> size(filter(ws, x -> x = w)))) AS DOUBLE)
-               / CAST(size(ws) AS DOUBLE) AS top_word_frac""",
-            """CAST(size(ws) - size(array_distinct(ws)) AS DOUBLE)
-               / CAST(size(ws) AS DOUBLE) AS dup_word_frac""",
-            "CAST(nc AS DOUBLE) / CAST(size(ws) AS DOUBLE) AS chars_per_token")
-          .selectExpr("doc_id", "n_tokens", "top_word_frac",
-            "dup_word_frac", "chars_per_token",
-            """CASE WHEN n_tokens < 20 THEN 'too_short'
-                    WHEN top_word_frac > 0.2 THEN 'top_word'
-                    WHEN dup_word_frac > 0.6 THEN 'dup_words'
-                    WHEN chars_per_token > 6.0 THEN 'word_len'
-                    ELSE 'ok' END AS reason""")
-          .selectExpr("doc_id", "n_tokens", "top_word_frac",
-            "dup_word_frac", "chars_per_token",
-            "reason = 'ok' AS keep", "reason")
-      },
+      (s, d) => qualityGate(Tables.documents(s, d)),
       Some("""SELECT doc_id, n_tokens, top_word_frac, dup_word_frac,
           chars_per_token, reason = 'ok' AS keep, reason
         FROM (

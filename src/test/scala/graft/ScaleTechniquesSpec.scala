@@ -79,6 +79,27 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate"))
   }
 
+  test("hive-style partitioned layout prunes partitions at plan time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("part_docs").toString
+    Tables.documents(spark, sf).write.partitionBy("source")
+      .mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter($"source" === "src3")
+      .select($"doc_id")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val s = scan.toString
+    // the source=src3 predicate must become a partition filter (pruned at
+    // planning), not a data filter over all files
+    assert(s.contains("PartitionFilters") && s.contains("src3"), s.take(800))
+    // execute THIS queryExecution so its scan metrics populate
+    val rows = df.collect()
+    val scanned = scan.metrics.get("numFiles")
+    scanned.foreach(m => assert(m.value >= 1 &&
+      m.value < 20, s"read ${m.value} files — pruning didn't engage"))
+    assert(rows.length == Tables.documents(spark, sf)
+      .filter($"source" === "src3").count())
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     // one hot key (0) carrying ~90% of the left side; wide payload so the

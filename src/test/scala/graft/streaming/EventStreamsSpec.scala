@@ -50,6 +50,37 @@ class EventStreamsSpec extends AnyFunSuite {
       r.getString(1) == "view" && r.getLong(2) == 1 && r.getDouble(3) == 4.0))
   }
 
+  test("quality gate runs unchanged as a streaming stage") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+
+    val query = graft.operators.TextAnalysis.qualityGate(docs)
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    val sample = Seq(
+      1L -> "short doc",                                        // too_short
+      2L -> Seq.fill(30)("spark makes rows go fast and far").mkString(" "),
+      3L -> (("unique word stream alpha beta gamma delta epsilon zeta eta " * 3) +
+        "theta iota kappa lambda mu nu xi omicron pi rho sigma tau"))
+    input.addData(sample: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("gate_out")
+      .select("doc_id", "keep", "reason").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).sortBy(_._1)
+    query.stop()
+
+    // identical transform over the same rows in batch
+    val batch = graft.operators.TextAnalysis.qualityGate(
+      sample.toDF("doc_id", "text"))
+      .select("doc_id", "keep", "reason").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).sortBy(_._1)
+    assert(streamed.sameElements(batch))
+    assert(streamed.head == ((1L, false, "too_short")))
+    assert(streamed.exists(_._2)) // at least one doc passes
+  }
+
   test("late data beyond the watermark is dropped") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
