@@ -142,6 +142,56 @@ object PcapQueries {
           (1317993942, 1317993942107792, '2011-10-07 13:25:42.107792', 553, 'DFC5AD58862D3F8AFC9D5DE34B6F44BC', 'IPv4', 62, 'UDP', '193.0.14.129', '193.0.10.82', 53, 52938, 0, 511, NULL, NULL, NULL, NULL, 49638, 'qr rd', TRUE, 'QUERY', 'NOERROR', 'ripe.net.', 1, 'A', '[]', '["net. 172800 IN NS a.gtld-servers.net.","net. 172800 IN NS b.gtld-servers.net.","net. 172800 IN NS c.gtld-servers.net.","net. 172800 IN NS d.gtld-servers.net.","net. 172800 IN NS e.gtld-servers.net.","net. 172800 IN NS f.gtld-servers.net.","net. 172800 IN NS g.gtld-servers.net.","net. 172800 IN NS h.gtld-servers.net.","net. 172800 IN NS i.gtld-servers.net.","net. 172800 IN NS j.gtld-servers.net.","net. 172800 IN NS k.gtld-servers.net.","net. 172800 IN NS l.gtld-servers.net.","net. 172800 IN NS m.gtld-servers.net."]', '["a.gtld-servers.net. 172800 IN A 192.5.6.30","b.gtld-servers.net. 172800 IN A 192.33.14.30","c.gtld-servers.net. 172800 IN A 192.26.92.30","d.gtld-servers.net. 172800 IN A 192.31.80.30","e.gtld-servers.net. 172800 IN A 192.12.94.30","f.gtld-servers.net. 172800 IN A 192.35.51.30","g.gtld-servers.net. 172800 IN A 192.42.93.30","h.gtld-servers.net. 172800 IN A 192.54.112.30","i.gtld-servers.net. 172800 IN A 192.43.172.30","j.gtld-servers.net. 172800 IN A 192.48.79.30","k.gtld-servers.net. 172800 IN A 192.52.178.30","l.gtld-servers.net. 172800 IN A 192.41.162.30","m.gtld-servers.net. 172800 IN A 192.55.83.30","a.gtld-servers.net. 172800 IN AAAA 2001:503:a83e:0:0:0:2:30","b.gtld-servers.net. 172800 IN AAAA 2001:503:231d:0:0:0:2:30"]', 2))
           AS v(ts, ts_micro, "time", size, md5, ether_type, ttl, protocol, src, dst, src_port, dst_port, udpsum, len, frag, payload_len, ext_count, ext_headers, dns_queryid, dns_flags, dns_qr, dns_opcode, dns_rcode, dns_qname, dns_qtype, dns_qtype_str, dns_answer, dns_authority, dns_additional, pkt_idx)""")),
 
+    // flow/conversation stats: the classic "top talkers" network-
+    // analytics rollup (per destination endpoint: packets, bytes, active
+    // window). One hash aggregation over the scan — at 100 TB only
+    // (dst, port) partial states shuffle, never packets. VALUES oracle
+    // derived independently by tools/gen_pcap_oracles.py.
+    Q("pcap_flow_topn",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(synthPath)
+          .filter($"protocol" === "UDP")
+          .groupBy($"dst", $"dst_port")
+          .agg(count(lit(1)).as("n_packets"),
+            sum($"size").as("total_bytes"),
+            min($"ts").as("first_ts"),
+            max($"ts").as("last_ts"))
+          .orderBy(desc("n_packets"), asc("dst"), asc("dst_port"))
+          .limit(25)
+      },
+      Some("""SELECT CAST(v.dst AS VARCHAR) AS dst, CAST(v.dst_port AS INT) AS dst_port,
+          CAST(v.n_packets AS BIGINT) AS n_packets,
+          CAST(v.total_bytes AS BIGINT) AS total_bytes,
+          CAST(v.first_ts AS BIGINT) AS first_ts,
+          CAST(v.last_ts AS BIGINT) AS last_ts
+        FROM (VALUES ('1.0.0.1', 53, 19215, 1588432, 1700000000, 1700000333),
+        ('12.0.0.1', 53, 19215, 1588441, 1700000000, 1700000333),
+        ('4.0.0.1', 53, 19215, 1588437, 1700000000, 1700000333),
+        ('9.0.0.1', 53, 19215, 1588435, 1700000000, 1700000333),
+        ('10.0.0.1', 53, 19214, 1588354, 1700000000, 1700000333),
+        ('11.0.0.1', 53, 19214, 1588358, 1700000000, 1700000333),
+        ('13.0.0.1', 53, 19214, 1588353, 1700000000, 1700000333),
+        ('2.0.0.1', 53, 19214, 1588355, 1700000000, 1700000333),
+        ('3.0.0.1', 53, 19214, 1588357, 1700000000, 1700000333),
+        ('5.0.0.1', 53, 19214, 1588351, 1700000000, 1700000333),
+        ('6.0.0.1', 53, 19214, 1588355, 1700000000, 1700000333),
+        ('7.0.0.1', 53, 19214, 1588359, 1700000000, 1700000333),
+        ('8.0.0.1', 53, 19214, 1588357, 1700000000, 1700000333),
+        ('1.0.0.1', 4001, 189, 26568, 1700000000, 1700000332),
+        ('1.0.0.1', 4003, 189, 26512, 1700000000, 1700000332),
+        ('1.0.0.1', 4010, 189, 26408, 1700000000, 1700000332),
+        ('1.0.0.1', 4012, 189, 26352, 1700000000, 1700000332),
+        ('1.0.0.1', 4014, 189, 26424, 1700000000, 1700000332),
+        ('1.0.0.1', 4016, 189, 26496, 1700000000, 1700000332),
+        ('10.0.0.1', 4000, 189, 26496, 1700000000, 1700000333),
+        ('10.0.0.1', 4005, 189, 26448, 1700000000, 1700000332),
+        ('10.0.0.1', 4007, 189, 26520, 1700000000, 1700000332),
+        ('10.0.0.1', 4009, 189, 26464, 1700000000, 1700000332),
+        ('10.0.0.1', 4011, 189, 26408, 1700000000, 1700000332),
+        ('10.0.0.1', 4013, 189, 26352, 1700000000, 1700000332))
+        AS v(dst, dst_port, n_packets, total_bytes, first_ts, last_ts)""")),
+
     // duplicate-packet detection — the motivation for the reference's MD5
     // conf flag (PcapReader.java:183 comment). In the synth capture the
     // only byte-identical frames are the ARP fillers (pure function of

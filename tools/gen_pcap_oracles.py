@@ -106,6 +106,35 @@ mix_rows = [(et, pr, proto[(et, pr)], proto_bytes[(et, pr)])
 check("pcap_protocol_mix", mix_rows,
       spark_rows("pcap_protocol_mix", ("ether_type", "protocol", "n", "bytes")))
 
+# flow top-25: per-(dst, dst_port) UDP rollup, order (n desc, dst asc, port asc)
+if glob.glob(f"{out}/pcap_flow_topn/*.parquet"):
+    from collections import defaultdict
+    flows = defaultdict(lambda: [0, 0, 1 << 62, 0])
+    off3 = 24
+    while off3 < len(data):
+        ts3, us3, cl3, ol3 = struct.unpack_from("<IIII", data, off3)
+        off3 += 16
+        fr = data[off3:off3 + cl3]; off3 += cl3
+        if struct.unpack_from(">H", fr, 12)[0] != 0x0800 or fr[14 + 9] != 17:
+            continue
+        ihl3 = (fr[14] & 0xF) * 4
+        dstip = ".".join(str(b) for b in fr[14 + 16:14 + 20])
+        dp3 = struct.unpack_from(">H", fr, 14 + ihl3 + 2)[0]
+        f3 = flows[(dstip, dp3)]
+        f3[0] += 1; f3[1] += cl3
+        f3[2] = min(f3[2], ts3); f3[3] = max(f3[3], ts3)
+    expect_fl = sorted(((d3, p3, n3, b3, mn3, mx3)
+                        for (d3, p3), (n3, b3, mn3, mx3) in flows.items()),
+                       key=lambda r: (-r[2], r[0], r[1]))[:25]
+    gotf = pq.read_table(
+        glob.glob(f"{out}/pcap_flow_topn/*.parquet")[0]).to_pandas()
+    got_fl = [(r.dst, int(r.dst_port), int(r.n_packets), int(r.total_bytes),
+               int(r.first_ts), int(r.last_ts)) for r in gotf.itertuples()]
+    if sorted(got_fl) != sorted(expect_fl):
+        print("FAIL pcap_flow_topn"); fails += 1
+    else:
+        print(f"OK   pcap_flow_topn ({len(got_fl)} flows of {len(flows)})")
+
 print("independent derivation:", "FAIL" if fails else "PASS")
 if fails:
     sys.exit(1)
