@@ -671,7 +671,32 @@ object Relational {
         TRUE AS hll_orders_ok,
         TRUE AS median_ok,
         TRUE AS p95_ok
-        FROM lineitem"""))
+        FROM lineitem""")),
+
+    // ----- navigation/distribution window suite: lead, first_value, ntile -
+    // (lag is covered by q19 sessionization.) Ordering is total
+    // (o_orderkey unique per partition), so every function is
+    // deterministic; days_to_next is an exact integer date diff, null on
+    // each customer's last order in both engines.
+    Q("q35_window_suite",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+        Tables.orders(s, d).filter($"o_custkey" < 50)
+          .select($"o_custkey", $"o_orderkey",
+            datediff(lead($"o_orderdate", 1).over(w), $"o_orderdate")
+              .as("days_to_next"),
+            first($"o_totalprice").over(w).as("first_price"),
+            ntile(4).over(w).as("cust_quartile"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE),
+          CAST(LEAD(o_orderdate, 1) OVER w AS DATE)) AS INT) AS days_to_next,
+        FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        CAST(NTILE(4) OVER w AS INT) AS cust_quartile
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"""))
 
   )
 }
