@@ -172,6 +172,57 @@ object Pipeline {
             AS BIGINT) AS n_kept,
           CAST(SUM(CASE WHEN h < target_pct * 4294967296 THEN doc_id END)
             AS BIGINT) AS kept_doc_id_sum
-        FROM k GROUP BY 1, 2"""))
+        FROM k GROUP BY 1, 2""")),
+
+    // ----- snapshot diff (incremental re-crawl reconciliation) ------------
+    // The "what changed since the last corpus version" primitive behind
+    // incremental pipelines: full outer join of two snapshots on doc_id,
+    // content compared by hash. v2 is derived deterministically from the
+    // same table (docs 0 mod 11 dropped, 0 mod 7 re-crawled with changed
+    // text, a shifted id range added), so the oracle re-derives it
+    // identically. One shuffle on doc_id; only (id, hash) pairs move —
+    // at 100 TB both snapshots would be bucketed by doc_id, making the
+    // diff exchange-free (ScaleTechniquesSpec shows that layout).
+    Q("pipeline_snapshot_diff",
+      (s, d) => {
+        import s.implicits._
+        val v1 = Tables.documents(s, d)
+          .select($"doc_id", md5($"text".cast("binary")).as("h1"))
+        val v2 = Tables.documents(s, d)
+          .filter($"doc_id" % 11 =!= 0)
+          .select($"doc_id",
+            md5(when($"doc_id" % 7 === 0, concat($"text", lit(" v2")))
+              .otherwise($"text").cast("binary")).as("h2"))
+          .union(Tables.documents(s, d).filter($"doc_id" < 40)
+            .select(($"doc_id" + 100000L).as("doc_id"),
+              md5($"text".cast("binary")).as("h2")))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select($"doc_id",
+            when($"h1".isNull, "added")
+              .when($"h2".isNull, "deleted")
+              .when($"h1" === $"h2", "unchanged")
+              .otherwise("changed").as("status"))
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_checksum"))
+      },
+      Some("""WITH v1 AS (
+          SELECT doc_id, md5(text) AS h1 FROM documents),
+        v2 AS (
+          SELECT doc_id,
+            md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+              AS h2
+          FROM documents WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id < 40),
+        diff AS (
+          SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+            CASE WHEN h1 IS NULL THEN 'added'
+                 WHEN h2 IS NULL THEN 'deleted'
+                 WHEN h1 = h2 THEN 'unchanged'
+                 ELSE 'changed' END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        SELECT status, COUNT(*) AS n,
+          CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM diff GROUP BY status"""))
   )
 }
