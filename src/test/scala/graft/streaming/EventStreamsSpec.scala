@@ -50,6 +50,42 @@ class EventStreamsSpec extends AnyFunSuite {
       r.getString(1) == "view" && r.getLong(2) == 1 && r.getDouble(3) == 4.0))
   }
 
+  test("streaming DNS-tunnel signals: minted subdomains surface, dups collapse") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val queries = input.toDF().toDF("time", "dns_qname")
+
+    val q = DnsTunnelStream
+      .uniqueNamesPerSld(queries, watermark = "10 minutes", window = "5 minutes")
+      .writeStream.format("memory").queryName("tunnel_out")
+      .outputMode("append").start()
+    try {
+      // window [0,5): a tunnel SLD mints 30 unique subdomains (each sent
+      // twice — retries must not double-count); a benign SLD resolves the
+      // same two names over and over
+      val tunnel = (0 until 30).flatMap { i =>
+        val name = f"chunk$i%03d.exfil.example."
+        Seq((ts(1), name), (ts(2), name))
+      }
+      val benign = (0 until 30).map { i =>
+        (ts(1 + i % 4), if (i % 2 == 0) "www.normal.example."
+          else "mail.normal.example.")
+      }
+      input.addData(tunnel ++ benign: _*)
+      q.processAllAvailable()
+      // advance far beyond watermark + window to finalize [0,5)
+      input.addData((ts(60), "late.other.example."))
+      q.processAllAvailable()
+      val out = spark.table("tunnel_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val w0 = out.filter(_._1 == 1704067200L).map(t => t._2 -> t._3).toMap
+      assert(w0("exfil.example.") == 30, s"got $out")   // dups collapsed
+      assert(w0("normal.example.") == 2)
+      assert(w0("exfil.example.") > 10 * w0("normal.example."))
+    } finally q.stop()
+  }
+
   test("quality gate runs unchanged as a streaming stage") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
