@@ -39,13 +39,17 @@ object Bench {
     }
     val DecodeName = "pcap_decode_dns_256m"
 
+    // A failed run yields NaN, never an elapsed time: a consistently
+    // failing query must not contribute a bogus fast sample to the
+    // best-of-N min (it surfaces as "NaN" in the JSON instead).
     def timedQuery(name: String): Double =
       if (name == DecodeName) timedDecode()
       else {
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => Double.NaN }
       }
 
     val names = SparkEntry.headline :+ DecodeName
@@ -62,13 +66,17 @@ object Bench {
     // all land inside the burst, interleaved ones mostly don't
     val samples = Seq.fill(5)(names.map(n => n -> timedQuery(n))).flatten
     val results = names.map { name =>
-      name -> samples.collect { case (`name`, s) => s }.min
+      val good = samples.collect { case (`name`, s) if !s.isNaN => s }
+      name -> (if (good.isEmpty) Double.NaN else good.min)
     }
 
     val mbps = bytes / 1e6 / results.toMap.apply(DecodeName)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // NaN (all reps failed) -> -1 sentinel: valid JSON, obviously wrong,
+    // and excluded from the total rather than silently summed
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isNaN) "-1" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if !v.isNaN => v }.sum
     println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pcap_decode_mb_s":$mbps%.1f}""")
     spark.stop()
   }

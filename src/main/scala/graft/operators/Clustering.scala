@@ -60,7 +60,6 @@ object Clustering {
     Tables.embeddings(s, d)
       .select($"vec_id",
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .cache() // scanned once per iteration (assign + update)
   }
 
   /** One Lloyd assignment pass: nearest centroid per vector (ties -> the
@@ -80,15 +79,36 @@ object Clustering {
   private[graft] def kmeans(s: SparkSession, d: String): DataFrame =
     kmeansCore(s, d)._2
 
+  /** Trained centroids per dataset dir: k x dim plain doubles, ~4 KB.
+    * Three battery queries (sim_kmeans_cluster, dedup_semantic,
+    * sim_ann_ivf_kmeans) depend on the same model; memoizing the trained
+    * model means the 3-iteration Lloyd job runs once per dataset, and the
+    * training-time embedding cache can be unpersisted as soon as training
+    * finishes instead of living for the session. */
+  private val centMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Seq[Double])]]()
+
   /** The trained model + assignment: (centroids (cid, c), assignment
     * (vec_id, cluster, dist)) after [[Iters]] Lloyd iterations. */
   private[graft] def kmeansCore(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     import s.implicits._
-    val e = embDouble(s, d)
+    val trained = centMemo.computeIfAbsent(d, _ => train(s, d))
+    val cents = trained.toDF("cid", "c")
+    // final assignment is one narrow pass over the (uncached) embeddings
+    (cents, assign(embDouble(s, d), cents))
+  }
+
+  /** Run the Lloyd iterations; the embeddings are cached only for the
+    * duration of training (assign + update scan them each iteration) and
+    * unpersisted before returning. */
+  private def train(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
+    import s.implicits._
+    val e = embDouble(s, d).cache()
     var cents = e.filter($"vec_id" < K)
       .select($"vec_id".as("cid"), $"v".as("c"))
-    for (_ <- 1 to Iters) {
+    try {
+      for (_ <- 1 to Iters) {
       // update: exact per-dimension means, then the k x dim centroid
       // table returns to the driver (tiny) and is broadcast into the
       // next assignment — the corpus never shuffles. Each element is
@@ -114,8 +134,10 @@ object Clustering {
       val next = centRows.map(r =>
         (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
       cents = next.toDF("cid", "c")
-    }
-    (cents, assign(e, cents))
+      }
+      cents.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    } finally e.unpersist()
   }
 
   /** Shared oracle prefix: CTEs through the final assignment `fin`
@@ -144,7 +166,13 @@ object Clustering {
         FROM s$it GROUP BY cluster)"""
     }
     s"""e AS (
-      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      -- the update step hardcodes generate_series(1, $Dim); assert the
+      -- real dim here so a mismatch errors loudly instead of silently
+      -- producing NULL v[j] terms and a drifting oracle
+      SELECT vec_id,
+        CASE WHEN len(embedding) = $Dim
+          THEN [CAST(x AS DOUBLE) FOR x IN embedding]
+          ELSE error('embedding dim <> $Dim') END AS v
       FROM embeddings),
     c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $K),
     ${(1 to Iters).map(iter).mkString(",\n")},

@@ -65,12 +65,19 @@ object Pipeline {
         // aggregation; only the bit array returns to the driver)
         val bloom = ref.stat.bloomFilter("content_key", 100000L, 0.01)
         val bloomB = s.sparkContext.broadcast(bloom)
+        // udf() is deterministic by default (only .asNondeterministic()
+        // opts out), so Catalyst may freely reorder/prune around it;
+        // compute the membership test once as a named column and derive
+        // both branches from that single expression
         val mightContain = udf((k: String) => bloomB.value.mightContainString(k))
+          .withName("bloom_might_contain")
+        val flagged = batch
+          .withColumn("might", mightContain($"content_key"))
         // definite misses: no join work at all
-        val misses = batch.filter(!mightContain($"content_key"))
+        val misses = flagged.filter(!$"might")
           .select($"doc_id", $"content_key", lit(false).as("is_dup"))
         // bloom-positive rows: exact semi/anti join against the reference
-        val candidates = batch.filter(mightContain($"content_key"))
+        val candidates = flagged.filter($"might")
         val refKeys = ref.select($"content_key").distinct()
         val confirmed = candidates
           .join(refKeys, Seq("content_key"), "left_semi")

@@ -33,10 +33,17 @@ object DnsTunnelStream {
       window: String = "5 minutes"): DataFrame =
     queries
       .filter(col("dns_qname").isNotNull)
+      // DNS names are case-insensitive and the parser preserves case
+      // (0x20-mixing resolvers would otherwise split one tunnel domain
+      // across many groups) -> lowercase before grouping. The label
+      // charset admits digits in the TLD and underscores (common in
+      // service records); names that still don't yield an SLD (bare
+      // hosts, the root) are dropped rather than pooled under "".
       .select(col("time"),
-        regexp_extract(col("dns_qname"), "([a-z0-9-]+\\.[a-z]+\\.)$", 1)
-          .as("sld"),
-        col("dns_qname"))
+        regexp_extract(lower(col("dns_qname")),
+          "([a-z0-9_-]+\\.[a-z0-9-]+\\.)$", 1).as("sld"),
+        lower(col("dns_qname")).as("dns_qname"))
+      .filter(col("sld") =!= "")
       .withWatermark("time", watermark)
       // exact distinct under bounded state: duplicates of (sld, qname)
       // within the horizon collapse before the count

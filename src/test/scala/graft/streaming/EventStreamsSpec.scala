@@ -72,7 +72,13 @@ class EventStreamsSpec extends AnyFunSuite {
         (ts(1 + i % 4), if (i % 2 == 0) "www.normal.example."
           else "mail.normal.example.")
       }
-      input.addData(tunnel ++ benign: _*)
+      // DNS is case-insensitive (0x20 mixing): uppercase retries of
+      // already-seen chunks must collapse, not mint new "unique" names;
+      // bare/root names must be dropped, not pooled under sld=""
+      val noise = Seq((ts(2), "CHUNK000.EXFIL.example."),
+        (ts(2), "ChUnK001.exfil.EXAMPLE."), (ts(1), "localhost."),
+        (ts(1), "."))
+      input.addData(tunnel ++ benign ++ noise: _*)
       q.processAllAvailable()
       // advance far beyond watermark + window to finalize [0,5)
       input.addData((ts(60), "late.other.example."))
@@ -83,6 +89,7 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(w0("exfil.example.") == 30, s"got $out")   // dups collapsed
       assert(w0("normal.example.") == 2)
       assert(w0("exfil.example.") > 10 * w0("normal.example."))
+      assert(!w0.contains(""), s"bare names must be dropped, got $out")
     } finally q.stop()
   }
 
