@@ -696,7 +696,89 @@ object Relational {
         FIRST_VALUE(o_totalprice) OVER w AS first_price,
         CAST(NTILE(4) OVER w AS INT) AS cust_quartile
         FROM orders WHERE o_custkey < 50
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"""))
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""")),
+
+    // ----- ordered funnel: view -> click -> purchase ----------------------
+    // Classic product-analytics funnel with ORDER constraints: a click
+    // only counts after the user's first view, a purchase only after that
+    // click. Three chained min-aggregations, all keyed on user_id — the
+    // same hash partitioning is reused across every stage (one shuffle
+    // key, Spark reuses the exchange), so at 100 TB the events scan
+    // shuffles once per stage on the same key instead of resorting.
+    // Timestamps compare as exact micros (BIGINT) on both engines.
+    Q("q36_funnel",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"us").as("v_us"))
+        val c = ev.filter($"event_type" === "click")
+          .join(v, "user_id").filter($"us" >= $"v_us")
+          .groupBy($"user_id").agg(min($"us").as("c_us"))
+        val p = ev.filter($"event_type" === "purchase")
+          .join(c, "user_id").filter($"us" >= $"c_us")
+          .groupBy($"user_id").agg(min($"us").as("p_us"))
+        ev.select($"user_id").distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(when($"p_us".isNotNull, 3).when($"c_us".isNotNull, 2)
+            .when($"v_us".isNotNull, 1).otherwise(0).as("depth"))
+          .groupBy($"depth").agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        v AS (SELECT user_id, min(us) AS v_us FROM ev
+          WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT ev.user_id, min(us) AS c_us FROM ev
+          JOIN v USING (user_id)
+          WHERE event_type = 'click' AND us >= v_us GROUP BY 1),
+        p AS (SELECT ev.user_id, min(us) AS p_us FROM ev
+          JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND us >= c_us GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM ev)
+        SELECT CAST(CASE WHEN p_us IS NOT NULL THEN 3
+                         WHEN c_us IS NOT NULL THEN 2
+                         WHEN v_us IS NOT NULL THEN 1
+                         ELSE 0 END AS INT) AS depth,
+          COUNT(*) AS n_users
+        FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
+        GROUP BY 1""")),
+
+    // ----- cohort retention matrix ----------------------------------------
+    // Cohort = the epoch-week of a user's first event; each cell counts
+    // the cohort's users active `week_offset` weeks later. Week ids are
+    // integer floor-division of epoch micros (DIV in Spark, // in DuckDB
+    // — identical for non-negative BIGINTs), so the whole query is exact
+    // integer arithmetic. The distinct (user, week) reduction runs BEFORE
+    // the join back to cohorts: at 100 TB the per-user-week activity set
+    // is orders of magnitude smaller than the raw event stream, and both
+    // the reduction and the join shuffle on user_id.
+    Q("q37_retention",
+      (s, d) => {
+        import s.implicits._
+        val uw = Tables.events(s, d)
+          .select($"user_id",
+            expr("unix_micros(ts) div 604800000000").as("wk"))
+          .distinct()
+        val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+        uw.join(cohort, "user_id")
+          .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH uw AS (
+          SELECT DISTINCT user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+          FROM events),
+        cohort AS (
+          SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+        SELECT cohort_wk, wk - cohort_wk AS week_offset,
+          COUNT(*) AS n_users
+        FROM uw JOIN cohort USING (user_id)
+        GROUP BY 1, 2"""))
 
   )
 }

@@ -410,6 +410,85 @@ object TextAnalysis {
           list_prepend(CAST(0 AS BIGINT),
             [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]),
           (acc, c) -> (acc * 257 + c) % 2147483647) AS rhash
-        FROM documents"""))
+        FROM documents""")),
+
+    // ----- corpus-level boilerplate fraction ------------------------------
+    // CCNet-style boilerplate signal at n-gram granularity (the corpus has
+    // no line structure): a word 5-gram is boilerplate when it appears in
+    // >= 2 distinct documents; each doc reports what fraction of its
+    // distinct 5-grams is corpus-boilerplate. Differs from
+    // pipeline_contamination (train/eval leakage) and text_repetition
+    // (within-doc): this is the cross-document common-content signal used
+    // to strip navigation chrome / license headers before training.
+    // Scale: array_distinct runs inside the row BEFORE the explode, the
+    // doc-frequency agg is a map-side-partial hash agg on the gram, and
+    // the join back is gram-keyed — the classic two-pass df computation;
+    // at 100 TB both shuffles carry (gram, count)-sized records only.
+    Q("text_boilerplate",
+      (s, d) => {
+        import s.implicits._
+        val grams = Tables.documents(s, d)
+          .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
+          .select($"doc_id", explode(array_distinct(
+            expr("""CASE WHEN size(ws) >= 5 THEN
+                      transform(sequence(1, size(ws) - 4),
+                        i -> array_join(slice(ws, i, 5), ' '))
+                    ELSE array() END"""))).as("gram"))
+        val dfreq = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+        grams.join(dfreq, "gram")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_boiler"))
+          .select($"doc_id", $"n_grams", $"n_boiler",
+            ($"n_boiler".cast("double") / $"n_grams".cast("double"))
+              .as("boiler_frac"))
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(ws) >= 5 THEN
+              [array_to_string(ws[i:i+4], ' ')
+               FOR i IN generate_series(1, len(ws) - 4)]
+            ELSE [] END)) AS gram
+          FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+                FROM documents)),
+        dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_boiler,
+          CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS boiler_frac
+        FROM g JOIN dfreq USING (gram)
+        GROUP BY 1""")),
+
+    // ----- BPE-style pair counting (tokenizer training, iteration one) ----
+    // The inner loop of byte-pair-encoding training: count adjacent
+    // character pairs inside words across the corpus and surface the top
+    // merge candidates. One explode + one hash aggregation; the pair
+    // space is tiny (alphabet^2) so the partial aggregation collapses
+    // almost everything map-side, and the top-k plans as
+    // TakeOrderedAndProject (per-partition heap — no global sort). A full
+    // BPE trainer is this query iterated with a merge applied between
+    // rounds; the per-iteration dataflow is identical.
+    Q("pipeline_bpe_pairs",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(explode(split(lower($"text"), "\\s+")).as("w"))
+          .filter(length($"w") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(w) - 1), j -> substring(w, j, 2))"))
+            .as("pair"))
+          .groupBy($"pair").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("pair")).limit(20)
+      },
+      Some("""WITH w AS (
+          SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+          FROM documents),
+        pairs AS (
+          SELECT unnest([w[j:j+1] FOR j IN generate_series(1, len(w) - 1)])
+            AS pair
+          FROM w WHERE len(w) >= 2)
+        SELECT pair, COUNT(*) AS n FROM pairs GROUP BY 1
+        ORDER BY n DESC, pair LIMIT 20"""))
   )
 }

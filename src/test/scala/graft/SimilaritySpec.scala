@@ -52,4 +52,30 @@ class SimilaritySpec extends AnyFunSuite {
       .select("rn").collect().map(_.getInt(0))
     assert(rns.forall(r => r >= 1 && r <= 5))
   }
+
+  test("PQ ADC top-k approximates the exact squared-L2 top-k") {
+    // PQ ranks by asymmetric squared-L2, so the honest baseline is the
+    // exact squared-L2 top-5 (cosine would conflate metric change with
+    // quantization loss)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val exact = vecs.keys.filter(_ % 50 == 0).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(c => (sq(vecs(q), vecs(c)), c)).take(5).map(q -> _)
+    }.toSet
+    val pq = topkPairs("sim_ann_pq")
+    assert(exact.nonEmpty && pq.nonEmpty && pq.size == exact.size)
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    // ADC top-50 shortlist + exact rerank: quantization only costs the
+    // neighbors the coarse scan drops from the shortlist (measured ~0.86
+    // on this corpus)
+    assert(recall >= 0.6, s"PQ recall $recall")
+  }
+
+  test("PQ result is deterministic across runs") {
+    assert(topkPairs("sim_ann_pq") == topkPairs("sim_ann_pq"))
+  }
 }
