@@ -358,37 +358,36 @@ object Similarity {
         val e = Tables.embeddings(s, d)
           .select($"vec_id",
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        val mdf = (0 until 16).toDF("m")
-        val cb = e.filter($"vec_id" < 32).crossJoin(mdf)
-          .select($"m", $"vec_id".cast("int").as("code"),
-            expr("slice(v, m * 4 + 1, 4)").as("sub"))
-        val subDist =
-          "aggregate(zip_with(slice(v, m * 4 + 1, 4), sub, " +
+        // the codebook is M*k tiny sub-vectors (~16 KB) — collect it once
+        // and embed it as a literal, so BOTH encode and LUT construction
+        // are pure per-row projections: the corpus is never shuffled to
+        // build the index, which is the whole point of PQ at 100 TB
+        val cbData: Seq[Seq[Seq[Double]]] = {
+          val seeds = e.filter($"vec_id" < 32).orderBy($"vec_id")
+            .select($"v").collect().map(_.getSeq[Double](0))
+          (0 until 16).map(m => seeds.toSeq.map(_.slice(m * 4, m * 4 + 4)))
+        }
+        val cbCol = typedLit(cbData).as("cb")
+        val subDists =
+          "transform(sequence(0, 15), m -> transform(element_at(cb, m + 1), " +
+            "sub -> aggregate(zip_with(slice(%s, m * 4 + 1, 4), sub, " +
             "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), " +
-            "(a, z) -> a + z)"
-        // encode: nearest sub-centroid per (vector, subspace), assembled
-        // into a 16-int code word ordered by subspace
-        val codes = e.crossJoin(broadcast(cb))
-          .select($"vec_id", $"m", $"code", expr(subDist).as("sd"))
-          .groupBy($"vec_id", $"m")
-          .agg(expr("min_by(code, struct(sd, code))").as("code"))
-          .groupBy($"vec_id")
-          .agg(expr("transform(array_sort(collect_list(struct(m, code))), " +
-            "p -> p.code)").as("codes"))
+            "(a, z) -> a + z)))"
+        // encode: per subspace, the index of the minimal sub-distance
+        // (array_position finds the FIRST match -> lowest code on ties,
+        // mirroring the oracle's ORDER BY sd, code); a 16-int code word
+        // per vector, computed map-side with zero shuffles
+        val codes = e.select($"vec_id", $"v", cbCol)
+          .select($"vec_id", expr(subDists.format("v")).as("sds"))
+          .select($"vec_id", expr("transform(sds, s -> " +
+            "CAST(array_position(s, array_min(s)) - 1 AS INT))").as("codes"))
         val qs = e.filter($"vec_id" % 50 === 0)
           .select($"vec_id".as("qid"), $"v".as("qv"))
-        val qDist =
-          "aggregate(zip_with(slice(qv, m * 4 + 1, 4), sub, " +
-            "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), " +
-            "(a, z) -> a + z)"
-        // per-query LUT: 512 doubles ordered by (m, code) -> entry for
+        // per-query LUT: 512 doubles in (m, code) order -> entry for
         // (m, code) sits at index m*32 + code + 1 (1-based)
-        val lut = qs.crossJoin(broadcast(cb))
-          .select($"qid", $"m", $"code", expr(qDist).as("sd"))
-          .groupBy($"qid")
-          .agg(expr(
-            "transform(array_sort(collect_list(struct(m, code, sd))), " +
-              "p -> p.sd)").as("lut"))
+        val lut = qs.select($"qid", $"qv", cbCol)
+          .select($"qid", expr("flatten(" + subDists.format("qv") + ")")
+            .as("lut"))
         val ws = Window.partitionBy($"qid").orderBy($"adist".asc, $"cid".asc)
         val shortlist = broadcast(lut).crossJoin(codes)
           .filter($"vec_id" =!= $"qid")
