@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Similarity.defs ++
     operators.Clustering.defs ++
     operators.Pipeline.defs ++
+    operators.Graph.defs ++
     operators.Multimodal.defs ++
     graft.streaming.StreamingQueries.defs ++
     operators.PcapQueries.defs

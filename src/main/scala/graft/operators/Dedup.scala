@@ -290,6 +290,53 @@ object Dedup {
                 FROM documents)),
         bitsums AS (SELECT doc_id, $sums FROM words GROUP BY doc_id)
         SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM bitsums"""
-      })
+      }),
+
+    // ----- duplicated-chunk detection (exact substring dedup) -------------
+    // MassiveText/CCNet-style: cut every document into non-overlapping
+    // 10-token chunks, hash each, and measure per document what fraction
+    // of its chunks occur anywhere else in the corpus (including other
+    // copies of itself). Catches partial/templated duplication that
+    // whole-document hashing misses, without the quadratic pair space of
+    // similarity joins — the corpus-wide chunk frequency is ONE hash
+    // aggregation on the chunk digest.
+    //
+    // Scale: explode is pipelined (no shuffle); the frequency count is a
+    // window over the chunk hash = a single shuffle on a high-cardinality
+    // well-distributed key (md5), then the per-doc rollup shuffles on
+    // doc_id. At 100 TB, the chunk→count map never materializes on the
+    // driver and duplicate-heavy hashes skew nothing (counts are
+    // pre-combined map-side by AQE/partial aggregation in the window's
+    // sort-based fallback; the hot hash IS the signal).
+    Q("dedup_chunk",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val chunks = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            """transform(sequence(0, (size(w) - 1) div 10),
+                 i -> array_join(slice(w, i * 10 + 1, 10), ' '))"""))
+            .as("chunk"))
+          .select($"doc_id", md5($"chunk".cast("binary")).as("h"))
+        chunks
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"h")))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+               sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("dup_frac",
+            $"n_dup".cast("double") / $"n_chunks")
+      },
+      Some("""WITH c AS (
+          SELECT doc_id,
+            unnest([md5(array_to_string(w[i * 10 + 1 : i * 10 + 10], ' '))
+                    FOR i IN generate_series(0, (len(w) - 1) // 10)]) AS h
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS cnt FROM c)
+        SELECT doc_id, COUNT(*) AS n_chunks,
+          CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS dup_frac
+        FROM f GROUP BY 1"""))
   )
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over a derived co-purchase graph.
+  *
+  * PageRank is the canonical "iterative joins at scale" workload: each
+  * power-iteration step is (ranks ⋈ edges) → aggregate-by-destination.
+  * The dedup-cluster connected-components op (`dedup_components`) already
+  * exercises iterative min-label propagation; PageRank adds weighted mass
+  * exchange with a damping factor — the shape of influence/centrality
+  * scoring over web-crawl link graphs in a training-data pipeline
+  * (e.g. harmonic/PageRank centrality as a quality prior in Common
+  * Crawl-derived corpora).
+  *
+  * Graph: directed edges between parts that co-occur in an order
+  * (both directions, distinct) — so every node has out-degree >= 1 and
+  * in-degree >= 1 (the graph is symmetric), which sidesteps dangling-node
+  * mass redistribution and keeps the recurrence exactly:
+  *
+  *   r0(v)   = 1/N
+  *   r_k+1(v) = 0.15/N + 0.85 * (sum over u->v of floor(r_k(u)*1e12) div outdeg(u)) / 1e12
+  *
+  * Cross-engine determinism: the per-edge contribution is floored to a
+  * scaled BIGINT before summation, so the aggregation is associative
+  * integer addition — Spark's partial/final aggregation order vs DuckDB's
+  * sequential order cannot diverge. The remaining double ops
+  * (*0.85, +0.15/N, /1e12) are identical single IEEE operations on
+  * identical inputs on both sides.
+  *
+  * Scale (100 TB): edges/out-degrees are computed once, cached, and
+  * reused across iterations; each iteration is one shuffle on dst (the
+  * rank side is keyed by node = src, so the edge join co-partitions with
+  * the previous iteration's output under AQE). Ranks never touch the
+  * driver; only the top-20 result does (TakeOrderedAndProject). On a real
+  * cluster the edge table would be bucketed by src so every iteration's
+  * join is shuffle-free on the edge side.
+  */
+object Graph {
+
+  private val Scale  = "1000000000000.0" // 1e12, exact in double
+  private val Iters  = 3
+
+  /** Shared oracle CTE prefix: edges, degrees, N, and r0..r3. */
+  private lazy val pagerankCtes: String = {
+    def iter(k: Int): String = {
+      val prev = s"r${k - 1}"
+      s"""r$k AS (
+        SELECT e.dst AS node,
+          CAST(0.15 AS DOUBLE) / n.n
+            + CAST(0.85 AS DOUBLE) *
+              (CAST(CAST(SUM(CAST(floor(r * $Scale) AS BIGINT) // od)
+                    AS BIGINT) AS DOUBLE) / $Scale) AS r
+        FROM e
+        JOIN $prev p ON p.node = e.src
+        JOIN deg ON deg.src = e.src
+        CROSS JOIN n
+        GROUP BY e.dst, n.n)"""
+    }
+    s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / n.n AS r
+           FROM deg CROSS JOIN n),
+    ${(1 to Iters).map(iter).mkString(",\n")}"""
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    Q("pipeline_pagerank",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e = li.as("a").join(li.as("b"), "l_orderkey")
+          .filter($"a.l_partkey" =!= $"b.l_partkey")
+          .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+          .distinct()
+          .cache()
+        val deg = e.groupBy($"src").agg(count(lit(1)).as("od")).cache()
+        try {
+          val n = deg.count()
+          var r = deg.select($"src".as("node"),
+            (lit(1.0) / n.toDouble).as("r"))
+          for (_ <- 1 to Iters) {
+            // eager localCheckpoint: materializes this iteration (so the
+            // cached edge/degree tables are actually reused three times)
+            // and truncates the lineage so the final plan doesn't nest
+            // three self-joins of the full derivation
+            r = e.join(r, e("src") === r("node"))
+              .join(deg, "src")
+              .select($"dst",
+                expr(s"cast(floor(r * $Scale) as bigint) div od")
+                  .as("contrib"))
+              .groupBy($"dst")
+              .agg(sum($"contrib").as("m"))
+              .select($"dst".as("node"),
+                (lit(0.15) / n.toDouble
+                  + lit(0.85) * ($"m".cast("double") / lit(1e12))).as("r"))
+              .localCheckpoint()
+          }
+          r.orderBy(desc("r"), asc("node"))
+            .limit(20)
+            .select($"node".as("p_partkey"), $"r".as("rank"))
+        } finally { e.unpersist(); deg.unpersist() }
+      },
+      Some(s"""WITH $pagerankCtes
+        SELECT node AS p_partkey, r AS rank
+        FROM r$Iters
+        ORDER BY r DESC, node LIMIT 20"""))
+  )
+}

@@ -231,5 +231,66 @@ object Pipeline {
         SELECT status, COUNT(*) AS n,
           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
         FROM diff GROUP BY status"""))
+  ,
+
+    // ----- DSIR-style importance scoring against a target domain ----------
+    // Data Selection via Importance Resampling (Xie et al. 2023) scores
+    // raw documents by how target-like their hashed n-gram features are.
+    // Here: word bigrams hashed into 256 buckets; the target domain is
+    // the English subset; a bucket's weight is the scaled integer ratio
+    // target_count*10^6 div raw_count (integer division — deterministic
+    // on both engines, no logs/floats); a document's score is the BIGINT
+    // sum of its bigram-occurrence weights. avg_w = score div n_bigrams
+    // is the resampling key (higher = more target-like).
+    //
+    // Scale: the bucket histograms are 256 rows regardless of corpus
+    // size — partial aggregation collapses nearly everything map-side and
+    // the weight table broadcasts to the second pass. Two passes over the
+    // bigrams, one shuffle each (bucket, then doc_id); nothing driver-side
+    // but the 256-row weight join.
+    Q("pipeline_dsir",
+      (s, d) => {
+        import s.implicits._
+        val bg = Tables.documents(s, d)
+          .select($"doc_id", $"lang", split($"text", " ").as("w"))
+          .select($"doc_id", $"lang", explode(expr(
+            """transform(sequence(1, size(w) - 1),
+                 i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""))
+            .as("bg"))
+          .select($"doc_id", $"lang",
+            (conv(substring(md5($"bg".cast("binary")), 1, 4), 16, 10)
+              .cast("long") % 256).as("bucket"))
+        val raw = bg.groupBy($"bucket").agg(count(lit(1)).as("rcnt"))
+        val tgt = bg.filter($"lang" === "en")
+          .groupBy($"bucket").agg(count(lit(1)).as("tcnt"))
+        val weights = raw.join(tgt, Seq("bucket"), "left")
+          .select($"bucket",
+            expr("coalesce(tcnt, 0L) * 1000000L div rcnt").as("wt"))
+        bg.join(broadcast(weights), Seq("bucket"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum($"wt").as("score"))
+          .select($"doc_id", $"n_bigrams", $"score",
+            expr("score div n_bigrams").as("avg_w"))
+      },
+      Some("""WITH bg AS (
+          SELECT doc_id, lang,
+            CAST('0x' || substr(md5(b), 1, 4) AS BIGINT) % 256 AS bucket
+          FROM (SELECT doc_id, lang,
+                  unnest([w[i] || ' ' || w[i + 1]
+                          FOR i IN generate_series(1, len(w) - 1)]) AS b
+                FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+                      FROM documents))),
+        raw AS (SELECT bucket, COUNT(*) AS rcnt FROM bg GROUP BY 1),
+        tgt AS (SELECT bucket, COUNT(*) AS tcnt FROM bg
+                WHERE lang = 'en' GROUP BY 1),
+        wts AS (
+          SELECT raw.bucket,
+            COALESCE(tcnt, 0) * 1000000 // rcnt AS wt
+          FROM raw LEFT JOIN tgt USING (bucket))
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(wt) AS BIGINT) AS score,
+          CAST(SUM(wt) AS BIGINT) // COUNT(*) AS avg_w
+        FROM bg JOIN wts USING (bucket)
+        GROUP BY 1"""))
   )
 }

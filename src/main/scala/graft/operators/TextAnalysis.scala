@@ -489,6 +489,61 @@ object TextAnalysis {
             AS pair
           FROM w WHERE len(w) >= 2)
         SELECT pair, COUNT(*) AS n FROM pairs GROUP BY 1
-        ORDER BY n DESC, pair LIMIT 20"""))
+        ORDER BY n DESC, pair LIMIT 20""")),
+
+    // ----- BPE merge application (tokenizer inference) --------------------
+    // The other half of the tokenizer story: `pipeline_bpe_pairs` is one
+    // training iteration; this op APPLIES a trained, ordered merge list to
+    // every document — the shape of production tokenization over 100 TB.
+    // The merge list is a small offline artifact (here a fixed literal,
+    // the top pairs this corpus actually trains), so application is a
+    // stateless per-row expression chain: no shuffle, no UDF, fully
+    // inside whole-stage codegen (`StringReplace` is codegen'd).
+    //
+    // Encoding: each word becomes space-separated symbols with a leading
+    // space (" k e y "); word boundaries are '|' so merges can never
+    // cross words. A merge (a,b)->ab is `replace(" a b ", " ab ")`,
+    // applied twice because single-pass replace is non-overlapping
+    // left-to-right (the second pass catches occurrences whose leading
+    // space was consumed by the previous match). Both engines share
+    // replace()'s leftmost-non-overlapping semantics, and BOTH the Spark
+    // expression and the oracle SQL below are generated from the same
+    // Scala merge list, so they cannot drift.
+    {
+      val merges = Seq(
+        "e" -> "r", "i" -> "n", "o" -> "w", "s" -> "t", "o" -> "r",
+        "t" -> "a", "a" -> "l", "u" -> "e", "ta" -> "b", "al" -> "ue")
+      def applyMerges(base: String): String =
+        merges.foldLeft(base) { case (acc, (a, b)) =>
+          val (pat, rep) = (s" $a $b ", s" $a$b ")
+          s"replace(replace($acc, '$pat', '$rep'), '$pat', '$rep')"
+        }
+      // per-char spacing with word gaps marked first: 'key agg' ->
+      // ' k e y | a g g ' (leading space so the first symbol is mergeable)
+      val sparkEnc =
+        applyMerges("concat(' ', regexp_replace(replace(text, ' ', '|'), '(.)', '$1 '))")
+      val duckEnc =
+        applyMerges("concat(' ', regexp_replace(replace(text, ' ', '|'), '(.)', '\\1 ', 'g'))")
+      Q("text_bpe_apply",
+        (s, d) => {
+          import s.implicits._
+          Tables.documents(s, d)
+            .select($"doc_id",
+              length(regexp_replace($"text", " ", "")).cast("long")
+                .as("tok_before"),
+              expr(s"size(filter(split(trim($sparkEnc), ' '), x -> x <> '|'))")
+                .cast("long").as("tok_after"))
+            .withColumn("compression",
+              $"tok_before".cast("double") / $"tok_after")
+        },
+        Some(s"""SELECT doc_id,
+            length(replace(text, ' ', '')) AS tok_before,
+            len(list_filter(string_split(trim($duckEnc), ' '),
+                            x -> x <> '|')) AS tok_after,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / len(list_filter(string_split(trim($duckEnc), ' '),
+                                x -> x <> '|')) AS compression
+          FROM documents"""))
+    }
   )
 }
