@@ -778,7 +778,188 @@ object Relational {
         SELECT cohort_wk, wk - cohort_wk AS week_offset,
           COUNT(*) AS n_users
         FROM uw JOIN cohort USING (user_id)
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ----- unpivot / melt -------------------------------------------------
+    // Wide-to-long reshaping with the DataFrame unpivot API (plans as a
+    // single Expand — one pass, no join, no shuffle beyond the input
+    // aggregation). The oracle spells the same reshape as UNION ALL.
+    // Measures are decimal-cast exact sums surfaced as DOUBLE.
+    Q("q38_unpivot",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)")
+              .as("sum_qty"),
+            expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)")
+              .as("sum_price"),
+            expr("cast(sum(cast(l_discount as decimal(18,2))) as double)")
+              .as("sum_disc"))
+          .unpivot(
+            Array($"l_returnflag"),
+            Array($"sum_qty", $"sum_price", $"sum_disc"),
+            "measure", "value")
+      },
+      Some("""WITH a AS (
+          SELECT l_returnflag,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_disc
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM a
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', sum_disc FROM a""")),
+
+    // ----- exact distributed percentiles ----------------------------------
+    // Exact median and p90 by positional selection (row_number against
+    // integer positions — no interpolation, no float quantile math, so
+    // both engines agree bit-for-bit). The median of an even group is the
+    // mean of the two middle values: quantities are integer-valued, so
+    // v/2.0 is exact. p90 position is ceil(0.9n) in pure integer
+    // arithmetic: (9n+9) div 10. This is the scalable exact-percentile
+    // shape: one shuffle to rank within groups, one tiny aggregation —
+    // contrast with q27's approx sketches for the 100 TB tradeoff.
+    Q("q39_exact_median",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH r AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+              ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_quantity) AS rn,
+              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem)
+          SELECT l_returnflag,
+            CAST(MAX(n) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN rn * 2 IN (n, n + 1, n + 2)
+                          AND (n % 2 = 1 OR rn * 2 <> n + 1)
+                          THEN q ELSE 0 END) AS DOUBLE)
+              / CAST(CASE WHEN MAX(n) % 2 = 0 THEN 2 ELSE 1 END AS DOUBLE)
+              AS median,
+            CAST(MAX(CASE WHEN rn = (9 * n + 9) DIV 10 THEN q END)
+                 AS BIGINT) AS p90
+          FROM r GROUP BY l_returnflag""")
+      },
+      Some("""WITH r AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+              ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_quantity) AS rn,
+              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem)
+          SELECT l_returnflag,
+            CAST(MAX(n) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN rn * 2 IN (n, n + 1, n + 2)
+                          AND (n % 2 = 1 OR rn * 2 <> n + 1)
+                          THEN q ELSE 0 END) AS DOUBLE)
+              / CAST(CASE WHEN MAX(n) % 2 = 0 THEN 2 ELSE 1 END AS DOUBLE)
+              AS median,
+            CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN q END)
+                 AS BIGINT) AS p90
+          FROM r GROUP BY l_returnflag""")),
+
+    // ----- NOT IN three-valued-logic semantics ----------------------------
+    // `x NOT IN (subquery)` is an anti-join ONLY when the subquery is
+    // null-free; one NULL makes every comparison UNKNOWN and the result
+    // empty. Spark plans the nullable case as NullAwareAntiJoin (broadcast
+    // only — the null check needs the whole build side per task, which is
+    // exactly why null-free keys matter at 100 TB: the null-free variant
+    // is a plain shuffled anti-join). Both counts in one row prove the
+    // engine honors ANSI semantics rather than silently deduping NULLs.
+    Q("q40_not_in_null",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          SELECT
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+              AS n_no_orders,
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN
+               (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                            ELSE o_custkey END FROM orders))
+              AS n_with_null_probe""")
+      },
+      Some("""
+          SELECT
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+              AS n_no_orders,
+            (SELECT COUNT(*) FROM customer
+             WHERE c_custkey NOT IN
+               (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                            ELSE o_custkey END FROM orders))
+              AS n_with_null_probe""")),
+
+    // ----- array construction + higher-order functions --------------------
+    // Per-order quantity vectors: collect_list is order-nondeterministic
+    // under parallel aggregation, so the array is canonicalized with
+    // sort_array before anything depends on element order. Higher-order
+    // transforms (filter / aggregate) run inside codegen; the JSON
+    // rendering makes the array hashable by the driver's pandas compare.
+    Q("q41_array_funcs",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_quantity".cast("long").as("q"))
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_list($"q")).as("qs"))
+          .select($"l_orderkey",
+            to_json($"qs").as("qty_json"),
+            expr("aggregate(qs, 0L, (acc, x) -> acc + x)").as("qty_sum"),
+            expr("size(filter(qs, x -> x >= 25))").cast("long").as("n_big"),
+            expr("size(array_distinct(qs))").cast("long").as("n_distinct"))
+      },
+      Some("""SELECT l_orderkey,
+          to_json(list_sort(list(CAST(l_quantity AS BIGINT)))) AS qty_json,
+          CAST(list_sum(list(CAST(l_quantity AS BIGINT))) AS BIGINT)
+            AS qty_sum,
+          CAST(len(list_filter(list(CAST(l_quantity AS BIGINT)),
+                               x -> x >= 25)) AS BIGINT) AS n_big,
+          CAST(len(list_distinct(list(CAST(l_quantity AS BIGINT))))
+               AS BIGINT) AS n_distinct
+        FROM lineitem GROUP BY 1""")),
+
+    // ----- built-in session windows (streaming-native sessionization) -----
+    // Spark's session_window is the Structured-Streaming-native form of
+    // q19's manual lag/cumsum sessionization: gap-merged windows computed
+    // by the engine, usable identically under readStream with a
+    // watermark. The oracle derives the same sessions manually (new
+    // session when the gap is >= 30 min — session_window's half-open
+    // [start, last+gap) semantics). Session starts are surfaced as epoch
+    // micros (BIGINT) for the driver's pandas compare.
+    Q("q42_session_window",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id", session_window($"ts", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id",
+            unix_micros($"session_window.start").as("start_us"),
+            unix_micros($"session_window.end").as("end_us"),
+            $"n_events")
+      },
+      Some("""WITH t AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+            LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+              PARTITION BY user_id ORDER BY ts) AS prev_us
+          FROM events),
+        s AS (
+          SELECT user_id, us,
+            SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                     THEN 1 ELSE 0 END) OVER (
+              PARTITION BY user_id ORDER BY us
+              ROWS UNBOUNDED PRECEDING) AS sid
+          FROM t)
+        SELECT user_id, MIN(us) AS start_us,
+          MAX(us) + 1800000000 AS end_us, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid"""))
 
   )
 }
