@@ -878,8 +878,10 @@ object Relational {
         s.sql("""
           SELECT
             (SELECT COUNT(*) FROM customer
-             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
-              AS n_no_orders,
+             WHERE c_custkey NOT IN
+               (SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'))
+              AS n_no_urgent,
             (SELECT COUNT(*) FROM customer
              WHERE c_custkey NOT IN
                (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
@@ -889,8 +891,10 @@ object Relational {
       Some("""
           SELECT
             (SELECT COUNT(*) FROM customer
-             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
-              AS n_no_orders,
+             WHERE c_custkey NOT IN
+               (SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'))
+              AS n_no_urgent,
             (SELECT COUNT(*) FROM customer
              WHERE c_custkey NOT IN
                (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
