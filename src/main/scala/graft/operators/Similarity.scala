@@ -453,6 +453,167 @@ object Similarity {
                         FOR i IN generate_series(1, len(qv))]) AS sqdist
             FROM short JOIN q USING (qid)
             JOIN e ON e.vec_id = short.cid))
+        WHERE rn <= 5""")),
+
+    // ----- IVF-PQ: inverted lists + residual product codes ----------------
+    // The composition production ANN systems actually ship (FAISS
+    // IVFADC; Jegou et al., TPAMI 2011 §IV): a coarse quantizer routes
+    // each vector to an inverted list, PQ encodes the RESIDUAL
+    // (v - centroid) in 16x 4-dim subspaces, and a query probes only its
+    // nprobe=2 nearest lists, scanning candidate codes with a per-list
+    // lookup table before the exact rerank. Versus sim_ann_pq this
+    // replaces the full-corpus code scan with an equi-join on the list
+    // id; versus sim_ann_ivf the candidate scan reads 16-byte codes, not
+    // raw vectors.
+    //
+    // Scale: both the coarse centroids (8x64 doubles) and the residual
+    // codebook (16x32x4) are literals baked into the plan, so assignment
+    // + encoding are zero-shuffle map work over the corpus — the index
+    // build never shuffles the 100 TB side. Query-time cost is
+    // |Q| * nprobe/nlist of the corpus, via a broadcast join keyed on the
+    // list id. Determinism mirrors sim_ann_pq: first-argmin ties, fixed
+    // fold orders, (dist, id) rank tiebreaks — bit-identical both engines.
+    Q("sim_ann_ivfpq",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id",
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val centData: Seq[Seq[Double]] = e.filter($"vec_id" < 8)
+          .orderBy($"vec_id").select($"v").collect()
+          .map(_.getSeq[Double](0).toSeq).toSeq
+        val centCol = typedLit(centData).as("cents")
+        val l2 = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0.0 AS DOUBLE), (a, z) -> a + z)"
+        // coarse assign + residual: pure projection against the literal
+        val asg = e.select($"vec_id", $"v", centCol)
+          .select($"vec_id", $"v",
+            expr(s"transform(cents, c -> ${l2.format("v", "c")})").as("cd"),
+            $"cents")
+          .select($"vec_id", $"v",
+            expr("CAST(array_position(cd, array_min(cd)) - 1 AS INT)")
+              .as("cl"),
+            $"cents")
+          .select($"vec_id", $"v", $"cl",
+            expr("zip_with(v, element_at(cents, cl + 1), (x, y) -> x - y)")
+              .as("r"))
+        // residual codebook: the 32 seed residuals, split into subspaces
+        val cbData: Seq[Seq[Seq[Double]]] = {
+          val seeds = asg.filter($"vec_id" < 32).orderBy($"vec_id")
+            .select($"r").collect().map(_.getSeq[Double](0).toSeq)
+          (0 until 16).map(m => seeds.toSeq.map(_.slice(m * 4, m * 4 + 4)))
+        }
+        val cbCol = typedLit(cbData).as("cb")
+        val subDists =
+          "transform(sequence(0, 15), m -> transform(element_at(cb, m + 1), " +
+            "sub -> aggregate(zip_with(slice(%s, m * 4 + 1, 4), sub, " +
+            "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), " +
+            "(a, z) -> a + z)))"
+        val codes = asg.select($"vec_id", $"cl", $"r", cbCol)
+          .select($"vec_id", $"cl", expr(subDists.format("r")).as("sds"))
+          .select($"vec_id", $"cl", expr("transform(sds, s -> " +
+            "CAST(array_position(s, array_min(s)) - 1 AS INT))").as("codes"))
+        val qs = e.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"v".as("qv"))
+        // probe the 2 nearest lists; LUT is over the per-list residual
+        val wp = Window.partitionBy($"qid").orderBy($"cd".asc, $"pl".asc)
+        val probes = qs.select($"qid", $"qv", centCol)
+          .select($"qid", $"qv", posexplode($"cents"))
+          .select($"qid", $"qv", $"pos".cast("int").as("pl"),
+            expr(l2.format("qv", "col")).as("cd"),
+            expr("zip_with(qv, col, (x, y) -> x - y)").as("qr"))
+          .withColumn("pr", row_number().over(wp))
+          .filter($"pr" <= 2)
+        val lut = probes.select($"qid", $"pl", $"qr", cbCol)
+          .select($"qid", $"pl",
+            expr("flatten(" + subDists.format("qr") + ")").as("lut"))
+        val ws = Window.partitionBy($"qid").orderBy($"adist".asc, $"cid".asc)
+        val shortlist = codes.join(broadcast(lut), $"cl" === $"pl")
+          .filter($"vec_id" =!= $"qid")
+          .select($"qid", $"vec_id".as("cid"),
+            expr("aggregate(sequence(0, 15), CAST(0.0 AS DOUBLE), " +
+              "(acc, m) -> acc + element_at(lut, " +
+              "m * 32 + element_at(codes, m + 1) + 1))").as("adist"))
+          .withColumn("sr", row_number().over(ws))
+          .filter($"sr" <= 50)
+          .select($"qid", $"cid")
+        val wr = Window.partitionBy($"qid").orderBy($"sqdist".asc, $"cid".asc)
+        shortlist
+          .join(broadcast(qs), "qid")
+          .join(e.select($"vec_id".as("cid"), $"v"), "cid")
+          .select($"qid", $"cid",
+            expr(l2.format("qv", "v")).as("sqdist"))
+          .withColumn("rn", row_number().over(wr))
+          .filter($"rn" <= 5)
+          .select($"qid", $"cid", $"sqdist", $"rn")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+          FROM embeddings),
+        cents AS (
+          SELECT CAST(vec_id AS INT) AS pl, v AS c FROM e WHERE vec_id < 8),
+        asg AS (
+          SELECT vec_id, v, pl AS cl,
+            [v[i] - c[i] FOR i IN generate_series(1, len(v))] AS r
+          FROM (
+            SELECT e.vec_id, e.v, cents.pl, cents.c,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                list_sum([(v[i] - c[i]) * (v[i] - c[i])
+                          FOR i IN generate_series(1, len(v))]) ASC,
+                cents.pl ASC) AS rn
+            FROM e, cents) WHERE rn = 1),
+        cb AS (
+          SELECT m, CAST(vec_id AS INT) AS code,
+            list_slice(r, m*4+1, m*4+4) AS sub
+          FROM asg, (SELECT unnest(generate_series(0, 15)) AS m)
+          WHERE vec_id < 32),
+        enc AS (
+          SELECT vec_id, cl, m, code FROM (
+            SELECT a.vec_id, a.cl, cb.m, cb.code,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id, cb.m ORDER BY
+                list_sum([(r[cb.m*4+i] - sub[i]) * (r[cb.m*4+i] - sub[i])
+                          FOR i IN generate_series(1, 4)]) ASC,
+                cb.code ASC) AS rn
+            FROM asg a, cb) WHERE rn = 1),
+        codes AS (
+          SELECT vec_id, cl, list(code ORDER BY m) AS codes FROM enc
+          GROUP BY 1, 2),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+        probes AS (
+          SELECT qid, pl,
+            [qv[i] - c[i] FOR i IN generate_series(1, len(qv))] AS qr
+          FROM (
+            SELECT q.qid, q.qv, cents.pl, cents.c,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                list_sum([(qv[i] - c[i]) * (qv[i] - c[i])
+                          FOR i IN generate_series(1, len(qv))]) ASC,
+                cents.pl ASC) AS pr
+            FROM q, cents) WHERE pr <= 2),
+        lut AS (
+          SELECT qid, pl, list(sd ORDER BY m, code) AS lut FROM (
+            SELECT p.qid, p.pl, cb.m, cb.code,
+              list_sum([(qr[cb.m*4+i] - sub[i]) * (qr[cb.m*4+i] - sub[i])
+                        FOR i IN generate_series(1, 4)]) AS sd
+            FROM probes p, cb) GROUP BY 1, 2),
+        short AS (
+          SELECT qid, cid FROM (
+            SELECT l.qid, c.vec_id AS cid,
+              ROW_NUMBER() OVER (PARTITION BY l.qid ORDER BY
+                list_sum([lut[m * 32 + codes[m + 1] + 1]
+                          FOR m IN generate_series(0, 15)]) ASC,
+                c.vec_id ASC) AS sr
+            FROM lut l JOIN codes c ON c.cl = l.pl
+            WHERE c.vec_id <> l.qid) WHERE sr <= 50)
+        SELECT qid, cid, sqdist, rn FROM (
+          SELECT qid, cid, sqdist,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY sqdist ASC, cid ASC) AS INT) AS rn
+          FROM (
+            SELECT qid, cid,
+              list_sum([(qv[i] - v[i]) * (qv[i] - v[i])
+                        FOR i IN generate_series(1, len(qv))]) AS sqdist
+            FROM short JOIN q USING (qid)
+            JOIN e ON e.vec_id = short.cid))
         WHERE rn <= 5"""))
   )
 }

@@ -78,4 +78,25 @@ class SimilaritySpec extends AnyFunSuite {
   test("PQ result is deterministic across runs") {
     assert(topkPairs("sim_ann_pq") == topkPairs("sim_ann_pq"))
   }
+
+  test("IVF-PQ approximates the exact squared-L2 top-k") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val exact = vecs.keys.filter(_ % 50 == 0).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(c => (sq(vecs(q), vecs(c)), c)).take(5).map(q -> _)
+    }.toSet
+    val ivfpq = topkPairs("sim_ann_ivfpq")
+    assert(exact.nonEmpty && ivfpq.nonEmpty)
+    val recall = ivfpq.intersect(exact).size.toDouble / exact.size
+    // losses compose: nprobe=2/8 coarse routing (IVF-class recall) times
+    // residual-ADC shortlist truncation — must still clear a random scan
+    // of 1/4 the corpus by a wide margin
+    assert(recall >= 0.25, s"IVF-PQ recall $recall")
+    assert(topkPairs("sim_ann_ivfpq") == topkPairs("sim_ann_ivfpq"),
+      "IVF-PQ must be deterministic")
+  }
 }
