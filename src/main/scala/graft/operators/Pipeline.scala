@@ -291,6 +291,62 @@ object Pipeline {
           CAST(SUM(wt) AS BIGINT) AS score,
           CAST(SUM(wt) AS BIGINT) // COUNT(*) AS avg_w
         FROM bg JOIN wts USING (bucket)
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ----- greedy selection under a global token budget -------------------
+    // "Take the best documents until the budget is full" — the data-
+    // selection step after scoring (quality here = scaled distinct-word
+    // ratio, an integer). The NAIVE formulation is a running sum over ONE
+    // global ordering — a single-partition window, the classic scale
+    // trap. This implementation gets the identical answer in two
+    // distributed passes: (1) aggregate token sums per quality value and
+    // cumulate over that tiny histogram to find the boundary quality;
+    // (2) rank within quality buckets only (a partitioned window), keep a
+    // doc iff tokens-before-it < budget. Only the histogram — thousands
+    // of rows at any corpus size — is ever processed on one core; the
+    // oracle states the naive single-window form and must agree exactly,
+    // boundary semantics included.
+    Q("pipeline_token_budget",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val B = 12000L
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id",
+            expr("size(w)").cast("long").as("t"),
+            expr("size(array_distinct(w)) * 1000000L div size(w)")
+              .as("q"))
+        val hist = docs.groupBy($"q").agg(sum($"t").as("bt"))
+          .withColumn("before",
+            coalesce(
+              sum($"bt").over(Window.orderBy($"q".desc)
+                .rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .filter($"before" < B) // buckets starting past the budget: gone
+          .select($"q", $"before")
+        val wq = Window.partitionBy($"q").orderBy($"doc_id".asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs.join(broadcast(hist), "q")
+          .withColumn("within", coalesce(sum($"t").over(wq), lit(0L)))
+          .filter($"before" + $"within" < B)
+          .select($"doc_id", $"q", $"t",
+            ($"before" + $"within" + $"t").as("cum"))
+      },
+      Some("""WITH scored AS (
+          SELECT doc_id,
+            CAST(len(w) AS BIGINT) AS t,
+            CAST(len(list_distinct(w)) AS BIGINT) * 1000000
+              // CAST(len(w) AS BIGINT) AS q
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents)),
+        run AS (
+          SELECT doc_id, q, t,
+            COALESCE(SUM(t) OVER (ORDER BY q DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_before
+          FROM scored)
+        SELECT doc_id, q, t, CAST(cum_before + t AS BIGINT) AS cum
+        FROM run WHERE cum_before < 12000"""))
   )
 }

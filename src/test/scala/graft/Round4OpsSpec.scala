@@ -117,6 +117,26 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token budget: two-pass selection equals the naive global prefix") {
+    import spark.implicits._
+    val got = SparkEntry.queries("pipeline_token_budget")(spark, sf)
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    // naive reference: one global ordering, greedy fill
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val w = text.split(" ")
+        (id, w.length.toLong, w.distinct.length.toLong * 1000000 / w.length)
+      }
+      .sortBy { case (id, _, q) => (-q, id) }
+    var cum = 0L
+    val naive = scala.collection.mutable.Map[Long, Long]()
+    for ((id, t, _) <- docs if cum < 12000L) { cum += t; naive(id) = cum }
+    assert(got == naive.toMap)
+    assert(got.nonEmpty && got.size < docs.size,
+      "budget must select a strict, non-empty subset at this SF")
+  }
+
   test("session windows: built-in session_window equals manual gap merge") {
     import spark.implicits._
     val sessions = SparkEntry.queries("q42_session_window")(spark, sf)
