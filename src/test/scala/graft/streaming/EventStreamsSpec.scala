@@ -174,6 +174,40 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("built-in session_window closes gap-merged sessions under watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    // the exact groupBy q42_session_window runs in batch, under readStream
+    val query = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .selectExpr("user_id", "unix_micros(session_window.start) AS start_us",
+        "n_events")
+      .writeStream.format("memory").queryName("swin_out")
+      .outputMode("append").start()
+
+    // user 1: minutes 0 and 10 merge (gap < 30); minute 100 starts fresh
+    input.addData((ts(0), 1L), (ts(10), 1L), (ts(100), 1L))
+    query.processAllAvailable()
+    input.addData((ts(600), 2L)) // advance watermark far past both sessions
+    query.processAllAvailable()
+    input.addData((ts(1200), 2L)) // once more so every close is emitted
+    query.processAllAvailable()
+    val out = spark.table("swin_out").collect()
+    query.stop()
+
+    val base = 1704067200L * 1000000L // 2024-01-01 00:00:00 UTC in micros
+    assert(out.exists(r => r.getLong(0) == 1L &&
+      r.getLong(1) == base && r.getLong(2) == 2L),
+      s"merged session missing in ${out.mkString(";")}")
+    assert(out.exists(r => r.getLong(0) == 1L &&
+      r.getLong(1) == base + 100L * 60 * 1000000 && r.getLong(2) == 1L),
+      s"second session missing in ${out.mkString(";")}")
+  }
+
   test("stream-stream interval join emits in-window pairs only") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
