@@ -42,6 +42,14 @@ object PcapQueries {
     p.toString
   }
 
+  /** Deterministic DNS query/response conversation capture (20k
+    * conversations; see [[graft.pcap.PcapSynth.qrConversations]]). */
+  private def qrSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_qr.pcap")
+    graft.pcap.PcapSynth.ensureQrFile(p, 20000)
+    p.toString
+  }
+
   val defs: Seq[Q] = Seq(
 
     // the reference's canonical MR example: count by source port
@@ -271,6 +279,45 @@ object PcapQueries {
         CAST(v.protocol AS VARCHAR) AS protocol,
         CAST(v.n AS BIGINT) AS n, CAST(v.bytes AS BIGINT) AS bytes
         FROM (VALUES ('IPv4', 'UDP', 291417, 26477224),
-        ('arp', NULL, 41630, 1748460)) AS v(ether_type, protocol, n, bytes)"""))
+        ('arp', NULL, 41630, 1748460)) AS v(ether_type, protocol, n, bytes)""")),
+
+    // ----- DNS query/response latency pairing -----------------------------
+    // The resolver-side analytic the reference stack's DNS-research users
+    // run on captures: pair each query with its response on
+    // (queryid, qname, endpoints swapped) and aggregate latency per
+    // rcode, keeping unanswered queries as their own bucket (left join,
+    // NULL latency aggregates away). The pairing is ONE shuffle keyed on
+    // (queryid, qname) — the scalable conversation-reassembly shape: no
+    // per-flow state, no ordering assumption between capture files, so
+    // captures can be split arbitrarily across executors. Latencies are
+    // integer micros (ts_micro BIGINT on both sides) — exact min/max/sum.
+    // VALUES oracle derived independently by tools/gen_pcap_oracles.py
+    // from a struct-level Python re-decode of the same capture.
+    Q("pcap_dns_latency",
+      (s, d) => {
+        import s.implicits._
+        val df = s.read.format("pcap").option("decoder", "dns")
+          .load(qrSynthPath)
+        val q = df.filter(!$"dns_qr" && $"dst_port" === 53)
+          .select($"dns_queryid".as("qid"), $"dns_qname".as("qname"),
+            $"src".as("qsrc"), $"dst".as("qdst"), $"ts_micro".as("tq"))
+        val r = df.filter($"dns_qr" && $"src_port" === 53)
+          .select($"dns_queryid".as("qid"), $"dns_qname".as("qname"),
+            $"src".as("rsrc"), $"dst".as("rdst"),
+            $"dns_rcode".as("rc"), $"ts_micro".as("tr"))
+        q.join(r,
+            q("qid") === r("qid") && q("qname") === r("qname") &&
+              q("qsrc") === r("rdst") && q("qdst") === r("rsrc"),
+            "left")
+          .select(coalesce($"rc", lit("UNANSWERED")).as("rcode"),
+            ($"tr" - $"tq").as("lat"))
+          .groupBy($"rcode")
+          .agg(count(lit(1)).as("n"),
+            min($"lat").as("min_us"), max($"lat").as("max_us"),
+            sum($"lat").as("sum_us"))
+          .orderBy($"rcode")
+      },
+      // placeholder until gen_pcap_oracles derives the constants
+      Some(LatencyOracle.sql))
   )
 }

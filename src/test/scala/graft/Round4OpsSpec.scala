@@ -137,6 +137,26 @@ class Round4OpsSpec extends AnyFunSuite {
       "budget must select a strict, non-empty subset at this SF")
   }
 
+  test("dns latency: conversation capture decodes and pairs exactly") {
+    import spark.implicits._
+    val out = SparkEntry.queries("pcap_dns_latency")(spark, sf)
+      .select($"rcode", $"n").as[(String, Long)].collect().toMap
+    // spec-level expectation: pure function of i over 20000 conversations
+    var (ne, nx, un) = (0L, 0L, 0L)
+    for (i <- 0 until 20000) {
+      if (i % 19 == 0) un += 1
+      else if (i % 7 == 0) nx += 1
+      else ne += 1
+    }
+    assert(out == Map("NOERROR" -> ne, "NXDOMAIN" -> nx, "UNANSWERED" -> un))
+    // every response in the capture must decode as a response (qr = true)
+    val df = spark.read.format("pcap").option("decoder", "dns")
+      .load("/tmp/graft_synth_qr.pcap")
+    val qr = df.groupBy($"dns_qr").count().as[(Boolean, Long)]
+      .collect().toMap
+    assert(qr(false) == 20000L && qr(true) == ne + nx)
+  }
+
   test("session windows: built-in session_window equals manual gap merge") {
     import spark.implicits._
     val sessions = SparkEntry.queries("q42_session_window")(spark, sf)

@@ -195,3 +195,49 @@ print(values_sql([md5_row], ("n_dup_groups", "n_dup_packets"),
 print("\n=== pcap_protocol_mix ===")
 print(values_sql(mix_rows, ("ether_type", "protocol", "n", "bytes"),
                  ("VARCHAR", "VARCHAR", "BIGINT", "BIGINT")))
+
+# ---- pcap_dns_latency: re-decode + re-pair the conversation capture ------
+import os
+qrp = "/tmp/graft_synth_qr.pcap"
+if os.path.exists(qrp) and glob.glob(f"{out}/pcap_dns_latency/*.parquet"):
+    qd = open(qrp, "rb").read()
+    assert struct.unpack_from("<I", qd, 0)[0] == 0xA1B2C3D4
+    RC = {0: "NOERROR", 3: "NXDOMAIN"}
+    queries, responses = {}, {}
+    qoff = 24
+    while qoff < len(qd):
+        sec, us, cl, ol = struct.unpack_from("<IIII", qd, qoff)
+        qoff += 16
+        frame = qd[qoff:qoff + cl]; qoff += cl
+        ihl3 = (frame[14] & 0xF) * 4
+        sp, dp = struct.unpack_from(">HH", frame, 14 + ihl3)
+        srca = ".".join(str(b) for b in frame[26:30])
+        dsta = ".".join(str(b) for b in frame[30:34])
+        payload = frame[14 + ihl3 + 8:]
+        qid, flags = struct.unpack_from(">HH", payload, 0)
+        qn, _ = parse_qname(payload, 12)
+        ts_us = sec * 1000000 + us
+        if flags & 0x8000:
+            responses[(qid, qn, dsta, srca)] = (flags & 0xF, ts_us)
+        else:
+            queries[(qid, qn, srca, dsta)] = ts_us
+    lat_agg = {}
+    for k, tq in queries.items():
+        resp = responses.get(k)
+        g = "UNANSWERED" if resp is None else RC[resp[0]]
+        e = lat_agg.setdefault(g, [0, None, None, 0])
+        e[0] += 1
+        if resp is not None:
+            lat = resp[1] - tq
+            e[1] = lat if e[1] is None else min(e[1], lat)
+            e[2] = lat if e[2] is None else max(e[2], lat)
+            e[3] += lat
+    lat_rows = sorted((g, v[0], v[1], v[2],
+                       v[3] if v[1] is not None else None)
+                      for g, v in lat_agg.items())
+    check("pcap_dns_latency", lat_rows,
+          spark_rows("pcap_dns_latency",
+                     ("rcode", "n", "min_us", "max_us", "sum_us")))
+    print("\n=== pcap_dns_latency ===")
+    print(values_sql(lat_rows, ("rcode", "n", "min_us", "max_us", "sum_us"),
+                     ("VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT")))

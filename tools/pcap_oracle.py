@@ -138,5 +138,58 @@ if os.path.exists(ngp) and glob.glob(f"{out}/pcapng_dns_qtype_agg/*.parquet"):
     else:
         print(f"OK   pcapng_dns_qtype_agg {got_ng}")
 
+# dns latency: full byte-level re-decode + re-pairing of the conversation
+# capture (query joined to response on id/qname/swapped endpoints)
+qrp = "/tmp/graft_synth_qr.pcap"
+if os.path.exists(qrp) and glob.glob(f"{out}/pcap_dns_latency/*.parquet"):
+    qd = open(qrp, "rb").read()
+    assert struct.unpack_from("<I", qd, 0)[0] == 0xA1B2C3D4
+    RC = {0: "NOERROR", 3: "NXDOMAIN"}
+    queries, responses = {}, {}
+    qoff = 24
+    while qoff < len(qd):
+        sec, us, cl, ol = struct.unpack_from("<IIII", qd, qoff)
+        qoff += 16
+        frame = qd[qoff:qoff + cl]; qoff += cl
+        assert struct.unpack_from(">H", frame, 12)[0] == 0x0800
+        ihl3 = (frame[14] & 0xF) * 4
+        assert frame[14 + 9] == 17
+        sp, dp = struct.unpack_from(">HH", frame, 14 + ihl3)
+        src = ".".join(str(b) for b in frame[26:30])
+        dst = ".".join(str(b) for b in frame[30:34])
+        payload = frame[14 + ihl3 + 8:]
+        qid, flags = struct.unpack_from(">HH", payload, 0)
+        qn, _ = parse_qname(payload, 12)
+        ts_us = sec * 1000000 + us
+        if flags & 0x8000:
+            assert sp == 53
+            responses[(qid, qn, dst, src)] = (flags & 0xF, ts_us)
+        else:
+            assert dp == 53
+            queries[(qid, qn, src, dst)] = ts_us
+    lat_agg = {}
+    for k, tq in queries.items():
+        resp = responses.get(k)
+        g = "UNANSWERED" if resp is None else RC[resp[0]]
+        e = lat_agg.setdefault(g, [0, None, None, 0])
+        e[0] += 1
+        if resp is not None:
+            lat = resp[1] - tq
+            e[1] = lat if e[1] is None else min(e[1], lat)
+            e[2] = lat if e[2] is None else max(e[2], lat)
+            e[3] += lat
+    exp_lat = sorted((g, v[0], v[1], v[2], v[3] if v[1] is not None else None)
+                     for g, v in lat_agg.items())
+    gl = pq.read_table(glob.glob(
+        f"{out}/pcap_dns_latency/*.parquet")[0]).to_pandas()
+    def _i(x):
+        return None if x != x else int(x)
+    got_lat = sorted((r.rcode, int(r.n), _i(r.min_us), _i(r.max_us),
+                      _i(r.sum_us)) for r in gl.itertuples())
+    if got_lat != exp_lat:
+        print(f"FAIL pcap_dns_latency: {got_lat} vs {exp_lat}"); fails += 1
+    else:
+        print(f"OK   pcap_dns_latency {[(g, n) for g, n, *_ in got_lat]}")
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
