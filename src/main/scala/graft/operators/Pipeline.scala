@@ -347,6 +347,39 @@ object Pipeline {
               AS cum_before
           FROM scored)
         SELECT doc_id, q, t, CAST(cum_before + t AS BIGINT) AS cum
-        FROM run WHERE cum_before < 12000"""))
+        FROM run WHERE cum_before < 12000""")),
+
+    // ----- deterministic training shuffle + sharding ----------------------
+    // Training runs need the corpus in a reproducible pseudo-random order,
+    // split into equal-ish shards, independent of how the pipeline was
+    // partitioned when it ran. Both decisions derive from a content hash:
+    // shard = h mod 32, within-shard position = rank of (h, doc_id).
+    // That makes the "global shuffle" a hash partition + per-shard sort —
+    // no global sort, no RNG state, identical output at any parallelism,
+    // and a re-run after adding documents only perturbs the shards the
+    // new documents land in. ROW_NUMBER within shard is a partitioned
+    // window (32-way parallel at any scale).
+    Q("pipeline_shard_shuffle",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val h = conv(substring(md5(concat(lit("shuffle:"),
+          $"doc_id".cast("string"))), 1, 12), 16, 10).cast("long")
+        val w = Window.partitionBy($"shard").orderBy($"h".asc, $"doc_id".asc)
+        Tables.documents(s, d)
+          .select($"doc_id", h.as("h"))
+          .withColumn("shard", ($"h" % 32).cast("int"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select($"doc_id", $"shard", $"pos")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            CAST('0x' || substr(md5('shuffle:' || doc_id), 1, 12) AS BIGINT)
+              AS h
+          FROM documents)
+        SELECT doc_id, CAST(h % 32 AS INT) AS shard,
+          ROW_NUMBER() OVER (PARTITION BY h % 32 ORDER BY h, doc_id)
+            AS pos
+        FROM h"""))
   )
 }

@@ -87,4 +87,42 @@ class PcapStreamingSpec extends AnyFunSuite {
       assert(rows.map(_.getBoolean(1)).sorted.toSeq == Seq(false, true))
     } finally query.stop()
   }
+
+  test("streaming query/response pairing: stream-stream join on the " +
+       "landing stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pcap_landing_qr")
+    Files.write(dir.resolve("qr.pcap"),
+      graft.pcap.PcapSynth.file(graft.pcap.PcapSynth.qrConversations(200)))
+    // the batch pcap_dns_latency pairing, live: two filtered views of the
+    // landing stream, watermarked, joined with an event-time band so
+    // join state is bounded regardless of capture volume
+    def side = spark.readStream.format("pcap")
+      .option("decoder", "dns").load(dir.toString)
+    val q = side.filter(!col("dns_qr") && col("dst_port") === 53)
+      .select(col("dns_queryid").as("qid"), col("dns_qname").as("qname"),
+        col("src").as("qsrc"), col("dst").as("qdst"), col("time").as("qt"))
+      .withWatermark("qt", "10 seconds")
+    val r = side.filter(col("dns_qr") && col("src_port") === 53)
+      .select(col("dns_queryid").as("rqid"), col("dns_qname").as("rqname"),
+        col("src").as("rsrc"), col("dst").as("rdst"),
+        col("dns_rcode").as("rcode"), col("time").as("rt"))
+      .withWatermark("rt", "10 seconds")
+    val joined = q.join(r, expr(
+      """qid = rqid AND qname = rqname AND qsrc = rdst AND qdst = rsrc
+         AND rt BETWEEN qt AND qt + interval 1 second"""))
+    val query = joined.writeStream.format("memory")
+      .queryName("qr_pairs").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("qr_pairs").groupBy("rcode").count()
+        .as[(String, Long)].collect().toMap
+      var (ne, nx) = (0L, 0L)
+      for (i <- 0 until 200 if i % 19 != 0)
+        if (i % 7 == 0) nx += 1 else ne += 1
+      assert(got == Map("NOERROR" -> ne, "NXDOMAIN" -> nx),
+        s"got $got, want NOERROR=$ne NXDOMAIN=$nx")
+    } finally query.stop()
+  }
 }
