@@ -380,6 +380,48 @@ object Pipeline {
         SELECT doc_id, CAST(h % 32 AS INT) AS shard,
           ROW_NUMBER() OVER (PARTITION BY h % 32 ORDER BY h, doc_id)
             AS pos
-        FROM h"""))
+        FROM h""")),
+
+    // ----- quality-tiered upsampling (epoch mixing) -----------------------
+    // LLM data recipes repeat high-quality sources more often per epoch
+    // (2-3 epochs of curated text vs 1 of crawl). Deterministic version:
+    // tier by the integer quality key (3 copies / 2 / 1 at fixed
+    // thresholds), emit each copy with a content-hash interleave key so
+    // repeats scatter through the training order instead of sitting
+    // adjacent. explode(sequence(1, k)) is pipelined row generation — the
+    // corpus never shuffles to be repeated; the multiplier is plan-local.
+    Q("pipeline_upsample",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id",
+            expr("size(array_distinct(w)) * 1000000L div size(w)").as("q"))
+          .withColumn("k",
+            when($"q" >= 550000L, 3).when($"q" >= 400000L, 2).otherwise(1))
+          .select($"doc_id", $"q",
+            explode(expr("sequence(1L, cast(k as bigint))")).as("copy"))
+          .select($"doc_id", $"q", $"copy",
+            conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+              $"copy".cast("string"))), 1, 12), 16, 10).cast("long")
+              .as("ord"))
+      },
+      Some("""WITH s AS (
+          SELECT doc_id,
+            CAST(len(list_distinct(w)) AS BIGINT) * 1000000
+              // CAST(len(w) AS BIGINT) AS q
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents)),
+        t AS (
+          SELECT doc_id, q,
+            CASE WHEN q >= 550000 THEN 3
+                 WHEN q >= 400000 THEN 2 ELSE 1 END AS k
+          FROM s)
+        SELECT doc_id, q,
+          unnest([c FOR c IN generate_series(1, k)]) AS copy,
+          CAST('0x' || substr(md5(doc_id || ':' ||
+            unnest([c FOR c IN generate_series(1, k)])), 1, 12) AS BIGINT)
+            AS ord
+        FROM t"""))
   )
 }
