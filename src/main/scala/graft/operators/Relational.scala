@@ -963,7 +963,43 @@ object Relational {
           FROM t)
         SELECT user_id, MIN(us) AS start_us,
           MAX(us) + 1800000000 AS end_us, COUNT(*) AS n_events
-        FROM s GROUP BY user_id, sid"""))
+        FROM s GROUP BY user_id, sid""")),
+
+    // ----- map construction + map higher-order functions ------------------
+    // MapType surface: per-user event-type count maps built with
+    // map_from_entries over sorted entries, then consumed with map_keys /
+    // element_at / map_filter. The output projects scalars out of the map
+    // (maps don't survive the driver's pandas compare), and the oracle
+    // states the same semantics in plain conditional aggregation — the
+    // point is that the Spark map expressions produce exactly those
+    // numbers.
+    Q("q43_map_funcs",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .groupBy($"user_id")
+          .agg(map_from_entries(
+            array_sort(collect_list(struct($"event_type", $"n")))).as("m"))
+          .select($"user_id",
+            size(map_keys($"m")).cast("long").as("n_types"),
+            coalesce(element_at($"m", "view"), lit(0L)).as("n_view"),
+            coalesce(element_at($"m", "purchase"), lit(0L)).as("n_purchase"),
+            expr("size(map_filter(m, (k, v) -> v >= 20))").cast("long")
+              .as("n_heavy"))
+      },
+      Some("""WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_types,
+          CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN n END), 0)
+               AS BIGINT) AS n_view,
+          CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN n END), 0)
+               AS BIGINT) AS n_purchase,
+          CAST(SUM(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_heavy
+        FROM c GROUP BY 1"""))
 
   )
 }
