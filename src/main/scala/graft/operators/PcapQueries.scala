@@ -318,6 +318,51 @@ object PcapQueries {
           .orderBy($"rcode")
       },
       // placeholder until gen_pcap_oracles derives the constants
-      Some(LatencyOracle.sql))
+      Some(LatencyOracle.sql)),
+
+    // ----- per-resolver DNS health ----------------------------------------
+    // Operational rollup over the conversation capture: per resolver
+    // (the query's destination), query volume, answer volume, NXDOMAIN
+    // volume, answer rate. No pairing join needed — queries group by
+    // dst, responses by src, and the two 13-row aggregates join on the
+    // resolver address. At 100 TB both aggregations collapse map-side
+    // (resolver cardinality is tiny) and only per-resolver partials
+    // shuffle. answer_rate is a single division of exact integer counts.
+    Q("pcap_resolver_health",
+      (s, d) => {
+        import s.implicits._
+        val df = s.read.format("pcap").option("decoder", "dns")
+          .load(qrSynthPath)
+        val q = df.filter(!$"dns_qr" && $"dst_port" === 53)
+          .groupBy($"dst".as("resolver"))
+          .agg(count(lit(1)).as("n_queries"))
+        val r = df.filter($"dns_qr" && $"src_port" === 53)
+          .groupBy($"src".as("resolver"))
+          .agg(count(lit(1)).as("n_answered"),
+            sum(when($"dns_rcode" === "NXDOMAIN", 1L).otherwise(0L))
+              .as("n_nx"))
+        q.join(r, Seq("resolver"), "left")
+          .select($"resolver", $"n_queries",
+            coalesce($"n_answered", lit(0L)).as("n_answered"),
+            coalesce($"n_nx", lit(0L)).as("n_nx"),
+            (coalesce($"n_answered", lit(0L)).cast("double") / $"n_queries")
+              .as("answer_rate"))
+          .orderBy($"resolver")
+      },
+      Some("""SELECT CAST(v.resolver AS VARCHAR) AS resolver,
+          CAST(v.n_queries AS BIGINT) AS n_queries,
+          CAST(v.n_answered AS BIGINT) AS n_answered,
+          CAST(v.n_nx AS BIGINT) AS n_nx,
+          CAST(v.n_answered AS DOUBLE) / v.n_queries AS answer_rate
+        FROM (VALUES
+          ('1.0.0.1', 1539, 1458, 208), ('2.0.0.1', 1539, 1458, 209),
+          ('3.0.0.1', 1539, 1458, 208), ('4.0.0.1', 1539, 1458, 208),
+          ('5.0.0.1', 1539, 1458, 209), ('6.0.0.1', 1539, 1458, 208),
+          ('7.0.0.1', 1538, 1457, 207), ('8.0.0.1', 1538, 1457, 209),
+          ('9.0.0.1', 1538, 1457, 208), ('10.0.0.1', 1538, 1457, 208),
+          ('11.0.0.1', 1538, 1457, 209), ('12.0.0.1', 1538, 1457, 209),
+          ('13.0.0.1', 1538, 1457, 207))
+        AS v(resolver, n_queries, n_answered, n_nx)
+        ORDER BY resolver"""))
   )
 }

@@ -422,6 +422,52 @@ object Pipeline {
           CAST('0x' || substr(md5(doc_id || ':' ||
             unnest([c FOR c IN generate_series(1, k)])), 1, 12) AS BIGINT)
             AS ord
-        FROM t"""))
+        FROM t""")),
+
+    // ----- dataset card: per-source release summary -----------------------
+    // The numbers a dataset release publishes, computed in one job:
+    // per source, document and token volumes, language spread, exact-dup
+    // rate (corpus-wide full-text hash frequency, same window shape as
+    // dedup_chunk), and mean quality. One pass derives every per-doc
+    // signal; the dup window shuffles on the md5 digest; the final
+    // rollup shuffles per-source partials only. qavg is one division of
+    // a BIGINT sum by a count — engine-exact.
+    Q("pipeline_dataset_card",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val per = Tables.documents(s, d)
+          .select($"source", $"lang", split($"text", " ").as("w"),
+            md5($"text".cast("binary")).as("h"))
+          .select($"source", $"lang", $"h",
+            expr("size(w)").cast("long").as("t"),
+            expr("size(array_distinct(w)) * 1000000L div size(w)").as("q"))
+          .withColumn("dup",
+            when(count(lit(1)).over(Window.partitionBy($"h")) > 1, 1L)
+              .otherwise(0L))
+        per.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"t").as("total_tokens"),
+            countDistinct($"lang").as("n_langs"),
+            sum($"dup").as("n_exact_dup"),
+            (sum($"q").cast("double") / count(lit(1))).as("qavg"))
+      },
+      Some("""WITH per AS (
+          SELECT source, lang, md5(text) AS h,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+            CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+              * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT) AS q
+          FROM documents),
+        f AS (
+          SELECT source, lang, t, q,
+            CASE WHEN COUNT(*) OVER (PARTITION BY h) > 1 THEN 1 ELSE 0 END
+              AS dup
+          FROM per)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(t) AS BIGINT) AS total_tokens,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(SUM(dup) AS BIGINT) AS n_exact_dup,
+          CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / COUNT(*) AS qavg
+        FROM f GROUP BY 1"""))
   )
 }

@@ -191,5 +191,29 @@ if os.path.exists(qrp) and glob.glob(f"{out}/pcap_dns_latency/*.parquet"):
     else:
         print(f"OK   pcap_dns_latency {[(g, n) for g, n, *_ in got_lat]}")
 
+    # per-resolver health from the same independently decoded packets
+    if glob.glob(f"{out}/pcap_resolver_health/*.parquet"):
+        res = {}
+        for (qid, qn, src, dst), tq in queries.items():
+            e = res.setdefault(dst, [0, 0, 0])
+            e[0] += 1
+            resp = responses.get((qid, qn, src, dst))
+            if resp is not None:
+                e[1] += 1
+                if resp[0] == 3:
+                    e[2] += 1
+        exp_rh = sorted((r, v[0], v[1], v[2], v[1] / v[0])
+                        for r, v in res.items())
+        gr = pq.read_table(glob.glob(
+            f"{out}/pcap_resolver_health/*.parquet")[0]).to_pandas()
+        got_rh = sorted((r.resolver, int(r.n_queries), int(r.n_answered),
+                         int(r.n_nx), float(r.answer_rate))
+                        for r in gr.itertuples())
+        if got_rh != exp_rh:
+            print(f"FAIL pcap_resolver_health: {got_rh[:2]} vs {exp_rh[:2]}")
+            fails += 1
+        else:
+            print(f"OK   pcap_resolver_health ({len(got_rh)} resolvers)")
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
