@@ -100,6 +100,35 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .filter($"source" === "src3").count())
   }
 
+  test("pcap -> parquet ETL: decoded captures persist as a pruned, " +
+       "partitioned lake table") {
+    import spark.implicits._
+    // the landing-to-lakehouse pattern for 100 TB of captures: decode
+    // once, persist columnar partitioned by resolver, query the parquet
+    // with partition pruning + pushdown instead of re-decoding pcap
+    val dir = java.nio.file.Files.createTempDirectory("pcap_lake").toString
+    val qr = java.nio.file.Paths.get("/tmp/graft_synth_qr_small.pcap")
+    if (!java.nio.file.Files.exists(qr))
+      java.nio.file.Files.write(qr,
+        graft.pcap.PcapSynth.file(graft.pcap.PcapSynth.qrConversations(500)))
+    spark.read.format("pcap").option("decoder", "dns").load(qr.toString)
+      .filter($"dns_qname".isNotNull)
+      .select($"ts_micro", $"src", $"dst", $"dns_qr", $"dns_qname",
+        $"dns_rcode")
+      .write.partitionBy("dst").mode("overwrite").parquet(dir)
+    val lake = spark.read.parquet(dir)
+      .filter($"dst" === "3.0.0.1" && !$"dns_qr")
+      .select($"dns_qname")
+    val scan = lake.queryExecution.executedPlan.collectLeaves().head
+    val s = scan.toString
+    assert(s.contains("PartitionFilters") && s.contains("3.0.0.1"),
+      s.take(800))
+    assert(s.contains("PushedFilters") && s.contains("dns_qr"), s.take(800))
+    val rows = lake.collect()
+    // queries to resolver 3 (i % 13 == 2) out of 500 conversations
+    assert(rows.length == (0 until 500).count(_ % 13 == 2))
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     // one hot key (0) carrying ~90% of the left side; wide payload so the
