@@ -137,6 +137,37 @@ class Round4OpsSpec extends AnyFunSuite {
       "budget must select a strict, non-empty subset at this SF")
   }
 
+  test("bpe trainer: learned merges match a local reference trainer") {
+    import spark.implicits._
+    val got = graft.tools.BpeTrain.train(spark, sf, 5)
+    assert(got.length == 5)
+    // local reference: greedy most-frequent adjacent pair, ties to the
+    // lexicographically smallest (a, b) — the trainer's orderBy contract
+    var words: Seq[Vector[String]] = Tables.documents(spark, sf)
+      .select($"text").as[String].collect().toSeq
+      .flatMap(_.split(" ")).map(_.map(_.toString).toVector)
+    val learned = scala.collection.mutable.Buffer[(String, String)]()
+    for (_ <- 1 to 5) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for (w <- words; i <- 0 until w.length - 1)
+        counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + 1
+      val (pair, _) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      learned += pair
+      words = words.map { w =>
+        val out = scala.collection.mutable.Buffer[String]()
+        var i = 0
+        while (i < w.length) {
+          if (i < w.length - 1 && (w(i), w(i + 1)) == pair) {
+            out += (w(i) + w(i + 1)); i += 2
+          } else { out += w(i); i += 1 }
+        }
+        out.toVector
+      }
+    }
+    assert(got == learned.toSeq,
+      s"spark trainer $got vs reference $learned")
+  }
+
   test("dns latency: conversation capture decodes and pairs exactly") {
     import spark.implicits._
     val out = SparkEntry.queries("pcap_dns_latency")(spark, sf)
