@@ -363,6 +363,32 @@ object PcapQueries {
           ('11.0.0.1', 1538, 1457, 209), ('12.0.0.1', 1538, 1457, 209),
           ('13.0.0.1', 1538, 1457, 207))
         AS v(resolver, n_queries, n_answered, n_nx)
-        ORDER BY resolver"""))
+        ORDER BY resolver""")),
+
+    // ----- qname-suffix needle-in-haystack scan ---------------------------
+    // The archive-hunt query ("all lookups under one domain, ever"): a
+    // dns_qname suffix predicate is PUSHED INTO THE DECODER
+    // (PcapPacketFilter StringEndsWith), so the 32 MB scan decodes every
+    // packet but materializes rows — and builds RR-section strings — only
+    // for the ~1.5% matching. At 100 TB this is the difference between
+    // streaming the archive at decode speed and paying row
+    // materialization for every packet. ScaleTechniquesSpec asserts the
+    // filter lands in pushedFilters and that results equal the unpushed
+    // plan.
+    Q("pcap_qname_filter",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").option("decoder", "dns").load(synthPath)
+          .filter($"dns_qname".endsWith(".example7.com."))
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"dns_qname").as("n_names"),
+            min($"ts").as("min_ts"), max($"ts").as("max_ts"))
+      },
+      Some("""SELECT CAST(v.n AS BIGINT) AS n,
+          CAST(v.n_names AS BIGINT) AS n_names,
+          CAST(v.min_ts AS BIGINT) AS min_ts,
+          CAST(v.max_ts AS BIGINT) AS max_ts
+        FROM (VALUES (4995, 1500, 1700000000, 1700000332))
+        AS v(n, n_names, min_ts, max_ts)"""))
   )
 }

@@ -5,22 +5,31 @@ import org.apache.spark.sql.sources._
 import graft.pcap.PacketRecord
 
 /** Compiles the subset of Spark `Filter`s the decoder can evaluate per
-  * packet (port/protocol/ether_type equality and IN; ts range) into one
-  * predicate over [[PacketRecord]]. A packet failing a pushed filter is
-  * skipped before row materialization — Spark still applies the full
-  * filter post-scan, so pushdown is purely a row-skipping optimization.
+  * packet (port/protocol/ether_type/src/dst equality and IN; ts range;
+  * dns_qname/dns_rcode equality, prefix, suffix, contains; dns_qr
+  * equality) into one predicate over [[PacketRecord]]. A packet failing a
+  * pushed filter is skipped before row materialization — Spark still
+  * applies the full filter post-scan, so pushdown is purely a
+  * row-skipping optimization (a qname-suffix scan over a 100 TB archive
+  * decodes every packet but materializes only the matching rows, and
+  * RR-section string building is skipped for everything else).
   */
 object PcapPacketFilter {
   type Predicate = PacketRecord => Boolean
   val acceptAll: Predicate = _ => true
 
-  private val columns = Set("src_port", "dst_port", "protocol", "ether_type", "ts")
+  private val columns = Set("src_port", "dst_port", "protocol",
+    "ether_type", "ts", "src", "dst", "dns_qname", "dns_rcode", "dns_qr")
+  private val stringColumns = Set("dns_qname", "dns_rcode")
 
   def supported(f: Filter): Boolean = f match {
     case EqualTo(c, _) => columns(c)
     case In(c, _) => columns(c)
     case GreaterThan("ts", _) | GreaterThanOrEqual("ts", _) |
          LessThan("ts", _) | LessThanOrEqual("ts", _) => true
+    case StringStartsWith(c, _) => stringColumns(c)
+    case StringEndsWith(c, _) => stringColumns(c)
+    case StringContains(c, _) => stringColumns(c)
     case _ => false
   }
 
@@ -30,6 +39,11 @@ object PcapPacketFilter {
     case "protocol" => r.protocol
     case "ether_type" => r.etherType
     case "ts" => r.ts
+    case "src" => r.src
+    case "dst" => r.dst
+    case "dns_qname" => r.dns.flatMap(_.qname)
+    case "dns_rcode" => r.dns.map(_.rcode)
+    case "dns_qr" => r.dns.map(_.qr)
     case _ => None
   }
 
@@ -58,6 +72,12 @@ object PcapPacketFilter {
     case GreaterThanOrEqual("ts", v) => r => r.ts.exists(_ >= asLong(v))
     case LessThan("ts", v) => r => r.ts.exists(_ < asLong(v))
     case LessThanOrEqual("ts", v) => r => r.ts.exists(_ <= asLong(v))
+    case StringStartsWith(c, p) =>
+      r => field(c, r).exists { case s: String => s.startsWith(p); case _ => false }
+    case StringEndsWith(c, p) =>
+      r => field(c, r).exists { case s: String => s.endsWith(p); case _ => false }
+    case StringContains(c, p) =>
+      r => field(c, r).exists { case s: String => s.contains(p); case _ => false }
     case _ => acceptAll
   }
 

@@ -129,6 +129,30 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(rows.length == (0 until 500).count(_ % 13 == 2))
   }
 
+  test("dns string predicates push into the pcap decoder") {
+    import spark.implicits._
+    val qr = java.nio.file.Paths.get("/tmp/graft_synth_qr_small.pcap")
+    if (!java.nio.file.Files.exists(qr))
+      java.nio.file.Files.write(qr,
+        graft.pcap.PcapSynth.file(graft.pcap.PcapSynth.qrConversations(500)))
+    val df = spark.read.format("pcap").option("decoder", "dns")
+      .load(qr.toString)
+      .filter($"dns_qname".endsWith(".example7.com.") && !$"dns_qr")
+      .select($"dns_qname", $"src")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("StringEndsWith(dns_qname"), scan.take(600))
+    // pushdown must be a pure row-skip: same rows as the unpushed plan
+    val unpushed = spark.read.format("pcap").option("decoder", "dns")
+      .load(qr.toString).select($"dns_qname", $"src", $"dns_qr")
+      .collect()
+      .filter(r => !r.isNullAt(0) && r.getString(0).endsWith(".example7.com.")
+        && !r.getBoolean(2))
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val pushed = df.collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(pushed == unpushed && pushed.nonEmpty)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     // one hot key (0) carrying ~90% of the left side; wide payload so the

@@ -138,6 +138,32 @@ if os.path.exists(ngp) and glob.glob(f"{out}/pcapng_dns_qtype_agg/*.parquet"):
     else:
         print(f"OK   pcapng_dns_qtype_agg {got_ng}")
 
+# qname-suffix filter: independent re-decode of the 32 MB capture
+if glob.glob(f"{out}/pcap_qname_filter/*.parquet"):
+    off3, nfl, names, mn, mx = 24, 0, set(), None, None
+    while off3 < len(data):
+        ts3, us3, cl3, ol3 = struct.unpack_from("<IIII", data, off3)
+        off3 += 16
+        frame = data[off3:off3 + cl3]; off3 += cl3
+        if struct.unpack_from(">H", frame, 12)[0] != 0x0800: continue
+        ihl4 = (frame[14] & 0xF) * 4
+        if frame[14 + 9] != 17: continue
+        if struct.unpack_from(">H", frame, 14 + ihl4 + 2)[0] != 53: continue
+        qn, _ = parse_qname(frame[14 + ihl4 + 8:], 12)
+        if qn.endswith(".example7.com."):
+            nfl += 1; names.add(qn)
+            mn = ts3 if mn is None else min(mn, ts3)
+            mx = ts3 if mx is None else max(mx, ts3)
+    gq = pq.read_table(glob.glob(
+        f"{out}/pcap_qname_filter/*.parquet")[0]).to_pandas()
+    got_q = (int(gq.n[0]), int(gq.n_names[0]), int(gq.min_ts[0]),
+             int(gq.max_ts[0]))
+    exp_q = (nfl, len(names), mn, mx)
+    if got_q != exp_q:
+        print(f"FAIL pcap_qname_filter: {got_q} vs {exp_q}"); fails += 1
+    else:
+        print(f"OK   pcap_qname_filter {got_q}")
+
 # dns latency: full byte-level re-decode + re-pairing of the conversation
 # capture (query joined to response on id/qname/swapped endpoints)
 qrp = "/tmp/graft_synth_qr.pcap"
