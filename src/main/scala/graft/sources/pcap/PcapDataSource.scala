@@ -103,7 +103,12 @@ class PcapScanBuilder(options: CaseInsensitiveStringMap)
     * contract (SURVEY.md §4 roadmap item). */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]):
       Array[org.apache.spark.sql.sources.Filter] = {
-    pushed = filters.filter(PcapPacketFilter.supported)
+    // option("pushdown","false") disables the row-skip for A/B measurement
+    // (semantics are unchanged either way: all filters stay residual)
+    pushed =
+      if (options.getBoolean("pushdown", true))
+        filters.filter(PcapPacketFilter.supported)
+      else Array.empty
     filters // everything stays post-scan too
   }
 

@@ -24,6 +24,17 @@ object ParBench {
     t("qname count (1 col)    ")(rd("dns").selectExpr("count(dns_qname)").collect())
     t("qtype_str only (1 col) ")(rd("dns").groupBy("dns_qtype_str").count().collect())
     t("count only, decoder=dns")(rd("dns").count())
+    // string-predicate pushdown A/B: identical query, wide projection
+    // (RR arrays + payload make materialization expensive); with the
+    // suffix pushed only ~1.5% of packets build rows
+    def wide(push: Boolean) = spark.read.format("pcap")
+      .option("decoder", "dns").option("maxBytesPerPartition", "8m")
+      .option("pushdown", push.toString).load(dir)
+      .filter("dns_qname like '%.example7.com.'")
+      .selectExpr("dns_qname", "src", "dst", "dns_answer", "payload")
+      .write.format("noop").mode("overwrite").save()
+    t("qname suffix: pushdown  ")(wide(push = true))
+    t("qname suffix: residual  ")(wide(push = false))
     spark.stop()
   }
 }
