@@ -292,6 +292,68 @@ object Dedup {
         SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM bitsums"""
       }),
 
+    // ----- SimHash near-dup retrieval (hamming <= 3) ----------------------
+    // The lookup the fingerprints exist for: split each 32-bit signature
+    // into 4 byte-bands; by pigeonhole, any pair within hamming distance
+    // 3 agrees exactly on >= 1 band, so an equi-join on (band, byte)
+    // generates a complete candidate set and bit_count(xor) verifies
+    // exactly. Sub-quadratic the same way MinHash-LSH banding is — the
+    // join key space is (4 bands x 256 values), and at corpus scale the
+    // hot band-bytes ARE the near-dup clusters. One aggregation for the
+    // signatures, one self-join on the band key, no full pair scan.
+    Q("dedup_simhash_pairs",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.SimHashAgg.simhash_agg
+        val sigs = Tables.documents(s, d)
+          .select($"doc_id",
+            explode(split(lower($"text"), "\\s+")).as("word"))
+          .select($"doc_id",
+            conv(substring(md5($"word".cast("binary")), 1, 8), 16, 10)
+              .cast("long").as("h"))
+          .groupBy($"doc_id")
+          .agg(simhash_agg($"h").as("sig"))
+        val bands = sigs.select($"doc_id", $"sig", explode(expr(
+          """transform(sequence(0, 3),
+               j -> struct(j AS j,
+                           shiftright(sig, j * 8) & 255L AS b))"""))
+          .as("band"))
+          .select($"doc_id", $"sig", $"band.j", $"band.b")
+        val l = bands.select($"doc_id".as("d1"), $"sig".as("s1"), $"j", $"b")
+        val r = bands.select($"doc_id".as("d2"), $"sig".as("s2"), $"j", $"b")
+        l.join(r, Seq("j", "b"))
+          .filter($"d1" < $"d2")
+          .select($"d1", $"d2",
+            bit_count($"s1".bitwiseXOR($"s2")).as("hamming"))
+          .distinct()
+          .filter($"hamming" <= 3)
+      },
+      Some {
+        val sums = (0 until 32).map { b =>
+          s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b"
+        }.mkString(", ")
+        val bits = (0 until 32).map { b =>
+          s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH words AS (
+          SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+          FROM (SELECT doc_id,
+                  UNNEST(string_split_regex(lower(text), '\\s+')) AS w
+                FROM documents)),
+        bitsums AS (SELECT doc_id, $sums FROM words GROUP BY doc_id),
+        sigs AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM bitsums),
+        bands AS (
+          SELECT doc_id, sig, j, (sig >> (j * 8)) & 255 AS b
+          FROM sigs, (SELECT unnest(generate_series(0, 3)) AS j)),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2,
+            l.sig AS s1, r.sig AS s2
+          FROM bands l JOIN bands r ON l.j = r.j AND l.b = r.b
+          WHERE l.doc_id < r.doc_id)
+        SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(s1, s2)) <= 3"""
+      }),
+
     // ----- duplicated-chunk detection (exact substring dedup) -------------
     // MassiveText/CCNet-style: cut every document into non-overlapping
     // 10-token chunks, hash each, and measure per document what fraction

@@ -72,6 +72,20 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash pairs: banding finds exactly the brute-force hamming<=3 set") {
+    import spark.implicits._
+    val got = SparkEntry.queries("dedup_simhash_pairs")(spark, sf)
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield (d1, d2, h)).toSet
+    assert(got == brute, s"banding missed or invented pairs: " +
+      s"${(got diff brute).take(3)} / ${(brute diff got).take(3)}")
+  }
+
   test("dsir: English documents score higher than non-English on average") {
     import spark.implicits._
     val out = SparkEntry.queries("pipeline_dsir")(spark, sf)

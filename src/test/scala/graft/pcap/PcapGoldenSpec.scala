@@ -140,6 +140,22 @@ class PcapGoldenSpec extends AnyFunSuite {
     assert(n == 2)
   }
 
+  test("bzip2 pcap decodes transparently (Hadoop codec factory)") {
+    val tmp = java.nio.file.Files.createTempDirectory("pcapbz2")
+    val bz = tmp.resolve("test.pcap.bz2")
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(new org.apache.hadoop.conf.Configuration())
+    val out = codec.createOutputStream(
+      java.nio.file.Files.newOutputStream(bz))
+    out.write(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture)))
+    out.close()
+    val rows = spark.read.format("pcap").option("decoder", "dns")
+      .load(bz.toString).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("dns_qname") == "ripe.net."))
+  }
+
   test("pcapng file decodes through the Spark source (sniffed container)") {
     import graft.pcap.PcapSynth
     val tmp = java.nio.file.Files.createTempDirectory("pcapng")
