@@ -973,6 +973,42 @@ object Relational {
     // states the same semantics in plain conditional aggregation — the
     // point is that the Spark map expressions produce exactly those
     // numbers.
+    // ----- event-type transition matrix (Markov chain estimate) -----------
+    // Per-user next-event transitions via lead() (one shuffle on
+    // user_id), then a global count per (from, to) pair — the key space
+    // is event_types^2, so the final aggregation collapses map-side at
+    // any scale. prob is one division of exact counts (per-from
+    // normalization), engine-exact.
+    Q("q44_markov_transitions",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id".asc)
+        val steps = Tables.events(s, d)
+          .select($"user_id", $"event_id", $"event_type".as("from_type"))
+          .withColumn("to_type", lead($"from_type", 1).over(w))
+          .filter($"to_type".isNotNull)
+          .groupBy($"from_type", $"to_type")
+          .agg(count(lit(1)).as("n"))
+        val totals = steps.groupBy($"from_type")
+          .agg(sum($"n").as("n_from"))
+        steps.join(broadcast(totals), "from_type")
+          .select($"from_type", $"to_type", $"n",
+            ($"n".cast("double") / $"n_from").as("prob"))
+      },
+      Some("""WITH steps AS (
+          SELECT from_type, to_type, COUNT(*) AS n FROM (
+            SELECT event_type AS from_type,
+              LEAD(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY event_id ASC) AS to_type
+            FROM events)
+          WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        totals AS (
+          SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+          FROM steps GROUP BY 1)
+        SELECT from_type, to_type, n,
+          CAST(n AS DOUBLE) / n_from AS prob
+        FROM steps JOIN totals USING (from_type)""")),
+
     Q("q43_map_funcs",
       (s, d) => {
         import s.implicits._

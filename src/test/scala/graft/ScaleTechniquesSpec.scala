@@ -129,6 +129,38 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(rows.length == (0 until 500).count(_ % 13 == 2))
   }
 
+  test("IVF inverted lists persist partitioned by list id; probes prune " +
+       "partitions") {
+    import spark.implicits._
+    // the SCALE.md claim, demonstrated: persist (vector, list) partitioned
+    // by the list id; a query probing nprobe lists reads ONLY those
+    // partitions — at 100 TB the unprobed inverted lists are never opened
+    val dir = java.nio.file.Files.createTempDirectory("ivf_lists").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) v")
+    val cents = e.filter($"vec_id" < 8)
+      .selectExpr("vec_id AS cid", "v AS c")
+    val lists = e.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "v", "cid",
+        """aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+           CAST(0.0 AS DOUBLE), (a, z) -> a + z) AS dist""")
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist", $"cid")).as("m"), first($"v").as("v"))
+      .selectExpr("vec_id", "v", "m.cid AS list_id")
+    lists.write.partitionBy("list_id").mode("overwrite").parquet(dir)
+    val probed = spark.read.parquet(dir)
+      .filter($"list_id".isin(2, 5))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().head
+    val s = scan.toString
+    assert(s.contains("PartitionFilters") && s.contains("list_id"),
+      s.take(800))
+    val rows = probed.collect()
+    assert(rows.nonEmpty && rows.length < e.count())
+    probed.collect() // populate metrics on THIS execution
+    scan.metrics.get("numFiles").foreach(m =>
+      assert(m.value <= 4, s"probe read ${m.value} files — no pruning"))
+  }
+
   test("dns string predicates push into the pcap decoder") {
     import spark.implicits._
     val qr = java.nio.file.Paths.get("/tmp/graft_synth_qr_small.pcap")
