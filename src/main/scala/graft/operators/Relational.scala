@@ -973,6 +973,40 @@ object Relational {
     // states the same semantics in plain conditional aggregation — the
     // point is that the Spark map expressions produce exactly those
     // numbers.
+    // ----- relative-rank window functions ---------------------------------
+    // percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are single
+    // divisions of exact integer window counts — engine-exact doubles.
+    // nth_value exercises frame-dependent navigation. Deterministic
+    // ordering via the (totalprice, orderkey) tiebreak as everywhere.
+    Q("q45_rank_stats",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          SELECT o_orderpriority, o_orderkey,
+            percent_rank() OVER w AS pr,
+            cume_dist() OVER w AS cd,
+            nth_value(o_totalprice, 3) OVER (
+              PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third
+          FROM orders
+          WHERE o_orderkey % 37 = 0
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey)""")
+      },
+      Some("""
+          SELECT o_orderpriority, o_orderkey,
+            percent_rank() OVER w AS pr,
+            cume_dist() OVER w AS cd,
+            nth_value(o_totalprice, 3) OVER (
+              PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third
+          FROM orders
+          WHERE o_orderkey % 37 = 0
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey)""")),
+
     // ----- event-type transition matrix (Markov chain estimate) -----------
     // Per-user next-event transitions via lead() (one shuffle on
     // user_id), then a global count per (from, to) pair — the key space

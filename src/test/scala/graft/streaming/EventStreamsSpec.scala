@@ -174,6 +174,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("foreachBatch lands micro-batches as partitioned parquet " +
+       "(production sink pattern)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("stream_lake").toString
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.hourlyAggStream(
+        input.toDF().toDF("ts", "event_type", "value"),
+        watermark = "30 minutes")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").partitionBy("event_type").parquet(out)
+      }
+      .outputMode("append").start()
+    try {
+      input.addData((ts(5), "click", 1.0), (ts(65), "view", 2.0))
+      q.processAllAvailable()
+      input.addData((ts(300), "view", 9.0)) // advance watermark, close hour 0
+      q.processAllAvailable()
+      input.addData((ts(900), "view", 1.0)) // close remaining windows
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(out)
+    assert(landed.count() >= 2, "closed windows must land in the lake")
+    // partitioned layout: event_type is a partition column readable back
+    assert(landed.select($"event_type").distinct().count() >= 2)
+  }
+
   test("built-in session_window closes gap-merged sessions under watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
