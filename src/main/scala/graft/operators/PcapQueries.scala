@@ -389,6 +389,44 @@ object PcapQueries {
           CAST(v.min_ts AS BIGINT) AS min_ts,
           CAST(v.max_ts AS BIGINT) AS max_ts
         FROM (VALUES (4995, 1500, 1700000000, 1700000332))
-        AS v(n, n_names, min_ts, max_ts)"""))
+        AS v(n, n_names, min_ts, max_ts)""")),
+
+    // ----- DNS-over-TCP aggregation ---------------------------------------
+    // Exercises the dns+tcp extension decoder (strips the RFC 1035 2-byte
+    // length prefix the reference chokes on) end-to-end through the
+    // battery. Deterministic capture: 3000 TCP queries, qname a pure
+    // function of index, AAAA when i % 5 == 0. Constants verified by the
+    // same spec arithmetic as the generator (names collapse mod 500;
+    // 10 divides 500, so the tcp{i%10} label adds no cardinality).
+    Q("pcap_dns_tcp_agg",
+      (s, d) => {
+        import s.implicits._
+        val p = java.nio.file.Paths.get("/tmp/graft_synth_tcp.pcap")
+        if (!java.nio.file.Files.exists(p)) {
+          val pkts = (0 until 3000).map { i =>
+            val q = graft.pcap.PcapSynth.dnsQuery(i & 0xFFFF,
+              s"host${i % 500}.tcp${i % 10}.org",
+              qtype = if (i % 5 == 0) 28 else 1)
+            val frame = graft.pcap.PcapSynth.ipv4TcpFrame(
+              Array[Byte](10, (i >> 8).toByte, i.toByte, 9),
+              Array[Byte](9, 0, 0, 1),
+              30000 + (i % 20000), 53, ttl = 64,
+              payload = graft.pcap.PcapSynth.be16(q.length) ++ q)
+            (1700000000L + i / 1000L, (i % 1000) * 991L, frame)
+          }
+          java.nio.file.Files.write(p, graft.pcap.PcapSynth.file(pkts))
+        }
+        s.read.format("pcap").option("decoder", "dns+tcp").load(p.toString)
+          .filter($"dns_qname".isNotNull)
+          .groupBy($"dns_qtype_str")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"dns_qname").as("n_names"))
+          .orderBy($"dns_qtype_str")
+      },
+      Some("""SELECT CAST(v.dns_qtype_str AS VARCHAR) AS dns_qtype_str,
+          CAST(v.n AS BIGINT) AS n, CAST(v.n_names AS BIGINT) AS n_names
+        FROM (VALUES ('A', 2400, 400), ('AAAA', 600, 100))
+        AS v(dns_qtype_str, n, n_names)
+        ORDER BY dns_qtype_str"""))
   )
 }

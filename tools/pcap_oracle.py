@@ -164,6 +164,38 @@ if glob.glob(f"{out}/pcap_qname_filter/*.parquet"):
     else:
         print(f"OK   pcap_qname_filter {got_q}")
 
+# dns-over-tcp: independent re-decode of the TCP capture (strip the
+# 20-byte TCP header and the RFC 1035 2-byte length prefix)
+tcp_p = "/tmp/graft_synth_tcp.pcap"
+if os.path.exists(tcp_p) and glob.glob(f"{out}/pcap_dns_tcp_agg/*.parquet"):
+    td = open(tcp_p, "rb").read()
+    toff, tagg = 24, {}
+    while toff < len(td):
+        _, _, tcl, _ = struct.unpack_from("<IIII", td, toff)
+        toff += 16
+        frame = td[toff:toff + tcl]; toff += tcl
+        assert struct.unpack_from(">H", frame, 12)[0] == 0x0800
+        ihl5 = (frame[14] & 0xF) * 4
+        assert frame[14 + 9] == 6  # TCP
+        tcp_hl = (frame[14 + ihl5 + 12] >> 4) * 4
+        payload = frame[14 + ihl5 + tcp_hl:]
+        mlen = struct.unpack_from(">H", payload, 0)[0]
+        msg = payload[2:2 + mlen]
+        assert len(msg) == mlen
+        qn, qo = parse_qname(msg, 12)
+        qt = QT[struct.unpack_from(">H", msg, qo)[0]]
+        e = tagg.setdefault(qt, [0, set()])
+        e[0] += 1; e[1].add(qn)
+    exp_t = sorted((k, v[0], len(v[1])) for k, v in tagg.items())
+    gt = pq.read_table(glob.glob(
+        f"{out}/pcap_dns_tcp_agg/*.parquet")[0]).to_pandas()
+    got_t = sorted((r.dns_qtype_str, int(r.n), int(r.n_names))
+                   for r in gt.itertuples())
+    if got_t != exp_t:
+        print(f"FAIL pcap_dns_tcp_agg: {got_t} vs {exp_t}"); fails += 1
+    else:
+        print(f"OK   pcap_dns_tcp_agg {got_t}")
+
 # dns latency: full byte-level re-decode + re-pairing of the conversation
 # capture (query joined to response on id/qname/swapped endpoints)
 qrp = "/tmp/graft_synth_qr.pcap"
