@@ -424,6 +424,66 @@ object Pipeline {
             AS ord
         FROM t""")),
 
+    // ----- end-to-end preprocessing DAG in one plan -----------------------
+    // Quality gate -> exact dedup (keep lowest doc_id per content hash)
+    // -> hash-bucket train/val/test split -> per-split audit, composed as
+    // ONE DataFrame plan: Catalyst fuses the gate into the scan, the
+    // dedup is a single window on the content hash, the split decision is
+    // a stateless hash threshold, and only the 3-row audit aggregation
+    // ever leaves the executors. This is the statement that the operator
+    // library composes: the full corpus pipeline is one job, one lineage,
+    // no intermediate materialization.
+    Q("pipeline_e2e_preprocess",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val gated = Tables.documents(s, d)
+          .select($"doc_id", $"text", split($"text", " ").as("w"))
+          .filter(expr("size(w) BETWEEN 20 AND 1000") &&
+            expr("size(array_distinct(w)) * 1000000L div size(w)") >= 300000L)
+        val deduped = gated
+          .withColumn("h", md5($"text".cast("binary")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"h").orderBy($"doc_id".asc)))
+          .filter($"rn" === 1)
+        deduped
+          .withColumn("bucket",
+            conv(substring(md5(concat(lit("split:"),
+              $"doc_id".cast("string"))), 1, 4), 16, 10).cast("long") % 100)
+          .withColumn("split",
+            when($"bucket" < 90, "train")
+              .when($"bucket" < 95, "val").otherwise("test"))
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(expr("size(w)")).cast("long").as("total_tokens"),
+            sum($"doc_id").as("id_checksum"))
+      },
+      Some("""WITH gated AS (
+          SELECT doc_id, text, string_split(text, ' ') AS w
+          FROM documents
+          WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+            AND CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+                >= 300000),
+        deduped AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, w,
+              ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id ASC) AS rn
+            FROM gated) WHERE rn = 1),
+        labeled AS (
+          SELECT doc_id, w,
+            CASE WHEN b < 90 THEN 'train'
+                 WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id, w,
+                  CAST('0x' || substr(md5('split:' || doc_id), 1, 4)
+                       AS BIGINT) % 100 AS b
+                FROM deduped))
+        SELECT split, COUNT(*) AS n_docs,
+          CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
+          CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM labeled GROUP BY 1""")),
+
     // ----- dataset card: per-source release summary -----------------------
     // The numbers a dataset release publishes, computed in one job:
     // per source, document and token volumes, language spread, exact-dup
