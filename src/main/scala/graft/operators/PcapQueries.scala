@@ -427,6 +427,51 @@ object PcapQueries {
           CAST(v.n AS BIGINT) AS n, CAST(v.n_names AS BIGINT) AS n_names
         FROM (VALUES ('A', 2400, 400), ('AAAA', 600, 100))
         AS v(dns_qtype_str, n, n_names)
-        ORDER BY dns_qtype_str"""))
+        ORDER BY dns_qtype_str""")),
+
+    // ----- IPv6 extension-header mix --------------------------------------
+    // Exercises the RFC 8200 ext-header walk (§2A op 9 — where the
+    // reference has size bugs we fixed) through the oracle gate:
+    // deterministic mixed capture, every third frame IPv6 (every sixth
+    // fragmented). frag stays NULL for unfragmented traffic — reference
+    // parity: the flag records "Fragment header seen", not "is v6".
+    Q("pcap_ipv6_mix",
+      (s, d) => {
+        import s.implicits._
+        val p = java.nio.file.Paths.get("/tmp/graft_synth_v6.pcap")
+        if (!java.nio.file.Files.exists(p)) {
+          val pkts = (0 until 4000).map { i =>
+            val frame =
+              if (i % 3 == 0)
+                graft.pcap.PcapSynth.ipv6UdpFrame(
+                  4000 + (i % 7), 53, hopLimit = 64,
+                  payload = graft.pcap.PcapSynth.dnsQuery(
+                    i & 0xFFFF, s"v6host${i % 200}.example.net"),
+                  withFragmentHeader = i % 6 == 0)
+              else
+                graft.pcap.PcapSynth.ipv4UdpFrame(
+                  Array[Byte](10, 0, (i >> 8).toByte, i.toByte),
+                  Array[Byte](11, 0, 0, 1),
+                  2000 + (i % 100), 4000, ttl = 64,
+                  payload = new Array[Byte](24))
+            (1700000000L + i / 1000L, (i % 1000) * 983L, frame)
+          }
+          java.nio.file.Files.write(p, graft.pcap.PcapSynth.file(pkts))
+        }
+        s.read.format("pcap").load(p.toString)
+          .groupBy($"ether_type", $"frag", $"ext_headers")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"ether_type", $"frag", $"ext_headers")
+      },
+      Some("""SELECT CAST(v.ether_type AS VARCHAR) AS ether_type,
+          CAST(v.frag AS BOOLEAN) AS frag,
+          CAST(v.ext_headers AS VARCHAR) AS ext_headers,
+          CAST(v.n AS BIGINT) AS n
+        FROM (VALUES
+          ('IPv4', NULL, NULL, 2666),
+          ('IPv6', NULL, '[UDP]', 667),
+          ('IPv6', true, '[Fragment][UDP]', 667))
+        AS v(ether_type, frag, ext_headers, n)
+        ORDER BY ether_type, frag, ext_headers"""))
   )
 }

@@ -164,6 +164,54 @@ if glob.glob(f"{out}/pcap_qname_filter/*.parquet"):
     else:
         print(f"OK   pcap_qname_filter {got_q}")
 
+# ipv6 mix: independent RFC 8200 ext-chain walk over the v6 capture
+v6_p = "/tmp/graft_synth_v6.pcap"
+if os.path.exists(v6_p) and glob.glob(f"{out}/pcap_ipv6_mix/*.parquet"):
+    vd = open(v6_p, "rb").read()
+    voff, vagg = 24, {}
+    EXT = {0: "HopByHop", 43: "Routing", 44: "Fragment", 51: "AH",
+           60: "DstOpts"}
+    while voff < len(vd):
+        _, _, vcl, _ = struct.unpack_from("<IIII", vd, voff)
+        voff += 16
+        frame = vd[voff:voff + vcl]; voff += vcl
+        et = struct.unpack_from(">H", frame, 12)[0]
+        if et == 0x0800:
+            key = ("IPv4", None, None)
+        else:
+            assert et == 0x86DD
+            ip = 14
+            nxt = frame[ip + 6]
+            off6, frag6, chain = 40, None, ""
+            while True:
+                if nxt == 44:
+                    chain += "[Fragment]"; frag6 = True
+                    nxt = frame[ip + off6]; off6 += 8
+                elif nxt in EXT:
+                    chain += "[" + EXT[nxt] + "]"
+                    nl = frame[ip + off6 + 1]
+                    nxt2 = frame[ip + off6]
+                    off6 += (nl + 1) * 8
+                    nxt = nxt2
+                else:
+                    chain += "[UDP]" if nxt == 17 else f"[{nxt}]"
+                    break
+            key = ("IPv6", frag6, chain)
+        vagg[key] = vagg.get(key, 0) + 1
+    exp_v6 = sorted(((k[0], k[1], k[2], n) for k, n in vagg.items()),
+                    key=str)
+    gv = pq.read_table(glob.glob(
+        f"{out}/pcap_ipv6_mix/*.parquet")[0]).to_pandas()
+    def _b(x):
+        return None if x is None or x != x else bool(x)
+    got_v6 = sorted(((r.ether_type, _b(r.frag),
+                      None if r.ext_headers is None else r.ext_headers,
+                      int(r.n)) for r in gv.itertuples()), key=str)
+    if got_v6 != exp_v6:
+        print(f"FAIL pcap_ipv6_mix: {got_v6} vs {exp_v6}"); fails += 1
+    else:
+        print(f"OK   pcap_ipv6_mix {got_v6}")
+
 # dns-over-tcp: independent re-decode of the TCP capture (strip the
 # 20-byte TCP header and the RFC 1035 2-byte length prefix)
 tcp_p = "/tmp/graft_synth_tcp.pcap"
