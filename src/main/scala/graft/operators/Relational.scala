@@ -973,6 +973,45 @@ object Relational {
     // states the same semantics in plain conditional aggregation — the
     // point is that the Spark map expressions produce exactly those
     // numbers.
+    // ----- multiset (ALL) set operations ----------------------------------
+    // Bag semantics are a different operator from q09's distinct forms:
+    // EXCEPT ALL / INTERSECT ALL preserve multiplicities (Spark plans
+    // them as aggregate+generate over per-row counts, not joins over
+    // distinct keys). Counts of each result prove the multiplicity math.
+    Q("q46_setops_all",
+      (s, d) => {
+        import s.implicits._
+        val a = Tables.lineitem(s, d).filter($"l_returnflag" === "A")
+          .select($"l_quantity".cast("long").as("q"))
+        val r = Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+          .select($"l_quantity".cast("long").as("q"))
+        val ex = a.exceptAll(r).count()
+        val in = a.intersectAll(r).count()
+        val un = a.unionAll(r).count()
+        import s.implicits._
+        Seq((ex, in, un)).toDF("n_except_all", "n_intersect_all",
+          "n_union_all")
+      },
+      Some("""SELECT
+          (SELECT COUNT(*) FROM (
+            SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+              WHERE l_returnflag = 'A'
+            EXCEPT ALL
+            SELECT CAST(l_quantity AS BIGINT) FROM lineitem
+              WHERE l_returnflag = 'R')) AS n_except_all,
+          (SELECT COUNT(*) FROM (
+            SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+              WHERE l_returnflag = 'A'
+            INTERSECT ALL
+            SELECT CAST(l_quantity AS BIGINT) FROM lineitem
+              WHERE l_returnflag = 'R')) AS n_intersect_all,
+          (SELECT COUNT(*) FROM (
+            SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+              WHERE l_returnflag = 'A'
+            UNION ALL
+            SELECT CAST(l_quantity AS BIGINT) FROM lineitem
+              WHERE l_returnflag = 'R')) AS n_union_all""")),
+
     // ----- relative-rank window functions ---------------------------------
     // percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are single
     // divisions of exact integer window counts — engine-exact doubles.
