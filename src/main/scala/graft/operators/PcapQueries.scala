@@ -472,6 +472,33 @@ object PcapQueries {
           ('IPv6', NULL, '[UDP]', 667),
           ('IPv6', true, '[Fragment][UDP]', 667))
         AS v(ether_type, frag, ext_headers, n)
-        ORDER BY ether_type, frag, ext_headers"""))
+        ORDER BY ether_type, frag, ext_headers""")),
+
+    // ----- cross-container dedup (classic pcap + pcapng, one scan) --------
+    // The md5 column's real job at archive scale: find identical frames
+    // captured twice across format generations. ONE multi-path load scans
+    // a classic capture and a pcapng capture together (container sniffed
+    // per file), and the frame digest dedups across them — the pcapng
+    // synth replays the classic synth's first 50k frames byte-identically
+    // by construction, so the shared-digest count is a spec constant.
+    // Per-digest file-spread via one aggregation on the digest (the
+    // md5 key shuffles, never the frames).
+    Q("pcap_dedup_cross_container",
+      (s, d) => {
+        import s.implicits._
+        val df = s.read.format("pcap").option("md5", "true")
+          .load(synthPath, ngSynthPath)
+          .select($"md5", $"file")
+        df.groupBy($"md5")
+          .agg(countDistinct($"file").as("nf"), count(lit(1)).as("np"))
+          .agg(sum($"np").cast("long").as("n_pkts"),
+            count(lit(1)).as("n_md5"),
+            sum(when($"nf" > 1, 1L).otherwise(0L)).as("n_shared_md5"))
+      },
+      Some("""SELECT CAST(v.n_pkts AS BIGINT) AS n_pkts,
+          CAST(v.n_md5 AS BIGINT) AS n_md5,
+          CAST(v.n_shared_md5 AS BIGINT) AS n_shared_md5
+        FROM (VALUES (383047, 291418, 43751))
+        AS v(n_pkts, n_md5, n_shared_md5)"""))
   )
 }

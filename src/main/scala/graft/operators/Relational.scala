@@ -973,6 +973,46 @@ object Relational {
     // states the same semantics in plain conditional aggregation — the
     // point is that the Spark map expressions produce exactly those
     // numbers.
+    // ----- regex extraction family ----------------------------------------
+    // regexp_extract_all / regexp_count with a dialect-neutral pattern;
+    // match order is left-to-right on both engines, arrays JSON-rendered
+    // for the driver compare.
+    Q("q47_regex_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            to_json(regexp_extract_all($"text", lit("s[a-z]+"), lit(0)))
+              .as("s_words"),
+            expr("regexp_count(text, 's[a-z]+')").cast("long").as("n_s"),
+            regexp_extract($"text", "(b[a-z]+)", 1).as("first_b"))
+      },
+      Some("""SELECT doc_id,
+          to_json(regexp_extract_all(text, 's[a-z]+', 0)) AS s_words,
+          CAST(len(regexp_extract_all(text, 's[a-z]+', 0)) AS BIGINT)
+            AS n_s,
+          COALESCE(regexp_extract(text, '(b[a-z]+)', 1), '') AS first_b
+        FROM documents""")),
+
+    // ----- ordered string aggregation (listagg) ---------------------------
+    // listagg WITHIN GROUP (Spark 4) vs string_agg ORDER BY: ordered,
+    // distinct string concatenation is deterministic — the canonical
+    // "report cell" aggregate.
+    Q("q48_listagg",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""SELECT o_orderpriority,
+            listagg(DISTINCT o_orderstatus, ',')
+              WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+            COUNT(*) AS n
+          FROM orders GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority,
+          string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+            AS statuses,
+          COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority""")),
+
     // ----- multiset (ALL) set operations ----------------------------------
     // Bag semantics are a different operator from q09's distinct forms:
     // EXCEPT ALL / INTERSECT ALL preserve multiplicities (Spark plans

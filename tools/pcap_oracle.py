@@ -164,6 +164,38 @@ if glob.glob(f"{out}/pcap_qname_filter/*.parquet"):
     else:
         print(f"OK   pcap_qname_filter {got_q}")
 
+# cross-container dedup: md5 over raw frames of BOTH captures
+if glob.glob(f"{out}/pcap_dedup_cross_container/*.parquet"):
+    import hashlib
+    md5c, md5n = {}, {}
+    coff = 24
+    while coff < len(data):
+        _, _, ccl, _ = struct.unpack_from("<IIII", data, coff)
+        coff += 16
+        md5c[hashlib.md5(data[coff:coff + ccl]).hexdigest()] = \
+            md5c.get(hashlib.md5(data[coff:coff + ccl]).hexdigest(), 0) + 1
+        coff += ccl
+    ngd = open("/tmp/graft_synth_50k.pcapng", "rb").read()
+    noff = 0
+    while noff < len(ngd):
+        btype, blen = struct.unpack_from("<II", ngd, noff)
+        if btype == 6:
+            body = ngd[noff + 8:noff + blen - 4]
+            _, _, _, ncl, _ = struct.unpack_from("<IIIII", body, 0)
+            h = hashlib.md5(body[20:20 + ncl]).hexdigest()
+            md5n[h] = md5n.get(h, 0) + 1
+        noff += blen
+    exp_cc = (sum(md5c.values()) + sum(md5n.values()),
+              len(set(md5c) | set(md5n)), len(set(md5c) & set(md5n)))
+    gc = pq.read_table(glob.glob(
+        f"{out}/pcap_dedup_cross_container/*.parquet")[0]).to_pandas()
+    got_cc = (int(gc.n_pkts[0]), int(gc.n_md5[0]), int(gc.n_shared_md5[0]))
+    if got_cc != exp_cc:
+        print(f"FAIL pcap_dedup_cross_container: {got_cc} vs {exp_cc}")
+        fails += 1
+    else:
+        print(f"OK   pcap_dedup_cross_container {got_cc}")
+
 # ipv6 mix: independent RFC 8200 ext-chain walk over the v6 capture
 v6_p = "/tmp/graft_synth_v6.pcap"
 if os.path.exists(v6_p) and glob.glob(f"{out}/pcap_ipv6_mix/*.parquet"):
