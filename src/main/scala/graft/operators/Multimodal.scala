@@ -145,6 +145,54 @@ object Multimodal {
           LATERAL (SELECT UNNEST([x FOR x IN
             generate_series(0, CAST(doc_id % 24 AS INT)) IF x % 4 = 0])
             AS frame_no) f
-        WHERE doc_id % 3 = 2"""))
+        WHERE doc_id % 3 = 2""")),
+
+    // ----- resize (STUB nearest-neighbor downsample) ----------------------
+    // The resize stage of an image pipeline: target max-dim 64 with
+    // integer aspect preservation, and a strided byte sample of the blob
+    // standing in for nearest-neighbor resampling (a real codec swaps
+    // into the same mapPartitions seam as mm_feature_extract; the batch
+    // shape, schema, and no-shuffle contract are what's under test).
+    Q("mm_resize",
+      (s, d) => {
+        import s.implicits._
+        val media = mediaTable(s, d)
+          .filter($"kind" === "image")
+          .select($"media_id", $"meta.width".as("w"),
+            $"meta.height".as("h"), $"content")
+          .as[(Long, Int, Int, Array[Byte])]
+        media.mapPartitions { it =>
+          it.map { case (id, w, h, bytes) =>
+            val scale = (math.max(w, h) + 63) / 64
+            val nw = math.max(w / scale, 1)
+            val nh = math.max(h / scale, 1)
+            var ck = 0L
+            var i = 0
+            while (i < bytes.length) {
+              ck = (ck * 131 + (bytes(i) & 0xFF)) % 1000000007L
+              i += scale
+            }
+            (id, w, h, nw, nh, ck)
+          }
+        }.toDF("media_id", "w", "h", "new_w", "new_h", "sample_checksum")
+      },
+      Some("""WITH img AS (
+          SELECT doc_id AS media_id,
+            CAST(doc_id % 640 + 16 AS INT) AS w,
+            CAST(doc_id % 480 + 16 AS INT) AS h,
+            text
+          FROM documents WHERE doc_id % 3 = 0),
+        dims AS (
+          SELECT media_id, w, h,
+            CAST((greatest(w, h) + 63) // 64 AS INT) AS scale, text
+          FROM img)
+        SELECT media_id, w, h,
+          CAST(greatest(w // scale, 1) AS INT) AS new_w,
+          CAST(greatest(h // scale, 1) AS INT) AS new_h,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [ord(text[i]) FOR i IN range(1, length(text) + 1)
+             IF (i - 1) % scale = 0]),
+            (acc, x) -> (acc * 131 + x) % 1000000007) AS sample_checksum
+        FROM dims"""))
   )
 }
