@@ -973,6 +973,38 @@ object Relational {
     // states the same semantics in plain conditional aggregation — the
     // point is that the Spark map expressions produce exactly those
     // numbers.
+    // ----- mergeable HLL sketches (DataSketches, partial-union path) ------
+    // THE distinct-count pattern at 100 TB: build a sketch per partition
+    // (here per day), persist/union the sketches, estimate once — no
+    // re-scan, no exact-distinct shuffle. Spark 4 ships Apache
+    // DataSketches HLL with a real union operator (q27's
+    // approx_count_distinct is HLL++ without exposed sketches). DuckDB
+    // can't reproduce the sketch bits, so — exactly like q27 — the
+    // oracle pins the EXACT count plus the claim that the merged
+    // estimate lands within 5%: deterministic booleans, not floats.
+    Q("q49_hll_merge",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d)
+          .select(to_date($"ts").as("day"), $"user_id")
+          .groupBy($"day")
+          .agg(hll_sketch_agg($"user_id").as("sk"))
+        val merged = daily.agg(
+          hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
+          count(lit(1)).as("n_days"))
+        val exact = Tables.events(s, d)
+          .agg(countDistinct($"user_id").as("exact_users"))
+        merged.crossJoin(exact)
+          .select($"exact_users", $"n_days",
+            (abs($"est" - $"exact_users") <=
+              $"exact_users".cast("double") * 0.05).as("merged_in_5pct"))
+      },
+      Some("""SELECT COUNT(DISTINCT user_id) AS exact_users,
+          (SELECT COUNT(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+           FROM events) AS n_days,
+          true AS merged_in_5pct
+        FROM events""")),
+
     // ----- regex extraction family ----------------------------------------
     // regexp_extract_all / regexp_count with a dialect-neutral pattern;
     // match order is left-to-right on both engines, arrays JSON-rendered
