@@ -424,6 +424,44 @@ object Pipeline {
             AS ord
         FROM t""")),
 
+    // ----- class balancing (downsample to the minority class) -------------
+    // Equal-per-language training mix: every language keeps exactly
+    // min-class-size documents, chosen by content-hash rank (stable
+    // under re-ingest, independent of partitioning). The minority size
+    // is a 5-row aggregate; selection is a partitioned window — the
+    // standard balance step before multilingual training.
+    Q("pipeline_label_balance",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ranked = Tables.documents(s, d)
+          .select($"doc_id", $"lang",
+            conv(substring(md5(concat(lit("bal:"),
+              $"doc_id".cast("string"))), 1, 12), 16, 10).cast("long")
+              .as("hsh"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"lang").orderBy($"hsh".asc, $"doc_id".asc)))
+        val minSize = Tables.documents(s, d)
+          .groupBy($"lang").agg(count(lit(1)).as("n"))
+          .agg(min($"n").as("m"))
+        ranked.crossJoin(broadcast(minSize))
+          .filter($"rn" <= $"m")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum($"doc_id").as("id_checksum"))
+      },
+      Some("""WITH ranked AS (
+          SELECT doc_id, lang,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+              CAST('0x' || substr(md5('bal:' || doc_id), 1, 12) AS BIGINT),
+              doc_id) AS rn
+          FROM documents),
+        m AS (SELECT MIN(n) AS m FROM
+          (SELECT COUNT(*) AS n FROM documents GROUP BY lang))
+        SELECT lang, COUNT(*) AS n_kept,
+          CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM ranked, m WHERE rn <= m.m GROUP BY lang""")),
+
     // ----- end-to-end preprocessing DAG in one plan -----------------------
     // Quality gate -> exact dedup (keep lowest doc_id per content hash)
     // -> hash-bucket train/val/test split -> per-split audit, composed as

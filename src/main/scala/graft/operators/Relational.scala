@@ -973,6 +973,48 @@ object Relational {
     // states the same semantics in plain conditional aggregation — the
     // point is that the Spark map expressions produce exactly those
     // numbers.
+    // ----- calendar spine + gap fill --------------------------------------
+    // Reporting over sparse time series: generate the full day spine
+    // between min and max event dates, left-join daily purchase
+    // aggregates, zero-fill the gaps. The spine is sequence() over a
+    // 2-row bound aggregate (driver-free, executor-generated); days are
+    // rendered as strings for the driver compare.
+    Q("q50_date_spine",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(to_date($"ts").as("day"), $"event_type", $"value")
+        val bounds = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+        val spine = bounds
+          .select(explode(expr("sequence(lo, hi, interval 1 day)"))
+            .as("day"))
+        val daily = ev.filter($"event_type" === "purchase")
+          .groupBy($"day")
+          .agg(count(lit(1)).as("n_purchases"),
+            expr("cast(sum(cast(value as decimal(18,2))) as double)")
+              .as("revenue"))
+        spine.join(daily, Seq("day"), "left")
+          .select(date_format($"day", "yyyy-MM-dd").as("day"),
+            coalesce($"n_purchases", lit(0L)).as("n_purchases"),
+            coalesce($"revenue", lit(0.0)).as("revenue"))
+      },
+      Some("""WITH ev AS (
+          SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+            event_type, value
+          FROM events),
+        bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev),
+        spine AS (
+          SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+            AS day FROM bounds),
+        daily AS (
+          SELECT day, COUNT(*) AS n_purchases,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM ev WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+          COALESCE(n_purchases, 0) AS n_purchases,
+          COALESCE(revenue, 0.0) AS revenue
+        FROM spine LEFT JOIN daily ON spine.day = daily.day""")),
+
     // ----- mergeable HLL sketches (DataSketches, partial-union path) ------
     // THE distinct-count pattern at 100 TB: build a sketch per partition
     // (here per day), persist/union the sketches, estimate once — no
