@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The battery's core determinism claim, tested directly: results are
+  * independent of physical partitioning. Every query that aggregates
+  * floats through decimal/scaled-integer paths, ranks with explicit
+  * tiebreaks, or iterates (k-means, PageRank) must produce IDENTICAL
+  * rows whether the shuffle fans out over 32 partitions or squeezes
+  * through 3 — because at 100 TB the partition count is whatever the
+  * cluster happens to be, and a result that depends on it is not a
+  * result. */
+class PartitionInvarianceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // aggregation, iteration, ranking, sampling, windows — one from each
+  // determinism-sensitive family
+  private val names = Seq("q01_pricing_summary", "pipeline_pagerank",
+    "sim_kmeans_cluster", "dedup_minhash_lsh", "pipeline_token_budget",
+    "q39_exact_median", "pipeline_shard_shuffle")
+
+  private def run(name: String, partitions: Int): Seq[String] = {
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
+  names.foreach { n =>
+    test(s"$n: identical rows at 3 vs 32 shuffle partitions") {
+      val narrow = run(n, 3)
+      val wide = run(n, 32)
+      assert(narrow.nonEmpty)
+      assert(narrow == wide,
+        s"$n diverges under repartitioning: " +
+          s"${narrow.diff(wide).take(2)} vs ${wide.diff(narrow).take(2)}")
+    }
+  }
+}
