@@ -88,6 +88,17 @@ object Clustering {
   private val centMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Long, Seq[Double])]]()
 
+  /** Trained centroid vectors in cid order — the offline-index artifact
+    * the IVF-PQ coarse quantizer embeds as a plan literal. Bit-identical
+    * to the oracle's `c3` CTE (integer-exact updates, see class doc). */
+  private[operators] def trainedCentroidArrays(
+      s: SparkSession, d: String): Seq[Seq[Double]] =
+    centMemo.computeIfAbsent(d, _ => train(s, d)).map(_._2)
+
+  /** Test hook (ADVICE r4): memos are keyed by dataset dir only, so a
+    * test that regenerates data at the same path must clear them. */
+  private[graft] def clearMemos(): Unit = centMemo.clear()
+
   /** The trained model + assignment: (centroids (cid, c), assignment
     * (vec_id, cluster, dist)) after [[Iters]] Lloyd iterations. */
   private[graft] def kmeansCore(s: SparkSession, d: String)
@@ -140,9 +151,13 @@ object Clustering {
     } finally e.unpersist()
   }
 
+  /** Name of the final-centroid CTE inside [[kmeansCtes]]. */
+  private[operators] def finalCentsCte: String = s"c$Iters"
+
   /** Shared oracle prefix: CTEs through the final assignment `fin`
-    * (vec_id, v, cluster, dist). */
-  private lazy val kmeansCtes: String = {
+    * (vec_id, v, cluster, dist). Also reused by sim_ann_ivfpq's oracle,
+    * whose coarse quantizer is this trained model. */
+  private[operators] lazy val kmeansCtes: String = {
     def iter(it: Int): String = {
       val prev = s"c${it - 1}"
       s"""a$it AS (

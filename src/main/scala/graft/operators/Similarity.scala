@@ -34,10 +34,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Per-dataset memos of the collected index-build artifacts (PQ seed
+  /** Per-dataset memos of the collected index-build artifacts (trained PQ
     * codebooks, IVF-PQ coarse centroids + residual codebooks) — tiny
     * driver arrays; repeat invocations in one session reuse the trained
-    * model instead of re-collecting (same pattern as
+    * model instead of re-training (same pattern as
     * [[Clustering]]'s centroid memo). */
   private val pqCbMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[Seq[Seq[Double]]]]()
@@ -45,6 +45,113 @@ object Similarity {
     String, Seq[Seq[Double]]]()
   private val ivfpqCbMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[Seq[Seq[Double]]]]()
+
+  /** Test hook (ADVICE r4): memos are keyed by dataset dir only, so a
+    * test that regenerates data at the same path must clear them. */
+  private[graft] def clearMemos(): Unit = {
+    pqCbMemo.clear(); ivfpqCentMemo.clear(); ivfpqCbMemo.clear()
+  }
+
+  // ----- PQ codebook training (per-subspace Lloyd) ------------------------
+  // M subspaces of SubDim dims, K codes each, trained for PqIters Lloyd
+  // iterations with the same integer-exact update contract as
+  // Clustering.train: per-(subspace, code, dim) sums of
+  // floor(x * 10^12) BIGINTs, so Spark's partial-aggregation order and the
+  // DuckDB oracle's sequential order produce bit-identical centroids.
+  // Init is the sub-slices of the first K vectors (the round-4 "seed"
+  // codebook IS iteration 0); assignment ties break to the lowest code;
+  // a code that loses all members keeps its previous centroid (the
+  // oracle's LEFT JOIN + COALESCE).
+  private val PqM = 16
+  private val PqSubDim = 4
+  private val PqK = 32
+  private val PqIters = 3
+
+  /** (vec_id, m, sub) rows: each vector split into its M sub-vectors. */
+  private def subVectors(e: DataFrame, vecCol: String): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    e.select($"vec_id", posexplode(expr(
+      s"transform(sequence(0, ${PqM - 1}), " +
+        s"m -> slice($vecCol, m * $PqSubDim + 1, $PqSubDim))")))
+      .select($"vec_id", $"pos".cast("int").as("m"), $"col".as("sub"))
+  }
+
+  /** Lloyd-train all M sub-codebooks in one distributed job per
+    * iteration: assignment is a broadcast join on the subspace id (the
+    * codebook is M*K tiny sub-vectors), the update one hash aggregation;
+    * the corpus never shuffles. Returns cb[m][code][dim]. */
+  private def trainCodebooks(sub: DataFrame): Seq[Seq[Seq[Double]]] = {
+    val s = sub.sparkSession
+    import s.implicits._
+    val cached = sub.cache()
+    try {
+      var cb: Map[(Int, Int), Seq[Double]] =
+        cached.filter($"vec_id" < PqK)
+          .select($"m", $"vec_id".cast("int").as("code"), $"sub")
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+          .toMap
+      for (_ <- 1 to PqIters) {
+        val cbDf = cb.toSeq.map { case ((m, c), v) => (m, c, v) }
+          .toDF("m", "code", "c")
+        val sums = cached.join(broadcast(cbDf), "m")
+          .select($"vec_id", $"m", $"sub",
+            struct(expr(
+              "aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), " +
+                "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)").as("dist"),
+              $"code").as("dc"))
+          .groupBy($"vec_id", $"m")
+          // all rows of a (vec_id, m) group carry the same sub — first()
+          // is deterministic here
+          .agg(min($"dc").as("best"), first($"sub").as("sv"))
+          .select($"m", $"best.code".as("code"), posexplode($"sv"))
+          .groupBy($"m", $"code", $"pos")
+          .agg((sum(floor($"col" * lit(1.0e12))).cast("double") /
+            lit(1.0e12) / count(lit(1))).as("cv"))
+          .collect()
+        val next = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (k, rows) =>
+            k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+        cb = cb.map { case (k, prev) => k -> next.getOrElse(k, prev) }
+      }
+      (0 until PqM).map(m => (0 until PqK).map(c => cb((m, c))).toSeq)
+    } finally cached.unpersist()
+  }
+
+  /** Unrolled DuckDB mirror of [[trainCodebooks]]: `src` must provide
+    * (vec_id, m, sub); emits CTEs `<p>cb0` .. `<p>cb{PqIters}`, each
+    * (m, code, c). */
+  private def pqTrainCtes(src: String, p: String): String = {
+    def iter(t: Int): String = {
+      val prev = s"${p}cb${t - 1}"
+      s"""${p}a$t AS (
+        SELECT vec_id, m, sub, code FROM (
+          SELECT s.vec_id, s.m, s.sub, cb.code,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+              list_sum([(sub[i]-c[i])*(sub[i]-c[i])
+                        FOR i IN generate_series(1, $PqSubDim)]) ASC,
+              cb.code ASC) AS rn
+          FROM $src s JOIN $prev cb ON s.m = cb.m) WHERE rn = 1),
+      ${p}s$t AS (
+        SELECT m, code, j,
+          CAST(CAST(SUM(CAST(floor(sub[j] * 1000000000000.0) AS BIGINT))
+              AS BIGINT) AS DOUBLE)
+            / 1000000000000.0 / COUNT(*) AS cv
+        FROM ${p}a$t, generate_series(1, $PqSubDim) ${p}t$t(j)
+        GROUP BY m, code, j),
+      ${p}cb$t AS (
+        SELECT prev.m, prev.code, COALESCE(n.c, prev.c) AS c
+        FROM $prev prev LEFT JOIN (
+          SELECT m, code, list(cv ORDER BY j) AS c FROM ${p}s$t
+          GROUP BY m, code) n
+          ON prev.m = n.m AND prev.code = n.code)"""
+    }
+    s"""${p}cb0 AS (
+      SELECT m, CAST(vec_id AS INT) AS code, sub AS c
+      FROM $src WHERE vec_id < $PqK),
+    ${(1 to PqIters).map(iter).mkString(",\n")}"""
+  }
 
   /** Sequential-fold dot product in double — the native codegen'd
     * [[graft.functions.VecDot]] expression (bit-identical to the
@@ -346,9 +453,10 @@ object Similarity {
     // distance is a table LOOKUP: per query, precompute the 16x32 LUT of
     // (query-subvector, centroid) squared-L2 distances; a candidate's
     // asymmetric distance (ADC) is the sum of 16 LUT entries. The ADC
-    // scan keeps a top-50 shortlist per query, and only the shortlist
-    // pays an exact squared-L2 rerank against the raw vectors — measured
-    // recall@5 vs exact is ~0.86 on this corpus (SimilaritySpec).
+    // scan keeps a top-100 shortlist per query, and only the shortlist
+    // pays an exact squared-L2 rerank against the raw vectors — with the
+    // Lloyd-trained codebooks, measured recall@5 vs exact is >= 0.95 on
+    // this corpus (SimilaritySpec).
     //
     // Scale shape: codebook (M*k tiny sub-vectors) and per-query LUTs
     // broadcast; the exhaustive ADC pass reads ONLY the codes column
@@ -358,12 +466,13 @@ object Similarity {
     // composition adds IVF for candidate pruning — that stage exists as
     // sim_ann_ivf_kmeans; PQ is the in-list compression.)
     //
-    // Determinism: codebooks are the sub-slices of the first 32 vectors
-    // (a production build would Lloyd-train each subspace — see
-    // sim_kmeans_cluster for that machinery); sub-distances fold
-    // sequentially in array order; encode ties break to the lowest code;
-    // the ADC sum folds over subspaces in fixed m order; shortlist and
-    // final ranks break ties on cid — bit-identical on both engines.
+    // Determinism: codebooks are Lloyd-trained per subspace from the
+    // first-32 sub-slices as seeds (trainCodebooks above — integer-exact
+    // update sums, so both engines derive bit-identical centroids);
+    // sub-distances fold sequentially in array order; encode ties break
+    // to the lowest code; the ADC sum folds over subspaces in fixed m
+    // order; shortlist and final ranks break ties on cid — bit-identical
+    // on both engines.
     Q("sim_ann_pq",
       (s, d) => {
         import s.implicits._
@@ -376,11 +485,8 @@ object Similarity {
         // projections: the corpus is never shuffled to build the index,
         // which is the whole point of PQ at 100 TB
         val cbData: Seq[Seq[Seq[Double]]] =
-          pqCbMemo.computeIfAbsent(d, _ => {
-            val seeds = e.filter($"vec_id" < 32).orderBy($"vec_id")
-              .select($"v").collect().map(_.getSeq[Double](0))
-            (0 until 16).map(m => seeds.toSeq.map(_.slice(m * 4, m * 4 + 4)))
-          })
+          pqCbMemo.computeIfAbsent(d, _ =>
+            trainCodebooks(subVectors(e, "v")))
         val cbCol = typedLit(cbData).as("cb")
         val subDists =
           "transform(sequence(0, 15), m -> transform(element_at(cb, m + 1), " +
@@ -410,7 +516,7 @@ object Similarity {
               "(acc, m) -> acc + element_at(lut, " +
               "m * 32 + element_at(codes, m + 1) + 1))").as("adist"))
           .withColumn("sr", row_number().over(ws))
-          .filter($"sr" <= 50)
+          .filter($"sr" <= 100)
           .select($"qid", $"cid")
         val wr = Window.partitionBy($"qid").orderBy($"sqdist".asc, $"cid".asc)
         shortlist
@@ -423,14 +529,14 @@ object Similarity {
           .filter($"rn" <= 5)
           .select($"qid", $"cid", $"sqdist", $"rn")
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
           FROM embeddings),
-        cb AS (
-          SELECT m, CAST(e.vec_id AS INT) AS code,
-            list_slice(v, m*4+1, m*4+4) AS sub
-          FROM e, (SELECT unnest(generate_series(0, 15)) AS m)
-          WHERE e.vec_id < 32),
+        subv AS (
+          SELECT vec_id, m, list_slice(v, m*4+1, m*4+4) AS sub
+          FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+        ${pqTrainCtes("subv", "p")},
+        cb AS (SELECT m, code, c AS sub FROM pcb$PqIters),
         enc AS (
           SELECT vec_id, m, code FROM (
             SELECT e.vec_id, cb.m, cb.code,
@@ -456,7 +562,7 @@ object Similarity {
                 list_sum([lut[m * 32 + codes[m + 1] + 1]
                           FOR m IN generate_series(0, 15)]) ASC,
                 c.vec_id ASC) AS sr
-            FROM lut, codes c WHERE c.vec_id <> qid) WHERE sr <= 50)
+            FROM lut, codes c WHERE c.vec_id <> qid) WHERE sr <= 100)
         SELECT qid, cid, sqdist, rn FROM (
           SELECT qid, cid, sqdist,
             CAST(ROW_NUMBER() OVER (PARTITION BY qid
@@ -493,11 +599,12 @@ object Similarity {
         val e = Tables.embeddings(s, d)
           .select($"vec_id",
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        // coarse quantizer = the Lloyd-trained k-means model (K=8, same
+        // init/iters as sim_kmeans_cluster — one shared offline training
+        // job feeds both the clustering queries and this index)
         val centData: Seq[Seq[Double]] =
           ivfpqCentMemo.computeIfAbsent(d, _ =>
-            e.filter($"vec_id" < 8)
-              .orderBy($"vec_id").select($"v").collect()
-              .map(_.getSeq[Double](0).toSeq).toSeq)
+            Clustering.trainedCentroidArrays(s, d))
         val centCol = typedLit(centData).as("cents")
         val l2 = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
           "CAST(0.0 AS DOUBLE), (a, z) -> a + z)"
@@ -513,14 +620,12 @@ object Similarity {
           .select($"vec_id", $"v", $"cl",
             expr("zip_with(v, element_at(cents, cl + 1), (x, y) -> x - y)")
               .as("r"))
-        // residual codebook: the 32 seed residuals, split into subspaces
-        // (memoized per dataset — the "offline index build" artifact)
+        // residual codebook: Lloyd-trained per subspace over the coarse
+        // residuals, seeded from the first 32 residuals (memoized per
+        // dataset — the "offline index build" artifact)
         val cbData: Seq[Seq[Seq[Double]]] =
-          ivfpqCbMemo.computeIfAbsent(d, _ => {
-            val seeds = asg.filter($"vec_id" < 32).orderBy($"vec_id")
-              .select($"r").collect().map(_.getSeq[Double](0).toSeq)
-            (0 until 16).map(m => seeds.toSeq.map(_.slice(m * 4, m * 4 + 4)))
-          })
+          ivfpqCbMemo.computeIfAbsent(d, _ =>
+            trainCodebooks(subVectors(asg.select($"vec_id", $"r"), "r")))
         val cbCol = typedLit(cbData).as("cb")
         val subDists =
           "transform(sequence(0, 15), m -> transform(element_at(cb, m + 1), " +
@@ -565,26 +670,19 @@ object Similarity {
           .filter($"rn" <= 5)
           .select($"qid", $"cid", $"sqdist", $"rn")
       },
-      Some("""WITH e AS (
-          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
-          FROM embeddings),
+      Some(s"""WITH ${Clustering.kmeansCtes},
         cents AS (
-          SELECT CAST(vec_id AS INT) AS pl, v AS c FROM e WHERE vec_id < 8),
+          SELECT CAST(cid AS INT) AS pl, c FROM ${Clustering.finalCentsCte}),
         asg AS (
-          SELECT vec_id, v, pl AS cl,
+          SELECT f.vec_id, f.v, CAST(f.cluster AS INT) AS cl,
             [v[i] - c[i] FOR i IN generate_series(1, len(v))] AS r
-          FROM (
-            SELECT e.vec_id, e.v, cents.pl, cents.c,
-              ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-                list_sum([(v[i] - c[i]) * (v[i] - c[i])
-                          FOR i IN generate_series(1, len(v))]) ASC,
-                cents.pl ASC) AS rn
-            FROM e, cents) WHERE rn = 1),
-        cb AS (
-          SELECT m, CAST(vec_id AS INT) AS code,
-            list_slice(r, m*4+1, m*4+4) AS sub
-          FROM asg, (SELECT unnest(generate_series(0, 15)) AS m)
-          WHERE vec_id < 32),
+          FROM fin f JOIN ${Clustering.finalCentsCte} fc
+            ON f.cluster = fc.cid),
+        subr AS (
+          SELECT vec_id, m, list_slice(r, m*4+1, m*4+4) AS sub
+          FROM asg, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+        ${pqTrainCtes("subr", "rp")},
+        cb AS (SELECT m, code, c AS sub FROM rpcb$PqIters),
         enc AS (
           SELECT vec_id, cl, m, code FROM (
             SELECT a.vec_id, a.cl, cb.m, cb.code,

@@ -69,10 +69,11 @@ class SimilaritySpec extends AnyFunSuite {
     val pq = topkPairs("sim_ann_pq")
     assert(exact.nonEmpty && pq.nonEmpty && pq.size == exact.size)
     val recall = pq.intersect(exact).size.toDouble / exact.size
-    // ADC top-50 shortlist + exact rerank: quantization only costs the
-    // neighbors the coarse scan drops from the shortlist (measured ~0.86
-    // on this corpus)
-    assert(recall >= 0.6, s"PQ recall $recall")
+    info(s"PQ recall@5 = $recall")
+    // ADC top-100 shortlist + exact rerank over Lloyd-trained codebooks:
+    // quantization only costs the neighbors the coarse scan drops from
+    // the shortlist (was ~0.86 with untrained seed codebooks)
+    assert(recall >= 0.95, s"PQ recall $recall")
   }
 
   test("PQ result is deterministic across runs") {
@@ -92,9 +93,11 @@ class SimilaritySpec extends AnyFunSuite {
     val ivfpq = topkPairs("sim_ann_ivfpq")
     assert(exact.nonEmpty && ivfpq.nonEmpty)
     val recall = ivfpq.intersect(exact).size.toDouble / exact.size
+    info(s"IVF-PQ recall@5 = $recall")
     // losses compose: nprobe=2/8 coarse routing (IVF-class recall) times
     // residual-ADC shortlist truncation — must still clear a random scan
-    // of 1/4 the corpus by a wide margin
+    // of 1/4 the corpus by a wide margin (both stages are now
+    // Lloyd-trained, which lifts this well above the untrained 0.25 bar)
     assert(recall >= 0.25, s"IVF-PQ recall $recall")
     assert(topkPairs("sim_ann_ivfpq") == topkPairs("sim_ann_ivfpq"),
       "IVF-PQ must be deterministic")
