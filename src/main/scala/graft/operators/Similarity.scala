@@ -179,6 +179,12 @@ object Similarity {
   val defs: Seq[Q] = Seq(
 
     // ----- exact brute-force cosine top-k ---------------------------------
+    // The Q×N pair set is scored in a narrow map over the corpus (queries
+    // broadcast) and reduced by the TopKByScore aggregator with map-side
+    // partial aggregation — at most k rows per query per task reach the
+    // exchange, so the full pair set NEVER shuffles (the window-rank
+    // formulation this replaced shuffled every scored pair into a
+    // per-qid sort; PlanLintSpec pins the window's absence).
     Q("sim_cosine_topk",
       (s, d) => {
         import s.implicits._
@@ -186,14 +192,15 @@ object Similarity {
         val queries = emb.filter($"vec_id" % 50 === 0)
           .select($"vec_id".as("qid"), $"embedding".as("qe"))
         val corpus = emb.select($"vec_id".as("cid"), $"embedding".as("ce"))
-        val w = Window.partitionBy($"qid")
-          .orderBy($"cos".desc, $"cid".asc)
+        val topk = udaf(new graft.functions.TopKByScore(5))
         broadcast(queries).join(corpus, $"qid" =!= $"cid")
           .select($"qid", $"cid",
             (dot("qe", "ce") / (norm("qe") * norm("ce"))).as("cos"))
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" <= 5)
-          .select($"qid", $"cid", $"cos", $"rn")
+          .groupBy($"qid")
+          .agg(topk($"cid", $"cos").as("tk"))
+          .select($"qid", posexplode($"tk"))
+          .select($"qid", $"col.id".as("cid"), $"col.score".as("cos"),
+            ($"pos" + 1).cast("int").as("rn"))
       },
       Some("""WITH e AS (
           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb

@@ -56,6 +56,19 @@ class PlanLintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("sim_cosine_topk reduces via partial top-k aggregation, not a window rank") {
+    val nodes = collectNodes(SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .queryExecution.executedPlan)
+    // the full Q×N pair set must never shuffle: no per-qid window sort,
+    // and the top-k runs as an ObjectHashAggregate (map-side partial
+    // reduces each task to <= k rows per query before the exchange)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "sim_cosine_topk plans a window rank over the full pair set")
+    assert(nodes.exists(_.nodeName.contains("ObjectHashAggregate")),
+      "expected an ObjectHashAggregate-based top-k")
+  }
+
   test("pcap scans decode only the requested columns") {
     val df = spark.read.format("pcap").option("decoder", "dns")
       .load("/root/repo/src/test/resources/test.pcap")
