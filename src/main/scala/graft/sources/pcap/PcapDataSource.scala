@@ -207,7 +207,12 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
       // columns is requested (qname/qtype telemetry projections)
       dnsSections = requiredSchema.fieldNames.exists(sectionCols))
     new PcapReaderFactory(new SerializableHadoopConf(hadoopConf),
-      requiredSchema, decode, PcapPacketFilter.compile(pushedFilters))
+      requiredSchema, decode, PcapPacketFilter.compile(pushedFilters),
+      // batch (not streaming) reads emit ColumnarBatches for flat
+      // projections; option("columnar","false") forces the row path
+      // for A/B measurement
+      columnar = options.getBoolean("columnar", true),
+      batchSize = options.getInt("columnarBatchSize", 4096))
   }
 }
 
@@ -216,13 +221,25 @@ case class PcapInputPartition(files: Seq[String]) extends InputPartition
 
 class PcapReaderFactory(conf: SerializableHadoopConf, schema: StructType,
     decode: DecodeOptions,
-    filter: PcapPacketFilter.Predicate = PcapPacketFilter.acceptAll)
+    filter: PcapPacketFilter.Predicate = PcapPacketFilter.acceptAll,
+    columnar: Boolean = false,
+    batchSize: Int = 4096)
   extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && PcapSchema.columnarEligible(schema)
+
   override def createReader(partition: InputPartition): PartitionReader[
     org.apache.spark.sql.catalyst.InternalRow] =
     new PcapPartitionReader(
       partition.asInstanceOf[PcapInputPartition].files, conf.value, schema,
       decode, filter)
+
+  override def createColumnarReader(partition: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new PcapColumnarPartitionReader(
+      partition.asInstanceOf[PcapInputPartition].files, conf.value, schema,
+      decode, filter, batchSize)
 }
 
 class PcapPacketsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {

@@ -122,4 +122,92 @@ object PcapSchema {
       row
     }
   }
+
+  // ----- columnar emission (SURVEY.md §4: vectorized scan) ----------------
+  // Per-column appenders writing decoded values straight into
+  // WritableColumnVectors — no per-row object, no boxed field array, and
+  // downstream operators read the batch through codegen'd ColumnarToRow.
+  // The DNS RR-section array columns stay on the row path (columnar
+  // nested-array append buys nothing for those rare projections), hence
+  // columnarEligible below.
+
+  import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+
+  /** Appender: (vector, record, pktIdx, fileNameUtf8Bytes) → appended. */
+  type ColAppender = (WritableColumnVector, PacketRecord, Long, Array[Byte]) => Unit
+
+  /** True when every projected column has a columnar appender (i.e. no
+    * RR-section array columns requested). */
+  def columnarEligible(schema: StructType): Boolean =
+    schema.fields.forall(f => !f.dataType.isInstanceOf[ArrayType])
+
+  /** Interned UTF-8 byte forms of the low-cardinality strings (same
+    * bound and purpose as the UTF8String intern cache above). */
+  private val internedBytes =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private def bytesI(s: String): Array[Byte] = {
+    val cached = internedBytes.get(s)
+    if (cached != null) cached
+    else {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (internedBytes.size < 4096) internedBytes.putIfAbsent(s, b)
+      b
+    }
+  }
+
+  @inline private def putLong(v: WritableColumnVector, o: Option[Long]): Unit =
+    o match { case Some(x) => v.appendLong(x); case None => v.appendNull() }
+  @inline private def putInt(v: WritableColumnVector, o: Option[Int]): Unit =
+    o match { case Some(x) => v.appendInt(x); case None => v.appendNull() }
+  @inline private def putBool(v: WritableColumnVector, o: Option[Boolean]): Unit =
+    o match { case Some(x) => v.appendBoolean(x); case None => v.appendNull() }
+  @inline private def putBytes(v: WritableColumnVector, b: Array[Byte]): Unit =
+    v.appendByteArray(b, 0, b.length)
+  @inline private def putStr(v: WritableColumnVector, o: Option[String]): Unit =
+    o match {
+      case Some(s) =>
+        putBytes(v, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case None => v.appendNull()
+    }
+  @inline private def putStrI(v: WritableColumnVector, o: Option[String]): Unit =
+    o match { case Some(s) => putBytes(v, bytesI(s)); case None => v.appendNull() }
+
+  private val colAppenders: Map[String, ColAppender] = Map(
+    "ts" -> ((v, r, _, _) => putLong(v, r.ts)),
+    "ts_micro" -> ((v, r, _, _) => putLong(v, r.tsMicro)),
+    "time" -> ((v, r, _, _) => putLong(v, r.tsMicro)), // TimestampType micros
+    "size" -> ((v, r, _, _) => putLong(v, r.size)),
+    "md5" -> ((v, r, _, _) => putStr(v, r.md5)),
+    "ether_type" -> ((v, r, _, _) => putStrI(v, r.etherType)),
+    "ttl" -> ((v, r, _, _) => putInt(v, r.ttl)),
+    "protocol" -> ((v, r, _, _) => putStrI(v, r.protocol)),
+    "src" -> ((v, r, _, _) => putStr(v, r.src)),
+    "dst" -> ((v, r, _, _) => putStr(v, r.dst)),
+    "src_port" -> ((v, r, _, _) => putInt(v, r.srcPort)),
+    "dst_port" -> ((v, r, _, _) => putInt(v, r.dstPort)),
+    "udpsum" -> ((v, r, _, _) => putInt(v, r.udpsum)),
+    "len" -> ((v, r, _, _) => putInt(v, r.len)),
+    "frag" -> ((v, r, _, _) => putBool(v, r.frag)),
+    "payload_len" -> ((v, r, _, _) => putInt(v, r.payloadLen)),
+    "ext_count" -> ((v, r, _, _) => putInt(v, r.extCount)),
+    "ext_headers" -> ((v, r, _, _) => putStr(v, r.extHeaders)),
+    "dns_queryid" -> ((v, r, _, _) => putInt(v, r.dns.map(_.queryId))),
+    "dns_flags" -> ((v, r, _, _) => putStrI(v, r.dns.map(_.flags))),
+    "dns_qr" -> ((v, r, _, _) => putBool(v, r.dns.map(_.qr))),
+    "dns_opcode" -> ((v, r, _, _) => putStrI(v, r.dns.map(_.opcode))),
+    "dns_rcode" -> ((v, r, _, _) => putStrI(v, r.dns.map(_.rcode))),
+    "dns_qname" -> ((v, r, _, _) => putStr(v, r.dns.flatMap(_.qname))),
+    "dns_qtype" -> ((v, r, _, _) => putInt(v, r.dns.map(_.qtype))),
+    "dns_qtype_str" -> ((v, r, _, _) => putStrI(v, r.dns.flatMap(_.qtypeStr))),
+    "pkt_idx" -> ((v, _, idx, _) => { v.appendLong(idx); () }),
+    "file" -> ((v, _, _, f) => putBytes(v, f)),
+    "payload" -> ((v, r, _, _) => r.payload match {
+      case Some(b) => putBytes(v, b)
+      case None => v.appendNull()
+    }))
+
+  /** Compile the pruned schema into the per-column appender array; call
+    * only when [[columnarEligible]]. */
+  def colBuilder(schema: StructType): Array[ColAppender] =
+    schema.fieldNames.map(colAppenders)
 }

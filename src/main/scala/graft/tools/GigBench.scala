@@ -22,7 +22,10 @@ object GigBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional arg: "row" forces the row path (A/B vs columnar default)
+    val columnar = !args.contains("row")
     def rd = spark.read.format("pcap").option("decoder", "dns")
+      .option("columnar", columnar.toString)
       .option("maxBytesPerPartition", "32m").load(dir.toString)
     def t(label: String)(f: => Long): Unit = {
       f // warm
