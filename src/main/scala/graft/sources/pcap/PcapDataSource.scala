@@ -161,9 +161,37 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
           fs.listStatus(st.getPath).toSeq.filter(_.isFile)
             .filterNot(_.getPath.getName.startsWith("_"))
         else Seq(st)
-      }
+      }.filterNot(st => PcapTsIndex.isSidecar(st.getPath.getName))
     }
   }
+
+  /** Drop files whose per-file ts stats cannot intersect the pushed ts
+    * bounds (SURVEY.md §4 file-level skipping). Stats come from exact
+    * `.tsidx` sidecars, or — only under `assumeMonotonicTs` — a cheap
+    * first/last-record probe; files without stats always survive, and
+    * the pushed filters stay residual, so semantics are unchanged. */
+  private def pruneByTs(files: Seq[FileStatus]): Seq[FileStatus] =
+    PcapTsIndex.tsBounds(pushedFilters) match {
+      case Some((lo, hi)) if options.getBoolean("tsPruning", true) =>
+        val conf = hadoopConf
+        val assumeMono = options.getBoolean("assumeMonotonicTs", false)
+        val kept = files.filter { st =>
+          val stats = PcapTsIndex
+            .readSidecar(st.getPath.getFileSystem(conf), st.getPath)
+            .orElse(if (assumeMono) PcapTsIndex.firstLastTs(conf, st)
+                    else None)
+          stats.forall { case (mn, mx) => mx >= lo && mn <= hi }
+        }
+        val dropped = files.length - kept.length
+        if (dropped > 0) {
+          PcapTsIndex.prunedFiles.add(dropped.toLong)
+          org.slf4j.LoggerFactory.getLogger(classOf[PcapScan]).info(
+            s"pcap ts pruning: skipped $dropped of ${files.length} " +
+              s"files for ts in [$lo, $hi]")
+        }
+        kept
+      case _ => files
+    }
 
   /** Whole-file partitions, bin-packed to maxPartitionBytes (greedy
     * first-fit decreasing). A file larger than the target gets its own
@@ -175,7 +203,7 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
       .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
       .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
     val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
-    val files = listFiles().map(f => f.getPath.toString -> f.getLen)
+    val files = pruneByTs(listFiles()).map(f => f.getPath.toString -> f.getLen)
       .sortBy(-_._2)
     val bins = scala.collection.mutable.ArrayBuffer.empty[
       (scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]

@@ -225,6 +225,43 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("ts-bounded pcap scans prune whole files from planning") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsprune")
+    def write(name: String, base: Long): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        graft.pcap.PcapSynth.file((0 until 4).map(i =>
+          (base + i, 0L, graft.pcap.PcapSynth.synthFrame(i)))))
+    write("a.pcap", 1000L)
+    write("b.pcap", 2000L)
+    write("c.pcap", 3000L)
+    // ETL-side sidecar generation (exact min/max header walk) ...
+    graft.tools.PcapStatsWriter.main(Array(dir.toString))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("a.pcap.tsidx"))).trim == "1000 1003")
+    // ... but leave c.pcap statless to exercise the no-stats path
+    java.nio.file.Files.delete(dir.resolve("c.pcap.tsidx"))
+    // 1-byte bins -> one file per partition, so the partition count IS
+    // the planned-file count
+    def scan(opts: (String, String)*) = {
+      var r = spark.read.format("pcap").option("maxBytesPerPartition", "1")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(dir.toString).filter($"ts" >= 2000 && $"ts" <= 2003)
+    }
+    val off = scan("tsPruning" -> "false")
+    assert(off.count() == 4)
+    assert(off.rdd.getNumPartitions == 3, "opt-out must plan every file")
+    val side = scan()
+    assert(side.count() == 4)
+    assert(side.rdd.getNumPartitions == 2,
+      "sidecar stats must prune a.pcap; statless c.pcap must survive")
+    val mono = scan("assumeMonotonicTs" -> "true")
+    assert(mono.count() == 4)
+    assert(mono.rdd.getNumPartitions == 1,
+      "first/last probe must also prune the statless file under the " +
+        "monotonicity opt-in")
+  }
+
   test("typed packet Dataset decodes with case-class access") {
     val fixture = getClass.getResource("/test.pcap").getPath
     val ds = graft.pcap.PcapIO.packets(spark, fixture,
