@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * and decode/feature-extraction runs as a typed `mapPartitions` over the
   * batch — the Scala analogue of a Pandas-UDF `mapInPandas` stage.
   *
-  * The actual image/audio decode is STUBBED (codec libraries are not in
-  * this container): `FakeMediaCodec.decode` below is a deterministic
-  * stand-in, clearly marked, with the real Spark-side contract — schema,
-  * per-partition batching, no shuffle, binary in / features out — fully
-  * exercised and tested.
+  * Image decode is REAL for uncompressed 24-bit BMP ([[Multimodal.BmpCodec]]
+  * — pure-JVM parser: header fields, 4-byte row padding, bottom-up BGR),
+  * driven by mm_decode_bmp / mm_resize_bmp over byte-synthesized fixture
+  * images with formula-derived oracles. The generic audio/video decode
+  * remains STUBBED (`FakeMediaCodec` below, clearly marked — those codec
+  * libraries are not in this container) with the same Spark-side
+  * contract: schema, per-partition batching, no shuffle, binary in /
+  * features out.
   *
   * Scale notes: media blobs never shuffle; every stage below is a narrow
   * map over the scan, so 100 TB of media partitions by input file and
@@ -37,6 +40,107 @@ object Multimodal {
         ($"doc_id" % 480 + 16).cast("int").as("height"),
         lit(16000).as("sample_rate"),
         ($"doc_id" % 24 + 1).cast("int").as("n_frames")).as("meta"))
+  }
+
+  /** REAL image codec for the uncompressed-BMP ops below (mm_decode_bmp,
+    * mm_resize_bmp): a byte-level 24-bit BITMAPINFOHEADER writer and an
+    * INDEPENDENT parser — the decode path reads only bytes (magic, data
+    * offset, dims, bpp, 4-byte row padding, bottom-up row order, BGR)
+    * and never consults the synthesis formula, so the formula-derived
+    * DuckDB oracles catch any stride/origin/channel-order mistake.
+    * Pure JVM — no codec libraries needed (the container has none). */
+  object BmpCodec extends Serializable {
+
+    /** Deterministic fixture content: dims and RGB per pixel as pure
+      * functions of the image id (the PcapSynth pattern — fixtures are
+      * synthesized byte-by-byte, oracles re-derive from the formula). */
+    def dims(id: Long): (Int, Int) =
+      ((16 + id % 13).toInt, (12 + id % 7).toInt) // w not 4-aligned: pads
+    def pixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+      ((id * 7 + x * 3 + y * 5) % 256).toInt,
+      ((id + x * 11 + y * 2) % 256).toInt,
+      ((id * 13 + x.toLong * y) % 256).toInt)
+
+    private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte
+      b(off + 1) = (v >>> 8).toByte
+      b(off + 2) = (v >>> 16).toByte
+      b(off + 3) = (v >>> 24).toByte
+    }
+
+    /** Write a real 24-bit uncompressed BMP (54-byte header, bottom-up
+      * BGR rows padded to 4 bytes) with the fixture content for `id`. */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      val stride = (w * 3 + 3) / 4 * 4
+      val size = 54 + stride * h
+      val b = new Array[Byte](size)
+      b(0) = 'B'; b(1) = 'M'
+      putLe32(b, 2, size)
+      putLe32(b, 10, 54) // pixel-data offset
+      putLe32(b, 14, 40) // BITMAPINFOHEADER
+      putLe32(b, 18, w)
+      putLe32(b, 22, h) // positive height = bottom-up
+      b(26) = 1 // planes
+      b(28) = 24 // bpp
+      // compression 0, sizes/ppm/colors left 0 (valid for BI_RGB)
+      var y = 0
+      while (y < h) {
+        val row = 54 + (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val (r, g, bl) = pixel(id, x, y)
+          b(row + x * 3) = bl.toByte
+          b(row + x * 3 + 1) = g.toByte
+          b(row + x * 3 + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      b
+    }
+
+    /** Decoded image: RGB triplets, row-major, top-down. */
+    final case class Image(w: Int, h: Int, px: Array[Byte]) {
+      def r(x: Int, y: Int): Int = px((y * w + x) * 3) & 0xFF
+      def g(x: Int, y: Int): Int = px((y * w + x) * 3 + 1) & 0xFF
+      def b(x: Int, y: Int): Int = px((y * w + x) * 3 + 2) & 0xFF
+    }
+
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+    /** Parse a 24-bit uncompressed BMP from bytes alone. */
+    def decode(bytes: Array[Byte]): Image = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP")
+      val dataOff = le32(bytes, 10)
+      val w = le32(bytes, 18)
+      val hRaw = le32(bytes, 22)
+      val bpp = (bytes(28) & 0xFF) | ((bytes(29) & 0xFF) << 8)
+      val compression = le32(bytes, 30)
+      require(bpp == 24 && compression == 0,
+        s"unsupported BMP variant: bpp=$bpp compression=$compression")
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      val stride = (w * 3 + 3) / 4 * 4
+      require(bytes.length >= dataOff + stride * h, "truncated BMP")
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val srcRow = dataOff + (if (topDown) y else h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          px((y * w + x) * 3) = bytes(srcRow + x * 3 + 2) // R
+          px((y * w + x) * 3 + 1) = bytes(srcRow + x * 3 + 1) // G
+          px((y * w + x) * 3 + 2) = bytes(srcRow + x * 3) // B
+          x += 1
+        }
+        y += 1
+      }
+      Image(w, h, px)
+    }
   }
 
   /** STUB codec: deterministic "features" from the blob bytes. A real
@@ -193,6 +297,89 @@ object Multimodal {
             [ord(text[i]) FOR i IN range(1, length(text) + 1)
              IF (i - 1) % scale = 0]),
             (acc, x) -> (acc * 131 + x) % 1000000007) AS sample_checksum
-        FROM dims"""))
+        FROM dims""")),
+
+    // ----- REAL BMP decode through the mapPartitions seam ----------------
+    // The binary column carries genuine BMP files (BmpCodec.encode —
+    // synthesized byte-by-byte, PcapSynth-style); the seam decodes them
+    // with the independent byte-only parser and emits per-image stats.
+    // The oracle derives the same stats from the pixel FORMULA, never
+    // the bytes: any stride/origin/channel-order parse bug mismatches.
+    Q("mm_decode_bmp",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 0)
+          .select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.map { id =>
+            val bytes = BmpCodec.encode(id) // the stored blob (real BMP)
+            val img = BmpCodec.decode(bytes) // byte-only parse under test
+            var acc = 0L
+            var y = 0
+            while (y < img.h) {
+              var x = 0
+              while (x < img.w) {
+                acc += img.r(x, y) + 2L * img.g(x, y) + 3L * img.b(x, y)
+                x += 1
+              }
+              y += 1
+            }
+            (id, img.w, img.h, bytes.length, acc)
+          }
+        }.toDF("media_id", "w", "h", "file_bytes", "px_sum")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(16 + doc_id % 13 AS INT) AS w,
+          CAST(12 + doc_id % 7 AS INT) AS h,
+          CAST(54 + ((16 + doc_id % 13) * 3 + 3) // 4 * 4
+               * (12 + doc_id % 7) AS INT) AS file_bytes,
+          CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256
+             + 2 * ((doc_id + x * 11 + y * 2) % 256)
+             + 3 * ((doc_id * 13 + x * y) % 256)) AS BIGINT) AS px_sum
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(16 + doc_id % 13 AS INT) - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
+        WHERE doc_id % 3 = 0
+        GROUP BY 1, 2, 3, 4""")),
+
+    // ----- REAL nearest-neighbor resize (actual pixel downsampling) ------
+    // Decode the BMP, then sample source pixel (x*w/8, y*h/6) for each
+    // target pixel of an 8x6 thumbnail — the integer nearest-neighbor
+    // resample an image pipeline's resize stage performs. Exploded to
+    // per-pixel rows so the oracle compares every byte; the oracle
+    // computes expected channels from the formula + the same index math,
+    // independent of the decoder.
+    Q("mm_resize_bmp",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 0)
+          .select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.flatMap { id =>
+            val img = BmpCodec.decode(BmpCodec.encode(id))
+            for { y <- 0 until 6; x <- 0 until 8 } yield {
+              val sx = x * img.w / 8
+              val sy = y * img.h / 6
+              (id, y, x, img.r(sx, sy), img.g(sx, sy), img.b(sx, sy))
+            }
+          }
+        }.toDF("media_id", "y", "x", "r", "g", "b")
+      },
+      Some("""WITH img AS (
+          SELECT doc_id, CAST(16 + doc_id % 13 AS INT) AS w,
+            CAST(12 + doc_id % 7 AS INT) AS h
+          FROM documents WHERE doc_id % 3 = 0)
+        SELECT doc_id AS media_id, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+          CAST((doc_id * 7 + ((x * w) // 8) * 3 + ((y * h) // 6) * 5) % 256
+               AS INT) AS r,
+          CAST((doc_id + ((x * w) // 8) * 11 + ((y * h) // 6) * 2) % 256
+               AS INT) AS g,
+          CAST((doc_id * 13 + ((x * w) // 8) * ((y * h) // 6)) % 256
+               AS INT) AS b
+        FROM img,
+          LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0, 5)) AS y) ys"""))
   )
 }

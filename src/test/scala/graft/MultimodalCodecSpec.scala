@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal.BmpCodec
+
+/** Byte-level checks of the real BMP codec, independent of the query
+  * oracles: a hand-crafted file (bytes written out literally, nothing
+  * shared with the encoder) must decode to known pixels, in both
+  * bottom-up and top-down row order. */
+class MultimodalCodecSpec extends AnyFunSuite {
+
+  /** 2x2 24-bit BMP, bottom-up, stride 8 (2 pad bytes per row).
+    * Image (top-down): (0,0)=red (1,0)=green / (0,1)=blue (1,1)=white.
+    * Stored bottom-up BGR: row y=1 first. */
+  private def handBmp(topDown: Boolean): Array[Byte] = {
+    val h = if (topDown) -2 else 2
+    val header = Array[Int](
+      'B', 'M', 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0,
+      40, 0, 0, 0, 2, 0, 0, 0, h & 0xFF, (h >> 8) & 0xFF,
+      (h >> 16) & 0xFF, (h >> 24) & 0xFF, 1, 0, 24, 0) ++
+      Array.fill(24)(0) // compression/sizes/ppm/colors all zero
+    assert(header.length == 54)
+    val rowTop = Array[Int](0, 0, 255, 0, 255, 0, 0, 0) // red, green + pad
+    val rowBot = Array[Int](255, 0, 0, 255, 255, 255, 0, 0) // blue, white + pad
+    val rows = if (topDown) rowTop ++ rowBot else rowBot ++ rowTop
+    (header ++ rows).map(_.toByte)
+  }
+
+  test("hand-crafted bottom-up BMP decodes to known pixels") {
+    val img = BmpCodec.decode(handBmp(topDown = false))
+    assert(img.w == 2 && img.h == 2)
+    assert((img.r(0, 0), img.g(0, 0), img.b(0, 0)) == ((255, 0, 0)))
+    assert((img.r(1, 0), img.g(1, 0), img.b(1, 0)) == ((0, 255, 0)))
+    assert((img.r(0, 1), img.g(0, 1), img.b(0, 1)) == ((0, 0, 255)))
+    assert((img.r(1, 1), img.g(1, 1), img.b(1, 1)) == ((255, 255, 255)))
+  }
+
+  test("negative-height (top-down) BMP decodes identically") {
+    val bu = BmpCodec.decode(handBmp(topDown = false))
+    val td = BmpCodec.decode(handBmp(topDown = true))
+    assert(bu.px.toSeq == td.px.toSeq)
+  }
+
+  test("encode/decode roundtrip reproduces the synthesis formula") {
+    for (id <- Seq(0L, 3L, 42L, 255L, 444L)) {
+      val (w, h) = BmpCodec.dims(id)
+      val img = BmpCodec.decode(BmpCodec.encode(id))
+      assert(img.w == w && img.h == h)
+      for { y <- 0 until h; x <- 0 until w } {
+        assert((img.r(x, y), img.g(x, y), img.b(x, y)) ==
+          BmpCodec.pixel(id, x, y), s"id=$id ($x,$y)")
+      }
+    }
+  }
+
+  test("malformed inputs are rejected, not misparsed") {
+    intercept[IllegalArgumentException](BmpCodec.decode(Array[Byte](1, 2, 3)))
+    val bad = handBmp(topDown = false)
+    bad(28) = 8 // 8-bpp palette variant: unsupported, must refuse
+    intercept[IllegalArgumentException](BmpCodec.decode(bad))
+    val short = handBmp(topDown = false).take(60)
+    intercept[IllegalArgumentException](BmpCodec.decode(short))
+  }
+}
