@@ -107,6 +107,13 @@ object Dedup {
       AND l.doc_id < r.doc_id"""
   }
 
+  /** Document-frequency cap for dedup_ngram_jaccard_capped: a shingle in
+    * more docs than this is treated as boilerplate and dropped before
+    * the inverted-index join (bounds any join key at DfCap^2 pairs).
+    * 5 is deliberately low so the cap demonstrably bites on the test
+    * corpus (max df there is 9); production would set it ~1000s. */
+  private val DfCap = 5
+
   // MinHash parameters: 8 permutations = 4 bands x 2 rows.
   // (a*h + b) mod p with h < 2^32 and a < 2^21 stays within int64.
   private val P = 2147483647L
@@ -155,6 +162,64 @@ object Dedup {
         common AS (
           SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
           FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc1, doc2,
+          CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) AS jaccard
+        FROM common
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5""")),
+
+    // ----- DF-capped n-gram Jaccard (hot-shingle skew safety) -------------
+    // The uncapped inverted-index join above is sub-quadratic only while
+    // no shingle is hot: one boilerplate shingle shared by F documents
+    // contributes F^2 candidate pairs into a single join key — the skew
+    // that stalls a 100 TB run. The standard fix (stopword-shingle
+    // dropping): compute document frequency per shingle — one aggregation
+    // on the SAME key the join shuffles on, so the partitioning is
+    // reused — and drop shingles with df > DfCap before the join. Each
+    // surviving key now contributes <= DfCap^2 pairs, bounding every
+    // join partition; jaccard is over the retained shingle sets (the
+    // accepted approximation: pairs similar only through boilerplate are
+    // exactly the ones a dedup pipeline wants to ignore).
+    // DedupSkewSpec proves the cap bites on this corpus and bounds the
+    // retained df.
+    Q("dedup_ngram_jaccard_capped",
+      (s, d) => {
+        import s.implicits._
+        val sh = shingles(s, d)
+        val kept = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+          .filter($"df" <= DfCap)
+          .select($"shingle")
+        // consumed three times (sizes + both join sides); at 100 TB
+        // persist to disk instead — still tiny next to the corpus text
+        val capped = sh.join(kept, "shingle").cache()
+        val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+        val common = capped.as("a")
+          .join(capped.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.select($"doc_id".as("doc1"), $"n_sh".as("n1")), "doc1")
+          .join(sizes.select($"doc_id".as("doc2"), $"n_sh".as("n2")), "doc2")
+          .select($"doc1", $"doc2",
+            ($"common".cast("double") / ($"n1" + $"n2" - $"common"))
+              .as("jaccard"))
+          .filter($"jaccard" >= 0.5)
+      },
+      Some(s"""WITH $shinglesSql,
+        kept AS (
+          SELECT shingle FROM sh GROUP BY shingle
+          HAVING COUNT(*) <= $DfCap),
+        capped AS (SELECT sh.* FROM sh JOIN kept USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped
+                  GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+          FROM capped a JOIN capped b
             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc1, doc2,
