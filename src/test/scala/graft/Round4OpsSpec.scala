@@ -153,15 +153,17 @@ class Round4OpsSpec extends AnyFunSuite {
 
   test("bpe trainer: learned merges match a local reference trainer") {
     import spark.implicits._
-    val got = graft.tools.BpeTrain.train(spark, sf, 5)
-    assert(got.length == 5)
+    // 12 merges spans several batched passes — the batch selection must
+    // stay EXACTLY the one-merge-at-a-time greedy sequence
+    val got = graft.tools.BpeTrain.train(spark, sf, 12)
+    assert(got.length == 12)
     // local reference: greedy most-frequent adjacent pair, ties to the
     // lexicographically smallest (a, b) — the trainer's orderBy contract
     var words: Seq[Vector[String]] = Tables.documents(spark, sf)
       .select($"text").as[String].collect().toSeq
       .flatMap(_.split(" ")).map(_.map(_.toString).toVector)
     val learned = scala.collection.mutable.Buffer[(String, String)]()
-    for (_ <- 1 to 5) {
+    for (_ <- 1 to 12) {
       val counts = scala.collection.mutable.Map[(String, String), Long]()
       for (w <- words; i <- 0 until w.length - 1)
         counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + 1
