@@ -72,12 +72,15 @@ object Bench {
 
     val mbps = bytes / 1e6 / results.toMap.apply(DecodeName)
     // NaN (all reps failed) -> -1 sentinel: valid JSON, obviously wrong,
-    // and excluded from the total rather than silently summed
+    // and excluded from the total rather than silently summed. The same
+    // sentinel applies to the derived MB/s figure (NaN divides to NaN,
+    // which is not valid JSON).
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (v.isNaN) "-1" else v.toString)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if !v.isNaN => v }.sum
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pcap_decode_mb_s":$mbps%.1f}""")
+    val mbpsStr = if (mbps.isNaN) "-1" else f"$mbps%.1f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pcap_decode_mb_s":$mbpsStr}""")
     spark.stop()
   }
 }

@@ -36,7 +36,7 @@ object PcapQueries {
         (0, 1700000000L * 1000000L + i * 1000L,
           graft.pcap.PcapSynth.synthFrame(i))
       }
-      java.nio.file.Files.write(p,
+      graft.pcap.PcapSynth.writeAtomic(p,
         graft.pcap.PcapSynth.fileNg(Seq(1), pkts))
     }
     p.toString
@@ -414,7 +414,7 @@ object PcapQueries {
               payload = graft.pcap.PcapSynth.be16(q.length) ++ q)
             (1700000000L + i / 1000L, (i % 1000) * 991L, frame)
           }
-          java.nio.file.Files.write(p, graft.pcap.PcapSynth.file(pkts))
+          graft.pcap.PcapSynth.writeAtomic(p, graft.pcap.PcapSynth.file(pkts))
         }
         s.read.format("pcap").option("decoder", "dns+tcp").load(p.toString)
           .filter($"dns_qname".isNotNull)
@@ -456,7 +456,7 @@ object PcapQueries {
                   payload = new Array[Byte](24))
             (1700000000L + i / 1000L, (i % 1000) * 983L, frame)
           }
-          java.nio.file.Files.write(p, graft.pcap.PcapSynth.file(pkts))
+          graft.pcap.PcapSynth.writeAtomic(p, graft.pcap.PcapSynth.file(pkts))
         }
         s.read.format("pcap").load(p.toString)
           .groupBy($"ether_type", $"frag", $"ext_headers")
