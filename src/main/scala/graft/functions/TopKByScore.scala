@@ -24,14 +24,17 @@ final case class ScoredId(id: Long, score: Double)
   * doubles, -0.0 < 0.0 < NaN) and exact ties break to the lowest id. The
   * buffer is kept sorted best-first and capped at k, so reduce/merge are
   * associative and commutative regardless of partitioning.
+  *
+  * `ascending = true` ranks by (score asc, id asc) instead — the
+  * distance-metric form the PQ/IVF-PQ ADC scans use.
   */
-class TopKByScore(k: Int)
+class TopKByScore(k: Int, ascending: Boolean = false)
   extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
 
-  /** true if a ranks strictly better than b (score desc, id asc). */
+  /** true if a ranks strictly better than b. */
   private def better(a: ScoredId, b: ScoredId): Boolean = {
     val c = java.lang.Double.compare(a.score, b.score)
-    c > 0 || (c == 0 && a.id < b.id)
+    (if (ascending) c < 0 else c > 0) || (c == 0 && a.id < b.id)
   }
 
   private def insert(buf: List[ScoredId], x: ScoredId): List[ScoredId] = {

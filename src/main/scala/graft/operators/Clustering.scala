@@ -271,15 +271,16 @@ object Clustering {
           .filter($"pr" <= 2)
           .select($"qid", $"qe", $"cid".as("cluster"))
         val dot = graft.functions.VecDot.vec_dot _
-        val wr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+        val topk = udaf(new graft.functions.TopKByScore(5))
         broadcast(probes).join(lists, Seq("cluster"))
           .filter($"qid" =!= $"vec_id")
           .select($"qid", $"vec_id".as("cid"),
             (dot($"qe", $"v") / (sqrt(dot($"qe", $"qe")) *
               sqrt(dot($"v", $"v")))).as("cos"))
-          .withColumn("rn", row_number().over(wr))
-          .filter($"rn" <= 5)
-          .select($"qid", $"cid", $"cos", $"rn")
+          .groupBy($"qid").agg(topk($"cid", $"cos").as("tk"))
+          .select($"qid", posexplode($"tk"))
+          .select($"qid", $"col.id".as("cid"), $"col.score".as("cos"),
+            ($"pos" + 1).cast("int").as("rn"))
       },
       Some(s"""WITH $kmeansCtes,
         q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id % 50 = 0),

@@ -322,13 +322,16 @@ object Similarity {
             $"bucket".as("qb"))
         val c = withB.select($"vec_id".as("cid"), $"embedding".as("ce"),
           $"bucket".as("cb"))
-        val w2 = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+        // per-partition top-k aggregation (TopKByScore): candidate scores
+        // reduce map-side; no per-qid window sort of the candidate set
+        val topk = udaf(new graft.functions.TopKByScore(5))
         broadcast(q).join(c, $"qb" === $"cb" && $"qid" =!= $"cid")
           .select($"qid", $"cid",
             (dot("qe", "ce") / (norm("qe") * norm("ce"))).as("cos"))
-          .withColumn("rn", row_number().over(w2))
-          .filter($"rn" <= 5)
-          .select($"qid", $"cid", $"cos", $"rn")
+          .groupBy($"qid").agg(topk($"cid", $"cos").as("tk"))
+          .select($"qid", posexplode($"tk"))
+          .select($"qid", $"col.id".as("cid"), $"col.score".as("cos"),
+            ($"pos" + 1).cast("int").as("rn"))
       },
       Some("""WITH planes AS (
           SELECT j AS plane,
@@ -400,15 +403,16 @@ object Similarity {
           .withColumn("pr", row_number().over(wp))
           .filter($"pr" <= 2) // nprobe = 2
           .select($"qid", $"qe", $"list_id")
-        val wr = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid".asc)
+        val topk = udaf(new graft.functions.TopKByScore(5))
         broadcast(probes).join(withList, Seq("list_id"))
           .filter($"qid" =!= $"vec_id")
           .select($"qid", $"vec_id".as("cid"),
             (dot("qe", "embedding") / (norm("qe") * norm("embedding")))
               .as("cos"))
-          .withColumn("rn", row_number().over(wr))
-          .filter($"rn" <= 5)
-          .select($"qid", $"cid", $"cos", $"rn")
+          .groupBy($"qid").agg(topk($"cid", $"cos").as("tk"))
+          .select($"qid", posexplode($"tk"))
+          .select($"qid", $"col.id".as("cid"), $"col.score".as("cos"),
+            ($"pos" + 1).cast("int").as("rn"))
       },
       Some("""WITH e AS (
           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
@@ -515,26 +519,30 @@ object Similarity {
         val lut = qs.select($"qid", $"qv", cbCol)
           .select($"qid", expr("flatten(" + subDists.format("qv") + ")")
             .as("lut"))
-        val ws = Window.partitionBy($"qid").orderBy($"adist".asc, $"cid".asc)
+        // the exhaustive ADC scan reduces through TopKByScore (ascending:
+        // smaller distance is better) — the full Q×N adist set never
+        // shuffles, each task ships <= 100 buffered rows per query
+        val topShort = udaf(new graft.functions.TopKByScore(100, ascending = true))
         val shortlist = broadcast(lut).crossJoin(codes)
           .filter($"vec_id" =!= $"qid")
           .select($"qid", $"vec_id".as("cid"),
             expr("aggregate(sequence(0, 15), CAST(0.0 AS DOUBLE), " +
               "(acc, m) -> acc + element_at(lut, " +
               "m * 32 + element_at(codes, m + 1) + 1))").as("adist"))
-          .withColumn("sr", row_number().over(ws))
-          .filter($"sr" <= 100)
-          .select($"qid", $"cid")
-        val wr = Window.partitionBy($"qid").orderBy($"sqdist".asc, $"cid".asc)
+          .groupBy($"qid").agg(topShort($"cid", $"adist").as("tk"))
+          .select($"qid", explode($"tk").as("sc"))
+          .select($"qid", $"sc.id".as("cid"))
+        val topFinal = udaf(new graft.functions.TopKByScore(5, ascending = true))
         shortlist
           .join(broadcast(qs), "qid")
           .join(e.select($"vec_id".as("cid"), $"v"), "cid")
           .select($"qid", $"cid",
             expr("aggregate(zip_with(qv, v, (x, y) -> (x - y) * (x - y)), " +
               "CAST(0.0 AS DOUBLE), (a, z) -> a + z)").as("sqdist"))
-          .withColumn("rn", row_number().over(wr))
-          .filter($"rn" <= 5)
-          .select($"qid", $"cid", $"sqdist", $"rn")
+          .groupBy($"qid").agg(topFinal($"cid", $"sqdist").as("tk"))
+          .select($"qid", posexplode($"tk"))
+          .select($"qid", $"col.id".as("cid"), $"col.score".as("sqdist"),
+            ($"pos" + 1).cast("int").as("rn"))
       },
       Some(s"""WITH e AS (
           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
@@ -657,25 +665,28 @@ object Similarity {
         val lut = probes.select($"qid", $"pl", $"qr", cbCol)
           .select($"qid", $"pl",
             expr("flatten(" + subDists.format("qr") + ")").as("lut"))
-        val ws = Window.partitionBy($"qid").orderBy($"adist".asc, $"cid".asc)
+        // in-list ADC scan reduces through TopKByScore (ascending), same
+        // as sim_ann_pq — no per-qid window sort of the candidate codes
+        val topShort = udaf(new graft.functions.TopKByScore(50, ascending = true))
         val shortlist = codes.join(broadcast(lut), $"cl" === $"pl")
           .filter($"vec_id" =!= $"qid")
           .select($"qid", $"vec_id".as("cid"),
             expr("aggregate(sequence(0, 15), CAST(0.0 AS DOUBLE), " +
               "(acc, m) -> acc + element_at(lut, " +
               "m * 32 + element_at(codes, m + 1) + 1))").as("adist"))
-          .withColumn("sr", row_number().over(ws))
-          .filter($"sr" <= 50)
-          .select($"qid", $"cid")
-        val wr = Window.partitionBy($"qid").orderBy($"sqdist".asc, $"cid".asc)
+          .groupBy($"qid").agg(topShort($"cid", $"adist").as("tk"))
+          .select($"qid", explode($"tk").as("sc"))
+          .select($"qid", $"sc.id".as("cid"))
+        val topFinal = udaf(new graft.functions.TopKByScore(5, ascending = true))
         shortlist
           .join(broadcast(qs), "qid")
           .join(e.select($"vec_id".as("cid"), $"v"), "cid")
           .select($"qid", $"cid",
             expr(l2.format("qv", "v")).as("sqdist"))
-          .withColumn("rn", row_number().over(wr))
-          .filter($"rn" <= 5)
-          .select($"qid", $"cid", $"sqdist", $"rn")
+          .groupBy($"qid").agg(topFinal($"cid", $"sqdist").as("tk"))
+          .select($"qid", posexplode($"tk"))
+          .select($"qid", $"col.id".as("cid"), $"col.score".as("sqdist"),
+            ($"pos" + 1).cast("int").as("rn"))
       },
       Some(s"""WITH ${Clustering.kmeansCtes},
         cents AS (

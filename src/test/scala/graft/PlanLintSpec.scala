@@ -56,17 +56,23 @@ class PlanLintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
-  test("sim_cosine_topk reduces via partial top-k aggregation, not a window rank") {
-    val nodes = collectNodes(SparkEntry.queries("sim_cosine_topk")(spark, sf)
-      .queryExecution.executedPlan)
-    // the full Q×N pair set must never shuffle: no per-qid window sort,
-    // and the top-k runs as an ObjectHashAggregate (map-side partial
-    // reduces each task to <= k rows per query before the exchange)
-    assert(!nodes.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
-      "sim_cosine_topk plans a window rank over the full pair set")
-    assert(nodes.exists(_.nodeName.contains("ObjectHashAggregate")),
-      "expected an ObjectHashAggregate-based top-k")
+  test("candidate-scan top-k runs as partial aggregation, not a window rank") {
+    // queries whose ranked set is corpus-sized (the full Q×N pair set or
+    // the full ADC code scan): a per-qid window sort there shuffles the
+    // whole scored set — these plans must be window-free, with the top-k
+    // as an ObjectHashAggregate (map-side partial reduces each task to
+    // <= k rows per query before the exchange). The remaining windows in
+    // the ANN family rank only tiny broadcast sets (query×centroid
+    // probes).
+    for (name <- Seq("sim_cosine_topk", "sim_ann_lsh", "sim_ann_pq")) {
+      val nodes = collectNodes(SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan)
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        s"$name plans a window rank over a corpus-sized set")
+      assert(nodes.exists(_.nodeName.contains("ObjectHashAggregate")),
+        s"$name: expected an ObjectHashAggregate-based top-k")
+    }
   }
 
   test("pcap scans decode only the requested columns") {
