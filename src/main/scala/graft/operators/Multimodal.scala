@@ -143,6 +143,71 @@ object Multimodal {
     }
   }
 
+  /** REAL binary-PPM (P6) codec — the second container format behind the
+    * seam. Same independence contract as [[BmpCodec]]: the decoder reads
+    * only bytes (ASCII header with whitespace/comment handling, then raw
+    * RGB triplets, top-down) and shares nothing with the synthesis
+    * formula. */
+  object PpmCodec extends Serializable {
+
+    /** Write a binary P6 PPM with the SAME fixture content as BmpCodec
+      * (dims/pixel formulas shared — the two containers must decode to
+      * identical images, which MultimodalCodecSpec asserts). */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = BmpCodec.dims(id)
+      val header = s"P6\n# graft fixture $id\n$w $h\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = BmpCodec.pixel(id, x, y)
+          px((y * w + x) * 3) = r.toByte
+          px((y * w + x) * 3 + 1) = g.toByte
+          px((y * w + x) * 3 + 2) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
+      header ++ px
+    }
+
+    /** Parse a binary P6 PPM from bytes alone (maxval must be 255). */
+    def decode(bytes: Array[Byte]): BmpCodec.Image = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+        "not a P6 PPM")
+      var i = 2
+      // read 3 header ints (w, h, maxval), skipping whitespace and
+      // '#'-to-newline comments between tokens
+      val vals = new Array[Int](3)
+      var v = 0
+      while (v < 3) {
+        while (i < bytes.length &&
+               (bytes(i).toChar.isWhitespace || bytes(i) == '#')) {
+          if (bytes(i) == '#')
+            while (i < bytes.length && bytes(i) != '\n') i += 1
+          else i += 1
+        }
+        var n = 0
+        var any = false
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          n = n * 10 + (bytes(i) - '0'); i += 1; any = true
+        }
+        require(any, "malformed PPM header")
+        vals(v) = n
+        v += 1
+      }
+      val (w, h, maxv) = (vals(0), vals(1), vals(2))
+      require(maxv == 255, s"unsupported PPM maxval $maxv")
+      i += 1 // single whitespace byte after maxval, then raw triplets
+      require(bytes.length >= i + w * h * 3, "truncated PPM")
+      val px = new Array[Byte](w * h * 3)
+      System.arraycopy(bytes, i, px, 0, w * h * 3)
+      BmpCodec.Image(w, h, px)
+    }
+  }
+
   /** STUB codec: deterministic "features" from the blob bytes. A real
     * deployment swaps this one function for an actual decoder; the Spark
     * plumbing around it is unchanged. */
@@ -380,6 +445,56 @@ object Multimodal {
                AS INT) AS b
         FROM img,
           LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xs,
-          LATERAL (SELECT unnest(generate_series(0, 5)) AS y) ys"""))
+          LATERAL (SELECT unnest(generate_series(0, 5)) AS y) ys""")),
+
+    // ----- mixed-container decode (format sniffing: BMP + PPM) -----------
+    // A real lake holds a mix of encodings; the seam dispatches on the
+    // magic bytes, not a format column. Alternating images are stored as
+    // BMP vs binary PPM; the oracle's expected stats are
+    // container-INDEPENDENT (pure formula), so the row only matches if
+    // both parsers decode the same image from their very different byte
+    // layouts (bottom-up padded BGR vs ASCII-header raw RGB).
+    Q("mm_decode_any",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 0)
+          .select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.map { id =>
+            val bytes =
+              if ((id / 3) % 2 == 0) BmpCodec.encode(id)
+              else PpmCodec.encode(id)
+            val img =
+              if (bytes(0) == 'B' && bytes(1) == 'M') BmpCodec.decode(bytes)
+              else PpmCodec.decode(bytes)
+            var acc = 0L
+            var y = 0
+            while (y < img.h) {
+              var x = 0
+              while (x < img.w) {
+                acc += img.r(x, y) + 2L * img.g(x, y) + 3L * img.b(x, y)
+                x += 1
+              }
+              y += 1
+            }
+            (id, if ((id / 3) % 2 == 0) "bmp" else "ppm", img.w, img.h, acc)
+          }
+        }.toDF("media_id", "container", "w", "h", "px_sum")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE WHEN (doc_id // 3) % 2 = 0 THEN 'bmp' ELSE 'ppm' END
+            AS container,
+          CAST(16 + doc_id % 13 AS INT) AS w,
+          CAST(12 + doc_id % 7 AS INT) AS h,
+          CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256
+             + 2 * ((doc_id + x * 11 + y * 2) % 256)
+             + 3 * ((doc_id * 13 + x * y) % 256)) AS BIGINT) AS px_sum
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(16 + doc_id % 13 AS INT) - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
+        WHERE doc_id % 3 = 0
+        GROUP BY 1, 2, 3, 4"""))
   )
 }

@@ -54,6 +54,28 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("PPM and BMP containers decode to identical images") {
+    import graft.operators.Multimodal.PpmCodec
+    for (id <- Seq(0L, 3L, 42L, 255L)) {
+      val viaBmp = BmpCodec.decode(BmpCodec.encode(id))
+      val viaPpm = PpmCodec.decode(PpmCodec.encode(id))
+      assert(viaBmp.w == viaPpm.w && viaBmp.h == viaPpm.h)
+      assert(viaBmp.px.toSeq == viaPpm.px.toSeq, s"id=$id")
+    }
+  }
+
+  test("hand-crafted PPM with comments and odd whitespace decodes") {
+    import graft.operators.Multimodal.PpmCodec
+    // 2x1: red then blue; header split across lines with a comment
+    val bytes = "P6\n# a comment\n 2\n1 # trailing\n255\n"
+      .getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte)
+    val img = PpmCodec.decode(bytes)
+    assert(img.w == 2 && img.h == 1)
+    assert((img.r(0, 0), img.g(0, 0), img.b(0, 0)) == ((255, 0, 0)))
+    assert((img.r(1, 0), img.g(1, 0), img.b(1, 0)) == ((0, 0, 255)))
+  }
+
   test("malformed inputs are rejected, not misparsed") {
     intercept[IllegalArgumentException](BmpCodec.decode(Array[Byte](1, 2, 3)))
     val bad = handBmp(topDown = false)
