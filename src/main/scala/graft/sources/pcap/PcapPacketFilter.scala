@@ -30,6 +30,11 @@ object PcapPacketFilter {
     case StringStartsWith(c, _) => stringColumns(c)
     case StringEndsWith(c, _) => stringColumns(c)
     case StringContains(c, _) => stringColumns(c)
+    // Catalyst attaches IsNotNull beneath most comparison filters, and
+    // "dns_qname IS NOT NULL" is the canonical DNS-telemetry predicate:
+    // skipping row materialization for the non-matching packets (ARP,
+    // non-DNS UDP) is a large fraction of a mixed capture
+    case IsNotNull(c) => columns(c)
     case _ => false
   }
 
@@ -64,6 +69,8 @@ object PcapPacketFilter {
   private def one(f: Filter): Predicate = f match {
     // a record missing the column is NULL → the filter can't match;
     // skipping is safe (Spark's residual filter would drop it anyway)
+    case IsNotNull(c) =>
+      r => field(c, r).isDefined
     case EqualTo(c, v) =>
       r => field(c, r).exists(same(_, v))
     case In(c, vs) =>
