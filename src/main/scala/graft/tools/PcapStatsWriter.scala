@@ -31,12 +31,30 @@ object PcapStatsWriter {
       files.foreach { st =>
         val in = PcapFileOpener.open(conf, st.getPath.toString)
         val stats = try PcapTsIndex.scanMinMax(in) finally in.close()
-        stats match {
+        // non-classic containers (pcapng) have no fixed record chain for
+        // the header walk — fall back to a full decode pass for the same
+        // exact stats (slower, still one-time ETL work)
+        val resolved = stats.orElse {
+          val in2 = PcapFileOpener.open(conf, st.getPath.toString)
+          try {
+            val ts = graft.pcap.PacketReaders
+              .open(in2, graft.pcap.DecodeOptions(appDecoder = None))
+              .flatMap(_.ts)
+            if (ts.isEmpty) None
+            else {
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              ts.foreach { t => if (t < mn) mn = t; if (t > mx) mx = t }
+              Some((mn, mx))
+            }
+          } catch { case _: Exception => None } finally in2.close()
+        }
+        resolved match {
           case Some((mn, mx)) =>
             PcapTsIndex.writeSidecar(fs, st.getPath, mn, mx)
             println(s"${st.getPath}: ts [$mn, $mx]")
           case None =>
-            println(s"${st.getPath}: no classic-pcap stats (skipped)")
+            println(s"${st.getPath}: no packet stats (skipped)")
         }
       }
     }

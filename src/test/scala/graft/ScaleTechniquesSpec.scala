@@ -161,6 +161,20 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       assert(m.value <= 4, s"probe read ${m.value} files — no pruning"))
   }
 
+  test("IsNotNull pushdown skips materialization without changing results") {
+    import spark.implicits._
+    def scan(push: Boolean) = spark.read.format("pcap")
+      .option("decoder", "dns").option("pushdown", push.toString)
+      .load("/tmp/graft_synth_32m.pcap")
+      .filter($"dns_qname".isNotNull)
+      .groupBy($"dns_qtype_str").count()
+    graft.pcap.PcapSynth.ensureFile(
+      java.nio.file.Paths.get("/tmp/graft_synth_32m.pcap"), 32L << 20)
+    val pushed = scan(true).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = scan(false).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pushed == plain && pushed.nonEmpty)
+  }
+
   test("dns string predicates push into the pcap decoder") {
     import spark.implicits._
     val qr = java.nio.file.Paths.get("/tmp/graft_synth_qr_small.pcap")
@@ -235,10 +249,17 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     write("a.pcap", 1000L)
     write("b.pcap", 2000L)
     write("c.pcap", 3000L)
+    // a pcapng file exercises the stats tool's full-decode fallback
+    // (no classic record chain to header-walk)
+    java.nio.file.Files.write(dir.resolve("d.pcapng"),
+      graft.pcap.PcapSynth.fileNg(Seq(1), (0 until 4).map(i =>
+        (0, (4000L + i) * 1000000L, graft.pcap.PcapSynth.synthFrame(i)))))
     // ETL-side sidecar generation (exact min/max header walk) ...
     graft.tools.PcapStatsWriter.main(Array(dir.toString))
     assert(new String(java.nio.file.Files.readAllBytes(
       dir.resolve("a.pcap.tsidx"))).trim == "1000 1003")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("d.pcapng.tsidx"))).trim == "4000 4003")
     // ... but leave c.pcap statless to exercise the no-stats path
     java.nio.file.Files.delete(dir.resolve("c.pcap.tsidx"))
     // 1-byte bins -> one file per partition, so the partition count IS
@@ -250,11 +271,12 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
     val off = scan("tsPruning" -> "false")
     assert(off.count() == 4)
-    assert(off.rdd.getNumPartitions == 3, "opt-out must plan every file")
+    assert(off.rdd.getNumPartitions == 4, "opt-out must plan every file")
     val side = scan()
     assert(side.count() == 4)
     assert(side.rdd.getNumPartitions == 2,
-      "sidecar stats must prune a.pcap; statless c.pcap must survive")
+      "sidecar stats must prune a.pcap and d.pcapng; statless c.pcap " +
+        "must survive")
     val mono = scan("assumeMonotonicTs" -> "true")
     assert(mono.count() == 4)
     assert(mono.rdd.getNumPartitions == 1,
