@@ -49,8 +49,10 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
       case 4 if ip + 20 <= data.length =>
         b.ttl = Some(data(ip + 8) & 0xFF)
         b.protocol = Some(protocolName(data(ip + 9) & 0xFF))
-        b.src = Some(ipv4String(data, ip + 12))
-        b.dst = Some(ipv4String(data, ip + 16))
+        if (options.addrStrings) {
+          b.src = Some(ipv4String(data, ip + 12))
+          b.dst = Some(ipv4String(data, ip + 16))
+        }
         if (isTcpUdp(b.protocol)) {
           val ihl = (data(ip) & 0xF) * 4
           decodeL4(b, data, ip, ihl, v6 = false)
@@ -58,8 +60,10 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
       case 6 if ip + 40 <= data.length =>
         b.ttl = Some(data(ip + 7) & 0xFF)
         b.payloadLen = Some(beU16(data, ip + 4))
-        b.src = Some(ipv6String(data, ip + 8))
-        b.dst = Some(ipv6String(data, ip + 24))
+        if (options.addrStrings) {
+          b.src = Some(ipv6String(data, ip + 8))
+          b.dst = Some(ipv6String(data, ip + 24))
+        }
         val dataStart = walkV6ExtHeaders(b, data, ip)
         if (dataStart > 0 && isTcpUdp(b.protocol))
           decodeL4(b, data, ip, dataStart, v6 = true)
@@ -78,13 +82,13 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
     var count = 0
     var offset = 40
     var next = data(ip + 6) & 0xFF
-    val chain = new StringBuilder
+    val chain = if (options.extHeaderStrings) new StringBuilder else null
     var result = -1
     var done = false
     while (!done && ip + offset < data.length) {
       val isExt = ExtHeaderNames.contains(next)
       val name = if (isExt) ExtHeaderNames(next) else protocolName(next)
-      chain.append('[').append(name).append(']')
+      if (chain != null) chain.append('[').append(name).append(']')
       if (next == NoNextHeader) {
         done = true                       // result stays -1
       } else if (!isExt) {
@@ -109,7 +113,7 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
       }
     }
     b.extCount = Some(count)
-    if (chain.nonEmpty) b.extHeaders = Some(chain.toString)
+    if (chain != null && chain.nonEmpty) b.extHeaders = Some(chain.toString)
     result
   }
 
@@ -123,7 +127,7 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
     b.dstPort = Some(beU16(data, l4 + 2))
     val headerSize = b.protocol match {
       case Some("UDP") =>
-        b.udpsum = udpChecksum(data, ip, l4Start, v6)
+        if (options.udpsum) b.udpsum = udpChecksum(data, ip, l4Start, v6)
         8
       case Some("TCP") =>
         if (l4 + 13 > data.length) return

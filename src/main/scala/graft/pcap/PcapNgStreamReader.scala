@@ -1,6 +1,6 @@
 package graft.pcap
 
-import java.io.{DataInputStream, EOFException, IOException, InputStream}
+import java.io.{IOException, InputStream}
 
 /** Streaming pcapng (pcap-Next-Generation, IETF draft-ietf-opsawg-pcapng)
   * decoder — an EXTENSION beyond the reference, which rejects pcapng
@@ -31,7 +31,7 @@ final class PcapNgStreamReader(
 
   import PcapNgStreamReader._
 
-  private val is = new DataInputStream(in)
+  private val is = new FastIn(in)
   private val frameDecoder = new FrameDecoder(options)
   private var nextRec: PacketRecord = _
   private var eof = false
@@ -51,9 +51,11 @@ final class PcapNgStreamReader(
     if (bigEndian) ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
     else ((b(off + 1) & 0xFF) << 8) | (b(off) & 0xFF)
 
-  private def readFully(buf: Array[Byte]): Boolean =
-    try { is.readFully(buf); true }
-    catch { case _: EOFException => eof = true; false }
+  private def readFully(buf: Array[Byte]): Boolean = {
+    val ok = is.readFully(buf)
+    if (!ok) eof = true
+    ok
+  }
 
   override def hasNext: Boolean = {
     while (nextRec == null && !eof) nextRec = readBlock()
@@ -217,15 +219,8 @@ final class PcapNgStreamReader(
     b.build()
   }
 
-  private def skip(n: Int): Unit = {
-    var left = n.toLong
-    while (left > 0 && !eof) {
-      val k = is.skip(left)
-      if (k <= 0) {
-        if (is.read() < 0) eof = true else left -= 1
-      } else left -= k
-    }
-  }
+  private def skip(n: Int): Unit =
+    if (!eof && !is.skipFully(n.toLong)) eof = true
 }
 
 object PcapNgStreamReader {

@@ -1,6 +1,6 @@
 package graft.pcap
 
-import java.io.{DataInputStream, EOFException, IOException, InputStream}
+import java.io.{IOException, InputStream}
 
 /** Which optional work the decoder performs. Column pruning in the Spark
   * source maps requested columns onto these switches so unrequested work
@@ -15,7 +15,18 @@ final case class DecodeOptions(
     /** false when no dns_answer/dns_authority/dns_additional column is
       * requested: the decoder still walks (and validates) the RR
       * sections but skips building their presentation strings. */
-    dnsSections: Boolean = true)
+    dnsSections: Boolean = true,
+    /** false when `udpsum` is not requested: skips the one's-complement
+      * checksum loop over the whole UDP segment — an O(payload) cost per
+      * packet that dominates pruned telemetry projections. */
+    udpsum: Boolean = true,
+    /** false when neither `src` nor `dst` is requested: skips formatting
+      * the two IP address strings per packet. */
+    addrStrings: Boolean = true,
+    /** false when `ext_headers` is not requested: the v6 extension chain
+      * is still walked (the L4 offset depends on it) but the bracketed
+      * chain string is not built. */
+    extHeaderStrings: Boolean = true)
 
 object DecodeOptions {
   /** Convenience for the common case. */
@@ -64,7 +75,7 @@ final class PcapStreamReader(
 
   import PcapStreamReader._
 
-  private val is = new DataInputStream(in)
+  private val is = new FastIn(in)
   private var eof = false
   private var nextRec: PacketRecord = _
   private val hdrBuf = new Array[Byte](PacketHeaderSize)
@@ -116,12 +127,11 @@ final class PcapStreamReader(
     val r = nextRec; nextRec = null; r
   }
 
-  private def readFully(buf: Array[Byte]): Boolean =
-    try { is.readFully(buf); true }
-    catch {
-      case _: EOFException => eof = true; false
-      case _: IOException => false
-    }
+  private def readFully(buf: Array[Byte]): Boolean = {
+    val ok = is.readFully(buf)
+    if (!ok && is.eof) eof = true
+    ok
+  }
 
   private def readPacket(): PacketRecord = {
     if (!readFully(hdrBuf)) return null

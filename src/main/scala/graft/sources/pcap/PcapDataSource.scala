@@ -226,14 +226,20 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
       options.getOrDefault("decoder", "ip"))
     val wantsDnsCols = requiredSchema.fieldNames.exists(_.startsWith("dns_"))
     val sectionCols = Set("dns_answer", "dns_authority", "dns_additional")
+    val need = requiredSchema.fieldNames.toSet
     val decode = DecodeOptions(
       appDecoder = if (wantsDnsCols) appDecoder else None,
-      md5 = options.getBoolean("md5", false) &&
-        requiredSchema.fieldNames.contains("md5"),
-      keepPayload = requiredSchema.fieldNames.contains("payload"),
+      md5 = options.getBoolean("md5", false) && need("md5"),
+      keepPayload = need("payload"),
       // prune RR-section string building when none of the section
       // columns is requested (qname/qtype telemetry projections)
-      dnsSections = requiredSchema.fieldNames.exists(sectionCols))
+      dnsSections = requiredSchema.fieldNames.exists(sectionCols),
+      // columns referenced by residual filters are always part of the
+      // required schema, so schema-driven pruning can never starve a
+      // pushed predicate (PrunedDecodeParitySpec)
+      udpsum = need("udpsum"),
+      addrStrings = need("src") || need("dst"),
+      extHeaderStrings = need("ext_headers"))
     new PcapReaderFactory(new SerializableHadoopConf(hadoopConf),
       requiredSchema, decode, PcapPacketFilter.compile(pushedFilters),
       // batch (not streaming) reads emit ColumnarBatches for flat

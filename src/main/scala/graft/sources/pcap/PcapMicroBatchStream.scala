@@ -72,15 +72,18 @@ class PcapMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory = {
     val appDecoder = graft.pcap.PayloadDecoders.forName(
       options.getOrDefault("decoder", "ip"))
+    val need = schema.fieldNames.toSet
     val decode = DecodeOptions(
       appDecoder =
         if (schema.fieldNames.exists(_.startsWith("dns_"))) appDecoder
         else None,
-      md5 = options.getBoolean("md5", false) &&
-        schema.fieldNames.contains("md5"),
-      keepPayload = schema.fieldNames.contains("payload"),
+      md5 = options.getBoolean("md5", false) && need("md5"),
+      keepPayload = need("payload"),
       dnsSections = schema.fieldNames.exists(
-        Set("dns_answer", "dns_authority", "dns_additional")))
+        Set("dns_answer", "dns_authority", "dns_additional")),
+      udpsum = need("udpsum"),
+      addrStrings = need("src") || need("dst"),
+      extHeaderStrings = need("ext_headers"))
     new PcapReaderFactory(new SerializableHadoopConf(conf), schema, decode)
   }
 
