@@ -42,27 +42,44 @@ object DnsParser {
   private val Classes = Map(1 -> "IN", 3 -> "CH", 4 -> "HS",
     254 -> "NONE", 255 -> "ANY")
 
-  def typeString(t: Int): String = Types.getOrElse(t, s"TYPE$t")
-  def classString(c: Int): String = Classes.getOrElse(c, s"CLASS$c")
+  // array-indexed lookups for the per-packet loop: a HashMap.getOrElse
+  // boxes its Int key, which shows up in decode profiles
+  private val TypeArr: Array[String] =
+    Array.tabulate(512)(i => Types.getOrElse(i, s"TYPE$i"))
+  private val TypeSomeArr: Array[Some[String]] = TypeArr.map(Some(_))
+  private val ClassArr: Array[String] =
+    Array.tabulate(512)(i => Classes.getOrElse(i, s"CLASS$i"))
+  private val OpcodeArr: Array[String] =
+    Array.tabulate(16)(i => Opcodes.getOrElse(i, i.toString))
+  private val RcodeArr: Array[String] =
+    Array.tabulate(16)(i => Rcodes.getOrElse(i, i.toString))
+
+  def typeString(t: Int): String =
+    if (t >= 0 && t < 512) TypeArr(t) else s"TYPE$t"
+  def classString(c: Int): String =
+    if (c >= 0 && c < 512) ClassArr(c) else s"CLASS$c"
 
   private val FlagBits = Array(
     0x8000 -> "qr", 0x0400 -> "aa", 0x0200 -> "tc", 0x0100 -> "rd",
     0x0080 -> "ra", 0x0020 -> "ad", 0x0010 -> "cd")
-  // 2^7 printable flag combinations — precompute every string once
-  private val flagCache: Map[Int, String] = {
-    val masks = FlagBits.map(_._1)
-    (0 until (1 << masks.length)).map { combo =>
-      val word = masks.zipWithIndex.collect {
-        case (m, i) if (combo & (1 << i)) != 0 => m
-      }.sum
-      word -> FlagBits.collect {
-        case (bit, n) if (word & bit) != 0 => n
+  // 2^7 printable flag combinations — precompute every string once,
+  // indexed by the 7 flag bits compacted (array read, no boxed map key)
+  private val flagCache: Array[String] =
+    Array.tabulate(1 << FlagBits.length) { idx =>
+      FlagBits.zipWithIndex.collect {
+        case ((_, n), i) if (idx & (1 << (FlagBits.length - 1 - i))) != 0 => n
       }.mkString(" ")
-    }.toMap
+    }
+  private def flagString(flagsWord: Int): String = {
+    var idx = 0
+    var i = 0
+    while (i < FlagBits.length) {
+      idx <<= 1
+      if ((flagsWord & FlagBits(i)._1) != 0) idx |= 1
+      i += 1
+    }
+    flagCache(idx)
   }
-  private val flagMask = FlagBits.map(_._1).sum
-  private def flagString(flagsWord: Int): String =
-    flagCache(flagsWord & flagMask)
 
   def parse(payload: Array[Byte]): Option[DnsFields] =
     parse(payload, 0, payload.length)
@@ -159,6 +176,68 @@ object DnsParser {
     c.pos = if (after >= 0) after else p
   }
 
+  /** qname fast path: the same pointer chase, jump bound, and bounds
+    * checks as [[readNameInto]], but building the lowercased presentation
+    * form directly as bytes (every emitted char is ASCII — label bytes
+    * outside 0x21-0x7E are escaped to `\ddd` — so byte-wise lowercase is
+    * exactly `readName(c).toLowerCase`). One short byte[] and one compact
+    * String per call, replacing the StringBuilder char-append chain that
+    * dominated decode profiles. */
+  private def readQNameLower(c: Cursor): String = {
+    var buf = new Array[Byte](96)
+    var n = 0
+    def ensure(k: Int): Unit =
+      if (n + k > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, n + k))
+    var jumps = 0
+    var p = c.pos
+    var after = -1
+    var done = false
+    while (!done) {
+      val len = c.at(p)
+      if ((len & 0xC0) == 0xC0) {
+        val ptr = ((len & 0x3F) << 8) | c.at(p + 1)
+        if (after < 0) after = p + 2
+        jumps += 1
+        if (jumps > c.length) throw new IllegalStateException("pointer loop")
+        p = ptr
+      } else if (len == 0) {
+        p += 1
+        done = true
+      } else {
+        if (p + 1 + len > c.length) throw new IndexOutOfBoundsException
+        var i = p + 1
+        while (i < p + 1 + len) {
+          val b = c.at(i)
+          if (b < 0x21 || b > 0x7E) {
+            ensure(4)
+            buf(n) = '\\'; buf(n + 1) = ('0' + b / 100).toByte
+            buf(n + 2) = ('0' + b / 10 % 10).toByte
+            buf(n + 3) = ('0' + b % 10).toByte
+            n += 4
+          } else if (b == '.' || b == ';' || b == '\\' || b == '(' ||
+                     b == ')' || b == '"' || b == '@' || b == '$') {
+            ensure(2)
+            buf(n) = '\\'; buf(n + 1) = b.toByte
+            n += 2
+          } else {
+            ensure(1)
+            buf(n) = (if (b >= 'A' && b <= 'Z') b + 32 else b).toByte
+            n += 1
+          }
+          i += 1
+        }
+        ensure(1)
+        buf(n) = '.'
+        n += 1
+        p += 1 + len
+      }
+    }
+    c.pos = if (after >= 0) after else p
+    if (n == 0) "."
+    else new String(buf, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
   private def parseStrict(c: Cursor, emitSections: Boolean): DnsFields = {
     require(c.length >= 12, "short DNS header")
     val id = c.u16()
@@ -174,9 +253,13 @@ object DnsParser {
     var qtype = 0
     var i = 0
     while (i < qd) {
-      val name = readName(c)
-      val t = c.u16(); c.u16() // qclass
-      if (i == 0) { qname = Some(name.toLowerCase); qtype = t }
+      if (i == 0) {
+        qname = Some(readQNameLower(c))
+        qtype = c.u16(); c.u16() // qclass
+      } else {
+        readNameInto(c, null) // walk + validate only
+        c.u16(); c.u16()
+      }
       i += 1
     }
 
@@ -202,11 +285,14 @@ object DnsParser {
       queryId = id,
       flags = flagsStr,
       qr = qr,
-      opcode = Opcodes.getOrElse(opcode, opcode.toString),
-      rcode = Rcodes.getOrElse(rcode, rcode.toString),
+      opcode = OpcodeArr(opcode),
+      rcode = RcodeArr(rcode),
       qname = qname,
       qtype = qtype,
-      qtypeStr = qname.map(_ => typeString(qtype)),
+      qtypeStr =
+        if (!qname.isDefined) None
+        else if (qtype >= 0 && qtype < 512) TypeSomeArr(qtype)
+        else Some(typeString(qtype)),
       answer = answer,
       authority = authority,
       additional = additional)

@@ -40,11 +40,14 @@ private[pcap] final class FastIn(in: InputStream, bufSize: Int = 1 << 17) {
 
   /** Fill `dst` completely; false (with `eof` set on end-of-stream) when
     * the stream ends or errors first. */
-  def readFully(dst: Array[Byte]): Boolean = {
+  def readFully(dst: Array[Byte]): Boolean = readFully(dst, dst.length)
+
+  /** Fill `dst[0, len)`; same contract as [[readFully]]. */
+  def readFully(dst: Array[Byte], len: Int): Boolean = {
     var off = 0
-    while (off < dst.length) {
+    while (off < len) {
       if (!fill()) return false
-      val n = math.min(lim - pos, dst.length - off)
+      val n = math.min(lim - pos, len - off)
       System.arraycopy(buf, pos, dst, off, n)
       pos += n
       off += n

@@ -2,6 +2,18 @@ package graft.pcap
 
 import java.security.MessageDigest
 
+/** Pre-built `Some` wrappers for the per-packet hot loop: ports, ttls,
+  * lengths, and counts all land in [0, 65536), so boxing them through
+  * this table removes two allocations (Integer + Some) per field per
+  * packet. ~2 MB of static memory, shared by all reader threads. */
+private[pcap] object Boxes {
+  private val ints: Array[Some[Int]] = Array.tabulate(65536)(Some(_))
+  val someTrue: Some[Boolean] = Some(true)
+  val someFalse: Some[Boolean] = Some(false)
+  def int(i: Int): Some[Int] =
+    if (i >= 0 && i < 65536) ints(i) else Some(i)
+}
+
 /** Mutable per-packet accumulator; one PacketRecord built at the end.
   * Shared by the classic-pcap and pcapng container readers. */
 private[pcap] final class PacketBuilder {
@@ -11,6 +23,9 @@ private[pcap] final class PacketBuilder {
   var frag: Option[Boolean] = None
   var dns: Option[DnsFields] = None
   var payload: Option[Array[Byte]] = None
+  /** IP protocol id for branch decisions (-1 = none); `protocol` holds
+    * the display string. Not part of the built record. */
+  var protoId: Int = -1
 
   def build(): PacketRecord = PacketRecord(
     ts = ts, tsMicro = tsMicro, size = size, md5 = md5v,
@@ -27,81 +42,102 @@ private[pcap] final class PacketBuilder {
 private[pcap] final class FrameDecoder(options: DecodeOptions) {
   import PcapStreamReader._
 
-  private val md: Option[MessageDigest] =
-    if (options.md5) Some(MessageDigest.getInstance("MD5")) else None
+  private val md: MessageDigest =
+    if (options.md5) MessageDigest.getInstance("MD5") else null
+  private val appDec: PayloadDecoder = options.appDecoder.orNull
 
-  /** Decode `data` (one captured frame) into `b`. `ts`/`tsMicro`/`size`
-    * are the container's concern and must be set by the caller. */
-  def decode(b: PacketBuilder, data: Array[Byte], linkType: Int): Unit = {
-    md.foreach(m => b.md5v = Some(upperHex(m.digest(data))))
-    b.etherType = Some(etherTypeName(linkType, data))
-    ipStart(linkType, data) match {
-      case Some(ip) if ip < data.length => decodeIp(b, data, ip)
-      case _ => ()
+  // the same ether-type name repeats for almost every frame of a capture;
+  // reuse its Some wrapper instead of allocating one per packet
+  private var lastEtherName: String = null
+  private var lastEtherSome: Some[String] = null
+
+  /** Decode the frame at `data[off, off+len)` into `b` (offset-based so
+    * container readers can decode in place from a reused read buffer —
+    * nothing here retains `data`: every emitted field is a copy).
+    * `ts`/`tsMicro`/`size` are the container's concern and must be set by
+    * the caller. */
+  def decode(b: PacketBuilder, data: Array[Byte], off: Int, len: Int,
+      linkType: Int): Unit = {
+    val end = off + len
+    if (md != null) {
+      md.update(data, off, len)
+      b.md5v = Some(upperHex(md.digest()))
     }
+    val ether = etherTypeName(linkType, data, off, end)
+    if (ether ne lastEtherName) {
+      lastEtherName = ether
+      lastEtherSome = Some(ether)
+    }
+    b.etherType = lastEtherSome
+    val ip = ipStartIdx(linkType, data, off, end)
+    if (ip >= 0 && ip < end) decodeIp(b, data, ip, end)
   }
 
-  private def decodeIp(b: PacketBuilder, data: Array[Byte], ip: Int): Unit =
+  /** Whole-array convenience (tests, chunkers). */
+  def decode(b: PacketBuilder, data: Array[Byte], linkType: Int): Unit =
+    decode(b, data, 0, data.length, linkType)
+
+  private def decodeIp(b: PacketBuilder, data: Array[Byte], ip: Int,
+      end: Int): Unit =
     (data(ip) >> 4) & 0xF match {
       // length guards: a frame shorter than the fixed L3 header yields a
       // record without L3 fields rather than an exception (fuzz-found;
       // the reference would AIOOBE here)
-      case 4 if ip + 20 <= data.length =>
-        b.ttl = Some(data(ip + 8) & 0xFF)
-        b.protocol = Some(protocolName(data(ip + 9) & 0xFF))
+      case 4 if ip + 20 <= end =>
+        b.ttl = Boxes.int(data(ip + 8) & 0xFF)
+        val pid = data(ip + 9) & 0xFF
+        b.protoId = pid
+        b.protocol = ProtocolSomeArr(pid)
         if (options.addrStrings) {
           b.src = Some(ipv4String(data, ip + 12))
           b.dst = Some(ipv4String(data, ip + 16))
         }
-        if (isTcpUdp(b.protocol)) {
+        if (pid == 6 || pid == 17) {
           val ihl = (data(ip) & 0xF) * 4
-          decodeL4(b, data, ip, ihl, v6 = false)
+          decodeL4(b, data, ip, ihl, end, v6 = false)
         }
-      case 6 if ip + 40 <= data.length =>
-        b.ttl = Some(data(ip + 7) & 0xFF)
-        b.payloadLen = Some(beU16(data, ip + 4))
+      case 6 if ip + 40 <= end =>
+        b.ttl = Boxes.int(data(ip + 7) & 0xFF)
+        b.payloadLen = Boxes.int(beU16(data, ip + 4))
         if (options.addrStrings) {
           b.src = Some(ipv6String(data, ip + 8))
           b.dst = Some(ipv6String(data, ip + 24))
         }
-        val dataStart = walkV6ExtHeaders(b, data, ip)
-        if (dataStart > 0 && isTcpUdp(b.protocol))
-          decodeL4(b, data, ip, dataStart, v6 = true)
+        val dataStart = walkV6ExtHeaders(b, data, ip, end)
+        if (dataStart > 0 && (b.protoId == 6 || b.protoId == 17))
+          decodeL4(b, data, ip, dataStart, end, v6 = true)
       case _ => ()
-    }
-
-  private def isTcpUdp(p: Option[String]): Boolean =
-    p match {
-      case Some(s) => s == "TCP" || s == "UDP"
-      case None => false
     }
 
   /** Walk the v6 extension chain. Returns the L4 offset from ip —
     * -1 when No-Next-Header terminates the chain. */
-  private def walkV6ExtHeaders(b: PacketBuilder, data: Array[Byte], ip: Int): Int = {
+  private def walkV6ExtHeaders(b: PacketBuilder, data: Array[Byte], ip: Int,
+      end: Int): Int = {
     var count = 0
     var offset = 40
     var next = data(ip + 6) & 0xFF
     val chain = if (options.extHeaderStrings) new StringBuilder else null
     var result = -1
     var done = false
-    while (!done && ip + offset < data.length) {
+    while (!done && ip + offset < end) {
       val isExt = ExtHeaderNames.contains(next)
       val name = if (isExt) ExtHeaderNames(next) else protocolName(next)
       if (chain != null) chain.append('[').append(name).append(']')
       if (next == NoNextHeader) {
         done = true                       // result stays -1
       } else if (!isExt) {
-        b.protocol = Some(name)
+        b.protoId = next
+        b.protocol =
+          if (next < 256) ProtocolSomeArr(next) else Some(name)
         result = offset
         done = true
       } else {
         count += 1
         if (next == FragmentHeader) {
-          b.frag = Some(true)
+          b.frag = Boxes.someTrue
           next = data(ip + offset) & 0xFF
           offset += 8                     // fragment header is fixed 8 bytes
-        } else if (ip + offset + 1 >= data.length) {
+        } else if (ip + offset + 1 >= end) {
           done = true                     // ext header length byte truncated
         } else if (next == AuthHeader) {
           next = data(ip + offset) & 0xFF
@@ -112,40 +148,39 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
         }
       }
     }
-    b.extCount = Some(count)
+    b.extCount = Boxes.int(count)
     if (chain != null && chain.nonEmpty) b.extHeaders = Some(chain.toString)
     result
   }
 
   /** Ports + (UDP) checksum + payload slice + optional DNS decode.
-    * `l4Start` is relative to ip. */
+    * `l4Start` is relative to ip; `end` bounds the frame. */
   private def decodeL4(b: PacketBuilder, data: Array[Byte], ip: Int,
-      l4Start: Int, v6: Boolean): Unit = {
+      l4Start: Int, end: Int, v6: Boolean): Unit = {
     val l4 = ip + l4Start
-    if (l4 + 4 > data.length) return
-    b.srcPort = Some(beU16(data, l4))
-    b.dstPort = Some(beU16(data, l4 + 2))
-    val headerSize = b.protocol match {
-      case Some("UDP") =>
-        if (options.udpsum) b.udpsum = udpChecksum(data, ip, l4Start, v6)
+    if (l4 + 4 > end) return
+    val srcPort = beU16(data, l4)
+    val dstPort = beU16(data, l4 + 2)
+    b.srcPort = Boxes.int(srcPort)
+    b.dstPort = Boxes.int(dstPort)
+    val headerSize =
+      if (b.protoId == 17) {            // UDP
+        if (options.udpsum) b.udpsum = udpChecksum(data, ip, l4Start, end, v6)
         8
-      case Some("TCP") =>
-        if (l4 + 13 > data.length) return
+      } else {                          // TCP (callers guard protoId 6/17)
+        if (l4 + 13 > end) return
         ((data(l4 + 12) >> 4) & 0xF) * 4
-      case _ => return
-    }
+      }
     val payloadStart = l4 + headerSize
-    val payloadLen =
-      if (payloadStart > data.length) 0 else data.length - payloadStart
-    b.len = Some(payloadLen)
+    val payloadLen = if (payloadStart > end) 0 else end - payloadStart
+    b.len = Boxes.int(payloadLen)
     // app-layer decode runs in place over the frame — no payload copy
-    options.appDecoder.foreach { dec =>
-      b.dns = dec.decodeAt(b.protocol.get, b.srcPort.get, b.dstPort.get,
-        data, data.length - payloadLen, data.length, options.dnsSections)
-    }
+    if (appDec != null)
+      b.dns = appDec.decodeAt(b.protocol.get, srcPort, dstPort,
+        data, end - payloadLen, end, options.dnsSections)
     if (options.keepPayload)
       b.payload = Some(java.util.Arrays.copyOfRange(
-        data, data.length - payloadLen, data.length))
+        data, end - payloadLen, end))
   }
 
   /** One's-complement checksum residual over pseudo-header + captured UDP
@@ -153,14 +188,18 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
     * packet is too short (parity with getUdpChecksum returning -1,
     * PcapReader.java:123-165). The v6 pseudo-header fix is documented on
     * [[PcapStreamReader]]. */
-  private def udpChecksum(data: Array[Byte], ip: Int, l4Start: Int, v6: Boolean): Option[Int] = {
+  private def udpChecksum(data: Array[Byte], ip: Int, l4Start: Int, end: Int,
+      v6: Boolean): Option[Int] = {
     val l4 = ip + l4Start
+    // explicit bound: with a reused read buffer, indexes past `end` no
+    // longer fault — they'd silently read the previous frame's bytes
+    if (l4 + 8 > end) return None
     try {
       if (data(l4 + 6) == 0 && data(l4 + 7) == 0) return None
       val addrLen = if (v6) 16 else 4
       val srcOff = if (v6) ip + 8 else ip + 12
       val dstOff = if (v6) ip + 24 else ip + 16
-      val segLen = data.length - l4
+      val segLen = end - l4
       var sum = 0
       var i = 0
       // pseudo-header: src, dst, 0, proto(17), udp length — summed with
@@ -184,7 +223,7 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
       }
       sum = (sum >> 16) + (sum & 0xFFFF)
       sum += sum >> 16
-      Some(~sum & 0xFFFF)
+      Boxes.int(~sum & 0xFFFF)
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
     }

@@ -24,7 +24,9 @@ trait PayloadDecoder extends Serializable {
       payload: Array[Byte]): Option[DnsFields]
 
   /** In-place variant over the captured frame (hot path; default copies).
-    * `start`/`end` delimit the L4 payload inside `frame`. */
+    * `start`/`end` delimit the L4 payload inside `frame`. The caller may
+    * REUSE the frame array for subsequent packets — a decoder must copy
+    * anything it keeps (the default implementation already does). */
   def decodeAt(protocol: String, srcPort: Int, dstPort: Int,
       frame: Array[Byte], start: Int, end: Int): Option[DnsFields] =
     decode(protocol, srcPort, dstPort,

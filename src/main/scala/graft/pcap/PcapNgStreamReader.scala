@@ -85,15 +85,27 @@ final class PcapNgStreamReader(
         totalLenRaw > PcapStreamReader.MaxCapturedLength)
       throw new IOException(s"pcapng: bad block length $totalLenRaw")
     val totalLen = totalLenRaw.toInt
-    val body = new Array[Byte](totalLen - 12)
-    if (!readFully(body)) return null
+    val bodyLen = totalLen - 12
+    if (bodyLen > bodyBuf.length)
+      bodyBuf = new Array[Byte](math.max(bodyLen, bodyBuf.length * 2))
+    if (!readFully(bodyBuf, bodyLen)) return null
     skip(4) // trailing total length
     blockType match {
-      case IdbType => readIdb(body); null
-      case EpbType => readEpb(body)
-      case SpbType => readSpb(body)
+      case IdbType => readIdb(bodyBuf, bodyLen); null
+      case EpbType => readEpb(bodyBuf, bodyLen)
+      case SpbType => readSpb(bodyBuf, bodyLen)
       case _ => null // NRB/ISB/custom: skipped
     }
+  }
+
+  // blocks are parsed in place from this reusable buffer (everything a
+  // block contributes — Iface params, decoded fields — is copied out)
+  private var bodyBuf = new Array[Byte](64 * 1024)
+
+  private def readFully(buf: Array[Byte], len: Int): Boolean = {
+    val ok = is.readFully(buf, len)
+    if (!ok) eof = true
+    ok
   }
 
   private def readShb(head: Array[Byte]): Null = {
@@ -119,8 +131,8 @@ final class PcapNgStreamReader(
     null
   }
 
-  private def readIdb(body: Array[Byte]): Unit = {
-    if (body.length < 8)
+  private def readIdb(body: Array[Byte], bodyLen: Int): Unit = {
+    if (bodyLen < 8)
       throw new IOException("pcapng: truncated IDB")
     val linkType = u16(body, 0)
     if (!PcapStreamReader.SupportedLinkTypes.contains(linkType))
@@ -130,7 +142,7 @@ final class PcapNgStreamReader(
     // options: code u16, len u16, value padded to 4
     var off = 8
     var done = false
-    while (!done && off + 4 <= body.length) {
+    while (!done && off + 4 <= bodyLen) {
       val code = u16(body, off)
       val len = u16(body, off + 2)
       if (code == 0) done = true
@@ -163,8 +175,8 @@ final class PcapNgStreamReader(
     r
   }
 
-  private def readEpb(body: Array[Byte]): PacketRecord = {
-    if (body.length < 20)
+  private def readEpb(body: Array[Byte], bodyLen: Int): PacketRecord = {
+    if (bodyLen < 20)
       throw new IOException("pcapng: truncated EPB")
     val ifIdRaw = u32(body, 0)
     if (ifIdRaw >= interfaces.length)
@@ -183,14 +195,12 @@ final class PcapNgStreamReader(
     b.ts = Some(tsSec)
     b.tsMicro = Some(tsSec * 1000000L + sub * 1000000L / unitsPerSec)
     b.size = Some(capLen.toLong)
-    if (capLen > 0 && 20 + capLen <= body.length) {
-      val data = java.util.Arrays.copyOfRange(body, 20, 20 + capLen)
-      frameDecoder.decode(b, data, linkType)
-    }
+    if (capLen > 0 && 20 + capLen <= bodyLen)
+      frameDecoder.decode(b, body, 20, capLen, linkType)
     b.build()
   }
 
-  private def readSpb(body: Array[Byte]): PacketRecord = {
+  private def readSpb(body: Array[Byte], bodyLen: Int): PacketRecord = {
     // Simple Packet Block: no interface id / timestamp; belongs to
     // interface 0 by spec. The SPB itself has no captured-length field:
     // capLen = min(origLen, interface snaplen), clamped to the block
@@ -198,7 +208,7 @@ final class PcapNgStreamReader(
     // count up to 3 pad bytes as packet data on snaplen truncation.
     if (interfaces.isEmpty)
       throw new IOException("pcapng: SPB before any IDB")
-    if (body.length < 4)
+    if (bodyLen < 4)
       throw new IOException("pcapng: truncated SPB")
     val Iface(linkType, _, snapLen) = interfaces(0)
     val origLenRaw = u32(body, 0)
@@ -208,14 +218,12 @@ final class PcapNgStreamReader(
     val effSnap =
       if (snapLen == 0L) Int.MaxValue.toLong else snapLen
     val capLen =
-      math.min(math.min(origLen.toLong, effSnap), (body.length - 4).toLong)
+      math.min(math.min(origLen.toLong, effSnap), (bodyLen - 4).toLong)
         .toInt
     val b = new PacketBuilder
     b.size = Some(capLen.toLong)
-    if (capLen > 0) {
-      val data = java.util.Arrays.copyOfRange(body, 4, 4 + capLen)
-      frameDecoder.decode(b, data, linkType)
-    }
+    if (capLen > 0)
+      frameDecoder.decode(b, body, 4, capLen, linkType)
     b.build()
   }
 

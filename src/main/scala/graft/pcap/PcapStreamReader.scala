@@ -133,6 +133,13 @@ final class PcapStreamReader(
     ok
   }
 
+  // whole-second timestamps and frame sizes repeat across long runs of
+  // adjacent packets — reuse the last Some(Long) instead of boxing anew
+  private var lastTsSec = Long.MinValue
+  private var lastTsSome: Some[Long] = null
+  private var lastSize = Long.MinValue
+  private var lastSizeSome: Some[Long] = null
+
   private def readPacket(): PacketRecord = {
     if (!readFully(hdrBuf)) return null
 
@@ -148,15 +155,36 @@ final class PcapStreamReader(
       throw new IOException(s"corrupt pcap: captured length $capLen")
 
     val b = new PacketBuilder
-    b.ts = Some(tsSec)
+    if (tsSec != lastTsSec || lastTsSome == null) {
+      lastTsSec = tsSec
+      lastTsSome = Some(tsSec)
+    }
+    b.ts = lastTsSome
     b.tsMicro = Some(tsSec * 1000000L + tsUsec)
 
-    val data = new Array[Byte](capLen.toInt)
-    if (!readFully(data)) return b.build() // truncated body -> ts-only record
+    val len = capLen.toInt
+    if (len > frameBuf.length)
+      frameBuf = new Array[Byte](math.max(len, frameBuf.length * 2))
+    if (!readFully(frameBuf, len))
+      return b.build() // truncated body -> ts-only record
 
-    b.size = Some(capLen)
-    frameDecoder.decode(b, data, linkType.get)
+    if (capLen != lastSize || lastSizeSome == null) {
+      lastSize = capLen
+      lastSizeSome = Some(capLen)
+    }
+    b.size = lastSizeSome
+    frameDecoder.decode(b, frameBuf, 0, len, linkType.get)
     b.build()
+  }
+
+  // decode reads frames in place from this reusable buffer (FrameDecoder
+  // copies everything it emits; nothing retains the buffer)
+  private var frameBuf = new Array[Byte](64 * 1024)
+
+  private def readFully(buf: Array[Byte], len: Int): Boolean = {
+    val ok = is.readFully(buf, len)
+    if (!ok && is.eof) eof = true
+    ok
   }
 }
 
@@ -184,7 +212,16 @@ object PcapStreamReader {
     0 -> "HopByHop", 43 -> "Routing", 44 -> "Fragment",
     50 -> "ESP", 51 -> "AuthHeader", 60 -> "DestOpts", 135 -> "Mobility")
 
-  def protocolName(id: Int): String = ProtocolNames.getOrElse(id, id.toString)
+  // protocol ids are one byte; a HashMap.getOrElse here boxes the Int and
+  // shows up in decode profiles at ~30 M packets/s — precompute all 256
+  // names (and their Some wrappers, saving the per-packet allocation)
+  private val ProtocolNameArr: Array[String] =
+    Array.tabulate(256)(i => ProtocolNames.getOrElse(i, i.toString))
+  private[pcap] val ProtocolSomeArr: Array[Some[String]] =
+    ProtocolNameArr.map(Some(_))
+
+  def protocolName(id: Int): String =
+    if (id >= 0 && id < 256) ProtocolNameArr(id) else id.toString
 
   def leU32(b: Array[Byte], off: Int): Long =
     ((b(off + 3) & 0xFFL) << 24) | ((b(off + 2) & 0xFFL) << 16) |
@@ -196,9 +233,13 @@ object PcapStreamReader {
   /** Ethertype display name; "" for non-Ethernet links
     * (PcapReader.java:257-281). */
   def etherTypeName(linkType: Int, frame: Array[Byte]): String =
+    etherTypeName(linkType, frame, 0, frame.length)
+
+  private[pcap] def etherTypeName(linkType: Int, data: Array[Byte],
+      off: Int, end: Int): String =
     if (linkType != 1) ""
-    else if (frame.length < 14) ""
-    else beU16(frame, 12) match {
+    else if (end - off < 14) ""
+    else beU16(data, off + 12) match {
       case 0x0800 => "IPv4"
       case 0x0806 => "arp"
       case 0x8035 => "rarp"
@@ -209,22 +250,31 @@ object PcapStreamReader {
 
   /** Offset of the IP header in the frame, None when not IP
     * (PcapReader.java:283-303): one 802.1Q tag unwrapped on Ethernet. */
-  def ipStart(linkType: Int, frame: Array[Byte]): Option[Int] = linkType match {
-    case 0 | 101 => Some(0)
-    case 108 => Some(4)
-    case 1 =>
-      if (frame.length < 14) None
-      else {
-        var start = 14
-        var et = beU16(frame, 12)
-        if (et == 0x8100 && frame.length >= 18) {
-          et = beU16(frame, 16)
-          start += 4
-        }
-        if (et == 0x0800 || et == 0x86DD) Some(start) else None
-      }
-    case _ => None
+  def ipStart(linkType: Int, frame: Array[Byte]): Option[Int] = {
+    val i = ipStartIdx(linkType, frame, 0, frame.length)
+    if (i < 0) None else Some(i)
   }
+
+  /** Allocation-free variant for the per-packet loop: -1 when not IP.
+    * Returns an absolute index into `data` (frame at `[off, end)`). */
+  private[pcap] def ipStartIdx(linkType: Int, data: Array[Byte],
+      off: Int, end: Int): Int =
+    linkType match {
+      case 0 | 101 => off
+      case 108 => off + 4
+      case 1 =>
+        if (end - off < 14) -1
+        else {
+          var start = off + 14
+          var et = beU16(data, off + 12)
+          if (et == 0x8100 && end - off >= 18) {
+            et = beU16(data, off + 16)
+            start += 4
+          }
+          if (et == 0x0800 || et == 0x86DD) start else -1
+        }
+      case _ => -1
+    }
 
   def ipv4String(b: Array[Byte], off: Int): String =
     s"${b(off) & 0xFF}.${b(off + 1) & 0xFF}.${b(off + 2) & 0xFF}.${b(off + 3) & 0xFF}"

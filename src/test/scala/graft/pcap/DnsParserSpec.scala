@@ -23,6 +23,22 @@ class DnsParserSpec extends AnyFunSuite {
     assert(d.answer.isEmpty && d.authority.isEmpty && d.additional.isEmpty)
   }
 
+  test("qname byte path escapes and lowercases like the RR name path") {
+    // label bytes that hit all three emit branches: \ddd escapes
+    // (0x07, 0xFF, space), \-escaped specials (. \ @), and A-Z lowercase
+    val label = Array[Byte](7, 0xFF.toByte, ' ', '.', '\\', '@', 'A', 'Z', 'q')
+    val msg = PcapSynth.be16(7) ++ PcapSynth.be16(0x0100) ++
+      PcapSynth.be16(1) ++ PcapSynth.be16(0) ++ PcapSynth.be16(0) ++
+      PcapSynth.be16(0) ++
+      Array[Byte](label.length.toByte) ++ label ++
+      Array[Byte](2) ++ "Io".getBytes ++ Array[Byte](0) ++
+      PcapSynth.be16(16) ++ PcapSynth.be16(1)
+    val d = DnsParser.parse(msg).get
+    // the slow path's contract: readName + String.toLowerCase
+    assert(d.qname.contains("\\007\\255\\032\\.\\\\\\@azq.io."))
+    assert(d.qtypeStr.contains("TXT"))
+  }
+
   test("garbage payload returns None (silent-drop parity)") {
     assert(DnsParser.parse(Array[Byte](1, 2, 3)).isEmpty)
     assert(DnsParser.parse(Array.fill[Byte](64)(-1)).isEmpty)
