@@ -171,6 +171,47 @@ object Dedup {
         JOIN sizes s2 ON s2.doc_id = doc2
         WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5""")),
 
+    // ----- asymmetric containment (doc-in-doc detection) ------------------
+    // Containment C(a in b) = |S(a) ∩ S(b)| / |S(a)| finds documents
+    // mostly embedded in larger ones (quote-inflated pages, concatenated
+    // dumps) that symmetric Jaccard misses: a 50-shingle doc fully inside
+    // a 5000-shingle doc has J ≈ 0.01 but C = 1.0 (Broder, "On the
+    // resemblance and containment of documents", SEQUENCES 1997). Same
+    // inverted-index shape as dedup_ngram_jaccard — one shuffle on
+    // shingle, then integer-only arithmetic (10*inter >= 9*|S(a)| avoids
+    // float thresholds entirely), so the plan and the scale caveats are
+    // identical to the jaccard variant (hot-shingle cap available the
+    // same way).
+    Q("dedup_containment",
+      (s, d) => {
+        import s.implicits._
+        val sh = shingles(s, d).cache()
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+        val inter = sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter_n"))
+        inter
+          .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("a_sh")), "doc_a")
+          .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("b_sh")), "doc_b")
+          .filter($"inter_n" * 10 >= $"a_sh" * 9 && $"a_sh" <= $"b_sh")
+          .select($"doc_a", $"doc_b", $"inter_n", $"a_sh", $"b_sh")
+      },
+      Some(s"""WITH $shinglesSql,
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, inter_n, sa.n_sh AS a_sh, sb.n_sh AS b_sh
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE inter_n * 10 >= sa.n_sh * 9 AND sa.n_sh <= sb.n_sh""")),
+
     // ----- DF-capped n-gram Jaccard (hot-shingle skew safety) -------------
     // The uncapped inverted-index join above is sub-quadratic only while
     // no shingle is hot: one boilerplate shingle shared by F documents

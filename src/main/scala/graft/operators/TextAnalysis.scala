@@ -173,6 +173,47 @@ object TextAnalysis {
             FROM documents))
         WHERE rn = 1""")),
 
+    // ----- unigram-LM quality scoring -------------------------------------
+    // Corpus-trained unigram model scoring each document by (a) hapax
+    // count (tokens whose corpus frequency is 1 — OOV-ish noise signal)
+    // and (b) mean inverse unigram probability Σ(N/n_tok)/T, a monotone
+    // transform of the per-token perplexity contribution kept libm-free:
+    // each N/n_tok is one IEEE division (bit-identical cross-engine),
+    // summed through DECIMAL(18,6) so partial-aggregation order cannot
+    // diverge (Q doc determinism rules). The classic KenLM-perplexity
+    // quality gate (CCNet, Wenzek et al. 2020) reduces to thresholding a
+    // statistic of exactly this shape. Scale: one shuffle to build the
+    // unigram table on `tok`, reused by the scoring join on the same key;
+    // the corpus total is a broadcast scalar.
+    Q("text_ngram_lm",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
+        val uni = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+        val tot = toks.agg(count(lit(1)).as("n_total"))
+        toks.join(uni, "tok")
+          .crossJoin(broadcast(tot))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(when($"n" === 1, 1L).otherwise(0L)).as("hapax_n"),
+            (sum(($"n_total".cast("double") / $"n").cast("decimal(18,6)"))
+              .cast("double") / count(lit(1))).as("mean_inv_p"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            UNNEST(string_split_regex(lower(text), '\s+')) AS tok
+          FROM documents),
+        uni AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_total FROM toks)
+        SELECT doc_id,
+          COUNT(*) AS n_toks,
+          CAST(SUM(CASE WHEN u.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_n,
+          CAST(SUM(CAST(CAST(n_total AS DOUBLE) / u.n AS DECIMAL(18,6)))
+            AS DOUBLE) / COUNT(*) AS mean_inv_p
+        FROM toks t JOIN uni u USING (tok) CROSS JOIN tot
+        GROUP BY doc_id""")),
+
     // ----- BM25-style relevance scoring ----------------------------------
     // Per (doc, term) tf/df statistics with a rational idf surrogate
     // (N - df + 0.5)/(df + 0.5) — the BM25 idf numerator without the log,
