@@ -189,13 +189,19 @@ object Similarity {
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        // norms precomputed per side BELOW the join: norm(ce) in the
+        // pair-level projection would recompute the corpus-vector norm
+        // once per query (Q× redundant flops + sqrt); hoisting is
+        // bit-identical (same ops, same order — norm then multiply)
         val queries = emb.filter($"vec_id" % 50 === 0)
           .select($"vec_id".as("qid"), $"embedding".as("qe"))
+          .withColumn("qn", norm("qe"))
         val corpus = emb.select($"vec_id".as("cid"), $"embedding".as("ce"))
+          .withColumn("cn", norm("ce"))
         val topk = udaf(new graft.functions.TopKByScore(5))
         broadcast(queries).join(corpus, $"qid" =!= $"cid")
           .select($"qid", $"cid",
-            (dot("qe", "ce") / (norm("qe") * norm("ce"))).as("cos"))
+            (dot("qe", "ce") / ($"qn" * $"cn")).as("cos"))
           .groupBy($"qid")
           .agg(topk($"cid", $"cos").as("tk"))
           .select($"qid", posexplode($"tk"))
@@ -227,10 +233,12 @@ object Similarity {
           .filter($"vec_id" < 2000)
           .select($"vec_id", $"embedding")
         val a = emb.select($"vec_id".as("v1"), $"embedding".as("e1"))
+          .withColumn("n1", norm("e1"))
         val b = emb.select($"vec_id".as("v2"), $"embedding".as("e2"))
+          .withColumn("n2", norm("e2"))
         a.join(b, $"v1" < $"v2")
           .select($"v1", $"v2",
-            (dot("e1", "e2") / (norm("e1") * norm("e2"))).as("cos"))
+            (dot("e1", "e2") / ($"n1" * $"n2")).as("cos"))
           .filter($"cos" > 0.35)
       },
       Some("""WITH e AS (
@@ -320,14 +328,16 @@ object Similarity {
         val q = withB.filter($"vec_id" % 50 === 0)
           .select($"vec_id".as("qid"), $"embedding".as("qe"),
             $"bucket".as("qb"))
+          .withColumn("qn", norm("qe"))
         val c = withB.select($"vec_id".as("cid"), $"embedding".as("ce"),
           $"bucket".as("cb"))
+          .withColumn("cn", norm("ce"))
         // per-partition top-k aggregation (TopKByScore): candidate scores
         // reduce map-side; no per-qid window sort of the candidate set
         val topk = udaf(new graft.functions.TopKByScore(5))
         broadcast(q).join(c, $"qb" === $"cb" && $"qid" =!= $"cid")
           .select($"qid", $"cid",
-            (dot("qe", "ce") / (norm("qe") * norm("ce"))).as("cos"))
+            (dot("qe", "ce") / ($"qn" * $"cn")).as("cos"))
           .groupBy($"qid").agg(topk($"cid", $"cos").as("tk"))
           .select($"qid", posexplode($"tk"))
           .select($"qid", $"col.id".as("cid"), $"col.score".as("cos"),
@@ -387,28 +397,29 @@ object Similarity {
           .select($"vec_id".as("list_id"), $"embedding".as("cvec"))
         // inverted lists: nearest centroid per vector (cosine, ties ->
         // lowest list id; -list_id in the struct makes max_by pick it)
-        val assign = emb.crossJoin(broadcast(cents))
+        val assign = emb.withColumn("en", norm("embedding"))
+          .crossJoin(broadcast(cents.withColumn("cvn", norm("cvec"))))
           .select($"vec_id", $"list_id",
-            (dot("embedding", "cvec") / (norm("embedding") * norm("cvec")))
-              .as("csim"))
+            (dot("embedding", "cvec") / ($"en" * $"cvn")).as("csim"))
           .groupBy($"vec_id")
           .agg(expr("max_by(list_id, struct(csim, -list_id))").as("list_id"))
         val withList = emb.join(assign, "vec_id")
+          .withColumn("en", norm("embedding"))
         val queries = emb.filter($"vec_id" % 50 === 0)
           .select($"vec_id".as("qid"), $"embedding".as("qe"))
+          .withColumn("qn", norm("qe"))
         val wp = Window.partitionBy($"qid").orderBy($"csim".desc, $"list_id".asc)
         val probes = broadcast(queries).crossJoin(broadcast(cents))
-          .select($"qid", $"qe", $"list_id",
+          .select($"qid", $"qe", $"qn", $"list_id",
             (dot("qe", "cvec") / (norm("qe") * norm("cvec"))).as("csim"))
           .withColumn("pr", row_number().over(wp))
           .filter($"pr" <= 2) // nprobe = 2
-          .select($"qid", $"qe", $"list_id")
+          .select($"qid", $"qe", $"qn", $"list_id")
         val topk = udaf(new graft.functions.TopKByScore(5))
         broadcast(probes).join(withList, Seq("list_id"))
           .filter($"qid" =!= $"vec_id")
           .select($"qid", $"vec_id".as("cid"),
-            (dot("qe", "embedding") / (norm("qe") * norm("embedding")))
-              .as("cos"))
+            (dot("qe", "embedding") / ($"qn" * $"en")).as("cos"))
           .groupBy($"qid").agg(topk($"cid", $"cos").as("tk"))
           .select($"qid", posexplode($"tk"))
           .select($"qid", $"col.id".as("cid"), $"col.score".as("cos"),
