@@ -38,6 +38,47 @@ class PcapPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("reused read buffers never bleed bytes between frames") {
+    // the readers decode in place from a shared buffer; a frame shorter
+    // than its predecessor leaves the predecessor's tail bytes beyond
+    // `end` — every field must still equal a fresh-array decode of the
+    // frame alone. Shrinking sizes maximize exposure.
+    def fields(r: PacketRecord) =
+      (r.ts, r.tsMicro, r.size, r.md5, r.etherType, r.ttl, r.protocol,
+        r.src, r.dst, r.srcPort, r.dstPort, r.udpsum, r.len, r.frag,
+        r.payloadLen, r.extCount, r.extHeaders, r.dns,
+        r.payload.map(_.toSeq))
+    val opts = DecodeOptions.dns.copy(md5 = true, keepPayload = true)
+    (1 to 30).foreach { round =>
+      // big payload first, then strictly smaller frames (+ random mix)
+      val frames =
+        (0 until 12).map { i =>
+          PcapSynth.ipv4UdpFrame(
+            Array[Byte](10, 0, 0, i.toByte), Array[Byte](9, 9, 9, 9),
+            2000 + i, 53, 64,
+            PcapSynth.dnsQuery(i, s"pad${"x" * ((12 - i) * 37 + round)}.example.com"))
+        } ++ List.fill(6)(randomFrame())
+      val pkts = frames.zipWithIndex.map { case (f, i) =>
+        (i.toLong, i.toLong, f)
+      }
+      for (bytes <- Seq(PcapSynth.file(pkts), PcapSynth.fileNg(Seq(1), pkts.map {
+             case (s, u, f) => (0, s * 1000000L + u, f) }))) {
+        val streamed = PacketReaders
+          .open(new ByteArrayInputStream(bytes), opts).toList
+        assert(streamed.length == frames.length)
+        streamed.zip(frames).zipWithIndex.foreach { case ((got, f), i) =>
+          val alone = PacketReaders.open(new ByteArrayInputStream(
+            PcapSynth.file(Seq((i.toLong, i.toLong, f)))), opts).toList.head
+          // container-level fields (ts encoding) differ between pcap and
+          // pcapng; compare everything decoded from the frame itself
+          assert(fields(got).copy(_1 = None, _2 = None) ==
+            fields(alone).copy(_1 = None, _2 = None),
+            s"frame $i diverged under buffer reuse")
+        }
+      }
+    }
+  }
+
   test("decode never throws on random stream truncation") {
     val full = PcapSynth.file(Seq(
       (1L, 2L, PcapSynth.ipv4UdpFrame(
