@@ -108,7 +108,9 @@ object PcapQueries {
         s.read.format("pcap")
           .option("decoder", "dns").option("md5", "true")
           .load(fixturePath)
-          .drop("payload", "file") // unstable-across-hosts columns out
+          // binary/unstable-across-hosts columns out (md5 already pins
+          // the exact frame bytes)
+          .drop("payload", "file", "frame")
           .withColumn("time",
             date_format($"time", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
           .withColumn("dns_answer", to_json($"dns_answer"))

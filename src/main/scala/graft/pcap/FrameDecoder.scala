@@ -23,6 +23,7 @@ private[pcap] final class PacketBuilder {
   var frag: Option[Boolean] = None
   var dns: Option[DnsFields] = None
   var payload: Option[Array[Byte]] = None
+  var frame: Option[Array[Byte]] = None
   /** IP protocol id for branch decisions (-1 = none); `protocol` holds
     * the display string. Not part of the built record. */
   var protoId: Int = -1
@@ -33,7 +34,7 @@ private[pcap] final class PacketBuilder {
     src = src, dst = dst, srcPort = srcPort, dstPort = dstPort,
     udpsum = udpsum, len = len, frag = frag, payloadLen = payloadLen,
     extCount = extCount, extHeaders = extHeaders, dns = dns,
-    payload = payload)
+    payload = payload, frame = frame)
 }
 
 /** Per-frame L2→L4(+app) decode, container-independent: both the classic
@@ -59,6 +60,8 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
   def decode(b: PacketBuilder, data: Array[Byte], off: Int, len: Int,
       linkType: Int): Unit = {
     val end = off + len
+    if (options.keepFrame)
+      b.frame = Some(java.util.Arrays.copyOfRange(data, off, end))
     if (md != null) {
       md.update(data, off, len)
       b.md5v = Some(upperHex(md.digest()))

@@ -47,4 +47,8 @@ final case class PacketRecord(
     extCount: Option[Int] = None,
     extHeaders: Option[String] = None, // "[HopByHop]…[UDP]" incl. terminal
     dns: Option[DnsFields] = None,
-    payload: Option[Array[Byte]] = None)
+    payload: Option[Array[Byte]] = None,
+    /** the raw captured frame (column `frame`, on request): enables exact
+      * pcap re-export through the write path — filter in SQL, write a
+      * valid capture back out. */
+    frame: Option[Array[Byte]] = None)

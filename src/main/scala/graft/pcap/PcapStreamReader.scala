@@ -26,7 +26,10 @@ final case class DecodeOptions(
     /** false when `ext_headers` is not requested: the v6 extension chain
       * is still walked (the L4 offset depends on it) but the bracketed
       * chain string is not built. */
-    extHeaderStrings: Boolean = true)
+    extHeaderStrings: Boolean = true,
+    /** true when the `frame` column is requested: retain a copy of the
+      * raw captured frame (enables exact pcap re-export via the sink). */
+    keepFrame: Boolean = false)
 
 object DecodeOptions {
   /** Convenience for the common case. */

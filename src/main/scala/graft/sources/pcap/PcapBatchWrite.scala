@@ -1,0 +1,139 @@
+package graft.sources.pcap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{BinaryType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Batch WRITE side of the `pcap` format — the export path the reference
+  * lacks entirely: filter packets with SQL, write a valid classic-libpcap
+  * capture back out (openable in tcpdump/wireshark).
+  *
+  * Contract: the written DataFrame must carry `ts_micro` (LONG, epoch
+  * microseconds) and `frame` (BINARY, the raw captured frame — read it
+  * via the scan's `frame` column). All other columns are ignored, so
+  * `df.select("ts_micro", "frame")`-shaped plans and full-schema frames
+  * both write. One part file per task
+  * (`part-<partition>-<task>.pcap`), little-endian microsecond magic,
+  * original length = captured length. Task output commits by atomic
+  * rename from an `.inprogress` temp name; aborted tasks delete it —
+  * no partial files become visible.
+  *
+  * Scale: writers stream row-by-row (no buffering of the partition), so
+  * a repartitioned export of any size writes with constant memory per
+  * task; file count = task count, controlled by the usual
+  * `repartition(n)` before the write.
+  */
+class PcapWriteBuilder(options: CaseInsensitiveStringMap,
+    info: LogicalWriteInfo) extends WriteBuilder {
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val schema = info.schema()
+      val tsIdx = schema.fieldNames.indexOf("ts_micro")
+      val frameIdx = schema.fieldNames.indexOf("frame")
+      if (tsIdx < 0 || schema.fields(tsIdx).dataType != LongType ||
+          frameIdx < 0 || schema.fields(frameIdx).dataType != BinaryType)
+        throw new IllegalArgumentException(
+          "pcap write requires columns ts_micro (LONG) and frame " +
+            s"(BINARY); got ${schema.simpleString}")
+      val dir = PcapTable.paths(options) match {
+        case Seq(one) => one
+        case other => throw new IllegalArgumentException(
+          s"pcap write requires exactly one output path; got $other")
+      }
+      val linkType = options.getInt("linkType", 1)
+      new PcapBatchWrite(dir, linkType, schema, tsIdx, frameIdx)
+    }
+  }
+}
+
+class PcapBatchWrite(dir: String, linkType: Int, schema: StructType,
+    tsIdx: Int, frameIdx: Int) extends BatchWrite {
+
+  private val conf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // create the directory up front so zero-partition writes still leave
+    // a valid (empty) target
+    val p = new Path(dir)
+    p.getFileSystem(conf.value).mkdirs(p)
+    new PcapDataWriterFactory(dir, linkType, conf, tsIdx, frameIdx)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class PcapDataWriterFactory(dir: String, linkType: Int,
+    conf: SerializableHadoopConf, tsIdx: Int, frameIdx: Int)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PcapDataWriter(dir, linkType, conf, tsIdx, frameIdx, partitionId,
+      taskId)
+}
+
+class PcapDataWriter(dir: String, linkType: Int,
+    conf: SerializableHadoopConf, tsIdx: Int, frameIdx: Int,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val fs = new Path(dir).getFileSystem(conf.value)
+  private val finalPath =
+    new Path(dir, f"part-$partitionId%05d-$taskId.pcap")
+  private val tmpPath = new Path(dir, finalPath.getName + ".inprogress")
+  private val out = new java.io.BufferedOutputStream(fs.create(tmpPath, true),
+    1 << 20)
+  private var wroteHeader = false
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  private def writeHeader(): Unit = {
+    out.write(le32(0xA1B2C3D4L))          // LE microsecond magic
+    out.write(Array[Byte](4, 0, 2, 0))    // version 2.4 (LE u16 pair)
+    out.write(le32(0)); out.write(le32(0)) // thiszone, sigfigs
+    out.write(le32(65535))                // snaplen
+    out.write(le32(linkType.toLong))
+    wroteHeader = true
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (!wroteHeader) writeHeader()
+    if (row.isNullAt(tsIdx) || row.isNullAt(frameIdx))
+      throw new IllegalArgumentException(
+        "pcap write: ts_micro and frame must be non-null")
+    val micro = row.getLong(tsIdx)
+    val frame = row.getBinary(frameIdx)
+    out.write(le32(micro / 1000000L))
+    out.write(le32(micro % 1000000L))
+    out.write(le32(frame.length.toLong))  // caplen
+    out.write(le32(frame.length.toLong))  // origlen
+    out.write(frame)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (!wroteHeader) {                   // empty partition -> no file
+      fs.delete(tmpPath, false)
+      PcapWriteCommitted("")
+    } else {
+      if (!fs.rename(tmpPath, finalPath))
+        throw new java.io.IOException(
+          s"pcap write: rename failed for $finalPath")
+      PcapWriteCommitted(finalPath.toString)
+    }
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    fs.delete(tmpPath, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+case class PcapWriteCommitted(path: String) extends WriterCommitMessage

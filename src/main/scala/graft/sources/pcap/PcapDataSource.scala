@@ -57,12 +57,28 @@ class PcapDataSource extends TableProvider with DataSourceRegister {
     new PcapTable(new CaseInsensitiveStringMap(properties))
 }
 
-class PcapTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+class PcapTable(options: CaseInsensitiveStringMap) extends Table
+  with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"pcap(${PcapTable.paths(options).mkString(",")})"
   override def schema(): StructType = PcapSchema.full
+  // ACCEPT_ANY_SCHEMA: writes carry only (ts_micro, frame) plus whatever
+  // else the user selected — the write builder validates the two required
+  // columns instead of forcing the full 34-column table schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder = {
+    val merged = new util.HashMap[String, String]()
+    merged.putAll(options)
+    merged.putAll(info.options())
+    new PcapWriteBuilder(new CaseInsensitiveStringMap(merged), info)
+  }
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // `options` (table properties) carries the path; scan options carry
@@ -239,7 +255,8 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
       // pushed predicate (PrunedDecodeParitySpec)
       udpsum = need("udpsum"),
       addrStrings = need("src") || need("dst"),
-      extHeaderStrings = need("ext_headers"))
+      extHeaderStrings = need("ext_headers"),
+      keepFrame = need("frame"))
     new PcapReaderFactory(new SerializableHadoopConf(hadoopConf),
       requiredSchema, decode, PcapPacketFilter.compile(pushedFilters),
       // batch (not streaming) reads emit ColumnarBatches for flat

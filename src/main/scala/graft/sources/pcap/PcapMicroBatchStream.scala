@@ -83,7 +83,8 @@ class PcapMicroBatchStream(
         Set("dns_answer", "dns_authority", "dns_additional")),
       udpsum = need("udpsum"),
       addrStrings = need("src") || need("dst"),
-      extHeaderStrings = need("ext_headers"))
+      extHeaderStrings = need("ext_headers"),
+      keepFrame = need("frame"))
     new PcapReaderFactory(new SerializableHadoopConf(conf), schema, decode)
   }
 

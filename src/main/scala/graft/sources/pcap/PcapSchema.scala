@@ -48,7 +48,8 @@ object PcapSchema {
     StructField("dns_additional", ArrayType(StringType)),
     StructField("pkt_idx", LongType),
     StructField("file", StringType),
-    StructField("payload", BinaryType)))
+    StructField("payload", BinaryType),
+    StructField("frame", BinaryType)))
 
   private def utf8(s: String): AnyRef = UTF8String.fromString(s)
 
@@ -107,7 +108,8 @@ object PcapSchema {
     "dns_additional" -> ((r, _, _) => r.dns.map(d => strArray(d.additional)).orNull),
     "pkt_idx" -> ((_, idx, _) => java.lang.Long.valueOf(idx)),
     "file" -> ((_, _, f) => f),
-    "payload" -> ((r, _, _) => r.payload.orNull))
+    "payload" -> ((r, _, _) => r.payload.orNull),
+    "frame" -> ((r, _, _) => r.frame.orNull))
 
   /** Compile the pruned schema into a row writer. */
   def rowBuilder(schema: StructType): (PacketRecord, Long, UTF8String) => InternalRow = {
@@ -202,6 +204,10 @@ object PcapSchema {
     "pkt_idx" -> ((v, _, idx, _) => { v.appendLong(idx); () }),
     "file" -> ((v, _, _, f) => putBytes(v, f)),
     "payload" -> ((v, r, _, _) => r.payload match {
+      case Some(b) => putBytes(v, b)
+      case None => v.appendNull()
+    }),
+    "frame" -> ((v, r, _, _) => r.frame match {
       case Some(b) => putBytes(v, b)
       case None => v.appendNull()
     }))
