@@ -67,6 +67,47 @@ class PcapStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming filter re-exports landed packets through the pcap sink") {
+    // landing dir -> filter -> foreachBatch pcap write: the streaming
+    // form of the capture-curation ETL (keep only DNS, re-export as
+    // valid captures). The batch sink is idempotent per micro-batch via
+    // per-task unique file names + atomic rename.
+    val dir = Files.createTempDirectory("pcap_landing_sink")
+    val out = Files.createTempDirectory("pcap_sink_out")
+    val dns = graft.pcap.PcapSynth.ipv4UdpFrame(
+      Array[Byte](10, 0, 0, 1), Array[Byte](10, 0, 0, 2),
+      4000, 53, ttl = 64,
+      payload = graft.pcap.PcapSynth.dnsQuery(5, "keep.example.com"))
+    val other = graft.pcap.PcapSynth.ipv4UdpFrame(
+      Array[Byte](10, 0, 0, 3), Array[Byte](10, 0, 0, 4),
+      4001, 9999, ttl = 64, payload = new Array[Byte](12))
+    val query = spark.readStream.format("pcap").option("decoder", "dns")
+      .load(dir.toString)
+      .filter("dns_qname is not null")
+      .select("ts_micro", "frame")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format("pcap").mode("append").save(out.toString)
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("pcap_sink_ckpt").toString)
+      .start()
+    try {
+      Files.write(dir.resolve("a.pcap"),
+        graft.pcap.PcapSynth.file(Seq((1L, 0L, dns), (2L, 0L, other))))
+      query.processAllAvailable()
+      Files.write(dir.resolve("b.pcap"),
+        graft.pcap.PcapSynth.file(Seq((3L, 0L, other), (4L, 500L, dns))))
+      query.processAllAvailable()
+    } finally query.stop()
+    val reread = spark.read.format("pcap").option("decoder", "dns")
+      .load(out.toString)
+      .select("ts_micro", "dns_qname").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(reread == Seq(
+      (1000000L, "keep.example.com."), (4000500L, "keep.example.com.")))
+  }
+
   test("streamed dns columns decode like batch") {
     val dir = Files.createTempDirectory("pcap_landing2")
     val fixture = java.nio.file.Paths.get(
