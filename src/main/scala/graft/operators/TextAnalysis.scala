@@ -184,7 +184,12 @@ object TextAnalysis {
     // quality gate (CCNet, Wenzek et al. 2020) reduces to thresholding a
     // statistic of exactly this shape. Scale: one shuffle to build the
     // unigram table on `tok`, reused by the scoring join on the same key;
-    // the corpus total is a broadcast scalar.
+    // the corpus total is a broadcast scalar. Token frequency is Zipfian,
+    // so the probe side of the tok-join is skewed: at test SFs the
+    // unigram table broadcasts (no shuffle at all); at 100 TB it exceeds
+    // the broadcast threshold and the hot-token partitions are exactly
+    // what AQE skew-join splits (ScaleTechniquesSpec demonstrates the
+    // mechanism) — same caveat family as the shingle inverted index.
     Q("text_ngram_lm",
       (s, d) => {
         import s.implicits._
