@@ -22,10 +22,15 @@ object GigBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // optional arg: "row" forces the row path (A/B vs columnar default)
+    // optional args: "row" forces the row path (A/B vs columnar default);
+    // "bs=<n>" sets the columnar batch size
     val columnar = !args.contains("row")
+    val batchSize = args.collectFirst {
+      case a if a.startsWith("bs=") => a.stripPrefix("bs=")
+    }.getOrElse("4096")
     def rd = spark.read.format("pcap").option("decoder", "dns")
       .option("columnar", columnar.toString)
+      .option("columnarBatchSize", batchSize)
       .option("maxBytesPerPartition", "32m").load(dir.toString)
     def t(label: String)(f: => Long): Unit = {
       f // warm
