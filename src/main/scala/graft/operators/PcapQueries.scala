@@ -50,6 +50,14 @@ object PcapQueries {
     p.toString
   }
 
+  /** Deterministic segmented TCP flow capture (60 flows, round-robin
+    * interleaved; see [[graft.pcap.PcapSynth.tcpFlowSegments]]). */
+  private def tcpSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_tcpflows.pcap")
+    graft.pcap.PcapSynth.ensureTcpFlowFile(p, 60)
+    p.toString
+  }
+
   val defs: Seq[Q] = Seq(
 
     // the reference's canonical MR example: count by source port
@@ -109,8 +117,9 @@ object PcapQueries {
           .option("decoder", "dns").option("md5", "true")
           .load(fixturePath)
           // binary/unstable-across-hosts columns out (md5 already pins
-          // the exact frame bytes)
-          .drop("payload", "file", "frame")
+          // the exact frame bytes); tcp_seq is a parity-extension column
+          // not present in the pinned reference-surface golden
+          .drop("payload", "file", "frame", "tcp_seq")
           .withColumn("time",
             date_format($"time", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
           .withColumn("dns_answer", to_json($"dns_answer"))
@@ -157,6 +166,96 @@ object PcapQueries {
     // window). One hash aggregation over the scan — at 100 TB only
     // (dst, port) partial states shuffle, never packets. VALUES oracle
     // derived independently by tools/gen_pcap_oracles.py.
+    // ----- TCP payload reassembly (cross-packet state) --------------------
+    // Orders each flow's segments by the decoded `tcp_seq` column (a
+    // parity-extension field) and concatenates payload bytes — the
+    // packet-to-stream step every L7-over-TCP analysis needs, which the
+    // reference cannot express (strictly packet-at-a-time). Contract:
+    // in-capture segments only, no retransmit/overlap handling (first
+    // segment per seq wins is NOT implemented — duplicate seqs would
+    // both concatenate; the fixture has none). Scale shape: ONE shuffle
+    // on the flow key; per-flow state is the segment list (bounded by
+    // flow size, the same unit any reassembly must hold); array_sort +
+    // fold run per flow with no further exchange. The ordering is
+    // seq-based, so out-of-order captures reassemble identically
+    // (PcapTcpReassemblySpec shuffles a capture to prove it).
+    Q("pcap_tcp_reassembly",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(tcpSynthPath)
+          .filter($"protocol" === "TCP")
+          .select($"src", $"dst", $"src_port", $"dst_port", $"tcp_seq",
+            $"payload")
+          .groupBy($"src", $"dst", $"src_port", $"dst_port")
+          .agg(count(lit(1)).as("n_seg"),
+            expr("aggregate(array_sort(collect_list(struct(tcp_seq, payload))), " +
+              "X'', (acc, x) -> concat(acc, x.payload))").as("stream"))
+          .select($"src", $"dst", $"src_port", $"dst_port", $"n_seg",
+            length($"stream").as("stream_len"),
+            md5($"stream").as("stream_md5"))
+      },
+      Some("""SELECT CAST(v.src AS VARCHAR) AS src, CAST(v.dst AS VARCHAR) AS dst, CAST(v.src_port AS INT) AS src_port, CAST(v.dst_port AS INT) AS dst_port, CAST(v.n_seg AS BIGINT) AS n_seg, CAST(v.stream_len AS INT) AS stream_len, CAST(v.stream_md5 AS VARCHAR) AS stream_md5
+        FROM (VALUES ('10.1.0.0', '10.2.0.1', 30000, 80, 2, 46, '9e06a4d9e977ca08d9db4a6403630e73'),
+        ('10.1.0.1', '10.2.0.1', 30001, 80, 3, 47, '85f3ac9c915e1aa245071334b51be58c'),
+        ('10.1.0.10', '10.2.0.1', 30010, 80, 4, 57, '1dee965175a6fb84012d5a8736f77c4b'),
+        ('10.1.0.11', '10.2.0.1', 30011, 80, 5, 58, 'a1b7fa7259fc9356edf119e9bd4bcf1e'),
+        ('10.1.0.12', '10.2.0.1', 30012, 80, 2, 59, '7a3921e33380063083fa23924421ce9c'),
+        ('10.1.0.13', '10.2.0.1', 30013, 80, 3, 60, '41045a7a2e5df9a1c5baa39350b80edc'),
+        ('10.1.0.14', '10.2.0.1', 30014, 80, 4, 61, '741c33b17cd018d6b91d3d8d2b9a9089'),
+        ('10.1.0.15', '10.2.0.1', 30015, 80, 5, 62, 'f512ee91eae870d4cc04ae28ed973a05'),
+        ('10.1.0.16', '10.2.0.1', 30016, 80, 2, 63, '58bfd9744b172bb7ab273e2e4abe40e4'),
+        ('10.1.0.17', '10.2.0.1', 30017, 80, 3, 64, 'd1eb0aa595634dbe0673fc873d59e807'),
+        ('10.1.0.18', '10.2.0.1', 30018, 80, 4, 65, '4d42aa79ad50101b117b028882cf38d9'),
+        ('10.1.0.19', '10.2.0.1', 30019, 80, 5, 66, '72b7eda9fd456b234dd23188dd7af5c1'),
+        ('10.1.0.2', '10.2.0.1', 30002, 80, 4, 48, '97ecd08d9c24b92e2e643edadfdc6539'),
+        ('10.1.0.20', '10.2.0.1', 30020, 80, 2, 67, 'a08871a88afd2f259351caa80540d1b5'),
+        ('10.1.0.21', '10.2.0.1', 30021, 80, 3, 68, 'd34104ad7ea55f594565debff4c9e44c'),
+        ('10.1.0.22', '10.2.0.1', 30022, 80, 4, 69, '9eec94d67e14587026f336e6e7590175'),
+        ('10.1.0.23', '10.2.0.1', 30023, 80, 5, 70, 'b43c1c874f0e057d6933cbbcf5272d5b'),
+        ('10.1.0.24', '10.2.0.1', 30024, 80, 2, 71, '7888c6799377fa6e4a7f3bc133c35e5b'),
+        ('10.1.0.25', '10.2.0.1', 30025, 80, 3, 72, '9dd89b36a8338abc430499737af65b44'),
+        ('10.1.0.26', '10.2.0.1', 30026, 80, 4, 73, 'b970bad60edf3c77d92b98d22aa3836c'),
+        ('10.1.0.27', '10.2.0.1', 30027, 80, 5, 74, 'f3d7c670c7e6ec2e2b7395e2f043bb51'),
+        ('10.1.0.28', '10.2.0.1', 30028, 80, 2, 75, '72e0b21c91392da432a1f0b77cd656cf'),
+        ('10.1.0.29', '10.2.0.1', 30029, 80, 3, 76, '331c9bc953b6d6e6d941c3633072b029'),
+        ('10.1.0.3', '10.2.0.1', 30003, 80, 5, 49, 'eb6e89b3c8933eaebef2ff5d1e90b7a9'),
+        ('10.1.0.30', '10.2.0.1', 30030, 80, 4, 77, 'fe3a2d6e57cb99e0dd720ee2e8fd3d62'),
+        ('10.1.0.31', '10.2.0.1', 30031, 80, 5, 78, 'fa91bec04d3cb42ac195e7cf4ac1eaf2'),
+        ('10.1.0.32', '10.2.0.1', 30032, 80, 2, 79, '02a5af58d63b71030ad51a5acf0255dd'),
+        ('10.1.0.33', '10.2.0.1', 30033, 80, 3, 80, 'e1ebe4d01b355141bf80f5f8d5b3c304'),
+        ('10.1.0.34', '10.2.0.1', 30034, 80, 4, 81, 'd6468ffece907da705cc1d091aecff44'),
+        ('10.1.0.35', '10.2.0.1', 30035, 80, 5, 82, '54133ef3ede31ce59d303c5fe9d1a695'),
+        ('10.1.0.36', '10.2.0.1', 30036, 80, 2, 83, '8ceb2baa96c70a5536ca4ab55dee862e'),
+        ('10.1.0.37', '10.2.0.1', 30037, 80, 3, 84, '09b73064f05df76287d43f6bfb3427b5'),
+        ('10.1.0.38', '10.2.0.1', 30038, 80, 4, 85, '12999202d7066a5c184df08ef16673b8'),
+        ('10.1.0.39', '10.2.0.1', 30039, 80, 5, 86, 'eab29f276c86fb138efbcb9778e359aa'),
+        ('10.1.0.4', '10.2.0.1', 30004, 80, 2, 50, '2a465aab8027bf6418032483ea1e40e3'),
+        ('10.1.0.40', '10.2.0.1', 30040, 80, 2, 87, '44ebdbc74f21e4ab011ad868f07fbef4'),
+        ('10.1.0.41', '10.2.0.1', 30041, 80, 3, 88, 'a0751475ff5399cd121774d38a766192'),
+        ('10.1.0.42', '10.2.0.1', 30042, 80, 4, 89, '534b6dc03c7cc454e0a2167e4f0e8984'),
+        ('10.1.0.43', '10.2.0.1', 30043, 80, 5, 90, '36a985160fe4de5bf45d6ef1d6ee1df4'),
+        ('10.1.0.44', '10.2.0.1', 30044, 80, 2, 91, 'e54f1d7f7e8b8738b8939c22b56ddc60'),
+        ('10.1.0.45', '10.2.0.1', 30045, 80, 3, 92, '3f8d3ad5863b117a118909f01750aadf'),
+        ('10.1.0.46', '10.2.0.1', 30046, 80, 4, 93, '263d3510769221cff9efc9e5101969dd'),
+        ('10.1.0.47', '10.2.0.1', 30047, 80, 5, 94, 'a0d6a360fa073379b725c0b18091ee48'),
+        ('10.1.0.48', '10.2.0.1', 30048, 80, 2, 95, 'a4ffe5752660e7b60a4c5a3091334ea0'),
+        ('10.1.0.49', '10.2.0.1', 30049, 80, 3, 96, '731063cb54150f8443f22b7c6492ea31'),
+        ('10.1.0.5', '10.2.0.1', 30005, 80, 3, 51, '627f7093b665e81a42087f19418400f6'),
+        ('10.1.0.50', '10.2.0.1', 30050, 80, 4, 97, '7589e4e2555c33333f85c1736f164c37'),
+        ('10.1.0.51', '10.2.0.1', 30051, 80, 5, 98, '8192f9f1e7bdb3903a4c58459a913935'),
+        ('10.1.0.52', '10.2.0.1', 30052, 80, 2, 99, '24d2c8fd1ca096ebe10588122fdaf0c8'),
+        ('10.1.0.53', '10.2.0.1', 30053, 80, 3, 100, 'ada977df05b119b6144abf6a38ef0883'),
+        ('10.1.0.54', '10.2.0.1', 30054, 80, 4, 101, 'dc8ac4028447b28cbbfb6a5b6a9ddb67'),
+        ('10.1.0.55', '10.2.0.1', 30055, 80, 5, 102, 'b7a402c47c98f7f152625d693c961e20'),
+        ('10.1.0.56', '10.2.0.1', 30056, 80, 2, 103, 'c8aeff13582a9c9052e79418bd2ab542'),
+        ('10.1.0.57', '10.2.0.1', 30057, 80, 3, 104, '0fc0bbb6274ee4a890724a147f57f526'),
+        ('10.1.0.58', '10.2.0.1', 30058, 80, 4, 105, '175adf56989f73e19c8f06b847c063db'),
+        ('10.1.0.59', '10.2.0.1', 30059, 80, 5, 106, 'd0d02dcaefd5e8ad15c0fadf5c3cf885'),
+        ('10.1.0.6', '10.2.0.1', 30006, 80, 4, 52, '10050e01f2eac2be7473e836f991bddc'),
+        ('10.1.0.7', '10.2.0.1', 30007, 80, 5, 53, '0d7f8beadfcc0950d3e826060490045e'),
+        ('10.1.0.8', '10.2.0.1', 30008, 80, 2, 54, 'dae29532403afbf49de58d966ce2c994'),
+        ('10.1.0.9', '10.2.0.1', 30009, 80, 3, 55, '0c50dc36f0a93d5d2564d7f91ec0f88e')) AS v(src, dst, src_port, dst_port, n_seg, stream_len, stream_md5)""")),
+
     Q("pcap_flow_topn",
       (s, d) => {
         import s.implicits._

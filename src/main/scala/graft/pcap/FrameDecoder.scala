@@ -20,6 +20,7 @@ private[pcap] final class PacketBuilder {
   var ts, tsMicro, size: Option[Long] = None
   var md5v, etherType, protocol, src, dst, extHeaders: Option[String] = None
   var ttl, srcPort, dstPort, udpsum, len, payloadLen, extCount: Option[Int] = None
+  var tcpSeq: Option[Long] = None
   var frag: Option[Boolean] = None
   var dns: Option[DnsFields] = None
   var payload: Option[Array[Byte]] = None
@@ -32,7 +33,8 @@ private[pcap] final class PacketBuilder {
     ts = ts, tsMicro = tsMicro, size = size, md5 = md5v,
     etherType = etherType, ttl = ttl, protocol = protocol,
     src = src, dst = dst, srcPort = srcPort, dstPort = dstPort,
-    udpsum = udpsum, len = len, frag = frag, payloadLen = payloadLen,
+    udpsum = udpsum, tcpSeq = tcpSeq, len = len, frag = frag,
+    payloadLen = payloadLen,
     extCount = extCount, extHeaders = extHeaders, dns = dns,
     payload = payload, frame = frame)
 }
@@ -172,6 +174,9 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
         8
       } else {                          // TCP (callers guard protoId 6/17)
         if (l4 + 13 > end) return
+        b.tcpSeq = Some(
+          ((data(l4 + 4) & 0xFFL) << 24) | ((data(l4 + 5) & 0xFFL) << 16) |
+          ((data(l4 + 6) & 0xFFL) << 8) | (data(l4 + 7) & 0xFFL))
         ((data(l4 + 12) >> 4) & 0xF) * 4
       }
     val payloadStart = l4 + headerSize

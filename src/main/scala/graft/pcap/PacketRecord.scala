@@ -41,6 +41,7 @@ final case class PacketRecord(
     srcPort: Option[Int] = None,
     dstPort: Option[Int] = None,
     udpsum: Option[Int] = None,       // 0 = valid; absent if cksum field 0
+    tcpSeq: Option[Long] = None,      // TCP sequence number (u32)
     len: Option[Int] = None,          // L4 payload byte count
     frag: Option[Boolean] = None,     // IPv6 Fragment ext header seen
     payloadLen: Option[Int] = None,   // IPv6 header payload-length field

@@ -30,6 +30,7 @@ object PcapSchema {
     StructField("src_port", IntegerType),
     StructField("dst_port", IntegerType),
     StructField("udpsum", IntegerType),
+    StructField("tcp_seq", LongType),
     StructField("len", IntegerType),
     StructField("frag", BooleanType),
     StructField("payload_len", IntegerType),
@@ -90,6 +91,7 @@ object PcapSchema {
     "src_port" -> ((r, _, _) => r.srcPort.map(Int.box).orNull),
     "dst_port" -> ((r, _, _) => r.dstPort.map(Int.box).orNull),
     "udpsum" -> ((r, _, _) => r.udpsum.map(Int.box).orNull),
+    "tcp_seq" -> ((r, _, _) => r.tcpSeq.map(java.lang.Long.valueOf).orNull),
     "len" -> ((r, _, _) => r.len.map(Int.box).orNull),
     "frag" -> ((r, _, _) => r.frag.map(Boolean.box).orNull),
     "payload_len" -> ((r, _, _) => r.payloadLen.map(Int.box).orNull),
@@ -188,6 +190,7 @@ object PcapSchema {
     "src_port" -> ((v, r, _, _) => putInt(v, r.srcPort)),
     "dst_port" -> ((v, r, _, _) => putInt(v, r.dstPort)),
     "udpsum" -> ((v, r, _, _) => putInt(v, r.udpsum)),
+    "tcp_seq" -> ((v, r, _, _) => putLong(v, r.tcpSeq)),
     "len" -> ((v, r, _, _) => putInt(v, r.len)),
     "frag" -> ((v, r, _, _) => putBool(v, r.frag)),
     "payload_len" -> ((v, r, _, _) => putInt(v, r.payloadLen)),

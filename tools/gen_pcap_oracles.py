@@ -241,3 +241,52 @@ if os.path.exists(qrp) and glob.glob(f"{out}/pcap_dns_latency/*.parquet"):
     print("\n=== pcap_dns_latency ===")
     print(values_sql(lat_rows, ("rcode", "n", "min_us", "max_us", "sum_us"),
                      ("VARCHAR", "BIGINT", "BIGINT", "BIGINT", "BIGINT")))
+
+# ---- pcap_tcp_reassembly: independent derivation ------------------------
+# Mirrors PcapSynth.tcpFlowPayload/tcpFlowSegments (pure functions of f):
+# flow f payload = b"flow<f>|" + 40+(f%160) bytes of (33+(f*7+j*11)%94),
+# split into 2+(f%4) segments. Derivation here re-decodes the CAPTURE
+# (not the formulas) so a synth/decoder disagreement fails the check.
+import hashlib
+TCPF = "/tmp/graft_synth_tcpflows.pcap"
+try:
+    tdata = open(TCPF, "rb").read()
+except FileNotFoundError:
+    tdata = None
+if tdata is not None:
+    assert struct.unpack_from("<I", tdata, 0)[0] == 0xA1B2C3D4
+    flows = {}
+    offt = 24
+    while offt < len(tdata):
+        ts, us, cl, ol = struct.unpack_from("<IIII", tdata, offt)
+        offt += 16
+        frame = tdata[offt:offt + cl]
+        offt += cl
+        assert struct.unpack_from(">H", frame, 12)[0] == 0x0800
+        ihl = (frame[14] & 0xF) * 4
+        assert frame[14 + 9] == 6
+        l4 = 14 + ihl
+        sp, dp = struct.unpack_from(">HH", frame, l4)
+        seq = struct.unpack_from(">I", frame, l4 + 4)[0]
+        hdr = ((frame[l4 + 12] >> 4) & 0xF) * 4
+        payload = frame[l4 + hdr:]
+        src = ".".join(str(b) for b in frame[26:30])
+        dst = ".".join(str(b) for b in frame[30:34])
+        flows.setdefault((src, dst, sp, dp), []).append((seq, payload))
+    re_rows = []
+    for (src, dst, sp, dp), segs in flows.items():
+        segs.sort()
+        stream = b"".join(p for _, p in segs)
+        re_rows.append((src, dst, sp, dp, len(segs), len(stream),
+                        hashlib.md5(stream).hexdigest()))
+    re_rows.sort()
+    cols = ("src", "dst", "src_port", "dst_port", "n_seg", "stream_len",
+            "stream_md5")
+    import os
+    if glob.glob(f"{out}/pcap_tcp_reassembly/*.parquet"):
+        check("pcap_tcp_reassembly", re_rows,
+              spark_rows("pcap_tcp_reassembly", cols))
+    print("\n=== pcap_tcp_reassembly ===")
+    print(values_sql(re_rows, cols,
+                     ("VARCHAR", "VARCHAR", "INT", "INT", "BIGINT", "INT",
+                      "VARCHAR")))

@@ -353,5 +353,40 @@ if os.path.exists(qrp) and glob.glob(f"{out}/pcap_dns_latency/*.parquet"):
         else:
             print(f"OK   pcap_resolver_health ({len(got_rh)} resolvers)")
 
+# ---- pcap_tcp_reassembly: independent re-decode + seq-sorted concat -----
+if glob.glob(f"{out}/pcap_tcp_reassembly/*.parquet"):
+    import hashlib
+    tdata = open("/tmp/graft_synth_tcpflows.pcap", "rb").read()
+    assert struct.unpack_from("<I", tdata, 0)[0] == 0xA1B2C3D4
+    tflows = {}
+    offt = 24
+    while offt < len(tdata):
+        _, _, cl, _ = struct.unpack_from("<IIII", tdata, offt)
+        offt += 16
+        frame = tdata[offt:offt + cl]
+        offt += cl
+        ihl = (frame[14] & 0xF) * 4
+        l4 = 14 + ihl
+        sp, dp = struct.unpack_from(">HH", frame, l4)
+        seq = struct.unpack_from(">I", frame, l4 + 4)[0]
+        hdr = ((frame[l4 + 12] >> 4) & 0xF) * 4
+        key = (".".join(str(b) for b in frame[26:30]),
+               ".".join(str(b) for b in frame[30:34]), sp, dp)
+        tflows.setdefault(key, []).append((seq, frame[l4 + hdr:]))
+    exp_re = sorted(
+        (src, dst, sp, dp, len(v), len(b"".join(p for _, p in sorted(v))),
+         hashlib.md5(b"".join(p for _, p in sorted(v))).hexdigest())
+        for (src, dst, sp, dp), v in tflows.items())
+    tr = pq.read_table(glob.glob(
+        f"{out}/pcap_tcp_reassembly/*.parquet")[0]).to_pandas()
+    got_re = sorted((r.src, r.dst, int(r.src_port), int(r.dst_port),
+                     int(r.n_seg), int(r.stream_len), r.stream_md5)
+                    for r in tr.itertuples())
+    if got_re != exp_re:
+        print(f"FAIL pcap_tcp_reassembly: {got_re[:1]} vs {exp_re[:1]}")
+        fails += 1
+    else:
+        print(f"OK   pcap_tcp_reassembly ({len(got_re)} flows)")
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
