@@ -58,6 +58,14 @@ object PcapQueries {
     p.toString
   }
 
+  /** Deterministic segmented HTTP request capture (50 flows; see
+    * [[graft.pcap.PcapSynth.httpFlowSegments]] — cuts land mid-header). */
+  private def httpSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_httpflows.pcap")
+    graft.pcap.PcapSynth.ensureHttpFlowFile(p, 50)
+    p.toString
+  }
+
   val defs: Seq[Q] = Seq(
 
     // the reference's canonical MR example: count by source port
@@ -255,6 +263,85 @@ object PcapQueries {
         ('10.1.0.7', '10.2.0.1', 30007, 80, 5, 53, '0d7f8beadfcc0950d3e826060490045e'),
         ('10.1.0.8', '10.2.0.1', 30008, 80, 2, 54, 'dae29532403afbf49de58d966ce2c994'),
         ('10.1.0.9', '10.2.0.1', 30009, 80, 3, 55, '0c50dc36f0a93d5d2564d7f91ec0f88e')) AS v(src, dst, src_port, dst_port, n_seg, stream_len, stream_md5)""")),
+
+    // ----- HTTP request extraction over reassembled streams ---------------
+    // The L7 payoff of tcp_seq reassembly: none of the fixture's segment
+    // cuts contains a complete request line or header (they land mid-
+    // line by construction), so per-packet parsing CANNOT produce these
+    // rows — only the reassembled stream parses. Aggregates per
+    // (method, host, agent): the typical telemetry rollup. Same
+    // single-shuffle scale shape as pcap_tcp_reassembly, plus one tiny
+    // aggregation over flow-level rows.
+    Q("pcap_http_requests",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(httpSynthPath)
+          .filter($"protocol" === "TCP")
+          .groupBy($"src", $"dst", $"src_port", $"dst_port")
+          .agg(expr(
+            "aggregate(array_sort(collect_list(struct(tcp_seq, payload))), " +
+              "X'', (acc, x) -> concat(acc, x.payload))").as("stream"))
+          .select($"stream".cast("string").as("txt"))
+          .select(
+            regexp_extract($"txt", "^(\\w+) ", 1).as("method"),
+            regexp_extract($"txt", "^\\w+ (\\S+) HTTP/1\\.1", 1).as("path"),
+            regexp_extract($"txt", "\r\nHost: (\\S+)\r\n", 1).as("host"),
+            regexp_extract($"txt", "\r\nUser-Agent: (\\S+)\r\n", 1).as("agent"))
+          .groupBy($"method", $"host", $"agent")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"path").as("n_paths"))
+      },
+      Some("""SELECT CAST(v.method AS VARCHAR) AS method, CAST(v.host AS VARCHAR) AS host, CAST(v.agent AS VARCHAR) AS agent, CAST(v.n AS BIGINT) AS n, CAST(v.n_paths AS BIGINT) AS n_paths
+        FROM (VALUES ('GET', 'host0.example.com', 'graft/0', 1, 1),
+        ('GET', 'host0.example.com', 'graft/3', 1, 1),
+        ('GET', 'host0.example.com', 'graft/4', 1, 1),
+        ('GET', 'host1.example.com', 'graft/0', 1, 1),
+        ('GET', 'host1.example.com', 'graft/1', 1, 1),
+        ('GET', 'host1.example.com', 'graft/2', 1, 1),
+        ('GET', 'host10.example.com', 'graft/0', 1, 1),
+        ('GET', 'host10.example.com', 'graft/1', 1, 1),
+        ('GET', 'host10.example.com', 'graft/4', 1, 1),
+        ('GET', 'host11.example.com', 'graft/2', 1, 1),
+        ('GET', 'host11.example.com', 'graft/4', 1, 1),
+        ('GET', 'host12.example.com', 'graft/0', 1, 1),
+        ('GET', 'host12.example.com', 'graft/2', 1, 1),
+        ('GET', 'host2.example.com', 'graft/0', 1, 1),
+        ('GET', 'host2.example.com', 'graft/3', 1, 1),
+        ('GET', 'host3.example.com', 'graft/1', 1, 1),
+        ('GET', 'host3.example.com', 'graft/2', 1, 1),
+        ('GET', 'host3.example.com', 'graft/3', 1, 1),
+        ('GET', 'host4.example.com', 'graft/0', 1, 1),
+        ('GET', 'host4.example.com', 'graft/3', 1, 1),
+        ('GET', 'host4.example.com', 'graft/4', 1, 1),
+        ('GET', 'host5.example.com', 'graft/1', 1, 1),
+        ('GET', 'host5.example.com', 'graft/3', 1, 1),
+        ('GET', 'host6.example.com', 'graft/0', 1, 1),
+        ('GET', 'host6.example.com', 'graft/1', 1, 1),
+        ('GET', 'host6.example.com', 'graft/4', 1, 1),
+        ('GET', 'host7.example.com', 'graft/1', 1, 1),
+        ('GET', 'host7.example.com', 'graft/2', 1, 1),
+        ('GET', 'host7.example.com', 'graft/3', 1, 1),
+        ('GET', 'host8.example.com', 'graft/1', 1, 1),
+        ('GET', 'host8.example.com', 'graft/4', 1, 1),
+        ('GET', 'host9.example.com', 'graft/2', 1, 1),
+        ('GET', 'host9.example.com', 'graft/3', 1, 1),
+        ('GET', 'host9.example.com', 'graft/4', 1, 1),
+        ('POST', 'host0.example.com', 'graft/1', 1, 1),
+        ('POST', 'host1.example.com', 'graft/4', 1, 1),
+        ('POST', 'host10.example.com', 'graft/3', 1, 1),
+        ('POST', 'host11.example.com', 'graft/1', 1, 1),
+        ('POST', 'host12.example.com', 'graft/3', 1, 1),
+        ('POST', 'host2.example.com', 'graft/1', 1, 1),
+        ('POST', 'host2.example.com', 'graft/2', 1, 1),
+        ('POST', 'host3.example.com', 'graft/4', 1, 1),
+        ('POST', 'host4.example.com', 'graft/2', 1, 1),
+        ('POST', 'host5.example.com', 'graft/0', 1, 1),
+        ('POST', 'host5.example.com', 'graft/4', 1, 1),
+        ('POST', 'host6.example.com', 'graft/2', 1, 1),
+        ('POST', 'host7.example.com', 'graft/0', 1, 1),
+        ('POST', 'host8.example.com', 'graft/2', 1, 1),
+        ('POST', 'host8.example.com', 'graft/3', 1, 1),
+        ('POST', 'host9.example.com', 'graft/0', 1, 1)) AS v(method, host, agent, n, n_paths)""")),
 
     Q("pcap_flow_topn",
       (s, d) => {

@@ -290,3 +290,50 @@ if tdata is not None:
     print(values_sql(re_rows, cols,
                      ("VARCHAR", "VARCHAR", "INT", "INT", "BIGINT", "INT",
                       "VARCHAR")))
+
+# ---- pcap_http_requests: reassemble + parse request headers -------------
+import re as _re
+HTTPF = "/tmp/graft_synth_httpflows.pcap"
+try:
+    hdata = open(HTTPF, "rb").read()
+except FileNotFoundError:
+    hdata = None
+if hdata is not None:
+    assert struct.unpack_from("<I", hdata, 0)[0] == 0xA1B2C3D4
+    hflows = {}
+    offh = 24
+    while offh < len(hdata):
+        ts, us, cl, ol = struct.unpack_from("<IIII", hdata, offh)
+        offh += 16
+        frame = hdata[offh:offh + cl]
+        offh += cl
+        ihl = (frame[14] & 0xF) * 4
+        l4 = 14 + ihl
+        sp, dp = struct.unpack_from(">HH", frame, l4)
+        seq = struct.unpack_from(">I", frame, l4 + 4)[0]
+        hdr = ((frame[l4 + 12] >> 4) & 0xF) * 4
+        key = (".".join(str(b) for b in frame[26:30]),
+               ".".join(str(b) for b in frame[30:34]), sp, dp)
+        hflows.setdefault(key, []).append((seq, frame[l4 + hdr:]))
+    agg = {}
+    paths = {}
+    for key, segs in hflows.items():
+        segs.sort()
+        txt = b"".join(p for _, p in segs).decode("ascii")
+        m = _re.search(r"^(\w+) ", txt)
+        p = _re.search(r"^\w+ (\S+) HTTP/1\.1", txt)
+        h = _re.search(r"\r\nHost: (\S+)\r\n", txt)
+        a = _re.search(r"\r\nUser-Agent: (\S+)\r\n", txt)
+        k = (m.group(1) if m else "", h.group(1) if h else "",
+             a.group(1) if a else "")
+        agg[k] = agg.get(k, 0) + 1
+        paths.setdefault(k, set()).add(p.group(1) if p else "")
+    hrows = sorted((m, h, a, n, len(paths[(m, h, a)]))
+                   for (m, h, a), n in agg.items())
+    hcols = ("method", "host", "agent", "n", "n_paths")
+    if glob.glob(f"{out}/pcap_http_requests/*.parquet"):
+        check("pcap_http_requests", hrows,
+              spark_rows("pcap_http_requests", hcols))
+    print("\n=== pcap_http_requests ===")
+    print(values_sql(hrows, hcols,
+                     ("VARCHAR", "VARCHAR", "VARCHAR", "BIGINT", "BIGINT")))

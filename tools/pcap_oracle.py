@@ -388,5 +388,47 @@ if glob.glob(f"{out}/pcap_tcp_reassembly/*.parquet"):
     else:
         print(f"OK   pcap_tcp_reassembly ({len(got_re)} flows)")
 
+# ---- pcap_http_requests: independent reassemble + header parse ----------
+if glob.glob(f"{out}/pcap_http_requests/*.parquet"):
+    import re as _re
+    hdata = open("/tmp/graft_synth_httpflows.pcap", "rb").read()
+    assert struct.unpack_from("<I", hdata, 0)[0] == 0xA1B2C3D4
+    hflows = {}
+    offh = 24
+    while offh < len(hdata):
+        _, _, cl, _ = struct.unpack_from("<IIII", hdata, offh)
+        offh += 16
+        frame = hdata[offh:offh + cl]
+        offh += cl
+        ihl = (frame[14] & 0xF) * 4
+        l4 = 14 + ihl
+        sp, dp = struct.unpack_from(">HH", frame, l4)
+        seq = struct.unpack_from(">I", frame, l4 + 4)[0]
+        hdr = ((frame[l4 + 12] >> 4) & 0xF) * 4
+        key = (".".join(str(b) for b in frame[26:30]), sp)
+        hflows.setdefault(key, []).append((seq, frame[l4 + hdr:]))
+    hagg, hpaths = {}, {}
+    for key, segs in hflows.items():
+        segs.sort()
+        txt = b"".join(p for _, p in segs).decode("ascii")
+        m = _re.search(r"^(\w+) ", txt)
+        p = _re.search(r"^\w+ (\S+) HTTP/1\.1", txt)
+        h = _re.search(r"\r\nHost: (\S+)\r\n", txt)
+        a = _re.search(r"\r\nUser-Agent: (\S+)\r\n", txt)
+        k = (m.group(1), h.group(1), a.group(1))
+        hagg[k] = hagg.get(k, 0) + 1
+        hpaths.setdefault(k, set()).add(p.group(1))
+    exp_h = sorted((m, h, a, n, len(hpaths[(m, h, a)]))
+                   for (m, h, a), n in hagg.items())
+    hr = pq.read_table(glob.glob(
+        f"{out}/pcap_http_requests/*.parquet")[0]).to_pandas()
+    got_h = sorted((r.method, r.host, r.agent, int(r.n), int(r.n_paths))
+                   for r in hr.itertuples())
+    if got_h != exp_h:
+        print(f"FAIL pcap_http_requests: {got_h[:1]} vs {exp_h[:1]}")
+        fails += 1
+    else:
+        print(f"OK   pcap_http_requests ({len(got_h)} groups)")
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
