@@ -66,6 +66,79 @@ object PcapQueries {
     p.toString
   }
 
+  /** Deterministic handshake capture (50 flows + 7 scanner bursts; see
+    * [[graft.pcap.PcapSynth.handshakePackets]]). */
+  private def handshakeSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_handshake.pcap")
+    graft.pcap.PcapSynth.ensureHandshakeFile(p, 50)
+    p.toString
+  }
+
+  /** Deterministic TLS ClientHello capture (40 flows; see
+    * [[graft.pcap.PcapSynth.tlsFlowPackets]]). */
+  private def tlsSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_tlsflows.pcap")
+    graft.pcap.PcapSynth.ensureTlsFlowFile(p, 40)
+    p.toString
+  }
+
+  /** The segmented variant — ClientHellos cut mid-record across TCP
+    * segments (see [[graft.pcap.PcapSynth.tlsFlowSegments]]). */
+  private def tlsSegSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_tlssegs.pcap")
+    graft.pcap.PcapSynth.ensureTlsSegFile(p, 40)
+    p.toString
+  }
+
+  // ----- formula-derived oracles for the handshake/TLS fixtures ---------
+  // Unlike the reassembly goldens (frozen md5 VALUES), these oracles are
+  // derived from the fixture GENERATOR's spec (rtt = 150 + 37f µs, SNI =
+  // host%03d.example.{com,org,net}, …) — a second, independent route to
+  // the expected rows that never touches the decoder under test.
+
+  private def handshakeRttOracle(n: Int): String = {
+    val rows = (0 until n).map { f =>
+      s"('10.5.0.$f', '10.9.0.1', ${40000 + f}, ${150 + 37 * f})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.client AS VARCHAR) AS client, CAST(v.server AS VARCHAR) AS server, CAST(v.client_port AS INT) AS client_port, CAST(v.rtt_micro AS BIGINT) AS rtt_micro
+        FROM (VALUES $rows) AS v(client, server, client_port, rtt_micro)"""
+  }
+
+  private def synScanOracle(n: Int): String = {
+    val rows = (0 until n).filter(_ % 7 == 3).map { f =>
+      s"('10.6.0.$f', 5, 5)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.scanner AS VARCHAR) AS scanner, CAST(v.n_syn AS BIGINT) AS n_syn, CAST(v.n_ports AS BIGINT) AS n_ports
+        FROM (VALUES $rows) AS v(scanner, n_syn, n_ports)"""
+  }
+
+  private def flowFeaturesOracle(n: Int): String = {
+    val convo = (0 until n).map { f =>
+      // '10.5.x.y' < '10.9.0.1' lexicographically, 443 < 40000+f
+      s"('10.5.0.$f', '10.9.0.1', 443, ${40000 + f}, 3, 162, ${2 * (150 + 37 * f)})"
+    }
+    val scans = (0 until n).filter(_ % 7 == 3).flatMap { f =>
+      (0 until 5).map { k =>
+        s"('10.6.0.$f', '10.9.0.1', ${1000 + 10 * f + k}, ${55000 + f}, 1, 54, 0)"
+      }
+    }
+    val rows = (convo ++ scans).mkString(",\n        ")
+    s"""SELECT CAST(v.addr_lo AS VARCHAR) AS addr_lo, CAST(v.addr_hi AS VARCHAR) AS addr_hi, CAST(v.port_lo AS INT) AS port_lo, CAST(v.port_hi AS INT) AS port_hi, CAST(v.n_pkts AS BIGINT) AS n_pkts, CAST(v.total_bytes AS BIGINT) AS total_bytes, CAST(v.duration_micro AS BIGINT) AS duration_micro
+        FROM (VALUES $rows) AS v(addr_lo, addr_hi, port_lo, port_hi, n_pkts, total_bytes, duration_micro)"""
+  }
+
+  private def tlsSniOracle(n: Int, clientPrefix: String = "10.7.0"): String = {
+    val tlds = Array("com", "org", "net")
+    val alpns = Array("h2", "http/1.1", "-")
+    val rows = (0 until n).map { f =>
+      val sni = f"host$f%03d.example.${tlds(f % 3)}"
+      val ver = if (f % 2 == 1) "TLS1.3" else "TLS1.2"
+      s"('$clientPrefix.$f', '$sni', '$ver', ${8 + f % 5}, '${alpns(f % 3)}')"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.client AS VARCHAR) AS client, CAST(v.sni AS VARCHAR) AS sni, CAST(v.version AS VARCHAR) AS version, CAST(v.cipher_count AS INT) AS cipher_count, CAST(v.alpn AS VARCHAR) AS alpn
+        FROM (VALUES $rows) AS v(client, sni, version, cipher_count, alpn)"""
+  }
+
   val defs: Seq[Q] = Seq(
 
     // the reference's canonical MR example: count by source port
@@ -125,9 +198,11 @@ object PcapQueries {
           .option("decoder", "dns").option("md5", "true")
           .load(fixturePath)
           // binary/unstable-across-hosts columns out (md5 already pins
-          // the exact frame bytes); tcp_seq is a parity-extension column
-          // not present in the pinned reference-surface golden
-          .drop("payload", "file", "frame", "tcp_seq")
+          // the exact frame bytes); tcp_seq/tcp_flags/tcp_ack are
+          // parity-extension columns not present in the pinned
+          // reference-surface golden
+          .drop("payload", "file", "frame", "tcp_seq", "tcp_flags",
+            "tcp_ack")
           .withColumn("time",
             date_format($"time", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
           .withColumn("dns_answer", to_json($"dns_answer"))
@@ -342,6 +417,118 @@ object PcapQueries {
         ('POST', 'host8.example.com', 'graft/2', 1, 1),
         ('POST', 'host8.example.com', 'graft/3', 1, 1),
         ('POST', 'host9.example.com', 'graft/0', 1, 1)) AS v(method, host, agent, n, n_paths)""")),
+
+    // ----- TCP handshake analytics over tcp_flags/tcp_ack -----------------
+    // Superset columns the reference never decodes (it stops at ports).
+    // SYN joins SYN|ACK on the reversed flow key plus RFC 793 handshake
+    // arithmetic (synack.ack = syn.seq + 1); RTT is the decoded capture
+    // timestamp delta. Scale shape: two row-skipping flag filters pushed
+    // into the decoder, then ONE equi-shuffle on the flow key — the same
+    // shape as any flow-pairing analysis.
+    Q("pcap_tcp_handshake_rtt",
+      (s, d) => {
+        import s.implicits._
+        val pk = s.read.format("pcap").load(handshakeSynthPath)
+          .select($"src", $"dst", $"src_port", $"dst_port",
+            $"tcp_seq", $"tcp_ack", $"tcp_flags", $"ts_micro")
+        val syn = pk.filter($"tcp_flags" === "SYN").alias("a")
+        val synack = pk.filter($"tcp_flags" === "SYN|ACK").alias("b")
+        syn.join(synack,
+            $"a.src" === $"b.dst" && $"a.dst" === $"b.src" &&
+            $"a.src_port" === $"b.dst_port" &&
+            $"a.dst_port" === $"b.src_port" &&
+            $"b.tcp_ack" === $"a.tcp_seq" + 1)
+          .select($"a.src".as("client"), $"a.dst".as("server"),
+            $"a.src_port".as("client_port"),
+            ($"b.ts_micro" - $"a.ts_micro").as("rtt_micro"))
+      },
+      Some(handshakeRttOracle(50))),
+
+    // SYN-without-SYN|ACK: the classic port-scan detector, as the anti
+    // side of the same flow-pairing join.
+    Q("pcap_syn_no_synack",
+      (s, d) => {
+        import s.implicits._
+        val pk = s.read.format("pcap").load(handshakeSynthPath)
+          .select($"src", $"dst", $"src_port", $"dst_port",
+            $"tcp_seq", $"tcp_ack", $"tcp_flags")
+        val syn = pk.filter($"tcp_flags" === "SYN").alias("a")
+        val synack = pk.filter($"tcp_flags" === "SYN|ACK").alias("b")
+        syn.join(synack,
+            $"a.src" === $"b.dst" && $"a.dst" === $"b.src" &&
+            $"a.src_port" === $"b.dst_port" &&
+            $"a.dst_port" === $"b.src_port" &&
+            $"b.tcp_ack" === $"a.tcp_seq" + 1, "left_anti")
+          .groupBy($"src")
+          .agg(count(lit(1)).as("n_syn"),
+            countDistinct($"dst_port").as("n_ports"))
+          .select($"src".as("scanner"), $"n_syn", $"n_ports")
+      },
+      Some(synScanOracle(50))),
+
+    // Per-conversation feature vector (the pcap → training-data bridge):
+    // canonical bidirectional flow key via least/greatest, then bounded
+    // aggregates — packet count, bytes, duration. ONE shuffle on the
+    // canonical key; every aggregate is partial-final.
+    Q("pcap_flow_features",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(handshakeSynthPath)
+          .select($"src", $"dst", $"src_port", $"dst_port", $"size",
+            $"ts_micro")
+          .groupBy(
+            least($"src", $"dst").as("addr_lo"),
+            greatest($"src", $"dst").as("addr_hi"),
+            least($"src_port", $"dst_port").as("port_lo"),
+            greatest($"src_port", $"dst_port").as("port_hi"))
+          .agg(count(lit(1)).as("n_pkts"),
+            sum($"size").as("total_bytes"),
+            (max($"ts_micro") - min($"ts_micro")).as("duration_micro"))
+      },
+      Some(flowFeaturesOracle(50))),
+
+    // ----- TLS ClientHello extraction (native expression) -----------------
+    // tls_client_hello is a codegen'd Catalyst expression over the raw
+    // payload (graft.functions.TlsClientHelloExpr); projection prunes the
+    // scan to exactly the payload + flow columns it needs.
+    Q("pcap_tls_sni",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(tlsSynthPath)
+          .filter($"dst_port" === 443 && $"tcp_flags" === "PSH|ACK")
+          .select($"src".as("client"),
+            graft.functions.TlsClientHelloExpr
+              .tls_client_hello($"payload").as("ch"))
+          .select($"client", $"ch.sni".as("sni"),
+            $"ch.version".as("version"),
+            $"ch.cipher_count".as("cipher_count"),
+            coalesce($"ch.alpn", lit("-")).as("alpn"))
+      },
+      Some(tlsSniOracle(40))),
+
+    // The composition payoff: reassembly (tcp_seq) feeding the native
+    // TLS expression. Every hello here is cut mid-record across
+    // segments, so per-packet parsing extracts NOTHING — only the
+    // seq-ordered concatenated stream parses. Same single-shuffle scale
+    // shape as pcap_tcp_reassembly; the expression runs once per flow.
+    Q("pcap_tls_sni_reassembled",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(tlsSegSynthPath)
+          .filter($"protocol" === "TCP")
+          .groupBy($"src", $"dst", $"src_port", $"dst_port")
+          .agg(expr(
+            "aggregate(array_sort(collect_list(struct(tcp_seq, payload))), " +
+              "X'', (acc, x) -> concat(acc, x.payload))").as("stream"))
+          .select($"src".as("client"),
+            graft.functions.TlsClientHelloExpr
+              .tls_client_hello($"stream").as("ch"))
+          .select($"client", $"ch.sni".as("sni"),
+            $"ch.version".as("version"),
+            $"ch.cipher_count".as("cipher_count"),
+            coalesce($"ch.alpn", lit("-")).as("alpn"))
+      },
+      Some(tlsSniOracle(40, clientPrefix = "10.11.0"))),
 
     Q("pcap_flow_topn",
       (s, d) => {

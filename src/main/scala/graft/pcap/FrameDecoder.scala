@@ -14,13 +14,35 @@ private[pcap] object Boxes {
     if (i >= 0 && i < 65536) ints(i) else Some(i)
 }
 
+/** Pre-rendered mnemonic strings for all 512 TCP flag combinations
+  * (8 bits of byte 13 + the NS bit, data-offset byte bit 0). Flag names
+  * join LSB-first with '|' — the order people write them ("SYN|ACK").
+  * A superset field: the reference decodes no TCP flags at all. */
+private[pcap] object TcpFlagNames {
+  private val names =
+    Array("FIN", "SYN", "RST", "PSH", "ACK", "URG", "ECE", "CWR", "NS")
+  val some: Array[Some[String]] = Array.tabulate(512) { bits =>
+    val sb = new StringBuilder
+    var i = 0
+    while (i < 9) {
+      if ((bits & (1 << i)) != 0) {
+        if (sb.nonEmpty) sb.append('|')
+        sb.append(names(i))
+      }
+      i += 1
+    }
+    Some(sb.toString)
+  }
+}
+
 /** Mutable per-packet accumulator; one PacketRecord built at the end.
   * Shared by the classic-pcap and pcapng container readers. */
 private[pcap] final class PacketBuilder {
   var ts, tsMicro, size: Option[Long] = None
   var md5v, etherType, protocol, src, dst, extHeaders: Option[String] = None
   var ttl, srcPort, dstPort, udpsum, len, payloadLen, extCount: Option[Int] = None
-  var tcpSeq: Option[Long] = None
+  var tcpSeq, tcpAck: Option[Long] = None
+  var tcpFlags: Option[String] = None
   var frag: Option[Boolean] = None
   var dns: Option[DnsFields] = None
   var payload: Option[Array[Byte]] = None
@@ -33,7 +55,8 @@ private[pcap] final class PacketBuilder {
     ts = ts, tsMicro = tsMicro, size = size, md5 = md5v,
     etherType = etherType, ttl = ttl, protocol = protocol,
     src = src, dst = dst, srcPort = srcPort, dstPort = dstPort,
-    udpsum = udpsum, tcpSeq = tcpSeq, len = len, frag = frag,
+    udpsum = udpsum, tcpSeq = tcpSeq, tcpFlags = tcpFlags, tcpAck = tcpAck,
+    len = len, frag = frag,
     payloadLen = payloadLen,
     extCount = extCount, extHeaders = extHeaders, dns = dns,
     payload = payload, frame = frame)
@@ -177,6 +200,14 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
         b.tcpSeq = Some(
           ((data(l4 + 4) & 0xFFL) << 24) | ((data(l4 + 5) & 0xFFL) << 16) |
           ((data(l4 + 6) & 0xFFL) << 8) | (data(l4 + 7) & 0xFFL))
+        b.tcpAck = Some(
+          ((data(l4 + 8) & 0xFFL) << 24) | ((data(l4 + 9) & 0xFFL) << 16) |
+          ((data(l4 + 10) & 0xFFL) << 8) | (data(l4 + 11) & 0xFFL))
+        // flags byte (13) sits one past the data-offset byte the guard
+        // above covers; the NS bit is bit 0 of byte 12
+        if (l4 + 14 <= end)
+          b.tcpFlags = TcpFlagNames.some(
+            (data(l4 + 13) & 0xFF) | ((data(l4 + 12) & 0x1) << 8))
         ((data(l4 + 12) >> 4) & 0xF) * 4
       }
     val payloadStart = l4 + headerSize

@@ -42,6 +42,8 @@ final case class PacketRecord(
     dstPort: Option[Int] = None,
     udpsum: Option[Int] = None,       // 0 = valid; absent if cksum field 0
     tcpSeq: Option[Long] = None,      // TCP sequence number (u32)
+    tcpFlags: Option[String] = None,  // "SYN|ACK" mnemonics, LSB-first
+    tcpAck: Option[Long] = None,      // TCP acknowledgment number (u32)
     len: Option[Int] = None,          // L4 payload byte count
     frag: Option[Boolean] = None,     // IPv6 Fragment ext header seen
     payloadLen: Option[Int] = None,   // IPv6 header payload-length field

@@ -19,7 +19,8 @@ object PcapPacketFilter {
   val acceptAll: Predicate = _ => true
 
   private val columns = Set("src_port", "dst_port", "protocol",
-    "ether_type", "ts", "src", "dst", "dns_qname", "dns_rcode", "dns_qr")
+    "ether_type", "ts", "src", "dst", "tcp_flags",
+    "dns_qname", "dns_rcode", "dns_qr")
   private val stringColumns = Set("dns_qname", "dns_rcode")
 
   def supported(f: Filter): Boolean = f match {
@@ -46,6 +47,7 @@ object PcapPacketFilter {
     case "ts" => r.ts
     case "src" => r.src
     case "dst" => r.dst
+    case "tcp_flags" => r.tcpFlags
     case "dns_qname" => r.dns.flatMap(_.qname)
     case "dns_rcode" => r.dns.map(_.rcode)
     case "dns_qr" => r.dns.map(_.qr)

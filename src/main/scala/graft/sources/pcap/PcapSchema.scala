@@ -31,6 +31,8 @@ object PcapSchema {
     StructField("dst_port", IntegerType),
     StructField("udpsum", IntegerType),
     StructField("tcp_seq", LongType),
+    StructField("tcp_flags", StringType),
+    StructField("tcp_ack", LongType),
     StructField("len", IntegerType),
     StructField("frag", BooleanType),
     StructField("payload_len", IntegerType),
@@ -92,6 +94,8 @@ object PcapSchema {
     "dst_port" -> ((r, _, _) => r.dstPort.map(Int.box).orNull),
     "udpsum" -> ((r, _, _) => r.udpsum.map(Int.box).orNull),
     "tcp_seq" -> ((r, _, _) => r.tcpSeq.map(java.lang.Long.valueOf).orNull),
+    "tcp_flags" -> ((r, _, _) => r.tcpFlags.map(utf8i).orNull),
+    "tcp_ack" -> ((r, _, _) => r.tcpAck.map(java.lang.Long.valueOf).orNull),
     "len" -> ((r, _, _) => r.len.map(Int.box).orNull),
     "frag" -> ((r, _, _) => r.frag.map(Boolean.box).orNull),
     "payload_len" -> ((r, _, _) => r.payloadLen.map(Int.box).orNull),
@@ -191,6 +195,8 @@ object PcapSchema {
     "dst_port" -> ((v, r, _, _) => putInt(v, r.dstPort)),
     "udpsum" -> ((v, r, _, _) => putInt(v, r.udpsum)),
     "tcp_seq" -> ((v, r, _, _) => putLong(v, r.tcpSeq)),
+    "tcp_flags" -> ((v, r, _, _) => putStrI(v, r.tcpFlags)),
+    "tcp_ack" -> ((v, r, _, _) => putLong(v, r.tcpAck)),
     "len" -> ((v, r, _, _) => putInt(v, r.len)),
     "frag" -> ((v, r, _, _) => putBool(v, r.frag)),
     "payload_len" -> ((v, r, _, _) => putInt(v, r.payloadLen)),

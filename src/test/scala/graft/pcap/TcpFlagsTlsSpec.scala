@@ -1,0 +1,144 @@
+package graft.pcap
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TlsParse
+
+/** tcp_flags/tcp_ack decode (superset columns — the reference stops at
+  * ports) and the clean-room TLS ClientHello parser. */
+class TcpFlagsTlsSpec extends AnyFunSuite {
+
+  private def decodeOne(frame: Array[Byte]): PacketRecord = {
+    val r = new PcapStreamReader(new java.io.ByteArrayInputStream(
+      PcapSynth.file(Seq((1L, 0L, frame)))), DecodeOptions.dns)
+    r.next()
+  }
+
+  test("TCP flags render LSB-first with '|', ack decodes as u32") {
+    val syn = decodeOne(PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      srcPort = 1, dstPort = 2, ttl = 64, payload = Array.emptyByteArray,
+      seq = 7, flags = 0x02))
+    assert(syn.tcpFlags.contains("SYN"))
+    assert(syn.tcpAck.contains(0L))
+
+    val synAck = decodeOne(PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 0, 0, 2), dst = Array[Byte](10, 0, 0, 1),
+      srcPort = 2, dstPort = 1, ttl = 64, payload = Array.emptyByteArray,
+      seq = 9, ack = 8, flags = 0x12))
+    assert(synAck.tcpFlags.contains("SYN|ACK"))
+    assert(synAck.tcpAck.contains(8L))
+    assert(synAck.tcpSeq.contains(9L))
+
+    val pshAck = decodeOne(PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      srcPort = 1, dstPort = 2, ttl = 64, payload = "x".getBytes,
+      flags = 0x18))
+    assert(pshAck.tcpFlags.contains("PSH|ACK"))
+  }
+
+  test("NS bit (bit 8, data-offset byte bit 0) joins the mnemonic") {
+    val r = decodeOne(PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      srcPort = 1, dstPort = 2, ttl = 64, payload = Array.emptyByteArray,
+      flags = 0x102))                 // NS + SYN
+    assert(r.tcpFlags.contains("SYN|NS"))
+  }
+
+  test("u32 wrap: ack above Int.MaxValue survives as unsigned") {
+    val r = decodeOne(PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      srcPort = 1, dstPort = 2, ttl = 64, payload = Array.emptyByteArray,
+      seq = 0xFFFFFFFFL, ack = 0x80000001L, flags = 0x10))
+    assert(r.tcpSeq.contains(0xFFFFFFFFL))
+    assert(r.tcpAck.contains(0x80000001L))
+  }
+
+  test("truncated TCP header: seq/ack absent, no exception") {
+    // frame cut 13 bytes into the TCP header: seq/ack bytes missing
+    val full = PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      srcPort = 1, dstPort = 2, ttl = 64, payload = Array.emptyByteArray,
+      flags = 0x02)
+    val cut = java.util.Arrays.copyOf(full, 14 + 20 + 7)
+    val r = decodeOne(cut)
+    assert(r.srcPort.contains(1))
+    assert(r.tcpSeq.isEmpty && r.tcpAck.isEmpty && r.tcpFlags.isEmpty)
+  }
+
+  test("tcp_flags equality is a pushable row-skip predicate") {
+    import org.apache.spark.sql.sources.EqualTo
+    assert(graft.sources.pcap.PcapPacketFilter.supported(
+      EqualTo("tcp_flags", "SYN")))
+  }
+
+  // ----- TLS ClientHello parser ------------------------------------------
+
+  private def field(row: org.apache.spark.sql.catalyst.InternalRow,
+      i: Int): String =
+    if (row.isNullAt(i)) null else row.getUTF8String(i).toString
+
+  test("golden: synthetic hellos parse to the generator's spec") {
+    for (f <- 0 until 40) {
+      val row = TlsParse.parse(PcapSynth.tlsClientHello(f))
+      assert(row != null, s"flow $f")
+      val tld = Seq("com", "org", "net")(f % 3)
+      assert(field(row, 0) == f"host$f%03d.example.$tld")
+      assert(field(row, 1) == (if (f % 2 == 1) "TLS1.3" else "TLS1.2"))
+      assert(row.getInt(2) == 8 + f % 5)
+      val alpn = Seq("h2", "http/1.1", null)(f % 3)
+      assert(field(row, 3) == alpn)
+    }
+  }
+
+  test("every truncation of a valid hello returns null or a row, never throws") {
+    val full = PcapSynth.tlsClientHello(7)
+    for (n <- 0 until full.length) {
+      val r = TlsParse.parse(java.util.Arrays.copyOf(full, n))
+      // parse of a prefix may legitimately succeed once all variable
+      // sections are in (the record-length bound caps reads) — the
+      // contract is no exception and no over-read
+      assert(r == null || r.numFields == 4)
+    }
+  }
+
+  test("fuzz: arbitrary bytes never throw") {
+    val rnd = new scala.util.Random(20260813)
+    for (_ <- 0 until 3000) {
+      val b = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(b)
+      // bias some inputs toward the handshake magic to reach deeper paths
+      if (b.length > 6 && rnd.nextBoolean()) {
+        b(0) = 0x16; b(1) = 3; b(5) = 1
+      }
+      TlsParse.parse(b) // must not throw
+    }
+  }
+
+  test("segmented hellos parse only after reassembly") {
+    // mirrors tlsFlowSegments' chunking: every individual segment of a
+    // multi-segment flow must NOT parse (cuts land mid-record), while
+    // the reassembled concatenation must — the property
+    // pcap_tls_sni_reassembled's oracle rests on
+    for (f <- 0 until 40 if f % 3 != 0) {
+      val hello = PcapSynth.tlsClientHello(f)
+      val nSeg = 1 + f % 3
+      val base = hello.length / nSeg
+      val chunks = (0 until nSeg).map { k =>
+        val to = if (k == nSeg - 1) hello.length else base * (k + 1)
+        java.util.Arrays.copyOfRange(hello, base * k, to)
+      }
+      chunks.foreach(c => assert(TlsParse.parse(c) == null, s"flow $f"))
+      assert(TlsParse.parse(chunks.reduce(_ ++ _)) != null, s"flow $f")
+    }
+  }
+
+  test("non-ClientHello records are rejected") {
+    // application_data record
+    assert(TlsParse.parse(Array[Byte](0x17, 3, 3, 0, 5, 1, 2, 3, 4, 5)) == null)
+    // ServerHello handshake
+    val sh = PcapSynth.tlsClientHello(0)
+    sh(5) = 2
+    assert(TlsParse.parse(sh) == null)
+  }
+}
