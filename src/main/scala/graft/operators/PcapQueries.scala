@@ -90,6 +90,14 @@ object PcapQueries {
     p.toString
   }
 
+  /** Deterministic ICMP echo/unreachable capture (see
+    * [[graft.pcap.PcapSynth.icmpPackets]]). */
+  private def icmpSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_icmp.pcap")
+    graft.pcap.PcapSynth.ensureIcmpFile(p, 50)
+    p.toString
+  }
+
   // ----- formula-derived oracles for the handshake/TLS fixtures ---------
   // Unlike the reassembly goldens (frozen md5 VALUES), these oracles are
   // derived from the fixture GENERATOR's spec (rtt = 150 + 37f µs, SNI =
@@ -125,6 +133,14 @@ object PcapQueries {
     val rows = (convo ++ scans).mkString(",\n        ")
     s"""SELECT CAST(v.addr_lo AS VARCHAR) AS addr_lo, CAST(v.addr_hi AS VARCHAR) AS addr_hi, CAST(v.port_lo AS INT) AS port_lo, CAST(v.port_hi AS INT) AS port_hi, CAST(v.n_pkts AS BIGINT) AS n_pkts, CAST(v.total_bytes AS BIGINT) AS total_bytes, CAST(v.duration_micro AS BIGINT) AS duration_micro
         FROM (VALUES $rows) AS v(addr_lo, addr_hi, port_lo, port_hi, n_pkts, total_bytes, duration_micro)"""
+  }
+
+  private def icmpEchoRttOracle(n: Int): String = {
+    val rows = (0 until n).map { f =>
+      s"('10.12.0.$f', ${200 + 11 * f})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.client AS VARCHAR) AS client, CAST(v.rtt_micro AS BIGINT) AS rtt_micro
+        FROM (VALUES $rows) AS v(client, rtt_micro)"""
   }
 
   private def tlsSniOracle(n: Int, clientPrefix: String = "10.7.0"): String = {
@@ -202,7 +218,7 @@ object PcapQueries {
           // parity-extension columns not present in the pinned
           // reference-surface golden
           .drop("payload", "file", "frame", "tcp_seq", "tcp_flags",
-            "tcp_ack")
+            "tcp_ack", "icmp_type", "icmp_code")
           .withColumn("time",
             date_format($"time", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
           .withColumn("dns_answer", to_json($"dns_answer"))
@@ -529,6 +545,70 @@ object PcapQueries {
             coalesce($"ch.alpn", lit("-")).as("alpn"))
       },
       Some(tlsSniOracle(40, clientPrefix = "10.11.0"))),
+
+    // ----- ICMP decode (icmp_type/icmp_code superset columns) -------------
+    // Message-type histogram: the first triage query over any capture
+    // with ping/traceroute/unreachable traffic.
+    Q("pcap_icmp_summary",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(icmpSynthPath)
+          .filter($"protocol" === "ICMP")
+          .groupBy($"icmp_type", $"icmp_code")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"dst").as("n_dst"))
+      },
+      Some("""SELECT CAST(v.icmp_type AS INT) AS icmp_type, CAST(v.icmp_code AS INT) AS icmp_code, CAST(v.n AS BIGINT) AS n, CAST(v.n_dst AS BIGINT) AS n_dst
+        FROM (VALUES (0, 0, 50, 50), (3, 0, 3, 3), (3, 1, 3, 3),
+        (3, 2, 2, 2), (3, 3, 2, 2),
+        (8, 0, 50, 1)) AS v(icmp_type, icmp_code, n, n_dst)""")),
+
+    // Echo request/reply pairing — ping RTT per client, the ICMP twin of
+    // pcap_tcp_handshake_rtt (same ONE-shuffle pairing shape).
+    Q("pcap_icmp_echo_rtt",
+      (s, d) => {
+        import s.implicits._
+        val pk = s.read.format("pcap").load(icmpSynthPath)
+          .select($"src", $"dst", $"icmp_type", $"ts_micro")
+        val req = pk.filter($"icmp_type" === 8).alias("a")
+        val rep = pk.filter($"icmp_type" === 0).alias("b")
+        req.join(rep,
+            $"a.src" === $"b.dst" && $"a.dst" === $"b.src")
+          .select($"a.src".as("client"),
+            ($"b.ts_micro" - $"a.ts_micro").as("rtt_micro"))
+      },
+      Some(icmpEchoRttOracle(50))),
+
+    // ----- CIDR subnet enrichment (GeoIP-style range join) ----------------
+    // The classic packet-enrichment join: numeric ip BETWEEN block range
+    // against a broadcast prefix dimension. At 100 TB the dim stays a
+    // broadcast (prefix tables are small); the fact side never shuffles
+    // for the join — only the final tiny aggregation exchanges.
+    Q("pcap_subnet_enrich",
+      (s, d) => {
+        import s.implicits._
+        def cidrLo(a: Int, b: Int) = (a.toLong << 24) | (b.toLong << 16)
+        val dims = Seq(
+          ("clients", cidrLo(10, 5), cidrLo(10, 5) | 0xFFFFL),
+          ("scanners", cidrLo(10, 6), cidrLo(10, 6) | 0xFFFFL),
+          ("servers", cidrLo(10, 9), cidrLo(10, 9) | 0xFFFFL))
+        val dimDf = s.createDataFrame(dims).toDF("subnet", "lo", "hi")
+        val pk = s.read.format("pcap").load(handshakeSynthPath)
+          .select($"src")
+          .withColumn("ip_num", expr(
+            "cast(split(src, '\\\\.')[0] as bigint) * 16777216 + " +
+            "cast(split(src, '\\\\.')[1] as bigint) * 65536 + " +
+            "cast(split(src, '\\\\.')[2] as bigint) * 256 + " +
+            "cast(split(src, '\\\\.')[3] as bigint)"))
+        pk.join(broadcast(dimDf),
+            $"ip_num" >= $"lo" && $"ip_num" <= $"hi")
+          .groupBy($"subnet")
+          .agg(count(lit(1)).as("n_pkts"),
+            countDistinct($"src").as("n_src"))
+      },
+      Some("""SELECT CAST(v.subnet AS VARCHAR) AS subnet, CAST(v.n_pkts AS BIGINT) AS n_pkts, CAST(v.n_src AS BIGINT) AS n_src
+        FROM (VALUES ('clients', 100, 50), ('scanners', 35, 7),
+        ('servers', 50, 1)) AS v(subnet, n_pkts, n_src)""")),
 
     Q("pcap_flow_topn",
       (s, d) => {

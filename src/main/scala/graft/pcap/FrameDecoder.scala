@@ -43,6 +43,7 @@ private[pcap] final class PacketBuilder {
   var ttl, srcPort, dstPort, udpsum, len, payloadLen, extCount: Option[Int] = None
   var tcpSeq, tcpAck: Option[Long] = None
   var tcpFlags: Option[String] = None
+  var icmpType, icmpCode: Option[Int] = None
   var frag: Option[Boolean] = None
   var dns: Option[DnsFields] = None
   var payload: Option[Array[Byte]] = None
@@ -56,6 +57,7 @@ private[pcap] final class PacketBuilder {
     etherType = etherType, ttl = ttl, protocol = protocol,
     src = src, dst = dst, srcPort = srcPort, dstPort = dstPort,
     udpsum = udpsum, tcpSeq = tcpSeq, tcpFlags = tcpFlags, tcpAck = tcpAck,
+    icmpType = icmpType, icmpCode = icmpCode,
     len = len, frag = frag,
     payloadLen = payloadLen,
     extCount = extCount, extHeaders = extHeaders, dns = dns,
@@ -123,6 +125,8 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
         if (pid == 6 || pid == 17) {
           val ihl = (data(ip) & 0xF) * 4
           decodeL4(b, data, ip, ihl, end, v6 = false)
+        } else if (pid == 1) {
+          decodeIcmp(b, data, ip + (data(ip) & 0xF) * 4, end)
         }
       case 6 if ip + 40 <= end =>
         b.ttl = Boxes.int(data(ip + 7) & 0xFF)
@@ -134,6 +138,8 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
         val dataStart = walkV6ExtHeaders(b, data, ip, end)
         if (dataStart > 0 && (b.protoId == 6 || b.protoId == 17))
           decodeL4(b, data, ip, dataStart, end, v6 = true)
+        else if (dataStart > 0 && b.protoId == 58)
+          decodeIcmp(b, data, ip + dataStart, end)
       case _ => ()
     }
 
@@ -217,6 +223,23 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
     if (appDec != null)
       b.dns = appDec.decodeAt(b.protocol.get, srcPort, dstPort,
         data, end - payloadLen, end, options.dnsSections)
+    if (options.keepPayload)
+      b.payload = Some(java.util.Arrays.copyOfRange(
+        data, end - payloadLen, end))
+  }
+
+  /** ICMPv4/ICMPv6 type + code (superset columns — the reference names
+    * the protocol and stops). `len`/`payload` carry the bytes after the
+    * fixed 8-byte header (echo id/seq + data), same slicing contract as
+    * TCP/UDP. */
+  private def decodeIcmp(b: PacketBuilder, data: Array[Byte], l4: Int,
+      end: Int): Unit = {
+    if (l4 + 2 > end) return
+    b.icmpType = Boxes.int(data(l4) & 0xFF)
+    b.icmpCode = Boxes.int(data(l4 + 1) & 0xFF)
+    val payloadStart = l4 + 8
+    val payloadLen = if (payloadStart > end) 0 else end - payloadStart
+    b.len = Boxes.int(payloadLen)
     if (options.keepPayload)
       b.payload = Some(java.util.Arrays.copyOfRange(
         data, end - payloadLen, end))

@@ -44,6 +44,8 @@ final case class PacketRecord(
     tcpSeq: Option[Long] = None,      // TCP sequence number (u32)
     tcpFlags: Option[String] = None,  // "SYN|ACK" mnemonics, LSB-first
     tcpAck: Option[Long] = None,      // TCP acknowledgment number (u32)
+    icmpType: Option[Int] = None,     // ICMPv4/v6 message type
+    icmpCode: Option[Int] = None,     // ICMPv4/v6 message code
     len: Option[Int] = None,          // L4 payload byte count
     frag: Option[Boolean] = None,     // IPv6 Fragment ext header seen
     payloadLen: Option[Int] = None,   // IPv6 header payload-length field

@@ -33,6 +33,8 @@ object PcapSchema {
     StructField("tcp_seq", LongType),
     StructField("tcp_flags", StringType),
     StructField("tcp_ack", LongType),
+    StructField("icmp_type", IntegerType),
+    StructField("icmp_code", IntegerType),
     StructField("len", IntegerType),
     StructField("frag", BooleanType),
     StructField("payload_len", IntegerType),
@@ -96,6 +98,8 @@ object PcapSchema {
     "tcp_seq" -> ((r, _, _) => r.tcpSeq.map(java.lang.Long.valueOf).orNull),
     "tcp_flags" -> ((r, _, _) => r.tcpFlags.map(utf8i).orNull),
     "tcp_ack" -> ((r, _, _) => r.tcpAck.map(java.lang.Long.valueOf).orNull),
+    "icmp_type" -> ((r, _, _) => r.icmpType.map(Int.box).orNull),
+    "icmp_code" -> ((r, _, _) => r.icmpCode.map(Int.box).orNull),
     "len" -> ((r, _, _) => r.len.map(Int.box).orNull),
     "frag" -> ((r, _, _) => r.frag.map(Boolean.box).orNull),
     "payload_len" -> ((r, _, _) => r.payloadLen.map(Int.box).orNull),
@@ -197,6 +201,8 @@ object PcapSchema {
     "tcp_seq" -> ((v, r, _, _) => putLong(v, r.tcpSeq)),
     "tcp_flags" -> ((v, r, _, _) => putStrI(v, r.tcpFlags)),
     "tcp_ack" -> ((v, r, _, _) => putLong(v, r.tcpAck)),
+    "icmp_type" -> ((v, r, _, _) => putInt(v, r.icmpType)),
+    "icmp_code" -> ((v, r, _, _) => putInt(v, r.icmpCode)),
     "len" -> ((v, r, _, _) => putInt(v, r.len)),
     "frag" -> ((v, r, _, _) => putBool(v, r.frag)),
     "payload_len" -> ((v, r, _, _) => putInt(v, r.payloadLen)),

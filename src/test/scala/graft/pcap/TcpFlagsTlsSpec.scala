@@ -66,6 +66,47 @@ class TcpFlagsTlsSpec extends AnyFunSuite {
     assert(r.tcpSeq.isEmpty && r.tcpAck.isEmpty && r.tcpFlags.isEmpty)
   }
 
+  test("ICMPv4: type/code decode, payload after the 8-byte header") {
+    val r = decodeOne(PcapSynth.ipv4IcmpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      ttl = 64, icmpType = 8, code = 0, echoId = 7, echoSeq = 3,
+      payload = "ping-data".getBytes))
+    assert(r.protocol.contains("ICMP"))
+    assert(r.icmpType.contains(8) && r.icmpCode.contains(0))
+    assert(r.len.contains(9))
+    assert(r.srcPort.isEmpty && r.tcpFlags.isEmpty)
+
+    val unreach = decodeOne(PcapSynth.ipv4IcmpFrame(
+      src = Array[Byte](10, 0, 0, 2), dst = Array[Byte](10, 0, 0, 1),
+      ttl = 64, icmpType = 3, code = 1))
+    assert(unreach.icmpType.contains(3) && unreach.icmpCode.contains(1))
+  }
+
+  test("ICMPv6: type/code decode after the v6 header") {
+    // hand-built Ethernet + IPv6 (next header 58) + echo request (128)
+    val src = Array.tabulate[Byte](16)(i => (i + 1).toByte)
+    val dst = Array.tabulate[Byte](16)(i => (i + 101).toByte)
+    val icmp6 = Array[Byte](128.toByte, 0, 0, 0, 0, 7, 0, 1) ++
+      "v6ping".getBytes
+    val ip6 = Array[Byte](0x60, 0, 0, 0) ++ PcapSynth.be16(icmp6.length) ++
+      Array[Byte](58, 64) ++ src ++ dst
+    val eth = Array.fill[Byte](12)(0x02) ++ PcapSynth.be16(0x86DD.toShort)
+    val r = decodeOne(eth ++ ip6 ++ icmp6)
+    assert(r.protocol.contains("ICMPv6"))
+    assert(r.icmpType.contains(128) && r.icmpCode.contains(0))
+    assert(r.len.contains(6))
+  }
+
+  test("truncated ICMP header: type/code absent, no exception") {
+    val full = PcapSynth.ipv4IcmpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      ttl = 64, icmpType = 8, code = 0)
+    val cut = java.util.Arrays.copyOf(full, 14 + 20 + 1)
+    val r = decodeOne(cut)
+    assert(r.protocol.contains("ICMP"))
+    assert(r.icmpType.isEmpty && r.icmpCode.isEmpty)
+  }
+
   test("tcp_flags equality is a pushable row-skip predicate") {
     import org.apache.spark.sql.sources.EqualTo
     assert(graft.sources.pcap.PcapPacketFilter.supported(
