@@ -135,6 +135,15 @@ object PcapQueries {
         FROM (VALUES $rows) AS v(addr_lo, addr_hi, port_lo, port_hi, n_pkts, total_bytes, duration_micro)"""
   }
 
+  private def synPortscanTwinOracle(n: Int): String = {
+    val rows = (0 until n).filter(_ % 7 == 3).map { f =>
+      val sec = 1700300000L + f
+      s"(${sec - sec % 10}, '10.6.0.$f', 5)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.window_start_s AS BIGINT) AS window_start_s, CAST(v.scanner AS VARCHAR) AS scanner, CAST(v.n_ports AS BIGINT) AS n_ports
+        FROM (VALUES $rows) AS v(window_start_s, scanner, n_ports)"""
+  }
+
   private def icmpEchoRttOracle(n: Int): String = {
     val rows = (0 until n).map { f =>
       s"('10.12.0.$f', ${200 + 11 * f})"
@@ -545,6 +554,22 @@ object PcapQueries {
             coalesce($"ch.alpn", lit("-")).as("alpn"))
       },
       Some(tlsSniOracle(40, clientPrefix = "10.11.0"))),
+
+    // Batch twin of streaming.SynScanStream.scanAlerts (same windowed
+    // distinct-port threshold semantics, exact batch countDistinct) —
+    // the oracle row set the streaming spec also asserts against.
+    Q("pcap_syn_portscan_twin",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(handshakeSynthPath)
+          .filter($"tcp_flags" === "SYN")
+          .groupBy(window($"time", "10 seconds"), $"src")
+          .agg(countDistinct($"dst_port").as("n_ports"))
+          .filter($"n_ports" >= 3)
+          .select(unix_timestamp($"window.start").as("window_start_s"),
+            $"src".as("scanner"), $"n_ports")
+      },
+      Some(synPortscanTwinOracle(50))),
 
     // ----- ICMP decode (icmp_type/icmp_code superset columns) -------------
     // Message-type histogram: the first triage query over any capture

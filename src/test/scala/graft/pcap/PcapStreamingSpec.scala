@@ -220,4 +220,41 @@ class PcapStreamingSpec extends AnyFunSuite {
         s"got $got, want NOERROR=$ne NXDOMAIN=$nx")
     } finally query.stop()
   }
+
+  test("streaming SYN-scan alerts match the batch twin's row set") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("pcap_landing_scan")
+    Files.write(dir.resolve("hs.pcap"),
+      graft.pcap.PcapSynth.file(graft.pcap.PcapSynth.handshakePackets(50)))
+
+    val alerts = graft.streaming.SynScanStream.scanAlerts(
+      spark.readStream.format("pcap").load(dir.toString),
+      watermark = "5 seconds", window = "10 seconds", minPorts = 3)
+    val query = alerts.writeStream.format("memory")
+      .queryName("scan_alerts").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // append mode holds windows open until the watermark passes; land
+      // a later SYN (outside every scanner window) to flush them all
+      Files.write(dir.resolve("flush.pcap"),
+        graft.pcap.PcapSynth.file(Seq((1700300400L, 0L,
+          graft.pcap.PcapSynth.ipv4TcpFrame(
+            Array[Byte](10, 99, 0, 1), Array[Byte](10, 9, 0, 1),
+            srcPort = 1, dstPort = 2, ttl = 64,
+            payload = Array.emptyByteArray, flags = 0x02)))))
+      query.processAllAvailable()
+
+      val got = spark.table("scan_alerts").collect()
+        .map(r => (r.getAs[Long]("window_start_s"),
+          r.getAs[String]("scanner"), r.getAs[Long]("n_ports"))).toSet
+      // the batch twin's oracle rows: every scanner (f ≡ 3 mod 7) with
+      // its 5 probed ports in its 10 s window; clients (1 port) below
+      // the threshold never alert
+      val want = (0 until 50).filter(_ % 7 == 3).map { f =>
+        val sec = 1700300000L + f
+        (sec - sec % 10, s"10.6.0.$f", 5L)
+      }.toSet
+      assert(got == want, s"got $got")
+    } finally query.stop()
+  }
 }
