@@ -199,6 +199,25 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(pushed == unpushed && pushed.nonEmpty)
   }
 
+  test("tcp_flags predicates push into the pcap decoder") {
+    import spark.implicits._
+    val hs = java.nio.file.Paths.get("/tmp/graft_synth_handshake.pcap")
+    graft.pcap.PcapSynth.ensureHandshakeFile(hs, 50)
+    val df = spark.read.format("pcap").load(hs.toString)
+      .filter($"tcp_flags" === "SYN")
+      .select($"src", $"dst_port")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("EqualTo(tcp_flags,SYN)"), scan.take(600))
+    // pushdown must be a pure row-skip: same rows as the unpushed plan
+    val unpushed = spark.read.format("pcap").load(hs.toString)
+      .select($"src", $"dst_port", $"tcp_flags").collect()
+      .filter(r => !r.isNullAt(2) && r.getString(2) == "SYN")
+      .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    val pushed = df.collect()
+      .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(pushed == unpushed && pushed.size == 85) // 50 clients + 35 scans
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     // one hot key (0) carrying ~90% of the left side; wide payload so the

@@ -430,5 +430,196 @@ if glob.glob(f"{out}/pcap_http_requests/*.parquet"):
     else:
         print(f"OK   pcap_http_requests ({len(got_h)} groups)")
 
+# ---- round-5 fixtures: flags/ICMP/TLS, independently re-decoded ---------
+def _frames(path):
+    d = open(path, "rb").read()
+    assert struct.unpack_from("<I", d, 0)[0] == 0xA1B2C3D4
+    o = 24
+    while o < len(d):
+        ts, us, cl, _ = struct.unpack_from("<IIII", d, o)
+        o += 16
+        yield ts, us, d[o:o + cl]
+        o += cl
+
+def _v4(frame):
+    ihl = (frame[14] & 0xF) * 4
+    return (".".join(str(b) for b in frame[26:30]),
+            ".".join(str(b) for b in frame[30:34]),
+            frame[14 + 9], 14 + ihl)
+
+_FLAG_NAMES = ["FIN", "SYN", "RST", "PSH", "ACK", "URG", "ECE", "CWR", "NS"]
+def _flags(frame, l4):
+    bits = frame[l4 + 13] | ((frame[l4 + 12] & 1) << 8)
+    return "|".join(n for i, n in enumerate(_FLAG_NAMES) if bits >> i & 1)
+
+def _cmp(name, got, exp):
+    global fails
+    if got != exp:
+        print(f"FAIL {name}: {got[:2]} vs {exp[:2]}")
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(got)} rows)")
+
+def _read(name, cols):
+    f = glob.glob(f"{out}/{name}/*.parquet")
+    if not f:
+        return None
+    df = pq.read_table(f[0]).to_pandas()
+    return sorted(tuple(r[c] for c in cols) for _, r in df.iterrows())
+
+if glob.glob(f"{out}/pcap_tcp_handshake_rtt/*.parquet"):
+    syns, synacks, flows, wins = {}, {}, {}, {}
+    for ts, us, fr in _frames("/tmp/graft_synth_handshake.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        t = ts * 1_000_000 + us
+        sp, dp = struct.unpack_from(">HH", fr, l4)
+        seq = struct.unpack_from(">I", fr, l4 + 4)[0]
+        fl = _flags(fr, l4)
+        if fl == "SYN":
+            syns[(src, dst, sp, dp)] = (seq, t)
+            w = wins.setdefault((ts - ts % 10, src), set())
+            w.add(dp)
+        elif fl == "SYN|ACK":
+            ack = struct.unpack_from(">I", fr, l4 + 8)[0]
+            synacks[(src, dst, sp, dp)] = (ack, t)
+        k2 = (min(src, dst), max(src, dst), min(sp, dp), max(sp, dp))
+        e = flows.setdefault(k2, [0, 0, []])
+        e[0] += 1
+        e[1] += len(fr)
+        e[2].append(t)
+
+    exp_rtt, unanswered = [], {}
+    for (src, dst, sp, dp), (seq, tq) in syns.items():
+        rk = (dst, src, dp, sp)
+        if rk in synacks and synacks[rk][0] == seq + 1:
+            exp_rtt.append((src, dst, sp, synacks[rk][1] - tq))
+        else:
+            e = unanswered.setdefault(src, [0, set()])
+            e[0] += 1
+            e[1].add(dp)
+    _cmp("pcap_tcp_handshake_rtt(redecode)",
+         _read("pcap_tcp_handshake_rtt",
+               ["client", "server", "client_port", "rtt_micro"]),
+         sorted(exp_rtt))
+    _cmp("pcap_syn_no_synack(redecode)",
+         _read("pcap_syn_no_synack", ["scanner", "n_syn", "n_ports"]),
+         sorted((s, n, len(ps)) for s, (n, ps) in unanswered.items()))
+    _cmp("pcap_flow_features(redecode)",
+         _read("pcap_flow_features",
+               ["addr_lo", "addr_hi", "port_lo", "port_hi", "n_pkts",
+                "total_bytes", "duration_micro"]),
+         sorted((lo, hi, pl, ph, n, b, max(tt) - min(tt))
+                for (lo, hi, pl, ph), (n, b, tt) in flows.items()))
+    _cmp("pcap_syn_portscan_twin(redecode)",
+         _read("pcap_syn_portscan_twin",
+               ["window_start_s", "scanner", "n_ports"]),
+         sorted((w, s, len(ps)) for (w, s), ps in wins.items()
+                if len(ps) >= 3))
+    subnets = {"clients": (10, 5), "scanners": (10, 6), "servers": (10, 9)}
+    enrich = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_handshake.pcap"):
+        src, _, _, _ = _v4(fr)
+        a, b = (int(x) for x in src.split(".")[:2])
+        for lbl, (pa, pb) in subnets.items():
+            if (a, b) == (pa, pb):
+                e = enrich.setdefault(lbl, [0, set()])
+                e[0] += 1
+                e[1].add(src)
+    _cmp("pcap_subnet_enrich(redecode)",
+         _read("pcap_subnet_enrich", ["subnet", "n_pkts", "n_src"]),
+         sorted((l, n, len(s)) for l, (n, s) in enrich.items()))
+
+def _tls_parse(b):
+    if len(b) < 9 or b[0] != 0x16 or b[1] != 3 or b[5] != 1:
+        return None
+    end = min(len(b), 5 + struct.unpack_from(">H", b, 3)[0])
+    p = 9
+    legacy = struct.unpack_from(">H", b, p)[0]
+    p += 34
+    p += 1 + b[p]
+    cs = struct.unpack_from(">H", b, p)[0]
+    p += 2
+    cipher_count = cs // 2
+    p += cs
+    p += 1 + b[p]
+    sni, alpn, v13 = None, None, False
+    if p + 2 <= end:
+        ext_end = min(end, p + 2 + struct.unpack_from(">H", b, p)[0])
+        p += 2
+        while p + 4 <= ext_end:
+            et, el = struct.unpack_from(">HH", b, p)
+            p += 4
+            ee = p + el
+            if et == 0:
+                nl = struct.unpack_from(">H", b, p + 3)[0]
+                sni = b[p + 5:p + 5 + nl].decode("ascii")
+            elif et == 16:
+                al = b[p + 2]
+                alpn = b[p + 3:p + 3 + al].decode("ascii")
+            elif et == 43:
+                q = p + 1
+                while q + 2 <= ee:
+                    if struct.unpack_from(">H", b, q)[0] == 0x0304:
+                        v13 = True
+                    q += 2
+            p = ee
+    ver = "TLS1.3" if v13 else {0x0303: "TLS1.2"}.get(legacy, hex(legacy))
+    return sni, ver, cipher_count, alpn or "-"
+
+if glob.glob(f"{out}/pcap_tls_sni/*.parquet"):
+    exp_tls = []
+    for ts, us, fr in _frames("/tmp/graft_synth_tlsflows.pcap"):
+        src, _, _, l4 = _v4(fr)
+        hdr = ((fr[l4 + 12] >> 4) & 0xF) * 4
+        r = _tls_parse(fr[l4 + hdr:])
+        if r:
+            exp_tls.append((src,) + r)
+    _cmp("pcap_tls_sni(redecode)",
+         _read("pcap_tls_sni",
+               ["client", "sni", "version", "cipher_count", "alpn"]),
+         sorted(exp_tls))
+
+if glob.glob(f"{out}/pcap_tls_sni_reassembled/*.parquet"):
+    tsegs = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_tlssegs.pcap"):
+        src, dst, _, l4 = _v4(fr)
+        sp, dp = struct.unpack_from(">HH", fr, l4)
+        seq = struct.unpack_from(">I", fr, l4 + 4)[0]
+        hdr = ((fr[l4 + 12] >> 4) & 0xF) * 4
+        tsegs.setdefault((src, dst, sp, dp), []).append((seq, fr[l4 + hdr:]))
+    exp_rtls = []
+    for (src, _, _, _), segs in tsegs.items():
+        segs.sort()
+        r = _tls_parse(b"".join(p for _, p in segs))
+        if r:
+            exp_rtls.append((src,) + r)
+    _cmp("pcap_tls_sni_reassembled(redecode)",
+         _read("pcap_tls_sni_reassembled",
+               ["client", "sni", "version", "cipher_count", "alpn"]),
+         sorted(exp_rtls))
+
+if glob.glob(f"{out}/pcap_icmp_summary/*.parquet"):
+    summ, reqs, reps = {}, {}, {}
+    for ts, us, fr in _frames("/tmp/graft_synth_icmp.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 1
+        t = ts * 1_000_000 + us
+        ity, ico = fr[l4], fr[l4 + 1]
+        e = summ.setdefault((ity, ico), [0, set()])
+        e[0] += 1
+        e[1].add(dst)
+        if ity == 8:
+            reqs[(src, dst)] = t
+        elif ity == 0:
+            reps[(src, dst)] = t
+    _cmp("pcap_icmp_summary(redecode)",
+         _read("pcap_icmp_summary",
+               ["icmp_type", "icmp_code", "n", "n_dst"]),
+         sorted((t, c, n, len(d)) for (t, c), (n, d) in summ.items()))
+    _cmp("pcap_icmp_echo_rtt(redecode)",
+         _read("pcap_icmp_echo_rtt", ["client", "rtt_micro"]),
+         sorted((src, reps[(dst, src)] - t)
+                for (src, dst), t in reqs.items() if (dst, src) in reps))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
