@@ -445,49 +445,68 @@ object PcapQueries {
 
     // ----- TCP handshake analytics over tcp_flags/tcp_ack -----------------
     // Superset columns the reference never decodes (it stops at ports).
-    // SYN joins SYN|ACK on the reversed flow key plus RFC 793 handshake
-    // arithmetic (synack.ack = syn.seq + 1); RTT is the decoded capture
-    // timestamp delta. Scale shape: two row-skipping flag filters pushed
-    // into the decoder, then ONE equi-shuffle on the flow key — the same
-    // shape as any flow-pairing analysis.
+    // SYN pairs with SYN|ACK under RFC 793 handshake arithmetic
+    // (synack.ack = syn.seq + 1); RTT is the decoded capture timestamp
+    // delta. Scale shape — deliberately NOT a self-join: a join of two
+    // filtered views of a 100 TB capture reads the archive twice and
+    // shuffles both sides. Instead, ONE scan with the flow key
+    // normalized to client orientation by flag direction, then ONE
+    // hash-aggregate taking each side's min timestamp conditionally —
+    // the handshake check rides along as conditional min/max of
+    // seq/ack. Half the I/O, one exchange, and partial aggregation
+    // still combines map-side.
     Q("pcap_tcp_handshake_rtt",
       (s, d) => {
         import s.implicits._
-        val pk = s.read.format("pcap").load(handshakeSynthPath)
-          .select($"src", $"dst", $"src_port", $"dst_port",
-            $"tcp_seq", $"tcp_ack", $"tcp_flags", $"ts_micro")
-        val syn = pk.filter($"tcp_flags" === "SYN").alias("a")
-        val synack = pk.filter($"tcp_flags" === "SYN|ACK").alias("b")
-        syn.join(synack,
-            $"a.src" === $"b.dst" && $"a.dst" === $"b.src" &&
-            $"a.src_port" === $"b.dst_port" &&
-            $"a.dst_port" === $"b.src_port" &&
-            $"b.tcp_ack" === $"a.tcp_seq" + 1)
-          .select($"a.src".as("client"), $"a.dst".as("server"),
-            $"a.src_port".as("client_port"),
-            ($"b.ts_micro" - $"a.ts_micro").as("rtt_micro"))
+        val isSyn = $"tcp_flags" === "SYN"
+        s.read.format("pcap").load(handshakeSynthPath)
+          .filter($"tcp_flags".isin("SYN", "SYN|ACK"))
+          .select(
+            when(isSyn, $"src").otherwise($"dst").as("client"),
+            when(isSyn, $"dst").otherwise($"src").as("server"),
+            when(isSyn, $"src_port").otherwise($"dst_port").as("client_port"),
+            when(isSyn, $"dst_port").otherwise($"src_port").as("server_port"),
+            $"tcp_flags", $"tcp_seq", $"tcp_ack", $"ts_micro")
+          .groupBy($"client", $"server", $"client_port", $"server_port")
+          .agg(
+            min(when($"tcp_flags" === "SYN", $"ts_micro")).as("t_syn"),
+            min(when($"tcp_flags" === "SYN|ACK", $"ts_micro")).as("t_synack"),
+            max(when($"tcp_flags" === "SYN", $"tcp_seq")).as("syn_seq"),
+            max(when($"tcp_flags" === "SYN|ACK", $"tcp_ack")).as("synack_ack"))
+          .filter($"t_syn".isNotNull && $"t_synack".isNotNull &&
+            $"synack_ack" === $"syn_seq" + 1)
+          .select($"client", $"server", $"client_port",
+            ($"t_synack" - $"t_syn").as("rtt_micro"))
       },
       Some(handshakeRttOracle(50))),
 
-    // SYN-without-SYN|ACK: the classic port-scan detector, as the anti
-    // side of the same flow-pairing join.
+    // SYN-without-SYN|ACK: the classic port-scan detector. Same
+    // single-scan conditional-aggregation shape as the RTT query (anti
+    // semantics land in the HAVING: flows with a SYN but no matching
+    // SYN|ACK), then a tiny per-scanner rollup.
     Q("pcap_syn_no_synack",
       (s, d) => {
         import s.implicits._
-        val pk = s.read.format("pcap").load(handshakeSynthPath)
-          .select($"src", $"dst", $"src_port", $"dst_port",
-            $"tcp_seq", $"tcp_ack", $"tcp_flags")
-        val syn = pk.filter($"tcp_flags" === "SYN").alias("a")
-        val synack = pk.filter($"tcp_flags" === "SYN|ACK").alias("b")
-        syn.join(synack,
-            $"a.src" === $"b.dst" && $"a.dst" === $"b.src" &&
-            $"a.src_port" === $"b.dst_port" &&
-            $"a.dst_port" === $"b.src_port" &&
-            $"b.tcp_ack" === $"a.tcp_seq" + 1, "left_anti")
-          .groupBy($"src")
-          .agg(count(lit(1)).as("n_syn"),
-            countDistinct($"dst_port").as("n_ports"))
-          .select($"src".as("scanner"), $"n_syn", $"n_ports")
+        val isSyn = $"tcp_flags" === "SYN"
+        s.read.format("pcap").load(handshakeSynthPath)
+          .filter($"tcp_flags".isin("SYN", "SYN|ACK"))
+          .select(
+            when(isSyn, $"src").otherwise($"dst").as("client"),
+            when(isSyn, $"dst").otherwise($"src").as("server"),
+            when(isSyn, $"src_port").otherwise($"dst_port").as("client_port"),
+            when(isSyn, $"dst_port").otherwise($"src_port").as("server_port"),
+            $"tcp_flags", $"tcp_seq", $"tcp_ack")
+          .groupBy($"client", $"server", $"client_port", $"server_port")
+          .agg(
+            sum(when($"tcp_flags" === "SYN", 1L)).as("n_syn_flow"),
+            max(when($"tcp_flags" === "SYN", $"tcp_seq")).as("syn_seq"),
+            max(when($"tcp_flags" === "SYN|ACK", $"tcp_ack")).as("synack_ack"))
+          .filter($"n_syn_flow" > 0 &&
+            ($"synack_ack".isNull || $"synack_ack" =!= $"syn_seq" + 1))
+          .groupBy($"client")
+          .agg(sum($"n_syn_flow").as("n_syn"),
+            countDistinct($"server_port").as("n_ports"))
+          .select($"client".as("scanner"), $"n_syn", $"n_ports")
       },
       Some(synScanOracle(50))),
 
@@ -589,18 +608,24 @@ object PcapQueries {
         (8, 0, 50, 1)) AS v(icmp_type, icmp_code, n, n_dst)""")),
 
     // Echo request/reply pairing — ping RTT per client, the ICMP twin of
-    // pcap_tcp_handshake_rtt (same ONE-shuffle pairing shape).
+    // pcap_tcp_handshake_rtt: the same single-scan conditional
+    // aggregation on the client-normalized pair key (no self-join, one
+    // exchange).
     Q("pcap_icmp_echo_rtt",
       (s, d) => {
         import s.implicits._
-        val pk = s.read.format("pcap").load(icmpSynthPath)
-          .select($"src", $"dst", $"icmp_type", $"ts_micro")
-        val req = pk.filter($"icmp_type" === 8).alias("a")
-        val rep = pk.filter($"icmp_type" === 0).alias("b")
-        req.join(rep,
-            $"a.src" === $"b.dst" && $"a.dst" === $"b.src")
-          .select($"a.src".as("client"),
-            ($"b.ts_micro" - $"a.ts_micro").as("rtt_micro"))
+        val isReq = $"icmp_type" === 8
+        s.read.format("pcap").load(icmpSynthPath)
+          .filter($"icmp_type".isin(8, 0))
+          .select(
+            when(isReq, $"src").otherwise($"dst").as("client"),
+            when(isReq, $"dst").otherwise($"src").as("server"),
+            $"icmp_type", $"ts_micro")
+          .groupBy($"client", $"server")
+          .agg(min(when($"icmp_type" === 8, $"ts_micro")).as("t_req"),
+            min(when($"icmp_type" === 0, $"ts_micro")).as("t_rep"))
+          .filter($"t_req".isNotNull && $"t_rep".isNotNull)
+          .select($"client", ($"t_rep" - $"t_req").as("rtt_micro"))
       },
       Some(icmpEchoRttOracle(50))),
 
