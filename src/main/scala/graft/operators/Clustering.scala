@@ -249,7 +249,7 @@ object Clustering {
     // notes "a production build would run Lloyd iterations as a periodic
     // batch job". This is that build: the inverted lists are the k-means
     // clusters, probing ranks the trained centroids by the same squared-L2
-    // metric the clustering minimized (nprobe = 2), and candidates get
+    // metric the clustering minimized (nprobe = 4), and candidates get
     // the exact cosine rerank. Same query-time plan and cost model as
     // sim_ann_ivf; only the (offline) training differs.
     Q("sim_ann_ivf_kmeans",
@@ -268,7 +268,7 @@ object Clustering {
             expr("aggregate(zip_with(qe, c, (x, y) -> (x - y) * (x - y)), " +
               "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)").as("qdist"))
           .withColumn("pr", row_number().over(wp))
-          .filter($"pr" <= 2)
+          .filter($"pr" <= 4)
           .select($"qid", $"qe", $"cid".as("cluster"))
         val dot = graft.functions.VecDot.vec_dot _
         val topk = udaf(new graft.functions.TopKByScore(5))
@@ -291,7 +291,7 @@ object Clustering {
                 list_sum([(qe[i]-c[i])*(qe[i]-c[i])
                           FOR i IN generate_series(1, len(qe))]) ASC,
                 c$Iters.cid ASC) AS pr
-            FROM q, c$Iters) WHERE pr <= 2),
+            FROM q, c$Iters) WHERE pr <= 4),
         cand AS (
           SELECT qid, fin.vec_id AS cid,
             list_sum([qe[i] * v[i] FOR i IN generate_series(1, len(qe))])

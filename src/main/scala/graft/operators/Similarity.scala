@@ -413,7 +413,7 @@ object Similarity {
           .select($"qid", $"qe", $"qn", $"list_id",
             (dot("qe", "cvec") / (norm("qe") * norm("cvec"))).as("csim"))
           .withColumn("pr", row_number().over(wp))
-          .filter($"pr" <= 2) // nprobe = 2
+          .filter($"pr" <= 4) // nprobe = 4
           .select($"qid", $"qe", $"qn", $"list_id")
         val topk = udaf(new graft.functions.TopKByScore(5))
         broadcast(probes).join(withList, Seq("list_id"))
@@ -450,7 +450,7 @@ object Similarity {
                   / (sqrt(list_sum([x * x FOR x IN qe])) *
                      sqrt(list_sum([x * x FOR x IN cvec]))) DESC,
                 list_id ASC) AS rn
-            FROM q, cents) WHERE rn <= 2),
+            FROM q, cents) WHERE rn <= 4),
         cand AS (
           SELECT qid, e.vec_id AS cid,
             list_sum([qe[i] * emb[i] FOR i IN generate_series(1, len(qe))])
@@ -606,7 +606,7 @@ object Similarity {
     // IVFADC; Jegou et al., TPAMI 2011 §IV): a coarse quantizer routes
     // each vector to an inverted list, PQ encodes the RESIDUAL
     // (v - centroid) in 16x 4-dim subspaces, and a query probes only its
-    // nprobe=2 nearest lists, scanning candidate codes with a per-list
+    // nprobe=4 nearest lists, scanning candidate codes with a per-list
     // lookup table before the exact rerank. Versus sim_ann_pq this
     // replaces the full-corpus code scan with an equi-join on the list
     // id; versus sim_ann_ivf the candidate scan reads 16-byte codes, not
@@ -672,7 +672,7 @@ object Similarity {
             expr(l2.format("qv", "col")).as("cd"),
             expr("zip_with(qv, col, (x, y) -> x - y)").as("qr"))
           .withColumn("pr", row_number().over(wp))
-          .filter($"pr" <= 2)
+          .filter($"pr" <= 4)
         val lut = probes.select($"qid", $"pl", $"qr", cbCol)
           .select($"qid", $"pl",
             expr("flatten(" + subDists.format("qr") + ")").as("lut"))
@@ -733,7 +733,7 @@ object Similarity {
                 list_sum([(qv[i] - c[i]) * (qv[i] - c[i])
                           FOR i IN generate_series(1, len(qv))]) ASC,
                 cents.pl ASC) AS pr
-            FROM q, cents) WHERE pr <= 2),
+            FROM q, cents) WHERE pr <= 4),
         lut AS (
           SELECT qid, pl, list(sd ORDER BY m, code) AS lut FROM (
             SELECT p.qid, p.pl, cb.m, cb.code,

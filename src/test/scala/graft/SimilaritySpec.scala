@@ -27,9 +27,10 @@ class SimilaritySpec extends AnyFunSuite {
     val ivf = topkPairs("sim_ann_ivf")
     assert(exact.nonEmpty && ivf.nonEmpty)
     val recall = ivf.intersect(exact).size.toDouble / exact.size
-    // nprobe=2 of ~17 lists on random-ish vectors: recall is well below
-    // 1.0 by construction, but must be far above the ~12% random-scan rate
-    assert(recall >= 0.25, s"IVF recall $recall")
+    info(s"IVF recall@5 = $recall")
+    // nprobe=4 of ~17 lists on random-ish vectors: recall is well below
+    // 1.0 by construction, but must be far above the ~24% random-scan rate
+    assert(recall >= 0.35, s"IVF recall $recall")
     // every IVF hit must be a genuine vector pair, ranked <= 5
     val rns = SparkEntry.queries("sim_ann_ivf")(spark, sf)
       .select("rn").collect().map(_.getInt(0))
@@ -45,9 +46,10 @@ class SimilaritySpec extends AnyFunSuite {
     val trained = topkPairs("sim_ann_ivf_kmeans")
     assert(exact.nonEmpty && trained.nonEmpty)
     val recall = trained.intersect(exact).size.toDouble / exact.size
-    // nprobe=2 of 8 trained lists scans ~1/4 of the corpus; recall must
+    info(s"trained-IVF recall@5 = $recall")
+    // nprobe=4 of 8 trained lists scans ~1/2 of the corpus; recall must
     // clear the random-scan rate by a wide margin
-    assert(recall >= 0.3, s"trained-IVF recall $recall")
+    assert(recall >= 0.5, s"trained-IVF recall $recall")
     val rns = SparkEntry.queries("sim_ann_ivf_kmeans")(spark, sf)
       .select("rn").collect().map(_.getInt(0))
     assert(rns.forall(r => r >= 1 && r <= 5))
@@ -94,11 +96,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty && ivfpq.nonEmpty)
     val recall = ivfpq.intersect(exact).size.toDouble / exact.size
     info(s"IVF-PQ recall@5 = $recall")
-    // losses compose: nprobe=2/8 coarse routing (IVF-class recall) times
+    // losses compose: nprobe=4/8 coarse routing (IVF-class recall) times
     // residual-ADC shortlist truncation — must still clear a random scan
-    // of 1/4 the corpus by a wide margin (both stages are now
-    // Lloyd-trained, which lifts this well above the untrained 0.25 bar)
-    assert(recall >= 0.25, s"IVF-PQ recall $recall")
+    // of 1/2 the corpus by a wide margin (both stages are Lloyd-trained
+    // and nprobe=4 routing measures ~0.74 here, vs 0.25 at nprobe=2)
+    assert(recall >= 0.6, s"IVF-PQ recall $recall")
     assert(topkPairs("sim_ann_ivfpq") == topkPairs("sim_ann_ivfpq"),
       "IVF-PQ must be deterministic")
   }
