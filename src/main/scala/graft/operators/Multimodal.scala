@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * batch — the Scala analogue of a Pandas-UDF `mapInPandas` stage.
   *
   * Image decode is REAL for uncompressed 24-bit BMP ([[Multimodal.BmpCodec]]
-  * — pure-JVM parser: header fields, 4-byte row padding, bottom-up BGR),
-  * driven by mm_decode_bmp / mm_resize_bmp over byte-synthesized fixture
-  * images with formula-derived oracles. The generic audio/video decode
-  * remains STUBBED (`FakeMediaCodec` below, clearly marked — those codec
-  * libraries are not in this container) with the same Spark-side
-  * contract: schema, per-partition batching, no shuffle, binary in /
-  * features out.
+  * — pure-JVM parser: header fields, 4-byte row padding, bottom-up BGR)
+  * and binary PPM; audio decode is REAL for PCM-16 WAV
+  * ([[Multimodal.WavCodec]] — RIFF chunk walk, little-endian int16) —
+  * driven by mm_decode_bmp / mm_resize_bmp / mm_decode_any /
+  * mm_decode_wav over byte-synthesized fixtures with formula-derived
+  * oracles. Only the generic video decode remains STUBBED
+  * (`FakeMediaCodec` below, clearly marked — video codec libraries are
+  * not in this container) with the same Spark-side contract: schema,
+  * per-partition batching, no shuffle, binary in / features out.
   *
   * Scale notes: media blobs never shuffle; every stage below is a narrow
   * map over the scan, so 100 TB of media partitions by input file and
@@ -205,6 +207,98 @@ object Multimodal {
       val px = new Array[Byte](w * h * 3)
       System.arraycopy(bytes, i, px, 0, w * h * 3)
       BmpCodec.Image(w, h, px)
+    }
+  }
+
+  /** REAL audio codec for uncompressed PCM-16 mono WAV: a canonical
+    * 44-byte RIFF/WAVE header writer and an INDEPENDENT byte-only parser
+    * (chunk walk from offset 12 — reads `fmt `'s sample rate and `data`'s
+    * little-endian int16 payload, skips unknown chunks word-aligned; the
+    * decode path never consults the synthesis formulas, so the
+    * formula-derived oracle catches any header-offset/endianness/chunk
+    * mistake). Pure JVM — no codec libraries needed.
+    *
+    * Fixture formulas (the PcapSynth pattern): rate = 8000 + (id%3)*4000,
+    * n = 200 + id%57, sample_i = ((id*31 + i*i*7) mod 65536) - 32768. */
+  object WavCodec extends Serializable {
+    def rate(id: Long): Int = 8000 + (id % 3).toInt * 4000
+    def nSamples(id: Long): Int = 200 + (id % 57).toInt
+    def sample(id: Long, i: Int): Int =
+      (((id * 31 + i.toLong * i * 7) % 65536) - 32768).toInt
+
+    private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte
+      b(off + 1) = (v >>> 8).toByte
+      b(off + 2) = (v >>> 16).toByte
+      b(off + 3) = (v >>> 24).toByte
+    }
+    private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte
+      b(off + 1) = (v >>> 8).toByte
+    }
+    private def tag(b: Array[Byte], off: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { b(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+
+    def encode(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val r = rate(id)
+      val out = new Array[Byte](44 + n * 2)
+      tag(out, 0, "RIFF"); le32(out, 4, 36 + n * 2); tag(out, 8, "WAVE")
+      tag(out, 12, "fmt "); le32(out, 16, 16)
+      le16(out, 20, 1)                  // PCM
+      le16(out, 22, 1)                  // mono
+      le32(out, 24, r)                  // sample rate
+      le32(out, 28, r * 2)              // byte rate
+      le16(out, 32, 2)                  // block align
+      le16(out, 34, 16)                 // bits per sample
+      tag(out, 36, "data"); le32(out, 40, n * 2)
+      var i = 0
+      while (i < n) {
+        le16(out, 44 + 2 * i, sample(id, i) & 0xFFFF)
+        i += 1
+      }
+      out
+    }
+
+    final case class Audio(sampleRate: Int, samples: Array[Short])
+
+    private def rdLe32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+    /** Byte-only parse: RIFF/WAVE magics, then a chunk walk. */
+    def decode(bytes: Array[Byte]): Audio = {
+      def tagAt(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(bytes.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "WAVE",
+        "not a RIFF/WAVE file")
+      var off = 12
+      var sampleRate = -1
+      var samples: Array[Short] = null
+      while (off + 8 <= bytes.length) {
+        val id = tagAt(off)
+        val size = rdLe32(bytes, off + 4)
+        require(size >= 0 && off + 8 + size <= bytes.length,
+          s"truncated chunk $id")
+        if (id == "fmt ") {
+          require(size >= 16, "short fmt chunk")
+          sampleRate = rdLe32(bytes, off + 12)
+        } else if (id == "data") {
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = ((bytes(off + 8 + 2 * i) & 0xFF) |
+              (bytes(off + 9 + 2 * i) << 8)).toShort
+            i += 1
+          }
+        }
+        off += 8 + size + (size & 1)    // RIFF chunks are word-aligned
+      }
+      require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+      Audio(sampleRate, samples)
     }
   }
 
@@ -446,6 +540,49 @@ object Multimodal {
         FROM img,
           LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xs,
           LATERAL (SELECT unnest(generate_series(0, 5)) AS y) ys""")),
+
+    // ----- REAL audio decode (PCM-16 WAV) --------------------------------
+    // The audio leg of the multimodal family, same contract as
+    // mm_decode_bmp: encode the deterministic fixture blob, parse it
+    // back through the byte-only WavCodec.decode under test, and emit
+    // integer-exact features (peak, sum of |sample|, duration) the
+    // oracle re-derives from the synthesis formula alone. Narrow map,
+    // no shuffle; blobs never leave the partition.
+    Q("mm_decode_wav",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val audio = WavCodec.decode(WavCodec.encode(id))
+            var peak = 0
+            var sumAbs = 0L
+            var i = 0
+            while (i < audio.samples.length) {
+              val a = math.abs(audio.samples(i).toInt)
+              if (a > peak) peak = a
+              sumAbs += a
+              i += 1
+            }
+            (id, audio.sampleRate, audio.samples.length,
+              audio.samples.length * 1000 / audio.sampleRate, peak, sumAbs)
+          }
+        }.toDF("media_id", "sample_rate", "n_samples", "duration_ms",
+          "peak", "sum_abs")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+          CAST(200 + doc_id % 57 AS INT) AS n_samples,
+          CAST((200 + doc_id % 57) * 1000
+               // (8000 + (doc_id % 3) * 4000) AS INT) AS duration_ms,
+          CAST(list_max([abs(((doc_id * 31 + i * i * 7) % 65536) - 32768)
+               FOR i IN generate_series(0, CAST(200 + doc_id % 57 AS INT) - 1)])
+               AS INT) AS peak,
+          CAST(list_sum([abs(((doc_id * 31 + i * i * 7) % 65536) - 32768)
+               FOR i IN generate_series(0, CAST(200 + doc_id % 57 AS INT) - 1)])
+               AS BIGINT) AS sum_abs
+        FROM documents WHERE doc_id % 3 = 1""")),
 
     // ----- mixed-container decode (format sniffing: BMP + PPM) -----------
     // A real lake holds a mix of encodings; the seam dispatches on the

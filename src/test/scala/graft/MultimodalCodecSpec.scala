@@ -84,4 +84,41 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val short = handBmp(topDown = false).take(60)
     intercept[IllegalArgumentException](BmpCodec.decode(short))
   }
+
+  test("WAV roundtrip reproduces the synthesis formula") {
+    import graft.operators.Multimodal.WavCodec
+    for (id <- Seq(1L, 7L, 58L, 1234L)) {
+      val a = WavCodec.decode(WavCodec.encode(id))
+      assert(a.sampleRate == WavCodec.rate(id))
+      assert(a.samples.length == WavCodec.nSamples(id))
+      for (i <- a.samples.indices)
+        assert(a.samples(i).toInt == WavCodec.sample(id, i), s"id $id i $i")
+    }
+  }
+
+  test("WAV chunk walk skips unknown chunks, word-aligned") {
+    import graft.operators.Multimodal.WavCodec
+    val base = WavCodec.encode(10L)
+    // splice an odd-sized LIST chunk between fmt and data; the parser
+    // must skip it (with pad byte) and still find the data chunk
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 9, 9, 9, 0)
+    val spliced = base.slice(0, 36) ++ extra ++ base.slice(36, base.length)
+    // patch the RIFF size field
+    val sz = spliced.length - 8
+    spliced(4) = sz.toByte; spliced(5) = (sz >>> 8).toByte
+    spliced(6) = (sz >>> 16).toByte; spliced(7) = (sz >>> 24).toByte
+    val a = WavCodec.decode(spliced)
+    assert(a.sampleRate == WavCodec.rate(10L))
+    assert(a.samples.length == WavCodec.nSamples(10L))
+  }
+
+  test("malformed WAV is rejected, not misparsed") {
+    import graft.operators.Multimodal.WavCodec
+    intercept[IllegalArgumentException](WavCodec.decode(Array[Byte](1, 2)))
+    val notWave = WavCodec.encode(3L)
+    notWave(8) = 'X'
+    intercept[IllegalArgumentException](WavCodec.decode(notWave))
+    val truncated = WavCodec.encode(3L).take(100)
+    intercept[IllegalArgumentException](WavCodec.decode(truncated))
+  }
 }
