@@ -9,16 +9,18 @@ import org.apache.spark.sql.functions._
   * and decode/feature-extraction runs as a typed `mapPartitions` over the
   * batch — the Scala analogue of a Pandas-UDF `mapInPandas` stage.
   *
-  * Image decode is REAL for uncompressed 24-bit BMP ([[Multimodal.BmpCodec]]
-  * — pure-JVM parser: header fields, 4-byte row padding, bottom-up BGR)
-  * and binary PPM; audio decode is REAL for PCM-16 WAV
-  * ([[Multimodal.WavCodec]] — RIFF chunk walk, little-endian int16) —
-  * driven by mm_decode_bmp / mm_resize_bmp / mm_decode_any /
-  * mm_decode_wav over byte-synthesized fixtures with formula-derived
-  * oracles. Only the generic video decode remains STUBBED
-  * (`FakeMediaCodec` below, clearly marked — video codec libraries are
-  * not in this container) with the same Spark-side contract: schema,
-  * per-partition batching, no shuffle, binary in / features out.
+  * Every modality has a REAL pure-JVM codec: uncompressed 24-bit BMP +
+  * binary PPM images ([[Multimodal.BmpCodec]]/[[Multimodal.PpmCodec]] —
+  * header fields, 4-byte row padding, bottom-up BGR), PCM-16 WAV audio
+  * ([[Multimodal.WavCodec]] — RIFF chunk walk, little-endian int16),
+  * and uncompressed AVI video ([[Multimodal.AviCodec]] — RIFF chunk
+  * tree, avih header, 00db DIB frames) — driven by mm_decode_bmp /
+  * mm_resize_bmp / mm_decode_any / mm_decode_wav / mm_video_frames_avi
+  * over byte-synthesized fixtures with formula-derived oracles. The
+  * remaining `FakeMediaCodec` ops (mm_feature_extract etc.) demonstrate
+  * the generic any-format plumbing contract — schema, per-partition
+  * batching, no shuffle, binary in / features out — behind a
+  * clearly-marked deterministic stand-in.
   *
   * Scale notes: media blobs never shuffle; every stage below is a narrow
   * map over the scan, so 100 TB of media partitions by input file and
@@ -299,6 +301,125 @@ object Multimodal {
       }
       require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
       Audio(sampleRate, samples)
+    }
+  }
+
+  /** REAL video codec for uncompressed AVI: a minimal RIFF 'AVI ' writer
+    * (LIST hdrl → avih carrying frame count + dims; LIST movi → one
+    * '00db' DIB chunk per frame, the standard uncompressed-video frame
+    * form: bottom-up BGR rows padded to 4 bytes, exactly the BMP pixel
+    * array convention) and an INDEPENDENT byte-only parser that walks
+    * the chunk tree and never consults the synthesis formulas. Pure JVM.
+    *
+    * Frame f of video id carries [[BmpCodec.pixel]] content under the
+    * shifted id `id + 131*f` at [[BmpCodec.dims]](id) — so the oracle
+    * re-derives every pixel sum from the formula alone. */
+  object AviCodec extends Serializable {
+    def nFrames(id: Long): Int = 3 + (id % 4).toInt
+    def frameId(id: Long, f: Int): Long = id + 131L * f
+
+    private def le32(v: Int): Array[Byte] = Array(
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    private def tag(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = BmpCodec.dims(id)
+      val n = nFrames(id)
+      val stride = (w * 3 + 3) / 4 * 4
+      def dibFrame(f: Int): Array[Byte] = {
+        val b = new Array[Byte](stride * h)
+        val fid = frameId(id, f)
+        var y = 0
+        while (y < h) {
+          val row = (h - 1 - y) * stride
+          var x = 0
+          while (x < w) {
+            val (r, g, bl) = BmpCodec.pixel(fid, x, y)
+            b(row + x * 3) = bl.toByte
+            b(row + x * 3 + 1) = g.toByte
+            b(row + x * 3 + 2) = r.toByte
+            x += 1
+          }
+          y += 1
+        }
+        b
+      }
+      val avih = new Array[Byte](56)
+      System.arraycopy(le32(33333), 0, avih, 0, 4)   // µs per frame (30fps)
+      System.arraycopy(le32(n), 0, avih, 16, 4)      // dwTotalFrames
+      System.arraycopy(le32(1), 0, avih, 24, 4)      // dwStreams
+      System.arraycopy(le32(w), 0, avih, 32, 4)      // dwWidth
+      System.arraycopy(le32(h), 0, avih, 36, 4)      // dwHeight
+      val hdrl = tag("LIST") ++ le32(4 + 8 + 56) ++ tag("hdrl") ++
+        tag("avih") ++ le32(56) ++ avih
+      val moviBody = (0 until n).flatMap { f =>
+        val fr = dibFrame(f)
+        (tag("00db") ++ le32(fr.length) ++ fr ++
+          (if (fr.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)).toSeq
+      }.toArray
+      val movi = tag("LIST") ++ le32(4 + moviBody.length) ++ tag("movi") ++
+        moviBody
+      val body = tag("AVI ") ++ hdrl ++ movi
+      tag("RIFF") ++ le32(body.length) ++ body
+    }
+
+    final case class Video(w: Int, h: Int, frames: Vector[BmpCodec.Image])
+
+    private def rd32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+    /** Byte-only parse: RIFF('AVI ') → LIST hdrl (avih: dims, frame
+      * count) → LIST movi ('00db' DIB frames, bottom-up padded BGR). */
+    def decode(bytes: Array[Byte]): Video = {
+      def tagAt(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      require(bytes.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "AVI ",
+        "not a RIFF AVI")
+      var w, h, total = -1
+      val frames = Vector.newBuilder[BmpCodec.Image]
+      def dib(b: Array[Byte], off: Int, len: Int): BmpCodec.Image = {
+        val stride = (w * 3 + 3) / 4 * 4
+        require(len >= stride * h, "truncated DIB frame")
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val srcRow = off + (h - 1 - y) * stride
+          var x = 0
+          while (x < w) {
+            px((y * w + x) * 3) = b(srcRow + x * 3 + 2)
+            px((y * w + x) * 3 + 1) = b(srcRow + x * 3 + 1)
+            px((y * w + x) * 3 + 2) = b(srcRow + x * 3)
+            x += 1
+          }
+          y += 1
+        }
+        BmpCodec.Image(w, h, px)
+      }
+      def walk(off0: Int, end: Int): Unit = {
+        var off = off0
+        while (off + 8 <= end) {
+          val id = tagAt(off)
+          val size = rd32(bytes, off + 4)
+          require(size >= 0 && off + 8 + size <= end, s"truncated chunk $id")
+          if (id == "LIST") {
+            walk(off + 12, off + 8 + size) // skip the 4-byte list type
+          } else if (id == "avih") {
+            require(size >= 56, "short avih")
+            total = rd32(bytes, off + 8 + 16)
+            w = rd32(bytes, off + 8 + 32)
+            h = rd32(bytes, off + 8 + 36)
+          } else if (id == "00db") {
+            require(w > 0 && h > 0, "frame chunk before avih header")
+            frames += dib(bytes, off + 8, size)
+          }
+          off += 8 + size + (size & 1)  // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, bytes.length)
+      val fs = frames.result()
+      require(total == fs.length,
+        s"avih declares $total frames, movi carries ${fs.length}")
+      Video(w, h, fs)
     }
   }
 
@@ -583,6 +704,52 @@ object Multimodal {
                FOR i IN generate_series(0, CAST(200 + doc_id % 57 AS INT) - 1)])
                AS BIGINT) AS sum_abs
         FROM documents WHERE doc_id % 3 = 1""")),
+
+    // ----- REAL video decode (uncompressed AVI) --------------------------
+    // The video leg: encode the deterministic multi-frame fixture, parse
+    // it back through the byte-only AviCodec.decode under test (chunk
+    // tree walk, DIB frame unpack), and emit per-frame weighted pixel
+    // sums the oracle re-derives from the formula with the id + 131*f
+    // frame shift. flatMap explodes frames to rows; still a narrow map.
+    Q("mm_video_frames_avi",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.flatMap { id =>
+            val vid = AviCodec.decode(AviCodec.encode(id))
+            vid.frames.zipWithIndex.map { case (img, f) =>
+              var acc = 0L
+              var y = 0
+              while (y < img.h) {
+                var x = 0
+                while (x < img.w) {
+                  acc += img.r(x, y) + 2L * img.g(x, y) + 3L * img.b(x, y)
+                  x += 1
+                }
+                y += 1
+              }
+              (id, f, img.w, img.h, acc)
+            }
+          }
+        }.toDF("media_id", "frame_idx", "w", "h", "px_sum")
+      },
+      Some("""SELECT base.doc_id AS media_id, CAST(base.f AS INT) AS frame_idx,
+          CAST(16 + base.doc_id % 13 AS INT) AS w,
+          CAST(12 + base.doc_id % 7 AS INT) AS h,
+          CAST(SUM((base.fid * 7 + x * 3 + y * 5) % 256
+             + 2 * ((base.fid + x * 11 + y * 2) % 256)
+             + 3 * ((base.fid * 13 + x * y) % 256)) AS BIGINT) AS px_sum
+        FROM (SELECT doc_id, f, doc_id + 131 * f AS fid FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(3 + doc_id % 4 AS INT) - 1)) AS f) fs
+          WHERE doc_id % 3 = 2) base,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(16 + base.doc_id % 13 AS INT) - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(12 + base.doc_id % 7 AS INT) - 1)) AS y) ys
+        GROUP BY 1, 2, 3, 4""")),
 
     // ----- mixed-container decode (format sniffing: BMP + PPM) -----------
     // A real lake holds a mix of encodings; the seam dispatches on the

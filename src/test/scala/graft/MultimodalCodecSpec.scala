@@ -112,6 +112,43 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(a.samples.length == WavCodec.nSamples(10L))
   }
 
+  test("AVI roundtrip reproduces the per-frame formula") {
+    import graft.operators.Multimodal.AviCodec
+    for (id <- Seq(2L, 5L, 14L, 701L)) {
+      val v = AviCodec.decode(AviCodec.encode(id))
+      val (w, h) = BmpCodec.dims(id)
+      assert((v.w, v.h) == (w, h))
+      assert(v.frames.length == AviCodec.nFrames(id))
+      for ((img, f) <- v.frames.zipWithIndex; x <- 0 until w; y <- 0 until h) {
+        val (r, g, b) = BmpCodec.pixel(AviCodec.frameId(id, f), x, y)
+        assert((img.r(x, y), img.g(x, y), img.b(x, y)) == (r, g, b),
+          s"id $id frame $f ($x,$y)")
+      }
+    }
+  }
+
+  test("AVI parser skips unknown chunks and rejects malformed files") {
+    import graft.operators.Multimodal.AviCodec
+    val base = AviCodec.encode(2L)
+    // splice an odd-sized JUNK chunk right after 'AVI ' (before hdrl)
+    val junk = Array[Byte]('J', 'U', 'N', 'K', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = base.slice(0, 12) ++ junk ++ base.slice(12, base.length)
+    val sz = spliced.length - 8
+    spliced(4) = sz.toByte; spliced(5) = (sz >>> 8).toByte
+    spliced(6) = (sz >>> 16).toByte; spliced(7) = (sz >>> 24).toByte
+    assert(AviCodec.decode(spliced).frames.length == AviCodec.nFrames(2L))
+
+    intercept[IllegalArgumentException](AviCodec.decode(Array[Byte](1)))
+    val notAvi = AviCodec.encode(2L)
+    notAvi(8) = 'W'
+    intercept[IllegalArgumentException](AviCodec.decode(notAvi))
+    // declared frame count must match the movi payload
+    val lying = AviCodec.encode(2L)
+    val avihTotalOff = 12 + 12 + 8 + 16 // RIFF hdr + LIST hdr + avih hdr
+    lying(avihTotalOff) = 99.toByte
+    intercept[IllegalArgumentException](AviCodec.decode(lying))
+  }
+
   test("malformed WAV is rejected, not misparsed") {
     import graft.operators.Multimodal.WavCodec
     intercept[IllegalArgumentException](WavCodec.decode(Array[Byte](1, 2)))
