@@ -38,5 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash_agg(h) - 32-bit SimHash of a group of token hashes"),
       (exprs: Seq[Expression]) =>
         functions.SimHashAgg(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("tls_client_hello"),
+      info("tls_client_hello",
+        "tls_client_hello(bin) - parse a TLS ClientHello payload to a " +
+          "struct(sni, version, cipher_count, alpn); NULL if malformed"),
+      (exprs: Seq[Expression]) =>
+        functions.TlsClientHelloExpr(exprs.head)))
   }
 }

@@ -35,6 +35,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         FROM (SELECT explode(split(lower(text), '\\s+')) AS w
               FROM documents WHERE doc_id = 0)""").head().getLong(0)
       assert(sh != 0L)
+
+      // tls_client_hello over a literal fixture payload, pure SQL
+      val hex = graft.pcap.PcapSynth.tlsClientHello(4)
+        .map(b => f"${b & 0xFF}%02X").mkString
+      val tls = spark.sql(
+        s"SELECT tls_client_hello(X'$hex') AS ch").select("ch.*").head()
+      assert(tls.getString(0) == "host004.example.org")
+      assert(tls.getString(1) == "TLS1.2")
+      assert(tls.getInt(2) == 12)
+      assert(tls.getString(3) == "http/1.1")
+      // malformed input is NULL, not an error, in SQL too
+      assert(spark.sql("SELECT tls_client_hello(X'DEAD') AS ch")
+        .head().isNullAt(0))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
