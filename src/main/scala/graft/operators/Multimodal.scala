@@ -128,8 +128,14 @@ object Multimodal {
         s"unsupported BMP variant: bpp=$bpp compression=$compression")
       val topDown = hRaw < 0
       val h = math.abs(hRaw)
+      // sanity-bound dims BEFORE the stride math: a crafted header with
+      // w ~ 2^30 would overflow stride*h to a small/negative Int and
+      // sail past the length check into out-of-bounds reads
+      require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+        s"implausible BMP dims ${w}x$h")
       val stride = (w * 3 + 3) / 4 * 4
-      require(bytes.length >= dataOff + stride * h, "truncated BMP")
+      require(bytes.length >= dataOff.toLong + stride.toLong * h,
+        "truncated BMP")
       val px = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {
@@ -204,8 +210,10 @@ object Multimodal {
       }
       val (w, h, maxv) = (vals(0), vals(1), vals(2))
       require(maxv == 255, s"unsupported PPM maxval $maxv")
+      require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+        s"implausible PPM dims ${w}x$h")
       i += 1 // single whitespace byte after maxval, then raw triplets
-      require(bytes.length >= i + w * h * 3, "truncated PPM")
+      require(bytes.length >= i.toLong + w.toLong * h * 3, "truncated PPM")
       val px = new Array[Byte](w * h * 3)
       System.arraycopy(bytes, i, px, 0, w * h * 3)
       BmpCodec.Image(w, h, px)
@@ -379,7 +387,7 @@ object Multimodal {
       val frames = Vector.newBuilder[BmpCodec.Image]
       def dib(b: Array[Byte], off: Int, len: Int): BmpCodec.Image = {
         val stride = (w * 3 + 3) / 4 * 4
-        require(len >= stride * h, "truncated DIB frame")
+        require(len.toLong >= stride.toLong * h, "truncated DIB frame")
         val px = new Array[Byte](w * h * 3)
         var y = 0
         while (y < h) {
@@ -395,19 +403,27 @@ object Multimodal {
         }
         BmpCodec.Image(w, h, px)
       }
-      def walk(off0: Int, end: Int): Unit = {
+      def walk(off0: Int, end: Int, depth: Int): Unit = {
+        require(depth < 16, "implausible LIST nesting")
         var off = off0
         while (off + 8 <= end) {
           val id = tagAt(off)
           val size = rd32(bytes, off + 4)
           require(size >= 0 && off + 8 + size <= end, s"truncated chunk $id")
           if (id == "LIST") {
-            walk(off + 12, off + 8 + size) // skip the 4-byte list type
+            require(size >= 4, s"short LIST chunk")
+            walk(off + 12, off + 8 + size, depth + 1) // skip the list type
           } else if (id == "avih") {
             require(size >= 56, "short avih")
             total = rd32(bytes, off + 8 + 16)
             w = rd32(bytes, off + 8 + 32)
             h = rd32(bytes, off + 8 + 36)
+            // same overflow guard as BmpCodec.decode: bound dims before
+            // any stride arithmetic
+            require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+              s"implausible AVI dims ${w}x$h")
+            require(total >= 0 && total <= (1 << 20),
+              s"implausible frame count $total")
           } else if (id == "00db") {
             require(w > 0 && h > 0, "frame chunk before avih header")
             frames += dib(bytes, off + 8, size)
@@ -415,7 +431,7 @@ object Multimodal {
           off += 8 + size + (size & 1)  // RIFF chunks are word-aligned
         }
       }
-      walk(12, bytes.length)
+      walk(12, bytes.length, 0)
       val fs = frames.result()
       require(total == fs.length,
         s"avih declares $total frames, movi carries ${fs.length}")

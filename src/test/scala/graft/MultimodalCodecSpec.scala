@@ -149,6 +149,33 @@ class MultimodalCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AviCodec.decode(lying))
   }
 
+  test("fuzz: all four decoders reject junk with a clean error") {
+    import graft.operators.Multimodal.{AviCodec, PpmCodec, WavCodec}
+    val rnd = new scala.util.Random(20260813)
+    val decoders = Seq[Array[Byte] => Any](
+      BmpCodec.decode, PpmCodec.decode, WavCodec.decode, AviCodec.decode)
+    val seeds = Seq(BmpCodec.encode(5L), PpmCodec.encode(5L),
+      WavCodec.encode(5L), AviCodec.encode(5L))
+    for (_ <- 0 until 500; dec <- decoders) {
+      // half pure-random, half a valid container with mutated bytes —
+      // the contract is IllegalArgumentException or a decode, never an
+      // index error, NegativeArraySize, stack overflow, or hang
+      val input: Array[Byte] =
+        if (rnd.nextBoolean()) {
+          val b = new Array[Byte](rnd.nextInt(300))
+          rnd.nextBytes(b)
+          b
+        } else {
+          val b = seeds(rnd.nextInt(seeds.length)).clone()
+          for (_ <- 0 to rnd.nextInt(8))
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          b
+        }
+      try dec(input)
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("malformed WAV is rejected, not misparsed") {
     import graft.operators.Multimodal.WavCodec
     intercept[IllegalArgumentException](WavCodec.decode(Array[Byte](1, 2)))
