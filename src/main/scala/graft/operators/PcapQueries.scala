@@ -164,6 +164,21 @@ object PcapQueries {
         FROM (VALUES $rows) AS v(client, sni, version, cipher_count, alpn)"""
   }
 
+  /** Seq-ordered stream reassembly fold, shared by the three
+    * reassembly queries: sort the collected (tcp_seq, pkt_idx, payload)
+    * segments, concatenate, and keep only the FIRST capture copy of a
+    * retransmitted sequence number (the sort puts the earliest pkt_idx
+    * first; a later duplicate of the same tcp_seq is skipped by the
+    * accumulator). Overlapping PARTIAL retransmits (same data under a
+    * shifted seq) remain out of scope — a full TCP stream follower is a
+    * stateful-streaming problem, not an aggregate. */
+  private val reassembleExpr: String =
+    "aggregate(array_sort(collect_list(struct(tcp_seq, pkt_idx, payload))), " +
+      "named_struct('s', X'', 'last', CAST(-1 AS BIGINT)), " +
+      "(acc, x) -> IF(x.tcp_seq = acc.last, acc, " +
+      "named_struct('s', concat(acc.s, x.payload), 'last', x.tcp_seq)), " +
+      "acc -> acc.s)"
+
   val defs: Seq[Q] = Seq(
 
     // the reference's canonical MR example: count by source port
@@ -279,9 +294,9 @@ object PcapQueries {
     // parity-extension field) and concatenates payload bytes — the
     // packet-to-stream step every L7-over-TCP analysis needs, which the
     // reference cannot express (strictly packet-at-a-time). Contract:
-    // in-capture segments only, no retransmit/overlap handling (first
-    // segment per seq wins is NOT implemented — duplicate seqs would
-    // both concatenate; the fixture has none). Scale shape: ONE shuffle
+    // in-capture segments only; an exact retransmit (duplicate tcp_seq)
+    // keeps the first capture copy (PcapTcpReassemblySpec proves it);
+    // overlapping partial retransmits out of scope. Scale shape: ONE shuffle
     // on the flow key; per-flow state is the segment list (bounded by
     // flow size, the same unit any reassembly must hold); array_sort +
     // fold run per flow with no further exchange. The ordering is
@@ -293,11 +308,10 @@ object PcapQueries {
         s.read.format("pcap").load(tcpSynthPath)
           .filter($"protocol" === "TCP")
           .select($"src", $"dst", $"src_port", $"dst_port", $"tcp_seq",
-            $"payload")
+            $"pkt_idx", $"payload")
           .groupBy($"src", $"dst", $"src_port", $"dst_port")
           .agg(count(lit(1)).as("n_seg"),
-            expr("aggregate(array_sort(collect_list(struct(tcp_seq, payload))), " +
-              "X'', (acc, x) -> concat(acc, x.payload))").as("stream"))
+            expr(reassembleExpr).as("stream"))
           .select($"src", $"dst", $"src_port", $"dst_port", $"n_seg",
             length($"stream").as("stream_len"),
             md5($"stream").as("stream_md5"))
@@ -378,9 +392,7 @@ object PcapQueries {
         s.read.format("pcap").load(httpSynthPath)
           .filter($"protocol" === "TCP")
           .groupBy($"src", $"dst", $"src_port", $"dst_port")
-          .agg(expr(
-            "aggregate(array_sort(collect_list(struct(tcp_seq, payload))), " +
-              "X'', (acc, x) -> concat(acc, x.payload))").as("stream"))
+          .agg(expr(reassembleExpr).as("stream"))
           .select($"stream".cast("string").as("txt"))
           .select(
             regexp_extract($"txt", "^(\\w+) ", 1).as("method"),
@@ -561,9 +573,7 @@ object PcapQueries {
         s.read.format("pcap").load(tlsSegSynthPath)
           .filter($"protocol" === "TCP")
           .groupBy($"src", $"dst", $"src_port", $"dst_port")
-          .agg(expr(
-            "aggregate(array_sort(collect_list(struct(tcp_seq, payload))), " +
-              "X'', (acc, x) -> concat(acc, x.payload))").as("stream"))
+          .agg(expr(reassembleExpr).as("stream"))
           .select($"src".as("client"),
             graft.functions.TlsClientHelloExpr
               .tls_client_hello($"stream").as("ch"))

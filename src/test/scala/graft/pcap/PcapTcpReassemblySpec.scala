@@ -16,12 +16,17 @@ class PcapTcpReassemblySpec extends AnyFunSuite {
   private def reassemble(path: String) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // the production fold from PcapQueries: seq-sorted concat with
+    // first-copy-wins on duplicate seqs
     spark.read.format("pcap").load(path)
       .filter($"protocol" === "TCP")
       .groupBy($"src", $"src_port")
       .agg(expr(
-        "aggregate(array_sort(collect_list(struct(tcp_seq, payload))), " +
-          "X'', (acc, x) -> concat(acc, x.payload))").as("stream"))
+        "aggregate(array_sort(collect_list(struct(tcp_seq, pkt_idx, payload))), " +
+          "named_struct('s', X'', 'last', CAST(-1 AS BIGINT)), " +
+          "(acc, x) -> IF(x.tcp_seq = acc.last, acc, " +
+          "named_struct('s', concat(acc.s, x.payload), 'last', x.tcp_seq)), " +
+          "acc -> acc.s)").as("stream"))
       .select($"src", $"src_port", md5($"stream").as("h"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2))
       .toMap
@@ -52,5 +57,24 @@ class PcapTcpReassemblySpec extends AnyFunSuite {
           .map(b => f"${b & 0xFF}%02x").mkString
     }.toMap
     assert(base == expected)
+  }
+
+  test("exact retransmits keep the first capture copy") {
+    val segs = PcapSynth.tcpFlowSegments(40)
+    val clean = java.nio.file.Files.createTempFile("tcp_clean", ".pcap")
+    PcapSynth.writeAtomic(clean, PcapSynth.file(segs))
+    // retransmit every third segment: the duplicate lands later in the
+    // capture (higher pkt_idx); a corrupted retransmit payload proves
+    // the FIRST copy wins, not an arbitrary one
+    val withDupes = segs.zipWithIndex.flatMap { case (s @ (ts, us, fr), i) =>
+      if (i % 3 == 0) {
+        val corrupted = fr.clone()
+        corrupted(fr.length - 1) = (corrupted(fr.length - 1) ^ 0x5A).toByte
+        Seq(s, (ts + 1, us, corrupted))
+      } else Seq(s)
+    }
+    val dup = java.nio.file.Files.createTempFile("tcp_dup", ".pcap")
+    PcapSynth.writeAtomic(dup, PcapSynth.file(withDupes))
+    assert(reassemble(dup.toString) == reassemble(clean.toString))
   }
 }
