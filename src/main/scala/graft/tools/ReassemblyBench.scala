@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput of the seq-ordered stream-reassembly shape at volume:
+  * 200k interleaved TCP flows (~1M segments) across 16 capture files,
+  * reassembled by the same fold the pcap_tcp_reassembly query uses
+  * (collect_list → array_sort → first-copy-wins concat). Reports
+  * flows/s and MB/s over the decoded segment bytes — the number that
+  * says whether the ONE-shuffle reassembly shape holds up when the
+  * per-flow state is real. */
+object ReassemblyBench {
+  def main(args: Array[String]): Unit = {
+    val nFlows = args.headOption.map(_.toInt).getOrElse(200000)
+    val nFiles = 16
+    val dir = java.nio.file.Paths.get(s"/tmp/graft_reasm_$nFlows")
+    if (!java.nio.file.Files.isDirectory(dir)) {
+      java.nio.file.Files.createDirectories(dir)
+      val per = nFlows / nFiles
+      (0 until nFiles).foreach { k =>
+        // distinct flow id spaces per file via the flow index offset:
+        // tcpFlowSegments is a pure function, so shift the port/address
+        // space by writing different counts and interleaving files
+        val segs = graft.pcap.PcapSynth.tcpFlowSegments(per).map {
+          case (ts, us, fr) =>
+            // re-home src to a per-file /16 so flows never collide
+            val f2 = fr.clone()
+            f2(27) = (k + 1).toByte // second byte of 10.x src address
+            (ts, us, f2)
+        }
+        graft.pcap.PcapSynth.writeAtomic(
+          dir.resolve(f"part$k%02d.pcap"), graft.pcap.PcapSynth.file(segs))
+      }
+    }
+    val totalMb = (0 until nFiles).map(i => java.nio.file.Files.size(
+      dir.resolve(f"part$i%02d.pcap"))).sum / 1e6
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def run(): (Long, Long) = {
+      val df = spark.read.format("pcap")
+        .option("maxBytesPerPartition", "8m")
+        .load(dir.toString)
+        .filter($"protocol" === "TCP")
+        .groupBy($"src", $"dst", $"src_port", $"dst_port")
+        .agg(expr(
+          "aggregate(array_sort(collect_list(struct(tcp_seq, pkt_idx, payload))), " +
+            "named_struct('s', X'', 'last', CAST(-1 AS BIGINT)), " +
+            "(acc, x) -> IF(x.tcp_seq = acc.last, acc, " +
+            "named_struct('s', concat(acc.s, x.payload), 'last', x.tcp_seq)), " +
+            "acc -> acc.s)").as("stream"))
+        .agg(count(lit(1)), sum(length($"stream")))
+      val r = df.head()
+      (r.getLong(0), r.getLong(1))
+    }
+    run() // warm
+    val t0 = System.nanoTime()
+    val (flows, bytes) = run()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"reassembly: $flows%d flows, ${bytes / 1e6}%.1f MB streams, " +
+      f"$totalMb%.0f MB capture in $sec%.2f s -> " +
+      f"${flows / sec}%.0f flows/s, ${totalMb / sec}%.0f MB/s")
+    spark.stop()
+  }
+}

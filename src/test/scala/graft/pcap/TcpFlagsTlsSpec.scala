@@ -66,6 +66,26 @@ class TcpFlagsTlsSpec extends AnyFunSuite {
     assert(r.tcpSeq.isEmpty && r.tcpAck.isEmpty && r.tcpFlags.isEmpty)
   }
 
+  test("IPv6 TCP: flags/seq/ack decode through the shared L4 branch") {
+    // hand-built Ethernet + IPv6 (next header 6) + 20-byte TCP SYN|ACK
+    val src = Array.tabulate[Byte](16)(i => (i + 1).toByte)
+    val dst = Array.tabulate[Byte](16)(i => (i + 101).toByte)
+    val tcp = new Array[Byte](20)
+    Array.copy(PcapSynth.be16(443), 0, tcp, 0, 2)
+    Array.copy(PcapSynth.be16(51000), 0, tcp, 2, 2)
+    Array.copy(PcapSynth.be32(77), 0, tcp, 4, 4)
+    Array.copy(PcapSynth.be32(13), 0, tcp, 8, 4)
+    tcp(12) = 0x50 // data offset 5 words
+    tcp(13) = 0x12 // SYN|ACK
+    val ip6 = Array[Byte](0x60, 0, 0, 0) ++ PcapSynth.be16(tcp.length) ++
+      Array[Byte](6, 64) ++ src ++ dst
+    val eth = Array.fill[Byte](12)(0x02) ++ PcapSynth.be16(0x86DD.toShort)
+    val r = decodeOne(eth ++ ip6 ++ tcp)
+    assert(r.protocol.contains("TCP") && r.srcPort.contains(443))
+    assert(r.tcpFlags.contains("SYN|ACK"))
+    assert(r.tcpSeq.contains(77L) && r.tcpAck.contains(13L))
+  }
+
   test("ICMPv4: type/code decode, payload after the 8-byte header") {
     val r = decodeOne(PcapSynth.ipv4IcmpFrame(
       src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
