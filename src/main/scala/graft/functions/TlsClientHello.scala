@@ -19,6 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *                         0x0304, else the legacy client_version name
   *   cipher_count INT      offered cipher-suite count
   *   alpn STRING           first ALPN protocol (null if absent)
+  *   fp STRING             md5 hex of the canonical client fingerprint
+  *                         string "legacy_version,cipher-...,exttype-..."
+  *                         (decimal, offer order) — the JA3-style
+  *                         client-stack identifier SOC pipelines group by
   *
   * Returns NULL (never throws) for anything that is not a complete,
   * well-formed ClientHello prefix — random payloads, truncated records,
@@ -69,12 +73,23 @@ object TlsParse {
     StructField("sni", StringType),
     StructField("version", StringType),
     StructField("cipher_count", IntegerType),
-    StructField("alpn", StringType)))
+    StructField("alpn", StringType),
+    StructField("fp", StringType)))
 
   private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
 
   @inline private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  /** Canonical client-stack fingerprint: md5 hex (lowercase) of
+    * "legacy_version,c1-c2-…,e1-e2-…" with decimal fields in offer
+    * order — stable across SNI/hosts, distinct across client stacks. */
+  def fingerprint(legacy: Int, ciphers: Array[Int],
+      extTypes: Array[Int]): String = {
+    val canon = s"$legacy,${ciphers.mkString("-")},${extTypes.mkString("-")}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(canon.getBytes(Ascii)).map(b => f"${b & 0xFF}%02x").mkString
+  }
 
   /** Null on any malformation; the catch is belt-and-braces (every read
     * below is bounds-checked first — fuzz keeps it honest). */
@@ -96,6 +111,12 @@ object TlsParse {
       p += 2
       if (csLen % 2 != 0 || p + csLen > end) return null
       val cipherCount = csLen / 2
+      val ciphers = new Array[Int](cipherCount)
+      var ci = 0
+      while (ci < cipherCount) {
+        ciphers(ci) = u16(b, p + 2 * ci)
+        ci += 1
+      }
       p += csLen
       if (p + 1 > end) return null
       val compLen = b(p) & 0xFF
@@ -103,6 +124,7 @@ object TlsParse {
       var sni: String = null
       var alpn: String = null
       var v13 = false
+      val extTypes = scala.collection.mutable.ArrayBuffer[Int]()
       if (p + 2 <= end) {
         val extEnd = math.min(end, p + 2 + u16(b, p))
         p += 2
@@ -112,6 +134,7 @@ object TlsParse {
           p += 4
           val ee = p + extLen
           if (ee > extEnd) return null
+          extTypes += extType
           extType match {
             case 0 =>                          // server_name
               // list_len(2) name_type(1, 0 = host_name) name_len(2) name
@@ -151,7 +174,9 @@ object TlsParse {
         if (sni == null) null else UTF8String.fromString(sni),
         UTF8String.fromString(version),
         cipherCount,
-        if (alpn == null) null else UTF8String.fromString(alpn)))
+        if (alpn == null) null else UTF8String.fromString(alpn),
+        UTF8String.fromString(
+          fingerprint(legacy, ciphers, extTypes.toArray))))
     } catch {
       case _: ArrayIndexOutOfBoundsException => null
     }

@@ -144,6 +144,26 @@ object PcapQueries {
         FROM (VALUES $rows) AS v(window_start_s, scanner, n_ports)"""
   }
 
+  /** Fingerprint oracle: re-derive each flow's canonical client-stack
+    * string from the GENERATOR spec (legacy 0x0303=771; ciphers
+    * 0x1301.. for 8+f%5; ext order [server_name, alpn?, supported_
+    * versions?]) and hash with the same public md5 — never touching the
+    * parser under test. */
+  private def tlsFingerprintOracle(n: Int): String = {
+    val groups = (0 until n).groupBy { f =>
+      val ciphers = (0 until 8 + f % 5).map(0x1301 + _).toArray
+      val ext = Array(0) ++
+        (if (f % 3 != 2) Array(16) else Array.empty[Int]) ++
+        (if (f % 2 == 1) Array(43) else Array.empty[Int])
+      graft.functions.TlsParse.fingerprint(0x0303, ciphers, ext)
+    }
+    val rows = groups.toSeq.sortBy(_._1).map { case (fp, fs) =>
+      s"('$fp', ${fs.size}, ${fs.size})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.fp AS VARCHAR) AS fp, CAST(v.n_clients AS BIGINT) AS n_clients, CAST(v.n_sni AS BIGINT) AS n_sni
+        FROM (VALUES $rows) AS v(fp, n_clients, n_sni)"""
+  }
+
   private def icmpEchoRttOracle(n: Int): String = {
     val rows = (0 until n).map { f =>
       s"('10.12.0.$f', ${200 + 11 * f})"
@@ -583,6 +603,26 @@ object PcapQueries {
             coalesce($"ch.alpn", lit("-")).as("alpn"))
       },
       Some(tlsSniOracle(40, clientPrefix = "10.11.0"))),
+
+    // Client-stack fingerprinting (the JA3-style SOC rollup): group
+    // hellos by the md5 of the canonical version/cipher/extension
+    // string the expression computes during the same parse. Stable
+    // across hosts, distinct across stacks — the fixture's 40 clients
+    // collapse to the (cipher-count x alpn x supported-versions)
+    // combinations.
+    Q("pcap_tls_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(tlsSynthPath)
+          .filter($"dst_port" === 443 && $"tcp_flags" === "PSH|ACK")
+          .select(graft.functions.TlsClientHelloExpr
+            .tls_client_hello($"payload").as("ch"))
+          .select($"ch.fp".as("fp"), $"ch.sni".as("sni"))
+          .groupBy($"fp")
+          .agg(count(lit(1)).as("n_clients"),
+            countDistinct($"sni").as("n_sni"))
+      },
+      Some(tlsFingerprintOracle(40))),
 
     // Batch twin of streaming.SynScanStream.scanAlerts (same windowed
     // distinct-port threshold semantics, exact batch countDistinct) —

@@ -149,6 +149,13 @@ class TcpFlagsTlsSpec extends AnyFunSuite {
       assert(row.getInt(2) == 8 + f % 5)
       val alpn = Seq("h2", "http/1.1", null)(f % 3)
       assert(field(row, 3) == alpn)
+      // fingerprint re-derived from the generator spec, not the parser
+      val ciphers = (0 until 8 + f % 5).map(0x1301 + _).toArray
+      val ext = Array(0) ++
+        (if (f % 3 != 2) Array(16) else Array.empty[Int]) ++
+        (if (f % 2 == 1) Array(43) else Array.empty[Int])
+      assert(field(row, 4) == TlsParse.fingerprint(0x0303, ciphers, ext),
+        s"flow $f fingerprint")
     }
   }
 
@@ -159,7 +166,7 @@ class TcpFlagsTlsSpec extends AnyFunSuite {
       // parse of a prefix may legitimately succeed once all variable
       // sections are in (the record-length bound caps reads) — the
       // contract is no exception and no over-read
-      assert(r == null || r.numFields == 4)
+      assert(r == null || r.numFields == 5)
     }
   }
 

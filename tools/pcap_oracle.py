@@ -530,6 +530,7 @@ if glob.glob(f"{out}/pcap_tcp_handshake_rtt/*.parquet"):
          sorted((l, n, len(s)) for l, (n, s) in enrich.items()))
 
 def _tls_parse(b):
+    import hashlib
     if len(b) < 9 or b[0] != 0x16 or b[1] != 3 or b[5] != 1:
         return None
     end = min(len(b), 5 + struct.unpack_from(">H", b, 3)[0])
@@ -540,9 +541,11 @@ def _tls_parse(b):
     cs = struct.unpack_from(">H", b, p)[0]
     p += 2
     cipher_count = cs // 2
+    ciphers = [struct.unpack_from(">H", b, p + 2 * i)[0]
+               for i in range(cipher_count)]
     p += cs
     p += 1 + b[p]
-    sni, alpn, v13 = None, None, False
+    sni, alpn, v13, ext_types = None, None, False, []
     if p + 2 <= end:
         ext_end = min(end, p + 2 + struct.unpack_from(">H", b, p)[0])
         p += 2
@@ -550,6 +553,7 @@ def _tls_parse(b):
             et, el = struct.unpack_from(">HH", b, p)
             p += 4
             ee = p + el
+            ext_types.append(et)
             if et == 0:
                 nl = struct.unpack_from(">H", b, p + 3)[0]
                 sni = b[p + 5:p + 5 + nl].decode("ascii")
@@ -564,7 +568,10 @@ def _tls_parse(b):
                     q += 2
             p = ee
     ver = "TLS1.3" if v13 else {0x0303: "TLS1.2"}.get(legacy, hex(legacy))
-    return sni, ver, cipher_count, alpn or "-"
+    canon = "%d,%s,%s" % (legacy, "-".join(map(str, ciphers)),
+                          "-".join(map(str, ext_types)))
+    fp = hashlib.md5(canon.encode("ascii")).hexdigest()
+    return sni, ver, cipher_count, alpn or "-", fp
 
 if glob.glob(f"{out}/pcap_tls_sni/*.parquet"):
     exp_tls = []
@@ -573,11 +580,25 @@ if glob.glob(f"{out}/pcap_tls_sni/*.parquet"):
         hdr = ((fr[l4 + 12] >> 4) & 0xF) * 4
         r = _tls_parse(fr[l4 + hdr:])
         if r:
-            exp_tls.append((src,) + r)
+            exp_tls.append((src,) + r[:4])
     _cmp("pcap_tls_sni(redecode)",
          _read("pcap_tls_sni",
                ["client", "sni", "version", "cipher_count", "alpn"]),
          sorted(exp_tls))
+
+if glob.glob(f"{out}/pcap_tls_fingerprint/*.parquet"):
+    fps = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_tlsflows.pcap"):
+        src, _, _, l4 = _v4(fr)
+        hdr = ((fr[l4 + 12] >> 4) & 0xF) * 4
+        r = _tls_parse(fr[l4 + hdr:])
+        if r:
+            e = fps.setdefault(r[4], [0, set()])
+            e[0] += 1
+            e[1].add(r[0])
+    _cmp("pcap_tls_fingerprint(redecode)",
+         _read("pcap_tls_fingerprint", ["fp", "n_clients", "n_sni"]),
+         sorted((fp, n, len(s)) for fp, (n, s) in fps.items()))
 
 if glob.glob(f"{out}/pcap_tls_sni_reassembled/*.parquet"):
     tsegs = {}
@@ -592,7 +613,7 @@ if glob.glob(f"{out}/pcap_tls_sni_reassembled/*.parquet"):
         segs.sort()
         r = _tls_parse(b"".join(p for _, p in segs))
         if r:
-            exp_rtls.append((src,) + r)
+            exp_rtls.append((src,) + r[:4])
     _cmp("pcap_tls_sni_reassembled(redecode)",
          _read("pcap_tls_sni_reassembled",
                ["client", "sni", "version", "cipher_count", "alpn"]),
