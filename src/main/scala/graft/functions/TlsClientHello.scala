@@ -81,23 +81,35 @@ object TlsParse {
   @inline private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
 
+  // MessageDigest is reusable (digest() resets) but not thread-safe;
+  // per-thread reuse keeps the per-row cost at a hash, not a JCA lookup
+  // + allocation inside the codegen'd hot path
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue() =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Canonical client-stack fingerprint: md5 hex (lowercase) of
     * "legacy_version,c1-c2-…,e1-e2-…" with decimal fields in offer
     * order — stable across SNI/hosts, distinct across client stacks. */
   def fingerprint(legacy: Int, ciphers: Array[Int],
       extTypes: Array[Int]): String = {
     val canon = s"$legacy,${ciphers.mkString("-")},${extTypes.mkString("-")}"
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(canon.getBytes(Ascii)).map(b => f"${b & 0xFF}%02x").mkString
+    md5Local.get().digest(canon.getBytes(Ascii))
+      .map(b => f"${b & 0xFF}%02x").mkString
   }
 
   /** Null on any malformation; the catch is belt-and-braces (every read
     * below is bounds-checked first — fuzz keeps it honest). */
   def parse(b: Array[Byte]): InternalRow = {
     try {
-      // record header: type 22 (handshake), major version 3, length
+      // record header: type 22 (handshake), major version 3, length.
+      // The WHOLE declared record must be present — parsing a truncated
+      // buffer could emit a row with the tail extensions missing (wrong
+      // version/fingerprint) instead of the documented NULL
       if (b.length < 9 || (b(0) & 0xFF) != 0x16 || b(1) != 3) return null
-      val end = math.min(b.length, 5 + u16(b, 3))
+      val end = 5 + u16(b, 3)
+      if (b.length < end) return null
       // handshake header: type 1 (ClientHello) + 24-bit length
       if ((b(5) & 0xFF) != 0x01) return null
       var p = 9

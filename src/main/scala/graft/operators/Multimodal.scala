@@ -133,6 +133,10 @@ object Multimodal {
       // sail past the length check into out-of-bounds reads
       require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
         s"implausible BMP dims ${w}x$h")
+      // a negative/low data offset (top bit set in the header field)
+      // would make the truncation check pass and the row reads negative
+      require(dataOff >= 54 && dataOff <= bytes.length,
+        s"implausible BMP data offset $dataOff")
       val stride = (w * 3 + 3) / 4 * 4
       require(bytes.length >= dataOff.toLong + stride.toLong * h,
         "truncated BMP")
@@ -290,7 +294,9 @@ object Multimodal {
       while (off + 8 <= bytes.length) {
         val id = tagAt(off)
         val size = rdLe32(bytes, off + 4)
-        require(size >= 0 && off + 8 + size <= bytes.length,
+        // compare in Long: a size near Int.MaxValue would wrap the Int
+        // sum negative and sail past this check into a huge allocation
+        require(size >= 0 && off + 8 + size.toLong <= bytes.length,
           s"truncated chunk $id")
         if (id == "fmt ") {
           require(size >= 16, "short fmt chunk")
@@ -409,7 +415,10 @@ object Multimodal {
         while (off + 8 <= end) {
           val id = tagAt(off)
           val size = rd32(bytes, off + 4)
-          require(size >= 0 && off + 8 + size <= end, s"truncated chunk $id")
+          // Long compare: Int wraparound on a crafted size would pass
+          // the bound and walk off to a negative offset
+          require(size >= 0 && off + 8 + size.toLong <= end,
+            s"truncated chunk $id")
           if (id == "LIST") {
             require(size >= 4, s"short LIST chunk")
             walk(off + 12, off + 8 + size, depth + 1) // skip the list type

@@ -192,7 +192,7 @@ object PcapQueries {
     * accumulator). Overlapping PARTIAL retransmits (same data under a
     * shifted seq) remain out of scope — a full TCP stream follower is a
     * stateful-streaming problem, not an aggregate. */
-  private val reassembleExpr: String =
+  private[graft] val reassembleExpr: String =
     "aggregate(array_sort(collect_list(struct(tcp_seq, pkt_idx, payload))), " +
       "named_struct('s', X'', 'last', CAST(-1 AS BIGINT)), " +
       "(acc, x) -> IF(x.tcp_seq = acc.last, acc, " +

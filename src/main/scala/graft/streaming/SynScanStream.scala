@@ -32,13 +32,20 @@ object SynScanStream {
       .filter(col("tcp_flags") === "SYN")
       .select(col("time"), col("src"), col("dst_port"))
       .withWatermark("time", watermark)
-      // exact distinct under bounded state: repeat SYNs to the same
-      // (src, dst_port) within the horizon collapse before the count
-      .dropDuplicatesWithinWatermark("src", "dst_port")
-      .groupBy(org.apache.spark.sql.functions.window(col("time"), window),
-        col("src"))
+      // exact distinct under bounded state; the dedup key includes the
+      // window bucket so a scanner re-probing the SAME ports in a LATER
+      // window still alerts there (matching the batch twin's per-window
+      // countDistinct semantics — dedup on (src, port) alone would
+      // swallow the repeat within the watermark horizon)
+      .withColumn("w",
+        org.apache.spark.sql.functions.window(col("time"), window))
+      // the window struct inherits the event-time watermark; the raw
+      // time column must go or the plan carries two event-time columns
+      .drop("time")
+      .dropDuplicatesWithinWatermark("w", "src", "dst_port")
+      .groupBy(col("w"), col("src"))
       .agg(count(lit(1)).as("n_ports"))
       .filter(col("n_ports") >= minPorts)
-      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+      .select(unix_timestamp(col("w.start")).as("window_start_s"),
         col("src").as("scanner"), col("n_ports"))
 }

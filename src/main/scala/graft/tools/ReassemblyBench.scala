@@ -46,12 +46,9 @@ object ReassemblyBench {
         .load(dir.toString)
         .filter($"protocol" === "TCP")
         .groupBy($"src", $"dst", $"src_port", $"dst_port")
-        .agg(expr(
-          "aggregate(array_sort(collect_list(struct(tcp_seq, pkt_idx, payload))), " +
-            "named_struct('s', X'', 'last', CAST(-1 AS BIGINT)), " +
-            "(acc, x) -> IF(x.tcp_seq = acc.last, acc, " +
-            "named_struct('s', concat(acc.s, x.payload), 'last', x.tcp_seq)), " +
-            "acc -> acc.s)").as("stream"))
+        // the exact fold the pcap_tcp_reassembly query ships — shared so
+        // this bench can never drift from what production runs
+        .agg(expr(graft.operators.PcapQueries.reassembleExpr).as("stream"))
         .agg(count(lit(1)), sum(length($"stream")))
       val r = df.head()
       (r.getLong(0), r.getLong(1))

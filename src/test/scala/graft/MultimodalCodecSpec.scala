@@ -176,6 +176,26 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("crafted near-Int.MaxValue size fields are rejected cleanly") {
+    import graft.operators.Multimodal.{AviCodec, WavCodec}
+    def patchLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+      b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+    }
+    // WAV data-chunk size near Int.MaxValue: the Int sum would wrap
+    val wav = WavCodec.encode(3L)
+    patchLe32(wav, 40, 0x7FFFFFF0)
+    intercept[IllegalArgumentException](WavCodec.decode(wav))
+    // AVI LIST size with the same wraparound
+    val avi = AviCodec.encode(3L)
+    patchLe32(avi, 16, 0x7FFFFFF0)
+    intercept[IllegalArgumentException](AviCodec.decode(avi))
+    // BMP with a negative pixel-data offset
+    val bmp = BmpCodec.encode(3L)
+    patchLe32(bmp, 10, 0x80000036.toInt)
+    intercept[IllegalArgumentException](BmpCodec.decode(bmp))
+  }
+
   test("malformed WAV is rejected, not misparsed") {
     import graft.operators.Multimodal.WavCodec
     intercept[IllegalArgumentException](WavCodec.decode(Array[Byte](1, 2)))

@@ -16,17 +16,11 @@ class PcapTcpReassemblySpec extends AnyFunSuite {
   private def reassemble(path: String) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // the production fold from PcapQueries: seq-sorted concat with
-    // first-copy-wins on duplicate seqs
+    // the production fold itself, not a copy — drift-proof
     spark.read.format("pcap").load(path)
       .filter($"protocol" === "TCP")
       .groupBy($"src", $"src_port")
-      .agg(expr(
-        "aggregate(array_sort(collect_list(struct(tcp_seq, pkt_idx, payload))), " +
-          "named_struct('s', X'', 'last', CAST(-1 AS BIGINT)), " +
-          "(acc, x) -> IF(x.tcp_seq = acc.last, acc, " +
-          "named_struct('s', concat(acc.s, x.payload), 'last', x.tcp_seq)), " +
-          "acc -> acc.s)").as("stream"))
+      .agg(expr(graft.operators.PcapQueries.reassembleExpr).as("stream"))
       .select($"src", $"src_port", md5($"stream").as("h"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2))
       .toMap

@@ -159,15 +159,16 @@ class TcpFlagsTlsSpec extends AnyFunSuite {
     }
   }
 
-  test("every truncation of a valid hello returns null or a row, never throws") {
+  test("every proper truncation of a valid hello returns null, never throws") {
     val full = PcapSynth.tlsClientHello(7)
     for (n <- 0 until full.length) {
-      val r = TlsParse.parse(java.util.Arrays.copyOf(full, n))
-      // parse of a prefix may legitimately succeed once all variable
-      // sections are in (the record-length bound caps reads) — the
-      // contract is no exception and no over-read
-      assert(r == null || r.numFields == 5)
+      // the record header declares the full length, so every proper
+      // prefix MUST reject — a partial parse could silently drop tail
+      // extensions and emit a wrong version/fingerprint
+      assert(TlsParse.parse(java.util.Arrays.copyOf(full, n)) == null, s"$n")
     }
+    // trailing extra bytes after a complete record are fine (streams)
+    assert(TlsParse.parse(full ++ Array[Byte](1, 2, 3)) != null)
   }
 
   test("fuzz: arbitrary bytes never throw") {

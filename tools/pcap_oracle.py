@@ -454,7 +454,10 @@ def _flags(frame, l4):
 
 def _cmp(name, got, exp):
     global fails
-    if got != exp:
+    if got is None:
+        print(f"FAIL {name}: no Spark output")
+        fails += 1
+    elif got != exp:
         print(f"FAIL {name}: {got[:2]} vs {exp[:2]}")
         fails += 1
     else:
