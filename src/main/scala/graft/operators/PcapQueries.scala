@@ -98,6 +98,23 @@ object PcapQueries {
     p.toString
   }
 
+  /** Deterministic receive-window evolution capture (see
+    * [[graft.pcap.PcapSynth.windowPackets]]). */
+  private def windowSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_tcpwindow.pcap")
+    graft.pcap.PcapSynth.ensureWindowFile(p, 40)
+    p.toString
+  }
+
+  private def zeroWindowOracle(n: Int): String = {
+    val rows = (0 until n).map { f =>
+      val minW = if (f % 4 == 0) 0 else 1000 + 100 * f
+      s"('10.13.0.$f', 6, ${if (f % 4 == 0) 1 else 0}, $minW, ${1000 + 100 * f + 50})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.client AS VARCHAR) AS client, CAST(v.n_pkts AS BIGINT) AS n_pkts, CAST(v.n_zero AS BIGINT) AS n_zero, CAST(v.min_window AS INT) AS min_window, CAST(v.max_window AS INT) AS max_window
+        FROM (VALUES $rows) AS v(client, n_pkts, n_zero, min_window, max_window)"""
+  }
+
   // ----- formula-derived oracles for the handshake/TLS fixtures ---------
   // Unlike the reassembly goldens (frozen md5 VALUES), these oracles are
   // derived from the fixture GENERATOR's spec (rtt = 150 + 37f µs, SNI =
@@ -262,7 +279,7 @@ object PcapQueries {
           // parity-extension columns not present in the pinned
           // reference-surface golden
           .drop("payload", "file", "frame", "tcp_seq", "tcp_flags",
-            "tcp_ack", "icmp_type", "icmp_code")
+            "tcp_ack", "icmp_type", "icmp_code", "tcp_window")
           .withColumn("time",
             date_format($"time", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
           .withColumn("dns_answer", to_json($"dns_answer"))
@@ -678,6 +695,24 @@ object PcapQueries {
           .select($"client", ($"t_rep" - $"t_req").as("rtt_micro"))
       },
       Some(icmpEchoRttOracle(50))),
+
+    // Receive-window health: zero-window events are THE standard TCP
+    // stall signal ops teams alert on. Per-flow bounded aggregates over
+    // the new tcp_window column — one shuffle on the flow source.
+    Q("pcap_tcp_zero_window",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(windowSynthPath)
+          .filter($"protocol" === "TCP")
+          .groupBy($"src")
+          .agg(count(lit(1)).as("n_pkts"),
+            sum(when($"tcp_window" === 0, 1L).otherwise(0L)).as("n_zero"),
+            min($"tcp_window").as("min_window"),
+            max($"tcp_window").as("max_window"))
+          .select($"src".as("client"), $"n_pkts", $"n_zero",
+            $"min_window", $"max_window")
+      },
+      Some(zeroWindowOracle(40))),
 
     // ----- CIDR subnet enrichment (GeoIP-style range join) ----------------
     // The classic packet-enrichment join: numeric ip BETWEEN block range

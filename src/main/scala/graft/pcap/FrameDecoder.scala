@@ -43,7 +43,7 @@ private[pcap] final class PacketBuilder {
   var ttl, srcPort, dstPort, udpsum, len, payloadLen, extCount: Option[Int] = None
   var tcpSeq, tcpAck: Option[Long] = None
   var tcpFlags: Option[String] = None
-  var icmpType, icmpCode: Option[Int] = None
+  var icmpType, icmpCode, tcpWindow: Option[Int] = None
   var frag: Option[Boolean] = None
   var dns: Option[DnsFields] = None
   var payload: Option[Array[Byte]] = None
@@ -57,7 +57,7 @@ private[pcap] final class PacketBuilder {
     etherType = etherType, ttl = ttl, protocol = protocol,
     src = src, dst = dst, srcPort = srcPort, dstPort = dstPort,
     udpsum = udpsum, tcpSeq = tcpSeq, tcpFlags = tcpFlags, tcpAck = tcpAck,
-    icmpType = icmpType, icmpCode = icmpCode,
+    icmpType = icmpType, icmpCode = icmpCode, tcpWindow = tcpWindow,
     len = len, frag = frag,
     payloadLen = payloadLen,
     extCount = extCount, extHeaders = extHeaders, dns = dns,
@@ -214,6 +214,8 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
         if (l4 + 14 <= end)
           b.tcpFlags = TcpFlagNames.some(
             (data(l4 + 13) & 0xFF) | ((data(l4 + 12) & 0x1) << 8))
+        if (l4 + 16 <= end)
+          b.tcpWindow = Boxes.int(beU16(data, l4 + 14))
         ((data(l4 + 12) >> 4) & 0xF) * 4
       }
     val payloadStart = l4 + headerSize

@@ -46,6 +46,7 @@ final case class PacketRecord(
     tcpAck: Option[Long] = None,      // TCP acknowledgment number (u32)
     icmpType: Option[Int] = None,     // ICMPv4/v6 message type
     icmpCode: Option[Int] = None,     // ICMPv4/v6 message code
+    tcpWindow: Option[Int] = None,    // TCP receive window (u16, unscaled)
     len: Option[Int] = None,          // L4 payload byte count
     frag: Option[Boolean] = None,     // IPv6 Fragment ext header seen
     payloadLen: Option[Int] = None,   // IPv6 header payload-length field

@@ -35,6 +35,7 @@ object PcapSchema {
     StructField("tcp_ack", LongType),
     StructField("icmp_type", IntegerType),
     StructField("icmp_code", IntegerType),
+    StructField("tcp_window", IntegerType),
     StructField("len", IntegerType),
     StructField("frag", BooleanType),
     StructField("payload_len", IntegerType),
@@ -100,6 +101,7 @@ object PcapSchema {
     "tcp_ack" -> ((r, _, _) => r.tcpAck.map(java.lang.Long.valueOf).orNull),
     "icmp_type" -> ((r, _, _) => r.icmpType.map(Int.box).orNull),
     "icmp_code" -> ((r, _, _) => r.icmpCode.map(Int.box).orNull),
+    "tcp_window" -> ((r, _, _) => r.tcpWindow.map(Int.box).orNull),
     "len" -> ((r, _, _) => r.len.map(Int.box).orNull),
     "frag" -> ((r, _, _) => r.frag.map(Boolean.box).orNull),
     "payload_len" -> ((r, _, _) => r.payloadLen.map(Int.box).orNull),
@@ -203,6 +205,7 @@ object PcapSchema {
     "tcp_ack" -> ((v, r, _, _) => putLong(v, r.tcpAck)),
     "icmp_type" -> ((v, r, _, _) => putInt(v, r.icmpType)),
     "icmp_code" -> ((v, r, _, _) => putInt(v, r.icmpCode)),
+    "tcp_window" -> ((v, r, _, _) => putInt(v, r.tcpWindow)),
     "len" -> ((v, r, _, _) => putInt(v, r.len)),
     "frag" -> ((v, r, _, _) => putBool(v, r.frag)),
     "payload_len" -> ((v, r, _, _) => putInt(v, r.payloadLen)),

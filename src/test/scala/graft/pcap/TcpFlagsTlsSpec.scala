@@ -45,6 +45,27 @@ class TcpFlagsTlsSpec extends AnyFunSuite {
     assert(r.tcpFlags.contains("SYN|NS"))
   }
 
+  test("tcp_window decodes as unsigned 16-bit, absent when truncated") {
+    val r = decodeOne(PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      srcPort = 1, dstPort = 2, ttl = 64, payload = Array.emptyByteArray,
+      flags = 0x10, window = 64240))
+    assert(r.tcpWindow.contains(64240))
+    val zero = decodeOne(PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      srcPort = 1, dstPort = 2, ttl = 64, payload = Array.emptyByteArray,
+      flags = 0x10, window = 0))
+    assert(zero.tcpWindow.contains(0))
+    // cut between the flags byte and the window field
+    val full = PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      srcPort = 1, dstPort = 2, ttl = 64, payload = Array.emptyByteArray,
+      flags = 0x10, window = 7)
+    val cut = java.util.Arrays.copyOf(full, 14 + 20 + 15)
+    val r2 = decodeOne(cut)
+    assert(r2.tcpFlags.contains("ACK") && r2.tcpWindow.isEmpty)
+  }
+
   test("u32 wrap: ack above Int.MaxValue survives as unsigned") {
     val r = decodeOne(PcapSynth.ipv4TcpFrame(
       src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),

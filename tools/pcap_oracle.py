@@ -532,6 +532,21 @@ if glob.glob(f"{out}/pcap_tcp_handshake_rtt/*.parquet"):
          _read("pcap_subnet_enrich", ["subnet", "n_pkts", "n_src"]),
          sorted((l, n, len(s)) for l, (n, s) in enrich.items()))
 
+if glob.glob(f"{out}/pcap_tcp_zero_window/*.parquet"):
+    wflows = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_tcpwindow.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        win = struct.unpack_from(">H", fr, l4 + 14)[0]
+        e = wflows.setdefault(src, [0, 0, 1 << 30, -1])
+        e[0] += 1
+        e[1] += 1 if win == 0 else 0
+        e[2] = min(e[2], win)
+        e[3] = max(e[3], win)
+    _cmp("pcap_tcp_zero_window(redecode)",
+         _read("pcap_tcp_zero_window",
+               ["client", "n_pkts", "n_zero", "min_window", "max_window"]),
+         sorted((s, n, z, lo, hi) for s, (n, z, lo, hi) in wflows.items()))
+
 def _tls_parse(b):
     import hashlib
     if len(b) < 9 or b[0] != 0x16 or b[1] != 3 or b[5] != 1:
