@@ -98,6 +98,26 @@ object PcapQueries {
     p.toString
   }
 
+  /** Bidirectional HTTP conversation capture (see
+    * [[graft.pcap.PcapSynth.httpRrSegments]]). */
+  private def httpRrSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_httprr.pcap")
+    graft.pcap.PcapSynth.ensureHttpRrFile(p, 50)
+    p.toString
+  }
+
+  private def httpConvOracle(n: Int): String = {
+    val counts = (0 until n)
+      .groupBy(f => (s"host${f % 13}.example.com",
+        if (f % 7 == 6) 404 else 200))
+      .map { case (k, fs) => (k, fs.size) }
+    val rows = counts.toSeq.sortBy(_._1).map { case ((h, st), c) =>
+      s"('$h', $st, $c)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.host AS VARCHAR) AS host, CAST(v.status AS INT) AS status, CAST(v.n AS BIGINT) AS n
+        FROM (VALUES $rows) AS v(host, status, n)"""
+  }
+
   /** Deterministic receive-window evolution capture (see
     * [[graft.pcap.PcapSynth.windowPackets]]). */
   private def windowSynthPath: String = {
@@ -695,6 +715,37 @@ object PcapQueries {
           .select($"client", ($"t_rep" - $"t_req").as("rtt_micro"))
       },
       Some(icmpEchoRttOracle(50))),
+
+    // Full HTTP conversation pairing: BOTH directions of each flow
+    // reassemble independently (the flow key orients by direction),
+    // then request streams join response streams on the client
+    // endpoint — host from the request side, status code from the
+    // response side. The segment cuts land mid-line in both directions,
+    // so only reassembly makes either parse. Scale shape: one shuffle
+    // for the per-direction reassembly, one equi-join keyed on the
+    // client endpoint, one tiny rollup.
+    Q("pcap_http_conversations",
+      (s, d) => {
+        import s.implicits._
+        val streams = s.read.format("pcap").load(httpRrSynthPath)
+          .filter($"protocol" === "TCP")
+          .groupBy($"src", $"dst", $"src_port", $"dst_port")
+          .agg(expr(reassembleExpr).as("stream"))
+          .select($"src", $"dst", $"src_port", $"dst_port",
+            $"stream".cast("string").as("txt"))
+        val req = streams.filter($"dst_port" === 80)
+          .select($"src".as("client"), $"src_port".as("client_port"),
+            regexp_extract($"txt", "\r\nHost: (\\S+)\r\n", 1).as("host"))
+        val rsp = streams.filter($"src_port" === 80)
+          .select($"dst".as("r_client"), $"dst_port".as("r_client_port"),
+            regexp_extract($"txt", "^HTTP/1\\.1 (\\d+) ", 1)
+              .cast("int").as("status"))
+        req.join(rsp, $"client" === $"r_client" &&
+            $"client_port" === $"r_client_port")
+          .groupBy($"host", $"status")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(httpConvOracle(50))),
 
     // Receive-window health: zero-window events are THE standard TCP
     // stall signal ops teams alert on. Per-flow bounded aggregates over

@@ -532,6 +532,32 @@ if glob.glob(f"{out}/pcap_tcp_handshake_rtt/*.parquet"):
          _read("pcap_subnet_enrich", ["subnet", "n_pkts", "n_src"]),
          sorted((l, n, len(s)) for l, (n, s) in enrich.items()))
 
+if glob.glob(f"{out}/pcap_http_conversations/*.parquet"):
+    import re as _re2
+    dirs = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_httprr.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        sp, dp = struct.unpack_from(">HH", fr, l4)
+        seq = struct.unpack_from(">I", fr, l4 + 4)[0]
+        hdr = ((fr[l4 + 12] >> 4) & 0xF) * 4
+        dirs.setdefault((src, dst, sp, dp), []).append((seq, fr[l4 + hdr:]))
+    reqs, rsps = {}, {}
+    for (src, dst, sp, dp), segs in dirs.items():
+        segs.sort()
+        txt = b"".join(p for _, p in segs).decode("ascii")
+        if dp == 80:
+            reqs[(src, sp)] = _re2.search(r"\r\nHost: (\S+)\r\n", txt).group(1)
+        else:
+            rsps[(dst, dp)] = int(
+                _re2.match(r"HTTP/1\.1 (\d+) ", txt).group(1))
+    conv = {}
+    for key, host in reqs.items():
+        k = (host, rsps[key])
+        conv[k] = conv.get(k, 0) + 1
+    _cmp("pcap_http_conversations(redecode)",
+         _read("pcap_http_conversations", ["host", "status", "n"]),
+         sorted((h, st, c) for (h, st), c in conv.items()))
+
 if glob.glob(f"{out}/pcap_tcp_zero_window/*.parquet"):
     wflows = {}
     for ts, us, fr in _frames("/tmp/graft_synth_tcpwindow.pcap"):
