@@ -23,10 +23,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   // aggregation, iteration, ranking, sampling, windows — one from each
-  // determinism-sensitive family
+  // determinism-sensitive family; the two reassembly queries pin that
+  // the collect_list → array_sort fold is order-insensitive to how
+  // segments land across partitions
   private val names = Seq("q01_pricing_summary", "pipeline_pagerank",
     "sim_kmeans_cluster", "dedup_minhash_lsh", "pipeline_token_budget",
-    "q39_exact_median", "pipeline_shard_shuffle")
+    "q39_exact_median", "pipeline_shard_shuffle",
+    "pcap_tcp_reassembly", "pcap_http_conversations")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
