@@ -110,8 +110,14 @@ object TlsParse {
       if (b.length < 9 || (b(0) & 0xFF) != 0x16 || b(1) != 3) return null
       val end = 5 + u16(b, 3)
       if (b.length < end) return null
-      // handshake header: type 1 (ClientHello) + 24-bit length
+      // handshake header: type 1 (ClientHello) + 24-bit length. The
+      // handshake body must fill the record exactly — a shorter body
+      // (e.g. coalesced handshake messages in one record) would otherwise
+      // leak the NEXT message's bytes into the extension walk and yield a
+      // wrong version/fingerprint instead of the documented NULL
       if ((b(5) & 0xFF) != 0x01) return null
+      val hsLen = ((b(6) & 0xFF) << 16) | ((b(7) & 0xFF) << 8) | (b(8) & 0xFF)
+      if (9 + hsLen != end) return null
       var p = 9
       if (p + 35 > end) return null
       val legacy = u16(b, p)
@@ -138,7 +144,12 @@ object TlsParse {
       var v13 = false
       val extTypes = scala.collection.mutable.ArrayBuffer[Int]()
       if (p + 2 <= end) {
-        val extEnd = math.min(end, p + 2 + u16(b, p))
+        // the declared extensions block must agree with the record end —
+        // clamping a lying length would silently parse a truncated
+        // extension list, weakening the "NULL for anything not
+        // well-formed" contract the fingerprint depends on
+        val extEnd = p + 2 + u16(b, p)
+        if (extEnd != end) return null
         p += 2
         while (p + 4 <= extEnd) {
           val extType = u16(b, p)

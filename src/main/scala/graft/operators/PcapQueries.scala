@@ -527,21 +527,25 @@ object PcapQueries {
     Q("pcap_tcp_handshake_rtt",
       (s, d) => {
         import s.implicits._
-        val isSyn = $"tcp_flags" === "SYN"
+        // flag-MEMBERSHIP matching (graft.pcap.TcpFlag), not exact string
+        // equality — ECN handshakes render as "SYN|ECE|CWR"/"SYN|ACK|ECE"
+        val isSyn = graft.pcap.TcpFlag.synNoAck($"tcp_flags")
+        val isSynAck = graft.pcap.TcpFlag.synAck($"tcp_flags")
         s.read.format("pcap").load(handshakeSynthPath)
-          .filter($"tcp_flags".isin("SYN", "SYN|ACK"))
+          .filter(graft.pcap.TcpFlag.hasSyn($"tcp_flags"))
           .select(
             when(isSyn, $"src").otherwise($"dst").as("client"),
             when(isSyn, $"dst").otherwise($"src").as("server"),
             when(isSyn, $"src_port").otherwise($"dst_port").as("client_port"),
             when(isSyn, $"dst_port").otherwise($"src_port").as("server_port"),
-            $"tcp_flags", $"tcp_seq", $"tcp_ack", $"ts_micro")
+            isSyn.as("is_syn"), isSynAck.as("is_synack"),
+            $"tcp_seq", $"tcp_ack", $"ts_micro")
           .groupBy($"client", $"server", $"client_port", $"server_port")
           .agg(
-            min(when($"tcp_flags" === "SYN", $"ts_micro")).as("t_syn"),
-            min(when($"tcp_flags" === "SYN|ACK", $"ts_micro")).as("t_synack"),
-            max(when($"tcp_flags" === "SYN", $"tcp_seq")).as("syn_seq"),
-            max(when($"tcp_flags" === "SYN|ACK", $"tcp_ack")).as("synack_ack"))
+            min(when($"is_syn", $"ts_micro")).as("t_syn"),
+            min(when($"is_synack", $"ts_micro")).as("t_synack"),
+            max(when($"is_syn", $"tcp_seq")).as("syn_seq"),
+            max(when($"is_synack", $"tcp_ack")).as("synack_ack"))
           .filter($"t_syn".isNotNull && $"t_synack".isNotNull &&
             $"synack_ack" === $"syn_seq" + 1)
           .select($"client", $"server", $"client_port",
@@ -556,20 +560,23 @@ object PcapQueries {
     Q("pcap_syn_no_synack",
       (s, d) => {
         import s.implicits._
-        val isSyn = $"tcp_flags" === "SYN"
+        // same flag-membership matching as the RTT query (ECN-safe)
+        val isSyn = graft.pcap.TcpFlag.synNoAck($"tcp_flags")
+        val isSynAck = graft.pcap.TcpFlag.synAck($"tcp_flags")
         s.read.format("pcap").load(handshakeSynthPath)
-          .filter($"tcp_flags".isin("SYN", "SYN|ACK"))
+          .filter(graft.pcap.TcpFlag.hasSyn($"tcp_flags"))
           .select(
             when(isSyn, $"src").otherwise($"dst").as("client"),
             when(isSyn, $"dst").otherwise($"src").as("server"),
             when(isSyn, $"src_port").otherwise($"dst_port").as("client_port"),
             when(isSyn, $"dst_port").otherwise($"src_port").as("server_port"),
-            $"tcp_flags", $"tcp_seq", $"tcp_ack")
+            isSyn.as("is_syn"), isSynAck.as("is_synack"),
+            $"tcp_seq", $"tcp_ack")
           .groupBy($"client", $"server", $"client_port", $"server_port")
           .agg(
-            sum(when($"tcp_flags" === "SYN", 1L)).as("n_syn_flow"),
-            max(when($"tcp_flags" === "SYN", $"tcp_seq")).as("syn_seq"),
-            max(when($"tcp_flags" === "SYN|ACK", $"tcp_ack")).as("synack_ack"))
+            sum(when($"is_syn", 1L)).as("n_syn_flow"),
+            max(when($"is_syn", $"tcp_seq")).as("syn_seq"),
+            max(when($"is_synack", $"tcp_ack")).as("synack_ack"))
           .filter($"n_syn_flow" > 0 &&
             ($"synack_ack".isNull || $"synack_ack" =!= $"syn_seq" + 1))
           .groupBy($"client")
@@ -608,7 +615,9 @@ object PcapQueries {
       (s, d) => {
         import s.implicits._
         s.read.format("pcap").load(tlsSynthPath)
-          .filter($"dst_port" === 443 && $"tcp_flags" === "PSH|ACK")
+          .filter($"dst_port" === 443 &&
+            graft.pcap.TcpFlag.hasPsh($"tcp_flags") &&
+            graft.pcap.TcpFlag.hasAck($"tcp_flags"))
           .select($"src".as("client"),
             graft.functions.TlsClientHelloExpr
               .tls_client_hello($"payload").as("ch"))
@@ -651,7 +660,9 @@ object PcapQueries {
       (s, d) => {
         import s.implicits._
         s.read.format("pcap").load(tlsSynthPath)
-          .filter($"dst_port" === 443 && $"tcp_flags" === "PSH|ACK")
+          .filter($"dst_port" === 443 &&
+            graft.pcap.TcpFlag.hasPsh($"tcp_flags") &&
+            graft.pcap.TcpFlag.hasAck($"tcp_flags"))
           .select(graft.functions.TlsClientHelloExpr
             .tls_client_hello($"payload").as("ch"))
           .select($"ch.fp".as("fp"), $"ch.sni".as("sni"))
@@ -668,7 +679,7 @@ object PcapQueries {
       (s, d) => {
         import s.implicits._
         s.read.format("pcap").load(handshakeSynthPath)
-          .filter($"tcp_flags" === "SYN")
+          .filter(graft.pcap.TcpFlag.synNoAck($"tcp_flags"))
           .groupBy(window($"time", "10 seconds"), $"src")
           .agg(countDistinct($"dst_port").as("n_ports"))
           .filter($"n_ports" >= 3)

@@ -122,11 +122,12 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
           b.src = Some(ipv4String(data, ip + 12))
           b.dst = Some(ipv4String(data, ip + 16))
         }
-        if (pid == 6 || pid == 17) {
-          val ihl = (data(ip) & 0xF) * 4
-          decodeL4(b, data, ip, ihl, end, v6 = false)
-        } else if (pid == 1) {
-          decodeIcmp(b, data, ip + (data(ip) & 0xF) * 4, end)
+        // IHL < 5 is invalid (header shorter than its fixed part) — an
+        // unguarded offset would read L4 fields from inside the IP header
+        val ihl = (data(ip) & 0xF) * 4
+        if (ihl >= 20) {
+          if (pid == 6 || pid == 17) decodeL4(b, data, ip, ihl, end, v6 = false)
+          else if (pid == 1) decodeIcmp(b, data, ip + ihl, end)
         }
       case 6 if ip + 40 <= end =>
         b.ttl = Boxes.int(data(ip + 7) & 0xFF)
@@ -210,10 +211,14 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
           ((data(l4 + 8) & 0xFFL) << 24) | ((data(l4 + 9) & 0xFFL) << 16) |
           ((data(l4 + 10) & 0xFFL) << 8) | (data(l4 + 11) & 0xFFL))
         // flags byte (13) sits one past the data-offset byte the guard
-        // above covers; the NS bit is bit 0 of byte 12
-        if (l4 + 14 <= end)
-          b.tcpFlags = TcpFlagNames.some(
-            (data(l4 + 13) & 0xFF) | ((data(l4 + 12) & 0x1) << 8))
+        // above covers; the NS bit is bit 0 of byte 12. All-zero flags
+        // are invalid-in-practice — leave the column NULL rather than
+        // emitting the schema's only empty-string mnemonic
+        if (l4 + 14 <= end) {
+          val flagBits =
+            (data(l4 + 13) & 0xFF) | ((data(l4 + 12) & 0x1) << 8)
+          if (flagBits != 0) b.tcpFlags = TcpFlagNames.some(flagBits)
+        }
         if (l4 + 16 <= end)
           b.tcpWindow = Boxes.int(beU16(data, l4 + 14))
         ((data(l4 + 12) >> 4) & 0xF) * 4

@@ -21,7 +21,9 @@ object PcapPacketFilter {
   private val columns = Set("src_port", "dst_port", "protocol",
     "ether_type", "ts", "src", "dst", "tcp_flags",
     "dns_qname", "dns_rcode", "dns_qr")
-  private val stringColumns = Set("dns_qname", "dns_rcode")
+  // tcp_flags is here for the TcpFlag membership predicates
+  // (contains("SYN") etc.) — the SYN-scan/handshake queries' row-skip
+  private val stringColumns = Set("dns_qname", "dns_rcode", "tcp_flags")
 
   def supported(f: Filter): Boolean = f match {
     case EqualTo(c, _) => columns(c)

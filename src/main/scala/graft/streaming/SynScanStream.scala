@@ -29,7 +29,9 @@ object SynScanStream {
   def scanAlerts(packets: DataFrame, watermark: String = "30 seconds",
       window: String = "10 seconds", minPorts: Int = 3): DataFrame =
     packets
-      .filter(col("tcp_flags") === "SYN")
+      // flag-membership match (graft.pcap.TcpFlag): an ECN SYN renders
+      // as "SYN|ECE|CWR" and exact equality would miss the scan entirely
+      .filter(graft.pcap.TcpFlag.synNoAck(col("tcp_flags")))
       .select(col("time"), col("src"), col("dst_port"))
       .withWatermark("time", watermark)
       // exact distinct under bounded state; the dedup key includes the

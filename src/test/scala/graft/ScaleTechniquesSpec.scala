@@ -218,6 +218,20 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(pushed == unpushed && pushed.size == 85) // 50 clients + 35 scans
   }
 
+  test("TcpFlag membership predicates catch ECN-negotiating handshakes") {
+    import spark.implicits._
+    // real stacks negotiate ECN: SYN renders "SYN|ECE|CWR", SYN|ACK
+    // renders "SYN|ACK|ECE" — exact-equality matching misses both
+    val df = Seq("SYN", "SYN|ECE|CWR", "SYN|ACK", "SYN|ACK|ECE",
+      "PSH|ACK", "ACK", "FIN|ACK", "RST", "SYN|NS").toDF("tcp_flags")
+    val syns = df.filter(graft.pcap.TcpFlag.synNoAck($"tcp_flags"))
+      .as[String].collect().toSet
+    assert(syns == Set("SYN", "SYN|ECE|CWR", "SYN|NS"))
+    val synAcks = df.filter(graft.pcap.TcpFlag.synAck($"tcp_flags"))
+      .as[String].collect().toSet
+    assert(synAcks == Set("SYN|ACK", "SYN|ACK|ECE"))
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     import spark.implicits._
     // one hot key (0) carrying ~90% of the left side; wide payload so the

@@ -149,9 +149,44 @@ class TcpFlagsTlsSpec extends AnyFunSuite {
   }
 
   test("tcp_flags equality is a pushable row-skip predicate") {
-    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.sources.{EqualTo, StringContains}
     assert(graft.sources.pcap.PcapPacketFilter.supported(
       EqualTo("tcp_flags", "SYN")))
+    // the TcpFlag membership predicates compile to contains() — they
+    // must stay pushable or the ECN-safe queries lose the row-skip
+    assert(graft.sources.pcap.PcapPacketFilter.supported(
+      StringContains("tcp_flags", "SYN")))
+  }
+
+  test("all-zero flags byte leaves tcp_flags unset (no empty-string mnemonic)") {
+    val r = decodeOne(PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      srcPort = 1, dstPort = 2, ttl = 64, payload = Array.emptyByteArray,
+      flags = 0))
+    assert(r.tcpFlags.isEmpty)
+    assert(r.srcPort.contains(1))      // the rest of L4 still decodes
+  }
+
+  test("IHL < 5 is rejected before L4/ICMP decode") {
+    // patch the version/IHL byte from 0x45 to 0x44: the claimed header
+    // is shorter than the fixed IPv4 header, so the L4 offset would
+    // land inside the IP header itself
+    val tcp = PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      srcPort = 1, dstPort = 2, ttl = 64, payload = Array.emptyByteArray,
+      flags = 0x02)
+    tcp(14) = 0x44
+    val r = decodeOne(tcp)
+    assert(r.protocol.contains("TCP")) // L3 fields still decode
+    assert(r.srcPort.isEmpty && r.tcpFlags.isEmpty && r.tcpSeq.isEmpty)
+
+    val icmp = PcapSynth.ipv4IcmpFrame(
+      src = Array[Byte](10, 0, 0, 1), dst = Array[Byte](10, 0, 0, 2),
+      ttl = 64, icmpType = 8, code = 0)
+    icmp(14) = 0x44
+    val ri = decodeOne(icmp)
+    assert(ri.protocol.contains("ICMP"))
+    assert(ri.icmpType.isEmpty && ri.icmpCode.isEmpty)
   }
 
   // ----- TLS ClientHello parser ------------------------------------------
@@ -221,6 +256,37 @@ class TcpFlagsTlsSpec extends AnyFunSuite {
       chunks.foreach(c => assert(TlsParse.parse(c) == null, s"flow $f"))
       assert(TlsParse.parse(chunks.reduce(_ ++ _)) != null, s"flow $f")
     }
+  }
+
+  test("coalesced handshake messages (hsLen < record) return null") {
+    // grow the declared record length so the ClientHello no longer fills
+    // it — as if a second handshake message were coalesced behind it.
+    // Parsing must NOT run past the handshake body into the extra bytes
+    val hello = PcapSynth.tlsClientHello(5)
+    val extra = Array[Byte](0x0E, 0, 0, 0) // a 0-length ServerHelloDone
+    val recLen = hello.length - 5 + extra.length
+    val coalesced = hello ++ extra
+    coalesced(3) = ((recLen >> 8) & 0xFF).toByte
+    coalesced(4) = (recLen & 0xFF).toByte
+    assert(TlsParse.parse(coalesced) == null)
+    // sanity: the untampered hello still parses
+    assert(TlsParse.parse(hello) != null)
+  }
+
+  test("extensions length disagreeing with the record is rejected, not clamped") {
+    val f = 5
+    val hello = PcapSynth.tlsClientHello(f)
+    // extensions-length field position, from the generator's layout:
+    // record(5) + hs(4) + version(2) + random(32) + sid(1) + cs_len(2) +
+    // ciphers + comp(2)
+    val extLenPos = 9 + 2 + 32 + 1 + 2 + (8 + f % 5) * 2 + 2
+    val declared = ((hello(extLenPos) & 0xFF) << 8) | (hello(extLenPos + 1) & 0xFF)
+    // under-declare by one extension header: a clamping parser would
+    // silently parse a truncated extension list → wrong fingerprint
+    val lying = declared - 4
+    hello(extLenPos) = ((lying >> 8) & 0xFF).toByte
+    hello(extLenPos + 1) = (lying & 0xFF).toByte
+    assert(TlsParse.parse(hello) == null)
   }
 
   test("non-ClientHello records are rejected") {
