@@ -221,14 +221,21 @@ object PcapQueries {
         FROM (VALUES $rows) AS v(client, sni, version, cipher_count, alpn)"""
   }
 
-  /** Seq-ordered stream reassembly fold, shared by the three
-    * reassembly queries: sort the collected (tcp_seq, pkt_idx, payload)
-    * segments, concatenate, and keep only the FIRST capture copy of a
-    * retransmitted sequence number (the sort puts the earliest pkt_idx
-    * first; a later duplicate of the same tcp_seq is skipped by the
-    * accumulator). Overlapping PARTIAL retransmits (same data under a
-    * shifted seq) remain out of scope — a full TCP stream follower is a
-    * stateful-streaming problem, not an aggregate. */
+  /** Seq-ordered stream reassembly as a pure SQL fold: sort the
+    * collected (tcp_seq, pkt_idx, payload) segments, concatenate, and
+    * keep only the FIRST capture copy of a retransmitted sequence number
+    * (the sort puts the earliest pkt_idx first; a later duplicate of the
+    * same tcp_seq is skipped by the accumulator). Overlapping PARTIAL
+    * retransmits (same data under a shifted seq) remain out of scope — a
+    * full TCP stream follower is a stateful-streaming problem, not an
+    * aggregate.
+    *
+    * NO LONGER shipped by the queries: this fold buffers each flow's
+    * whole segment list + stream, so an elephant flow OOMs its task. The
+    * production path is [[graft.functions.ReassembleAgg]] (bounded
+    * per-flow state, `truncated` flag); this expression stays as the
+    * independently-written reference twin ReassemblyCapSpec checks the
+    * aggregator against byte-for-byte on un-truncated flows. */
   private[graft] val reassembleExpr: String =
     "aggregate(array_sort(collect_list(struct(tcp_seq, pkt_idx, payload))), " +
       "named_struct('s', X'', 'last', CAST(-1 AS BIGINT)), " +
@@ -354,10 +361,12 @@ object PcapQueries {
     // in-capture segments only; an exact retransmit (duplicate tcp_seq)
     // keeps the first capture copy (PcapTcpReassemblySpec proves it);
     // overlapping partial retransmits out of scope. Scale shape: ONE shuffle
-    // on the flow key; per-flow state is the segment list (bounded by
-    // flow size, the same unit any reassembly must hold); array_sort +
-    // fold run per flow with no further exchange. The ordering is
-    // seq-based, so out-of-order captures reassemble identically
+    // on the flow key; per-flow state is BOUNDED by construction — the
+    // graft.functions.ReassembleAgg typed aggregator caps each flow at
+    // maxStreamBytes of seq-ordered prefix (compacting map-side partials
+    // too), so an elephant flow truncates with `truncated=true` instead
+    // of OOMing the task (ReassemblyCapSpec). The ordering is seq-based,
+    // so out-of-order captures reassemble identically
     // (PcapTcpReassemblySpec shuffles a capture to prove it).
     Q("pcap_tcp_reassembly",
       (s, d) => {
@@ -368,12 +377,13 @@ object PcapQueries {
             $"pkt_idx", $"payload")
           .groupBy($"src", $"dst", $"src_port", $"dst_port")
           .agg(count(lit(1)).as("n_seg"),
-            expr(reassembleExpr).as("stream"))
+            graft.functions.Reassemble.stream().as("r"))
           .select($"src", $"dst", $"src_port", $"dst_port", $"n_seg",
-            length($"stream").as("stream_len"),
-            md5($"stream").as("stream_md5"))
+            length($"r.stream").as("stream_len"),
+            md5($"r.stream").as("stream_md5"),
+            $"r.truncated".as("truncated"))
       },
-      Some("""SELECT CAST(v.src AS VARCHAR) AS src, CAST(v.dst AS VARCHAR) AS dst, CAST(v.src_port AS INT) AS src_port, CAST(v.dst_port AS INT) AS dst_port, CAST(v.n_seg AS BIGINT) AS n_seg, CAST(v.stream_len AS INT) AS stream_len, CAST(v.stream_md5 AS VARCHAR) AS stream_md5
+      Some("""SELECT CAST(v.src AS VARCHAR) AS src, CAST(v.dst AS VARCHAR) AS dst, CAST(v.src_port AS INT) AS src_port, CAST(v.dst_port AS INT) AS dst_port, CAST(v.n_seg AS BIGINT) AS n_seg, CAST(v.stream_len AS INT) AS stream_len, CAST(v.stream_md5 AS VARCHAR) AS stream_md5, CAST(FALSE AS BOOLEAN) AS truncated
         FROM (VALUES ('10.1.0.0', '10.2.0.1', 30000, 80, 2, 46, '9e06a4d9e977ca08d9db4a6403630e73'),
         ('10.1.0.1', '10.2.0.1', 30001, 80, 3, 47, '85f3ac9c915e1aa245071334b51be58c'),
         ('10.1.0.10', '10.2.0.1', 30010, 80, 4, 57, '1dee965175a6fb84012d5a8736f77c4b'),
@@ -449,8 +459,8 @@ object PcapQueries {
         s.read.format("pcap").load(httpSynthPath)
           .filter($"protocol" === "TCP")
           .groupBy($"src", $"dst", $"src_port", $"dst_port")
-          .agg(expr(reassembleExpr).as("stream"))
-          .select($"stream".cast("string").as("txt"))
+          .agg(graft.functions.Reassemble.stream().as("r"))
+          .select($"r.stream".cast("string").as("txt"))
           .select(
             regexp_extract($"txt", "^(\\w+) ", 1).as("method"),
             regexp_extract($"txt", "^\\w+ (\\S+) HTTP/1\\.1", 1).as("path"),
@@ -639,10 +649,10 @@ object PcapQueries {
         s.read.format("pcap").load(tlsSegSynthPath)
           .filter($"protocol" === "TCP")
           .groupBy($"src", $"dst", $"src_port", $"dst_port")
-          .agg(expr(reassembleExpr).as("stream"))
+          .agg(graft.functions.Reassemble.stream().as("r"))
           .select($"src".as("client"),
             graft.functions.TlsClientHelloExpr
-              .tls_client_hello($"stream").as("ch"))
+              .tls_client_hello($"r.stream").as("ch"))
           .select($"client", $"ch.sni".as("sni"),
             $"ch.version".as("version"),
             $"ch.cipher_count".as("cipher_count"),
@@ -741,9 +751,9 @@ object PcapQueries {
         val streams = s.read.format("pcap").load(httpRrSynthPath)
           .filter($"protocol" === "TCP")
           .groupBy($"src", $"dst", $"src_port", $"dst_port")
-          .agg(expr(reassembleExpr).as("stream"))
+          .agg(graft.functions.Reassemble.stream().as("r"))
           .select($"src", $"dst", $"src_port", $"dst_port",
-            $"stream".cast("string").as("txt"))
+            $"r.stream".cast("string").as("txt"))
         val req = streams.filter($"dst_port" === 80)
           .select($"src".as("client"), $"src_port".as("client_port"),
             regexp_extract($"txt", "\r\nHost: (\\S+)\r\n", 1).as("host"))

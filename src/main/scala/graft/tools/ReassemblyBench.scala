@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Throughput of the seq-ordered stream-reassembly shape at volume:
   * 200k interleaved TCP flows (~1M segments) across 16 capture files,
-  * reassembled by the same fold the pcap_tcp_reassembly query uses
-  * (collect_list → array_sort → first-copy-wins concat). Reports
-  * flows/s and MB/s over the decoded segment bytes — the number that
-  * says whether the ONE-shuffle reassembly shape holds up when the
-  * per-flow state is real. */
+  * reassembled by the same bounded aggregator the pcap_tcp_reassembly
+  * query uses (graft.functions.ReassembleAgg: sort + first-copy-wins
+  * concat, capped per flow). Reports flows/s and MB/s over the decoded
+  * segment bytes — the number that says whether the ONE-shuffle
+  * reassembly shape holds up when the per-flow state is real. */
 object ReassemblyBench {
   def main(args: Array[String]): Unit = {
     val nFlows = args.headOption.map(_.toInt).getOrElse(200000)
@@ -46,10 +46,10 @@ object ReassemblyBench {
         .load(dir.toString)
         .filter($"protocol" === "TCP")
         .groupBy($"src", $"dst", $"src_port", $"dst_port")
-        // the exact fold the pcap_tcp_reassembly query ships — shared so
-        // this bench can never drift from what production runs
-        .agg(expr(graft.operators.PcapQueries.reassembleExpr).as("stream"))
-        .agg(count(lit(1)), sum(length($"stream")))
+        // the exact aggregator the pcap_tcp_reassembly query ships —
+        // shared so this bench can never drift from what production runs
+        .agg(graft.functions.Reassemble.stream().as("r"))
+        .agg(count(lit(1)), sum(length($"r.stream")))
       val r = df.head()
       (r.getLong(0), r.getLong(1))
     }

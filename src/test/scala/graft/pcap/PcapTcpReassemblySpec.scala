@@ -16,12 +16,12 @@ class PcapTcpReassemblySpec extends AnyFunSuite {
   private def reassemble(path: String) = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // the production fold itself, not a copy — drift-proof
+    // the production aggregator itself, not a copy — drift-proof
     spark.read.format("pcap").load(path)
       .filter($"protocol" === "TCP")
       .groupBy($"src", $"src_port")
-      .agg(expr(graft.operators.PcapQueries.reassembleExpr).as("stream"))
-      .select($"src", $"src_port", md5($"stream").as("h"))
+      .agg(graft.functions.Reassemble.stream().as("r"))
+      .select($"src", $"src_port", md5($"r.stream").as("h"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2))
       .toMap
   }
