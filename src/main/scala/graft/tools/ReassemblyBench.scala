@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
 object ReassemblyBench {
   def main(args: Array[String]): Unit = {
     val nFlows = args.headOption.map(_.toInt).getOrElse(200000)
+    // "skew" mode adds ONE elephant flow (20k segments x 1 kB = 20 MB
+    // raw, ~1000x the median flow's bytes) — the adversarial shape the
+    // bounded aggregator exists for. Its capped buffer (8 MB default)
+    // keeps the hot task's state flat; the printed time characterizes
+    // the residual single-key straggler.
+    val skew = args.contains("skew")
     val nFiles = 16
-    val dir = java.nio.file.Paths.get(s"/tmp/graft_reasm_$nFlows")
+    val dir = java.nio.file.Paths.get(
+      s"/tmp/graft_reasm_$nFlows${if (skew) "_skew" else ""}")
     if (!java.nio.file.Files.isDirectory(dir)) {
       java.nio.file.Files.createDirectories(dir)
       val per = nFlows / nFiles
@@ -29,8 +36,20 @@ object ReassemblyBench {
             f2(27) = (k + 1).toByte // second byte of 10.x src address
             (ts, us, f2)
         }
+        // elephant segments interleave across ALL files so every input
+        // partition contributes compacted partials for the hot key
+        val elephant = if (!skew) Seq.empty else
+          (0 until 20000 / nFiles).map { j =>
+            val i = k + j * nFiles
+            val payload = Array.tabulate[Byte](1000)(b => ((i + b) % 251).toByte)
+            (2000L + i, i.toLong, graft.pcap.PcapSynth.ipv4TcpFrame(
+              src = Array[Byte](10, 99, 0, 1), dst = Array[Byte](10, 98, 0, 1),
+              srcPort = 55555, dstPort = 80, ttl = 64, payload = payload,
+              seq = 1000L + i.toLong * 1000, flags = 0x18))
+          }
         graft.pcap.PcapSynth.writeAtomic(
-          dir.resolve(f"part$k%02d.pcap"), graft.pcap.PcapSynth.file(segs))
+          dir.resolve(f"part$k%02d.pcap"),
+          graft.pcap.PcapSynth.file(segs ++ elephant))
       }
     }
     val totalMb = (0 until nFiles).map(i => java.nio.file.Files.size(
