@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   * header fields, 4-byte row padding, bottom-up BGR), PCM-16 WAV audio
   * ([[Multimodal.WavCodec]] — RIFF chunk walk, little-endian int16),
   * and uncompressed AVI video ([[Multimodal.AviCodec]] — RIFF chunk
-  * tree, avih header, 00db DIB frames) — driven by mm_decode_bmp /
-  * mm_resize_bmp / mm_decode_any / mm_decode_wav / mm_video_frames_avi
-  * over byte-synthesized fixtures with formula-derived oracles. The
-  * remaining `FakeMediaCodec` ops (mm_feature_extract etc.) demonstrate
-  * the generic any-format plumbing contract — schema, per-partition
-  * batching, no shuffle, binary in / features out — behind a
-  * clearly-marked deterministic stand-in.
+  * tree, avih header, 00db DIB frames). EVERY mm op runs on them: the
+  * [[mediaTable]] binary column carries genuine BMP/WAV/AVI files, the
+  * generic ops (mm_media_stats / mm_feature_extract / mm_frame_sample /
+  * mm_resize) sniff the container from magic bytes and decode with the
+  * byte-only parsers, and the per-format ops (mm_decode_bmp /
+  * mm_resize_bmp / mm_decode_any / mm_decode_wav / mm_video_frames_avi)
+  * exercise each parser in depth. Oracles re-derive expected stats from
+  * the synthesis FORMULAS, never the bytes, so any header-offset /
+  * stride / endianness parse bug mismatches.
   *
   * Scale notes: media blobs never shuffle; every stage below is a narrow
   * map over the scan, so 100 TB of media partitions by input file and
@@ -30,20 +32,81 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   /** Deterministic synthetic media corpus derived from `documents`: the
-    * text bytes stand in for an encoded image/audio blob. kind cycles
-    * image/audio/video; metadata is a pure function of doc_id. */
+    * binary column carries a GENUINE encoded file per row — a 24-bit BMP
+    * (doc_id % 3 == 0), a PCM-16 WAV (== 1), or an uncompressed AVI
+    * (== 2), all synthesized byte-by-byte by the codecs below with
+    * content that is a pure function of doc_id (the PcapSynth pattern).
+    * The meta struct carries the same values the file headers declare,
+    * from the synthesis formulas. Blob synthesis is a narrow map over
+    * the documents scan — no shuffle, media bytes never leave the
+    * partition. */
   def mediaTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(
-      $"doc_id".as("media_id"),
-      element_at(typedLit(Seq("image", "audio", "video")),
-        ($"doc_id" % 3 + 1).cast("int")).as("kind"),
-      $"text".cast("binary").as("content"),
-      struct(
-        ($"doc_id" % 640 + 16).cast("int").as("width"),
-        ($"doc_id" % 480 + 16).cast("int").as("height"),
-        lit(16000).as("sample_rate"),
-        ($"doc_id" % 24 + 1).cast("int").as("n_frames")).as("meta"))
+    Tables.documents(s, d).select($"doc_id").as[Long].mapPartitions { it =>
+      it.map { id =>
+        (id % 3) match {
+          case 0 =>
+            val (w, h) = BmpCodec.dims(id)
+            (id, "image", BmpCodec.encode(id),
+              Some(w), Some(h), None: Option[Int], None: Option[Int])
+          case 1 =>
+            (id, "audio", WavCodec.encode(id),
+              None: Option[Int], None: Option[Int],
+              Some(WavCodec.rate(id)), None: Option[Int])
+          case _ =>
+            val (w, h) = BmpCodec.dims(id)
+            (id, "video", AviCodec.encode(id),
+              Some(w), Some(h), None: Option[Int],
+              Some(AviCodec.nFrames(id)))
+        }
+      }
+    }.toDF("media_id", "kind", "content", "width", "height",
+        "sample_rate", "n_frames")
+      .select($"media_id", $"kind", $"content",
+        struct($"width", $"height", $"sample_rate", $"n_frames").as("meta"))
+  }
+
+  /** Container sniffing + decode for the generic ops: dispatch on magic
+    * bytes (never the kind/meta columns — those are untrusted metadata)
+    * and return modality-normalized features. */
+  private[operators] def sniffDecode(bytes: Array[Byte])
+      : (String, Long, Long) = {
+    def riffTag: String =
+      new String(bytes, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val img = BmpCodec.decode(bytes)
+      ("bmp", img.w.toLong * img.h, weightedPxSum(img))
+    } else if (bytes.length >= 12 && riffTag == "WAVE") {
+      val a = WavCodec.decode(bytes)
+      var sumAbs = 0L
+      var i = 0
+      while (i < a.samples.length) {
+        sumAbs += math.abs(a.samples(i).toInt); i += 1
+      }
+      ("wav", a.samples.length.toLong, sumAbs)
+    } else {
+      val v = AviCodec.decode(bytes)
+      var acc = 0L
+      v.frames.foreach(acc += weightedPxSum(_))
+      ("avi", v.frames.length.toLong * v.w * v.h, acc)
+    }
+  }
+
+  /** The battery's canonical integer-exact image feature: sum over
+    * pixels of r + 2g + 3b (channel-order sensitive, so a BGR/RGB swap
+    * mismatches the oracle). */
+  private[operators] def weightedPxSum(img: BmpCodec.Image): Long = {
+    var acc = 0L
+    var y = 0
+    while (y < img.h) {
+      var x = 0
+      while (x < img.w) {
+        acc += img.r(x, y) + 2L * img.g(x, y) + 3L * img.b(x, y)
+        x += 1
+      }
+      y += 1
+    }
+    acc
   }
 
   /** REAL image codec for the uncompressed-BMP ops below (mm_decode_bmp,
@@ -448,51 +511,70 @@ object Multimodal {
     }
   }
 
-  /** STUB codec: deterministic "features" from the blob bytes. A real
-    * deployment swaps this one function for an actual decoder; the Spark
-    * plumbing around it is unchanged. */
-  object FakeMediaCodec extends Serializable {
-    final case class Features(
-        mediaId: Long, kind: String, nBytes: Int,
-        brightness: Double, checksum: Long)
-
-    def decode(mediaId: Long, kind: String, content: Array[Byte]): Features = {
-      var sum = 0L
-      var ck = 0L
-      var i = 0
-      while (i < content.length) {
-        sum += content(i) & 0xFF
-        ck = (ck * 131 + (content(i) & 0xFF)) % 1000000007L
-        i += 1
-      }
-      Features(mediaId, kind, content.length,
-        if (content.length == 0) 0.0 else sum.toDouble / content.length, ck)
-    }
-  }
-
   val defs: Seq[Q] = Seq(
 
-    // ----- binary-column stats (oracle-checked: synthesis is SQL-equal) --
+    // ----- per-kind stats from DECODED headers ---------------------------
+    // Not the meta column: each blob's container is sniffed from magic
+    // bytes and its dims/frame count read back out of the file itself by
+    // the byte-only parsers. The oracle re-derives sizes and headers
+    // from the synthesis formulas (BMP = 54 + stride*h; WAV = 44 + 2n;
+    // AVI = 100 + nf*(8 + stride*h)), so a header-parse bug mismatches.
     Q("mm_media_stats",
       (s, d) => {
         import s.implicits._
         mediaTable(s, d)
+          .select($"media_id", $"kind", $"content")
+          .as[(Long, String, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (_, kind, bytes) =>
+              val (container, _, _) = sniffDecode(bytes)
+              val (width, frames) = container match {
+                case "bmp" =>
+                  (Some(BmpCodec.decode(bytes).w), None: Option[Int])
+                case "avi" =>
+                  val v = AviCodec.decode(bytes)
+                  (Some(v.w), Some(v.frames.length))
+                case _ => (None: Option[Int], None: Option[Int])
+              }
+              (kind, bytes.length, width, frames)
+            }
+          }.toDF("kind", "n_bytes", "width", "frames")
           .groupBy($"kind")
           .agg(
             count(lit(1)).as("n"),
-            sum(length($"content").cast("long")).as("total_bytes"),
-            max($"meta.width").as("max_width"),
-            min($"meta.n_frames").as("min_frames"))
+            sum($"n_bytes".cast("long")).as("total_bytes"),
+            max($"width").as("max_width"),
+            min($"frames").as("min_frames"))
       },
-      Some("""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-          ELSE 'video' END AS kind,
-        COUNT(*) AS n,
-        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-        CAST(MAX(doc_id % 640 + 16) AS INT) AS max_width,
-        CAST(MIN(doc_id % 24 + 1) AS INT) AS min_frames
-        FROM documents GROUP BY 1""")),
+      Some("""WITH m AS (
+          SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+            CAST(16 + doc_id % 13 AS INT) AS w,
+            CAST(12 + doc_id % 7 AS INT) AS h,
+            ((16 + doc_id % 13) * 3 + 3) // 4 * 4 AS stride,
+            CAST(3 + doc_id % 4 AS INT) AS nf,
+            CAST(200 + doc_id % 57 AS INT) AS ns
+          FROM documents)
+        SELECT kind, COUNT(*) AS n,
+          CAST(SUM(CASE kind WHEN 'image' THEN 54 + stride * h
+            WHEN 'audio' THEN 44 + ns * 2
+            ELSE 100 + nf * (8 + stride * h) END) AS BIGINT) AS total_bytes,
+          CAST(MAX(CASE WHEN kind IN ('image', 'video') THEN w END) AS INT)
+            AS max_width,
+          CAST(MIN(CASE WHEN kind = 'video' THEN nf END) AS INT)
+            AS min_frames
+        FROM m GROUP BY 1""")),
 
-    // ----- typed mapPartitions feature extraction (STUB decode) ----------
+    // ----- typed mapPartitions feature extraction (REAL decode) ----------
+    // The generic any-modality feature stage: sniff the container, run
+    // the matching byte-only decoder, and emit a modality-normalized
+    // integer feature — weighted pixel sum for image/video, absolute
+    // sample sum for audio — plus the decoded unit count (pixels /
+    // samples / frame-pixels). One codec dispatch per row inside
+    // mapPartitions (the batch shape a real decoder needs: init
+    // amortized per partition, blobs never shuffle). The oracle
+    // re-derives every number from the synthesis formulas.
     Q("mm_feature_extract",
       (s, d) => {
         import s.implicits._
@@ -500,109 +582,145 @@ object Multimodal {
           .select($"media_id", $"kind", $"content")
           .as[(Long, String, Array[Byte])]
         media.mapPartitions { it =>
-          // one codec instance per partition — the batch shape a real
-          // decoder needs (model/codec init amortized across the batch)
           it.map { case (id, kind, bytes) =>
-            FakeMediaCodec.decode(id, kind, bytes)
+            val (_, nUnits, feature) = sniffDecode(bytes)
+            (id, kind, bytes.length, nUnits, feature)
           }
-        }.toDF()
-          .select($"mediaId".as("media_id"), $"kind", $"nBytes".as("n_bytes"),
-            // floor-scaled micro-units: one double divide + multiply in
-            // the same op order as the oracle -> bit-identical, and floor
-            // (unlike round) has no cross-engine tie semantics
-            floor($"brightness" * lit(1000000.0)).cast("long")
-              .as("brightness_e6"),
-            $"checksum")
+        }.toDF("media_id", "kind", "n_bytes", "n_units", "feature_sum")
       },
-      // DuckDB re-derives the stub codec byte-for-byte: document text is
-      // ASCII (TESTDATA.md), so ord(char) == byte value; the polynomial
-      // checksum folds left in BIGINT exactly like the Scala loop.
-      Some("""WITH codes AS (
+      Some("""WITH m AS (
           SELECT doc_id,
-            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-              ELSE 'video' END AS kind,
-            octet_length(encode(text)) AS n_bytes,
-            [ord(text[i]) FOR i IN range(1, length(text) + 1)] AS cs
+            CAST(16 + doc_id % 13 AS INT) AS w,
+            CAST(12 + doc_id % 7 AS INT) AS h,
+            ((16 + doc_id % 13) * 3 + 3) // 4 * 4 AS stride,
+            CAST(3 + doc_id % 4 AS INT) AS nf,
+            CAST(200 + doc_id % 57 AS INT) AS ns
           FROM documents)
-        SELECT doc_id AS media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
-          CAST(floor((CAST(list_sum(cs) AS DOUBLE) / n_bytes) * 1000000.0)
-               AS BIGINT) AS brightness_e6,
-          list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
-            (acc, x) -> (acc * 131 + x) % 1000000007) AS checksum
-        FROM codes""")),
+        SELECT doc_id AS media_id, 'image' AS kind,
+          CAST(54 + stride * h AS INT) AS n_bytes,
+          CAST(w * h AS BIGINT) AS n_units,
+          CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256
+             + 2 * ((doc_id + x * 11 + y * 2) % 256)
+             + 3 * ((doc_id * 13 + x * y) % 256)) AS BIGINT) AS feature_sum
+        FROM m,
+          LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys
+        WHERE doc_id % 3 = 0 GROUP BY 1, 2, 3, 4
+        UNION ALL
+        SELECT doc_id AS media_id, 'audio' AS kind,
+          CAST(44 + ns * 2 AS INT) AS n_bytes,
+          CAST(ns AS BIGINT) AS n_units,
+          CAST(list_sum([abs(((doc_id * 31 + i * i * 7) % 65536) - 32768)
+               FOR i IN generate_series(0, ns - 1)]) AS BIGINT) AS feature_sum
+        FROM m WHERE doc_id % 3 = 1
+        UNION ALL
+        SELECT base.doc_id AS media_id, 'video' AS kind,
+          CAST(100 + base.nf * (8 + base.stride * base.h) AS INT) AS n_bytes,
+          CAST(base.nf * base.w * base.h AS BIGINT) AS n_units,
+          CAST(SUM((base.fid * 7 + x * 3 + y * 5) % 256
+             + 2 * ((base.fid + x * 11 + y * 2) % 256)
+             + 3 * ((base.fid * 13 + x * y) % 256)) AS BIGINT) AS feature_sum
+        FROM (SELECT m.*, doc_id + 131 * f AS fid FROM m,
+            LATERAL (SELECT unnest(generate_series(0, m.nf - 1)) AS f) fs
+          WHERE doc_id % 3 = 2) base,
+          LATERAL (SELECT unnest(generate_series(0, base.w - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0, base.h - 1)) AS y) ys
+        GROUP BY 1, 2, 3, 4""")),
 
-    // ----- frame sampling: chunk the blob, keep every 4th frame ----------
+    // ----- frame sampling: decode the AVI, keep every 4th REAL frame -----
+    // The video-pipeline sampling stage: parse the container, unpack the
+    // sampled frames' actual pixels (not byte offsets), and emit a
+    // per-frame feature. The oracle re-derives each sampled frame's
+    // pixel sum from the formula with the id + 131*f frame shift.
     Q("mm_frame_sample",
       (s, d) => {
         import s.implicits._
-        mediaTable(s, d)
+        val vids = mediaTable(s, d)
           .filter($"kind" === "video")
-          .select($"media_id", $"meta.n_frames".as("n_frames"),
-            explode(expr(
-              "filter(sequence(0, meta.n_frames - 1), f -> f % 4 = 0)"))
-              .as("frame_no"),
-            length($"content").as("blob_len"))
-          .select($"media_id", $"frame_no",
-            // STUB frame slice: byte range that a real codec would decode
-            expr("CAST((CAST(frame_no AS BIGINT) * blob_len) div n_frames AS INT)")
-              .as("frame_offset"))
+          .select($"media_id", $"content")
+          .as[(Long, Array[Byte])]
+        vids.mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            val vid = AviCodec.decode(bytes)
+            vid.frames.zipWithIndex.collect {
+              case (img, f) if f % 4 == 0 =>
+                (id, f, img.w, img.h, weightedPxSum(img))
+            }
+          }
+        }.toDF("media_id", "frame_no", "w", "h", "px_sum")
       },
-      Some("""SELECT doc_id AS media_id, CAST(f.frame_no AS INT) AS frame_no,
-        CAST(CAST(f.frame_no AS BIGINT) * LENGTH(text)
-             // (doc_id % 24 + 1) AS INT) AS frame_offset
-        FROM documents,
-          LATERAL (SELECT UNNEST([x FOR x IN
-            generate_series(0, CAST(doc_id % 24 AS INT)) IF x % 4 = 0])
-            AS frame_no) f
-        WHERE doc_id % 3 = 2""")),
+      Some("""SELECT base.doc_id AS media_id, CAST(base.f AS INT) AS frame_no,
+          CAST(16 + base.doc_id % 13 AS INT) AS w,
+          CAST(12 + base.doc_id % 7 AS INT) AS h,
+          CAST(SUM((base.fid * 7 + x * 3 + y * 5) % 256
+             + 2 * ((base.fid + x * 11 + y * 2) % 256)
+             + 3 * ((base.fid * 13 + x * y) % 256)) AS BIGINT) AS px_sum
+        FROM (SELECT doc_id, f, doc_id + 131 * f AS fid FROM documents,
+            LATERAL (SELECT UNNEST([x FOR x IN
+              generate_series(0, CAST(3 + doc_id % 4 AS INT) - 1)
+              IF x % 4 = 0]) AS f) fs
+          WHERE doc_id % 3 = 2) base,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(16 + base.doc_id % 13 AS INT) - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(12 + base.doc_id % 7 AS INT) - 1)) AS y) ys
+        GROUP BY 1, 2, 3, 4""")),
 
-    // ----- resize (STUB nearest-neighbor downsample) ----------------------
-    // The resize stage of an image pipeline: target max-dim 64 with
-    // integer aspect preservation, and a strided byte sample of the blob
-    // standing in for nearest-neighbor resampling (a real codec swaps
-    // into the same mapPartitions seam as mm_feature_extract; the batch
-    // shape, schema, and no-shuffle contract are what's under test).
+    // ----- resize (REAL nearest-neighbor pixel downsample) ---------------
+    // The resize stage of an image pipeline: decode the BMP, integer
+    // nearest-neighbor downsample to fit within 8x8 preserving aspect
+    // (scale = ceil(max_dim / 8); target pixel (x, y) samples source
+    // pixel (x*scale, y*scale)), and emit the resized image's weighted
+    // pixel sum. The oracle computes the same sampled-pixel sum from the
+    // formula + identical index math, independent of the decoder.
     Q("mm_resize",
       (s, d) => {
         import s.implicits._
         val media = mediaTable(s, d)
           .filter($"kind" === "image")
-          .select($"media_id", $"meta.width".as("w"),
-            $"meta.height".as("h"), $"content")
-          .as[(Long, Int, Int, Array[Byte])]
+          .select($"media_id", $"content")
+          .as[(Long, Array[Byte])]
         media.mapPartitions { it =>
-          it.map { case (id, w, h, bytes) =>
-            val scale = (math.max(w, h) + 63) / 64
-            val nw = math.max(w / scale, 1)
-            val nh = math.max(h / scale, 1)
-            var ck = 0L
-            var i = 0
-            while (i < bytes.length) {
-              ck = (ck * 131 + (bytes(i) & 0xFF)) % 1000000007L
-              i += scale
+          it.map { case (id, bytes) =>
+            val img = BmpCodec.decode(bytes)
+            val scale = (math.max(img.w, img.h) + 7) / 8
+            val nw = math.max(img.w / scale, 1)
+            val nh = math.max(img.h / scale, 1)
+            var acc = 0L
+            var y = 0
+            while (y < nh) {
+              var x = 0
+              while (x < nw) {
+                val (sx, sy) = (x * scale, y * scale)
+                acc += img.r(sx, sy) + 2L * img.g(sx, sy) + 3L * img.b(sx, sy)
+                x += 1
+              }
+              y += 1
             }
-            (id, w, h, nw, nh, ck)
+            (id, img.w, img.h, nw, nh, acc)
           }
-        }.toDF("media_id", "w", "h", "new_w", "new_h", "sample_checksum")
+        }.toDF("media_id", "w", "h", "new_w", "new_h", "px_sum")
       },
       Some("""WITH img AS (
           SELECT doc_id AS media_id,
-            CAST(doc_id % 640 + 16 AS INT) AS w,
-            CAST(doc_id % 480 + 16 AS INT) AS h,
-            text
+            CAST(16 + doc_id % 13 AS INT) AS w,
+            CAST(12 + doc_id % 7 AS INT) AS h
           FROM documents WHERE doc_id % 3 = 0),
         dims AS (
           SELECT media_id, w, h,
-            CAST((greatest(w, h) + 63) // 64 AS INT) AS scale, text
+            CAST((greatest(w, h) + 7) // 8 AS INT) AS scale,
+            CAST(greatest(w // ((greatest(w, h) + 7) // 8), 1) AS INT) AS nw,
+            CAST(greatest(h // ((greatest(w, h) + 7) // 8), 1) AS INT) AS nh
           FROM img)
-        SELECT media_id, w, h,
-          CAST(greatest(w // scale, 1) AS INT) AS new_w,
-          CAST(greatest(h // scale, 1) AS INT) AS new_h,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            [ord(text[i]) FOR i IN range(1, length(text) + 1)
-             IF (i - 1) % scale = 0]),
-            (acc, x) -> (acc * 131 + x) % 1000000007) AS sample_checksum
-        FROM dims""")),
+        SELECT media_id, w, h, nw AS new_w, nh AS new_h,
+          CAST(SUM((media_id * 7 + (x * scale) * 3 + (y * scale) * 5) % 256
+             + 2 * ((media_id + (x * scale) * 11 + (y * scale) * 2) % 256)
+             + 3 * ((media_id * 13 + (x * scale) * (y * scale)) % 256))
+             AS BIGINT) AS px_sum
+        FROM dims,
+          LATERAL (SELECT unnest(generate_series(0, nw - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0, nh - 1)) AS y) ys
+        GROUP BY 1, 2, 3, 4, 5""")),
 
     // ----- REAL BMP decode through the mapPartitions seam ----------------
     // The binary column carries genuine BMP files (BmpCodec.encode —
