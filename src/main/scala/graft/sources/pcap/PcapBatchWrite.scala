@@ -24,6 +24,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * a repartitioned export of any size writes with constant memory per
   * task; file count = task count, controlled by the usual
   * `repartition(n)` before the write.
+  *
+  * Each committed part file also gets a `.tsidx` sidecar (exact min/max
+  * packet timestamp, tracked for free while streaming rows), so a
+  * re-exported lake keeps [[PcapTsIndex]] file-level pruning without a
+  * separate stats pass. Disable with `option("writeTsIndex","false")`.
   */
 class PcapWriteBuilder(options: CaseInsensitiveStringMap,
     info: LogicalWriteInfo) extends WriteBuilder {
@@ -44,13 +49,14 @@ class PcapWriteBuilder(options: CaseInsensitiveStringMap,
           s"pcap write requires exactly one output path; got $other")
       }
       val linkType = options.getInt("linkType", 1)
-      new PcapBatchWrite(dir, linkType, schema, tsIdx, frameIdx)
+      val writeTsIndex = options.getBoolean("writeTsIndex", true)
+      new PcapBatchWrite(dir, linkType, schema, tsIdx, frameIdx, writeTsIndex)
     }
   }
 }
 
 class PcapBatchWrite(dir: String, linkType: Int, schema: StructType,
-    tsIdx: Int, frameIdx: Int) extends BatchWrite {
+    tsIdx: Int, frameIdx: Int, writeTsIndex: Boolean) extends BatchWrite {
 
   private val conf = new SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
@@ -60,7 +66,8 @@ class PcapBatchWrite(dir: String, linkType: Int, schema: StructType,
     // a valid (empty) target
     val p = new Path(dir)
     p.getFileSystem(conf.value).mkdirs(p)
-    new PcapDataWriterFactory(dir, linkType, conf, tsIdx, frameIdx)
+    new PcapDataWriterFactory(dir, linkType, conf, tsIdx, frameIdx,
+      writeTsIndex)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -68,17 +75,19 @@ class PcapBatchWrite(dir: String, linkType: Int, schema: StructType,
 }
 
 class PcapDataWriterFactory(dir: String, linkType: Int,
-    conf: SerializableHadoopConf, tsIdx: Int, frameIdx: Int)
+    conf: SerializableHadoopConf, tsIdx: Int, frameIdx: Int,
+    writeTsIndex: Boolean)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PcapDataWriter(dir, linkType, conf, tsIdx, frameIdx, partitionId,
-      taskId)
+    new PcapDataWriter(dir, linkType, conf, tsIdx, frameIdx, writeTsIndex,
+      partitionId, taskId)
 }
 
 class PcapDataWriter(dir: String, linkType: Int,
     conf: SerializableHadoopConf, tsIdx: Int, frameIdx: Int,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    writeTsIndex: Boolean, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(conf.value)
   private val finalPath =
@@ -87,6 +96,10 @@ class PcapDataWriter(dir: String, linkType: Int,
   private val out = new java.io.BufferedOutputStream(fs.create(tmpPath, true),
     1 << 20)
   private var wroteHeader = false
+  // exact packet-ts bounds (epoch SECONDS, the sidecar/pruning unit),
+  // tracked for free while streaming
+  private var minTs = Long.MaxValue
+  private var maxTs = Long.MinValue
 
   private def le32(v: Long): Array[Byte] = Array(
     (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
@@ -108,6 +121,9 @@ class PcapDataWriter(dir: String, linkType: Int,
         "pcap write: ts_micro and frame must be non-null")
     val micro = row.getLong(tsIdx)
     val frame = row.getBinary(frameIdx)
+    val sec = micro / 1000000L
+    if (sec < minTs) minTs = sec
+    if (sec > maxTs) maxTs = sec
     out.write(le32(micro / 1000000L))
     out.write(le32(micro % 1000000L))
     out.write(le32(frame.length.toLong))  // caplen
@@ -124,6 +140,11 @@ class PcapDataWriter(dir: String, linkType: Int,
       if (!fs.rename(tmpPath, finalPath))
         throw new java.io.IOException(
           s"pcap write: rename failed for $finalPath")
+      // sidecar AFTER the capture is visible: a reader listing mid-write
+      // sees at worst a capture without stats (never pruned), never a
+      // sidecar for a missing file
+      if (writeTsIndex)
+        PcapTsIndex.writeSidecar(fs, finalPath, minTs, maxTs)
       PcapWriteCommitted(finalPath.toString)
     }
   }
