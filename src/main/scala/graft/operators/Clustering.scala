@@ -244,14 +244,16 @@ object Clustering {
             / (sqrt(list_sum([x * x FOR x IN av])) *
                sqrt(list_sum([x * x FOR x IN bv]))) > $SemThreshold""")),
 
-    // ----- IVF ANN over TRAINED centroids ---------------------------------
-    // sim_ann_ivf seeds its coarse quantizer with a corpus sample and
-    // notes "a production build would run Lloyd iterations as a periodic
-    // batch job". This is that build: the inverted lists are the k-means
+    // ----- IVF ANN over TRAINED centroids (the PRODUCTION IVF path) -------
+    // sim_ann_ivf_seed_baseline seeds its coarse quantizer with a raw
+    // corpus sample and exists only as the untrained ablation twin. This
+    // is the production build: the inverted lists are the k-means
     // clusters, probing ranks the trained centroids by the same squared-L2
     // metric the clustering minimized (nprobe = 4), and candidates get
     // the exact cosine rerank. Same query-time plan and cost model as
-    // sim_ann_ivf; only the (offline) training differs.
+    // the seed baseline; only the (offline) training differs.
+    // SimilaritySpec pins recall@5 >= 0.7 here and a positive
+    // trained-vs-seed gap.
     Q("sim_ann_ivf_kmeans",
       (s, d) => {
         import s.implicits._

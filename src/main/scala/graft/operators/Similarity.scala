@@ -381,15 +381,21 @@ object Similarity {
     // The other standard ANN scale path (Jegou et al., TPAMI 2011): a
     // coarse quantizer partitions the corpus into nlist inverted lists;
     // a query probes only its nprobe nearest lists and reranks exactly.
-    // "Training" here is a deterministic corpus sample as centroid seeds
-    // (nlist ~ sqrt(N)); a production build would run Lloyd iterations as
-    // a periodic batch job — the query-time plan is identical.
+    //
+    // *** SEED BASELINE — not the production IVF. *** Its coarse
+    // quantizer is a raw corpus sample (no Lloyd training), kept
+    // deliberately as the ablation twin that shows what training buys:
+    // recall@5 ~0.40 here vs ~0.78 for the Lloyd-trained
+    // `sim_ann_ivf_kmeans` (Clustering.scala) at the same nprobe budget
+    // — SimilaritySpec pins both classes. Route production queries to
+    // the trained variant (or sim_ann_ivfpq for the compressed form);
+    // this entry exists to keep the untrained/trained gap measured.
     //
     // Scale: the centroid set is tiny and broadcast everywhere; list
     // assignment is one narrow pass + map-side-combined argmax per
     // vector; query-time work is |Q| * (N * nprobe / nlist) instead of
     // |Q| * N, an nlist/nprobe-fold cut of the candidate join.
-    Q("sim_ann_ivf",
+    Q("sim_ann_ivf_seed_baseline",
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")

@@ -10,7 +10,7 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q03_revenue_by_nation",
         "q22_local_supplier_volume", "dedup_minhash_lsh", "sim_cosine_topk",
-        "sim_ann_ivf", "q34_stream_interval_join_twin",
+        "sim_ann_ivf_seed_baseline", "q34_stream_interval_join_twin",
         "pipeline_pack_sequences", "dedup_bloom_prefilter",
         "pipeline_contamination", "pipeline_domain_mix",
         "sim_kmeans_cluster", "dedup_semantic")

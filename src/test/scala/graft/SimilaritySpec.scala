@@ -22,34 +22,42 @@ class SimilaritySpec extends AnyFunSuite {
       .select("qid", "cid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("IVF ANN finds a substantial share of the exact neighbors") {
+  test("seed-baseline IVF clears random-scan recall (ablation floor)") {
     val exact = topkPairs("sim_cosine_topk")
-    val ivf = topkPairs("sim_ann_ivf")
+    val ivf = topkPairs("sim_ann_ivf_seed_baseline")
     assert(exact.nonEmpty && ivf.nonEmpty)
     val recall = ivf.intersect(exact).size.toDouble / exact.size
-    info(s"IVF recall@5 = $recall")
-    // nprobe=4 of ~17 lists on random-ish vectors: recall is well below
-    // 1.0 by construction, but must be far above the ~24% random-scan rate
+    info(s"seed-baseline IVF recall@5 = $recall")
+    // the UNTRAINED ablation twin: nprobe=4 of ~17 sampled lists on
+    // random-ish vectors — recall is well below the trained variant by
+    // design (that gap is what this query measures), but must be far
+    // above the ~24% random-scan rate
     assert(recall >= 0.35, s"IVF recall $recall")
     // every IVF hit must be a genuine vector pair, ranked <= 5
-    val rns = SparkEntry.queries("sim_ann_ivf")(spark, sf)
+    val rns = SparkEntry.queries("sim_ann_ivf_seed_baseline")(spark, sf)
       .select("rn").collect().map(_.getInt(0))
     assert(rns.forall(r => r >= 1 && r <= 5))
   }
 
   test("IVF result is deterministic across runs") {
-    assert(topkPairs("sim_ann_ivf") == topkPairs("sim_ann_ivf"))
+    assert(topkPairs("sim_ann_ivf_seed_baseline") ==
+      topkPairs("sim_ann_ivf_seed_baseline"))
   }
 
-  test("kmeans-trained IVF reaches at least sample-seeded recall class") {
+  test("kmeans-trained IVF reaches production recall (>= 0.7) and beats the seed baseline") {
     val exact = topkPairs("sim_cosine_topk")
     val trained = topkPairs("sim_ann_ivf_kmeans")
     assert(exact.nonEmpty && trained.nonEmpty)
     val recall = trained.intersect(exact).size.toDouble / exact.size
     info(s"trained-IVF recall@5 = $recall")
-    // nprobe=4 of 8 trained lists scans ~1/2 of the corpus; recall must
-    // clear the random-scan rate by a wide margin
-    assert(recall >= 0.5, s"trained-IVF recall $recall")
+    // the PRODUCTION IVF path: Lloyd-trained coarse quantizer at the
+    // same nprobe budget must reach deployable recall, and the
+    // trained-vs-seed gap must be positive (what training buys)
+    assert(recall >= 0.7, s"trained-IVF recall $recall")
+    val seed = topkPairs("sim_ann_ivf_seed_baseline")
+    val seedRecall = seed.intersect(exact).size.toDouble / exact.size
+    assert(recall > seedRecall,
+      s"training must beat the seed baseline ($recall vs $seedRecall)")
     val rns = SparkEntry.queries("sim_ann_ivf_kmeans")(spark, sf)
       .select("rn").collect().map(_.getInt(0))
     assert(rns.forall(r => r >= 1 && r <= 5))
