@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming TCP follower must agree with the batch reassembly
+  * aggregator byte-for-byte on in-order captures (the spec-match the
+  * batch fold's doc comment promises), including at the truncation cap. */
+class TcpFollowerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  /** flow key -> (stream bytes md5, length, truncated) via the batch
+    * aggregator at `cap`. */
+  private def batchStreams(path: String, cap: Long) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.read.format("pcap").load(path)
+      .filter($"protocol" === "TCP")
+      .groupBy($"src", $"dst", $"src_port", $"dst_port")
+      .agg(graft.functions.Reassemble.stream(cap).as("r"))
+      .select($"src", $"src_port", md5($"r.stream").as("h"),
+        length($"r.stream").as("len"), $"r.truncated")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getInt(3), r.getBoolean(4))))
+      .toMap
+  }
+
+  /** flow key -> (md5 of offset-ordered chunk concat, length, any chunk
+    * truncated) from the follower's memory-sink output. */
+  private def followedStreams(table: String) = {
+    val rows = spark.table(table).collect()
+      .map(r => ((r.getAs[String]("src"), r.getAs[Int]("src_port")),
+        r.getAs[Long]("offset"), r.getAs[Array[Byte]]("chunk"),
+        r.getAs[Boolean]("truncated")))
+    rows.groupBy(_._1).map { case (k, chunks) =>
+      val ordered = chunks.sortBy(_._2)
+      // offsets must chain exactly: each chunk starts where the last ended
+      ordered.foldLeft(0L) { case (expect, (_, off, bytes, _)) =>
+        assert(off == expect, s"gap in $k: chunk at $off, expected $expect")
+        off + bytes.length
+      }
+      val all = ordered.flatMap(_._3).toArray
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(all).map(b => f"${b & 0xFF}%02x").mkString
+      k -> ((h, all.length, chunks.exists(_._4)))
+    }
+  }
+
+  test("in-order capture: follower chunks == batch fold, across micro-batches") {
+    val segs = graft.pcap.PcapSynth.tcpFlowSegments(30)
+    val dir = Files.createTempDirectory("tcp_follow")
+    val (half1, half2) = segs.splitAt(segs.length / 2)
+
+    val chunks = TcpStreamFollower.follow(
+      spark.readStream.format("pcap").load(dir.toString))
+    val query = chunks.writeStream.format("memory")
+      .queryName("tcp_chunks").outputMode("append").start()
+    try {
+      // two landings -> flows straddle micro-batches; the follower's
+      // scalar state must chain offsets across them
+      Files.write(dir.resolve("a.pcap"), graft.pcap.PcapSynth.file(half1))
+      query.processAllAvailable()
+      Files.write(dir.resolve("b.pcap"), graft.pcap.PcapSynth.file(half2))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = followedStreams("tcp_chunks")
+    val want = batchStreams(dir.toString,
+      graft.functions.Reassemble.DefaultMaxStreamBytes)
+    assert(got.size == 30 && want.size == 30)
+    got.foreach { case (k, v) =>
+      assert(v == want(k), s"flow $k: follower $v != batch ${want(k)}")
+    }
+    assert(got.values.forall(!_._3), "nothing may truncate under the default cap")
+  }
+
+  test("cap parity: follower truncates at the same segment boundary as batch") {
+    // one 20-segment x 500 B flow against a 4 kB cap: both paths must
+    // keep exactly 8 whole segments and flag truncation
+    val segs = (0 until 20).map { k =>
+      val payload = Array.tabulate[Byte](500)(j => ((k * 31 + j) % 127).toByte)
+      (1700L + k, k.toLong, graft.pcap.PcapSynth.ipv4TcpFrame(
+        src = Array[Byte](10, 50, 0, 1), dst = Array[Byte](10, 51, 0, 1),
+        srcPort = 42000, dstPort = 80, ttl = 64, payload = payload,
+        seq = 100L + k * 500L, flags = 0x18))
+    }
+    val dir = Files.createTempDirectory("tcp_follow_cap")
+    val query = TcpStreamFollower.follow(
+        spark.readStream.format("pcap").load(dir.toString),
+        maxStreamBytes = 4096)
+      .writeStream.format("memory")
+      .queryName("tcp_chunks_cap").outputMode("append").start()
+    try {
+      Files.write(dir.resolve("a.pcap"),
+        graft.pcap.PcapSynth.file(segs.take(5)))
+      query.processAllAvailable()
+      Files.write(dir.resolve("b.pcap"),
+        graft.pcap.PcapSynth.file(segs.drop(5)))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = followedStreams("tcp_chunks_cap")
+    val want = batchStreams(dir.toString, 4096)
+    assert(got.size == 1 && want.size == 1)
+    val k = ("10.50.0.1", 42000)
+    assert(got(k) == want(k), s"follower ${got(k)} != batch ${want(k)}")
+    assert(got(k)._2 == 4000 && got(k)._3, "8 whole segments + truncated flag")
+  }
+
+  test("exact retransmits are dropped, not re-emitted") {
+    val base = (0 until 4).map { k =>
+      val payload = s"seg$k-payload".getBytes("US-ASCII")
+      (1700L + k, k.toLong, graft.pcap.PcapSynth.ipv4TcpFrame(
+        src = Array[Byte](10, 52, 0, 1), dst = Array[Byte](10, 51, 0, 1),
+        srcPort = 43000, dstPort = 80, ttl = 64, payload = payload,
+        seq = 100L + k * 12L, flags = 0x18))
+    }
+    val dir = Files.createTempDirectory("tcp_follow_dup")
+    val query = TcpStreamFollower.follow(
+        spark.readStream.format("pcap").load(dir.toString))
+      .writeStream.format("memory")
+      .queryName("tcp_chunks_dup").outputMode("append").start()
+    try {
+      Files.write(dir.resolve("a.pcap"), graft.pcap.PcapSynth.file(base))
+      query.processAllAvailable()
+      // the whole flow retransmits in a later batch: nothing new
+      Files.write(dir.resolve("b.pcap"), graft.pcap.PcapSynth.file(
+        base.map { case (ts, us, fr) => (ts + 60, us, fr.clone()) }))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = followedStreams("tcp_chunks_dup")
+    val k = ("10.52.0.1", 43000)
+    assert(got(k)._2 == "seg0-payloadseg1-payloadseg2-payloadseg3-payload".length)
+    assert(!got(k)._3)
+  }
+}
