@@ -218,6 +218,31 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(pushed == unpushed && pushed.size == 85) // 50 clients + 35 scans
   }
 
+  test("scalar DNS projections stay columnar; RR-array projections fall back") {
+    import spark.implicits._
+    val p = java.nio.file.Paths.get("/tmp/graft_colspec.pcap")
+    graft.pcap.PcapSynth.ensureQrFile(p, 50)   // real DNS query/response mix
+    def isColumnar(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("ColumnarToRow")
+    // the DNS-telemetry projection (qname/qtype aggregation shape) must
+    // ride the vectorized batch path...
+    val scalar = spark.read.format("pcap").option("decoder", "dns")
+      .load(p.toString).select($"dns_qname", $"dns_qtype_str", $"dns_qr")
+    assert(isColumnar(scalar), "scalar DNS projection lost the columnar path")
+    // ...while RR-section ARRAY columns are the documented row-path
+    // fallback (nested-array append buys nothing there)
+    val arrays = spark.read.format("pcap").option("decoder", "dns")
+      .load(p.toString).select($"dns_qname", $"dns_answer")
+    assert(!isColumnar(arrays), "array projection should use the row path")
+    // golden parity: both paths produce identical rows
+    def rows(columnar: Boolean) = spark.read.format("pcap")
+      .option("decoder", "dns").option("columnar", columnar.toString)
+      .load(p.toString)
+      .select($"dns_qname", $"dns_qtype_str", $"src", $"ts_micro")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows(columnar = true).toSeq == rows(columnar = false).toSeq)
+  }
+
   test("TcpFlag membership predicates catch ECN-negotiating handshakes") {
     import spark.implicits._
     // real stacks negotiate ECN: SYN renders "SYN|ECE|CWR", SYN|ACK
