@@ -65,22 +65,31 @@ object Bench {
     // no longer consume every rep of the same query — consecutive reps
     // all land inside the burst, interleaved ones mostly don't
     val samples = Seq.fill(5)(names.map(n => n -> timedQuery(n))).flatten
-    val results = names.map { name =>
-      val good = samples.collect { case (`name`, s) if !s.isNaN => s }
-      name -> (if (good.isEmpty) Double.NaN else good.min)
+    // min AND median per query: the min is the steady-state number (what
+    // the engine can do on a quiet host), the median shows the window's
+    // noise band — a single host-steal burst inflates the median but not
+    // the min, so one noisy driver window can't read as a regression
+    def stats(name: String): (Double, Double) = {
+      val good = samples.collect { case (`name`, s) if !s.isNaN => s }.sorted
+      if (good.isEmpty) (Double.NaN, Double.NaN)
+      else (good.head, good(good.length / 2))
     }
+    val results = names.map(n => n -> stats(n))
 
-    val mbps = bytes / 1e6 / results.toMap.apply(DecodeName)
+    val mbps = bytes / 1e6 / results.toMap.apply(DecodeName)._1
     // NaN (all reps failed) -> -1 sentinel: valid JSON, obviously wrong,
     // and excluded from the total rather than silently summed. The same
     // sentinel applies to the derived MB/s figure (NaN divides to NaN,
     // which is not valid JSON).
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (v.isNaN) "-1" else v.toString)
-    }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if !v.isNaN => v }.sum
+    def j(v: Double): String = if (v.isNaN) "-1" else v.toString
+    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + j(mn) }
+      .mkString("{", ",", "}")
+    val qsMed = results.map { case (k, (_, md)) => "\"" + k + "\":" + j(md) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, (mn, _)) if !mn.isNaN => mn }.sum
+    val totalMed = results.collect { case (_, (_, md)) if !md.isNaN => md }.sum
     val mbpsStr = if (mbps.isNaN) "-1" else f"$mbps%.1f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pcap_decode_mb_s":$mbpsStr}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"n_reps":5,"sf":"$sfDir","pcap_decode_mb_s":$mbpsStr}""")
     spark.stop()
   }
 }
