@@ -225,6 +225,112 @@ object Similarity {
           FROM pairs) WHERE rn <= 5"""),
       headline = true),
 
+    // ----- exact cosine top-k, blocked partition-local kernel -------------
+    // Same result as sim_cosine_topk, different physical strategy: the
+    // bounded query set is collected and broadcast as packed primitive
+    // arrays, and each corpus partition is scored by ONE tight
+    // mapPartitions loop holding a per-query bounded top-k buffer
+    // (score desc, id asc — TopKByScore's exact ordering). The Q×N pair
+    // rows are never materialized: only Q×k rows leave each task, and
+    // the TopKByScore merge is unchanged. The honest O(|Q|·N) flops of
+    // exact search remain, but the query matrix stays hot in cache —
+    // the blocked exact-scan shape an IVF probe uses within a list.
+    // Scale contract: the query block must fit in executor memory (the
+    // same assumption broadcast(queries) makes above); a larger query
+    // set tiles this kernel over query chunks.
+    // Float determinism: the dot is the identical sequential left fold
+    // in double that VecDot generates, norms hoisted per side exactly
+    // as above — every score is bit-identical to sim_cosine_topk and
+    // the two queries share one DuckDB oracle.
+    Q("sim_cosine_topk_blocked",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        def selfNorm(v: Array[Float]): Double = {
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+          math.sqrt(acc)
+        }
+        val qRows = emb.filter(_._1 % 50 == 0).collect().sortBy(_._1)
+        val bcQ = s.sparkContext.broadcast(
+          (qRows.map(_._1), qRows.map(_._2), qRows.map(r => selfNorm(r._2))))
+        val k = 5
+        val partials = emb.mapPartitions { rows =>
+          val (ids, vecs, norms) = bcQ.value
+          val nq = ids.length
+          val bufId = Array.ofDim[Long](nq, k)
+          val bufScore = Array.ofDim[Double](nq, k)
+          val bufLen = new Array[Int](nq)
+          // strict (score desc, id asc) — TopKByScore.better verbatim,
+          // Double.compare giving Spark's SortOrder total order
+          def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+            val c = java.lang.Double.compare(s1, s2)
+            c > 0 || (c == 0 && i1 < i2)
+          }
+          def insert(q: Int, cos: Double, cid: Long): Unit = {
+            val len = bufLen(q)
+            val sc = bufScore(q)
+            val id = bufId(q)
+            if (len < k) {
+              var p = len
+              while (p > 0 && better(cos, cid, sc(p - 1), id(p - 1))) {
+                sc(p) = sc(p - 1); id(p) = id(p - 1); p -= 1
+              }
+              sc(p) = cos; id(p) = cid; bufLen(q) = len + 1
+            } else if (better(cos, cid, sc(k - 1), id(k - 1))) {
+              var p = k - 1
+              while (p > 0 && better(cos, cid, sc(p - 1), id(p - 1))) {
+                sc(p) = sc(p - 1); id(p) = id(p - 1); p -= 1
+              }
+              sc(p) = cos; id(p) = cid
+            }
+          }
+          rows.foreach { case (cid, ce) =>
+            val cn = selfNorm(ce)
+            var q = 0
+            while (q < nq) {
+              if (ids(q) != cid) {
+                val qe = vecs(q)
+                var acc = 0.0
+                var i = 0
+                while (i < qe.length) {
+                  acc += qe(i).toDouble * ce(i).toDouble; i += 1
+                }
+                insert(q, acc / (norms(q) * cn), cid)
+              }
+              q += 1
+            }
+          }
+          (0 until nq).iterator.flatMap { q =>
+            (0 until bufLen(q)).iterator
+              .map(p => (ids(q), bufId(q)(p), bufScore(q)(p)))
+          }
+        }.toDF("qid", "cid", "cos")
+        val topk = udaf(new graft.functions.TopKByScore(5))
+        partials.groupBy($"qid")
+          .agg(topk($"cid", $"cos").as("tk"))
+          .select($"qid", posexplode($"tk"))
+          .select($"qid", $"col.id".as("cid"), $"col.score".as("cos"),
+            ($"pos" + 1).cast("int").as("rn"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 50 = 0),
+        pairs AS (
+          SELECT qid, e.vec_id AS cid,
+            list_sum([qe[i] * emb[i] FOR i IN generate_series(1, len(qe))])
+              / (sqrt(list_sum([x * x FOR x IN qe])) *
+                 sqrt(list_sum([x * x FOR x IN emb]))) AS cos
+          FROM q JOIN e ON e.vec_id <> qid)
+        SELECT qid, cid, cos, rn FROM (
+          SELECT qid, cid, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cid ASC) AS INT) AS rn
+          FROM pairs) WHERE rn <= 5""")),
+
     // ----- embedding near-duplicate pairs (cosine threshold) --------------
     Q("sim_near_dup_pairs",
       (s, d) => {

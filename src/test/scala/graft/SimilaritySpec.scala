@@ -112,4 +112,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(topkPairs("sim_ann_ivfpq") == topkPairs("sim_ann_ivfpq"),
       "IVF-PQ must be deterministic")
   }
+
+  test("blocked kernel top-k is bit-identical to the pair-expression form") {
+    // same oracle, same ordering contract — every column including the
+    // double cosine must match exactly (the kernel folds the dot in the
+    // same element order as VecDot, so scores are bit-equal, not just
+    // approximately equal)
+    def rows(name: String): Set[(Long, Long, Long, Int)] =
+      SparkEntry.queries(name)(spark, sf)
+        .select("qid", "cid", "cos", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3)))
+        .toSet
+    val pair = rows("sim_cosine_topk")
+    val blocked = rows("sim_cosine_topk_blocked")
+    assert(pair.nonEmpty)
+    assert(blocked == pair)
+    // and the kernel plan must not contain a join at all — the pair set
+    // is never materialized as rows
+    val plan = SparkEntry.queries("sim_cosine_topk_blocked")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"kernel plan must be join-free:\n$plan")
+  }
 }
