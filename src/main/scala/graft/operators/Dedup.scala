@@ -61,9 +61,11 @@ object Dedup {
             FROM documents)
       WHERE len(ws) >= 3)"""
 
-  /** LSH candidate pairs (doc1 < doc2) — shared by dedup_minhash_lsh and
-    * dedup_components. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** Per-document MinHash signature (m0..m7), cached — shingling +
+    * hashing + the min-aggregation run once however many band frames
+    * consume it (at 100 TB: persist to disk or checkpoint — signatures
+    * are tiny vs the corpus). */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val h = shingles(s, d).select($"doc_id",
       conv(substring(md5($"shingle".cast("binary")), 1, 8), 16, 10)
@@ -71,15 +73,20 @@ object Dedup {
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min(($"h" * a + b) % P).as(s"m$i")
     }
-    // the band self-join consumes `sig` twice; cache so shingling +
-    // hashing + the min-aggregation run once (at 100 TB: persist to
-    // disk or checkpoint — signatures are tiny vs the corpus)
-    val sig = h.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
-      .cache()
-    val bands = (0 until nBands).map { bi =>
-      sig.select(lit(bi).as("band"), $"doc_id",
+    h.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*).cache()
+  }
+
+  /** (band, doc_id, x, y) LSH band frame over a signature table. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    (0 until nBands).map { bi =>
+      sig.select(lit(bi).as("band"), col("doc_id"),
         col(s"m${2 * bi}").as("x"), col(s"m${2 * bi + 1}").as("y"))
     }.reduce(_ union _)
+
+  /** LSH candidate pairs (doc1 < doc2) — shared by dedup_minhash_lsh and
+    * dedup_components. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = bandsOf(signatures(s, d))
     bands.as("l")
       .join(bands.as("r"),
         col("l.band") === col("r.band") &&
@@ -89,23 +96,27 @@ object Dedup {
       .distinct()
   }
 
-  private lazy val minhashPairsSql: String = {
+  /** Shared CTE prefix: shingles -> hashes -> signatures -> band frame. */
+  private lazy val sigCtesSql: String = {
     val minExprs = perms.zipWithIndex.map { case ((a, b), i) =>
       s"MIN((h * $a + $b) % $P) AS m$i"
     }.mkString(", ")
     val bandSelects = (0 until nBands).map { bi =>
       s"SELECT $bi AS band, doc_id, m${2 * bi} AS x, m${2 * bi + 1} AS y FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH $shinglesSql,
+    s"""$shinglesSql,
     hv AS (SELECT doc_id,
       CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM sh),
     sig AS (SELECT doc_id, $minExprs FROM hv GROUP BY doc_id),
-    bands AS ($bandSelects)
+    bands AS ($bandSelects)"""
+  }
+
+  private lazy val minhashPairsSql: String =
+    s"""WITH $sigCtesSql
     SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
     FROM bands l JOIN bands r
       ON l.band = r.band AND l.x = r.x AND l.y = r.y
       AND l.doc_id < r.doc_id"""
-  }
 
   /** Document-frequency cap for dedup_ngram_jaccard_capped: a shingle in
     * more docs than this is treated as boilerplate and dropped before
@@ -275,6 +286,53 @@ object Dedup {
       (s, d) => minhashPairs(s, d),
       Some(minhashPairsSql),
       headline = true),
+
+    // ----- fuzzy train/eval contamination via MinHash ---------------------
+    // pipeline_contamination (Pipeline.scala) catches exact shared
+    // 4-grams; paraphrased or lightly-edited eval leakage slips past an
+    // exact-gram join. This is the fuzzy detector a real pretraining
+    // pipeline runs next to it: LSH banding proposes (train, eval)
+    // candidates, then the full 8-permutation signature match rate
+    // estimates Jaccard — no text re-scan at pair time. Scale shape:
+    // signatures are a single groupBy over the corpus; the band join is
+    // an equi-join whose eval side (doc_id % 20 == 0, 1/20 of docs) is
+    // broadcast; the signature re-joins key on doc_id. Nothing pairwise
+    // ever touches document text.
+    Q("pipeline_contamination_fuzzy",
+      (s, d) => {
+        import s.implicits._
+        val sig = signatures(s, d)
+        val bands = bandsOf(sig)
+        val train = bands.filter($"doc_id" % 20 =!= 0)
+          .select($"band", $"x", $"y", $"doc_id".as("train_doc_id"))
+        val eval = bands.filter($"doc_id" % 20 === 0)
+          .select($"band", $"x", $"y", $"doc_id".as("eval_doc_id"))
+        val cand = train.join(broadcast(eval), Seq("band", "x", "y"))
+          .select($"train_doc_id", $"eval_doc_id").distinct()
+        val matches = perms.indices.map(i =>
+          when(col(s"ts.m$i") === col(s"es.m$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand.join(sig.as("ts"), $"train_doc_id" === $"ts.doc_id")
+          .join(broadcast(sig.as("es")), $"eval_doc_id" === $"es.doc_id")
+          .select($"train_doc_id", $"eval_doc_id",
+            (matches.cast("double") / perms.length).as("est_jaccard"))
+      },
+      Some {
+        val matchSql = perms.indices
+          .map(i => s"CASE WHEN ts.m$i = es.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $sigCtesSql,
+        cand AS (
+          SELECT DISTINCT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id
+          FROM bands t JOIN bands e
+            ON t.band = e.band AND t.x = e.x AND t.y = e.y
+          WHERE t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0)
+        SELECT train_doc_id, eval_doc_id,
+          CAST($matchSql AS DOUBLE) / ${perms.length} AS est_jaccard
+        FROM cand
+        JOIN sig ts ON ts.doc_id = train_doc_id
+        JOIN sig es ON es.doc_id = eval_doc_id"""
+      }),
 
     // ----- connected components over candidate pairs (dedup clusters) ----
     // Pregel-style min-label propagation over the LSH candidate graph:

@@ -127,4 +127,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(cos > 0.3)
     }
   }
+
+  test("fuzzy contamination catches every LSH near-dup pair crossing the split") {
+    import spark.implicits._
+    // both queries band the same signatures, so any dedup_minhash_lsh
+    // pair with exactly one eval-side doc (doc_id % 20 == 0) MUST
+    // surface as a fuzzy-contamination candidate — no false negatives
+    // relative to the dedup detector's own recall
+    val lshCross = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .as[(Long, Long)].collect()
+      .flatMap { case (d1, d2) =>
+        (d1 % 20 == 0, d2 % 20 == 0) match {
+          case (true, false) => Some((d2, d1)) // (train, eval)
+          case (false, true) => Some((d1, d2))
+          case _             => None
+        }
+      }.toSet
+    val fuzzy = SparkEntry.queries("pipeline_contamination_fuzzy")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(fuzzy.nonEmpty)
+    fuzzy.foreach { case (tr, ev, est) =>
+      assert(tr % 20 != 0 && ev % 20 == 0, s"split violated: ($tr, $ev)")
+      assert(est >= 0.0 && est <= 1.0)
+      // banded candidates share >= 1 of 4 bands = >= 2 of 8 mins agree
+      assert(est >= 0.25, s"candidate ($tr, $ev) below band floor: $est")
+    }
+    val fuzzyPairs = fuzzy.map(f => (f._1, f._2)).toSet
+    assert(lshCross.subsetOf(fuzzyPairs),
+      s"missed cross-split pairs: ${lshCross -- fuzzyPairs}")
+  }
 }
