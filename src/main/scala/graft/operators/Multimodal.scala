@@ -76,6 +76,10 @@ object Multimodal {
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
       val img = BmpCodec.decode(bytes)
       ("bmp", img.w.toLong * img.h, weightedPxSum(img))
+    } else if (bytes.length >= 8 && bytes(0) == 0x89.toByte &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+      val img = PngCodec.decode(bytes)
+      ("png", img.w.toLong * img.h, weightedPxSum(img))
     } else if (bytes.length >= 12 && riffTag == "WAVE") {
       val a = WavCodec.decode(bytes)
       var sumAbs = 0L
@@ -283,6 +287,182 @@ object Multimodal {
       require(bytes.length >= i.toLong + w.toLong * h * 3, "truncated PPM")
       val px = new Array[Byte](w * h * 3)
       System.arraycopy(bytes, i, px, 0, w * h * 3)
+      BmpCodec.Image(w, h, px)
+    }
+  }
+
+  /** REAL compressed-image codec: PNG, 8-bit truecolor (color type 2),
+    * built entirely on the JDK (`java.util.zip.Deflater`/`Inflater`,
+    * `CRC32`) — the first container behind the seam whose payload is
+    * genuinely compressed, so byte length is NOT a closed formula of the
+    * id (the PNG queries therefore pin pixels, never file size).
+    *
+    * The encoder cycles the scanline filter with the row index
+    * (y % 5: None, Sub, Up, Average, Paeth), so every decode exercises
+    * all five unfilter paths including the Paeth predictor. The decoder
+    * walks chunks from the 8-byte signature, VALIDATES each chunk's
+    * CRC-32 (rejecting corruption instead of misparsing it), concatenates
+    * IDAT payloads, inflates, and unfilters — bytes only, nothing shared
+    * with the synthesis formula. MultimodalCodecSpec additionally
+    * cross-checks both directions against the JDK's own independent
+    * ImageIO PNG implementation. */
+  object PngCodec extends Serializable {
+
+    private val Sig: Array[Byte] =
+      Array(0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n')
+
+    private def be32(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+    private def rdBe32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+        ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+    private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val t = tag.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t)
+      crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Write a real PNG (8-bit RGB, no interlace) with the SAME fixture
+      * content as BmpCodec for `id`; filter type y % 5 per scanline. */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = BmpCodec.dims(id)
+      val raw = new Array[Byte](h * (1 + w * 3))
+      val prior = new Array[Byte](w * 3)
+      val cur = new Array[Byte](w * 3)
+      var y = 0
+      var o = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = BmpCodec.pixel(id, x, y)
+          cur(x * 3) = r.toByte; cur(x * 3 + 1) = g.toByte
+          cur(x * 3 + 2) = b.toByte
+          x += 1
+        }
+        val ft = y % 5
+        raw(o) = ft.toByte; o += 1
+        var i = 0
+        while (i < w * 3) {
+          val v = cur(i) & 0xFF
+          val left = if (i >= 3) cur(i - 3) & 0xFF else 0
+          val up = if (y > 0) prior(i) & 0xFF else 0
+          val ul = if (y > 0 && i >= 3) prior(i - 3) & 0xFF else 0
+          raw(o) = (ft match {
+            case 0 => v
+            case 1 => v - left
+            case 2 => v - up
+            case 3 => v - (left + up) / 2
+            case _ => v - paeth(left, up, ul)
+          }).toByte
+          o += 1; i += 1
+        }
+        System.arraycopy(cur, 0, prior, 0, w * 3)
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater
+      deflater.setInput(raw)
+      deflater.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new java.io.ByteArrayOutputStream
+      while (!deflater.finished())
+        out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val ihdr = be32(w) ++ be32(h) ++
+        Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, no interlace
+      Sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.empty[Byte])
+    }
+
+    /** Parse a PNG from bytes alone (8-bit RGB, CRC-checked chunks). */
+    def decode(bytes: Array[Byte]): BmpCodec.Image = {
+      require(bytes.length >= 8 && Sig.indices.forall(i => bytes(i) == Sig(i)),
+        "not a PNG")
+      var off = 8
+      var w = 0
+      var h = 0
+      var seenIhdr = false
+      val idat = new java.io.ByteArrayOutputStream
+      var done = false
+      while (!done) {
+        require(off + 8 <= bytes.length, "truncated PNG chunk header")
+        val len = rdBe32(bytes, off)
+        require(len >= 0 && off + 12L + len <= bytes.length,
+          "truncated PNG chunk")
+        val tag = new String(bytes, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes, off + 4, 4 + len)
+        require(crc.getValue.toInt == rdBe32(bytes, off + 8 + len),
+          s"PNG $tag chunk CRC mismatch")
+        tag match {
+          case "IHDR" =>
+            require(len == 13, "bad IHDR length")
+            w = rdBe32(bytes, off + 8)
+            h = rdBe32(bytes, off + 12)
+            require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+              s"implausible PNG dims ${w}x$h")
+            val depth = bytes(off + 16)
+            val color = bytes(off + 17)
+            val interlace = bytes(off + 20)
+            require(depth == 8 && color == 2 && interlace == 0,
+              s"unsupported PNG variant: depth=$depth color=$color " +
+                s"interlace=$interlace")
+            seenIhdr = true
+          case "IDAT" => idat.write(bytes, off + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunk: skip (CRC already checked)
+        }
+        off += 12 + len
+      }
+      require(seenIhdr && idat.size() > 0, "PNG missing IHDR/IDAT")
+      val inflater = new java.util.zip.Inflater
+      inflater.setInput(idat.toByteArray)
+      val raw = new Array[Byte](h * (1 + w * 3))
+      var got = 0
+      try {
+        while (got < raw.length && !inflater.finished()) {
+          val n = inflater.inflate(raw, got, raw.length - got)
+          require(n > 0 || inflater.finished(), "malformed PNG deflate data")
+          got += n
+        }
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"corrupt PNG zlib stream: $e")
+      } finally inflater.end()
+      require(got == raw.length, "PNG pixel data short of w*h scanlines")
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val rowOff = y * (1 + w * 3)
+        val ft = raw(rowOff) & 0xFF
+        require(ft <= 4, s"unknown PNG filter type $ft")
+        var i = 0
+        while (i < w * 3) {
+          val v = raw(rowOff + 1 + i) & 0xFF
+          val left = if (i >= 3) px(y * w * 3 + i - 3) & 0xFF else 0
+          val up = if (y > 0) px((y - 1) * w * 3 + i) & 0xFF else 0
+          val ul = if (y > 0 && i >= 3) px((y - 1) * w * 3 + i - 3) & 0xFF
+            else 0
+          px(y * w * 3 + i) = (ft match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case _ => v + paeth(left, up, ul)
+          }).toByte
+          i += 1
+        }
+        y += 1
+      }
       BmpCodec.Image(w, h, px)
     }
   }
@@ -766,6 +946,40 @@ object Multimodal {
             CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
         WHERE doc_id % 3 = 0
         GROUP BY 1, 2, 3, 4""")),
+
+    // ----- REAL PNG decode (compressed container) ------------------------
+    // Same contract as mm_decode_bmp but through the COMPRESSED codec:
+    // encode each image doc as a genuine PNG (zlib-deflated scanlines,
+    // filter type cycling through all five per row), parse it back with
+    // the byte-only CRC-checking PngCodec.decode under test, and emit
+    // per-image pixel stats. File size is deliberately NOT an output —
+    // deflate length is not a closed formula — so the oracle pins the
+    // pixels, which the formula fully determines.
+    Q("mm_decode_png",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 0)
+          .select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.map { id =>
+            val img = PngCodec.decode(PngCodec.encode(id))
+            (id, img.w, img.h, weightedPxSum(img))
+          }
+        }.toDF("media_id", "w", "h", "px_sum")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(16 + doc_id % 13 AS INT) AS w,
+          CAST(12 + doc_id % 7 AS INT) AS h,
+          CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256
+             + 2 * ((doc_id + x * 11 + y * 2) % 256)
+             + 3 * ((doc_id * 13 + x * y) % 256)) AS BIGINT) AS px_sum
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(16 + doc_id % 13 AS INT) - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
+        WHERE doc_id % 3 = 0
+        GROUP BY 1, 2, 3""")),
 
     // ----- REAL nearest-neighbor resize (actual pixel downsampling) ------
     // Decode the BMP, then sample source pixel (x*w/8, y*h/6) for each

@@ -149,13 +149,79 @@ class MultimodalCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AviCodec.decode(lying))
   }
 
-  test("fuzz: all four decoders reject junk with a clean error") {
-    import graft.operators.Multimodal.{AviCodec, PpmCodec, WavCodec}
+  test("PNG roundtrip reproduces the synthesis formula (all 5 filters)") {
+    import graft.operators.Multimodal.PngCodec
+    // ids spanning every dims residue: heights >= 5 exercise filter
+    // types 0-4 (the encoder cycles y % 5)
+    for (id <- Seq(0L, 3L, 42L, 255L, 444L, 999L)) {
+      val (w, h) = BmpCodec.dims(id)
+      val img = PngCodec.decode(PngCodec.encode(id))
+      assert(img.w == w && img.h == h)
+      for { y <- 0 until h; x <- 0 until w } {
+        assert((img.r(x, y), img.g(x, y), img.b(x, y)) ==
+          BmpCodec.pixel(id, x, y), s"id=$id ($x,$y)")
+      }
+    }
+  }
+
+  test("PNG cross-checks against the JDK's independent ImageIO codec") {
+    import graft.operators.Multimodal.PngCodec
+    for (id <- Seq(0L, 3L, 42L, 255L)) {
+      // direction 1: our encoder's output parses under ImageIO with the
+      // formula's pixels (catches any spec deviation ImageIO rejects or
+      // reads differently)
+      val ours = PngCodec.encode(id)
+      val javaImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ours))
+      assert(javaImg != null, s"ImageIO rejected our PNG for id=$id")
+      val (w, h) = BmpCodec.dims(id)
+      assert(javaImg.getWidth == w && javaImg.getHeight == h)
+      for { y <- 0 until h; x <- 0 until w } {
+        val rgb = javaImg.getRGB(x, y)
+        assert((rgb >> 16 & 0xFF, rgb >> 8 & 0xFF, rgb & 0xFF) ==
+          BmpCodec.pixel(id, x, y), s"ImageIO read id=$id ($x,$y)")
+      }
+      // direction 2: ImageIO's own encoding (independent filter/strategy
+      // choices) must decode identically under our parser
+      val buf = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for { y <- 0 until h; x <- 0 until w } {
+        val (r, g, b) = BmpCodec.pixel(id, x, y)
+        buf.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val out = new java.io.ByteArrayOutputStream
+      assert(javax.imageio.ImageIO.write(buf, "png", out))
+      val img = PngCodec.decode(out.toByteArray)
+      assert(img.w == w && img.h == h)
+      for { y <- 0 until h; x <- 0 until w } {
+        assert((img.r(x, y), img.g(x, y), img.b(x, y)) ==
+          BmpCodec.pixel(id, x, y), s"our decode of ImageIO id=$id ($x,$y)")
+      }
+    }
+  }
+
+  test("PNG chunk corruption is caught by CRC, not misparsed") {
+    import graft.operators.Multimodal.PngCodec
+    val good = PngCodec.encode(6L)
+    // flip one pixel-data byte inside IDAT: without CRC checking this
+    // would decode to silently wrong pixels
+    val bad = good.clone()
+    bad(good.length - 20) = (bad(good.length - 20) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](PngCodec.decode(bad))
+    assert(e.getMessage.contains("CRC"))
+    intercept[IllegalArgumentException](PngCodec.decode(good.take(40)))
+    intercept[IllegalArgumentException](
+      PngCodec.decode("not a png at all".getBytes))
+  }
+
+  test("fuzz: all five decoders reject junk with a clean error") {
+    import graft.operators.Multimodal.{AviCodec, PngCodec, PpmCodec, WavCodec}
     val rnd = new scala.util.Random(20260813)
     val decoders = Seq[Array[Byte] => Any](
-      BmpCodec.decode, PpmCodec.decode, WavCodec.decode, AviCodec.decode)
+      BmpCodec.decode, PpmCodec.decode, WavCodec.decode, AviCodec.decode,
+      PngCodec.decode)
     val seeds = Seq(BmpCodec.encode(5L), PpmCodec.encode(5L),
-      WavCodec.encode(5L), AviCodec.encode(5L))
+      WavCodec.encode(5L), AviCodec.encode(5L), PngCodec.encode(5L))
     for (_ <- 0 until 500; dec <- decoders) {
       // half pure-random, half a valid container with mutated bytes —
       // the contract is IllegalArgumentException or a decode, never an
