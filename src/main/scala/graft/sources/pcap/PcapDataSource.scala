@@ -324,9 +324,17 @@ object PcapFileOpener {
     val path = new Path(pathStr)
     val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
-    val decoded = Option(new CompressionCodecFactory(conf).getCodec(path))
-      .map(_.createInputStream(raw).asInstanceOf[java.io.InputStream])
-      .getOrElse(raw: java.io.InputStream)
+    val name = path.getName.toLowerCase(java.util.Locale.ROOT)
+    val decoded =
+      // .zst/.zstd captures (the compression modern rotating-capture
+      // setups apply) go through zstd-jni's streaming decoder, which is
+      // already on Spark's classpath; Hadoop's own ZStandardCodec needs
+      // the native libhadoop build most clusters don't ship
+      if (name.endsWith(".zst") || name.endsWith(".zstd"))
+        new com.github.luben.zstd.ZstdInputStream(raw): java.io.InputStream
+      else Option(new CompressionCodecFactory(conf).getCodec(path))
+        .map(_.createInputStream(raw).asInstanceOf[java.io.InputStream])
+        .getOrElse(raw: java.io.InputStream)
     // the decoder issues many small reads (16-byte packet headers);
     // unbuffered they each hit the (checksummed) Hadoop stream
     new java.io.BufferedInputStream(decoded, 1 << 20)

@@ -3,7 +3,7 @@ package graft.sources.pcap
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 import graft.pcap.DecodeOptions
@@ -18,11 +18,19 @@ import graft.pcap.DecodeOptions
   * offset is a count into that stable order; each micro-batch reads the
   * newly-landed whole files (pcap is never byte-range split). Files must
   * be immutable once landed — the standard landing-directory contract.
+  *
+  * Admission control: `maxFilesPerTrigger` bounds each micro-batch (the
+  * same option and `ReadMaxFiles` limit Spark's own file source honors).
+  * Without it a query started over a deep backlog — months of landed
+  * captures — would plan the ENTIRE backlog as batch 0: unbounded task
+  * count, no checkpoint until everything finishes. Bounded triggers give
+  * steady incremental progress and commit-per-batch recovery.
   */
 class PcapMicroBatchStream(
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
     schema: StructType,
-    conf: Configuration) extends MicroBatchStream {
+    conf: Configuration)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private case class FileEntry(path: String, mtime: Long, len: Long)
 
@@ -48,12 +56,30 @@ class PcapMicroBatchStream(
     discovered = discovered ++ fresh
   }
 
+  private val maxFilesPerTrigger: Option[Int] = {
+    val v = options.getInt("maxFilesPerTrigger", -1)
+    require(v == -1 || v > 0, s"maxFilesPerTrigger must be positive, got $v")
+    if (v > 0) Some(v) else None
+  }
+
   override def initialOffset(): Offset = PcapStreamOffset(0)
 
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     refresh()
-    PcapStreamOffset(discovered.length)
+    val s = start.asInstanceOf[PcapStreamOffset].count
+    val end = limit match {
+      case mf: ReadMaxFiles => math.min(discovered.length, s + mf.maxFiles())
+      case _                => discovered.length
+    }
+    PcapStreamOffset(end)
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset =
     PcapStreamOffset(json.trim.toInt)

@@ -156,6 +156,20 @@ class PcapGoldenSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("dns_qname") == "ripe.net."))
   }
 
+  test("zstd pcap decodes transparently (zstd-jni streaming decoder)") {
+    val tmp = java.nio.file.Files.createTempDirectory("pcapzst")
+    val zst = tmp.resolve("test.pcap.zst")
+    val out = new com.github.luben.zstd.ZstdOutputStream(
+      java.nio.file.Files.newOutputStream(zst))
+    out.write(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture)))
+    out.close()
+    val rows = spark.read.format("pcap").option("decoder", "dns")
+      .load(zst.toString).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("dns_qname") == "ripe.net."))
+  }
+
   test("pcapng file decodes through the Spark source (sniffed container)") {
     import graft.pcap.PcapSynth
     val tmp = java.nio.file.Files.createTempDirectory("pcapng")

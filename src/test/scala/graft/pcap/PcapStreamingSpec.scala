@@ -257,4 +257,28 @@ class PcapStreamingSpec extends AnyFunSuite {
       assert(got == want, s"got $got")
     } finally query.stop()
   }
+
+  test("maxFilesPerTrigger bounds each micro-batch over a backlog") {
+    val dir = Files.createTempDirectory("pcap_landing_backlog")
+    val fixture = java.nio.file.Paths.get(
+      getClass.getResource("/test.pcap").getPath)
+    // a 5-file backlog exists BEFORE the query starts — without
+    // admission control this all lands in batch 0
+    for (i <- 1 to 5) Files.copy(fixture, dir.resolve(f"cap$i%02d.pcap"))
+
+    val query = spark.readStream.format("pcap")
+      .option("maxFilesPerTrigger", "2")
+      .load(dir.toString)
+      .writeStream.format("memory")
+      .queryName("pcap_backlog_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("pcap_backlog_out").count() == 10) // 5 files x 2
+      // 2 + 2 + 1 files -> exactly 3 non-empty micro-batches, none above
+      // the cap (2 files x 2 packets = 4 rows)
+      val batches = query.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.toSeq == Seq(4L, 4L, 2L),
+        s"per-batch rows: ${batches.mkString(",")}")
+    } finally query.stop()
+  }
 }
