@@ -410,6 +410,15 @@ object Multimodal {
             h = rdBe32(bytes, off + 12)
             require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
               s"implausible PNG dims ${w}x$h")
+            // decompression-bomb guard: unlike BMP/PPM, a tiny
+            // compressed file can declare huge dims, and the raw
+            // scanline buffer h*(1+w*3) is allocated BEFORE inflating —
+            // unbounded it overflows Int (NegativeArraySizeException,
+            // not a clean reject) or allocates gigabytes from a
+            // 100-byte input. 2^24 pixels = ~50 MB raw, far above any
+            // fixture and below any harm.
+            require(w.toLong * h <= (1L << 24),
+              s"PNG pixel count ${w.toLong * h} above decode bound")
             val depth = bytes(off + 16)
             val color = bytes(off + 17)
             val interlace = bytes(off + 20)

@@ -214,6 +214,32 @@ class MultimodalCodecSpec extends AnyFunSuite {
       PngCodec.decode("not a png at all".getBytes))
   }
 
+  test("PNG decompression bomb: valid-CRC huge dims rejected before allocation") {
+    import graft.operators.Multimodal.PngCodec
+    // a CRC-valid crafted header the byte-mutation fuzz can never
+    // produce: tiny file, enormous declared dims. Unguarded, the raw
+    // scanline buffer h*(1+w*3) overflows Int (65535 x 65535) or
+    // allocates gigabytes (20000 x 20000) before any inflate happens.
+    def crafted(w: Int, h: Int): Array[Byte] = {
+      def be32(v: Int) = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+        val t = tag.getBytes("US-ASCII")
+        val crc = new java.util.zip.CRC32
+        crc.update(t); crc.update(data)
+        be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+      }
+      val sig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+        '\r'.toByte, '\n'.toByte, 0x1A.toByte, '\n'.toByte)
+      sig ++ chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+        chunk("IDAT", Array[Byte](1, 2, 3)) ++ chunk("IEND", Array.empty)
+    }
+    for ((w, h) <- Seq((65535, 65535), (20000, 20000))) {
+      val e = intercept[IllegalArgumentException](PngCodec.decode(crafted(w, h)))
+      assert(e.getMessage.contains("bound"), s"${w}x$h: ${e.getMessage}")
+    }
+  }
+
   test("fuzz: all five decoders reject junk with a clean error") {
     import graft.operators.Multimodal.{AviCodec, PngCodec, PpmCodec, WavCodec}
     val rnd = new scala.util.Random(20260813)
