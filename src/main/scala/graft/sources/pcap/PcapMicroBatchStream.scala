@@ -3,7 +3,7 @@ package graft.sources.pcap
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 import graft.pcap.DecodeOptions
@@ -25,12 +25,19 @@ import graft.pcap.DecodeOptions
   * captures — would plan the ENTIRE backlog as batch 0: unbounded task
   * count, no checkpoint until everything finishes. Bounded triggers give
   * steady incremental progress and commit-per-batch recovery.
+  *
+  * `Trigger.AvailableNow` composes with that: the backlog existing at
+  * query start is snapshotted ([[prepareForTriggerAvailableNow]]),
+  * drained in `maxFilesPerTrigger`-bounded batches, and the query then
+  * STOPS — the scheduled batch-catchup pattern (run nightly, process
+  * what landed, exit) with streaming-checkpoint semantics. Files landing
+  * mid-drain wait for the next scheduled run.
   */
 class PcapMicroBatchStream(
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
     schema: StructType,
     conf: Configuration)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private case class FileEntry(path: String, mtime: Long, len: Long)
 
@@ -62,17 +69,27 @@ class PcapMicroBatchStream(
     if (v > 0) Some(v) else None
   }
 
+  /** Trigger.AvailableNow end bound: the discovery count snapshotted at
+    * query start. -1 = continuous mode (no bound). */
+  @volatile private var availableNowEnd: Int = -1
+
   override def initialOffset(): Offset = PcapStreamOffset(0)
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    refresh()
+    availableNowEnd = discovered.length
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    refresh()
+    if (availableNowEnd < 0) refresh() // AvailableNow reads its snapshot
+    val avail = if (availableNowEnd < 0) discovered.length else availableNowEnd
     val s = start.asInstanceOf[PcapStreamOffset].count
     val end = limit match {
-      case mf: ReadMaxFiles => math.min(discovered.length, s + mf.maxFiles())
-      case _                => discovered.length
+      case mf: ReadMaxFiles => math.min(avail, s + mf.maxFiles())
+      case _                => avail
     }
     PcapStreamOffset(end)
   }

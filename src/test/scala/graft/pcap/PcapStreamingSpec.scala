@@ -281,4 +281,28 @@ class PcapStreamingSpec extends AnyFunSuite {
         s"per-batch rows: ${batches.mkString(",")}")
     } finally query.stop()
   }
+
+  test("Trigger.AvailableNow drains the backlog in bounded batches, then stops") {
+    val dir = Files.createTempDirectory("pcap_landing_availnow")
+    val fixture = java.nio.file.Paths.get(
+      getClass.getResource("/test.pcap").getPath)
+    for (i <- 1 to 5) Files.copy(fixture, dir.resolve(f"cap$i%02d.pcap"))
+
+    val query = spark.readStream.format("pcap")
+      .option("maxFilesPerTrigger", "2")
+      .load(dir.toString)
+      .writeStream.format("memory")
+      .queryName("pcap_availnow_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // the query must TERMINATE on its own once the start-time snapshot
+      // is drained — that's the scheduled-catchup contract
+      assert(query.awaitTermination(60000), "AvailableNow query never stopped")
+      assert(spark.table("pcap_availnow_out").count() == 10)
+      val batches = query.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.toSeq == Seq(4L, 4L, 2L),
+        s"per-batch rows: ${batches.mkString(",")}")
+    } finally query.stop()
+  }
 }
