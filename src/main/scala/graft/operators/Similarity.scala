@@ -45,11 +45,14 @@ object Similarity {
     String, Seq[Seq[Double]]]()
   private val ivfpqCbMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[Seq[Seq[Double]]]]()
+  private val queryBlockMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Array[Float])]]()
 
   /** Test hook (ADVICE r4): memos are keyed by dataset dir only, so a
     * test that regenerates data at the same path must clear them. */
   private[graft] def clearMemos(): Unit = {
     pqCbMemo.clear(); ivfpqCentMemo.clear(); ivfpqCbMemo.clear()
+    queryBlockMemo.clear()
   }
 
   // ----- PQ codebook training (per-subspace Lloyd) ------------------------
@@ -253,7 +256,10 @@ object Similarity {
           while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
           math.sqrt(acc)
         }
-        val qRows = emb.filter(_._1 % 50 == 0).collect().sortBy(_._1)
+        // the collected query block is a bounded driver artifact (|Q| =
+        // N/50 vectors), memoized per dataset like the trained codebooks
+        val qRows = queryBlockMemo.computeIfAbsent(d,
+          _ => emb.filter(_._1 % 50 == 0).collect().sortBy(_._1))
         val bcQ = s.sparkContext.broadcast(
           (qRows.map(_._1), qRows.map(_._2), qRows.map(r => selfNorm(r._2))))
         val k = 5
