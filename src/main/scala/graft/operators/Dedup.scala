@@ -358,17 +358,19 @@ object Dedup {
             .join(labels, $"dst" === $"doc_id")
             .groupBy($"src")
             .agg(min($"component").as("ncomp"))
+          // convergence detection rides the update join: the old label is
+          // already in scope here, so a `changed` flag column costs
+          // nothing, where a separate next-vs-labels comparison join
+          // would double the per-iteration join count
           val next = labels
             .join(viaNeighbors, $"doc_id" === $"src", "left")
             .select($"doc_id",
               least($"component", coalesce($"ncomp", $"component"))
-                .as("component"))
+                .as("component"),
+              (coalesce($"ncomp", $"component") < $"component").as("changed"))
             .cache()
-          val changed = next.as("n").join(labels.as("o"),
-              col("n.doc_id") === col("o.doc_id") &&
-              col("n.component") =!= col("o.component"))
-            .count()
-          labels = next
+          val changed = next.filter($"changed").count()
+          labels = next.select($"doc_id", $"component").cache()
           converged = changed == 0
           iters += 1
         }
