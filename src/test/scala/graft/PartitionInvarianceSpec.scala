@@ -26,10 +26,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   // determinism-sensitive family; the two reassembly queries pin that
   // the collect_list → array_sort fold is order-insensitive to how
   // segments land across partitions
+  // sim_cosine_topk_blocked pins the per-partition-heap → TopKByScore
+  // merge path; pipeline_contamination_fuzzy the banded-candidate joins
   private val names = Seq("q01_pricing_summary", "pipeline_pagerank",
     "sim_kmeans_cluster", "dedup_minhash_lsh", "pipeline_token_budget",
     "q39_exact_median", "pipeline_shard_shuffle",
-    "pcap_tcp_reassembly", "pcap_http_conversations")
+    "pcap_tcp_reassembly", "pcap_http_conversations",
+    "sim_cosine_topk_blocked", "pipeline_contamination_fuzzy")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
