@@ -312,8 +312,12 @@ object Dedup {
         val matches = perms.indices.map(i =>
           when(col(s"ts.m$i") === col(s"es.m$i"), 1).otherwise(0))
           .reduce(_ + _)
+        // only eval-side signatures can match the eval join key — filter
+        // before broadcasting so the broadcast is 1/20 of the signature
+        // table, not all of it
+        val evalSig = sig.filter($"doc_id" % 20 === 0)
         cand.join(sig.as("ts"), $"train_doc_id" === $"ts.doc_id")
-          .join(broadcast(sig.as("es")), $"eval_doc_id" === $"es.doc_id")
+          .join(broadcast(evalSig.as("es")), $"eval_doc_id" === $"es.doc_id")
           .select($"train_doc_id", $"eval_doc_id",
             (matches.cast("double") / perms.length).as("est_jaccard"))
       },
