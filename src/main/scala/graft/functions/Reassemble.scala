@@ -16,11 +16,20 @@ final case class TcpSeg(tcp_seq: Long, pkt_idx: Long, payload: Array[Byte])
   * payload, plus whether anything past the cap was dropped. */
 final case class Reassembled(stream: Array[Byte], truncated: Boolean)
 
+/** Buffer-internal segment: `payload` is the bytes REMAINING after
+  * `drop` prefix bytes were trimmed as covered by earlier segments, so
+  * the segment's effective range is [seq + drop, seq + drop + len).
+  * `seq` stays the ORIGINAL sequence number — sort order must never
+  * change across partial compactions or the sweep would become
+  * merge-order dependent. */
+final case class BufSeg(seq: Long, pktIdx: Long, drop: Int,
+    payload: Array[Byte])
+
 /** Mutable per-flow accumulator. Kryo-encoded (it only crosses the wire
   * at the partial/final boundary; inside ObjectHashAggregate it lives as
   * this object). */
 final class ReassemblyBuf extends Serializable {
-  var segs: ArrayBuffer[TcpSeg] = ArrayBuffer.empty
+  var segs: ArrayBuffer[BufSeg] = ArrayBuffer.empty
   var total: Long = 0L
   var truncated: Boolean = false
 }
@@ -34,25 +43,40 @@ final class ReassemblyBuf extends Serializable {
   * elephant flow (a multi-GB transfer inside a capture) OOMs its task.
   *
   * Semantics on the kept prefix are bit-identical to the fold
-  * (ReassemblyCapSpec proves it query-for-query): segments sort by
-  * (tcp_seq, pkt_idx); an exact retransmit (duplicate tcp_seq) keeps the
-  * earliest capture copy; the stream is the in-order concatenation. The
-  * cap keeps whole segments while the running length stays within
-  * `maxStreamBytes` and drops everything from the first overflowing
-  * segment on — a strict prefix, never a gap — flagging `truncated`.
+  * (ReassemblyCapSpec proves it query-for-query) wherever the fold is
+  * defined (no partial overlaps): segments sort by (tcp_seq, pkt_idx)
+  * and sweep in that order with a coverage frontier `covEnd` = one past
+  * the highest stream byte any earlier segment provided. A segment
+  * entirely at-or-below the frontier (exact retransmit, or a sub-range
+  * re-send) is dropped whole; a segment straddling it has its covered
+  * PREFIX trimmed and contributes only the new tail (first-copy-wins:
+  * bytes already accepted are never overwritten — RFC 793 reassembly's
+  * standard discipline for overlapping retransmits); a segment at-or-
+  * above it is kept whole (gaps concatenate, as in the fold). The cap
+  * keeps whole (post-trim) contributions while the running length stays
+  * within `maxStreamBytes` and drops everything from the first
+  * overflowing segment on — a strict prefix, never a gap — flagging
+  * `truncated`.
   *
   * Memory bound, by construction: each partial buffer compacts
-  * (sort + dedup + cap) whenever its raw payload exceeds 2×cap or its
-  * segment count exceeds `maxSegments`, so no task ever holds more than
-  * ~2× `maxStreamBytes` (+ entry overhead) per flow, map-side partials
-  * included. Compaction is safe under any partitioning: segments are
-  * only ever added, so a segment beyond the cap now is beyond the cap in
-  * every superset of the buffer (byte positions only grow), and
-  * duplicate eviction keeps the globally-smallest pkt_idx because every
-  * copy re-competes at merge time.
+  * (sort + trim + dedup + cap) whenever its raw payload exceeds 2×cap
+  * or its segment count exceeds `maxSegments`, so no task ever holds
+  * more than ~2× `maxStreamBytes` (+ entry overhead) per flow, map-side
+  * partials included. Compaction is safe under any partitioning,
+  * because every compaction decision is monotone in the segment set:
+  * (a) coverage only grows as segments are added, so a prefix trimmed
+  * against a subset's frontier is trimmed at least as far against the
+  * final set's, and a fully-covered drop stays fully covered; (b) a
+  * trimmed segment keeps its ORIGINAL seq for ordering (`BufSeg.drop`
+  * records the trim), so later sweeps see it at the same sort position
+  * the untrimmed segment would occupy; (c) the cap check uses post-trim
+  * lengths, and the union length of covered stream bytes through any
+  * sort position only grows, so a segment beyond the cap in a subset is
+  * beyond the cap in every superset. Duplicate eviction keeps the
+  * globally-smallest pkt_idx because every copy re-competes at merge.
   *
   * `truncated` is monotone (once set it survives merge) and only set
-  * when a NON-duplicate segment is dropped. One documented edge: a
+  * when a segment with NEW bytes is dropped. One documented edge: a
   * retransmit that changes the payload length at the exact cap boundary
   * can shift which segment overflows first; exact retransmits (the
   * fold's contract, PcapTcpReassemblySpec) are unaffected.
@@ -60,31 +84,44 @@ final class ReassemblyBuf extends Serializable {
 class ReassembleAgg(maxStreamBytes: Long, maxSegments: Int = 1 << 18)
   extends Aggregator[TcpSeg, ReassemblyBuf, Reassembled] {
 
-  require(maxStreamBytes > 0 && maxSegments > 0)
+  // <= Int.MaxValue: finish() materializes the stream as one Array[Byte],
+  // so a larger cap would overflow the allocation size instead of failing
+  // here at construction.
+  require(maxStreamBytes > 0 && maxStreamBytes <= Int.MaxValue &&
+    maxSegments > 0)
 
   private def compact(b: ReassemblyBuf): Unit = {
     val sorted = b.segs.sortInPlaceWith { (a, c) =>
-      a.tcp_seq < c.tcp_seq ||
-        (a.tcp_seq == c.tcp_seq && a.pkt_idx < c.pkt_idx)
+      a.seq < c.seq || (a.seq == c.seq && a.pktIdx < c.pktIdx)
     }
-    val out = new ArrayBuffer[TcpSeg](math.min(sorted.length, maxSegments))
-    var lastSeq = 0L
-    var any = false
+    val out = new ArrayBuffer[BufSeg](math.min(sorted.length, maxSegments))
+    var covEnd = Long.MinValue          // one past the highest byte kept
     var bytes = 0L
     var dropped = false
     var i = 0
     while (i < sorted.length && !dropped) {
-      val s = sorted(i)
-      if (any && s.tcp_seq == lastSeq) {
-        // exact-retransmit duplicate: earliest pkt_idx already kept
-      } else if (bytes + s.payload.length > maxStreamBytes ||
-          out.length >= maxSegments) {
-        dropped = true                  // prefix ends HERE; rest is out
+      var s = sorted(i)
+      val effStart = s.seq + s.drop
+      val effEnd = effStart + s.payload.length
+      if (effEnd <= covEnd) {
+        // fully covered: exact retransmit or sub-range re-send — the
+        // first copy already provided every byte
       } else {
-        out += s
-        bytes += s.payload.length
-        lastSeq = s.tcp_seq
-        any = true
+        if (effStart < covEnd) {
+          // overlapping retransmit: discard the covered prefix, keep
+          // only the new tail (first-copy-wins)
+          val trim = (covEnd - effStart).toInt
+          s = BufSeg(s.seq, s.pktIdx, s.drop + trim,
+            java.util.Arrays.copyOfRange(s.payload, trim, s.payload.length))
+        }
+        if (bytes + s.payload.length > maxStreamBytes ||
+            out.length >= maxSegments) {
+          dropped = true                // prefix ends HERE; rest is out
+        } else {
+          out += s
+          bytes += s.payload.length
+          covEnd = effEnd
+        }
       }
       i += 1
     }
@@ -96,7 +133,7 @@ class ReassembleAgg(maxStreamBytes: Long, maxSegments: Int = 1 << 18)
   override def zero: ReassemblyBuf = new ReassemblyBuf
 
   override def reduce(b: ReassemblyBuf, s: TcpSeg): ReassemblyBuf = {
-    b.segs += s
+    b.segs += BufSeg(s.tcp_seq, s.pkt_idx, 0, s.payload)
     b.total += s.payload.length
     if (b.total > maxStreamBytes * 2 || b.segs.length > maxSegments * 2)
       compact(b)

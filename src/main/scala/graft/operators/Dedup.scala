@@ -134,6 +134,65 @@ object Dedup {
     (1305407L, 882377L), (1306601L, 1020379L))
   private val nBands = 4
 
+  /** Min-label propagation to a fixpoint over an undirected edge list
+    * (`src`/`dst` columns; callers pass both directions). Returns
+    * (doc_id, component) where component = min reachable doc_id.
+    *
+    * Iteration discipline (the pagerank pattern, Graph.scala): every
+    * iteration's labels are EAGERLY `localCheckpoint`ed — the join
+    * output materializes once and the lineage truncates, so iteration N
+    * reads a flat scan instead of re-deriving N nested joins — and the
+    * superseded iteration's checkpoint storage is unpersisted as soon
+    * as the new one exists, so the loop holds at most TWO label sets
+    * (current + the one being built) however many rounds it runs. The
+    * `changed` convergence flag rides the update join (the old label is
+    * already in scope there; a separate comparison join would double
+    * the per-iteration join count). `onIteration` fires after each
+    * round (spec probe; default no-op). */
+  private[graft] def connectedComponents(edges: DataFrame, maxIters: Int = 20,
+      onIteration: Int => Unit = _ => ()): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val sc = s.sparkContext
+    // localCheckpoint storage is RDD-level (not CacheManager), so the
+    // handle for freeing a superseded iteration is the new persistent
+    // RDD id the checkpoint registered
+    def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint() // eager: materialize + cut lineage
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    var (labels, labelIds) = ckpt(
+      edges.select($"src".as("doc_id")).distinct()
+        .withColumn("component", $"doc_id"))
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val viaNeighbors = edges
+        .join(labels, $"dst" === $"doc_id")
+        .groupBy($"src")
+        .agg(min($"component").as("ncomp"))
+      val (next, nextIds) = ckpt(labels
+        .join(viaNeighbors, $"doc_id" === $"src", "left")
+        .select($"doc_id",
+          least($"component", coalesce($"ncomp", $"component"))
+            .as("component"),
+          (coalesce($"ncomp", $"component") < $"component").as("changed")))
+      val changed = next.filter($"changed").count()
+      // `next` is materialized; the previous labels checkpoint is now
+      // unreachable — free it deterministically rather than waiting on
+      // the ContextCleaner's GC cycle
+      labelIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      labels = next.select($"doc_id", $"component")
+      labelIds = nextIds
+      converged = changed == 0
+      iters += 1
+      onIteration(iters)
+    }
+    labels
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ----- exact dedup: content-hash groupBy ------------------------------
@@ -351,34 +410,8 @@ object Dedup {
         val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
           .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
           .cache()
-        var labels = edges.select($"src".as("doc_id"))
-          .distinct()
-          .withColumn("component", $"doc_id")
-          .cache()
-        var converged = false
-        var iters = 0
-        while (!converged && iters < 20) {
-          val viaNeighbors = edges
-            .join(labels, $"dst" === $"doc_id")
-            .groupBy($"src")
-            .agg(min($"component").as("ncomp"))
-          // convergence detection rides the update join: the old label is
-          // already in scope here, so a `changed` flag column costs
-          // nothing, where a separate next-vs-labels comparison join
-          // would double the per-iteration join count
-          val next = labels
-            .join(viaNeighbors, $"doc_id" === $"src", "left")
-            .select($"doc_id",
-              least($"component", coalesce($"ncomp", $"component"))
-                .as("component"),
-              (coalesce($"ncomp", $"component") < $"component").as("changed"))
-            .cache()
-          val changed = next.filter($"changed").count()
-          labels = next.select($"doc_id", $"component").cache()
-          converged = changed == 0
-          iters += 1
-        }
-        labels
+        try connectedComponents(edges)
+        finally { edges.unpersist(); pairs.unpersist() }
       },
       Some(s"""WITH RECURSIVE cand AS ($minhashPairsSql),
         edges AS (SELECT doc1 AS a, doc2 AS b FROM cand

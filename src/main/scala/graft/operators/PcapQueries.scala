@@ -58,6 +58,16 @@ object PcapQueries {
     p.toString
   }
 
+  /** Overlapping-retransmit TCP capture (40 flows; see
+    * [[graft.pcap.PcapSynth.tcpOverlapSegments]] — corrupted partial
+    * and fully-covered retransmits that only first-copy-wins trimming
+    * reassembles to the clean payload). */
+  private def tcpOverlapSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_tcpoverlap.pcap")
+    graft.pcap.PcapSynth.ensureTcpOverlapFile(p, 40)
+    p.toString
+  }
+
   /** Deterministic segmented HTTP request capture (50 flows; see
     * [[graft.pcap.PcapSynth.httpFlowSegments]] — cuts land mid-header). */
   private def httpSynthPath: String = {
@@ -226,9 +236,11 @@ object PcapQueries {
     * keep only the FIRST capture copy of a retransmitted sequence number
     * (the sort puts the earliest pkt_idx first; a later duplicate of the
     * same tcp_seq is skipped by the accumulator). Overlapping PARTIAL
-    * retransmits (same data under a shifted seq) remain out of scope — a
-    * full TCP stream follower is a stateful-streaming problem, not an
-    * aggregate.
+    * retransmits (a shifted seq inside already-reassembled bytes) are
+    * out of scope for THIS fold; the production aggregator handles them
+    * by trimming the covered prefix (first-copy-wins — see
+    * [[graft.functions.ReassembleAgg]] and pcap_tcp_reassembly_overlap),
+    * so the two agree exactly on captures without partial overlaps.
     *
     * NO LONGER shipped by the queries: this fold buffers each flow's
     * whole segment list + stream, so an elephant flow OOMs its task. The
@@ -360,7 +372,9 @@ object PcapQueries {
     // reference cannot express (strictly packet-at-a-time). Contract:
     // in-capture segments only; an exact retransmit (duplicate tcp_seq)
     // keeps the first capture copy (PcapTcpReassemblySpec proves it);
-    // overlapping partial retransmits out of scope. Scale shape: ONE shuffle
+    // an overlapping partial retransmit contributes only its new tail —
+    // covered bytes are never overwritten (first-copy-wins; see
+    // pcap_tcp_reassembly_overlap). Scale shape: ONE shuffle
     // on the flow key; per-flow state is BOUNDED by construction — the
     // graft.functions.ReassembleAgg typed aggregator caps each flow at
     // maxStreamBytes of seq-ordered prefix (compacting map-side partials
@@ -372,7 +386,11 @@ object PcapQueries {
       (s, d) => {
         import s.implicits._
         s.read.format("pcap").load(tcpSynthPath)
-          .filter($"protocol" === "TCP")
+          // tcp_seq/payload go NULL when the snaplen cuts the TCP header
+          // short; TcpSeg's primitive Long can't encode NULL, so such
+          // frames are skipped (mirrors TcpStreamFollower.follow).
+          .filter($"protocol" === "TCP" && $"tcp_seq".isNotNull &&
+            $"payload".isNotNull)
           .select($"src", $"dst", $"src_port", $"dst_port", $"tcp_seq",
             $"pkt_idx", $"payload")
           .groupBy($"src", $"dst", $"src_port", $"dst_port")
@@ -445,6 +463,74 @@ object PcapQueries {
         ('10.1.0.8', '10.2.0.1', 30008, 80, 2, 54, 'dae29532403afbf49de58d966ce2c994'),
         ('10.1.0.9', '10.2.0.1', 30009, 80, 3, 55, '0c50dc36f0a93d5d2564d7f91ec0f88e')) AS v(src, dst, src_port, dst_port, n_seg, stream_len, stream_md5)""")),
 
+    // ----- overlapping-retransmit reassembly (first-copy-wins trim) -------
+    // Same plan shape as pcap_tcp_reassembly, over a capture whose every
+    // flow carries a CORRUPTED partial-overlap retransmit (seq inside
+    // already-reassembled bytes, extending past them) and a corrupted
+    // fully-covered re-send. The aggregator must trim the covered prefix
+    // and drop the covered re-send outright — each flow's md5 equals the
+    // clean payload's ONLY if no corrupted overlap byte is accepted.
+    // Oracle rows derive from the generator spec (md5(tcpFlowPayload f));
+    // tools/pcap_oracle.py re-derives them from the capture bytes with an
+    // independent Python sweep.
+    Q("pcap_tcp_reassembly_overlap",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(tcpOverlapSynthPath)
+          .filter($"protocol" === "TCP" && $"tcp_seq".isNotNull &&
+            $"payload".isNotNull)
+          .select($"src", $"dst", $"src_port", $"dst_port", $"tcp_seq",
+            $"pkt_idx", $"payload")
+          .groupBy($"src", $"dst", $"src_port", $"dst_port")
+          .agg(count(lit(1)).as("n_seg"),
+            graft.functions.Reassemble.stream().as("r"))
+          .select($"src", $"dst", $"src_port", $"dst_port", $"n_seg",
+            length($"r.stream").as("stream_len"),
+            md5($"r.stream").as("stream_md5"),
+            $"r.truncated".as("truncated"))
+      },
+      Some("""SELECT CAST(v.src AS VARCHAR) AS src, CAST(v.dst AS VARCHAR) AS dst, CAST(v.src_port AS INT) AS src_port, CAST(v.dst_port AS INT) AS dst_port, CAST(v.n_seg AS BIGINT) AS n_seg, CAST(v.stream_len AS INT) AS stream_len, CAST(v.stream_md5 AS VARCHAR) AS stream_md5, CAST(FALSE AS BOOLEAN) AS truncated
+        FROM (VALUES ('10.7.0.0', '10.8.0.1', 31000, 80, 5, 46, '9e06a4d9e977ca08d9db4a6403630e73'),
+        ('10.7.0.1', '10.8.0.1', 31001, 80, 5, 47, '85f3ac9c915e1aa245071334b51be58c'),
+        ('10.7.0.10', '10.8.0.1', 31010, 80, 5, 57, '1dee965175a6fb84012d5a8736f77c4b'),
+        ('10.7.0.11', '10.8.0.1', 31011, 80, 5, 58, 'a1b7fa7259fc9356edf119e9bd4bcf1e'),
+        ('10.7.0.12', '10.8.0.1', 31012, 80, 5, 59, '7a3921e33380063083fa23924421ce9c'),
+        ('10.7.0.13', '10.8.0.1', 31013, 80, 5, 60, '41045a7a2e5df9a1c5baa39350b80edc'),
+        ('10.7.0.14', '10.8.0.1', 31014, 80, 5, 61, '741c33b17cd018d6b91d3d8d2b9a9089'),
+        ('10.7.0.15', '10.8.0.1', 31015, 80, 5, 62, 'f512ee91eae870d4cc04ae28ed973a05'),
+        ('10.7.0.16', '10.8.0.1', 31016, 80, 5, 63, '58bfd9744b172bb7ab273e2e4abe40e4'),
+        ('10.7.0.17', '10.8.0.1', 31017, 80, 5, 64, 'd1eb0aa595634dbe0673fc873d59e807'),
+        ('10.7.0.18', '10.8.0.1', 31018, 80, 5, 65, '4d42aa79ad50101b117b028882cf38d9'),
+        ('10.7.0.19', '10.8.0.1', 31019, 80, 5, 66, '72b7eda9fd456b234dd23188dd7af5c1'),
+        ('10.7.0.2', '10.8.0.1', 31002, 80, 5, 48, '97ecd08d9c24b92e2e643edadfdc6539'),
+        ('10.7.0.20', '10.8.0.1', 31020, 80, 5, 67, 'a08871a88afd2f259351caa80540d1b5'),
+        ('10.7.0.21', '10.8.0.1', 31021, 80, 5, 68, 'd34104ad7ea55f594565debff4c9e44c'),
+        ('10.7.0.22', '10.8.0.1', 31022, 80, 5, 69, '9eec94d67e14587026f336e6e7590175'),
+        ('10.7.0.23', '10.8.0.1', 31023, 80, 5, 70, 'b43c1c874f0e057d6933cbbcf5272d5b'),
+        ('10.7.0.24', '10.8.0.1', 31024, 80, 5, 71, '7888c6799377fa6e4a7f3bc133c35e5b'),
+        ('10.7.0.25', '10.8.0.1', 31025, 80, 5, 72, '9dd89b36a8338abc430499737af65b44'),
+        ('10.7.0.26', '10.8.0.1', 31026, 80, 5, 73, 'b970bad60edf3c77d92b98d22aa3836c'),
+        ('10.7.0.27', '10.8.0.1', 31027, 80, 5, 74, 'f3d7c670c7e6ec2e2b7395e2f043bb51'),
+        ('10.7.0.28', '10.8.0.1', 31028, 80, 5, 75, '72e0b21c91392da432a1f0b77cd656cf'),
+        ('10.7.0.29', '10.8.0.1', 31029, 80, 5, 76, '331c9bc953b6d6e6d941c3633072b029'),
+        ('10.7.0.3', '10.8.0.1', 31003, 80, 5, 49, 'eb6e89b3c8933eaebef2ff5d1e90b7a9'),
+        ('10.7.0.30', '10.8.0.1', 31030, 80, 5, 77, 'fe3a2d6e57cb99e0dd720ee2e8fd3d62'),
+        ('10.7.0.31', '10.8.0.1', 31031, 80, 5, 78, 'fa91bec04d3cb42ac195e7cf4ac1eaf2'),
+        ('10.7.0.32', '10.8.0.1', 31032, 80, 5, 79, '02a5af58d63b71030ad51a5acf0255dd'),
+        ('10.7.0.33', '10.8.0.1', 31033, 80, 5, 80, 'e1ebe4d01b355141bf80f5f8d5b3c304'),
+        ('10.7.0.34', '10.8.0.1', 31034, 80, 5, 81, 'd6468ffece907da705cc1d091aecff44'),
+        ('10.7.0.35', '10.8.0.1', 31035, 80, 5, 82, '54133ef3ede31ce59d303c5fe9d1a695'),
+        ('10.7.0.36', '10.8.0.1', 31036, 80, 5, 83, '8ceb2baa96c70a5536ca4ab55dee862e'),
+        ('10.7.0.37', '10.8.0.1', 31037, 80, 5, 84, '09b73064f05df76287d43f6bfb3427b5'),
+        ('10.7.0.38', '10.8.0.1', 31038, 80, 5, 85, '12999202d7066a5c184df08ef16673b8'),
+        ('10.7.0.39', '10.8.0.1', 31039, 80, 5, 86, 'eab29f276c86fb138efbcb9778e359aa'),
+        ('10.7.0.4', '10.8.0.1', 31004, 80, 5, 50, '2a465aab8027bf6418032483ea1e40e3'),
+        ('10.7.0.5', '10.8.0.1', 31005, 80, 5, 51, '627f7093b665e81a42087f19418400f6'),
+        ('10.7.0.6', '10.8.0.1', 31006, 80, 5, 52, '10050e01f2eac2be7473e836f991bddc'),
+        ('10.7.0.7', '10.8.0.1', 31007, 80, 5, 53, '0d7f8beadfcc0950d3e826060490045e'),
+        ('10.7.0.8', '10.8.0.1', 31008, 80, 5, 54, 'dae29532403afbf49de58d966ce2c994'),
+        ('10.7.0.9', '10.8.0.1', 31009, 80, 5, 55, '0c50dc36f0a93d5d2564d7f91ec0f88e')) AS v(src, dst, src_port, dst_port, n_seg, stream_len, stream_md5)""")),
+
     // ----- HTTP request extraction over reassembled streams ---------------
     // The L7 payoff of tcp_seq reassembly: none of the fixture's segment
     // cuts contains a complete request line or header (they land mid-
@@ -457,7 +543,8 @@ object PcapQueries {
       (s, d) => {
         import s.implicits._
         s.read.format("pcap").load(httpSynthPath)
-          .filter($"protocol" === "TCP")
+          .filter($"protocol" === "TCP" && $"tcp_seq".isNotNull &&
+            $"payload".isNotNull)
           .groupBy($"src", $"dst", $"src_port", $"dst_port")
           .agg(graft.functions.Reassemble.stream().as("r"))
           .select($"r.stream".cast("string").as("txt"))
@@ -647,7 +734,8 @@ object PcapQueries {
       (s, d) => {
         import s.implicits._
         s.read.format("pcap").load(tlsSegSynthPath)
-          .filter($"protocol" === "TCP")
+          .filter($"protocol" === "TCP" && $"tcp_seq".isNotNull &&
+            $"payload".isNotNull)
           .groupBy($"src", $"dst", $"src_port", $"dst_port")
           .agg(graft.functions.Reassemble.stream().as("r"))
           .select($"src".as("client"),
@@ -749,7 +837,8 @@ object PcapQueries {
       (s, d) => {
         import s.implicits._
         val streams = s.read.format("pcap").load(httpRrSynthPath)
-          .filter($"protocol" === "TCP")
+          .filter($"protocol" === "TCP" && $"tcp_seq".isNotNull &&
+            $"payload".isNotNull)
           .groupBy($"src", $"dst", $"src_port", $"dst_port")
           .agg(graft.functions.Reassemble.stream().as("r"))
           .select($"src", $"dst", $"src_port", $"dst_port",

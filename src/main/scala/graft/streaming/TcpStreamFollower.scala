@@ -17,22 +17,36 @@ final case class TcpChunk(src: String, dst: String, src_port: Int,
   * and emits each flow's payload as bounded in-order chunks the moment
   * segments arrive.
   *
-  * Contract (the streaming twin of the batch fold, spec-matched against
-  * it on in-order fixtures by TcpFollowerSpec): segments of a
-  * micro-batch process in (tcp_seq, pkt_idx) order; a segment whose seq
-  * does not advance the stream (exact retransmit, or out-of-order
-  * arrival straddling a micro-batch boundary) is dropped — in-order
-  * captures reassemble byte-identically to the batch fold. Cross-batch
-  * out-of-order recovery is deliberately out of scope: buffering gaps
-  * would reintroduce the unbounded state the cap exists to prevent; for
-  * out-of-order archives the batch fold is the right tool.
+  * Contract (the streaming twin of the batch aggregator, spec-matched
+  * against it on in-order fixtures by TcpFollowerSpec): segments of a
+  * micro-batch process in (tcp_seq, pkt_idx) order against a coverage
+  * frontier (next expected seq). A segment entirely at-or-below the
+  * frontier (exact retransmit, sub-range re-send, or out-of-order
+  * arrival straddling a micro-batch boundary) is dropped; a segment
+  * straddling it has its covered prefix trimmed and only the new tail
+  * is emitted (first-copy-wins, matching [[graft.functions.ReassembleAgg]]);
+  * in-order captures reassemble byte-identically to the batch
+  * aggregator. Cross-batch out-of-order recovery is deliberately out of
+  * scope: buffering gaps would reintroduce the unbounded state the cap
+  * exists to prevent; for out-of-order archives the batch fold is the
+  * right tool.
   *
-  * State per flow is THREE scalars (last seq, emitted byte count,
-  * truncated) — no segment buffering ever — and an event-time timeout
-  * evicts idle flows past the watermark, so total state is
+  * State per flow is THREE scalars (next expected seq, emitted byte
+  * count, truncated) — no segment buffering ever — and an event-time
+  * timeout evicts idle flows past the watermark, so total state is
   * O(active flows), not O(stream bytes). Each flow stops emitting at
   * `maxStreamBytes` with a final `truncated` chunk, mirroring the batch
   * cap's prefix semantics.
+  *
+  * Idle-eviction caveat: once a flow's state is evicted (no segment for
+  * `idleSeconds` of event time), a LATER segment of the same 4-tuple
+  * starts a NEW follow session — its chunks restart at offset 0 and its
+  * seq frontier resets, so a long-idle flow that resumes (or a reused
+  * ephemeral port) produces a second, independent chunk sequence.
+  * Consumers that concatenate by offset must treat an offset-0 chunk as
+  * a session boundary. Retaining tombstones past eviction would make
+  * resumed flows continue their offsets, but only by growing state with
+  * every flow ever seen — the opposite of what eviction is for.
   */
 object TcpStreamFollower {
 
@@ -40,8 +54,9 @@ object TcpStreamFollower {
       dst_port: Int, tcp_seq: Long, pkt_idx: Long, payload: Array[Byte],
       time: java.sql.Timestamp)
 
-  /** (lastSeq advanced so far, bytes emitted, cap hit) */
-  final case class FlowSt(lastSeq: Long, emitted: Long, truncated: Boolean)
+  /** (next expected seq — the coverage frontier, bytes emitted, cap
+    * hit). `nextSeq` is Long.MinValue until the first segment. */
+  final case class FlowSt(nextSeq: Long, emitted: Long, truncated: Boolean)
 
   /** `packets`: streaming DataFrame with `time`, the flow key columns,
     * `tcp_seq`, `pkt_idx`, `payload` (the pcap source's schema). Emits
@@ -79,18 +94,25 @@ object TcpStreamFollower {
           segs.foreach { s =>
             val ms = s.time.getTime
             if (ms > maxEventMs) maxEventMs = ms
-            if (!st.truncated && s.tcp_seq > st.lastSeq) {
+            val effEnd = s.tcp_seq + s.payload.length
+            if (!st.truncated && effEnd > st.nextSeq) {
+              // trim the covered prefix of an overlapping retransmit
+              // (first-copy-wins, mirroring ReassembleAgg's sweep);
+              // fully-covered segments fail the effEnd check above
+              val trim =
+                if (st.nextSeq == Long.MinValue || s.tcp_seq >= st.nextSeq) 0
+                else (st.nextSeq - s.tcp_seq).toInt
+              val len = s.payload.length - trim
               // segment-granular cap, exactly like ReassembleAgg's
               // compact: the first overflowing segment is dropped WHOLE
               // and the flow stops — a strict prefix, never a partial
               // segment
-              if (st.emitted + s.payload.length > maxStreamBytes) {
+              if (st.emitted + len > maxStreamBytes) {
                 sawTrunc = true
                 st = st.copy(truncated = true)
               } else {
-                buf.write(s.payload, 0, s.payload.length)
-                st = FlowSt(s.tcp_seq, st.emitted + s.payload.length,
-                  truncated = false)
+                buf.write(s.payload, trim, len)
+                st = FlowSt(effEnd, st.emitted + len, truncated = false)
               }
             }
           }

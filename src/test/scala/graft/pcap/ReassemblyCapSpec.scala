@@ -113,6 +113,45 @@ class ReassemblyCapSpec extends AnyFunSuite {
     assert(len == 6000 && !trunc)
   }
 
+  test("overlapping retransmits trim to first-copy-wins, under any partitioning") {
+    // every flow carries a corrupted partial-overlap retransmit and a
+    // corrupted fully-covered re-send; the stream md5 equals the clean
+    // payload's ONLY if the covered bytes are all discarded
+    val p = java.nio.file.Files.createTempFile("cap_ovl", ".pcap")
+    val rnd = new scala.util.Random(23)
+    PcapSynth.writeAtomic(p,
+      PcapSynth.file(rnd.shuffle(PcapSynth.tcpOverlapSegments(24))))
+    def md5hex(bs: Array[Byte]) =
+      java.security.MessageDigest.getInstance("MD5").digest(bs)
+        .map(b => f"${b & 0xFF}%02x").mkString
+    val expect = (0 until 24).map { f =>
+      val clean = PcapSynth.tcpFlowPayload(f)
+      (s"10.7.${f >> 8}.${f & 0xFF}", 31000 + f) ->
+        ((clean.length, md5hex(clean), false))
+    }.toMap
+    assert(agg(p.toString, Reassemble.DefaultMaxStreamBytes) == expect)
+    // merge-safety: an adversarial pre-shuffle must not change a byte —
+    // partial compactions see arbitrary segment subsets, and the trim
+    // decisions must commute (BufSeg keeps original seq ordering)
+    val res2 = {
+      import spark.implicits._
+      spark.read.format("pcap").load(p.toString)
+        .filter($"protocol" === "TCP")
+        .repartition(13)
+        .groupBy($"src", $"src_port")
+        .agg(Reassemble.stream(96).as("r")) // tiny cap -> many compactions
+        .select($"src", $"src_port", length($"r.stream").as("len"),
+          md5($"r.stream").as("h"), $"r.truncated")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getInt(2), r.getString(3), r.getBoolean(4))))
+        .toMap
+    }
+    // max payload here is 93 B (f=23 -> 7+40+23 = 70... all under 96):
+    // nothing truncates even at the tiny cap, so results match exactly
+    assert(res2 == expect)
+  }
+
   test("elephant flow 1000x the median completes with bounded state") {
     // median flow ~60 B (tcpFlowSegments); elephant = 2000 segments x
     // 1 kB = 2 MB >> 64 kB cap. The compaction threshold (2x cap) forces

@@ -116,6 +116,37 @@ class TcpFollowerSpec extends AnyFunSuite {
     assert(got(k)._2 == 4000 && got(k)._3, "8 whole segments + truncated flag")
   }
 
+  test("overlapping retransmits: follower trims covered prefixes like batch") {
+    // the overlap fixture's corrupted retransmits (partial + fully
+    // covered) must contribute nothing but the clean extension tail;
+    // chunk offsets still chain exactly and every flow's bytes equal the
+    // clean generator payload (and the batch aggregator's)
+    val dir = Files.createTempDirectory("tcp_follow_ovl")
+    val query = TcpStreamFollower.follow(
+        spark.readStream.format("pcap").load(dir.toString))
+      .writeStream.format("memory")
+      .queryName("tcp_chunks_ovl").outputMode("append").start()
+    try {
+      Files.write(dir.resolve("a.pcap"),
+        graft.pcap.PcapSynth.file(graft.pcap.PcapSynth.tcpOverlapSegments(16)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = followedStreams("tcp_chunks_ovl")
+    val want = batchStreams(dir.toString,
+      graft.functions.Reassemble.DefaultMaxStreamBytes)
+    assert(got.size == 16 && want.size == 16)
+    got.foreach { case (k, v) =>
+      assert(v == want(k), s"flow $k: follower $v != batch ${want(k)}")
+    }
+    // and both equal the clean payload md5 from the generator spec
+    (0 until 16).foreach { f =>
+      val clean = graft.pcap.PcapSynth.tcpFlowPayload(f)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(clean).map(b => f"${b & 0xFF}%02x").mkString
+      assert(got((s"10.7.0.$f", 31000 + f)) == ((h, clean.length, false)))
+    }
+  }
+
   test("exact retransmits are dropped, not re-emitted") {
     val base = (0 until 4).map { k =>
       val payload = s"seg$k-payload".getBytes("US-ASCII")

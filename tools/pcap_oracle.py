@@ -388,6 +388,59 @@ if glob.glob(f"{out}/pcap_tcp_reassembly/*.parquet"):
     else:
         print(f"OK   pcap_tcp_reassembly ({len(got_re)} flows)")
 
+# ---- pcap_tcp_reassembly_overlap: overlap-aware first-copy-wins sweep ---
+if glob.glob(f"{out}/pcap_tcp_reassembly_overlap/*.parquet"):
+    import hashlib
+    odata = open("/tmp/graft_synth_tcpoverlap.pcap", "rb").read()
+    assert struct.unpack_from("<I", odata, 0)[0] == 0xA1B2C3D4
+    oflows = {}
+    offo = 24
+    pkt = 0
+    while offo < len(odata):
+        _, _, cl, _ = struct.unpack_from("<IIII", odata, offo)
+        offo += 16
+        frame = odata[offo:offo + cl]
+        offo += cl
+        pkt += 1
+        ihl = (frame[14] & 0xF) * 4
+        l4 = 14 + ihl
+        sp, dp = struct.unpack_from(">HH", frame, l4)
+        seq = struct.unpack_from(">I", frame, l4 + 4)[0]
+        hdr = ((frame[l4 + 12] >> 4) & 0xF) * 4
+        key = (".".join(str(b) for b in frame[26:30]),
+               ".".join(str(b) for b in frame[30:34]), sp, dp)
+        oflows.setdefault(key, []).append((seq, pkt, frame[l4 + hdr:]))
+
+    def sweep(segs):
+        """Seq-sorted sweep with a coverage frontier: fully-covered
+        segments drop, straddling ones contribute only the tail past the
+        frontier (first-copy-wins)."""
+        cov, out_b = None, b""
+        for seq, _, pay in sorted(segs, key=lambda s: (s[0], s[1])):
+            end = seq + len(pay)
+            if cov is not None and end <= cov:
+                continue
+            if cov is not None and seq < cov:
+                pay = pay[cov - seq:]
+            out_b += pay
+            cov = end
+        return out_b
+
+    exp_ov = sorted(
+        (src, dst, sp, dp, len(v), len(sweep(v)),
+         hashlib.md5(sweep(v)).hexdigest())
+        for (src, dst, sp, dp), v in oflows.items())
+    ov = pq.read_table(glob.glob(
+        f"{out}/pcap_tcp_reassembly_overlap/*.parquet")[0]).to_pandas()
+    got_ov = sorted((r.src, r.dst, int(r.src_port), int(r.dst_port),
+                     int(r.n_seg), int(r.stream_len), r.stream_md5)
+                    for r in ov.itertuples())
+    if got_ov != exp_ov or any(bool(t) for t in ov.truncated):
+        print(f"FAIL pcap_tcp_reassembly_overlap: {got_ov[:1]} vs {exp_ov[:1]}")
+        fails += 1
+    else:
+        print(f"OK   pcap_tcp_reassembly_overlap ({len(got_ov)} flows)")
+
 # ---- pcap_http_requests: independent reassemble + header parse ----------
 if glob.glob(f"{out}/pcap_http_requests/*.parquet"):
     import re as _re
