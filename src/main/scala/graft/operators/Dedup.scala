@@ -134,6 +134,51 @@ object Dedup {
     (1305407L, 882377L), (1306601L, 1020379L))
   private val nBands = 4
 
+  /** Eval splits small enough to force-broadcast in the fuzzy
+    * contamination joins. Each eval document contributes `nBands` band
+    * rows (4 ints) and one 8-column signature row, so 5M docs is
+    * low-hundreds of MB on the wire — comfortably a broadcast; above
+    * it the hint would push an executor-OOM-sized table to every task. */
+  private[graft] val EvalBroadcastDocCap = 5000000L
+
+  /** The pipeline_contamination_fuzzy body, with the round-6 verdict's
+    * size guard: the forced `broadcast()` hints on the eval side assume
+    * the eval split fits in executor memory (the real-world contract —
+    * eval sets are bounded while train grows). That assumption is now
+    * CHECKED: one cheap count of eval documents (a single-column scan of
+    * 1/20 of the corpus, far below the signature groupBy the query runs
+    * anyway) gates the hints; past `broadcastDocCap` they are dropped
+    * and AQE picks the join strategy from observed runtime sizes.
+    * Results are hint-independent (BroadcastGuardSpec runs both
+    * branches). */
+  private[graft] def contaminationFuzzy(s: SparkSession, d: String,
+      broadcastDocCap: Long = EvalBroadcastDocCap): DataFrame = {
+    import s.implicits._
+    val evalDocs = Tables.documents(s, d)
+      .filter($"doc_id" % 20 === 0).count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (evalDocs <= broadcastDocCap) broadcast(df) else df
+    val sig = signatures(s, d)
+    val bands = bandsOf(sig)
+    val train = bands.filter($"doc_id" % 20 =!= 0)
+      .select($"band", $"x", $"y", $"doc_id".as("train_doc_id"))
+    val eval = bands.filter($"doc_id" % 20 === 0)
+      .select($"band", $"x", $"y", $"doc_id".as("eval_doc_id"))
+    val cand = train.join(maybeBroadcast(eval), Seq("band", "x", "y"))
+      .select($"train_doc_id", $"eval_doc_id").distinct()
+    val matches = perms.indices.map(i =>
+      when(col(s"ts.m$i") === col(s"es.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    // only eval-side signatures can match the eval join key — filter
+    // before broadcasting so the broadcast is 1/20 of the signature
+    // table, not all of it
+    val evalSig = sig.filter($"doc_id" % 20 === 0)
+    cand.join(sig.as("ts"), $"train_doc_id" === $"ts.doc_id")
+      .join(maybeBroadcast(evalSig.as("es")), $"eval_doc_id" === $"es.doc_id")
+      .select($"train_doc_id", $"eval_doc_id",
+        (matches.cast("double") / perms.length).as("est_jaccard"))
+  }
+
   /** Min-label propagation to a fixpoint over an undirected edge list
     * (`src`/`dst` columns; callers pass both directions). Returns
     * (doc_id, component) where component = min reachable doc_id.
@@ -358,28 +403,7 @@ object Dedup {
     // broadcast; the signature re-joins key on doc_id. Nothing pairwise
     // ever touches document text.
     Q("pipeline_contamination_fuzzy",
-      (s, d) => {
-        import s.implicits._
-        val sig = signatures(s, d)
-        val bands = bandsOf(sig)
-        val train = bands.filter($"doc_id" % 20 =!= 0)
-          .select($"band", $"x", $"y", $"doc_id".as("train_doc_id"))
-        val eval = bands.filter($"doc_id" % 20 === 0)
-          .select($"band", $"x", $"y", $"doc_id".as("eval_doc_id"))
-        val cand = train.join(broadcast(eval), Seq("band", "x", "y"))
-          .select($"train_doc_id", $"eval_doc_id").distinct()
-        val matches = perms.indices.map(i =>
-          when(col(s"ts.m$i") === col(s"es.m$i"), 1).otherwise(0))
-          .reduce(_ + _)
-        // only eval-side signatures can match the eval join key — filter
-        // before broadcasting so the broadcast is 1/20 of the signature
-        // table, not all of it
-        val evalSig = sig.filter($"doc_id" % 20 === 0)
-        cand.join(sig.as("ts"), $"train_doc_id" === $"ts.doc_id")
-          .join(broadcast(evalSig.as("es")), $"eval_doc_id" === $"es.doc_id")
-          .select($"train_doc_id", $"eval_doc_id",
-            (matches.cast("double") / perms.length).as("est_jaccard"))
-      },
+      (s, d) => contaminationFuzzy(s, d),
       Some {
         val matchSql = perms.indices
           .map(i => s"CASE WHEN ts.m$i = es.m$i THEN 1 ELSE 0 END")

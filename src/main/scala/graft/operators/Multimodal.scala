@@ -69,6 +69,18 @@ object Multimodal {
   /** Container sniffing + decode for the generic ops: dispatch on magic
     * bytes (never the kind/meta columns — those are untrusted metadata)
     * and return modality-normalized features. */
+  /** Container from magic bytes alone — NO decode (header/stats paths
+    * must not pay a full pixel/sample unpack just to learn the kind). */
+  private[operators] def sniffKind(bytes: Array[Byte]): String = {
+    def riffTag: String =
+      new String(bytes, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (bytes.length >= 8 && bytes(0) == 0x89.toByte &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 12 && riffTag == "WAVE") "wav"
+    else "avi"
+  }
+
   private[operators] def sniffDecode(bytes: Array[Byte])
       : (String, Long, Long) = {
     def riffTag: String =
@@ -183,6 +195,22 @@ object Multimodal {
         ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
 
     /** Parse a 24-bit uncompressed BMP from bytes alone. */
+    /** Header-only dims (no pixel unpack) — the stats-query companion to
+      * [[AviCodec.header]]. Same variant and dimension guards as decode. */
+    def headerDims(bytes: Array[Byte]): (Int, Int) = {
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+        "not a BMP")
+      val w = le32(bytes, 18)
+      val h = math.abs(le32(bytes, 22))
+      val bpp = (bytes(28) & 0xFF) | ((bytes(29) & 0xFF) << 8)
+      val compression = le32(bytes, 30)
+      require(bpp == 24 && compression == 0,
+        s"unsupported BMP variant: bpp=$bpp compression=$compression")
+      require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+        s"implausible BMP dims ${w}x$h")
+      (w, h)
+    }
+
     def decode(bytes: Array[Byte]): Image = {
       require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
         "not a BMP")
@@ -635,6 +663,45 @@ object Multimodal {
       (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
       ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
 
+    /** Header-only parse: walk the RIFF tree to the first avih chunk and
+      * return (width, height, declared frame count) WITHOUT touching the
+      * movi list — stats queries need the header fields, not nf×w×h
+      * unpacked pixels (round-6 ADVICE; mm_media_stats uses this). Same
+      * chunk-bound and dimension guards as [[decode]]. */
+    def header(bytes: Array[Byte]): (Int, Int, Int) = {
+      def tagAt(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      require(bytes.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "AVI ",
+        "not a RIFF AVI")
+      var off = 12
+      var depth = 0
+      var end = bytes.length
+      while (off + 8 <= end) {
+        val id = tagAt(off)
+        val size = rd32(bytes, off + 4)
+        require(size >= 0 && off + 8 + size.toLong <= end,
+          s"truncated chunk $id")
+        if (id == "avih") {
+          require(size >= 56, "short avih")
+          val total = rd32(bytes, off + 8 + 16)
+          val w = rd32(bytes, off + 8 + 32)
+          val h = rd32(bytes, off + 8 + 36)
+          require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+            s"implausible AVI dims ${w}x$h")
+          require(total >= 0 && total <= (1 << 20),
+            s"implausible frame count $total")
+          return (w, h, total)
+        } else if (id == "LIST") {
+          require(size >= 4, "short LIST chunk")
+          depth += 1
+          require(depth < 16, "implausible LIST nesting")
+          off += 12                     // descend: skip the list type only
+        } else {
+          off += 8 + size + (size & 1)  // RIFF chunks are word-aligned
+        }
+      }
+      throw new IllegalArgumentException("no avih header found")
+    }
+
     /** Byte-only parse: RIFF('AVI ') → LIST hdrl (avih: dims, frame
       * count) → LIST movi ('00db' DIB frames, bottom-up padded BGR). */
     def decode(bytes: Array[Byte]): Video = {
@@ -716,13 +783,15 @@ object Multimodal {
           .as[(Long, String, Array[Byte])]
           .mapPartitions { it =>
             it.map { case (_, kind, bytes) =>
-              val (container, _, _) = sniffDecode(bytes)
-              val (width, frames) = container match {
+              // stats come from header fields alone — no pixel/frame
+              // unpack (a stats scan over video must not pay nf×w×h per
+              // row; round-6 ADVICE)
+              val (width, frames) = sniffKind(bytes) match {
                 case "bmp" =>
-                  (Some(BmpCodec.decode(bytes).w), None: Option[Int])
+                  (Some(BmpCodec.headerDims(bytes)._1), None: Option[Int])
                 case "avi" =>
-                  val v = AviCodec.decode(bytes)
-                  (Some(v.w), Some(v.frames.length))
+                  val (w, _, nf) = AviCodec.header(bytes)
+                  (Some(w), Some(nf))
                 case _ => (None: Option[Int], None: Option[Int])
               }
               (kind, bytes.length, width, frames)

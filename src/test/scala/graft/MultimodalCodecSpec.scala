@@ -288,6 +288,22 @@ class MultimodalCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BmpCodec.decode(bmp))
   }
 
+  test("header-only parses agree with full decode and reject garbage") {
+    import graft.operators.Multimodal.{AviCodec, BmpCodec}
+    for (id <- 0L to 12L) {
+      val avi = AviCodec.encode(id)
+      val full = AviCodec.decode(avi)
+      assert(AviCodec.header(avi) == ((full.w, full.h, full.frames.length)))
+      val bmp = BmpCodec.encode(id)
+      val img = BmpCodec.decode(bmp)
+      assert(BmpCodec.headerDims(bmp) == ((img.w, img.h)))
+    }
+    intercept[IllegalArgumentException](
+      AviCodec.header(Array[Byte](1, 2, 3, 4)))
+    intercept[IllegalArgumentException](
+      BmpCodec.headerDims(Array[Byte]('B', 'M', 0)))
+  }
+
   test("malformed WAV is rejected, not misparsed") {
     import graft.operators.Multimodal.WavCodec
     intercept[IllegalArgumentException](WavCodec.decode(Array[Byte](1, 2)))
