@@ -32,6 +32,27 @@ import graft.pcap.DecodeOptions
   * STOPS — the scheduled batch-catchup pattern (run nightly, process
   * what landed, exit) with streaming-checkpoint semantics. Files landing
   * mid-drain wait for the next scheduled run.
+  *
+  * Driver-state compaction (`maxFileAgeMs`, default 7 days — the same
+  * retention contract as Spark's file source `maxFileAge`): a landing
+  * stream that rotates captures every few seconds for months would
+  * otherwise grow the seen-files log without bound. Files whose mtime
+  * falls more than `maxFileAgeMs` behind the newest mtime seen are
+  * (a) ignored on discovery — a too-late landing is dropped, which is
+  * what makes forgetting them safe — and (b) purged from the seen map
+  * and, once their offset range is COMMITTED, from the ordered log
+  * (`base` counts purged prefix entries so offsets keep their absolute
+  * meaning). Tracked state is therefore O(files within the retention
+  * window + uncommitted backlog), not O(files ever landed)
+  * (StreamCompactionSpec streams thousands of files and pins the
+  * bound). Restart: offsets carry the last processed (mtime, path)
+  * alongside the count, so a fresh instance whose rebuilt listing lost
+  * the aged-out prefix splits the listing EXACTLY into processed
+  * (at-or-before the marker) and pending (after it) and rebases the
+  * count space over what remains — exactly-once holds as long as
+  * still-unprocessed files are not yet past the horizon (retention
+  * must exceed the worst backlog + restart gap) and landing mtimes
+  * never step backwards past the marker.
   */
 class PcapMicroBatchStream(
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
@@ -41,10 +62,31 @@ class PcapMicroBatchStream(
 
   private case class FileEntry(path: String, mtime: Long, len: Long)
 
-  /** stable discovery order: everything seen so far, sorted */
-  @volatile private var discovered: Vector[FileEntry] = Vector.empty
+  private val maxFileAgeMs: Long = {
+    val v = options.getLong("maxFileAgeMs", 7L * 24 * 3600 * 1000)
+    require(v > 0, s"maxFileAgeMs must be positive, got $v")
+    v
+  }
 
-  private def refresh(): Unit = {
+  /** stable discovery order, minus the compacted prefix: absolute
+    * offset counts map to `tail(count - base)` */
+  @volatile private var tail: Vector[FileEntry] = Vector.empty
+  /** entries purged from the front of the discovery order (committed
+    * AND past the retention horizon) */
+  @volatile private var base: Int = 0
+  /** path -> mtime for dedup, bounded to the retention window */
+  private val seen = scala.collection.mutable.HashMap.empty[String, Long]
+  /** newest mtime ever seen; the retention horizon hangs off it (event
+    * time, not wall clock — deterministic under synthetic mtimes) */
+  private var latestMtime: Long = Long.MinValue
+  /** absolute count covered by the last commit (compaction's safe line) */
+  @volatile private var committed: Int = 0
+
+  private def horizon: Long =
+    if (latestMtime == Long.MinValue) Long.MinValue
+    else latestMtime - maxFileAgeMs
+
+  private def refresh(): Unit = synchronized {
     val found = PcapTable.paths(options).flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
@@ -57,10 +99,24 @@ class PcapMicroBatchStream(
         else Seq(st)
       }
     }.map(st => FileEntry(st.getPath.toString, st.getModificationTime, st.getLen))
-    val known = discovered.map(_.path).toSet
-    val fresh = found.filterNot(f => known.contains(f.path))
+    found.foreach(f => latestMtime = math.max(latestMtime, f.mtime))
+    val h = horizon
+    // age-filter BEFORE the seen-check: a file older than the horizon is
+    // never admitted, so forgetting it from `seen` cannot re-admit it
+    val fresh = found
+      .filter(_.mtime >= h)
+      .filterNot(f => seen.contains(f.path))
       .sortBy(f => (f.mtime, f.path))
-    discovered = discovered ++ fresh
+    fresh.foreach(f => seen(f.path) = f.mtime)
+    tail = tail ++ fresh
+    // compact the seen map to the retention window
+    seen.filterInPlace((_, m) => m >= h)
+    // compact the committed, aged-out prefix of the ordered log
+    var purge = 0
+    while (purge < tail.length && base + purge < committed &&
+        tail(purge).mtime < h) purge += 1
+    if (purge > 0) { tail = tail.drop(purge); base += purge }
+    PcapMicroBatchStream.lastTrackedState = (seen.size, tail.length, base)
   }
 
   private val maxFilesPerTrigger: Option[Int] = {
@@ -75,23 +131,56 @@ class PcapMicroBatchStream(
 
   override def initialOffset(): Offset = PcapStreamOffset(0)
 
+  /** Restart rebase: a checkpoint-recovered count can exceed
+    * base + tail.length on a fresh instance whose listing no longer
+    * holds the aged-out prefix. The offset's (mtime, path) marker
+    * splits the rebuilt listing exactly: entries at-or-before it were
+    * processed (they sit below the count), entries after it are
+    * pending. Shifts `base` so absolute counts keep their meaning. */
+  private def rebase(off: PcapStreamOffset): Unit = synchronized {
+    if (off.count > base + tail.length) {
+      refresh()
+      if (off.count > base + tail.length) {
+        val processed = off.last match {
+          case Some((m, p)) =>
+            tail.count(f => f.mtime < m || (f.mtime == m && f.path <= p))
+          case None => math.min(tail.length, off.count - base)
+        }
+        base = off.count - processed
+      }
+    }
+  }
+
   override def prepareForTriggerAvailableNow(): Unit = {
     refresh()
-    availableNowEnd = discovered.length
+    availableNowEnd = base + tail.length
   }
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
+  /** Offset for absolute position `end`, carrying the (mtime, path)
+    * marker of the entry just below it (falling back to `from`'s marker
+    * when that entry is compacted away or `end` == `from`). */
+  private def offsetAt(end: Int, from: PcapStreamOffset): PcapStreamOffset = {
+    val i = end - 1 - base
+    if (i >= 0 && i < tail.length)
+      PcapStreamOffset(end, Some((tail(i).mtime, tail(i).path)))
+    else PcapStreamOffset(end, from.last)
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val so = start.asInstanceOf[PcapStreamOffset]
+    rebase(so) // no-op unless recovering past a compacted prefix
     if (availableNowEnd < 0) refresh() // AvailableNow reads its snapshot
-    val avail = if (availableNowEnd < 0) discovered.length else availableNowEnd
-    val s = start.asInstanceOf[PcapStreamOffset].count
+    val s = so.count
+    if (s > committed) committed = s // a recovered start is durably logged
+    val avail = if (availableNowEnd < 0) base + tail.length else availableNowEnd
     val end = limit match {
       case mf: ReadMaxFiles => math.min(avail, s + mf.maxFiles())
       case _                => avail
     }
-    PcapStreamOffset(end)
+    offsetAt(math.max(end, s), so)
   }
 
   override def latestOffset(): Offset =
@@ -99,16 +188,26 @@ class PcapMicroBatchStream(
       "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset =
-    PcapStreamOffset(json.trim.toInt)
+    PcapStreamOffset.parse(json)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[PcapStreamOffset].count
+    if (e > committed) committed = e // next refresh may purge below this
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // restart replay: Spark re-plans the last uncommitted batch on a
+    // fresh instance WITHOUT calling latestOffset first — rebase against
+    // the batch start so the listing is loaded and counts line up
+    rebase(start.asInstanceOf[PcapStreamOffset])
     val s = start.asInstanceOf[PcapStreamOffset].count
     val e = end.asInstanceOf[PcapStreamOffset].count
+    require(s >= base,
+      s"batch [$s,$e) reaches below the compacted prefix ($base); " +
+        "only committed offsets are ever purged, so this is a bug")
     // one partition per newly-landed file (micro-batches are small by
     // construction; batch reads do the bin-packing)
-    discovered.slice(s, e).map(f =>
+    tail.slice(s - base, e - base).map(f =>
       PcapInputPartition(Seq(f.path)): InputPartition).toArray
   }
 
@@ -134,6 +233,31 @@ class PcapMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-case class PcapStreamOffset(count: Int) extends Offset {
-  override def json(): String = count.toString
+object PcapMicroBatchStream {
+  /** Last refresh's (seen-map size, ordered-log tail size, purged
+    * prefix) — a test gauge for the compaction bound (the instance is
+    * buried inside the running query, so specs read this instead). */
+  @volatile private[graft] var lastTrackedState: (Int, Int, Int) = (0, 0, 0)
+}
+
+/** `count` is the absolute position in the discovery order; `last` is
+  * the (mtime, path) of the entry just below it — the restart marker
+  * that lets a rebuilt listing split into processed vs pending after
+  * the in-memory log compacted (see [[PcapMicroBatchStream]] doc).
+  * Serialized as `count` alone (legacy-compatible) or
+  * `count|mtime|path` — path last so embedded `|` cannot ambiguate. */
+case class PcapStreamOffset(count: Int,
+    last: Option[(Long, String)] = None) extends Offset {
+  override def json(): String = last match {
+    case Some((m, p)) => s"$count|$m|$p"
+    case None         => count.toString
+  }
+}
+
+object PcapStreamOffset {
+  def parse(s: String): PcapStreamOffset = s.trim.split("\\|", 3) match {
+    case Array(c)       => PcapStreamOffset(c.toInt)
+    case Array(c, m, p) => PcapStreamOffset(c.toInt, Some((m.toLong, p)))
+    case _ => throw new IllegalArgumentException(s"bad pcap offset: $s")
+  }
 }
