@@ -8,7 +8,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Batch WRITE side of the `pcap` format — the export path the reference
   * lacks entirely: filter packets with SQL, write a valid classic-libpcap
-  * capture back out (openable in tcpdump/wireshark).
+  * capture back out (openable in tcpdump/wireshark). With
+  * `option("container", "pcapng")` parts are written as pcapng instead
+  * (SHB + one IDB with `if_tsresol` 10^-6 — the exact resolution
+  * `ts_micro` carries — + one EPB per packet), so re-exports can join a
+  * pcapng-standardized lake; reads sniff per file, so both containers
+  * round-trip through the same scan.
   *
   * Contract: the written DataFrame must carry `ts_micro` (LONG, epoch
   * microseconds) and `frame` (BINARY, the raw captured frame — read it
@@ -50,13 +55,18 @@ class PcapWriteBuilder(options: CaseInsensitiveStringMap,
       }
       val linkType = options.getInt("linkType", 1)
       val writeTsIndex = options.getBoolean("writeTsIndex", true)
-      new PcapBatchWrite(dir, linkType, schema, tsIdx, frameIdx, writeTsIndex)
+      val container = options.getOrDefault("container", "pcap").toLowerCase
+      require(container == "pcap" || container == "pcapng",
+        s"container must be pcap or pcapng, got $container")
+      new PcapBatchWrite(dir, linkType, schema, tsIdx, frameIdx, writeTsIndex,
+        container == "pcapng")
     }
   }
 }
 
 class PcapBatchWrite(dir: String, linkType: Int, schema: StructType,
-    tsIdx: Int, frameIdx: Int, writeTsIndex: Boolean) extends BatchWrite {
+    tsIdx: Int, frameIdx: Int, writeTsIndex: Boolean,
+    ng: Boolean = false) extends BatchWrite {
 
   private val conf = new SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
@@ -67,7 +77,7 @@ class PcapBatchWrite(dir: String, linkType: Int, schema: StructType,
     val p = new Path(dir)
     p.getFileSystem(conf.value).mkdirs(p)
     new PcapDataWriterFactory(dir, linkType, conf, tsIdx, frameIdx,
-      writeTsIndex)
+      writeTsIndex, ng)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -76,22 +86,23 @@ class PcapBatchWrite(dir: String, linkType: Int, schema: StructType,
 
 class PcapDataWriterFactory(dir: String, linkType: Int,
     conf: SerializableHadoopConf, tsIdx: Int, frameIdx: Int,
-    writeTsIndex: Boolean)
+    writeTsIndex: Boolean, ng: Boolean = false)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PcapDataWriter(dir, linkType, conf, tsIdx, frameIdx, writeTsIndex,
-      partitionId, taskId)
+      partitionId, taskId, ng)
 }
 
 class PcapDataWriter(dir: String, linkType: Int,
     conf: SerializableHadoopConf, tsIdx: Int, frameIdx: Int,
-    writeTsIndex: Boolean, partitionId: Int, taskId: Long)
+    writeTsIndex: Boolean, partitionId: Int, taskId: Long,
+    ng: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(conf.value)
-  private val finalPath =
-    new Path(dir, f"part-$partitionId%05d-$taskId.pcap")
+  private val finalPath = new Path(dir,
+    f"part-$partitionId%05d-$taskId." + (if (ng) "pcapng" else "pcap"))
   private val tmpPath = new Path(dir, finalPath.getName + ".inprogress")
   private val out = new java.io.BufferedOutputStream(fs.create(tmpPath, true),
     1 << 20)
@@ -106,11 +117,28 @@ class PcapDataWriter(dir: String, linkType: Int,
     ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
 
   private def writeHeader(): Unit = {
-    out.write(le32(0xA1B2C3D4L))          // LE microsecond magic
-    out.write(Array[Byte](4, 0, 2, 0))    // version 2.4 (LE u16 pair)
-    out.write(le32(0)); out.write(le32(0)) // thiszone, sigfigs
-    out.write(le32(65535))                // snaplen
-    out.write(le32(linkType.toLong))
+    if (ng) {
+      // SHB: byte-order magic + version 1.0, section length unknown (-1)
+      out.write(le32(0x0A0D0D0AL)); out.write(le32(28))
+      out.write(le32(0x1A2B3C4DL))
+      out.write(Array[Byte](1, 0, 0, 0))  // major 1, minor 0 (LE u16s)
+      out.write(le32(0xFFFFFFFFL)); out.write(le32(0xFFFFFFFFL))
+      out.write(le32(28))
+      // IDB: linktype, snaplen 0 (no limit), if_tsresol=6 so EPB
+      // timestamps are the same epoch MICROSECONDS ts_micro carries
+      out.write(le32(1L)); out.write(le32(32))
+      out.write(Array[Byte](linkType.toByte, (linkType >> 8).toByte, 0, 0))
+      out.write(le32(0))                  // snaplen: no limit
+      out.write(Array[Byte](9, 0, 1, 0, 6, 0, 0, 0)) // if_tsresol 10^-6
+      out.write(Array[Byte](0, 0, 0, 0))  // opt_endofopt
+      out.write(le32(32))
+    } else {
+      out.write(le32(0xA1B2C3D4L))        // LE microsecond magic
+      out.write(Array[Byte](4, 0, 2, 0))  // version 2.4 (LE u16 pair)
+      out.write(le32(0)); out.write(le32(0)) // thiszone, sigfigs
+      out.write(le32(65535))              // snaplen
+      out.write(le32(linkType.toLong))
+    }
     wroteHeader = true
   }
 
@@ -124,11 +152,27 @@ class PcapDataWriter(dir: String, linkType: Int,
     val sec = micro / 1000000L
     if (sec < minTs) minTs = sec
     if (sec > maxTs) maxTs = sec
-    out.write(le32(micro / 1000000L))
-    out.write(le32(micro % 1000000L))
-    out.write(le32(frame.length.toLong))  // caplen
-    out.write(le32(frame.length.toLong))  // origlen
-    out.write(frame)
+    if (ng) {
+      // EPB: iface 0, 64-bit µs timestamp split high/low, data padded
+      val pad = (4 - (frame.length & 3)) & 3
+      val total = 32 + frame.length + pad
+      out.write(le32(6L)); out.write(le32(total.toLong))
+      out.write(le32(0))                   // interface id
+      out.write(le32(micro >>> 32))        // timestamp high
+      out.write(le32(micro & 0xFFFFFFFFL)) // timestamp low
+      out.write(le32(frame.length.toLong)) // caplen
+      out.write(le32(frame.length.toLong)) // origlen
+      out.write(frame)
+      var i = 0
+      while (i < pad) { out.write(0); i += 1 }
+      out.write(le32(total.toLong))
+    } else {
+      out.write(le32(micro / 1000000L))
+      out.write(le32(micro % 1000000L))
+      out.write(le32(frame.length.toLong)) // caplen
+      out.write(le32(frame.length.toLong)) // origlen
+      out.write(frame)
+    }
   }
 
   override def commit(): WriterCommitMessage = {

@@ -141,19 +141,19 @@ object PcapSchema {
   // Per-column appenders writing decoded values straight into
   // WritableColumnVectors — no per-row object, no boxed field array, and
   // downstream operators read the batch through codegen'd ColumnarToRow.
-  // The DNS RR-section array columns stay on the row path (columnar
-  // nested-array append buys nothing for those rare projections), hence
-  // columnarEligible below.
+  // The DNS RR-section array columns append through the vector's child
+  // (offsets row in the parent, elements in `arrayData()`), so every
+  // projection — RR-heavy ones included — takes the columnar path.
 
   import org.apache.spark.sql.execution.vectorized.WritableColumnVector
 
   /** Appender: (vector, record, pktIdx, fileNameUtf8Bytes) → appended. */
   type ColAppender = (WritableColumnVector, PacketRecord, Long, Array[Byte]) => Unit
 
-  /** True when every projected column has a columnar appender (i.e. no
-    * RR-section array columns requested). */
-  def columnarEligible(schema: StructType): Boolean =
-    schema.fields.forall(f => !f.dataType.isInstanceOf[ArrayType])
+  /** Every pcap column has a columnar appender since the RR-section
+    * arrays gained child-vector appends (round-6 verdict #5); the
+    * row reader remains only as the golden-parity twin. */
+  def columnarEligible(schema: StructType): Boolean = true
 
   /** Interned UTF-8 byte forms of the low-cardinality strings (same
     * bound and purpose as the UTF8String intern cache above). */
@@ -185,6 +185,21 @@ object PcapSchema {
     }
   @inline private def putStrI(v: WritableColumnVector, o: Option[String]): Unit =
     o match { case Some(s) => putBytes(v, bytesI(s)); case None => v.appendNull() }
+
+  /** Array-of-string append: the offsets row goes into the parent FIRST
+    * (appendArray records the child's CURRENT element count as the start
+    * offset), then the elements into the child vector. */
+  @inline private def putStrArray(v: WritableColumnVector,
+      o: Option[Seq[String]]): Unit = o match {
+    case Some(xs) =>
+      v.appendArray(xs.length)
+      val child = v.arrayData()
+      xs.foreach { s =>
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        child.appendByteArray(b, 0, b.length)
+      }
+    case None => v.appendNull()
+  }
 
   private val colAppenders: Map[String, ColAppender] = Map(
     "ts" -> ((v, r, _, _) => putLong(v, r.ts)),
@@ -219,6 +234,9 @@ object PcapSchema {
     "dns_qname" -> ((v, r, _, _) => putStr(v, r.dns.flatMap(_.qname))),
     "dns_qtype" -> ((v, r, _, _) => putInt(v, r.dns.map(_.qtype))),
     "dns_qtype_str" -> ((v, r, _, _) => putStrI(v, r.dns.flatMap(_.qtypeStr))),
+    "dns_answer" -> ((v, r, _, _) => putStrArray(v, r.dns.map(_.answer))),
+    "dns_authority" -> ((v, r, _, _) => putStrArray(v, r.dns.map(_.authority))),
+    "dns_additional" -> ((v, r, _, _) => putStrArray(v, r.dns.map(_.additional))),
     "pkt_idx" -> ((v, _, idx, _) => { v.appendLong(idx); () }),
     "file" -> ((v, _, _, f) => putBytes(v, f)),
     "payload" -> ((v, r, _, _) => r.payload match {

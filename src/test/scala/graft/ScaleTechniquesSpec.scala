@@ -218,7 +218,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(pushed == unpushed && pushed.size == 85) // 50 clients + 35 scans
   }
 
-  test("scalar DNS projections stay columnar; RR-array projections fall back") {
+  test("every DNS projection is columnar, RR-section arrays included") {
     import spark.implicits._
     val p = java.nio.file.Paths.get("/tmp/graft_colspec.pcap")
     graft.pcap.PcapSynth.ensureQrFile(p, 50)   // real DNS query/response mix
@@ -229,16 +229,19 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val scalar = spark.read.format("pcap").option("decoder", "dns")
       .load(p.toString).select($"dns_qname", $"dns_qtype_str", $"dns_qr")
     assert(isColumnar(scalar), "scalar DNS projection lost the columnar path")
-    // ...while RR-section ARRAY columns are the documented row-path
-    // fallback (nested-array append buys nothing there)
+    // ...and since round 7 the RR-section ARRAY columns append through
+    // the vector's child arrays instead of falling back to the row path
     val arrays = spark.read.format("pcap").option("decoder", "dns")
       .load(p.toString).select($"dns_qname", $"dns_answer")
-    assert(!isColumnar(arrays), "array projection should use the row path")
-    // golden parity: both paths produce identical rows
+    assert(isColumnar(arrays), "array projection lost the columnar path")
+    // golden parity: both paths produce identical rows, arrays included
+    // (multi-element answer/authority/additional sections, NULLs on the
+    // query side, empty sections on NXDOMAIN responses)
     def rows(columnar: Boolean) = spark.read.format("pcap")
       .option("decoder", "dns").option("columnar", columnar.toString)
       .load(p.toString)
-      .select($"dns_qname", $"dns_qtype_str", $"src", $"ts_micro")
+      .select($"dns_qname", $"dns_qtype_str", $"src", $"ts_micro",
+        $"dns_answer", $"dns_authority", $"dns_additional")
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(rows(columnar = true).toSeq == rows(columnar = false).toSeq)
   }

@@ -48,6 +48,42 @@ class PcapSinkSpec extends AnyFunSuite {
       "re-read packets differ from the filtered originals")
   }
 
+  test("pcapng container: write -> re-read round-trips with golden equality") {
+    val src = mixedCapture()
+    val outDir = java.nio.file.Files.createTempDirectory("sink_ng").toString
+    spark.read.format("pcap").load(src)
+      .select("ts_micro", "frame")
+      .write.format("pcap").option("container", "pcapng")
+      .mode("append").save(outDir)
+    // the part files really are pcapng (SHB magic), not renamed classic
+    val parts = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".pcapng"))
+    assert(parts.nonEmpty, "no .pcapng parts written")
+    parts.foreach { f =>
+      val head = java.nio.file.Files.readAllBytes(f.toPath).take(12)
+      assert((head(0) & 0xFF) == 0x0A && (head(3) & 0xFF) == 0x0A &&
+        (head(8) & 0xFF) == 0x4D, s"${f.getName} lacks SHB+byte-order magic")
+    }
+    // golden round-trip THROUGH PcapNgStreamReader (the read path sniffs
+    // the container per file): every decoded column equals the source,
+    // microsecond timestamps included (if_tsresol 10^-6). Binary columns
+    // canonicalize to hex (Array equality is by reference).
+    def all(path: String) = spark.read.format("pcap").option("decoder", "dns")
+      .option("md5", "true").load(path)
+      .drop("file") // differs by construction
+      .collect()
+      .map(_.toSeq.map {
+        case b: Array[Byte] => b.map(x => f"${x & 0xFF}%02x").mkString
+        case v => v
+      })
+      .sortBy(_.toString)
+    val e = all(src)
+    val g = all(outDir)
+    assert(e.length == 400 && g.length == 400)
+    assert(e.zip(g).forall { case (a, b) => a == b },
+      "pcapng re-read differs from the classic source")
+  }
+
   test("multi-partition export writes one valid file per non-empty task") {
     val src = mixedCapture()
     val outDir = java.nio.file.Files.createTempDirectory("sink_par").toString
