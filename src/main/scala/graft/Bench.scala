@@ -52,7 +52,14 @@ object Bench {
         } catch { case _: Throwable => Double.NaN }
       }
 
-    val names = SparkEntry.headline :+ DecodeName
+    // heavy extension-family ops (round-6 verdict #7): the iterative
+    // graph loop, the trained two-stage ANN index, the blocked exact
+    // kernel, and capped TCP reassembly — so a regression in any
+    // extension family shows up in the round artifact, not only in
+    // ad-hoc BASELINE.md notes
+    val heavy = Seq("pipeline_pagerank", "sim_ann_ivfpq",
+      "sim_cosine_topk_blocked", "pcap_tcp_reassembly")
+    val names = (SparkEntry.headline ++ heavy).distinct :+ DecodeName
     // warm-up pass: JIT + codegen + parquet footer caches, not timed —
     // the timed passes measure steady-state engine throughput
     names.foreach { n => try timedQuery(n) catch { case _: Throwable => () } }
