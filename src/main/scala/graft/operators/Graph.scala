@@ -78,11 +78,21 @@ object Graph {
         import s.implicits._
         val li = Tables.lineitem(s, d)
           .select($"l_orderkey", $"l_partkey").distinct()
+        // cache the edge list ALREADY hash-partitioned on the join key:
+        // the cached scan reports that partitioning, so each of the 20
+        // iterations' joins on src shuffle only the small rank side —
+        // without this every iteration reshuffles the full edge list
+        // (the dominant cost; at 100 TB-scale edges, the difference
+        // between one edge shuffle and twenty)
         val e = li.as("a").join(li.as("b"), "l_orderkey")
           .filter($"a.l_partkey" =!= $"b.l_partkey")
           .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
           .distinct()
+          .repartition($"src")
           .cache()
+        // groupBy(src) over the src-partitioned cache: no shuffle, and
+        // deg caches src-partitioned too, so the per-iteration 3-way
+        // join is shuffle-free on both big sides
         val deg = e.groupBy($"src").agg(count(lit(1)).as("od")).cache()
         try {
           val n = deg.count()
