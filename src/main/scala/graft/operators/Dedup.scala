@@ -118,6 +118,19 @@ object Dedup {
       ON l.band = r.band AND l.x = r.x AND l.y = r.y
       AND l.doc_id < r.doc_id"""
 
+  /** Recursive connected-components CTE body over the LSH candidate
+    * graph (WITH RECURSIVE must be supplied by the caller) — shared by
+    * the dedup_components and dedup_cluster_canonical oracles. */
+  private lazy val componentsCtes: String =
+    s"""cand AS ($minhashPairsSql),
+    edges AS (SELECT doc1 AS a, doc2 AS b FROM cand
+              UNION SELECT doc2, doc1 FROM cand),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach(doc, r) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc)"""
+
   /** Document-frequency cap for dedup_ngram_jaccard_capped: a shingle in
     * more docs than this is treated as boilerplate and dropped before
     * the inverted-index join (bounds any join key at DfCap^2 pairs).
@@ -437,16 +450,57 @@ object Dedup {
         try connectedComponents(edges)
         finally { edges.unpersist(); pairs.unpersist() }
       },
-      Some(s"""WITH RECURSIVE cand AS ($minhashPairsSql),
-        edges AS (SELECT doc1 AS a, doc2 AS b FROM cand
-                  UNION SELECT doc2, doc1 FROM cand),
-        nodes AS (SELECT DISTINCT a AS doc FROM edges),
-        reach(doc, r) AS (
-          SELECT doc, doc FROM nodes
-          UNION
-          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc)
+      Some(s"""WITH RECURSIVE $componentsCtes
         SELECT doc AS doc_id, MIN(r) AS component
         FROM reach GROUP BY doc""")),
+
+    // ----- canonical-doc selection per near-dup cluster -------------------
+    // The dedup DECISION step that consumes the clusters: per connected
+    // component, keep the longest document (ties to the smallest
+    // doc_id) and report what was collapsed — the "keep one per
+    // near-dup cluster" judgment pretraining dedup actually ships
+    // (exact-fp twin: text_canonical_pick). Composes the iterative
+    // connectedComponents fixpoint with a per-component argmax. Scale
+    // shape: components as dedup_components (banded equi-join + bounded
+    // checkpointed loop), then one broadcast-sized join to the doc
+    // lengths and one window over components — partitioned by the
+    // cluster id, whose groups are near-dup cluster sizes (small by
+    // construction), so the window never sees a mega-partition.
+    Q("dedup_cluster_canonical",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val pairs = minhashPairs(s, d).cache()
+        val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+          .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
+          .cache()
+        val labels =
+          try connectedComponents(edges)
+          finally { edges.unpersist(); pairs.unpersist() }
+        val len = Tables.documents(s, d).select($"doc_id", $"n_chars")
+        val w = Window.partitionBy($"component")
+          .orderBy($"n_chars".desc, $"doc_id".asc)
+        labels.join(len, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy($"component")))
+          .filter($"rn" === 1)
+          .select($"component", $"doc_id".as("keep_doc_id"),
+            $"n_chars".as("keep_n_chars"), $"cluster_size")
+      },
+      Some(s"""WITH RECURSIVE $componentsCtes,
+        comp AS (
+          SELECT doc AS doc_id, MIN(r) AS component
+          FROM reach GROUP BY doc)
+        SELECT component, doc_id AS keep_doc_id,
+          n_chars AS keep_n_chars, cluster_size
+        FROM (
+          SELECT comp.component, comp.doc_id, d.n_chars,
+            ROW_NUMBER() OVER (PARTITION BY comp.component
+              ORDER BY d.n_chars DESC, comp.doc_id ASC) AS rn,
+            COUNT(*) OVER (PARTITION BY comp.component) AS cluster_size
+          FROM comp JOIN documents d ON d.doc_id = comp.doc_id)
+        WHERE rn = 1""")),
 
     // ----- SimHash (32-bit) fingerprints ----------------------------------
     Q("dedup_simhash",

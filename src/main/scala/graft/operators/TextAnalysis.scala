@@ -411,6 +411,45 @@ object TextAnalysis {
                   AS n_tokens
               FROM documents)""")),
 
+    // ----- overlapping document chunking (RAG / context-window prep) ------
+    // Splits each document's token stream into fixed windows of 64
+    // tokens at stride 48 (16-token overlap) — the retrieval-corpus and
+    // long-context preprocessing step every RAG/embedding pipeline runs
+    // before encoding. Emits one row per chunk with its doc-relative
+    // token offset and an md5 of the chunk text, so the oracle pins the
+    // exact chunk CONTENT, not just the counts. Scale shape: a pure
+    // per-row flatMap projection (sequence + explode + slice) — zero
+    // shuffles, codegen throughout; output rows ≈ n_tok/stride per doc,
+    // so data volume grows by a bounded ~1.33× (64/48), never
+    // quadratically.
+    Q("pipeline_chunk_overlap",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", split($"text", "\\s+").as("toks"))
+          .select($"doc_id", $"toks", size($"toks").as("n_tok"),
+            posexplode(expr("sequence(0, size(toks) - 1, 48)"))
+              .as(Seq("chunk_idx", "tok_start")))
+          .select($"doc_id", $"chunk_idx".cast("int").as("chunk_idx"),
+            $"tok_start".cast("int").as("tok_start"), $"n_tok",
+            least(lit(64), $"n_tok" - $"tok_start").cast("int")
+              .as("chunk_tok"),
+            md5(concat_ws(" ", expr("slice(toks, tok_start + 1, 64)"))
+              .cast("binary")).as("chunk_md5"))
+      },
+      Some("""SELECT doc_id, CAST(tok_start // 48 AS INT) AS chunk_idx,
+          CAST(tok_start AS INT) AS tok_start,
+          CAST(len(toks) AS INT) AS n_tok,
+          CAST(LEAST(64, len(toks) - tok_start) AS INT) AS chunk_tok,
+          md5(array_to_string(
+            list_slice(toks, tok_start + 1, tok_start + 64), ' '))
+            AS chunk_md5
+        FROM (
+          SELECT doc_id, toks,
+            unnest(generate_series(0, len(toks) - 1, 48)) AS tok_start
+          FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                FROM documents))""")),
+
     // ----- composite quality gate (Gopher-style keep/drop verdict) --------
     // The curation decision production filters actually emit: every doc
     // gets keep/drop plus the first failing rule, combining length,

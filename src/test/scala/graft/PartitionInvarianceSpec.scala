@@ -32,7 +32,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "sim_kmeans_cluster", "dedup_minhash_lsh", "pipeline_token_budget",
     "q39_exact_median", "pipeline_shard_shuffle",
     "pcap_tcp_reassembly", "pcap_http_conversations",
-    "sim_cosine_topk_blocked", "pipeline_contamination_fuzzy")
+    "sim_cosine_topk_blocked", "pipeline_contamination_fuzzy",
+    // round 7: overlap-trimming reassembly, the checkpointed components
+    // loop feeding a per-cluster argmax, and stride chunking
+    "pcap_tcp_reassembly_overlap", "dedup_cluster_canonical",
+    "pipeline_chunk_overlap")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
