@@ -147,6 +147,10 @@ class PcapMicroBatchStream(
           case None => math.min(tail.length, off.count - base)
         }
         base = off.count - processed
+        // an AvailableNow snapshot taken in prepare() counted the same
+        // files under the pre-rebase numbering — renumber it, or the
+        // drain target stays below `start` and the run drains nothing
+        if (availableNowEnd >= 0) availableNowEnd = base + tail.length
       }
     }
   }

@@ -42,6 +42,18 @@ class StreamCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("offsets round-trip: marker format and legacy count-only both parse") {
+    import graft.sources.pcap.PcapStreamOffset
+    val withMarker = PcapStreamOffset(42,
+      Some((1700000123456L, "file:/data/a|b.pcap")))
+    assert(PcapStreamOffset.parse(withMarker.json()) == withMarker,
+      "pipe in the path must not ambiguate (path is the last field)")
+    val legacy = PcapStreamOffset.parse("7")
+    assert(legacy == PcapStreamOffset(7, None) && legacy.json() == "7",
+      "pre-round-7 checkpoints carry bare counts and must keep parsing")
+    intercept[IllegalArgumentException](PcapStreamOffset.parse("a|b"))
+  }
+
   test("seen-files state stays bounded under churn; restart past aged-out " +
        "prefix is exactly-once") {
     val dir = Files.createTempDirectory("pcap_compact")
@@ -86,5 +98,28 @@ class StreamCompactionSpec extends AnyFunSuite {
       assert(rows.select("src_port").distinct().count() == 7 * WaveSize,
         "duplicate packets after rebased restart")
     } finally q2.stop()
+
+    // third run, Trigger.AvailableNow on the same checkpoint after MORE
+    // aging: prepare() snapshots the drain target under the fresh
+    // instance's numbering, the recovered offset rebases it — the run
+    // must drain exactly the new wave and stop (a stale pre-rebase
+    // snapshot would sit below `start` and drain nothing, forever)
+    landWave(dir, 7)
+    val q3 = spark.readStream.format("pcap")
+      .option("maxFileAgeMs", AgeMs.toString)
+      .load(dir.toString)
+      .select("src_port", "file")
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q3.awaitTermination(120000), "AvailableNow drain did not stop")
+      val rows = spark.read.parquet(out.toString)
+      assert(rows.count() == 8 * WaveSize,
+        "AvailableNow after rebase lost or duplicated rows")
+      assert(rows.select("src_port").distinct().count() == 8 * WaveSize)
+    } finally q3.stop()
   }
 }
