@@ -76,10 +76,19 @@ final class ReassemblyBuf extends Serializable {
   * globally-smallest pkt_idx because every copy re-competes at merge.
   *
   * `truncated` is monotone (once set it survives merge) and only set
-  * when a segment with NEW bytes is dropped. One documented edge: a
-  * retransmit that changes the payload length at the exact cap boundary
-  * can shift which segment overflows first; exact retransmits (the
-  * fold's contract, PcapTcpReassemblySpec) are unaffected.
+  * when a segment with NEW bytes is dropped. Two documented edges:
+  * (1) a retransmit that changes the payload length at the exact cap
+  * boundary can shift which segment overflows first; exact retransmits
+  * (the fold's contract, PcapTcpReassemblySpec) are unaffected.
+  * (2) the `maxSegments` cap is a DoS guard (entry-overhead bound for
+  * floods of tiny segments), NOT a semantic boundary: unlike the byte
+  * cap, accepted-segment COUNT through a position is not monotone in
+  * the segment set (a later-merged buffer's cover-drops can lower it),
+  * so a flow that actually hits maxSegments in a partial buffer can
+  * truncate at a partition-dependent boundary. Hitting it takes
+  * > 2^18 segments per flow per task buffer (avg < 32 B/segment at the
+  * default byte cap) — adversarial traffic, which truncation is the
+  * correct response to.
   */
 class ReassembleAgg(maxStreamBytes: Long, maxSegments: Int = 1 << 18)
   extends Aggregator[TcpSeg, ReassemblyBuf, Reassembled] {

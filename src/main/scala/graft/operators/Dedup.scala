@@ -213,12 +213,16 @@ object Dedup {
     import s.implicits._
     val sc = s.sparkContext
     // localCheckpoint storage is RDD-level (not CacheManager), so the
-    // handle for freeing a superseded iteration is the new persistent
-    // RDD id the checkpoint registered
+    // handle for freeing a superseded iteration is the checkpointed RDD
+    // behind the returned plan's LogicalRDD leaf — attributed from the
+    // plan itself, NOT by diffing getPersistentRDDs, which would race
+    // with any other query caching concurrently on the same session
     def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint() // eager: materialize + cut lineage
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+      val ids = out.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+      (out, ids)
     }
     var (labels, labelIds) = ckpt(
       edges.select($"src".as("doc_id")).distinct()

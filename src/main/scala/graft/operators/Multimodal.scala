@@ -82,17 +82,17 @@ object Multimodal {
   }
 
   private[operators] def sniffDecode(bytes: Array[Byte])
-      : (String, Long, Long) = {
-    def riffTag: String =
-      new String(bytes, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') {
+      : (String, Long, Long) = sniffKind(bytes) match {
+    // ONE magic-byte dispatch (sniffKind) feeds both the full-decode
+    // and the header/stats paths, so a blob can never classify
+    // differently between them
+    case "bmp" =>
       val img = BmpCodec.decode(bytes)
       ("bmp", img.w.toLong * img.h, weightedPxSum(img))
-    } else if (bytes.length >= 8 && bytes(0) == 0x89.toByte &&
-        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+    case "png" =>
       val img = PngCodec.decode(bytes)
       ("png", img.w.toLong * img.h, weightedPxSum(img))
-    } else if (bytes.length >= 12 && riffTag == "WAVE") {
+    case "wav" =>
       val a = WavCodec.decode(bytes)
       var sumAbs = 0L
       var i = 0
@@ -100,12 +100,11 @@ object Multimodal {
         sumAbs += math.abs(a.samples(i).toInt); i += 1
       }
       ("wav", a.samples.length.toLong, sumAbs)
-    } else {
+    case _ =>
       val v = AviCodec.decode(bytes)
       var acc = 0L
       v.frames.foreach(acc += weightedPxSum(_))
       ("avi", v.frames.length.toLong * v.w * v.h, acc)
-    }
   }
 
   /** The battery's canonical integer-exact image feature: sum over
@@ -196,7 +195,11 @@ object Multimodal {
 
     /** Parse a 24-bit uncompressed BMP from bytes alone. */
     /** Header-only dims (no pixel unpack) — the stats-query companion to
-      * [[AviCodec.header]]. Same variant and dimension guards as decode. */
+      * [[AviCodec.header]], and the SINGLE home of the BMP header
+      * guards ([[decode]] delegates here). Dims are sanity-bounded
+      * BEFORE any stride math: a crafted header with w ~ 2^30 would
+      * overflow stride*h to a small/negative Int and sail past length
+      * checks into out-of-bounds reads. */
     def headerDims(bytes: Array[Byte]): (Int, Int) = {
       require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
         "not a BMP")
@@ -212,22 +215,12 @@ object Multimodal {
     }
 
     def decode(bytes: Array[Byte]): Image = {
-      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
-        "not a BMP")
+      // header guards live in ONE place: headerDims validates magic,
+      // variant, and dimension bounds for both the stats and decode
+      // paths (a guard fix applied there covers both)
+      val (w, h) = headerDims(bytes)
       val dataOff = le32(bytes, 10)
-      val w = le32(bytes, 18)
-      val hRaw = le32(bytes, 22)
-      val bpp = (bytes(28) & 0xFF) | ((bytes(29) & 0xFF) << 8)
-      val compression = le32(bytes, 30)
-      require(bpp == 24 && compression == 0,
-        s"unsupported BMP variant: bpp=$bpp compression=$compression")
-      val topDown = hRaw < 0
-      val h = math.abs(hRaw)
-      // sanity-bound dims BEFORE the stride math: a crafted header with
-      // w ~ 2^30 would overflow stride*h to a small/negative Int and
-      // sail past the length check into out-of-bounds reads
-      require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
-        s"implausible BMP dims ${w}x$h")
+      val topDown = le32(bytes, 22) < 0
       // a negative/low data offset (top bit set in the header field)
       // would make the truncation check pass and the row reads negative
       require(dataOff >= 54 && dataOff <= bytes.length,

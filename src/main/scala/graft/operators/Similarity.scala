@@ -52,16 +52,26 @@ object Similarity {
     * assigns 16 sub-codes per vector through interpreted lambda
     * expressions (O(N·M·K) and NOT probe work — a real deployment
     * persists codes next to the index), so the probe path reuses the
-    * cached result instead of re-encoding the corpus per query. */
+    * cached result instead of re-encoding the corpus per query.
+    * Unlike the other memos this one holds a SparkSession-bound
+    * DataFrame, so entries built by a since-stopped session are
+    * rebuilt, not replayed into an IllegalStateException. */
   private val ivfpqCodesMemo = new java.util.concurrent.ConcurrentHashMap[
     String, DataFrame]()
+
+  private def memoCodes(d: String, build: () => DataFrame): DataFrame =
+    ivfpqCodesMemo.compute(d, (_, prev) =>
+      if (prev != null && !prev.sparkSession.sparkContext.isStopped) prev
+      else build())
 
   /** Test hook (ADVICE r4): memos are keyed by dataset dir only, so a
     * test that regenerates data at the same path must clear them. */
   private[graft] def clearMemos(): Unit = {
     pqCbMemo.clear(); ivfpqCentMemo.clear(); ivfpqCbMemo.clear()
     queryBlockMemo.clear()
-    ivfpqCodesMemo.forEach((_, df) => df.unpersist())
+    ivfpqCodesMemo.forEach { (_, df) =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
     ivfpqCodesMemo.clear()
   }
 
@@ -219,6 +229,13 @@ object Similarity {
     // N/50 vectors), memoized per dataset like the trained codebooks
     val qRows = queryBlockMemo.computeIfAbsent(d,
       _ => emb.filter(_._1 % 50 == 0).collect().sortBy(_._1))
+    if (qRows.isEmpty)
+      // no query vectors -> empty result (grouped() yields no tiles, and
+      // reduce over zero tiles would throw instead)
+      return emb.sparkSession.emptyDataset[(Long, Long, Double)]
+        .toDF("qid", "cid", "cos")
+        .select($"qid", $"cid", $"cos", lit(1).as("rn"))
+        .limit(0)
     val tilePartials = qRows.grouped(tileSize).map { tile =>
       val bcQ = s.sparkContext.broadcast(
         (tile.map(_._1), tile.map(_._2), tile.map(r => selfNorm(r._2))))
@@ -807,7 +824,7 @@ object Similarity {
             "(a, z) -> a + z)))"
         // encoded corpus = the persisted index artifact: cache + memoize
         // per dataset so probes never pay the O(N·M·K) encode again
-        val codes = ivfpqCodesMemo.computeIfAbsent(d, _ => {
+        val codes = memoCodes(d, () => {
           val c = asg.select($"vec_id", $"cl", $"r", cbCol)
             .select($"vec_id", $"cl", expr(subDists.format("r")).as("sds"))
             .select($"vec_id", $"cl", expr("transform(sds, s -> " +

@@ -131,24 +131,36 @@ class PcapMicroBatchStream(
 
   override def initialOffset(): Offset = PcapStreamOffset(0)
 
-  /** Restart rebase: a checkpoint-recovered count can exceed
-    * base + tail.length on a fresh instance whose listing no longer
-    * holds the aged-out prefix. The offset's (mtime, path) marker
-    * splits the rebuilt listing exactly: entries at-or-before it were
-    * processed (they sit below the count), entries after it are
-    * pending. Shifts `base` so absolute counts keep their meaning. */
+  /** Whether this instance has aligned its count space against a
+    * checkpoint-recovered offset (done at most once, on the first
+    * offset the engine hands us). */
+  private var aligned = false
+
+  /** Restart alignment: a fresh instance rebuilds its listing, which no
+    * longer holds files that aged past the horizon — so the recovered
+    * absolute count and the rebuilt listing disagree by HOWEVER MANY
+    * PROCESSED files aged out, whether or not the count exceeds the
+    * listing length (a count-overflow check alone silently skips the
+    * oldest pending files whenever fewer processed files aged out than
+    * pending ones exist). The offset's (mtime, path) marker splits the
+    * listing exactly: entries at-or-before it were processed and sit
+    * below the count, entries after it are pending. Runs once per
+    * instance; a live query's first offset is count 0 (nothing to
+    * align). Legacy bare-count offsets fall back to assuming the
+    * listing's prefix was processed. */
   private def rebase(off: PcapStreamOffset): Unit = synchronized {
-    if (off.count > base + tail.length) {
-      refresh()
-      if (off.count > base + tail.length) {
+    if (!aligned) {
+      aligned = true
+      if (off.count > 0) {
+        refresh()
         val processed = off.last match {
           case Some((m, p)) =>
             tail.count(f => f.mtime < m || (f.mtime == m && f.path <= p))
-          case None => math.min(tail.length, off.count - base)
+          case None => math.min(tail.length, off.count)
         }
-        base = off.count - processed
+        base = math.max(0, off.count - processed)
         // an AvailableNow snapshot taken in prepare() counted the same
-        // files under the pre-rebase numbering — renumber it, or the
+        // files under the pre-alignment numbering — renumber it, or the
         // drain target stays below `start` and the run drains nothing
         if (availableNowEnd >= 0) availableNowEnd = base + tail.length
       }
@@ -175,7 +187,7 @@ class PcapMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val so = start.asInstanceOf[PcapStreamOffset]
-    rebase(so) // no-op unless recovering past a compacted prefix
+    rebase(so) // one-time alignment against a recovered checkpoint
     if (availableNowEnd < 0) refresh() // AvailableNow reads its snapshot
     val s = so.count
     if (s > committed) committed = s // a recovered start is durably logged

@@ -54,6 +54,41 @@ class StreamCompactionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PcapStreamOffset.parse("a|b"))
   }
 
+  test("restart where FEWER processed files aged out than pending exist " +
+       "still aligns (marker splits the listing, not count overflow)") {
+    // waves 0,1,2 processed; waves 3,4 land while down; at restart the
+    // horizon has dropped only wave 0+1 of the PROCESSED files, so the
+    // listing (waves 2,3,4 = 450) is exactly as long as the recovered
+    // count (450) — a count-overflow-only rebase would never fire and
+    // the run would skip/stall; the offset's (mtime, path) marker must
+    // place wave 2 below the count and waves 3,4 after it
+    val dir = Files.createTempDirectory("pcap_align")
+    val ckpt = Files.createTempDirectory("pcap_align_ckpt")
+    val out = Files.createTempDirectory("pcap_align_out")
+    def start() = spark.readStream.format("pcap")
+      .option("maxFileAgeMs", AgeMs.toString)
+      .load(dir.toString)
+      .select("src_port", "file")
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    val q1 = start()
+    try {
+      (0 until 3).foreach { w => landWave(dir, w); q1.processAllAvailable() }
+    } finally q1.stop()
+    landWave(dir, 3)
+    landWave(dir, 4)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out.toString)
+      assert(rows.count() == 5 * WaveSize,
+        "oldest pending wave skipped or replayed after partial aging")
+      assert(rows.select("src_port").distinct().count() == 5 * WaveSize)
+    } finally q2.stop()
+  }
+
   test("seen-files state stays bounded under churn; restart past aged-out " +
        "prefix is exactly-once") {
     val dir = Files.createTempDirectory("pcap_compact")
