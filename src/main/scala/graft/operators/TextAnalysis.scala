@@ -411,6 +411,83 @@ object TextAnalysis {
                   AS n_tokens
               FROM documents)""")),
 
+    // ----- winnowing fingerprints (MOSS document fingerprinting) ----------
+    // Schleimer/Wilkerson/Aiken, "Winnowing: local algorithms for
+    // document fingerprinting" (SIGMOD 2003): hash every k-gram (k=3
+    // tokens), slide a window of w=4 consecutive hashes, and select
+    // each window's RIGHTMOST minimum — the classic guarantee that any
+    // shared token run of length >= w+k-1 (6) between documents shares
+    // a selected fingerprint, while storing only ~2/(w+1) of the
+    // hashes. Formulated entirely as window functions: position p is
+    // some window's rightmost min iff for SOME split a+b = w-1 the
+    // previous a hashes are >= h[p] and the next b are STRICTLY > h[p]
+    // (ties select rightmost), with pos arithmetic guarding complete
+    // windows at the edges. Hashes are the engine-portable md5-prefix
+    // integers (Dedup's MinHash trick), so DuckDB selects bit-identical
+    // fingerprints. Scale shape: one window over (doc_id, pos) — a
+    // single shuffle on doc_id; per-doc frames are w-bounded rows, no
+    // joins, no explosion beyond one row per k-gram.
+    Q("text_winnow_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val grams = Tables.documents(s, d)
+          .select($"doc_id", split(lower($"text"), "\\s+").as("t"))
+          // guard: Spark's sequence(1, 0) DESCENDS, so sub-3-token docs
+          // must yield an empty gram list explicitly
+          .select($"doc_id", posexplode(expr(
+            "CASE WHEN size(t) >= 3 THEN " +
+              "transform(sequence(1, size(t) - 2), " +
+              "i -> concat_ws(' ', t[i-1], t[i], t[i+1])) " +
+              "ELSE CAST(array() AS array<string>) END")))
+          .select($"doc_id", ($"pos" + 1).cast("int").as("pos"),
+            conv(substring(md5($"col".cast("binary")), 1, 8), 16, 10)
+              .cast("long").as("h"))
+        val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+        def pmin(a: Int) = min($"h").over(byPos.rowsBetween(-a, -1))
+        def nmin(b: Int) = min($"h").over(byPos.rowsBetween(1, b))
+        grams
+          .withColumn("m", count(lit(1)).over(Window.partitionBy($"doc_id")))
+          .withColumn("sel",
+            ($"pos" + 3 <= $"m" && nmin(3) > $"h") ||
+            ($"pos" >= 2 && $"pos" + 2 <= $"m" &&
+              pmin(1) >= $"h" && nmin(2) > $"h") ||
+            ($"pos" >= 3 && $"pos" + 1 <= $"m" &&
+              pmin(2) >= $"h" && nmin(1) > $"h") ||
+            ($"pos" >= 4 && pmin(3) >= $"h"))
+          .filter($"sel")
+          .select($"doc_id", $"pos", $"h".as("fp_hash"))
+      },
+      Some("""SELECT doc_id, pos, h AS fp_hash FROM (
+          SELECT doc_id, pos, h,
+            COUNT(*) OVER (PARTITION BY doc_id) AS m,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS pmin1,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS pmin2,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pmin3,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS nmin1,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS nmin2,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nmin3
+          FROM (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+              CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+                t[i+2]), 1, 8) AS BIGINT) AS h
+            FROM (
+              SELECT doc_id, t,
+                unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS i
+              FROM (SELECT doc_id,
+                      string_split_regex(lower(text), '\s+') AS t
+                    FROM documents))))
+        WHERE (pos + 3 <= m AND nmin3 > h)
+           OR (pos >= 2 AND pos + 2 <= m AND pmin1 >= h AND nmin2 > h)
+           OR (pos >= 3 AND pos + 1 <= m AND pmin2 >= h AND nmin1 > h)
+           OR (pos >= 4 AND pmin3 >= h)""")),
+
     // ----- overlapping document chunking (RAG / context-window prep) ------
     // Splits each document's token stream into fixed windows of 64
     // tokens at stride 48 (16-token overlap) — the retrieval-corpus and
