@@ -48,6 +48,74 @@ object TextAnalysis {
         "dup_word_frac", "chars_per_token",
         "reason = 'ok' AS keep", "reason")
 
+  /** Winnowing fingerprint selection (see the text_winnow_fingerprint
+    * doc comment for the algorithm) — shared by the fingerprint query
+    * and the shared-fingerprint match join. */
+  private def winnowFingerprints(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", split(lower($"text"), "\\s+").as("t"))
+      // guard: Spark's sequence(1, 0) DESCENDS, so sub-3-token docs
+      // must yield an empty gram list explicitly
+      .select($"doc_id", posexplode(expr(
+        "CASE WHEN size(t) >= 3 THEN " +
+          "transform(sequence(1, size(t) - 2), " +
+          "i -> concat_ws(' ', t[i-1], t[i], t[i+1])) " +
+          "ELSE CAST(array() AS array<string>) END")))
+      .select($"doc_id", ($"pos" + 1).cast("int").as("pos"),
+        conv(substring(md5($"col".cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    def pmin(a: Int) = min($"h").over(byPos.rowsBetween(-a, -1))
+    def nmin(b: Int) = min($"h").over(byPos.rowsBetween(1, b))
+    grams
+      .withColumn("m", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("sel",
+        ($"pos" + 3 <= $"m" && nmin(3) > $"h") ||
+        ($"pos" >= 2 && $"pos" + 2 <= $"m" &&
+          pmin(1) >= $"h" && nmin(2) > $"h") ||
+        ($"pos" >= 3 && $"pos" + 1 <= $"m" &&
+          pmin(2) >= $"h" && nmin(1) > $"h") ||
+        ($"pos" >= 4 && pmin(3) >= $"h"))
+      .filter($"sel")
+      .select($"doc_id", $"pos", $"h".as("fp_hash"))
+  }
+
+  /** DuckDB twin of [[winnowFingerprints]] (also the CTE body of the
+    * match-join oracle). */
+  private lazy val winnowSql: String =
+    """SELECT doc_id, pos, h AS fp_hash FROM (
+          SELECT doc_id, pos, h,
+            COUNT(*) OVER (PARTITION BY doc_id) AS m,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS pmin1,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS pmin2,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pmin3,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS nmin1,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS nmin2,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nmin3
+          FROM (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+              CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+                t[i+2]), 1, 8) AS BIGINT) AS h
+            FROM (
+              SELECT doc_id, t,
+                unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS i
+              FROM (SELECT doc_id,
+                      string_split_regex(lower(text), '\s+') AS t
+                    FROM documents))))
+        WHERE (pos + 3 <= m AND nmin3 > h)
+           OR (pos >= 2 AND pos + 2 <= m AND pmin1 >= h AND nmin2 > h)
+           OR (pos >= 3 AND pos + 1 <= m AND pmin2 >= h AND nmin1 > h)
+           OR (pos >= 4 AND pmin3 >= h)"""
+
   val defs: Seq[Q] = Seq(
 
     // ----- token counting: whitespace + word-regex + BPE-ish pieces -------
@@ -428,65 +496,46 @@ object TextAnalysis {
     // single shuffle on doc_id; per-doc frames are w-bounded rows, no
     // joins, no explosion beyond one row per k-gram.
     Q("text_winnow_fingerprint",
+      (s, d) => winnowFingerprints(s, d),
+      Some(winnowSql)),
+
+    // ----- winnowing match candidates (shared-fingerprint doc pairs) ------
+    // The fingerprint CONSUMER: document pairs sharing >= 2 selected
+    // fingerprints — the plagiarism/boilerplate-overlap detector MOSS
+    // runs on its fingerprint index. Same inverted-index join shape as
+    // the shingle Jaccard family, but over the winnowed set (~2/(w+1)
+    // of the grams), so the index a 100 TB corpus builds is ~40% the
+    // size with the detection guarantee intact. Hot fingerprints
+    // (corpus-wide boilerplate runs) are DF-capped before the join,
+    // exactly like dedup_ngram_jaccard_capped's shingle cap, bounding
+    // every join key at DfCap^2 pairs.
+    Q("dedup_winnow_matches",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val grams = Tables.documents(s, d)
-          .select($"doc_id", split(lower($"text"), "\\s+").as("t"))
-          // guard: Spark's sequence(1, 0) DESCENDS, so sub-3-token docs
-          // must yield an empty gram list explicitly
-          .select($"doc_id", posexplode(expr(
-            "CASE WHEN size(t) >= 3 THEN " +
-              "transform(sequence(1, size(t) - 2), " +
-              "i -> concat_ws(' ', t[i-1], t[i], t[i+1])) " +
-              "ELSE CAST(array() AS array<string>) END")))
-          .select($"doc_id", ($"pos" + 1).cast("int").as("pos"),
-            conv(substring(md5($"col".cast("binary")), 1, 8), 16, 10)
-              .cast("long").as("h"))
-        val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
-        def pmin(a: Int) = min($"h").over(byPos.rowsBetween(-a, -1))
-        def nmin(b: Int) = min($"h").over(byPos.rowsBetween(1, b))
-        grams
-          .withColumn("m", count(lit(1)).over(Window.partitionBy($"doc_id")))
-          .withColumn("sel",
-            ($"pos" + 3 <= $"m" && nmin(3) > $"h") ||
-            ($"pos" >= 2 && $"pos" + 2 <= $"m" &&
-              pmin(1) >= $"h" && nmin(2) > $"h") ||
-            ($"pos" >= 3 && $"pos" + 1 <= $"m" &&
-              pmin(2) >= $"h" && nmin(1) > $"h") ||
-            ($"pos" >= 4 && pmin(3) >= $"h"))
-          .filter($"sel")
-          .select($"doc_id", $"pos", $"h".as("fp_hash"))
+        val fp = winnowFingerprints(s, d)
+        val kept = fp.groupBy($"fp_hash")
+          .agg(count(lit(1)).as("df"))
+          .filter($"df" <= 5)
+          .select($"fp_hash")
+        val idx = fp.join(kept, "fp_hash")
+        idx.as("a").join(idx.as("b"),
+            col("a.fp_hash") === col("b.fp_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .agg(countDistinct(col("a.fp_hash")).as("n_shared_fp"))
+          .filter($"n_shared_fp" >= 2)
       },
-      Some("""SELECT doc_id, pos, h AS fp_hash FROM (
-          SELECT doc_id, pos, h,
-            COUNT(*) OVER (PARTITION BY doc_id) AS m,
-            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-              ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS pmin1,
-            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-              ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS pmin2,
-            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pmin3,
-            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-              ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS nmin1,
-            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-              ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS nmin2,
-            MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-              ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nmin3
-          FROM (
-            SELECT doc_id, CAST(i AS INT) AS pos,
-              CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
-                t[i+2]), 1, 8) AS BIGINT) AS h
-            FROM (
-              SELECT doc_id, t,
-                unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS i
-              FROM (SELECT doc_id,
-                      string_split_regex(lower(text), '\s+') AS t
-                    FROM documents))))
-        WHERE (pos + 3 <= m AND nmin3 > h)
-           OR (pos >= 2 AND pos + 2 <= m AND pmin1 >= h AND nmin2 > h)
-           OR (pos >= 3 AND pos + 1 <= m AND pmin2 >= h AND nmin1 > h)
-           OR (pos >= 4 AND pmin3 >= h)""")),
+      Some(s"""WITH fp AS ($winnowSql),
+        kept AS (SELECT fp_hash FROM fp GROUP BY fp_hash
+                 HAVING COUNT(*) <= 5),
+        idx AS (SELECT fp.doc_id, fp.fp_hash
+                FROM fp JOIN kept USING (fp_hash))
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+          COUNT(DISTINCT a.fp_hash) AS n_shared_fp
+        FROM idx a JOIN idx b
+          ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(DISTINCT a.fp_hash) >= 2""")),
 
     // ----- overlapping document chunking (RAG / context-window prep) ------
     // Splits each document's token stream into fixed windows of 64
