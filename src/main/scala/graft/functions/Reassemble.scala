@@ -32,6 +32,17 @@ final class ReassemblyBuf extends Serializable {
   var segs: ArrayBuffer[BufSeg] = ArrayBuffer.empty
   var total: Long = 0L
   var truncated: Boolean = false
+  /** Sort key (seq, pktIdx) of the earliest cap overflow ever observed
+    * for this flow; Long.MaxValue sentinels mean "none". Once a
+    * compaction hits the cap it DISCARDS the overflowing segment, so
+    * without this record a later-arriving segment sorting past the stop
+    * would be accepted into a "prefix with a hole". The sweep never
+    * keeps a segment at-or-past this key — which is exact: any
+    * CONTRIBUTING segment there would overflow in the full set too
+    * (coverage only grows), and non-contributing ones add no bytes
+    * either way. */
+  var stopSeq: Long = Long.MaxValue
+  var stopPkt: Long = Long.MaxValue
 }
 
 /** Bounded-memory TCP stream reassembly as a typed `Aggregator` — the
@@ -110,26 +121,37 @@ class ReassembleAgg(maxStreamBytes: Long, maxSegments: Int = 1 << 18)
     var i = 0
     while (i < sorted.length && !dropped) {
       var s = sorted(i)
-      val effStart = s.seq + s.drop
-      val effEnd = effStart + s.payload.length
-      if (effEnd <= covEnd) {
-        // fully covered: exact retransmit or sub-range re-send — the
-        // first copy already provided every byte
+      if (s.seq > b.stopSeq ||
+          (s.seq == b.stopSeq && s.pktIdx >= b.stopPkt)) {
+        dropped = true                  // at/past a recorded stop
       } else {
-        if (effStart < covEnd) {
-          // overlapping retransmit: discard the covered prefix, keep
-          // only the new tail (first-copy-wins)
-          val trim = (covEnd - effStart).toInt
-          s = BufSeg(s.seq, s.pktIdx, s.drop + trim,
-            java.util.Arrays.copyOfRange(s.payload, trim, s.payload.length))
-        }
-        if (bytes + s.payload.length > maxStreamBytes ||
-            out.length >= maxSegments) {
-          dropped = true                // prefix ends HERE; rest is out
+        val effStart = s.seq + s.drop
+        val effEnd = effStart + s.payload.length
+        if (effEnd <= covEnd) {
+          // fully covered: exact retransmit or sub-range re-send — the
+          // first copy already provided every byte
         } else {
-          out += s
-          bytes += s.payload.length
-          covEnd = effEnd
+          if (effStart < covEnd) {
+            // overlapping retransmit: discard the covered prefix, keep
+            // only the new tail (first-copy-wins)
+            val trim = (covEnd - effStart).toInt
+            s = BufSeg(s.seq, s.pktIdx, s.drop + trim,
+              java.util.Arrays.copyOfRange(s.payload, trim, s.payload.length))
+          }
+          if (bytes + s.payload.length > maxStreamBytes ||
+              out.length >= maxSegments) {
+            dropped = true              // prefix ends HERE; rest is out
+            // record the stop so segments arriving LATER that sort past
+            // this point can never reopen the prefix (this key sorts
+            // before any previously recorded stop, or we'd have stopped
+            // above already)
+            b.stopSeq = s.seq
+            b.stopPkt = s.pktIdx
+          } else {
+            out += s
+            bytes += s.payload.length
+            covEnd = effEnd
+          }
         }
       }
       i += 1
@@ -153,6 +175,13 @@ class ReassembleAgg(maxStreamBytes: Long, maxSegments: Int = 1 << 18)
     a.segs ++= b.segs
     a.total += b.total
     a.truncated ||= b.truncated
+    // earliest recorded stop wins (coverage only grows, so the true
+    // stop can only move earlier)
+    if (b.stopSeq < a.stopSeq ||
+        (b.stopSeq == a.stopSeq && b.stopPkt < a.stopPkt)) {
+      a.stopSeq = b.stopSeq
+      a.stopPkt = b.stopPkt
+    }
     if (a.total > maxStreamBytes * 2 || a.segs.length > maxSegments * 2)
       compact(a)
     a

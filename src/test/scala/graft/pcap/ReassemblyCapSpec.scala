@@ -152,6 +152,96 @@ class ReassemblyCapSpec extends AnyFunSuite {
     assert(res2 == expect)
   }
 
+  test("randomized overlap soup: aggregator equals a naive sweep under " +
+       "adversarial partitioning") {
+    // property check of the coverage-frontier sweep's merge-safety:
+    // random segment sets with exact dups, sub-range re-sends, partial
+    // overlaps, and gaps must reassemble to EXACTLY what a single-
+    // threaded reference sweep produces, for every partitioning
+    val rnd = new scala.util.Random(97)
+    def naive(segs: Seq[(Long, Long, Array[Byte])],
+        cap: Long): (Int, String, Boolean) = {
+      val sorted = segs.sortBy(s => (s._1, s._2))
+      val out = new java.io.ByteArrayOutputStream()
+      var covEnd = Long.MinValue
+      var bytes = 0L
+      var dropped = false
+      sorted.foreach { case (seq, _, pay) =>
+        val effEnd = seq + pay.length
+        if (!dropped && effEnd > covEnd) {
+          val trim = if (covEnd == Long.MinValue || seq >= covEnd) 0
+                     else (covEnd - seq).toInt
+          if (bytes + (pay.length - trim) > cap) dropped = true
+          else {
+            out.write(pay, trim, pay.length - trim)
+            bytes += pay.length - trim
+            covEnd = effEnd
+          }
+        }
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (out.size(), md.digest(out.toByteArray)
+        .map(b => f"${b & 0xFF}%02x").mkString, dropped)
+    }
+    // 12 flows x ~40 segments of random geometry
+    val flows = (0 until 12).map { f =>
+      var seqCursor = 0L
+      val segs = (0 until 40).map { k =>
+        val len = 1 + rnd.nextInt(30)
+        // mix: advance (gap or contiguous), re-send inside coverage, or
+        // straddle backwards into covered bytes
+        val seq = rnd.nextInt(4) match {
+          case 0 => seqCursor                         // contiguous
+          case 1 => seqCursor + rnd.nextInt(10)       // gap forward
+          case 2 => math.max(0, seqCursor - rnd.nextInt(20))  // overlap
+          case _ => math.max(0, seqCursor - len - rnd.nextInt(10)) // covered
+        }
+        seqCursor = math.max(seqCursor, seq + len)
+        val pay = Array.tabulate[Byte](len)(j => ((f * 31 + k * 7 + j) % 120).toByte)
+        (1800L + k, k.toLong, PcapSynth.ipv4TcpFrame(
+          src = Array[Byte](10, 77, 0, f.toByte),
+          dst = Array[Byte](10, 78, 0, 1),
+          srcPort = 44000 + f, dstPort = 80, ttl = 64,
+          payload = pay, seq = seq, flags = 0x18))
+      }
+      (f, segs)
+    }
+    val allSegs = rnd.shuffle(flows.flatMap(_._2))
+    val p = java.nio.file.Files.createTempFile("cap_soup", ".pcap")
+    PcapSynth.writeAtomic(p, PcapSynth.file(allSegs))
+    // reference expectation per flow, re-decoding the capture's frames
+    // naively — pkt_idx is the GLOBAL capture position (same-seq ties
+    // resolve by capture order, so the reference must use it too)
+    val expected = allSegs.zipWithIndex.map { case ((_, _, fr), i) =>
+      val ihl = (fr(14) & 0xF) * 4
+      val l4 = 14 + ihl
+      val seq = java.nio.ByteBuffer.wrap(fr, l4 + 4, 4).getInt & 0xFFFFFFFFL
+      val hdr = ((fr(l4 + 12) >> 4) & 0xF) * 4
+      val srcPort = ((fr(l4) & 0xFF) << 8) | (fr(l4 + 1) & 0xFF)
+      (s"10.77.0.${fr(29) & 0xFF}", srcPort, seq, (i + 1).toLong,
+        java.util.Arrays.copyOfRange(fr, l4 + hdr, fr.length))
+    }.groupBy(t => (t._1, t._2)).map { case (k, segs) =>
+      k -> naive(segs.map(t => (t._3, t._4, t._5)), cap = 300)
+    }
+    // tiny 300-B cap: the random flows exceed it, so the prefix cut and
+    // truncated flag are exercised too, across three partitionings
+    for (parts <- Seq(1, 7, 23)) {
+      import spark.implicits._
+      val res = spark.read.format("pcap").load(p.toString)
+        .filter($"protocol" === "TCP")
+        .repartition(parts)
+        .groupBy($"src", $"src_port")
+        .agg(Reassemble.stream(300).as("r"))
+        .select($"src", $"src_port", length($"r.stream").as("len"),
+          md5($"r.stream").as("h"), $"r.truncated")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getInt(2), r.getString(3), r.getBoolean(4))))
+        .toMap
+      assert(res == expected, s"diverged at $parts partitions")
+    }
+  }
+
   test("elephant flow 1000x the median completes with bounded state") {
     // median flow ~60 B (tcpFlowSegments); elephant = 2000 segments x
     // 1 kB = 2 MB >> 64 kB cap. The compaction threshold (2x cap) forces
