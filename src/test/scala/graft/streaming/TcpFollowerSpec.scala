@@ -147,6 +147,79 @@ class TcpFollowerSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized soup, in-order arrival: follower == batch at a truncating cap") {
+    // random overlap/dup/gap geometry (the ReassemblyCapSpec soup),
+    // arrival in seq order (the follower's contract) but cut into
+    // random micro-batch landings, at a cap small enough that flows
+    // truncate mid-stream — follower chunks must reassemble to exactly
+    // the batch aggregator's bytes and flag
+    val rnd = new scala.util.Random(53)
+    val flowSegs = (0 until 8).map { f =>
+      var seqCursor = 0L
+      val segs = (0 until 30).map { _ =>
+        val seqPick = rnd.nextInt(4) match {
+          case 0 => seqCursor
+          case 1 => seqCursor + rnd.nextInt(10)
+          case 2 => math.max(0, seqCursor - rnd.nextInt(20))
+          case _ => math.max(0, seqCursor - rnd.nextInt(30))
+        }
+        // length AND bytes are pure functions of (flow, seq), so any
+        // same-seq collision is an EXACT retransmit (the documented tie
+        // contract — real TCP has one true byte per stream position;
+        // batch tie-breaks by per-file pkt_idx, the follower by arrival,
+        // and only content-identical ties make those interchangeable)
+        val len = 1 + ((f * 13 + seqPick * 7) % 30).toInt
+        val pay = Array.tabulate[Byte](len)(j =>
+          ((f * 37 + (seqPick + j) * 11) % 110).toByte)
+        seqCursor = math.max(seqCursor, seqPick + len)
+        (seqPick, pay)
+      }
+      // follower contract: arrival in (seq) order; ties keep gen order
+      f -> segs.sortBy(_._1)
+    }
+    // interleave flows round-robin, preserving per-flow order, with
+    // global capture positions as pkt_idx
+    val maxLen = flowSegs.map(_._2.length).max
+    val ordered = for {
+      k <- 0 until maxLen
+      (f, segs) <- flowSegs if k < segs.length
+    } yield (f, segs(k))
+    val frames = ordered.zipWithIndex.map { case ((f, (seq, pay)), i) =>
+      (1900L + i / 40, (i % 40) * 1499L, graft.pcap.PcapSynth.ipv4TcpFrame(
+        src = Array[Byte](10, 79, 0, f.toByte),
+        dst = Array[Byte](10, 80, 0, 1),
+        srcPort = 45000 + f, dstPort = 80, ttl = 64,
+        payload = pay, seq = seq, flags = 0x18))
+    }
+    val dir = Files.createTempDirectory("tcp_follow_soup")
+    val query = TcpStreamFollower.follow(
+        spark.readStream.format("pcap").load(dir.toString),
+        maxStreamBytes = 256)
+      .writeStream.format("memory")
+      .queryName("tcp_chunks_soup").outputMode("append").start()
+    try {
+      // random landing cuts -> flows straddle micro-batches arbitrarily
+      var rest = frames
+      var part = 0
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(80)
+        Files.write(dir.resolve(f"l$part%03d.pcap"),
+          graft.pcap.PcapSynth.file(rest.take(take)))
+        query.processAllAvailable()
+        rest = rest.drop(take)
+        part += 1
+      }
+    } finally query.stop()
+    val got = followedStreams("tcp_chunks_soup")
+    val want = batchStreams(dir.toString, 256)
+    assert(want.size == 8 && want.values.exists(_._3),
+      "soup must truncate at least one flow for the test to bite")
+    got.foreach { case (k, v) =>
+      assert(v == want(k), s"flow $k: follower $v != batch ${want(k)}")
+    }
+    assert(got.size == want.size)
+  }
+
   test("exact retransmits are dropped, not re-emitted") {
     val base = (0 until 4).map { k =>
       val payload = s"seg$k-payload".getBytes("US-ASCII")
