@@ -15,6 +15,37 @@ class ComponentsLoopSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("random graphs: labels equal a union-find reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 30
+      val edges = (0 until n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min reachable id per node — the loop's documented fixpoint
+      val roots = parent.keys.toSeq
+        .groupBy(find).flatMap { case (r, members) =>
+          val m = math.min(r, members.min)
+          (members :+ r).distinct.map(_ -> m)
+        }
+      val undirected = edges.toDF("src", "dst")
+        .union(edges.toDF("dst", "src").select($"src", $"dst"))
+      val got = graft.operators.Dedup.connectedComponents(undirected, 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == roots.toMap, s"trial $trial diverged from union-find")
+    }
+  }
+
   test("components loop: flat final plan, <=2 label sets cached mid-loop") {
     import spark.implicits._
     // a 12-node chain (0-1-...-11) + an isolated pair: min-label needs
