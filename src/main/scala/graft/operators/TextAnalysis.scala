@@ -512,7 +512,9 @@ object TextAnalysis {
     Q("dedup_winnow_matches",
       (s, d) => {
         import s.implicits._
-        val fp = winnowFingerprints(s, d)
+        // consumed three times (DF-cap agg + both join sides) — cache,
+        // like dedup_ngram_jaccard_capped's shingle table
+        val fp = winnowFingerprints(s, d).cache()
         val kept = fp.groupBy($"fp_hash")
           .agg(count(lit(1)).as("df"))
           .filter($"df" <= 5)

@@ -45,14 +45,19 @@ import graft.pcap.DecodeOptions
   * meaning). Tracked state is therefore O(files within the retention
   * window + uncommitted backlog), not O(files ever landed)
   * (StreamCompactionSpec streams thousands of files and pins the
-  * bound). Restart: offsets carry the last processed (mtime, path)
+  * bound). Restart: offsets carry the MAXIMUM processed (mtime, path)
   * alongside the count, so a fresh instance whose rebuilt listing lost
-  * the aged-out prefix splits the listing EXACTLY into processed
-  * (at-or-before the marker) and pending (after it) and rebases the
-  * count space over what remains — exactly-once holds as long as
-  * still-unprocessed files are not yet past the horizon (retention
-  * must exceed the worst backlog + restart gap) and landing mtimes
-  * never step backwards past the marker.
+  * the aged-out prefix splits the listing into processed (at-or-before
+  * the marker) and pending (after it) and rebases the count space over
+  * what remains — exactly-once holds as long as still-unprocessed
+  * files are not yet past the horizon (retention must exceed the worst
+  * backlog + restart gap) and the restart does not recover across a
+  * STRAGGLER admission (a file landing with an mtime behind
+  * already-discovered files): stragglers are exactly-once within a
+  * run and refresh() logs a warning when one is admitted, but a
+  * listing cannot reconstruct where an unprocessed straggler sat in
+  * discovery order, so restart windows spanning one may replay or
+  * skip it.
   */
 class PcapMicroBatchStream(
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
@@ -107,6 +112,22 @@ class PcapMicroBatchStream(
       .filter(_.mtime >= h)
       .filterNot(f => seen.contains(f.path))
       .sortBy(f => (f.mtime, f.path))
+    // stragglers (mtime at-or-below something already discovered) are
+    // admitted and processed exactly-once WITHIN this run, but a
+    // restart recovering across one cannot fully reconstruct discovery
+    // order from a listing (see the class doc's restart contract) —
+    // surface the inversion so operators know the window existed
+    if (fresh.nonEmpty && tail.nonEmpty) {
+      val newest = tail.last
+      val stragglers = fresh.count(f => f.mtime < newest.mtime ||
+        (f.mtime == newest.mtime && f.path < newest.path))
+      if (stragglers > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"pcap stream: $stragglers file(s) landed with mtimes behind " +
+            "already-discovered files; exactly-once holds in this run, " +
+            "but a restart recovering across this admission may not " +
+            "reconstruct the order (see maxFileAgeMs contract)")
+    }
     fresh.foreach(f => seen(f.path) = f.mtime)
     tail = tail ++ fresh
     // compact the seen map to the retention window
@@ -175,14 +196,25 @@ class PcapMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-  /** Offset for absolute position `end`, carrying the (mtime, path)
-    * marker of the entry just below it (falling back to `from`'s marker
-    * when that entry is compacted away or `end` == `from`). */
+  /** Offset for absolute position `end`. The marker is the MAXIMUM
+    * (mtime, path) over every entry at-or-below `end` — carried forward
+    * from `from`'s marker and extended over the new batch — NOT simply
+    * the entry at `end`-1: a late-landing straggler admitted after
+    * newer files sits at a high count with a LOW key, and a marker that
+    * regressed to the straggler's key would make a later restart count
+    * the newer processed files as pending (replaying them). */
   private def offsetAt(end: Int, from: PcapStreamOffset): PcapStreamOffset = {
-    val i = end - 1 - base
-    if (i >= 0 && i < tail.length)
-      PcapStreamOffset(end, Some((tail(i).mtime, tail(i).path)))
-    else PcapStreamOffset(end, from.last)
+    var best = from.last
+    var i = math.max(from.count, base) - base
+    val stop = math.min(end - base, tail.length)
+    while (i < stop) {
+      val e = tail(i)
+      if (best.isEmpty || e.mtime > best.get._1 ||
+          (e.mtime == best.get._1 && e.path > best.get._2))
+        best = Some((e.mtime, e.path))
+      i += 1
+    }
+    PcapStreamOffset(end, best)
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {

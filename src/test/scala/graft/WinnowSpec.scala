@@ -28,9 +28,12 @@ class WinnowSpec extends AnyFunSuite {
         .map(b => f"${b & 0xFF}%02x").mkString.substring(0, 8), 16)
 
   /** Direct winnowing: k-gram hashes, windows of W, rightmost min per
-    * window, dedup. Returns (1-based gram pos, hash). */
+    * window, dedup. Returns (1-based gram pos, hash). Tokenizes with
+    * limit -1 to match Spark/DuckDB split semantics (trailing empty
+    * tokens kept — Java's default split drops them and would silently
+    * diverge on trailing whitespace). */
   private def winnow(text: String): Set[(Int, Long)] = {
-    val t = text.toLowerCase.split("\\s+")
+    val t = text.toLowerCase.split("\\s+", -1)
     if (t.length < K) return Set.empty
     val h = (0 to t.length - K)
       .map(i => gramHash(t.slice(i, i + K).mkString(" ")))

@@ -1,7 +1,7 @@
 package graft.pcap
 
 import java.nio.file.{Files, Path}
-import java.nio.file.attribute.FileTime
+
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
@@ -26,7 +26,11 @@ class StreamCompactionSpec extends AnyFunSuite {
   private val T0 = 1700000000000L
 
   /** One tiny single-packet capture; src_port encodes the global file
-    * index so exactly-once is checkable as a distinct-count. */
+    * index so exactly-once is checkable as a distinct-count. The
+    * synthetic mtime is stamped BEFORE the atomic publish — a live
+    * query listing mid-land must never observe a wall-clock mtime,
+    * which would permanently poison the retention horizon's
+    * latestMtime high-water mark. */
   private def landWave(dir: Path, wave: Int): Unit = {
     val mtime = T0 + wave * WaveGapMs
     (0 until WaveSize).foreach { i =>
@@ -36,9 +40,8 @@ class StreamCompactionSpec extends AnyFunSuite {
         dst = Array[Byte](10, 61, 0, 1),
         srcPort = 10000 + idx, dstPort = 80, ttl = 64,
         payload = s"f$idx".getBytes("US-ASCII"), seq = 1L, flags = 0x18)
-      val p = dir.resolve(f"w${wave}%02d_$i%03d.pcap")
-      PcapSynth.writeAtomic(p, PcapSynth.file(Seq((1700000000L, 0L, frame))))
-      Files.setLastModifiedTime(p, FileTime.fromMillis(mtime))
+      PcapSynth.writeAtomicWithMtime(dir.resolve(f"w${wave}%02d_$i%03d.pcap"),
+        PcapSynth.file(Seq((1700000000L, 0L, frame))), mtime)
     }
   }
 

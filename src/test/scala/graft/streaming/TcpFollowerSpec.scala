@@ -67,9 +67,9 @@ class TcpFollowerSpec extends AnyFunSuite {
     try {
       // two landings -> flows straddle micro-batches; the follower's
       // scalar state must chain offsets across them
-      Files.write(dir.resolve("a.pcap"), graft.pcap.PcapSynth.file(half1))
+      graft.pcap.PcapSynth.writeAtomic(dir.resolve("a.pcap"), graft.pcap.PcapSynth.file(half1))
       query.processAllAvailable()
-      Files.write(dir.resolve("b.pcap"), graft.pcap.PcapSynth.file(half2))
+      graft.pcap.PcapSynth.writeAtomic(dir.resolve("b.pcap"), graft.pcap.PcapSynth.file(half2))
       query.processAllAvailable()
     } finally query.stop()
 
@@ -100,10 +100,10 @@ class TcpFollowerSpec extends AnyFunSuite {
       .writeStream.format("memory")
       .queryName("tcp_chunks_cap").outputMode("append").start()
     try {
-      Files.write(dir.resolve("a.pcap"),
+      graft.pcap.PcapSynth.writeAtomic(dir.resolve("a.pcap"),
         graft.pcap.PcapSynth.file(segs.take(5)))
       query.processAllAvailable()
-      Files.write(dir.resolve("b.pcap"),
+      graft.pcap.PcapSynth.writeAtomic(dir.resolve("b.pcap"),
         graft.pcap.PcapSynth.file(segs.drop(5)))
       query.processAllAvailable()
     } finally query.stop()
@@ -127,7 +127,7 @@ class TcpFollowerSpec extends AnyFunSuite {
       .writeStream.format("memory")
       .queryName("tcp_chunks_ovl").outputMode("append").start()
     try {
-      Files.write(dir.resolve("a.pcap"),
+      graft.pcap.PcapSynth.writeAtomic(dir.resolve("a.pcap"),
         graft.pcap.PcapSynth.file(graft.pcap.PcapSynth.tcpOverlapSegments(16)))
       query.processAllAvailable()
     } finally query.stop()
@@ -203,7 +203,7 @@ class TcpFollowerSpec extends AnyFunSuite {
       var part = 0
       while (rest.nonEmpty) {
         val take = 1 + rnd.nextInt(80)
-        Files.write(dir.resolve(f"l$part%03d.pcap"),
+        graft.pcap.PcapSynth.writeAtomic(dir.resolve(f"l$part%03d.pcap"),
           graft.pcap.PcapSynth.file(rest.take(take)))
         query.processAllAvailable()
         rest = rest.drop(take)
@@ -234,10 +234,10 @@ class TcpFollowerSpec extends AnyFunSuite {
       .writeStream.format("memory")
       .queryName("tcp_chunks_dup").outputMode("append").start()
     try {
-      Files.write(dir.resolve("a.pcap"), graft.pcap.PcapSynth.file(base))
+      graft.pcap.PcapSynth.writeAtomic(dir.resolve("a.pcap"), graft.pcap.PcapSynth.file(base))
       query.processAllAvailable()
       // the whole flow retransmits in a later batch: nothing new
-      Files.write(dir.resolve("b.pcap"), graft.pcap.PcapSynth.file(
+      graft.pcap.PcapSynth.writeAtomic(dir.resolve("b.pcap"), graft.pcap.PcapSynth.file(
         base.map { case (ts, us, fr) => (ts + 60, us, fr.clone()) }))
       query.processAllAvailable()
     } finally query.stop()
