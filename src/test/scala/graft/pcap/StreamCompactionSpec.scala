@@ -92,6 +92,39 @@ class StreamCompactionSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("straggler processed last cannot regress the restart marker") {
+    // wave 1 lands and processes FIRST; wave 0 (older mtime — a
+    // straggler) lands and processes after it. The offset marker must
+    // be the MAX processed key, not the last batch's: a marker
+    // regressed to the straggler's key would make a restart count the
+    // newer wave as pending and replay all 150 of its files
+    val dir = Files.createTempDirectory("pcap_straggle")
+    val ckpt = Files.createTempDirectory("pcap_straggle_ckpt")
+    val out = Files.createTempDirectory("pcap_straggle_out")
+    def start() = spark.readStream.format("pcap")
+      .option("maxFileAgeMs", AgeMs.toString)
+      .load(dir.toString)
+      .select("src_port", "file")
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    val q1 = start()
+    try {
+      landWave(dir, 1); q1.processAllAvailable()
+      landWave(dir, 0); q1.processAllAvailable() // straggler batch
+    } finally q1.stop()
+    landWave(dir, 2)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out.toString)
+      assert(rows.count() == 3 * WaveSize,
+        "replayed or lost a wave across the straggler restart")
+      assert(rows.select("src_port").distinct().count() == 3 * WaveSize)
+    } finally q2.stop()
+  }
+
   test("seen-files state stays bounded under churn; restart past aged-out " +
        "prefix is exactly-once") {
     val dir = Files.createTempDirectory("pcap_compact")
