@@ -71,7 +71,7 @@ final class ReassemblyBuf extends Serializable {
   *
   * Memory bound, by construction: each partial buffer compacts
   * (sort + trim + dedup + cap) whenever its raw payload exceeds 2×cap
-  * or its segment count exceeds `maxSegments`, so no task ever holds
+  * or its segment count exceeds 2×`maxSegments`, so no task ever holds
   * more than ~2× `maxStreamBytes` (+ entry overhead) per flow, map-side
   * partials included. Compaction is safe under any partitioning,
   * because every compaction decision is monotone in the segment set:
@@ -100,15 +100,24 @@ final class ReassemblyBuf extends Serializable {
   * > 2^18 segments per flow per task buffer (avg < 32 B/segment at the
   * default byte cap) — adversarial traffic, which truncation is the
   * correct response to.
+  * (3) `pkt_idx` restarts per capture FILE, so for a flow spanning
+  * rotated captures the (tcp_seq, pkt_idx) tie-break is not globally
+  * unique: two same-seq copies at the same per-file index with
+  * DIFFERENT bytes (a changed-payload retransmit split across files)
+  * tie arbitrarily. Exact retransmits — the contract, and what real
+  * stacks send — carry identical bytes, so every tie resolution yields
+  * the same stream (PcapChunkerSpec pins this across chunk files).
   */
 class ReassembleAgg(maxStreamBytes: Long, maxSegments: Int = 1 << 18)
   extends Aggregator[TcpSeg, ReassemblyBuf, Reassembled] {
 
   // <= Int.MaxValue: finish() materializes the stream as one Array[Byte],
   // so a larger cap would overflow the allocation size instead of failing
-  // here at construction.
+  // here at construction. maxSegments <= Int.MaxValue/2: the compaction
+  // trigger compares against maxSegments * 2, which must not wrap (a
+  // wrapped-negative threshold would re-compact on EVERY reduce).
   require(maxStreamBytes > 0 && maxStreamBytes <= Int.MaxValue &&
-    maxSegments > 0)
+    maxSegments > 0 && maxSegments <= Int.MaxValue / 2)
 
   private def compact(b: ReassemblyBuf): Unit = {
     val sorted = b.segs.sortInPlaceWith { (a, c) =>

@@ -101,6 +101,15 @@ object PcapTable {
     val single = Option(options.get("path")).toSeq
     (multi ++ single).distinct
   }
+
+  /** ONE definition of which directory entries are capture data — the
+    * batch and streaming listings must agree or a file class admitted
+    * by only one of them crashes the other's reader ("_"/"." prefixes
+    * are the Hadoop/Spark hidden-file conventions; `.tsidx` sidecars
+    * are this source's own stats files). */
+  def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".") &&
+      !PcapTsIndex.isSidecar(name)
 }
 
 class PcapScanBuilder(options: CaseInsensitiveStringMap)
@@ -175,7 +184,7 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
       matches.flatMap { st =>
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-            .filterNot(_.getPath.getName.startsWith("_"))
+            .filter(s => PcapTable.isDataFile(s.getPath.getName))
         else Seq(st)
       }.filterNot(st => PcapTsIndex.isSidecar(st.getPath.getName))
     }

@@ -65,7 +65,7 @@ class PcapMicroBatchStream(
     conf: Configuration)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  private case class FileEntry(path: String, mtime: Long, len: Long)
+  private case class FileEntry(path: String, mtime: Long)
 
   private val maxFileAgeMs: Long = {
     val v = options.getLong("maxFileAgeMs", 7L * 24 * 3600 * 1000)
@@ -99,11 +99,14 @@ class PcapMicroBatchStream(
       matches.flatMap { st =>
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-            .filterNot(_.getPath.getName.startsWith("_"))
-            .filterNot(_.getPath.getName.startsWith("."))
+            // the SHARED data-file predicate (PcapTable.isDataFile):
+            // admitting what the batch listing skips — e.g. a .tsidx
+            // sidecar a landing ETL wrote next to its capture — would
+            // plan a partition whose reader throws on the magic check
+            .filter(s => PcapTable.isDataFile(s.getPath.getName))
         else Seq(st)
       }
-    }.map(st => FileEntry(st.getPath.toString, st.getModificationTime, st.getLen))
+    }.map(st => FileEntry(st.getPath.toString, st.getModificationTime))
     found.foreach(f => latestMtime = math.max(latestMtime, f.mtime))
     val h = horizon
     // age-filter BEFORE the seen-check: a file older than the horizon is
@@ -250,6 +253,12 @@ class PcapMicroBatchStream(
     rebase(start.asInstanceOf[PcapStreamOffset])
     val s = start.asInstanceOf[PcapStreamOffset].count
     val e = end.asInstanceOf[PcapStreamOffset].count
+    // a replayed FIRST batch recovers start = count 0, which gives
+    // rebase nothing to align — the listing may simply not be loaded
+    // yet on this fresh instance; plan from the real directory, never
+    // from an empty tail (which would silently commit an empty batch
+    // and lose the files below the recovered end offset forever)
+    if (e > base + tail.length) refresh()
     require(s >= base,
       s"batch [$s,$e) reaches below the compacted prefix ($base); " +
         "only committed offsets are ever purged, so this is a bug")

@@ -92,6 +92,31 @@ class StreamCompactionSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test(".tsidx sidecars in the landing directory are never planned as captures") {
+    // a landing ETL that writes stats sidecars next to its captures
+    // (exactly what the pcap SINK does) must not crash the stream: the
+    // sidecar is neither '_'- nor '.'-prefixed, so only the shared
+    // PcapTable.isDataFile predicate keeps it out of discovery
+    val dir = Files.createTempDirectory("pcap_sidecar_stream")
+    val frame = PcapSynth.ipv4TcpFrame(
+      src = Array[Byte](10, 62, 0, 1), dst = Array[Byte](10, 63, 0, 1),
+      srcPort = 12345, dstPort = 80, ttl = 64,
+      payload = "x".getBytes("US-ASCII"), seq = 1L, flags = 0x18)
+    PcapSynth.writeAtomic(dir.resolve("cap.pcap"),
+      PcapSynth.file(Seq((1700000000L, 0L, frame))))
+    Files.write(dir.resolve("cap.pcap.tsidx"),
+      "not a capture".getBytes("US-ASCII"))
+    val q = spark.readStream.format("pcap").load(dir.toString)
+      .select("src_port")
+      .writeStream.format("memory").queryName("sidecar_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sidecar_stream").count() == 1,
+        "expected exactly the capture's packet, no sidecar-crash")
+    } finally q.stop()
+  }
+
   test("straggler processed last cannot regress the restart marker") {
     // wave 1 lands and processes FIRST; wave 0 (older mtime — a
     // straggler) lands and processes after it. The offset marker must
