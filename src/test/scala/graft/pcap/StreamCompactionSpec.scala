@@ -57,6 +57,21 @@ class StreamCompactionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PcapStreamOffset.parse("a|b"))
   }
 
+  test("offsets with a straggler journal round-trip through the v2 JSON form") {
+    import graft.sources.pcap.PcapStreamOffset
+    val withJournal = PcapStreamOffset(42,
+      Some((1700000123456L, "file:/data/a|b.pcap")),
+      Seq((7, 1700000000001L, "file:/data/strag \"x\"|.pcap"),
+          (40, 1700000000002L, "file:/data/s2.pcap")))
+    val js = withJournal.json()
+    assert(js.startsWith("{"), "journal offsets serialize as JSON")
+    assert(PcapStreamOffset.parse(js) == withJournal,
+      "journal entries (incl. pipes/quotes in paths) must round-trip")
+    // journal-free offsets keep the compact round-7 wire form, so
+    // existing checkpoints never change shape without cause
+    assert(PcapStreamOffset(42, withJournal.last).json().startsWith("42|"))
+  }
+
   test("restart where FEWER processed files aged out than pending exist " +
        "still aligns (marker splits the listing, not count overflow)") {
     // waves 0,1,2 processed; waves 3,4 land while down; at restart the
@@ -148,6 +163,69 @@ class StreamCompactionSpec extends AnyFunSuite {
         "replayed or lost a wave across the straggler restart")
       assert(rows.select("src_port").distinct().count() == 3 * WaveSize)
     } finally q2.stop()
+  }
+
+  test("crash between a straggler admission and its commit: the replayed " +
+       "batch plans exactly the straggler files (round-8 journal)") {
+    // The one restart window round 7 disclaimed: wave 1 is processed and
+    // committed; wave 0 (older mtimes — stragglers) lands and is
+    // ADMITTED (offset written to the WAL) but the query dies before the
+    // batch commits. Spark then re-plans [o1, o2) on a FRESH instance
+    // whose listing sorts wave 0 BELOW wave 1 — without the journal the
+    // marker rule files wave 0 as processed history and the replay skips
+    // it. Driven at the MicroBatchStream level because only there can
+    // the crash point be placed deterministically between admission and
+    // commit; the calls mirror MicroBatchExecution's recovery protocol,
+    // offsets round-tripping through their WAL json form.
+    import graft.sources.pcap.{PcapMicroBatchStream, PcapStreamOffset, PcapInputPartition}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("pcap_strag_crash")
+    def mkStream() = new PcapMicroBatchStream(
+      new CaseInsensitiveStringMap(java.util.Map.of(
+        "path", dir.toString, "maxFileAgeMs", AgeMs.toString)),
+      graft.sources.pcap.PcapSchema.full,
+      spark.sparkContext.hadoopConfiguration)
+    def files(parts: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      parts.flatMap(_.asInstanceOf[PcapInputPartition].files)
+        .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    def wave(w: Int) =
+      (0 until WaveSize).map(i => f"w$w%02d_$i%03d.pcap").toSet
+
+    val a = mkStream()
+    landWave(dir, 1)
+    val o0 = a.initialOffset().asInstanceOf[PcapStreamOffset]
+    val o1 = a.latestOffset(o0, ReadLimit.allAvailable())
+      .asInstanceOf[PcapStreamOffset]
+    assert(files(a.planInputPartitions(o0, o1)) == wave(1))
+    a.commit(o1)
+    landWave(dir, 0) // stragglers: every mtime behind wave 1's
+    val o2 = a.latestOffset(o1, ReadLimit.allAvailable())
+      .asInstanceOf[PcapStreamOffset]
+    assert(o2.count == 2 * WaveSize && o2.stragglers.size == WaveSize,
+      "the admission must journal every straggler")
+    // CRASH here: batch [o1, o2) planned (offset durably in the WAL via
+    // json) but never committed. Recovery on a fresh instance:
+    val b = mkStream()
+    val o1r = PcapStreamOffset.parse(o1.json())
+    val o2r = PcapStreamOffset.parse(o2.json())
+    val replayed = files(b.planInputPartitions(o1r, o2r))
+    assert(replayed == wave(0),
+      s"replayed batch must be exactly the straggler wave, got ${replayed.size} files")
+    b.commit(o2r)
+    // and the run continues exactly-once: a new wave plans alone
+    landWave(dir, 2)
+    val o3 = b.latestOffset(o2r, ReadLimit.allAvailable())
+      .asInstanceOf[PcapStreamOffset]
+    assert(files(b.planInputPartitions(o2r, o3)) == wave(2),
+      "post-recovery batch must contain only the new wave")
+    b.commit(o3)
+    // third instance, restart with everything committed: nothing pending
+    val c = mkStream()
+    val o3r = PcapStreamOffset.parse(o3.json())
+    val o4 = c.latestOffset(o3r, ReadLimit.allAvailable())
+      .asInstanceOf[PcapStreamOffset]
+    assert(o4.count == o3r.count, "fully-committed restart must see no work")
   }
 
   test("seen-files state stays bounded under churn; restart past aged-out " +
