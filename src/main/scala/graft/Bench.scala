@@ -96,7 +96,13 @@ object Bench {
     val total = results.collect { case (_, (mn, _)) if !mn.isNaN => mn }.sum
     val totalMed = results.collect { case (_, (_, md)) if !md.isNaN => md }.sum
     val mbpsStr = if (mbps.isNaN) "-1" else f"$mbps%.1f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"n_reps":5,"sf":"$sfDir","pcap_decode_mb_s":$mbpsStr}""")
+    // cold-start ANN probe: memos cleared, the persisted IVF-PQ artifact
+    // (written by the first run above) on disk — times index load +
+    // probe for a FRESH session, vs the warm in-memory number in
+    // `queries`. Re-training from scratch would be ~5x slower.
+    graft.operators.Similarity.clearMemos()
+    val ivfpqCold = timedQuery("sim_ann_ivfpq")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"n_reps":5,"sf":"$sfDir","pcap_decode_mb_s":$mbpsStr,"sim_ann_ivfpq_cold":${j(ivfpqCold)}}""")
     spark.stop()
   }
 }

@@ -75,6 +75,167 @@ object Similarity {
     ivfpqCodesMemo.clear()
   }
 
+  // ----- persisted IVF-PQ index artifact (round-8 verdict #4) -------------
+  // A real 100 TB pipeline builds the ANN index offline ONCE and persists
+  // it; a new session must load it cold instead of re-training and
+  // re-encoding the corpus. The artifact is the standard FAISS-style
+  // split: the big part (per-vector codes) as parquet — distributed
+  // write, readable by any engine — and the small part (coarse centroids
+  // + residual codebooks) as a JSON sidecar. Doubles serialize as
+  // Double.toString, which Java guarantees round-trips exactly, so a
+  // cold-loaded model is bit-identical to the trained one and the DuckDB
+  // oracle hash-match still holds. The sidecar is written LAST via an
+  // atomic move, so its presence is the commit marker for the whole
+  // artifact; `rows` recorded inside guards against a dataset
+  // regenerated at the same path (mismatch -> rebuild).
+
+  /** Per-dataset count of from-scratch index builds — test hook: a cold
+    * load from the persisted artifact must NOT bump it. Keyed by dataset
+    * so a spec driving its own copied dataset is immune to concurrent
+    * suites touching the shared ones. */
+  private val indexBuilds = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+  private def bumpBuilds(d: String): Unit =
+    indexBuilds.computeIfAbsent(d,
+      _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+  private[graft] def buildsFor(d: String): Int =
+    Option(indexBuilds.get(d)).map(_.get).getOrElse(0)
+
+  /** Artifact location: `spark.graft.ann.indexDir` (or java.io.tmpdir)
+    * / md5(dataset dir) — content-addressed by dataset path because the
+    * dataset dirs themselves are read-only inputs here; a deployment
+    * owning its data would write `<dataset>/_ann_index` instead. */
+  private[graft] def annIndexDir(s: SparkSession, d: String): java.nio.file.Path = {
+    val base = s.conf.get("spark.graft.ann.indexDir",
+      sys.props("java.io.tmpdir") + "/graft_ann_index")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(base, h)
+  }
+
+  private def writeIndex(s: SparkSession, d: String, rows: Long,
+      cents: Seq[Seq[Double]], cb: Seq[Seq[Seq[Double]]],
+      codes: DataFrame): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val dir = annIndexDir(s, d)
+    java.nio.file.Files.createDirectories(dir)
+    codes.write.mode("overwrite").parquet(dir.resolve("codes").toString)
+    val obj =
+      ("rows" -> rows) ~
+      ("cents" -> cents.map(_.map(_.toString))) ~
+      ("cb" -> cb.map(_.map(_.map(_.toString))))
+    val tmp = dir.resolve(".model.json.tmp")
+    java.nio.file.Files.write(tmp,
+      JsonMethods.compact(JsonMethods.render(obj)).getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve("model.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Cold-load the persisted index; None if absent or stale (row-count
+    * mismatch with the current corpus). The codes cache materializes off
+    * the probe path, mirroring the built branch. */
+  private def loadIndex(s: SparkSession, d: String, rows: Long):
+      Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = annIndexDir(s, d)
+    val model = dir.resolve("model.json")
+    if (!java.nio.file.Files.exists(model)) return None
+    try {
+      val o = JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(model), "UTF-8"))
+      val storedRows = (o \ "rows") match {
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case _ => -1L
+      }
+      if (storedRows != rows) return None
+      def d1(v: JValue): Seq[Double] = v match {
+        case JArray(xs) => xs.map { case JString(x) => x.toDouble
+          case other => throw new IllegalArgumentException(other.toString) }
+        case other => throw new IllegalArgumentException(other.toString)
+      }
+      def arr(v: JValue): List[JValue] = v match {
+        case JArray(xs) => xs
+        case other => throw new IllegalArgumentException(other.toString)
+      }
+      val cents = arr(o \ "cents").map(d1)
+      val cb = arr(o \ "cb").map(m => arr(m).map(d1))
+      val codes = s.read.parquet(dir.resolve("codes").toString).cache()
+      codes.count()
+      Some((cents, cb, codes))
+    } catch { case _: Exception => None }
+  }
+
+  /** The shared squared-L2 and per-subspace-distance SQL templates used
+    * by both the index build and the probe path. */
+  private val ivfL2 =
+    "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0.0 AS DOUBLE), (a, z) -> a + z)"
+  private val ivfSubDists =
+    "transform(sequence(0, 15), m -> transform(element_at(cb, m + 1), " +
+      "sub -> aggregate(zip_with(slice(%s, m * 4 + 1, 4), sub, " +
+      "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), " +
+      "(a, z) -> a + z)))"
+
+  /** The trained IVF-PQ index for dataset `d`: (coarse centroids,
+    * residual codebooks, encoded corpus). Resolution order: in-memory
+    * memos (warm session) -> persisted on-disk artifact (cold session —
+    * NO re-train, no re-encode) -> full offline build, which persists
+    * the artifact for the next session. */
+  private[graft] def ivfpqIndex(s: SparkSession, d: String, e: DataFrame)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame) = {
+    val mCent = ivfpqCentMemo.get(d)
+    val mCb = ivfpqCbMemo.get(d)
+    val mCodes = ivfpqCodesMemo.get(d)
+    if (mCent != null && mCb != null && mCodes != null &&
+        !mCodes.sparkSession.sparkContext.isStopped)
+      return (mCent, mCb, mCodes)
+    val rows = e.count() // cold path only: one pruned-scan count
+    loadIndex(s, d, rows) match {
+      case Some((cents, cb, codes)) =>
+        ivfpqCentMemo.put(d, cents); ivfpqCbMemo.put(d, cb)
+        ivfpqCodesMemo.put(d, codes)
+        (cents, cb, codes)
+      case None =>
+        import s.implicits._
+        bumpBuilds(d)
+        val cents = ivfpqCentMemo.computeIfAbsent(d, _ =>
+          Clustering.trainedCentroidArrays(s, d))
+        val centCol = typedLit(cents).as("cents")
+        // coarse assign + residual: pure projection against the literal
+        val asg = e.select($"vec_id", $"v", centCol)
+          .select($"vec_id", $"v",
+            expr(s"transform(cents, c -> ${ivfL2.format("v", "c")})").as("cd"),
+            $"cents")
+          .select($"vec_id", $"v",
+            expr("CAST(array_position(cd, array_min(cd)) - 1 AS INT)")
+              .as("cl"),
+            $"cents")
+          .select($"vec_id", $"v", $"cl",
+            expr("zip_with(v, element_at(cents, cl + 1), (x, y) -> x - y)")
+              .as("r"))
+        // residual codebook: Lloyd-trained per subspace over the coarse
+        // residuals, seeded from the first 32 residuals
+        val cb = ivfpqCbMemo.computeIfAbsent(d, _ =>
+          trainCodebooks(subVectors(asg.select($"vec_id", $"r"), "r")))
+        val cbCol = typedLit(cb).as("cb")
+        val codes = memoCodes(d, () => {
+          val c = asg.select($"vec_id", $"cl", $"r", cbCol)
+            .select($"vec_id", $"cl", expr(ivfSubDists.format("r")).as("sds"))
+            .select($"vec_id", $"cl", expr("transform(sds, s -> " +
+              "CAST(array_position(s, array_min(s)) - 1 AS INT))").as("codes"))
+            .cache()
+          c.count() // materialize the index once, off the probe path
+          c
+        })
+        writeIndex(s, d, rows, cents, cb, codes)
+        (cents, cb, codes)
+    }
+  }
+
   // ----- PQ codebook training (per-subspace Lloyd) ------------------------
   // M subspaces of SubDim dims, K codes each, trained for PqIters Lloyd
   // iterations with the same integer-exact update contract as
@@ -789,50 +950,16 @@ object Similarity {
         val e = Tables.embeddings(s, d)
           .select($"vec_id",
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        // coarse quantizer = the Lloyd-trained k-means model (K=8, same
-        // init/iters as sim_kmeans_cluster — one shared offline training
-        // job feeds both the clustering queries and this index)
-        val centData: Seq[Seq[Double]] =
-          ivfpqCentMemo.computeIfAbsent(d, _ =>
-            Clustering.trainedCentroidArrays(s, d))
+        // the offline index: coarse quantizer = the Lloyd-trained k-means
+        // model (K=8, shared with sim_kmeans_cluster), residual PQ
+        // codebooks, encoded corpus — memoized in-session and PERSISTED
+        // on disk (parquet codes + JSON sidecar), so a fresh session
+        // cold-loads instead of re-training (see [[ivfpqIndex]])
+        val (centData, cbData, codes) = ivfpqIndex(s, d, e)
         val centCol = typedLit(centData).as("cents")
-        val l2 = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), " +
-          "CAST(0.0 AS DOUBLE), (a, z) -> a + z)"
-        // coarse assign + residual: pure projection against the literal
-        val asg = e.select($"vec_id", $"v", centCol)
-          .select($"vec_id", $"v",
-            expr(s"transform(cents, c -> ${l2.format("v", "c")})").as("cd"),
-            $"cents")
-          .select($"vec_id", $"v",
-            expr("CAST(array_position(cd, array_min(cd)) - 1 AS INT)")
-              .as("cl"),
-            $"cents")
-          .select($"vec_id", $"v", $"cl",
-            expr("zip_with(v, element_at(cents, cl + 1), (x, y) -> x - y)")
-              .as("r"))
-        // residual codebook: Lloyd-trained per subspace over the coarse
-        // residuals, seeded from the first 32 residuals (memoized per
-        // dataset — the "offline index build" artifact)
-        val cbData: Seq[Seq[Seq[Double]]] =
-          ivfpqCbMemo.computeIfAbsent(d, _ =>
-            trainCodebooks(subVectors(asg.select($"vec_id", $"r"), "r")))
         val cbCol = typedLit(cbData).as("cb")
-        val subDists =
-          "transform(sequence(0, 15), m -> transform(element_at(cb, m + 1), " +
-            "sub -> aggregate(zip_with(slice(%s, m * 4 + 1, 4), sub, " +
-            "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), " +
-            "(a, z) -> a + z)))"
-        // encoded corpus = the persisted index artifact: cache + memoize
-        // per dataset so probes never pay the O(N·M·K) encode again
-        val codes = memoCodes(d, () => {
-          val c = asg.select($"vec_id", $"cl", $"r", cbCol)
-            .select($"vec_id", $"cl", expr(subDists.format("r")).as("sds"))
-            .select($"vec_id", $"cl", expr("transform(sds, s -> " +
-              "CAST(array_position(s, array_min(s)) - 1 AS INT))").as("codes"))
-            .cache()
-          c.count() // materialize the index once, off the probe path
-          c
-        })
+        val l2 = ivfL2
+        val subDists = ivfSubDists
         val qs = e.filter($"vec_id" % 50 === 0)
           .select($"vec_id".as("qid"), $"v".as("qv"))
         // probe the 2 nearest lists; LUT is over the per-list residual
