@@ -68,7 +68,7 @@ object Similarity {
     * test that regenerates data at the same path must clear them. */
   private[graft] def clearMemos(): Unit = {
     pqCbMemo.clear(); ivfpqCentMemo.clear(); ivfpqCbMemo.clear()
-    queryBlockMemo.clear()
+    queryBlockMemo.clear(); corpusCountMemo.clear()
     ivfpqCodesMemo.forEach { (_, df) =>
       if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
     }
@@ -360,6 +360,49 @@ object Similarity {
   private val nPlanes = 16
   private val dim = 64
 
+  // ----- exact-kernel size guard (round-8 verdict #5) ---------------------
+  // The exact kernels accept any input, but their O(|Q|·|N|·dim) flops are
+  // the honest cost of exact search — past a threshold the trained ANN
+  // family (sim_ann_ivfpq / sim_ann_ivf_kmeans / sim_ann_pq) is the only
+  // sane plan. Mirroring the EvalBroadcastDocCap pattern: the guard fails
+  // FAST with an actionable message instead of launching a week-long scan,
+  // and is option-gated for callers who genuinely want the exact answer.
+  // Default 1e13 flops ~ 45 min of one 8-core executor at 30 GFLOP/s —
+  // sf0.1 here is 3 orders of magnitude below it; a 100 TB corpus with
+  // the same 1-in-50 query rate is 10 orders above.
+
+  private[graft] val ExactScanMaxFlops = 1e13
+
+  /** Corpus row count, memoized per dataset (immutable inputs here) so
+    * repeated kernel invocations pay the count once per session. */
+  private val corpusCountMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.Long]()
+  private def corpusCount(s: SparkSession, d: String): Long =
+    corpusCountMemo.computeIfAbsent(d,
+      _ => Long.box(Tables.embeddings(s, d).count())).longValue()
+
+  /** Fail fast when an exact Q×N scan crosses the flops threshold.
+    * |Q| is the fixed 1-in-50 sample of the corpus, so it derives from
+    * |N| without a second count. Conf knobs (session-scoped):
+    * `spark.graft.sim.exactScanMaxFlops` overrides the threshold,
+    * `spark.graft.sim.allowLargeExactScan=true` opts out entirely. */
+  private def guardExactScan(s: SparkSession, d: String): Unit = {
+    val n = corpusCount(s, d)
+    val q = (n + 49) / 50
+    val flops = q.toDouble * n.toDouble * dim
+    val cap = s.conf.get("spark.graft.sim.exactScanMaxFlops",
+      ExactScanMaxFlops.toString).toDouble
+    val allow = s.conf.get("spark.graft.sim.allowLargeExactScan",
+      "false").toBoolean
+    if (flops > cap && !allow)
+      throw new IllegalStateException(
+        f"exact cosine scan of |Q|=$q x |N|=$n ($flops%.2e flops) exceeds " +
+          f"spark.graft.sim.exactScanMaxFlops=$cap%.2e — use the trained " +
+          "ANN family (sim_ann_ivfpq / sim_ann_ivf_kmeans / sim_ann_pq) " +
+          "at this scale, or set " +
+          "spark.graft.sim.allowLargeExactScan=true to proceed anyway")
+  }
+
   /** The blocked exact cosine top-k kernel behind sim_cosine_topk_blocked,
     * parameterized by query-tile size. The memoized query block is split
     * into ceil(|Q|/tileSize) tiles; each tile broadcasts independently
@@ -378,6 +421,7 @@ object Similarity {
   private[graft] def blockedCosineTopK(s: SparkSession, d: String,
       k: Int = 5, tileSize: Int = Int.MaxValue): DataFrame = {
     import s.implicits._
+    guardExactScan(s, d) // fail fast BEFORE collecting the query block
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
     def selfNorm(v: Array[Float]): Double = {
@@ -397,10 +441,18 @@ object Similarity {
         .toDF("qid", "cid", "cos")
         .select($"qid", $"cid", $"cos", lit(1).as("rn"))
         .limit(0)
+    // multi-tile runs materialize each tile's partials eagerly
+    // (localCheckpoint truncates the lineage, keeping the union plan
+    // flat in tile count) and DESTROY the tile's broadcast immediately —
+    // otherwise a small tileSize over a large query block accumulates
+    // T live broadcasts until the ContextCleaner eventually GCs them.
+    // The partials are tiny (<= |tile|·k rows); single-tile runs (the
+    // default) keep the lazy plan and let the one broadcast die with it.
+    val multiTile = qRows.length > tileSize
     val tilePartials = qRows.grouped(tileSize).map { tile =>
       val bcQ = s.sparkContext.broadcast(
         (tile.map(_._1), tile.map(_._2), tile.map(r => selfNorm(r._2))))
-      emb.mapPartitions { rows =>
+      val part = emb.mapPartitions { rows =>
         val (ids, vecs, norms) = bcQ.value
         val nq = ids.length
         val bufId = Array.ofDim[Long](nq, k)
@@ -451,6 +503,11 @@ object Similarity {
             .map(p => (ids(q), bufId(q)(p), bufScore(q)(p)))
         }
       }.toDF("qid", "cid", "cos")
+      if (multiTile) {
+        val cp = part.localCheckpoint(true)
+        bcQ.destroy()
+        cp
+      } else part
     }.reduce(_ union _)
     val topk = udaf(new graft.functions.TopKByScore(k))
     tilePartials.groupBy($"qid")
@@ -472,6 +529,8 @@ object Similarity {
     Q("sim_cosine_topk",
       (s, d) => {
         import s.implicits._
+        guardExactScan(s, d) // size-routed: past the flops cap this plan
+                             // must not launch (use the trained ANN family)
         val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
         // norms precomputed per side BELOW the join: norm(ce) in the
         // pair-level projection would recompute the corpus-vector norm
