@@ -659,40 +659,54 @@ object Multimodal {
     /** Header-only parse: walk the RIFF tree to the first avih chunk and
       * return (width, height, declared frame count) WITHOUT touching the
       * movi list — stats queries need the header fields, not nf×w×h
-      * unpacked pixels (round-6 ADVICE; mm_media_stats uses this). Same
-      * chunk-bound and dimension guards as [[decode]]. */
+      * unpacked pixels (round-6 ADVICE; mm_media_stats uses this).
+      *
+      * The walk is [[decode]]'s recursion verbatim — depth counts only
+      * true descents and every inner chunk is bounded by its ENCLOSING
+      * list's extent, not the file end — short-circuiting at avih. The
+      * earlier linear walk counted sibling LISTs toward the nesting
+      * bound (a valid AVI with 16+ lists — per-stream strl, INFO, odml,
+      * rec — would throw) and let a chunk overflow its enclosing list as
+      * long as it stayed inside the file (accepted where decode
+      * rejects). Frame-count semantics: this is the DECLARED
+      * dwTotalFrames; [[decode]] requires declared == actual movi
+      * frames, so on any decodable AVI the two agree — a file whose
+      * header lies yields header-only stats for a blob decode would
+      * reject, which is the documented stats contract (header fields
+      * describe the container's declaration). */
     def header(bytes: Array[Byte]): (Int, Int, Int) = {
       def tagAt(off: Int): String = new String(bytes, off, 4, "US-ASCII")
       require(bytes.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "AVI ",
         "not a RIFF AVI")
-      var off = 12
-      var depth = 0
-      var end = bytes.length
-      while (off + 8 <= end) {
-        val id = tagAt(off)
-        val size = rd32(bytes, off + 4)
-        require(size >= 0 && off + 8 + size.toLong <= end,
-          s"truncated chunk $id")
-        if (id == "avih") {
-          require(size >= 56, "short avih")
-          val total = rd32(bytes, off + 8 + 16)
-          val w = rd32(bytes, off + 8 + 32)
-          val h = rd32(bytes, off + 8 + 36)
-          require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
-            s"implausible AVI dims ${w}x$h")
-          require(total >= 0 && total <= (1 << 20),
-            s"implausible frame count $total")
-          return (w, h, total)
-        } else if (id == "LIST") {
-          require(size >= 4, "short LIST chunk")
-          depth += 1
-          require(depth < 16, "implausible LIST nesting")
-          off += 12                     // descend: skip the list type only
-        } else {
+      def walk(off0: Int, end: Int, depth: Int): Option[(Int, Int, Int)] = {
+        require(depth < 16, "implausible LIST nesting")
+        var off = off0
+        while (off + 8 <= end) {
+          val id = tagAt(off)
+          val size = rd32(bytes, off + 4)
+          require(size >= 0 && off + 8 + size.toLong <= end,
+            s"truncated chunk $id")
+          if (id == "avih") {
+            require(size >= 56, "short avih")
+            val total = rd32(bytes, off + 8 + 16)
+            val w = rd32(bytes, off + 8 + 32)
+            val h = rd32(bytes, off + 8 + 36)
+            require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+              s"implausible AVI dims ${w}x$h")
+            require(total >= 0 && total <= (1 << 20),
+              s"implausible frame count $total")
+            return Some((w, h, total))
+          } else if (id == "LIST") {
+            require(size >= 4, "short LIST chunk")
+            val r = walk(off + 12, off + 8 + size, depth + 1)
+            if (r.isDefined) return r
+          }
           off += 8 + size + (size & 1)  // RIFF chunks are word-aligned
         }
+        None
       }
-      throw new IllegalArgumentException("no avih header found")
+      walk(12, bytes.length, 0).getOrElse(
+        throw new IllegalArgumentException("no avih header found"))
     }
 
     /** Byte-only parse: RIFF('AVI ') → LIST hdrl (avih: dims, frame

@@ -304,6 +304,31 @@ class MultimodalCodecSpec extends AnyFunSuite {
       BmpCodec.headerDims(Array[Byte]('B', 'M', 0)))
   }
 
+  test("header() accepts many SIBLING lists and bounds chunks by their " +
+       "enclosing list (round-8 ADVICE)") {
+    import graft.operators.Multimodal.AviCodec
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def tag(s: String) = s.getBytes("US-ASCII")
+    // 20 empty INFO lists spliced before hdrl: a realistic flat layout
+    // (strl/INFO/odml/rec lists are SIBLINGS, not nesting) that the
+    // pre-round-8 linear walk miscounted as depth 20 and rejected
+    val base = AviCodec.encode(4L)
+    val full = AviCodec.decode(base)
+    val info = tag("LIST") ++ le32(4) ++ tag("INFO")
+    val spliced = base.take(12) ++ Array.fill(20)(info).flatten ++ base.drop(12)
+    assert(AviCodec.header(spliced) == ((full.w, full.h, full.frames.length)))
+    assert(AviCodec.decode(spliced).frames.length == full.frames.length)
+    // an avih overflowing its ENCLOSING hdrl list while staying inside
+    // the file must be rejected — the old walk only checked the file end
+    val inner = tag("avih") ++ le32(300) ++ Array.fill[Byte](8)(0)
+    val lst = tag("LIST") ++ le32(4 + inner.length) ++ tag("hdrl") ++ inner
+    val fileBody = tag("AVI ") ++ lst ++ Array.fill[Byte](400)(0)
+    val bad = tag("RIFF") ++ le32(fileBody.length) ++ fileBody
+    val e = intercept[IllegalArgumentException](AviCodec.header(bad))
+    assert(e.getMessage.contains("truncated chunk avih"))
+  }
+
   test("malformed WAV is rejected, not misparsed") {
     import graft.operators.Multimodal.WavCodec
     intercept[IllegalArgumentException](WavCodec.decode(Array[Byte](1, 2)))
