@@ -632,6 +632,42 @@ object Similarity {
             / (sqrt(list_sum([x * x FOR x IN ae])) *
                sqrt(list_sum([x * x FOR x IN be]))) > 0.35""")),
 
+    // ----- pairwise-cosine histogram (embedding QA diagnostic) ------------
+    // The corpus-geometry check run before trusting an embedding column:
+    // a healthy embedding space has a broad similarity distribution; a
+    // collapsed encoder (all vectors near-parallel) piles every pair
+    // into the top buckets. Buckets are floor(cos * 20) — the same IEEE
+    // divide-then-multiply on both engines, so bucket edges are exact.
+    // Scale shape: pairwise stats are a bounded-SAMPLE diagnostic by
+    // construction (vec_id < 1000 here; 1-in-M sampling at corpus
+    // scale) — the pair join is a broadcast nested-loop of the small
+    // sample against itself, never the full corpus.
+    Q("sim_cosine_histogram",
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d).filter($"vec_id" < 1000)
+          .select($"vec_id", $"embedding")
+        val a = emb.select($"vec_id".as("v1"), $"embedding".as("e1"))
+          .withColumn("n1", norm("e1"))
+        val b = emb.select($"vec_id".as("v2"), $"embedding".as("e2"))
+          .withColumn("n2", norm("e2"))
+        a.join(b, $"v1" < $"v2")
+          .select(floor(dot("e1", "e2") / ($"n1" * $"n2") * 20)
+            .cast("int").as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+          FROM embeddings WHERE vec_id < 1000)
+        SELECT CAST(floor(
+            list_sum([ae[i] * be[i] FOR i IN generate_series(1, len(ae))])
+              / (sqrt(list_sum([x * x FOR x IN ae])) *
+                 sqrt(list_sum([x * x FOR x IN be]))) * 20) AS INT) AS bucket,
+          COUNT(*) AS n
+        FROM (SELECT vec_id, emb AS ae FROM e) a
+        JOIN (SELECT vec_id, emb AS be FROM e) b ON a.vec_id < b.vec_id
+        GROUP BY 1""")),
+
     // ----- int8 quantization (training-pipeline compression) -------------
     // Symmetric per-vector quantization: q = floor(x / max_abs * 127 + .5).
     // Output exploded to (vec_id, pos, q) rows so the oracle hash-compares
