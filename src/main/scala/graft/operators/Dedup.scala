@@ -362,6 +362,40 @@ object Dedup {
       Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
         COUNT(*) AS n_copies FROM documents GROUP BY 1""")),
 
+    // ----- per-document n-gram novelty (curation diversity score) ---------
+    // How much of each document's shingle set appears for the FIRST time
+    // in it, attributing every shingle to its lowest doc_id — the
+    // deterministic stand-in for arrival order. Curation uses this to
+    // downweight documents that only repeat earlier material (the
+    // batch-mode cousin of the Bloom-filter novelty gate in
+    // dedup_bloom_prefilter). Scale shape: two shingle-keyed hash
+    // aggregations and one join against a 1-row-per-shingle side — all
+    // map-side-combinable; a stop-shingle's hot join key streams n rows
+    // past its single stat row, never n² (the DfCap discussion).
+    Q("text_ngram_novelty",
+      (s, d) => {
+        import s.implicits._
+        val sh = shingles(s, d).cache()
+        val firstSeen = sh.groupBy($"shingle")
+          .agg(min($"doc_id").as("first_seen"))
+        sh.join(firstSeen, "shingle")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"first_seen" === $"doc_id", 1L).otherwise(0L))
+              .as("n_novel"))
+          .select($"doc_id", $"n_shingles", $"n_novel",
+            round($"n_novel".cast("double") /
+              $"n_shingles".cast("double"), 6).as("novelty_r"))
+      },
+      Some(s"""WITH $shinglesSql,
+        fs AS (SELECT shingle, MIN(doc_id) AS first_seen FROM sh GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS n_shingles,
+          CAST(SUM(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+          round(CAST(SUM(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_r
+        FROM sh JOIN fs USING (shingle) GROUP BY 1""")),
+
     // ----- n-gram Jaccard near-dup via shingle inverted index -------------
     Q("dedup_ngram_jaccard",
       (s, d) => {
