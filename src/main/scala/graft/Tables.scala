@@ -21,17 +21,28 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as a raw nano count (legacy conf) and
-    * truncate to a microsecond TimestampType — the same truncation DuckDB
-    * applies when casting TIMESTAMP_NS to TIMESTAMP, so oracle parity
-    * holds. */
+  /** `events.ts` has appeared as two physical types across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects outright, so it is read as a raw nano count (legacy
+    * conf) and truncated to microseconds, the same truncation DuckDB
+    * applies casting TIMESTAMP_NS to TIMESTAMP — and plain
+    * TIMESTAMP(MICROS), which Spark infers as TIMESTAMP_NTZ. Both are
+    * normalized to the SAME microsecond TimestampType column: sessions
+    * here run with session.timeZone=UTC, so the NTZ→LTZ cast relabels the
+    * identical micros value and every downstream consumer and oracle sees
+    * one schema regardless of which generation is on disk. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nanos under the conf
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => // TIMESTAMP_NTZ (micros): relabel, values unchanged in UTC
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
