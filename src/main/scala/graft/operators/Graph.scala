@@ -51,6 +51,15 @@ object Graph {
     * iteration jobs) is recorded in BASELINE.md. */
   private val Iters  = 20
 
+  /** LPA rounds: synchronous LPA converges in a handful of sweeps on
+    * sparsified co-occurrence graphs (Raghavan et al. report ~5); the
+    * oracle unrolls the same depth. */
+  private val LpaIters = 5
+
+  /** Minimum co-occurrence weight (distinct orders) for an edge to
+    * survive sparsification. */
+  private val LpaMinW = 2
+
   /** Shared oracle CTE prefix: edges, degrees, N, and r0..r3. */
   private lazy val pagerankCtes: String = {
     def iter(k: Int): String = {
@@ -77,6 +86,31 @@ object Graph {
     r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / n.n AS r
            FROM deg CROSS JOIN n),
     ${(1 to Iters).map(iter).mkString(",\n")}"""
+  }
+
+  /** The synchronous LPA label loop over a symmetric (src, dst) edge
+    * relation: label0(v) = v; each round every node takes the most
+    * frequent in-neighbor label, ties to the smallest. Returns the
+    * final (node, label) relation. Factored out so specs can drive it
+    * on constructed graphs (Round8OpsSpec's two-clique separation). */
+  private[graft] def labelPropagate(
+      e: DataFrame, iters: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    var lab = e.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    for (i <- 1 to iters) {
+      lab = e.join(lab, e("src") === lab("node"))
+        .groupBy($"dst", $"label")
+        .agg(count(lit(1)).as("c"))
+        // argmax(count, min label) as a single aggregate: struct
+        // comparison is lexicographic, so max((c, -label)) picks
+        // the largest count and, among ties, the smallest label
+        .groupBy($"dst")
+        .agg(max(struct($"c", (-$"label").as("nl"))).as("m"))
+        .select($"dst".as("node"), (-$"m.nl").as("label"))
+      if (i % 4 == 0 || i == iters) lab = lab.localCheckpoint()
+    }
+    lab
   }
 
   val defs: Seq[Q] = Seq(
@@ -134,6 +168,82 @@ object Graph {
       Some(s"""WITH $pagerankCtes
         SELECT node AS p_partkey, r AS rank
         FROM r$Iters
-        ORDER BY r DESC, node LIMIT 20"""))
+        ORDER BY r DESC, node LIMIT 20""")),
+
+    // ----- label-propagation communities (synchronous, deterministic) -----
+    // Community detection over the co-purchase graph — the second classic
+    // iterative-graph workload after PageRank, and the one a crawl
+    // pipeline uses to group near-identical site templates / mirror
+    // clusters before per-community sampling. Raghavan et al.'s LPA is
+    // usually run asynchronously with random tie-breaks; that is
+    // non-reproducible run-to-run, which is unacceptable for a corpus
+    // pipeline (and untestable against an oracle). This is the
+    // deterministic synchronous variant:
+    //
+    //   label0(v)  = v
+    //   label_k+1(v) = argmax over labels L of |{u -> v : label_k(u)=L}|,
+    //                  ties broken by SMALLEST label
+    //
+    // All-integer counts — zero float divergence risk across engines.
+    // The dense co-purchase graph collapses to one community under LPA
+    // (every popular part neighbors every other), so edges keep only
+    // pairs co-occurring in >= LpaMinW distinct orders — the standard
+    // "weight-threshold sparsification" that makes LPA meaningful on
+    // co-occurrence graphs, and the same move a web-graph pipeline makes
+    // when it drops single-link edges.
+    //
+    // Scale (100 TB): the edge list is computed once, weight-filtered,
+    // cached hash-partitioned on src (exactly the pagerank layout), so
+    // each of the 5 iterations joins the small label table against a
+    // co-partitioned cache with no edge shuffle. The per-iteration state
+    // is |V| rows; the (dst,label) count and argmax are two partial-agg
+    // shuffles of that small table — max(struct(count, -label)) instead
+    // of a rank window, so the argmax is ONE aggregate, not a sort.
+    // Checkpoint cadence matches pagerank (every 4th round + last).
+    Q("pipeline_lpa_communities",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e = li.as("a").join(li.as("b"), "l_orderkey")
+          .filter($"a.l_partkey" =!= $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .filter($"w" >= LpaMinW)
+          .select($"src", $"dst")
+          .repartition($"src")
+          .cache()
+        try {
+          labelPropagate(e, LpaIters)
+            .groupBy($"label".as("community"))
+            .agg(count(lit(1)).as("csize"))
+            .orderBy(desc("csize"), asc("community"))
+            .limit(25)
+        } finally e.unpersist()
+      },
+      Some {
+        def it(k: Int): String = s"""l$k AS (
+          SELECT dst AS node, label FROM (
+            SELECT e.dst, p.label,
+              row_number() OVER (PARTITION BY e.dst
+                ORDER BY count(*) DESC, p.label ASC) AS rn
+            FROM e JOIN l${k - 1} p ON p.node = e.src
+            GROUP BY e.dst, p.label) x
+          WHERE rn = 1)"""
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+               FROM lineitem),
+          pair AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                   count(*) AS w
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2),
+          e AS (SELECT src, dst FROM pair WHERE w >= $LpaMinW),
+          l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+          ${(1 to LpaIters).map(it).mkString(",\n")}
+          SELECT label AS community, count(*) AS csize
+          FROM l$LpaIters GROUP BY 1
+          ORDER BY csize DESC, community LIMIT 25"""
+      })
   )
 }

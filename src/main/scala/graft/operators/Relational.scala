@@ -1047,6 +1047,87 @@ object Relational {
           true AS merged_in_5pct
         FROM events""")),
 
+    // ----- register-level mergeable HLL (cross-engine EXACT) --------------
+    // q49 proves Spark's built-in DataSketches HLL merges within 5%; the
+    // oracle there can only check a tolerance band because the sketch
+    // internals are opaque. This is the complementary clean-room HLL
+    // (Flajolet et al. 2007) built from relational primitives ONLY, so
+    // the ORACLE REPLAYS THE EXACT REGISTER STATE: h = 32-bit
+    // engine-portable md5 prefix (the Dedup idiom), register index =
+    // h mod 256, rho = leading-zero count of the remaining 24 bits + 1
+    // (via length(bin(w)) — identical on both engines), per-day
+    // registers = max(rho), cross-day merge = max again (the mergeable-
+    // sketch property, exercised for real: daily sketches are built
+    // independently then combined), estimate = alpha_256 * m^2 / sum
+    // 2^-M_j. The 2^-M_j sum is EXACT integer arithmetic (scaled by
+    // 2^25), so the only float ops are correctly-rounded IEEE basics on
+    // identical inputs — the estimate hashes bit-identically. Raw
+    // estimator only (no ln-based small-range correction — ln is not
+    // bit-portable across libm implementations); sketching distinct
+    // user-DAYS (~4k at sf0.01) keeps the gate workload out of the
+    // linear-counting regime. Scale shape: one partial-agg shuffle to
+    // 256·days rows, then to 256 — the whole sketch state is 256 bytes
+    // regardless of input size, the point of HLL at 100 TB.
+    Q("q51_hll_registers",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select(to_date($"ts").as("day"), $"user_id")
+        val daily = ev
+          .select($"day",
+            conv(substring(md5(concat($"user_id".cast("string"),
+              lit("@"), $"day".cast("string")).cast("binary")),
+              1, 8), 16, 10).cast("long").as("hv"))
+          .select($"day", ($"hv" % 256).as("idx"),
+            expr("hv div 256").as("w"))
+          .groupBy($"day", $"idx")
+          .agg(max(when($"w" === 0, lit(25))
+            .otherwise(lit(25) - length(bin($"w")))).as("rho"))
+        val merged = daily.groupBy($"idx").agg(max($"rho").as("mj"))
+        val st = merged.agg(
+          (sum(expr("cast(power(2, 25 - mj) as bigint)"))
+            + (lit(256) - count(lit(1))) * lit(33554432L)).as("den"),
+          count(lit(1)).as("nz"))
+        val ex = Tables.events(s, d)
+          .agg(countDistinct($"user_id", to_date($"ts"))
+            .as("exact_user_days"))
+        val est = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+          lit(65536.0) * lit(33554432.0) / col("den").cast("double")
+        st.crossJoin(ex).select(
+          est.as("hll_est"),
+          $"nz".as("nonzero_regs"),
+          $"exact_user_days",
+          (abs(est - $"exact_user_days".cast("double")) /
+            $"exact_user_days".cast("double") * lit(100.0))
+            .as("rel_err_pct"))
+      },
+      Some("""WITH h AS (
+          SELECT CAST(ts AS DATE) AS day,
+            CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '@' ||
+              CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+          FROM events),
+        daily AS (SELECT day, hv % 256 AS idx,
+            max(CASE WHEN hv // 256 = 0 THEN 25
+                     ELSE 25 - length(bin(hv // 256)) END) AS rho
+          FROM h GROUP BY day, hv % 256),
+        merged AS (SELECT idx, max(rho) AS mj FROM daily GROUP BY idx),
+        s AS (SELECT
+            CAST(sum(CAST(power(2, 25 - mj) AS BIGINT)) AS BIGINT)
+              + (256 - count(*)) * 33554432 AS den,
+            count(*) AS nz
+          FROM merged),
+        ex AS (SELECT count(DISTINCT (user_id, CAST(ts AS DATE)))
+                 AS exact_user_days FROM events)
+        SELECT
+          0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 33554432.0
+            / CAST(den AS DOUBLE) AS hll_est,
+          nz AS nonzero_regs,
+          exact_user_days,
+          abs(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 33554432.0
+            / CAST(den AS DOUBLE) - exact_user_days)
+            / exact_user_days * 100.0 AS rel_err_pct
+        FROM s, ex""")),
+
     // ----- regex extraction family ----------------------------------------
     // regexp_extract_all / regexp_count with a dialect-neutral pattern;
     // match order is left-to-right on both engines, arrays JSON-rendered

@@ -20,6 +20,12 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "or", "and", "of", "in", "to")
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Minimum match length (chars) for text_repeat_spans. Lee et al. use
+    * 50 BPE tokens on web text; 25 chars keeps the same "long enough to
+    * be mechanical, not idiomatic" intent at this corpus's ~300-char
+    * documents. */
+  private val RepeatSpanL = 25
+
   /** The quality-gate transform on any (doc_id, text) relation — written
     * once, runs identically in batch and as a stateless streaming stage
     * (per-row expressions only; EventStreamsSpec drives it through a real
@@ -538,6 +544,84 @@ object TextAnalysis {
           ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING COUNT(DISTINCT a.fp_hash) >= 2""")),
+
+    // ----- exact repeated-substring spans (suffix-overlap dedup prep) -----
+    // The character-level exact-duplication miner: maximal per-document
+    // spans covered by some >= L-char substring that also appears in at
+    // least one OTHER document — the span surface a Lee-et-al-style
+    // "deduplicating training data" pass cuts out of a corpus (their
+    // suffix-array ExactSubstr dedup finds the same spans; here the
+    // single-node suffix array is re-expressed as a distributed L-gram
+    // sweep, which finds an identical cover for any match of length
+    // >= L: every position of a shared substring of length M >= L
+    // starts a shared L-gram, so the union of duplicated L-gram
+    // windows IS the union of shared >= L-char substrings).
+    //   1. every L-char window (doc_id, pos, md5(gram));
+    //   2. a gram is cross-doc iff min(doc_id) != max(doc_id) over its
+    //      hash partition — a window flag, NOT a groupBy + join-back,
+    //      so the corpus shuffles ONCE on the fixed-width 32-char key;
+    //   3. adjacent duplicated starts merge to maximal spans with the
+    //      gaps-and-islands trick (pos - row_number), one shuffle on
+    //      doc_id.
+    // Scale shape: two shuffles total, both on bounded-width keys; rows
+    // = one per character position (L× no blowup — the gram TEXT never
+    // shuffles, only its digest). md5 collisions would need 2^64 grams
+    // (birthday bound) — the engine-wide fingerprint convention
+    // (Dedup/winnowing use the same digest trick), identical on both
+    // engines so parity is exact either way.
+    Q("text_repeat_spans",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val L = RepeatSpanL
+        val grams = Tables.documents(s, d)
+          // guard: Spark's sequence(1, 0) DESCENDS, so sub-L-char docs
+          // must be dropped before the position explode
+          .filter(length($"text") >= L)
+          .select($"doc_id",
+            explode(expr(s"sequence(1, length(text) - ${L - 1})"))
+              .as("p"),
+            $"text")
+          .select($"doc_id", $"p".cast("long").as("pos"),
+            md5(expr(s"substring(text, p, $L)")).as("g"))
+        val wg = Window.partitionBy($"g")
+        val hits = grams
+          .withColumn("dmin", min($"doc_id").over(wg))
+          .withColumn("dmax", max($"doc_id").over(wg))
+          .filter($"dmin" =!= $"dmax")
+          .select($"doc_id", $"pos")
+        val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+        hits
+          .withColumn("grp", $"pos" - row_number().over(wd))
+          .groupBy($"doc_id", $"grp")
+          .agg(min($"pos").as("span_start"),
+            (max($"pos") + lit(L - 1)).cast("long").as("span_end"))
+          .select($"doc_id", $"span_start", $"span_end",
+            ($"span_end" - $"span_start" + 1).as("span_len"))
+          .orderBy($"doc_id", $"span_start")
+      },
+      Some(s"""WITH gr AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 md5(substr(text, i, $RepeatSpanL)) AS g
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(
+              1, length(text) - ${RepeatSpanL - 1})) AS i)
+          WHERE length(text) >= $RepeatSpanL),
+        flagged AS (
+          SELECT doc_id, pos,
+            min(doc_id) OVER (PARTITION BY g) AS dmin,
+            max(doc_id) OVER (PARTITION BY g) AS dmax
+          FROM gr),
+        hits AS (SELECT doc_id, pos FROM flagged WHERE dmin <> dmax),
+        isl AS (SELECT doc_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+            AS grp
+          FROM hits)
+        SELECT doc_id, min(pos) AS span_start,
+          max(pos) + ${RepeatSpanL - 1} AS span_end,
+          max(pos) + ${RepeatSpanL - 1} - min(pos) + 1 AS span_len
+        FROM isl GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start""")),
 
     // ----- overlapping document chunking (RAG / context-window prep) ------
     // Splits each document's token stream into fixed windows of 64
