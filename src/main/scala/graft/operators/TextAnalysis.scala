@@ -557,18 +557,27 @@ object TextAnalysis {
     // starts a shared L-gram, so the union of duplicated L-gram
     // windows IS the union of shared >= L-char substrings).
     //   1. every L-char window (doc_id, pos, md5(gram));
-    //   2. a gram is cross-doc iff min(doc_id) != max(doc_id) over its
-    //      hash partition — a window flag, NOT a groupBy + join-back,
-    //      so the corpus shuffles ONCE on the fixed-width 32-char key;
+    //   2. a gram is cross-doc iff min(doc_id) != max(doc_id) per gram —
+    //      computed as a groupBy + inner join-back, deliberately NOT a
+    //      window flag: the aggregate gets map-side combine (a corpus-
+    //      wide boilerplate gram collapses to one row per map task
+    //      instead of 10^9 rows in one sorted window partition) and the
+    //      join-back is an equi-join AQE can skew-split, neither of
+    //      which a window over the gram key offers. The flag table
+    //      holds only cross-doc-duplicated grams — a small fraction of
+    //      any sane corpus;
     //   3. adjacent duplicated starts merge to maximal spans with the
     //      gaps-and-islands trick (pos - row_number), one shuffle on
     //      doc_id.
-    // Scale shape: two shuffles total, both on bounded-width keys; rows
-    // = one per character position (L× no blowup — the gram TEXT never
-    // shuffles, only its digest). md5 collisions would need 2^64 grams
-    // (birthday bound) — the engine-wide fingerprint convention
-    // (Dedup/winnowing use the same digest trick), identical on both
-    // engines so parity is exact either way.
+    // Scale shape: the corpus-sized relation shuffles once for the join
+    // and once on doc_id, both on bounded-width keys, no corpus-scale
+    // sort anywhere; rows = one per character position (L× no blowup —
+    // the gram TEXT never shuffles, only its digest). Output is bounded
+    // (each position appears at most once — no pair explosion, so no
+    // DfCap needed). md5 collisions would need 2^64 grams (birthday
+    // bound) — the engine-wide fingerprint convention (Dedup/winnowing
+    // use the same digest trick), identical on both engines so parity
+    // is exact either way.
     Q("text_repeat_spans",
       (s, d) => {
         import s.implicits._
@@ -584,11 +593,11 @@ object TextAnalysis {
             $"text")
           .select($"doc_id", $"p".cast("long").as("pos"),
             md5(expr(s"substring(text, p, $L)")).as("g"))
-        val wg = Window.partitionBy($"g")
-        val hits = grams
-          .withColumn("dmin", min($"doc_id").over(wg))
-          .withColumn("dmax", max($"doc_id").over(wg))
+        val crossDoc = grams.groupBy($"g")
+          .agg(min($"doc_id").as("dmin"), max($"doc_id").as("dmax"))
           .filter($"dmin" =!= $"dmax")
+          .select($"g")
+        val hits = grams.join(crossDoc, "g")
           .select($"doc_id", $"pos")
         val wd = Window.partitionBy($"doc_id").orderBy($"pos")
         hits
