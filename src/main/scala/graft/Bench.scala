@@ -57,8 +57,11 @@ object Bench {
     // kernel, and capped TCP reassembly — so a regression in any
     // extension family shows up in the round artifact, not only in
     // ad-hoc BASELINE.md notes
+    // round 8 adds the two new heavy ops: the L-gram span sweep (the
+    // battery's biggest row explosion) and the second iterative loop
     val heavy = Seq("pipeline_pagerank", "sim_ann_ivfpq",
-      "sim_cosine_topk_blocked", "pcap_tcp_reassembly")
+      "sim_cosine_topk_blocked", "pcap_tcp_reassembly",
+      "text_repeat_spans", "pipeline_lpa_communities")
     val names = (SparkEntry.headline ++ heavy).distinct :+ DecodeName
     // warm-up pass: JIT + codegen + parquet footer caches, not timed —
     // the timed passes measure steady-state engine throughput

@@ -566,6 +566,68 @@ object Pipeline {
           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
           CAST(SUM(dup) AS BIGINT) AS n_exact_dup,
           CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / COUNT(*) AS qavg
-        FROM f GROUP BY 1"""))
+        FROM f GROUP BY 1""")),
+
+    // ----- curriculum ordering (difficulty phases + in-phase shuffle) -----
+    // Curriculum learning prep: bucket documents into 4 difficulty
+    // phases by token count and give each doc a deterministic in-phase
+    // shuffle key, so a trainer reads phase 1 -> 4 with reproducibly
+    // shuffled order inside each phase.
+    //
+    // The quartile thresholds are COUNT-BASED on the integer score
+    // (type-1 quantiles: smallest v with 4*cum >= k*n) — all-integer
+    // arithmetic, no interpolation, so cross-engine parity is exact by
+    // construction. Scale shape: the naive formulation (ntile over a
+    // global ORDER BY) is a single-partition window — a scale-killer;
+    // instead the score HISTOGRAM (one partial-agg shuffle, output =
+    // distinct token counts, thousands of rows at any corpus size) is
+    // cumulated with a window over that tiny relation, the three
+    // thresholds broadcast back, and phase assignment is a per-row
+    // CASE. The shuffle key is the md5-prefix hash (engine-portable
+    // idiom) — consumers range-write by (phase, shuffle_key) without
+    // any global sort here.
+    Q("pipeline_curriculum",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH sc AS (
+            SELECT doc_id,
+              CAST(size(split(text, '\\s+')) AS BIGINT) AS n_tok
+            FROM documents),
+          hist AS (SELECT n_tok AS v, count(*) AS c FROM sc GROUP BY 1),
+          cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cs,
+                  (SELECT count(*) FROM sc) AS n FROM hist),
+          th AS (SELECT
+              min(CASE WHEN cs * 4 >= n THEN v END) AS t1,
+              min(CASE WHEN cs * 2 >= n THEN v END) AS t2,
+              min(CASE WHEN cs * 4 >= 3 * n THEN v END) AS t3
+            FROM cum)
+          SELECT doc_id, n_tok,
+            1 + CAST(n_tok > t1 AS INT) + CAST(n_tok > t2 AS INT)
+              + CAST(n_tok > t3 AS INT) AS phase,
+            CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),
+              16, 10) AS BIGINT) AS shuffle_key
+          FROM sc CROSS JOIN th
+          ORDER BY phase, shuffle_key, doc_id""")
+      },
+      Some("""WITH sc AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+          FROM documents),
+        hist AS (SELECT n_tok AS v, count(*) AS c FROM sc GROUP BY 1),
+        cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cs,
+                (SELECT count(*) FROM sc) AS n FROM hist),
+        th AS (SELECT
+            min(CASE WHEN cs * 4 >= n THEN v END) AS t1,
+            min(CASE WHEN cs * 2 >= n THEN v END) AS t2,
+            min(CASE WHEN cs * 4 >= 3 * n THEN v END) AS t3
+          FROM cum)
+        SELECT doc_id, n_tok,
+          1 + CAST(n_tok > t1 AS INT) + CAST(n_tok > t2 AS INT)
+            + CAST(n_tok > t3 AS INT) AS phase,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) AS shuffle_key
+        FROM sc CROSS JOIN th
+        ORDER BY phase, shuffle_key, doc_id"""))
   )
 }

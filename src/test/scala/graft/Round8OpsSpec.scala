@@ -134,6 +134,42 @@ class Round8OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // pipeline_curriculum
+  // ------------------------------------------------------------------
+
+  test("pipeline_curriculum equals a direct phase/shuffle computation") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val scores = docs.map { case (id, t) =>
+      id -> t.split("\\s+", -1).length.toLong
+    }
+    val n = scores.length
+    val sorted = scores.map(_._2).sorted
+    // type-1 quantile: smallest v with 4*cum >= k*n
+    def thresh(k: Int): Long =
+      sorted(sorted.indices.find(i => (i + 1) * 4 >= k.toLong * n).get)
+    val (t1, t2, t3) = (thresh(1), thresh(2), thresh(3))
+    def key(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString.substring(0, 8), 16)
+    val expect = scores.map { case (id, tok) =>
+      val phase = 1 + (if (tok > t1) 1 else 0) +
+        (if (tok > t2) 1 else 0) + (if (tok > t3) 1 else 0)
+      (id, tok, phase, key(id))
+    }.sortBy { case (id, _, p, k) => (p, k, id) }.toSeq
+    val got = SparkEntry.queries("pipeline_curriculum")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect)
+    // phases must be count-balanced within histogram-tie slack
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4))
+  }
+
+  // ------------------------------------------------------------------
   // q51_hll_registers
   // ------------------------------------------------------------------
 
