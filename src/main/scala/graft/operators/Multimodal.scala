@@ -77,6 +77,8 @@ object Multimodal {
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
     else if (bytes.length >= 8 && bytes(0) == 0x89.toByte &&
       bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8') "gif"
     else if (bytes.length >= 12 && riffTag == "WAVE") "wav"
     else "avi"
   }
@@ -92,6 +94,9 @@ object Multimodal {
     case "png" =>
       val img = PngCodec.decode(bytes)
       ("png", img.w.toLong * img.h, weightedPxSum(img))
+    case "gif" =>
+      val img = GifCodec.decode(bytes)
+      ("gif", img.w.toLong * img.h, weightedPxSum(img))
     case "wav" =>
       val a = WavCodec.decode(bytes)
       var sumAbs = 0L
@@ -774,6 +779,286 @@ object Multimodal {
     }
   }
 
+  /** REAL GIF87a/89a codec with a hand-written LZW coder — the one
+    * image container in the family whose compression has NO JDK
+    * primitive (PNG leans on `java.util.zip.Inflater`; GIF-LZW has
+    * nothing), so both directions are implemented from the spec:
+    * variable-width codes (9→12 bits, LSB-first bit packing), CLEAR /
+    * END-OF-INFORMATION control codes, dictionary reset at 4096, the
+    * `code == next` self-referential case on decode, and 255-byte data
+    * sub-block framing. Encoder and decoder are independent enough that
+    * a width-growth off-by-one on either side breaks round-trip — and
+    * MultimodalCodecSpec additionally cross-checks decode against JDK
+    * ImageIO's third-party GIF reader, pixel for pixel.
+    *
+    * Fixture formulas (the PcapSynth pattern — oracles re-derive from
+    * these, never from bytes): 256-entry global palette with
+    * pal(c) = (c, 3c mod 256, 7c mod 256); pixel INDEX
+    * idx(x,y) = (id*5 + 3x + 7y) mod 256; dims (24 + id%13,
+    * 18 + id%7) — up to 36×24 px, enough that every image crosses the
+    * 511→512 table boundary and exercises 9→10-bit width growth. */
+  object GifCodec extends Serializable {
+
+    def dims(id: Long): (Int, Int) =
+      ((24 + id % 13).toInt, (18 + id % 7).toInt)
+    def palIdx(id: Long, x: Int, y: Int): Int =
+      ((id * 5 + x * 3 + y * 7) % 256).toInt
+    def pal(c: Int): (Int, Int, Int) = (c, c * 3 % 256, c * 7 % 256)
+
+    /** GIF-LZW compress `pixels` (values < 2^mcs) into the raw code
+      * stream (no sub-block framing). Standard dictionary coder:
+      * phrases keyed (prefixCode << 8 | suffixByte), codes grow 9→12
+      * bits, CLEAR emitted up front and at table overflow. */
+    private[graft] def lzwCompress(
+        pixels: Array[Int], mcs: Int): Array[Byte] = {
+      val clear = 1 << mcs
+      val eoi = clear + 1
+      val out = new java.io.ByteArrayOutputStream(pixels.length / 2 + 16)
+      var acc = 0L; var nbits = 0
+      var width = mcs + 1
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << nbits; nbits += width
+        while (nbits >= 8) {
+          out.write((acc & 0xFF).toInt); acc >>>= 8; nbits -= 8
+        }
+      }
+      var dict = new java.util.HashMap[Integer, Integer]()
+      var next = eoi + 1
+      emit(clear)
+      var cur = pixels(0)
+      var i = 1
+      while (i < pixels.length) {
+        val k = pixels(i)
+        val key = (cur << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) cur = hit
+        else {
+          emit(cur)
+          dict.put(key, next); next += 1
+          // width grows the moment code `next-1` was assigned a slot
+          // needing more bits; decoder mirrors this after ITS add
+          // the encoder's add counter runs ONE ahead of the decoder's
+          // (decoder adds on the read AFTER the emission), so the
+          // matched pair of growth rules is +1 here, exact there
+          if (next == (1 << width) + 1 && width < 12) width += 1
+          if (next == 4096) { // table full: emit CLEAR and reset
+            emit(clear)
+            dict = new java.util.HashMap[Integer, Integer]()
+            width = mcs + 1; next = eoi + 1
+          }
+          cur = k
+        }
+        i += 1
+      }
+      emit(cur); emit(eoi)
+      if (nbits > 0) out.write((acc & 0xFF).toInt)
+      out.toByteArray
+    }
+
+    /** Inverse of [[lzwCompress]]: raw code stream → pixel indices.
+      * `expect` bounds output (bomb guard). */
+    private[graft] def lzwDecompress(
+        data: Array[Byte], mcs: Int, expect: Int): Array[Int] = {
+      val clear = 1 << mcs
+      val eoi = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Int](4096)
+      val out = new Array[Int](expect)
+      var outN = 0
+      var width = mcs + 1
+      var next = eoi + 1
+      var prev = -1
+      var acc = 0L; var nbits = 0; var pos = 0
+      val stack = new Array[Int](4096)
+      def firstByte(code0: Int): Int = {
+        var c = code0
+        while (c >= clear) c = prefix(c)
+        c
+      }
+      def expand(code0: Int): Unit = {
+        var sp = 0
+        var c = code0
+        while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        stack(sp) = c; sp += 1
+        while (sp > 0) {
+          sp -= 1
+          require(outN < expect, "LZW output exceeds declared pixel count")
+          out(outN) = stack(sp); outN += 1
+        }
+      }
+      var done = false
+      while (!done) {
+        while (nbits < width && pos < data.length) {
+          acc |= (data(pos) & 0xFFL) << nbits; nbits += 8; pos += 1
+        }
+        require(nbits >= width, "LZW stream truncated (no EOI)")
+        val code = (acc & ((1 << width) - 1)).toInt
+        acc >>>= width; nbits -= width
+        if (code == clear) {
+          width = mcs + 1; next = eoi + 1; prev = -1
+        } else if (code == eoi) {
+          done = true
+        } else if (prev == -1) {
+          require(code < clear, s"first code after CLEAR not literal: $code")
+          expand(code)
+          prev = code
+        } else {
+          require(code <= next, s"LZW code $code beyond table ($next)")
+          if (code == next) { // the self-referential KwKwK case
+            require(next < 4096, "KwKwK at full table")
+            prefix(next) = prev; suffix(next) = firstByte(prev)
+            next += 1
+            expand(code)
+          } else {
+            expand(code)
+            if (next < 4096) {
+              prefix(next) = prev; suffix(next) = firstByte(code)
+              next += 1
+            }
+          }
+          if (next == (1 << width) && width < 12) width += 1
+          prev = code
+        }
+      }
+      require(outN == expect,
+        s"LZW decoded $outN pixels, image declares $expect")
+      out
+    }
+
+    private def le16(v: Int): Array[Byte] =
+      Array(v.toByte, (v >>> 8).toByte)
+
+    /** Write a genuine GIF89a: logical screen descriptor, 256-entry
+      * global color table from [[pal]], one non-interlaced image,
+      * LZW-compressed with [[lzwCompress]] at min code size 8, data in
+      * 255-byte sub-blocks. */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      val out = new java.io.ByteArrayOutputStream(1024)
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(le16(w)); out.write(le16(h))
+      out.write(0xF7) // GCT present, 8 bpp, 2^8 entries
+      out.write(0); out.write(0) // background idx, aspect
+      var c = 0
+      while (c < 256) {
+        val (r, g, b) = pal(c)
+        out.write(r); out.write(g); out.write(b)
+        c += 1
+      }
+      out.write(0x2C) // image descriptor
+      out.write(le16(0)); out.write(le16(0))
+      out.write(le16(w)); out.write(le16(h))
+      out.write(0) // no local table, not interlaced
+      out.write(8) // LZW min code size
+      val pixels = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { pixels(y * w + x) = palIdx(id, x, y); x += 1 }
+        y += 1
+      }
+      val data = lzwCompress(pixels, 8)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n)
+        out.write(data, off, n)
+        off += n
+      }
+      out.write(0) // block terminator
+      out.write(0x3B) // trailer
+      out.toByteArray
+    }
+
+    /** Parse a GIF from bytes alone: header + LSD, global color table,
+      * skipped extension blocks, first image descriptor (local palette
+      * honored, interlaced row order deinterlaced), LZW decode,
+      * palette → RGB. Returns
+      * the shared [[BmpCodec.Image]] so the generic pixel helpers
+      * apply. Guards mirror the other codecs: dims sanity-bounded
+      * before any allocation, sub-block walks bounds-checked, decoded
+      * pixel count must equal w*h. */
+    def decode(bytes: Array[Byte]): BmpCodec.Image = {
+      require(bytes.length >= 13, "truncated GIF")
+      val magic = new String(bytes, 0, 6, "US-ASCII")
+      require(magic == "GIF87a" || magic == "GIF89a", "not a GIF file")
+      def rd16(off: Int): Int =
+        (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      val packed = bytes(10) & 0xFF
+      var off = 13
+      var gct: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        require(off + 3 * n <= bytes.length, "truncated color table")
+        gct = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+        off += 3 * n
+      }
+      while (off < bytes.length) {
+        (bytes(off) & 0xFF) match {
+          case 0x21 => // extension: label byte + sub-blocks
+            off += 2
+            while ({
+              require(off < bytes.length, "truncated extension")
+              val n = bytes(off) & 0xFF; off += 1 + n; n != 0
+            }) ()
+          case 0x2C =>
+            val w = rd16(off + 5)
+            val h = rd16(off + 7)
+            require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+              s"implausible GIF dims ${w}x$h")
+            val ip = bytes(off + 9) & 0xFF
+            val interlaced = (ip & 0x40) != 0
+            off += 10
+            var table = gct
+            if ((ip & 0x80) != 0) {
+              val n = 2 << (ip & 7)
+              require(off + 3 * n <= bytes.length, "truncated local table")
+              table = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+              off += 3 * n
+            }
+            require(table != null, "GIF image with no color table")
+            val mcs = bytes(off) & 0xFF; off += 1
+            require(mcs >= 2 && mcs <= 8, s"implausible LZW code size $mcs")
+            val data = new java.io.ByteArrayOutputStream(bytes.length)
+            while ({
+              require(off < bytes.length, "truncated image data")
+              val n = bytes(off) & 0xFF; off += 1
+              require(off + n <= bytes.length, "sub-block overruns file")
+              data.write(bytes, off, n); off += n; n != 0
+            }) ()
+            val idx = lzwDecompress(data.toByteArray, mcs, w * h)
+            // interlaced GIFs (the JDK writer's default!) store rows in
+            // four passes: 0,8,16…, then 4,12…, then 2,6…, then odd
+            val rowOf: Int => Int =
+              if (!interlaced) identity
+              else {
+                val order =
+                  (0 until h by 8) ++ (4 until h by 8) ++
+                    (2 until h by 4) ++ (1 until h by 2)
+                order.toArray.apply _
+              }
+            val px = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < idx.length) {
+              val e = idx(i) * 3
+              require(e + 2 < table.length, s"palette index ${idx(i)} OOB")
+              val o = (rowOf(i / w) * w + i % w) * 3
+              px(o) = table(e)
+              px(o + 1) = table(e + 1)
+              px(o + 2) = table(e + 2)
+              i += 1
+            }
+            return BmpCodec.Image(w, h, px)
+          case 0x3B => throw new IllegalArgumentException(
+            "GIF trailer before any image")
+          case b => throw new IllegalArgumentException(
+            f"unknown GIF block 0x$b%02x")
+        }
+      }
+      throw new IllegalArgumentException("no image block in GIF")
+    }
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ----- per-kind stats from DECODED headers ---------------------------
@@ -1064,6 +1349,39 @@ object Multimodal {
           LATERAL (SELECT unnest(generate_series(0,
             CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
         WHERE doc_id % 3 = 0
+        GROUP BY 1, 2, 3""")),
+
+    // ----- REAL GIF decode (hand-written LZW) ----------------------------
+    // Same contract as mm_decode_png but through the LZW container —
+    // the codec with no JDK compression primitive (see GifCodec). Every
+    // doc row becomes a GIF (no %3 gate: odd and even dims, all 91
+    // w×h combinations), each is LZW-compressed and decoded back by
+    // the byte-only parser under test. File size is not an output (LZW
+    // length has no closed formula); the oracle re-derives dims and the
+    // palette-weighted pixel sum from the synthesis formulas alone.
+    Q("mm_decode_gif",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.map { id =>
+            val img = GifCodec.decode(GifCodec.encode(id))
+            (id, img.w, img.h, weightedPxSum(img))
+          }
+        }.toDF("media_id", "w", "h", "px_sum")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(24 + doc_id % 13 AS INT) AS w,
+          CAST(18 + doc_id % 7 AS INT) AS h,
+          CAST(SUM((doc_id * 5 + x * 3 + y * 7) % 256
+             + 2 * (((doc_id * 5 + x * 3 + y * 7) % 256) * 3 % 256)
+             + 3 * (((doc_id * 5 + x * 3 + y * 7) % 256) * 7 % 256))
+            AS BIGINT) AS px_sum
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(24 + doc_id % 13 AS INT) - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(18 + doc_id % 7 AS INT) - 1)) AS y) ys
         GROUP BY 1, 2, 3""")),
 
     // ----- REAL nearest-neighbor resize (actual pixel downsampling) ------
