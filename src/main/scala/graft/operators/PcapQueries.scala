@@ -50,6 +50,39 @@ object PcapQueries {
     p.toString
   }
 
+  /** Deterministic Linux-cooked-capture pair: one SLL v1 file (linktype
+    * 113, 6000 UDP frames) + one SLL2 file (276, 4000 frames) in a
+    * directory, so one scan crosses BOTH non-Ethernet framings the way
+    * a `tcpdump -i any` archive does. Frames are pure functions of the
+    * index (same determinism contract as [[synthPath]]). */
+  private def sllSynthPath: String = {
+    import graft.pcap.PcapSynth
+    val dir = java.nio.file.Paths.get("/tmp/graft_synth_sll")
+    val v1 = dir.resolve("cooked_v1.pcap")
+    val v2 = dir.resolve("cooked_v2.pcap")
+    if (!java.nio.file.Files.exists(v1) ||
+        !java.nio.file.Files.exists(v2)) {
+      java.nio.file.Files.createDirectories(dir)
+      def src(i: Int) = Array[Byte](10, 0, (i >> 8).toByte, i.toByte)
+      def dst(i: Int) = Array[Byte](((i % 13) + 1).toByte, 0, 0, 1)
+      val p1 = (0 until 6000).map { i =>
+        (1700000000L + i, (i * 37L) % 1000000L,
+          PcapSynth.sllUdpFrame(src(i), dst(i), 1024 + (i % 9),
+            4000 + (i % 7), ttl = 64 - (i % 20),
+            payload = new Array[Byte](32 + i % 64)))
+      }
+      val p2 = (0 until 4000).map { i =>
+        (1700010000L + i, (i * 41L) % 1000000L,
+          PcapSynth.sll2UdpFrame(src(i), dst(i), 2048 + (i % 11),
+            4000 + (i % 5), ttl = 64 - (i % 10),
+            payload = new Array[Byte](16 + i % 32)))
+      }
+      PcapSynth.writeAtomic(v1, PcapSynth.file(p1, linkType = 113))
+      PcapSynth.writeAtomic(v2, PcapSynth.file(p2, linkType = 276))
+    }
+    dir.toString
+  }
+
   /** Deterministic segmented TCP flow capture (60 flows, round-robin
     * interleaved; see [[graft.pcap.PcapSynth.tcpFlowSegments]]). */
   private def tcpSynthPath: String = {
@@ -1031,6 +1064,35 @@ object PcapQueries {
         CAST(v.n AS BIGINT) AS n, CAST(v.bytes AS BIGINT) AS bytes
         FROM (VALUES ('IPv4', 'UDP', 291417, 26477224),
         ('arp', NULL, 41630, 1748460)) AS v(ether_type, protocol, n, bytes)""")),
+
+    // Linux cooked capture (SLL v1 + SLL2) decode — the `tcpdump -i
+    // any` framings, one scan over a directory holding both link
+    // types, so per-file link-type dispatch is exercised inside a
+    // single query. The oracle is a constant table derived analytically
+    // from the synthesis formulas (and re-derived by independent
+    // struct-level Python decode in tools/gen_pcap_oracles.py).
+    Q("pcap_sll_decode",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(sllSynthPath)
+          .groupBy($"ether_type", $"dst_port")
+          .agg(count(lit(1)).as("n"),
+            sum($"size").as("bytes"),
+            countDistinct($"src_port").as("n_src_ports"))
+      },
+      Some("""SELECT CAST(v.ether_type AS VARCHAR) AS ether_type,
+        CAST(v.dst_port AS INT) AS dst_port, CAST(v.n AS BIGINT) AS n,
+        CAST(v.bytes AS BIGINT) AS bytes,
+        CAST(v.n_src_ports AS BIGINT) AS n_src_ports
+        FROM (VALUES
+        ('IPv4', 4000, 1658, 155819, 20),
+        ('IPv4', 4001, 1657, 155657, 20),
+        ('IPv4', 4002, 1657, 155618, 20),
+        ('IPv4', 4003, 1657, 155643, 20),
+        ('IPv4', 4004, 1657, 155668, 20),
+        ('IPv4', 4005, 857, 92093, 9),
+        ('IPv4', 4006, 857, 92118, 9))
+        AS v(ether_type, dst_port, n, bytes, n_src_ports)""")),
 
     // ----- DNS query/response latency pairing -----------------------------
     // The resolver-side analytic the reference stack's DNS-research users

@@ -202,7 +202,9 @@ object PcapStreamReader {
   val PacketHeaderSize = 16
   /** sanity bound for per-packet captured length (fuzz guard) */
   val MaxCapturedLength = 64L << 20
-  val SupportedLinkTypes: Set[Int] = Set(0, 1, 101, 108)
+  /** Null/loopback, Ethernet, raw IP, OpenBSD loopback, Linux cooked
+    * v1 (SLL, `tcpdump -i any`), SLL2. */
+  val SupportedLinkTypes: Set[Int] = Set(0, 1, 101, 108, 113, 276)
   val NoNextHeader = 59
   val FragmentHeader = 44
   val AuthHeader = 51
@@ -239,10 +241,18 @@ object PcapStreamReader {
     etherTypeName(linkType, frame, 0, frame.length)
 
   private[pcap] def etherTypeName(linkType: Int, data: Array[Byte],
-      off: Int, end: Int): String =
-    if (linkType != 1) ""
-    else if (end - off < 14) ""
-    else beU16(data, off + 12) match {
+      off: Int, end: Int): String = {
+    // the offset of the EtherType-style protocol field, per link type:
+    // Ethernet after the MACs; Linux cooked (SLL, `tcpdump -i any`)
+    // carries it at +14 of its 16-byte pseudo-header; SLL2 at +0 of 20
+    val protoOff = linkType match {
+      case 1            => off + 12
+      case 113          => off + 14
+      case 276          => off
+      case _            => -1
+    }
+    if (protoOff < 0 || end - protoOff < 2) ""
+    else beU16(data, protoOff) match {
       case 0x0800 => "IPv4"
       case 0x0806 => "arp"
       case 0x8035 => "rarp"
@@ -250,6 +260,7 @@ object PcapStreamReader {
       case 0x8100 => "vlan"
       case other => f"0x$other%04x"
     }
+  }
 
   /** Offset of the IP header in the frame, None when not IP
     * (PcapReader.java:283-303): one 802.1Q tag unwrapped on Ethernet. */
@@ -275,6 +286,18 @@ object PcapStreamReader {
             start += 4
           }
           if (et == 0x0800 || et == 0x86DD) start else -1
+        }
+      case 113 => // Linux cooked capture v1: 16-byte header, proto last
+        if (end - off < 16) -1
+        else {
+          val et = beU16(data, off + 14)
+          if (et == 0x0800 || et == 0x86DD) off + 16 else -1
+        }
+      case 276 => // SLL2: 20-byte header, proto FIRST (then ifindex etc.)
+        if (end - off < 20) -1
+        else {
+          val et = beU16(data, off)
+          if (et == 0x0800 || et == 0x86DD) off + 20 else -1
         }
       case _ => -1
     }

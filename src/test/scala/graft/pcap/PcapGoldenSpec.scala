@@ -231,6 +231,35 @@ class PcapGoldenSpec extends AnyFunSuite {
     assert(b.getAs[Int]("len") == 5)
   }
 
+  test("SLL link types (113/276): cooked headers unwrap to IP") {
+    val src = Array[Byte](9, 8, 7, 6)
+    val dst = Array[Byte](1, 2, 3, 4)
+    val v1 = PcapSynth.sllUdpFrame(src, dst,
+      srcPort = 1111, dstPort = 2222, ttl = 9, payload = "sll".getBytes)
+    val v2 = PcapSynth.sll2UdpFrame(src, dst,
+      srcPort = 3333, dstPort = 4444, ttl = 7, payload = "sll2!".getBytes)
+    val tmp = java.nio.file.Files.createTempDirectory("pcap_sll")
+    java.nio.file.Files.write(tmp.resolve("v1.pcap"),
+      PcapSynth.file(Seq((1L, 0L, v1)), linkType = 113))
+    java.nio.file.Files.write(tmp.resolve("v2.pcap"),
+      PcapSynth.file(Seq((2L, 0L, v2)), linkType = 276))
+    val rows = spark.read.format("pcap").load(tmp.toString)
+      .collect().sortBy(_.getAs[Long]("ts"))
+    assert(rows.length == 2)
+    val a = rows(0)
+    assert(a.getAs[String]("ether_type") == "IPv4") // SLL carries one
+    assert(a.getAs[String]("src") == "9.8.7.6")
+    assert(a.getAs[Int]("src_port") == 1111)
+    assert(a.getAs[Int]("dst_port") == 2222)
+    assert(a.getAs[Int]("len") == 3)
+    val b = rows(1)
+    assert(b.getAs[String]("ether_type") == "IPv4")
+    assert(b.getAs[Int]("src_port") == 3333)
+    assert(b.getAs[Int]("dst_port") == 4444)
+    assert(b.getAs[Int]("ttl") == 7)
+    assert(b.getAs[Int]("len") == 5)
+  }
+
   test("RAW link type (101): IP starts at offset 0") {
     // strip the 14-byte Ethernet header off a v4 UDP frame
     val ether = PcapSynth.ipv4UdpFrame(

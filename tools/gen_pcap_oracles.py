@@ -135,6 +135,36 @@ if glob.glob(f"{out}/pcap_flow_topn/*.parquet"):
     else:
         print(f"OK   pcap_flow_topn ({len(got_fl)} flows of {len(flows)})")
 
+# ---- pcap_sll_decode: Linux cooked v1 + SLL2 files ----------------------
+if glob.glob(f"{out}/pcap_sll_decode/*.parquet"):
+    from collections import defaultdict
+    sll = defaultdict(lambda: [0, 0, set()])
+    for path, hdrlen, proto_off in (
+            ("/tmp/graft_synth_sll/cooked_v1.pcap", 16, 14),
+            ("/tmp/graft_synth_sll/cooked_v2.pcap", 20, 0)):
+        sd = open(path, "rb").read()
+        lt = struct.unpack_from("<I", sd, 20)[0]
+        assert lt in (113, 276), lt
+        o = 24
+        while o < len(sd):
+            _, _, cl4, _ = struct.unpack_from("<IIII", sd, o)
+            o += 16
+            fr = sd[o:o + cl4]; o += cl4
+            assert struct.unpack_from(">H", fr, proto_off)[0] == 0x0800
+            ip0 = hdrlen
+            ihl4 = (fr[ip0] & 0xF) * 4
+            assert fr[ip0 + 9] == 17  # UDP
+            sp = struct.unpack_from(">H", fr, ip0 + ihl4)[0]
+            dp = struct.unpack_from(">H", fr, ip0 + ihl4 + 2)[0]
+            g = sll[("IPv4", dp)]
+            g[0] += 1; g[1] += cl4; g[2].add(sp)
+    sll_rows = [(et, dp, n, b, len(s))
+                for (et, dp), (n, b, s) in sorted(sll.items())]
+    check("pcap_sll_decode", sll_rows,
+          spark_rows("pcap_sll_decode",
+                     ("ether_type", "dst_port", "n", "bytes",
+                      "n_src_ports")))
+
 print("independent derivation:", "FAIL" if fails else "PASS")
 if fails:
     sys.exit(1)

@@ -739,5 +739,28 @@ if glob.glob(f"{out}/pcap_icmp_summary/*.parquet"):
          sorted((src, reps[(dst, src)] - t)
                 for (src, dst), t in reqs.items() if (dst, src) in reps))
 
+if glob.glob(f"{out}/pcap_sll_decode/*.parquet"):
+    sll = {}
+    for path, hdrlen, poff in (
+            ("/tmp/graft_synth_sll/cooked_v1.pcap", 16, 14),
+            ("/tmp/graft_synth_sll/cooked_v2.pcap", 20, 0)):
+        sd = open(path, "rb").read()
+        assert struct.unpack_from("<I", sd, 20)[0] in (113, 276)
+        o = 24
+        while o < len(sd):
+            _, _, cl5, _ = struct.unpack_from("<IIII", sd, o)
+            o += 16
+            fr = sd[o:o + cl5]; o += cl5
+            assert struct.unpack_from(">H", fr, poff)[0] == 0x0800
+            ihl5 = (fr[hdrlen] & 0xF) * 4
+            sp, dp = struct.unpack_from(">HH", fr, hdrlen + ihl5)
+            e = sll.setdefault(("IPv4", dp), [0, 0, set()])
+            e[0] += 1; e[1] += cl5; e[2].add(sp)
+    _cmp("pcap_sll_decode(redecode)",
+         _read("pcap_sll_decode",
+               ["ether_type", "dst_port", "n", "bytes", "n_src_ports"]),
+         sorted((et, dp, n, b, len(s))
+                for (et, dp), (n, b, s) in sll.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
