@@ -83,6 +83,9 @@ object PcapQueries {
     dir.toString
   }
 
+  private def ipNum(a: Int, b: Int, c: Int, d0: Int): Long =
+    (a.toLong << 24) | (b.toLong << 16) | (c.toLong << 8) | d0.toLong
+
   /** Deterministic segmented TCP flow capture (60 flows, round-robin
     * interleaved; see [[graft.pcap.PcapSynth.tcpFlowSegments]]). */
   private def tcpSynthPath: String = {
@@ -938,6 +941,60 @@ object PcapQueries {
       Some("""SELECT CAST(v.subnet AS VARCHAR) AS subnet, CAST(v.n_pkts AS BIGINT) AS n_pkts, CAST(v.n_src AS BIGINT) AS n_src
         FROM (VALUES ('clients', 100, 50), ('scanners', 35, 7),
         ('servers', 50, 1)) AS v(subnet, n_pkts, n_src)""")),
+
+    // ----- longest-prefix-match routing enrichment ------------------------
+    // The harder sibling of pcap_subnet_enrich: the route table has
+    // OVERLAPPING prefixes (/0 ⊃ /8 ⊃ /16 ⊃ /24 ⊃ /32) and each packet
+    // must take the MOST SPECIFIC match only — real routing-table /
+    // GeoIP semantics. The scalable formulation is NOT a range join:
+    // each packet expands to one candidate (masklen, ip & mask) key per
+    // prefix length present in the table (≤ 33, here 5), equi-joins the
+    // broadcast route dim, and keeps argmax(masklen) per packet via a
+    // struct max — so the fact side sees a narrow explode (5×) and one
+    // broadcast hash join, no theta predicate, no per-packet range
+    // scan. Routes that are fully shadowed by longer prefixes
+    // (scanners-16, servers-16, rfc1918-10, default here) must get
+    // ZERO rows — a plain range join would double-count every packet
+    // into them, so the constant oracle pins LPM precedence itself.
+    Q("pcap_lpm_enrich",
+      (s, d) => {
+        import s.implicits._
+        val routes = Seq(
+          ("default", 0L, 0),
+          ("rfc1918-10", ipNum(10, 0, 0, 0), 8),
+          ("clients-16", ipNum(10, 5, 0, 0), 16),
+          ("scanners-16", ipNum(10, 6, 0, 0), 16),
+          ("scanner-24", ipNum(10, 6, 0, 0), 24),
+          ("servers-16", ipNum(10, 9, 0, 0), 16),
+          ("server-host", ipNum(10, 9, 0, 1), 32))
+        val dimDf = s.createDataFrame(routes)
+          .toDF("route", "prefix", "masklen")
+        val masklens = routes.map(_._3).distinct.sorted
+        val pk = s.read.format("pcap").load(handshakeSynthPath)
+          .select($"src", $"pkt_idx")
+          .withColumn("ip_num", expr(
+            "cast(split(src, '\\\\.')[0] as bigint) * 16777216 + " +
+            "cast(split(src, '\\\\.')[1] as bigint) * 65536 + " +
+            "cast(split(src, '\\\\.')[2] as bigint) * 256 + " +
+            "cast(split(src, '\\\\.')[3] as bigint)"))
+        val cands = pk.withColumn("cand", explode(array(masklens.map { l =>
+            val block = 1L << (32 - l)
+            struct(lit(l).as("masklen"),
+              expr(s"(ip_num div ${block}L) * ${block}L").as("prefix"))
+          }: _*)))
+          .select($"src", $"pkt_idx",
+            $"cand.masklen".as("masklen"), $"cand.prefix".as("prefix"))
+        cands.join(broadcast(dimDf), Seq("masklen", "prefix"))
+          .groupBy($"pkt_idx", $"src")
+          .agg(max(struct($"masklen", $"route")).as("m"))
+          .groupBy($"m.route".as("route"))
+          .agg(count(lit(1)).as("n_pkts"),
+            countDistinct($"src").as("n_src"))
+      },
+      Some("""SELECT CAST(v.route AS VARCHAR) AS route,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts, CAST(v.n_src AS BIGINT) AS n_src
+        FROM (VALUES ('clients-16', 100, 50), ('scanner-24', 35, 7),
+        ('server-host', 50, 1)) AS v(route, n_pkts, n_src)""")),
 
     Q("pcap_flow_topn",
       (s, d) => {

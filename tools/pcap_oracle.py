@@ -762,5 +762,30 @@ if glob.glob(f"{out}/pcap_sll_decode/*.parquet"):
          sorted((et, dp, n, b, len(s))
                 for (et, dp), (n, b, s) in sll.items()))
 
+if glob.glob(f"{out}/pcap_lpm_enrich/*.parquet"):
+    # independent LPM: compute every (masklen, prefix) in the route
+    # table against each packet's src and keep the longest match
+    routes = [("default", 0, 0),
+              ("rfc1918-10", 10 << 24, 8),
+              ("clients-16", (10 << 24) | (5 << 16), 16),
+              ("scanners-16", (10 << 24) | (6 << 16), 16),
+              ("scanner-24", (10 << 24) | (6 << 16), 24),
+              ("servers-16", (10 << 24) | (9 << 16), 16),
+              ("server-host", (10 << 24) | (9 << 16) | 1, 32)]
+    lpm = {}
+    for _, _, fr in _frames("/tmp/graft_synth_handshake.pcap"):
+        src, _, _, _ = _v4(fr)
+        ip = 0
+        for part in src.split("."):
+            ip = (ip << 8) | int(part)
+        best = max((ml, name) for name, pfx, ml in routes
+                   if (ip >> (32 - ml) << (32 - ml) if ml else 0) == pfx)
+        e = lpm.setdefault(best[1], [0, set()])
+        e[0] += 1
+        e[1].add(src)
+    _cmp("pcap_lpm_enrich(redecode)",
+         _read("pcap_lpm_enrich", ["route", "n_pkts", "n_src"]),
+         sorted((r, n, len(s)) for r, (n, s) in lpm.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
