@@ -36,7 +36,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 7: overlap-trimming reassembly, the checkpointed components
     // loop feeding a per-cluster argmax, and stride chunking
     "pcap_tcp_reassembly_overlap", "dedup_cluster_canonical",
-    "pipeline_chunk_overlap")
+    "pipeline_chunk_overlap",
+    // round 8: gaps-and-islands span merge, the synchronous LPA loop's
+    // per-round argmax, and the HLL register max-merge
+    "text_repeat_spans", "pipeline_lpa_communities", "q51_hll_registers")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
