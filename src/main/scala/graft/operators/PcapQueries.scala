@@ -952,7 +952,11 @@ object PcapQueries {
     // broadcast route dim, and keeps argmax(masklen) per packet via a
     // struct max — so the fact side sees a narrow explode (5×) and one
     // broadcast hash join, no theta predicate, no per-packet range
-    // scan. Routes that are fully shadowed by longer prefixes
+    // scan. The match runs per DISTINCT source address (a partial-agg
+    // packet rollup first), not per packet — at 100 TB the explode and
+    // join touch |distinct IPs| rows, orders of magnitude below
+    // |packets|, and the rollup's map-side combine does the heavy
+    // lifting. Routes that are fully shadowed by longer prefixes
     // (scanners-16, servers-16, rfc1918-10, default here) must get
     // ZERO rows — a plain range join would double-count every packet
     // into them, so the constant oracle pins LPM precedence itself.
@@ -970,26 +974,28 @@ object PcapQueries {
         val dimDf = s.createDataFrame(routes)
           .toDF("route", "prefix", "masklen")
         val masklens = routes.map(_._3).distinct.sorted
-        val pk = s.read.format("pcap").load(handshakeSynthPath)
-          .select($"src", $"pkt_idx")
+        val perSrc = s.read.format("pcap").load(handshakeSynthPath)
+          .groupBy($"src")
+          .agg(count(lit(1)).as("n_pkts_src"))
           .withColumn("ip_num", expr(
             "cast(split(src, '\\\\.')[0] as bigint) * 16777216 + " +
             "cast(split(src, '\\\\.')[1] as bigint) * 65536 + " +
             "cast(split(src, '\\\\.')[2] as bigint) * 256 + " +
             "cast(split(src, '\\\\.')[3] as bigint)"))
-        val cands = pk.withColumn("cand", explode(array(masklens.map { l =>
-            val block = 1L << (32 - l)
-            struct(lit(l).as("masklen"),
-              expr(s"(ip_num div ${block}L) * ${block}L").as("prefix"))
-          }: _*)))
-          .select($"src", $"pkt_idx",
+        val cands = perSrc.withColumn("cand",
+            explode(array(masklens.map { l =>
+              val block = 1L << (32 - l)
+              struct(lit(l).as("masklen"),
+                expr(s"(ip_num div ${block}L) * ${block}L").as("prefix"))
+            }: _*)))
+          .select($"src", $"n_pkts_src",
             $"cand.masklen".as("masklen"), $"cand.prefix".as("prefix"))
         cands.join(broadcast(dimDf), Seq("masklen", "prefix"))
-          .groupBy($"pkt_idx", $"src")
+          .groupBy($"src", $"n_pkts_src")
           .agg(max(struct($"masklen", $"route")).as("m"))
           .groupBy($"m.route".as("route"))
-          .agg(count(lit(1)).as("n_pkts"),
-            countDistinct($"src").as("n_src"))
+          .agg(sum($"n_pkts_src").as("n_pkts"),
+            count(lit(1)).as("n_src"))
       },
       Some("""SELECT CAST(v.route AS VARCHAR) AS route,
         CAST(v.n_pkts AS BIGINT) AS n_pkts, CAST(v.n_src AS BIGINT) AS n_src
