@@ -48,6 +48,39 @@ class PcapSinkSpec extends AnyFunSuite {
       "re-read packets differ from the filtered originals")
   }
 
+  test("SLL capture re-exports losslessly when linkType is carried") {
+    // cooked frames carry their own pseudo-header in `frame`, so the
+    // writer must stamp the matching link type or a re-read would parse
+    // them as Ethernet — the option pins that contract
+    val src = Array[Byte](10, 1, 2, 3)
+    val dst = Array[Byte](10, 9, 0, 1)
+    val pkts = (0 until 20).map { i =>
+      (100L + i, i.toLong, graft.pcap.PcapSynth.sllUdpFrame(
+        src, dst, 5000 + i, 4000 + (i % 3), ttl = 30,
+        payload = new Array[Byte](10 + i)))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("sink_sll")
+    val f = tmp.resolve("sll.pcap")
+    java.nio.file.Files.write(f,
+      graft.pcap.PcapSynth.file(pkts, linkType = 113))
+    val outDir = tmp.resolve("out").toString
+    spark.read.format("pcap").load(f.toString)
+      .select("ts_micro", "frame")
+      .write.format("pcap").option("linkType", "113")
+      .mode("append").save(outDir)
+    val e = spark.read.format("pcap").option("md5", "true")
+      .load(f.toString)
+      .select("ts_micro", "src", "src_port", "dst_port", "md5")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val g = spark.read.format("pcap").option("md5", "true")
+      .load(outDir)
+      .select("ts_micro", "src", "src_port", "dst_port", "md5")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(e.length == 20 && g.length == 20)
+    assert(e.zip(g).forall { case (a, b) => a == b })
+    assert(e.head(1) == "10.1.2.3") // the cooked header really unwrapped
+  }
+
   test("pcapng container: write -> re-read round-trips with golden equality") {
     val src = mixedCapture()
     val outDir = java.nio.file.Files.createTempDirectory("sink_ng").toString
