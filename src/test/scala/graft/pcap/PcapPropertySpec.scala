@@ -14,7 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class PcapPropertySpec extends AnyFunSuite {
 
   private val rnd = new Random(42)
-  private val linkTypes = Seq(0, 1, 101, 108)
+  private val linkTypes = Seq(0, 1, 101, 108, 113, 276)
 
   private def randomFrame(): Array[Byte] = {
     val n = rnd.nextInt(257)
