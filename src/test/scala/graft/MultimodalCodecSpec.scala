@@ -412,6 +412,18 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(back.sameElements(pixels))
   }
 
+  test("GIF LZW round-trips random streams at every min code size") {
+    val rnd = new scala.util.Random(8)
+    for (_ <- 1 to 60) {
+      val mcs = 2 + rnd.nextInt(7) // 2..8
+      val n = 1 + rnd.nextInt(3000)
+      val pixels = Array.fill(n)(rnd.nextInt(1 << mcs))
+      val back = GifCodec.lzwDecompress(
+        GifCodec.lzwCompress(pixels, mcs), mcs, n)
+      assert(back.sameElements(pixels), s"mcs=$mcs n=$n")
+    }
+  }
+
   test("GIF rejects malformed input, not misparses") {
     intercept[IllegalArgumentException](GifCodec.decode(Array[Byte](1)))
     val notGif = GifCodec.encode(3L); notGif(3) = '7' // "GIF7.."
