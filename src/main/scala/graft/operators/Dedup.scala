@@ -430,6 +430,75 @@ object Dedup {
         JOIN sizes s2 ON s2.doc_id = doc2
         WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.5""")),
 
+    // ----- PPJoin: prefix-filtered EXACT Jaccard threshold join -----------
+    // The classic exact set-similarity join (Xiao/Wang/Lin/Yu, WWW'08):
+    // order every document's shingles by ascending global frequency
+    // (ties by shingle), index only the first sz - ceil(t·sz) + 1 of
+    // them, and join on those prefixes — any pair with J ≥ t MUST share
+    // a prefix token, so verifying exact Jaccard on the candidates
+    // alone is provably complete. Two properties make this THE scale
+    // shape for exact near-dup joins:
+    //   1. the join index holds ~(1-t) of the corpus tokens, and
+    //   2. corpus-wide boilerplate shingles (the hot keys that forced
+    //      DfCap on the raw inverted index) sort LAST in the frequency
+    //      order and never enter a prefix — the algorithm is inherently
+    //      hot-key-resistant, no cap or salt needed.
+    // Thresholding is integer-exact (5·inter ≥ 3·union for t = 3/5);
+    // the reported jaccard is one double division, identical cross-
+    // engine. THE ORACLE RUNS THE NAIVE ALL-PAIRS JOIN instead — hash
+    // equality therefore independently proves the prefix filter dropped
+    // no qualifying pair, not merely that both engines agree on the
+    // same shortcut.
+    Q("dedup_ppjoin",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sh = shingles(s, d).cache()
+        val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        val wd = Window.partitionBy($"doc_id")
+        val ordered = sh.join(dfreq, "shingle")
+          .withColumn("rn",
+            row_number().over(wd.orderBy($"df", $"shingle")))
+          .withColumn("sz", count(lit(1)).over(wd))
+        // prefix length sz - ceil(3·sz/5) + 1, all-integer ceiling
+        val prefix = ordered
+          .filter($"rn" <= $"sz" - expr("(3*sz + 4) div 5") + 1)
+          .select($"doc_id", $"shingle")
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .distinct()
+        val common = cand
+          .join(sh.select($"doc_id".as("doc1"), $"shingle"), "doc1")
+          .join(sh.select($"doc_id".as("doc2"), $"shingle"),
+            Seq("doc2", "shingle"))
+          .groupBy($"doc1", $"doc2").agg(count(lit(1)).as("common"))
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+        common
+          .join(sizes.select($"doc_id".as("doc1"), $"n_sh".as("n1")),
+            "doc1")
+          .join(sizes.select($"doc_id".as("doc2"), $"n_sh".as("n2")),
+            "doc2")
+          .filter($"common" * 5 >= ($"n1" + $"n2" - $"common") * 3)
+          .select($"doc1", $"doc2",
+            ($"common".cast("double") / ($"n1" + $"n2" - $"common"))
+              .as("jaccard"))
+      },
+      Some(s"""WITH $shinglesSql,
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS common
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc1, doc2,
+          CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) AS jaccard
+        FROM common
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2
+        WHERE common * 5 >= (s1.n_sh + s2.n_sh - common) * 3""")),
+
     // ----- asymmetric containment (doc-in-doc detection) ------------------
     // Containment C(a in b) = |S(a) ∩ S(b)| / |S(a)| finds documents
     // mostly embedded in larger ones (quote-inflated pages, concatenated

@@ -134,6 +134,37 @@ class Round8OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // dedup_ppjoin
+  // ------------------------------------------------------------------
+
+  test("dedup_ppjoin equals brute-force exact Jaccard (completeness)") {
+    // the direct twin runs NAIVE all-pairs — equality proves the prefix
+    // filter in the query dropped no qualifying pair
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sets = docs.flatMap { case (id, text) =>
+      val ws = text.toLowerCase.split("\\s+", -1)
+      if (ws.length < 3) None
+      else Some(id -> (0 to ws.length - 3)
+        .map(i => ws.slice(i, i + 3).mkString(" ")).toSet)
+    }.toMap
+    val ids = sets.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = sets(ids(i)); b = sets(ids(j))
+      inter = (a & b).size
+      union = a.size + b.size - inter
+      if inter * 5 >= union * 3
+    } yield (ids(i), ids(j), inter.toDouble / union)).toSet
+    val got = SparkEntry.queries("dedup_ppjoin")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty) // the corpus must exercise the op
+  }
+
+  // ------------------------------------------------------------------
   // pipeline_curriculum
   // ------------------------------------------------------------------
 
