@@ -40,8 +40,15 @@ object Tables {
       case LongType => // TIMESTAMP(NANOS) read as raw nanos under the conf
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df
-      case _ => // TIMESTAMP_NTZ (micros): relabel, values unchanged in UTC
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // TIMESTAMP_NTZ (micros): relabel, values unchanged in UTC
         df.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        // fail LOUDLY on a new generation's physical type — a silent
+        // cast (e.g. string→timestamp nulling bad rows) would produce
+        // wrong-but-plausible aggregates, the drift this layer exists
+        // to catch
+        sys.error(s"unexpected events.ts physical type: $other")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")

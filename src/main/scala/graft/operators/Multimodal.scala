@@ -850,7 +850,15 @@ object Multimodal {
         }
         i += 1
       }
-      emit(cur); emit(eoi)
+      emit(cur)
+      // EOI corner: the decoder performs one more add (for that final
+      // data code) before reading EOI, so if that add lands its counter
+      // exactly on 2^width it grows FIRST and reads EOI one bit wider —
+      // mirror that here or a stream whose last data code sits on a
+      // width boundary loses EOI past the encoder's end (found by a
+      // round-trip fuzz: ~0.3% of random streams)
+      if (next == (1 << width) && width < 12) width += 1
+      emit(eoi)
       if (nbits > 0) out.write((acc & 0xFF).toInt)
       out.toByteArray
     }
@@ -1002,6 +1010,8 @@ object Multimodal {
               val n = bytes(off) & 0xFF; off += 1 + n; n != 0
             }) ()
           case 0x2C =>
+            require(off + 11 <= bytes.length,
+              "truncated GIF image descriptor")
             val w = rd16(off + 5)
             val h = rd16(off + 7)
             require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
@@ -1017,6 +1027,7 @@ object Multimodal {
               off += 3 * n
             }
             require(table != null, "GIF image with no color table")
+            require(off < bytes.length, "truncated before LZW code size")
             val mcs = bytes(off) & 0xFF; off += 1
             require(mcs >= 2 && mcs <= 8, s"implausible LZW code size $mcs")
             val data = new java.io.ByteArrayOutputStream(bytes.length)

@@ -385,12 +385,12 @@ class MultimodalCodecSpec extends AnyFunSuite {
       assert(javax.imageio.ImageIO.write(buf, "gif", out))
       val img = GifCodec.decode(out.toByteArray)
       assert(img.w == w && img.h == h)
+      // indexed BufferedImage quantizes to ITS palette; compare to what
+      // ImageIO itself stored, read back via a second ImageIO pass, so
+      // the check is decoder-vs-decoder on identical bytes
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out.toByteArray))
       for { y <- 0 until h; x <- 0 until w } {
-        // indexed BufferedImage quantizes to ITS palette; compare to
-        // what ImageIO itself stored, read back via a second ImageIO
-        // pass, so the check is decoder-vs-decoder on identical bytes
-        val ref = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(out.toByteArray))
         val rgb = ref.getRGB(x, y)
         assert((img.r(x, y), img.g(x, y), img.b(x, y)) ==
           ((rgb >> 16 & 0xFF, rgb >> 8 & 0xFF, rgb & 0xFF)),
@@ -413,10 +413,18 @@ class MultimodalCodecSpec extends AnyFunSuite {
   }
 
   test("GIF LZW round-trips random streams at every min code size") {
+    // regression first: the final data code's decoder-side add landing
+    // exactly on a width boundary, with EOI byte-aligned — before the
+    // encoder mirrored the decoder's last growth this lost EOI past the
+    // stream end (~0.3% of random streams)
+    val corner = Array(1, 2, 3, 2, 1, 1, 0, 3, 0, 1, 1, 1)
+    assert(GifCodec.lzwDecompress(
+      GifCodec.lzwCompress(corner, 2), 2, corner.length)
+      .sameElements(corner))
     val rnd = new scala.util.Random(8)
-    for (_ <- 1 to 60) {
+    for (_ <- 1 to 2000) {
       val mcs = 2 + rnd.nextInt(7) // 2..8
-      val n = 1 + rnd.nextInt(3000)
+      val n = 1 + rnd.nextInt(800)
       val pixels = Array.fill(n)(rnd.nextInt(1 << mcs))
       val back = GifCodec.lzwDecompress(
         GifCodec.lzwCompress(pixels, mcs), mcs, n)
