@@ -1128,6 +1128,82 @@ object Relational {
             / exact_user_days * 100.0 AS rel_err_pct
         FROM s, ex""")),
 
+    // ----- grouped + merged HLL in one pass (sketch-algebra rollup) -------
+    // q51 proves the register HLL is exact cross-engine; this one
+    // exercises the SKETCH ALGEBRA at the plan level: per-source
+    // registers AND the all-sources merge computed in a single
+    // GROUPING SETS aggregation — the merged registers are max() over
+    // the very same partials, which is exactly the algebra that lets a
+    // 100 TB pipeline keep per-shard sketches and fold them into any
+    // rollup hierarchy without rescanning the corpus. Input is the
+    // distinct (source, 3-gram shingle) relation (~16k shingles at
+    // sf0.01, all groups safely in the raw-estimator regime). Sketch
+    // state: 256 bytes per group regardless of input size.
+    Q("q52_hll_rollup",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          WITH ws0 AS (
+            SELECT source, split(lower(text), '\\s+') AS ws
+            FROM documents),
+          sh AS (
+            SELECT DISTINCT source, shingle
+            FROM ws0
+            LATERAL VIEW explode(transform(sequence(0, size(ws)-3),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) t AS shingle
+            WHERE size(ws) >= 3),
+          h AS (SELECT source,
+              CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)
+                AS hv
+            FROM sh),
+          r AS (SELECT source, hv % 256 AS idx,
+              max(CASE WHEN hv div 256 = 0 THEN 25
+                       ELSE 25 - length(bin(hv div 256)) END) AS rho
+            FROM h GROUP BY GROUPING SETS ((hv % 256, source), (hv % 256))),
+          st AS (SELECT COALESCE(source, 'ALL') AS source_grp,
+              CAST(sum(CAST(power(2, 25 - rho) AS BIGINT)) AS BIGINT)
+                + (256 - count(*)) * 33554432 AS den,
+              count(*) AS nz
+            FROM r GROUP BY 1),
+          ex AS (SELECT COALESCE(source, 'ALL') AS source_grp,
+              count(DISTINCT shingle) AS exact_shingles
+            FROM sh GROUP BY GROUPING SETS ((source), ()))
+          SELECT st.source_grp,
+            0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0
+              * 33554432.0E0 / CAST(den AS DOUBLE) AS hll_est,
+            nz AS nonzero_regs, exact_shingles
+          FROM st JOIN ex ON st.source_grp = ex.source_grp
+          ORDER BY st.source_grp""")
+      },
+      Some("""WITH sh AS (
+          SELECT DISTINCT source,
+            unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                    FOR i IN generate_series(1, len(ws)-2)]) AS shingle
+          FROM (SELECT source, string_split_regex(lower(text), '\s+') AS ws
+                FROM documents)
+          WHERE len(ws) >= 3),
+        h AS (SELECT source,
+            CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS hv
+          FROM sh),
+        r AS (SELECT source, hv % 256 AS idx,
+            max(CASE WHEN hv // 256 = 0 THEN 25
+                     ELSE 25 - length(bin(hv // 256)) END) AS rho
+          FROM h GROUP BY GROUPING SETS ((hv % 256, source), (hv % 256))),
+        st AS (SELECT COALESCE(source, 'ALL') AS source_grp,
+            CAST(sum(CAST(power(2, 25 - rho) AS BIGINT)) AS BIGINT)
+              + (256 - count(*)) * 33554432 AS den,
+            count(*) AS nz
+          FROM r GROUP BY 1),
+        ex AS (SELECT COALESCE(source, 'ALL') AS source_grp,
+            count(DISTINCT shingle) AS exact_shingles
+          FROM sh GROUP BY GROUPING SETS ((source), ()))
+        SELECT st.source_grp,
+          0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0
+            * 33554432.0E0 / CAST(den AS DOUBLE) AS hll_est,
+          nz AS nonzero_regs, exact_shingles
+        FROM st JOIN ex ON st.source_grp = ex.source_grp
+        ORDER BY st.source_grp""")),
+
     // ----- regex extraction family ----------------------------------------
     // regexp_extract_all / regexp_count with a dialect-neutral pattern;
     // match order is left-to-right on both engines, arrays JSON-rendered

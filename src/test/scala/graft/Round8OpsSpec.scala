@@ -237,6 +237,49 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got(0).getLong(2) == ud.distinct.length.toLong)
   }
 
+  test("q52_hll_rollup equals direct per-group + merged register HLL") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val pairs = docs.flatMap { case (src, text) =>
+      val ws = text.toLowerCase.split("\\s+", -1)
+      if (ws.length < 3) Nil
+      else (0 to ws.length - 3)
+        .map(i => src -> ws.slice(i, i + 3).mkString(" "))
+    }.distinct
+    def sketch(shingles: Seq[String]): (Double, Long) = {
+      val regs = new Array[Int](256)
+      shingles.foreach { sh =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(sh.getBytes("UTF-8"))
+          .map(b => f"${b & 0xFF}%02x").mkString.substring(0, 8)
+        val hv = java.lang.Long.parseLong(hex, 16)
+        val idx = (hv % 256).toInt
+        val w = hv / 256
+        val rho = if (w == 0) 25
+          else 25 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(idx)) regs(idx) = rho
+      }
+      val nz = regs.count(_ > 0)
+      val den = regs.filter(_ > 0).map(m => 1L << (25 - m)).sum +
+        (256L - nz) * 33554432L
+      (0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 33554432.0 /
+        den.toDouble, nz.toLong)
+    }
+    val groups = pairs.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap +
+      ("ALL" -> pairs.map(_._2).distinct.toSeq)
+    val expect = groups.map { case (g, shs) =>
+      val (est, nz) = sketch(shs.distinct)
+      (g, est, nz, shs.distinct.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q52_hll_rollup")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect) // bit-identical estimates, exact counts
+  }
+
   test("LPA separates two cliques joined by a single bridge") {
     import spark.implicits._
     // cliques {1..5} and {11..15}, bridge 5<->11; symmetric edge list
