@@ -1119,13 +1119,13 @@ object Relational {
         ex AS (SELECT count(DISTINCT (user_id, CAST(ts AS DATE)))
                  AS exact_user_days FROM events)
         SELECT
-          0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 33554432.0
-            / CAST(den AS DOUBLE) AS hll_est,
+          0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0
+            * 33554432.0E0 / CAST(den AS DOUBLE) AS hll_est,
           nz AS nonzero_regs,
           exact_user_days,
-          abs(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 33554432.0
-            / CAST(den AS DOUBLE) - exact_user_days)
-            / exact_user_days * 100.0 AS rel_err_pct
+          abs(0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0
+            * 33554432.0E0 / CAST(den AS DOUBLE) - exact_user_days)
+            / exact_user_days * 100.0E0 AS rel_err_pct
         FROM s, ex""")),
 
     // ----- grouped + merged HLL in one pass (sketch-algebra rollup) -------
@@ -1145,34 +1145,38 @@ object Relational {
         s.sql("""
           WITH ws0 AS (
             SELECT source, split(lower(text), '\\s+') AS ws
-            FROM documents),
+            FROM documents
+            WHERE size(split(lower(text), '\\s+')) >= 3),
           sh AS (
             SELECT DISTINCT source, shingle
             FROM ws0
             LATERAL VIEW explode(transform(sequence(0, size(ws)-3),
-              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) t AS shingle
-            WHERE size(ws) >= 3),
+              i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) t AS shingle),
           h AS (SELECT source,
               CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)
                 AS hv
             FROM sh),
-          r AS (SELECT source, hv % 256 AS idx,
+          r AS (SELECT source, GROUPING(source) AS g_all, hv % 256 AS idx,
               max(CASE WHEN hv div 256 = 0 THEN 25
                        ELSE 25 - length(bin(hv div 256)) END) AS rho
             FROM h GROUP BY GROUPING SETS ((hv % 256, source), (hv % 256))),
-          st AS (SELECT COALESCE(source, 'ALL') AS source_grp,
+          st AS (SELECT
+              CASE WHEN g_all = 1 THEN 'ALL' ELSE source END AS source_grp,
               CAST(sum(CAST(power(2, 25 - rho) AS BIGINT)) AS BIGINT)
                 + (256 - count(*)) * 33554432 AS den,
               count(*) AS nz
             FROM r GROUP BY 1),
-          ex AS (SELECT COALESCE(source, 'ALL') AS source_grp,
+          ex AS (SELECT
+              CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
+                AS source_grp,
               count(DISTINCT shingle) AS exact_shingles
             FROM sh GROUP BY GROUPING SETS ((source), ()))
           SELECT st.source_grp,
             0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0
               * 33554432.0E0 / CAST(den AS DOUBLE) AS hll_est,
             nz AS nonzero_regs, exact_shingles
-          FROM st JOIN ex ON st.source_grp = ex.source_grp
+          FROM st JOIN ex
+            ON st.source_grp <=> ex.source_grp
           ORDER BY st.source_grp""")
       },
       Some("""WITH sh AS (
@@ -1185,23 +1189,27 @@ object Relational {
         h AS (SELECT source,
             CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS hv
           FROM sh),
-        r AS (SELECT source, hv % 256 AS idx,
+        r AS (SELECT source, GROUPING(source) AS g_all, hv % 256 AS idx,
             max(CASE WHEN hv // 256 = 0 THEN 25
                      ELSE 25 - length(bin(hv // 256)) END) AS rho
           FROM h GROUP BY GROUPING SETS ((hv % 256, source), (hv % 256))),
-        st AS (SELECT COALESCE(source, 'ALL') AS source_grp,
+        st AS (SELECT
+            CASE WHEN g_all = 1 THEN 'ALL' ELSE source END AS source_grp,
             CAST(sum(CAST(power(2, 25 - rho) AS BIGINT)) AS BIGINT)
               + (256 - count(*)) * 33554432 AS den,
             count(*) AS nz
           FROM r GROUP BY 1),
-        ex AS (SELECT COALESCE(source, 'ALL') AS source_grp,
+        ex AS (SELECT
+            CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
+              AS source_grp,
             count(DISTINCT shingle) AS exact_shingles
           FROM sh GROUP BY GROUPING SETS ((source), ()))
         SELECT st.source_grp,
           0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0) * 65536.0E0
             * 33554432.0E0 / CAST(den AS DOUBLE) AS hll_est,
           nz AS nonzero_regs, exact_shingles
-        FROM st JOIN ex ON st.source_grp = ex.source_grp
+        FROM st JOIN ex
+          ON st.source_grp IS NOT DISTINCT FROM ex.source_grp
         ORDER BY st.source_grp""")),
 
     // ----- regex extraction family ----------------------------------------

@@ -566,9 +566,14 @@ object TextAnalysis {
     //      which a window over the gram key offers. The flag table
     //      holds only cross-doc-duplicated grams — a small fraction of
     //      any sane corpus;
-    //   3. adjacent duplicated starts merge to maximal spans with the
-    //      gaps-and-islands trick (pos - row_number), one shuffle on
-    //      doc_id.
+    //   3. duplicated starts merge to maximal spans whenever their
+    //      L-char windows OVERLAP (start gap < L), not only when starts
+    //      are consecutive — so output spans are the disjoint union of
+    //      duplicated L-gram windows (Lee et al. ExactSubstr semantics;
+    //      no two rows ever cover the same character). Variable-gap
+    //      islands need lag + running-sum instead of pos-row_number,
+    //      but both windows share one (doc_id, pos) sort — still a
+    //      single shuffle on doc_id.
     // Scale shape: the corpus-sized relation shuffles once for the join
     // and once on doc_id, both on bounded-width keys, no corpus-scale
     // sort anywhere; rows = one per character position (L× no blowup —
@@ -607,7 +612,11 @@ object TextAnalysis {
           .select($"doc_id", $"pos")
         val wd = Window.partitionBy($"doc_id").orderBy($"pos")
         hits
-          .withColumn("grp", $"pos" - row_number().over(wd))
+          .withColumn("brk",
+            when(lag($"pos", 1).over(wd).isNull ||
+              $"pos" - lag($"pos", 1).over(wd) >= L, lit(1))
+              .otherwise(lit(0)))
+          .withColumn("grp", sum($"brk").over(wd))
           .groupBy($"doc_id", $"grp")
           .agg(min($"pos").as("span_start"),
             (max($"pos") + lit(L - 1)).cast("long").as("span_end"))
@@ -629,10 +638,15 @@ object TextAnalysis {
             max(doc_id) OVER (PARTITION BY g) AS dmax
           FROM gr),
         hits AS (SELECT doc_id, pos FROM flagged WHERE dmin <> dmax),
+        brks AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER w IS NULL
+                 OR pos - lag(pos) OVER w >= $RepeatSpanL THEN 1
+               ELSE 0 END AS brk
+          FROM hits
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
         isl AS (SELECT doc_id, pos,
-          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-            AS grp
-          FROM hits)
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM brks)
         SELECT doc_id, min(pos) AS span_start,
           max(pos) + ${RepeatSpanL - 1} AS span_end,
           max(pos) + ${RepeatSpanL - 1} - min(pos) + 1 AS span_len

@@ -33,8 +33,10 @@ class Round8OpsSpec extends AnyFunSuite {
   private val L = 25
 
   /** Direct algorithm on raw strings: every L-char window, a window is
-    * duplicated iff its text occurs in >= 2 distinct docs, consecutive
-    * duplicated starts merge into maximal spans. */
+    * duplicated iff its text occurs in >= 2 distinct docs, duplicated
+    * starts merge into maximal spans whenever their windows overlap
+    * (start gap < L) — so the output spans are the disjoint union of
+    * the duplicated windows' character coverage. */
   private def directSpans(
       docs: Map[Long, String]): Set[(Long, Long, Long, Long)] = {
     val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
@@ -45,10 +47,10 @@ class Round8OpsSpec extends AnyFunSuite {
     docs.flatMap { case (id, text) =>
       val dup = (0 to text.length - L)
         .filter(p => (gramDocs(text.substring(p, p + L)) - id).nonEmpty)
-      // merge consecutive positions into islands
+      // merge overlapping-window positions into islands (gap < L)
       dup.foldLeft(List.empty[(Int, Int)]) {
-        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
-        case (acc, p)                          => (p, p) :: acc
+        case ((s, e) :: rest, p) if p - e < L => (s, p) :: rest
+        case (acc, p)                         => (p, p) :: acc
       }.map { case (s, e) =>
         // 1-based, end covers the last gram's tail
         (id, (s + 1).toLong, (e + L).toLong, (e + L - s).toLong)
