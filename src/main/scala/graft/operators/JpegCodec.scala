@@ -1,0 +1,712 @@
+package graft.operators
+
+/** REAL baseline JPEG/JFIF codec — pure JVM, written from ITU-T T.81
+  * (the public JPEG spec): DQT/DHT/SOF0/SOS marker parsing, canonical
+  * Huffman entropy coding with the Annex K example tables, DC
+  * prediction, zigzag run-length AC coding with ZRL/EOB, byte
+  * stuffing, dequantization, a double-precision 2-D IDCT, 4:2:0 chroma
+  * upsampling, and JFIF YCbCr→RGB conversion. The decoder is a general
+  * baseline-sequential decoder (grayscale or 3-component, sampling
+  * factors 1..4, restart markers, multi-table DQT/DHT segments) — it
+  * decodes foreign JPEGs such as `javax.imageio`'s writer output, which
+  * MultimodalCodecSpec cross-checks in both directions.
+  *
+  * Exactness design (what makes a LOSSY codec oracle-checkable): the
+  * fixture is synthesized in COEFFICIENT space, not pixel space. Each
+  * luma block carries a DC level plus three AC basis coefficients whose
+  * IDCT is exactly ±1/8 of the dequantized value at every pixel
+  * (u,v ∈ {0,4}: cos((2t+1)·4π/16) = ±√2/2, and the √2 factors cancel
+  * against C(u)C(v)/4), and each chroma block is DC-only and constant
+  * per MCU, so 4:2:0 downsampling/upsampling is exact. With all quant
+  * entries = 8 the dequantized DC is 8·(v−128) and the IDCT emits exact
+  * integers (fp error ~1e-13 ≪ the 0.5 rounding margin). The ONE
+  * remaining non-integer step — YCbCr→RGB — is the closed-form JFIF
+  * formula floor(y + 1.402·(cr−128) + 0.5) etc., which the DuckDB
+  * oracle replays in identical IEEE-double arithmetic. So the oracle
+  * pins every output pixel bit-exactly while the bitstream still
+  * exercises real Huffman runs (zero-runs of 3/9/23 → ZRL), DC
+  * differentials across blocks, zigzag order, and a full IDCT.
+  *
+  * The reference engine (gconklin/hadoop-pcap) has no media surface at
+  * all; this is extension surface for the multimodal family
+  * ([[Multimodal]]), reached through the same magic-byte sniffer as
+  * the other five codecs.
+  */
+object JpegCodec extends Serializable {
+
+  // ---------------------------------------------------------------- fixture
+
+  /** Fixture dims: 21..34 × 13..23 — partial MCUs on both axes for
+    * almost every id (MCU is 16×16 at 4:2:0), odd and even. */
+  def dims(id: Long): (Int, Int) =
+    ((21 + id % 14).toInt, (13 + id % 11).toInt)
+
+  /** Per-luma-block (8×8) synthesis formulas: DC level and the three
+    * AC amplitudes (horizontal / vertical / checker basis). */
+  def yBase(id: Long, bx: Int, by: Int): Int =
+    (64 + (id * 7 + bx * 31 + by * 17) % 128).toInt
+  def acA(id: Long, bx: Int, by: Int): Int =
+    ((id + bx * 5 + by * 3) % 8).toInt
+  def acB(id: Long, bx: Int, by: Int): Int =
+    ((id * 3 + bx + by * 7) % 8).toInt
+  def acC(id: Long, bx: Int, by: Int): Int =
+    ((id * 5 + bx * 7 + by) % 4).toInt
+
+  /** Per-MCU (16×16) chroma synthesis formulas — constant within the
+    * MCU so subsampling is exact. */
+  def cbOf(id: Long, mx: Int, my: Int): Int =
+    ((id * 11 + mx * 13 + my * 19) % 256).toInt
+  def crOf(id: Long, mx: Int, my: Int): Int =
+    ((id * 3 + mx * 7 + my * 29) % 256).toInt
+
+  /** Sign of cos((2t+1)·4π/16): + for t ∈ {0,3,4,7}, − otherwise. */
+  def sgn(t: Int): Int =
+    if (t == 0 || t == 3 || t == 4 || t == 7) 1 else -1
+
+  /** The exact decoded luma sample at (x,y) — what the IDCT of the
+    * synthesized coefficients reconstructs (range 47..208, no clamp). */
+  def lumaAt(id: Long, x: Int, y: Int): Int = {
+    val bx = x / 8; val by = y / 8
+    yBase(id, bx, by) +
+      acA(id, bx, by) * sgn(x % 8) +
+      acB(id, bx, by) * sgn(y % 8) +
+      acC(id, bx, by) * sgn(x % 8) * sgn(y % 8)
+  }
+
+  /** The exact decoded RGB at (x,y): JFIF inverse transform of the
+    * exactly-reconstructed (Y, Cb, Cr) — the same double arithmetic
+    * the decoder and the DuckDB oracle perform. */
+  def expectedRgb(id: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val yv = lumaAt(id, x, y)
+    val cb = cbOf(id, x / 16, y / 16)
+    val cr = crOf(id, x / 16, y / 16)
+    (ycc2r(yv, cr), ycc2g(yv, cb, cr), ycc2b(yv, cb))
+  }
+
+  // JFIF inverse color transform — floor(v + 0.5) with clamp, written
+  // once and shared by decode() so the oracle formula IS the code path.
+  private def clamp255(v: Double): Int = {
+    val i = math.floor(v).toInt
+    if (i < 0) 0 else if (i > 255) 255 else i
+  }
+  private def ycc2r(y: Int, cr: Int): Int =
+    clamp255(y + 1.402 * (cr - 128) + 0.5)
+  private def ycc2g(y: Int, cb: Int, cr: Int): Int =
+    clamp255(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+  private def ycc2b(y: Int, cb: Int): Int =
+    clamp255(y + 1.772 * (cb - 128) + 0.5)
+
+  // ------------------------------------------------------------ tables
+
+  /** Zigzag scan order: position k in the scan → natural index v*8+u
+    * (T.81 Figure 5). */
+  private[operators] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // T.81 Annex K example Huffman tables (the de-facto standard set):
+  // BITS[1..16] code-length counts + HUFFVAL symbol lists.
+  private val DcLumBits =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcChrBits =
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).toArray
+  private val AcLumBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val AcLumVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  private val AcChrBits =
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119)
+  private val AcChrVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical Huffman table built from (BITS, HUFFVAL) — serves both
+    * directions: symbol → (code, length) for the encoder, and the T.81
+    * F.2.2.3 DECODE procedure (mincode/maxcode/valptr) for the
+    * decoder. */
+  private[operators] final class Huff(
+      bits: Array[Int], val vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    val codeOf = new Array[Int](256)
+    val lenOf = new Array[Int](256)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        minCode(l) = code
+        valPtr(l) = k
+        var i = 0
+        while (i < bits(l - 1)) {
+          codeOf(vals(k)) = code
+          lenOf(vals(k)) = l
+          code += 1
+          k += 1
+          i += 1
+        }
+        if (bits(l - 1) > 0) maxCode(l) = code - 1
+        code <<= 1
+        l += 1
+      }
+      require(k == vals.length, "Huffman BITS/HUFFVAL mismatch")
+    }
+  }
+  private val HuffDcLum = new Huff(DcLumBits, DcVals)
+  private val HuffDcChr = new Huff(DcChrBits, DcVals)
+  private val HuffAcLum = new Huff(AcLumBits, AcLumVals)
+  private val HuffAcChr = new Huff(AcChrBits, AcChrVals)
+
+  // -------------------------------------------------------------- encoder
+
+  /** MSB-first entropy bit writer with 0xFF→0xFF00 byte stuffing and
+    * 1-padding on flush (T.81 F.1.2.3). */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit =
+      if (n > 0) {
+        acc = (acc << (8 - n)) | ((1 << (8 - n)) - 1)
+        out.write(acc)
+        if (acc == 0xFF) out.write(0x00)
+        acc = 0; n = 0
+      }
+  }
+
+  /** Bit-size category of a DC diff / AC value (T.81 F.1.2.1.2). */
+  private def catOf(v: Int): Int =
+    if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
+  /** Value bits: negatives are stored as v + 2^sz − 1 (one's-
+    * complement trick). */
+  private def bitsOf(v: Int, sz: Int): Int =
+    if (v >= 0) v else v + (1 << sz) - 1
+
+  /** Encode one quantized block (NATURAL coefficient order): DC diff +
+    * zigzag AC run-lengths with ZRL and EOB. Returns the block's DC for
+    * the caller's prediction chain. */
+  private def encodeBlock(bw: BitWriter, coef: Array[Int], pred: Int,
+      dc: Huff, ac: Huff): Int = {
+    val diff = coef(0) - pred
+    val sz = catOf(diff)
+    bw.put(dc.codeOf(sz), dc.lenOf(sz))
+    if (sz > 0) bw.put(bitsOf(diff, sz), sz)
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val v = coef(Zigzag(k))
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) { bw.put(ac.codeOf(0xF0), ac.lenOf(0xF0)); run -= 16 }
+        val s = catOf(v)
+        bw.put(ac.codeOf((run << 4) | s), ac.lenOf((run << 4) | s))
+        bw.put(bitsOf(v, s), s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) bw.put(ac.codeOf(0x00), ac.lenOf(0x00)) // EOB
+    coef(0)
+  }
+
+  /** Write a genuine baseline JFIF file for the fixture id: SOI, APP0,
+    * DQT (two all-8 tables), SOF0 (3 components, 4:2:0), DHT (the four
+    * Annex K tables), SOS, interleaved entropy-coded MCUs, EOI. */
+  def encode(id: Long): Array[Byte] = {
+    val (w, h) = dims(id)
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def marker(b: Int): Unit = { out.write(0xFF); out.write(b) }
+    def seg(mk: Int, payload: Array[Byte]): Unit = {
+      marker(mk)
+      val len = payload.length + 2
+      out.write(len >>> 8); out.write(len & 0xFF)
+      out.write(payload, 0, payload.length)
+    }
+    marker(0xD8) // SOI
+    seg(0xE0, "JFIF\u0000".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT: table 0 (luma) + table 1 (chroma), all entries 8, Pq=0;
+    // entries are written in zigzag order per spec (uniform, so the
+    // order is unobservable here — the decoder still dezigzags).
+    val dqt = new Array[Byte](130)
+    dqt(0) = 0
+    java.util.Arrays.fill(dqt, 1, 65, 8.toByte)
+    dqt(65) = 1
+    java.util.Arrays.fill(dqt, 66, 130, 8.toByte)
+    seg(0xDB, dqt)
+    seg(0xC0, Array[Byte](8, (h >>> 8).toByte, h.toByte,
+      (w >>> 8).toByte, w.toByte, 3,
+      1, 0x22, 0, // Y: 2x2 sampling, qtable 0
+      2, 0x11, 1, // Cb
+      3, 0x11, 1)) // Cr
+    def dht(cls: Int, tid: Int, bits: Array[Int], vals: Array[Int]) =
+      Array(((cls << 4) | tid).toByte) ++
+        bits.map(_.toByte) ++ vals.map(_.toByte)
+    seg(0xC4, dht(0, 0, DcLumBits, DcVals) ++
+      dht(1, 0, AcLumBits, AcLumVals) ++
+      dht(0, 1, DcChrBits, DcVals) ++
+      dht(1, 1, AcChrBits, AcChrVals))
+    seg(0xDA, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val bw = new BitWriter(out)
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
+    var predY = 0; var predCb = 0; var predCr = 0
+    val coef = new Array[Int](64)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var v = 0
+        while (v < 2) {
+          var u = 0
+          while (u < 2) {
+            val bx = 2 * mx + u; val by = 2 * my + v
+            java.util.Arrays.fill(coef, 0)
+            coef(0) = yBase(id, bx, by) - 128 // quant 8: dequant = 8·DC
+            coef(4) = acA(id, bx, by)  // (u=4,v=0): ±a at every pixel
+            coef(32) = acB(id, bx, by) // (u=0,v=4): ±b
+            coef(36) = acC(id, bx, by) // (u=4,v=4): ±c
+            predY = encodeBlock(bw, coef, predY, HuffDcLum, HuffAcLum)
+            u += 1
+          }
+          v += 1
+        }
+        java.util.Arrays.fill(coef, 0)
+        coef(0) = cbOf(id, mx, my) - 128
+        predCb = encodeBlock(bw, coef, predCb, HuffDcChr, HuffAcChr)
+        java.util.Arrays.fill(coef, 0)
+        coef(0) = crOf(id, mx, my) - 128
+        predCr = encodeBlock(bw, coef, predCr, HuffDcChr, HuffAcChr)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------- decoder
+
+  /** MSB-first entropy bit reader: un-stuffs 0xFF00; any other marker
+    * inside entropy data is an error (restarts are consumed explicitly
+    * by [[syncRestart]] between MCUs, never mid-code). */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def readBit(): Int = {
+      if (n == 0) {
+        require(pos < bytes.length, "JPEG entropy stream truncated")
+        val b = bytes(pos) & 0xFF; pos += 1
+        if (b == 0xFF) {
+          require(pos < bytes.length, "JPEG entropy stream truncated at FF")
+          val b2 = bytes(pos) & 0xFF; pos += 1
+          require(b2 == 0x00,
+            f"unexpected marker FF$b2%02X inside entropy data")
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def receive(sz: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < sz) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker (T.81 E.2.4). */
+    def syncRestart(expected: Int): Unit = {
+      n = 0
+      require(pos + 2 <= bytes.length, "truncated at restart marker")
+      val a = bytes(pos) & 0xFF; val b = bytes(pos + 1) & 0xFF
+      require(a == 0xFF && b == 0xD0 + expected,
+        f"expected RST$expected%d, found $a%02X$b%02X")
+      pos += 2
+    }
+  }
+
+  /** T.81 F.2.2.3 DECODE: walk code lengths until the accumulated code
+    * fits the canonical range for that length. */
+  private def huffDecode(br: BitReader, t: Huff): Int = {
+    var code = br.readBit()
+    var l = 1
+    while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
+      code = (code << 1) | br.readBit()
+      l += 1
+    }
+    require(l <= 16, "invalid JPEG Huffman code")
+    t.vals(t.valPtr(l) + code - t.minCode(l))
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map sz received bits back to the signed
+    * value. */
+  private def extend(v: Int, sz: Int): Int =
+    if (sz == 0) 0
+    else if (v < (1 << (sz - 1))) v - (1 << sz) + 1
+    else v
+
+  private val CosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((t, u) => math.cos((2 * t + 1) * u * math.Pi / 16))
+  private val Cn: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Separable double-precision 2-D IDCT + level shift + round + clamp
+    * (a production decoder would use AAN; exactness matters more here,
+    * and fixture blocks are tiny). */
+  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          val c = coef(v * 8 + u)
+          if (c != 0) s += Cn(u) * c * CosT(x)(u)
+          u += 1
+        }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var vv = 0
+        while (vv < 8) {
+          s += Cn(vv) * tmp(vv * 8 + x) * CosT(y)(vv)
+          vv += 1
+        }
+        val p = math.floor(s / 4.0 + 128.0 + 0.5).toInt
+        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Parse a baseline JPEG from bytes alone: marker walk (APPn/COM
+    * skipped, fill bytes tolerated), multi-table DQT (8/16-bit) and
+    * DHT segments, SOF0/SOF1, DRI, then the interleaved scan. Returns
+    * the shared [[Multimodal.BmpCodec.Image]]. Guards mirror the other
+    * codecs: dims bounded BEFORE any allocation, component/sampling
+    * ranges checked, Huffman/marker malformations rejected with clear
+    * errors. Progressive (SOF2) and other non-baseline frames are
+    * rejected, not misparsed. */
+  def decode(bytes: Array[Byte]): Multimodal.BmpCodec.Image = {
+    require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8, "not a JPEG file")
+    def u16(o: Int): Int = {
+      require(o + 2 <= bytes.length, "truncated JPEG segment")
+      ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    }
+    val qt = Array.ofDim[Int](4, 64) // dezigzagged at parse
+    val huffs = new Array[Huff](8) // index: class*4 + tableId
+    var w = 0; var h = 0
+    var nComp = 0
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var restartInterval = 0
+    var off = 2
+    while (off + 2 <= bytes.length) {
+      require((bytes(off) & 0xFF) == 0xFF,
+        f"JPEG marker expected at offset $off")
+      while (off + 1 < bytes.length && (bytes(off + 1) & 0xFF) == 0xFF)
+        off += 1 // optional fill bytes
+      val mk = bytes(off + 1) & 0xFF
+      off += 2
+      mk match {
+        case 0xDB => // DQT: one or more tables
+          val len = u16(off)
+          val end = off + len
+          require(end <= bytes.length, "truncated DQT")
+          var p = off + 2
+          while (p < end) {
+            val pq = (bytes(p) & 0xFF) >>> 4
+            val tq = bytes(p) & 0x0F
+            require(pq <= 1 && tq <= 3, s"bad DQT header pq=$pq tq=$tq")
+            p += 1
+            require(p + (if (pq == 0) 64 else 128) <= end, "short DQT table")
+            var k = 0
+            while (k < 64) {
+              val v =
+                if (pq == 0) bytes(p + k) & 0xFF
+                else ((bytes(p + 2 * k) & 0xFF) << 8) |
+                  (bytes(p + 2 * k + 1) & 0xFF)
+              qt(tq)(Zigzag(k)) = v
+              k += 1
+            }
+            p += (if (pq == 0) 64 else 128)
+          }
+          off = end
+        case 0xC4 => // DHT: one or more tables
+          val len = u16(off)
+          val end = off + len
+          require(end <= bytes.length, "truncated DHT")
+          var p = off + 2
+          while (p < end) {
+            val tc = (bytes(p) & 0xFF) >>> 4
+            val th = bytes(p) & 0x0F
+            require(tc <= 1 && th <= 3, s"bad DHT header tc=$tc th=$th")
+            p += 1
+            require(p + 16 <= end, "short DHT bits")
+            val bits = Array.tabulate(16)(i => bytes(p + i) & 0xFF)
+            p += 16
+            val n = bits.sum
+            require(n <= 256 && p + n <= end, "short DHT values")
+            val vals = Array.tabulate(n)(i => bytes(p + i) & 0xFF)
+            p += n
+            huffs(tc * 4 + th) = new Huff(bits, vals)
+          }
+          off = end
+        case 0xC0 | 0xC1 => // SOF0 baseline (SOF1 ext-sequential: same wire)
+          val len = u16(off)
+          require(off + len <= bytes.length && len >= 8, "truncated SOF")
+          require((bytes(off + 2) & 0xFF) == 8,
+            "unsupported JPEG sample precision")
+          h = u16(off + 3)
+          w = u16(off + 5)
+          nComp = bytes(off + 7) & 0xFF
+          require(w > 0 && h > 0, "JPEG with zero dimension (DNL unsupported)")
+          // bound BEFORE allocation: a crafted 65535×65535 header would
+          // otherwise commit ~12 GB of planes
+          require(w.toLong * h <= (1L << 26),
+        s"implausible JPEG dims ${w}x$h")
+          require(nComp == 1 || nComp == 3,
+            s"unsupported JPEG component count $nComp")
+          require(len == 8 + 3 * nComp, "SOF length mismatch")
+          compId = new Array[Int](nComp)
+          compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp)
+          compQ = new Array[Int](nComp)
+          var i = 0
+          while (i < nComp) {
+            compId(i) = bytes(off + 8 + 3 * i) & 0xFF
+            val hv = bytes(off + 9 + 3 * i) & 0xFF
+            compH(i) = hv >>> 4
+            compV(i) = hv & 0x0F
+            compQ(i) = bytes(off + 10 + 3 * i) & 0xFF
+            require(compH(i) >= 1 && compH(i) <= 4 &&
+              compV(i) >= 1 && compV(i) <= 4,
+              s"bad sampling factors ${compH(i)}x${compV(i)}")
+            require(compQ(i) <= 3, "bad quant table selector")
+            i += 1
+          }
+          off += len
+        case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+            0xCD | 0xCE | 0xCF =>
+          throw new IllegalArgumentException(
+            f"unsupported JPEG frame type SOF (marker FF$mk%02X) — " +
+              "only baseline sequential is implemented")
+        case 0xDD => // DRI
+          require(u16(off) == 4, "bad DRI length")
+          restartInterval = u16(off + 2)
+          off += 4
+        case 0xDA => // SOS — decode the scan and return
+          require(nComp > 0, "SOS before SOF")
+          val len = u16(off)
+          require(off + len <= bytes.length, "truncated SOS")
+          val ns = bytes(off + 2) & 0xFF
+          require(ns == nComp, "partial-scan JPEGs unsupported")
+          val scanDc = new Array[Huff](nComp)
+          val scanAc = new Array[Huff](nComp)
+          val scanComp = new Array[Int](nComp)
+          var i = 0
+          while (i < ns) {
+            val cs = bytes(off + 3 + 2 * i) & 0xFF
+            val ci = compId.indexOf(cs)
+            require(ci >= 0, s"SOS references unknown component $cs")
+            scanComp(i) = ci
+            val tdta = bytes(off + 4 + 2 * i) & 0xFF
+            scanDc(i) = huffs(tdta >>> 4) // class 0 lives at index th
+            scanAc(i) = huffs(4 + (tdta & 0x0F))
+            require(scanDc(i) != null && scanAc(i) != null,
+              "SOS references undefined Huffman table")
+            i += 1
+          }
+          require((bytes(off + 3 + 2 * ns) & 0xFF) == 0 &&
+            (bytes(off + 4 + 2 * ns) & 0xFF) == 63 &&
+            (bytes(off + 5 + 2 * ns) & 0xFF) == 0,
+            "non-baseline spectral selection/approximation")
+          return decodeScan(bytes, off + len, w, h, nComp,
+            compH, compV, compQ, qt, scanComp, scanDc, scanAc,
+            restartInterval)
+        case 0xD9 =>
+          throw new IllegalArgumentException("EOI before any scan")
+        case a if (a >= 0xE0 && a <= 0xEF) || a == 0xFE => // APPn / COM
+          off += u16(off)
+        case other =>
+          throw new IllegalArgumentException(
+            f"unexpected JPEG marker FF$other%02X")
+      }
+    }
+    throw new IllegalArgumentException("no scan in JPEG stream")
+  }
+
+  /** Interleaved baseline scan: per MCU, each component's h×v blocks
+    * (Huffman decode → dequant → dezigzag → IDCT) into its subsampled
+    * plane; then nearest-sample upsampling + JFIF color conversion,
+    * cropped to w×h. */
+  private def decodeScan(bytes: Array[Byte], scanStart: Int,
+      w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], compQ: Array[Int],
+      qt: Array[Array[Int]], scanComp: Array[Int],
+      scanDc: Array[Huff], scanAc: Array[Huff],
+      restartInterval: Int): Multimodal.BmpCodec.Image = {
+    var hmax = 1; var vmax = 1
+    var i = 0
+    while (i < nComp) {
+      if (compH(i) > hmax) hmax = compH(i)
+      if (compV(i) > vmax) vmax = compV(i)
+      i += 1
+    }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val planeW = Array.tabulate(nComp)(c => mcusX * compH(c) * 8)
+    val planeH = Array.tabulate(nComp)(c => mcusY * compV(c) * 8)
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Int](planeW(c) * planeH(c)))
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val samp = new Array[Int](64)
+    val br = new BitReader(bytes, scanStart)
+    var mcu = 0
+    var rstN = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.syncRestart(rstN)
+          rstN = (rstN + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+        }
+        var s = 0
+        while (s < nComp) {
+          val c = scanComp(s)
+          val q = qt(compQ(c))
+          var v = 0
+          while (v < compV(c)) {
+            var u = 0
+            while (u < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val t = huffDecode(br, scanDc(s))
+              require(t <= 15, s"bad DC category $t")
+              pred(c) += extend(br.receive(t), t)
+              coef(0) = pred(c) * q(0)
+              var k = 1
+              while (k < 64) {
+                val rs = huffDecode(br, scanAc(s))
+                val r = rs >>> 4
+                val sz = rs & 0x0F
+                if (sz == 0) {
+                  if (r == 15) k += 16 // ZRL: sixteen zeros
+                  else k = 64 // EOB
+                } else {
+                  k += r
+                  require(k < 64, "AC coefficient run overflows block")
+                  val nz = Zigzag(k)
+                  coef(nz) = extend(br.receive(sz), sz) * q(nz)
+                  k += 1
+                }
+              }
+              idct(coef, samp)
+              val bx0 = (mx * compH(c) + u) * 8
+              val by0 = (my * compV(c) + v) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                val row = (by0 + yy) * planeW(c) + bx0
+                while (xx < 8) {
+                  planes(c)(row + xx) = samp(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              u += 1
+            }
+            v += 1
+          }
+          s += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val yv = planes(0)(
+          (y * compV(0) / vmax) * planeW(0) + x * compH(0) / hmax)
+        if (nComp == 1) {
+          px(o) = yv.toByte; px(o + 1) = yv.toByte; px(o + 2) = yv.toByte
+        } else {
+          val cb = planes(1)(
+            (y * compV(1) / vmax) * planeW(1) + x * compH(1) / hmax)
+          val cr = planes(2)(
+            (y * compV(2) / vmax) * planeW(2) + x * compH(2) / hmax)
+          px(o) = ycc2r(yv, cr).toByte
+          px(o + 1) = ycc2g(yv, cb, cr).toByte
+          px(o + 2) = ycc2b(yv, cb).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Multimodal.BmpCodec.Image(w, h, px)
+  }
+}

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * binary PPM images ([[Multimodal.BmpCodec]]/[[Multimodal.PpmCodec]] —
   * header fields, 4-byte row padding, bottom-up BGR), PCM-16 WAV audio
   * ([[Multimodal.WavCodec]] — RIFF chunk walk, little-endian int16),
-  * and uncompressed AVI video ([[Multimodal.AviCodec]] — RIFF chunk
-  * tree, avih header, 00db DIB frames). EVERY mm op runs on them: the
+  * uncompressed AVI video ([[Multimodal.AviCodec]] — RIFF chunk
+  * tree, avih header, 00db DIB frames), zlib PNG ([[Multimodal.PngCodec]]),
+  * LZW GIF ([[Multimodal.GifCodec]]), and baseline JPEG
+  * ([[JpegCodec]] — full T.81 sequential decode). EVERY mm op runs on them: the
   * [[mediaTable]] binary column carries genuine BMP/WAV/AVI files, the
   * generic ops (mm_media_stats / mm_feature_extract / mm_frame_sample /
   * mm_resize) sniff the container from magic bytes and decode with the
@@ -79,6 +81,8 @@ object Multimodal {
       bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
     else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == '8') "gif"
+    else if (bytes.length >= 4 && bytes(0) == 0xFF.toByte &&
+      bytes(1) == 0xD8.toByte && bytes(2) == 0xFF.toByte) "jpg"
     else if (bytes.length >= 12 && riffTag == "WAVE") "wav"
     else "avi"
   }
@@ -97,6 +101,9 @@ object Multimodal {
     case "gif" =>
       val img = GifCodec.decode(bytes)
       ("gif", img.w.toLong * img.h, weightedPxSum(img))
+    case "jpg" =>
+      val img = JpegCodec.decode(bytes)
+      ("jpg", img.w.toLong * img.h, weightedPxSum(img))
     case "wav" =>
       val a = WavCodec.decode(bytes)
       var sumAbs = 0L
@@ -1394,6 +1401,67 @@ object Multimodal {
           LATERAL (SELECT unnest(generate_series(0,
             CAST(18 + doc_id % 7 AS INT) - 1)) AS y) ys
         GROUP BY 1, 2, 3""")),
+
+    // ----- REAL JPEG decode (lossy DCT container) ------------------------
+    // The dominant image format of any real crawl, through a full
+    // baseline JFIF codec (JpegCodec: Annex-K Huffman, DC prediction,
+    // zigzag/ZRL/EOB, dequant, IDCT, 4:2:0 upsample, YCbCr→RGB). The
+    // fixture is synthesized in COEFFICIENT space so the lossy
+    // roundtrip is exactly predictable: per-8×8 luma block a DC level
+    // + three AC basis patterns whose IDCT is ±coeff/8 at every pixel,
+    // chroma constant per MCU (see JpegCodec scaladoc). The oracle
+    // re-derives each pixel from the block formulas + the closed-form
+    // JFIF color transform in identical IEEE-double arithmetic — no
+    // codec knowledge, pixel-level bit-exact. Blob dispatch goes
+    // through the same magic-byte sniffer as every other container.
+    Q("mm_decode_jpeg",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.map { id =>
+            val bytes = JpegCodec.encode(id)
+            val img = sniffKind(bytes) match {
+              case "jpg" => JpegCodec.decode(bytes)
+              case k => throw new IllegalStateException(
+                s"sniffer classified a JPEG blob as $k")
+            }
+            (id, img.w, img.h, weightedPxSum(img))
+          }
+        }.toDF("media_id", "w", "h", "px_sum")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            64 + (doc_id*7 + (x//8)*31 + (y//8)*17) % 128
+              + ((doc_id + (x//8)*5 + (y//8)*3) % 8)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*3 + (x//8) + (y//8)*7) % 8)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*5 + (x//8)*7 + (y//8)) % 4)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END) AS yv,
+            (doc_id*11 + (x//16)*13 + (y//16)*19) % 256 AS cb,
+            (doc_id*3 + (x//16)*7 + (y//16)*29) % 256 AS cr
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(21 + doc_id % 14 AS INT) - 1)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(13 + doc_id % 11 AS INT) - 1)) AS y) ys),
+        rgb AS (
+          SELECT doc_id,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.402E0 * (cr - 128) + 0.5E0) AS BIGINT))) AS r,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv - 0.344136E0 * (cb - 128) - 0.714136E0 * (cr - 128)
+                + 0.5E0) AS BIGINT))) AS g,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.772E0 * (cb - 128) + 0.5E0) AS BIGINT))) AS b
+          FROM px)
+        SELECT doc_id AS media_id,
+          CAST(21 + doc_id % 14 AS INT) AS w,
+          CAST(13 + doc_id % 11 AS INT) AS h,
+          CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
+        FROM rgb GROUP BY 1, 2, 3""")),
 
     // ----- REAL nearest-neighbor resize (actual pixel downsampling) ------
     // Decode the BMP, then sample source pixel (x*w/8, y*h/6) for each

@@ -240,14 +240,16 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("fuzz: all five decoders reject junk with a clean error") {
+  test("fuzz: all decoders reject junk with a clean error") {
     import graft.operators.Multimodal.{AviCodec, PngCodec, PpmCodec, WavCodec}
+    import graft.operators.JpegCodec
     val rnd = new scala.util.Random(20260813)
     val decoders = Seq[Array[Byte] => Any](
       BmpCodec.decode, PpmCodec.decode, WavCodec.decode, AviCodec.decode,
-      PngCodec.decode)
+      PngCodec.decode, JpegCodec.decode)
     val seeds = Seq(BmpCodec.encode(5L), PpmCodec.encode(5L),
-      WavCodec.encode(5L), AviCodec.encode(5L), PngCodec.encode(5L))
+      WavCodec.encode(5L), AviCodec.encode(5L), PngCodec.encode(5L),
+      JpegCodec.encode(5L))
     for (_ <- 0 until 500; dec <- decoders) {
       // half pure-random, half a valid container with mutated bytes —
       // the contract is IllegalArgumentException or a decode, never an
@@ -445,5 +447,155 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val ihOff = 13 + 768 + 5 + 2
     lied(ihOff) = (lied(ihOff) + 1).toByte
     intercept[IllegalArgumentException](GifCodec.decode(lied))
+  }
+
+  // ------------------------------------------------------------------
+  // JPEG
+  // ------------------------------------------------------------------
+  import graft.operators.JpegCodec
+
+  test("JPEG roundtrip reproduces the coefficient-space formula " +
+      "bit-exactly") {
+    // dims cycle with period lcm(14,11)=154 — cover every combination,
+    // so every partial-MCU geometry and DC-diff/AC-run mix is hit
+    for (id <- 0L until 154L) {
+      val (w, h) = JpegCodec.dims(id)
+      val img = JpegCodec.decode(JpegCodec.encode(id))
+      assert(img.w == w && img.h == h, s"id=$id dims")
+      for { y <- 0 until h; x <- 0 until w } {
+        assert((img.r(x, y), img.g(x, y), img.b(x, y)) ==
+          JpegCodec.expectedRgb(id, x, y), s"id=$id ($x,$y)")
+      }
+    }
+  }
+
+  test("JPEG cross-checks against the JDK's independent ImageIO codec") {
+    // direction 1: ImageIO (libjpeg-backed) must accept our bitstream
+    // and reconstruct the same image up to decoder freedom. Two layers:
+    // (a) where no channel clamps, the RGB→Y recovery
+    // 0.299R+0.587G+0.114B inverts the color transform exactly, so
+    // luma — never subsampled — is pinned within IDCT freedom at EVERY
+    // such pixel; (b) full RGB is compared away from MCU borders, where
+    // libjpeg's fancy chroma upsampling legitimately blends our
+    // per-MCU-constant chroma across the boundary (clamped pixels lose
+    // chroma information irreversibly, so (a) skips them).
+    for (id <- Seq(0L, 7L, 42L, 153L)) {
+      val ours = JpegCodec.encode(id)
+      val javaImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ours))
+      assert(javaImg != null, s"ImageIO rejected our JPEG for id=$id")
+      val (w, h) = JpegCodec.dims(id)
+      assert(javaImg.getWidth == w && javaImg.getHeight == h)
+      var rgbChecked = 0
+      for { y <- 0 until h; x <- 0 until w } {
+        val rgb = javaImg.getRGB(x, y)
+        val (r, g, b) = (rgb >> 16 & 0xFF, rgb >> 8 & 0xFF, rgb & 0xFF)
+        val (er, eg, eb) = JpegCodec.expectedRgb(id, x, y)
+        val unclamped = Seq(er, eg, eb).forall(v => v >= 2 && v <= 253)
+        if (unclamped) {
+          val yRec = 0.299 * r + 0.587 * g + 0.114 * b
+          val yExp = JpegCodec.lumaAt(id, x, y)
+          assert(math.abs(yRec - yExp) <= 2.5,
+            s"ImageIO luma id=$id ($x,$y): $yRec vs $yExp")
+        }
+        if (x % 16 >= 4 && x % 16 <= 11 && y % 16 >= 4 && y % 16 <= 11) {
+          assert(math.abs(r - er) <= 3 && math.abs(g - eg) <= 3 &&
+            math.abs(b - eb) <= 3,
+            s"ImageIO rgb id=$id ($x,$y): ($r,$g,$b) vs ($er,$eg,$eb)")
+          rgbChecked += 1
+        }
+      }
+      // the interior comparison must have real coverage, not vacuity
+      assert(rgbChecked >= 64, s"id=$id compared only $rgbChecked px")
+    }
+    // direction 2: a JPEG produced by ImageIO's own encoder (its own
+    // quant tables, Huffman choices, subsampling decisions) must decode
+    // under our general baseline parser to what ImageIO itself reads
+    // back — up to IDCT freedom and our nearest- vs libjpeg's fancy
+    // upsampling, kept small by a smooth gradient image.
+    val (gw, gh) = (40, 28)
+    val buf = new java.awt.image.BufferedImage(
+      gw, gh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for { y <- 0 until gh; x <- 0 until gw } {
+      val r = 40 + 3 * x + y
+      val g = 200 - 2 * x - y
+      val b = 70 + x + 2 * y
+      buf.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(buf, "jpg", out))
+    val foreign = out.toByteArray
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(foreign))
+    val img = JpegCodec.decode(foreign)
+    assert(img.w == ref.getWidth && img.h == ref.getHeight)
+    var sumDiff = 0L
+    var maxDiff = 0
+    for { y <- 0 until img.h; x <- 0 until img.w } {
+      val rgb = ref.getRGB(x, y)
+      val ds = Seq(
+        math.abs(img.r(x, y) - (rgb >> 16 & 0xFF)),
+        math.abs(img.g(x, y) - (rgb >> 8 & 0xFF)),
+        math.abs(img.b(x, y) - (rgb & 0xFF)))
+      sumDiff += ds.sum
+      maxDiff = math.max(maxDiff, ds.max)
+    }
+    val meanDiff = sumDiff.toDouble / (img.w * img.h * 3)
+    assert(maxDiff <= 8, s"max channel diff $maxDiff vs ImageIO")
+    assert(meanDiff <= 2.0, s"mean channel diff $meanDiff vs ImageIO")
+    // grayscale leg: single-component JPEGs take the nComp==1 path
+    val gray = new java.awt.image.BufferedImage(
+      24, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for { y <- 0 until 16; x <- 0 until 24 }
+      gray.getRaster.setSample(x, y, 0, 30 + 5 * x + 3 * y)
+    val gout = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(gray, "jpg", gout))
+    val gimg = JpegCodec.decode(gout.toByteArray)
+    val gref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gout.toByteArray))
+    assert(gimg.w == 24 && gimg.h == 16)
+    for { y <- 0 until 16; x <- 0 until 24 } {
+      // raw raster sample — getRGB on TYPE_BYTE_GRAY applies a
+      // gray→sRGB gamma conversion that has nothing to do with JPEG
+      val want = gref.getRaster.getSample(x, y, 0)
+      assert(math.abs(gimg.r(x, y) - want) <= 2 &&
+        gimg.r(x, y) == gimg.g(x, y) && gimg.g(x, y) == gimg.b(x, y),
+        s"gray ($x,$y): ours=${gimg.r(x, y)} ref=$want")
+    }
+  }
+
+  test("JPEG rejects malformed input, not misparses") {
+    intercept[IllegalArgumentException](
+      JpegCodec.decode("definitely not a jpeg".getBytes))
+    intercept[IllegalArgumentException](JpegCodec.decode(Array[Byte](1)))
+    val good = JpegCodec.encode(5L)
+    // truncations at every structural boundary: marker walk, segment
+    // payloads, entropy stream
+    for (cut <- Seq(3, 10, 30, 120, good.length - 5))
+      intercept[IllegalArgumentException](JpegCodec.decode(good.take(cut)))
+    // progressive frames are rejected by type, not misparsed: SOF0
+    // marker byte → SOF2
+    val prog = good.clone()
+    val sofOff = findMarker(prog, 0xC0)
+    prog(sofOff + 1) = 0xC2.toByte
+    val e1 = intercept[IllegalArgumentException](JpegCodec.decode(prog))
+    assert(e1.getMessage.contains("baseline"))
+    // crafted 65535x65535 dims must be rejected BEFORE plane allocation
+    val bomb = good.clone()
+    val dimOff = sofOff + 5 // len(2) + precision(1) → height
+    bomb(dimOff) = 0xFF.toByte; bomb(dimOff + 1) = 0xFF.toByte
+    bomb(dimOff + 2) = 0xFF.toByte; bomb(dimOff + 3) = 0xFF.toByte
+    val e2 = intercept[IllegalArgumentException](JpegCodec.decode(bomb))
+    assert(e2.getMessage.contains("implausible"))
+  }
+
+  private def findMarker(bytes: Array[Byte], mk: Int): Int = {
+    var i = 2
+    while (i + 1 < bytes.length) {
+      if ((bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == mk)
+        return i
+      i += 1
+    }
+    fail(f"marker FF$mk%02X not found")
   }
 }
