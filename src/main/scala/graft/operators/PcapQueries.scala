@@ -152,6 +152,45 @@ object PcapQueries {
     p.toString
   }
 
+  /** Corpus-bridge capture (60 flows; see
+    * [[graft.pcap.PcapSynth.httpCorpusSegments]]). */
+  private def httpCorpusSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_httpcorpus.pcap")
+    graft.pcap.PcapSynth.ensureHttpCorpusFile(p, 60)
+    p.toString
+  }
+
+  /** Expected corpus rows, re-derived from the synthesis formulas (the
+    * constant-oracle pattern of [[httpConvOracle]]): replay the gate
+    * and the exact dedup over [[graft.pcap.PcapSynth.corpusBody]].
+    * tools/pcap_oracle.py additionally re-derives the same table from
+    * the RAW capture bytes in Python, independent of these formulas. */
+  private def httpCorpusOracle(n: Int): String = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString
+    val kept = (0 until n).map { f =>
+      (f, s"host${f % 13}.example.com", graft.pcap.PcapSynth.corpusBody(f))
+    }.filter { case (_, _, b) =>
+      val w = b.split(" ", -1)
+      w.length >= 20 &&
+        w.distinct.length.toLong * 1000000L / w.length >= 300000L
+    }
+    val rows = kept.groupBy(_._3).toSeq.map { case (b, fs) =>
+      val (f0, host, _) = fs.minBy(_._1)
+      (f0, host, b.split(" ", -1).length, fs.size, md5hex(b))
+    }.sortBy(_._1).map { case (id, host, nt, nd, h) =>
+      s"($id, '$host', $nt, $nd, '$h')"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+        CAST(v.host AS VARCHAR) AS host,
+        CAST(v.n_tokens AS BIGINT) AS n_tokens,
+        CAST(v.n_dups AS BIGINT) AS n_dups,
+        CAST(v.body_md5 AS VARCHAR) AS body_md5
+        FROM (VALUES $rows)
+          AS v(doc_id, host, n_tokens, n_dups, body_md5)"""
+  }
+
   private def httpConvOracle(n: Int): String = {
     val counts = (0 until n)
       .groupBy(f => (s"host${f % 13}.example.com",
@@ -892,6 +931,55 @@ object PcapQueries {
           .agg(count(lit(1)).as("n"))
       },
       Some(httpConvOracle(50))),
+
+    // ----- pcap → LLM-corpus bridge ---------------------------------------
+    // Captures in, training corpus out — the two halves of the engine in
+    // ONE plan: reassembled HTTP response bodies become a documents
+    // table (doc_id from the client port, host provenance joined from
+    // the request direction), then the e2e-preprocess quality gate and
+    // exact dedup run downstream in the same lineage. The segment cuts
+    // land mid-body, so only reassembly yields the text; the junk flows
+    // must be gated, the boilerplate group must collapse to one row
+    // with its duplicate count. Scale shape: one shuffle for the
+    // per-direction reassembly, one broadcast-able equi-join on the
+    // client endpoint, one window on the 16-byte body digest — the
+    // corpus text itself never shuffles twice.
+    Q("pcap_http_to_corpus",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val streams = s.read.format("pcap").load(httpCorpusSynthPath)
+          .filter($"protocol" === "TCP" && $"tcp_seq".isNotNull &&
+            $"payload".isNotNull)
+          .groupBy($"src", $"dst", $"src_port", $"dst_port")
+          .agg(graft.functions.Reassemble.stream().as("r"))
+          .select($"src", $"dst", $"src_port", $"dst_port",
+            $"r.stream".cast("string").as("txt"))
+        val docs = streams.filter($"src_port" === 80)
+          .select(($"dst_port" - 42000).cast("long").as("doc_id"),
+            $"dst".as("client"), $"dst_port".as("client_port"),
+            $"txt".substr(instr($"txt", "\r\n\r\n") + 4, lit(1 << 20))
+              .as("text"))
+        val hosts = streams.filter($"dst_port" === 80)
+          .select($"src".as("client"), $"src_port".as("client_port"),
+            regexp_extract($"txt", "\r\nHost: (\\S+)\r\n", 1).as("host"))
+        val gated = docs.join(hosts, Seq("client", "client_port"))
+          .withColumn("w", split($"text", " "))
+          .withColumn("n_tokens", size($"w").cast("long"))
+          .filter($"n_tokens" >= 20 &&
+            expr("size(array_distinct(w)) * 1000000L div size(w)")
+              >= 300000L)
+        gated
+          .withColumn("body_md5", md5($"text".cast("binary")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"body_md5").orderBy($"doc_id")))
+          .withColumn("n_dups",
+            count(lit(1)).over(Window.partitionBy($"body_md5")))
+          .filter($"rn" === 1)
+          .select($"doc_id", $"host", $"n_tokens",
+            $"n_dups".cast("long").as("n_dups"), $"body_md5")
+      },
+      Some(httpCorpusOracle(60))),
 
     // Receive-window health: zero-window events are THE standard TCP
     // stall signal ops teams alert on. Per-flow bounded aggregates over

@@ -611,6 +611,46 @@ if glob.glob(f"{out}/pcap_http_conversations/*.parquet"):
          _read("pcap_http_conversations", ["host", "status", "n"]),
          sorted((h, st, c) for (h, st), c in conv.items()))
 
+# pcap -> LLM-corpus bridge: reassemble both directions from the RAW
+# capture, extract response bodies + request hosts, replay the quality
+# gate and the exact dedup — fully independent of the Scala synthesis
+# formulas the Spark-side constant oracle is generated from.
+if glob.glob(f"{out}/pcap_http_to_corpus/*.parquet"):
+    import hashlib
+    import re as _re3
+    dirs = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_httpcorpus.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        sp, dp = struct.unpack_from(">HH", fr, l4)
+        seq = struct.unpack_from(">I", fr, l4 + 4)[0]
+        hdr = ((fr[l4 + 12] >> 4) & 0xF) * 4
+        dirs.setdefault((src, dst, sp, dp), []).append((seq, fr[l4 + hdr:]))
+    bodies, chosts = {}, {}
+    for (src, dst, sp, dp), segs in dirs.items():
+        segs.sort()
+        txt = b"".join(p for _, p in segs).decode("ascii")
+        if dp == 80:
+            chosts[(src, sp)] = _re3.search(
+                r"\r\nHost: (\S+)\r\n", txt).group(1)
+        else:
+            bodies[(dst, dp)] = txt.split("\r\n\r\n", 1)[1]
+    groups = {}
+    for (cl, cp), body in bodies.items():
+        w = body.split(" ")
+        if len(w) < 20 or len(set(w)) * 1000000 // len(w) < 300000:
+            continue
+        groups.setdefault(body, []).append((cp - 42000, chosts[(cl, cp)]))
+    exp = []
+    for body, ds in groups.items():
+        ds.sort()
+        did, host = ds[0]
+        exp.append((did, host, len(body.split(" ")), len(ds),
+                    hashlib.md5(body.encode()).hexdigest()))
+    _cmp("pcap_http_to_corpus(redecode)",
+         _read("pcap_http_to_corpus",
+               ["doc_id", "host", "n_tokens", "n_dups", "body_md5"]),
+         sorted(exp))
+
 if glob.glob(f"{out}/pcap_tcp_zero_window/*.parquet"):
     wflows = {}
     for ts, us, fr in _frames("/tmp/graft_synth_tcpwindow.pcap"):
