@@ -42,6 +42,98 @@ object Graph {
 
   private val Scale  = "1000000000000.0" // 1e12, exact in double
 
+  // ----- persisted co-purchase graph artifact (round-8 verdict #3) --------
+  // pipeline_pagerank and pipeline_lpa_communities used to rebuild the
+  // identical edge list (2.6-5.4 s of their runtime each at sf0.1). Same
+  // lifecycle as the IVF-PQ index artifact (Similarity.scala): the
+  // WEIGHTED edge relation (src, dst, w = distinct co-occurring orders)
+  // is built once, persisted as parquet, and cold-loaded by any later
+  // session; a JSON sidecar written LAST via atomic move is the commit
+  // marker and records the source row count as the staleness guard
+  // (mismatch -> rebuild, never a silently-stale graph). PageRank
+  // consumes all edges (w >= 1 is by construction distinct pairs); LPA
+  // filters w >= LpaMinW — both as narrow projections of the one cached,
+  // src-partitioned relation, so the 25 iteration joins across the two
+  // queries reuse a single edge build AND a single partitioning.
+
+  private val edgeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val edgeBuilds = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+  private[graft] def buildsFor(d: String): Int =
+    Option(edgeBuilds.get(d)).map(_.get).getOrElse(0)
+  private[graft] def clearMemos(): Unit = {
+    edgeMemo.forEach { (_, df) =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
+    edgeMemo.clear()
+  }
+
+  /** Artifact location: `spark.graft.graph.dir` (or java.io.tmpdir) /
+    * md5(dataset dir) — content-addressed by dataset path, mirroring
+    * [[Similarity.annIndexDir]]. */
+  private[graft] def graphDir(s: SparkSession, d: String): java.nio.file.Path = {
+    val base = s.conf.get("spark.graft.graph.dir",
+      sys.props("java.io.tmpdir") + "/graft_graph")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(base, h)
+  }
+
+  /** The co-purchase edge relation (src, dst, w): memo (warm session) →
+    * persisted artifact (cold session — no self-join) → build, persist,
+    * read back. Always returned cached and hash-partitioned on src. */
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val memo = edgeMemo.get(d)
+    if (memo != null && !memo.sparkSession.sparkContext.isStopped)
+      return memo
+    import s.implicits._
+    // staleness key: raw lineitem row count — a parquet-metadata count,
+    // no shuffle (the distinct-pair count would itself cost the join
+    // the artifact exists to avoid)
+    val rows = Tables.lineitem(s, d).count()
+    val dir = graphDir(s, d)
+    val marker = dir.resolve("meta.json")
+    def loadStored(): Option[DataFrame] = {
+      if (!java.nio.file.Files.exists(marker)) return None
+      try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val o = JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(marker), "UTF-8"))
+        val stored = (o \ "rows") match {
+          case JInt(i) => i.toLong
+          case JLong(l) => l
+          case _ => -1L
+        }
+        if (stored != rows) None
+        else Some(s.read.parquet(dir.resolve("edges").toString))
+      } catch { case _: Exception => None }
+    }
+    val edges = loadStored().getOrElse {
+      edgeBuilds.computeIfAbsent(d,
+        _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+      val li = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val e = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter($"a.l_partkey" =!= $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+        .agg(count(lit(1)).as("w"))
+      java.nio.file.Files.createDirectories(dir)
+      e.write.mode("overwrite").parquet(dir.resolve("edges").toString)
+      val tmp = dir.resolve(".meta.json.tmp")
+      java.nio.file.Files.write(tmp,
+        s"""{"rows":$rows}""".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      s.read.parquet(dir.resolve("edges").toString)
+    }
+    val out = edges.repartition($"src").cache()
+    edgeMemo.put(d, out)
+    out
+  }
+
   /** Power-iteration depth. 20 is a realistic production depth (the
     * classic 10-50 round regime for ~1e-4 residuals at d=0.85); the
     * DuckDB oracle unrolls the same number of CTE rounds, so code and
@@ -118,20 +210,13 @@ object Graph {
     Q("pipeline_pagerank",
       (s, d) => {
         import s.implicits._
-        val li = Tables.lineitem(s, d)
-          .select($"l_orderkey", $"l_partkey").distinct()
-        // cache the edge list ALREADY hash-partitioned on the join key:
-        // the cached scan reports that partitioning, so each of the 20
-        // iterations' joins on src shuffle only the small rank side —
-        // without this every iteration reshuffles the full edge list
-        // (the dominant cost; at 100 TB-scale edges, the difference
-        // between one edge shuffle and twenty)
-        val e = li.as("a").join(li.as("b"), "l_orderkey")
-          .filter($"a.l_partkey" =!= $"b.l_partkey")
-          .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
-          .distinct()
-          .repartition($"src")
-          .cache()
+        // the shared artifact arrives cached and ALREADY hash-partitioned
+        // on the join key: each of the 20 iterations' joins on src
+        // shuffles only the small rank side — and the edge build itself
+        // is paid once across pagerank AND lpa_communities (persisted
+        // across sessions; see coPurchaseEdges). The (src,dst) pairs of
+        // the weighted relation are distinct by construction.
+        val e = coPurchaseEdges(s, d).select($"src", $"dst")
         // groupBy(src) over the src-partitioned cache: no shuffle, and
         // deg caches src-partitioned too, so the per-iteration 3-way
         // join is shuffle-free on both big sides
@@ -163,7 +248,7 @@ object Graph {
           r.orderBy(desc("r"), asc("node"))
             .limit(20)
             .select($"node".as("p_partkey"), $"r".as("rank"))
-        } finally { e.unpersist(); deg.unpersist() }
+        } finally deg.unpersist() // e stays cached — shared with LPA
       },
       Some(s"""WITH $pagerankCtes
         SELECT node AS p_partkey, r AS rank
@@ -203,23 +288,17 @@ object Graph {
     Q("pipeline_lpa_communities",
       (s, d) => {
         import s.implicits._
-        val li = Tables.lineitem(s, d)
-          .select($"l_orderkey", $"l_partkey").distinct()
-        val e = li.as("a").join(li.as("b"), "l_orderkey")
-          .filter($"a.l_partkey" =!= $"b.l_partkey")
-          .groupBy($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
-          .agg(count(lit(1)).as("w"))
+        // weight-threshold sparsification as a narrow filter over the
+        // shared cached src-partitioned artifact — no rebuild, no
+        // reshuffle (see coPurchaseEdges)
+        val e = coPurchaseEdges(s, d)
           .filter($"w" >= LpaMinW)
           .select($"src", $"dst")
-          .repartition($"src")
-          .cache()
-        try {
-          labelPropagate(e, LpaIters)
-            .groupBy($"label".as("community"))
-            .agg(count(lit(1)).as("csize"))
-            .orderBy(desc("csize"), asc("community"))
-            .limit(25)
-        } finally e.unpersist()
+        labelPropagate(e, LpaIters)
+          .groupBy($"label".as("community"))
+          .agg(count(lit(1)).as("csize"))
+          .orderBy(desc("csize"), asc("community"))
+          .limit(25)
       },
       Some {
         def it(k: Int): String = s"""l$k AS (

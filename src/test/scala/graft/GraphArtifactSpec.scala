@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted co-purchase graph artifact (round-9): pagerank and
+  * LPA share ONE edge build — within a session via the cached memo,
+  * across sessions via the parquet + sidecar artifact — and a stale
+  * artifact (source table changed underneath it) must rebuild, never
+  * serve a silently-stale graph. Same architecture as AnnIndexSpec:
+  * cleared memos + a live artifact IS the fresh-session cold start. */
+class GraphArtifactSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def copyDataset(): String = {
+    val dir = Files.createTempDirectory("graph_art_ds")
+    val src = Paths.get("/root/testdata/sf0.001/lineitem.parquet")
+    val dst = dir.resolve("lineitem.parquet")
+    spark.read.parquet(src.toString).write.parquet(dst.toString)
+    dir.toString
+  }
+
+  private def runPr(d: String): Seq[(Long, Double)] =
+    SparkEntry.queries("pipeline_pagerank")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def runLpa(d: String): Seq[(Long, Long)] =
+    SparkEntry.queries("pipeline_lpa_communities")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("pagerank + LPA share one edge build; cold session loads the " +
+      "artifact; stale artifact rebuilds") {
+    val d = copyDataset()
+    val base = Files.createTempDirectory("graph_art").toString
+    val prev = spark.conf.getOption("spark.graft.graph.dir")
+    spark.conf.set("spark.graft.graph.dir", base)
+    try {
+      val g = graft.operators.Graph
+      val pr = runPr(d)
+      assert(pr.nonEmpty)
+      assert(g.buildsFor(d) == 1, "first run builds + persists")
+      val lpa = runLpa(d)
+      assert(lpa.nonEmpty)
+      assert(g.buildsFor(d) == 1,
+        "LPA must reuse the edge build pagerank already paid for")
+      val dir = g.graphDir(spark, d)
+      assert(Files.exists(dir.resolve("meta.json")),
+        "sidecar commit marker must be persisted")
+      assert(Files.exists(dir.resolve("edges")),
+        "edge relation must be persisted as parquet")
+
+      // fresh-session cold start: empty memos, artifact on disk
+      g.clearMemos()
+      assert(runPr(d) == pr, "cold pagerank must be identical")
+      assert(runLpa(d) == lpa, "cold LPA must be identical")
+      assert(g.buildsFor(d) == 1,
+        "cold session must load the artifact, not re-join")
+
+      // stale guard: the source table grows underneath the artifact —
+      // append a full-schema row by duplicating an existing one
+      val one = spark.read.parquet(d + "/lineitem.parquet").limit(1)
+      one.write.mode("append").parquet(d + "/lineitem.parquet")
+      g.clearMemos()
+      runPr(d)
+      assert(g.buildsFor(d) == 2,
+        "a stale artifact (row-count mismatch) must rebuild")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.graph.dir", v)
+        case None => spark.conf.unset("spark.graft.graph.dir")
+      }
+      graft.operators.Graph.clearMemos()
+    }
+  }
+}
