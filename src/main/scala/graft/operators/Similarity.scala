@@ -122,6 +122,7 @@ object Similarity {
     java.nio.file.Files.createDirectories(dir)
     codes.write.mode("overwrite").parquet(dir.resolve("codes").toString)
     val obj =
+      ("fmt" -> IndexFmt) ~
       ("rows" -> rows) ~
       ("cents" -> cents.map(_.map(_.toString))) ~
       ("cb" -> cb.map(_.map(_.map(_.toString))))
@@ -146,11 +147,16 @@ object Similarity {
     try {
       val o = JsonMethods.parse(new String(
         java.nio.file.Files.readAllBytes(model), "UTF-8"))
-      val storedRows = (o \ "rows") match {
+      def asLong(v: JValue): Long = v match {
         case JInt(i) => i.toLong
         case JLong(l) => l
         case _ => -1L
       }
+      // format guard: a sidecar written before multi-assignment (fmt
+      // absent or older) must rebuild — its codes table has one entry
+      // per vector, which the A=3 probe would silently under-recall on
+      if (asLong(o \ "fmt") != IndexFmt) return None
+      val storedRows = asLong(o \ "rows")
       if (storedRows != rows) return None
       def d1(v: JValue): Seq[Double] = v match {
         case JArray(xs) => xs.map { case JString(x) => x.toDouble
@@ -205,25 +211,36 @@ object Similarity {
         val cents = ivfpqCentMemo.computeIfAbsent(d, _ =>
           Clustering.trainedCentroidArrays(s, d))
         val centCol = typedLit(cents).as("cents")
-        // coarse assign + residual: pure projection against the literal
-        val asg = e.select($"vec_id", $"v", centCol)
-          .select($"vec_id", $"v",
-            expr(s"transform(cents, c -> ${ivfL2.format("v", "c")})").as("cd"),
-            $"cents")
-          .select($"vec_id", $"v",
-            expr("CAST(array_position(cd, array_min(cd)) - 1 AS INT)")
-              .as("cl"),
-            $"cents")
-          .select($"vec_id", $"v", $"cl",
-            expr("zip_with(v, element_at(cents, cl + 1), (x, y) -> x - y)")
-              .as("r"))
-        // residual codebook: Lloyd-trained per subspace over the coarse
-        // residuals, seeded from the first 32 residuals
+        // REDUNDANT multi-assignment (round-9): each vector is indexed
+        // under its IvfA nearest lists, not just the primary — at
+        // nprobe=4 of 8 lists, single assignment caps routing recall at
+        // the fraction of true neighbors whose one list is probed
+        // (measured 0.78 here); with A=3 a neighbor is missed only if
+        // ALL THREE of its lists are unprobed (routing-bound 0.98,
+        // end-to-end ≥0.95). Cost is 3x code storage — 48 B/vector vs
+        // the 256 B raw vector — and the same zero-shuffle build: the
+        // top-A selection is an in-row array_sort over the 8 centroid
+        // distances (struct (cd, cl) sorts lexicographically = first-
+        // argmin tie-break), never a corpus window.
+        val topsExpr =
+          "slice(array_sort(transform(sequence(0, size(cents) - 1), " +
+            s"i -> struct(${ivfL2.format("v", "element_at(cents, i + 1)")}" +
+            s" AS cd, i AS cl))), 1, $IvfA)"
+        val asgAll = e.select($"vec_id", $"v", centCol)
+          .select($"vec_id", $"v", $"cents", posexplode(expr(topsExpr)))
+          .select($"vec_id", $"v", $"pos".cast("int").as("arank"),
+            $"col.cl".cast("int").as("cl"),
+            expr("zip_with(v, element_at(cents, col.cl + 1), " +
+              "(x, y) -> x - y)").as("r"))
+        // residual codebook: Lloyd-trained per subspace over the PRIMARY
+        // residuals only (standard IVFADC training), seeded from the
+        // first 32 residuals; secondary assignments reuse it
         val cb = ivfpqCbMemo.computeIfAbsent(d, _ =>
-          trainCodebooks(subVectors(asg.select($"vec_id", $"r"), "r")))
+          trainCodebooks(subVectors(
+            asgAll.filter($"arank" === 0).select($"vec_id", $"r"), "r")))
         val cbCol = typedLit(cb).as("cb")
         val codes = memoCodes(d, () => {
-          val c = asg.select($"vec_id", $"cl", $"r", cbCol)
+          val c = asgAll.select($"vec_id", $"cl", $"r", cbCol)
             .select($"vec_id", $"cl", expr(ivfSubDists.format("r")).as("sds"))
             .select($"vec_id", $"cl", expr("transform(sds, s -> " +
               "CAST(array_position(s, array_min(s)) - 1 AS INT))").as("codes"))
@@ -250,6 +267,16 @@ object Similarity {
   private val PqSubDim = 4
   private val PqK = 32
   private val PqIters = 3
+
+  /** IVF redundant-assignment count: each corpus vector is indexed in
+    * its IvfA nearest inverted lists (FAISS-style replica assignment).
+    * Fixed by the recall target: at nprobe=4/8, A=1 routing-bounds
+    * recall@5 at ~0.78 and A=3 at ~0.98 (measured, SimilaritySpec). */
+  private val IvfA = 3
+
+  /** Persisted-index format version; bumped when the artifact layout or
+    * semantics change (2 = multi-assignment codes). */
+  private val IndexFmt = 2L
 
   /** (vec_id, m, sub) rows: each vector split into its M sub-vectors. */
   private def subVectors(e: DataFrame, vecCol: String): DataFrame = {
@@ -1072,12 +1099,21 @@ object Similarity {
         // in-list ADC scan reduces through TopKByScore (ascending), same
         // as sim_ann_pq — no per-qid window sort of the candidate codes
         val topShort = udaf(new graft.functions.TopKByScore(50, ascending = true))
+        // multi-assignment means a candidate can enter via several of
+        // its lists (one ADC row per probed replica, each with its own
+        // residual quantization). A candidate's ADC estimate is the MIN
+        // over its probed replicas — folded per (qid, cid) BEFORE the
+        // top-50 so replica duplicates never crowd shortlist slots
+        // (without this the 3x entries cap distinct candidates at ~17
+        // and recall regresses). min() is a map-side-combinable partial
+        // agg, and the shortlist arrives unique per (qid, cid).
         val shortlist = codes.join(broadcast(lut), $"cl" === $"pl")
           .filter($"vec_id" =!= $"qid")
           .select($"qid", $"vec_id".as("cid"),
             expr("aggregate(sequence(0, 15), CAST(0.0 AS DOUBLE), " +
               "(acc, m) -> acc + element_at(lut, " +
               "m * 32 + element_at(codes, m + 1) + 1))").as("adist"))
+          .groupBy($"qid", $"cid").agg(min($"adist").as("adist"))
           .groupBy($"qid").agg(topShort($"cid", $"adist").as("tk"))
           .select($"qid", explode($"tk").as("sc"))
           .select($"qid", $"sc.id".as("cid"))
@@ -1096,19 +1132,25 @@ object Similarity {
         cents AS (
           SELECT CAST(cid AS INT) AS pl, c FROM ${Clustering.finalCentsCte}),
         asg AS (
-          SELECT f.vec_id, f.v, CAST(f.cluster AS INT) AS cl,
-            [v[i] - c[i] FOR i IN generate_series(1, len(v))] AS r
-          FROM fin f JOIN ${Clustering.finalCentsCte} fc
-            ON f.cluster = fc.cid),
+          SELECT vec_id, v, cl, r, arank FROM (
+            SELECT f.vec_id, f.v, cents.pl AS cl,
+              [f.v[i] - cents.c[i]
+               FOR i IN generate_series(1, len(f.v))] AS r,
+              ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+                list_sum([(f.v[i] - cents.c[i]) * (f.v[i] - cents.c[i])
+                          FOR i IN generate_series(1, len(f.v))]) ASC,
+                cents.pl ASC) AS arank
+            FROM fin f, cents) WHERE arank <= $IvfA),
         subr AS (
           SELECT vec_id, m, list_slice(r, m*4+1, m*4+4) AS sub
-          FROM asg, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+          FROM (SELECT vec_id, r FROM asg WHERE arank = 1) pri,
+            (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
         ${pqTrainCtes("subr", "rp")},
         cb AS (SELECT m, code, c AS sub FROM rpcb$PqIters),
         enc AS (
           SELECT vec_id, cl, m, code FROM (
             SELECT a.vec_id, a.cl, cb.m, cb.code,
-              ROW_NUMBER() OVER (PARTITION BY a.vec_id, cb.m ORDER BY
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.cl, cb.m ORDER BY
                 list_sum([(r[cb.m*4+i] - sub[i]) * (r[cb.m*4+i] - sub[i])
                           FOR i IN generate_series(1, 4)]) ASC,
                 cb.code ASC) AS rn
@@ -1135,13 +1177,16 @@ object Similarity {
             FROM probes p, cb) GROUP BY 1, 2),
         short AS (
           SELECT qid, cid FROM (
-            SELECT l.qid, c.vec_id AS cid,
-              ROW_NUMBER() OVER (PARTITION BY l.qid ORDER BY
-                list_sum([lut[m * 32 + codes[m + 1] + 1]
-                          FOR m IN generate_series(0, 15)]) ASC,
-                c.vec_id ASC) AS sr
-            FROM lut l JOIN codes c ON c.cl = l.pl
-            WHERE c.vec_id <> l.qid) WHERE sr <= 50)
+            SELECT qid, cid,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY adist ASC, cid ASC) AS sr
+            FROM (
+              SELECT l.qid, c.vec_id AS cid,
+                MIN(list_sum([lut[m * 32 + codes[m + 1] + 1]
+                              FOR m IN generate_series(0, 15)])) AS adist
+              FROM lut l JOIN codes c ON c.cl = l.pl
+              WHERE c.vec_id <> l.qid GROUP BY 1, 2))
+          WHERE sr <= 50)
         SELECT qid, cid, sqdist, rn FROM (
           SELECT qid, cid, sqdist,
             CAST(ROW_NUMBER() OVER (PARTITION BY qid

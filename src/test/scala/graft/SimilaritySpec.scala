@@ -104,11 +104,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty && ivfpq.nonEmpty)
     val recall = ivfpq.intersect(exact).size.toDouble / exact.size
     info(s"IVF-PQ recall@5 = $recall")
-    // losses compose: nprobe=4/8 coarse routing (IVF-class recall) times
-    // residual-ADC shortlist truncation — must still clear a random scan
-    // of 1/2 the corpus by a wide margin (both stages are Lloyd-trained
-    // and nprobe=4 routing measures ~0.74 here, vs 0.25 at nprobe=2)
-    assert(recall >= 0.6, s"IVF-PQ recall $recall")
+    // round-9: redundant A=3 assignment (each vector indexed in its 3
+    // nearest lists) lifts the nprobe=4/8 routing bound from ~0.78
+    // (single assignment) to ~0.98; after ADC shortlist truncation +
+    // exact re-rank the end-to-end floor is production-grade ≥0.95
+    assert(recall >= 0.95, s"IVF-PQ recall $recall")
     assert(topkPairs("sim_ann_ivfpq") == topkPairs("sim_ann_ivfpq"),
       "IVF-PQ must be deterministic")
   }
