@@ -111,6 +111,7 @@ class PcapDataWriter(dir: String, linkType: Int,
   // tracked for free while streaming
   private var minTs = Long.MaxValue
   private var maxTs = Long.MinValue
+  private var nPkts = 0L
 
   private def le32(v: Long): Array[Byte] = Array(
     (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
@@ -152,6 +153,7 @@ class PcapDataWriter(dir: String, linkType: Int,
     val sec = micro / 1000000L
     if (sec < minTs) minTs = sec
     if (sec > maxTs) maxTs = sec
+    nPkts += 1
     if (ng) {
       // EPB: iface 0, 64-bit µs timestamp split high/low, data padded
       val pad = (4 - (frame.length & 3)) & 3
@@ -188,7 +190,8 @@ class PcapDataWriter(dir: String, linkType: Int,
       // sees at worst a capture without stats (never pruned), never a
       // sidecar for a missing file
       if (writeTsIndex)
-        PcapTsIndex.writeSidecar(fs, finalPath, minTs, maxTs)
+        PcapTsIndex.writeSidecar(fs, finalPath, minTs, maxTs,
+          Some(nPkts))
       PcapWriteCommitted(finalPath.toString)
     }
   }

@@ -110,14 +110,43 @@ object PcapTable {
   def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".") &&
       !PcapTsIndex.isSidecar(name)
+
+  /** ONE file-listing implementation shared by the scan and the
+    * aggregate-pushdown probe in the builder (they must agree on the
+    * file set or a pushed count could cover different files than a
+    * scan would read). */
+  def listDataFiles(options: CaseInsensitiveStringMap,
+      conf: Configuration): Seq[FileStatus] = {
+    val declared = paths(options)
+    if (declared.isEmpty)
+      throw new IllegalArgumentException("pcap source requires a path")
+    declared.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse {
+        if (fs.exists(path)) Seq(fs.getFileStatus(path)) else Seq.empty
+      }
+      if (matches.isEmpty)
+        throw new java.io.FileNotFoundException(s"pcap path does not exist: $p")
+      matches.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+            .filter(s => isDataFile(s.getPath.getName))
+        else Seq(st)
+      }.filterNot(st => PcapTsIndex.isSidecar(st.getPath.getName))
+    }
+  }
 }
 
 class PcapScanBuilder(options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = PcapSchema.full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var countStars = 0 // number of pushed COUNT(*) columns
+  private var sidecarCount: Option[Long] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -139,7 +168,96 @@ class PcapScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new PcapScan(required, options, pushed)
+  // ----- metadata-only COUNT(*) (round-9) ---------------------------------
+  // The most common capture-triage query — how many packets landed — never
+  // opens a file when every capture has a count-bearing `.tsidx` sidecar:
+  // the total is the sum of sidecar counts, answered from the listing
+  // alone. Catalyst only offers the aggregate when no filter sits between
+  // the Aggregate and the scan (our pushed filters are always residual,
+  // so ANY filter blocks the offer — a filtered count still decodes), and
+  // any file lacking a counted sidecar declines the pushdown and falls
+  // back to the full scan. `option("countPushdown","false")` disables.
+
+  private def isCountStarOnly(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[
+          org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+  /** Sum of sidecar counts over the exact file set the scan would read;
+    * None if ANY file lacks a counted sidecar (fallback to scanning). */
+  private def sidecarTotal(): Option[Long] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val files = PcapTable.listDataFiles(options, conf)
+    var total = 0L
+    files.foreach { st =>
+      PcapTsIndex.readSidecarStats(
+          st.getPath.getFileSystem(conf), st.getPath) match {
+        case Some((_, _, Some(n))) => total += n
+        case _ => return None
+      }
+    }
+    Some(total)
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = pushAggregation(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (!options.getBoolean("countPushdown", true)) return false
+    if (!isCountStarOnly(agg) || pushed.nonEmpty) return false
+    sidecarCount = sidecarTotal()
+    countStars = agg.aggregateExpressions.length
+    sidecarCount.isDefined
+  }
+
+  override def build(): Scan = sidecarCount match {
+    case Some(total) => new PcapCountScan(total, countStars)
+    case None => new PcapScan(required, options, pushed)
+  }
+}
+
+/** The metadata-only COUNT(*) scan: one partition, one row, the sidecar
+  * total — no capture file is ever opened. */
+class PcapCountScan(total: Long, nCols: Int) extends Scan with Batch {
+  override def readSchema(): StructType = {
+    var st = new StructType()
+    (1 to nCols).foreach(i => st = st.add(s"count_$i",
+      org.apache.spark.sql.types.LongType, false))
+    st
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PcapCountScan(total=$total, fromSidecars=true)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PcapCountPartition(total, nCols))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PcapCountReaderFactory
+}
+
+case class PcapCountPartition(total: Long, nCols: Int) extends InputPartition
+
+class PcapCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition):
+      org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = partition.asInstanceOf[PcapCountPartition]
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          Seq.fill(p.nCols)(p.total))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
@@ -168,27 +286,8 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
   private def hadoopConf: Configuration =
     sparkSession.sessionState.newHadoopConf()
 
-  private def listFiles(): Seq[FileStatus] = {
-    val conf = hadoopConf
-    val declared = PcapTable.paths(options)
-    if (declared.isEmpty)
-      throw new IllegalArgumentException("pcap source requires a path")
-    declared.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse {
-        if (fs.exists(path)) Seq(fs.getFileStatus(path)) else Seq.empty
-      }
-      if (matches.isEmpty)
-        throw new java.io.FileNotFoundException(s"pcap path does not exist: $p")
-      matches.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-            .filter(s => PcapTable.isDataFile(s.getPath.getName))
-        else Seq(st)
-      }.filterNot(st => PcapTsIndex.isSidecar(st.getPath.getName))
-    }
-  }
+  private def listFiles(): Seq[FileStatus] =
+    PcapTable.listDataFiles(options, hadoopConf)
 
   /** Drop files whose per-file ts stats cannot intersect the pushed ts
     * bounds (SURVEY.md §4 file-level skipping). Stats come from exact

@@ -40,8 +40,13 @@ object PcapTsIndex {
 
   def isSidecar(name: String): Boolean = name.endsWith(SidecarSuffix)
 
-  /** Exact (minTs, maxTs) from the sidecar, if present and well-formed. */
-  def readSidecar(fs: FileSystem, file: Path): Option[(Long, Long)] =
+  /** Full sidecar stats: (minTs, maxTs, packet count). The count is the
+    * third, OPTIONAL field — sidecars written before round 9 carry only
+    * the ts pair and still prune; count-dependent callers (the
+    * metadata-only count(*) pushdown) treat its absence as "fall back
+    * to the scan". */
+  def readSidecarStats(fs: FileSystem, file: Path)
+      : Option[(Long, Long, Option[Long])] =
     try {
       val sp = sidecar(file)
       if (!fs.exists(sp)) None
@@ -51,19 +56,30 @@ object PcapTsIndex {
           try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
           finally in.close()
         txt.trim.split("\\s+") match {
-          case Array(mn, mx) => Some((mn.toLong, mx.toLong))
+          case Array(mn, mx) => Some((mn.toLong, mx.toLong, None))
+          case Array(mn, mx, n) => Some((mn.toLong, mx.toLong,
+            Some(n.toLong)))
           case _ => None
         }
       }
     } catch { case _: Exception => None }
 
+  /** Exact (minTs, maxTs) from the sidecar, if present and well-formed. */
+  def readSidecar(fs: FileSystem, file: Path): Option[(Long, Long)] =
+    readSidecarStats(fs, file).map { case (mn, mx, _) => (mn, mx) }
+
   /** Atomic sidecar write (temp file + rename — a crashed writer never
     * leaves a truncated sidecar behind; ADVICE r4's fixture lesson). */
-  def writeSidecar(fs: FileSystem, file: Path, min: Long, max: Long): Unit = {
+  def writeSidecar(fs: FileSystem, file: Path, min: Long, max: Long,
+      count: Option[Long] = None): Unit = {
     val sp = sidecar(file)
     val tmp = sp.suffix(".tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"$min $max\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val line = count match {
+      case Some(n) => s"$min $max $n\n"
+      case None => s"$min $max\n"
+    }
+    try out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(sp, false)
     fs.rename(tmp, sp)
@@ -81,10 +97,10 @@ object PcapTsIndex {
     case _ => None // pcapng or not a capture: no classic record chain
   }
 
-  /** Full sequential min/max scan of a (possibly compressed) classic
-    * pcap stream — record headers only, bodies skipped. The ETL-side
-    * stat computation behind [[writeSidecar]]. */
-  def scanMinMax(in: InputStream): Option[(Long, Long)] = {
+  /** Full sequential min/max/count scan of a (possibly compressed)
+    * classic pcap stream — record headers only, bodies skipped. The
+    * ETL-side stat computation behind [[writeSidecar]]. */
+  def scanMinMax(in: InputStream): Option[(Long, Long, Long)] = {
     val is = new DataInputStream(in)
     val gh = new Array[Byte](GlobalHeaderSize)
     try is.readFully(gh) catch { case _: EOFException => return None }
@@ -106,7 +122,7 @@ object PcapTsIndex {
         n += 1
       }
     }
-    if (n > 0) Some((mn, mx)) else None
+    if (n > 0) Some((mn, mx, n)) else None
   }
 
   /** Cheap first/last-timestamp probe for UNCOMPRESSED classic pcap:

@@ -33,26 +33,30 @@ object PcapStatsWriter {
         val stats = try PcapTsIndex.scanMinMax(in) finally in.close()
         // non-classic containers (pcapng) have no fixed record chain for
         // the header walk — fall back to a full decode pass for the same
-        // exact stats (slower, still one-time ETL work)
+        // exact stats (slower, still one-time ETL work). The count
+        // covers EVERY packet (also ones without a usable ts).
         val resolved = stats.orElse {
           val in2 = PcapFileOpener.open(conf, st.getPath.toString)
           try {
-            val ts = graft.pcap.PacketReaders
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var n = 0L
+            graft.pcap.PacketReaders
               .open(in2, graft.pcap.DecodeOptions(appDecoder = None))
-              .flatMap(_.ts)
-            if (ts.isEmpty) None
-            else {
-              var mn = Long.MaxValue
-              var mx = Long.MinValue
-              ts.foreach { t => if (t < mn) mn = t; if (t > mx) mx = t }
-              Some((mn, mx))
-            }
+              .foreach { p =>
+                n += 1
+                p.ts.foreach { t =>
+                  if (t < mn) mn = t; if (t > mx) mx = t
+                }
+              }
+            if (n == 0 || mn == Long.MaxValue) None
+            else Some((mn, mx, n))
           } catch { case _: Exception => None } finally in2.close()
         }
         resolved match {
-          case Some((mn, mx)) =>
-            PcapTsIndex.writeSidecar(fs, st.getPath, mn, mx)
-            println(s"${st.getPath}: ts [$mn, $mx]")
+          case Some((mn, mx, n)) =>
+            PcapTsIndex.writeSidecar(fs, st.getPath, mn, mx, Some(n))
+            println(s"${st.getPath}: ts [$mn, $mx], $n packets")
           case None =>
             println(s"${st.getPath}: no packet stats (skipped)")
         }

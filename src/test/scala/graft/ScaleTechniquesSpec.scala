@@ -318,9 +318,9 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     // ETL-side sidecar generation (exact min/max header walk) ...
     graft.tools.PcapStatsWriter.main(Array(dir.toString))
     assert(new String(java.nio.file.Files.readAllBytes(
-      dir.resolve("a.pcap.tsidx"))).trim == "1000 1003")
+      dir.resolve("a.pcap.tsidx"))).trim == "1000 1003 4")
     assert(new String(java.nio.file.Files.readAllBytes(
-      dir.resolve("d.pcapng.tsidx"))).trim == "4000 4003")
+      dir.resolve("d.pcapng.tsidx"))).trim == "4000 4003 4")
     // ... but leave c.pcap statless to exercise the no-stats path
     java.nio.file.Files.delete(dir.resolve("c.pcap.tsidx"))
     // 1-byte bins -> one file per partition, so the partition count IS
