@@ -65,6 +65,46 @@ object Dedup {
             FROM documents)
       WHERE len(ws) >= 3)"""
 
+  /** PPJoin prefix tokens of any (doc_id, shingle) relation at
+    * threshold t = 3/5: shingles ordered per document by ascending
+    * GLOBAL frequency (ties by shingle), keep the first
+    * sz − ceil(t·sz) + 1. Factored out so DedupSkewSpec can pin the
+    * candidate/verify bound directly on the stage the query runs. */
+  private[graft] def ppjoinPrefix(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val wd = Window.partitionBy($"doc_id")
+    sh.join(dfreq, "shingle")
+      .withColumn("rn",
+        row_number().over(wd.orderBy($"df", $"shingle")))
+      .withColumn("sz", count(lit(1)).over(wd))
+      // prefix length sz - ceil(3·sz/5) + 1, all-integer ceiling
+      .filter($"rn" <= $"sz" - expr("(3*sz + 4) div 5") + 1)
+      .select($"doc_id", $"shingle")
+  }
+
+  /** PPJoin candidate pairs: prefix-token equi-join, doc1 < doc2,
+    * distinct. The verify stage's cost is |candidates| × doc size, so
+    * THIS relation's cardinality is the whole skew story: prefixes
+    * hold only each doc's rarest ~(1−t) fraction of tokens, so as long
+    * as boilerplate makes up less than t of a document, every
+    * corpus-wide hot shingle sorts PAST the prefix boundary and
+    * contributes zero candidate pairs (DedupSkewSpec constructs the
+    * adversarial corpus and pins this at exactly-one candidate). If
+    * boilerplate exceeds t, hot tokens reach prefixes and candidates
+    * grow — the documented PPJoin regime where one raises t or applies
+    * the DfCap mitigation of dedup_ngram_jaccard_capped. */
+  private[graft] def ppjoinCandidates(sh: DataFrame): DataFrame = {
+    val prefix = ppjoinPrefix(sh)
+    prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+  }
+
   /** Per-document MinHash signature (m0..m7), cached — shingling +
     * hashing + the min-aggregation run once however many band frames
     * consume it (at 100 TB: persist to disk or checkpoint — signatures
@@ -452,23 +492,8 @@ object Dedup {
     Q("dedup_ppjoin",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val sh = shingles(s, d).cache()
-        val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-        val wd = Window.partitionBy($"doc_id")
-        val ordered = sh.join(dfreq, "shingle")
-          .withColumn("rn",
-            row_number().over(wd.orderBy($"df", $"shingle")))
-          .withColumn("sz", count(lit(1)).over(wd))
-        // prefix length sz - ceil(3·sz/5) + 1, all-integer ceiling
-        val prefix = ordered
-          .filter($"rn" <= $"sz" - expr("(3*sz + 4) div 5") + 1)
-          .select($"doc_id", $"shingle")
-        val cand = prefix.as("a").join(prefix.as("b"),
-            col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-          .distinct()
+        val cand = ppjoinCandidates(sh)
         val common = cand
           .join(sh.select($"doc_id".as("doc1"), $"shingle"), "doc1")
           .join(sh.select($"doc_id".as("doc2"), $"shingle"),

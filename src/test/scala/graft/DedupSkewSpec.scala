@@ -149,4 +149,44 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(l2 < l1,
       s"two-level banding must cut worst-bucket occupancy ($l2 vs $l1)")
   }
+
+  test("PPJoin prefixes exclude boilerplate, so the verify join-back " +
+      "is candidate-bounded (round-8 verdict #7)") {
+    import spark.implicits._
+    // Adversarial boilerplate-heavy corpus: 40 docs sharing the SAME
+    // 55 boilerplate tokens (df = 40, the hottest possible keys) plus
+    // 45 per-doc unique tokens each — boilerplate fraction 0.55 < t =
+    // 0.6, so every prefix (the rarest floor(0.4·sz)+1 = 41 tokens)
+    // consists of unique tokens only. Docs 100/101 are additionally
+    // true near-dups (share their 45 "unique" tokens too → J = 1.0).
+    val boiler = (0 until 55).map(i => s"B$i")
+    def uniq(d: Int) = (0 until 45).map(i => s"U${d}_$i")
+    val docs = (0 until 40).map { d =>
+      val id = 100L + d
+      val toks = if (d == 1) boiler ++ uniq(0) else boiler ++ uniq(d)
+      id -> toks
+    }
+    val sh = docs.flatMap { case (id, toks) => toks.map(id -> _) }
+      .toDF("doc_id", "shingle")
+    val prefix = operators.Dedup.ppjoinPrefix(sh)
+    // 1. no boilerplate token ever enters a prefix — the hot keys that
+    //    would drive |candidates| toward N² contribute nothing
+    assert(prefix.filter($"shingle".startsWith("B")).count() == 0,
+      "a boilerplate (df=40) token entered a PPJoin prefix")
+    // 2. |candidates| is exactly the one true near-dup pair — the
+    //    verify join-back therefore touches 2 docs' shingles, not
+    //    40·39/2 = 780 pairs x 100 shingles (the naive join's work)
+    val cand = operators.Dedup.ppjoinCandidates(sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.toSeq == Seq((100L, 101L)),
+      s"candidates must be exactly the planted near-dup pair: " +
+        cand.mkString(","))
+    // 3. completeness sanity on the same corpus: the planted pair
+    //    really does clear t (J = 1.0 ≥ 3/5), so pruning it would have
+    //    been a recall bug, not a skew win
+    val sets = docs.toMap
+    val inter = sets(100L).toSet.intersect(sets(101L).toSet).size
+    val union = sets(100L).toSet.union(sets(101L).toSet).size
+    assert(inter * 5 >= union * 3)
+  }
 }
