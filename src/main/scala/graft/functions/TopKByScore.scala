@@ -28,7 +28,8 @@ final case class ScoredId(id: Long, score: Double)
   * `ascending = true` ranks by (score asc, id asc) instead — the
   * distance-metric form the PQ/IVF-PQ ADC scans use.
   */
-class TopKByScore(k: Int, ascending: Boolean = false)
+class TopKByScore(k: Int, ascending: Boolean = false,
+    dedupIds: Boolean = false)
   extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
 
   /** true if a ranks strictly better than b. */
@@ -37,7 +38,21 @@ class TopKByScore(k: Int, ascending: Boolean = false)
     (if (ascending) c < 0 else c > 0) || (c == 0 && a.id < b.id)
   }
 
-  private def insert(buf: List[ScoredId], x: ScoredId): List[ScoredId] = {
+  private def insert(buf0: List[ScoredId], x: ScoredId): List[ScoredId] = {
+    // `dedupIds` ranks each id by its BEST score (top-k over per-id
+    // min/max instead of over raw pairs) — the multi-entry candidate
+    // shape of the IVF-PQ replica scan, folded inside the aggregator
+    // instead of a separate (group, id) exchange. The cap stays
+    // lossless by the usual dominance argument: if a buffer dropped
+    // id X, it kept k DISTINCT ids each strictly better than X's best
+    // score in that buffer, and their global bests only improve.
+    val buf =
+      if (!dedupIds) buf0
+      else buf0.find(_.id == x.id) match {
+        case Some(prev) if !better(x, prev) => return buf0 // keep prev
+        case Some(prev) => buf0.filterNot(_ eq prev)
+        case None => buf0
+      }
     // buf is sorted best-first and has at most k elements; an O(k)
     // insertion keeps it that way (k is tiny — 5 here)
     if (buf.length >= k && !better(x, buf.last)) buf

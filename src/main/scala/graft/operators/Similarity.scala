@@ -1098,22 +1098,22 @@ object Similarity {
             expr("flatten(" + subDists.format("qr") + ")").as("lut"))
         // in-list ADC scan reduces through TopKByScore (ascending), same
         // as sim_ann_pq — no per-qid window sort of the candidate codes
-        val topShort = udaf(new graft.functions.TopKByScore(50, ascending = true))
         // multi-assignment means a candidate can enter via several of
         // its lists (one ADC row per probed replica, each with its own
         // residual quantization). A candidate's ADC estimate is the MIN
-        // over its probed replicas — folded per (qid, cid) BEFORE the
-        // top-50 so replica duplicates never crowd shortlist slots
-        // (without this the 3x entries cap distinct candidates at ~17
-        // and recall regresses). min() is a map-side-combinable partial
-        // agg, and the shortlist arrives unique per (qid, cid).
+        // over its probed replicas — folded INSIDE the top-k aggregator
+        // (dedupIds: rank ids by their best score) so replica
+        // duplicates never crowd shortlist slots, with no extra
+        // (qid, cid) exchange: the scan still reduces map-side straight
+        // to one ≤50-entry buffer per query.
+        val topShort = udaf(new graft.functions.TopKByScore(50,
+          ascending = true, dedupIds = true))
         val shortlist = codes.join(broadcast(lut), $"cl" === $"pl")
           .filter($"vec_id" =!= $"qid")
           .select($"qid", $"vec_id".as("cid"),
             expr("aggregate(sequence(0, 15), CAST(0.0 AS DOUBLE), " +
               "(acc, m) -> acc + element_at(lut, " +
               "m * 32 + element_at(codes, m + 1) + 1))").as("adist"))
-          .groupBy($"qid", $"cid").agg(min($"adist").as("adist"))
           .groupBy($"qid").agg(topShort($"cid", $"adist").as("tk"))
           .select($"qid", explode($"tk").as("sc"))
           .select($"qid", $"sc.id".as("cid"))

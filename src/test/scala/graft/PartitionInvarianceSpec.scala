@@ -39,7 +39,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "pipeline_chunk_overlap",
     // round 8: gaps-and-islands span merge, the synchronous LPA loop's
     // per-round argmax, and the HLL register max-merge
-    "text_repeat_spans", "pipeline_lpa_communities", "q51_hll_registers")
+    "text_repeat_spans", "pipeline_lpa_communities", "q51_hll_registers",
+    // round 9: the replica-dedup TopK fold in the IVF-PQ shortlist, and
+    // the reassembly → gate → window-dedup corpus bridge
+    "sim_ann_ivfpq", "pcap_http_to_corpus")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -64,6 +64,34 @@ class TopKByScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupIds mode == top-k over per-id best, any partitioning") {
+    // the IVF-PQ replica-scan shape (round-9): the same id arrives up
+    // to several times with different scores; ranking is over each
+    // id's BEST score, and the cap must stay lossless under any split
+    // (the dominance argument in the insert comment)
+    def refDedup(xs: Seq[ScoredId], k: Int, asc: Boolean): Seq[ScoredId] = {
+      val best = xs.groupBy(_.id).values.map(g =>
+        reference(g, 1, asc).head).toSeq
+      reference(best, k, asc)
+    }
+    val rnd = new Random(29)
+    for (_ <- 1 to 500) {
+      val n = rnd.nextInt(61)
+      val xs = Seq.fill(n)(ScoredId(rnd.nextInt(9).toLong, // dense dups
+        scorePool(rnd.nextInt(scorePool.length))))
+      val k = 1 + rnd.nextInt(8)
+      val chunks = 1 + rnd.nextInt(7)
+      val asc = rnd.nextBoolean()
+      val agg = new TopKByScore(k, asc, dedupIds = true)
+      val parts = xs.zipWithIndex.groupBy(_._2 % chunks).toSeq
+        .sortBy(_._1).map(_._2.map(_._1))
+      val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val got = agg.finish(bufs.foldLeft(agg.zero)(agg.merge))
+      assert(got == refDedup(xs, k, asc),
+        s"n=$n k=$k chunks=$chunks asc=$asc xs=$xs")
+    }
+  }
+
   test("-0.0 and 0.0 keep Spark's total order (-0.0 < 0.0)") {
     val xs = Seq(ScoredId(1, 0.0), ScoredId(2, -0.0))
     // descending: 0.0 ranks above -0.0
