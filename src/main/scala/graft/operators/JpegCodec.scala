@@ -254,8 +254,13 @@ object JpegCodec extends Serializable {
 
   /** Write a genuine baseline JFIF file for the fixture id: SOI, APP0,
     * DQT (two all-8 tables), SOF0 (3 components, 4:2:0), DHT (the four
-    * Annex K tables), SOS, interleaved entropy-coded MCUs, EOI. */
-  def encode(id: Long): Array[Byte] = {
+    * Annex K tables), SOS, interleaved entropy-coded MCUs, EOI.
+    * `restartInterval > 0` additionally writes a DRI segment and
+    * byte-aligned RSTn markers every that-many MCUs with DC-predictor
+    * resets — the framing camera JPEGs use for error resilience
+    * (exercises the decoder's syncRestart path; the fixture queries
+    * use 0). */
+  def encode(id: Long, restartInterval: Int = 0): Array[Byte] = {
     val (w, h) = dims(id)
     val out = new java.io.ByteArrayOutputStream(4096)
     def marker(b: Int): Unit = { out.write(0xFF); out.write(b) }
@@ -289,16 +294,27 @@ object JpegCodec extends Serializable {
       dht(1, 0, AcLumBits, AcLumVals) ++
       dht(0, 1, DcChrBits, DcVals) ++
       dht(1, 1, AcChrBits, AcChrVals))
+    if (restartInterval > 0)
+      seg(0xDD, Array[Byte]((restartInterval >>> 8).toByte,
+        restartInterval.toByte))
     seg(0xDA, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
     val bw = new BitWriter(out)
     val mcusX = (w + 15) / 16
     val mcusY = (h + 15) / 16
     var predY = 0; var predCb = 0; var predCr = 0
+    var mcu = 0
+    var rstN = 0
     val coef = new Array[Int](64)
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush() // pad to byte boundary with 1s
+          marker(0xD0 + rstN)
+          rstN = (rstN + 1) & 7
+          predY = 0; predCb = 0; predCr = 0
+        }
         var v = 0
         while (v < 2) {
           var u = 0
@@ -320,6 +336,7 @@ object JpegCodec extends Serializable {
         java.util.Arrays.fill(coef, 0)
         coef(0) = crOf(id, mx, my) - 128
         predCr = encodeBlock(bw, coef, predCr, HuffDcChr, HuffAcChr)
+        mcu += 1
         mx += 1
       }
       my += 1

@@ -564,6 +564,35 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG restart markers (DRI/RSTn) roundtrip with DC resets") {
+    // camera JPEGs emit restart markers for error resilience; the
+    // decoder must byte-align, consume RST0..7 modulo-8, and reset DC
+    // predictors at every interval — any slip corrupts all later DCs
+    for (id <- Seq(0L, 7L, 42L, 153L); ri <- 1 to 3) {
+      val bytes = JpegCodec.encode(id, restartInterval = ri)
+      val (w, h) = JpegCodec.dims(id)
+      val nMcus = ((w + 15) / 16) * ((h + 15) / 16)
+      // the stream must actually contain restart markers whenever the
+      // MCU count crosses the interval
+      val nRst = bytes.sliding(2).count(p =>
+        (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) >= 0xD0 &&
+          (p(1) & 0xFF) <= 0xD7)
+      assert(nRst == (nMcus - 1) / ri,
+        s"id=$id ri=$ri: $nRst RSTn markers for $nMcus MCUs")
+      val img = JpegCodec.decode(bytes)
+      assert(img.w == w && img.h == h)
+      for { y <- 0 until h; x <- 0 until w } {
+        assert((img.r(x, y), img.g(x, y), img.b(x, y)) ==
+          JpegCodec.expectedRgb(id, x, y), s"id=$id ri=$ri ($x,$y)")
+      }
+      // ImageIO (libjpeg) must also accept the restart-marker stream
+      val javaImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(javaImg != null && javaImg.getWidth == w,
+        s"ImageIO rejected restart-marker JPEG id=$id ri=$ri")
+    }
+  }
+
   test("JPEG rejects malformed input, not misparses") {
     intercept[IllegalArgumentException](
       JpegCodec.decode("definitely not a jpeg".getBytes))
