@@ -935,35 +935,50 @@ object PcapQueries {
     // ----- pcap → LLM-corpus bridge ---------------------------------------
     // Captures in, training corpus out — the two halves of the engine in
     // ONE plan: reassembled HTTP response bodies become a documents
-    // table (doc_id from the client port, host provenance joined from
-    // the request direction), then the e2e-preprocess quality gate and
+    // table (doc_id from the client port, host provenance from the
+    // request direction), then the e2e-preprocess quality gate and
     // exact dedup run downstream in the same lineage. The segment cuts
     // land mid-body, so only reassembly yields the text; the junk flows
     // must be gated, the boilerplate group must collapse to one row
-    // with its duplicate count. Scale shape: one shuffle for the
-    // per-direction reassembly, one broadcast-able equi-join on the
-    // client endpoint, one window on the 16-byte body digest — the
-    // corpus text itself never shuffles twice.
+    // with its duplicate count. Scale shape: the packet relation is
+    // read and shuffled ONCE — both directions key by the
+    // direction-normalized conversation endpoint + an is_req flag, so
+    // one reassembly aggregation covers requests and responses, and a
+    // second aggregation over per-flow rows (tiny) pivots the two
+    // directions onto one conversation row (the two-groupBy + join
+    // formulation recomputed the capture scan per direction); then one
+    // window on the 16-byte body digest for the dedup.
     Q("pcap_http_to_corpus",
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val streams = s.read.format("pcap").load(httpCorpusSynthPath)
+        val conv = s.read.format("pcap").load(httpCorpusSynthPath)
           .filter($"protocol" === "TCP" && $"tcp_seq".isNotNull &&
             $"payload".isNotNull)
-          .groupBy($"src", $"dst", $"src_port", $"dst_port")
+          .select(
+            when($"dst_port" === 80, $"dst").otherwise($"src")
+              .as("server"),
+            when($"dst_port" === 80, $"src").otherwise($"dst")
+              .as("client"),
+            when($"dst_port" === 80, $"src_port").otherwise($"dst_port")
+              .as("client_port"),
+            ($"dst_port" === 80).as("is_req"),
+            $"tcp_seq", $"pkt_idx", $"payload")
+          .groupBy($"server", $"client", $"client_port", $"is_req")
           .agg(graft.functions.Reassemble.stream().as("r"))
-          .select($"src", $"dst", $"src_port", $"dst_port",
+          .select($"server", $"client", $"client_port", $"is_req",
             $"r.stream".cast("string").as("txt"))
-        val docs = streams.filter($"src_port" === 80)
-          .select(($"dst_port" - 42000).cast("long").as("doc_id"),
-            $"dst".as("client"), $"dst_port".as("client_port"),
-            $"txt".substr(instr($"txt", "\r\n\r\n") + 4, lit(1 << 20))
-              .as("text"))
-        val hosts = streams.filter($"dst_port" === 80)
-          .select($"src".as("client"), $"src_port".as("client_port"),
-            regexp_extract($"txt", "\r\nHost: (\\S+)\r\n", 1).as("host"))
-        val gated = docs.join(hosts, Seq("client", "client_port"))
+          .groupBy($"server", $"client", $"client_port")
+          .agg(
+            max(when($"is_req", $"txt")).as("req_txt"),
+            max(when(!$"is_req", $"txt")).as("rsp_txt"))
+          .filter($"req_txt".isNotNull && $"rsp_txt".isNotNull)
+        val gated = conv
+          .select(($"client_port" - 42000).cast("long").as("doc_id"),
+            regexp_extract($"req_txt", "\r\nHost: (\\S+)\r\n", 1)
+              .as("host"),
+            $"rsp_txt".substr(instr($"rsp_txt", "\r\n\r\n") + 4,
+              lit(1 << 20)).as("text"))
           .withColumn("w", split($"text", " "))
           .withColumn("n_tokens", size($"w").cast("long"))
           .filter($"n_tokens" >= 20 &&
