@@ -346,6 +346,209 @@ object JpegCodec extends Serializable {
     out.toByteArray
   }
 
+  // ---------------------------------------------------- general encoder
+
+  /** T.81 Annex K example luminance/chrominance quantization tables
+    * (natural order), scaled by the libjpeg quality convention. */
+  private val QLumBase = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private val QChrBase = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  private def scaleQ(base: Array[Int], quality: Int): Array[Int] = {
+    val q = math.max(1, math.min(100, quality))
+    val scale = if (q < 50) 5000 / q else 200 - 2 * q
+    base.map { v =>
+      val s = (v * scale + 50) / 100
+      math.max(1, math.min(255, s))
+    }
+  }
+
+  /** Forward DCT of one level-shifted 8×8 block (double, separable —
+    * the exact inverse of [[idct]]'s basis). */
+  private def fdct(in: Array[Double], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += in(y * 8 + x) * CosT(x)(u); x += 1 }
+        tmp(y * 8 + u) = s
+        y += 1
+      }
+      u += 1
+    }
+    var v = 0
+    while (v < 8) {
+      var u2 = 0
+      while (u2 < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) { s += tmp(y * 8 + u2) * CosT(y)(v); y += 1 }
+        out(v * 8 + u2) = 0.25 * Cn(u2) * Cn(v) * s
+        u2 += 1
+      }
+      v += 1
+    }
+  }
+
+  /** Encode ARBITRARY RGB pixels as a baseline 4:2:0 JFIF at the given
+    * quality — the general-purpose companion to the coefficient-space
+    * fixture [[encode]]: JFIF forward color transform, 2×2 box chroma
+    * downsampling with edge replication, FDCT, quality-scaled Annex K
+    * quantization (round-half-away), and the same Huffman machinery.
+    * Lossy like every JPEG encoder; MultimodalCodecSpec bounds the
+    * roundtrip error and cross-checks the stream under ImageIO. */
+  def encodePixels(img: Multimodal.BmpCodec.Image,
+      quality: Int = 85): Array[Byte] = {
+    val w = img.w; val h = img.h
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+      s"unencodable dims ${w}x$h")
+    val qLum = scaleQ(QLumBase, quality)
+    val qChr = scaleQ(QChrBase, quality)
+    // planes at full res (Y) and 2:1 subsampled (Cb, Cr), edge-replicated
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
+    val yW = mcusX * 16; val yH = mcusY * 16
+    val cW = mcusX * 8; val cH = mcusY * 8
+    val yP = new Array[Double](yW * yH)
+    val cbP = new Array[Double](cW * cH)
+    val crP = new Array[Double](cW * cH)
+    var y0 = 0
+    while (y0 < yH) {
+      var x0 = 0
+      while (x0 < yW) {
+        val sx = math.min(x0, w - 1); val sy = math.min(y0, h - 1)
+        val (r, g, b) = (img.r(sx, sy), img.g(sx, sy), img.b(sx, sy))
+        yP(y0 * yW + x0) =
+          0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        x0 += 1
+      }
+      y0 += 1
+    }
+    var cy = 0
+    while (cy < cH) {
+      var cx = 0
+      while (cx < cW) {
+        // 2x2 box average in chroma space (edge-replicated samples)
+        var sb = 0.0; var sr = 0.0
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val sx = math.min(cx * 2 + dx, w - 1)
+            val sy = math.min(cy * 2 + dy, h - 1)
+            val (r, g, b) = (img.r(sx, sy), img.g(sx, sy), img.b(sx, sy))
+            sb += -0.168736 * r - 0.331264 * g + 0.5 * b
+            sr += 0.5 * r - 0.418688 * g - 0.081312 * b
+            dx += 1
+          }
+          dy += 1
+        }
+        cbP(cy * cW + cx) = sb / 4.0
+        crP(cy * cW + cx) = sr / 4.0
+        cx += 1
+      }
+      cy += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
+    def marker(b: Int): Unit = { out.write(0xFF); out.write(b) }
+    def seg(mk: Int, payload: Array[Byte]): Unit = {
+      marker(mk)
+      val len = payload.length + 2
+      out.write(len >>> 8); out.write(len & 0xFF)
+      out.write(payload, 0, payload.length)
+    }
+    marker(0xD8)
+    seg(0xE0, "JFIF ".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = new Array[Byte](130)
+    dqt(0) = 0
+    var k = 0
+    while (k < 64) { dqt(1 + k) = qLum(Zigzag(k)).toByte; k += 1 }
+    dqt(65) = 1
+    k = 0
+    while (k < 64) { dqt(66 + k) = qChr(Zigzag(k)).toByte; k += 1 }
+    seg(0xDB, dqt)
+    seg(0xC0, Array[Byte](8, (h >>> 8).toByte, h.toByte,
+      (w >>> 8).toByte, w.toByte, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    def dht(cls: Int, tid: Int, bits: Array[Int], vals: Array[Int]) =
+      Array(((cls << 4) | tid).toByte) ++
+        bits.map(_.toByte) ++ vals.map(_.toByte)
+    seg(0xC4, dht(0, 0, DcLumBits, DcVals) ++
+      dht(1, 0, AcLumBits, AcLumVals) ++
+      dht(0, 1, DcChrBits, DcVals) ++
+      dht(1, 1, AcChrBits, AcChrVals))
+    seg(0xDA, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val bw = new BitWriter(out)
+    val blk = new Array[Double](64)
+    val fc = new Array[Double](64)
+    val coef = new Array[Int](64)
+    def quantBlock(plane: Array[Double], pw: Int, bx0: Int, by0: Int,
+        q: Array[Int]): Unit = {
+      var i = 0
+      while (i < 64) {
+        blk(i) = plane((by0 + i / 8) * pw + bx0 + i % 8)
+        i += 1
+      }
+      fdct(blk, fc)
+      i = 0
+      while (i < 64) {
+        val v = fc(i) / q(i)
+        // clamp to the baseline 10-bit AC magnitude limit: a full-range
+        // checkerboard at quality 100 reaches |1024|, whose size-11
+        // category has no symbol in the Annex K AC tables
+        val r = math.round(v).toInt
+        coef(i) =
+          if (i == 0) r else math.max(-1023, math.min(1023, r))
+        i += 1
+      }
+    }
+    var predY = 0; var predCb = 0; var predCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var v = 0
+        while (v < 2) {
+          var u = 0
+          while (u < 2) {
+            quantBlock(yP, yW, (2 * mx + u) * 8, (2 * my + v) * 8, qLum)
+            predY = encodeBlock(bw, coef, predY, HuffDcLum, HuffAcLum)
+            u += 1
+          }
+          v += 1
+        }
+        quantBlock(cbP, cW, mx * 8, my * 8, qChr)
+        predCb = encodeBlock(bw, coef, predCb, HuffDcChr, HuffAcChr)
+        quantBlock(crP, cW, mx * 8, my * 8, qChr)
+        predCr = encodeBlock(bw, coef, predCr, HuffDcChr, HuffAcChr)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xD9)
+    out.toByteArray
+  }
+
   // -------------------------------------------------------------- decoder
 
   /** MSB-first entropy bit reader: un-stuffs 0xFF00; any other marker

@@ -593,6 +593,66 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG general-pixel encoder roundtrips within JPEG loss bounds " +
+      "and interops with ImageIO") {
+    // encodePixels is the arbitrary-pixel companion to the coefficient-
+    // space fixture encoder: JFIF color transform, 4:2:0 box
+    // downsample, FDCT, quality-scaled Annex K quantization. Lossy by
+    // nature — the checks bound the error on a smooth image and verify
+    // the stream under both our decoder and ImageIO.
+    val (w, h) = (45, 30) // partial MCUs both axes
+    val px = new Array[Byte](w * h * 3)
+    for { y <- 0 until h; x <- 0 until w } {
+      px((y * w + x) * 3) = (40 + 3 * x + y).toByte
+      px((y * w + x) * 3 + 1) = (200 - 2 * x - y).toByte
+      px((y * w + x) * 3 + 2) = (70 + x + 2 * y).toByte
+    }
+    val src = BmpCodec.Image(w, h, px)
+    for (quality <- Seq(70, 85, 95)) {
+      val bytes = JpegCodec.encodePixels(src, quality)
+      val img = JpegCodec.decode(bytes)
+      assert(img.w == w && img.h == h, s"q=$quality dims")
+      var maxD = 0
+      var sumD = 0L
+      for { y <- 0 until h; x <- 0 until w } {
+        val ds = Seq(math.abs(img.r(x, y) - src.r(x, y)),
+          math.abs(img.g(x, y) - src.g(x, y)),
+          math.abs(img.b(x, y) - src.b(x, y)))
+        maxD = math.max(maxD, ds.max)
+        sumD += ds.sum
+      }
+      val meanD = sumD.toDouble / (w * h * 3)
+      // smooth gradient: quantization + 4:2:0 loss stays small, and
+      // higher quality must not be worse on average
+      assert(maxD <= 12, s"q=$quality max diff $maxD")
+      assert(meanD <= 3.0, s"q=$quality mean diff $meanD")
+      // the stream is a legal JPEG to the independent decoder too
+      val javaImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(javaImg != null, s"ImageIO rejected encodePixels q=$quality")
+      assert(javaImg.getWidth == w && javaImg.getHeight == h)
+      var maxJ = 0
+      for { y <- 0 until h; x <- 0 until w } {
+        val rgb = javaImg.getRGB(x, y)
+        maxJ = math.max(maxJ, Seq(
+          math.abs((rgb >> 16 & 0xFF) - img.r(x, y)),
+          math.abs((rgb >> 8 & 0xFF) - img.g(x, y)),
+          math.abs((rgb & 0xFF) - img.b(x, y))).max)
+      }
+      // same bitstream, two decoders: only IDCT/upsampling freedom
+      assert(maxJ <= 8, s"q=$quality decoder divergence $maxJ")
+    }
+    // saturated random noise must still produce a legal stream (the
+    // AC-magnitude clamp path) that both decoders accept
+    val rnd = new scala.util.Random(42)
+    val noisy = new Array[Byte](w * h * 3)
+    rnd.nextBytes(noisy)
+    val nb = JpegCodec.encodePixels(BmpCodec.Image(w, h, noisy), 100)
+    assert(JpegCodec.decode(nb).w == w)
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(nb)) != null)
+  }
+
   test("JPEG rejects malformed input, not misparses") {
     intercept[IllegalArgumentException](
       JpegCodec.decode("definitely not a jpeg".getBytes))
