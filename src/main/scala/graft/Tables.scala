@@ -13,6 +13,23 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Cheap content fingerprint of a local table path (file sizes +
+    * mtimes, order-independent of listing): the staleness key the
+    * persisted artifacts (ANN index, co-purchase graph) store alongside
+    * the row count. Rows alone cannot see a REGENERATED dataset of the
+    * same cardinality; size+mtime can, and costs a directory listing. */
+  def fingerprint(path: String): Long = {
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+          .sortBy(_.getName)
+      else Array(f)
+    files.foldLeft(17L) { (acc, x) =>
+      (acc * 1000003L + x.length()) * 1000003L + x.lastModified()
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")

@@ -88,10 +88,12 @@ object Graph {
     if (memo != null && !memo.sparkSession.sparkContext.isStopped)
       return memo
     import s.implicits._
-    // staleness key: raw lineitem row count — a parquet-metadata count,
-    // no shuffle (the distinct-pair count would itself cost the join
-    // the artifact exists to avoid)
+    // staleness key: raw lineitem row count (a parquet-metadata count,
+    // no shuffle — the distinct-pair count would itself cost the join
+    // the artifact exists to avoid) PLUS the size+mtime fingerprint,
+    // which catches a dataset REGENERATED at the same cardinality
     val rows = Tables.lineitem(s, d).count()
+    val fp = Tables.fingerprint(s"$d/lineitem.parquet")
     val dir = graphDir(s, d)
     val marker = dir.resolve("meta.json")
     def loadStored(): Option[DataFrame] = {
@@ -101,12 +103,12 @@ object Graph {
         import org.json4s.jackson.JsonMethods
         val o = JsonMethods.parse(new String(
           java.nio.file.Files.readAllBytes(marker), "UTF-8"))
-        val stored = (o \ "rows") match {
+        def asLong(v: JValue): Long = v match {
           case JInt(i) => i.toLong
           case JLong(l) => l
           case _ => -1L
         }
-        if (stored != rows) None
+        if (asLong(o \ "rows") != rows || asLong(o \ "fp") != fp) None
         else Some(s.read.parquet(dir.resolve("edges").toString))
       } catch { case _: Exception => None }
     }
@@ -123,7 +125,7 @@ object Graph {
       e.write.mode("overwrite").parquet(dir.resolve("edges").toString)
       val tmp = dir.resolve(".meta.json.tmp")
       java.nio.file.Files.write(tmp,
-        s"""{"rows":$rows}""".getBytes("UTF-8"))
+        s"""{"rows":$rows,"fp":$fp}""".getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, marker,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -124,6 +124,7 @@ object Similarity {
     val obj =
       ("fmt" -> IndexFmt) ~
       ("rows" -> rows) ~
+      ("fp" -> graft.Tables.fingerprint(s"$d/embeddings.parquet")) ~
       ("cents" -> cents.map(_.map(_.toString))) ~
       ("cb" -> cb.map(_.map(_.map(_.toString))))
     val tmp = dir.resolve(".model.json.tmp")
@@ -158,6 +159,10 @@ object Similarity {
       if (asLong(o \ "fmt") != IndexFmt) return None
       val storedRows = asLong(o \ "rows")
       if (storedRows != rows) return None
+      // size+mtime fingerprint: rows alone cannot see a dataset
+      // REGENERATED at the same cardinality
+      if (asLong(o \ "fp") !=
+        graft.Tables.fingerprint(s"$d/embeddings.parquet")) return None
       def d1(v: JValue): Seq[Double] = v match {
         case JArray(xs) => xs.map { case JString(x) => x.toDouble
           case other => throw new IllegalArgumentException(other.toString) }

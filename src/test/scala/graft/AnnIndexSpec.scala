@@ -74,6 +74,19 @@ class AnnIndexSpec extends AnyFunSuite {
       runIvfpq(d)
       assert(sim.buildsFor(d) == 2,
         "a stale artifact (row-count mismatch) must rebuild")
+
+      // regeneration at the SAME cardinality: row counts agree, only
+      // the size+mtime fingerprint can see it (round-9)
+      val dataFile = Files.list(Paths.get(d + "/embeddings.parquet"))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.setLastModifiedTime(dataFile,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 10000))
+      sim.clearMemos()
+      runIvfpq(d)
+      assert(sim.buildsFor(d) == 3,
+        "a same-cardinality regeneration must rebuild (fingerprint)")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.graft.ann.indexDir", v)

@@ -71,6 +71,20 @@ class GraphArtifactSpec extends AnyFunSuite {
       runPr(d)
       assert(g.buildsFor(d) == 2,
         "a stale artifact (row-count mismatch) must rebuild")
+
+      // regeneration at the SAME cardinality: row counts agree, only
+      // the size+mtime fingerprint can see it (simulated by touching a
+      // data file — any rewrite changes mtimes the same way)
+      val dataFile = Files.list(Paths.get(d + "/lineitem.parquet"))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.setLastModifiedTime(dataFile,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 10000))
+      g.clearMemos()
+      runPr(d)
+      assert(g.buildsFor(d) == 3,
+        "a same-cardinality regeneration must rebuild (fingerprint)")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.graft.graph.dir", v)
