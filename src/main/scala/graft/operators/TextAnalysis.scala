@@ -26,6 +26,79 @@ object TextAnalysis {
     * documents. */
   private val RepeatSpanL = 25
 
+  /** The maximal cross-document duplicated spans per document — the
+    * relation behind text_repeat_spans (detection) AND
+    * text_strip_repeat_spans (the actual removal intervention). Output
+    * spans are DISJOINT per document (round-9 overlap merge), which is
+    * what makes the strip a simple between-spans concatenation. */
+  private def repeatSpansDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val L = RepeatSpanL
+    val grams = Tables.documents(s, d)
+      // guard: Spark's sequence(1, 0) DESCENDS, so sub-L-char docs
+      // must be dropped before the position explode
+      .filter(length($"text") >= L)
+      .select($"doc_id",
+        explode(expr(s"sequence(1, length(text) - ${L - 1})"))
+          .as("p"),
+        $"text")
+      .select($"doc_id", $"p".cast("long").as("pos"),
+        conv(substring(md5(expr(s"substring(text, p, $L)")), 1, 15),
+          16, 10).cast("long").as("g"))
+      .cache()
+    val crossDoc = grams.groupBy($"g")
+      .agg(min($"doc_id").as("dmin"), max($"doc_id").as("dmax"))
+      .filter($"dmin" =!= $"dmax")
+      .select($"g")
+    val hits = grams.join(crossDoc, "g")
+      .select($"doc_id", $"pos")
+    val wd = Window.partitionBy($"doc_id").orderBy($"pos")
+    hits
+      .withColumn("brk",
+        when(lag($"pos", 1).over(wd).isNull ||
+          $"pos" - lag($"pos", 1).over(wd) >= L, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("grp", sum($"brk").over(wd))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + lit(L - 1)).cast("long").as("span_end"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1).as("span_len"))
+  }
+
+  /** Shared oracle CTE prefix producing the per-doc span relation
+    * (doc_id, span_start, span_end) — consumed by both span queries'
+    * oracles so code and SQL can never disagree on the span rule. */
+  private def repeatSpansCtes: String =
+    s"""gr AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          CAST('0x' || substr(md5(substr(text, i, $RepeatSpanL)), 1, 15)
+            AS BIGINT) AS g
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(
+            1, length(text) - ${RepeatSpanL - 1})) AS i)
+        WHERE length(text) >= $RepeatSpanL),
+      flagged AS (
+        SELECT doc_id, pos,
+          min(doc_id) OVER (PARTITION BY g) AS dmin,
+          max(doc_id) OVER (PARTITION BY g) AS dmax
+        FROM gr),
+      hits AS (SELECT doc_id, pos FROM flagged WHERE dmin <> dmax),
+      brks AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+               OR pos - lag(pos) OVER w >= $RepeatSpanL THEN 1
+             ELSE 0 END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      isl AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM brks),
+      spans AS (SELECT doc_id, min(pos) AS span_start,
+        max(pos) + ${RepeatSpanL - 1} AS span_end
+        FROM isl GROUP BY doc_id, grp)"""
+
   /** The quality-gate transform on any (doc_id, text) relation — written
     * once, runs identically in batch and as a stateless streaming stage
     * (per-row expressions only; EventStreamsSpec drives it through a real
@@ -588,70 +661,85 @@ object TextAnalysis {
     // sizes past executor storage the narrow recompute from the scan
     // is the cheaper side of the tradeoff.
     Q("text_repeat_spans",
+      (s, d) => repeatSpansDf(s, d)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some(s"""WITH $repeatSpansCtes
+        SELECT doc_id, span_start, span_end,
+          span_end - span_start + 1 AS span_len
+        FROM spans
+        ORDER BY doc_id, span_start""")),
+
+    // ----- exact-duplicate span REMOVAL (the ExactSubstr intervention) ----
+    // text_repeat_spans detects; this op performs the actual training-
+    // data cleaning step Lee et al. apply: delete every cross-document
+    // duplicated span from each document and keep the remainder. The
+    // round-9 overlap merge guarantees per-doc spans are DISJOINT, so
+    // the surgery is a pure per-row expression: sort the doc's spans
+    // (a tiny array after collect_list — bounded by doc length / L),
+    // take the substrings BETWEEN consecutive spans, concatenate. The
+    // kept text's md5 pins the exact surviving content; docs with no
+    // spans pass through whole. Scale shape: the span relation (small)
+    // aggregates per doc and joins the corpus once — the corpus text
+    // shuffles only for that one equi-join (or broadcasts, spans being
+    // tiny), and the strip itself is codegen'd array/string work.
+    Q("text_strip_repeat_spans",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val L = RepeatSpanL
-        val grams = Tables.documents(s, d)
-          // guard: Spark's sequence(1, 0) DESCENDS, so sub-L-char docs
-          // must be dropped before the position explode
-          .filter(length($"text") >= L)
+        val spanLists = repeatSpansDf(s, d)
+          .groupBy($"doc_id")
+          .agg(collect_list(struct($"span_start", $"span_end")).as("sp0"))
+        Tables.documents(s, d)
+          .select($"doc_id", $"text")
+          .join(spanLists, Seq("doc_id"), "left")
+          .select($"doc_id", $"text",
+            expr("array_sort(coalesce(sp0, " +
+              "CAST(array() AS array<struct<span_start:bigint," +
+              "span_end:bigint>>)))").as("sp"))
           .select($"doc_id",
-            explode(expr(s"sequence(1, length(text) - ${L - 1})"))
-              .as("p"),
-            $"text")
-          .select($"doc_id", $"p".cast("long").as("pos"),
-            conv(substring(md5(expr(s"substring(text, p, $L)")), 1, 15),
-              16, 10).cast("long").as("g"))
-          .cache()
-        val crossDoc = grams.groupBy($"g")
-          .agg(min($"doc_id").as("dmin"), max($"doc_id").as("dmax"))
-          .filter($"dmin" =!= $"dmax")
-          .select($"g")
-        val hits = grams.join(crossDoc, "g")
-          .select($"doc_id", $"pos")
-        val wd = Window.partitionBy($"doc_id").orderBy($"pos")
-        hits
-          .withColumn("brk",
-            when(lag($"pos", 1).over(wd).isNull ||
-              $"pos" - lag($"pos", 1).over(wd) >= L, lit(1))
-              .otherwise(lit(0)))
-          .withColumn("grp", sum($"brk").over(wd))
-          .groupBy($"doc_id", $"grp")
-          .agg(min($"pos").as("span_start"),
-            (max($"pos") + lit(L - 1)).cast("long").as("span_end"))
-          .select($"doc_id", $"span_start", $"span_end",
-            ($"span_end" - $"span_start" + 1).as("span_len"))
-          .orderBy($"doc_id", $"span_start")
+            size($"sp").cast("long").as("n_spans"),
+            expr("aggregate(sp, 0L, (a, x) -> " +
+              "a + x.span_end - x.span_start + 1)").as("removed_chars"),
+            expr("""concat_ws('', zip_with(
+                concat(array(1L), transform(sp, x -> x.span_end + 1)),
+                concat(transform(sp, x -> x.span_start - 1),
+                       array(CAST(length(text) AS BIGINT))),
+                (s, e) -> CASE WHEN e >= s
+                  THEN substring(text, CAST(s AS INT),
+                                 CAST(e - s + 1 AS INT))
+                  ELSE '' END))""").as("kept"))
+          .select($"doc_id", $"n_spans", $"removed_chars",
+            length($"kept").cast("long").as("kept_chars"),
+            md5($"kept".cast("binary")).as("kept_md5"))
       },
-      Some(s"""WITH gr AS (
-          SELECT doc_id, CAST(i AS BIGINT) AS pos,
-            CAST('0x' || substr(md5(substr(text, i, $RepeatSpanL)), 1, 15)
-              AS BIGINT) AS g
-          FROM documents,
-            LATERAL (SELECT unnest(generate_series(
-              1, length(text) - ${RepeatSpanL - 1})) AS i)
-          WHERE length(text) >= $RepeatSpanL),
-        flagged AS (
-          SELECT doc_id, pos,
-            min(doc_id) OVER (PARTITION BY g) AS dmin,
-            max(doc_id) OVER (PARTITION BY g) AS dmax
-          FROM gr),
-        hits AS (SELECT doc_id, pos FROM flagged WHERE dmin <> dmax),
-        brks AS (SELECT doc_id, pos,
-          CASE WHEN lag(pos) OVER w IS NULL
-                 OR pos - lag(pos) OVER w >= $RepeatSpanL THEN 1
-               ELSE 0 END AS brk
-          FROM hits
-          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        isl AS (SELECT doc_id, pos,
-          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-          FROM brks)
-        SELECT doc_id, min(pos) AS span_start,
-          max(pos) + ${RepeatSpanL - 1} AS span_end,
-          max(pos) + ${RepeatSpanL - 1} - min(pos) + 1 AS span_len
-        FROM isl GROUP BY doc_id, grp
-        ORDER BY doc_id, span_start""")),
+      Some(s"""WITH $repeatSpansCtes,
+        sl AS (
+          SELECT doc_id,
+            list_sort(list({'s': span_start, 'e': span_end})) AS sp
+          FROM spans GROUP BY doc_id),
+        joined AS (
+          SELECT d.doc_id, d.text,
+            COALESCE(sl.sp, []) AS sp
+          FROM documents d LEFT JOIN sl ON d.doc_id = sl.doc_id),
+        stripped AS (
+          SELECT doc_id,
+            CAST(len(sp) AS BIGINT) AS n_spans,
+            CAST(COALESCE(list_sum([x.e - x.s + 1 FOR x IN sp]), 0)
+              AS BIGINT) AS removed_chars,
+            array_to_string([
+              CASE WHEN ends[i] >= starts[i]
+                THEN substr(text, CAST(starts[i] AS INT),
+                            CAST(ends[i] - starts[i] + 1 AS INT))
+                ELSE '' END
+              FOR i IN generate_series(1, len(starts))], '') AS kept
+          FROM (
+            SELECT doc_id, text, sp,
+              [1] || [x.e + 1 FOR x IN sp] AS starts,
+              [x.s - 1 FOR x IN sp] || [length(text)] AS ends
+            FROM joined))
+        SELECT doc_id, n_spans, removed_chars,
+          CAST(length(kept) AS BIGINT) AS kept_chars,
+          md5(kept) AS kept_md5
+        FROM stripped""")),
 
     // ----- overlapping document chunking (RAG / context-window prep) ------
     // Splits each document's token stream into fixed windows of 64

@@ -81,6 +81,43 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("text_strip_repeat_spans removes exactly the detected spans " +
+      "(round 9)") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spans = directSpans(docs)
+    val got = SparkEntry.queries("text_strip_repeat_spans")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val sp = spans.filter(_._1 == id).toSeq.sortBy(_._2)
+      val keep = new StringBuilder
+      var pos = 1L
+      sp.foreach { case (_, s, e, _) =>
+        keep ++= text.substring(pos.toInt - 1, s.toInt - 1)
+        pos = e + 1
+      }
+      keep ++= text.substring(pos.toInt - 1)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(keep.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+      val (n, removed, keptLen, gotMd5) = got(id)
+      assert(n == sp.size.toLong, s"doc $id span count")
+      assert(removed == sp.map(_._4).sum, s"doc $id removed chars")
+      assert(keptLen == keep.length.toLong, s"doc $id kept chars")
+      assert(gotMd5 == md5, s"doc $id kept content")
+      // disjointness invariant the strip relies on
+      sp.sliding(2).foreach {
+        case Seq((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1)
+        case _ => ()
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // pipeline_lpa_communities
   // ------------------------------------------------------------------
