@@ -59,9 +59,11 @@ object Bench {
     // ad-hoc BASELINE.md notes
     // round 8 adds the two new heavy ops: the L-gram span sweep (the
     // battery's biggest row explosion) and the second iterative loop
+    // round 9 adds the JPEG decode sweep (the heaviest per-row codec)
     val heavy = Seq("pipeline_pagerank", "sim_ann_ivfpq",
       "sim_cosine_topk_blocked", "pcap_tcp_reassembly",
-      "text_repeat_spans", "pipeline_lpa_communities")
+      "text_repeat_spans", "pipeline_lpa_communities",
+      "mm_decode_jpeg")
     val names = (SparkEntry.headline ++ heavy).distinct :+ DecodeName
     // warm-up pass: JIT + codegen + parquet footer caches, not timed —
     // the timed passes measure steady-state engine throughput
