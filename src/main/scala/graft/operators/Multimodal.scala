@@ -1463,6 +1463,77 @@ object Multimodal {
           CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
         FROM rgb GROUP BY 1, 2, 3""")),
 
+    // ----- perceptual image fingerprint (dHash) --------------------------
+    // THE standard image near-dup primitive (difference hash): sample
+    // the decoded image to a 9×8 grayscale grid (same nearest-neighbor
+    // index math as mm_resize_bmp), compare horizontal neighbors, pack
+    // the 64 comparison bits. Downstream image dedup is then exact
+    // hash-groupBy or banded Hamming joins over THIS column — the
+    // dedup-family machinery applied to pixels. All-integer (scaled
+    // 299/587/114 luma, integer grid division), so the oracle
+    // re-derives every bit from the synthesis formulas; the hash rides
+    // as two 32-bit halves in BIGINTs to keep both engines' arithmetic
+    // trivially exact. Narrow map over the decode, no shuffle.
+    Q("mm_dhash",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 0)
+          .select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.map { id =>
+            val img = BmpCodec.decode(BmpCodec.encode(id))
+            def lum(gx: Int, gy: Int): Int = {
+              val sx = gx * img.w / 9
+              val sy = gy * img.h / 8
+              299 * img.r(sx, sy) + 587 * img.g(sx, sy) +
+                114 * img.b(sx, sy)
+            }
+            var lo = 0L
+            var hi = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (lum(x + 1, y) > lum(x, y)) {
+                  if (y < 4) lo |= 1L << (y * 8 + x)
+                  else hi |= 1L << ((y - 4) * 8 + x)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            (id, hi, lo)
+          }
+        }.toDF("media_id", "dhash_hi", "dhash_lo")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, CAST(16 + doc_id % 13 AS INT) AS w,
+            CAST(12 + doc_id % 7 AS INT) AS h, x, y
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0, 7)) AS y) ys
+          WHERE doc_id % 3 = 0),
+        b AS (
+          SELECT doc_id, x, y,
+            CASE WHEN
+              299 * ((doc_id*7 + ((x+1)*w//9)*3 + (y*h//8)*5) % 256)
+              + 587 * ((doc_id + ((x+1)*w//9)*11 + (y*h//8)*2) % 256)
+              + 114 * ((doc_id*13 + ((x+1)*w//9) * (y*h//8)) % 256)
+              >
+              299 * ((doc_id*7 + (x*w//9)*3 + (y*h//8)*5) % 256)
+              + 587 * ((doc_id + (x*w//9)*11 + (y*h//8)*2) % 256)
+              + 114 * ((doc_id*13 + (x*w//9) * (y*h//8)) % 256)
+            THEN 1 ELSE 0 END AS bit
+          FROM g)
+        SELECT doc_id AS media_id,
+          CAST(SUM(CASE WHEN y >= 4
+            THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+            ELSE 0 END) AS BIGINT) AS dhash_hi,
+          CAST(SUM(CASE WHEN y < 4
+            THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+            ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM b GROUP BY 1""")),
+
     // ----- REAL nearest-neighbor resize (actual pixel downsampling) ------
     // Decode the BMP, then sample source pixel (x*w/8, y*h/6) for each
     // target pixel of an 8x6 thumbnail — the integer nearest-neighbor
