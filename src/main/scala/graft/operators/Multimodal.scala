@@ -1534,6 +1534,69 @@ object Multimodal {
             ELSE 0 END) AS BIGINT) AS dhash_lo
         FROM b GROUP BY 1""")),
 
+    // ----- audio energy-contour fingerprint ------------------------------
+    // The audio-dedup companion to mm_dhash: decoded PCM splits into
+    // 20-sample windows, per-window energy = Σ|sample| (exact integer),
+    // and the fingerprint packs the rises of the energy contour
+    // (energy(w) > energy(w−1)) — the energy-delta scheme acoustic
+    // fingerprinters build on. Window w's bit position is w−1; trailing
+    // partial windows are dropped (every full window is identical on
+    // both engines). Narrow map over the decode, no shuffle; the
+    // oracle re-derives every window energy from the PCM synthesis
+    // formula.
+    Q("mm_audio_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val a = WavCodec.decode(WavCodec.encode(id))
+            val W = 20
+            val nw = a.samples.length / W
+            val en = new Array[Long](nw)
+            var w = 0
+            while (w < nw) {
+              var acc = 0L
+              var i = 0
+              while (i < W) {
+                acc += math.abs(a.samples(w * W + i).toInt)
+                i += 1
+              }
+              en(w) = acc
+              w += 1
+            }
+            var fp = 0L
+            var k = 1
+            while (k < nw) {
+              if (en(k) > en(k - 1)) fp |= 1L << (k - 1)
+              k += 1
+            }
+            (id, nw, fp)
+          }
+        }.toDF("media_id", "n_windows", "fp")
+      },
+      Some("""WITH sz AS (
+          SELECT doc_id, CAST(200 + doc_id % 57 AS INT) AS n
+          FROM documents WHERE doc_id % 3 = 1),
+        e AS (
+          SELECT doc_id, w,
+            list_sum([abs(((doc_id*31 + i*i*7) % 65536) - 32768)
+                      FOR i IN generate_series(w*20, w*20 + 19)]) AS en
+          FROM sz,
+            LATERAL (SELECT unnest(generate_series(0, n//20 - 1)) AS w)),
+        b AS (
+          SELECT doc_id, w,
+            CASE WHEN en > lag(en) OVER
+              (PARTITION BY doc_id ORDER BY w) THEN 1 ELSE 0 END AS bit
+          FROM e)
+        SELECT doc_id AS media_id,
+          CAST(COUNT(*) AS INT) AS n_windows,
+          CAST(SUM(CASE WHEN w >= 1
+            THEN bit * (CAST(1 AS BIGINT) << (w - 1))
+            ELSE 0 END) AS BIGINT) AS fp
+        FROM b GROUP BY 1""")),
+
     // ----- REAL nearest-neighbor resize (actual pixel downsampling) ------
     // Decode the BMP, then sample source pixel (x*w/8, y*h/6) for each
     // target pixel of an 8x6 thumbnail — the integer nearest-neighbor
