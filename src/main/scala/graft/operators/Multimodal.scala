@@ -136,6 +136,34 @@ object Multimodal {
     acc
   }
 
+  /** 9×8 difference hash of a decoded image: nearest-sample grayscale
+    * grid (scaled-integer 299/587/114 luma), horizontal-neighbor
+    * comparison bits, packed as (hi, lo) 32-bit halves so both
+    * engines' arithmetic stays trivially exact. Shared by mm_dhash and
+    * mm_video_dhash. */
+  private[operators] def dhashOf(img: BmpCodec.Image): (Long, Long) = {
+    def lum(gx: Int, gy: Int): Int = {
+      val sx = gx * img.w / 9
+      val sy = gy * img.h / 8
+      299 * img.r(sx, sy) + 587 * img.g(sx, sy) + 114 * img.b(sx, sy)
+    }
+    var lo = 0L
+    var hi = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x + 1, y) > lum(x, y)) {
+          if (y < 4) lo |= 1L << (y * 8 + x)
+          else hi |= 1L << ((y - 4) * 8 + x)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
   /** REAL image codec for the uncompressed-BMP ops below (mm_decode_bmp,
     * mm_resize_bmp): a byte-level 24-bit BITMAPINFOHEADER writer and an
     * INDEPENDENT parser — the decode path reads only bytes (magic, data
@@ -1481,27 +1509,7 @@ object Multimodal {
           .select($"doc_id").as[Long]
         imgs.mapPartitions { it =>
           it.map { id =>
-            val img = BmpCodec.decode(BmpCodec.encode(id))
-            def lum(gx: Int, gy: Int): Int = {
-              val sx = gx * img.w / 9
-              val sy = gy * img.h / 8
-              299 * img.r(sx, sy) + 587 * img.g(sx, sy) +
-                114 * img.b(sx, sy)
-            }
-            var lo = 0L
-            var hi = 0L
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                if (lum(x + 1, y) > lum(x, y)) {
-                  if (y < 4) lo |= 1L << (y * 8 + x)
-                  else hi |= 1L << ((y - 4) * 8 + x)
-                }
-                x += 1
-              }
-              y += 1
-            }
+            val (hi, lo) = dhashOf(BmpCodec.decode(BmpCodec.encode(id)))
             (id, hi, lo)
           }
         }.toDF("media_id", "dhash_hi", "dhash_lo")
@@ -1533,6 +1541,60 @@ object Multimodal {
             THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
             ELSE 0 END) AS BIGINT) AS dhash_lo
         FROM b GROUP BY 1""")),
+
+    // ----- per-frame video fingerprint (dHash sequence) ------------------
+    // The video leg of the fingerprint trio: every decoded AVI frame
+    // gets the SAME 9×8 dHash as mm_dhash (shared dhashOf helper), so
+    // near-dup video detection reduces to sequence comparison over
+    // (frame_idx, hash) rows — shot-boundary detection and duplicate
+    // clips both fall out of this relation. Frame f carries the
+    // id + 131·f fixture content, so the oracle re-derives every bit
+    // per frame. flatMap explodes frames; still a narrow map.
+    Q("mm_video_dhash",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.flatMap { id =>
+            val vid = AviCodec.decode(AviCodec.encode(id))
+            vid.frames.zipWithIndex.map { case (img, f) =>
+              val (hi, lo) = dhashOf(img)
+              (id, f, hi, lo)
+            }
+          }
+        }.toDF("media_id", "frame_idx", "dhash_hi", "dhash_lo")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, f, doc_id + 131 * f AS fid,
+            CAST(16 + doc_id % 13 AS INT) AS w,
+            CAST(12 + doc_id % 7 AS INT) AS h, x, y
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(3 + doc_id % 4 AS INT) - 1)) AS f) fs,
+            LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0, 7)) AS y) ys
+          WHERE doc_id % 3 = 2),
+        b AS (
+          SELECT doc_id, f, x, y,
+            CASE WHEN
+              299 * ((fid*7 + ((x+1)*w//9)*3 + (y*h//8)*5) % 256)
+              + 587 * ((fid + ((x+1)*w//9)*11 + (y*h//8)*2) % 256)
+              + 114 * ((fid*13 + ((x+1)*w//9) * (y*h//8)) % 256)
+              >
+              299 * ((fid*7 + (x*w//9)*3 + (y*h//8)*5) % 256)
+              + 587 * ((fid + (x*w//9)*11 + (y*h//8)*2) % 256)
+              + 114 * ((fid*13 + (x*w//9) * (y*h//8)) % 256)
+            THEN 1 ELSE 0 END AS bit
+          FROM g)
+        SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+          CAST(SUM(CASE WHEN y >= 4
+            THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+            ELSE 0 END) AS BIGINT) AS dhash_hi,
+          CAST(SUM(CASE WHEN y < 4
+            THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+            ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM b GROUP BY 1, 2""")),
 
     // ----- audio energy-contour fingerprint ------------------------------
     // The audio-dedup companion to mm_dhash: decoded PCM splits into
