@@ -653,6 +653,31 @@ class MultimodalCodecSpec extends AnyFunSuite {
       new java.io.ByteArrayInputStream(nb)) != null)
   }
 
+  test("JPEG 16-bit (Pq=1) DQT tables parse identically to 8-bit") {
+    // splice the 8-bit DQT segment out and re-express the same tables
+    // at 16-bit precision — the decoder's Pq=1 branch must produce the
+    // exact same image
+    val orig = JpegCodec.encode(9L)
+    val dqtOff = findMarker(orig, 0xDB)
+    val len = ((orig(dqtOff + 2) & 0xFF) << 8) | (orig(dqtOff + 3) & 0xFF)
+    val after = dqtOff + 2 + len
+    val nt = new java.io.ByteArrayOutputStream
+    nt.write(orig, 0, dqtOff)
+    nt.write(0xFF); nt.write(0xDB)
+    val nlen = 2 + 2 * 129
+    nt.write(nlen >>> 8); nt.write(nlen & 0xFF)
+    for (t <- 0 until 2) {
+      nt.write(0x10 | t) // Pq=1, table id t
+      for (_ <- 0 until 64) { nt.write(0); nt.write(8) } // same all-8s
+    }
+    nt.write(orig, after, orig.length - after)
+    val a = JpegCodec.decode(orig)
+    val b = JpegCodec.decode(nt.toByteArray)
+    assert(a.w == b.w && a.h == b.h)
+    assert(a.px.sameElements(b.px),
+      "Pq=1 tables must decode bit-identically to Pq=0")
+  }
+
   test("JPEG rejects malformed input, not misparses") {
     intercept[IllegalArgumentException](
       JpegCodec.decode("definitely not a jpeg".getBytes))
