@@ -19,14 +19,21 @@ object Tables {
     * the row count. Rows alone cannot see a REGENERATED dataset of the
     * same cardinality; size+mtime can, and costs a directory listing. */
   def fingerprint(path: String): Long = {
-    val f = new java.io.File(path)
+    // Resolved through Hadoop FileSystem (not java.io.File) so datasets
+    // on hdfs://, s3a://, etc. fingerprint correctly; a java.io listing
+    // silently returns empty off the local FS and the staleness guard
+    // would degrade to row-count-only.
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 17L
+    val st = fs.getFileStatus(p)
     val files =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).filter(_.isFile)
-          .sortBy(_.getName)
-      else Array(f)
+      if (st.isDirectory)
+        fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+      else Array(st)
     files.foldLeft(17L) { (acc, x) =>
-      (acc * 1000003L + x.length()) * 1000003L + x.lastModified()
+      (acc * 1000003L + x.getLen) * 1000003L + x.getModificationTime
     }
   }
 

@@ -177,6 +177,11 @@ object JpegCodec extends Serializable {
           i += 1
         }
         if (bits(l - 1) > 0) maxCode(l) = code - 1
+        // Canonical code-space check (T.81 C.2): after assigning the
+        // length-l codes the next free code must still fit in l bits,
+        // otherwise the (BITS, HUFFVAL) pair over-subscribes the code
+        // space and DECODE's valPtr arithmetic indexes out of bounds.
+        require(code <= (1 << l), "corrupt Huffman table: code space overflow")
         code <<= 1
         l += 1
       }
@@ -476,7 +481,7 @@ object JpegCodec extends Serializable {
       out.write(payload, 0, payload.length)
     }
     marker(0xD8)
-    seg(0xE0, "JFIF ".getBytes("US-ASCII") ++
+    seg(0xE0, "JFIF\u0000".getBytes("US-ASCII") ++
       Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
     val dqt = new Array[Byte](130)
     dqt(0) = 0
@@ -599,7 +604,12 @@ object JpegCodec extends Serializable {
       l += 1
     }
     require(l <= 16, "invalid JPEG Huffman code")
-    t.vals(t.valPtr(l) + code - t.minCode(l))
+    val idx = t.valPtr(l) + code - t.minCode(l)
+    // A table that passed construction keeps idx in range, but a bit
+    // stream decoded against a corrupt-yet-constructible table can still
+    // land below minCode(l); reject rather than AIOOBE on untrusted bytes.
+    require(idx >= 0 && idx < t.vals.length, "corrupt JPEG Huffman decode")
+    t.vals(idx)
   }
 
   /** T.81 F.2.2.1 EXTEND: map sz received bits back to the signed

@@ -26,17 +26,38 @@ object TextAnalysis {
     * documents. */
   private val RepeatSpanL = 25
 
-  /** The maximal cross-document duplicated spans per document — the
-    * relation behind text_repeat_spans (detection) AND
-    * text_strip_repeat_spans (the actual removal intervention). Output
-    * spans are DISJOINT per document (round-9 overlap merge), which is
-    * what makes the strip a simple between-spans concatenation. */
+  // Both span queries (text_repeat_spans, text_strip_repeat_spans) share
+  // one span build per dataset: the corpus-sized grams relation is cached
+  // only for the duration of the build and unpersisted once the small
+  // span relation is materialized — invoking the queries repeatedly no
+  // longer leaks a cached per-character gram copy per call.
+  private val spansMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.DataFrame]()
+  private[graft] def clearSpanMemo(): Unit = {
+    spansMemo.forEach { (_, df) =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
+    spansMemo.clear()
+  }
   private def repeatSpansDf(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    val memo = spansMemo.get(d)
+    if (memo != null && !memo.sparkSession.sparkContext.isStopped)
+      return memo
+    val grams = repeatGramsDf(s, d).cache()
+    val spans = repeatSpansFromGrams(s, grams).cache()
+    spans.count() // materialize so the gram cache can be dropped now
+    grams.unpersist()
+    spansMemo.put(d, spans)
+    spans
+  }
+
+  private def repeatGramsDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val L = RepeatSpanL
-    val grams = Tables.documents(s, d)
+    Tables.documents(s, d)
       // guard: Spark's sequence(1, 0) DESCENDS, so sub-L-char docs
       // must be dropped before the position explode
       .filter(length($"text") >= L)
@@ -47,7 +68,19 @@ object TextAnalysis {
       .select($"doc_id", $"p".cast("long").as("pos"),
         conv(substring(md5(expr(s"substring(text, p, $L)")), 1, 15),
           16, 10).cast("long").as("g"))
-      .cache()
+  }
+
+  /** The maximal cross-document duplicated spans per document — the
+    * relation behind text_repeat_spans (detection) AND
+    * text_strip_repeat_spans (the actual removal intervention). Output
+    * spans are DISJOINT per document (round-9 overlap merge), which is
+    * what makes the strip a simple between-spans concatenation. */
+  private def repeatSpansFromGrams(s: org.apache.spark.sql.SparkSession,
+      grams: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val L = RepeatSpanL
     val crossDoc = grams.groupBy($"g")
       .agg(min($"doc_id").as("dmin"), max($"doc_id").as("dmax"))
       .filter($"dmin" =!= $"dmax")

@@ -202,6 +202,11 @@ class PcapScanBuilder(options: CaseInsensitiveStringMap)
     Some(total)
   }
 
+  // Memoized: the planner probes supportCompletePushDown AND
+  // pushAggregation, and each sidecarTotal() is a driver-side directory
+  // listing plus one sidecar read per capture — pay it once per builder.
+  private lazy val sidecarTotalMemo: Option[Long] = sidecarTotal()
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = pushAggregation(agg)
@@ -211,7 +216,7 @@ class PcapScanBuilder(options: CaseInsensitiveStringMap)
       : Boolean = {
     if (!options.getBoolean("countPushdown", true)) return false
     if (!isCountStarOnly(agg) || pushed.nonEmpty) return false
-    sidecarCount = sidecarTotal()
+    sidecarCount = sidecarTotalMemo
     countStars = agg.aggregateExpressions.length
     sidecarCount.isDefined
   }
