@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Pipeline.defs ++
     operators.Graph.defs ++
     operators.Multimodal.defs ++
+    operators.MediaDedup.defs ++
     graft.streaming.StreamingQueries.defs ++
     operators.PcapQueries.defs
 
