@@ -1659,6 +1659,111 @@ object Multimodal {
             ELSE 0 END) AS BIGINT) AS fp
         FROM b GROUP BY 1""")),
 
+    // ----- dHash through the container sniffer (mixed formats) -----------
+    // The production shape of perceptual fingerprinting: a crawl's image
+    // column is format-heterogeneous, so the hash must ride the
+    // magic-byte sniffer, not a per-format op. Each doc renders as one
+    // of FOUR containers (BMP / PNG / GIF / JPEG by doc_id % 4), is
+    // dispatched on magic bytes alone, decoded by the byte-only parser
+    // — including the full lossy T.81 JPEG path — and fed to the SAME
+    // dhashOf as mm_dhash. The oracle re-derives every sampled-pixel
+    // luma from each format's synthesis formulas (for JPEG, the
+    // closed-form coefficient-space reconstruction of mm_decode_jpeg
+    // restricted to the 9x8 sample grid) and compares hashes bit-for-
+    // bit — so a stride, palette, or IDCT slip in ANY decoder flips
+    // bits and mismatches. Narrow per-row map, no shuffle.
+    Q("mm_dhash_any",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.map { id =>
+            val bytes = (id % 4) match {
+              case 0 => BmpCodec.encode(id)
+              case 1 => PngCodec.encode(id)
+              case 2 => GifCodec.encode(id)
+              case _ => JpegCodec.encode(id)
+            }
+            val (container, img) = sniffKind(bytes) match {
+              case "bmp" => ("bmp", BmpCodec.decode(bytes))
+              case "png" => ("png", PngCodec.decode(bytes))
+              case "gif" => ("gif", GifCodec.decode(bytes))
+              case "jpg" => ("jpg", JpegCodec.decode(bytes))
+              case k => throw new IllegalStateException(
+                s"sniffer classified an image blob as $k")
+            }
+            val (hi, lo) = dhashOf(img)
+            (id, container, hi, lo)
+          }
+        }.toDF("media_id", "container", "dhash_hi", "dhash_lo")
+      },
+      Some("""WITH m AS (SELECT doc_id, doc_id % 4 AS c FROM documents),
+        d2 AS (SELECT doc_id, c,
+            CAST(CASE WHEN c = 2 THEN 24 + doc_id % 13
+                      WHEN c = 3 THEN 21 + doc_id % 14
+                      ELSE 16 + doc_id % 13 END AS INT) AS w,
+            CAST(CASE WHEN c = 2 THEN 18 + doc_id % 7
+                      WHEN c = 3 THEN 13 + doc_id % 11
+                      ELSE 12 + doc_id % 7 END AS INT) AS h
+          FROM m),
+        sp AS (SELECT doc_id, c, gx, y,
+            (gx * w) // 9 AS px, (y * h) // 8 AS py
+          FROM d2,
+            LATERAL (SELECT unnest(generate_series(0, 8)) AS gx) gs,
+            LATERAL (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        jp AS (SELECT doc_id, gx, y,
+            64 + (doc_id*7 + (px//8)*31 + (py//8)*17) % 128
+              + ((doc_id + (px//8)*5 + (py//8)*3) % 8)
+                * (CASE WHEN (px%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*3 + (px//8) + (py//8)*7) % 8)
+                * (CASE WHEN (py%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*5 + (px//8)*7 + (py//8)) % 4)
+                * (CASE WHEN (px%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+                * (CASE WHEN (py%8) IN (0,3,4,7) THEN 1 ELSE -1 END) AS yv,
+            (doc_id*11 + (px//16)*13 + (py//16)*19) % 256 AS cb,
+            (doc_id*3 + (px//16)*7 + (py//16)*29) % 256 AS cr
+          FROM sp WHERE c = 3),
+        rgb AS (
+          SELECT doc_id, gx, y,
+            (doc_id*7 + px*3 + py*5) % 256 AS r,
+            (doc_id + px*11 + py*2) % 256 AS g,
+            (doc_id*13 + px*py) % 256 AS b
+          FROM sp WHERE c IN (0, 1)
+          UNION ALL
+          SELECT doc_id, gx, y,
+            (doc_id*5 + px*3 + py*7) % 256,
+            ((doc_id*5 + px*3 + py*7) % 256) * 3 % 256,
+            ((doc_id*5 + px*3 + py*7) % 256) * 7 % 256
+          FROM sp WHERE c = 2
+          UNION ALL
+          SELECT doc_id, gx, y,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.402E0 * (cr - 128) + 0.5E0) AS BIGINT))),
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv - 0.344136E0 * (cb - 128) - 0.714136E0 * (cr - 128)
+                + 0.5E0) AS BIGINT))),
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.772E0 * (cb - 128) + 0.5E0) AS BIGINT)))
+          FROM jp),
+        lum AS (SELECT doc_id, gx, y,
+            299 * r + 587 * g + 114 * b AS lum FROM rgb),
+        bb AS (SELECT l0.doc_id, l0.gx AS x, l0.y AS y,
+            CASE WHEN l1.lum > l0.lum THEN 1 ELSE 0 END AS bit
+          FROM lum l0 JOIN lum l1
+            ON l1.doc_id = l0.doc_id AND l1.y = l0.y AND l1.gx = l0.gx + 1
+          WHERE l0.gx < 8)
+        SELECT bb.doc_id AS media_id,
+          CASE c WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                 WHEN 2 THEN 'gif' ELSE 'jpg' END AS container,
+          CAST(SUM(CASE WHEN y >= 4
+            THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+            ELSE 0 END) AS BIGINT) AS dhash_hi,
+          CAST(SUM(CASE WHEN y < 4
+            THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+            ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM bb JOIN m ON bb.doc_id = m.doc_id
+        GROUP BY 1, 2""")),
+
     // ----- REAL nearest-neighbor resize (actual pixel downsampling) ------
     // Decode the BMP, then sample source pixel (x*w/8, y*h/6) for each
     // target pixel of an 8x6 thumbnail — the integer nearest-neighbor
