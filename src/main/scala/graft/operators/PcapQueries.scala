@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Queries over the `pcap` source itself (SURVEY.md §2A) — the reference's
@@ -153,9 +154,12 @@ object PcapQueries {
   }
 
   /** Corpus-bridge capture (60 flows; see
-    * [[graft.pcap.PcapSynth.httpCorpusSegments]]). */
+    * [[graft.pcap.PcapSynth.httpCorpusSegments]]). The `2` suffix
+    * versions the fixture: round 10 added real body framing
+    * (Content-Length cut / chunked / gzip), and `ensure*` only writes
+    * missing files, so the old name could pin a stale capture. */
   private def httpCorpusSynthPath: String = {
-    val p = java.nio.file.Paths.get("/tmp/graft_synth_httpcorpus.pcap")
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_httpcorpus2.pcap")
     graft.pcap.PcapSynth.ensureHttpCorpusFile(p, 60)
     p.toString
   }
@@ -189,6 +193,73 @@ object PcapQueries {
         CAST(v.body_md5 AS VARCHAR) AS body_md5
         FROM (VALUES $rows)
           AS v(doc_id, host, n_tokens, n_dups, body_md5)"""
+  }
+
+  /** The pcap→corpus bridge, parameterized for reuse on arbitrary
+    * captures (the Q entry binds the fixture's constants): one capture
+    * scan, direction-normalized per-conversation reassembly of BOTH
+    * sides in one aggregation, then RFC 9112 body de-framing
+    * (Content-Length cut / chunked walk / gzip decode — the
+    * [[graft.functions.HttpDeframeExpr]] native expression) before the
+    * quality gate and the digest dedup. The response stream stays
+    * BINARY until de-framed: a gzip body cast to string before decode
+    * would be corrupt.
+    *
+    * `docIdBase >= 0` derives doc_id as `client_port - docIdBase` (the
+    * fixture's stable mapping); `docIdBase < 0` uses a 64-bit hash of
+    * the client endpoint — the form a real capture needs, where ports
+    * carry no document semantics. */
+  private[graft] def httpToCorpus(s: SparkSession, path: String,
+      serverPort: Int, docIdBase: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.HttpDeframeExpr.http_deframe
+    val conv = s.read.format("pcap").load(path)
+      .filter($"protocol" === "TCP" && $"tcp_seq".isNotNull &&
+        $"payload".isNotNull)
+      .select(
+        when($"dst_port" === serverPort, $"dst").otherwise($"src")
+          .as("server"),
+        when($"dst_port" === serverPort, $"src").otherwise($"dst")
+          .as("client"),
+        when($"dst_port" === serverPort, $"src_port")
+          .otherwise($"dst_port").as("client_port"),
+        ($"dst_port" === serverPort).as("is_req"),
+        $"tcp_seq", $"pkt_idx", $"payload")
+      .groupBy($"server", $"client", $"client_port", $"is_req")
+      .agg(graft.functions.Reassemble.stream().as("r"))
+      .select($"server", $"client", $"client_port", $"is_req",
+        $"r.stream".as("raw"))
+      .groupBy($"server", $"client", $"client_port")
+      .agg(
+        max(when($"is_req", $"raw")).as("req_raw"),
+        max(when(!$"is_req", $"raw")).as("rsp_raw"))
+      .filter($"req_raw".isNotNull && $"rsp_raw".isNotNull)
+    val docId =
+      if (docIdBase >= 0) ($"client_port" - docIdBase).cast("long")
+      else xxhash64($"client", $"client_port")
+    val gated = conv
+      .withColumn("rsp", http_deframe($"rsp_raw"))
+      .filter($"rsp".isNotNull &&
+        $"rsp.status" >= 200 && $"rsp.status" < 300)
+      .select(docId.as("doc_id"),
+        regexp_extract($"req_raw".cast("string"),
+          "\r\nHost: (\\S+)\r\n", 1).as("host"),
+        $"rsp.body".cast("string").as("text"))
+      .withColumn("w", split($"text", " "))
+      .withColumn("n_tokens", size($"w").cast("long"))
+      .filter($"n_tokens" >= 20 &&
+        expr("size(array_distinct(w)) * 1000000L div size(w)")
+          >= 300000L)
+    gated
+      .withColumn("body_md5", md5($"text".cast("binary")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"body_md5").orderBy($"doc_id")))
+      .withColumn("n_dups",
+        count(lit(1)).over(Window.partitionBy($"body_md5")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"host", $"n_tokens",
+        $"n_dups".cast("long").as("n_dups"), $"body_md5")
   }
 
   private def httpConvOracle(n: Int): String = {
@@ -947,53 +1018,15 @@ object PcapQueries {
     // second aggregation over per-flow rows (tiny) pivots the two
     // directions onto one conversation row (the two-groupBy + join
     // formulation recomputed the capture scan per direction); then one
-    // window on the 16-byte body digest for the dedup.
+    // window on the 16-byte body digest for the dedup. Round 10: bodies
+    // are now really FRAMED (Content-Length cut with a pipelined
+    // follow-up response to swallow, chunked transfer coding, gzip
+    // content coding — one third of the fixture each) and the bridge
+    // de-frames them with the native http_deframe expression before
+    // gating; see httpToCorpus.
     Q("pcap_http_to_corpus",
-      (s, d) => {
-        import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val conv = s.read.format("pcap").load(httpCorpusSynthPath)
-          .filter($"protocol" === "TCP" && $"tcp_seq".isNotNull &&
-            $"payload".isNotNull)
-          .select(
-            when($"dst_port" === 80, $"dst").otherwise($"src")
-              .as("server"),
-            when($"dst_port" === 80, $"src").otherwise($"dst")
-              .as("client"),
-            when($"dst_port" === 80, $"src_port").otherwise($"dst_port")
-              .as("client_port"),
-            ($"dst_port" === 80).as("is_req"),
-            $"tcp_seq", $"pkt_idx", $"payload")
-          .groupBy($"server", $"client", $"client_port", $"is_req")
-          .agg(graft.functions.Reassemble.stream().as("r"))
-          .select($"server", $"client", $"client_port", $"is_req",
-            $"r.stream".cast("string").as("txt"))
-          .groupBy($"server", $"client", $"client_port")
-          .agg(
-            max(when($"is_req", $"txt")).as("req_txt"),
-            max(when(!$"is_req", $"txt")).as("rsp_txt"))
-          .filter($"req_txt".isNotNull && $"rsp_txt".isNotNull)
-        val gated = conv
-          .select(($"client_port" - 42000).cast("long").as("doc_id"),
-            regexp_extract($"req_txt", "\r\nHost: (\\S+)\r\n", 1)
-              .as("host"),
-            $"rsp_txt".substr(instr($"rsp_txt", "\r\n\r\n") + 4,
-              lit(1 << 20)).as("text"))
-          .withColumn("w", split($"text", " "))
-          .withColumn("n_tokens", size($"w").cast("long"))
-          .filter($"n_tokens" >= 20 &&
-            expr("size(array_distinct(w)) * 1000000L div size(w)")
-              >= 300000L)
-        gated
-          .withColumn("body_md5", md5($"text".cast("binary")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"body_md5").orderBy($"doc_id")))
-          .withColumn("n_dups",
-            count(lit(1)).over(Window.partitionBy($"body_md5")))
-          .filter($"rn" === 1)
-          .select($"doc_id", $"host", $"n_tokens",
-            $"n_dups".cast("long").as("n_dups"), $"body_md5")
-      },
+      (s, d) => httpToCorpus(s, httpCorpusSynthPath,
+        serverPort = 80, docIdBase = 42000),
       Some(httpCorpusOracle(60))),
 
     // Receive-window health: zero-window events are THE standard TCP

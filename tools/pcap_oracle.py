@@ -616,10 +616,40 @@ if glob.glob(f"{out}/pcap_http_conversations/*.parquet"):
 # gate and the exact dedup — fully independent of the Scala synthesis
 # formulas the Spark-side constant oracle is generated from.
 if glob.glob(f"{out}/pcap_http_to_corpus/*.parquet"):
+    import gzip as _gzip
     import hashlib
     import re as _re3
+
+    def _deframe(raw):
+        """RFC 9112 body framing, independent of the Scala expression:
+        chunked walk / Content-Length cut / close-framed, then gzip
+        content decoding."""
+        head, rest = raw.split(b"\r\n\r\n", 1)
+        hdrs = {}
+        for line in head.split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            hdrs[k.strip().lower()] = v.strip()
+        if b"chunked" in hdrs.get(b"transfer-encoding", b""):
+            body, p = b"", 0
+            while True:
+                e = rest.index(b"\r\n", p)
+                size = int(rest[p:e].split(b";")[0], 16)
+                p = e + 2
+                if size == 0:
+                    break
+                body += rest[p:p + size]
+                assert rest[p + size:p + size + 2] == b"\r\n"
+                p = p + size + 2
+        elif b"content-length" in hdrs:
+            body = rest[:int(hdrs[b"content-length"])]
+        else:
+            body = rest
+        if hdrs.get(b"content-encoding", b"").lower() == b"gzip":
+            body = _gzip.decompress(body)
+        return body.decode("ascii")
+
     dirs = {}
-    for ts, us, fr in _frames("/tmp/graft_synth_httpcorpus.pcap"):
+    for ts, us, fr in _frames("/tmp/graft_synth_httpcorpus2.pcap"):
         src, dst, proto, l4 = _v4(fr)
         sp, dp = struct.unpack_from(">HH", fr, l4)
         seq = struct.unpack_from(">I", fr, l4 + 4)[0]
@@ -628,12 +658,12 @@ if glob.glob(f"{out}/pcap_http_to_corpus/*.parquet"):
     bodies, chosts = {}, {}
     for (src, dst, sp, dp), segs in dirs.items():
         segs.sort()
-        txt = b"".join(p for _, p in segs).decode("ascii")
+        stream = b"".join(p for _, p in segs)
         if dp == 80:
             chosts[(src, sp)] = _re3.search(
-                r"\r\nHost: (\S+)\r\n", txt).group(1)
+                rb"\r\nHost: (\S+)\r\n", stream).group(1).decode("ascii")
         else:
-            bodies[(dst, dp)] = txt.split("\r\n\r\n", 1)[1]
+            bodies[(dst, dp)] = _deframe(stream)
     groups = {}
     for (cl, cp), body in bodies.items():
         w = body.split(" ")
