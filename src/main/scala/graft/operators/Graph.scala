@@ -69,16 +69,16 @@ object Graph {
     edgeMemo.clear()
   }
 
+  /** Persisted-graph format version (1 = distinct-pair weighted edges);
+    * checked by the shared [[graft.Artifact]] staleness rule, so a
+    * layout change rebuilds instead of silently mis-loading. */
+  private val GraphFmt = 1L
+
   /** Artifact location: `spark.graft.graph.dir` (or java.io.tmpdir) /
-    * md5(dataset dir) — content-addressed by dataset path, mirroring
-    * [[Similarity.annIndexDir]]. */
-  private[graft] def graphDir(s: SparkSession, d: String): java.nio.file.Path = {
-    val base = s.conf.get("spark.graft.graph.dir",
-      sys.props("java.io.tmpdir") + "/graft_graph")
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.nio.file.Paths.get(base, h)
-  }
+    * md5(dataset dir) — the shared [[graft.Artifact]] addressing,
+    * mirroring [[Similarity.annIndexDir]]. */
+  private[graft] def graphDir(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Artifact.dir(s, "spark.graft.graph.dir", "graft_graph", d)
 
   /** The co-purchase edge relation (src, dst, w): memo (warm session) →
     * persisted artifact (cold session — no self-join) → build, persist,
@@ -92,45 +92,26 @@ object Graph {
     // no shuffle — the distinct-pair count would itself cost the join
     // the artifact exists to avoid) PLUS the size+mtime fingerprint,
     // which catches a dataset REGENERATED at the same cardinality
-    val rows = Tables.lineitem(s, d).count()
-    val fp = Tables.fingerprint(s"$d/lineitem.parquet")
+    val key = graft.Artifact.Key(GraphFmt,
+      Tables.lineitem(s, d).count(),
+      Tables.fingerprint(s"$d/lineitem.parquet"))
     val dir = graphDir(s, d)
-    val marker = dir.resolve("meta.json")
-    def loadStored(): Option[DataFrame] = {
-      if (!java.nio.file.Files.exists(marker)) return None
-      try {
-        import org.json4s._
-        import org.json4s.jackson.JsonMethods
-        val o = JsonMethods.parse(new String(
-          java.nio.file.Files.readAllBytes(marker), "UTF-8"))
-        def asLong(v: JValue): Long = v match {
-          case JInt(i) => i.toLong
-          case JLong(l) => l
-          case _ => -1L
-        }
-        if (asLong(o \ "rows") != rows || asLong(o \ "fp") != fp) None
-        else Some(s.read.parquet(dir.resolve("edges").toString))
-      } catch { case _: Exception => None }
-    }
-    val edges = loadStored().getOrElse {
-      edgeBuilds.computeIfAbsent(d,
-        _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
-      val li = Tables.lineitem(s, d)
-        .select($"l_orderkey", $"l_partkey").distinct()
-      val e = li.as("a").join(li.as("b"), "l_orderkey")
-        .filter($"a.l_partkey" =!= $"b.l_partkey")
-        .groupBy($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
-        .agg(count(lit(1)).as("w"))
-      java.nio.file.Files.createDirectories(dir)
-      e.write.mode("overwrite").parquet(dir.resolve("edges").toString)
-      val tmp = dir.resolve(".meta.json.tmp")
-      java.nio.file.Files.write(tmp,
-        s"""{"rows":$rows,"fp":$fp}""".getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, marker,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      s.read.parquet(dir.resolve("edges").toString)
-    }
+    val edges = graft.Artifact.loadIfFresh(dir, "meta.json", key)
+      .map(_ => s.read.parquet(dir.resolve("edges").toString))
+      .getOrElse {
+        edgeBuilds.computeIfAbsent(d,
+          _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e = li.as("a").join(li.as("b"), "l_orderkey")
+          .filter($"a.l_partkey" =!= $"b.l_partkey")
+          .groupBy($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+          .agg(count(lit(1)).as("w"))
+        java.nio.file.Files.createDirectories(dir)
+        e.write.mode("overwrite").parquet(dir.resolve("edges").toString)
+        graft.Artifact.commit(dir, "meta.json", key)
+        s.read.parquet(dir.resolve("edges").toString)
+      }
     val out = edges.repartition($"src").cache()
     edgeMemo.put(d, out)
     out

@@ -105,79 +105,56 @@ object Similarity {
     * / md5(dataset dir) — content-addressed by dataset path because the
     * dataset dirs themselves are read-only inputs here; a deployment
     * owning its data would write `<dataset>/_ann_index` instead. */
-  private[graft] def annIndexDir(s: SparkSession, d: String): java.nio.file.Path = {
-    val base = s.conf.get("spark.graft.ann.indexDir",
-      sys.props("java.io.tmpdir") + "/graft_ann_index")
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.nio.file.Paths.get(base, h)
-  }
+  private[graft] def annIndexDir(s: SparkSession, d: String): java.nio.file.Path =
+    graft.Artifact.dir(s, "spark.graft.ann.indexDir", "graft_ann_index", d)
+
+  private def indexKey(s: SparkSession, d: String, rows: Long) =
+    graft.Artifact.Key(IndexFmt, rows,
+      graft.Tables.fingerprint(s"$d/embeddings.parquet"))
 
   private def writeIndex(s: SparkSession, d: String, rows: Long,
       cents: Seq[Seq[Double]], cb: Seq[Seq[Seq[Double]]],
       codes: DataFrame): Unit = {
     import org.json4s.JsonDSL._
-    import org.json4s.jackson.JsonMethods
     val dir = annIndexDir(s, d)
     java.nio.file.Files.createDirectories(dir)
     codes.write.mode("overwrite").parquet(dir.resolve("codes").toString)
-    val obj =
-      ("fmt" -> IndexFmt) ~
-      ("rows" -> rows) ~
-      ("fp" -> graft.Tables.fingerprint(s"$d/embeddings.parquet")) ~
+    // payload fully on disk; the shared Artifact.commit seals it (the
+    // staleness key + the small model as extra sidecar fields)
+    graft.Artifact.commit(dir, "model.json", indexKey(s, d, rows),
       ("cents" -> cents.map(_.map(_.toString))) ~
-      ("cb" -> cb.map(_.map(_.map(_.toString))))
-    val tmp = dir.resolve(".model.json.tmp")
-    java.nio.file.Files.write(tmp,
-      JsonMethods.compact(JsonMethods.render(obj)).getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, dir.resolve("model.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ("cb" -> cb.map(_.map(_.map(_.toString)))))
   }
 
-  /** Cold-load the persisted index; None if absent or stale (row-count
-    * mismatch with the current corpus). The codes cache materializes off
-    * the probe path, mirroring the built branch. */
+  /** Cold-load the persisted index; None if absent or stale under the
+    * shared [[graft.Artifact]] rule — format version (a sidecar written
+    * before multi-assignment has one code row per vector, which the A=3
+    * probe would silently under-recall on), source row count, and the
+    * regeneration fingerprint. The codes cache materializes off the
+    * probe path, mirroring the built branch. */
   private def loadIndex(s: SparkSession, d: String, rows: Long):
       Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame)] = {
     import org.json4s._
-    import org.json4s.jackson.JsonMethods
     val dir = annIndexDir(s, d)
-    val model = dir.resolve("model.json")
-    if (!java.nio.file.Files.exists(model)) return None
-    try {
-      val o = JsonMethods.parse(new String(
-        java.nio.file.Files.readAllBytes(model), "UTF-8"))
-      def asLong(v: JValue): Long = v match {
-        case JInt(i) => i.toLong
-        case JLong(l) => l
-        case _ => -1L
+    graft.Artifact.loadIfFresh(dir, "model.json", indexKey(s, d, rows))
+      .flatMap { o =>
+        try {
+          def d1(v: JValue): Seq[Double] = v match {
+            case JArray(xs) => xs.map { case JString(x) => x.toDouble
+              case other => throw new IllegalArgumentException(other.toString) }
+            case other => throw new IllegalArgumentException(other.toString)
+          }
+          def arr(v: JValue): List[JValue] = v match {
+            case JArray(xs) => xs
+            case other => throw new IllegalArgumentException(other.toString)
+          }
+          val cents = arr(o \ "cents").map(d1)
+          val cb = arr(o \ "cb").map(m => arr(m).map(d1))
+          val codes = s.read.parquet(dir.resolve("codes").toString).cache()
+          codes.count()
+          Some((cents, cb, codes))
+        } catch { case _: Exception => None }
       }
-      // format guard: a sidecar written before multi-assignment (fmt
-      // absent or older) must rebuild — its codes table has one entry
-      // per vector, which the A=3 probe would silently under-recall on
-      if (asLong(o \ "fmt") != IndexFmt) return None
-      val storedRows = asLong(o \ "rows")
-      if (storedRows != rows) return None
-      // size+mtime fingerprint: rows alone cannot see a dataset
-      // REGENERATED at the same cardinality
-      if (asLong(o \ "fp") !=
-        graft.Tables.fingerprint(s"$d/embeddings.parquet")) return None
-      def d1(v: JValue): Seq[Double] = v match {
-        case JArray(xs) => xs.map { case JString(x) => x.toDouble
-          case other => throw new IllegalArgumentException(other.toString) }
-        case other => throw new IllegalArgumentException(other.toString)
-      }
-      def arr(v: JValue): List[JValue] = v match {
-        case JArray(xs) => xs
-        case other => throw new IllegalArgumentException(other.toString)
-      }
-      val cents = arr(o \ "cents").map(d1)
-      val cb = arr(o \ "cb").map(m => arr(m).map(d1))
-      val codes = s.read.parquet(dir.resolve("codes").toString).cache()
-      codes.count()
-      Some((cents, cb, codes))
-    } catch { case _: Exception => None }
   }
 
   /** The shared squared-L2 and per-subspace-distance SQL templates used
