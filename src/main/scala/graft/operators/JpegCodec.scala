@@ -351,6 +351,340 @@ object JpegCodec extends Serializable {
     out.toByteArray
   }
 
+  // Progressive scans need EOBn symbols ((r<<4)|0 for r=1..14), which
+  // the SEQUENTIAL Annex K tables deliberately lack — so the
+  // progressive fixture carries its own flat tables: every symbol at
+  // code length 8 (canonical, underfull code space — legal, and it
+  // also exercises the decoder against non-Annex-K DHT content).
+  private def flatHuff(symbols: Array[Int]): (Array[Int], Array[Int]) = {
+    val bits = new Array[Int](16)
+    bits(7) = symbols.length // all codes 8 bits long
+    (bits, symbols)
+  }
+  private val (progDcBits, progDcVals) = flatHuff((0 to 11).toArray)
+  private val (progAcBits, progAcVals) = flatHuff(
+    (for { r <- 0 to 15; s <- 0 to 10 } yield (r << 4) | s).toArray)
+  private val ProgDcHuff = new Huff(progDcBits, progDcVals)
+  private val ProgAcHuff = new Huff(progAcBits, progAcVals)
+
+  /** Write the SAME fixture content as [[encode]] but as a PROGRESSIVE
+    * (SOF2) stream — T.81 Annex G: an interleaved DC first scan at
+    * Al=1, spectral-band AC first scans for luma split so each band
+    * holds one of the fixture's AC positions (zigzag 10 / 14+39),
+    * all-zero chroma AC scans (pure EOB runs spanning every block), an
+    * AC refinement scan (newly-significant coefficients + correction
+    * bits + EOB-run folding), and a DC refinement scan. Because the
+    * scans carry the exact same quantized coefficients, the decoded
+    * pixels are bit-identical to the baseline stream's — the
+    * coefficient-space oracle pins the progressive path too.
+    * `restartInterval > 0` adds DRI + RSTn framing inside every scan
+    * (predictor/EOB-run resets at each interval). */
+  def encodeProgressive(id: Long, restartInterval: Int = 0): Array[Byte] = {
+    val (w, h) = dims(id)
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
+    // quantized coefficient blocks, natural order — identical content
+    // to encode()'s per-block synthesis
+    val lumW = 2 * mcusX
+    def yBlock(bx: Int, by: Int): Array[Int] = {
+      val b = new Array[Int](64)
+      b(0) = yBase(id, bx, by) - 128
+      b(4) = acA(id, bx, by)
+      b(32) = acB(id, bx, by)
+      b(36) = acC(id, bx, by)
+      b
+    }
+    val yCoef = Array.tabulate(lumW * 2 * mcusY)(i =>
+      yBlock(i % lumW, i / lumW))
+    val cbCoef = Array.tabulate(mcusX * mcusY) { i =>
+      val b = new Array[Int](64); b(0) = cbOf(id, i % mcusX, i / mcusX); b
+    }
+    val crCoef = Array.tabulate(mcusX * mcusY) { i =>
+      val b = new Array[Int](64); b(0) = crOf(id, i % mcusX, i / mcusX); b
+    }
+    // the fixture's chroma DC formulas are 0..255 but coefficients are
+    // level-shifted like encode()'s
+    cbCoef.foreach(b => b(0) -= 128)
+    crCoef.foreach(b => b(0) -= 128)
+
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def marker(b: Int): Unit = { out.write(0xFF); out.write(b) }
+    def seg(mk: Int, payload: Array[Byte]): Unit = {
+      marker(mk)
+      val len = payload.length + 2
+      out.write(len >>> 8); out.write(len & 0xFF)
+      out.write(payload, 0, payload.length)
+    }
+    marker(0xD8)
+    seg(0xE0, "JFIF\u0000".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = new Array[Byte](130)
+    dqt(0) = 0
+    java.util.Arrays.fill(dqt, 1, 65, 8.toByte)
+    dqt(65) = 1
+    java.util.Arrays.fill(dqt, 66, 130, 8.toByte)
+    seg(0xDB, dqt)
+    seg(0xC2, Array[Byte](8, (h >>> 8).toByte, h.toByte, // SOF2
+      (w >>> 8).toByte, w.toByte, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    def dht(cls: Int, tid: Int, bits: Array[Int], vals: Array[Int]) =
+      Array(((cls << 4) | tid).toByte) ++
+        bits.map(_.toByte) ++ vals.map(_.toByte)
+    seg(0xC4, dht(0, 0, progDcBits, progDcVals) ++
+      dht(1, 0, progAcBits, progAcVals))
+    if (restartInterval > 0)
+      seg(0xDD, Array[Byte]((restartInterval >>> 8).toByte,
+        restartInterval.toByte))
+
+    // every scan selects DHT pair 0/0 (the shared flat tables)
+    def sosHeader(comps: Seq[Int], ss: Int, se: Int, ah: Int,
+        al: Int): Unit = {
+      val ids = Array(1, 2, 3)
+      seg(0xDA, Array[Byte](comps.length.toByte) ++
+        comps.flatMap(c => Seq(ids(c).toByte, 0x00.toByte)) ++
+        Array[Byte](ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+    }
+
+    var rstN = 0
+    def restart(bw: BitWriter, before: () => Unit): Unit = {
+      before()
+      bw.flush()
+      marker(0xD0 + rstN)
+      rstN = (rstN + 1) & 7
+    }
+
+    // ---- scan 1: interleaved DC first pass, Al=1 --------------------
+    sosHeader(Seq(0, 1, 2), 0, 0, 0, 1)
+    locally {
+      val bw = new BitWriter(out)
+      rstN = 0
+      val predv = new Array[Int](3)
+      var mcu = 0
+      def putDc(c: Int, dcv: Int, t: Huff): Unit = {
+        val v = dcv >> 1 // Al=1 point transform (arithmetic shift)
+        val diff = v - predv(c)
+        predv(c) = v
+        val sz = catOf(diff)
+        bw.put(t.codeOf(sz), t.lenOf(sz))
+        if (sz > 0) bw.put(bitsOf(diff, sz), sz)
+      }
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 &&
+            mcu % restartInterval == 0) {
+            restart(bw, () => ())
+            java.util.Arrays.fill(predv, 0)
+          }
+          var v = 0
+          while (v < 2) {
+            var u = 0
+            while (u < 2) {
+              putDc(0, yCoef((2 * my + v) * lumW + 2 * mx + u)(0),
+                ProgDcHuff)
+              u += 1
+            }
+            v += 1
+          }
+          putDc(1, cbCoef(my * mcusX + mx)(0), ProgDcHuff)
+          putDc(2, crCoef(my * mcusX + mx)(0), ProgDcHuff)
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+
+    // non-interleaved grids (4:2:0): luma ceil(w/8)×ceil(h/8), chroma
+    // ceil(ceil(w/2)/8)×ceil(ceil(h/2)/8)
+    val yNbW = (w + 7) / 8; val yNbH = (h + 7) / 8
+    val cNbW = ((w + 1) / 2 + 7) / 8; val cNbH = ((h + 1) / 2 + 7) / 8
+
+    /** AC first pass over one component's ceil grid (G.1.2.2). */
+    def acFirstScan(comp: Int, blocks: (Int, Int) => Array[Int],
+        nw: Int, nh: Int, ss: Int, se: Int, al: Int, ac: Huff): Unit = {
+      sosHeader(Seq(comp), ss, se, 0, al)
+      val bw = new BitWriter(out)
+      rstN = 0
+      var eobrun = 0
+      def flushEobrun(): Unit =
+        if (eobrun > 0) {
+          val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+          bw.put(ac.codeOf(nbits << 4), ac.lenOf(nbits << 4))
+          if (nbits > 0) bw.put(eobrun & ((1 << nbits) - 1), nbits)
+          eobrun = 0
+        }
+      var blk = 0
+      var by = 0
+      while (by < nh) {
+        var bx = 0
+        while (bx < nw) {
+          if (restartInterval > 0 && blk > 0 &&
+            blk % restartInterval == 0)
+            restart(bw, () => flushEobrun())
+          val coefb = blocks(bx, by)
+          var r = 0
+          var k = ss
+          while (k <= se) {
+            val cv = coefb(Zigzag(k))
+            // AC point transform: divide with truncation toward zero
+            val t = if (cv < 0) -((-cv) >> al) else cv >> al
+            if (t == 0) r += 1
+            else {
+              flushEobrun()
+              while (r > 15) {
+                bw.put(ac.codeOf(0xF0), ac.lenOf(0xF0)); r -= 16
+              }
+              val sz = catOf(t)
+              bw.put(ac.codeOf((r << 4) | sz), ac.lenOf((r << 4) | sz))
+              bw.put(bitsOf(t, sz), sz)
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0) {
+            eobrun += 1
+            if (eobrun == 0x7FFF) flushEobrun()
+          }
+          blk += 1
+          bx += 1
+        }
+        by += 1
+      }
+      flushEobrun()
+      bw.flush()
+    }
+
+    /** AC refinement pass (G.1.2.3): newly-significant coefficients as
+      * (run,1)+sign, correction bits for history coefficients buffered
+      * and emitted after the symbol they follow, EOB runs carrying the
+      * deferred correction bits of every folded block. */
+    def acRefineScan(comp: Int, blocks: (Int, Int) => Array[Int],
+        nw: Int, nh: Int, ss: Int, se: Int, al: Int, ac: Huff): Unit = {
+      sosHeader(Seq(comp), ss, se, al + 1, al)
+      val bw = new BitWriter(out)
+      rstN = 0
+      var eobrun = 0
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushEobrun(): Unit = {
+        if (eobrun > 0) {
+          val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+          bw.put(ac.codeOf(nbits << 4), ac.lenOf(nbits << 4))
+          if (nbits > 0) bw.put(eobrun & ((1 << nbits) - 1), nbits)
+          eobrun = 0
+        }
+        pending.foreach(b => bw.put(b, 1))
+        pending.clear()
+      }
+      val absv = new Array[Int](64)
+      var blk = 0
+      var by = 0
+      while (by < nh) {
+        var bx = 0
+        while (bx < nw) {
+          if (restartInterval > 0 && blk > 0 &&
+            blk % restartInterval == 0)
+            restart(bw, () => flushEobrun())
+          val coefb = blocks(bx, by)
+          // pre-pass: abs values at this precision + last newly-
+          // significant position (EOB folds zero runs past it)
+          var eobPos = ss - 1
+          var k = ss
+          while (k <= se) {
+            val a = math.abs(coefb(Zigzag(k))) >> al
+            absv(k) = a
+            if (a == 1) eobPos = k
+            k += 1
+          }
+          var r = 0
+          val blockBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+          k = ss
+          while (k <= se) {
+            val t = absv(k)
+            if (t == 0) r += 1
+            else {
+              while (r > 15 && k <= eobPos) {
+                flushEobrun()
+                bw.put(ac.codeOf(0xF0), ac.lenOf(0xF0))
+                r -= 16
+                blockBits.foreach(b => bw.put(b, 1))
+                blockBits.clear()
+              }
+              if (t > 1) blockBits += (t & 1) // history: correction bit
+              else {
+                flushEobrun()
+                bw.put(ac.codeOf((r << 4) | 1), ac.lenOf((r << 4) | 1))
+                bw.put(if (coefb(Zigzag(k)) < 0) 0 else 1, 1)
+                blockBits.foreach(b => bw.put(b, 1))
+                blockBits.clear()
+                r = 0
+              }
+            }
+            k += 1
+          }
+          if (r > 0 || blockBits.nonEmpty) {
+            eobrun += 1
+            pending ++= blockBits
+            if (eobrun == 0x7FFF || pending.length > 900) flushEobrun()
+          }
+          blk += 1
+          bx += 1
+        }
+        by += 1
+      }
+      flushEobrun()
+      bw.flush()
+    }
+
+    val yAt = (bx: Int, by: Int) => yCoef(by * lumW + bx)
+    val cbAt = (bx: Int, by: Int) => cbCoef(by * mcusX + bx)
+    val crAt = (bx: Int, by: Int) => crCoef(by * mcusX + bx)
+
+    // ---- AC scans: luma split across the fixture's coefficient
+    // positions (zigzag 10 in 1..13; 14 and 39 in 14..63), chroma
+    // all-zero bands (pure EOB runs), then a luma refinement pass
+    acFirstScan(0, yAt, yNbW, yNbH, 1, 13, 1, ProgAcHuff)
+    acFirstScan(1, cbAt, cNbW, cNbH, 1, 63, 0, ProgAcHuff)
+    acFirstScan(2, crAt, cNbW, cNbH, 1, 63, 0, ProgAcHuff)
+    acFirstScan(0, yAt, yNbW, yNbH, 14, 63, 1, ProgAcHuff)
+    acRefineScan(0, yAt, yNbW, yNbH, 1, 63, 0, ProgAcHuff)
+
+    // ---- final scan: interleaved DC refinement, Ah=1 Al=0 -----------
+    sosHeader(Seq(0, 1, 2), 0, 0, 1, 0)
+    locally {
+      val bw = new BitWriter(out)
+      rstN = 0
+      var mcu = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 &&
+            mcu % restartInterval == 0) restart(bw, () => ())
+          var v = 0
+          while (v < 2) {
+            var u = 0
+            while (u < 2) {
+              bw.put(yCoef((2 * my + v) * lumW + 2 * mx + u)(0) & 1, 1)
+              u += 1
+            }
+            v += 1
+          }
+          bw.put(cbCoef(my * mcusX + mx)(0) & 1, 1)
+          bw.put(crCoef(my * mcusX + mx)(0) & 1, 1)
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+    marker(0xD9)
+    out.toByteArray
+  }
+
   // ---------------------------------------------------- general encoder
 
   /** T.81 Annex K example luminance/chrominance quantization tables
@@ -592,6 +926,18 @@ object JpegCodec extends Serializable {
         f"expected RST$expected%d, found $a%02X$b%02X")
       pos += 2
     }
+    /** Byte-align after a scan's entropy data and return the offset of
+      * the following marker. The only legal bytes between the last
+      * entropy bit and the marker are the flush-padding remnant — if
+      * that padded byte was 0xFF it carries a 0x00 stuffing byte the
+      * bit consumer never loaded, which is skipped here. */
+    def markerPos: Int = {
+      n = 0
+      var p = pos
+      while (p + 1 < bytes.length && (bytes(p) & 0xFF) == 0xFF &&
+        (bytes(p + 1) & 0xFF) == 0x00) p += 2
+      p
+    }
   }
 
   /** T.81 F.2.2.3 DECODE: walk code lengths until the accumulated code
@@ -663,14 +1009,16 @@ object JpegCodec extends Serializable {
     }
   }
 
-  /** Parse a baseline JPEG from bytes alone: marker walk (APPn/COM
-    * skipped, fill bytes tolerated), multi-table DQT (8/16-bit) and
-    * DHT segments, SOF0/SOF1, DRI, then the interleaved scan. Returns
-    * the shared [[Multimodal.BmpCodec.Image]]. Guards mirror the other
-    * codecs: dims bounded BEFORE any allocation, component/sampling
-    * ranges checked, Huffman/marker malformations rejected with clear
-    * errors. Progressive (SOF2) and other non-baseline frames are
-    * rejected, not misparsed. */
+  /** Parse a JPEG from bytes alone: marker walk (APPn/COM skipped,
+    * fill bytes tolerated), multi-table DQT (8/16-bit) and DHT
+    * segments, SOF0/SOF1 (baseline sequential) or SOF2 (progressive:
+    * spectral selection + successive approximation, T.81 Annex G),
+    * DRI, then the scan(s). Returns the shared
+    * [[Multimodal.BmpCodec.Image]]. Guards mirror the other codecs:
+    * dims bounded BEFORE any allocation, component/sampling ranges
+    * checked, Huffman/marker/scan-header malformations rejected with
+    * clear errors. Other non-baseline frames (lossless, arithmetic,
+    * hierarchical) are rejected, not misparsed. */
   def decode(bytes: Array[Byte]): Multimodal.BmpCodec.Image = {
     require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
       (bytes(1) & 0xFF) == 0xD8, "not a JPEG file")
@@ -687,6 +1035,17 @@ object JpegCodec extends Serializable {
     var compV: Array[Int] = null
     var compQ: Array[Int] = null
     var restartInterval = 0
+    // progressive-frame state: per-component raw (unquantized)
+    // coefficient stores accumulated across scans, reconstructed at EOI
+    var progressive = false
+    var sawScan = false
+    var hmax = 1; var vmax = 1
+    var mcusX = 0; var mcusY = 0
+    var blocksW: Array[Int] = null // MCU-padded grid (interleaved scans)
+    var blocksH: Array[Int] = null
+    var nbW: Array[Int] = null // ceil grid (non-interleaved scans)
+    var nbH: Array[Int] = null
+    var coefStore: Array[Array[Int]] = null
     var off = 2
     while (off + 2 <= bytes.length) {
       require((bytes(off) & 0xFF) == 0xFF,
@@ -739,7 +1098,11 @@ object JpegCodec extends Serializable {
             huffs(tc * 4 + th) = new Huff(bits, vals)
           }
           off = end
-        case 0xC0 | 0xC1 => // SOF0 baseline (SOF1 ext-sequential: same wire)
+        case 0xC0 | 0xC1 | 0xC2 =>
+          // SOF0 baseline (SOF1 ext-sequential: same wire), or SOF2
+          // progressive (same frame header; the scans differ)
+          require(nComp == 0, "multiple SOF markers")
+          progressive = mk == 0xC2
           val len = u16(off)
           require(off + len <= bytes.length && len >= 8, "truncated SOF")
           require((bytes(off + 2) & 0xFF) == 8,
@@ -772,25 +1135,45 @@ object JpegCodec extends Serializable {
             require(compQ(i) <= 3, "bad quant table selector")
             i += 1
           }
+          i = 0
+          while (i < nComp) {
+            if (compH(i) > hmax) hmax = compH(i)
+            if (compV(i) > vmax) vmax = compV(i)
+            i += 1
+          }
+          mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+          blocksW = Array.tabulate(nComp)(c => mcusX * compH(c))
+          blocksH = Array.tabulate(nComp)(c => mcusY * compV(c))
+          // non-interleaved scan grid: ceil(ceil(dim·h_i/hmax)/8)
+          // (T.81 A.1.1 — NOT the MCU-padded grid)
+          nbW = Array.tabulate(nComp)(c =>
+            ((w * compH(c) + hmax - 1) / hmax + 7) / 8)
+          nbH = Array.tabulate(nComp)(c =>
+            ((h * compV(c) + vmax - 1) / vmax + 7) / 8)
+          if (progressive)
+            coefStore = Array.tabulate(nComp)(c =>
+              new Array[Int](blocksW(c) * blocksH(c) * 64))
           off += len
-        case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+        case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
             0xCD | 0xCE | 0xCF =>
           throw new IllegalArgumentException(
             f"unsupported JPEG frame type SOF (marker FF$mk%02X) — " +
-              "only baseline sequential is implemented")
+              "only baseline sequential and progressive are implemented")
         case 0xDD => // DRI
           require(u16(off) == 4, "bad DRI length")
           restartInterval = u16(off + 2)
           off += 4
-        case 0xDA => // SOS — decode the scan and return
+        case 0xDA => // SOS — one (baseline) or one-of-many (progressive)
           require(nComp > 0, "SOS before SOF")
           val len = u16(off)
           require(off + len <= bytes.length, "truncated SOS")
           val ns = bytes(off + 2) & 0xFF
-          require(ns == nComp, "partial-scan JPEGs unsupported")
-          val scanDc = new Array[Huff](nComp)
-          val scanAc = new Array[Huff](nComp)
-          val scanComp = new Array[Int](nComp)
+          require(ns >= 1 && ns <= nComp && len == 6 + 2 * ns,
+            "bad SOS header")
+          val scanDc = new Array[Huff](ns)
+          val scanAc = new Array[Huff](ns)
+          val scanComp = new Array[Int](ns)
           var i = 0
           while (i < ns) {
             val cs = bytes(off + 3 + 2 * i) & 0xFF
@@ -798,20 +1181,58 @@ object JpegCodec extends Serializable {
             require(ci >= 0, s"SOS references unknown component $cs")
             scanComp(i) = ci
             val tdta = bytes(off + 4 + 2 * i) & 0xFF
+            require((tdta >>> 4) <= 3 && (tdta & 0x0F) <= 3,
+              s"bad SOS Huffman table selector $tdta")
             scanDc(i) = huffs(tdta >>> 4) // class 0 lives at index th
             scanAc(i) = huffs(4 + (tdta & 0x0F))
-            require(scanDc(i) != null && scanAc(i) != null,
-              "SOS references undefined Huffman table")
             i += 1
           }
-          require((bytes(off + 3 + 2 * ns) & 0xFF) == 0 &&
-            (bytes(off + 4 + 2 * ns) & 0xFF) == 63 &&
-            (bytes(off + 5 + 2 * ns) & 0xFF) == 0,
-            "non-baseline spectral selection/approximation")
-          return decodeScan(bytes, off + len, w, h, nComp,
-            compH, compV, compQ, qt, scanComp, scanDc, scanAc,
-            restartInterval)
+          val ss = bytes(off + 3 + 2 * ns) & 0xFF
+          val se = bytes(off + 4 + 2 * ns) & 0xFF
+          val ahal = bytes(off + 5 + 2 * ns) & 0xFF
+          val ah = ahal >>> 4
+          val al = ahal & 0x0F
+          if (!progressive) {
+            require(ns == nComp, "partial-scan JPEGs unsupported")
+            require(ss == 0 && se == 63 && ahal == 0,
+              "non-baseline spectral selection/approximation")
+            i = 0
+            while (i < ns) {
+              require(scanDc(i) != null && scanAc(i) != null,
+                "SOS references undefined Huffman table")
+              i += 1
+            }
+            return decodeScan(bytes, off + len, w, h, nComp,
+              compH, compV, compQ, qt, scanComp, scanDc, scanAc,
+              restartInterval)
+          }
+          // progressive scan-header validation (T.81 B.2.3 / G.1.1.1)
+          if (ss == 0)
+            require(se == 0, "progressive DC scan with Se != 0")
+          else {
+            require(ns == 1, "progressive AC scan must be non-interleaved")
+            require(ss <= se && se <= 63, s"bad spectral band $ss..$se")
+          }
+          require(al <= 13 && (ah == 0 || ah == al + 1),
+            s"bad successive approximation Ah=$ah Al=$al")
+          i = 0
+          while (i < ns) {
+            if (ss == 0 && ah == 0)
+              require(scanDc(i) != null,
+                "DC scan references undefined Huffman table")
+            if (ss > 0)
+              require(scanAc(i) != null,
+                "AC scan references undefined Huffman table")
+            i += 1
+          }
+          sawScan = true
+          off = decodeProgScan(bytes, off + len, scanComp, scanDc,
+            scanAc, ss, se, ah, al, mcusX, mcusY, compH, compV,
+            blocksW, nbW, nbH, coefStore, restartInterval)
         case 0xD9 =>
+          if (progressive && sawScan)
+            return reconstructProg(w, h, nComp, compH, compV, compQ,
+              qt, hmax, vmax, blocksW, blocksH, coefStore)
           throw new IllegalArgumentException("EOI before any scan")
         case a if (a >= 0xE0 && a <= 0xEF) || a == 0xFE => // APPn / COM
           off += u16(off)
@@ -914,6 +1335,15 @@ object JpegCodec extends Serializable {
       }
       my += 1
     }
+    assemble(w, h, nComp, compH, compV, hmax, vmax, planes, planeW)
+  }
+
+  /** Shared tail of both decode paths: nearest-sample chroma upsampling
+    * + JFIF color conversion, cropped to w×h. */
+  private def assemble(w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], hmax: Int, vmax: Int,
+      planes: Array[Array[Int]],
+      planeW: Array[Int]): Multimodal.BmpCodec.Image = {
     val px = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -938,5 +1368,232 @@ object JpegCodec extends Serializable {
       y += 1
     }
     Multimodal.BmpCodec.Image(w, h, px)
+  }
+
+  /** One progressive scan (T.81 G.2): decodes into the raw
+    * (unquantized) per-component coefficient stores and returns the
+    * byte offset of the marker that follows the entropy data. DC scans
+    * may be interleaved over the MCU grid; AC scans are always
+    * single-component over the component's own ceil-block grid. First
+    * passes (Ah=0) carry point-transformed values; refinement passes
+    * (Ah=Al+1) add one magnitude bit per coded coefficient, with EOB
+    * runs spanning blocks in both (figure G.7 semantics — newly-
+    * significant coefficients interleave with correction bits for
+    * history coefficients, which is why decode order is load-bearing). */
+  private def decodeProgScan(bytes: Array[Byte], start: Int,
+      scanComp: Array[Int], scanDc: Array[Huff], scanAc: Array[Huff],
+      ss: Int, se: Int, ah: Int, al: Int,
+      mcusX: Int, mcusY: Int,
+      compH: Array[Int], compV: Array[Int],
+      blocksW: Array[Int], nbW: Array[Int], nbH: Array[Int],
+      coefStore: Array[Array[Int]], restartInterval: Int): Int = {
+    val br = new BitReader(bytes, start)
+    val ns = scanComp.length
+    var eobrun = 0
+    val pred = new Array[Int](coefStore.length)
+    var rstN = 0
+    var unit = 0 // restart-interval unit: MCU (interleaved) or block
+
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.syncRestart(rstN)
+        rstN = (rstN + 1) & 7
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+
+    def dcBlock(c: Int, s: Int, base: Int): Unit =
+      if (ah == 0) {
+        val t = huffDecode(br, scanDc(s))
+        require(t <= 15, s"bad DC category $t")
+        pred(c) += extend(br.receive(t), t)
+        coefStore(c)(base) = pred(c) << al
+      } else if (br.readBit() == 1) coefStore(c)(base) |= 1 << al
+
+    if (ss == 0) {
+      if (ns > 1) { // interleaved DC scan over the MCU grid
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            var s = 0
+            while (s < ns) {
+              val c = scanComp(s)
+              var v = 0
+              while (v < compV(c)) {
+                var u = 0
+                while (u < compH(c)) {
+                  val by = my * compV(c) + v
+                  val bx = mx * compH(c) + u
+                  dcBlock(c, s, (by * blocksW(c) + bx) * 64)
+                  u += 1
+                }
+                v += 1
+              }
+              s += 1
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else { // non-interleaved DC scan
+        val c = scanComp(0)
+        var by = 0
+        while (by < nbH(c)) {
+          var bx = 0
+          while (bx < nbW(c)) {
+            maybeRestart()
+            dcBlock(c, 0, (by * blocksW(c) + bx) * 64)
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } else { // AC scan — always non-interleaved (T.81 B.2.3)
+      val c = scanComp(0)
+      val ac = scanAc(0)
+      val coefs = coefStore(c)
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var by = 0
+      while (by < nbH(c)) {
+        var bx = 0
+        while (bx < nbW(c)) {
+          maybeRestart()
+          val base = (by * blocksW(c) + bx) * 64
+          if (ah == 0) {
+            // first pass: run-lengths at this precision + EOB runs
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              while (k <= se) {
+                val rs = huffDecode(br, ac)
+                val r = rs >>> 4
+                val sz = rs & 0x0F
+                if (sz == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += br.receive(r)
+                    k = 64 // EOB: rest of this block is zero
+                  }
+                } else {
+                  k += r
+                  require(k <= se, "AC run overflows spectral band")
+                  coefs(base + Zigzag(k)) =
+                    extend(br.receive(sz), sz) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // refinement pass
+            var k = ss
+            if (eobrun == 0) {
+              var inBlock = true
+              while (inBlock && k <= se) {
+                val rs = huffDecode(br, ac)
+                var r = rs >>> 4
+                val sz = rs & 0x0F
+                var newVal = 0
+                if (sz == 0) {
+                  if (r != 15) { // EOBn: tail handled by the run logic
+                    eobrun = 1 << r
+                    if (r > 0) eobrun += br.receive(r)
+                    inBlock = false
+                  } // r == 15: ZRL — skip 16 zero-history coefficients
+                } else {
+                  require(sz == 1, "bad AC refinement magnitude")
+                  newVal = if (br.readBit() == 1) p1 else m1
+                }
+                if (inBlock) {
+                  // advance over r zero-history coefficients, reading a
+                  // correction bit at every nonzero one passed
+                  var advancing = true
+                  while (advancing && k <= se) {
+                    val idx = base + Zigzag(k)
+                    val cv = coefs(idx)
+                    if (cv != 0) {
+                      if (br.readBit() == 1 && (cv & p1) == 0)
+                        coefs(idx) = cv + (if (cv >= 0) p1 else m1)
+                      k += 1
+                    } else if (r == 0) advancing = false
+                    else { r -= 1; k += 1 }
+                  }
+                  if (newVal != 0) {
+                    require(k <= se,
+                      "AC refinement placement overflows band")
+                    coefs(base + Zigzag(k)) = newVal
+                  }
+                  k += 1
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // block inside an EOB run: correction bits only
+              while (k <= se) {
+                val idx = base + Zigzag(k)
+                val cv = coefs(idx)
+                if (cv != 0 && br.readBit() == 1 && (cv & p1) == 0)
+                  coefs(idx) = cv + (if (cv >= 0) p1 else m1)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    br.markerPos
+  }
+
+  /** Final pass of progressive decode: dequantize + IDCT every block of
+    * the accumulated coefficient stores, then the shared upsample +
+    * color-convert tail. */
+  private def reconstructProg(w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], compQ: Array[Int],
+      qt: Array[Array[Int]], hmax: Int, vmax: Int,
+      blocksW: Array[Int], blocksH: Array[Int],
+      coefStore: Array[Array[Int]]): Multimodal.BmpCodec.Image = {
+    val planeW = Array.tabulate(nComp)(c => blocksW(c) * 8)
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Int](planeW(c) * blocksH(c) * 8))
+    val coef = new Array[Int](64)
+    val samp = new Array[Int](64)
+    var c = 0
+    while (c < nComp) {
+      val q = qt(compQ(c))
+      val store = coefStore(c)
+      var by = 0
+      while (by < blocksH(c)) {
+        var bx = 0
+        while (bx < blocksW(c)) {
+          val base = (by * blocksW(c) + bx) * 64
+          var i = 0
+          while (i < 64) { coef(i) = store(base + i) * q(i); i += 1 }
+          idct(coef, samp)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            val row = (by * 8 + yy) * planeW(c) + bx * 8
+            while (xx < 8) {
+              planes(c)(row + xx) = samp(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    assemble(w, h, nComp, compH, compV, hmax, vmax, planes, planeW)
   }
 }

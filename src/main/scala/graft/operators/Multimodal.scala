@@ -1491,6 +1491,69 @@ object Multimodal {
           CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
         FROM rgb GROUP BY 1, 2, 3""")),
 
+    // ----- REAL progressive JPEG decode (SOF2, T.81 Annex G) -------------
+    // A large share of web JPEGs are progressive; mm_decode_jpeg alone
+    // would skip them. Same coefficient-space fixture content as the
+    // baseline entry, delivered across a 7-scan progressive script
+    // (interleaved DC first pass at Al=1, spectral-band AC first
+    // passes, all-zero chroma bands as pure EOB runs, an AC refinement
+    // pass with newly-significant + correction bits, a DC refinement
+    // pass) — so the SAME closed-form oracle pins every pixel while
+    // the decode takes the scan-accumulation path (coefficient stores
+    // + per-scan successive approximation) instead of the one-shot
+    // baseline path. Gated to doc_id % 3 == 1 to keep battery cost
+    // bounded (the full-set sweep is mm_decode_jpeg's).
+    Q("mm_decode_jpeg_progressive",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
+          .select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.map { id =>
+            val bytes = JpegCodec.encodeProgressive(id)
+            val img = sniffKind(bytes) match {
+              case "jpg" => JpegCodec.decode(bytes)
+              case k => throw new IllegalStateException(
+                s"sniffer classified a progressive JPEG blob as $k")
+            }
+            (id, img.w, img.h, weightedPxSum(img))
+          }
+        }.toDF("media_id", "w", "h", "px_sum")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            64 + (doc_id*7 + (x//8)*31 + (y//8)*17) % 128
+              + ((doc_id + (x//8)*5 + (y//8)*3) % 8)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*3 + (x//8) + (y//8)*7) % 8)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*5 + (x//8)*7 + (y//8)) % 4)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END) AS yv,
+            (doc_id*11 + (x//16)*13 + (y//16)*19) % 256 AS cb,
+            (doc_id*3 + (x//16)*7 + (y//16)*29) % 256 AS cr
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(21 + doc_id % 14 AS INT) - 1)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(13 + doc_id % 11 AS INT) - 1)) AS y) ys
+          WHERE doc_id % 3 = 1),
+        rgb AS (
+          SELECT doc_id,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.402E0 * (cr - 128) + 0.5E0) AS BIGINT))) AS r,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv - 0.344136E0 * (cb - 128) - 0.714136E0 * (cr - 128)
+                + 0.5E0) AS BIGINT))) AS g,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.772E0 * (cb - 128) + 0.5E0) AS BIGINT))) AS b
+          FROM px)
+        SELECT doc_id AS media_id,
+          CAST(21 + doc_id % 14 AS INT) AS w,
+          CAST(13 + doc_id % 11 AS INT) AS h,
+          CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
+        FROM rgb GROUP BY 1, 2, 3""")),
+
     // ----- perceptual image fingerprint (dHash) --------------------------
     // THE standard image near-dup primitive (difference hash): sample
     // the decoded image to a 9×8 grayscale grid (same nearest-neighbor

@@ -687,13 +687,16 @@ class MultimodalCodecSpec extends AnyFunSuite {
     // payloads, entropy stream
     for (cut <- Seq(3, 10, 30, 120, good.length - 5))
       intercept[IllegalArgumentException](JpegCodec.decode(good.take(cut)))
-    // progressive frames are rejected by type, not misparsed: SOF0
-    // marker byte → SOF2
+    // a baseline stream relabeled SOF2 is MALFORMED progressive (its
+    // single scan covers Ss=0..Se=63, illegal for a progressive DC
+    // scan) — since round 10 SOF2 itself is supported
+    // (JpegProgressiveSpec), so the rejection is scan-header
+    // validation, not frame-type rejection
     val prog = good.clone()
     val sofOff = findMarker(prog, 0xC0)
     prog(sofOff + 1) = 0xC2.toByte
     val e1 = intercept[IllegalArgumentException](JpegCodec.decode(prog))
-    assert(e1.getMessage.contains("baseline"))
+    assert(e1.getMessage.contains("progressive"))
     // crafted 65535x65535 dims must be rejected BEFORE plane allocation
     val bomb = good.clone()
     val dimOff = sofOff + 5 // len(2) + precision(1) → height
