@@ -45,6 +45,13 @@ object Bench {
     def timedQuery(name: String): Double =
       if (name == DecodeName) timedDecode()
       else {
+        // the round-10 leak fix memoizes the span relation per dataset;
+        // left warm, every timed rep of the span queries would measure
+        // a memo lookup (~0.1 s) instead of the L-gram sweep — clear it
+        // so the band gate keeps watching the real operator
+        if (name.startsWith("text_repeat_spans") ||
+          name == "text_strip_repeat_spans")
+          graft.operators.TextAnalysis.clearSpanMemo()
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir).count()
@@ -60,10 +67,12 @@ object Bench {
     // round 8 adds the two new heavy ops: the L-gram span sweep (the
     // battery's biggest row explosion) and the second iterative loop
     // round 9 adds the JPEG decode sweep (the heaviest per-row codec)
+    // round 10 adds the progressive JPEG sweep (the multi-scan decode
+    // path has its own cost profile vs the one-shot baseline)
     val heavy = Seq("pipeline_pagerank", "sim_ann_ivfpq",
       "sim_cosine_topk_blocked", "pcap_tcp_reassembly",
       "text_repeat_spans", "pipeline_lpa_communities",
-      "mm_decode_jpeg")
+      "mm_decode_jpeg", "mm_decode_jpeg_progressive")
     val names = (SparkEntry.headline ++ heavy).distinct :+ DecodeName
     // warm-up pass: JIT + codegen + parquet footer caches, not timed —
     // the timed passes measure steady-state engine throughput
@@ -148,7 +157,55 @@ object Bench {
     }
     val cntScan = (1 to 3).map(_ => timedCount(push = false)).min
     val cntMeta = (1 to 3).map(_ => timedCount(push = true)).min
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"n_reps":5,"subtotals":{"relational":$subRel,"extension":$subExt,"graph":$subGraph},"sf":"$sfDir","pcap_decode_mb_s":$mbpsStr,"sim_ann_ivfpq_cold":${j(ivfpqCold)},"pcap_count_meta_s":${j(cntMeta)},"pcap_count_scan_s":${j(cntScan)}}""")
+
+    // per-query regression gate (round-9 verdict #8): each min is
+    // checked against the recorded band in BENCH_BANDS.json (the
+    // BASELINE.md band table's machine-readable twin) x its tolerance —
+    // drift fails LOUDLY in the round artifact ("band_fails" non-empty
+    // + stderr lines) instead of relying on a human diffing BASELINE.md
+    // across rounds. Queries without a recorded band (new entries) are
+    // skipped; the bands file is updated when a faster/slower reading
+    // is ACCEPTED and documented, never silently.
+    val (bandTol, bands) = BenchBands.load("BENCH_BANDS.json")
+    val bandFails = results.collect {
+      case (n, (mn, _)) if !mn.isNaN && bands.contains(n) &&
+        mn > bands(n) * bandTol => (n, mn)
+    }
+    bandFails.foreach { case (n, mn) =>
+      System.err.println(f"BENCH BAND FAIL: $n min $mn%.3f s > " +
+        f"band ${bands(n)}%.3f s x $bandTol%.1f")
+    }
+    val bandJson = bandFails.map { case (n, mn) =>
+      "\"" + n + "\":" + j(mn) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"n_reps":5,"subtotals":{"relational":$subRel,"extension":$subExt,"graph":$subGraph},"sf":"$sfDir","pcap_decode_mb_s":$mbpsStr,"sim_ann_ivfpq_cold":${j(ivfpqCold)},"pcap_count_meta_s":${j(cntMeta)},"pcap_count_scan_s":${j(cntScan)},"band_tolerance":$bandTol,"band_fails":$bandJson}""")
     spark.stop()
   }
+}
+
+/** The machine-readable twin of BASELINE.md's recorded per-query bands:
+  * `{"tolerance": T, "bands": {"query": band_max_seconds, ...}}`. Band
+  * values are the upper edge of the last accepted round's min-of-5
+  * readings; a current min above band x tolerance is flagged in the
+  * bench JSON so drift fails in the round artifact itself. */
+object BenchBands {
+  def load(path: String): (Double, Map[String, Double]) =
+    try {
+      import org.json4s._
+      val o = jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        "UTF-8"))
+      val tol = o \ "tolerance" match {
+        case JDouble(x) => x
+        case JInt(x) => x.toDouble
+        case _ => 2.0
+      }
+      val bands = o \ "bands" match {
+        case JObject(fields) => fields.collect {
+          case JField(k, JDouble(v)) => k -> v
+          case JField(k, JInt(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+      (tol, bands)
+    } catch { case _: Exception => (2.0, Map.empty) }
 }

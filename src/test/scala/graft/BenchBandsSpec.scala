@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression gate's band table (round-9 verdict #8) must
+  * stay wired: the JSON twin parses, its tolerance is sane, and every
+  * banded name is a live registry query (or the decode proxy) — a
+  * renamed query would otherwise silently drop out of the gate. */
+class BenchBandsSpec extends AnyFunSuite {
+
+  test("BENCH_BANDS.json parses and every band names a live query") {
+    val (tol, bands) = BenchBands.load("BENCH_BANDS.json")
+    assert(bands.nonEmpty, "band table must not be empty")
+    assert(tol >= 1.0 && tol <= 4.0, s"implausible tolerance $tol")
+    val live = SparkEntry.queries.keySet + "pcap_decode_dns_256m"
+    val dead = bands.keySet -- live
+    assert(dead.isEmpty, s"bands name dead queries: ${dead.mkString(", ")}")
+    assert(bands.values.forall(v => v > 0 && v < 60),
+      "band values must be positive sub-minute seconds")
+  }
+
+  test("a missing or corrupt bands file degrades to an empty gate") {
+    val (tol, bands) = BenchBands.load("/nonexistent/bands.json")
+    assert(tol == 2.0 && bands.isEmpty)
+  }
+}
