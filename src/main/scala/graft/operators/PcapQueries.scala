@@ -195,6 +195,30 @@ object PcapQueries {
           AS v(doc_id, host, n_tokens, n_dups, body_md5)"""
   }
 
+  /** Oracle for the streaming bridge's batch twin: the gated rows
+    * BEFORE dedup, re-derived from the synthesis formulas like
+    * [[httpCorpusOracle]] (whose kept-set filter this shares). */
+  private def corpusStreamTwinOracle(n: Int): String = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString
+    val rows = (0 until n).map { f =>
+      (f, s"host${f % 13}.example.com", graft.pcap.PcapSynth.corpusBody(f))
+    }.filter { case (_, _, b) =>
+      val w = b.split(" ", -1)
+      w.length >= 20 &&
+        w.distinct.length.toLong * 1000000L / w.length >= 300000L
+    }.map { case (f, host, b) =>
+      s"($f, '$host', ${b.split(" ", -1).length}, '${md5hex(b)}')"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+        CAST(v.host AS VARCHAR) AS host,
+        CAST(v.n_tokens AS BIGINT) AS n_tokens,
+        CAST(v.body_md5 AS VARCHAR) AS body_md5
+        FROM (VALUES $rows)
+          AS v(doc_id, host, n_tokens, body_md5)"""
+  }
+
   /** The pcap→corpus bridge, parameterized for reuse on arbitrary
     * captures (the Q entry binds the fixture's constants): one capture
     * scan, direction-normalized per-conversation reassembly of BOTH
@@ -213,6 +237,26 @@ object PcapQueries {
       serverPort: Int, docIdBase: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    httpCorpusGated(s, path, serverPort, docIdBase)
+      .withColumn("body_md5", md5($"text".cast("binary")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"body_md5").orderBy($"doc_id")))
+      .withColumn("n_dups",
+        count(lit(1)).over(Window.partitionBy($"body_md5")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"host", $"n_tokens",
+        $"n_dups".cast("long").as("n_dups"), $"body_md5")
+  }
+
+  /** The bridge's GATED pre-dedup relation (doc_id, host, n_tokens,
+    * text): shared by the batch bridge above (which adds the digest
+    * window) and by `pcap_corpus_stream_twin` — the batch twin whose
+    * row set the STREAMING bridge
+    * ([[graft.streaming.CorpusBridgeStream]]) is spec-matched against,
+    * the `pcap_syn_portscan_twin` oracled-twin pattern. */
+  private[graft] def httpCorpusGated(s: SparkSession, path: String,
+      serverPort: Int, docIdBase: Int): DataFrame = {
+    import s.implicits._
     import graft.functions.HttpDeframeExpr.http_deframe
     val conv = s.read.format("pcap").load(path)
       .filter($"protocol" === "TCP" && $"tcp_seq".isNotNull &&
@@ -251,15 +295,7 @@ object PcapQueries {
       .filter($"n_tokens" >= 20 &&
         expr("size(array_distinct(w)) * 1000000L div size(w)")
           >= 300000L)
-    gated
-      .withColumn("body_md5", md5($"text".cast("binary")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"body_md5").orderBy($"doc_id")))
-      .withColumn("n_dups",
-        count(lit(1)).over(Window.partitionBy($"body_md5")))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"host", $"n_tokens",
-        $"n_dups".cast("long").as("n_dups"), $"body_md5")
+    gated.select($"doc_id", $"host", $"n_tokens", $"text")
   }
 
   private def httpConvOracle(n: Int): String = {
@@ -1028,6 +1064,24 @@ object PcapQueries {
       (s, d) => httpToCorpus(s, httpCorpusSynthPath,
         serverPort = 80, docIdBase = 42000),
       Some(httpCorpusOracle(60))),
+
+    // Batch twin of streaming.CorpusBridgeStream.documents (round-10):
+    // the gated PRE-dedup document relation — one row per surviving
+    // conversation, no digest window — which is exactly what the
+    // streaming bridge emits as conversations quiesce (dedup is a
+    // downstream consumer concern there: a stream has no "last
+    // duplicate"). The streaming spec asserts the streamed rows equal
+    // THIS query's row set, including across a checkpoint restart (the
+    // pcap_syn_portscan_twin pattern).
+    Q("pcap_corpus_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        httpCorpusGated(s, httpCorpusSynthPath,
+          serverPort = 80, docIdBase = 42000)
+          .select($"doc_id", $"host", $"n_tokens",
+            md5($"text".cast("binary")).as("body_md5"))
+      },
+      Some(corpusStreamTwinOracle(60))),
 
     // Receive-window health: zero-window events are THE standard TCP
     // stall signal ops teams alert on. Per-flow bounded aggregates over
