@@ -298,6 +298,90 @@ object MediaDedup {
         FROM vh l JOIN vh r
           ON l.dhash_hi = r.dhash_hi AND l.dhash_lo = r.dhash_lo
           AND l.media_id < r.media_id
+        GROUP BY 1, 2, 3""")),
+
+    // ----- audio sequence overlap (shared-recording detection) ------------
+    // The mm_audio_fingerprint payoff, completing the trio's consumers:
+    // Shazam-style landmark matching reduced to the energy-contour
+    // scheme — each clip emits a 6-bit KEY of consecutive rise/fall
+    // bits at every contour position, keys equi-join on content (ONE
+    // shuffle), and (a1, a2, shift) counts aligned matches; a shared
+    // recording shows up as a run at one constant offset, chance 6-bit
+    // collisions scatter across shifts. Fixture: audio docs come in
+    // groups of three trims of one base WAV (member m drops its first
+    // m 20-sample windows — window-aligned, so the contour suffix is
+    // a pure shift); the oracle re-derives every window energy from
+    // the PCM synthesis formula and joins naively — integer-exact end
+    // to end.
+    Q("mm_audio_overlap",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
+          .select($"doc_id").as[Long]
+        val keys = ids.mapPartitions { it =>
+          it.flatMap { id =>
+            val t = (id - 1) / 3
+            val gid = 1 + 9 * (t / 3)
+            val m = (t % 3).toInt
+            val a = Multimodal.WavCodec.decode(
+              Multimodal.WavCodec.encode(gid))
+            val W = 20
+            val nw = a.samples.length / W
+            val en = Array.tabulate(nw) { w =>
+              var acc = 0L
+              var i = 0
+              while (i < W) {
+                acc += math.abs(a.samples(w * W + i).toInt); i += 1
+              }
+              acc
+            }
+            // member m's contour = the base contour from boundary m on
+            val bits = Array.tabulate(nw - 1 - m)(k =>
+              if (en(m + k + 1) > en(m + k)) 1 else 0)
+            (0 to bits.length - 6).map { p =>
+              var key = 0
+              var j = 0
+              while (j < 6) { key |= bits(p + j) << j; j += 1 }
+              (id, p, key)
+            }
+          }
+        }.toDF("media_id", "p", "key")
+        val l = keys.select($"media_id".as("a1"), $"p".as("p1"), $"key")
+        val r = keys.select($"media_id".as("a2"), $"p".as("p2"), $"key")
+        l.join(r, Seq("key"))
+          .filter($"a1" < $"a2")
+          .groupBy($"a1", $"a2", ($"p1" - $"p2").as("shift"))
+          .agg(count(lit(1)).as("n_aligned"))
+      },
+      Some("""WITH aud AS (
+          SELECT doc_id, (doc_id - 1) // 3 AS t
+          FROM documents WHERE doc_id % 3 = 1),
+        mem AS (
+          SELECT doc_id, 1 + 9 * (t // 3) AS gid, t % 3 AS m FROM aud),
+        sz AS (
+          SELECT doc_id, gid, m, CAST(200 + gid % 57 AS INT) AS n
+          FROM mem),
+        e AS (
+          SELECT doc_id, m, w,
+            list_sum([abs(((gid*31 + i*i*7) % 65536) - 32768)
+                      FOR i IN generate_series(w*20, w*20 + 19)]) AS en
+          FROM sz,
+            LATERAL (SELECT unnest(generate_series(0, n//20 - 1)) AS w)),
+        b AS (
+          SELECT doc_id, w - m - 1 AS k,
+            CASE WHEN en > lag(en) OVER
+              (PARTITION BY doc_id ORDER BY w) THEN 1 ELSE 0 END AS bit
+          FROM e QUALIFY w >= m + 1),
+        kp AS (
+          SELECT b1.doc_id, b1.k AS p,
+            CAST(SUM(b2.bit * (1 << (b2.k - b1.k))) AS INT) AS key
+          FROM b b1 JOIN b b2 ON b2.doc_id = b1.doc_id
+            AND b2.k BETWEEN b1.k AND b1.k + 5
+          GROUP BY 1, 2 HAVING COUNT(*) = 6)
+        SELECT l.doc_id AS a1, r.doc_id AS a2,
+          CAST(l.p - r.p AS INT) AS shift, COUNT(*) AS n_aligned
+        FROM kp l JOIN kp r
+          ON l.key = r.key AND l.doc_id < r.doc_id
         GROUP BY 1, 2, 3"""))
   )
 }

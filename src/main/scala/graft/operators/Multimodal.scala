@@ -1745,7 +1745,12 @@ object Multimodal {
               case 0 => BmpCodec.encode(id)
               case 1 => PngCodec.encode(id)
               case 2 => GifCodec.encode(id)
-              case _ => JpegCodec.encode(id)
+              // half the JPEGs ride the PROGRESSIVE (SOF2) wire format:
+              // same magic bytes, same decoded pixels (coefficient-
+              // identical scans), so the oracle is unchanged while the
+              // sniffer path exercises both decode paths
+              case _ => if (id % 8 == 3) JpegCodec.encodeProgressive(id)
+                        else JpegCodec.encode(id)
             }
             val (container, img) = sniffKind(bytes) match {
               case "bmp" => ("bmp", BmpCodec.decode(bytes))

@@ -157,4 +157,36 @@ class MediaDedupSpec extends AnyFunSuite {
     }
     assert(checked > 50, s"only $checked same-group pairs checked")
   }
+
+  test("audio overlap: every same-group trim pair aligns at its exact " +
+      "shift with a full-suffix key run") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("mm_audio_overlap")(spark, sf)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.map { case (a1, a2, sh, n) => ((a1, a2, sh), n) }.toMap
+    val auds = Tables.documents(spark, sf).filter($"doc_id" % 3 === 1)
+      .select($"doc_id").as[Long].collect().toSet
+    var checked = 0
+    auds.groupBy(id => ((id - 1) / 3) / 3).foreach { case (_, g) =>
+      val members = g.toSeq.sorted // id ascending = trim m ascending
+      val gid = 1 + 9 * (((members.head - 1) / 3) / 3)
+      val nw = (200 + gid % 57).toInt / 20
+      for (i <- members.indices; j <- (i + 1) until members.size) {
+        val (ma, mb) = (i, j)
+        // member m's contour has nw-1-m bits -> nw-m-6 key positions;
+        // the shared suffix aligns every one of the shorter member's
+        // keys at shift exactly mb - ma
+        val expect = nw - mb - 6
+        if (expect >= 1) {
+          val key = (members(i), members(j), mb - ma)
+          assert(byKey.contains(key), s"missing audio overlap $key")
+          assert(byKey(key) >= expect,
+            s"pair $key aligned ${byKey(key)} < expected $expect")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 50, s"only $checked same-group pairs checked")
+  }
 }
