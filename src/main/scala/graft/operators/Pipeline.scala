@@ -99,6 +99,71 @@ object Pipeline {
                     AND r.content_key = b.content_key) AS is_dup
         FROM k b WHERE b.doc_id % 5 = 0""")),
 
+    // ----- per-source distribution drift (pairwise TV distance) -----------
+    // The mixing-monitor a multi-source pipeline runs per delivery: how
+    // far apart are two sources' token distributions? Metric is TOTAL
+    // VARIATION distance — deliberately not KL: TV's numerator
+    // Σ|c1·N2 − c2·N1| is pure BIGINT (order-free, bit-exact on both
+    // engines, no logs whose summation order drifts), divided once at
+    // the end by 2·N1·N2. Shape: one (source, token) count aggregation
+    // with map-side partials; per-token source→count maps cross a
+    // BROADCAST (s1, s2, N1, N2) pair dimension (sources are datasets —
+    // S is small, S² tiny — while the token relation, the only
+    // corpus-scale thing, is touched once); absent tokens fall to 0 via
+    // the map lookup, so no full-outer join is needed. At 100 TB token
+    // counts can reach ~1e12, where c·N overflows BIGINT — the
+    // production variant lifts the products to DECIMAL(38,0) (still
+    // exact, still order-free); the BIGINT form here keeps the oracle
+    // 1:1.
+    Q("pipeline_source_drift",
+      (s, d) => {
+        import s.implicits._
+        val counts = Tables.documents(s, d)
+          .select($"source", explode(split(lower($"text"), " ")).as("t"))
+          .filter($"t" =!= "")
+          .groupBy($"source", $"t")
+          .agg(count(lit(1)).as("c"))
+        val totals = counts.groupBy($"source").agg(sum($"c").as("n"))
+        val pairs = totals.select($"source".as("s1"), $"n".as("n1"))
+          .join(totals.select($"source".as("s2"), $"n".as("n2")),
+            $"s1" < $"s2")
+        val byTok = counts.groupBy($"t")
+          .agg(map_from_entries(
+            collect_list(struct($"source", $"c"))).as("m"))
+        byTok.join(broadcast(pairs))
+          .select($"s1", $"s2", $"n1", $"n2",
+            abs(coalesce(element_at($"m", $"s1"), lit(0L)) * $"n2" -
+              coalesce(element_at($"m", $"s2"), lit(0L)) * $"n1")
+              .as("num"))
+          .groupBy($"s1", $"s2", $"n1", $"n2")
+          .agg(sum($"num").as("sum_num"))
+          .select($"s1", $"s2",
+            ($"sum_num".cast("double") / (lit(2.0) * $"n1" * $"n2"))
+              .as("tv_distance"))
+      },
+      Some("""WITH toks AS (
+          SELECT source, t
+          FROM documents,
+            LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS t)
+          WHERE t <> ''),
+        c AS (SELECT source, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        n AS (SELECT source, SUM(c) AS n FROM c GROUP BY 1),
+        pairs AS (
+          SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+          FROM n a JOIN n b ON a.source < b.source),
+        u AS (SELECT DISTINCT t FROM c),
+        terms AS (
+          SELECT p.s1, p.s2, p.n1, p.n2,
+            abs(COALESCE(c1.c, 0) * p.n2 - COALESCE(c2.c, 0) * p.n1)
+              AS num
+          FROM pairs p
+          CROSS JOIN u
+          LEFT JOIN c c1 ON c1.source = p.s1 AND c1.t = u.t
+          LEFT JOIN c c2 ON c2.source = p.s2 AND c2.t = u.t)
+        SELECT s1, s2,
+          CAST(SUM(num) AS DOUBLE) / (2.0 * n1 * n2) AS tv_distance
+        FROM terms GROUP BY s1, s2, n1, n2""")),
+
     // ----- train/eval n-gram contamination --------------------------------
     // Eval set = doc_id % 20 == 0. A train doc is contaminated by an eval
     // doc when they share a word 4-gram; eval_frac = shared / eval doc's

@@ -288,6 +288,61 @@ object TextAnalysis {
           FROM (SELECT doc_id, text,
             string_split_regex(lower(text), '\\s+') AS ws FROM documents))""")),
 
+    // ----- fasttext-style hashed linear quality classifier ----------------
+    // THE standard web-corpus quality filter shape (CCNet / LLaMA data
+    // pipelines run a fasttext linear classifier over hashed bag-of-
+    // words features): token → hash bucket (md5-prefix mod 1024, the
+    // planeWeight discipline), bucket → weight, document score = mean
+    // token weight + a length-prior bias, keep = score above threshold.
+    // Weights here are a DETERMINISTIC pseudo-random table derived
+    // in-expression from the bucket id (a real deployment broadcasts a
+    // trained weight array — the plan shape is identical: per-token
+    // projection, ZERO joins), and all arithmetic until the final
+    // division is BIGINT micro-units, so partial-aggregation order
+    // cannot move a bit and the DuckDB oracle matches exactly. One
+    // explode + one groupBy(doc_id) with map-side partials — the same
+    // scale shape as text_tokens.
+    Q("text_fasttext_quality",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id",
+            explode(split(lower($"text"), " ")).as("t"))
+          .filter($"t" =!= "")
+          .select($"doc_id",
+            (conv(substring(md5($"t"), 1, 8), 16, 10).cast("long")
+              % 1024L).as("b"))
+          .select($"doc_id",
+            (($"b" * 2654435761L) % 2000001L - 1000000L).as("w_micro"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum($"w_micro").as("sum_micro"))
+          .select($"doc_id", $"n_tokens",
+            ($"sum_micro".cast("double") / lit(1000000.0) /
+              $"n_tokens").as("score"),
+            (($"sum_micro".cast("double") / lit(1000000.0) /
+              $"n_tokens") > -0.05 && $"n_tokens" >= 10).as("keep"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, t
+          FROM documents,
+            LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS t)
+          WHERE t <> ''),
+        feat AS (
+          SELECT doc_id,
+            (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1024)
+              * 2654435761 % 2000001 - 1000000 AS w_micro
+          FROM toks),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_tokens,
+            SUM(w_micro) AS sum_micro
+          FROM feat GROUP BY doc_id)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(sum_micro AS DOUBLE) / 1000000.0 / n_tokens AS score,
+          (CAST(sum_micro AS DOUBLE) / 1000000.0 / n_tokens > -0.05
+            AND n_tokens >= 10) AS keep
+        FROM agg""")),
+
     // ----- language-ID heuristic (stopword-density n-gram proxy) ----------
     Q("text_lang_id",
       (s, d) => {

@@ -22,4 +22,42 @@ class BridgePlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 pcap scan, found $scans:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("the endpoint-hash doc_id mode (a real capture's mapping) " +
+      "produces the same corpus under different ids") {
+    // the fixture binds doc_id = client_port - 42000; a REAL capture
+    // has no port→document semantics, so the bridge's docIdBase < 0
+    // mode hashes the client endpoint instead (round-9 advisory:
+    // fixture-coupled constants must not be the only working path).
+    // Same capture, both modes: identical corpus content — row count,
+    // (host, n_tokens, n_dups, body_md5) multiset — under distinct,
+    // collision-free hash ids.
+    import spark.implicits._
+    val fixture = SparkEntry.queries("pcap_http_to_corpus")(
+      spark, "/root/testdata/sf0.001")
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_httpcorpus2.pcap")
+    graft.pcap.PcapSynth.ensureHttpCorpusFile(p, 60)
+    val hashed = graft.operators.PcapQueries.httpToCorpus(
+      spark, p.toString, serverPort = 80, docIdBase = -1)
+    val fx = fixture.collect()
+    val hs = hashed.collect()
+    assert(hs.length == fx.length && fx.nonEmpty)
+    def content(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sorted.toSeq
+    // the dedup keeps a different canonical member per duplicate group
+    // (min hash id vs min port id) but the group CONTENT — host of the
+    // kept doc may differ within a boilerplate group, so compare the
+    // dedup-invariant columns (n_tokens, n_dups, body_md5) and the
+    // full multiset of kept hosts for singleton groups
+    def invariant(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(2), r.getLong(3), r.getString(4)))
+        .sorted.toSeq
+    assert(invariant(hs) == invariant(fx))
+    assert(content(hs.filter(_.getLong(3) == 1L)) ==
+      content(fx.filter(_.getLong(3) == 1L)))
+    // hash ids are collision-free and not the port mapping
+    assert(hs.map(_.getLong(0)).distinct.length == hs.length)
+    assert(hs.forall(r => r.getLong(0) < 0 || r.getLong(0) >= 60))
+  }
 }

@@ -615,7 +615,8 @@ if glob.glob(f"{out}/pcap_http_conversations/*.parquet"):
 # capture, extract response bodies + request hosts, replay the quality
 # gate and the exact dedup — fully independent of the Scala synthesis
 # formulas the Spark-side constant oracle is generated from.
-if glob.glob(f"{out}/pcap_http_to_corpus/*.parquet"):
+if glob.glob(f"{out}/pcap_http_to_corpus/*.parquet") or \
+        glob.glob(f"{out}/pcap_corpus_stream_twin/*.parquet"):
     import gzip as _gzip
     import hashlib
     import re as _re3
@@ -676,10 +677,28 @@ if glob.glob(f"{out}/pcap_http_to_corpus/*.parquet"):
         did, host = ds[0]
         exp.append((did, host, len(body.split(" ")), len(ds),
                     hashlib.md5(body.encode()).hexdigest()))
-    _cmp("pcap_http_to_corpus(redecode)",
-         _read("pcap_http_to_corpus",
-               ["doc_id", "host", "n_tokens", "n_dups", "body_md5"]),
-         sorted(exp))
+    if glob.glob(f"{out}/pcap_http_to_corpus/*.parquet"):
+        _cmp("pcap_http_to_corpus(redecode)",
+             _read("pcap_http_to_corpus",
+                   ["doc_id", "host", "n_tokens", "n_dups", "body_md5"]),
+             sorted(exp))
+
+    # streaming bridge's batch twin: the gated PRE-dedup relation (one
+    # row per surviving conversation) re-derived from the same raw
+    # reassembly — independent of both the Scala synthesis formulas and
+    # the streaming state machine the spec checks against it.
+    if glob.glob(f"{out}/pcap_corpus_stream_twin/*.parquet"):
+        texp = []
+        for (cl, cp), body in bodies.items():
+            w = body.split(" ")
+            if len(w) < 20 or len(set(w)) * 1000000 // len(w) < 300000:
+                continue
+            texp.append((cp - 42000, chosts[(cl, cp)], len(w),
+                         hashlib.md5(body.encode()).hexdigest()))
+        _cmp("pcap_corpus_stream_twin(redecode)",
+             _read("pcap_corpus_stream_twin",
+                   ["doc_id", "host", "n_tokens", "body_md5"]),
+             sorted(texp))
 
 if glob.glob(f"{out}/pcap_tcp_zero_window/*.parquet"):
     wflows = {}
