@@ -407,6 +407,32 @@ object JpegCodec extends Serializable {
     cbCoef.foreach(b => b(0) -= 128)
     crCoef.foreach(b => b(0) -= 128)
 
+    progressiveBytes(w, h, Array.fill(64)(8), Array.fill(64)(8),
+      (bx, by) => yCoef(by * lumW + bx),
+      (bx, by) => cbCoef(by * mcusX + bx),
+      (bx, by) => crCoef(by * mcusX + bx),
+      restartInterval)
+  }
+
+  /** Write a complete progressive (SOF2) JFIF stream for arbitrary
+    * quantized coefficient blocks — the shared writer behind the
+    * fixture encoder ([[encodeProgressive]]) and the general-pixel
+    * encoder ([[encodePixelsProgressive]]). `yAt`/`cbAt`/`crAt` return
+    * the NATURAL-order quantized block at luma/chroma block
+    * coordinates; quant tables are natural-order, written to the DQT
+    * in zigzag per spec. Scan script: interleaved DC first pass at
+    * Al=1, luma AC bands 1..13 and 14..63 at Al=1, chroma AC full-band
+    * at Al=0, a luma AC refinement pass, an interleaved DC refinement
+    * pass — entropy-coded with the flat tables (the sequential Annex K
+    * set has no EOBn symbols). */
+  private def progressiveBytes(w: Int, h: Int,
+      qLum: Array[Int], qChr: Array[Int],
+      yAt: (Int, Int) => Array[Int],
+      cbAt: (Int, Int) => Array[Int],
+      crAt: (Int, Int) => Array[Int],
+      restartInterval: Int): Array[Byte] = {
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
     val out = new java.io.ByteArrayOutputStream(4096)
     def marker(b: Int): Unit = { out.write(0xFF); out.write(b) }
     def seg(mk: Int, payload: Array[Byte]): Unit = {
@@ -420,9 +446,11 @@ object JpegCodec extends Serializable {
       Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
     val dqt = new Array[Byte](130)
     dqt(0) = 0
-    java.util.Arrays.fill(dqt, 1, 65, 8.toByte)
+    var zk = 0
+    while (zk < 64) { dqt(1 + zk) = qLum(Zigzag(zk)).toByte; zk += 1 }
     dqt(65) = 1
-    java.util.Arrays.fill(dqt, 66, 130, 8.toByte)
+    zk = 0
+    while (zk < 64) { dqt(66 + zk) = qChr(Zigzag(zk)).toByte; zk += 1 }
     seg(0xDB, dqt)
     seg(0xC2, Array[Byte](8, (h >>> 8).toByte, h.toByte, // SOF2
       (w >>> 8).toByte, w.toByte, 3,
@@ -481,14 +509,13 @@ object JpegCodec extends Serializable {
           while (v < 2) {
             var u = 0
             while (u < 2) {
-              putDc(0, yCoef((2 * my + v) * lumW + 2 * mx + u)(0),
-                ProgDcHuff)
+              putDc(0, yAt(2 * mx + u, 2 * my + v)(0), ProgDcHuff)
               u += 1
             }
             v += 1
           }
-          putDc(1, cbCoef(my * mcusX + mx)(0), ProgDcHuff)
-          putDc(2, crCoef(my * mcusX + mx)(0), ProgDcHuff)
+          putDc(1, cbAt(mx, my)(0), ProgDcHuff)
+          putDc(2, crAt(mx, my)(0), ProgDcHuff)
           mcu += 1
           mx += 1
         }
@@ -638,10 +665,6 @@ object JpegCodec extends Serializable {
       bw.flush()
     }
 
-    val yAt = (bx: Int, by: Int) => yCoef(by * lumW + bx)
-    val cbAt = (bx: Int, by: Int) => cbCoef(by * mcusX + bx)
-    val crAt = (bx: Int, by: Int) => crCoef(by * mcusX + bx)
-
     // ---- AC scans: luma split across the fixture's coefficient
     // positions (zigzag 10 in 1..13; 14 and 39 in 14..63), chroma
     // all-zero bands (pure EOB runs), then a luma refinement pass
@@ -667,13 +690,13 @@ object JpegCodec extends Serializable {
           while (v < 2) {
             var u = 0
             while (u < 2) {
-              bw.put(yCoef((2 * my + v) * lumW + 2 * mx + u)(0) & 1, 1)
+              bw.put(yAt(2 * mx + u, 2 * my + v)(0) & 1, 1)
               u += 1
             }
             v += 1
           }
-          bw.put(cbCoef(my * mcusX + mx)(0) & 1, 1)
-          bw.put(crCoef(my * mcusX + mx)(0) & 1, 1)
+          bw.put(cbAt(mx, my)(0) & 1, 1)
+          bw.put(crAt(mx, my)(0) & 1, 1)
           mcu += 1
           mx += 1
         }
@@ -754,16 +777,14 @@ object JpegCodec extends Serializable {
     * quantization (round-half-away), and the same Huffman machinery.
     * Lossy like every JPEG encoder; MultimodalCodecSpec bounds the
     * roundtrip error and cross-checks the stream under ImageIO. */
-  def encodePixels(img: Multimodal.BmpCodec.Image,
-      quality: Int = 85): Array[Byte] = {
+  /** JFIF color transform + 4:2:0 box downsample of `img` into
+    * MCU-padded (edge-replicated) level-shifted planes — shared by the
+    * sequential and progressive pixel encoders. Returns (Y, Cb, Cr);
+    * plane widths are mcusX*16 and mcusX*8. */
+  private def rgbPlanes(img: Multimodal.BmpCodec.Image,
+      mcusX: Int, mcusY: Int)
+      : (Array[Double], Array[Double], Array[Double]) = {
     val w = img.w; val h = img.h
-    require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
-      s"unencodable dims ${w}x$h")
-    val qLum = scaleQ(QLumBase, quality)
-    val qChr = scaleQ(QChrBase, quality)
-    // planes at full res (Y) and 2:1 subsampled (Cb, Cr), edge-replicated
-    val mcusX = (w + 15) / 16
-    val mcusY = (h + 15) / 16
     val yW = mcusX * 16; val yH = mcusY * 16
     val cW = mcusX * 8; val cH = mcusY * 8
     val yP = new Array[Double](yW * yH)
@@ -806,6 +827,76 @@ object JpegCodec extends Serializable {
       }
       cy += 1
     }
+    (yP, cbP, crP)
+  }
+
+  /** Encode ARBITRARY RGB pixels as a PROGRESSIVE (SOF2) 4:2:0 JFIF —
+    * the write path real web-image pipelines prefer (a truncated
+    * prefix still renders a coarse image). Same color transform,
+    * downsample, FDCT, and quality-scaled quantization as
+    * [[encodePixels]], delivered through [[progressiveBytes]]'s scan
+    * script. Progressive encoding needs every block's coefficients
+    * resident for the multi-scan passes, so dims are bounded like the
+    * decoder's allocation guard. */
+  def encodePixelsProgressive(img: Multimodal.BmpCodec.Image,
+      quality: Int = 85): Array[Byte] = {
+    val w = img.w; val h = img.h
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+      s"unencodable dims ${w}x$h")
+    require(w.toLong * h <= (1L << 26),
+      s"progressive encode needs resident coefficients: dims ${w}x$h")
+    val qLum = scaleQ(QLumBase, quality)
+    val qChr = scaleQ(QChrBase, quality)
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
+    val yW = mcusX * 16
+    val cW = mcusX * 8
+    val (yP, cbP, crP) = rgbPlanes(img, mcusX, mcusY)
+    val blk = new Array[Double](64)
+    val fc = new Array[Double](64)
+    def qb(plane: Array[Double], pw: Int, bx0: Int, by0: Int,
+        q: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) {
+        blk(i) = plane((by0 + i / 8) * pw + bx0 + i % 8)
+        i += 1
+      }
+      fdct(blk, fc)
+      val coef = new Array[Int](64)
+      i = 0
+      while (i < 64) {
+        val r = math.round(fc(i) / q(i)).toInt
+        coef(i) = if (i == 0) r else math.max(-1023, math.min(1023, r))
+        i += 1
+      }
+      coef
+    }
+    val lumW = 2 * mcusX
+    val yB = Array.tabulate(lumW * 2 * mcusY)(i =>
+      qb(yP, yW, (i % lumW) * 8, (i / lumW) * 8, qLum))
+    val cbB = Array.tabulate(mcusX * mcusY)(i =>
+      qb(cbP, cW, (i % mcusX) * 8, (i / mcusX) * 8, qChr))
+    val crB = Array.tabulate(mcusX * mcusY)(i =>
+      qb(crP, cW, (i % mcusX) * 8, (i / mcusX) * 8, qChr))
+    progressiveBytes(w, h, qLum, qChr,
+      (bx, by) => yB(by * lumW + bx),
+      (bx, by) => cbB(by * mcusX + bx),
+      (bx, by) => crB(by * mcusX + bx),
+      restartInterval = 0)
+  }
+
+  def encodePixels(img: Multimodal.BmpCodec.Image,
+      quality: Int = 85): Array[Byte] = {
+    val w = img.w; val h = img.h
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+      s"unencodable dims ${w}x$h")
+    val qLum = scaleQ(QLumBase, quality)
+    val qChr = scaleQ(QChrBase, quality)
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
+    val yW = mcusX * 16
+    val cW = mcusX * 8
+    val (yP, cbP, crP) = rgbPlanes(img, mcusX, mcusY)
     val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
     def marker(b: Int): Unit = { out.write(0xFF); out.write(b) }
     def seg(mk: Int, payload: Array[Byte]): Unit = {

@@ -114,6 +114,46 @@ class JpegProgressiveSpec extends AnyFunSuite {
     assert(meanDiff <= 2.0, s"mean channel diff $meanDiff vs ImageIO")
   }
 
+  test("general-pixel progressive encoder: bit-identical decode to the " +
+      "sequential encoder, and ImageIO interop") {
+    import graft.operators.Multimodal.BmpCodec
+    val (w, h) = (45, 30) // partial MCUs both axes
+    val px = new Array[Byte](w * h * 3)
+    for { y <- 0 until h; x <- 0 until w } {
+      px((y * w + x) * 3) = (40 + 3 * x + y).toByte
+      px((y * w + x) * 3 + 1) = (200 - 2 * x - y).toByte
+      px((y * w + x) * 3 + 2) = (70 + x + 2 * y).toByte
+    }
+    val src = BmpCodec.Image(w, h, px)
+    for (quality <- Seq(70, 85, 95)) {
+      val prog = JpegCodec.encodePixelsProgressive(src, quality)
+      assert(prog.sliding(2).exists(p =>
+        (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xC2),
+        s"q=$quality not progressive")
+      // the progressive scans carry the SAME quantized coefficients as
+      // the sequential encoder's — our decoder must reconstruct the
+      // byte-identical image from both wire formats
+      val seqImg = JpegCodec.decode(JpegCodec.encodePixels(src, quality))
+      val progImg = JpegCodec.decode(prog)
+      assert(progImg.w == w && progImg.h == h)
+      assert(java.util.Arrays.equals(progImg.px, seqImg.px),
+        s"q=$quality progressive vs sequential decode diverged")
+      // libjpeg must accept the stream and agree within decoder freedom
+      val javaImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(prog))
+      assert(javaImg != null, s"ImageIO rejected q=$quality progressive")
+      var maxD = 0
+      for { y <- 0 until h; x <- 0 until w } {
+        val rgb = javaImg.getRGB(x, y)
+        maxD = math.max(maxD, Seq(
+          math.abs(progImg.r(x, y) - (rgb >> 16 & 0xFF)),
+          math.abs(progImg.g(x, y) - (rgb >> 8 & 0xFF)),
+          math.abs(progImg.b(x, y) - (rgb & 0xFF))).max)
+      }
+      assert(maxD <= 8, s"q=$quality ImageIO disagreement $maxD")
+    }
+  }
+
   test("malformed progressive scan headers are rejected cleanly") {
     val good = JpegCodec.encodeProgressive(5L)
     // locate the first SOS (FF DA) and corrupt its parameters
