@@ -118,11 +118,15 @@ object Pipeline {
     Q("pipeline_source_drift",
       (s, d) => {
         import s.implicits._
+        // cached: three consumers (the per-token maps and both sides of
+        // the pair dimension) would otherwise each re-scan the corpus —
+        // the shingle-cache discipline from the dedup family
         val counts = Tables.documents(s, d)
           .select($"source", explode(split(lower($"text"), " ")).as("t"))
           .filter($"t" =!= "")
           .groupBy($"source", $"t")
           .agg(count(lit(1)).as("c"))
+          .cache()
         val totals = counts.groupBy($"source").agg(sum($"c").as("n"))
         val pairs = totals.select($"source".as("s1"), $"n".as("n1"))
           .join(totals.select($"source".as("s2"), $"n".as("n2")),

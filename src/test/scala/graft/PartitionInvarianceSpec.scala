@@ -42,7 +42,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "text_repeat_spans", "pipeline_lpa_communities", "q51_hll_registers",
     // round 9: the replica-dedup TopK fold in the IVF-PQ shortlist, and
     // the reassembly → gate → window-dedup corpus bridge
-    "sim_ann_ivfpq", "pcap_http_to_corpus")
+    "sim_ann_ivfpq", "pcap_http_to_corpus",
+    // round 10: collect_list→map per-token aggregation (map ordering
+    // must not leak into results), banded Hamming pair generation, and
+    // the integer micro-unit classifier sums
+    "pipeline_source_drift", "mm_dhash_pairs", "text_fasttext_quality")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
