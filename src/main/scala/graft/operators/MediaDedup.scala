@@ -95,6 +95,8 @@ object MediaDedup {
     * shuffle on the band key + the distinct; never all-pairs. */
   private[operators] def dhashPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // cached: the band relation feeds both sides of the self-join — at
+    // scale the per-image decode must not run twice
     val bands = groupedDhashes(s, d).select(
       $"media_id", $"dhash_hi", $"dhash_lo",
       explode(expr(
@@ -109,6 +111,7 @@ object MediaDedup {
                    & 255L AS b2))))""")).as("bd"))
       .select($"media_id", $"dhash_hi", $"dhash_lo",
         $"bd.j1", $"bd.j2", $"bd.b1", $"bd.b2")
+      .cache()
     val l = bands.select($"media_id".as("m1"), $"dhash_hi".as("hi1"),
       $"dhash_lo".as("lo1"), $"j1", $"j2", $"b1", $"b2")
     val r = bands.select($"media_id".as("m2"), $"dhash_hi".as("hi2"),
@@ -247,6 +250,7 @@ object MediaDedup {
             }
           }
         }.toDF("media_id", "frame_idx", "dhash_hi", "dhash_lo")
+          .cache() // both join sides: decode the videos once
         val l = fh.select($"media_id".as("v1"), $"frame_idx".as("f1"),
           $"dhash_hi", $"dhash_lo")
         val r = fh.select($"media_id".as("v2"), $"frame_idx".as("f2"),
@@ -346,6 +350,7 @@ object MediaDedup {
             }
           }
         }.toDF("media_id", "p", "key")
+          .cache() // both join sides: decode the audio once
         val l = keys.select($"media_id".as("a1"), $"p".as("p1"), $"key")
         val r = keys.select($"media_id".as("a2"), $"p".as("p2"), $"key")
         l.join(r, Seq("key"))
