@@ -195,6 +195,40 @@ object PcapQueries {
           AS v(doc_id, host, n_tokens, n_dups, body_md5)"""
   }
 
+  /** Fragmented-DNS capture (see
+    * [[graft.pcap.PcapSynth.fragmentedDnsSegments]]). */
+  private def fragSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_ipfrag.pcap")
+    graft.pcap.PcapSynth.ensureFragFile(p, 120)
+    p.toString
+  }
+
+  /** Constant oracle for the fragment reassembly battery entry,
+    * derived from the synthesis formulas (ip_id / endpoints / rcode are
+    * pure functions of i; the message length comes from the same
+    * dnsResponse builder the capture was written with — the Spark side
+    * must recover it from RAW FRAGMENT BYTES through the decoder,
+    * reassembly, and the clean-room DNS parser). */
+  private def fragReassemblyOracle(n: Int): String = {
+    val rows = (0 until n).map { i =>
+      val dnsLen = graft.pcap.PcapSynth.dnsResponse(0x5000 + i,
+        s"frag$i.data.example.com", qtype = 1,
+        rcode = if (i % 7 == 0) 3 else 0).length
+      val rcode = if (i % 7 == 0) "NXDOMAIN" else "NOERROR"
+      s"('10.9.0.1', '10.21.${i >> 8}.${i & 255}', ${0x3000 + i}, " +
+        s"${2 + i % 2}, $dnsLen, 'frag$i.data.example.com.', '$rcode')"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.src AS VARCHAR) AS src,
+        CAST(v.dst AS VARCHAR) AS dst,
+        CAST(v.ip_id AS INT) AS ip_id,
+        CAST(v.n_frags AS INT) AS n_frags,
+        CAST(v.msg_len AS INT) AS msg_len,
+        CAST(v.qname AS VARCHAR) AS qname,
+        CAST(v.rcode AS VARCHAR) AS rcode
+        FROM (VALUES $rows)
+          AS v(src, dst, ip_id, n_frags, msg_len, qname, rcode)"""
+  }
+
   /** Oracle for the streaming bridge's batch twin: the gated rows
     * BEFORE dedup, re-derived from the synthesis formulas like
     * [[httpCorpusOracle]] (whose kept-set filter this shares). */
@@ -500,7 +534,8 @@ object PcapQueries {
           // parity-extension columns not present in the pinned
           // reference-surface golden
           .drop("payload", "file", "frame", "tcp_seq", "tcp_flags",
-            "tcp_ack", "icmp_type", "icmp_code", "tcp_window")
+            "tcp_ack", "icmp_type", "icmp_code", "tcp_window",
+            "ip_id", "frag_offset")
           .withColumn("time",
             date_format($"time", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
           .withColumn("dns_answer", to_json($"dns_answer"))
@@ -1082,6 +1117,47 @@ object PcapQueries {
             md5($"text".cast("binary")).as("body_md5"))
       },
       Some(corpusStreamTwinOracle(60))),
+
+    // ----- IPv4 fragment reassembly ---------------------------------------
+    // Fragmented UDP is where naive packet analytics silently lies:
+    // only the FIRST fragment carries an L4 header, so the reference's
+    // decode reads mid-payload bytes as ports for every later fragment
+    // (this engine leaves their port columns NULL — round-10 decoder
+    // honesty — and exposes ip_id/frag_offset instead). Reassembly is
+    // one groupBy on the (src, dst, ip_id) fragment key: sort_array
+    // orders the struct list by offset, a binary fold concatenates the
+    // datagram (the first fragment's payload column is already
+    // UDP-header-stripped; later fragments carry raw IP-payload
+    // chunks), and the clean-room DNS parser reads the reassembled
+    // message — including the capture's out-of-order deliveries. Scale
+    // shape: fragments of one datagram are a handful of rows keyed by
+    // ip_id (u16) + endpoints — a bounded-group aggregation with
+    // map-side combine, one shuffle, no window.
+    Q("pcap_ipv4_frag_reassembly",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(fragSynthPath)
+          .filter($"frag" && $"protocol" === "UDP" && $"ip_id".isNotNull)
+          .select($"src", $"dst", $"ip_id",
+            struct($"frag_offset", $"payload").as("fp"))
+          .groupBy($"src", $"dst", $"ip_id")
+          .agg(sort_array(collect_list($"fp")).as("fr"))
+          .select($"src", $"dst", $"ip_id",
+            size($"fr").as("n_frags"),
+            expr("aggregate(fr, CAST('' AS BINARY), " +
+              "(acc, x) -> concat(acc, x.payload))").as("msg"))
+          .as[(String, String, Int, Int, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (src, dst, ipId, nf, msg) =>
+              val f = graft.pcap.DnsParser.parse(msg)
+              (src, dst, ipId, nf, msg.length,
+                f.flatMap(_.qname).orNull, f.map(_.rcode).orNull)
+            }
+          }
+          .toDF("src", "dst", "ip_id", "n_frags", "msg_len",
+            "qname", "rcode")
+      },
+      Some(fragReassemblyOracle(120))),
 
     // Receive-window health: zero-window events are THE standard TCP
     // stall signal ops teams alert on. Per-flow bounded aggregates over

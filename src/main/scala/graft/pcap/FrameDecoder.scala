@@ -45,6 +45,7 @@ private[pcap] final class PacketBuilder {
   var tcpFlags: Option[String] = None
   var icmpType, icmpCode, tcpWindow: Option[Int] = None
   var frag: Option[Boolean] = None
+  var ipId, fragOffset: Option[Int] = None
   var dns: Option[DnsFields] = None
   var payload: Option[Array[Byte]] = None
   var frame: Option[Array[Byte]] = None
@@ -58,7 +59,7 @@ private[pcap] final class PacketBuilder {
     src = src, dst = dst, srcPort = srcPort, dstPort = dstPort,
     udpsum = udpsum, tcpSeq = tcpSeq, tcpFlags = tcpFlags, tcpAck = tcpAck,
     icmpType = icmpType, icmpCode = icmpCode, tcpWindow = tcpWindow,
-    len = len, frag = frag,
+    len = len, frag = frag, ipId = ipId, fragOffset = fragOffset,
     payloadLen = payloadLen,
     extCount = extCount, extHeaders = extHeaders, dns = dns,
     payload = payload, frame = frame)
@@ -125,8 +126,29 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
         // IHL < 5 is invalid (header shorter than its fixed part) — an
         // unguarded offset would read L4 fields from inside the IP header
         val ihl = (data(ip) & 0xF) * 4
+        // fragmentation (flags/offset field): a NON-FIRST fragment's
+        // bytes after the IP header are mid-payload, NOT an L4 header —
+        // decoding ports there is the classic misparse (the reference
+        // does exactly that). First fragments (offset 0, MF set) carry
+        // a real L4 header and decode normally; every fragment exposes
+        // (ip_id, frag_offset) for downstream reassembly.
+        val flagsFrag = beU16(data, ip + 6)
+        val fragOff = (flagsFrag & 0x1FFF) * 8
+        if (fragOff > 0 || (flagsFrag & 0x2000) != 0) {
+          b.frag = Boxes.someTrue
+          b.ipId = Boxes.int(beU16(data, ip + 4))
+          b.fragOffset = Boxes.int(fragOff)
+        }
         if (ihl >= 20) {
-          if (pid == 6 || pid == 17) decodeL4(b, data, ip, ihl, end, v6 = false)
+          if (fragOff > 0) {
+            val ps = ip + ihl
+            val pl = if (ps > end) 0 else end - ps
+            b.len = Boxes.int(pl)
+            if (options.keepPayload)
+              b.payload = Some(java.util.Arrays.copyOfRange(
+                data, end - pl, end))
+          }
+          else if (pid == 6 || pid == 17) decodeL4(b, data, ip, ihl, end, v6 = false)
           else if (pid == 1) decodeIcmp(b, data, ip + ihl, end)
         }
       case 6 if ip + 40 <= end =>
@@ -170,6 +192,17 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
         count += 1
         if (next == FragmentHeader) {
           b.frag = Boxes.someTrue
+          if (ip + offset + 8 <= end) {
+            // RFC 8200 §4.5: offset (13 bits, 8-octet units) + id (u32,
+            // stored as the signed int column value)
+            b.fragOffset = Boxes.int(
+              (beU16(data, ip + offset + 2) >>> 3) * 8)
+            b.ipId = Boxes.int(
+              ((data(ip + offset + 4) & 0xFF) << 24) |
+              ((data(ip + offset + 5) & 0xFF) << 16) |
+              ((data(ip + offset + 6) & 0xFF) << 8) |
+              (data(ip + offset + 7) & 0xFF))
+          }
           next = data(ip + offset) & 0xFF
           offset += 8                     // fragment header is fixed 8 bytes
         } else if (ip + offset + 1 >= end) {

@@ -48,7 +48,9 @@ final case class PacketRecord(
     icmpCode: Option[Int] = None,     // ICMPv4/v6 message code
     tcpWindow: Option[Int] = None,    // TCP receive window (u16, unscaled)
     len: Option[Int] = None,          // L4 payload byte count
-    frag: Option[Boolean] = None,     // IPv6 Fragment ext header seen
+    frag: Option[Boolean] = None,     // v4 MF/offset set, or v6 Fragment ext header
+    ipId: Option[Int] = None,         // fragment reassembly id (v4 u16 / v6 u32)
+    fragOffset: Option[Int] = None,   // fragment data offset in bytes
     payloadLen: Option[Int] = None,   // IPv6 header payload-length field
     extCount: Option[Int] = None,
     extHeaders: Option[String] = None, // "[HopByHop]…[UDP]" incl. terminal

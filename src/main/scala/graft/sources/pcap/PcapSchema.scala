@@ -38,6 +38,8 @@ object PcapSchema {
     StructField("tcp_window", IntegerType),
     StructField("len", IntegerType),
     StructField("frag", BooleanType),
+    StructField("ip_id", IntegerType),
+    StructField("frag_offset", IntegerType),
     StructField("payload_len", IntegerType),
     StructField("ext_count", IntegerType),
     StructField("ext_headers", StringType),
@@ -104,6 +106,8 @@ object PcapSchema {
     "tcp_window" -> ((r, _, _) => r.tcpWindow.map(Int.box).orNull),
     "len" -> ((r, _, _) => r.len.map(Int.box).orNull),
     "frag" -> ((r, _, _) => r.frag.map(Boolean.box).orNull),
+    "ip_id" -> ((r, _, _) => r.ipId.map(Int.box).orNull),
+    "frag_offset" -> ((r, _, _) => r.fragOffset.map(Int.box).orNull),
     "payload_len" -> ((r, _, _) => r.payloadLen.map(Int.box).orNull),
     "ext_count" -> ((r, _, _) => r.extCount.map(Int.box).orNull),
     "ext_headers" -> ((r, _, _) => r.extHeaders.map(utf8).orNull),
@@ -223,6 +227,8 @@ object PcapSchema {
     "tcp_window" -> ((v, r, _, _) => putInt(v, r.tcpWindow)),
     "len" -> ((v, r, _, _) => putInt(v, r.len)),
     "frag" -> ((v, r, _, _) => putBool(v, r.frag)),
+    "ip_id" -> ((v, r, _, _) => putInt(v, r.ipId)),
+    "frag_offset" -> ((v, r, _, _) => putInt(v, r.fragOffset)),
     "payload_len" -> ((v, r, _, _) => putInt(v, r.payloadLen)),
     "ext_count" -> ((v, r, _, _) => putInt(v, r.extCount)),
     "ext_headers" -> ((v, r, _, _) => putStr(v, r.extHeaders)),

@@ -1,0 +1,72 @@
+package graft.pcap
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IPv4/IPv6 fragment decode honesty (round 10): only the FIRST
+  * fragment of a datagram carries an L4 header — a non-first fragment's
+  * bytes after the IP header are mid-payload, and decoding ports there
+  * (the reference's behavior) invents garbage port numbers. The decoder
+  * must leave L4 columns NULL for offset > 0 fragments, flag every
+  * fragment, and expose (ip_id, frag_offset) for reassembly. */
+class FragDecodeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fragDf = {
+    val p = java.nio.file.Files.createTempDirectory("pcap_frag")
+      .resolve("frag.pcap")
+    PcapSynth.writeAtomic(p, PcapSynth.file(
+      PcapSynth.fragmentedDnsSegments(40)))
+    spark.read.format("pcap").load(p.toString)
+  }
+
+  test("non-first fragments expose NO L4 fields, first fragments do") {
+    val rows = fragDf.select("frag", "ip_id", "frag_offset", "src_port",
+      "dst_port", "protocol", "len").collect()
+    assert(rows.length == 40 * 2 + 20) // 2 or 3 fragments per message
+    assert(rows.forall(_.getBoolean(0)), "every packet is a fragment")
+    val (first, later) = rows.partition(_.getInt(2) == 0)
+    assert(first.length == 40 && later.length == 60)
+    // first fragment: real UDP header → ports decode
+    assert(first.forall(r => r.getInt(3) == 53 && !r.isNullAt(4)))
+    // non-first: the old misparse would put payload bytes here
+    assert(later.forall(r => r.isNullAt(3) && r.isNullAt(4)),
+      "ports must be NULL on non-first fragments")
+    // protocol still known from the IP header on every fragment
+    assert(rows.forall(_.getString(5) == "UDP"))
+    // fragment payload lengths cover the datagram: sum of len per ip_id
+    // equals first-fragment len + later chunks (spot totals below)
+    assert(later.forall(r => r.getInt(6) > 0))
+  }
+
+  test("fragment ids group a datagram; offsets are 8-aligned and " +
+      "distinct within a group") {
+    val rows = fragDf.select("ip_id", "frag_offset").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      val offs = g.map(_._2).sorted
+      assert(offs.head == 0, s"id=$id missing first fragment")
+      assert(offs.distinct.length == offs.length, s"id=$id dup offsets")
+      assert(offs.forall(_ % 8 == 0), s"id=$id unaligned offset")
+    }
+  }
+
+  test("v6 fragment headers expose id and offset too") {
+    // the v6 synth path: a fragment ext header with offset 0 (atomic) —
+    // id must surface; offset 0
+    val p = java.nio.file.Files.createTempDirectory("pcap_frag6")
+      .resolve("frag6.pcap")
+    val frame = PcapSynth.ipv6UdpFrame(40000, 53, hopLimit = 64,
+      payload = Array[Byte](1, 2, 3, 4), withFragmentHeader = true)
+    PcapSynth.writeAtomic(p, PcapSynth.file(
+      Seq((1700900000L, 0L, frame)), linkType = 1))
+    val r = spark.read.format("pcap").load(p.toString)
+      .select("frag", "ip_id", "frag_offset").collect().head
+    assert(r.getBoolean(0) && r.getInt(1) == 1 && r.getInt(2) == 0)
+  }
+}

@@ -700,6 +700,41 @@ if glob.glob(f"{out}/pcap_http_to_corpus/*.parquet") or \
                    ["doc_id", "host", "n_tokens", "body_md5"]),
              sorted(texp))
 
+# IPv4 fragment reassembly: independent byte-level re-decode of the
+# fragmented capture — group fragments by (ip_id, endpoints) from RAW
+# IP headers, sort by the 13-bit offset field, strip the UDP header
+# from the offset-0 fragment, concatenate, and parse the DNS header +
+# qname labels directly (no shared code with the Scala parser).
+if glob.glob(f"{out}/pcap_ipv4_frag_reassembly/*.parquet"):
+    fgroups = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_ipfrag.pcap"):
+        src, dst, proto, _ = _v4(fr)
+        ihl = (fr[14] & 0xF) * 4
+        ipid = struct.unpack_from(">H", fr, 14 + 4)[0]
+        ff = struct.unpack_from(">H", fr, 14 + 6)[0]
+        off8 = (ff & 0x1FFF) * 8
+        fgroups.setdefault((src, dst, ipid), []).append(
+            (off8, fr[14 + ihl:]))
+    fexp = []
+    for (src, dst, ipid), frs in fgroups.items():
+        frs.sort()
+        msg = b"".join(
+            p[8:] if off == 0 else p for off, p in frs)
+        qid, flags = struct.unpack_from(">HH", msg, 0)
+        rc = {0: "NOERROR", 3: "NXDOMAIN"}[flags & 0xF]
+        labels, p = [], 12
+        while msg[p] != 0:
+            ln = msg[p]
+            labels.append(msg[p + 1:p + 1 + ln].decode("ascii"))
+            p += 1 + ln
+        fexp.append((src, dst, ipid, len(frs), len(msg),
+                     ".".join(labels).lower() + ".", rc))
+    _cmp("pcap_ipv4_frag_reassembly(redecode)",
+         _read("pcap_ipv4_frag_reassembly",
+               ["src", "dst", "ip_id", "n_frags", "msg_len",
+                "qname", "rcode"]),
+         sorted(fexp))
+
 if glob.glob(f"{out}/pcap_tcp_zero_window/*.parquet"):
     wflows = {}
     for ts, us, fr in _frames("/tmp/graft_synth_tcpwindow.pcap"):
