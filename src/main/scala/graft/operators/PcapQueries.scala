@@ -1139,9 +1139,21 @@ object PcapQueries {
         s.read.format("pcap").load(fragSynthPath)
           .filter($"frag" && $"protocol" === "UDP" && $"ip_id".isNotNull)
           .select($"src", $"dst", $"ip_id",
-            struct($"frag_offset", $"payload").as("fp"))
+            struct($"frag_offset", $"len", $"payload").as("fp"))
           .groupBy($"src", $"dst", $"ip_id")
           .agg(sort_array(collect_list($"fp")).as("fr"))
+          // completeness gate: a datagram with a missing/partial
+          // fragment must be DROPPED, not emitted as corrupt bytes —
+          // offsets must tile contiguously (the first fragment's len
+          // excludes the 8-byte UDP header its chunk carried), and a
+          // lone fragment is by definition incomplete (its MF bit or
+          // nonzero offset is what flagged it). A lost TAIL fragment
+          // is the one gap this can't see (MF isn't a column); the
+          // DNS parse of the truncated message then fails closed.
+          .filter(expr("size(fr) >= 2 AND fr[0].frag_offset = 0 AND " +
+            "forall(sequence(1, size(fr) - 1), k -> " +
+            "fr[k].frag_offset = fr[k - 1].frag_offset + " +
+            "fr[k - 1].len + IF(k = 1, 8, 0))"))
           .select($"src", $"dst", $"ip_id",
             size($"fr").as("n_frags"),
             expr("aggregate(fr, CAST('' AS BINARY), " +

@@ -56,6 +56,41 @@ class FragDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("incomplete datagrams (lost fragment) are dropped, not emitted " +
+      "as corrupt reassemblies") {
+    import org.apache.spark.sql.functions._
+    val segs = PcapSynth.fragmentedDnsSegments(12)
+    // drop one NON-first fragment of message 3 (3-fragment message:
+    // i%2==1 → nFrag 3; remove its middle fragment) — find it by ip_id
+    // + offset from the raw frame bytes
+    def ipId(fr: Array[Byte]) =
+      ((fr(14 + 4) & 0xFF) << 8) | (fr(14 + 5) & 0xFF)
+    def off(fr: Array[Byte]) =
+      ((((fr(14 + 6) & 0xFF) << 8) | (fr(14 + 7) & 0xFF)) & 0x1FFF) * 8
+    val holed = segs.filterNot { case (_, _, fr) =>
+      ipId(fr) == 0x3003 && off(fr) == 24
+    }
+    assert(holed.length == segs.length - 1)
+    val p = java.nio.file.Files.createTempDirectory("pcap_fraghole")
+      .resolve("hole.pcap")
+    PcapSynth.writeAtomic(p, PcapSynth.file(holed))
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = spark.read.format("pcap").load(p.toString)
+      .filter($"frag" && $"ip_id".isNotNull)
+      .select($"src", $"dst", $"ip_id",
+        struct($"frag_offset", $"len", $"payload").as("fp"))
+      .groupBy($"src", $"dst", $"ip_id")
+      .agg(sort_array(collect_list($"fp")).as("fr"))
+      .filter(expr("size(fr) >= 2 AND fr[0].frag_offset = 0 AND " +
+        "forall(sequence(1, size(fr) - 1), k -> " +
+        "fr[k].frag_offset = fr[k - 1].frag_offset + " +
+        "fr[k - 1].len + IF(k = 1, 8, 0))"))
+      .select($"ip_id").as[Int].collect().toSet
+    assert(!rows.contains(0x3003), "holed datagram must be dropped")
+    assert(rows.size == 11, s"intact datagrams must survive: $rows")
+  }
+
   test("v6 fragment headers expose id and offset too") {
     // the v6 synth path: a fragment ext header with offset 0 (atomic) —
     // id must surface; offset 0

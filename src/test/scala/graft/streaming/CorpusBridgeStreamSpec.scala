@@ -91,6 +91,30 @@ class CorpusBridgeStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("a conversation overflowing the direction cap is poisoned — " +
+      "no truncated-corrupt document ever emits") {
+    val dir = Files.createTempDirectory("corpus_bridge_poison")
+    landWaves(dir, waves = 1, which = 0 until 1)
+    // a cap below every response size: EVERY conversation poisons
+    val tiny = CorpusBridgeStream.documents(
+      spark.readStream.format("pcap")
+        .option("maxFilesPerTrigger", "1").load(dir.toString),
+      serverPort = 80, docIdBase = 42000,
+      watermark = "5 seconds", idleSeconds = 10,
+      maxBytesPerDirection = 16)
+    val query = tiny.writeStream.format("memory")
+      .queryName("corpus_docs_poisoned").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      landFlush(dir, "flush1.pcap", 1700800600L)
+      query.processAllAvailable()
+      landFlush(dir, "flush2.pcap", 1700800700L)
+      query.processAllAvailable()
+      assert(spark.table("corpus_docs_poisoned").isEmpty,
+        "capped conversations must emit nothing, not truncated text")
+    } finally query.stop()
+  }
+
   test("checkpoint restart mid-capture neither loses nor duplicates " +
       "documents (exactly-once)") {
     val dir = Files.createTempDirectory("corpus_bridge_restart")
