@@ -134,6 +134,23 @@ class AnnIndexSpec extends AnyFunSuite {
       assert(recall >= rebuildRecall - 1e-9,
         s"append recall $recall must match rebuild recall $rebuildRecall")
 
+      // ---- a further delivery must append onto the REBUILT artifact
+      // (the fresh sidecar's file inventory qualifies the next strict
+      // growth exactly like an original build's)
+      val delivery2 = spark.read
+        .parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .orderBy("vec_id").limit(70).filter("vec_id >= 50")
+        .selectExpr("vec_id + 2000000 AS vec_id", "embedding")
+      delivery2.write.mode("append").parquet(d + "/embeddings.parquet")
+      sim.clearMemos()
+      runIvfpq(d)
+      assert(sim.buildsFor(d) == 2,
+        "a delivery after a rebuild must append, not retrain")
+      assert(sim.appendsFor(spark, d) == 1,
+        "the rebuilt sidecar counts its own appends from zero")
+      assert(spark.read.parquet(idxDir.resolve("codes").toString)
+        .select("vec_id").distinct().count() == baseRows + 70)
+
       // ---- drift rule: an OUT-of-distribution delivery (1000x scale —
       // the frozen coarse quantizer would route it badly) must REFUSE
       // the append and force a full retrain
