@@ -80,6 +80,25 @@ object HttpParse {
 
   private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
 
+  /** Case-insensitive REQUEST-header extraction regex (group 1 = the
+    * value). RFC 9112 §5.1: field names are case-insensitive — real
+    * clients send `host:` and `HOST:` too. The response-side
+    * `header()` below has always matched case-insensitively
+    * (regionMatches(true, ...)); this is the request side's shared
+    * single pattern — the batch bridge queries feed it to
+    * `regexp_extract` (Spark compiles the same Java regex syntax) and
+    * the streaming bridge matches it directly, so the two surfaces
+    * cannot drift apart. Optional-whitespace padding around the value
+    * is RFC 9112's OWS. */
+  def headerRegex(name: String): String =
+    "(?i)\r\n" + java.util.regex.Pattern.quote(name) +
+      ":[ \t]*(\\S+)[ \t]*\r\n"
+
+  /** Scala-side twin of the `regexp_extract(txt, headerRegex(n), 1)`
+    * SQL form, for the streaming bridge. */
+  def requestHeader(txt: String, name: String): Option[String] =
+    headerRegex(name).r.findFirstMatchIn(txt).map(_.group(1))
+
   /** Null, never throws — input is untrusted capture payload. */
   def deframe(bytes: Array[Byte]): InternalRow =
     try deframe0(bytes)

@@ -5,14 +5,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Media near-dup retrieval — the consumers of the perceptual-fingerprint
-  * trio ([[Multimodal]] `mm_dhash` / `mm_video_dhash`): banded Hamming
-  * pair generation over image dHashes, connected components over the
-  * pair graph, and aligned sequence overlap over per-frame video hashes.
-  * This is the pixel-side twin of the text dedup family in [[Dedup]] —
-  * same candidate-generation discipline (pigeonhole banding, never
-  * all-pairs), same verification discipline (the DuckDB oracles below
-  * are the NAIVE all-pairs joins, so a hash match proves the banded
-  * generator loses no pair).
+  * trio ([[Multimodal]] `mm_dhash` / `mm_video_dhash` /
+  * `mm_audio_fingerprint`): banded Hamming pair generation over image
+  * dHashes, connected components over the pair graph, tolerant aligned
+  * sequence overlap over per-frame video hashes, and landmark-pair
+  * matching over audio energy contours. This is the pixel-side twin of
+  * the text dedup family in [[Dedup]] — same candidate-generation
+  * discipline (pigeonhole/landmark banding on HIGH-cardinality keys,
+  * never all-pairs), same verification discipline (the DuckDB oracles
+  * below are the NAIVE all-pairs joins, so a hash match proves the
+  * banded generator loses no pair).
   *
   * Reference scope note: the reference engine has no media operators at
   * all (its whole surface is pcap decode + Hive SQL delegation,
@@ -33,6 +35,10 @@ import org.apache.spark.sql.functions._
   * rationale, Dedup.scala); the byte-pair space is 28 x 65536 ~ 1.8M
   * keys — ~900x fewer random collisions per key — while staying a
   * strict pigeonhole argument rather than a probabilistic one.
+  * [[bandedHammingPairs]] is the shared generator: the image op runs it
+  * over whole-image hashes, the video op over per-frame hashes (the
+  * round-10 "tolerant frame matching" substitution — a re-encoded
+  * frame whose hash drifted a few bits still pairs with its original).
   *
   * Honest bound (same as dedup_simhash_pairs): a mega-cluster of
   * IDENTICAL images collides in every band and its hamming-0 pairs are
@@ -40,6 +46,35 @@ import org.apache.spark.sql.functions._
   * — for that regime use the cluster surface (mm_dhash_components),
   * not a pair list. MediaDedupSpec pins the pigeonhole completeness
   * property and the fixture's band-occupancy bound.
+  *
+  * == Audio landmarks: why a 20-bit composite key ==
+  *
+  * Round 10 joined audio contours on a single 6-bit rise/fall word —
+  * 64 distinct join values, so at corpus scale every position of every
+  * clip lands in one of 64 buckets and the candidate volume is
+  * Θ((Σ positions)²/64): effectively all-pairs with a constant
+  * discount, the exact low-cardinality shape the byte-pair argument
+  * above exists to avoid. The fix is the Shazam construction (Wang
+  * 2003): a landmark PAIRS two anchor observations with their
+  * positional delta, so the key carries enough entropy to shatter the
+  * join. Here each landmark packs two 9-bit contour windows at
+  * positions (p, p+δ), δ ∈ [9,12], plus the 2-bit δ offset:
+  * key = word(p) | word(p+δ) << 9 | (δ-9) << 18 — a 2^20 = 1,048,576
+  * key space (vs 64), and a shared recording still matches at every
+  * aligned landmark because both clips derive identical windows from
+  * the shared contour suffix. MediaDedupSpec pins per-key occupancy
+  * the way it pins the dHash band bound.
+  *
+  * == Memoized relations ==
+  *
+  * Each op's hash relation feeds BOTH sides of a self-join (and the
+  * pair relation feeds two consumers: pairs + components), so the
+  * relations are cached — but a fresh `.cache()` per invocation stacks
+  * plan-identical cached copies ("Asked to cache already cached data",
+  * the round-9 span-relation leak in miniature). Same remedy as
+  * `TextAnalysis.spansMemo`: ONE cached relation per (kind, dataset),
+  * built at most once (`compute` — atomic, no double-cache race),
+  * dropped via [[clearMemos]].
   *
   * == Fixture ==
   *
@@ -51,9 +86,12 @@ import org.apache.spark.sql.functions._
   * for w >= 9, h >= 8, so whiting the sample at grid (2*(id%4), 3)
   * perturbs exactly the two comparison bits it feeds). Within-group
   * Hamming is therefore <= 4 — real near-dups with KNOWN structure —
-  * while cross-group hashes stay far apart. The oracle re-derives
-  * every bit from the synthesis formulas (the mm_dhash discipline) and
-  * then does the naive all-pairs join.
+  * while cross-group hashes stay far apart. Video members get the same
+  * per-member whiteout on EVERY frame (so aligned frames of different
+  * members are near-identical, NOT identical — the tolerant path does
+  * real work), audio members are window-aligned trims of one base
+  * recording. The oracles re-derive every bit from the synthesis
+  * formulas (the mm_dhash discipline) and then join naively.
   */
 object MediaDedup {
 
@@ -62,6 +100,35 @@ object MediaDedup {
     * threshold the byte-pair pigeonhole covers (t <= 6 leaves >= 2 of
     * 8 bytes clean). */
   private val HammingT = 6
+
+  // ----- per-(kind, dataset) memoized cached relations --------------------
+  private val relMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val buildCounts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      java.util.concurrent.atomic.AtomicLong]()
+  /** Times the (kind, dataset) relation was actually built — the spec's
+    * proof that pair/components/second-run consumers ride the memo. */
+  private[graft] def buildsFor(kind: String, d: String): Long = {
+    val c = buildCounts.get((kind, d))
+    if (c == null) 0L else c.get()
+  }
+  private[graft] def clearMemos(): Unit = {
+    relMemo.forEach { (_, df) =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
+    relMemo.clear()
+    buildCounts.clear()
+  }
+  private def memoized(kind: String, d: String)(build: => DataFrame)
+      : DataFrame =
+    relMemo.compute((kind, d), (k, prev) =>
+      if (prev != null && !prev.sparkSession.sparkContext.isStopped) prev
+      else {
+        buildCounts.computeIfAbsent(k,
+          _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+        build.cache()
+      })
 
   /** (media_id, dhash_hi, dhash_lo) for the grouped near-dup fixture:
     * decode the group-base BMP, white out one sampled grid pixel per
@@ -75,54 +142,145 @@ object MediaDedup {
         val gid = (id / 4) * 4
         val img = Multimodal.BmpCodec.decode(Multimodal.BmpCodec.encode(gid))
         val q = (id % 4).toInt
-        if (q != 0) {
-          // white out the single pixel the dHash grid samples at
-          // (gx = 2q, gy = 3): flips at most comparison bits
-          // (2q-1, 3) and (2q, 3)
-          val sx = (2 * q) * img.w / 9
-          val sy = 3 * img.h / 8
-          val o = (sy * img.w + sx) * 3
-          img.px(o) = -1; img.px(o + 1) = -1; img.px(o + 2) = -1
-        }
+        if (q != 0) whiteoutGridSample(img, 2 * q)
         val (hi, lo) = Multimodal.dhashOf(img)
         (id, hi, lo)
       }
     }.toDF("media_id", "dhash_hi", "dhash_lo")
   }
 
-  /** The banded-Hamming pair relation (m1, m2, hamming): explode the 28
-    * byte-pair keys, equi-join, verify with exact bit_count. ONE
-    * shuffle on the band key + the distinct; never all-pairs. */
-  private[operators] def dhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** White out the single pixel the 9x8 dHash grid samples at
+    * (gx, gy=3): flips at most comparison bits (gx-1, 3) and (gx, 3). */
+  private def whiteoutGridSample(img: Multimodal.BmpCodec.Image,
+      gx: Int): Unit = {
+    val sx = gx * img.w / 9
+    val sy = 3 * img.h / 8
+    val o = (sy * img.w + sx) * 3
+    img.px(o) = -1; img.px(o + 1) = -1; img.px(o + 2) = -1
+  }
+
+  /** The shared byte-pair banded Hamming pair generator: `hashed` must
+    * carry (`idCol`, extra passthrough columns..., dhash_hi, dhash_lo);
+    * output is one row per DISTINCT candidate pair within [[HammingT]]
+    * — (idCol_1 < idCol_2, passthroughs from both sides suffixed 1/2,
+    * hamming). Explode the 28 byte-pair keys, equi-join, verify with
+    * exact bit_count: ONE shuffle on the band key + the distinct;
+    * never all-pairs. */
+  private def bandedHammingPairs(hashed: DataFrame, idCol: String,
+      passthrough: Seq[String]): DataFrame = {
+    val s = hashed.sparkSession
     import s.implicits._
-    // cached: the band relation feeds both sides of the self-join — at
-    // scale the per-image decode must not run twice
-    val bands = groupedDhashes(s, d).select(
-      $"media_id", $"dhash_hi", $"dhash_lo",
-      explode(expr(
-        """flatten(transform(sequence(0, 6), j1 ->
-             transform(sequence(j1 + 1, 7), j2 ->
-               struct(j1 AS j1, j2 AS j2,
-                 (CASE WHEN j1 < 4 THEN shiftright(dhash_lo, j1 * 8)
-                       ELSE shiftright(dhash_hi, (j1 - 4) * 8) END)
-                   & 255L AS b1,
-                 (CASE WHEN j2 < 4 THEN shiftright(dhash_lo, j2 * 8)
-                       ELSE shiftright(dhash_hi, (j2 - 4) * 8) END)
-                   & 255L AS b2))))""")).as("bd"))
-      .select($"media_id", $"dhash_hi", $"dhash_lo",
-        $"bd.j1", $"bd.j2", $"bd.b1", $"bd.b2")
-      .cache()
-    val l = bands.select($"media_id".as("m1"), $"dhash_hi".as("hi1"),
-      $"dhash_lo".as("lo1"), $"j1", $"j2", $"b1", $"b2")
-    val r = bands.select($"media_id".as("m2"), $"dhash_hi".as("hi2"),
-      $"dhash_lo".as("lo2"), $"j1", $"j2", $"b1", $"b2")
-    l.join(r, Seq("j1", "j2", "b1", "b2"))
-      .filter($"m1" < $"m2")
-      .select($"m1", $"m2",
-        (bit_count($"hi1".bitwiseXOR($"hi2"))
-          + bit_count($"lo1".bitwiseXOR($"lo2"))).as("hamming"))
+    val bands = hashed.select(
+      (Seq(col(idCol)) ++ passthrough.map(col) ++ Seq(
+        col("dhash_hi"), col("dhash_lo"),
+        explode(expr(
+          """flatten(transform(sequence(0, 6), j1 ->
+               transform(sequence(j1 + 1, 7), j2 ->
+                 struct(j1 AS j1, j2 AS j2,
+                   (CASE WHEN j1 < 4 THEN shiftright(dhash_lo, j1 * 8)
+                         ELSE shiftright(dhash_hi, (j1 - 4) * 8) END)
+                     & 255L AS b1,
+                   (CASE WHEN j2 < 4 THEN shiftright(dhash_lo, j2 * 8)
+                         ELSE shiftright(dhash_hi, (j2 - 4) * 8) END)
+                     & 255L AS b2))))""")).as("bd"))): _*)
+    def side(n: Int): DataFrame = bands.select(
+      (Seq(col(idCol).as(s"${idCol}_$n")) ++
+        passthrough.map(c => col(c).as(s"${c}_$n")) ++ Seq(
+        col("dhash_hi").as(s"hi$n"), col("dhash_lo").as(s"lo$n"),
+        col("bd.j1").as("j1"), col("bd.j2").as("j2"),
+        col("bd.b1").as("b1"), col("bd.b2").as("b2"))): _*)
+    side(1).join(side(2), Seq("j1", "j2", "b1", "b2"))
+      .filter(col(s"${idCol}_1") < col(s"${idCol}_2"))
+      .select(
+        (Seq(col(s"${idCol}_1")) ++ passthrough.map(c => col(s"${c}_1")) ++
+          Seq(col(s"${idCol}_2")) ++ passthrough.map(c => col(s"${c}_2")) ++
+          Seq((bit_count($"hi1".bitwiseXOR($"hi2"))
+            + bit_count($"lo1".bitwiseXOR($"lo2"))).as("hamming"))): _*)
       .distinct()
       .filter($"hamming" <= HammingT)
+  }
+
+  /** The banded-Hamming image pair relation (m1, m2, hamming); the hash
+    * relation rides the per-dataset memo so pairs + components + both
+    * join sides decode each image exactly once per session. */
+  private[operators] def dhashPairs(s: SparkSession, d: String): DataFrame = {
+    val hashed = memoized("img_dhash", d)(groupedDhashes(s, d))
+    bandedHammingPairs(hashed, "media_id", Nil)
+      .withColumnRenamed("media_id_1", "m1")
+      .withColumnRenamed("media_id_2", "m2")
+  }
+
+  /** Per-frame video hashes for the grouped-cut fixture: member m of a
+    * group drops the first m frames of the base clip AND whites out
+    * grid sample (2m, 3) on every kept frame — aligned frames across
+    * members are near-identical (hamming <= 4), not byte-identical, so
+    * only a TOLERANT matcher recovers the shared-clip structure. */
+  private[graft] def videoFrameHashes(s: SparkSession, d: String)
+      : DataFrame = memoized("video_fh", d) {
+    import s.implicits._
+    val vids = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
+      .select($"doc_id").as[Long]
+    vids.mapPartitions { it =>
+      it.flatMap { id =>
+        val t = (id - 2) / 3
+        val gid = 2 + 9 * (t / 3)
+        val m = (t % 3).toInt
+        val vid = Multimodal.AviCodec.decode(Multimodal.AviCodec.encode(gid))
+        vid.frames.zipWithIndex.drop(m).map { case (img, j) =>
+          if (m != 0) whiteoutGridSample(img, 2 * m)
+          val (hi, lo) = Multimodal.dhashOf(img)
+          (id, j - m, hi, lo)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "dhash_hi", "dhash_lo")
+  }
+
+  /** Audio landmark relation (media_id, p, key): 5-sample window
+    * energies -> rise/fall contour bits -> 9-bit words -> 20-bit
+    * landmark keys pairing words at (p, p+δ), δ ∈ [9,12] (object doc).
+    * Fixture: audio docs come in groups of three trims of one base WAV
+    * (member m drops its first m windows — window-aligned, so the
+    * contour suffix is a pure shift). */
+  private[graft] def audioLandmarks(s: SparkSession, d: String)
+      : DataFrame = memoized("audio_lm", d) {
+    import s.implicits._
+    val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
+      .select($"doc_id").as[Long]
+    ids.mapPartitions { it =>
+      it.flatMap { id =>
+        val t = (id - 1) / 3
+        val gid = 1 + 9 * (t / 3)
+        val m = (t % 3).toInt
+        val a = Multimodal.WavCodec.decode(Multimodal.WavCodec.encode(gid))
+        val W = 5
+        val nw = a.samples.length / W
+        val en = Array.tabulate(nw) { w =>
+          var acc = 0L
+          var i = 0
+          while (i < W) {
+            acc += math.abs(a.samples(w * W + i).toInt); i += 1
+          }
+          acc
+        }
+        // member m's contour = the base contour from boundary m on
+        val bits = Array.tabulate(math.max(nw - 1 - m, 0))(k =>
+          if (en(m + k + 1) > en(m + k)) 1 else 0)
+        val B = 9
+        val nWords = math.max(bits.length - B + 1, 0)
+        val words = Array.tabulate(nWords) { p =>
+          var w = 0
+          var j = 0
+          while (j < B) { w |= bits(p + j) << j; j += 1 }
+          w
+        }
+        for {
+          p <- 0 until nWords
+          delta <- 9 to 12
+          if p + delta < nWords
+        } yield (id, p,
+          words(p) | words(p + delta) << 9 | (delta - 9) << 18)
+      }
+    }.toDF("media_id", "p", "key")
   }
 
   /** Shared oracle CTE chain deriving the grouped-fixture hash relation
@@ -221,43 +379,26 @@ object MediaDedup {
 
     // ----- video sequence overlap (shared-clip detection) -----------------
     // The mm_video_dhash payoff: find video pairs that share an aligned
-    // run of identical frames — the "same clip, different in-point" cut
-    // detection video dedup pipelines run. Frame hashes equi-join on
-    // the full 64-bit dHash (high-cardinality content key — ONE
-    // shuffle), then grouping by (v1, v2, frame_shift) counts the
-    // aligned overlap per relative offset; a constant-shift run is a
-    // shared clip. Tolerant (near-identical) frame matching would
-    // substitute the byte-pair banded generator above for the equi-join
-    // — the aggregation shape is unchanged. Fixture: videos come in
-    // groups of three cuts of one base AVI (member m drops the first m
-    // frames and renumbers), so members genuinely share trailing frames
-    // at a constant offset; the oracle re-derives every frame hash from
-    // the synthesis formulas and joins naively.
+    // run of NEAR-IDENTICAL frames — the "same clip, different
+    // in-point, re-encoded" detection video dedup pipelines run. Frame
+    // hashes go through the shared byte-pair banded generator (so a
+    // frame whose hash drifted <= 6 bits in re-encode still pairs —
+    // round 10 equi-joined on the exact 64-bit hash and missed every
+    // re-encoded copy), then grouping by (v1, v2, frame_shift) counts
+    // the aligned overlap per relative offset; a constant-shift run is
+    // a shared clip. Fixture: videos come in groups of three cuts of
+    // one base AVI (member m drops the first m frames, renumbers, and
+    // whites out one sampled grid pixel per frame, so aligned frames
+    // are near-identical but NOT byte-identical); the oracle re-derives
+    // every frame hash from the synthesis formulas and runs the naive
+    // all-pairs Hamming-thresholded join.
     Q("mm_video_overlap",
       (s, d) => {
         import s.implicits._
-        val vids = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
-          .select($"doc_id").as[Long]
-        val fh = vids.mapPartitions { it =>
-          it.flatMap { id =>
-            val t = (id - 2) / 3
-            val gid = 2 + 9 * (t / 3)
-            val m = (t % 3).toInt
-            val vid = Multimodal.AviCodec.decode(Multimodal.AviCodec.encode(gid))
-            vid.frames.zipWithIndex.drop(m).map { case (img, j) =>
-              val (hi, lo) = Multimodal.dhashOf(img)
-              (id, j - m, hi, lo)
-            }
-          }
-        }.toDF("media_id", "frame_idx", "dhash_hi", "dhash_lo")
-          .cache() // both join sides: decode the videos once
-        val l = fh.select($"media_id".as("v1"), $"frame_idx".as("f1"),
-          $"dhash_hi", $"dhash_lo")
-        val r = fh.select($"media_id".as("v2"), $"frame_idx".as("f2"),
-          $"dhash_hi", $"dhash_lo")
-        l.join(r, Seq("dhash_hi", "dhash_lo"))
-          .filter($"v1" < $"v2")
-          .groupBy($"v1", $"v2", ($"f1" - $"f2").as("frame_shift"))
+        val fh = videoFrameHashes(s, d)
+        bandedHammingPairs(fh, "media_id", Seq("frame_idx"))
+          .groupBy($"media_id_1".as("v1"), $"media_id_2".as("v2"),
+            ($"frame_idx_1" - $"frame_idx_2").as("frame_shift"))
           .agg(count(lit(1)).as("n_aligned"))
       },
       Some("""WITH vids AS (
@@ -267,6 +408,7 @@ object MediaDedup {
           SELECT doc_id, 2 + 9 * (t // 3) AS gid, t % 3 AS m FROM vids),
         vg AS (
           SELECT doc_id, gid, m, j, gid + 131 * j AS fid,
+            CASE WHEN m = 0 THEN -1 ELSE 2 * m END AS pc,
             CAST(16 + gid % 13 AS INT) AS w,
             CAST(12 + gid % 7 AS INT) AS h, x, y
           FROM mem,
@@ -278,13 +420,15 @@ object MediaDedup {
         vb AS (
           SELECT doc_id, m, j, x, y,
             CASE WHEN
-              299 * ((fid*7 + (((x+1)*w)//9)*3 + ((y*h)//8)*5) % 256)
-              + 587 * ((fid + (((x+1)*w)//9)*11 + ((y*h)//8)*2) % 256)
-              + 114 * ((fid*13 + (((x+1)*w)//9) * ((y*h)//8)) % 256)
+              (CASE WHEN x + 1 = pc AND y = 3 THEN 255000 ELSE
+                299 * ((fid*7 + (((x+1)*w)//9)*3 + ((y*h)//8)*5) % 256)
+                + 587 * ((fid + (((x+1)*w)//9)*11 + ((y*h)//8)*2) % 256)
+                + 114 * ((fid*13 + (((x+1)*w)//9) * ((y*h)//8)) % 256) END)
               >
-              299 * ((fid*7 + ((x*w)//9)*3 + ((y*h)//8)*5) % 256)
-              + 587 * ((fid + ((x*w)//9)*11 + ((y*h)//8)*2) % 256)
-              + 114 * ((fid*13 + ((x*w)//9) * ((y*h)//8)) % 256)
+              (CASE WHEN x = pc AND y = 3 THEN 255000 ELSE
+                299 * ((fid*7 + ((x*w)//9)*3 + ((y*h)//8)*5) % 256)
+                + 587 * ((fid + ((x*w)//9)*11 + ((y*h)//8)*2) % 256)
+                + 114 * ((fid*13 + ((x*w)//9) * ((y*h)//8)) % 256) END)
             THEN 1 ELSE 0 END AS bit
           FROM vg),
         vh AS (
@@ -300,59 +444,28 @@ object MediaDedup {
           CAST(l.frame_idx - r.frame_idx AS INT) AS frame_shift,
           COUNT(*) AS n_aligned
         FROM vh l JOIN vh r
-          ON l.dhash_hi = r.dhash_hi AND l.dhash_lo = r.dhash_lo
-          AND l.media_id < r.media_id
+          ON l.media_id < r.media_id
+          AND bit_count(xor(l.dhash_hi, r.dhash_hi))
+            + bit_count(xor(l.dhash_lo, r.dhash_lo)) <= 6
         GROUP BY 1, 2, 3""")),
 
     // ----- audio sequence overlap (shared-recording detection) ------------
     // The mm_audio_fingerprint payoff, completing the trio's consumers:
-    // Shazam-style landmark matching reduced to the energy-contour
-    // scheme — each clip emits a 6-bit KEY of consecutive rise/fall
-    // bits at every contour position, keys equi-join on content (ONE
-    // shuffle), and (a1, a2, shift) counts aligned matches; a shared
-    // recording shows up as a run at one constant offset, chance 6-bit
-    // collisions scatter across shifts. Fixture: audio docs come in
-    // groups of three trims of one base WAV (member m drops its first
-    // m 20-sample windows — window-aligned, so the contour suffix is
-    // a pure shift); the oracle re-derives every window energy from
-    // the PCM synthesis formula and joins naively — integer-exact end
-    // to end.
+    // Shazam-style landmark matching over the energy contour — each
+    // clip emits a 20-bit landmark key at every anchor position
+    // (two 9-bit contour windows + their positional delta, object doc),
+    // keys equi-join on content (ONE shuffle over a ~10^6 key space),
+    // and (a1, a2, shift) counts aligned matches; a shared recording
+    // shows up as a run at one constant offset, chance 20-bit
+    // collisions scatter across shifts. The oracle re-derives every
+    // window energy from the PCM synthesis formula and joins naively —
+    // integer-exact end to end.
     Q("mm_audio_overlap",
       (s, d) => {
         import s.implicits._
-        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
-          .select($"doc_id").as[Long]
-        val keys = ids.mapPartitions { it =>
-          it.flatMap { id =>
-            val t = (id - 1) / 3
-            val gid = 1 + 9 * (t / 3)
-            val m = (t % 3).toInt
-            val a = Multimodal.WavCodec.decode(
-              Multimodal.WavCodec.encode(gid))
-            val W = 20
-            val nw = a.samples.length / W
-            val en = Array.tabulate(nw) { w =>
-              var acc = 0L
-              var i = 0
-              while (i < W) {
-                acc += math.abs(a.samples(w * W + i).toInt); i += 1
-              }
-              acc
-            }
-            // member m's contour = the base contour from boundary m on
-            val bits = Array.tabulate(nw - 1 - m)(k =>
-              if (en(m + k + 1) > en(m + k)) 1 else 0)
-            (0 to bits.length - 6).map { p =>
-              var key = 0
-              var j = 0
-              while (j < 6) { key |= bits(p + j) << j; j += 1 }
-              (id, p, key)
-            }
-          }
-        }.toDF("media_id", "p", "key")
-          .cache() // both join sides: decode the audio once
-        val l = keys.select($"media_id".as("a1"), $"p".as("p1"), $"key")
-        val r = keys.select($"media_id".as("a2"), $"p".as("p2"), $"key")
+        val lm = audioLandmarks(s, d)
+        val l = lm.select($"media_id".as("a1"), $"p".as("p1"), $"key")
+        val r = lm.select($"media_id".as("a2"), $"p".as("p2"), $"key")
         l.join(r, Seq("key"))
           .filter($"a1" < $"a2")
           .groupBy($"a1", $"a2", ($"p1" - $"p2").as("shift"))
@@ -369,23 +482,28 @@ object MediaDedup {
         e AS (
           SELECT doc_id, m, w,
             list_sum([abs(((gid*31 + i*i*7) % 65536) - 32768)
-                      FOR i IN generate_series(w*20, w*20 + 19)]) AS en
+                      FOR i IN generate_series(w*5, w*5 + 4)]) AS en
           FROM sz,
-            LATERAL (SELECT unnest(generate_series(0, n//20 - 1)) AS w)),
+            LATERAL (SELECT unnest(generate_series(0, n//5 - 1)) AS w)),
         b AS (
           SELECT doc_id, w - m - 1 AS k,
             CASE WHEN en > lag(en) OVER
               (PARTITION BY doc_id ORDER BY w) THEN 1 ELSE 0 END AS bit
           FROM e QUALIFY w >= m + 1),
-        kp AS (
+        wrd AS (
           SELECT b1.doc_id, b1.k AS p,
-            CAST(SUM(b2.bit * (1 << (b2.k - b1.k))) AS INT) AS key
+            CAST(SUM(b2.bit * (1 << (b2.k - b1.k))) AS INT) AS word
           FROM b b1 JOIN b b2 ON b2.doc_id = b1.doc_id
-            AND b2.k BETWEEN b1.k AND b1.k + 5
-          GROUP BY 1, 2 HAVING COUNT(*) = 6)
+            AND b2.k BETWEEN b1.k AND b1.k + 8
+          GROUP BY 1, 2 HAVING COUNT(*) = 9),
+        lm AS (
+          SELECT a.doc_id, a.p,
+            a.word + t.word * 512 + (t.p - a.p - 9) * 262144 AS key
+          FROM wrd a JOIN wrd t ON t.doc_id = a.doc_id
+            AND t.p - a.p BETWEEN 9 AND 12)
         SELECT l.doc_id AS a1, r.doc_id AS a2,
           CAST(l.p - r.p AS INT) AS shift, COUNT(*) AS n_aligned
-        FROM kp l JOIN kp r
+        FROM lm l JOIN lm r
           ON l.key = r.key AND l.doc_id < r.doc_id
         GROUP BY 1, 2, 3"""))
   )

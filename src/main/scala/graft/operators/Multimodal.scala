@@ -141,7 +141,7 @@ object Multimodal {
     * comparison bits, packed as (hi, lo) 32-bit halves so both
     * engines' arithmetic stays trivially exact. Shared by mm_dhash and
     * mm_video_dhash. */
-  private[operators] def dhashOf(img: BmpCodec.Image): (Long, Long) = {
+  private[graft] def dhashOf(img: BmpCodec.Image): (Long, Long) = {
     def lum(gx: Int, gy: Int): Int = {
       val sx = gx * img.w / 9
       val sy = gy * img.h / 8

@@ -108,7 +108,7 @@ object PcapQueries {
   /** Deterministic segmented HTTP request capture (50 flows; see
     * [[graft.pcap.PcapSynth.httpFlowSegments]] — cuts land mid-header). */
   private def httpSynthPath: String = {
-    val p = java.nio.file.Paths.get("/tmp/graft_synth_httpflows.pcap")
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_httpflows2.pcap")
     graft.pcap.PcapSynth.ensureHttpFlowFile(p, 50)
     p.toString
   }
@@ -148,18 +148,18 @@ object PcapQueries {
   /** Bidirectional HTTP conversation capture (see
     * [[graft.pcap.PcapSynth.httpRrSegments]]). */
   private def httpRrSynthPath: String = {
-    val p = java.nio.file.Paths.get("/tmp/graft_synth_httprr.pcap")
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_httprr2.pcap")
     graft.pcap.PcapSynth.ensureHttpRrFile(p, 50)
     p.toString
   }
 
   /** Corpus-bridge capture (60 flows; see
-    * [[graft.pcap.PcapSynth.httpCorpusSegments]]). The `2` suffix
-    * versions the fixture: round 10 added real body framing
-    * (Content-Length cut / chunked / gzip), and `ensure*` only writes
-    * missing files, so the old name could pin a stale capture. */
+    * [[graft.pcap.PcapSynth.httpCorpusSegments]]). The numeric suffix
+    * versions the fixture (round 10 added real body framing, round 11
+    * mixed-case request-header names): `ensure*` only writes missing
+    * files, so an unversioned name could pin a stale capture. */
   private def httpCorpusSynthPath: String = {
-    val p = java.nio.file.Paths.get("/tmp/graft_synth_httpcorpus2.pcap")
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_httpcorpus3.pcap")
     graft.pcap.PcapSynth.ensureHttpCorpusFile(p, 60)
     p.toString
   }
@@ -322,7 +322,7 @@ object PcapQueries {
         $"rsp.status" >= 200 && $"rsp.status" < 300)
       .select(docId.as("doc_id"),
         regexp_extract($"req_raw".cast("string"),
-          "\r\nHost: (\\S+)\r\n", 1).as("host"),
+          graft.functions.HttpParse.headerRegex("Host"), 1).as("host"),
         $"rsp.body".cast("string").as("text"))
       .withColumn("w", split($"text", " "))
       .withColumn("n_tokens", size($"w").cast("long"))
@@ -768,7 +768,7 @@ object PcapQueries {
           .select(
             regexp_extract($"txt", "^(\\w+) ", 1).as("method"),
             regexp_extract($"txt", "^\\w+ (\\S+) HTTP/1\\.1", 1).as("path"),
-            regexp_extract($"txt", "\r\nHost: (\\S+)\r\n", 1).as("host"),
+            regexp_extract($"txt", graft.functions.HttpParse.headerRegex("Host"), 1).as("host"),
             regexp_extract($"txt", "\r\nUser-Agent: (\\S+)\r\n", 1).as("agent"))
           .groupBy($"method", $"host", $"agent")
           .agg(count(lit(1)).as("n"),
@@ -1062,7 +1062,7 @@ object PcapQueries {
             $"r.stream".cast("string").as("txt"))
         val req = streams.filter($"dst_port" === 80)
           .select($"src".as("client"), $"src_port".as("client_port"),
-            regexp_extract($"txt", "\r\nHost: (\\S+)\r\n", 1).as("host"))
+            regexp_extract($"txt", graft.functions.HttpParse.headerRegex("Host"), 1).as("host"))
         val rsp = streams.filter($"src_port" === 80)
           .select($"dst".as("r_client"), $"dst_port".as("r_client_port"),
             regexp_extract($"txt", "^HTTP/1\\.1 (\\d+) ", 1)

@@ -329,7 +329,16 @@ object Similarity {
     val dir = annIndexDir(s, d)
     val marker = dir.resolve("model.json")
     if (!java.nio.file.Files.exists(marker)) return None
-    try {
+    val codesPath = dir.resolve("codes").toString
+    // Sidecar parse/validation: a malformed, stale, or partially-written
+    // sidecar (or a hand-deleted codes dir) legitimately means "no
+    // append path — rebuild", so ONLY this section may swallow
+    // exceptions. A failure past it (encode/write/commit) is a genuine
+    // defect and must propagate, not silently disable the append path
+    // forever; that is also restart-safe — the sidecar re-commits only
+    // after the code append lands, and a re-entry anti-joins away any
+    // vec_ids the failed attempt already appended.
+    val validated = try {
       val o = jackson.JsonMethods.parse(new String(
         java.nio.file.Files.readAllBytes(marker), "UTF-8"))
       if (graft.Artifact.asLong(o \ "fmt") != IndexFmt) return None
@@ -357,27 +366,29 @@ object Similarity {
       }
       val appends = math.max(graft.Artifact.asLong(o \ "appends"), 0L)
       val (cents, cb) = parseModel(o).getOrElse(return None)
-      val codesPath = dir.resolve("codes").toString
-      val baseCodes = s.read.parquet(codesPath)
-      val fresh = e.join(baseCodes.select($"vec_id").distinct(),
-        Seq("vec_id"), "left_anti")
-      val asg = assignAll(fresh, cents).cache()
-      try {
-        val st = asg.filter($"arank" === 0)
-          .agg(count(lit(1)), avg($"cd")).first()
-        if (st.getLong(0) == 0L) return None
-        if (!(st.getDouble(1) <= AppendDriftFactor * mq)) return None
-        encodeAssigned(asg, cb).write.mode("append").parquet(codesPath)
-      } finally asg.unpersist()
-      commitSidecar(s, d, rows, cents, cb, mq, appends + 1)
-      val codes = s.read.parquet(codesPath).cache()
-      codes.count()
-      ivfpqCentMemo.put(d, cents)
-      ivfpqCbMemo.put(d, cb)
-      Option(ivfpqCodesMemo.put(d, codes)).foreach(prev =>
-        if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist())
-      Some((cents, cb, codes))
-    } catch { case _: Exception => None }
+      val baseCodes = s.read.parquet(codesPath) // schema read validates
+      Some((mq, appends, cents, cb, baseCodes))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    val (mq, appends, cents, cb, baseCodes) =
+      validated.getOrElse(return None)
+    val fresh = e.join(baseCodes.select($"vec_id").distinct(),
+      Seq("vec_id"), "left_anti")
+    val asg = assignAll(fresh, cents).cache()
+    try {
+      val st = asg.filter($"arank" === 0)
+        .agg(count(lit(1)), avg($"cd")).first()
+      if (st.getLong(0) == 0L) return None
+      if (!(st.getDouble(1) <= AppendDriftFactor * mq)) return None
+      encodeAssigned(asg, cb).write.mode("append").parquet(codesPath)
+    } finally asg.unpersist()
+    commitSidecar(s, d, rows, cents, cb, mq, appends + 1)
+    val codes = s.read.parquet(codesPath).cache()
+    codes.count()
+    ivfpqCentMemo.put(d, cents)
+    ivfpqCbMemo.put(d, cb)
+    Option(ivfpqCodesMemo.put(d, codes)).foreach(prev =>
+      if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist())
+    Some((cents, cb, codes))
   }
 
   /** Sidecar-recorded append count for `d` (test hook). */

@@ -35,9 +35,16 @@ object TextAnalysis {
   // materialize, once for the caller's own action — measured 2.1x on
   // the bench). Repeated invocations no longer leak per-call cached
   // copies; clearSpanMemo drops both relations.
+  // The gram relation is scaffolding: once the span relation's cached
+  // buffers are loaded it is dead weight, so each access checks the
+  // cache manager and drops it (pinning a corpus-sized relation for
+  // process lifetime would re-introduce the round-9 leak per-dataset).
+  // compute() (not plain put) makes the build atomic so two racing
+  // first callers cannot orphan a cached (grams, spans) pair.
   private val spansMemo =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        java.util.concurrent.atomic.AtomicBoolean)]()
   private[graft] def clearSpanMemo(): Unit = {
     spansMemo.forEach { (_, gs) =>
       if (!gs._1.sparkSession.sparkContext.isStopped) {
@@ -46,15 +53,35 @@ object TextAnalysis {
     }
     spansMemo.clear()
   }
+  /** True once `df`'s in-memory buffers have actually materialized (an
+    * action ran), not merely been registered with the cache manager. */
+  private def cacheLoaded(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+      .lookupCachedData(
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .exists(_.cachedRepresentation.cacheBuilder
+        .isCachedColumnBuffersLoaded)
+  /** Test hook: is the memoized gram relation for `d` still pinned? */
+  private[graft] def gramRelationPinned(d: String): Boolean = {
+    val m = spansMemo.get(d)
+    m != null && !m._3.get()
+  }
   private def repeatSpansDf(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val memo = spansMemo.get(d)
-    if (memo != null && !memo._1.sparkSession.sparkContext.isStopped)
-      return memo._2
-    val grams = repeatGramsDf(s, d).cache()
-    val spans = repeatSpansFromGrams(s, grams).cache()
-    spansMemo.put(d, (grams, spans))
-    spans
+    val memo = spansMemo.compute(d, (_, prev) =>
+      if (prev != null && !prev._1.sparkSession.sparkContext.isStopped)
+        prev
+      else {
+        val grams = repeatGramsDf(s, d).cache()
+        val spans = repeatSpansFromGrams(s, grams).cache()
+        (grams, spans,
+          new java.util.concurrent.atomic.AtomicBoolean(false))
+      })
+    if (!memo._3.get() && cacheLoaded(memo._2)
+        && memo._3.compareAndSet(false, true))
+      memo._1.unpersist()
+    memo._2
   }
 
   private def repeatGramsDf(s: org.apache.spark.sql.SparkSession,

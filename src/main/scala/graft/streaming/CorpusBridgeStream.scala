@@ -151,7 +151,6 @@ object CorpusBridgeStream {
     docs.select(docId.as("doc_id"), $"host", $"n_tokens", $"body_md5")
   }
 
-  private val HostRe = "\r\nHost: (\\S+)\r\n".r
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
   /** Conversation close: de-frame, status-gate, quality-gate, digest —
@@ -169,8 +168,8 @@ object CorpusBridgeStream {
     if (w.length < 20) return Iterator.empty
     if (w.distinct.length.toLong * 1000000L / w.length < 300000L)
       return Iterator.empty
-    val host = HostRe.findFirstMatchIn(new String(st.req, Utf8))
-      .map(_.group(1)).getOrElse("")
+    val host = graft.functions.HttpParse
+      .requestHeader(new String(st.req, Utf8), "Host").getOrElse("")
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(text.getBytes(Utf8)).map(b => f"${b & 0xFF}%02x").mkString
     Iterator.single(

@@ -83,6 +83,7 @@ class AnnIndexSpec extends AnyFunSuite {
       // and approximate top-k and make the recall comparison noisy.
       val delivery = spark.read
         .parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .orderBy("vec_id") // deterministic: limit without order depends on scan order
         .limit(50).selectExpr("vec_id + 1000000 AS vec_id", "embedding")
       delivery.write.mode("append").parquet(d + "/embeddings.parquet")
       sim.clearMemos()

@@ -35,7 +35,7 @@ class BridgePlanSpec extends AnyFunSuite {
     import spark.implicits._
     val fixture = SparkEntry.queries("pcap_http_to_corpus")(
       spark, "/root/testdata/sf0.001")
-    val p = java.nio.file.Paths.get("/tmp/graft_synth_httpcorpus2.pcap")
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_httpcorpus3.pcap")
     graft.pcap.PcapSynth.ensureHttpCorpusFile(p, 60)
     val hashed = graft.operators.PcapQueries.httpToCorpus(
       spark, p.toString, serverPort = 80, docIdBase = -1)

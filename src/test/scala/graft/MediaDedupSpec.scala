@@ -159,7 +159,7 @@ class MediaDedupSpec extends AnyFunSuite {
   }
 
   test("audio overlap: every same-group trim pair aligns at its exact " +
-      "shift with a full-suffix key run") {
+      "shift with a full-suffix landmark run") {
     import spark.implicits._
     val rows = SparkEntry.queries("mm_audio_overlap")(spark, sf)
       .as[(Long, Long, Int, Long)].collect()
@@ -171,13 +171,16 @@ class MediaDedupSpec extends AnyFunSuite {
     auds.groupBy(id => ((id - 1) / 3) / 3).foreach { case (_, g) =>
       val members = g.toSeq.sorted // id ascending = trim m ascending
       val gid = 1 + 9 * (((members.head - 1) / 3) / 3)
-      val nw = (200 + gid % 57).toInt / 20
+      val nw = (200 + gid % 57).toInt / 5 // 5-sample energy windows
       for (i <- members.indices; j <- (i + 1) until members.size) {
         val (ma, mb) = (i, j)
-        // member m's contour has nw-1-m bits -> nw-m-6 key positions;
-        // the shared suffix aligns every one of the shorter member's
-        // keys at shift exactly mb - ma
-        val expect = nw - mb - 6
+        // member m's contour has nw-1-m bits -> (nw-1-m)-8 word
+        // positions; every landmark (anchor p, target p+d, d in 9..12)
+        // of the SHORTER member mb appears in member ma's landmark set
+        // at shift exactly mb - ma (the contours share the suffix), so
+        // n_aligned at that shift >= mb's total landmark count
+        val nWordsB = (nw - 1 - mb) - 8
+        val expect = (9 to 12).map(dl => math.max(0, nWordsB - dl)).sum
         if (expect >= 1) {
           val key = (members(i), members(j), mb - ma)
           assert(byKey.contains(key), s"missing audio overlap $key")
@@ -188,5 +191,122 @@ class MediaDedupSpec extends AnyFunSuite {
       }
     }
     assert(checked > 50, s"only $checked same-group pairs checked")
+  }
+
+  test("audio landmark keys are high-cardinality with bounded occupancy " +
+      "(the 100 TB join-shape guarantee)") {
+    import spark.implicits._
+    // The round-10 6-bit contour word had 64 possible join values (13
+    // observed on this fixture) — Θ(N²/64) candidates at corpus scale.
+    // The 20-bit landmark-pair key must (a) actually spread (distinct
+    // keys far above the old 64-value ceiling), (b) keep the hottest
+    // bucket a small fraction of the landmark volume, and (c) prune
+    // the candidate-pair volume by orders of magnitude vs all-pairs —
+    // measured on the formula fixture, whose quadratic PCM contour is
+    // BIASED (structured, repeating) and therefore bounds the op from
+    // the unfavorable side; real audio spreads harder.
+    val lm = graft.operators.MediaDedup.audioLandmarks(spark, sf)
+    val tot = lm.count()
+    val occ = lm.groupBy($"key").agg(count(lit(1)).as("n"))
+    val distinctKeys = occ.count()
+    val hottest = occ.agg(max($"n")).head.getLong(0)
+    assert(distinctKeys >= 500,
+      s"landmark keys collapsed to $distinctKeys distinct values")
+    assert(hottest <= tot / 50,
+      s"hottest landmark key holds $hottest of $tot landmarks")
+    val candidates = occ
+      .select(($"n" * ($"n" - 1) / 2).cast("long").as("c"))
+      .agg(sum($"c")).head.getLong(0)
+    val allPairs = tot * (tot - 1) / 2
+    assert(candidates <= allPairs / 100,
+      s"landmark banding generated $candidates of $allPairs pairs")
+  }
+
+  test("tolerant frame matching: REAL JPEG re-encode drifts frame hashes " +
+      "but the banded matcher still pairs them") {
+    import graft.operators.{JpegCodec, Multimodal}
+    // The round-10 op equi-joined on the exact 64-bit frame hash, so a
+    // re-encoded copy of a clip (the common real-world case) never
+    // paired. Round-trip formula frames through the real JPEG quality
+    // path: the hash must drift (else this test proves nothing) yet
+    // stay within the byte-pair pigeonhole's hamming-6 reach.
+    var drifted = 0
+    var total = 0
+    (0 until 100).foreach { i =>
+      val id = i.toLong * 3 + 2
+      val img = Multimodal.BmpCodec.decode(Multimodal.BmpCodec.encode(id))
+      val (h1, l1) = graft.operators.Multimodal.dhashOf(img)
+      val re = JpegCodec.decode(JpegCodec.encodePixels(img, 85))
+      val (h2, l2) = graft.operators.Multimodal.dhashOf(re)
+      val ham = java.lang.Long.bitCount(h1 ^ h2) +
+        java.lang.Long.bitCount(l1 ^ l2)
+      assert(ham <= 6,
+        s"q85 re-encode of image $id drifted hamming $ham > 6")
+      val k1 = bandKeys((h1 << 32) | (l1 & 0xFFFFFFFFL))
+      val k2 = bandKeys((h2 << 32) | (l2 & 0xFFFFFFFFL))
+      assert(k1.intersect(k2).nonEmpty,
+        s"banded matcher missed re-encoded image $id at hamming $ham")
+      if (ham > 0) drifted += 1
+      total += 1
+    }
+    // the tolerant path must be doing real work: most re-encodes drift
+    assert(drifted > total / 2,
+      s"only $drifted/$total re-encodes drifted — fixture too easy")
+  }
+
+  test("video overlap fixture members are near-identical, NOT identical " +
+      "(the tolerant matcher does real work)") {
+    import spark.implicits._
+    // aligned frames of different members carry different whiteouts ->
+    // nonzero hamming for most aligned pairs; an exact equi-join would
+    // produce NO within-group rows at all
+    val fh = graft.operators.MediaDedup.videoFrameHashes(spark, sf)
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2)).map { case (k, v) => k -> (v.head._3, v.head._4) }
+    val vids = Tables.documents(spark, sf).filter($"doc_id" % 3 === 2)
+      .select($"doc_id").as[Long].collect().toSet
+    var nonzero = 0
+    var aligned = 0
+    vids.groupBy(id => ((id - 2) / 3) / 3).foreach { case (_, g) =>
+      val members = g.toSeq.sorted
+      val gid = 2 + 9 * (((members.head - 2) / 3) / 3)
+      val nf = (3 + gid % 4).toInt
+      for (i <- members.indices; j <- (i + 1) until members.size;
+           f <- 0 until nf - j) {
+        // member j's frame f aligns with member i's frame f + (j - i)
+        (fh.get((members(i), f + (j - i))), fh.get((members(j), f))) match {
+          case (Some((h1, l1)), Some((h2, l2))) =>
+            val ham = java.lang.Long.bitCount(h1 ^ h2) +
+              java.lang.Long.bitCount(l1 ^ l2)
+            assert(ham <= 4, s"aligned frames at hamming $ham > 4")
+            if (ham > 0) nonzero += 1
+            aligned += 1
+          case other => fail(s"missing aligned frame pair: $other")
+        }
+      }
+    }
+    assert(aligned > 100, s"only $aligned aligned pairs")
+    assert(nonzero > aligned / 2,
+      s"only $nonzero/$aligned aligned pairs drifted — whiteout inert")
+  }
+
+  test("memoized hash relations: pair/components/second-run consumers " +
+      "build each relation exactly once") {
+    graft.operators.MediaDedup.clearMemos()
+    SparkEntry.queries("mm_dhash_pairs")(spark, sf).count()
+    SparkEntry.queries("mm_dhash_components")(spark, sf).count()
+    SparkEntry.queries("mm_dhash_pairs")(spark, sf).count()
+    assert(graft.operators.MediaDedup.buildsFor("img_dhash", sf) == 1,
+      "image hash relation rebuilt across consumers")
+    SparkEntry.queries("mm_video_overlap")(spark, sf).count()
+    SparkEntry.queries("mm_video_overlap")(spark, sf).count()
+    assert(graft.operators.MediaDedup.buildsFor("video_fh", sf) == 1,
+      "video frame-hash relation rebuilt across runs")
+    SparkEntry.queries("mm_audio_overlap")(spark, sf).count()
+    SparkEntry.queries("mm_audio_overlap")(spark, sf).count()
+    assert(graft.operators.MediaDedup.buildsFor("audio_lm", sf) == 1,
+      "audio landmark relation rebuilt across runs")
+    graft.operators.MediaDedup.clearMemos()
+    assert(graft.operators.MediaDedup.buildsFor("img_dhash", sf) == 0)
   }
 }

@@ -323,7 +323,7 @@ if tdata is not None:
 
 # ---- pcap_http_requests: reassemble + parse request headers -------------
 import re as _re
-HTTPF = "/tmp/graft_synth_httpflows.pcap"
+HTTPF = "/tmp/graft_synth_httpflows2.pcap"
 try:
     hdata = open(HTTPF, "rb").read()
 except FileNotFoundError:
@@ -352,7 +352,7 @@ if hdata is not None:
         txt = b"".join(p for _, p in segs).decode("ascii")
         m = _re.search(r"^(\w+) ", txt)
         p = _re.search(r"^\w+ (\S+) HTTP/1\.1", txt)
-        h = _re.search(r"\r\nHost: (\S+)\r\n", txt)
+        h = _re.search(r"(?i)\r\nHost:[ \t]*(\S+)[ \t]*\r\n", txt)
         a = _re.search(r"\r\nUser-Agent: (\S+)\r\n", txt)
         k = (m.group(1) if m else "", h.group(1) if h else "",
              a.group(1) if a else "")

@@ -444,7 +444,7 @@ if glob.glob(f"{out}/pcap_tcp_reassembly_overlap/*.parquet"):
 # ---- pcap_http_requests: independent reassemble + header parse ----------
 if glob.glob(f"{out}/pcap_http_requests/*.parquet"):
     import re as _re
-    hdata = open("/tmp/graft_synth_httpflows.pcap", "rb").read()
+    hdata = open("/tmp/graft_synth_httpflows2.pcap", "rb").read()
     assert struct.unpack_from("<I", hdata, 0)[0] == 0xA1B2C3D4
     hflows = {}
     offh = 24
@@ -466,7 +466,7 @@ if glob.glob(f"{out}/pcap_http_requests/*.parquet"):
         txt = b"".join(p for _, p in segs).decode("ascii")
         m = _re.search(r"^(\w+) ", txt)
         p = _re.search(r"^\w+ (\S+) HTTP/1\.1", txt)
-        h = _re.search(r"\r\nHost: (\S+)\r\n", txt)
+        h = _re.search(r"(?i)\r\nHost:[ \t]*(\S+)[ \t]*\r\n", txt)
         a = _re.search(r"\r\nUser-Agent: (\S+)\r\n", txt)
         k = (m.group(1), h.group(1), a.group(1))
         hagg[k] = hagg.get(k, 0) + 1
@@ -588,7 +588,7 @@ if glob.glob(f"{out}/pcap_tcp_handshake_rtt/*.parquet"):
 if glob.glob(f"{out}/pcap_http_conversations/*.parquet"):
     import re as _re2
     dirs = {}
-    for ts, us, fr in _frames("/tmp/graft_synth_httprr.pcap"):
+    for ts, us, fr in _frames("/tmp/graft_synth_httprr2.pcap"):
         src, dst, proto, l4 = _v4(fr)
         sp, dp = struct.unpack_from(">HH", fr, l4)
         seq = struct.unpack_from(">I", fr, l4 + 4)[0]
@@ -599,7 +599,7 @@ if glob.glob(f"{out}/pcap_http_conversations/*.parquet"):
         segs.sort()
         txt = b"".join(p for _, p in segs).decode("ascii")
         if dp == 80:
-            reqs[(src, sp)] = _re2.search(r"\r\nHost: (\S+)\r\n", txt).group(1)
+            reqs[(src, sp)] = _re2.search(r"(?i)\r\nHost:[ \t]*(\S+)[ \t]*\r\n", txt).group(1)
         else:
             rsps[(dst, dp)] = int(
                 _re2.match(r"HTTP/1\.1 (\d+) ", txt).group(1))
@@ -650,7 +650,7 @@ if glob.glob(f"{out}/pcap_http_to_corpus/*.parquet") or \
         return body.decode("ascii")
 
     dirs = {}
-    for ts, us, fr in _frames("/tmp/graft_synth_httpcorpus2.pcap"):
+    for ts, us, fr in _frames("/tmp/graft_synth_httpcorpus3.pcap"):
         src, dst, proto, l4 = _v4(fr)
         sp, dp = struct.unpack_from(">HH", fr, l4)
         seq = struct.unpack_from(">I", fr, l4 + 4)[0]
@@ -662,7 +662,7 @@ if glob.glob(f"{out}/pcap_http_to_corpus/*.parquet") or \
         stream = b"".join(p for _, p in segs)
         if dp == 80:
             chosts[(src, sp)] = _re3.search(
-                rb"\r\nHost: (\S+)\r\n", stream).group(1).decode("ascii")
+                rb"(?i)\r\nHost:[ \t]*(\S+)[ \t]*\r\n", stream).group(1).decode("ascii")
         else:
             bodies[(dst, dp)] = _deframe(stream)
     groups = {}
