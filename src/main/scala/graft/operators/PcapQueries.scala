@@ -203,6 +203,86 @@ object PcapQueries {
     p.toString
   }
 
+  /** Offset-sorted datagram reassembly + DNS parse over a fragmented
+    * capture — shared by the v4 and v6 entries (both decoders
+    * normalize onto the same (ip_id, frag_offset, payload-chunk)
+    * columns, so ONE plan serves both fragment schemes). One groupBy
+    * on the fragment key; sort_array orders the struct list by
+    * offset; a binary fold concatenates the datagram (the first
+    * fragment's payload column is already UDP-header-stripped; later
+    * fragments carry raw chunks); the clean-room DNS parser reads the
+    * reassembled message — including out-of-order deliveries. */
+  private def fragReassembledDns(s: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.read.format("pcap").load(path)
+      .filter($"frag" && $"protocol" === "UDP" && $"ip_id".isNotNull)
+      .select($"src", $"dst", $"ip_id",
+        struct($"frag_offset", $"len", $"payload").as("fp"))
+      .groupBy($"src", $"dst", $"ip_id")
+      .agg(sort_array(collect_list($"fp")).as("fr"))
+      // completeness gate: a datagram with a missing/partial
+      // fragment must be DROPPED, not emitted as corrupt bytes —
+      // offsets must tile contiguously (the first fragment's len
+      // excludes the 8-byte UDP header its chunk carried), and a
+      // lone fragment is by definition incomplete (its MF bit or
+      // nonzero offset is what flagged it). A lost TAIL fragment
+      // is the one gap this can't see (MF isn't a column); the
+      // DNS parse of the truncated message then fails closed.
+      .filter(expr("size(fr) >= 2 AND fr[0].frag_offset = 0 AND " +
+        "forall(sequence(1, size(fr) - 1), k -> " +
+        "fr[k].frag_offset = fr[k - 1].frag_offset + " +
+        "fr[k - 1].len + IF(k = 1, 8, 0))"))
+      .select($"src", $"dst", $"ip_id",
+        size($"fr").as("n_frags"),
+        expr("aggregate(fr, CAST('' AS BINARY), " +
+          "(acc, x) -> concat(acc, x.payload))").as("msg"))
+      .as[(String, String, Int, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (src, dst, ipId, nf, msg) =>
+          val f = graft.pcap.DnsParser.parse(msg)
+          (src, dst, ipId, nf, msg.length,
+            f.flatMap(_.qname).orNull, f.map(_.rcode).orNull)
+        }
+      }
+      .toDF("src", "dst", "ip_id", "n_frags", "msg_len",
+        "qname", "rcode")
+  }
+
+  /** Fragmented-DNS-over-IPv6 capture (see
+    * [[graft.pcap.PcapSynth.fragmentedDnsV6Segments]]). */
+  private def fragV6SynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_ip6frag.pcap")
+    graft.pcap.PcapSynth.ensureFragV6File(p, 120)
+    p.toString
+  }
+
+  /** Constant oracle for the IPv6 fragment reassembly entry — the v6
+    * twin of [[fragReassemblyOracle]]: endpoints / frag id / rcode are
+    * pure functions of i, msg_len from the same dnsResponse builder.
+    * Address strings are java.net formatting (full groups, no `::`
+    * compression) — the decoder's ipv6String convention. */
+  private def fragV6ReassemblyOracle(n: Int): String = {
+    val rows = (0 until n).map { i =>
+      val dnsLen = graft.pcap.PcapSynth.dnsResponse(0x6000 + i,
+        s"frag6-$i.data.example.com", qtype = 28,
+        rcode = if (i % 7 == 0) 3 else 0).length
+      val rcode = if (i % 7 == 0) "NXDOMAIN" else "NOERROR"
+      s"('2001:db8:0:0:0:0:0:53', '2001:db8:1:0:0:0:0:${i.toHexString}', " +
+        s"${0x70000 + i}, ${2 + i % 2}, $dnsLen, " +
+        s"'frag6-$i.data.example.com.', '$rcode')"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.src AS VARCHAR) AS src,
+        CAST(v.dst AS VARCHAR) AS dst,
+        CAST(v.ip_id AS INT) AS ip_id,
+        CAST(v.n_frags AS INT) AS n_frags,
+        CAST(v.msg_len AS INT) AS msg_len,
+        CAST(v.qname AS VARCHAR) AS qname,
+        CAST(v.rcode AS VARCHAR) AS rcode
+        FROM (VALUES $rows)
+          AS v(src, dst, ip_id, n_frags, msg_len, qname, rcode)"""
+  }
+
   /** Constant oracle for the fragment reassembly battery entry,
     * derived from the synthesis formulas (ip_id / endpoints / rcode are
     * pure functions of i; the message length comes from the same
@@ -1134,42 +1214,24 @@ object PcapQueries {
     // ip_id (u16) + endpoints — a bounded-group aggregation with
     // map-side combine, one shuffle, no window.
     Q("pcap_ipv4_frag_reassembly",
-      (s, d) => {
-        import s.implicits._
-        s.read.format("pcap").load(fragSynthPath)
-          .filter($"frag" && $"protocol" === "UDP" && $"ip_id".isNotNull)
-          .select($"src", $"dst", $"ip_id",
-            struct($"frag_offset", $"len", $"payload").as("fp"))
-          .groupBy($"src", $"dst", $"ip_id")
-          .agg(sort_array(collect_list($"fp")).as("fr"))
-          // completeness gate: a datagram with a missing/partial
-          // fragment must be DROPPED, not emitted as corrupt bytes —
-          // offsets must tile contiguously (the first fragment's len
-          // excludes the 8-byte UDP header its chunk carried), and a
-          // lone fragment is by definition incomplete (its MF bit or
-          // nonzero offset is what flagged it). A lost TAIL fragment
-          // is the one gap this can't see (MF isn't a column); the
-          // DNS parse of the truncated message then fails closed.
-          .filter(expr("size(fr) >= 2 AND fr[0].frag_offset = 0 AND " +
-            "forall(sequence(1, size(fr) - 1), k -> " +
-            "fr[k].frag_offset = fr[k - 1].frag_offset + " +
-            "fr[k - 1].len + IF(k = 1, 8, 0))"))
-          .select($"src", $"dst", $"ip_id",
-            size($"fr").as("n_frags"),
-            expr("aggregate(fr, CAST('' AS BINARY), " +
-              "(acc, x) -> concat(acc, x.payload))").as("msg"))
-          .as[(String, String, Int, Int, Array[Byte])]
-          .mapPartitions { it =>
-            it.map { case (src, dst, ipId, nf, msg) =>
-              val f = graft.pcap.DnsParser.parse(msg)
-              (src, dst, ipId, nf, msg.length,
-                f.flatMap(_.qname).orNull, f.map(_.rcode).orNull)
-            }
-          }
-          .toDF("src", "dst", "ip_id", "n_frags", "msg_len",
-            "qname", "rcode")
-      },
+      (s, d) => fragReassembledDns(s, fragSynthPath),
       Some(fragReassemblyOracle(120))),
+
+    // ----- IPv6 fragment reassembly ---------------------------------------
+    // The v6 twin (round 11): fragmentation rides the Fragment
+    // EXTENSION header (RFC 8200 §4.5) instead of IP-header bits, the
+    // id is 32-bit, and — as of the round-11 decoder-honesty fix —
+    // non-first v6 fragments expose the raw chunk in the payload
+    // column with NULL ports (previously their mid-payload bytes
+    // parsed as an L4 header, the exact misparse the v4 side fixed in
+    // round 10; the reference never decodes v6 fragments at all,
+    // `PcapReader.java:399-401`). Downstream, the offset-sorted
+    // reassembly plan is IDENTICAL to v4 — same columns, same
+    // completeness gate, same scale shape — which is the point of
+    // normalizing both fragment schemes onto (ip_id, frag_offset).
+    Q("pcap_ipv6_frag_reassembly",
+      (s, d) => fragReassembledDns(s, fragV6SynthPath),
+      Some(fragV6ReassemblyOracle(120))),
 
     // Receive-window health: zero-window events are THE standard TCP
     // stall signal ops teams alert on. Per-flow bounded aggregates over

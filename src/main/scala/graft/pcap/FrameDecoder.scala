@@ -159,7 +159,21 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
           b.dst = Some(ipv6String(data, ip + 24))
         }
         val dataStart = walkV6ExtHeaders(b, data, ip, end)
-        if (dataStart > 0 && (b.protoId == 6 || b.protoId == 17))
+        // NON-FIRST fragment (RFC 8200 §4.5): the bytes after the
+        // Fragment header are mid-payload of the original datagram,
+        // NOT an L4 header — the same decode-honesty rule as the v4
+        // path above (parsing ports there is the classic misparse).
+        // The raw chunk rides the payload column, (ip_id, frag_offset)
+        // from the Fragment header feed downstream reassembly.
+        if (dataStart > 0 && b.fragOffset.exists(_ > 0)) {
+          val ps = ip + dataStart
+          val pl = if (ps > end) 0 else end - ps
+          b.len = Boxes.int(pl)
+          if (options.keepPayload)
+            b.payload = Some(java.util.Arrays.copyOfRange(
+              data, end - pl, end))
+        }
+        else if (dataStart > 0 && (b.protoId == 6 || b.protoId == 17))
           decodeL4(b, data, ip, dataStart, end, v6 = true)
         else if (dataStart > 0 && b.protoId == 58)
           decodeIcmp(b, data, ip + dataStart, end)

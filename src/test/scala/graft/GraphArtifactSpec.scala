@@ -93,4 +93,59 @@ class GraphArtifactSpec extends AnyFunSuite {
       graft.operators.Graph.clearMemos()
     }
   }
+
+  test("a strictly-grown lineitem appends a delta dir instead of " +
+      "rebuilding, and matches a full rebuild exactly") {
+    import org.apache.spark.sql.functions.{col, max}
+    val d = copyDataset()
+    val base = Files.createTempDirectory("graph_art_ap").toString
+    val prev = spark.conf.getOption("spark.graft.graph.dir")
+    spark.conf.set("spark.graft.graph.dir", base)
+    try {
+      val g = graft.operators.Graph
+      runPr(d)
+      assert(g.buildsFor(d) == 1)
+      assert(g.appendsFor(spark, d) == 0)
+      // the delivery: 100 lineitem rows remapped to order keys ABOVE
+      // the build-time max (the monotone append contract) — their
+      // parts repeat existing parts, so delta pairs MERGE with base
+      // edge weights across payload dirs
+      val li = spark.read.parquet(d + "/lineitem.parquet")
+      val maxOk = li.agg(max(col("l_orderkey"))).first().getLong(0)
+      li.orderBy(col("l_orderkey")).limit(100)
+        .withColumn("l_orderkey", col("l_orderkey") + maxOk + 1)
+        .write.mode("append").parquet(d + "/lineitem.parquet")
+      g.clearMemos()
+      val prGrown = runPr(d)
+      val lpaGrown = runLpa(d)
+      assert(g.buildsFor(d) == 1,
+        "an append-only delivery must NOT re-run the full self-join")
+      assert(g.appendsFor(spark, d) == 1,
+        "the sidecar must record the append")
+      assert(Files.exists(g.graphDir(spark, d).resolve("delta-1")),
+        "the delta payload dir must be persisted")
+      // a later cold session loads the appended artifact (sidecar key
+      // now matches the GROWN dataset) without building or appending
+      g.clearMemos()
+      assert(runPr(d) == prGrown, "cold load of appended artifact")
+      assert(g.buildsFor(d) == 1 && g.appendsFor(spark, d) == 1)
+      // ground truth: a fresh artifact dir forces the full self-join
+      // over the same grown dataset — results must be identical (the
+      // merge-on-load fold reconstructs exactly the full-build edges)
+      spark.conf.set("spark.graft.graph.dir",
+        Files.createTempDirectory("graph_art_fb").toString)
+      g.clearMemos()
+      assert(runPr(d) == prGrown,
+        "appended pagerank must equal the full rebuild's")
+      assert(runLpa(d) == lpaGrown,
+        "appended LPA must equal the full rebuild's (merged weights)")
+      assert(g.buildsFor(d) == 2, "the fresh dir really rebuilt")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.graph.dir", v)
+        case None => spark.conf.unset("spark.graft.graph.dir")
+      }
+      graft.operators.Graph.clearMemos()
+    }
+  }
 }

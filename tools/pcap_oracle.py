@@ -735,6 +735,47 @@ if glob.glob(f"{out}/pcap_ipv4_frag_reassembly/*.parquet"):
                 "qname", "rcode"]),
          sorted(fexp))
 
+# IPv6 fragment reassembly: same independent re-derivation against the
+# v6 capture — fragments ride the Fragment EXTENSION header (RFC 8200
+# §4.5: next-header 44 in the base header; 13-bit offset in 8-octet
+# units at bits 15..3 of the header's third/fourth bytes; 32-bit id),
+# addresses render java.net-style (full groups, no :: compression).
+if glob.glob(f"{out}/pcap_ipv6_frag_reassembly/*.parquet"):
+    def _v6addr(b):
+        return ":".join(format((b[i] << 8) | b[i + 1], "x")
+                        for i in range(0, 16, 2))
+    f6groups = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_ip6frag.pcap"):
+        assert struct.unpack_from(">H", fr, 12)[0] == 0x86DD
+        assert fr[14 + 6] == 44  # next header: Fragment
+        src = _v6addr(fr[14 + 8:14 + 24])
+        dst = _v6addr(fr[14 + 24:14 + 40])
+        ext = 14 + 40
+        ff = struct.unpack_from(">H", fr, ext + 2)[0]
+        off8 = (ff >> 3) * 8
+        fid = struct.unpack_from(">I", fr, ext + 4)[0]
+        f6groups.setdefault((src, dst, fid), []).append(
+            (off8, fr[ext + 8:]))
+    f6exp = []
+    for (src, dst, fid), frs in f6groups.items():
+        frs.sort()
+        msg = b"".join(
+            p[8:] if off == 0 else p for off, p in frs)
+        qid, flags = struct.unpack_from(">HH", msg, 0)
+        rc = {0: "NOERROR", 3: "NXDOMAIN"}[flags & 0xF]
+        labels, p = [], 12
+        while msg[p] != 0:
+            ln = msg[p]
+            labels.append(msg[p + 1:p + 1 + ln].decode("ascii"))
+            p += 1 + ln
+        f6exp.append((src, dst, fid, len(frs), len(msg),
+                      ".".join(labels).lower() + ".", rc))
+    _cmp("pcap_ipv6_frag_reassembly(redecode)",
+         _read("pcap_ipv6_frag_reassembly",
+               ["src", "dst", "ip_id", "n_frags", "msg_len",
+                "qname", "rcode"]),
+         sorted(f6exp))
+
 if glob.glob(f"{out}/pcap_tcp_zero_window/*.parquet"):
     wflows = {}
     for ts, us, fr in _frames("/tmp/graft_synth_tcpwindow.pcap"):
