@@ -119,7 +119,61 @@ class ReassembleAgg(maxStreamBytes: Long, maxSegments: Int = 1 << 18)
   require(maxStreamBytes > 0 && maxStreamBytes <= Int.MaxValue &&
     maxSegments > 0 && maxSegments <= Int.MaxValue / 2)
 
-  private def compact(b: ReassemblyBuf): Unit = {
+  private def compact(b: ReassemblyBuf): Unit =
+    Reassemble.compactBuf(b, maxStreamBytes, maxSegments)
+
+  override def zero: ReassemblyBuf = new ReassemblyBuf
+
+  override def reduce(b: ReassemblyBuf, s: TcpSeg): ReassemblyBuf = {
+    b.segs += BufSeg(s.tcp_seq, s.pkt_idx, 0, s.payload)
+    b.total += s.payload.length
+    if (b.total > maxStreamBytes * 2 || b.segs.length > maxSegments * 2)
+      compact(b)
+    b
+  }
+
+  override def merge(a: ReassemblyBuf, b: ReassemblyBuf): ReassemblyBuf = {
+    a.segs ++= b.segs
+    a.total += b.total
+    a.truncated ||= b.truncated
+    // earliest recorded stop wins (coverage only grows, so the true
+    // stop can only move earlier)
+    if (b.stopSeq < a.stopSeq ||
+        (b.stopSeq == a.stopSeq && b.stopPkt < a.stopPkt)) {
+      a.stopSeq = b.stopSeq
+      a.stopPkt = b.stopPkt
+    }
+    if (a.total > maxStreamBytes * 2 || a.segs.length > maxSegments * 2)
+      compact(a)
+    a
+  }
+
+  override def finish(b: ReassemblyBuf): Reassembled =
+    Reassemble.finishBuf(b, maxStreamBytes, maxSegments)
+
+  override def bufferEncoder: Encoder[ReassemblyBuf] =
+    Encoders.kryo[ReassemblyBuf]
+  override def outputEncoder: Encoder[Reassembled] =
+    ExpressionEncoder[Reassembled]()
+}
+
+object Reassemble {
+  /** Default per-flow stream cap. Generous for L7 header extraction
+    * (requests, TLS hellos, response status lines all live in the first
+    * bytes) while bounding an elephant flow's buffer to single-digit
+    * MBs. */
+  val DefaultMaxStreamBytes: Long = 8L << 20
+
+  /** The compaction sweep (sort + cover-trim + dedup + cap) — the
+    * class doc's monotone-under-any-merge-order argument lives HERE.
+    * Shared by the batch aggregator and the streaming bridge's
+    * per-conversation state ([[graft.streaming.CorpusBridgeStream]]):
+    * cross-micro-batch arrival reordering is the same situation as
+    * map-side partial buffers merging in arbitrary order, so reusing
+    * this one sweep makes the streamed stream BYTE-IDENTICAL to the
+    * batch aggregation's by construction. */
+  private[graft] def compactBuf(b: ReassemblyBuf, maxStreamBytes: Long,
+      maxSegments: Int): Unit = {
     val sorted = b.segs.sortInPlaceWith { (a, c) =>
       a.seq < c.seq || (a.seq == c.seq && a.pktIdx < c.pktIdx)
     }
@@ -170,34 +224,10 @@ class ReassembleAgg(maxStreamBytes: Long, maxSegments: Int = 1 << 18)
     b.truncated ||= dropped
   }
 
-  override def zero: ReassemblyBuf = new ReassemblyBuf
-
-  override def reduce(b: ReassemblyBuf, s: TcpSeg): ReassemblyBuf = {
-    b.segs += BufSeg(s.tcp_seq, s.pkt_idx, 0, s.payload)
-    b.total += s.payload.length
-    if (b.total > maxStreamBytes * 2 || b.segs.length > maxSegments * 2)
-      compact(b)
-    b
-  }
-
-  override def merge(a: ReassemblyBuf, b: ReassemblyBuf): ReassemblyBuf = {
-    a.segs ++= b.segs
-    a.total += b.total
-    a.truncated ||= b.truncated
-    // earliest recorded stop wins (coverage only grows, so the true
-    // stop can only move earlier)
-    if (b.stopSeq < a.stopSeq ||
-        (b.stopSeq == a.stopSeq && b.stopPkt < a.stopPkt)) {
-      a.stopSeq = b.stopSeq
-      a.stopPkt = b.stopPkt
-    }
-    if (a.total > maxStreamBytes * 2 || a.segs.length > maxSegments * 2)
-      compact(a)
-    a
-  }
-
-  override def finish(b: ReassemblyBuf): Reassembled = {
-    compact(b)
+  /** Final compaction + concatenation of the kept prefix. */
+  private[graft] def finishBuf(b: ReassemblyBuf, maxStreamBytes: Long,
+      maxSegments: Int): Reassembled = {
+    compactBuf(b, maxStreamBytes, maxSegments)
     val stream = new Array[Byte](b.total.toInt)
     var off = 0
     b.segs.foreach { s =>
@@ -206,19 +236,6 @@ class ReassembleAgg(maxStreamBytes: Long, maxSegments: Int = 1 << 18)
     }
     Reassembled(stream, b.truncated)
   }
-
-  override def bufferEncoder: Encoder[ReassemblyBuf] =
-    Encoders.kryo[ReassemblyBuf]
-  override def outputEncoder: Encoder[Reassembled] =
-    ExpressionEncoder[Reassembled]()
-}
-
-object Reassemble {
-  /** Default per-flow stream cap. Generous for L7 header extraction
-    * (requests, TLS hellos, response status lines all live in the first
-    * bytes) while bounding an elephant flow's buffer to single-digit
-    * MBs. */
-  val DefaultMaxStreamBytes: Long = 8L << 20
 
   /** `struct(stream BINARY, truncated BOOLEAN)` aggregation column over
     * (`tcp_seq`, `pkt_idx`, `payload`). */

@@ -91,11 +91,13 @@ class CorpusBridgeStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
-  test("a conversation overflowing the direction cap is poisoned — " +
-      "no truncated-corrupt document ever emits") {
+  test("the direction cap has the batch cap's semantics: a capped " +
+      "response fails closed through deframe, never emits corrupt text") {
     val dir = Files.createTempDirectory("corpus_bridge_poison")
     landWaves(dir, waves = 1, which = 0 until 1)
-    // a cap below every response size: EVERY conversation poisons
+    // a cap below every response size: every response prefix is
+    // truncated, so de-framing fails closed on all of them — exactly
+    // what the batch bridge produces at the same cap
     val tiny = CorpusBridgeStream.documents(
       spark.readStream.format("pcap")
         .option("maxFilesPerTrigger", "1").load(dir.toString),
@@ -112,6 +114,155 @@ class CorpusBridgeStreamSpec extends AnyFunSuite {
       query.processAllAvailable()
       assert(spark.table("corpus_docs_poisoned").isEmpty,
         "capped conversations must emit nothing, not truncated text")
+    } finally query.stop()
+  }
+
+  test("out-of-order file admission (later waves first) still matches " +
+      "the batch twin exactly") {
+    // The round-10 state machine committed a coverage frontier in
+    // ARRIVAL order, so a segment landing in a later micro-batch below
+    // the committed frontier was dropped and gap segments concatenated
+    // at wrong positions. The compacted-segment-buffer state slots
+    // late-arriving earlier-seq segments into sorted position, so ANY
+    // admission order the watermark admits yields the batch row set.
+    // The watermark here is sized past the fixture's event-time spread;
+    // beyond-watermark lateness is the standard streaming loss contract.
+    val dir = Files.createTempDirectory("corpus_bridge_ooo")
+    landWaves(dir, waves = 3, which = 0 until 3)
+    // admit waves in REVERSE file order: rename so lexicographic
+    // listing (the file source's order) runs wave2, wave1, wave0
+    (0 until 3).foreach { w =>
+      Files.move(dir.resolve(f"wave$w%02d.pcap"),
+        dir.resolve(f"zz${2 - w}%02d.pcap"))
+    }
+    val stream = CorpusBridgeStream.documents(
+      spark.readStream.format("pcap")
+        .option("maxFilesPerTrigger", "1").load(dir.toString),
+      serverPort = 80, docIdBase = 42000,
+      watermark = "600 seconds", idleSeconds = 10)
+    val query = stream.writeStream.format("memory")
+      .queryName("corpus_docs_ooo").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      landFlush(dir, "zzflush1.pcap", 1700801300L)
+      query.processAllAvailable()
+      landFlush(dir, "zzflush2.pcap", 1700801400L)
+      query.processAllAvailable()
+      val got = spark.table("corpus_docs_ooo").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+      val want = twinRows()
+      assert(got == want,
+        s"reversed admission: missing=${(want -- got).take(3)} " +
+          s"extra=${(got -- want).take(3)}")
+    } finally query.stop()
+  }
+
+  test("a chunked response's frame boundary on a micro-batch boundary: " +
+      "framing state lives in the conversation buffer, not the batch") {
+    // flow 1 of the corpus fixture is chunked (f%3==1). Cut its
+    // response into two TCP segments EXACTLY after the first chunk
+    // frame's trailing CRLF and land them in separate capture files
+    // (maxFilesPerTrigger=1 -> separate micro-batches): if any framing
+    // state lived per-batch, the dechunk would see a bare chunk-size
+    // line at a stream start and fail — the document must still emit
+    // byte-exact.
+    val f = 1
+    val req = PcapSynth.httpRequestBytes(f)
+    val rsp = PcapSynth.httpCorpusResponseBytes(f)
+    val headEnd = {
+      val s = new String(rsp, "ISO-8859-1")
+      s.indexOf("\r\n\r\n") + 4
+    }
+    // first chunk frame: "b\r\n" + 11 payload bytes + "\r\n"
+    val cut = headEnd + 3 + 11 + 2
+    assert(new String(rsp, "ISO-8859-1").substring(cut - 2, cut) == "\r\n",
+      "fixture self-check: the cut must land after a chunk CRLF")
+    val client = Array[Byte](10, 14, 0, f.toByte)
+    val server = Array[Byte](10, 4, 0, 1)
+    def reqFrame(payload: Array[Byte], seq: Long) =
+      PcapSynth.ipv4TcpFrame(client, server, 42000 + f, 80, ttl = 62,
+        payload = payload, seq = seq, flags = 0x18)
+    def rspFrame(payload: Array[Byte], seq: Long) =
+      PcapSynth.ipv4TcpFrame(server, client, 80, 42000 + f, ttl = 60,
+        payload = payload, seq = seq, flags = 0x18)
+    val dir = Files.createTempDirectory("corpus_bridge_chunkcut")
+    PcapSynth.writeAtomic(dir.resolve("a.pcap"), PcapSynth.file(Seq(
+      (1700800000L, 0L, reqFrame(req, 0L)),
+      (1700800001L, 0L,
+        rspFrame(java.util.Arrays.copyOfRange(rsp, 0, cut), 0L)))))
+    PcapSynth.writeAtomic(dir.resolve("b.pcap"), PcapSynth.file(Seq(
+      (1700800002L, 0L, rspFrame(
+        java.util.Arrays.copyOfRange(rsp, cut, rsp.length), cut.toLong)))))
+    val query = docStream(dir).writeStream.format("memory")
+      .queryName("corpus_docs_chunkcut").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      landFlush(dir, "flush1.pcap", 1700800600L)
+      query.processAllAvailable()
+      landFlush(dir, "flush2.pcap", 1700800700L)
+      query.processAllAvailable()
+      val got = spark.table("corpus_docs_chunkcut").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+      val body = PcapSynth.corpusBody(f)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(body.getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+      assert(got == Set((f.toLong, s"host$f.example.com",
+        body.split(" ", -1).length.toLong, md5)),
+        s"chunk-boundary cut produced $got")
+    } finally query.stop()
+  }
+
+  test("an over-cap request with a complete small response still " +
+      "emits — request truncation keeps the Host prefix (batch parity)") {
+    // batch semantics: the cap truncates to a strict prefix and the
+    // bridge consumes it — an oversized request still yields its Host
+    // header (round 10 poisoned the whole conversation and emitted
+    // nothing, diverging from the batch twin)
+    val f = 0 // f%3==0: Content-Length framing, complete small response
+    val headers = ("GET /big HTTP/1.1\r\nHost: bigreq.example.com\r\n" +
+      "Content-Length: 2000\r\n\r\n").getBytes("US-ASCII")
+    val bigBody = Array.fill[Byte](2000)('x'.toByte)
+    val rsp = PcapSynth.httpCorpusResponseBytes(f)
+    val client = Array[Byte](10, 14, 0, 77)
+    val server = Array[Byte](10, 4, 0, 1)
+    val dir = Files.createTempDirectory("corpus_bridge_bigreq")
+    PcapSynth.writeAtomic(dir.resolve("a.pcap"), PcapSynth.file(Seq(
+      (1700800000L, 0L, PcapSynth.ipv4TcpFrame(client, server,
+        42000 + f, 80, ttl = 62, payload = headers, seq = 0L,
+        flags = 0x18)),
+      (1700800001L, 0L, PcapSynth.ipv4TcpFrame(client, server,
+        42000 + f, 80, ttl = 62, payload = bigBody,
+        seq = headers.length.toLong, flags = 0x18)),
+      (1700800002L, 0L, PcapSynth.ipv4TcpFrame(server, client,
+        80, 42000 + f, ttl = 60, payload = rsp, seq = 0L,
+        flags = 0x18)))))
+    val stream = CorpusBridgeStream.documents(
+      spark.readStream.format("pcap")
+        .option("maxFilesPerTrigger", "1").load(dir.toString),
+      serverPort = 80, docIdBase = 42000,
+      watermark = "5 seconds", idleSeconds = 10,
+      maxBytesPerDirection = 1024)
+    val query = stream.writeStream.format("memory")
+      .queryName("corpus_docs_bigreq").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      landFlush(dir, "flush1.pcap", 1700800600L)
+      query.processAllAvailable()
+      landFlush(dir, "flush2.pcap", 1700800700L)
+      query.processAllAvailable()
+      val got = spark.table("corpus_docs_bigreq").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+      val body = PcapSynth.corpusBody(f)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(body.getBytes("UTF-8"))
+        .map(b => f"${b & 0xFF}%02x").mkString
+      assert(got == Set((f.toLong, "bigreq.example.com",
+        body.split(" ", -1).length.toLong, md5)),
+        s"over-cap request conversation produced $got")
     } finally query.stop()
   }
 
