@@ -697,6 +697,55 @@ object Pipeline {
           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
             AS BIGINT) AS shuffle_key
         FROM sc CROSS JOIN th
-        ORDER BY phase, shuffle_key, doc_id"""))
+        ORDER BY phase, shuffle_key, doc_id""")),
+
+    // ----- join-key skew profiler (round 11) ------------------------------
+    // The diagnostics every 100 TB join plan needs BEFORE it runs: a
+    // per-key-column fanout profile of the fact table. This codebase
+    // engineers around key skew constantly (salting, DF caps, banding
+    // key-space arguments) — this op MEASURES it, so a pipeline can
+    // decide "salt this join / broadcast that dim / cap this key"
+    // from data instead of folklore. Metrics are all integer-exact:
+    //   n_rows/n_keys       — raw density;
+    //   max_key_rows        — the hottest key's row count (the straggler
+    //                         partition bound for a shuffle on this key);
+    //   top1_ppm            — hottest key's share of rows, in ppm;
+    //   selfjoin_rows       — Σ c_k² over keys: the EXACT output size of
+    //                         a self-equi-join on this key, i.e. the
+    //                         fanout mass a join on it must materialize
+    //                         (the number the banding rationales in
+    //                         Dedup/MediaDedup bound analytically).
+    // Scale shape: stack() melts the key columns in one scan (no
+    // per-column rescan), then ONE (col, key) count with map-side
+    // combine and ONE tiny per-column rollup — two shuffles, the first
+    // bounded by distinct keys.
+    Q("pipeline_key_skew",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .select(expr("stack(3, 'l_orderkey', l_orderkey, " +
+            "'l_partkey', l_partkey, 'l_suppkey', l_suppkey) " +
+            "AS (key_col, k)"))
+          .groupBy($"key_col", $"k")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"key_col")
+          .agg(sum($"c").as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max($"c").as("max_key_rows"),
+            expr("max(c) * 1000000L div sum(c)").as("top1_ppm"),
+            sum($"c" * $"c").as("selfjoin_rows"))
+      },
+      Some("""WITH m AS (
+          SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+          UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+          UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+        c AS (SELECT key_col, k, COUNT(*) AS c FROM m GROUP BY 1, 2)
+        SELECT key_col,
+          CAST(SUM(c) AS BIGINT) AS n_rows,
+          COUNT(*) AS n_keys,
+          MAX(c) AS max_key_rows,
+          CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top1_ppm,
+          CAST(SUM(c * c) AS BIGINT) AS selfjoin_rows
+        FROM c GROUP BY 1"""))
   )
 }

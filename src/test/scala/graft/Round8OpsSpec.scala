@@ -81,6 +81,21 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("the span memo drops its corpus-sized gram relation once the " +
+      "span relation materializes (round-11 advisory)") {
+    val ta = graft.operators.TextAnalysis
+    ta.clearSpanMemo()
+    // first action materializes the cached span relation; the NEXT
+    // access must notice and unpersist the gram scaffolding — pinning
+    // it for process lifetime would re-introduce the round-9 leak in
+    // per-dataset form
+    SparkEntry.queries("text_repeat_spans")(spark, sf).count()
+    SparkEntry.queries("text_strip_repeat_spans")(spark, sf).count()
+    assert(!ta.gramRelationPinned(sf),
+      "gram relation still pinned after the span relation materialized")
+    ta.clearSpanMemo()
+  }
+
   test("text_strip_repeat_spans removes exactly the detected spans " +
       "(round 9)") {
     val docs = Tables.documents(spark, sf)
