@@ -203,6 +203,60 @@ object PcapQueries {
     p.toString
   }
 
+  /** VXLAN-encapsulated DNS capture (see
+    * [[graft.pcap.PcapSynth.vxlanPackets]]). */
+  private def vxlanSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_vxlan.pcap")
+    graft.pcap.PcapSynth.ensureVxlanFile(p, 120)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_tcp_retransmits: the overlap fixture's
+    * retransmit structure is the same for every flow — in capture
+    * order A,R,D,B,C the frontier sweep classifies R (straddles by 5)
+    * and B (re-covers R's 7-byte extension) as partial, D (fully
+    * below) as a retransmission, A and C as in-order — so the counts
+    * are literal constants and only the endpoints and byte totals vary
+    * with f (L = |tcpFlowPayload(f)|; total carried = L + 21 because
+    * R re-sends 5 bytes and D 9, R's 12-byte segment extends by 7). */
+  private def tcpRetransOracle(n: Int): String = {
+    val rows = (0 until n).map { f =>
+      val l = graft.pcap.PcapSynth.tcpFlowPayload(f).length
+      s"('10.7.${f >> 8}.${f & 255}', '10.8.0.1', ${31000 + f}, 80, " +
+        s"5, 2, 2, 1, 21, ${l + 21})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.src AS VARCHAR) AS src,
+        CAST(v.dst AS VARCHAR) AS dst,
+        CAST(v.src_port AS INT) AS src_port,
+        CAST(v.dst_port AS INT) AS dst_port,
+        CAST(v.n_seg AS BIGINT) AS n_seg,
+        CAST(v.n_inorder AS BIGINT) AS n_inorder,
+        CAST(v.n_partial AS BIGINT) AS n_partial,
+        CAST(v.n_retrans AS BIGINT) AS n_retrans,
+        CAST(v.dup_bytes AS BIGINT) AS dup_bytes,
+        CAST(v.total_bytes AS BIGINT) AS total_bytes
+        FROM (VALUES $rows) AS v(src, dst, src_port, dst_port, n_seg,
+          n_inorder, n_partial, n_retrans, dup_bytes, total_bytes)"""
+  }
+
+  /** Constant oracle for pcap_vxlan_decap, re-derived from the
+    * synthesis formulas: vni = 100 + i mod 7, NXDOMAIN when
+    * i mod 9 == 0, qname `vx$i.tunnel.example.com.` (parser form:
+    * lowercased + trailing dot). */
+  private def vxlanDecapOracle(n: Int): String = {
+    val rows = (0 until 7).map { k =>
+      val is = (0 until n).filter(_ % 7 == k)
+      val nx = is.count(_ % 9 == 0)
+      val firstQ = is.map(i => s"vx$i.tunnel.example.com.").min
+      s"(${100 + k}, ${is.size}, $nx, '$firstQ')"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.vni AS INT) AS vni,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.n_nx AS BIGINT) AS n_nx,
+        CAST(v.first_qname AS VARCHAR) AS first_qname
+        FROM (VALUES $rows) AS v(vni, n_pkts, n_nx, first_qname)"""
+  }
+
   /** Offset-sorted datagram reassembly + DNS parse over a fragmented
     * capture — shared by the v4 and v6 entries (both decoders
     * normalize onto the same (ip_id, frag_offset, payload-chunk)
@@ -1232,6 +1286,79 @@ object PcapQueries {
     Q("pcap_ipv6_frag_reassembly",
       (s, d) => fragReassembledDns(s, fragV6SynthPath),
       Some(fragV6ReassemblyOracle(120))),
+
+    // ----- TCP retransmission health (round 11) ---------------------------
+    // The per-flow dup/retransmit rollup ops teams read next to the
+    // zero-window report: classify each segment against the flow's
+    // running highest-seen stream endpoint in CAPTURE order (the
+    // Wireshark rule — "retransmission" when every byte is at/below
+    // the frontier, "partial" when it straddles it), and count the
+    // re-sent bytes. Runs over the overlap fixture whose retransmit
+    // structure is engineered (one fully-covered copy + one partial
+    // overlap + one later re-cover per flow), so every count is a
+    // formula constant. Scale shape: one shuffle on the flow key; the
+    // frontier is a running MAX window in pkt_idx order — per-flow
+    // partial aggregation never materializes the payloads (only
+    // lengths travel).
+    Q("pcap_tcp_retransmits",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy($"src", $"dst", $"src_port", $"dst_port")
+          .orderBy($"pkt_idx")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        s.read.format("pcap").load(tcpOverlapSynthPath)
+          .filter($"protocol" === "TCP" && $"tcp_seq".isNotNull &&
+            $"payload".isNotNull)
+          .select($"src", $"dst", $"src_port", $"dst_port", $"pkt_idx",
+            $"tcp_seq", length($"payload").cast("long").as("len"))
+          .withColumn("frontier", max($"tcp_seq" + $"len").over(w))
+          .withColumn("cls",
+            when($"frontier".isNull || $"tcp_seq" >= $"frontier",
+              "in_order")
+              .when($"tcp_seq" + $"len" <= $"frontier", "retransmission")
+              .otherwise("partial"))
+          .withColumn("dup_bytes",
+            when($"frontier".isNull, 0L).otherwise(greatest(lit(0L),
+              least($"tcp_seq" + $"len", $"frontier") - $"tcp_seq")))
+          .groupBy($"src", $"dst", $"src_port", $"dst_port")
+          .agg(count(lit(1)).as("n_seg"),
+            sum(when($"cls" === "in_order", 1L).otherwise(0L))
+              .as("n_inorder"),
+            sum(when($"cls" === "partial", 1L).otherwise(0L))
+              .as("n_partial"),
+            sum(when($"cls" === "retransmission", 1L).otherwise(0L))
+              .as("n_retrans"),
+            sum($"dup_bytes").as("dup_bytes"),
+            sum($"len").as("total_bytes"))
+      },
+      Some(tcpRetransOracle(40))),
+
+    // ----- VXLAN decapsulation (round 11) ---------------------------------
+    // Overlay-fabric captures carry the interesting flow INSIDE a
+    // VXLAN envelope (RFC 7348); the reference stops at the outer UDP.
+    // Decap reuses the one FrameDecoder on the inner Ethernet frame
+    // (same bounds-hardened L2/L3/L4/DNS path as top-level frames —
+    // graft.pcap.Decap), then a per-VNI rollup: the "which tenant
+    // segment is doing what" query overlay operators run. Scale shape:
+    // the outer filter prunes to port-4789 rows at the scan, decap is
+    // per-row narrow work, ONE aggregation shuffle on vni.
+    Q("pcap_vxlan_decap",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(vxlanSynthPath)
+          .filter($"protocol" === "UDP" && $"dst_port" === 4789 &&
+            $"payload".isNotNull)
+          .select($"payload").as[Array[Byte]]
+          .mapPartitions(_.flatMap(graft.pcap.Decap.vxlan))
+          .groupBy($"vni")
+          .agg(count(lit(1)).as("n_pkts"),
+            sum(when($"dnsRcode" === "NXDOMAIN", 1L).otherwise(0L))
+              .as("n_nx"),
+            min($"dnsQname").as("first_qname"))
+      },
+      Some(vxlanDecapOracle(120))),
 
     // Receive-window health: zero-window events are THE standard TCP
     // stall signal ops teams alert on. Per-flow bounded aggregates over

@@ -46,7 +46,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 10: collect_list→map per-token aggregation (map ordering
     // must not leak into results), banded Hamming pair generation, and
     // the integer micro-unit classifier sums
-    "pipeline_source_drift", "mm_dhash_pairs", "text_fasttext_quality")
+    "pipeline_source_drift", "mm_dhash_pairs", "text_fasttext_quality",
+    // round 11: the landmark-key audio join + tolerant banded video
+    // join (shift histograms must not depend on how media rows land),
+    // fragment reassembly's offset-sorted fold on the v6 path, and the
+    // skew profiler's two-level count-of-counts
+    "mm_audio_overlap", "mm_video_overlap", "pcap_ipv6_frag_reassembly",
+    "pipeline_key_skew")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

@@ -952,5 +952,75 @@ if glob.glob(f"{out}/pcap_lpm_enrich/*.parquet"):
          _read("pcap_lpm_enrich", ["route", "n_pkts", "n_src"]),
          sorted((r, n, len(s)) for r, (n, s) in lpm.items()))
 
+# TCP retransmission rollup: independent frontier sweep over the
+# overlap capture in CAPTURE order (the Wireshark classification rule).
+if glob.glob(f"{out}/pcap_tcp_retransmits/*.parquet"):
+    rflows = {}
+    for _, _, fr in _frames("/tmp/graft_synth_tcpoverlap.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        sp, dp = struct.unpack_from(">HH", fr, l4)
+        seq = struct.unpack_from(">I", fr, l4 + 4)[0]
+        hdr = ((fr[l4 + 12] >> 4) & 0xF) * 4
+        plen = len(fr) - (l4 + hdr)
+        rflows.setdefault((src, dst, sp, dp), []).append((seq, plen))
+    rexp = []
+    for (src, dst, sp, dp), segs in rflows.items():
+        frontier = None
+        n_in = n_part = n_re = dup = tot = 0
+        for seq, ln in segs:  # capture order
+            end = seq + ln
+            tot += ln
+            if frontier is None or seq >= frontier:
+                n_in += 1
+            elif end <= frontier:
+                n_re += 1
+            else:
+                n_part += 1
+            if frontier is not None and seq < frontier:
+                dup += max(0, min(end, frontier) - seq)
+            frontier = end if frontier is None else max(frontier, end)
+        rexp.append((src, dst, sp, dp, len(segs), n_in, n_part, n_re,
+                     dup, tot))
+    _cmp("pcap_tcp_retransmits(redecode)",
+         _read("pcap_tcp_retransmits",
+               ["src", "dst", "src_port", "dst_port", "n_seg",
+                "n_inorder", "n_partial", "n_retrans", "dup_bytes",
+                "total_bytes"]),
+         sorted(rexp))
+
+# VXLAN decap: independent parse of the RFC 7348 header + inner
+# Ethernet/IPv4/UDP/DNS from raw bytes (no shared code with Decap).
+if glob.glob(f"{out}/pcap_vxlan_decap/*.parquet"):
+    vstats = {}
+    for _, _, fr in _frames("/tmp/graft_synth_vxlan.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 17
+        dp = struct.unpack_from(">H", fr, l4 + 2)[0]
+        assert dp == 4789
+        vx = fr[l4 + 8:]
+        assert vx[0] & 0x08
+        vni = (vx[4] << 16) | (vx[5] << 8) | vx[6]
+        inner = vx[8:]
+        iihl = (inner[14] & 0xF) * 4
+        il4 = 14 + iihl
+        assert inner[14 + 9] == 17
+        dns = inner[il4 + 8:]
+        flags = struct.unpack_from(">H", dns, 2)[0]
+        nx = 1 if (flags & 0xF) == 3 else 0
+        labels, p = [], 12
+        while dns[p] != 0:
+            ln = dns[p]
+            labels.append(dns[p + 1:p + 1 + ln].decode("ascii"))
+            p += 1 + ln
+        q = ".".join(labels).lower() + "."
+        e = vstats.setdefault(vni, [0, 0, None])
+        e[0] += 1
+        e[1] += nx
+        e[2] = q if e[2] is None else min(e[2], q)
+    _cmp("pcap_vxlan_decap(redecode)",
+         _read("pcap_vxlan_decap",
+               ["vni", "n_pkts", "n_nx", "first_qname"]),
+         sorted((v, n, nx, q) for v, (n, nx, q) in vstats.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
