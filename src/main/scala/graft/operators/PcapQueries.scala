@@ -239,6 +239,30 @@ object PcapQueries {
           n_inorder, n_partial, n_retrans, dup_bytes, total_bytes)"""
   }
 
+  /** GRE-encapsulated DNS capture (see
+    * [[graft.pcap.PcapSynth.grePackets]]). */
+  private def greSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_gre.pcap")
+    graft.pcap.PcapSynth.ensureGreFile(p, 120)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_gre_decap: key = 200 + i mod 5, NXDOMAIN
+    * when i mod 11 == 0, qname `gre$i.tunnel.example.com.`. */
+  private def greDecapOracle(n: Int): String = {
+    val rows = (0 until 5).map { k =>
+      val is = (0 until n).filter(_ % 5 == k)
+      val nx = is.count(_ % 11 == 0)
+      val firstQ = is.map(i => s"gre$i.tunnel.example.com.").min
+      s"(${200 + k}, ${is.size}, $nx, '$firstQ')"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.key AS BIGINT) AS key,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.n_nx AS BIGINT) AS n_nx,
+        CAST(v.first_qname AS VARCHAR) AS first_qname
+        FROM (VALUES $rows) AS v(key, n_pkts, n_nx, first_qname)"""
+  }
+
   /** Constant oracle for pcap_vxlan_decap, re-derived from the
     * synthesis formulas: vni = 100 + i mod 7, NXDOMAIN when
     * i mod 9 == 0, qname `vx$i.tunnel.example.com.` (parser form:
@@ -1334,6 +1358,28 @@ object PcapQueries {
             sum($"len").as("total_bytes"))
       },
       Some(tcpRetransOracle(40))),
+
+    // ----- GRE decapsulation (round 11) -----------------------------------
+    // GRE's wrinkles vs VXLAN: it is an IP PROTOCOL (47), not a UDP
+    // port — so the decap consumes the round-11 decoder-honesty rule
+    // that unhandled IP protocols expose their raw L3 payload — and
+    // the inner packet is RAW IP (no Ethernet), decoded via the RAW-IP
+    // link type the decoder already supports for linktype-101
+    // captures. Per-key (RFC 2890 tunnel id) rollup.
+    Q("pcap_gre_decap",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(greSynthPath)
+          .filter($"protocol" === "GRE" && $"payload".isNotNull)
+          .select($"payload").as[Array[Byte]]
+          .mapPartitions(_.flatMap(graft.pcap.Decap.gre))
+          .groupBy($"key")
+          .agg(count(lit(1)).as("n_pkts"),
+            sum(when($"dnsRcode" === "NXDOMAIN", 1L).otherwise(0L))
+              .as("n_nx"),
+            min($"dnsQname").as("first_qname"))
+      },
+      Some(greDecapOracle(120))),
 
     // ----- VXLAN decapsulation (round 11) ---------------------------------
     // Overlay-fabric captures carry the interesting flow INSIDE a

@@ -49,15 +49,62 @@ object Decap extends Serializable {
     if ((payload(0) & 0x08) == 0) return None
     val vni = ((payload(4) & 0xFF) << 16) |
       ((payload(5) & 0xFF) << 8) | (payload(6) & 0xFF)
+    innerOf(payload, 8, linkType = 1).map { case (b, sp, dp) =>
+      VxlanInner(vni, b.src.get, b.dst.get, b.protocol.get, sp, dp,
+        b.dns.flatMap(_.qname), b.dns.map(_.rcode))
+    }
+  }
+
+  /** GRE-decapped inner packet; `key` is the RFC 2890 key word (the
+    * tenant/tunnel id), 0 when the K flag is absent. */
+  final case class GreInner(
+      key: Long,
+      src: String, dst: String,
+      protocol: String,
+      srcPort: Int, dstPort: Int,
+      dnsQname: Option[String],
+      dnsRcode: Option[String])
+
+  /** Decap one GRE packet's IP payload (protocol 47; RFC 2784/2890):
+    * 4-byte base header — C/K/S flags, version (must be 0), inner
+    * ethertype — then optional checksum / key / sequence words, then
+    * the inner IP packet DIRECTLY (no Ethernet; decoded via the RAW-IP
+    * link type the decoder already supports). */
+  def gre(payload: Array[Byte]): Option[GreInner] = {
+    if (payload == null || payload.length < 4) return None
+    val flags = ((payload(0) & 0xFF) << 8) | (payload(1) & 0xFF)
+    if ((flags & 0x0007) != 0) return None // version != 0
+    val et = ((payload(2) & 0xFF) << 8) | (payload(3) & 0xFF)
+    if (et != 0x0800 && et != 0x86DD) return None
+    var off = 4
+    if ((flags & 0x8000) != 0) off += 4 // checksum + reserved
+    val key =
+      if ((flags & 0x2000) != 0) {
+        if (payload.length < off + 4) return None
+        val k = ((payload(off) & 0xFFL) << 24) |
+          ((payload(off + 1) & 0xFFL) << 16) |
+          ((payload(off + 2) & 0xFFL) << 8) | (payload(off + 3) & 0xFFL)
+        off += 4
+        k
+      } else 0L
+    if ((flags & 0x1000) != 0) off += 4 // sequence
+    innerOf(payload, off, linkType = 101).map { case (b, sp, dp) =>
+      GreInner(key, b.src.get, b.dst.get, b.protocol.get, sp, dp,
+        b.dns.flatMap(_.qname), b.dns.map(_.rcode))
+    }
+  }
+
+  /** Decode the inner packet at `off` through the shared decoder;
+    * Some only when L3 endpoints + L4 ports all decoded. */
+  private def innerOf(payload: Array[Byte], off: Int, linkType: Int)
+      : Option[(PacketBuilder, Int, Int)] = {
+    if (payload.length <= off) return None
     val b = new PacketBuilder
-    decoders.get().decode(b, payload, 8, payload.length - 8, linkType = 1)
+    decoders.get().decode(b, payload, off, payload.length - off, linkType)
     for {
-      src <- b.src
-      dst <- b.dst
-      proto <- b.protocol
+      _ <- b.src; _ <- b.dst; _ <- b.protocol
       sp <- b.srcPort
       dp <- b.dstPort
-    } yield VxlanInner(vni, src, dst, proto, sp, dp,
-      b.dns.flatMap(_.qname), b.dns.map(_.rcode))
+    } yield (b, sp, dp)
   }
 }

@@ -150,6 +150,15 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
           }
           else if (pid == 6 || pid == 17) decodeL4(b, data, ip, ihl, end, v6 = false)
           else if (pid == 1) decodeIcmp(b, data, ip + ihl, end)
+          else if (options.keepPayload && ip + ihl < end) {
+            // no L4 parser for this protocol (GRE, ESP, OSPF, ...):
+            // expose the raw IP payload so downstream operators can
+            // decap/parse it (graft.pcap.Decap) — ports stay NULL,
+            // the same honesty rule as fragments
+            val ps = ip + ihl
+            b.len = Boxes.int(end - ps)
+            b.payload = Some(java.util.Arrays.copyOfRange(data, ps, end))
+          }
         }
       case 6 if ip + 40 <= end =>
         b.ttl = Boxes.int(data(ip + 7) & 0xFF)
@@ -177,6 +186,13 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
           decodeL4(b, data, ip, dataStart, end, v6 = true)
         else if (dataStart > 0 && b.protoId == 58)
           decodeIcmp(b, data, ip + dataStart, end)
+        else if (dataStart > 0 && options.keepPayload &&
+            ip + dataStart < end) {
+          // v6 twin of the unhandled-protocol raw-payload rule above
+          val ps = ip + dataStart
+          b.len = Boxes.int(end - ps)
+          b.payload = Some(java.util.Arrays.copyOfRange(data, ps, end))
+        }
       case _ => ()
     }
 

@@ -1,0 +1,85 @@
+package graft.pcap
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tunnel decap hardening: capture bytes are untrusted, so
+  * [[Decap.vxlan]] / [[Decap.gre]] must never throw — on random
+  * garbage, on every truncation of a valid encapsulation, and on
+  * flag/version corruptions — and must recover the synthesis formulas'
+  * inner fields exactly on the fixtures. */
+class DecapSpec extends AnyFunSuite {
+
+  /** Outer-UDP payload of a vxlanPackets frame (eth 14 + ip 20 + udp 8). */
+  private def vxPayload(i: Int): Array[Byte] =
+    PcapSynth.vxlanPackets(i + 1).last._3.drop(42)
+
+  /** Outer-IP payload of a grePackets frame (eth 14 + ip 20). */
+  private def grePayload(i: Int): Array[Byte] =
+    PcapSynth.grePackets(i + 1).last._3.drop(34)
+
+  test("decap never throws: random garbage + every truncation of a " +
+      "valid encapsulation + corrupted headers") {
+    val rnd = new scala.util.Random(777)
+    (0 until 5000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(b)
+      Decap.vxlan(b)
+      Decap.gre(b)
+    }
+    assert(Decap.vxlan(null) == None && Decap.gre(null) == None)
+    val vx = vxPayload(3)
+    val gr = grePayload(3)
+    (0 to vx.length).foreach(k => Decap.vxlan(vx.take(k)))
+    (0 to gr.length).foreach(k => Decap.gre(gr.take(k)))
+    // corrupt each header byte of the valid payloads in turn
+    (0 until 8).foreach { j =>
+      val c1 = vx.clone(); c1(j) = (c1(j) ^ 0xFF).toByte; Decap.vxlan(c1)
+      val c2 = gr.clone(); c2(j) = (c2(j) ^ 0xFF).toByte; Decap.gre(c2)
+    }
+    // gating flags: VXLAN without the I flag / GRE with version != 0
+    // must refuse
+    val noI = vx.clone(); noI(0) = 0
+    assert(Decap.vxlan(noI).isEmpty, "I-flag-less VXLAN must not decap")
+    val badV = gr.clone(); badV(1) = (badV(1) | 0x7).toByte
+    assert(Decap.gre(badV).isEmpty, "GRE version != 0 must not decap")
+  }
+
+  test("fixture round-trip recovers the synthesis formulas' inner fields") {
+    (0 until 40).foreach { i =>
+      val v = Decap.vxlan(vxPayload(i)).getOrElse(
+        fail(s"vxlan packet $i did not decap"))
+      assert(v.vni == 100 + i % 7)
+      assert(v.src == "10.32.0.1" && v.dst == s"10.31.${i >> 8}.${i & 255}")
+      assert(v.protocol == "UDP" && v.srcPort == 53 &&
+        v.dstPort == 52000 + i)
+      assert(v.dnsQname.contains(s"vx$i.tunnel.example.com."))
+      assert(v.dnsRcode.contains(
+        if (i % 9 == 0) "NXDOMAIN" else "NOERROR"))
+      val g = Decap.gre(grePayload(i)).getOrElse(
+        fail(s"gre packet $i did not decap"))
+      assert(g.key == 200 + i % 5)
+      assert(g.src == "10.52.0.1" && g.dst == s"10.51.${i >> 8}.${i & 255}")
+      assert(g.protocol == "UDP" && g.srcPort == 53 &&
+        g.dstPort == 51000 + i)
+      assert(g.dnsQname.contains(s"gre$i.tunnel.example.com."))
+      assert(g.dnsRcode.contains(
+        if (i % 11 == 0) "NXDOMAIN" else "NOERROR"))
+    }
+  }
+
+  test("GRE optional-word layouts parse: no-key, and key+seq+checksum") {
+    // hand-build a GRE header variant around fixture 0's inner packet
+    val inner = grePayload(0).drop(8) // strip the fixture's K-flag header
+    // bare header (no options): key reads as 0
+    val bare = Array[Byte](0, 0, 0x08, 0) ++ inner
+    val g0 = Decap.gre(bare).getOrElse(fail("bare GRE did not decap"))
+    assert(g0.key == 0L && g0.srcPort == 53)
+    // C + K + S: checksum word, key word, sequence word
+    val full = Array[Byte](0xB0.toByte, 0, 0x08, 0,
+      0, 0, 0, 0, // checksum + reserved
+      0, 0, 0x30, 0x39, // key = 12345
+      0, 0, 0, 7) ++ inner // sequence
+    val g1 = Decap.gre(full).getOrElse(fail("C|K|S GRE did not decap"))
+    assert(g1.key == 12345L && g1.dstPort == 51000)
+  }
+}

@@ -1022,5 +1022,44 @@ if glob.glob(f"{out}/pcap_vxlan_decap/*.parquet"):
                ["vni", "n_pkts", "n_nx", "first_qname"]),
          sorted((v, n, nx, q) for v, (n, nx, q) in vstats.items()))
 
+# GRE decap: RFC 2784/2890 — outer protocol 47, optional C/K/S words,
+# inner RAW IPv4 (no Ethernet).
+if glob.glob(f"{out}/pcap_gre_decap/*.parquet"):
+    gstats = {}
+    for _, _, fr in _frames("/tmp/graft_synth_gre.pcap"):
+        src, dst, proto, l3p = _v4(fr)
+        assert proto == 47
+        gre = fr[l3p:]
+        flags = struct.unpack_from(">H", gre, 0)[0]
+        assert (flags & 0x7) == 0
+        off = 4
+        if flags & 0x8000:
+            off += 4
+        key = 0
+        if flags & 0x2000:
+            key = struct.unpack_from(">I", gre, off)[0]
+            off += 4
+        if flags & 0x1000:
+            off += 4
+        inner = gre[off:]
+        iihl = (inner[0] & 0xF) * 4
+        assert inner[9] == 17
+        dns = inner[iihl + 8:]
+        fl = struct.unpack_from(">H", dns, 2)[0]
+        nx = 1 if (fl & 0xF) == 3 else 0
+        labels, p = [], 12
+        while dns[p] != 0:
+            ln = dns[p]
+            labels.append(dns[p + 1:p + 1 + ln].decode("ascii"))
+            p += 1 + ln
+        q = ".".join(labels).lower() + "."
+        e = gstats.setdefault(key, [0, 0, None])
+        e[0] += 1
+        e[1] += nx
+        e[2] = q if e[2] is None else min(e[2], q)
+    _cmp("pcap_gre_decap(redecode)",
+         _read("pcap_gre_decap", ["key", "n_pkts", "n_nx", "first_qname"]),
+         sorted((k, n, nx, q) for k, (n, nx, q) in gstats.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
