@@ -115,6 +115,26 @@ object Graph {
         ("n" -> n) ~ ("sz" -> sz) ~ ("mt" -> mt) })
   }
 
+  /** Payload-dir count past which an append folds the delta chain
+    * back into one merged dir (amortized: one linear rewrite every
+    * ~this-many deliveries). */
+  private val MaxPayloadDirs = 6
+
+  /** Sidecar-recorded payload dirs for `d` (test hook). */
+  private[graft] def payloadDirsFor(s: SparkSession, d: String)
+      : Seq[String] = {
+    val marker = graphDir(s, d).resolve("meta.json")
+    if (!java.nio.file.Files.exists(marker)) return Seq.empty
+    try {
+      import org.json4s._
+      (jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(marker), "UTF-8")) \ "dirs") match {
+        case JArray(xs) => xs.collect { case JString(x) => x }
+        case _ => Seq.empty
+      }
+    } catch { case _: Exception => Seq.empty }
+  }
+
   /** Sidecar-recorded append count for `d` (test hook; -1 = none). */
   private[graft] def appendsFor(s: SparkSession, d: String): Long = {
     val marker = graphDir(s, d).resolve("meta.json")
@@ -200,7 +220,23 @@ object Graph {
     val deltaDir = s"delta-${appends + 1}"
     delta.write.mode("overwrite")
       .parquet(dir.resolve(deltaDir).toString)
-    val newDirs = dirs :+ deltaDir
+    val grown = dirs :+ deltaDir
+    // amortized compaction: past MaxPayloadDirs the accumulated delta
+    // chain folds back into ONE merged payload dir (one linear
+    // rewrite every ~MaxPayloadDirs deliveries), so the load-path
+    // union stays O(1) dirs forever. The superseded dirs are simply
+    // not listed by the new sidecar — the same crash contract as an
+    // uncommitted delta (unlisted = invisible; a concurrent reader
+    // holding the OLD sidecar's list still finds its files).
+    val newDirs =
+      if (grown.size <= MaxPayloadDirs) grown
+      else {
+        val cDir = s"edges-c${appends + 1}"
+        s.read.parquet(grown.map(x => dir.resolve(x).toString): _*)
+          .groupBy($"src", $"dst").agg(sum($"w").as("w"))
+          .write.mode("overwrite").parquet(dir.resolve(cDir).toString)
+        Seq(cDir)
+      }
     graft.Artifact.commit(dir, "meta.json", key,
       sidecarExtra(s, d, newDirs, bounds.getLong(1), appends + 1))
     Some(s.read.parquet(

@@ -94,6 +94,57 @@ class GraphArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("the delta chain compacts back to one payload dir past the " +
+      "bound, still without rebuilding, still exact") {
+    import org.apache.spark.sql.functions.{col, max}
+    val d = copyDataset()
+    val base = Files.createTempDirectory("graph_art_cp").toString
+    val prev = spark.conf.getOption("spark.graft.graph.dir")
+    spark.conf.set("spark.graft.graph.dir", base)
+    try {
+      val g = graft.operators.Graph
+      def edgesSet(): Set[(Long, Long, Long)] =
+        g.coPurchaseEdges(spark, d).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      edgesSet()
+      assert(g.buildsFor(d) == 1)
+      // 7 successive monotone deliveries: appends 1..5 accumulate delta
+      // dirs, append 6 crosses MaxPayloadDirs and compacts to ONE dir,
+      // append 7 starts a fresh chain on top of the compacted dir
+      (1 to 7).foreach { k =>
+        val li = spark.read.parquet(d + "/lineitem.parquet")
+        val maxOk = li.agg(max(col("l_orderkey"))).first().getLong(0)
+        li.orderBy(col("l_orderkey")).limit(40)
+          .withColumn("l_orderkey", col("l_orderkey") + maxOk + 1)
+          .write.mode("append").parquet(d + "/lineitem.parquet")
+        g.clearMemos()
+        edgesSet()
+        assert(g.buildsFor(d) == 1, s"delivery $k triggered a rebuild")
+        assert(g.appendsFor(spark, d) == k)
+        val dirs = g.payloadDirsFor(spark, d)
+        if (k <= 5) assert(dirs.size == k + 1, s"delivery $k: $dirs")
+        else if (k == 6) assert(dirs == Seq("edges-c6"),
+          s"delivery 6 must compact: $dirs")
+        else assert(dirs == Seq("edges-c6", "delta-7"),
+          s"delivery 7 must append onto the compacted dir: $dirs")
+      }
+      val appended = edgesSet()
+      // ground truth: full rebuild of the 7-times-grown dataset
+      spark.conf.set("spark.graft.graph.dir",
+        Files.createTempDirectory("graph_art_cp_fb").toString)
+      g.clearMemos()
+      assert(edgesSet() == appended,
+        "compacted+appended edges must equal the full rebuild's")
+      assert(g.buildsFor(d) == 2)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.graph.dir", v)
+        case None => spark.conf.unset("spark.graft.graph.dir")
+      }
+      graft.operators.Graph.clearMemos()
+    }
+  }
+
   test("a strictly-grown lineitem appends a delta dir instead of " +
       "rebuilding, and matches a full rebuild exactly") {
     import org.apache.spark.sql.functions.{col, max}
