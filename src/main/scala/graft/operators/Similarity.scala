@@ -137,10 +137,11 @@ object Similarity {
     * BUILD-time mean primary coarse distance (the training
     * distribution's quantization quality) — appends keep it unchanged
     * so drift is always measured against the distribution the model was
-    * trained on, not against a slowly-poisoned average. */
+    * trained on, not against a slowly-poisoned average. `codesDir` is
+    * the current codes payload dir (compaction swaps it). */
   private def commitSidecar(s: SparkSession, d: String, rows: Long,
       cents: Seq[Seq[Double]], cb: Seq[Seq[Seq[Double]]],
-      mq: Double, appends: Long): Unit = {
+      mq: Double, appends: Long, codesDir: String): Unit = {
     import org.json4s.JsonDSL._
     val dir = annIndexDir(s, d)
     graft.Artifact.commit(dir, "model.json", indexKey(s, d, rows),
@@ -148,9 +149,26 @@ object Similarity {
       ("cb" -> cb.map(_.map(_.map(_.toString)))) ~
       ("mq" -> mq.toString) ~
       ("appends" -> appends) ~
+      ("codesDir" -> codesDir) ~
       ("files" -> embeddingsFiles(s, d).map { case (n, sz, mt) =>
         ("n" -> n) ~ ("sz" -> sz) ~ ("mt" -> mt) }))
   }
+
+  /** Sidecar-resolved codes payload dir ("codes" for artifacts sealed
+    * before compaction existed — an optional field, not a format
+    * change: both layouts read correctly). */
+  private def codesDirOf(o: org.json4s.JValue): String =
+    (o \ "codesDir") match {
+      case org.json4s.JString(x) => x
+      case _ => "codes"
+    }
+
+  /** Parquet data-file count past which an append folds the codes dir
+    * (base + accumulated delta files) into a freshly-written compact
+    * dir — the graph artifact's amortized-compaction rule applied to
+    * the ANN payload. Conf-tunable for the spec. */
+  private def codesFileBound(s: SparkSession): Int =
+    s.conf.get("spark.graft.ann.codesFileBound", "24").toInt
 
   private def writeIndex(s: SparkSession, d: String, rows: Long,
       cents: Seq[Seq[Double]], cb: Seq[Seq[Seq[Double]]],
@@ -160,7 +178,8 @@ object Similarity {
     codes.write.mode("overwrite").parquet(dir.resolve("codes").toString)
     // payload fully on disk; the shared Artifact.commit seals it (the
     // staleness key + the small model as extra sidecar fields)
-    commitSidecar(s, d, rows, cents, cb, mq, appends = 0L)
+    commitSidecar(s, d, rows, cents, cb, mq, appends = 0L,
+      codesDir = "codes")
   }
 
   /** Parse the sidecar's model payload (exact-round-trip doubles). */
@@ -192,10 +211,10 @@ object Similarity {
       Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame)] = {
     val dir = annIndexDir(s, d)
     graft.Artifact.loadIfFresh(dir, "model.json", indexKey(s, d, rows))
-      .flatMap(parseModel)
-      .flatMap { case (cents, cb) =>
+      .flatMap(o => parseModel(o).map((_, codesDirOf(o))))
+      .flatMap { case ((cents, cb), cdir) =>
         try {
-          val codes = s.read.parquet(dir.resolve("codes").toString).cache()
+          val codes = s.read.parquet(dir.resolve(cdir).toString).cache()
           codes.count()
           Some((cents, cb, codes))
         } catch { case _: Exception => None }
@@ -329,7 +348,6 @@ object Similarity {
     val dir = annIndexDir(s, d)
     val marker = dir.resolve("model.json")
     if (!java.nio.file.Files.exists(marker)) return None
-    val codesPath = dir.resolve("codes").toString
     // Sidecar parse/validation: a malformed, stale, or partially-written
     // sidecar (or a hand-deleted codes dir) legitimately means "no
     // append path — rebuild", so ONLY this section may swallow
@@ -365,12 +383,15 @@ object Similarity {
         case _ => return None
       }
       val appends = math.max(graft.Artifact.asLong(o \ "appends"), 0L)
+      val cdir = codesDirOf(o)
       val (cents, cb) = parseModel(o).getOrElse(return None)
-      val baseCodes = s.read.parquet(codesPath) // schema read validates
-      Some((mq, appends, cents, cb, baseCodes))
+      val baseCodes = // schema read validates the payload dir
+        s.read.parquet(dir.resolve(cdir).toString)
+      Some((mq, appends, cdir, cents, cb, baseCodes))
     } catch { case scala.util.control.NonFatal(_) => None }
-    val (mq, appends, cents, cb, baseCodes) =
+    val (mq, appends, cdir, cents, cb, baseCodes) =
       validated.getOrElse(return None)
+    val codesPath = dir.resolve(cdir).toString
     val fresh = e.join(baseCodes.select($"vec_id").distinct(),
       Seq("vec_id"), "left_anti")
     val asg = assignAll(fresh, cents).cache()
@@ -381,14 +402,48 @@ object Similarity {
       if (!(st.getDouble(1) <= AppendDriftFactor * mq)) return None
       encodeAssigned(asg, cb).write.mode("append").parquet(codesPath)
     } finally asg.unpersist()
-    commitSidecar(s, d, rows, cents, cb, mq, appends + 1)
-    val codes = s.read.parquet(codesPath).cache()
+    // amortized small-file compaction (the graph delta-chain rule on
+    // the codes payload): appends accumulate parquet part files; past
+    // the bound the whole relation rewrites into a fresh dir and the
+    // sidecar swaps to it — the superseded dir becomes unlisted and
+    // harmless, a crash before the commit leaves an orphan the next
+    // attempt overwrites (deterministic name)
+    val dataFiles = {
+      val p = java.nio.file.Paths.get(codesPath)
+      if (!java.nio.file.Files.isDirectory(p)) 0
+      else {
+        val st = java.nio.file.Files.list(p)
+        try st.filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .count().toInt
+        finally st.close()
+      }
+    }
+    val newCdir =
+      if (dataFiles <= codesFileBound(s)) cdir
+      else {
+        val c = s"codes-c${appends + 1}"
+        s.read.parquet(codesPath)
+          .repartition(s.sessionState.conf.numShufflePartitions)
+          .write.mode("overwrite").parquet(dir.resolve(c).toString)
+        c
+      }
+    commitSidecar(s, d, rows, cents, cb, mq, appends + 1, newCdir)
+    val codes = s.read.parquet(dir.resolve(newCdir).toString).cache()
     codes.count()
     ivfpqCentMemo.put(d, cents)
     ivfpqCbMemo.put(d, cb)
     Option(ivfpqCodesMemo.put(d, codes)).foreach(prev =>
       if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist())
     Some((cents, cb, codes))
+  }
+
+  /** Sidecar-recorded codes payload dir for `d` (test hook). */
+  private[graft] def codesDirFor(s: SparkSession, d: String): String = {
+    val marker = annIndexDir(s, d).resolve("model.json")
+    if (!java.nio.file.Files.exists(marker)) return ""
+    try codesDirOf(org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(marker), "UTF-8")))
+    catch { case _: Exception => "" }
   }
 
   /** Sidecar-recorded append count for `d` (test hook). */

@@ -190,4 +190,66 @@ class AnnIndexSpec extends AnyFunSuite {
       graft.operators.Similarity.clearMemos()
     }
   }
+
+  test("codes payload compacts into a fresh dir past the file bound; " +
+      "the compacted artifact probes identically and keeps appending") {
+    val d = copyDataset()
+    val idxBase = Files.createTempDirectory("ann_idx_cp").toString
+    val prevDir = spark.conf.getOption("spark.graft.ann.indexDir")
+    val prevBound = spark.conf.getOption("spark.graft.ann.codesFileBound")
+    spark.conf.set("spark.graft.ann.indexDir", idxBase)
+    // bound 1: any append (base write is already > 1 part file)
+    // triggers compaction — the amortized path, forced every delivery
+    spark.conf.set("spark.graft.ann.codesFileBound", "1")
+    try {
+      val sim = graft.operators.Similarity
+      runIvfpq(d)
+      assert(sim.buildsFor(d) == 1)
+      assert(sim.codesDirFor(spark, d) == "codes")
+      val baseRows = spark.read.parquet(d + "/embeddings.parquet").count()
+      val delivery = spark.read
+        .parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .orderBy("vec_id").limit(50)
+        .selectExpr("vec_id + 3000000 AS vec_id", "embedding")
+      delivery.write.mode("append").parquet(d + "/embeddings.parquet")
+      sim.clearMemos()
+      val afterCompact = runIvfpq(d)
+      assert(sim.buildsFor(d) == 1, "compacting append must not retrain")
+      assert(sim.appendsFor(spark, d) == 1)
+      assert(sim.codesDirFor(spark, d) == "codes-c1",
+        s"append over the bound must swap the codes dir, " +
+          s"got ${sim.codesDirFor(spark, d)}")
+      val idxDir = sim.annIndexDir(spark, d)
+      val compacted =
+        spark.read.parquet(idxDir.resolve("codes-c1").toString)
+      assert(compacted.select("vec_id").distinct().count() ==
+        baseRows + 50, "compacted dir must hold the full grown corpus")
+      // cold load resolves the swapped dir from the sidecar
+      sim.clearMemos()
+      assert(runIvfpq(d) == afterCompact,
+        "cold load of the compacted artifact must probe identically")
+      assert(sim.buildsFor(d) == 1)
+      // and a further delivery appends INTO the compacted dir chain
+      val delivery2 = spark.read
+        .parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .orderBy("vec_id").limit(80).filter("vec_id >= 50")
+        .selectExpr("vec_id + 4000000 AS vec_id", "embedding")
+      delivery2.write.mode("append").parquet(d + "/embeddings.parquet")
+      sim.clearMemos()
+      runIvfpq(d)
+      assert(sim.buildsFor(d) == 1)
+      assert(sim.appendsFor(spark, d) == 2)
+      assert(sim.codesDirFor(spark, d) == "codes-c2")
+    } finally {
+      prevDir match {
+        case Some(v) => spark.conf.set("spark.graft.ann.indexDir", v)
+        case None => spark.conf.unset("spark.graft.ann.indexDir")
+      }
+      prevBound match {
+        case Some(v) => spark.conf.set("spark.graft.ann.codesFileBound", v)
+        case None => spark.conf.unset("spark.graft.ann.codesFileBound")
+      }
+      graft.operators.Similarity.clearMemos()
+    }
+  }
 }
