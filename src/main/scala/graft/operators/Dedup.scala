@@ -46,9 +46,16 @@ object Dedup {
     * explode — (doc_id, shingle) pairs are then globally distinct by
     * construction, avoiding the full shuffle a `.distinct()` would cost
     * (at 100 TB that shuffle would be the largest stage of the job). */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.documents(s, d))
+
+  /** The same shingling over an arbitrary (doc_id, text) relation — the
+    * incremental index paths shingle a base SPLIT or a delivery's files
+    * rather than the whole table. */
+  private def shinglesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, d)
+    docs
       .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
       .filter(size($"ws") >= 3)
       .select($"doc_id", explode(array_distinct(expr(
@@ -109,15 +116,22 @@ object Dedup {
     * hashing + the min-aggregation run once however many band frames
     * consume it (at 100 TB: persist to disk or checkpoint — signatures
     * are tiny vs the corpus). */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(shingles(s, d)).cache()
+
+  /** MinHash signature (m0..m7) of any (doc_id, shingle) relation —
+    * uncached; the full-corpus consumer above caches, the incremental
+    * index paths consume once. */
+  private def signaturesOf(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
     import s.implicits._
-    val h = shingles(s, d).select($"doc_id",
+    val h = sh.select($"doc_id",
       conv(substring(md5($"shingle".cast("binary")), 1, 8), 16, 10)
         .cast("long").as("h"))
     val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min(($"h" * a + b) % P).as(s"m$i")
     }
-    h.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*).cache()
+    h.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
   /** (band, doc_id, x, y) LSH band frame over a signature table. */
@@ -194,6 +208,125 @@ object Dedup {
       .filter(col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("doc1"), col("doc_id").as("doc2"))
       .distinct()
+  }
+
+  // ----- persisted LSH bucket index (incremental corpus dedup) ------------
+  // The continuous-ingestion form of MinHash-LSH dedup: at 100 TB the
+  // corpus grows by delivery, and re-shingling the WHOLE corpus to
+  // screen each delivery is the job the index exists to avoid. The
+  // index is the per-bucket SUMMARY of the base corpus's band frame —
+  // (band, x, y) → (bmin = min member doc_id, bcnt = members) — not
+  // the band rows themselves: probing is then an equi-join where the
+  // index side has EXACTLY ONE row per key, so no bucket, however hot,
+  // can blow the probe up (the hot-bucket problem is solved by the
+  // representation instead of a guard), and the probe output is
+  // exactly nBands rows per delivery doc. A doc's bands depend only on
+  // its own text, and the summary fold (min, sum) is associative — so
+  // the index grows by DELTA APPEND under the shared
+  // [[graft.DeltaChain]] lifecycle (the co-purchase graph's chain):
+  // a delivery's buckets are computed from the NEW FILES ONLY and
+  // merge-on-load with the base, bit-identical to a full rebuild
+  // (DedupIndexSpec proves it).
+  //
+  // Base/probe split: the indexed corpus is doc_id % 7 != 0; the
+  // delivery screened by the query is doc_id % 7 == 0 (probing docs
+  // against an index containing themselves would trivially self-match,
+  // as with pipeline_contamination's %-20 eval split). Within-delivery
+  // duplicates are the batch op's job (dedup_minhash_lsh over the
+  // delivery); this op is the against-corpus screen.
+
+  /** Index format version (1 = (band,x,y,bmin,bcnt) summary rows under
+    * the DeltaChain sidecar layout). */
+  private val IdxFmt = 1L
+
+  private val idxChain = new graft.DeltaChain(
+    "spark.graft.dedupidx.dir", "graft_dedup_idx", IdxFmt, "buckets")
+
+  private val idxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def idxBuildsFor(d: String): Int = idxChain.buildsFor(d)
+  private[graft] def idxAppendsFor(s: SparkSession, d: String): Long =
+    idxChain.appendsFor(s, d)
+  private[graft] def idxPayloadDirsFor(s: SparkSession, d: String)
+      : Seq[String] = idxChain.payloadDirsFor(s, d)
+  private[graft] def idxDir(s: SparkSession, d: String): java.nio.file.Path =
+    idxChain.dir(s, d)
+  private[graft] def clearIdxMemos(): Unit = {
+    idxMemo.forEach { (_, df) =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
+    idxMemo.clear()
+  }
+
+  /** Per-bucket summary of a band frame. */
+  private def bucketSummary(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("x"), col("y"))
+      .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("bcnt"))
+
+  /** Bucket summary of the base split (doc_id % 7 != 0) of a documents
+    * relation — the build and delta computations share it, so the two
+    * cannot disagree on the indexed population. */
+  private def baseBuckets(docs: DataFrame): DataFrame =
+    bucketSummary(bandsOf(signaturesOf(shinglesOf(
+      docs.filter(col("doc_id") % 7 =!= 0)))))
+
+  /** The LSH bucket index for dataset `d`: memo (warm session) →
+    * persisted artifact (cold load) → delta append (grown documents
+    * table — delivery files only) → full build, via the shared
+    * [[graft.DeltaChain]]. Returned cached, merged across payload dirs
+    * (min/sum fold — associative, so chain order is irrelevant).
+    * Append boundary: delivered doc_ids must be strictly above the
+    * build-time max (a re-delivered doc_id would double-count bcnt). */
+  private[graft] def lshBucketIndex(s: SparkSession, d: String): DataFrame = {
+    val memo = idxMemo.get(d)
+    if (memo != null && !memo.sparkSession.sparkContext.isStopped)
+      return memo
+    import s.implicits._
+    val tablePath = s"$d/documents.parquet"
+    def mergeBuckets(df: DataFrame): DataFrame =
+      df.groupBy($"band", $"x", $"y")
+        .agg(min($"bmin").as("bmin"), sum($"bcnt").as("bcnt"))
+    val raw = idxChain.payload(s, d, tablePath,
+      rows = Tables.documents(s, d).count(),
+      build = () => {
+        val docs = Tables.documents(s, d)
+        val maxId = docs.agg(max($"doc_id")).first().getLong(0)
+        (baseBuckets(docs), maxId)
+      },
+      delta = (newFiles, boundary) => {
+        val delivery = s.read.parquet(newFiles: _*)
+        val bounds = delivery.agg(min($"doc_id"), max($"doc_id")).first()
+        if (bounds.isNullAt(0) || bounds.getLong(0) <= boundary) None
+        else Some((baseBuckets(delivery), bounds.getLong(1)))
+      },
+      merge = mergeBuckets)
+    val out = mergeBuckets(raw).cache()
+    idxMemo.put(d, out)
+    out
+  }
+
+  /** The incremental-dedup screen: band the delivery split's documents
+    * and probe the persisted index — per delivery doc, how many of its
+    * nBands buckets already exist in the indexed corpus (n_hit_bands)
+    * and the smallest indexed doc sharing one (match_doc, NULL when
+    * clean). n_hit_bands/nBands estimates signature agreement exactly
+    * the way LSH banding does; a downstream gate keeps docs with 0 hits
+    * and routes the rest to pairwise verification. Scale shape: the
+    * delivery is shingled once (never the base corpus), the probe is
+    * ONE equi-join on (band, x, y) against a ≤-1-row-per-key summary,
+    * and the output is bounded at nBands rows per delivery doc before
+    * the final groupBy. */
+  private[graft] def lshIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = lshBucketIndex(s, d)
+    val probes = bandsOf(signaturesOf(shinglesOf(
+      Tables.documents(s, d).filter($"doc_id" % 7 === 0))))
+    probes
+      .join(idx.select($"band", $"x", $"y", $"bmin"),
+        Seq("band", "x", "y"), "left")
+      .groupBy($"doc_id")
+      .agg(count($"bmin").as("n_hit_bands"), min($"bmin").as("match_doc"))
   }
 
   /** Shared CTE prefix: shingles -> hashes -> signatures -> band frame. */
@@ -628,6 +761,27 @@ object Dedup {
       (s, d) => minhashPairs(s, d),
       Some(minhashPairsSql),
       headline = true),
+
+    // ----- incremental dedup against the persisted LSH bucket index -------
+    // The continuous-ingestion screen (object notes above lshBucketIndex):
+    // the delivery split probes the base corpus's persisted per-bucket
+    // summary — one equi-join, index side ≤ 1 row per key, the base
+    // corpus text never re-read. The oracle re-derives the whole chain
+    // (shingles → signatures → bands → base-split summary → probe join)
+    // from the raw text, so a hash match proves the persisted artifact
+    // and its delta-append fold lose nothing vs recomputation.
+    Q("dedup_lsh_incremental",
+      (s, d) => lshIncremental(s, d),
+      Some(s"""WITH $sigCtesSql,
+        bidx AS (
+          SELECT band, x, y, MIN(doc_id) AS bmin
+          FROM bands WHERE doc_id % 7 <> 0 GROUP BY 1, 2, 3),
+        probe AS (
+          SELECT band, x, y, doc_id FROM bands WHERE doc_id % 7 = 0)
+        SELECT probe.doc_id, COUNT(bidx.bmin) AS n_hit_bands,
+          MIN(bidx.bmin) AS match_doc
+        FROM probe LEFT JOIN bidx USING (band, x, y)
+        GROUP BY 1""")),
 
     // ----- fuzzy train/eval contamination via MinHash ---------------------
     // pipeline_contamination (Pipeline.scala) catches exact shared

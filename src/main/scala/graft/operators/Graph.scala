@@ -70,232 +70,89 @@ object Graph {
   }
 
   /** Persisted-graph format version (1 = distinct-pair weighted edges;
-    * 2 = the sidecar carries the payload-dir list, the source-file
-    * inventory, and the build-time max order key the append path
-    * needs — a v1 artifact rebuilds once and upgrades); checked by the
-    * shared [[graft.Artifact]] staleness rule, so a layout change
-    * rebuilds instead of silently mis-loading. */
-  private val GraphFmt = 2L
+    * 2 = payload-dir list + file inventory + frozen append boundary;
+    * 3 = the shared [[graft.DeltaChain]] sidecar layout — the boundary
+    * field is now chain-generic); checked by the shared
+    * [[graft.Artifact]] staleness rule, so a layout change rebuilds
+    * instead of silently mis-loading (a v1/v2 artifact rebuilds once
+    * and upgrades). */
+  private val GraphFmt = 3L
 
-  /** Artifact location: `spark.graft.graph.dir` (or java.io.tmpdir) /
-    * md5(dataset dir) — the shared [[graft.Artifact]] addressing,
-    * mirroring [[Similarity.annIndexDir]]. */
+  /** The persisted edge artifact's delta-chain lifecycle (round 11:
+    * the hand-rolled payload-dir machinery moved to the shared
+    * [[graft.DeltaChain]], which the LSH dedup bucket index now also
+    * rides — one copy of the guards, per the Artifact rationale).
+    * Append contract: strict file growth + every delivered l_orderkey
+    * ABOVE the build-time max (an order spanning the old/new file
+    * split would have pairs partially counted in the base artifact, so
+    * the delta self-join would UNDERCOUNT its weight — monotone order
+    * keys are the contract, violations force a full rebuild). */
+  private val chain = new graft.DeltaChain(
+    "spark.graft.graph.dir", "graft_graph", GraphFmt, "edges")
+
   private[graft] def graphDir(s: SparkSession, d: String): java.nio.file.Path =
-    graft.Artifact.dir(s, "spark.graft.graph.dir", "graft_graph", d)
-
-  /** Data files (name, size, mtime) of the lineitem table — the
-    * sidecar inventory the append path checks for strict growth.
-    * Committer markers (_SUCCESS/.crc) are rewritten on every append
-    * and would disqualify genuine strict growth, so they are
-    * excluded. */
-  private def lineitemFiles(s: SparkSession, d: String)
-      : Seq[(String, Long, Long)] = {
-    val conf = s.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return Seq.empty
-    val st = fs.getFileStatus(p)
-    val files =
-      if (st.isDirectory) fs.listStatus(p).filter(_.isFile) else Array(st)
-    files.map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
-      .filterNot(f => f._1.startsWith("_") || f._1.startsWith("."))
-      .sortBy(_._1).toSeq
-  }
-
-  /** Sidecar extra fields (beyond the [[graft.Artifact.Key]]): the
-    * payload-dir list, the source-file inventory, the build-time max
-    * order key (the frozen append boundary), and the append count. */
-  private def sidecarExtra(s: SparkSession, d: String,
-      dirs: Seq[String], maxOk: Long, appends: Long)
-      : org.json4s.JsonAST.JObject = {
-    import org.json4s.JsonDSL._
-    ("dirs" -> dirs) ~ ("maxOrderKey" -> maxOk) ~
-      ("appends" -> appends) ~
-      ("files" -> lineitemFiles(s, d).map { case (n, sz, mt) =>
-        ("n" -> n) ~ ("sz" -> sz) ~ ("mt" -> mt) })
-  }
-
-  /** Payload-dir count past which an append folds the delta chain
-    * back into one merged dir (amortized: one linear rewrite every
-    * ~this-many deliveries). */
-  private val MaxPayloadDirs = 6
+    chain.dir(s, d)
 
   /** Sidecar-recorded payload dirs for `d` (test hook). */
-  private[graft] def payloadDirsFor(s: SparkSession, d: String)
-      : Seq[String] = {
-    val marker = graphDir(s, d).resolve("meta.json")
-    if (!java.nio.file.Files.exists(marker)) return Seq.empty
-    try {
-      import org.json4s._
-      (jackson.JsonMethods.parse(new String(
-        java.nio.file.Files.readAllBytes(marker), "UTF-8")) \ "dirs") match {
-        case JArray(xs) => xs.collect { case JString(x) => x }
-        case _ => Seq.empty
-      }
-    } catch { case _: Exception => Seq.empty }
-  }
+  private[graft] def payloadDirsFor(s: SparkSession, d: String): Seq[String] =
+    chain.payloadDirsFor(s, d)
 
   /** Sidecar-recorded append count for `d` (test hook; -1 = none). */
-  private[graft] def appendsFor(s: SparkSession, d: String): Long = {
-    val marker = graphDir(s, d).resolve("meta.json")
-    if (!java.nio.file.Files.exists(marker)) return -1L
-    try graft.Artifact.asLong(org.json4s.jackson.JsonMethods.parse(
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8"))
-      \ "appends")
-    catch { case _: Exception => -1L }
-  }
+  private[graft] def appendsFor(s: SparkSession, d: String): Long =
+    chain.appendsFor(s, d)
 
-  /** Incremental edge append (round-10 verdict #7, the ANN
-    * `tryAppend` pattern): at 100 TB the orders/lineitem tables grow
-    * by file append, and a full re-run of the distinct self-join per
-    * delivery is the expensive path the artifact exists to avoid. When
-    * the dataset grew STRICTLY by new files (every sidecar-recorded
-    * file still present with identical size+mtime) AND every delivered
-    * l_orderkey is ABOVE the build-time max (the frozen boundary: an
-    * order spanning the old/new file split would have pairs partially
-    * counted in the base artifact, so the delta self-join would
-    * UNDERCOUNT its weight — monotone order keys are the append
-    * contract, violations force a full rebuild), the delta edge
-    * relation is computed from the DELIVERY FILES ONLY and written to
-    * a fresh versioned payload dir; the sidecar then re-commits listing
-    * it. Crash-safe and idempotent: the delta dir is mode-overwrite
-    * (a retry rewrites the orphan), and an uncommitted delta dir is
-    * simply not listed — the merge-on-load aggregation in
-    * [[coPurchaseEdges]] folds (src,dst) duplicates across payload
-    * dirs into one weighted edge. Only the sidecar parse/validation
-    * may swallow exceptions (the round-10 advisory rule); a failure in
-    * the join/write/commit section propagates. */
-  private def tryAppendEdges(s: SparkSession, d: String,
-      key: graft.Artifact.Key): Option[DataFrame] = {
-    import org.json4s._
-    import s.implicits._
-    val dir = graphDir(s, d)
-    val marker = dir.resolve("meta.json")
-    if (!java.nio.file.Files.exists(marker)) return None
-    val tablePath = s"$d/lineitem.parquet"
-    val validated = try {
-      val o = jackson.JsonMethods.parse(new String(
-        java.nio.file.Files.readAllBytes(marker), "UTF-8"))
-      if (graft.Artifact.asLong(o \ "fmt") != GraphFmt) return None
-      val baseRows = graft.Artifact.asLong(o \ "rows")
-      if (baseRows <= 0 || baseRows >= key.rows) return None // not growth
-      val cur = lineitemFiles(s, d).map(f => f._1 -> (f._2, f._3)).toMap
-      val old = (o \ "files") match {
-        case JArray(xs) => xs.map { f =>
-          ((f \ "n") match {
-            case JString(n) => n
-            case _ => return None
-          }, graft.Artifact.asLong(f \ "sz"),
-            graft.Artifact.asLong(f \ "mt"))
-        }
-        case _ => return None
-      }
-      if (old.isEmpty || cur.size <= old.size) return None
-      if (!old.forall { case (n, sz, mt) =>
-        cur.get(n).contains((sz, mt)) }) return None
-      val maxOk = graft.Artifact.asLong(o \ "maxOrderKey")
-      if (maxOk < 0) return None
-      val dirs = (o \ "dirs") match {
-        case JArray(xs) => xs.collect { case JString(x) => x }
-        case _ => return None
-      }
-      if (dirs.isEmpty) return None
-      val appends = math.max(graft.Artifact.asLong(o \ "appends"), 0L)
-      val oldNames = old.map(_._1).toSet
-      val newFiles = cur.keySet.diff(oldNames).toSeq.sorted
-      Some((maxOk, appends, dirs, newFiles))
-    } catch { case scala.util.control.NonFatal(_) => None }
-    val (maxOk, appends, dirs, newFiles) = validated.getOrElse(return None)
-    val delivery = s.read.parquet(
-        newFiles.map(n => s"$tablePath/$n"): _*)
-      .select($"l_orderkey", $"l_partkey")
-    val bounds = delivery.agg(min($"l_orderkey"), max($"l_orderkey"))
-      .first()
-    if (bounds.isNullAt(0) || bounds.getLong(0) <= maxOk) return None
-    val dl = delivery.distinct()
-    val delta = dl.as("a").join(dl.as("b"), "l_orderkey")
-      .filter($"a.l_partkey" =!= $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+  /** The weighted co-purchase edge relation of a lineitem slice:
+    * distinct (order, part) self-join, both directions, counted. Used
+    * for the full build (whole table) and the delta (delivery files
+    * only — O(delivery), the point of the chain). */
+  private def edgeJoin(li: DataFrame): DataFrame = {
+    val dl = li.distinct()
+    dl.as("a").join(dl.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-    val deltaDir = s"delta-${appends + 1}"
-    delta.write.mode("overwrite")
-      .parquet(dir.resolve(deltaDir).toString)
-    val grown = dirs :+ deltaDir
-    // amortized compaction: past MaxPayloadDirs the accumulated delta
-    // chain folds back into ONE merged payload dir (one linear
-    // rewrite every ~MaxPayloadDirs deliveries), so the load-path
-    // union stays O(1) dirs forever. The superseded dirs are simply
-    // not listed by the new sidecar — the same crash contract as an
-    // uncommitted delta (unlisted = invisible; a concurrent reader
-    // holding the OLD sidecar's list still finds its files).
-    val newDirs =
-      if (grown.size <= MaxPayloadDirs) grown
-      else {
-        val cDir = s"edges-c${appends + 1}"
-        s.read.parquet(grown.map(x => dir.resolve(x).toString): _*)
-          .groupBy($"src", $"dst").agg(sum($"w").as("w"))
-          .write.mode("overwrite").parquet(dir.resolve(cDir).toString)
-        Seq(cDir)
-      }
-    graft.Artifact.commit(dir, "meta.json", key,
-      sidecarExtra(s, d, newDirs, bounds.getLong(1), appends + 1))
-    Some(s.read.parquet(
-      newDirs.map(x => dir.resolve(x).toString): _*))
   }
 
   /** The co-purchase edge relation (src, dst, w): memo (warm session) →
     * persisted artifact (cold session — no self-join) → delta append
-    * (grown dataset — delivery-only self-join) → full build. Always
-    * returned cached and hash-partitioned on src. The load path merges
-    * (src,dst) duplicates across the base + delta payload dirs into
-    * one weighted edge: HashPartitioning(src) satisfies the (src,dst)
-    * aggregation's distribution, so the merge rides the same single
-    * exchange the src-repartition always cost — no extra shuffle, and
-    * downstream consumers keep the distinct-pair invariant (pagerank
-    * counts each edge once; LPA's w-threshold sees merged weights). */
+    * (grown dataset — delivery-only self-join) → full build, all via
+    * the shared [[graft.DeltaChain]]. Always returned cached and
+    * hash-partitioned on src. The load path merges (src,dst)
+    * duplicates across the base + delta payload dirs into one weighted
+    * edge: HashPartitioning(src) satisfies the (src,dst) aggregation's
+    * distribution, so the merge rides the same single exchange the
+    * src-repartition always cost — no extra shuffle, and downstream
+    * consumers keep the distinct-pair invariant (pagerank counts each
+    * edge once; LPA's w-threshold sees merged weights). */
   private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val memo = edgeMemo.get(d)
     if (memo != null && !memo.sparkSession.sparkContext.isStopped)
       return memo
     import s.implicits._
-    // staleness key: raw lineitem row count (a parquet-metadata count,
+    val tablePath = s"$d/lineitem.parquet"
+    // staleness key rows: raw lineitem count (a parquet-metadata count,
     // no shuffle — the distinct-pair count would itself cost the join
-    // the artifact exists to avoid) PLUS the size+mtime fingerprint,
-    // which catches a dataset REGENERATED at the same cardinality
-    val key = graft.Artifact.Key(GraphFmt,
-      Tables.lineitem(s, d).count(),
-      Tables.fingerprint(s"$d/lineitem.parquet"))
-    val dir = graphDir(s, d)
-    val edges = graft.Artifact.loadIfFresh(dir, "meta.json", key)
-      .flatMap { o =>
-        import org.json4s._
-        (o \ "dirs") match {
-          case JArray(xs) =>
-            val ds = xs.collect { case JString(x) => x }
-            if (ds.isEmpty) None
-            else Some(s.read.parquet(
-              ds.map(x => dir.resolve(x).toString): _*))
-          case _ => None
-        }
-      }
-      .orElse(tryAppendEdges(s, d, key))
-      .getOrElse {
+    // the artifact exists to avoid)
+    val edges = chain.payload(s, d, tablePath,
+      rows = Tables.lineitem(s, d).count(),
+      build = () => {
         edgeBuilds.computeIfAbsent(d,
           _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
-        val li = Tables.lineitem(s, d)
-          .select($"l_orderkey", $"l_partkey").distinct()
-        val e = li.as("a").join(li.as("b"), "l_orderkey")
-          .filter($"a.l_partkey" =!= $"b.l_partkey")
-          .groupBy($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
-          .agg(count(lit(1)).as("w"))
-        java.nio.file.Files.createDirectories(dir)
-        e.write.mode("overwrite").parquet(dir.resolve("edges").toString)
+        val e = edgeJoin(Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey"))
         val maxOk = Tables.lineitem(s, d).agg(max($"l_orderkey"))
           .first().getLong(0)
-        graft.Artifact.commit(dir, "meta.json", key,
-          sidecarExtra(s, d, Seq("edges"), maxOk, 0L))
-        s.read.parquet(dir.resolve("edges").toString)
-      }
+        (e, maxOk)
+      },
+      delta = (newFiles, boundary) => {
+        val delivery = s.read.parquet(newFiles: _*)
+          .select($"l_orderkey", $"l_partkey")
+        val bounds = delivery.agg(min($"l_orderkey"), max($"l_orderkey"))
+          .first()
+        if (bounds.isNullAt(0) || bounds.getLong(0) <= boundary) None
+        else Some((edgeJoin(delivery), bounds.getLong(1)))
+      },
+      merge = df => df.groupBy($"src", $"dst").agg(sum($"w").as("w")))
     val out = edges.repartition($"src")
       .groupBy($"src", $"dst").agg(sum($"w").as("w"))
       .cache()
