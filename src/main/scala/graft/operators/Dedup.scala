@@ -1094,6 +1094,98 @@ object Dedup {
           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
             / COUNT(*) AS dup_frac
+        FROM f GROUP BY 1""")),
+
+    // ----- content-defined chunk dedup (CDC breakpoints) ------------------
+    // The edit-robust refinement of dedup_chunk: FIXED 10-token chunks
+    // shift wholesale when one token is inserted (every downstream
+    // chunk re-cuts, so a near-copy with one extra word shares ~zero
+    // chunks with its original); CONTENT-DEFINED cuts (the FastCDC /
+    // rsync breakpoint idea, here at token granularity) place a
+    // boundary after every token whose hash ≡ 0 (mod 8) — a property
+    // of the CONTENT, so an insertion re-cuts only the single run it
+    // lands in and every other chunk survives verbatim. Expected chunk
+    // ~8 tokens (geometric), hard max 16 via in-run subsplit (bounds
+    // per-chunk memory at 100 TB the way FastCDC's max bound does).
+    //
+    // Scale: the whole chunker is per-row higher-order functions —
+    // boundary scan, run construction, subsplit — so it PIPELINES
+    // (zero window functions, zero shuffles before the digest agg);
+    // then the same two exchanges as dedup_chunk (corpus-wide count on
+    // the well-distributed md5 digest, per-doc rollup). CdcChunkSpec
+    // pins the edit-robustness property that justifies the op: one
+    // front-inserted token changes O(1) CDC chunks but ~all fixed
+    // chunks.
+    Q("dedup_cdc_chunk",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        cdcChunks(Tables.documents(s, d))
+          .select($"doc_id", md5($"chunk".cast("binary")).as("h"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"h")))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+               sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup"))
+          .withColumn("dup_frac",
+            $"n_dup".cast("double") / $"n_chunks")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        b AS (SELECT doc_id, w,
+            [i FOR i IN generate_series(1, len(w))
+               IF CAST('0x' || substr(md5(w[i]), 1, 8) AS BIGINT) % 8 = 0]
+              AS bps
+          FROM t),
+        r AS (SELECT doc_id, w, list_prepend(0, bps) AS starts,
+            list_append(bps, len(w)) AS ends FROM b),
+        runs AS (SELECT doc_id, w,
+            [{'s': starts[j], 'l': ends[j] - starts[j]}
+             FOR j IN generate_series(1, len(starts))
+             IF ends[j] - starts[j] > 0] AS rs
+          FROM r),
+        c AS (SELECT doc_id,
+            unnest(flatten([[array_to_string(w[rr.s + 1 + k * 16 :
+                rr.s + k * 16 + least(16, rr.l - k * 16)], ' ')
+              FOR k IN generate_series(0, (rr.l - 1) // 16)]
+              FOR rr IN rs])) AS chunk
+          FROM runs),
+        f AS (SELECT doc_id,
+            COUNT(*) OVER (PARTITION BY md5(chunk)) AS cnt FROM c)
+        SELECT doc_id, COUNT(*) AS n_chunks,
+          CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup,
+          CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS dup_frac
         FROM f GROUP BY 1"""))
   )
+
+  /** Content-defined chunker (doc_id, chunk): boundary after token t
+    * iff the low 32 bits of md5(t) ≡ 0 (mod 8); runs between
+    * boundaries subsplit at 16 tokens. Pure per-row HOFs end to end —
+    * exposed for [[graft.CdcChunkSpec]]'s edit-robustness property. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", split($"text", " ").as("w"))
+      // 1-based boundary positions: token index i (0-based) cuts AFTER
+      // itself when its hash bucket is 0 of 8
+      .withColumn("bps", expr(
+        """filter(transform(w, (t, i) ->
+             IF(cast(conv(substring(md5(cast(t AS binary)), 1, 8), 16, 10)
+                  AS bigint) % 8 = 0, i + 1, -1)),
+           x -> x >= 0)"""))
+      // runs between cut points, empty runs dropped (adjacent
+      // boundaries / trailing boundary)
+      .withColumn("rs", expr(
+        """filter(
+             zip_with(concat(array(0), bps), concat(bps, array(size(w))),
+               (a, b) -> struct(a AS s, b - a AS l)),
+             r -> r.l > 0)"""))
+      .select($"doc_id", explode(expr(
+        """flatten(transform(rs, r ->
+             transform(sequence(0, (r.l - 1) div 16), k ->
+               array_join(slice(w, r.s + 1 + k * 16,
+                 least(16, r.l - k * 16)), ' '))))""")).as("chunk"))
+  }
 }

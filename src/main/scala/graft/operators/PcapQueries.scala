@@ -263,6 +263,68 @@ object PcapQueries {
         FROM (VALUES $rows) AS v(key, n_pkts, n_nx, first_qname)"""
   }
 
+  /** ICMPv6/NDP capture (see
+    * [[graft.pcap.PcapSynth.icmpv6Packets]]). */
+  private def icmpv6SynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_icmpv6.pcap")
+    graft.pcap.PcapSynth.ensureIcmpV6File(p, 96)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_icmpv6_summary: replay the fixture's
+    * emission rules — echo pair per i, NS/NA per 4th, time-exceeded
+    * per 7th, unreachable code (i/9)%5 per 9th (one router source for
+    * the error types, one server for replies/NA). */
+  private def icmpv6SummaryOracle(n: Int): String = {
+    val rows = scala.collection.mutable.Map
+      .empty[(Int, Int), (Long, Set[String])]
+    def add(t: Int, c: Int, src: String): Unit = {
+      val (cnt, srcs) = rows.getOrElse((t, c), (0L, Set.empty[String]))
+      rows((t, c)) = (cnt + 1, srcs + src)
+    }
+    for (i <- 0 until n) {
+      add(128, 0, s"client$i"); add(129, 0, "server")
+      if (i % 4 == 0) { add(135, 0, s"client$i"); add(136, 0, "server") }
+      if (i % 7 == 0) add(3, 0, "router")
+      if (i % 9 == 0) add(1, (i / 9) % 5, "router")
+    }
+    val vs = rows.toSeq.sortBy(_._1).map { case ((t, c), (cnt, srcs)) =>
+      s"($t, $c, $cnt, ${srcs.size})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.icmp_type AS INT) AS icmp_type,
+        CAST(v.icmp_code AS INT) AS icmp_code,
+        CAST(v.n AS BIGINT) AS n,
+        CAST(v.n_src AS BIGINT) AS n_src
+        FROM (VALUES $vs) AS v(icmp_type, icmp_code, n, n_src)"""
+  }
+
+  /** IP-in-IP tunnel capture (see
+    * [[graft.pcap.PcapSynth.ipipPackets]]). */
+  private def ipipSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_ipip.pcap")
+    graft.pcap.PcapSynth.ensureIpipFile(p, 120)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_ipip_decap: even i → inner v4 qname
+    * `t4-$i...`, odd i → inner v6 qname `t6-$i...`, NXDOMAIN when
+    * i mod 13 == 0, one distinct inner client per i. */
+  private def ipipDecapOracle(n: Int): String = {
+    val rows = Seq(4, 6).map { v =>
+      val is = (0 until n).filter(i => i % 2 == (if (v == 4) 0 else 1))
+      val nx = is.count(_ % 13 == 0)
+      val firstQ = is.map(i => s"t$v-$i.tunnel.example.com.").min
+      s"($v, ${is.size}, ${is.size}, $nx, '$firstQ')"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.inner_v AS INT) AS inner_v,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.n_clients AS BIGINT) AS n_clients,
+        CAST(v.n_nx AS BIGINT) AS n_nx,
+        CAST(v.first_qname AS VARCHAR) AS first_qname
+        FROM (VALUES $rows)
+          AS v(inner_v, n_pkts, n_clients, n_nx, first_qname)"""
+  }
+
   /** Constant oracle for pcap_vxlan_decap, re-derived from the
     * synthesis formulas: vni = 100 + i mod 7, NXDOMAIN when
     * i mod 9 == 0, qname `vx$i.tunnel.example.com.` (parser form:
@@ -1200,6 +1262,23 @@ object PcapQueries {
       },
       Some(icmpEchoRttOracle(50))),
 
+    // ----- ICMPv6 + NDP triage (round 11, v6 parity) ----------------------
+    // The v6 twin of pcap_icmp_summary over an RFC 4443/4861 mix —
+    // echo pairs plus the NDP chatter (neighbor/router discovery)
+    // every real v6 segment carries; the decoder's protocol-58 branch
+    // feeds the same icmp_type/icmp_code columns as v4, so the triage
+    // plan is identical (one scan, one bounded-key rollup).
+    Q("pcap_icmpv6_summary",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(icmpv6SynthPath)
+          .filter($"protocol" === "ICMPv6")
+          .groupBy($"icmp_type", $"icmp_code")
+          .agg(count(lit(1)).as("n"),
+            countDistinct($"src").as("n_src"))
+      },
+      Some(icmpv6SummaryOracle(96))),
+
     // Full HTTP conversation pairing: BOTH directions of each flow
     // reassemble independently (the flow key orients by direction),
     // then request streams join response streams on the client
@@ -1380,6 +1459,33 @@ object PcapQueries {
             min($"dnsQname").as("first_qname"))
       },
       Some(greDecapOracle(120))),
+
+    // ----- IP-in-IP / 6in4 decapsulation (round 11) -----------------------
+    // The shim-less tunnel family members (RFC 2003 IPv4-in-IPv4,
+    // RFC 4213 6in4 — the transition-mechanism encapsulation still all
+    // over ISP captures): the outer payload IS the inner packet, so
+    // decap is the raw-payload honesty rule + the RAW-IP decode path
+    // with a version-nibble/protocol-number agreement gate. One scan,
+    // per-row narrow decap, ONE aggregation shuffle on the 2-row
+    // inner-version key — counts, distinct inner clients, NXDOMAIN
+    // volume per encapsulation scheme.
+    Q("pcap_ipip_decap",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(ipipSynthPath)
+          .filter($"protocol".isin("4", "41") && $"payload".isNotNull)
+          .select($"protocol", $"payload").as[(String, Array[Byte])]
+          .mapPartitions(_.flatMap { case (p, pl) =>
+            graft.pcap.Decap.ipip(p.toInt, pl) })
+          .groupBy($"innerV")
+          .agg(count(lit(1)).as("n_pkts"),
+            countDistinct($"dst").as("n_clients"),
+            sum(when($"dnsRcode" === "NXDOMAIN", 1L).otherwise(0L))
+              .as("n_nx"),
+            min($"dnsQname").as("first_qname"))
+          .withColumnRenamed("innerV", "inner_v")
+      },
+      Some(ipipDecapOracle(120))),
 
     // ----- VXLAN decapsulation (round 11) ---------------------------------
     // Overlay-fabric captures carry the interesting flow INSIDE a

@@ -94,6 +94,35 @@ object Decap extends Serializable {
     }
   }
 
+  /** IP-in-IP-decapped inner packet; `innerV` is the inner IP version —
+    * 4 (RFC 2003 IPv4-in-IPv4) or 6 (RFC 4213 "6in4"). */
+  final case class IpipInner(
+      innerV: Int,
+      src: String, dst: String,
+      protocol: String,
+      srcPort: Int, dstPort: Int,
+      dnsQname: Option[String],
+      dnsRcode: Option[String])
+
+  /** Decap one IP-in-IP payload (outer IP protocol 4 = IPv4-in-IPv4,
+    * RFC 2003 §3; protocol 41 = IPv6-in-IPv4 "6in4", RFC 4213 §3):
+    * unlike GRE/VXLAN there is NO shim header — the outer IP payload
+    * IS the inner packet, decoded via the same RAW-IP link type as the
+    * GRE path. The version nibble must agree with the outer protocol
+    * number (4 → 4, 41 → 6); a mismatch is a malformed encapsulation,
+    * refused rather than guessed at. */
+  def ipip(outerProto: Int, payload: Array[Byte]): Option[IpipInner] = {
+    if (payload == null || payload.length < 1) return None
+    val v = (payload(0) >> 4) & 0xF
+    val want =
+      if (outerProto == 4) 4 else if (outerProto == 41) 6 else -1
+    if (v != want) return None
+    innerOf(payload, 0, linkType = 101).map { case (b, sp, dp) =>
+      IpipInner(v, b.src.get, b.dst.get, b.protocol.get, sp, dp,
+        b.dns.flatMap(_.qname), b.dns.map(_.rcode))
+    }
+  }
+
   /** Decode the inner packet at `off` through the shared decoder;
     * Some only when L3 endpoints + L4 ports all decoded. */
   private def innerOf(payload: Array[Byte], off: Int, linkType: Int)

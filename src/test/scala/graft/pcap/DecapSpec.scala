@@ -67,6 +67,49 @@ class DecapSpec extends AnyFunSuite {
     }
   }
 
+  /** Outer-IP payload of an ipipPackets frame (eth 14 + ip 20) —
+    * which IS the inner packet (no shim header). */
+  private def ipipPayload(i: Int): Array[Byte] =
+    PcapSynth.ipipPackets(i + 1).last._3.drop(34)
+
+  test("ipip never throws and gates on version/protocol agreement") {
+    val rnd = new scala.util.Random(778)
+    (0 until 5000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(b)
+      Decap.ipip(4, b); Decap.ipip(41, b); Decap.ipip(17, b)
+    }
+    assert(Decap.ipip(4, null).isEmpty && Decap.ipip(41, null).isEmpty)
+    val p4 = ipipPayload(0) // even → inner v4
+    val p6 = ipipPayload(1) // odd → inner v6
+    (0 to p4.length).foreach(k => Decap.ipip(4, p4.take(k)))
+    (0 to p6.length).foreach(k => Decap.ipip(41, p6.take(k)))
+    // agreement gate: a v4 inner under outer proto 41 (and vice versa)
+    // is a malformed encapsulation and must refuse
+    assert(Decap.ipip(41, p4).isEmpty, "v4 inner under proto 41")
+    assert(Decap.ipip(4, p6).isEmpty, "v6 inner under proto 4")
+    assert(Decap.ipip(50, p4).isEmpty, "non-tunnel outer protocol")
+  }
+
+  test("ipip fixture round-trip recovers both schemes' inner fields") {
+    (0 until 40).foreach { i =>
+      val proto = if (i % 2 == 0) 4 else 41
+      val t = Decap.ipip(proto, ipipPayload(i)).getOrElse(
+        fail(s"ipip packet $i did not decap"))
+      assert(t.innerV == (if (i % 2 == 0) 4 else 6))
+      assert(t.protocol == "UDP" && t.srcPort == 53 &&
+        t.dstPort == 50000 + i)
+      if (i % 2 == 0) {
+        assert(t.src == "10.72.0.1" &&
+          t.dst == s"10.71.${i >> 8}.${i & 255}")
+        assert(t.dnsQname.contains(s"t4-$i.tunnel.example.com."))
+      } else
+        assert(t.dnsQname.contains(s"t6-$i.tunnel.example.com."))
+      assert(t.dnsRcode.contains(
+        if (i % 13 == 0) "NXDOMAIN" else "NOERROR"))
+    }
+  }
+
   test("GRE optional-word layouts parse: no-key, and key+seq+checksum") {
     // hand-build a GRE header variant around fixture 0's inner packet
     val inner = grePayload(0).drop(8) // strip the fixture's K-flag header

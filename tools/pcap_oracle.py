@@ -1022,6 +1022,65 @@ if glob.glob(f"{out}/pcap_vxlan_decap/*.parquet"):
                ["vni", "n_pkts", "n_nx", "first_qname"]),
          sorted((v, n, nx, q) for v, (n, nx, q) in vstats.items()))
 
+# ICMPv6/NDP summary: independent parse of the v6 NH-58 path from raw
+# bytes (type/code at the fixed 40-byte v6 header end; no ext chain in
+# the fixture).
+if glob.glob(f"{out}/pcap_icmpv6_summary/*.parquet"):
+    istats = {}
+    for _, _, fr in _frames("/tmp/graft_synth_icmpv6.pcap"):
+        assert struct.unpack_from(">H", fr, 12)[0] == 0x86DD
+        assert fr[14 + 6] == 58
+        src6 = bytes(fr[14 + 8:14 + 24])
+        t, c = fr[14 + 40], fr[14 + 41]
+        e = istats.setdefault((t, c), [0, set()])
+        e[0] += 1
+        e[1].add(src6)
+    _cmp("pcap_icmpv6_summary(redecode)",
+         _read("pcap_icmpv6_summary",
+               ["icmp_type", "icmp_code", "n", "n_src"]),
+         sorted((t, c, n, len(s)) for (t, c), (n, s) in istats.items()))
+
+# IP-in-IP / 6in4 decap: RFC 2003 / RFC 4213 — no shim header, the
+# outer protocol-4/41 payload IS the inner packet; independent parse
+# of both inner versions from raw bytes (no shared code with Decap).
+if glob.glob(f"{out}/pcap_ipip_decap/*.parquet"):
+    def _qname(dns):
+        labels, p = [], 12
+        while dns[p] != 0:
+            ln = dns[p]
+            labels.append(dns[p + 1:p + 1 + ln].decode("ascii"))
+            p += 1 + ln
+        return ".".join(labels).lower() + "."
+    tstats = {}
+    for _, _, fr in _frames("/tmp/graft_synth_ipip.pcap"):
+        src, dst, proto, l3p = _v4(fr)
+        assert proto in (4, 41)
+        inner = fr[l3p:]
+        v = (inner[0] >> 4) & 0xF
+        assert v == (4 if proto == 4 else 6)
+        if v == 4:
+            iihl = (inner[0] & 0xF) * 4
+            assert inner[9] == 17
+            client = inner[16:20]
+            dns = inner[iihl + 8:]
+        else:
+            assert inner[6] == 17  # next header straight to UDP
+            client = inner[24:40]
+            dns = inner[48:]
+        fl = struct.unpack_from(">H", dns, 2)[0]
+        nx = 1 if (fl & 0xF) == 3 else 0
+        q = _qname(dns)
+        e = tstats.setdefault(v, [0, set(), 0, None])
+        e[0] += 1
+        e[1].add(bytes(client))
+        e[2] += nx
+        e[3] = q if e[3] is None else min(e[3], q)
+    _cmp("pcap_ipip_decap(redecode)",
+         _read("pcap_ipip_decap",
+               ["inner_v", "n_pkts", "n_clients", "n_nx", "first_qname"]),
+         sorted((v, n, len(cl), nx, q)
+                for v, (n, cl, nx, q) in tstats.items()))
+
 # GRE decap: RFC 2784/2890 — outer protocol 47, optional C/K/S words,
 # inner RAW IPv4 (no Ethernet).
 if glob.glob(f"{out}/pcap_gre_decap/*.parquet"):
