@@ -329,6 +329,114 @@ object Dedup {
       .agg(count($"bmin").as("n_hit_bands"), min($"bmin").as("match_doc"))
   }
 
+  // ----- persisted exact-digest index (incremental exact dedup) -----------
+  // The FIRST screen every ingestion pipeline runs — exact duplicates
+  // by content digest — in its continuous form: the base corpus's
+  // per-digest summary (digest → dmin = min member doc_id, dcnt =
+  // copies) persists under a second [[graft.DeltaChain]]; a delivery
+  // is screened by hashing ITS OWN text only and probing one equi-join
+  // against the ≤-1-row-per-key summary. Where lshBucketIndex answers
+  // "is this delivery doc NEAR a base doc", this answers "is it
+  // byte-identical to one" — far cheaper (one digest per doc vs
+  // shingles + signatures + bands), and it is the gate pipelines apply
+  // BEFORE any fuzzy screen runs. Same base/probe split, same monotone
+  // append boundary, same min/sum merge fold (associative, so the
+  // chain order is irrelevant and compaction is exact).
+
+  /** Digest-index format version (1 = (h, dmin, dcnt) summary rows). */
+  private val DigestIdxFmt = 1L
+
+  private val digestChain = new graft.DeltaChain(
+    "spark.graft.digestidx.dir", "graft_digest_idx", DigestIdxFmt,
+    "digests")
+
+  private val digestMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def digestBuildsFor(d: String): Int =
+    digestChain.buildsFor(d)
+  private[graft] def digestAppendsFor(s: SparkSession, d: String): Long =
+    digestChain.appendsFor(s, d)
+  private[graft] def digestPayloadDirsFor(s: SparkSession, d: String)
+      : Seq[String] = digestChain.payloadDirsFor(s, d)
+  private[graft] def digestDir(s: SparkSession, d: String)
+      : java.nio.file.Path = digestChain.dir(s, d)
+  private[graft] def clearDigestMemos(): Unit = {
+    digestMemo.forEach { (_, df) =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
+    digestMemo.clear()
+  }
+
+  /** Per-digest summary of the base split — shared by the build and
+    * delta computations so they cannot disagree on the indexed
+    * population or the digest definition. */
+  private def baseDigestSummary(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("dmin"), count(lit(1)).as("dcnt"))
+
+  /** The exact-digest index for dataset `d`: memo → cold artifact load
+    * → delta append (delivery files only) → full build, via the shared
+    * [[graft.DeltaChain]]; merged across payload dirs on load. */
+  private[graft] def digestIndex(s: SparkSession, d: String): DataFrame = {
+    val memo = digestMemo.get(d)
+    if (memo != null && !memo.sparkSession.sparkContext.isStopped)
+      return memo
+    import s.implicits._
+    val tablePath = s"$d/documents.parquet"
+    def mergeDigests(df: DataFrame): DataFrame =
+      df.groupBy($"h")
+        .agg(min($"dmin").as("dmin"), sum($"dcnt").as("dcnt"))
+    val raw = digestChain.payload(s, d, tablePath,
+      rows = Tables.documents(s, d).count(),
+      build = () => {
+        val docs = Tables.documents(s, d)
+        val maxId = docs.agg(max($"doc_id")).first().getLong(0)
+        (baseDigestSummary(docs), maxId)
+      },
+      delta = (newFiles, boundary) => {
+        val delivery = s.read.parquet(newFiles: _*)
+        val bounds = delivery.agg(min($"doc_id"), max($"doc_id")).first()
+        if (bounds.isNullAt(0) || bounds.getLong(0) <= boundary) None
+        else Some((baseDigestSummary(delivery), bounds.getLong(1)))
+      },
+      merge = mergeDigests)
+    val out = mergeDigests(raw).cache()
+    digestMemo.put(d, out)
+    out
+  }
+
+  /** The incremental exact-dedup screen: digest the delivery and probe
+    * the persisted index — per delivery doc, the smallest
+    * byte-identical indexed doc (match_doc, NULL when clean) and how
+    * many indexed copies exist (n_copies, 0 when clean). The delivery
+    * models both real ingestion cases: the probe split's fresh docs
+    * (doc_id % 7 == 0 — the synthetic corpus has no byte-identical
+    * pairs, so these screen clean) plus RE-INGESTED copies of indexed
+    * docs (every % 11 == 0 base doc re-keyed above 10^6 — the crawl
+    * re-fetch / re-delivered-shard case the screen exists to catch;
+    * each must hit its original). ONE digest per delivery doc, ONE
+    * equi-join against a ≤-1-row-per-key summary; the base corpus
+    * text is never re-read at probe time. */
+  private[graft] def exactIncremental(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val probe = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", $"text")
+      .unionAll(docs
+        .filter($"doc_id" % 11 === 0 && $"doc_id" % 7 =!= 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+    val idx = digestIndex(s, d)
+    probe
+      .select($"doc_id", md5($"text".cast("binary")).as("h"))
+      .join(idx, Seq("h"), "left")
+      .select($"doc_id", $"dmin".as("match_doc"),
+        coalesce($"dcnt", lit(0L)).as("n_copies"))
+  }
+
   /** Shared CTE prefix: shingles -> hashes -> signatures -> band frame. */
   private lazy val sigCtesSql: String = {
     val minExprs = perms.zipWithIndex.map { case ((a, b), i) =>
@@ -782,6 +890,27 @@ object Dedup {
           MIN(bidx.bmin) AS match_doc
         FROM probe LEFT JOIN bidx USING (band, x, y)
         GROUP BY 1""")),
+
+    // ----- incremental EXACT dedup against the persisted digest index -----
+    // The screen pipelines run before any fuzzy pass (object notes
+    // above digestIndex): one digest per delivery doc, one equi-join
+    // against the base corpus's persisted (digest → min doc, copies)
+    // summary. The oracle re-derives base summary and probe from raw
+    // text, so a hash match proves the artifact + its delta-append
+    // fold equal full recomputation.
+    Q("dedup_exact_incremental",
+      (s, d) => exactIncremental(s, d),
+      Some("""WITH bidx AS (
+          SELECT md5(text) AS h, MIN(doc_id) AS dmin, COUNT(*) AS dcnt
+          FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1),
+        probe AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+          WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0)
+        SELECT p.doc_id, bidx.dmin AS match_doc,
+          CAST(COALESCE(bidx.dcnt, 0) AS BIGINT) AS n_copies
+        FROM probe p LEFT JOIN bidx ON md5(p.text) = bidx.h""")),
 
     // ----- fuzzy train/eval contamination via MinHash ---------------------
     // pipeline_contamination (Pipeline.scala) catches exact shared

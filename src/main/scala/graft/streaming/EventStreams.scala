@@ -185,5 +185,25 @@ object StreamingQueries {
           AS window_start_s,
         event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2""")))
+        FROM events GROUP BY 1, 2""")),
+
+    // ----- streaming ingestion-dedup screen: batch twin -------------------
+    // The anchor for CorpusScreenStream (stream-static join against
+    // the persisted exact-digest index — object doc): the twin runs
+    // the SAME screenAgainstIndex plan tail over the same
+    // deterministic delivery, and CorpusScreenStreamSpec matches the
+    // streamed rows against this row set across micro-batch
+    // boundaries and a checkpoint restart. The oracle re-derives the
+    // base summary and the delivery from raw text.
+    Q("dedup_screen_stream_twin",
+      (s, d) => CorpusScreenStream.screenTwin(s, d),
+      Some("""WITH bidx AS (
+          SELECT md5(text) AS h, MIN(doc_id) AS dmin, COUNT(*) AS dcnt
+          FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1),
+        probe AS (
+          SELECT doc_id + 2000000 AS doc_id, text FROM documents
+          WHERE doc_id % 5 = 0)
+        SELECT p.doc_id, bidx.dmin AS match_doc,
+          CAST(COALESCE(bidx.dcnt, 0) AS BIGINT) AS n_copies
+        FROM probe p LEFT JOIN bidx ON md5(p.text) = bidx.h""")))
 }

@@ -134,6 +134,60 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  private def runExact(d: String): Set[(Long, Option[Long], Long)] =
+    SparkEntry.queries("dedup_exact_incremental")(spark, d).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2))).toSet
+
+  test("the exact-digest chain (dedup_exact_incremental): cold load " +
+      "without re-digesting, delta append, full-rebuild identity") {
+    val d = copyDataset()
+    val base = Files.createTempDirectory("digest_idx").toString
+    val prev = spark.conf.getOption("spark.graft.digestidx.dir")
+    spark.conf.set("spark.graft.digestidx.dir", base)
+    try {
+      val first = runExact(d)
+      assert(first.nonEmpty)
+      assert(first.exists(_._3 > 0L),
+        "the fixture must contain byte-identical delivery docs")
+      assert(first.exists(_._3 == 0L),
+        "the fixture must contain clean delivery docs")
+      // every hit's match_doc must be a base-split id (not a probe id)
+      assert(first.forall(r => r._2.forall(_ % 7 != 0)))
+      assert(dd.digestBuildsFor(d) == 1)
+      assert(Files.exists(dd.digestDir(spark, d).resolve("meta.json")))
+      // cold session: artifact load, no rebuild
+      dd.clearDigestMemos()
+      assert(runExact(d) == first)
+      assert(dd.digestBuildsFor(d) == 1,
+        "cold session must load the artifact, not re-digest the base")
+      // strict growth: delta append, then full-rebuild ground truth
+      deliver(d, 60)
+      dd.clearDigestMemos()
+      val grown = runExact(d)
+      assert(dd.digestBuildsFor(d) == 1,
+        "an append-only delivery must not re-digest the base corpus")
+      assert(dd.digestAppendsFor(spark, d) == 1)
+      assert(Files.exists(dd.digestDir(spark, d).resolve("delta-1")))
+      // the delivery re-keys EXISTING docs, so every delivered probe
+      // doc must now hit the index (its text is already indexed unless
+      // its original lives on the probe split)
+      spark.conf.set("spark.graft.digestidx.dir",
+        Files.createTempDirectory("digest_idx_fb").toString)
+      dd.clearDigestMemos()
+      assert(runExact(d) == grown,
+        "appended screen must equal the full rebuild's")
+      assert(dd.digestBuildsFor(d) == 2, "the fresh dir really rebuilt")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.digestidx.dir", v)
+        case None => spark.conf.unset("spark.graft.digestidx.dir")
+      }
+      dd.clearDigestMemos()
+    }
+  }
+
   test("the delta chain compacts back to one payload dir past the " +
       "bound, still without rebuilding, still exact") {
     val d = copyDataset()
