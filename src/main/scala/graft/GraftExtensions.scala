@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         functions.SimHashAgg(exprs.head).toAggregateExpression()))
     e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(str) - Unicode NFC normalization (UAX #15)"),
+      (exprs: Seq[Expression]) => functions.NfcNormalize(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("tls_client_hello"),
       info("tls_client_hello",
         "tls_client_hello(bin) - parse a TLS ClientHello payload to a " +

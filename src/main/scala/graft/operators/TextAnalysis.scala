@@ -946,6 +946,40 @@ object TextAnalysis {
           (acc, c) -> (acc * 257 + c) % 2147483647) AS rhash
         FROM documents""")),
 
+    // ----- Unicode NFC normalization (native expression) ------------------
+    // Crawls mix precomposed and combining-mark renderings of the same
+    // text; unless ingestion normalizes, every digest-keyed operator
+    // upstream (exact/chunk dedup, fingerprints) treats canonically-
+    // equal documents as distinct. Spark has no normalization built-in
+    // → graft.functions.NfcNormalize, a codegen'd wrapper over the
+    // JDK's UAX #15 implementation with an allocation-free
+    // already-normalized fast path. The synthetic corpus is ASCII, so
+    // the denormalized input is synthesized IN-QUERY (both engines
+    // replay it): every 'a' re-rendered as 'a' + U+0301 combining
+    // acute — the decomposed form — then normalized back; n_in > n_out
+    // proves the marks composed, out_md5 pins the exact bytes against
+    // DuckDB's independent utf8proc NFC.
+    Q("text_normalize",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.NfcNormalize.nfc_normalize
+        Tables.documents(s, d)
+          .select($"doc_id",
+            regexp_replace($"text", "a", "a\u0301").as("dt"))
+          .select($"doc_id",
+            length($"dt").cast("long").as("n_in"),
+            nfc_normalize($"dt").as("norm"))
+          .select($"doc_id", $"n_in",
+            length($"norm").cast("long").as("n_out"),
+            md5($"norm".cast("binary")).as("out_md5"))
+      },
+      Some("""SELECT doc_id,
+          CAST(length(dt) AS BIGINT) AS n_in,
+          CAST(length(nfc_normalize(dt)) AS BIGINT) AS n_out,
+          md5(nfc_normalize(dt)) AS out_md5
+        FROM (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS dt
+              FROM documents)""")),
+
     // ----- corpus-level boilerplate fraction ------------------------------
     // CCNet-style boilerplate signal at n-gram granularity (the corpus has
     // no line structure): a word 5-gram is boilerplate when it appears in

@@ -36,6 +36,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
               FROM documents WHERE doc_id = 0)""").head().getLong(0)
       assert(sh != 0L)
 
+      // nfc_normalize: decomposed a + U+0301 composes to U+00E1; the
+      // already-NFC fast path returns the input unchanged
+      val dec = "xa\u0301y" // Scala escape: decomposed a + combining acute
+      val nfc = spark.sql(s"SELECT nfc_normalize('$dec') AS n," +
+        s" length(nfc_normalize('$dec')) AS l").head()
+      assert(nfc.getString(0) == "x\u00E1y" && nfc.getInt(1) == 3)
+      assert(spark.sql("SELECT nfc_normalize('plain') AS n")
+        .head().getString(0) == "plain")
+
       // tls_client_hello over a literal fixture payload, pure SQL
       val hex = graft.pcap.PcapSynth.tlsClientHello(4)
         .map(b => f"${b & 0xFF}%02X").mkString
