@@ -57,6 +57,11 @@ object Bench {
         if (name.startsWith("mm_dhash") || name.startsWith("mm_video") ||
           name.startsWith("mm_audio"))
           graft.operators.MediaDedup.clearMemos()
+        // same rule for the round-11 shingle/signature memos: left
+        // warm, reps 2-5 of the minhash headline would time a cache
+        // hit instead of the shingle + signature sweep
+        if (name.startsWith("dedup_"))
+          graft.operators.Dedup.clearRelMemos()
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir).count()

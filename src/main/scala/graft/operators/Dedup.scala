@@ -41,13 +41,52 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // ----- per-(kind, dataset) memoized cached relations --------------------
+  // The shingle and signature relations each feed several consumers
+  // (within one query AND across the battery's dedup queries), so they
+  // are cached — but a fresh `.cache()` per invocation stacks
+  // plan-identical registrations ("Asked to cache already cached
+  // data", the round-10 advisory's leak class, fixed in MediaDedup the
+  // same round). Same remedy here: ONE cached relation per
+  // (kind, dataset), built at most once (compute — no double-cache
+  // race), dropped via [[clearRelMemos]]; Bench clears per rep so the
+  // band keeps measuring the cold sweep.
+  private val relMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val relBuilds =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      java.util.concurrent.atomic.AtomicLong]()
+  /** Times the (kind, dataset) relation was actually built — the spec's
+    * proof that repeated consumers ride the memo. */
+  private[graft] def relBuildsFor(kind: String, d: String): Long = {
+    val c = relBuilds.get((kind, d))
+    if (c == null) 0L else c.get()
+  }
+  private[graft] def clearRelMemos(): Unit = {
+    relMemo.forEach { (_, df) =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
+    relMemo.clear()
+  }
+  private def memoizedRel(kind: String, d: String)(build: => DataFrame)
+      : DataFrame =
+    relMemo.compute((kind, d), (k, prev) =>
+      if (prev != null && !prev.sparkSession.sparkContext.isStopped) prev
+      else {
+        relBuilds.computeIfAbsent(k,
+          _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+        build.cache()
+      })
+
   /** Distinct word 3-gram shingles per document (lowercased, ws-split).
     * Deduplication happens per-document with `array_distinct` BEFORE the
     * explode — (doc_id, shingle) pairs are then globally distinct by
     * construction, avoiding the full shuffle a `.distinct()` would cost
-    * (at 100 TB that shuffle would be the largest stage of the job). */
+    * (at 100 TB that shuffle would be the largest stage of the job).
+    * Cached via the per-dataset memo: the battery's five shingle
+    * consumers share one relation. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    shinglesOf(Tables.documents(s, d))
+    memoizedRel("shingles", d)(shinglesOf(Tables.documents(s, d)))
 
   /** The same shingling over an arbitrary (doc_id, text) relation — the
     * incremental index paths shingle a base SPLIT or a delivery's files
@@ -112,12 +151,12 @@ object Dedup {
       .distinct()
   }
 
-  /** Per-document MinHash signature (m0..m7), cached — shingling +
-    * hashing + the min-aggregation run once however many band frames
-    * consume it (at 100 TB: persist to disk or checkpoint — signatures
-    * are tiny vs the corpus). */
+  /** Per-document MinHash signature (m0..m7), cached via the memo —
+    * shingling + hashing + the min-aggregation run once however many
+    * band frames consume it (at 100 TB: persist to disk or checkpoint
+    * — signatures are tiny vs the corpus). */
   private def signatures(s: SparkSession, d: String): DataFrame =
-    signaturesOf(shingles(s, d)).cache()
+    memoizedRel("signatures", d)(signaturesOf(shingles(s, d)))
 
   /** MinHash signature (m0..m7) of any (doc_id, shingle) relation —
     * uncached; the full-corpus consumer above caches, the incremental
@@ -656,7 +695,7 @@ object Dedup {
     Q("text_ngram_novelty",
       (s, d) => {
         import s.implicits._
-        val sh = shingles(s, d).cache()
+        val sh = shingles(s, d) // memo-cached
         val firstSeen = sh.groupBy($"shingle")
           .agg(min($"doc_id").as("first_seen"))
         sh.join(firstSeen, "shingle")
@@ -681,7 +720,7 @@ object Dedup {
     Q("dedup_ngram_jaccard",
       (s, d) => {
         import s.implicits._
-        val sh = shingles(s, d).cache()
+        val sh = shingles(s, d) // memo-cached
         val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
         val common = sh.as("a")
           .join(sh.as("b"),
@@ -733,7 +772,7 @@ object Dedup {
     Q("dedup_ppjoin",
       (s, d) => {
         import s.implicits._
-        val sh = shingles(s, d).cache()
+        val sh = shingles(s, d) // memo-cached
         val cand = ppjoinCandidates(sh)
         val common = cand
           .join(sh.select($"doc_id".as("doc1"), $"shingle"), "doc1")
@@ -779,7 +818,7 @@ object Dedup {
     Q("dedup_containment",
       (s, d) => {
         import s.implicits._
-        val sh = shingles(s, d).cache()
+        val sh = shingles(s, d) // memo-cached
         val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
         val inter = sh.as("a")
           .join(sh.as("b"),

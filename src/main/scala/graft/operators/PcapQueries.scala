@@ -263,6 +263,43 @@ object PcapQueries {
         FROM (VALUES $rows) AS v(key, n_pkts, n_nx, first_qname)"""
   }
 
+  /** ARP capture (see [[graft.pcap.PcapSynth.arpPackets]]). */
+  private def arpSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_arp.pcap")
+    graft.pcap.PcapSynth.ensureArpFile(p, 96)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_arp_conflicts: replay the fixture's
+    * emission rules (gateway replies per i; device gratuitous per 4th;
+    * rogue claim per 6th — see arpPackets). */
+  private def arpConflictsOracle(n: Int): String = {
+    val claims = scala.collection.mutable.Map
+      .empty[String, (Long, Set[String])]
+    def add(ip: String, mac: String): Unit = {
+      val (cnt, macs) = claims.getOrElse(ip, (0L, Set.empty[String]))
+      claims(ip) = (cnt + 1, macs + mac)
+    }
+    for (i <- 0 until n) {
+      add("10.90.0.1", "02:11:00:00:00:01")
+      val devIp = s"10.90.${i >> 8}.${i & 255}"
+      val devMac = f"02:00:00:00:${i >> 8}%02x:${i & 255}%02x"
+      if (i % 4 == 0) add(devIp, devMac)
+      if (i % 6 == 0)
+        add(devIp, f"02:66:00:00:${i >> 8}%02x:${i & 255}%02x")
+    }
+    val vs = claims.toSeq.sortBy(_._1).map { case (ip, (cnt, macs)) =>
+      s"('$ip', $cnt, ${macs.size}, '${macs.min}', ${macs.size >= 2})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.claimed_ip AS VARCHAR) AS claimed_ip,
+        CAST(v.n_ann AS BIGINT) AS n_ann,
+        CAST(v.n_macs AS BIGINT) AS n_macs,
+        CAST(v.first_mac AS VARCHAR) AS first_mac,
+        CAST(v.conflict AS BOOLEAN) AS conflict
+        FROM (VALUES $vs)
+          AS v(claimed_ip, n_ann, n_macs, first_mac, conflict)"""
+  }
+
   /** ICMPv6/NDP capture (see
     * [[graft.pcap.PcapSynth.icmpv6Packets]]). */
   private def icmpv6SynthPath: String = {
@@ -1268,6 +1305,32 @@ object PcapQueries {
     // every real v6 segment carries; the decoder's protocol-58 branch
     // feeds the same icmp_type/icmp_code columns as v4, so the triage
     // plan is identical (one scan, one bounded-key rollup).
+    // ----- ARP address-conflict inspection (round 11) ---------------------
+    // ARP is the one ubiquitous NON-IP protocol in every Ethernet
+    // capture, and the reference decodes nothing below the IP layer;
+    // the classic inspection query is "which IPs are announced by
+    // more than one MAC" (address conflict / spoofing). ARP has no L3
+    // payload, so the parse consumes the raw `frame` column (the
+    // projection-driven keepFrame path) through a fuzz-hardened RFC
+    // 826 parser; scale shape: scan-level ether_type filter, per-row
+    // narrow parse, ONE rollup on the claimed IP.
+    Q("pcap_arp_conflicts",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(arpSynthPath)
+          .filter($"ether_type" === "arp")
+          .select($"frame").as[Array[Byte]]
+          .mapPartitions(_.flatMap(graft.pcap.Decap.arp))
+          .filter($"oper" === 2) // announcements only
+          .groupBy($"spa")
+          .agg(count(lit(1)).as("n_ann"),
+            countDistinct($"sha").as("n_macs"),
+            min($"sha").as("first_mac"))
+          .select($"spa".as("claimed_ip"), $"n_ann", $"n_macs",
+            $"first_mac", ($"n_macs" >= 2).as("conflict"))
+      },
+      Some(arpConflictsOracle(96))),
+
     Q("pcap_icmpv6_summary",
       (s, d) => {
         import s.implicits._

@@ -123,6 +123,32 @@ object Decap extends Serializable {
     }
   }
 
+  /** Parsed ARP message (RFC 826 over Ethernet/IPv4). */
+  final case class ArpFields(oper: Int, sha: String, spa: String,
+      tha: String, tpa: String)
+
+  /** Parse one raw Ethernet frame as ARP (RFC 826): ethertype 0x0806,
+    * htype 1 (Ethernet) / ptype 0x0800 (IPv4) / hlen 6 / plen 4 —
+    * anything else (including truncation) yields None, never a throw.
+    * Not an IP protocol, so this consumes the raw `frame` column
+    * rather than the L3 payload the other decap functions use. */
+  def arp(frame: Array[Byte]): Option[ArpFields] = {
+    if (frame == null || frame.length < 14 + 28) return None
+    if (((frame(12) & 0xFF) << 8 | (frame(13) & 0xFF)) != 0x0806)
+      return None
+    val o = 14
+    if (((frame(o) & 0xFF) << 8 | (frame(o + 1) & 0xFF)) != 1) return None
+    if (((frame(o + 2) & 0xFF) << 8 | (frame(o + 3) & 0xFF)) != 0x0800)
+      return None
+    if (frame(o + 4) != 6 || frame(o + 5) != 4) return None
+    val oper = (frame(o + 6) & 0xFF) << 8 | (frame(o + 7) & 0xFF)
+    def mac(at: Int): String =
+      (0 until 6).map(k => f"${frame(at + k) & 0xFF}%02x").mkString(":")
+    def ip(at: Int): String =
+      (0 until 4).map(k => frame(at + k) & 0xFF).mkString(".")
+    Some(ArpFields(oper, mac(o + 8), ip(o + 14), mac(o + 18), ip(o + 24)))
+  }
+
   /** Decode the inner packet at `off` through the shared decoder;
     * Some only when L3 endpoints + L4 ports all decoded. */
   private def innerOf(payload: Array[Byte], off: Int, linkType: Int)

@@ -134,6 +134,22 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle/signature relations are memoized across dedup " +
+      "consumers (no stacked plan-identical caches)") {
+    val d = "/root/testdata/sf0.001"
+    dd.clearRelMemos()
+    try {
+      SparkEntry.queries("dedup_ngram_jaccard")(spark, d).count()
+      SparkEntry.queries("dedup_ppjoin")(spark, d).count()
+      SparkEntry.queries("dedup_minhash_lsh")(spark, d).count()
+      SparkEntry.queries("dedup_minhash_lsh")(spark, d).count()
+      assert(dd.relBuildsFor("shingles", d) == 1,
+        "all shingle consumers must share ONE cached relation")
+      assert(dd.relBuildsFor("signatures", d) == 1,
+        "repeated minhash runs must ride the signature memo")
+    } finally dd.clearRelMemos()
+  }
+
   private def runExact(d: String): Set[(Long, Option[Long], Long)] =
     SparkEntry.queries("dedup_exact_incremental")(spark, d).collect()
       .map(r => (r.getLong(0),

@@ -110,6 +110,25 @@ class DecapSpec extends AnyFunSuite {
     }
   }
 
+  test("arp parser never throws and gates on the RFC 826 fixed fields") {
+    val rnd = new scala.util.Random(779)
+    (0 until 5000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(60))
+      rnd.nextBytes(b)
+      Decap.arp(b)
+    }
+    assert(Decap.arp(null).isEmpty)
+    val fr = PcapSynth.arpPackets(1).head._3 // device 0's request
+    (0 to fr.length).foreach(k => Decap.arp(fr.take(k)))
+    val a = Decap.arp(fr).getOrElse(fail("fixture ARP did not parse"))
+    assert(a.oper == 1 && a.sha == "02:00:00:00:00:00" &&
+      a.spa == "10.90.0.0" && a.tpa == "10.90.0.1")
+    // wrong ethertype / htype / sizes must refuse
+    val bad1 = fr.clone(); bad1(13) = 0; assert(Decap.arp(bad1).isEmpty)
+    val bad2 = fr.clone(); bad2(15) = 9; assert(Decap.arp(bad2).isEmpty)
+    val bad3 = fr.clone(); bad3(18) = 8; assert(Decap.arp(bad3).isEmpty)
+  }
+
   test("GRE optional-word layouts parse: no-key, and key+seq+checksum") {
     // hand-build a GRE header variant around fixture 0's inner packet
     val inner = grePayload(0).drop(8) // strip the fixture's K-flag header

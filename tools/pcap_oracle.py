@@ -1022,6 +1022,30 @@ if glob.glob(f"{out}/pcap_vxlan_decap/*.parquet"):
                ["vni", "n_pkts", "n_nx", "first_qname"]),
          sorted((v, n, nx, q) for v, (n, nx, q) in vstats.items()))
 
+# ARP conflict inspection: independent RFC 826 parse from raw frame
+# bytes (ethertype 0x0806; announcements = oper 2 grouped by claimed
+# IP).
+if glob.glob(f"{out}/pcap_arp_conflicts/*.parquet"):
+    astats = {}
+    for _, _, fr in _frames("/tmp/graft_synth_arp.pcap"):
+        assert struct.unpack_from(">H", fr, 12)[0] == 0x0806
+        o = 14
+        assert struct.unpack_from(">HH", fr, o) == (1, 0x0800)
+        assert fr[o + 4] == 6 and fr[o + 5] == 4
+        oper = struct.unpack_from(">H", fr, o + 6)[0]
+        if oper != 2:
+            continue
+        sha = ":".join(f"{b:02x}" for b in fr[o + 8:o + 14])
+        spa = ".".join(str(b) for b in fr[o + 14:o + 18])
+        e = astats.setdefault(spa, [0, set()])
+        e[0] += 1
+        e[1].add(sha)
+    _cmp("pcap_arp_conflicts(redecode)",
+         _read("pcap_arp_conflicts",
+               ["claimed_ip", "n_ann", "n_macs", "first_mac", "conflict"]),
+         sorted((ip, n, len(m), min(m), len(m) >= 2)
+                for ip, (n, m) in astats.items()))
+
 # ICMPv6/NDP summary: independent parse of the v6 NH-58 path from raw
 # bytes (type/code at the fixed 40-byte v6 header end; no ext chain in
 # the fixture).
