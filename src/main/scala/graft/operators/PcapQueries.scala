@@ -263,6 +263,27 @@ object PcapQueries {
         FROM (VALUES $rows) AS v(key, n_pkts, n_nx, first_qname)"""
   }
 
+  /** DHCP capture (see [[graft.pcap.PcapSynth.dhcpPackets]]). */
+  private def dhcpSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_dhcp.pcap")
+    graft.pcap.PcapSynth.ensureDhcpFile(p, 90)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_dhcp_servers: the legit server OFFERs
+    * and ACKs every client; the rogue OFFERs every 9th (arpPackets-
+    * style replay of the emission rules). */
+  private def dhcpServersOracle(n: Int): String = {
+    val rogues = (0 until n).count(_ % 9 == 0)
+    s"""SELECT CAST(v.server_id AS VARCHAR) AS server_id,
+        CAST(v.n_offers AS BIGINT) AS n_offers,
+        CAST(v.n_acks AS BIGINT) AS n_acks,
+        CAST(v.n_clients AS BIGINT) AS n_clients
+        FROM (VALUES ('10.95.0.1', $n, $n, $n),
+          ('10.95.66.66', $rogues, 0, $rogues))
+          AS v(server_id, n_offers, n_acks, n_clients)"""
+  }
+
   /** ARP capture (see [[graft.pcap.PcapSynth.arpPackets]]). */
   private def arpSynthPath: String = {
     val p = java.nio.file.Paths.get("/tmp/graft_synth_arp.pcap")
@@ -1305,6 +1326,31 @@ object PcapQueries {
     // every real v6 segment carries; the decoder's protocol-58 branch
     // feeds the same icmp_type/icmp_code columns as v4, so the triage
     // plan is identical (one scan, one bounded-key rollup).
+    // ----- DHCP server inventory / rogue detection (round 11) -------------
+    // The LAN-monitoring staple: parse RFC 2131 BOOTP + RFC 2132
+    // options from DHCP UDP payloads (bounds-safe option walk) and
+    // roll up per advertised server identity (option 54) — a second
+    // server OFFERing on the segment is the rogue-DHCP signal. One
+    // scan with a port-pruned filter, per-row narrow parse, ONE
+    // rollup on the tiny server-id key.
+    Q("pcap_dhcp_servers",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(dhcpSynthPath)
+          .filter($"protocol" === "UDP" && $"src_port" === 67 &&
+            $"payload".isNotNull)
+          .select($"payload").as[Array[Byte]]
+          .mapPartitions(_.flatMap(graft.pcap.Decap.dhcp))
+          .filter($"op" === 2 && $"serverId".isNotNull)
+          .groupBy($"serverId")
+          .agg(sum(when($"msgType" === 2, 1L).otherwise(0L))
+              .as("n_offers"),
+            sum(when($"msgType" === 5, 1L).otherwise(0L)).as("n_acks"),
+            countDistinct($"chaddr").as("n_clients"))
+          .withColumnRenamed("serverId", "server_id")
+      },
+      Some(dhcpServersOracle(90))),
+
     // ----- ARP address-conflict inspection (round 11) ---------------------
     // ARP is the one ubiquitous NON-IP protocol in every Ethernet
     // capture, and the reference decodes nothing below the IP layer;

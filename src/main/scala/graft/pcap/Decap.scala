@@ -149,6 +149,54 @@ object Decap extends Serializable {
     Some(ArpFields(oper, mac(o + 8), ip(o + 14), mac(o + 18), ip(o + 24)))
   }
 
+  /** Parsed DHCP message (RFC 2131/2132). `serverId` is empty when
+    * option 54 is absent; `msgType` from option 53 (required). */
+  final case class DhcpFields(op: Int, xid: Long, yiaddr: String,
+      chaddr: String, msgType: Int, serverId: Option[String])
+
+  /** Parse one UDP payload as DHCP (RFC 2131 fixed header + magic
+    * cookie + RFC 2132 options): walks the option TLVs bounds-safely
+    * (truncated/looping options yield what was parsed before the
+    * damage, a missing option 53 yields None — a BOOTP-only message
+    * is not DHCP). Never throws on garbage. */
+  def dhcp(payload: Array[Byte]): Option[DhcpFields] = {
+    if (payload == null || payload.length < 240) return None
+    if (payload(236) != 0x63 || (payload(237) & 0xFF) != 0x82 ||
+        payload(238) != 0x53 || payload(239) != 0x63) return None
+    val op = payload(0) & 0xFF
+    if (op != 1 && op != 2) return None
+    val xid = ((payload(4) & 0xFFL) << 24) | ((payload(5) & 0xFFL) << 16) |
+      ((payload(6) & 0xFFL) << 8) | (payload(7) & 0xFFL)
+    def ip(at: Int): String =
+      (0 until 4).map(k => payload(at + k) & 0xFF).mkString(".")
+    val hlen = math.min(payload(2) & 0xFF, 16)
+    val chaddr = (0 until math.max(hlen, 1))
+      .map(k => f"${payload(28 + k) & 0xFF}%02x").mkString(":")
+    var msgType = -1
+    var serverId: Option[String] = None
+    var o = 240
+    var done = false
+    while (!done && o < payload.length) {
+      val code = payload(o) & 0xFF
+      if (code == 255) done = true
+      else if (code == 0) o += 1 // PAD
+      else {
+        if (o + 1 >= payload.length) done = true
+        else {
+          val len = payload(o + 1) & 0xFF
+          if (o + 2 + len > payload.length) done = true
+          else {
+            if (code == 53 && len >= 1) msgType = payload(o + 2) & 0xFF
+            if (code == 54 && len == 4) serverId = Some(ip(o + 2))
+            o += 2 + len
+          }
+        }
+      }
+    }
+    if (msgType < 0) None
+    else Some(DhcpFields(op, xid, ip(16), chaddr, msgType, serverId))
+  }
+
   /** Decode the inner packet at `off` through the shared decoder;
     * Some only when L3 endpoints + L4 ports all decoded. */
   private def innerOf(payload: Array[Byte], off: Int, linkType: Int)

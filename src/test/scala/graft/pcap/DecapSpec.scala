@@ -129,6 +129,32 @@ class DecapSpec extends AnyFunSuite {
     val bad3 = fr.clone(); bad3(18) = 8; assert(Decap.arp(bad3).isEmpty)
   }
 
+  test("dhcp parser never throws; gates on cookie/op/option-53; " +
+      "recovers the fixture fields") {
+    val rnd = new scala.util.Random(780)
+    (0 until 5000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(b)
+      Decap.dhcp(b)
+    }
+    assert(Decap.dhcp(null).isEmpty)
+    // fixture: frame 1 is the server's OFFER to client 0
+    val offer = PcapSynth.dhcpPackets(1)(1)._3.drop(42)
+    (0 to offer.length).foreach(k => Decap.dhcp(offer.take(k)))
+    val f = Decap.dhcp(offer).getOrElse(fail("OFFER did not parse"))
+    assert(f.op == 2 && f.msgType == 2 && f.xid == 0xA000L)
+    assert(f.yiaddr == "10.95.0.0" && f.chaddr == "02:00:00:00:00:00")
+    assert(f.serverId.contains("10.95.0.1"))
+    // bad magic cookie / BOOTP-without-option-53 must refuse
+    val badMagic = offer.clone(); badMagic(236) = 0
+    assert(Decap.dhcp(badMagic).isEmpty)
+    val no53 = offer.clone(); no53(240) = 60 // overwrite option code
+    assert(Decap.dhcp(no53).isEmpty)
+    // a truncated option list yields what parsed before the damage
+    val cut = offer.dropRight(1) // remove END
+    assert(Decap.dhcp(cut).exists(_.msgType == 2))
+  }
+
   test("GRE optional-word layouts parse: no-key, and key+seq+checksum") {
     // hand-build a GRE header variant around fixture 0's inner packet
     val inner = grePayload(0).drop(8) // strip the fixture's K-flag header

@@ -1022,6 +1022,50 @@ if glob.glob(f"{out}/pcap_vxlan_decap/*.parquet"):
                ["vni", "n_pkts", "n_nx", "first_qname"]),
          sorted((v, n, nx, q) for v, (n, nx, q) in vstats.items()))
 
+# DHCP server inventory: independent RFC 2131/2132 parse from raw
+# bytes (fixed header + magic cookie + option walk; rollup on the
+# option-54 server identity over BOOTREPLYs).
+if glob.glob(f"{out}/pcap_dhcp_servers/*.parquet"):
+    dstats = {}
+    for _, _, fr in _frames("/tmp/graft_synth_dhcp.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 17
+        sp = struct.unpack_from(">H", fr, l4)[0]
+        if sp != 67:
+            continue
+        pl = fr[l4 + 8:]
+        assert pl[236:240] == b"\x63\x82\x53\x63"
+        op = pl[0]
+        assert op == 2
+        hlen = min(pl[2], 16)
+        cha = ":".join(f"{b:02x}" for b in pl[28:28 + hlen])
+        mt, sid, o = -1, None, 240
+        while o < len(pl):
+            c = pl[o]
+            if c == 255:
+                break
+            if c == 0:
+                o += 1
+                continue
+            ln = pl[o + 1]
+            if c == 53:
+                mt = pl[o + 2]
+            if c == 54 and ln == 4:
+                sid = ".".join(str(b) for b in pl[o + 2:o + 6])
+            o += 2 + ln
+        if sid is None:
+            continue
+        e = dstats.setdefault(sid, [0, 0, set()])
+        if mt == 2:
+            e[0] += 1
+        if mt == 5:
+            e[1] += 1
+        e[2].add(cha)
+    _cmp("pcap_dhcp_servers(redecode)",
+         _read("pcap_dhcp_servers",
+               ["server_id", "n_offers", "n_acks", "n_clients"]),
+         sorted((s_, o_, a, len(c)) for s_, (o_, a, c) in dstats.items()))
+
 # ARP conflict inspection: independent RFC 826 parse from raw frame
 # bytes (ethertype 0x0806; announcements = oper 2 grouped by claimed
 # IP).
