@@ -102,14 +102,19 @@ object Dedup {
         .as("shingle"))
   }
 
-  private val shinglesSql =
-    """sh AS (
+  /** The shingle CTE over an arbitrary (doc_id, text) source —
+    * the battery oracles consume it over `documents`, the streaming
+    * LSH screen's twin over a re-keyed delivery CTE. */
+  private def shinglesSqlOver(src: String, cte: String): String =
+    s"""$cte AS (
       SELECT DISTINCT doc_id,
         UNNEST([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                 FOR i IN generate_series(1, len(ws)-2)]) AS shingle
-      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
-            FROM documents)
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+            FROM $src)
       WHERE len(ws) >= 3)"""
+
+  private val shinglesSql = shinglesSqlOver("documents", "sh")
 
   /** PPJoin prefix tokens of any (doc_id, shingle) relation at
     * threshold t = 3/5: shingles ordered per document by ascending
@@ -559,6 +564,66 @@ object Dedup {
     (1302151L, 479909L), (1303241L, 611953L), (1304281L, 746773L),
     (1305407L, 882377L), (1306601L, 1020379L))
   private val nBands = 4
+
+  /** The (band, doc_id, x, y) band frame computed PER ROW — no
+    * explode, no groupBy: each m_i is `array_min` over the doc's own
+    * shingle array of exactly the permuted hash the signature
+    * aggregation MINs over, so the value set is identical and
+    * rowBands ≡ bandsOf(signaturesOf(shinglesOf(docs))) (DedupIndexSpec
+    * proves the equality). This is the shuffle-free form a STREAMING
+    * probe needs: the batch paths amortize one cached signature
+    * relation across many consumers; a stream computes each delivered
+    * doc's bands inline as a stateless projection. */
+  private[graft] def rowBands(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ms = perms.zipWithIndex.map { case ((a, b), i) =>
+      expr(s"""array_min(transform(sh, g ->
+        (cast(conv(substring(md5(cast(g AS binary)), 1, 8), 16, 10)
+           AS bigint) * ${a}L + ${b}L) % ${P}L))""").as(s"m$i")
+    }
+    val sig = docs
+      .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", expr(
+        """array_distinct(transform(sequence(0, size(ws)-3),
+             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))""").as("sh"))
+      .select(($"doc_id" +: ms): _*)
+    (0 until nBands).map { bi =>
+      sig.select(lit(bi).as("band"), $"doc_id",
+        col(s"m${2 * bi}").as("x"), col(s"m${2 * bi + 1}").as("y"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The groupBy band frame over arbitrary docs (test hook for the
+    * rowBands equivalence proof). */
+  private[graft] def groupByBands(docs: DataFrame): DataFrame =
+    bandsOf(signaturesOf(shinglesOf(docs)))
+
+  /** Oracle for the streaming LSH screen's batch twin
+    * (dedup_lsh_screen_stream_twin): base-split bucket minima probed
+    * by the re-keyed %-5 delivery's band frame — the whole chain
+    * re-derived from raw text. */
+  private[graft] lazy val lshScreenTwinSql: String = {
+    val minExprs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $P) AS m$i"
+    }.mkString(", ")
+    val bandSelects = (0 until nBands).map { bi =>
+      s"SELECT $bi AS band, doc_id, m${2 * bi} AS x, m${2 * bi + 1} AS y FROM psig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $sigCtesSql,
+    bidx AS (SELECT band, x, y, MIN(doc_id) AS bmin
+             FROM bands WHERE doc_id % 7 <> 0 GROUP BY 1, 2, 3),
+    pdocs AS (SELECT doc_id + 2000000 AS doc_id, text FROM documents
+              WHERE doc_id % 5 = 0),
+    ${shinglesSqlOver("pdocs", "psh")},
+    phv AS (SELECT doc_id,
+      CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h FROM psh),
+    psig AS (SELECT doc_id, $minExprs FROM phv GROUP BY doc_id),
+    pbands AS ($bandSelects)
+    SELECT p.doc_id, p.band, bidx.bmin
+    FROM pbands p JOIN bidx USING (band, x, y)"""
+  }
 
   /** Eval splits small enough to force-broadcast in the fuzzy
     * contamination joins. Each eval document contributes `nBands` band

@@ -69,4 +69,39 @@ object CorpusScreenStream {
     screenAgainstIndex(
       s.readStream.schema("doc_id LONG, text STRING").parquet(landingDir),
       graft.operators.Dedup.digestIndex(s, d))
+
+  // ----- the FUZZY streaming screen (near-dup, LSH bucket index) ----------
+  // The exact screen above catches byte-identical re-ingestion; the
+  // fuzzy screen catches near-dups of indexed content — the second
+  // gate of a continuous ingestion pipeline. Stream side: each
+  // delivered doc's MinHash band keys computed PER ROW
+  // (Dedup.rowBands — array_min over the doc's own shingle array, a
+  // pure projection: no explode, no groupBy, NO state), then a
+  // stream-static INNER join against the persisted (band,x,y) bucket
+  // summary (dedup_lsh_incremental's artifact; ≤ 1 row per key).
+  // Output is one row per HIT band — per-(doc,band) granularity keeps
+  // the stream stateless (a per-doc rollup would need a streaming
+  // aggregation; downstream consumers fold hits as they please).
+
+  /** The shared fuzzy-screen tail over any (doc_id, text) relation. */
+  private def lshScreenAgainstIndex(docs: DataFrame, idx: DataFrame)
+      : DataFrame =
+    graft.operators.Dedup.rowBands(docs)
+      .join(idx.select(col("band"), col("x"), col("y"), col("bmin")),
+        Seq("band", "x", "y"))
+      .select(col("doc_id"), col("band"), col("bmin"))
+
+  /** Batch twin of [[lshScreened]] over [[delivery]] — the
+    * DuckDB-oracled anchor (`dedup_lsh_screen_stream_twin`). */
+  def lshScreenTwin(s: SparkSession, d: String): DataFrame =
+    lshScreenAgainstIndex(delivery(s, d),
+      graft.operators.Dedup.lshBucketIndex(s, d))
+
+  /** The streaming fuzzy screen over a parquet landing dir: one row
+    * per (delivered doc, hit band), append mode, stateless. */
+  def lshScreened(s: SparkSession, d: String, landingDir: String)
+      : DataFrame =
+    lshScreenAgainstIndex(
+      s.readStream.schema("doc_id LONG, text STRING").parquet(landingDir),
+      graft.operators.Dedup.lshBucketIndex(s, d))
 }

@@ -205,5 +205,17 @@ object StreamingQueries {
           WHERE doc_id % 5 = 0)
         SELECT p.doc_id, bidx.dmin AS match_doc,
           CAST(COALESCE(bidx.dcnt, 0) AS BIGINT) AS n_copies
-        FROM probe p LEFT JOIN bidx ON md5(p.text) = bidx.h""")))
+        FROM probe p LEFT JOIN bidx ON md5(p.text) = bidx.h""")),
+
+    // ----- streaming FUZZY (near-dup) screen: batch twin ------------------
+    // The anchor for CorpusScreenStream.lshScreened — per-row MinHash
+    // bands (Dedup.rowBands, a stateless projection) inner-joined
+    // against the persisted LSH bucket summary; one row per hit band.
+    // The oracle re-derives the whole chain (shingles → signatures →
+    // bands → base-split bucket minima → re-keyed delivery probe)
+    // from raw text, so a hash match proves the per-row band
+    // formulation AND the artifact equal full recomputation.
+    Q("dedup_lsh_screen_stream_twin",
+      (s, d) => CorpusScreenStream.lshScreenTwin(s, d),
+      Some(graft.operators.Dedup.lshScreenTwinSql)))
 }

@@ -150,6 +150,21 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally dd.clearRelMemos()
   }
 
+  test("rowBands (per-row HOF signatures, zero shuffle) equals the " +
+      "groupBy band frame exactly") {
+    val docs = spark.read.parquet(sfTest + "/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val a = rows(dd.rowBands(docs))
+    val b = rows(dd.groupByBands(docs))
+    assert(a.nonEmpty && a == b,
+      "the per-row array_min formulation must produce the identical " +
+        "band frame (same min over the same shingle-hash set)")
+  }
+
+  private val sfTest = "/root/testdata/sf0.001"
+
   private def runExact(d: String): Set[(Long, Option[Long], Long)] =
     SparkEntry.queries("dedup_exact_incremental")(spark, d).collect()
       .map(r => (r.getLong(0),

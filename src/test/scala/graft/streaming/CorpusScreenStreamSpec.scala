@@ -94,6 +94,48 @@ class CorpusScreenStreamSpec extends AnyFunSuite {
     }
   }
 
+  private def lshTwinRows(): Set[(Long, Int, Long)] =
+    graft.SparkEntry.queries("dedup_lsh_screen_stream_twin")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("streamed FUZZY screen (per-row bands, stream-static vs the " +
+      "LSH bucket artifact) equals its batch twin across micro-batches") {
+    val land = Files.createTempDirectory("lsh_screen_land")
+    val art = Files.createTempDirectory("lsh_screen_art").toString
+    val prev = spark.conf.getOption("spark.graft.dedupidx.dir")
+    spark.conf.set("spark.graft.dedupidx.dir", art)
+    try {
+      dd.clearIdxMemos()
+      val twin = lshTwinRows() // builds + persists the bucket index
+      assert(twin.nonEmpty,
+        "re-keyed near-identical deliveries must hit index buckets")
+      val builds = dd.idxBuildsFor(sf)
+      landWaves(land, waves = 3, which = 0 until 3)
+      val query = CorpusScreenStream.lshScreened(spark, sf,
+          land.toString + "/wave*")
+        .writeStream.format("memory").queryName("lsh_screen1")
+        .option("checkpointLocation",
+          Files.createTempDirectory("lsh_screen_ckpt").toString)
+        .option("maxFilesPerTrigger", "1")
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      val got = spark.sql("SELECT * FROM lsh_screen1").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == twin,
+        "streamed (doc, band, bmin) rows must equal the batch twin")
+      assert(dd.idxBuildsFor(sf) == builds,
+        "the stream must ride the persisted bucket index")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.dedupidx.dir", v)
+        case None => spark.conf.unset("spark.graft.dedupidx.dir")
+      }
+      dd.clearIdxMemos()
+    }
+  }
+
   test("checkpoint restart: late-landing waves emit exactly once, " +
       "union equals the twin") {
     val land = Files.createTempDirectory("screen_land2")
