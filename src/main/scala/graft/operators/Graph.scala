@@ -349,6 +349,76 @@ object Graph {
           SELECT label AS community, count(*) AS csize
           FROM l$LpaIters GROUP BY 1
           ORDER BY csize DESC, community LIMIT 25"""
-      })
+      }),
+
+    // ----- triangle census + global clustering coefficient ----------------
+    // The third classic graph workload after PageRank/LPA: how
+    // clustered is the co-purchase graph (triangles, wedges, global
+    // transitivity 3T/W). The naive wedge join explodes by the SQUARE
+    // of hub degree — the textbook scale-killer on power-law graphs —
+    // so edges are oriented by DEGREE ORDER (Schank-Wagner node
+    // iterator: each undirected edge points from its lower-(deg,id)
+    // endpoint to the higher), which bounds every node's out-degree
+    // by ~sqrt(2m) and the wedge volume by Σ O(m·α): a hub's
+    // million-edge star contributes ZERO wedges from the hub itself
+    // (all its edges point IN). Each triangle is counted exactly once,
+    // at its minimum-order vertex. Reuses the persisted co-purchase
+    // artifact — cached, src-partitioned, build already paid by
+    // pagerank/LPA. All-integer counts; the one division is the final
+    // scalar. The oracle replays the identical orientation in DuckDB.
+    Q("pipeline_graph_triangles",
+      (s, d) => {
+        import s.implicits._
+        val e = coPurchaseEdges(s, d).select($"src", $"dst")
+        // undirected degree (e is symmetric, so src-degree = degree);
+        // order key packs (degree, id) into one BIGINT
+        val ord = e.groupBy($"src").agg(count(lit(1)).as("dg"))
+          .select($"src".as("node"),
+            ($"dg" * 4294967296L + $"src").as("ok"))
+        val eo = e.filter($"src" < $"dst")
+          .join(ord.select($"node".as("src"), $"ok".as("oks")), "src")
+          .join(ord.select($"node".as("dst"), $"ok".as("okd")), "dst")
+          .select(
+            when($"oks" < $"okd", $"src").otherwise($"dst").as("u"),
+            when($"oks" < $"okd", $"okd").otherwise($"oks").as("okv"),
+            when($"oks" < $"okd", $"dst").otherwise($"src").as("v"))
+        val tri = eo.as("e1")
+          .join(eo.as("e2"),
+            col("e1.u") === col("e2.u") && col("e1.okv") < col("e2.okv"))
+          .select(col("e1.v").as("u"), col("e2.v").as("v"))
+          .join(eo.select($"u", $"v"), Seq("u", "v"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val wedges = e.groupBy($"src").agg(count(lit(1)).as("dg"))
+          .agg(sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
+        tri.crossJoin(wedges)
+          .select($"n_triangles", $"n_wedges",
+            ($"n_triangles" * lit(3.0) / $"n_wedges").as("global_cc"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+               FROM lineitem),
+        e AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey <> b.l_partkey),
+        ord AS (SELECT src AS node,
+            COUNT(*) * 4294967296 + src AS ok FROM e GROUP BY src),
+        eo AS (
+          SELECT CASE WHEN os.ok < od.ok THEN e.src ELSE e.dst END AS u,
+            CASE WHEN os.ok < od.ok THEN od.ok ELSE os.ok END AS okv,
+            CASE WHEN os.ok < od.ok THEN e.dst ELSE e.src END AS v
+          FROM e
+          JOIN ord os ON os.node = e.src
+          JOIN ord od ON od.node = e.dst
+          WHERE e.src < e.dst),
+        tri AS (
+          SELECT COUNT(*) AS n_triangles
+          FROM eo e1
+          JOIN eo e2 ON e1.u = e2.u AND e1.okv < e2.okv
+          JOIN eo e3 ON e3.u = e1.v AND e3.v = e2.v),
+        wg AS (SELECT CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+               FROM (SELECT COUNT(*) AS dg FROM e GROUP BY src))
+        SELECT n_triangles, n_wedges,
+          CAST(n_triangles AS DOUBLE) * 3.0 / n_wedges AS global_cc
+        FROM tri CROSS JOIN wg"""))
   )
 }
