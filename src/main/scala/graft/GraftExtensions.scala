@@ -50,5 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "struct(sni, version, cipher_count, alpn); NULL if malformed"),
       (exprs: Seq[Expression]) =>
         functions.TlsClientHelloExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("tls_server_hello"),
+      info("tls_server_hello",
+        "tls_server_hello(bin) - parse a TLS ServerHello payload to a " +
+          "struct(version, cipher, alpn, fp); NULL if malformed"),
+      (exprs: Seq[Expression]) =>
+        functions.TlsServerHelloExpr(exprs.head)))
   }
 }

@@ -68,6 +68,142 @@ object TlsClientHelloExpr {
   }
 }
 
+/** Clean-room TLS ServerHello extraction (RFC 8446 §4.1.3) — the
+  * SERVER-side twin of [[TlsClientHelloExpr]]: which stack answered,
+  * what it selected. Output struct:
+  *
+  *   version STRING   "TLS1.3" when the supported_versions extension
+  *                    carries selected 0x0304 (in a ServerHello the
+  *                    extension body IS one 2-byte version, not a
+  *                    list), else the legacy version name
+  *   cipher INT       the single selected cipher suite
+  *   alpn STRING      the selected ALPN protocol (null if absent)
+  *   fp STRING        md5 hex of "legacy_version,cipher,ext-..." — the
+  *                    JA3S-style server-stack identifier (same
+  *                    canonical form as the client fingerprint with a
+  *                    one-element cipher list)
+  *
+  * NULL (never throws) for anything not a complete well-formed
+  * ServerHello prefix; every length bounds-checked (TcpFlagsTlsSpec
+  * fuzzes). Native expression with `doGenCode`, as the client twin. */
+case class TlsServerHelloExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TlsServerParse.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tls_server_hello expects BINARY, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TlsServerParse.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val row = ctx.freshName("tlsSrvRow")
+      s"""
+        org.apache.spark.sql.catalyst.InternalRow $row =
+          graft.functions.TlsServerParse.parse($c);
+        if ($row == null) { ${ev.isNull} = true; } else { ${ev.value} = $row; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TlsServerHelloExpr =
+    copy(child = newChild)
+  override def prettyName: String = "tls_server_hello"
+}
+
+object TlsServerHelloExpr {
+  def tls_server_hello(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(TlsServerHelloExpr(GraftSqlBridge.expression(c)))
+  }
+}
+
+object TlsServerParse {
+  val schema: StructType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("cipher", IntegerType),
+    StructField("alpn", StringType),
+    StructField("fp", StringType)))
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  @inline private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  /** Null on any malformation (same discipline as [[TlsParse.parse]]:
+    * the record/handshake/extension lengths must all agree exactly). */
+  def parse(b: Array[Byte]): InternalRow = {
+    try {
+      if (b.length < 9 || (b(0) & 0xFF) != 0x16 || b(1) != 3) return null
+      val end = 5 + u16(b, 3)
+      if (b.length < end) return null
+      if ((b(5) & 0xFF) != 0x02) return null   // handshake type 2
+      val hsLen = ((b(6) & 0xFF) << 16) | ((b(7) & 0xFF) << 8) | (b(8) & 0xFF)
+      if (9 + hsLen != end) return null
+      var p = 9
+      if (p + 35 > end) return null
+      val legacy = u16(b, p)
+      p += 34                                  // version + 32-byte random
+      val sidLen = b(p) & 0xFF
+      p += 1 + sidLen
+      if (p + 3 > end) return null
+      val cipher = u16(b, p)                   // ONE selected suite
+      p += 2
+      p += 1                                   // compression method
+      var alpn: String = null
+      var v13 = false
+      val extTypes = scala.collection.mutable.ArrayBuffer[Int]()
+      if (p + 2 <= end) {
+        val extEnd = p + 2 + u16(b, p)
+        if (extEnd != end) return null
+        p += 2
+        while (p + 4 <= extEnd) {
+          val extType = u16(b, p)
+          val extLen = u16(b, p + 2)
+          p += 4
+          val ee = p + extLen
+          if (ee > extEnd) return null
+          extTypes += extType
+          extType match {
+            case 16 =>                         // ALPN: the selected protocol
+              if (extLen >= 3) {
+                val alpnLen = b(p + 2) & 0xFF
+                if (p + 3 + alpnLen <= ee)
+                  alpn = new String(b, p + 3, alpnLen, Ascii)
+              }
+            case 43 =>                         // supported_versions: ONE version
+              if (extLen == 2 && u16(b, p) == 0x0304) v13 = true
+            case _ => ()
+          }
+          p = ee
+        }
+      }
+      val version =
+        if (v13) "TLS1.3"
+        else legacy match {
+          case 0x0304 => "TLS1.3"
+          case 0x0303 => "TLS1.2"
+          case 0x0302 => "TLS1.1"
+          case 0x0301 => "TLS1.0"
+          case 0x0300 => "SSL3"
+          case other => f"0x$other%04X"
+        }
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(version),
+        cipher,
+        if (alpn == null) null else UTF8String.fromString(alpn),
+        UTF8String.fromString(
+          TlsParse.fingerprint(legacy, Array(cipher), extTypes.toArray))))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+}
+
 object TlsParse {
   val schema: StructType = StructType(Seq(
     StructField("sni", StringType),

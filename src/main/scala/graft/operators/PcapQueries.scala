@@ -705,6 +705,39 @@ object PcapQueries {
         FROM (VALUES $rows) AS v(fp, n_clients, n_sni)"""
   }
 
+  /** ServerHello capture (see
+    * [[graft.pcap.PcapSynth.tlsServerPackets]]). */
+  private def tlsSrvSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_tlssrv.pcap")
+    graft.pcap.PcapSynth.ensureTlsServerFile(p, 40)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_tls_ja3s: per-flow ext list =
+    * renegotiation_info (65281) + ALPN when f%3 != 2 + supported_versions
+    * when odd, selected cipher 0x1301 + f%5 — grouped by the SHARED
+    * md5 canonicalizer over independently re-derived field lists (the
+    * tlsFingerprintOracle pattern). */
+  private def tlsJa3sOracle(n: Int): String = {
+    val groups = (0 until n).groupBy { f =>
+      val ext = Array(65281) ++
+        (if (f % 3 != 2) Array(16) else Array.empty[Int]) ++
+        (if (f % 2 == 1) Array(43) else Array.empty[Int])
+      graft.functions.TlsParse.fingerprint(0x0303,
+        Array(0x1301 + f % 5), ext)
+    }
+    val rows = groups.toSeq.sortBy(_._1).map { case (fp, fs) =>
+      val f0 = fs.head
+      val v = if (f0 % 2 == 1) "TLS1.3" else "TLS1.2"
+      s"('$fp', ${fs.size}, ${0x1301 + f0 % 5}, '$v')"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.fp AS VARCHAR) AS fp,
+        CAST(v.n_conns AS BIGINT) AS n_conns,
+        CAST(v.cipher AS INT) AS cipher,
+        CAST(v.version AS VARCHAR) AS version
+        FROM (VALUES $rows) AS v(fp, n_conns, cipher, version)"""
+  }
+
   private def icmpEchoRttOracle(n: Int): String = {
     val rows = (0 until n).map { f =>
       s"('10.12.0.$f', ${200 + 11 * f})"
@@ -1264,6 +1297,33 @@ object PcapQueries {
             countDistinct($"sni").as("n_sni"))
       },
       Some(tlsFingerprintOracle(40))),
+
+    // ----- JA3S-style server fingerprint (round 11) -----------------------
+    // The server-side twin of pcap_tls_fingerprint: which stack
+    // ANSWERED, what it selected — JA3S groups responses by
+    // md5(version, selected cipher, extension list). Same native-
+    // expression discipline (TlsServerHelloExpr, codegen'd, NULL on
+    // malformation — incl. the ServerHello-specific supported_versions
+    // form: one 2-byte selected version, not a list). One scan, one
+    // rollup on the tiny fingerprint key.
+    Q("pcap_tls_ja3s",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(tlsSrvSynthPath)
+          .filter($"src_port" === 443 &&
+            graft.pcap.TcpFlag.hasPsh($"tcp_flags") &&
+            graft.pcap.TcpFlag.hasAck($"tcp_flags"))
+          .select(graft.functions.TlsServerHelloExpr
+            .tls_server_hello($"payload").as("sh"))
+          .filter($"sh".isNotNull)
+          .select($"sh.fp".as("fp"), $"sh.cipher".as("cipher"),
+            $"sh.version".as("version"))
+          .groupBy($"fp")
+          .agg(count(lit(1)).as("n_conns"),
+            min($"cipher").as("cipher"),
+            min($"version").as("version"))
+      },
+      Some(tlsJa3sOracle(40))),
 
     // Batch twin of streaming.SynScanStream.scanAlerts (same windowed
     // distinct-port threshold semantics, exact batch countDistinct) —

@@ -138,14 +138,18 @@ class DedupIndexSpec extends AnyFunSuite {
       "consumers (no stacked plan-identical caches)") {
     val d = "/root/testdata/sf0.001"
     dd.clearRelMemos()
+    // build counters are cumulative across the suite run (another
+    // suite may already have built for this dataset) — assert DELTAS
+    val sh0 = dd.relBuildsFor("shingles", d)
+    val sig0 = dd.relBuildsFor("signatures", d)
     try {
       SparkEntry.queries("dedup_ngram_jaccard")(spark, d).count()
       SparkEntry.queries("dedup_ppjoin")(spark, d).count()
       SparkEntry.queries("dedup_minhash_lsh")(spark, d).count()
       SparkEntry.queries("dedup_minhash_lsh")(spark, d).count()
-      assert(dd.relBuildsFor("shingles", d) == 1,
+      assert(dd.relBuildsFor("shingles", d) == sh0 + 1,
         "all shingle consumers must share ONE cached relation")
-      assert(dd.relBuildsFor("signatures", d) == 1,
+      assert(dd.relBuildsFor("signatures", d) == sig0 + 1,
         "repeated minhash runs must ride the signature memo")
     } finally dd.clearRelMemos()
   }

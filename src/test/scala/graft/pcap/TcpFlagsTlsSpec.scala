@@ -2,7 +2,7 @@ package graft.pcap
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.TlsParse
+import graft.functions.{TlsParse, TlsServerParse}
 
 /** tcp_flags/tcp_ack decode (superset columns — the reference stops at
   * ports) and the clean-room TLS ClientHello parser. */
@@ -213,6 +213,47 @@ class TcpFlagsTlsSpec extends AnyFunSuite {
       assert(field(row, 4) == TlsParse.fingerprint(0x0303, ciphers, ext),
         s"flow $f fingerprint")
     }
+  }
+
+  // ----- TLS ServerHello parser (JA3S twin) -------------------------------
+
+  test("golden: synthetic server hellos parse to the generator's spec") {
+    for (f <- 0 until 40) {
+      val row = TlsServerParse.parse(PcapSynth.tlsServerHello(f))
+      assert(row != null, s"flow $f")
+      assert(field(row, 0) == (if (f % 2 == 1) "TLS1.3" else "TLS1.2"))
+      assert(row.getInt(1) == 0x1301 + f % 5)
+      val alpn = Seq("h2", "http/1.1", null)(f % 3)
+      assert(field(row, 2) == alpn)
+      // fingerprint re-derived from the generator spec, not the parser
+      val ext = Array(65281) ++
+        (if (f % 3 != 2) Array(16) else Array.empty[Int]) ++
+        (if (f % 2 == 1) Array(43) else Array.empty[Int])
+      assert(field(row, 3) ==
+        TlsParse.fingerprint(0x0303, Array(0x1301 + f % 5), ext),
+        s"flow $f ja3s")
+    }
+  }
+
+  test("server hello: truncations null, garbage never throws, " +
+      "client/server cross-parse rejects") {
+    val full = PcapSynth.tlsServerHello(7)
+    for (n <- 0 until full.length)
+      assert(TlsServerParse.parse(
+        java.util.Arrays.copyOf(full, n)) == null, s"$n")
+    assert(TlsServerParse.parse(full ++ Array[Byte](9)) != null)
+    val rnd = new scala.util.Random(20260814)
+    for (_ <- 0 until 3000) {
+      val b = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(b)
+      if (b.length > 6 && rnd.nextBoolean()) {
+        b(0) = 0x16; b(1) = 3; b(5) = 2
+      }
+      TlsServerParse.parse(b)
+    }
+    // handshake-type gate: a ClientHello is not a ServerHello & vice versa
+    assert(TlsServerParse.parse(PcapSynth.tlsClientHello(3)) == null)
+    assert(TlsParse.parse(PcapSynth.tlsServerHello(3)) == null)
   }
 
   test("every proper truncation of a valid hello returns null, never throws") {

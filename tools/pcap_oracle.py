@@ -1022,6 +1022,47 @@ if glob.glob(f"{out}/pcap_vxlan_decap/*.parquet"):
                ["vni", "n_pkts", "n_nx", "first_qname"]),
          sorted((v, n, nx, q) for v, (n, nx, q) in vstats.items()))
 
+# JA3S server fingerprint: independent ServerHello parse from raw
+# bytes (record/handshake framing, single selected cipher, extension
+# walk incl. the ServerHello supported_versions form) + an independent
+# md5 of the canonical "legacy,cipher,ext-..." string.
+if glob.glob(f"{out}/pcap_tls_ja3s/*.parquet"):
+    import hashlib
+    jstats = {}
+    for _, _, fr in _frames("/tmp/graft_synth_tlssrv.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        hdr = ((fr[l4 + 12] >> 4) & 0xF) * 4
+        b = fr[l4 + hdr:]
+        assert b[0] == 0x16 and b[5] == 0x02
+        end = 5 + struct.unpack_from(">H", b, 3)[0]
+        p_ = 9
+        legacy = struct.unpack_from(">H", b, p_)[0]
+        p_ += 34
+        p_ += 1 + b[p_]
+        cipher = struct.unpack_from(">H", b, p_)[0]
+        p_ += 3
+        exts, alpn, v13 = [], None, False
+        ee_all = p_ + 2 + struct.unpack_from(">H", b, p_)[0]
+        assert ee_all == end
+        p_ += 2
+        while p_ + 4 <= ee_all:
+            et = struct.unpack_from(">H", b, p_)[0]
+            el = struct.unpack_from(">H", b, p_ + 2)[0]
+            p_ += 4
+            exts.append(et)
+            if et == 43 and el == 2 and \
+               struct.unpack_from(">H", b, p_)[0] == 0x0304:
+                v13 = True
+            p_ += el
+        canon = f"{legacy},{cipher}," + "-".join(str(e) for e in exts)
+        fp = hashlib.md5(canon.encode()).hexdigest()
+        ver = "TLS1.3" if v13 else "TLS1.2"
+        e = jstats.setdefault(fp, [0, cipher, ver])
+        e[0] += 1
+    _cmp("pcap_tls_ja3s(redecode)",
+         _read("pcap_tls_ja3s", ["fp", "n_conns", "cipher", "version"]),
+         sorted((fp, n, c, v) for fp, (n, c, v) in jstats.items()))
+
 # DHCP server inventory: independent RFC 2131/2132 parse from raw
 # bytes (fixed header + magic cookie + option walk; rollup on the
 # option-54 server identity over BOOTREPLYs).
