@@ -284,6 +284,36 @@ object PcapQueries {
           AS v(server_id, n_offers, n_acks, n_clients)"""
   }
 
+  /** Constant oracle for pcap_dhcp_rogue_twin: replay the DORA
+    * emission loop's packet clock (t/40 seconds) to place every OFFER
+    * in its 2-second window; alert rows = windows with ≥ 2 distinct
+    * OFFERing servers. */
+  private def dhcpRogueOracle(n: Int): String = {
+    val offers = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var t = 0
+    for (i <- 0 until n) {
+      t += 1 // DISCOVER
+      offers += ((1701500000L + t / 40, "10.95.0.1")); t += 1
+      if (i % 9 == 0) {
+        offers += ((1701500000L + t / 40, "10.95.66.66")); t += 1
+      }
+      t += 2 // REQUEST + ACK
+    }
+    val rows = offers.groupBy(o => o._1 - o._1 % 2).toSeq
+      .map { case (w, os) =>
+        val ss = os.map(_._2).distinct.sorted
+        (w, ss.size, ss.head, ss.last)
+      }
+      .filter(_._2 >= 2).sortBy(_._1)
+      .map { case (w, k, a, b) => s"($w, $k, '$a', '$b')" }
+      .mkString(",\n        ")
+    s"""SELECT CAST(v.window_start_s AS BIGINT) AS window_start_s,
+        CAST(v.n_servers AS BIGINT) AS n_servers,
+        CAST(v.srv_a AS VARCHAR) AS srv_a,
+        CAST(v.srv_b AS VARCHAR) AS srv_b
+        FROM (VALUES $rows) AS v(window_start_s, n_servers, srv_a, srv_b)"""
+  }
+
   /** ARP capture (see [[graft.pcap.PcapSynth.arpPackets]]). */
   private def arpSynthPath: String = {
     val p = java.nio.file.Paths.get("/tmp/graft_synth_arp.pcap")
@@ -1410,6 +1440,35 @@ object PcapQueries {
           .withColumnRenamed("serverId", "server_id")
       },
       Some(dhcpServersOracle(90))),
+
+    // Batch twin of streaming.DhcpGuardStream.rogueAlerts (same
+    // windowed distinct-server threshold semantics, exact batch
+    // countDistinct) — the oracle row set the streaming spec also
+    // asserts against, the pcap_syn_portscan_twin pattern.
+    Q("pcap_dhcp_rogue_twin",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(dhcpSynthPath)
+          .filter($"protocol" === "UDP" && $"src_port" === 67 &&
+            $"payload".isNotNull)
+          .select($"time", $"payload")
+          .as[(java.sql.Timestamp, Array[Byte])]
+          .mapPartitions(_.flatMap { case (t, pl) =>
+            graft.pcap.Decap.dhcp(pl).collect {
+              case f if f.op == 2 && f.msgType == 2 &&
+                  f.serverId.isDefined => (t, f.serverId.get)
+            }
+          })
+          .toDF("time", "server_id")
+          .groupBy(window($"time", "2 seconds"))
+          .agg(countDistinct($"server_id").as("n_servers"),
+            min($"server_id").as("srv_a"),
+            max($"server_id").as("srv_b"))
+          .filter($"n_servers" >= 2)
+          .select(unix_timestamp($"window.start").as("window_start_s"),
+            $"n_servers", $"srv_a", $"srv_b")
+      },
+      Some(dhcpRogueOracle(90))),
 
     // ----- ARP address-conflict inspection (round 11) ---------------------
     // ARP is the one ubiquitous NON-IP protocol in every Ethernet

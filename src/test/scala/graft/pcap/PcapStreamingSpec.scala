@@ -258,6 +258,46 @@ class PcapStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming rogue-DHCP alerts match the batch twin's row set") {
+    val dir = Files.createTempDirectory("pcap_landing_dhcp")
+    Files.write(dir.resolve("dhcp.pcap"),
+      graft.pcap.PcapSynth.file(graft.pcap.PcapSynth.dhcpPackets(90)))
+
+    val alerts = graft.streaming.DhcpGuardStream.rogueAlerts(
+      spark.readStream.format("pcap").load(dir.toString),
+      watermark = "5 seconds", window = "2 seconds", minServers = 2)
+    val query = alerts.writeStream.format("memory")
+      .queryName("dhcp_alerts").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // flush: a lone later OFFER survives the filter/parse, advances
+      // the watermark past every fixture window, and cannot itself
+      // alert (one server in its own window)
+      Files.write(dir.resolve("flush.pcap"),
+        graft.pcap.PcapSynth.file(Seq((1701500400L, 0L,
+          graft.pcap.PcapSynth.ipv4UdpFrame(
+            Array[Byte](10, 95, 0, 1),
+            Array[Byte](255.toByte, 255.toByte, 255.toByte, 255.toByte),
+            67, 68, ttl = 64,
+            payload = graft.pcap.PcapSynth.dhcpPayload(2, 0xBEEFL,
+              Array[Byte](10, 95, 0, 99),
+              Array[Byte](0x02, 0, 0, 0, 0, 99), msgType = 2,
+              Some(Array[Byte](10, 95, 0, 1))))))))
+      query.processAllAvailable()
+
+      val got = spark.table("dhcp_alerts").collect()
+        .map(r => (r.getAs[Long]("window_start_s"),
+          r.getAs[Long]("n_servers"), r.getAs[String]("srv_a"),
+          r.getAs[String]("srv_b"))).toSet
+      // ground truth: the DuckDB-oracled batch twin over the same capture
+      val want = graft.SparkEntry.queries("pcap_dhcp_rogue_twin")(
+        spark, "unused").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3))).toSet
+      assert(want.nonEmpty && got == want, s"got $got want $want")
+    } finally query.stop()
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch over a backlog") {
     val dir = Files.createTempDirectory("pcap_landing_backlog")
     val fixture = java.nio.file.Paths.get(
