@@ -206,8 +206,15 @@ final class DeltaChain(
           case JArray(xs) =>
             val ds = xs.collect { case JString(x) => x }
             if (ds.isEmpty) None
-            else Some(s.read.parquet(
+            // the payload read is part of artifact VALIDATION (the
+            // sidecar-swallowing discipline): a listed dir a tmp
+            // cleaner removed — while the freshly-rewritten sidecar
+            // survived — must degrade to a rebuild, not throw out of
+            // every consumer forever (read.parquet resolves the
+            // schema eagerly, so a missing dir surfaces here)
+            else try Some(s.read.parquet(
               ds.map(x => aDir.resolve(x).toString): _*))
+            catch { case scala.util.control.NonFatal(_) => None }
           case _ => None
         }
       }

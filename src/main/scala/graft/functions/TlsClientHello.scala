@@ -181,7 +181,7 @@ object TlsServerParse {
           }
           p = ee
         }
-      }
+      } else if (p != end) return null         // stray trailing byte(s)
       val version =
         if (v13) "TLS1.3"
         else legacy match {
@@ -318,7 +318,7 @@ object TlsParse {
           }
           p = ee
         }
-      }
+      } else if (p != end) return null         // stray trailing byte(s)
       val version =
         if (v13) "TLS1.3"
         else legacy match {

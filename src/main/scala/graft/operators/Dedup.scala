@@ -346,7 +346,11 @@ object Dedup {
       },
       merge = mergeBuckets)
     val out = mergeBuckets(raw).cache()
-    idxMemo.put(d, out)
+    // two racing first callers both build: unpersist the replaced
+    // entry (the Similarity memo pattern) so the loser's cached
+    // relation doesn't stay pinned for process lifetime
+    Option(idxMemo.put(d, out)).foreach(prev =>
+      if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist())
     out
   }
 
@@ -448,7 +452,8 @@ object Dedup {
       },
       merge = mergeDigests)
     val out = mergeDigests(raw).cache()
-    digestMemo.put(d, out)
+    Option(digestMemo.put(d, out)).foreach(prev =>
+      if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist())
     out
   }
 

@@ -422,8 +422,15 @@ object Similarity {
       if (dataFiles <= codesFileBound(s)) cdir
       else {
         val c = s"codes-c${appends + 1}"
+        // the compacted dir must land WELL below the bound, or the
+        // amortization breaks: rewriting into numShufflePartitions
+        // files (32 here, 200 on vanilla Spark) exceeds the default
+        // bound of 24, so the very next append would re-trigger a full
+        // O(index) rewrite — compaction on EVERY delivery, plus one
+        // orphaned full-size superseded dir each time. A quarter of
+        // the bound leaves ~3/4 of the headroom for future appends.
         s.read.parquet(codesPath)
-          .repartition(s.sessionState.conf.numShufflePartitions)
+          .repartition(math.max(1, codesFileBound(s) / 4))
           .write.mode("overwrite").parquet(dir.resolve(c).toString)
         c
       }

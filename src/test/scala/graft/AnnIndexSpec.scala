@@ -224,6 +224,18 @@ class AnnIndexSpec extends AnyFunSuite {
         spark.read.parquet(idxDir.resolve("codes-c1").toString)
       assert(compacted.select("vec_id").distinct().count() ==
         baseRows + 50, "compacted dir must hold the full grown corpus")
+      // the compacted dir must land WELL below the file bound — a
+      // rewrite into numShufflePartitions files (> the bound) would
+      // re-trigger a full O(index) compaction on EVERY later append
+      // and orphan a full-size superseded dir each time
+      def dataFiles(p: java.nio.file.Path): Int = {
+        val st = Files.list(p)
+        try st.filter(_.getFileName.toString.endsWith(".parquet"))
+          .count().toInt
+        finally st.close()
+      }
+      assert(dataFiles(idxDir.resolve("codes-c1")) == 1,
+        "compaction output must honor the bound, not shuffle.partitions")
       // cold load resolves the swapped dir from the sidecar
       sim.clearMemos()
       assert(runIvfpq(d) == afterCompact,

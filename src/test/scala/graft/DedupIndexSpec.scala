@@ -223,6 +223,38 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a vanished payload dir under an intact sidecar degrades to a " +
+      "rebuild, never a permanent throw") {
+    val d = copyDataset()
+    val base = Files.createTempDirectory("digest_idx_gone").toString
+    val prev = spark.conf.getOption("spark.graft.digestidx.dir")
+    spark.conf.set("spark.graft.digestidx.dir", base)
+    try {
+      val first = runExact(d)
+      assert(dd.digestBuildsFor(d) == 1)
+      // a tmp cleaner removes the payload dir but the (recently
+      // rewritten) sidecar survives — the cold load must fall through
+      // to a full rebuild instead of throwing on every query forever
+      val payload = dd.digestDir(spark, d).resolve("digests")
+      import scala.jdk.CollectionConverters._
+      Files.walk(payload).iterator().asScala.toSeq.reverse
+        .foreach(Files.delete)
+      dd.clearDigestMemos()
+      assert(runExact(d) == first, "rebuild must restore the screen")
+      assert(dd.digestBuildsFor(d) == 2, "the vanished payload rebuilt")
+      // and the rebuilt artifact cold-loads again
+      dd.clearDigestMemos()
+      assert(runExact(d) == first)
+      assert(dd.digestBuildsFor(d) == 2)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.digestidx.dir", v)
+        case None => spark.conf.unset("spark.graft.digestidx.dir")
+      }
+      dd.clearDigestMemos()
+    }
+  }
+
   test("the delta chain compacts back to one payload dir past the " +
       "bound, still without rebuilding, still exact") {
     val d = copyDataset()

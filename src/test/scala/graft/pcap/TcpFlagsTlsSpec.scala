@@ -256,6 +256,33 @@ class TcpFlagsTlsSpec extends AnyFunSuite {
     assert(TlsParse.parse(PcapSynth.tlsServerHello(3)) == null)
   }
 
+  test("a stray trailing byte after compression methods rejects " +
+      "(both hellos); the clean extension-less form parses") {
+    // minimal extension-less ClientHello, optionally with one stray
+    // byte INSIDE self-consistent record/handshake lengths — the
+    // exact-length discipline must reject the stray form, not emit a
+    // fabricated no-extension fingerprint
+    def mini(stray: Boolean, server: Boolean): Array[Byte] = {
+      val body = scala.collection.mutable.ArrayBuffer[Byte]()
+      def h(i: Int): Unit = body += i.toByte
+      def h16(v: Int): Unit = { h(v >> 8); h(v & 0xFF) }
+      h16(0x0303); (0 until 32).foreach(_ => h(7)); h(0)
+      if (server) { h16(0x1301); h(0) }            // one cipher + comp
+      else { h16(2); h16(0x1301); h(1); h(0) }     // list + comp list
+      if (stray) h(0x55)
+      val hs = Array[Byte](if (server) 2 else 1, 0,
+        ((body.length >> 8) & 0xFF).toByte,
+        (body.length & 0xFF).toByte) ++ body
+      Array[Byte](0x16, 3, 3,
+        ((hs.length >> 8) & 0xFF).toByte,
+        (hs.length & 0xFF).toByte) ++ hs
+    }
+    assert(TlsParse.parse(mini(stray = false, server = false)) != null)
+    assert(TlsParse.parse(mini(stray = true, server = false)) == null)
+    assert(TlsServerParse.parse(mini(stray = false, server = true)) != null)
+    assert(TlsServerParse.parse(mini(stray = true, server = true)) == null)
+  }
+
   test("every proper truncation of a valid hello returns null, never throws") {
     val full = PcapSynth.tlsClientHello(7)
     for (n <- 0 until full.length) {
