@@ -314,6 +314,146 @@ object PcapQueries {
         FROM (VALUES $rows) AS v(window_start_s, n_servers, srv_a, srv_b)"""
   }
 
+  /** Beacon/noise capture (see [[graft.pcap.PcapSynth.beaconPackets]]). */
+  private def beaconSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_beacon.pcap")
+    graft.pcap.PcapSynth.ensureBeaconFile(p, 24, 18)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_beacon_candidates: replay the fixture's
+    * per-flow gap formulas (beacon period ± jitter; noise LCG) and the
+    * detector's integer CV rule — exactly the arithmetic the Spark
+    * plan runs, derived independently from the emission rules. */
+  private def beaconOracle(nB: Int, nN: Int): String = {
+    val flows = Seq.newBuilder[(String, String, Int, Seq[Long])]
+    for (c <- 0 until nB) {
+      val periodMs = (30L + (c % 5) * 10L) * 1000L
+      flows += ((s"10.80.${c >> 8}.${c & 255}", "203.0.113.7", 443,
+        (1 until 40).map(k =>
+          periodMs + ((c * 37 + k * 101) % 401) - 200)))
+    }
+    for (b <- 0 until nN) {
+      val nPkts = if (b % 5 == 4) 5 else 20
+      flows += ((s"10.81.${b >> 8}.${b & 255}", "203.0.113.9",
+        if (b % 2 == 0) 443 else 8080,
+        (1 until nPkts).map(k =>
+          1000L + (b * 2654435761L + k * 40503L) % 60000L)))
+    }
+    val rows = flows.result().filter(_._4.size >= 8)
+      .map { case (src, dst, dp, gaps) =>
+        val n = gaps.size.toLong
+        val s1 = gaps.sum
+        val s2 = gaps.map(g => g * g).sum
+        val cv2bp = (n * s2 - s1 * s1) * 10000L / (s1 * s1)
+        s"('$src', '$dst', $dp, ${n + 1}, ${s1 / n}, $cv2bp, " +
+          s"${cv2bp <= 100})"
+      }.mkString(",\n        ")
+    s"""SELECT CAST(v.src AS VARCHAR) AS src,
+        CAST(v.dst AS VARCHAR) AS dst,
+        CAST(v.dst_port AS INT) AS dst_port,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.period_ms AS BIGINT) AS period_ms,
+        CAST(v.cv2_bp AS BIGINT) AS cv2_bp,
+        CAST(v.is_beacon AS BOOLEAN) AS is_beacon
+        FROM (VALUES $rows)
+          AS v(src, dst, dst_port, n_pkts, period_ms, cv2_bp, is_beacon)"""
+  }
+
+  /** Passive-DNS capture (see
+    * [[graft.pcap.PcapSynth.passiveDnsPackets]]). */
+  private def passiveDnsSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_pdns.pcap")
+    graft.pcap.PcapSynth.ensurePassiveDnsFile(p, 400)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_passive_dns: replay the answer-emission
+    * formulas (A round-robin per name, CNAME every 4th) and the
+    * observation rollup. */
+  private def passiveDnsOracle(n: Int): String = {
+    val obs = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String, String), (Long, Long, Long)]
+    def add(k: (String, String, String), ts: Long): Unit =
+      obs(k) = obs.get(k) match {
+        case Some((c, f, l)) => (c + 1, math.min(f, ts), math.max(l, ts))
+        case None => (1L, ts, ts)
+      }
+    for (i <- 0 until n) {
+      val ts = 1703000000L + i
+      val name = s"app${i % 40}.svc.example.com."
+      add((name, "A", s"10.20.${i % 40}.${1 + i % 3}"), ts)
+      if (i % 4 == 0)
+        add((name, "CNAME", s"cdn${i % 5}.edge.example.net."), ts)
+    }
+    val rows = obs.toSeq.map { case ((nm, t, rd), (c, f, l)) =>
+      s"('$nm', '$t', '$rd', $c, $f, $l)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.rrname AS VARCHAR) AS rrname,
+        CAST(v.rrtype AS VARCHAR) AS rrtype,
+        CAST(v.rdata AS VARCHAR) AS rdata,
+        CAST(v.n_obs AS BIGINT) AS n_obs,
+        CAST(v.first_seen AS BIGINT) AS first_seen,
+        CAST(v.last_seen AS BIGINT) AS last_seen
+        FROM (VALUES $rows)
+          AS v(rrname, rrtype, rdata, n_obs, first_seen, last_seen)"""
+  }
+
+  /** Constant oracle for pcap_nod_twin: the first observation of
+    * qname `app{q}.svc.example.com` is response i = q. */
+  private def nodOracle(n: Int): String = {
+    val rows = (0 until math.min(40, n)).map { q =>
+      s"('app$q.svc.example.com.', ${1703000000L + q})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.rrname AS VARCHAR) AS rrname,
+        CAST(v.first_seen AS BIGINT) AS first_seen
+        FROM (VALUES $rows) AS v(rrname, first_seen)"""
+  }
+
+  /** SYN capture for OS fingerprinting (see
+    * [[graft.pcap.PcapSynth.osSynPackets]]). */
+  private def osSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_ossyn.pcap")
+    graft.pcap.PcapSynth.ensureOsSynFile(p, 260)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_os_fingerprint: replay the population
+    * signatures and hop formulas. */
+  private def osFingerprintOracle(n: Int): String = {
+    val acc = scala.collection.mutable.Map
+      .empty[(String, Int, Int), (Long, Set[String], Int)]
+    def add(k: (String, Int, Int), host: String, hops: Int): Unit = {
+      val (c, hs, mh) = acc.getOrElse(k, (0L, Set.empty[String], 0))
+      acc(k) = (c + 1, hs + host, math.max(mh, hops))
+    }
+    for (i <- 0 until n) {
+      val (os, initTtl, win, hops) = (i % 4) match {
+        case 0 => ("linux", 64, 29200, 1 + i % 5)
+        case 1 => ("windows", 128, 64240, 2 + i % 7)
+        case 2 => ("macos", 64, 65535, 1 + i % 3)
+        case _ => ("embedded", 255, 8192, 3 + i % 4)
+      }
+      add((os, initTtl, win), s"10.60.${i >> 8}.${i & 255}", hops)
+      if (i % 13 == 0)
+        add(("unknown", 255, 512), s"10.61.${i >> 8}.${i & 255}",
+          255 - (200 + i % 20))
+    }
+    val rows = acc.toSeq.sortBy(_._1)
+      .map { case ((os, t, w), (c, hs, mh)) =>
+        s"('$os', $t, $w, $c, ${hs.size}, $mh)"
+      }.mkString(",\n        ")
+    s"""SELECT CAST(v.os_guess AS VARCHAR) AS os_guess,
+        CAST(v.initial_ttl AS INT) AS initial_ttl,
+        CAST(v.tcp_window AS INT) AS tcp_window,
+        CAST(v.n_syn AS BIGINT) AS n_syn,
+        CAST(v.n_hosts AS BIGINT) AS n_hosts,
+        CAST(v.max_hops AS INT) AS max_hops
+        FROM (VALUES $rows)
+          AS v(os_guess, initial_ttl, tcp_window, n_syn, n_hosts,
+            max_hops)"""
+  }
+
   /** ARP capture (see [[graft.pcap.PcapSynth.arpPackets]]). */
   private def arpSynthPath: String = {
     val p = java.nio.file.Paths.get("/tmp/graft_synth_arp.pcap")
@@ -1469,6 +1609,125 @@ object PcapQueries {
             $"n_servers", $"srv_a", $"srv_b")
       },
       Some(dhcpRogueOracle(90))),
+
+    // ----- C2 beaconing detection (round 11) ------------------------------
+    // The periodicity analysis threat hunters run over flow records:
+    // an implant checking in on a timer produces inter-arrival gaps
+    // with an anomalously LOW coefficient of variation, while human
+    // traffic scatters. Integer-exact end to end: gaps in whole
+    // milliseconds via `div`, CV² in basis points as
+    // (n·Σg² − (Σg)²)·10000 div (Σg)² — no floating point, so the
+    // DuckDB oracle (an independent replay of the emission formulas)
+    // matches bit-for-bit. Scale shape: scan pruned to 4 columns, ONE
+    // shuffle on the high-cardinality flow key — the lag window and
+    // the aggregation share the (src, dst, dst_port) partitioning, so
+    // the rollup rides the window's exchange; flows with < 8 observed
+    // gaps are gated out (minimum-observation rule), keeping the
+    // output O(distinct long-lived flows).
+    Q("pcap_beacon_candidates",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"src", $"dst", $"dst_port")
+          .orderBy($"ts_micro")
+        s.read.format("pcap").load(beaconSynthPath)
+          .filter($"protocol" === "UDP")
+          .select($"src", $"dst", $"dst_port", $"ts_micro")
+          .withColumn("prev", lag($"ts_micro", 1).over(w))
+          .withColumn("gap_ms", expr("(ts_micro - prev) div 1000"))
+          .groupBy($"src", $"dst", $"dst_port")
+          .agg(count(lit(1)).as("n_pkts"),
+            count($"gap_ms").as("n_gaps"),
+            sum($"gap_ms").as("s1"),
+            sum($"gap_ms" * $"gap_ms").as("s2"))
+          .filter($"n_gaps" >= 8)
+          .withColumn("cv2_bp",
+            expr("((n_gaps * s2 - s1 * s1) * 10000) div (s1 * s1)"))
+          .select($"src", $"dst", $"dst_port", $"n_pkts",
+            expr("s1 div n_gaps").as("period_ms"), $"cv2_bp",
+            ($"cv2_bp" <= 100).as("is_beacon"))
+      },
+      Some(beaconOracle(24, 18))),
+
+    // ----- passive DNS (round 11) -----------------------------------------
+    // The investigator's staple database: every observed (owner name,
+    // type, rdata) mapping with observation count and first/last-seen
+    // timestamps — what teams pivot on for "which IPs has this name
+    // ever resolved to" / "which names pointed at this IP". Consumes
+    // the decoder's canonical RR strings (answer-section emission is
+    // projection-driven, so ONLY this column family pays the section
+    // parse), splits the presentation form with a bounded 5-way split
+    // (rdata keeps embedded spaces), and rolls up on the
+    // high-cardinality (rrname, rrtype, rdata) key: one scan, ONE
+    // shuffle, output O(distinct mappings).
+    Q("pcap_passive_dns",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").option("decoder", "dns")
+          .load(passiveDnsSynthPath)
+          .filter($"dns_qr" === true && $"dns_answer".isNotNull)
+          .select($"ts", explode($"dns_answer").as("rr"))
+          .withColumn("f", split($"rr", " ", 5))
+          .filter(element_at($"f", 3) === "IN")
+          .select(element_at($"f", 1).as("rrname"),
+            element_at($"f", 4).as("rrtype"),
+            element_at($"f", 5).as("rdata"), $"ts")
+          .groupBy($"rrname", $"rrtype", $"rdata")
+          .agg(count(lit(1)).as("n_obs"),
+            min($"ts").as("first_seen"),
+            max($"ts").as("last_seen"))
+      },
+      Some(passiveDnsOracle(400))),
+
+    // Batch twin of streaming.NodStream.alerts — the newly-observed-
+    // domain feed (the threat-intel staple: alert the FIRST time any
+    // domain is ever seen on the wire). Batch semantics: global
+    // min(ts) per observed name — one rollup on the high-cardinality
+    // name key. The streaming form must agree for any admission order
+    // the watermark admits (PcapStreamingSpec).
+    Q("pcap_nod_twin",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").option("decoder", "dns")
+          .load(passiveDnsSynthPath)
+          .filter($"dns_qr" === true && $"dns_qname".isNotNull)
+          .groupBy($"dns_qname".as("rrname"))
+          .agg(min($"ts").as("first_seen"))
+      },
+      Some(nodOracle(400))),
+
+    // ----- passive OS fingerprinting (round 11) ---------------------------
+    // p0f-style inference from SYN metadata alone: the observed TTL
+    // rounds up to the OS's initial TTL (32/64/128/255 — TTL only
+    // decrements in flight), and the (initial TTL, SYN window size)
+    // pair is the classic signature key. Scan-level SYN filter, pure
+    // per-row projection, ONE rollup on a tiny bounded key space;
+    // max_hops = max(initial_ttl − ttl) bounds the observed path
+    // depth per signature.
+    Q("pcap_os_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(osSynthPath)
+          .filter($"protocol" === "TCP" && $"tcp_flags" === "SYN")
+          .withColumn("initial_ttl",
+            when($"ttl" <= 32, 32).when($"ttl" <= 64, 64)
+              .when($"ttl" <= 128, 128).otherwise(255))
+          .withColumn("os_guess",
+            when($"initial_ttl" === 64 && $"tcp_window" === 29200,
+              "linux")
+            .when($"initial_ttl" === 128 && $"tcp_window" === 64240,
+              "windows")
+            .when($"initial_ttl" === 64 && $"tcp_window" === 65535,
+              "macos")
+            .when($"initial_ttl" === 255 && $"tcp_window" === 8192,
+              "embedded")
+            .otherwise("unknown"))
+          .groupBy($"os_guess", $"initial_ttl", $"tcp_window")
+          .agg(count(lit(1)).as("n_syn"),
+            countDistinct($"src").as("n_hosts"),
+            max($"initial_ttl" - $"ttl").as("max_hops"))
+      },
+      Some(osFingerprintOracle(260))),
 
     // ----- ARP address-conflict inspection (round 11) ---------------------
     // ARP is the one ubiquitous NON-IP protocol in every Ethernet

@@ -345,4 +345,139 @@ class PcapStreamingSpec extends AnyFunSuite {
         s"per-batch rows: ${batches.mkString(",")}")
     } finally query.stop()
   }
+
+  private def beaconRows(
+      df: org.apache.spark.sql.DataFrame): Set[(String, String, Int,
+      Long, Long, Long, Boolean)] =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+
+  private def runBeaconStream(name: String, watermark: String,
+      land: (java.nio.file.Path, () => Unit) => Unit)
+      : Set[(String, String, Int, Long, Long, Long, Boolean)] = {
+    val dir = Files.createTempDirectory(s"pcap_landing_$name")
+    val alerts = graft.streaming.BeaconStream.candidates(
+      spark.readStream.format("pcap").load(dir.toString),
+      watermark = watermark, idleSeconds = 60, minGaps = 8)
+    val query = alerts.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      land(dir, () => query.processAllAvailable())
+      query.processAllAvailable()
+      // flush: one lone UDP packet far past every fixture flow's idle
+      // horizon — its own 1-packet flow can never reach minGaps
+      Files.write(dir.resolve("zz_flush.pcap"),
+        graft.pcap.PcapSynth.file(Seq((1702010000L, 0L,
+          graft.pcap.PcapSynth.ipv4UdpFrame(
+            Array[Byte](10, 99, 0, 1),
+            Array[Byte](203.toByte, 0, 113, 7),
+            40999, 443, ttl = 64, payload = new Array[Byte](8))))))
+      query.processAllAvailable()
+      beaconRows(spark.table(name))
+    } finally query.stop()
+  }
+
+  private def runNodStream(name: String, watermark: String,
+      land: (java.nio.file.Path, () => Unit) => Unit)
+      : Set[(String, Long)] = {
+    val dir = Files.createTempDirectory(s"pcap_landing_$name")
+    val alerts = graft.streaming.NodStream.alerts(
+      spark.readStream.format("pcap").option("decoder", "dns")
+        .load(dir.toString),
+      watermark = watermark, idleSeconds = 60)
+    val query = alerts.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      land(dir, () => query.processAllAvailable())
+      query.processAllAvailable()
+      def obs(file: String, ts: Long, qname: String): Unit = {
+        Files.write(dir.resolve(file),
+          graft.pcap.PcapSynth.file(Seq((ts, 0L,
+            graft.pcap.PcapSynth.ipv4UdpFrame(
+              Array[Byte](1, 0, 0, 1), Array[Byte](10, 7, 9, 9),
+              53, 55555, ttl = 58,
+              payload = graft.pcap.PcapSynth.dnsResponseAnswers(0x7777,
+                qname, Seq((1, Array[Byte](10, 20, 0, 1)))))))))
+        query.processAllAvailable()
+      }
+      // flush 1: a RE-observation of app0 far past the idle horizon —
+      // advances the watermark (closing every other name) and
+      // legitimately keeps app0 ACTIVE (quiescence moves out with it)
+      obs("y_flush1.pcap", 1703002000L, "app0.svc.example.com")
+      // flush 2: a brand-new name even later — its watermark advance
+      // closes app0, which must alert ONCE with the original event-time
+      // min (the re-observation neither re-alerts nor shifts first_seen);
+      // the new name itself stays pending (nothing later closes it)
+      obs("z_flush2.pcap", 1703003000L, "zz.new.example.com")
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    } finally query.stop()
+  }
+
+  test("streaming NOD feed matches the oracled batch twin and a " +
+      "re-observation does not re-alert") {
+    val got = runNodStream("nod_alerts", "5 seconds", { (dir, _) =>
+      Files.write(dir.resolve("pdns.pcap"), graft.pcap.PcapSynth.file(
+        graft.pcap.PcapSynth.passiveDnsPackets(400)))
+    })
+    val want = graft.SparkEntry.queries("pcap_nod_twin")(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(want.size == 40 && got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("NOD first_seen is the event-time min even when the late half " +
+      "of the capture is admitted first") {
+    val pkts = graft.pcap.PcapSynth.passiveDnsPackets(400)
+    val (early, late) = pkts.partition(_._1 < 1703000200L)
+    assert(early.nonEmpty && late.nonEmpty)
+    val got = runNodStream("nod_alerts_ooo", "600 seconds",
+      { (dir, drain) =>
+        Files.write(dir.resolve("a_late.pcap"),
+          graft.pcap.PcapSynth.file(late))
+        drain() // the late half commits in its own micro-batch first
+        Files.write(dir.resolve("b_early.pcap"),
+          graft.pcap.PcapSynth.file(early))
+      })
+    val want = graft.SparkEntry.queries("pcap_nod_twin")(spark, "unused")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("streaming beacon detector matches the oracled batch twin") {
+    val got = runBeaconStream("beacon_alerts", "5 seconds",
+      { (dir, _) =>
+        Files.write(dir.resolve("beacon.pcap"), graft.pcap.PcapSynth
+          .file(graft.pcap.PcapSynth.beaconPackets(24, 18)))
+      })
+    val want = beaconRows(graft.SparkEntry.queries(
+      "pcap_beacon_candidates")(spark, "unused"))
+    assert(want.nonEmpty && got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("beacon twin equality survives out-of-event-time-order file " +
+      "admission (late half landed first)") {
+    val pkts = graft.pcap.PcapSynth.beaconPackets(24, 18)
+    val cut = 1702000000L + 1300L // mid-capture event-time split
+    val (early, late) = pkts.partition(_._1 < cut)
+    assert(early.nonEmpty && late.nonEmpty)
+    // watermark must cover the admission disorder (full reversal of a
+    // ~2,740 s capture) — the documented lateness contract
+    val got = runBeaconStream("beacon_alerts_ooo", "3000 seconds",
+      { (dir, drain) =>
+        Files.write(dir.resolve("a_late.pcap"),
+          graft.pcap.PcapSynth.file(late))
+        drain() // separate micro-batches: the late half commits first
+        Files.write(dir.resolve("b_early.pcap"),
+          graft.pcap.PcapSynth.file(early))
+      })
+    val want = beaconRows(graft.SparkEntry.queries(
+      "pcap_beacon_candidates")(spark, "unused"))
+    assert(want.nonEmpty && got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
 }

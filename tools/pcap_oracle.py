@@ -1229,5 +1229,109 @@ if glob.glob(f"{out}/pcap_gre_decap/*.parquet"):
          _read("pcap_gre_decap", ["key", "n_pkts", "n_nx", "first_qname"]),
          sorted((k, n, nx, q) for k, (n, nx, q) in gstats.items()))
 
+# Beaconing detection: byte-level re-decode of the beacon capture,
+# per-flow gap sweep + the same integer CV²-in-basis-points rule.
+if glob.glob(f"{out}/pcap_beacon_candidates/*.parquet"):
+    btimes = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_beacon.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 17
+        sp, dp = struct.unpack_from(">HH", fr, l4)
+        btimes.setdefault((src, dst, dp), []).append(ts * 1_000_000 + us)
+    bexp = []
+    for (src, dst, dp), tt in btimes.items():
+        tt.sort()
+        gaps = [(b - a) // 1000 for a, b in zip(tt, tt[1:])]
+        n = len(gaps)
+        if n < 8:
+            continue
+        s1, s2 = sum(gaps), sum(g * g for g in gaps)
+        cv2 = (n * s2 - s1 * s1) * 10000 // (s1 * s1)
+        bexp.append((src, dst, dp, n + 1, s1 // n, cv2, cv2 <= 100))
+    _cmp("pcap_beacon_candidates(redecode)",
+         _read("pcap_beacon_candidates",
+               ["src", "dst", "dst_port", "n_pkts", "period_ms",
+                "cv2_bp", "is_beacon"]),
+         sorted(bexp))
+
+# Passive DNS: byte-level walk of the answer section (incl. compression
+# pointers) -> (rrname, rrtype, rdata) observation rollup.
+def _dns_name_at(d, off):
+    parts = []
+    while True:
+        ln = d[off]
+        if ln == 0:
+            off += 1
+            break
+        if ln & 0xC0 == 0xC0:
+            ptr = ((ln & 0x3F) << 8) | d[off + 1]
+            off += 2
+            sub, _ = _dns_name_at(d, ptr)
+            parts.append(sub.rstrip("."))
+            return ".".join(parts) + ".", off
+        parts.append(d[off + 1:off + 1 + ln].decode("ascii"))
+        off += 1 + ln
+    return ".".join(parts) + ".", off
+
+if glob.glob(f"{out}/pcap_passive_dns/*.parquet"):
+    TYPES = {1: "A", 5: "CNAME", 28: "AAAA"}
+    pdns = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_pdns.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 17
+        dns = fr[l4 + 8:]
+        qd, an = struct.unpack_from(">HH", dns, 4)
+        off = 12
+        for _ in range(qd):
+            _, off = _dns_name_at(dns, off)
+            off += 4
+        for _ in range(an):
+            nm, off = _dns_name_at(dns, off)
+            t, cls, rttl, rdlen = struct.unpack_from(">HHIH", dns, off)
+            off += 10
+            rd = dns[off:off + rdlen]
+            off += rdlen
+            if t == 1:
+                rds = ".".join(str(b) for b in rd)
+            else:
+                rds, _ = _dns_name_at(dns, off - rdlen)
+            e = pdns.setdefault((nm, TYPES[t], rds), [0, ts, ts])
+            e[0] += 1
+            e[1] = min(e[1], ts)
+            e[2] = max(e[2], ts)
+    _cmp("pcap_passive_dns(redecode)",
+         _read("pcap_passive_dns",
+               ["rrname", "rrtype", "rdata", "n_obs", "first_seen",
+                "last_seen"]),
+         sorted((nm, t, rd, c, f, l)
+                for (nm, t, rd), (c, f, l) in pdns.items()))
+
+# Passive OS fingerprinting: SYN-only sweep, initial-TTL rounding +
+# (initial_ttl, window) signature table.
+if glob.glob(f"{out}/pcap_os_fingerprint/*.parquet"):
+    SIGS = {(64, 29200): "linux", (128, 64240): "windows",
+            (64, 65535): "macos", (255, 8192): "embedded"}
+    osacc = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_ossyn.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 6
+        if _flags(fr, l4) != "SYN":
+            continue
+        ttl = fr[14 + 8]
+        win = struct.unpack_from(">H", fr, l4 + 14)[0]
+        init = 32 if ttl <= 32 else 64 if ttl <= 64 else \
+            128 if ttl <= 128 else 255
+        os_guess = SIGS.get((init, win), "unknown")
+        e = osacc.setdefault((os_guess, init, win), [0, set(), 0])
+        e[0] += 1
+        e[1].add(src)
+        e[2] = max(e[2], init - ttl)
+    _cmp("pcap_os_fingerprint(redecode)",
+         _read("pcap_os_fingerprint",
+               ["os_guess", "initial_ttl", "tcp_window", "n_syn",
+                "n_hosts", "max_hops"]),
+         sorted((g, t, w, c, len(hs), mh)
+                for (g, t, w), (c, hs, mh) in osacc.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
