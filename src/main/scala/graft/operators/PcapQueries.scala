@@ -454,6 +454,324 @@ object PcapQueries {
             max_hops)"""
   }
 
+  /** SSH capture (see [[graft.pcap.PcapSynth.sshPackets]]). */
+  private def sshSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_ssh.pcap")
+    graft.pcap.PcapSynth.ensureSshFile(p, 200)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_ssh_inventory: replay the population
+    * rotation — server 192.0.2.(21+p) emits banner p for every
+    * i ≡ p (mod 4), each session from a distinct client. */
+  private def sshInventoryOracle(n: Int): String = {
+    val rows = (0 until 4).map { p =>
+      val count = (0 until n).count(_ % 4 == p)
+      val banner = graft.pcap.PcapSynth.sshBanner(p)
+      s"('192.0.2.${21 + p}', '$banner', $count, $count, " +
+        s"${!banner.startsWith("SSH-2.0")})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.server AS VARCHAR) AS server,
+        CAST(v.banner AS VARCHAR) AS banner,
+        CAST(v.n_banners AS BIGINT) AS n_banners,
+        CAST(v.n_clients AS BIGINT) AS n_clients,
+        CAST(v.is_legacy AS BOOLEAN) AS is_legacy
+        FROM (VALUES $rows)
+          AS v(server, banner, n_banners, n_clients, is_legacy)"""
+  }
+
+  /** NTP capture (see [[graft.pcap.PcapSynth.ntpPackets]]). */
+  private def ntpSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_ntp.pcap")
+    graft.pcap.PcapSynth.ensureNtpFile(p, 140)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_ntp_amplification: replay the benign
+    * poll pairs (48 B each way per client) and the monlist exchanges
+    * (all i ≡ 0 (mod 7) collapse onto ONE (reflector, victim) pair:
+    * 8 B request + 4 × 440 B responses each). */
+  private def ntpAmplificationOracle(n: Int): String = {
+    val rows = Seq.newBuilder[String]
+    for (i <- 0 until n) {
+      val client = s"10.95.${i >> 8}.${i & 255}"
+      rows += s"('198.51.100.5', '$client', 1, 1, 48, 48, 0, 10, false)"
+    }
+    val nAmp = (0 until n).count(_ % 7 == 0)
+    val reqB = nAmp * 8L
+    val respB = nAmp * 4L * 440L
+    rows += s"('198.51.100.9', '203.0.113.66', $nAmp, ${nAmp * 4}, " +
+      s"$reqB, $respB, ${nAmp * 5}, ${respB * 10 / reqB}, true)"
+    s"""SELECT CAST(v.server AS VARCHAR) AS server,
+        CAST(v.client AS VARCHAR) AS client,
+        CAST(v.req_pkts AS BIGINT) AS req_pkts,
+        CAST(v.resp_pkts AS BIGINT) AS resp_pkts,
+        CAST(v.req_bytes AS BIGINT) AS req_bytes,
+        CAST(v.resp_bytes AS BIGINT) AS resp_bytes,
+        CAST(v.n_mode7 AS BIGINT) AS n_mode7,
+        CAST(v.amp_x10 AS BIGINT) AS amp_x10,
+        CAST(v.amplified AS BOOLEAN) AS amplified
+        FROM (VALUES ${rows.result().mkString(",\n        ")})
+          AS v(server, client, req_pkts, resp_pkts, req_bytes,
+            resp_bytes, n_mode7, amp_x10, amplified)"""
+  }
+
+  /** capinfos multi-file capture dir (see
+    * [[graft.pcap.PcapSynth.capinfoPackets]]). */
+  private def capinfoSynthDir: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_capdir")
+    graft.pcap.PcapSynth.ensureCapinfoDir(p, 3)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_capinfos: file f = 40+10f packets one
+    * second apart from 1707000000+100f, frame size 58+8f each. */
+  private def capinfosOracle(nFiles: Int): String = {
+    val rows = (0 until nFiles).map { f =>
+      val n = 40 + 10 * f
+      val sz = 58 + 8 * f
+      val first = (1707000000L + 100L * f) * 1000000L
+      val last = first + (n - 1) * 1000000L
+      val bytes = n.toLong * sz
+      s"('cap0$f.pcap', $n, $first, $last, $bytes, ${n - 1}, " +
+        s"${bytes * 1000000L / (last - first)})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.file_name AS VARCHAR) AS file_name,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.first_ts AS BIGINT) AS first_ts,
+        CAST(v.last_ts AS BIGINT) AS last_ts,
+        CAST(v.total_bytes AS BIGINT) AS total_bytes,
+        CAST(v.duration_s AS BIGINT) AS duration_s,
+        CAST(v.rate_bps AS BIGINT) AS rate_bps
+        FROM (VALUES $rows)
+          AS v(file_name, n_pkts, first_ts, last_ts, total_bytes,
+            duration_s, rate_bps)"""
+  }
+
+  /** Typosquat DNS-query capture (see
+    * [[graft.pcap.PcapSynth.typoDnsPackets]]). */
+  private def typoDnsSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_typodns.pcap")
+    graft.pcap.PcapSynth.ensureTypoDnsFile(p, 300)
+    p.toString
+  }
+
+  /** Classic DP edit distance — the oracle's OWN implementation, so
+    * the constant table never depends on Spark's `levenshtein`. */
+  private def editDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Constant oracle for pcap_dns_typosquat: replay the query-rotation
+    * formulas, dedupe to per-domain observation counts, and re-run the
+    * detector's match rule (dist ≤ 2, not exact) with the independent
+    * DP distance. */
+  private def typosquatOracle(n: Int): String = {
+    val obs = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Set[String])]
+    for (i <- 0 until n) {
+      val qname = (i % 3) match {
+        case 0 => graft.pcap.PcapSynth.popularDomains(
+          i % graft.pcap.PcapSynth.popularDomains.size)
+        case 1 => graft.pcap.PcapSynth.typoDomains(
+          (i / 3) % graft.pcap.PcapSynth.typoDomains.size)._1
+        case _ => s"svc${i % 10}.example.org"
+      }
+      val client = s"10.96.${i >> 8}.${i & 255}"
+      val (c, cs) = obs.getOrElse(qname, (0L, Set.empty[String]))
+      obs(qname) = (c + 1, cs + client)
+    }
+    val rows = obs.toSeq.flatMap { case (domain, (c, cs)) =>
+      graft.pcap.PcapSynth.popularDomains.collect {
+        case p if domain != p && editDist(domain, p) <= 2 =>
+          s"('$domain', '$p', ${editDist(domain, p)}, $c, ${cs.size})"
+      }
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.domain AS VARCHAR) AS domain,
+        CAST(v.popular AS VARCHAR) AS popular,
+        CAST(v.edit_dist AS INT) AS edit_dist,
+        CAST(v.n_queries AS BIGINT) AS n_queries,
+        CAST(v.n_clients AS BIGINT) AS n_clients
+        FROM (VALUES $rows)
+          AS v(domain, popular, edit_dist, n_queries, n_clients)"""
+  }
+
+  /** TCP connection-mix capture (see
+    * [[graft.pcap.PcapSynth.connCensusPackets]]). */
+  private def connCensusSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_conncensus.pcap")
+    graft.pcap.PcapSynth.ensureConnCensusFile(p, 200)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_tcp_conn_census: replay the i % 5 state
+    * rotation; every frame is 54 B (eth+ip+tcp) + payload. */
+  private def connCensusOracle(n: Int): String = {
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), (Long, Long, Long)]
+    for (i <- 0 until n) {
+      val server = s"192.0.2.${40 + i % 4}"
+      val (state, payloads) = (i % 5) match {
+        case 0 => ("attempt", Seq(0, 0, 0))
+        case 1 => ("refused", Seq(0, 0))
+        case 2 => ("closed", Seq(0, 0, 0, 100, 200, 0, 0, 0))
+        case 3 => ("reset", Seq(0, 0, 0, 100, 0))
+        case _ => ("open", Seq(0, 0, 0, 100, 200, 100, 200))
+      }
+      val (c, p, b) = acc.getOrElse((server, state), (0L, 0L, 0L))
+      acc((server, state)) =
+        (c + 1, p + payloads.size, b + payloads.map(54L + _).sum)
+    }
+    val rows = acc.toSeq.map { case ((sv, st), (c, p, b)) =>
+      s"('$sv', '$st', $c, $p, $b)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.server AS VARCHAR) AS server,
+        CAST(v.state AS VARCHAR) AS state,
+        CAST(v.n_conns AS BIGINT) AS n_conns,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.n_bytes AS BIGINT) AS n_bytes
+        FROM (VALUES $rows)
+          AS v(server, state, n_conns, n_pkts, n_bytes)"""
+  }
+
+  /** Bursty-UDP capture (see
+    * [[graft.pcap.PcapSynth.flowExportPackets]]). */
+  private def flowExportSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_flowexport.pcap")
+    graft.pcap.PcapSynth.ensureFlowExportFile(p, 60)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_flow_export: replay the burst formulas —
+    * each of the 3 bursts per tuple is its own flow record (bursts sit
+    * 120 s apart, beyond the 60 s idle timeout; intra-burst spacing is
+    * 1 s). UDP frame = 42 B + payload. */
+  private def flowExportOracle(n: Int): String = {
+    val rows = (for (i <- 0 until n; b <- 0 until 3) yield {
+      val npk = 1 + (i + b) % 3
+      val first = (1710000000L + i * 7L + b * 120L) * 1000000L +
+        (i % 1000) * 41L
+      val fsz = 42L + 20 + (i % 5) * 10
+      s"('10.99.${i >> 8}.${i & 255}', '192.0.2.${50 + i % 3}', " +
+        s"${50000 + i}, 514, ${b + 1}, $first, " +
+        s"${first + (npk - 1) * 1000000L}, $npk, ${npk * fsz})"
+    }).mkString(",\n        ")
+    s"""SELECT CAST(v.src AS VARCHAR) AS src,
+        CAST(v.dst AS VARCHAR) AS dst,
+        CAST(v.src_port AS INT) AS src_port,
+        CAST(v.dst_port AS INT) AS dst_port,
+        CAST(v.flow_seq AS BIGINT) AS flow_seq,
+        CAST(v.first_ts AS BIGINT) AS first_ts,
+        CAST(v.last_ts AS BIGINT) AS last_ts,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.n_bytes AS BIGINT) AS n_bytes
+        FROM (VALUES $rows)
+          AS v(src, dst, src_port, dst_port, flow_seq, first_ts,
+            last_ts, n_pkts, n_bytes)"""
+  }
+
+  /** Fast-flux resolver-response capture (see
+    * [[graft.pcap.PcapSynth.fastfluxPackets]]). */
+  private def fastfluxSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_fastflux.pcap")
+    graft.pcap.PcapSynth.ensureFastfluxFile(p, 240)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_dns_fastflux: replay the per-population
+    * answer pools and re-apply the flag rule (n_ips ≥ 10 ∧ n_subnets ≥ 5
+    * ∧ max_ttl ≤ 300). */
+  private def fastfluxOracle(n: Int): String = {
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Set[String], Set[String], Long, Long)]
+    def ip(pop: Int, idx: Int): String =
+      graft.pcap.PcapSynth.fastfluxIp(pop, idx)
+        .map(b => b & 0xFF).mkString(".")
+    def add(name: String, ttl: Long, a: String): Unit = {
+      val (c, ips, sns, mn, mx) = acc.getOrElse(name,
+        (0L, Set.empty[String], Set.empty[String], Long.MaxValue, 0L))
+      acc(name) = (c + 1, ips + a,
+        sns + a.substring(0, a.lastIndexOf('.')),
+        math.min(mn, ttl), math.max(mx, ttl))
+    }
+    for (i <- 0 until n) {
+      val j = i / 4
+      (i % 4) match {
+        case 0 => for (k <- 0 until 3)
+          add("cdn-flux.bad.", 60L, ip(0, (j * 3 + k) % 30))
+        case 1 => for (k <- 0 until 3)
+          add("static.bigcdn.com.", 30L, ip(1, (j * 3 + k) % 12))
+        case 2 => add("www.corp.example.", 3600L, ip(2, 0))
+        case _ => for (k <- 0 until 2)
+          add("login-update.bad.", 120L, ip(3, (j * 2 + k) % 20))
+      }
+    }
+    val rows = acc.toSeq.map { case (nm, (c, ips, sns, mn, mx)) =>
+      val flag = ips.size >= 10 && sns.size >= 5 && mx <= 300
+      s"('$nm', $c, ${ips.size}, ${sns.size}, $mn, $mx, $flag)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.rrname AS VARCHAR) AS rrname,
+        CAST(v.n_obs AS BIGINT) AS n_obs,
+        CAST(v.n_ips AS BIGINT) AS n_ips,
+        CAST(v.n_subnets AS BIGINT) AS n_subnets,
+        CAST(v.min_ttl AS BIGINT) AS min_ttl,
+        CAST(v.max_ttl AS BIGINT) AS max_ttl,
+        CAST(v.fastflux AS BOOLEAN) AS fastflux
+        FROM (VALUES $rows)
+          AS v(rrname, n_obs, n_ips, n_subnets, min_ttl, max_ttl,
+            fastflux)"""
+  }
+
+  /** Cleartext-credential capture (see
+    * [[graft.pcap.PcapSynth.credsPackets]]). */
+  private def credsSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_creds.pcap")
+    graft.pcap.PcapSynth.ensureCredsFile(p, 250)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_cleartext_creds: replay the rotation —
+    * HTTP Basic sessions carry one credential packet each (user{i%8}),
+    * FTP sessions carry two (USER names alice{i%4}, PASS names
+    * nothing); controls contribute nothing. */
+  private def credsOracle(n: Int): String = {
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), (Long, Set[String], Set[String])]
+    def add(proto: String, server: String, user: Option[String],
+        client: String): Unit = {
+      val (c, us, cs) = acc.getOrElse((proto, server),
+        (0L, Set.empty[String], Set.empty[String]))
+      acc((proto, server)) = (c + 1, us ++ user, cs + client)
+    }
+    for (i <- 0 until n) {
+      val client = s"10.95.${i >> 8}.${i & 255}"
+      (i % 5) match {
+        case 0 => add("http-basic", s"192.0.2.${60 + i % 2}",
+          Some(s"user${i % 8}"), client)
+        case 2 =>
+          add("ftp", "192.0.2.70", Some(s"alice${i % 4}"), client)
+          add("ftp", "192.0.2.70", None, client)
+        case _ => ()
+      }
+    }
+    val rows = acc.toSeq.map { case ((pr, sv), (c, us, cs)) =>
+      s"('$pr', '$sv', $c, ${us.size}, ${cs.size})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.proto AS VARCHAR) AS proto,
+        CAST(v.server AS VARCHAR) AS server,
+        CAST(v.n_creds AS BIGINT) AS n_creds,
+        CAST(v.n_users AS BIGINT) AS n_users,
+        CAST(v.n_clients AS BIGINT) AS n_clients
+        FROM (VALUES $rows)
+          AS v(proto, server, n_creds, n_users, n_clients)"""
+  }
+
   /** ARP capture (see [[graft.pcap.PcapSynth.arpPackets]]). */
   private def arpSynthPath: String = {
     val p = java.nio.file.Paths.get("/tmp/graft_synth_arp.pcap")
@@ -1728,6 +2046,282 @@ object PcapQueries {
             max($"initial_ttl" - $"ttl").as("max_hops"))
       },
       Some(osFingerprintOracle(260))),
+
+    // ----- SSH server inventory (round 11) --------------------------------
+    // Asset inventory from passive capture: the cleartext version
+    // banner every SSH server sends first (RFC 4253 §4.2) names the
+    // implementation and version — the patch-audit staple. Pure
+    // built-in functions end to end (cast + regexp_extract, all
+    // codegen'd): the banner prefix is ASCII by spec, so the UTF-8
+    // cast is safe for matching rows and non-banner binary payloads
+    // simply fail the anchor. src_port-22 keeps client banners out;
+    // ONE rollup on the small (server, banner) key.
+    Q("pcap_ssh_inventory",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(sshSynthPath)
+          .filter($"protocol" === "TCP" && $"src_port" === 22 &&
+            $"payload".isNotNull)
+          .withColumn("banner",
+            regexp_extract($"payload".cast("string"),
+              "^(SSH-[0-9][^\\r\\n]*)", 1))
+          .filter($"banner" =!= "")
+          .groupBy($"src".as("server"), $"banner")
+          .agg(count(lit(1)).as("n_banners"),
+            countDistinct($"dst").as("n_clients"))
+          .withColumn("is_legacy", !$"banner".startsWith("SSH-2.0"))
+      },
+      Some(sshInventoryOracle(200))),
+
+    // ----- NTP amplification detection (round 11) -------------------------
+    // The reflection-attack shape: tiny mode-7 (monlist) requests
+    // with a spoofed victim source draw huge responses off a
+    // reflector — the tell is the per-(server, client) byte
+    // amplification ratio. Direction is port-derived (server side =
+    // port 123), the NTP mode comes from the first payload byte via
+    // hex(substring(...)) — bytes ≥ 0x80 never pass through a UTF-8
+    // decode. Integer ratio in tenths. ONE scan with conditional
+    // aggregation, ONE shuffle on the high-cardinality (server,
+    // client) pair.
+    Q("pcap_ntp_amplification",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(ntpSynthPath)
+          .filter($"protocol" === "UDP" &&
+            ($"src_port" === 123 || $"dst_port" === 123) &&
+            $"payload".isNotNull)
+          .withColumn("is_resp", $"src_port" === 123)
+          .withColumn("mode",
+            expr("cast(conv(hex(substring(payload, 1, 1)), 16, 10)" +
+              " as int) % 8"))
+          .groupBy(
+            when($"is_resp", $"src").otherwise($"dst").as("server"),
+            when($"is_resp", $"dst").otherwise($"src").as("client"))
+          .agg(
+            sum(when(!$"is_resp", 1L).otherwise(0L)).as("req_pkts"),
+            sum(when($"is_resp", 1L).otherwise(0L)).as("resp_pkts"),
+            sum(when(!$"is_resp", $"len".cast("long"))
+              .otherwise(0L)).as("req_bytes"),
+            sum(when($"is_resp", $"len".cast("long"))
+              .otherwise(0L)).as("resp_bytes"),
+            sum(when($"mode" === 7, 1L).otherwise(0L)).as("n_mode7"))
+          .withColumn("amp_x10",
+            expr("resp_bytes * 10 div greatest(req_bytes, 1)"))
+          .withColumn("amplified", $"amp_x10" >= 100)
+      },
+      Some(ntpAmplificationOracle(140))),
+
+    // ----- capinfos-style per-file inventory (round 11) -------------------
+    // The capture-estate triage query (what `capinfos` prints per
+    // file): packet count, time bounds, byte volume, duration, and
+    // data rate for every file in a landing directory. Output is
+    // O(files); the rollup keys on the file path, which the
+    // whole-file-partition source makes perfectly aligned — every
+    // group is map-side-complete, no row of one file ever meets
+    // another's. At 100 TB this is the "which captures are worth
+    // decoding" pass, and the count/ts columns could come from the
+    // .tsidx sidecars alone — the byte totals are what forces the
+    // scan here.
+    Q("pcap_capinfos",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(capinfoSynthDir)
+          .groupBy(regexp_extract($"file", "([^/]+)$", 1)
+            .as("file_name"))
+          .agg(count(lit(1)).as("n_pkts"),
+            min($"ts_micro").as("first_ts"),
+            max($"ts_micro").as("last_ts"),
+            sum($"size").as("total_bytes"))
+          .withColumn("duration_s",
+            expr("(last_ts - first_ts) div 1000000"))
+          .withColumn("rate_bps",
+            expr("total_bytes * 1000000 div " +
+              "greatest(last_ts - first_ts, 1)"))
+      },
+      Some(capinfosOracle(3))),
+
+    // ----- DNS typosquat detection (round 11) -----------------------------
+    // Lookalike-domain hunting: observed query names within edit
+    // distance 2 of a broadcast allowlist of high-value domains (but
+    // not equal) are phishing/typosquat candidates. The allowlist is
+    // inherently small (the domains worth protecting), so the right
+    // plan is a BROADCAST nested-loop join with the codegen'd
+    // `levenshtein` predicate — zero shuffle for the match itself,
+    // Θ(rows × |allowlist|) bounded compares; the only exchange is
+    // the final per-(domain, popular) rollup. The per-domain
+    // pre-aggregation BEFORE the join shrinks the nested-loop input
+    // from packets to distinct names.
+    Q("pcap_dns_typosquat",
+      (s, d) => {
+        import s.implicits._
+        val popular = graft.pcap.PcapSynth.popularDomains
+          .toDF("popular")
+        val names = s.read.format("pcap").option("decoder", "dns")
+          .load(typoDnsSynthPath)
+          .filter($"dns_qr" === false && $"dns_qname".isNotNull)
+          .select(regexp_replace(lower($"dns_qname"), "\\.$", "")
+            .as("domain"), $"src")
+          .groupBy($"domain")
+          .agg(count(lit(1)).as("n_queries"),
+            countDistinct($"src").as("n_clients"))
+        names.join(broadcast(popular),
+            levenshtein($"domain", $"popular") <= 2 &&
+              $"domain" =!= $"popular")
+          .select($"domain", $"popular",
+            levenshtein($"domain", $"popular").as("edit_dist"),
+            $"n_queries", $"n_clients")
+      },
+      Some(typosquatOracle(300))),
+
+    // ----- TCP connection census (round 11) -------------------------------
+    // The tshark `conv,tcp`-style estate view: every connection
+    // classified from its flag history alone — attempt (SYN, no
+    // answer), refused (RST before SYN|ACK), closed (orderly FIN),
+    // reset (RST after establishment), open (established, never torn
+    // down). ONE scan with conditional aggregation on the canonical
+    // 4-tuple (the high-cardinality shuffle), then a bounded rollup on
+    // (server, state). Flag tests are bit-membership (TcpFlag), so ECN
+    // handshakes (SYN|ECE|CWR — half the fixture) classify correctly;
+    // the server is recovered as the SYN's destination, not a port
+    // heuristic.
+    Q("pcap_tcp_conn_census",
+      (s, d) => {
+        import s.implicits._
+        import graft.pcap.TcpFlag
+        val f = $"tcp_flags"
+        s.read.format("pcap").load(connCensusSynthPath)
+          .filter($"protocol" === "TCP")
+          .groupBy(
+            least($"src", $"dst").as("a_lo"),
+            greatest($"src", $"dst").as("a_hi"),
+            least($"src_port", $"dst_port").as("p_lo"),
+            greatest($"src_port", $"dst_port").as("p_hi"))
+          .agg(
+            max(when(TcpFlag.synNoAck(f), 1).otherwise(0)).as("syn"),
+            max(when(TcpFlag.synAck(f), 1).otherwise(0)).as("synack"),
+            max(when(TcpFlag.hasFin(f), 1).otherwise(0)).as("fin"),
+            max(when(TcpFlag.hasRst(f), 1).otherwise(0)).as("rst"),
+            min(when(TcpFlag.synNoAck(f), $"dst")).as("server"),
+            count(lit(1)).as("pkts"),
+            sum($"size").as("bytes"))
+          .withColumn("state",
+            when($"synack" === 0 && $"rst" === 1, "refused")
+              .when($"synack" === 0, "attempt")
+              .when($"fin" === 1, "closed")
+              .when($"rst" === 1, "reset")
+              .otherwise("open"))
+          .groupBy($"server", $"state")
+          .agg(count(lit(1)).as("n_conns"),
+            sum($"pkts").as("n_pkts"),
+            sum($"bytes").as("n_bytes"))
+      },
+      Some(connCensusOracle(200))),
+
+    // ----- NetFlow-style flow export (round 11) ---------------------------
+    // Idle-timeout sessionization: a directed 5-tuple's packet run
+    // splits into flow records wherever the inter-packet gap exceeds
+    // 60 s (the NetFlow inactive timeout). The gap→boundary→running-sum
+    // window and the per-(tuple, flow_seq) aggregation share ONE
+    // exchange: the window hash-partitions on the tuple, and the
+    // grouping keys are a superset of the partitioning, so Catalyst
+    // plans the aggregate without a second shuffle (SecAnalyticsSpec
+    // pins this).
+    Q("pcap_flow_export",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy($"src", $"dst", $"src_port", $"dst_port")
+          .orderBy($"ts_micro")
+        s.read.format("pcap").load(flowExportSynthPath)
+          .filter($"protocol" === "UDP")
+          .select($"src", $"dst", $"src_port", $"dst_port",
+            $"ts_micro", $"size")
+          .withColumn("new_flow",
+            when(lag($"ts_micro", 1).over(w).isNull ||
+              $"ts_micro" - lag($"ts_micro", 1).over(w) >
+                60L * 1000000L, 1L).otherwise(0L))
+          .withColumn("flow_seq", sum($"new_flow").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"src", $"dst", $"src_port", $"dst_port",
+            $"flow_seq")
+          .agg(min($"ts_micro").as("first_ts"),
+            max($"ts_micro").as("last_ts"),
+            count(lit(1)).as("n_pkts"),
+            sum($"size").as("n_bytes"))
+      },
+      Some(flowExportOracle(60))),
+
+    // ----- DNS fast-flux detection (round 11) -----------------------------
+    // The botnet-hosting tell: one name resolving to MANY addresses
+    // across MANY /24s with SHORT TTLs. The subnet-diversity gate is
+    // what separates flux from a CDN (low TTL, wide pool, but one or
+    // two subnets). Consumes the decoder's canonical `name ttl CLASS
+    // TYPE rdata` answer strings — A records only; ONE shuffle on the
+    // name key, output O(names).
+    Q("pcap_dns_fastflux",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").option("decoder", "dns")
+          .load(fastfluxSynthPath)
+          .filter($"dns_qr" === true && $"dns_answer".isNotNull)
+          .select(explode($"dns_answer").as("rr"))
+          .withColumn("f", split($"rr", " ", 5))
+          .filter(element_at($"f", 4) === "A")
+          .select(element_at($"f", 1).as("rrname"),
+            element_at($"f", 2).cast("long").as("ttl"),
+            element_at($"f", 5).as("ip"))
+          .groupBy($"rrname")
+          .agg(count(lit(1)).as("n_obs"),
+            countDistinct($"ip").as("n_ips"),
+            countDistinct(
+              substring_index($"ip", ".", 3)).as("n_subnets"),
+            min($"ttl").as("min_ttl"),
+            max($"ttl").as("max_ttl"))
+          .withColumn("fastflux",
+            $"n_ips" >= 10 && $"n_subnets" >= 5 && $"max_ttl" <= 300)
+      },
+      Some(fastfluxOracle(240))),
+
+    // ----- cleartext credential exposure (round 11) -----------------------
+    // The compliance sweep: HTTP Basic authorization headers (RFC 7617
+    // — base64, NOT encryption; unbase64 recovers the username) and
+    // FTP USER/PASS commands, inventoried per (protocol, server). ONE
+    // scan — both detectors are predicates over the same cast payload,
+    // unioned as a CASE, so the capture is read once; the header match
+    // is case-insensitive (RFC 9112 field names — half the fixture
+    // sends `authorization:`). Server-sourced port-21 traffic (src,
+    // not dst) stays out by construction.
+    Q("pcap_cleartext_creds",
+      (s, d) => {
+        import s.implicits._
+        val basicRe = "(?i)\r\nauthorization:[ \t]*Basic[ \t]+" +
+          "([A-Za-z0-9+/=]+)[ \t]*\r\n"
+        val txt = $"payload".cast("string")
+        s.read.format("pcap").load(credsSynthPath)
+          .filter($"protocol" === "TCP" && $"payload".isNotNull)
+          .withColumn("basic_tok", regexp_extract(txt, basicRe, 1))
+          .withColumn("is_http", $"dst_port" === 80 &&
+            $"basic_tok" =!= "")
+          .withColumn("is_ftp", $"dst_port" === 21 &&
+            regexp_extract(txt, "^(USER|PASS) ", 1) =!= "")
+          .filter($"is_http" || $"is_ftp")
+          .select(
+            when($"is_http", "http-basic").otherwise("ftp").as("proto"),
+            $"dst".as("server"), $"src".as("client"),
+            when($"is_http",
+              substring_index(unbase64($"basic_tok").cast("string"),
+                ":", 1))
+              .otherwise(regexp_extract(txt, "^USER (\\S+)", 1))
+              .as("user"))
+          .withColumn("user",
+            when($"user" === "", lit(null)).otherwise($"user"))
+          .groupBy($"proto", $"server")
+          .agg(count(lit(1)).as("n_creds"),
+            countDistinct($"user").as("n_users"),
+            countDistinct($"client").as("n_clients"))
+      },
+      Some(credsOracle(250))),
 
     // ----- ARP address-conflict inspection (round 11) ---------------------
     // ARP is the one ubiquitous NON-IP protocol in every Ethernet

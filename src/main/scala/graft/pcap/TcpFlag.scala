@@ -19,6 +19,8 @@ object TcpFlag {
   def hasSyn(c: Column): Column = c.contains("SYN")
   def hasAck(c: Column): Column = c.contains("ACK")
   def hasPsh(c: Column): Column = c.contains("PSH")
+  def hasFin(c: Column): Column = c.contains("FIN")
+  def hasRst(c: Column): Column = c.contains("RST")
 
   /** SYN set, ACK clear — a connection-initiating segment (incl. ECN). */
   def synNoAck(c: Column): Column = hasSyn(c) && !hasAck(c)

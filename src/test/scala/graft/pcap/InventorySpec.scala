@@ -1,0 +1,128 @@
+package graft.pcap
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural gates for the passive-inventory analytics
+  * (`pcap_ssh_inventory`, `pcap_ntp_amplification`, `pcap_capinfos`)
+  * that the DuckDB hash match alone doesn't show: which rows the
+  * filters EXCLUDE (client banners, binary KEX payloads, non-NTP
+  * traffic), that byte extraction survives non-UTF-8 payload bytes,
+  * and the one-shuffle plan shapes. */
+class InventorySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def run(name: String) =
+    graft.operators.PcapQueries.defs.find(_.name == name).get
+      .fn(spark, "unused")
+
+  test("ssh inventory: client banners and binary payloads excluded; " +
+      "exactly the four server populations survive, legacy flagged") {
+    val rows = run("pcap_ssh_inventory").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    assert(rows.length == 4)
+    // no client banner row: libssh2 appears only client->server
+    assert(!rows.exists(_._2.contains("libssh2")))
+    // fixture: 200 sessions, 4 populations, 50 each; the every-3rd
+    // binary KEX packet (also src_port 22) must not inflate counts
+    rows.foreach { case (srv, banner, nB, nC, legacy) =>
+      assert(nB == 50 && nC == 50, s"$srv $banner")
+      assert(legacy == !banner.startsWith("SSH-2.0"), s"$srv legacy")
+    }
+    // the embedded-space banner survives whole (no token split)
+    assert(rows.exists(_._2 == "SSH-2.0-OpenSSH_8.9p1 Ubuntu-3ubuntu0.10"))
+    assert(rows.count(_._5) == 1)
+  }
+
+  test("ntp amplification: only the reflector pair is flagged, with " +
+      "mode-7 counting intact for >=0x80 first bytes") {
+    val rows = run("pcap_ntp_amplification").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getBoolean(8)))
+    val amped = rows.filter(_._9)
+    assert(amped.length == 1)
+    val a = amped.head
+    assert(a._1 == "198.51.100.9" && a._2 == "203.0.113.66")
+    // 20 monlist exchanges: 1 req + 4 resp each, all mode 7 — the
+    // response first byte is 0xD7, so a UTF-8-decode-based byte
+    // extraction would have mangled it to the replacement char
+    assert(a._3 == 20 && a._4 == 80 && a._7 == 100)
+    assert(a._8 == 440L * 4 * 10 / 8, s"amp_x10=${a._8}")
+    // benign polls sit at exactly 1.0x (48 B each way)
+    assert(rows.filterNot(_._9).forall(r => r._8 == 10 && r._7 == 0))
+  }
+
+  test("capinfos: per-file stats agree with the sidecar index counts") {
+    val rows = run("pcap_capinfos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq(("cap00.pcap", 40L), ("cap01.pcap", 50L), ("cap02.pcap", 60L)))
+    // cross-check the scan-derived counts and ts bounds against the
+    // .tsidx sidecar path (metadata-only) — the two independent
+    // derivations must agree file by file
+    val conf = spark.sessionState.newHadoopConf()
+    rows.foreach { case (name, n, first, last) =>
+      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_synth_capdir/$name")
+      val in = graft.sources.pcap.PcapFileOpener.open(conf, p.toString)
+      val st = try graft.sources.pcap.PcapTsIndex.scanMinMax(in)
+        finally in.close()
+      // the sidecar scan records whole seconds; the fixture's usec
+      // field is 0, so the micro bounds are exact multiples
+      val (mn, mx, cnt) = st.get
+      assert(cnt == n && mn * 1000000L == first && mx * 1000000L == last,
+        name)
+    }
+  }
+
+  test("typosquat: all six lookalikes detected at their true distance, " +
+      "controls and exact allowlist hits excluded, broadcast NLJ plan") {
+    val df = run("pcap_dns_typosquat")
+    val plan = df.queryExecution.executedPlan.toString
+    // the allowlist side must broadcast: the match itself is a
+    // broadcast nested-loop (levenshtein is not an equi-key), and
+    // nothing may degrade to a shuffled cartesian product
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the nested-loop input is the PRE-AGGREGATED distinct-name
+    // relation — the rollup exchanges sit below the join, and the
+    // join itself adds none
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"$shuffles shuffles\n$plan")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getInt(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // exactly the six fixture lookalikes — no control (svcN) rows, no
+    // popular-domain self-matches (dist 0 excluded by the != guard)
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq == Seq(
+      ("arnazon.com", "amazon.com", 2),
+      ("gituhb.com", "github.com", 2),
+      ("gooogle.com", "google.com", 1),
+      ("netfl1x.com", "netflix.com", 1),
+      ("paypa1.com", "paypal.com", 1),
+      ("rnicrosoft.com", "microsoft.com", 2)))
+    // fixture: 100 typo queries round-robin over 6 names, each from a
+    // distinct client — counts 17/17/17/17/16/16 in rotation order
+    assert(rows.map(_._4).sum == 100 && rows.forall(r => r._4 == r._5))
+  }
+
+  test("one shuffle each: ssh/ntp key rollups and the per-file rollup") {
+    Seq("pcap_ssh_inventory", "pcap_ntp_amplification",
+      "pcap_capinfos").foreach { name =>
+      val plan = run(name).queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      // countDistinct in ssh adds a second aggregate level but Spark
+      // plans it as expand + two aggs over ONE exchange pair; accept
+      // <= 2 for ssh, exactly 1 for the pure-sum rollups
+      val bound = if (name == "pcap_ssh_inventory") 2 else 1
+      assert(shuffles <= bound, s"$name: $shuffles shuffles\n$plan")
+    }
+  }
+}

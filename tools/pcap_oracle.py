@@ -1333,5 +1333,208 @@ if glob.glob(f"{out}/pcap_os_fingerprint/*.parquet"):
          sorted((g, t, w, c, len(hs), mh)
                 for (g, t, w), (c, hs, mh) in osacc.items()))
 
+# SSH inventory: byte-level TCP parse, server-side (src port 22)
+# banner prefix match, (server, banner) rollup.
+if glob.glob(f"{out}/pcap_ssh_inventory/*.parquet"):
+    sshacc = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_ssh.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 6
+        sp = struct.unpack_from(">H", fr, l4)[0]
+        if sp != 22:
+            continue
+        doff = (fr[l4 + 12] >> 4) * 4
+        pl = fr[l4 + doff:]
+        if not pl.startswith(b"SSH-"):
+            continue
+        banner = pl.split(b"\r")[0].split(b"\n")[0].decode("ascii")
+        e = sshacc.setdefault((src, banner), [0, set()])
+        e[0] += 1
+        e[1].add(dst)
+    _cmp("pcap_ssh_inventory(redecode)",
+         _read("pcap_ssh_inventory",
+               ["server", "banner", "n_banners", "n_clients",
+                "is_legacy"]),
+         sorted((s, b, c, len(ds), not b.startswith("SSH-2.0"))
+                for (s, b), (c, ds) in sshacc.items()))
+
+# NTP amplification: byte-level UDP parse, port-derived direction,
+# first-byte mode, per-(server, client) byte rollup + ratio.
+if glob.glob(f"{out}/pcap_ntp_amplification/*.parquet"):
+    ntpacc = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_ntp.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 17
+        sp, dp = struct.unpack_from(">HH", fr, l4)
+        if sp != 123 and dp != 123:
+            continue
+        pl = fr[l4 + 8:]
+        resp = sp == 123
+        server, client = (src, dst) if resp else (dst, src)
+        e = ntpacc.setdefault((server, client), [0, 0, 0, 0, 0])
+        e[0 if not resp else 1] += 1
+        e[2 if not resp else 3] += len(pl)
+        if pl and pl[0] % 8 == 7:
+            e[4] += 1
+    _cmp("pcap_ntp_amplification(redecode)",
+         _read("pcap_ntp_amplification",
+               ["server", "client", "req_pkts", "resp_pkts",
+                "req_bytes", "resp_bytes", "n_mode7", "amp_x10",
+                "amplified"]),
+         sorted((s, c, rq, rs, rqb, rsb, m7,
+                 rsb * 10 // max(rqb, 1), rsb * 10 // max(rqb, 1) >= 100)
+                for (s, c), (rq, rs, rqb, rsb, m7) in ntpacc.items()))
+
+# capinfos: per-file packet count / time bounds / byte volume / rate
+# from the raw container alone.
+if glob.glob(f"{out}/pcap_capinfos/*.parquet"):
+    cstats = []
+    for p in sorted(glob.glob("/tmp/graft_synth_capdir/*.pcap")):
+        tss, tot = [], 0
+        for ts, us, fr in _frames(p):
+            tss.append(ts * 1_000_000 + us)
+            tot += len(fr)
+        first, last = min(tss), max(tss)
+        cstats.append((p.split("/")[-1], len(tss), first, last, tot,
+                       (last - first) // 1_000_000,
+                       tot * 1_000_000 // max(last - first, 1)))
+    _cmp("pcap_capinfos(redecode)",
+         _read("pcap_capinfos",
+               ["file_name", "n_pkts", "first_ts", "last_ts",
+                "total_bytes", "duration_s", "rate_bps"]),
+         sorted(cstats))
+
+# DNS typosquat: byte-level qname parse from the query packets, this
+# tool's OWN DP edit distance (never Spark's levenshtein), allowlist
+# match re-applied (dist <= 2, not exact).
+if glob.glob(f"{out}/pcap_dns_typosquat/*.parquet"):
+    POPULAR = ["google.com", "facebook.com", "paypal.com",
+               "microsoft.com", "netflix.com", "amazon.com",
+               "apple.com", "github.com"]
+    def _ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+    tacc = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_typodns.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 17
+        if struct.unpack_from(">H", fr, l4 + 2)[0] != 53:
+            continue
+        dns = fr[l4 + 8:]
+        if dns[2] & 0x80:                     # responses excluded
+            continue
+        o, labels = 12, []
+        while dns[o]:
+            labels.append(dns[o + 1:o + 1 + dns[o]].decode("ascii"))
+            o += 1 + dns[o]
+        qname = ".".join(labels).lower()
+        e = tacc.setdefault(qname, [0, set()])
+        e[0] += 1
+        e[1].add(src)
+    _cmp("pcap_dns_typosquat(redecode)",
+         _read("pcap_dns_typosquat",
+               ["domain", "popular", "edit_dist", "n_queries",
+                "n_clients"]),
+         sorted((d, p, _ed(d, p), c, len(cs))
+                for d, (c, cs) in tacc.items()
+                for p in POPULAR if d != p and _ed(d, p) <= 2))
+
+# Fast-flux: byte-level DNS answer-section walk (compression pointer
+# following, TTL field), per-rrname IP/subnet/TTL rollup, flag rule
+# re-applied (n_ips >= 10 and n_subnets >= 5 and max_ttl <= 300).
+if glob.glob(f"{out}/pcap_dns_fastflux/*.parquet"):
+    def _name_at(dns, o):
+        labels = []
+        while True:
+            l = dns[o]
+            if l == 0:
+                break
+            if l & 0xC0 == 0xC0:
+                o = ((l & 0x3F) << 8) | dns[o + 1]
+                continue
+            labels.append(dns[o + 1:o + 1 + l].decode("ascii"))
+            o += 1 + l
+        return ".".join(labels) + "."
+    ffacc = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_fastflux.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 17
+        if struct.unpack_from(">H", fr, l4)[0] != 53:
+            continue
+        dns = fr[l4 + 8:]
+        ancount = struct.unpack_from(">H", dns, 6)[0]
+        o = 12
+        while dns[o]:                          # skip the question name
+            o += 1 + dns[o]
+        o += 1 + 4
+        for _ in range(ancount):
+            name = _name_at(dns, o)
+            while dns[o] and dns[o] & 0xC0 != 0xC0:
+                o += 1 + dns[o]
+            o += 2 if dns[o] & 0xC0 == 0xC0 else 1
+            typ, _cls, ttl, rdlen = struct.unpack_from(">HHIH", dns, o)
+            o += 10
+            rdata = dns[o:o + rdlen]; o += rdlen
+            if typ != 1:
+                continue
+            ip = ".".join(str(b) for b in rdata)
+            e = ffacc.setdefault(name, [0, set(), set(), None, None])
+            e[0] += 1
+            e[1].add(ip)
+            e[2].add(ip.rsplit(".", 1)[0])
+            e[3] = ttl if e[3] is None else min(e[3], ttl)
+            e[4] = ttl if e[4] is None else max(e[4], ttl)
+    _cmp("pcap_dns_fastflux(redecode)",
+         _read("pcap_dns_fastflux",
+               ["rrname", "n_obs", "n_ips", "n_subnets", "min_ttl",
+                "max_ttl", "fastflux"]),
+         sorted((nm, c, len(ips), len(sns), mn, mx,
+                 len(ips) >= 10 and len(sns) >= 5 and mx <= 300)
+                for nm, (c, ips, sns, mn, mx) in ffacc.items()))
+
+# Cleartext credentials: byte-level TCP parse, case-insensitive HTTP
+# Basic header match + base64 user recovery, FTP USER/PASS commands,
+# per-(proto, server) rollup.
+if glob.glob(f"{out}/pcap_cleartext_creds/*.parquet"):
+    import base64, re
+    basic_re = re.compile(
+        rb"\r\nauthorization:[ \t]*Basic[ \t]+([A-Za-z0-9+/=]+)[ \t]*\r\n",
+        re.IGNORECASE)
+    cracc = {}
+    def _cradd(proto, server, user, client):
+        e = cracc.setdefault((proto, server), [0, set(), set()])
+        e[0] += 1
+        if user is not None:
+            e[1].add(user)
+        e[2].add(client)
+    for ts, us, fr in _frames("/tmp/graft_synth_creds.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        if proto != 6:
+            continue
+        dp = struct.unpack_from(">H", fr, l4 + 2)[0]
+        doff = (fr[l4 + 12] >> 4) * 4
+        pl = fr[l4 + doff:]
+        if dp == 80:
+            m = basic_re.search(pl)
+            if m:
+                user = base64.b64decode(m.group(1)).split(b":")[0]
+                _cradd("http-basic", dst, user.decode("ascii"), src)
+        elif dp == 21 and (pl.startswith(b"USER ")
+                           or pl.startswith(b"PASS ")):
+            user = (pl[5:].split()[0].decode("ascii")
+                    if pl.startswith(b"USER ") else None)
+            _cradd("ftp", dst, user, src)
+    _cmp("pcap_cleartext_creds(redecode)",
+         _read("pcap_cleartext_creds",
+               ["proto", "server", "n_creds", "n_users", "n_clients"]),
+         sorted((p, sv, c, len(us), len(cs))
+                for (p, sv), (c, us, cs) in cracc.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
