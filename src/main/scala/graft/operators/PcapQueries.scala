@@ -137,6 +137,47 @@ object PcapQueries {
     p.toString
   }
 
+  /** TLS 1.2 certificate-flight capture — ServerHello + Certificate +
+    * ServerHelloDone split mid-record across TCP segments (see
+    * [[graft.pcap.PcapSynth.tlsCertPackets]]). */
+  private def tlsCertSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_tlscert.pcap")
+    graft.pcap.PcapSynth.ensureTlsCertFile(p, 60)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_tls_certs: replay the certificate
+    * population formulas ([[graft.pcap.PcapSynth.certDer]] — subject /
+    * issuer / serial / validity / SAN count per k = i%5) and the
+    * session rotation (server 203.0.113.(31+k) serves every i ≡ k
+    * (mod 5)); `expired` compares notAfter to the 1706.1M capture
+    * clock. */
+  private def tlsCertsOracle(n: Int): String = {
+    val rows = (0 until 5).map { k =>
+      val sessions = (0 until n).count(_ % 5 == k)
+      s"('203.0.113.${31 + k}', '${graft.pcap.PcapSynth.certSubjectCn(k)}', " +
+        s"'${graft.pcap.PcapSynth.certIssuerCn(k)}', " +
+        s"${graft.pcap.PcapSynth.certSerial(k)}, " +
+        s"${graft.pcap.PcapSynth.CertNotBefore}, " +
+        s"${graft.pcap.PcapSynth.certNotAfter(k)}, " +
+        s"${graft.pcap.PcapSynth.certSanCount(k)}, ${k == 4}, $sessions, " +
+        s"${graft.pcap.PcapSynth.certNotAfter(k) < 1706100000L})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.server AS VARCHAR) AS server,
+        CAST(v.subject_cn AS VARCHAR) AS subject_cn,
+        CAST(v.issuer_cn AS VARCHAR) AS issuer_cn,
+        CAST(v.serial AS BIGINT) AS serial,
+        CAST(v.not_before AS BIGINT) AS not_before,
+        CAST(v.not_after AS BIGINT) AS not_after,
+        CAST(v.san_count AS INT) AS san_count,
+        CAST(v.self_signed AS BOOLEAN) AS self_signed,
+        CAST(v.n_sessions AS BIGINT) AS n_sessions,
+        CAST(v.expired AS BOOLEAN) AS expired
+        FROM (VALUES $rows)
+          AS v(server, subject_cn, issuer_cn, serial, not_before,
+            not_after, san_count, self_signed, n_sessions, expired)"""
+  }
+
   /** Deterministic ICMP echo/unreachable capture (see
     * [[graft.pcap.PcapSynth.icmpPackets]]). */
   private def icmpSynthPath: String = {
@@ -1812,6 +1853,38 @@ object PcapQueries {
             min($"version").as("version"))
       },
       Some(tlsJa3sOracle(40))),
+
+    // Passive certificate inventory (the expiry/compliance audit SOCs
+    // run from taps): reassemble each server's TLS 1.2 flight — the
+    // Certificate message is cleartext and spans TCP segments, so only
+    // the reassembled stream parses — extract the leaf X.509 via the
+    // native DER expression, and roll up per (server, certificate).
+    // Output is O(servers × certs); the reassembly groupBy is the one
+    // high-cardinality shuffle, the rollup key is tiny. `expired`
+    // compares notAfter to the capture clock (a batch-audit question,
+    // so the clock is the capture's, not the wall's).
+    Q("pcap_tls_certs",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(tlsCertSynthPath)
+          .filter($"protocol" === "TCP" && $"src_port" === 443 &&
+            $"tcp_seq".isNotNull && $"payload".isNotNull)
+          .groupBy($"src", $"dst", $"src_port", $"dst_port")
+          .agg(graft.functions.Reassemble.stream().as("r"))
+          .select($"src".as("server"),
+            graft.functions.TlsCertificateExpr
+              .tls_certificate($"r.stream").as("c"))
+          .filter($"c".isNotNull)
+          .groupBy($"server", $"c.subject_cn".as("subject_cn"),
+            $"c.issuer_cn".as("issuer_cn"), $"c.serial".as("serial"),
+            $"c.not_before".as("not_before"),
+            $"c.not_after".as("not_after"),
+            $"c.san_count".as("san_count"),
+            $"c.self_signed".as("self_signed"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .withColumn("expired", $"not_after" < lit(1706100000L))
+      },
+      Some(tlsCertsOracle(60))),
 
     // Batch twin of streaming.SynScanStream.scanAlerts (same windowed
     // distinct-port threshold semantics, exact batch countDistinct) —

@@ -1536,5 +1536,142 @@ if glob.glob(f"{out}/pcap_cleartext_creds/*.parquet"):
          sorted((p, sv, c, len(us), len(cs))
                 for (p, sv), (c, us, cs) in cracc.items()))
 
+# TLS certificate inventory: byte-level reassembly of each server's
+# 443 flight, TLS record walk, own minimal ASN.1/DER reader (no shared
+# code with the Scala parser), per-(server, cert) rollup.
+if glob.glob(f"{out}/pcap_tls_certs/*.parquet"):
+    def _der(b, p, end):
+        """tag, content_start, content_end (definite lengths only)."""
+        tag = b[p]
+        q = p + 1
+        ln = b[q]; q += 1
+        if ln >= 0x80:
+            n = ln & 0x7F
+            assert 1 <= n <= 3
+            ln = int.from_bytes(b[q:q + n], "big"); q += n
+        assert q + ln <= end
+        return tag, q, q + ln
+
+    def _der_cn(b, frm, to):
+        p = frm
+        while p < to:
+            tag, s0, s1 = _der(b, p, to)
+            if tag == 0x31:
+                q = s0
+                while q < s1:
+                    t2, a0, a1 = _der(b, q, s1)
+                    if t2 == 0x30:
+                        t3, o0, o1 = _der(b, a0, a1)
+                        if t3 == 0x06 and b[o0:o1] == b"\x55\x04\x03":
+                            t4, v0, v1 = _der(b, o1, a1)
+                            return b[v0:v1].decode("ascii")
+                    q = a1
+            p = s1
+        return None
+
+    def _der_time(b, tag, v0, v1):
+        import calendar, time as _t
+        s = b[v0:v1].decode("ascii")
+        if tag == 0x17:
+            yy = int(s[:2])
+            year = 2000 + yy if yy < 50 else 1900 + yy
+            rest = s[2:12]
+        else:
+            year, rest = int(s[:4]), s[4:14]
+        return calendar.timegm((year, int(rest[0:2]), int(rest[2:4]),
+                                int(rest[4:6]), int(rest[6:8]),
+                                int(rest[8:10]), 0, 0, 0))
+
+    def _parse_cert(b, frm, to):
+        _, c0, c1 = _der(b, frm, to)
+        _, t0, t1 = _der(b, c0, c1)          # tbsCertificate
+        p = t0
+        tag, v0, v1 = _der(b, p, t1)
+        if tag == 0xA0:
+            p = v1
+        tag, s0, s1 = _der(b, p, t1)         # serial
+        serial = int.from_bytes(b[s1 - min(8, s1 - s0):s1], "big") & (2**63 - 1)
+        p = s1
+        tag, a0, a1 = _der(b, p, t1); p = a1          # sig alg
+        tag, i0, i1 = _der(b, p, t1)                  # issuer
+        issuer_cn, issuer_der = _der_cn(b, i0, i1), b[i0:i1]
+        p = i1
+        tag, vv0, vv1 = _der(b, p, t1)                # validity
+        tb, b0, b1 = _der(b, vv0, vv1)
+        ta, e0, e1 = _der(b, b1, vv1)
+        nbf, naf = _der_time(b, tb, b0, b1), _der_time(b, ta, e0, e1)
+        p = vv1
+        tag, u0, u1 = _der(b, p, t1)                  # subject
+        subject_cn, subject_der = _der_cn(b, u0, u1), b[u0:u1]
+        p = u1
+        tag, k0, k1 = _der(b, p, t1); p = k1          # SPKI
+        san = 0
+        while p < t1:
+            tag, x0, x1 = _der(b, p, t1)
+            if tag == 0xA3:
+                _, q0, q1 = _der(b, x0, x1)
+                q = q0
+                while q < q1:
+                    te, e2, e3 = _der(b, q, q1)
+                    t5, o0, o1 = _der(b, e2, e3)
+                    if t5 == 0x06 and b[o0:o1] == b"\x55\x1d\x11":
+                        t6, w0, w1 = _der(b, o1, e3)
+                        if t6 == 0x01:
+                            t6, w0, w1 = _der(b, w1, e3)
+                        _, g0, g1 = _der(b, w0, w1)
+                        g = g0
+                        while g < g1:
+                            t7, h0, h1 = _der(b, g, g1)
+                            if t7 == 0x82:
+                                san += 1
+                            g = h1
+                    q = e3
+            p = x1
+        return (serial, subject_cn, issuer_cn, nbf, naf, san,
+                issuer_der == subject_der)
+
+    streams = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_tlscert.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        if proto != 6:
+            continue
+        sp = struct.unpack_from(">H", fr, l4)[0]
+        if sp != 443:
+            continue
+        seq = struct.unpack_from(">I", fr, l4 + 4)[0]
+        doff = (fr[l4 + 12] >> 4) * 4
+        pl = fr[l4 + doff:]
+        if pl:
+            streams.setdefault((src, dst, sp), {})[seq] = pl
+    certacc = {}
+    for (src, dst, sp), segs in streams.items():
+        flight = b"".join(segs[s] for s in sorted(segs))
+        # TLS record walk -> handshake byte stream -> Certificate msg
+        hs, p = b"", 0
+        while p + 5 <= len(flight) and flight[p] == 0x16:
+            rl = struct.unpack_from(">H", flight, p + 3)[0]
+            hs += flight[p + 5:p + 5 + rl]
+            p += 5 + rl
+        q = 0
+        while q + 4 <= len(hs):
+            mt = hs[q]
+            ml = int.from_bytes(hs[q + 1:q + 4], "big")
+            if mt == 11:
+                cl = int.from_bytes(hs[q + 7:q + 10], "big")
+                cert = _parse_cert(hs, q + 10, q + 10 + cl)
+                key = (src,) + cert
+                certacc[key] = certacc.get(key, 0) + 1
+                break
+            q += 4 + ml
+    _cmp("pcap_tls_certs(redecode)",
+         _read("pcap_tls_certs",
+               ["server", "serial", "subject_cn", "issuer_cn",
+                "not_before", "not_after", "san_count", "self_signed",
+                "n_sessions", "expired"]),
+         sorted((sv, ser, scn, icn, nbf, naf, san, ss, cnt,
+                 naf < 1706100000)
+                for (sv, ser, scn, icn, nbf, naf, san, ss), cnt
+                in certacc.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
