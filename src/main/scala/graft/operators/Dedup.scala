@@ -1125,6 +1125,46 @@ object Dedup {
           FROM comp JOIN documents d ON d.doc_id = comp.doc_id)
         WHERE rn = 1""")),
 
+    // ----- leakage-safe train/val split -----------------------------------
+    // The split the dedup family exists to make safe: a plain random
+    // split leaks — a near-duplicate pair straddling train/val inflates
+    // eval (the validation doc is effectively IN the training set). The
+    // fix is to split by near-dup CLUSTER, not by document: connected
+    // components over the banded LSH pair graph, singletons keeping
+    // their own id, then one deterministic rule (component % 10 → 80/20)
+    // assigns the WHOLE cluster to one side. By construction no edge can
+    // straddle the split (both endpoints share a component — LeakageSpec
+    // pins it mechanically); the assignment is reproducible run to run
+    // because the component label is the cluster's min doc_id, not
+    // anything order-dependent. Scale shape: identical to
+    // dedup_components (banded equi-join + checkpointed fixpoint) plus
+    // ONE broadcast-sized left join against the doc list and a per-row
+    // projection — no new shuffle class.
+    Q("pipeline_leakage_split",
+      (s, d) => {
+        import s.implicits._
+        val pairs = minhashStarEdges(s, d).cache()
+        val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+          .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
+          .cache()
+        val comps = try connectedComponents(edges)
+          finally { edges.unpersist(); pairs.unpersist() }
+        Tables.documents(s, d).select($"doc_id")
+          .join(comps, Seq("doc_id"), "left")
+          .withColumn("component", coalesce($"component", $"doc_id"))
+          .withColumn("split",
+            when($"component" % 10 < 8, "train").otherwise("val"))
+      },
+      Some(s"""WITH RECURSIVE $componentsCtes,
+        comp AS (
+          SELECT doc AS doc_id, MIN(r) AS component
+          FROM reach GROUP BY doc)
+        SELECT d.doc_id,
+          COALESCE(c.component, d.doc_id) AS component,
+          CASE WHEN COALESCE(c.component, d.doc_id) % 10 < 8
+               THEN 'train' ELSE 'val' END AS split
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""")),
+
     // ----- SimHash (32-bit) fingerprints ----------------------------------
     Q("dedup_simhash",
       (s, d) => {
