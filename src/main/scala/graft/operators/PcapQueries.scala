@@ -178,6 +178,46 @@ object PcapQueries {
             not_after, san_count, self_signed, n_sessions, expired)"""
   }
 
+  /** QUIC long-header capture (see
+    * [[graft.pcap.PcapSynth.quicPackets]]). */
+  private def quicSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_quic.pcap")
+    graft.pcap.PcapSynth.ensureQuicFile(p, 120)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_quic_inventory: replay the population
+    * rotation (version by i%4, dcid_len 8+i%5, one distinct client per
+    * session, VNEG sourced from the server). */
+  private def quicInventoryOracle(n: Int): String = {
+    val acc = scala.collection.mutable.LinkedHashMap[String,
+      (Long, scala.collection.mutable.Set[Int], Int)]()
+    for (i <- 0 until n) {
+      val name = (i % 4) match {
+        case 0 => "v1"
+        case 1 => "v2"
+        case 2 => "draft-29"
+        case _ => "negotiation"
+      }
+      val (c, cl, mx) = acc.getOrElse(name,
+        (0L, scala.collection.mutable.Set.empty[Int], 0))
+      cl += i
+      acc(name) = (c + 1, cl, math.max(mx, graft.pcap.PcapSynth.quicDcidLen(i)))
+    }
+    val rows = acc.map { case (name, (c, cl, mx)) =>
+      s"('198.51.100.44', '$name', $c, ${cl.size}, $mx, ${name == "negotiation"})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.server AS VARCHAR) AS server,
+        CAST(v.version_name AS VARCHAR) AS version_name,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.n_clients AS BIGINT) AS n_clients,
+        CAST(v.max_dcid_len AS INT) AS max_dcid_len,
+        CAST(v.is_negotiation AS BOOLEAN) AS is_negotiation
+        FROM (VALUES $rows)
+          AS v(server, version_name, n_pkts, n_clients, max_dcid_len,
+            is_negotiation)"""
+  }
+
   /** Deterministic ICMP echo/unreachable capture (see
     * [[graft.pcap.PcapSynth.icmpPackets]]). */
   private def icmpSynthPath: String = {
@@ -1885,6 +1925,48 @@ object PcapQueries {
           .withColumn("expired", $"not_after" < lit(1706100000L))
       },
       Some(tlsCertsOracle(60))),
+
+    // QUIC rollout inventory (the "who speaks which QUIC" estate
+    // audit): RFC 8999 defines a VERSION-INVARIANT long-header prefix —
+    // form bit, 4-byte version, DCID/SCID lengths — exactly so passive
+    // tools can do this without tracking the version zoo, and the
+    // whole extraction is codegen'd built-ins over those fixed offsets
+    // (hex(substring()) byte reads — no UTF-8 decode, no UDF).
+    // Version 0 is the server's Version Negotiation packet (the
+    // incompatibility signal worth alerting on); short-header (1-RTT)
+    // packets carry no version by design and are excluded by the form
+    // bit. ONE scan, ONE rollup on the tiny (server, version) key.
+    Q("pcap_quic_inventory",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(quicSynthPath)
+          .filter($"protocol" === "UDP" &&
+            ($"dst_port" === 443 || $"src_port" === 443) &&
+            $"payload".isNotNull && length($"payload") >= 7)
+          .withColumn("flags",
+            expr("CAST(conv(hex(substring(payload, 1, 1)), 16, 10) AS INT)"))
+          .filter($"flags".bitwiseAND(128) =!= 0)
+          .withColumn("version",
+            expr("CAST(conv(hex(substring(payload, 2, 4)), 16, 10) AS BIGINT)"))
+          .withColumn("server",
+            when($"dst_port" === 443, $"dst").otherwise($"src"))
+          .withColumn("client",
+            when($"dst_port" === 443, $"src").otherwise($"dst"))
+          .withColumn("dcid_len",
+            expr("CAST(conv(hex(substring(payload, 6, 1)), 16, 10) AS INT)"))
+          .withColumn("version_name",
+            when($"version" === 1L, "v1")
+              .when($"version" === 0x6B3343CFL, "v2")
+              .when($"version" === 0xFF00001DL, "draft-29")
+              .when($"version" === 0L, "negotiation")
+              .otherwise("unknown"))
+          .groupBy($"server", $"version_name")
+          .agg(count(lit(1)).as("n_pkts"),
+            countDistinct($"client").as("n_clients"),
+            max($"dcid_len").as("max_dcid_len"))
+          .withColumn("is_negotiation", $"version_name" === "negotiation")
+      },
+      Some(quicInventoryOracle(120))),
 
     // Batch twin of streaming.SynScanStream.scanAlerts (same windowed
     // distinct-port threshold semantics, exact batch countDistinct) —

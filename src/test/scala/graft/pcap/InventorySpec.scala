@@ -125,4 +125,27 @@ class InventorySpec extends AnyFunSuite {
       assert(shuffles <= bound, s"$name: $shuffles shuffles\n$plan")
     }
   }
+
+  test("quic inventory: short-header and non-443 decoys excluded; " +
+      "negotiation attributed to the server side; versions complete") {
+    val rows = run("pcap_quic_inventory").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getBoolean(5)))
+    assert(rows.length == 4)
+    assert(rows.forall(_._1 == "198.51.100.44"))
+    assert(rows.map(_._2).toSet ==
+      Set("v1", "v2", "draft-29", "negotiation"))
+    // 120 sessions over 4 populations; the 40 short-header and 18
+    // port-53 decoys must not inflate any count
+    rows.foreach { r =>
+      assert(r._3 == 30 && r._4 == 30, r.toString)
+      assert(r._5 == 12, s"max dcid len ${r._5}")
+      assert(r._6 == (r._2 == "negotiation"))
+    }
+    // no UDF anywhere: the byte extraction must stay codegen'd
+    val plan = run("pcap_quic_inventory")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan)
+  }
 }

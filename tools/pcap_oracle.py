@@ -1673,5 +1673,35 @@ if glob.glob(f"{out}/pcap_tls_certs/*.parquet"):
                 for (sv, ser, scn, icn, nbf, naf, san, ss), cnt
                 in certacc.items()))
 
+# QUIC inventory: byte-level UDP parse of the RFC 8999 invariant
+# long-header prefix (form bit, version, DCID length).
+if glob.glob(f"{out}/pcap_quic_inventory/*.parquet"):
+    VN = {1: "v1", 0x6B3343CF: "v2", 0xFF00001D: "draft-29",
+          0: "negotiation"}
+    qacc = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_quic.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        if proto != 17:
+            continue
+        sp, dp = struct.unpack_from(">HH", fr, l4)
+        if sp != 443 and dp != 443:
+            continue
+        pl = fr[l4 + 8:]
+        if len(pl) < 7 or not pl[0] & 0x80:
+            continue
+        ver = struct.unpack_from(">I", pl, 1)[0]
+        server, client = (dst, src) if dp == 443 else (src, dst)
+        name = VN.get(ver, "unknown")
+        e = qacc.setdefault((server, name), [0, set(), 0])
+        e[0] += 1
+        e[1].add(client)
+        e[2] = max(e[2], pl[5])
+    _cmp("pcap_quic_inventory(redecode)",
+         _read("pcap_quic_inventory",
+               ["server", "version_name", "n_pkts", "n_clients",
+                "max_dcid_len", "is_negotiation"]),
+         sorted((sv, nm, c, len(cl), mx, nm == "negotiation")
+                for (sv, nm), (c, cl, mx) in qacc.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
