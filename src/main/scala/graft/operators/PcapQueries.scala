@@ -218,6 +218,42 @@ object PcapQueries {
             is_negotiation)"""
   }
 
+  /** SMTP command-stream capture (see
+    * [[graft.pcap.PcapSynth.smtpPackets]]). */
+  private def smtpSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_smtp.pcap")
+    graft.pcap.PcapSynth.ensureSmtpFile(p, 140)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_smtp_audit: replay the session rotation
+    * ([[graft.pcap.PcapSynth.smtpPackets]] — envelopes only for
+    * i%5 <= 2, STARTTLS at 0, AUTH LOGIN at 2, rcpt fan 1+i%3, sender
+    * domain corp(i%7)). */
+  private def smtpAuditOracle(n: Int): String = {
+    val acc = scala.collection.mutable.LinkedHashMap[String,
+      (Long, Long, Long, Long)]()
+    for (i <- 0 until n if i % 5 <= 2) {
+      val dom = s"corp${i % 7}.example"
+      val (se, rc, st, au) = acc.getOrElse(dom, (0L, 0L, 0L, 0L))
+      acc(dom) = (se + 1, rc + graft.pcap.PcapSynth.smtpRcpts(i),
+        st + (if (i % 5 == 0) 1 else 0), au + (if (i % 5 == 2) 1 else 0))
+    }
+    val rows = acc.map { case (dom, (se, rc, st, au)) =>
+      s"('192.0.2.55', '$dom', $se, $rc, $st, $au, ${st < se})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.server AS VARCHAR) AS server,
+        CAST(v.sender_domain AS VARCHAR) AS sender_domain,
+        CAST(v.n_sessions AS BIGINT) AS n_sessions,
+        CAST(v.n_rcpts AS BIGINT) AS n_rcpts,
+        CAST(v.n_starttls AS BIGINT) AS n_starttls,
+        CAST(v.n_plain_auth AS BIGINT) AS n_plain_auth,
+        CAST(v.cleartext_exposed AS BOOLEAN) AS cleartext_exposed
+        FROM (VALUES $rows)
+          AS v(server, sender_domain, n_sessions, n_rcpts, n_starttls,
+            n_plain_auth, cleartext_exposed)"""
+  }
+
   /** Deterministic ICMP echo/unreachable capture (see
     * [[graft.pcap.PcapSynth.icmpPackets]]). */
   private def icmpSynthPath: String = {
@@ -1967,6 +2003,44 @@ object PcapQueries {
           .withColumn("is_negotiation", $"version_name" === "negotiation")
       },
       Some(quicInventoryOracle(120))),
+
+    // SMTP envelope / STARTTLS compliance audit (the mail-estate twin
+    // of pcap_cleartext_creds): which sender domains still relay mail
+    // without upgrading to TLS, and which sessions push credentials as
+    // base64 AUTH LOGIN. Two-level shape: per-SESSION conditional
+    // aggregation first (MAIL FROM / RCPT / STARTTLS / AUTH are
+    // separate packets of one flow, so session facts need the flow
+    // rollup — high-cardinality key, spreads), then the tiny
+    // (server, sender_domain) rollup. Sessions with no envelope (EHLO
+    // probes, binary junk) fall out between the two. All predicates
+    // are codegen'd string built-ins over one cast of the payload.
+    Q("pcap_smtp_audit",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(smtpSynthPath)
+          .filter($"protocol" === "TCP" && $"dst_port" === 25 &&
+            $"payload".isNotNull)
+          .withColumn("line", $"payload".cast("string"))
+          .groupBy($"src", $"dst", $"src_port")
+          .agg(
+            max(regexp_extract($"line", "^MAIL FROM:<([^>]*)>", 1))
+              .as("sender"),
+            sum(when($"line".startsWith("RCPT TO:"), 1L).otherwise(0L))
+              .as("rcpts"),
+            max(when($"line" === "STARTTLS\r\n", 1L).otherwise(0L))
+              .as("starttls"),
+            max(when($"line" === "AUTH LOGIN\r\n", 1L).otherwise(0L))
+              .as("plain_auth"))
+          .filter($"sender" =!= "")
+          .withColumn("sender_domain", substring_index($"sender", "@", -1))
+          .groupBy($"dst".as("server"), $"sender_domain")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum($"rcpts").as("n_rcpts"),
+            sum($"starttls").as("n_starttls"),
+            sum($"plain_auth").as("n_plain_auth"))
+          .withColumn("cleartext_exposed", $"n_starttls" < $"n_sessions")
+      },
+      Some(smtpAuditOracle(140))),
 
     // Batch twin of streaming.SynScanStream.scanAlerts (same windowed
     // distinct-port threshold semantics, exact batch countDistinct) —

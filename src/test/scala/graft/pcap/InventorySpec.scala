@@ -148,4 +148,24 @@ class InventorySpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       plan)
   }
+
+  test("smtp audit: EHLO-only probes and binary junk excluded; " +
+      "starttls/auth counted per session, not per packet") {
+    val rows = run("pcap_smtp_audit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.length == 7 && rows.forall(_._1 == "192.0.2.55"))
+    // fixture: 140 sessions, i%5<=2 carry envelopes = 84, spread over
+    // 7 sender domains = 12 each; every domain has some non-STARTTLS
+    // sessions, so all are exposed
+    assert(rows.map(_._3).sum == 84)
+    rows.foreach { r =>
+      assert(r._3 == 12, r.toString)
+      assert(r._5 < r._3 && r._7, s"exposure: $r")
+      assert(r._6 > 0, s"auth population present: $r")
+    }
+    // per-session semantics: the 2-packet AUTH LOGIN exchange counts
+    // once, so n_plain_auth can never exceed n_sessions
+    assert(rows.forall(r => r._6 <= r._3))
+  }
 }

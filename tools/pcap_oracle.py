@@ -1703,5 +1703,44 @@ if glob.glob(f"{out}/pcap_quic_inventory/*.parquet"):
          sorted((sv, nm, c, len(cl), mx, nm == "negotiation")
                 for (sv, nm), (c, cl, mx) in qacc.items()))
 
+# SMTP audit: byte-level per-session fold over the command stream,
+# then the (server, sender domain) rollup.
+if glob.glob(f"{out}/pcap_smtp_audit/*.parquet"):
+    import re as _re
+    mail_re = _re.compile(rb"^MAIL FROM:<([^>]*)>")
+    sess = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_smtp.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        if proto != 6:
+            continue
+        sp, dp = struct.unpack_from(">HH", fr, l4)
+        if dp != 25:
+            continue
+        doff = (fr[l4 + 12] >> 4) * 4
+        pl = fr[l4 + doff:]
+        e = sess.setdefault((src, dst, sp), [None, 0, 0, 0])
+        m = mail_re.match(pl)
+        if m:
+            e[0] = m.group(1).decode("ascii")
+        elif pl.startswith(b"RCPT TO:"):
+            e[1] += 1
+        elif pl == b"STARTTLS\r\n":
+            e[2] = 1
+        elif pl == b"AUTH LOGIN\r\n":
+            e[3] = 1
+    sacc = {}
+    for (src, dst, sp), (sender, rc, st, au) in sess.items():
+        if not sender:
+            continue
+        dom = sender.split("@")[-1]
+        e = sacc.setdefault((dst, dom), [0, 0, 0, 0])
+        e[0] += 1; e[1] += rc; e[2] += st; e[3] += au
+    _cmp("pcap_smtp_audit(redecode)",
+         _read("pcap_smtp_audit",
+               ["server", "sender_domain", "n_sessions", "n_rcpts",
+                "n_starttls", "n_plain_auth", "cleartext_exposed"]),
+         sorted((sv, dom, se, rc, st, au, st < se)
+                for (sv, dom), (se, rc, st, au) in sacc.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
