@@ -1037,6 +1037,91 @@ object Similarity {
               ORDER BY cos DESC, cid ASC) AS INT) AS rn
           FROM cand) WHERE rn <= 5""")),
 
+    // ----- filtered ANN: metadata predicate inside the bucket probe ------
+    // The production retrieval shape ("nearest neighbors WHERE
+    // lang = X / source = Y / label ∈ S"): the predicate applies to the
+    // CANDIDATE side only — queries stay unrestricted — and it applies
+    // BEFORE the distance computation, not after the top-k (post-
+    // filtering a k-list truncates recall whenever fewer than k
+    // survivors remain; pre-filtering keeps the k guarantee among the
+    // eligible set). Here the filter lands on the bucketed candidate
+    // relation ahead of the join, so ineligible vectors never reach
+    // the dot-product kernel OR the shuffle — at 100 TB that is the
+    // difference between scoring 30 % of the corpus and scoring all of
+    // it and throwing 70 % away. Known limit (documented, inherent to
+    // single-index pre-filtering): a very selective predicate thins
+    // buckets until candidate lists run dry — the remedies are more
+    // probes (band OR-ing) or per-partition indexes keyed by the hot
+    // filter column, the same trade every filtered-ANN system ships.
+    Q("sim_ann_lsh_filtered",
+      (s, d) => {
+        import s.implicits._
+        val planes: Seq[(Int, Seq[Double])] =
+          (0 until 8).map(j => j -> (0 until dim).map(planeWeight(j, _)))
+        val planeDf = planes.toDF("plane", "w")
+        val emb = Tables.embeddings(s, d)
+          .select($"vec_id", $"embedding", $"label")
+        val buckets = emb.crossJoin(broadcast(planeDf))
+          .select($"vec_id", $"plane", dot("embedding", "w").as("dp"))
+          .groupBy($"vec_id")
+          .agg(sum(when($"dp" > 0.0,
+            expr("shiftleft(CAST(1 AS BIGINT), plane)"))
+            .otherwise(0L)).as("bucket"))
+        val withB = emb.join(buckets, "vec_id")
+        val q = withB.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qe"),
+            $"bucket".as("qb"))
+          .withColumn("qn", norm("qe"))
+        // the predicate: BEFORE bucket join and distance kernel
+        val c = withB.filter($"label" % 3 === 1)
+          .select($"vec_id".as("cid"), $"embedding".as("ce"),
+            $"bucket".as("cb"))
+          .withColumn("cn", norm("ce"))
+        val topk = udaf(new graft.functions.TopKByScore(5))
+        broadcast(q).join(c, $"qb" === $"cb" && $"qid" =!= $"cid")
+          .select($"qid", $"cid",
+            (dot("qe", "ce") / ($"qn" * $"cn")).as("cos"))
+          .groupBy($"qid").agg(topk($"cid", $"cos").as("tk"))
+          .select($"qid", posexplode($"tk"))
+          .select($"qid", $"col.id".as("cid"), $"col.score".as("cos"),
+            ($"pos" + 1).cast("int").as("rn"))
+      },
+      Some("""WITH planes AS (
+          SELECT j AS plane,
+            [(CAST('0x' || substr(md5(j || ':' || (i-1)), 1, 8) AS BIGINT)
+              % 2000001 - 1000000) / 1000000.0
+             FOR i IN generate_series(1, 64)] AS w
+          FROM generate_series(0, 7) t(j)),
+        e AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb,
+                label
+              FROM embeddings),
+        dots AS (
+          SELECT vec_id, plane,
+            list_sum([emb[i] * w[i] FOR i IN generate_series(1, len(w))]) AS dp
+          FROM e, planes),
+        buckets AS (
+          SELECT vec_id,
+            SUM(CASE WHEN dp > 0.0 THEN (CAST(1 AS BIGINT) << plane)
+                ELSE 0 END) AS bucket
+          FROM dots GROUP BY vec_id),
+        wb AS (SELECT e.vec_id, emb, label, bucket FROM e
+               JOIN buckets ON e.vec_id = buckets.vec_id),
+        cand AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            list_sum([qe[i] * ce[i] FOR i IN generate_series(1, len(qe))])
+              / (sqrt(list_sum([x * x FOR x IN qe])) *
+                 sqrt(list_sum([x * x FOR x IN ce]))) AS cos
+          FROM (SELECT vec_id, emb AS qe, bucket FROM wb
+                WHERE vec_id % 50 = 0) q
+          JOIN (SELECT vec_id, emb AS ce, bucket FROM wb
+                WHERE label % 3 = 1) c
+            ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+        SELECT qid, cid, cos, rn FROM (
+          SELECT qid, cid, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos DESC, cid ASC) AS INT) AS rn
+          FROM cand) WHERE rn <= 5""")),
+
     // ----- ANN via IVF-Flat: inverted lists + nprobe probing --------------
     // The other standard ANN scale path (Jegou et al., TPAMI 2011): a
     // coarse quantizer partitions the corpus into nlist inverted lists;

@@ -134,4 +134,32 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"kernel plan must be join-free:\n$plan")
   }
+
+  test("filtered ANN: every hit satisfies the predicate, queries stay " +
+      "unrestricted, and the filter sits under the bucket join") {
+    import spark.implicits._
+    val res = SparkEntry.queries("sim_ann_lsh_filtered")(spark, sf)
+    val hits = res.select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.nonEmpty)
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // candidates: predicate holds for every returned neighbor
+    assert(hits.forall { case (_, cid) => labels(cid) % 3 == 1 },
+      "ineligible candidate leaked through")
+    // queries: NOT restricted to the predicate (some qid fails it)
+    assert(hits.exists { case (qid, _) => labels(qid) % 3 != 1 },
+      "query side must stay unrestricted")
+    // pre-filter, not post-filter: the Filter on label must execute
+    // below the bucket join (ineligible rows never reach the kernel)
+    val plan = res.queryExecution.executedPlan.toString
+    val joinAt = plan.indexOf("Join")
+    val filterAt = "Filter[^\\n]*label".r.findFirstMatchIn(plan)
+      .map(_.start).getOrElse(-1)
+    // tree prints top-down: a filter BELOW the join prints after it; a
+    // post-filter above the join would print before it
+    assert(joinAt >= 0 && filterAt > joinAt,
+      s"label predicate must execute on the build side BELOW the join:\n$plan")
+  }
 }
