@@ -254,6 +254,46 @@ object PcapQueries {
             n_plain_auth, cleartext_exposed)"""
   }
 
+  /** DGA query/response capture (see
+    * [[graft.pcap.PcapSynth.dgaPackets]]). */
+  private def dgaSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_dga2.pcap")
+    graft.pcap.PcapSynth.ensureDgaFile(p, 200)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_dga_candidates: replay both client
+    * populations' query/NXDOMAIN formulas, including the exact digit
+    * counts of every [[graft.pcap.PcapSynth.dgaSld]] string. */
+  private def dgaOracle(n: Int): String = {
+    val acc = scala.collection.mutable.LinkedHashMap[String,
+      (Long, Long, Long, Long, Long)]()
+    for (i <- 0 until n) {
+      val benign = i % 4 <= 1
+      val client =
+        if (benign) s"10.50.0.${i % 20}" else s"10.51.0.${i % 10}"
+      val sld = if (benign) "www" else graft.pcap.PcapSynth.dgaSld(i)
+      val nx = if (benign) i % 11 == 0 else i % 7 != 0
+      val (q, r, x, sl, sd) = acc.getOrElse(client, (0L, 0L, 0L, 0L, 0L))
+      acc(client) = (q + 1, r + 1, x + (if (nx) 1 else 0),
+        sl + sld.length, sd + sld.count(_.isDigit))
+    }
+    val rows = acc.map { case (c, (q, r, x, sl, sd)) =>
+      val flag = q >= 10 && x * 10 >= r * 6 && sd * 100 >= sl * 15
+      s"('$c', $q, $r, $x, $sl, $sd, $flag)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.client AS VARCHAR) AS client,
+        CAST(v.n_queries AS BIGINT) AS n_queries,
+        CAST(v.n_responses AS BIGINT) AS n_responses,
+        CAST(v.n_nxdomain AS BIGINT) AS n_nxdomain,
+        CAST(v.sum_sld_len AS BIGINT) AS sum_sld_len,
+        CAST(v.sum_sld_digits AS BIGINT) AS sum_sld_digits,
+        CAST(v.dga_flag AS BOOLEAN) AS dga_flag
+        FROM (VALUES $rows)
+          AS v(client, n_queries, n_responses, n_nxdomain, sum_sld_len,
+            sum_sld_digits, dga_flag)"""
+  }
+
   /** Deterministic ICMP echo/unreachable capture (see
     * [[graft.pcap.PcapSynth.icmpPackets]]). */
   private def icmpSynthPath: String = {
@@ -2041,6 +2081,49 @@ object PcapQueries {
           .withColumn("cleartext_exposed", $"n_starttls" < $"n_sessions")
       },
       Some(smtpAuditOracle(140))),
+
+    // DGA-candidate detection (the botnet-C2 hunting staple, the
+    // rendezvous-side complement of pcap_dns_fastflux's hosting side):
+    // malware generates pseudo-random domains and walks them until one
+    // resolves, so an infected CLIENT shows a high NXDOMAIN rate AND
+    // name-shape anomaly (long digit-heavy first labels) — either
+    // signal alone false-positives (typos are NX but well-shaped; CDNs
+    // hash into long labels but resolve). ONE scan serves both
+    // directions via conditional aggregation — queries keyed by src,
+    // responses by dst, collapsing onto the same client key in ONE
+    // shuffle; the shape stats are codegen'd string built-ins and
+    // everything aggregates as exact integers (no float ratios).
+    Q("pcap_dga_candidates",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").option("decoder", "dns")
+          .load(dgaSynthPath)
+          .filter($"protocol" === "UDP" && $"dns_qname".isNotNull &&
+            ($"dst_port" === 53 || $"src_port" === 53))
+          .withColumn("client",
+            when($"dst_port" === 53, $"src").otherwise($"dst"))
+          .withColumn("is_q", $"dst_port" === 53)
+          .withColumn("sld", substring_index($"dns_qname", ".", 1))
+          .withColumn("sld_len",
+            when($"is_q", length($"sld").cast("long")).otherwise(0L))
+          .withColumn("sld_digits",
+            when($"is_q", (length($"sld") -
+              length(regexp_replace($"sld", "[0-9]", ""))).cast("long"))
+              .otherwise(0L))
+          .groupBy($"client")
+          .agg(
+            sum(when($"is_q", 1L).otherwise(0L)).as("n_queries"),
+            sum(when(!$"is_q", 1L).otherwise(0L)).as("n_responses"),
+            sum(when(!$"is_q" && $"dns_rcode" === "NXDOMAIN", 1L)
+              .otherwise(0L)).as("n_nxdomain"),
+            sum($"sld_len").as("sum_sld_len"),
+            sum($"sld_digits").as("sum_sld_digits"))
+          .withColumn("dga_flag",
+            $"n_queries" >= 10 &&
+              $"n_nxdomain" * 10 >= $"n_responses" * 6 &&
+              $"sum_sld_digits" * 100 >= $"sum_sld_len" * 15)
+      },
+      Some(dgaOracle(200))),
 
     // Batch twin of streaming.SynScanStream.scanAlerts (same windowed
     // distinct-port threshold semantics, exact batch countDistinct) —

@@ -168,4 +168,32 @@ class InventorySpec extends AnyFunSuite {
     // once, so n_plain_auth can never exceed n_sessions
     assert(rows.forall(r => r._6 <= r._3))
   }
+
+  test("dga candidates: exactly the DGA clients flagged — neither " +
+      "signal alone suffices (typo NX stays benign; both thresholds " +
+      "gate), one shuffle") {
+    val df = run("pcap_dga_candidates")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // 10 benign + 10 DGA clients (the i%4 population gate composes
+    // with i%20, so only even-ish benign octets occur)
+    assert(rows.length == 20)
+    val flagged = rows.filter(_._6).map(_._1).sorted
+    assert(flagged.length == 10 && flagged.forall(_.startsWith("10.51.")),
+      flagged.mkString(","))
+    // benign clients DO see NXDOMAIN (the i%11 typo rate) — the rate
+    // threshold is what keeps them clean, not an absence of NX
+    assert(rows.exists(r => !r._6 && r._3 > 0))
+    // DGA name shape: digit mass ~10/36 of base-36 chars
+    rows.filter(_._6).foreach { r =>
+      assert(r._5 * 100 >= r._4 * 15, r.toString)
+    }
+    // an AdaptiveSparkPlan prints final + initial plans; count only
+    // the final section or the duplicate exchange double-counts
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"$shuffles shuffles\n$plan")
+  }
 }

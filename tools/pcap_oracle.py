@@ -1742,5 +1742,38 @@ if glob.glob(f"{out}/pcap_smtp_audit/*.parquet"):
          sorted((sv, dom, se, rc, st, au, st < se)
                 for (sv, dom), (se, rc, st, au) in sacc.items()))
 
+# DGA candidates: byte-level qname + rcode parse, per-client fold.
+if glob.glob(f"{out}/pcap_dga_candidates/*.parquet"):
+    dacc = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_dga2.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        if proto != 17:
+            continue
+        sp, dp = struct.unpack_from(">HH", fr, l4)
+        if sp != 53 and dp != 53:
+            continue
+        dns = fr[l4 + 8:]
+        flags = struct.unpack_from(">H", dns, 2)[0]
+        # first label of the question name
+        lab_len = dns[12]
+        sld = dns[13:13 + lab_len].decode("ascii")
+        client = src if dp == 53 else dst
+        e = dacc.setdefault(client, [0, 0, 0, 0, 0])
+        if dp == 53:
+            e[0] += 1
+            e[3] += len(sld)
+            e[4] += sum(c.isdigit() for c in sld)
+        else:
+            e[1] += 1
+            if flags & 0xF == 3:
+                e[2] += 1
+    _cmp("pcap_dga_candidates(redecode)",
+         _read("pcap_dga_candidates",
+               ["client", "n_queries", "n_responses", "n_nxdomain",
+                "sum_sld_len", "sum_sld_digits", "dga_flag"]),
+         sorted((c, q, r, x, sl, sd,
+                 q >= 10 and x * 10 >= r * 6 and sd * 100 >= sl * 15)
+                for c, (q, r, x, sl, sd) in dacc.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
