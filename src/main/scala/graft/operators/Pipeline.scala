@@ -168,6 +168,65 @@ object Pipeline {
           CAST(SUM(num) AS DOUBLE) / (2.0 * n1 * n2) AS tv_distance
         FROM terms GROUP BY s1, s2, n1, n2""")),
 
+    // ----- embedding-space drift monitor ----------------------------------
+    // The vector twin of pipeline_source_drift's token-level TV
+    // distance: did the embedding distribution of a label move between
+    // two snapshot deliveries (here vec_id parity stands in for
+    // delivery id)? Per (label, dimension): the two deliveries' counts
+    // and centroid components, plus the component shift — the
+    // dimension-resolved view a retrieval/ANN owner actually debugs
+    // with (an index trained on delivery 1 degrades exactly on the
+    // dimensions that moved; cf. the ANN append drift gate,
+    // Similarity.tryAppend). Numeric discipline: every float is
+    // floored to integer MICRO-UNITS per row (floor, not round or
+    // cast — the one float→int mapping Spark and DuckDB agree on),
+    // sums are exact order-free BIGINTs, and the only floating math is
+    // one IEEE division per OUTPUT row — bit-identical on both
+    // engines, so the oracle hash match is exact, never
+    // tolerance-based. Scale shape: ONE explode + ONE shuffle on
+    // (label, dim) with map-side partial sums; output is
+    // O(labels × dims), independent of corpus size.
+    Q("pipeline_embedding_drift",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .select($"vec_id", $"label", posexplode($"embedding"))
+          .select($"label", $"pos".cast("int").as("dim"),
+            ($"vec_id" % 2 === 0).as("ref"),
+            floor($"col".cast("double") * 1000000L).cast("long").as("m"))
+          .groupBy($"label", $"dim")
+          .agg(
+            sum(when($"ref", 1L).otherwise(0L)).as("n_ref"),
+            sum(when(!$"ref", 1L).otherwise(0L)).as("n_cur"),
+            sum(when($"ref", $"m").otherwise(0L)).as("sum_ref"),
+            sum(when(!$"ref", $"m").otherwise(0L)).as("sum_cur"))
+          .select($"label", $"dim", $"n_ref", $"n_cur",
+            ($"sum_ref".cast("double") / $"n_ref").as("mean_ref_micro"),
+            ($"sum_cur".cast("double") / $"n_cur").as("mean_cur_micro"),
+            ($"sum_cur".cast("double") / $"n_cur" -
+              $"sum_ref".cast("double") / $"n_ref").as("shift_micro"))
+      },
+      Some("""WITH m AS (
+          SELECT label, i - 1 AS dim, vec_id % 2 = 0 AS ref,
+            CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+              AS m
+          FROM embeddings,
+            LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                     AS i)),
+        agg AS (
+          SELECT label, CAST(dim AS INT) AS dim,
+            CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+            CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur,
+            CAST(SUM(CASE WHEN ref THEN m ELSE 0 END) AS BIGINT) AS sum_ref,
+            CAST(SUM(CASE WHEN ref THEN 0 ELSE m END) AS BIGINT) AS sum_cur
+          FROM m GROUP BY 1, 2)
+        SELECT label, dim, n_ref, n_cur,
+          CAST(sum_ref AS DOUBLE) / n_ref AS mean_ref_micro,
+          CAST(sum_cur AS DOUBLE) / n_cur AS mean_cur_micro,
+          CAST(sum_cur AS DOUBLE) / n_cur
+            - CAST(sum_ref AS DOUBLE) / n_ref AS shift_micro
+        FROM agg""")),
+
     // ----- train/eval n-gram contamination --------------------------------
     // Eval set = doc_id % 20 == 0. A train doc is contaminated by an eval
     // doc when they share a word 4-gram; eval_frac = shared / eval doc's

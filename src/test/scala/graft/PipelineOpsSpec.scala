@@ -156,4 +156,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lshCross.subsetOf(fuzzyPairs),
       s"missed cross-split pairs: ${lshCross -- fuzzyPairs}")
   }
+
+  test("embedding drift: one shuffle, O(labels x dims) output, shift " +
+      "is exactly the mean difference") {
+    val df = SparkEntry.queries("pipeline_embedding_drift")(spark, sf)
+    val rows = df.collect()
+    val nLabels = graft.Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(rows.length == nLabels * 64, s"${rows.length} rows")
+    rows.foreach { r =>
+      val (nr, nc) = (r.getLong(2), r.getLong(3))
+      assert(nr > 0 && nc > 0)
+      // per-row IEEE identity: shift = mean_cur - mean_ref exactly
+      assert(r.getDouble(6) == r.getDouble(5) - r.getDouble(4), r.toString)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"$shuffles shuffles\n$plan")
+  }
 }
