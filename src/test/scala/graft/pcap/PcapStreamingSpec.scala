@@ -480,4 +480,99 @@ class PcapStreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want,
       s"missing=${want -- got} extra=${got -- want}")
   }
+
+  // ----- streaming DGA detector ------------------------------------------
+
+  private def dgaWant: Set[(String, Long, Long, Long, Long, Long)] =
+    graft.SparkEntry.queries("pcap_dga_candidates")(spark, "unused")
+      .filter("dga_flag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+
+  private def runDgaStream(name: String, watermark: String,
+      land: (java.nio.file.Path, () => Unit) => Unit)
+      : (java.nio.file.Path, org.apache.spark.sql.streaming.StreamingQuery,
+         () => Set[(String, Long, Long, Long, Long, Long)]) = {
+    val dir = Files.createTempDirectory(s"pcap_landing_$name")
+    val alerts = graft.streaming.DgaStream.alerts(
+      spark.readStream.format("pcap").option("decoder", "dns")
+        .load(dir.toString),
+      watermark = watermark, idleSeconds = 60)
+    val query = alerts.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    query.processAllAvailable()
+    land(dir, () => query.processAllAvailable())
+    query.processAllAvailable()
+    // flush: one lone DNS query from a brand-new client far past the
+    // fixture horizon — advances the watermark (closing every fixture
+    // client) while its own 1-query state can never reach minQueries
+    Files.write(dir.resolve("zz_flush.pcap"),
+      graft.pcap.PcapSynth.file(Seq((1706500000L, 0L,
+        graft.pcap.PcapSynth.ipv4UdpFrame(
+          Array[Byte](10, 99, 9, 9), Array[Byte](192.toByte, 0, 2, 99),
+          41999, 53, ttl = 64,
+          payload = graft.pcap.PcapSynth.dnsQuery(0x4242,
+            "flush.example"))))))
+    query.processAllAvailable()
+    (dir, query, () => spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet)
+  }
+
+  test("streaming DGA alerts match the batch twin's flagged rows; a " +
+      "post-alert burst does not re-alert") {
+    val (dir, query, got) = runDgaStream("dga_alerts", "5 seconds",
+      { (d, _) =>
+        Files.write(d.resolve("dga.pcap"), graft.pcap.PcapSynth.file(
+          graft.pcap.PcapSynth.dgaPackets(200)))
+      })
+    try {
+      val want = dgaWant
+      assert(want.size == 10 && got() == want,
+        s"missing=${want -- got()} extra=${got() -- want}")
+      // re-observation: one flagged client walks 20 more names, then an
+      // even-later flush closes it again — tombstoned, so no new row
+      // and the original row unchanged
+      val extra = (0 until 20).map { j =>
+        (1706600000L + j, 0L, graft.pcap.PcapSynth.ipv4UdpFrame(
+          Array[Byte](10, 51, 0, 1), Array[Byte](192.toByte, 0, 2, 99),
+          42000 + j, 53, ttl = 61,
+          payload = graft.pcap.PcapSynth.dnsQuery(j,
+            s"${graft.pcap.PcapSynth.dgaSld(1000 + j)}.net")))
+      }
+      Files.write(dir.resolve("zz_reburst.pcap"),
+        graft.pcap.PcapSynth.file(extra))
+      query.processAllAvailable()
+      Files.write(dir.resolve("zzz_flush2.pcap"),
+        graft.pcap.PcapSynth.file(Seq((1706700000L, 0L,
+          graft.pcap.PcapSynth.ipv4UdpFrame(
+            Array[Byte](10, 99, 9, 8), Array[Byte](192.toByte, 0, 2, 99),
+            41998, 53, ttl = 64,
+            payload = graft.pcap.PcapSynth.dnsQuery(0x4243,
+              "flush2.example"))))))
+      query.processAllAvailable()
+      assert(got() == want, "re-observation must not re-alert")
+    } finally query.stop()
+  }
+
+  test("DGA twin equality survives out-of-event-time-order admission " +
+      "(late half landed first)") {
+    val pkts = graft.pcap.PcapSynth.dgaPackets(200)
+    val cut = 1706400100L
+    val (early, late) = pkts.partition(_._1 < cut)
+    assert(early.nonEmpty && late.nonEmpty)
+    val (_, query, got) = runDgaStream("dga_alerts_ooo", "600 seconds",
+      { (d, drain) =>
+        Files.write(d.resolve("a_late.pcap"),
+          graft.pcap.PcapSynth.file(late))
+        drain() // the late half commits in its own micro-batch first
+        Files.write(d.resolve("b_early.pcap"),
+          graft.pcap.PcapSynth.file(early))
+      })
+    try {
+      val want = dgaWant
+      assert(want.nonEmpty && got() == want,
+        s"missing=${want -- got()} extra=${got() -- want}")
+    } finally query.stop()
+  }
 }
