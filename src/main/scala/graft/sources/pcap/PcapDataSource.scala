@@ -145,8 +145,10 @@ class PcapScanBuilder(options: CaseInsensitiveStringMap)
 
   private var required: StructType = PcapSchema.full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  private var countStars = 0 // number of pushed COUNT(*) columns
-  private var sidecarCount: Option[Long] = None
+  /** Pushed stat columns in aggregate order: 'c' = COUNT(*),
+    * 'n' = MIN(ts), 'x' = MAX(ts). */
+  private var statCols: Seq[Char] = Nil
+  private var statValues: Option[(Long, Long, Option[Long])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -168,44 +170,72 @@ class PcapScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  // ----- metadata-only COUNT(*) (round-9) ---------------------------------
-  // The most common capture-triage query — how many packets landed — never
-  // opens a file when every capture has a count-bearing `.tsidx` sidecar:
-  // the total is the sum of sidecar counts, answered from the listing
-  // alone. Catalyst only offers the aggregate when no filter sits between
-  // the Aggregate and the scan (our pushed filters are always residual,
-  // so ANY filter blocks the offer — a filtered count still decodes), and
-  // any file lacking a counted sidecar declines the pushdown and falls
-  // back to the full scan. `option("countPushdown","false")` disables.
+  // ----- metadata-only COUNT(*) / MIN(ts) / MAX(ts) (rounds 9, 11) -------
+  // The capture-triage trio — how many packets landed, and what time
+  // range do they span — never opens a file when every capture has a
+  // `.tsidx` sidecar: COUNT(*) sums the sidecar counts, MIN/MAX(ts)
+  // fold the sidecar second-bounds (the sidecar records whole-second
+  // ts, exactly the `ts` column's unit), all answered from the listing
+  // alone — O(files), not O(bytes). Catalyst only offers the aggregate
+  // when no filter sits between the Aggregate and the scan (our pushed
+  // filters are always residual, so ANY filter blocks the offer — a
+  // filtered count/range still decodes), and any file lacking the
+  // needed sidecar field declines the pushdown and falls back to the
+  // full scan. `option("countPushdown","false")` disables.
 
-  private def isCountStarOnly(
+  /** Classify a pushable stats aggregation into per-column tags
+    * ('c' COUNT(*), 'n' MIN(ts), 'x' MAX(ts)); None if anything else
+    * appears or there is a GROUP BY. */
+  private def statsSpec(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(
-        _.isInstanceOf[
-          org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+      : Option[Seq[Char]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def tsRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("ts")
+      case _ => false
+    }
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty)
+      return None
+    val tags = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => 'c'
+      case m: Min if tsRef(m.column) => 'n'
+      case m: Max if tsRef(m.column) => 'x'
+      case _ => return None
+    }
+    Some(tags)
+  }
 
-  /** Sum of sidecar counts over the exact file set the scan would read;
-    * None if ANY file lacks a counted sidecar (fallback to scanning). */
-  private def sidecarTotal(): Option[Long] = {
+  /** Fold (min ts, max ts, Σ count) over the exact file set the scan
+    * would read; None if the set is empty (MIN/MAX would be NULL —
+    * let the scan path answer that) or ANY file lacks a sidecar; the
+    * count is None if any sidecar is count-less (pre-round-9 format). */
+  private def sidecarStats(): Option[(Long, Long, Option[Long])] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val files = PcapTable.listDataFiles(options, conf)
-    var total = 0L
+    if (files.isEmpty) return None
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var total: Option[Long] = Some(0L)
     files.foreach { st =>
       PcapTsIndex.readSidecarStats(
           st.getPath.getFileSystem(conf), st.getPath) match {
-        case Some((_, _, Some(n))) => total += n
-        case _ => return None
+        case Some((lo, hi, n)) =>
+          mn = math.min(mn, lo)
+          mx = math.max(mx, hi)
+          total = for (t <- total; c <- n) yield t + c
+        case None => return None
       }
     }
-    Some(total)
+    Some((mn, mx, total))
   }
 
   // Memoized: the planner probes supportCompletePushDown AND
-  // pushAggregation, and each sidecarTotal() is a driver-side directory
+  // pushAggregation, and each sidecarStats() is a driver-side directory
   // listing plus one sidecar read per capture — pay it once per builder.
-  private lazy val sidecarTotalMemo: Option[Long] = sidecarTotal()
+  private lazy val sidecarStatsMemo: Option[(Long, Long, Option[Long])] =
+    sidecarStats()
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -215,51 +245,63 @@ class PcapScanBuilder(options: CaseInsensitiveStringMap)
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     if (!options.getBoolean("countPushdown", true)) return false
-    if (!isCountStarOnly(agg) || pushed.nonEmpty) return false
-    sidecarCount = sidecarTotalMemo
-    countStars = agg.aggregateExpressions.length
-    sidecarCount.isDefined
+    if (pushed.nonEmpty) return false
+    statsSpec(agg) match {
+      case Some(tags) =>
+        statValues = sidecarStatsMemo
+        // a COUNT(*) column needs counted sidecars; min/max only bounds
+        if (tags.contains('c') && statValues.exists(_._3.isEmpty))
+          statValues = None
+        statCols = tags
+        statValues.isDefined
+      case None => false
+    }
   }
 
-  override def build(): Scan = sidecarCount match {
-    case Some(total) => new PcapCountScan(total, countStars)
-    case None => new PcapScan(required, options, pushed)
+  override def build(): Scan = statValues match {
+    case Some((mn, mx, total)) if statCols.nonEmpty =>
+      new PcapStatsScan(statCols.map {
+        case 'c' => total.get
+        case 'n' => mn
+        case 'x' => mx
+      })
+    case _ => new PcapScan(required, options, pushed)
   }
 }
 
-/** The metadata-only COUNT(*) scan: one partition, one row, the sidecar
-  * total — no capture file is ever opened. */
-class PcapCountScan(total: Long, nCols: Int) extends Scan with Batch {
+/** The metadata-only stats scan: one partition, one row, the pushed
+  * COUNT(*)/MIN(ts)/MAX(ts) values in aggregate order — no capture
+  * file is ever opened. */
+class PcapStatsScan(values: Seq[Long]) extends Scan with Batch {
   override def readSchema(): StructType = {
     var st = new StructType()
-    (1 to nCols).foreach(i => st = st.add(s"count_$i",
+    values.indices.foreach(i => st = st.add(s"stat_$i",
       org.apache.spark.sql.types.LongType, false))
     st
   }
   override def toBatch: Batch = this
   override def description(): String =
-    s"PcapCountScan(total=$total, fromSidecars=true)"
+    s"PcapStatsScan(values=[${values.mkString(",")}], fromSidecars=true)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(PcapCountPartition(total, nCols))
+    Array(PcapStatsPartition(values))
   override def createReaderFactory(): PartitionReaderFactory =
-    new PcapCountReaderFactory
+    new PcapStatsReaderFactory
 }
 
-case class PcapCountPartition(total: Long, nCols: Int) extends InputPartition
+case class PcapStatsPartition(values: Seq[Long]) extends InputPartition
 
-class PcapCountReaderFactory extends PartitionReaderFactory {
+class PcapStatsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition):
       org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] = {
-    val p = partition.asInstanceOf[PcapCountPartition]
+    val p = partition.asInstanceOf[PcapStatsPartition]
     new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] {
       private var emitted = false
       override def next(): Boolean =
         if (emitted) false else { emitted = true; true }
       override def get(): org.apache.spark.sql.catalyst.InternalRow =
-        org.apache.spark.sql.catalyst.InternalRow.fromSeq(
-          Seq.fill(p.nCols)(p.total))
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(p.values)
       override def close(): Unit = ()
     }
   }
