@@ -2007,6 +2007,64 @@ object Multimodal {
           LATERAL (SELECT unnest(generate_series(0,
             CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
         WHERE doc_id % 3 = 0
-        GROUP BY 1, 2, 3, 4"""))
+        GROUP BY 1, 2, 3, 4""")),
+
+    // ----- audio QC: silence / clipping screen ---------------------------
+    // The audio-curation gate a speech/ASR corpus runs before paying for
+    // transcription or training: clips that are mostly silence carry no
+    // signal, clips that clip (samples pinned near full-scale) carry
+    // distorted signal — both are dropped at ingest. Counts are exact
+    // integers over the decoded PCM (silence = |s| < 1024, i.e. under
+    // -30 dBFS for 16-bit; clipping = |s| >= 32256, within 512 of
+    // full scale), so the oracle — which replays the synthesis FORMULA,
+    // never the bytes — hash-matches exactly; the keep flags compare by
+    // integer cross-multiplication (10 * n_silent <= n vs a float
+    // ratio), so no tolerance anywhere. Scale: narrow per-row decode,
+    // audio bytes never shuffle — the mm_decode_wav shape; the output
+    // is O(clips) small rows.
+    Q("mm_audio_quality",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val audio = WavCodec.decode(WavCodec.encode(id))
+            val n = audio.samples.length
+            var silent = 0
+            var clipped = 0
+            var i = 0
+            while (i < n) {
+              val a = math.abs(audio.samples(i).toInt)
+              if (a < 1024) silent += 1
+              if (a >= 32256) clipped += 1
+              i += 1
+            }
+            (id, n, silent, clipped,
+              silent.toDouble / n, clipped.toDouble / n,
+              10L * silent <= n && 50L * clipped <= n)
+          }
+        }.toDF("media_id", "n_samples", "n_silent", "n_clipped",
+          "silent_frac", "clipped_frac", "keep")
+      },
+      Some("""WITH a AS (
+          SELECT doc_id, CAST(200 + doc_id % 57 AS INT) AS n
+          FROM documents WHERE doc_id % 3 = 1),
+        c AS (
+          SELECT doc_id, n,
+            CAST(list_sum([CASE WHEN
+                abs(((doc_id * 31 + i * i * 7) % 65536) - 32768) < 1024
+              THEN 1 ELSE 0 END
+              FOR i IN generate_series(0, n - 1)]) AS INT) AS n_silent,
+            CAST(list_sum([CASE WHEN
+                abs(((doc_id * 31 + i * i * 7) % 65536) - 32768) >= 32256
+              THEN 1 ELSE 0 END
+              FOR i IN generate_series(0, n - 1)]) AS INT) AS n_clipped
+          FROM a)
+        SELECT doc_id AS media_id, n AS n_samples, n_silent, n_clipped,
+          CAST(n_silent AS DOUBLE) / n AS silent_frac,
+          CAST(n_clipped AS DOUBLE) / n AS clipped_frac,
+          (10 * n_silent <= n AND 50 * n_clipped <= n) AS keep
+        FROM c"""))
   )
 }

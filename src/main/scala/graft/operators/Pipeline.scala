@@ -805,6 +805,75 @@ object Pipeline {
           MAX(c) AS max_key_rows,
           CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top1_ppm,
           CAST(SUM(c * c) AS BIGINT) AS selfjoin_rows
-        FROM c GROUP BY 1"""))
+        FROM c GROUP BY 1""")),
+
+    // ----- CDC latest-wins merge (incremental corpus refresh) -------------
+    // The apply step of an incremental corpus: deliveries arrive as
+    // (doc_id, version, op) changelogs — re-crawls replace text,
+    // tombstones delete, later deliveries resurrect — and the engine
+    // must materialize the current snapshot. The classic formulation is
+    // a row_number() window per key (sort every version of every key);
+    // the scale-right Spark plan is a plain groupBy(doc_id) argmax via
+    // max(struct(version, ...)) — ONE hash shuffle on the merge key,
+    // map-side partial argmax (each mapper keeps one candidate per key,
+    // so only winners-so-far cross the wire), no per-key sort at all.
+    // Versions are unique per key by construction (delivery number), so
+    // the argmax is total. At 100 TB both base and deltas would be
+    // bucketed by doc_id, making the merge exchange-free — the
+    // snapshot_diff layout note applies verbatim. Tombstones must
+    // survive INTO the argmax (a delete that loses to nothing still
+    // wins over older upserts) and be filtered only AFTER it.
+    //
+    // Fixture deliveries derived from the documents table: v1 = full
+    // corpus; v2 re-crawls doc_id % 5 == 0 (text || ' rev2') and
+    // tombstones doc_id % 13 == 0; v3 re-crawls doc_id % 10 == 0
+    // (' rev3') and resurrects doc_id % 26 == 0 (' back'). A doc can be
+    // hit by several (e.g. % 65 == 0: re-crawled, deleted, resurrected
+    // — v3 must win).
+    Q("pipeline_merge_upsert",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val v1 = docs.select($"doc_id", lit(1L).as("version"),
+          lit(false).as("del"), md5($"text".cast("binary")).as("h"))
+        val v2 = docs.filter($"doc_id" % 5 === 0 || $"doc_id" % 13 === 0)
+          .select($"doc_id", lit(2L).as("version"),
+            ($"doc_id" % 13 === 0).as("del"),
+            when($"doc_id" % 13 === 0, lit(null).cast("string"))
+              .otherwise(md5(concat($"text", lit(" rev2")).cast("binary")))
+              .as("h"))
+        val v3 = docs.filter($"doc_id" % 10 === 0 || $"doc_id" % 26 === 0)
+          .select($"doc_id", lit(3L).as("version"),
+            lit(false).as("del"),
+            when($"doc_id" % 26 === 0,
+                md5(concat($"text", lit(" back")).cast("binary")))
+              .otherwise(md5(concat($"text", lit(" rev3")).cast("binary")))
+              .as("h"))
+        v1.union(v2).union(v3)
+          .groupBy($"doc_id")
+          .agg(max(struct($"version", $"del", $"h")).as("w"))
+          .filter(!$"w.del")
+          .select($"doc_id", $"w.version".as("version"), $"w.h".as("h"))
+      },
+      Some("""WITH log AS (
+          SELECT doc_id, CAST(1 AS BIGINT) AS version, FALSE AS del,
+            md5(text) AS h
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 2, doc_id % 13 = 0,
+            CASE WHEN doc_id % 13 = 0 THEN NULL
+                 ELSE md5(text || ' rev2') END
+          FROM documents WHERE doc_id % 5 = 0 OR doc_id % 13 = 0
+          UNION ALL
+          SELECT doc_id, 3, FALSE,
+            CASE WHEN doc_id % 26 = 0 THEN md5(text || ' back')
+                 ELSE md5(text || ' rev3') END
+          FROM documents WHERE doc_id % 10 = 0 OR doc_id % 26 = 0),
+        merged AS (
+          SELECT doc_id, version, del, h,
+            row_number() OVER (PARTITION BY doc_id ORDER BY version DESC)
+              AS rn
+          FROM log)
+        SELECT doc_id, version, h FROM merged WHERE rn = 1 AND NOT del"""))
   )
 }

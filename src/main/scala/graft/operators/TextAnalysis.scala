@@ -1112,6 +1112,125 @@ object TextAnalysis {
               / len(list_filter(string_split(trim($duckEnc), ' '),
                                 x -> x <> '|')) AS compression
           FROM documents"""))
-    }
+    },
+
+    // ----- Gopher-style rule battery (per-rule flags + keep) --------------
+    // The document-level heuristic filter battery of Gopher (Rae et al.
+    // 2021, table A1) / C4: word-count bounds, mean-word-length bounds,
+    // symbol-to-word ratio, fraction of alphabetic words, bullet-line
+    // and ellipsis-line fractions, required stop words — each exposed as
+    // its own flag (pipelines tune rules individually) plus the AND'd
+    // keep decision. All comparisons are integer cross-multiplications
+    // (10 * n_hash <= n_words, never n_hash/n_words <= 0.1), so rule
+    // boundaries are exact and the oracle hash-matches bit-for-bit.
+    //
+    // The synthetic corpus is single-spaced lowercase prose with no
+    // punctuation, so the rules would all trivially pass; the op first
+    // DECORATES the word stream deterministically from doc_id — known
+    // failure populations per rule (the snapshot_diff fixture idiom):
+    //   %19==6: every 2nd word -> 'a'        (crushes mean word length)
+    //   %7==1:  every 6th word -> '#'        (symbol ratio > 0.1)
+    //   %9==3:  every 4th word -> '12345'    (alpha fraction < 0.8)
+    //   %15==5: every line bulleted; %5==0: every 3rd line
+    //   %6==2:  every 2nd line ends '...'
+    // and the stats then PARSE the decorated lines back (left/right
+    // string tests), so both engines compute from the same derived text,
+    // not from closed-form counts. Scale: pure per-row projection, one
+    // pass, no shuffle, no UDF — everything is codegen'd higher-order
+    // built-ins; output O(docs).
+    Q("text_gopher_rules",
+      (s, d) => {
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "split(lower(text), ' ') AS ws")
+          .selectExpr("doc_id", """
+            transform(ws, (w, i) ->
+              CASE WHEN doc_id % 19 = 6 AND i % 2 = 0 THEN 'a'
+                   WHEN doc_id % 7 = 1 AND i % 6 = 5 THEN '#'
+                   WHEN doc_id % 9 = 3 AND i % 4 = 3 THEN '12345'
+                   ELSE w END) AS dw""")
+          .selectExpr("doc_id", "dw", """
+            transform(sequence(0, (size(dw) - 1) div 8), L ->
+              concat(
+                CASE WHEN doc_id % 15 = 5
+                       OR (doc_id % 5 = 0 AND L % 3 = 0)
+                     THEN '- ' ELSE '' END,
+                array_join(slice(dw, L * 8 + 1, 8), ' '),
+                CASE WHEN doc_id % 6 = 2 AND L % 2 = 1
+                     THEN '...' ELSE '' END)) AS dlines""")
+          .selectExpr("doc_id",
+            "size(dw) AS n_words",
+            "aggregate(dw, 0, (a, w) -> a + length(w)) AS sum_wlen",
+            "size(filter(dw, w -> w rlike '[a-z]')) AS n_alpha",
+            "size(filter(dw, w -> w = '#')) AS n_hash",
+            "size(dlines) AS n_lines",
+            "size(filter(dlines, l -> left(l, 2) = '- ')) AS n_bullet",
+            "size(filter(dlines, l -> right(l, 3) = '...')) AS n_ellipsis",
+            """(CASE WHEN array_contains(dw, 'the') THEN 1 ELSE 0 END
+              + CASE WHEN array_contains(dw, 'a') THEN 1 ELSE 0 END)
+              AS n_stop_present""")
+          .selectExpr("*",
+            "n_words BETWEEN 50 AND 100000 AS flag_words",
+            "3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words" +
+              " AS flag_wlen",
+            "10 * n_hash <= n_words AS flag_symbol",
+            "5 * n_alpha >= 4 * n_words AS flag_alpha",
+            "10 * n_bullet <= 9 * n_lines AS flag_bullets",
+            "10 * n_ellipsis <= 3 * n_lines AS flag_ellipsis",
+            "n_stop_present >= 2 AS flag_stop")
+          .selectExpr("*",
+            "flag_words AND flag_wlen AND flag_symbol AND flag_alpha" +
+              " AND flag_bullets AND flag_ellipsis AND flag_stop AS keep")
+      },
+      Some("""WITH w0 AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents),
+        w1 AS (
+          SELECT doc_id,
+            [CASE WHEN doc_id % 19 = 6 AND (i - 1) % 2 = 0 THEN 'a'
+                  WHEN doc_id % 7 = 1 AND (i - 1) % 6 = 5 THEN '#'
+                  WHEN doc_id % 9 = 3 AND (i - 1) % 4 = 3 THEN '12345'
+                  ELSE ws[i] END
+             FOR i IN generate_series(1, len(ws))] AS dw
+          FROM w0),
+        w2 AS (
+          SELECT doc_id, dw,
+            [(CASE WHEN doc_id % 15 = 5
+                     OR (doc_id % 5 = 0 AND L % 3 = 0)
+                   THEN '- ' ELSE '' END)
+             || array_to_string(dw[L * 8 + 1 : L * 8 + 8], ' ')
+             || (CASE WHEN doc_id % 6 = 2 AND L % 2 = 1
+                      THEN '...' ELSE '' END)
+             FOR L IN generate_series(0, (len(dw) - 1) // 8)] AS dlines
+          FROM w1),
+        stats AS (
+          SELECT doc_id,
+            CAST(len(dw) AS INT) AS n_words,
+            CAST(list_sum([length(w) FOR w IN dw]) AS INT) AS sum_wlen,
+            CAST(len([w FOR w IN dw IF regexp_matches(w, '[a-z]')])
+              AS INT) AS n_alpha,
+            CAST(len([w FOR w IN dw IF w = '#']) AS INT) AS n_hash,
+            CAST(len(dlines) AS INT) AS n_lines,
+            CAST(len([l FOR l IN dlines IF left(l, 2) = '- '])
+              AS INT) AS n_bullet,
+            CAST(len([l FOR l IN dlines IF right(l, 3) = '...'])
+              AS INT) AS n_ellipsis,
+            CAST((CASE WHEN list_contains(dw, 'the') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(dw, 'a') THEN 1 ELSE 0 END)
+              AS INT) AS n_stop_present
+          FROM w2),
+        flags AS (
+          SELECT *,
+            n_words BETWEEN 50 AND 100000 AS flag_words,
+            3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+              AS flag_wlen,
+            10 * n_hash <= n_words AS flag_symbol,
+            5 * n_alpha >= 4 * n_words AS flag_alpha,
+            10 * n_bullet <= 9 * n_lines AS flag_bullets,
+            10 * n_ellipsis <= 3 * n_lines AS flag_ellipsis,
+            n_stop_present >= 2 AS flag_stop
+          FROM stats)
+        SELECT *, flag_words AND flag_wlen AND flag_symbol AND flag_alpha
+            AND flag_bullets AND flag_ellipsis AND flag_stop AS keep
+        FROM flags"""))
   )
 }

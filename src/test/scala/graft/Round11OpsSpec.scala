@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 batch-1 operators, checked against direct independent
+  * re-derivations (the Round8OpsSpec pattern) plus plan-shape gates:
+  *
+  *   - pipeline_merge_upsert: latest-wins CDC semantics on targeted
+  *     doc histories (tombstone wins, resurrect wins over tombstone,
+  *     untouched rows survive at v1), exactly ONE exchange (the argmax
+  *     groupBy — no window sort in the plan).
+  *   - mm_audio_quality: counts re-derived from the decoded PCM by an
+  *     independent loop; keep flag equals the ratio rule.
+  *   - text_gopher_rules: per-rule flags re-derived from a direct
+  *     string-level implementation of the decorated document; the op
+  *     is a pure projection (ZERO exchanges).
+  */
+class Round11OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  private def collectNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val self = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        return collectNodes(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(collectNodes)
+  }
+
+  private def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    collectNodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[Exchange])
+
+  // ------------------------------------------------------------------
+  // pipeline_merge_upsert
+  // ------------------------------------------------------------------
+
+  test("merge_upsert: targeted doc histories resolve latest-wins") {
+    import spark.implicits._
+    val out = q("pipeline_merge_upsert")
+      .select($"doc_id", $"version").as[(Long, Long)].collect().toMap
+    val texts = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    // doc 0: v1 upsert, v2 TOMBSTONE (0 % 13 == 0), v3 resurrect
+    // (0 % 26 == 0) -> survives at version 3 with the ' back' text
+    assert(out(0L) == 3L)
+    val h0 = q("pipeline_merge_upsert")
+      .filter("doc_id = 0").select("h").as[String].head()
+    assert(h0 == md5(texts(0L) + " back"))
+
+    // doc 13: tombstoned at v2, never resurrected -> absent
+    assert(!out.contains(13L))
+    // doc 26: tombstoned at v2 (26 % 13 == 0), resurrected at v3
+    assert(out(26L) == 3L)
+    // doc 5: re-crawled at v2 only -> version 2
+    assert(out(5L) == 2L)
+    // doc 1: untouched -> version 1
+    assert(out(1L) == 1L)
+    // doc 10: v2 re-crawl + v3 re-crawl -> version 3, ' rev3' text
+    assert(out(10L) == 3L)
+  }
+
+  test("merge_upsert: one exchange, no window sort") {
+    val df = q("pipeline_merge_upsert")
+    assert(nExchanges(df) == 1,
+      s"expected exactly 1 exchange (the argmax groupBy):\n" +
+        df.queryExecution.executedPlan)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "latest-wins must be an argmax aggregate, not a row_number window")
+  }
+
+  // ------------------------------------------------------------------
+  // mm_audio_quality
+  // ------------------------------------------------------------------
+
+  test("audio_quality: counts match an independent PCM recount") {
+    import spark.implicits._
+    val got = q("mm_audio_quality")
+      .select($"media_id", $"n_silent", $"n_clipped", $"keep")
+      .as[(Long, Int, Int, Boolean)].collect()
+    assert(got.nonEmpty)
+    for ((id, silent, clipped, keep) <- got.take(40)) {
+      val a = operators.Multimodal.WavCodec.decode(
+        operators.Multimodal.WavCodec.encode(id))
+      val abs = a.samples.map(v => math.abs(v.toInt))
+      assert(silent == abs.count(_ < 1024), s"id=$id silent")
+      assert(clipped == abs.count(_ >= 32256), s"id=$id clipped")
+      assert(keep == (10L * silent <= abs.length &&
+        50L * clipped <= abs.length), s"id=$id keep")
+    }
+    // both decision outcomes occur on the fixture
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "keep must discriminate on the fixture")
+  }
+
+  // ------------------------------------------------------------------
+  // text_gopher_rules
+  // ------------------------------------------------------------------
+
+  /** Direct string-level re-derivation of the decorated document and
+    * its rule flags, written against the op's doc comment (not its
+    * code): decorate words, cut 8-word lines, prefix/suffix, then parse
+    * the line strings back. */
+  private def directGopher(docId: Long, text: String)
+      : (Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean) = {
+    val ws = text.toLowerCase.split(" ", -1)
+    val dw = ws.zipWithIndex.map { case (w, i) =>
+      if (docId % 19 == 6 && i % 2 == 0) "a"
+      else if (docId % 7 == 1 && i % 6 == 5) "#"
+      else if (docId % 9 == 3 && i % 4 == 3) "12345"
+      else w
+    }
+    val lines = dw.grouped(8).zipWithIndex.map { case (g, li) =>
+      val bullet =
+        if (docId % 15 == 5 || (docId % 5 == 0 && li % 3 == 0)) "- " else ""
+      val ell = if (docId % 6 == 2 && li % 2 == 1) "..." else ""
+      bullet + g.mkString(" ") + ell
+    }.toArray
+    val n = dw.length
+    val sumLen = dw.map(_.length).sum
+    val nAlpha = dw.count(_.exists(c => c >= 'a' && c <= 'z'))
+    val nHash = dw.count(_ == "#")
+    val nl = lines.length
+    val nBullet = lines.count(_.startsWith("- "))
+    val nEll = lines.count(_.endsWith("..."))
+    val nStop = (if (dw.contains("the")) 1 else 0) +
+      (if (dw.contains("a")) 1 else 0)
+    (n >= 50 && n <= 100000,
+      3 * n <= sumLen && sumLen <= 10 * n,
+      10 * nHash <= n,
+      5 * nAlpha >= 4 * n,
+      10 * nBullet <= 9 * nl,
+      10 * nEll <= 3 * nl,
+      nStop >= 2)
+  }
+
+  test("gopher_rules: flags match the direct re-derivation; both " +
+      "outcomes occur per rule") {
+    import spark.implicits._
+    val texts = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = q("text_gopher_rules")
+      .selectExpr("doc_id", "flag_words", "flag_wlen", "flag_symbol",
+        "flag_alpha", "flag_bullets", "flag_ellipsis", "flag_stop")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean,
+        Boolean)].collect()
+    assert(got.length == texts.size)
+    for ((id, fw, fl, fs, fa, fb, fe, fst) <- got) {
+      val exp = directGopher(id, texts(id))
+      assert((fw, fl, fs, fa, fb, fe, fst) == exp, s"doc $id")
+    }
+    // discrimination: every rule fails somewhere and passes somewhere
+    val cols = Seq[((Long, Boolean, Boolean, Boolean, Boolean, Boolean,
+      Boolean, Boolean)) => Boolean](
+      _._2, _._3, _._4, _._5, _._6, _._7, _._8)
+    for ((f, i) <- cols.zipWithIndex) {
+      assert(got.exists(f) && got.exists(r => !f(r)),
+        s"rule $i does not discriminate on the fixture")
+    }
+  }
+
+  test("gopher_rules: pure projection — zero exchanges") {
+    assert(nExchanges(q("text_gopher_rules")) == 0)
+  }
+}
