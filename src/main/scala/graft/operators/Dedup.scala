@@ -254,6 +254,51 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash estimator calibration over the LSH candidate set: for every
+    * candidate pair, the 8-permutation signature match count (the
+    * estimator pipelines threshold on) against the EXACT shingle-set
+    * Jaccard, rolled up as a (n_match, jacc_decile) confusion histogram.
+    * This is the tuning harness for the band/row parameters — it answers
+    * "how many pairs the estimator would pass at threshold t are really
+    * below t" without anyone eyeballing per-pair floats. Arithmetic is
+    * all-integer (the decile is (10·common) div (union), never a float
+    * ratio), so the oracle hash-matches exactly.
+    *
+    * Scale shape: candidates come from the guarded generator (bounded
+    * per join key); the exact-Jaccard stage joins SHINGLES only against
+    * candidate membership — pair × doc1-shingles, then an equi-join on
+    * (doc2, shingle) — the PPJoin verify-stage cost, Θ(|candidates| ×
+    * doc size), never corpus-quadratic. Signatures and shingles ride
+    * the per-dataset memo (built once for the whole dedup family). */
+  private[graft] def lshErrorProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, d)
+    val sig = signatures(s, d)
+    val est = pairs
+      .join(sig.as("s1"), col("doc1") === col("s1.doc_id"))
+      .join(sig.as("s2"), col("doc2") === col("s2.doc_id"))
+      .select($"doc1", $"doc2",
+        perms.indices.map(i =>
+          when(col(s"s1.m$i") === col(s"s2.m$i"), 1).otherwise(0))
+          .reduce(_ + _).as("n_match"))
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = pairs
+      .join(sh.select($"doc_id".as("doc1"), $"shingle"), "doc1")
+      .join(sh.select($"doc_id".as("doc2"), $"shingle"),
+        Seq("doc2", "shingle"))
+      .groupBy($"doc1", $"doc2").agg(count(lit(1)).as("common"))
+    est
+      .join(common, Seq("doc1", "doc2"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(sizes.select($"doc_id".as("doc1"), $"n_sh".as("n1")), "doc1")
+      .join(sizes.select($"doc_id".as("doc2"), $"n_sh".as("n2")), "doc2")
+      .selectExpr("n_match",
+        "CAST((10 * common) DIV (n1 + n2 - common) AS INT) AS jacc_decile")
+      .groupBy($"n_match", $"jacc_decile")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ----- persisted LSH bucket index (incremental corpus dedup) ------------
   // The continuous-ingestion form of MinHash-LSH dedup: at 100 TB the
   // corpus grows by delivery, and re-shingling the WHOLE corpus to
@@ -501,15 +546,15 @@ object Dedup {
     bands AS ($bandSelects)"""
   }
 
-  /** Hybrid (guarded) pair oracle: all pairs from small buckets, star
-    * pairs from oversized ones — the dedup_minhash_lsh contract. */
-  private lazy val minhashPairsSql: String =
-    s"""WITH $sigCtesSql,
-    bstat AS (SELECT band, x, y, COUNT(*) AS bsz, MIN(doc_id) AS bmin
+  /** The guarded candidate-pair chain as reusable CTEs (`cand`), shared
+    * by the pair query's oracle and the error-profile oracle so the two
+    * cannot disagree on the candidate rule. */
+  private lazy val candCtesSql: String =
+    s"""bstat AS (SELECT band, x, y, COUNT(*) AS bsz, MIN(doc_id) AS bmin
               FROM bands GROUP BY 1, 2, 3),
     bb AS (SELECT b.*, s.bsz, s.bmin
-           FROM bands b JOIN bstat s USING (band, x, y))
-    SELECT DISTINCT doc1, doc2 FROM (
+           FROM bands b JOIN bstat s USING (band, x, y)),
+    cand AS (SELECT DISTINCT doc1, doc2 FROM (
       SELECT l.doc_id AS doc1, r.doc_id AS doc2
       FROM bb l JOIN bb r
         ON l.band = r.band AND l.x = r.x AND l.y = r.y
@@ -517,7 +562,14 @@ object Dedup {
       WHERE l.bsz <= $BucketCap
       UNION ALL
       SELECT bmin AS doc1, doc_id AS doc2 FROM bb
-      WHERE bsz > $BucketCap AND doc_id <> bmin)"""
+      WHERE bsz > $BucketCap AND doc_id <> bmin))"""
+
+  /** Hybrid (guarded) pair oracle: all pairs from small buckets, star
+    * pairs from oversized ones — the dedup_minhash_lsh contract. */
+  private lazy val minhashPairsSql: String =
+    s"""WITH $sigCtesSql,
+    $candCtesSql
+    SELECT doc1, doc2 FROM cand"""
 
   /** UNCAPPED full-pair SQL — deliberately kept for the components
     * oracles: the Spark side clusters over star edges, the oracle over
@@ -978,6 +1030,46 @@ object Dedup {
       (s, d) => minhashPairs(s, d),
       Some(minhashPairsSql),
       headline = true),
+
+    // ----- MinHash estimator calibration (error profile) ------------------
+    // The tuning harness for the LSH parameters (lshErrorProfile doc):
+    // (signature match count × exact-Jaccard decile) confusion histogram
+    // over the candidate set. The oracle re-derives candidates, both
+    // estimators, and the exact shingle intersection from raw text via
+    // the SHARED cand/sig CTEs, so a hash match proves the Spark chain
+    // (guarded candidates → signature compare → candidate-restricted
+    // shingle join) computes the same calibration surface end to end.
+    Q("dedup_lsh_error_profile",
+      (s, d) => lshErrorProfile(s, d),
+      Some {
+        val matchSql = perms.indices
+          .map(i => s"CASE WHEN ts.m$i = es.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH $sigCtesSql,
+        $candCtesSql,
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        common AS (
+          SELECT c.doc1, c.doc2, COUNT(*) AS common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc1
+          JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+        est AS (
+          SELECT c.doc1, c.doc2, CAST($matchSql AS INT) AS n_match
+          FROM cand c
+          JOIN sig ts ON ts.doc_id = c.doc1
+          JOIN sig es ON es.doc_id = c.doc2)
+        SELECT e.n_match,
+          CAST((10 * COALESCE(cm.common, 0))
+            // (s1.n_sh + s2.n_sh - COALESCE(cm.common, 0)) AS INT)
+            AS jacc_decile,
+          COUNT(*) AS n_pairs
+        FROM est e
+        LEFT JOIN common cm ON cm.doc1 = e.doc1 AND cm.doc2 = e.doc2
+        JOIN sizes s1 ON s1.doc_id = e.doc1
+        JOIN sizes s2 ON s2.doc_id = e.doc2
+        GROUP BY 1, 2"""
+      }),
 
     // ----- incremental dedup against the persisted LSH bucket index -------
     // The continuous-ingestion screen (object notes above lshBucketIndex):

@@ -505,6 +505,101 @@ object MediaDedup {
           CAST(l.p - r.p AS INT) AS shift, COUNT(*) AS n_aligned
         FROM lm l JOIN lm r
           ON l.key = r.key AND l.doc_id < r.doc_id
-        GROUP BY 1, 2, 3"""))
+        GROUP BY 1, 2, 3""")),
+
+    // ----- shot boundary detection (temporal video segmentation) ----------
+    // The third consumer of per-frame perceptual hashes: WITHIN one
+    // video, a cut is a frame whose dHash jumps > 6 bits from its
+    // predecessor (camera cuts re-randomize the 64-bit hash; frames
+    // inside a shot drift a few bits at most). This is how video
+    // curation pipelines pick one keyframe per shot instead of paying
+    // feature extraction on every frame. Emits every shot start:
+    // frame 0 (hamming NULL) plus each frame whose predecessor distance
+    // exceeds the threshold.
+    //
+    // Scale: frame hashes are a narrow per-row decode; the ONLY shuffle
+    // is the lag window's partition on media_id — per-video frame
+    // counts are bounded (a 2-hour 24 fps video is 1.7e5 rows of 28
+    // bytes), so no skew guard is needed. Same Hamming-6 band as the
+    // pair ops.
+    //
+    // Fixture: shot-structured clips — frame j renders the base image
+    // of fid = id + 131 * (j div 2) (a NEW pseudo-random image every
+    // 2 frames = a cut), and the second frame of each shot carries the
+    // grid-sample whiteout (within-shot hamming <= 4, nonzero, so the
+    // threshold does real work). The oracle re-derives every frame
+    // hash from the pixel formulas and runs the same lag window.
+    Q("mm_shot_boundaries",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
+          .select($"doc_id").as[Long]
+        val fh = ids.mapPartitions { it =>
+          it.flatMap { id =>
+            val nf = Multimodal.AviCodec.nFrames(id)
+            (0 until nf).map { j =>
+              val fid = id + 131L * (j / 2)
+              val img = Multimodal.BmpCodec.decode(
+                Multimodal.BmpCodec.encode(fid))
+              if (j % 2 == 1) whiteoutGridSample(img, 2)
+              val (hi, lo) = Multimodal.dhashOf(img)
+              (id, j, hi, lo)
+            }
+          }
+        }.toDF("media_id", "frame_idx", "dhash_hi", "dhash_lo")
+        val w = Window.partitionBy($"media_id").orderBy($"frame_idx")
+        fh.select($"media_id", $"frame_idx",
+            (bit_count($"dhash_hi".bitwiseXOR(lag($"dhash_hi", 1).over(w)))
+              + bit_count($"dhash_lo".bitwiseXOR(lag($"dhash_lo", 1).over(w))))
+              .as("hamming"))
+          .filter($"hamming".isNull || $"hamming" > 6)
+      },
+      Some("""WITH vids AS (
+          SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        fr AS (
+          SELECT doc_id, j, doc_id + 131 * (j // 2) AS fid,
+            CASE WHEN j % 2 = 1 THEN 2 ELSE -1 END AS pc
+          FROM vids,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(3 + doc_id % 4 AS INT) - 1)) AS j) js),
+        fg AS (
+          SELECT doc_id, j, fid, pc,
+            CAST(16 + fid % 13 AS INT) AS w,
+            CAST(12 + fid % 7 AS INT) AS h, x, y
+          FROM fr,
+            LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        fb AS (
+          SELECT doc_id, j, x, y,
+            CASE WHEN
+              (CASE WHEN x + 1 = pc AND y = 3 THEN 255000 ELSE
+                299 * ((fid*7 + (((x+1)*w)//9)*3 + ((y*h)//8)*5) % 256)
+                + 587 * ((fid + (((x+1)*w)//9)*11 + ((y*h)//8)*2) % 256)
+                + 114 * ((fid*13 + (((x+1)*w)//9) * ((y*h)//8)) % 256) END)
+              >
+              (CASE WHEN x = pc AND y = 3 THEN 255000 ELSE
+                299 * ((fid*7 + ((x*w)//9)*3 + ((y*h)//8)*5) % 256)
+                + 587 * ((fid + ((x*w)//9)*11 + ((y*h)//8)*2) % 256)
+                + 114 * ((fid*13 + ((x*w)//9) * ((y*h)//8)) % 256) END)
+            THEN 1 ELSE 0 END AS bit
+          FROM fg),
+        fh AS (
+          SELECT doc_id AS media_id, CAST(j AS INT) AS frame_idx,
+            CAST(SUM(CASE WHEN y >= 4
+              THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+              ELSE 0 END) AS BIGINT) AS hi,
+            CAST(SUM(CASE WHEN y < 4
+              THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+              ELSE 0 END) AS BIGINT) AS lo
+          FROM fb GROUP BY 1, 2),
+        lagd AS (
+          SELECT media_id, frame_idx,
+            CAST(bit_count(xor(hi, lag(hi) OVER w))
+               + bit_count(xor(lo, lag(lo) OVER w)) AS INT) AS hamming
+          FROM fh
+          WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx))
+        SELECT media_id, frame_idx, hamming FROM lagd
+        WHERE hamming IS NULL OR hamming > 6"""))
   )
 }

@@ -181,4 +181,63 @@ class Round11OpsSpec extends AnyFunSuite {
   test("gopher_rules: pure projection — zero exchanges") {
     assert(nExchanges(q("text_gopher_rules")) == 0)
   }
+
+  // ------------------------------------------------------------------
+  // dedup_lsh_error_profile
+  // ------------------------------------------------------------------
+
+  test("lsh_error_profile: totals cover the candidate set and the " +
+      "true-Jaccard margin matches a direct string-level re-derivation") {
+    import spark.implicits._
+    val profile = q("dedup_lsh_error_profile")
+      .select($"n_match", $"jacc_decile", $"n_pairs")
+      .as[(Int, Int, Long)].collect()
+    val pairs = q("dedup_minhash_lsh")
+      .select($"doc1", $"doc2").as[(Long, Long)].collect()
+    // every candidate pair lands in exactly one histogram cell
+    assert(profile.map(_._3).sum == pairs.length)
+
+    // direct exact-Jaccard decile, from raw text (no minhash involved)
+    val texts = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.toLowerCase.split("\\s+")
+      if (ws.length < 3) Set.empty
+      else (0 to ws.length - 3)
+        .map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
+    }
+    val directDeciles = pairs.map { case (d1, d2) =>
+      val s1 = shingleSet(texts(d1)); val s2 = shingleSet(texts(d2))
+      val common = (s1 & s2).size
+      ((10L * common) / (s1.size + s2.size - common)).toInt
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val profileDeciles = profile.groupBy(_._2)
+      .map { case (k, v) => k -> v.map(_._3).sum }
+    assert(profileDeciles == directDeciles,
+      s"profile margin $profileDeciles vs direct $directDeciles")
+    // the calibration surface is non-degenerate on this corpus: both a
+    // high-estimate/high-true cell and a low-true cell exist
+    assert(profile.exists(c => c._1 >= 6 && c._2 >= 8))
+    assert(profile.exists(c => c._2 == 0))
+  }
+
+  // ------------------------------------------------------------------
+  // mm_shot_boundaries
+  // ------------------------------------------------------------------
+
+  test("shot_boundaries: detected shot starts are exactly the " +
+      "fixture's even frames, per video") {
+    import spark.implicits._
+    val got = q("mm_shot_boundaries")
+      .select($"media_id", $"frame_idx").as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val vids = Tables.documents(spark, sf)
+      .filter("doc_id % 3 = 2").selectExpr("doc_id").as[Long].collect()
+    assert(got.keySet == vids.toSet)
+    for (id <- vids) {
+      val nf = operators.Multimodal.AviCodec.nFrames(id)
+      assert(got(id) == (0 until nf by 2).toSet,
+        s"video $id: ${got(id)} vs expected ${(0 until nf by 2).toSet}")
+    }
+  }
 }
