@@ -46,6 +46,45 @@ object Pipeline {
   private def contentKey(c: org.apache.spark.sql.Column) =
     md5(array_join(slice(split(lower(c), "\\s+"), 1, 8), " ").cast("binary"))
 
+  /** The deterministic CDC changelog fixture shared by the batch merge
+    * (`pipeline_merge_upsert`), its oracle, and the streaming apply's
+    * landing waves ([[graft.streaming.CdcMergeStream]]): three
+    * deliveries over `documents` — v1 full corpus, v2 re-crawls
+    * (% 5 == 0) + tombstones (% 13 == 0), v3 re-crawls (% 10 == 0) +
+    * resurrections (% 26 == 0). Columns (doc_id, version, del, h). */
+  private[graft] def changeLog(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val v1 = docs.select($"doc_id", lit(1L).as("version"),
+      lit(false).as("del"), md5($"text".cast("binary")).as("h"))
+    val v2 = docs.filter($"doc_id" % 5 === 0 || $"doc_id" % 13 === 0)
+      .select($"doc_id", lit(2L).as("version"),
+        ($"doc_id" % 13 === 0).as("del"),
+        when($"doc_id" % 13 === 0, lit(null).cast("string"))
+          .otherwise(md5(concat($"text", lit(" rev2")).cast("binary")))
+          .as("h"))
+    val v3 = docs.filter($"doc_id" % 10 === 0 || $"doc_id" % 26 === 0)
+      .select($"doc_id", lit(3L).as("version"),
+        lit(false).as("del"),
+        when($"doc_id" % 26 === 0,
+            md5(concat($"text", lit(" back")).cast("binary")))
+          .otherwise(md5(concat($"text", lit(" rev3")).cast("binary")))
+          .as("h"))
+    v1.union(v2).union(v3)
+  }
+
+  /** Latest-wins snapshot materialization over any (doc_id, version,
+    * del, h) changelog — the groupBy argmax the batch query and the
+    * streaming twin's correctness contract are defined by. */
+  private[graft] def mergeSnapshot(log: DataFrame): DataFrame = {
+    val s = log.sparkSession
+    import s.implicits._
+    log.groupBy($"doc_id")
+      .agg(max(struct($"version", $"del", $"h")).as("w"))
+      .filter(!$"w.del")
+      .select($"doc_id", $"w.version".as("version"), $"w.h".as("h"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ----- Bloom-prefiltered incremental dedup ----------------------------
@@ -831,30 +870,7 @@ object Pipeline {
     // hit by several (e.g. % 65 == 0: re-crawled, deleted, resurrected
     // — v3 must win).
     Q("pipeline_merge_upsert",
-      (s, d) => {
-        import s.implicits._
-        val docs = Tables.documents(s, d)
-        val v1 = docs.select($"doc_id", lit(1L).as("version"),
-          lit(false).as("del"), md5($"text".cast("binary")).as("h"))
-        val v2 = docs.filter($"doc_id" % 5 === 0 || $"doc_id" % 13 === 0)
-          .select($"doc_id", lit(2L).as("version"),
-            ($"doc_id" % 13 === 0).as("del"),
-            when($"doc_id" % 13 === 0, lit(null).cast("string"))
-              .otherwise(md5(concat($"text", lit(" rev2")).cast("binary")))
-              .as("h"))
-        val v3 = docs.filter($"doc_id" % 10 === 0 || $"doc_id" % 26 === 0)
-          .select($"doc_id", lit(3L).as("version"),
-            lit(false).as("del"),
-            when($"doc_id" % 26 === 0,
-                md5(concat($"text", lit(" back")).cast("binary")))
-              .otherwise(md5(concat($"text", lit(" rev3")).cast("binary")))
-              .as("h"))
-        v1.union(v2).union(v3)
-          .groupBy($"doc_id")
-          .agg(max(struct($"version", $"del", $"h")).as("w"))
-          .filter(!$"w.del")
-          .select($"doc_id", $"w.version".as("version"), $"w.h".as("h"))
-      },
+      (s, d) => mergeSnapshot(changeLog(s, d)),
       Some("""WITH log AS (
           SELECT doc_id, CAST(1 AS BIGINT) AS version, FALSE AS del,
             md5(text) AS h
