@@ -575,6 +575,42 @@ object PcapQueries {
     p.toString
   }
 
+  /** TTL path-stability capture (see
+    * [[graft.pcap.PcapSynth.ttlPathPackets]]). */
+  private def ttlPathSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_ttlpath.pcap")
+    graft.pcap.PcapSynth.ensureTtlPathFile(p, 210)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_ttl_path: replay the three flow
+    * populations (stable / flapping / spoof-mix) and the hop math. */
+  private def ttlPathOracle(n: Int): String = {
+    val rows = (0 until n).map { i =>
+      val src = s"10.70.${i >> 8}.${i & 255}"
+      val dst = s"198.51.100.${i % 40}"
+      val (nTtls, nClasses, minH, maxH, change, spoof) = (i % 3) match {
+        case 0 => (1, 1, 3 + i % 5, 3 + i % 5, false, false)
+        case 1 => (2, 1, 4, 9, true, false)
+        case _ => (2, 2, 4, 8, false, true)
+      }
+      s"('$src', '$dst', 5, $nTtls, $nClasses, $minH, $maxH, " +
+        s"$change, $spoof)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.src AS VARCHAR) AS src,
+        CAST(v.dst AS VARCHAR) AS dst,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.n_ttls AS BIGINT) AS n_ttls,
+        CAST(v.n_classes AS BIGINT) AS n_classes,
+        CAST(v.min_hops AS INT) AS min_hops,
+        CAST(v.max_hops AS INT) AS max_hops,
+        CAST(v.path_change AS BOOLEAN) AS path_change,
+        CAST(v.spoof_suspect AS BOOLEAN) AS spoof_suspect
+        FROM (VALUES $rows)
+          AS v(src, dst, n_pkts, n_ttls, n_classes, min_hops, max_hops,
+            path_change, spoof_suspect)"""
+  }
+
   /** Constant oracle for pcap_os_fingerprint: replay the population
     * signatures and hop formulas. */
   private def osFingerprintOracle(n: Int): String = {
@@ -2358,6 +2394,39 @@ object PcapQueries {
             max($"initial_ttl" - $"ttl").as("max_hops"))
       },
       Some(osFingerprintOracle(260))),
+
+    // ----- TTL path-stability monitor (round 11) --------------------------
+    // Passive route/spoof telemetry from the TTL field: each packet's
+    // hop estimate is (initial-TTL class − observed TTL), where the
+    // class is the nearest standard initial TTL above (32/64/128/255 —
+    // the os_fingerprint classes). Per (src, dst) flow the monitor
+    // rolls up hop spread and class mixing: a hop estimate that jumps
+    // ≥ 3 WITHIN one class is a route flap (path_change); observing
+    // MORE THAN ONE class claiming the same source is the
+    // injected/spoofed-traffic tell (spoof_suspect) — a real host's
+    // initial TTL does not change mid-capture. All-integer thresholds.
+    // ONE scan, ONE shuffle on the high-cardinality flow key; the
+    // per-packet class/hop math is codegen'd projection.
+    Q("pcap_ttl_path",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(ttlPathSynthPath)
+          .filter($"protocol" === "UDP")
+          .withColumn("init_class",
+            when($"ttl" <= 32, 32).when($"ttl" <= 64, 64)
+              .when($"ttl" <= 128, 128).otherwise(255))
+          .withColumn("hops", $"init_class" - $"ttl")
+          .groupBy($"src", $"dst")
+          .agg(count(lit(1)).as("n_pkts"),
+            countDistinct($"ttl").as("n_ttls"),
+            countDistinct($"init_class").as("n_classes"),
+            min($"hops").as("min_hops"),
+            max($"hops").as("max_hops"))
+          .withColumn("path_change",
+            $"n_classes" === 1 && $"max_hops" - $"min_hops" >= 3)
+          .withColumn("spoof_suspect", $"n_classes" > 1)
+      },
+      Some(ttlPathOracle(210))),
 
     // ----- SSH server inventory (round 11) --------------------------------
     // Asset inventory from passive capture: the cleartext version

@@ -196,4 +196,32 @@ class InventorySpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 1, s"$shuffles shuffles\n$plan")
   }
+
+  test("ttl path: ICMP exclusion holds, populations land on the right " +
+      "side of each flag, and class mixing never counts as a flap") {
+    val rows = run("pcap_ttl_path").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getInt(6), r.getBoolean(7),
+        r.getBoolean(8)))
+    assert(rows.length == 210)
+    // ICMP echoes from every 17th client must not inflate n_pkts
+    assert(rows.forall(_._2 == 5L), "ICMP leaked into the UDP rollup")
+    val stable = rows.filter(r => !r._7 && !r._8)
+    val flap = rows.filter(_._7)
+    val spoof = rows.filter(_._8)
+    assert(stable.length == 70 && flap.length == 70 &&
+      spoof.length == 70)
+    // flap: one class, spread exactly 5 (hops 4..9)
+    flap.foreach { r =>
+      assert(r._4 == 1L && r._5 == 4 && r._6 == 9, r.toString)
+    }
+    // spoof-mix: spread 4 (hops 4 vs 8) is BELOW the flap threshold
+    // only because the classes differ — the n_classes==1 gate, not
+    // the spread, is what keeps it out of path_change
+    spoof.foreach { r =>
+      assert(r._4 == 2L && !r._7 && r._6 - r._5 >= 3, r.toString)
+    }
+    // stable: single ttl, zero spread
+    stable.foreach { r => assert(r._3 == 1L && r._5 == r._6, r.toString) }
+  }
 }

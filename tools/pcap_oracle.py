@@ -1775,5 +1775,30 @@ if glob.glob(f"{out}/pcap_dga_candidates/*.parquet"):
                  q >= 10 and x * 10 >= r * 6 and sd * 100 >= sl * 15)
                 for c, (q, r, x, sl, sd) in dacc.items()))
 
+# TTL path-stability: byte-level IPv4 parse, per-(src,dst) rollup of
+# TTL diversity, initial-TTL-class mixing, and hop spread — UDP only
+# (the ICMP echoes in the fixture must be excluded).
+if glob.glob(f"{out}/pcap_ttl_path/*.parquet"):
+    tacc = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_ttlpath.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        if proto != 17:
+            continue
+        ttl = fr[14 + 8]
+        init = 32 if ttl <= 32 else 64 if ttl <= 64 else \
+            128 if ttl <= 128 else 255
+        e = tacc.setdefault((src, dst), [0, set(), set(), []])
+        e[0] += 1
+        e[1].add(ttl)
+        e[2].add(init)
+        e[3].append(init - ttl)
+    _cmp("pcap_ttl_path(redecode)",
+         _read("pcap_ttl_path",
+               ["src", "dst", "n_pkts", "n_ttls", "n_classes",
+                "min_hops", "max_hops", "path_change", "spoof_suspect"]),
+         sorted((s_, d_, n, len(tt), len(cl), min(hp), max(hp),
+                 len(cl) == 1 and max(hp) - min(hp) >= 3, len(cl) > 1)
+                for (s_, d_), (n, tt, cl, hp) in tacc.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
