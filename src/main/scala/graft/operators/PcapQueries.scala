@@ -583,6 +583,46 @@ object PcapQueries {
     p.toString
   }
 
+  /** Exfiltration-asymmetry capture (see
+    * [[graft.pcap.PcapSynth.exfilPackets]]). */
+  private def exfilSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_exfil.pcap")
+    graft.pcap.PcapSynth.ensureExfilFile(p, 180)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_exfil_candidates: replay the browsing /
+    * exfil / backup populations and the byte-asymmetry rule. */
+  private def exfilOracle(n: Int): String = {
+    val rows = Seq.newBuilder[String]
+    for (i <- 0 until n) {
+      val host = s"10.88.${i >> 8}.${i & 255}"
+      (i % 3) match {
+        case 0 =>
+          for (k <- 0 until 3)
+            rows += s"('203.0.113.${(3 * i + k) % 60}', '$host', " +
+              s"200, 7000, 7, false, false, false)"
+        case 1 =>
+          rows += s"('198.51.100.${70 + i % 3}', '$host', " +
+            s"28000, 120, 22, false, true, true)"
+        case _ =>
+          rows += s"('192.0.2.10', '$host', 28000, 120, 22, " +
+            s"true, true, false)"
+      }
+    }
+    s"""SELECT CAST(v.ext AS VARCHAR) AS ext,
+        CAST(v.host AS VARCHAR) AS host,
+        CAST(v.bytes_out AS BIGINT) AS bytes_out,
+        CAST(v.bytes_in AS BIGINT) AS bytes_in,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.allowlisted AS BOOLEAN) AS allowlisted,
+        CAST(v.upload_heavy AS BOOLEAN) AS upload_heavy,
+        CAST(v.exfil_candidate AS BOOLEAN) AS exfil_candidate
+        FROM (VALUES ${rows.result().mkString(",\n        ")})
+          AS v(ext, host, bytes_out, bytes_in, n_pkts, allowlisted,
+            upload_heavy, exfil_candidate)"""
+  }
+
   /** Constant oracle for pcap_ttl_path: replay the three flow
     * populations (stable / flapping / spoof-mix) and the hop math. */
   private def ttlPathOracle(n: Int): String = {
@@ -2427,6 +2467,44 @@ object PcapQueries {
           .withColumn("spoof_suspect", $"n_classes" > 1)
       },
       Some(ttlPathOracle(210))),
+
+    // ----- data-exfiltration candidates (round 11) ------------------------
+    // The SOC upload-asymmetry sweep: per (internal host, external
+    // destination), payload bytes out vs in. Browsing is download-heavy
+    // (requests are small, responses big); bulk exfiltration inverts
+    // the ratio. The rule is all-integer (bytes_out ≥ 5 × bytes_in AND
+    // bytes_out ≥ 10 000) — and precision comes from the SANCTIONED
+    // destination allowlist (backup/CDN upload targets), which is
+    // inherently tiny and therefore a BROADCAST left join: the
+    // high-cardinality flow rollup never re-shuffles for it. Direction
+    // is derived from the RFC 1918 side of each packet, so request and
+    // response rows of one flow land on the same (host, ext) key with
+    // ONE shuffle.
+    Q("pcap_exfil_candidates",
+      (s, d) => {
+        import s.implicits._
+        val allow = Seq("192.0.2.10", "192.0.2.11").toDF("ext")
+          .withColumn("allowlisted", lit(true))
+        s.read.format("pcap").load(exfilSynthPath)
+          .filter($"protocol" === "UDP" && $"len" > 0)
+          .withColumn("up", $"src".startsWith("10."))
+          .select(
+            when($"up", $"dst").otherwise($"src").as("ext"),
+            when($"up", $"src").otherwise($"dst").as("host"),
+            when($"up", $"len").otherwise(0).cast("long").as("b_out"),
+            when(!$"up", $"len").otherwise(0).cast("long").as("b_in"))
+          .groupBy($"ext", $"host")
+          .agg(sum($"b_out").as("bytes_out"),
+            sum($"b_in").as("bytes_in"),
+            count(lit(1)).as("n_pkts"))
+          .join(broadcast(allow), Seq("ext"), "left")
+          .na.fill(false, Seq("allowlisted"))
+          .withColumn("upload_heavy",
+            $"bytes_out" >= $"bytes_in" * 5 && $"bytes_out" >= 10000L)
+          .withColumn("exfil_candidate",
+            $"upload_heavy" && !$"allowlisted")
+      },
+      Some(exfilOracle(180))),
 
     // ----- SSH server inventory (round 11) --------------------------------
     // Asset inventory from passive capture: the cleartext version

@@ -20,6 +20,28 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "or", "and", "of", "in", "to")
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  // ----- shared BPE merge chain (text_bpe_apply + text_token_fertility) ---
+  // One Scala merge list generates BOTH engines' expression chains, so
+  // the tokenizer and every audit built on it cannot drift. Encoding:
+  // per-char spacing with '|' word gaps (' k e y | a g g '); a merge
+  // (a,b)->ab is replace(" a b ", " ab ") applied twice (single-pass
+  // replace is non-overlapping left-to-right; the second pass catches
+  // occurrences whose leading space the previous match consumed).
+  private val bpeMerges = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "s" -> "t", "o" -> "r",
+    "t" -> "a", "a" -> "l", "u" -> "e", "ta" -> "b", "al" -> "ue")
+  private def applyBpeMerges(base: String): String =
+    bpeMerges.foldLeft(base) { case (acc, (a, b)) =>
+      val (pat, rep) = (s" $a $b ", s" $a$b ")
+      s"replace(replace($acc, '$pat', '$rep'), '$pat', '$rep')"
+    }
+  private val sparkEnc =
+    applyBpeMerges(
+      "concat(' ', regexp_replace(replace(text, ' ', '|'), '(.)', '$1 '))")
+  private val duckEnc =
+    applyBpeMerges(
+      "concat(' ', regexp_replace(replace(text, ' ', '|'), '(.)', '\\1 ', 'g'))")
+
   /** Minimum match length (chars) for text_repeat_spans. Lee et al. use
     * 50 BPE tokens on web text; 25 chars keeps the same "long enough to
     * be mechanical, not idiomatic" intent at this corpus's ~300-char
@@ -1078,20 +1100,6 @@ object TextAnalysis {
     // expression and the oracle SQL below are generated from the same
     // Scala merge list, so they cannot drift.
     {
-      val merges = Seq(
-        "e" -> "r", "i" -> "n", "o" -> "w", "s" -> "t", "o" -> "r",
-        "t" -> "a", "a" -> "l", "u" -> "e", "ta" -> "b", "al" -> "ue")
-      def applyMerges(base: String): String =
-        merges.foldLeft(base) { case (acc, (a, b)) =>
-          val (pat, rep) = (s" $a $b ", s" $a$b ")
-          s"replace(replace($acc, '$pat', '$rep'), '$pat', '$rep')"
-        }
-      // per-char spacing with word gaps marked first: 'key agg' ->
-      // ' k e y | a g g ' (leading space so the first symbol is mergeable)
-      val sparkEnc =
-        applyMerges("concat(' ', regexp_replace(replace(text, ' ', '|'), '(.)', '$1 '))")
-      val duckEnc =
-        applyMerges("concat(' ', regexp_replace(replace(text, ' ', '|'), '(.)', '\\1 ', 'g'))")
       Q("text_bpe_apply",
         (s, d) => {
           import s.implicits._
@@ -1112,6 +1120,48 @@ object TextAnalysis {
               / len(list_filter(string_split(trim($duckEnc), ' '),
                                 x -> x <> '|')) AS compression
           FROM documents"""))
+    },
+
+    // ----- tokenizer fertility audit (per language × source) --------------
+    // THE multilingual-tokenizer health metric: fertility = BPE tokens
+    // per word. A tokenizer trained lopsidedly spends several tokens
+    // per word on under-represented languages, silently inflating
+    // their training cost and shrinking their effective context — the
+    // per-(lang, source) rollup is how a corpus owner catches that
+    // before training. Reuses the SAME generated merge chain as
+    // text_bpe_apply (one shared Scala merge list emits both engines'
+    // expressions, so tokenizer and audit cannot drift). Numerics:
+    // token and word counts are exact BIGINT sums; fertility is ONE
+    // IEEE division per output row. Per-row encode is stateless
+    // codegen'd string work; ONE shuffle on the tiny (lang, source)
+    // key with map-side partials.
+    {
+      Q("text_token_fertility",
+        (s, d) => {
+          import s.implicits._
+          Tables.documents(s, d)
+            .select($"lang", $"source",
+              size(split($"text", " ")).cast("long").as("n_words"),
+              expr(s"size(filter(split(trim($sparkEnc), ' '), x -> x <> '|'))")
+                .cast("long").as("n_tokens"))
+            .groupBy($"lang", $"source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum($"n_words").as("sum_words"),
+              sum($"n_tokens").as("sum_tokens"))
+            .withColumn("fertility",
+              $"sum_tokens".cast("double") / $"sum_words")
+        },
+        Some(s"""WITH per_doc AS (
+            SELECT lang, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+              CAST(len(list_filter(string_split(trim($duckEnc), ' '),
+                                   x -> x <> '|')) AS BIGINT) AS n_tokens
+            FROM documents)
+          SELECT lang, source, COUNT(*) AS n_docs,
+            CAST(SUM(n_words) AS BIGINT) AS sum_words,
+            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+            CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words) AS fertility
+          FROM per_doc GROUP BY 1, 2"""))
     },
 
     // ----- Gopher-style rule battery (per-rule flags + keep) --------------

@@ -222,6 +222,29 @@ class Round11OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // text_token_fertility
+  // ------------------------------------------------------------------
+
+  test("token_fertility: group sums equal the per-doc tokenizer " +
+      "output folded by (lang, source)") {
+    import spark.implicits._
+    val perDoc = q("text_bpe_apply")
+      .select($"doc_id", $"tok_after").as[(Long, Long)].collect().toMap
+    val meta = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang", "source", "size(split(text, ' '))")
+      .as[(Long, String, String, Int)].collect()
+    val want = meta.groupBy(r => (r._2, r._3)).map { case (k, v) =>
+      k -> (v.length.toLong, v.map(_._4.toLong).sum,
+        v.map(r => perDoc(r._1)).sum)
+    }
+    val got = q("text_token_fertility")
+      .select($"lang", $"source", $"n_docs", $"sum_words", $"sum_tokens")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------------
   // mm_shot_boundaries
   // ------------------------------------------------------------------
 

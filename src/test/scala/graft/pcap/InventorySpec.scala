@@ -224,4 +224,32 @@ class InventorySpec extends AnyFunSuite {
     // stable: single ttl, zero spread
     stable.foreach { r => assert(r._3 == 1L && r._5 == r._6, r.toString) }
   }
+
+  test("exfil candidates: only unsanctioned upload-heavy flows flag — " +
+      "the backup population is upload-heavy but allowlisted, browsing " +
+      "is download-heavy; allowlist joins broadcast") {
+    val df = run("pcap_exfil_candidates")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+    // 60 browsing clients × 3 servers + 60 exfil + 60 backup
+    assert(rows.length == 300)
+    val candidates = rows.filter(_._7)
+    assert(candidates.length == 60 &&
+      candidates.forall(_._1.startsWith("198.51.100.")))
+    // the backup population is the precision case: SAME byte shape as
+    // exfil (upload_heavy true) but cleared by the allowlist alone
+    val backup = rows.filter(_._1 == "192.0.2.10")
+    assert(backup.length == 60 &&
+      backup.forall(r => r._6 && r._5 && !r._7))
+    // browsing never trips the ratio
+    assert(rows.filter(_._1.startsWith("203.0.113."))
+      .forall(r => !r._6 && r._3 < r._4))
+    // the allowlist join must be broadcast — no shuffle added for it
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"$shuffles shuffles\n$plan")
+  }
 }

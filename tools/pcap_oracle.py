@@ -1800,5 +1800,32 @@ if glob.glob(f"{out}/pcap_ttl_path/*.parquet"):
                  len(cl) == 1 and max(hp) - min(hp) >= 3, len(cl) > 1)
                 for (s_, d_), (n, tt, cl, hp) in tacc.items()))
 
+# Exfil candidates: byte-level UDP parse, RFC1918-side direction split,
+# per-(host, ext) byte rollup + the allowlist/asymmetry rule.
+if glob.glob(f"{out}/pcap_exfil_candidates/*.parquet"):
+    ALLOW = {"192.0.2.10", "192.0.2.11"}
+    eacc = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_exfil.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        if proto != 17:
+            continue
+        plen = struct.unpack_from(">H", fr, l4 + 4)[0] - 8
+        if plen <= 0:
+            continue
+        up = src.startswith("10.")
+        host, ext = (src, dst) if up else (dst, src)
+        e = eacc.setdefault((ext, host), [0, 0, 0])
+        e[0] += plen if up else 0
+        e[1] += 0 if up else plen
+        e[2] += 1
+    _cmp("pcap_exfil_candidates(redecode)",
+         _read("pcap_exfil_candidates",
+               ["ext", "host", "bytes_out", "bytes_in", "n_pkts",
+                "allowlisted", "upload_heavy", "exfil_candidate"]),
+         sorted((x, h, bo, bi, n, x in ALLOW,
+                 bo >= 5 * bi and bo >= 10000,
+                 bo >= 5 * bi and bo >= 10000 and x not in ALLOW)
+                for (x, h), (bo, bi, n) in eacc.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
