@@ -1387,7 +1387,69 @@ object Relational {
                AS BIGINT) AS n_purchase,
           CAST(SUM(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_heavy
-        FROM c GROUP BY 1"""))
+        FROM c GROUP BY 1""")),
 
+    // ----- robust hourly-volume anomaly detection (median + MAD) ----------
+    // The on-call "is this hour weird" sweep, done ROBUSTLY: per event
+    // type, an hour is anomalous when its count deviates from the
+    // median hourly count by more than 3× the median absolute
+    // deviation — median/MAD because a mean/σ detector is dragged by
+    // the very outliers it is meant to find. All arithmetic stays
+    // integral via scaling: med2 = 2·median (the q39 positional-
+    // selection trick — middle element(s) summed, so a .5 median is an
+    // odd integer), dev2 = |2c − med2|, mad4 = 2·median(dev2), and the
+    // rule |c − med| > 3·MAD becomes 2·dev2 > 3·mad4 — bit-exact in
+    // both engines, no float thresholds. ONE SQL text shared verbatim
+    // with the oracle. Scale: the raw scan collapses to O(types ×
+    // hours) in the first rollup; both median windows and the joins
+    // run on that tiny relation — the window sorts never see raw
+    // events.
+    {
+      val anomalySql = """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+            COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        ranked AS (
+          SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY c, hour) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM hourly),
+        med AS (
+          SELECT event_type,
+            CAST(SUM(CASE WHEN rn * 2 IN (n, n + 1, n + 2)
+                          AND (n % 2 = 1 OR rn * 2 <> n + 1)
+                     THEN c * (CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END)
+                     ELSE 0 END) AS BIGINT) AS med2
+          FROM ranked GROUP BY 1),
+        dev AS (
+          SELECT h.event_type, h.hour, h.c,
+            abs(2 * h.c - m.med2) AS dev2
+          FROM hourly h JOIN med m ON h.event_type = m.event_type),
+        rdev AS (
+          SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY dev2, hour) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM dev),
+        mad AS (
+          SELECT event_type,
+            CAST(SUM(CASE WHEN rn * 2 IN (n, n + 1, n + 2)
+                          AND (n % 2 = 1 OR rn * 2 <> n + 1)
+                     THEN dev2 * (CASE WHEN n % 2 = 1 THEN 2 ELSE 1 END)
+                     ELSE 0 END) AS BIGINT) AS mad4
+          FROM rdev GROUP BY 1)
+        SELECT d.event_type, d.hour, CAST(d.c AS BIGINT) AS c,
+          CAST(d.dev2 AS BIGINT) AS dev2, m.mad4,
+          2 * d.dev2 > 3 * m.mad4 AS is_anomaly
+        FROM dev d JOIN mad m ON d.event_type = m.event_type"""
+      Q("q53_hourly_anomaly",
+        (s, d) => {
+          Tables.registerViews(s, d)
+          s.sql(anomalySql)
+        },
+        Some(anomalySql))
+    }
   )
 }

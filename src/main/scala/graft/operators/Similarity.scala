@@ -1501,6 +1501,82 @@ object Similarity {
                         FOR i IN generate_series(1, len(qv))]) AS sqdist
             FROM short JOIN q USING (qid)
             JOIN e ON e.vec_id = short.cid))
-        WHERE rn <= 5"""))
+        WHERE rn <= 5""")),
+
+    // ----- embedding ingest QC (the vector-side quality gate) -------------
+    // What an index owner runs BEFORE build/append: per label, how many
+    // delivered vectors are zero (a failed encoder returns zeros), have
+    // the wrong dimensionality (schema drift in the embedding job), or
+    // are un-normalized (a missing L2 step silently breaks every cosine
+    // downstream). The fixture degrades a deterministic slice of the
+    // delivery — and every degradation is ROUNDING-FREE so the two
+    // engines agree bit-for-bit whatever precision they degrade in:
+    // zeros are exact, truncation drops elements verbatim, and the
+    // un-normalization scales by 4 (a power of two — exponent shift,
+    // no mantissa rounding in float or double). Norms fold
+    // sequentially in array order (VecDot / list_sum — the battery's
+    // established float-determinism contract), and the thresholds
+    // (0.81, 1.21) sit far from both populations (~1 vs ~16), so the
+    // flags are deterministic. ONE narrow projection + ONE shuffle on
+    // the tiny label key.
+    Q("sim_embedding_qc",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .selectExpr("vec_id", "label", s"""
+            CASE WHEN vec_id % 17 = 3
+                   THEN transform(embedding, x -> CAST(0.0 AS FLOAT))
+                 WHEN vec_id % 23 = 5 THEN slice(embedding, 1, ${dim - 3})
+                 WHEN vec_id % 29 = 7
+                   THEN transform(embedding, x -> x * CAST(4.0 AS FLOAT))
+                 ELSE embedding END AS emb""")
+          .select($"label", size($"emb").as("dimn"),
+            graft.functions.VecDot.vec_dot($"emb", $"emb").as("n2"))
+          .select($"label",
+            ($"dimn" =!= dim).as("bad_dim"),
+            ($"dimn" === dim && $"n2" === 0.0).as("zero"),
+            ($"dimn" === dim && $"n2" > 0.0 &&
+              ($"n2" < 0.81 || $"n2" > 1.21)).as("unnorm"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when($"bad_dim", 1L).otherwise(0L)).as("n_bad_dim"),
+            sum(when($"zero", 1L).otherwise(0L)).as("n_zero"),
+            sum(when($"unnorm", 1L).otherwise(0L)).as("n_unnormalized"))
+          .withColumn("n_healthy",
+            $"n_vecs" - $"n_bad_dim" - $"n_zero" - $"n_unnormalized")
+      },
+      Some(s"""WITH deg AS (
+          SELECT vec_id, label,
+            CASE WHEN vec_id % 17 = 3
+                   THEN [CAST(0.0 AS DOUBLE) FOR x IN embedding]
+                 WHEN vec_id % 23 = 5
+                   THEN [CAST(x AS DOUBLE) FOR x IN embedding[1:${dim - 3}]]
+                 WHEN vec_id % 29 = 7
+                   THEN [CAST(x AS DOUBLE) * 4.0 FOR x IN embedding]
+                 ELSE [CAST(x AS DOUBLE) FOR x IN embedding] END AS emb
+          FROM embeddings),
+        m AS (
+          SELECT label, CAST(len(emb) AS INT) AS dimn,
+            list_sum([x * x FOR x IN emb]) AS n2
+          FROM deg),
+        f AS (
+          SELECT label,
+            dimn <> $dim AS bad_dim,
+            dimn = $dim AND n2 = 0.0 AS zero,
+            dimn = $dim AND n2 > 0.0 AND (n2 < 0.81 OR n2 > 1.21)
+              AS unnorm
+          FROM m)
+        SELECT label, COUNT(*) AS n_vecs,
+          CAST(SUM(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_bad_dim,
+          CAST(SUM(CASE WHEN zero THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_zero,
+          CAST(SUM(CASE WHEN unnorm THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unnormalized,
+          CAST(COUNT(*) - SUM(CASE WHEN bad_dim THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN zero THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN unnorm THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_healthy
+        FROM f GROUP BY 1"""))
   )
 }

@@ -245,6 +245,71 @@ class Round11OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // q53_hourly_anomaly
+  // ------------------------------------------------------------------
+
+  test("hourly_anomaly: flags match a direct median/MAD re-derivation " +
+      "from raw hourly counts") {
+    import spark.implicits._
+    val got = q("q53_hourly_anomaly")
+      .selectExpr("event_type", "cast(hour as long)", "c", "is_anomaly")
+      .as[(String, Long, Long, Boolean)].collect()
+    // direct: fold events to hourly counts, then median/MAD per type
+    val hourly = Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "cast(date_trunc('hour', ts) as long) AS h")
+      .as[(String, Long)].collect()
+      .groupBy(identity).map { case ((t, h), v) => (t, h, v.length.toLong) }
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    val byType = hourly.groupBy(_._1)
+    val want = byType.flatMap { case (t, rows) =>
+      val cs = rows.map(_._3).toSeq
+      val m2 = med2(cs)
+      val mad4 = med2(cs.map(c => math.abs(2 * c - m2)))
+      rows.map(r => (t, r._2, r._3) ->
+        (2 * math.abs(2 * r._3 - m2) > 3 * mad4))
+    }
+    assert(got.length == want.size)
+    got.foreach { case (t, h, c, a) =>
+      assert(want((t, h, c)) == a, s"($t,$h,$c)")
+    }
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
+  // ------------------------------------------------------------------
+  // sim_embedding_qc
+  // ------------------------------------------------------------------
+
+  test("embedding_qc: per-label defect counts equal the population " +
+      "arithmetic over vec_ids; totals conserve") {
+    import spark.implicits._
+    val ids = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label").as[(Long, Int)].collect()
+    val want = ids.groupBy(_._2).map { case (l, v) =>
+      val zero = v.count(_._1 % 17 == 3)
+      val bad = v.count(r => r._1 % 17 != 3 && r._1 % 23 == 5)
+      val un = v.count(r =>
+        r._1 % 17 != 3 && r._1 % 23 != 5 && r._1 % 29 == 7)
+      l -> ((v.length.toLong, bad.toLong, zero.toLong, un.toLong))
+    }
+    val got = q("sim_embedding_qc")
+      .select($"label", $"n_vecs", $"n_bad_dim", $"n_zero",
+        $"n_unnormalized", $"n_healthy")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (l, n, bad, zero, un, healthy) =>
+      assert(want(l) == ((n, bad, zero, un)), s"label $l")
+      assert(healthy == n - bad - zero - un, s"label $l conservation")
+    }
+    // every defect class non-empty corpus-wide
+    assert(got.map(_._3).sum > 0 && got.map(_._4).sum > 0 &&
+      got.map(_._5).sum > 0)
+  }
+
+  // ------------------------------------------------------------------
   // mm_shot_boundaries
   // ------------------------------------------------------------------
 
