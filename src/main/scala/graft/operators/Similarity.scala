@@ -763,6 +763,81 @@ object Similarity {
         ($"pos" + 1).cast("int").as("rn"))
   }
 
+  /** The IVF-PQ oracle chain split into CTEs + final select so the ANN
+    * query's oracle and the recall-eval oracle share one derivation
+    * verbatim (they cannot drift on the index math). */
+  private lazy val ivfpqOracleCtes: String = s"""${Clustering.kmeansCtes},
+        cents AS (
+          SELECT CAST(cid AS INT) AS pl, c FROM ${Clustering.finalCentsCte}),
+        asg AS (
+          SELECT vec_id, v, cl, r, arank FROM (
+            SELECT f.vec_id, f.v, cents.pl AS cl,
+              [f.v[i] - cents.c[i]
+               FOR i IN generate_series(1, len(f.v))] AS r,
+              ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
+                list_sum([(f.v[i] - cents.c[i]) * (f.v[i] - cents.c[i])
+                          FOR i IN generate_series(1, len(f.v))]) ASC,
+                cents.pl ASC) AS arank
+            FROM fin f, cents) WHERE arank <= $IvfA),
+        subr AS (
+          SELECT vec_id, m, list_slice(r, m*4+1, m*4+4) AS sub
+          FROM (SELECT vec_id, r FROM asg WHERE arank = 1) pri,
+            (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+        ${pqTrainCtes("subr", "rp")},
+        cb AS (SELECT m, code, c AS sub FROM rpcb$PqIters),
+        enc AS (
+          SELECT vec_id, cl, m, code FROM (
+            SELECT a.vec_id, a.cl, cb.m, cb.code,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.cl, cb.m ORDER BY
+                list_sum([(r[cb.m*4+i] - sub[i]) * (r[cb.m*4+i] - sub[i])
+                          FOR i IN generate_series(1, 4)]) ASC,
+                cb.code ASC) AS rn
+            FROM asg a, cb) WHERE rn = 1),
+        codes AS (
+          SELECT vec_id, cl, list(code ORDER BY m) AS codes FROM enc
+          GROUP BY 1, 2),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+        probes AS (
+          SELECT qid, pl,
+            [qv[i] - c[i] FOR i IN generate_series(1, len(qv))] AS qr
+          FROM (
+            SELECT q.qid, q.qv, cents.pl, cents.c,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                list_sum([(qv[i] - c[i]) * (qv[i] - c[i])
+                          FOR i IN generate_series(1, len(qv))]) ASC,
+                cents.pl ASC) AS pr
+            FROM q, cents) WHERE pr <= 4),
+        lut AS (
+          SELECT qid, pl, list(sd ORDER BY m, code) AS lut FROM (
+            SELECT p.qid, p.pl, cb.m, cb.code,
+              list_sum([(qr[cb.m*4+i] - sub[i]) * (qr[cb.m*4+i] - sub[i])
+                        FOR i IN generate_series(1, 4)]) AS sd
+            FROM probes p, cb) GROUP BY 1, 2),
+        short AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY adist ASC, cid ASC) AS sr
+            FROM (
+              SELECT l.qid, c.vec_id AS cid,
+                MIN(list_sum([lut[m * 32 + codes[m + 1] + 1]
+                              FOR m IN generate_series(0, 15)])) AS adist
+              FROM lut l JOIN codes c ON c.cl = l.pl
+              WHERE c.vec_id <> l.qid GROUP BY 1, 2))
+          WHERE sr <= 50)"""
+
+  private lazy val ivfpqOracleFinal: String = """SELECT qid, cid, sqdist, rn FROM (
+          SELECT qid, cid, sqdist,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY sqdist ASC, cid ASC) AS INT) AS rn
+          FROM (
+            SELECT qid, cid,
+              list_sum([(qv[i] - v[i]) * (qv[i] - v[i])
+                        FOR i IN generate_series(1, len(qv))]) AS sqdist
+            FROM short JOIN q USING (qid)
+            JOIN e ON e.vec_id = short.cid))
+        WHERE rn <= 5"""
+
   val defs: Seq[Q] = Seq(
 
     // ----- exact brute-force cosine top-k ---------------------------------
@@ -1432,76 +1507,64 @@ object Similarity {
           .select($"qid", $"col.id".as("cid"), $"col.score".as("sqdist"),
             ($"pos" + 1).cast("int").as("rn"))
       },
-      Some(s"""WITH ${Clustering.kmeansCtes},
-        cents AS (
-          SELECT CAST(cid AS INT) AS pl, c FROM ${Clustering.finalCentsCte}),
-        asg AS (
-          SELECT vec_id, v, cl, r, arank FROM (
-            SELECT f.vec_id, f.v, cents.pl AS cl,
-              [f.v[i] - cents.c[i]
-               FOR i IN generate_series(1, len(f.v))] AS r,
-              ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY
-                list_sum([(f.v[i] - cents.c[i]) * (f.v[i] - cents.c[i])
-                          FOR i IN generate_series(1, len(f.v))]) ASC,
-                cents.pl ASC) AS arank
-            FROM fin f, cents) WHERE arank <= $IvfA),
-        subr AS (
-          SELECT vec_id, m, list_slice(r, m*4+1, m*4+4) AS sub
-          FROM (SELECT vec_id, r FROM asg WHERE arank = 1) pri,
-            (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
-        ${pqTrainCtes("subr", "rp")},
-        cb AS (SELECT m, code, c AS sub FROM rpcb$PqIters),
-        enc AS (
-          SELECT vec_id, cl, m, code FROM (
-            SELECT a.vec_id, a.cl, cb.m, cb.code,
-              ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.cl, cb.m ORDER BY
-                list_sum([(r[cb.m*4+i] - sub[i]) * (r[cb.m*4+i] - sub[i])
-                          FOR i IN generate_series(1, 4)]) ASC,
-                cb.code ASC) AS rn
-            FROM asg a, cb) WHERE rn = 1),
-        codes AS (
-          SELECT vec_id, cl, list(code ORDER BY m) AS codes FROM enc
-          GROUP BY 1, 2),
-        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
-        probes AS (
-          SELECT qid, pl,
-            [qv[i] - c[i] FOR i IN generate_series(1, len(qv))] AS qr
-          FROM (
-            SELECT q.qid, q.qv, cents.pl, cents.c,
-              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-                list_sum([(qv[i] - c[i]) * (qv[i] - c[i])
-                          FOR i IN generate_series(1, len(qv))]) ASC,
-                cents.pl ASC) AS pr
-            FROM q, cents) WHERE pr <= 4),
-        lut AS (
-          SELECT qid, pl, list(sd ORDER BY m, code) AS lut FROM (
-            SELECT p.qid, p.pl, cb.m, cb.code,
-              list_sum([(qr[cb.m*4+i] - sub[i]) * (qr[cb.m*4+i] - sub[i])
-                        FOR i IN generate_series(1, 4)]) AS sd
-            FROM probes p, cb) GROUP BY 1, 2),
-        short AS (
+      Some(s"WITH $ivfpqOracleCtes $ivfpqOracleFinal")),
+
+    // ----- ANN recall evaluation (the index-trust harness) ----------------
+    // The number an ANN owner actually quotes: recall@5 of the
+    // PRODUCTION IVF-PQ query against exact brute-force ground truth,
+    // per query — the op that turns "the index seems fine" into a
+    // measured contract (AnnIndexSpec runs this check as a test; this
+    // makes it a first-class pipeline operator, e.g. for a nightly
+    // index-health job). The ANN side IS the registered sim_ann_ivfpq
+    // query (same fn, same persisted artifact), so the eval measures
+    // the plan users run, not a reimplementation; the oracle embeds the
+    // SAME shared CTE chain plus an exact-ground-truth CTE with the
+    // identical (sqdist, cid) tie-break. The exact side is the honest
+    // flops-guarded brute-force cost — past the guard the evaluation
+    // would sample queries rather than scan (documented in SCALE.md's
+    // exact-kernel policy). Ground truth broadcast-joins the query
+    // block; recall is n_hits/5, one IEEE division per row.
+    Q("sim_ann_recall_eval",
+      (s, d) => {
+        import s.implicits._
+        guardExactScan(s, d)
+        val ann = defs.find(_.name == "sim_ann_ivfpq").get.fn(s, d)
+          .select($"qid", $"cid")
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id",
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val qs = e.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"v".as("qv"))
+        val topExact = udaf(new graft.functions.TopKByScore(5,
+          ascending = true))
+        val exact = broadcast(qs)
+          .join(e.select($"vec_id".as("cid"), $"v"), $"qid" =!= $"cid")
+          .select($"qid", $"cid", expr(ivfL2.format("qv", "v")).as("sqd"))
+          .groupBy($"qid").agg(topExact($"cid", $"sqd").as("tk"))
+          .select($"qid", explode($"tk").as("sc"))
+          .select($"qid", $"sc.id".as("cid"), lit(1).as("hit"))
+        ann.join(exact, Seq("qid", "cid"), "left")
+          .groupBy($"qid")
+          .agg(sum(coalesce($"hit", lit(0))).cast("long").as("n_hits"))
+          .withColumn("recall", $"n_hits".cast("double") / 5.0)
+      },
+      Some(s"""WITH $ivfpqOracleCtes,
+        ann AS ($ivfpqOracleFinal),
+        exact AS (
           SELECT qid, cid FROM (
-            SELECT qid, cid,
-              ROW_NUMBER() OVER (PARTITION BY qid
-                ORDER BY adist ASC, cid ASC) AS sr
-            FROM (
-              SELECT l.qid, c.vec_id AS cid,
-                MIN(list_sum([lut[m * 32 + codes[m + 1] + 1]
-                              FOR m IN generate_series(0, 15)])) AS adist
-              FROM lut l JOIN codes c ON c.cl = l.pl
-              WHERE c.vec_id <> l.qid GROUP BY 1, 2))
-          WHERE sr <= 50)
-        SELECT qid, cid, sqdist, rn FROM (
-          SELECT qid, cid, sqdist,
-            CAST(ROW_NUMBER() OVER (PARTITION BY qid
-              ORDER BY sqdist ASC, cid ASC) AS INT) AS rn
-          FROM (
-            SELECT qid, cid,
-              list_sum([(qv[i] - v[i]) * (qv[i] - v[i])
-                        FOR i IN generate_series(1, len(qv))]) AS sqdist
-            FROM short JOIN q USING (qid)
-            JOIN e ON e.vec_id = short.cid))
-        WHERE rn <= 5""")),
+            SELECT q.qid, e.vec_id AS cid,
+              ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                list_sum([(qv[i] - v[i]) * (qv[i] - v[i])
+                          FOR i IN generate_series(1, len(qv))]) ASC,
+                e.vec_id ASC) AS xr
+            FROM q, e WHERE e.vec_id <> q.qid) WHERE xr <= 5)
+        SELECT a.qid,
+          CAST(SUM(CASE WHEN x.cid IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+          CAST(SUM(CASE WHEN x.cid IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / 5.0 AS recall
+        FROM ann a LEFT JOIN exact x ON x.qid = a.qid AND x.cid = a.cid
+        GROUP BY 1""")),
 
     // ----- embedding ingest QC (the vector-side quality gate) -------------
     // What an index owner runs BEFORE build/append: per label, how many

@@ -310,6 +310,28 @@ class Round11OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // sim_ann_recall_eval
+  // ------------------------------------------------------------------
+
+  test("ann_recall_eval: every query scored, hits bounded by k, and " +
+      "the sf0.001 fixture's deterministic recall reproduced") {
+    import spark.implicits._
+    val got = q("sim_ann_recall_eval")
+      .select($"qid", $"n_hits", $"recall")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val qids = Tables.embeddings(spark, sf)
+      .filter("vec_id % 50 = 0").selectExpr("vec_id")
+      .as[Long].collect().sorted
+    assert(got.map(_._1).toSeq == qids.toSeq)
+    got.foreach { case (qid, h, r) =>
+      assert(h >= 0 && h <= 5 && r == h / 5.0, s"qid $qid")
+    }
+    // deterministic index + deterministic fixture -> exact total
+    assert(got.map(_._2).sum == 48L,
+      s"recall drifted: ${got.map(r => s"${r._1}:${r._2}").mkString(",")}")
+  }
+
+  // ------------------------------------------------------------------
   // mm_shot_boundaries
   // ------------------------------------------------------------------
 
