@@ -1450,6 +1450,104 @@ object Relational {
           s.sql(anomalySql)
         },
         Some(anomalySql))
-    }
+    },
+
+    // ----- concurrent-session accounting (two-level prefix sum) -----------
+    // "How many sessions were open at once, per hour" — the capacity
+    // question behind license counts, connection pools, and peak-load
+    // reviews. Sessions come from the q19 gap rule (30 min); each
+    // session emits (+1 at start, −1 at last event), boundaries
+    // collapse to per-µs NET deltas (so simultaneous opposite
+    // boundaries cancel order-independently), and concurrency is the
+    // running sum of nets.
+    //
+    // A GLOBAL ordered running sum is a single-partition window — the
+    // classic prefix-sum scale trap. This op does the textbook
+    // two-level fix instead: the within-HOUR prefix runs in a window
+    // PARTITIONED BY HOUR (parallel across hours), the hour-level
+    // carry is a running sum over the tiny O(hours) rollup (8 760
+    // rows/year — nothing), and the per-hour peak is carry-in + max
+    // within-hour prefix. No operator ever sorts more than one hour's
+    // boundaries in one partition. All-integer; both engines replay
+    // the identical rule.
+    Q("q54_concurrency",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id".asc)
+        val sess = Tables.events(s, d)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+          .withColumn("prev_us", lag($"us", 1).over(w))
+          .withColumn("new_session",
+            when($"prev_us".isNull || $"us" - $"prev_us" > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid",
+            sum($"new_session").over(w.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sid")
+          .agg(min($"us").as("start_us"), max($"us").as("end_us"))
+        val bounds = sess.select($"start_us".as("us"), lit(1L).as("delta"))
+          .union(sess.select($"end_us".as("us"), lit(-1L).as("delta")))
+          .groupBy($"us").agg(sum($"delta").as("net"))
+          .withColumn("hour",
+            date_trunc("hour", timestamp_micros($"us")))
+        val wh = Window.partitionBy($"hour").orderBy($"us".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val hourly = bounds
+          .withColumn("run", sum($"net").over(wh))
+          .groupBy($"hour")
+          .agg(sum($"net").as("net_h"), max($"run").as("peak_in_h"),
+            count(lit(1)).as("n_boundaries"))
+        val wc = Window.orderBy($"hour".asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hourly
+          .withColumn("carry", coalesce(sum($"net_h").over(wc), lit(0L)))
+          .select($"hour", ($"carry" + $"peak_in_h").as("max_concurrent"),
+            $"n_boundaries")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, us,
+            CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, event_id, us,
+              LAG(us, 1) OVER (PARTITION BY user_id
+                               ORDER BY event_id ASC) AS prev_us
+            FROM ev)),
+        sid AS (
+          SELECT user_id, us,
+            SUM(new_session) OVER (PARTITION BY user_id
+              ORDER BY event_id ASC ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged),
+        sess AS (
+          SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us
+          FROM sid GROUP BY 1, 2),
+        bounds AS (
+          SELECT us, CAST(SUM(delta) AS BIGINT) AS net,
+            date_trunc('hour', make_timestamp(us)) AS hour
+          FROM (
+            SELECT start_us AS us, 1 AS delta FROM sess
+            UNION ALL
+            SELECT end_us, -1 FROM sess)
+          GROUP BY us),
+        hourly AS (
+          SELECT hour, CAST(SUM(net) AS BIGINT) AS net_h,
+            CAST(MAX(run) AS BIGINT) AS peak_in_h,
+            COUNT(*) AS n_boundaries
+          FROM (
+            SELECT hour, net,
+              SUM(net) OVER (PARTITION BY hour ORDER BY us ASC
+                ROWS UNBOUNDED PRECEDING) AS run
+            FROM bounds)
+          GROUP BY hour)
+        SELECT hour,
+          CAST(COALESCE(SUM(net_h) OVER (ORDER BY hour ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + peak_in_h AS BIGINT) AS max_concurrent,
+          n_boundaries
+        FROM hourly"""))
   )
 }

@@ -310,6 +310,48 @@ class Round11OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // q54_concurrency
+  // ------------------------------------------------------------------
+
+  test("concurrency: the two-level prefix sum equals a naive global " +
+      "boundary sweep") {
+    import spark.implicits._
+    // naive direct sweep: sessions from the q19 gap rule, all
+    // boundaries sorted globally, one running sum, per-hour max
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts)")
+      .as[(Long, Long, Long)].collect()
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val ts = rows.sortBy(_._2).map(_._3)
+      var start = ts.head; var prev = ts.head
+      for (t <- ts.tail) {
+        if (t - prev > 1800000000L) {
+          bounds += ((start, 1L)); bounds += ((prev, -1L))
+          start = t
+        }
+        prev = t
+      }
+      bounds += ((start, 1L)); bounds += ((prev, -1L))
+    }
+    val perUs = bounds.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var run = 0L
+    val hourMax = scala.collection.mutable.Map.empty[Long, Long]
+    for ((us, net) <- perUs) {
+      run += net
+      val hour = us - us % 3600000000L
+      hourMax(hour) = math.max(hourMax.getOrElse(hour, Long.MinValue), run)
+    }
+    val got = q("q54_concurrency")
+      .selectExpr("unix_micros(hour)", "max_concurrent")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == hourMax.keySet)
+    got.foreach { case (h, m) => assert(hourMax(h) == m, s"hour $h") }
+    assert(got.values.max > 1L, "fixture must overlap sessions")
+  }
+
+  // ------------------------------------------------------------------
   // sim_ann_recall_eval
   // ------------------------------------------------------------------
 
