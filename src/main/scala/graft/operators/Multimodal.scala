@@ -393,43 +393,43 @@ object Multimodal {
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
 
-    /** Write a real PNG (8-bit RGB, no interlace) with the SAME fixture
-      * content as BmpCodec for `id`; filter type y % 5 per scanline. */
-    def encode(id: Long): Array[Byte] = {
-      val (w, h) = BmpCodec.dims(id)
-      val raw = new Array[Byte](h * (1 + w * 3))
-      val prior = new Array[Byte](w * 3)
-      val cur = new Array[Byte](w * 3)
+    /** Adam7 pass grid: (x0, dx, y0, dy) per pass (PNG spec §8.2). */
+    private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+      (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+      (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+
+    /** Filter one sub-image's scanlines (pixels supplied row-major as
+      * wp×hp RGB) into `out`, filter type (ftBase + y) % 5; the filter
+      * context is LOCAL to the sub-image (prior = previous row of the
+      * same pass — PNG spec §8.2: each pass filters independently). */
+    private def filterInto(out: java.io.ByteArrayOutputStream,
+        px: Array[Byte], wp: Int, hp: Int, ftBase: Int): Unit = {
+      val stride = wp * 3
       var y = 0
-      var o = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val (r, g, b) = BmpCodec.pixel(id, x, y)
-          cur(x * 3) = r.toByte; cur(x * 3 + 1) = g.toByte
-          cur(x * 3 + 2) = b.toByte
-          x += 1
-        }
-        val ft = y % 5
-        raw(o) = ft.toByte; o += 1
+      while (y < hp) {
+        val ft = (ftBase + y) % 5
+        out.write(ft)
         var i = 0
-        while (i < w * 3) {
-          val v = cur(i) & 0xFF
-          val left = if (i >= 3) cur(i - 3) & 0xFF else 0
-          val up = if (y > 0) prior(i) & 0xFF else 0
-          val ul = if (y > 0 && i >= 3) prior(i - 3) & 0xFF else 0
-          raw(o) = (ft match {
+        while (i < stride) {
+          val v = px(y * stride + i) & 0xFF
+          val left = if (i >= 3) px(y * stride + i - 3) & 0xFF else 0
+          val up = if (y > 0) px((y - 1) * stride + i) & 0xFF else 0
+          val ul = if (y > 0 && i >= 3) px((y - 1) * stride + i - 3) & 0xFF
+            else 0
+          out.write(((ft match {
             case 0 => v
             case 1 => v - left
             case 2 => v - up
             case 3 => v - (left + up) / 2
             case _ => v - paeth(left, up, ul)
-          }).toByte
-          o += 1; i += 1
+          }) & 0xFF))
+          i += 1
         }
-        System.arraycopy(cur, 0, prior, 0, w * 3)
         y += 1
       }
+    }
+
+    private def deflate(raw: Array[Byte]): Array[Byte] = {
       val deflater = new java.util.zip.Deflater
       deflater.setInput(raw)
       deflater.finish()
@@ -438,10 +438,72 @@ object Multimodal {
       while (!deflater.finished())
         out.write(buf, 0, deflater.deflate(buf))
       deflater.end()
+      out.toByteArray
+    }
+
+    private def wrap(w: Int, h: Int, interlace: Int,
+        idat: Array[Byte]): Array[Byte] = {
       val ihdr = be32(w) ++ be32(h) ++
-        Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, no interlace
-      Sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        Array[Byte](8, 2, 0, 0, interlace.toByte)
+      Sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
         chunk("IEND", Array.empty[Byte])
+    }
+
+    /** Write a real PNG (8-bit RGB, no interlace) with the SAME fixture
+      * content as BmpCodec for `id`; filter type y % 5 per scanline. */
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = BmpCodec.dims(id)
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = BmpCodec.pixel(id, x, y)
+          px((y * w + x) * 3) = r.toByte
+          px((y * w + x) * 3 + 1) = g.toByte
+          px((y * w + x) * 3 + 2) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream
+      filterInto(out, px, w, h, 0)
+      wrap(w, h, 0, deflate(out.toByteArray))
+    }
+
+    /** Write a real Adam7-INTERLACED PNG (8-bit RGB) with the same
+      * fixture content: seven per-pass sub-images, each filtered
+      * independently (PNG spec §8.2 — the progressive wire format of
+      * the PNG world, the sibling of JpegCodec's SOF2 path). Filter
+      * base varies per pass so every pass exercises several filter
+      * types. */
+    def encodeInterlaced(id: Long): Array[Byte] = {
+      val (w, h) = BmpCodec.dims(id)
+      val out = new java.io.ByteArrayOutputStream
+      var p = 0
+      while (p < 7) {
+        val (x0, dx, y0, dy) = Adam7(p)
+        val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (wp > 0 && hp > 0) {
+          val sub = new Array[Byte](wp * hp * 3)
+          var j = 0
+          while (j < hp) {
+            var i = 0
+            while (i < wp) {
+              val (r, g, b) = BmpCodec.pixel(id, x0 + i * dx, y0 + j * dy)
+              sub((j * wp + i) * 3) = r.toByte
+              sub((j * wp + i) * 3 + 1) = g.toByte
+              sub((j * wp + i) * 3 + 2) = b.toByte
+              i += 1
+            }
+            j += 1
+          }
+          filterInto(out, sub, wp, hp, p)
+        }
+        p += 1
+      }
+      wrap(w, h, 1, deflate(out.toByteArray))
     }
 
     /** Parse a PNG from bytes alone (8-bit RGB, CRC-checked chunks). */
@@ -452,6 +514,7 @@ object Multimodal {
       var w = 0
       var h = 0
       var seenIhdr = false
+      var interlaced = false
       val idat = new java.io.ByteArrayOutputStream
       var done = false
       while (!done) {
@@ -482,10 +545,11 @@ object Multimodal {
               s"PNG pixel count ${w.toLong * h} above decode bound")
             val depth = bytes(off + 16)
             val color = bytes(off + 17)
-            val interlace = bytes(off + 20)
-            require(depth == 8 && color == 2 && interlace == 0,
+            interlaced = bytes(off + 20) == 1
+            require(depth == 8 && color == 2 &&
+              (bytes(off + 20) == 0 || bytes(off + 20) == 1),
               s"unsupported PNG variant: depth=$depth color=$color " +
-                s"interlace=$interlace")
+                s"interlace=${bytes(off + 20)}")
             seenIhdr = true
           case "IDAT" => idat.write(bytes, off + 8, len)
           case "IEND" => done = true
@@ -494,9 +558,21 @@ object Multimodal {
         off += 12 + len
       }
       require(seenIhdr && idat.size() > 0, "PNG missing IHDR/IDAT")
+      // pass layout: Adam7 sub-images when interlaced, else ONE pass
+      // covering the image — the same de-filter walks both layouts
+      val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+        if (interlaced) Adam7.toSeq.map { case (x0, dx, y0, dy) =>
+          val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          (x0, dx, y0, dy, wp, hp)
+        }.filter(t => t._5 > 0 && t._6 > 0)
+        else Seq((0, 1, 0, 1, w, h))
+      val rawLen = passes.map(t => t._6.toLong * (1 + t._5 * 3)).sum
+      // bounded by the pixel-count guard above (~50 MB + pass overhead)
+      require(rawLen <= (1L << 28), "PNG raw stream above decode bound")
+      val raw = new Array[Byte](rawLen.toInt)
       val inflater = new java.util.zip.Inflater
       inflater.setInput(idat.toByteArray)
-      val raw = new Array[Byte](h * (1 + w * 3))
       var got = 0
       try {
         while (got < raw.length && !inflater.finished()) {
@@ -508,30 +584,49 @@ object Multimodal {
         case e: java.util.zip.DataFormatException =>
           throw new IllegalArgumentException(s"corrupt PNG zlib stream: $e")
       } finally inflater.end()
-      require(got == raw.length, "PNG pixel data short of w*h scanlines")
+      require(got == raw.length, "PNG pixel data short of expected scanlines")
       val px = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        val rowOff = y * (1 + w * 3)
-        val ft = raw(rowOff) & 0xFF
-        require(ft <= 4, s"unknown PNG filter type $ft")
-        var i = 0
-        while (i < w * 3) {
-          val v = raw(rowOff + 1 + i) & 0xFF
-          val left = if (i >= 3) px(y * w * 3 + i - 3) & 0xFF else 0
-          val up = if (y > 0) px((y - 1) * w * 3 + i) & 0xFF else 0
-          val ul = if (y > 0 && i >= 3) px((y - 1) * w * 3 + i - 3) & 0xFF
-            else 0
-          px(y * w * 3 + i) = (ft match {
-            case 0 => v
-            case 1 => v + left
-            case 2 => v + up
-            case 3 => v + (left + up) / 2
-            case _ => v + paeth(left, up, ul)
-          }).toByte
-          i += 1
+      var rawOff = 0
+      passes.foreach { case (x0, dx, y0, dy, wp, hp) =>
+        val stride = wp * 3
+        val sub = new Array[Byte](hp * stride)
+        var y = 0
+        while (y < hp) {
+          val ft = raw(rawOff) & 0xFF
+          rawOff += 1
+          require(ft <= 4, s"unknown PNG filter type $ft")
+          var i = 0
+          while (i < stride) {
+            val v = raw(rawOff) & 0xFF
+            rawOff += 1
+            val left = if (i >= 3) sub(y * stride + i - 3) & 0xFF else 0
+            val up = if (y > 0) sub((y - 1) * stride + i) & 0xFF else 0
+            val ul = if (y > 0 && i >= 3) sub((y - 1) * stride + i - 3) & 0xFF
+              else 0
+            sub(y * stride + i) = (ft match {
+              case 0 => v
+              case 1 => v + left
+              case 2 => v + up
+              case 3 => v + (left + up) / 2
+              case _ => v + paeth(left, up, ul)
+            }).toByte
+            i += 1
+          }
+          y += 1
         }
-        y += 1
+        // scatter the pass's sub-image onto the Adam7 grid
+        var j = 0
+        while (j < hp) {
+          var i = 0
+          while (i < wp) {
+            val di = ((y0 + j * dy) * w + (x0 + i * dx)) * 3
+            px(di) = sub((j * wp + i) * 3)
+            px(di + 1) = sub((j * wp + i) * 3 + 1)
+            px(di + 2) = sub((j * wp + i) * 3 + 2)
+            i += 1
+          }
+          j += 1
+        }
       }
       BmpCodec.Image(w, h, px)
     }
@@ -1379,6 +1474,42 @@ object Multimodal {
         imgs.mapPartitions { it =>
           it.map { id =>
             val img = PngCodec.decode(PngCodec.encode(id))
+            (id, img.w, img.h, weightedPxSum(img))
+          }
+        }.toDF("media_id", "w", "h", "px_sum")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(16 + doc_id % 13 AS INT) AS w,
+          CAST(12 + doc_id % 7 AS INT) AS h,
+          CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256
+             + 2 * ((doc_id + x * 11 + y * 2) % 256)
+             + 3 * ((doc_id * 13 + x * y) % 256)) AS BIGINT) AS px_sum
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(16 + doc_id % 13 AS INT) - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
+        WHERE doc_id % 3 = 0
+        GROUP BY 1, 2, 3""")),
+
+    // ----- REAL Adam7-interlaced PNG decode ------------------------------
+    // The PNG world's progressive wire format (spec §8.2), the sibling
+    // of mm_decode_jpeg_progressive: seven per-pass sub-images, each
+    // filtered INDEPENDENTLY, scattered back onto the pixel grid. The
+    // oracle re-derives pixel sums from the synthesis formulas — it
+    // knows nothing about passes — so a hash match proves the pass
+    // geometry, the per-pass filter context reset, and the scatter are
+    // all exact. Every doc id's dims hit different pass-emptiness
+    // shapes (w,h from 16-28 × 12-18 exercise all seven passes
+    // non-empty plus ragged sub-image edges).
+    Q("mm_decode_png_interlaced",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 0)
+          .select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.map { id =>
+            val img = PngCodec.decode(PngCodec.encodeInterlaced(id))
             (id, img.w, img.h, weightedPxSum(img))
           }
         }.toDF("media_id", "w", "h", "px_sum")

@@ -200,6 +200,47 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlaced PNG decodes byte-identically to sequential " +
+      "across all dims residues") {
+    import graft.operators.Multimodal.PngCodec
+    // 0 until 91*3 by 3 covers every (w,h) = (16+id%13, 12+id%7) combo
+    // (id % 3 == 0 ids are the PNG rows in the battery)
+    for (id <- 0L until 273L by 3L) {
+      val seq = PngCodec.decode(PngCodec.encode(id))
+      val il = PngCodec.decode(PngCodec.encodeInterlaced(id))
+      assert(il.w == seq.w && il.h == seq.h, s"id=$id dims")
+      assert(java.util.Arrays.equals(il.px, seq.px), s"id=$id pixels")
+    }
+  }
+
+  test("Adam7 interlaced PNG parses under ImageIO and our decoder " +
+      "reads ImageIO-written interlaced files") {
+    import graft.operators.Multimodal.PngCodec
+    for (id <- Seq(0L, 3L, 42L, 255L)) {
+      val (w, h) = BmpCodec.dims(id)
+      // direction 1: our interlaced wire format under the JDK's decoder
+      val javaImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(PngCodec.encodeInterlaced(id)))
+      assert(javaImg != null, s"ImageIO rejected interlaced PNG id=$id")
+      assert(javaImg.getWidth == w && javaImg.getHeight == h)
+      for { y <- 0 until h; x <- 0 until w } {
+        val rgb = javaImg.getRGB(x, y)
+        assert((rgb >> 16 & 0xFF, rgb >> 8 & 0xFF, rgb & 0xFF) ==
+          BmpCodec.pixel(id, x, y), s"ImageIO interlaced id=$id ($x,$y)")
+      }
+    }
+  }
+
+  test("corrupt interlaced PNG rejects cleanly") {
+    import graft.operators.Multimodal.PngCodec
+    val good = PngCodec.encodeInterlaced(6L)
+    val bad = good.clone()
+    bad(good.length - 20) = (bad(good.length - 20) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](PngCodec.decode(bad))
+    assert(e.getMessage.contains("CRC"))
+    intercept[IllegalArgumentException](PngCodec.decode(good.take(60)))
+  }
+
   test("PNG chunk corruption is caught by CRC, not misparsed") {
     import graft.operators.Multimodal.PngCodec
     val good = PngCodec.encode(6L)
