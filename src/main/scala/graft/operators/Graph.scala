@@ -419,6 +419,81 @@ object Graph {
                FROM (SELECT COUNT(*) AS dg FROM e GROUP BY src))
         SELECT n_triangles, n_wedges,
           CAST(n_triangles AS DOUBLE) * 3.0 / n_wedges AS global_cc
-        FROM tri CROSS JOIN wg"""))
+        FROM tri CROSS JOIN wg""")),
+
+    // ----- k-core decomposition (iterative peeling) -----------------------
+    // The dense-subgraph extractor: the 3-core of the THRESHOLDED
+    // co-purchase graph (edges kept only where the pair co-occurs in
+    // >= 2 orders — the noise floor; the unthresholded graph is so
+    // dense its 3-core is the whole graph) is the maximal subgraph
+    // where every node keeps degree >= 3 — the standard "strip the
+    // fringe, keep the community backbone" preprocessing for graph ML
+    // and spam/bot-ring detection. Spark side peels to a TRUE fixpoint
+    // (driver loop: degree filter -> endpoint semi-filter, each round
+    // ONE shuffle on the edge key, localCheckpoint every 4th round —
+    // the connectedComponents discipline; peeling strictly shrinks the
+    // edge set so the loop terminates). The oracle UNROLLS the peel as
+    // R=16 MATERIALIZED CTE rounds (the pqTrainCtes idiom for
+    // iteration in SQL) — the hash match therefore also PROVES the
+    // fixpoint is reached within 16 rounds on the battery graph (the
+    // sf0.01 peel takes 10), since an unconverged 16th round would
+    // differ from Spark's fixpoint.
+    Q("pipeline_graph_kcore",
+      (s, d) => {
+        import s.implicits._
+        val K = 3
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        var e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .filter($"w" >= 2)
+          .select($"src", $"dst")
+        var n = e.count()
+        var rounds = 0
+        var done = false
+        while (!done) {
+          val keep = e.groupBy($"src").agg(count(lit(1)).as("dg"))
+            .filter($"dg" >= K).select($"src".as("node"))
+          val e2 = e
+            .join(keep.select($"node".as("src")), Seq("src"), "left_semi")
+            .join(keep.select($"node".as("dst")), Seq("dst"), "left_semi")
+            .select($"src", $"dst")
+          val pruned = if (rounds % 4 == 3) e2.localCheckpoint() else e2
+          val n2 = pruned.count()
+          if (n2 == n) done = true
+          else { e = pruned; n = n2; rounds += 1 }
+        }
+        e.groupBy($"src").agg(count(lit(1)).as("core_degree"))
+          .select($"src".as("node"), $"core_degree")
+      },
+      Some {
+        val K = 3
+        // AS MATERIALIZED: each round references the previous edge set
+        // THREE times; inlined CTEs would expand 3^16 subtrees
+        val rounds = (1 to 16).map { r =>
+          s"""n$r AS MATERIALIZED (SELECT src FROM e${r - 1} GROUP BY src
+               HAVING COUNT(*) >= $K),
+          e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+            JOIN n$r a ON a.src = e.src
+            JOIN n$r b ON b.src = e.dst)"""
+        }.mkString(",\n        ")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+               FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst,
+              COUNT(*) AS w
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2)
+          WHERE w >= 2),
+        $rounds
+        SELECT src AS node, COUNT(*) AS core_degree
+        FROM e16 GROUP BY src"""
+      })
   )
 }

@@ -310,6 +310,46 @@ class Round11OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // pipeline_graph_kcore
+  // ------------------------------------------------------------------
+
+  test("kcore: equals a direct in-memory peel; every survivor keeps " +
+      "degree >= 3 inside the core") {
+    import spark.implicits._
+    // sf0.01: the scale where the thresholded graph actually peels
+    // (the sf0.001 graph's 3-core is ~the whole graph — no fringe)
+    val sf01 = "/root/testdata/sf0.01"
+    val li = Tables.lineitem(spark, sf01)
+      .selectExpr("l_orderkey", "l_partkey").as[(Long, Long)]
+      .collect().distinct
+    val byOrder = li.groupBy(_._1).values
+    var edges = byOrder.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.toSeq
+      for (a <- parts; b <- parts if a != b) yield (a, b)
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    var stable = false
+    var rounds = 0
+    while (!stable) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      val e2 = edges.filter(e => keep(e._1) && keep(e._2))
+      if (e2.size == edges.size) stable = true
+      else { edges = e2; rounds += 1 }
+    }
+    assert(rounds > 0 && rounds <= 16,
+      s"peel took $rounds rounds — oracle unroll must cover it")
+    val want = edges.groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("pipeline_graph_kcore")(spark, sf01)
+      .select($"node", $"core_degree").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.values.forall(_ >= 3))
+    // the peel actually removed something (fringe existed)
+    val allNodes = li.map(_._2).distinct.length
+    assert(got.size < allNodes, "fixture has no fringe to peel")
+  }
+
+  // ------------------------------------------------------------------
   // q54_concurrency
   // ------------------------------------------------------------------
 
