@@ -1108,6 +1108,185 @@ object Multimodal {
       out.toByteArray
     }
 
+    // ----- animation (GIF89a multi-frame) --------------------------------
+
+    /** Frame count for the animated fixture. */
+    def nFrames(id: Long): Int = (3 + id % 4).toInt
+
+    /** Changed-rect of frame f >= 1 (frame 0 is the full canvas):
+      * (x0, y0, wf, hf), always inside dims — the optimized-GIF shape
+      * real encoders emit, which forces genuine canvas compositing. */
+    def frameRect(id: Long, f: Int): (Int, Int, Int, Int) = {
+      val (w, h) = dims(id)
+      val wf = 8 + f % 5
+      val hf = 6 + f % 3
+      val x0 = (3 * f + (id % 5).toInt) % (w - wf + 1)
+      val y0 = (2 * f + (id % 3).toInt) % (h - hf + 1)
+      (x0, y0, wf, hf)
+    }
+
+    /** Write a real ANIMATED GIF89a: NETSCAPE2.0 loop extension, one
+      * Graphics Control Extension per frame (disposal 1 = leave in
+      * place, delay 10+f cs), frame 0 full-canvas, frames f >= 1 only
+      * their changed rect [[frameRect]] — pixel content of frame f is
+      * palIdx(id + 131*f, x, y) at ABSOLUTE canvas coordinates. */
+    def encodeAnimated(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      val out = new java.io.ByteArrayOutputStream(2048)
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(le16(w)); out.write(le16(h))
+      out.write(0xF7); out.write(0); out.write(0)
+      var c = 0
+      while (c < 256) {
+        val (r, g, b) = pal(c)
+        out.write(r); out.write(g); out.write(b)
+        c += 1
+      }
+      // NETSCAPE2.0 application extension: loop forever
+      out.write(0x21); out.write(0xFF); out.write(11)
+      out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+      out.write(3); out.write(1); out.write(0); out.write(0); out.write(0)
+      val nf = nFrames(id)
+      var f = 0
+      while (f < nf) {
+        // Graphics Control Extension: disposal 1, delay 10+f cs
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write(1 << 2); out.write(le16(10 + f)); out.write(0)
+        out.write(0)
+        val (x0, y0, wf, hf) =
+          if (f == 0) (0, 0, w, h) else frameRect(id, f)
+        out.write(0x2C)
+        out.write(le16(x0)); out.write(le16(y0))
+        out.write(le16(wf)); out.write(le16(hf))
+        out.write(0)
+        out.write(8)
+        val fid = id + 131L * f
+        val pixels = new Array[Int](wf * hf)
+        var j = 0
+        while (j < hf) {
+          var i = 0
+          while (i < wf) {
+            pixels(j * wf + i) = palIdx(fid, x0 + i, y0 + j)
+            i += 1
+          }
+          j += 1
+        }
+        val data = lzwCompress(pixels, 8)
+        var o = 0
+        while (o < data.length) {
+          val n = math.min(255, data.length - o)
+          out.write(n); out.write(data, o, n); o += n
+        }
+        out.write(0)
+        f += 1
+      }
+      out.write(0x3B)
+      out.toByteArray
+    }
+
+    /** Parse an animated GIF from bytes alone: every image descriptor
+      * composites its rect onto the persistent canvas (disposal
+      * method 1 — the fixture's and the common web-GIF case; methods
+      * 0/1 both leave the canvas in place) and yields one full-canvas
+      * snapshot per frame with the preceding GCE's delay. The
+      * single-image [[decode]] path stays untouched. */
+    def decodeFrames(bytes: Array[Byte]): Seq[(BmpCodec.Image, Int)] = {
+      require(bytes.length >= 13, "truncated GIF")
+      val magic = new String(bytes, 0, 6, "US-ASCII")
+      require(magic == "GIF87a" || magic == "GIF89a", "not a GIF file")
+      def rd16(off: Int): Int =
+        (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      val cw = rd16(6)
+      val ch = rd16(8)
+      require(cw > 0 && ch > 0 && cw <= 4096 && ch <= 4096,
+        s"implausible GIF canvas ${cw}x$ch")
+      val packed = bytes(10) & 0xFF
+      var off = 13
+      var gct: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        require(off + 3 * n <= bytes.length, "truncated color table")
+        gct = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+        off += 3 * n
+      }
+      val canvas = new Array[Byte](cw * ch * 3)
+      val frames = Seq.newBuilder[(BmpCodec.Image, Int)]
+      var delay = 0
+      var disposal = 0
+      var done = false
+      while (!done && off < bytes.length) {
+        (bytes(off) & 0xFF) match {
+          case 0x21 =>
+            val label = bytes(off + 1) & 0xFF
+            if (label == 0xF9) {
+              require(off + 7 < bytes.length, "truncated GCE")
+              require((bytes(off + 2) & 0xFF) == 4, "bad GCE length")
+              disposal = (bytes(off + 3) & 0x1C) >> 2
+              require(disposal <= 1,
+                s"unsupported GIF disposal method $disposal")
+              delay = rd16(off + 4)
+              off += 8
+            } else {
+              off += 2
+              while ({
+                require(off < bytes.length, "truncated extension")
+                val n = bytes(off) & 0xFF; off += 1 + n; n != 0
+              }) ()
+            }
+          case 0x2C =>
+            require(off + 11 <= bytes.length,
+              "truncated GIF image descriptor")
+            val x0 = rd16(off + 1)
+            val y0 = rd16(off + 3)
+            val w = rd16(off + 5)
+            val h = rd16(off + 7)
+            require(w > 0 && h > 0 && x0 + w <= cw && y0 + h <= ch,
+              s"frame rect ${x0},$y0 ${w}x$h outside ${cw}x$ch canvas")
+            val ip = bytes(off + 9) & 0xFF
+            require((ip & 0x40) == 0,
+              "interlaced animation frames unsupported")
+            off += 10
+            var table = gct
+            if ((ip & 0x80) != 0) {
+              val n = 2 << (ip & 7)
+              require(off + 3 * n <= bytes.length, "truncated local table")
+              table = java.util.Arrays.copyOfRange(bytes, off, off + 3 * n)
+              off += 3 * n
+            }
+            require(table != null, "GIF frame with no color table")
+            require(off < bytes.length, "truncated before LZW code size")
+            val mcs = bytes(off) & 0xFF; off += 1
+            require(mcs >= 2 && mcs <= 8, s"implausible LZW code size $mcs")
+            val data = new java.io.ByteArrayOutputStream(bytes.length)
+            while ({
+              require(off < bytes.length, "truncated image data")
+              val n = bytes(off) & 0xFF; off += 1
+              require(off + n <= bytes.length, "sub-block overruns file")
+              data.write(bytes, off, n); off += n; n != 0
+            }) ()
+            val idx = lzwDecompress(data.toByteArray, mcs, w * h)
+            var i = 0
+            while (i < idx.length) {
+              val e = idx(i) * 3
+              require(e + 2 < table.length, s"palette index ${idx(i)} OOB")
+              val o = ((y0 + i / w) * cw + x0 + i % w) * 3
+              canvas(o) = table(e)
+              canvas(o + 1) = table(e + 1)
+              canvas(o + 2) = table(e + 2)
+              i += 1
+            }
+            frames += ((BmpCodec.Image(cw, ch,
+              java.util.Arrays.copyOf(canvas, canvas.length)), delay))
+          case 0x3B => done = true
+          case b => throw new IllegalArgumentException(
+            f"unknown GIF block 0x$b%02x")
+        }
+      }
+      val out = frames.result()
+      require(out.nonEmpty, "no image block in GIF")
+      out
+    }
+
     /** Parse a GIF from bytes alone: header + LSD, global color table,
       * skipped extension blocks, first image descriptor (local palette
       * honored, interlaced row order deinterlaced), LZW decode,
@@ -1491,6 +1670,65 @@ object Multimodal {
             CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
         WHERE doc_id % 3 = 0
         GROUP BY 1, 2, 3""")),
+
+    // ----- REAL animated GIF decode (canvas compositing) -----------------
+    // The multi-frame GIF89a path real web GIFs use: NETSCAPE loop
+    // extension, per-frame Graphics Control Extensions, and OPTIMIZED
+    // frames that carry only their changed rect — so decoding frame f
+    // requires compositing every rect up to f onto the persistent
+    // canvas. The oracle re-derives each composited canvas from the
+    // synthesis formulas alone (for every pixel, the GOVERNING frame is
+    // the latest g <= f whose rect covers it — a correlated MAX, no
+    // knowledge of GIF wire format), so a hash match proves the GCE
+    // walk, rect placement, LZW per frame, and compositing are all
+    // exact. Narrow per-row decode; frames explode to rows only after
+    // the canvas is reduced to one BIGINT sum.
+    Q("mm_decode_gif_animated",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.flatMap { id =>
+            val frames = GifCodec.decodeFrames(GifCodec.encodeAnimated(id))
+            frames.zipWithIndex.map { case ((img, delay), f) =>
+              (id, f, delay, weightedPxSum(img))
+            }
+          }
+        }.toDF("media_id", "frame_idx", "delay_cs", "px_sum")
+      },
+      Some("""WITH gifs AS (
+          SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS nf,
+            CAST(24 + doc_id % 13 AS INT) AS w,
+            CAST(18 + doc_id % 7 AS INT) AS h
+          FROM documents WHERE doc_id % 3 = 1),
+        fx AS (
+          SELECT doc_id, w, h, f FROM gifs,
+            LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) fs),
+        pxg AS (
+          SELECT doc_id, f, x, y,
+            COALESCE(MAX(CASE WHEN g <= f
+                AND x >= (3*g + doc_id % 5) % (w - (8 + g % 5) + 1)
+                AND x < (3*g + doc_id % 5) % (w - (8 + g % 5) + 1)
+                      + 8 + g % 5
+                AND y >= (2*g + doc_id % 3) % (h - (6 + g % 3) + 1)
+                AND y < (2*g + doc_id % 3) % (h - (6 + g % 3) + 1)
+                      + 6 + g % 3
+              THEN g END), 0) AS g
+          FROM fx,
+            LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys,
+            (SELECT unnest(generate_series(1, 6)) AS g) gs
+          GROUP BY doc_id, f, x, y),
+        ci AS (
+          SELECT doc_id, f,
+            ((doc_id + 131 * g) * 5 + x * 3 + y * 7) % 256 AS c
+          FROM pxg)
+        SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+          CAST(10 + f AS INT) AS delay_cs,
+          CAST(SUM(c + 2 * ((c * 3) % 256) + 3 * ((c * 7) % 256))
+            AS BIGINT) AS px_sum
+        FROM ci GROUP BY 1, 2, 3""")),
 
     // ----- REAL Adam7-interlaced PNG decode ------------------------------
     // The PNG world's progressive wire format (spec §8.2), the sibling

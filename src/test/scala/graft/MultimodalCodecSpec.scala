@@ -241,6 +241,71 @@ class MultimodalCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PngCodec.decode(good.take(60)))
   }
 
+  test("animated GIF: frame 0 equals the static decode; compositing " +
+      "matches a direct canvas re-derivation") {
+    import graft.operators.Multimodal.GifCodec
+    for (id <- Seq(1L, 4L, 43L, 256L, 997L)) {
+      val frames = GifCodec.decodeFrames(GifCodec.encodeAnimated(id))
+      assert(frames.length == GifCodec.nFrames(id))
+      // frame 0 is the full canvas with the static formula
+      val static = GifCodec.decode(GifCodec.encode(id))
+      // dims formulas differ only in content via palIdx(id,..) — same
+      val (w, h) = GifCodec.dims(id)
+      assert(frames.head._1.w == w && frames.head._1.h == h)
+      assert(java.util.Arrays.equals(frames.head._1.px, static.px),
+        s"id=$id frame0 vs static")
+      // delays carried from each GCE
+      frames.zipWithIndex.foreach { case ((_, d), f) =>
+        assert(d == 10 + f, s"id=$id delay frame $f")
+      }
+      // direct composite: governing frame per pixel
+      frames.zipWithIndex.foreach { case ((img, _), f) =>
+        for { y <- 0 until h; x <- 0 until w } {
+          val g = (1 to f).reverse.find { g =>
+            val (x0, y0, wf, hf) = GifCodec.frameRect(id, g)
+            x >= x0 && x < x0 + wf && y >= y0 && y < y0 + hf
+          }.getOrElse(0)
+          val c = GifCodec.palIdx(id + 131L * g, x, y)
+          assert((img.r(x, y), img.g(x, y), img.b(x, y)) ==
+            GifCodec.pal(c), s"id=$id f=$f ($x,$y) governing $g")
+        }
+      }
+    }
+  }
+
+  test("animated GIF parses under ImageIO with the right frame count") {
+    import graft.operators.Multimodal.GifCodec
+    for (id <- Seq(1L, 43L)) {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(GifCodec.encodeAnimated(id)))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      assert(readers.hasNext, s"ImageIO has no reader for id=$id")
+      val r = readers.next()
+      r.setInput(in)
+      assert(r.getNumImages(true) == GifCodec.nFrames(id), s"id=$id")
+      r.dispose()
+    }
+  }
+
+  test("malformed animated GIFs reject cleanly") {
+    import graft.operators.Multimodal.GifCodec
+    val good = GifCodec.encodeAnimated(4L)
+    intercept[IllegalArgumentException](
+      GifCodec.decodeFrames(good.take(good.length / 2)))
+    // disposal method 2 (restore-to-background) is out of scope and
+    // must reject, not silently mis-composite
+    val bad = good.clone()
+    val gce = {  // first GCE packed byte: after header+GCT+NETSCAPE ext
+      var i = 13 + 768
+      while (!((bad(i) & 0xFF) == 0x21 && (bad(i + 1) & 0xFF) == 0xF9))
+        i += 1
+      i + 3
+    }
+    bad(gce) = (2 << 2).toByte
+    val e = intercept[IllegalArgumentException](GifCodec.decodeFrames(bad))
+    assert(e.getMessage.contains("disposal"))
+  }
+
   test("PNG chunk corruption is caught by CRC, not misparsed") {
     import graft.operators.Multimodal.PngCodec
     val good = PngCodec.encode(6L)
