@@ -575,4 +575,59 @@ class PcapStreamingSpec extends AnyFunSuite {
         s"missing=${want -- got()} extra=${got() -- want}")
     } finally query.stop()
   }
+
+  // ------------------------------------------------------------------
+  // streaming exfiltration detector
+  // ------------------------------------------------------------------
+
+  test("streaming exfil alerts match the batch twin's candidates in " +
+      "reverse admission order; allowlisted flows allocate no alert") {
+    val dir = Files.createTempDirectory("pcap_landing_exfil")
+    // the capture spans ~1 980 s of event time and the late half lands
+    // first, so allowed lateness must cover the full span or the
+    // early half is (correctly) dropped as beyond-lateness
+    val alerts = graft.streaming.ExfilStream.alerts(
+      spark.readStream.format("pcap").load(dir.toString),
+      watermark = "3600 seconds", idleSeconds = 60)
+    val query = alerts.writeStream.format("memory")
+      .queryName("exfil_alerts").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // reverse admission: the SECOND half of the capture lands (and
+      // commits) before the first — counters are commutative sums, so
+      // the verdicts must be identical
+      val pkts = graft.pcap.PcapSynth.exfilPackets(180)
+      val cut = 1730000000L + 90 * 11L
+      val (early, late) = pkts.partition(_._1 < cut)
+      assert(early.nonEmpty && late.nonEmpty)
+      Files.write(dir.resolve("a_late.pcap"),
+        graft.pcap.PcapSynth.file(late))
+      query.processAllAvailable()
+      Files.write(dir.resolve("b_early.pcap"),
+        graft.pcap.PcapSynth.file(early))
+      query.processAllAvailable()
+      // flush: one tiny upload from a fresh host far past the horizon —
+      // advances the watermark, cannot itself alert (12 B << minBytes)
+      Files.write(dir.resolve("zz_flush.pcap"),
+        graft.pcap.PcapSynth.file(Seq((1730100000L, 0L,
+          graft.pcap.PcapSynth.ipv4UdpFrame(
+            Array[Byte](10, 88, 99, 99), Array[Byte](203.toByte, 0, 113, 1),
+            40000, 443, ttl = 60, payload = new Array[Byte](12))))))
+      query.processAllAvailable()
+      val got = spark.table("exfil_alerts").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = graft.SparkEntry.queries("pcap_exfil_candidates")(
+          spark, "unused")
+        .filter("exfil_candidate")
+        .selectExpr("ext", "host", "bytes_out", "bytes_in", "n_pkts")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(want.size == 60 && got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      // the allowlisted backup population (same byte shape) never alerts
+      assert(!got.exists(_._1.startsWith("192.0.2.")))
+    } finally query.stop()
+  }
 }
