@@ -52,7 +52,14 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // fragment reassembly's offset-sorted fold on the v6 path, and the
     // skew profiler's two-level count-of-counts
     "mm_audio_overlap", "mm_video_overlap", "pcap_ipv6_frag_reassembly",
-    "pipeline_key_skew")
+    "pipeline_key_skew",
+    // round 11 second wave: the argmax CDC merge (winner must not
+    // depend on partial-agg merge order), the two-level prefix-sum
+    // concurrency sweep, the iterative k-core peel, the median/MAD
+    // double-window, and the LSH calibration's candidate-restricted
+    // exact-Jaccard join
+    "pipeline_merge_upsert", "q54_concurrency", "pipeline_graph_kcore",
+    "q53_hourly_anomaly", "dedup_lsh_error_profile")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
