@@ -532,7 +532,7 @@ object Dedup {
   }
 
   /** Shared CTE prefix: shingles -> hashes -> signatures -> band frame. */
-  private lazy val sigCtesSql: String = {
+  private[graft] lazy val sigCtesSql: String = {
     val minExprs = perms.zipWithIndex.map { case ((a, b), i) =>
       s"MIN((h * $a + $b) % $P) AS m$i"
     }.mkString(", ")
@@ -549,7 +549,7 @@ object Dedup {
   /** The guarded candidate-pair chain as reusable CTEs (`cand`), shared
     * by the pair query's oracle and the error-profile oracle so the two
     * cannot disagree on the candidate rule. */
-  private lazy val candCtesSql: String =
+  private[graft] lazy val candCtesSql: String =
     s"""bstat AS (SELECT band, x, y, COUNT(*) AS bsz, MIN(doc_id) AS bmin
               FROM bands GROUP BY 1, 2, 3),
     bb AS (SELECT b.*, s.bsz, s.bmin

@@ -890,6 +890,93 @@ object Pipeline {
             row_number() OVER (PARTITION BY doc_id ORDER BY version DESC)
               AS rn
           FROM log)
-        SELECT doc_id, version, h FROM merged WHERE rn = 1 AND NOT del"""))
+        SELECT doc_id, version, h FROM merged WHERE rn = 1 AND NOT del""")),
+
+    // ----- dedup impact report (per source, across methods) ---------------
+    // The report a corpus owner reads before choosing an intervention:
+    // per SOURCE, how much duplication each method family would find —
+    // exact (corpus-wide digest collisions), chunk-level (duplicated
+    // 10-token chunks), and near-dup (membership in any LSH candidate
+    // pair). Sources differ in contamination profile; this is the table
+    // that says WHERE the duplication lives, not just how much. All
+    // counts exact integers; the three detection chains are the SAME
+    // chains the individual dedup queries run (minhashPairs rides the
+    // per-dataset signature memo; the oracle embeds the SAME shared
+    // sig/cand CTEs), so the report cannot disagree with the tools it
+    // summarizes. Scale: digest window + chunk rollup + pair explode
+    // are each one bounded shuffle; the per-source rollup key is tiny.
+    Q("pipeline_dedup_impact",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val exact = docs
+          .select($"doc_id", $"source",
+            md5($"text".cast("binary")).as("hd"))
+          .withColumn("copies", count(lit(1)).over(
+            Window.partitionBy($"hd")))
+          .select($"doc_id", $"source",
+            when($"copies" > 1, 1L).otherwise(0L).as("is_exact_dup"))
+        val chunks = docs
+          .select($"doc_id", split($"text", " ").as("w"))
+          .select($"doc_id", explode(expr(
+            """transform(sequence(0, (size(w) - 1) div 10),
+                 i -> array_join(slice(w, i * 10 + 1, 10), ' '))"""))
+            .as("chunk"))
+          .select($"doc_id", md5($"chunk".cast("binary")).as("h"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"h")))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        val pairs = Dedup.minhashPairs(s, d)
+        val near = pairs.select($"doc1".as("doc_id"))
+          .union(pairs.select($"doc2".as("doc_id")))
+          .distinct()
+          .withColumn("is_near_dup", lit(1L))
+        exact
+          .join(chunks, "doc_id")
+          .join(near, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("is_near_dup"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"is_exact_dup").as("n_exact_dup"),
+            sum($"n_chunks").as("sum_chunks"),
+            sum($"n_dup_chunks").as("sum_dup_chunks"),
+            sum($"is_near_dup").as("n_near_dup"))
+      },
+      Some(s"""WITH ${Dedup.sigCtesSql},
+        ${Dedup.candCtesSql},
+        near AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc1 AS doc_id FROM cand
+            UNION ALL SELECT doc2 FROM cand)),
+        ex AS (
+          SELECT doc_id, source,
+            CASE WHEN COUNT(*) OVER (PARTITION BY md5(text)) > 1
+                 THEN 1 ELSE 0 END AS is_exact_dup
+          FROM documents),
+        chl AS (
+          SELECT doc_id,
+            unnest([md5(array_to_string(w[i * 10 + 1 : i * 10 + 10], ' '))
+                    FOR i IN generate_series(0, (len(w) - 1) // 10)]) AS h
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents)),
+        chf AS (
+          SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS cnt FROM chl),
+        ch AS (
+          SELECT doc_id, COUNT(*) AS n_chunks,
+            CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup_chunks
+          FROM chf GROUP BY 1)
+        SELECT ex.source, COUNT(*) AS n_docs,
+          CAST(SUM(ex.is_exact_dup) AS BIGINT) AS n_exact_dup,
+          CAST(SUM(ch.n_chunks) AS BIGINT) AS sum_chunks,
+          CAST(SUM(ch.n_dup_chunks) AS BIGINT) AS sum_dup_chunks,
+          CAST(SUM(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_dup
+        FROM ex
+        JOIN ch ON ch.doc_id = ex.doc_id
+        LEFT JOIN near ON near.doc_id = ex.doc_id
+        GROUP BY 1"""))
   )
 }

@@ -310,6 +310,41 @@ class Round11OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // pipeline_dedup_impact
+  // ------------------------------------------------------------------
+
+  test("dedup_impact: report columns reconcile with the individual " +
+      "dedup tools it summarizes") {
+    import spark.implicits._
+    val report = q("pipeline_dedup_impact")
+      .select($"source", $"n_docs", $"n_exact_dup", $"sum_chunks",
+        $"sum_dup_chunks", $"n_near_dup")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val srcOf = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "source").as[(Long, String)].collect().toMap
+    // near-dup margin == distinct membership of the LSH pair query
+    val pairs = q("dedup_minhash_lsh")
+      .select($"doc1", $"doc2").as[(Long, Long)].collect()
+    val nearBySrc = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(srcOf).view.mapValues(_.length.toLong).toMap
+    report.foreach { case (src, (_, _, _, _, near)) =>
+      assert(near == nearBySrc.getOrElse(src, 0L), s"source $src")
+    }
+    // chunk margin == dedup_chunk folded by source
+    val chunk = q("dedup_chunk")
+      .selectExpr("doc_id", "n_chunks", "n_dup")
+      .as[(Long, Long, Long)].collect()
+    val chunkBySrc = chunk.groupBy(r => srcOf(r._1)).view
+      .mapValues(v => (v.map(_._2).sum, v.map(_._3).sum)).toMap
+    report.foreach { case (src, (_, _, sc, sdc, _)) =>
+      assert((sc, sdc) == chunkBySrc(src), s"source $src chunks")
+    }
+    // totals conserve over the corpus
+    assert(report.values.map(_._1).sum == srcOf.size)
+  }
+
+  // ------------------------------------------------------------------
   // pipeline_graph_kcore
   // ------------------------------------------------------------------
 
