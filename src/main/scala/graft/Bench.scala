@@ -88,7 +88,11 @@ object Bench {
       "sim_cosine_topk_blocked", "pcap_tcp_reassembly",
       "text_repeat_spans", "pipeline_lpa_communities",
       "mm_decode_jpeg", "mm_decode_jpeg_progressive",
-      "mm_dhash_pairs", "mm_video_overlap", "mm_audio_overlap")
+      "mm_dhash_pairs", "mm_video_overlap", "mm_audio_overlap",
+      // round-11 second wave: the iterative peel and the two new
+      // multi-pass container decodes get owned numbers
+      "pipeline_graph_kcore", "mm_decode_gif_animated",
+      "mm_decode_png_interlaced", "mm_shot_boundaries")
     val names = (SparkEntry.headline ++ heavy).distinct :+ DecodeName
     // warm-up pass: JIT + codegen + parquet footer caches, not timed —
     // the timed passes measure steady-state engine throughput
