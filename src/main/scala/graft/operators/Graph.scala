@@ -444,6 +444,13 @@ object Graph {
         val K = 3
         val li = Tables.lineitem(s, d)
           .select($"l_orderkey", $"l_partkey").distinct()
+        // each peel round reads the edge set THREE times (degree agg +
+        // two semi-joins) plus the count action — without a persisted
+        // frontier every round would replay the pair-build join from
+        // the scan. Eager localCheckpoint per round materializes the
+        // frontier ONCE, truncates lineage, and leaves block cleanup
+        // to the ContextCleaner when the round's RDD goes unreferenced
+        // (no CacheManager entries to leak across invocations).
         var e = li.as("a").join(li.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") =!= col("b.l_partkey"))
@@ -452,17 +459,18 @@ object Graph {
           .agg(count(lit(1)).as("w"))
           .filter($"w" >= 2)
           .select($"src", $"dst")
+          .localCheckpoint()
         var n = e.count()
         var rounds = 0
         var done = false
         while (!done) {
           val keep = e.groupBy($"src").agg(count(lit(1)).as("dg"))
             .filter($"dg" >= K).select($"src".as("node"))
-          val e2 = e
+          val pruned = e
             .join(keep.select($"node".as("src")), Seq("src"), "left_semi")
             .join(keep.select($"node".as("dst")), Seq("dst"), "left_semi")
             .select($"src", $"dst")
-          val pruned = if (rounds % 4 == 3) e2.localCheckpoint() else e2
+            .localCheckpoint()
           val n2 = pruned.count()
           if (n2 == n) done = true
           else { e = pruned; n = n2; rounds += 1 }
