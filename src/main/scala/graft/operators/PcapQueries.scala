@@ -623,6 +623,45 @@ object PcapQueries {
             upload_heavy, exfil_candidate)"""
   }
 
+  /** Constant oracle for pcap_flow_size_histogram: replay BOTH
+    * captures' per-flow byte totals (flow-export syslog flows and the
+    * exfil populations) and fold into log2 buckets. */
+  private def flowSizeHistogramOracle(nFe: Int, nEx: Int): String = {
+    val flows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // flow-export capture: flow i = 6 packets (3 bursts of 1+(i+b)%3
+    // sums to 6) of size 62 + (i%5)*10, one directional 5-tuple each
+    for (i <- 0 until nFe)
+      flows += ((6L * (62 + (i % 5) * 10), 6L))
+    // exfil capture: browsing i%3==0 -> per server k: up 2x142,
+    // down 5x1442; exfil/backup -> up 20x1442, down 2x102
+    for (i <- 0 until nEx) (i % 3) match {
+      case 0 =>
+        for (_ <- 0 until 3) {
+          flows += ((2L * 142, 2L))
+          flows += ((5L * 1442, 5L))
+        }
+      case _ =>
+        flows += ((20L * 1442, 20L))
+        flows += ((2L * 102, 2L))
+    }
+    val acc = scala.collection.mutable.Map
+      .empty[Int, (Long, Long, Long)]
+    for ((bytes, pkts) <- flows) {
+      val bucket = 63 - java.lang.Long.numberOfLeadingZeros(bytes)
+      val (f, b, p) = acc.getOrElse(bucket, (0L, 0L, 0L))
+      acc(bucket) = (f + 1, b + bytes, p + pkts)
+    }
+    val rows = acc.toSeq.sortBy(_._1).map { case (k, (f, b, p)) =>
+      s"($k, $f, $b, $p)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.bucket AS INT) AS bucket,
+        CAST(v.n_flows AS BIGINT) AS n_flows,
+        CAST(v.sum_bytes AS BIGINT) AS sum_bytes,
+        CAST(v.sum_pkts AS BIGINT) AS sum_pkts
+        FROM (VALUES $rows)
+          AS v(bucket, n_flows, sum_bytes, sum_pkts)"""
+  }
+
   /** Constant oracle for pcap_ttl_path: replay the three flow
     * populations (stable / flapping / spoof-mix) and the hop math. */
   private def ttlPathOracle(n: Int): String = {
@@ -2467,6 +2506,33 @@ object PcapQueries {
           .withColumn("spoof_suspect", $"n_classes" > 1)
       },
       Some(ttlPathOracle(210))),
+
+    // ----- flow size distribution (mice vs elephants) ----------------------
+    // The capacity-planning staple: per-flow byte totals folded into
+    // log2 buckets — the histogram that says whether the network is
+    // mice (chatty small flows) or elephants (few bulk flows), read
+    // over TWO captures in ONE multi-path scan (the pcap source takes
+    // any number of paths; whole-file partitions just concatenate).
+    // The bucket is floor(log2(bytes)) computed EXACTLY as the binary
+    // string length minus one (bin() in both engines) — no float log2
+    // whose rounding at exact powers of two could differ. ONE shuffle
+    // on the flow 5-tuple, then a tiny bucket rollup.
+    Q("pcap_flow_size_histogram",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap")
+          .load(flowExportSynthPath, exfilSynthPath)
+          .filter($"protocol" === "UDP")
+          .groupBy($"src", $"dst", $"src_port", $"dst_port")
+          .agg(sum($"size").as("bytes"), count(lit(1)).as("n_pkts"))
+          .withColumn("bucket",
+            expr("CAST(length(bin(bytes)) - 1 AS INT)"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_flows"),
+            sum($"bytes").as("sum_bytes"),
+            sum($"n_pkts").as("sum_pkts"))
+      },
+      Some(flowSizeHistogramOracle(60, 180))),
 
     // ----- data-exfiltration candidates (round 11) ------------------------
     // The SOC upload-asymmetry sweep: per (internal host, external

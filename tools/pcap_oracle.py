@@ -1827,5 +1827,31 @@ if glob.glob(f"{out}/pcap_exfil_candidates/*.parquet"):
                  bo >= 5 * bi and bo >= 10000 and x not in ALLOW)
                 for (x, h), (bo, bi, n) in eacc.items()))
 
+# Flow size histogram: byte-level per-5-tuple byte totals over BOTH
+# captures, folded into floor(log2(bytes)) buckets.
+if glob.glob(f"{out}/pcap_flow_size_histogram/*.parquet"):
+    facc = {}
+    for path in ("/tmp/graft_synth_flowexport.pcap",
+                 "/tmp/graft_synth_exfil.pcap"):
+        for ts, us, fr in _frames(path):
+            src, dst, proto, l4 = _v4(fr)
+            if proto != 17:
+                continue
+            sp, dp = struct.unpack_from(">HH", fr, l4)
+            e = facc.setdefault((src, dst, sp, dp), [0, 0])
+            e[0] += len(fr)
+            e[1] += 1
+    hacc = {}
+    for (b, p) in facc.values():
+        k = b.bit_length() - 1
+        e = hacc.setdefault(k, [0, 0, 0])
+        e[0] += 1
+        e[1] += b
+        e[2] += p
+    _cmp("pcap_flow_size_histogram(redecode)",
+         _read("pcap_flow_size_histogram",
+               ["bucket", "n_flows", "sum_bytes", "sum_pkts"]),
+         sorted((k, f, b, p) for k, (f, b, p) in hacc.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
