@@ -662,6 +662,39 @@ object PcapQueries {
           AS v(bucket, n_flows, sum_bytes, sum_pkts)"""
   }
 
+  /** UDP-traceroute capture (see
+    * [[graft.pcap.PcapSynth.traceroutePackets]]). */
+  private def tracerouteSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_traceroute.pcap")
+    graft.pcap.PcapSynth.ensureTracerouteFile(p, 120)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_passive_traceroute: replay the trace
+    * populations — router-per-hop formula, completion rule, and the
+    * ordered path join. */
+  private def tracerouteOracle(n: Int): String = {
+    val rows = (0 until n).map { t =>
+      val prober = s"10.77.0.${t % 50}"
+      val target = s"203.0.113.${t % 30}"
+      val hops = 3 + t % 4
+      val reached = t % 5 != 0
+      val nTe = if (reached) hops - 1 else hops
+      val path = (1 to nTe).map(k => s"198.18.$k.${t % 20}")
+        .mkString(">")
+      s"('$prober', '$target', $nTe, ${if (reached) hops - 1 else hops}, " +
+        s"$reached, '$path')"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.prober AS VARCHAR) AS prober,
+        CAST(v.target AS VARCHAR) AS target,
+        CAST(v.n_hops_seen AS BIGINT) AS n_hops_seen,
+        CAST(v.last_hop AS INT) AS last_hop,
+        CAST(v.reached AS BOOLEAN) AS reached,
+        CAST(v.path AS VARCHAR) AS path
+        FROM (VALUES $rows)
+          AS v(prober, target, n_hops_seen, last_hop, reached, path)"""
+  }
+
   /** Constant oracle for pcap_ttl_path: replay the three flow
     * populations (stable / flapping / spoof-mix) and the hop math. */
   private def ttlPathOracle(n: Int): String = {
@@ -2506,6 +2539,52 @@ object PcapQueries {
           .withColumn("spoof_suspect", $"n_classes" > 1)
       },
       Some(ttlPathOracle(210))),
+
+    // ----- passive traceroute reconstruction (round 11) -------------------
+    // Rebuild per-destination router paths from the capture alone, the
+    // way traceroute itself does: an ICMP Time-Exceeded (type 11)
+    // QUOTES the expired probe's IP header + first 8 bytes (RFC 792),
+    // and that quote is the ONLY place the probe's hop number
+    // survives — hop = quoted UDP dst_port − 33434 (the classic
+    // port-increment encoding). All quote fields come out of the
+    // payload with fixed-offset codegen'd byte reads (quoted dst IP at
+    // bytes 17-20, quoted dst_port at 23-24 — never a UTF-8 decode);
+    // the probe packets themselves and ICMP echo noise are exclusion
+    // traffic. Completion is the target's port-unreachable (type 3
+    // code 3). Per (prober, target): hop count, ordered router path
+    // (argsorted struct fold — partition-order independent), reached
+    // flag. ONE shuffle on the trace key + a broadcast-size reached
+    // join.
+    Q("pcap_passive_traceroute",
+      (s, d) => {
+        import s.implicits._
+        def qb(off: Int) =
+          expr(s"cast(conv(hex(substring(payload, $off, 1)), 16, 10) as int)")
+        val pkts = s.read.format("pcap").load(tracerouteSynthPath)
+        val te = pkts
+          .filter($"protocol" === "ICMP" && $"icmp_type" === 11)
+          .select($"dst".as("prober"), $"src".as("router"),
+            concat_ws(".", qb(17), qb(18), qb(19), qb(20)).as("target"),
+            (expr("cast(conv(hex(substring(payload, 23, 2)), 16, 10)" +
+              " as int)") - 33434).as("hop"))
+        val reached = pkts
+          .filter($"protocol" === "ICMP" && $"icmp_type" === 3 &&
+            $"icmp_code" === 3)
+          .select($"dst".as("prober"), $"src".as("target"))
+          .distinct()
+          .withColumn("reached", lit(true))
+        te.groupBy($"prober", $"target")
+          .agg(count(lit(1)).as("n_hops_seen"),
+            max($"hop").as("last_hop"),
+            array_join(expr(
+              "transform(array_sort(collect_list(struct(hop, router)))," +
+                " x -> x.router)"), ">").as("path"))
+          .join(reached, Seq("prober", "target"), "left")
+          .na.fill(false, Seq("reached"))
+          .select($"prober", $"target", $"n_hops_seen", $"last_hop",
+            $"reached", $"path")
+      },
+      Some(tracerouteOracle(120))),
 
     // ----- flow size distribution (mice vs elephants) ----------------------
     // The capacity-planning staple: per-flow byte totals folded into

@@ -225,6 +225,35 @@ class InventorySpec extends AnyFunSuite {
     stable.foreach { r => assert(r._3 == 1L && r._5 == r._6, r.toString) }
   }
 
+  test("passive traceroute: hop attribution comes from the QUOTE, " +
+      "probes and echo noise are excluded, paths ordered, completion " +
+      "split correct") {
+    val rows = run("pcap_passive_traceroute").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getBoolean(4), r.getString(5)))
+    assert(rows.length == 120)
+    val (reached, timedOut) = rows.partition(_._5)
+    // t % 5 == 0 -> 24 timeouts
+    assert(timedOut.length == 24 && reached.length == 96)
+    rows.foreach { case (prober, target, n, last, ok, path) =>
+      // path routers are ordered hop-by-hop and share the trace's
+      // low-octet infrastructure index
+      val routers = path.split(">")
+      assert(routers.length == n && last == n,
+        s"$prober>$target hop accounting")
+      routers.zipWithIndex.foreach { case (r, i) =>
+        assert(r.startsWith(s"198.18.${i + 1}."), s"$prober>$target $r")
+      }
+      // completed traces stop one short (the target answered the last
+      // probe); timed-out traces saw the full router chain
+      val t = prober.split("\\.").last.toInt
+      if (ok) assert(routers.last.split("\\.")(2).toInt <= 5)
+    }
+    // the prober's own UDP probes and the echo pairs never leak into
+    // hop rows: every router is in 198.18/16
+    assert(rows.forall(_._6.split(">").forall(_.startsWith("198.18."))))
+  }
+
   test("exfil candidates: only unsanctioned upload-heavy flows flag — " +
       "the backup population is upload-heavy but allowlisted, browsing " +
       "is download-heavy; allowlist joins broadcast") {

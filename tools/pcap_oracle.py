@@ -1853,5 +1853,32 @@ if glob.glob(f"{out}/pcap_flow_size_histogram/*.parquet"):
                ["bucket", "n_flows", "sum_bytes", "sum_pkts"]),
          sorted((k, f, b, p) for k, (f, b, p) in hacc.items()))
 
+# Passive traceroute: byte-level ICMP type-11 quote parse (quoted dst
+# IP + quoted UDP dst_port -> hop), path join, type-3 completion.
+if glob.glob(f"{out}/pcap_passive_traceroute/*.parquet"):
+    tr = {}
+    done = set()
+    for ts, us, fr in _frames("/tmp/graft_synth_traceroute.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        if proto != 1:
+            continue
+        t_, c_ = fr[l4], fr[l4 + 1]
+        pl = fr[l4 + 8:]
+        if t_ == 11 and c_ == 0:
+            qdst = ".".join(str(b) for b in pl[16:20])
+            dport = struct.unpack_from(">H", pl, 22)[0]
+            tr.setdefault((dst, qdst), []).append(
+                (dport - 33434, src))
+        elif t_ == 3 and c_ == 3:
+            done.add((dst, src))
+    _cmp("pcap_passive_traceroute(redecode)",
+         _read("pcap_passive_traceroute",
+               ["prober", "target", "n_hops_seen", "last_hop",
+                "reached", "path"]),
+         sorted((p, t_, len(hs), max(h for h, _ in hs),
+                 (p, t_) in done,
+                 ">".join(r for _, r in sorted(hs)))
+                for (p, t_), hs in tr.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
