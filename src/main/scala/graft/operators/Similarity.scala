@@ -1566,6 +1566,55 @@ object Similarity {
         FROM ann a LEFT JOIN exact x ON x.qid = a.qid AND x.cid = a.cid
         GROUP BY 1""")),
 
+    // ----- exact covariance / Gram accumulation (PCA prep) ----------------
+    // The first stage of every PCA / whitening / correlation analysis
+    // over an embedding corpus: the upper-triangle second-moment sums
+    // per dimension pair. Floats are floored to MILLI-units per
+    // component (products ≤ 10^6, so BIGINT sums stay exact past 10^12
+    // rows — the 100 TB headroom the micro-unit choice would not have),
+    // and the op emits RAW integer sums (n, Σmᵢ, Σmⱼ, Σmᵢmⱼ): the
+    // consumer forms covariance (Σmᵢmⱼ − ΣmᵢΣmⱼ/n)/n in whatever
+    // precision it wants, while everything the engines must agree on
+    // is order-free integer arithmetic. ONE explode to the 2 080-pair
+    // triangle per row (map-side partial sums collapse to 2 080 groups
+    // immediately), ONE shuffle on the tiny (i, j) key.
+    Q("sim_covariance_exact",
+      (s, d) => {
+        import s.implicits._
+        Tables.embeddings(s, d)
+          .select(expr(
+            "transform(embedding, x -> " +
+              "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("m"))
+          .select(explode(expr(
+            """flatten(transform(sequence(0, size(m) - 1), i ->
+                 transform(sequence(i, size(m) - 1), j ->
+                   struct(i AS i, j AS j,
+                     element_at(m, i + 1) AS mi,
+                     element_at(m, j + 1) AS mj))))""")).as("e"))
+          .groupBy($"e.i".as("dim_i"), $"e.j".as("dim_j"))
+          .agg(count(lit(1)).as("n"),
+            sum($"e.mi").as("sum_i"),
+            sum($"e.mj").as("sum_j"),
+            sum($"e.mi" * $"e.mj").as("sum_prod"))
+      },
+      Some("""WITH m AS (
+          SELECT [CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                  FOR x IN embedding] AS m
+          FROM embeddings),
+        pairs AS (
+          SELECT i - 1 AS dim_i, j - 1 AS dim_j,
+            m[i] AS mi, m[j] AS mj
+          FROM m,
+            LATERAL (SELECT unnest(generate_series(1, len(m))) AS i) ii,
+            LATERAL (SELECT unnest(generate_series(1, len(m))) AS j) jj
+          WHERE j >= i)
+        SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+          COUNT(*) AS n,
+          CAST(SUM(mi) AS BIGINT) AS sum_i,
+          CAST(SUM(mj) AS BIGINT) AS sum_j,
+          CAST(SUM(mi * mj) AS BIGINT) AS sum_prod
+        FROM pairs GROUP BY 1, 2""")),
+
     // ----- embedding ingest QC (the vector-side quality gate) -------------
     // What an index owner runs BEFORE build/append: per label, how many
     // delivered vectors are zero (a failed encoder returns zeros), have

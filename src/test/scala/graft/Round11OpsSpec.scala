@@ -427,6 +427,33 @@ class Round11OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // sim_covariance_exact
+  // ------------------------------------------------------------------
+
+  test("covariance: integer sums match a direct floored re-derivation") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("embedding").as[Array[Float]].collect()
+      .map(_.map(x => math.floor(x.toDouble * 1000).toLong))
+    val got = q("sim_covariance_exact")
+      .select($"dim_i", $"dim_j", $"n", $"sum_i", $"sum_j", $"sum_prod")
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    val dim = vecs.head.length
+    assert(got.size == dim * (dim + 1) / 2)
+    // spot-check a spread of pairs incl. the diagonal and the corners
+    for ((i, j) <- Seq((0, 0), (0, 1), (5, 40), (63, 63), (0, 63),
+        (31, 32))) {
+      val want = (vecs.length.toLong,
+        vecs.map(_(i)).sum, vecs.map(_(j)).sum,
+        vecs.map(v => v(i) * v(j)).sum)
+      assert(got((i, j)) == want, s"pair ($i,$j)")
+    }
+    // diagonal second moments are positive (unit-norm data)
+    assert((0 until dim).forall(i => got((i, i))._4 > 0))
+  }
+
+  // ------------------------------------------------------------------
   // sim_ann_recall_eval
   // ------------------------------------------------------------------
 
