@@ -1164,6 +1164,62 @@ object TextAnalysis {
           FROM per_doc GROUP BY 1, 2"""))
     },
 
+    // ----- vocabulary growth curve (Heaps' law, phrase level) -------------
+    // The corpus-planning curve: how many NEW distinct 3-gram phrases
+    // each successive slice of the corpus contributes — the empirical
+    // Heaps-law estimate that answers "is more of this source still
+    // adding content, or only repeating it" (phrase level, because a
+    // corpus exhausts its WORD vocabulary almost immediately — this one
+    // in the first decile — while phrase novelty keeps discriminating).
+    // Growth is defined over the stable doc_id order (ingestion order),
+    // so the answer is a pure function of the data: each phrase is
+    // attributed to the decile of its FIRST occurrence (min doc_id — an
+    // order-free aggregate), and the cumulative vocabulary at decile k
+    // is a running sum over ten rows. Scale: one shuffle on the phrase
+    // key (min-aggregate), a ten-group rollup, and a ten-row window —
+    // the curve costs one pass however big the corpus.
+    Q("text_vocab_growth",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val nDocs = Tables.documents(s, d).count()
+        val firstSeen = Tables.documents(s, d)
+          .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
+          .filter(size($"ws") >= 3)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(ws) - 3), i -> " +
+              "concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
+          .groupBy($"g").agg(min($"doc_id").as("first_doc"))
+        firstSeen
+          .select(least(expr(s"(first_doc * 10) DIV ${nDocs}L"), lit(9L))
+            .cast("int").as("decile"))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("new_phrases"))
+          .withColumn("cum_vocab", sum($"new_phrases").over(
+            Window.orderBy($"decile").rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)))
+      },
+      Some("""WITH fs AS (
+          SELECT g, MIN(doc_id) AS first_doc
+          FROM (
+            SELECT doc_id,
+              unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      FOR i IN generate_series(1, len(ws) - 2)]) AS g
+            FROM (SELECT doc_id,
+                    string_split_regex(lower(text), '\s+') AS ws
+                  FROM documents)
+            WHERE len(ws) >= 3)
+          GROUP BY 1),
+        n AS (SELECT COUNT(*) AS nd FROM documents),
+        dec AS (
+          SELECT CAST(LEAST(first_doc * 10 // nd, 9) AS INT) AS decile
+          FROM fs, n)
+        SELECT decile, COUNT(*) AS new_phrases,
+          CAST(SUM(COUNT(*)) OVER (ORDER BY decile
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        FROM dec GROUP BY decile"""))
+    ,
+
     // ----- Gopher-style rule battery (per-rule flags + keep) --------------
     // The document-level heuristic filter battery of Gopher (Rae et al.
     // 2021, table A1) / C4: word-count bounds, mean-word-length bounds,

@@ -427,6 +427,39 @@ class Round11OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // text_vocab_growth
+  // ------------------------------------------------------------------
+
+  test("vocab_growth: deciles match a direct first-seen fold and the " +
+      "curve is genuinely sublinear on the fixture") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect()
+    val nDocs = docs.length.toLong
+    val first = scala.collection.mutable.Map.empty[String, Long]
+    for ((id, text) <- docs) {
+      val ws = text.toLowerCase.split("\\s+")
+      if (ws.length >= 3)
+        for (i <- 0 to ws.length - 3) {
+          val g = s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}"
+          first(g) = math.min(first.getOrElse(g, Long.MaxValue), id)
+        }
+    }
+    val want = first.values
+      .groupBy(fd => math.min(fd * 10 / nDocs, 9L).toInt)
+      .view.mapValues(_.size.toLong).toMap
+    val got = q("text_vocab_growth")
+      .select($"decile", $"new_phrases", $"cum_vocab")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(r => r._1 -> r._2).toMap == want)
+    // running sum is consistent
+    assert(got.map(_._2).scanLeft(0L)(_ + _).tail.toSeq ==
+      got.map(_._3).toSeq)
+    // Heaps: later deciles add less than the first
+    assert(got.last._2 < got.head._2)
+  }
+
+  // ------------------------------------------------------------------
   // sim_covariance_exact
   // ------------------------------------------------------------------
 
