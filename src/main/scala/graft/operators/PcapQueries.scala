@@ -662,6 +662,33 @@ object PcapQueries {
           AS v(bucket, n_flows, sum_bytes, sum_pkts)"""
   }
 
+  /** Mixed-quality capture (see
+    * [[graft.pcap.PcapSynth.malformedPackets]]). */
+  private def malformedSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_malformed.pcap")
+    graft.pcap.PcapSynth.ensureMalformedFile(p, 150)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_decode_depth_census: replay the five
+    * population classes and their exact frame sizes. */
+  private def decodeDepthOracle(n: Int): String = {
+    val per = n / 5
+    // frame sizes from the generator: UDP 14+20+8+16, TCP 14+20+20,
+    // ARP 14+20, truncated 22, proto-132 14+20+12
+    val rows = Seq(
+      ("l4_decoded", 2L * per, per.toLong * 58 + per.toLong * 54),
+      ("l2_only", per.toLong, per.toLong * 34),
+      ("l3_truncated", per.toLong, per.toLong * 22),
+      ("l3_unsupported_l4", per.toLong, per.toLong * 46))
+      .map { case (dep, c, b) => s"('$dep', $c, $b)" }
+      .mkString(",\n        ")
+    s"""SELECT CAST(v.depth AS VARCHAR) AS depth,
+        CAST(v.n AS BIGINT) AS n,
+        CAST(v.n_bytes AS BIGINT) AS n_bytes
+        FROM (VALUES $rows) AS v(depth, n, n_bytes)"""
+  }
+
   /** UDP-traceroute capture (see
     * [[graft.pcap.PcapSynth.traceroutePackets]]). */
   private def tracerouteSynthPath: String = {
@@ -2539,6 +2566,30 @@ object PcapQueries {
           .withColumn("spoof_suspect", $"n_classes" > 1)
       },
       Some(ttlPathOracle(210))),
+
+    // ----- decode-depth census (capture-quality observability) ------------
+    // "How much of my 100 TB is junk" — the operational rollup of how
+    // deep each packet decoded: full L4, L3-with-unsupported-L4,
+    // truncated-mid-L3 (snap length), or non-IP L2. The decoder's
+    // partial-decode contract (absent fields, never garbage — the
+    // fuzz-spec guarantee) is what makes this a pure column CASE over
+    // the scan: no error channel, no exceptions, one tiny rollup.
+    // Distinct sizes per class keep the byte accounting honest.
+    Q("pcap_decode_depth_census",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(malformedSynthPath)
+          .select(
+            when($"src_port".isNotNull || $"icmp_type".isNotNull,
+              "l4_decoded")
+              .when($"src".isNotNull, "l3_unsupported_l4")
+              .when($"ether_type".isin("IPv4", "IPv6"), "l3_truncated")
+              .otherwise("l2_only").as("depth"),
+            $"size")
+          .groupBy($"depth")
+          .agg(count(lit(1)).as("n"), sum($"size").as("n_bytes"))
+      },
+      Some(decodeDepthOracle(150))),
 
     // ----- passive traceroute reconstruction (round 11) -------------------
     // Rebuild per-destination router paths from the capture alone, the

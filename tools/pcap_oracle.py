@@ -1880,5 +1880,27 @@ if glob.glob(f"{out}/pcap_passive_traceroute/*.parquet"):
                  ">".join(r for _, r in sorted(hs)))
                 for (p, t_), hs in tr.items()))
 
+# Decode-depth census: byte-level re-derivation of how deep each frame
+# CAN decode (ethertype, header completeness, known L4), independent of
+# the decoder's own column semantics.
+if glob.glob(f"{out}/pcap_decode_depth_census/*.parquet"):
+    dacc2 = {}
+    for ts, us, fr in _frames("/tmp/graft_synth_malformed.pcap"):
+        et = struct.unpack_from(">H", fr, 12)[0]
+        if et not in (0x0800, 0x86DD):
+            d = "l2_only"
+        elif et == 0x0800 and len(fr) < 14 + 20:
+            d = "l3_truncated"
+        else:
+            proto = fr[14 + 9]
+            d = "l4_decoded" if proto in (1, 6, 17, 58) \
+                else "l3_unsupported_l4"
+        e = dacc2.setdefault(d, [0, 0])
+        e[0] += 1
+        e[1] += len(fr)
+    _cmp("pcap_decode_depth_census(redecode)",
+         _read("pcap_decode_depth_census", ["depth", "n", "n_bytes"]),
+         sorted((d, c, b) for d, (c, b) in dacc2.items()))
+
 print("independent pcap oracle:", "FAIL" if fails else "PASS")
 sys.exit(1 if fails else 0)
