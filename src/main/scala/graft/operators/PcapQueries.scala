@@ -662,6 +662,29 @@ object PcapQueries {
           AS v(bucket, n_flows, sum_bytes, sum_pkts)"""
   }
 
+  /** Sensor-health capture (see [[graft.pcap.PcapSynth.gapPackets]]). */
+  private def gapSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_gaps.pcap")
+    graft.pcap.PcapSynth.ensureGapFile(p, 500)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_capture_gaps: the three planted drops
+    * (previous-packet µs, gap µs). */
+  private def captureGapsOracle(): String = {
+    val base = 1760000000L * 1000000L
+    // packet i lands at base + (i+1)*1000 + accumulated gap bumps
+    val g1 = base + 101L * 1000
+    val g2 = base + 251L * 1000 + 2000000L
+    val g3 = base + 401L * 1000 + 2000000L + 5000000L
+    val rows = Seq(
+      (g1, 2001000L), (g2, 5001000L), (g3, 30001000L))
+      .map { case (p, g) => s"($p, $g)" }.mkString(",\n        ")
+    s"""SELECT CAST(v.gap_start_micro AS BIGINT) AS gap_start_micro,
+        CAST(v.gap_micro AS BIGINT) AS gap_micro
+        FROM (VALUES $rows) AS v(gap_start_micro, gap_micro)"""
+  }
+
   /** Mixed-quality capture (see
     * [[graft.pcap.PcapSynth.malformedPackets]]). */
   private def malformedSynthPath: String = {
@@ -2566,6 +2589,30 @@ object PcapQueries {
           .withColumn("spoof_suspect", $"n_classes" > 1)
       },
       Some(ttlPathOracle(210))),
+
+    // ----- capture gap detection (sensor-health observability) ------------
+    // The other half of capture observability: a tap that silently
+    // dropped for 30 s produces no error — only a HOLE in the
+    // timestamp stream. A gap is an inter-packet spacing that dwarfs
+    // the cadence floor (> 1 s here, vs the 1 ms steady rate). The lag
+    // window partitions by FILE — per-capture ordering is exactly the
+    // per-file ordering, so at 100 TB every capture file's gap scan
+    // runs in parallel with no global sort (same key the scan already
+    // parallelizes by). Emits (previous-packet ts, gap µs) per hole.
+    Q("pcap_capture_gaps",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"file").orderBy($"ts_micro")
+        s.read.format("pcap").load(gapSynthPath)
+          .select($"file", $"ts_micro")
+          .withColumn("prev", lag($"ts_micro", 1).over(w))
+          .filter($"prev".isNotNull &&
+            $"ts_micro" - $"prev" > 1000000L)
+          .select($"prev".as("gap_start_micro"),
+            ($"ts_micro" - $"prev").as("gap_micro"))
+      },
+      Some(captureGapsOracle())),
 
     // ----- decode-depth census (capture-quality observability) ------------
     // "How much of my 100 TB is junk" — the operational rollup of how

@@ -1566,6 +1566,52 @@ object Similarity {
         FROM ann a LEFT JOIN exact x ON x.qid = a.qid AND x.cid = a.cid
         GROUP BY 1""")),
 
+    // ----- label-noise detection (label vs cluster majority) --------------
+    // The ML-data-ops screen for mislabeled examples: assign every
+    // vector with the SHARED deterministic k-means model (the same
+    // memoized Lloyd training sim_kmeans_cluster / dedup_semantic /
+    // sim_ann_ivf_kmeans ride), take each cluster's majority label
+    // (argmax via max(struct(count, -label, label)) — the LPA
+    // tie-break idiom, no window sort), and count members whose
+    // claimed label disagrees. High-disagreement clusters are where
+    // labeling effort goes first. ONE extra shuffle past the shared
+    // assignment (the (cluster, label) rollup); output O(clusters).
+    Q("sim_label_noise",
+      (s, d) => {
+        import s.implicits._
+        val labeled = Clustering.kmeans(s, d)
+          .select($"vec_id", $"cluster")
+          .join(Tables.embeddings(s, d).select($"vec_id", $"label"),
+            "vec_id")
+        val maj = labeled.groupBy($"cluster", $"label")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"cluster")
+          .agg(max(struct($"c", (-$"label").as("nl"), $"label")).as("w"))
+          .select($"cluster", $"w.label".as("majority_label"))
+        labeled.join(maj, "cluster")
+          .groupBy($"cluster", $"majority_label")
+          .agg(count(lit(1)).as("n_members"),
+            sum(when($"label" =!= $"majority_label", 1L).otherwise(0L))
+              .as("n_disagree"))
+      },
+      Some(s"""WITH ${Clustering.kmeansCtes},
+        lab AS (
+          SELECT f.vec_id, f.cluster, emb.label
+          FROM fin f JOIN embeddings emb ON emb.vec_id = f.vec_id),
+        cnt AS (
+          SELECT cluster, label, COUNT(*) AS c FROM lab GROUP BY 1, 2),
+        maj AS (
+          SELECT cluster, label AS majority_label FROM (
+            SELECT cluster, label,
+              ROW_NUMBER() OVER (PARTITION BY cluster
+                ORDER BY c DESC, label ASC) AS rn
+            FROM cnt) WHERE rn = 1)
+        SELECT l.cluster, m.majority_label, COUNT(*) AS n_members,
+          CAST(SUM(CASE WHEN l.label <> m.majority_label
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+        FROM lab l JOIN maj m ON m.cluster = l.cluster
+        GROUP BY 1, 2""")),
+
     // ----- exact covariance / Gram accumulation (PCA prep) ----------------
     // The first stage of every PCA / whitening / correlation analysis
     // over an embedding corpus: the upper-triangle second-moment sums

@@ -427,6 +427,32 @@ class Round11OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // sim_label_noise
+  // ------------------------------------------------------------------
+
+  test("label_noise: majority labels match a direct vote over the " +
+      "shared kmeans assignment; disagreement accounting conserves") {
+    import spark.implicits._
+    val asg = SparkEntry.queries("sim_kmeans_cluster")(spark, sf)
+      .selectExpr("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val labels = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label").as[(Long, Int)].collect().toMap
+    val want = asg.groupBy(_._2).map { case (cl, members) =>
+      val ls = members.keys.toSeq.map(labels)
+      val votes = ls.groupBy(identity).map { case (l, v) => (l, v.size) }
+      val maj = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      cl -> ((maj, ls.size.toLong, ls.count(_ != maj).toLong))
+    }
+    val got = q("sim_label_noise")
+      .select($"cluster", $"majority_label", $"n_members", $"n_disagree")
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == want)
+    // every vector is in exactly one cluster row
+    assert(got.values.map(_._2).sum == labels.size)
+  }
+
+  // ------------------------------------------------------------------
   // text_vocab_growth
   // ------------------------------------------------------------------
 

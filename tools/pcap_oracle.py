@@ -1880,6 +1880,19 @@ if glob.glob(f"{out}/pcap_passive_traceroute/*.parquet"):
                  ">".join(r for _, r in sorted(hs)))
                 for (p, t_), hs in tr.items()))
 
+# Capture gaps: byte-level timestamp walk, gaps over 1 s.
+if glob.glob(f"{out}/pcap_capture_gaps/*.parquet"):
+    gaps = []
+    prev = None
+    for ts, us, fr in _frames("/tmp/graft_synth_gaps.pcap"):
+        t = ts * 1_000_000 + us
+        if prev is not None and t - prev > 1_000_000:
+            gaps.append((prev, t - prev))
+        prev = t
+    _cmp("pcap_capture_gaps(redecode)",
+         _read("pcap_capture_gaps", ["gap_start_micro", "gap_micro"]),
+         sorted(gaps))
+
 # Decode-depth census: byte-level re-derivation of how deep each frame
 # CAN decode (ethertype, header completeness, known L4), independent of
 # the decoder's own column semantics.
