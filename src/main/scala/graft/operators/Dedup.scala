@@ -1257,6 +1257,59 @@ object Dedup {
                THEN 'train' ELSE 'val' END AS split
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""")),
 
+    // ----- dedup-aware sampling weights (soft dedup) ----------------------
+    // The alternative to hard removal: instead of keeping one canonical
+    // doc per near-dup cluster (dedup_cluster_canonical), keep EVERY
+    // doc but downweight it by its cluster size — sampling weight
+    // 1/|cluster| — so the cluster as a whole contributes one
+    // document's worth of probability mass to the training mix. This
+    // is the inverse-propensity "soft dedup" reweighting used when the
+    // duplicates carry signal (popularity, canonical-version drift)
+    // that hard dedup would erase; downstream samplers consume the
+    // weight column directly. Weights are emitted in integer parts
+    // per million (1000000 div |cluster|) so the oracle hash-matches
+    // exactly — no float division anywhere.
+    //
+    // Scale shape: identical to dedup_components (star edges +
+    // checkpointed fixpoint) plus ONE count aggregate on the component
+    // key and ONE left join back to the doc list; singletons never
+    // enter the edge graph at all — they ride the left join with
+    // coalesce(component, doc_id) and weight 1000000. No new shuffle
+    // class, and the per-component count is bounded by near-dup
+    // cluster sizes.
+    Q("pipeline_cluster_weights",
+      (s, d) => {
+        import s.implicits._
+        val pairs = minhashStarEdges(s, d).cache()
+        val edges = pairs.select($"doc1".as("src"), $"doc2".as("dst"))
+          .union(pairs.select($"doc2".as("src"), $"doc1".as("dst")))
+          .cache()
+        val comps = try connectedComponents(edges)
+          finally { edges.unpersist(); pairs.unpersist() }
+        val labeled = Tables.documents(s, d).select($"doc_id")
+          .join(comps, Seq("doc_id"), "left")
+          .withColumn("component", coalesce($"component", $"doc_id"))
+        val sizes = labeled.groupBy($"component")
+          .agg(count(lit(1)).as("cluster_size"))
+        labeled.join(sizes, "component")
+          .select($"doc_id", $"component", $"cluster_size",
+            expr("1000000L div cluster_size").as("weight_ppm"))
+      },
+      Some(s"""WITH RECURSIVE $componentsCtes,
+        comp AS (
+          SELECT doc AS doc_id, MIN(r) AS component
+          FROM reach GROUP BY doc),
+        labeled AS (
+          SELECT d.doc_id,
+            COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        sizes AS (
+          SELECT component, COUNT(*) AS cluster_size
+          FROM labeled GROUP BY 1)
+        SELECT l.doc_id, l.component, s.cluster_size,
+          1000000 // s.cluster_size AS weight_ppm
+        FROM labeled l JOIN sizes s ON l.component = s.component""")),
+
     // ----- SimHash (32-bit) fingerprints ----------------------------------
     Q("dedup_simhash",
       (s, d) => {

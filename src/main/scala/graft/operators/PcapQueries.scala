@@ -809,6 +809,45 @@ object PcapQueries {
             max_hops)"""
   }
 
+  /** SYN option-fingerprint capture (see
+    * [[graft.pcap.PcapSynth.synOptPackets]]). */
+  private def synOptSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_synopt.pcap")
+    graft.pcap.PcapSynth.ensureSynOptFile(p, 240)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_tcp_syn_options: replay the four option
+    * templates and the MSS rotation over the SYN side only (the
+    * SYN|ACKs carry options too but the SYN-only predicate drops
+    * them). Every client is distinct per i, so n_hosts == n_syn per
+    * group by construction. */
+  private def synOptOracle(n: Int): String = {
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[(Option[Int], Option[Int], Boolean, Boolean), Long]
+    for (i <- 0 until n) {
+      val mss = 1400 + (i % 5) * 20
+      val k = (i % 4) match {
+        case 0 => (Some(mss), Some(7), true, true)
+        case 1 => (Some(mss), Some(8), true, false)
+        case 2 => (Some(mss), Some(6), true, true)
+        case _ => (None, None, false, false)
+      }
+      acc(k) = acc.getOrElse(k, 0L) + 1L
+    }
+    val rows = acc.map { case ((mss, ws, sack, ts), c) =>
+      s"(${mss.map(_.toString).getOrElse("NULL")}, " +
+        s"${ws.map(_.toString).getOrElse("NULL")}, $sack, $ts, $c, $c)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.mss AS INT) AS tcp_mss,
+        CAST(v.ws AS INT) AS tcp_wscale,
+        CAST(v.sack AS BOOLEAN) AS tcp_sack_ok,
+        CAST(v.ts AS BOOLEAN) AS tcp_ts_ok,
+        CAST(v.n_syn AS BIGINT) AS n_syn,
+        CAST(v.n_hosts AS BIGINT) AS n_hosts
+        FROM (VALUES $rows) AS v(mss, ws, sack, ts, n_syn, n_hosts)"""
+  }
+
   /** SSH capture (see [[graft.pcap.PcapSynth.sshPackets]]). */
   private def sshSynthPath: String = {
     val p = java.nio.file.Paths.get("/tmp/graft_synth_ssh.pcap")
@@ -1689,6 +1728,7 @@ object PcapQueries {
           // reference-surface golden
           .drop("payload", "file", "frame", "tcp_seq", "tcp_flags",
             "tcp_ack", "icmp_type", "icmp_code", "tcp_window",
+            "tcp_mss", "tcp_wscale", "tcp_sack_ok", "tcp_ts_ok",
             "ip_id", "frag_offset")
           .withColumn("time",
             date_format($"time", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
@@ -2556,6 +2596,34 @@ object PcapQueries {
             max($"initial_ttl" - $"ttl").as("max_hops"))
       },
       Some(osFingerprintOracle(260))),
+
+    // ----- TCP SYN option inventory (p0f-style fingerprint surface) -------
+    // The round-11 decoder extension os_fingerprint was missing: the
+    // TTL/window signature above is what the reference's column set
+    // allowed, but real passive OS fingerprinting (p0f) keys on the SYN
+    // OPTIONS — MSS, window scale, SACK-permitted, timestamps — which
+    // the decoder now parses natively (FrameDecoder option walk,
+    // bounded by the 60-byte max TCP header; columns NULL when the
+    // option region was truncated or malformed, never a guessed
+    // false). This query is the inventory consumers build signature
+    // tables from: one row per distinct option fingerprint with SYN
+    // and distinct-host counts.
+    //
+    // Scale: the option walk is O(option bytes ≤ 40) per packet inside
+    // the scan (no second pass), the projection prunes to five narrow
+    // columns, and the single shuffle groups on a low-volume composite
+    // key (option fingerprints are a small population by nature — the
+    // whole point of using them as signatures).
+    Q("pcap_tcp_syn_options",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(synOptSynthPath)
+          .filter($"protocol" === "TCP" && $"tcp_flags" === "SYN")
+          .groupBy($"tcp_mss", $"tcp_wscale", $"tcp_sack_ok", $"tcp_ts_ok")
+          .agg(count(lit(1)).as("n_syn"),
+            countDistinct($"src").as("n_hosts"))
+      },
+      Some(synOptOracle(240))),
 
     // ----- TTL path-stability monitor (round 11) --------------------------
     // Passive route/spoof telemetry from the TTL field: each packet's

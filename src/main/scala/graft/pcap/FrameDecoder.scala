@@ -44,6 +44,8 @@ private[pcap] final class PacketBuilder {
   var tcpSeq, tcpAck: Option[Long] = None
   var tcpFlags: Option[String] = None
   var icmpType, icmpCode, tcpWindow: Option[Int] = None
+  var tcpMss, tcpWscale: Option[Int] = None
+  var tcpSackOk, tcpTsOk: Option[Boolean] = None
   var frag: Option[Boolean] = None
   var ipId, fragOffset: Option[Int] = None
   var dns: Option[DnsFields] = None
@@ -59,6 +61,8 @@ private[pcap] final class PacketBuilder {
     src = src, dst = dst, srcPort = srcPort, dstPort = dstPort,
     udpsum = udpsum, tcpSeq = tcpSeq, tcpFlags = tcpFlags, tcpAck = tcpAck,
     icmpType = icmpType, icmpCode = icmpCode, tcpWindow = tcpWindow,
+    tcpMss = tcpMss, tcpWscale = tcpWscale,
+    tcpSackOk = tcpSackOk, tcpTsOk = tcpTsOk,
     len = len, frag = frag, ipId = ipId, fragOffset = fragOffset,
     payloadLen = payloadLen,
     extCount = extCount, extHeaders = extHeaders, dns = dns,
@@ -284,7 +288,46 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
         }
         if (l4 + 16 <= end)
           b.tcpWindow = Boxes.int(beU16(data, l4 + 14))
-        ((data(l4 + 12) >> 4) & 0xF) * 4
+        val dataOff = ((data(l4 + 12) >> 4) & 0xF) * 4
+        // TCP options walk (p0f-style SYN fingerprint surface): MSS,
+        // window scale, SACK-permitted, timestamps. Only when the whole
+        // option region was captured — a truncated snap leaves all four
+        // columns NULL rather than claiming "option absent". Malformed
+        // lengths (len < 2 or running past the data offset) abort the
+        // walk and leave the columns NULL the same way: absence of
+        // evidence is NULL, never false. Bounded by dataOff <= 60.
+        if (options.tcpOptions && dataOff >= 20 && l4 + dataOff <= end) {
+          var o = l4 + 20
+          val oEnd = l4 + dataOff
+          var sack = false
+          var tsOpt = false
+          var ok = true
+          var loop = true
+          while (loop && o < oEnd) {
+            val kind = data(o) & 0xFF
+            if (kind == 0) loop = false          // EOL: padding follows
+            else if (kind == 1) o += 1           // NOP
+            else if (o + 1 >= oEnd) { ok = false; loop = false }
+            else {
+              val olen = data(o + 1) & 0xFF
+              if (olen < 2 || o + olen > oEnd) { ok = false; loop = false }
+              else {
+                if (kind == 2 && olen == 4)
+                  b.tcpMss = Boxes.int(beU16(data, o + 2))
+                else if (kind == 3 && olen == 3)
+                  b.tcpWscale = Boxes.int(data(o + 2) & 0xFF)
+                else if (kind == 4 && olen == 2) sack = true
+                else if (kind == 8 && olen == 10) tsOpt = true
+                o += olen
+              }
+            }
+          }
+          if (ok) {
+            b.tcpSackOk = if (sack) Boxes.someTrue else Boxes.someFalse
+            b.tcpTsOk = if (tsOpt) Boxes.someTrue else Boxes.someFalse
+          } else { b.tcpMss = None; b.tcpWscale = None }
+        }
+        dataOff
       }
     val payloadStart = l4 + headerSize
     val payloadLen = if (payloadStart > end) 0 else end - payloadStart

@@ -47,6 +47,11 @@ final case class PacketRecord(
     icmpType: Option[Int] = None,     // ICMPv4/v6 message type
     icmpCode: Option[Int] = None,     // ICMPv4/v6 message code
     tcpWindow: Option[Int] = None,    // TCP receive window (u16, unscaled)
+    tcpMss: Option[Int] = None,       // MSS option value (kind 2; SYNs)
+    tcpWscale: Option[Int] = None,    // window-scale shift (kind 3; SYNs)
+    tcpSackOk: Option[Boolean] = None,// SACK-permitted seen (kind 4); Some
+                                      // whenever the option region parsed
+    tcpTsOk: Option[Boolean] = None,  // timestamps option seen (kind 8)
     len: Option[Int] = None,          // L4 payload byte count
     frag: Option[Boolean] = None,     // v4 MF/offset set, or v6 Fragment ext header
     ipId: Option[Int] = None,         // fragment reassembly id (v4 u16 / v6 u32)

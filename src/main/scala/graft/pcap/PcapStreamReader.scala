@@ -29,7 +29,11 @@ final case class DecodeOptions(
     extHeaderStrings: Boolean = true,
     /** true when the `frame` column is requested: retain a copy of the
       * raw captured frame (enables exact pcap re-export via the sink). */
-    keepFrame: Boolean = false)
+    keepFrame: Boolean = false,
+    /** false when none of tcp_mss/tcp_wscale/tcp_sack_ok/tcp_ts_ok is
+      * requested: skips the TCP option-region walk (bounded ≤ 40 bytes
+      * per packet, but zero is still cheaper). */
+    tcpOptions: Boolean = true)
 
 object DecodeOptions {
   /** Convenience for the common case. */

@@ -411,7 +411,9 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
       udpsum = need("udpsum"),
       addrStrings = need("src") || need("dst"),
       extHeaderStrings = need("ext_headers"),
-      keepFrame = need("frame"))
+      keepFrame = need("frame"),
+      tcpOptions = need("tcp_mss") || need("tcp_wscale") ||
+        need("tcp_sack_ok") || need("tcp_ts_ok"))
     new PcapReaderFactory(new SerializableHadoopConf(hadoopConf),
       requiredSchema, decode, PcapPacketFilter.compile(pushedFilters),
       // batch (not streaming) reads emit ColumnarBatches for flat

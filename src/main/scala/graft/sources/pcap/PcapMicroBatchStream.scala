@@ -393,7 +393,9 @@ class PcapMicroBatchStream(
       udpsum = need("udpsum"),
       addrStrings = need("src") || need("dst"),
       extHeaderStrings = need("ext_headers"),
-      keepFrame = need("frame"))
+      keepFrame = need("frame"),
+      tcpOptions = need("tcp_mss") || need("tcp_wscale") ||
+        need("tcp_sack_ok") || need("tcp_ts_ok"))
     new PcapReaderFactory(new SerializableHadoopConf(conf), schema, decode)
   }
 

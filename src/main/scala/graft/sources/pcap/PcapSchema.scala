@@ -36,6 +36,10 @@ object PcapSchema {
     StructField("icmp_type", IntegerType),
     StructField("icmp_code", IntegerType),
     StructField("tcp_window", IntegerType),
+    StructField("tcp_mss", IntegerType),
+    StructField("tcp_wscale", IntegerType),
+    StructField("tcp_sack_ok", BooleanType),
+    StructField("tcp_ts_ok", BooleanType),
     StructField("len", IntegerType),
     StructField("frag", BooleanType),
     StructField("ip_id", IntegerType),
@@ -104,6 +108,10 @@ object PcapSchema {
     "icmp_type" -> ((r, _, _) => r.icmpType.map(Int.box).orNull),
     "icmp_code" -> ((r, _, _) => r.icmpCode.map(Int.box).orNull),
     "tcp_window" -> ((r, _, _) => r.tcpWindow.map(Int.box).orNull),
+    "tcp_mss" -> ((r, _, _) => r.tcpMss.map(Int.box).orNull),
+    "tcp_wscale" -> ((r, _, _) => r.tcpWscale.map(Int.box).orNull),
+    "tcp_sack_ok" -> ((r, _, _) => r.tcpSackOk.map(Boolean.box).orNull),
+    "tcp_ts_ok" -> ((r, _, _) => r.tcpTsOk.map(Boolean.box).orNull),
     "len" -> ((r, _, _) => r.len.map(Int.box).orNull),
     "frag" -> ((r, _, _) => r.frag.map(Boolean.box).orNull),
     "ip_id" -> ((r, _, _) => r.ipId.map(Int.box).orNull),
@@ -225,6 +233,10 @@ object PcapSchema {
     "icmp_type" -> ((v, r, _, _) => putInt(v, r.icmpType)),
     "icmp_code" -> ((v, r, _, _) => putInt(v, r.icmpCode)),
     "tcp_window" -> ((v, r, _, _) => putInt(v, r.tcpWindow)),
+    "tcp_mss" -> ((v, r, _, _) => putInt(v, r.tcpMss)),
+    "tcp_wscale" -> ((v, r, _, _) => putInt(v, r.tcpWscale)),
+    "tcp_sack_ok" -> ((v, r, _, _) => putBool(v, r.tcpSackOk)),
+    "tcp_ts_ok" -> ((v, r, _, _) => putBool(v, r.tcpTsOk)),
     "len" -> ((v, r, _, _) => putInt(v, r.len)),
     "frag" -> ((v, r, _, _) => putBool(v, r.frag)),
     "ip_id" -> ((v, r, _, _) => putInt(v, r.ipId)),

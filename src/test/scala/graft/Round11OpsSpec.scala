@@ -553,4 +553,78 @@ class Round11OpsSpec extends AnyFunSuite {
         s"video $id: ${got(id)} vs expected ${(0 until nf by 2).toSet}")
     }
   }
+
+  // ------------------------------------------------------------------
+  // pcap_tcp_syn_options
+  // ------------------------------------------------------------------
+
+  test("tcp_syn_options: inventory recounts from the synth templates, " +
+      "and the row path agrees with the columnar path") {
+    import spark.implicits._
+    val got = q("pcap_tcp_syn_options")
+      .select($"tcp_mss", $"tcp_wscale", $"tcp_sack_ok", $"tcp_ts_ok",
+        $"n_syn", $"n_hosts")
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)),
+        r.getBoolean(2), r.getBoolean(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    // replay the synth population (240 SYNs, 4 templates x 5 MSS values)
+    val acc = scala.collection.mutable.Map
+      .empty[(Option[Any], Option[Any], Boolean, Boolean), Long]
+    for (i <- 0 until 240) {
+      val mss = 1400 + (i % 5) * 20
+      val k = (i % 4) match {
+        case 0 => (Option[Any](mss), Option[Any](7), true, true)
+        case 1 => (Option[Any](mss), Option[Any](8), true, false)
+        case 2 => (Option[Any](mss), Option[Any](6), true, true)
+        case _ => (Option.empty[Any], Option.empty[Any], false, false)
+      }
+      acc(k) = acc.getOrElse(k, 0L) + 1L
+    }
+    val want = acc.map { case ((m, w, sk, ts), c) =>
+      (m, w, sk, ts, c, c)
+    }.toSet
+    assert(got == want)
+    // row-path parity: the same scan with columnar=false must agree
+    val path = "/tmp/graft_synth_synopt.pcap"
+    val cols = Seq("tcp_mss", "tcp_wscale", "tcp_sack_ok", "tcp_ts_ok",
+      "tcp_flags", "src")
+    def rows(columnar: Boolean) = spark.read.format("pcap")
+      .option("columnar", columnar.toString).load(path)
+      .select(cols.head, cols.tail: _*).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(rows(columnar = true).toSeq == rows(columnar = false).toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // pipeline_cluster_weights
+  // ------------------------------------------------------------------
+
+  test("cluster_weights: every doc weighted once, weights are exactly " +
+      "1e6 div cluster size, and clusters match dedup_components") {
+    import spark.implicits._
+    val got = q("pipeline_cluster_weights")
+      .select($"doc_id", $"component", $"cluster_size", $"weight_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(got.length == nDocs)
+    assert(got.map(_._1).distinct.length == nDocs)
+    // weight formula holds row by row
+    got.foreach { case (id, _, sz, w) =>
+      assert(w == 1000000L / sz, s"doc $id: $w vs ${1000000L / sz}")
+    }
+    // cluster_size is consistent: every member of a component reports
+    // the component's cardinality
+    val byComp = got.groupBy(_._2)
+    byComp.foreach { case (c, members) =>
+      assert(members.forall(_._3 == members.length), s"component $c")
+    }
+    // non-singleton components agree with dedup_components' labeling
+    val comps = q("dedup_components")
+      .select($"doc_id", $"component").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, c, sz, _) =>
+      if (comps.contains(id)) assert(comps(id) == c, s"doc $id")
+      else assert(c == id && sz == 1L, s"singleton $id")
+    }
+  }
 }
