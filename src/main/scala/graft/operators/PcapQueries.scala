@@ -567,6 +567,41 @@ object PcapQueries {
         FROM (VALUES $rows) AS v(rrname, first_seen)"""
   }
 
+  /** DNS response-integrity capture (see
+    * [[graft.pcap.PcapSynth.dnsSpoofPackets]]). */
+  private def dnsSpoofSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_dnsspoof.pcap")
+    graft.pcap.PcapSynth.ensureDnsSpoofFile(p, 280)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_dns_spoof_candidates: replay the per-i
+    * populations — every i queries resolver 192.0.2.(30 + i%2) and
+    * gets one matched answer; i%7==0 adds one wrong-txid orphan,
+    * i%11==0 adds one same-txid different-answer race. */
+  private def dnsSpoofOracle(n: Int): String = {
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long, Long)]
+    for (i <- 0 until n) {
+      val r = s"192.0.2.${30 + i % 2}"
+      val (q, rsp, o, race) = acc.getOrElse(r, (0L, 0L, 0L, 0L))
+      acc(r) = (q + 1,
+        rsp + 1 + (if (i % 7 == 0) 1 else 0) + (if (i % 11 == 0) 1 else 0),
+        o + (if (i % 7 == 0) 1 else 0),
+        race + (if (i % 11 == 0) 1 else 0))
+    }
+    val rows = acc.toSeq.map { case (r, (q, rsp, o, race)) =>
+      s"('$r', $q, $rsp, $o, $race)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.resolver AS VARCHAR) AS resolver,
+        CAST(v.n_query AS BIGINT) AS n_query,
+        CAST(v.n_resp AS BIGINT) AS n_resp,
+        CAST(v.n_orphan AS BIGINT) AS n_orphan,
+        CAST(v.n_race AS BIGINT) AS n_race
+        FROM (VALUES $rows) AS v(resolver, n_query, n_resp, n_orphan,
+          n_race)"""
+  }
+
   /** SYN capture for OS fingerprinting (see
     * [[graft.pcap.PcapSynth.osSynPackets]]). */
   private def osSynthPath: String = {
@@ -2563,6 +2598,54 @@ object PcapQueries {
           .agg(min($"ts").as("first_seen"))
       },
       Some(nodOracle(400))),
+
+    // ----- DNS response integrity (off-path spoof detection) --------------
+    // The validation passive_dns skips: a DNS response is only
+    // trustworthy if it matches an OBSERVED query on the full
+    // (client, client port, resolver, txid) key. Off-path spoofing
+    // guesses the txid blind (Kaminsky-style), so its responses orphan
+    // — no matching query — while an on-path poisoning race matches
+    // the key but produces a SECOND answer set for one query. Per
+    // resolver: query/response volume, orphan responses (txid
+    // guesses), and queries with conflicting answers (races).
+    //
+    // Scale: queries and responses both project to narrow columns at
+    // the scan (answer arrays only on the response side), the
+    // correlation join shuffles on the HIGH-cardinality flow+txid key,
+    // and the per-resolver rollup is a tiny second shuffle. The left
+    // join is safe from skew: a query key matches at most the
+    // responses of one conversation.
+    Q("pcap_dns_spoof_candidates",
+      (s, d) => {
+        import s.implicits._
+        val pk = s.read.format("pcap").option("decoder", "dns")
+          .load(dnsSpoofSynthPath)
+          .filter($"protocol" === "UDP" && $"dns_queryid".isNotNull)
+        val qy = pk.filter($"dns_qr" === false)
+          .select($"src".as("client"), $"src_port".as("cport"),
+            $"dst".as("resolver"), $"dns_queryid".as("txid"))
+          .distinct()
+          .withColumn("has_q", lit(true))
+        val rs = pk.filter($"dns_qr" === true)
+          .select($"dst".as("client"), $"dst_port".as("cport"),
+            $"src".as("resolver"), $"dns_queryid".as("txid"),
+            to_json($"dns_answer").as("ans"))
+        val m = rs.join(qy, Seq("client", "cport", "resolver", "txid"),
+          "left")
+        val respStats = m.groupBy($"resolver")
+          .agg(count(lit(1)).as("n_resp"),
+            sum(when($"has_q".isNull, 1L).otherwise(0L)).as("n_orphan"))
+        val raceStats = m.filter($"has_q".isNotNull)
+          .groupBy($"resolver", $"client", $"cport", $"txid")
+          .agg(countDistinct($"ans").as("nda"))
+          .groupBy($"resolver")
+          .agg(sum(when($"nda" > 1, 1L).otherwise(0L)).as("n_race"))
+        qy.groupBy($"resolver").agg(count(lit(1)).as("n_query"))
+          .join(respStats, "resolver").join(raceStats, "resolver")
+          .select($"resolver", $"n_query", $"n_resp", $"n_orphan",
+            $"n_race")
+      },
+      Some(dnsSpoofOracle(280))),
 
     // ----- passive OS fingerprinting (round 11) ---------------------------
     // p0f-style inference from SYN metadata alone: the observed TTL

@@ -649,6 +649,25 @@ object Similarity {
           "spark.graft.sim.allowLargeExactScan=true to proceed anyway")
   }
 
+  /** Flops guard for the FULL kNN-graph scan (every vector is a query:
+    * Q = N, so the cost is the true quadratic N²·dim). Same cap and
+    * escape hatch as [[guardExactScan]]; past the cap the graph must
+    * come from ANN candidate generation, not brute force. */
+  private def guardExactScanFull(s: SparkSession, d: String): Unit = {
+    val n = corpusCount(s, d)
+    val flops = n.toDouble * n.toDouble * dim
+    val cap = s.conf.get("spark.graft.sim.exactScanMaxFlops",
+      ExactScanMaxFlops.toString).toDouble
+    val allow = s.conf.get("spark.graft.sim.allowLargeExactScan",
+      "false").toBoolean
+    if (flops > cap && !allow)
+      throw new IllegalStateException(
+        f"exact kNN-graph scan of |N|²=$n² ($flops%.2e flops) exceeds " +
+          f"spark.graft.sim.exactScanMaxFlops=$cap%.2e — build the graph " +
+          "from ANN candidates (sim_ann_ivfpq / sim_ann_lsh) at this " +
+          "scale, or set spark.graft.sim.allowLargeExactScan=true")
+  }
+
   /** The blocked exact cosine top-k kernel behind sim_cosine_topk_blocked,
     * parameterized by query-tile size. The memoized query block is split
     * into ceil(|Q|/tileSize) tiles; each tile broadcasts independently
@@ -923,6 +942,65 @@ object Similarity {
             CAST(ROW_NUMBER() OVER (PARTITION BY qid
               ORDER BY cos DESC, cid ASC) AS INT) AS rn
           FROM pairs) WHERE rn <= 5""")),
+
+    // ----- k-NN graph construction (mutual-neighbor edges) ----------------
+    // The graph the embedding-side curation family sits on: every
+    // vector's top-3 cosine neighbors as directed edges, each flagged
+    // `mutual` when the neighbor reciprocates in ITS OWN top-3 — the
+    // mutual-kNN graph is the standard substrate for density-aware
+    // pruning and graph clustering over embeddings (SemDeDup-adjacent).
+    // Same TopKByScore shape as sim_cosine_topk but with Q = N, so the
+    // flops guard uses the true quadratic cost (guardExactScanFull);
+    // past the cap the edges must come from ANN candidates instead.
+    // The reciprocity pass is ONE self-join of the k·N edge list on the
+    // reversed (src, dst) key — k-bounded rows, never the pair matrix.
+    // Scores ride the same sequential-double-fold dot as the cosine
+    // family, so the DuckDB oracle hash-matches bit-exact.
+    Q("sim_knn_graph",
+      (s, d) => {
+        import s.implicits._
+        guardExactScanFull(s, d)
+        val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+        val l = emb.select($"vec_id".as("src"), $"embedding".as("qe"))
+          .withColumn("qn", norm("qe"))
+        val r = emb.select($"vec_id".as("dst"), $"embedding".as("ce"))
+          .withColumn("cn", norm("ce"))
+        val topk = udaf(new graft.functions.TopKByScore(3))
+        val edges = broadcast(l).join(r, $"src" =!= $"dst")
+          .select($"src", $"dst",
+            (dot("qe", "ce") / ($"qn" * $"cn")).as("cos"))
+          .groupBy($"src")
+          .agg(topk($"dst", $"cos").as("tk"))
+          .select($"src", posexplode($"tk"))
+          .select($"src", $"col.id".as("dst"), $"col.score".as("cos"),
+            ($"pos" + 1).cast("int").as("rn"))
+        val back = edges.select($"src".as("dst"), $"dst".as("src"))
+          .withColumn("back_flag", lit(true))
+        edges.join(back, Seq("src", "dst"), "left")
+          .select($"src", $"dst", $"cos", $"rn",
+            coalesce($"back_flag", lit(false)).as("mutual"))
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+          FROM embeddings),
+        pairs AS (
+          SELECT l.vec_id AS src, r.vec_id AS dst,
+            list_sum([le[i] * re[i] FOR i IN generate_series(1, len(le))])
+              / (sqrt(list_sum([x * x FOR x IN le])) *
+                 sqrt(list_sum([x * x FOR x IN re]))) AS cos
+          FROM (SELECT vec_id, emb AS le FROM e) l
+          JOIN (SELECT vec_id, emb AS re FROM e) r
+            ON l.vec_id <> r.vec_id),
+        edges AS (
+          SELECT src, dst, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY src
+              ORDER BY cos DESC, dst ASC) AS INT) AS rn
+          FROM pairs QUALIFY rn <= 3)
+        SELECT e1.src, e1.dst, e1.cos, e1.rn,
+          COALESCE(e2.m, false) AS mutual
+        FROM edges e1
+        LEFT JOIN (SELECT src, dst, true AS m FROM edges) e2
+          ON e2.src = e1.dst AND e2.dst = e1.src""")),
 
     // ----- embedding near-duplicate pairs (cosine threshold) --------------
     Q("sim_near_dup_pairs",

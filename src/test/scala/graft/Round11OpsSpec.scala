@@ -597,6 +597,77 @@ class Round11OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // pcap_dns_spoof_candidates
+  // ------------------------------------------------------------------
+
+  test("dns_spoof: per-resolver counts match an independent decode-and-" +
+      "correlate over the raw capture") {
+    import spark.implicits._
+    val got = q("pcap_dns_spoof_candidates")
+      .select($"resolver", $"n_query", $"n_resp", $"n_orphan", $"n_race")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // independent path: decode every packet with the stream reader and
+    // correlate in plain Scala (no Spark, no oracle arithmetic)
+    val pkts = {
+      val in = new java.io.FileInputStream("/tmp/graft_synth_dnsspoof.pcap")
+      try new graft.pcap.PcapStreamReader(in,
+        graft.pcap.DecodeOptions.dns).toList
+      finally in.close()
+    }
+    case class Key(client: String, cport: Int, resolver: String, txid: Int)
+    val queries = pkts.filter(p => p.dns.exists(!_.qr)).map(p =>
+      Key(p.src.get, p.srcPort.get, p.dst.get, p.dns.get.queryId)).toSet
+    val resps = pkts.filter(p => p.dns.exists(_.qr)).map(p =>
+      (Key(p.dst.get, p.dstPort.get, p.src.get, p.dns.get.queryId),
+        p.dns.get.answer.mkString("|")))
+    val want = queries.groupBy(_.resolver).map { case (r, qs) =>
+      val rs = resps.filter(_._1.resolver == r)
+      val orphans = rs.count(x => !queries.contains(x._1))
+      val races = rs.filter(x => queries.contains(x._1))
+        .groupBy(_._1).count(_._2.map(_._2).distinct.size > 1)
+      r -> (qs.size.toLong, rs.size.toLong, orphans.toLong, races.toLong)
+    }
+    assert(got == want)
+    // the fixture genuinely exercises both anomaly classes
+    assert(got.values.map(_._3).sum > 0 && got.values.map(_._4).sum > 0)
+  }
+
+  // ------------------------------------------------------------------
+  // sim_knn_graph
+  // ------------------------------------------------------------------
+
+  test("knn_graph: edges match an in-memory exact kNN and mutual flags " +
+      "are exactly the reciprocated pairs") {
+    import spark.implicits._
+    val got = q("sim_knn_graph")
+      .select($"src", $"dst", $"rn", $"mutual")
+      .as[(Long, Long, Int, Boolean)].collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    // exact top-3 per src, score desc then id asc — the TopKByScore order
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dotd(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i))
+      dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+    }
+    val wantEdges = vecs.keys.flatMap { s0 =>
+      vecs.keys.filter(_ != s0).toSeq
+        .map(c => (c, cos(vecs(s0), vecs(c))))
+        .sortBy { case (c, sc) => (-sc, c) }.take(3).zipWithIndex
+        .map { case ((c, _), i) => (s0, c, i + 1) }
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == wantEdges)
+    val edgeSet = wantEdges.map(e => (e._1, e._2))
+    got.foreach { case (s0, c, _, m) =>
+      assert(m == edgeSet.contains((c, s0)), s"edge $s0->$c")
+    }
+    // sanity: the fixture has both mutual and one-way edges
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
+  // ------------------------------------------------------------------
   // pipeline_cluster_weights
   // ------------------------------------------------------------------
 
