@@ -1310,6 +1310,44 @@ object Dedup {
           1000000 // s.cluster_size AS weight_ppm
         FROM labeled l JOIN sizes s ON l.component = s.component""")),
 
+    // ----- cross-source duplication matrix --------------------------------
+    // WHERE the near-duplication lives, at the corpus-composition
+    // level: for every unordered source pair, how many LSH candidate
+    // pairs straddle (or stay inside) it. This is the table curation
+    // reads before choosing what to crawl less of — two "different"
+    // sources sharing a fat off-diagonal cell are mirroring each
+    // other, and the diagonal cells rank sources by internal
+    // redundancy. Pair surface = the SAME guarded minhashPairs as
+    // dedup_minhash_lsh (and the oracle embeds the same guarded cand
+    // CTEs), so the matrix cannot disagree with the pair tool it
+    // summarizes. Scale shape: two narrow joins from the k-bounded
+    // candidate list to the (doc_id, source) projection — shuffles on
+    // the high-cardinality doc key, then ONE rollup on the tiny
+    // (source, source) key; the pair matrix itself never re-forms.
+    Q("dedup_source_overlap",
+      (s, d) => {
+        import s.implicits._
+        val pairs = minhashPairs(s, d)
+        val src = Tables.documents(s, d).select($"doc_id", $"source")
+        pairs
+          .join(src.select($"doc_id".as("doc1"), $"source".as("s1")), "doc1")
+          .join(src.select($"doc_id".as("doc2"), $"source".as("s2")), "doc2")
+          .select(least($"s1", $"s2").as("source_a"),
+            greatest($"s1", $"s2").as("source_b"))
+          .groupBy($"source_a", $"source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH $sigCtesSql,
+        $candCtesSql,
+        sp AS (
+          SELECT d1.source AS s1, d2.source AS s2
+          FROM cand c
+          JOIN documents d1 ON d1.doc_id = c.doc1
+          JOIN documents d2 ON d2.doc_id = c.doc2)
+        SELECT LEAST(s1, s2) AS source_a, GREATEST(s1, s2) AS source_b,
+          COUNT(*) AS n_pairs
+        FROM sp GROUP BY 1, 2""")),
+
     // ----- SimHash (32-bit) fingerprints ----------------------------------
     Q("dedup_simhash",
       (s, d) => {

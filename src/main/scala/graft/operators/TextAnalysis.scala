@@ -392,6 +392,65 @@ object TextAnalysis {
             AND n_tokens >= 10) AS keep
         FROM agg""")),
 
+    // ----- quality-classifier calibration histogram -----------------------
+    // The eval harness text_fasttext_quality needs before its threshold
+    // is trusted: bucket every document's classifier score into a
+    // decile and count gold positives per bucket (gold here = the
+    // corpus's own lang tag being the target language — the label a
+    // real pipeline gets from held-out annotations). Reading the
+    // n_gold/n_docs column pair per decile IS the calibration curve;
+    // a well-ordered classifier shows the positive rate rising with
+    // the decile. Arithmetic is exact end to end: the score stays in
+    // BIGINT micro-units and the decile is computed as ONE
+    // all-nonnegative integer division,
+    //   (sum_micro + 1e6·n_tokens) · 10 div (2000001 · n_tokens),
+    // i.e. floor(10·(mean+1)/2.000001) — no float, no negative
+    // truncation ambiguity between engines (Spark `div` truncates
+    // toward zero, DuckDB `//` floors; nonnegative operands make them
+    // identical). Same one-explode one-groupBy scale shape as the
+    // classifier itself, plus a 10-row rollup.
+    Q("text_quality_calibration",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", ($"lang" === "en").as("gold"),
+            explode(split(lower($"text"), " ")).as("t"))
+          .filter($"t" =!= "")
+          .select($"doc_id", $"gold",
+            (conv(substring(md5($"t"), 1, 8), 16, 10).cast("long")
+              % 1024L).as("b"))
+          .select($"doc_id", $"gold",
+            (($"b" * 2654435761L) % 2000001L - 1000000L).as("w_micro"))
+          .groupBy($"doc_id", $"gold")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum($"w_micro").as("sum_micro"))
+          .select($"gold", expr(
+            "(sum_micro + 1000000L * n_tokens) * 10L div (2000001L * n_tokens)")
+            .as("decile"))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"gold", 1L).otherwise(0L)).as("n_gold"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, lang = 'en' AS gold, t
+          FROM documents,
+            LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS t)
+          WHERE t <> ''),
+        feat AS (
+          SELECT doc_id, gold,
+            (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1024)
+              * 2654435761 % 2000001 - 1000000 AS w_micro
+          FROM toks),
+        agg AS (
+          SELECT doc_id, gold, COUNT(*) AS n_tokens,
+            CAST(SUM(w_micro) AS BIGINT) AS sum_micro
+          FROM feat GROUP BY 1, 2)
+        SELECT CAST((sum_micro + 1000000 * n_tokens) * 10
+                 // (2000001 * n_tokens) AS BIGINT) AS decile,
+          COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS n_gold
+        FROM agg GROUP BY 1""")),
+
     // ----- language-ID heuristic (stopword-density n-gram proxy) ----------
     Q("text_lang_id",
       (s, d) => {

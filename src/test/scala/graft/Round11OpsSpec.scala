@@ -668,6 +668,64 @@ class Round11OpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // dedup_source_overlap
+  // ------------------------------------------------------------------
+
+  test("source_overlap: the matrix is exactly dedup_minhash_lsh's pair " +
+      "surface folded by source pair") {
+    import spark.implicits._
+    val got = q("dedup_source_overlap")
+      .select($"source_a", $"source_b", $"n_pairs")
+      .as[(String, String, Long)].collect().toSet
+    val srcOf = Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val want = q("dedup_minhash_lsh")
+      .select($"doc1", $"doc2").as[(Long, Long)].collect()
+      .groupBy { case (a, b) =>
+        val (s1, s2) = (srcOf(a), srcOf(b))
+        if (s1 <= s2) (s1, s2) else (s2, s1)
+      }
+      .map { case ((a, b), ps) => (a, b, ps.length.toLong) }.toSet
+    assert(got == want)
+    // conservation: cell counts sum to the full pair surface
+    assert(got.toSeq.map(_._3).sum == q("dedup_minhash_lsh").count())
+  }
+
+  // ------------------------------------------------------------------
+  // text_quality_calibration
+  // ------------------------------------------------------------------
+
+  test("quality_calibration: deciles match a direct string-level " +
+      "re-derivation and doc counts conserve") {
+    import spark.implicits._
+    val got = q("text_quality_calibration")
+      .select($"decile", $"n_docs", $"n_gold")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect()
+    def bucketOf(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1024L
+    }
+    val want = docs.map { case (_, text, lang) =>
+      val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      val sumMicro = toks.map(t => bucketOf(t) * 2654435761L % 2000001L
+        - 1000000L).sum
+      val n = toks.length.toLong
+      val decile = (sumMicro + 1000000L * n) * 10L / (2000001L * n)
+      (decile, lang == "en")
+    }.groupBy(_._1).map { case (dec, xs) =>
+      dec -> (xs.length.toLong, xs.count(_._2).toLong)
+    }
+    assert(got == want)
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+  }
+
+  // ------------------------------------------------------------------
   // pipeline_cluster_weights
   // ------------------------------------------------------------------
 
