@@ -360,6 +360,14 @@ object PcapQueries {
     p.toString
   }
 
+  /** 802.1Q-tagged office capture (see
+    * [[graft.pcap.PcapSynth.vlanPackets]]). */
+  private def vlanSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_vlan.pcap")
+    graft.pcap.PcapSynth.ensureVlanFile(p, 120)
+    p.toString
+  }
+
   /** VXLAN-encapsulated DNS capture (see
     * [[graft.pcap.PcapSynth.vxlanPackets]]). */
   private def vxlanSynthPath: String = {
@@ -1300,6 +1308,25 @@ object PcapQueries {
           AS v(inner_v, n_pkts, n_clients, n_nx, first_qname)"""
   }
 
+  /** Constant oracle for pcap_vlan_inventory, re-derived from the
+    * synthesis formulas: tagged frames are i mod 10 != 7, vid =
+    * 100 + i mod 6, pcp = i mod 8, one distinct client per i, qname
+    * `vlan$i.office.example.com.` (parser form). */
+  private def vlanInventoryOracle(n: Int): String = {
+    val rows = (0 until 6).map { k =>
+      val is = (0 until n).filter(i => i % 10 != 7 && i % 6 == k)
+      val firstQ = is.map(i => s"vlan$i.office.example.com.").min
+      s"(${100 + k}, ${is.size}, ${is.size}, ${is.map(_ % 8).max}, '$firstQ')"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.vlan_id AS INT) AS vlan_id,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.n_clients AS BIGINT) AS n_clients,
+        CAST(v.max_pcp AS INT) AS max_pcp,
+        CAST(v.first_qname AS VARCHAR) AS first_qname
+        FROM (VALUES $rows)
+          AS v(vlan_id, n_pkts, n_clients, max_pcp, first_qname)"""
+  }
+
   /** Constant oracle for pcap_vxlan_decap, re-derived from the
     * synthesis formulas: vni = 100 + i mod 7, NXDOMAIN when
     * i mod 9 == 0, qname `vx$i.tunnel.example.com.` (parser form:
@@ -1764,7 +1791,7 @@ object PcapQueries {
           .drop("payload", "file", "frame", "tcp_seq", "tcp_flags",
             "tcp_ack", "icmp_type", "icmp_code", "tcp_window",
             "tcp_mss", "tcp_wscale", "tcp_sack_ok", "tcp_ts_ok",
-            "ip_id", "frag_offset")
+            "vlan_id", "vlan_pcp", "ip_id", "frag_offset")
           .withColumn("time",
             date_format($"time", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
           .withColumn("dns_answer", to_json($"dns_answer"))
@@ -3445,6 +3472,31 @@ object PcapQueries {
             min($"dnsQname").as("first_qname"))
       },
       Some(vxlanDecapOracle(120))),
+
+    // ----- 802.1Q VLAN inventory (round 11) -------------------------------
+    // Switched-fabric captures are tagged; "which VLAN segment carries
+    // what" is the first question over them, and the reference's decode
+    // silently SKIPS the tag (PcapReader.java:283-303 unwraps one
+    // 802.1Q header to find IP but discards the TCI). The decoder now
+    // surfaces the tag as `vlan_id`/`vlan_pcp` columns (NULL on
+    // untagged frames — the fixture mixes both), and the inventory is
+    // a single rollup: per-VLAN packet volume, distinct clients, the
+    // highest priority level seen, first DNS name. Scale shape: the
+    // TCI parse is two bytes inside the existing L2 branch (no extra
+    // pass), the rollup is ONE aggregation shuffle on a small vid key
+    // with map-side partials.
+    Q("pcap_vlan_inventory",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").option("decoder", "dns").load(vlanSynthPath)
+          .filter($"vlan_id".isNotNull)
+          .groupBy($"vlan_id")
+          .agg(count(lit(1)).as("n_pkts"),
+            countDistinct($"src").as("n_clients"),
+            max($"vlan_pcp").as("max_pcp"),
+            min($"dns_qname").as("first_qname"))
+      },
+      Some(vlanInventoryOracle(120))),
 
     // Receive-window health: zero-window events are THE standard TCP
     // stall signal ops teams alert on. Per-flow bounded aggregates over

@@ -1549,5 +1549,88 @@ object Relational {
             + peak_in_h AS BIGINT) AS max_concurrent,
           n_boundaries
         FROM hourly"""))
+    ,
+
+    // ----- RFM customer segmentation (round 11) ---------------------------
+    // The classic marketing-analytics rollup: per customer, Recency
+    // (last order date), Frequency (order count), Monetary (lifetime
+    // cents — exact BIGINT, never float sums), each scored into
+    // quintiles, then the 5x5x5 segment census. The SCALE-critical
+    // choice is how quintiles are computed: a global ntile() window is
+    // a single-partition sort over every customer — the one plan shape
+    // that cannot survive 100x. Instead each metric is quantized to a
+    // BOUNDED key space (order dates are finite; order counts are
+    // small; monetary rides 5k-dollar buckets), the quintile boundary
+    // comes from a cumulative sum over that TINY value histogram
+    // (window over O(distinct values) rows, scale-free), and customers
+    // pick up scores through three BROADCAST joins. Tie rule: equal
+    // quantized values always share a score (score = 1 + 5*|{v' < v}|
+    // DIV N) — deterministic under any partitioning, unlike ntile's
+    // arbitrary tie split. One custkey shuffle + three broadcast maps
+    // + one tiny final aggregation.
+    Q("q55_rfm_segments",
+      (s, d) => {
+        import s.implicits._
+        val pc = Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(
+            datediff(to_date(max($"o_orderdate")),
+              lit("1992-01-01").cast("date")).as("r_day"),
+            count(lit(1)).as("f"),
+            sum(round($"o_totalprice" * 100).cast("long")).as("m_cents"))
+          .withColumn("m_bucket", expr("m_cents DIV 500000"))
+          // four consumers (three histograms + the final join); the
+          // count below materializes the cache before any re-scan
+          .cache()
+        val n = pc.count()
+        def scoreMap(dim: String): DataFrame = {
+          // cumulative count over the tiny per-value histogram —
+          // the single-partition window is O(distinct values), not
+          // O(customers), so it stays flat at any corpus size
+          val w = Window.orderBy(col(dim))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          pc.groupBy(col(dim)).agg(count(lit(1)).as("c"))
+            .withColumn("cum", sum($"c").over(w))
+            .select(col(dim),
+              expr(s"CAST(1 + (5 * (cum - c)) DIV ${n}L AS INT)")
+                .as(s"${dim.take(1)}_score"))
+        }
+        pc.join(broadcast(scoreMap("r_day")), "r_day")
+          .join(broadcast(scoreMap("f")), "f")
+          .join(broadcast(scoreMap("m_bucket")), "m_bucket")
+          .groupBy($"r_score", $"f_score", $"m_score")
+          .agg(count(lit(1)).as("n_customers"),
+            sum($"m_cents").as("monetary_cents"))
+      },
+      Some("""WITH pc AS (
+          SELECT o_custkey,
+            datediff('day', DATE '1992-01-01',
+              CAST(MAX(o_orderdate) AS DATE)) AS r_day,
+            COUNT(*) AS f,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS m_cents
+          FROM orders GROUP BY 1),
+        pc2 AS (SELECT pc.*, m_cents // 500000 AS m_bucket FROM pc),
+        nn AS (SELECT COUNT(*) AS n FROM pc2),
+        rs AS (SELECT r_day,
+            CAST(1 + (5 * (SUM(c) OVER (ORDER BY r_day) - c)) // n
+              AS INT) AS r_score
+          FROM (SELECT r_day, COUNT(*) AS c FROM pc2 GROUP BY 1), nn),
+        fs AS (SELECT f,
+            CAST(1 + (5 * (SUM(c) OVER (ORDER BY f) - c)) // n
+              AS INT) AS f_score
+          FROM (SELECT f, COUNT(*) AS c FROM pc2 GROUP BY 1), nn),
+        ms AS (SELECT m_bucket,
+            CAST(1 + (5 * (SUM(c) OVER (ORDER BY m_bucket) - c)) // n
+              AS INT) AS m_score
+          FROM (SELECT m_bucket, COUNT(*) AS c FROM pc2 GROUP BY 1), nn)
+        SELECT r_score, f_score, m_score,
+          COUNT(*) AS n_customers,
+          CAST(SUM(m_cents) AS BIGINT) AS monetary_cents
+        FROM pc2
+          JOIN rs USING (r_day)
+          JOIN fs USING (f)
+          JOIN ms USING (m_bucket)
+        GROUP BY 1, 2, 3"""))
   )
 }

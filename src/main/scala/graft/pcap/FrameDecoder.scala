@@ -46,6 +46,7 @@ private[pcap] final class PacketBuilder {
   var icmpType, icmpCode, tcpWindow: Option[Int] = None
   var tcpMss, tcpWscale: Option[Int] = None
   var tcpSackOk, tcpTsOk: Option[Boolean] = None
+  var vlanId, vlanPcp: Option[Int] = None
   var frag: Option[Boolean] = None
   var ipId, fragOffset: Option[Int] = None
   var dns: Option[DnsFields] = None
@@ -63,6 +64,7 @@ private[pcap] final class PacketBuilder {
     icmpType = icmpType, icmpCode = icmpCode, tcpWindow = tcpWindow,
     tcpMss = tcpMss, tcpWscale = tcpWscale,
     tcpSackOk = tcpSackOk, tcpTsOk = tcpTsOk,
+    vlanId = vlanId, vlanPcp = vlanPcp,
     len = len, frag = frag, ipId = ipId, fragOffset = fragOffset,
     payloadLen = payloadLen,
     extCount = extCount, extHeaders = extHeaders, dns = dns,
@@ -104,6 +106,16 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
       lastEtherSome = Some(ether)
     }
     b.etherType = lastEtherSome
+    // 802.1Q tag (Ethernet only, the one tag ipStartIdx unwraps): the
+    // TCI's low 12 bits are the VLAN id, the top 3 the priority code
+    // point. A truncated tag (frame ends inside the 4-byte header)
+    // leaves both columns NULL — same evidence rule as the TCP options.
+    if (linkType == 1 && end - off >= 18 &&
+        beU16(data, off + 12) == 0x8100) {
+      val tci = beU16(data, off + 14)
+      b.vlanId = Boxes.int(tci & 0xFFF)
+      b.vlanPcp = Boxes.int(tci >>> 13)
+    }
     val ip = ipStartIdx(linkType, data, off, end)
     if (ip >= 0 && ip < end) decodeIp(b, data, ip, end)
   }

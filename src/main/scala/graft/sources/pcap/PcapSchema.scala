@@ -40,6 +40,8 @@ object PcapSchema {
     StructField("tcp_wscale", IntegerType),
     StructField("tcp_sack_ok", BooleanType),
     StructField("tcp_ts_ok", BooleanType),
+    StructField("vlan_id", IntegerType),
+    StructField("vlan_pcp", IntegerType),
     StructField("len", IntegerType),
     StructField("frag", BooleanType),
     StructField("ip_id", IntegerType),
@@ -112,6 +114,8 @@ object PcapSchema {
     "tcp_wscale" -> ((r, _, _) => r.tcpWscale.map(Int.box).orNull),
     "tcp_sack_ok" -> ((r, _, _) => r.tcpSackOk.map(Boolean.box).orNull),
     "tcp_ts_ok" -> ((r, _, _) => r.tcpTsOk.map(Boolean.box).orNull),
+    "vlan_id" -> ((r, _, _) => r.vlanId.map(Int.box).orNull),
+    "vlan_pcp" -> ((r, _, _) => r.vlanPcp.map(Int.box).orNull),
     "len" -> ((r, _, _) => r.len.map(Int.box).orNull),
     "frag" -> ((r, _, _) => r.frag.map(Boolean.box).orNull),
     "ip_id" -> ((r, _, _) => r.ipId.map(Int.box).orNull),
@@ -237,6 +241,8 @@ object PcapSchema {
     "tcp_wscale" -> ((v, r, _, _) => putInt(v, r.tcpWscale)),
     "tcp_sack_ok" -> ((v, r, _, _) => putBool(v, r.tcpSackOk)),
     "tcp_ts_ok" -> ((v, r, _, _) => putBool(v, r.tcpTsOk)),
+    "vlan_id" -> ((v, r, _, _) => putInt(v, r.vlanId)),
+    "vlan_pcp" -> ((v, r, _, _) => putInt(v, r.vlanPcp)),
     "len" -> ((v, r, _, _) => putInt(v, r.len)),
     "frag" -> ((v, r, _, _) => putBool(v, r.frag)),
     "ip_id" -> ((v, r, _, _) => putInt(v, r.ipId)),

@@ -756,4 +756,56 @@ class Round11OpsSpec extends AnyFunSuite {
       else assert(c == id && sz == 1L, s"singleton $id")
     }
   }
+
+  // ------------------------------------------------------------------
+  // q55_rfm_segments
+  // ------------------------------------------------------------------
+
+  test("rfm: segment census matches a direct fold; score maps broadcast") {
+    import spark.implicits._
+    val df = q("q55_rfm_segments")
+    val got = df
+      .select($"r_score", $"f_score", $"m_score", $"n_customers",
+        $"monetary_cents")
+      .as[(Int, Int, Int, Long, Long)].collect().toSet
+
+    // direct in-memory re-derivation from raw orders, no Spark math
+    val orders = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS dt",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .as[(Long, java.sql.Date, Long)].collect()
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    val pc = orders.groupBy(_._1).map { case (ck, rows) =>
+      val rDay = java.time.temporal.ChronoUnit.DAYS.between(
+        epoch, rows.map(_._2.toLocalDate).max(Ordering.fromLessThan[
+          java.time.LocalDate](_ isBefore _))).toInt
+      (ck, rDay, rows.length.toLong, rows.map(_._3).sum)
+    }.toVector
+    val n = pc.length.toLong
+    def scoreOf[K: Ordering](vals: Vector[K]): Map[K, Int] = {
+      val hist = vals.groupBy(identity).view.mapValues(_.size.toLong)
+        .toVector.sortBy(_._1)
+      var below = 0L
+      hist.map { case (v, c) =>
+        val s = (1L + (5L * below) / n).toInt; below += c; v -> s
+      }.toMap
+    }
+    val rS = scoreOf(pc.map(_._2))
+    val fS = scoreOf(pc.map(_._3))
+    val mS = scoreOf(pc.map(_._4 / 500000L))
+    val exp = pc.groupBy(c =>
+        (rS(c._2), fS(c._3), mS(c._4 / 500000L)))
+      .map { case ((r, f, m), cs) =>
+        (r, f, m, cs.length.toLong, cs.map(_._4).sum) }.toSet
+    assert(got == exp)
+    // all scores in 1..5 and every quintile populated on each axis
+    assert(got.forall(t => Seq(t._1, t._2, t._3)
+      .forall(s => s >= 1 && s <= 5)))
+    assert(got.map(_._3).toSeq.distinct.sorted == Seq(1, 2, 3, 4, 5))
+    // the three score maps ride broadcast joins — a sort-merge join
+    // here would mean the tiny histograms got shuffled like facts
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }

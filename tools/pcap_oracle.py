@@ -1022,6 +1022,39 @@ if glob.glob(f"{out}/pcap_vxlan_decap/*.parquet"):
                ["vni", "n_pkts", "n_nx", "first_qname"]),
          sorted((v, n, nx, q) for v, (n, nx, q) in vstats.items()))
 
+# 802.1Q VLAN inventory: independent byte-level parse of the tag and
+# the IP/UDP/DNS behind it (no shared code with FrameDecoder).
+if glob.glob(f"{out}/pcap_vlan_inventory/*.parquet"):
+    vlstats = {}
+    for _, _, fr in _frames("/tmp/graft_synth_vlan.pcap"):
+        et = struct.unpack_from(">H", fr, 12)[0]
+        if et != 0x8100:
+            continue  # untagged frames are filtered by the query
+        tci = struct.unpack_from(">H", fr, 14)[0]
+        vid, pcp = tci & 0xFFF, tci >> 13
+        ip = 18
+        ihl = (fr[ip] & 0xF) * 4
+        assert fr[ip + 9] == 17
+        src = ".".join(str(b) for b in fr[ip + 12:ip + 16])
+        dns = fr[ip + ihl + 8:]
+        labels, p = [], 12
+        while dns[p] != 0:
+            ln = dns[p]
+            labels.append(dns[p + 1:p + 1 + ln].decode("ascii"))
+            p += 1 + ln
+        q = ".".join(labels).lower() + "."
+        e = vlstats.setdefault(vid, [0, set(), 0, None])
+        e[0] += 1
+        e[1].add(src)
+        e[2] = max(e[2], pcp)
+        e[3] = q if e[3] is None else min(e[3], q)
+    _cmp("pcap_vlan_inventory(redecode)",
+         _read("pcap_vlan_inventory",
+               ["vlan_id", "n_pkts", "n_clients", "max_pcp",
+                "first_qname"]),
+         sorted((v, n, len(cl), mp, q)
+                for v, (n, cl, mp, q) in vlstats.items()))
+
 # JA3S server fingerprint: independent ServerHello parse from raw
 # bytes (record/handshake framing, single selected cipher, extension
 # walk incl. the ServerHello supported_versions form) + an independent
