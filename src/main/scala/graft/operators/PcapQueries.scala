@@ -1327,6 +1327,40 @@ object PcapQueries {
           AS v(vlan_id, n_pkts, n_clients, max_pcp, first_qname)"""
   }
 
+  /** RTP media capture (see [[graft.pcap.PcapSynth.rtpPackets]]). */
+  private def rtpSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_rtp.pcap")
+    graft.pcap.PcapSynth.ensureRtpFile(p, 200)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_rtp_quality, re-derived from the
+    * synthesis formulas: stream s loses packet j when
+    * (s*31 + j) mod 17 == 0; the interarrival deviation between
+    * consecutive DELIVERED packets is exactly the delay-noise
+    * difference ((s*7 + j²) mod 4000), because nominal pacing and the
+    * RTP clock advance identically (20 ms per packet). */
+  private def rtpQualityOracle(nPerStream: Int): String = {
+    val rows = (0 until 4).map { s =>
+      val js = (0 until nPerStream).filter(j => (s * 31 + j) % 17 != 0)
+      def noise(j: Int): Long = (s * 7 + j * j) % 4000
+      val ds = js.sliding(2).collect {
+        case Seq(a, b) => math.abs(noise(b) - noise(a)) }.toSeq
+      val lost = (js.last - js.head + 1) - js.size
+      s"(${1000000L + s}, ${if (s % 2 == 0) 0 else 8}, ${js.size}, " +
+        s"$lost, ${ds.sum}, ${ds.max})"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.ssrc AS BIGINT) AS ssrc,
+        CAST(v.pt AS INT) AS pt,
+        CAST(v.n_received AS BIGINT) AS n_received,
+        CAST(v.n_lost AS BIGINT) AS n_lost,
+        CAST(v.jitter_sum_us AS BIGINT) AS jitter_sum_us,
+        CAST(v.jitter_max_us AS BIGINT) AS jitter_max_us
+        FROM (VALUES $rows)
+          AS v(ssrc, pt, n_received, n_lost, jitter_sum_us,
+               jitter_max_us)"""
+  }
+
   /** Constant oracle for pcap_vxlan_decap, re-derived from the
     * synthesis formulas: vni = 100 + i mod 7, NXDOMAIN when
     * i mod 9 == 0, qname `vx$i.tunnel.example.com.` (parser form:
@@ -3497,6 +3531,46 @@ object PcapQueries {
             min($"dns_qname").as("first_qname"))
       },
       Some(vlanInventoryOracle(120))),
+
+    // ----- RTP stream quality (round 11) ----------------------------------
+    // The VoIP/conferencing health rollup RTCP receiver reports carry
+    // (RFC 3550 §6.4 / A.8): per SSRC, delivered vs expected packet
+    // counts (loss from sequence-number coverage, no state machine
+    // needed) and interarrival time deviation — (arrival delta) minus
+    // (RTP-clock delta), the quantity the standard jitter estimator
+    // smooths. Reported as exact integer SUM and MAX of |D| in µs
+    // rather than the RFC's /16 EWMA, which is float-recursive and
+    // order-fragile; sum/max are order-free and oracle-exact. Scale
+    // shape: per-row 12-byte header parse, ONE shuffle for the
+    // ssrc-partitioned lag window (per-stream row counts are bounded —
+    // a 2 h call at 50 pps is 360 k narrow rows), then the per-ssrc
+    // rollup rides the same partitioning.
+    Q("pcap_rtp_quality",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val pk = s.read.format("pcap").load(rtpSynthPath)
+          .filter($"protocol" === "UDP" && $"dst_port" === 40000 &&
+            $"payload".isNotNull)
+          .select($"payload", $"ts_micro").as[(Array[Byte], Long)]
+          .mapPartitions(_.flatMap { case (pl, arr) =>
+            graft.pcap.Decap.rtp(pl).map(r =>
+              // 8 kHz payload types (PCMU/PCMA): 1 tick = 125 µs
+              (r.ssrc, r.pt, r.seq, r.rtpTs * 125L, arr)) })
+          .toDF("ssrc", "pt", "seq", "ts_us", "arr_us")
+        val w = Window.partitionBy($"ssrc").orderBy($"seq")
+        pk.withColumn("d_us",
+            ($"arr_us" - lag($"arr_us", 1).over(w)) -
+              ($"ts_us" - lag($"ts_us", 1).over(w)))
+          .groupBy($"ssrc")
+          .agg(max($"pt").as("pt"),
+            count(lit(1)).as("n_received"),
+            (max($"seq") - min($"seq") + 1 - count(lit(1)))
+              .as("n_lost"),
+            sum(abs($"d_us")).as("jitter_sum_us"),
+            max(abs($"d_us")).as("jitter_max_us"))
+      },
+      Some(rtpQualityOracle(200))),
 
     // Receive-window health: zero-window events are THE standard TCP
     // stall signal ops teams alert on. Per-flow bounded aggregates over

@@ -197,6 +197,27 @@ object Decap extends Serializable {
     else Some(DhcpFields(op, xid, ip(16), chaddr, msgType, serverId))
   }
 
+  /** Fixed-header RTP fields (RFC 3550 §5.1). `seq` is the 16-bit
+    * sequence number, `rtpTs` / `ssrc` the unsigned 32-bit words. */
+  final case class RtpFields(version: Int, pt: Int, seq: Int,
+      rtpTs: Long, ssrc: Long)
+
+  /** Parse one UDP payload as RTP: version MUST be 2 and the 12-byte
+    * fixed header fully present — anything else yields None, never a
+    * throw. (RTP has no magic bytes, so callers gate by port; the
+    * version check rejects most non-RTP traffic that slips through.) */
+  def rtp(payload: Array[Byte]): Option[RtpFields] = {
+    if (payload == null || payload.length < 12) return None
+    val v = (payload(0) >> 6) & 0x3
+    if (v != 2) return None
+    val pt = payload(1) & 0x7F
+    val seq = ((payload(2) & 0xFF) << 8) | (payload(3) & 0xFF)
+    def be32(at: Int): Long =
+      ((payload(at) & 0xFFL) << 24) | ((payload(at + 1) & 0xFFL) << 16) |
+        ((payload(at + 2) & 0xFFL) << 8) | (payload(at + 3) & 0xFFL)
+    Some(RtpFields(v, pt, seq, be32(4), be32(8)))
+  }
+
   /** Decode the inner packet at `off` through the shared decoder;
     * Some only when L3 endpoints + L4 ports all decoded. */
   private def innerOf(payload: Array[Byte], off: Int, linkType: Int)

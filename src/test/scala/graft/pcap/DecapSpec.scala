@@ -170,4 +170,32 @@ class DecapSpec extends AnyFunSuite {
     val g1 = Decap.gre(full).getOrElse(fail("C|K|S GRE did not decap"))
     assert(g1.key == 12345L && g1.dstPort == 51000)
   }
+
+  test("rtp parser never throws; gates on version 2 and header length") {
+    val rnd = new scala.util.Random(778)
+    (0 until 5000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(40))
+      rnd.nextBytes(b)
+      Decap.rtp(b) // must not throw
+    }
+    assert(Decap.rtp(null).isEmpty)
+    // a valid fixture packet parses to the synthesis formulas' fields
+    val fr = PcapSynth.rtpPackets(3).head._3 // stream 0: j=0 lost, j=1 first
+    val pl = fr.drop(42) // eth 14 + ip 20 + udp 8
+    val r = Decap.rtp(pl).getOrElse(fail("fixture RTP did not parse"))
+    assert(r.version == 2 && r.pt == 0)
+    assert(r.seq == 7001 && r.rtpTs == 160L && r.ssrc == 1000000L)
+    // truncations of the fixed header never parse
+    (0 until 12).foreach(k => assert(Decap.rtp(pl.take(k)).isEmpty))
+    // version corruption rejects
+    val bad = pl.clone(); bad(0) = 0x40.toByte // version 1
+    assert(Decap.rtp(bad).isEmpty)
+    // unsigned 32-bit words stay non-negative at the top of the range
+    val hi = pl.clone()
+    hi(4) = 0xFF.toByte; hi(5) = 0xFF.toByte
+    hi(6) = 0xFF.toByte; hi(7) = 0xFF.toByte
+    hi(8) = 0x80.toByte
+    val r2 = Decap.rtp(hi).get
+    assert(r2.rtpTs == 0xFFFFFFFFL && r2.ssrc >= 0x80000000L)
+  }
 }

@@ -1022,6 +1022,38 @@ if glob.glob(f"{out}/pcap_vxlan_decap/*.parquet"):
                ["vni", "n_pkts", "n_nx", "first_qname"]),
          sorted((v, n, nx, q) for v, (n, nx, q) in vstats.items()))
 
+# RTP stream quality: independent parse of the RFC 3550 fixed header
+# plus the loss/jitter fold (no shared code with Decap.rtp or the
+# Spark window plan — plain per-stream sort + pairwise diff).
+if glob.glob(f"{out}/pcap_rtp_quality/*.parquet"):
+    streams = {}
+    for sec, usec, fr in _frames("/tmp/graft_synth_rtp.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 17
+        dp = struct.unpack_from(">H", fr, l4 + 2)[0]
+        assert dp == 40000
+        rtp = fr[l4 + 8:]
+        assert (rtp[0] >> 6) == 2
+        pt = rtp[1] & 0x7F
+        seq = struct.unpack_from(">H", rtp, 2)[0]
+        rts = struct.unpack_from(">I", rtp, 4)[0]
+        ssrc = struct.unpack_from(">I", rtp, 8)[0]
+        arr = sec * 1000000 + usec
+        streams.setdefault(ssrc, []).append((seq, pt, rts * 125, arr))
+    rexp = []
+    for ssrc, pkts in streams.items():
+        pkts.sort()
+        ds = [abs((b[3] - a[3]) - (b[2] - a[2]))
+              for a, b in zip(pkts, pkts[1:])]
+        lost = (pkts[-1][0] - pkts[0][0] + 1) - len(pkts)
+        rexp.append((ssrc, max(p[1] for p in pkts), len(pkts), lost,
+                     sum(ds), max(ds)))
+    _cmp("pcap_rtp_quality(redecode)",
+         _read("pcap_rtp_quality",
+               ["ssrc", "pt", "n_received", "n_lost", "jitter_sum_us",
+                "jitter_max_us"]),
+         sorted(rexp))
+
 # 802.1Q VLAN inventory: independent byte-level parse of the tag and
 # the IP/UDP/DNS behind it (no shared code with FrameDecoder).
 if glob.glob(f"{out}/pcap_vlan_inventory/*.parquet"):
