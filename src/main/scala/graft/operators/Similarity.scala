@@ -1644,6 +1644,43 @@ object Similarity {
         FROM ann a LEFT JOIN exact x ON x.qid = a.qid AND x.cid = a.cid
         GROUP BY 1""")),
 
+    // ----- IVF list-balance report (index health) -------------------------
+    // The index-ops question AFTER recall: are the inverted lists
+    // balanced? A collapsed coarse quantizer (one mega-list) silently
+    // turns the probe path into brute force over most of the corpus,
+    // and a starved list wastes its probe budget — list-size skew is
+    // the first-line index health metric. Reads the SAME
+    // persisted/memoized codes relation the production probe path
+    // uses (so the report describes the index that actually serves,
+    // not a re-derivation): per list, the entry count (primaries +
+    // replicas under the A = 3 multi-assignment) and its exact
+    // parts-per-million share. O(K) output, one tiny aggregation over
+    // the index artifact; the oracle re-derives the full index via
+    // the shared CTE chain, so query and oracle cannot drift.
+    Q("sim_ivf_balance",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id",
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val (_, _, codes) = ivfpqIndex(s, d, e)
+        val sizes = codes
+          .groupBy($"cl".cast("int").as("list_id"))
+          .agg(count(lit(1)).as("n_entries"))
+        sizes.crossJoin(broadcast(
+            sizes.agg(sum($"n_entries").as("tot"))))
+          .select($"list_id", $"n_entries",
+            expr("n_entries * 1000000 DIV tot").as("share_ppm"))
+      },
+      Some(s"""WITH $ivfpqOracleCtes,
+        sz AS (SELECT cl AS list_id, COUNT(*) AS n_entries
+               FROM asg GROUP BY 1)
+        SELECT CAST(list_id AS INT) AS list_id,
+          CAST(n_entries AS BIGINT) AS n_entries,
+          CAST(n_entries * 1000000 // (SELECT SUM(n_entries) FROM sz)
+            AS BIGINT) AS share_ppm
+        FROM sz""")),
+
     // ----- label-noise detection (label vs cluster majority) --------------
     // The ML-data-ops screen for mislabeled examples: assign every
     // vector with the SHARED deterministic k-means model (the same

@@ -808,4 +808,27 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  // ------------------------------------------------------------------
+  // sim_ivf_balance
+  // ------------------------------------------------------------------
+
+  test("ivf balance: entries conserve A x corpus; ppm shares sum to 1M") {
+    import spark.implicits._
+    val got = q("sim_ivf_balance")
+      .select($"list_id", $"n_entries", $"share_ppm")
+      .as[(Int, Long, Long)].collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    // every vector lands in exactly A = 3 lists (K = 8 >= A), so the
+    // report's entry total IS the multi-assignment invariant
+    assert(got.map(_._2).sum == 3 * nVecs)
+    assert(got.forall(r => r._1 >= 0 && r._1 < 8))
+    assert(got.map(_._1).distinct.length == got.length)
+    // floor-division shares: within K of a full million, never over
+    val ppm = got.map(_._3).sum
+    assert(ppm <= 1000000L && ppm >= 1000000L - got.length)
+    // share formula holds row by row against the reported totals
+    val tot = got.map(_._2).sum
+    got.foreach(r => assert(r._3 == r._2 * 1000000L / tot))
+  }
 }
