@@ -603,6 +603,52 @@ object TextAnalysis {
           (tf.tf * (n.n_docs - df.df + 0.5)) / (df.df + 0.5) AS score_term
         FROM tf JOIN df ON tf.w = df.w CROSS JOIN n""")),
 
+    // ----- per-document keyword extraction (top-k distinctive terms) ------
+    // The tagging/routing primitive corpus tooling runs per document:
+    // the k terms that best characterize a doc, ranked by the fully
+    // INTEGER order (tf DESC, df ASC, term ASC) — frequent in the doc,
+    // rare in the corpus, ties broken lexically — instead of a float
+    // tf·log(N/df) whose libm rounding the two engines would disagree
+    // on (the text_bm25ish rationale). Scale shape: (doc, term) and
+    // term aggregations shuffle on their natural keys; the df join
+    // shuffles on term (vocab is unbounded at corpus scale, so NO
+    // broadcast — this is a fact-to-fact join by design); the final
+    // top-k window partitions by doc_id (bounded per-doc term counts),
+    // never globally.
+    Q("text_keyword_topk",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val words = Tables.documents(s, d)
+          .select($"doc_id",
+            explode(split(lower($"text"), "\\s+")).as("w"))
+          .filter($"w" =!= "")
+        val tf = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+        val wnd = Window.partitionBy($"doc_id")
+          .orderBy($"tf".desc, $"df".asc, $"w".asc)
+        tf.join(df, "w")
+          .withColumn("rank", row_number().over(wnd))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"w".as("term"), $"tf", $"df",
+            $"rank".cast("int").as("rank"))
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, w
+          FROM (SELECT doc_id,
+                  UNNEST(string_split_regex(lower(text), '\s+')) AS w
+                FROM documents)
+          WHERE w <> ''),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+        df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
+        SELECT doc_id, w AS term, tf, df, CAST(rank AS INT) AS rank
+        FROM (
+          SELECT tf.doc_id, tf.w, tf.tf, df.df,
+            ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rank
+          FROM tf JOIN df ON tf.w = df.w)
+        WHERE rank <= 3""")),
+
     // ----- deterministic train/val/test split ----------------------------
     // Content-hash bucketing (md5-prefix mod 100): stable across runs and
     // engines, independent of row order/partitioning — the standard way

@@ -831,4 +831,34 @@ class Round11OpsSpec extends AnyFunSuite {
     val tot = got.map(_._2).sum
     got.foreach(r => assert(r._3 == r._2 * 1000000L / tot))
   }
+
+  // ------------------------------------------------------------------
+  // text_keyword_topk
+  // ------------------------------------------------------------------
+
+  test("keyword topk: per-doc terms match a direct string-level fold") {
+    import spark.implicits._
+    val got = q("text_keyword_topk")
+      .select($"doc_id", $"term", $"tf", $"df", $"rank")
+      .as[(Long, String, Long, Long, Int)].collect()
+    val texts = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect()
+    // direct re-derivation: whitespace split, tf per doc, df over docs
+    val tfm = texts.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val dfm = tfm.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val exp = tfm.flatMap { case (id, tf) =>
+      tf.toSeq.map { case (w, c) => (w, c, dfm(w)) }
+        .sortBy { case (w, c, df) => (-c, df, w) }
+        .take(3).zipWithIndex
+        .map { case ((w, c, df), i) => (id, w, c, df, i + 1) }
+    }.toSet
+    assert(got.toSet == exp)
+    // every doc with any token contributes exactly its top-k rows
+    assert(got.groupBy(_._1).forall { case (id, rows) =>
+      rows.length == math.min(3, tfm(id).size) })
+  }
 }
