@@ -1657,6 +1657,62 @@ object Similarity {
     // parts-per-million share. O(K) output, one tiny aggregation over
     // the index artifact; the oracle re-derives the full index via
     // the shared CTE chain, so query and oracle cannot drift.
+    // ----- PQ distortion report (index health #2) -------------------------
+    // The quantization-quality companion to the list-balance report:
+    // per PQ subspace m, how much the stored code misrepresents the
+    // residual it encodes — ||r_sub − cb[m][code]||², the quantity the
+    // IVFADC shortlist ranks by. A subspace whose distortion dwarfs
+    // the others is where recall leaks, and a retrain (or finer
+    // codebook) goes there first. Float discipline: the squared
+    // distance is computed per ROW (deterministic element-order fold),
+    // floored to integer MICRO-units, and only BIGINTs cross rows —
+    // cross-row float summation order never matters (the
+    // sim_covariance_exact rule). Reads the serving codes artifact;
+    // one vec_id-keyed join to re-attach vectors, one explode to the
+    // 16-row subspace key, map-side collapse, O(M) output.
+    Q("sim_pq_distortion",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d)
+          .select($"vec_id",
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val (centData, cbData, codes) = ivfpqIndex(s, d, e)
+        val centCol = typedLit(centData).as("cents")
+        val cbCol = typedLit(cbData).as("cb")
+        codes.join(e, "vec_id")
+          .select($"cl", $"codes", centCol, cbCol,
+            expr("zip_with(v, element_at(cents, cl + 1), " +
+              "(x, y) -> x - y)").as("r"))
+          .select($"cl", explode(expr(
+            s"""transform(sequence(0, ${PqM - 1}), m -> struct(m AS m,
+                 CAST(floor(aggregate(
+                   zip_with(slice(r, m * 4 + 1, 4),
+                            element_at(element_at(cb, m + 1),
+                                       element_at(codes, m + 1) + 1),
+                            (x, y) -> (x - y) * (x - y)),
+                   CAST(0.0 AS DOUBLE), (a, z) -> a + z) * 1000000)
+                 AS BIGINT) AS dmicro))""")).as("sd"))
+          .select($"sd.m".as("m"), $"sd.dmicro".as("dmicro"))
+          .groupBy($"m")
+          .agg(count(lit(1)).as("n_codes"),
+            sum($"dmicro").as("dist_sum_micro"),
+            max($"dmicro").as("dist_max_micro"))
+      },
+      Some(s"""WITH $ivfpqOracleCtes,
+        dist AS (
+          SELECT cb.m,
+            CAST(floor(list_sum(
+              [(a.r[cb.m*4+i] - sub[i]) * (a.r[cb.m*4+i] - sub[i])
+               FOR i IN generate_series(1, 4)]) * 1000000) AS BIGINT)
+              AS dmicro
+          FROM enc JOIN asg a
+            ON a.vec_id = enc.vec_id AND a.cl = enc.cl
+          JOIN cb ON cb.m = enc.m AND cb.code = enc.code)
+        SELECT CAST(m AS INT) AS m, COUNT(*) AS n_codes,
+          CAST(SUM(dmicro) AS BIGINT) AS dist_sum_micro,
+          CAST(MAX(dmicro) AS BIGINT) AS dist_max_micro
+        FROM dist GROUP BY 1""")),
+
     Q("sim_ivf_balance",
       (s, d) => {
         import s.implicits._

@@ -861,4 +861,27 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).forall { case (id, rows) =>
       rows.length == math.min(3, tfm(id).size) })
   }
+
+  // ------------------------------------------------------------------
+  // sim_pq_distortion
+  // ------------------------------------------------------------------
+
+  test("pq distortion: all 16 subspaces cover every code entry") {
+    import spark.implicits._
+    val got = q("sim_pq_distortion")
+      .select($"m", $"n_codes", $"dist_sum_micro", $"dist_max_micro")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.map(_._1).sorted.toSeq == (0 until 16))
+    // every subspace scores every (vector, assigned-list) entry — the
+    // same population the balance report counts (A = 3 per vector)
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(got.forall(_._2 == 3 * nVecs))
+    // micro-unit sums are consistent: non-negative, max <= sum,
+    // and a nonzero quantization error exists somewhere (a perfect
+    // codebook on continuous data would mean the fold broke)
+    got.foreach { r =>
+      assert(r._3 >= 0 && r._4 >= 0 && r._4 <= r._3)
+    }
+    assert(got.map(_._3).sum > 0)
+  }
 }
