@@ -1631,6 +1631,80 @@ object Relational {
           JOIN rs USING (r_day)
           JOIN fs USING (f)
           JOIN ms USING (m_bucket)
-        GROUP BY 1, 2, 3"""))
+        GROUP BY 1, 2, 3""")),
+
+    // ----- first/last-touch conversion attribution (round 11) -------------
+    // The marketing-analytics question after the funnel (q36): which
+    // channel INITIATED the journey and which channel CLOSED it. Per
+    // user, the first purchase is the conversion; the first and last
+    // non-purchase events strictly before it (ordered by (ts,
+    // event_id) — unique, so deterministic) are the first/last touch;
+    // users converting with no prior touch land in 'direct'. Emits the
+    // (first_touch, last_touch) census with exact integer conversion
+    // value (floor-cents — floor has no tie semantics for engines to
+    // disagree on). Scale shape: NO windows — the per-user journey
+    // endpoints are min/max(struct) argmaxes (map-side partials), two
+    // user-keyed shuffles, tiny final census.
+    Q("q56_attribution",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+            $"event_id", floor($"value" * 100).cast("long").as("cents"))
+        val conv = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(min(struct($"us", $"event_id", $"cents")).as("p"))
+          .select($"user_id", $"p.us".as("p_us"),
+            $"p.event_id".as("p_eid"), $"p.cents".as("cents"))
+        val ends = ev.filter($"event_type" =!= "purchase")
+          .join(conv.select($"user_id", $"p_us", $"p_eid"), "user_id")
+          .filter($"us" < $"p_us" ||
+            ($"us" === $"p_us" && $"event_id" < $"p_eid"))
+          .groupBy($"user_id")
+          .agg(min(struct($"us", $"event_id", $"event_type")).as("f"),
+            max(struct($"us", $"event_id", $"event_type")).as("l"))
+          .select($"user_id", $"f.event_type".as("ft"),
+            $"l.event_type".as("lt"))
+        conv.join(ends, Seq("user_id"), "left")
+          .groupBy(coalesce($"ft", lit("direct")).as("first_touch"),
+            coalesce($"lt", lit("direct")).as("last_touch"))
+          .agg(count(lit(1)).as("n_conversions"),
+            sum($"cents").as("value_cents"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+            CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events),
+        conv AS (
+          SELECT user_id, us AS p_us, event_id AS p_eid, cents FROM (
+            SELECT user_id, us, event_id, cents,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS rn
+            FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+        touch AS (
+          SELECT t.user_id, t.event_type, t.us, t.event_id
+          FROM ev t JOIN conv c USING (user_id)
+          WHERE t.event_type <> 'purchase'
+            AND (t.us < c.p_us
+                 OR (t.us = c.p_us AND t.event_id < c.p_eid))),
+        ranked AS (
+          SELECT user_id, event_type,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY us, event_id) AS rf,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY us DESC, event_id DESC) AS rl
+          FROM touch),
+        ends AS (
+          SELECT user_id,
+            MAX(CASE WHEN rf = 1 THEN event_type END) AS ft,
+            MAX(CASE WHEN rl = 1 THEN event_type END) AS lt
+          FROM ranked GROUP BY 1)
+        SELECT COALESCE(e.ft, 'direct') AS first_touch,
+          COALESCE(e.lt, 'direct') AS last_touch,
+          COUNT(*) AS n_conversions,
+          CAST(SUM(c.cents) AS BIGINT) AS value_cents
+        FROM conv c LEFT JOIN ends e USING (user_id)
+        GROUP BY 1, 2"""))
   )
 }

@@ -884,4 +884,40 @@ class Round11OpsSpec extends AnyFunSuite {
     }
     assert(got.map(_._3).sum > 0)
   }
+
+  // ------------------------------------------------------------------
+  // q56_attribution
+  // ------------------------------------------------------------------
+
+  test("attribution: census matches a direct per-user journey replay") {
+    import spark.implicits._
+    val got = q("q56_attribution")
+      .select($"first_touch", $"last_touch", $"n_conversions",
+        $"value_cents")
+      .as[(String, String, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us", "event_id",
+        "CAST(floor(value * 100) AS BIGINT) AS cents")
+      .as[(Long, String, Long, Long, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val rows = byUser.toSeq.flatMap { case (_, es) =>
+      val purchases = es.filter(_._2 == "purchase")
+        .sortBy(e => (e._3, e._4))
+      purchases.headOption.map { p =>
+        val before = es.filter(e => e._2 != "purchase" &&
+          (e._3 < p._3 || (e._3 == p._3 && e._4 < p._4)))
+          .sortBy(e => (e._3, e._4))
+        val ft = before.headOption.map(_._2).getOrElse("direct")
+        val lt = before.lastOption.map(_._2).getOrElse("direct")
+        (ft, lt, p._5)
+      }
+    }
+    val exp = rows.groupBy(r => (r._1, r._2)).map { case ((f, l), rs) =>
+      (f, l, rs.size.toLong, rs.map(_._3).sum) }.toSet
+    assert(got == exp)
+    // conversion conservation: census totals = users with a purchase
+    assert(got.toSeq.map(_._3).sum ==
+      byUser.count(_._2.exists(_._2 == "purchase")))
+  }
 }
