@@ -59,7 +59,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // double-window, and the LSH calibration's candidate-restricted
     // exact-Jaccard join
     "pipeline_merge_upsert", "q54_concurrency", "pipeline_graph_kcore",
-    "q53_hourly_anomaly", "dedup_lsh_error_profile")
+    "q53_hourly_anomaly", "dedup_lsh_error_profile",
+    // round 11 third wave: histogram-threshold quintile scoring (score
+    // maps must not depend on how the tiny histograms were folded),
+    // journey-endpoint argmaxes, the RTP lag-window jitter fold, and
+    // the doc-partitioned keyword ranking over a term-keyed df join
+    "q55_rfm_segments", "q56_attribution", "pcap_rtp_quality",
+    "text_keyword_topk")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
