@@ -630,4 +630,132 @@ class PcapStreamingSpec extends AnyFunSuite {
       assert(!got.exists(_._1.startsWith("192.0.2.")))
     } finally query.stop()
   }
+
+  // ------------------------------------------------------------------
+  // streaming RTP quality monitor
+  // ------------------------------------------------------------------
+
+  test("streaming rtp quality equals the batch twin under gap-split " +
+      "admission (every third packet arrives a batch late)") {
+    val dir = Files.createTempDirectory("pcap_landing_rtp")
+    val reports = graft.streaming.RtpStream.reports(
+      spark.readStream.format("pcap").load(dir.toString),
+      watermark = "3600 seconds", idleSeconds = 60)
+    val query = reports.writeStream.format("memory")
+      .queryName("rtp_reports").outputMode("append").start()
+    try {
+      // wave 1 omits every j % 3 == 1 packet, so each stream's run
+      // list is FULL of single-seq gaps; wave 2 fills them in a later
+      // micro-batch — the late packet must split/merge committed runs,
+      // not append a wrong-order D-term (the state-shape this op
+      // exists to get right)
+      val all = graft.pcap.PcapSynth.rtpPackets(200)
+      def seqOf(fr: Array[Byte]): Int =
+        ((fr(42 + 2) & 0xFF) << 8) | (fr(42 + 3) & 0xFF)
+      val (wave2, wave1) = all.partition(p => (seqOf(p._3) - 7000) % 3 == 1)
+      assert(wave1.nonEmpty && wave2.nonEmpty)
+      Files.write(dir.resolve("a_most.pcap"),
+        graft.pcap.PcapSynth.file(wave1))
+      query.processAllAvailable()
+      Files.write(dir.resolve("b_gapfill.pcap"),
+        graft.pcap.PcapSynth.file(wave2))
+      query.processAllAvailable()
+      // flush: a non-RTP (version-0) payload to the RTP port far past
+      // the horizon — advances the watermark, allocates no state
+      Files.write(dir.resolve("zz_flush.pcap"),
+        graft.pcap.PcapSynth.file(Seq((1703003720L, 0L,
+          graft.pcap.PcapSynth.ipv4UdpFrame(
+            Array[Byte](10, 60, 0, 99), Array[Byte](10, 61, 0, 1),
+            50009, 40000, ttl = 64, payload = new Array[Byte](12))))))
+      query.processAllAvailable()
+      val got = spark.table("rtp_reports").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val want = graft.SparkEntry.queries("pcap_rtp_quality")(
+          spark, "unused")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(want.size == 4 && got == want,
+        s"missing=${want -- got} extra=${got -- want}")
+    } finally query.stop()
+  }
+
+  test("rtp run insertion: duplicates drop, only adjacent merges, " +
+      "gap fold equals the seq-ordered pairwise sum") {
+    import graft.streaming.RtpStream
+    // delivered seqs with a permanent loss gap and arrival noise
+    val pkts = Seq(5 -> 100L, 6 -> 340L, 9 -> 90L, 10 -> 410L)
+      .map { case (q, noise) => (q, q * 20000L, q * 20000L + noise) }
+    // worst-case arrival order: interleaved across the gap
+    val order = Seq(2, 0, 3, 1)
+    var runs = List.empty[RtpStream.Run]
+    order.foreach { i =>
+      val (q, ts, arr) = pkts(i)
+      runs = RtpStream.insert(runs, q, ts, arr)
+    }
+    // adjacent pairs merged, the 6->9 loss gap still open
+    assert(runs.map(r => (r.lo, r.hi)) == List((5, 6), (9, 10)))
+    // duplicate delivery is a no-op
+    val withDup = RtpStream.insert(runs, 6, 6 * 20000L, 999999L)
+    assert(withDup == runs)
+    // the closed fold equals the direct seq-ordered pairwise |D| sum
+    val direct = pkts.sliding(2).map { case Seq(a, b) =>
+      math.abs((b._3 - a._3) - (b._2 - a._2)) }.toSeq
+    val folded = runs.reduceLeft { (a, b) =>
+      val d = math.abs((b.firstArr - a.lastArr) - (b.firstTs - a.lastTs))
+      RtpStream.Run(a.lo, b.hi, a.firstTs, a.firstArr, b.lastTs,
+        b.lastArr, a.sumAbsD + b.sumAbsD + d,
+        math.max(math.max(a.maxAbsD, b.maxAbsD), d), a.n + b.n)
+    }
+    assert(folded.sumAbsD == direct.sum && folded.maxAbsD == direct.max)
+    assert(folded.n == 4 && (folded.hi - folded.lo + 1) - folded.n == 2)
+  }
+
+  test("rtp monitor survives a checkpoint restart mid-capture " +
+      "(exactly-once, run state recovered)") {
+    val dir = Files.createTempDirectory("pcap_landing_rtp_restart")
+    val ckpt = Files.createTempDirectory("rtp_restart_ckpt")
+    val out = Files.createTempDirectory("rtp_restart_out")
+    def start() = graft.streaming.RtpStream.reports(
+        spark.readStream.format("pcap").load(dir.toString),
+        watermark = "3600 seconds", idleSeconds = 60)
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    // first instance commits the gap-riddled wave, then dies — every
+    // stream's run list (with open gaps) lives only in the state store
+    val all = graft.pcap.PcapSynth.rtpPackets(200)
+    def seqOf(fr: Array[Byte]): Int =
+      ((fr(42 + 2) & 0xFF) << 8) | (fr(42 + 3) & 0xFF)
+    val (wave2, wave1) = all.partition(p => (seqOf(p._3) - 7000) % 3 == 1)
+    Files.write(dir.resolve("a_most.pcap"),
+      graft.pcap.PcapSynth.file(wave1))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // the gap-filling wave and the flush land while down
+    Files.write(dir.resolve("b_gapfill.pcap"),
+      graft.pcap.PcapSynth.file(wave2))
+    Files.write(dir.resolve("zz_flush.pcap"),
+      graft.pcap.PcapSynth.file(Seq((1703003720L, 0L,
+        graft.pcap.PcapSynth.ipv4UdpFrame(
+          Array[Byte](10, 60, 0, 99), Array[Byte](10, 61, 0, 1),
+          50009, 40000, ttl = 64, payload = new Array[Byte](12))))))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out.toString)
+    val got = rows.collect()
+      .map(r => (r.getAs[Long]("ssrc"), r.getAs[Int]("pt"),
+        r.getAs[Long]("n_received"), r.getAs[Long]("n_lost"),
+        r.getAs[Long]("jitter_sum_us"), r.getAs[Long]("jitter_max_us")))
+      .toSet
+    assert(rows.count() == got.size, "duplicate reports after restart")
+    val want = graft.SparkEntry.queries("pcap_rtp_quality")(
+        spark, "unused").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == want,
+      s"restart lost/invented: missing=${want -- got} extra=${got -- want}")
+  }
 }
