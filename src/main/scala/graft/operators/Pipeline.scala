@@ -460,6 +460,38 @@ object Pipeline {
         FROM bg JOIN wts USING (bucket)
         GROUP BY 1""")),
 
+    // ----- sequence-length histogram (packing planner input) --------------
+    // Before packing documents into fixed training windows
+    // (pipeline_pack_sequences) or setting a truncation length, the
+    // pipeline needs the length DISTRIBUTION per source: power-of-two
+    // buckets (bucket = bit-length of the whitespace token count, an
+    // integer both engines compute as length(bin(n)) — no float log2),
+    // with doc counts, token mass, and the exact min/max inside each
+    // bucket. Pure per-row projection + ONE aggregation shuffle on the
+    // tiny (source, bucket) key; the histogram costs one pass at any
+    // corpus size.
+    Q("pipeline_seq_len_hist",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"source",
+            expr("size(split(text, '\\\\s+'))").cast("long").as("n"))
+          .select($"source", $"n", length(bin($"n")).as("bucket"))
+          .groupBy($"source", $"bucket")
+          .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"),
+            min($"n").as("min_len"), max($"n").as("max_len"))
+      },
+      Some("""SELECT source, CAST(bucket AS INT) AS bucket,
+          COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+          CAST(MIN(n) AS BIGINT) AS min_len,
+          CAST(MAX(n) AS BIGINT) AS max_len
+        FROM (
+          SELECT source, n, length(bin(n)) AS bucket FROM (
+            SELECT source,
+              CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+            FROM documents))
+        GROUP BY 1, 2""")),
+
     // ----- greedy selection under a global token budget -------------------
     // "Take the best documents until the budget is full" — the data-
     // selection step after scoring (quality here = scaled distinct-word
