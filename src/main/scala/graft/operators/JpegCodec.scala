@@ -265,8 +265,9 @@ object JpegCodec extends Serializable {
     * resets — the framing camera JPEGs use for error resilience
     * (exercises the decoder's syncRestart path; the fixture queries
     * use 0). */
-  def encode(id: Long, restartInterval: Int = 0): Array[Byte] = {
-    val (w, h) = dims(id)
+  def encode(id: Long, restartInterval: Int = 0,
+      dimsOverride: (Int, Int) = null): Array[Byte] = {
+    val (w, h) = if (dimsOverride != null) dimsOverride else dims(id)
     val out = new java.io.ByteArrayOutputStream(4096)
     def marker(b: Int): Unit = { out.write(0xFF); out.write(b) }
     def seg(mk: Int, payload: Array[Byte]): Unit = {
@@ -379,8 +380,9 @@ object JpegCodec extends Serializable {
     * coefficient-space oracle pins the progressive path too.
     * `restartInterval > 0` adds DRI + RSTn framing inside every scan
     * (predictor/EOB-run resets at each interval). */
-  def encodeProgressive(id: Long, restartInterval: Int = 0): Array[Byte] = {
-    val (w, h) = dims(id)
+  def encodeProgressive(id: Long, restartInterval: Int = 0,
+      dimsOverride: (Int, Int) = null): Array[Byte] = {
+    val (w, h) = if (dimsOverride != null) dimsOverride else dims(id)
     val mcusX = (w + 15) / 16
     val mcusY = (h + 15) / 16
     // quantized coefficient blocks, natural order — identical content
@@ -1110,7 +1112,34 @@ object JpegCodec extends Serializable {
     * checked, Huffman/marker/scan-header malformations rejected with
     * clear errors. Other non-baseline frames (lossless, arithmetic,
     * hierarchical) are rejected, not misparsed. */
-  def decode(bytes: Array[Byte]): Multimodal.BmpCodec.Image = {
+  def decode(bytes: Array[Byte]): Multimodal.BmpCodec.Image =
+    decodeImpl(bytes, dcOnly = false)
+
+  /** DC-only "thumbnail" decode: one GRAY pixel per LUMA block — the
+    * 1/8-scale image the DC coefficients alone reconstruct (the IDCT
+    * of a DC-only block is flat, `floor(dc/8 + 128.5)`), which is all
+    * a perceptual fingerprint like [[Multimodal.dhashOf]] needs. The
+    * scale payoff is wire-format dependent:
+    *
+    *   - PROGRESSIVE input: AC scans are never entropy-decoded at all
+    *     — the reader byte-skips each `Ss > 0` scan to its trailing
+    *     marker (stuffing makes in-scan 0xFF bytes unambiguous), so
+    *     the cost is O(DC-scan bytes + a byte scan), not O(Huffman
+    *     symbols). Fingerprinting a petabyte of progressive web JPEGs
+    *     touches a few percent of the entropy-coded work. A corrupted
+    *     AC scan cannot even be noticed — by design (the honesty
+    *     property DcThumbnailSpec pins).
+    *   - BASELINE input: AC coefficients interleave with DC inside
+    *     every block, so the Huffman walk still runs; only the IDCT,
+    *     chroma planes, upsampling, and color conversion are skipped.
+    *
+    * DC refinement scans (successive approximation) are folded in, so
+    * the thumbnail is exact, not an Al-truncated approximation. */
+  def decodeLumaDcThumbnail(bytes: Array[Byte]): Multimodal.BmpCodec.Image =
+    decodeImpl(bytes, dcOnly = true)
+
+  private def decodeImpl(bytes: Array[Byte],
+      dcOnly: Boolean): Multimodal.BmpCodec.Image = {
     require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
       (bytes(1) & 0xFF) == 0xD8, "not a JPEG file")
     def u16(o: Int): Int = {
@@ -1295,7 +1324,7 @@ object JpegCodec extends Serializable {
             }
             return decodeScan(bytes, off + len, w, h, nComp,
               compH, compV, compQ, qt, scanComp, scanDc, scanAc,
-              restartInterval)
+              restartInterval, dcOnly)
           }
           // progressive scan-header validation (T.81 B.2.3 / G.1.1.1)
           if (ss == 0)
@@ -1317,13 +1346,26 @@ object JpegCodec extends Serializable {
             i += 1
           }
           sawScan = true
-          off = decodeProgScan(bytes, off + len, scanComp, scanDc,
-            scanAc, ss, se, ah, al, mcusX, mcusY, compH, compV,
-            blocksW, nbW, nbH, coefStore, restartInterval)
+          off =
+            if (dcOnly && ss > 0)
+              // AC scans carry nothing a DC thumbnail needs: skip the
+              // entropy bytes wholesale (see decodeLumaDcThumbnail)
+              skipEntropyData(bytes, off + len)
+            else decodeProgScan(bytes, off + len, scanComp, scanDc,
+              scanAc, ss, se, ah, al, mcusX, mcusY, compH, compV,
+              blocksW, nbW, nbH, coefStore, restartInterval)
         case 0xD9 =>
-          if (progressive && sawScan)
+          if (progressive && sawScan) {
+            if (dcOnly) {
+              val q0 = qt(compQ(0))(0)
+              val tw = nbW(0); val th = nbH(0)
+              val store = coefStore(0)
+              return dcThumb(tw, th, blocksW(0), (bx, by) =>
+                store((by * blocksW(0) + bx) * 64) * q0)
+            }
             return reconstructProg(w, h, nComp, compH, compV, compQ,
               qt, hmax, vmax, blocksW, blocksH, coefStore)
+          }
           throw new IllegalArgumentException("EOI before any scan")
         case a if (a >= 0xE0 && a <= 0xEF) || a == 0xFE => // APPn / COM
           off += u16(off)
@@ -1335,6 +1377,42 @@ object JpegCodec extends Serializable {
     throw new IllegalArgumentException("no scan in JPEG stream")
   }
 
+  /** Scan forward from `from` (inside entropy-coded data) to the next
+    * real marker: 0xFF followed by anything other than 0x00 (byte
+    * stuffing) or D0-D7 (restart markers) ends the scan. Returns the
+    * offset OF the 0xFF. */
+  private def skipEntropyData(bytes: Array[Byte], from: Int): Int = {
+    var o = from
+    while (o + 1 < bytes.length) {
+      if ((bytes(o) & 0xFF) == 0xFF) {
+        val nx = bytes(o + 1) & 0xFF
+        if (nx != 0x00 && (nx < 0xD0 || nx > 0xD7)) return o
+        o += 2
+      } else o += 1
+    }
+    throw new IllegalArgumentException("unterminated JPEG scan")
+  }
+
+  /** Gray tw×th image from per-block dequantized luma DC values:
+    * the flat IDCT sample `floor(dc/8 + 128.5)`, clamped. */
+  private def dcThumb(tw: Int, th: Int, stride: Int,
+      dcDeqAt: (Int, Int) => Int): Multimodal.BmpCodec.Image = {
+    val px = new Array[Byte](tw * th * 3)
+    var by = 0
+    while (by < th) {
+      var bx = 0
+      while (bx < tw) {
+        val p = math.floor(dcDeqAt(bx, by) / 8.0 + 128.5).toInt
+        val v = (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+        val o = (by * tw + bx) * 3
+        px(o) = v; px(o + 1) = v; px(o + 2) = v
+        bx += 1
+      }
+      by += 1
+    }
+    Multimodal.BmpCodec.Image(tw, th, px)
+  }
+
   /** Interleaved baseline scan: per MCU, each component's h×v blocks
     * (Huffman decode → dequant → dezigzag → IDCT) into its subsampled
     * plane; then nearest-sample upsampling + JFIF color conversion,
@@ -1344,7 +1422,7 @@ object JpegCodec extends Serializable {
       compH: Array[Int], compV: Array[Int], compQ: Array[Int],
       qt: Array[Array[Int]], scanComp: Array[Int],
       scanDc: Array[Huff], scanAc: Array[Huff],
-      restartInterval: Int): Multimodal.BmpCodec.Image = {
+      restartInterval: Int, dcOnly: Boolean): Multimodal.BmpCodec.Image = {
     var hmax = 1; var vmax = 1
     var i = 0
     while (i < nComp) {
@@ -1356,8 +1434,15 @@ object JpegCodec extends Serializable {
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
     val planeW = Array.tabulate(nComp)(c => mcusX * compH(c) * 8)
     val planeH = Array.tabulate(nComp)(c => mcusY * compV(c) * 8)
-    val planes = Array.tabulate(nComp)(c =>
-      new Array[Int](planeW(c) * planeH(c)))
+    // dcOnly: only the luma DC plane is kept (one int per block) —
+    // the Huffman walk below still advances through every AC symbol
+    // (baseline interleaves them), but IDCT/upsample/color are skipped
+    val planes =
+      if (dcOnly) null
+      else Array.tabulate(nComp)(c => new Array[Int](planeW(c) * planeH(c)))
+    val dcPlaneW = mcusX * compH(0)
+    val dcPlane = if (dcOnly) new Array[Int](dcPlaneW * mcusY * compV(0))
+      else null
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     val samp = new Array[Int](64)
@@ -1402,18 +1487,24 @@ object JpegCodec extends Serializable {
                   k += 1
                 }
               }
-              idct(coef, samp)
-              val bx0 = (mx * compH(c) + u) * 8
-              val by0 = (my * compV(c) + v) * 8
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                val row = (by0 + yy) * planeW(c) + bx0
-                while (xx < 8) {
-                  planes(c)(row + xx) = samp(yy * 8 + xx)
-                  xx += 1
+              if (dcOnly) {
+                if (c == 0)
+                  dcPlane((my * compV(0) + v) * dcPlaneW +
+                    mx * compH(0) + u) = coef(0)
+              } else {
+                idct(coef, samp)
+                val bx0 = (mx * compH(c) + u) * 8
+                val by0 = (my * compV(c) + v) * 8
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  val row = (by0 + yy) * planeW(c) + bx0
+                  while (xx < 8) {
+                    planes(c)(row + xx) = samp(yy * 8 + xx)
+                    xx += 1
+                  }
+                  yy += 1
                 }
-                yy += 1
               }
               u += 1
             }
@@ -1426,7 +1517,12 @@ object JpegCodec extends Serializable {
       }
       my += 1
     }
-    assemble(w, h, nComp, compH, compV, hmax, vmax, planes, planeW)
+    if (dcOnly) {
+      val tw = ((w * compH(0) + hmax - 1) / hmax + 7) / 8
+      val th = ((h * compV(0) + vmax - 1) / vmax + 7) / 8
+      dcThumb(tw, th, dcPlaneW, (bx, by) => dcPlane(by * dcPlaneW + bx))
+    } else
+      assemble(w, h, nComp, compH, compV, hmax, vmax, planes, planeW)
   }
 
   /** Shared tail of both decode paths: nearest-sample chroma upsampling

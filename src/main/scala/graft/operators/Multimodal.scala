@@ -2201,6 +2201,62 @@ object Multimodal {
         FROM bb JOIN m ON bb.doc_id = m.doc_id
         GROUP BY 1, 2""")),
 
+    // ----- DC-only JPEG fingerprint (the petabyte-scale dHash path) -------
+    // Fingerprinting a JPEG corpus does NOT need full decodes: the DC
+    // coefficients alone reconstruct an exact 1/8-scale luma thumbnail
+    // (a DC-only block IDCTs to a flat floor(dc/8 + 128.5)), which is
+    // more resolution than the 9x8 dHash grid samples anyway. On
+    // PROGRESSIVE input (the dominant web wire format) the decoder
+    // byte-SKIPS every AC scan without entropy-decoding it — cost is
+    // O(DC-scan bytes), a few percent of the stream — and on baseline
+    // it skips IDCT/upsample/color. The fixture renders large
+    // (75-95 x 66-78) coefficient-synthesized JPEGs, half baseline and
+    // half progressive (bit-identical thumbnails, DcThumbnailSpec);
+    // the ORACLE is pure closed form: the fixture's DC-only
+    // reconstruction is exactly yBase (the AC bases vanish from a
+    // flat block), so every hash bit derives from integer arithmetic
+    // with no decoder in the loop. Narrow per-row map, no shuffle.
+    Q("mm_dhash_dc",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 0)
+          .select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.map { id =>
+            val dims = (75 + (id % 21).toInt, 66 + (id % 13).toInt)
+            val bytes =
+              if (id % 2 == 0) JpegCodec.encode(id, dimsOverride = dims)
+              else JpegCodec.encodeProgressive(id, dimsOverride = dims)
+            val (hi, lo) =
+              dhashOf(JpegCodec.decodeLumaDcThumbnail(bytes))
+            (id, hi, lo)
+          }
+        }.toDF("media_id", "dhash_hi", "dhash_lo")
+      },
+      Some("""WITH dm AS (
+          SELECT doc_id,
+            (75 + doc_id % 21 + 7) // 8 AS tw,
+            (66 + doc_id % 13 + 7) // 8 AS th
+          FROM documents WHERE doc_id % 3 = 0),
+        pb AS (
+          SELECT doc_id, x, y,
+            CASE WHEN
+              (64 + (doc_id*7 + (((x+1)*tw)//9)*31 + ((y*th)//8)*17) % 128)
+              >
+              (64 + (doc_id*7 + ((x*tw)//9)*31 + ((y*th)//8)*17) % 128)
+            THEN 1 ELSE 0 END AS bit
+          FROM dm,
+            LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0, 7)) AS y) ys)
+        SELECT doc_id AS media_id,
+          CAST(SUM(CASE WHEN y >= 4
+            THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+            ELSE 0 END) AS BIGINT) AS dhash_hi,
+          CAST(SUM(CASE WHEN y < 4
+            THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+            ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM pb GROUP BY 1""")),
+
     // ----- REAL nearest-neighbor resize (actual pixel downsampling) ------
     // Decode the BMP, then sample source pixel (x*w/8, y*h/6) for each
     // target pixel of an 8x6 thumbnail — the integer nearest-neighbor
