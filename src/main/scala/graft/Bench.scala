@@ -92,7 +92,10 @@ object Bench {
       // round-11 second wave: the iterative peel and the two new
       // multi-pass container decodes get owned numbers
       "pipeline_graph_kcore", "mm_decode_gif_animated",
-      "mm_decode_png_interlaced", "mm_shot_boundaries")
+      "mm_decode_png_interlaced", "mm_shot_boundaries",
+      // round-11 fourth wave: the DC-only fingerprint path gets an
+      // owned number (BASELINE.md records the full-decode comparison)
+      "mm_dhash_dc")
     val names = (SparkEntry.headline ++ heavy).distinct :+ DecodeName
     // warm-up pass: JIT + codegen + parquet footer caches, not timed —
     // the timed passes measure steady-state engine throughput

@@ -203,9 +203,11 @@ object MediaDedup {
   /** The banded-Hamming image pair relation (m1, m2, hamming); the hash
     * relation rides the per-dataset memo so pairs + components + both
     * join sides decode each image exactly once per session. */
+  private def imgHashes(s: SparkSession, d: String): DataFrame =
+    memoized("img_dhash", d)(groupedDhashes(s, d))
+
   private[operators] def dhashPairs(s: SparkSession, d: String): DataFrame = {
-    val hashed = memoized("img_dhash", d)(groupedDhashes(s, d))
-    bandedHammingPairs(hashed, "media_id", Nil)
+    bandedHammingPairs(imgHashes(s, d), "media_id", Nil)
       .withColumnRenamed("media_id_1", "m1")
       .withColumnRenamed("media_id_2", "m2")
   }
@@ -506,6 +508,85 @@ object MediaDedup {
         FROM lm l JOIN lm r
           ON l.key = r.key AND l.doc_id < r.doc_id
         GROUP BY 1, 2, 3""")),
+
+    // ----- end-to-end media curation (dedup -> canonical -> split) --------
+    // The composed pipeline an image-corpus curation run executes:
+    // decode + fingerprint (the memoized hash relation), near-dup
+    // clustering (banded pairs -> connected components), canonical
+    // selection (cluster-minimum id; singletons keep themselves),
+    // then a content-hash train/val/test split of the SURVIVING
+    // images, reported as a per-split census carrying both the kept
+    // count and the population each kept image REPRESENTS
+    // (cluster_size sum — so the census proves dedup conserved the
+    // corpus: Σ n_represented = image population). Every stage is the
+    // SAME machinery the standalone ops run (imgHashes memo,
+    // bandedHammingPairs, Dedup.connectedComponents, the md5-bucket
+    // split rule), so this is the integration surface, not new math;
+    // the oracle composes the closure + canonical + bucket rules over
+    // the naive all-pairs edge set.
+    Q("pipeline_e2e_media",
+      (s, d) => {
+        import s.implicits._
+        val pairs = dhashPairs(s, d).cache()
+        val edges = pairs.select($"m1".as("src"), $"m2".as("dst"))
+          .union(pairs.select($"m2".as("src"), $"m1".as("dst")))
+          .cache()
+        val comps =
+          try Dedup.connectedComponents(edges)
+          finally { edges.unpersist(); pairs.unpersist() }
+        val lab = imgHashes(s, d).select($"media_id")
+          .join(comps.withColumnRenamed("doc_id", "media_id"),
+            Seq("media_id"), "left")
+          .withColumn("component",
+            coalesce($"component", $"media_id"))
+        val sz = lab.groupBy($"component")
+          .agg(count(lit(1)).as("cluster_size"))
+        lab.filter($"media_id" === $"component")
+          .join(sz, "component")
+          .withColumn("bucket",
+            conv(substring(md5(concat(lit("msplit:"),
+              $"media_id".cast("string"))), 1, 4), 16, 10)
+              .cast("long") % 100)
+          .withColumn("split",
+            when($"bucket" < 90, "train")
+              .when($"bucket" < 95, "val").otherwise("test"))
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_images"),
+            sum($"cluster_size").as("n_represented"),
+            sum($"media_id").as("id_checksum"))
+      },
+      Some(s"""WITH RECURSIVE $dhashCtes,
+        cand AS (
+          SELECT l.media_id AS m1, r.media_id AS m2
+          FROM ph l JOIN ph r ON l.media_id < r.media_id
+          WHERE bit_count(xor(l.dhash_hi, r.dhash_hi))
+              + bit_count(xor(l.dhash_lo, r.dhash_lo)) <= $HammingT),
+        edges AS (SELECT m1 AS a, m2 AS b FROM cand
+                  UNION SELECT m2, m1 FROM cand),
+        nodes AS (SELECT DISTINCT a AS doc FROM edges),
+        reach(doc, r) AS (
+          SELECT doc, doc FROM nodes
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc),
+        comp AS (SELECT doc AS media_id, MIN(r) AS component
+                 FROM reach GROUP BY doc),
+        lab AS (
+          SELECT ph.media_id,
+            COALESCE(c.component, ph.media_id) AS component
+          FROM ph LEFT JOIN comp c ON c.media_id = ph.media_id),
+        sz AS (SELECT component, COUNT(*) AS csz FROM lab GROUP BY 1),
+        keep AS (
+          SELECT l.media_id, s.csz,
+            CAST('0x' || substr(md5('msplit:'
+              || CAST(l.media_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS b
+          FROM lab l JOIN sz s USING (component)
+          WHERE l.media_id = l.component)
+        SELECT CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+          COUNT(*) AS n_images,
+          CAST(SUM(csz) AS BIGINT) AS n_represented,
+          CAST(SUM(media_id) AS BIGINT) AS id_checksum
+        FROM keep GROUP BY 1""")),
 
     // ----- shot boundary detection (temporal video segmentation) ----------
     // The third consumer of per-frame perceptual hashes: WITHIN one

@@ -920,4 +920,30 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._3).sum ==
       byUser.count(_._2.exists(_._2 == "purchase")))
   }
+
+  // ------------------------------------------------------------------
+  // pipeline_e2e_media
+  // ------------------------------------------------------------------
+
+  test("e2e media: census conserves the corpus and agrees with the " +
+      "standalone component labeling") {
+    import spark.implicits._
+    val got = q("pipeline_e2e_media")
+      .select($"split", $"n_images", $"n_represented", $"id_checksum")
+      .as[(String, Long, Long, Long)].collect()
+    val nImgs = Tables.documents(spark, sf).count()
+    // conservation: every image is represented by exactly one kept
+    // canonical; kept count never exceeds represented count
+    assert(got.map(_._3).sum == nImgs)
+    assert(got.forall(r => r._2 <= r._3))
+    // the kept set IS the standalone labeling's canonical set: ids
+    // where component == self (plus singletons), checksummed
+    val comps = q("mm_dhash_components")
+      .select($"media_id", $"component").as[(Long, Long)].collect().toMap
+    val allIds = Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect()
+    val canon = allIds.filter(id => comps.getOrElse(id, id) == id)
+    assert(got.map(_._4).sum == canon.sum)
+    assert(got.map(_._2).sum == canon.length)
+  }
 }
