@@ -299,6 +299,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Threshold-sensitivity sweep over the guarded LSH candidate set:
+    * for each Jaccard cutoff t/10, how many candidate pairs survive
+    * and how many documents get flagged as having a near-dup — the
+    * table a pipeline owner reads before committing to a dedup
+    * threshold (too low deletes content, too high keeps dupes).
+    * Comparisons are integer cross-multiplications
+    * (common·10 ≥ t·union), never float ratios; the sweep rides the
+    * SAME candidate relation as dedup_minhash_lsh (never all-pairs),
+    * exploded ×5 thresholds with immediate filtering, then two
+    * tiny-key aggregations. */
+  private[graft] def thresholdSweep(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val pairs = minhashPairs(s, d)
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = pairs
+      .join(sh.select($"doc_id".as("doc1"), $"shingle"), "doc1")
+      .join(sh.select($"doc_id".as("doc2"), $"shingle"),
+        Seq("doc2", "shingle"))
+      .groupBy($"doc1", $"doc2").agg(count(lit(1)).as("common"))
+    val jac = pairs
+      .join(common, Seq("doc1", "doc2"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(sizes.select($"doc_id".as("doc1"), $"n_sh".as("n1")), "doc1")
+      .join(sizes.select($"doc_id".as("doc2"), $"n_sh".as("n2")), "doc2")
+      .selectExpr("doc1", "doc2", "common",
+        "n1 + n2 - common AS uni")
+    val kept = jac
+      .select($"doc1", $"doc2", $"common", $"uni",
+        explode(expr("array(5, 6, 7, 8, 9)")).as("t10"))
+      .filter($"common" * 10 >= $"t10" * $"uni")
+      .cache()
+    val pAgg = kept.groupBy($"t10").agg(count(lit(1)).as("n_pairs"))
+    val fAgg = kept
+      .select($"t10", explode(array($"doc1", $"doc2")).as("doc"))
+      .distinct()
+      .groupBy($"t10").agg(count(lit(1)).as("n_docs_flagged"))
+    pAgg.join(fAgg, "t10")
+      .select($"t10".cast("int").as("t10"), $"n_pairs",
+        $"n_docs_flagged")
+  }
+
   // ----- persisted LSH bucket index (incremental corpus dedup) ------------
   // The continuous-ingestion form of MinHash-LSH dedup: at 100 TB the
   // corpus grows by delivery, and re-shingling the WHOLE corpus to
@@ -1070,6 +1113,42 @@ object Dedup {
         JOIN sizes s2 ON s2.doc_id = e.doc2
         GROUP BY 1, 2"""
       }),
+
+    // ----- dedup threshold-sensitivity sweep ------------------------------
+    // Before committing a corpus to one Jaccard cutoff, the sweep
+    // (object doc on [[thresholdSweep]]): surviving candidate pairs +
+    // flagged-document counts at t = 0.5..0.9, integer cross-mult
+    // comparisons, riding the SAME guarded candidate set as
+    // dedup_minhash_lsh.
+    Q("dedup_threshold_sweep",
+      (s, d) => thresholdSweep(s, d),
+      Some(s"""WITH $sigCtesSql,
+        $candCtesSql,
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        common AS (
+          SELECT c.doc1, c.doc2, COUNT(*) AS common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc1
+          JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT c.doc1, c.doc2, COALESCE(cm.common, 0) AS common,
+            s1.n_sh + s2.n_sh - COALESCE(cm.common, 0) AS uni
+          FROM cand c
+          LEFT JOIN common cm ON cm.doc1 = c.doc1 AND cm.doc2 = c.doc2
+          JOIN sizes s1 ON s1.doc_id = c.doc1
+          JOIN sizes s2 ON s2.doc_id = c.doc2),
+        sw AS (
+          SELECT t10, doc1, doc2 FROM jac,
+            (SELECT unnest([5, 6, 7, 8, 9]) AS t10) ts
+          WHERE common * 10 >= t10 * uni),
+        p AS (SELECT t10, COUNT(*) AS n_pairs FROM sw GROUP BY 1),
+        f AS (SELECT t10, COUNT(DISTINCT doc) AS n_docs_flagged FROM (
+            SELECT t10, doc1 AS doc FROM sw
+            UNION ALL SELECT t10, doc2 FROM sw) GROUP BY 1)
+        SELECT CAST(p.t10 AS INT) AS t10,
+          p.n_pairs, f.n_docs_flagged
+        FROM p JOIN f USING (t10)""")),
 
     // ----- incremental dedup against the persisted LSH bucket index -------
     // The continuous-ingestion screen (object notes above lshBucketIndex):

@@ -946,4 +946,49 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.map(_._4).sum == canon.sum)
     assert(got.map(_._2).sum == canon.length)
   }
+
+  // ------------------------------------------------------------------
+  // dedup_threshold_sweep
+  // ------------------------------------------------------------------
+
+  test("threshold sweep: monotone in the cutoff and consistent with " +
+      "the LSH query at its own threshold") {
+    import spark.implicits._
+    val got = q("dedup_threshold_sweep")
+      .select($"t10", $"n_pairs", $"n_docs_flagged")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(5, 6, 7, 8, 9))
+    // raising the cutoff can only shrink both counts
+    got.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3)
+    }
+    // a pair flags at most 2 docs; a doc needs at least one pair
+    got.foreach(r => assert(r._3 <= 2 * r._2 && (r._2 == 0) == (r._3 == 0)))
+    // every sweep row is a subset of dedup_minhash_lsh's candidate set
+    // (the same guarded chain, before any jaccard cutoff), and a
+    // direct exact-jaccard fold over raw text reproduces each count
+    val cands = q("dedup_minhash_lsh")
+      .select($"doc1", $"doc2").as[(Long, Long)].collect()
+    assert(got.forall(_._2 <= cands.length))
+    val texts = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    // mirrors Dedup.shinglesOf exactly: split on \s+ (no empty filter),
+    // docs under 3 words contribute nothing, distinct 3-grams
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.toLowerCase.split("\\s+")
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val jacs = cands.map { case (a, b) =>
+      val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+      val c = (sa & sb).size.toLong
+      (a, b, c, sa.size + sb.size - c)
+    }
+    for (t <- 5 to 9) {
+      val expPairs = jacs.filter(j => j._3 * 10 >= t * j._4)
+      assert(got.find(_._1 == t).get._2 == expPairs.length, s"t=$t")
+      assert(got.find(_._1 == t).get._3 ==
+        expPairs.flatMap(j => Seq(j._1, j._2)).distinct.length, s"t=$t")
+    }
+  }
 }
