@@ -366,6 +366,56 @@ object Graph {
     // artifact — cached, src-partitioned, build already paid by
     // pagerank/LPA. All-integer counts; the one division is the final
     // scalar. The oracle replays the identical orientation in DuckDB.
+    // ----- association-rule lift (market-basket mining) -------------------
+    // The classic basket question over the SAME persisted co-purchase
+    // artifact pagerank/LPA/k-core ride: which item pairs co-occur
+    // MORE than their popularities predict. lift = N·c12 / (c1·c2),
+    // reported as an exact scaled integer (ppm, floor division) so
+    // both engines agree bit-for-bit — no float ratio — alongside the
+    // raw counts a consumer needs for support/confidence. Scale shape:
+    // the expensive self-join is the artifact (built once, delta-
+    // appended); item counts are one aggregation on the natural key;
+    // the pair-side joins shuffle on item ids; positively-associated
+    // rules ranked by TakeOrderedAndProject (top-k, never a global
+    // sort).
+    Q("pipeline_basket_lift",
+      (s, d) => {
+        import s.implicits._
+        val e = coPurchaseEdges(s, d)
+          .filter($"src" < $"dst") // one row per unordered pair
+        val li = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val n = li.select($"l_orderkey").distinct().count()
+        val cnt = li.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+        e.join(cnt.select($"l_partkey".as("src"), $"c".as("c1")), "src")
+          .join(cnt.select($"l_partkey".as("dst"), $"c".as("c2")), "dst")
+          .select($"src", $"dst", $"w", $"c1", $"c2",
+            expr(s"(${n}L * w * 1000000L) DIV (c1 * c2)").as("lift_ppm"))
+          .filter($"lift_ppm" > 1000000L) // positively associated only
+          .orderBy($"lift_ppm".desc, $"src".asc, $"dst".asc)
+          .limit(20)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+               FROM lineitem),
+        nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+        cnt AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+        pair AS (
+          SELECT a.l_partkey AS src, b.l_partkey AS dst,
+                 COUNT(*) AS w
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey
+          GROUP BY 1, 2),
+        r AS (
+          SELECT src, dst, CAST(w AS BIGINT) AS w,
+            CAST(c1.c AS BIGINT) AS c1, CAST(c2.c AS BIGINT) AS c2,
+            (nn.n * w * 1000000) // (c1.c * c2.c) AS lift_ppm
+          FROM pair
+          JOIN cnt c1 ON c1.l_partkey = src
+          JOIN cnt c2 ON c2.l_partkey = dst, nn)
+        SELECT src, dst, w, c1, c2, CAST(lift_ppm AS BIGINT) AS lift_ppm
+        FROM r WHERE lift_ppm > 1000000
+        ORDER BY lift_ppm DESC, src, dst LIMIT 20""")),
+
     Q("pipeline_graph_triangles",
       (s, d) => {
         import s.implicits._

@@ -991,4 +991,34 @@ class Round11OpsSpec extends AnyFunSuite {
         expPairs.flatMap(j => Seq(j._1, j._2)).distinct.length, s"t=$t")
     }
   }
+
+  // ------------------------------------------------------------------
+  // pipeline_basket_lift
+  // ------------------------------------------------------------------
+
+  test("basket lift: rules match a direct basket fold; top-k plan") {
+    import spark.implicits._
+    val df = q("pipeline_basket_lift")
+    val got = df.select($"src", $"dst", $"w", $"c1", $"c2", $"lift_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // direct re-derivation from raw lineitem
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").as[(Long, Long)]
+      .collect().distinct
+    val n = li.map(_._1).distinct.length.toLong
+    val cnt = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toVector
+    val rules = pairs.map { case ((a, b), w) =>
+      (a, b, w, cnt(a), cnt(b), n * w * 1000000L / (cnt(a) * cnt(b)))
+    }.filter(_._6 > 1000000L)
+      .sortBy(r => (-r._6, r._1, r._2)).take(20).toSet
+    assert(got == rules)
+    // ranked-limit runs as TakeOrderedAndProject, not a global sort
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
 }
