@@ -337,9 +337,15 @@ object Dedup {
       .select($"t10", explode(array($"doc1", $"doc2")).as("doc"))
       .distinct()
       .groupBy($"t10").agg(count(lit(1)).as("n_docs_flagged"))
-    pAgg.join(fAgg, "t10")
-      .select($"t10".cast("int").as("t10"), $"n_pairs",
-        $"n_docs_flagged")
+    // a cutoff no pair survives must still report (t, 0, 0) — the
+    // sweep exists to show where the table goes empty, so the row
+    // set is anchored on the threshold dimension, not the survivors
+    val ts = s.range(5, 10).select($"id".cast("int").as("t10"))
+    ts.join(pAgg, Seq("t10"), "left")
+      .join(fAgg, Seq("t10"), "left")
+      .select($"t10",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs_flagged", lit(0L)).as("n_docs_flagged"))
   }
 
   // ----- persisted LSH bucket index (incremental corpus dedup) ------------
@@ -1145,10 +1151,14 @@ object Dedup {
         p AS (SELECT t10, COUNT(*) AS n_pairs FROM sw GROUP BY 1),
         f AS (SELECT t10, COUNT(DISTINCT doc) AS n_docs_flagged FROM (
             SELECT t10, doc1 AS doc FROM sw
-            UNION ALL SELECT t10, doc2 FROM sw) GROUP BY 1)
-        SELECT CAST(p.t10 AS INT) AS t10,
-          p.n_pairs, f.n_docs_flagged
-        FROM p JOIN f USING (t10)""")),
+            UNION ALL SELECT t10, doc2 FROM sw) GROUP BY 1),
+        ths AS (SELECT unnest([5, 6, 7, 8, 9]) AS t10)
+        SELECT CAST(ths.t10 AS INT) AS t10,
+          CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+          CAST(COALESCE(f.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
+        FROM ths
+        LEFT JOIN p ON p.t10 = ths.t10
+        LEFT JOIN f ON f.t10 = ths.t10""")),
 
     // ----- incremental dedup against the persisted LSH bucket index -------
     // The continuous-ingestion screen (object notes above lshBucketIndex):

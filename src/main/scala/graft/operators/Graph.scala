@@ -378,6 +378,14 @@ object Graph {
     // the pair-side joins shuffle on item ids; positively-associated
     // rules ranked by TakeOrderedAndProject (top-k, never a global
     // sort).
+    // Lift arithmetic: at 100 TB, N and the c1·c2 product both blow
+    // past BIGINT (N ~ 10^12 baskets → c1·c2 up to 10^24), so integer
+    // ppm scaling — the battery's usual discipline — cannot represent
+    // the ratio at the scale this op targets. Instead lift is computed
+    // as DOUBLE in ONE FIXED operation order, (w·N)/c1/c2: each step
+    // is a single exact-rounded IEEE op (no cross-row accumulation),
+    // so both engines produce bit-identical doubles at any magnitude.
+    // The raw counts ride along exact.
     Q("pipeline_basket_lift",
       (s, d) => {
         import s.implicits._
@@ -385,14 +393,15 @@ object Graph {
           .filter($"src" < $"dst") // one row per unordered pair
         val li = Tables.lineitem(s, d)
           .select($"l_orderkey", $"l_partkey").distinct()
-        val n = li.select($"l_orderkey").distinct().count()
+        val nRel = li.agg(countDistinct($"l_orderkey").as("n"))
         val cnt = li.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
         e.join(cnt.select($"l_partkey".as("src"), $"c".as("c1")), "src")
           .join(cnt.select($"l_partkey".as("dst"), $"c".as("c2")), "dst")
+          .crossJoin(broadcast(nRel))
           .select($"src", $"dst", $"w", $"c1", $"c2",
-            expr(s"(${n}L * w * 1000000L) DIV (c1 * c2)").as("lift_ppm"))
-          .filter($"lift_ppm" > 1000000L) // positively associated only
-          .orderBy($"lift_ppm".desc, $"src".asc, $"dst".asc)
+            expr("CAST(w AS DOUBLE) * n / c1 / c2").as("lift"))
+          .filter($"lift" > 1.0) // positively associated only
+          .orderBy($"lift".desc, $"src".asc, $"dst".asc)
           .limit(20)
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
@@ -408,13 +417,13 @@ object Graph {
         r AS (
           SELECT src, dst, CAST(w AS BIGINT) AS w,
             CAST(c1.c AS BIGINT) AS c1, CAST(c2.c AS BIGINT) AS c2,
-            (nn.n * w * 1000000) // (c1.c * c2.c) AS lift_ppm
+            CAST(w AS DOUBLE) * nn.n / c1.c / c2.c AS lift
           FROM pair
           JOIN cnt c1 ON c1.l_partkey = src
           JOIN cnt c2 ON c2.l_partkey = dst, nn)
-        SELECT src, dst, w, c1, c2, CAST(lift_ppm AS BIGINT) AS lift_ppm
-        FROM r WHERE lift_ppm > 1000000
-        ORDER BY lift_ppm DESC, src, dst LIMIT 20""")),
+        SELECT src, dst, w, c1, c2, lift
+        FROM r WHERE lift > 1.0
+        ORDER BY lift DESC, src, dst LIMIT 20""")),
 
     Q("pipeline_graph_triangles",
       (s, d) => {

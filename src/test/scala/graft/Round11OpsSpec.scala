@@ -999,9 +999,9 @@ class Round11OpsSpec extends AnyFunSuite {
   test("basket lift: rules match a direct basket fold; top-k plan") {
     import spark.implicits._
     val df = q("pipeline_basket_lift")
-    val got = df.select($"src", $"dst", $"w", $"c1", $"c2", $"lift_ppm")
-      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
-    // direct re-derivation from raw lineitem
+    val got = df.select($"src", $"dst", $"w", $"c1", $"c2", $"lift")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    // direct re-derivation from raw lineitem, same fixed op order
     val li = Tables.lineitem(spark, sf)
       .selectExpr("l_orderkey", "l_partkey").as[(Long, Long)]
       .collect().distinct
@@ -1013,8 +1013,8 @@ class Round11OpsSpec extends AnyFunSuite {
         yield (ps(i), ps(j))
     }.groupBy(identity).view.mapValues(_.size.toLong).toVector
     val rules = pairs.map { case ((a, b), w) =>
-      (a, b, w, cnt(a), cnt(b), n * w * 1000000L / (cnt(a) * cnt(b)))
-    }.filter(_._6 > 1000000L)
+      (a, b, w, cnt(a), cnt(b), w.toDouble * n / cnt(a) / cnt(b))
+    }.filter(_._6 > 1.0)
       .sortBy(r => (-r._6, r._1, r._2)).take(20).toSet
     assert(got == rules)
     // ranked-limit runs as TakeOrderedAndProject, not a global sort
