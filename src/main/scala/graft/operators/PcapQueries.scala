@@ -1089,6 +1089,68 @@ object PcapQueries {
     * each of the 3 bursts per tuple is its own flow record (bursts sit
     * 120 s apart, beyond the 60 s idle timeout; intra-burst spacing is
     * 1 s). UDP frame = 42 B + payload. */
+  /** The NetFlow-style flow relation over the flow-export capture —
+    * shared by pcap_flow_export and pcap_flow_percentiles (one
+    * derivation, two consumers). */
+  private def exportedFlows(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy($"src", $"dst", $"src_port", $"dst_port")
+      .orderBy($"ts_micro")
+    s.read.format("pcap").load(flowExportSynthPath)
+      .filter($"protocol" === "UDP")
+      .select($"src", $"dst", $"src_port", $"dst_port",
+        $"ts_micro", $"size")
+      .withColumn("new_flow",
+        when(lag($"ts_micro", 1).over(w).isNull ||
+          $"ts_micro" - lag($"ts_micro", 1).over(w) >
+            60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("flow_seq", sum($"new_flow").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"src", $"dst", $"src_port", $"dst_port",
+        $"flow_seq")
+      .agg(min($"ts_micro").as("first_ts"),
+        max($"ts_micro").as("last_ts"),
+        count(lit(1)).as("n_pkts"),
+        sum($"size").as("n_bytes"))
+  }
+
+  /** Constant oracle for pcap_flow_percentiles: replay the flow
+    * synthesis formulas (flowExportOracle doc) per dst endpoint and
+    * select the exact order statistics with the same positional
+    * rules as the query. */
+  private def flowPercentilesOracle(n: Int): String = {
+    val flows = for (i <- 0 until n; b <- 0 until 3) yield {
+      val npk = 1 + (i + b) % 3
+      val fsz = 42L + 20 + (i % 5) * 10
+      (s"192.0.2.${50 + i % 3}", npk * fsz, (npk - 1) * 1000000L)
+    }
+    def stats(vs: Seq[Long]): (Int, Double, Long, Long) = {
+      val s0 = vs.sorted
+      val m = s0.length
+      val med =
+        if (m % 2 == 1) s0(m / 2).toDouble
+        else (s0(m / 2 - 1) + s0(m / 2)) / 2.0
+      (m, med, s0((9 * m + 9) / 10 - 1), s0((99 * m + 99) / 100 - 1))
+    }
+    val rows = flows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (dst, fs) =>
+        val (nb, medB, p90B, p99B) = stats(fs.map(_._2))
+        val (_, medD, p90D, p99D) = stats(fs.map(_._3))
+        Seq(s"('$dst', 'bytes', $nb, $medB, $p90B, $p99B)",
+          s"('$dst', 'dur_us', $nb, $medD, $p90D, $p99D)")
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.dst AS VARCHAR) AS dst,
+        CAST(v.metric AS VARCHAR) AS metric,
+        CAST(v.n_flows AS BIGINT) AS n_flows,
+        CAST(v.median AS DOUBLE) AS median,
+        CAST(v.p90 AS BIGINT) AS p90,
+        CAST(v.p99 AS BIGINT) AS p99
+        FROM (VALUES $rows)
+          AS v(dst, metric, n_flows, median, p90, p99)"""
+  }
+
   private def flowExportOracle(n: Int): String = {
     val rows = (for (i <- 0 until n; b <- 0 until 3) yield {
       val npk = 1 + (i + b) % 3
@@ -3141,30 +3203,48 @@ object PcapQueries {
     // plans the aggregate without a second shuffle (SecAnalyticsSpec
     // pins this).
     Q("pcap_flow_export",
+      (s, d) => exportedFlows(s),
+      Some(flowExportOracle(60))),
+
+    // ----- exact flow-size/duration percentiles (capacity planning) -------
+    // The next question after flow export: what do typical and tail
+    // flows look like per service endpoint — the numbers capacity
+    // planning and SLO alerting are set from. EXACT order statistics
+    // via the q39 positional-selection trick (no approx sketch):
+    // per-(dst, metric) row_number + count windows, then median
+    // (midpoint rule), p90, p99 picked by rank. Scale shape: the
+    // window partitions by (endpoint, metric) — flows per endpoint
+    // are bounded by the capture horizon, and the output collapses to
+    // O(endpoints × 2) rows; nothing global ever sorts.
+    Q("pcap_flow_percentiles",
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val w = Window
-          .partitionBy($"src", $"dst", $"src_port", $"dst_port")
-          .orderBy($"ts_micro")
-        s.read.format("pcap").load(flowExportSynthPath)
-          .filter($"protocol" === "UDP")
-          .select($"src", $"dst", $"src_port", $"dst_port",
-            $"ts_micro", $"size")
-          .withColumn("new_flow",
-            when(lag($"ts_micro", 1).over(w).isNull ||
-              $"ts_micro" - lag($"ts_micro", 1).over(w) >
-                60L * 1000000L, 1L).otherwise(0L))
-          .withColumn("flow_seq", sum($"new_flow").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy($"src", $"dst", $"src_port", $"dst_port",
-            $"flow_seq")
-          .agg(min($"ts_micro").as("first_ts"),
-            max($"ts_micro").as("last_ts"),
-            count(lit(1)).as("n_pkts"),
-            sum($"size").as("n_bytes"))
+        val f = exportedFlows(s)
+          .select($"dst", $"n_bytes",
+            ($"last_ts" - $"first_ts").as("dur_us"))
+        val m = f.select($"dst", lit("bytes").as("metric"),
+            $"n_bytes".cast("long").as("v"))
+          .union(f.select($"dst", lit("dur_us").as("metric"),
+            $"dur_us".cast("long").as("v")))
+        val wo = Window.partitionBy($"dst", $"metric").orderBy($"v")
+        val wn = Window.partitionBy($"dst", $"metric")
+        m.withColumn("rn", row_number().over(wo))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy($"dst", $"metric")
+          .agg(max($"n").as("n_flows"),
+            (sum(when(($"rn" * 2 === $"n") ||
+                ($"rn" * 2 === $"n" + lit(1) && $"n" % 2 === 1) ||
+                ($"rn" * 2 === $"n" + lit(2)), $"v").otherwise(0L))
+              .cast("double") /
+              when(max($"n") % 2 === 0, 2.0).otherwise(1.0))
+              .as("median"),
+            max(when($"rn" === expr("(9 * n + 9) DIV 10"), $"v"))
+              .as("p90"),
+            max(when($"rn" === expr("(99 * n + 99) DIV 100"), $"v"))
+              .as("p99"))
       },
-      Some(flowExportOracle(60))),
+      Some(flowPercentilesOracle(60))),
 
     // ----- DNS fast-flux detection (round 11) -----------------------------
     // The botnet-hosting tell: one name resolving to MANY addresses

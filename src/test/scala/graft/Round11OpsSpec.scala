@@ -1021,4 +1021,34 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
   }
+
+  // ------------------------------------------------------------------
+  // pcap_flow_percentiles
+  // ------------------------------------------------------------------
+
+  test("flow percentiles: match a direct sort over the exported flows") {
+    import spark.implicits._
+    val got = q("pcap_flow_percentiles")
+      .select($"dst", $"metric", $"n_flows", $"median", $"p90", $"p99")
+      .as[(String, String, Long, Double, Long, Long)].collect().toSet
+    val flows = q("pcap_flow_export")
+      .selectExpr("dst", "CAST(n_bytes AS LONG) AS b",
+        "last_ts - first_ts AS dur")
+      .as[(String, Long, Long)].collect()
+    def stats(vs: Seq[Long]): (Long, Double, Long, Long) = {
+      val s0 = vs.sorted
+      val m = s0.length
+      val med = if (m % 2 == 1) s0(m / 2).toDouble
+        else (s0(m / 2 - 1) + s0(m / 2)) / 2.0
+      (m.toLong, med, s0((9 * m + 9) / 10 - 1),
+        s0((99 * m + 99) / 100 - 1))
+    }
+    val exp = flows.groupBy(_._1).flatMap { case (dst, fs) =>
+      val (nb, mb, p9b, p99b) = stats(fs.map(_._2).toSeq)
+      val (_, md, p9d, p99d) = stats(fs.map(_._3).toSeq)
+      Seq((dst, "bytes", nb, mb, p9b, p99b),
+        (dst, "dur_us", nb, md, p9d, p99d))
+    }.toSet
+    assert(got == exp)
+  }
 }
