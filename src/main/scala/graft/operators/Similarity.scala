@@ -1848,6 +1848,59 @@ object Similarity {
     // (0.81, 1.21) sit far from both populations (~1 vs ~16), so the
     // flags are deterministic. ONE narrow projection + ONE shuffle on
     // the tiny label key.
+    // ----- exact-duplicate vector detection (retry-dup QC) -----------------
+    // The embedding-pipeline defect sim_embedding_qc does NOT catch:
+    // rows duplicated by ingestion retries (same vector, different
+    // vec_id) and degenerate all-zero vectors collapsing into one
+    // point. Detection is an exact GROUP BY on the milli-unit
+    // quantized vector (floor(x·1000) per component, the battery's
+    // float-key discipline — CAST to DOUBLE first so both engines
+    // promote identically); only clusters with ≥ 2 members emit.
+    // Fixture defects from vec_id arithmetic: every vec_id % 31 == 11
+    // row carries the RAW embedding of vec_id − 11 (a retry copy of
+    // an earlier row), and vec_id % 17 == 3 rows are all-zero
+    // (overriding — a copied zero joins the zero cluster). Scale
+    // shape: ONE shuffle on the quantized-vector key (≈ vector bytes,
+    // the unavoidable content key), output O(dup clusters).
+    Q("sim_duplicate_vectors",
+      (s, d) => {
+        import s.implicits._
+        val base = Tables.embeddings(s, d)
+          .select($"vec_id", $"label", $"embedding")
+        val donors = base
+          .select($"vec_id".as("donor_id"), $"embedding".as("demb"))
+        base
+          .withColumn("donor",
+            when($"vec_id" % 31 === 11, $"vec_id" - 11)
+              .otherwise($"vec_id"))
+          .join(donors, $"donor" === $"donor_id")
+          .selectExpr("vec_id", "label", s"""
+            CASE WHEN vec_id % 17 = 3
+                   THEN transform(demb, x -> CAST(0 AS BIGINT))
+                 ELSE transform(demb, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+            END AS key""")
+          .groupBy($"key")
+          .agg(min($"vec_id").as("cluster_id"),
+            count(lit(1)).as("n_copies"),
+            countDistinct($"label").as("n_labels"))
+          .filter($"n_copies" >= 2)
+          .select($"cluster_id", $"n_copies", $"n_labels")
+      },
+      Some("""WITH deg AS (
+          SELECT b.vec_id, b.label,
+            CASE WHEN b.vec_id % 17 = 3
+                   THEN [CAST(0 AS BIGINT) FOR x IN d.embedding]
+                 ELSE [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                       FOR x IN d.embedding] END AS key
+          FROM embeddings b JOIN embeddings d
+            ON d.vec_id = CASE WHEN b.vec_id % 31 = 11
+                               THEN b.vec_id - 11 ELSE b.vec_id END)
+        SELECT MIN(vec_id) AS cluster_id,
+          COUNT(*) AS n_copies,
+          COUNT(DISTINCT label) AS n_labels
+        FROM deg GROUP BY key HAVING COUNT(*) >= 2""")),
+
     Q("sim_embedding_qc",
       (s, d) => {
         import s.implicits._

@@ -1051,4 +1051,34 @@ class Round11OpsSpec extends AnyFunSuite {
     }.toSet
     assert(got == exp)
   }
+
+  // ------------------------------------------------------------------
+  // sim_duplicate_vectors
+  // ------------------------------------------------------------------
+
+  test("duplicate vectors: clusters match the fixture's defect rules") {
+    import spark.implicits._
+    val got = q("sim_duplicate_vectors")
+      .select($"cluster_id", $"n_copies", $"n_labels")
+      .as[(Long, Long, Long)].collect()
+    val ids = Tables.embeddings(spark, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    // the zero cluster: every vec_id % 17 == 3, plus retry copies
+    // whose donor is zero-ruled
+    val zeros = ids.filter(_ % 17 == 3) ++
+      ids.filter(id => id % 31 == 11 && (id - 11) % 17 == 3 &&
+        id % 17 != 3)
+    val zeroRow = got.find(_._1 == zeros.min).get
+    assert(zeroRow._2 == zeros.size)
+    // retry pairs: copy + donor, excluding anything zero-ruled
+    val pairs = ids.filter(id => id % 31 == 11 && ids((id - 11)) &&
+      id % 17 != 3 && (id - 11) % 17 != 3)
+    assert(got.length == 1 + pairs.size)
+    pairs.foreach { id =>
+      val r = got.find(_._1 == id - 11)
+      assert(r.exists(_._2 == 2), s"copy of ${id - 11} missing")
+    }
+    // no spurious clusters: every reported cluster is accounted for
+    assert(got.map(_._2).sum == zeros.size + 2 * pairs.size)
+  }
 }
