@@ -1389,6 +1389,37 @@ object PcapQueries {
           AS v(vlan_id, n_pkts, n_clients, max_pcp, first_qname)"""
   }
 
+  /** QinQ metro capture (see [[graft.pcap.PcapSynth.qinqPackets]]). */
+  private def qinqSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_qinq.pcap")
+    graft.pcap.PcapSynth.ensureQinqFile(p, 120)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_qinq_inventory, re-derived from the
+    * synthesis formulas: single-tag frames are i mod 12 == 5 (inner
+    * NULL), service vid = 200 + i mod 4, customer vid = 300 + i mod 9,
+    * one distinct client per i, qname `qinq$i.metro.example.com.`. */
+  private def qinqInventoryOracle(n: Int): String = {
+    val groups = (0 until n).groupBy { i =>
+      (200 + i % 4,
+        if (i % 12 == 5) None else Some(300 + i % 9))
+    }
+    val rows = groups.toSeq.sortBy(g => (g._1._1, g._1._2.getOrElse(-1)))
+      .map { case ((svid, cvid), is) =>
+        val firstQ = is.map(i => s"qinq$i.metro.example.com.").min
+        s"($svid, ${cvid.map(_.toString).getOrElse("NULL")}, " +
+          s"${is.size}, ${is.size}, '$firstQ')"
+      }.mkString(",\n        ")
+    s"""SELECT CAST(v.vlan_id AS INT) AS vlan_id,
+        CAST(v.vlan_inner_id AS INT) AS vlan_inner_id,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.n_clients AS BIGINT) AS n_clients,
+        CAST(v.first_qname AS VARCHAR) AS first_qname
+        FROM (VALUES $rows)
+          AS v(vlan_id, vlan_inner_id, n_pkts, n_clients, first_qname)"""
+  }
+
   /** RTP media capture (see [[graft.pcap.PcapSynth.rtpPackets]]). */
   private def rtpSynthPath: String = {
     val p = java.nio.file.Paths.get("/tmp/graft_synth_rtp.pcap")
@@ -1887,7 +1918,7 @@ object PcapQueries {
           .drop("payload", "file", "frame", "tcp_seq", "tcp_flags",
             "tcp_ack", "icmp_type", "icmp_code", "tcp_window",
             "tcp_mss", "tcp_wscale", "tcp_sack_ok", "tcp_ts_ok",
-            "vlan_id", "vlan_pcp", "ip_id", "frag_offset")
+            "vlan_id", "vlan_pcp", "vlan_inner_id", "ip_id", "frag_offset")
           .withColumn("time",
             date_format($"time", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
           .withColumn("dns_answer", to_json($"dns_answer"))
@@ -3611,6 +3642,26 @@ object PcapQueries {
             min($"dns_qname").as("first_qname"))
       },
       Some(vlanInventoryOracle(120))),
+
+    // ----- 802.1ad QinQ inventory (round 11) ------------------------------
+    // Service-provider metro captures stack a customer 802.1Q tag
+    // under an 0x88A8 service tag; "which customer rides which
+    // service segment" needs BOTH vids. The decoder unwraps up to two
+    // tags (same bound as ipStartIdx's IP hunt): vlan_id/vlan_pcp
+    // carry the outermost (service) TCI, vlan_inner_id the customer
+    // vid, NULL on single-tagged frames — the fixture mixes both.
+    // ONE aggregation shuffle on the tiny (svid, cvid) key.
+    Q("pcap_qinq_inventory",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").option("decoder", "dns").load(qinqSynthPath)
+          .filter($"vlan_id".isNotNull)
+          .groupBy($"vlan_id", $"vlan_inner_id")
+          .agg(count(lit(1)).as("n_pkts"),
+            countDistinct($"src").as("n_clients"),
+            min($"dns_qname").as("first_qname"))
+      },
+      Some(qinqInventoryOracle(120))),
 
     // ----- RTP stream quality (round 11) ----------------------------------
     // The VoIP/conferencing health rollup RTCP receiver reports carry

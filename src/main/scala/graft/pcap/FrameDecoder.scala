@@ -46,7 +46,7 @@ private[pcap] final class PacketBuilder {
   var icmpType, icmpCode, tcpWindow: Option[Int] = None
   var tcpMss, tcpWscale: Option[Int] = None
   var tcpSackOk, tcpTsOk: Option[Boolean] = None
-  var vlanId, vlanPcp: Option[Int] = None
+  var vlanId, vlanPcp, vlanInnerId: Option[Int] = None
   var frag: Option[Boolean] = None
   var ipId, fragOffset: Option[Int] = None
   var dns: Option[DnsFields] = None
@@ -64,7 +64,7 @@ private[pcap] final class PacketBuilder {
     icmpType = icmpType, icmpCode = icmpCode, tcpWindow = tcpWindow,
     tcpMss = tcpMss, tcpWscale = tcpWscale,
     tcpSackOk = tcpSackOk, tcpTsOk = tcpTsOk,
-    vlanId = vlanId, vlanPcp = vlanPcp,
+    vlanId = vlanId, vlanPcp = vlanPcp, vlanInnerId = vlanInnerId,
     len = len, frag = frag, ipId = ipId, fragOffset = fragOffset,
     payloadLen = payloadLen,
     extCount = extCount, extHeaders = extHeaders, dns = dns,
@@ -106,15 +106,24 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
       lastEtherSome = Some(ether)
     }
     b.etherType = lastEtherSome
-    // 802.1Q tag (Ethernet only, the one tag ipStartIdx unwraps): the
-    // TCI's low 12 bits are the VLAN id, the top 3 the priority code
-    // point. A truncated tag (frame ends inside the 4-byte header)
-    // leaves both columns NULL — same evidence rule as the TCP options.
-    if (linkType == 1 && end - off >= 18 &&
-        beU16(data, off + 12) == 0x8100) {
-      val tci = beU16(data, off + 14)
-      b.vlanId = Boxes.int(tci & 0xFFF)
-      b.vlanPcp = Boxes.int(tci >>> 13)
+    // 802.1Q / 802.1ad tags (Ethernet only, mirroring ipStartIdx's
+    // unwrap): vlan_id/vlan_pcp carry the OUTERMOST tag's TCI (the
+    // service tag on QinQ frames), vlan_inner_id the customer tag
+    // when double-tagged. A truncated tag (frame ends inside the
+    // 4-byte header) leaves the columns NULL — same evidence rule as
+    // the TCP options.
+    if (linkType == 1 && end - off >= 18) {
+      val et0 = beU16(data, off + 12)
+      if (et0 == 0x8100 || et0 == 0x88A8) {
+        val tci = beU16(data, off + 14)
+        b.vlanId = Boxes.int(tci & 0xFFF)
+        b.vlanPcp = Boxes.int(tci >>> 13)
+        if (end - off >= 22) {
+          val et1 = beU16(data, off + 16)
+          if (et1 == 0x8100 || et1 == 0x88A8)
+            b.vlanInnerId = Boxes.int(beU16(data, off + 18) & 0xFFF)
+        }
+      }
     }
     val ip = ipStartIdx(linkType, data, off, end)
     if (ip >= 0 && ip < end) decodeIp(b, data, ip, end)

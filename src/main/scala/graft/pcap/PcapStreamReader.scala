@@ -262,6 +262,7 @@ object PcapStreamReader {
       case 0x8035 => "rarp"
       case 0x86DD => "IPv6"
       case 0x8100 => "vlan"
+      case 0x88A8 => "qinq"
       case other => f"0x$other%04x"
     }
   }
@@ -283,11 +284,17 @@ object PcapStreamReader {
       case 1 =>
         if (end - off < 14) -1
         else {
+          // unwrap up to TWO tags: one 802.1Q (the reference's case,
+          // PcapReader.java:283-303) or an 802.1ad QinQ service tag
+          // (0x88A8, or legacy double-0x8100) over a customer tag
           var start = off + 14
           var et = beU16(data, off + 12)
-          if (et == 0x8100 && end - off >= 18) {
-            et = beU16(data, off + 16)
+          var tags = 0
+          while (tags < 2 && (et == 0x8100 || et == 0x88A8) &&
+              end - start >= 4) {
+            et = beU16(data, start + 2)
             start += 4
+            tags += 1
           }
           if (et == 0x0800 || et == 0x86DD) start else -1
         }

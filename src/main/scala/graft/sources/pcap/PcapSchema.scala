@@ -42,6 +42,7 @@ object PcapSchema {
     StructField("tcp_ts_ok", BooleanType),
     StructField("vlan_id", IntegerType),
     StructField("vlan_pcp", IntegerType),
+    StructField("vlan_inner_id", IntegerType),
     StructField("len", IntegerType),
     StructField("frag", BooleanType),
     StructField("ip_id", IntegerType),
@@ -116,6 +117,7 @@ object PcapSchema {
     "tcp_ts_ok" -> ((r, _, _) => r.tcpTsOk.map(Boolean.box).orNull),
     "vlan_id" -> ((r, _, _) => r.vlanId.map(Int.box).orNull),
     "vlan_pcp" -> ((r, _, _) => r.vlanPcp.map(Int.box).orNull),
+    "vlan_inner_id" -> ((r, _, _) => r.vlanInnerId.map(Int.box).orNull),
     "len" -> ((r, _, _) => r.len.map(Int.box).orNull),
     "frag" -> ((r, _, _) => r.frag.map(Boolean.box).orNull),
     "ip_id" -> ((r, _, _) => r.ipId.map(Int.box).orNull),
@@ -243,6 +245,7 @@ object PcapSchema {
     "tcp_ts_ok" -> ((v, r, _, _) => putBool(v, r.tcpTsOk)),
     "vlan_id" -> ((v, r, _, _) => putInt(v, r.vlanId)),
     "vlan_pcp" -> ((v, r, _, _) => putInt(v, r.vlanPcp)),
+    "vlan_inner_id" -> ((v, r, _, _) => putInt(v, r.vlanInnerId)),
     "len" -> ((v, r, _, _) => putInt(v, r.len)),
     "frag" -> ((v, r, _, _) => putBool(v, r.frag)),
     "ip_id" -> ((v, r, _, _) => putInt(v, r.ipId)),

@@ -64,6 +64,40 @@ class VlanDecodeSpec extends AnyFunSuite {
     assert(r.protocol.contains("UDP"))
   }
 
+  test("QinQ: outer service TCI + inner customer vid; IP still decodes") {
+    val qinq = plainFrame.take(12) ++ PcapSynth.be16(0x88A8) ++
+      PcapSynth.be16((2 << 13) | 200) ++ PcapSynth.be16(0x8100) ++
+      PcapSynth.be16(305) ++ plainFrame.drop(12)
+    val r = decodeOne(qinq)
+    assert(r.vlanId.contains(200) && r.vlanPcp.contains(2))
+    assert(r.vlanInnerId.contains(305))
+    assert(r.protocol.contains("UDP"))
+  }
+
+  test("legacy double-0x8100 stacking also yields the inner vid") {
+    val dd = plainFrame.take(12) ++ PcapSynth.be16(0x8100) ++
+      PcapSynth.be16(7) ++ PcapSynth.be16(0x8100) ++
+      PcapSynth.be16(9) ++ plainFrame.drop(12)
+    val r = decodeOne(dd)
+    assert(r.vlanId.contains(7) && r.vlanInnerId.contains(9))
+    assert(r.protocol.contains("UDP"))
+  }
+
+  test("single-tagged frame leaves vlan_inner_id NULL") {
+    val r = decodeOne(tagged(42))
+    assert(r.vlanId.contains(42) && r.vlanInnerId.isEmpty)
+  }
+
+  test("triple-tagged frame does NOT decode IP (two-tag unwrap bound)") {
+    val ttt = plainFrame.take(12) ++ PcapSynth.be16(0x88A8) ++
+      PcapSynth.be16(1) ++ PcapSynth.be16(0x88A8) ++
+      PcapSynth.be16(2) ++ PcapSynth.be16(0x8100) ++
+      PcapSynth.be16(3) ++ plainFrame.drop(12)
+    val r = decodeOne(ttt)
+    assert(r.vlanId.contains(1) && r.vlanInnerId.contains(2))
+    assert(r.protocol.isEmpty) // bounded unwrap: no IP hunt past 2 tags
+  }
+
   test("fixture inventory: per-vid counts match the synthesis formulas") {
     val recs = new PcapStreamReader(new java.io.ByteArrayInputStream(
       PcapSynth.file(PcapSynth.vlanPackets(120))), DecodeOptions()).toVector

@@ -1054,6 +1054,48 @@ if glob.glob(f"{out}/pcap_rtp_quality/*.parquet"):
                 "jitter_max_us"]),
          sorted(rexp))
 
+# 802.1ad QinQ inventory: independent byte-level parse of the tag
+# stack (service + optional customer tag) and the DNS behind it.
+if glob.glob(f"{out}/pcap_qinq_inventory/*.parquet"):
+    qstats = {}
+    for _, _, fr in _frames("/tmp/graft_synth_qinq.pcap"):
+        et = struct.unpack_from(">H", fr, 12)[0]
+        assert et in (0x8100, 0x88A8)
+        tci = struct.unpack_from(">H", fr, 14)[0]
+        svid = tci & 0xFFF
+        et1 = struct.unpack_from(">H", fr, 16)[0]
+        if et1 in (0x8100, 0x88A8):
+            cvid = struct.unpack_from(">H", fr, 18)[0] & 0xFFF
+            ip = 22
+        else:
+            cvid = None
+            ip = 18
+        ihl = (fr[ip] & 0xF) * 4
+        assert fr[ip + 9] == 17
+        src = ".".join(str(b) for b in fr[ip + 12:ip + 16])
+        dns = fr[ip + ihl + 8:]
+        labels, p = [], 12
+        while dns[p] != 0:
+            ln = dns[p]
+            labels.append(dns[p + 1:p + 1 + ln].decode("ascii"))
+            p += 1 + ln
+        q = ".".join(labels).lower() + "."
+        e = qstats.setdefault((svid, cvid), [0, set(), None])
+        e[0] += 1
+        e[1].add(src)
+        e[2] = q if e[2] is None else min(e[2], q)
+    qkey = lambda r: (r[0], -1 if r[1] is None else r[1])
+    got_q = _read("pcap_qinq_inventory",
+                  ["vlan_id", "vlan_inner_id", "n_pkts", "n_clients",
+                   "first_qname"])
+    if got_q is not None:  # nullable int reads back as float/NaN
+        got_q = sorted(
+            ((int(a), None if b != b else int(b), int(c), int(d), e)
+             for a, b, c, d, e in got_q), key=qkey)
+    _cmp("pcap_qinq_inventory(redecode)", got_q,
+         sorted(((sv, cv, n, len(cl), q)
+                 for (sv, cv), (n, cl, q) in qstats.items()), key=qkey))
+
 # 802.1Q VLAN inventory: independent byte-level parse of the tag and
 # the IP/UDP/DNS behind it (no shared code with FrameDecoder).
 if glob.glob(f"{out}/pcap_vlan_inventory/*.parquet"):
