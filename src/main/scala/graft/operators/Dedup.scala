@@ -69,14 +69,26 @@ object Dedup {
     relMemo.clear()
   }
   private def memoizedRel(kind: String, d: String)(build: => DataFrame)
-      : DataFrame =
-    relMemo.compute((kind, d), (k, prev) =>
-      if (prev != null && !prev.sparkSession.sparkContext.isStopped) prev
-      else {
-        relBuilds.computeIfAbsent(k,
-          _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
-        build.cache()
-      })
+      : DataFrame = {
+    val k = (kind, d)
+    val prev = relMemo.get(k)
+    if (prev != null && !prev.sparkSession.sparkContext.isStopped)
+      return prev
+    // Build OUTSIDE the map's bin lock: builders memoize recursively
+    // (signatures → shingles), and ConcurrentHashMap forbids a nested
+    // update from inside compute's remapping function when the two
+    // keys share a bin ("Recursive update" — seen once the key set
+    // grew past the default table size). A concurrent double-build is
+    // tolerated; the merge below keeps exactly one cached copy and
+    // the loser unpersists.
+    relBuilds.computeIfAbsent(k,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    val built = build.cache()
+    val winner = relMemo.merge(k, built, (old, nw) =>
+      if (!old.sparkSession.sparkContext.isStopped) old else nw)
+    if (winner ne built) built.unpersist()
+    winner
+  }
 
   /** Distinct word 3-gram shingles per document (lowercased, ws-split).
     * Deduplication happens per-document with `array_distinct` BEFORE the
