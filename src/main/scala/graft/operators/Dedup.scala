@@ -48,9 +48,11 @@ object Dedup {
   // plan-identical registrations ("Asked to cache already cached
   // data", the round-10 advisory's leak class, fixed in MediaDedup the
   // same round). Same remedy here: ONE cached relation per
-  // (kind, dataset), built at most once (compute — no double-cache
-  // race), dropped via [[clearRelMemos]]; Bench clears per rep so the
-  // band keeps measuring the cold sweep.
+  // (kind, dataset) — builds run outside the map lock (builders nest:
+  // signatures → shingles) and an atomic merge keeps one entry; a
+  // rare concurrent double-build shares the single CacheManager slot.
+  // Dropped via [[clearRelMemos]]; Bench clears per rep so the band
+  // keeps measuring the cold sweep.
   private val relMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private val relBuilds =
@@ -84,10 +86,13 @@ object Dedup {
     relBuilds.computeIfAbsent(k,
       _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
     val built = build.cache()
-    val winner = relMemo.merge(k, built, (old, nw) =>
+    // concurrent double-build: the loser must NOT unpersist — both
+    // DataFrames canonicalize to the same plan, so the CacheManager
+    // holds ONE shared entry (the loser's cache() was a no-op) and an
+    // unpersist here would evict the winner's cache. Dropping the
+    // loser reference leaks nothing.
+    relMemo.merge(k, built, (old, nw) =>
       if (!old.sparkSession.sparkContext.isStopped) old else nw)
-    if (winner ne built) built.unpersist()
-    winner
   }
 
   /** Distinct word 3-gram shingles per document (lowercased, ws-split).

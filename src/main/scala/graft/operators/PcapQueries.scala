@@ -3251,13 +3251,16 @@ object PcapQueries {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val f = exportedFlows(s)
-          .select($"dst", $"n_bytes",
-            ($"last_ts" - $"first_ts").as("dur_us"))
-        val m = f.select($"dst", lit("bytes").as("metric"),
-            $"n_bytes".cast("long").as("v"))
-          .union(f.select($"dst", lit("dur_us").as("metric"),
-            $"dur_us".cast("long").as("v")))
+        // ONE flow pass feeds both metrics: the self-union form would
+        // decode the capture and run the sessionization windows twice
+        val m = exportedFlows(s)
+          .select($"dst", explode(array(
+            struct(lit("bytes").as("metric"),
+              $"n_bytes".cast("long").as("v")),
+            struct(lit("dur_us").as("metric"),
+              ($"last_ts" - $"first_ts").cast("long").as("v"))))
+            .as("mv"))
+          .select($"dst", $"mv.metric".as("metric"), $"mv.v".as("v"))
         val wo = Window.partitionBy($"dst", $"metric").orderBy($"v")
         val wn = Window.partitionBy($"dst", $"metric")
         m.withColumn("rn", row_number().over(wo))

@@ -1874,8 +1874,12 @@ object Similarity {
             when($"vec_id" % 31 === 11, $"vec_id" - 11)
               .otherwise($"vec_id"))
           .join(donors, $"donor" === $"donor_id")
+          // the zero override applies to the CARRIED embedding: a row
+          // that is itself zero-ruled OR copies a zero-ruled donor
+          // keys to the zero vector (so a copied zero joins the zero
+          // cluster rather than keying on the donor's raw floats)
           .selectExpr("vec_id", "label", s"""
-            CASE WHEN vec_id % 17 = 3
+            CASE WHEN vec_id % 17 = 3 OR donor % 17 = 3
                    THEN transform(demb, x -> CAST(0 AS BIGINT))
                  ELSE transform(demb, x ->
                    CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
@@ -1889,7 +1893,7 @@ object Similarity {
       },
       Some("""WITH deg AS (
           SELECT b.vec_id, b.label,
-            CASE WHEN b.vec_id % 17 = 3
+            CASE WHEN b.vec_id % 17 = 3 OR d.vec_id % 17 = 3
                    THEN [CAST(0 AS BIGINT) FOR x IN d.embedding]
                  ELSE [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
                        FOR x IN d.embedding] END AS key

@@ -1057,17 +1057,30 @@ class Round11OpsSpec extends AnyFunSuite {
   // ------------------------------------------------------------------
 
   test("duplicate vectors: clusters match the fixture's defect rules") {
+    dupVectorCheck(sf)
+  }
+
+  test("duplicate vectors at sf0.1: a retry copy of a zero-ruled " +
+      "donor joins the zero cluster (needs vec_ids past 507)") {
+    dupVectorCheck("/root/testdata/sf0.1", requireCopiedZero = true)
+  }
+
+  private def dupVectorCheck(dir: String,
+      requireCopiedZero: Boolean = false): Unit = {
     import spark.implicits._
-    val got = q("sim_duplicate_vectors")
+    val got = SparkEntry.queries("sim_duplicate_vectors")(spark, dir)
       .select($"cluster_id", $"n_copies", $"n_labels")
       .as[(Long, Long, Long)].collect()
-    val ids = Tables.embeddings(spark, sf)
+    val ids = Tables.embeddings(spark, dir)
       .select($"vec_id").as[Long].collect().toSet
     // the zero cluster: every vec_id % 17 == 3, plus retry copies
     // whose donor is zero-ruled
-    val zeros = ids.filter(_ % 17 == 3) ++
-      ids.filter(id => id % 31 == 11 && (id - 11) % 17 == 3 &&
-        id % 17 != 3)
+    val copiedZeros = ids.filter(id => id % 31 == 11 &&
+      (id - 11) % 17 == 3 && id % 17 != 3)
+    if (requireCopiedZero)
+      assert(copiedZeros.nonEmpty,
+        "fixture too small to exercise the copied-zero path")
+    val zeros = ids.filter(_ % 17 == 3) ++ copiedZeros
     val zeroRow = got.find(_._1 == zeros.min).get
     assert(zeroRow._2 == zeros.size)
     // retry pairs: copy + donor, excluding anything zero-ruled
