@@ -121,14 +121,22 @@ object MediaDedup {
     buildCounts.clear()
   }
   private def memoized(kind: String, d: String)(build: => DataFrame)
-      : DataFrame =
-    relMemo.compute((kind, d), (k, prev) =>
-      if (prev != null && !prev.sparkSession.sparkContext.isStopped) prev
-      else {
-        buildCounts.computeIfAbsent(k,
-          _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
-        build.cache()
-      })
+      : DataFrame = {
+    val k = (kind, d)
+    val prev = relMemo.get(k)
+    if (prev != null && !prev.sparkSession.sparkContext.isStopped)
+      return prev
+    // build OUTSIDE the map's bin lock (the Dedup.memoizedRel lesson:
+    // a builder that ever memoizes recursively would hit CHM's
+    // "Recursive update" when two keys share a bin); a rare concurrent
+    // double-build shares the single CacheManager entry, so the merge
+    // loser must NOT unpersist.
+    buildCounts.computeIfAbsent(k,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    val built = build.cache()
+    relMemo.merge(k, built, (old, nw) =>
+      if (!old.sparkSession.sparkContext.isStopped) old else nw)
+  }
 
   /** (media_id, dhash_hi, dhash_lo) for the grouped near-dup fixture:
     * decode the group-base BMP, white out one sampled grid pixel per
