@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Text-analysis operators over `documents` (builder brief; SURVEY.md §2C):
   * token counting, quality scoring, language-ID heuristic, fingerprinting.
@@ -280,6 +281,105 @@ object TextAnalysis {
            OR (pos >= 2 AND pos + 2 <= m AND pmin1 >= h AND nmin2 > h)
            OR (pos >= 3 AND pos + 1 <= m AND pmin2 >= h AND nmin1 > h)
            OR (pos >= 4 AND pmin3 >= h)"""
+
+  /** The decorated-document rule battery relation (per-doc stats +
+    * per-rule flags + AND'd keep) — shared by text_gopher_rules and
+    * the pipeline_filter_funnel attrition report. */
+  private def gopherFlags(s: SparkSession, d: String): DataFrame = {
+
+        Tables.documents(s, d)
+          .selectExpr("doc_id", "split(lower(text), ' ') AS ws")
+          .selectExpr("doc_id", """
+            transform(ws, (w, i) ->
+              CASE WHEN doc_id % 19 = 6 AND i % 2 = 0 THEN 'a'
+                   WHEN doc_id % 7 = 1 AND i % 6 = 5 THEN '#'
+                   WHEN doc_id % 9 = 3 AND i % 4 = 3 THEN '12345'
+                   ELSE w END) AS dw""")
+          .selectExpr("doc_id", "dw", """
+            transform(sequence(0, (size(dw) - 1) div 8), L ->
+              concat(
+                CASE WHEN doc_id % 15 = 5
+                       OR (doc_id % 5 = 0 AND L % 3 = 0)
+                     THEN '- ' ELSE '' END,
+                array_join(slice(dw, L * 8 + 1, 8), ' '),
+                CASE WHEN doc_id % 6 = 2 AND L % 2 = 1
+                     THEN '...' ELSE '' END)) AS dlines""")
+          .selectExpr("doc_id",
+            "size(dw) AS n_words",
+            "aggregate(dw, 0, (a, w) -> a + length(w)) AS sum_wlen",
+            "size(filter(dw, w -> w rlike '[a-z]')) AS n_alpha",
+            "size(filter(dw, w -> w = '#')) AS n_hash",
+            "size(dlines) AS n_lines",
+            "size(filter(dlines, l -> left(l, 2) = '- ')) AS n_bullet",
+            "size(filter(dlines, l -> right(l, 3) = '...')) AS n_ellipsis",
+            """(CASE WHEN array_contains(dw, 'the') THEN 1 ELSE 0 END
+              + CASE WHEN array_contains(dw, 'a') THEN 1 ELSE 0 END)
+              AS n_stop_present""")
+          .selectExpr("*",
+            "n_words BETWEEN 50 AND 100000 AS flag_words",
+            "3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words" +
+              " AS flag_wlen",
+            "10 * n_hash <= n_words AS flag_symbol",
+            "5 * n_alpha >= 4 * n_words AS flag_alpha",
+            "10 * n_bullet <= 9 * n_lines AS flag_bullets",
+            "10 * n_ellipsis <= 3 * n_lines AS flag_ellipsis",
+            "n_stop_present >= 2 AS flag_stop")
+          .selectExpr("*",
+            "flag_words AND flag_wlen AND flag_symbol AND flag_alpha" +
+              " AND flag_bullets AND flag_ellipsis AND flag_stop AS keep")
+      }
+
+  /** The decorated-document oracle CTE chain (w0..flags) — shared by
+    * text_gopher_rules and pipeline_filter_funnel so the rule math
+    * cannot drift between the battery and its funnel report. */
+  private lazy val gopherCtes: String = """w0 AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents),
+        w1 AS (
+          SELECT doc_id,
+            [CASE WHEN doc_id % 19 = 6 AND (i - 1) % 2 = 0 THEN 'a'
+                  WHEN doc_id % 7 = 1 AND (i - 1) % 6 = 5 THEN '#'
+                  WHEN doc_id % 9 = 3 AND (i - 1) % 4 = 3 THEN '12345'
+                  ELSE ws[i] END
+             FOR i IN generate_series(1, len(ws))] AS dw
+          FROM w0),
+        w2 AS (
+          SELECT doc_id, dw,
+            [(CASE WHEN doc_id % 15 = 5
+                     OR (doc_id % 5 = 0 AND L % 3 = 0)
+                   THEN '- ' ELSE '' END)
+             || array_to_string(dw[L * 8 + 1 : L * 8 + 8], ' ')
+             || (CASE WHEN doc_id % 6 = 2 AND L % 2 = 1
+                      THEN '...' ELSE '' END)
+             FOR L IN generate_series(0, (len(dw) - 1) // 8)] AS dlines
+          FROM w1),
+        stats AS (
+          SELECT doc_id,
+            CAST(len(dw) AS INT) AS n_words,
+            CAST(list_sum([length(w) FOR w IN dw]) AS INT) AS sum_wlen,
+            CAST(len([w FOR w IN dw IF regexp_matches(w, '[a-z]')])
+              AS INT) AS n_alpha,
+            CAST(len([w FOR w IN dw IF w = '#']) AS INT) AS n_hash,
+            CAST(len(dlines) AS INT) AS n_lines,
+            CAST(len([l FOR l IN dlines IF left(l, 2) = '- '])
+              AS INT) AS n_bullet,
+            CAST(len([l FOR l IN dlines IF right(l, 3) = '...'])
+              AS INT) AS n_ellipsis,
+            CAST((CASE WHEN list_contains(dw, 'the') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(dw, 'a') THEN 1 ELSE 0 END)
+              AS INT) AS n_stop_present
+          FROM w2),
+        flags AS (
+          SELECT *,
+            n_words BETWEEN 50 AND 100000 AS flag_words,
+            3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+              AS flag_wlen,
+            10 * n_hash <= n_words AS flag_symbol,
+            5 * n_alpha >= 4 * n_words AS flag_alpha,
+            10 * n_bullet <= 9 * n_lines AS flag_bullets,
+            10 * n_ellipsis <= 3 * n_lines AS flag_ellipsis,
+            n_stop_present >= 2 AS flag_stop
+          FROM stats)"""
 
   val defs: Seq[Q] = Seq(
 
@@ -1349,99 +1449,90 @@ object TextAnalysis {
     // not from closed-form counts. Scale: pure per-row projection, one
     // pass, no shuffle, no UDF — everything is codegen'd higher-order
     // built-ins; output O(docs).
+
     Q("text_gopher_rules",
-      (s, d) => {
-        Tables.documents(s, d)
-          .selectExpr("doc_id", "split(lower(text), ' ') AS ws")
-          .selectExpr("doc_id", """
-            transform(ws, (w, i) ->
-              CASE WHEN doc_id % 19 = 6 AND i % 2 = 0 THEN 'a'
-                   WHEN doc_id % 7 = 1 AND i % 6 = 5 THEN '#'
-                   WHEN doc_id % 9 = 3 AND i % 4 = 3 THEN '12345'
-                   ELSE w END) AS dw""")
-          .selectExpr("doc_id", "dw", """
-            transform(sequence(0, (size(dw) - 1) div 8), L ->
-              concat(
-                CASE WHEN doc_id % 15 = 5
-                       OR (doc_id % 5 = 0 AND L % 3 = 0)
-                     THEN '- ' ELSE '' END,
-                array_join(slice(dw, L * 8 + 1, 8), ' '),
-                CASE WHEN doc_id % 6 = 2 AND L % 2 = 1
-                     THEN '...' ELSE '' END)) AS dlines""")
-          .selectExpr("doc_id",
-            "size(dw) AS n_words",
-            "aggregate(dw, 0, (a, w) -> a + length(w)) AS sum_wlen",
-            "size(filter(dw, w -> w rlike '[a-z]')) AS n_alpha",
-            "size(filter(dw, w -> w = '#')) AS n_hash",
-            "size(dlines) AS n_lines",
-            "size(filter(dlines, l -> left(l, 2) = '- ')) AS n_bullet",
-            "size(filter(dlines, l -> right(l, 3) = '...')) AS n_ellipsis",
-            """(CASE WHEN array_contains(dw, 'the') THEN 1 ELSE 0 END
-              + CASE WHEN array_contains(dw, 'a') THEN 1 ELSE 0 END)
-              AS n_stop_present""")
-          .selectExpr("*",
-            "n_words BETWEEN 50 AND 100000 AS flag_words",
-            "3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words" +
-              " AS flag_wlen",
-            "10 * n_hash <= n_words AS flag_symbol",
-            "5 * n_alpha >= 4 * n_words AS flag_alpha",
-            "10 * n_bullet <= 9 * n_lines AS flag_bullets",
-            "10 * n_ellipsis <= 3 * n_lines AS flag_ellipsis",
-            "n_stop_present >= 2 AS flag_stop")
-          .selectExpr("*",
-            "flag_words AND flag_wlen AND flag_symbol AND flag_alpha" +
-              " AND flag_bullets AND flag_ellipsis AND flag_stop AS keep")
-      },
-      Some("""WITH w0 AS (
-          SELECT doc_id, string_split(lower(text), ' ') AS ws
-          FROM documents),
-        w1 AS (
-          SELECT doc_id,
-            [CASE WHEN doc_id % 19 = 6 AND (i - 1) % 2 = 0 THEN 'a'
-                  WHEN doc_id % 7 = 1 AND (i - 1) % 6 = 5 THEN '#'
-                  WHEN doc_id % 9 = 3 AND (i - 1) % 4 = 3 THEN '12345'
-                  ELSE ws[i] END
-             FOR i IN generate_series(1, len(ws))] AS dw
-          FROM w0),
-        w2 AS (
-          SELECT doc_id, dw,
-            [(CASE WHEN doc_id % 15 = 5
-                     OR (doc_id % 5 = 0 AND L % 3 = 0)
-                   THEN '- ' ELSE '' END)
-             || array_to_string(dw[L * 8 + 1 : L * 8 + 8], ' ')
-             || (CASE WHEN doc_id % 6 = 2 AND L % 2 = 1
-                      THEN '...' ELSE '' END)
-             FOR L IN generate_series(0, (len(dw) - 1) // 8)] AS dlines
-          FROM w1),
-        stats AS (
-          SELECT doc_id,
-            CAST(len(dw) AS INT) AS n_words,
-            CAST(list_sum([length(w) FOR w IN dw]) AS INT) AS sum_wlen,
-            CAST(len([w FOR w IN dw IF regexp_matches(w, '[a-z]')])
-              AS INT) AS n_alpha,
-            CAST(len([w FOR w IN dw IF w = '#']) AS INT) AS n_hash,
-            CAST(len(dlines) AS INT) AS n_lines,
-            CAST(len([l FOR l IN dlines IF left(l, 2) = '- '])
-              AS INT) AS n_bullet,
-            CAST(len([l FOR l IN dlines IF right(l, 3) = '...'])
-              AS INT) AS n_ellipsis,
-            CAST((CASE WHEN list_contains(dw, 'the') THEN 1 ELSE 0 END)
-              + (CASE WHEN list_contains(dw, 'a') THEN 1 ELSE 0 END)
-              AS INT) AS n_stop_present
-          FROM w2),
-        flags AS (
-          SELECT *,
-            n_words BETWEEN 50 AND 100000 AS flag_words,
-            3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
-              AS flag_wlen,
-            10 * n_hash <= n_words AS flag_symbol,
-            5 * n_alpha >= 4 * n_words AS flag_alpha,
-            10 * n_bullet <= 9 * n_lines AS flag_bullets,
-            10 * n_ellipsis <= 3 * n_lines AS flag_ellipsis,
-            n_stop_present >= 2 AS flag_stop
-          FROM stats)
+      (s, d) => gopherFlags(s, d),
+      Some(s"""WITH $gopherCtes
         SELECT *, flag_words AND flag_wlen AND flag_symbol AND flag_alpha
             AND flag_bullets AND flag_ellipsis AND flag_stop AS keep
-        FROM flags"""))
+        FROM flags""")),
+
+    // ----- filter-funnel attrition report ----------------------------------
+    // The curation-ops view of the rule battery: apply the rules in a
+    // FIXED order and report per-stage attrition (n_in → n_out) — the
+    // table that says which rule is doing the cutting and which is
+    // dead weight. Rides the SAME gopherFlags relation and the SAME
+    // shared oracle CTEs as text_gopher_rules (one rule-math source);
+    // cumulative survival folds in ONE aggregation over the flag
+    // projection, and the 7-row funnel is built from that single row —
+    // one pass at any corpus size.
+    Q("pipeline_filter_funnel",
+      (s, d) => {
+        import s.implicits._
+        val c = gopherFlags(s, d).selectExpr(
+          "CAST(flag_words AS LONG) AS c1",
+          "CAST(flag_words AND flag_wlen AS LONG) AS c2",
+          "CAST(flag_words AND flag_wlen AND flag_symbol AS LONG) AS c3",
+          "CAST(flag_words AND flag_wlen AND flag_symbol AND flag_alpha" +
+            " AS LONG) AS c4",
+          "CAST(flag_words AND flag_wlen AND flag_symbol AND flag_alpha" +
+            " AND flag_bullets AS LONG) AS c5",
+          "CAST(flag_words AND flag_wlen AND flag_symbol AND flag_alpha" +
+            " AND flag_bullets AND flag_ellipsis AS LONG) AS c6",
+          "CAST(keep AS LONG) AS c7")
+        c.agg(count(lit(1)).as("n0"),
+            sum($"c1").as("s1"), sum($"c2").as("s2"),
+            sum($"c3").as("s3"), sum($"c4").as("s4"),
+            sum($"c5").as("s5"), sum($"c6").as("s6"),
+            sum($"c7").as("s7"))
+          .select(explode(expr("""array(
+            struct(1 AS stage, 'words' AS rule, n0 AS n_in, s1 AS n_out),
+            struct(2 AS stage, 'wlen' AS rule, s1 AS n_in, s2 AS n_out),
+            struct(3 AS stage, 'symbol' AS rule, s2 AS n_in, s3 AS n_out),
+            struct(4 AS stage, 'alpha' AS rule, s3 AS n_in, s4 AS n_out),
+            struct(5 AS stage, 'bullets' AS rule, s4 AS n_in,
+              s5 AS n_out),
+            struct(6 AS stage, 'ellipsis' AS rule, s5 AS n_in,
+              s6 AS n_out),
+            struct(7 AS stage, 'stop' AS rule, s6 AS n_in,
+              s7 AS n_out))""")).as("r"))
+          .select($"r.stage".as("stage"), $"r.rule".as("rule"),
+            $"r.n_in".as("n_in"), $"r.n_out".as("n_out"),
+            ($"r.n_in" - $"r.n_out").as("n_dropped"))
+      },
+      Some(s"""WITH $gopherCtes,
+        c AS (
+          SELECT
+            CAST(flag_words AS BIGINT) AS c1,
+            CAST(flag_words AND flag_wlen AS BIGINT) AS c2,
+            CAST(flag_words AND flag_wlen AND flag_symbol
+              AS BIGINT) AS c3,
+            CAST(flag_words AND flag_wlen AND flag_symbol
+              AND flag_alpha AS BIGINT) AS c4,
+            CAST(flag_words AND flag_wlen AND flag_symbol
+              AND flag_alpha AND flag_bullets AS BIGINT) AS c5,
+            CAST(flag_words AND flag_wlen AND flag_symbol
+              AND flag_alpha AND flag_bullets AND flag_ellipsis
+              AS BIGINT) AS c6,
+            CAST(flag_words AND flag_wlen AND flag_symbol
+              AND flag_alpha AND flag_bullets AND flag_ellipsis
+              AND flag_stop AS BIGINT) AS c7
+          FROM flags),
+        t AS (
+          SELECT COUNT(*) AS n0, SUM(c1) AS s1, SUM(c2) AS s2,
+            SUM(c3) AS s3, SUM(c4) AS s4, SUM(c5) AS s5,
+            SUM(c6) AS s6, SUM(c7) AS s7
+          FROM c)
+        SELECT v.stage, v.rule,
+          CAST(v.n_in AS BIGINT) AS n_in,
+          CAST(v.n_out AS BIGINT) AS n_out,
+          CAST(v.n_in - v.n_out AS BIGINT) AS n_dropped
+        FROM t, LATERAL (
+          SELECT * FROM (VALUES
+            (1, 'words', t.n0, t.s1), (2, 'wlen', t.s1, t.s2),
+            (3, 'symbol', t.s2, t.s3), (4, 'alpha', t.s3, t.s4),
+            (5, 'bullets', t.s4, t.s5), (6, 'ellipsis', t.s5, t.s6),
+            (7, 'stop', t.s6, t.s7))
+          AS v(stage, rule, n_in, n_out)) v"""))
   )
 }

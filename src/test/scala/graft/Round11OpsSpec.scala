@@ -1094,4 +1094,34 @@ class Round11OpsSpec extends AnyFunSuite {
     // no spurious clusters: every reported cluster is accounted for
     assert(got.map(_._2).sum == zeros.size + 2 * pairs.size)
   }
+
+  // ------------------------------------------------------------------
+  // pipeline_filter_funnel
+  // ------------------------------------------------------------------
+
+  test("filter funnel: stage attrition chains and agrees with the " +
+      "rule battery's flags") {
+    import spark.implicits._
+    val got = q("pipeline_filter_funnel")
+      .select($"stage", $"rule", $"n_in", $"n_out", $"n_dropped")
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      Seq(1 -> "words", 2 -> "wlen", 3 -> "symbol", 4 -> "alpha",
+        5 -> "bullets", 6 -> "ellipsis", 7 -> "stop"))
+    // the funnel CHAINS: each stage's n_in is the previous n_out, and
+    // drops are non-negative
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._4, s"stage ${b._1} n_in != stage ${a._1} n_out")
+    }
+    got.foreach(r => assert(r._5 == r._3 - r._4 && r._5 >= 0))
+    // endpoints agree with the battery: total docs in, keep count out
+    val flags = q("text_gopher_rules")
+      .select($"flag_words", $"keep").as[(Boolean, Boolean)].collect()
+    assert(got.head._3 == flags.length)
+    assert(got.head._4 == flags.count(_._1))
+    assert(got.last._4 == flags.count(_._2))
+    // the fixture makes every rule cut something somewhere... except
+    // possibly the last stages; at least 3 rules must drop docs
+    assert(got.count(_._5 > 0) >= 3)
+  }
 }
