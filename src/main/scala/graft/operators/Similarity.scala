@@ -1848,6 +1848,84 @@ object Similarity {
     // (0.81, 1.21) sit far from both populations (~1 vs ~16), so the
     // flags are deterministic. ONE narrow projection + ONE shuffle on
     // the tiny label key.
+    // ----- inter-annotator agreement (Cohen's kappa) ------------------------
+    // The label-quality gate before training on human (or model)
+    // labels: how much two annotators agree beyond chance. Annotator A
+    // is the stored label; annotator B is a deterministic perturbation
+    // (vec_id % 7 == 0 rows shift one class, mod the label-space size
+    // derived from the data) — a known ~14% disagreement population.
+    // Observed agreement is exact integers; expected-by-chance
+    // agreement needs Σ_c pA_c·pB_c, whose cross-products overflow
+    // BIGINT at corpus scale, so it follows the basket-lift precedent:
+    // per-class marginals collapse to O(classes) rows, are sorted into
+    // a list, and the products fold SEQUENTIALLY in class order —
+    // single exact-rounded IEEE ops in a fixed order, bit-identical
+    // cross-engine. One (tiny) class-key aggregation + one scalar row.
+    Q("sim_label_kappa",
+      (s, d) => {
+        import s.implicits._
+        val lab = Tables.embeddings(s, d)
+          .select($"vec_id", $"label".as("a"))
+          .crossJoin(broadcast(Tables.embeddings(s, d)
+            .agg((max($"label") + 1).as("k"))))
+          .withColumn("b",
+            ($"a" + when($"vec_id" % 7 === 0, 1).otherwise(0)) % $"k")
+        val agree = lab.agg(count(lit(1)).as("n"),
+          sum(when($"a" === $"b", 1L).otherwise(0L)).as("n_agree"))
+        val perClass = lab
+          .select(explode(array(
+            struct(lit("a").as("side"), $"a".cast("int").as("c")),
+            struct(lit("b").as("side"), $"b".cast("int").as("c"))))
+            .as("sc"))
+          .groupBy($"sc.c".as("c"))
+          .agg(sum(when($"sc.side" === "a", 1L).otherwise(0L)).as("ca"),
+            sum(when($"sc.side" === "b", 1L).otherwise(0L)).as("cb"))
+        val pe = perClass
+          .agg(sort_array(collect_list(struct($"c", $"ca", $"cb")))
+            .as("m"))
+          .crossJoin(broadcast(agree))
+          .select($"n", $"n_agree",
+            expr("""aggregate(m, CAST(0.0 AS DOUBLE), (acc, x) ->
+              acc + (CAST(x.ca AS DOUBLE) / n) * (CAST(x.cb AS DOUBLE) / n))
+              """).as("pe"))
+        pe.select($"n", $"n_agree",
+            (expr("CAST(n_agree AS DOUBLE) / n")).as("po"), $"pe")
+          .withColumn("kappa", expr("(po - pe) / (1.0 - pe)"))
+      },
+      Some("""WITH kk AS (SELECT MAX(label) + 1 AS k FROM embeddings),
+        lab AS (
+          SELECT vec_id, label AS a,
+            (label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END)
+              % kk.k AS b
+          FROM embeddings, kk),
+        agree AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_agree
+          FROM lab),
+        pc AS (
+          SELECT c,
+            CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+          FROM (
+            SELECT 'a' AS side, CAST(a AS INT) AS c FROM lab
+            UNION ALL SELECT 'b', CAST(b AS INT) FROM lab)
+          GROUP BY 1),
+        pe AS (
+          SELECT agree.n, agree.n_agree,
+            list_sum([(CAST(x.ca AS DOUBLE) / agree.n)
+                      * (CAST(x.cb AS DOUBLE) / agree.n)
+                      FOR x IN m]) AS pe
+          FROM (SELECT list_sort(list({'c': c, 'ca': ca, 'cb': cb}))
+                  AS m FROM pc),
+            agree)
+        SELECT n, n_agree,
+          CAST(n_agree AS DOUBLE) / n AS po, pe,
+          (CAST(n_agree AS DOUBLE) / n - pe) / (1.0 - pe) AS kappa
+        FROM pe""")),
+
     // ----- exact-duplicate vector detection (retry-dup QC) -----------------
     // The embedding-pipeline defect sim_embedding_qc does NOT catch:
     // rows duplicated by ingestion retries (same vector, different

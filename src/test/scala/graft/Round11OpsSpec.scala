@@ -1124,4 +1124,39 @@ class Round11OpsSpec extends AnyFunSuite {
     // possibly the last stages; at least 3 rules must drop docs
     assert(got.count(_._5 > 0) >= 3)
   }
+
+  // ------------------------------------------------------------------
+  // sim_label_kappa
+  // ------------------------------------------------------------------
+
+  test("label kappa: matches a direct computation with the same " +
+      "class-ordered fold") {
+    import spark.implicits._
+    val got = q("sim_label_kappa")
+      .select($"n", $"n_agree", $"po", $"pe", $"kappa")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 1)
+    val (n, nAgree, po, pe, kappa) = got.head
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect()
+    val k = rows.map(_._2).max + 1
+    val ab = rows.map { case (id, a) =>
+      (a, (a + (if (id % 7 == 0) 1 else 0)) % k) }
+    assert(n == ab.length)
+    assert(nAgree == ab.count(t => t._1 == t._2))
+    assert(po == nAgree.toDouble / n)
+    // expected agreement via the same sorted-class sequential fold
+    val ca = ab.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cb = ab.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    var acc = 0.0
+    (0 until k).foreach { c =>
+      acc += (ca.getOrElse(c, 0L).toDouble / n) *
+        (cb.getOrElse(c, 0L).toDouble / n)
+    }
+    assert(pe == acc)
+    assert(kappa == (po - pe) / (1.0 - pe))
+    // the ~1/7 disagreement population puts kappa well below 1 but
+    // far above chance
+    assert(kappa > 0.7 && kappa < 0.95)
+  }
 }
