@@ -333,6 +333,72 @@ object MediaDedup {
           ELSE 0 END) AS BIGINT) AS dhash_lo
       FROM pb GROUP BY 1)"""
 
+  /** Shot-structured per-frame hashes (media_id, frame_idx, dhash_hi,
+    * dhash_lo) — shared by mm_shot_boundaries and mm_keyframes, one
+    * decode per session via the memo. Fixture doc on
+    * mm_shot_boundaries. */
+  private def shotFrameHashes(s: SparkSession, d: String): DataFrame =
+    memoized("shot_fh", d) {
+      import s.implicits._
+      val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
+        .select($"doc_id").as[Long]
+      ids.mapPartitions { it =>
+        it.flatMap { id =>
+          val nf = Multimodal.AviCodec.nFrames(id)
+          (0 until nf).map { j =>
+            val fid = id + 131L * (j / 2)
+            val img = Multimodal.BmpCodec.decode(
+              Multimodal.BmpCodec.encode(fid))
+            if (j % 2 == 1) whiteoutGridSample(img, 2)
+            val (hi, lo) = Multimodal.dhashOf(img)
+            (id, j, hi, lo)
+          }
+        }
+      }.toDF("media_id", "frame_idx", "dhash_hi", "dhash_lo")
+    }
+
+  /** Shot-fixture frame-hash oracle CTE chain (vids..fh) — shared by
+    * mm_shot_boundaries and mm_keyframes so the pixel math has one
+    * source. */
+  private lazy val shotFhCtes: String = """vids AS (
+          SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        fr AS (
+          SELECT doc_id, j, doc_id + 131 * (j // 2) AS fid,
+            CASE WHEN j % 2 = 1 THEN 2 ELSE -1 END AS pc
+          FROM vids,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(3 + doc_id % 4 AS INT) - 1)) AS j) js),
+        fg AS (
+          SELECT doc_id, j, fid, pc,
+            CAST(16 + fid % 13 AS INT) AS w,
+            CAST(12 + fid % 7 AS INT) AS h, x, y
+          FROM fr,
+            LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        fb AS (
+          SELECT doc_id, j, x, y,
+            CASE WHEN
+              (CASE WHEN x + 1 = pc AND y = 3 THEN 255000 ELSE
+                299 * ((fid*7 + (((x+1)*w)//9)*3 + ((y*h)//8)*5) % 256)
+                + 587 * ((fid + (((x+1)*w)//9)*11 + ((y*h)//8)*2) % 256)
+                + 114 * ((fid*13 + (((x+1)*w)//9) * ((y*h)//8)) % 256) END)
+              >
+              (CASE WHEN x = pc AND y = 3 THEN 255000 ELSE
+                299 * ((fid*7 + ((x*w)//9)*3 + ((y*h)//8)*5) % 256)
+                + 587 * ((fid + ((x*w)//9)*11 + ((y*h)//8)*2) % 256)
+                + 114 * ((fid*13 + ((x*w)//9) * ((y*h)//8)) % 256) END)
+            THEN 1 ELSE 0 END AS bit
+          FROM fg),
+        fh AS (
+          SELECT doc_id AS media_id, CAST(j AS INT) AS frame_idx,
+            CAST(SUM(CASE WHEN y >= 4
+              THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+              ELSE 0 END) AS BIGINT) AS hi,
+            CAST(SUM(CASE WHEN y < 4
+              THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+              ELSE 0 END) AS BIGINT) AS lo
+          FROM fb GROUP BY 1, 2)"""
+
   val defs: Seq[Q] = Seq(
 
     // ----- image near-dup pairs (banded Hamming join) --------------------
@@ -622,21 +688,7 @@ object MediaDedup {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
-          .select($"doc_id").as[Long]
-        val fh = ids.mapPartitions { it =>
-          it.flatMap { id =>
-            val nf = Multimodal.AviCodec.nFrames(id)
-            (0 until nf).map { j =>
-              val fid = id + 131L * (j / 2)
-              val img = Multimodal.BmpCodec.decode(
-                Multimodal.BmpCodec.encode(fid))
-              if (j % 2 == 1) whiteoutGridSample(img, 2)
-              val (hi, lo) = Multimodal.dhashOf(img)
-              (id, j, hi, lo)
-            }
-          }
-        }.toDF("media_id", "frame_idx", "dhash_hi", "dhash_lo")
+        val fh = shotFrameHashes(s, d)
         val w = Window.partitionBy($"media_id").orderBy($"frame_idx")
         fh.select($"media_id", $"frame_idx",
             (bit_count($"dhash_hi".bitwiseXOR(lag($"dhash_hi", 1).over(w)))
@@ -644,44 +696,7 @@ object MediaDedup {
               .as("hamming"))
           .filter($"hamming".isNull || $"hamming" > 6)
       },
-      Some("""WITH vids AS (
-          SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
-        fr AS (
-          SELECT doc_id, j, doc_id + 131 * (j // 2) AS fid,
-            CASE WHEN j % 2 = 1 THEN 2 ELSE -1 END AS pc
-          FROM vids,
-            LATERAL (SELECT unnest(generate_series(0,
-              CAST(3 + doc_id % 4 AS INT) - 1)) AS j) js),
-        fg AS (
-          SELECT doc_id, j, fid, pc,
-            CAST(16 + fid % 13 AS INT) AS w,
-            CAST(12 + fid % 7 AS INT) AS h, x, y
-          FROM fr,
-            LATERAL (SELECT unnest(generate_series(0, 7)) AS x) xs,
-            LATERAL (SELECT unnest(generate_series(0, 7)) AS y) ys),
-        fb AS (
-          SELECT doc_id, j, x, y,
-            CASE WHEN
-              (CASE WHEN x + 1 = pc AND y = 3 THEN 255000 ELSE
-                299 * ((fid*7 + (((x+1)*w)//9)*3 + ((y*h)//8)*5) % 256)
-                + 587 * ((fid + (((x+1)*w)//9)*11 + ((y*h)//8)*2) % 256)
-                + 114 * ((fid*13 + (((x+1)*w)//9) * ((y*h)//8)) % 256) END)
-              >
-              (CASE WHEN x = pc AND y = 3 THEN 255000 ELSE
-                299 * ((fid*7 + ((x*w)//9)*3 + ((y*h)//8)*5) % 256)
-                + 587 * ((fid + ((x*w)//9)*11 + ((y*h)//8)*2) % 256)
-                + 114 * ((fid*13 + ((x*w)//9) * ((y*h)//8)) % 256) END)
-            THEN 1 ELSE 0 END AS bit
-          FROM fg),
-        fh AS (
-          SELECT doc_id AS media_id, CAST(j AS INT) AS frame_idx,
-            CAST(SUM(CASE WHEN y >= 4
-              THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
-              ELSE 0 END) AS BIGINT) AS hi,
-            CAST(SUM(CASE WHEN y < 4
-              THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
-              ELSE 0 END) AS BIGINT) AS lo
-          FROM fb GROUP BY 1, 2),
+      Some(s"""WITH $shotFhCtes,
         lagd AS (
           SELECT media_id, frame_idx,
             CAST(bit_count(xor(hi, lag(hi) OVER w))
@@ -689,6 +704,46 @@ object MediaDedup {
           FROM fh
           WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx))
         SELECT media_id, frame_idx, hamming FROM lagd
-        WHERE hamming IS NULL OR hamming > 6"""))
+        WHERE hamming IS NULL OR hamming > 6""")),
+
+    // ----- keyframe extraction (one frame per shot) ------------------------
+    // The payoff of shot detection: pick ONE representative frame per
+    // shot (its first frame) with its perceptual hash — what a video
+    // curation pipeline feeds to feature extraction instead of paying
+    // for every frame. Rides the SAME memoized frame-hash relation and
+    // the SAME oracle CTE chain as mm_shot_boundaries (one pixel-math
+    // source); per-video shot numbering is a row_number over the
+    // bounded per-video start set — the only shuffle is the media_id
+    // window partition both ops already pay.
+    Q("mm_keyframes",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val fh = shotFrameHashes(s, d)
+        val w = Window.partitionBy($"media_id").orderBy($"frame_idx")
+        fh.withColumn("hamming",
+            bit_count($"dhash_hi".bitwiseXOR(lag($"dhash_hi", 1).over(w)))
+              + bit_count($"dhash_lo".bitwiseXOR(lag($"dhash_lo", 1).over(w))))
+          .filter($"hamming".isNull || $"hamming" > 6)
+          .withColumn("shot_idx", row_number().over(w).cast("int"))
+          .select($"media_id", $"shot_idx",
+            $"frame_idx".as("keyframe_idx"), $"dhash_hi", $"dhash_lo")
+      },
+      Some(s"""WITH $shotFhCtes,
+        lagd AS (
+          SELECT media_id, frame_idx, hi, lo,
+            CAST(bit_count(xor(hi, lag(hi) OVER w))
+               + bit_count(xor(lo, lag(lo) OVER w)) AS INT) AS hamming
+          FROM fh
+          WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+        st AS (
+          SELECT media_id, frame_idx, hi, lo FROM lagd
+          WHERE hamming IS NULL OR hamming > 6)
+        SELECT media_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY media_id
+            ORDER BY frame_idx) AS INT) AS shot_idx,
+          frame_idx AS keyframe_idx,
+          hi AS dhash_hi, lo AS dhash_lo
+        FROM st"""))
   )
 }

@@ -1159,4 +1159,38 @@ class Round11OpsSpec extends AnyFunSuite {
     // far above chance
     assert(kappa > 0.7 && kappa < 0.95)
   }
+
+  // ------------------------------------------------------------------
+  // mm_keyframes
+  // ------------------------------------------------------------------
+
+  test("keyframes: one per shot, consistent with the boundary set, " +
+      "hash equals the boundary frame's hash") {
+    import spark.implicits._
+    val kf = q("mm_keyframes")
+      .select($"media_id", $"shot_idx", $"keyframe_idx", $"dhash_hi",
+        $"dhash_lo")
+      .as[(Long, Int, Int, Long, Long)].collect()
+    val bounds = q("mm_shot_boundaries")
+      .select($"media_id", $"frame_idx").as[(Long, Int)].collect().toSet
+    // exactly the boundary frames, one keyframe per boundary
+    assert(kf.map(r => (r._1, r._3)).toSet == bounds)
+    assert(kf.length == bounds.size)
+    // shot numbering is dense 1..k per video, ordered by frame
+    kf.groupBy(_._1).foreach { case (vid, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length), s"video $vid")
+      // fixture: shots start every 2 frames, so keyframes are even
+      sorted.foreach(r => assert(r._3 % 2 == 0, s"video $vid"))
+    }
+    // keyframes are even frames = UNDECORATED base renders of
+    // fid = id + 131*(j/2); re-derive each hash through the codec
+    kf.foreach { r =>
+      val fid = r._1 + 131L * (r._3 / 2)
+      val img = graft.operators.Multimodal.BmpCodec.decode(
+        graft.operators.Multimodal.BmpCodec.encode(fid))
+      val (hi, lo) = graft.operators.Multimodal.dhashOf(img)
+      assert(hi == r._4 && lo == r._5, s"video ${r._1} frame ${r._3}")
+    }
+  }
 }
