@@ -501,21 +501,23 @@ object Graph {
       (s, d) => {
         import s.implicits._
         val K = 3
-        val li = Tables.lineitem(s, d)
-          .select($"l_orderkey", $"l_partkey").distinct()
-        // each peel round reads the edge set THREE times (degree agg +
-        // two semi-joins) plus the count action — without a persisted
-        // frontier every round would replay the pair-build join from
-        // the scan. Eager localCheckpoint per round materializes the
-        // frontier ONCE, truncates lineage, and leaves block cleanup
-        // to the ContextCleaner when the round's RDD goes unreferenced
-        // (no CacheManager entries to leak across invocations).
-        var e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("src"),
-            col("b.l_partkey").as("dst"))
-          .agg(count(lit(1)).as("w"))
+        // Seed = the shared persisted, delta-appended, src-partitioned
+        // co-purchase artifact, thresholded by a narrow filter — the
+        // LPA pattern. The self-join is the single most expensive
+        // stage in the graph family; the DeltaChain artifact exists so
+        // it is paid ONCE per dataset and grown by O(delivery)
+        // appends, not rebuilt per query (kcore rebuilt it through
+        // round 11 — ~1-2 s of its 3.0 s at sf0.1, dominant at 100 TB).
+        //
+        // Within the peel, each round reads the edge set THREE times
+        // (degree agg + two semi-joins) plus the count action — without
+        // a persisted frontier every round would replay from the
+        // artifact cache. Eager localCheckpoint per round materializes
+        // the frontier ONCE, truncates lineage, and leaves block
+        // cleanup to the ContextCleaner when the round's RDD goes
+        // unreferenced (no CacheManager entries to leak across
+        // invocations).
+        var e = coPurchaseEdges(s, d)
           .filter($"w" >= 2)
           .select($"src", $"dst")
           .localCheckpoint()

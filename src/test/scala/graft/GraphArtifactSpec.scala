@@ -35,6 +35,10 @@ class GraphArtifactSpec extends AnyFunSuite {
     SparkEntry.queries("pipeline_lpa_communities")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
 
+  private def runKcore(d: String): Set[(Long, Long)] =
+    SparkEntry.queries("pipeline_graph_kcore")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("pagerank + LPA share one edge build; cold session loads the " +
       "artifact; stale artifact rebuilds") {
     val d = copyDataset()
@@ -50,6 +54,10 @@ class GraphArtifactSpec extends AnyFunSuite {
       assert(lpa.nonEmpty)
       assert(g.buildsFor(d) == 1,
         "LPA must reuse the edge build pagerank already paid for")
+      val kc = runKcore(d)
+      assert(kc.nonEmpty)
+      assert(g.buildsFor(d) == 1,
+        "kcore must ride the shared artifact, not rebuild the self-join")
       val dir = g.graphDir(spark, d)
       assert(Files.exists(dir.resolve("meta.json")),
         "sidecar commit marker must be persisted")
@@ -60,6 +68,7 @@ class GraphArtifactSpec extends AnyFunSuite {
       g.clearMemos()
       assert(runPr(d) == pr, "cold pagerank must be identical")
       assert(runLpa(d) == lpa, "cold LPA must be identical")
+      assert(runKcore(d) == kc, "cold kcore must be identical")
       assert(g.buildsFor(d) == 1,
         "cold session must load the artifact, not re-join")
 
