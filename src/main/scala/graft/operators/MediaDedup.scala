@@ -245,6 +245,36 @@ object MediaDedup {
     }.toDF("media_id", "frame_idx", "dhash_hi", "dhash_lo")
   }
 
+  /** Per-frame hashes for the MJPEG-container grouped-cut fixture:
+    * same structure as [[videoFrameHashes]] (member m of a group of
+    * three drops the first m frames and whites out grid sample (2m, 3)
+    * on every kept frame) but the base clip is MJPEG-in-AVI — every
+    * frame traverses the real JPEG wire format through the shared
+    * JpegCodec inside the AviCodec '00dc' walk. Content is the
+    * coefficient-space JPEG fixture (id + 154*j per frame), so the
+    * lossy decode is pixel-exactly predictable and the oracle derives
+    * each frame hash from the closed-form JFIF formula. */
+  private[graft] def videoFrameHashesMjpeg(s: SparkSession, d: String)
+      : DataFrame = memoized("video_fh_mjpeg", d) {
+    import s.implicits._
+    val vids = Tables.documents(s, d).filter($"doc_id" % 3 === 0)
+      .select($"doc_id").as[Long]
+    vids.mapPartitions { it =>
+      it.flatMap { id =>
+        val t = id / 3
+        val gid = 9 * (t / 3)
+        val m = (t % 3).toInt
+        val vid = Multimodal.AviCodec.decode(
+          Multimodal.AviCodec.encodeMjpeg(gid))
+        vid.frames.zipWithIndex.drop(m).map { case (img, j) =>
+          if (m != 0) whiteoutGridSample(img, 2 * m)
+          val (hi, lo) = Multimodal.dhashOf(img)
+          (id, j - m, hi, lo)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "dhash_hi", "dhash_lo")
+  }
+
   /** Audio landmark relation (media_id, p, key): 5-sample window
     * energies -> rise/fall contour bits -> 9-bit words -> 20-bit
     * landmark keys pairing words at (p, p+δ), δ ∈ [9,12] (object doc).
@@ -507,6 +537,95 @@ object MediaDedup {
                 + 114 * ((fid*13 + ((x*w)//9) * ((y*h)//8)) % 256) END)
             THEN 1 ELSE 0 END AS bit
           FROM vg),
+        vh AS (
+          SELECT doc_id AS media_id, CAST(j - m AS INT) AS frame_idx,
+            CAST(SUM(CASE WHEN y >= 4
+              THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+              ELSE 0 END) AS BIGINT) AS dhash_hi,
+            CAST(SUM(CASE WHEN y < 4
+              THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+              ELSE 0 END) AS BIGINT) AS dhash_lo
+          FROM vb GROUP BY 1, 2)
+        SELECT l.media_id AS v1, r.media_id AS v2,
+          CAST(l.frame_idx - r.frame_idx AS INT) AS frame_shift,
+          COUNT(*) AS n_aligned
+        FROM vh l JOIN vh r
+          ON l.media_id < r.media_id
+          AND bit_count(xor(l.dhash_hi, r.dhash_hi))
+            + bit_count(xor(l.dhash_lo, r.dhash_lo)) <= 6
+        GROUP BY 1, 2, 3""")),
+
+    // ----- video sequence overlap, MJPEG container -------------------------
+    // The compressed-container leg of mm_video_overlap: the grouped-cut
+    // fixture is delivered as MJPEG-in-AVI, so every frame hash is
+    // computed from pixels that traversed the real JPEG wire format
+    // (Huffman entropy decode, dequant, IDCT, 4:2:0 upsample) inside
+    // the AviCodec '00dc' walk — the "re-encoded copies of one clip"
+    // case a video dedup pipeline actually sees. Same banded tolerant
+    // matcher; the oracle re-derives each frame's dHash from the
+    // closed-form JFIF pixel formula (the mm_decode_jpeg discipline)
+    // plus the member whiteout, then joins naively.
+    Q("mm_video_overlap_mjpeg",
+      (s, d) => {
+        import s.implicits._
+        val fh = videoFrameHashesMjpeg(s, d)
+        bandedHammingPairs(fh, "media_id", Seq("frame_idx"))
+          .groupBy($"media_id_1".as("v1"), $"media_id_2".as("v2"),
+            ($"frame_idx_1" - $"frame_idx_2").as("frame_shift"))
+          .agg(count(lit(1)).as("n_aligned"))
+      },
+      Some("""WITH vids AS (
+          SELECT doc_id, doc_id // 3 AS t
+          FROM documents WHERE doc_id % 3 = 0),
+        mem AS (
+          SELECT doc_id, 9 * (t // 3) AS gid, t % 3 AS m FROM vids),
+        frames AS (
+          SELECT doc_id, m, j, gid + 154 * j AS fid,
+            CASE WHEN m = 0 THEN -1 ELSE 2 * m END AS pc,
+            CAST(21 + gid % 14 AS INT) AS w,
+            CAST(13 + gid % 11 AS INT) AS h
+          FROM mem,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(3 + gid % 4 AS INT) - 1)) AS j) js
+          WHERE j >= m),
+        grid AS (
+          SELECT doc_id, m, j, pc, gx, gy,
+            (gx * w) // 9 AS sx, (gy * h) // 8 AS sy, fid
+          FROM frames,
+            LATERAL (SELECT unnest(generate_series(0, 8)) AS gx) xs,
+            LATERAL (SELECT unnest(generate_series(0, 7)) AS gy) ys),
+        ycc AS (
+          SELECT doc_id, m, j, pc, gx, gy,
+            64 + (fid*7 + (sx//8)*31 + (sy//8)*17) % 128
+              + ((fid + (sx//8)*5 + (sy//8)*3) % 8)
+                * (CASE WHEN (sx%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((fid*3 + (sx//8) + (sy//8)*7) % 8)
+                * (CASE WHEN (sy%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((fid*5 + (sx//8)*7 + (sy//8)) % 4)
+                * (CASE WHEN (sx%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+                * (CASE WHEN (sy%8) IN (0,3,4,7) THEN 1 ELSE -1 END) AS yv,
+            (fid*11 + (sx//16)*13 + (sy//16)*19) % 256 AS cb,
+            (fid*3 + (sx//16)*7 + (sy//16)*29) % 256 AS cr
+          FROM grid),
+        gl AS (
+          SELECT doc_id, m, j, gx, gy,
+            CASE WHEN gx = pc AND gy = 3 THEN 255000 ELSE
+              299 * LEAST(255, GREATEST(0, CAST(floor(
+                  yv + 1.402E0 * (cr - 128) + 0.5E0) AS BIGINT)))
+            + 587 * LEAST(255, GREATEST(0, CAST(floor(
+                  yv - 0.344136E0 * (cb - 128) - 0.714136E0 * (cr - 128)
+                    + 0.5E0) AS BIGINT)))
+            + 114 * LEAST(255, GREATEST(0, CAST(floor(
+                  yv + 1.772E0 * (cb - 128) + 0.5E0) AS BIGINT)))
+            END AS lum
+          FROM ycc),
+        vb AS (
+          SELECT l.doc_id, l.m, l.j, l.gx AS x, l.gy AS y,
+            CASE WHEN r.lum > l.lum THEN 1 ELSE 0 END AS bit
+          FROM gl l JOIN gl r
+            ON r.doc_id = l.doc_id AND r.j = l.j AND r.gy = l.gy
+            AND r.gx = l.gx + 1
+          WHERE l.gx < 8),
         vh AS (
           SELECT doc_id AS media_id, CAST(j - m AS INT) AS frame_idx,
             CAST(SUM(CASE WHEN y >= 4

