@@ -684,6 +684,65 @@ object Multimodal {
       out
     }
 
+    // ---- G.711 (ITU-T; RFC 3551 payload types 0/8) ----------------------
+    // The telephony companders RTP audio actually carries: 8-bit log-
+    // companded samples expanding to 13/14-bit linear PCM. The decode
+    // tables are pure spec arithmetic (segment/mantissa unpack), written
+    // here from the G.711 definition — integer-exact, so the DuckDB
+    // oracle re-derives every expanded sample in closed form.
+
+    /** Fixture compressed byte i of clip id (every byte value 0..255 is
+      * a valid G.711 codeword, so the formula needs no masking care). */
+    def g711Byte(id: Long, i: Int): Int =
+      ((id * 31 + i.toLong * i * 7) % 256).toInt
+
+    /** µ-law codeword → linear PCM (G.711 table 2a/2b): complement,
+      * unpack 3-bit segment + 4-bit mantissa around the 33-step bias,
+      * sign from bit 7. Range ±32124. */
+    def ulawExpand(b: Int): Int = {
+      val u = (~b) & 0xFF
+      val t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+
+    /** A-law codeword → linear PCM (G.711 table 1a/1b): invert the
+      * even bits (0x55 toggle), unpack segment + mantissa (segment 0
+      * is linear with a half-step offset, segment 1 starts the
+      * doubling chain), sign from bit 7. Range ±32256. */
+    def alawExpand(b: Int): Int = {
+      val a = b ^ 0x55
+      val seg = (a >> 4) & 0x07
+      val t = seg match {
+        case 0 => ((a & 0x0F) << 4) + 8
+        case 1 => ((a & 0x0F) << 4) + 0x108
+        case _ => (((a & 0x0F) << 4) + 0x108) << (seg - 1)
+      }
+      if ((a & 0x80) != 0) t else -t
+    }
+
+    /** G.711 WAV writer: format tag 7 (µ-law) or 6 (A-law), 8 bits per
+      * sample, one codeword byte per sample from [[g711Byte]]. */
+    def encodeG711(id: Long, alaw: Boolean): Array[Byte] = {
+      val n = nSamples(id)
+      val r = rate(id)
+      val out = new Array[Byte](44 + n)
+      tag(out, 0, "RIFF"); le32(out, 4, 36 + n); tag(out, 8, "WAVE")
+      tag(out, 12, "fmt "); le32(out, 16, 16)
+      le16(out, 20, if (alaw) 6 else 7) // WAVE_FORMAT_ALAW / _MULAW
+      le16(out, 22, 1)                  // mono
+      le32(out, 24, r)                  // sample rate
+      le32(out, 28, r)                  // byte rate (1 byte/sample)
+      le16(out, 32, 1)                  // block align
+      le16(out, 34, 8)                  // bits per sample
+      tag(out, 36, "data"); le32(out, 40, n)
+      var i = 0
+      while (i < n) {
+        out(44 + i) = g711Byte(id, i).toByte
+        i += 1
+      }
+      out
+    }
+
     final case class Audio(sampleRate: Int, samples: Array[Short])
 
     private def rdLe32(b: Array[Byte], off: Int): Int =
@@ -698,7 +757,9 @@ object Multimodal {
         "not a RIFF/WAVE file")
       var off = 12
       var sampleRate = -1
-      var samples: Array[Short] = null
+      var fmtTag = -1
+      var dataOff = -1
+      var dataSize = -1
       while (off + 8 <= bytes.length) {
         val id = tagAt(off)
         val size = rdLe32(bytes, off + 4)
@@ -708,20 +769,40 @@ object Multimodal {
           s"truncated chunk $id")
         if (id == "fmt ") {
           require(size >= 16, "short fmt chunk")
+          fmtTag = (bytes(off + 8) & 0xFF) | ((bytes(off + 9) & 0xFF) << 8)
           sampleRate = rdLe32(bytes, off + 12)
         } else if (id == "data") {
-          val n = size / 2
-          samples = new Array[Short](n)
-          var i = 0
-          while (i < n) {
-            samples(i) = ((bytes(off + 8 + 2 * i) & 0xFF) |
-              (bytes(off + 9 + 2 * i) << 8)).toShort
-            i += 1
-          }
+          // record and expand AFTER the walk: the RIFF spec does not
+          // order chunks, and the sample width depends on the fmt tag
+          dataOff = off + 8
+          dataSize = size
         }
         off += 8 + size + (size & 1)    // RIFF chunks are word-aligned
       }
-      require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+      require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+      val samples = fmtTag match {
+        case 1 =>                       // PCM16 little-endian
+          val n = dataSize / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            out(i) = ((bytes(dataOff + 2 * i) & 0xFF) |
+              (bytes(dataOff + 1 + 2 * i) << 8)).toShort
+            i += 1
+          }
+          out
+        case 6 | 7 =>                   // G.711 A-law / µ-law, 1 byte each
+          val out = new Array[Short](dataSize)
+          var i = 0
+          while (i < dataSize) {
+            val b = bytes(dataOff + i) & 0xFF
+            out(i) = (if (fmtTag == 6) alawExpand(b) else ulawExpand(b)).toShort
+            i += 1
+          }
+          out
+        case t => throw new IllegalArgumentException(
+          s"unsupported WAVE format tag $t")
+      }
       Audio(sampleRate, samples)
     }
   }
@@ -2377,6 +2458,78 @@ object Multimodal {
                FOR i IN generate_series(0, CAST(200 + doc_id % 57 AS INT) - 1)])
                AS BIGINT) AS sum_abs
         FROM documents WHERE doc_id % 3 = 1""")),
+
+    // ----- REAL compressed-audio decode (G.711 µ-law / A-law WAV) --------
+    // The telephony companders (ITU-T G.711; RFC 3551 payload types
+    // 0/8) — what RTP voice captures actually carry, and the cheapest
+    // real-world compressed-audio coverage: WAVE format tags 7/6, one
+    // codeword byte per sample, expanded to linear PCM by pure spec
+    // arithmetic (segment/mantissa unpack) inside the same chunk walk
+    // as PCM16. Alternating clips are µ-law vs A-law so one query
+    // exercises both expansion tables; the oracle re-derives every
+    // expanded sample in closed form from the codeword formula —
+    // integer-exact end to end.
+    Q("mm_decode_wav_g711",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val alaw = (id / 3) % 2 == 1
+            val audio = WavCodec.decode(WavCodec.encodeG711(id, alaw))
+            var peak = 0
+            var sumAbs = 0L
+            var i = 0
+            while (i < audio.samples.length) {
+              val a = math.abs(audio.samples(i).toInt)
+              if (a > peak) peak = a
+              sumAbs += a
+              i += 1
+            }
+            (id, if (alaw) "alaw" else "ulaw", audio.sampleRate,
+              audio.samples.length, peak, sumAbs)
+          }
+        }.toDF("media_id", "codec", "sample_rate", "n_samples",
+          "peak", "sum_abs")
+      },
+      Some("""WITH cw AS (
+          SELECT doc_id,
+            CASE WHEN (doc_id // 3) % 2 = 1 THEN 'alaw' ELSE 'ulaw' END
+              AS codec,
+            CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+            CAST(200 + doc_id % 57 AS INT) AS n_samples,
+            (doc_id * 31 + i * i * 7) % 256 AS b
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(200 + doc_id % 57 AS INT) - 1)) AS i) xs
+          WHERE doc_id % 3 = 2),
+        pcm AS (
+          SELECT doc_id, codec, sample_rate, n_samples,
+            CASE WHEN codec = 'ulaw' THEN
+              -- u = ~b & 255; t = ((mant<<3)+132) << seg; sign bit 7
+              CASE WHEN (255 - b) >= 128
+                THEN 132 - (((255 - b) % 16) * 8 + 132)
+                           * (1 << (((255 - b) // 16) % 8))
+                ELSE (((255 - b) % 16) * 8 + 132)
+                     * (1 << ((255 - b) // 16)) - 132
+              END
+            ELSE
+              -- a = b ^ 0x55; seg 0 linear+8, seg 1 starts the chain
+              (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END) *
+              (CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                 THEN (xor(b, 85) % 16) * 16 + 8
+                 WHEN (xor(b, 85) // 16) % 8 = 1
+                 THEN (xor(b, 85) % 16) * 16 + 264
+                 ELSE ((xor(b, 85) % 16) * 16 + 264)
+                      * (1 << ((xor(b, 85) // 16) % 8 - 1))
+               END)
+            END AS v
+          FROM cw)
+        SELECT doc_id AS media_id, codec, sample_rate, n_samples,
+          CAST(MAX(ABS(v)) AS INT) AS peak,
+          CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+        FROM pcm GROUP BY 1, 2, 3, 4""")),
 
     // ----- REAL video decode (uncompressed AVI) --------------------------
     // The video leg: encode the deterministic multi-frame fixture, parse

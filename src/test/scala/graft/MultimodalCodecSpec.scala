@@ -112,6 +112,43 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(a.samples.length == WavCodec.nSamples(10L))
   }
 
+  test("G.711 expansion matches the ITU endpoint values; companded WAVs " +
+      "decode through the same chunk walk; unknown format tags reject") {
+    import graft.operators.Multimodal.WavCodec
+    // endpoint codewords from the G.711 tables: zero, and both rails
+    assert(WavCodec.ulawExpand(0xFF) == 0)    // +0
+    assert(WavCodec.ulawExpand(0x7F) == 0)    // -0
+    assert(WavCodec.ulawExpand(0x80) == 32124)
+    assert(WavCodec.ulawExpand(0x00) == -32124)
+    assert(WavCodec.alawExpand(0xD5) == 8)    // smallest positive step
+    assert(WavCodec.alawExpand(0x55) == -8)
+    assert(WavCodec.alawExpand(0xAA) == 32256)
+    assert(WavCodec.alawExpand(0x2A) == -32256)
+    // sign symmetry: flipping codeword bit 7 negates the sample
+    for (b <- 0 until 256) {
+      assert(WavCodec.ulawExpand(b ^ 0x80) == -WavCodec.ulawExpand(b))
+      assert(WavCodec.alawExpand(b ^ 0x80) == -WavCodec.alawExpand(b))
+    }
+    // µ-law magnitudes are strictly monotone in codeword magnitude
+    // (0x7F down to 0x00 = -0 out to -32124)
+    for (b <- 1 until 128)
+      assert(WavCodec.ulawExpand(b - 1) < WavCodec.ulawExpand(b))
+    for (alaw <- Seq(false, true); id <- Seq(4L, 7L, 11L, 700L)) {
+      val a = WavCodec.decode(WavCodec.encodeG711(id, alaw))
+      assert(a.sampleRate == WavCodec.rate(id))
+      assert(a.samples.length == WavCodec.nSamples(id))
+      for (i <- a.samples.indices) {
+        val b = WavCodec.g711Byte(id, i)
+        val want = if (alaw) WavCodec.alawExpand(b) else WavCodec.ulawExpand(b)
+        assert(a.samples(i).toInt == want, s"alaw=$alaw id $id sample $i")
+      }
+    }
+    // an unsupported format tag (e.g. 2 = ADPCM) rejects, not misparses
+    val bad = WavCodec.encodeG711(4L, alaw = false)
+    bad(20) = 2
+    intercept[IllegalArgumentException](WavCodec.decode(bad))
+  }
+
   test("AVI roundtrip reproduces the per-frame formula") {
     import graft.operators.Multimodal.AviCodec
     for (id <- Seq(2L, 5L, 14L, 701L)) {
