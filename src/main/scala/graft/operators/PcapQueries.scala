@@ -376,6 +376,14 @@ object PcapQueries {
     p.toString
   }
 
+  /** GENEVE-encapsulated DNS capture (see
+    * [[graft.pcap.PcapSynth.genevePackets]]). */
+  private def geneveSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_geneve.pcap")
+    graft.pcap.PcapSynth.ensureGeneveFile(p, 120)
+    p.toString
+  }
+
   /** Constant oracle for pcap_tcp_retransmits: the overlap fixture's
     * retransmit structure is the same for every flow — in capture
     * order A,R,D,B,C the frontier sweep classifies R (straddles by 5)
@@ -1470,6 +1478,26 @@ object PcapQueries {
         CAST(v.n_nx AS BIGINT) AS n_nx,
         CAST(v.first_qname AS VARCHAR) AS first_qname
         FROM (VALUES $rows) AS v(vni, n_pkts, n_nx, first_qname)"""
+  }
+
+  /** Constant oracle for pcap_geneve_decap, re-derived from the
+    * synthesis formulas: vni = 200 + i mod 5, NXDOMAIN when
+    * i mod 8 == 0, qname `gv$i.overlay.example.com.` (parser form),
+    * option count = i mod 3 (0/1/2 options per the fixture). */
+  private def geneveDecapOracle(n: Int): String = {
+    val rows = (0 until 5).map { k =>
+      val is = (0 until n).filter(_ % 5 == k)
+      val nx = is.count(_ % 8 == 0)
+      val firstQ = is.map(i => s"gv$i.overlay.example.com.").min
+      val maxOpts = is.map(_ % 3).max
+      s"(${200 + k}, ${is.size}, $nx, '$firstQ', $maxOpts)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.vni AS INT) AS vni,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.n_nx AS BIGINT) AS n_nx,
+        CAST(v.first_qname AS VARCHAR) AS first_qname,
+        CAST(v.max_opts AS INT) AS max_opts
+        FROM (VALUES $rows) AS v(vni, n_pkts, n_nx, first_qname, max_opts)"""
   }
 
   /** Offset-sorted datagram reassembly + DNS parse over a fragmented
@@ -3620,6 +3648,34 @@ object PcapQueries {
             min($"dnsQname").as("first_qname"))
       },
       Some(vxlanDecapOracle(120))),
+
+    // ----- GENEVE decap (round 12) -----------------------------------------
+    // Completes the datacenter overlay family (VXLAN / GRE / IP-in-IP
+    // / GENEVE — RFC 8926): same outer-UDP shape as VXLAN on port
+    // 6081, but with a variable-length TLV option walk between the
+    // base header and the inner frame (the fixture carries 0/1/2
+    // options per packet so the walk's exact-tiling contract is
+    // exercised, not just the empty case). The inner Ethernet frame
+    // decodes through the one shared FrameDecoder; rollup is the same
+    // per-VNI tenant census as VXLAN plus the option-count maximum.
+    // Scale shape: outer port filter prunes at the scan, decap is
+    // per-row narrow work, ONE aggregation shuffle on vni.
+    Q("pcap_geneve_decap",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(geneveSynthPath)
+          .filter($"protocol" === "UDP" && $"dst_port" === 6081 &&
+            $"payload".isNotNull)
+          .select($"payload").as[Array[Byte]]
+          .mapPartitions(_.flatMap(graft.pcap.Decap.geneve))
+          .groupBy($"vni")
+          .agg(count(lit(1)).as("n_pkts"),
+            sum(when($"dnsRcode" === "NXDOMAIN", 1L).otherwise(0L))
+              .as("n_nx"),
+            min($"dnsQname").as("first_qname"),
+            max($"nOptions").as("max_opts"))
+      },
+      Some(geneveDecapOracle(120))),
 
     // ----- 802.1Q VLAN inventory (round 11) -------------------------------
     // Switched-fabric captures are tagged; "which VLAN segment carries

@@ -55,6 +55,64 @@ object Decap extends Serializable {
     }
   }
 
+  /** GENEVE-decapped inner packet; `nOptions` counts the variable-
+    * length TLV options the header carried (the walk validates that
+    * they exactly tile the declared option length). */
+  final case class GeneveInner(
+      vni: Int,
+      nOptions: Int,
+      src: String, dst: String,
+      protocol: String,
+      srcPort: Int, dstPort: Int,
+      dnsQname: Option[String],
+      dnsRcode: Option[String])
+
+  /** IANA-assigned GENEVE outer UDP destination port (RFC 8926 §3.3). */
+  val GenevePort = 6081
+
+  /** Decap one GENEVE payload (RFC 8926 §3) — the third datacenter
+    * overlay standard after VXLAN and GRE: 8-byte base header — 2-bit
+    * version (must be 0), 6-bit option length in 4-byte words, O flag
+    * (control packet — not a data frame, skipped: its payload need not
+    * be a packet at all), C flag, 16-bit protocol type, 24-bit VNI —
+    * then the TLV options (4-byte header each: class, type, 5-bit data
+    * length in 4-byte words), then the inner packet. Protocol 0x6558
+    * (Transparent Ethernet Bridging) carries an inner Ethernet frame;
+    * 0x0800/0x86DD carry raw inner IP — both decode through the same
+    * shared [[FrameDecoder]] as every other tunnel. A malformed
+    * header, an option walk that does not tile the declared length,
+    * or an unknown protocol type yields None, never a throw. */
+  def geneve(payload: Array[Byte]): Option[GeneveInner] = {
+    if (payload == null || payload.length < 8) return None
+    if (((payload(0) >> 6) & 0x3) != 0) return None  // version != 0
+    if ((payload(1) & 0x80) != 0) return None        // O: control packet
+    val optLen = (payload(0) & 0x3F) * 4
+    val innerOff = 8 + optLen
+    if (payload.length < innerOff) return None
+    val ptype = ((payload(2) & 0xFF) << 8) | (payload(3) & 0xFF)
+    val vni = ((payload(4) & 0xFF) << 16) |
+      ((payload(5) & 0xFF) << 8) | (payload(6) & 0xFF)
+    // options walk: headers + bodies must EXACTLY tile optLen — an
+    // option body running past the declared length is malformed
+    var o = 8
+    var n = 0
+    while (o < innerOff) {
+      if (o + 4 > innerOff) return None
+      o += 4 + (payload(o + 3) & 0x1F) * 4
+      n += 1
+    }
+    if (o != innerOff) return None
+    val lt = ptype match {
+      case 0x6558 => 1            // inner Ethernet frame
+      case 0x0800 | 0x86DD => 101 // raw inner IP
+      case _ => return None
+    }
+    innerOf(payload, innerOff, linkType = lt).map { case (b, sp, dp) =>
+      GeneveInner(vni, n, b.src.get, b.dst.get, b.protocol.get, sp, dp,
+        b.dns.flatMap(_.qname), b.dns.map(_.rcode))
+    }
+  }
+
   /** GRE-decapped inner packet; `key` is the RFC 2890 key word (the
     * tenant/tunnel id), 0 when the K flag is absent. */
   final case class GreInner(

@@ -1022,6 +1022,51 @@ if glob.glob(f"{out}/pcap_vxlan_decap/*.parquet"):
                ["vni", "n_pkts", "n_nx", "first_qname"]),
          sorted((v, n, nx, q) for v, (n, nx, q) in vstats.items()))
 
+# GENEVE decap: independent parse of the RFC 8926 header — version,
+# O/C flags, option-length words, the TLV option walk (must exactly
+# tile the declared length), protocol type 0x6558 — then the inner
+# Ethernet/IPv4/UDP/DNS from raw bytes (no shared code with Decap).
+if glob.glob(f"{out}/pcap_geneve_decap/*.parquet"):
+    gstats = {}
+    for _, _, fr in _frames("/tmp/graft_synth_geneve.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 17
+        dp = struct.unpack_from(">H", fr, l4 + 2)[0]
+        assert dp == 6081
+        gv = fr[l4 + 8:]
+        assert (gv[0] >> 6) == 0 and not (gv[1] & 0x80)
+        opt_len = (gv[0] & 0x3F) * 4
+        ptype = struct.unpack_from(">H", gv, 2)[0]
+        assert ptype == 0x6558
+        vni = (gv[4] << 16) | (gv[5] << 8) | gv[6]
+        o, nopts = 8, 0
+        while o < 8 + opt_len:
+            o += 4 + (gv[o + 3] & 0x1F) * 4
+            nopts += 1
+        assert o == 8 + opt_len
+        inner = gv[8 + opt_len:]
+        iihl = (inner[14] & 0xF) * 4
+        il4 = 14 + iihl
+        assert inner[14 + 9] == 17
+        dns = inner[il4 + 8:]
+        flags = struct.unpack_from(">H", dns, 2)[0]
+        nx = 1 if (flags & 0xF) == 3 else 0
+        labels, p = [], 12
+        while dns[p] != 0:
+            ln = dns[p]
+            labels.append(dns[p + 1:p + 1 + ln].decode("ascii"))
+            p += 1 + ln
+        q = ".".join(labels).lower() + "."
+        e = gstats.setdefault(vni, [0, 0, None, 0])
+        e[0] += 1
+        e[1] += nx
+        e[2] = q if e[2] is None else min(e[2], q)
+        e[3] = max(e[3], nopts)
+    _cmp("pcap_geneve_decap(redecode)",
+         _read("pcap_geneve_decap",
+               ["vni", "n_pkts", "n_nx", "first_qname", "max_opts"]),
+         sorted((v, n, nx, q, mo) for v, (n, nx, q, mo) in gstats.items()))
+
 # RTP stream quality: independent parse of the RFC 3550 fixed header
 # plus the loss/jitter fold (no shared code with Decap.rtp or the
 # Spark window plan — plain per-stream sort + pairwise diff).
