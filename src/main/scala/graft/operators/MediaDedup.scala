@@ -144,7 +144,17 @@ object MediaDedup {
   private[graft] def groupedDhashes(
       s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+    groupedDhashesOf(Tables.documents(s, d).select($"doc_id").as[Long])
+  }
+
+  /** The fixture hash of an arbitrary id slice — shared by the full
+    * relation, the persisted band index's build and DELTA paths (a
+    * delivery's hashes are computed from its own ids only), and the
+    * delivery probe. */
+  private def groupedDhashesOf(
+      ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
     ids.mapPartitions { it =>
       it.map { id =>
         val gid = (id / 4) * 4
@@ -174,6 +184,27 @@ object MediaDedup {
     * hamming). Explode the 28 byte-pair keys, equi-join, verify with
     * exact bit_count: ONE shuffle on the band key + the distinct;
     * never all-pairs. */
+  /** The 28 byte-pair band keys of a 64-bit dHash, as a SQL array
+    * expression over (dhash_hi, dhash_lo) — ONE definition shared by
+    * the pair generator and the persisted delivery-screen index, so
+    * the two cannot disagree on the banding. */
+  private val BytePairBands =
+    """flatten(transform(sequence(0, 6), j1 ->
+         transform(sequence(j1 + 1, 7), j2 ->
+           struct(j1 AS j1, j2 AS j2,
+             (CASE WHEN j1 < 4 THEN shiftright(dhash_lo, j1 * 8)
+                   ELSE shiftright(dhash_hi, (j1 - 4) * 8) END)
+               & 255L AS b1,
+             (CASE WHEN j2 < 4 THEN shiftright(dhash_lo, j2 * 8)
+                   ELSE shiftright(dhash_hi, (j2 - 4) * 8) END)
+               & 255L AS b2))))"""
+
+  /** Explode a hash relation into its 28 (j1, j2, b1, b2) band keys. */
+  private def bandKeysOf(hashes: DataFrame): DataFrame =
+    hashes.select(col("media_id"), explode(expr(BytePairBands)).as("bd"))
+      .select(col("media_id"), col("bd.j1").as("j1"), col("bd.j2").as("j2"),
+        col("bd.b1").as("b1"), col("bd.b2").as("b2"))
+
   private def bandedHammingPairs(hashed: DataFrame, idCol: String,
       passthrough: Seq[String]): DataFrame = {
     val s = hashed.sparkSession
@@ -181,16 +212,7 @@ object MediaDedup {
     val bands = hashed.select(
       (Seq(col(idCol)) ++ passthrough.map(col) ++ Seq(
         col("dhash_hi"), col("dhash_lo"),
-        explode(expr(
-          """flatten(transform(sequence(0, 6), j1 ->
-               transform(sequence(j1 + 1, 7), j2 ->
-                 struct(j1 AS j1, j2 AS j2,
-                   (CASE WHEN j1 < 4 THEN shiftright(dhash_lo, j1 * 8)
-                         ELSE shiftright(dhash_hi, (j1 - 4) * 8) END)
-                     & 255L AS b1,
-                   (CASE WHEN j2 < 4 THEN shiftright(dhash_lo, j2 * 8)
-                         ELSE shiftright(dhash_hi, (j2 - 4) * 8) END)
-                     & 255L AS b2))))""")).as("bd"))): _*)
+        explode(expr(BytePairBands)).as("bd"))): _*)
     def side(n: Int): DataFrame = bands.select(
       (Seq(col(idCol).as(s"${idCol}_$n")) ++
         passthrough.map(c => col(c).as(s"${c}_$n")) ++ Seq(
@@ -218,6 +240,106 @@ object MediaDedup {
     bandedHammingPairs(imgHashes(s, d), "media_id", Nil)
       .withColumnRenamed("media_id_1", "m1")
       .withColumnRenamed("media_id_2", "m2")
+  }
+
+  // ----- persisted dHash band index (incremental image dedup) -------------
+  // Continuous image ingestion's screen, completing the text-side trio
+  // (dedup_exact_incremental / dedup_lsh_incremental): through round
+  // 11 the image dHash side recomputed the full band self-join per
+  // run, while a delivery only ever needs its OWN images decoded and
+  // one equi-join against the base corpus's persisted per-band-key
+  // summary (key → bmin = min member media_id, bcnt = members). The
+  // summary persists under the shared [[graft.DeltaChain]] lifecycle:
+  // memo (warm) → artifact load (cold, no decode of the base corpus)
+  // → delta append (grown documents table — NEW FILES ONLY are
+  // decoded) → full build; min/sum merge fold is associative, so chain
+  // order is irrelevant and compaction is exact. Base/probe split is
+  // the text screens' convention: indexed corpus doc_id % 7 != 0,
+  // screened delivery doc_id % 7 == 0.
+
+  /** Band-index format version (1 = (j1,j2,b1,b2,bmin,bcnt) rows). */
+  private val MmIdxFmt = 1L
+
+  private val mmIdxChain = new graft.DeltaChain(
+    "spark.graft.mmdhashidx.dir", "graft_mm_dhash_idx", MmIdxFmt, "bands")
+
+  private val mmIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def idxBuildsFor(d: String): Int = mmIdxChain.buildsFor(d)
+  private[graft] def idxAppendsFor(s: SparkSession, d: String): Long =
+    mmIdxChain.appendsFor(s, d)
+  private[graft] def idxPayloadDirsFor(s: SparkSession, d: String)
+      : Seq[String] = mmIdxChain.payloadDirsFor(s, d)
+  private[graft] def idxDir(s: SparkSession, d: String): java.nio.file.Path =
+    mmIdxChain.dir(s, d)
+  private[graft] def clearIdxMemos(): Unit = {
+    mmIdxMemo.forEach { (_, df) =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+    }
+    mmIdxMemo.clear()
+  }
+
+  /** Per-band-key summary of the base split of an id slice — build and
+    * delta share it, so they cannot disagree on the indexed population
+    * or the banding. */
+  private def baseBandSummary(
+      ids: org.apache.spark.sql.Dataset[Long]): DataFrame =
+    bandKeysOf(groupedDhashesOf(ids.filter(id => id % 7 != 0)))
+      .groupBy(col("j1"), col("j2"), col("b1"), col("b2"))
+      .agg(min(col("media_id")).as("bmin"), count(lit(1)).as("bcnt"))
+
+  /** The persisted dHash band index for dataset `d` (see object notes
+    * above): returned cached, merged across payload dirs. Append
+    * boundary: delivered doc_ids strictly above the build-time max. */
+  private[graft] def mmDhashIndex(s: SparkSession, d: String): DataFrame = {
+    val memo = mmIdxMemo.get(d)
+    if (memo != null && !memo.sparkSession.sparkContext.isStopped)
+      return memo
+    import s.implicits._
+    val tablePath = s"$d/documents.parquet"
+    def mergeBands(df: DataFrame): DataFrame =
+      df.groupBy($"j1", $"j2", $"b1", $"b2")
+        .agg(min($"bmin").as("bmin"), sum($"bcnt").as("bcnt"))
+    val raw = mmIdxChain.payload(s, d, tablePath,
+      rows = Tables.documents(s, d).count(),
+      build = () => {
+        val docs = Tables.documents(s, d)
+        val maxId = docs.agg(max($"doc_id")).first().getLong(0)
+        (baseBandSummary(docs.select($"doc_id").as[Long]), maxId)
+      },
+      delta = (newFiles, boundary) => {
+        val delivery = s.read.parquet(newFiles: _*)
+        val bounds = delivery.agg(min($"doc_id"), max($"doc_id")).first()
+        if (bounds.isNullAt(0) || bounds.getLong(0) <= boundary) None
+        else Some((baseBandSummary(delivery.select($"doc_id").as[Long]),
+          bounds.getLong(1)))
+      },
+      merge = mergeBands)
+    val out = mergeBands(raw).cache()
+    Option(mmIdxMemo.put(d, out)).foreach(prev =>
+      if (!prev.sparkSession.sparkContext.isStopped) prev.unpersist())
+    out
+  }
+
+  /** The incremental image-dedup screen: decode + hash + band the
+    * delivery split ONLY, probe the persisted index with one equi-join
+    * on (j1, j2, b1, b2) — per delivery image, how many of its 28 band
+    * keys already exist in the indexed corpus (n_hit_bands; >= 1 for
+    * every image within Hamming 6 of an indexed one, the pigeonhole
+    * guarantee) and the smallest indexed image sharing one (match_doc,
+    * NULL when clean). The base corpus is never re-decoded. */
+  private[graft] def dhashIncremental(s: SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val idx = mmDhashIndex(s, d)
+    val probeIds = Tables.documents(s, d).filter($"doc_id" % 7 === 0)
+      .select($"doc_id").as[Long]
+    bandKeysOf(groupedDhashesOf(probeIds))
+      .join(idx.select($"j1", $"j2", $"b1", $"b2", $"bmin"),
+        Seq("j1", "j2", "b1", "b2"), "left")
+      .groupBy($"media_id")
+      .agg(count($"bmin").as("n_hit_bands"), min($"bmin").as("match_doc"))
   }
 
   /** Per-frame video hashes for the grouped-cut fixture: member m of a
@@ -482,6 +604,37 @@ object MediaDedup {
           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc)
         SELECT doc AS media_id, MIN(r) AS component
         FROM reach GROUP BY doc""")),
+
+    // ----- incremental image dedup against the persisted band index -------
+    // The continuous-ingestion screen for images (object notes above
+    // mmDhashIndex): the delivery split is decoded + hashed + banded,
+    // then probes the base corpus's persisted per-band-key summary —
+    // one equi-join, index side ≤ 1 row per key, the base corpus never
+    // re-decoded. The oracle re-derives the WHOLE chain (pixel formulas
+    // → dHash bits → 28 byte-pair keys → base-split summary → probe
+    // join) from the synthesis formulas, so a hash match proves the
+    // persisted artifact and its delta-append fold lose nothing vs
+    // recomputation.
+    Q("mm_dhash_incremental",
+      (s, d) => dhashIncremental(s, d),
+      Some(s"""WITH $dhashCtes,
+        bp AS (
+          SELECT media_id, j1, j2,
+            CASE WHEN j1 < 4 THEN (dhash_lo >> (j1 * 8)) & 255
+                 ELSE (dhash_hi >> ((j1 - 4) * 8)) & 255 END AS b1,
+            CASE WHEN j2 < 4 THEN (dhash_lo >> (j2 * 8)) & 255
+                 ELSE (dhash_hi >> ((j2 - 4) * 8)) & 255 END AS b2
+          FROM ph,
+            LATERAL (SELECT unnest(generate_series(0, 6)) AS j1) a,
+            LATERAL (SELECT unnest(generate_series(j1 + 1, 7)) AS j2) b),
+        bidx AS (
+          SELECT j1, j2, b1, b2, MIN(media_id) AS bmin
+          FROM bp WHERE media_id % 7 <> 0 GROUP BY 1, 2, 3, 4),
+        probe AS (SELECT * FROM bp WHERE media_id % 7 = 0)
+        SELECT probe.media_id, COUNT(bidx.bmin) AS n_hit_bands,
+          MIN(bidx.bmin) AS match_doc
+        FROM probe LEFT JOIN bidx USING (j1, j2, b1, b2)
+        GROUP BY 1""")),
 
     // ----- video sequence overlap (shared-clip detection) -----------------
     // The mm_video_dhash payoff: find video pairs that share an aligned
