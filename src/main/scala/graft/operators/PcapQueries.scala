@@ -1666,7 +1666,9 @@ object PcapQueries {
     * ([[graft.streaming.CorpusBridgeStream]]) is spec-matched against,
     * the `pcap_syn_portscan_twin` oracled-twin pattern. */
   private[graft] def httpCorpusGated(s: SparkSession, path: String,
-      serverPort: Int, docIdBase: Int): DataFrame = {
+      serverPort: Int, docIdBase: Int,
+      maxBytesPerDirection: Long =
+        graft.functions.Reassemble.DefaultMaxStreamBytes): DataFrame = {
     import s.implicits._
     import graft.functions.HttpDeframeExpr.http_deframe
     val conv = s.read.format("pcap").load(path)
@@ -1682,7 +1684,7 @@ object PcapQueries {
         ($"dst_port" === serverPort).as("is_req"),
         $"tcp_seq", $"pkt_idx", $"payload")
       .groupBy($"server", $"client", $"client_port", $"is_req")
-      .agg(graft.functions.Reassemble.stream().as("r"))
+      .agg(graft.functions.Reassemble.stream(maxBytesPerDirection).as("r"))
       .select($"server", $"client", $"client_port", $"is_req",
         $"r.stream".as("raw"))
       .groupBy($"server", $"client", $"client_port")

@@ -263,6 +263,20 @@ class CorpusBridgeStreamSpec extends AnyFunSuite {
       assert(got == Set((f.toLong, "bigreq.example.com",
         body.split(" ", -1).length.toLong, md5)),
         s"over-cap request conversation produced $got")
+      // explicit stream/batch parity on THIS fixture at the SAME cap
+      // (the round-11 advice divergence case, pinned): the batch
+      // bridge over the landed capture dir — flush files included —
+      // must produce the identical gated row set
+      import org.apache.spark.sql.functions.{col, md5 => md5col}
+      val batch = graft.operators.PcapQueries.httpCorpusGated(spark,
+          dir.toString, serverPort = 80, docIdBase = 42000,
+          maxBytesPerDirection = 1024)
+        .select(col("doc_id"), col("host"), col("n_tokens"),
+          md5col(col("text").cast("binary")).as("body_md5"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSet
+      assert(batch == got,
+        s"over-cap fixture diverges: stream $got vs batch $batch")
     } finally query.stop()
   }
 
