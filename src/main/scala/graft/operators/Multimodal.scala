@@ -720,6 +720,76 @@ object Multimodal {
       if ((a & 0x80) != 0) t else -t
     }
 
+    // ---- IMA/DVI ADPCM (WAVE format tag 0x11; RFC 3551 "DVI4") ----------
+    // The 4-bit differential compander: each code adjusts a running
+    // predictor by a fraction of an 89-entry step table whose index
+    // walks with the code magnitude. Block-structured in WAV — every
+    // block restarts the state from a 4-byte header (predictor int16,
+    // step index, reserved), so blocks decode independently (the
+    // seek/robustness property the container format exists for).
+    // Tables and update rule are the public IMA interchange algorithm.
+
+    /** IMA step-size table (89 entries). */
+    val ImaSteps: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+      143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+      494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+      1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+      4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+
+    /** Step-index walk per 3-bit code magnitude. */
+    val ImaIndexDelta: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** Fixture: data bytes per block (fixed — 129 samples/block). */
+    val ImaBlockData: Int = 64
+    def imaNBlocks(id: Long): Int = 2 + (id % 3).toInt
+    def imaPred0(id: Long, b: Int): Int =
+      (((id * 31 + b * 101) % 65536) - 32768).toInt
+    def imaIdx0(id: Long, b: Int): Int = ((id + b * 7) % 89).toInt
+    def imaData(id: Long, b: Int, i: Int): Int =
+      ((id * 13 + b * 53 + i * 29) % 256).toInt
+
+    /** IMA ADPCM WAV writer: format tag 0x11, the 20-byte extended fmt
+      * chunk (cbSize 2 + wSamplesPerBlock), one 4-byte state header +
+      * [[ImaBlockData]] nibble bytes per block from the fixture
+      * formulas. */
+    def encodeImaAdpcm(id: Long): Array[Byte] = {
+      val r = rate(id)
+      val nbk = imaNBlocks(id)
+      val blockAlign = 4 + ImaBlockData
+      val spb = 1 + 2 * ImaBlockData
+      val dataSize = nbk * blockAlign
+      val out = new Array[Byte](48 + dataSize)
+      tag(out, 0, "RIFF"); le32(out, 4, 40 + dataSize); tag(out, 8, "WAVE")
+      tag(out, 12, "fmt "); le32(out, 16, 20)
+      le16(out, 20, 0x11)               // IMA ADPCM
+      le16(out, 22, 1)                  // mono
+      le32(out, 24, r)                  // sample rate
+      le32(out, 28, r * blockAlign / spb) // byte rate (approx, informative)
+      le16(out, 32, blockAlign)
+      le16(out, 34, 4)                  // bits per sample
+      le16(out, 36, 2)                  // cbSize
+      le16(out, 38, spb)                // wSamplesPerBlock
+      tag(out, 40, "data"); le32(out, 44, dataSize)
+      var b = 0
+      while (b < nbk) {
+        val base = 48 + b * blockAlign
+        le16(out, base, imaPred0(id, b) & 0xFFFF)
+        out(base + 2) = imaIdx0(id, b).toByte
+        out(base + 3) = 0
+        var i = 0
+        while (i < ImaBlockData) {
+          out(base + 4 + i) = imaData(id, b, i).toByte
+          i += 1
+        }
+        b += 1
+      }
+      out
+    }
+
     /** G.711 WAV writer: format tag 7 (µ-law) or 6 (A-law), 8 bits per
       * sample, one codeword byte per sample from [[g711Byte]]. */
     def encodeG711(id: Long, alaw: Boolean): Array[Byte] = {
@@ -758,6 +828,7 @@ object Multimodal {
       var off = 12
       var sampleRate = -1
       var fmtTag = -1
+      var blockAlign = -1
       var dataOff = -1
       var dataSize = -1
       while (off + 8 <= bytes.length) {
@@ -771,6 +842,8 @@ object Multimodal {
           require(size >= 16, "short fmt chunk")
           fmtTag = (bytes(off + 8) & 0xFF) | ((bytes(off + 9) & 0xFF) << 8)
           sampleRate = rdLe32(bytes, off + 12)
+          blockAlign = (bytes(off + 20) & 0xFF) |
+            ((bytes(off + 21) & 0xFF) << 8)
         } else if (id == "data") {
           // record and expand AFTER the walk: the RIFF spec does not
           // order chunks, and the sample width depends on the fmt tag
@@ -798,6 +871,47 @@ object Multimodal {
             val b = bytes(dataOff + i) & 0xFF
             out(i) = (if (fmtTag == 6) alawExpand(b) else ulawExpand(b)).toShort
             i += 1
+          }
+          out
+        case 0x11 =>                    // IMA ADPCM: independent blocks
+          require(blockAlign > 4 && dataSize % blockAlign == 0,
+            "ADPCM blocks must tile the data chunk")
+          val spb = 1 + 2 * (blockAlign - 4)
+          val nbk = dataSize / blockAlign
+          val out = new Array[Short](nbk * spb)
+          var bI = 0
+          while (bI < nbk) {
+            val base = dataOff + bI * blockAlign
+            // block header: predictor (int16 LE) IS the first output
+            // sample; step index; reserved byte
+            var pred = ((bytes(base) & 0xFF) |
+              (bytes(base + 1) << 8)).toShort.toInt
+            var idx = bytes(base + 2) & 0xFF
+            require(idx <= 88, s"ADPCM step index $idx out of range")
+            var o = bI * spb
+            out(o) = pred.toShort; o += 1
+            var i = 0
+            while (i < blockAlign - 4) {
+              val w = bytes(base + 4 + i) & 0xFF
+              var n = 0
+              while (n < 2) {
+                val c = if (n == 0) w & 0xF else w >> 4 // low nibble first
+                val step = ImaSteps(idx)
+                var diff = step >> 3
+                if ((c & 1) != 0) diff += step >> 2
+                if ((c & 2) != 0) diff += step >> 1
+                if ((c & 4) != 0) diff += step
+                pred = if ((c & 8) != 0) pred - diff else pred + diff
+                if (pred > 32767) pred = 32767
+                else if (pred < -32768) pred = -32768
+                idx += ImaIndexDelta(c & 7)
+                if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+                out(o) = pred.toShort; o += 1
+                n += 1
+              }
+              i += 1
+            }
+            bI += 1
           }
           out
         case t => throw new IllegalArgumentException(
@@ -2530,6 +2644,88 @@ object Multimodal {
           CAST(MAX(ABS(v)) AS INT) AS peak,
           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
         FROM pcm GROUP BY 1, 2, 3, 4""")),
+
+    // ----- REAL compressed-audio decode #2 (IMA/DVI ADPCM) ----------------
+    // The 4-bit DIFFERENTIAL compander (WAVE tag 0x11; RFC 3551
+    // "DVI4") — unlike G.711's stateless per-byte tables, every sample
+    // depends on the running (predictor, step-index) state, restarted
+    // per block from a 4-byte header. The decoder walks blocks
+    // independently (the format's seek property); the oracle re-derives
+    // the EXACT state recursion in SQL — a recursive CTE stepping
+    // (pred, idx) through every nibble with the public IMA step/index
+    // tables inlined — so a hash match proves the stateful decode
+    // sample-for-sample, not just in aggregate shape.
+    Q("mm_decode_wav_adpcm",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 4 === 1)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val audio = WavCodec.decode(WavCodec.encodeImaAdpcm(id))
+            var peak = 0
+            var sumAbs = 0L
+            var i = 0
+            while (i < audio.samples.length) {
+              val a = math.abs(audio.samples(i).toInt)
+              if (a > peak) peak = a
+              sumAbs += a
+              i += 1
+            }
+            (id, audio.sampleRate, audio.samples.length, peak, sumAbs)
+          }
+        }.toDF("media_id", "sample_rate", "n_samples", "peak", "sum_abs")
+      },
+      Some("""WITH RECURSIVE tb AS (
+          SELECT [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
+            28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97,
+            107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+            337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963,
+            1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499,
+            2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+            7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+            16818, 18500, 20350, 22385, 24623, 27086, 29794,
+            32767] AS steps),
+        blk AS (
+          SELECT doc_id, b,
+            CAST(((doc_id*31 + b*101) % 65536) - 32768 AS INT) AS pred0,
+            CAST((doc_id + b*7) % 89 AS INT) AS idx0
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(2 + doc_id % 3 AS INT) - 1)) AS b) bs
+          WHERE doc_id % 4 = 1),
+        rec AS (
+          SELECT doc_id, b, -1 AS t, pred0 AS pred, idx0 AS idx
+          FROM blk
+          UNION ALL
+          SELECT doc_id, b, t + 1,
+            CAST(LEAST(32767, GREATEST(-32768,
+              pred + (CASE WHEN c >= 8 THEN -1 ELSE 1 END) *
+                (step // 8
+                 + CASE WHEN c % 2 = 1 THEN step // 4 ELSE 0 END
+                 + CASE WHEN (c // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+                 + CASE WHEN (c // 4) % 2 = 1 THEN step ELSE 0 END)))
+              AS INT),
+            CAST(LEAST(88, GREATEST(0, idx + CASE c % 8
+              WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+              ELSE -1 END)) AS INT)
+          FROM (
+            SELECT r.doc_id, r.b, r.t, r.pred, r.idx,
+              CASE WHEN (r.t + 1) % 2 = 0
+                THEN ((r.doc_id*13 + r.b*53 + ((r.t + 1) // 2)*29) % 256)
+                     % 16
+                ELSE ((r.doc_id*13 + r.b*53 + ((r.t + 1) // 2)*29) % 256)
+                     // 16
+              END AS c,
+              tb.steps[r.idx + 1] AS step
+            FROM rec r CROSS JOIN tb
+            WHERE r.t + 1 < 128))
+        SELECT doc_id AS media_id,
+          CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+          CAST(COUNT(*) AS INT) AS n_samples,
+          CAST(MAX(ABS(pred)) AS INT) AS peak,
+          CAST(SUM(ABS(pred)) AS BIGINT) AS sum_abs
+        FROM rec GROUP BY 1""")),
 
     // ----- REAL video decode (uncompressed AVI) --------------------------
     // The video leg: encode the deterministic multi-frame fixture, parse

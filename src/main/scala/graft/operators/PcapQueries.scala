@@ -1435,6 +1435,14 @@ object PcapQueries {
     p.toString
   }
 
+  /** RTP capture with real G.711 payloads (see
+    * [[graft.pcap.PcapSynth.rtpAudioPackets]]). */
+  private def rtpAudioSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_rtpaudio.pcap")
+    graft.pcap.PcapSynth.ensureRtpAudioFile(p, 50)
+    p.toString
+  }
+
   /** Constant oracle for pcap_rtp_quality, re-derived from the
     * synthesis formulas: stream s loses packet j when
     * (s*31 + j) mod 17 == 0; the interarrival deviation between
@@ -3763,6 +3771,83 @@ object PcapQueries {
             max(abs($"d_us")).as("jitter_max_us"))
       },
       Some(rtpQualityOracle(200))),
+
+    // ----- RTP audio level (round 12) --------------------------------------
+    // pcap_rtp_quality reads the TRANSPORT health of a call; this reads
+    // the MEDIA itself — RFC 3551 payload types 0/8 are G.711 µ-law /
+    // A-law codewords, and per-stream level stats (peak, Σ|sample|)
+    // over the expanded PCM are the dead-air / hot-mic screen VoIP
+    // monitoring runs. The payload bytes expand through the same G.711
+    // tables as mm_decode_wav_g711 (graft.operators.Multimodal.WavCodec
+    // — written once from the spec, shared by the WAV and RTP paths);
+    // the oracle expands every sample in closed form from the codeword
+    // formula, independent of both. Scale shape: per-row header parse
+    // + table expansion (narrow), ONE aggregation shuffle on the small
+    // ssrc key.
+    Q("pcap_rtp_audio_level",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(rtpAudioSynthPath)
+          .filter($"protocol" === "UDP" && $"dst_port" === 40002 &&
+            $"payload".isNotNull)
+          .select($"payload").as[Array[Byte]]
+          .mapPartitions(_.flatMap { pl =>
+            graft.pcap.Decap.rtp(pl).collect {
+              case h if h.pt == 0 || h.pt == 8 =>
+                val wc = graft.operators.Multimodal.WavCodec
+                var peak = 0
+                var sumAbs = 0L
+                var i = 12 // fixed header; fixture carries no CSRC/ext
+                while (i < pl.length) {
+                  val b = pl(i) & 0xFF
+                  val v = if (h.pt == 8) wc.alawExpand(b) else wc.ulawExpand(b)
+                  val a = math.abs(v)
+                  if (a > peak) peak = a
+                  sumAbs += a
+                  i += 1
+                }
+                (h.ssrc, h.pt, pl.length - 12, peak, sumAbs)
+            }
+          })
+          .toDF("ssrc", "pt", "n", "pk", "sa")
+          .groupBy($"ssrc", $"pt")
+          .agg(count(lit(1)).as("n_pkts"),
+            sum($"n").as("n_samples"),
+            max($"pk").as("peak"),
+            sum($"sa").as("sum_abs"))
+      },
+      Some("""WITH cw AS (
+          SELECT s, j, k, (s * 131 + j * 47 + k * 37) % 256 AS b,
+            CASE WHEN s % 2 = 0 THEN 0 ELSE 8 END AS pt
+          FROM (SELECT unnest(generate_series(0, 3)) AS s) ss,
+            LATERAL (SELECT unnest(generate_series(0, 49)) AS j) js,
+            LATERAL (SELECT unnest(generate_series(0, 39)) AS k) ks),
+        pcm AS (
+          SELECT s, j, pt,
+            CASE WHEN pt = 0 THEN
+              CASE WHEN (255 - b) >= 128
+                THEN 132 - (((255 - b) % 16) * 8 + 132)
+                           * (1 << (((255 - b) // 16) % 8))
+                ELSE (((255 - b) % 16) * 8 + 132)
+                     * (1 << ((255 - b) // 16)) - 132
+              END
+            ELSE
+              (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END) *
+              (CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                 THEN (xor(b, 85) % 16) * 16 + 8
+                 WHEN (xor(b, 85) // 16) % 8 = 1
+                 THEN (xor(b, 85) % 16) * 16 + 264
+                 ELSE ((xor(b, 85) % 16) * 16 + 264)
+                      * (1 << ((xor(b, 85) // 16) % 8 - 1))
+               END)
+            END AS v
+          FROM cw)
+        SELECT CAST(3000000 + s AS BIGINT) AS ssrc, CAST(pt AS INT) AS pt,
+          CAST(COUNT(DISTINCT j) AS BIGINT) AS n_pkts,
+          CAST(COUNT(*) AS BIGINT) AS n_samples,
+          CAST(MAX(ABS(v)) AS INT) AS peak,
+          CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+        FROM pcm GROUP BY 1, 2""")),
 
     // Receive-window health: zero-window events are THE standard TCP
     // stall signal ops teams alert on. Per-flow bounded aggregates over

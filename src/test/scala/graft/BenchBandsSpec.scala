@@ -25,4 +25,22 @@ class BenchBandsSpec extends AnyFunSuite {
     val (tol, bands) = BenchBands.load("/nonexistent/bands.json")
     assert(tol == 2.0 && bands.isEmpty)
   }
+
+  test("the host-load marker is wired: the spin probe measures plausible " +
+      "fixed work and loadavg reads (round-11 advisory #3)") {
+    val p = HostProbe.spin()
+    // the fixed 100M-step loop takes real time on any hardware this
+    // runs on, and a run into the minutes would mean the probe itself
+    // is broken, not the host loaded
+    assert(p > 0.001 && p < 30.0, s"implausible spin probe $p s")
+    val l = HostProbe.loadavg()
+    assert(l >= 0.0, s"/proc/loadavg must parse on linux, got $l")
+    // the bench JSON really carries the marker fields (the emitting
+    // code is main(), so pin the contract at its source)
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")), "UTF-8")
+    Seq("host_probe", "probe_start_s", "probe_end_s",
+        "loadavg_start", "loadavg_end")
+      .foreach(k => assert(src.contains(k), s"bench JSON lost marker $k"))
+  }
 }

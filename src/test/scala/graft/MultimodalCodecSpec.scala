@@ -149,6 +149,71 @@ class MultimodalCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WavCodec.decode(bad))
   }
 
+  test("IMA ADPCM decodes a hand-computed vector; blocks restart state; " +
+      "malformed blocks reject") {
+    import graft.operators.Multimodal.WavCodec
+    // hand-build a minimal mono ADPCM WAV: blockAlign 5 = 4-byte state
+    // header + ONE nibble byte (2 codes, 3 samples/block)
+    def wav(blocks: Seq[(Int, Int, Int)]): Array[Byte] = {
+      val blockAlign = 5
+      val data = blocks.flatMap { case (pred0, idx0, nibbles) =>
+        Seq((pred0 & 0xFF).toByte, ((pred0 >> 8) & 0xFF).toByte,
+          idx0.toByte, 0.toByte, nibbles.toByte)
+      }.toArray
+      val out = new Array[Byte](48 + data.length)
+      def le32(off: Int, v: Int): Unit = {
+        out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+        out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+      }
+      def le16(off: Int, v: Int): Unit = {
+        out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      }
+      def tag(off: Int, s: String): Unit =
+        (0 until 4).foreach(i => out(off + i) = s.charAt(i).toByte)
+      tag(0, "RIFF"); le32(4, 40 + data.length); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 20)
+      le16(20, 0x11); le16(22, 1); le32(24, 8000)
+      le32(28, 8000 * blockAlign / 3); le16(32, blockAlign); le16(34, 4)
+      le16(36, 2); le16(38, 3)
+      tag(40, "data"); le32(44, data.length)
+      System.arraycopy(data, 0, out, 48, data.length)
+      out
+    }
+    // block (pred0=0, idx0=0, byte 0x70): header sample 0; code 0 (low
+    // nibble) at step 7 → diff 0, pred 0, idx clamps -1→0; code 7
+    // (high nibble) at step 7 → diff 0+1+3+7 = 11, pred 11, idx 8
+    val a = WavCodec.decode(wav(Seq((0, 0, 0x70))))
+    assert(a.samples.toSeq == Seq[Short](0, 0, 11))
+    // a second block restarts state from ITS header, ignoring block 1
+    val b = WavCodec.decode(wav(Seq((0, 0, 0x70), (100, 0, 0x70))))
+    assert(b.samples.toSeq == Seq[Short](0, 0, 11, 100, 100, 111))
+    // positive clamp: predictor at the rail, max-magnitude positive
+    // code (7) repeatedly — samples never exceed 32767
+    val c = WavCodec.decode(wav(Seq((32760, 88, 0x77))))
+    assert(c.samples.toSeq == Seq[Short](32760, 32767, 32767))
+    // negative clamp via code 15 (sign bit + max magnitude)
+    val n = WavCodec.decode(wav(Seq((-32760, 88, 0xFF))))
+    assert(n.samples.toSeq == Seq[Short](-32760, -32768, -32768))
+    // fixture roundtrip: block structure + formulas
+    for (id <- Seq(1L, 5L, 13L, 701L)) {
+      val d = WavCodec.decode(WavCodec.encodeImaAdpcm(id))
+      val spb = 1 + 2 * WavCodec.ImaBlockData
+      assert(d.sampleRate == WavCodec.rate(id))
+      assert(d.samples.length == WavCodec.imaNBlocks(id) * spb)
+      (0 until WavCodec.imaNBlocks(id)).foreach { bi =>
+        assert(d.samples(bi * spb).toInt == WavCodec.imaPred0(id, bi),
+          s"id $id block $bi header sample")
+      }
+    }
+    // rejections: out-of-range step index; non-tiling data chunk
+    val badIdx = wav(Seq((0, 89, 0x00)))
+    intercept[IllegalArgumentException](WavCodec.decode(badIdx))
+    val badTile = wav(Seq((0, 0, 0x00))).dropRight(1)
+    // patch the data/RIFF sizes to match the truncated payload
+    badTile(44) = 4; badTile(4) = (40 + 4).toByte
+    intercept[IllegalArgumentException](WavCodec.decode(badTile))
+  }
+
   test("AVI roundtrip reproduces the per-frame formula") {
     import graft.operators.Multimodal.AviCodec
     for (id <- Seq(2L, 5L, 14L, 701L)) {

@@ -1067,6 +1067,50 @@ if glob.glob(f"{out}/pcap_geneve_decap/*.parquet"):
                ["vni", "n_pkts", "n_nx", "first_qname", "max_opts"]),
          sorted((v, n, nx, q, mo) for v, (n, nx, q, mo) in gstats.items()))
 
+# RTP audio level: independent parse of the RTP header + a from-spec
+# G.711 expansion (ITU tables re-implemented here, no shared code with
+# WavCodec) folded into per-stream level stats.
+if glob.glob(f"{out}/pcap_rtp_audio_level/*.parquet"):
+    def _ulaw(b):
+        u = (~b) & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def _alaw(b):
+        a = b ^ 0x55
+        seg = (a >> 4) & 0x07
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    astats = {}
+    for _, _, fr in _frames("/tmp/graft_synth_rtpaudio.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 17
+        dp = struct.unpack_from(">H", fr, l4 + 2)[0]
+        assert dp == 40002
+        rtp = fr[l4 + 8:]
+        assert (rtp[0] >> 6) == 2
+        pt = rtp[1] & 0x7F
+        assert pt in (0, 8)
+        ssrc = struct.unpack_from(">I", rtp, 8)[0]
+        pcm = [(_alaw(b) if pt == 8 else _ulaw(b)) for b in rtp[12:]]
+        e = astats.setdefault((ssrc, pt), [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += len(pcm)
+        e[2] = max(e[2], max(abs(v) for v in pcm))
+        e[3] += sum(abs(v) for v in pcm)
+    _cmp("pcap_rtp_audio_level(redecode)",
+         _read("pcap_rtp_audio_level",
+               ["ssrc", "pt", "n_pkts", "n_samples", "peak", "sum_abs"]),
+         sorted((ss, pt, n, ns, pk, sa)
+                for (ss, pt), (n, ns, pk, sa) in astats.items()))
+
 # RTP stream quality: independent parse of the RFC 3550 fixed header
 # plus the loss/jitter fold (no shared code with Decap.rtp or the
 # Spark window plan — plain per-stream sort + pairwise diff).
