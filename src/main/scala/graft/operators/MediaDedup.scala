@@ -155,16 +155,57 @@ object MediaDedup {
       ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
-    ids.mapPartitions { it =>
-      it.map { id =>
-        val gid = (id / 4) * 4
-        val img = Multimodal.BmpCodec.decode(Multimodal.BmpCodec.encode(gid))
-        val q = (id % 4).toInt
-        if (q != 0) whiteoutGridSample(img, 2 * q)
-        val (hi, lo) = Multimodal.dhashOf(img)
-        (id, hi, lo)
-      }
-    }.toDF("media_id", "dhash_hi", "dhash_lo")
+    ids.mapPartitions(_.map(id => {
+      val (hi, lo) = fixtureDhash(id)
+      (id, hi, lo)
+    })).toDF("media_id", "dhash_hi", "dhash_lo")
+  }
+
+  /** The (dhash_hi, dhash_lo) of fixture image `imgId` — decode the
+    * group base, apply the member whiteout, hash; ONE definition shared
+    * by the batch relation, the index build/delta, and the streaming
+    * screen (whose delivery keys differ from content ids). */
+  private[graft] def fixtureDhash(imgId: Long): (Long, Long) = {
+    val gid = (imgId / 4) * 4
+    val img = Multimodal.BmpCodec.decode(Multimodal.BmpCodec.encode(gid))
+    val q = (imgId % 4).toInt
+    if (q != 0) whiteoutGridSample(img, 2 * q)
+    Multimodal.dhashOf(img)
+  }
+
+  /** The shared image fuzzy-screen tail — batch twin and stream run
+    * EXACTLY this over a (doc_id, img_id) relation: decode + hash +
+    * band each delivered image PER ROW (a pure projection — no
+    * groupBy, no state), inner-join the persisted band index, emit one
+    * row per hit band. Per-(doc, band-pair) granularity keeps the
+    * streaming form stateless, the lshScreened discipline. */
+  private[graft] def dhashScreenAgainstIndex(docs: DataFrame,
+      idx: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val hashes = docs.select(col("doc_id"), col("img_id"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, imgId) =>
+        val (hi, lo) = fixtureDhash(imgId)
+        (docId, hi, lo)
+      }).toDF("media_id", "dhash_hi", "dhash_lo")
+    bandKeysOf(hashes)
+      .join(idx.select(col("j1"), col("j2"), col("b1"), col("b2"),
+        col("bmin")), Seq("j1", "j2", "b1", "b2"))
+      .select(col("media_id").as("doc_id"), col("j1"), col("j2"),
+        col("bmin"))
+  }
+
+  /** The deterministic image delivery the battery twin and the
+    * streaming spec share (the CorpusScreenStream.delivery convention):
+    * re-keyed re-fetches of every doc_id % 5 == 0 image. Ones whose
+    * content sits on the indexed base split (% 7 != 0) hit all 28 of
+    * their band keys; % 35 == 0 ones were never indexed and hit only
+    * through near-dup group siblings. */
+  private[graft] def dhashDelivery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 3000000L).as("doc_id"), $"doc_id".as("img_id"))
   }
 
   /** White out the single pixel the 9x8 dHash grid samples at
@@ -635,6 +676,37 @@ object MediaDedup {
           MIN(bidx.bmin) AS match_doc
         FROM probe LEFT JOIN bidx USING (j1, j2, b1, b2)
         GROUP BY 1""")),
+
+    // ----- streaming image screen's batch twin ------------------------------
+    // The continuous form of mm_dhash_incremental: deliveries of new
+    // images land as parquet files and are screened against the
+    // persisted band index AS THEY ARRIVE (CorpusScreenStream
+    // .dhashScreened — a stateless stream-static join, the lshScreened
+    // discipline). This battery entry is the batch twin over the shared
+    // deterministic delivery, running the IDENTICAL screen tail, so the
+    // stream and its DuckDB-oracled anchor cannot drift; the streaming
+    // spec matches the stream's rows to this query's row-for-row.
+    Q("mm_dhash_screen_stream_twin",
+      (s, d) => dhashScreenAgainstIndex(dhashDelivery(s, d),
+        mmDhashIndex(s, d)),
+      Some(s"""WITH $dhashCtes,
+        bp AS (
+          SELECT media_id, j1, j2,
+            CASE WHEN j1 < 4 THEN (dhash_lo >> (j1 * 8)) & 255
+                 ELSE (dhash_hi >> ((j1 - 4) * 8)) & 255 END AS b1,
+            CASE WHEN j2 < 4 THEN (dhash_lo >> (j2 * 8)) & 255
+                 ELSE (dhash_hi >> ((j2 - 4) * 8)) & 255 END AS b2
+          FROM ph,
+            LATERAL (SELECT unnest(generate_series(0, 6)) AS j1) a,
+            LATERAL (SELECT unnest(generate_series(j1 + 1, 7)) AS j2) b),
+        bidx AS (
+          SELECT j1, j2, b1, b2, MIN(media_id) AS bmin
+          FROM bp WHERE media_id % 7 <> 0 GROUP BY 1, 2, 3, 4),
+        probe AS (
+          SELECT media_id + 3000000 AS doc_id, j1, j2, b1, b2
+          FROM bp WHERE media_id % 5 = 0)
+        SELECT p.doc_id, p.j1, p.j2, bidx.bmin
+        FROM probe p JOIN bidx USING (j1, j2, b1, b2)""")),
 
     // ----- video sequence overlap (shared-clip detection) -----------------
     // The mm_video_dhash payoff: find video pairs that share an aligned

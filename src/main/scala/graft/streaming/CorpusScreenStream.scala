@@ -104,4 +104,29 @@ object CorpusScreenStream {
     lshScreenAgainstIndex(
       s.readStream.schema("doc_id LONG, text STRING").parquet(landingDir),
       graft.operators.Dedup.lshBucketIndex(s, d))
+
+  // ----- the IMAGE streaming screen (dHash byte-pair band index) ----------
+  // Round 12 closes the loop the incremental image index opened: image
+  // deliveries land as (doc_id, img_id) parquet and are screened
+  // against the persisted dHash band index as they arrive — per-row
+  // decode + hash + band (pure projection), stream-static inner join
+  // against the ≤-1-row-per-key summary, one output row per hit band.
+  // Stateless, so exactly-once rides on the file source's admission
+  // log alone. The shared tail + delivery live in
+  // [[graft.operators.MediaDedup]] next to the index they probe.
+
+  /** Batch twin of [[dhashScreened]] — the DuckDB-oracled anchor
+    * (`mm_dhash_screen_stream_twin`). */
+  def dhashScreenTwin(s: SparkSession, d: String): DataFrame =
+    graft.operators.MediaDedup.dhashScreenAgainstIndex(
+      graft.operators.MediaDedup.dhashDelivery(s, d),
+      graft.operators.MediaDedup.mmDhashIndex(s, d))
+
+  /** The streaming image screen over a parquet landing dir: one row per
+    * (delivered doc, hit band-pair), append mode, stateless. */
+  def dhashScreened(s: SparkSession, d: String, landingDir: String)
+      : DataFrame =
+    graft.operators.MediaDedup.dhashScreenAgainstIndex(
+      s.readStream.schema("doc_id LONG, img_id LONG").parquet(landingDir),
+      graft.operators.MediaDedup.mmDhashIndex(s, d))
 }

@@ -136,6 +136,65 @@ class CorpusScreenStreamSpec extends AnyFunSuite {
     }
   }
 
+  private def dhashTwinRows(): Set[(Long, Int, Int, Long)] =
+    graft.SparkEntry.queries("mm_dhash_screen_stream_twin")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+
+  test("streamed IMAGE screen (per-row decode + hash + band, " +
+      "stream-static vs the dHash band artifact) equals its batch twin") {
+    val md = graft.operators.MediaDedup
+    val land = Files.createTempDirectory("mm_screen_land")
+    val art = Files.createTempDirectory("mm_screen_art").toString
+    val prev = spark.conf.getOption("spark.graft.mmdhashidx.dir")
+    spark.conf.set("spark.graft.mmdhashidx.dir", art)
+    try {
+      md.clearIdxMemos()
+      val twin = dhashTwinRows() // builds + persists the band index
+      assert(twin.nonEmpty,
+        "re-keyed re-fetched images must hit index band keys")
+      val builds = md.idxBuildsFor(sf)
+      // land the image delivery in 3 single-file waves
+      val rows = md.dhashDelivery(spark, sf)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id")).collect()
+      val per = (rows.length + 2) / 3
+      (0 until 3).foreach { w =>
+        val slice = rows.slice(w * per, math.min((w + 1) * per, rows.length))
+        if (slice.nonEmpty) {
+          import spark.implicits._
+          slice.map(r => (r.getLong(0), r.getLong(1))).toSeq
+            .toDF("doc_id", "img_id").coalesce(1)
+            .write.mode("overwrite")
+            .parquet(land.resolve(f"wave$w%02d").toString)
+        }
+      }
+      val query = CorpusScreenStream.dhashScreened(spark, sf,
+          land.toString + "/wave*")
+        .writeStream.format("memory").queryName("mm_screen1")
+        .option("checkpointLocation",
+          Files.createTempDirectory("mm_screen_ckpt").toString)
+        .option("maxFilesPerTrigger", "1")
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      val got = spark.sql("SELECT * FROM mm_screen1").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      assert(got == twin,
+        "streamed (doc, j1, j2, bmin) rows must equal the batch twin")
+      assert(md.idxBuildsFor(sf) == builds,
+        "the stream must ride the persisted band index, not re-decode " +
+          "the base corpus")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.mmdhashidx.dir", v)
+        case None => spark.conf.unset("spark.graft.mmdhashidx.dir")
+      }
+      md.clearIdxMemos()
+    }
+  }
+
   test("checkpoint restart: late-landing waves emit exactly once, " +
       "union equals the twin") {
     val land = Files.createTempDirectory("screen_land2")
