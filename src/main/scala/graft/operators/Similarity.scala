@@ -1031,6 +1031,83 @@ object Similarity {
             / (sqrt(list_sum([x * x FOR x IN ae])) *
                sqrt(list_sum([x * x FOR x IN be]))) > 0.35""")),
 
+    // ----- density screen (DBSCAN-style core/border/noise labeling) -------
+    // The density-based quality screen a curation pipeline runs over an
+    // embedding column (Ester et al. 1996's labeling, cosine metric):
+    // a vector with >= minPts neighbors above the eps similarity is a
+    // CORE point (dense region — keep), a non-core vector adjacent to a
+    // core is BORDER (cluster fringe), everything else is NOISE (the
+    // low-density outliers that are disproportionately mislabeled or
+    // junk in web-scale training data — the complement of
+    // sim_centroid_outliers' global-distance view). Exact neighbor
+    // counts via the sequential-double-fold cosine both engines share.
+    // Scale shape: pairwise density is a bounded-SAMPLE diagnostic by
+    // construction (vec_id < 2000 here; 1-in-M sampling at corpus
+    // scale), and the production path swaps the exact pair kernel for
+    // the LSH/IVF candidate generation the near-dup family documents —
+    // counts become lower bounds, the labeling rule is unchanged.
+    Q("sim_density_screen",
+      (s, d) => {
+        import s.implicits._
+        val eps = 0.30
+        val minPts = 4
+        val emb = Tables.embeddings(s, d).filter($"vec_id" < 2000)
+          .select($"vec_id", $"embedding")
+        val a = emb.select($"vec_id".as("v1"), $"embedding".as("e1"))
+          .withColumn("n1", norm("e1"))
+        val b = emb.select($"vec_id".as("v2"), $"embedding".as("e2"))
+          .withColumn("n2", norm("e2"))
+        // the pair kernel feeds BOTH the count and the border probe —
+        // cache it so the quadratic work is paid once
+        val nbr = a.join(b, $"v1" =!= $"v2")
+          .filter(dot("e1", "e2") / ($"n1" * $"n2") > eps)
+          .select($"v1", $"v2")
+          .cache()
+        try {
+          val cnt = nbr.groupBy($"v1").agg(count(lit(1)).as("n_neighbors"))
+          val core = cnt.filter($"n_neighbors" >= minPts)
+            .select($"v1".as("cid"))
+          val hasCoreNbr = nbr
+            .join(core, nbr("v2") === core("cid"), "left_semi")
+            .select($"v1").distinct()
+            .withColumn("hcn", lit(1))
+          emb.select($"vec_id")
+            .join(cnt.withColumnRenamed("v1", "vec_id"), Seq("vec_id"),
+              "left")
+            .na.fill(0L, Seq("n_neighbors"))
+            .join(hasCoreNbr.withColumnRenamed("v1", "vec_id"),
+              Seq("vec_id"), "left")
+            .select($"vec_id", $"n_neighbors",
+              when($"n_neighbors" >= minPts, "core")
+                .when($"hcn".isNotNull, "border")
+                .otherwise("noise").as("label"))
+            // materialize before the finally-unpersist pulls the rug
+            .localCheckpoint()
+        } finally nbr.unpersist()
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+          FROM embeddings WHERE vec_id < 2000),
+        nbr AS (
+          SELECT a.vec_id AS v1, b.vec_id AS v2
+          FROM (SELECT vec_id, emb AS ae FROM e) a
+          JOIN (SELECT vec_id, emb AS be FROM e) b ON a.vec_id <> b.vec_id
+          WHERE list_sum([ae[i] * be[i]
+                FOR i IN generate_series(1, len(ae))])
+              / (sqrt(list_sum([x * x FOR x IN ae])) *
+                 sqrt(list_sum([x * x FOR x IN be]))) > 0.30),
+        cnt AS (SELECT v1, COUNT(*) AS n FROM nbr GROUP BY 1),
+        core AS (SELECT v1 FROM cnt WHERE n >= 4),
+        hcn AS (SELECT DISTINCT nbr.v1 FROM nbr
+                JOIN core ON core.v1 = nbr.v2)
+        SELECT e.vec_id,
+          CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_neighbors,
+          CASE WHEN COALESCE(cnt.n, 0) >= 4 THEN 'core'
+               WHEN hcn.v1 IS NOT NULL THEN 'border'
+               ELSE 'noise' END AS label
+        FROM e LEFT JOIN cnt ON cnt.v1 = e.vec_id
+        LEFT JOIN hcn ON hcn.v1 = e.vec_id""")),
+
     // ----- pairwise-cosine histogram (embedding QA diagnostic) ------------
     // The corpus-geometry check run before trusting an embedding column:
     // a healthy embedding space has a broad similarity distribution; a

@@ -90,6 +90,88 @@ object RtpStream {
     }
   }
 
+  // ------------------------------------------------------------------
+  // streaming audio-level monitor (the MEDIA companion — round 12)
+  // ------------------------------------------------------------------
+
+  /** One input row for the level monitor. */
+  final case class AlIn(payload: Array[Byte], time: java.sql.Timestamp)
+
+  /** Per-SSRC level state: every accumulator is commutative (count /
+    * sum / max), so unlike the jitter monitor above, arrival order is
+    * irrelevant BY CONSTRUCTION — no run list, no poison bound. */
+  final case class AlSt(pt: Int, nPkts: Long, nSamples: Long,
+      peak: Int, sumAbs: Long)
+
+  final case class AlOut(ssrc: Long, pt: Int, n_pkts: Long,
+      n_samples: Long, peak: Int, sum_abs: Long)
+
+  /** Streaming form of the batch `pcap_rtp_audio_level` rollup: G.711
+    * payloads (RFC 3551 pt 0 = µ-law / 8 = A-law) expand through the
+    * shared [[graft.operators.Multimodal.WavCodec]] tables into
+    * per-SSRC level stats — the continuous dead-air / hot-mic monitor.
+    * One append-mode row per stream at event-time quiescence. */
+  def audioLevels(packets: DataFrame, rtpPort: Int = 40002,
+      watermark: String = "30 seconds", idleSeconds: Int = 60)
+      : DataFrame = {
+    val s = packets.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val wc = graft.operators.Multimodal.WavCodec
+    packets
+      .filter($"protocol" === "UDP" && $"dst_port" === rtpPort &&
+        $"payload".isNotNull)
+      .select($"payload", $"time")
+      .withWatermark("time", watermark)
+      .as[AlIn]
+      // non-RTP / non-G.711 payloads key to -1: no state, but their
+      // event times still advance the watermark (flush traffic)
+      .groupByKey(x => graft.pcap.Decap.rtp(x.payload)
+        .filter(r => r.pt == 0 || r.pt == 8)
+        .map(_.ssrc).getOrElse(-1L))
+      .flatMapGroupsWithState[AlSt, AlOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (ssrc, _, state) if state.hasTimedOut =>
+          val st = state.get
+          state.remove()
+          Iterator.single(AlOut(ssrc, st.pt, st.nPkts, st.nSamples,
+            st.peak, st.sumAbs))
+        case (ssrc, rows, state: GroupState[AlSt]) =>
+          if (ssrc < 0) Iterator.empty
+          else {
+            var maxEventMs = Long.MinValue
+            var st = state.getOption.getOrElse(AlSt(0, 0L, 0L, 0, 0L))
+            rows.foreach { x =>
+              val ms = x.time.getTime
+              if (ms > maxEventMs) maxEventMs = ms
+              graft.pcap.Decap.rtp(x.payload)
+                .filter(r => r.pt == 0 || r.pt == 8).foreach { r =>
+                  var peak = st.peak
+                  var sumAbs = st.sumAbs
+                  var i = 12
+                  while (i < x.payload.length) {
+                    val b = x.payload(i) & 0xFF
+                    val v = if (r.pt == 8) wc.alawExpand(b)
+                            else wc.ulawExpand(b)
+                    val a = math.abs(v)
+                    if (a > peak) peak = a
+                    sumAbs += a
+                    i += 1
+                  }
+                  st = AlSt(r.pt, st.nPkts + 1,
+                    st.nSamples + (x.payload.length - 12), peak, sumAbs)
+                }
+            }
+            state.update(st)
+            if (maxEventMs > Long.MinValue)
+              state.setTimeoutTimestamp(math.max(
+                maxEventMs + idleSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+            Iterator.empty
+          }
+      }.toDF()
+  }
+
   /** `packets`: streaming DataFrame with the pcap source's schema.
     * One append-mode quality row per RTP stream at event-time
     * quiescence — the batch `pcap_rtp_quality` row set. */

@@ -681,6 +681,49 @@ class PcapStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming rtp AUDIO LEVEL equals the batch twin with packets " +
+      "split across micro-batches (order-free accumulators)") {
+    val dir = Files.createTempDirectory("pcap_landing_rtpaudio")
+    val levels = graft.streaming.RtpStream.audioLevels(
+      spark.readStream.format("pcap").load(dir.toString),
+      watermark = "3600 seconds", idleSeconds = 60)
+    val query = levels.writeStream.format("memory")
+      .queryName("rtp_levels").outputMode("append").start()
+    try {
+      // interleave: odd-j packets land a micro-batch after even-j —
+      // level accumulators are commutative, so the split must be
+      // invisible in the emitted rows
+      val all = graft.pcap.PcapSynth.rtpAudioPackets(50)
+      def seqOf(fr: Array[Byte]): Int =
+        ((fr(42 + 2) & 0xFF) << 8) | (fr(42 + 3) & 0xFF)
+      val (wave2, wave1) = all.partition(p => (seqOf(p._3) - 7000) % 2 == 1)
+      assert(wave1.nonEmpty && wave2.nonEmpty)
+      Files.write(dir.resolve("a_even.pcap"),
+        graft.pcap.PcapSynth.file(wave1))
+      query.processAllAvailable()
+      Files.write(dir.resolve("b_odd.pcap"),
+        graft.pcap.PcapSynth.file(wave2))
+      query.processAllAvailable()
+      // flush: a version-0 payload to the port far past the horizon
+      Files.write(dir.resolve("zz_flush.pcap"),
+        graft.pcap.PcapSynth.file(Seq((1707003720L, 0L,
+          graft.pcap.PcapSynth.ipv4UdpFrame(
+            Array[Byte](10, 62, 0, 99), Array[Byte](10, 63, 0, 1),
+            50109, 40002, ttl = 64, payload = new Array[Byte](12))))))
+      query.processAllAvailable()
+      val got = spark.table("rtp_levels").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getInt(4), r.getLong(5))).toSet
+      val want = graft.SparkEntry.queries("pcap_rtp_audio_level")(
+          spark, "unused")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getInt(4), r.getLong(5))).toSet
+      assert(want.size == 4 && got == want,
+        s"missing=${want -- got} extra=${got -- want}")
+    } finally query.stop()
+  }
+
   test("rtp run insertion: duplicates drop, only adjacent merges, " +
       "gap fold equals the seq-ordered pairwise sum") {
     import graft.streaming.RtpStream
