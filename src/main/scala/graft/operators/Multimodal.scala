@@ -1144,6 +1144,100 @@ object Multimodal {
     }
   }
 
+  /** REAL POSIX ustar writer + INDEPENDENT parser — the container the
+    * WebDataset multimodal training layout stores shards in (one tar
+    * per shard; a sample = consecutive entries sharing a key stem with
+    * different extensions). Writer: 512-byte ustar headers (octal
+    * size, checksum computed over a space-filled checksum field, magic
+    * "ustar"), data padded to 512, two zero blocks at end, mtime
+    * pinned to 0 so shard bytes are deterministic. Parser: walks
+    * headers bounds-safely, VERIFIES each checksum and the magic,
+    * stops at the zero block — truncated or corrupt archives reject,
+    * never misparse. Pure JVM. */
+  object TarCodec extends Serializable {
+    private val Block = 512
+
+    private def octal(v: Long, width: Int): Array[Byte] = {
+      val s = java.lang.Long.toOctalString(v)
+      val pad = "0" * (width - 1 - s.length) + s
+      (pad + " ").getBytes("US-ASCII")
+    }
+
+    def encode(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      entries.foreach { case (name, data) =>
+        val nb = name.getBytes("US-ASCII")
+        require(nb.length <= 100, s"tar entry name too long: $name")
+        val h = new Array[Byte](Block)
+        System.arraycopy(nb, 0, h, 0, nb.length)
+        System.arraycopy(octal(420, 8), 0, h, 100, 8)   // mode 0644
+        System.arraycopy(octal(0, 8), 0, h, 108, 8)     // uid
+        System.arraycopy(octal(0, 8), 0, h, 116, 8)     // gid
+        System.arraycopy(octal(data.length.toLong, 12), 0, h, 124, 12)
+        System.arraycopy(octal(0, 12), 0, h, 136, 12)   // mtime: pinned
+        java.util.Arrays.fill(h, 148, 156, ' '.toByte)  // chksum spaces
+        h(156) = '0'                                    // regular file
+        System.arraycopy("ustar ".getBytes("US-ASCII"), 0, h, 257, 6)
+        System.arraycopy("00".getBytes("US-ASCII"), 0, h, 263, 2)
+        var sum = 0L
+        var i = 0
+        while (i < Block) { sum += h(i) & 0xFF; i += 1 }
+        val cs = java.lang.Long.toOctalString(sum)
+        val csPad = "0" * (6 - cs.length) + cs
+        System.arraycopy(csPad.getBytes("US-ASCII"), 0, h, 148, 6)
+        h(154) = 0; h(155) = ' '
+        out.write(h)
+        out.write(data)
+        val rem = data.length % Block
+        if (rem != 0) out.write(new Array[Byte](Block - rem))
+      }
+      out.write(new Array[Byte](2 * Block))
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+      val entries = Seq.newBuilder[(String, Array[Byte])]
+      var off = 0
+      var done = false
+      while (!done) {
+        require(off + Block <= bytes.length, "truncated tar header")
+        if (bytes(off) == 0) {
+          // end marker: two zero blocks
+          require(off + 2 * Block <= bytes.length &&
+            (off until off + 2 * Block).forall(bytes(_) == 0),
+            "malformed tar end marker")
+          done = true
+        } else {
+          require(new String(bytes, off + 257, 5, "US-ASCII") == "ustar",
+            "not a ustar header")
+          var sum = 0L
+          var i = 0
+          while (i < Block) {
+            sum += (if (i >= 148 && i < 156) ' '.toByte
+                    else bytes(off + i)) & 0xFF
+            i += 1
+          }
+          val stored = java.lang.Long.parseLong(
+            new String(bytes, off + 148, 6, "US-ASCII").trim, 8)
+          require(stored == sum, s"tar checksum mismatch at $off")
+          val nameEnd = (off until off + 100)
+            .find(bytes(_) == 0).getOrElse(off + 100)
+          val name = new String(bytes, off, nameEnd - off, "US-ASCII")
+          val sizeStr = new String(bytes, off + 124, 12, "US-ASCII")
+            .takeWhile(c => c >= '0' && c <= '7')
+          val size = java.lang.Long.parseLong(sizeStr, 8)
+          require(size >= 0 && size <= Int.MaxValue &&
+            off + Block + size <= bytes.length, "truncated tar entry")
+          entries += ((name, java.util.Arrays.copyOfRange(bytes,
+            off + Block, off + Block + size.toInt)))
+          val padded = ((size + Block - 1) / Block) * Block
+          off += Block + padded.toInt
+        }
+      }
+      entries.result()
+    }
+  }
+
   /** REAL GIF87a/89a codec with a hand-written LZW coder — the one
     * image container in the family whose compression has NO JDK
     * primitive (PNG leans on `java.util.zip.Inflater`; GIF-LZW has
@@ -2838,6 +2932,84 @@ object Multimodal {
         SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, w, h,
           CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
         FROM rgb GROUP BY 1, 2, 3, 4""")),
+
+    // ----- WebDataset-style tar-shard round-trip ---------------------------
+    // THE multimodal training-data layout: samples packed as
+    // consecutive tar entries sharing a key stem ("<id>.jpg" +
+    // "<id>.txt"), ~fixed-count shards, sequential-read friendly.
+    // Each shard of 16 docs is PACKED through the ustar writer
+    // (real JPEG bytes + UTF-8 caption), then UNPACKED by the
+    // independent tar parser, samples regrouped by stem, images
+    // JPEG-decoded and captions digested — so the row only matches if
+    // the container, the naming convention, and the payload bytes all
+    // round-trip. Scale shape: ONE shuffle on the shard key (exactly
+    // how a WebDataset export distributes), then narrow per-shard
+    // pack/unpack work; shard size is the knob that bounds task memory.
+    Q("mm_wds_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select($"doc_id", $"text")
+          .as[(Long, String)]
+          .groupByKey(_._1 / 16)
+          .flatMapGroups { (shard, it) =>
+            val docs = it.toSeq.sortBy(_._1)
+            val entries = docs.flatMap { case (id, text) =>
+              Seq((s"$id.jpg", JpegCodec.encode(id)),
+                (s"$id.txt", text.getBytes("UTF-8")))
+            }
+            val back = TarCodec.decode(TarCodec.encode(entries))
+            back.groupBy(_._1.takeWhile(_ != '.')).toSeq.map {
+              case (stem, es) =>
+                val id = stem.toLong
+                val jpg = es.find(_._1.endsWith(".jpg")).get._2
+                val txt = es.find(_._1.endsWith(".txt")).get._2
+                val img = JpegCodec.decode(jpg)
+                val md5hex = java.security.MessageDigest
+                  .getInstance("MD5").digest(txt)
+                  .map(b => f"${b & 0xFF}%02x").mkString
+                (id, shard, img.w, img.h, weightedPxSum(img), md5hex)
+            }.iterator
+          }
+          .toDF("media_id", "shard", "w", "h", "px_sum", "caption_md5")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            64 + (doc_id*7 + (x//8)*31 + (y//8)*17) % 128
+              + ((doc_id + (x//8)*5 + (y//8)*3) % 8)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*3 + (x//8) + (y//8)*7) % 8)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*5 + (x//8)*7 + (y//8)) % 4)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END) AS yv,
+            (doc_id*11 + (x//16)*13 + (y//16)*19) % 256 AS cb,
+            (doc_id*3 + (x//16)*7 + (y//16)*29) % 256 AS cr
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(21 + doc_id % 14 AS INT) - 1)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(13 + doc_id % 11 AS INT) - 1)) AS y) ys),
+        rgb AS (
+          SELECT doc_id,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.402E0 * (cr - 128) + 0.5E0) AS BIGINT))) AS r,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv - 0.344136E0 * (cb - 128) - 0.714136E0 * (cr - 128)
+                + 0.5E0) AS BIGINT))) AS g,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.772E0 * (cb - 128) + 0.5E0) AS BIGINT))) AS b
+          FROM px),
+        img AS (
+          SELECT doc_id,
+            CAST(21 + doc_id % 14 AS INT) AS w,
+            CAST(13 + doc_id % 11 AS INT) AS h,
+            CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
+          FROM rgb GROUP BY 1, 2, 3)
+        SELECT d.doc_id AS media_id,
+          CAST(d.doc_id // 16 AS BIGINT) AS shard,
+          img.w, img.h, img.px_sum,
+          md5(d.text) AS caption_md5
+        FROM documents d JOIN img ON img.doc_id = d.doc_id""")),
 
     // ----- mixed-container decode (format sniffing: BMP + PPM) -----------
     // A real lake holds a mix of encodings; the seam dispatches on the

@@ -284,6 +284,41 @@ class MultimodalCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AviCodec.decode(lying))
   }
 
+  test("ustar tar: roundtrip, 512 padding, checksum verification, " +
+      "hand-parsed header offsets, corrupt/truncated rejection") {
+    import graft.operators.Multimodal.TarCodec
+    val entries = Seq(
+      ("0.jpg", Array.tabulate[Byte](700)(i => (i * 7).toByte)),
+      ("0.txt", "hello webdataset".getBytes("UTF-8")),
+      ("1.jpg", Array.emptyByteArray),               // zero-size entry
+      ("1.txt", Array.tabulate[Byte](512)(_.toByte)) // exact block size
+    )
+    val tar = TarCodec.encode(entries)
+    assert(tar.length % 512 == 0, "archive must be block-aligned")
+    val back = TarCodec.decode(tar)
+    assert(back.map(_._1) == entries.map(_._1))
+    back.zip(entries).foreach { case ((_, got), (_, want)) =>
+      assert(java.util.Arrays.equals(got, want))
+    }
+    // header fields at hand-computed offsets: magic + octal size
+    assert(new String(tar, 257, 5, "US-ASCII") == "ustar")
+    assert(java.lang.Long.parseLong(
+      new String(tar, 124, 11, "US-ASCII").trim, 8) == 700)
+    // corrupt one data byte -> checksum of ITS header still fine (data
+    // is not covered), but corrupt a header byte -> reject
+    val corrupt = tar.clone()
+    corrupt(1) = (corrupt(1) ^ 0x7F).toByte
+    intercept[IllegalArgumentException](TarCodec.decode(corrupt))
+    // truncation anywhere inside the archive rejects, never misparses
+    Seq(100, 511, 512, 1000, tar.length - 1).foreach { k =>
+      intercept[IllegalArgumentException](TarCodec.decode(tar.take(k)))
+    }
+    // a lying size field that runs past the archive rejects
+    val lying = tar.clone()
+    System.arraycopy("77777777777 ".getBytes("US-ASCII"), 0, lying, 124, 12)
+    intercept[IllegalArgumentException](TarCodec.decode(lying))
+  }
+
   test("PNG roundtrip reproduces the synthesis formula (all 5 filters)") {
     import graft.operators.Multimodal.PngCodec
     // ids spanning every dims residue: heights >= 5 exercise filter
