@@ -2933,6 +2933,116 @@ object Multimodal {
           CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
         FROM rgb GROUP BY 1, 2, 3, 4""")),
 
+    // ----- EXIF metadata extraction (TIFF-in-APP1) -------------------------
+    // The metadata sidecar of real crawl JPEGs: camera make and — the
+    // curation-critical part — GPS coordinates in a nested GPS IFD.
+    // The fixture splices a real APP1/TIFF structure into the JPEG
+    // stream, alternating II/MM byte order so the parser's endianness
+    // handling is exercised, with GPS present on one third of images.
+    // The parser is a generic bounds-safe IFD walk (segment scan →
+    // TIFF header → IFD0 → GPS sub-IFD pointer → ASCII + RATIONAL
+    // values); rationals surface as integer (deg, min, sec-milli)
+    // components — no float division crosses engines.
+    Q("mm_exif_extract",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val ex = ExifCodec.parse(ExifCodec.encodeWithExif(id))
+              .getOrElse(throw new IllegalStateException(
+                s"EXIF parse failed for $id"))
+            val g = ex.gps
+            (id, ex.byteOrder, ex.make, g.isDefined,
+              g.map(_.latRef).orNull, g.map(_.latDeg), g.map(_.latMin),
+              g.map(_.latSecMilli),
+              g.map(_.lonRef).orNull, g.map(_.lonDeg), g.map(_.lonMin),
+              g.map(_.lonSecMilli))
+          }
+        }.toDF("media_id", "byte_order", "make", "has_gps",
+          "lat_ref", "lat_deg", "lat_min", "lat_sec_milli",
+          "lon_ref", "lon_deg", "lon_min", "lon_sec_milli")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+          'cam' || CAST(doc_id % 10 AS VARCHAR) AS make,
+          doc_id % 3 = 0 AS has_gps,
+          CASE WHEN doc_id % 3 = 0 THEN
+            CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END END AS lat_ref,
+          CASE WHEN doc_id % 3 = 0
+            THEN CAST(doc_id % 90 AS INT) END AS lat_deg,
+          CASE WHEN doc_id % 3 = 0
+            THEN CAST(doc_id % 60 AS INT) END AS lat_min,
+          CASE WHEN doc_id % 3 = 0
+            THEN CAST((doc_id * 7) % 60000 AS BIGINT) END AS lat_sec_milli,
+          CASE WHEN doc_id % 3 = 0 THEN
+            CASE WHEN (doc_id // 2) % 2 = 0 THEN 'E' ELSE 'W' END
+            END AS lon_ref,
+          CASE WHEN doc_id % 3 = 0
+            THEN CAST(doc_id % 180 AS INT) END AS lon_deg,
+          CASE WHEN doc_id % 3 = 0
+            THEN CAST((doc_id * 3) % 60 AS INT) END AS lon_min,
+          CASE WHEN doc_id % 3 = 0
+            THEN CAST((doc_id * 11) % 60000 AS BIGINT) END AS lon_sec_milli
+        FROM documents""")),
+
+    // ----- EXIF scrub (GPS-PII removal) ------------------------------------
+    // The curation intervention the extractor exists to justify:
+    // training images must ship with location metadata REMOVED but the
+    // image stream untouched. scrub() drops every Exif APP1 segment
+    // verbatim-copying everything else; the query proves BOTH halves —
+    // the scrubbed blob parses as EXIF-free AND still decodes to the
+    // exact closed-form pixels (a scrubber that disturbed the entropy
+    // stream would break the px_sum hash).
+    Q("mm_exif_scrub",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val withExif = ExifCodec.encodeWithExif(id)
+            if (ExifCodec.parse(withExif).isEmpty)
+              throw new IllegalStateException(s"fixture lost EXIF for $id")
+            val clean = ExifCodec.scrub(withExif)
+            val img = JpegCodec.decode(clean)
+            (id, ExifCodec.parse(clean).isEmpty, img.w, img.h,
+              weightedPxSum(img))
+          }
+        }.toDF("media_id", "exif_removed", "w", "h", "px_sum")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            64 + (doc_id*7 + (x//8)*31 + (y//8)*17) % 128
+              + ((doc_id + (x//8)*5 + (y//8)*3) % 8)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*3 + (x//8) + (y//8)*7) % 8)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*5 + (x//8)*7 + (y//8)) % 4)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END) AS yv,
+            (doc_id*11 + (x//16)*13 + (y//16)*19) % 256 AS cb,
+            (doc_id*3 + (x//16)*7 + (y//16)*29) % 256 AS cr
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(21 + doc_id % 14 AS INT) - 1)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(13 + doc_id % 11 AS INT) - 1)) AS y) ys),
+        rgb AS (
+          SELECT doc_id,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.402E0 * (cr - 128) + 0.5E0) AS BIGINT))) AS r,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv - 0.344136E0 * (cb - 128) - 0.714136E0 * (cr - 128)
+                + 0.5E0) AS BIGINT))) AS g,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.772E0 * (cb - 128) + 0.5E0) AS BIGINT))) AS b
+          FROM px)
+        SELECT doc_id AS media_id, TRUE AS exif_removed,
+          CAST(21 + doc_id % 14 AS INT) AS w,
+          CAST(13 + doc_id % 11 AS INT) AS h,
+          CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
+        FROM rgb GROUP BY 1, 2, 3, 4""")),
+
     // ----- WebDataset-style tar-shard round-trip ---------------------------
     // THE multimodal training-data layout: samples packed as
     // consecutive tar entries sharing a key stem ("<id>.jpg" +

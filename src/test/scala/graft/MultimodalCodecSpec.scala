@@ -284,6 +284,57 @@ class MultimodalCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AviCodec.decode(lying))
   }
 
+  test("EXIF: both byte orders parse, GPS components exact, scrub " +
+      "removes all Exif APP1s without touching pixels, garbage is safe") {
+    import graft.operators.{ExifCodec, JpegCodec}
+    for (id <- Seq(0L, 1L, 2L, 3L, 6L, 7L, 701L, 702L)) {
+      val b = ExifCodec.encodeWithExif(id)
+      val ex = ExifCodec.parse(b).getOrElse(fail(s"no EXIF for $id"))
+      assert(ex.byteOrder == (if (id % 2 == 0) "II" else "MM"))
+      assert(ex.make == s"cam${id % 10}")
+      assert(ex.gps.isDefined == (id % 3 == 0))
+      ex.gps.foreach { g =>
+        assert(g.latRef == ExifCodec.latRef(id) &&
+          g.latDeg == ExifCodec.latDeg(id) &&
+          g.latMin == ExifCodec.latMin(id) &&
+          g.latSecMilli == ExifCodec.latSecMilli(id))
+        assert(g.lonRef == ExifCodec.lonRef(id) &&
+          g.lonDeg == ExifCodec.lonDeg(id) &&
+          g.lonMin == ExifCodec.lonMin(id) &&
+          g.lonSecMilli == ExifCodec.lonSecMilli(id))
+      }
+      // scrub: EXIF gone, pixel stream byte-identical to the plain jpg
+      val clean = ExifCodec.scrub(b)
+      assert(ExifCodec.parse(clean).isEmpty)
+      assert(java.util.Arrays.equals(clean, JpegCodec.encode(id)),
+        s"scrub must reproduce the pre-splice JPEG exactly for $id")
+      // idempotent; EXIF-free input unchanged
+      assert(java.util.Arrays.equals(ExifCodec.scrub(clean), clean))
+    }
+    // TWO Exif APP1 segments: both removed
+    val one = ExifCodec.encodeWithExif(6L)
+    val seg = one.slice(2, 2 + 2 + (((one(4) & 0xFF) << 8) | (one(5) & 0xFF)))
+    val twice = one.take(2) ++ seg ++ one.drop(2)
+    assert(ExifCodec.parse(twice).isDefined)
+    assert(ExifCodec.parse(ExifCodec.scrub(twice)).isEmpty)
+    // garbage / truncation never throws
+    val rnd = new scala.util.Random(779)
+    (0 until 3000).foreach { _ =>
+      val g = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(g)
+      ExifCodec.parse(g); ExifCodec.scrub(g)
+    }
+    val full = ExifCodec.encodeWithExif(0L)
+    (0 to full.length by 7).foreach { k =>
+      ExifCodec.parse(full.take(k)); ExifCodec.scrub(full.take(k))
+    }
+    // corrupt the byte-order marker (offset 12 = first TIFF byte:
+    // SOI 2 + APP1 marker/len 4 + "Exif\0\0" 6) -> clean None
+    val badMagic = full.clone()
+    badMagic(12) = 99
+    assert(ExifCodec.parse(badMagic).isEmpty)
+  }
+
   test("ustar tar: roundtrip, 512 padding, checksum verification, " +
       "hand-parsed header offsets, corrupt/truncated rejection") {
     import graft.operators.Multimodal.TarCodec
