@@ -1443,6 +1443,37 @@ object PcapQueries {
     p.toString
   }
 
+  /** SIP signaling capture (see [[graft.pcap.PcapSynth.sipPackets]]). */
+  private def sipSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_sip.pcap")
+    graft.pcap.PcapSynth.ensureSipFile(p, 80)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_sip_sessions, re-derived from the
+    * synthesis formulas (setup/duration/busy split per call i). */
+  private def sipSessionsOracle(n: Int): String = {
+    val rows = (0 until n).map { i =>
+      val busy = i % 9 == 4
+      val setup = 100000L + (i * 37) % 200000L
+      val dur = (1L + i % 30) * 1000000L
+      val status = if (busy) 486 else 200
+      val nm = if (busy) 2 else 4
+      val durStr = if (busy) "NULL" else dur.toString
+      s"('call$i@example.com', 'sip:user$i@a.example.com', " +
+        s"'sip:peer${i % 7}@b.example.com', $nm, $status, $setup, $durStr)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.call_id AS VARCHAR) AS call_id,
+        CAST(v.caller AS VARCHAR) AS caller,
+        CAST(v.callee AS VARCHAR) AS callee,
+        CAST(v.n_msgs AS BIGINT) AS n_msgs,
+        CAST(v.status_code AS INT) AS status_code,
+        CAST(v.setup_us AS BIGINT) AS setup_us,
+        CAST(v.duration_us AS BIGINT) AS duration_us
+        FROM (VALUES $rows) AS v(call_id, caller, callee, n_msgs,
+          status_code, setup_us, duration_us)"""
+  }
+
   /** Constant oracle for pcap_rtp_quality, re-derived from the
     * synthesis formulas: stream s loses packet j when
     * (s*31 + j) mod 17 == 0; the interarrival deviation between
@@ -3848,6 +3879,45 @@ object PcapQueries {
           CAST(MAX(ABS(v)) AS INT) AS peak,
           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
         FROM pcm GROUP BY 1, 2""")),
+
+    // ----- SIP session analytics (round 12) --------------------------------
+    // Completes the VoIP triad: SIGNALING (this), transport health
+    // (pcap_rtp_quality), media level (pcap_rtp_audio_level). A
+    // clean-room RFC 3261 subset parser (request/status line, header
+    // walk with compact forms, CSeq correlation so a 200 answers the
+    // right request) feeds a per-Call-ID rollup: caller/callee, final
+    // INVITE status, post-dial delay (setup), and call duration from
+    // the BYE — NULL for calls that never answered (the fixture's
+    // 486 Busy population). Scale shape: per-row text parse, ONE
+    // aggregation shuffle on call_id with conditional-min/max partials.
+    Q("pcap_sip_sessions",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(sipSynthPath)
+          .filter($"protocol" === "UDP" && $"dst_port" === 5060 &&
+            $"payload".isNotNull)
+          .select($"payload", $"ts_micro").as[(Array[Byte], Long)]
+          .mapPartitions(_.flatMap { case (pl, ts) =>
+            graft.pcap.Decap.sip(pl).map(m =>
+              (m.callId, m.method, m.status, m.fromUri, m.toUri, ts))
+          })
+          .toDF("call_id", "method", "status", "from_uri", "to_uri",
+            "ts_us")
+          .groupBy($"call_id")
+          .agg(
+            min($"from_uri").as("caller"),
+            min($"to_uri").as("callee"),
+            count(lit(1)).as("n_msgs"),
+            max(when($"method" === "INVITE" && $"status" > 0, $"status"))
+              .as("status_code"),
+            (max(when($"method" === "INVITE" && $"status" > 0, $"ts_us"))
+              - min(when($"method" === "INVITE" && $"status" === 0,
+                $"ts_us"))).as("setup_us"),
+            (min(when($"method" === "BYE" && $"status" === 0, $"ts_us"))
+              - min(when($"method" === "INVITE" && $"status" === 0,
+                $"ts_us"))).as("duration_us"))
+      },
+      Some(sipSessionsOracle(80))),
 
     // Receive-window health: zero-window events are THE standard TCP
     // stall signal ops teams alert on. Per-flow bounded aggregates over

@@ -255,6 +255,63 @@ object Decap extends Serializable {
     else Some(DhcpFields(op, xid, ip(16), chaddr, msgType, serverId))
   }
 
+  /** Parsed SIP message (RFC 3261 subset). For requests `method` is
+    * INVITE/BYE/... and `status` is 0; for responses `method` is the
+    * CSeq method (what the response answers) and `status` the code. */
+  final case class SipFields(method: String, status: Int,
+      callId: String, fromUri: String, toUri: String)
+
+  /** Parse one UDP payload as SIP (RFC 3261): request-line
+    * `METHOD uri SIP/2.0` or status-line `SIP/2.0 code reason`, then
+    * CRLF headers up to the blank line — Call-ID (or compact `i:`),
+    * From/To (URIs unwrapped from <>), CSeq for response correlation.
+    * Case-insensitive header names per the RFC. None on anything that
+    * is not SIP — never a throw on capture bytes. */
+  def sip(payload: Array[Byte]): Option[SipFields] = {
+    if (payload == null || payload.length < 12) return None
+    // SIP is ASCII up to the body; parse the header block only
+    val text = new String(payload, "ISO-8859-1")
+    val headEnd = text.indexOf("\r\n\r\n")
+    val head = if (headEnd < 0) text else text.substring(0, headEnd)
+    val lines = head.split("\r\n")
+    if (lines.isEmpty) return None
+    val start = lines(0)
+    val (reqMethod, status) =
+      if (start.startsWith("SIP/2.0 ")) {
+        val code = start.drop(8).takeWhile(_.isDigit)
+        if (code.isEmpty) return None
+        ("", code.toInt)
+      } else {
+        val sp = start.split(" ")
+        if (sp.length != 3 || sp(2) != "SIP/2.0" ||
+            sp.exists(_.isEmpty)) return None
+        (sp(0), 0)
+      }
+    def header(name: String, compact: String): Option[String] =
+      lines.drop(1).collectFirst {
+        case l if l.toLowerCase.startsWith(name.toLowerCase + ":") =>
+          l.drop(name.length + 1).trim
+        case l if compact.nonEmpty &&
+            l.toLowerCase.startsWith(compact + ":") =>
+          l.drop(compact.length + 1).trim
+      }
+    def uri(v: String): String = {
+      val lt = v.indexOf('<')
+      val gt = v.indexOf('>')
+      if (lt >= 0 && gt > lt) v.substring(lt + 1, gt) else v
+    }
+    for {
+      callId <- header("Call-ID", "i")
+      from <- header("From", "f")
+      to <- header("To", "t")
+      method <-
+        if (status == 0) Some(reqMethod)
+        else header("CSeq", "").map(_.split(" ")).collect {
+          case a if a.length == 2 => a(1)
+        }
+    } yield SipFields(method, status, callId, uri(from), uri(to))
+  }
+
   /** Fixed-header RTP fields (RFC 3550 §5.1). `seq` is the 16-bit
     * sequence number, `rtpTs` / `ssrc` the unsigned 32-bit words. */
   final case class RtpFields(version: Int, pt: Int, seq: Int,

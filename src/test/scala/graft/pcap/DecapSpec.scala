@@ -228,6 +228,41 @@ class DecapSpec extends AnyFunSuite {
     assert(g1.key == 12345L && g1.dstPort == 51000)
   }
 
+  test("sip parser: requests + responses, compact headers, CSeq " +
+      "correlation, URI unwrap; never throws on garbage") {
+    def m(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val inv = m("INVITE sip:bob@b.example.com SIP/2.0\r\n" +
+      "Call-ID: abc@x\r\nFrom: <sip:alice@a>\r\nTo: <sip:bob@b>\r\n" +
+      "CSeq: 1 INVITE\r\n\r\n")
+    val r = Decap.sip(inv).get
+    assert(r.method == "INVITE" && r.status == 0 && r.callId == "abc@x" &&
+      r.fromUri == "sip:alice@a" && r.toUri == "sip:bob@b")
+    // response: method comes from CSeq, not the start line
+    val ok = m("SIP/2.0 200 OK\r\nCall-ID: abc@x\r\n" +
+      "From: sip:alice@a\r\nTo: sip:bob@b\r\nCSeq: 2 BYE\r\n\r\n")
+    val ro = Decap.sip(ok).get
+    assert(ro.method == "BYE" && ro.status == 200 &&
+      ro.fromUri == "sip:alice@a") // bare URIs pass through
+    // compact Call-ID form + case-insensitive names
+    val compact = m("BYE sip:bob@b SIP/2.0\r\ni: zz@y\r\n" +
+      "FROM: <sip:a@a>\r\nto: <sip:b@b>\r\nCSeq: 2 BYE\r\n\r\n")
+    assert(Decap.sip(compact).exists(x =>
+      x.callId == "zz@y" && x.method == "BYE"))
+    // missing Call-ID, non-SIP start lines, HTTP -> None
+    assert(Decap.sip(m("INVITE sip:x SIP/2.0\r\nFrom: a\r\nTo: b\r\n\r\n"))
+      .isEmpty)
+    assert(Decap.sip(m("GET / HTTP/1.1\r\nHost: x\r\n\r\n")).isEmpty)
+    assert(Decap.sip(m("SIP/2.0 abc\r\n\r\n")).isEmpty)
+    assert(Decap.sip(null).isEmpty)
+    val rnd = new scala.util.Random(780)
+    (0 until 3000).foreach { _ =>
+      val g = new Array[Byte](rnd.nextInt(150))
+      rnd.nextBytes(g)
+      Decap.sip(g)
+    }
+    (0 to inv.length).foreach(k => Decap.sip(inv.take(k)))
+  }
+
   test("rtp parser never throws; gates on version 2 and header length") {
     val rnd = new scala.util.Random(778)
     (0 until 5000).foreach { _ =>

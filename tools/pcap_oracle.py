@@ -1067,6 +1067,67 @@ if glob.glob(f"{out}/pcap_geneve_decap/*.parquet"):
                ["vni", "n_pkts", "n_nx", "first_qname", "max_opts"]),
          sorted((v, n, nx, q, mo) for v, (n, nx, q, mo) in gstats.items()))
 
+# SIP sessions: independent text parse of the RFC 3261 subset + the
+# per-call rollup (no shared code with Decap.sip).
+if glob.glob(f"{out}/pcap_sip_sessions/*.parquet"):
+    calls = {}
+    for sec, usec, fr in _frames("/tmp/graft_synth_sip.pcap"):
+        src, dst, proto, l4 = _v4(fr)
+        assert proto == 17
+        dp = struct.unpack_from(">H", fr, l4 + 2)[0]
+        assert dp == 5060
+        ts = sec * 1000000 + usec
+        head = fr[l4 + 8:].decode("latin-1").split("\r\n\r\n")[0]
+        lines = head.split("\r\n")
+        start = lines[0]
+        if start.startswith("SIP/2.0 "):
+            status = int(start.split(" ")[1])
+        else:
+            status = 0
+
+        def hdr(name):
+            for l in lines[1:]:
+                if l.lower().startswith(name.lower() + ":"):
+                    return l[len(name) + 1:].strip()
+            return None
+
+        method = start.split(" ")[0] if status == 0 else \
+            hdr("CSeq").split(" ")[1]
+        cid = hdr("Call-ID")
+
+        def uri(v):
+            return v[v.index("<") + 1:v.index(">")] if "<" in v else v
+
+        e = calls.setdefault(cid, {"n": 0, "from": None, "to": None,
+                                   "inv": None, "ans": None, "st": None,
+                                   "bye": None})
+        e["n"] += 1
+        e["from"] = uri(hdr("From"))
+        e["to"] = uri(hdr("To"))
+        if method == "INVITE" and status == 0:
+            e["inv"] = ts
+        if method == "INVITE" and status > 0:
+            e["ans"], e["st"] = ts, status
+        if method == "BYE" and status == 0:
+            e["bye"] = ts
+    exp = sorted(
+        (cid, e["from"], e["to"], e["n"], e["st"], e["ans"] - e["inv"],
+         (e["bye"] - e["inv"]) if e["bye"] is not None else None)
+        for cid, e in calls.items())
+    got = _read("pcap_sip_sessions",
+                ["call_id", "caller", "callee", "n_msgs", "status_code",
+                 "setup_us", "duration_us"])
+
+    # the nullable duration column reads back as float64 (NaN for the
+    # busy calls' NULLs) — normalize to int/None before comparing
+    def _norm(t):
+        return tuple(None if (isinstance(v, float) and v != v)
+                     else (int(v) if isinstance(v, float) else v)
+                     for v in t)
+
+    _cmp("pcap_sip_sessions(redecode)",
+         sorted(_norm(t) for t in got), exp)
+
 # RTP audio level: independent parse of the RTP header + a from-spec
 # G.711 expansion (ITU tables re-implemented here, no shared code with
 # WavCodec) folded into per-stream level stats.
