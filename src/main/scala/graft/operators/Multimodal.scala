@@ -1160,38 +1160,48 @@ object Multimodal {
     private def octal(v: Long, width: Int): Array[Byte] = {
       val s = java.lang.Long.toOctalString(v)
       val pad = "0" * (width - 1 - s.length) + s
-      (pad + " ").getBytes("US-ASCII")
+      (pad + "\u0000").getBytes("US-ASCII")
     }
+
+    /** Stream one entry (header + data + padding) to `out` — the form
+      * the `wds` shard sink writes row-by-row with constant memory;
+      * [[encode]] is the in-memory composition of these. */
+    def writeEntry(out: java.io.OutputStream, name: String,
+        data: Array[Byte]): Unit = {
+      val nb = name.getBytes("US-ASCII")
+      require(nb.length <= 100, s"tar entry name too long: $name")
+      val h = new Array[Byte](Block)
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      System.arraycopy(octal(420, 8), 0, h, 100, 8)   // mode 0644
+      System.arraycopy(octal(0, 8), 0, h, 108, 8)     // uid
+      System.arraycopy(octal(0, 8), 0, h, 116, 8)     // gid
+      System.arraycopy(octal(data.length.toLong, 12), 0, h, 124, 12)
+      System.arraycopy(octal(0, 12), 0, h, 136, 12)   // mtime: pinned
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)  // chksum spaces
+      h(156) = '0'                                    // regular file
+      System.arraycopy("ustar\u0000".getBytes("US-ASCII"), 0, h, 257, 6)
+      System.arraycopy("00".getBytes("US-ASCII"), 0, h, 263, 2)
+      var sum = 0L
+      var i = 0
+      while (i < Block) { sum += h(i) & 0xFF; i += 1 }
+      val cs = java.lang.Long.toOctalString(sum)
+      val csPad = "0" * (6 - cs.length) + cs
+      System.arraycopy(csPad.getBytes("US-ASCII"), 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(data)
+      val rem = data.length % Block
+      if (rem != 0) out.write(new Array[Byte](Block - rem))
+    }
+
+    /** The two-zero-block end-of-archive marker. */
+    def endArchive(out: java.io.OutputStream): Unit =
+      out.write(new Array[Byte](2 * Block))
 
     def encode(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
-      entries.foreach { case (name, data) =>
-        val nb = name.getBytes("US-ASCII")
-        require(nb.length <= 100, s"tar entry name too long: $name")
-        val h = new Array[Byte](Block)
-        System.arraycopy(nb, 0, h, 0, nb.length)
-        System.arraycopy(octal(420, 8), 0, h, 100, 8)   // mode 0644
-        System.arraycopy(octal(0, 8), 0, h, 108, 8)     // uid
-        System.arraycopy(octal(0, 8), 0, h, 116, 8)     // gid
-        System.arraycopy(octal(data.length.toLong, 12), 0, h, 124, 12)
-        System.arraycopy(octal(0, 12), 0, h, 136, 12)   // mtime: pinned
-        java.util.Arrays.fill(h, 148, 156, ' '.toByte)  // chksum spaces
-        h(156) = '0'                                    // regular file
-        System.arraycopy("ustar ".getBytes("US-ASCII"), 0, h, 257, 6)
-        System.arraycopy("00".getBytes("US-ASCII"), 0, h, 263, 2)
-        var sum = 0L
-        var i = 0
-        while (i < Block) { sum += h(i) & 0xFF; i += 1 }
-        val cs = java.lang.Long.toOctalString(sum)
-        val csPad = "0" * (6 - cs.length) + cs
-        System.arraycopy(csPad.getBytes("US-ASCII"), 0, h, 148, 6)
-        h(154) = 0; h(155) = ' '
-        out.write(h)
-        out.write(data)
-        val rem = data.length % Block
-        if (rem != 0) out.write(new Array[Byte](Block - rem))
-      }
-      out.write(new Array[Byte](2 * Block))
+      entries.foreach { case (name, data) => writeEntry(out, name, data) }
+      endArchive(out)
       out.toByteArray
     }
 
@@ -3118,6 +3128,85 @@ object Multimodal {
         SELECT d.doc_id AS media_id,
           CAST(d.doc_id // 16 AS BIGINT) AS shard,
           img.w, img.h, img.px_sum,
+          md5(d.text) AS caption_md5
+        FROM documents d JOIN img ON img.doc_id = d.doc_id""")),
+
+    // ----- WebDataset export -> import through the DSv2 wds format --------
+    // The round-trip THROUGH REAL FILES and the registered source/sink
+    // (mm_wds_roundtrip proves the codec in-map; this proves the I/O
+    // path): documents export as (key, jpg, txt) rows via
+    // write.format("wds") — one streamed tar shard per task, atomic
+    // rename commit — then import via read.format("wds") as
+    // (shard, key, ext, data) entry rows, regroup by key, decode, and
+    // digest. The oracle knows only the pixel formulas + md5(text), so
+    // the row matches only if the sink's naming/framing and the
+    // source's checksum-verified walk both round-trip every byte.
+    // Scale shape: export = ONE shuffle (the repartition that sets
+    // shard count/size); import = whole-shard parallel scan; regroup =
+    // ONE shuffle on key.
+    Q("mm_wds_export_import",
+      (s, d) => {
+        import s.implicits._
+        val outDir = "/tmp/graft_wds_export_" +
+          java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+        Tables.documents(s, d).select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            (id.toString, JpegCodec.encode(id), text.getBytes("UTF-8"))
+          }
+          .toDF("key", "jpg", "txt")
+          .repartition(8)
+          .write.format("wds").mode("append").save(outDir)
+        s.read.format("wds").load(outDir)
+          .groupBy($"key")
+          .agg(max(when($"ext" === "jpg", $"data")).as("jpg"),
+            max(when($"ext" === "txt", $"data")).as("txt"))
+          .as[(String, Array[Byte], Array[Byte])]
+          .map { case (key, jpg, txt) =>
+            val img = JpegCodec.decode(jpg)
+            val md5hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(txt).map(b => f"${b & 0xFF}%02x").mkString
+            (key.toLong, img.w, img.h, weightedPxSum(img), md5hex)
+          }
+          .toDF("media_id", "w", "h", "px_sum", "caption_md5")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            64 + (doc_id*7 + (x//8)*31 + (y//8)*17) % 128
+              + ((doc_id + (x//8)*5 + (y//8)*3) % 8)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*3 + (x//8) + (y//8)*7) % 8)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*5 + (x//8)*7 + (y//8)) % 4)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END) AS yv,
+            (doc_id*11 + (x//16)*13 + (y//16)*19) % 256 AS cb,
+            (doc_id*3 + (x//16)*7 + (y//16)*29) % 256 AS cr
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(21 + doc_id % 14 AS INT) - 1)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(13 + doc_id % 11 AS INT) - 1)) AS y) ys),
+        rgb AS (
+          SELECT doc_id,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.402E0 * (cr - 128) + 0.5E0) AS BIGINT))) AS r,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv - 0.344136E0 * (cb - 128) - 0.714136E0 * (cr - 128)
+                + 0.5E0) AS BIGINT))) AS g,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.772E0 * (cb - 128) + 0.5E0) AS BIGINT))) AS b
+          FROM px),
+        img AS (
+          SELECT doc_id,
+            CAST(21 + doc_id % 14 AS INT) AS w,
+            CAST(13 + doc_id % 11 AS INT) AS h,
+            CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
+          FROM rgb GROUP BY 1, 2, 3)
+        SELECT d.doc_id AS media_id, img.w, img.h, img.px_sum,
           md5(d.text) AS caption_md5
         FROM documents d JOIN img ON img.doc_id = d.doc_id""")),
 
