@@ -2943,6 +2943,105 @@ object Multimodal {
           CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
         FROM rgb GROUP BY 1, 2, 3, 4""")),
 
+    // ----- ViT-style patch extraction --------------------------------------
+    // The vision-training preprocessing step: split each decoded image
+    // into the top-left grid of 8x8 patches (edge remainders dropped —
+    // the crop-to-grid convention) and emit one row per patch with its
+    // integer-exact weighted pixel sum — the (patch, embedding-input)
+    // granularity a ViT data loader feeds. Scale shape: narrow per-row
+    // decode + a bounded flatMap (patch count is dims/64), no shuffle
+    // at all until a downstream consumer aggregates.
+    Q("mm_patchify",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.flatMap { id =>
+            val img = BmpCodec.decode(BmpCodec.encode(id))
+            val pw = img.w / 8
+            val ph = img.h / 8
+            for (py <- 0 until ph; px <- 0 until pw) yield {
+              var acc = 0L
+              var y = py * 8
+              while (y < py * 8 + 8) {
+                var x = px * 8
+                while (x < px * 8 + 8) {
+                  acc += img.r(x, y) + 2L * img.g(x, y) + 3L * img.b(x, y)
+                  x += 1
+                }
+                y += 1
+              }
+              (id, px, py, acc)
+            }
+          }
+        }.toDF("media_id", "px", "py", "patch_sum")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+          CAST(SUM((doc_id*7 + (px*8 + i)*3 + (py*8 + j)*5) % 256
+             + 2 * ((doc_id + (px*8 + i)*11 + (py*8 + j)*2) % 256)
+             + 3 * ((doc_id*13 + (px*8 + i) * (py*8 + j)) % 256))
+            AS BIGINT) AS patch_sum
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(16 + doc_id % 13 AS INT) // 8 - 1)) AS px) pxs,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(12 + doc_id % 7 AS INT) // 8 - 1)) AS py) pys,
+          LATERAL (SELECT unnest(generate_series(0, 7)) AS i) is_,
+          LATERAL (SELECT unnest(generate_series(0, 7)) AS j) js
+        GROUP BY 1, 2, 3""")),
+
+    // ----- audio resample (integer-factor decimation) ----------------------
+    // Sample-rate normalization, the audio-training-prep twin of image
+    // resize: decimate by 2 with pair averaging (anti-alias box
+    // filter), TRUNCATING division on BOTH engines (JVM int `/` and
+    // DuckDB `//` both round toward zero on negatives — the `//`↔`DIV`
+    // determinism idiom; an arithmetic shift would floor instead and
+    // diverge on odd negative sums). Odd trailing samples drop, the
+    // crop-to-grid convention again.
+    Q("mm_audio_resample",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val a = WavCodec.decode(WavCodec.encode(id))
+            val nOut = a.samples.length / 2
+            var peak = 0
+            var sumAbs = 0L
+            var i = 0
+            while (i < nOut) {
+              val v = (a.samples(2 * i) + a.samples(2 * i + 1)) / 2
+              val ab = math.abs(v)
+              if (ab > peak) peak = ab
+              sumAbs += ab
+              i += 1
+            }
+            (id, a.sampleRate, a.sampleRate / 2, a.samples.length, nOut,
+              peak, sumAbs)
+          }
+        }.toDF("media_id", "rate_in", "rate_out", "n_in", "n_out",
+          "peak_out", "sum_abs_out")
+      },
+      Some("""WITH pairs AS (
+          SELECT doc_id,
+            ((((doc_id * 31 + (2*k) * (2*k) * 7) % 65536) - 32768)
+             + (((doc_id * 31 + (2*k+1) * (2*k+1) * 7) % 65536) - 32768))
+            // 2 AS v
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(200 + doc_id % 57 AS INT) // 2 - 1)) AS k) ks
+          WHERE doc_id % 3 = 1)
+        SELECT doc_id AS media_id,
+          CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate_in,
+          CAST((8000 + (doc_id % 3) * 4000) // 2 AS INT) AS rate_out,
+          CAST(200 + doc_id % 57 AS INT) AS n_in,
+          CAST(COUNT(*) AS INT) AS n_out,
+          CAST(MAX(ABS(v)) AS INT) AS peak_out,
+          CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs_out
+        FROM pairs GROUP BY 1, 2, 3, 4""")),
+
     // ----- EXIF metadata extraction (TIFF-in-APP1) -------------------------
     // The metadata sidecar of real crawl JPEGs: camera make and — the
     // curation-critical part — GPS coordinates in a nested GPS IFD.
