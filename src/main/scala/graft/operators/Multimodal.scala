@@ -387,6 +387,89 @@ object Multimodal {
       be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
     }
 
+    // ---- tEXt metadata (PNG spec 11.3.4.3) ------------------------------
+    // The PNG-side metadata sidecar: keyword NUL text, Latin-1, one
+    // chunk per pair — where authoring tools leave Author/Software and
+    // (the curation-relevant one) location strings. The fixture
+    // formulas, a CRC-verified extractor, and a scrubber that drops
+    // the WHOLE textual family (tEXt/zTXt/iTXt) while copying every
+    // other chunk byte-identically — the EXIF-scrub contract for PNG.
+
+    def authorOf(id: Long): String = s"author${id % 10}"
+    def softwareOf(id: Long): String = s"graftcam ${id % 5}.${id % 10}"
+    def hasLocation(id: Long): Boolean = id % 3 == 0
+    def locationOf(id: Long): String = s"geo:${id % 90},${id % 180}"
+
+    /** Fixture PNG with tEXt chunks spliced right after IHDR. */
+    def encodeWithText(id: Long): Array[Byte] = {
+      val png = encode(id)
+      def tChunk(k: String, v: String): Array[Byte] =
+        chunk("tEXt", k.getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+          v.getBytes("ISO-8859-1"))
+      val ins = tChunk("Author", authorOf(id)) ++
+        tChunk("Software", softwareOf(id)) ++
+        (if (hasLocation(id)) tChunk("Location", locationOf(id))
+         else Array.emptyByteArray)
+      val ihdrEnd = 8 + 12 + 13 // signature + IHDR chunk framing + data
+      png.take(ihdrEnd) ++ ins ++ png.drop(ihdrEnd)
+    }
+
+    /** Every tEXt (keyword, text) pair, in chunk order; the walk is
+      * decode()'s (CRC verified per chunk, bounds-safe requires). */
+    def textChunks(bytes: Array[Byte]): Seq[(String, String)] = {
+      require(bytes.length >= 8 && Sig.indices.forall(i => bytes(i) == Sig(i)),
+        "not a PNG")
+      val out = Seq.newBuilder[(String, String)]
+      var off = 8
+      var done = false
+      while (!done) {
+        require(off + 8 <= bytes.length, "truncated PNG chunk header")
+        val len = rdBe32(bytes, off)
+        require(len >= 0 && off + 12L + len <= bytes.length,
+          "truncated PNG chunk")
+        val tag = new String(bytes, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes, off + 4, 4 + len)
+        require(crc.getValue.toInt == rdBe32(bytes, off + 8 + len),
+          s"PNG $tag chunk CRC mismatch")
+        if (tag == "tEXt") {
+          val nul = (off + 8 until off + 8 + len)
+            .find(bytes(_) == 0)
+            .getOrElse(throw new IllegalArgumentException(
+              "tEXt chunk missing keyword terminator"))
+          out += ((new String(bytes, off + 8, nul - (off + 8), "ISO-8859-1"),
+            new String(bytes, nul + 1, off + 8 + len - nul - 1,
+              "ISO-8859-1")))
+        }
+        if (tag == "IEND") done = true
+        off += 12 + len
+      }
+      out.result()
+    }
+
+    /** Drop the textual chunk family (tEXt/zTXt/iTXt), copying every
+      * other chunk — framing, data, and CRC — byte-identically. */
+    def stripText(bytes: Array[Byte]): Array[Byte] = {
+      require(bytes.length >= 8 && Sig.indices.forall(i => bytes(i) == Sig(i)),
+        "not a PNG")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(bytes, 0, 8)
+      var off = 8
+      var done = false
+      while (!done) {
+        require(off + 8 <= bytes.length, "truncated PNG chunk header")
+        val len = rdBe32(bytes, off)
+        require(len >= 0 && off + 12L + len <= bytes.length,
+          "truncated PNG chunk")
+        val tag = new String(bytes, off + 4, 4, "US-ASCII")
+        if (tag != "tEXt" && tag != "zTXt" && tag != "iTXt")
+          out.write(bytes, off, 12 + len)
+        if (tag == "IEND") done = true
+        off += 12 + len
+      }
+      out.toByteArray
+    }
+
     private def paeth(a: Int, b: Int, c: Int): Int = {
       val p = a + b - c
       val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
@@ -3151,6 +3234,61 @@ object Multimodal {
           CAST(13 + doc_id % 11 AS INT) AS h,
           CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
         FROM rgb GROUP BY 1, 2, 3, 4""")),
+
+    // ----- PNG tEXt metadata extraction + strip -----------------------------
+    // The PNG side of the metadata-scrub family (EXIF covers JPEG):
+    // authoring tools leave Author/Software/location strings in tEXt
+    // chunks; extraction surfaces them, and the strip drops the whole
+    // textual family while copying every other chunk — framing, data,
+    // CRC — byte-identically, so the image stream is untouched.
+    Q("mm_png_text_extract",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val kv = PngCodec.textChunks(PngCodec.encodeWithText(id)).toMap
+            (id, kv("Author"), kv("Software"), kv.get("Location").orNull)
+          }
+        }.toDF("media_id", "author", "software", "location")
+      },
+      Some("""SELECT doc_id AS media_id,
+          'author' || CAST(doc_id % 10 AS VARCHAR) AS author,
+          'graftcam ' || CAST(doc_id % 5 AS VARCHAR) || '.'
+            || CAST(doc_id % 10 AS VARCHAR) AS software,
+          CASE WHEN doc_id % 3 = 0 THEN
+            'geo:' || CAST(doc_id % 90 AS VARCHAR) || ','
+              || CAST(doc_id % 180 AS VARCHAR) END AS location
+        FROM documents""")),
+
+    Q("mm_png_text_strip",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val withText = PngCodec.encodeWithText(id)
+            if (PngCodec.textChunks(withText).isEmpty)
+              throw new IllegalStateException(s"fixture lost tEXt for $id")
+            val clean = PngCodec.stripText(withText)
+            val img = PngCodec.decode(clean)
+            (id, PngCodec.textChunks(clean).isEmpty, img.w, img.h,
+              weightedPxSum(img))
+          }
+        }.toDF("media_id", "text_removed", "w", "h", "px_sum")
+      },
+      Some("""SELECT doc_id AS media_id, TRUE AS text_removed,
+          CAST(16 + doc_id % 13 AS INT) AS w,
+          CAST(12 + doc_id % 7 AS INT) AS h,
+          CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256
+             + 2 * ((doc_id + x * 11 + y * 2) % 256)
+             + 3 * ((doc_id * 13 + x * y) % 256)) AS BIGINT) AS px_sum
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(16 + doc_id % 13 AS INT) - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
+        GROUP BY 1, 2, 3, 4""")),
 
     // ----- WebDataset-style tar-shard round-trip ---------------------------
     // THE multimodal training-data layout: samples packed as

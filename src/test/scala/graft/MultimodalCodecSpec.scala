@@ -527,6 +527,32 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("disposal"))
   }
 
+  test("PNG tEXt: extraction matches the fixture formulas; strip " +
+      "reproduces the pre-splice PNG byte-identically; ImageIO still " +
+      "reads the spliced file") {
+    import graft.operators.Multimodal.PngCodec
+    for (id <- Seq(0L, 1L, 2L, 3L, 701L)) {
+      val b = PngCodec.encodeWithText(id)
+      val kv = PngCodec.textChunks(b).toMap
+      assert(kv("Author") == PngCodec.authorOf(id))
+      assert(kv("Software") == PngCodec.softwareOf(id))
+      assert(kv.get("Location").isDefined == PngCodec.hasLocation(id))
+      // interop: the JDK's independent codec accepts the spliced file
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b))
+      assert(img != null && img.getWidth == BmpCodec.dims(id)._1)
+      // strip: byte-identical to the PNG before the splice
+      val clean = PngCodec.stripText(b)
+      assert(PngCodec.textChunks(clean).isEmpty)
+      assert(java.util.Arrays.equals(clean, PngCodec.encode(id)),
+        s"strip must reproduce the pre-splice PNG exactly for $id")
+      // a corrupted tEXt chunk fails the CRC check loudly
+      val corrupt = b.clone()
+      corrupt(8 + 12 + 13 + 9) = (corrupt(8 + 12 + 13 + 9) ^ 0x1).toByte
+      intercept[IllegalArgumentException](PngCodec.textChunks(corrupt))
+    }
+  }
+
   test("PNG chunk corruption is caught by CRC, not misparsed") {
     import graft.operators.Multimodal.PngCodec
     val good = PngCodec.encode(6L)
