@@ -400,14 +400,30 @@ object Multimodal {
     def hasLocation(id: Long): Boolean = id % 3 == 0
     def locationOf(id: Long): String = s"geo:${id % 90},${id % 180}"
 
-    /** Fixture PNG with tEXt chunks spliced right after IHDR. */
+    def descriptionOf(id: Long): String =
+      s"synthetic fixture image number $id, deflate-compressed metadata"
+
+    /** Fixture PNG with tEXt chunks — plus one zTXt (deflate-compressed
+      * text, method 0), so the extractor's decompression path is
+      * exercised in-fixture — spliced right after IHDR. */
     def encodeWithText(id: Long): Array[Byte] = {
       val png = encode(id)
       def tChunk(k: String, v: String): Array[Byte] =
         chunk("tEXt", k.getBytes("ISO-8859-1") ++ Array[Byte](0) ++
           v.getBytes("ISO-8859-1"))
+      def zChunk(k: String, v: String): Array[Byte] = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(v.getBytes("ISO-8859-1"))
+        d.finish()
+        val buf = new Array[Byte](v.length * 2 + 64)
+        val n = d.deflate(buf)
+        d.end()
+        chunk("zTXt", k.getBytes("ISO-8859-1") ++ Array[Byte](0, 0) ++
+          buf.take(n))
+      }
       val ins = tChunk("Author", authorOf(id)) ++
         tChunk("Software", softwareOf(id)) ++
+        zChunk("Description", descriptionOf(id)) ++
         (if (hasLocation(id)) tChunk("Location", locationOf(id))
          else Array.emptyByteArray)
       val ihdrEnd = 8 + 12 + 13 // signature + IHDR chunk framing + data
@@ -432,14 +448,34 @@ object Multimodal {
         crc.update(bytes, off + 4, 4 + len)
         require(crc.getValue.toInt == rdBe32(bytes, off + 8 + len),
           s"PNG $tag chunk CRC mismatch")
-        if (tag == "tEXt") {
+        if (tag == "tEXt" || tag == "zTXt") {
           val nul = (off + 8 until off + 8 + len)
             .find(bytes(_) == 0)
             .getOrElse(throw new IllegalArgumentException(
-              "tEXt chunk missing keyword terminator"))
-          out += ((new String(bytes, off + 8, nul - (off + 8), "ISO-8859-1"),
-            new String(bytes, nul + 1, off + 8 + len - nul - 1,
-              "ISO-8859-1")))
+              s"$tag chunk missing keyword terminator"))
+          val key = new String(bytes, off + 8, nul - (off + 8), "ISO-8859-1")
+          val text =
+            if (tag == "tEXt")
+              new String(bytes, nul + 1, off + 8 + len - nul - 1,
+                "ISO-8859-1")
+            else {
+              // zTXt: keyword NUL method(0=deflate) compressed-text
+              require(nul + 1 < off + 8 + len && bytes(nul + 1) == 0,
+                "unsupported zTXt compression method")
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(bytes, nul + 2, off + 8 + len - nul - 2)
+              val sb = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](256)
+              while (!inf.finished()) {
+                val n = inf.inflate(buf)
+                require(n > 0 || inf.finished(), "truncated zTXt stream")
+                sb.write(buf, 0, n)
+                require(sb.size() <= (1 << 20), "implausible zTXt size")
+              }
+              inf.end()
+              new String(sb.toByteArray, "ISO-8859-1")
+            }
+          out += ((key, text))
         }
         if (tag == "IEND") done = true
         off += 12 + len
@@ -3248,14 +3284,17 @@ object Multimodal {
         ids.mapPartitions { it =>
           it.map { id =>
             val kv = PngCodec.textChunks(PngCodec.encodeWithText(id)).toMap
-            (id, kv("Author"), kv("Software"), kv.get("Location").orNull)
+            (id, kv("Author"), kv("Software"), kv("Description"),
+              kv.get("Location").orNull)
           }
-        }.toDF("media_id", "author", "software", "location")
+        }.toDF("media_id", "author", "software", "description", "location")
       },
       Some("""SELECT doc_id AS media_id,
           'author' || CAST(doc_id % 10 AS VARCHAR) AS author,
           'graftcam ' || CAST(doc_id % 5 AS VARCHAR) || '.'
             || CAST(doc_id % 10 AS VARCHAR) AS software,
+          'synthetic fixture image number ' || CAST(doc_id AS VARCHAR)
+            || ', deflate-compressed metadata' AS description,
           CASE WHEN doc_id % 3 = 0 THEN
             'geo:' || CAST(doc_id % 90 AS VARCHAR) || ','
               || CAST(doc_id % 180 AS VARCHAR) END AS location
