@@ -1443,6 +1443,70 @@ object PcapQueries {
     p.toString
   }
 
+  /** Per-packet RTP audio level: parse the RTP header, expand the
+    * payload by payload type — G.711 µ-law (pt 0) / A-law (pt 8)
+    * stateless tables, or DVI4 (pt 5, RFC 3551 §4.5.1: IMA ADPCM with
+    * a 4-byte per-packet state header — int16 BE predictor, step
+    * index, reserved — and HIGH-nibble-first packing, the opposite of
+    * WAV IMA; the header state seeds the walk and is not itself a
+    * sample) — into (ssrc, pt, nSamples, peak, sumAbs). ONE definition
+    * shared by the batch query and the streaming monitor, so the two
+    * cannot drift on wire-format interpretation. None for non-RTP or
+    * non-audio payload types. */
+  private[graft] def rtpAudioStats(pl: Array[Byte])
+      : Option[(Long, Int, Int, Int, Long)] =
+    graft.pcap.Decap.rtp(pl).flatMap { h =>
+      val wc = Multimodal.WavCodec
+      h.pt match {
+        case 0 | 8 =>
+          var peak = 0
+          var sumAbs = 0L
+          var i = 12
+          while (i < pl.length) {
+            val b = pl(i) & 0xFF
+            val v = if (h.pt == 8) wc.alawExpand(b) else wc.ulawExpand(b)
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumAbs += a
+            i += 1
+          }
+          Some((h.ssrc, h.pt, pl.length - 12, peak, sumAbs))
+        case 5 if pl.length >= 16 =>
+          var pred = ((pl(12) << 8) | (pl(13) & 0xFF)).toShort.toInt
+          var idx = pl(14) & 0xFF
+          if (idx > 88) None
+          else {
+            var peak = 0
+            var sumAbs = 0L
+            var i = 16
+            while (i < pl.length) {
+              val w = pl(i) & 0xFF
+              var n = 0
+              while (n < 2) {
+                val c = if (n == 0) w >> 4 else w & 0xF // HIGH first
+                val step = wc.ImaSteps(idx)
+                var diff = step >> 3
+                if ((c & 1) != 0) diff += step >> 2
+                if ((c & 2) != 0) diff += step >> 1
+                if ((c & 4) != 0) diff += step
+                pred = if ((c & 8) != 0) pred - diff else pred + diff
+                if (pred > 32767) pred = 32767
+                else if (pred < -32768) pred = -32768
+                idx += wc.ImaIndexDelta(c & 7)
+                if (idx < 0) idx = 0 else if (idx > 88) idx = 88
+                val a = math.abs(pred)
+                if (a > peak) peak = a
+                sumAbs += a
+                n += 1
+              }
+              i += 1
+            }
+            Some((h.ssrc, h.pt, 2 * (pl.length - 16), peak, sumAbs))
+          }
+        case _ => None
+      }
+    }
+
   /** SIP signaling capture (see [[graft.pcap.PcapSynth.sipPackets]]). */
   private def sipSynthPath: String = {
     val p = java.nio.file.Paths.get("/tmp/graft_synth_sip.pcap")
@@ -3822,24 +3886,7 @@ object PcapQueries {
           .filter($"protocol" === "UDP" && $"dst_port" === 40002 &&
             $"payload".isNotNull)
           .select($"payload").as[Array[Byte]]
-          .mapPartitions(_.flatMap { pl =>
-            graft.pcap.Decap.rtp(pl).collect {
-              case h if h.pt == 0 || h.pt == 8 =>
-                val wc = graft.operators.Multimodal.WavCodec
-                var peak = 0
-                var sumAbs = 0L
-                var i = 12 // fixed header; fixture carries no CSRC/ext
-                while (i < pl.length) {
-                  val b = pl(i) & 0xFF
-                  val v = if (h.pt == 8) wc.alawExpand(b) else wc.ulawExpand(b)
-                  val a = math.abs(v)
-                  if (a > peak) peak = a
-                  sumAbs += a
-                  i += 1
-                }
-                (h.ssrc, h.pt, pl.length - 12, peak, sumAbs)
-            }
-          })
+          .mapPartitions(_.flatMap(rtpAudioStats))
           .toDF("ssrc", "pt", "n", "pk", "sa")
           .groupBy($"ssrc", $"pt")
           .agg(count(lit(1)).as("n_pkts"),
@@ -3847,7 +3894,7 @@ object PcapQueries {
             max($"pk").as("peak"),
             sum($"sa").as("sum_abs"))
       },
-      Some("""WITH cw AS (
+      Some("""WITH RECURSIVE cw AS (
           SELECT s, j, k, (s * 131 + j * 47 + k * 37) % 256 AS b,
             CASE WHEN s % 2 = 0 THEN 0 ELSE 8 END AS pt
           FROM (SELECT unnest(generate_series(0, 3)) AS s) ss,
@@ -3872,13 +3919,59 @@ object PcapQueries {
                       * (1 << ((xor(b, 85) // 16) % 8 - 1))
                END)
             END AS v
-          FROM cw)
-        SELECT CAST(3000000 + s AS BIGINT) AS ssrc, CAST(pt AS INT) AS pt,
-          CAST(COUNT(DISTINCT j) AS BIGINT) AS n_pkts,
-          CAST(COUNT(*) AS BIGINT) AS n_samples,
-          CAST(MAX(ABS(v)) AS INT) AS peak,
-          CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
-        FROM pcm GROUP BY 1, 2""")),
+          FROM cw),
+        tb AS (
+          SELECT [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25,
+            28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97,
+            107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+            337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963,
+            1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499,
+            2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+            7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+            16818, 18500, 20350, 22385, 24623, 27086, 29794,
+            32767] AS steps),
+        dvirec AS (
+          SELECT j, -1 AS t,
+            CAST(((j * 311) % 65536) - 32768 AS INT) AS pred,
+            CAST(j % 89 AS INT) AS idx
+          FROM (SELECT unnest(generate_series(0, 49)) AS j) js
+          UNION ALL
+          SELECT j, t + 1,
+            CAST(LEAST(32767, GREATEST(-32768,
+              pred + (CASE WHEN c >= 8 THEN -1 ELSE 1 END) *
+                (step // 8
+                 + CASE WHEN c % 2 = 1 THEN step // 4 ELSE 0 END
+                 + CASE WHEN (c // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+                 + CASE WHEN (c // 4) % 2 = 1 THEN step ELSE 0 END)))
+              AS INT),
+            CAST(LEAST(88, GREATEST(0, idx + CASE c % 8
+              WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+              ELSE -1 END)) AS INT)
+          FROM (
+            SELECT r.j, r.t, r.pred, r.idx,
+              CASE WHEN (r.t + 1) % 2 = 0
+                THEN ((r.j*53 + ((r.t + 1) // 2)*29) % 256) // 16
+                ELSE ((r.j*53 + ((r.t + 1) // 2)*29) % 256) % 16
+              END AS c,
+              tb.steps[r.idx + 1] AS step
+            FROM dvirec r CROSS JOIN tb
+            WHERE r.t + 1 < 80)),
+        g711 AS (
+          SELECT CAST(3000000 + s AS BIGINT) AS ssrc,
+            CAST(pt AS INT) AS pt,
+            CAST(COUNT(DISTINCT j) AS BIGINT) AS n_pkts,
+            CAST(COUNT(*) AS BIGINT) AS n_samples,
+            CAST(MAX(ABS(v)) AS INT) AS peak,
+            CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+          FROM pcm GROUP BY 1, 2),
+        dvi AS (
+          SELECT CAST(3000004 AS BIGINT) AS ssrc, CAST(5 AS INT) AS pt,
+            CAST(50 AS BIGINT) AS n_pkts,
+            CAST(COUNT(*) AS BIGINT) AS n_samples,
+            CAST(MAX(ABS(pred)) AS INT) AS peak,
+            CAST(SUM(ABS(pred)) AS BIGINT) AS sum_abs
+          FROM dvirec WHERE t >= 0)
+        SELECT * FROM g711 UNION ALL SELECT * FROM dvi""")),
 
     // ----- SIP session analytics (round 12) --------------------------------
     // Completes the VoIP triad: SIGNALING (this), transport health

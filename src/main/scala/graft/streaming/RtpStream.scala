@@ -106,29 +106,32 @@ object RtpStream {
   final case class AlOut(ssrc: Long, pt: Int, n_pkts: Long,
       n_samples: Long, peak: Int, sum_abs: Long)
 
-  /** Streaming form of the batch `pcap_rtp_audio_level` rollup: G.711
-    * payloads (RFC 3551 pt 0 = µ-law / 8 = A-law) expand through the
-    * shared [[graft.operators.Multimodal.WavCodec]] tables into
-    * per-SSRC level stats — the continuous dead-air / hot-mic monitor.
-    * One append-mode row per stream at event-time quiescence. */
+  /** Streaming form of the batch `pcap_rtp_audio_level` rollup: the
+    * RFC 3551 audio payloads (pt 0 µ-law / 8 A-law / 5 DVI4 ADPCM)
+    * expand through the ONE shared per-packet decoder
+    * ([[graft.operators.PcapQueries.rtpAudioStats]] — batch and stream
+    * cannot drift on wire format) into per-SSRC level stats — the
+    * continuous dead-air / hot-mic monitor. DVI4's per-packet state
+    * header is what makes the per-packet fold order-free even for the
+    * stateful codec: every packet decodes independently. One
+    * append-mode row per stream at event-time quiescence. */
   def audioLevels(packets: DataFrame, rtpPort: Int = 40002,
       watermark: String = "30 seconds", idleSeconds: Int = 60)
       : DataFrame = {
     val s = packets.sparkSession
     import s.implicits._
     import org.apache.spark.sql.functions._
-    val wc = graft.operators.Multimodal.WavCodec
     packets
       .filter($"protocol" === "UDP" && $"dst_port" === rtpPort &&
         $"payload".isNotNull)
       .select($"payload", $"time")
       .withWatermark("time", watermark)
       .as[AlIn]
-      // non-RTP / non-G.711 payloads key to -1: no state, but their
+      // non-RTP / non-audio payloads key to -1: no state, but their
       // event times still advance the watermark (flush traffic)
-      .groupByKey(x => graft.pcap.Decap.rtp(x.payload)
-        .filter(r => r.pt == 0 || r.pt == 8)
-        .map(_.ssrc).getOrElse(-1L))
+      .groupByKey(x =>
+        graft.operators.PcapQueries.rtpAudioStats(x.payload)
+          .map(_._1).getOrElse(-1L))
       .flatMapGroupsWithState[AlSt, AlOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (ssrc, _, state) if state.hasTimedOut =>
@@ -144,22 +147,10 @@ object RtpStream {
             rows.foreach { x =>
               val ms = x.time.getTime
               if (ms > maxEventMs) maxEventMs = ms
-              graft.pcap.Decap.rtp(x.payload)
-                .filter(r => r.pt == 0 || r.pt == 8).foreach { r =>
-                  var peak = st.peak
-                  var sumAbs = st.sumAbs
-                  var i = 12
-                  while (i < x.payload.length) {
-                    val b = x.payload(i) & 0xFF
-                    val v = if (r.pt == 8) wc.alawExpand(b)
-                            else wc.ulawExpand(b)
-                    val a = math.abs(v)
-                    if (a > peak) peak = a
-                    sumAbs += a
-                    i += 1
-                  }
-                  st = AlSt(r.pt, st.nPkts + 1,
-                    st.nSamples + (x.payload.length - 12), peak, sumAbs)
+              graft.operators.PcapQueries.rtpAudioStats(x.payload)
+                .foreach { case (_, pt, n, pk, sa) =>
+                  st = AlSt(pt, st.nPkts + 1, st.nSamples + n,
+                    math.max(st.peak, pk), st.sumAbs + sa)
                 }
             }
             state.update(st)

@@ -719,7 +719,8 @@ class PcapStreamingSpec extends AnyFunSuite {
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
           r.getLong(3), r.getInt(4), r.getLong(5))).toSet
-      assert(want.size == 4 && got == want,
+      // 5 streams: 4 G.711 + the DVI4 (pt 5) ADPCM stream
+      assert(want.size == 5 && got == want,
         s"missing=${want -- got} extra=${got -- want}")
     } finally query.stop()
   }

@@ -1158,9 +1158,40 @@ if glob.glob(f"{out}/pcap_rtp_audio_level/*.parquet"):
         rtp = fr[l4 + 8:]
         assert (rtp[0] >> 6) == 2
         pt = rtp[1] & 0x7F
-        assert pt in (0, 8)
+        assert pt in (0, 5, 8)
         ssrc = struct.unpack_from(">I", rtp, 8)[0]
-        pcm = [(_alaw(b) if pt == 8 else _ulaw(b)) for b in rtp[12:]]
+        if pt == 5:
+            # DVI4: 4-byte state header + IMA nibbles, HIGH nibble first
+            steps = [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23,
+                     25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73,
+                     80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+                     209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+                     544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+                     1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499,
+                     2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+                     5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+                     12635, 13899, 15289, 16818, 18500, 20350, 22385,
+                     24623, 27086, 29794, 32767]
+            idxd = [-1, -1, -1, -1, 2, 4, 6, 8]
+            pred = struct.unpack_from(">h", rtp, 12)[0]
+            idx = rtp[14]
+            pcm = []
+            for byte in rtp[16:]:
+                for c in (byte >> 4, byte & 0xF):
+                    step = steps[idx]
+                    diff = step >> 3
+                    if c & 1:
+                        diff += step >> 2
+                    if c & 2:
+                        diff += step >> 1
+                    if c & 4:
+                        diff += step
+                    pred = pred - diff if c & 8 else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + idxd[c & 7]))
+                    pcm.append(pred)
+        else:
+            pcm = [(_alaw(b) if pt == 8 else _ulaw(b)) for b in rtp[12:]]
         e = astats.setdefault((ssrc, pt), [0, 0, 0, 0])
         e[0] += 1
         e[1] += len(pcm)
