@@ -1207,6 +1207,62 @@ object TextAnalysis {
         FROM (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS dt
               FROM documents)""")),
 
+    // ----- homoglyph folding (confusable-normalized dedup keys) -----------
+    // The spoofing-resistant dedup key: visually-identical text whose
+    // Latin letters were swapped for Cyrillic lookalikes (the classic
+    // Unicode-confusables evasion — spam templates, plagiarized docs,
+    // duplicated content dodging exact digests) must fold back to the
+    // SAME digest. A small TR39-derived confusable map (Cyrillic
+    // а е о р с х у ↔ Latin a e o p c x y) applied as a translate()
+    // projection; the fixture spoofs half the corpus in-query (two
+    // different confusable subsets, so partial maps are exercised) and
+    // the row proves round-trip: folded digest == original digest and
+    // the confusable count matches the injected population. Scale
+    // shape: pure per-row character mapping, zero shuffles.
+    Q("text_homoglyph_fold",
+      (s, d) => {
+        import s.implicits._
+        val lat = "aeopcxy"
+        val cyr = "аеорсху"
+        Tables.documents(s, d)
+          .select($"doc_id", $"text",
+            when($"doc_id" % 4 === 0,
+              translate($"text", "aeo", "аео"))
+              .when($"doc_id" % 4 === 1,
+                translate($"text", "pcxy",
+                  "рсху"))
+              .otherwise($"text").as("spoofed"))
+          .select($"doc_id",
+            ($"spoofed" =!= $"text").as("was_spoofed"),
+            (length($"spoofed") -
+              length(translate($"spoofed", cyr, ""))).cast("long")
+              .as("n_confusables"),
+            (md5(translate($"spoofed", cyr, lat).cast("binary")) ===
+              md5($"text".cast("binary"))).as("fold_restores"),
+            md5(translate($"spoofed", cyr, lat).cast("binary"))
+              .as("folded_md5"))
+      },
+      Some("""WITH sp AS (
+          SELECT doc_id, text,
+            CASE WHEN doc_id % 4 = 0
+                THEN translate(text, 'aeo',
+                  chr(1072) || chr(1077) || chr(1086))
+              WHEN doc_id % 4 = 1
+                THEN translate(text, 'pcxy',
+                  chr(1088) || chr(1089) || chr(1093) || chr(1091))
+              ELSE text END AS spoofed
+          FROM documents),
+        cy AS (SELECT chr(1072) || chr(1077) || chr(1086) || chr(1088)
+          || chr(1089) || chr(1093) || chr(1091) AS cyr)
+        SELECT doc_id,
+          spoofed <> text AS was_spoofed,
+          CAST(length(spoofed) - length(translate(spoofed, cy.cyr, ''))
+            AS BIGINT) AS n_confusables,
+          md5(translate(spoofed, cy.cyr, 'aeopcxy')) = md5(text)
+            AS fold_restores,
+          md5(translate(spoofed, cy.cyr, 'aeopcxy')) AS folded_md5
+        FROM sp CROSS JOIN cy""")),
+
     // ----- corpus-level boilerplate fraction ------------------------------
     // CCNet-style boilerplate signal at n-gram granularity (the corpus has
     // no line structure): a word 5-gram is boilerplate when it appears in
