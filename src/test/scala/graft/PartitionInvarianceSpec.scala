@@ -69,7 +69,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 12: the MJPEG-container tolerant banded video join — frame
     // hashes computed from JPEG-decoded pixels must pair identically
     // however the media rows land
-    "mm_video_overlap_mjpeg")
+    "mm_video_overlap_mjpeg",
+    // round 12 second wave: the wds export/import round-trip (shard
+    // assignment varies with partitioning; the per-key regrouped
+    // result must not), the density screen's cached pair kernel +
+    // two label joins, and the SIP per-call conditional rollup
+    "mm_wds_export_import", "sim_density_screen", "pcap_sip_sessions")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
