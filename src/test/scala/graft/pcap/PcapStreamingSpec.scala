@@ -725,6 +725,54 @@ class PcapStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming sip monitor equals the batch twin with BYEs landing " +
+      "a micro-batch BEFORE their INVITEs (order-free conditional folds)") {
+    val dir = Files.createTempDirectory("pcap_landing_sip")
+    val reports = graft.streaming.SipStream.reports(
+      spark.readStream.format("pcap").load(dir.toString),
+      watermark = "36000 seconds", idleSeconds = 60)
+    val query = reports.writeStream.format("memory")
+      .queryName("sip_reports").outputMode("append").start()
+    try {
+      // wave 1 = every call's teardown half (BYE + its 200), wave 2 =
+      // the setup half — the stream sees teardown FIRST, and must fold
+      // to the identical per-call state the in-order batch computes
+      val all = graft.pcap.PcapSynth.sipPackets(80)
+      def isSetup(fr: Array[Byte]): Boolean = {
+        val s = new String(fr, 42, math.min(fr.length - 42, 200),
+          "ISO-8859-1")
+        s.startsWith("INVITE ") || s.contains("CSeq: 1 INVITE")
+      }
+      val (setup, teardown) = all.partition(p => isSetup(p._3))
+      assert(setup.nonEmpty && teardown.nonEmpty)
+      Files.write(dir.resolve("a_teardown.pcap"),
+        graft.pcap.PcapSynth.file(teardown))
+      query.processAllAvailable()
+      Files.write(dir.resolve("b_setup.pcap"),
+        graft.pcap.PcapSynth.file(setup))
+      query.processAllAvailable()
+      // flush: a non-SIP payload to the port far past the horizon
+      Files.write(dir.resolve("zz_flush.pcap"),
+        graft.pcap.PcapSynth.file(Seq((1709000000L, 0L,
+          graft.pcap.PcapSynth.ipv4UdpFrame(
+            Array[Byte](10, 70, 0, 99), Array[Byte](10, 71, 0, 1),
+            5060, 5060, ttl = 64, payload = new Array[Byte](12))))))
+      query.processAllAvailable()
+      def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      val got = spark.table("sip_reports").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getInt(4), r.getLong(5), opt(r, 6))).toSet
+      val want = graft.SparkEntry.queries("pcap_sip_sessions")(
+          spark, "unused")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getInt(4), r.getLong(5), opt(r, 6))).toSet
+      assert(want.size == 80 && got == want,
+        s"missing=${(want -- got).take(2)} extra=${(got -- want).take(2)}")
+    } finally query.stop()
+  }
+
   test("rtp run insertion: duplicates drop, only adjacent merges, " +
       "gap fold equals the seq-ordered pairwise sum") {
     import graft.streaming.RtpStream
