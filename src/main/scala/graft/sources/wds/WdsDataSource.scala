@@ -221,10 +221,15 @@ class WdsWriteBuilder(options: CaseInsensitiveStringMap,
     info: LogicalWriteInfo) extends WriteBuilder
   with SupportsTruncate {
 
-  // mode("overwrite") arrives as truncate(); shard files are replaced
-  // by the commit's rename, so truncation is handled by the caller
-  // clearing the dir or by distinct shard names — accept and continue
-  override def truncate(): WriteBuilder = this
+  private var truncateFirst = false
+
+  // mode("overwrite") arrives as truncate(): pre-existing shards that
+  // are NOT part of this write are deleted at BATCH COMMIT time (after
+  // every task committed its own shard), so readers never see a
+  // half-replaced directory and an aborted job leaves the old data
+  // intact — the closest rename-based analogue of a transactional
+  // truncate-then-append
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
@@ -247,13 +252,14 @@ class WdsWriteBuilder(options: CaseInsensitiveStringMap,
           s"wds write requires exactly one output path; got $other")
       }
       new WdsBatchWrite(dir, keyIdx,
-        binCols.map { case (f, i) => (f.name, i) })
+        binCols.map { case (f, i) => (f.name, i) }, truncateFirst)
     }
   }
 }
 
 class WdsBatchWrite(dir: String, keyIdx: Int,
-    binCols: Seq[(String, Int)]) extends BatchWrite {
+    binCols: Seq[(String, Int)], truncateFirst: Boolean)
+  extends BatchWrite {
 
   private val conf = new SerializableHadoopConf(
     SparkSession.active.sessionState.newHadoopConf())
@@ -262,7 +268,24 @@ class WdsBatchWrite(dir: String, keyIdx: Int,
       : DataWriterFactory =
     new WdsDataWriterFactory(dir, keyIdx, binCols, conf)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (truncateFirst) {
+      // overwrite semantics: once every task's shard is committed,
+      // drop the survivors of previous writes (files not in THIS
+      // write's commit messages)
+      val mine = messages.collect {
+        case WdsWriteCommitted(p, _) => new Path(p).getName
+      }.toSet
+      val dp = new Path(dir)
+      val fs = dp.getFileSystem(conf.value)
+      if (fs.exists(dp))
+        fs.listStatus(dp).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isFile && !n.startsWith(".") && !mine.contains(n))
+            fs.delete(st.getPath, false)
+        }
+    }
+
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -307,6 +330,10 @@ class WdsDataWriter(dir: String, keyIdx: Int,
     TarCodec.endArchive(out)
     out.close()
     out = null
+    // a leftover same-named shard from an earlier write must not block
+    // the rename (HDFS rename-onto-existing fails); last writer wins,
+    // the standard task-commit contract
+    if (fs.exists(finalPath)) fs.delete(finalPath, false)
     if (!fs.rename(tmpPath, finalPath))
       throw new java.io.IOException(s"rename failed: $tmpPath -> $finalPath")
     WdsWriteCommitted(finalPath.toString, rows)

@@ -138,6 +138,30 @@ class WdsSourceSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("mode(overwrite) truncates: pre-existing shards vanish at batch " +
+      "commit; mode(append) keeps them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wds_ovw").toString
+    exportSample(dir, n = 20) // 3 shards, keys 0..19
+    def keys(): Set[String] = spark.read.format("wds").load(dir)
+      .select("key").distinct().collect().map(_.getString(0)).toSet
+    assert(keys() == (0 until 20).map(_.toString).toSet)
+    // overwrite with a DIFFERENT key range: old shards must be gone
+    (100 until 110).map { i =>
+      (i.toString, s"img$i".getBytes("UTF-8"), s"cap$i".getBytes("UTF-8"))
+    }.toDF("key", "img", "txt").coalesce(1)
+      .write.format("wds").mode("overwrite").save(dir)
+    assert(keys() == (100 until 110).map(_.toString).toSet,
+      "overwrite must replace, not merge")
+    // append on top: both populations visible
+    (200 until 205).map { i =>
+      (i.toString, s"img$i".getBytes("UTF-8"), s"cap$i".getBytes("UTF-8"))
+    }.toDF("key", "img", "txt").coalesce(1)
+      .write.format("wds").mode("append").save(dir)
+    assert(keys() == ((100 until 110) ++ (200 until 205))
+      .map(_.toString).toSet, "append must keep prior shards")
+  }
+
   test("a corrupt shard rejects with a clean error, never misparses") {
     val dir = Files.createTempDirectory("wds_corrupt").toString
     exportSample(dir, n = 5)
