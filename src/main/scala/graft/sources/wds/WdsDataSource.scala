@@ -4,12 +4,15 @@ import java.util
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BinaryType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -25,23 +28,42 @@ import graft.sources.pcap.SerializableHadoopConf
   *
   * WRITE: the DataFrame must carry a `key` STRING column; EVERY other
   * column must be BINARY, and each non-null binary cell becomes the
-  * entry `<key>.<columnName>`. One shard per task
-  * (`shard-<partition>-<task>.tar`), streamed row-by-row through
+  * entry `<key>.<columnName>`. Keys must not contain '.' or '/' (the
+  * WebDataset first-dot convention reserves them — a dotted key would
+  * not round-trip). One shard per task, streamed row-by-row through
   * [[TarCodec.writeEntry]] (constant memory per task — shard size is
   * controlled by the usual repartition before the write, exactly how
-  * WebDataset exports distribute). Task output commits by atomic
-  * rename from an `.inprogress` name; aborts delete it — no partial
-  * shard becomes visible.
+  * WebDataset exports distribute). Shard names carry the write job's
+  * query id (`shard-<job>-<partition>-<task>.tar`), so appends from
+  * DIFFERENT sessions can never silently collide with prior shards —
+  * a rename onto an existing name throws instead of replacing. Task
+  * output commits by atomic rename from an `.inprogress` name; aborts
+  * delete it — no partial shard becomes visible. The sink also writes
+  * STREAMING (`writeStream.format("wds")`): each epoch's shards are
+  * named by (job, epoch, partition) — no task id — so a replayed
+  * micro-batch after a checkpoint restart rewrites the SAME shard
+  * names idempotently (exactly-once output for deterministic input,
+  * the epoch-keyed idempotent-sink contract).
   *
   * READ: one row per tar entry — (shard STRING, key STRING, ext
   * STRING, data BINARY) — with sample regrouping left to the query
   * (`groupBy(key)` or a pivot), because WebDataset extension sets vary
-  * per lake and a fixed wide schema would lie. Shards are whole-file
-  * partitions (the pcap discipline: a tar has no splittable framing),
-  * entries stream through the checksum-verifying [[TarCodec.decode]].
-  * Column pruning is honored (a key/ext listing never materializes
-  * entry bytes in the row, though the tar walk must still traverse
-  * them — tar carries no central directory).
+  * per lake and a fixed wide schema would lie. key/ext split at the
+  * FIRST dot of the basename (the WebDataset convention — extensions
+  * may be compound: "sample.seg.png" -> ("sample", "seg.png")).
+  * Shards are whole-file partitions (a tar has no splittable framing),
+  * bin-packed to `spark.sql.files.maxPartitionBytes` exactly like the
+  * pcap source (greedy first-fit decreasing — a lake of a million
+  * 10 MB shards plans into balanced tasks, not a million of them);
+  * `.tar.gz`/`.tgz` shards decompress through the Hadoop codec
+  * factory and `.tar.zst` through zstd-jni's streaming decoder. The
+  * tar walk STREAMS: each 512-byte header is read, checksum-verified,
+  * and the entry payload is either streamed into the row or — when
+  * the pruned schema excludes `data` — skipped without materializing
+  * (a key/ext listing reads headers only; on a plain `.tar` the skip
+  * is a positional seek past the payload). Constant memory per task,
+  * no shard-size ceiling. Per-scan custom metrics (`entriesRead`,
+  * `payloadBytesSkipped`) surface on the scan node.
   */
 class WdsDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "wds"
@@ -62,11 +84,21 @@ object WdsTable {
     .add("ext", StringType, nullable = false)
     .add("data", BinaryType, nullable = false)
 
+  private lazy val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
   def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    // multi-path loads arrive as a JSON string array ("paths" option);
+    // parse it with a real JSON parser — paths may contain commas or
+    // quotes, which a split-on-comma would corrupt
     val multi = Option(options.get("paths")).map { json =>
-      json.trim.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-        .filter(_.nonEmpty)
+      val node = try jsonMapper.readTree(json) catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"wds 'paths' option is not valid JSON: $json", e)
+      }
+      if (!node.isArray) throw new IllegalArgumentException(
+        s"wds 'paths' option must be a JSON array of strings: $json")
+      (0 until node.size).map(node.get(_).asText()).filter(_.nonEmpty)
     }.getOrElse(Seq.empty)
     val single = Option(options.get("path")).toSeq
     (multi ++ single).distinct
@@ -95,6 +127,17 @@ object WdsTable {
       }
     }
   }
+
+  /** key/ext split at the FIRST dot of the basename (the WebDataset
+    * convention — extensions are compound: "a/sample.seg.png" ->
+    * ("a/sample", "seg.png")); a dot-free or dot-leading basename is
+    * all key. */
+  def splitKeyExt(name: String): (String, String) = {
+    val base = name.lastIndexOf('/') + 1
+    val dot = name.indexOf('.', base)
+    if (dot < 0 || dot == base) (name, "")
+    else (name.substring(0, dot), name.substring(dot + 1))
+  }
 }
 
 class WdsTable(options: CaseInsensitiveStringMap) extends Table
@@ -106,6 +149,7 @@ class WdsTable(options: CaseInsensitiveStringMap) extends Table
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
 
@@ -127,6 +171,26 @@ class WdsTable(options: CaseInsensitiveStringMap) extends Table
 
 // --------------------------------------------------------------- read side
 
+/** Executor-visible read counters — the spec seam proving the pruned
+  * walk really skips payload bytes (same pattern as
+  * [[graft.sources.pcap.PcapTsIndex.prunedFiles]]); the DSv2 custom
+  * metrics surface the same numbers on the scan node. */
+object WdsReadStats {
+  val entriesRead = new java.util.concurrent.atomic.LongAdder
+  val payloadBytesSkipped = new java.util.concurrent.atomic.LongAdder
+}
+
+class WdsEntriesMetric extends CustomSumMetric {
+  override def name(): String = "entriesRead"
+  override def description(): String = "tar entries read"
+}
+
+class WdsSkippedBytesMetric extends CustomSumMetric {
+  override def name(): String = "payloadBytesSkipped"
+  override def description(): String =
+    "entry payload bytes skipped (data column pruned)"
+}
+
 class WdsScanBuilder(options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
@@ -144,74 +208,216 @@ class WdsScan(requiredSchema: StructType,
   override def description(): String =
     s"WdsScan(columns=[${requiredSchema.fieldNames.mkString(",")}])"
 
-  private def hadoopConf: Configuration =
-    SparkSession.active.sessionState.newHadoopConf()
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new WdsEntriesMetric, new WdsSkippedBytesMetric)
 
-  /** Whole-shard partitions: tar has no splittable framing (no central
-    * directory, sizes only in per-entry headers), so like pcap the
-    * parallel unit is the file — WebDataset lakes are MANY shards by
-    * construction, so tasks stay plentiful and balanced. */
-  override def planInputPartitions(): Array[InputPartition] =
-    WdsTable.listDataFiles(options, hadoopConf)
-      .map(st => WdsInputPartition(st.getPath.toString,
-        st.getLen): InputPartition).toArray
+  private def sparkSession = SparkSession.active
+
+  private def hadoopConf: Configuration =
+    sparkSession.sessionState.newHadoopConf()
+
+  /** Whole-shard units (tar has no splittable framing: no central
+    * directory, sizes only in per-entry headers), bin-packed to
+    * maxPartitionBytes by greedy first-fit decreasing — the pcap
+    * discipline: a lake of many small shards plans into balanced
+    * tasks; a shard larger than the target gets its own task. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxBytes = Option(options.get("maxBytesPerPartition"))
+      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+      .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
+    val files = WdsTable.listDataFiles(options, hadoopConf)
+      .map(f => f.getPath.toString -> f.getLen).sortBy(-_._2)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[
+      (scala.collection.mutable.ArrayBuffer[String], Long)]
+    files.foreach { case (p, len) =>
+      val cost = len + openCost
+      bins.indexWhere(_._2 + cost <= maxBytes) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(p), cost))
+        case i =>
+          bins(i)._1 += p
+          bins(i) = (bins(i)._1, bins(i)._2 + cost)
+      }
+    }
+    bins.map(b => WdsInputPartition(b._1.toSeq): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WdsReaderFactory(new SerializableHadoopConf(hadoopConf),
       requiredSchema,
-      options.getLong("maxShardBytes", 1L << 30))
+      options.getLong("maxEntryBytes", 1L << 30))
 }
 
-case class WdsInputPartition(file: String, len: Long)
-  extends InputPartition
+/** Shards of one task. Serialized to executors; paths only. */
+case class WdsInputPartition(files: Seq[String]) extends InputPartition
 
 class WdsReaderFactory(conf: SerializableHadoopConf, schema: StructType,
-    maxShardBytes: Long) extends PartitionReaderFactory {
+    maxEntryBytes: Long) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[WdsInputPartition]
-    new PartitionReader[InternalRow] {
-      private var it: Iterator[(String, Array[Byte])] = _
-      private var cur: (String, Array[Byte]) = _
-      private val shardName =
-        new Path(p.file).getName
+      : PartitionReader[InternalRow] =
+    new WdsPartitionReader(
+      partition.asInstanceOf[WdsInputPartition].files, conf.value, schema,
+      maxEntryBytes)
+}
 
-      private def ensureOpen(): Unit = if (it == null) {
-        require(p.len <= maxShardBytes,
-          s"shard ${p.file} is ${p.len} B > maxShardBytes $maxShardBytes" +
-            " (raise the option for jumbo shards)")
-        val path = new Path(p.file)
-        val fs = path.getFileSystem(conf.value)
-        val in = fs.open(path)
-        val bytes = try {
-          val buf = new Array[Byte](p.len.toInt)
-          in.readFully(0, buf)
-          buf
-        } finally in.close()
-        it = TarCodec.decode(bytes).iterator
-      }
+/** Streaming tar walk over the shards of one task: headers are read
+  * and checksum-verified one at a time directly off the (possibly
+  * codec-wrapped) input stream; entry payloads materialize ONLY when
+  * the pruned schema asks for `data`, otherwise they are skipped in
+  * place — constant memory per task regardless of shard size (the
+  * whole-shard buffering this replaced peaked at ~2× shard size). */
+class WdsPartitionReader(files: Seq[String], conf: Configuration,
+    schema: StructType, maxEntryBytes: Long)
+  extends PartitionReader[InternalRow] {
 
-      override def next(): Boolean = {
-        ensureOpen()
-        if (it.hasNext) { cur = it.next(); true } else false
-      }
+  private val needData = schema.fieldNames.contains("data")
+  private val hdr = new Array[Byte](512)
+  private var trash: Array[Byte] = _
+  private var fileIdx = 0
+  private var in: java.io.InputStream = _
+  private var shardName: String = _
+  private var curKey: String = _
+  private var curExt: String = _
+  private var curData: Array[Byte] = _
+  private var entriesLocal = 0L
+  private var skippedLocal = 0L
 
-      override def get(): InternalRow = {
-        val dot = cur._1.lastIndexOf('.')
-        val (key, ext) =
-          if (dot <= 0) (cur._1, "")
-          else (cur._1.substring(0, dot), cur._1.substring(dot + 1))
-        InternalRow.fromSeq(schema.fieldNames.toSeq.map {
-          case "shard" => UTF8String.fromString(shardName)
-          case "key" => UTF8String.fromString(key)
-          case "ext" => UTF8String.fromString(ext)
-          case "data" => cur._2
-        })
-      }
+  private def openCurrent(): Unit = {
+    val path = new Path(files(fileIdx))
+    shardName = path.getName
+    val fs = path.getFileSystem(conf)
+    val raw = fs.open(path)
+    val lower = shardName.toLowerCase(java.util.Locale.ROOT)
+    // .tar.zst via zstd-jni's streaming decoder (Hadoop's ZStandardCodec
+    // needs the native libhadoop build most clusters don't ship);
+    // .tar.gz/.tgz/.tar.bz2 via the Hadoop codec factory; plain .tar raw
+    val decoded =
+      if (lower.endsWith(".zst") || lower.endsWith(".zstd") ||
+          lower.endsWith(".tzst"))
+        new com.github.luben.zstd.ZstdInputStream(raw): java.io.InputStream
+      else Option(new CompressionCodecFactory(conf).getCodec(path))
+        .map(_.createInputStream(raw): java.io.InputStream)
+        .getOrElse(raw: java.io.InputStream)
+    in = new java.io.BufferedInputStream(decoded, 1 << 20)
+  }
 
-      override def close(): Unit = ()
+  private def readFully(buf: Array[Byte], len: Int): Unit = {
+    var off = 0
+    while (off < len) {
+      val r = in.read(buf, off, len - off)
+      require(r > 0, s"truncated tar stream in $shardName")
+      off += r
     }
+  }
+
+  /** Skip without materializing: on a plain .tar the buffered FS
+    * stream's skip is a positional seek past the payload; codec
+    * streams decompress-and-discard (the format cannot do better). */
+  private def skipFully(n: Long): Unit = {
+    var rem = n
+    while (rem > 0) {
+      val s = in.skip(rem)
+      if (s > 0) rem -= s
+      else {
+        if (trash == null) trash = new Array[Byte](1 << 16)
+        val r = in.read(trash, 0, math.min(rem, trash.length.toLong).toInt)
+        require(r > 0, s"truncated tar entry in $shardName")
+        rem -= r
+      }
+    }
+  }
+
+  /** Advance to the next entry of the OPEN shard; false at its end
+    * marker. Header validation (ustar magic + checksum) matches
+    * [[TarCodec.decode]] so corrupt shards reject identically. */
+  private def nextEntryInShard(): Boolean = {
+    readFully(hdr, 512)
+    if (hdr(0) == 0) {
+      // end marker: two zero blocks
+      readFully(hdr, 512)
+      var i = 0
+      while (i < 512) {
+        require(hdr(i) == 0, s"malformed tar end marker in $shardName")
+        i += 1
+      }
+      return false
+    }
+    require(new String(hdr, 257, 5, "US-ASCII") == "ustar",
+      s"not a ustar header in $shardName")
+    var sum = 0L
+    var i = 0
+    while (i < 512) {
+      sum += (if (i >= 148 && i < 156) ' '.toByte else hdr(i)) & 0xFF
+      i += 1
+    }
+    val stored = java.lang.Long.parseLong(
+      new String(hdr, 148, 6, "US-ASCII").trim, 8)
+    require(stored == sum, s"tar checksum mismatch in $shardName")
+    val nameEnd = (0 until 100).find(hdr(_) == 0).getOrElse(100)
+    val name = new String(hdr, 0, nameEnd, "US-ASCII")
+    val sizeStr = new String(hdr, 124, 12, "US-ASCII")
+      .takeWhile(c => c >= '0' && c <= '7')
+    val size = java.lang.Long.parseLong(sizeStr, 8)
+    require(size >= 0 && size <= maxEntryBytes && size <= Int.MaxValue,
+      s"tar entry $name is $size B > maxEntryBytes $maxEntryBytes " +
+        "(raise the option for jumbo entries)")
+    val padded = ((size + 511) / 512) * 512
+    if (needData) {
+      curData = new Array[Byte](size.toInt)
+      readFully(curData, size.toInt)
+      skipFully(padded - size)
+    } else {
+      skipFully(padded)
+      skippedLocal += size
+    }
+    val (k, e) = WdsTable.splitKeyExt(name)
+    curKey = k
+    curExt = e
+    entriesLocal += 1
+    true
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (in == null) {
+        if (fileIdx >= files.length) return false
+        openCurrent()
+      }
+      if (nextEntryInShard()) return true
+      in.close()
+      in = null
+      fileIdx += 1
+    }
+    false
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(schema.fieldNames.toSeq.map {
+      case "shard" => UTF8String.fromString(shardName)
+      case "key" => UTF8String.fromString(curKey)
+      case "ext" => UTF8String.fromString(curExt)
+      case "data" => curData
+    })
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    new CustomTaskMetric {
+      override def name(): String = "entriesRead"
+      override def value(): Long = entriesLocal
+    },
+    new CustomTaskMetric {
+      override def name(): String = "payloadBytesSkipped"
+      override def value(): Long = skippedLocal
+    })
+
+  override def close(): Unit = {
+    if (in != null) { in.close(); in = null }
+    WdsReadStats.entriesRead.add(entriesLocal)
+    WdsReadStats.payloadBytesSkipped.add(skippedLocal)
+    entriesLocal = 0
+    skippedLocal = 0
   }
 }
 
@@ -223,16 +429,18 @@ class WdsWriteBuilder(options: CaseInsensitiveStringMap,
 
   private var truncateFirst = false
 
-  // mode("overwrite") arrives as truncate(): pre-existing shards that
-  // are NOT part of this write are deleted at BATCH COMMIT time (after
-  // every task committed its own shard), so readers never see a
-  // half-replaced directory and an aborted job leaves the old data
-  // intact — the closest rename-based analogue of a transactional
-  // truncate-then-append
+  // mode("overwrite") arrives as truncate(): pre-existing data shards
+  // that are NOT part of this write are deleted at BATCH COMMIT time
+  // (after every task committed its own shard). '_'-prefixed marker
+  // files (which the reader also ignores) survive the sweep. An
+  // aborted job leaves the old data intact; a concurrent reader
+  // listing between the first task commit and the batch commit can
+  // observe a mix of old and new shards — the visibility window of
+  // any rename-based truncate-then-append.
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
+    private def validated: (String, Int, Seq[(String, Int)], String) = {
       val schema = info.schema()
       val keyIdx = schema.fieldNames.indexOf("key")
       if (keyIdx < 0 || schema.fields(keyIdx).dataType != StringType)
@@ -251,14 +459,32 @@ class WdsWriteBuilder(options: CaseInsensitiveStringMap,
         case other => throw new IllegalArgumentException(
           s"wds write requires exactly one output path; got $other")
       }
-      new WdsBatchWrite(dir, keyIdx,
-        binCols.map { case (f, i) => (f.name, i) }, truncateFirst)
+      // shard names carry the write job's identity so appends from a
+      // FRESH session can never collide with an earlier session's
+      // shards (task ids restart per application)
+      val jobTag = Option(info.queryId()).filter(_.nonEmpty)
+        .getOrElse(java.util.UUID.randomUUID().toString)
+        .replaceAll("[^0-9a-fA-F]", "").take(8)
+      (dir, keyIdx, binCols.map { case (f, i) => (f.name, i) }.toSeq, jobTag)
+    }
+
+    override def toBatch: BatchWrite = {
+      val (dir, keyIdx, binCols, jobTag) = validated
+      new WdsBatchWrite(dir, keyIdx, binCols, truncateFirst, jobTag)
+    }
+
+    override def toStreaming: StreamingWrite = {
+      if (truncateFirst) throw new IllegalArgumentException(
+        "wds streaming sink is append-only (complete/truncate modes " +
+          "would rewrite every prior epoch's shards)")
+      val (dir, keyIdx, binCols, jobTag) = validated
+      new WdsStreamingWrite(dir, keyIdx, binCols, jobTag)
     }
   }
 }
 
 class WdsBatchWrite(dir: String, keyIdx: Int,
-    binCols: Seq[(String, Int)], truncateFirst: Boolean)
+    binCols: Seq[(String, Int)], truncateFirst: Boolean, jobTag: String)
   extends BatchWrite {
 
   private val conf = new SerializableHadoopConf(
@@ -266,13 +492,14 @@ class WdsBatchWrite(dir: String, keyIdx: Int,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new WdsDataWriterFactory(dir, keyIdx, binCols, conf)
+    new WdsDataWriterFactory(dir, keyIdx, binCols, conf, jobTag)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (truncateFirst) {
       // overwrite semantics: once every task's shard is committed,
-      // drop the survivors of previous writes (files not in THIS
-      // write's commit messages)
+      // drop the data-shard survivors of previous writes (files not in
+      // THIS write's commit messages); '_'-prefixed markers — which
+      // the reader skips too — are preserved
       val mine = messages.collect {
         case WdsWriteCommitted(p, _) => new Path(p).getName
       }.toSet
@@ -281,7 +508,8 @@ class WdsBatchWrite(dir: String, keyIdx: Int,
       if (fs.exists(dp))
         fs.listStatus(dp).foreach { st =>
           val n = st.getPath.getName
-          if (st.isFile && !n.startsWith(".") && !mine.contains(n))
+          if (st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+              !mine.contains(n))
             fs.delete(st.getPath, false)
         }
     }
@@ -290,23 +518,68 @@ class WdsBatchWrite(dir: String, keyIdx: Int,
 }
 
 class WdsDataWriterFactory(dir: String, keyIdx: Int,
-    binCols: Seq[(String, Int)], conf: SerializableHadoopConf)
-  extends DataWriterFactory {
+    binCols: Seq[(String, Int)], conf: SerializableHadoopConf,
+    jobTag: String) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new WdsDataWriter(dir, keyIdx, binCols, conf.value, partitionId, taskId)
+    new WdsShardWriter(dir,
+      f"shard-$jobTag-$partitionId%05d-$taskId.tar",
+      keyIdx, binCols, conf.value, replaceOnCommit = false)
 }
 
-class WdsDataWriter(dir: String, keyIdx: Int,
+// ---------------------------------------------------------- streaming sink
+
+/** Epoch-keyed idempotent shard export: each micro-batch's shards are
+  * named by (job, epoch, partition) — NO task id — so a replayed
+  * epoch after a checkpoint restart rewrites the same names with the
+  * same deterministic content instead of duplicating. Every shard
+  * still commits by atomic rename, so a reader never observes a
+  * partial tar; a crashed epoch's already-committed shards are
+  * replaced in place when the epoch re-runs. */
+class WdsStreamingWrite(dir: String, keyIdx: Int,
+    binCols: Seq[(String, Int)], jobTag: String) extends StreamingWrite {
+
+  private val conf = new SerializableHadoopConf(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new WdsStreamingWriterFactory(dir, keyIdx, binCols, conf, jobTag)
+
+  // shard visibility is per-task atomic rename; the streaming engine's
+  // offset log plus the idempotent epoch-keyed names provide
+  // end-to-end exactly-once, so epoch commit needs no extra action
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class WdsStreamingWriterFactory(dir: String, keyIdx: Int,
+    binCols: Seq[(String, Int)], conf: SerializableHadoopConf,
+    jobTag: String) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new WdsShardWriter(dir,
+      f"shard-$jobTag-e$epochId%06d-p$partitionId%05d.tar",
+      keyIdx, binCols, conf.value, replaceOnCommit = true)
+}
+
+/** One tar shard, streamed row-by-row (constant memory; shard size is
+  * bounded by the repartition before the write). `replaceOnCommit`
+  * distinguishes the batch contract (same-named shard = a DIFFERENT
+  * job's data -> throw, never silently replace) from the streaming
+  * one (same-named shard = this query's own epoch replay -> replace
+  * idempotently). */
+class WdsShardWriter(dir: String, fileName: String, keyIdx: Int,
     binCols: Seq[(String, Int)], conf: Configuration,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    replaceOnCommit: Boolean) extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(conf)
-  private val finalPath =
-    new Path(dir, f"shard-$partitionId%05d-$taskId.tar")
-  private val tmpPath =
-    new Path(dir, f".shard-$partitionId%05d-$taskId.tar.inprogress")
+  private val finalPath = new Path(dir, fileName)
+  private val tmpPath = new Path(dir, s".$fileName.inprogress")
   private var out: java.io.OutputStream = _
   private var rows = 0L
 
@@ -316,6 +589,10 @@ class WdsDataWriter(dir: String, keyIdx: Int,
   override def write(row: InternalRow): Unit = {
     ensureOpen()
     val key = row.getUTF8String(keyIdx).toString
+    if (key.indexOf('.') >= 0 || key.indexOf('/') >= 0)
+      throw new IllegalArgumentException(
+        s"wds key must not contain '.' or '/' (the WebDataset first-dot " +
+          s"convention reserves them): $key")
     binCols.foreach { case (name, i) =>
       if (!row.isNullAt(i))
         TarCodec.writeEntry(out, s"$key.$name", row.getBinary(i))
@@ -330,10 +607,13 @@ class WdsDataWriter(dir: String, keyIdx: Int,
     TarCodec.endArchive(out)
     out.close()
     out = null
-    // a leftover same-named shard from an earlier write must not block
-    // the rename (HDFS rename-onto-existing fails); last writer wins,
-    // the standard task-commit contract
-    if (fs.exists(finalPath)) fs.delete(finalPath, false)
+    if (fs.exists(finalPath)) {
+      if (replaceOnCommit) fs.delete(finalPath, false)
+      else throw new java.io.IOException(
+        s"wds shard already exists: $finalPath — shard names are unique " +
+          "per write job, so this is another job's data; refusing to " +
+          "replace it")
+    }
     if (!fs.rename(tmpPath, finalPath))
       throw new java.io.IOException(s"rename failed: $tmpPath -> $finalPath")
     WdsWriteCommitted(finalPath.toString, rows)

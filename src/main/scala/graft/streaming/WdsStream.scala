@@ -39,10 +39,8 @@ object WdsStream {
         val shard = path.substring(path.lastIndexOf('/') + 1)
         graft.operators.Multimodal.TarCodec.decode(bytes).map {
           case (name, data) =>
-            val dot = name.lastIndexOf('.')
-            val (key, ext) =
-              if (dot <= 0) (name, "")
-              else (name.substring(0, dot), name.substring(dot + 1))
+            // first-dot split, shared with the batch wds scan
+            val (key, ext) = graft.sources.wds.WdsTable.splitKeyExt(name)
             (shard, key, ext, data)
         }
       }

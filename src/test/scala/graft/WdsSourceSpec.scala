@@ -162,6 +162,152 @@ class WdsSourceSpec extends AnyFunSuite {
       .map(_.toString).toSet, "append must keep prior shards")
   }
 
+  test("pruned key/ext scan streams past entry payloads without " +
+      "materializing them (seam-counted skip bytes)") {
+    val dir = Files.createTempDirectory("wds_prune").toString
+    exportSample(dir, n = 25)
+    graft.sources.wds.WdsReadStats.entriesRead.reset()
+    graft.sources.wds.WdsReadStats.payloadBytesSkipped.reset()
+    val listing = spark.read.format("wds").load(dir).select("key", "ext")
+    assert(listing.count() == 50)
+    assert(graft.sources.wds.WdsReadStats.entriesRead.sum() == 50)
+    // every img payload is 10+i bytes, every txt "caption i" — all of
+    // them must have been SKIPPED, not read
+    val wantSkipped = (0 until 25)
+      .map(i => (10 + i).toLong + s"caption $i".length).sum
+    assert(graft.sources.wds.WdsReadStats.payloadBytesSkipped.sum()
+      == wantSkipped,
+      s"payload bytes must be skipped on a data-pruned scan")
+    // a full scan skips nothing
+    graft.sources.wds.WdsReadStats.payloadBytesSkipped.reset()
+    spark.read.format("wds").load(dir).select("key", "data").collect()
+    assert(graft.sources.wds.WdsReadStats.payloadBytesSkipped.sum() == 0)
+    // the same numbers surface as DSv2 custom metrics on the scan node
+    val df = spark.read.format("wds").load(dir).select("key", "ext")
+    df.collect()
+    val m = df.queryExecution.executedPlan.collectLeaves().head.metrics
+    assert(m.contains("entriesRead") && m.contains("payloadBytesSkipped"))
+    assert(m("entriesRead").value == 50L)
+    assert(m("payloadBytesSkipped").value == wantSkipped)
+  }
+
+  test("small shards bin-pack into few partitions; a jumbo shard still " +
+      "reads green (no shard-size ceiling)") {
+    val dir = Files.createTempDirectory("wds_pack").toString
+    import spark.implicits._
+    (0 until 60).map { i =>
+      (i.toString, Array.tabulate[Byte](64)(k => (i + k).toByte))
+    }.toDF("key", "blob").repartition(20)
+      .write.format("wds").mode("append").save(dir)
+    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .count(_.endsWith(".tar"))
+    assert(files == 20, s"expected 20 shards, got $files")
+    // default maxPartitionBytes (128 MB) packs all 20 tiny shards into
+    // far fewer tasks than one-per-shard
+    val packed = spark.read.format("wds").load(dir)
+    assert(packed.rdd.getNumPartitions <= 2,
+      s"bin-packing must combine small shards: " +
+        s"${packed.rdd.getNumPartitions} partitions for 20 tiny shards")
+    assert(packed.count() == 60)
+    // a shard far above a tiny per-partition target gets its own task
+    // and reads fine — there is no buffering ceiling to trip
+    val single = spark.read.format("wds")
+      .option("maxBytesPerPartition", "4k").load(dir)
+    assert(single.rdd.getNumPartitions == 20)
+    assert(single.count() == 60)
+  }
+
+  test("gzip and zstd compressed shards decompress through the codec " +
+      "seam and round-trip every entry") {
+    val dir = Files.createTempDirectory("wds_codec").toString
+    val entries = (0 until 7).map { i =>
+      (s"$i.bin", Array.tabulate[Byte](100 + i)(k => (i * 13 + k).toByte))
+    }
+    val tar = graft.operators.Multimodal.TarCodec.encode(entries)
+    val gz = new java.io.ByteArrayOutputStream()
+    val gzo = new java.util.zip.GZIPOutputStream(gz)
+    gzo.write(tar); gzo.close()
+    Files.write(Paths.get(dir, "a.tar.gz"), gz.toByteArray)
+    val zst = com.github.luben.zstd.Zstd.compress(tar)
+    Files.write(Paths.get(dir, "b.tar.zst"), zst)
+    val back = spark.read.format("wds").load(dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Array[Byte]](3).toSeq))
+    assert(back.length == 14)
+    val byShard = back.groupBy(_._1)
+    assert(byShard.keySet == Set("a.tar.gz", "b.tar.zst"))
+    byShard.values.foreach { rows =>
+      assert(rows.map(r => (r._2, r._3)).toSet ==
+        entries.map(e => (e._1.stripSuffix(".bin"), e._2.toSeq)).toSet)
+    }
+    // pruned scans on codec shards also skip (decompress-and-discard)
+    graft.sources.wds.WdsReadStats.payloadBytesSkipped.reset()
+    spark.read.format("wds").load(dir).select("key").collect()
+    assert(graft.sources.wds.WdsReadStats.payloadBytesSkipped.sum() ==
+      2L * entries.map(_._2.length).sum)
+  }
+
+  test("key/ext split at the FIRST dot of the basename (WebDataset " +
+      "compound extensions)") {
+    val dir = Files.createTempDirectory("wds_firstdot").toString
+    val tar = graft.operators.Multimodal.TarCodec.encode(Seq(
+      ("sample.seg.png", Array[Byte](1, 2)),
+      ("plain.txt", Array[Byte](3)),
+      ("noext", Array[Byte](4))))
+    Files.write(Paths.get(dir, "s.tar"), tar)
+    val got = spark.read.format("wds").load(dir)
+      .select("key", "ext").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("sample", "seg.png"), ("plain", "txt"),
+      ("noext", "")))
+  }
+
+  test("the sink rejects keys containing '.' or '/' (they would not " +
+      "round-trip under the first-dot convention)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wds_badkey").toString
+    val ex = intercept[Exception] {
+      Seq(("a.b", "x".getBytes("UTF-8"))).toDF("key", "txt")
+        .coalesce(1).write.format("wds").mode("append").save(dir)
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("shard names are unique per write job: a second append never " +
+      "reuses (and can never silently replace) the first job's names") {
+    val dir = Files.createTempDirectory("wds_jobtag").toString
+    exportSample(dir, n = 6)
+    val first = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".tar")).toSet
+    exportSample(dir, n = 6)
+    val second = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".tar")).toSet -- first
+    assert(first.nonEmpty && second.nonEmpty && (first & second).isEmpty)
+    // the job tag (shard-<tag>-...) differs between the two writes
+    def tags(s: Set[String]) = s.map(p =>
+      Paths.get(p).getFileName.toString.split("-")(1))
+    assert((tags(first) & tags(second)).isEmpty,
+      s"job tags must differ: ${tags(first)} vs ${tags(second)}")
+    // both populations read back
+    assert(spark.read.format("wds").load(dir)
+      .select("key").distinct().count() == 6)
+  }
+
+  test("overwrite's truncate sweep preserves '_'-prefixed marker files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wds_marker").toString
+    exportSample(dir, n = 4)
+    Files.write(Paths.get(dir, "_SUCCESS"), Array.emptyByteArray)
+    (0 until 2).map(i => (s"n$i", s"v$i".getBytes("UTF-8")))
+      .toDF("key", "txt").coalesce(1)
+      .write.format("wds").mode("overwrite").save(dir)
+    assert(Files.exists(Paths.get(dir, "_SUCCESS")),
+      "truncate must not delete marker files the reader ignores")
+    assert(spark.read.format("wds").load(dir)
+      .select("key").distinct().count() == 2)
+  }
+
   test("a corrupt shard rejects with a clean error, never misparses") {
     val dir = Files.createTempDirectory("wds_corrupt").toString
     exportSample(dir, n = 5)
