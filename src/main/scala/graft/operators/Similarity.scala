@@ -619,6 +619,18 @@ object Similarity {
 
   private[graft] val ExactScanMaxFlops = 1e13
 
+  // ----- exact-topk query-block cap (round-12 advisory) -------------------
+  // |Q| must be a CONSTANT, not a corpus fraction: the blocked kernel
+  // memoizes the collected query block on the driver, and N/50 made
+  // that artifact grow linearly with the corpus (100× data = 100× the
+  // driver memory). The deterministic rule
+  // `vec_id % 50 == 0 AND vec_id < 50 * MaxQueryBlock` keeps |Q| ≤
+  // MaxQueryBlock at ANY corpus size, coincides with the plain 1-in-50
+  // sample at every test SF (max vec_id 1999 « 102400, so the existing
+  // oracles' row sets are unchanged), and mirrors verbatim in SQL.
+  private[graft] val MaxQueryBlock = 2048L
+  private[graft] val QueryIdCap = 50L * MaxQueryBlock
+
   /** Corpus row count, memoized per dataset (immutable inputs here) so
     * repeated kernel invocations pay the count once per session. */
   private val corpusCountMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -628,13 +640,13 @@ object Similarity {
       _ => Long.box(Tables.embeddings(s, d).count())).longValue()
 
   /** Fail fast when an exact Q×N scan crosses the flops threshold.
-    * |Q| is the fixed 1-in-50 sample of the corpus, so it derives from
-    * |N| without a second count. Conf knobs (session-scoped):
+    * |Q| is the 1-in-50 sample capped at [[MaxQueryBlock]], so it
+    * derives from |N| without a second count. Conf knobs (session-scoped):
     * `spark.graft.sim.exactScanMaxFlops` overrides the threshold,
     * `spark.graft.sim.allowLargeExactScan=true` opts out entirely. */
   private def guardExactScan(s: SparkSession, d: String): Unit = {
     val n = corpusCount(s, d)
-    val q = (n + 49) / 50
+    val q = math.min((n + 49) / 50, MaxQueryBlock)
     val flops = q.toDouble * n.toDouble * dim
     val cap = s.conf.get("spark.graft.sim.exactScanMaxFlops",
       ExactScanMaxFlops.toString).toDouble
@@ -695,10 +707,13 @@ object Similarity {
       while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
       math.sqrt(acc)
     }
-    // the collected query block is a bounded driver artifact (|Q| =
-    // N/50 vectors), memoized per dataset like the trained codebooks
+    // the collected query block is a bounded driver artifact — |Q| ≤
+    // MaxQueryBlock (a CONSTANT, O(K) at any corpus size; the id-range
+    // cap keeps it from growing with N) — memoized per dataset like
+    // the trained codebooks
     val qRows = queryBlockMemo.computeIfAbsent(d,
-      _ => emb.filter(_._1 % 50 == 0).collect().sortBy(_._1))
+      _ => emb.filter(r => r._1 % 50 == 0 && r._1 < QueryIdCap)
+        .collect().sortBy(_._1))
     if (qRows.isEmpty)
       // no query vectors -> empty result (grouped() yields no tiles, and
       // reduce over zero tiles would throw instead)
@@ -876,7 +891,8 @@ object Similarity {
         // pair-level projection would recompute the corpus-vector norm
         // once per query (Q× redundant flops + sqrt); hoisting is
         // bit-identical (same ops, same order — norm then multiply)
-        val queries = emb.filter($"vec_id" % 50 === 0)
+        val queries = emb
+          .filter($"vec_id" % 50 === 0 && $"vec_id" < QueryIdCap)
           .select($"vec_id".as("qid"), $"embedding".as("qe"))
           .withColumn("qn", norm("qe"))
         val corpus = emb.select($"vec_id".as("cid"), $"embedding".as("ce"))
@@ -894,7 +910,8 @@ object Similarity {
       Some("""WITH e AS (
           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
           FROM embeddings),
-        q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 50 = 0),
+        q AS (SELECT vec_id AS qid, emb AS qe FROM e
+              WHERE vec_id % 50 = 0 AND vec_id < 102400),
         pairs AS (
           SELECT qid, e.vec_id AS cid,
             list_sum([qe[i] * emb[i] FOR i IN generate_series(1, len(qe))])
@@ -930,7 +947,8 @@ object Similarity {
       Some("""WITH e AS (
           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
           FROM embeddings),
-        q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 50 = 0),
+        q AS (SELECT vec_id AS qid, emb AS qe FROM e
+              WHERE vec_id % 50 = 0 AND vec_id < 102400),
         pairs AS (
           SELECT qid, e.vec_id AS cid,
             list_sum([qe[i] * emb[i] FOR i IN generate_series(1, len(qe))])

@@ -18,6 +18,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TextAnalysis {
 
+  /** The TR39 single-codepoint Latin-confusable map (Unicode UTS #39
+    * confusables, restricted to Cyrillic + Greek letters whose
+    * canonical confusable is exactly ONE Latin letter — the set a
+    * static `translate` can fold): 14 Cyrillic lowercase, 18 Cyrillic
+    * uppercase, 8 Greek lowercase, 14 Greek uppercase. `src(i)` folds
+    * to `dst(i)`; `srcSqlExpr` is the same source string as DuckDB
+    * `chr()` concatenation (the oracle-side transport that dodges any
+    * non-ASCII mojibake through the SQL dump). */
+  private[graft] object Confusables {
+    // Cyrillic lowercase: а е о р с у х ѕ і ј һ ԁ ԛ ԝ
+    private val cyrLo = "аеорсух" +
+      "ѕіјһԁԛԝ"
+    private val cyrLoLat = "aeopcyxsijhdqw"
+    // Cyrillic uppercase: А В Е К М Н О Р С Т У Х Ѕ І Ј Ѵ Ԛ Ԝ
+    private val cyrUp = "АВЕКМНО" +
+      "РСТУХЅІЈѴԚԜ"
+    private val cyrUpLat = "ABEKMHOPCTYXSIJVQW"
+    // Greek lowercase: α γ ι ν ο ρ τ υ
+    private val grLo = "αγινορτυ"
+    private val grLoLat = "ayivoptu"
+    // Greek uppercase: Α Β Ε Ζ Η Ι Κ Μ Ν Ο Ρ Τ Υ Χ
+    private val grUp = "ΑΒΕΖΗΙΚ" +
+      "ΜΝΟΡΤΥΧ"
+    private val grUpLat = "ABEZHIKMNOPTYX"
+
+    val src: String = cyrLo + cyrUp + grLo + grUp
+    val dst: String = cyrLoLat + cyrUpLat + grLoLat + grUpLat
+    require(src.length == dst.length)
+
+    /** `chr(N) || chr(N) || ...` building `src` in DuckDB. */
+    val srcSqlExpr: String =
+      src.map(c => s"chr(${c.toInt})").mkString(" || ")
+  }
+
   private val stopwords = Seq("the", "a", "or", "and", "of", "in", "to")
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -1209,21 +1243,22 @@ object TextAnalysis {
 
     // ----- homoglyph folding (confusable-normalized dedup keys) -----------
     // The spoofing-resistant dedup key: visually-identical text whose
-    // Latin letters were swapped for Cyrillic lookalikes (the classic
-    // Unicode-confusables evasion — spam templates, plagiarized docs,
-    // duplicated content dodging exact digests) must fold back to the
-    // SAME digest. A small TR39-derived confusable map (Cyrillic
-    // а е о р с х у ↔ Latin a e o p c x y) applied as a translate()
-    // projection; the fixture spoofs half the corpus in-query (two
-    // different confusable subsets, so partial maps are exercised) and
-    // the row proves round-trip: folded digest == original digest and
-    // the confusable count matches the injected population. Scale
-    // shape: pure per-row character mapping, zero shuffles.
+    // Latin letters were swapped for Cyrillic or Greek lookalikes (the
+    // classic Unicode-confusables evasion — spam templates, plagiarized
+    // docs, duplicated content dodging exact digests) must fold back to
+    // the SAME digest. The map is the TR39-derived SINGLE-CODEPOINT
+    // Latin-confusable set ([[Confusables]] — 54 Cyrillic + Greek
+    // letters, both cases, each folding to one Latin letter) applied as
+    // a translate() projection; the fixture spoofs three quarters of
+    // the corpus in-query with three DIFFERENT confusable subsets
+    // (Cyrillic lowercase vowel-ish, Cyrillic consonant-ish, Greek), so
+    // partial maps are exercised, and the row proves round-trip: folded
+    // digest == original digest and the confusable count matches the
+    // injected population. Scale shape: pure per-row character mapping,
+    // zero shuffles.
     Q("text_homoglyph_fold",
       (s, d) => {
         import s.implicits._
-        val lat = "aeopcxy"
-        val cyr = "аеорсху"
         Tables.documents(s, d)
           .select($"doc_id", $"text",
             when($"doc_id" % 4 === 0,
@@ -1231,18 +1266,22 @@ object TextAnalysis {
               .when($"doc_id" % 4 === 1,
                 translate($"text", "pcxy",
                   "рсху"))
+              .when($"doc_id" % 4 === 2,
+                translate($"text", "oviy",
+                  "ονιγ"))
               .otherwise($"text").as("spoofed"))
           .select($"doc_id",
             ($"spoofed" =!= $"text").as("was_spoofed"),
             (length($"spoofed") -
-              length(translate($"spoofed", cyr, ""))).cast("long")
-              .as("n_confusables"),
-            (md5(translate($"spoofed", cyr, lat).cast("binary")) ===
+              length(translate($"spoofed", Confusables.src, "")))
+              .cast("long").as("n_confusables"),
+            (md5(translate($"spoofed", Confusables.src, Confusables.dst)
+              .cast("binary")) ===
               md5($"text".cast("binary"))).as("fold_restores"),
-            md5(translate($"spoofed", cyr, lat).cast("binary"))
-              .as("folded_md5"))
+            md5(translate($"spoofed", Confusables.src, Confusables.dst)
+              .cast("binary")).as("folded_md5"))
       },
-      Some("""WITH sp AS (
+      Some(s"""WITH sp AS (
           SELECT doc_id, text,
             CASE WHEN doc_id % 4 = 0
                 THEN translate(text, 'aeo',
@@ -1250,17 +1289,20 @@ object TextAnalysis {
               WHEN doc_id % 4 = 1
                 THEN translate(text, 'pcxy',
                   chr(1088) || chr(1089) || chr(1093) || chr(1091))
+              WHEN doc_id % 4 = 2
+                THEN translate(text, 'oviy',
+                  chr(959) || chr(957) || chr(953) || chr(947))
               ELSE text END AS spoofed
           FROM documents),
-        cy AS (SELECT chr(1072) || chr(1077) || chr(1086) || chr(1088)
-          || chr(1089) || chr(1093) || chr(1091) AS cyr)
+        cy AS (SELECT ${Confusables.srcSqlExpr} AS conf)
         SELECT doc_id,
           spoofed <> text AS was_spoofed,
-          CAST(length(spoofed) - length(translate(spoofed, cy.cyr, ''))
+          CAST(length(spoofed) - length(translate(spoofed, cy.conf, ''))
             AS BIGINT) AS n_confusables,
-          md5(translate(spoofed, cy.cyr, 'aeopcxy')) = md5(text)
+          md5(translate(spoofed, cy.conf, '${Confusables.dst}')) = md5(text)
             AS fold_restores,
-          md5(translate(spoofed, cy.cyr, 'aeopcxy')) AS folded_md5
+          md5(translate(spoofed, cy.conf, '${Confusables.dst}'))
+            AS folded_md5
         FROM sp CROSS JOIN cy""")),
 
     // ----- corpus-level boilerplate fraction ------------------------------
