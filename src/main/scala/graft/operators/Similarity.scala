@@ -680,6 +680,112 @@ object Similarity {
           "scale, or set spark.graft.sim.allowLargeExactScan=true")
   }
 
+  // ----- exact-integer PCA (power iteration + Hotelling deflation) --------
+  // The whitening companion to sim_covariance_exact: top-k principal
+  // directions of the milli-unit scatter matrix, solved ON THE DRIVER
+  // (the scatter is a d×d = 64×64 artifact, bounded like the trained
+  // codebooks, whatever the corpus size) and projected DISTRIBUTED as a
+  // broadcast-literal dot product. Everything both engines must agree
+  // on is integer arithmetic with explicit truncation: the scatter is
+  // exact BIGINT sums, the matrix is rescaled to ≤ 2^30 by its own max
+  // entry, the power iterate is renormalized to ≤ 2^20 by its max
+  // component each step (fixed 40 steps — no convergence test, so the
+  // iterate is a deterministic function of the data on any engine),
+  // and deflation subtracts the truncated Hotelling rank-1 term. The
+  // DuckDB oracle replays the identical recursion as a recursive CTE
+  // over HUGEINTs (the ADPCM idiom, lifted from scalar state to a
+  // 64-vector), so a hash match proves the distributed scatter, the
+  // driver eigensolve, and the projection all reproduce exactly.
+
+  private val PcaIters = 40
+  private val PcaScaleV = BigInt(1048576L)      // 2^20 iterate scale
+  private val PcaScaleS = BigInt(1073741824L)   // 2^30 matrix scale
+
+  /** (n, per-dim sums, d×d product sums) of the milli-unit matrix —
+    * ONE narrow pass, d²-bounded output, memoized per dataset. Long
+    * accumulators are exact to ~2.5e13 rows (|m| ≤ ~600 here, products
+    * ≤ 3.6e5); past that the partials would widen to BigInt. */
+  private val pcaStatsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Array[Long], Array[Long])]()
+
+  private def pcaStats(s: SparkSession, d: String)
+      : (Long, Array[Long], Array[Long]) =
+    pcaStatsMemo.computeIfAbsent(d, _ => {
+      import s.implicits._
+      Tables.embeddings(s, d).select($"embedding").as[Array[Float]]
+        .mapPartitions { it =>
+          val sums = new Array[Long](dim)
+          val prods = new Array[Long](dim * dim)
+          var n = 0L
+          val m = new Array[Long](dim)
+          it.foreach { e =>
+            require(e.length == dim, s"embedding dim ${e.length} != $dim")
+            var i = 0
+            while (i < dim) {
+              m(i) = math.floor(e(i).toDouble * 1000).toLong
+              i += 1
+            }
+            n += 1
+            i = 0
+            while (i < dim) {
+              sums(i) += m(i)
+              var j = 0
+              while (j < dim) { prods(i * dim + j) += m(i) * m(j); j += 1 }
+              i += 1
+            }
+          }
+          Iterator.single((n, sums, prods))
+        }
+        .reduce { (a, b) =>
+          var i = 0
+          while (i < dim) { a._2(i) += b._2(i); i += 1 }
+          i = 0
+          while (i < dim * dim) { a._3(i) += b._3(i); i += 1 }
+          (a._1 + b._1, a._2, a._3)
+        }
+    })
+
+  /** Top-k principal directions + the floored per-dim milli-unit mean.
+    * Components are scaled-integer vectors (max |component| = 2^20);
+    * the caller projects centered milli-units onto them. Every op is
+    * BigInt with truncating division — bit-reproducible anywhere. */
+  private[graft] def pcaComponents(s: SparkSession, d: String, k: Int)
+      : (Array[Long], Seq[Array[Long]]) = {
+    require(k >= 1 && k <= dim)
+    val (n, sums, prods) = pcaStats(s, d)
+    def matvec(a: Array[Array[BigInt]], v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dim) { i =>
+        var acc = BigInt(0)
+        var j = 0
+        while (j < dim) { acc += a(i)(j) * v(j); j += 1 }
+        acc
+      }
+    def dot(a: Array[BigInt], b: Array[BigInt]): BigInt =
+      (0 until dim).foldLeft(BigInt(0))((acc, i) => acc + a(i) * b(i))
+    val scat = Array.tabulate(dim, dim)((i, j) =>
+      BigInt(n) * BigInt(prods(i * dim + j)) -
+        BigInt(sums(i)) * BigInt(sums(j)))
+    val mval = scat.map(_.map(_.abs).max).max.max(BigInt(1))
+    // BigInt / truncates toward zero — DuckDB's integer `//` semantic
+    var cur = scat.map(_.map(v => v * PcaScaleS / mval))
+    val comps = Seq.newBuilder[Array[Long]]
+    for (_ <- 0 until k) {
+      var v = Array.fill(dim)(PcaScaleV)
+      for (_ <- 0 until PcaIters) {
+        val w = matvec(cur, v)
+        val mw = w.max.max(-w.min).max(BigInt(1))
+        v = w.map(x => x * PcaScaleV / mw)
+      }
+      comps += v.map(_.toLong)
+      val w1 = matvec(cur, v)
+      val num = dot(w1, v)
+      val den = dot(v, v)
+      cur = Array.tabulate(dim, dim)((i, j) =>
+        cur(i)(j) - num * v(i) * v(j) / (den * den))
+    }
+    (sums.map(si => (BigInt(si) / BigInt(n)).toLong), comps.result())
+  }
+
   /** The blocked exact cosine top-k kernel behind sim_cosine_topk_blocked,
     * parameterized by query-tile size. The memoized query block is split
     * into ceil(|Q|/tileSize) tiles; each tile broadcasts independently
@@ -1926,6 +2032,106 @@ object Similarity {
           CAST(SUM(mj) AS BIGINT) AS sum_j,
           CAST(SUM(mi * mj) AS BIGINT) AS sum_prod
         FROM pairs GROUP BY 1, 2""")),
+
+    // ----- PCA projection (top-2 principal components) ---------------------
+    // The dimensionality-reduction step every embedding-QC pipeline
+    // runs before clustering: project each centered vector onto the
+    // top principal directions of the corpus scatter. The eigensolve
+    // is exact-integer power iteration with Hotelling deflation on the
+    // DRIVER (see [[pcaComponents]] — the scatter is a d×d artifact,
+    // O(1) in corpus size, like the trained codebooks); the projection
+    // is a narrow distributed map over broadcast literal arrays — ZERO
+    // shuffles end to end (the stats pass is a mapPartitions + reduce
+    // of 4 KB partials). The oracle replays the identical integer
+    // recursion as recursive CTEs over HUGEINTs (two chained power
+    // iterations, 40 steps each, truncating renormalization per step),
+    // so the hash match pins scatter, eigensolve, deflation, AND
+    // projection to the bit. Centering uses the floored milli-unit
+    // mean (tdiv(Σm, n)) so projected values stay ≤ 2^41 at ANY corpus
+    // size — BIGINT-safe without the n-scaled centering that would
+    // overflow at 10^12 rows.
+    Q("sim_pca_project",
+      (s, d) => {
+        import s.implicits._
+        val (fm, comps) = pcaComponents(s, d, 2)
+        def arr(a: Array[Long]): String =
+          "array(" + a.map(v => s"${v}L").mkString(",") + ")"
+        def proj(e: Array[Long]): String =
+          s"""aggregate(sequence(0, ${dim - 1}), 0L, (acc, i) ->
+               acc + (element_at(m, i + 1) - element_at(${arr(fm)}, i + 1))
+                   * element_at(${arr(e)}, i + 1))"""
+        Tables.embeddings(s, d)
+          .select($"vec_id", expr(
+            "transform(embedding, x -> " +
+              "CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("m"))
+          .select($"vec_id",
+            expr(proj(comps(0))).as("pc1"),
+            expr(proj(comps(1))).as("pc2"))
+      },
+      Some("""WITH RECURSIVE m AS MATERIALIZED (
+          SELECT vec_id,
+            [CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+             FOR x IN embedding] AS m
+          FROM embeddings),
+        stats AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM m),
+        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        sums AS MATERIALIZED (
+          SELECT i, CAST(SUM(m[i]) AS HUGEINT) AS s FROM m, dims GROUP BY i),
+        prods AS MATERIALIZED (
+          SELECT d1.i AS i, d2.i AS j,
+            CAST(SUM(CAST(m[d1.i] AS HUGEINT) * m[d2.i]) AS HUGEINT) AS p
+          FROM m, dims d1, dims d2 GROUP BY 1, 2),
+        scat AS MATERIALIZED (
+          SELECT p.i, p.j, stats.n * p.p - si.s * sj.s AS sv
+          FROM prods p JOIN sums si ON si.i = p.i
+            JOIN sums sj ON sj.i = p.j, stats),
+        mx AS MATERIALIZED (SELECT GREATEST(MAX(ABS(sv)), 1) AS mval FROM scat),
+        smat AS MATERIALIZED (SELECT list(r ORDER BY i) AS sm FROM (
+            SELECT i, list((sv * 1073741824) // mval ORDER BY j) AS r
+            FROM scat, mx GROUP BY i)),
+        pit1 AS (
+          SELECT 0 AS t,
+            [CAST(1048576 AS HUGEINT) FOR i IN generate_series(1, 64)] AS v
+          UNION ALL
+          SELECT t + 1, [(w[i] * 1048576) // mw FOR i IN generate_series(1, 64)]
+          FROM (
+            SELECT t, [list_sum([sm[i][j] * v[j]
+                                 FOR j IN generate_series(1, 64)])
+                       FOR i IN generate_series(1, 64)] AS w
+            FROM pit1, smat WHERE t < 40) ww,
+            LATERAL (SELECT GREATEST(list_max(w), -list_min(w), 1) AS mw) g),
+        e1 AS MATERIALIZED (SELECT v FROM pit1 WHERE t = 40),
+        defl AS MATERIALIZED (
+          SELECT list_sum([w[i] * v[i] FOR i IN generate_series(1, 64)]) AS num,
+                 list_sum([v[i] * v[i] FOR i IN generate_series(1, 64)]) AS den
+          FROM (SELECT [list_sum([sm[i][j] * v[j]
+                                  FOR j IN generate_series(1, 64)])
+                        FOR i IN generate_series(1, 64)] AS w, v
+                FROM smat, e1)),
+        s2 AS MATERIALIZED (
+          SELECT [[sm[i][j] - (num * v[i] * v[j]) // (den * den)
+                   FOR j IN generate_series(1, 64)]
+                  FOR i IN generate_series(1, 64)] AS sm
+          FROM smat, e1, defl),
+        pit2 AS (
+          SELECT 0 AS t,
+            [CAST(1048576 AS HUGEINT) FOR i IN generate_series(1, 64)] AS v
+          UNION ALL
+          SELECT t + 1, [(w[i] * 1048576) // mw FOR i IN generate_series(1, 64)]
+          FROM (
+            SELECT t, [list_sum([sm[i][j] * v[j]
+                                 FOR j IN generate_series(1, 64)])
+                       FOR i IN generate_series(1, 64)] AS w
+            FROM pit2, s2 WHERE t < 40) ww,
+            LATERAL (SELECT GREATEST(list_max(w), -list_min(w), 1) AS mw) g),
+        e2 AS MATERIALIZED (SELECT v FROM pit2 WHERE t = 40),
+        fm AS MATERIALIZED (SELECT list(s // n ORDER BY i) AS fm FROM sums, stats)
+        SELECT m.vec_id,
+          CAST(list_sum([(m.m[i] - fm.fm[i]) * e1.v[i]
+                         FOR i IN generate_series(1, 64)]) AS BIGINT) AS pc1,
+          CAST(list_sum([(m.m[i] - fm.fm[i]) * e2.v[i]
+                         FOR i IN generate_series(1, 64)]) AS BIGINT) AS pc2
+        FROM m, fm, e1, e2""")),
 
     // ----- embedding ingest QC (the vector-side quality gate) -------------
     // What an index owner runs BEFORE build/append: per label, how many
