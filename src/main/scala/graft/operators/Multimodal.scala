@@ -83,6 +83,12 @@ object Multimodal {
       bytes(2) == 'F' && bytes(3) == '8') "gif"
     else if (bytes.length >= 4 && bytes(0) == 0xFF.toByte &&
       bytes(1) == 0xD8.toByte && bytes(2) == 0xFF.toByte) "jpg"
+    else if (bytes.length >= 4 &&
+      ((bytes(0) == 'I' && bytes(1) == 'I' && bytes(2) == 42 &&
+        bytes(3) == 0) ||
+       (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
+        bytes(3) == 42))) "tiff"
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') "ppm"
     else if (bytes.length >= 12 && riffTag == "WAVE") "wav"
     else "avi"
   }
@@ -104,6 +110,12 @@ object Multimodal {
     case "jpg" =>
       val img = JpegCodec.decode(bytes)
       ("jpg", img.w.toLong * img.h, weightedPxSum(img))
+    case "tiff" =>
+      val img = TiffCodec.decode(bytes)
+      ("tiff", img.w.toLong * img.h, weightedPxSum(img))
+    case "ppm" =>
+      val img = PpmCodec.decode(bytes)
+      ("ppm", img.w.toLong * img.h, weightedPxSum(img))
     case "wav" =>
       val a = WavCodec.decode(bytes)
       var sumAbs = 0L
@@ -349,6 +361,187 @@ object Multimodal {
       val px = new Array[Byte](w * h * 3)
       System.arraycopy(bytes, i, px, 0, w * h * 3)
       BmpCodec.Image(w, h, px)
+    }
+  }
+
+  /** REAL baseline-TIFF codec (uncompressed RGB strips, BOTH byte
+    * orders — the scanned-document-corpus container): a TIFF 6.0
+    * writer and an INDEPENDENT parser sharing BmpCodec's fixture
+    * formulas, so the container-independent pixel oracles catch any
+    * IFD/strip/endianness mistake. The writer emits the 9 required
+    * baseline-RGB tags in ascending order with RowsPerStrip = 4
+    * (h ≥ 12, so every fixture is MULTI-strip and the offset/bytecount
+    * array walk is always exercised), byte order flipping with id
+    * parity (II even / MM odd — the ExifCodec convention). The parser
+    * is a generic bounds-guarded IFD walk: it reads whatever entry
+    * layout it finds (inline vs offset values, SHORT vs LONG tag
+    * types), validates the baseline-RGB contract, and reassembles
+    * strips — bytes only, nothing shared with the synthesis formula.
+    * MultimodalCodecSpec cross-checks decode against the JDK's own
+    * ImageIO TIFF reader, pixel for pixel, in both byte orders. */
+  object TiffCodec extends Serializable {
+
+    def littleEndian(id: Long): Boolean = id % 2 == 0
+    private val RowsPerStrip = 4
+
+    def encode(id: Long): Array[Byte] = {
+      val (w, h) = BmpCodec.dims(id)
+      val le = littleEndian(id)
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit =
+        if (le) { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+        else { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+      def u32(v: Long): Unit =
+        if (le) {
+          out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+          out.write(((v >> 16) & 0xFF).toInt)
+          out.write(((v >> 24) & 0xFF).toInt)
+        } else {
+          out.write(((v >> 24) & 0xFF).toInt)
+          out.write(((v >> 16) & 0xFF).toInt)
+          out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+        }
+      val nStrips = (h + RowsPerStrip - 1) / RowsPerStrip
+      val stripRows = (0 until nStrips)
+        .map(k => math.min(RowsPerStrip, h - k * RowsPerStrip))
+      val stripLens = stripRows.map(_ * w * 3)
+      val stripOffs = stripLens.scanLeft(8L)(_ + _).init
+      val afterPx = 8L + stripLens.sum
+      val bpsOff = afterPx
+      val soOff = bpsOff + 6
+      val sbcOff = soOff + 4L * nStrips
+      val ifdOff = sbcOff + 4L * nStrips
+      // header
+      out.write((if (le) "II" else "MM").getBytes("US-ASCII"))
+      u16(42)
+      u32(ifdOff)
+      // pixel strips (RGB triplets, row-major, top-down)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = BmpCodec.pixel(id, x, y)
+          out.write(r); out.write(g); out.write(b)
+          x += 1
+        }
+        y += 1
+      }
+      // out-of-line values: BitsPerSample [8,8,8], then the strip arrays
+      u16(8); u16(8); u16(8)
+      stripOffs.foreach(u32)
+      stripLens.foreach(v => u32(v.toLong))
+      // IFD: 9 baseline-RGB entries, ascending tag order
+      def entry(tag: Int, typ: Int, count: Long)(value: => Unit): Unit = {
+        u16(tag); u16(typ); u32(count)
+        val before = out.size()
+        value
+        while (out.size() < before + 4) out.write(0) // pad the value slot
+      }
+      u16(9)
+      entry(256, 4, 1)(u32(w.toLong))            // ImageWidth
+      entry(257, 4, 1)(u32(h.toLong))            // ImageLength
+      entry(258, 3, 3)(u32(bpsOff))              // BitsPerSample -> offset
+      entry(259, 3, 1)(u16(1))                   // Compression: none
+      entry(262, 3, 1)(u16(2))                   // Photometric: RGB
+      entry(273, 4, nStrips.toLong)(u32(soOff))  // StripOffsets
+      entry(277, 3, 1)(u16(3))                   // SamplesPerPixel
+      entry(278, 4, 1)(u32(RowsPerStrip.toLong)) // RowsPerStrip
+      entry(279, 4, nStrips.toLong)(u32(sbcOff)) // StripByteCounts
+      u32(0)                                     // next IFD: none
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): BmpCodec.Image = {
+      require(bytes.length >= 8, "truncated TIFF header")
+      val le = (bytes(0), bytes(1)) match {
+        case ('I', 'I') => true
+        case ('M', 'M') => false
+        case _ => throw new IllegalArgumentException("not a TIFF")
+      }
+      def u16(at: Long): Int = {
+        require(at >= 0 && at + 2 <= bytes.length, "TIFF read out of bounds")
+        val a = bytes(at.toInt) & 0xFF
+        val b = bytes(at.toInt + 1) & 0xFF
+        if (le) a | (b << 8) else (a << 8) | b
+      }
+      def u32(at: Long): Long = {
+        require(at >= 0 && at + 4 <= bytes.length, "TIFF read out of bounds")
+        val v = (0 until 4).map(i => (bytes(at.toInt + i) & 0xFFL))
+        if (le) v(0) | (v(1) << 8) | (v(2) << 16) | (v(3) << 24)
+        else (v(0) << 24) | (v(1) << 16) | (v(2) << 8) | v(3)
+      }
+      require(u16(2) == 42, "bad TIFF magic")
+      val ifd = u32(4)
+      val n = u16(ifd)
+      require(n > 0 && n <= 512, s"implausible TIFF entry count $n")
+      require(ifd + 2 + n * 12 + 4 <= bytes.length, "truncated TIFF IFD")
+      val entries = (0 until n).map { i =>
+        val e = ifd + 2 + i * 12
+        u16(e) -> ((u16(e + 2), u32(e + 4), e + 8))
+      }.toMap
+      def typeSize(typ: Int): Int = typ match {
+        case 1 => 1; case 3 => 2; case 4 => 4
+        case t => throw new IllegalArgumentException(s"TIFF value type $t")
+      }
+      /** All values of one entry as longs (inline when they fit the
+        * 4-byte slot, out-of-line otherwise — the TIFF 6.0 rule). */
+      def values(tag: Int): Seq[Long] = entries.get(tag) match {
+        case None => Seq.empty
+        case Some((typ, count, slot)) =>
+          val sz = typeSize(typ)
+          require(count >= 0 && count <= 65535, s"TIFF count $count")
+          val at = if (count * sz <= 4) slot else u32(slot)
+          (0L until count).map { i =>
+            typ match {
+              case 1 =>
+                require(at + i >= 0 && at + i < bytes.length,
+                  "TIFF read out of bounds")
+                (bytes((at + i).toInt) & 0xFF).toLong
+              case 3 => u16(at + i * 2).toLong
+              case 4 => u32(at + i * 4)
+            }
+          }
+      }
+      def one(tag: Int, name: String): Long = {
+        val v = values(tag)
+        require(v.length == 1, s"TIFF $name must have one value")
+        v.head
+      }
+      val w = one(256, "ImageWidth")
+      val h = one(257, "ImageLength")
+      require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
+        s"implausible TIFF dims ${w}x$h")
+      require(one(259, "Compression") == 1,
+        "unsupported TIFF compression (baseline uncompressed only)")
+      require(one(262, "Photometric") == 2, "TIFF must be RGB")
+      require(one(277, "SamplesPerPixel") == 3, "TIFF must be 3-sample")
+      require(values(258) == Seq(8L, 8L, 8L), "TIFF must be 8-bit/sample")
+      val rps = entries.get(278).map(_ => one(278, "RowsPerStrip"))
+        .getOrElse(h)
+      require(rps > 0, "bad RowsPerStrip")
+      val offs = values(273)
+      val lens = values(279)
+      require(offs.nonEmpty && offs.length == lens.length,
+        "TIFF strip offsets/bytecounts mismatch")
+      require(offs.length == ((h + rps - 1) / rps),
+        "TIFF strip count does not cover the image")
+      val px = new Array[Byte]((w * h * 3).toInt)
+      var strip = 0
+      var row = 0L
+      while (strip < offs.length) {
+        val rows = math.min(rps, h - row)
+        val want = rows * w * 3
+        require(lens(strip) == want,
+          s"TIFF strip $strip is ${lens(strip)} B, want $want")
+        val off = offs(strip)
+        require(off >= 0 && off + want <= bytes.length,
+          "TIFF strip out of bounds")
+        System.arraycopy(bytes, off.toInt, px, (row * w * 3).toInt,
+          want.toInt)
+        row += rows
+        strip += 1
+      }
+      BmpCodec.Image(w.toInt, h.toInt, px)
     }
   }
 
@@ -3574,13 +3767,14 @@ object Multimodal {
           md5(d.text) AS caption_md5
         FROM documents d JOIN img ON img.doc_id = d.doc_id""")),
 
-    // ----- mixed-container decode (format sniffing: BMP + PPM) -----------
+    // ----- mixed-container decode (format sniffing: BMP + PPM + TIFF) -----
     // A real lake holds a mix of encodings; the seam dispatches on the
-    // magic bytes, not a format column. Alternating images are stored as
-    // BMP vs binary PPM; the oracle's expected stats are
-    // container-INDEPENDENT (pure formula), so the row only matches if
-    // both parsers decode the same image from their very different byte
-    // layouts (bottom-up padded BGR vs ASCII-header raw RGB).
+    // magic bytes (sniffKind), not a format column. Images alternate
+    // three ways — BMP, binary PPM, TIFF — and the oracle's expected
+    // stats are container-INDEPENDENT (pure formula), so the row only
+    // matches if all three parsers decode the same image from their
+    // very different byte layouts (bottom-up padded BGR vs ASCII-header
+    // raw RGB vs IFD-walked multi-strip, endianness flipping with id).
     Q("mm_decode_any",
       (s, d) => {
         import s.implicits._
@@ -3588,29 +3782,26 @@ object Multimodal {
           .select($"doc_id").as[Long]
         imgs.mapPartitions { it =>
           it.map { id =>
-            val bytes =
-              if ((id / 3) % 2 == 0) BmpCodec.encode(id)
-              else PpmCodec.encode(id)
-            val img =
-              if (bytes(0) == 'B' && bytes(1) == 'M') BmpCodec.decode(bytes)
-              else PpmCodec.decode(bytes)
-            var acc = 0L
-            var y = 0
-            while (y < img.h) {
-              var x = 0
-              while (x < img.w) {
-                acc += img.r(x, y) + 2L * img.g(x, y) + 3L * img.b(x, y)
-                x += 1
-              }
-              y += 1
+            val bytes = (id / 3) % 3 match {
+              case 0 => BmpCodec.encode(id)
+              case 1 => PpmCodec.encode(id)
+              case _ => TiffCodec.encode(id)
             }
-            (id, if ((id / 3) % 2 == 0) "bmp" else "ppm", img.w, img.h, acc)
+            val kind = sniffKind(bytes)
+            val img = kind match {
+              case "bmp" => BmpCodec.decode(bytes)
+              case "ppm" => PpmCodec.decode(bytes)
+              case "tiff" => TiffCodec.decode(bytes)
+              case other =>
+                throw new IllegalStateException(s"missniffed: $other")
+            }
+            (id, kind, img.w, img.h, weightedPxSum(img))
           }
         }.toDF("media_id", "container", "w", "h", "px_sum")
       },
       Some("""SELECT doc_id AS media_id,
-          CASE WHEN (doc_id // 3) % 2 = 0 THEN 'bmp' ELSE 'ppm' END
-            AS container,
+          CASE (doc_id // 3) % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+            ELSE 'tiff' END AS container,
           CAST(16 + doc_id % 13 AS INT) AS w,
           CAST(12 + doc_id % 7 AS INT) AS h,
           CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256
@@ -3622,6 +3813,45 @@ object Multimodal {
           LATERAL (SELECT unnest(generate_series(0,
             CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
         WHERE doc_id % 3 = 0
+        GROUP BY 1, 2, 3, 4""")),
+
+    // ----- TIFF decode (uncompressed strips, both byte orders) ------------
+    // The scanned-document-corpus container, in depth: every image is a
+    // MULTI-strip baseline-RGB TIFF (RowsPerStrip 4 over h in 12..18,
+    // so 3-5 strips each), byte order flipping with id parity (II/MM),
+    // decoded through the magic-byte seam. The oracle knows only the
+    // pixel formula and the parity rule — the row matches only if the
+    // IFD walk (inline vs out-of-line values, SHORT vs LONG types,
+    // both endiannesses) and the strip reassembly are all right.
+    // Scale: narrow per-row decode, image bytes never shuffle.
+    Q("mm_decode_tiff",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
+          .select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.map { id =>
+            val bytes = TiffCodec.encode(id)
+            require(sniffKind(bytes) == "tiff", "missniffed TIFF")
+            val img = TiffCodec.decode(bytes)
+            (id, if (TiffCodec.littleEndian(id)) "II" else "MM",
+              img.w, img.h, weightedPxSum(img))
+          }
+        }.toDF("media_id", "byte_order", "w", "h", "px_sum")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+          CAST(16 + doc_id % 13 AS INT) AS w,
+          CAST(12 + doc_id % 7 AS INT) AS h,
+          CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256
+             + 2 * ((doc_id + x * 11 + y * 2) % 256)
+             + 3 * ((doc_id * 13 + x * y) % 256)) AS BIGINT) AS px_sum
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(16 + doc_id % 13 AS INT) - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
+        WHERE doc_id % 3 = 2
         GROUP BY 1, 2, 3, 4""")),
 
     // ----- audio QC: silence / clipping screen ---------------------------

