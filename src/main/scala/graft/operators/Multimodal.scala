@@ -3679,6 +3679,97 @@ object Multimodal {
           md5(d.text) AS caption_md5
         FROM documents d JOIN img ON img.doc_id = d.doc_id""")),
 
+    // ----- WebDataset compressed-shard round-trip --------------------------
+    // Real lakes gzip their shards; the codec seam must be byte-exact,
+    // not just "reads without error". Documents export through the wds
+    // sink as plain tars, every shard is then gzip-compressed (and the
+    // original removed), and the import runs through the streaming tar
+    // walk's decompress-and-read path. Same pixel-formula + md5 oracle
+    // as the plain round-trip: the row matches only if decompression
+    // hands the walk the identical byte stream. Scale shape: identical
+    // to mm_wds_export_import — codec wrapping is per-task streaming.
+    Q("mm_wds_codec_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val outDir = "/tmp/graft_wds_gz_" +
+          java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+        Tables.documents(s, d).select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            (id.toString, JpegCodec.encode(id), text.getBytes("UTF-8"))
+          }
+          .toDF("key", "jpg", "txt")
+          .repartition(8)
+          .write.format("wds").mode("append").save(outDir)
+        // gzip every shard in place (driver-side: 8 small fixture
+        // shards; a production lake compresses at export time)
+        fs.listStatus(new org.apache.hadoop.fs.Path(outDir)).foreach { st =>
+          if (st.isFile && st.getPath.getName.endsWith(".tar")) {
+            val in = fs.open(st.getPath)
+            val gzPath = new org.apache.hadoop.fs.Path(
+              outDir, st.getPath.getName + ".gz")
+            val gz = new java.util.zip.GZIPOutputStream(
+              fs.create(gzPath, true))
+            val buf = new Array[Byte](1 << 16)
+            var r = in.read(buf)
+            while (r > 0) { gz.write(buf, 0, r); r = in.read(buf) }
+            in.close(); gz.close()
+            fs.delete(st.getPath, false)
+          }
+        }
+        s.read.format("wds").load(outDir)
+          .groupBy($"key")
+          .agg(max(when($"ext" === "jpg", $"data")).as("jpg"),
+            max(when($"ext" === "txt", $"data")).as("txt"))
+          .as[(String, Array[Byte], Array[Byte])]
+          .map { case (key, jpg, txt) =>
+            val img = JpegCodec.decode(jpg)
+            val md5hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(txt).map(b => f"${b & 0xFF}%02x").mkString
+            (key.toLong, img.w, img.h, weightedPxSum(img), md5hex)
+          }
+          .toDF("media_id", "w", "h", "px_sum", "caption_md5")
+      },
+      Some("""WITH px AS (
+          SELECT doc_id,
+            64 + (doc_id*7 + (x//8)*31 + (y//8)*17) % 128
+              + ((doc_id + (x//8)*5 + (y//8)*3) % 8)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*3 + (x//8) + (y//8)*7) % 8)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+              + ((doc_id*5 + (x//8)*7 + (y//8)) % 4)
+                * (CASE WHEN (x%8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+                * (CASE WHEN (y%8) IN (0,3,4,7) THEN 1 ELSE -1 END) AS yv,
+            (doc_id*11 + (x//16)*13 + (y//16)*19) % 256 AS cb,
+            (doc_id*3 + (x//16)*7 + (y//16)*29) % 256 AS cr
+          FROM documents,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(21 + doc_id % 14 AS INT) - 1)) AS x) xs,
+            LATERAL (SELECT unnest(generate_series(0,
+              CAST(13 + doc_id % 11 AS INT) - 1)) AS y) ys),
+        rgb AS (
+          SELECT doc_id,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.402E0 * (cr - 128) + 0.5E0) AS BIGINT))) AS r,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv - 0.344136E0 * (cb - 128) - 0.714136E0 * (cr - 128)
+                + 0.5E0) AS BIGINT))) AS g,
+            LEAST(255, GREATEST(0, CAST(floor(
+              yv + 1.772E0 * (cb - 128) + 0.5E0) AS BIGINT))) AS b
+          FROM px),
+        img AS (
+          SELECT doc_id,
+            CAST(21 + doc_id % 14 AS INT) AS w,
+            CAST(13 + doc_id % 11 AS INT) AS h,
+            CAST(SUM(r + 2*g + 3*b) AS BIGINT) AS px_sum
+          FROM rgb GROUP BY 1, 2, 3)
+        SELECT d.doc_id AS media_id, img.w, img.h, img.px_sum,
+          md5(d.text) AS caption_md5
+        FROM documents d JOIN img ON img.doc_id = d.doc_id""")),
+
     // ----- WebDataset STREAMING export -> batch import parity -------------
     // The continuous-curation landing path: the same (key, jpg, txt)
     // corpus as mm_wds_export_import, but exported by the STREAMING
