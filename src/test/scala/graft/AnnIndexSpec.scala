@@ -84,7 +84,7 @@ class AnnIndexSpec extends AnyFunSuite {
       val delivery = spark.read
         .parquet("/root/testdata/sf0.01/embeddings.parquet")
         .orderBy("vec_id") // deterministic: limit without order depends on scan order
-        .limit(50).selectExpr("vec_id + 1000000 AS vec_id", "embedding")
+        .limit(50).selectExpr("vec_id + 100000 AS vec_id", "embedding")
       delivery.write.mode("append").parquet(d + "/embeddings.parquet")
       sim.clearMemos()
       val appended = runIvfpq(d)
@@ -108,9 +108,10 @@ class AnnIndexSpec extends AnyFunSuite {
       val ann = pairs("sim_ann_ivfpq")
       val recall = ann.intersect(exact).size.toDouble / exact.size
       info(s"post-append IVF-PQ recall@5 = $recall")
-      // the appended id 1000000 is a query (% 50 == 0): its exact
-      // neighbors must be found through the frozen-model codes
-      val qApp = exact.filter(_._1 == 1000000L)
+      // the appended id 100000 is a query (% 50 == 0 and inside the
+      // round-13 constant query-id cap, QueryIdCap = 102400): its
+      // exact neighbors must be found through the frozen-model codes
+      val qApp = exact.filter(_._1 == 100000L)
       assert(qApp.nonEmpty, "the appended query must be in the exact set")
       assert(qApp.count(ann) >= 4,
         "an appended query's neighbors must be retrievable (>= 4 of 5)")
