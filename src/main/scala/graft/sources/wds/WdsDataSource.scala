@@ -30,10 +30,14 @@ import graft.sources.pcap.SerializableHadoopConf
   * column must be BINARY, and each non-null binary cell becomes the
   * entry `<key>.<columnName>`. Keys must not contain '.' or '/' (the
   * WebDataset first-dot convention reserves them — a dotted key would
-  * not round-trip). One shard per task, streamed row-by-row through
-  * [[TarCodec.writeEntry]] (constant memory per task — shard size is
-  * controlled by the usual repartition before the write, exactly how
-  * WebDataset exports distribute). Shard names carry the write job's
+  * not round-trip). One shard per task by default — shard size
+  * controlled by the usual repartition before the write — or rolled
+  * at `maxCount` samples / `maxSize` tar bytes per shard (WebDataset
+  * ShardWriter's own knobs: sequence-suffixed names, a sample never
+  * splits across shards, and ALL of a task's shards stay
+  * `.inprogress` until task commit). Rows stream through
+  * [[TarCodec.writeEntry]] with constant memory per task.
+  * Shard names carry the write job's
   * query id (`shard-<job>-<partition>-<task>.tar`), so appends from
   * DIFFERENT sessions can never silently collide with prior shards —
   * a rename onto an existing name throws instead of replacing. Task
@@ -263,37 +267,18 @@ class WdsReaderFactory(conf: SerializableHadoopConf, schema: StructType,
       maxEntryBytes)
 }
 
-/** Streaming tar walk over the shards of one task: headers are read
-  * and checksum-verified one at a time directly off the (possibly
-  * codec-wrapped) input stream; entry payloads materialize ONLY when
-  * the pruned schema asks for `data`, otherwise they are skipped in
-  * place — constant memory per task regardless of shard size (the
-  * whole-shard buffering this replaced peaked at ~2× shard size). */
-class WdsPartitionReader(files: Seq[String], conf: Configuration,
-    schema: StructType, maxEntryBytes: Long)
-  extends PartitionReader[InternalRow] {
-
-  private val needData = schema.fieldNames.contains("data")
-  private val hdr = new Array[Byte](512)
-  private var trash: Array[Byte] = _
-  private var fileIdx = 0
-  private var in: java.io.InputStream = _
-  private var shardName: String = _
-  private var curKey: String = _
-  private var curExt: String = _
-  private var curData: Array[Byte] = _
-  private var entriesLocal = 0L
-  private var skippedLocal = 0L
-
-  private def openCurrent(): Unit = {
-    val path = new Path(files(fileIdx))
-    shardName = path.getName
+/** Open a (possibly codec-compressed) shard as a stream: `.tar.zst`
+  * via zstd-jni's streaming decoder (Hadoop's ZStandardCodec needs
+  * the native libhadoop build most clusters don't ship),
+  * `.tar.gz`/`.tgz`/`.tar.bz2` via the Hadoop codec factory, plain
+  * `.tar` raw — buffered either way (the walk issues many 512-byte
+  * header reads). */
+object WdsShardOpener {
+  def open(conf: Configuration, pathStr: String): java.io.InputStream = {
+    val path = new Path(pathStr)
     val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
-    val lower = shardName.toLowerCase(java.util.Locale.ROOT)
-    // .tar.zst via zstd-jni's streaming decoder (Hadoop's ZStandardCodec
-    // needs the native libhadoop build most clusters don't ship);
-    // .tar.gz/.tgz/.tar.bz2 via the Hadoop codec factory; plain .tar raw
+    val lower = path.getName.toLowerCase(java.util.Locale.ROOT)
     val decoded =
       if (lower.endsWith(".zst") || lower.endsWith(".zstd") ||
           lower.endsWith(".tzst"))
@@ -301,8 +286,28 @@ class WdsPartitionReader(files: Seq[String], conf: Configuration,
       else Option(new CompressionCodecFactory(conf).getCodec(path))
         .map(_.createInputStream(raw): java.io.InputStream)
         .getOrElse(raw: java.io.InputStream)
-    in = new java.io.BufferedInputStream(decoded, 1 << 20)
+    new java.io.BufferedInputStream(decoded, 1 << 20)
   }
+}
+
+/** Streaming ustar walk over one open shard stream: headers are read
+  * and checksum-verified one at a time; entry payloads materialize
+  * ONLY when `needData`, otherwise they are skipped in place —
+  * constant memory regardless of shard size. Shared by the batch
+  * [[WdsPartitionReader]] and the continuous-ingestion
+  * [[graft.streaming.WdsStream]] (one walk, one set of guards).
+  * Header validation (ustar magic + checksum) matches
+  * [[TarCodec.decode]] so corrupt shards reject identically. */
+final class WdsTarWalk(in: java.io.InputStream, shardName: String,
+    needData: Boolean, maxEntryBytes: Long) {
+
+  private val hdr = new Array[Byte](512)
+  private var trash: Array[Byte] = _
+  var key: String = _
+  var ext: String = _
+  var data: Array[Byte] = _
+  var entriesRead = 0L
+  var payloadBytesSkipped = 0L
 
   private def readFully(buf: Array[Byte], len: Int): Unit = {
     var off = 0
@@ -330,10 +335,8 @@ class WdsPartitionReader(files: Seq[String], conf: Configuration,
     }
   }
 
-  /** Advance to the next entry of the OPEN shard; false at its end
-    * marker. Header validation (ustar magic + checksum) matches
-    * [[TarCodec.decode]] so corrupt shards reject identically. */
-  private def nextEntryInShard(): Boolean = {
+  /** Advance to the next entry; false at the shard's end marker. */
+  def next(): Boolean = {
     readFully(hdr, 512)
     if (hdr(0) == 0) {
       // end marker: two zero blocks
@@ -366,29 +369,50 @@ class WdsPartitionReader(files: Seq[String], conf: Configuration,
         "(raise the option for jumbo entries)")
     val padded = ((size + 511) / 512) * 512
     if (needData) {
-      curData = new Array[Byte](size.toInt)
-      readFully(curData, size.toInt)
+      data = new Array[Byte](size.toInt)
+      readFully(data, size.toInt)
       skipFully(padded - size)
     } else {
       skipFully(padded)
-      skippedLocal += size
+      payloadBytesSkipped += size
     }
     val (k, e) = WdsTable.splitKeyExt(name)
-    curKey = k
-    curExt = e
-    entriesLocal += 1
+    key = k
+    ext = e
+    entriesRead += 1
     true
   }
+}
+
+/** Per-task reader: the streaming walk over each bin-packed shard —
+  * constant memory per task regardless of shard size (the whole-shard
+  * buffering this replaced peaked at ~2× shard size). */
+class WdsPartitionReader(files: Seq[String], conf: Configuration,
+    schema: StructType, maxEntryBytes: Long)
+  extends PartitionReader[InternalRow] {
+
+  private val needData = schema.fieldNames.contains("data")
+  private var fileIdx = 0
+  private var in: java.io.InputStream = _
+  private var walk: WdsTarWalk = _
+  private var shardName: String = _
+  private var entriesLocal = 0L
+  private var skippedLocal = 0L
 
   override def next(): Boolean = {
     while (true) {
       if (in == null) {
         if (fileIdx >= files.length) return false
-        openCurrent()
+        shardName = new Path(files(fileIdx)).getName
+        in = WdsShardOpener.open(conf, files(fileIdx))
+        walk = new WdsTarWalk(in, shardName, needData, maxEntryBytes)
       }
-      if (nextEntryInShard()) return true
+      if (walk.next()) return true
+      entriesLocal += walk.entriesRead
+      skippedLocal += walk.payloadBytesSkipped
       in.close()
       in = null
+      walk = null
       fileIdx += 1
     }
     false
@@ -397,25 +421,31 @@ class WdsPartitionReader(files: Seq[String], conf: Configuration,
   override def get(): InternalRow =
     InternalRow.fromSeq(schema.fieldNames.toSeq.map {
       case "shard" => UTF8String.fromString(shardName)
-      case "key" => UTF8String.fromString(curKey)
-      case "ext" => UTF8String.fromString(curExt)
-      case "data" => curData
+      case "key" => UTF8String.fromString(walk.key)
+      case "ext" => UTF8String.fromString(walk.ext)
+      case "data" => walk.data
     })
+
+  private def totalEntries: Long =
+    entriesLocal + (if (walk != null) walk.entriesRead else 0L)
+  private def totalSkipped: Long =
+    skippedLocal + (if (walk != null) walk.payloadBytesSkipped else 0L)
 
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     new CustomTaskMetric {
       override def name(): String = "entriesRead"
-      override def value(): Long = entriesLocal
+      override def value(): Long = totalEntries
     },
     new CustomTaskMetric {
       override def name(): String = "payloadBytesSkipped"
-      override def value(): Long = skippedLocal
+      override def value(): Long = totalSkipped
     })
 
   override def close(): Unit = {
+    WdsReadStats.entriesRead.add(totalEntries)
+    WdsReadStats.payloadBytesSkipped.add(totalSkipped)
     if (in != null) { in.close(); in = null }
-    WdsReadStats.entriesRead.add(entriesLocal)
-    WdsReadStats.payloadBytesSkipped.add(skippedLocal)
+    walk = null
     entriesLocal = 0
     skippedLocal = 0
   }
@@ -440,6 +470,13 @@ class WdsWriteBuilder(options: CaseInsensitiveStringMap,
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = new Write {
+    // WebDataset ShardWriter's rolling knobs: samples per shard and
+    // (approximate, pre-compression) tar bytes per shard; unset = one
+    // shard per task, size controlled by the upstream repartition
+    private def rollCaps: (Long, Long) = (
+      options.getLong("maxCount", Long.MaxValue),
+      options.getLong("maxSize", Long.MaxValue))
+
     private def validated: (String, Int, Seq[(String, Int)], String) = {
       val schema = info.schema()
       val keyIdx = schema.fieldNames.indexOf("key")
@@ -470,7 +507,9 @@ class WdsWriteBuilder(options: CaseInsensitiveStringMap,
 
     override def toBatch: BatchWrite = {
       val (dir, keyIdx, binCols, jobTag) = validated
-      new WdsBatchWrite(dir, keyIdx, binCols, truncateFirst, jobTag)
+      val (maxCount, maxSize) = rollCaps
+      new WdsBatchWrite(dir, keyIdx, binCols, truncateFirst, jobTag,
+        maxCount, maxSize)
     }
 
     override def toStreaming: StreamingWrite = {
@@ -478,13 +517,15 @@ class WdsWriteBuilder(options: CaseInsensitiveStringMap,
         "wds streaming sink is append-only (complete/truncate modes " +
           "would rewrite every prior epoch's shards)")
       val (dir, keyIdx, binCols, jobTag) = validated
-      new WdsStreamingWrite(dir, keyIdx, binCols, jobTag)
+      val (maxCount, maxSize) = rollCaps
+      new WdsStreamingWrite(dir, keyIdx, binCols, jobTag, maxCount, maxSize)
     }
   }
 }
 
 class WdsBatchWrite(dir: String, keyIdx: Int,
-    binCols: Seq[(String, Int)], truncateFirst: Boolean, jobTag: String)
+    binCols: Seq[(String, Int)], truncateFirst: Boolean, jobTag: String,
+    maxCount: Long, maxSize: Long)
   extends BatchWrite {
 
   private val conf = new SerializableHadoopConf(
@@ -492,17 +533,18 @@ class WdsBatchWrite(dir: String, keyIdx: Int,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new WdsDataWriterFactory(dir, keyIdx, binCols, conf, jobTag)
+    new WdsDataWriterFactory(dir, keyIdx, binCols, conf, jobTag,
+      maxCount, maxSize)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (truncateFirst) {
-      // overwrite semantics: once every task's shard is committed,
+      // overwrite semantics: once every task's shards are committed,
       // drop the data-shard survivors of previous writes (files not in
       // THIS write's commit messages); '_'-prefixed markers — which
       // the reader skips too — are preserved
       val mine = messages.collect {
-        case WdsWriteCommitted(p, _) => new Path(p).getName
-      }.toSet
+        case WdsWriteCommitted(ps, _) => ps.map(new Path(_).getName)
+      }.flatten.toSet
       val dp = new Path(dir)
       val fs = dp.getFileSystem(conf.value)
       if (fs.exists(dp))
@@ -519,13 +561,15 @@ class WdsBatchWrite(dir: String, keyIdx: Int,
 
 class WdsDataWriterFactory(dir: String, keyIdx: Int,
     binCols: Seq[(String, Int)], conf: SerializableHadoopConf,
-    jobTag: String) extends DataWriterFactory {
+    jobTag: String, maxCount: Long, maxSize: Long)
+  extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new WdsShardWriter(dir,
-      f"shard-$jobTag-$partitionId%05d-$taskId.tar",
-      keyIdx, binCols, conf.value, replaceOnCommit = false)
+      f"shard-$jobTag-$partitionId%05d-$taskId",
+      keyIdx, binCols, conf.value, replaceOnCommit = false,
+      maxCount, maxSize)
 }
 
 // ---------------------------------------------------------- streaming sink
@@ -538,14 +582,16 @@ class WdsDataWriterFactory(dir: String, keyIdx: Int,
   * partial tar; a crashed epoch's already-committed shards are
   * replaced in place when the epoch re-runs. */
 class WdsStreamingWrite(dir: String, keyIdx: Int,
-    binCols: Seq[(String, Int)], jobTag: String) extends StreamingWrite {
+    binCols: Seq[(String, Int)], jobTag: String,
+    maxCount: Long, maxSize: Long) extends StreamingWrite {
 
   private val conf = new SerializableHadoopConf(
     SparkSession.active.sessionState.newHadoopConf())
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new WdsStreamingWriterFactory(dir, keyIdx, binCols, conf, jobTag)
+    new WdsStreamingWriterFactory(dir, keyIdx, binCols, conf, jobTag,
+      maxCount, maxSize)
 
   // shard visibility is per-task atomic rename; the streaming engine's
   // offset log plus the idempotent epoch-keyed names provide
@@ -558,45 +604,97 @@ class WdsStreamingWrite(dir: String, keyIdx: Int,
 
 class WdsStreamingWriterFactory(dir: String, keyIdx: Int,
     binCols: Seq[(String, Int)], conf: SerializableHadoopConf,
-    jobTag: String) extends StreamingDataWriterFactory {
+    jobTag: String, maxCount: Long, maxSize: Long)
+  extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
     new WdsShardWriter(dir,
-      f"shard-$jobTag-e$epochId%06d-p$partitionId%05d.tar",
-      keyIdx, binCols, conf.value, replaceOnCommit = true)
+      f"shard-$jobTag-e$epochId%06d-p$partitionId%05d",
+      keyIdx, binCols, conf.value, replaceOnCommit = true,
+      maxCount, maxSize)
 }
 
-/** One tar shard, streamed row-by-row (constant memory; shard size is
-  * bounded by the repartition before the write). `replaceOnCommit`
+/** The tar shard(s) of one task, streamed row-by-row (constant
+  * memory). By default one shard per task; with `maxCount` (samples
+  * per shard) or `maxSize` (tar bytes per shard) set, the writer
+  * ROLLS to a new sequence-suffixed shard when a cap would be
+  * exceeded — WebDataset's own ShardWriter knobs, so shard size is
+  * controlled at the sink instead of by the upstream repartition. A
+  * sample's entries never split across shards (rolling decides at row
+  * granularity — the WebDataset grouping contract). All rolled shards
+  * stay `.inprogress` until TASK COMMIT, then rename in sequence —
+  * an aborted task leaves nothing visible. `replaceOnCommit`
   * distinguishes the batch contract (same-named shard = a DIFFERENT
   * job's data -> throw, never silently replace) from the streaming
   * one (same-named shard = this query's own epoch replay -> replace
   * idempotently). */
-class WdsShardWriter(dir: String, fileName: String, keyIdx: Int,
+class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
     binCols: Seq[(String, Int)], conf: Configuration,
-    replaceOnCommit: Boolean) extends DataWriter[InternalRow] {
+    replaceOnCommit: Boolean,
+    maxCount: Long = Long.MaxValue,
+    maxSize: Long = Long.MaxValue) extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(conf)
-  private val finalPath = new Path(dir, fileName)
-  private val tmpPath = new Path(dir, s".$fileName.inprogress")
+  // seq 0 keeps the plain name (the common no-roll case reads exactly
+  // as before); rolled shards append -s00001, -s00002, ...
+  private def nameFor(seq: Int): String =
+    if (seq == 0) s"$baseName.tar" else f"$baseName-s$seq%05d.tar"
+  private var seq = 0
   private var out: java.io.OutputStream = _
+  private var curName: String = _
+  private var samplesInShard = 0L
+  private var bytesInShard = 0L
+  private val closed = Seq.newBuilder[String] // names awaiting rename
   private var rows = 0L
 
-  private def ensureOpen(): Unit =
-    if (out == null) out = fs.create(tmpPath, true)
+  private def tmpOf(name: String) = new Path(dir, s".$name.inprogress")
+  private def finalOf(name: String) = new Path(dir, name)
+
+  private def openNext(): Unit = {
+    curName = nameFor(seq)
+    seq += 1
+    out = fs.create(tmpOf(curName), true)
+    samplesInShard = 0
+    bytesInShard = 0
+  }
+
+  private def ensureOpen(): Unit = if (out == null) openNext()
+
+  private def closeCurrent(): Unit = {
+    TarCodec.endArchive(out)
+    out.close()
+    out = null
+    closed += curName
+  }
 
   override def write(row: InternalRow): Unit = {
-    ensureOpen()
     val key = row.getUTF8String(keyIdx).toString
     if (key.indexOf('.') >= 0 || key.indexOf('/') >= 0)
       throw new IllegalArgumentException(
         s"wds key must not contain '.' or '/' (the WebDataset first-dot " +
           s"convention reserves them): $key")
+    // tar footprint of this sample: 512-byte header + padded payload
+    // per non-null entry (known before writing — the roll decision is
+    // made BEFORE the sample starts, so samples never split)
+    var sz = 0L
+    binCols.foreach { case (_, i) =>
+      if (!row.isNullAt(i))
+        sz += 512L + ((row.getBinary(i).length + 511L) / 512L) * 512L
+    }
+    ensureOpen()
+    if (samplesInShard > 0 &&
+        (samplesInShard + 1 > maxCount ||
+         bytesInShard + sz + 1024 > maxSize)) {
+      closeCurrent()
+      openNext()
+    }
     binCols.foreach { case (name, i) =>
       if (!row.isNullAt(i))
         TarCodec.writeEntry(out, s"$key.$name", row.getBinary(i))
     }
+    samplesInShard += 1
+    bytesInShard += sz
     rows += 1
   }
 
@@ -604,28 +702,32 @@ class WdsShardWriter(dir: String, fileName: String, keyIdx: Int,
     // an empty task still commits a valid (entry-less) shard so the
     // file count equals the task count deterministically
     ensureOpen()
-    TarCodec.endArchive(out)
-    out.close()
-    out = null
-    if (fs.exists(finalPath)) {
-      if (replaceOnCommit) fs.delete(finalPath, false)
-      else throw new java.io.IOException(
-        s"wds shard already exists: $finalPath — shard names are unique " +
-          "per write job, so this is another job's data; refusing to " +
-          "replace it")
+    closeCurrent()
+    val names = closed.result()
+    val paths = names.map { name =>
+      val fin = finalOf(name)
+      if (fs.exists(fin)) {
+        if (replaceOnCommit) fs.delete(fin, false)
+        else throw new java.io.IOException(
+          s"wds shard already exists: $fin — shard names are unique " +
+            "per write job, so this is another job's data; refusing to " +
+            "replace it")
+      }
+      if (!fs.rename(tmpOf(name), fin))
+        throw new java.io.IOException(
+          s"rename failed: ${tmpOf(name)} -> $fin")
+      fin.toString
     }
-    if (!fs.rename(tmpPath, finalPath))
-      throw new java.io.IOException(s"rename failed: $tmpPath -> $finalPath")
-    WdsWriteCommitted(finalPath.toString, rows)
+    WdsWriteCommitted(paths, rows)
   }
 
   override def abort(): Unit = {
     if (out != null) { out.close(); out = null }
-    fs.delete(tmpPath, false)
+    (0 until seq).foreach(k => fs.delete(tmpOf(nameFor(k)), false))
   }
 
   override def close(): Unit = ()
 }
 
-case class WdsWriteCommitted(path: String, rows: Long)
+case class WdsWriteCommitted(paths: Seq[String], rows: Long)
   extends WriterCommitMessage

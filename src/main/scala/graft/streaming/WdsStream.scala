@@ -10,38 +10,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * whole files (the `wds` sink's atomic renames guarantee a landed
   * shard is complete), so Spark's built-in binaryFile file source
   * already provides the admission log, backpressure, and exactly-once
-  * across checkpoint restarts — the codec is a stateless per-file
-  * flatMap through the same checksum-verifying [[graft.operators
-  * .Multimodal.TarCodec]] the batch `wds` scan uses. Compose the
-  * built-in source; don't re-implement it.
+  * across checkpoint restarts. Compose the built-in source; don't
+  * re-implement it. The admission scan projects ONLY `path` — shard
+  * bytes never ride through the file source — and each admitted shard
+  * is then walked by the same streaming
+  * [[graft.sources.wds.WdsTarWalk]] the batch scan uses (round 13:
+  * previously the stream inherited binaryFile's whole-file `content`,
+  * the one place left that buffered a shard on the heap; now both
+  * paths are the one constant-memory walk with the one set of
+  * checksum guards).
   *
   * Scale shape: one task per landed shard per micro-batch, constant
-  * state (none beyond the file-source log), downstream screens join
-  * stream-static exactly like the image/text delivery screens.
+  * state (none beyond the file-source log), per-task memory = one
+  * entry, downstream screens join stream-static exactly like the
+  * image/text delivery screens.
   */
 object WdsStream {
 
   def entries(s: SparkSession, landingDir: String): DataFrame = {
     import s.implicits._
     // the binaryFile format's fixed schema (file streams require it
-    // declared up front)
+    // declared up front); only `path` is selected, so the source's
+    // column pruning never materializes file contents
     val schema = new org.apache.spark.sql.types.StructType()
       .add("path", org.apache.spark.sql.types.StringType)
       .add("modificationTime", org.apache.spark.sql.types.TimestampType)
       .add("length", org.apache.spark.sql.types.LongType)
       .add("content", org.apache.spark.sql.types.BinaryType)
+    val conf = new graft.sources.pcap.SerializableHadoopConf(
+      s.sessionState.newHadoopConf())
     s.readStream.format("binaryFile")
       .option("pathGlobFilter", "*.tar")
       .schema(schema)
       .load(landingDir)
-      .select($"path", $"content").as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
+      .select($"path").as[String]
+      .flatMap { path =>
         val shard = path.substring(path.lastIndexOf('/') + 1)
-        graft.operators.Multimodal.TarCodec.decode(bytes).map {
-          case (name, data) =>
-            // first-dot split, shared with the batch wds scan
-            val (key, ext) = graft.sources.wds.WdsTable.splitKeyExt(name)
-            (shard, key, ext, data)
+        val in = graft.sources.wds.WdsShardOpener.open(conf.value, path)
+        val walk = new graft.sources.wds.WdsTarWalk(in, shard,
+          needData = true, maxEntryBytes = 1L << 30)
+        new Iterator[(String, String, String, Array[Byte])] {
+          private var has = walk.next()
+          if (!has) in.close()
+          override def hasNext: Boolean = has
+          override def next(): (String, String, String, Array[Byte]) = {
+            val row = (shard, walk.key, walk.ext, walk.data)
+            has = walk.next()
+            if (!has) in.close()
+            row
+          }
         }
       }
       .toDF("shard", "key", "ext", "data")

@@ -308,6 +308,51 @@ class WdsSourceSpec extends AnyFunSuite {
       .select("key").distinct().count() == 2)
   }
 
+  test("shard rolling: maxCount/maxSize split a task's output into " +
+      "sequence-suffixed shards, samples never split, atomic at commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wds_roll").toString
+    (0 until 50).map { i =>
+      (f"k$i%03d", Array.tabulate[Byte](100)(k => (i + k).toByte),
+        s"cap $i".getBytes("UTF-8"))
+    }.toDF("key", "img", "txt").coalesce(1)
+      .write.format("wds").option("maxCount", "12")
+      .mode("append").save(dir)
+    val names = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".tar")).map(p => Paths.get(p).getFileName.toString)
+      .sorted
+    assert(names.length == 5, s"50 samples / 12 per shard -> 5 shards: " +
+      names.mkString(","))
+    assert(!names.exists(_.contains("inprogress")))
+    // seq 0 keeps the plain name; rolled shards carry -sNNNNN
+    assert(names.count(_.matches("shard-[0-9a-f]{8}-\\d{5}-\\d+\\.tar")) == 1)
+    assert(names.count(_.matches(
+      "shard-[0-9a-f]{8}-\\d{5}-\\d+-s\\d{5}\\.tar")) == 4)
+    val back = spark.read.format("wds").load(dir)
+    assert(back.count() == 100) // 50 keys x 2 entries
+    // every sample's entries live in ONE shard (the WebDataset
+    // grouping contract), and each shard holds <= 12 samples
+    val perKey = back.groupBy("key")
+      .agg(org.apache.spark.sql.functions.countDistinct("shard").as("ns"))
+      .collect()
+    assert(perKey.length == 50 && perKey.forall(_.getLong(1) == 1L))
+    val perShard = back.select("shard", "key").distinct()
+      .groupBy("shard").count().collect()
+    assert(perShard.forall(_.getLong(1) <= 12))
+    // size-based rolling: tiny maxSize -> one sample per shard
+    val dir2 = Files.createTempDirectory("wds_rollsz").toString
+    (0 until 6).map { i =>
+      (s"k$i", Array.tabulate[Byte](600)(k => (i + k).toByte))
+    }.toDF("key", "img").coalesce(1)
+      .write.format("wds").option("maxSize", "2000")
+      .mode("append").save(dir2)
+    val n2 = Files.list(Paths.get(dir2)).toArray
+      .count(_.toString.endsWith(".tar"))
+    assert(n2 == 6, s"600B+header samples under a 2000B cap must roll " +
+      s"one per shard, got $n2")
+    assert(spark.read.format("wds").load(dir2).count() == 6)
+  }
+
   test("a corrupt shard rejects with a clean error, never misparses") {
     val dir = Files.createTempDirectory("wds_corrupt").toString
     exportSample(dir, n = 5)
