@@ -85,4 +85,31 @@ class PlanLintSpec extends AnyFunSuite {
     // pruned output: exactly the two requested columns reach the scan
     assert(scans.head.output.map(_.name).toSet == Set("dns_qname", "dst_port"))
   }
+
+  test("sim_pca_project's distributed side is a single pruned scan " +
+      "with zero shuffles (the eigensolve is a driver artifact)") {
+    val df = SparkEntry.queries("sim_pca_project")(spark, sf)
+    val nodes = collectNodes(df.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 0,
+      "the projection must be a narrow map")
+    // column pruning reaches the parquet scan: vec_id + embedding only
+    val scan = nodes.filter(n => n.nodeName.contains("Scan") &&
+      n.output.nonEmpty)
+    assert(scan.nonEmpty)
+    assert(scan.head.output.map(_.name).toSet == Set("vec_id", "embedding"),
+      s"scan reads ${scan.head.output.map(_.name).mkString(",")}")
+  }
+
+  test("a wds key/ext listing plans without the data column") {
+    val dir = java.nio.file.Files.createTempDirectory("wds_lint").toString
+    import spark.implicits._
+    Seq(("a", "x".getBytes("UTF-8"))).toDF("key", "txt").coalesce(1)
+      .write.format("wds").mode("append").save(dir)
+    val df = spark.read.format("wds").load(dir).select("key", "ext")
+    val scans = collectNodes(df.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("BatchScan"))
+    assert(scans.nonEmpty)
+    assert(scans.head.output.map(_.name).toSet == Set("key", "ext"),
+      s"scan reads ${scans.head.output.map(_.name).mkString(",")}")
+  }
 }
