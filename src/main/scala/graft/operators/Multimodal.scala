@@ -3770,6 +3770,39 @@ object Multimodal {
           md5(d.text) AS caption_md5
         FROM documents d JOIN img ON img.doc_id = d.doc_id""")),
 
+    // ----- WebDataset metadata-only count (the .widx sidecar path) --------
+    // The lake-triage query: how many entries landed? The sink writes a
+    // `_<shard>.widx` sidecar per shard at task commit, and COUNT(*)
+    // folds the sidecars from the listing alone — a WdsStatsScan that
+    // never opens a shard (plan pinned in WdsSourceSpec + PlanLintSpec;
+    // the oracle pins the VALUE, so a sidecar counting bug cannot hide
+    // behind the fast path). One doc exports as 2 entries (jpg + txt).
+    Q("mm_wds_count_meta",
+      (s, d) => {
+        import s.implicits._
+        val outDir = "/tmp/graft_wds_cnt_" +
+          java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+        Tables.documents(s, d).select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            (id.toString, JpegCodec.encode(id), text.getBytes("UTF-8"))
+          }
+          .toDF("key", "jpg", "txt")
+          .repartition(6)
+          .write.format("wds").mode("append").save(outDir)
+        val counted = s.read.format("wds").load(outDir).groupBy().count()
+        // the whole point is the metadata path: fail loudly if the
+        // plan fell back to a real walk (e.g. a shard lost its sidecar)
+        require(counted.queryExecution.executedPlan.toString
+          .contains("WdsStatsScan"), "expected the sidecar count scan")
+        counted.select($"count".cast("long").as("n_entries"))
+      },
+      Some("SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n_entries " +
+        "FROM documents")),
+
     // ----- WebDataset STREAMING export -> batch import parity -------------
     // The continuous-curation landing path: the same (key, jpg, txt)
     // corpus as mm_wds_export_import, but exported by the STREAMING

@@ -196,12 +196,89 @@ class WdsSkippedBytesMetric extends CustomSumMetric {
 }
 
 class WdsScanBuilder(options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var required: StructType = WdsTable.ReadSchema
+  private var pushedCount: Option[Long] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WdsScan(required, options)
+
+  // ----- metadata-only COUNT(*) (the pcap sidecar discipline) ------------
+  // "How many entries landed?" is the triage query every lake owner
+  // runs; with `_<shard>.widx` sidecars (written by the sink at task
+  // commit) it answers from the listing alone — O(shards), not
+  // O(bytes). Any shard missing a sidecar (foreign tars, hand-built
+  // fixtures) declines and the streaming walk counts for real.
+  // `option("countPushdown","false")` disables.
+  private def sidecarCount(): Option[Long] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val files = WdsTable.listDataFiles(options, conf)
+    if (files.isEmpty) return None
+    var total = 0L
+    files.foreach { st =>
+      WdsIndex.readEntries(
+          st.getPath.getFileSystem(conf), st.getPath) match {
+        case Some(n) => total += n
+        case None => return None
+      }
+    }
+    Some(total)
+  }
+
+  private lazy val sidecarCountMemo: Option[Long] = sidecarCount()
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = pushAggregation(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (!options.getBoolean("countPushdown", true)) return false
+    if (agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.toSeq.length != 1 ||
+        !agg.aggregateExpressions.head.isInstanceOf[CountStar]) return false
+    pushedCount = sidecarCountMemo
+    pushedCount.isDefined
+  }
+
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new WdsStatsScan(n)
+    case None => new WdsScan(required, options)
+  }
+}
+
+/** The metadata-only COUNT(*) scan: one partition, one row, no shard
+  * ever opened. */
+class WdsStatsScan(count: Long) extends Scan with Batch {
+  override def readSchema(): StructType = new StructType()
+    .add("count", org.apache.spark.sql.types.LongType, nullable = false)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"WdsStatsScan(count=$count, fromSidecars=true)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(WdsStatsPartition(count))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WdsStatsReaderFactory
+}
+
+case class WdsStatsPartition(count: Long) extends InputPartition
+
+class WdsStatsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WdsStatsPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = InternalRow(p.count)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class WdsScan(requiredSchema: StructType,
@@ -550,8 +627,13 @@ class WdsBatchWrite(dir: String, keyIdx: Int,
       if (fs.exists(dp))
         fs.listStatus(dp).foreach { st =>
           val n = st.getPath.getName
-          if (st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
-              !mine.contains(n))
+          val staleData = !n.startsWith(".") && !n.startsWith("_") &&
+            !mine.contains(n)
+          // a replaced shard's .widx sidecar goes with it; other
+          // '_'-prefixed markers (_SUCCESS etc.) survive the sweep
+          val staleIdx = WdsIndex.shardOfSidecar(n)
+            .exists(shard => !mine.contains(shard))
+          if (st.isFile && (staleData || staleIdx))
             fs.delete(st.getPath, false)
         }
     }
@@ -615,6 +697,48 @@ class WdsStreamingWriterFactory(dir: String, keyIdx: Int,
       maxCount, maxSize)
 }
 
+/** Per-shard `_<shard>.widx` sidecars (entry + sample counts), the
+  * `.tsidx` discipline applied to WebDataset: written by the sink
+  * AFTER the shard's rename (a reader listing mid-write sees at worst
+  * a shard without stats, never stats for a missing shard), skipped
+  * by the entry listing ('_' prefix), and folded by the scan builder
+  * to answer COUNT(*) from the listing alone — O(shards), not
+  * O(bytes). Any shard without a sidecar declines the pushdown. */
+object WdsIndex {
+  def sidecarPath(shard: Path): Path =
+    new Path(shard.getParent, s"_${shard.getName}.widx")
+
+  def shardOfSidecar(name: String): Option[String] =
+    if (name.startsWith("_") && name.endsWith(".widx"))
+      Some(name.substring(1, name.length - 5))
+    else None
+
+  def write(fs: org.apache.hadoop.fs.FileSystem, shard: Path,
+      entries: Long, samples: Long): Unit = {
+    val out = fs.create(sidecarPath(shard), true)
+    out.write(s"""{"entries":$entries,"samples":$samples}"""
+      .getBytes("US-ASCII"))
+    out.close()
+  }
+
+  private val EntriesRe = """"entries"\s*:\s*(\d+)""".r
+
+  def readEntries(fs: org.apache.hadoop.fs.FileSystem, shard: Path)
+      : Option[Long] =
+    try {
+      val p = sidecarPath(shard)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val buf = new Array[Byte](256)
+        val n = math.max(in.read(buf), 0)
+        in.close()
+        EntriesRe.findFirstMatchIn(new String(buf, 0, n, "US-ASCII"))
+          .map(_.group(1).toLong)
+      }
+    } catch { case _: Exception => None }
+}
+
 /** The tar shard(s) of one task, streamed row-by-row (constant
   * memory). By default one shard per task; with `maxCount` (samples
   * per shard) or `maxSize` (tar bytes per shard) set, the writer
@@ -644,8 +768,10 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
   private var out: java.io.OutputStream = _
   private var curName: String = _
   private var samplesInShard = 0L
+  private var entriesInShard = 0L
   private var bytesInShard = 0L
-  private val closed = Seq.newBuilder[String] // names awaiting rename
+  // (name, entries, samples) awaiting rename at task commit
+  private val closed = Seq.newBuilder[(String, Long, Long)]
   private var rows = 0L
 
   private def tmpOf(name: String) = new Path(dir, s".$name.inprogress")
@@ -656,6 +782,7 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
     seq += 1
     out = fs.create(tmpOf(curName), true)
     samplesInShard = 0
+    entriesInShard = 0
     bytesInShard = 0
   }
 
@@ -665,7 +792,7 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
     TarCodec.endArchive(out)
     out.close()
     out = null
-    closed += curName
+    closed += ((curName, entriesInShard, samplesInShard))
   }
 
   override def write(row: InternalRow): Unit = {
@@ -690,8 +817,10 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
       openNext()
     }
     binCols.foreach { case (name, i) =>
-      if (!row.isNullAt(i))
+      if (!row.isNullAt(i)) {
         TarCodec.writeEntry(out, s"$key.$name", row.getBinary(i))
+        entriesInShard += 1
+      }
     }
     samplesInShard += 1
     bytesInShard += sz
@@ -703,8 +832,7 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
     // file count equals the task count deterministically
     ensureOpen()
     closeCurrent()
-    val names = closed.result()
-    val paths = names.map { name =>
+    val paths = closed.result().map { case (name, entries, samples) =>
       val fin = finalOf(name)
       if (fs.exists(fin)) {
         if (replaceOnCommit) fs.delete(fin, false)
@@ -716,6 +844,11 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
       if (!fs.rename(tmpOf(name), fin))
         throw new java.io.IOException(
           s"rename failed: ${tmpOf(name)} -> $fin")
+      // sidecar AFTER the shard is visible (the .tsidx discipline):
+      // a reader listing mid-write sees at worst a shard without
+      // stats (count pushdown declines), never stats for a missing
+      // shard
+      WdsIndex.write(fs, fin, entries, samples)
       fin.toString
     }
     WdsWriteCommitted(paths, rows)

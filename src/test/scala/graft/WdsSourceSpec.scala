@@ -169,7 +169,9 @@ class WdsSourceSpec extends AnyFunSuite {
     graft.sources.wds.WdsReadStats.entriesRead.reset()
     graft.sources.wds.WdsReadStats.payloadBytesSkipped.reset()
     val listing = spark.read.format("wds").load(dir).select("key", "ext")
-    assert(listing.count() == 50)
+    // collect, not count — a bare count() is answered from the .widx
+    // sidecars without walking at all (its own test below)
+    assert(listing.collect().length == 50)
     assert(graft.sources.wds.WdsReadStats.entriesRead.sum() == 50)
     // every img payload is 10+i bytes, every txt "caption i" — all of
     // them must have been SKIPPED, not read
@@ -361,9 +363,47 @@ class WdsSourceSpec extends AnyFunSuite {
     val bytes = Files.readAllBytes(Paths.get(shard))
     bytes(260) = (bytes(260) ^ 0x55).toByte // inside the first header
     Files.write(Paths.get(shard), bytes)
+    // collect() forces the real walk (a bare count() would answer from
+    // the .widx sidecars and never touch the corrupt bytes)
     val ex = intercept[Exception] {
-      spark.read.format("wds").load(dir).count()
+      spark.read.format("wds").load(dir).select("key", "data").collect()
     }
     assert(ex.getMessage != null)
+  }
+
+  test("COUNT(*) answers from .widx sidecars without walking a shard; " +
+      "a sidecar-less shard or countPushdown=false falls back") {
+    val dir = Files.createTempDirectory("wds_cnt").toString
+    exportSample(dir, n = 15) // 30 entries over 3 shards
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val fast = spark.read.format("wds").load(dir).groupBy().count()
+    assert(planOf(fast).contains("WdsStatsScan"),
+      s"expected metadata count scan in:\n${planOf(fast)}")
+    graft.sources.wds.WdsReadStats.entriesRead.reset()
+    assert(fast.collect().head.getLong(0) == 30)
+    assert(graft.sources.wds.WdsReadStats.entriesRead.sum() == 0,
+      "metadata count must not walk any entries")
+    // parity the slow way
+    val slow = spark.read.format("wds").option("countPushdown", "false")
+      .load(dir).groupBy().count()
+    assert(!planOf(slow).contains("WdsStatsScan"))
+    assert(slow.collect().head.getLong(0) == 30)
+    // a shard without a sidecar (foreign tar) declines the pushdown
+    val foreign = graft.operators.Multimodal.TarCodec.encode(
+      Seq(("x.bin", Array[Byte](1))))
+    Files.write(Paths.get(dir, "foreign.tar"), foreign)
+    val mixed = spark.read.format("wds").load(dir).groupBy().count()
+    assert(!planOf(mixed).contains("WdsStatsScan"))
+    assert(mixed.collect().head.getLong(0) == 31)
+    // overwrite sweeps stale sidecars with their shards: counts stay
+    // consistent after a replace
+    import spark.implicits._
+    Seq(("z", "v".getBytes("UTF-8"))).toDF("key", "txt").coalesce(1)
+      .write.format("wds").mode("overwrite").save(dir)
+    val after = spark.read.format("wds").load(dir).groupBy().count()
+    assert(planOf(after).contains("WdsStatsScan"),
+      "post-overwrite dir must be fully indexed again")
+    assert(after.collect().head.getLong(0) == 1)
   }
 }
