@@ -74,7 +74,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // assignment varies with partitioning; the per-key regrouped
     // result must not), the density screen's cached pair kernel +
     // two label joins, and the SIP per-call conditional rollup
-    "mm_wds_export_import", "sim_density_screen", "pcap_sip_sessions")
+    "mm_wds_export_import", "sim_density_screen", "pcap_sip_sessions",
+    // round 13: the PCA scatter is a mapPartitions + reduce of exact
+    // integer partials (merge order must not leak into components or
+    // projections), and the streaming wds sink twin re-shards per
+    // micro-batch (the per-key regrouped result must not care)
+    "sim_pca_project", "mm_wds_sink_stream_twin")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
