@@ -69,6 +69,7 @@ object Similarity {
   private[graft] def clearMemos(): Unit = {
     pqCbMemo.clear(); ivfpqCentMemo.clear(); ivfpqCbMemo.clear()
     queryBlockMemo.clear(); corpusCountMemo.clear()
+    pcaStatsMemo.clear()
     ivfpqCodesMemo.forEach { (_, df) =>
       if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
     }
