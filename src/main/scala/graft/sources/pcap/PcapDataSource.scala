@@ -91,16 +91,8 @@ class PcapTable(options: CaseInsensitiveStringMap) extends Table
 }
 
 object PcapTable {
-  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
-    val multi = Option(options.get("paths")).map { json =>
-      // minimal JSON string-array parse: ["a","b"]
-      json.trim.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-        .filter(_.nonEmpty)
-    }.getOrElse(Seq.empty)
-    val single = Option(options.get("path")).toSeq
-    (multi ++ single).distinct
-  }
+  def paths(options: CaseInsensitiveStringMap): Seq[String] =
+    graft.sources.PathOptions.paths(options, "pcap")
 
   /** ONE definition of which directory entries are capture data — the
     * batch and streaming listings must agree or a file class admitted

@@ -88,25 +88,8 @@ object WdsTable {
     .add("ext", StringType, nullable = false)
     .add("data", BinaryType, nullable = false)
 
-  private lazy val jsonMapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-
-  def paths(options: CaseInsensitiveStringMap): Seq[String] = {
-    // multi-path loads arrive as a JSON string array ("paths" option);
-    // parse it with a real JSON parser — paths may contain commas or
-    // quotes, which a split-on-comma would corrupt
-    val multi = Option(options.get("paths")).map { json =>
-      val node = try jsonMapper.readTree(json) catch {
-        case e: Exception => throw new IllegalArgumentException(
-          s"wds 'paths' option is not valid JSON: $json", e)
-      }
-      if (!node.isArray) throw new IllegalArgumentException(
-        s"wds 'paths' option must be a JSON array of strings: $json")
-      (0 until node.size).map(node.get(_).asText()).filter(_.nonEmpty)
-    }.getOrElse(Seq.empty)
-    val single = Option(options.get("path")).toSeq
-    (multi ++ single).distinct
-  }
+  def paths(options: CaseInsensitiveStringMap): Seq[String] =
+    graft.sources.PathOptions.paths(options, "wds")
 
   def listDataFiles(options: CaseInsensitiveStringMap,
       conf: Configuration): Seq[FileStatus] = {

@@ -355,6 +355,28 @@ class WdsSourceSpec extends AnyFunSuite {
     assert(spark.read.format("wds").load(dir2).count() == 6)
   }
 
+  test("multi-path load survives a comma in a directory name (the " +
+      "'paths' option is parsed as real JSON, not split on commas)") {
+    val base = Files.createTempDirectory("wds_json")
+    val d1 = Files.createDirectory(base.resolve("part,one")).toString
+    val d2 = Files.createDirectory(base.resolve("two")).toString
+    import spark.implicits._
+    Seq(("a", "1".getBytes("UTF-8"))).toDF("key", "txt").coalesce(1)
+      .write.format("wds").mode("append").save(d1)
+    Seq(("b", "2".getBytes("UTF-8"))).toDF("key", "txt").coalesce(1)
+      .write.format("wds").mode("append").save(d2)
+    val keys = spark.read.format("wds").load(d1, d2)
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(keys == Set("a", "b"))
+    // same discipline on the pcap source (shared PathOptions parser)
+    val p1 = Files.createDirectory(base.resolve("cap,dir"))
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(
+      "src/test/resources/test.pcap"))
+    Files.write(p1.resolve("a.pcap"), bytes)
+    val capPath = p1.resolve("a.pcap").toString
+    assert(spark.read.format("pcap").load(capPath, capPath).count() == 2)
+  }
+
   test("a corrupt shard rejects with a clean error, never misparses") {
     val dir = Files.createTempDirectory("wds_corrupt").toString
     exportSample(dir, n = 5)
