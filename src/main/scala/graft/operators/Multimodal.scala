@@ -3770,6 +3770,39 @@ object Multimodal {
           md5(d.text) AS caption_md5
         FROM documents d JOIN img ON img.doc_id = d.doc_id""")),
 
+    // ----- WebDataset filtered caption scan (entry-filter pushdown) -------
+    // The curation read pattern: pull ONLY the text modality out of an
+    // image+caption lake. The ext='txt' predicate pushes into the tar
+    // walk, so every jpg payload is seek-skipped, never allocated —
+    // the query reads ~1% of the lake's bytes. The oracle re-derives
+    // the captions from documents, so the row matches only if the
+    // filtered walk returns exactly the txt entries byte-identically
+    // (WdsSourceSpec additionally seam-counts the skipped jpg bytes
+    // and pins pushdown-disabled parity).
+    Q("mm_wds_caption_scan",
+      (s, d) => {
+        import s.implicits._
+        val outDir = "/tmp/graft_wds_cap_" +
+          java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+        Tables.documents(s, d).select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            (id.toString, JpegCodec.encode(id), text.getBytes("UTF-8"))
+          }
+          .toDF("key", "jpg", "txt")
+          .repartition(6)
+          .write.format("wds").mode("append").save(outDir)
+        s.read.format("wds").load(outDir)
+          .filter($"ext" === "txt")
+          .select($"key".cast("long").as("media_id"),
+            md5($"data").as("caption_md5"))
+      },
+      Some("SELECT doc_id AS media_id, md5(text) AS caption_md5 " +
+        "FROM documents")),
+
     // ----- WebDataset metadata-only count (the .widx sidecar path) --------
     // The lake-triage query: how many entries landed? The sink writes a
     // `_<shard>.widx` sidecar per shard at task commit, and COUNT(*)

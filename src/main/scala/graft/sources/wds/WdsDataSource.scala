@@ -65,9 +65,13 @@ import graft.sources.pcap.SerializableHadoopConf
   * and the entry payload is either streamed into the row or — when
   * the pruned schema excludes `data` — skipped without materializing
   * (a key/ext listing reads headers only; on a plain `.tar` the skip
-  * is a positional seek past the payload). Constant memory per task,
-  * no shard-size ceiling. Per-scan custom metrics (`entriesRead`,
-  * `payloadBytesSkipped`) surface on the scan node.
+  * is a positional seek past the payload). Simple key/ext predicates
+  * push into the walk too, skipping non-matching payloads (filters
+  * stay residual — a byte-skipping optimization, never a semantic
+  * contract), and a bare COUNT(*) over a sink-written lake answers
+  * from `_<shard>.widx` sidecars without opening a shard. Constant
+  * memory per task, no shard-size ceiling. Per-scan custom metrics
+  * (`entriesRead`, `payloadBytesSkipped`) surface on the scan node.
   */
 class WdsDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "wds"
@@ -178,15 +182,70 @@ class WdsSkippedBytesMetric extends CustomSumMetric {
     "entry payload bytes skipped (data column pruned)"
 }
 
+/** Entry-level predicate pushdown: simple key/ext comparisons are
+  * evaluated DURING the tar walk, so a non-matching entry's payload
+  * is skipped instead of materialized — reading only the captions of
+  * an image+caption lake never allocates a single image byte. All
+  * filters stay residual (Spark re-checks them): the pushdown is a
+  * byte-skipping optimization, never a semantic contract — the pcap
+  * packet-filter discipline. */
+object WdsEntryFilter {
+  import org.apache.spark.sql.sources._
+
+  type Predicate = (String, String) => Boolean
+  val acceptAll: Predicate = (_, _) => true
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => a == "key" || a == "ext"
+    case In(a, vs) => (a == "key" || a == "ext") &&
+      vs.forall(_.isInstanceOf[String])
+    case StringStartsWith(a, _) => a == "key" || a == "ext"
+    case _ => false
+  }
+
+  def compile(filters: Array[Filter]): Predicate = {
+    if (filters.isEmpty) return acceptAll
+    val preds: Seq[Predicate] = filters.toSeq.map {
+      case EqualTo(a, v: String) =>
+        if (a == "key") (k: String, _: String) => k == v
+        else (_: String, e: String) => e == v
+      case In(a, vs) =>
+        val set = vs.map(_.asInstanceOf[String]).toSet
+        if (a == "key") (k: String, _: String) => set(k)
+        else (_: String, e: String) => set(e)
+      case StringStartsWith(a, p) =>
+        if (a == "key") (k: String, _: String) => k.startsWith(p)
+        else (_: String, e: String) => e.startsWith(p)
+      case other => throw new IllegalArgumentException(
+        s"unsupported pushed filter $other")
+    }
+    (k, e) => preds.forall(_(k, e))
+  }
+}
+
 class WdsScanBuilder(options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with SupportsPushDownAggregates {
 
   private var required: StructType = WdsTable.ReadSchema
   private var pushedCount: Option[Long] = None
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    if (options.getBoolean("pushdown", true))
+      pushed = filters.filter(WdsEntryFilter.supported)
+    filters // everything stays post-scan too (residual re-check)
+  }
+
+  override def pushedFilters()
+      : Array[org.apache.spark.sql.sources.Filter] = pushed
 
   // ----- metadata-only COUNT(*) (the pcap sidecar discipline) ------------
   // "How many entries landed?" is the triage query every lake owner
@@ -221,6 +280,10 @@ class WdsScanBuilder(options: CaseInsensitiveStringMap)
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.CountStar
     if (!options.getBoolean("countPushdown", true)) return false
+    // a pushed entry filter means the sidecar totals over-count;
+    // Catalyst normally never offers the aggregate across a Filter
+    // (ours are residual), but guard anyway
+    if (pushed.nonEmpty) return false
     if (agg.groupByExpressions.nonEmpty ||
         agg.aggregateExpressions.toSeq.length != 1 ||
         !agg.aggregateExpressions.head.isInstanceOf[CountStar]) return false
@@ -230,7 +293,7 @@ class WdsScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan = pushedCount match {
     case Some(n) => new WdsStatsScan(n)
-    case None => new WdsScan(required, options)
+    case None => new WdsScan(required, options, pushed)
   }
 }
 
@@ -265,12 +328,15 @@ class WdsStatsReaderFactory extends PartitionReaderFactory {
 }
 
 class WdsScan(requiredSchema: StructType,
-    options: CaseInsensitiveStringMap) extends Scan with Batch {
+    options: CaseInsensitiveStringMap,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
+      Array.empty) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"WdsScan(columns=[${requiredSchema.fieldNames.mkString(",")}])"
+    s"WdsScan(columns=[${requiredSchema.fieldNames.mkString(",")}], " +
+      s"pushedFilters=[${pushedFilters.mkString(",")}])"
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -311,20 +377,23 @@ class WdsScan(requiredSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new WdsReaderFactory(new SerializableHadoopConf(hadoopConf),
       requiredSchema,
-      options.getLong("maxEntryBytes", 1L << 30))
+      options.getLong("maxEntryBytes", 1L << 30),
+      pushedFilters)
 }
 
 /** Shards of one task. Serialized to executors; paths only. */
 case class WdsInputPartition(files: Seq[String]) extends InputPartition
 
 class WdsReaderFactory(conf: SerializableHadoopConf, schema: StructType,
-    maxEntryBytes: Long) extends PartitionReaderFactory {
+    maxEntryBytes: Long,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
+      Array.empty) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new WdsPartitionReader(
       partition.asInstanceOf[WdsInputPartition].files, conf.value, schema,
-      maxEntryBytes)
+      maxEntryBytes, WdsEntryFilter.compile(pushedFilters))
 }
 
 /** Open a (possibly codec-compressed) shard as a stream: `.tar.zst`
@@ -359,7 +428,8 @@ object WdsShardOpener {
   * Header validation (ustar magic + checksum) matches
   * [[TarCodec.decode]] so corrupt shards reject identically. */
 final class WdsTarWalk(in: java.io.InputStream, shardName: String,
-    needData: Boolean, maxEntryBytes: Long) {
+    needData: Boolean, maxEntryBytes: Long,
+    pred: WdsEntryFilter.Predicate = WdsEntryFilter.acceptAll) {
 
   private val hdr = new Array[Byte](512)
   private var trash: Array[Byte] = _
@@ -395,52 +465,63 @@ final class WdsTarWalk(in: java.io.InputStream, shardName: String,
     }
   }
 
-  /** Advance to the next entry; false at the shard's end marker. */
+  /** Advance to the next MATCHING entry; false at the shard's end
+    * marker. Entries rejected by the pushed predicate have their
+    * payloads skipped in place (never materialized), whatever the
+    * schema asked for. */
   def next(): Boolean = {
-    readFully(hdr, 512)
-    if (hdr(0) == 0) {
-      // end marker: two zero blocks
+    while (true) {
       readFully(hdr, 512)
+      if (hdr(0) == 0) {
+        // end marker: two zero blocks
+        readFully(hdr, 512)
+        var i = 0
+        while (i < 512) {
+          require(hdr(i) == 0, s"malformed tar end marker in $shardName")
+          i += 1
+        }
+        return false
+      }
+      require(new String(hdr, 257, 5, "US-ASCII") == "ustar",
+        s"not a ustar header in $shardName")
+      var sum = 0L
       var i = 0
       while (i < 512) {
-        require(hdr(i) == 0, s"malformed tar end marker in $shardName")
+        sum += (if (i >= 148 && i < 156) ' '.toByte else hdr(i)) & 0xFF
         i += 1
       }
-      return false
+      val stored = java.lang.Long.parseLong(
+        new String(hdr, 148, 6, "US-ASCII").trim, 8)
+      require(stored == sum, s"tar checksum mismatch in $shardName")
+      val nameEnd = (0 until 100).find(hdr(_) == 0).getOrElse(100)
+      val name = new String(hdr, 0, nameEnd, "US-ASCII")
+      val sizeStr = new String(hdr, 124, 12, "US-ASCII")
+        .takeWhile(c => c >= '0' && c <= '7')
+      val size = java.lang.Long.parseLong(sizeStr, 8)
+      require(size >= 0 && size <= maxEntryBytes && size <= Int.MaxValue,
+        s"tar entry $name is $size B > maxEntryBytes $maxEntryBytes " +
+          "(raise the option for jumbo entries)")
+      val padded = ((size + 511) / 512) * 512
+      val (k, e) = WdsTable.splitKeyExt(name)
+      if (!pred(k, e)) {
+        skipFully(padded)
+        payloadBytesSkipped += size
+      } else {
+        if (needData) {
+          data = new Array[Byte](size.toInt)
+          readFully(data, size.toInt)
+          skipFully(padded - size)
+        } else {
+          skipFully(padded)
+          payloadBytesSkipped += size
+        }
+        key = k
+        ext = e
+        entriesRead += 1
+        return true
+      }
     }
-    require(new String(hdr, 257, 5, "US-ASCII") == "ustar",
-      s"not a ustar header in $shardName")
-    var sum = 0L
-    var i = 0
-    while (i < 512) {
-      sum += (if (i >= 148 && i < 156) ' '.toByte else hdr(i)) & 0xFF
-      i += 1
-    }
-    val stored = java.lang.Long.parseLong(
-      new String(hdr, 148, 6, "US-ASCII").trim, 8)
-    require(stored == sum, s"tar checksum mismatch in $shardName")
-    val nameEnd = (0 until 100).find(hdr(_) == 0).getOrElse(100)
-    val name = new String(hdr, 0, nameEnd, "US-ASCII")
-    val sizeStr = new String(hdr, 124, 12, "US-ASCII")
-      .takeWhile(c => c >= '0' && c <= '7')
-    val size = java.lang.Long.parseLong(sizeStr, 8)
-    require(size >= 0 && size <= maxEntryBytes && size <= Int.MaxValue,
-      s"tar entry $name is $size B > maxEntryBytes $maxEntryBytes " +
-        "(raise the option for jumbo entries)")
-    val padded = ((size + 511) / 512) * 512
-    if (needData) {
-      data = new Array[Byte](size.toInt)
-      readFully(data, size.toInt)
-      skipFully(padded - size)
-    } else {
-      skipFully(padded)
-      payloadBytesSkipped += size
-    }
-    val (k, e) = WdsTable.splitKeyExt(name)
-    key = k
-    ext = e
-    entriesRead += 1
-    true
+    false
   }
 }
 
@@ -448,7 +529,8 @@ final class WdsTarWalk(in: java.io.InputStream, shardName: String,
   * constant memory per task regardless of shard size (the whole-shard
   * buffering this replaced peaked at ~2× shard size). */
 class WdsPartitionReader(files: Seq[String], conf: Configuration,
-    schema: StructType, maxEntryBytes: Long)
+    schema: StructType, maxEntryBytes: Long,
+    pred: WdsEntryFilter.Predicate = WdsEntryFilter.acceptAll)
   extends PartitionReader[InternalRow] {
 
   private val needData = schema.fieldNames.contains("data")
@@ -465,7 +547,7 @@ class WdsPartitionReader(files: Seq[String], conf: Configuration,
         if (fileIdx >= files.length) return false
         shardName = new Path(files(fileIdx)).getName
         in = WdsShardOpener.open(conf, files(fileIdx))
-        walk = new WdsTarWalk(in, shardName, needData, maxEntryBytes)
+        walk = new WdsTarWalk(in, shardName, needData, maxEntryBytes, pred)
       }
       if (walk.next()) return true
       entriesLocal += walk.entriesRead

@@ -355,6 +355,40 @@ class WdsSourceSpec extends AnyFunSuite {
     assert(spark.read.format("wds").load(dir2).count() == 6)
   }
 
+  test("a pushed ext filter skips non-matching payloads during the " +
+      "walk, even when data is selected; filters stay residual") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wds_filter").toString
+    (0 until 20).map { i =>
+      (i.toString, Array.tabulate[Byte](400)(k => (i + k).toByte),
+        s"cap $i".getBytes("UTF-8"))
+    }.toDF("key", "img", "txt").coalesce(2)
+      .write.format("wds").mode("append").save(dir)
+    graft.sources.wds.WdsReadStats.payloadBytesSkipped.reset()
+    val caps = spark.read.format("wds").load(dir)
+      .filter($"ext" === "txt").select("key", "data")
+    assert(caps.queryExecution.executedPlan.toString
+      .contains("pushedFilters=[EqualTo(ext,txt)"),
+      "the ext filter must reach the scan")
+    val rows = caps.collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1),
+        "UTF-8"))).toMap
+    assert(rows == (0 until 20).map(i => i.toString -> s"cap $i").toMap)
+    // every img payload (400 B x 20) was skipped, never materialized
+    assert(graft.sources.wds.WdsReadStats.payloadBytesSkipped.sum()
+      == 400L * 20)
+    // pushdown-disabled parity
+    val slow = spark.read.format("wds").option("pushdown", "false")
+      .load(dir).filter($"ext" === "txt").select("key", "data").collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1),
+        "UTF-8"))).toMap
+    assert(slow == rows)
+    // the residual re-check keeps semantics for unsupported filters too
+    assert(spark.read.format("wds").load(dir)
+      .filter(org.apache.spark.sql.functions.length($"data") > 100)
+      .count() == 20)
+  }
+
   test("multi-path load survives a comma in a directory name (the " +
       "'paths' option is parsed as real JSON, not split on commas)") {
     val base = Files.createTempDirectory("wds_json")
