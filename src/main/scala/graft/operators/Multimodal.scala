@@ -384,7 +384,67 @@ object Multimodal {
     def littleEndian(id: Long): Boolean = id % 2 == 0
     private val RowsPerStrip = 4
 
-    def encode(id: Long): Array[Byte] = {
+    /** PackBits (TIFF compression 32773): the RLE every scanned-fax
+      * corpus carries. Encoder is greedy run/literal; decoder follows
+      * the spec's signed-count scheme (n >= 0: n+1 literals; -127..-1:
+      * 1-n repeats; -128: noop). */
+    def packBits(raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < raw.length) {
+        // measure the run at i
+        var run = 1
+        while (i + run < raw.length && run < 128 &&
+               raw(i + run) == raw(i)) run += 1
+        if (run >= 3) {
+          out.write(1 - run) // -(run-1)
+          out.write(raw(i))
+          i += run
+        } else {
+          // literal until the next >=3 run (or 128 cap)
+          var lit = run
+          while (i + lit < raw.length && lit < 128 && {
+            var r = 1
+            while (i + lit + r < raw.length && r < 3 &&
+                   raw(i + lit + r) == raw(i + lit)) r += 1
+            r < 3
+          }) lit += 1
+          out.write(lit - 1)
+          out.write(raw, i, lit)
+          i += lit
+        }
+      }
+      out.toByteArray
+    }
+
+    def unpackBits(packed: Array[Byte], want: Int): Array[Byte] = {
+      val out = new Array[Byte](want)
+      var i = 0
+      var o = 0
+      while (i < packed.length && o < want) {
+        val n = packed(i)
+        i += 1
+        if (n >= 0) {
+          require(i + n + 1 <= packed.length && o + n + 1 <= want,
+            "PackBits literal overruns")
+          System.arraycopy(packed, i, out, o, n + 1)
+          i += n + 1
+          o += n + 1
+        } else if (n != -128) {
+          require(i < packed.length && o + (1 - n) <= want,
+            "PackBits run overruns")
+          java.util.Arrays.fill(out, o, o + 1 - n, packed(i))
+          i += 1
+          o += 1 - n
+        } // -128: noop per spec
+      }
+      require(o == want, s"PackBits strip decoded $o of $want bytes")
+      out
+    }
+
+    def encode(id: Long): Array[Byte] = encode(id, packbits = false)
+
+    def encode(id: Long, packbits: Boolean): Array[Byte] = {
       val (w, h) = BmpCodec.dims(id)
       val le = littleEndian(id)
       val out = new java.io.ByteArrayOutputStream()
@@ -404,10 +464,28 @@ object Multimodal {
       val nStrips = (h + RowsPerStrip - 1) / RowsPerStrip
       val stripRows = (0 until nStrips)
         .map(k => math.min(RowsPerStrip, h - k * RowsPerStrip))
-      val stripLens = stripRows.map(_ * w * 3)
-      val stripOffs = stripLens.scanLeft(8L)(_ + _).init
-      val afterPx = 8L + stripLens.sum
-      val bpsOff = afterPx
+      // each strip's raw RGB rows, compressed per strip when packbits
+      // (TIFF compresses strip-by-strip, never across strips)
+      val strips = (0 until nStrips).map { k =>
+        val rows = stripRows(k)
+        val raw = new Array[Byte](rows * w * 3)
+        var i = 0
+        var y = k * RowsPerStrip
+        while (y < k * RowsPerStrip + rows) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = BmpCodec.pixel(id, x, y)
+            raw(i) = r.toByte; raw(i + 1) = g.toByte; raw(i + 2) = b.toByte
+            i += 3
+            x += 1
+          }
+          y += 1
+        }
+        if (packbits) packBits(raw) else raw
+      }
+      val stripLens = strips.map(_.length)
+      val stripOffs = stripLens.map(_.toLong).scanLeft(8L)(_ + _).init
+      val bpsOff = 8L + stripLens.sum
       val soOff = bpsOff + 6
       val sbcOff = soOff + 4L * nStrips
       val ifdOff = sbcOff + 4L * nStrips
@@ -415,17 +493,7 @@ object Multimodal {
       out.write((if (le) "II" else "MM").getBytes("US-ASCII"))
       u16(42)
       u32(ifdOff)
-      // pixel strips (RGB triplets, row-major, top-down)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val (r, g, b) = BmpCodec.pixel(id, x, y)
-          out.write(r); out.write(g); out.write(b)
-          x += 1
-        }
-        y += 1
-      }
+      strips.foreach(out.write)
       // out-of-line values: BitsPerSample [8,8,8], then the strip arrays
       u16(8); u16(8); u16(8)
       stripOffs.foreach(u32)
@@ -441,7 +509,7 @@ object Multimodal {
       entry(256, 4, 1)(u32(w.toLong))            // ImageWidth
       entry(257, 4, 1)(u32(h.toLong))            // ImageLength
       entry(258, 3, 3)(u32(bpsOff))              // BitsPerSample -> offset
-      entry(259, 3, 1)(u16(1))                   // Compression: none
+      entry(259, 3, 1)(u16(if (packbits) 32773 else 1)) // Compression
       entry(262, 3, 1)(u16(2))                   // Photometric: RGB
       entry(273, 4, nStrips.toLong)(u32(soOff))  // StripOffsets
       entry(277, 3, 1)(u16(3))                   // SamplesPerPixel
@@ -511,8 +579,10 @@ object Multimodal {
       val h = one(257, "ImageLength")
       require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
         s"implausible TIFF dims ${w}x$h")
-      require(one(259, "Compression") == 1,
-        "unsupported TIFF compression (baseline uncompressed only)")
+      val compression = one(259, "Compression")
+      require(compression == 1 || compression == 32773,
+        s"unsupported TIFF compression $compression " +
+          "(uncompressed and PackBits only)")
       require(one(262, "Photometric") == 2, "TIFF must be RGB")
       require(one(277, "SamplesPerPixel") == 3, "TIFF must be 3-sample")
       require(values(258) == Seq(8L, 8L, 8L), "TIFF must be 8-bit/sample")
@@ -531,13 +601,21 @@ object Multimodal {
       while (strip < offs.length) {
         val rows = math.min(rps, h - row)
         val want = rows * w * 3
-        require(lens(strip) == want,
-          s"TIFF strip $strip is ${lens(strip)} B, want $want")
         val off = offs(strip)
-        require(off >= 0 && off + want <= bytes.length,
+        val len = lens(strip)
+        require(off >= 0 && len >= 0 && off + len <= bytes.length,
           "TIFF strip out of bounds")
-        System.arraycopy(bytes, off.toInt, px, (row * w * 3).toInt,
-          want.toInt)
+        if (compression == 32773) {
+          val packed = java.util.Arrays.copyOfRange(
+            bytes, off.toInt, (off + len).toInt)
+          System.arraycopy(unpackBits(packed, want.toInt), 0, px,
+            (row * w * 3).toInt, want.toInt)
+        } else {
+          require(len == want,
+            s"TIFF strip $strip is $len B, want $want")
+          System.arraycopy(bytes, off.toInt, px, (row * w * 3).toInt,
+            want.toInt)
+        }
         row += rows
         strip += 1
       }
@@ -3972,15 +4050,17 @@ object Multimodal {
         WHERE doc_id % 3 = 0
         GROUP BY 1, 2, 3, 4""")),
 
-    // ----- TIFF decode (uncompressed strips, both byte orders) ------------
+    // ----- TIFF decode (strips, both byte orders, PackBits) ---------------
     // The scanned-document-corpus container, in depth: every image is a
     // MULTI-strip baseline-RGB TIFF (RowsPerStrip 4 over h in 12..18,
-    // so 3-5 strips each), byte order flipping with id parity (II/MM),
+    // so 3-5 strips each), byte order flipping with id parity (II/MM)
+    // and compression alternating none/PackBits on a second parity,
     // decoded through the magic-byte seam. The oracle knows only the
-    // pixel formula and the parity rule — the row matches only if the
+    // pixel formula and the parity rules — the row matches only if the
     // IFD walk (inline vs out-of-line values, SHORT vs LONG types,
-    // both endiannesses) and the strip reassembly are all right.
-    // Scale: narrow per-row decode, image bytes never shuffle.
+    // both endiannesses), the per-strip RLE, and the strip reassembly
+    // are all right. Scale: narrow per-row decode, image bytes never
+    // shuffle.
     Q("mm_decode_tiff",
       (s, d) => {
         import s.implicits._
@@ -3988,16 +4068,20 @@ object Multimodal {
           .select($"doc_id").as[Long]
         imgs.mapPartitions { it =>
           it.map { id =>
-            val bytes = TiffCodec.encode(id)
+            val pb = (id / 2) % 2 == 0
+            val bytes = TiffCodec.encode(id, packbits = pb)
             require(sniffKind(bytes) == "tiff", "missniffed TIFF")
             val img = TiffCodec.decode(bytes)
             (id, if (TiffCodec.littleEndian(id)) "II" else "MM",
+              if (pb) "packbits" else "none",
               img.w, img.h, weightedPxSum(img))
           }
-        }.toDF("media_id", "byte_order", "w", "h", "px_sum")
+        }.toDF("media_id", "byte_order", "compression", "w", "h", "px_sum")
       },
       Some("""SELECT doc_id AS media_id,
           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+          CASE WHEN (doc_id // 2) % 2 = 0 THEN 'packbits' ELSE 'none' END
+            AS compression,
           CAST(16 + doc_id % 13 AS INT) AS w,
           CAST(12 + doc_id % 7 AS INT) AS h,
           CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256
@@ -4009,7 +4093,7 @@ object Multimodal {
           LATERAL (SELECT unnest(generate_series(0,
             CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
         WHERE doc_id % 3 = 2
-        GROUP BY 1, 2, 3, 4""")),
+        GROUP BY 1, 2, 3, 4, 5""")),
 
     // ----- audio QC: silence / clipping screen ---------------------------
     // The audio-curation gate a speech/ASR corpus runs before paying for

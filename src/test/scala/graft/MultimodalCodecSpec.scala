@@ -457,6 +457,44 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("PackBits TIFF round-trips, parses under ImageIO, and the RLE " +
+      "survives random buffers") {
+    import graft.operators.Multimodal.TiffCodec
+    for (id <- Seq(0L, 3L, 42L, 255L)) {
+      val ours = TiffCodec.encode(id, packbits = true)
+      // smaller than raw for the formula's smooth rows? not guaranteed —
+      // just require it decodes identically to the uncompressed form
+      val img = TiffCodec.decode(ours)
+      val plain = TiffCodec.decode(TiffCodec.encode(id, packbits = false))
+      assert(img.w == plain.w && img.h == plain.h &&
+        img.px.toSeq == plain.px.toSeq, s"packbits mismatch id=$id")
+      // the JDK's independent TIFF reader decodes our PackBits too
+      val javaImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ours))
+      assert(javaImg != null, s"ImageIO rejected packbits TIFF id=$id")
+      for { y <- 0 until img.h; x <- 0 until img.w } {
+        val rgb = javaImg.getRGB(x, y)
+        assert((rgb >> 16 & 0xFF, rgb >> 8 & 0xFF, rgb & 0xFF) ==
+          BmpCodec.pixel(id, x, y), s"ImageIO packbits id=$id ($x,$y)")
+      }
+    }
+    // RLE property: encode/decode round-trips arbitrary byte runs
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val raw = new Array[Byte](rnd.nextInt(600) + 1)
+      var i = 0
+      while (i < raw.length) {
+        // runs of random length so both literal and repeat paths fire
+        val v = rnd.nextInt(4).toByte
+        val run = math.min(rnd.nextInt(200) + 1, raw.length - i)
+        java.util.Arrays.fill(raw, i, i + run, v)
+        i += run
+      }
+      val back = TiffCodec.unpackBits(TiffCodec.packBits(raw), raw.length)
+      assert(back.toSeq == raw.toSeq)
+    }
+  }
+
   test("TIFF rejects malformed input, not misparses") {
     import graft.operators.Multimodal.TiffCodec
     val good = TiffCodec.encode(6L)
