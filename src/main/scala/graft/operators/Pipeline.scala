@@ -348,6 +348,56 @@ object Pipeline {
             AS BIGINT) AS kept_doc_id_sum
         FROM k GROUP BY 1, 2""")),
 
+    // ----- temperature-sampled mixture weights -----------------------------
+    // The multilingual-LM sampling rule (the p_l ∝ c_l^α upweighting
+    // that keeps low-resource languages from vanishing at natural
+    // frequency; α = 0.5 here): per language, the natural share and
+    // the temperature share in floor parts-per-million, plus the
+    // integer boost ratio. Natural shares are pure integer division;
+    // the temperature path needs Σ√c, which follows the kappa/basket
+    // precedent — per-lang counts collapse to O(langs) rows, sort into
+    // a list, and the √ terms fold SEQUENTIALLY in lang order (sqrt of
+    // an integer-valued double is correctly rounded IEEE, so every
+    // term and the fold are bit-identical cross-engine). Scale: one
+    // tiny lang-keyed agg with map-side partials + one broadcast of
+    // the scalar totals — zero wide shuffles.
+    Q("pipeline_mix_temperature",
+      (s, d) => {
+        import s.implicits._
+        val counts = Tables.documents(s, d).groupBy($"lang")
+          .agg(count(lit(1)).as("n"))
+        val tot = counts
+          .agg(sort_array(collect_list(struct($"lang", $"n"))).as("m"))
+          .select(
+            expr("""aggregate(m, CAST(0.0 AS DOUBLE),
+              (acc, x) -> acc + sqrt(CAST(x.n AS DOUBLE)))""").as("z"),
+            expr("aggregate(m, 0L, (acc, x) -> acc + x.n)").as("n_total"))
+        counts.crossJoin(broadcast(tot))
+          .select($"lang", $"n".as("n_docs"),
+            expr("(n * 1000000L) DIV n_total").as("natural_ppm"),
+            expr("""CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0 / z)
+              AS BIGINT)""").as("temp_ppm"))
+          .withColumn("boost_ppm",
+            expr("(temp_ppm * 1000000L) DIV greatest(natural_ppm, 1L)"))
+      },
+      Some("""WITH c AS (
+          SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        tot AS (
+          SELECT list_sum([SQRT(CAST(x.n AS DOUBLE)) FOR x IN m]) AS z,
+            CAST(list_sum([x.n FOR x IN m]) AS BIGINT) AS n_total
+          FROM (SELECT list_sort(list({'lang': lang, 'n': n})) AS m
+                FROM c)),
+        shares AS (
+          SELECT lang, n AS n_docs,
+            CAST((n * 1000000) // n_total AS BIGINT) AS natural_ppm,
+            CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000.0 / z)
+              AS BIGINT) AS temp_ppm
+          FROM c, tot)
+        SELECT lang, n_docs, natural_ppm, temp_ppm,
+          CAST((temp_ppm * 1000000) // GREATEST(natural_ppm, 1)
+            AS BIGINT) AS boost_ppm
+        FROM shares""")),
+
     // ----- snapshot diff (incremental re-crawl reconciliation) ------------
     // The "what changed since the last corpus version" primitive behind
     // incremental pipelines: full outer join of two snapshots on doc_id,

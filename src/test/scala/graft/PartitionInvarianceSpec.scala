@@ -79,7 +79,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // integer partials (merge order must not leak into components or
     // projections), and the streaming wds sink twin re-shards per
     // micro-batch (the per-key regrouped result must not care)
-    "sim_pca_project", "mm_wds_sink_stream_twin")
+    "sim_pca_project", "mm_wds_sink_stream_twin",
+    // round 13 second wave: the √-share fold over the lang-sorted
+    // list (the sequential double fold must not depend on how the
+    // tiny per-lang counts were merged)
+    "pipeline_mix_temperature")
 
   private def run(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
