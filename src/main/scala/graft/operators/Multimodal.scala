@@ -4095,6 +4095,75 @@ object Multimodal {
         WHERE doc_id % 3 = 2
         GROUP BY 1, 2, 3, 4, 5""")),
 
+    // ----- VAD-style speech segmentation ----------------------------------
+    // The ASR-curation segmenter: cut each clip into maximal runs of
+    // energetic frames (2 ms frames, frame active iff mean|s| ≥ half
+    // scale — integer cross-multiplied, no float ratio), the energy
+    // analogue of gaps-and-islands. The fixture's pseudo-noise PCM
+    // alternates loud/quiet frames, so every clip yields 2-4 genuine
+    // segments. Spark side runs the detector imperatively per decoded
+    // clip (the modality pattern — audio bytes never shuffle); the
+    // oracle re-derives samples from the synthesis formula and finds
+    // the SAME islands with a row_number-difference grouping, so a
+    // frame boundary or threshold slip mismatches. Full frames only
+    // (the tail partial frame is dropped on both sides). O(clips)
+    // small output rows.
+    Q("mm_audio_vad_segments",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
+          .select($"doc_id").as[Long]
+        ids.flatMap { id =>
+          val a = WavCodec.decode(WavCodec.encode(id))
+          val flen = a.sampleRate / 500 // 2 ms
+          val nf = a.samples.length / flen
+          val active = Array.tabulate(nf) { f =>
+            var e = 0L
+            var i = f * flen
+            while (i < (f + 1) * flen) {
+              e += math.abs(a.samples(i).toInt); i += 1
+            }
+            2 * e >= 32768L * flen
+          }
+          val segs = Seq.newBuilder[(Long, Int, Int, Int, Int)]
+          var f = 0
+          var segIdx = 0
+          while (f < nf) {
+            if (active(f)) {
+              val start = f
+              while (f < nf && active(f)) f += 1
+              segIdx += 1
+              segs += ((id, segIdx, start, f - 1, f - start))
+            } else f += 1
+          }
+          segs.result()
+        }.toDF("media_id", "seg_idx", "start_frame", "end_frame",
+          "n_frames")
+      },
+      Some("""WITH par AS (
+          SELECT doc_id AS id,
+            (8000 + (doc_id % 3) * 4000) // 500 AS flen,
+            200 + (doc_id % 57) AS n
+          FROM documents WHERE doc_id % 3 = 1),
+        fe AS (
+          SELECT id, i // flen AS f, flen,
+            SUM(ABS(((id * 31 + i * i * 7) % 65536) - 32768)) AS e
+          FROM par, LATERAL (SELECT unnest(generate_series(0,
+            CAST((n // flen) * flen AS INT) - 1)) AS i) ii
+          GROUP BY 1, 2, 3),
+        act AS (SELECT id, f FROM fe WHERE 2 * e >= 32768 * flen),
+        isl AS (
+          SELECT id, f,
+            f - ROW_NUMBER() OVER (PARTITION BY id ORDER BY f) AS grp
+          FROM act)
+        SELECT id AS media_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY id ORDER BY MIN(f))
+            AS INT) AS seg_idx,
+          CAST(MIN(f) AS INT) AS start_frame,
+          CAST(MAX(f) AS INT) AS end_frame,
+          CAST(COUNT(*) AS INT) AS n_frames
+        FROM isl GROUP BY id, grp""")),
+
     // ----- audio QC: silence / clipping screen ---------------------------
     // The audio-curation gate a speech/ASR corpus runs before paying for
     // transcription or training: clips that are mostly silence carry no
