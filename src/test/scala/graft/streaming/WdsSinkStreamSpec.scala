@@ -109,6 +109,40 @@ class WdsSinkStreamSpec extends AnyFunSuite {
       "replayed epoch must rewrite the same shard, not duplicate")
   }
 
+  test("rolling composes with the streaming sink: epoch shards roll at " +
+      "maxCount with sequence-suffixed names, and a restart does not " +
+      "duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = Files.createTempDirectory("wds_roll_stream_out").toString
+    val ckpt = Files.createTempDirectory("wds_roll_stream_ckpt").toString
+    val in = MemoryStream[(String, Array[Byte])]
+    def start() = in.toDF().toDF("key", "txt")
+      .writeStream.format("wds")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .option("maxCount", "2")
+      .outputMode("append").start()
+    val q = start()
+    try {
+      in.addData((0 until 7).map(i =>
+        (s"k$i", s"v$i".getBytes("UTF-8"))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val names = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.endsWith(".tar")).map(p => Paths.get(p).getFileName.toString)
+    // 7 samples over the epoch's partitions at <= 2 per shard: at
+    // least one partition rolled (a -sNNNNN suffix exists), none stay
+    // inprogress, and the entry set is exact
+    assert(names.exists(_.matches(
+      "shard-[0-9a-f]{8}-e\\d{6}-p\\d{5}-s\\d{5}\\.tar")),
+      s"expected rolled epoch shards: ${names.mkString(",")}")
+    assert(readBack(out).map(_._1) == (0 until 7).map(i => s"k$i").toSet)
+    // restart: nothing re-emits
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readBack(out).size == 7)
+  }
+
   test("streaming truncate/complete modes are rejected (append-only sink)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
