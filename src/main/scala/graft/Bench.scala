@@ -71,8 +71,11 @@ object Bench {
         // round 13: the PCA memo holds the scatter stats — left warm,
         // reps would time the projection only instead of the one-pass
         // stats sweep + driver eigensolve the number is meant to own
+        // (targeted: a full clearMemos would also drop the query block
+        // and unpersist the IVF-PQ codes of any similarity query
+        // benched after this one)
         if (name.startsWith("sim_pca"))
-          graft.operators.Similarity.clearMemos()
+          graft.operators.Similarity.clearPcaMemo()
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir).count()

@@ -481,7 +481,20 @@ object Multimodal {
           }
           y += 1
         }
-        if (packbits) packBits(raw) else raw
+        if (packbits) {
+          // TIFF 6.0 mandates PackBits per ROW (a run must not cross a
+          // row boundary), so strict row-at-a-time decoders stay happy;
+          // the concatenated per-row streams decode identically under
+          // a whole-strip unpack
+          val o = new java.io.ByteArrayOutputStream()
+          var r2 = 0
+          while (r2 < rows) {
+            o.write(packBits(java.util.Arrays.copyOfRange(
+              raw, r2 * w * 3, (r2 + 1) * w * 3)))
+            r2 += 1
+          }
+          o.toByteArray
+        } else raw
       }
       val stripLens = strips.map(_.length)
       val stripOffs = stripLens.map(_.toLong).scanLeft(8L)(_ + _).init
@@ -579,6 +592,13 @@ object Multimodal {
       val h = one(257, "ImageLength")
       require(w > 0 && h > 0 && w <= 65535 && h <= 65535,
         s"implausible TIFF dims ${w}x$h")
+      // decompression-bomb guard (the PNG inflate-guard discipline):
+      // a ~200-byte header can declare dims whose pixel buffer is
+      // gigabytes — and w*h*3 at the per-dim cap overflows Int. Bound
+      // the TOTAL before any allocation; untrusted lake bytes reach
+      // this parser through the sniffKind seam.
+      require(w * h <= (1L << 26),
+        s"TIFF pixel count ${w}x$h exceeds the 64M-pixel decode bound")
       val compression = one(259, "Compression")
       require(compression == 1 || compression == 32773,
         s"unsupported TIFF compression $compression " +
@@ -3944,11 +3964,16 @@ object Multimodal {
           }
           .toDF("key", "jpg", "txt")
         src.repartition(4).write.parquet(stage)
-        val q = s.readStream.schema(src.schema).parquet(stage)
+        // maxFilesPerTrigger is a FILE-SOURCE option — it must sit on
+        // the reader (on the writer it would go to the wds sink, which
+        // ignores it, collapsing the export into one epoch and gutting
+        // the multi-epoch property this twin exists to verify)
+        val q = s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage)
           .writeStream.format("wds")
           .option("path", outDir)
           .option("checkpointLocation", ckpt)
-          .option("maxFilesPerTrigger", "1")
           .outputMode("append")
           .start()
         try q.processAllAvailable() finally q.stop()

@@ -709,6 +709,11 @@ object Similarity {
   private val pcaStatsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Array[Long], Array[Long])]()
 
+  /** Targeted reset for bench reps (the clearSpanMemo/clearRelMemos
+    * pattern): drops ONLY the PCA scatter memo, leaving the query
+    * block and the persisted IVF-PQ codes cache alone. */
+  private[graft] def clearPcaMemo(): Unit = pcaStatsMemo.clear()
+
   private def pcaStats(s: SparkSession, d: String)
       : (Long, Array[Long], Array[Long]) =
     pcaStatsMemo.computeIfAbsent(d, _ => {

@@ -837,6 +837,12 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
   private var bytesInShard = 0L
   // (name, entries, samples) awaiting rename at task commit
   private val closed = Seq.newBuilder[(String, Long, Long)]
+  // shards already renamed by a commit() in progress: a mid-commit
+  // failure aborts the task, and abort() must remove these too or a
+  // retried task (new task id -> new names) would duplicate their
+  // samples in the lake — the multi-shard analogue of the one-rename
+  // atomicity the no-roll writer gets for free
+  private val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
   private var rows = 0L
 
   private def tmpOf(name: String) = new Path(dir, s".$name.inprogress")
@@ -861,11 +867,14 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
   }
 
   override def write(row: InternalRow): Unit = {
+    if (row.isNullAt(keyIdx))
+      throw new IllegalArgumentException("wds key must not be null")
     val key = row.getUTF8String(keyIdx).toString
-    if (key.indexOf('.') >= 0 || key.indexOf('/') >= 0)
+    if (key.isEmpty || key.indexOf('.') >= 0 || key.indexOf('/') >= 0)
       throw new IllegalArgumentException(
-        s"wds key must not contain '.' or '/' (the WebDataset first-dot " +
-          s"convention reserves them): $key")
+        "wds key must be non-empty and contain no '.' or '/' (the " +
+          s"WebDataset first-dot convention cannot round-trip them): " +
+          s"'$key'")
     // tar footprint of this sample: 512-byte header + padded payload
     // per non-null entry (known before writing — the roll decision is
     // made BEFORE the sample starts, so samples never split)
@@ -909,6 +918,7 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
       if (!fs.rename(tmpOf(name), fin))
         throw new java.io.IOException(
           s"rename failed: ${tmpOf(name)} -> $fin")
+      renamed += fin
       // sidecar AFTER the shard is visible (the .tsidx discipline):
       // a reader listing mid-write sees at worst a shard without
       // stats (count pushdown declines), never stats for a missing
@@ -922,6 +932,15 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
   override def abort(): Unit = {
     if (out != null) { out.close(); out = null }
     (0 until seq).foreach(k => fs.delete(tmpOf(nameFor(k)), false))
+    // a failure INSIDE commit() (rename k of n threw) aborts the task
+    // after some shards already renamed — remove them (and their
+    // sidecars) so the retried task, which writes DIFFERENT names,
+    // cannot leave duplicated samples behind
+    renamed.foreach { fin =>
+      fs.delete(WdsIndex.sidecarPath(fin), false)
+      fs.delete(fin, false)
+    }
+    renamed.clear()
   }
 
   override def close(): Unit = ()

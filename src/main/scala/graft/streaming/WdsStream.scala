@@ -47,6 +47,14 @@ object WdsStream {
       .flatMap { path =>
         val shard = path.substring(path.lastIndexOf('/') + 1)
         val in = graft.sources.wds.WdsShardOpener.open(conf.value, path)
+        // a flatMap iterator has no close() hook, so a corrupt shard
+        // (walk throws) or an unconsumed iterator (a limit upstream)
+        // would leak the open FS stream — the task-completion listener
+        // is the close the batch reader gets from PartitionReader
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: Exception => () })
         val walk = new graft.sources.wds.WdsTarWalk(in, shard,
           needData = true, maxEntryBytes = 1L << 30)
         new Iterator[(String, String, String, Array[Byte])] {

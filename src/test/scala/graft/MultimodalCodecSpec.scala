@@ -495,6 +495,24 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF decompression-bomb headers reject before allocating") {
+    import graft.operators.Multimodal.TiffCodec
+    // a hand-built 46-byte little-endian TIFF declaring 25000x25000:
+    // each dim passes the per-dim cap, but the total would be a
+    // 1.9 GB pixel buffer — the bound must fire before any allocation
+    val o = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+    def u32(v: Long): Unit = { u16((v & 0xFFFF).toInt)
+      u16(((v >> 16) & 0xFFFF).toInt) }
+    o.write('I'); o.write('I'); u16(42); u32(8)
+    u16(2) // two IFD entries
+    u16(256); u16(4); u32(1); u32(25000L) // ImageWidth
+    u16(257); u16(4); u32(1); u32(25000L) // ImageLength
+    u32(0)
+    val ex = intercept[Exception] { TiffCodec.decode(o.toByteArray) }
+    assert(ex.getMessage.contains("64M-pixel"), ex.getMessage)
+  }
+
   test("TIFF rejects malformed input, not misparses") {
     import graft.operators.Multimodal.TiffCodec
     val good = TiffCodec.encode(6L)

@@ -91,6 +91,12 @@ class WdsSourceSpec extends AnyFunSuite {
       Seq(("k", "not-binary")).toDF("key", "txt").write.format("wds")
         .mode("append").save(dir)
     }
+    // empty and dotted keys cannot round-trip the first-dot split
+    intercept[Exception] {
+      Seq(("", "x".getBytes("UTF-8"))).toDF("key", "txt").coalesce(1)
+        .write.format("wds").mode("append")
+        .save(Files.createTempDirectory("wds_emptykey").toString)
+    }
     // null cell: entry omitted
     val dir2 = Files.createTempDirectory("wds_null").toString
     Seq(("a", "x".getBytes("UTF-8"), null: Array[Byte]),
@@ -470,6 +476,32 @@ class WdsSourceSpec extends AnyFunSuite {
     }
     // the checksum makes nearly all header mutations detectable
     assert(rejected > 250, s"only $rejected/300 rejected")
+  }
+
+  test("a mid-commit rename failure aborts cleanly: already-renamed " +
+      "shards (and sidecars) are removed, so a task retry cannot " +
+      "duplicate samples") {
+    val dir = Files.createTempDirectory("wds_midfail").toString
+    val conf = spark.sessionState.newHadoopConf()
+    // the SECOND rolled shard's final name already exists (another
+    // job's data) -> commit renames shard 1, then throws on shard 2
+    Files.write(Paths.get(dir, "shard-test-00000-1-s00001.tar"),
+      "other job".getBytes("UTF-8"))
+    val w = new graft.sources.wds.WdsShardWriter(dir,
+      "shard-test-00000-1", 0, Seq(("txt", 1)), conf,
+      replaceOnCommit = false, maxCount = 1)
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.InternalRow
+    (0 until 3).foreach { i =>
+      w.write(InternalRow(UTF8String.fromString(s"k$i"),
+        s"v$i".getBytes("UTF-8")))
+    }
+    intercept[java.io.IOException] { w.commit() }
+    w.abort() // what Spark does after a failed commit
+    val left = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .map(p => Paths.get(p).getFileName.toString).sorted
+    assert(left.toSeq == Seq("shard-test-00000-1-s00001.tar"),
+      s"only the foreign file may survive the abort: ${left.mkString(",")}")
   }
 
   test("a corrupt shard rejects with a clean error, never misparses") {
