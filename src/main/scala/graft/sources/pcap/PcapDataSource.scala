@@ -356,9 +356,10 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
       case _ => files
     }
 
-  /** Whole-file partitions, bin-packed to maxPartitionBytes (greedy
-    * first-fit decreasing). A file larger than the target gets its own
-    * partition — pcap is not byte-range splittable. */
+  /** Whole-file partitions, bin-packed to maxPartitionBytes
+    * (best-fit decreasing via [[graft.sources.BinPack]] — O(n log n)
+    * planning, million-file-lake safe). A file larger than the target
+    * gets its own partition — pcap is not byte-range splittable. */
   override def planInputPartitions(): Array[InputPartition] = {
     // source option override, e.g. .option("maxBytesPerPartition", "16m"),
     // for decode-bound workloads where smaller tasks beat fewer tasks
@@ -367,21 +368,8 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
       .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
     val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
     val files = pruneByTs(listFiles()).map(f => f.getPath.toString -> f.getLen)
-      .sortBy(-_._2)
-    val bins = scala.collection.mutable.ArrayBuffer.empty[
-      (scala.collection.mutable.ArrayBuffer[(String, Long)], Long)]
-    files.foreach { case (p, len) =>
-      val cost = len + openCost
-      bins.indexWhere(_._2 + cost <= maxBytes) match {
-        case -1 =>
-          bins += ((scala.collection.mutable.ArrayBuffer(p -> len), cost))
-        case i =>
-          bins(i)._1 += (p -> len)
-          bins(i) = (bins(i)._1, bins(i)._2 + cost)
-      }
-    }
-    bins.map(b => PcapInputPartition(b._1.toSeq.map(_._1)): InputPartition)
-      .toArray
+    graft.sources.BinPack.pack(files, maxBytes, openCost)
+      .map(b => PcapInputPartition(b): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -349,29 +349,20 @@ class WdsScan(requiredSchema: StructType,
 
   /** Whole-shard units (tar has no splittable framing: no central
     * directory, sizes only in per-entry headers), bin-packed to
-    * maxPartitionBytes by greedy first-fit decreasing — the pcap
-    * discipline: a lake of many small shards plans into balanced
-    * tasks; a shard larger than the target gets its own task. */
+    * maxPartitionBytes by best-fit decreasing
+    * ([[graft.sources.BinPack]], O(n log n) — million-shard-lake
+    * safe) — the pcap discipline: a lake of many small shards plans
+    * into balanced tasks; a shard larger than the target gets its own
+    * task. */
   override def planInputPartitions(): Array[InputPartition] = {
     val maxBytes = Option(options.get("maxBytesPerPartition"))
       .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
       .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
     val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
     val files = WdsTable.listDataFiles(options, hadoopConf)
-      .map(f => f.getPath.toString -> f.getLen).sortBy(-_._2)
-    val bins = scala.collection.mutable.ArrayBuffer.empty[
-      (scala.collection.mutable.ArrayBuffer[String], Long)]
-    files.foreach { case (p, len) =>
-      val cost = len + openCost
-      bins.indexWhere(_._2 + cost <= maxBytes) match {
-        case -1 =>
-          bins += ((scala.collection.mutable.ArrayBuffer(p), cost))
-        case i =>
-          bins(i)._1 += p
-          bins(i) = (bins(i)._1, bins(i)._2 + cost)
-      }
-    }
-    bins.map(b => WdsInputPartition(b._1.toSeq): InputPartition).toArray
+      .map(f => f.getPath.toString -> f.getLen)
+    graft.sources.BinPack.pack(files, maxBytes, openCost)
+      .map(b => WdsInputPartition(b): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -494,7 +485,15 @@ final class WdsTarWalk(in: java.io.InputStream, shardName: String,
         new String(hdr, 148, 6, "US-ASCII").trim, 8)
       require(stored == sum, s"tar checksum mismatch in $shardName")
       val nameEnd = (0 until 100).find(hdr(_) == 0).getOrElse(100)
-      val name = new String(hdr, 0, nameEnd, "US-ASCII")
+      var name = new String(hdr, 0, nameEnd, "US-ASCII")
+      // POSIX ustar (version "00") stores the directory part of
+      // >100-char paths in the prefix field at 345; GNU tar (version
+      // " \0") reuses those bytes for atime/ctime, so gate on version
+      // or a foreign GNU shard's long paths would grow garbage prefixes
+      if (hdr(263) == '0' && hdr(264) == '0' && hdr(345) != 0) {
+        val pEnd = (345 until 500).find(hdr(_) == 0).getOrElse(500)
+        name = new String(hdr, 345, pEnd - 345, "US-ASCII") + "/" + name
+      }
       val sizeStr = new String(hdr, 124, 12, "US-ASCII")
         .takeWhile(c => c >= '0' && c <= '7')
       val size = java.lang.Long.parseLong(sizeStr, 8)
@@ -502,6 +501,16 @@ final class WdsTarWalk(in: java.io.InputStream, shardName: String,
         s"tar entry $name is $size B > maxEntryBytes $maxEntryBytes " +
           "(raise the option for jumbo entries)")
       val padded = ((size + 511) / 512) * 512
+      // only regular files become sample entries: foreign shards carry
+      // directory entries ('5'), PAX extended headers ('x'/'g'), GNU
+      // longname/longlink blocks ('L'/'K'), symlinks ('2') — none of
+      // those is sample data, and parsing one as (key, ext, data)
+      // would silently corrupt keys. Skip the entry AND its payload.
+      val typeflag = hdr(156)
+      if (typeflag != '0' && typeflag != 0) {
+        skipFully(padded)
+        payloadBytesSkipped += size
+      } else {
       val (k, e) = WdsTable.splitKeyExt(name)
       if (!pred(k, e)) {
         skipFully(padded)
@@ -519,6 +528,7 @@ final class WdsTarWalk(in: java.io.InputStream, shardName: String,
         ext = e
         entriesRead += 1
         return true
+      }
       }
     }
     false
@@ -756,10 +766,15 @@ class WdsStreamingWriterFactory(dir: String, keyIdx: Int,
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
+    // FINAL names are (job, epoch, partition) — no task id — for
+    // idempotent epoch replay; the TMP path carries the task id so a
+    // speculative or zombie attempt of the same partition can never
+    // interleave bytes into the attempt the commit coordinator picks
+    // (the batch path gets this for free by keeping taskId in names)
     new WdsShardWriter(dir,
       f"shard-$jobTag-e$epochId%06d-p$partitionId%05d",
       keyIdx, binCols, conf.value, replaceOnCommit = true,
-      maxCount, maxSize)
+      maxCount, maxSize, tmpTag = s".t$taskId")
 }
 
 /** Per-shard `_<shard>.widx` sidecars (entry + sample counts), the
@@ -822,7 +837,8 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
     binCols: Seq[(String, Int)], conf: Configuration,
     replaceOnCommit: Boolean,
     maxCount: Long = Long.MaxValue,
-    maxSize: Long = Long.MaxValue) extends DataWriter[InternalRow] {
+    maxSize: Long = Long.MaxValue,
+    tmpTag: String = "") extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(conf)
   // seq 0 keeps the plain name (the common no-roll case reads exactly
@@ -845,7 +861,7 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
   private val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
   private var rows = 0L
 
-  private def tmpOf(name: String) = new Path(dir, s".$name.inprogress")
+  private def tmpOf(name: String) = new Path(dir, s".$name$tmpTag.inprogress")
   private def finalOf(name: String) = new Path(dir, name)
 
   private def openNext(): Unit = {
@@ -925,6 +941,25 @@ class WdsShardWriter(dir: String, baseName: String, keyIdx: Int,
       // shard
       WdsIndex.write(fs, fin, entries, samples)
       fin.toString
+    }
+    // epoch-replay idempotence is only exact if the replay rolls into
+    // the SAME number of shards; with maxSize rolling, row order can
+    // differ across a replay, so a replay producing FEWER shards than
+    // a crashed-but-task-committed earlier run would leave the earlier
+    // run's higher -sNNNNN shards in place, duplicating samples —
+    // sweep any same-base shard with a sequence beyond this commit
+    if (replaceOnCommit) {
+      val SeqRe = (java.util.regex.Pattern.quote(baseName) +
+        "-s(\\d{5})\\.tar").r
+      Option(fs.globStatus(new Path(dir, s"$baseName-s*.tar")))
+        .getOrElse(Array.empty).foreach { st =>
+          st.getPath.getName match {
+            case SeqRe(s) if s.toInt >= seq =>
+              fs.delete(WdsIndex.sidecarPath(st.getPath), false)
+              fs.delete(st.getPath, false)
+            case _ => ()
+          }
+        }
     }
     WdsWriteCommitted(paths, rows)
   }

@@ -27,7 +27,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object WdsStream {
 
-  def entries(s: SparkSession, landingDir: String): DataFrame = {
+  /** Default admission glob: everything the batch listing would read —
+    * plain tars plus every codec wrapping [[WdsShardOpener]] decodes.
+    * The r13 default (`*.tar` only) silently ignored compressed shards
+    * the same lake's batch scan would read — a batch/stream asymmetry. */
+  val DefaultShardGlob =
+    "{*.tar,*.tar.gz,*.tgz,*.tar.bz2,*.tar.zst,*.tar.zstd,*.tzst}"
+
+  def entries(s: SparkSession, landingDir: String,
+      shardGlob: String = DefaultShardGlob): DataFrame = {
     import s.implicits._
     // the binaryFile format's fixed schema (file streams require it
     // declared up front); only `path` is selected, so the source's
@@ -40,7 +48,7 @@ object WdsStream {
     val conf = new graft.sources.pcap.SerializableHadoopConf(
       s.sessionState.newHadoopConf())
     s.readStream.format("binaryFile")
-      .option("pathGlobFilter", "*.tar")
+      .option("pathGlobFilter", shardGlob)
       .schema(schema)
       .load(landingDir)
       .select($"path").as[String]

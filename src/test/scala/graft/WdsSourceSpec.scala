@@ -504,6 +504,155 @@ class WdsSourceSpec extends AnyFunSuite {
       s"only the foreign file may survive the abort: ${left.mkString(",")}")
   }
 
+  test("foreign tar shards: PAX/global/dir/longname entries are " +
+      "skipped, and POSIX prefix-split long paths reassemble") {
+    val dir = Files.createTempDirectory("wds_foreign").toString
+    def hdr(name: String, prefix: String, size: Int,
+        typeflag: Byte): Array[Byte] = {
+      val h = new Array[Byte](512)
+      def put(s: String, off: Int): Unit = {
+        val b = s.getBytes("US-ASCII")
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      put(name, 0)
+      put("0000644", 100); put("0000000", 108); put("0000000", 116)
+      put(f"$size%011o", 124)
+      put("00000000000", 136)
+      h(156) = typeflag
+      put("ustar", 257); put("00", 263)
+      put(prefix, 345)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      h.foreach(b => sum += b & 0xFF)
+      put(f"$sum%06o", 148); h(154) = 0; h(155) = ' '
+      h
+    }
+    def padded(data: Array[Byte]): Array[Byte] =
+      java.util.Arrays.copyOf(data, ((data.length + 511) / 512) * 512)
+    val out = new java.io.ByteArrayOutputStream()
+    // a PAX extended header ('x'), a global one ('g'), a directory
+    // ('5'), a GNU longname block ('L') — none is sample data
+    val pax = "27 path=ignored/by/reader\n".getBytes("US-ASCII")
+    out.write(hdr("./PaxHeaders/s1.txt", "", pax.length, 'x'))
+    out.write(padded(pax))
+    out.write(hdr("pax_global_header", "", pax.length, 'g'))
+    out.write(padded(pax))
+    out.write(hdr("some/dir/", "", 0, '5'))
+    out.write(hdr("././@LongLink", "", 8, 'L'))
+    out.write(padded("longname".getBytes("US-ASCII")))
+    // a >100-char path split across prefix+name (POSIX ustar)
+    val p1 = "hello-prefixed".getBytes("US-ASCII")
+    out.write(hdr("s1.txt", "deep/nested/dir", p1.length, '0'))
+    out.write(padded(p1))
+    // a plain regular entry, NUL typeflag (old-style regular file)
+    val p2 = "plain".getBytes("US-ASCII")
+    out.write(hdr("s2.txt", "", p2.length, 0.toByte))
+    out.write(padded(p2))
+    out.write(new Array[Byte](1024)) // end marker
+    Files.write(Paths.get(dir, "foreign.tar"), out.toByteArray)
+    val rows = spark.read.format("wds").load(dir)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2),
+        new String(r.getAs[Array[Byte]](3), "UTF-8"))).toSet
+    assert(rows == Set(
+      ("deep/nested/dir/s1", "txt", "hello-prefixed"),
+      ("s2", "txt", "plain")),
+      s"foreign entries leaked or prefix lost: $rows")
+  }
+
+  test("streaming-writer tmp paths are attempt-unique: a zombie " +
+      "attempt of the same (job, epoch, partition) never interleaves " +
+      "bytes into the committed attempt's tmp file") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = Files.createTempDirectory("wds_zombie").toString
+    val conf = spark.sessionState.newHadoopConf()
+    def writer(task: Long) = new graft.sources.wds.WdsShardWriter(dir,
+      "shard-j-e000001-p00000", 0, Seq(("txt", 1)), conf,
+      replaceOnCommit = true, tmpTag = s".t$task")
+    val a = writer(1)
+    val b = writer(2) // speculative/zombie attempt, interleaved writes
+    a.write(InternalRow(UTF8String.fromString("ka"),
+      "from-a".getBytes("UTF-8")))
+    b.write(InternalRow(UTF8String.fromString("kb"),
+      "from-b".getBytes("UTF-8")))
+    a.commit() // the commit coordinator picked attempt 1
+    b.abort()
+    val got = spark.read.format("wds").load(dir).collect()
+      .map(r => (r.getString(1), new String(r.getAs[Array[Byte]](3),
+        "UTF-8"))).toSet
+    assert(got == Set(("ka", "from-a")),
+      s"zombie bytes reached the committed shard: $got")
+    assert(!Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .exists(_.contains("inprogress")))
+  }
+
+  test("an epoch replay that rolls into FEWER shards sweeps the " +
+      "earlier attempt's higher-sequence shards (no duplicated samples)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = Files.createTempDirectory("wds_shrink").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val base = "shard-j-e000002-p00000"
+    // first (crashed-after-task-commit) attempt: maxCount=1 -> 3 shards
+    val w1 = new graft.sources.wds.WdsShardWriter(dir, base, 0,
+      Seq(("txt", 1)), conf, replaceOnCommit = true, maxCount = 1,
+      tmpTag = ".t1")
+    (0 until 3).foreach(i => w1.write(InternalRow(
+      UTF8String.fromString(s"k$i"), s"v$i".getBytes("UTF-8"))))
+    w1.commit()
+    assert(Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .count(_.endsWith(".tar")) == 3)
+    // the replay packs the same rows into ONE shard (no rolling)
+    val w2 = new graft.sources.wds.WdsShardWriter(dir, base, 0,
+      Seq(("txt", 1)), conf, replaceOnCommit = true, tmpTag = ".t2")
+    (0 until 3).foreach(i => w2.write(InternalRow(
+      UTF8String.fromString(s"k$i"), s"v$i".getBytes("UTF-8"))))
+    w2.commit()
+    val keys = spark.read.format("wds").load(dir).collect()
+      .map(_.getString(1)).sorted.toSeq
+    assert(keys == Seq("k0", "k1", "k2"),
+      s"replay left duplicated samples: $keys")
+    assert(Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .count(_.endsWith(".tar")) == 1)
+  }
+
+  test("the ingestion stream admits compressed shards (the batch/" +
+      "stream glob asymmetry): a gzip shard streams its entries too") {
+    import java.util.zip.GZIPOutputStream
+    val src = Files.createTempDirectory("wds_gzstream_src").toString
+    exportSample(src, n = 10)
+    val land = Files.createTempDirectory("wds_gzstream_land")
+    val shards = Files.list(Paths.get(src)).toArray.map(_.toString)
+      .filter(_.endsWith(".tar")).sorted
+    // first shard lands plain, second lands gzip-compressed
+    Files.copy(Paths.get(shards.head),
+      land.resolve(Paths.get(shards.head).getFileName))
+    val gzName = Paths.get(shards(1)).getFileName.toString + ".gz"
+    val gz = new GZIPOutputStream(
+      Files.newOutputStream(land.resolve(gzName)))
+    gz.write(Files.readAllBytes(Paths.get(shards(1))))
+    gz.close()
+    val query = graft.streaming.WdsStream.entries(spark, land.toString)
+      .writeStream.format("memory").queryName("wds_gz_entries")
+      .option("checkpointLocation",
+        Files.createTempDirectory("wds_gzstream_ckpt").toString)
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(1), r.getString(2),
+          r.getAs[Array[Byte]](3).toSeq)).toSet
+      val got = rowsOf(spark.table("wds_gz_entries"))
+      val want = rowsOf(spark.read.format("wds").load(land.toString))
+      assert(got == want, s"stream/batch sets differ: ${(want -- got).take(2)}")
+      val shards2 = spark.table("wds_gz_entries").select("shard")
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(shards2.exists(_.endsWith(".tar.gz")),
+        s"compressed shard missing from the stream: $shards2")
+    } finally query.stop()
+  }
+
   test("a corrupt shard rejects with a clean error, never misparses") {
     val dir = Files.createTempDirectory("wds_corrupt").toString
     exportSample(dir, n = 5)
