@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Multimodal.defs ++
     operators.MediaDedup.defs ++
     graft.streaming.StreamingQueries.defs ++
-    operators.PcapQueries.defs
+    operators.PcapQueries.defs ++
+    operators.WarcQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

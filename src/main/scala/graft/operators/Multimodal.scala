@@ -89,6 +89,9 @@ object Multimodal {
        (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
         bytes(3) == 42))) "tiff"
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') "ppm"
+    else if (bytes.length >= 12 &&
+      new String(bytes, 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        == "ftyp") "mp4"
     else if (bytes.length >= 12 && riffTag == "WAVE") "wav"
     else "avi"
   }
@@ -442,9 +445,195 @@ object Multimodal {
       out
     }
 
+    // ---- LZW (TIFF 6.0 §13) ---------------------------------------------
+    // The compression real scanned-document corpora actually carry.
+    // MSB-first code packing, ClearCode 256 / EOI 257, and the spec's
+    // "early change": code width grows when the NEXT free entry reaches
+    // 2^width - 1 (511/1023/2047), one code earlier than plain LZW —
+    // the off-by-one that makes or breaks interop with libtiff/ImageIO
+    // (the codec spec cross-checks both against ImageIO pixel-exact).
+
+    def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+      val Clear = 256
+      val Eoi = 257
+      val out = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L
+      var bitCnt = 0
+      var width = 9
+      def put(code: Int): Unit = {
+        bitBuf = (bitBuf << width) | code
+        bitCnt += width
+        while (bitCnt >= 8) {
+          out.write(((bitBuf >> (bitCnt - 8)) & 0xFF).toInt)
+          bitCnt -= 8
+        }
+      }
+      // prefix table: (prefixCode << 8 | byte) -> code
+      var table = new java.util.HashMap[Integer, Integer]
+      var nextCode = 258
+      put(Clear)
+      var prefix = -1
+      var i = 0
+      while (i < raw.length) {
+        val b = raw(i) & 0xFF
+        if (prefix < 0) prefix = b
+        else {
+          val k = Integer.valueOf((prefix << 8) | b)
+          val hit = table.get(k)
+          if (hit != null) prefix = hit.intValue()
+          else {
+            put(prefix)
+            table.put(k, Integer.valueOf(nextCode))
+            nextCode += 1
+            // early change: grow when the next free code hits 2^w —
+            // one code earlier than strictly necessary (an emittable
+            // code still fits w bits until next free passes 2^w), the
+            // libtiff/ImageIO convention
+            if (nextCode == (1 << width) && width < 12) width += 1
+            if (nextCode >= 4094) { // table nearly full: reset
+              put(Clear)
+              table = new java.util.HashMap[Integer, Integer]
+              nextCode = 258
+              width = 9
+            }
+            prefix = b
+          }
+        }
+        i += 1
+      }
+      if (prefix >= 0) put(prefix)
+      put(Eoi)
+      if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+      out.toByteArray
+    }
+
+    def lzwDecode(packed: Array[Byte], want: Int): Array[Byte] = {
+      val Clear = 256
+      val Eoi = 257
+      val out = new Array[Byte](want)
+      var o = 0
+      var bitBuf = 0L
+      var bitCnt = 0
+      var pos = 0
+      var width = 9
+      def next(): Int = {
+        while (bitCnt < width) {
+          require(pos < packed.length, "LZW stream truncated (no EOI)")
+          bitBuf = (bitBuf << 8) | (packed(pos) & 0xFF)
+          pos += 1
+          bitCnt += 8
+        }
+        val c = ((bitBuf >> (bitCnt - width)) & ((1 << width) - 1)).toInt
+        bitCnt -= width
+        c
+      }
+      // table as (prefixCode, lastByte, length); roots are implicit
+      val prefixOf = new Array[Int](4096)
+      val byteOf = new Array[Byte](4096)
+      val lenOf = new Array[Int](4096)
+      var nextCode = 258
+      def emit(code: Int): Byte = {
+        // write the code's string ending at out[o + len - 1]; returns
+        // its FIRST byte (needed for the KwKwK case)
+        var c = code
+        var at = o + lenOf(c)
+        require(at <= want, s"LZW output overruns strip ($at > $want)")
+        o = at
+        while (c >= 258) {
+          at -= 1
+          out(at) = byteOf(c)
+          c = prefixOf(c)
+        }
+        at -= 1
+        out(at) = c.toByte
+        out(at)
+      }
+      // roots: length 1, no prefix
+      java.util.Arrays.fill(lenOf, 0, 256, 1)
+      var old = -1
+      var done = false
+      while (!done) {
+        val code = next()
+        if (code == Eoi) done = true
+        else if (code == Clear) {
+          nextCode = 258
+          width = 9
+          old = -1
+        } else if (old < 0) {
+          require(code < 256, s"LZW first code after Clear is $code")
+          out(o) = code.toByte
+          o += 1
+          old = code
+        } else {
+          require(code <= nextCode, s"LZW code $code beyond table")
+          val firstByte = if (code < nextCode) emit(code)
+          else { // KwKwK: string(old) + first byte of string(old)
+            var c = old
+            while (c >= 258) c = prefixOf(c)
+            val fb = c.toByte
+            prefixOf(nextCode) = old
+            byteOf(nextCode) = fb
+            lenOf(nextCode) = lenOf(old) + 1
+            emit(code) // now defined
+          }
+          if (code < nextCode) {
+            prefixOf(nextCode) = old
+            byteOf(nextCode) = firstByte
+            lenOf(nextCode) = lenOf(old) + 1
+          }
+          nextCode += 1
+          // the decoder's table lags the encoder's by ONE entry (no
+          // entry is added for the first code after Clear), so it
+          // widens at 2^w - 1 — the TIFF 6.0 511/1023/2047 points —
+          // matching the encoder's switch at 2^w
+          if (nextCode == (1 << width) - 1 && width < 12) width += 1
+          require(nextCode <= 4095, "LZW table overflow without Clear")
+          old = code
+        }
+      }
+      require(o == want, s"LZW strip decoded $o of $want bytes")
+      out
+    }
+
+    // ---- Deflate (TIFF compression 8 / legacy 32946) ----------------------
+    // zlib-wrapped per strip — "Adobe deflate", what `tiffcp -c zip`
+    // and scanner toolchains emit.
+
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw)
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+
+    def inflate(packed: Array[Byte], want: Int): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(packed)
+      val out = new Array[Byte](want)
+      var o = 0
+      while (o < want && !inf.finished()) {
+        val n = inf.inflate(out, o, want - o)
+        require(n > 0 || !inf.needsInput,
+          "TIFF deflate strip truncated")
+        o += n
+      }
+      inf.end()
+      require(o == want, s"deflate strip decoded $o of $want bytes")
+      out
+    }
+
     def encode(id: Long): Array[Byte] = encode(id, packbits = false)
 
-    def encode(id: Long, packbits: Boolean): Array[Byte] = {
+    def encode(id: Long, packbits: Boolean): Array[Byte] =
+      encode(id, if (packbits) 32773 else 1)
+
+    /** compression: 1 none, 32773 PackBits, 5 LZW, 8 zlib Deflate. */
+    def encode(id: Long, compression: Int): Array[Byte] = {
+      val packbits = compression == 32773
       val (w, h) = BmpCodec.dims(id)
       val le = littleEndian(id)
       val out = new java.io.ByteArrayOutputStream()
@@ -494,7 +683,9 @@ object Multimodal {
             r2 += 1
           }
           o.toByteArray
-        } else raw
+        } else if (compression == 5) lzwEncode(raw)
+        else if (compression == 8) deflate(raw)
+        else raw
       }
       val stripLens = strips.map(_.length)
       val stripOffs = stripLens.map(_.toLong).scanLeft(8L)(_ + _).init
@@ -522,7 +713,7 @@ object Multimodal {
       entry(256, 4, 1)(u32(w.toLong))            // ImageWidth
       entry(257, 4, 1)(u32(h.toLong))            // ImageLength
       entry(258, 3, 3)(u32(bpsOff))              // BitsPerSample -> offset
-      entry(259, 3, 1)(u16(if (packbits) 32773 else 1)) // Compression
+      entry(259, 3, 1)(u16(compression))         // Compression
       entry(262, 3, 1)(u16(2))                   // Photometric: RGB
       entry(273, 4, nStrips.toLong)(u32(soOff))  // StripOffsets
       entry(277, 3, 1)(u16(3))                   // SamplesPerPixel
@@ -599,10 +790,18 @@ object Multimodal {
       // this parser through the sniffKind seam.
       require(w * h <= (1L << 26),
         s"TIFF pixel count ${w}x$h exceeds the 64M-pixel decode bound")
-      val compression = one(259, "Compression")
-      require(compression == 1 || compression == 32773,
+      val compression = one(259, "Compression") match {
+        case 32946 => 8L // legacy Deflate code, same codec
+        case c => c
+      }
+      require(compression == 1 || compression == 32773 ||
+          compression == 5 || compression == 8,
         s"unsupported TIFF compression $compression " +
-          "(uncompressed and PackBits only)")
+          "(none, PackBits, LZW, Deflate)")
+      // horizontal differencing (predictor 2) is an LZW/Deflate-era
+      // option; the decoder supports only the default
+      require(values(317).forall(_ == 1L),
+        "TIFF predictor must be none (1)")
       require(one(262, "Photometric") == 2, "TIFF must be RGB")
       require(one(277, "SamplesPerPixel") == 3, "TIFF must be 3-sample")
       require(values(258) == Seq(8L, 8L, 8L), "TIFF must be 8-bit/sample")
@@ -625,10 +824,15 @@ object Multimodal {
         val len = lens(strip)
         require(off >= 0 && len >= 0 && off + len <= bytes.length,
           "TIFF strip out of bounds")
-        if (compression == 32773) {
+        if (compression != 1) {
           val packed = java.util.Arrays.copyOfRange(
             bytes, off.toInt, (off + len).toInt)
-          System.arraycopy(unpackBits(packed, want.toInt), 0, px,
+          val strip0 = compression match {
+            case 32773 => unpackBits(packed, want.toInt)
+            case 5 => lzwDecode(packed, want.toInt)
+            case 8 => inflate(packed, want.toInt)
+          }
+          System.arraycopy(strip0, 0, px,
             (row * w * 3).toInt, want.toInt)
         } else {
           require(len == want,
@@ -1551,6 +1755,221 @@ object Multimodal {
       require(total == fs.length,
         s"avih declares $total frames, movi carries ${fs.length}")
       Video(w, h, fs)
+    }
+  }
+
+  /** MP4 / ISO-BMFF (ISO 14496-12) container metadata — HEADER-ONLY:
+    * the box-tree walk real video lakes need for stats/QC (dims, codec
+    * fourcc, duration, track kinds) without any frame decode. The
+    * encoder builds a minimal-but-valid file (ftyp + moov[mvhd +
+    * trak[tkhd + mdia[mdhd + hdlr + minf[stbl[stsd]]]]] + mdat stub)
+    * whose every field is a closed-form function of the id; the
+    * decoder walks boxes generically — size/type framing, 64-bit
+    * largesize, nesting bounded by the ENCLOSING box extent (the AVI
+    * walk discipline), depth and box-count caps as the bomb guard —
+    * and extracts mvhd timescale/duration, per-trak hdlr handler and
+    * stsd first-entry fourcc, video width/height and audio sample
+    * rate from the sample entries. stsd dims are authoritative (tkhd
+    * dims are presentation hints). */
+  object Mp4Codec extends Serializable {
+
+    // fixture formulas (SQL-expressible)
+    def dims(id: Long): (Int, Int) =
+      (320 + (id % 5).toInt * 16, 240 + (id % 3).toInt * 16)
+    def durationMs(id: Long): Long = 1000 + (id % 900) * 10
+    def audioRate(id: Long): Int = if (id % 2 == 0) 48000 else 44100
+    def videoCodec(id: Long): String = (id % 3) match {
+      case 0 => "avc1"; case 1 => "hvc1"; case _ => "mp4v"
+    }
+    def hasTextTrack(id: Long): Boolean = id % 4 == 0
+    def trackCount(id: Long): Int = if (hasTextTrack(id)) 3 else 2
+
+    private def be16(v: Int): Array[Byte] =
+      Array((v >>> 8).toByte, v.toByte)
+    private def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+    private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8L + body.length) ++ cc(typ) ++ body
+    }
+    private def full(typ: String, payload: Array[Byte]*): Array[Byte] =
+      box(typ, (be32(0) +: payload): _*) // version 0, flags 0
+
+    private def mvhd(id: Long): Array[Byte] = full("mvhd",
+      be32(0), be32(0),                  // creation, modification
+      be32(1000), be32(durationMs(id)),  // timescale 1000 -> ms
+      be32(0x00010000L), be16(0x0100), be16(0), be32(0), be32(0),
+      // identity matrix
+      be32(0x00010000L), be32(0), be32(0),
+      be32(0), be32(0x00010000L), be32(0),
+      be32(0), be32(0), be32(0x40000000L),
+      be32(0), be32(0), be32(0), be32(0), be32(0), be32(0),
+      be32(trackCount(id) + 1L))         // next_track_id
+
+    private def tkhd(trackId: Int, w: Int, h: Int): Array[Byte] =
+      box("tkhd", be32(7), // version 0 + flags enabled|in-movie|in-preview
+        be32(0), be32(0), be32(trackId.toLong), be32(0), be32(0),
+        be32(0), be32(0), be16(0), be16(0), be16(0), be16(0),
+        be32(0x00010000L), be32(0), be32(0),
+        be32(0), be32(0x00010000L), be32(0),
+        be32(0), be32(0), be32(0x40000000L),
+        be32(w.toLong << 16), be32(h.toLong << 16)) // 16.16 fixed
+
+    private def mdhd(timescale: Long, duration: Long): Array[Byte] =
+      full("mdhd", be32(0), be32(0), be32(timescale), be32(duration),
+        be16(0x55C4), be16(0)) // language 'und'
+
+    private def hdlr(handler: String): Array[Byte] =
+      full("hdlr", be32(0), cc(handler), be32(0), be32(0), be32(0),
+        Array[Byte](0)) // empty NUL name
+
+    private def videoEntry(fourcc: String, w: Int, h: Int): Array[Byte] =
+      box(fourcc, new Array[Byte](6), be16(1), // reserved, data_ref_index
+        be16(0), be16(0), new Array[Byte](12), // predefined/reserved
+        be16(w), be16(h),
+        be32(0x00480000L), be32(0x00480000L), // 72 dpi
+        be32(0), be16(1),                     // reserved, frame_count
+        new Array[Byte](32),                  // compressorname
+        be16(24), be16(0xFFFF))               // depth, predefined -1
+
+    private def audioEntry(rate: Int): Array[Byte] =
+      box("mp4a", new Array[Byte](6), be16(1),
+        be32(0), be32(0),
+        be16(2), be16(16), be16(0), be16(0),  // channels, bits
+        be32(rate.toLong << 16))              // 16.16 fixed
+
+    private def textEntry: Array[Byte] =
+      box("tx3g", new Array[Byte](6), be16(1))
+
+    private def stsd(entry: Array[Byte]): Array[Byte] =
+      full("stsd", be32(1), entry)
+
+    private def trak(trackId: Int, id: Long, handler: String): Array[Byte] = {
+      val (w, h) = dims(id)
+      val (tsc, dur, entry, tw, th) = handler match {
+        case "vide" =>
+          (30000L, durationMs(id) * 30, videoEntry(videoCodec(id), w, h),
+            w, h)
+        case "soun" =>
+          (audioRate(id).toLong, durationMs(id) * audioRate(id) / 1000,
+            audioEntry(audioRate(id)), 0, 0)
+        case _ =>
+          (1000L, durationMs(id), textEntry, 0, 0)
+      }
+      box("trak", tkhd(trackId, tw, th),
+        box("mdia", mdhd(tsc, dur), hdlr(handler),
+          box("minf", box("stbl", stsd(entry)))))
+    }
+
+    def encode(id: Long): Array[Byte] = {
+      val traks = Seq(trak(1, id, "vide"), trak(2, id, "soun")) ++
+        (if (hasTextTrack(id)) Seq(trak(3, id, "text")) else Seq.empty)
+      box("ftyp", cc("isom"), be32(0x200), cc("isom"), cc("mp42")) ++
+        box("moov", (mvhd(id) +: traks): _*) ++
+        box("mdat", Array.tabulate[Byte](16)(k => (id + k).toByte))
+    }
+
+    final case class Meta(durationMs: Long, tracks: Int,
+        vCodec: String, w: Int, h: Int, aCodec: String, aRate: Int)
+
+    def meta(bytes: Array[Byte]): Meta = {
+      require(bytes.length >= 12, "truncated MP4")
+      def rd32(off: Long): Long = {
+        require(off >= 0 && off + 4 <= bytes.length, "MP4 read OOB")
+        ((bytes(off.toInt) & 0xFFL) << 24) |
+          ((bytes(off.toInt + 1) & 0xFFL) << 16) |
+          ((bytes(off.toInt + 2) & 0xFFL) << 8) |
+          (bytes(off.toInt + 3) & 0xFFL)
+      }
+      def rd16(off: Long): Int = {
+        require(off >= 0 && off + 2 <= bytes.length, "MP4 read OOB")
+        ((bytes(off.toInt) & 0xFF) << 8) | (bytes(off.toInt + 1) & 0xFF)
+      }
+      def tagAt(off: Long): String = {
+        require(off >= 0 && off + 4 <= bytes.length, "MP4 read OOB")
+        new String(bytes, off.toInt, 4, "US-ASCII")
+      }
+      require(tagAt(4) == "ftyp", "not an ISO-BMFF file (no ftyp)")
+      var boxes = 0
+      var durMs = -1L
+      var tracks = 0
+      var vCodec: String = null
+      var vW, vH = 0
+      var aCodec: String = null
+      var aRate = 0
+      // the handler of the trak being walked: hdlr precedes stbl/stsd
+      // within mdia, so stsd entries resolve against the right kind
+      var handlerOfTrak: String = "none"
+      def walk(off0: Long, end: Long, depth: Int, path: String): Unit = {
+        require(depth < 16, "implausible MP4 box nesting")
+        var off = off0
+        while (off + 8 <= end) {
+          boxes += 1
+          require(boxes <= 4096, "implausible MP4 box count")
+          var size = rd32(off)
+          val typ = tagAt(off + 4)
+          var hdr = 8L
+          if (size == 1) { // 64-bit largesize
+            require(off + 16 <= end, "truncated largesize box")
+            val hi = rd32(off + 8)
+            val lo = rd32(off + 12)
+            size = (hi << 32) | lo
+            hdr = 16L
+          } else if (size == 0) size = end - off // box runs to parent end
+          require(size >= hdr && off + size <= end,
+            s"MP4 box $typ overruns its parent")
+          val body = off + hdr
+          typ match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(body, off + size, depth + 1, path + "/" + typ)
+              if (typ == "trak") tracks += 1
+            case "mvhd" if path.endsWith("/moov") =>
+              val version = bytes(body.toInt) & 0xFF
+              if (version == 0) {
+                val tsc = rd32(body + 12)
+                val dur = rd32(body + 16)
+                require(tsc > 0, "mvhd timescale 0")
+                durMs = dur * 1000L / tsc
+              } else { // version 1: u64 fields
+                val tsc = rd32(body + 20)
+                val dur = (rd32(body + 24) << 32) | rd32(body + 28)
+                require(tsc > 0, "mvhd timescale 0")
+                durMs = dur * 1000L / tsc
+              }
+            case "hdlr" =>
+              handlerOfTrak = tagAt(body + 8)
+            case "stsd" =>
+              val n = rd32(body + 4)
+              require(n >= 1 && n <= 64, s"implausible stsd count $n")
+              val entry = body + 8
+              val entrySize = rd32(entry)
+              require(entrySize >= 16 && entry + entrySize <= off + size,
+                "stsd entry overruns")
+              val fourcc = tagAt(entry + 4)
+              handlerOfTrak match {
+                case "vide" =>
+                  vCodec = fourcc
+                  vW = rd16(entry + 8 + 24)
+                  vH = rd16(entry + 8 + 26)
+                  require(vW > 0 && vH > 0 && vW <= 65535 && vH <= 65535,
+                    s"implausible MP4 dims ${vW}x$vH")
+                case "soun" =>
+                  aCodec = fourcc
+                  aRate = (rd32(entry + 8 + 24) >>> 16).toInt
+                  require(aRate > 0 && aRate <= (1 << 20),
+                    s"implausible MP4 sample rate $aRate")
+                case _ => ()
+              }
+            case _ => () // ftyp, mdat, tkhd, mdhd, free, ...: skip
+          }
+          off += size
+        }
+      }
+      walk(0, bytes.length.toLong, 0, "")
+      require(durMs >= 0, "MP4 has no moov/mvhd (streaming-only file?)")
+      Meta(durMs, tracks, vCodec, vW, vH, aCodec, aRate)
     }
   }
 
@@ -3901,6 +4320,56 @@ object Multimodal {
       Some("SELECT doc_id AS media_id, md5(text) AS caption_md5 " +
         "FROM documents")),
 
+    // ----- WebDataset .json sample metadata --------------------------------
+    // The near-universal WebDataset convention: every sample carries a
+    // `.json` member with its metadata next to its media members. One
+    // SCAN reads both, the key groupBy reunites each sample (the
+    // first-dot stem contract), and from_json projects the typed
+    // fields beside the media digest — the query every wds lake user
+    // writes on day one. The oracle re-derives lang/score/md5 from
+    // documents, so the row matches only if the .json member
+    // round-trips byte-exactly AND regroups with the right caption.
+    // Scale: ONE whole-shard scan + ONE key shuffle; json parsing is
+    // per-row projection.
+    Q("mm_wds_meta_join",
+      (s, d) => {
+        import s.implicits._
+        val outDir = "/tmp/graft_wds_meta_" +
+          java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+        Tables.documents(s, d).select($"doc_id", $"text")
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val lang = Seq("en", "de", "fr")((id % 3).toInt)
+            val json =
+              s"""{"doc_id":$id,"lang":"$lang","score":${id % 7}}"""
+            (id.toString, json.getBytes("UTF-8"), text.getBytes("UTF-8"))
+          }
+          .toDF("key", "json", "txt")
+          .repartition(6)
+          .write.format("wds").mode("append").save(outDir)
+        val metaSchema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("lang", org.apache.spark.sql.types.StringType)
+          .add("score", org.apache.spark.sql.types.LongType)
+        s.read.format("wds").load(outDir)
+          .groupBy($"key")
+          .agg(max(when($"ext" === "json", $"data")).as("j"),
+            max(when($"ext" === "txt", $"data")).as("t"))
+          .select(from_json($"j".cast("string"), metaSchema).as("m"),
+            md5($"t").as("caption_md5"))
+          .select($"m.doc_id".as("doc_id"), $"m.lang".as("lang"),
+            $"m.score".as("score"), $"caption_md5")
+      },
+      Some("""SELECT doc_id,
+          CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END
+            AS lang,
+          CAST(doc_id % 7 AS BIGINT) AS score,
+          md5(text) AS caption_md5
+        FROM documents""")),
+
     // ----- WebDataset metadata-only count (the .widx sidecar path) --------
     // The lake-triage query: how many entries landed? The sink writes a
     // `_<shard>.widx` sidecar per shard at task commit, and COUNT(*)
@@ -4119,6 +4588,136 @@ object Multimodal {
             CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
         WHERE doc_id % 3 = 2
         GROUP BY 1, 2, 3, 4, 5""")),
+
+    // ----- TIFF LZW + Deflate decode ---------------------------------------
+    // What scanned-document corpora OVERWHELMINGLY ship (tiffcp -c lzw
+    // / -c zip): per-strip TIFF 6.0 §13 LZW — MSB-first codes,
+    // Clear/EOI, the early-change width switch — and zlib Deflate,
+    // alternating on id parity over multi-strip images in both byte
+    // orders. The oracle knows only the pixel formula; a row matches
+    // only if the bit-unpacking, the KwKwK case, the early-change
+    // off-by-one, and strip reassembly are all exact (the codec spec
+    // additionally cross-checks both against ImageIO pixel-for-pixel).
+    // Scale: narrow per-row decode, image bytes never shuffle.
+    Q("mm_decode_tiff_lzw",
+      (s, d) => {
+        import s.implicits._
+        val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
+          .select($"doc_id").as[Long]
+        imgs.mapPartitions { it =>
+          it.map { id =>
+            val lzw = (id / 2) % 2 == 0
+            val bytes = TiffCodec.encode(id, if (lzw) 5 else 8)
+            require(sniffKind(bytes) == "tiff", "missniffed TIFF")
+            val img = TiffCodec.decode(bytes)
+            (id, if (TiffCodec.littleEndian(id)) "II" else "MM",
+              if (lzw) "lzw" else "deflate",
+              img.w, img.h, weightedPxSum(img))
+          }
+        }.toDF("media_id", "byte_order", "compression", "w", "h", "px_sum")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+          CASE WHEN (doc_id // 2) % 2 = 0 THEN 'lzw' ELSE 'deflate' END
+            AS compression,
+          CAST(16 + doc_id % 13 AS INT) AS w,
+          CAST(12 + doc_id % 7 AS INT) AS h,
+          CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256
+             + 2 * ((doc_id + x * 11 + y * 2) % 256)
+             + 3 * ((doc_id * 13 + x * y) % 256)) AS BIGINT) AS px_sum
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(16 + doc_id % 13 AS INT) - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
+        WHERE doc_id % 3 = 2
+        GROUP BY 1, 2, 3, 4, 5""")),
+
+    // ----- MP4 / ISO-BMFF container metadata -------------------------------
+    // The stats/QC walk for the container real video lakes actually
+    // ship: header-only moov parse (box framing incl. 64-bit
+    // largesize, mvhd duration, per-trak hdlr + stsd sample entries)
+    // — dims, codec fourcc, duration, track count — NO frame decode.
+    // The fixture cycles codecs (avc1/hvc1/mp4v), sample rates, and an
+    // optional tx3g text track; the oracle knows only the closed-form
+    // field formulas, so a row matches only if the box walk, the
+    // 16.16 fixed-point fields, and the per-trak handler resolution
+    // are all exact. Scale: per-row header walk, container bytes
+    // never shuffle; bomb-guarded (box count/nesting/size caps).
+    Q("mm_mp4_stats",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val bytes = Mp4Codec.encode(id)
+            require(sniffKind(bytes) == "mp4", "missniffed MP4")
+            val m = Mp4Codec.meta(bytes)
+            (id, m.durationMs, m.tracks, m.vCodec, m.w, m.h,
+              m.aCodec, m.aRate)
+          }
+        }.toDF("media_id", "duration_ms", "tracks", "v_codec",
+          "w", "h", "a_codec", "a_rate")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(1000 + (doc_id % 900) * 10 AS BIGINT) AS duration_ms,
+          CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END AS INT) AS tracks,
+          CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+            ELSE 'mp4v' END AS v_codec,
+          CAST(320 + (doc_id % 5) * 16 AS INT) AS w,
+          CAST(240 + (doc_id % 3) * 16 AS INT) AS h,
+          'mp4a' AS a_codec,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END AS INT)
+            AS a_rate
+        FROM documents""")),
+
+    // ----- REAL FLAC decode (the speech-corpus container) ------------------
+    // LibriSpeech et al. ship FLAC, not WAV: a real lossless codec —
+    // frame sync + CRC-8/CRC-16 verification, UTF-8-coded frame
+    // numbers, FIXED predictors (orders 0-4, per-frame best) on even
+    // ids and genuine quantized-coefficient LPC subframes on odd ids,
+    // Rice-coded residuals, multi-frame streams (blocksize 64 over
+    // 200-256 samples -> 4-5 frames incl. a partial tail), and the
+    // STREAMINFO MD5 of the decoded PCM verified end-to-end. Same
+    // closed-form sample formula as the WAV family, so the oracle is
+    // identical arithmetic — the row matches only if every predictor,
+    // Rice quotient, and frame boundary reconstructs the PCM exactly.
+    // Scale: per-row decode, audio bytes never shuffle.
+    Q("mm_decode_flac",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 0)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val audio = FlacCodec.decode(FlacCodec.encode(id))
+            val pcm = audio.mono
+            var peak = 0
+            var sumAbs = 0L
+            var i = 0
+            while (i < pcm.length) {
+              val a = math.abs(pcm(i))
+              if (a > peak) peak = a
+              sumAbs += a
+              i += 1
+            }
+            (id, if (id % 2 == 0) "fixed" else "lpc",
+              audio.sampleRate, pcm.length, peak, sumAbs)
+          }
+        }.toDF("media_id", "predictor", "sample_rate", "n_samples",
+          "peak", "sum_abs")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'fixed' ELSE 'lpc' END AS predictor,
+          CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+          CAST(200 + doc_id % 57 AS INT) AS n_samples,
+          CAST(list_max([abs(((doc_id * 31 + i * i * 7) % 65536) - 32768)
+               FOR i IN generate_series(0, CAST(200 + doc_id % 57 AS INT) - 1)])
+               AS INT) AS peak,
+          CAST(list_sum([abs(((doc_id * 31 + i * i * 7) % 65536) - 32768)
+               FOR i IN generate_series(0, CAST(200 + doc_id % 57 AS INT) - 1)])
+               AS BIGINT) AS sum_abs
+        FROM documents WHERE doc_id % 3 = 0""")),
 
     // ----- VAD-style speech segmentation ----------------------------------
     // The ASR-curation segmenter: cut each clip into maximal runs of

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Queries over the `warc` DSv2 source — the crawl format the
+  * canonical LLM text pipeline starts from (Common Crawl ships
+  * member-gzip `.warc.gz`). DuckDB cannot read WARC, but the fixture
+  * is DETERMINISTIC ([[graft.sources.warc.WarcSynth]]: every record a
+  * pure function of the page index), so each oracle re-derives the
+  * same values from the same closed-form formulas with SQL alone
+  * (generate_series + string construction) — the PcapQueries
+  * discipline. `tools/warc_oracle.py` additionally re-parses the
+  * fixture bytes with CPython's stdlib gzip, pinning the framing
+  * against an independent decoder.
+  */
+object WarcQueries {
+
+  private val NPages = 40000
+
+  private def fixtureDir: String =
+    graft.sources.warc.WarcSynth.ensureFixture(
+      "/tmp/graft_warc_fixture", NPages)
+
+  /** The closed-form page HTML, reconstructed in DuckDB SQL (g is the
+    * dup group i % 700). */
+  private def htmlSql(g: String): String =
+    s"'<html><title>t' || $g || '</title><body>warc document ' || $g || " +
+      s"' alpha beta gamma ' || (($g*37)%1000) || '</body></html>'"
+
+  def defs: Seq[Q] = Seq(
+
+    // ----- fixture scan ----------------------------------------------------
+    // The source's record grammar end-to-end: four files (2 plain + 2
+    // member-gzip), warcinfo + request + response records, HTTP blocks
+    // split into status/headers/body. The aggregate matches only if
+    // the version/field/Content-Length framing, the concatenated-gzip
+    // member walk, and the HTTP header split are all byte-exact —
+    // one mis-framed record corrupts every row after it. The oracle
+    // reconstructs record populations and payload (HTTP body) lengths
+    // from the synthesis formulas alone. Scale: whole-file parallel
+    // scan, one partial-agg shuffle of 3 rows.
+    Q("warc_fixture_scan",
+      (s, _) => {
+        s.read.format("warc").load(fixtureDir)
+          .groupBy("rec_type")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("http_status") === 200, 1)).as("n_ok"),
+            sum(octet_length(col("payload")).cast("long"))
+              .as("payload_bytes"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest(generate_series(0, ${NPages - 1})) AS i),
+        resp AS (
+          SELECT i, i % 700 AS g,
+            CASE WHEN i % 17 = 0 THEN 404 ELSE 200 END AS status,
+            i % 13 = 5 AS img
+          FROM pages),
+        plens AS (
+          SELECT status,
+            CASE WHEN img THEN 26 + i % 30
+                 ELSE length(${htmlSql("g")}) END AS plen
+          FROM resp)
+        SELECT 'warcinfo' AS rec_type, 4::BIGINT AS n, 0::BIGINT AS n_ok,
+          (SELECT CAST(SUM(length('software: graft-warc-synth') + 2
+             + length('isPartOf: graft-fixture-file-' || f) + 2) AS BIGINT)
+           FROM (SELECT unnest(generate_series(0, 3)) AS f)) AS payload_bytes
+        UNION ALL
+        SELECT 'request', ${NPages}::BIGINT, 0::BIGINT, 0::BIGINT
+        UNION ALL
+        SELECT 'response', ${NPages}::BIGINT,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM plens WHERE status = 200),
+          (SELECT CAST(SUM(plen) AS BIGINT) FROM plens)""")),
+
+    // ----- crawl -> corpus pipeline ----------------------------------------
+    // The end-to-end shape a Common Crawl text pipeline runs: keep
+    // 200-status text/html responses, strip markup, token-count, and
+    // exact-dedup the page texts per site — all on the REAL decoded
+    // payload bytes (the oracle reconstructs the same strings from the
+    // formulas and re-derives identical md5 groups, so a one-byte
+    // payload slip breaks every site's row). Scale: payload-projected
+    // whole-file scan, ONE shuffle (the site aggregate); dedup is a
+    // distinct over digests, never page bytes.
+    Q("warc_crawl_pipeline",
+      (s, _) => {
+        import s.implicits._
+        val resp = s.read.format("warc").load(fixtureDir)
+          .filter($"rec_type" === "response" && $"http_status" === 200 &&
+            $"http_content_type" === "text/html")
+          .select($"url", $"payload")
+        resp
+          .withColumn("site",
+            regexp_extract($"url", "site(\\d+)\\.example", 1).cast("int"))
+          .withColumn("text",
+            regexp_replace($"payload".cast("string"), "<[^>]*>", " "))
+          .withColumn("tokens",
+            size(split(trim($"text"), "\\s+")).cast("long"))
+          .withColumn("digest", md5($"text".cast("binary")))
+          .groupBy($"site")
+          .agg(count(lit(1)).as("pages"),
+            countDistinct($"digest").as("uniq_docs"),
+            sum($"tokens").as("tokens_total"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest(generate_series(0, ${NPages - 1})) AS i),
+        kept AS (
+          SELECT i, CAST(i % 50 AS INT) AS site, i % 700 AS g
+          FROM pages WHERE i % 17 <> 0 AND i % 13 <> 5),
+        stripped AS (
+          SELECT site,
+            regexp_replace(${htmlSql("g")}, '<[^>]*>', ' ', 'g') AS text
+          FROM kept),
+        scored AS (
+          SELECT site, md5(text) AS digest,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+              AS BIGINT) AS tokens
+          FROM stripped)
+        SELECT site, CAST(COUNT(*) AS BIGINT) AS pages,
+          CAST(COUNT(DISTINCT digest) AS BIGINT) AS uniq_docs,
+          CAST(SUM(tokens) AS BIGINT) AS tokens_total
+        FROM scored GROUP BY site""") ,
+      headline = true),
+
+    // ----- corpus round-trip (documents -> member-gzip WARC -> scan) ------
+    // The write side is fixture tooling (WARC is an INPUT format —
+    // the source is the product), but round-tripping the REAL
+    // documents table through member-per-record gzip proves the walk
+    // against arbitrary page bytes, not just the synthetic formulas:
+    // each partition writes one .warc.gz of response records (one
+    // gzip member per record, the Common Crawl framing), the scan
+    // reads them back, and the md5 of every payload must equal the
+    // md5 DuckDB computes from the source table. Scale: export is a
+    // streamed per-partition write; import a whole-file parallel scan.
+    Q("warc_corpus_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        import graft.sources.warc.WarcSynth
+        val outDir = "/tmp/graft_warc_corpus_" +
+          java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
+        val conf = new graft.sources.pcap.SerializableHadoopConf(
+          s.sessionState.newHadoopConf())
+        Tables.documents(s, d).select($"doc_id", $"text")
+          .as[(Long, String)]
+          .repartition(8)
+          .foreachPartition { it: Iterator[(Long, String)] =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val p = new org.apache.hadoop.fs.Path(
+              outDir, f"corpus-$pid%05d.warc.gz")
+            val out = p.getFileSystem(conf.value).create(p, true)
+            try WarcSynth.gzipMembers(it.map { case (id, text) =>
+              val body = text.getBytes("UTF-8")
+              val head = (s"HTTP/1.1 200 OK\r\n" +
+                "Content-Type: text/plain; charset=utf-8\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n")
+                .getBytes("US-ASCII")
+              WarcSynth.record(Seq(
+                "WARC-Type" -> "response",
+                "WARC-Record-ID" -> s"<urn:uuid:graft-doc-$id>",
+                "WARC-Date" -> WarcSynth.Date,
+                "WARC-Target-URI" ->
+                  s"http://corpus.example/doc/$id",
+                "Content-Type" ->
+                  "application/http; msgtype=response"),
+                head ++ body)
+            }, out)
+            finally out.close()
+          }
+        s.read.format("warc").load(outDir)
+          .select(
+            regexp_extract($"url", "doc/(\\d+)$", 1).cast("long")
+              .as("doc_id"),
+            $"http_status",
+            md5($"payload").as("payload_md5"))
+      },
+      Some("""SELECT doc_id, CAST(200 AS INT) AS http_status,
+          md5(text) AS payload_md5
+        FROM documents"""))
+  )
+}

@@ -1,0 +1,163 @@
+package graft.sources.warc
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Deterministic WARC fixture synthesis — the PcapSynth discipline
+  * applied to the crawl format: every record is a pure function of the
+  * page index, so the DuckDB oracle for each `warc_*` query re-derives
+  * the same values from the same closed-form formulas with SQL alone
+  * (generate_series + string construction), sharing no code with the
+  * reader it checks. `tools/warc_oracle.py` additionally re-parses the
+  * fixture bytes with CPython's stdlib gzip — the tarfile-interop
+  * pattern — so the writer is pinned by an independent decoder too.
+  *
+  * Layout mirrors Common Crawl: pages are split across four files by
+  * `i % 4`; files 0-1 are plain `.warc`, files 2-3 are `.warc.gz`
+  * with EVERY record its own gzip member (the CC framing that lets an
+  * indexed reader seek to a member). Each file opens with a `warcinfo`
+  * record; each page contributes a `request` and a `response` record.
+  *
+  * Page formulas (all SQL-expressible):
+  *   site(i)  = i % 50
+  *   url(i)   = http://site{site}.example/p{i}
+  *   status   = 404 when i % 17 == 0 else 200
+  *   image    = i % 13 == 5 -> image/gif, binary body "GIF89a" + 20+(i%30) bytes
+  *   g        = i % 700 (the exact-dup group: pages repeat every 700)
+  *   text(i)  = "warc document {g} alpha beta gamma {(g*37)%1000}"
+  *   html(i)  = <html><title>t{g}</title><body>{text}</body></html>
+  */
+object WarcSynth {
+
+  val Date = "2026-02-01T00:00:00Z"
+
+  def siteOf(i: Long): Long = i % 50
+  def urlOf(i: Long): String = s"http://site${siteOf(i)}.example/p$i"
+  def statusOf(i: Long): Int = if (i % 17 == 0) 404 else 200
+  def isImage(i: Long): Boolean = i % 13 == 5
+  def dupGroup(i: Long): Long = i % 700
+
+  def textOf(i: Long): String = {
+    val g = dupGroup(i)
+    s"warc document $g alpha beta gamma ${(g * 37) % 1000}"
+  }
+
+  def htmlOf(i: Long): String = {
+    val g = dupGroup(i)
+    s"<html><title>t$g</title><body>${textOf(i)}</body></html>"
+  }
+
+  def bodyOf(i: Long): Array[Byte] =
+    if (isImage(i)) {
+      val n = 20 + (i % 30).toInt
+      val b = new Array[Byte](6 + n)
+      "GIF89a".getBytes("US-ASCII").copyToArray(b)
+      var k = 0
+      while (k < n) { b(6 + k) = ((i * 31 + k * 7) % 256).toByte; k += 1 }
+      b
+    } else htmlOf(i).getBytes("US-ASCII")
+
+  def contentTypeOf(i: Long): String =
+    if (isImage(i)) "image/gif" else "text/html"
+
+  // ---- record framing (WARC/1.0 grammar) ---------------------------------
+
+  /** version line + named fields + CRLF CRLF + block + CRLF CRLF. */
+  def record(fields: Seq[(String, String)], block: Array[Byte])
+      : Array[Byte] = {
+    val sb = new StringBuilder("WARC/1.0\r\n")
+    fields.foreach { case (k, v) => sb.append(k).append(": ")
+      .append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes("US-ASCII")
+    val out = new Array[Byte](head.length + block.length + 4)
+    head.copyToArray(out)
+    block.copyToArray(out, head.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  def recordIdOf(kind: String, i: Long): String =
+    s"<urn:uuid:graft-$kind-$i>"
+
+  def warcinfoRecord(file: Int): Array[Byte] = {
+    val block = ("software: graft-warc-synth\r\n" +
+      s"isPartOf: graft-fixture-file-$file\r\n").getBytes("US-ASCII")
+    record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> recordIdOf("info", file.toLong),
+      "WARC-Date" -> Date,
+      "Content-Type" -> "application/warc-fields"), block)
+  }
+
+  def requestRecord(i: Long): Array[Byte] = {
+    val block = (s"GET /p$i HTTP/1.1\r\n" +
+      s"Host: site${siteOf(i)}.example\r\n" +
+      "User-Agent: graft-crawler/1.0\r\n\r\n").getBytes("US-ASCII")
+    record(Seq(
+      "WARC-Type" -> "request",
+      "WARC-Record-ID" -> recordIdOf("req", i),
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> urlOf(i),
+      "Content-Type" -> "application/http; msgtype=request"), block)
+  }
+
+  def responseRecord(i: Long): Array[Byte] = {
+    val body = bodyOf(i)
+    val status = statusOf(i)
+    val reason = if (status == 200) "OK" else "Not Found"
+    val head = (s"HTTP/1.1 $status $reason\r\n" +
+      s"Content-Type: ${contentTypeOf(i)}\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+    val block = new Array[Byte](head.length + body.length)
+    head.copyToArray(block)
+    body.copyToArray(block, head.length)
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> recordIdOf("resp", i),
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> urlOf(i),
+      "Content-Type" -> "application/http; msgtype=response"), block)
+  }
+
+  /** One gzip member per byte chunk — the Common Crawl framing. */
+  def gzipMembers(chunks: Iterator[Array[Byte]],
+      out: java.io.OutputStream): Unit =
+    chunks.foreach { c =>
+      val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+      gz.write(c)
+      gz.finish() // member trailer, but leave `out` open for the next
+    }
+
+  private def writeAtomic(target: Path, write: java.io.OutputStream => Unit)
+      : Unit = {
+    val tmp = target.resolveSibling("." + target.getFileName + ".tmp")
+    val os = Files.newOutputStream(tmp)
+    try write(os) finally os.close()
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The four-file fixture (2 plain + 2 member-gzip), n pages total,
+    * written once and reused (pure function of n). */
+  def ensureFixture(dir: String, n: Int): String = {
+    val d = Paths.get(dir)
+    val done = d.resolve("_FIXTURE_OK")
+    if (Files.exists(done)) return dir
+    Files.createDirectories(d)
+    for (f <- 0 until 4) {
+      val pages = (0 until n).filter(_ % 4 == f).map(_.toLong)
+      val recs = Iterator(warcinfoRecord(f)) ++
+        pages.iterator.flatMap(i =>
+          Iterator(requestRecord(i), responseRecord(i)))
+      if (f < 2)
+        writeAtomic(d.resolve(s"crawl-0$f.warc"),
+          os => recs.foreach(os.write))
+      else
+        writeAtomic(d.resolve(s"crawl-0$f.warc.gz"),
+          os => gzipMembers(recs, os))
+    }
+    Files.write(done, Array.empty[Byte])
+    dir
+  }
+}

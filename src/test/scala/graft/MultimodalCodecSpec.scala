@@ -495,6 +495,120 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("LZW and Deflate TIFFs decode to the uncompressed pixels, parse " +
+      "under ImageIO, and ImageIO's own LZW/Deflate output decodes " +
+      "under our parser (the early-change interop gate)") {
+    import graft.operators.Multimodal.TiffCodec
+    for (id <- Seq(0L, 3L, 42L, 255L); comp <- Seq(5, 8)) {
+      val ours = TiffCodec.encode(id, comp)
+      val img = TiffCodec.decode(ours)
+      val plain = TiffCodec.decode(TiffCodec.encode(id))
+      assert(img.px.toSeq == plain.px.toSeq,
+        s"compression $comp mismatch id=$id")
+      // the JDK's independent reader agrees (catches an early-change
+      // or KwKwK slip our own round-trip could mask)
+      val javaImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ours))
+      assert(javaImg != null, s"ImageIO rejected comp=$comp TIFF id=$id")
+      for { y <- 0 until img.h; x <- 0 until img.w } {
+        val rgb = javaImg.getRGB(x, y)
+        assert((rgb >> 16 & 0xFF, rgb >> 8 & 0xFF, rgb & 0xFF) ==
+          BmpCodec.pixel(id, x, y), s"ImageIO comp=$comp id=$id ($x,$y)")
+      }
+    }
+    // direction 2: ImageIO-ENCODED LZW and Deflate decode under ours
+    for (id <- Seq(0L, 7L); comp <- Seq("LZW", "ZLib")) {
+      val (w, h) = BmpCodec.dims(id)
+      val buf = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for { y <- 0 until h; x <- 0 until w } {
+        val (r, g, b) = BmpCodec.pixel(id, x, y)
+        buf.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+        .next()
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(comp)
+      val out = new java.io.ByteArrayOutputStream
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(buf, null, null), p)
+      ios.close()
+      val img = TiffCodec.decode(out.toByteArray)
+      assert(img.w == w && img.h == h)
+      for { y <- 0 until h; x <- 0 until w } {
+        assert((img.r(x, y), img.g(x, y), img.b(x, y)) ==
+          BmpCodec.pixel(id, x, y),
+          s"our decode of ImageIO $comp id=$id ($x,$y)")
+      }
+    }
+    // LZW property: arbitrary buffers round-trip, including ones long
+    // enough to force width growth past 10 and 11 bits and a table
+    // reset (4094-entry Clear)
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 30) {
+      val raw = new Array[Byte](rnd.nextInt(30000) + 1)
+      var i = 0
+      while (i < raw.length) {
+        val v = rnd.nextInt(if (trial % 2 == 0) 4 else 256).toByte
+        val run = math.min(rnd.nextInt(50) + 1, raw.length - i)
+        java.util.Arrays.fill(raw, i, i + run, v)
+        i += run
+      }
+      val back = TiffCodec.lzwDecode(TiffCodec.lzwEncode(raw), raw.length)
+      assert(back.toSeq == raw.toSeq, s"LZW round-trip trial $trial")
+    }
+  }
+
+  test("MP4 moov walk: every metadata field round-trips the formulas, " +
+      "largesize boxes parse, and malformed/bomb boxes reject") {
+    import graft.operators.Multimodal.Mp4Codec
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 7L, 12L, 899L, 1234L)) {
+      val bytes = Mp4Codec.encode(id)
+      val m = Mp4Codec.meta(bytes)
+      val (w, h) = Mp4Codec.dims(id)
+      assert(m.durationMs == Mp4Codec.durationMs(id), s"dur id=$id")
+      assert(m.tracks == Mp4Codec.trackCount(id), s"tracks id=$id")
+      assert(m.vCodec == Mp4Codec.videoCodec(id) && m.w == w && m.h == h,
+        s"video id=$id: $m")
+      assert(m.aCodec == "mp4a" && m.aRate == Mp4Codec.audioRate(id),
+        s"audio id=$id: $m")
+    }
+    // 64-bit largesize framing: re-wrap the mdat with size=1 + largesize
+    val plain = Mp4Codec.encode(5L)
+    def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val mdatAt = {
+      var off = 0
+      while (new String(plain, off + 4, 4, "US-ASCII") != "mdat")
+        off += ((plain(off) & 0xFF) << 24) | ((plain(off + 1) & 0xFF) << 16) |
+          ((plain(off + 2) & 0xFF) << 8) | (plain(off + 3) & 0xFF)
+      off
+    }
+    val mdatSize = ((plain(mdatAt) & 0xFF) << 24) |
+      ((plain(mdatAt + 1) & 0xFF) << 16) |
+      ((plain(mdatAt + 2) & 0xFF) << 8) | (plain(mdatAt + 3) & 0xFF)
+    val wrapped = plain.take(mdatAt) ++
+      be32(1) ++ "mdat".getBytes("US-ASCII") ++ be32(0) ++
+      be32(mdatSize + 8L) ++ plain.slice(mdatAt + 8, plain.length)
+    assert(Mp4Codec.meta(wrapped) == Mp4Codec.meta(plain))
+    // a box claiming to overrun its parent rejects
+    val overrun = plain.clone()
+    overrun(0) = 0x7F.toByte // ftyp size becomes enormous
+    intercept[Exception] { Mp4Codec.meta(overrun) }
+    // truncation rejects
+    intercept[Exception] {
+      Mp4Codec.meta(java.util.Arrays.copyOf(plain, plain.length / 2))
+    }
+    // nesting bomb: 20 levels of nested moov boxes
+    var bomb = be32(16) ++ "ftypisom".getBytes("US-ASCII") ++ be32(0)
+    var inner = be32(8) ++ "moov".getBytes("US-ASCII")
+    for (_ <- 0 until 20)
+      inner = be32(inner.length + 8L) ++ "moov".getBytes("US-ASCII") ++ inner
+    intercept[Exception] { Mp4Codec.meta(bomb ++ inner) }
+  }
+
   test("TIFF decompression-bomb headers reject before allocating") {
     import graft.operators.Multimodal.TiffCodec
     // a hand-built 46-byte little-endian TIFF declaring 25000x25000:

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.warc.{WarcReadStats, WarcSynth}
+
+/** The `warc` DSv2 source: record grammar, member-gzip walk, HTTP
+  * block split, payload-prune seam, malformed-record rejection — plus
+  * interop: the fixture re-parses under a CPython stdlib decoder
+  * (`tools/warc_oracle.py`, the tarfile-interop pattern). */
+class WarcSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def fixture(n: Int): String = {
+    val dir = Files.createTempDirectory(s"warc_fx$n").toString
+    WarcSynth.ensureFixture(dir, n)
+  }
+
+  test("fixture scan: schema, record populations, and the HTTP split " +
+      "(status/content-type parsed off, payload = body)") {
+    val dir = fixture(200)
+    val df = spark.read.format("warc").load(dir)
+    assert(df.columns.toSeq == Seq("file", "rec_type", "record_id", "url",
+      "warc_date", "content_type", "content_length", "http_status",
+      "http_content_type", "payload"))
+    val rows = df.collect()
+    val byType = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byType == Map("warcinfo" -> 4, "request" -> 200,
+      "response" -> 200))
+    // requests have no status line -> null status; responses do
+    assert(rows.filter(_.getString(1) == "request")
+      .forall(_.isNullAt(7)))
+    val resp = rows.filter(_.getString(1) == "response")
+    assert(resp.count(r => r.getInt(7) == 404) == 200 / 17 + 1) // i%17==0
+    // html response payload is the body ONLY (headers split off)
+    val r42 = resp.find(_.getString(3) == WarcSynth.urlOf(42)).get
+    assert(r42.getString(8) == "text/html")
+    assert(new String(r42.getAs[Array[Byte]](9), "US-ASCII") ==
+      WarcSynth.htmlOf(42))
+    // non-http records carry the whole block
+    val info = rows.filter(_.getString(1) == "warcinfo")
+    assert(info.forall(r => new String(r.getAs[Array[Byte]](9), "US-ASCII")
+      .startsWith("software: graft-warc-synth")))
+    // gzip and plain files both contributed
+    val files = rows.map(_.getString(0)).toSet
+    assert(files.exists(_.endsWith(".warc")) &&
+      files.exists(_.endsWith(".warc.gz")))
+  }
+
+  test("payload-pruned projections skip page bytes (the crawl-survey " +
+      "seam): a (url, status) scan allocates no body") {
+    val dir = fixture(300)
+    WarcReadStats.payloadBytesSkipped.reset()
+    WarcReadStats.recordsRead.reset()
+    val n = spark.read.format("warc").load(dir)
+      .select("url", "http_status").collect().length
+    assert(n == 604)
+    val skipped = WarcReadStats.payloadBytesSkipped.sum()
+    assert(skipped > 0, "pruned scan did not skip payload bytes")
+    // the skip covers every response body + warcinfo block (request
+    // bodies are empty)
+    val bodyBytes = (0 until 300).map(i => WarcSynth.bodyOf(i.toLong).length)
+      .sum + 4 * 60
+    assert(skipped == bodyBytes, s"skipped $skipped of $bodyBytes")
+  }
+
+  test("malformed records reject instead of desyncing: bad version " +
+      "line, non-numeric Content-Length, truncated block") {
+    def scan(bytes: Array[Byte]): Unit = {
+      val d = Files.createTempDirectory("warc_bad")
+      Files.write(d.resolve("bad.warc"), bytes)
+      spark.read.format("warc").load(d.toString)
+        .select("rec_type", "payload").collect()
+    }
+    val good = WarcSynth.responseRecord(7)
+    // 1. version line corrupted
+    val noVersion = good.clone()
+    noVersion(0) = 'X'
+    intercept[Exception] { scan(noVersion) }
+    // 2. non-numeric Content-Length
+    val s = new String(good, "ISO-8859-1")
+    val badLen = s.replaceFirst("(?m)^Content-Length: \\d+",
+      "Content-Length: 12x4").getBytes("ISO-8859-1")
+    intercept[Exception] { scan(badLen) }
+    // 3. truncated block (honest length, missing bytes)
+    intercept[Exception] {
+      scan(java.util.Arrays.copyOf(good, good.length - 30))
+    }
+    // control: the untouched record scans clean
+    scan(good)
+  }
+
+  test("many small warc files bin-pack into few partitions (whole-file " +
+      "units, the pcap/wds planning discipline)") {
+    val dir = Files.createTempDirectory("warc_pack").toString
+    for (f <- 0 until 12) {
+      val recs = (0 until 5).map(i => WarcSynth.responseRecord(f * 5L + i))
+      Files.write(Paths.get(dir, f"part-$f%02d.warc"),
+        recs.reduce(_ ++ _))
+    }
+    val df = spark.read.format("warc").load(dir)
+    assert(df.rdd.getNumPartitions <= 2,
+      s"12 tiny files should pack, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 60)
+  }
+
+  test("the fixture re-parses under a CPython stdlib decoder " +
+      "(tools/warc_oracle.py — gzip + the ISO 28500 grammar, no JVM code)") {
+    val dir = fixture(400)
+    val out = new StringBuilder
+    val code = scala.sys.process.Process(Seq("python3",
+      "/root/repo/tools/warc_oracle.py", dir, "400"))
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'),
+        l => out.append(l).append('\n')))
+    assert(code == 0 && out.toString.contains("WARC_ORACLE PASS"),
+      s"python decoder rejected the fixture: $out")
+  }
+
+  test("pushed rec_type predicates skip non-matching blocks during the " +
+      "walk (responses-only pipelines never read request/warcinfo " +
+      "blocks); pushdown-disabled parity") {
+    import org.apache.spark.sql.functions.col
+    val dir = fixture(200)
+    WarcReadStats.payloadBytesSkipped.reset()
+    val df = spark.read.format("warc").load(dir)
+      .filter(col("rec_type") === "response")
+      .select("url", "payload")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("EqualTo(rec_type,response)"),
+      "pushed filter missing from the scan description")
+    assert(df.collect().length == 200)
+    // the skip covers the WHOLE block of every filtered record: 4
+    // warcinfo blocks + 200 request blocks (payload was projected, so
+    // matching responses were materialized, not skipped)
+    val requestBlocks = (0 until 200).map { i =>
+      (s"GET /p$i HTTP/1.1\r\nHost: site${i % 50}.example\r\n" +
+        "User-Agent: graft-crawler/1.0\r\n\r\n").length
+    }.sum
+    val infoBlocks = (0 until 4).map(f =>
+      s"software: graft-warc-synth\r\nisPartOf: graft-fixture-file-$f\r\n"
+        .length).sum
+    assert(WarcReadStats.payloadBytesSkipped.sum() ==
+      requestBlocks + infoBlocks,
+      s"skip seam: ${WarcReadStats.payloadBytesSkipped.sum()} vs " +
+        s"${requestBlocks + infoBlocks}")
+    // disabling pushdown returns identical rows (residual filter)
+    val plain = spark.read.format("warc").option("pushdown", "false")
+      .load(dir).filter(col("rec_type") === "response")
+      .select("url", "payload").collect().length
+    assert(plain == 200)
+  }
+
+  test("a jumbo record beyond maxRecordBytes rejects with guidance") {
+    val d = Files.createTempDirectory("warc_jumbo")
+    Files.write(d.resolve("big.warc"), WarcSynth.responseRecord(3))
+    val ex = intercept[Exception] {
+      spark.read.format("warc").option("maxRecordBytes", "10")
+        .load(d.toString).select("payload").collect()
+    }
+    assert(ex.getMessage.contains("maxRecordBytes") ||
+      ex.getCause != null)
+  }
+}
