@@ -631,9 +631,19 @@ object Multimodal {
     def encode(id: Long, packbits: Boolean): Array[Byte] =
       encode(id, if (packbits) 32773 else 1)
 
-    /** compression: 1 none, 32773 PackBits, 5 LZW, 8 zlib Deflate. */
-    def encode(id: Long, compression: Int): Array[Byte] = {
+    def encode(id: Long, compression: Int): Array[Byte] =
+      encode(id, compression, predictor2 = false)
+
+    /** compression: 1 none, 32773 PackBits, 5 LZW, 8 zlib Deflate;
+      * predictor2 applies TIFF horizontal differencing (tag 317 = 2,
+      * per row per sample) before compression — what `tiffcp -c lzw:2`
+      * and most scanner toolchains emit, because differenced scans
+      * compress far better. */
+    def encode(id: Long, compression: Int, predictor2: Boolean)
+        : Array[Byte] = {
       val packbits = compression == 32773
+      require(!predictor2 || compression == 5 || compression == 8,
+        "predictor 2 is only defined for LZW/Deflate")
       val (w, h) = BmpCodec.dims(id)
       val le = littleEndian(id)
       val out = new java.io.ByteArrayOutputStream()
@@ -683,9 +693,25 @@ object Multimodal {
             r2 += 1
           }
           o.toByteArray
-        } else if (compression == 5) lzwEncode(raw)
-        else if (compression == 8) deflate(raw)
-        else raw
+        } else if (compression == 1) raw
+        else {
+          val pre = if (!predictor2) raw else {
+            // horizontal differencing per ROW per SAMPLE (mod 256):
+            // each byte minus the same sample 3 bytes earlier
+            val d = raw.clone()
+            var r2 = 0
+            while (r2 < rows) {
+              var i = (r2 + 1) * w * 3 - 1
+              while (i >= r2 * w * 3 + 3) {
+                d(i) = (raw(i) - raw(i - 3)).toByte
+                i -= 1
+              }
+              r2 += 1
+            }
+            d
+          }
+          if (compression == 5) lzwEncode(pre) else deflate(pre)
+        }
       }
       val stripLens = strips.map(_.length)
       val stripOffs = stripLens.map(_.toLong).scanLeft(8L)(_ + _).init
@@ -709,7 +735,7 @@ object Multimodal {
         value
         while (out.size() < before + 4) out.write(0) // pad the value slot
       }
-      u16(9)
+      u16(if (predictor2) 10 else 9)
       entry(256, 4, 1)(u32(w.toLong))            // ImageWidth
       entry(257, 4, 1)(u32(h.toLong))            // ImageLength
       entry(258, 3, 3)(u32(bpsOff))              // BitsPerSample -> offset
@@ -719,6 +745,7 @@ object Multimodal {
       entry(277, 3, 1)(u16(3))                   // SamplesPerPixel
       entry(278, 4, 1)(u32(RowsPerStrip.toLong)) // RowsPerStrip
       entry(279, 4, nStrips.toLong)(u32(sbcOff)) // StripByteCounts
+      if (predictor2) entry(317, 3, 1)(u16(2))   // Predictor: horizontal
       u32(0)                                     // next IFD: none
       out.toByteArray
     }
@@ -798,10 +825,13 @@ object Multimodal {
           compression == 5 || compression == 8,
         s"unsupported TIFF compression $compression " +
           "(none, PackBits, LZW, Deflate)")
-      // horizontal differencing (predictor 2) is an LZW/Deflate-era
-      // option; the decoder supports only the default
-      require(values(317).forall(_ == 1L),
-        "TIFF predictor must be none (1)")
+      // predictor tag (317): 1 = none, 2 = horizontal differencing
+      // (applied after decompression, per row per sample)
+      val predictor = values(317).headOption.getOrElse(1L)
+      require(predictor == 1 || predictor == 2,
+        s"unsupported TIFF predictor $predictor")
+      require(predictor == 1 || compression == 5 || compression == 8,
+        "predictor 2 outside LZW/Deflate")
       require(one(262, "Photometric") == 2, "TIFF must be RGB")
       require(one(277, "SamplesPerPixel") == 3, "TIFF must be 3-sample")
       require(values(258) == Seq(8L, 8L, 8L), "TIFF must be 8-bit/sample")
@@ -831,6 +861,20 @@ object Multimodal {
             case 32773 => unpackBits(packed, want.toInt)
             case 5 => lzwDecode(packed, want.toInt)
             case 8 => inflate(packed, want.toInt)
+          }
+          if (predictor == 2) {
+            // undo horizontal differencing: accumulate per row per
+            // sample (mod 256) — rows never span strips in TIFF
+            var r2 = 0L
+            while (r2 < rows) {
+              var i = (r2 * w * 3 + 3).toInt
+              val rowEnd = ((r2 + 1) * w * 3).toInt
+              while (i < rowEnd) {
+                strip0(i) = (strip0(i) + strip0(i - 3)).toByte
+                i += 1
+              }
+              r2 += 1
+            }
           }
           System.arraycopy(strip0, 0, px,
             (row * w * 3).toInt, want.toInt)
@@ -4607,19 +4651,24 @@ object Multimodal {
         imgs.mapPartitions { it =>
           it.map { id =>
             val lzw = (id / 2) % 2 == 0
-            val bytes = TiffCodec.encode(id, if (lzw) 5 else 8)
+            val pred2 = (id / 4) % 2 == 0
+            val bytes = TiffCodec.encode(id, if (lzw) 5 else 8, pred2)
             require(sniffKind(bytes) == "tiff", "missniffed TIFF")
             val img = TiffCodec.decode(bytes)
             (id, if (TiffCodec.littleEndian(id)) "II" else "MM",
               if (lzw) "lzw" else "deflate",
+              if (pred2) "horizontal" else "none",
               img.w, img.h, weightedPxSum(img))
           }
-        }.toDF("media_id", "byte_order", "compression", "w", "h", "px_sum")
+        }.toDF("media_id", "byte_order", "compression", "predictor",
+          "w", "h", "px_sum")
       },
       Some("""SELECT doc_id AS media_id,
           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
           CASE WHEN (doc_id // 2) % 2 = 0 THEN 'lzw' ELSE 'deflate' END
             AS compression,
+          CASE WHEN (doc_id // 4) % 2 = 0 THEN 'horizontal' ELSE 'none' END
+            AS predictor,
           CAST(16 + doc_id % 13 AS INT) AS w,
           CAST(12 + doc_id % 7 AS INT) AS h,
           CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256
@@ -4631,7 +4680,7 @@ object Multimodal {
           LATERAL (SELECT unnest(generate_series(0,
             CAST(12 + doc_id % 7 AS INT) - 1)) AS y) ys
         WHERE doc_id % 3 = 2
-        GROUP BY 1, 2, 3, 4, 5""")),
+        GROUP BY 1, 2, 3, 4, 5, 6""")),
 
     // ----- MP4 / ISO-BMFF container metadata -------------------------------
     // The stats/QC walk for the container real video lakes actually

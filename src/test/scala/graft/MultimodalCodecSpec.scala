@@ -516,6 +516,24 @@ class MultimodalCodecSpec extends AnyFunSuite {
           BmpCodec.pixel(id, x, y), s"ImageIO comp=$comp id=$id ($x,$y)")
       }
     }
+    // predictor 2 (horizontal differencing — what tiffcp -c lzw:2
+    // emits): ours decodes it AND ImageIO's independent reader agrees
+    for (id <- Seq(0L, 3L, 42L); comp <- Seq(5, 8)) {
+      val ours = TiffCodec.encode(id, comp, predictor2 = true)
+      val img = TiffCodec.decode(ours)
+      val plain = TiffCodec.decode(TiffCodec.encode(id))
+      assert(img.px.toSeq == plain.px.toSeq,
+        s"predictor-2 comp=$comp mismatch id=$id")
+      val javaImg = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ours))
+      assert(javaImg != null, s"ImageIO rejected predictor-2 id=$id")
+      for { y <- 0 until img.h; x <- 0 until img.w } {
+        val rgb = javaImg.getRGB(x, y)
+        assert((rgb >> 16 & 0xFF, rgb >> 8 & 0xFF, rgb & 0xFF) ==
+          BmpCodec.pixel(id, x, y),
+          s"ImageIO predictor-2 comp=$comp id=$id ($x,$y)")
+      }
+    }
     // direction 2: ImageIO-ENCODED LZW and Deflate decode under ours
     for (id <- Seq(0L, 7L); comp <- Seq("LZW", "ZLib")) {
       val (w, h) = BmpCodec.dims(id)

@@ -158,6 +158,37 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(plain == 200)
   }
 
+  test("continuous ingestion: files landing in waves stream the exact " +
+      "batch record set exactly-once, plain and member-gzip alike") {
+    val src = fixture(120)
+    val land = Files.createTempDirectory("warc_stream_land")
+    val files = Files.list(Paths.get(src)).toArray.map(_.toString)
+      .filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz")).sorted
+    assert(files.length == 4)
+    val query = graft.streaming.WarcStream.records(spark, land.toString)
+      .writeStream.format("memory").queryName("warc_records")
+      .option("checkpointLocation",
+        Files.createTempDirectory("warc_stream_ckpt").toString)
+      .outputMode("append").start()
+    try {
+      files.foreach { f =>
+        Files.copy(Paths.get(f), land.resolve(Paths.get(f).getFileName))
+        query.processAllAvailable()
+      }
+      def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+        .selectExpr("file", "rec_type", "record_id", "url",
+          "coalesce(http_status, -1)", "md5(payload)")
+        .collect().map(_.toSeq).toSet
+      val got = rowsOf(spark.table("warc_records"))
+      val want = rowsOf(spark.read.format("warc").load(land.toString))
+      assert(got.nonEmpty && got == want,
+        s"stream/batch record sets differ: ${(want -- got).take(2)}")
+      // re-processing admits nothing new (the file-source log)
+      query.processAllAvailable()
+      assert(rowsOf(spark.table("warc_records")) == want)
+    } finally query.stop()
+  }
+
   test("a jumbo record beyond maxRecordBytes rejects with guidance") {
     val d = Files.createTempDirectory("warc_jumbo")
     Files.write(d.resolve("big.warc"), WarcSynth.responseRecord(3))
