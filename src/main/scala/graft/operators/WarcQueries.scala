@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
 object WarcQueries {
 
   private val NPages = 40000
+  private val TwinRuns = new java.util.concurrent.atomic.AtomicLong
 
   private def fixtureDir: String =
     graft.sources.warc.WarcSynth.ensureFixture(
@@ -178,6 +179,64 @@ object WarcQueries {
       },
       Some("""SELECT doc_id, CAST(200 AS INT) AS http_status,
           md5(text) AS payload_md5
-        FROM documents"""))
+        FROM documents""")),
+
+    // ----- continuous crawl ingestion (stream twin) -------------------------
+    // The streaming form of the crawl pipeline: the four fixture files
+    // LAND one micro-batch each (maxFilesPerTrigger=1 — four real
+    // epochs through the admission log), records stream through the
+    // SAME WarcRecordWalk the batch scan uses, and the downstream
+    // corpus aggregate must equal the batch pipeline's oracle row for
+    // row — exactly-once across epochs or a site's page count slips.
+    // Scale: stateless per-file flatMap; the aggregate is the same ONE
+    // shuffle as the batch form.
+    Q("warc_ingest_stream_twin",
+      (s, _) => {
+        import s.implicits._
+        val dir = fixtureDir
+        // unique per invocation: a second run in the same session must
+        // not append into the first run's memory table
+        val table = s"warc_twin_${TwinRuns.incrementAndGet()}"
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("warc_twin_ckpt").toString
+        val q = graft.streaming.WarcStream
+          .records(s, dir, maxFilesPerTrigger = Some(1))
+          .writeStream.format("memory").queryName(table)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(table)
+          .filter($"rec_type" === "response" && $"http_status" === 200 &&
+            $"http_content_type" === "text/html")
+          .withColumn("site",
+            regexp_extract($"url", "site(\\d+)\\.example", 1).cast("int"))
+          .withColumn("text",
+            regexp_replace($"payload".cast("string"), "<[^>]*>", " "))
+          .withColumn("tokens",
+            size(split(trim($"text"), "\\s+")).cast("long"))
+          .withColumn("digest", md5($"text".cast("binary")))
+          .groupBy($"site")
+          .agg(count(lit(1)).as("pages"),
+            countDistinct($"digest").as("uniq_docs"),
+            sum($"tokens").as("tokens_total"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest(generate_series(0, ${NPages - 1})) AS i),
+        kept AS (
+          SELECT i, CAST(i % 50 AS INT) AS site, i % 700 AS g
+          FROM pages WHERE i % 17 <> 0 AND i % 13 <> 5),
+        stripped AS (
+          SELECT site,
+            regexp_replace(${htmlSql("g")}, '<[^>]*>', ' ', 'g') AS text
+          FROM kept),
+        scored AS (
+          SELECT site, md5(text) AS digest,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+              AS BIGINT) AS tokens
+          FROM stripped)
+        SELECT site, CAST(COUNT(*) AS BIGINT) AS pages,
+          CAST(COUNT(DISTINCT digest) AS BIGINT) AS uniq_docs,
+          CAST(SUM(tokens) AS BIGINT) AS tokens_total
+        FROM scored GROUP BY site"""))
   )
 }

@@ -25,7 +25,8 @@ object WarcStream {
   val DefaultFileGlob = "{*.warc,*.warc.gz}"
 
   def records(s: SparkSession, landingDir: String,
-      fileGlob: String = DefaultFileGlob): DataFrame = {
+      fileGlob: String = DefaultFileGlob,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import s.implicits._
     val schema = new org.apache.spark.sql.types.StructType()
       .add("path", org.apache.spark.sql.types.StringType)
@@ -34,10 +35,12 @@ object WarcStream {
       .add("content", org.apache.spark.sql.types.BinaryType)
     val conf = new graft.sources.pcap.SerializableHadoopConf(
       s.sessionState.newHadoopConf())
-    s.readStream.format("binaryFile")
+    val reader = s.readStream.format("binaryFile")
       .option("pathGlobFilter", fileGlob)
       .schema(schema)
-      .load(landingDir)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.load(landingDir)
       .select($"path").as[String]
       .flatMap { path =>
         val fname = path.substring(path.lastIndexOf('/') + 1)

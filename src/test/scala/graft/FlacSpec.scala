@@ -140,6 +140,58 @@ class FlacSpec extends AnyFunSuite {
       (f0 ++ f1 ++ f2 ++ f3).toSeq)
   }
 
+  test("independent stereo decodes: two subframes per frame, distinct " +
+      "predictors per channel, MD5 over interleaved channels") {
+    import FlacCodec.{BitWriter, crc8, crc16}
+    val bs = 16
+    val left = Array.tabulate(bs)(i => i * 5 - 40)   // verbatim channel
+    val right = Array.fill(bs)(123)                   // constant channel
+    val stream = new java.io.ByteArrayOutputStream()
+    stream.write("fLaC".getBytes("US-ASCII"))
+    val si = new BitWriter
+    si.write(1, 1); si.write(0, 7); si.write(34, 24)
+    si.write(bs.toLong, 16); si.write(bs.toLong, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(22050, 20)
+    si.write(1, 3)  // channels - 1 = 1 -> stereo
+    si.write(15, 5)
+    si.write(bs.toLong, 36)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    (0 until bs).foreach { i =>
+      md5.update((left(i) & 0xFF).toByte)
+      md5.update(((left(i) >> 8) & 0xFF).toByte)
+      md5.update((right(i) & 0xFF).toByte)
+      md5.update(((right(i) >> 8) & 0xFF).toByte)
+    }
+    md5.digest().foreach(b => si.write((b & 0xFF).toLong, 8))
+    stream.write(si.toBytes)
+    val h = new BitWriter
+    h.write(0x3FFE, 14); h.write(0, 1); h.write(0, 1)
+    h.write(6, 4); h.write(0, 4)
+    h.write(1, 4)  // channel assignment: 2 independent channels
+    h.write(4, 3); h.write(0, 1)
+    h.write(0, 8)  // frame 0
+    h.write(bs.toLong - 1, 8)
+    val head = h.toBytes
+    val w = new BitWriter
+    head.foreach(x => w.write((x & 0xFF).toLong, 8))
+    w.write(crc8(head, 0, head.length).toLong, 8)
+    w.write(0, 1); w.write(1, 6); w.write(0, 1) // left: verbatim
+    left.foreach(v => w.write(v.toLong & 0xFFFF, 16))
+    w.write(0, 1); w.write(0, 6); w.write(0, 1) // right: constant
+    w.write(123L, 16)
+    w.alignByte()
+    val body = w.toBytes
+    val all = new BitWriter
+    body.foreach(x => all.write((x & 0xFF).toLong, 8))
+    all.write(crc16(body, 0, body.length).toLong, 16)
+    stream.write(all.toBytes)
+    val audio = FlacCodec.decode(stream.toByteArray)
+    assert(audio.channels == 2)
+    assert(audio.samples(0).toSeq == left.toSeq)
+    assert(audio.samples(1).toSeq == right.toSeq)
+  }
+
   test("fuzzed headers reject or parse, never hang or misdecode " +
       "(seeded random mutations)") {
     val good = FlacCodec.encode(11L)
