@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
 object WarcQueries {
 
   private val NPages = 40000
+  private val RevisitPages = 6000
   private val TwinRuns = new java.util.concurrent.atomic.AtomicLong
 
   private def fixtureDir: String =
@@ -237,6 +238,37 @@ object WarcQueries {
         SELECT site, CAST(COUNT(*) AS BIGINT) AS pages,
           CAST(COUNT(DISTINCT digest) AS BIGINT) AS uniq_docs,
           CAST(SUM(tokens) AS BIGINT) AS tokens_total
-        FROM scored GROUP BY site"""))
+        FROM scored GROUP BY site""")),
+
+    // ----- revisit-record dedup accounting ----------------------------------
+    // How real crawls dedup (WARC 1.1 §6.7.2): a repeated URL lands as
+    // a body-less `revisit` record whose WARC-Refers-To names the
+    // original response. The accounting query every crawl owner runs —
+    // how many fetches did each stored page absorb? — is a
+    // refers_to -> record_id equi-join (the 700-row original side
+    // broadcasts; revisit blocks are header-only so the scan reads
+    // almost no payload bytes). The oracle re-derives the revisit
+    // multiplicity per dup group in closed form, so the row matches
+    // only if the refers_to linkage survives both file codecs.
+    Q("warc_revisit_dedup",
+      (s, _) => {
+        import s.implicits._
+        val dir = graft.sources.warc.WarcSynth.ensureRevisitFixture(
+          "/tmp/graft_warc_revisit", RevisitPages)
+        val recs = s.read.format("warc").load(dir)
+        val originals = recs.filter($"rec_type" === "response")
+          .select($"record_id", $"url")
+        val revisits = recs.filter($"rec_type" === "revisit")
+          .select($"refers_to")
+        revisits.join(originals,
+            revisits("refers_to") === originals("record_id"))
+          .groupBy($"url")
+          .agg(count(lit(1)).as("revisits"))
+      },
+      Some(s"""SELECT 'http://site' || (g % 50) || '.example/p' || g AS url,
+          CAST(CASE WHEN g < ${RevisitPages % 700} THEN
+            ${RevisitPages / 700} ELSE ${RevisitPages / 700 - 1} END
+            AS BIGINT) AS revisits
+        FROM (SELECT unnest(generate_series(0, 699)) AS g)"""))
   )
 }

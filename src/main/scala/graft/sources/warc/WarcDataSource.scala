@@ -67,6 +67,7 @@ object WarcTable {
     .add("file", StringType, nullable = false)
     .add("rec_type", StringType, nullable = false)
     .add("record_id", StringType, nullable = true)
+    .add("refers_to", StringType, nullable = true) // revisit -> original
     .add("url", StringType, nullable = true)
     .add("warc_date", StringType, nullable = true)
     .add("content_type", StringType, nullable = true)
@@ -284,6 +285,7 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
 
   var recType: String = _
   var recordId: String = _
+  var refersTo: String = _
   var url: String = _
   var warcDate: String = _
   var contentType: String = _
@@ -361,7 +363,8 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
       s"not a WARC version line in $fileName: '${line.take(40)}'")
     // named fields until the blank line; case-insensitive names,
     // folded continuations appended (WARC 1.1 §4)
-    recType = null; recordId = null; url = null; warcDate = null
+    recType = null; recordId = null; refersTo = null
+    url = null; warcDate = null
     contentType = null; contentLength = -1L
     httpStatus = -1; httpContentType = null; payload = null
     var lastVal: String = null
@@ -379,6 +382,7 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
         name match {
           case "warc-type" => recType = value
           case "warc-record-id" => recordId = value
+          case "warc-refers-to" => refersTo = value
           case "warc-target-uri" => url = value
           case "warc-date" => warcDate = value
           case "content-type" => contentType = value
@@ -513,6 +517,7 @@ class WarcPartitionReader(files: Seq[String], conf: Configuration,
       case "file" => UTF8String.fromString(fileName)
       case "rec_type" => utf8(walk.recType)
       case "record_id" => utf8(walk.recordId)
+      case "refers_to" => utf8(walk.refersTo)
       case "url" => utf8(walk.url)
       case "warc_date" => utf8(walk.warcDate)
       case "content_type" => utf8(walk.contentType)

@@ -120,6 +120,49 @@ object WarcSynth {
       "Content-Type" -> "application/http; msgtype=response"), block)
   }
 
+  /** A `revisit` record (WARC 1.1 §6.7.2, identical-payload-digest
+    * profile) — how real crawls record "this URL served bytes we
+    * already stored": no body, `WARC-Refers-To` names the original
+    * response record. Page i revisits the original of its dup group. */
+  def revisitRecord(i: Long): Array[Byte] = {
+    val block = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+      .getBytes("US-ASCII")
+    record(Seq(
+      "WARC-Type" -> "revisit",
+      "WARC-Record-ID" -> recordIdOf("rev", i),
+      "WARC-Refers-To" -> recordIdOf("resp", dupGroup(i)),
+      "WARC-Profile" ->
+        "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> urlOf(i),
+      "Content-Type" -> "application/http; msgtype=response"), block)
+  }
+
+  /** Revisit-deduped crawl fixture: the FIRST occurrence of each dup
+    * group (i < 700, so g == i) is a full response; every repeat is a
+    * revisit record pointing at it. Two files, one plain + one
+    * member-gzip, pages split by parity. */
+  def ensureRevisitFixture(dir: String, n: Int): String = {
+    require(n >= 700, "revisit fixture needs at least one full cycle")
+    val d = Paths.get(dir)
+    val done = d.resolve("_FIXTURE_OK")
+    if (Files.exists(done)) return dir
+    Files.createDirectories(d)
+    for (f <- 0 until 2) {
+      val pages = (0 until n).filter(_ % 2 == f).map(_.toLong)
+      val recs = Iterator(warcinfoRecord(f)) ++
+        pages.iterator.map(i =>
+          if (i < 700) responseRecord(i) else revisitRecord(i))
+      if (f == 0)
+        writeAtomic(d.resolve("dedup-00.warc"), os => recs.foreach(os.write))
+      else
+        writeAtomic(d.resolve("dedup-01.warc.gz"),
+          os => gzipMembers(recs, os))
+    }
+    Files.write(done, Array.empty[Byte])
+    dir
+  }
+
   /** One gzip member per byte chunk — the Common Crawl framing. */
   def gzipMembers(chunks: Iterator[Array[Byte]],
       out: java.io.OutputStream): Unit =

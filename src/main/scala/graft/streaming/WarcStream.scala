@@ -52,14 +52,15 @@ object WarcStream {
         val walk = new graft.sources.warc.WarcRecordWalk(in, fname,
           needPayload = true, needHttp = true, maxRecordBytes = 1L << 30)
         new Iterator[(String, String, String, String, String, String,
-            Long, Option[Int], String, Array[Byte])] {
+            String, Long, Option[Int], String, Array[Byte])] {
           private var has = walk.next()
           if (!has) in.close()
           override def hasNext: Boolean = has
           override def next(): (String, String, String, String, String,
-              String, Long, Option[Int], String, Array[Byte]) = {
-            val row = (fname, walk.recType, walk.recordId, walk.url,
-              walk.warcDate, walk.contentType, walk.contentLength,
+              String, String, Long, Option[Int], String, Array[Byte]) = {
+            val row = (fname, walk.recType, walk.recordId, walk.refersTo,
+              walk.url, walk.warcDate, walk.contentType,
+              walk.contentLength,
               if (walk.httpStatus < 0) None else Some(walk.httpStatus),
               walk.httpContentType, walk.payload)
             has = walk.next()
@@ -68,8 +69,8 @@ object WarcStream {
           }
         }
       }
-      .toDF("file", "rec_type", "record_id", "url", "warc_date",
-        "content_type", "content_length", "http_status",
+      .toDF("file", "rec_type", "record_id", "refers_to", "url",
+        "warc_date", "content_type", "content_length", "http_status",
         "http_content_type", "payload")
   }
 }

@@ -28,26 +28,26 @@ class WarcSourceSpec extends AnyFunSuite {
       "(status/content-type parsed off, payload = body)") {
     val dir = fixture(200)
     val df = spark.read.format("warc").load(dir)
-    assert(df.columns.toSeq == Seq("file", "rec_type", "record_id", "url",
-      "warc_date", "content_type", "content_length", "http_status",
-      "http_content_type", "payload"))
+    assert(df.columns.toSeq == Seq("file", "rec_type", "record_id",
+      "refers_to", "url", "warc_date", "content_type", "content_length",
+      "http_status", "http_content_type", "payload"))
     val rows = df.collect()
     val byType = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     assert(byType == Map("warcinfo" -> 4, "request" -> 200,
       "response" -> 200))
     // requests have no status line -> null status; responses do
     assert(rows.filter(_.getString(1) == "request")
-      .forall(_.isNullAt(7)))
+      .forall(_.isNullAt(8)))
     val resp = rows.filter(_.getString(1) == "response")
-    assert(resp.count(r => r.getInt(7) == 404) == 200 / 17 + 1) // i%17==0
+    assert(resp.count(r => r.getInt(8) == 404) == 200 / 17 + 1) // i%17==0
     // html response payload is the body ONLY (headers split off)
-    val r42 = resp.find(_.getString(3) == WarcSynth.urlOf(42)).get
-    assert(r42.getString(8) == "text/html")
-    assert(new String(r42.getAs[Array[Byte]](9), "US-ASCII") ==
+    val r42 = resp.find(_.getString(4) == WarcSynth.urlOf(42)).get
+    assert(r42.getString(9) == "text/html")
+    assert(new String(r42.getAs[Array[Byte]](10), "US-ASCII") ==
       WarcSynth.htmlOf(42))
     // non-http records carry the whole block
     val info = rows.filter(_.getString(1) == "warcinfo")
-    assert(info.forall(r => new String(r.getAs[Array[Byte]](9), "US-ASCII")
+    assert(info.forall(r => new String(r.getAs[Array[Byte]](10), "US-ASCII")
       .startsWith("software: graft-warc-synth")))
     // gzip and plain files both contributed
     val files = rows.map(_.getString(0)).toSet
