@@ -469,12 +469,12 @@ object FlacCodec extends Serializable {
       }
       val frameChannels = chanCode match {
         case c if c < 8 => c + 1
-        case _ => 2 // stereo decorrelation modes
+        case 8 | 9 | 10 => 2 // left/side, right/side, mid/side
+        case c => throw new IllegalArgumentException(
+          s"reserved channel assignment $c")
       }
       require(frameChannels == channels,
         s"frame channels $frameChannels != STREAMINFO $channels")
-      require(chanCode < 8,
-        "subset decoder: stereo decorrelation not supported")
       val frameBps = ssCode match {
         case 4 => 16
         case 0 => bps
@@ -485,10 +485,39 @@ object FlacCodec extends Serializable {
       val crcHead = r.read(8).toInt
       require(crcHead == crc8(bytes, frameStart, headEnd),
         "FLAC frame-header CRC-8 mismatch")
-      var ch = 0
-      while (ch < channels) {
-        decodeSubframe(r, bs, frameBps, chans(ch))
-        ch += 1
+      if (chanCode < 8) {
+        var ch = 0
+        while (ch < channels) {
+          emitSamples(decodeSubframe(r, bs, frameBps), chans(ch))
+          ch += 1
+        }
+      } else {
+        // stereo decorrelation: the SIDE channel (L−R) spans one bit
+        // more than the samples themselves; reconstruct L/R exactly
+        val bps0 = frameBps + (if (chanCode == 9) 1 else 0)
+        val bps1 = frameBps + (if (chanCode != 9) 1 else 0)
+        val c0 = decodeSubframe(r, bs, bps0)
+        val c1 = decodeSubframe(r, bs, bps1)
+        val left = new Array[Long](bs)
+        val right = new Array[Long](bs)
+        var i = 0
+        while (i < bs) {
+          chanCode match {
+            case 8 => // left/side: R = L − S
+              left(i) = c0(i); right(i) = c0(i) - c1(i)
+            case 9 => // side/right: L = R + S
+              left(i) = c1(i) + c0(i); right(i) = c1(i)
+            case _ => // mid/side: mid = (L+R)>>1 with the lost LSB
+              // carried by side's parity (the libFLAC reconstruction)
+              val side = c1(i)
+              val mid2 = (c0(i) << 1) | (side & 1)
+              left(i) = (mid2 + side) >> 1
+              right(i) = (mid2 - side) >> 1
+          }
+          i += 1
+        }
+        emitSamples(left, chans(0))
+        emitSamples(right, chans(1))
       }
       r.alignByte()
       val bodyEnd = r.bytePos
@@ -519,8 +548,21 @@ object FlacCodec extends Serializable {
     Audio(sampleRate, channels, out)
   }
 
-  private def decodeSubframe(r: BitReader, bs: Int, bps: Int,
+  /** 16-bit range gate at the SINK (after any stereo reconstruction —
+    * a decorrelated side channel legitimately spans 17 bits). */
+  private def emitSamples(s: Array[Long],
       sink: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
+    var i = 0
+    while (i < s.length) {
+      require(s(i) >= Short.MinValue && s(i) <= Short.MaxValue,
+        s"decoded sample ${s(i)} outside 16-bit range")
+      sink += s(i).toInt
+      i += 1
+    }
+  }
+
+  private def decodeSubframe(r: BitReader, bs: Int, bps: Int)
+      : Array[Long] = {
     require(r.read(1) == 0, "subframe padding bit set")
     val typ = r.read(6).toInt
     val wastedFlag = r.read(1)
@@ -564,14 +606,11 @@ object FlacCodec extends Serializable {
       }
     } else throw new IllegalArgumentException(
       f"reserved FLAC subframe type $typ%02x")
-    var i = 0
-    while (i < bs) {
-      val v = s(i) << wasted
-      require(v >= Short.MinValue && v <= Short.MaxValue,
-        s"decoded sample $v outside 16-bit range")
-      sink += v.toInt
-      i += 1
+    if (wasted > 0) {
+      var i = 0
+      while (i < bs) { s(i) = s(i) << wasted; i += 1 }
     }
+    s
   }
 
   private def readResiduals(r: BitReader, bs: Int, warmup: Int)

@@ -18,6 +18,8 @@ object WarcQueries {
 
   private val NPages = 40000
   private val RevisitPages = 6000
+  private val ChunkedPages = 3000
+  private val WetPages = 8000
   private val TwinRuns = new java.util.concurrent.atomic.AtomicLong
 
   private def fixtureDir: String =
@@ -269,6 +271,68 @@ object WarcQueries {
           CAST(CASE WHEN g < ${RevisitPages % 700} THEN
             ${RevisitPages / 700} ELSE ${RevisitPages / 700 - 1} END
             AS BIGINT) AS revisits
-        FROM (SELECT unnest(generate_series(0, 699)) AS g)"""))
+        FROM (SELECT unnest(generate_series(0, 699)) AS g)""")),
+
+    // ----- chunked transfer decoding ----------------------------------------
+    // Crawls store HTTP bodies AS CAPTURED, and the capture often kept
+    // its Transfer-Encoding: chunked framing — every real WARC reader
+    // de-chunks (warcio's content_stream). The fixture's chunk size
+    // varies with the page (7-19 bytes) so boundaries land mid-tag,
+    // mid-word, everywhere; the oracle knows only the page formula, so
+    // the md5 matches only if the hex-size/CRLF reframe is byte-exact.
+    Q("warc_chunked_decode",
+      (s, _) => {
+        import s.implicits._
+        val dir = graft.sources.warc.WarcSynth.ensureTwoFileFixture(
+          "/tmp/graft_warc_chunked", ChunkedPages, "chunked",
+          graft.sources.warc.WarcSynth.chunkedResponseRecord)
+        s.read.format("warc").load(dir)
+          .filter($"rec_type" === "response")
+          .select(
+            regexp_extract($"url", "/p(\\d+)$", 1).cast("long").as("page"),
+            md5($"payload").as("body_md5"),
+            octet_length($"payload").cast("long").as("body_bytes"))
+      },
+      Some(s"""SELECT i AS page,
+          md5('<html><title>t' || (i % 700) || '</title><body>warc document '
+            || (i % 700) || ' alpha beta gamma ' || (((i % 700) * 37) % 1000)
+            || '</body></html>') AS body_md5,
+          CAST(length('<html><title>t' || (i % 700)
+            || '</title><body>warc document ' || (i % 700)
+            || ' alpha beta gamma ' || (((i % 700) * 37) % 1000)
+            || '</body></html>') AS BIGINT) AS body_bytes
+        FROM (SELECT unnest(generate_series(0, ${ChunkedPages - 1})) AS i)""")),
+
+    // ----- WET extracted-text lake ------------------------------------------
+    // Common Crawl ships a WET sibling next to every WARC: `conversion`
+    // records whose block IS the extracted plain text. The source reads
+    // them generically (non-HTTP block -> payload verbatim, refers_to
+    // linking back to the response); the corpus survey groups per site.
+    Q("warc_wet_scan",
+      (s, _) => {
+        import s.implicits._
+        val dir = graft.sources.warc.WarcSynth.ensureTwoFileFixture(
+          "/tmp/graft_warc_wet", WetPages, "wet",
+          graft.sources.warc.WarcSynth.conversionRecord)
+        s.read.format("warc").load(dir)
+          .filter($"rec_type" === "conversion")
+          .withColumn("site",
+            regexp_extract($"url", "site(\\d+)\\.example", 1).cast("int"))
+          .withColumn("text", $"payload".cast("string"))
+          .groupBy($"site")
+          .agg(count(lit(1)).as("pages"),
+            countDistinct(md5($"text".cast("binary"))).as("uniq_texts"),
+            sum(size(split($"text", "\\s+")).cast("long")).as("tokens"))
+      },
+      Some(s"""WITH recs AS (
+          SELECT CAST(i % 50 AS INT) AS site,
+            'warc document ' || (i % 700) || ' alpha beta gamma '
+              || (((i % 700) * 37) % 1000) AS text
+          FROM (SELECT unnest(generate_series(0, ${WetPages - 1})) AS i))
+        SELECT site, CAST(COUNT(*) AS BIGINT) AS pages,
+          CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS uniq_texts,
+          CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+            AS tokens
+        FROM recs GROUP BY site"""))
   )
 }

@@ -342,6 +342,45 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     }
   }
 
+  /** RFC 9112 §7.1 chunked transfer decoding: hex-size[;ext] CRLF
+    * chunk CRLF ... 0 CRLF [trailers] CRLF. Strict — a malformed
+    * chunk frame rejects rather than returning a half-decoded body. */
+  private def dechunk(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length)
+    var p = 0
+    def line(): String = {
+      val s = p
+      while (p < raw.length && raw(p) != '\n') p += 1
+      require(p < raw.length, s"truncated chunked body in $fileName")
+      p += 1
+      val e = if (p - 2 >= s && raw(p - 2) == '\r') p - 2 else p - 1
+      new String(raw, s, e - s, "ISO-8859-1")
+    }
+    var done = false
+    while (!done) {
+      val sizeStr = line().takeWhile(_ != ';').trim
+      require(sizeStr.nonEmpty &&
+        sizeStr.forall(c => Character.digit(c, 16) >= 0),
+        s"malformed chunk size '$sizeStr' in $fileName")
+      val n = java.lang.Long.parseLong(sizeStr, 16)
+      require(n >= 0 && n <= raw.length - p,
+        s"chunk overruns the captured body in $fileName")
+      if (n == 0) {
+        // consume optional trailers up to the final blank line (or the
+        // body's end — some captures truncate right after 0 CRLF)
+        var t = if (p < raw.length) line() else ""
+        while (t.nonEmpty && p < raw.length) t = line()
+        done = true
+      } else {
+        out.write(raw, p, n.toInt)
+        p += n.toInt
+        val sep = line()
+        require(sep.isEmpty, s"missing CRLF after chunk in $fileName")
+      }
+    }
+    out.toByteArray
+  }
+
   /** Advance to the next MATCHING record; false at clean EOF. */
   def next(): Boolean = {
     while (true) {
@@ -443,12 +482,19 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
             parts(1).nonEmpty)
           httpStatus = parts(1).toInt
       }
+      var chunked = false
       var h = httpLine()
       while (h.nonEmpty) {
         val c = h.indexOf(':')
-        if (c > 0 && h.substring(0, c).trim
-            .equalsIgnoreCase("content-type"))
-          httpContentType = h.substring(c + 1).trim
+        if (c > 0) {
+          val hn = h.substring(0, c).trim
+          if (hn.equalsIgnoreCase("content-type"))
+            httpContentType = h.substring(c + 1).trim
+          else if (hn.equalsIgnoreCase("transfer-encoding") &&
+              h.substring(c + 1).trim
+                .toLowerCase(java.util.Locale.ROOT).contains("chunked"))
+            chunked = true
+        }
         h = httpLine()
       }
       require(consumed <= contentLength,
@@ -457,6 +503,12 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
       if (needPayload) {
         payload = new Array[Byte](bodyLen.toInt)
         readFully(payload, 0, bodyLen.toInt)
+        // crawls store HTTP bodies AS CAPTURED: a chunked response
+        // keeps its transfer framing in the WARC block, and every
+        // real reader de-chunks it (warcio's content_stream). The raw
+        // body is already bounded by contentLength, so de-chunking is
+        // an in-memory reframe — strict, like everything else here.
+        if (chunked) payload = dechunk(payload)
       } else {
         skipFully(bodyLen)
         payloadBytesSkipped += bodyLen

@@ -163,6 +163,74 @@ object WarcSynth {
     dir
   }
 
+  /** RFC 9112 chunked framing: the body split into `chunkSize`-byte
+    * chunks (hex size + CRLF + chunk + CRLF), 0-terminated. */
+  def chunkEncode(body: Array[Byte], chunkSize: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < body.length) {
+      val n = math.min(chunkSize, body.length - off)
+      out.write(s"${n.toHexString}\r\n".getBytes("US-ASCII"))
+      out.write(body, off, n)
+      out.write("\r\n".getBytes("US-ASCII"))
+      off += n
+    }
+    out.write("0\r\n\r\n".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  /** A response whose HTTP body keeps its chunked transfer framing —
+    * captured as fetched, the way real crawls store it. Chunk size
+    * varies with the page so boundaries land everywhere. */
+  def chunkedResponseRecord(i: Long): Array[Byte] = {
+    val body = chunkEncode(htmlOf(i).getBytes("US-ASCII"),
+      7 + (i % 13).toInt)
+    val head = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n").getBytes("US-ASCII")
+    val block = new Array[Byte](head.length + body.length)
+    head.copyToArray(block)
+    body.copyToArray(block, head.length)
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> recordIdOf("chunked", i),
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> urlOf(i),
+      "Content-Type" -> "application/http; msgtype=response"), block)
+  }
+
+  /** A WET-style `conversion` record (the extracted-text sibling lake
+    * Common Crawl ships next to its WARCs): plain-text block, refers
+    * back to the response it was extracted from. */
+  def conversionRecord(i: Long): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Record-ID" -> recordIdOf("conv", i),
+      "WARC-Refers-To" -> recordIdOf("resp", i),
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> urlOf(i),
+      "Content-Type" -> "text/plain"), textOf(i).getBytes("US-ASCII"))
+
+  /** Two-file fixtures (plain + member-gzip) of one record kind. */
+  def ensureTwoFileFixture(dir: String, n: Int, ext: String,
+      recOf: Long => Array[Byte]): String = {
+    val d = Paths.get(dir)
+    val done = d.resolve("_FIXTURE_OK")
+    if (Files.exists(done)) return dir
+    Files.createDirectories(d)
+    for (f <- 0 until 2) {
+      val pages = (0 until n).filter(_ % 2 == f).map(_.toLong)
+      val recs = Iterator(warcinfoRecord(f)) ++ pages.iterator.map(recOf)
+      if (f == 0)
+        writeAtomic(d.resolve(s"$ext-00.warc"), os => recs.foreach(os.write))
+      else
+        writeAtomic(d.resolve(s"$ext-01.warc.gz"),
+          os => gzipMembers(recs, os))
+    }
+    Files.write(done, Array.empty[Byte])
+    dir
+  }
+
   /** One gzip member per byte chunk — the Common Crawl framing. */
   def gzipMembers(chunks: Iterator[Array[Byte]],
       out: java.io.OutputStream): Unit =

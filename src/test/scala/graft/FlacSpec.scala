@@ -192,6 +192,70 @@ class FlacSpec extends AnyFunSuite {
     assert(audio.samples(1).toSeq == right.toSeq)
   }
 
+  test("stereo decorrelation modes reconstruct exactly: left/side, " +
+      "side/right, mid/side (the libFLAC default for stereo), " +
+      "17-bit side channels included") {
+    import FlacCodec.{BitWriter, crc8, crc16}
+    val bs = 16
+    val rnd = new scala.util.Random(5)
+    val left = Array.tabulate(bs)(_ => rnd.nextInt(65536) - 32768)
+    val right = Array.tabulate(bs)(_ => rnd.nextInt(65536) - 32768)
+    for (mode <- Seq(8, 9, 10)) {
+      val (c0, c1, w0, w1) = mode match {
+        case 8 => // left + side(17)
+          (left.map(_.toLong), Array.tabulate(bs)(i =>
+            left(i).toLong - right(i)), 16, 17)
+        case 9 => // side(17) + right
+          (Array.tabulate(bs)(i => left(i).toLong - right(i)),
+            right.map(_.toLong), 17, 16)
+        case _ => // mid + side(17)
+          (Array.tabulate(bs)(i => ((left(i) + right(i)) >> 1).toLong),
+            Array.tabulate(bs)(i => left(i).toLong - right(i)), 16, 17)
+      }
+      val stream = new java.io.ByteArrayOutputStream()
+      stream.write("fLaC".getBytes("US-ASCII"))
+      val si = new BitWriter
+      si.write(1, 1); si.write(0, 7); si.write(34, 24)
+      si.write(bs.toLong, 16); si.write(bs.toLong, 16)
+      si.write(0, 24); si.write(0, 24)
+      si.write(32000, 20); si.write(1, 3); si.write(15, 5)
+      si.write(bs.toLong, 36)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      (0 until bs).foreach { i =>
+        md5.update((left(i) & 0xFF).toByte)
+        md5.update(((left(i) >> 8) & 0xFF).toByte)
+        md5.update((right(i) & 0xFF).toByte)
+        md5.update(((right(i) >> 8) & 0xFF).toByte)
+      }
+      md5.digest().foreach(b => si.write((b & 0xFF).toLong, 8))
+      stream.write(si.toBytes)
+      val h = new BitWriter
+      h.write(0x3FFE, 14); h.write(0, 1); h.write(0, 1)
+      h.write(6, 4); h.write(0, 4)
+      h.write(mode.toLong, 4) // decorrelated stereo
+      h.write(4, 3); h.write(0, 1)
+      h.write(0, 8)
+      h.write(bs.toLong - 1, 8)
+      val head = h.toBytes
+      val w = new BitWriter
+      head.foreach(x => w.write((x & 0xFF).toLong, 8))
+      w.write(crc8(head, 0, head.length).toLong, 8)
+      w.write(0, 1); w.write(1, 6); w.write(0, 1) // ch0: verbatim
+      c0.foreach(v => w.write(v, w0))
+      w.write(0, 1); w.write(1, 6); w.write(0, 1) // ch1: verbatim
+      c1.foreach(v => w.write(v, w1))
+      w.alignByte()
+      val body = w.toBytes
+      val all = new BitWriter
+      body.foreach(x => all.write((x & 0xFF).toLong, 8))
+      all.write(crc16(body, 0, body.length).toLong, 16)
+      stream.write(all.toBytes)
+      val audio = FlacCodec.decode(stream.toByteArray)
+      assert(audio.samples(0).toSeq == left.toSeq, s"left mode=$mode")
+      assert(audio.samples(1).toSeq == right.toSeq, s"right mode=$mode")
+    }
+  }
+
   test("fuzzed headers reject or parse, never hang or misdecode " +
       "(seeded random mutations)") {
     val good = FlacCodec.encode(11L)

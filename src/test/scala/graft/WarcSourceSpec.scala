@@ -189,6 +189,29 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("chunked bodies de-chunk exactly; malformed chunk frames reject") {
+    val d = Files.createTempDirectory("warc_chunky")
+    Files.write(d.resolve("c.warc"), WarcSynth.chunkedResponseRecord(5))
+    val rows = spark.read.format("warc").load(d.toString)
+      .select("url", "payload").collect()
+    assert(rows.length == 1)
+    assert(new String(rows(0).getAs[Array[Byte]](1), "US-ASCII") ==
+      WarcSynth.htmlOf(5), "de-chunked body differs")
+    // corrupt a chunk-size hex digit -> strict rejection, not a
+    // half-decoded body
+    val rec = WarcSynth.chunkedResponseRecord(5)
+    val s = new String(rec, "ISO-8859-1")
+    val at = s.indexOf("\r\n\r\n", s.indexOf("Transfer-Encoding")) + 4
+    val bad = rec.clone()
+    bad(at) = 'z' // first chunk-size char
+    val d2 = Files.createTempDirectory("warc_chunky_bad")
+    Files.write(d2.resolve("c.warc"), bad)
+    intercept[Exception] {
+      spark.read.format("warc").load(d2.toString)
+        .select("payload").collect()
+    }
+  }
+
   test("a jumbo record beyond maxRecordBytes rejects with guidance") {
     val d = Files.createTempDirectory("warc_jumbo")
     Files.write(d.resolve("big.warc"), WarcSynth.responseRecord(3))
