@@ -415,7 +415,99 @@ object TextAnalysis {
             n_stop_present >= 2 AS flag_stop
           FROM stats)"""
 
+  /** RFC 3986 §6 URL canonicalization + the crawl-hygiene extras
+    * every web pipeline runs before URL-level dedup (CCNet/RefinedWeb
+    * style): lowercase scheme and host, drop the scheme's default
+    * port, resolve `.`/`..` path segments (§5.2.4), drop the
+    * fragment, strip `utm_*` tracking parameters, sort what remains,
+    * and normalize an empty path to "/". Pure function — runs as a
+    * per-row projection, no UDF registry needed for the query path. */
+  object UrlCanon extends Serializable {
+    def normalize(raw: String): String = {
+      val noFrag = raw.indexOf('#') match {
+        case -1 => raw
+        case h => raw.substring(0, h)
+      }
+      val sep = noFrag.indexOf("://")
+      require(sep > 0, s"not an absolute URL: '$raw'")
+      val scheme = noFrag.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+      val rest = noFrag.substring(sep + 3)
+      val pathStart = rest.indexOf('/') match {
+        case -1 => rest.length
+        case p => p
+      }
+      val qStartInAuth = rest.indexOf('?') match {
+        case -1 => rest.length
+        case q => q
+      }
+      val authEnd = math.min(pathStart, qStartInAuth)
+      var auth = rest.substring(0, authEnd).toLowerCase(java.util.Locale.ROOT)
+      val defaultPort = scheme match {
+        case "http" => ":80"
+        case "https" => ":443"
+        case _ => " "
+      }
+      if (auth.endsWith(defaultPort))
+        auth = auth.substring(0, auth.length - defaultPort.length)
+      val tail = rest.substring(authEnd)
+      val (pathRaw, queryRaw) = tail.indexOf('?') match {
+        case -1 => (tail, "")
+        case q => (tail.substring(0, q), tail.substring(q + 1))
+      }
+      // remove_dot_segments (RFC 3986 §5.2.4) over the path
+      val out = new scala.collection.mutable.ArrayBuffer[String]
+      pathRaw.split("/", -1).foreach {
+        case "." => ()
+        case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+        case seg => out += seg
+      }
+      val path = out.filter(_.nonEmpty).mkString("/", "/", "")
+      // tracking-parameter strip + stable parameter order
+      val params = queryRaw.split("&").filter(_.nonEmpty)
+        .filterNot(_.toLowerCase(java.util.Locale.ROOT).startsWith("utm_"))
+        .sorted
+      val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      s"$scheme://$auth$path$query"
+    }
+  }
+
   val defs: Seq[Q] = Seq(
+
+    // ----- URL canonicalization (crawl-hygiene dedup key) ------------------
+    // The step every web pipeline runs before URL-level dedup: three
+    // messy variants of every page's URL — cased scheme/host, an
+    // explicit default port behind a ../ dot segment, and a
+    // tracking-parameter + fragment form — must collapse to ONE
+    // canonical URL. The oracle knows only the page formula and the
+    // EXPECTED canonical string (the pcap constant-oracle pattern), so
+    // the row matches only if case folding, port dropping, dot-segment
+    // resolution (§5.2.4), utm-stripping, and fragment removal all
+    // land exactly. Scale: per-row projection + one groupBy on doc_id.
+    Q("text_url_canonicalize",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select($"doc_id").as[Long]
+          .flatMap { id =>
+            val site = id % 50
+            Seq(
+              s"HTTP://Site$site.EXAMPLE/p$id",
+              s"http://site$site.example:80/a/../p$id",
+              s"http://site$site.example/./p$id" +
+                s"?utm_source=feed&utm_campaign=c$id#frag")
+              .map(raw => (id, raw, UrlCanon.normalize(raw)))
+          }
+          .toDF("doc_id", "raw_url", "canonical")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("variants"),
+            countDistinct($"canonical").as("canonicals"),
+            min($"canonical").as("canonical_url"))
+      },
+      Some("""SELECT doc_id, CAST(3 AS BIGINT) AS variants,
+          CAST(1 AS BIGINT) AS canonicals,
+          'http://site' || (doc_id % 50) || '.example/p' || doc_id
+            AS canonical_url
+        FROM documents""")),
+
 
     // ----- token counting: whitespace + word-regex + BPE-ish pieces -------
     Q("text_tokens",
