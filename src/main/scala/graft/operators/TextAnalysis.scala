@@ -423,6 +423,29 @@ object TextAnalysis {
     * and normalize an empty path to "/". Pure function — runs as a
     * per-row projection, no UDF registry needed for the query path. */
   object UrlCanon extends Serializable {
+    /** §6.2.2.2/.3: decode percent-escapes of UNRESERVED octets
+      * (ALPHA / DIGIT / - . _ ~) and uppercase the hex of the rest. */
+    private def pctNormalize(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          val v = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          val ch = v.toChar
+          if (v < 128 && (ch.isLetter || ch.isDigit ||
+              "-._~".indexOf(ch.toInt) >= 0)) sb.append(ch)
+          else sb.append('%')
+            .append(s.substring(i + 1, i + 3)
+              .toUpperCase(java.util.Locale.ROOT))
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
     def normalize(raw: String): String = {
       val noFrag = raw.indexOf('#') match {
         case -1 => raw
@@ -450,10 +473,14 @@ object TextAnalysis {
       if (auth.endsWith(defaultPort))
         auth = auth.substring(0, auth.length - defaultPort.length)
       val tail = rest.substring(authEnd)
-      val (pathRaw, queryRaw) = tail.indexOf('?') match {
+      val (pathRaw0, queryRaw0) = tail.indexOf('?') match {
         case -1 => (tail, "")
         case q => (tail.substring(0, q), tail.substring(q + 1))
       }
+      // percent-normalize BEFORE dot-segment removal (a %2E segment is
+      // a dot segment per §6.2.2.3)
+      val pathRaw = pctNormalize(pathRaw0)
+      val queryRaw = pctNormalize(queryRaw0)
       // remove_dot_segments (RFC 3986 §5.2.4) over the path
       val out = new scala.collection.mutable.ArrayBuffer[String]
       pathRaw.split("/", -1).foreach {
@@ -493,7 +520,10 @@ object TextAnalysis {
               s"HTTP://Site$site.EXAMPLE/p$id",
               s"http://site$site.example:80/a/../p$id",
               s"http://site$site.example/./p$id" +
-                s"?utm_source=feed&utm_campaign=c$id#frag")
+                s"?utm_source=feed&utm_campaign=c$id#frag",
+              // percent-escaped unreserved octets decode (%70 = 'p',
+              // %2E%2E = a real ".." dot segment)
+              s"http://site$site.example/x/%2E%2E/%70$id")
               .map(raw => (id, raw, UrlCanon.normalize(raw)))
           }
           .toDF("doc_id", "raw_url", "canonical")
@@ -502,7 +532,7 @@ object TextAnalysis {
             countDistinct($"canonical").as("canonicals"),
             min($"canonical").as("canonical_url"))
       },
-      Some("""SELECT doc_id, CAST(3 AS BIGINT) AS variants,
+      Some("""SELECT doc_id, CAST(4 AS BIGINT) AS variants,
           CAST(1 AS BIGINT) AS canonicals,
           'http://site' || (doc_id % 50) || '.example/p' || doc_id
             AS canonical_url

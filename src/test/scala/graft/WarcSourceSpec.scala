@@ -212,6 +212,39 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzed WARC bytes reject or parse bounded, never hang or " +
+      "misallocate (seeded random mutations over a plain file)") {
+    val dir = Files.createTempDirectory("warc_fuzz").toString
+    val good = (0 until 8).map(i => WarcSynth.responseRecord(i.toLong))
+      .reduce(_ ++ _)
+    val rnd = new scala.util.Random(4242)
+    var rejected = 0
+    for (_ <- 0 until 300) {
+      val mut = good.clone()
+      for (_ <- 0 until rnd.nextInt(4) + 1)
+        mut(rnd.nextInt(mut.length)) = (rnd.nextInt(256) - 128).toByte
+      Files.write(Paths.get(dir, "fuzz.warc"), mut)
+      try {
+        val rows = spark.read.format("warc")
+          .load(Paths.get(dir, "fuzz.warc").toString)
+          .select("rec_type", "payload").collect()
+        // a surviving parse stays within the original record budget
+        assert(rows.length <= 8)
+        rows.foreach { r =>
+          val p = r.getAs[Array[Byte]](1)
+          assert(p == null || p.length <= good.length)
+        }
+      } catch { case _: Exception => rejected += 1 }
+    }
+    // framing-byte mutations (version line, field syntax,
+    // Content-Length digits, chunk sizes) reject; mutations in field
+    // VALUES, HTTP headers, and body bytes legitimately survive —
+    // WARC has no checksum, so unlike tar's 250/300 the rejection
+    // floor only covers the framing surface (~22% of these records'
+    // bytes; seeded run rejects 66)
+    assert(rejected > 40, s"only $rejected/300 rejected")
+  }
+
   test("a jumbo record beyond maxRecordBytes rejects with guidance") {
     val d = Files.createTempDirectory("warc_jumbo")
     Files.write(d.resolve("big.warc"), WarcSynth.responseRecord(3))
