@@ -259,10 +259,13 @@ class WarcReaderFactory(conf: SerializableHadoopConf,
       schema, maxRecordBytes, WarcRecordFilter.compile(pushedFilters))
 }
 
-/** Open a (possibly gzip member-concatenated) WARC as one stream:
+/** Open a (possibly compressed) WARC as one stream:
   * `GZIPInputStream` reads concatenated members natively — the Common
   * Crawl record-per-member layout and a whole-file gzip look the same
-  * to the walk. Buffered (the walk reads header lines byte-wise). */
+  * to the walk — and `.warc.zst` decodes through zstd-jni's streaming
+  * decoder with `setContinuous` so record-per-frame zstd archives
+  * (the archive.org/warcio layout) concatenate the same way. Buffered
+  * (the walk reads header lines byte-wise). */
 object WarcFileOpener {
   def open(conf: Configuration, pathStr: String): java.io.InputStream = {
     val path = new Path(pathStr)
@@ -270,9 +273,13 @@ object WarcFileOpener {
     val raw = fs.open(path)
     val lower = path.getName.toLowerCase(java.util.Locale.ROOT)
     val decoded =
-      if (lower.endsWith(".gz") || lower.endsWith(".warc.gz"))
+      if (lower.endsWith(".gz"))
         new java.util.zip.GZIPInputStream(raw, 1 << 16): java.io.InputStream
-      else raw: java.io.InputStream
+      else if (lower.endsWith(".zst") || lower.endsWith(".zstd")) {
+        val z = new com.github.luben.zstd.ZstdInputStream(raw)
+        z.setContinuous(true) // multi-frame: keep reading at frame ends
+        z: java.io.InputStream
+      } else raw: java.io.InputStream
     new java.io.BufferedInputStream(decoded, 1 << 20)
   }
 }

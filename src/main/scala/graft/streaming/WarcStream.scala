@@ -21,8 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object WarcStream {
 
-  /** Everything the batch listing reads: plain and member-gzip. */
-  val DefaultFileGlob = "{*.warc,*.warc.gz}"
+  /** Everything the batch listing reads: plain, member-gzip, zstd. */
+  val DefaultFileGlob = "{*.warc,*.warc.gz,*.warc.zst,*.warc.zstd}"
 
   def records(s: SparkSession, landingDir: String,
       fileGlob: String = DefaultFileGlob,

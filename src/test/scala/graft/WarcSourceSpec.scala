@@ -212,6 +212,33 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test(".warc.zst reads identically: whole-file frame and " +
+      "record-per-frame (the archive.org layout) both walk") {
+    val d = Files.createTempDirectory("warc_zst")
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 6L) // id 5 is the image page
+    val recs = ids.map(WarcSynth.responseRecord)
+    // whole-file single frame
+    val whole = new com.github.luben.zstd.ZstdOutputStream(
+      Files.newOutputStream(d.resolve("a.warc.zst")))
+    recs.foreach(whole.write)
+    whole.close()
+    // one zstd frame PER RECORD, concatenated
+    val out = Files.newOutputStream(d.resolve("b.warc.zst"))
+    recs.foreach { r =>
+      out.write(com.github.luben.zstd.Zstd.compress(r))
+    }
+    out.close()
+    val rows = spark.read.format("warc").load(d.toString)
+      .select("file", "url", "payload").collect()
+    assert(rows.length == 12)
+    val byFile = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(r => (r.getString(1),
+        new String(r.getAs[Array[Byte]](2), "US-ASCII"))).toSet).toMap
+    val want = ids.map(i =>
+      (WarcSynth.urlOf(i), WarcSynth.htmlOf(i))).toSet
+    assert(byFile("a.warc.zst") == want && byFile("b.warc.zst") == want)
+  }
+
   test("fuzzed WARC bytes reject or parse bounded, never hang or " +
       "misallocate (seeded random mutations over a plain file)") {
     val dir = Files.createTempDirectory("warc_fuzz").toString
