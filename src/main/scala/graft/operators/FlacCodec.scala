@@ -526,7 +526,9 @@ object FlacCodec extends Serializable {
         "FLAC frame CRC-16 mismatch")
     }
     val out = chans.map(_.toArray)
-    require(out(0).length.toLong == total,
+    // total == 0 means UNKNOWN per the spec (live captures) — only a
+    // declared total gates the count
+    require(total == 0 || out(0).length.toLong == total,
       s"decoded ${out(0).length} samples, STREAMINFO declares $total")
     // the end-to-end integrity gate: MD5 of the decoded PCM
     if (md5Expect.exists(_ != 0)) {

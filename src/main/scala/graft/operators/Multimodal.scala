@@ -1970,7 +1970,7 @@ object Multimodal {
               walk(body, off + size, depth + 1, path + "/" + typ)
               if (typ == "trak") tracks += 1
             case "mvhd" if path.endsWith("/moov") =>
-              val version = bytes(body.toInt) & 0xFF
+              val version = (rd32(body) >>> 24).toInt // bounds-checked
               if (version == 0) {
                 val tsc = rd32(body + 12)
                 val dur = rd32(body + 16)
