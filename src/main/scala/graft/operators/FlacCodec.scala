@@ -31,6 +31,18 @@ object FlacCodec extends Serializable {
   def sample(id: Long, i: Int): Int = WavAudio.sample(id, i)
   val BlockSize = 64 // several frames per fixture clip
 
+  /** Stereo fixture's right channel: even ids carry an UNCORRELATED
+    * second formula (the mode chooser keeps channels independent);
+    * odd ids ride NEAR the left channel (a small wrapped delta), so
+    * mid/side decorrelation wins — both encoder paths exercised under
+    * the one oracle. */
+  def rightSample(id: Long, i: Int): Int =
+    if (id % 2 == 0)
+      (((id * 47 + i.toLong * i * 11) % 65536) - 32768).toInt
+    else
+      (((sample(id, i).toLong + ((i.toLong * 13 + id) % 31) - 15
+        + 98304) % 65536) - 32768).toInt
+
   private object WavAudio {
     def rate(id: Long): Int = 8000 + (id % 3).toInt * 4000
     def nSamples(id: Long): Int = 200 + (id % 57).toInt
@@ -299,15 +311,44 @@ object FlacCodec extends Serializable {
     val w2 = new BitWriter
     headBytes.foreach(b => w2.write((b & 0xFF).toLong, 8))
     w2.write(crc8(headBytes, 0, headBytes.length).toLong, 8)
-    // subframe (mono)
     val s = Array.tabulate(bs)(k => pcm(off + k).toLong)
+    writeSubframe(w2, s, bs, 16, useLpc)
+    w2.alignByte()
+    val body = w2.toBytes
+    val w3 = new BitWriter
+    body.foreach(b => w3.write((b & 0xFF).toLong, 8))
+    w3.write(crc16(body, 0, body.length).toLong, 16)
+    w3.toBytes
+  }
+
+  /** Best fixed order by total residual magnitude (deterministic) —
+    * also the cost estimate the stereo mode chooser uses. */
+  private def bestFixed(s: Array[Long], bs: Int): (Int, Long) = {
+    val maxOrder = math.min(4, bs - 1)
+    var best = 0
+    var bestCost = Long.MaxValue
+    var o = 0
+    while (o <= maxOrder) {
+      var cost = 0L
+      var i = o
+      while (i < bs) {
+        cost += math.abs(s(i) - fixedPredict(o, s, i)); i += 1
+      }
+      if (cost < bestCost) { bestCost = cost; best = o }
+      o += 1
+    }
+    (best, bestCost)
+  }
+
+  private def writeSubframe(w2: BitWriter, s: Array[Long], bs: Int,
+      bps: Int, useLpc: Boolean): Unit = {
     if (useLpc && bs > LpcCoeffs.length) {
       val order = LpcCoeffs.length
       w2.write(0, 1)                      // zero pad
       w2.write(32L | (order - 1), 6)      // LPC, order
       w2.write(0, 1)                      // no wasted bits
       var i = 0
-      while (i < order) { w2.write(s(i) & 0xFFFFFFFFL, 16); i += 1 }
+      while (i < order) { w2.write(s(i), bps); i += 1 }
       w2.write(LpcPrecision.toLong - 1, 4)
       w2.write(LpcShift.toLong, 5)        // (signed field; value >= 0)
       LpcCoeffs.foreach(c => w2.write(c, LpcPrecision))
@@ -322,36 +363,88 @@ object FlacCodec extends Serializable {
       }
       writeResiduals(w2, res, order, bs)
     } else {
-      // best fixed order by total residual magnitude (deterministic)
-      val maxOrder = math.min(4, bs - 1)
-      var best = 0
-      var bestCost = Long.MaxValue
-      var o = 0
-      while (o <= maxOrder) {
-        var cost = 0L
-        var i = o
-        while (i < bs) {
-          cost += math.abs(s(i) - fixedPredict(o, s, i)); i += 1
-        }
-        if (cost < bestCost) { bestCost = cost; best = o }
-        o += 1
-      }
+      val (best, _) = bestFixed(s, bs)
       w2.write(0, 1)                      // zero pad
       w2.write(8L | best, 6)              // FIXED, order
       w2.write(0, 1)                      // no wasted bits
       var i = 0
-      while (i < best) { w2.write(s(i) & 0xFFFFFFFFL, 16); i += 1 }
+      while (i < best) { w2.write(s(i), bps); i += 1 }
       val res = new Array[Long](bs)
       i = best
       while (i < bs) { res(i) = s(i) - fixedPredict(best, s, i); i += 1 }
       writeResiduals(w2, res, best, bs)
     }
-    w2.alignByte()
-    val body = w2.toBytes
-    val w3 = new BitWriter
-    body.foreach(b => w3.write((b & 0xFF).toLong, 8))
-    w3.write(crc16(body, 0, body.length).toLong, 16)
-    w3.toBytes
+  }
+
+  /** REAL stereo encoder: per frame, mid/side decorrelation (the
+    * libFLAC stereo default) competes against independent channels on
+    * the fixed-predictor residual cost and the cheaper form wins —
+    * correlated channels decorrelate, uncorrelated ones stay
+    * independent. Lossless either way (the chooser never changes
+    * decoded PCM, only the wire form). */
+  def encodePcmStereo(left: Array[Int], right: Array[Int],
+      sampleRate: Int): Array[Byte] = {
+    require(left.length == right.length, "channel length mismatch")
+    val n = left.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    val si = new BitWriter
+    si.write(1, 1); si.write(0, 7); si.write(34, 24)
+    si.write(BlockSize.toLong, 16); si.write(BlockSize.toLong, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(sampleRate.toLong, 20)
+    si.write(1, 3)                       // channels - 1 = 1
+    si.write(15, 5)
+    si.write(n.toLong, 36)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    var k = 0
+    while (k < n) {
+      md5.update((left(k) & 0xFF).toByte)
+      md5.update(((left(k) >> 8) & 0xFF).toByte)
+      md5.update((right(k) & 0xFF).toByte)
+      md5.update(((right(k) >> 8) & 0xFF).toByte)
+      k += 1
+    }
+    md5.digest().foreach(b => si.write((b & 0xFF).toLong, 8))
+    out.write(si.toBytes)
+    var frameIdx = 0L
+    var off = 0
+    while (off < n) {
+      val bs = math.min(BlockSize, n - off)
+      val l = Array.tabulate(bs)(i => left(off + i).toLong)
+      val r = Array.tabulate(bs)(i => right(off + i).toLong)
+      val mid = Array.tabulate(bs)(i => (l(i) + r(i)) >> 1)
+      val side = Array.tabulate(bs)(i => l(i) - r(i))
+      val useMS = bestFixed(mid, bs)._2 + bestFixed(side, bs)._2 <
+        bestFixed(l, bs)._2 + bestFixed(r, bs)._2
+      val w = new BitWriter
+      w.write(0x3FFE, 14); w.write(0, 1); w.write(0, 1)
+      w.write(7, 4); w.write(0, 4)
+      w.write(if (useMS) 10L else 1L, 4)  // mid/side or independent
+      w.write(4, 3); w.write(0, 1)
+      writeCodedNumber(w, frameIdx)
+      w.write(bs.toLong - 1, 16)
+      val head = { w.alignByte(); w.toBytes }
+      val w2 = new BitWriter
+      head.foreach(b => w2.write((b & 0xFF).toLong, 8))
+      w2.write(crc8(head, 0, head.length).toLong, 8)
+      if (useMS) {
+        writeSubframe(w2, mid, bs, 16, useLpc = false)
+        writeSubframe(w2, side, bs, 17, useLpc = false)
+      } else {
+        writeSubframe(w2, l, bs, 16, useLpc = false)
+        writeSubframe(w2, r, bs, 16, useLpc = false)
+      }
+      w2.alignByte()
+      val body = w2.toBytes
+      val w3 = new BitWriter
+      body.foreach(b => w3.write((b & 0xFF).toLong, 8))
+      w3.write(crc16(body, 0, body.length).toLong, 16)
+      out.write(w3.toBytes)
+      off += bs
+      frameIdx += 1
+    }
+    out.toByteArray
   }
 
   /** One partition (order 0), 4-bit Rice method; escapes to raw

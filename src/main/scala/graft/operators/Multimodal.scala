@@ -4768,6 +4768,69 @@ object Multimodal {
                AS BIGINT) AS sum_abs
         FROM documents WHERE doc_id % 3 = 0""")),
 
+    // ----- stereo FLAC decode (mid/side + independent, one oracle) ---------
+    // The libFLAC stereo reality: the encoder chooses mid/side
+    // decorrelation or independent channels PER FRAME by residual
+    // cost, and the fixture forces both — even ids carry an
+    // uncorrelated right channel (independent wins), odd ids a
+    // near-left right channel (mid/side wins, 17-bit side) — so one
+    // oracle gates both wire forms and the exact reconstruction.
+    // Scale: per-row decode, audio bytes never shuffle.
+    Q("mm_decode_flac_stereo",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val n = FlacCodec.nSamples(id)
+            val left = Array.tabulate(n)(i => FlacCodec.sample(id, i))
+            val right = Array.tabulate(n)(i => FlacCodec.rightSample(id, i))
+            val audio = FlacCodec.decode(
+              FlacCodec.encodePcmStereo(left, right, FlacCodec.rate(id)))
+            require(audio.channels == 2, "stereo decode lost a channel")
+            def stats(ch: Array[Int]): (Int, Long) = {
+              var peak = 0
+              var sum = 0L
+              var i = 0
+              while (i < ch.length) {
+                val a = math.abs(ch(i))
+                if (a > peak) peak = a
+                sum += a
+                i += 1
+              }
+              (peak, sum)
+            }
+            val (pl, sl) = stats(audio.samples(0))
+            val (pr, sr) = stats(audio.samples(1))
+            (id, audio.sampleRate, audio.samples(0).length,
+              pl, sl, pr, sr)
+          }
+        }.toDF("media_id", "sample_rate", "n_samples",
+          "peak_l", "sum_abs_l", "peak_r", "sum_abs_r")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, CAST(200 + doc_id % 57 AS INT) AS n
+          FROM documents WHERE doc_id % 3 = 1),
+        chans AS (
+          SELECT doc_id, n,
+            abs(((doc_id * 31 + i * i * 7) % 65536) - 32768) AS al,
+            abs(CASE WHEN doc_id % 2 = 0 THEN
+                ((doc_id * 47 + i * i * 11) % 65536) - 32768
+              ELSE
+                ((((doc_id * 31 + i * i * 7) % 65536) - 32768
+                  + ((i * 13 + doc_id) % 31) - 15 + 98304) % 65536) - 32768
+              END) AS ar
+          FROM base, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i))
+        SELECT doc_id AS media_id,
+          CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+          CAST(MAX(n) AS INT) AS n_samples,
+          CAST(MAX(al) AS INT) AS peak_l,
+          CAST(SUM(al) AS BIGINT) AS sum_abs_l,
+          CAST(MAX(ar) AS INT) AS peak_r,
+          CAST(SUM(ar) AS BIGINT) AS sum_abs_r
+        FROM chans GROUP BY doc_id""")),
+
     // ----- VAD-style speech segmentation ----------------------------------
     // The ASR-curation segmenter: cut each clip into maximal runs of
     // energetic frames (2 ms frames, frame active iff mean|s| ≥ half

@@ -256,6 +256,44 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("the stereo ENCODER picks mid/side for correlated channels and " +
+      "independent for uncorrelated ones, and both round-trip exactly") {
+    def modesOf(bytes: Array[Byte]): (Int, Int) = {
+      // frame header byte 3 = chanCode<<4 | ssCode<<1: scan for the
+      // two possible 4-byte frame prefixes (sync FFF8, bs code 7,
+      // rate code 0)
+      var indep = 0
+      var ms = 0
+      var i = 0
+      while (i + 3 < bytes.length) {
+        if (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xF8.toByte &&
+            bytes(i + 2) == 0x70.toByte) {
+          if (bytes(i + 3) == 0x18.toByte) indep += 1
+          else if (bytes(i + 3) == 0xA8.toByte) ms += 1
+        }
+        i += 1
+      }
+      (indep, ms)
+    }
+    for (id <- Seq(2L, 3L, 8L, 9L)) {
+      val n = FlacCodec.nSamples(id)
+      val left = Array.tabulate(n)(i => FlacCodec.sample(id, i))
+      val right = Array.tabulate(n)(i => FlacCodec.rightSample(id, i))
+      val enc = FlacCodec.encodePcmStereo(left, right, 16000)
+      val (indep, ms) = modesOf(enc)
+      assert(indep + ms >= 4, s"expected several frames, got $indep+$ms")
+      if (id % 2 == 0)
+        assert(indep > 0 && ms == 0,
+          s"uncorrelated id=$id should stay independent ($indep/$ms)")
+      else
+        assert(ms > 0,
+          s"near-identical channels id=$id should decorrelate ($indep/$ms)")
+      val audio = FlacCodec.decode(enc)
+      assert(audio.samples(0).toSeq == left.toSeq, s"left id=$id")
+      assert(audio.samples(1).toSeq == right.toSeq, s"right id=$id")
+    }
+  }
+
   test("fuzzed headers reject or parse, never hang or misdecode " +
       "(seeded random mutations)") {
     val good = FlacCodec.encode(11L)
