@@ -301,10 +301,25 @@ class PcapStatsReaderFactory extends PartitionReaderFactory {
 
 class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** Catalyst-visible size: summed capture bytes AFTER ts pruning, so
+    * a ts-bounded scan of a small window plans like the small relation
+    * it is (static broadcast eligibility instead of
+    * defaultSizeInBytes). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = pruneByTs(listFiles()).map(_.getLen).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   // task-level decode metrics in the Spark UI / listener bus — the DSv2
   // mapping of the reference's getPos/getProgress reporting

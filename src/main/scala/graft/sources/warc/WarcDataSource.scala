@@ -211,13 +211,29 @@ class WarcSkippedBytesMetric extends CustomSumMetric {
 class WarcScan(requiredSchema: StructType,
     options: CaseInsensitiveStringMap,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
-      Array.empty) extends Scan with Batch {
+      Array.empty) extends Scan with Batch
+  with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"WarcScan(columns=[${requiredSchema.fieldNames.mkString(",")}], " +
       s"pushedFilters=[${pushedFilters.mkString(",")}])"
+
+  /** Catalyst-visible size: the summed file bytes. Without this a
+    * DSv2 scan reports defaultSizeInBytes (effectively infinite), so
+    * a small crawl joined against a big relation could never plan a
+    * static broadcast — AQE would have to rescue it at runtime. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = WarcTable
+        .listDataFiles(options, hadoopConf).map(_.getLen).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =

@@ -330,13 +330,47 @@ class WdsStatsReaderFactory extends PartitionReaderFactory {
 class WdsScan(requiredSchema: StructType,
     options: CaseInsensitiveStringMap,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
-      Array.empty) extends Scan with Batch {
+      Array.empty) extends Scan with Batch
+  with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"WdsScan(columns=[${requiredSchema.fieldNames.mkString(",")}], " +
       s"pushedFilters=[${pushedFilters.mkString(",")}])"
+
+  /** Catalyst-visible size (summed shard bytes) and — when EVERY
+    * shard has a `.widx` sidecar and no entry filter is pushed — the
+    * exact row count from the sidecars, so a small lake joined
+    * against a big relation plans a static broadcast instead of
+    * waiting for AQE to rescue it. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val files = WdsTable.listDataFiles(options, hadoopConf)
+      private val bytes = files.map(_.getLen).sum
+      private val rows: Option[Long] =
+        if (pushedFilters.nonEmpty || files.isEmpty) None
+        else {
+          var total = 0L
+          val it = files.iterator
+          var ok = true
+          while (ok && it.hasNext) {
+            val st = it.next()
+            WdsIndex.readEntries(
+                st.getPath.getFileSystem(hadoopConf), st.getPath) match {
+              case Some(n) => total += n
+              case None => ok = false
+            }
+          }
+          if (ok) Some(total) else None
+        }
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =

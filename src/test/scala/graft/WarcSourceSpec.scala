@@ -272,6 +272,22 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(rejected > 40, s"only $rejected/300 rejected")
   }
 
+  test("the scan reports real statistics to Catalyst (summed file " +
+      "bytes), so small crawls are broadcast-eligible") {
+    val dir = fixture(100)
+    spark.read.format("warc").load(dir).count() // force session init
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir))
+    val scan = new graft.sources.warc.WarcScanBuilder(opts).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics]
+    val stats = scan.estimateStatistics()
+    val want = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz"))
+      .map(f => Files.size(Paths.get(f))).sum
+    assert(stats.sizeInBytes.getAsLong == want)
+  }
+
   test("a jumbo record beyond maxRecordBytes rejects with guidance") {
     val d = Files.createTempDirectory("warc_jumbo")
     Files.write(d.resolve("big.warc"), WarcSynth.responseRecord(3))

@@ -653,6 +653,32 @@ class WdsSourceSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("the scan reports real statistics to Catalyst: summed shard " +
+      "bytes, and the EXACT row count from .widx sidecars") {
+    val dir = Files.createTempDirectory("wds_stats").toString
+    exportSample(dir, n = 15) // 15 docs x 2 entries, sidecars written
+    spark.read.format("wds").load(dir).count() // session init
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir))
+    val scan = new graft.sources.wds.WdsScanBuilder(opts).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics]
+    val stats = scan.estimateStatistics()
+    val want = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".tar")).map(f => Files.size(Paths.get(f))).sum
+    assert(stats.sizeInBytes.getAsLong == want)
+    assert(stats.numRows.getAsLong == 30, "sidecar row count")
+    // a sidecar-less shard declines the row count, size still reported
+    Files.write(Paths.get(dir, "foreign.tar"),
+      graft.operators.Multimodal.TarCodec.encode(
+        Seq(("x.bin", Array[Byte](1, 2, 3)))))
+    val stats2 = new graft.sources.wds.WdsScanBuilder(opts).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+    assert(!stats2.numRows.isPresent)
+    assert(stats2.sizeInBytes.getAsLong > want)
+  }
+
   test("a corrupt shard rejects with a clean error, never misparses") {
     val dir = Files.createTempDirectory("wds_corrupt").toString
     exportSample(dir, n = 5)
