@@ -19,6 +19,7 @@ object WarcQueries {
   private val NPages = 40000
   private val RevisitPages = 6000
   private val ChunkedPages = 3000
+  private val CePages = 3000
   private val WetPages = 8000
   private val TwinRuns = new java.util.concurrent.atomic.AtomicLong
 
@@ -302,6 +303,78 @@ object WarcQueries {
             || ' alpha beta gamma ' || (((i % 700) * 37) % 1000)
             || '</body></html>') AS BIGINT) AS body_bytes
         FROM (SELECT unnest(generate_series(0, ${ChunkedPages - 1})) AS i)""")),
+
+    // ----- CDX sidecar survey (O(index), zero warc bytes) -------------------
+    // The crawl-industry artifact: a `.wcdx` record-offset sidecar per
+    // warc file (Common Crawl publishes CDX next to every crawl). Two
+    // jobs: record-range SPLITS of big member-gzip files (the
+    // one-task-per-100 GB straggler fix — WarcCdxSpec proves the
+    // range-split scan row-identical to whole-file) and O(index)
+    // surveys: this census reads ONLY the sidecars — not one page
+    // byte (the spec pins recordsRead == 0). The oracle re-derives
+    // the per-type/status populations from the synthesis formulas.
+    Q("warc_cdx_survey",
+      (s, _) => {
+        import s.implicits._
+        val dir = fixtureDir
+        graft.sources.warc.WarcCdx.ensureIndexed(
+          s.sessionState.newHadoopConf(), dir)
+        graft.sources.warc.WarcCdx.survey(s, dir)
+          .groupBy($"rec_type",
+            coalesce($"http_status", lit(-1)).as("status"))
+          .agg(count(lit(1)).as("n"),
+            count($"url").as("n_urls"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest(generate_series(0, ${NPages - 1})) AS i),
+        statuses AS (
+          SELECT CASE WHEN i % 17 = 0 THEN 404 ELSE 200 END AS st
+          FROM pages)
+        SELECT 'warcinfo' AS rec_type, -1 AS status, 4::BIGINT AS n,
+          0::BIGINT AS n_urls
+        UNION ALL
+        SELECT 'request', -1, ${NPages}::BIGINT, ${NPages}::BIGINT
+        UNION ALL
+        SELECT 'response', st,
+          CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        FROM statuses GROUP BY st""")),
+
+    // ----- Content-Encoding decode ------------------------------------------
+    // The first thing a user hits on a NON-synthetic crawl: Common
+    // Crawl bodies mostly carry `Content-Encoding: gzip` (and deflate)
+    // INSIDE the captured block — tokenizing the raw bytes would dedup
+    // deflate streams, not text. The walk decodes by default (warcio's
+    // content_stream parity): the fixture cycles gzip / zlib-deflate /
+    // gzip-under-chunked (layering: de-chunk THEN content-decode) /
+    // raw-deflate (the spec-violating server readers must sniff), and
+    // the oracle knows only the page formula — the md5 matches only if
+    // every decode path is byte-exact. `encoding` reports the header
+    // as captured. Scale: per-record in-memory inflate, no shuffle.
+    Q("warc_content_encoding",
+      (s, _) => {
+        import s.implicits._
+        val dir = graft.sources.warc.WarcSynth.ensureTwoFileFixture(
+          "/tmp/graft_warc_ce", CePages, "ce",
+          graft.sources.warc.WarcSynth.contentEncodedResponseRecord)
+        s.read.format("warc").load(dir)
+          .filter($"rec_type" === "response")
+          .select(
+            regexp_extract($"url", "/p(\\d+)$", 1).cast("long").as("page"),
+            $"http_content_encoding".as("encoding"),
+            md5($"payload").as("body_md5"),
+            octet_length($"payload").cast("long").as("body_bytes"))
+      },
+      Some(s"""SELECT i AS page,
+          CASE WHEN i % 4 IN (1, 3) THEN 'deflate' ELSE 'gzip' END
+            AS encoding,
+          md5('<html><title>t' || (i % 700) || '</title><body>warc document '
+            || (i % 700) || ' alpha beta gamma ' || (((i % 700) * 37) % 1000)
+            || '</body></html>') AS body_md5,
+          CAST(length('<html><title>t' || (i % 700)
+            || '</title><body>warc document ' || (i % 700)
+            || ' alpha beta gamma ' || (((i % 700) * 37) % 1000)
+            || '</body></html>') AS BIGINT) AS body_bytes
+        FROM (SELECT unnest(generate_series(0, ${CePages - 1})) AS i)""")),
 
     // ----- WET extracted-text lake ------------------------------------------
     // Common Crawl ships a WET sibling next to every WARC: `conversion`

@@ -1,0 +1,374 @@
+package graft.sources.warc
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CDX-style record-offset sidecar for WARC files (`<file>.wcdx`) —
+  * the `.tsidx`/`.widx` discipline applied to the crawl format, and
+  * the standard crawl-industry artifact (Common Crawl publishes a CDX
+  * index next to every crawl for exactly these two jobs):
+  *
+  *   1. **Record-range splits.** Whole-file partitions are the
+  *      format's own ceiling — member-per-record gzip has no random
+  *      access WITHOUT an index, so a 50-100 GB `.warc.gz` is one
+  *      task and the straggler of the stage. But member gzip IS
+  *      enterable at any recorded member offset: the sidecar records
+  *      each record's container offset, and the scan plans
+  *      record-range slices of big indexed files instead of one
+  *      whole-file task (results are partition-invariant — same
+  *      records, different tasks).
+  *   2. **O(index) surveys.** (url, status, type) census queries read
+  *      the sidecar columns alone — the 100 TB of page bytes are
+  *      never opened.
+  *
+  * Sidecar format (text, atomic-write, one per warc file):
+  * {{{
+  *   #wcdx 1 <framing> <recordCount>
+  *   offset \t rlen \t rec_type \t url \t warc_date \t http_status \t http_content_type
+  * }}}
+  * `framing` is `plain` (offsets are raw byte offsets) or
+  * `member-gzip` (offsets are gzip MEMBER start offsets — every
+  * record begins a member, the Common Crawl framing; the writer
+  * VERIFIES this and refuses to index a file whose records span
+  * members). `rlen` is container bytes from this record's enterable
+  * offset to the next record's. A sidecar older than its warc file is
+  * ignored (stale). Indexing a whole-file-gzip or zstd warc is
+  * refused — entering those mid-file is impossible.
+  */
+object WarcCdx {
+
+  val SidecarSuffix = ".wcdx"
+  val Version = 1
+
+  def sidecar(file: Path): Path = file.suffix(SidecarSuffix)
+  def isSidecar(name: String): Boolean = name.endsWith(SidecarSuffix)
+
+  /** One indexed record. `httpStatus` < 0 = null (non-HTTP). */
+  final case class Entry(offset: Long, rlen: Long, recType: String,
+      url: String, warcDate: String, httpStatus: Int,
+      httpContentType: String)
+
+  // ---------------------------------------------------------------------
+  // gzip member walk (RFC 1952) — yields each member's raw extent and
+  // inflated payload; the only way to learn member boundaries is to
+  // parse them (GZIPInputStream hides the framing behind read-ahead).
+  // ---------------------------------------------------------------------
+
+  /** Streaming concatenated-member gzip parser: after `next()` returns
+    * true, `memberStart`/`memberLen` give the member's raw extent and
+    * `payload` its inflated bytes. CRC32 and ISIZE verified. */
+  final class MemberGzipWalker(in: java.io.InputStream) {
+    private val inBuf = new Array[Byte](1 << 16)
+    private var inLen = 0
+    private var inPos = 0
+    private var absBase = 0L // raw offset of inBuf(0)
+
+    private def absPos: Long = absBase + inPos
+
+    private def fill(): Boolean = {
+      if (inPos < inLen) return true
+      absBase += inLen
+      inPos = 0
+      inLen = 0
+      var r = in.read(inBuf)
+      while (r == 0) r = in.read(inBuf)
+      if (r < 0) false else { inLen = r; true }
+    }
+
+    private def readByte(): Int =
+      if (!fill()) -1 else { val b = inBuf(inPos) & 0xFF; inPos += 1; b }
+
+    private def needByte(what: String): Int = {
+      val b = readByte()
+      require(b >= 0, s"truncated gzip $what at member $memberStart")
+      b
+    }
+
+    var memberStart = 0L
+    var memberLen = 0L
+    var payload: Array[Byte] = _
+
+    /** Advance to the next member; false at clean EOF. */
+    def next(): Boolean = {
+      if (!fill()) return false
+      memberStart = absPos
+      require(needByte("magic") == 0x1f && needByte("magic") == 0x8b,
+        s"not a gzip member at offset $memberStart")
+      require(needByte("header") == 8, "unsupported gzip method")
+      val flg = needByte("header")
+      var k = 0
+      while (k < 6) { needByte("header"); k += 1 } // MTIME, XFL, OS
+      if ((flg & 4) != 0) { // FEXTRA
+        val xl = needByte("FEXTRA") | (needByte("FEXTRA") << 8)
+        k = 0
+        while (k < xl) { needByte("FEXTRA"); k += 1 }
+      }
+      if ((flg & 8) != 0) { // FNAME, NUL-terminated
+        var b = needByte("FNAME"); while (b != 0) b = needByte("FNAME")
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        var b = needByte("FCOMMENT")
+        while (b != 0) b = needByte("FCOMMENT")
+      }
+      if ((flg & 2) != 0) { needByte("FHCRC"); needByte("FHCRC") }
+      // deflate stream: feed buffered raw bytes, rewind the unused tail
+      val inf = new java.util.zip.Inflater(true)
+      val out = new java.io.ByteArrayOutputStream(1 << 16)
+      val tmp = new Array[Byte](1 << 16)
+      try {
+        while (!inf.finished()) {
+          if (inf.needsInput()) {
+            require(fill(), s"truncated gzip member at $memberStart")
+            inf.setInput(inBuf, inPos, inLen - inPos)
+            inPos = inLen
+          }
+          val n = try inf.inflate(tmp) catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"corrupt gzip member at $memberStart: ${e.getMessage}")
+          }
+          require(n > 0 || inf.finished() || inf.needsInput(),
+            s"undecodable gzip member at $memberStart")
+          if (n > 0) out.write(tmp, 0, n)
+        }
+        inPos -= inf.getRemaining // bytes the inflater did not consume
+      } finally inf.end()
+      var crc = 0L
+      k = 0
+      while (k < 4) { crc |= needByte("trailer").toLong << (8 * k); k += 1 }
+      var isize = 0L
+      k = 0
+      while (k < 4) { isize |= needByte("trailer").toLong << (8 * k); k += 1 }
+      payload = out.toByteArray
+      val c = new java.util.zip.CRC32()
+      c.update(payload)
+      require(c.getValue == crc,
+        s"gzip member CRC mismatch at $memberStart")
+      require((payload.length & 0xFFFFFFFFL) == isize,
+        s"gzip member ISIZE mismatch at $memberStart")
+      memberLen = absPos - memberStart
+      true
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // index writer
+  // ---------------------------------------------------------------------
+
+  private def framingOf(name: String): String = {
+    val lower = name.toLowerCase(java.util.Locale.ROOT)
+    if (lower.endsWith(".gz")) "member-gzip"
+    else if (lower.endsWith(".zst") || lower.endsWith(".zstd"))
+      throw new IllegalArgumentException(
+        s"cannot index $name: zstd warcs are not member-enterable here")
+    else "plain"
+  }
+
+  private def cleanField(v: String, what: String, file: String): String = {
+    if (v == null) return ""
+    require(!v.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"$what contains a tab/newline in $file — refusing to index")
+    v
+  }
+
+  /** Index one warc file; returns the number of records indexed.
+    * Atomic write (tmp + rename). Refuses non-member-framed gzip. */
+  def writeIndex(conf: Configuration, warcFile: Path): Long = {
+    val fs = warcFile.getFileSystem(conf)
+    val st = fs.getFileStatus(warcFile)
+    val framing = framingOf(warcFile.getName)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    // member raw extents (gzip only), in file order
+    val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val raw = fs.open(warcFile)
+    try {
+      val recordIn: java.io.InputStream =
+        if (framing == "plain") new java.io.BufferedInputStream(raw, 1 << 20)
+        else new java.io.InputStream {
+          // concatenated member payloads, recording (rawStart, rawLen,
+          // uncompressedStart) per member as they stream past
+          private val w = new MemberGzipWalker(
+            new java.io.BufferedInputStream(raw, 1 << 20))
+          private var cur: Array[Byte] = _
+          private var p = 0
+          private var unc = 0L
+          private def advance(): Boolean = {
+            while (cur == null || p >= cur.length) {
+              if (!w.next()) return false
+              members += ((w.memberStart, w.memberLen, unc))
+              cur = w.payload
+              p = 0
+              unc += cur.length
+            }
+            true
+          }
+          override def read(): Int =
+            if (!advance()) -1 else { val b = cur(p) & 0xFF; p += 1; b }
+          override def read(b: Array[Byte], off: Int, len: Int): Int = {
+            if (len == 0) return 0
+            if (!advance()) return -1
+            val n = math.min(len, cur.length - p)
+            System.arraycopy(cur, p, b, off, n)
+            p += n
+            n
+          }
+        }
+      val walk = new WarcRecordWalk(recordIn, warcFile.getName,
+        needPayload = false, needHttp = true, maxRecordBytes = 1L << 31)
+      var memberPtr = 0
+      while (walk.next()) {
+        val offset =
+          if (framing == "plain") walk.recordStart
+          else {
+            // the record's uncompressed start must BE a member start
+            // (the CC record-per-member framing) or mid-file entry is
+            // impossible — refuse rather than write a lying index
+            while (memberPtr < members.length &&
+                members(memberPtr)._3 < walk.recordStart) memberPtr += 1
+            require(memberPtr < members.length &&
+              members(memberPtr)._3 == walk.recordStart,
+              s"${warcFile.getName}: record at uncompressed offset " +
+                s"${walk.recordStart} does not begin a gzip member — " +
+                "not CC record-per-member framing; refusing to index")
+            members(memberPtr)._1
+          }
+        entries += Entry(offset, 0L, walk.recType, walk.url,
+          walk.warcDate, walk.httpStatus, walk.httpContentType)
+      }
+    } finally raw.close()
+    val fileLen = st.getLen
+    val sb = new StringBuilder()
+    sb.append(s"#wcdx $Version $framing ${entries.length}\n")
+    var i = 0
+    while (i < entries.length) {
+      val e = entries(i)
+      val next = if (i + 1 < entries.length) entries(i + 1).offset
+        else fileLen
+      sb.append(e.offset).append('\t').append(next - e.offset)
+        .append('\t')
+        .append(cleanField(e.recType, "rec_type", warcFile.getName))
+        .append('\t')
+        .append(cleanField(e.url, "url", warcFile.getName))
+        .append('\t')
+        .append(cleanField(e.warcDate, "warc_date", warcFile.getName))
+        .append('\t')
+        .append(if (e.httpStatus < 0) "" else e.httpStatus.toString)
+        .append('\t')
+        .append(cleanField(e.httpContentType, "http_content_type",
+          warcFile.getName))
+        .append('\n')
+      i += 1
+    }
+    val sp = sidecar(warcFile)
+    val tmp = sp.suffix(".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(sp, false)
+    require(fs.rename(tmp, sp), s"could not move $tmp to $sp")
+    entries.length.toLong
+  }
+
+  /** Index every warc file under `dir` that lacks a FRESH sidecar;
+    * returns files indexed. Non-indexable files are skipped. */
+  def ensureIndexed(conf: Configuration, dir: String): Int = {
+    var n = 0
+    WarcTable.listDataFiles(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)), conf).foreach { st =>
+      val fs = st.getPath.getFileSystem(conf)
+      val sp = sidecar(st.getPath)
+      val fresh = fs.exists(sp) &&
+        fs.getFileStatus(sp).getModificationTime >=
+          st.getModificationTime
+      if (!fresh) {
+        try { writeIndex(conf, st.getPath); n += 1 }
+        catch { case _: IllegalArgumentException => () } // not indexable
+      }
+    }
+    n
+  }
+
+  // ---------------------------------------------------------------------
+  // planner side: record-range slices from a fresh sidecar
+  // ---------------------------------------------------------------------
+
+  /** (framing, record offsets) from a FRESH sidecar, else None —
+    * stale or unreadable sidecars never influence planning. */
+  def readOffsets(fs: FileSystem, st: FileStatus)
+      : Option[(String, Array[Long])] =
+    try {
+      val sp = sidecar(st.getPath)
+      if (!fs.exists(sp)) return None
+      if (fs.getFileStatus(sp).getModificationTime <
+          st.getModificationTime) return None // stale
+      val in = fs.open(sp)
+      val text =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val lines = text.split('\n')
+      if (lines.isEmpty) return None
+      val head = lines(0).split(' ')
+      if (head.length < 4 || head(0) != "#wcdx" ||
+          head(1).toInt != Version) return None
+      val framing = head(2)
+      val n = head(3).toInt
+      val offsets = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val ln = lines(i + 1)
+        offsets(i) = ln.substring(0, ln.indexOf('\t')).toLong
+        i += 1
+      }
+      Some((framing, offsets))
+    } catch { case _: Exception => None }
+
+  /** Split one indexed file into record-range slices of ~`maxBytes`
+    * container bytes each; None when no fresh index or the file is
+    * not worth splitting. */
+  def planRanges(fs: FileSystem, st: FileStatus, maxBytes: Long)
+      : Option[Seq[WarcFileSlice]] =
+    readOffsets(fs, st).flatMap { case (framing, offsets) =>
+      if (framing != "plain" && framing != "member-gzip") None
+      else if (offsets.length < 2) None
+      else {
+        val fileLen = st.getLen
+        val slices = scala.collection.mutable.ArrayBuffer
+          .empty[WarcFileSlice]
+        var start = offsets(0)
+        var i = 1
+        while (i < offsets.length) {
+          if (offsets(i) - start >= maxBytes) {
+            slices += WarcFileSlice(st.getPath.toString, start,
+              offsets(i) - start)
+            start = offsets(i)
+          }
+          i += 1
+        }
+        if (fileLen > start)
+          slices += WarcFileSlice(st.getPath.toString, start,
+            fileLen - start)
+        if (slices.length < 2) None else Some(slices.toSeq)
+      }
+    }
+
+  // ---------------------------------------------------------------------
+  // O(index) survey
+  // ---------------------------------------------------------------------
+
+  private val SurveySchema = org.apache.spark.sql.types.StructType
+    .fromDDL("offset LONG, rlen LONG, rec_type STRING, url STRING, " +
+      "warc_date STRING, http_status INT, http_content_type STRING")
+
+  /** The sidecars of `dir` as a DataFrame — a crawl census that never
+    * opens a warc byte. */
+  def survey(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .option("comment", "#")
+      .schema(SurveySchema)
+      .csv(s"$dir/*$SidecarSuffix")
+}

@@ -24,12 +24,23 @@ import graft.sources.pcap.SerializableHadoopConf
   *
   * One row per WARC record:
   * (file, rec_type, record_id, url, warc_date, content_type,
-  * content_length, http_status, http_content_type, payload) — for
-  * records whose block is `application/http` (request/response), the
-  * HTTP status line + headers are parsed off and `payload` is the
-  * HTTP BODY (the page bytes a corpus wants); for every other record
-  * type `payload` is the whole block. `http_status` /
-  * `http_content_type` are null on non-HTTP records.
+  * content_length, http_status, http_content_type,
+  * http_content_encoding, payload) — for records whose block is
+  * `application/http` (request/response), the HTTP status line +
+  * headers are parsed off and `payload` is the HTTP BODY (the page
+  * bytes a corpus wants); for every other record type `payload` is
+  * the whole block. `http_status` / `http_content_type` /
+  * `http_content_encoding` are null on non-HTTP records.
+  *
+  * Real crawls store HTTP bodies AS CAPTURED, and captured bodies
+  * frequently keep BOTH their transfer framing (chunked) and their
+  * content coding (`Content-Encoding: gzip`/`deflate`): a corpus
+  * pipeline that tokenized the raw block would be hashing deflate
+  * bytes. The walk therefore de-chunks and then content-decodes by
+  * default (`decodeContentEncoding`, default true — warcio's
+  * `content_stream()` behavior); `http_content_encoding` always
+  * reports the header as captured. Unknown codings (e.g. `br`) pass
+  * through raw — the column lets a pipeline route them.
   *
   * Scale shape — the wds/pcap discipline applied to WARC:
   *   - whole-file partitions (member-gzip has no index; mid-file entry
@@ -74,6 +85,7 @@ object WarcTable {
     .add("content_length", LongType, nullable = false)
     .add("http_status", IntegerType, nullable = true)
     .add("http_content_type", StringType, nullable = true)
+    .add("http_content_encoding", StringType, nullable = true)
     .add("payload", BinaryType, nullable = true)
 
   def paths(options: CaseInsensitiveStringMap): Seq[String] =
@@ -97,8 +109,9 @@ object WarcTable {
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq.filter(_.isFile)
             .filter(s => !s.getPath.getName.startsWith("_") &&
-              !s.getPath.getName.startsWith("."))
-        else Seq(st)
+              !s.getPath.getName.startsWith(".") &&
+              !WarcCdx.isSidecar(s.getPath.getName))
+        else Seq(st).filter(s => !WarcCdx.isSidecar(s.getPath.getName))
       }
     }
   }
@@ -122,46 +135,84 @@ class WarcTable(options: CaseInsensitiveStringMap) extends Table
   }
 }
 
-/** Record-level predicate pushdown: rec_type and url are known from
-  * the WARC header BEFORE the block is read, so simple predicates on
-  * them skip non-matching records' blocks entirely — a responses-only
-  * crawl pipeline never decompresses a request or warcinfo block into
-  * memory. Filters stay residual (Spark re-checks them): a
-  * byte-skipping optimization, never a semantic contract — the
-  * wds/pcap pushdown discipline. */
+/** Record-level predicate pushdown, split at the two skip points the
+  * record grammar offers:
+  *
+  *   - rec_type and url are known from the WARC header BEFORE the
+  *     block is read — predicates on them skip non-matching records'
+  *     blocks entirely (a responses-only crawl pipeline never
+  *     decompresses a request or warcinfo block into memory);
+  *   - http_status and http_content_type are known after the HTTP
+  *     header LINES but before the body read — predicates on them
+  *     skip the discarded bodies (the 404s and images a text
+  *     pipeline filters out) without materializing them.
+  *
+  * Filters stay residual (Spark re-checks them): a byte-skipping
+  * optimization, never a semantic contract — the wds/pcap pushdown
+  * discipline. */
 object WarcRecordFilter {
   import org.apache.spark.sql.sources._
 
-  type Predicate = (String, String) => Boolean
-  val acceptAll: Predicate = (_, _) => true
+  /** `header(recType, url)` gates the whole block; `http(status,
+    * contentType)` gates the HTTP body (status -1 / null contentType
+    * = not an HTTP record, so equality predicates reject — exactly
+    * what the residual filter does with the null columns). */
+  final case class Compiled(header: (String, String) => Boolean,
+      http: (Int, String) => Boolean, hasHttp: Boolean)
+
+  val acceptAll: Compiled = Compiled((_, _) => true, (_, _) => true,
+    hasHttp = false)
+
+  private def headerAttr(a: String) = a == "rec_type" || a == "url"
 
   def supported(f: Filter): Boolean = f match {
-    case EqualTo(a, _: String) => a == "rec_type" || a == "url"
-    case In(a, vs) => (a == "rec_type" || a == "url") &&
-      vs.forall(_.isInstanceOf[String])
-    case StringStartsWith(a, _) => a == "rec_type" || a == "url"
+    case EqualTo(a, _: String) => headerAttr(a) || a == "http_content_type"
+    case EqualTo("http_status", _: Int) => true
+    case In(a, vs) if headerAttr(a) => vs.forall(_.isInstanceOf[String])
+    case In("http_status", vs) => vs.forall(_.isInstanceOf[Int])
+    case StringStartsWith(a, _) =>
+      headerAttr(a) || a == "http_content_type"
     case _ => false
   }
 
-  def compile(filters: Array[Filter]): Predicate = {
+  def compile(filters: Array[Filter]): Compiled = {
     if (filters.isEmpty) return acceptAll
-    val preds: Seq[Predicate] = filters.toSeq.map {
-      case EqualTo(a, v: String) =>
-        if (a == "rec_type") (t: String, _: String) => t == v
-        else (_: String, u: String) => u == v
-      case In(a, vs) =>
+    type HeaderPred = (String, String) => Boolean
+    type HttpPred = (Int, String) => Boolean
+    val header = scala.collection.mutable.ArrayBuffer.empty[HeaderPred]
+    val http = scala.collection.mutable.ArrayBuffer.empty[HttpPred]
+    filters.foreach {
+      case EqualTo("rec_type", v: String) => header += ((t, _) => t == v)
+      case EqualTo("url", v: String) => header += ((_, u) => u == v)
+      case EqualTo("http_content_type", v: String) =>
+        http += ((_, c) => c == v)
+      case EqualTo("http_status", v: Int) => http += ((s, _) => s == v)
+      case In("rec_type", vs) =>
         val set = vs.map(_.asInstanceOf[String]).toSet
-        if (a == "rec_type") (t: String, _: String) => set(t)
-        else (_: String, u: String) => set(u)
-      case StringStartsWith(a, p) =>
-        if (a == "rec_type") (t: String, _: String) => t.startsWith(p)
-        else (_: String, u: String) => u != null && u.startsWith(p)
+        header += ((t, _) => set(t))
+      case In("url", vs) =>
+        val set = vs.map(_.asInstanceOf[String]).toSet
+        header += ((_, u) => set(u))
+      case In("http_status", vs) =>
+        val set = vs.map(_.asInstanceOf[Int]).toSet
+        http += ((s, _) => set(s))
+      case StringStartsWith("rec_type", p) =>
+        header += ((t, _) => t.startsWith(p))
+      case StringStartsWith("url", p) =>
+        header += ((_, u) => u != null && u.startsWith(p))
+      case StringStartsWith("http_content_type", p) =>
+        http += ((_, c) => c != null && c.startsWith(p))
       case other => throw new IllegalArgumentException(
         s"unsupported pushed filter $other")
     }
-    // url may legitimately be null (warcinfo records): a pushed url
-    // predicate rejects those — matching what the residual filter does
-    (t, u) => preds.forall(p => p(t, if (u == null) "" else u))
+    val hs = header.toArray
+    val ps = http.toArray
+    Compiled(
+      // url may legitimately be null (warcinfo records): a pushed url
+      // predicate rejects those — matching the residual filter
+      (t, u) => hs.forall(p => p(t, if (u == null) "" else u)),
+      (s, c) => ps.forall(p => p(s, c)),
+      hasHttp = ps.nonEmpty)
   }
 }
 
@@ -248,31 +299,52 @@ class WarcScan(requiredSchema: StructType,
       .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
       .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
     val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
-    val files = WarcTable.listDataFiles(options, hadoopConf)
-      .map(f => f.getPath.toString -> f.getLen)
-    graft.sources.BinPack.pack(files, maxBytes, openCost)
+    val conf = hadoopConf
+    val useWcdx = options.getBoolean("useWcdx", true)
+    // big indexed files split into record-range slices at the member
+    // offsets their .wcdx records (the one-task-per-100 GB straggler
+    // fix); everything else stays a whole-file slice. Sidecars are
+    // read ONLY for files larger than the partition target.
+    val slices = WarcTable.listDataFiles(options, conf).flatMap { st =>
+      val whole = Seq(WarcFileSlice(st.getPath.toString, 0L, st.getLen))
+      if (useWcdx && st.getLen > maxBytes) {
+        val fs = st.getPath.getFileSystem(conf)
+        WarcCdx.planRanges(fs, st, maxBytes).getOrElse(whole)
+      } else whole
+    }
+    graft.sources.BinPack.pack(slices.map(s => s -> s.length),
+        maxBytes, openCost)
       .map(b => WarcInputPartition(b): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(new SerializableHadoopConf(hadoopConf),
       requiredSchema, options.getLong("maxRecordBytes", 1L << 30),
-      pushedFilters)
+      pushedFilters,
+      options.getBoolean("decodeContentEncoding", true))
 }
 
-case class WarcInputPartition(files: Seq[String]) extends InputPartition
+/** One read unit: `[start, start+length)` of a container file, where
+  * `start` is 0 (whole file) or a record/member offset from the
+  * file's `.wcdx` — slices always cover whole records. */
+case class WarcFileSlice(path: String, start: Long, length: Long)
+
+case class WarcInputPartition(slices: Seq[WarcFileSlice])
+  extends InputPartition
 
 class WarcReaderFactory(conf: SerializableHadoopConf,
     schema: StructType, maxRecordBytes: Long,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
-      Array.empty)
+      Array.empty,
+    decodeContentEncoding: Boolean = true)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      partition.asInstanceOf[WarcInputPartition].files, conf.value,
-      schema, maxRecordBytes, WarcRecordFilter.compile(pushedFilters))
+      partition.asInstanceOf[WarcInputPartition].slices, conf.value,
+      schema, maxRecordBytes, WarcRecordFilter.compile(pushedFilters),
+      decodeContentEncoding)
 }
 
 /** Open a (possibly compressed) WARC as one stream:
@@ -283,28 +355,68 @@ class WarcReaderFactory(conf: SerializableHadoopConf,
   * (the archive.org/warcio layout) concatenate the same way. Buffered
   * (the walk reads header lines byte-wise). */
 object WarcFileOpener {
-  def open(conf: Configuration, pathStr: String): java.io.InputStream = {
-    val path = new Path(pathStr)
+  def open(conf: Configuration, pathStr: String): java.io.InputStream =
+    openSlice(conf, WarcFileSlice(pathStr, 0L, -1L))
+
+  /** EOF after `limit` bytes of `in` — a record-range slice ends at a
+    * record/member boundary, so the walk sees a clean end-of-stream
+    * exactly where the next slice begins. */
+  private final class BoundedInputStream(in: java.io.InputStream,
+      limit: Long) extends java.io.InputStream {
+    private var left = limit
+    override def read(): Int =
+      if (left <= 0) -1
+      else { val b = in.read(); if (b >= 0) left -= 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (left <= 0) return -1
+      val n = in.read(b, off, math.min(len.toLong, left).toInt)
+      if (n > 0) left -= n
+      n
+    }
+    override def skip(n: Long): Long = {
+      val s = in.skip(math.min(n, left))
+      left -= s
+      s
+    }
+    override def close(): Unit = in.close()
+  }
+
+  /** Open a slice: seek to its start, bound to its length, then
+    * decode — member-gzip is enterable at any member offset (each
+    * member is a self-contained deflate stream), plain at any byte.
+    * length < 0 = to EOF (whole file; the only shape zstd supports). */
+  def openSlice(conf: Configuration, slice: WarcFileSlice)
+      : java.io.InputStream = {
+    val path = new Path(slice.path)
     val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
+    if (slice.start > 0) raw.seek(slice.start)
+    val bounded: java.io.InputStream =
+      if (slice.length < 0) raw
+      else new BoundedInputStream(raw, slice.length)
     val lower = path.getName.toLowerCase(java.util.Locale.ROOT)
     val decoded =
       if (lower.endsWith(".gz"))
-        new java.util.zip.GZIPInputStream(raw, 1 << 16): java.io.InputStream
+        new java.util.zip.GZIPInputStream(bounded, 1 << 16)
+          : java.io.InputStream
       else if (lower.endsWith(".zst") || lower.endsWith(".zstd")) {
-        val z = new com.github.luben.zstd.ZstdInputStream(raw)
+        require(slice.start == 0,
+          "zstd warcs are not sliceable (no member index)")
+        val z = new com.github.luben.zstd.ZstdInputStream(bounded)
         z.setContinuous(true) // multi-frame: keep reading at frame ends
         z: java.io.InputStream
-      } else raw: java.io.InputStream
+      } else bounded
     new java.io.BufferedInputStream(decoded, 1 << 20)
   }
 }
 
-/** One WARC record, parsed. `httpStatus` < 0 and `httpContentType`
-  * null when the record is not application/http. */
+/** One WARC record, parsed. `httpStatus` < 0 and `httpContentType` /
+  * `httpContentEncoding` null when the record is not
+  * application/http. */
 final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     needPayload: Boolean, needHttp: Boolean, maxRecordBytes: Long,
-    pred: WarcRecordFilter.Predicate = WarcRecordFilter.acceptAll) {
+    pred: WarcRecordFilter.Compiled = WarcRecordFilter.acceptAll,
+    decodeContentEncoding: Boolean = true) {
 
   var recType: String = _
   var recordId: String = _
@@ -315,9 +427,22 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
   var contentLength: Long = _
   var httpStatus: Int = -1
   var httpContentType: String = _
+  var httpContentEncoding: String = _
   var payload: Array[Byte] = _
   var recordsRead = 0L
   var payloadBytesSkipped = 0L
+
+  /** Stream position (bytes consumed from `in`) — UNCOMPRESSED
+    * offsets on a decoded stream; raw offsets on a plain file. */
+  var pos = 0L
+
+  /** Offset of the current record's version line (the enterable
+    * point a CDX-style index records). */
+  var recordStart = 0L
+
+  // http_status/http_content_type predicates force the HTTP header
+  // parse even when no http column is projected
+  private val parseHttp = needHttp || pred.hasHttp
 
   private val MaxLine = 64 * 1024
   private val lineBuf = new java.io.ByteArrayOutputStream(256)
@@ -330,11 +455,13 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     lineBuf.reset()
     var c = in.read()
     if (c < 0) return null
+    pos += 1
     while (c >= 0 && c != '\n') {
       lineBuf.write(c)
       require(lineBuf.size() <= MaxLine,
         s"WARC header line exceeds $MaxLine B in $fileName")
       c = in.read()
+      if (c >= 0) pos += 1
     }
     val n = lineBuf.size()
     val b = lineBuf.toByteArray
@@ -347,6 +474,7 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     while (o < off + len) {
       val r = in.read(buf, o, off + len - o)
       require(r > 0, s"truncated WARC block in $fileName")
+      pos += r
       o += r
     }
   }
@@ -355,11 +483,12 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     var rem = n
     while (rem > 0) {
       val s = in.skip(rem)
-      if (s > 0) rem -= s
+      if (s > 0) { pos += s; rem -= s }
       else {
         if (trash == null) trash = new Array[Byte](1 << 16)
         val r = in.read(trash, 0, math.min(rem, trash.length.toLong).toInt)
         require(r > 0, s"truncated WARC block in $fileName")
+        pos += r
         rem -= r
       }
     }
@@ -404,6 +533,78 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     out.toByteArray
   }
 
+  /** A block/body length that must be materialized: bounded by
+    * maxRecordBytes upstream, but a user-raised cap must not let a
+    * >2 GiB record wrap `toInt` into a negative allocation. */
+  private def intLen(n: Long): Int = {
+    require(n <= Int.MaxValue - 8,
+      s"WARC record body of $n B exceeds the JVM array limit in " +
+        s"$fileName (filter it out or lower maxRecordBytes)")
+    n.toInt
+  }
+
+  /** Strict gunzip of a captured body: truncated or corrupt member
+    * streams reject (EOFException/ZipException surface with the file
+    * name) — a half-inflated page must not enter a corpus. */
+  private def gunzipBody(raw: Array[Byte]): Array[Byte] =
+    try {
+      val z = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw), 8192)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(raw.length.toLong * 4, 1L << 20).toInt max 64)
+      val buf = new Array[Byte](8192)
+      var r = z.read(buf)
+      while (r > 0) { out.write(buf, 0, r); r = z.read(buf) }
+      out.toByteArray
+    } catch {
+      case e: java.io.IOException => throw new IllegalArgumentException(
+        s"bad gzip Content-Encoding body in $fileName: ${e.getMessage}")
+    }
+
+  /** HTTP `deflate` is zlib (RFC 1950), but plenty of servers send
+    * raw DEFLATE — sniff the 2-byte zlib header (CM=8, checksum
+    * divisible by 31) and inflate accordingly; truncation rejects. */
+  private def inflateBody(raw: Array[Byte]): Array[Byte] = {
+    val zlib = raw.length >= 2 && (raw(0) & 0x0F) == 8 &&
+      ((((raw(0) & 0xFF) << 8) | (raw(1) & 0xFF)) % 31 == 0)
+    val inf = new java.util.zip.Inflater(!zlib)
+    try {
+      inf.setInput(raw)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(raw.length.toLong * 4, 1L << 20).toInt max 64)
+      val buf = new Array[Byte](8192)
+      var done = inf.finished()
+      while (!done) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        done = inf.finished()
+        require(n > 0 || done,
+          s"truncated deflate Content-Encoding body in $fileName")
+      }
+      out.toByteArray
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(
+          s"bad deflate Content-Encoding body in $fileName: " +
+            e.getMessage)
+    } finally inf.end()
+  }
+
+  /** Decode a recognized content coding; unknown codings (br, ...)
+    * pass through — `httpContentEncoding` lets the pipeline route
+    * them. A trailing `identity` or parameterized token is
+    * normalized; multi-coding chains (rare, e.g. "gzip, gzip") are
+    * left raw rather than half-decoded. */
+  private def decodeCoding(enc: String, body: Array[Byte])
+      : Array[Byte] = {
+    val token = enc.trim.toLowerCase(java.util.Locale.ROOT)
+    token match {
+      case "gzip" | "x-gzip" => gunzipBody(body)
+      case "deflate" => inflateBody(body)
+      case _ => body
+    }
+  }
+
   /** Advance to the next MATCHING record; false at clean EOF. */
   def next(): Boolean = {
     while (true) {
@@ -418,22 +619,42 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
 
   private def step(): Int = {
     // records are separated by CRLF CRLF (consumed here, leading)
+    var pre = pos
     var line = readLine()
-    while (line != null && line.isEmpty) line = readLine()
+    while (line != null && line.isEmpty) { pre = pos; line = readLine() }
     if (line == null) return 0
+    recordStart = pre
     require(line.startsWith("WARC/"),
       s"not a WARC version line in $fileName: '${line.take(40)}'")
     // named fields until the blank line; case-insensitive names,
-    // folded continuations appended (WARC 1.1 §4)
+    // folded continuations appended AND re-assigned to the stored
+    // field (WARC 1.1 §4 — a folded WARC-Target-URI must not silently
+    // drop its continuation text)
     recType = null; recordId = null; refersTo = null
     url = null; warcDate = null
     contentType = null; contentLength = -1L
-    httpStatus = -1; httpContentType = null; payload = null
+    httpStatus = -1; httpContentType = null; httpContentEncoding = null
+    payload = null
+    var lastName: String = null
     var lastVal: String = null
+    def setField(name: String, value: String): Unit = name match {
+      case "warc-type" => recType = value
+      case "warc-record-id" => recordId = value
+      case "warc-refers-to" => refersTo = value
+      case "warc-target-uri" => url = value
+      case "warc-date" => warcDate = value
+      case "content-type" => contentType = value
+      case "content-length" =>
+        require(value.nonEmpty && value.forall(_.isDigit),
+          s"non-numeric WARC Content-Length '$value' in $fileName")
+        contentLength = value.toLong
+      case _ => ()
+    }
     line = readLine()
     while (line != null && line.nonEmpty) {
       if ((line(0) == ' ' || line(0) == '\t') && lastVal != null) {
         lastVal = lastVal + " " + line.trim
+        setField(lastName, lastVal)
       } else {
         val c = line.indexOf(':')
         require(c > 0, s"malformed WARC field in $fileName: " +
@@ -441,19 +662,8 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
         val name = line.substring(0, c).trim
           .toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(c + 1).trim
-        name match {
-          case "warc-type" => recType = value
-          case "warc-record-id" => recordId = value
-          case "warc-refers-to" => refersTo = value
-          case "warc-target-uri" => url = value
-          case "warc-date" => warcDate = value
-          case "content-type" => contentType = value
-          case "content-length" =>
-            require(value.nonEmpty && value.forall(_.isDigit),
-              s"non-numeric WARC Content-Length '$value' in $fileName")
-            contentLength = value.toLong
-          case _ => ()
-        }
+        setField(name, value)
+        lastName = name
         lastVal = value
       }
       line = readLine()
@@ -468,7 +678,7 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     // pushed rec_type/url predicates are decidable HERE, before a
     // single block byte is read: a responses-only pipeline skips every
     // request/warcinfo block in place (filters stay residual upstream)
-    if (!pred(recType, url)) {
+    if (!pred.header(recType, url)) {
       skipFully(contentLength)
       payloadBytesSkipped += contentLength
       return 2
@@ -476,7 +686,15 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     val isHttp = contentType != null &&
       contentType.toLowerCase(java.util.Locale.ROOT)
         .startsWith("application/http")
-    if (isHttp && (needHttp || needPayload)) {
+    // pushed http_status/http_content_type predicates on a non-HTTP
+    // record see (null, null) and reject, like the residual filter —
+    // skip the whole block in place
+    if (!isHttp && pred.hasHttp && !pred.http(-1, null)) {
+      skipFully(contentLength)
+      payloadBytesSkipped += contentLength
+      return 2
+    }
+    if (isHttp && (parseHttp || needPayload)) {
       // HTTP-in-WARC: status line + headers, then the body. The
       // header section is read line-wise COUNTING consumed octets so
       // the body length is exact.
@@ -485,11 +703,13 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
         lineBuf.reset()
         var c = in.read()
         require(c >= 0, s"truncated HTTP block in $fileName")
+        pos += 1
         while (c >= 0 && c != '\n') {
           lineBuf.write(c)
           require(lineBuf.size() <= MaxLine,
             s"HTTP header line exceeds $MaxLine B in $fileName")
           c = in.read()
+          if (c >= 0) pos += 1
         }
         consumed += lineBuf.size() + 1 // the '\n'
         val n = lineBuf.size()
@@ -513,6 +733,8 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
           val hn = h.substring(0, c).trim
           if (hn.equalsIgnoreCase("content-type"))
             httpContentType = h.substring(c + 1).trim
+          else if (hn.equalsIgnoreCase("content-encoding"))
+            httpContentEncoding = h.substring(c + 1).trim
           else if (hn.equalsIgnoreCase("transfer-encoding") &&
               h.substring(c + 1).trim
                 .toLowerCase(java.util.Locale.ROOT).contains("chunked"))
@@ -523,22 +745,36 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
       require(consumed <= contentLength,
         s"HTTP headers overrun the WARC block in $fileName")
       val bodyLen = contentLength - consumed
+      // second skip point: status + content-type are decided — a
+      // pushed `http_status = 200` / content-type prefix skips the
+      // 404/image bodies the query would discard, body unread
+      if (pred.hasHttp && !pred.http(httpStatus, httpContentType)) {
+        skipFully(bodyLen)
+        payloadBytesSkipped += bodyLen
+        return 2
+      }
       if (needPayload) {
-        payload = new Array[Byte](bodyLen.toInt)
-        readFully(payload, 0, bodyLen.toInt)
+        val bl = intLen(bodyLen)
+        payload = new Array[Byte](bl)
+        readFully(payload, 0, bl)
         // crawls store HTTP bodies AS CAPTURED: a chunked response
         // keeps its transfer framing in the WARC block, and every
         // real reader de-chunks it (warcio's content_stream). The raw
         // body is already bounded by contentLength, so de-chunking is
         // an in-memory reframe — strict, like everything else here.
+        // Content coding is decoded AFTER the transfer framing comes
+        // off (RFC 9110 layering: transfer wraps content).
         if (chunked) payload = dechunk(payload)
+        if (decodeContentEncoding && httpContentEncoding != null)
+          payload = decodeCoding(httpContentEncoding, payload)
       } else {
         skipFully(bodyLen)
         payloadBytesSkipped += bodyLen
       }
     } else if (needPayload && !isHttp) {
-      payload = new Array[Byte](contentLength.toInt)
-      readFully(payload, 0, contentLength.toInt)
+      val cl = intLen(contentLength)
+      payload = new Array[Byte](cl)
+      readFully(payload, 0, cl)
     } else {
       skipFully(contentLength)
       payloadBytesSkipped += contentLength
@@ -548,30 +784,35 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
   }
 }
 
-class WarcPartitionReader(files: Seq[String], conf: Configuration,
+class WarcPartitionReader(slices: Seq[WarcFileSlice],
+    conf: Configuration,
     schema: StructType, maxRecordBytes: Long,
-    pred: WarcRecordFilter.Predicate = WarcRecordFilter.acceptAll)
+    pred: WarcRecordFilter.Compiled = WarcRecordFilter.acceptAll,
+    decodeContentEncoding: Boolean = true)
   extends PartitionReader[InternalRow] {
 
   private val needPayload = schema.fieldNames.contains("payload")
   private val needHttp = needPayload ||
     schema.fieldNames.contains("http_status") ||
-    schema.fieldNames.contains("http_content_type")
+    schema.fieldNames.contains("http_content_type") ||
+    schema.fieldNames.contains("http_content_encoding")
   private var fileIdx = 0
   private var in: java.io.InputStream = _
   private var walk: WarcRecordWalk = _
   private var fileName: String = _
+  private var fileUtf8: UTF8String = _
   private var recordsLocal = 0L
   private var skippedLocal = 0L
 
   override def next(): Boolean = {
     while (true) {
       if (in == null) {
-        if (fileIdx >= files.length) return false
-        fileName = new Path(files(fileIdx)).getName
-        in = WarcFileOpener.open(conf, files(fileIdx))
+        if (fileIdx >= slices.length) return false
+        fileName = new Path(slices(fileIdx).path).getName
+        fileUtf8 = UTF8String.fromString(fileName)
+        in = WarcFileOpener.openSlice(conf, slices(fileIdx))
         walk = new WarcRecordWalk(in, fileName, needPayload, needHttp,
-          maxRecordBytes, pred)
+          maxRecordBytes, pred, decodeContentEncoding)
       }
       if (walk.next()) return true
       recordsLocal += walk.recordsRead
@@ -587,21 +828,49 @@ class WarcPartitionReader(files: Seq[String], conf: Configuration,
   private def utf8(s: String): UTF8String =
     if (s == null) null else UTF8String.fromString(s)
 
-  override def get(): InternalRow =
-    InternalRow.fromSeq(schema.fieldNames.toSeq.map {
-      case "file" => UTF8String.fromString(fileName)
-      case "rec_type" => utf8(walk.recType)
-      case "record_id" => utf8(walk.recordId)
-      case "refers_to" => utf8(walk.refersTo)
-      case "url" => utf8(walk.url)
-      case "warc_date" => utf8(walk.warcDate)
-      case "content_type" => utf8(walk.contentType)
-      case "content_length" => walk.contentLength
-      case "http_status" =>
-        if (walk.httpStatus < 0) null else walk.httpStatus
-      case "http_content_type" => utf8(walk.httpContentType)
-      case "payload" => walk.payload
-    })
+  // field ordinals resolved ONCE from the pruned schema — the row
+  // builder is a tableswitch per column, not a per-row Seq of string
+  // pattern-matches (the pcap ordinal-writer discipline)
+  private val fieldIds: Array[Int] = schema.fieldNames.map {
+    case "file" => 0
+    case "rec_type" => 1
+    case "record_id" => 2
+    case "refers_to" => 3
+    case "url" => 4
+    case "warc_date" => 5
+    case "content_type" => 6
+    case "content_length" => 7
+    case "http_status" => 8
+    case "http_content_type" => 9
+    case "http_content_encoding" => 10
+    case "payload" => 11
+    case other => throw new IllegalArgumentException(
+      s"unknown warc column $other")
+  }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](fieldIds.length)
+    var k = 0
+    while (k < fieldIds.length) {
+      vals(k) = (fieldIds(k): @annotation.switch) match {
+        case 0 => fileUtf8
+        case 1 => utf8(walk.recType)
+        case 2 => utf8(walk.recordId)
+        case 3 => utf8(walk.refersTo)
+        case 4 => utf8(walk.url)
+        case 5 => utf8(walk.warcDate)
+        case 6 => utf8(walk.contentType)
+        case 7 => walk.contentLength
+        case 8 => if (walk.httpStatus < 0) null else walk.httpStatus
+        case 9 => utf8(walk.httpContentType)
+        case 10 => utf8(walk.httpContentEncoding)
+        case 11 => walk.payload
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      vals)
+  }
 
   private def totalRecords: Long =
     recordsLocal + (if (walk != null) walk.recordsRead else 0L)

@@ -30,6 +30,15 @@ object WarcSynth {
 
   val Date = "2026-02-01T00:00:00Z"
 
+  /** Bumped whenever any synthesis formula or record layout changes:
+    * the fixture-ready marker encodes version AND page count, so a
+    * formula edit or count change regenerates instead of silently
+    * reusing a stale fixture (r14 ADVICE). */
+  val SynthVersion = 2
+
+  private def marker(d: Path, n: Int): Path =
+    d.resolve(s"_FIXTURE_OK_v${SynthVersion}_n$n")
+
   def siteOf(i: Long): Long = i % 50
   def urlOf(i: Long): String = s"http://site${siteOf(i)}.example/p$i"
   def statusOf(i: Long): Int = if (i % 17 == 0) 404 else 200
@@ -145,7 +154,7 @@ object WarcSynth {
   def ensureRevisitFixture(dir: String, n: Int): String = {
     require(n >= 700, "revisit fixture needs at least one full cycle")
     val d = Paths.get(dir)
-    val done = d.resolve("_FIXTURE_OK")
+    val done = marker(d, n)
     if (Files.exists(done)) return dir
     Files.createDirectories(d)
     for (f <- 0 until 2) {
@@ -199,6 +208,74 @@ object WarcSynth {
       "Content-Type" -> "application/http; msgtype=response"), block)
   }
 
+  def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 32)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** zlib-wrapped DEFLATE (RFC 1950) — what a spec-conforming server
+    * sends for `Content-Encoding: deflate`. */
+  def zlibBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 32)
+    val ds = new java.util.zip.DeflaterOutputStream(bos, d)
+    ds.write(b)
+    ds.close()
+    d.end()
+    bos.toByteArray
+  }
+
+  /** Raw DEFLATE (no zlib wrapper) — what plenty of real servers
+    * actually send for `deflate`; readers must sniff. */
+  def rawDeflateBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 32)
+    val ds = new java.util.zip.DeflaterOutputStream(bos, d)
+    ds.write(b)
+    ds.close()
+    d.end()
+    bos.toByteArray
+  }
+
+  /** A response whose HTTP body kept its Content-Encoding as captured
+    * (the dominant real-crawl case — Common Crawl bodies are mostly
+    * `Content-Encoding: gzip`). Four shapes cycled by page:
+    * gzip; zlib deflate; gzip UNDER chunked transfer framing (decode
+    * order: de-chunk, then content-decode); raw-deflate (the
+    * spec-violating server readers must sniff). */
+  def contentEncodedResponseRecord(i: Long): Array[Byte] = {
+    val plain = htmlOf(i).getBytes("US-ASCII")
+    val mode = (i % 4).toInt
+    val encName = if (mode == 1 || mode == 3) "deflate" else "gzip"
+    val coded = mode match {
+      case 1 => zlibBytes(plain)
+      case 3 => rawDeflateBytes(plain)
+      case _ => gzipBytes(plain)
+    }
+    val chunked = mode == 2
+    val body = if (chunked) chunkEncode(coded, 7 + (i % 13).toInt)
+      else coded
+    val head = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html\r\n" +
+      s"Content-Encoding: $encName\r\n" +
+      (if (chunked) "Transfer-Encoding: chunked\r\n"
+       else s"Content-Length: ${body.length}\r\n") +
+      "\r\n").getBytes("US-ASCII")
+    val block = new Array[Byte](head.length + body.length)
+    head.copyToArray(block)
+    body.copyToArray(block, head.length)
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> recordIdOf("ce", i),
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> urlOf(i),
+      "Content-Type" -> "application/http; msgtype=response"), block)
+  }
+
   /** A WET-style `conversion` record (the extracted-text sibling lake
     * Common Crawl ships next to its WARCs): plain-text block, refers
     * back to the response it was extracted from. */
@@ -215,7 +292,7 @@ object WarcSynth {
   def ensureTwoFileFixture(dir: String, n: Int, ext: String,
       recOf: Long => Array[Byte]): String = {
     val d = Paths.get(dir)
-    val done = d.resolve("_FIXTURE_OK")
+    val done = marker(d, n)
     if (Files.exists(done)) return dir
     Files.createDirectories(d)
     for (f <- 0 until 2) {
@@ -231,14 +308,24 @@ object WarcSynth {
     dir
   }
 
-  /** One gzip member per byte chunk — the Common Crawl framing. */
+  /** One gzip member per byte chunk — the Common Crawl framing. Each
+    * member stream is CLOSED against a close-shielding wrapper so its
+    * native Deflater is released immediately (finish() alone leaves
+    * one Deflater per record for GC finalization — r14 ADVICE) while
+    * `out` stays open for the next member. */
   def gzipMembers(chunks: Iterator[Array[Byte]],
-      out: java.io.OutputStream): Unit =
-    chunks.foreach { c =>
-      val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
-      gz.write(c)
-      gz.finish() // member trailer, but leave `out` open for the next
+      out: java.io.OutputStream): Unit = {
+    val shield = new java.io.FilterOutputStream(out) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        this.out.write(b, off, len)
+      override def close(): Unit = flush() // member done; keep out open
     }
+    chunks.foreach { c =>
+      val gz = new java.util.zip.GZIPOutputStream(shield, 1 << 16)
+      gz.write(c)
+      gz.close() // member trailer + deflater.end()
+    }
+  }
 
   private def writeAtomic(target: Path, write: java.io.OutputStream => Unit)
       : Unit = {
@@ -253,7 +340,7 @@ object WarcSynth {
     * written once and reused (pure function of n). */
   def ensureFixture(dir: String, n: Int): String = {
     val d = Paths.get(dir)
-    val done = d.resolve("_FIXTURE_OK")
+    val done = marker(d, n)
     if (Files.exists(done)) return dir
     Files.createDirectories(d)
     for (f <- 0 until 4) {

@@ -52,17 +52,19 @@ object WarcStream {
         val walk = new graft.sources.warc.WarcRecordWalk(in, fname,
           needPayload = true, needHttp = true, maxRecordBytes = 1L << 30)
         new Iterator[(String, String, String, String, String, String,
-            String, Long, Option[Int], String, Array[Byte])] {
+            String, Long, Option[Int], String, String, Array[Byte])] {
           private var has = walk.next()
           if (!has) in.close()
           override def hasNext: Boolean = has
           override def next(): (String, String, String, String, String,
-              String, String, Long, Option[Int], String, Array[Byte]) = {
+              String, String, Long, Option[Int], String, String,
+              Array[Byte]) = {
             val row = (fname, walk.recType, walk.recordId, walk.refersTo,
               walk.url, walk.warcDate, walk.contentType,
               walk.contentLength,
               if (walk.httpStatus < 0) None else Some(walk.httpStatus),
-              walk.httpContentType, walk.payload)
+              walk.httpContentType, walk.httpContentEncoding,
+              walk.payload)
             has = walk.next()
             if (!has) in.close()
             row
@@ -71,6 +73,6 @@ object WarcStream {
       }
       .toDF("file", "rec_type", "record_id", "refers_to", "url",
         "warc_date", "content_type", "content_length", "http_status",
-        "http_content_type", "payload")
+        "http_content_type", "http_content_encoding", "payload")
   }
 }

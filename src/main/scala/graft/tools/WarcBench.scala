@@ -112,13 +112,71 @@ object WarcBench {
       plain.select("url", "http_status")
         .filter($"http_status" === 200).count())
 
+    // --- .wcdx record-range splits: the one-big-file straggler fix ---
+    // ONE big member-gzip crawl. Without an index the format forces a
+    // single task (mid-file entry impossible); with the sidecar the
+    // scan plans ~lake/4 MB record-range slices across all cores.
+    val bigDir = "/tmp/graft_warc_bench_big"
+    fs.delete(new org.apache.hadoop.fs.Path(bigDir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bigDir))
+    val bigPages = nFiles * perFile / 2
+    val bigPath = new org.apache.hadoop.fs.Path(bigDir, "big.warc.gz")
+    locally {
+      val out = fs.create(bigPath, true)
+      try WarcSynth.gzipMembers(
+        (0 until bigPages).iterator.map { i =>
+          val body = new Array[Byte](pageKb * 1024)
+          var x = i * 2654435761L + 11
+          var j = 0
+          while (j < body.length) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            body(j) = (32 + ((x & 0x7FFFFFFF) % 90)).toByte
+            j += 1
+          }
+          val head = ("HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n")
+            .getBytes("US-ASCII")
+          WarcSynth.record(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"<urn:uuid:big-$i>",
+            "WARC-Date" -> WarcSynth.Date,
+            "WARC-Target-URI" -> WarcSynth.urlOf(i.toLong),
+            "Content-Type" -> "application/http; msgtype=response"),
+            head ++ body)
+        }, out)
+      finally out.close()
+    }
+    val bigMb = fs.getFileStatus(bigPath).getLen / 1048576
+    val tIdx0 = System.nanoTime()
+    val nIndexed = graft.sources.warc.WarcCdx.writeIndex(
+      conf.value, bigPath)
+    val cdxIndexS = (System.nanoTime() - tIdx0) / 1e9
+    val (tBigWhole, bw) = best3(
+      spark.read.format("warc").option("useWcdx", "false")
+        .load(bigPath.toString)
+        .selectExpr("sum(length(payload))").collect()(0).getLong(0))
+    val (tBigSplit, bs) = best3(
+      spark.read.format("warc").option("maxBytesPerPartition", "4m")
+        .load(bigPath.toString)
+        .selectExpr("sum(length(payload))").collect()(0).getLong(0))
+    require(bw == bs, s"split scan bytes differ: $bw vs $bs")
+    // O(index) survey: the url/status census off the sidecar alone
+    val (tCdxSurvey, nSurvey) = best3(
+      graft.sources.warc.WarcCdx.survey(spark, bigDir)
+        .filter($"http_status" === 200).count())
+
     println(s"""{"metric":"warc_read_paths","unit":"sec","lake_mb":${
       lakeBytes / 1048576},"files":$nFiles,"records":$nRecs,
       |"full_scan_s":$tFull,"survey_s":$tSurvey,
       |"responses_scan_s":$tResp,"census_s":$tCensus,
       |"plain_full_s":$tPlainFull,"plain_survey_s":$tPlainSurvey,
       |"payload_bytes":$fullBytes,"response_bytes":$respBytes,
-      |"ok_responses":$nOk}"""
+      |"ok_responses":$nOk,
+      |"big_mb":$bigMb,"big_records":$nIndexed,
+      |"cdx_index_s":$cdxIndexS,"big_whole_s":$tBigWhole,
+      |"big_split_s":$tBigSplit,"cdx_survey_s":$tCdxSurvey,
+      |"cdx_survey_rows":$nSurvey}"""
       .stripMargin.replace("\n", ""))
     spark.stop()
   }

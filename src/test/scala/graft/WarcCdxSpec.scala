@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.warc.{WarcCdx, WarcFileSlice, WarcReadStats, WarcSynth}
+
+/** `.wcdx` record-offset sidecars: index writing (plain + member-gzip),
+  * record-range splits that stay row-identical to the whole-file scan
+  * (the PartitionInvarianceSpec pattern), mid-file member entry,
+  * O(index) surveys that touch zero warc bytes, misframed-gzip
+  * refusal, and stale-sidecar hygiene. */
+class WarcCdxSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def fixture(n: Int): String = {
+    val dir = Files.createTempDirectory(s"wcdx_fx$n").toString
+    WarcSynth.ensureFixture(dir, n)
+  }
+
+  test("indexing a plain and a member-gzip file records one entry per " +
+      "record with survey fields; offsets enter mid-file") {
+    val dir = fixture(120)
+    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz")).sorted
+    files.foreach { f =>
+      val n = WarcCdx.writeIndex(conf, new Path(f))
+      // warcinfo + request/response per page in this file
+      assert(n >= 1 + 2 * (120 / 4 - 1), s"$f indexed only $n records")
+      assert(Files.exists(Paths.get(f + ".wcdx")))
+    }
+    // survey fields present and consistent across both framings
+    val survey = WarcCdx.survey(spark, dir)
+    val byType = survey.groupBy("rec_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("warcinfo" -> 4L, "request" -> 120L,
+      "response" -> 120L))
+    // a response entry in the gzip file has a usable member offset:
+    // slice from it and read records
+    val gz = files.find(_.endsWith(".warc.gz")).get
+    val (framing, offsets) = WarcCdx.readOffsets(
+      new Path(gz).getFileSystem(conf),
+      new Path(gz).getFileSystem(conf).getFileStatus(new Path(gz))).get
+    assert(framing == "member-gzip")
+    assert(offsets.length >= 60 && offsets(0) == 0L)
+    // enter at the 11th record's member and read TO EOF: exactly the
+    // records from there on
+    val whole = spark.read.format("warc").load(gz)
+      .select("record_id").collect().map(_.getString(0))
+    val slice = WarcFileSlice(gz, offsets(10), -1L)
+    val reader = new graft.sources.warc.WarcPartitionReader(
+      Seq(slice), conf, graft.sources.warc.WarcTable.ReadSchema, 1L << 30)
+    var got = List.empty[String]
+    while (reader.next())
+      got ::= reader.get()
+        .getUTF8String(2).toString // record_id ordinal in full schema
+    reader.close()
+    assert(got.reverse == whole.drop(10).toList,
+      "mid-file entry record set differs")
+  }
+
+  test("record-range splits: a big indexed member-gzip file plans " +
+      "many slices and returns the EXACT whole-file row set") {
+    val dir = Files.createTempDirectory("wcdx_split").toString
+    val p = Paths.get(dir, "big.warc.gz")
+    val os = Files.newOutputStream(p)
+    val n = 900
+    try WarcSynth.gzipMembers(
+      Iterator(WarcSynth.warcinfoRecord(0)) ++
+        (0 until n).iterator.flatMap(i => Iterator(
+          WarcSynth.requestRecord(i.toLong),
+          WarcSynth.responseRecord(i.toLong))), os)
+    finally os.close()
+    WarcCdx.writeIndex(conf, new Path(p.toString))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("rec_type", "record_id", "url",
+        "coalesce(http_status, -1)", "md5(payload)", "content_length")
+      .collect().map(_.toSeq).toSet
+    val whole = spark.read.format("warc").option("useWcdx", "false")
+      .load(p.toString)
+    val split = spark.read.format("warc")
+      .option("maxBytesPerPartition", "8k").load(p.toString)
+    assert(whole.rdd.getNumPartitions == 1)
+    val nSplit = split.rdd.getNumPartitions
+    assert(nSplit >= 4, s"expected many range slices, got $nSplit")
+    assert(rows(split) == rows(whole), "range-split rows differ")
+    // pushdown still applies inside slices
+    val respSplit = spark.read.format("warc")
+      .option("maxBytesPerPartition", "8k").load(p.toString)
+      .filter(org.apache.spark.sql.functions.col("rec_type") === "response")
+      .count()
+    assert(respSplit == n)
+  }
+
+  test("plain files split by raw record offsets too") {
+    val dir = Files.createTempDirectory("wcdx_plain").toString
+    val p = Paths.get(dir, "big.warc")
+    val n = 600
+    Files.write(p, (0 until n).map(i =>
+      WarcSynth.responseRecord(i.toLong)).reduce(_ ++ _))
+    WarcCdx.writeIndex(conf, new Path(p.toString))
+    val split = spark.read.format("warc")
+      .option("maxBytesPerPartition", "16k").load(p.toString)
+    assert(split.rdd.getNumPartitions >= 4)
+    val whole = spark.read.format("warc").option("useWcdx", "false")
+      .load(p.toString)
+    assert(split.select("record_id").collect().map(_.getString(0)).sorted
+      .sameElements(
+        whole.select("record_id").collect().map(_.getString(0)).sorted))
+  }
+
+  test("an O(index) survey reads zero warc bytes (no record walk)") {
+    val dir = fixture(160)
+    WarcCdx.ensureIndexed(conf, dir)
+    WarcReadStats.recordsRead.reset()
+    val counts = WarcCdx.survey(spark, dir)
+      .groupBy("rec_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("response") == 160)
+    assert(WarcReadStats.recordsRead.sum() == 0,
+      "survey walked warc records")
+  }
+
+  test("whole-file gzip (records NOT member-framed) refuses to index " +
+      "— a lying index would plan unenterable offsets") {
+    val dir = Files.createTempDirectory("wcdx_misframed").toString
+    val p = Paths.get(dir, "solid.warc.gz")
+    val os = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+    try (0 until 10).foreach(i => os.write(
+      WarcSynth.responseRecord(i.toLong)))
+    finally os.close()
+    val ex = intercept[IllegalArgumentException] {
+      WarcCdx.writeIndex(conf, new Path(p.toString))
+    }
+    assert(ex.getMessage.contains("member"),
+      s"wrong refusal: ${ex.getMessage}")
+    // and ensureIndexed skips it instead of failing the job
+    assert(WarcCdx.ensureIndexed(conf, dir) == 0)
+    // the scan itself still reads the file whole
+    assert(spark.read.format("warc").load(p.toString).count() == 10)
+  }
+
+  test("a stale sidecar (older than its warc) never influences " +
+      "planning") {
+    val dir = Files.createTempDirectory("wcdx_stale").toString
+    val p = Paths.get(dir, "a.warc")
+    Files.write(p, (0 until 50).map(i =>
+      WarcSynth.responseRecord(i.toLong)).reduce(_ ++ _))
+    WarcCdx.writeIndex(conf, new Path(p.toString))
+    // rewrite the warc AFTER the sidecar: sidecar is now stale
+    Thread.sleep(1100) // fs mtime granularity
+    Files.write(p, (0 until 80).map(i =>
+      WarcSynth.responseRecord(i.toLong)).reduce(_ ++ _))
+    val fs = new Path(p.toString).getFileSystem(conf)
+    val st = fs.getFileStatus(new Path(p.toString))
+    assert(WarcCdx.readOffsets(fs, st).isEmpty, "stale sidecar used")
+    // scan is whole-file and correct
+    assert(spark.read.format("warc")
+      .option("maxBytesPerPartition", "4k").load(p.toString)
+      .count() == 80)
+    // re-indexing refreshes it
+    WarcCdx.ensureIndexed(conf, dir)
+    assert(WarcCdx.readOffsets(fs,
+      fs.getFileStatus(new Path(p.toString))).get._2.length == 80)
+  }
+}

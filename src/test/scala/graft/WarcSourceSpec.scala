@@ -30,7 +30,8 @@ class WarcSourceSpec extends AnyFunSuite {
     val df = spark.read.format("warc").load(dir)
     assert(df.columns.toSeq == Seq("file", "rec_type", "record_id",
       "refers_to", "url", "warc_date", "content_type", "content_length",
-      "http_status", "http_content_type", "payload"))
+      "http_status", "http_content_type", "http_content_encoding",
+      "payload"))
     val rows = df.collect()
     val byType = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     assert(byType == Map("warcinfo" -> 4, "request" -> 200,
@@ -43,11 +44,12 @@ class WarcSourceSpec extends AnyFunSuite {
     // html response payload is the body ONLY (headers split off)
     val r42 = resp.find(_.getString(4) == WarcSynth.urlOf(42)).get
     assert(r42.getString(9) == "text/html")
-    assert(new String(r42.getAs[Array[Byte]](10), "US-ASCII") ==
+    assert(r42.isNullAt(10)) // no Content-Encoding header captured
+    assert(new String(r42.getAs[Array[Byte]](11), "US-ASCII") ==
       WarcSynth.htmlOf(42))
     // non-http records carry the whole block
     val info = rows.filter(_.getString(1) == "warcinfo")
-    assert(info.forall(r => new String(r.getAs[Array[Byte]](10), "US-ASCII")
+    assert(info.forall(r => new String(r.getAs[Array[Byte]](11), "US-ASCII")
       .startsWith("software: graft-warc-synth")))
     // gzip and plain files both contributed
     val files = rows.map(_.getString(0)).toSet
@@ -286,6 +288,139 @@ class WarcSourceSpec extends AnyFunSuite {
       .filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz"))
       .map(f => Files.size(Paths.get(f))).sum
     assert(stats.sizeInBytes.getAsLong == want)
+  }
+
+  test("Content-Encoding bodies decode: gzip, zlib deflate, raw " +
+      "deflate (sniffed), and gzip UNDER chunked framing; the column " +
+      "reports the header as captured") {
+    val d = Files.createTempDirectory("warc_ce")
+    // pages 0..3 cycle the four encodings (i % 4)
+    val recs = (0L until 4L).map(WarcSynth.contentEncodedResponseRecord)
+    Files.write(d.resolve("ce.warc"), recs.reduce(_ ++ _))
+    val rows = spark.read.format("warc").load(d.toString)
+      .select("url", "http_content_encoding", "payload").collect()
+      .sortBy(_.getString(0))
+    assert(rows.length == 4)
+    val byUrl = rows.map(r => r.getString(0) ->
+      (r.getString(1), new String(r.getAs[Array[Byte]](2), "US-ASCII")))
+      .toMap
+    for (i <- 0L until 4L) {
+      val (enc, body) = byUrl(WarcSynth.urlOf(i))
+      assert(body == WarcSynth.htmlOf(i), s"page $i decoded wrong")
+      assert(enc == (if (i % 4 == 1 || i % 4 == 3) "deflate" else "gzip"))
+    }
+  }
+
+  test("decodeContentEncoding=false passes the captured bytes through " +
+      "raw (de-chunked but not inflated)") {
+    val d = Files.createTempDirectory("warc_ce_raw")
+    Files.write(d.resolve("ce.warc"),
+      WarcSynth.contentEncodedResponseRecord(0)) // mode 0: plain gzip
+    val raw = spark.read.format("warc")
+      .option("decodeContentEncoding", "false").load(d.toString)
+      .select("payload").collect()(0).getAs[Array[Byte]](0)
+    assert(raw.length >= 2 && (raw(0) & 0xFF) == 0x1f &&
+      (raw(1) & 0xFF) == 0x8b, "expected raw gzip magic")
+    val decoded = new String(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(raw)).readAllBytes(), "US-ASCII")
+    assert(decoded == WarcSynth.htmlOf(0))
+  }
+
+  test("a truncated gzip Content-Encoding body rejects instead of " +
+      "emitting a half-inflated page") {
+    val rec = WarcSynth.contentEncodedResponseRecord(0)
+    val s2 = new String(rec, "ISO-8859-1")
+    // cut 4 bytes out of the gzip stream, fixing up both lengths so
+    // the WARC framing stays valid and only the gzip stream is short
+    val bodyStart = s2.indexOf("\r\n\r\n",
+      s2.indexOf("Content-Encoding")) + 4
+    val warcLenAt = s2.indexOf("Content-Length: ")
+    val blockStart = s2.indexOf("\r\n\r\n", warcLenAt) + 4
+    val httpHead = s2.substring(blockStart, bodyStart)
+    val gzBody = rec.slice(bodyStart, rec.length - 4)
+    val cut = gzBody.dropRight(4)
+    val newHead = httpHead.replaceFirst("Content-Length: \\d+",
+      s"Content-Length: ${cut.length}")
+    val newBlock = newHead.getBytes("ISO-8859-1") ++ cut
+    val out = WarcSynth.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:uuid:trunc>",
+      "WARC-Date" -> WarcSynth.Date,
+      "WARC-Target-URI" -> WarcSynth.urlOf(0),
+      "Content-Type" -> "application/http; msgtype=response"), newBlock)
+    val d = Files.createTempDirectory("warc_ce_trunc")
+    Files.write(d.resolve("t.warc"), out)
+    intercept[Exception] {
+      spark.read.format("warc").load(d.toString)
+        .select("payload").collect()
+    }
+  }
+
+  test("folded WARC header continuations append to the STORED field " +
+      "(a folded WARC-Target-URI keeps its continuation text)") {
+    val base = WarcSynth.responseRecord(9)
+    val s2 = new String(base, "ISO-8859-1")
+    val url = WarcSynth.urlOf(9)
+    // split the URI across a folded continuation line (WARC 1.1 §4)
+    val cutAt = url.length - 6
+    val folded = s2.replace("WARC-Target-URI: " + url,
+      "WARC-Target-URI: " + url.substring(0, cutAt) + "\r\n  " +
+        url.substring(cutAt))
+    val d = Files.createTempDirectory("warc_folded")
+    Files.write(d.resolve("f.warc"), folded.getBytes("ISO-8859-1"))
+    val got = spark.read.format("warc").load(d.toString)
+      .select("url").collect()(0).getString(0)
+    // continuation joins with a single space (header-fold unfolding)
+    assert(got == url.substring(0, cutAt) + " " + url.substring(cutAt),
+      s"folded URI mangled: $got")
+  }
+
+  test("pushed http_status/content-type predicates skip discarded " +
+      "bodies at the second decision point (after HTTP headers, " +
+      "before the body read); results stay identical") {
+    import org.apache.spark.sql.functions.col
+    val dir = fixture(340)
+    WarcReadStats.payloadBytesSkipped.reset()
+    val df = spark.read.format("warc").load(dir)
+      .filter(col("rec_type") === "response" &&
+        col("http_status") === 200 &&
+        col("http_content_type") === "text/html")
+      .select("url", "payload")
+    val rows = df.collect()
+    // every kept row is a decoded 200 text/html body
+    val want = (0 until 340).filter(i => i % 17 != 0 && i % 13 != 5)
+    assert(rows.length == want.size)
+    // skipped bytes now include the 404 and image RESPONSE bodies
+    // (beyond the request/warcinfo blocks the header stage skips)
+    val discarded = (0 until 340)
+      .filter(i => i % 17 == 0 || i % 13 == 5)
+      .map(i => WarcSynth.bodyOf(i.toLong).length).sum
+    assert(WarcReadStats.payloadBytesSkipped.sum() >= discarded,
+      s"body-stage skip missing: ${WarcReadStats.payloadBytesSkipped.sum()}" +
+        s" < $discarded")
+    // parity: pushdown disabled returns the same row set
+    val plain = spark.read.format("warc").option("pushdown", "false")
+      .load(dir)
+      .filter(col("rec_type") === "response" &&
+        col("http_status") === 200 &&
+        col("http_content_type") === "text/html")
+      .select("url", "payload").collect()
+    assert(plain.map(_.getString(0)).sorted.toSeq ==
+      rows.map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("the Content-Encoding fixture re-decodes under CPython stdlib " +
+      "gzip/zlib (tools/warc_oracle.py ce — independent decoder)") {
+    val dir = Files.createTempDirectory("warc_ce_py").toString
+    graft.sources.warc.WarcSynth.ensureTwoFileFixture(dir, 120, "ce",
+      graft.sources.warc.WarcSynth.contentEncodedResponseRecord)
+    val out = new StringBuilder
+    val code = scala.sys.process.Process(Seq("python3",
+      "/root/repo/tools/warc_oracle.py", "ce", dir, "120"))
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'),
+        l => out.append(l).append('\n')))
+    assert(code == 0 && out.toString.contains("WARC_ORACLE PASS"),
+      s"python ce decoder rejected the fixture: $out")
   }
 
   test("a jumbo record beyond maxRecordBytes rejects with guidance") {

@@ -6,8 +6,9 @@ compares it against the same closed-form formulas the DuckDB oracle uses.
 The tarfile-interop pattern applied to the crawl format.
 
 Usage: warc_oracle.py <fixtureDir> <nPages>
+       warc_oracle.py ce <fixtureDir> <nPages>   # Content-Encoding fixture
 """
-import sys, os, gzip, io, hashlib
+import sys, os, gzip, io, hashlib, zlib
 
 
 def read_line(f):
@@ -138,5 +139,69 @@ def main(fixture_dir, n_pages):
     sys.exit(0 if ok else 1)
 
 
+def dechunk(body):
+    """RFC 9112 chunked-transfer reframe, strict."""
+    out, p = bytearray(), 0
+    while True:
+        e = body.index(b"\r\n", p)
+        size = int(body[p:e].split(b";")[0], 16)
+        p = e + 2
+        if size == 0:
+            break
+        out += body[p:p + size]
+        p += size
+        assert body[p:p + 2] == b"\r\n", "missing CRLF after chunk"
+        p += 2
+    return bytes(out)
+
+
+def main_ce(fixture_dir, n_pages):
+    """Independent re-decode of the Content-Encoding fixture: stdlib
+    gzip/zlib against the closed-form page formulas. Pages cycle
+    gzip / zlib-deflate / gzip-under-chunked / raw-deflate by i % 4."""
+    got = {}
+    for name in sorted(os.listdir(fixture_dir)):
+        if name.startswith("_") or name.startswith("."):
+            continue
+        path = os.path.join(fixture_dir, name)
+        raw = open(path, "rb").read()
+        data = gzip.decompress(raw) if name.endswith(".gz") else raw
+        for fields, block in records(io.BytesIO(data), name):
+            if fields["warc-type"] != "response":
+                continue
+            head, _, body = block.partition(b"\r\n\r\n")
+            hdrs = {}
+            for h in head.decode("latin-1").split("\r\n")[1:]:
+                k, _, v = h.partition(":")
+                hdrs[k.strip().lower()] = v.strip()
+            if "chunked" in hdrs.get("transfer-encoding", ""):
+                body = dechunk(body)
+            enc = hdrs.get("content-encoding")
+            if enc == "gzip":
+                body = gzip.decompress(body)
+            elif enc == "deflate":
+                # zlib-vs-raw sniff, like every real HTTP client
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:
+                    body = zlib.decompress(body, -15)
+            got[fields["warc-target-uri"]] = body
+    ok = True
+    for i in range(n_pages):
+        g = i % 700
+        html = ("<html><title>t%d</title><body>warc document %d alpha "
+                "beta gamma %d</body></html>" % (g, g, (g * 37) % 1000))
+        url = "http://site%d.example/p%d" % (i % 50, i)
+        if got.get(url) != html.encode():
+            ok = False
+            print("FAIL page %d: %r" % (i, got.get(url, b"")[:60]))
+    print("WARC_ORACLE %s (%d pages, content-encoding re-decode)"
+          % ("PASS" if ok else "FAIL", len(got)))
+    sys.exit(0 if ok else 1)
+
+
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]))
+    if sys.argv[1] == "ce":
+        main_ce(sys.argv[2], int(sys.argv[3]))
+    else:
+        main(sys.argv[1], int(sys.argv[2]))
