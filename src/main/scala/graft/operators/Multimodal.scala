@@ -1828,10 +1828,28 @@ object Multimodal {
     def hasTextTrack(id: Long): Boolean = id % 4 == 0
     def trackCount(id: Long): Int = if (hasTextTrack(id)) 3 else 2
 
+    // sample-table formulas (SQL-expressible) — stts/stsz/stsc/stco
+    // populations per track; audio uses the uniform-stsz branch and
+    // 64-bit co64 chunk offsets (a >4 GiB mdat), video the
+    // per-sample-size branch, stco, and stss keyframes every 8th
+    def vSampleCount(id: Long): Int = 24 + (id % 48).toInt
+    def vSampleSize(id: Long, k: Int): Int =
+      400 + ((id * 31 + k * 17) % 256).toInt
+    def vKeyframeCount(id: Long): Int = (vSampleCount(id) + 7) / 8
+    def vChunkCount(id: Long): Int = (vSampleCount(id) + 4) / 5
+    def aSampleCount(id: Long): Int = 50 + (id % 100).toInt
+    def aSampleSize(id: Long): Int = 200 + (id % 50).toInt
+    def aChunkCount(id: Long): Int = (aSampleCount(id) + 24) / 25
+    val ChunkBase64: Long = (1L << 32) + 4096 // proves 64-bit offsets
+
     private def be16(v: Int): Array[Byte] =
       Array((v >>> 8).toByte, v.toByte)
     private def be32(v: Long): Array[Byte] = Array(
       (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    private def be64(v: Long): Array[Byte] = Array(
+      (v >>> 56).toByte, (v >>> 48).toByte, (v >>> 40).toByte,
+      (v >>> 32).toByte, (v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
     private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
 
     private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
@@ -1890,6 +1908,27 @@ object Multimodal {
     private def stsd(entry: Array[Byte]): Array[Byte] =
       full("stsd", be32(1), entry)
 
+    // ---- sample tables (ISO 14496-12 §8.6-8.7) ----
+    private def stts(count: Int, delta: Long): Array[Byte] =
+      full("stts", be32(1), be32(count.toLong), be32(delta))
+    private def stscOne(samplesPerChunk: Int): Array[Byte] =
+      full("stsc", be32(1), be32(1), be32(samplesPerChunk.toLong),
+        be32(1))
+    private def stszPerSample(sizes: Seq[Int]): Array[Byte] =
+      full("stsz", be32(0), be32(sizes.length.toLong),
+        sizes.flatMap(sz => be32(sz.toLong).toSeq).toArray)
+    private def stszUniform(size: Int, count: Int): Array[Byte] =
+      full("stsz", be32(size.toLong), be32(count.toLong))
+    private def stcoBox(offsets: Seq[Long]): Array[Byte] =
+      full("stco", be32(offsets.length.toLong),
+        offsets.flatMap(o => be32(o).toSeq).toArray)
+    private def co64Box(offsets: Seq[Long]): Array[Byte] =
+      full("co64", be32(offsets.length.toLong),
+        offsets.flatMap(o => be64(o).toSeq).toArray)
+    private def stssBox(keys: Seq[Int]): Array[Byte] =
+      full("stss", be32(keys.length.toLong),
+        keys.flatMap(k => be32(k.toLong).toSeq).toArray)
+
     private def trak(trackId: Int, id: Long, handler: String): Array[Byte] = {
       val (w, h) = dims(id)
       val (tsc, dur, entry, tw, th) = handler match {
@@ -1902,9 +1941,25 @@ object Multimodal {
         case _ =>
           (1000L, durationMs(id), textEntry, 0, 0)
       }
+      val tables: Seq[Array[Byte]] = handler match {
+        case "vide" =>
+          val n = vSampleCount(id)
+          Seq(stts(n, 1000L), stscOne(5),
+            stszPerSample((0 until n).map(k => vSampleSize(id, k))),
+            stcoBox((0 until vChunkCount(id))
+              .map(c => 4096L + 1000L * c)),
+            stssBox((1 to n by 8).toSeq))
+        case "soun" =>
+          val n = aSampleCount(id)
+          Seq(stts(n, 1024L), stscOne(25),
+            stszUniform(aSampleSize(id), n),
+            co64Box((0 until aChunkCount(id))
+              .map(c => ChunkBase64 + 1000L * c)))
+        case _ => Seq.empty
+      }
       box("trak", tkhd(trackId, tw, th),
         box("mdia", mdhd(tsc, dur), hdlr(handler),
-          box("minf", box("stbl", stsd(entry)))))
+          box("minf", box("stbl", (stsd(entry) +: tables): _*))))
     }
 
     def encode(id: Long): Array[Byte] = {
@@ -2014,6 +2069,158 @@ object Multimodal {
       walk(0, bytes.length.toLong, 0, "")
       require(durMs >= 0, "MP4 has no moov/mvhd (streaming-only file?)")
       Meta(durMs, tracks, vCodec, vW, vH, aCodec, aRate)
+    }
+
+    /** Per-track sample-table stats. `aFirstOffset` comes from co64,
+      * proving the 64-bit chunk-offset path end-to-end. */
+    final case class SampleMeta(vSamples: Int, vBytes: Long,
+        vKeyframes: Int, vChunks: Int, aSamples: Int, aBytes: Long,
+        aChunks: Int, aFirstOffset: Long)
+
+    /** The stts/stsz/stsc/stco(+co64)/stss walk real video lakes need
+      * for per-track bitrate/keyframe/sample QC — still header-only,
+      * no frame decode. Fragmented MP4 (moof/mvex) REJECTS explicitly:
+      * its sample tables live in per-fragment trun boxes this walk
+      * would silently undercount. Consistency is enforced (stts total
+      * == stsz count; single-entry stsc must cover the samples with
+      * the declared chunks) — a lying table rejects rather than
+      * feeding wrong QC numbers downstream. */
+    def sampleMeta(bytes: Array[Byte]): SampleMeta = {
+      require(bytes.length >= 12, "truncated MP4")
+      def rd32(off: Long): Long = {
+        require(off >= 0 && off + 4 <= bytes.length, "MP4 read OOB")
+        ((bytes(off.toInt) & 0xFFL) << 24) |
+          ((bytes(off.toInt + 1) & 0xFFL) << 16) |
+          ((bytes(off.toInt + 2) & 0xFFL) << 8) |
+          (bytes(off.toInt + 3) & 0xFFL)
+      }
+      def rd64(off: Long): Long = (rd32(off) << 32) | rd32(off + 4)
+      def tagAt(off: Long): String = {
+        require(off >= 0 && off + 4 <= bytes.length, "MP4 read OOB")
+        new String(bytes, off.toInt, 4, "US-ASCII")
+      }
+      require(tagAt(4) == "ftyp", "not an ISO-BMFF file (no ftyp)")
+      var boxes = 0
+      var handlerOfTrak = "none"
+      var vSamples, vKeyframes, vChunks = 0
+      var vBytes = 0L
+      var aSamples, aChunks = 0
+      var aBytes = 0L
+      var aFirstOffset = -1L
+      // per-trak scratch, committed when the trak closes
+      var tSttsCount = -1
+      var tStszCount = -1
+      var tBytes = 0L
+      var tChunks = 0
+      var tPerChunk = 0
+      var tKeyframes = 0
+      var tFirstOffset = -1L
+      def resetTrak(): Unit = {
+        tSttsCount = -1; tStszCount = -1; tBytes = 0L
+        tChunks = 0; tPerChunk = 0; tKeyframes = 0; tFirstOffset = -1L
+        handlerOfTrak = "none"
+      }
+      def commitTrak(): Unit = {
+        if (tSttsCount >= 0 || tStszCount >= 0) {
+          require(tSttsCount == tStszCount,
+            s"stts total $tSttsCount != stsz count $tStszCount")
+          require(tChunks > 0 && tPerChunk > 0 &&
+            tChunks.toLong * tPerChunk >= tSttsCount &&
+            (tChunks - 1).toLong * tPerChunk < tSttsCount,
+            s"stsc/stco do not cover $tSttsCount samples " +
+              s"($tChunks chunks x $tPerChunk)")
+          handlerOfTrak match {
+            case "vide" =>
+              vSamples = tSttsCount; vBytes = tBytes
+              vKeyframes = tKeyframes; vChunks = tChunks
+            case "soun" =>
+              aSamples = tSttsCount; aBytes = tBytes
+              aChunks = tChunks; aFirstOffset = tFirstOffset
+            case _ => ()
+          }
+        }
+      }
+      def walk(off0: Long, end: Long, depth: Int, path: String): Unit = {
+        require(depth < 16, "implausible MP4 box nesting")
+        var off = off0
+        while (off + 8 <= end) {
+          boxes += 1
+          require(boxes <= 8192, "implausible MP4 box count")
+          var size = rd32(off)
+          val typ = tagAt(off + 4)
+          var hdr = 8L
+          if (size == 1) {
+            require(off + 16 <= end, "truncated largesize box")
+            size = (rd32(off + 8) << 32) | rd32(off + 12)
+            hdr = 16L
+          } else if (size == 0) size = end - off
+          require(size >= hdr && off + size <= end,
+            s"MP4 box $typ overruns its parent")
+          val body = off + hdr
+          typ match {
+            case "moof" | "mvex" => require(false,
+              "fragmented MP4 (moof/mvex) is not supported: sample " +
+                "tables live in per-fragment trun boxes")
+            case "moov" | "mdia" | "minf" | "stbl" =>
+              walk(body, off + size, depth + 1, path + "/" + typ)
+            case "trak" =>
+              resetTrak()
+              walk(body, off + size, depth + 1, path + "/trak")
+              commitTrak()
+            case "hdlr" => handlerOfTrak = tagAt(body + 8)
+            case "stts" =>
+              val n = rd32(body + 4)
+              require(n >= 0 && n <= (1 << 20), "implausible stts count")
+              var total = 0L
+              var k = 0
+              while (k < n) {
+                total += rd32(body + 8 + 8L * k)
+                k += 1
+              }
+              require(total <= Int.MaxValue, "implausible sample count")
+              tSttsCount = total.toInt
+            case "stsz" =>
+              val uniform = rd32(body + 4)
+              val n = rd32(body + 8)
+              require(n >= 0 && n <= (1 << 20), "implausible stsz count")
+              tStszCount = n.toInt
+              if (uniform != 0) tBytes = uniform * n
+              else {
+                var k = 0
+                var sum = 0L
+                while (k < n) {
+                  sum += rd32(body + 12 + 4L * k)
+                  k += 1
+                }
+                tBytes = sum
+              }
+            case "stsc" =>
+              val n = rd32(body + 4)
+              require(n == 1,
+                s"only single-entry stsc supported here, got $n")
+              tPerChunk = rd32(body + 12).toInt
+            case "stco" =>
+              val n = rd32(body + 4)
+              require(n >= 0 && n <= (1 << 20), "implausible stco count")
+              tChunks = n.toInt
+              if (n > 0) tFirstOffset = rd32(body + 8)
+            case "co64" =>
+              val n = rd32(body + 4)
+              require(n >= 0 && n <= (1 << 20), "implausible co64 count")
+              tChunks = n.toInt
+              if (n > 0) tFirstOffset = rd64(body + 8)
+            case "stss" =>
+              val n = rd32(body + 4)
+              require(n >= 0 && n <= (1 << 20), "implausible stss count")
+              tKeyframes = n.toInt
+            case _ => ()
+          }
+          off += size
+        }
+      }
+      walk(0, bytes.length.toLong, 0, "")
+      SampleMeta(vSamples, vBytes, vKeyframes, vChunks,
+        aSamples, aBytes, aChunks, aFirstOffset)
     }
   }
 
@@ -4719,6 +4926,54 @@ object Multimodal {
           CAST(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END AS INT)
             AS a_rate
         FROM documents""")),
+
+    // ----- MP4 sample tables (stts/stsz/stsc/stco/co64/stss) ---------------
+    // The per-track QC real video lakes run off the sample tables:
+    // sample counts (stts), byte totals and average bitrate (stsz —
+    // BOTH branches: per-sample sizes on video, the uniform-size
+    // shortcut on audio), chunk maps (single-entry stsc + stco on
+    // video, 64-bit co64 on audio — the first offset sits above 4 GiB
+    // to prove the wide path), and keyframe counts (stss). Consistency
+    // is enforced (stts total == stsz count, chunks cover samples) and
+    // fragmented MP4 (moof/mvex) rejects explicitly. The oracle
+    // re-derives every population — including the per-sample byte sum
+    // — from the closed-form formulas. Scale: per-row header walk, no
+    // shuffle beyond the implicit projection.
+    Q("mm_mp4_samples",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val m = Mp4Codec.sampleMeta(Mp4Codec.encode(id))
+            val kbps = m.vBytes * 8 / Mp4Codec.durationMs(id)
+            (id, m.vSamples, m.vBytes, kbps, m.vKeyframes, m.vChunks,
+              m.aSamples, m.aBytes, m.aChunks, m.aFirstOffset)
+          }
+        }.toDF("media_id", "v_samples", "v_bytes", "v_kbps",
+          "v_keyframes", "v_chunks", "a_samples", "a_bytes", "a_chunks",
+          "a_first_offset")
+      },
+      Some("""WITH sizes AS (
+          SELECT doc_id, CAST(SUM(400 + ((doc_id * 31 + k * 17) % 256))
+            AS BIGINT) AS vbytes
+          FROM documents,
+          LATERAL (SELECT unnest(generate_series(0,
+            CAST(24 + doc_id % 48 AS INT) - 1)) AS k) ks
+          GROUP BY doc_id)
+        SELECT d.doc_id AS media_id,
+          CAST(24 + d.doc_id % 48 AS INT) AS v_samples,
+          s.vbytes AS v_bytes,
+          CAST(s.vbytes * 8 // (1000 + (d.doc_id % 900) * 10) AS BIGINT)
+            AS v_kbps,
+          CAST((24 + d.doc_id % 48 + 7) // 8 AS INT) AS v_keyframes,
+          CAST((24 + d.doc_id % 48 + 4) // 5 AS INT) AS v_chunks,
+          CAST(50 + d.doc_id % 100 AS INT) AS a_samples,
+          CAST((200 + d.doc_id % 50) * (50 + d.doc_id % 100) AS BIGINT)
+            AS a_bytes,
+          CAST((50 + d.doc_id % 100 + 24) // 25 AS INT) AS a_chunks,
+          CAST(4294967296 + 4096 AS BIGINT) AS a_first_offset
+        FROM documents d JOIN sizes s ON d.doc_id = s.doc_id""")),
 
     // ----- REAL FLAC decode (the speech-corpus container) ------------------
     // LibriSpeech et al. ship FLAC, not WAV: a real lossless codec —

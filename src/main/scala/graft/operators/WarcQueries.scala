@@ -21,6 +21,7 @@ object WarcQueries {
   private val ChunkedPages = 3000
   private val CePages = 3000
   private val WetPages = 8000
+  private val WatPages = 6000
   private val TwinRuns = new java.util.concurrent.atomic.AtomicLong
 
   private def fixtureDir: String =
@@ -375,6 +376,64 @@ object WarcQueries {
             || ' alpha beta gamma ' || (((i % 700) * 37) % 1000)
             || '</body></html>') AS BIGINT) AS body_bytes
         FROM (SELECT unnest(generate_series(0, ${CePages - 1})) AS i)""")),
+
+    // ----- WAT metadata lake: the crawl outlink graph ----------------------
+    // The third member of Common Crawl's WARC/WAT/WET triple:
+    // `metadata` records whose JSON block carries the page's extracted
+    // HTML links in the WAT envelope shape. The source reads them
+    // generically (non-HTTP block -> payload verbatim); the query
+    // parses the nested envelope with from_json, explodes the links,
+    // and surveys the inter-site link structure — the graph the
+    // pagerank family starts from. The oracle re-derives the link
+    // population from the outlink formulas (src i -> (i+1+31j) % n for
+    // j < 2+i%3) with a generate_series cross join. Scale: narrow
+    // parse + explode, ONE site-aggregate shuffle; page bytes are the
+    // JSON itself (no HTML ever read).
+    Q("warc_wat_outlinks",
+      (s, _) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+        val dir = graft.sources.warc.WarcSynth.ensureTwoFileFixture(
+          "/tmp/graft_warc_wat", WatPages, "wat",
+          graft.sources.warc.WarcSynth.watRecord(WatPages))
+        val linkT = new StructType()
+          .add("path", StringType).add("url", StringType)
+        val watSchema = new StructType().add("Envelope", new StructType()
+          .add("WARC-Header-Metadata",
+            new StructType().add("WARC-Target-URI", StringType))
+          .add("Payload-Metadata", new StructType()
+            .add("HTML-Metadata",
+              new StructType().add("Links", ArrayType(linkT)))))
+        val env = s.read.format("warc").load(dir)
+          .filter($"rec_type" === "metadata")
+          .select(from_json($"payload".cast("string"), watSchema)
+            .getField("Envelope").as("e"))
+        env
+          .select(
+            regexp_extract(
+              $"e".getField("WARC-Header-Metadata")
+                .getField("WARC-Target-URI"), "/p(\\d+)$", 1)
+              .cast("long").as("src"),
+            explode($"e".getField("Payload-Metadata")
+              .getField("HTML-Metadata").getField("Links")).as("link"))
+          .select($"src",
+            regexp_extract($"link".getField("url"), "/p(\\d+)$", 1)
+              .cast("long").as("dst"))
+          .groupBy(($"dst" % 50).cast("int").as("site"))
+          .agg(count(lit(1)).as("inlinks"),
+            countDistinct(($"src" % 50).cast("int"))
+              .as("uniq_src_sites"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest(generate_series(0, ${WatPages - 1})) AS i),
+        js AS (SELECT unnest(generate_series(0, 3)) AS j),
+        links AS (
+          SELECT i AS src, (i + 1 + 31*j) % ${WatPages} AS dst
+          FROM pages, js WHERE j < 2 + (i % 3))
+        SELECT CAST(dst % 50 AS INT) AS site,
+          CAST(COUNT(*) AS BIGINT) AS inlinks,
+          CAST(COUNT(DISTINCT src % 50) AS BIGINT) AS uniq_src_sites
+        FROM links GROUP BY 1""")),
 
     // ----- WET extracted-text lake ------------------------------------------
     // Common Crawl ships a WET sibling next to every WARC: `conversion`

@@ -288,6 +288,33 @@ object WarcSynth {
       "WARC-Target-URI" -> urlOf(i),
       "Content-Type" -> "text/plain"), textOf(i).getBytes("US-ASCII"))
 
+  /** WAT outlink formulas (SQL-expressible): page i links to
+    * `(i + 1 + 31*j) % n` for j < 2 + i%3 — 2-4 distinct targets. */
+  def watOutDegree(i: Long): Int = 2 + (i % 3).toInt
+  def watTarget(i: Long, j: Int, n: Int): Long = (i + 1 + 31L * j) % n
+
+  /** A WAT-style `metadata` record (the third member of Common
+    * Crawl's WARC/WAT/WET triple): a JSON block in the (simplified)
+    * WAT envelope shape — header metadata + extracted HTML links —
+    * referring back to the response it describes. The outlink graph a
+    * crawl's link analysis starts from. */
+  def watRecord(n: Int)(i: Long): Array[Byte] = {
+    val links = (0 until watOutDegree(i)).map { j =>
+      s"""{"path":"A@/href","url":"${urlOf(watTarget(i, j, n))}"}"""
+    }.mkString(",")
+    val json =
+      s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"${
+        urlOf(i)}"},"Payload-Metadata":{"HTML-Metadata":{"Links":[$links]}}}}"""
+    record(Seq(
+      "WARC-Type" -> "metadata",
+      "WARC-Record-ID" -> recordIdOf("wat", i),
+      "WARC-Refers-To" -> recordIdOf("resp", i),
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> urlOf(i),
+      "Content-Type" -> "application/json"),
+      json.getBytes("US-ASCII"))
+  }
+
   /** Two-file fixtures (plain + member-gzip) of one record kind. */
   def ensureTwoFileFixture(dir: String, n: Int, ext: String,
       recOf: Long => Array[Byte]): String = {

@@ -627,6 +627,48 @@ class MultimodalCodecSpec extends AnyFunSuite {
     intercept[Exception] { Mp4Codec.meta(bomb ++ inner) }
   }
 
+  test("MP4 sample tables: stts/stsz/stsc/stco/co64/stss round-trip " +
+      "the formulas; fragmented MP4 rejects; lying tables reject") {
+    import graft.operators.Multimodal.Mp4Codec
+    for (id <- Seq(0L, 1L, 2L, 7L, 47L, 99L, 148L, 899L, 12345L)) {
+      val m = Mp4Codec.sampleMeta(Mp4Codec.encode(id))
+      val n = Mp4Codec.vSampleCount(id)
+      assert(m.vSamples == n, s"vSamples id=$id")
+      assert(m.vBytes == (0 until n)
+        .map(k => Mp4Codec.vSampleSize(id, k).toLong).sum,
+        s"vBytes id=$id")
+      assert(m.vKeyframes == Mp4Codec.vKeyframeCount(id) &&
+        m.vChunks == Mp4Codec.vChunkCount(id), s"video tables id=$id")
+      assert(m.aSamples == Mp4Codec.aSampleCount(id) &&
+        m.aBytes == Mp4Codec.aSampleSize(id).toLong *
+          Mp4Codec.aSampleCount(id) &&
+        m.aChunks == Mp4Codec.aChunkCount(id), s"audio tables id=$id")
+      // the co64 offset really came through the 64-bit path
+      assert(m.aFirstOffset == Mp4Codec.ChunkBase64 &&
+        m.aFirstOffset > (1L << 32), s"co64 id=$id")
+    }
+    def be32(v: Long) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    // a moof box anywhere -> explicit fragmented-MP4 rejection
+    val frag = Mp4Codec.encode(3L) ++
+      be32(8) ++ "moof".getBytes("US-ASCII")
+    val ex = intercept[Exception] { Mp4Codec.sampleMeta(frag) }
+    assert(ex.getMessage.contains("fragmented"), ex.getMessage)
+    // a lying stsz (count != stts total) rejects: flip the stsz
+    // sample_count of the video track
+    val plain = Mp4Codec.encode(3L)
+    val stszAt = {
+      var i = 0
+      while (new String(plain, i, 4, "US-ASCII") != "stsz") i += 1
+      i - 4 // box start
+    }
+    val lying = plain.clone()
+    // full box: size(4) type(4) verflags(4) sample_size(4) count(4)
+    val countAt = stszAt + 16
+    lying(countAt + 3) = (lying(countAt + 3) + 1).toByte
+    intercept[Exception] { Mp4Codec.sampleMeta(lying) }
+  }
+
   test("TIFF decompression-bomb headers reject before allocating") {
     import graft.operators.Multimodal.TiffCodec
     // a hand-built 46-byte little-endian TIFF declaring 25000x25000:
