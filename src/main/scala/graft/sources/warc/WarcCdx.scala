@@ -27,14 +27,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   #wcdx 1 <framing> <recordCount>
   *   offset \t rlen \t rec_type \t url \t warc_date \t http_status \t http_content_type
   * }}}
-  * `framing` is `plain` (offsets are raw byte offsets) or
-  * `member-gzip` (offsets are gzip MEMBER start offsets — every
-  * record begins a member, the Common Crawl framing; the writer
-  * VERIFIES this and refuses to index a file whose records span
-  * members). `rlen` is container bytes from this record's enterable
-  * offset to the next record's. A sidecar older than its warc file is
-  * ignored (stale). Indexing a whole-file-gzip or zstd warc is
-  * refused — entering those mid-file is impossible.
+  * `framing` is `plain` (offsets are raw byte offsets), `member-gzip`
+  * (offsets are gzip MEMBER start offsets — every record begins a
+  * member, the Common Crawl framing), or `frame-zstd` (offsets are
+  * zstd FRAME starts — the archive.org/warcio layout; skippable
+  * frames are stepped over). For the compressed framings the writer
+  * VERIFIES record/unit alignment and refuses to index a file whose
+  * records span units — a whole-file-compressed warc is not
+  * mid-file enterable and gets no (lying) index. `rlen` is container
+  * bytes from this record's enterable offset to the next record's. A
+  * sidecar older than its warc file is ignored (stale).
   */
 object WarcCdx {
 
@@ -153,6 +155,93 @@ object WarcCdx {
   }
 
   // ---------------------------------------------------------------------
+  // zstd frame walk (RFC 8878) — the archive.org/warcio layout stores
+  // one record per zstd frame; frame boundaries come from the frame
+  // grammar itself (zstd-jni's findFrameCompressedSize walks the
+  // block headers), skippable frames are skipped.
+  // ---------------------------------------------------------------------
+
+  /** Streaming concatenated-frame zstd parser: after `next()` returns
+    * true, `frameStart`/`frameLen` give the frame's raw extent and
+    * `payload` its decompressed bytes. */
+  final class ZstdFrameWalker(in: java.io.InputStream) {
+    private var buf = new Array[Byte](1 << 20)
+    private var len = 0
+    private var base = 0L // raw offset of buf(0)
+    private var eof = false
+
+    private def fillMore(): Boolean = {
+      if (eof) return false
+      if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len * 2)
+      val r = in.read(buf, len, buf.length - len)
+      if (r < 0) { eof = true; false } else { len += r; true }
+    }
+
+    private def consume(n: Int): Unit = {
+      System.arraycopy(buf, n, buf, 0, len - n)
+      len -= n
+      base += n
+    }
+
+    var frameStart = 0L
+    var frameLen = 0L
+    var payload: Array[Byte] = _
+
+    def next(): Boolean = {
+      while (true) {
+        while (len < 8 && fillMore()) ()
+        if (len == 0) return false
+        require(len >= 8, s"truncated zstd frame at offset $base")
+        val magic = ((buf(0) & 0xFFL)) | ((buf(1) & 0xFFL) << 8) |
+          ((buf(2) & 0xFFL) << 16) | ((buf(3) & 0xFFL) << 24)
+        if ((magic & 0xFFFFFFF0L) == 0x184D2A50L) {
+          // skippable frame: magic + 4-byte size + payload
+          val sz = ((buf(4) & 0xFFL)) | ((buf(5) & 0xFFL) << 8) |
+            ((buf(6) & 0xFFL) << 16) | ((buf(7) & 0xFFL) << 24)
+          val total = 8L + sz
+          require(total <= Int.MaxValue, "implausible skippable frame")
+          while (len < total && fillMore()) ()
+          require(len >= total, s"truncated skippable frame at $base")
+          consume(total.toInt)
+        } else {
+          require(magic == 0xFD2FB528L,
+            f"not a zstd frame at offset $base (magic $magic%x)")
+          frameStart = base
+          // grow the buffer until the frame grammar resolves a size
+          var size = com.github.luben.zstd.Zstd
+            .findFrameCompressedSize(buf, 0, len)
+          while (com.github.luben.zstd.Zstd.isError(size) && fillMore())
+            size = com.github.luben.zstd.Zstd
+              .findFrameCompressedSize(buf, 0, len)
+          require(!com.github.luben.zstd.Zstd.isError(size) &&
+            size > 0 && size <= len,
+            s"undecodable zstd frame at $base")
+          frameLen = size
+          val frame = java.util.Arrays.copyOf(buf, size.toInt)
+          val content = com.github.luben.zstd.Zstd
+            .getFrameContentSize(frame)
+          payload =
+            if (content >= 0 && content <= Int.MaxValue - 8) {
+              com.github.luben.zstd.Zstd.decompress(frame, content.toInt)
+            } else {
+              // content size absent from the header: stream it
+              val z = new com.github.luben.zstd.ZstdInputStream(
+                new java.io.ByteArrayInputStream(frame))
+              val out = new java.io.ByteArrayOutputStream(1 << 16)
+              val tmp = new Array[Byte](1 << 16)
+              var r = z.read(tmp)
+              while (r > 0) { out.write(tmp, 0, r); r = z.read(tmp) }
+              out.toByteArray
+            }
+          consume(size.toInt)
+          return true
+        }
+      }
+      false
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // index writer
   // ---------------------------------------------------------------------
 
@@ -160,8 +249,7 @@ object WarcCdx {
     val lower = name.toLowerCase(java.util.Locale.ROOT)
     if (lower.endsWith(".gz")) "member-gzip"
     else if (lower.endsWith(".zst") || lower.endsWith(".zstd"))
-      throw new IllegalArgumentException(
-        s"cannot index $name: zstd warcs are not member-enterable here")
+      "frame-zstd"
     else "plain"
   }
 
@@ -183,23 +271,39 @@ object WarcCdx {
     val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     val raw = fs.open(warcFile)
     try {
-      val recordIn: java.io.InputStream =
-        if (framing == "plain") new java.io.BufferedInputStream(raw, 1 << 20)
-        else new java.io.InputStream {
-          // concatenated member payloads, recording (rawStart, rawLen,
-          // uncompressedStart) per member as they stream past
-          private val w = new MemberGzipWalker(
-            new java.io.BufferedInputStream(raw, 1 << 20))
+      // for compressed framings: concatenated unit payloads, recording
+      // (rawStart, rawLen, uncompressedStart) per unit as they stream
+      // past — one "unit" is a gzip member or a zstd frame
+      val nextUnit: Option[() => Option[(Long, Long, Array[Byte])]] =
+        framing match {
+          case "member-gzip" =>
+            val w = new MemberGzipWalker(
+              new java.io.BufferedInputStream(raw, 1 << 20))
+            Some(() => if (w.next())
+              Some((w.memberStart, w.memberLen, w.payload)) else None)
+          case "frame-zstd" =>
+            val w = new ZstdFrameWalker(
+              new java.io.BufferedInputStream(raw, 1 << 20))
+            Some(() => if (w.next())
+              Some((w.frameStart, w.frameLen, w.payload)) else None)
+          case _ => None
+        }
+      val recordIn: java.io.InputStream = nextUnit match {
+        case None => new java.io.BufferedInputStream(raw, 1 << 20)
+        case Some(step) => new java.io.InputStream {
           private var cur: Array[Byte] = _
           private var p = 0
           private var unc = 0L
           private def advance(): Boolean = {
             while (cur == null || p >= cur.length) {
-              if (!w.next()) return false
-              members += ((w.memberStart, w.memberLen, unc))
-              cur = w.payload
-              p = 0
-              unc += cur.length
+              step() match {
+                case None => return false
+                case Some((start, rlen, payload)) =>
+                  members += ((start, rlen, unc))
+                  cur = payload
+                  p = 0
+                  unc += cur.length
+              }
             }
             true
           }
@@ -214,6 +318,7 @@ object WarcCdx {
             n
           }
         }
+      }
       val walk = new WarcRecordWalk(recordIn, warcFile.getName,
         needPayload = false, needHttp = true, maxRecordBytes = 1L << 31)
       var memberPtr = 0
@@ -229,8 +334,9 @@ object WarcCdx {
             require(memberPtr < members.length &&
               members(memberPtr)._3 == walk.recordStart,
               s"${warcFile.getName}: record at uncompressed offset " +
-                s"${walk.recordStart} does not begin a gzip member — " +
-                "not CC record-per-member framing; refusing to index")
+                s"${walk.recordStart} does not begin a gzip member / " +
+                "zstd frame — not record-per-member framing; refusing " +
+                "to index")
             members(memberPtr)._1
           }
         entries += Entry(offset, 0L, walk.recType, walk.url,
@@ -326,13 +432,46 @@ object WarcCdx {
       Some((framing, offsets))
     } catch { case _: Exception => None }
 
+  /** Record count from a FRESH sidecar's header line alone — the
+    * O(index) COUNT(*) the `.tsidx`/`.widx` discipline gives the
+    * other sources. Reads at most the first 64 bytes. */
+  def readCount(fs: FileSystem, st: FileStatus): Option[Long] =
+    try {
+      val sp = sidecar(st.getPath)
+      if (!fs.exists(sp)) return None
+      if (fs.getFileStatus(sp).getModificationTime <
+          st.getModificationTime) return None // stale
+      val in = fs.open(sp)
+      val head =
+        try {
+          val buf = new Array[Byte](64)
+          var n = 0
+          var done = false
+          while (!done && n < buf.length) {
+            val r = in.read(buf, n, buf.length - n)
+            if (r <= 0) done = true
+            else {
+              n += r
+              if (buf.view.slice(0, n).contains('\n'.toByte)) done = true
+            }
+          }
+          new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      val line = head.takeWhile(_ != '\n')
+      val parts = line.split(' ')
+      if (parts.length >= 4 && parts(0) == "#wcdx" &&
+          parts(1).toInt == Version) Some(parts(3).toLong)
+      else None
+    } catch { case _: Exception => None }
+
   /** Split one indexed file into record-range slices of ~`maxBytes`
     * container bytes each; None when no fresh index or the file is
     * not worth splitting. */
   def planRanges(fs: FileSystem, st: FileStatus, maxBytes: Long)
       : Option[Seq[WarcFileSlice]] =
     readOffsets(fs, st).flatMap { case (framing, offsets) =>
-      if (framing != "plain" && framing != "member-gzip") None
+      if (framing != "plain" && framing != "member-gzip" &&
+          framing != "frame-zstd") None
       else if (offsets.length < 2) None
       else {
         val fileLen = st.getLen

@@ -218,9 +218,11 @@ object WarcRecordFilter {
 
 class WarcScanBuilder(options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = WarcTable.ReadSchema
+  private var pushedCount: Option[Long] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
 
@@ -238,7 +240,78 @@ class WarcScanBuilder(options: CaseInsensitiveStringMap)
   override def pushedFilters()
       : Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new WarcScan(required, options, pushed)
+  // ----- metadata-only COUNT(*) (the .tsidx/.widx discipline) ------------
+  // "How many records landed?" answers from the .wcdx header lines
+  // alone — O(files), not O(bytes) — when EVERY file has a fresh
+  // sidecar and no record filter is pushed. Any file without one
+  // declines and the record walk counts for real.
+  private def sidecarCount(): Option[Long] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val files = WarcTable.listDataFiles(options, conf)
+    if (files.isEmpty) return None
+    var total = 0L
+    files.foreach { st =>
+      WarcCdx.readCount(st.getPath.getFileSystem(conf), st) match {
+        case Some(n) => total += n
+        case None => return None
+      }
+    }
+    Some(total)
+  }
+
+  private lazy val sidecarCountMemo: Option[Long] = sidecarCount()
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = pushAggregation(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (!options.getBoolean("countPushdown", true)) return false
+    if (pushed.nonEmpty) return false // sidecar totals would over-count
+    if (agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.toSeq.length != 1 ||
+        !agg.aggregateExpressions.head.isInstanceOf[CountStar]) return false
+    pushedCount = sidecarCountMemo
+    pushedCount.isDefined
+  }
+
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new WarcStatsScan(n)
+    case None => new WarcScan(required, options, pushed)
+  }
+}
+
+/** The metadata-only COUNT(*) scan: one partition, one row, no warc
+  * byte ever read. */
+class WarcStatsScan(count: Long) extends Scan with Batch {
+  override def readSchema(): StructType = new StructType()
+    .add("count", LongType, nullable = false)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"WarcStatsScan(count=$count, fromSidecars=true)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(WarcStatsPartition(count))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcStatsReaderFactory
+}
+
+case class WarcStatsPartition(count: Long) extends InputPartition
+
+class WarcStatsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WarcStatsPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = InternalRow(p.count)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Executor-visible read counters — the seam proving a payload-pruned
@@ -278,12 +351,31 @@ class WarcScan(requiredSchema: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes = WarcTable
-        .listDataFiles(options, hadoopConf).map(_.getLen).sum
+      private val files = WarcTable.listDataFiles(options, hadoopConf)
+      private val bytes = files.map(_.getLen).sum
+      // exact row count when EVERY file carries a fresh .wcdx and no
+      // pushed filter drops records mid-scan
+      private val rows: Option[Long] =
+        if (pushedFilters.nonEmpty || files.isEmpty) None
+        else {
+          var total = 0L
+          val it = files.iterator
+          var ok = true
+          while (ok && it.hasNext) {
+            val st = it.next()
+            WarcCdx.readCount(
+                st.getPath.getFileSystem(hadoopConf), st) match {
+              case Some(n) => total += n
+              case None => ok = false
+            }
+          }
+          if (ok) Some(total) else None
+        }
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
     }
 
   override def supportedCustomMetrics()
@@ -382,9 +474,9 @@ object WarcFileOpener {
   }
 
   /** Open a slice: seek to its start, bound to its length, then
-    * decode — member-gzip is enterable at any member offset (each
-    * member is a self-contained deflate stream), plain at any byte.
-    * length < 0 = to EOF (whole file; the only shape zstd supports). */
+    * decode — member-gzip is enterable at any member offset,
+    * frame-zstd at any frame offset (both units are self-contained
+    * compressed streams), plain at any byte. length < 0 = to EOF. */
   def openSlice(conf: Configuration, slice: WarcFileSlice)
       : java.io.InputStream = {
     val path = new Path(slice.path)
@@ -400,8 +492,8 @@ object WarcFileOpener {
         new java.util.zip.GZIPInputStream(bounded, 1 << 16)
           : java.io.InputStream
       else if (lower.endsWith(".zst") || lower.endsWith(".zstd")) {
-        require(slice.start == 0,
-          "zstd warcs are not sliceable (no member index)")
+        // record-per-frame archives are enterable at any frame offset
+        // the .wcdx recorded — each frame is self-contained
         val z = new com.github.luben.zstd.ZstdInputStream(bounded)
         z.setContinuous(true) // multi-frame: keep reading at frame ends
         z: java.io.InputStream

@@ -119,6 +119,49 @@ class WarcCdxSpec extends AnyFunSuite {
         whole.select("record_id").collect().map(_.getString(0)).sorted))
   }
 
+  test("record-per-frame .warc.zst indexes (skippable frames stepped " +
+      "over), range-splits, and enters mid-file at frame offsets") {
+    val dir = Files.createTempDirectory("wcdx_zst").toString
+    val p = Paths.get(dir, "big.warc.zst")
+    val n = 500
+    val os = Files.newOutputStream(p)
+    try {
+      (0 until n).foreach { i =>
+        os.write(com.github.luben.zstd.Zstd.compress(
+          WarcSynth.responseRecord(i.toLong)))
+        if (i == 100) {
+          // a skippable frame mid-stream (magic 0x184D2A50, 4-byte
+          // size, payload) — archive.org writes dictionary frames
+          os.write(Array[Byte](0x50, 0x2A, 0x4D, 0x18, 6, 0, 0, 0))
+          os.write("sixbyt".getBytes("US-ASCII"))
+        }
+      }
+    } finally os.close()
+    val count = WarcCdx.writeIndex(conf, new Path(p.toString))
+    assert(count == n)
+    val fs = new Path(p.toString).getFileSystem(conf)
+    val (framing, offsets) = WarcCdx.readOffsets(fs,
+      fs.getFileStatus(new Path(p.toString))).get
+    assert(framing == "frame-zstd" && offsets.length == n)
+    // range-split scan row-identical to whole-file
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    val whole = spark.read.format("warc").option("useWcdx", "false")
+      .load(p.toString)
+    val split = spark.read.format("warc")
+      .option("maxBytesPerPartition", "8k").load(p.toString)
+    assert(split.rdd.getNumPartitions >= 4)
+    assert(ids(split) == ids(whole) && ids(whole).length == n)
+    // mid-file entry at the 50th record's frame
+    val reader = new graft.sources.warc.WarcPartitionReader(
+      Seq(graft.sources.warc.WarcFileSlice(p.toString, offsets(50), -1L)),
+      conf, graft.sources.warc.WarcTable.ReadSchema, 1L << 30)
+    var got = 0
+    while (reader.next()) got += 1
+    reader.close()
+    assert(got == n - 50)
+  }
+
   test("an O(index) survey reads zero warc bytes (no record walk)") {
     val dir = fixture(160)
     WarcCdx.ensureIndexed(conf, dir)
@@ -148,6 +191,36 @@ class WarcCdxSpec extends AnyFunSuite {
     assert(WarcCdx.ensureIndexed(conf, dir) == 0)
     // the scan itself still reads the file whole
     assert(spark.read.format("warc").load(p.toString).count() == 10)
+  }
+
+  test("COUNT(*) answers from the .wcdx headers alone when every file " +
+      "is indexed — one row, zero warc bytes; filters and missing " +
+      "sidecars fall back to the real walk") {
+    val dir = fixture(240)
+    WarcCdx.ensureIndexed(conf, dir)
+    WarcReadStats.recordsRead.reset()
+    val df = spark.read.format("warc").load(dir)
+    val counted = df.count()
+    assert(counted == 4 + 2 * 240, s"sidecar count wrong: $counted")
+    assert(df.groupBy().count().queryExecution.executedPlan.toString
+      .contains("WarcStatsScan"), "count did not plan the stats scan")
+    assert(WarcReadStats.recordsRead.sum() == 0,
+      "metadata count walked records")
+    // a filter falls back to the real scan and still counts right
+    val filtered = spark.read.format("warc").load(dir)
+      .filter(org.apache.spark.sql.functions.col("rec_type") === "response")
+      .count()
+    assert(filtered == 240)
+    // pushdown disabled: real walk, same number
+    assert(spark.read.format("warc").option("countPushdown", "false")
+      .load(dir).count() == counted)
+    // statistics expose the exact row count for broadcast planning
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir))
+    val scan = new graft.sources.warc.WarcScanBuilder(opts).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics]
+    assert(scan.estimateStatistics().numRows().getAsLong == counted)
   }
 
   test("a stale sidecar (older than its warc) never influences " +
