@@ -340,6 +340,32 @@ object WarcQueries {
           CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
         FROM statuses GROUP BY st""")),
 
+    // ----- CDX point lookup (the wayback access pattern) ---------------------
+    // "Give me THIS url's stored page" — the crawl industry's bread-
+    // and-butter read, and the reason CDX exists: with a fresh .wcdx
+    // and a pushed url equality, the PLANNER slices only the matching
+    // record's member (WarcCdx.planMatchingSlices), so the scan reads
+    // one record of a 40k-page crawl instead of four whole files
+    // (WarcCdxSpec pins the one-slice plan + recordsRead == 1). The
+    // oracle re-derives the page's md5/length from the formulas.
+    Q("warc_cdx_point_lookup",
+      (s, _) => {
+        import s.implicits._
+        val dir = fixtureDir
+        graft.sources.warc.WarcCdx.ensureIndexed(
+          s.sessionState.newHadoopConf(), dir)
+        val target = graft.sources.warc.WarcSynth.urlOf(12345)
+        s.read.format("warc").load(dir)
+          .filter($"rec_type" === "response" && $"url" === target)
+          .select($"url", $"http_status",
+            md5($"payload").as("body_md5"),
+            octet_length($"payload").cast("long").as("body_bytes"))
+      },
+      Some(s"""SELECT 'http://site45.example/p12345' AS url,
+          CAST(200 AS INT) AS http_status,
+          md5(${htmlSql("445")}) AS body_md5,
+          CAST(length(${htmlSql("445")}) AS BIGINT) AS body_bytes""")),
+
     // ----- Content-Encoding decode ------------------------------------------
     // The first thing a user hits on a NON-synthetic crawl: Common
     // Crawl bodies mostly carry `Content-Encoding: gzip` (and deflate)

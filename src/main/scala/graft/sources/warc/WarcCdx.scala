@@ -464,6 +464,85 @@ object WarcCdx {
       else None
     } catch { case _: Exception => None }
 
+  /** (framing, all entries) from a FRESH sidecar, else None. */
+  def readEntries(fs: FileSystem, st: FileStatus)
+      : Option[(String, Array[Entry])] =
+    try {
+      val sp = sidecar(st.getPath)
+      if (!fs.exists(sp)) return None
+      if (fs.getFileStatus(sp).getModificationTime <
+          st.getModificationTime) return None // stale
+      val in = fs.open(sp)
+      val text =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val lines = text.split('\n')
+      if (lines.isEmpty) return None
+      val head = lines(0).split(' ')
+      if (head.length < 4 || head(0) != "#wcdx" ||
+          head(1).toInt != Version) return None
+      val framing = head(2)
+      val n = head(3).toInt
+      val entries = new Array[Entry](n)
+      var i = 0
+      while (i < n) {
+        val f = lines(i + 1).split('\t')
+        def opt(k: Int): String =
+          if (k >= f.length || f(k).isEmpty) null else f(k)
+        entries(i) = Entry(f(0).toLong, f(1).toLong, f(2),
+          opt(3), opt(4),
+          if (opt(5) == null) -1 else f(5).toInt, opt(6))
+        i += 1
+      }
+      Some((framing, entries))
+    } catch { case _: Exception => None }
+
+  /** CDX-pruned planning: when the scan's pushed predicates are all
+    * sidecar-decidable (they are — the pushdown surface is exactly
+    * rec_type/url/http_status/http_content_type), plan slices over
+    * ONLY the matching records, merging runs separated by less than
+    * `mergeGap` container bytes. A url point-lookup over an indexed
+    * 100 GB crawl then reads one record's member instead of the file
+    * — the wayback-machine access pattern. Non-matching records swept
+    * into a merged run are skipped by the walk's own pushed predicate
+    * (same compiled semantics), so results are identical to the
+    * unpruned plan; filters stay residual above the scan regardless.
+    * None when no fresh index or the framing is not enterable. */
+  def planMatchingSlices(fs: FileSystem, st: FileStatus,
+      maxBytes: Long, pred: WarcRecordFilter.Compiled,
+      mergeGap: Long = 1L << 16): Option[Seq[WarcFileSlice]] =
+    readEntries(fs, st).flatMap { case (framing, entries) =>
+      if (framing != "plain" && framing != "member-gzip" &&
+          framing != "frame-zstd") None
+      else {
+        val slices = scala.collection.mutable.ArrayBuffer
+          .empty[WarcFileSlice]
+        var curStart = -1L
+        var curEnd = -1L
+        entries.foreach { e =>
+          val matches = pred.header(e.recType, e.url) &&
+            (!pred.hasHttp || pred.http(e.httpStatus, e.httpContentType))
+          if (matches) {
+            val end = e.offset + e.rlen
+            if (curStart < 0) { curStart = e.offset; curEnd = end }
+            else if (e.offset - curEnd <= mergeGap &&
+                end - curStart <= maxBytes) curEnd = end
+            else {
+              slices += WarcFileSlice(st.getPath.toString, curStart,
+                curEnd - curStart)
+              curStart = e.offset
+              curEnd = end
+            }
+          }
+        }
+        if (curStart >= 0)
+          slices += WarcFileSlice(st.getPath.toString, curStart,
+            curEnd - curStart)
+        Some(slices.toSeq)
+      }
+    }
+
   /** Split one indexed file into record-range slices of ~`maxBytes`
     * container bytes each; None when no fresh index or the file is
     * not worth splitting. */

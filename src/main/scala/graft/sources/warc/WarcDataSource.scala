@@ -393,16 +393,30 @@ class WarcScan(requiredSchema: StructType,
     val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
     val conf = hadoopConf
     val useWcdx = options.getBoolean("useWcdx", true)
-    // big indexed files split into record-range slices at the member
-    // offsets their .wcdx records (the one-task-per-100 GB straggler
-    // fix); everything else stays a whole-file slice. Sidecars are
-    // read ONLY for files larger than the partition target.
+    // .wcdx-aware planning, in preference order per file:
+    //   1. pushed predicates + fresh sidecar -> slices over ONLY the
+    //      matching records (a url point-lookup reads one member of a
+    //      100 GB crawl — the wayback access pattern);
+    //   2. big indexed file -> record-range slices at member offsets
+    //      (the one-task-per-100 GB straggler fix);
+    //   3. whole-file slice.
+    // Sidecars are read only when 1 or 2 applies.
+    val compiled = if (pushedFilters.nonEmpty)
+      Some(WarcRecordFilter.compile(pushedFilters)) else None
     val slices = WarcTable.listDataFiles(options, conf).flatMap { st =>
       val whole = Seq(WarcFileSlice(st.getPath.toString, 0L, st.getLen))
-      if (useWcdx && st.getLen > maxBytes) {
+      if (!useWcdx) whole
+      else {
         val fs = st.getPath.getFileSystem(conf)
-        WarcCdx.planRanges(fs, st, maxBytes).getOrElse(whole)
-      } else whole
+        compiled.flatMap(p =>
+            WarcCdx.planMatchingSlices(fs, st, maxBytes, p,
+              options.getLong("cdxMergeGap", 1L << 16)))
+          .getOrElse {
+            if (st.getLen > maxBytes)
+              WarcCdx.planRanges(fs, st, maxBytes).getOrElse(whole)
+            else whole
+          }
+      }
     }
     graft.sources.BinPack.pack(slices.map(s => s -> s.length),
         maxBytes, openCost)

@@ -162,6 +162,43 @@ class WarcCdxSpec extends AnyFunSuite {
     assert(got == n - 50)
   }
 
+  test("CDX-pruned planning: a pushed url point-lookup plans one " +
+      "slice and walks ONE record; a no-match predicate plans zero " +
+      "partitions; results match the unpruned plan") {
+    import org.apache.spark.sql.functions.col
+    val dir = fixture(400)
+    WarcCdx.ensureIndexed(conf, dir)
+    val target = WarcSynth.urlOf(123)
+    def lookup(useCdx: Boolean) = spark.read.format("warc")
+      .option("useWcdx", useCdx.toString).load(dir)
+      .filter(col("rec_type") === "response" && col("url") === target)
+      .select("url", "payload")
+    WarcReadStats.recordsRead.reset()
+    val pruned = lookup(useCdx = true)
+    val rows = pruned.collect()
+    assert(rows.length == 1 &&
+      new String(rows(0).getAs[Array[Byte]](1), "US-ASCII") ==
+        WarcSynth.htmlOf(123))
+    assert(pruned.rdd.getNumPartitions == 1,
+      s"point lookup planned ${pruned.rdd.getNumPartitions} partitions")
+    assert(WarcReadStats.recordsRead.sum() <= 2,
+      s"point lookup walked ${WarcReadStats.recordsRead.sum()} records")
+    // parity with the unpruned plan
+    val full = lookup(useCdx = false).collect()
+    assert(full.length == 1 && full(0).getString(0) == target)
+    // a predicate matching nothing plans zero partitions, zero rows
+    val none = spark.read.format("warc").load(dir)
+      .filter(col("url") === "http://nosuch.example/x")
+      .select("url")
+    assert(none.collect().isEmpty)
+    // http-stage predicates prune at the planner too: 404s only
+    val notFound = spark.read.format("warc").load(dir)
+      .filter(col("rec_type") === "response" &&
+        col("http_status") === 404)
+      .select("url").collect()
+    assert(notFound.length == (0 until 400).count(_ % 17 == 0))
+  }
+
   test("an O(index) survey reads zero warc bytes (no record walk)") {
     val dir = fixture(160)
     WarcCdx.ensureIndexed(conf, dir)
