@@ -127,54 +127,35 @@ object WarcQueries {
         FROM scored GROUP BY site""") ,
       headline = true),
 
-    // ----- corpus round-trip (documents -> member-gzip WARC -> scan) ------
-    // The write side is fixture tooling (WARC is an INPUT format —
-    // the source is the product), but round-tripping the REAL
-    // documents table through member-per-record gzip proves the walk
-    // against arbitrary page bytes, not just the synthetic formulas:
-    // each partition writes one .warc.gz of response records (one
-    // gzip member per record, the Common Crawl framing), the scan
-    // reads them back, and the md5 of every payload must equal the
-    // md5 DuckDB computes from the source table. Scale: export is a
-    // streamed per-partition write; import a whole-file parallel scan.
+    // ----- corpus round-trip (documents -> warc SINK -> scan) --------------
+    // The DSv2 write side end-to-end: the REAL documents table exports
+    // through `df.write.format("warc")` — one member-per-record
+    // .warc.gz per task (the Common Crawl framing), HTTP response
+    // blocks synthesized from (http_status, http_content_type,
+    // payload), atomic .inprogress renames, and a `.wcdx` sidecar
+    // written at commit so the exported lake is born range-splittable
+    // and metadata-countable. The scan reads it back and the md5 of
+    // every payload must equal the md5 DuckDB computes from the source
+    // table — proving writer AND walker against arbitrary page bytes,
+    // not just the synthetic formulas. Scale: streamed row-by-row
+    // writes (constant memory per task); whole-file parallel read-back.
     Q("warc_corpus_roundtrip",
       (s, d) => {
         import s.implicits._
-        import graft.sources.warc.WarcSynth
         val outDir = "/tmp/graft_warc_corpus_" +
           java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
-        val fs = new org.apache.hadoop.fs.Path(outDir)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
-        fs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
-        val conf = new graft.sources.pcap.SerializableHadoopConf(
-          s.sessionState.newHadoopConf())
-        Tables.documents(s, d).select($"doc_id", $"text")
-          .as[(Long, String)]
+        Tables.documents(s, d)
+          .select(
+            concat(lit("http://corpus.example/doc/"), $"doc_id")
+              .as("url"),
+            concat(lit("<urn:uuid:graft-doc-"), $"doc_id", lit(">"))
+              .as("record_id"),
+            lit(graft.sources.warc.WarcSynth.Date).as("warc_date"),
+            lit(200).as("http_status"),
+            lit("text/plain; charset=utf-8").as("http_content_type"),
+            encode($"text", "UTF-8").as("payload"))
           .repartition(8)
-          .foreachPartition { it: Iterator[(Long, String)] =>
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val p = new org.apache.hadoop.fs.Path(
-              outDir, f"corpus-$pid%05d.warc.gz")
-            val out = p.getFileSystem(conf.value).create(p, true)
-            try WarcSynth.gzipMembers(it.map { case (id, text) =>
-              val body = text.getBytes("UTF-8")
-              val head = (s"HTTP/1.1 200 OK\r\n" +
-                "Content-Type: text/plain; charset=utf-8\r\n" +
-                s"Content-Length: ${body.length}\r\n\r\n")
-                .getBytes("US-ASCII")
-              WarcSynth.record(Seq(
-                "WARC-Type" -> "response",
-                "WARC-Record-ID" -> s"<urn:uuid:graft-doc-$id>",
-                "WARC-Date" -> WarcSynth.Date,
-                "WARC-Target-URI" ->
-                  s"http://corpus.example/doc/$id",
-                "Content-Type" ->
-                  "application/http; msgtype=response"),
-                head ++ body)
-            }, out)
-            finally out.close()
-          }
+          .write.format("warc").mode("overwrite").save(outDir)
         s.read.format("warc").load(outDir)
           .select(
             regexp_extract($"url", "doc/(\\d+)$", 1).cast("long")

@@ -343,7 +343,16 @@ object WarcCdx {
           walk.warcDate, walk.httpStatus, walk.httpContentType)
       }
     } finally raw.close()
-    val fileLen = st.getLen
+    writeSidecar(fs, warcFile, framing, entries, st.getLen)
+    entries.length.toLong
+  }
+
+  /** Render + atomically write a sidecar from already-known entries
+    * (`rlen` is recomputed from successive offsets) — shared by the
+    * after-the-fact indexer and the warc SINK, which knows every
+    * offset at commit time for free. */
+  def writeSidecar(fs: FileSystem, warcFile: Path, framing: String,
+      entries: scala.collection.Seq[Entry], fileLen: Long): Unit = {
     val sb = new StringBuilder()
     sb.append(s"#wcdx $Version $framing ${entries.length}\n")
     var i = 0
@@ -374,7 +383,6 @@ object WarcCdx {
     finally out.close()
     fs.delete(sp, false)
     require(fs.rename(tmp, sp), s"could not move $tmp to $sp")
-    entries.length.toLong
   }
 
   /** Index every warc file under `dir` that lacks a FRESH sidecar;

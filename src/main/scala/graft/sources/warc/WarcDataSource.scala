@@ -118,13 +118,16 @@ object WarcTable {
 }
 
 class WarcTable(options: CaseInsensitiveStringMap) extends Table
-  with SupportsRead {
+  with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
     s"warc(${WarcTable.paths(options).mkString(",")})"
   override def schema(): StructType = WarcTable.ReadSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap)
       : ScanBuilder = {
@@ -132,6 +135,15 @@ class WarcTable(options: CaseInsensitiveStringMap) extends Table
     merged.putAll(options)
     merged.putAll(scanOptions)
     new WarcScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val merged = new util.HashMap[String, String]()
+    merged.putAll(options)
+    merged.putAll(info.options())
+    new WarcWriteBuilder(new CaseInsensitiveStringMap(merged), info)
   }
 }
 
