@@ -167,6 +167,55 @@ object WarcQueries {
           md5(text) AS payload_md5
         FROM documents""")),
 
+    // ----- STREAMING archive export -> batch import parity -------------------
+    // The fetcher-side landing path: the same documents corpus as
+    // warc_corpus_roundtrip, but exported by the STREAMING `warc`
+    // sink — documents land as a parquet-backed file stream
+    // (maxFilesPerTrigger=1, so the export spans several real
+    // micro-batches), each epoch commits its own atomically-renamed,
+    // epoch-keyed archives WITH their .wcdx sidecars, and the batch
+    // scan imports the union. Same md5-per-doc oracle as the batch
+    // sink — the row matches only if every epoch's records landed
+    // exactly once and byte-identically.
+    Q("warc_sink_stream_twin",
+      (s, d) => {
+        import s.implicits._
+        val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+        val stage = s"/tmp/graft_warc_sinkstream_stage_$tag"
+        val outDir = s"/tmp/graft_warc_sinkstream_out_$tag"
+        val ckpt = s"/tmp/graft_warc_sinkstream_ckpt_$tag"
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        Seq(stage, outDir, ckpt).foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        val src = Tables.documents(s, d)
+          .select(
+            concat(lit("http://corpus.example/doc/"), $"doc_id")
+              .as("url"),
+            lit(200).as("http_status"),
+            lit("text/plain; charset=utf-8").as("http_content_type"),
+            encode($"text", "UTF-8").as("payload"))
+        src.repartition(4).write.parquet(stage)
+        val q = s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage)
+          .writeStream.format("warc")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.format("warc").load(outDir)
+          .select(
+            regexp_extract($"url", "doc/(\\d+)$", 1).cast("long")
+              .as("doc_id"),
+            $"http_status",
+            md5($"payload").as("payload_md5"))
+      },
+      Some("""SELECT doc_id, CAST(200 AS INT) AS http_status,
+          md5(text) AS payload_md5
+        FROM documents""")),
+
     // ----- continuous crawl ingestion (stream twin) -------------------------
     // The streaming form of the crawl pipeline: the four fixture files
     // LAND one micro-batch each (maxFilesPerTrigger=1 — four real

@@ -47,7 +47,8 @@ class WarcWriteBuilder(options: CaseInsensitiveStringMap,
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
+    private def validated: (String, WarcWriteCols, Boolean, Boolean,
+        String, String) = {
       val schema = info.schema()
       def idxOf(name: String, tpe: org.apache.spark.sql.types.DataType,
           required: Boolean): Int = {
@@ -83,15 +84,73 @@ class WarcWriteBuilder(options: CaseInsensitiveStringMap,
         .toLowerCase(java.util.Locale.ROOT)
       require(container == "warc.gz" || container == "warc",
         s"container must be warc.gz or warc, got $container")
-      new WarcBatchWrite(dir, cols, truncateFirst,
-        gz = container == "warc.gz",
-        writeIndex = options.getBoolean("writeWcdx", true),
-        defaultDate = options.getOrDefault("warcDate",
-          "1970-01-01T00:00:00Z"),
-        defaultContentType = options.getOrDefault("contentType",
-          "application/octet-stream"))
+      (dir, cols, container == "warc.gz",
+        options.getBoolean("writeWcdx", true),
+        options.getOrDefault("warcDate", "1970-01-01T00:00:00Z"),
+        options.getOrDefault("contentType", "application/octet-stream"))
+    }
+
+    override def toBatch: BatchWrite = {
+      val (dir, cols, gz, writeIndex, date, ct) = validated
+      // part names carry the write job's identity so exports from a
+      // FRESH session can never collide with an earlier session's
+      // parts (task ids restart per application — the wds lesson)
+      val jobTag = Option(info.queryId()).filter(_.nonEmpty)
+        .getOrElse(java.util.UUID.randomUUID().toString)
+        .replaceAll("[^0-9a-fA-F]", "").take(8)
+      new WarcBatchWrite(dir, cols, truncateFirst, gz, writeIndex,
+        date, ct, jobTag)
+    }
+
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (truncateFirst) throw new IllegalArgumentException(
+        "warc streaming sink is append-only (complete/truncate modes " +
+          "would rewrite every prior epoch's archives)")
+      val (dir, cols, gz, writeIndex, date, ct) = validated
+      // epoch archives carry the write job's identity so appends from
+      // a FRESH session can never collide with an earlier session's
+      val jobTag = Option(info.queryId()).filter(_.nonEmpty)
+        .getOrElse(java.util.UUID.randomUUID().toString)
+        .replaceAll("[^0-9a-fA-F]", "").take(8)
+      new WarcStreamingWrite(dir, cols, gz, writeIndex, date, ct, jobTag)
     }
   }
+}
+
+/** STREAMING write side — the fetcher-side landing path: each epoch
+  * commits its own atomically-renamed, epoch-keyed archives
+  * (`crawl-<job>-e<epoch>-p<partition>.warc.gz`) with their `.wcdx`
+  * sidecars. Final names carry (job, epoch, partition) — no task id —
+  * so an epoch REPLAY after a checkpoint restart replaces its own
+  * files idempotently; tmp paths carry the attempt-unique task id so
+  * a speculative twin can never interleave bytes into the attempt the
+  * commit coordinator picks (the wds streaming discipline). Empty
+  * partitions still commit (a record-less archive), keeping the
+  * per-epoch file set deterministic under replay. */
+class WarcStreamingWrite(dir: String, cols: WarcWriteCols, gz: Boolean,
+    writeIndex: Boolean, defaultDate: String, defaultContentType: String,
+    jobTag: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val conf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory = {
+    val p = new Path(dir)
+    p.getFileSystem(conf.value).mkdirs(p)
+    new WarcStreamingWriterFactory(dir, cols, conf, gz, writeIndex,
+      defaultDate, defaultContentType, jobTag)
+  }
+
+  // file visibility is per-task atomic rename; the engine's offset log
+  // plus idempotent epoch-keyed names give end-to-end exactly-once
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 case class WarcWriteCols(url: Int, payload: Int, recType: Int,
@@ -99,7 +158,8 @@ case class WarcWriteCols(url: Int, payload: Int, recType: Int,
 
 class WarcBatchWrite(dir: String, cols: WarcWriteCols,
     truncateFirst: Boolean, gz: Boolean, writeIndex: Boolean,
-    defaultDate: String, defaultContentType: String) extends BatchWrite {
+    defaultDate: String, defaultContentType: String, jobTag: String)
+  extends BatchWrite {
 
   private val conf = new SerializableHadoopConf(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
@@ -109,7 +169,7 @@ class WarcBatchWrite(dir: String, cols: WarcWriteCols,
     val p = new Path(dir)
     p.getFileSystem(conf.value).mkdirs(p)
     new WarcDataWriterFactory(dir, cols, conf, gz, writeIndex,
-      defaultDate, defaultContentType)
+      defaultDate, defaultContentType, jobTag)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -136,29 +196,47 @@ class WarcBatchWrite(dir: String, cols: WarcWriteCols,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+class WarcStreamingWriterFactory(dir: String, cols: WarcWriteCols,
+    conf: SerializableHadoopConf, gz: Boolean, writeIndex: Boolean,
+    defaultDate: String, defaultContentType: String, jobTag: String)
+  extends org.apache.spark.sql.connector.write.streaming
+    .StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(dir, cols, conf, gz, writeIndex,
+      defaultDate, defaultContentType,
+      baseName = f"crawl-$jobTag-e$epochId%06d-p$partitionId%05d",
+      tmpTag = s".t$taskId", replaceOnCommit = true)
+}
+
 class WarcDataWriterFactory(dir: String, cols: WarcWriteCols,
     conf: SerializableHadoopConf, gz: Boolean, writeIndex: Boolean,
-    defaultDate: String, defaultContentType: String)
+    defaultDate: String, defaultContentType: String, jobTag: String)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new WarcDataWriter(dir, cols, conf, gz, writeIndex, defaultDate,
-      defaultContentType, partitionId, taskId)
+      defaultContentType,
+      baseName = f"part-$jobTag-$partitionId%05d-$taskId",
+      tmpTag = "", replaceOnCommit = false)
 }
 
 class WarcDataWriter(dir: String, cols: WarcWriteCols,
     conf: SerializableHadoopConf, gz: Boolean, writeIndex: Boolean,
     defaultDate: String, defaultContentType: String,
-    partitionId: Int, taskId: Long)
+    baseName: String, tmpTag: String, replaceOnCommit: Boolean)
   extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(conf.value)
   private val finalPath = new Path(dir,
-    f"part-$partitionId%05d-$taskId." + (if (gz) "warc.gz" else "warc"))
-  // attempt-unique temp name (taskId is attempt-unique), so a
-  // speculative twin never clobbers the winner's in-progress bytes
-  private val tmpPath = new Path(dir, finalPath.getName + ".inprogress")
+    baseName + "." + (if (gz) "warc.gz" else "warc"))
+  // dot-prefixed (so a concurrent listing never reads half a file as
+  // data) and attempt-unique via tmpTag on the streaming path
+  // (batch baseNames already carry the task id)
+  private val tmpPath = new Path(dir,
+    "." + finalPath.getName + tmpTag + ".inprogress")
   private val raw = fs.create(tmpPath, true)
   private var written = 0L // container offset = bytes flushed to raw
   private val counting = new java.io.OutputStream {
@@ -185,8 +263,10 @@ class WarcDataWriter(dir: String, cols: WarcWriteCols,
     val payload = row.getBinary(cols.payload)
     val recType = Option(opt(row, cols.recType)).getOrElse("response")
     val date = Option(opt(row, cols.warcDate)).getOrElse(defaultDate)
+    // default ids are (baseName, row) — deterministic under epoch
+    // replay, unique across partitions and (for batch) attempts
     val recordId = Option(opt(row, cols.recordId)).getOrElse(
-      f"<urn:uuid:graft-w$partitionId%05d-$rows>")
+      s"<urn:uuid:graft-$baseName-$rows>")
     val status =
       if (cols.httpStatus < 0 || row.isNullAt(cols.httpStatus)) -1
       else row.getInt(cols.httpStatus)
@@ -222,10 +302,17 @@ class WarcDataWriter(dir: String, cols: WarcWriteCols,
 
   override def commit(): WriterCommitMessage = {
     counting.close()
-    if (rows == 0) { // empty partition -> no file
+    if (rows == 0 && !replaceOnCommit) { // batch: empty -> no file
       fs.delete(tmpPath, false)
       WarcWriteCommitted("")
     } else {
+      if (fs.exists(finalPath)) {
+        if (replaceOnCommit) fs.delete(finalPath, false) // epoch replay
+        else throw new java.io.IOException(
+          s"warc part already exists: $finalPath — part names are " +
+            "unique per write job, so this is another job's data; " +
+            "refusing to replace it")
+      }
       if (!fs.rename(tmpPath, finalPath))
         throw new java.io.IOException(
           s"warc write: rename failed for $finalPath")

@@ -126,8 +126,8 @@ class WarcTable(options: CaseInsensitiveStringMap) extends Table
   override def schema(): StructType = WarcTable.ReadSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap)
       : ScanBuilder = {

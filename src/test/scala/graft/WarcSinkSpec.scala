@@ -141,6 +141,43 @@ class WarcSinkSpec extends AnyFunSuite {
       .forall(p => p.toString.endsWith("bad")), "no files expected")
   }
 
+  test("STREAMING sink: epochs land as epoch-keyed archives with " +
+      "sidecars; a checkpoint restart replays without duplicating a " +
+      "record") {
+    import org.apache.spark.sql.functions.col
+    val stage = Files.createTempDirectory("warc_ss_stage").toString
+    val outDir = Files.createTempDirectory("warc_ss_out").toString
+    val ckpt = Files.createTempDirectory("warc_ss_ckpt").toString
+    val src = docsDf(120)
+    src.repartition(3).write.mode("overwrite").parquet(stage)
+    def startQuery() = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream.format("warc")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    // run, stop, and RESTART from the same checkpoint — the epoch
+    // after the restart may replay; epoch-keyed names must replace,
+    // not duplicate
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val files = Files.list(Paths.get(outDir)).toArray.map(_.toString)
+    assert(files.exists(_.contains("-e000000-")),
+      "expected epoch-keyed archive names")
+    assert(files.count(_.endsWith(".warc.gz")) ==
+      files.count(_.endsWith(".wcdx")),
+      "every epoch archive needs its sidecar")
+    assert(!files.exists(_.contains(".inprogress")))
+    val back = spark.read.format("warc").load(outDir)
+      .select(col("url")).collect().map(_.getString(0))
+    assert(back.length == 120, s"expected 120 records, got ${back.length}")
+    assert(back.toSet.size == 120, "duplicated records after restart")
+  }
+
   test("the sink-written bytes re-parse under the CPython stdlib " +
       "decoder (gzip + ISO 28500 grammar)") {
     // the python oracle checks the SYNTH fixture's formulas; here we
