@@ -22,6 +22,8 @@ object WarcQueries {
   private val CePages = 3000
   private val WetPages = 8000
   private val WatPages = 6000
+  private val RobotsRecs = 10050 // 50 robots.txt + 10000 pages
+  private val CharsetPages = 4000
   private val TwinRuns = new java.util.concurrent.atomic.AtomicLong
 
   private def fixtureDir: String =
@@ -432,6 +434,104 @@ object WarcQueries {
             || ' alpha beta gamma ' || (((i % 700) * 37) % 1000)
             || '</body></html>') AS BIGINT) AS body_bytes
         FROM (SELECT unnest(generate_series(0, ${CePages - 1})) AS i)""")),
+
+    // ----- robots.txt policy filtering ---------------------------------------
+    // Crawl hygiene every training pipeline re-checks: a site's
+    // /robots.txt Disallow prefixes decide which stored pages may be
+    // used. The crawl itself carries the policy (CC stores robots.txt
+    // fetches as ordinary response records), so the operator is pure
+    // SQL over one scan: parse the Disallow lines out of the
+    // robots.txt payloads, broadcast the (site, prefix) rules, and
+    // flag pages whose PATH falls under a disallowed prefix (the
+    // common-subset semantics: any matching Disallow blocks; Allow/
+    // longest-match refinements are out of scope and documented).
+    // Scale: rules are tiny (one row per site) -> broadcast; pages
+    // never carry payload (url-only projection); ONE site-agg shuffle.
+    Q("warc_robots_filter",
+      (s, _) => {
+        import s.implicits._
+        val dir = graft.sources.warc.WarcSynth.ensureTwoFileFixture(
+          "/tmp/graft_warc_robots", RobotsRecs, "robots",
+          graft.sources.warc.WarcSynth.robotsFixtureRecord)
+        val recs = s.read.format("warc").load(dir)
+          .filter($"rec_type" === "response")
+        val rules = recs.filter($"url".endsWith("/robots.txt"))
+          .select(
+            regexp_extract($"url", "site(\\d+)\\.example", 1)
+              .cast("int").as("site"),
+            explode(split($"payload".cast("string"), "\n")).as("line"))
+          .filter($"line".startsWith("Disallow: /"))
+          .select($"site",
+            trim(regexp_replace($"line", "^Disallow:", "")).as("prefix"))
+        val pages = recs.filter(!$"url".endsWith("/robots.txt"))
+          .select(
+            regexp_extract($"url", "site(\\d+)\\.example", 1)
+              .cast("int").as("site"),
+            regexp_extract($"url", "example(/.*)$", 1).as("path"))
+        pages.join(broadcast(rules), Seq("site"), "left")
+          .withColumn("blocked",
+            when($"prefix".isNotNull && $"path".startsWith($"prefix"),
+              1L).otherwise(0L))
+          .groupBy($"site", $"path")
+          .agg(max($"blocked").as("blocked")) // rules never double-count
+          .groupBy($"site")
+          .agg(count(lit(1)).as("pages_total"),
+            sum($"blocked").as("pages_blocked"),
+            (count(lit(1)) - sum($"blocked")).as("pages_kept"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest(generate_series(50, ${RobotsRecs - 1})) AS i),
+        flags AS (
+          SELECT CAST(i % 50 AS INT) AS site,
+            CASE WHEN (i % 50) % 3 = 0 AND i % 5 = 0 THEN 1 ELSE 0 END
+              AS blocked
+          FROM pages)
+        SELECT site, CAST(COUNT(*) AS BIGINT) AS pages_total,
+          CAST(SUM(blocked) AS BIGINT) AS pages_blocked,
+          CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS pages_kept
+        FROM flags GROUP BY site""")),
+
+    // ----- charset-aware payload decode ---------------------------------------
+    // The mojibake trap: half the web serves legacy ISO-8859-1 and a
+    // pipeline that blindly casts bytes to UTF-8 silently corrupts
+    // every non-ASCII character — two byte-identical texts in
+    // different charsets then dedup apart. The operator routes each
+    // body through the charset its OWN Content-Type header declares
+    // (the same logical text arrives as latin-1 on odd pages, UTF-8 on
+    // even); the oracle reconstructs the unicode text with chr(233)
+    // codepoints, so the md5 matches only if both decode paths land on
+    // identical strings. Scale: per-row decode, no shuffle.
+    Q("warc_charset_decode",
+      (s, _) => {
+        import s.implicits._
+        val dir = graft.sources.warc.WarcSynth.ensureTwoFileFixture(
+          "/tmp/graft_warc_charset", CharsetPages, "cs",
+          graft.sources.warc.WarcSynth.charsetResponseRecord)
+        s.read.format("warc").load(dir)
+          .filter($"rec_type" === "response")
+          .withColumn("text",
+            when(lower($"http_content_type").contains("iso-8859-1"),
+              decode($"payload", "ISO-8859-1"))
+              .otherwise(decode($"payload", "UTF-8")))
+          .select(
+            regexp_extract($"url", "/p(\\d+)$", 1).cast("long")
+              .as("page"),
+            md5(encode($"text", "UTF-8")).as("text_md5"),
+            length($"text").cast("long").as("chars"),
+            octet_length($"payload").cast("long").as("raw_bytes"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest(generate_series(0, ${CharsetPages - 1})) AS i),
+        texts AS (
+          SELECT i, 'caf' || chr(233) || ' doc ' || (i % 700) || ' r'
+            || chr(233) || 'sum' || chr(233) || ' '
+            || (((i % 700) * 37) % 1000) AS t
+          FROM pages)
+        SELECT i AS page, md5(t) AS text_md5,
+          CAST(length(t) AS BIGINT) AS chars,
+          CAST(CASE WHEN i % 2 = 1 THEN length(t)
+               ELSE length(t) + 3 END AS BIGINT) AS raw_bytes
+        FROM texts""")),
 
     // ----- WAT metadata lake: the crawl outlink graph ----------------------
     // The third member of Common Crawl's WARC/WAT/WET triple:

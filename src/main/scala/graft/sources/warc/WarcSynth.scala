@@ -288,6 +288,70 @@ object WarcSynth {
       "WARC-Target-URI" -> urlOf(i),
       "Content-Type" -> "text/plain"), textOf(i).getBytes("US-ASCII"))
 
+  /** Robots fixture (SQL-expressible): record i < 50 is site i's
+    * /robots.txt (every third site disallows /private/); record
+    * i >= 50 is a page whose path is /private/p{i} when i%5==0,
+    * else /p{i} — so blocked(i) = site%3==0 && i%5==0. */
+  def robotsPathOf(i: Long): String =
+    if (i % 5 == 0) s"/private/p$i" else s"/p$i"
+
+  def robotsFixtureRecord(i: Long): Array[Byte] =
+    if (i < 50) {
+      val body = (if (i % 3 == 0)
+        "User-agent: *\nDisallow: /private/\n"
+      else "User-agent: *\nCrawl-delay: 1\n").getBytes("US-ASCII")
+      val head = ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> recordIdOf("robots", i),
+        "WARC-Date" -> Date,
+        "WARC-Target-URI" -> s"http://site$i.example/robots.txt",
+        "Content-Type" -> "application/http; msgtype=response"),
+        head ++ body)
+    } else {
+      val body = htmlOf(i).getBytes("US-ASCII")
+      val head = ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> recordIdOf("page", i),
+        "WARC-Date" -> Date,
+        "WARC-Target-URI" ->
+          s"http://site${siteOf(i)}.example${robotsPathOf(i)}",
+        "Content-Type" -> "application/http; msgtype=response"),
+        head ++ body)
+    }
+
+  /** Charset fixture (SQL-expressible via chr()): the same logical
+    * text served as ISO-8859-1 bytes on odd pages and UTF-8 on even,
+    * with the charset declared in the Content-Type header — the
+    * mojibake trap every multilingual crawl pipeline must clear. */
+  def charsetTextOf(i: Long): String = {
+    val g = dupGroup(i)
+    s"café doc $g résumé ${(g * 37) % 1000}"
+  }
+
+  def charsetResponseRecord(i: Long): Array[Byte] = {
+    val cs = if (i % 2 == 1) "iso-8859-1" else "utf-8"
+    val body = charsetTextOf(i).getBytes(
+      if (i % 2 == 1) "ISO-8859-1" else "UTF-8")
+    val head = ("HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: text/html; charset=$cs\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+    val block = new Array[Byte](head.length + body.length)
+    head.copyToArray(block)
+    body.copyToArray(block, head.length)
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> recordIdOf("cs", i),
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> urlOf(i),
+      "Content-Type" -> "application/http; msgtype=response"), block)
+  }
+
   /** WAT outlink formulas (SQL-expressible): page i links to
     * `(i + 1 + 31*j) % n` for j < 2 + i%3 — 2-4 distinct targets. */
   def watOutDegree(i: Long): Int = 2 + (i % 3).toInt
