@@ -24,6 +24,7 @@ object WarcQueries {
   private val WatPages = 6000
   private val RobotsRecs = 10050 // 50 robots.txt + 10000 pages
   private val CharsetPages = 4000
+  private val DatedPages = 8400 // 300 per February day
   private val TwinRuns = new java.util.concurrent.atomic.AtomicLong
 
   private def fixtureDir: String =
@@ -490,6 +491,42 @@ object WarcQueries {
           CAST(SUM(blocked) AS BIGINT) AS pages_blocked,
           CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS pages_kept
         FROM flags GROUP BY site""")),
+
+    // ----- crawl time-window survey (warc_date pushdown) ----------------------
+    // The fetch-window query every crawl owner runs ("what landed in
+    // the second half of February?"): ISO 8601 WARC-Dates compare
+    // lexicographically = chronologically, so string range predicates
+    // on warc_date push to BOTH skip points — the record walk skips
+    // out-of-window blocks in place, and the CDX planner prunes
+    // out-of-window records from the slices entirely (the spec pins
+    // both seams). The filter stays residual; the oracle re-derives
+    // the per-day populations from day(i) = 1 + i%28. Scale: a
+    // date-bounded survey of an indexed 100 TB crawl reads only the
+    // window's container bytes.
+    Q("warc_date_survey",
+      (s, _) => {
+        import s.implicits._
+        val dir = graft.sources.warc.WarcSynth.ensureTwoFileFixture(
+          "/tmp/graft_warc_dated", DatedPages, "dated",
+          graft.sources.warc.WarcSynth.datedResponseRecord)
+        s.read.format("warc").load(dir)
+          .filter($"rec_type" === "response" &&
+            $"warc_date" >= "2026-02-15")
+          .groupBy(substring($"warc_date", 9, 2).cast("int").as("day"))
+          .agg(count(lit(1)).as("pages"),
+            countDistinct(
+              regexp_extract($"url", "site(\\d+)\\.example", 1)
+                .cast("int")).as("sites"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest(generate_series(0, ${DatedPages - 1})) AS i),
+        dated AS (
+          SELECT CAST(1 + i % 28 AS INT) AS day, CAST(i % 50 AS INT)
+            AS site
+          FROM pages WHERE 1 + i % 28 >= 15)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS pages,
+          CAST(COUNT(DISTINCT site) AS BIGINT) AS sites
+        FROM dated GROUP BY day""")),
 
     // ----- charset-aware payload decode ---------------------------------------
     // The mojibake trap: half the web serves legacy ISO-8859-1 and a

@@ -529,7 +529,7 @@ object WarcCdx {
         var curStart = -1L
         var curEnd = -1L
         entries.foreach { e =>
-          val matches = pred.header(e.recType, e.url) &&
+          val matches = pred.header(e.recType, e.url, e.warcDate) &&
             (!pred.hasHttp || pred.http(e.httpStatus, e.httpContentType))
           if (matches) {
             val end = e.offset + e.rlen

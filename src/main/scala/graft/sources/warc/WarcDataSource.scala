@@ -165,55 +165,78 @@ class WarcTable(options: CaseInsensitiveStringMap) extends Table
 object WarcRecordFilter {
   import org.apache.spark.sql.sources._
 
-  /** `header(recType, url)` gates the whole block; `http(status,
-    * contentType)` gates the HTTP body (status -1 / null contentType
-    * = not an HTTP record, so equality predicates reject — exactly
-    * what the residual filter does with the null columns). */
-  final case class Compiled(header: (String, String) => Boolean,
+  /** `header(recType, url, warcDate)` gates the whole block;
+    * `http(status, contentType)` gates the HTTP body (status -1 /
+    * null contentType = not an HTTP record, so equality predicates
+    * reject — exactly what the residual filter does with the null
+    * columns). */
+  final case class Compiled(
+      header: (String, String, String) => Boolean,
       http: (Int, String) => Boolean, hasHttp: Boolean)
 
-  val acceptAll: Compiled = Compiled((_, _) => true, (_, _) => true,
+  val acceptAll: Compiled = Compiled((_, _, _) => true, (_, _) => true,
     hasHttp = false)
 
   private def headerAttr(a: String) = a == "rec_type" || a == "url"
 
   def supported(f: Filter): Boolean = f match {
-    case EqualTo(a, _: String) => headerAttr(a) || a == "http_content_type"
+    case EqualTo(a, _: String) => headerAttr(a) ||
+      a == "http_content_type" || a == "warc_date"
     case EqualTo("http_status", _: Int) => true
     case In(a, vs) if headerAttr(a) => vs.forall(_.isInstanceOf[String])
     case In("http_status", vs) => vs.forall(_.isInstanceOf[Int])
     case StringStartsWith(a, _) =>
-      headerAttr(a) || a == "http_content_type"
+      headerAttr(a) || a == "http_content_type" || a == "warc_date"
+    // ISO 8601 dates compare lexicographically = chronologically, so
+    // string range predicates on warc_date are crawl time windows
+    case GreaterThan("warc_date", _: String) => true
+    case GreaterThanOrEqual("warc_date", _: String) => true
+    case LessThan("warc_date", _: String) => true
+    case LessThanOrEqual("warc_date", _: String) => true
     case _ => false
   }
 
   def compile(filters: Array[Filter]): Compiled = {
     if (filters.isEmpty) return acceptAll
-    type HeaderPred = (String, String) => Boolean
+    type HeaderPred = (String, String, String) => Boolean
     type HttpPred = (Int, String) => Boolean
     val header = scala.collection.mutable.ArrayBuffer.empty[HeaderPred]
     val http = scala.collection.mutable.ArrayBuffer.empty[HttpPred]
     filters.foreach {
-      case EqualTo("rec_type", v: String) => header += ((t, _) => t == v)
-      case EqualTo("url", v: String) => header += ((_, u) => u == v)
+      case EqualTo("rec_type", v: String) =>
+        header += ((t, _, _) => t == v)
+      case EqualTo("url", v: String) => header += ((_, u, _) => u == v)
+      case EqualTo("warc_date", v: String) =>
+        header += ((_, _, d) => d == v)
       case EqualTo("http_content_type", v: String) =>
         http += ((_, c) => c == v)
       case EqualTo("http_status", v: Int) => http += ((s, _) => s == v)
       case In("rec_type", vs) =>
         val set = vs.map(_.asInstanceOf[String]).toSet
-        header += ((t, _) => set(t))
+        header += ((t, _, _) => set(t))
       case In("url", vs) =>
         val set = vs.map(_.asInstanceOf[String]).toSet
-        header += ((_, u) => set(u))
+        header += ((_, u, _) => set(u))
       case In("http_status", vs) =>
         val set = vs.map(_.asInstanceOf[Int]).toSet
         http += ((s, _) => set(s))
       case StringStartsWith("rec_type", p) =>
-        header += ((t, _) => t.startsWith(p))
+        header += ((t, _, _) => t.startsWith(p))
       case StringStartsWith("url", p) =>
-        header += ((_, u) => u != null && u.startsWith(p))
+        header += ((_, u, _) => u != null && u.startsWith(p))
+      case StringStartsWith("warc_date", p) =>
+        header += ((_, _, d) => d != null && d.startsWith(p))
       case StringStartsWith("http_content_type", p) =>
         http += ((_, c) => c != null && c.startsWith(p))
+      // null dates reject (the residual filter drops them too)
+      case GreaterThan("warc_date", v: String) =>
+        header += ((_, _, d) => d != null && d > v)
+      case GreaterThanOrEqual("warc_date", v: String) =>
+        header += ((_, _, d) => d != null && d >= v)
+      case LessThan("warc_date", v: String) =>
+        header += ((_, _, d) => d != null && d < v)
+      case LessThanOrEqual("warc_date", v: String) =>
+        header += ((_, _, d) => d != null && d <= v)
       case other => throw new IllegalArgumentException(
         s"unsupported pushed filter $other")
     }
@@ -222,7 +245,7 @@ object WarcRecordFilter {
     Compiled(
       // url may legitimately be null (warcinfo records): a pushed url
       // predicate rejects those — matching the residual filter
-      (t, u) => hs.forall(p => p(t, if (u == null) "" else u)),
+      (t, u, d) => hs.forall(p => p(t, if (u == null) "" else u, d)),
       (s, c) => ps.forall(p => p(s, c)),
       hasHttp = ps.nonEmpty)
   }
@@ -796,7 +819,7 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     // pushed rec_type/url predicates are decidable HERE, before a
     // single block byte is read: a responses-only pipeline skips every
     // request/warcinfo block in place (filters stay residual upstream)
-    if (!pred.header(recType, url)) {
+    if (!pred.header(recType, url, warcDate)) {
       skipFully(contentLength)
       payloadBytesSkipped += contentLength
       return 2

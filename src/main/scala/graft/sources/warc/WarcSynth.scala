@@ -325,6 +325,27 @@ object WarcSynth {
         head ++ body)
     }
 
+  /** Date-varying crawl (SQL-expressible): page i fetched on February
+    * day 1 + i%28 — ISO 8601 WARC-Dates compare lexicographically =
+    * chronologically, the property date-window pushdown rides on. */
+  def dateOf(i: Long): String = f"2026-02-${1 + (i % 28)}%02dT00:00:00Z"
+
+  def datedResponseRecord(i: Long): Array[Byte] = {
+    val body = htmlOf(i).getBytes("US-ASCII")
+    val head = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+    val block = new Array[Byte](head.length + body.length)
+    head.copyToArray(block)
+    body.copyToArray(block, head.length)
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> recordIdOf("dated", i),
+      "WARC-Date" -> dateOf(i),
+      "WARC-Target-URI" -> urlOf(i),
+      "Content-Type" -> "application/http; msgtype=response"), block)
+  }
+
   /** Charset fixture (SQL-expressible via chr()): the same logical
     * text served as ISO-8859-1 bytes on odd pages and UTF-8 on even,
     * with the charset declared in the Content-Type header — the

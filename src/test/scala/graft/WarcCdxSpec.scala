@@ -199,6 +199,46 @@ class WarcCdxSpec extends AnyFunSuite {
     assert(notFound.length == (0 until 400).count(_ % 17 == 0))
   }
 
+  test("warc_date range predicates push to both skip points: the walk " +
+      "skips out-of-window blocks, and the CDX planner prunes " +
+      "out-of-window records from the slices") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("wcdx_dated").toString
+    val p = Paths.get(dir, "dated.warc")
+    val n = 280 // 10 pages per February day
+    Files.write(p, (0 until n).map(i =>
+      WarcSynth.datedResponseRecord(i.toLong)).reduce(_ ++ _))
+    // 1. walk-level skip (no sidecar yet): out-of-window blocks skipped
+    WarcReadStats.payloadBytesSkipped.reset()
+    val window = spark.read.format("warc").load(p.toString)
+      .filter(col("warc_date") >= "2026-02-20" &&
+        col("warc_date") < "2026-02-23")
+      .select("url", "payload")
+    val rows = window.collect()
+    val want = (0 until n).filter(i => {
+      val d = 1 + i % 28; d >= 20 && d <= 22
+    })
+    assert(rows.length == want.size)
+    assert(WarcReadStats.payloadBytesSkipped.sum() > 0,
+      "out-of-window blocks were not skipped")
+    // 2. planner-level pruning once indexed: the slices cover only
+    // the window's records
+    WarcCdx.writeIndex(conf, new Path(p.toString))
+    WarcReadStats.payloadBytesSkipped.reset()
+    WarcReadStats.recordsRead.reset()
+    val pruned = spark.read.format("warc").load(p.toString)
+      .filter(col("warc_date") >= "2026-02-20" &&
+        col("warc_date") < "2026-02-23")
+      .select("url", "payload")
+    assert(pruned.collect().length == want.size)
+    // dates repeat every 28 records, so in-window records sit in many
+    // short runs; the pruned plan never walks most of the file
+    val walked = WarcReadStats.recordsRead.sum() +
+      0 // skipped records don't count as read
+    assert(walked <= want.size + 10,
+      s"cdx pruning walked $walked records for ${want.size} matches")
+  }
+
   test("an O(index) survey reads zero warc bytes (no record walk)") {
     val dir = fixture(160)
     WarcCdx.ensureIndexed(conf, dir)
