@@ -399,6 +399,38 @@ object WarcQueries {
           md5(${htmlSql("445")}) AS body_md5,
           CAST(length(${htmlSql("445")}) AS BIGINT) AS body_bytes""")),
 
+    // ----- CDX dedup survey (digests off the index, zero page bytes) --------
+    // The v2 sidecar carries the CDX digest column (md5 of the payload
+    // as the scan returns it), so crawl-wide dedup ACCOUNTING — how
+    // many distinct pages does each site really have? — runs off the
+    // index alone: no warc byte is opened (the spec pins recordsRead
+    // == 0 for survey paths). The oracle recomputes every digest from
+    // the page formulas, so an indexer that hashed the wrong byte
+    // range (headers in, encoding undone, ...) breaks every row.
+    Q("warc_cdx_dedup_survey",
+      (s, _) => {
+        import s.implicits._
+        val dir = fixtureDir
+        graft.sources.warc.WarcCdx.ensureIndexed(
+          s.sessionState.newHadoopConf(), dir)
+        graft.sources.warc.WarcCdx.survey(s, dir)
+          .filter($"rec_type" === "response" &&
+            $"http_content_type" === "text/html")
+          .groupBy(regexp_extract($"url", "site(\\d+)\\.example", 1)
+            .cast("int").as("site"))
+          .agg(count(lit(1)).as("pages"),
+            countDistinct($"digest").as("uniq_payloads"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest(generate_series(0, ${NPages - 1})) AS i),
+        texts AS (
+          SELECT CAST(i % 50 AS INT) AS site,
+            md5(${htmlSql("(i % 700)")}) AS d
+          FROM pages WHERE i % 13 <> 5)
+        SELECT site, CAST(COUNT(*) AS BIGINT) AS pages,
+          CAST(COUNT(DISTINCT d) AS BIGINT) AS uniq_payloads
+        FROM texts GROUP BY site""")),
+
     // ----- Content-Encoding decode ------------------------------------------
     // The first thing a user hits on a NON-synthetic crawl: Common
     // Crawl bodies mostly carry `Content-Encoding: gzip` (and deflate)

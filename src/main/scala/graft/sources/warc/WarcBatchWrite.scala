@@ -296,7 +296,7 @@ class WarcDataWriter(dir: String, cols: WarcWriteCols,
     if (gz) WarcSynth.gzipMembers(Iterator(rec), counting)
     else counting.write(rec, 0, rec.length)
     entries += WarcCdx.Entry(offset, 0L, recType, url, date, status,
-      if (status >= 0) httpCt else null)
+      if (status >= 0) httpCt else null, WarcCdx.md5Hex(payload))
     rows += 1
   }
 

@@ -24,8 +24,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Sidecar format (text, atomic-write, one per warc file):
   * {{{
-  *   #wcdx 1 <framing> <recordCount>
-  *   offset \t rlen \t rec_type \t url \t warc_date \t http_status \t http_content_type
+  *   #wcdx 2 <framing> <recordCount>
+  *   offset \t rlen \t rec_type \t url \t warc_date \t http_status \t http_content_type \t digest
   * }}}
   * `framing` is `plain` (offsets are raw byte offsets), `member-gzip`
   * (offsets are gzip MEMBER start offsets — every record begins a
@@ -41,15 +41,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object WarcCdx {
 
   val SidecarSuffix = ".wcdx"
-  val Version = 1
+  val Version = 2 // v2 adds the payload digest column (the CDX digest)
 
   def sidecar(file: Path): Path = file.suffix(SidecarSuffix)
   def isSidecar(name: String): Boolean = name.endsWith(SidecarSuffix)
 
-  /** One indexed record. `httpStatus` < 0 = null (non-HTTP). */
+  /** One indexed record. `httpStatus` < 0 = null (non-HTTP);
+    * `digest` = md5 hex of the record's payload as the scan returns
+    * it (the CDX digest column — dedup accounting without opening
+    * the crawl). */
   final case class Entry(offset: Long, rlen: Long, recType: String,
       url: String, warcDate: String, httpStatus: Int,
-      httpContentType: String)
+      httpContentType: String, digest: String = null)
 
   // ---------------------------------------------------------------------
   // gzip member walk (RFC 1952) — yields each member's raw extent and
@@ -253,6 +256,11 @@ object WarcCdx {
     else "plain"
   }
 
+  def md5Hex(payload: Array[Byte]): String =
+    if (payload == null) null
+    else java.security.MessageDigest.getInstance("MD5").digest(payload)
+      .map(b => f"$b%02x").mkString
+
   private def cleanField(v: String, what: String, file: String): String = {
     if (v == null) return ""
     require(!v.exists(c => c == '\t' || c == '\n' || c == '\r'),
@@ -319,8 +327,11 @@ object WarcCdx {
           }
         }
       }
+      // payloads ARE read here: the digest column (md5 of the payload
+      // as the scan returns it) is what makes the index answer dedup
+      // surveys without re-opening the crawl — the CDX digest field
       val walk = new WarcRecordWalk(recordIn, warcFile.getName,
-        needPayload = false, needHttp = true, maxRecordBytes = 1L << 31)
+        needPayload = true, needHttp = true, maxRecordBytes = 1L << 31)
       var memberPtr = 0
       while (walk.next()) {
         val offset =
@@ -340,7 +351,8 @@ object WarcCdx {
             members(memberPtr)._1
           }
         entries += Entry(offset, 0L, walk.recType, walk.url,
-          walk.warcDate, walk.httpStatus, walk.httpContentType)
+          walk.warcDate, walk.httpStatus, walk.httpContentType,
+          md5Hex(walk.payload))
       }
     } finally raw.close()
     writeSidecar(fs, warcFile, framing, entries, st.getLen)
@@ -372,6 +384,8 @@ object WarcCdx {
         .append('\t')
         .append(cleanField(e.httpContentType, "http_content_type",
           warcFile.getName))
+        .append('\t')
+        .append(if (e.digest == null) "" else e.digest)
         .append('\n')
       i += 1
     }
@@ -393,10 +407,9 @@ object WarcCdx {
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("path", dir)), conf).foreach { st =>
       val fs = st.getPath.getFileSystem(conf)
-      val sp = sidecar(st.getPath)
-      val fresh = fs.exists(sp) &&
-        fs.getFileStatus(sp).getModificationTime >=
-          st.getModificationTime
+      // "fresh" = exists, not older than the warc, AND this Version —
+      // a prior-version sidecar re-indexes instead of half-parsing
+      val fresh = readCount(fs, st).isDefined
       if (!fresh) {
         try { writeIndex(conf, st.getPath); n += 1 }
         catch { case _: IllegalArgumentException => () } // not indexable
@@ -500,7 +513,7 @@ object WarcCdx {
           if (k >= f.length || f(k).isEmpty) null else f(k)
         entries(i) = Entry(f(0).toLong, f(1).toLong, f(2),
           opt(3), opt(4),
-          if (opt(5) == null) -1 else f(5).toInt, opt(6))
+          if (opt(5) == null) -1 else f(5).toInt, opt(6), opt(7))
         i += 1
       }
       Some((framing, entries))
@@ -587,7 +600,8 @@ object WarcCdx {
 
   private val SurveySchema = org.apache.spark.sql.types.StructType
     .fromDDL("offset LONG, rlen LONG, rec_type STRING, url STRING, " +
-      "warc_date STRING, http_status INT, http_content_type STRING")
+      "warc_date STRING, http_status INT, http_content_type STRING, " +
+      "digest STRING")
 
   /** The sidecars of `dir` as a DataFrame — a crawl census that never
     * opens a warc byte. */
