@@ -1842,6 +1842,14 @@ object Multimodal {
     def aChunkCount(id: Long): Int = (aSampleCount(id) + 24) / 25
     val ChunkBase64: Long = (1L << 32) + 4096 // proves 64-bit offsets
 
+    // edit-list formulas (SQL-expressible): the video trak opens with
+    // an EMPTY edit (media_time -1 — the standard startup-delay
+    // idiom) of leadMs, then presents the whole media; effective
+    // presentation duration = lead + media (movie-timescale ms)
+    def editLeadMs(id: Long): Long = (id % 7) * 100
+    def editPresentationMs(id: Long): Long =
+      editLeadMs(id) + durationMs(id)
+
     private def be16(v: Int): Array[Byte] =
       Array((v >>> 8).toByte, v.toByte)
     private def be32(v: Long): Array[Byte] = Array(
@@ -1929,6 +1937,16 @@ object Multimodal {
       full("stss", be32(keys.length.toLong),
         keys.flatMap(k => be32(k.toLong).toSeq).toArray)
 
+    /** edts/elst (ISO 14496-12 §8.6.5-8.6.6, version 0): entries of
+      * (segment_duration u32 in MOVIE timescale, media_time i32 — -1
+      * for an empty edit, rate 16.16). */
+    private def edts(entries: Seq[(Long, Long)]): Array[Byte] =
+      box("edts", full("elst", be32(entries.length.toLong),
+        entries.flatMap { case (dur, mediaTime) =>
+          (be32(dur) ++ be32(mediaTime & 0xFFFFFFFFL) ++
+            be32(0x00010000L)).toSeq
+        }.toArray))
+
     private def trak(trackId: Int, id: Long, handler: String): Array[Byte] = {
       val (w, h) = dims(id)
       val (tsc, dur, entry, tw, th) = handler match {
@@ -1957,9 +1975,15 @@ object Multimodal {
               .map(c => ChunkBase64 + 1000L * c)))
         case _ => Seq.empty
       }
-      box("trak", tkhd(trackId, tw, th),
+      val edits: Seq[Array[Byte]] =
+        if (handler == "vide")
+          Seq(edts(Seq(
+            editLeadMs(id) -> -1L,            // empty edit (startup delay)
+            durationMs(id) -> 0L)))           // present the whole media
+        else Seq.empty
+      box("trak", (tkhd(trackId, tw, th) +: edits) :+
         box("mdia", mdhd(tsc, dur), hdlr(handler),
-          box("minf", box("stbl", (stsd(entry) +: tables): _*))))
+          box("minf", box("stbl", (stsd(entry) +: tables): _*))): _*)
     }
 
     def encode(id: Long): Array[Byte] = {
@@ -2221,6 +2245,87 @@ object Multimodal {
       walk(0, bytes.length.toLong, 0, "")
       SampleMeta(vSamples, vBytes, vKeyframes, vChunks,
         aSamples, aBytes, aChunks, aFirstOffset)
+    }
+
+    /** Video-track edit list (edts/elst): entry count, leading empty-
+      * edit duration (the startup-delay idiom: media_time == -1), and
+      * the effective presentation duration = sum of segment durations
+      * in the MOVIE timescale (ms here). Tracks without an elst
+      * report (0, 0, 0) — presentation equals media duration. */
+    final case class EditMeta(entries: Int, leadMs: Long,
+        presentationMs: Long)
+
+    def editList(bytes: Array[Byte]): EditMeta = {
+      require(bytes.length >= 12, "truncated MP4")
+      def rd32(off: Long): Long = {
+        require(off >= 0 && off + 4 <= bytes.length, "MP4 read OOB")
+        ((bytes(off.toInt) & 0xFFL) << 24) |
+          ((bytes(off.toInt + 1) & 0xFFL) << 16) |
+          ((bytes(off.toInt + 2) & 0xFFL) << 8) |
+          (bytes(off.toInt + 3) & 0xFFL)
+      }
+      def tagAt(off: Long): String = {
+        require(off >= 0 && off + 4 <= bytes.length, "MP4 read OOB")
+        new String(bytes, off.toInt, 4, "US-ASCII")
+      }
+      require(tagAt(4) == "ftyp", "not an ISO-BMFF file (no ftyp)")
+      var boxes = 0
+      var handlerOfTrak = "none"
+      // per-trak scratch (edts precedes mdia/hdlr, so commit at close)
+      var tEntries = 0
+      var tLead = 0L
+      var tPres = 0L
+      var entries = 0
+      var leadMs = 0L
+      var presMs = 0L
+      def walk(off0: Long, end: Long, depth: Int): Unit = {
+        require(depth < 16, "implausible MP4 box nesting")
+        var off = off0
+        while (off + 8 <= end) {
+          boxes += 1
+          require(boxes <= 8192, "implausible MP4 box count")
+          var size = rd32(off)
+          val typ = tagAt(off + 4)
+          var hdr = 8L
+          if (size == 1) {
+            require(off + 16 <= end, "truncated largesize box")
+            size = (rd32(off + 8) << 32) | rd32(off + 12)
+            hdr = 16L
+          } else if (size == 0) size = end - off
+          require(size >= hdr && off + size <= end,
+            s"MP4 box $typ overruns its parent")
+          val body = off + hdr
+          typ match {
+            case "moov" | "mdia" | "edts" => walk(body, off + size,
+              depth + 1)
+            case "trak" =>
+              handlerOfTrak = "none"; tEntries = 0; tLead = 0L; tPres = 0L
+              walk(body, off + size, depth + 1)
+              if (handlerOfTrak == "vide") {
+                entries = tEntries; leadMs = tLead; presMs = tPres
+              }
+            case "hdlr" => handlerOfTrak = tagAt(body + 8)
+            case "elst" =>
+              require((rd32(body) >>> 24) == 0,
+                "only version-0 elst supported")
+              val n = rd32(body + 4)
+              require(n >= 0 && n <= 1024, s"implausible elst count $n")
+              tEntries = n.toInt
+              var k = 0
+              while (k < n) {
+                val dur = rd32(body + 8 + 12L * k)
+                val mediaTime = rd32(body + 12 + 12L * k).toInt // i32
+                if (mediaTime == -1) tLead += dur
+                tPres += dur
+                k += 1
+              }
+            case _ => ()
+          }
+          off += size
+        }
+      }
+      walk(0, bytes.length.toLong, 0)
+      EditMeta(entries, leadMs, presMs)
     }
   }
 
@@ -4974,6 +5079,35 @@ object Multimodal {
           CAST((50 + d.doc_id % 100 + 24) // 25 AS INT) AS a_chunks,
           CAST(4294967296 + 4096 AS BIGINT) AS a_first_offset
         FROM documents d JOIN sizes s ON d.doc_id = s.doc_id""")),
+
+    // ----- MP4 edit lists (edts/elst) ----------------------------------------
+    // The presentation-timing QC piece: real encoders open video
+    // tracks with an EMPTY edit (media_time -1, the startup-delay
+    // idiom), so effective presentation duration = lead + media —
+    // a lake that reports mdhd media duration alone mis-lengths every
+    // clip with a lead. Version-0 elst parse, per-trak commit against
+    // the hdlr handler (edts precedes mdia in the box order), bomb
+    // caps as everywhere. Scale: per-row header walk, no shuffle.
+    Q("mm_mp4_edits",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val e = Mp4Codec.editList(Mp4Codec.encode(id))
+            (id, e.entries, e.leadMs, e.presentationMs,
+              Mp4Codec.durationMs(id))
+          }
+        }.toDF("media_id", "edit_entries", "lead_ms", "presentation_ms",
+          "media_ms")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(2 AS INT) AS edit_entries,
+          CAST((doc_id % 7) * 100 AS BIGINT) AS lead_ms,
+          CAST((doc_id % 7) * 100 + 1000 + (doc_id % 900) * 10
+            AS BIGINT) AS presentation_ms,
+          CAST(1000 + (doc_id % 900) * 10 AS BIGINT) AS media_ms
+        FROM documents""")),
 
     // ----- REAL FLAC decode (the speech-corpus container) ------------------
     // LibriSpeech et al. ship FLAC, not WAV: a real lossless codec —

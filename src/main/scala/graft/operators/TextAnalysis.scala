@@ -539,6 +539,51 @@ object TextAnalysis {
         FROM documents""")),
 
 
+    // ----- SURT urlkeys (the crawl-index sort key) -------------------------
+    // The wayback/Common Crawl CDX convention: urls sort by
+    // host-REVERSED key ("com,example)/path") so one site's records
+    // cluster under a prefix scan whatever subdomain mix it has. The
+    // key is built from codegen'd built-ins alone (regexp extract +
+    // split/reverse/array_join — no UDF): lowercase, scheme dropped,
+    // www. stripped, default ports dropped (a non-default port stays,
+    // "com,example:8080)"), empty path -> "/". Three cased/ported/
+    // www-ed variants per doc must collapse to ONE key.
+    Q("text_surt_key",
+      (s, d) => {
+        import s.implicits._
+        val variants = Tables.documents(s, d).select($"doc_id").as[Long]
+          .flatMap { id =>
+            val site = id % 50
+            Seq(
+              s"HTTP://Site$site.Example/p$id",
+              s"http://WWW.site$site.example:80/p$id",
+              s"https://site$site.EXAMPLE/p$id")
+              .map(u => (id, u))
+          }
+          .toDF("doc_id", "url")
+        val host = lower(regexp_extract($"url",
+          "^[A-Za-z]+://([^/:?#]+)", 1))
+        val bare = regexp_replace(host, "^www\\.", "")
+        val port = regexp_extract($"url",
+          "^[A-Za-z]+://[^/:?#]+:(\\d+)", 1)
+        val keepPort = port =!= "" && port =!= "80" && port =!= "443"
+        val path = regexp_extract($"url", "^[A-Za-z]+://[^/]+(/.*)$", 1)
+        variants
+          .withColumn("surt", concat(
+            array_join(reverse(split(bare, "\\.")), ","),
+            when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+            lit(")"),
+            when(path === "", lit("/")).otherwise(path)))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("variants"),
+            countDistinct($"surt").as("keys"),
+            min($"surt").as("surt_key"))
+      },
+      Some("""SELECT doc_id, CAST(3 AS BIGINT) AS variants,
+          CAST(1 AS BIGINT) AS keys,
+          'example,site' || (doc_id % 50) || ')/p' || doc_id AS surt_key
+        FROM documents""")),
+
     // ----- token counting: whitespace + word-regex + BPE-ish pieces -------
     Q("text_tokens",
       (s, d) => {

@@ -669,6 +669,35 @@ class MultimodalCodecSpec extends AnyFunSuite {
     intercept[Exception] { Mp4Codec.sampleMeta(lying) }
   }
 
+  test("MP4 edit lists: the empty-edit lead and presentation duration " +
+      "round-trip the formulas; version-1 elst and entry bombs reject") {
+    import graft.operators.Multimodal.Mp4Codec
+    for (id <- Seq(0L, 1L, 6L, 7L, 13L, 899L)) {
+      val e = Mp4Codec.editList(Mp4Codec.encode(id))
+      assert(e.entries == 2, s"entries id=$id")
+      assert(e.leadMs == Mp4Codec.editLeadMs(id), s"lead id=$id")
+      assert(e.presentationMs == Mp4Codec.editPresentationMs(id),
+        s"presentation id=$id")
+      // the sample walk is undisturbed by the edts sibling
+      assert(Mp4Codec.sampleMeta(Mp4Codec.encode(id)).vSamples ==
+        Mp4Codec.vSampleCount(id))
+    }
+    // corrupt the elst version byte -> explicit rejection
+    val plain = Mp4Codec.encode(3L)
+    val elstAt = {
+      var i = 0
+      while (new String(plain, i, 4, "US-ASCII") != "elst") i += 1
+      i - 4
+    }
+    val v1 = plain.clone()
+    v1(elstAt + 8) = 1 // version 1 (64-bit entries we don't emit)
+    intercept[Exception] { Mp4Codec.editList(v1) }
+    // an implausible entry count rejects before reading entries
+    val bomb = plain.clone()
+    bomb(elstAt + 12) = 0x7F.toByte // entry_count high byte
+    intercept[Exception] { Mp4Codec.editList(bomb) }
+  }
+
   test("TIFF decompression-bomb headers reject before allocating") {
     import graft.operators.Multimodal.TiffCodec
     // a hand-built 46-byte little-endian TIFF declaring 25000x25000:
