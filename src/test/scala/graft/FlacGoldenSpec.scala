@@ -189,6 +189,47 @@ class FlacGoldenSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("MD5"), ex.getMessage)
   }
 
+  test("golden vector 5: an ESCAPE-coded residual partition (param " +
+      "0b11111, 5-bit raw width) decodes through the order-0 fixed " +
+      "predictor") {
+    // order-0 fixed: s(i) = r(i) — residuals ARE the samples; escape
+    // coding stores them as raw two's-complement at a declared width
+    val vals = Array(-16, 15, -1, 0, 7, -8, 3, -3, 11, -12, 5, -6,
+      1, -2, 9, -10)
+    val expected = Array(vals)
+    val f = {
+      val w = new BW
+      w.bits(0, 1); w.bits(0x08, 6); w.bits(0, 1) // FIXED order 0
+      w.bits(0, 2)       // residual method: 4-bit Rice params
+      w.bits(0, 4)       // partition order 0
+      w.bits(0xF, 4)     // ESCAPE: raw-width residuals follow
+      w.bits(5, 5)       // raw width: 5 bits
+      vals.foreach(v => w.bits(v.toLong & 0x1F, 5))
+      w.align()
+      frameHead(0, 0) ++ w.bytes
+    }
+    val stream = header(1, 16, pcmMd5(expected)) ++ withCrc16(f)
+    assert(FlacCodec.decode(stream).mono.toSeq == expected(0).toSeq)
+  }
+
+  test("golden vector 6: wasted bits (trailing zero LSBs declared in " +
+      "the subframe header) scale a constant subframe back up") {
+    // wasted-bits unary count k=2: samples stored at bps-2 and shifted
+    // left 2 on output — 300 << 2 = 1200
+    val expected = Array(Array.fill(16)(1200))
+    val f = {
+      val w = new BW
+      w.bits(0, 1); w.bits(0, 6) // pad, CONSTANT
+      w.bits(1, 1)               // wasted-bits flag
+      w.bit(0); w.bit(1)         // unary k-1=1 -> k=2 wasted bits
+      w.bits(300L, 14)           // constant at effective bps 16-2
+      w.align()
+      frameHead(0, 0) ++ w.bytes
+    }
+    val stream = header(1, 16, pcmMd5(expected)) ++ withCrc16(f)
+    assert(FlacCodec.decode(stream).mono.toSeq == expected(0).toSeq)
+  }
+
   test("golden vector 4: Rice residuals with a nonzero parameter and " +
       "sign zigzag decode a sawtooth through the order-1 predictor") {
     // s(0)=0 warmup; residuals r(i) = s(i) - s(i-1) alternate +5/-5
