@@ -43,6 +43,12 @@ object WarcCdx {
   val SidecarSuffix = ".wcdx"
   val Version = 2 // v2 adds the payload digest column (the CDX digest)
 
+  /** Per-unit decompressed/compressed ceiling for the index walkers —
+    * a single gzip member / zstd frame beyond this is a bomb or a
+    * mis-framed file, not a record (records cap at maxRecordBytes
+    * anyway, far below this). */
+  val MaxUnitBytes: Long = 1L << 30
+
   def sidecar(file: Path): Path = file.suffix(SidecarSuffix)
   def isSidecar(name: String): Boolean = name.endsWith(SidecarSuffix)
 
@@ -136,6 +142,9 @@ object WarcCdx {
           require(n > 0 || inf.finished() || inf.needsInput(),
             s"undecodable gzip member at $memberStart")
           if (n > 0) out.write(tmp, 0, n)
+          require(out.size() <= MaxUnitBytes,
+            s"gzip member at $memberStart inflates beyond " +
+              s"$MaxUnitBytes B — decompression bomb, refusing")
         }
         inPos -= inf.getRemaining // bytes the inflater did not consume
       } finally inf.end()
@@ -175,7 +184,12 @@ object WarcCdx {
 
     private def fillMore(): Boolean = {
       if (eof) return false
-      if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len * 2)
+      if (len == buf.length) {
+        require(len.toLong * 2 <= MaxUnitBytes,
+          s"zstd frame at $base exceeds $MaxUnitBytes B compressed " +
+            "(or the stream is corrupt) — refusing to buffer it")
+        buf = java.util.Arrays.copyOf(buf, len * 2)
+      }
       val r = in.read(buf, len, buf.length - len)
       if (r < 0) { eof = true; false } else { len += r; true }
     }
@@ -224,8 +238,12 @@ object WarcCdx {
           val content = com.github.luben.zstd.Zstd
             .getFrameContentSize(frame)
           payload =
-            if (content >= 0 && content <= Int.MaxValue - 8) {
+            if (content >= 0 && content <= MaxUnitBytes) {
               com.github.luben.zstd.Zstd.decompress(frame, content.toInt)
+            } else if (content > MaxUnitBytes) {
+              throw new IllegalArgumentException(
+                s"zstd frame at $base declares $content B content — " +
+                  s"beyond $MaxUnitBytes, decompression bomb, refusing")
             } else {
               // content size absent from the header: stream it
               val z = new com.github.luben.zstd.ZstdInputStream(
@@ -233,7 +251,13 @@ object WarcCdx {
               val out = new java.io.ByteArrayOutputStream(1 << 16)
               val tmp = new Array[Byte](1 << 16)
               var r = z.read(tmp)
-              while (r > 0) { out.write(tmp, 0, r); r = z.read(tmp) }
+              while (r > 0) {
+                out.write(tmp, 0, r)
+                require(out.size() <= MaxUnitBytes,
+                  s"zstd frame at $base decompresses beyond " +
+                    s"$MaxUnitBytes B — decompression bomb, refusing")
+                r = z.read(tmp)
+              }
               out.toByteArray
             }
           consume(size.toInt)
