@@ -43,6 +43,12 @@ object FlacCodec extends Serializable {
       (((sample(id, i).toLong + ((i.toLong * 13 + id) % 31) - 15
         + 98304) % 65536) - 32768).toInt
 
+  /** 24-bit fixture formula (hi-res corpora): full ±2^23 span so the
+    * decoder's 24-bit warmup/residual widths and the 3-byte MD5 walk
+    * are genuinely exercised. */
+  def sample24(id: Long, i: Int): Int =
+    (((id * 131 + i.toLong * i * 17) % 16777216) - 8388608).toInt
+
   private object WavAudio {
     def rate(id: Long): Int = 8000 + (id % 3).toInt * 4000
     def nSamples(id: Long): Int = 200 + (id % 57).toInt
@@ -253,8 +259,11 @@ object FlacCodec extends Serializable {
     useLpc = id % 2 == 1)
 
   def encodePcm(pcm: Array[Int], sampleRate: Int,
-      useLpc: Boolean): Array[Byte] = {
+      useLpc: Boolean, bps: Int = 16): Array[Byte] = {
+    require(bps == 8 || bps == 16 || bps == 24,
+      s"subset encoder: $bps-bit")
     val n = pcm.length
+    val bytesPer = (bps + 7) / 8
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
     // STREAMINFO (last metadata block, type 0, 34 bytes)
@@ -266,11 +275,12 @@ object FlacCodec extends Serializable {
     si.write(0, 24); si.write(0, 24)     // min/max framesize unknown
     si.write(sampleRate.toLong, 20)
     si.write(0, 3)                       // channels - 1 (mono)
-    si.write(15, 5)                      // bits per sample - 1
+    si.write(bps.toLong - 1, 5)          // bits per sample - 1
     si.write(n.toLong, 36)
     val md5 = java.security.MessageDigest.getInstance("MD5")
     pcm.foreach { s =>
-      md5.update((s & 0xFF).toByte); md5.update(((s >> 8) & 0xFF).toByte)
+      var k = 0
+      while (k < bytesPer) { md5.update(((s >> (8 * k)) & 0xFF).toByte); k += 1 }
     }
     val digest = md5.digest()
     digest.foreach(b => si.write((b & 0xFF).toLong, 8))
@@ -280,7 +290,7 @@ object FlacCodec extends Serializable {
     var off = 0
     while (off < n) {
       val bs = math.min(BlockSize, n - off)
-      out.write(encodeFrame(pcm, off, bs, frameIdx, useLpc))
+      out.write(encodeFrame(pcm, off, bs, frameIdx, useLpc, bps))
       off += bs
       frameIdx += 1
     }
@@ -288,7 +298,8 @@ object FlacCodec extends Serializable {
   }
 
   private def encodeFrame(pcm: Array[Int], off: Int, bs: Int,
-      frameIdx: Long, useLpc: Boolean): Array[Byte] = {
+      frameIdx: Long, useLpc: Boolean, bps: Int = 16): Array[Byte] = {
+    val ssCode = bps match { case 8 => 1; case 16 => 4; case 24 => 6 }
     val w = new BitWriter
     w.write(0x3FFE, 14)  // sync
     w.write(0, 1)        // reserved
@@ -296,7 +307,7 @@ object FlacCodec extends Serializable {
     w.write(7, 4)        // blocksize: 16-bit value - 1 at header end
     w.write(0, 4)        // sample rate: from STREAMINFO
     w.write(0, 4)        // channels: mono
-    w.write(4, 3)        // sample size: 16-bit
+    w.write(ssCode.toLong, 3) // sample size code
     w.write(0, 1)        // reserved
     writeCodedNumber(w, frameIdx)
     w.write(bs.toLong - 1, 16)
@@ -312,7 +323,7 @@ object FlacCodec extends Serializable {
     headBytes.foreach(b => w2.write((b & 0xFF).toLong, 8))
     w2.write(crc8(headBytes, 0, headBytes.length).toLong, 8)
     val s = Array.tabulate(bs)(k => pcm(off + k).toLong)
-    writeSubframe(w2, s, bs, 16, useLpc)
+    writeSubframe(w2, s, bs, bps, useLpc)
     w2.alignByte()
     val body = w2.toBytes
     val w3 = new BitWriter
@@ -516,7 +527,11 @@ object FlacCodec extends Serializable {
         require(sampleRate > 0 && sampleRate <= 655350,
           s"implausible sample rate $sampleRate")
         require(channels <= 2, s"subset decoder: $channels channels")
-        require(bps == 16, s"subset decoder: $bps-bit")
+        // 8/16/24-bit cover PCM corpora end-to-end (24-bit is the
+        // dominant hi-res speech/music delivery form); 12/20/32-bit
+        // remain out of subset
+        require(bps == 8 || bps == 16 || bps == 24,
+          s"subset decoder: $bps-bit")
         require(total >= 0 && total <= (1L << 32),
           s"implausible total samples $total")
         md5Expect = new Array[Byte](16)
@@ -569,11 +584,15 @@ object FlacCodec extends Serializable {
       require(frameChannels == channels,
         s"frame channels $frameChannels != STREAMINFO $channels")
       val frameBps = ssCode match {
+        case 1 => 8
         case 4 => 16
+        case 6 => 24
         case 0 => bps
         case other => throw new IllegalArgumentException(
           s"subset decoder: sample-size code $other")
       }
+      require(frameBps == bps,
+        s"frame sample size $frameBps != STREAMINFO $bps")
       val headEnd = r.bytePos
       val crcHead = r.read(8).toInt
       require(crcHead == crc8(bytes, frameStart, headEnd),
@@ -581,7 +600,7 @@ object FlacCodec extends Serializable {
       if (chanCode < 8) {
         var ch = 0
         while (ch < channels) {
-          emitSamples(decodeSubframe(r, bs, frameBps), chans(ch))
+          emitSamples(decodeSubframe(r, bs, frameBps), chans(ch), bps)
           ch += 1
         }
       } else {
@@ -609,8 +628,8 @@ object FlacCodec extends Serializable {
           }
           i += 1
         }
-        emitSamples(left, chans(0))
-        emitSamples(right, chans(1))
+        emitSamples(left, chans(0), bps)
+        emitSamples(right, chans(1), bps)
       }
       r.alignByte()
       val bodyEnd = r.bytePos
@@ -625,14 +644,20 @@ object FlacCodec extends Serializable {
       s"decoded ${out(0).length} samples, STREAMINFO declares $total")
     // the end-to-end integrity gate: MD5 of the decoded PCM
     if (md5Expect.exists(_ != 0)) {
+      // MD5 runs over interleaved little-endian PCM at the stream's
+      // byte width — (bps+7)/8 bytes per sample (RFC 9639 §8.1)
+      val bytesPer = (bps + 7) / 8
       val md5 = java.security.MessageDigest.getInstance("MD5")
       var i = 0
       while (i < out(0).length) {
         var c = 0
         while (c < channels) {
           val s = out(c)(i)
-          md5.update((s & 0xFF).toByte)
-          md5.update(((s >> 8) & 0xFF).toByte)
+          var k = 0
+          while (k < bytesPer) {
+            md5.update(((s >> (8 * k)) & 0xFF).toByte)
+            k += 1
+          }
           c += 1
         }
         i += 1
@@ -643,14 +668,17 @@ object FlacCodec extends Serializable {
     Audio(sampleRate, channels, out)
   }
 
-  /** 16-bit range gate at the SINK (after any stereo reconstruction —
-    * a decorrelated side channel legitimately spans 17 bits). */
+  /** bps-range gate at the SINK (after any stereo reconstruction —
+    * a decorrelated side channel legitimately spans one bit more than
+    * the samples themselves). */
   private def emitSamples(s: Array[Long],
-      sink: scala.collection.mutable.ArrayBuffer[Int]): Unit = {
+      sink: scala.collection.mutable.ArrayBuffer[Int], bps: Int): Unit = {
+    val lo = -(1L << (bps - 1))
+    val hi = (1L << (bps - 1)) - 1
     var i = 0
     while (i < s.length) {
-      require(s(i) >= Short.MinValue && s(i) <= Short.MaxValue,
-        s"decoded sample ${s(i)} outside 16-bit range")
+      require(s(i) >= lo && s(i) <= hi,
+        s"decoded sample ${s(i)} outside $bps-bit range")
       sink += s(i).toInt
       i += 1
     }

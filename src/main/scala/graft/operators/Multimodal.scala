@@ -2327,6 +2327,229 @@ object Multimodal {
       walk(0, bytes.length.toLong, 0)
       EditMeta(entries, leadMs, presMs)
     }
+
+    // ---- fragmented MP4 (ISO 14496-12 §8.8 — the DASH/CMAF shape) ----
+    // Streaming-media lakes are mostly FRAGMENTED: the moov carries
+    // only mvex defaults and empty sample tables, and the real sample
+    // populations live in per-fragment moof/traf/tfhd/trun boxes.
+    // sampleMeta rejects those honestly; fragmentMeta is the walk that
+    // makes their stats real.
+
+    // fragment formulas (SQL-expressible)
+    def fragCount(id: Long): Int = 3 + (id % 4).toInt
+    def fragVCount(id: Long, f: Int): Int = 8 + ((id + f) % 5).toInt
+    def fragVSize(id: Long, f: Int, k: Int): Int =
+      400 + ((id * 7 + f * 13 + k * 17) % 200).toInt
+    def fragACount(id: Long, f: Int): Int = 20 + ((id + f) % 7).toInt
+    def fragASize(id: Long): Int = 200 + (id % 50).toInt
+
+    private def trexBox(trackId: Int, defDur: Long, defSize: Long)
+        : Array[Byte] =
+      full("trex", be32(trackId.toLong), be32(1), be32(defDur),
+        be32(defSize), be32(0))
+
+    /** A trak with EMPTY sample tables — the fMP4 convention: real
+      * samples live in the fragments. */
+    private def fragTrak(trackId: Int, id: Long, handler: String)
+        : Array[Byte] = {
+      val (w, h) = dims(id)
+      val (tsc, entry, tw, th) = handler match {
+        case "vide" => (30000L, videoEntry(videoCodec(id), w, h), w, h)
+        case _ => (audioRate(id).toLong, audioEntry(audioRate(id)), 0, 0)
+      }
+      val emptyTables = Seq(
+        full("stts", be32(0)),
+        full("stsz", be32(0), be32(0)),
+        full("stsc", be32(0)),
+        full("stco", be32(0)))
+      box("trak", tkhd(trackId, tw, th),
+        box("mdia", mdhd(tsc, 0L), hdlr(handler),
+          box("minf", box("stbl", (stsd(entry) +: emptyTables): _*))))
+    }
+
+    private def tfhdBox(trackId: Int, flags: Long,
+        optFields: Array[Byte]*): Array[Byte] =
+      box("tfhd", be32(flags), be32(trackId.toLong),
+        optFields.flatten.toArray)
+
+    /** Fragmented twin of [[encode]]: moov carries mvex/trex defaults
+      * and empty tables; each of fragCount(id) fragments is a
+      * moof(mfhd, video traf + audio traf) + mdat. The video trun
+      * carries PER-SAMPLE sizes (flag 0x200); the audio trun carries
+      * none — its size comes from the tfhd default (flag 0x10), so
+      * both size-resolution paths are on the wire. tfhd flag 0x020000
+      * (default-base-is-moof) everywhere. */
+    def encodeFragmented(id: Long): Array[Byte] = {
+      val moov = box("moov", mvhd(id),
+        fragTrak(1, id, "vide"), fragTrak(2, id, "soun"),
+        box("mvex",
+          trexBox(1, 1000L, 0L),
+          trexBox(2, 1024L, fragASize(id).toLong)))
+      val frags = (0 until fragCount(id)).flatMap { f =>
+        val vSizes = (0 until fragVCount(id, f)).map(k =>
+          fragVSize(id, f, k))
+        val aCount = fragACount(id, f)
+        val vTrun = box("trun", be32(0x000201L), // data-offset + sizes
+          be32(vSizes.length.toLong), be32(0L),
+          vSizes.flatMap(sz => be32(sz.toLong).toSeq).toArray)
+        val aTrun = box("trun", be32(0x000001L), // data-offset only
+          be32(aCount.toLong), be32(0L))
+        val moof = box("moof", full("mfhd", be32(f + 1L)),
+          box("traf", tfhdBox(1, 0x020000L), vTrun),
+          box("traf",
+            tfhdBox(2, 0x020010L, be32(fragASize(id).toLong)), aTrun))
+        val mdatLen = vSizes.map(_.toLong).sum +
+          aCount.toLong * fragASize(id)
+        val mdat = box("mdat",
+          Array.tabulate[Byte](mdatLen.toInt)(k => (id + f + k).toByte))
+        (moof ++ mdat).toSeq
+      }.toArray
+      box("ftyp", cc("isom"), be32(0x200), cc("iso5"), cc("cmfc")) ++
+        moov ++ frags
+    }
+
+    /** Per-track fragment stats. Byte counts resolve per RFC: trun
+      * per-sample size if flag 0x200, else the tfhd default (0x10),
+      * else the trex default — a sample with NO size source rejects. */
+    final case class FragMeta(fragments: Int, vSamples: Int,
+        vBytes: Long, aSamples: Int, aBytes: Long)
+
+    /** The moof/traf/tfhd/trun walk (ISO 14496-12 §8.8): moov gives
+      * (trackId -> handler) and trex defaults; each moof's trafs are
+      * summed per track. Same consistency discipline as sampleMeta:
+      * mfhd sequence numbers must be 1..n in order, every sample must
+      * resolve a size, malformed counts reject. */
+    def fragmentMeta(bytes: Array[Byte]): FragMeta = {
+      require(bytes.length >= 12, "truncated MP4")
+      def rd32(off: Long): Long = {
+        require(off >= 0 && off + 4 <= bytes.length, "MP4 read OOB")
+        ((bytes(off.toInt) & 0xFFL) << 24) |
+          ((bytes(off.toInt + 1) & 0xFFL) << 16) |
+          ((bytes(off.toInt + 2) & 0xFFL) << 8) |
+          (bytes(off.toInt + 3) & 0xFFL)
+      }
+      def tagAt(off: Long): String = {
+        require(off >= 0 && off + 4 <= bytes.length, "MP4 read OOB")
+        new String(bytes, off.toInt, 4, "US-ASCII")
+      }
+      require(tagAt(4) == "ftyp", "not an ISO-BMFF file (no ftyp)")
+      var boxes = 0
+      val handlerOf = scala.collection.mutable.Map.empty[Long, String]
+      val trexDur = scala.collection.mutable.Map.empty[Long, Long]
+      val trexSize = scala.collection.mutable.Map.empty[Long, Long]
+      var sawMvex = false
+      var fragments = 0
+      var vSamples = 0L
+      var vBytes = 0L
+      var aSamples = 0L
+      var aBytes = 0L
+      // per-trak scratch in the moov walk
+      var curTrackId = -1L
+      var curHandler = "none"
+      // per-traf scratch in the moof walk
+      var trafTrack = -1L
+      var trafDefSize = -1L
+      def walk(off0: Long, end: Long, depth: Int, path: String): Unit = {
+        require(depth < 16, "implausible MP4 box nesting")
+        var off = off0
+        while (off + 8 <= end) {
+          boxes += 1
+          require(boxes <= 65536, "implausible MP4 box count")
+          var size = rd32(off)
+          val typ = tagAt(off + 4)
+          var hdr = 8L
+          if (size == 1) {
+            require(off + 16 <= end, "truncated largesize box")
+            size = (rd32(off + 8) << 32) | rd32(off + 12)
+            hdr = 16L
+          } else if (size == 0) size = end - off
+          require(size >= hdr && off + size <= end,
+            s"MP4 box $typ overruns its parent")
+          val body = off + hdr
+          typ match {
+            case "moov" | "mdia" | "mvex" =>
+              walk(body, off + size, depth + 1, path + "/" + typ)
+              if (typ == "mvex") sawMvex = true
+            case "trak" =>
+              curTrackId = -1L; curHandler = "none"
+              walk(body, off + size, depth + 1, path + "/trak")
+              if (curTrackId >= 0) handlerOf(curTrackId) = curHandler
+            case "tkhd" => curTrackId = rd32(body + 12)
+            case "hdlr" => curHandler = tagAt(body + 8)
+            case "trex" =>
+              val tid = rd32(body + 4)
+              trexDur(tid) = rd32(body + 12)
+              trexSize(tid) = rd32(body + 16)
+            case "moof" =>
+              fragments += 1
+              walk(body, off + size, depth + 1, path + "/moof")
+            case "mfhd" =>
+              require(rd32(body + 4) == fragments,
+                s"moof sequence ${rd32(body + 4)} out of order " +
+                  s"(expected $fragments)")
+            case "traf" =>
+              trafTrack = -1L; trafDefSize = -1L
+              walk(body, off + size, depth + 1, path + "/traf")
+            case "tfhd" =>
+              val flags = rd32(body) & 0xFFFFFF
+              trafTrack = rd32(body + 4)
+              var p = body + 8
+              if ((flags & 0x1) != 0) p += 8  // base_data_offset u64
+              if ((flags & 0x2) != 0) p += 4  // sample_description_index
+              if ((flags & 0x8) != 0) p += 4  // default_sample_duration
+              if ((flags & 0x10) != 0) { trafDefSize = rd32(p); p += 4 }
+            case "trun" =>
+              require(trafTrack >= 0, "trun before tfhd in traf")
+              val flags = rd32(body) & 0xFFFFFF
+              val n = rd32(body + 4)
+              require(n >= 0 && n <= (1 << 20),
+                s"implausible trun sample count $n")
+              var p = body + 8
+              if ((flags & 0x1) != 0) p += 4   // data_offset
+              if ((flags & 0x4) != 0) p += 4   // first_sample_flags
+              val perDur = (flags & 0x100) != 0
+              val perSize = (flags & 0x200) != 0
+              val perFlags = (flags & 0x400) != 0
+              val perCto = (flags & 0x800) != 0
+              var sum = 0L
+              if (perSize) {
+                // per-sample rows: fields appear in flag order
+                val stride = (if (perDur) 4 else 0) +
+                  (if (perSize) 4 else 0) + (if (perFlags) 4 else 0) +
+                  (if (perCto) 4 else 0)
+                val sizeOff = if (perDur) 4 else 0
+                var i = 0L
+                while (i < n) {
+                  sum += rd32(p + stride * i + sizeOff)
+                  i += 1
+                }
+              } else {
+                val defSize =
+                  if (trafDefSize >= 0) trafDefSize
+                  else trexSize.getOrElse(trafTrack, -1L)
+                require(defSize >= 0,
+                  s"trun of track $trafTrack has no size source " +
+                    "(no per-sample sizes, no tfhd/trex default)")
+                sum = defSize * n
+              }
+              handlerOf.getOrElse(trafTrack, "none") match {
+                case "vide" => vSamples += n; vBytes += sum
+                case "soun" => aSamples += n; aBytes += sum
+                case other => throw new IllegalArgumentException(
+                  s"trun references unknown track $trafTrack ($other)")
+              }
+            case _ => () // ftyp, mdat, tkhd in moof-less paths, ...
+          }
+          off += size
+        }
+      }
+      walk(0, bytes.length.toLong, 0, "")
+      require(sawMvex, "not a fragmented MP4 (no mvex) — use sampleMeta")
+      require(fragments > 0, "fragmented MP4 with zero fragments")
+      require(vSamples <= Int.MaxValue && aSamples <= Int.MaxValue,
+        "implausible fragment sample totals")
+      FragMeta(fragments, vSamples.toInt, vBytes, aSamples.toInt, aBytes)
+    }
   }
 
   /** REAL POSIX ustar writer + INDEPENDENT parser — the container the
@@ -5109,6 +5332,58 @@ object Multimodal {
           CAST(1000 + (doc_id % 900) * 10 AS BIGINT) AS media_ms
         FROM documents""")),
 
+    // ----- fragmented MP4 (DASH/CMAF) sample stats --------------------------
+    // Streaming-media lakes are mostly FRAGMENTED MP4: moov carries
+    // only mvex/trex defaults, and the sample populations live in
+    // per-fragment moof/traf/tfhd/trun boxes. sampleMeta rejects those
+    // honestly (a non-fragment walk would silently undercount);
+    // fragmentMeta walks the fragments for real — mfhd sequence
+    // checked 1..n, video sizes from per-sample trun entries (flag
+    // 0x200), audio sizes from the tfhd default (flag 0x10), so both
+    // RFC size-resolution paths are on the wire. The oracle sums the
+    // per-fragment trun populations INDEPENDENTLY (a nested series per
+    // fragment/sample), so a fragment skipped or double-walked
+    // mismatches. Scale: per-row header walk, no shuffle.
+    Q("mm_mp4_fragments",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val m = Mp4Codec.fragmentMeta(Mp4Codec.encodeFragmented(id))
+            (id, m.fragments, m.vSamples, m.vBytes, m.aSamples,
+              m.aBytes)
+          }
+        }.toDF("media_id", "fragments", "v_samples", "v_bytes",
+          "a_samples", "a_bytes")
+      },
+      Some("""WITH frags AS (
+          SELECT doc_id, unnest(generate_series(0,
+            CAST(3 + doc_id % 4 AS INT) - 1)) AS f
+          FROM documents),
+        v AS (
+          SELECT doc_id, f, CAST(8 + (doc_id + f) % 5 AS INT) AS vc
+          FROM frags),
+        vbytes AS (
+          SELECT doc_id, SUM(400 + (doc_id * 7 + f * 13 + k * 17) % 200)
+            AS vb, COUNT(*) AS vs
+          FROM v, LATERAL (SELECT unnest(generate_series(0, vc - 1)) AS k)
+          GROUP BY doc_id),
+        abytes AS (
+          SELECT doc_id, SUM(20 + (doc_id + f) % 7) AS asamp,
+            SUM((20 + (doc_id + f) % 7) * (200 + doc_id % 50)) AS ab,
+            COUNT(*) AS nf
+          FROM frags GROUP BY doc_id)
+        SELECT d.doc_id AS media_id,
+          CAST(a.nf AS INT) AS fragments,
+          CAST(v.vs AS INT) AS v_samples,
+          CAST(v.vb AS BIGINT) AS v_bytes,
+          CAST(a.asamp AS INT) AS a_samples,
+          CAST(a.ab AS BIGINT) AS a_bytes
+        FROM documents d
+          JOIN vbytes v ON v.doc_id = d.doc_id
+          JOIN abytes a ON a.doc_id = d.doc_id""")),
+
     // ----- REAL FLAC decode (the speech-corpus container) ------------------
     // LibriSpeech et al. ship FLAC, not WAV: a real lossless codec —
     // frame sync + CRC-8/CRC-16 verification, UTF-8-coded frame
@@ -5219,6 +5494,53 @@ object Multimodal {
           CAST(MAX(ar) AS INT) AS peak_r,
           CAST(SUM(ar) AS BIGINT) AS sum_abs_r
         FROM chans GROUP BY doc_id""")),
+
+    // ----- 24-bit FLAC decode (hi-res speech/music corpora) ----------------
+    // 24-bit is the dominant hi-res delivery form; a 16-bit-only
+    // decoder rejects most studio/music lakes outright. The fixture
+    // spans the full ±2^23 range so the 24-bit warmup sample widths,
+    // Rice residuals on large deltas, and the 3-bytes-per-sample
+    // STREAMINFO MD5 walk are all genuinely exercised end-to-end
+    // (fixed predictors on even ids, quantized-coefficient LPC on
+    // odd). Scale: per-row decode, audio bytes never shuffle.
+    Q("mm_decode_flac_24",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
+          .select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val n = FlacCodec.nSamples(id)
+            val pcm = Array.tabulate(n)(i => FlacCodec.sample24(id, i))
+            val audio = FlacCodec.decode(FlacCodec.encodePcm(
+              pcm, FlacCodec.rate(id), useLpc = id % 2 == 1, bps = 24))
+            val out = audio.mono
+            var peak = 0
+            var sumAbs = 0L
+            var i = 0
+            while (i < out.length) {
+              val a = math.abs(out(i))
+              if (a > peak) peak = a
+              sumAbs += a
+              i += 1
+            }
+            (id, if (id % 2 == 0) "fixed" else "lpc",
+              audio.sampleRate, out.length, peak, sumAbs)
+          }
+        }.toDF("media_id", "predictor", "sample_rate", "n_samples",
+          "peak", "sum_abs")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'fixed' ELSE 'lpc' END AS predictor,
+          CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+          CAST(200 + doc_id % 57 AS INT) AS n_samples,
+          CAST(list_max([abs(((doc_id * 131 + i * i * 17) % 16777216) - 8388608)
+               FOR i IN generate_series(0, CAST(200 + doc_id % 57 AS INT) - 1)])
+               AS INT) AS peak,
+          CAST(list_sum([abs(((doc_id * 131 + i * i * 17) % 16777216) - 8388608)
+               FOR i IN generate_series(0, CAST(200 + doc_id % 57 AS INT) - 1)])
+               AS BIGINT) AS sum_abs
+        FROM documents WHERE doc_id % 3 = 2""")),
 
     // ----- VAD-style speech segmentation ----------------------------------
     // The ASR-curation segmenter: cut each clip into maximal runs of

@@ -1428,6 +1428,33 @@ object PcapQueries {
           AS v(vlan_id, vlan_inner_id, n_pkts, n_clients, first_qname)"""
   }
 
+  /** MPLS carrier capture (see [[graft.pcap.PcapSynth.mplsPackets]]). */
+  private def mplsSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_mpls.pcap")
+    graft.pcap.PcapSynth.ensureMplsFile(p, 120)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_mpls_inventory, re-derived from the
+    * synthesis formulas: stacked frames are i mod 10 != 3, depth =
+    * 1 + i mod 3, outermost label = 16000 + i mod 5, one distinct
+    * client per i, qname `mpls$i.core.example.com.` (parser form). */
+  private def mplsInventoryOracle(n: Int): String = {
+    val groups = (0 until n).filter(_ % 10 != 3)
+      .groupBy(i => (16000 + i % 5, 1 + i % 3))
+    val rows = groups.toSeq.sortBy(_._1).map { case ((lbl, d), is) =>
+      val firstQ = is.map(i => s"mpls$i.core.example.com.").min
+      s"($lbl, $d, ${is.size}, ${is.size}, '$firstQ')"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.outer_label AS INT) AS outer_label,
+        CAST(v.depth AS INT) AS depth,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.n_clients AS BIGINT) AS n_clients,
+        CAST(v.first_qname AS VARCHAR) AS first_qname
+        FROM (VALUES $rows)
+          AS v(outer_label, depth, n_pkts, n_clients, first_qname)"""
+  }
+
   /** RTP media capture (see [[graft.pcap.PcapSynth.rtpPackets]]). */
   private def rtpSynthPath: String = {
     val p = java.nio.file.Paths.get("/tmp/graft_synth_rtp.pcap")
@@ -2051,7 +2078,8 @@ object PcapQueries {
           .drop("payload", "file", "frame", "tcp_seq", "tcp_flags",
             "tcp_ack", "icmp_type", "icmp_code", "tcp_window",
             "tcp_mss", "tcp_wscale", "tcp_sack_ok", "tcp_ts_ok",
-            "vlan_id", "vlan_pcp", "vlan_inner_id", "ip_id", "frag_offset")
+            "vlan_id", "vlan_pcp", "vlan_inner_id", "mpls_labels",
+            "ip_id", "frag_offset")
           .withColumn("time",
             date_format($"time", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
           .withColumn("dns_answer", to_json($"dns_answer"))
@@ -3826,6 +3854,30 @@ object PcapQueries {
             min($"dns_qname").as("first_qname"))
       },
       Some(qinqInventoryOracle(120))),
+
+    // ----- MPLS label-stack inventory (round 16) ---------------------------
+    // Carrier/backbone captures wrap IP in RFC 3032 label stacks
+    // (ethertype 0x8847/0x8848); without the unwrap every such frame
+    // decodes as non-IP and the capture is invisible to L3+ queries.
+    // The decoder walks the 4-byte entries to the bottom-of-stack bit
+    // (`mpls_labels`, outermost-first), then version-nibble-sniffs the
+    // payload for the inner IP decode — so src/dst/ports/DNS all work
+    // through the stack. The inventory rolls up per (outer label,
+    // stack depth): ONE aggregation shuffle on a tiny key, the label
+    // walk is a few bytes inside the existing L2 branch (no extra
+    // pass over the frame).
+    Q("pcap_mpls_inventory",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").option("decoder", "dns").load(mplsSynthPath)
+          .filter($"mpls_labels".isNotNull)
+          .groupBy(element_at($"mpls_labels", 1).as("outer_label"),
+            size($"mpls_labels").as("depth"))
+          .agg(count(lit(1)).as("n_pkts"),
+            countDistinct($"src").as("n_clients"),
+            min($"dns_qname").as("first_qname"))
+      },
+      Some(mplsInventoryOracle(120))),
 
     // ----- RTP stream quality (round 11) ----------------------------------
     // The VoIP/conferencing health rollup RTCP receiver reports carry

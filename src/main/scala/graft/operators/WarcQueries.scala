@@ -308,6 +308,56 @@ object WarcQueries {
             AS BIGINT) AS revisits
         FROM (SELECT unnest(generate_series(0, 699)) AS g)""")),
 
+    // ----- SINK-side revisit dedup (storage dedup at export) ------------------
+    // The write-side twin of warc_revisit_dedup: with
+    // option("dedupDigest","true") the warc sink turns repeated
+    // payload digests into REVISIT records (WARC 1.1 §6.7.2
+    // identical-payload-digest profile, headers only, no body) — the
+    // storage-dedup convention real crawls ship with and the scan's
+    // refers_to column already resolves. Export 600 rows over 200
+    // distinct payloads, re-read, resolve each revisit to its
+    // canonical copy: every group must show exactly 2 revisits whose
+    // blocks carry ZERO payload bytes (the byte shrink) while the
+    // canonical body survives verbatim. Scale: dedup state is one map
+    // entry per DISTINCT payload per task; global dedup = repartition
+    // by a digest column upstream so copies co-locate.
+    Q("warc_sink_revisit_roundtrip",
+      (s, _) => {
+        import s.implicits._
+        val n = 600
+        val k = 200
+        val dir = "/tmp/graft_warc_sink_revisit"
+        s.range(n.toLong).select(
+            $"id",
+            concat(lit("http://rev.example/p"), $"id").as("url"),
+            lit(200).as("http_status"),
+            lit("text/plain").as("http_content_type"),
+            concat(lit("<urn:rev:"), $"id", lit(">")).as("record_id"),
+            encode(concat(lit("dup body "), $"id" % k), "UTF-8")
+              .as("payload"))
+          .coalesce(1).sortWithinPartitions($"id") // canonical = lowest id
+          .write.format("warc").mode("overwrite")
+          .option("dedupDigest", "true").save(dir)
+        val recs = s.read.format("warc").load(dir)
+        val originals = recs.filter($"rec_type" === "response")
+          .select($"record_id", $"url".as("canonical_url"),
+            octet_length($"payload").cast("long").as("body_bytes"))
+        val revisits = recs.filter($"rec_type" === "revisit")
+          .select($"refers_to",
+            octet_length($"payload").cast("long").as("revisit_bytes"))
+        revisits.join(broadcast(originals),
+            revisits("refers_to") === originals("record_id"))
+          .groupBy($"canonical_url")
+          .agg(count(lit(1)).as("revisits"),
+            max($"revisit_bytes").as("max_revisit_bytes"),
+            max($"body_bytes").as("body_bytes"))
+      },
+      Some("""SELECT 'http://rev.example/p' || g AS canonical_url,
+          CAST(2 AS BIGINT) AS revisits,
+          CAST(0 AS BIGINT) AS max_revisit_bytes,
+          CAST(length('dup body ' || g) AS BIGINT) AS body_bytes
+        FROM (SELECT unnest(generate_series(0, 199)) AS g)""")),
+
     // ----- chunked transfer decoding ----------------------------------------
     // Crawls store HTTP bodies AS CAPTURED, and the capture often kept
     // its Transfer-Encoding: chunked framing — every real WARC reader
@@ -468,18 +518,21 @@ object WarcQueries {
             || '</body></html>') AS BIGINT) AS body_bytes
         FROM (SELECT unnest(generate_series(0, ${CePages - 1})) AS i)""")),
 
-    // ----- robots.txt policy filtering ---------------------------------------
+    // ----- robots.txt policy filtering (RFC 9309) -----------------------------
     // Crawl hygiene every training pipeline re-checks: a site's
-    // /robots.txt Disallow prefixes decide which stored pages may be
-    // used. The crawl itself carries the policy (CC stores robots.txt
-    // fetches as ordinary response records), so the operator is pure
-    // SQL over one scan: parse the Disallow lines out of the
-    // robots.txt payloads, broadcast the (site, prefix) rules, and
-    // flag pages whose PATH falls under a disallowed prefix (the
-    // common-subset semantics: any matching Disallow blocks; Allow/
-    // longest-match refinements are out of scope and documented).
-    // Scale: rules are tiny (one row per site) -> broadcast; pages
-    // never carry payload (url-only projection); ONE site-agg shuffle.
+    // /robots.txt decides which stored pages may be used. The crawl
+    // itself carries the policy (CC stores robots.txt fetches as
+    // ordinary response records). Semantics are the FULL RFC 9309
+    // matcher ([[graft.functions.RobotsMatcher]]): among all matching
+    // Allow/Disallow rules the LONGEST pattern wins, Allow wins
+    // length ties, `*` wildcards and `$` end anchors match per
+    // §2.2.2/§2.2.3, and a rule-less site allows everything. The
+    // fixture exercises every clause (longer-Allow carve-out,
+    // wildcard+anchor, equal-length tie) and the DuckDB oracle
+    // RECOMPUTES longest-match over the same rules with a window
+    // rank — not a baked flag formula. Scale: rules collapse to ONE
+    // array row per site -> broadcast; pages never carry payload
+    // (url-only projection); ONE site-agg shuffle.
     Q("warc_robots_filter",
       (s, _) => {
         import s.implicits._
@@ -493,9 +546,19 @@ object WarcQueries {
             regexp_extract($"url", "site(\\d+)\\.example", 1)
               .cast("int").as("site"),
             explode(split($"payload".cast("string"), "\n")).as("line"))
-          .filter($"line".startsWith("Disallow: /"))
+          .filter($"line".startsWith("Allow:") ||
+            $"line".startsWith("Disallow:"))
           .select($"site",
-            trim(regexp_replace($"line", "^Disallow:", "")).as("prefix"))
+            $"line".startsWith("Allow:").as("allow"),
+            trim(regexp_replace($"line", "^(Allow|Disallow):", ""))
+              .as("pattern"))
+          .filter(length($"pattern") > 0) // empty Disallow: = no rule
+          .groupBy($"site")
+          .agg(collect_list(struct($"allow", $"pattern")).as("rules"))
+        val verdict = udf((rs: Seq[org.apache.spark.sql.Row],
+            path: String) =>
+          rs == null || graft.functions.RobotsMatcher.allowed(
+            rs.map(r => (r.getBoolean(0), r.getString(1))), path))
         val pages = recs.filter(!$"url".endsWith("/robots.txt"))
           .select(
             regexp_extract($"url", "site(\\d+)\\.example", 1)
@@ -503,26 +566,50 @@ object WarcQueries {
             regexp_extract($"url", "example(/.*)$", 1).as("path"))
         pages.join(broadcast(rules), Seq("site"), "left")
           .withColumn("blocked",
-            when($"prefix".isNotNull && $"path".startsWith($"prefix"),
-              1L).otherwise(0L))
-          .groupBy($"site", $"path")
-          .agg(max($"blocked").as("blocked")) // rules never double-count
+            when(verdict($"rules", $"path"), 0L).otherwise(1L))
           .groupBy($"site")
           .agg(count(lit(1)).as("pages_total"),
             sum($"blocked").as("pages_blocked"),
             (count(lit(1)) - sum($"blocked")).as("pages_kept"))
       },
+      // the oracle derives each page's verdict by longest-match RANK
+      // over the same per-class rule set (patterns as anchored
+      // regexes, plen = RFC pattern length), Allow breaking ties
       Some(s"""WITH pages AS (
           SELECT unnest(generate_series(50, ${RobotsRecs - 1})) AS i),
-        flags AS (
-          SELECT CAST(i % 50 AS INT) AS site,
-            CASE WHEN (i % 50) % 3 = 0 AND i % 5 = 0 THEN 1 ELSE 0 END
-              AS blocked
-          FROM pages)
+        p AS (
+          SELECT i, CAST(i % 50 AS INT) AS site,
+            CASE CAST(i % 5 AS INT)
+              WHEN 0 THEN '/private/p' || i
+              WHEN 1 THEN '/private/pub/p' || i
+              WHEN 2 THEN '/p' || i || '.tmp'
+              ELSE '/p' || i END AS path
+          FROM pages),
+        matched AS (
+          SELECT p.i, r.allow, r.plen
+          FROM p JOIN (VALUES
+              (0, FALSE, '^/private/', 9),
+              (1, FALSE, '^/private/', 9),
+              (1, TRUE,  '^/private/pub/', 13),
+              (2, FALSE, '^/.*\\.tmp$$', 7),
+              (3, FALSE, '^/p', 2),
+              (3, TRUE,  '^/p', 2),
+              (5, FALSE, '^/p.*3$$', 5))
+              AS r(cls, allow, re, plen)
+            ON p.site % 6 = r.cls AND regexp_matches(p.path, r.re)),
+        best AS (
+          SELECT i, allow, row_number() OVER (PARTITION BY i
+            ORDER BY plen DESC, CASE WHEN allow THEN 0 ELSE 1 END) AS rn
+          FROM matched),
+        verdict AS (
+          SELECT p.site,
+            CASE WHEN b.allow IS FALSE THEN 1 ELSE 0 END AS blocked
+          FROM p LEFT JOIN (SELECT i, allow FROM best WHERE rn = 1) b
+            USING (i))
         SELECT site, CAST(COUNT(*) AS BIGINT) AS pages_total,
           CAST(SUM(blocked) AS BIGINT) AS pages_blocked,
           CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS pages_kept
-        FROM flags GROUP BY site""")),
+        FROM verdict GROUP BY site""")),
 
     // ----- crawl time-window survey (warc_date pushdown) ----------------------
     // The fetch-window query every crawl owner runs ("what landed in

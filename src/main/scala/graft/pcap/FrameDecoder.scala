@@ -47,6 +47,7 @@ private[pcap] final class PacketBuilder {
   var tcpMss, tcpWscale: Option[Int] = None
   var tcpSackOk, tcpTsOk: Option[Boolean] = None
   var vlanId, vlanPcp, vlanInnerId: Option[Int] = None
+  var mplsLabels: Option[Seq[Int]] = None
   var frag: Option[Boolean] = None
   var ipId, fragOffset: Option[Int] = None
   var dns: Option[DnsFields] = None
@@ -65,6 +66,7 @@ private[pcap] final class PacketBuilder {
     tcpMss = tcpMss, tcpWscale = tcpWscale,
     tcpSackOk = tcpSackOk, tcpTsOk = tcpTsOk,
     vlanId = vlanId, vlanPcp = vlanPcp, vlanInnerId = vlanInnerId,
+    mplsLabels = mplsLabels,
     len = len, frag = frag, ipId = ipId, fragOffset = fragOffset,
     payloadLen = payloadLen,
     extCount = extCount, extHeaders = extHeaders, dns = dns,
@@ -123,6 +125,37 @@ private[pcap] final class FrameDecoder(options: DecodeOptions) {
           if (et1 == 0x8100 || et1 == 0x88A8)
             b.vlanInnerId = Boxes.int(beU16(data, off + 18) & 0xFFF)
         }
+      }
+    }
+    // MPLS label stack (RFC 3032, ethertype 0x8847/0x8848 —
+    // carrier/backbone captures wrap IP in label stacks): record the
+    // labels outermost-first; the inner IP (version-nibble sniffed,
+    // the stack carries no payload type field) decodes through
+    // ipStartIdx below. A stack whose bottom-of-stack bit lies past
+    // the captured bytes leaves the column NULL — the same
+    // evidence rule as the VLAN tags and TCP options.
+    val mplsAt = mplsStackStart(linkType, data, off, end)
+    if (mplsAt >= 0) {
+      var p = mplsAt
+      var n = 0
+      var bottom = false
+      while (!bottom && end - p >= 4) {
+        bottom = (data(p + 2) & 0x1) != 0
+        p += 4
+        n += 1
+      }
+      if (bottom) {
+        val labels = new Array[Int](n)
+        var i = 0
+        p = mplsAt
+        while (i < n) {
+          labels(i) = ((data(p) & 0xFF) << 12) |
+            ((data(p + 1) & 0xFF) << 4) | ((data(p + 2) & 0xFF) >>> 4)
+          p += 4
+          i += 1
+        }
+        b.mplsLabels = Some(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(labels))
       }
     }
     val ip = ipStartIdx(linkType, data, off, end)

@@ -55,6 +55,7 @@ final case class PacketRecord(
     vlanId: Option[Int] = None,       // 802.1Q VLAN id (TCI low 12 bits)
     vlanPcp: Option[Int] = None,      // 802.1Q priority code point (top 3)
     vlanInnerId: Option[Int] = None,  // QinQ customer tag vid (2nd tag)
+    mplsLabels: Option[Seq[Int]] = None, // RFC 3032 label stack, outermost-first
     len: Option[Int] = None,          // L4 payload byte count
     frag: Option[Boolean] = None,     // v4 MF/offset set, or v6 Fragment ext header
     ipId: Option[Int] = None,         // fragment reassembly id (v4 u16 / v6 u32)

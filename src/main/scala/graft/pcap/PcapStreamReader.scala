@@ -263,6 +263,8 @@ object PcapStreamReader {
       case 0x86DD => "IPv6"
       case 0x8100 => "vlan"
       case 0x88A8 => "qinq"
+      case 0x8847 => "mpls"    // unicast label stack (RFC 3032)
+      case 0x8848 => "mpls-mc" // multicast/upstream-assigned
       case other => f"0x$other%04x"
     }
   }
@@ -296,22 +298,82 @@ object PcapStreamReader {
             start += 4
             tags += 1
           }
-          if (et == 0x0800 || et == 0x86DD) start else -1
+          ipAfterEtherType(data, et, start, end)
         }
       case 113 => // Linux cooked capture v1: 16-byte header, proto last
         if (end - off < 16) -1
-        else {
-          val et = beU16(data, off + 14)
-          if (et == 0x0800 || et == 0x86DD) off + 16 else -1
-        }
+        else ipAfterEtherType(data, beU16(data, off + 14), off + 16, end)
       case 276 => // SLL2: 20-byte header, proto FIRST (then ifindex etc.)
         if (end - off < 20) -1
-        else {
-          val et = beU16(data, off)
-          if (et == 0x0800 || et == 0x86DD) off + 20 else -1
-        }
+        else ipAfterEtherType(data, beU16(data, off), off + 20, end)
       case _ => -1
     }
+
+  /** IP header offset given the resolved ethertype and the payload
+    * start: direct for 0x0800/0x86DD; for MPLS (0x8847/0x8848,
+    * carrier/backbone captures wrapping IP in label stacks) walk the
+    * 4-byte label entries to the bottom-of-stack bit, then sniff the
+    * IP version nibble — RFC 3032 gives the payload no explicit type
+    * field, and 4/6 are the only payloads this decoder parses (an
+    * Ethernet pseudowire yields -1, honestly non-IP). */
+  private[pcap] def ipAfterEtherType(data: Array[Byte], et: Int,
+      start: Int, end: Int): Int =
+    if (et == 0x0800 || et == 0x86DD) start
+    else if (et == 0x8847 || et == 0x8848) {
+      val p = mplsPayloadStart(data, start, end)
+      if (p >= 0 && p < end) {
+        val v = (data(p) >> 4) & 0xF
+        if (v == 4 || v == 6) p else -1
+      } else -1
+    } else -1
+
+  /** Offset just past the MPLS label stack (first entry at `start`),
+    * or -1 when the captured bytes end before a bottom-of-stack bit —
+    * a truncated stack must not be decoded as IP. */
+  private[pcap] def mplsPayloadStart(data: Array[Byte], start: Int,
+      end: Int): Int = {
+    var p = start
+    while (end - p >= 4) {
+      val bos = (data(p + 2) & 0x1) != 0
+      p += 4
+      if (bos) return p
+    }
+    -1
+  }
+
+  /** Offset of the first MPLS label-stack entry (after any 802.1Q/ad
+    * tags on Ethernet — VLAN-then-MPLS is the common carrier shape),
+    * or -1 when the frame is not MPLS. */
+  private[pcap] def mplsStackStart(linkType: Int, data: Array[Byte],
+      off: Int, end: Int): Int = linkType match {
+    case 1 =>
+      if (end - off < 14) -1
+      else {
+        var start = off + 14
+        var et = beU16(data, off + 12)
+        var tags = 0
+        while (tags < 2 && (et == 0x8100 || et == 0x88A8) &&
+            end - start >= 4) {
+          et = beU16(data, start + 2)
+          start += 4
+          tags += 1
+        }
+        if (et == 0x8847 || et == 0x8848) start else -1
+      }
+    case 113 =>
+      if (end - off < 16) -1
+      else {
+        val et = beU16(data, off + 14)
+        if (et == 0x8847 || et == 0x8848) off + 16 else -1
+      }
+    case 276 =>
+      if (end - off < 20) -1
+      else {
+        val et = beU16(data, off)
+        if (et == 0x8847 || et == 0x8848) off + 20 else -1
+      }
+    case _ => -1
+  }
 
   def ipv4String(b: Array[Byte], off: Int): String =
     s"${b(off) & 0xFF}.${b(off + 1) & 0xFF}.${b(off + 2) & 0xFF}.${b(off + 3) & 0xFF}"

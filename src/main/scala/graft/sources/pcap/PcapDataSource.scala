@@ -109,6 +109,7 @@ object PcapTable {
     * scan would read). */
   def listDataFiles(options: CaseInsensitiveStringMap,
       conf: Configuration): Seq[FileStatus] = {
+    graft.sources.ListingStats.listings.increment()
     val declared = paths(options)
     if (declared.isEmpty)
       throw new IllegalArgumentException("pcap source requires a path")
@@ -203,9 +204,16 @@ class PcapScanBuilder(options: CaseInsensitiveStringMap)
     * would read; None if the set is empty (MIN/MAX would be NULL —
     * let the scan path answer that) or ANY file lacks a sidecar; the
     * count is None if any sidecar is count-less (pre-round-9 format). */
+  // ONE listing per scan BUILD, shared with the scan this builder
+  // produces (the aggregate probe and the scan's stats/planning all
+  // need the same capture set)
+  private lazy val listedFilesMemo: Seq[FileStatus] =
+    PcapTable.listDataFiles(options,
+      SparkSession.active.sessionState.newHadoopConf())
+
   private def sidecarStats(): Option[(Long, Long, Option[Long])] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val files = PcapTable.listDataFiles(options, conf)
+    val files = listedFilesMemo
     if (files.isEmpty) return None
     var mn = Long.MaxValue
     var mx = Long.MinValue
@@ -257,7 +265,8 @@ class PcapScanBuilder(options: CaseInsensitiveStringMap)
         case 'n' => mn
         case 'x' => mx
       })
-    case _ => new PcapScan(required, options, pushed)
+    case _ => new PcapScan(required, options, pushed,
+      () => listedFilesMemo)
   }
 }
 
@@ -300,7 +309,8 @@ class PcapStatsReaderFactory extends PartitionReaderFactory {
 }
 
 class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
-    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    listed: () => Seq[FileStatus] = null)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -311,10 +321,16 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
     * a ts-bounded scan of a small window plans like the small relation
     * it is (static broadcast eligibility instead of
     * defaultSizeInBytes). */
+  // ONE listing + ts-prune per scan: estimateStatistics and
+  // planInputPartitions both need the file set, and a repeated
+  // listing is O(files) RPCs per query on an object store
+  private lazy val prunedFilesMemo: Seq[FileStatus] =
+    pruneByTs(listFiles())
+
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes = pruneByTs(listFiles()).map(_.getLen).sum
+      private val bytes = prunedFilesMemo.map(_.getLen).sum
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
@@ -341,7 +357,8 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
     sparkSession.sessionState.newHadoopConf()
 
   private def listFiles(): Seq[FileStatus] =
-    PcapTable.listDataFiles(options, hadoopConf)
+    if (listed != null) listed()
+    else PcapTable.listDataFiles(options, hadoopConf)
 
   /** Drop files whose per-file ts stats cannot intersect the pushed ts
     * bounds (SURVEY.md §4 file-level skipping). Stats come from exact
@@ -382,7 +399,7 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
       .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
       .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
     val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
-    val files = pruneByTs(listFiles()).map(f => f.getPath.toString -> f.getLen)
+    val files = prunedFilesMemo.map(f => f.getPath.toString -> f.getLen)
     graft.sources.BinPack.pack(files, maxBytes, openCost)
       .map(b => PcapInputPartition(b): InputPartition).toArray
   }

@@ -43,6 +43,7 @@ object PcapSchema {
     StructField("vlan_id", IntegerType),
     StructField("vlan_pcp", IntegerType),
     StructField("vlan_inner_id", IntegerType),
+    StructField("mpls_labels", ArrayType(IntegerType)),
     StructField("len", IntegerType),
     StructField("frag", BooleanType),
     StructField("ip_id", IntegerType),
@@ -118,6 +119,8 @@ object PcapSchema {
     "vlan_id" -> ((r, _, _) => r.vlanId.map(Int.box).orNull),
     "vlan_pcp" -> ((r, _, _) => r.vlanPcp.map(Int.box).orNull),
     "vlan_inner_id" -> ((r, _, _) => r.vlanInnerId.map(Int.box).orNull),
+    "mpls_labels" -> ((r, _, _) =>
+      r.mplsLabels.map(xs => ArrayData.toArrayData(xs.toArray)).orNull),
     "len" -> ((r, _, _) => r.len.map(Int.box).orNull),
     "frag" -> ((r, _, _) => r.frag.map(Boolean.box).orNull),
     "ip_id" -> ((r, _, _) => r.ipId.map(Int.box).orNull),
@@ -219,6 +222,17 @@ object PcapSchema {
     case None => v.appendNull()
   }
 
+  /** Array-of-int append, same offsets-then-elements contract as
+    * [[putStrArray]]. */
+  @inline private def putIntArray(v: WritableColumnVector,
+      o: Option[Seq[Int]]): Unit = o match {
+    case Some(xs) =>
+      v.appendArray(xs.length)
+      val child = v.arrayData()
+      xs.foreach(child.appendInt)
+    case None => v.appendNull()
+  }
+
   private val colAppenders: Map[String, ColAppender] = Map(
     "ts" -> ((v, r, _, _) => putLong(v, r.ts)),
     "ts_micro" -> ((v, r, _, _) => putLong(v, r.tsMicro)),
@@ -246,6 +260,7 @@ object PcapSchema {
     "vlan_id" -> ((v, r, _, _) => putInt(v, r.vlanId)),
     "vlan_pcp" -> ((v, r, _, _) => putInt(v, r.vlanPcp)),
     "vlan_inner_id" -> ((v, r, _, _) => putInt(v, r.vlanInnerId)),
+    "mpls_labels" -> ((v, r, _, _) => putIntArray(v, r.mplsLabels)),
     "len" -> ((v, r, _, _) => putInt(v, r.len)),
     "frag" -> ((v, r, _, _) => putBool(v, r.frag)),
     "ip_id" -> ((v, r, _, _) => putInt(v, r.ipId)),

@@ -39,6 +39,13 @@ import graft.sources.pcap.SerializableHadoopConf
   * Scale: writers stream row-by-row — constant memory per task
   * (one record) whatever the partition size; file count = task count
   * via the usual repartition(n).
+  *
+  * `option("dedupDigest","true")` turns on storage dedup at export:
+  * a payload whose md5 digest the TASK already wrote becomes a
+  * REVISIT record (WARC 1.1 §6.7.2 identical-payload-digest profile —
+  * headers only, WARC-Refers-To the canonical copy) instead of a
+  * second full copy. Task-scoped: repartition by a digest column
+  * upstream for global dedup.
   */
 class WarcWriteBuilder(options: CaseInsensitiveStringMap,
     info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
@@ -48,7 +55,7 @@ class WarcWriteBuilder(options: CaseInsensitiveStringMap,
 
   override def build(): Write = new Write {
     private def validated: (String, WarcWriteCols, Boolean, Boolean,
-        String, String) = {
+        String, String, Boolean) = {
       val schema = info.schema()
       def idxOf(name: String, tpe: org.apache.spark.sql.types.DataType,
           required: Boolean): Int = {
@@ -87,11 +94,12 @@ class WarcWriteBuilder(options: CaseInsensitiveStringMap,
       (dir, cols, container == "warc.gz",
         options.getBoolean("writeWcdx", true),
         options.getOrDefault("warcDate", "1970-01-01T00:00:00Z"),
-        options.getOrDefault("contentType", "application/octet-stream"))
+        options.getOrDefault("contentType", "application/octet-stream"),
+        options.getBoolean("dedupDigest", false))
     }
 
     override def toBatch: BatchWrite = {
-      val (dir, cols, gz, writeIndex, date, ct) = validated
+      val (dir, cols, gz, writeIndex, date, ct, dedup) = validated
       // part names carry the write job's identity so exports from a
       // FRESH session can never collide with an earlier session's
       // parts (task ids restart per application — the wds lesson)
@@ -99,7 +107,7 @@ class WarcWriteBuilder(options: CaseInsensitiveStringMap,
         .getOrElse(java.util.UUID.randomUUID().toString)
         .replaceAll("[^0-9a-fA-F]", "").take(8)
       new WarcBatchWrite(dir, cols, truncateFirst, gz, writeIndex,
-        date, ct, jobTag)
+        date, ct, jobTag, dedup)
     }
 
     override def toStreaming
@@ -107,13 +115,14 @@ class WarcWriteBuilder(options: CaseInsensitiveStringMap,
       if (truncateFirst) throw new IllegalArgumentException(
         "warc streaming sink is append-only (complete/truncate modes " +
           "would rewrite every prior epoch's archives)")
-      val (dir, cols, gz, writeIndex, date, ct) = validated
+      val (dir, cols, gz, writeIndex, date, ct, dedup) = validated
       // epoch archives carry the write job's identity so appends from
       // a FRESH session can never collide with an earlier session's
       val jobTag = Option(info.queryId()).filter(_.nonEmpty)
         .getOrElse(java.util.UUID.randomUUID().toString)
         .replaceAll("[^0-9a-fA-F]", "").take(8)
-      new WarcStreamingWrite(dir, cols, gz, writeIndex, date, ct, jobTag)
+      new WarcStreamingWrite(dir, cols, gz, writeIndex, date, ct,
+        jobTag, dedup)
     }
   }
 }
@@ -126,11 +135,12 @@ class WarcWriteBuilder(options: CaseInsensitiveStringMap,
   * files idempotently; tmp paths carry the attempt-unique task id so
   * a speculative twin can never interleave bytes into the attempt the
   * commit coordinator picks (the wds streaming discipline). Empty
-  * partitions still commit (a record-less archive), keeping the
-  * per-epoch file set deterministic under replay. */
+  * partitions commit NO file (a 0-byte `.warc.gz` is not a valid
+  * gzip stream — readers would crash on it); replays recommit the
+  * same empty outcome deterministically. */
 class WarcStreamingWrite(dir: String, cols: WarcWriteCols, gz: Boolean,
     writeIndex: Boolean, defaultDate: String, defaultContentType: String,
-    jobTag: String)
+    jobTag: String, dedupDigest: Boolean = false)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val conf = new SerializableHadoopConf(
@@ -142,7 +152,7 @@ class WarcStreamingWrite(dir: String, cols: WarcWriteCols, gz: Boolean,
     val p = new Path(dir)
     p.getFileSystem(conf.value).mkdirs(p)
     new WarcStreamingWriterFactory(dir, cols, conf, gz, writeIndex,
-      defaultDate, defaultContentType, jobTag)
+      defaultDate, defaultContentType, jobTag, dedupDigest)
   }
 
   // file visibility is per-task atomic rename; the engine's offset log
@@ -158,7 +168,8 @@ case class WarcWriteCols(url: Int, payload: Int, recType: Int,
 
 class WarcBatchWrite(dir: String, cols: WarcWriteCols,
     truncateFirst: Boolean, gz: Boolean, writeIndex: Boolean,
-    defaultDate: String, defaultContentType: String, jobTag: String)
+    defaultDate: String, defaultContentType: String, jobTag: String,
+    dedupDigest: Boolean = false)
   extends BatchWrite {
 
   private val conf = new SerializableHadoopConf(
@@ -169,7 +180,7 @@ class WarcBatchWrite(dir: String, cols: WarcWriteCols,
     val p = new Path(dir)
     p.getFileSystem(conf.value).mkdirs(p)
     new WarcDataWriterFactory(dir, cols, conf, gz, writeIndex,
-      defaultDate, defaultContentType, jobTag)
+      defaultDate, defaultContentType, jobTag, dedupDigest)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -198,7 +209,8 @@ class WarcBatchWrite(dir: String, cols: WarcWriteCols,
 
 class WarcStreamingWriterFactory(dir: String, cols: WarcWriteCols,
     conf: SerializableHadoopConf, gz: Boolean, writeIndex: Boolean,
-    defaultDate: String, defaultContentType: String, jobTag: String)
+    defaultDate: String, defaultContentType: String, jobTag: String,
+    dedupDigest: Boolean = false)
   extends org.apache.spark.sql.connector.write.streaming
     .StreamingDataWriterFactory {
 
@@ -207,12 +219,14 @@ class WarcStreamingWriterFactory(dir: String, cols: WarcWriteCols,
     new WarcDataWriter(dir, cols, conf, gz, writeIndex,
       defaultDate, defaultContentType,
       baseName = f"crawl-$jobTag-e$epochId%06d-p$partitionId%05d",
-      tmpTag = s".t$taskId", replaceOnCommit = true)
+      tmpTag = s".t$taskId", replaceOnCommit = true,
+      dedupDigest = dedupDigest)
 }
 
 class WarcDataWriterFactory(dir: String, cols: WarcWriteCols,
     conf: SerializableHadoopConf, gz: Boolean, writeIndex: Boolean,
-    defaultDate: String, defaultContentType: String, jobTag: String)
+    defaultDate: String, defaultContentType: String, jobTag: String,
+    dedupDigest: Boolean = false)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
@@ -220,13 +234,14 @@ class WarcDataWriterFactory(dir: String, cols: WarcWriteCols,
     new WarcDataWriter(dir, cols, conf, gz, writeIndex, defaultDate,
       defaultContentType,
       baseName = f"part-$jobTag-$partitionId%05d-$taskId",
-      tmpTag = "", replaceOnCommit = false)
+      tmpTag = "", replaceOnCommit = false, dedupDigest = dedupDigest)
 }
 
 class WarcDataWriter(dir: String, cols: WarcWriteCols,
     conf: SerializableHadoopConf, gz: Boolean, writeIndex: Boolean,
     defaultDate: String, defaultContentType: String,
-    baseName: String, tmpTag: String, replaceOnCommit: Boolean)
+    baseName: String, tmpTag: String, replaceOnCommit: Boolean,
+    dedupDigest: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(conf.value)
@@ -251,59 +266,135 @@ class WarcDataWriter(dir: String, cols: WarcWriteCols,
   private val entries =
     scala.collection.mutable.ArrayBuffer.empty[WarcCdx.Entry]
   private var rows = 0L
+  // dedupDigest: payload digest -> (record_id, url) of the FIRST copy
+  // this TASK wrote — repeats become revisit records (the crawl
+  // storage-dedup convention the scan's refers_to column resolves).
+  // Task-scoped by design: global dedup = repartition by a digest
+  // column upstream so copies co-locate; memory is one small map
+  // entry per DISTINCT payload in the task.
+  private val digestSeen =
+    if (dedupDigest)
+      scala.collection.mutable.HashMap.empty[String, (String, String)]
+    else null
 
   private def opt(row: InternalRow, idx: Int): String =
     if (idx < 0 || row.isNullAt(idx)) null
     else row.getUTF8String(idx).toString
 
+  /** Header values are embedded verbatim into CRLF-framed WARC header
+    * lines, so they MUST be validated BEFORE any byte is emitted: a
+    * value containing CR/LF would inject/override header fields on
+    * read-back (the walk's setField is last-wins), and non-ASCII
+    * chars would be silently mangled to '?' by the US-ASCII encode.
+    * A bad row fails the task here, before a corrupt record can ever
+    * become visible. (WARC 1.1 §5: field values are ASCII; non-ASCII
+    * URLs must arrive percent-encoded — RFC 3986.) */
+  private def checkHeaderValue(what: String, v: String): String = {
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      require(c >= 0x20 && c <= 0x7e,
+        s"warc write: $what contains a non-printable-ASCII char " +
+          f"(0x${c.toInt}%02x at index $i) — header values must be " +
+          "printable ASCII (percent-encode non-ASCII URLs); refusing " +
+          "to write a corrupt record")
+      i += 1
+    }
+    v
+  }
+
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(cols.url) && !row.isNullAt(cols.payload),
       "warc write: url and payload must be non-null")
-    val url = row.getUTF8String(cols.url).toString
+    val url = checkHeaderValue("url", row.getUTF8String(cols.url).toString)
     val payload = row.getBinary(cols.payload)
-    val recType = Option(opt(row, cols.recType)).getOrElse("response")
-    val date = Option(opt(row, cols.warcDate)).getOrElse(defaultDate)
+    val recType = checkHeaderValue("rec_type",
+      Option(opt(row, cols.recType)).getOrElse("response"))
+    val date = checkHeaderValue("warc_date",
+      Option(opt(row, cols.warcDate)).getOrElse(defaultDate))
     // default ids are (baseName, row) — deterministic under epoch
     // replay, unique across partitions and (for batch) attempts
-    val recordId = Option(opt(row, cols.recordId)).getOrElse(
-      s"<urn:uuid:graft-$baseName-$rows>")
+    val recordId = checkHeaderValue("record_id",
+      Option(opt(row, cols.recordId)).getOrElse(
+        s"<urn:uuid:graft-$baseName-$rows>"))
     val status =
       if (cols.httpStatus < 0 || row.isNullAt(cols.httpStatus)) -1
       else row.getInt(cols.httpStatus)
     val httpCt = Option(opt(row, cols.httpContentType))
+      .map(checkHeaderValue("http_content_type", _))
       .getOrElse(if (status >= 0) "text/plain" else null)
-    val (contentType, block) =
-      if (status >= 0) {
-        // application/http response block — the shape the scan's HTTP
-        // split parses back apart with exact octet accounting
-        val reason = if (status == 200) "OK" else "Status"
-        val head = (s"HTTP/1.1 $status $reason\r\n" +
-          s"Content-Type: $httpCt\r\n" +
-          s"Content-Length: ${payload.length}\r\n\r\n")
-          .getBytes("US-ASCII")
-        val b = new Array[Byte](head.length + payload.length)
-        head.copyToArray(b)
-        payload.copyToArray(b, head.length)
-        ("application/http; msgtype=response", b)
-      } else (defaultContentType, payload)
+    val digest = WarcCdx.md5Hex(payload)
+    val canonical =
+      if (digestSeen == null) None else digestSeen.get(digest)
+    val reason = if (status == 200) "OK" else "Status"
+    val (outType, headers, contentType, block) = canonical match {
+      case Some((canonId, canonUrl)) =>
+        // repeated payload -> a REVISIT record (WARC 1.1 §6.7.2,
+        // identical-payload-digest profile): headers only, no body —
+        // the storage dedup real crawls ship with. The scan resolves
+        // refers_to back to the canonical copy.
+        val extra = Seq(
+          "WARC-Refers-To" -> canonId,
+          "WARC-Refers-To-Target-URI" -> canonUrl,
+          "WARC-Profile" ->
+            "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+          "WARC-Payload-Digest" -> s"md5:$digest")
+        if (status >= 0) {
+          val head = (s"HTTP/1.1 $status $reason\r\n" +
+            s"Content-Type: $httpCt\r\n" +
+            "Content-Length: 0\r\n\r\n").getBytes("US-ASCII")
+          ("revisit", extra, "application/http; msgtype=response", head)
+        } else ("revisit", extra, defaultContentType,
+          Array.emptyByteArray)
+      case None =>
+        if (digestSeen != null) digestSeen(digest) = (recordId, url)
+        if (status >= 0) {
+          // application/http response block — the shape the scan's
+          // HTTP split parses back apart with exact octet accounting
+          val head = (s"HTTP/1.1 $status $reason\r\n" +
+            s"Content-Type: $httpCt\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n")
+            .getBytes("US-ASCII")
+          val b = new Array[Byte](head.length + payload.length)
+          head.copyToArray(b)
+          payload.copyToArray(b, head.length)
+          (recType, Seq.empty[(String, String)],
+            "application/http; msgtype=response", b)
+        } else
+          (recType, Seq.empty[(String, String)], defaultContentType,
+            payload)
+    }
     val rec = WarcSynth.record(Seq(
-      "WARC-Type" -> recType,
-      "WARC-Record-ID" -> recordId,
+      "WARC-Type" -> outType,
+      "WARC-Record-ID" -> recordId) ++ headers ++ Seq(
       "WARC-Date" -> date,
       "WARC-Target-URI" -> url,
       "Content-Type" -> contentType), block)
     val offset = written
     if (gz) WarcSynth.gzipMembers(Iterator(rec), counting)
     else counting.write(rec, 0, rec.length)
-    entries += WarcCdx.Entry(offset, 0L, recType, url, date, status,
-      if (status >= 0) httpCt else null, WarcCdx.md5Hex(payload))
+    // the sidecar digest stays the PAYLOAD digest on revisit rows too
+    // (the CDX dedup-accounting convention: a revisit line carries the
+    // digest of the content it stands for, not of its empty block)
+    entries += WarcCdx.Entry(offset, 0L, outType, url, date, status,
+      if (status >= 0) httpCt else null, digest)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     counting.close()
-    if (rows == 0 && !replaceOnCommit) { // batch: empty -> no file
+    if (rows == 0) {
+      // empty -> no file, batch AND streaming: a 0-byte .warc.gz is
+      // not a valid gzip stream (GZIPInputStream's ctor throws EOF),
+      // so committing placeholder archives would crash any unfiltered
+      // read of the sink's output. An epoch replay recommits
+      // deterministically without one; a prior attempt's file (if
+      // any) is swept so the replayed epoch's file set stays exact.
       fs.delete(tmpPath, false)
+      if (replaceOnCommit && fs.exists(finalPath)) {
+        fs.delete(finalPath, false)
+        fs.delete(WarcCdx.sidecar(finalPath), false)
+      }
       WarcWriteCommitted("")
     } else {
       if (fs.exists(finalPath)) {

@@ -24,9 +24,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Sidecar format (text, atomic-write, one per warc file):
   * {{{
-  *   #wcdx 2 <framing> <recordCount>
+  *   #wcdx 3 <framing> <recordCount> <fileLen>
   *   offset \t rlen \t rec_type \t url \t warc_date \t http_status \t http_content_type \t digest
   * }}}
+  * (v3 appends `<fileLen>` — the warc's byte length at index time; a
+  * sidecar whose recorded length differs from the file's is stale
+  * whatever the mtimes say, so a rewritten-in-place or
+  * timestamp-preserving-copied warc can never be sliced at dead
+  * offsets.)
   * `framing` is `plain` (offsets are raw byte offsets), `member-gzip`
   * (offsets are gzip MEMBER start offsets — every record begins a
   * member, the Common Crawl framing), or `frame-zstd` (offsets are
@@ -41,7 +46,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object WarcCdx {
 
   val SidecarSuffix = ".wcdx"
-  val Version = 2 // v2 adds the payload digest column (the CDX digest)
+  // v2 added the payload digest column (the CDX digest);
+  // v3 records the warc's byte length in the header so freshness is
+  // content-anchored, not mtime-anchored
+  val Version = 3
 
   /** Per-unit decompressed/compressed ceiling for the index walkers —
     * a single gzip member / zstd frame beyond this is a bomb or a
@@ -390,7 +398,7 @@ object WarcCdx {
   def writeSidecar(fs: FileSystem, warcFile: Path, framing: String,
       entries: scala.collection.Seq[Entry], fileLen: Long): Unit = {
     val sb = new StringBuilder()
-    sb.append(s"#wcdx $Version $framing ${entries.length}\n")
+    sb.append(s"#wcdx $Version $framing ${entries.length} $fileLen\n")
     var i = 0
     while (i < entries.length) {
       val e = entries(i)
@@ -446,6 +454,22 @@ object WarcCdx {
   // planner side: record-range slices from a fresh sidecar
   // ---------------------------------------------------------------------
 
+  /** Parse + freshness-check a sidecar header line against its warc's
+    * FileStatus. A sidecar is fresh only when the version matches AND
+    * the recorded byte length equals the warc's CURRENT length —
+    * content-anchored staleness that catches in-place rewrites and
+    * timestamp-preserving copies the mtime ordering misses (the mtime
+    * check stays as a cheap first gate at each call site). Returns
+    * (framing, recordCount) or None. */
+  private def headerMeta(line: String, st: FileStatus)
+      : Option[(String, Int)] = {
+    val parts = line.split(' ')
+    if (parts.length < 5 || parts(0) != "#wcdx" ||
+        parts(1).toInt != Version) None
+    else if (parts(4).toLong != st.getLen) None // rewritten in place
+    else Some((parts(2), parts(3).toInt))
+  }
+
   /** (framing, record offsets) from a FRESH sidecar, else None —
     * stale or unreadable sidecars never influence planning. */
   def readOffsets(fs: FileSystem, st: FileStatus)
@@ -462,11 +486,10 @@ object WarcCdx {
         finally in.close()
       val lines = text.split('\n')
       if (lines.isEmpty) return None
-      val head = lines(0).split(' ')
-      if (head.length < 4 || head(0) != "#wcdx" ||
-          head(1).toInt != Version) return None
-      val framing = head(2)
-      val n = head(3).toInt
+      val (framing, n) = headerMeta(lines(0), st) match {
+        case None => return None
+        case Some(m) => m
+      }
       val offsets = new Array[Long](n)
       var i = 0
       while (i < n) {
@@ -479,7 +502,7 @@ object WarcCdx {
 
   /** Record count from a FRESH sidecar's header line alone — the
     * O(index) COUNT(*) the `.tsidx`/`.widx` discipline gives the
-    * other sources. Reads at most the first 64 bytes. */
+    * other sources. Reads at most the first 128 bytes. */
   def readCount(fs: FileSystem, st: FileStatus): Option[Long] =
     try {
       val sp = sidecar(st.getPath)
@@ -489,7 +512,7 @@ object WarcCdx {
       val in = fs.open(sp)
       val head =
         try {
-          val buf = new Array[Byte](64)
+          val buf = new Array[Byte](128)
           var n = 0
           var done = false
           while (!done && n < buf.length) {
@@ -502,11 +525,9 @@ object WarcCdx {
           }
           new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
         } finally in.close()
+      if (!head.contains('\n')) return None // header line overran buf
       val line = head.takeWhile(_ != '\n')
-      val parts = line.split(' ')
-      if (parts.length >= 4 && parts(0) == "#wcdx" &&
-          parts(1).toInt == Version) Some(parts(3).toLong)
-      else None
+      headerMeta(line, st).map(_._2.toLong)
     } catch { case _: Exception => None }
 
   /** (framing, all entries) from a FRESH sidecar, else None. */
@@ -524,11 +545,10 @@ object WarcCdx {
         finally in.close()
       val lines = text.split('\n')
       if (lines.isEmpty) return None
-      val head = lines(0).split(' ')
-      if (head.length < 4 || head(0) != "#wcdx" ||
-          head(1).toInt != Version) return None
-      val framing = head(2)
-      val n = head(3).toInt
+      val (framing, n) = headerMeta(lines(0), st) match {
+        case None => return None
+        case Some(m) => m
+      }
       val entries = new Array[Entry](n)
       var i = 0
       while (i < n) {
@@ -560,33 +580,41 @@ object WarcCdx {
     readEntries(fs, st).flatMap { case (framing, entries) =>
       if (framing != "plain" && framing != "member-gzip" &&
           framing != "frame-zstd") None
-      else {
-        val slices = scala.collection.mutable.ArrayBuffer
-          .empty[WarcFileSlice]
-        var curStart = -1L
-        var curEnd = -1L
-        entries.foreach { e =>
-          val matches = pred.header(e.recType, e.url, e.warcDate) &&
-            (!pred.hasHttp || pred.http(e.httpStatus, e.httpContentType))
-          if (matches) {
-            val end = e.offset + e.rlen
-            if (curStart < 0) { curStart = e.offset; curEnd = end }
-            else if (e.offset - curEnd <= mergeGap &&
-                end - curStart <= maxBytes) curEnd = end
-            else {
-              slices += WarcFileSlice(st.getPath.toString, curStart,
-                curEnd - curStart)
-              curStart = e.offset
-              curEnd = end
-            }
-          }
+      else Some(slicesFromEntries(st.getPath.toString, entries, pred,
+        maxBytes, mergeGap))
+    }
+
+  /** Merge one file's MATCHING entries into container-byte slice runs
+    * — shared by the `.wcdx` planner above and the foreign-CDX(J)
+    * planner ([[WarcForeignCdx]]); entries must carry real `rlen`s
+    * and be offset-sorted. Empty result = zero partitions for this
+    * file (a no-match predicate reads nothing). */
+  private[warc] def slicesFromEntries(path: String,
+      entries: Array[Entry], pred: WarcRecordFilter.Compiled,
+      maxBytes: Long, mergeGap: Long): Seq[WarcFileSlice] = {
+    val slices = scala.collection.mutable.ArrayBuffer
+      .empty[WarcFileSlice]
+    var curStart = -1L
+    var curEnd = -1L
+    entries.foreach { e =>
+      val matches = pred.header(e.recType, e.url, e.warcDate) &&
+        (!pred.hasHttp || pred.http(e.httpStatus, e.httpContentType))
+      if (matches) {
+        val end = e.offset + e.rlen
+        if (curStart < 0) { curStart = e.offset; curEnd = end }
+        else if (e.offset - curEnd <= mergeGap &&
+            end - curStart <= maxBytes) curEnd = end
+        else {
+          slices += WarcFileSlice(path, curStart, curEnd - curStart)
+          curStart = e.offset
+          curEnd = end
         }
-        if (curStart >= 0)
-          slices += WarcFileSlice(st.getPath.toString, curStart,
-            curEnd - curStart)
-        Some(slices.toSeq)
       }
     }
+    if (curStart >= 0)
+      slices += WarcFileSlice(path, curStart, curEnd - curStart)
+    slices.toSeq
+  }
 
   /** Split one indexed file into record-range slices of ~`maxBytes`
     * container bytes each; None when no fresh index or the file is
@@ -633,6 +661,11 @@ object WarcCdx {
     spark.read
       .option("sep", "\t")
       .option("comment", "#")
+      // the writer never quote-escapes, so the reader must not treat
+      // a leading '"' in a url/content-type field as a quoted field —
+      // parse lines as raw tab-separated text
+      .option("quote", "\u0000")
+      .option("escape", "\u0000")
       .schema(SurveySchema)
       .csv(s"$dir/*$SidecarSuffix")
 }

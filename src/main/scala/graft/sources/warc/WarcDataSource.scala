@@ -93,6 +93,7 @@ object WarcTable {
 
   def listDataFiles(options: CaseInsensitiveStringMap,
       conf: Configuration): Seq[org.apache.hadoop.fs.FileStatus] = {
+    graft.sources.ListingStats.listings.increment()
     val declared = paths(options)
     if (declared.isEmpty)
       throw new IllegalArgumentException("warc source requires a path")
@@ -106,12 +107,15 @@ object WarcTable {
         throw new java.io.FileNotFoundException(
           s"warc path does not exist: $p")
       matches.flatMap { st =>
+        // zero-length files carry no records and (when .gz) are not
+        // even valid gzip streams — skip, never crash on them
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq.filter(_.isFile)
             .filter(s => !s.getPath.getName.startsWith("_") &&
               !s.getPath.getName.startsWith(".") &&
-              !WarcCdx.isSidecar(s.getPath.getName))
-        else Seq(st).filter(s => !WarcCdx.isSidecar(s.getPath.getName))
+              !WarcCdx.isSidecar(s.getPath.getName) && s.getLen > 0)
+        else Seq(st).filter(s =>
+          !WarcCdx.isSidecar(s.getPath.getName) && s.getLen > 0)
       }
     }
   }
@@ -280,9 +284,16 @@ class WarcScanBuilder(options: CaseInsensitiveStringMap)
   // alone — O(files), not O(bytes) — when EVERY file has a fresh
   // sidecar and no record filter is pushed. Any file without one
   // declines and the record walk counts for real.
+  // ONE listing per scan BUILD, shared with the scan this builder
+  // produces (the aggregate probe and the scan's stats/planning all
+  // need the same file set)
+  private lazy val listedFilesMemo: Seq[org.apache.hadoop.fs.FileStatus] =
+    WarcTable.listDataFiles(options,
+      SparkSession.active.sessionState.newHadoopConf())
+
   private def sidecarCount(): Option[Long] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val files = WarcTable.listDataFiles(options, conf)
+    val files = listedFilesMemo
     if (files.isEmpty) return None
     var total = 0L
     files.foreach { st =>
@@ -315,7 +326,8 @@ class WarcScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan = pushedCount match {
     case Some(n) => new WarcStatsScan(n)
-    case None => new WarcScan(required, options, pushed)
+    case None =>
+      new WarcScan(required, options, pushed, () => listedFilesMemo)
   }
 }
 
@@ -370,7 +382,9 @@ class WarcSkippedBytesMetric extends CustomSumMetric {
 class WarcScan(requiredSchema: StructType,
     options: CaseInsensitiveStringMap,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
-      Array.empty) extends Scan with Batch
+      Array.empty,
+    listed: () => Seq[org.apache.hadoop.fs.FileStatus] = null)
+  extends Scan with Batch
   with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
@@ -383,10 +397,18 @@ class WarcScan(requiredSchema: StructType,
     * DSv2 scan reports defaultSizeInBytes (effectively infinite), so
     * a small crawl joined against a big relation could never plan a
     * static broadcast — AQE would have to rescue it at runtime. */
+  // ONE listing per scan: estimateStatistics and planInputPartitions
+  // both need the file set (repeated listings are O(files) RPCs per
+  // query on an object store); shared with the builder's memo when
+  // the builder already listed for its aggregate probe
+  private lazy val listedFiles: Seq[org.apache.hadoop.fs.FileStatus] =
+    if (listed != null) listed()
+    else WarcTable.listDataFiles(options, hadoopConf)
+
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val files = WarcTable.listDataFiles(options, hadoopConf)
+      private val files = listedFiles
       private val bytes = files.map(_.getLen).sum
       // exact row count when EVERY file carries a fresh .wcdx and no
       // pushed filter drops records mid-scan
@@ -428,29 +450,40 @@ class WarcScan(requiredSchema: StructType,
     val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
     val conf = hadoopConf
     val useWcdx = options.getBoolean("useWcdx", true)
-    // .wcdx-aware planning, in preference order per file:
-    //   1. pushed predicates + fresh sidecar -> slices over ONLY the
-    //      matching records (a url point-lookup reads one member of a
-    //      100 GB crawl — the wayback access pattern);
-    //   2. big indexed file -> record-range slices at member offsets
+    // index-aware planning, in preference order per file:
+    //   1. pushed predicates + fresh .wcdx sidecar -> slices over ONLY
+    //      the matching records (a url point-lookup reads one member
+    //      of a 100 GB crawl — the wayback access pattern);
+    //   2. pushed predicates + a FOREIGN CDX(J) index (explicit
+    //      option("cdx", …) — Common Crawl's cdx-*.gz, pywb's .cdxj)
+    //      -> the same matching-record slices over a crawl the engine
+    //      never indexed itself;
+    //   3. big indexed file -> record-range slices at member offsets
     //      (the one-task-per-100 GB straggler fix);
-    //   3. whole-file slice.
-    // Sidecars are read only when 1 or 2 applies.
+    //   4. whole-file slice.
+    // Sidecars/indexes are read only when 1-3 applies.
     val compiled = if (pushedFilters.nonEmpty)
       Some(WarcRecordFilter.compile(pushedFilters)) else None
-    val slices = WarcTable.listDataFiles(options, conf).flatMap { st =>
+    lazy val foreignIdx: Map[String, Array[WarcCdx.Entry]] =
+      Option(options.get("cdx"))
+        .map(spec => WarcForeignCdx.load(conf, spec))
+        .getOrElse(Map.empty)
+    val mergeGap = options.getLong("cdxMergeGap", 1L << 16)
+    val slices = listedFiles.flatMap { st =>
       val whole = Seq(WarcFileSlice(st.getPath.toString, 0L, st.getLen))
       if (!useWcdx) whole
       else {
         val fs = st.getPath.getFileSystem(conf)
-        compiled.flatMap(p =>
-            WarcCdx.planMatchingSlices(fs, st, maxBytes, p,
-              options.getLong("cdxMergeGap", 1L << 16)))
-          .getOrElse {
-            if (st.getLen > maxBytes)
-              WarcCdx.planRanges(fs, st, maxBytes).getOrElse(whole)
-            else whole
-          }
+        compiled.flatMap { p =>
+          WarcCdx.planMatchingSlices(fs, st, maxBytes, p, mergeGap)
+            .orElse(foreignIdx.get(st.getPath.getName).map(es =>
+              WarcCdx.slicesFromEntries(st.getPath.toString, es, p,
+                maxBytes, mergeGap)))
+        }.getOrElse {
+          if (st.getLen > maxBytes)
+            WarcCdx.planRanges(fs, st, maxBytes).getOrElse(whole)
+          else whole
+        }
       }
     }
     graft.sources.BinPack.pack(slices.map(s => s -> s.length),

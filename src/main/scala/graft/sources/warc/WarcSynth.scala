@@ -34,7 +34,7 @@ object WarcSynth {
     * the fixture-ready marker encodes version AND page count, so a
     * formula edit or count change regenerates instead of silently
     * reusing a stale fixture (r14 ADVICE). */
-  val SynthVersion = 2
+  val SynthVersion = 3 // v3: RFC 9309 robots fixture (Allow/wildcards)
 
   private def marker(d: Path, n: Int): Path =
     d.resolve(s"_FIXTURE_OK_v${SynthVersion}_n$n")
@@ -288,18 +288,33 @@ object WarcSynth {
       "WARC-Target-URI" -> urlOf(i),
       "Content-Type" -> "text/plain"), textOf(i).getBytes("US-ASCII"))
 
-  /** Robots fixture (SQL-expressible): record i < 50 is site i's
-    * /robots.txt (every third site disallows /private/); record
-    * i >= 50 is a page whose path is /private/p{i} when i%5==0,
-    * else /p{i} — so blocked(i) = site%3==0 && i%5==0. */
-  def robotsPathOf(i: Long): String =
-    if (i % 5 == 0) s"/private/p$i" else s"/p$i"
+  /** Robots fixture (RFC 9309): record i < 50 is site i's /robots.txt
+    * with rules by site class (site % 6) — 0: plain Disallow prefix;
+    * 1: Disallow + a LONGER Allow carve-out (longest-match override);
+    * 2: a `*`-wildcard + `$`-anchored Disallow; 3: an equal-length
+    * Allow/Disallow TIE (Allow must win); 4: no path rules at all;
+    * 5: a mid-pattern wildcard with an end anchor. Record i >= 50 is
+    * a page whose path exercises every class: /private/p{i} (i%5==0),
+    * /private/pub/p{i} (1), /p{i}.tmp (2), else /p{i}. */
+  def robotsPathOf(i: Long): String = (i % 5) match {
+    case 0 => s"/private/p$i"
+    case 1 => s"/private/pub/p$i"
+    case 2 => s"/p$i.tmp"
+    case _ => s"/p$i"
+  }
+
+  def robotsRulesOf(site: Long): String = (site % 6) match {
+    case 0 => "User-agent: *\nDisallow: /private/\n"
+    case 1 => "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n"
+    case 2 => "User-agent: *\nDisallow: /*.tmp$\n"
+    case 3 => "User-agent: *\nDisallow: /p\nAllow: /p\n"
+    case 4 => "User-agent: *\nCrawl-delay: 1\n"
+    case _ => "User-agent: *\nDisallow: /p*3$\n"
+  }
 
   def robotsFixtureRecord(i: Long): Array[Byte] =
     if (i < 50) {
-      val body = (if (i % 3 == 0)
-        "User-agent: *\nDisallow: /private/\n"
-      else "User-agent: *\nCrawl-delay: 1\n").getBytes("US-ASCII")
+      val body = robotsRulesOf(i).getBytes("US-ASCII")
       val head = ("HTTP/1.1 200 OK\r\n" +
         "Content-Type: text/plain\r\n" +
         s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")

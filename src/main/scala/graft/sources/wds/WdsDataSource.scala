@@ -97,6 +97,7 @@ object WdsTable {
 
   def listDataFiles(options: CaseInsensitiveStringMap,
       conf: Configuration): Seq[FileStatus] = {
+    graft.sources.ListingStats.listings.increment()
     val declared = paths(options)
     if (declared.isEmpty)
       throw new IllegalArgumentException("wds source requires a path")
@@ -254,9 +255,16 @@ class WdsScanBuilder(options: CaseInsensitiveStringMap)
   // O(bytes). Any shard missing a sidecar (foreign tars, hand-built
   // fixtures) declines and the streaming walk counts for real.
   // `option("countPushdown","false")` disables.
+  // ONE listing per scan BUILD, shared with the scan this builder
+  // produces (the aggregate probe and the scan's stats/planning all
+  // need the same shard set)
+  private lazy val listedFilesMemo: Seq[FileStatus] =
+    WdsTable.listDataFiles(options,
+      SparkSession.active.sessionState.newHadoopConf())
+
   private def sidecarCount(): Option[Long] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val files = WdsTable.listDataFiles(options, conf)
+    val files = listedFilesMemo
     if (files.isEmpty) return None
     var total = 0L
     files.foreach { st =>
@@ -293,7 +301,8 @@ class WdsScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan = pushedCount match {
     case Some(n) => new WdsStatsScan(n)
-    case None => new WdsScan(required, options, pushed)
+    case None =>
+      new WdsScan(required, options, pushed, () => listedFilesMemo)
   }
 }
 
@@ -330,7 +339,8 @@ class WdsStatsReaderFactory extends PartitionReaderFactory {
 class WdsScan(requiredSchema: StructType,
     options: CaseInsensitiveStringMap,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
-      Array.empty) extends Scan with Batch
+      Array.empty,
+    listed: () => Seq[FileStatus] = null) extends Scan with Batch
   with SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
@@ -344,10 +354,18 @@ class WdsScan(requiredSchema: StructType,
     * exact row count from the sidecars, so a small lake joined
     * against a big relation plans a static broadcast instead of
     * waiting for AQE to rescue it. */
+  // ONE listing per scan: estimateStatistics and planInputPartitions
+  // both need the shard set (repeated listings are O(files) RPCs per
+  // query on an object store); shared with the builder's memo when
+  // the builder already listed for its aggregate probe
+  private lazy val listedFiles: Seq[FileStatus] =
+    if (listed != null) listed()
+    else WdsTable.listDataFiles(options, hadoopConf)
+
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val files = WdsTable.listDataFiles(options, hadoopConf)
+      private val files = listedFiles
       private val bytes = files.map(_.getLen).sum
       private val rows: Option[Long] =
         if (pushedFilters.nonEmpty || files.isEmpty) None
@@ -393,8 +411,7 @@ class WdsScan(requiredSchema: StructType,
       .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
       .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
     val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
-    val files = WdsTable.listDataFiles(options, hadoopConf)
-      .map(f => f.getPath.toString -> f.getLen)
+    val files = listedFiles.map(f => f.getPath.toString -> f.getLen)
     graft.sources.BinPack.pack(files, maxBytes, openCost)
       .map(b => WdsInputPartition(b): InputPartition).toArray
   }

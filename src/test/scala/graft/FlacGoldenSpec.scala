@@ -64,8 +64,8 @@ class FlacGoldenSpec extends AnyFunSuite {
 
   /** fLaC marker + last-block STREAMINFO: blocksizes 16/16, rate
     * 44100, 16-bit, `channels`, `total` samples, PCM md5. */
-  private def header(channels: Int, total: Long, md5: Array[Byte])
-      : Array[Byte] = {
+  private def header(channels: Int, total: Long, md5: Array[Byte],
+      bps: Int = 16): Array[Byte] = {
     val w = new BW
     "fLaC".getBytes("US-ASCII").foreach(b => w.bits(b & 0xFFL, 8))
     w.bits(1, 1); w.bits(0, 7)   // last-metadata-block, type 0
@@ -74,22 +74,25 @@ class FlacGoldenSpec extends AnyFunSuite {
     w.bits(0, 24); w.bits(0, 24)   // min/max framesize unknown
     w.bits(44100, 20)
     w.bits(channels - 1L, 3)
-    w.bits(15, 5)                // bps - 1
+    w.bits(bps - 1L, 5)          // bps - 1
     w.bits(total, 36)
     md5.foreach(b => w.bits(b & 0xFFL, 8))
     w.bytes
   }
 
   /** Frame header for blocksize 16 (code 6 + 8-bit bs-1), rate from
-    * STREAMINFO, 16-bit samples, with CRC-8 appended. */
-  private def frameHead(chanCode: Int, frameNo: Int): Array[Byte] = {
+    * STREAMINFO, with CRC-8 appended. Sample-size code from bps
+    * (RFC 9639 frame-header table: 1=8, 4=16, 6=24). */
+  private def frameHead(chanCode: Int, frameNo: Int, bps: Int = 16)
+      : Array[Byte] = {
+    val ssCode = bps match { case 8 => 1; case 16 => 4; case 24 => 6 }
     val w = new BW
     w.bits(0x3FFE, 14)           // sync
     w.bits(0, 1); w.bits(0, 1)   // reserved, fixed-blocksize strategy
     w.bits(6, 4)                 // blocksize: 8-bit bs-1 follows
     w.bits(0, 4)                 // sample rate: from STREAMINFO
     w.bits(chanCode.toLong, 4)
-    w.bits(4, 3)                 // sample size: 16-bit
+    w.bits(ssCode.toLong, 3)     // sample size
     w.bits(0, 1)                 // reserved
     w.bits(frameNo.toLong, 8)    // UTF-8 coded number (< 0x80)
     w.bits(15, 8)                // blocksize - 1
@@ -102,12 +105,12 @@ class FlacGoldenSpec extends AnyFunSuite {
     frame ++ Array(((c >> 8) & 0xFF).toByte, (c & 0xFF).toByte)
   }
 
-  private def pcmMd5(chans: Array[Array[Int]]): Array[Byte] = {
+  private def pcmMd5(chans: Array[Array[Int]], bps: Int = 16)
+      : Array[Byte] = {
+    val bytesPer = (bps + 7) / 8
     val md = java.security.MessageDigest.getInstance("MD5")
-    for (i <- chans(0).indices; c <- chans.indices) {
-      md.update((chans(c)(i) & 0xFF).toByte)
-      md.update(((chans(c)(i) >> 8) & 0xFF).toByte)
-    }
+    for (i <- chans(0).indices; c <- chans.indices; k <- 0 until bytesPer)
+      md.update(((chans(c)(i) >> (8 * k)) & 0xFF).toByte)
     md.digest()
   }
 
@@ -254,5 +257,44 @@ class FlacGoldenSpec extends AnyFunSuite {
     }
     val stream = header(1, 16, pcmMd5(expected)) ++ withCrc16(f)
     assert(FlacCodec.decode(stream).mono.toSeq == expected(0).toSeq)
+  }
+
+  test("golden vector 7: a 24-bit stream (STREAMINFO bps 24, frame " +
+      "sample-size code 6) decodes verbatim + fixed subframes across " +
+      "two frames with the 3-byte-per-sample MD5 gate live") {
+    // frame 0: verbatim, full ±2^23 span; frame 1: fixed order 1 ramp
+    // (step 65536 — a residual no 16-bit path could carry)
+    val verb = Array(8388607, -8388608, 70000, -70000, 0, 1, -1,
+      1234567, -7654321, 99, -100, 4660, 2882343, -2882343, 16, -17)
+    val ramp = (0 until 16).map(i => -500000 + 65536 * i).toArray
+    val expected = Array(verb ++ ramp)
+    val f0 = {
+      val w = new BW
+      w.bits(0, 1); w.bits(1, 6); w.bits(0, 1) // VERBATIM
+      verb.foreach(v => w.bits(v.toLong & 0xFFFFFF, 24))
+      w.align()
+      frameHead(0, 0, bps = 24) ++ w.bytes
+    }
+    val f1 = {
+      val w = new BW
+      w.bits(0, 1); w.bits(0x09, 6); w.bits(0, 1) // FIXED order 1
+      w.bits(ramp(0).toLong & 0xFFFFFF, 24)       // warmup
+      w.bits(0, 2); w.bits(0, 4)                  // rice4, 1 partition
+      w.bits(0xF, 4)                              // ESCAPE
+      w.bits(18, 5)                               // raw width 18
+      (1 until 16).foreach(_ => w.bits(65536L & 0x3FFFF, 18))
+      w.align()
+      frameHead(0, 1, bps = 24) ++ w.bytes
+    }
+    val stream = header(1, 32, pcmMd5(expected, bps = 24), bps = 24) ++
+      withCrc16(f0) ++ withCrc16(f1)
+    val audio = FlacCodec.decode(stream)
+    assert(audio.sampleRate == 44100 && audio.channels == 1)
+    assert(audio.mono.toSeq == expected(0).toSeq)
+    // the 24-bit MD5 walk is live: a wrong digest rejects
+    val bad = header(1, 32, Array.fill[Byte](16)(3), bps = 24) ++
+      withCrc16(f0) ++ withCrc16(f1)
+    val ex = intercept[Exception] { FlacCodec.decode(bad) }
+    assert(ex.getMessage.contains("MD5"), ex.getMessage)
   }
 }

@@ -323,4 +323,49 @@ class WarcCdxSpec extends AnyFunSuite {
     assert(WarcCdx.readOffsets(fs,
       fs.getFileStatus(new Path(p.toString))).get._2.length == 80)
   }
+
+  test("a warc rewritten to a different length under a PRESERVED " +
+      "mtime is still stale — freshness is anchored to the length " +
+      "recorded in the header, not mtime ordering alone") {
+    val dir = Files.createTempDirectory("wcdx_lenstale").toString
+    val p = Paths.get(dir, "a.warc")
+    Files.write(p, (0 until 50).map(i =>
+      WarcSynth.responseRecord(i.toLong)).reduce(_ ++ _))
+    WarcCdx.writeIndex(conf, new Path(p.toString))
+    val sidecarMtime = Files.getLastModifiedTime(
+      Paths.get(p.toString + WarcCdx.SidecarSuffix))
+    // rewrite with more records, then set the warc's mtime BEHIND the
+    // sidecar's — the copied-with-preserved-timestamps scenario where
+    // mtime ordering alone would call the sidecar fresh
+    Files.write(p, (0 until 80).map(i =>
+      WarcSynth.responseRecord(i.toLong)).reduce(_ ++ _))
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        sidecarMtime.toMillis - 10000))
+    val fs = new Path(p.toString).getFileSystem(conf)
+    val st = fs.getFileStatus(new Path(p.toString))
+    assert(WarcCdx.readOffsets(fs, st).isEmpty,
+      "length-mismatched sidecar used for offsets")
+    assert(WarcCdx.readCount(fs, st).isEmpty,
+      "length-mismatched sidecar used for count")
+    assert(WarcCdx.readEntries(fs, st).isEmpty,
+      "length-mismatched sidecar used for entries")
+    // the scan still answers correctly (whole-file walk)
+    assert(spark.read.format("warc").load(p.toString).count() == 80)
+  }
+
+  test("survey parses sidecar lines as raw tab-separated text — a " +
+      "url field beginning with a double quote survives verbatim") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wcdx_quote").toString
+    val url = "\"http://quoted.example/a\""
+    Seq((url, 200, "text/plain", "body".getBytes("UTF-8")))
+      .toDF("url", "http_status", "http_content_type", "payload")
+      .coalesce(1).write.format("warc").mode("append").save(dir)
+    val urls = WarcCdx.survey(spark, dir)
+      .select(col("url")).collect().map(_.getString(0))
+    assert(urls.toSeq == Seq(url),
+      s"survey mangled the quoted url: ${urls.mkString("|")}")
+  }
 }

@@ -198,4 +198,76 @@ class WarcSinkSpec extends AnyFunSuite {
     }
     assert(members == 40)
   }
+
+  test("empty partitions commit NO archive, batch AND streaming — a " +
+      "0-byte .warc.gz is not a valid gzip stream, so a placeholder " +
+      "file would crash any unfiltered read of the sink's output") {
+    // batch: more partitions than rows
+    val bdir = Files.createTempDirectory("warc_sink_eb").toString
+    docsDf(2).repartition(6).write.format("warc").mode("append")
+      .save(bdir)
+    val bfiles = Files.list(Paths.get(bdir)).toArray.map(_.toString)
+      .filter(_.endsWith(".warc.gz"))
+    assert(bfiles.nonEmpty && bfiles.forall(f =>
+      Files.size(Paths.get(f)) > 0), "batch committed an empty archive")
+    assert(spark.read.format("warc").load(bdir).count() == 2)
+    // streaming: repartition(5) over 2 rows leaves empty partitions
+    // in the epoch — exactly the shape that used to land 0-byte files
+    val stage = Files.createTempDirectory("warc_se_stage").toString
+    val outDir = Files.createTempDirectory("warc_se_out").toString
+    val ckpt = Files.createTempDirectory("warc_se_ckpt").toString
+    val src = docsDf(2)
+    src.write.mode("overwrite").parquet(stage)
+    val q = spark.readStream.schema(src.schema).parquet(stage)
+      .repartition(5)
+      .writeStream.format("warc")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sfiles = Files.list(Paths.get(outDir)).toArray.map(_.toString)
+      .filter(_.endsWith(".warc.gz"))
+    assert(sfiles.nonEmpty && sfiles.forall(f =>
+      Files.size(Paths.get(f)) > 0),
+      "streaming sink committed a 0-byte archive")
+    // the read that used to crash (GZIPInputStream EOF on the 0-byte
+    // placeholder): unfiltered scan of the sink's output directory
+    assert(spark.read.format("warc").load(outDir)
+      .select("url").collect().length == 2)
+  }
+
+  test("header values are validated BEFORE any byte is emitted: " +
+      "CR/LF injection and non-ASCII values fail the task instead of " +
+      "writing a corrupt record") {
+    import spark.implicits._
+    def rootChain(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    val dir = Files.createTempDirectory("warc_sink_inject").toString
+    // a CRLF in the url would inject/override header fields on
+    // read-back (setField is last-wins); non-ASCII would be silently
+    // mangled to '?' by the US-ASCII encode
+    for (url <- Seq("http://a.example/\r\nWARC-Type: warcinfo",
+        "http://b.example/éclair")) {
+      val e = intercept[Exception] {
+        Seq((url, "body".getBytes("UTF-8"))).toDF("url", "payload")
+          .coalesce(1).write.format("warc").mode("append").save(dir)
+      }
+      assert(rootChain(e).contains("printable ASCII"),
+        s"expected a header-validation failure for $url")
+    }
+    // failed tasks abort cleanly: no data file, no temp survives
+    val leftover = Files.list(Paths.get(dir)).toArray.map(_.toString)
+    assert(!leftover.exists(_.endsWith(".warc.gz")),
+      "a rejected row must not leave a visible archive")
+    // printable-ASCII urls (including '"') still write fine
+    Seq(("http://ok.example/\"quoted\"?q=1&x=%C3%A9",
+        "body".getBytes("UTF-8"))).toDF("url", "payload")
+      .coalesce(1).write.format("warc").mode("append").save(dir)
+    assert(spark.read.format("warc").load(dir).count() == 1)
+  }
 }

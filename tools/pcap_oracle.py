@@ -1310,6 +1310,39 @@ if glob.glob(f"{out}/pcap_vlan_inventory/*.parquet"):
          sorted((v, n, len(cl), mp, q)
                 for v, (n, cl, mp, q) in vlstats.items()))
 
+# MPLS inventory: independent RFC 3032 label-stack walk (4-byte
+# entries to the bottom-of-stack bit) + inner-IP/DNS re-decode.
+if glob.glob(f"{out}/pcap_mpls_inventory/*.parquet"):
+    mstats = {}
+    for _, _, fr in _frames("/tmp/graft_synth_mpls.pcap"):
+        et = struct.unpack_from(">H", fr, 12)[0]
+        if et not in (0x8847, 0x8848):
+            continue  # plain frames are filtered by the query
+        p, labels = 14, []
+        while True:
+            w = struct.unpack_from(">I", fr, p)[0]
+            labels.append(w >> 12)
+            p += 4
+            if (w >> 8) & 1:
+                break
+        ip = p
+        assert (fr[ip] >> 4) == 4
+        ihl = (fr[ip] & 0xF) * 4
+        assert fr[ip + 9] == 17
+        src = ".".join(str(b) for b in fr[ip + 12:ip + 16])
+        dns = fr[ip + ihl + 8:]
+        q, _ = parse_qname(dns, 12)
+        e = mstats.setdefault((labels[0], len(labels)), [0, set(), None])
+        e[0] += 1
+        e[1].add(src)
+        e[2] = q if e[2] is None else min(e[2], q)
+    _cmp("pcap_mpls_inventory(redecode)",
+         _read("pcap_mpls_inventory",
+               ["outer_label", "depth", "n_pkts", "n_clients",
+                "first_qname"]),
+         sorted((lbl, d, n, len(cl), q)
+                for (lbl, d), (n, cl, q) in mstats.items()))
+
 # JA3S server fingerprint: independent ServerHello parse from raw
 # bytes (record/handshake framing, single selected cipher, extension
 # walk incl. the ServerHello supported_versions form) + an independent
