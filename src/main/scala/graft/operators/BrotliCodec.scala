@@ -1,0 +1,615 @@
+package graft.operators
+
+/** Clean-room RFC 7932 (brotli) DECODER — the `Content-Encoding: br`
+  * a large share of real crawl captures carry. No brotli jar exists
+  * on Spark's classpath, so this is built from the RFC alone (the
+  * FlacCodec/JpegCodec discipline): LSB-first bit reader, WBITS
+  * window header, metablock framing (compressed, uncompressed, and
+  * metadata-skip), simple + complex prefix codes (code-length code
+  * with 16/17 repeat accumulation, canonical assignment), block-type
+  * switching in all three categories, context maps with RLE + inverse
+  * move-to-front, the 704-symbol insert-and-copy command alphabet,
+  * the 4-slot distance ring with all 16 short codes, and
+  * NPOSTFIX/NDIRECT distance composition.
+  *
+  * SUBSET — two honest rejections, never silent corruption:
+  *   - static-dictionary references (a backward distance past the
+  *     window): RFC 7932 Appendix A/B's 122 KB dictionary + 121
+  *     transforms are spec DATA this clean room does not carry;
+  *   - UTF8/Signed literal-context modes when the literal context
+  *     map actually discriminates (their 512-byte context tables are
+  *     likewise appendix data). LSB6/MSB6 are computed exactly, and
+  *     any mode passes when the map is uniform (NTREESL == 1 — every
+  *     stream our encoder or the golden vectors produce).
+  *
+  * Reference: RFC 7932 §§2-10 (stream layout, prefix codes, context
+  * modeling, command alphabet, distance codes).
+  */
+object BrotliCodec extends Serializable {
+
+  /** LSB-first bit reader (the DEFLATE bit order brotli shares). */
+  private final class BitReader(data: Array[Byte]) {
+    var pos = 0L // bit position
+    private val nbits = data.length.toLong * 8
+
+    def bit(): Int = {
+      require(pos < nbits, "brotli stream truncated")
+      val b = (data((pos >> 3).toInt) >> (pos & 7).toInt) & 1
+      pos += 1
+      b
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v |= bit() << i; i += 1 }
+      v
+    }
+
+    /** Byte alignment before uncompressed/metadata payloads — the
+      * skipped bits are ignored (RFC 7932 §9.2). */
+    def alignByte(): Unit = pos = (pos + 7) & ~7L
+
+    def skipBytes(n: Int): Unit = {
+      require((pos & 7) == 0, "unaligned skip")
+      require((pos >> 3) + n <= data.length, "brotli metadata truncated")
+      pos += n.toLong * 8
+    }
+  }
+
+  /** Canonical prefix code: `lengths(sym)` in 0..15 (0 = absent).
+    * DEFLATE-style canonical assignment (codes in increasing symbol
+    * order per length — RFC 7932 §3.2), read MSB-of-code-first via
+    * tree walk. A single-symbol code reads ZERO bits. */
+  private final class PrefixCode(lengths: Array[Int]) {
+    private val maxLen = lengths.max
+    private val single: Int = {
+      var s = -1
+      var n = 0
+      var i = 0
+      while (i < lengths.length) {
+        if (lengths(i) > 0) { s = i; n += 1 }
+        i += 1
+      }
+      require(n > 0, "empty prefix code")
+      if (n == 1) s else -1
+    }
+    private var counts: Array[Int] = _
+    private var firstCode: Array[Int] = _
+    private var offsets: Array[Int] = _
+    private var symbols: Array[Int] = _
+    if (single < 0) {
+      counts = new Array[Int](maxLen + 1)
+      lengths.foreach(l => if (l > 0) counts(l) += 1)
+      // completeness: Σ 2^(maxLen - len) must be exactly 2^maxLen
+      var space = 0L
+      var l = 1
+      while (l <= maxLen) {
+        space += counts(l).toLong << (maxLen - l)
+        l += 1
+      }
+      require(space == (1L << maxLen),
+        s"incomplete/overfull prefix code (space $space of " +
+          s"${1L << maxLen})")
+      firstCode = new Array[Int](maxLen + 1)
+      offsets = new Array[Int](maxLen + 1)
+      var code = 0
+      var total = 0
+      l = 1
+      while (l <= maxLen) {
+        firstCode(l) = code
+        offsets(l) = total
+        code = (code + counts(l)) << 1
+        total += counts(l)
+        l += 1
+      }
+      symbols = new Array[Int](total)
+      val next = offsets.clone()
+      var s = 0
+      while (s < lengths.length) {
+        val ln = lengths(s)
+        if (ln > 0) { symbols(next(ln)) = s; next(ln) += 1 }
+        s += 1
+      }
+    }
+
+    def decode(br: BitReader): Int = {
+      if (single >= 0) return single
+      var code = 0
+      var len = 0
+      while (len < maxLen) {
+        code = (code << 1) | br.bit()
+        len += 1
+        if (code >= firstCode(len) &&
+            code - firstCode(len) < counts(len))
+          return symbols(offsets(len) + code - firstCode(len))
+      }
+      throw new IllegalArgumentException(
+        "invalid brotli prefix code word")
+    }
+  }
+
+  // fixed code for the code-length alphabet {0..5}: lengths 2,4,3,2,2,4
+  private val CodeLenCode = new PrefixCode(Array(2, 4, 3, 2, 2, 4))
+  // complex-code symbol read order (RFC 7932 §3.5)
+  private val CodeLenOrder =
+    Array(1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** Read a prefix code over `alphabetSize` symbols (§3.4-3.5). */
+  private def readPrefixCode(br: BitReader, alphabetSize: Int)
+      : PrefixCode = {
+    val hskip = br.bits(2)
+    if (hskip == 1) {
+      // simple code: 1-4 explicit symbols
+      val alphaBits = 32 - Integer.numberOfLeadingZeros(alphabetSize - 1)
+      val nsym = br.bits(2) + 1
+      val syms = new Array[Int](nsym)
+      var i = 0
+      while (i < nsym) {
+        syms(i) = br.bits(alphaBits)
+        require(syms(i) < alphabetSize,
+          s"simple-code symbol ${syms(i)} outside alphabet $alphabetSize")
+        var j = 0
+        while (j < i) {
+          require(syms(j) != syms(i), "duplicate simple-code symbol")
+          j += 1
+        }
+        i += 1
+      }
+      val lens: Array[Int] = nsym match {
+        case 1 => Array(1)            // single symbol: zero-bit decode
+        case 2 => Array(1, 1)
+        case 3 => Array(1, 2, 2)
+        case _ =>
+          if (br.bit() == 1) Array(1, 2, 3, 3) else Array(2, 2, 2, 2)
+      }
+      val lengths = new Array[Int](alphabetSize)
+      i = 0
+      while (i < nsym) { lengths(syms(i)) = lens(i); i += 1 }
+      new PrefixCode(lengths)
+    } else {
+      // complex code: code-length code, then symbol lengths with
+      // 16/17 repeat codes (§3.5)
+      val clens = new Array[Int](18)
+      var space = 0
+      var nonzero = 0
+      var i = hskip
+      while (i < 18 && space < 32) {
+        val l = CodeLenCode.decode(br)
+        clens(CodeLenOrder(i)) = l
+        if (l > 0) { space += 32 >> l; nonzero += 1 }
+        i += 1
+      }
+      require(space == 32 || nonzero == 1,
+        s"invalid code-length code (space $space)")
+      val clCode = new PrefixCode(clens) // single-nonzero = 0-bit code
+      val lengths = new Array[Int](alphabetSize)
+      var sym = 0
+      var prevLen = 8 // kDefaultCodeLength
+      var hspace = 0L
+      var repeat = 0
+      var repeatLen = 0
+      var prevRepeat = -1 // 16 or 17 when the previous code was one
+      while (sym < alphabetSize && hspace < 32768) {
+        val c = clCode.decode(br)
+        if (c < 16) {
+          lengths(sym) = c
+          sym += 1
+          if (c > 0) { prevLen = c; hspace += 32768 >> c }
+          prevRepeat = -1
+          repeat = 0
+        } else {
+          val extraBits = if (c == 16) 2 else 3
+          val newLen = if (c == 16) prevLen else 0
+          if (prevRepeat == c && repeatLen == newLen) {
+            // consecutive same repeat code: count accumulates
+            val old = repeat
+            repeat = ((repeat - 2) << extraBits) + 3 + br.bits(extraBits)
+            val delta = repeat - old
+            var k = 0
+            while (k < delta) {
+              require(sym < alphabetSize, "repeat overruns alphabet")
+              lengths(sym) = newLen
+              if (newLen > 0) hspace += 32768 >> newLen
+              sym += 1
+              k += 1
+            }
+          } else {
+            repeat = 3 + br.bits(extraBits)
+            repeatLen = newLen
+            var k = 0
+            while (k < repeat) {
+              require(sym < alphabetSize, "repeat overruns alphabet")
+              lengths(sym) = newLen
+              if (newLen > 0) hspace += 32768 >> newLen
+              sym += 1
+              k += 1
+            }
+          }
+          prevRepeat = c
+        }
+      }
+      require(hspace == 32768,
+        s"incomplete/overfull brotli prefix code (space $hspace)")
+      new PrefixCode(lengths)
+    }
+  }
+
+  // variable-length count code for NBLTYPES/NTREES (§9.2): 1..256
+  private def readVarCount(br: BitReader): Int =
+    if (br.bit() == 0) 1
+    else {
+      val k = br.bits(3)
+      if (k == 0) 2 else (1 << k) + 1 + br.bits(k)
+    }
+
+  // block-count code (26 symbols): (base, extra bits)
+  private val BlockLenBase = Array(
+    1, 5, 9, 13, 17, 25, 33, 41, 49, 65, 81, 97, 113, 145, 177, 209,
+    241, 305, 369, 497, 753, 1265, 2289, 4337, 8433, 16625)
+  private val BlockLenExtra = Array(
+    2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 6, 6, 7, 8, 9,
+    10, 11, 12, 13, 24)
+
+  // insert-length code: (base, extra)
+  private val InsertBase = Array(
+    0, 1, 2, 3, 4, 5, 6, 8, 10, 14, 18, 26, 34, 50, 66, 98, 130, 194,
+    322, 578, 1090, 2114, 6210, 22594)
+  private val InsertExtra = Array(
+    0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 7, 8, 9, 10,
+    12, 14, 24)
+
+  // copy-length code: (base, extra)
+  private val CopyBase = Array(
+    2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 18, 22, 30, 38, 54, 70, 102,
+    134, 198, 326, 582, 1094, 2118)
+  private val CopyExtra = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 7, 8,
+    9, 10, 24)
+
+  // command cells 2..10 (cells 0-1 use the implicit last distance):
+  // high-3-bit bases of the insert / copy codes per 64-command cell
+  private val CellInsert = Array(0, 0, 0, 0, 8, 8, 0, 16, 8, 16, 16)
+  private val CellCopy = Array(0, 8, 0, 8, 0, 8, 16, 0, 16, 8, 16)
+
+  /** One category's block-switching state. */
+  private final class BlockState(val nTypes: Int,
+      val typeCode: PrefixCode, val lenCode: PrefixCode,
+      br: BitReader) {
+    var btype = 0
+    private var prevType = 1
+    var remaining: Long =
+      if (nTypes >= 2) readBlockLen(br) else Long.MaxValue
+
+    private def readBlockLen(r: BitReader): Long = {
+      val s = lenCode.decode(r)
+      BlockLenBase(s).toLong + r.bits(BlockLenExtra(s))
+    }
+
+    /** Consume one element; switches block type when the count runs
+      * out (§6). */
+    def tick(r: BitReader): Unit = {
+      if (remaining == 0) {
+        val s = typeCode.decode(r)
+        val next = s match {
+          case 0 => prevType
+          case 1 => (btype + 1) % nTypes
+          case _ => s - 2
+        }
+        require(next < nTypes, s"block type $next out of range")
+        prevType = btype
+        btype = next
+        remaining = readBlockLen(r)
+      }
+      remaining -= 1
+    }
+  }
+
+  /** Decode a context map of `size` entries over `nTrees` values
+    * (§7.3): RLE of zeros + inverse move-to-front. */
+  private def readContextMap(br: BitReader, size: Int, nTrees: Int)
+      : Array[Int] = {
+    val rleMax = if (br.bit() == 1) br.bits(4) + 1 else 0
+    val code = readPrefixCode(br, nTrees + rleMax)
+    val map = new Array[Int](size)
+    var i = 0
+    while (i < size) {
+      val s = code.decode(br)
+      if (s == 0) { map(i) = 0; i += 1 }
+      else if (s <= rleMax) {
+        val reps = (1 << s) + br.bits(s)
+        require(i + reps <= size, "context-map zero run overruns")
+        i += reps // zeros
+      } else {
+        map(i) = s - rleMax
+        i += 1
+      }
+    }
+    if (br.bit() == 1) {
+      // inverse move-to-front
+      val mtf = Array.tabulate(256)(identity)
+      var k = 0
+      while (k < size) {
+        val idx = map(k)
+        val v = mtf(idx)
+        var j = idx
+        while (j > 0) { mtf(j) = mtf(j - 1); j -= 1 }
+        mtf(0) = v
+        map(k) = v
+        k += 1
+      }
+    }
+    map.foreach(v => require(v < nTrees,
+      s"context map references tree $v of $nTrees"))
+    map
+  }
+
+  /** Decode a complete brotli stream; `maxOut` caps the output (bomb
+    * guard — same discipline as the gzip/zstd walkers). */
+  def decode(data: Array[Byte], maxOut: Long = 1L << 30): Array[Byte] = {
+    val br = new BitReader(data)
+    // WBITS (§9.1)
+    val wbits =
+      if (br.bit() == 0) 16
+      else {
+        val n = br.bits(3)
+        if (n != 0) 17 + n
+        else {
+          val m = br.bits(3)
+          if (m == 0) 17
+          else {
+            require(m != 1, "invalid brotli WBITS")
+            8 + m
+          }
+        }
+      }
+    val winSize = (1L << wbits) - 16
+    var outBuf = new Array[Byte](math.max(64, data.length * 2))
+    var outLen = 0
+    def ensure(n: Int): Unit =
+      if (outLen + n > outBuf.length) {
+        var cap = outBuf.length
+        while (cap < outLen + n) cap *= 2
+        outBuf = java.util.Arrays.copyOf(outBuf, cap)
+      }
+    def push(b: Byte): Unit = {
+      ensure(1)
+      outBuf(outLen) = b
+      outLen += 1
+      require(outLen <= maxOut,
+        s"brotli output exceeds $maxOut B — decompression bomb, refusing")
+    }
+
+    def decodeCompressedMetablock(r: BitReader, mlen: Long): Unit = {
+      // three categories of block switching
+      def category(): BlockState = {
+        val n = readVarCount(r)
+        if (n >= 2) {
+          val tc = readPrefixCode(r, n + 2)
+          val lc = readPrefixCode(r, 26)
+          new BlockState(n, tc, lc, r)
+        } else new BlockState(1, null, null, r)
+      }
+      val blockL = category()
+      val blockI = category()
+      val blockD = category()
+      val npostfix = r.bits(2)
+      val ndirect = r.bits(4) << npostfix
+      val contextModes = Array.fill(blockL.nTypes)(r.bits(2))
+      val nTreesL = readVarCount(r)
+      val cmapL =
+        if (nTreesL >= 2) readContextMap(r, 64 * blockL.nTypes, nTreesL)
+        else new Array[Int](64 * blockL.nTypes)
+      val nTreesD = readVarCount(r)
+      val cmapD =
+        if (nTreesD >= 2) readContextMap(r, 4 * blockD.nTypes, nTreesD)
+        else new Array[Int](4 * blockD.nTypes)
+      val litCodes = Array.fill(nTreesL)(readPrefixCode(r, 256))
+      val cmdCodes = Array.fill(blockI.nTypes)(readPrefixCode(r, 704))
+      val distAlpha = 16 + ndirect + (48 << npostfix)
+      val distCodes = Array.fill(nTreesD)(readPrefixCode(r, distAlpha))
+      // UTF8/Signed context modes pass only where the map can't
+      // discriminate (uniform row) — their context tables are
+      // appendix data outside this clean room
+      def checkCtxMode(bt: Int): Unit = {
+        val mode = contextModes(bt)
+        if (mode >= 2 && nTreesL >= 2) {
+          val row0 = cmapL(64 * bt)
+          var c = 1
+          while (c < 64) {
+            require(cmapL(64 * bt + c) == row0,
+              "subset decoder: UTF8/Signed literal context with a " +
+                "discriminating context map (RFC 7932 appendix tables " +
+                "not carried)")
+            c += 1
+          }
+        }
+      }
+      // distance ring buffer (§4), initial values per the RFC
+      var d1 = 16L
+      var d2 = 15L
+      var d3 = 11L
+      var d4 = 4L
+      var written = 0L
+      while (written < mlen) {
+        blockI.tick(r)
+        val cmd = cmdCodes(blockI.btype).decode(r)
+        val cell = cmd >> 6
+        val insCode = CellInsert(cell) + ((cmd >> 3) & 7)
+        val cpyCode = CellCopy(cell) + (cmd & 7)
+        val implicitDist0 = cell < 2
+        val insLen = InsertBase(insCode) + r.bits(InsertExtra(insCode))
+        val cpyLen = CopyBase(cpyCode).toLong +
+          (if (CopyExtra(cpyCode) <= 24) r.bits(CopyExtra(cpyCode)) else 0)
+        // literals
+        var i = 0
+        while (i < insLen) {
+          blockL.tick(r)
+          val bt = blockL.btype
+          checkCtxMode(bt)
+          val mode = contextModes(bt)
+          val p1 = if (outLen > 0) outBuf(outLen - 1) & 0xFF else 0
+          val ctx = mode match {
+            case 0 => p1 & 0x3F                  // LSB6
+            case 1 => p1 >> 2                    // MSB6
+            case _ => 0 // uniform map, any index works
+          }
+          val tree = cmapL(64 * bt + ctx)
+          val lit = litCodes(tree).decode(r)
+          push(lit.toByte)
+          written += 1
+          i += 1
+        }
+        require(written <= mlen, "brotli insert overruns MLEN")
+        if (written < mlen) {
+          // distance
+          val dist: Long =
+            if (implicitDist0) d1
+            else {
+              blockD.tick(r)
+              val dctx = math.min(cpyLen - 2, 3L).toInt
+              val tree = cmapD(4 * blockD.btype + dctx)
+              val sym = distCodes(tree).decode(r)
+              val d: Long =
+                if (sym < 16) sym match {
+                  case 0 => d1
+                  case 1 => d2
+                  case 2 => d3
+                  case 3 => d4
+                  case 4 => d1 - 1
+                  case 5 => d1 + 1
+                  case 6 => d1 - 2
+                  case 7 => d1 + 2
+                  case 8 => d1 - 3
+                  case 9 => d1 + 3
+                  case 10 => d2 - 1
+                  case 11 => d2 + 1
+                  case 12 => d2 - 2
+                  case 13 => d2 + 2
+                  case 14 => d2 - 3
+                  case _ => d2 + 3
+                }
+                else if (sym < 16 + ndirect) (sym - 16 + 1).toLong
+                else {
+                  val s = sym - 16 - ndirect
+                  val postfix = s & ((1 << npostfix) - 1)
+                  val h = s >> npostfix
+                  val nbits = 1 + (h >> 1)
+                  val offset = ((2L + (h & 1)) << nbits) - 4
+                  ((offset + r.bits(nbits)) << npostfix) + postfix +
+                    ndirect + 1
+                }
+              require(d > 0, s"invalid brotli distance $d")
+              // ring updates for every symbol except 0 (§4)
+              if (sym != 0) { d4 = d3; d3 = d2; d2 = d1; d1 = d }
+              d
+            }
+          val maxBack = math.min(winSize, outLen.toLong)
+          require(dist <= maxBack,
+            "subset decoder: static-dictionary reference (backward " +
+              s"distance $dist beyond $maxBack window bytes) — " +
+              "RFC 7932 appendix dictionary not carried")
+          require(written + cpyLen <= mlen,
+            "brotli copy overruns MLEN")
+          var k = 0L
+          while (k < cpyLen) {
+            push(outBuf(outLen - dist.toInt))
+            k += 1
+          }
+          written += cpyLen
+        }
+      }
+    }
+
+    var isLast = false
+    while (!isLast) {
+      isLast = br.bit() == 1
+      if (isLast && br.bit() == 1) {
+        // ISLASTEMPTY
+      } else {
+        val mnibblesCode = br.bits(2)
+        if (mnibblesCode == 3) {
+          // metadata block (§9.2): skipped, byte-aligned
+          require(br.bit() == 0, "reserved metadata bit set")
+          val mskipBytes = br.bits(2)
+          var mskip = 0
+          var k = 0
+          while (k < mskipBytes) { mskip |= br.bits(8) << (8 * k); k += 1 }
+          if (mskipBytes > 0)
+            require((mskip >> (8 * (mskipBytes - 1))) != 0,
+              "metadata length has a zero high byte")
+          val len = if (mskipBytes == 0) 0 else mskip + 1
+          br.alignByte()
+          br.skipBytes(len)
+        } else {
+          val mnibbles = 4 + mnibblesCode
+          var mlen = 0L
+          var k = 0
+          while (k < mnibbles) { mlen |= br.bits(4).toLong << (4 * k); k += 1 }
+          if (mnibbles > 4)
+            require((mlen >> (4 * (mnibbles - 1))) != 0,
+              "MLEN high nibble zero with extended MNIBBLES")
+          mlen += 1
+          val uncompressed = !isLast && br.bit() == 1
+          if (uncompressed) {
+            br.alignByte()
+            require(outLen + mlen <= maxOut, "brotli output exceeds cap")
+            ensure(mlen.toInt)
+            val start = (br.pos >> 3).toInt
+            require(start + mlen <= data.length,
+              "uncompressed metablock truncated")
+            System.arraycopy(data, start, outBuf, outLen, mlen.toInt)
+            outLen += mlen.toInt
+            br.pos += mlen * 8
+          } else {
+            decodeCompressedMetablock(br, mlen)
+          }
+        }
+      }
+    }
+
+
+    java.util.Arrays.copyOf(outBuf, outLen)
+  }
+
+  // -------------------------------------------------------------------------
+  // minimal encoder — uncompressed metablocks only (every byte
+  // sequence is representable; the wire form is trivially conformant:
+  // WBITS, then per chunk ISLAST=0 + MNIBBLES + MLEN-1 + ISUNCOMPRESSED,
+  // byte-aligned raw bytes, then an ISLAST+ISLASTEMPTY terminator).
+  // Enough to synthesize `br` fixture pages; the decoder's compressed
+  // paths are pinned by hand-assembled golden vectors instead.
+  // -------------------------------------------------------------------------
+
+  def encodeUncompressed(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 16)
+    var acc = 0
+    var nb = 0
+    def putBits(v: Long, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        acc |= (((v >> i) & 1L) << nb).toInt
+        nb += 1
+        if (nb == 8) { out.write(acc); acc = 0; nb = 0 }
+        i += 1
+      }
+    }
+    def align(): Unit = if (nb != 0) { out.write(acc); acc = 0; nb = 0 }
+    putBits(0, 1) // WBITS = 16
+    var off = 0
+    while (off < body.length) {
+      val n = math.min(1 << 16, body.length - off)
+      putBits(0, 1)               // ISLAST = 0
+      putBits(0, 2)               // MNIBBLES code 0 -> 4 nibbles
+      putBits(n.toLong - 1, 16)   // MLEN - 1
+      putBits(1, 1)               // ISUNCOMPRESSED
+      align()
+      out.write(body, off, n)
+      off += n
+    }
+    putBits(1, 1) // ISLAST
+    putBits(1, 1) // ISLASTEMPTY
+    align()
+    out.toByteArray
+  }
+}

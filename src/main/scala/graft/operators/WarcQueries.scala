@@ -37,6 +37,38 @@ object WarcQueries {
     s"'<html><title>t' || $g || '</title><body>warc document ' || $g || " +
       s"' alpha beta gamma ' || (($g*37)%1000) || '</body></html>'"
 
+  private val ForeignPages = 3000
+
+  /** 20 spread-out lookup pages avoiding the image (i%13==5) and 404
+    * (i%17==0) formula rows, so the oracle's html-md5 closed form
+    * holds for every lookup. */
+  private lazy val foreignLookupPages: Seq[Long] = {
+    val cand = (0 until ForeignPages)
+      .filter(i => i % 13 != 5 && i % 17 != 0)
+    (0 until 20).map(g => cand(g * (cand.length / 20)).toLong)
+  }
+
+  /** Foreign-indexed crawl: member-gzip archives with NO .wcdx,
+    * indexed ONLY by the CPython CDXJ writer — the independent-writer
+    * evidence that the engine consumes the industry CDX(J) form, not
+    * its own dialect round-tripped. */
+  private def foreignCdxDir: String = {
+    val dir = graft.sources.warc.WarcSynth.ensureGzOnlyFixture(
+      "/tmp/graft_warc_foreign", ForeignPages, "foreign",
+      graft.sources.warc.WarcSynth.responseRecord)
+    val idx = java.nio.file.Paths.get(dir, "_index.cdxj")
+    if (!java.nio.file.Files.exists(idx)) {
+      val pb = new ProcessBuilder(
+        "python3", "tools/warc_oracle.py", "cdxj", dir)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      require(p.waitFor() == 0 && out.contains("PASS"),
+        s"CPython cdxj writer failed: ${out.take(400)}")
+    }
+    dir
+  }
+
   def defs: Seq[Q] = Seq(
 
     // ----- fixture scan ----------------------------------------------------
@@ -449,6 +481,43 @@ object WarcQueries {
           md5(${htmlSql("445")}) AS body_md5,
           CAST(length(${htmlSql("445")}) AS BIGINT) AS body_bytes""")),
 
+    // ----- FOREIGN CDX(J) consumption (industry-index interop) ---------------
+    // The single most realistic 100 TB workflow: point lookups and
+    // pruned scans over a crawl the engine did NOT index itself. The
+    // fixture is two member-gzip archives with NO .wcdx, indexed ONLY
+    // by the CPython CDXJ writer (tools/warc_oracle.py cdxj — an
+    // INDEPENDENT implementation: its own RFC 1952 member walk, its
+    // own record parse, the standard SURT-keyed CDXJ line form). With
+    // option("cdx", …) and pushed url equalities the planner slices
+    // only the matching members (WarcForeignCdx -> the same
+    // slicesFromEntries path as .wcdx; WarcCdxSpec pins one-slice
+    // point plans and ZERO partitions on no-match). The oracle
+    // re-derives each page's md5 from the formulas, so the lookups
+    // match only if the foreign offsets/lengths landed on real member
+    // boundaries.
+    Q("warc_cdx_foreign_lookup",
+      (s, _) => {
+        import s.implicits._
+        val dir = foreignCdxDir
+        val pages = foreignLookupPages
+        val lookups = pages.map(graft.sources.warc.WarcSynth.urlOf)
+        s.read.format("warc").option("cdx", s"$dir/_index.cdxj")
+          .load(dir)
+          .filter($"rec_type" === "response" && $"url".isin(lookups: _*))
+          .select(
+            regexp_extract($"url", "/p(\\d+)$", 1).cast("long")
+              .as("page"),
+            $"http_status",
+            md5($"payload").as("body_md5"),
+            octet_length($"payload").cast("long").as("body_bytes"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest([${foreignLookupPages.mkString(", ")}]) AS i)
+        SELECT i AS page, CAST(200 AS INT) AS http_status,
+          md5(${htmlSql("(i % 700)")}) AS body_md5,
+          CAST(length(${htmlSql("(i % 700)")}) AS BIGINT) AS body_bytes
+        FROM pages""")),
+
     // ----- CDX dedup survey (digests off the index, zero page bytes) --------
     // The v2 sidecar carries the CDX digest column (md5 of the payload
     // as the scan returns it), so crawl-wide dedup ACCOUNTING — how
@@ -488,10 +557,12 @@ object WarcQueries {
     // deflate streams, not text. The walk decodes by default (warcio's
     // content_stream parity): the fixture cycles gzip / zlib-deflate /
     // gzip-under-chunked (layering: de-chunk THEN content-decode) /
-    // raw-deflate (the spec-violating server readers must sniff), and
-    // the oracle knows only the page formula — the md5 matches only if
-    // every decode path is byte-exact. `encoding` reports the header
-    // as captured. Scale: per-record in-memory inflate, no shuffle.
+    // raw-deflate (the spec-violating server readers must sniff) /
+    // brotli (RFC 7932 via the clean-room BrotliCodec — the
+    // second-most-common real coding), and the oracle knows only the
+    // page formula — the md5 matches only if every decode path is
+    // byte-exact. `encoding` reports the header as captured. Scale:
+    // per-record in-memory inflate, no shuffle.
     Q("warc_content_encoding",
       (s, _) => {
         import s.implicits._
@@ -507,7 +578,8 @@ object WarcQueries {
             octet_length($"payload").cast("long").as("body_bytes"))
       },
       Some(s"""SELECT i AS page,
-          CASE WHEN i % 4 IN (1, 3) THEN 'deflate' ELSE 'gzip' END
+          CASE WHEN i % 5 IN (1, 3) THEN 'deflate'
+               WHEN i % 5 = 4 THEN 'br' ELSE 'gzip' END
             AS encoding,
           md5('<html><title>t' || (i % 700) || '</title><body>warc document '
             || (i % 700) || ' alpha beta gamma ' || (((i % 700) * 37) % 1000)

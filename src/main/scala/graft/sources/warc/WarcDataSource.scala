@@ -764,17 +764,27 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     } finally inf.end()
   }
 
-  /** Decode a recognized content coding; unknown codings (br, ...)
-    * pass through — `httpContentEncoding` lets the pipeline route
-    * them. A trailing `identity` or parameterized token is
-    * normalized; multi-coding chains (rare, e.g. "gzip, gzip") are
-    * left raw rather than half-decoded. */
+  /** Decode a recognized content coding; unknown codings pass
+    * through — `httpContentEncoding` lets the pipeline route them.
+    * `br` decodes through the clean-room RFC 7932 subset
+    * ([[graft.operators.BrotliCodec]]); its two documented
+    * out-of-subset shapes (static-dictionary references, UTF8/Signed
+    * context with a discriminating map) REJECT with the file name
+    * rather than emitting corrupt text. Multi-coding chains (rare,
+    * e.g. "gzip, gzip") are left raw rather than half-decoded. */
   private def decodeCoding(enc: String, body: Array[Byte])
       : Array[Byte] = {
     val token = enc.trim.toLowerCase(java.util.Locale.ROOT)
     token match {
       case "gzip" | "x-gzip" => gunzipBody(body)
       case "deflate" => inflateBody(body)
+      case "br" =>
+        try graft.operators.BrotliCodec.decode(body)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"bad brotli Content-Encoding body in $fileName: " +
+              e.getMessage)
+        }
       case _ => body
     }
   }

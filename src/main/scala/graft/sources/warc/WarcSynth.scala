@@ -243,17 +243,23 @@ object WarcSynth {
 
   /** A response whose HTTP body kept its Content-Encoding as captured
     * (the dominant real-crawl case — Common Crawl bodies are mostly
-    * `Content-Encoding: gzip`). Four shapes cycled by page:
+    * `Content-Encoding: gzip`). Five shapes cycled by page:
     * gzip; zlib deflate; gzip UNDER chunked transfer framing (decode
     * order: de-chunk, then content-decode); raw-deflate (the
-    * spec-violating server readers must sniff). */
+    * spec-violating server readers must sniff); brotli (RFC 7932 —
+    * the second-most-common real coding). */
   def contentEncodedResponseRecord(i: Long): Array[Byte] = {
     val plain = htmlOf(i).getBytes("US-ASCII")
-    val mode = (i % 4).toInt
-    val encName = if (mode == 1 || mode == 3) "deflate" else "gzip"
+    val mode = (i % 5).toInt
+    val encName = mode match {
+      case 1 | 3 => "deflate"
+      case 4 => "br"
+      case _ => "gzip"
+    }
     val coded = mode match {
       case 1 => zlibBytes(plain)
       case 3 => rawDeflateBytes(plain)
+      case 4 => graft.operators.BrotliCodec.encodeUncompressed(plain)
       case _ => gzipBytes(plain)
     }
     val chunked = mode == 2
@@ -413,6 +419,25 @@ object WarcSynth {
       "WARC-Target-URI" -> urlOf(i),
       "Content-Type" -> "application/json"),
       json.getBytes("US-ASCII"))
+  }
+
+  /** Two member-gzip archives with NO `.wcdx` sidecars — the
+    * foreign-index scenario: a crawl the engine did not index itself,
+    * navigable only through an externally-written CDX(J). */
+  def ensureGzOnlyFixture(dir: String, n: Int, ext: String,
+      recOf: Long => Array[Byte]): String = {
+    val d = Paths.get(dir)
+    val done = marker(d, n)
+    if (Files.exists(done)) return dir
+    Files.createDirectories(d)
+    for (f <- 0 until 2) {
+      val pages = (0 until n).filter(_ % 2 == f).map(_.toLong)
+      val recs = Iterator(warcinfoRecord(f)) ++ pages.iterator.map(recOf)
+      writeAtomic(d.resolve(s"$ext-0$f.warc.gz"),
+        os => gzipMembers(recs, os))
+    }
+    Files.write(done, Array.empty[Byte])
+    dir
   }
 
   /** Two-file fixtures (plain + member-gzip) of one record kind. */

@@ -354,6 +354,71 @@ class WarcCdxSpec extends AnyFunSuite {
     assert(spark.read.format("warc").load(p.toString).count() == 80)
   }
 
+  test("a FOREIGN CDXJ index prunes planning: a point lookup plans " +
+      "ONE record slice at the member's exact extent, a no-match " +
+      "predicate plans ZERO partitions, and the rows are identical " +
+      "to the unindexed whole-file scan") {
+    import graft.sources.warc.{WarcInputPartition, WarcScan,
+      WarcScanBuilder}
+    val dir = Files.createTempDirectory("warc_foreign_cdx").toString
+    val p = Paths.get(dir, "crawl-00.warc.gz")
+    val os = Files.newOutputStream(p)
+    try WarcSynth.gzipMembers(
+      (0 until 40).iterator.map(i => WarcSynth.responseRecord(i.toLong)),
+      os)
+    finally os.close()
+    // CDXJ lines from an independent member walk — NO .wcdx exists
+    val w = new WarcCdx.MemberGzipWalker(Files.newInputStream(p))
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val extents = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (w.next()) {
+      val url = WarcSynth.urlOf(i.toLong)
+      extents += ((w.memberStart, w.memberLen))
+      lines += s"""key$i 20260201000000 {"url":"$url","mime":"text/html","status":"${
+        WarcSynth.statusOf(i.toLong)}","digest":"d$i","length":"${
+        w.memberLen}","offset":"${w.memberStart}","filename":"crawl-00.warc.gz"}"""
+      i += 1
+    }
+    Files.write(Paths.get(dir, "_index.cdxj"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    def planWith(url: String): Array[
+        org.apache.spark.sql.connector.read.InputPartition] = {
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir, "cdx", s"$dir/_index.cdxj"))
+      val b = new WarcScanBuilder(opts)
+      b.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("url",
+        url)))
+      b.build().asInstanceOf[WarcScan].toBatch.planInputPartitions()
+    }
+    // point lookup: exactly the record's member extent, one slice
+    val hit = planWith(WarcSynth.urlOf(7))
+    assert(hit.length == 1, s"expected 1 partition, got ${hit.length}")
+    val slices = hit(0).asInstanceOf[WarcInputPartition].slices
+    assert(slices.length == 1)
+    assert(slices(0).start == extents(7)._1 &&
+      slices(0).length == extents(7)._2,
+      s"slice ${slices(0)} != member extent ${extents(7)}")
+    // no-match: zero partitions, zero bytes planned
+    assert(planWith("http://no-such.example/x").isEmpty,
+      "a no-match predicate must plan zero partitions")
+    // row parity: the pruned read equals the whole-file scan's row
+    val target = WarcSynth.urlOf(7)
+    import org.apache.spark.sql.functions.{col, md5}
+    def rowOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("url") === target)
+        .select(col("url"), col("http_status"), md5(col("payload")))
+        .collect().toSeq
+    WarcReadStats.recordsRead.reset()
+    val pruned = rowOf(spark.read.format("warc")
+      .option("cdx", s"$dir/_index.cdxj").load(dir))
+    val prunedReads = WarcReadStats.recordsRead.sum()
+    val whole = rowOf(spark.read.format("warc").load(dir))
+    assert(pruned == whole && pruned.nonEmpty)
+    assert(prunedReads == 1,
+      s"point lookup read $prunedReads records instead of 1")
+  }
+
   test("survey parses sidecar lines as raw tab-separated text — a " +
       "url field beginning with a double quote survives verbatim") {
     import org.apache.spark.sql.functions._

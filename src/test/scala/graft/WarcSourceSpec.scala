@@ -291,23 +291,28 @@ class WarcSourceSpec extends AnyFunSuite {
   }
 
   test("Content-Encoding bodies decode: gzip, zlib deflate, raw " +
-      "deflate (sniffed), and gzip UNDER chunked framing; the column " +
-      "reports the header as captured") {
+      "deflate (sniffed), gzip UNDER chunked framing, and brotli; " +
+      "the column reports the header as captured") {
     val d = Files.createTempDirectory("warc_ce")
-    // pages 0..3 cycle the four encodings (i % 4)
-    val recs = (0L until 4L).map(WarcSynth.contentEncodedResponseRecord)
+    // pages 0..4 cycle the five encodings (i % 5)
+    val recs = (0L until 5L).map(WarcSynth.contentEncodedResponseRecord)
     Files.write(d.resolve("ce.warc"), recs.reduce(_ ++ _))
     val rows = spark.read.format("warc").load(d.toString)
       .select("url", "http_content_encoding", "payload").collect()
       .sortBy(_.getString(0))
-    assert(rows.length == 4)
+    assert(rows.length == 5)
     val byUrl = rows.map(r => r.getString(0) ->
       (r.getString(1), new String(r.getAs[Array[Byte]](2), "US-ASCII")))
       .toMap
-    for (i <- 0L until 4L) {
+    for (i <- 0L until 5L) {
       val (enc, body) = byUrl(WarcSynth.urlOf(i))
       assert(body == WarcSynth.htmlOf(i), s"page $i decoded wrong")
-      assert(enc == (if (i % 4 == 1 || i % 4 == 3) "deflate" else "gzip"))
+      val want = (i % 5) match {
+        case 1 | 3 => "deflate"
+        case 4 => "br"
+        case _ => "gzip"
+      }
+      assert(enc == want, s"page $i encoding $enc != $want")
     }
   }
 

@@ -156,10 +156,50 @@ def dechunk(body):
     return bytes(out)
 
 
+def brotli_uncompressed(data):
+    """Decode a brotli stream made ONLY of uncompressed metablocks —
+    the shape the fixture encoder emits (RFC 7932 §9.2: WBITS, then
+    per metablock ISLAST/[ISLASTEMPTY]/MNIBBLES/MLEN/[ISUNCOMPRESSED],
+    byte-aligned raw bytes). Compressed metablocks are out of scope
+    here (the engine's golden vectors pin those); this keeps the CE
+    oracle stdlib-only."""
+    pos = 0  # bit position
+
+    def bits(n):
+        nonlocal pos
+        v = 0
+        for i in range(n):
+            v |= ((data[pos >> 3] >> (pos & 7)) & 1) << i
+            pos += 1
+        return v
+
+    # WBITS
+    if bits(1) == 1:
+        n = bits(3)
+        if n == 0:
+            assert bits(3) != 1
+    out = bytearray()
+    while True:
+        islast = bits(1)
+        if islast and bits(1):
+            break  # ISLASTEMPTY
+        mn = bits(2)
+        assert mn != 3, "metadata blocks not expected in the fixture"
+        mlen = bits(4 * (4 + mn)) + 1
+        assert not islast and bits(1) == 1, \
+            "fixture brotli must be uncompressed metablocks"
+        pos = (pos + 7) & ~7
+        out += data[pos >> 3:(pos >> 3) + mlen]
+        pos += mlen * 8
+    return bytes(out)
+
+
 def main_ce(fixture_dir, n_pages):
     """Independent re-decode of the Content-Encoding fixture: stdlib
-    gzip/zlib against the closed-form page formulas. Pages cycle
-    gzip / zlib-deflate / gzip-under-chunked / raw-deflate by i % 4."""
+    gzip/zlib (+ a minimal uncompressed-metablock brotli reader)
+    against the closed-form page formulas. Pages cycle gzip /
+    zlib-deflate / gzip-under-chunked / raw-deflate / brotli by
+    i % 5."""
     got = {}
     for name in sorted(os.listdir(fixture_dir)):
         if name.startswith("_") or name.startswith("."):
@@ -186,6 +226,8 @@ def main_ce(fixture_dir, n_pages):
                     body = zlib.decompress(body)
                 except zlib.error:
                     body = zlib.decompress(body, -15)
+            elif enc == "br":
+                body = brotli_uncompressed(body)
             got[fields["warc-target-uri"]] = body
     ok = True
     for i in range(n_pages):
@@ -273,7 +315,8 @@ def main_cdxj(d):
                     "offset": str(off),
                     "filename": name}, separators=(",", ":"))))
     lines.sort()
-    out = os.path.join(d, "index.cdxj")
+    # '_'-prefixed so data-file listings skip it (the _SUCCESS rule)
+    out = os.path.join(d, "_index.cdxj")
     with open(out + ".tmp", "w") as fo:
         fo.write("\n".join(lines) + "\n")
     os.replace(out + ".tmp", out)
