@@ -48,18 +48,30 @@ object WarcQueries {
     (0 until 20).map(g => cand(g * (cand.length / 20)).toLong)
   }
 
+  /** A second spread of lookup pages (same image/404 avoidance) for
+    * the cluster.idx path, offset so the two lookup queries never
+    * share a page. */
+  private lazy val clusterLookupPages: Seq[Long] = {
+    val cand = (0 until ForeignPages)
+      .filter(i => i % 13 != 5 && i % 17 != 0)
+    (0 until 12).map(g => cand(g * (cand.length / 12) + 3).toLong)
+  }
+
   /** Foreign-indexed crawl: member-gzip archives with NO .wcdx,
     * indexed ONLY by the CPython CDXJ writer — the independent-writer
     * evidence that the engine consumes the industry CDX(J) form, not
-    * its own dialect round-tripped. */
+    * its own dialect round-tripped. Writes BOTH layouts: the
+    * single-file `_index.cdxj` and the sharded Common Crawl form
+    * (`indexes/cdx-*.gz` blocks + `cluster.idx`). */
   private def foreignCdxDir: String = {
     val dir = graft.sources.warc.WarcSynth.ensureGzOnlyFixture(
       "/tmp/graft_warc_foreign", ForeignPages, "foreign",
       graft.sources.warc.WarcSynth.responseRecord)
-    val idx = java.nio.file.Paths.get(dir, "_index.cdxj")
-    if (!java.nio.file.Files.exists(idx)) {
-      val pb = new ProcessBuilder(
-        "python3", "tools/warc_oracle.py", "cdxj", dir)
+    val cluster =
+      java.nio.file.Paths.get(dir, "indexes", "cluster.idx")
+    if (!java.nio.file.Files.exists(cluster)) {
+      val pb = new ProcessBuilder("python3", "tools/warc_oracle.py",
+        "cdxj", dir, "40", "3") // 40-line blocks across 3 shards
       pb.redirectErrorStream(true)
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
@@ -516,6 +528,40 @@ object WarcQueries {
         SELECT i AS page, CAST(200 AS INT) AS http_status,
           md5(${htmlSql("(i % 700)")}) AS body_md5,
           CAST(length(${htmlSql("(i % 700)")}) AS BIGINT) AS body_bytes
+        FROM pages""")),
+
+    // ----- cluster.idx point lookup (the 300 GB-index shape) ------------------
+    // The full Common Crawl index is hundreds of GB — driver-loading
+    // it is the wrong shape at ANY cap. Real tooling goes through the
+    // SECONDARY index: cluster.idx lines point at independently-
+    // gzipped blocks of the sorted cdx-*.gz shards, and a url lookup
+    // binary-searches cluster.idx ON DISK (seek probes, never a full
+    // read), then reads only the matching block (+1 slack). The
+    // planner takes this path automatically when option("cdx") names
+    // a directory with a cluster.idx and url equalities are pushed —
+    // O(lookups · log(index)) seeks + O(lookups · blockBytes)
+    // whatever the crawl size (WarcCdxSpec pins the bounded
+    // blocksRead and the one-slice plans). Index written by the
+    // CPython writer — layout interop, not a round-trip.
+    Q("warc_cdx_cluster_lookup",
+      (s, _) => {
+        import s.implicits._
+        val dir = foreignCdxDir
+        val lookups = clusterLookupPages
+          .map(graft.sources.warc.WarcSynth.urlOf)
+        s.read.format("warc").option("cdx", s"$dir/indexes")
+          .load(dir)
+          .filter($"rec_type" === "response" && $"url".isin(lookups: _*))
+          .select(
+            regexp_extract($"url", "/p(\\d+)$", 1).cast("long")
+              .as("page"),
+            $"http_status",
+            md5($"payload").as("body_md5"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest([${clusterLookupPages.mkString(", ")}]) AS i)
+        SELECT i AS page, CAST(200 AS INT) AS http_status,
+          md5(${htmlSql("(i % 700)")}) AS body_md5
         FROM pages""")),
 
     // ----- CDX dedup survey (digests off the index, zero page bytes) --------

@@ -464,10 +464,31 @@ class WarcScan(requiredSchema: StructType,
     // Sidecars/indexes are read only when 1-3 applies.
     val compiled = if (pushedFilters.nonEmpty)
       Some(WarcRecordFilter.compile(pushedFilters)) else None
-    lazy val foreignIdx: Map[String, Array[WarcCdx.Entry]] =
-      Option(options.get("cdx"))
-        .map(spec => WarcForeignCdx.load(conf, spec))
-        .getOrElse(Map.empty)
+    // pushed url equalities, if any — they route a cluster.idx-backed
+    // foreign index to the point-lookup path (bounded block reads
+    // whatever the index size, the Common Crawl layout)
+    lazy val urlTargets: Seq[String] = pushedFilters.toSeq.flatMap {
+      case org.apache.spark.sql.sources.EqualTo("url", v: String) =>
+        Seq(v)
+      case org.apache.spark.sql.sources.In("url", vs) =>
+        vs.toSeq.collect { case s: String => s }
+      case _ => Seq.empty
+    }
+    // cluster-path loads return entries ONLY for the target urls, so
+    // the index is AUTHORITATIVE for every data file: a file with no
+    // matching entries plans zero slices (the opt-in coverage
+    // assertion option("cdx") makes), instead of falling back to a
+    // whole-file scan that defeats the lookup
+    lazy val (foreignIdx, foreignAuthoritative)
+        : (Map[String, Array[WarcCdx.Entry]], Boolean) =
+      Option(options.get("cdx")).map { spec =>
+        if (urlTargets.nonEmpty &&
+            WarcForeignCdx.hasClusterIdx(conf, spec))
+          (WarcForeignCdx.loadViaCluster(conf, new Path(spec),
+            urlTargets), true)
+        else (WarcForeignCdx.load(conf, spec,
+          options.getLong("cdxMaxLoadBytes", 1L << 28)), false)
+      }.getOrElse((Map.empty, false))
     val mergeGap = options.getLong("cdxMergeGap", 1L << 16)
     val slices = listedFiles.flatMap { st =>
       val whole = Seq(WarcFileSlice(st.getPath.toString, 0L, st.getLen))
@@ -476,9 +497,12 @@ class WarcScan(requiredSchema: StructType,
         val fs = st.getPath.getFileSystem(conf)
         compiled.flatMap { p =>
           WarcCdx.planMatchingSlices(fs, st, maxBytes, p, mergeGap)
-            .orElse(foreignIdx.get(st.getPath.getName).map(es =>
-              WarcCdx.slicesFromEntries(st.getPath.toString, es, p,
-                maxBytes, mergeGap)))
+            .orElse(foreignIdx.get(st.getPath.getName)
+              .orElse(if (foreignAuthoritative)
+                Some(Array.empty[WarcCdx.Entry]) else None)
+              .map(es =>
+                WarcCdx.slicesFromEntries(st.getPath.toString, es, p,
+                  maxBytes, mergeGap)))
         }.getOrElse {
           if (st.getLen > maxBytes)
             WarcCdx.planRanges(fs, st, maxBytes).getOrElse(whole)

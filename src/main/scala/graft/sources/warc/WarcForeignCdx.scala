@@ -104,12 +104,155 @@ object WarcForeignCdx {
     }
   }
 
+  /** Test/ops seam: compressed cdx blocks read through cluster.idx —
+    * the number a point lookup must keep BOUNDED whatever the index
+    * size. */
+  val blocksRead = new java.util.concurrent.atomic.LongAdder
+
+  /** SURT urlkey for cluster.idx binary search (the CDX sort key:
+    * lowercase, scheme dropped, `www.` stripped, default ports
+    * dropped, host comma-reversed, `)` + path). Canonicalization
+    * slack is tolerated — block selection also reads the FOLLOWING
+    * block, and entries are filtered by exact url afterwards. */
+  def surtKey(url: String): String = {
+    var u = url.toLowerCase(java.util.Locale.ROOT)
+    val scheme = u.indexOf("://")
+    if (scheme >= 0) u = u.substring(scheme + 3)
+    val slash = u.indexOf('/')
+    var host = if (slash < 0) u else u.substring(0, slash)
+    val path = if (slash < 0) "/" else u.substring(slash)
+    val colon = host.indexOf(':')
+    var port = ""
+    if (colon >= 0) {
+      val p = host.substring(colon + 1)
+      host = host.substring(0, colon)
+      if (p != "80" && p != "443" && p.nonEmpty) port = ":" + p
+    }
+    if (host.startsWith("www.")) host = host.substring(4)
+    host.split('.').reverse.mkString(",") + port + ")" + path
+  }
+
+  /** The first full line after byte `pos`, and the line after it —
+    * the standard sorted-text-file binary-search probe (`pos` inside
+    * a line skips its tail; `pos == 0` returns the first line). */
+  private def twoLinesAt(in: org.apache.hadoop.fs.FSDataInputStream,
+      fileLen: Long, pos: Long): (String, String) = {
+    if (pos >= fileLen) return (null, null)
+    in.seek(pos)
+    val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+      in, java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+    if (pos > 0 && rd.readLine() == null) return (null, null)
+    (rd.readLine(), rd.readLine())
+  }
+
+  /** One cluster.idx line: `urlkey ts \t shard \t offset \t length
+    * \t seq` — a pointer to ONE independently-gzipped block of a cdx
+    * shard (the Common Crawl secondary-index layout). */
+  private final case class ClusterBlock(key: String, shard: String,
+      offset: Long, length: Long)
+
+  private def parseClusterLine(line: String): Option[ClusterBlock] = {
+    if (line == null || line.isEmpty) return None
+    val f = line.split('\t')
+    if (f.length < 4) return None
+    try Some(ClusterBlock(f(0), f(1), f(2).toLong, f(3).toLong))
+    catch { case _: NumberFormatException => None }
+  }
+
+  /** Point-lookup load through `cluster.idx`: for each target url,
+    * binary-search the (sorted) secondary index ON DISK — never
+    * loading it — for the last block whose first key <= the target's
+    * SURT key, then read THAT block and the one after (slack for
+    * canonicalization drift). O(lookups · log(index) seeks +
+    * lookups · blockBytes) whatever the crawl size — the only shape
+    * that survives a 300 GB Common Crawl index. */
+  def loadViaCluster(conf: Configuration, indexDir: Path,
+      targetUrls: Seq[String]): Map[String, Array[WarcCdx.Entry]] = {
+    val fs = indexDir.getFileSystem(conf)
+    val ciPath = new Path(indexDir, "cluster.idx")
+    val ciLen = fs.getFileStatus(ciPath).getLen
+    val targets = targetUrls.map(u => u -> (surtKey(u) + " ")).toMap
+    val wanted = scala.collection.mutable.LinkedHashSet
+      .empty[(String, Long, Long)]
+    val in = fs.open(ciPath)
+    try {
+      targets.values.foreach { key =>
+        // last block whose first "urlkey ts" <= the target key; the
+        // target's records live there — plus the FOLLOWING block as
+        // slack for canonicalization drift between this surtKey and
+        // whatever wrote the index
+        var lo = 0L
+        var hi = ciLen
+        var (bestLine, bestNext) = twoLinesAt(in, ciLen, 0L)
+        if (bestLine != null && bestLine.compareTo(key) <= 0) {
+          while (hi - lo > 1) {
+            val mid = lo + (hi - lo) / 2
+            val (ln, nx) = twoLinesAt(in, ciLen, mid)
+            if (ln == null || ln.compareTo(key) > 0) hi = mid
+            else { lo = mid; bestLine = ln; bestNext = nx }
+          }
+        }
+        // (a key sorting before the first block keeps block 0 — the
+        // leading-slack twin of the follower)
+        Seq(bestLine, bestNext).foreach(l => parseClusterLine(l)
+          .foreach(b => wanted += ((b.shard, b.offset, b.length))))
+      }
+    } finally in.close()
+    val blocks = wanted.toSeq
+    val byFile = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[WarcCdx.Entry]]
+    val urlSet = targetUrls.toSet
+    blocks.foreach { case (shard, offset, length) =>
+      blocksRead.increment()
+      val sp = new Path(indexDir, shard)
+      val raw = fs.open(sp)
+      try {
+        raw.seek(offset)
+        val buf = new Array[Byte](length.toInt)
+        var o = 0
+        while (o < buf.length) {
+          val r = raw.read(buf, o, buf.length - o)
+          require(r > 0, s"truncated cdx block in $shard")
+          o += r
+        }
+        val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+          new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(buf), 1 << 16),
+          java.nio.charset.StandardCharsets.UTF_8))
+        var line = rd.readLine()
+        while (line != null) {
+          parseLine(line).foreach { case (f, e) =>
+            if (e.url != null && urlSet.contains(e.url))
+              byFile.getOrElseUpdate(f,
+                scala.collection.mutable.ArrayBuffer.empty) += e
+          }
+          line = rd.readLine()
+        }
+      } finally raw.close()
+    }
+    byFile.iterator
+      .map { case (f, es) => f -> es.sortBy(_.offset).toArray }
+      .toMap
+  }
+
+  /** True when `spec` is a directory carrying a cluster.idx —
+    * the sharded Common Crawl index layout. */
+  def hasClusterIdx(conf: Configuration, spec: String): Boolean =
+    try {
+      val p = new Path(spec)
+      val fs = p.getFileSystem(conf)
+      fs.getFileStatus(p).isDirectory &&
+        fs.exists(new Path(p, "cluster.idx"))
+    } catch { case _: Exception => false }
+
   /** Load an index: `spec` is a file, glob, or directory of CDX(J)
     * files (plain or .gz). Returns warc-basename -> offset-sorted
-    * entries. Driver-side, O(index lines) — the index of a 100 TB
-    * crawl is GBs, not TBs, and only loaded when `option("cdx")` is
-    * set AND predicates were pushed. */
-  def load(conf: Configuration, spec: String)
+    * entries. Driver-side, O(index lines) — and therefore guarded by
+    * `maxLoadBytes`: past the cap the caller should be using the
+    * cluster.idx point-lookup path or no pruning at all, never a
+    * driver OOM. */
+  def load(conf: Configuration, spec: String,
+      maxLoadBytes: Long = 1L << 28)
       : Map[String, Array[WarcCdx.Entry]] = {
     val path = new Path(spec)
     val fs = path.getFileSystem(conf)
@@ -123,6 +266,18 @@ object WarcForeignCdx {
       else Seq(st)
     }
     require(files.nonEmpty, s"cdx index not found: $spec")
+    val totalBytes = files.map(_.getLen).sum
+    if (totalBytes > maxLoadBytes) {
+      // a full Common Crawl index is hundreds of GB — loading it on
+      // the driver is the wrong shape at any setting. Point lookups
+      // should ride cluster.idx; broad scans read everything anyway,
+      // so whole-file planning (no pruning) is the honest fallback.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"cdx index $spec is $totalBytes B > cdxMaxLoadBytes " +
+          s"$maxLoadBytes — skipping index-pruned planning (point " +
+          "lookups use cluster.idx when present)")
+      return Map.empty
+    }
     val byFile = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[WarcCdx.Entry]]
     files.foreach { st =>

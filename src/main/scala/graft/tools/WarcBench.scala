@@ -166,6 +166,63 @@ object WarcBench {
       graft.sources.warc.WarcCdx.survey(spark, bigDir)
         .filter($"http_status" === 200).count())
 
+    // --- foreign cluster.idx point lookup (the 100 TB access shape) ---
+    // index the big crawl in the SHARDED Common Crawl layout, drop
+    // the .wcdx so the only route is the foreign index, then time a
+    // url point lookup (disk-bsearched cluster.idx -> bounded cdx
+    // block reads -> one record slice) against the indexless
+    // whole-file scan of the same query.
+    locally {
+      val entries = graft.sources.warc.WarcCdx.readEntries(
+        fs, fs.getFileStatus(bigPath)).get._2
+      val lines = entries.map { e =>
+        val key = graft.sources.warc.WarcForeignCdx.surtKey(e.url)
+        s"""$key 20260201000000 {"url":"${e.url}","mime":"text/html",""" +
+          s""""status":"200","digest":"${e.digest}","length":"${
+            e.rlen}","offset":"${e.offset}","filename":"big.warc.gz"}"""
+      }.sorted
+      val idxDir = new org.apache.hadoop.fs.Path(bigDir, "indexes")
+      fs.mkdirs(idxDir)
+      val shards = 4
+      val bufs = Array.fill(shards)(new java.io.ByteArrayOutputStream())
+      val cluster = new StringBuilder
+      lines.grouped(200).zipWithIndex.foreach { case (blk, bi) =>
+        val sh = bi % shards
+        val off = bufs(sh).size()
+        val bo = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bo)
+        gz.write((blk.mkString("\n") + "\n").getBytes("UTF-8"))
+        gz.close()
+        bufs(sh).write(bo.toByteArray)
+        cluster.append(blk.head.split(" ", 3).take(2).mkString(" "))
+          .append('\t').append(f"cdx-$sh%05d.gz").append('\t')
+          .append(off).append('\t').append(bo.size()).append('\t')
+          .append(bi).append('\n')
+      }
+      for (sh <- 0 until shards) {
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(idxDir, f"cdx-$sh%05d.gz"), true)
+        try out.write(bufs(sh).toByteArray) finally out.close()
+      }
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(idxDir, "cluster.idx"), true)
+      try out.write(cluster.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+    fs.delete(graft.sources.warc.WarcCdx.sidecar(bigPath), false)
+    val lookupUrl = WarcSynth.urlOf((bigPages / 2).toLong)
+    val (tLookup, lkBytes) = best3(
+      spark.read.format("warc").option("cdx", s"$bigDir/indexes")
+        .load(bigPath.toString)
+        .filter($"url" === lookupUrl)
+        .selectExpr("sum(length(payload))").collect()(0).getLong(0))
+    val (tLookupWhole, lwBytes) = best3(
+      spark.read.format("warc").load(bigPath.toString)
+        .filter($"url" === lookupUrl)
+        .selectExpr("sum(length(payload))").collect()(0).getLong(0))
+    require(lkBytes == lwBytes,
+      s"cluster lookup bytes differ: $lkBytes vs $lwBytes")
+
     println(s"""{"metric":"warc_read_paths","unit":"sec","lake_mb":${
       lakeBytes / 1048576},"files":$nFiles,"records":$nRecs,
       |"full_scan_s":$tFull,"survey_s":$tSurvey,
@@ -176,7 +233,8 @@ object WarcBench {
       |"big_mb":$bigMb,"big_records":$nIndexed,
       |"cdx_index_s":$cdxIndexS,"big_whole_s":$tBigWhole,
       |"big_split_s":$tBigSplit,"cdx_survey_s":$tCdxSurvey,
-      |"cdx_survey_rows":$nSurvey}"""
+      |"cdx_survey_rows":$nSurvey,
+      |"cluster_lookup_s":$tLookup,"lookup_whole_s":$tLookupWhole}"""
       .stripMargin.replace("\n", ""))
     spark.stop()
   }

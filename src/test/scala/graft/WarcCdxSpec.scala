@@ -419,6 +419,88 @@ class WarcCdxSpec extends AnyFunSuite {
       s"point lookup read $prunedReads records instead of 1")
   }
 
+  test("cluster.idx point lookups read a BOUNDED number of cdx " +
+      "blocks (disk binary search, no full index load), plan one " +
+      "slice per hit, and zero partitions on no-match") {
+    import graft.sources.warc.{WarcForeignCdx, WarcInputPartition,
+      WarcScan, WarcScanBuilder}
+    val dir = Files.createTempDirectory("warc_cluster").toString
+    val p = Paths.get(dir, "crawl-00.warc.gz")
+    val os = Files.newOutputStream(p)
+    try WarcSynth.gzipMembers(
+      (0 until 60).iterator.map(i => WarcSynth.responseRecord(i.toLong)),
+      os)
+    finally os.close()
+    // CDXJ lines (sorted by surt key) from an independent member walk
+    val w = new WarcCdx.MemberGzipWalker(Files.newInputStream(p))
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (w.next()) {
+      val url = WarcSynth.urlOf(i.toLong)
+      lines += s"""${WarcForeignCdx.surtKey(url)} 20260201000000 {"url":"$url","mime":"text/html","status":"${
+        WarcSynth.statusOf(i.toLong)}","digest":"d$i","length":"${
+        w.memberLen}","offset":"${w.memberStart}","filename":"crawl-00.warc.gz"}"""
+      i += 1
+    }
+    val sorted = lines.sorted
+    // sharded layout: blocks of 10 lines, each its own gzip member,
+    // round-robined across 2 shards; cluster.idx points at them
+    val idxDir = Paths.get(dir, "indexes")
+    Files.createDirectories(idxDir)
+    val shardBytes = Array.fill(2)(new java.io.ByteArrayOutputStream())
+    val cluster = scala.collection.mutable.ArrayBuffer.empty[String]
+    sorted.grouped(10).zipWithIndex.foreach { case (blk, bi) =>
+      val sh = bi % 2
+      val off = shardBytes(sh).size()
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write((blk.mkString("\n") + "\n").getBytes("UTF-8"))
+      gz.close()
+      shardBytes(sh).write(bo.toByteArray)
+      val key2 = blk.head.split(" ", 3).take(2).mkString(" ")
+      cluster += s"$key2\tcdx-0000$sh.gz\t$off\t${bo.size()}\t$bi"
+    }
+    for (sh <- 0 until 2)
+      Files.write(idxDir.resolve(s"cdx-0000$sh.gz"),
+        shardBytes(sh).toByteArray)
+    Files.write(idxDir.resolve("cluster.idx"),
+      (cluster.mkString("\n") + "\n").getBytes("UTF-8"))
+    def planWith(urls: String*): Array[
+        org.apache.spark.sql.connector.read.InputPartition] = {
+      // mergeGap 0: pin exact per-record slices (the default 64 KB
+      // gap legitimately merges nearby hits into one run)
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir, "cdx", s"$dir/indexes",
+          "cdxMergeGap", "0"))
+      val b = new WarcScanBuilder(opts)
+      b.pushFilters(Array(org.apache.spark.sql.sources.In("url",
+        urls.toArray[Any])))
+      b.build().asInstanceOf[WarcScan].toBatch.planInputPartitions()
+    }
+    WarcForeignCdx.blocksRead.reset()
+    val hit = planWith(WarcSynth.urlOf(23), WarcSynth.urlOf(51))
+    val blocks = WarcForeignCdx.blocksRead.sum()
+    assert(blocks >= 1 && blocks <= 4,
+      s"expected <= 2 blocks per lookup, read $blocks")
+    val slices = hit.flatMap(_.asInstanceOf[WarcInputPartition].slices)
+    assert(slices.length == 2,
+      s"expected 2 record slices, got ${slices.toSeq}")
+    // no-match: zero partitions, still bounded block reads
+    WarcForeignCdx.blocksRead.reset()
+    assert(planWith("http://zzz-no-such.example/x").isEmpty)
+    assert(WarcForeignCdx.blocksRead.sum() <= 2)
+    // row parity with the whole-file scan
+    import org.apache.spark.sql.functions.{col, md5}
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("url").isin(WarcSynth.urlOf(23), WarcSynth.urlOf(51)))
+        .select(col("url"), md5(col("payload")))
+        .collect().sortBy(_.getString(0)).toSeq
+    val pruned = rowsOf(spark.read.format("warc")
+      .option("cdx", s"$dir/indexes").load(dir))
+    val whole = rowsOf(spark.read.format("warc").load(dir))
+    assert(pruned == whole && pruned.length == 2)
+  }
+
   test("survey parses sidecar lines as raw tab-separated text — a " +
       "url field beginning with a double quote survives verbatim") {
     import org.apache.spark.sql.functions._

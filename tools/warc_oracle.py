@@ -289,10 +289,14 @@ def surt(url):
     return ",".join(reversed(host.split("."))) + ")/" + path
 
 
-def main_cdxj(d):
+def main_cdxj(d, block_lines=0, shards=0):
     """Write ONE index.cdxj covering every .warc.gz in `d` — the
     INDEPENDENT-WRITER evidence for the engine's foreign-CDX(J)
-    consumption: offsets/lengths come from this walk alone."""
+    consumption: offsets/lengths come from this walk alone.
+    With (block_lines, shards) also write the SHARDED Common Crawl
+    layout under `d`/indexes: cdx-%05d.gz shards whose blocks are
+    independently-gzipped members, plus a sorted cluster.idx
+    secondary index (urlkey ts, shard, offset, length, seq)."""
     lines = []
     for name in sorted(os.listdir(d)):
         if not name.endswith(".warc.gz"):
@@ -320,6 +324,30 @@ def main_cdxj(d):
     with open(out + ".tmp", "w") as fo:
         fo.write("\n".join(lines) + "\n")
     os.replace(out + ".tmp", out)
+    if block_lines and shards:
+        idxdir = os.path.join(d, "indexes")
+        os.makedirs(idxdir, exist_ok=True)
+        bufs = [io.BytesIO() for _ in range(shards)]
+        cluster = []
+        nblocks = (len(lines) + block_lines - 1) // block_lines
+        for bi in range(nblocks):
+            blk = lines[bi * block_lines:(bi + 1) * block_lines]
+            sh = bi % shards
+            off = bufs[sh].tell()
+            data = gzip.compress(("\n".join(blk) + "\n").encode())
+            bufs[sh].write(data)
+            key2 = " ".join(blk[0].split(" ", 2)[:2])
+            cluster.append("%s\tcdx-%05d.gz\t%d\t%d\t%d"
+                           % (key2, sh, off, len(data), bi))
+        for sh in range(shards):
+            p = os.path.join(idxdir, "cdx-%05d.gz" % sh)
+            with open(p + ".tmp", "wb") as fo:
+                fo.write(bufs[sh].getvalue())
+            os.replace(p + ".tmp", p)
+        ci = os.path.join(idxdir, "cluster.idx")
+        with open(ci + ".tmp", "w") as fo:
+            fo.write("\n".join(cluster) + "\n")
+        os.replace(ci + ".tmp", ci)
     print("WARC_ORACLE cdxj PASS (%d lines -> %s)" % (len(lines), out))
 
 
@@ -327,6 +355,8 @@ if __name__ == "__main__":
     if sys.argv[1] == "ce":
         main_ce(sys.argv[2], int(sys.argv[3]))
     elif sys.argv[1] == "cdxj":
-        main_cdxj(sys.argv[2])
+        main_cdxj(sys.argv[2],
+                  int(sys.argv[3]) if len(sys.argv) > 3 else 0,
+                  int(sys.argv[4]) if len(sys.argv) > 4 else 0)
     else:
         main(sys.argv[1], int(sys.argv[2]))
