@@ -636,6 +636,48 @@ object WarcQueries {
             || '</body></html>') AS BIGINT) AS body_bytes
         FROM (SELECT unnest(generate_series(0, ${CePages - 1})) AS i)""")),
 
+    // ----- full HTTP header map ------------------------------------------------
+    // The promoted columns (status/content-type/content-encoding)
+    // cover the hot filters, but real pipelines also route on
+    // arbitrary captured headers (Last-Modified windows, Server
+    // census, X-Robots-Tag hygiene): `http_headers` exposes EVERY
+    // header field as a map (names lowercased, repeats '\n'-joined).
+    // The census extracts content-type/content-length back OUT of the
+    // map and reconciles the byte totals against the page formulas —
+    // the row matches only if the map carries each header verbatim.
+    // Scale: headers-only projection (payload blocks seek-skipped),
+    // ONE tiny-key aggregation shuffle.
+    Q("warc_http_headers",
+      (s, _) => {
+        import s.implicits._
+        val dir = fixtureDir
+        s.read.format("warc").load(dir)
+          .filter($"rec_type" === "response")
+          .select(
+            element_at($"http_headers", "content-type").as("ctype"),
+            element_at($"http_headers", "content-length")
+              .cast("long").as("clen"),
+            size(map_keys($"http_headers")).as("n_hdrs"))
+          .groupBy($"ctype")
+          .agg(count(lit(1)).as("n"),
+            sum($"clen").as("body_bytes"),
+            max($"n_hdrs").as("max_hdrs"),
+            min($"n_hdrs").as("min_hdrs"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest(generate_series(0, ${NPages - 1})) AS i),
+        r AS (SELECT i,
+          CASE WHEN i % 13 = 5 THEN 'image/gif'
+               ELSE 'text/html' END AS ctype,
+          CASE WHEN i % 13 = 5 THEN 26 + i % 30
+               ELSE length(${htmlSql("(i % 700)")}) END AS clen
+          FROM pages)
+        SELECT ctype, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(clen) AS BIGINT) AS body_bytes,
+          CAST(2 AS INT) AS max_hdrs,
+          CAST(2 AS INT) AS min_hdrs
+        FROM r GROUP BY ctype""")),
+
     // ----- robots.txt policy filtering (RFC 9309) -----------------------------
     // Crawl hygiene every training pipeline re-checks: a site's
     // /robots.txt decides which stored pages may be used. The crawl

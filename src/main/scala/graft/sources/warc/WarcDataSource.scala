@@ -25,7 +25,8 @@ import graft.sources.pcap.SerializableHadoopConf
   * One row per WARC record:
   * (file, rec_type, record_id, url, warc_date, content_type,
   * content_length, http_status, http_content_type,
-  * http_content_encoding, payload) — for records whose block is
+  * http_content_encoding, http_headers, payload) — for records whose
+  * block is
   * `application/http` (request/response), the HTTP status line +
   * headers are parsed off and `payload` is the HTTP BODY (the page
   * bytes a corpus wants); for every other record type `payload` is
@@ -86,6 +87,12 @@ object WarcTable {
     .add("http_status", IntegerType, nullable = true)
     .add("http_content_type", StringType, nullable = true)
     .add("http_content_encoding", StringType, nullable = true)
+    // ALL captured HTTP header fields, names lowercased, repeats
+    // joined with '\n' (Set-Cookie et al.) — the column real
+    // pipelines filter on when the promoted ones aren't enough
+    .add("http_headers",
+      org.apache.spark.sql.types.MapType(StringType, StringType),
+      nullable = true)
     .add("payload", BinaryType, nullable = true)
 
   def paths(options: CaseInsensitiveStringMap): Seq[String] =
@@ -614,7 +621,8 @@ object WarcFileOpener {
 final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     needPayload: Boolean, needHttp: Boolean, maxRecordBytes: Long,
     pred: WarcRecordFilter.Compiled = WarcRecordFilter.acceptAll,
-    decodeContentEncoding: Boolean = true) {
+    decodeContentEncoding: Boolean = true,
+    needHttpHeaders: Boolean = false) {
 
   var recType: String = _
   var recordId: String = _
@@ -626,6 +634,9 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
   var httpStatus: Int = -1
   var httpContentType: String = _
   var httpContentEncoding: String = _
+  /** All HTTP header fields (names lowercased, repeats '\n'-joined)
+    * — populated only when `needHttpHeaders`. */
+  var httpHeaders: scala.collection.mutable.LinkedHashMap[String, String] = _
   var payload: Array[Byte] = _
   var recordsRead = 0L
   var payloadBytesSkipped = 0L
@@ -640,7 +651,7 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
 
   // http_status/http_content_type predicates force the HTTP header
   // parse even when no http column is projected
-  private val parseHttp = needHttp || pred.hasHttp
+  private val parseHttp = needHttp || pred.hasHttp || needHttpHeaders
 
   private val MaxLine = 64 * 1024
   private val lineBuf = new java.io.ByteArrayOutputStream(256)
@@ -842,6 +853,7 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     url = null; warcDate = null
     contentType = null; contentLength = -1L
     httpStatus = -1; httpContentType = null; httpContentEncoding = null
+    httpHeaders = null
     payload = null
     var lastName: String = null
     var lastVal: String = null
@@ -934,19 +946,29 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
           httpStatus = parts(1).toInt
       }
       var chunked = false
+      if (needHttpHeaders)
+        httpHeaders = scala.collection.mutable.LinkedHashMap.empty
       var h = httpLine()
       while (h.nonEmpty) {
         val c = h.indexOf(':')
         if (c > 0) {
           val hn = h.substring(0, c).trim
+          val hv = h.substring(c + 1).trim
           if (hn.equalsIgnoreCase("content-type"))
-            httpContentType = h.substring(c + 1).trim
+            httpContentType = hv
           else if (hn.equalsIgnoreCase("content-encoding"))
-            httpContentEncoding = h.substring(c + 1).trim
+            httpContentEncoding = hv
           else if (hn.equalsIgnoreCase("transfer-encoding") &&
-              h.substring(c + 1).trim
-                .toLowerCase(java.util.Locale.ROOT).contains("chunked"))
+              hv.toLowerCase(java.util.Locale.ROOT).contains("chunked"))
             chunked = true
+          if (httpHeaders != null) {
+            val key = hn.toLowerCase(java.util.Locale.ROOT)
+            // repeats (Set-Cookie et al.) join losslessly with '\n'
+            httpHeaders.get(key) match {
+              case Some(prev) => httpHeaders(key) = prev + "\n" + hv
+              case None => httpHeaders(key) = hv
+            }
+          }
         }
         h = httpLine()
       }
@@ -1000,7 +1022,9 @@ class WarcPartitionReader(slices: Seq[WarcFileSlice],
   extends PartitionReader[InternalRow] {
 
   private val needPayload = schema.fieldNames.contains("payload")
-  private val needHttp = needPayload ||
+  private val needHttpHeaders =
+    schema.fieldNames.contains("http_headers")
+  private val needHttp = needPayload || needHttpHeaders ||
     schema.fieldNames.contains("http_status") ||
     schema.fieldNames.contains("http_content_type") ||
     schema.fieldNames.contains("http_content_encoding")
@@ -1020,7 +1044,7 @@ class WarcPartitionReader(slices: Seq[WarcFileSlice],
         fileUtf8 = UTF8String.fromString(fileName)
         in = WarcFileOpener.openSlice(conf, slices(fileIdx))
         walk = new WarcRecordWalk(in, fileName, needPayload, needHttp,
-          maxRecordBytes, pred, decodeContentEncoding)
+          maxRecordBytes, pred, decodeContentEncoding, needHttpHeaders)
       }
       if (walk.next()) return true
       recordsLocal += walk.recordsRead
@@ -1051,7 +1075,8 @@ class WarcPartitionReader(slices: Seq[WarcFileSlice],
     case "http_status" => 8
     case "http_content_type" => 9
     case "http_content_encoding" => 10
-    case "payload" => 11
+    case "http_headers" => 11
+    case "payload" => 12
     case other => throw new IllegalArgumentException(
       s"unknown warc column $other")
   }
@@ -1072,7 +1097,23 @@ class WarcPartitionReader(slices: Seq[WarcFileSlice],
         case 8 => if (walk.httpStatus < 0) null else walk.httpStatus
         case 9 => utf8(walk.httpContentType)
         case 10 => utf8(walk.httpContentEncoding)
-        case 11 => walk.payload
+        case 11 =>
+          if (walk.httpHeaders == null) null
+          else {
+            val n = walk.httpHeaders.size
+            val ks = new Array[Any](n)
+            val vs = new Array[Any](n)
+            var j = 0
+            walk.httpHeaders.foreach { case (hk, hv) =>
+              ks(j) = UTF8String.fromString(hk)
+              vs(j) = UTF8String.fromString(hv)
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
+          }
+        case 12 => walk.payload
       }
       k += 1
     }

@@ -31,7 +31,7 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("file", "rec_type", "record_id",
       "refers_to", "url", "warc_date", "content_type", "content_length",
       "http_status", "http_content_type", "http_content_encoding",
-      "payload"))
+      "http_headers", "payload"))
     val rows = df.collect()
     val byType = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     assert(byType == Map("warcinfo" -> 4, "request" -> 200,
@@ -45,12 +45,16 @@ class WarcSourceSpec extends AnyFunSuite {
     val r42 = resp.find(_.getString(4) == WarcSynth.urlOf(42)).get
     assert(r42.getString(9) == "text/html")
     assert(r42.isNullAt(10)) // no Content-Encoding header captured
-    assert(new String(r42.getAs[Array[Byte]](11), "US-ASCII") ==
+    assert(r42.getAs[Map[String, String]](11) ==
+      Map("content-type" -> "text/html",
+        "content-length" -> WarcSynth.bodyOf(42).length.toString))
+    assert(new String(r42.getAs[Array[Byte]](12), "US-ASCII") ==
       WarcSynth.htmlOf(42))
     // non-http records carry the whole block
     val info = rows.filter(_.getString(1) == "warcinfo")
-    assert(info.forall(r => new String(r.getAs[Array[Byte]](11), "US-ASCII")
+    assert(info.forall(r => new String(r.getAs[Array[Byte]](12), "US-ASCII")
       .startsWith("software: graft-warc-synth")))
+    assert(info.forall(_.isNullAt(11)), "non-HTTP records carry no header map")
     // gzip and plain files both contributed
     val files = rows.map(_.getString(0)).toSet
     assert(files.exists(_.endsWith(".warc")) &&
