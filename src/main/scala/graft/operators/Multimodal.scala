@@ -5542,6 +5542,153 @@ object Multimodal {
                AS BIGINT) AS sum_abs
         FROM documents WHERE doc_id % 3 = 2""")),
 
+    // ----- MP3 stream walk (the web/podcast audio census) ------------------
+    // MP3 is what crawled and podcast audio actually ships as; the
+    // curation questions (duration, rate, CBR/VBR, tag presence, frame
+    // integrity) need only the frame HEADERS — Mp3Codec.walk verifies
+    // every frame's sync/consistency, skips ID3v2 by its syncsafe size,
+    // detects the Xing/Info tag frame at its version×mode-dependent
+    // offset (excluded from the audio count, as players do), and stops
+    // at the ID3v1 trailer. The walk also cross-checks the encoder's
+    // Xing frame count against its own — a mismatch is a truncated or
+    // spliced file and rejects. Scale: per-row walk over header bytes
+    // only, audio payloads never shuffle, no decode.
+    Q("mm_mp3_stats",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val info = Mp3Codec.walk(Mp3Codec.encode(id))
+            require(info != null, s"mp3 walk rejected its own fixture: $id")
+            require(info.xingFrames == info.nFrames,
+              s"Xing count ${info.xingFrames} != walked ${info.nFrames}")
+            (id, info.versionName, info.sampleRate, info.channels,
+              info.nFrames, info.durationMs, info.vbr, info.avgKbps,
+              info.hasId3v2, Option(info.id3Title), info.hasId3v1)
+          }
+        }.toDF("media_id", "mpeg_version", "sample_rate", "channels",
+          "n_frames", "duration_ms", "vbr", "avg_kbps", "has_id3v2",
+          "id3_title", "has_id3v1")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE doc_id % 3 WHEN 0 THEN 'MPEG1' WHEN 1 THEN 'MPEG2'
+            ELSE 'MPEG2.5' END AS mpeg_version,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 24000
+            ELSE 8000 END AS INT) AS sample_rate,
+          CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 2 END AS INT) AS channels,
+          CAST(6 + doc_id % 5 AS INT) AS n_frames,
+          CAST(((6 + doc_id % 5) *
+              (CASE WHEN doc_id % 3 = 0 THEN 1152 ELSE 576 END) * 1000)
+            // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 24000
+               ELSE 8000 END) AS BIGINT) AS duration_ms,
+          doc_id % 3 = 0 AS vbr,
+          CAST(list_sum([CASE WHEN doc_id % 3 = 0
+                THEN ([128,160,192,224])[CAST((doc_id + j) % 4 AS INT) + 1]
+                ELSE ([80,96,112,128])[CAST(doc_id % 4 AS INT) + 1] END
+              FOR j IN generate_series(0, CAST(6 + doc_id % 5 AS INT) - 1)])
+            // (6 + doc_id % 5) AS INT) AS avg_kbps,
+          doc_id % 2 = 0 AS has_id3v2,
+          CASE WHEN doc_id % 2 = 0 THEN 'track' || doc_id
+            ELSE NULL END AS id3_title,
+          doc_id % 4 = 1 AS has_id3v1
+        FROM documents""")),
+
+    // ----- Ogg/Opus container walk (the voice/WebRTC audio census) ---------
+    // Opus-in-Ogg is what crawled voice audio ships as (WebRTC dumps,
+    // podcast re-encodes). OggOpusCodec.walk verifies every page CRC
+    // with Ogg's own unreflected CRC-32, stitches continued packets
+    // across page boundaries by the lacing rules (the fixture splits a
+    // packet at a 255-lacing boundary for every 3rd id), parses
+    // OpusHead/OpusTags, and derives duration from the final granule
+    // minus pre-skip per RFC 7845 — container walked, SILK/CELT
+    // honestly not decoded (nothing downstream consumes PCM here).
+    // Scale: per-row walk, audio bytes never shuffle.
+    Q("mm_ogg_opus_stats",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val info = OggOpusCodec.walk(OggOpusCodec.encode(id))
+            require(info != null, s"ogg walk rejected its own fixture: $id")
+            (id, info.channels, info.preSkip, info.inputRate, info.nPages,
+              info.nPackets, info.durationMs, info.vendor)
+          }
+        }.toDF("media_id", "channels", "pre_skip", "input_rate", "n_pages",
+          "n_packets", "duration_ms", "vendor")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id,
+            CAST(8 + doc_id % 7 AS INT) AS n,
+            CAST((8 + doc_id % 7 + 2) // 3 AS INT) AS n_groups
+          FROM documents)
+        SELECT doc_id AS media_id,
+          CAST(1 + doc_id % 2 AS INT) AS channels,
+          CAST(312 + (doc_id % 5) * 10 AS INT) AS pre_skip,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 16000 END AS BIGINT)
+            AS input_rate,
+          CAST(2 + n_groups + CASE WHEN doc_id % 3 = 0 THEN
+              list_sum([CASE WHEN 40 + ((doc_id * 11 + (3 * g + 2) * 37) % 500)
+                  >= 255 THEN 1 ELSE 0 END
+                FOR g IN generate_series(0, n_groups - 2)])
+            ELSE 0 END AS INT) AS n_pages,
+          CAST(n AS INT) AS n_packets,
+          CAST(n * 20 AS BIGINT) AS duration_ms,
+          'graft-synth' AS vendor
+        FROM f""")),
+
+    // ----- header-only dimension census (incl. WebP) ------------------------
+    // "What resolutions does this image lake hold" must not pay IDCT +
+    // inflate for an answer that lives in the first kilobyte: at 100 TB
+    // the census is I/O-shaped only if the per-row work is a header
+    // parse. ImageDims.sniff covers the repo's six decodable formats
+    // (ImageDimsSpec pins header-vs-full-decode dims parity across the
+    // whole fixture space) PLUS WebP in all three wire layouts — the
+    // modern-crawl staple with no full decoder here, which is exactly
+    // why the header path matters. One narrow projection, no shuffle.
+    Q("mm_image_dims",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val bytes = (id % 8) match {
+              case 0 => BmpCodec.encode(id)
+              case 1 => PngCodec.encode(id)
+              case 2 => GifCodec.encode(id)
+              case 3 => if (id % 2 == 1) JpegCodec.encodeProgressive(id)
+                else JpegCodec.encode(id)
+              case 4 => TiffCodec.encode(id)
+              case 5 => PpmCodec.encode(id)
+              case 6 => if (id % 16 == 6) ImageDims.encodeWebpVp8l(id)
+                else ImageDims.encodeWebpVp8(id)
+              case _ => ImageDims.encodeWebpVp8x(id)
+            }
+            val dm = ImageDims.sniff(bytes)
+            require(dm != null, s"dims sniff rejected its own fixture: $id")
+            (id, dm.format, dm.w, dm.h)
+          }
+        }.toDF("media_id", "format", "w", "h")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE doc_id % 8 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+            WHEN 2 THEN 'gif' WHEN 3 THEN 'jpg' WHEN 4 THEN 'tiff'
+            WHEN 5 THEN 'ppm' ELSE 'webp' END AS format,
+          CAST(CASE doc_id % 8
+            WHEN 2 THEN 24 + doc_id % 13
+            WHEN 3 THEN 21 + doc_id % 14
+            WHEN 6 THEN 100 + doc_id % 50
+            WHEN 7 THEN 640 + doc_id % 100
+            ELSE 16 + doc_id % 13 END AS INT) AS w,
+          CAST(CASE doc_id % 8
+            WHEN 2 THEN 18 + doc_id % 7
+            WHEN 3 THEN 13 + doc_id % 11
+            WHEN 6 THEN 80 + doc_id % 40
+            WHEN 7 THEN 480 + doc_id % 50
+            ELSE 12 + doc_id % 7 END AS INT) AS h
+        FROM documents""")),
+
     // ----- VAD-style speech segmentation ----------------------------------
     // The ASR-curation segmenter: cut each clip into maximal runs of
     // energetic frames (2 ms frames, frame active iff mean|s| ≥ half

@@ -218,6 +218,49 @@ object PcapQueries {
             is_negotiation)"""
   }
 
+  /** Protected QUIC client-Initial capture (see
+    * [[graft.pcap.PcapSynth.quicInitialPackets]]). */
+  private def quicSniSynthPath: String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_synth_quic_sni.pcap")
+    graft.pcap.PcapSynth.ensureQuicInitialFile(p, 96)
+    p.toString
+  }
+
+  /** Constant oracle for pcap_quic_sni: replay the 24-flow rotation —
+    * ClientHello fields from [[graft.pcap.PcapSynth.tlsClientHello]](f),
+    * QUIC version v2 iff f%3 == 2, token/packet-number arithmetic over
+    * the 4 sessions i ≡ f (mod 24). The corrupted/short-header/VNEG
+    * decoys contribute NOTHING here — the query must reject them via
+    * GCM auth and header-form checks. */
+  private def quicSniOracle(n: Int): String = {
+    val tlds = Array("com", "org", "net")
+    val alpns = Array("\'h2\'", "\'http/1.1\'", "NULL")
+    val rows = (0 until 24).map { f =>
+      val is = (f until n by 24).toSeq
+      val sni = f"host$f%03d.example.${tlds(f % 3)}"
+      val qv = if (f % 3 == 2) "v2" else "v1"
+      val tlsV = if (f % 2 == 1) "TLS1.3" else "TLS1.2"
+      val sumTok = is.count(_ % 5 == 0) * 8L
+      val maxPn = is.map(_ % 7).max
+      s"('198.51.100.77', '$qv', '$sni', ${alpns(f % 3)}, '$tlsV', " +
+        s"${is.size}, ${is.size}, ${8 + f % 5}, $sumTok, $maxPn, 1)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.server AS VARCHAR) AS server,
+        CAST(v.quic_version AS VARCHAR) AS quic_version,
+        CAST(v.sni AS VARCHAR) AS sni,
+        CAST(v.alpn AS VARCHAR) AS alpn,
+        CAST(v.tls_version AS VARCHAR) AS tls_version,
+        CAST(v.n_pkts AS BIGINT) AS n_pkts,
+        CAST(v.n_clients AS BIGINT) AS n_clients,
+        CAST(v.cipher_count AS INT) AS cipher_count,
+        CAST(v.sum_token_len AS BIGINT) AS sum_token_len,
+        CAST(v.max_pkt_num AS BIGINT) AS max_pkt_num,
+        CAST(v.n_fps AS BIGINT) AS n_fps
+        FROM (VALUES $rows)
+          AS v(server, quic_version, sni, alpn, tls_version, n_pkts,
+            n_clients, cipher_count, sum_token_len, max_pkt_num, n_fps)"""
+  }
+
   /** SMTP command-stream capture (see
     * [[graft.pcap.PcapSynth.smtpPackets]]). */
   private def smtpSynthPath: String = {
@@ -2631,6 +2674,38 @@ object PcapQueries {
           .withColumn("is_negotiation", $"version_name" === "negotiation")
       },
       Some(quicInventoryOracle(120))),
+
+    // QUIC SNI recovery (the modern-traffic successor of pcap_tls_sni:
+    // HTTP/3 flows never show a cleartext TCP ClientHello, but Initial
+    // packets are protected only with keys derived from the PUBLIC
+    // destination connection id — RFC 9001 §5.2 — so a passive tap can
+    // decrypt them, reassemble the CRYPTO stream, and read SNI / ALPN /
+    // client fingerprint). The whole pipeline — header-protection
+    // removal, AES-GCM open, frame walk, ClientHello parse — is ONE
+    // native expression per UDP/443 row (no shuffle until the tiny
+    // rollup); bit-flipped, short-header, and version-negotiation decoys
+    // in the fixture are rejected by the crypto itself, not by shape
+    // heuristics. Output is O(server × SNI); both v1 and v2 populations.
+    Q("pcap_quic_sni",
+      (s, d) => {
+        import s.implicits._
+        s.read.format("pcap").load(quicSniSynthPath)
+          .filter($"protocol" === "UDP" && $"dst_port" === 443 &&
+            $"payload".isNotNull)
+          .withColumn("q",
+            graft.functions.QuicInitialExpr.quic_initial($"payload"))
+          .filter($"q".isNotNull && $"q.sni".isNotNull)
+          .groupBy($"dst".as("server"), $"q.version".as("quic_version"),
+            $"q.sni".as("sni"), $"q.alpn".as("alpn"),
+            $"q.tls_version".as("tls_version"))
+          .agg(count(lit(1)).as("n_pkts"),
+            countDistinct($"src").as("n_clients"),
+            max($"q.cipher_count").as("cipher_count"),
+            sum($"q.token_len").as("sum_token_len"),
+            max($"q.pkt_num").as("max_pkt_num"),
+            countDistinct($"q.fp").as("n_fps"))
+      },
+      Some(quicSniOracle(96))),
 
     // SMTP envelope / STARTTLS compliance audit (the mail-estate twin
     // of pcap_cleartext_creds): which sender domains still relay mail
