@@ -5542,6 +5542,58 @@ object Multimodal {
                AS BIGINT) AS sum_abs
         FROM documents WHERE doc_id % 3 = 2""")),
 
+    // ----- ZIP dataset ingestion (central-directory census + extract) ------
+    // Public datasets ship as ZIP (Kaggle exports, image bundles); the
+    // `zip` DSv2 source plans per-entry slices from the central
+    // directory, so one 50 GB archive fans out across executors and a
+    // name/size census reads ZERO entry bytes (ZipSourceSpec pins the
+    // counter; the fixture is written by the JDK's own ZipOutputStream
+    // — streaming local headers + data descriptors, the layout that
+    // breaks local-header-trusting readers). Census: column pruning
+    // drops `data`, the scan never opens a local header.
+    Q("mm_zip_census",
+      (s, _) => {
+        import s.implicits._
+        val dir = graft.sources.zip.ZipSynth
+          .ensureFixture("/tmp/graft_zip_fixture")
+        s.read.format("zip").load(dir)
+          .groupBy($"archive")
+          .agg(count(lit(1)).as("n_entries"),
+            sum($"size").as("total_bytes"),
+            sum(when($"method" === "store", 1L).otherwise(0L))
+              .as("n_stored"))
+      },
+      Some("""WITH a AS (SELECT unnest(generate_series(0, 11)) AS i),
+          e AS (SELECT i, unnest(generate_series(0, 4 + i % 5)) AS j FROM a)
+        SELECT 'ds-' || lpad(CAST(i AS VARCHAR), 3, '0') || '.zip' AS archive,
+          CAST(COUNT(*) AS BIGINT) AS n_entries,
+          CAST(SUM(length('zip ' || i || ' entry ' || j || ' ')
+            * (1 + (i * 7 + j) % 5)) AS BIGINT) AS total_bytes,
+          CAST(SUM(CASE WHEN (i + j) % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_stored
+        FROM e GROUP BY 1""")),
+
+    // Extraction: every entry decompressed (stored + deflate mix) with
+    // CRC-32 and size verified against the central directory — a
+    // corrupt entry fails the task instead of feeding silent garbage
+    // to training. The md5 parity below holds only if the CD offsets,
+    // the local-header skip, and the inflate all land byte-exactly.
+    Q("mm_zip_extract",
+      (s, _) => {
+        import s.implicits._
+        val dir = graft.sources.zip.ZipSynth
+          .ensureFixture("/tmp/graft_zip_fixture")
+        s.read.format("zip").load(dir)
+          .select($"archive", $"entry", md5($"data").as("body_md5"))
+      },
+      Some("""WITH a AS (SELECT unnest(generate_series(0, 11)) AS i),
+          e AS (SELECT i, unnest(generate_series(0, 4 + i % 5)) AS j FROM a)
+        SELECT 'ds-' || lpad(CAST(i AS VARCHAR), 3, '0') || '.zip' AS archive,
+          'docs/e' || lpad(CAST(j AS VARCHAR), 3, '0') || '.txt' AS entry,
+          md5(repeat('zip ' || i || ' entry ' || j || ' ',
+            CAST(1 + (i * 7 + j) % 5 AS INT))) AS body_md5
+        FROM e""")),
+
     // ----- MP3 stream walk (the web/podcast audio census) ------------------
     // MP3 is what crawled and podcast audio actually ships as; the
     // curation questions (duration, rate, CBR/VBR, tag presence, frame

@@ -564,6 +564,43 @@ object WarcQueries {
           md5(${htmlSql("(i % 700)")}) AS body_md5
         FROM pages""")),
 
+    // ----- Common Crawl domain extraction via cluster.idx range -------------
+    // "Give me everything under site7.example/" — the OTHER Common
+    // Crawl access pattern next to point lookups: a pushed url PREFIX
+    // becomes a SURT-key RANGE over cluster.idx (floor block through
+    // the first block past prefix+U+FFFF), so the blocks read are
+    // proportional to the MATCHING data, never the index or crawl
+    // size, and the planner slices exactly the member extents of that
+    // one site out of archives that carry 50 sites. Host-incomplete
+    // prefixes (which could match other domains) are rejected from
+    // range planning by rangeablePrefix — WarcCdxSpec pins that and
+    // the bounded blocksRead. md5 gated to 200/html rows because the
+    // 404 and image populations have non-formula bodies.
+    Q("warc_cdx_prefix_scan",
+      (s, _) => {
+        import s.implicits._
+        val dir = foreignCdxDir
+        s.read.format("warc").option("cdx", s"$dir/indexes")
+          .load(dir)
+          .filter($"rec_type" === "response" &&
+            $"url".startsWith("http://site7.example/"))
+          .select(
+            regexp_extract($"url", "/p(\\d+)$", 1).cast("long")
+              .as("page"),
+            $"http_status",
+            when($"http_status" === 200 &&
+              $"http_content_type" === "text/html", md5($"payload"))
+              .as("body_md5"))
+      },
+      Some(s"""WITH pages AS (
+          SELECT unnest(generate_series(0, ${ForeignPages - 1})) AS i)
+        SELECT i AS page,
+          CAST(CASE WHEN i % 17 = 0 THEN 404 ELSE 200 END AS INT)
+            AS http_status,
+          CASE WHEN i % 17 = 0 OR i % 13 = 5 THEN NULL
+            ELSE md5(${htmlSql("(i % 700)")}) END AS body_md5
+        FROM pages WHERE i % 50 = 7""")),
+
     // ----- CDX dedup survey (digests off the index, zero page bytes) --------
     // The v2 sidecar carries the CDX digest column (md5 of the payload
     // as the scan returns it), so crawl-wide dedup ACCOUNTING — how

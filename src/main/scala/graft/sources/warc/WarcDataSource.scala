@@ -481,6 +481,17 @@ class WarcScan(requiredSchema: StructType,
         vs.toSeq.collect { case s: String => s }
       case _ => Seq.empty
     }
+    // pushed url prefixes expressible as SURT-key ranges ("all of site
+    // X" — the other Common Crawl access pattern). Host-incomplete
+    // prefixes are NOT collected (rangeablePrefix documents why); the
+    // cluster path engages only when at least one pushed url conjunct
+    // is representable, so coverage is a superset of the AND of all
+    // pushed filters and the residual evaluation stays exact.
+    lazy val urlPrefixTargets: Seq[String] = pushedFilters.toSeq.flatMap {
+      case org.apache.spark.sql.sources.StringStartsWith("url", p)
+          if WarcForeignCdx.rangeablePrefix(p) => Seq(p)
+      case _ => Seq.empty
+    }
     // cluster-path loads return entries ONLY for the target urls, so
     // the index is AUTHORITATIVE for every data file: a file with no
     // matching entries plans zero slices (the opt-in coverage
@@ -489,10 +500,10 @@ class WarcScan(requiredSchema: StructType,
     lazy val (foreignIdx, foreignAuthoritative)
         : (Map[String, Array[WarcCdx.Entry]], Boolean) =
       Option(options.get("cdx")).map { spec =>
-        if (urlTargets.nonEmpty &&
+        if ((urlTargets.nonEmpty || urlPrefixTargets.nonEmpty) &&
             WarcForeignCdx.hasClusterIdx(conf, spec))
           (WarcForeignCdx.loadViaCluster(conf, new Path(spec),
-            urlTargets), true)
+            urlTargets, urlPrefixTargets), true)
         else (WarcForeignCdx.load(conf, spec,
           options.getLong("cdxMaxLoadBytes", 1L << 28)), false)
       }.getOrElse((Map.empty, false))

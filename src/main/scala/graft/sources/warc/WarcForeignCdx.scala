@@ -159,49 +159,87 @@ object WarcForeignCdx {
     catch { case _: NumberFormatException => None }
   }
 
-  /** Point-lookup load through `cluster.idx`: for each target url,
-    * binary-search the (sorted) secondary index ON DISK — never
-    * loading it — for the last block whose first key <= the target's
-    * SURT key, then read THAT block and the one after (slack for
-    * canonicalization drift). O(lookups · log(index) seeks +
-    * lookups · blockBytes) whatever the crawl size — the only shape
-    * that survives a 300 GB Common Crawl index. */
+  /** True when a pushed `url LIKE 'p%'` prefix is expressible as a
+    * SURT-key RANGE of the index: the prefix must name a COMPLETE host
+    * (scheme plus a '/' after the authority). A host-incomplete prefix
+    * like "https://example.com" also matches "https://example.communist
+    * .org/…", whose SURT key lives in an unrelated index range — range
+    * planning there would silently drop matching rows, so such
+    * prefixes stay on the full-load path. */
+  def rangeablePrefix(urlPrefix: String): Boolean = {
+    val s = urlPrefix.indexOf("://")
+    s >= 0 && urlPrefix.indexOf('/', s + 3) >= 0
+  }
+
+  /** Point-lookup / prefix-range load through `cluster.idx`: for each
+    * target url (or host-complete url prefix), binary-search the
+    * (sorted) secondary index ON DISK — never loading it — for the
+    * last block whose first key <= the target's SURT key, then read
+    * that block and the one after (point: slack for canonicalization
+    * drift) or the contiguous block run covering the prefix's key
+    * range plus one (prefix: "all of site X from Common Crawl", the
+    * block count proportional to the MATCHING data, not the index).
+    * O(targets · log(index) seeks + matchedBlocks · blockBytes)
+    * whatever the crawl size — the only shape that survives a 300 GB
+    * Common Crawl index. */
   def loadViaCluster(conf: Configuration, indexDir: Path,
-      targetUrls: Seq[String]): Map[String, Array[WarcCdx.Entry]] = {
+      targetUrls: Seq[String], urlPrefixes: Seq[String] = Seq.empty)
+      : Map[String, Array[WarcCdx.Entry]] = {
     val fs = indexDir.getFileSystem(conf)
     val ciPath = new Path(indexDir, "cluster.idx")
     val ciLen = fs.getFileStatus(ciPath).getLen
-    val targets = targetUrls.map(u => u -> (surtKey(u) + " ")).toMap
     val wanted = scala.collection.mutable.LinkedHashSet
       .empty[(String, Long, Long)]
     val in = fs.open(ciPath)
     try {
-      targets.values.foreach { key =>
-        // last block whose first "urlkey ts" <= the target key; the
-        // target's records live there — plus the FOLLOWING block as
-        // slack for canonicalization drift between this surtKey and
-        // whatever wrote the index
+      // last block whose first "urlkey ts" <= loKey (or byte 0 when
+      // loKey sorts before the first block — the leading-slack twin
+      // of the follower)
+      def floorPos(loKey: String): Long = {
         var lo = 0L
         var hi = ciLen
-        var (bestLine, bestNext) = twoLinesAt(in, ciLen, 0L)
-        if (bestLine != null && bestLine.compareTo(key) <= 0) {
-          while (hi - lo > 1) {
-            val mid = lo + (hi - lo) / 2
-            val (ln, nx) = twoLinesAt(in, ciLen, mid)
-            if (ln == null || ln.compareTo(key) > 0) hi = mid
-            else { lo = mid; bestLine = ln; bestNext = nx }
-          }
+        val (first, _) = twoLinesAt(in, ciLen, 0L)
+        if (first == null || first.compareTo(loKey) > 0) return 0L
+        while (hi - lo > 1) {
+          val mid = lo + (hi - lo) / 2
+          val (ln, _) = twoLinesAt(in, ciLen, mid)
+          if (ln == null || ln.compareTo(loKey) > 0) hi = mid
+          else lo = mid
         }
-        // (a key sorting before the first block keeps block 0 — the
-        // leading-slack twin of the follower)
-        Seq(bestLine, bestNext).foreach(l => parseClusterLine(l)
-          .foreach(b => wanted += ((b.shard, b.offset, b.length))))
+        lo
+      }
+      // collect blocks from the floor of loKey through the first block
+      // whose key exceeds hiKey (inclusive — the one-past slack block)
+      def collect(loKey: String, hiKey: String): Unit = {
+        val pos = floorPos(loKey)
+        in.seek(pos)
+        val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+          in, java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+        if (pos > 0 && rd.readLine() == null) return
+        var line = rd.readLine()
+        var pastEnd = false
+        while (line != null && !pastEnd) {
+          if (line.compareTo(hiKey) > 0) pastEnd = true
+          parseClusterLine(line)
+            .foreach(b => wanted += ((b.shard, b.offset, b.length)))
+          line = rd.readLine()
+        }
+      }
+      targetUrls.foreach { u =>
+        val key = surtKey(u) + " "
+        collect(key, key)                 // floor block + one follower
+      }
+      urlPrefixes.foreach { p =>
+        val k = surtKey(p)
+        collect(k, k + "\uFFFF")        // the prefix's whole key range
       }
     } finally in.close()
     val blocks = wanted.toSeq
     val byFile = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[WarcCdx.Entry]]
     val urlSet = targetUrls.toSet
+    def matches(u: String): Boolean =
+      u != null && (urlSet.contains(u) || urlPrefixes.exists(u.startsWith))
     blocks.foreach { case (shard, offset, length) =>
       blocksRead.increment()
       val sp = new Path(indexDir, shard)
@@ -222,7 +260,7 @@ object WarcForeignCdx {
         var line = rd.readLine()
         while (line != null) {
           parseLine(line).foreach { case (f, e) =>
-            if (e.url != null && urlSet.contains(e.url))
+            if (matches(e.url))
               byFile.getOrElseUpdate(f,
                 scala.collection.mutable.ArrayBuffer.empty) += e
           }

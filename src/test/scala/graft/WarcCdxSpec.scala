@@ -501,6 +501,90 @@ class WarcCdxSpec extends AnyFunSuite {
     assert(pruned == whole && pruned.length == 2)
   }
 
+  test("cluster.idx PREFIX scans plan exactly the site's records from " +
+      "a bounded block range; host-incomplete prefixes stay off the " +
+      "range path") {
+    import graft.sources.warc.{WarcForeignCdx, WarcInputPartition,
+      WarcScan, WarcScanBuilder}
+    val dir = Files.createTempDirectory("warc_prefix").toString
+    val p = Paths.get(dir, "crawl-00.warc.gz")
+    val n = 200 // urlOf site = i % 50 -> 4 pages per site
+    val os = Files.newOutputStream(p)
+    try WarcSynth.gzipMembers(
+      (0 until n).iterator.map(i => WarcSynth.responseRecord(i.toLong)),
+      os)
+    finally os.close()
+    val w = new WarcCdx.MemberGzipWalker(Files.newInputStream(p))
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (w.next()) {
+      val url = WarcSynth.urlOf(i.toLong)
+      lines += s"""${WarcForeignCdx.surtKey(url)} 20260201000000 {"url":"$url","mime":"text/html","status":"200","digest":"d$i","length":"${
+        w.memberLen}","offset":"${w.memberStart}","filename":"crawl-00.warc.gz"}"""
+      i += 1
+    }
+    val idxDir = Paths.get(dir, "indexes")
+    Files.createDirectories(idxDir)
+    val shard = new java.io.ByteArrayOutputStream()
+    val cluster = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines.sorted.grouped(20).zipWithIndex.foreach { case (blk, bi) =>
+      val off = shard.size()
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write((blk.mkString("\n") + "\n").getBytes("UTF-8"))
+      gz.close()
+      shard.write(bo.toByteArray)
+      val key2 = blk.head.split(" ", 3).take(2).mkString(" ")
+      cluster += s"$key2\tcdx-00000.gz\t$off\t${bo.size()}\t$bi"
+    }
+    Files.write(idxDir.resolve("cdx-00000.gz"), shard.toByteArray)
+    Files.write(idxDir.resolve("cluster.idx"),
+      (cluster.mkString("\n") + "\n").getBytes("UTF-8"))
+    def planWith(prefix: String): Array[
+        org.apache.spark.sql.connector.read.InputPartition] = {
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir, "cdx", s"$dir/indexes",
+          "cdxMergeGap", "0"))
+      val b = new WarcScanBuilder(opts)
+      b.pushFilters(Array(
+        org.apache.spark.sql.sources.StringStartsWith("url", prefix)))
+      b.build().asInstanceOf[WarcScan].toBatch.planInputPartitions()
+    }
+    assert(WarcForeignCdx.rangeablePrefix("http://site7.example/"))
+    assert(!WarcForeignCdx.rangeablePrefix("http://site7.example"))
+    assert(!WarcForeignCdx.rangeablePrefix("site7"))
+    WarcForeignCdx.blocksRead.reset()
+    val hit = planWith("http://site7.example/")
+    val blocks = WarcForeignCdx.blocksRead.sum()
+    assert(blocks >= 1 && blocks <= 3,
+      s"prefix range should touch a bounded block run, read $blocks")
+    val slices = hit.flatMap(_.asInstanceOf[WarcInputPartition].slices)
+    assert(slices.length == 4,
+      s"expected the site's 4 record slices, got ${slices.toSeq}")
+    // no-match prefix: zero partitions, still bounded block reads
+    WarcForeignCdx.blocksRead.reset()
+    assert(planWith("http://zzz-no-such.example/").isEmpty)
+    assert(WarcForeignCdx.blocksRead.sum() <= 2)
+    // host-incomplete prefix: range path declines, the full-load path
+    // still prunes via the compiled predicate — and never misses
+    WarcForeignCdx.blocksRead.reset()
+    val fb = planWith("http://site7.example")
+    assert(WarcForeignCdx.blocksRead.sum() == 0,
+      "host-incomplete prefix must not use the cluster range path")
+    assert(fb.flatMap(_.asInstanceOf[WarcInputPartition].slices)
+      .length == 4)
+    // row parity with the whole-file scan
+    import org.apache.spark.sql.functions.{col, md5}
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("url").startsWith("http://site7.example/"))
+        .select(col("url"), md5(col("payload")))
+        .collect().sortBy(_.getString(0)).toSeq
+    val pruned = rowsOf(spark.read.format("warc")
+      .option("cdx", s"$dir/indexes").load(dir))
+    val whole = rowsOf(spark.read.format("warc").load(dir))
+    assert(pruned == whole && pruned.length == 4)
+  }
+
   test("survey parses sidecar lines as raw tab-separated text — a " +
       "url field beginning with a double quote survives verbatim") {
     import org.apache.spark.sql.functions._
