@@ -70,6 +70,12 @@ object ImageDims {
           b(2) == 'F' && b(3) == 'F' &&
           new String(b, 8, 4, US_ASCII) == "WEBP") {
         webp(b)
+      } else if (b.length >= 16 &&
+          new String(b, 4, 4, US_ASCII) == "ftyp" &&
+          (new String(b, 8, 4, US_ASCII) == "avif" ||
+           new String(b, 8, 4, US_ASCII) == "heic" ||
+           new String(b, 8, 4, US_ASCII) == "mif1")) {
+        avif(b)
       } else null
     } catch { case _: ArrayIndexOutOfBoundsException => null }
   }
@@ -184,6 +190,81 @@ object ImageDims {
     }
   }
 
+  /** AVIF/HEIC (ISO BMFF / HEIF): the PRIMARY item's `ispe` property,
+    * resolved properly through `pitm` (primary item id) and `ipma`
+    * (item → 1-based ipco property indexes) — NOT the first `ispe`
+    * in file order, which is often a thumbnail's. Box walk only;
+    * the AV1/HEVC payload is never touched. */
+  private def avif(b: Array[Byte]): Dims = {
+    // one level of box children in [from, to)
+    def children(from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var p = from
+      while (p + 8 <= to) {
+        var size = u32be(b, p)
+        var hdr = 8
+        if (size == 1) {                       // 64-bit largesize
+          if (p + 16 > to) return out.result()
+          val big = (u32be(b, p + 8) << 32) | u32be(b, p + 12)
+          size = big
+          hdr = 16
+        } else if (size == 0) size = (to - p).toLong // to end of container
+        if (size < hdr || p + size > to) return out.result()
+        out += ((new String(b, p + 4, 4, US_ASCII), p + hdr,
+          p + size.toInt))
+        p += size.toInt
+      }
+      out.result()
+    }
+    val meta = children(0, b.length).collectFirst {
+      case ("meta", f, t) => (f + 4, t)        // fullbox: skip ver/flags
+    }.getOrElse(return null)
+    val kids = children(meta._1, meta._2)
+    val primaryId = kids.collectFirst { case ("pitm", f, t) =>
+      val ver = b(f) & 0xFF
+      if (ver == 0) u16be(b, f + 4) else u32be(b, f + 4).toInt
+    }.getOrElse(return null)
+    val iprp = kids.collectFirst { case ("iprp", f, t) => (f, t) }
+      .getOrElse(return null)
+    val iprpKids = children(iprp._1, iprp._2)
+    val ipco = iprpKids.collectFirst { case ("ipco", f, t) =>
+      children(f, t)
+    }.getOrElse(return null)
+    // ipma: find the primary item's property indexes (1-based in ipco)
+    val indexes = iprpKids.collectFirst { case ("ipma", f, t) =>
+      val ver = b(f) & 0xFF
+      val flags = u32be(b, f) & 0xFFFFFF
+      var p = f + 4
+      val n = u32be(b, p); p += 4
+      var found: Seq[Int] = null
+      var i = 0L
+      while (i < n && found == null && p < t) {
+        val itemId = if (ver < 1) { val v = u16be(b, p); p += 2; v }
+          else { val v = u32be(b, p).toInt; p += 4; v }
+        val cnt = b(p) & 0xFF; p += 1
+        val idx = Seq.newBuilder[Int]
+        var a = 0
+        while (a < cnt) {
+          if ((flags & 1) != 0) { idx += (u16be(b, p) & 0x7FFF); p += 2 }
+          else { idx += (b(p) & 0x7F); p += 1 }
+          a += 1
+        }
+        if (itemId == primaryId) found = idx.result()
+        i += 1
+      }
+      Option(found)
+    }.flatten.getOrElse(return null)
+    indexes.iterator
+      .filter(i => i >= 1 && i <= ipco.length)
+      .map(i => ipco(i - 1))
+      .collectFirst { case ("ispe", f, t) if t - f >= 12 =>
+        val w = u32be(b, f + 4)
+        val h = u32be(b, f + 8)
+        if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) null
+        else Dims("avif", w.toInt, h.toInt)
+      }.orNull
+  }
+
   // ----- WebP fixture headers (synth) ------------------------------------
   // The dims census is BY DESIGN a header parse, so the fixtures carry
   // real container + frame-header bytes with junk entropy payload —
@@ -257,6 +338,47 @@ object ImageDims {
     var i = 0
     while (i < 4) { frame(1 + i) = ((frameBits >> (8 * i)) & 0xFF).toByte; i += 1 }
     riffMulti(Seq(("VP8X", x), ("VP8L", frame)))
+  }
+
+  def avifW(id: Long): Int = 800 + (id % 200).toInt
+  def avifH(id: Long): Int = 600 + (id % 150).toInt
+
+  private def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + payload.length)
+    val size = out.length
+    out(0) = (size >> 24).toByte; out(1) = (size >> 16).toByte
+    out(2) = (size >> 8).toByte; out(3) = size.toByte
+    System.arraycopy(tag.getBytes(US_ASCII), 0, out, 4, 4)
+    System.arraycopy(payload, 0, out, 8, payload.length)
+    out
+  }
+  private def be32(v: Int): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  /** Minimal HEIF header structure for an AVIF: the thumbnail's ispe
+    * comes FIRST in ipco, so a reader that grabs the first ispe (the
+    * common shortcut) reports the thumbnail's dims — the sniffer must
+    * resolve pitm → ipma → property index 2 instead. Payload bytes are
+    * junk (dims live in the header; AV1 is never decoded here). */
+  def encodeAvif(id: Long): Array[Byte] = {
+    val ispeThumb = box("ispe",
+      be32(0) ++ be32(avifW(id) / 4) ++ be32(avifH(id) / 4))
+    val ispePrimary = box("ispe",
+      be32(0) ++ be32(avifW(id)) ++ be32(avifH(id)))
+    val ipco = box("ipco", ispeThumb ++ ispePrimary)
+    // ipma v0 flags0: 2 entries — item 2 (thumb) -> [1]; item 1 -> [2]
+    val ipma = box("ipma", be32(0) ++ be32(2) ++
+      Array[Byte](0, 2, 1, 0x01.toByte, 0, 1, 1, 0x02.toByte))
+    val iprp = box("iprp", ipco ++ ipma)
+    val pitm = box("pitm", be32(0) ++ Array[Byte](0, 1))
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++
+      "pict".getBytes(US_ASCII) ++ new Array[Byte](13))
+    val meta = box("meta", be32(0) ++ hdlr ++ pitm ++ iprp)
+    val ftyp = box("ftyp", "avif".getBytes(US_ASCII) ++ be32(0) ++
+      "avifmif1".getBytes(US_ASCII))
+    val mdat = box("mdat",
+      Array.tabulate[Byte](40 + (id % 23).toInt)(k => ((id + k * 3) % 251).toByte))
+    ftyp ++ meta ++ mdat
   }
 
   private def riffMulti(chunks: Seq[(String, Array[Byte])]): Array[Byte] = {

@@ -5715,7 +5715,8 @@ object Multimodal {
               case 5 => PpmCodec.encode(id)
               case 6 => if (id % 16 == 6) ImageDims.encodeWebpVp8l(id)
                 else ImageDims.encodeWebpVp8(id)
-              case _ => ImageDims.encodeWebpVp8x(id)
+              case _ => if (id % 16 == 7) ImageDims.encodeWebpVp8x(id)
+                else ImageDims.encodeAvif(id)
             }
             val dm = ImageDims.sniff(bytes)
             require(dm != null, s"dims sniff rejected its own fixture: $id")
@@ -5724,21 +5725,24 @@ object Multimodal {
         }.toDF("media_id", "format", "w", "h")
       },
       Some("""SELECT doc_id AS media_id,
-          CASE doc_id % 8 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-            WHEN 2 THEN 'gif' WHEN 3 THEN 'jpg' WHEN 4 THEN 'tiff'
-            WHEN 5 THEN 'ppm' ELSE 'webp' END AS format,
-          CAST(CASE doc_id % 8
-            WHEN 2 THEN 24 + doc_id % 13
-            WHEN 3 THEN 21 + doc_id % 14
-            WHEN 6 THEN 100 + doc_id % 50
-            WHEN 7 THEN 640 + doc_id % 100
-            ELSE 16 + doc_id % 13 END AS INT) AS w,
-          CAST(CASE doc_id % 8
-            WHEN 2 THEN 18 + doc_id % 7
-            WHEN 3 THEN 13 + doc_id % 11
-            WHEN 6 THEN 80 + doc_id % 40
-            WHEN 7 THEN 480 + doc_id % 50
-            ELSE 12 + doc_id % 7 END AS INT) AS h
+          CASE WHEN doc_id % 16 = 15 THEN 'avif' ELSE
+            CASE doc_id % 8 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+              WHEN 2 THEN 'gif' WHEN 3 THEN 'jpg' WHEN 4 THEN 'tiff'
+              WHEN 5 THEN 'ppm' ELSE 'webp' END END AS format,
+          CAST(CASE WHEN doc_id % 16 = 15 THEN 800 + doc_id % 200 ELSE
+            CASE doc_id % 8
+              WHEN 2 THEN 24 + doc_id % 13
+              WHEN 3 THEN 21 + doc_id % 14
+              WHEN 6 THEN 100 + doc_id % 50
+              WHEN 7 THEN 640 + doc_id % 100
+              ELSE 16 + doc_id % 13 END END AS INT) AS w,
+          CAST(CASE WHEN doc_id % 16 = 15 THEN 600 + doc_id % 150 ELSE
+            CASE doc_id % 8
+              WHEN 2 THEN 18 + doc_id % 7
+              WHEN 3 THEN 13 + doc_id % 11
+              WHEN 6 THEN 80 + doc_id % 40
+              WHEN 7 THEN 480 + doc_id % 50
+              ELSE 12 + doc_id % 7 END END AS INT) AS h
         FROM documents""")),
 
     // ----- VAD-style speech segmentation ----------------------------------

@@ -314,6 +314,8 @@ object ZipCentralDirectory {
       val locPos = e - 20
       if (locPos >= 0 && u32(tail, locPos) == Eocd64Locator) {
         val eocd64Off = u64(tail, locPos + 8)
+        require(eocd64Off >= 0 && eocd64Off + 56 <= len,
+          s"${st.getPath}: zip64 locator offset $eocd64Off out of range")
         val rec = new Array[Byte](56)
         in.readFully(eocd64Off, rec)
         require(u32(rec, 0) == Eocd64,
@@ -322,8 +324,17 @@ object ZipCentralDirectory {
         cdSize = u64(rec, 40)
         cdOffset = u64(rec, 48)
       }
-      require(cdSize <= (1L << 30),
+      // hostile-length guards BEFORE any allocation: the declared CD
+      // must lie inside the file, entries must fit in the CD, and a
+      // bogus zip64 record must not drive a negative/huge array
+      require(cdSize >= 0 && cdSize <= (1L << 30),
         s"${st.getPath}: central directory $cdSize B exceeds the 1 GiB cap")
+      require(cdOffset >= 0 && cdOffset + cdSize <= len,
+        s"${st.getPath}: central directory [$cdOffset, +$cdSize) " +
+          s"overruns the $len-byte file")
+      require(nEntries >= 0 && nEntries * 46 <= cdSize,
+        s"${st.getPath}: $nEntries entries cannot fit in a " +
+          s"$cdSize-byte central directory")
       val cd = new Array[Byte](cdSize.toInt)
       in.readFully(cdOffset, cd)
       val out = Seq.newBuilder[Entry]
@@ -346,6 +357,8 @@ object ZipCentralDirectory {
         val extraLen = u16(cd, p + 30)
         val commentLen = u16(cd, p + 32)
         var localOffset = u32(cd, p + 42)
+        require(p + 46 + nameLen + extraLen + commentLen <= cd.length,
+          s"${st.getPath}: central entry $i name/extra overrun")
         val name = new String(cd, p + 46, nameLen,
           java.nio.charset.StandardCharsets.UTF_8)
         // zip64 extended field (id 0x0001): values appear IN ORDER,
@@ -360,6 +373,10 @@ object ZipCentralDirectory {
             val sz = u16(cd, q + 2)
             if (id == 0x0001) {
               var r = q + 4
+              val needed = Seq(usize, csize, localOffset)
+                .count(_ == 0xFFFFFFFFL) * 8
+              require(r + needed <= qEnd && qEnd <= cd.length,
+                s"${st.getPath}: entry $name zip64 field truncated")
               if (usize == 0xFFFFFFFFL) { usize = u64(cd, r); r += 8 }
               if (csize == 0xFFFFFFFFL) { csize = u64(cd, r); r += 8 }
               if (localOffset == 0xFFFFFFFFL) { localOffset = u64(cd, r); r += 8 }
@@ -369,6 +386,10 @@ object ZipCentralDirectory {
           require(found,
             s"${st.getPath}: entry $name sentinels without a zip64 field")
         }
+        require(csize >= 0 && usize >= 0 && localOffset >= 0 &&
+          localOffset + 30 + csize <= len,
+          s"${st.getPath}: entry $name [$localOffset, +$csize) " +
+            s"overruns the $len-byte file")
         if (!name.endsWith("/"))              // directories carry no bytes
           out += Entry(name, localOffset, csize, usize, method, crc)
         p += 46 + nameLen + extraLen + commentLen

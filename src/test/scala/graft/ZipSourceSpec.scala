@@ -174,6 +174,46 @@ class ZipSourceSpec extends AnyFunSuite {
     assert(texts(ex3).contains("too short"), texts(ex3))
   }
 
+  test("fuzz: random tails and truncated archives reject cleanly, " +
+      "never hang or mis-parse") {
+    val dir = Files.createTempDirectory("zip_fuzz")
+    val base = dir.resolve("f.zip")
+    writeZip(base, 11, 6)
+    val bytes = Files.readAllBytes(base)
+    val fs = new org.apache.hadoop.fs.Path(base.toString)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    var x = 0x21bDecafL
+    def nx(): Int = { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 33).toInt }
+    for (trial <- 0 until 120) {
+      val p = dir.resolve(s"t$trial.zip")
+      val mode = trial % 3
+      val buf =
+        if (mode == 0) java.util.Arrays.copyOf(bytes,
+          23 + math.abs(nx()) % (bytes.length - 23))
+        else if (mode == 1) {
+          val b = bytes.clone()
+          b(math.abs(nx()) % b.length) = nx().toByte
+          b
+        } else Array.tabulate[Byte](23 + math.abs(nx()) % 400)(_ => nx().toByte)
+      Files.write(p, buf)
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(p.toString))
+      try {
+        val entries = graft.sources.zip.ZipCentralDirectory.read(fs, st)
+        // a parse that survives must agree with the JDK if the JDK
+        // also accepts it (bit flips outside the CD are legal)
+        val in = fs.open(st.getPath)
+        try entries.foreach { e =>
+          try graft.sources.zip.ZipCentralDirectory.readEntry(in,
+            graft.sources.zip.ZipEntrySlice(p.toString, e.name,
+              e.localOffset, e.csize, e.usize, e.method, e.crc))
+          catch { case _: Exception => () }   // corrupt data: fine, threw
+        } finally in.close()
+      } catch { case _: IllegalArgumentException | _: java.io.IOException |
+        _: IndexOutOfBoundsException | _: NegativeArraySizeException => () }
+      Files.delete(p)
+    }
+  }
+
   test("the CD walk agrees with the JDK's own ZipFile reader") {
     val dir = Files.createTempDirectory("zip_jdk")
     val p = dir.resolve("j.zip")
