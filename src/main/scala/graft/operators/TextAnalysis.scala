@@ -77,6 +77,28 @@ object TextAnalysis {
     applyBpeMerges(
       "concat(' ', regexp_replace(replace(text, ' ', '|'), '(.)', '\\1 ', 'g'))")
 
+  /** Constant oracle for text_bpe_train: the merge sequence is a pure
+    * function of the fixture formulas, replayed here over the same
+    * [[BpeTrain.shardText]] word stream (the INDEPENDENT check is
+    * tools/bpe_oracle.py, which BpeTrainSpec runs over the actual
+    * archive bytes with CPython's own zipfile + Counter). */
+  private lazy val bpeTrainOracle: String = {
+    val words = (0 until BpeTrain.NShards)
+      .flatMap(i => BpeTrain.shardText(i).split(" "))
+    val dict = words.groupBy(identity)
+      .map { case (w, g) => (w, g.size.toLong) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(200)
+    val rows = BpeTrain.train(dict, 40).zipWithIndex.map {
+      case ((a, b, c), i) => s"(${i + 1}, '$a', '$b', '${a + b}', $c)"
+    }.mkString(",\n        ")
+    s"""SELECT CAST(v.step AS INT) AS step,
+        CAST(v.lhs AS VARCHAR) AS lhs,
+        CAST(v.rhs AS VARCHAR) AS rhs,
+        CAST(v.merged AS VARCHAR) AS merged,
+        CAST(v.pair_count AS BIGINT) AS pair_count
+        FROM (VALUES $rows) AS v(step, lhs, rhs, merged, pair_count)"""
+  }
+
   /** Minimum match length (chars) for text_repeat_spans. Lee et al. use
     * 50 BPE tokens on web text; 25 chars keeps the same "long enough to
     * be mechanical, not idiomatic" intent at this corpus's ~300-char
@@ -1550,6 +1572,37 @@ object TextAnalysis {
           FROM w WHERE len(w) >= 2)
         SELECT pair, COUNT(*) AS n FROM pairs GROUP BY 1
         ORDER BY n DESC, pair LIMIT 20""")),
+
+    // ----- BPE tokenizer TRAINING (the missing middle) ---------------------
+    // pipeline_bpe_pairs is one iteration and text_bpe_apply is
+    // inference; this trains the merge list itself (Sennrich 2016).
+    // The 100 TB shape is the word-dictionary trick every production
+    // trainer uses: corpus -> (word, count) in ONE distributed shuffle,
+    // then a deterministic TakeOrdered(200) bounds the artifact the
+    // 40-merge loop iterates over ON THE DRIVER (the k-means-centroid /
+    // PQ-codebook precedent — O(vocab), O(1) in corpus size; the
+    // corpus is never touched again). Ties break on the
+    // lexicographically smallest (left, right), pinned identically in
+    // the independent CPython trainer tools/bpe_oracle.py, which
+    // BpeTrainSpec runs over the same archive bytes. The corpus is a
+    // zip of pseudo-word shards read through the `zip` DSv2 source —
+    // source composition, and a merge sequence that is a constant of
+    // the synthesis formulas (hence an honest VALUES oracle).
+    Q("text_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        val dir = BpeTrain.ensureFixture("/tmp/graft_bpe_fixture")
+        val dict = s.read.format("zip").load(dir)
+          .select(explode(split($"data".cast("string"), " ")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("w")).limit(200)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val merges = BpeTrain.train(dict, 40)
+        s.createDataFrame(merges.zipWithIndex.map { case ((a, b, c), i) =>
+          (i + 1, a, b, a + b, c)
+        }).toDF("step", "lhs", "rhs", "merged", "pair_count")
+      },
+      Some(bpeTrainOracle)),
 
     // ----- BPE merge application (tokenizer inference) --------------------
     // The other half of the tokenizer story: `pipeline_bpe_pairs` is one

@@ -601,6 +601,64 @@ object WarcQueries {
             ELSE md5(${htmlSql("(i % 700)")}) END AS body_md5
         FROM pages WHERE i % 50 = 7""")),
 
+    // ----- redirect-chain resolution (crawl-hygiene URL canonicalizer) -----
+    // Real crawls are full of 3xx hops, and URL-level dedup/attribution
+    // must key on the FINAL landing page, not the entry URL. The
+    // redirect map (url -> Location, off the http_headers map column)
+    // is a small fraction of the crawl, so it persists once and
+    // resolves chains by a bounded driver loop of BROADCAST
+    // left-joins (4 hops covers practically all real chains; browsers
+    // cap around 20) — the corpus-sized side is touched exactly once.
+    // The fixture builds one- and two-hop chains (301 -> 302 -> 200)
+    // with a tail guard so every chain stays inside the crawl; the
+    // oracle replays the role arithmetic closed-form.
+    Q("warc_redirect_chains",
+      (s, _) => {
+        import s.implicits._
+        val n = 600
+        val dir = graft.sources.warc.WarcSynth.ensureRedirectFixture(
+          "/tmp/graft_warc_redirects", n)
+        val scan = s.read.format("warc").load(dir)
+          .filter($"rec_type" === "response")
+          .select(
+            regexp_extract($"url", "/p(\\d+)$", 1).cast("long").as("page"),
+            $"http_status".as("status"),
+            regexp_extract(
+              element_at($"http_headers", "location"), "/p(\\d+)$", 1)
+              .cast("long").as("loc_page"))
+        val redirects = scan
+          .filter($"status".isin(301, 302) && $"loc_page".isNotNull)
+          .select($"page".as("src"), $"loc_page".as("dst"))
+          .persist()
+        var resolved = redirects
+          .select($"src".as("page"), $"dst".as("cur"), lit(1L).as("n_hops"))
+        for (k <- 1 to 3) {
+          val r = redirects.select($"src".as(s"s$k"), $"dst".as(s"d$k"))
+          resolved = resolved
+            .join(broadcast(r), resolved("cur") === r(s"s$k"), "left")
+            .select($"page",
+              coalesce(col(s"d$k"), $"cur").as("cur"),
+              ($"n_hops" + when(col(s"d$k").isNotNull, 1L).otherwise(0L))
+                .as("n_hops"))
+        }
+        val landings = scan.select($"page".as("lp"), $"status".as("ls"))
+        // (the persisted redirect map releases with the session — the
+        // bounded-artifact discipline; at scale it would be an
+        // Artifact-managed cache like the dedup indexes)
+        resolved
+          .join(broadcast(landings), resolved("cur") === landings("lp"))
+          .select($"page", $"cur".as("final_page"),
+            $"n_hops".cast("int").as("n_hops"),
+            $"ls".cast("int").as("final_status"))
+      },
+      Some("""WITH p AS (SELECT unnest(generate_series(0, 599)) AS i)
+        SELECT i AS page,
+          CASE i % 6 WHEN 0 THEN i + 3 WHEN 1 THEN i + 2
+            ELSE i + 5 END AS final_page,
+          CAST(CASE i % 6 WHEN 0 THEN 2 ELSE 1 END AS INT) AS n_hops,
+          CAST(200 AS INT) AS final_status
+        FROM p WHERE i % 6 IN (0, 1, 4) AND i < 594""")),
+
     // ----- CDX dedup survey (digests off the index, zero page bytes) --------
     // The v2 sidecar carries the CDX digest column (md5 of the payload
     // as the scan returns it), so crawl-wide dedup ACCOUNTING — how

@@ -147,6 +147,52 @@ object WarcSynth {
       "Content-Type" -> "application/http; msgtype=response"), block)
   }
 
+  /** 3xx redirect roles for the redirect-chain fixture: page i is a
+    * redirect iff i % 6 ∈ {0, 1, 4} and i < n - 6 (the tail guard keeps
+    * every chain's intermediate hops inside the fixture). Role 0 is a
+    * 301 to i+1 (itself a 302 to i+3 — a TWO-hop chain); roles 1 and 4
+    * redirect straight to a landing page (i+2 / i+5, both ≡ 3 mod 6). */
+  def redirectTarget(i: Long, n: Int): Long =
+    if (i >= n - 6) -1L
+    else i % 6 match {
+      case 0 => i + 1
+      case 1 => i + 2
+      case 4 => i + 5
+      case _ => -1L
+    }
+
+  def redirectRecord(i: Long, n: Int): Array[Byte] = {
+    val target = redirectTarget(i, n)
+    if (target < 0) {
+      val body = s"<html><body>landing $i</body></html>".getBytes("US-ASCII")
+      val head = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> recordIdOf("resp", i),
+        "WARC-Date" -> Date,
+        "WARC-Target-URI" -> urlOf(i),
+        "Content-Type" -> "application/http; msgtype=response"),
+        head ++ body)
+    } else {
+      val status = if (i % 6 == 1) 302 else 301
+      val reason = if (status == 301) "Moved Permanently" else "Found"
+      val head = (s"HTTP/1.1 $status $reason\r\n" +
+        s"Location: ${urlOf(target)}\r\n" +
+        s"Content-Type: text/html\r\nContent-Length: 0\r\n\r\n")
+        .getBytes("US-ASCII")
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> recordIdOf("resp", i),
+        "WARC-Date" -> Date,
+        "WARC-Target-URI" -> urlOf(i),
+        "Content-Type" -> "application/http; msgtype=response"), head)
+    }
+  }
+
+  def ensureRedirectFixture(dir: String, n: Int): String =
+    ensureGzOnlyFixture(dir, n, "redir", i => redirectRecord(i, n))
+
   /** Revisit-deduped crawl fixture: the FIRST occurrence of each dup
     * group (i < 700, so g == i) is a full response; every repeat is a
     * revisit record pointing at it. Two files, one plain + one
