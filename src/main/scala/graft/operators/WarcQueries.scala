@@ -659,6 +659,53 @@ object WarcQueries {
           CAST(200 AS INT) AS final_status
         FROM p WHERE i % 6 IN (0, 1, 4) AND i < 594""")),
 
+    // ----- sitemap survey (the crawl-frontier protocol) ---------------------
+    // Captured sitemap.xml pages (sitemaps.org) tell a crawl operator
+    // what each site DECLARES it serves and how fresh it claims to be —
+    // the frontier-planning input next to robots.txt. The XML parse is
+    // Spark's built-in xpath over the payload (no UDF); loc/lastmod
+    // arrays stay zipped so pairs can't misalign; per-site rollup with
+    // string min/max (ISO dates sort lexicographically). One scan, one
+    // tiny-key shuffle. The oracle replays the synthesis closed form
+    // with its own date arithmetic, so a namespace-handling or
+    // element-order slip in the xpath mismatches.
+    Q("warc_sitemap_survey",
+      (s, _) => {
+        import s.implicits._
+        val dir = graft.sources.warc.WarcSynth.ensureSitemapFixture(
+          "/tmp/graft_warc_sitemaps", 160)
+        s.read.format("warc").load(dir)
+          .filter($"rec_type" === "response" &&
+            $"url".endsWith("/sitemap.xml"))
+          .select(
+            regexp_extract($"url", "site(\\d+)\\.example", 1).cast("long")
+              .as("site"),
+            expr("xpath(CAST(payload AS STRING), '//*[local-name()=\"url\"]/*[local-name()=\"loc\"]/text()')")
+              .as("locs"),
+            expr("xpath(CAST(payload AS STRING), '//*[local-name()=\"url\"]/*[local-name()=\"lastmod\"]/text()')")
+              .as("mods"))
+          .select($"site", explode(arrays_zip($"locs", $"mods")).as("u"))
+          .groupBy($"site")
+          .agg(count(lit(1)).as("n_urls"),
+            min($"u.mods").as("first_lastmod"),
+            max($"u.mods").as("last_lastmod"),
+            countDistinct($"u.locs").as("n_distinct_locs"))
+      },
+      Some("""WITH sites AS (
+          SELECT unnest(generate_series(0, 159)) AS i),
+        urls AS (
+          SELECT i, unnest(generate_series(0, 2 + i % 4)) AS j FROM sites),
+        rows_ AS (
+          SELECT i, j,
+            '2026-0' || (1 + (i + j) % 9) || '-' || (10 + (i * 3 + j) % 18)
+              AS lastmod
+          FROM urls)
+        SELECT i AS site, CAST(COUNT(*) AS BIGINT) AS n_urls,
+          MIN(lastmod) AS first_lastmod,
+          MAX(lastmod) AS last_lastmod,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct_locs
+        FROM rows_ GROUP BY i""")),
+
     // ----- CDX dedup survey (digests off the index, zero page bytes) --------
     // The v2 sidecar carries the CDX digest column (md5 of the payload
     // as the scan returns it), so crawl-wide dedup ACCOUNTING — how

@@ -193,6 +193,34 @@ object WarcSynth {
   def ensureRedirectFixture(dir: String, n: Int): String =
     ensureGzOnlyFixture(dir, n, "redir", i => redirectRecord(i, n))
 
+  /** One sitemap.xml capture per site i (the crawl-frontier protocol:
+    * sitemaps.org §XML format): 3 + i%4 url entries with loc + lastmod,
+    * every value a closed-form function of (i, j). */
+  def sitemapNUrls(i: Long): Int = 3 + (i % 4).toInt
+  def sitemapLastmod(i: Long, j: Int): String =
+    s"2026-0${1 + (i + j) % 9}-${10 + (i * 3 + j) % 18}" // day 10-27: 2 digits
+  def sitemapRecord(i: Long): Array[Byte] = {
+    val urls = (0 until sitemapNUrls(i)).map { j =>
+      s"<url><loc>http://site$i.example/p$j</loc>" +
+        s"<lastmod>${sitemapLastmod(i, j)}</lastmod></url>"
+    }.mkString
+    val body = ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+      urls + "</urlset>").getBytes("UTF-8")
+    val head = (s"HTTP/1.1 200 OK\r\nContent-Type: application/xml\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> recordIdOf("resp", i),
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> s"http://site$i.example/sitemap.xml",
+      "Content-Type" -> "application/http; msgtype=response"),
+      head ++ body)
+  }
+
+  def ensureSitemapFixture(dir: String, n: Int): String =
+    ensureGzOnlyFixture(dir, n, "smap", sitemapRecord)
+
   /** Revisit-deduped crawl fixture: the FIRST occurrence of each dup
     * group (i < 700, so g == i) is a full response; every repeat is a
     * revisit record pointing at it. Two files, one plain + one
