@@ -24,6 +24,7 @@ object Bench {
     // just before the JSON is printed — see [[HostProbe]].
     val probeStart = HostProbe.spin()
     val loadStart = HostProbe.loadavg()
+    val (userStart, stealStart) = HostProbe.cpuTicks()
 
     // decode-throughput proxy input (BASELINE.md): a deterministic
     // 256 MB DNS-heavy capture in 32 files so all cores participate
@@ -236,9 +237,16 @@ object Bench {
     // per-query drift.
     val probeEnd = HostProbe.spin()
     val loadEnd = HostProbe.loadavg()
+    // /proc/stat steal vs user deltas over the bench window: the
+    // adjudications in BASELINE.md previously re-derived these by
+    // hand; carrying them in the artifact makes every future band
+    // question mechanically decidable from BENCH_r{N}.json alone
+    val (userEnd, stealEnd) = HostProbe.cpuTicks()
     val hostJson = s"""{"probe_start_s":${j(probeStart)},""" +
       s""""probe_end_s":${j(probeEnd)},"loadavg_start":${j(loadStart)},""" +
-      s""""loadavg_end":${j(loadEnd)}}"""
+      s""""loadavg_end":${j(loadEnd)},""" +
+      s""""user_ticks":${userEnd - userStart},""" +
+      s""""steal_ticks":${stealEnd - stealStart}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"n_reps":5,"subtotals":{"relational":$subRel,"extension":$subExt,"graph":$subGraph},"sf":"$sfDir","pcap_decode_mb_s":$mbpsStr,"sim_ann_ivfpq_cold":${j(ivfpqCold)},"pcap_count_meta_s":${j(cntMeta)},"pcap_count_scan_s":${j(cntScan)},"band_tolerance":$bandTol,"band_fails":$bandJson,"host_probe":$hostJson}""")
     spark.stop()
   }
@@ -277,6 +285,20 @@ object HostProbe {
       java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
       .split(" ")(0).toDouble
     catch { case _: Exception => -1.0 }
+
+  /** Aggregate (user+nice, steal) jiffies from /proc/stat's first
+    * line — the mechanical adjudicator for band questions: a bench
+    * window whose steal delta rivals its user delta ran on a
+    * hypervisor-contended host and its readings are not band
+    * evidence. (-1, -1) where /proc is unavailable. */
+  def cpuTicks(): (Long, Long) =
+    try {
+      val f = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().trim.split("\\s+")
+      // cpu user nice system idle iowait irq softirq steal ...
+      (f(1).toLong + f(2).toLong, if (f.length > 8) f(8).toLong else 0L)
+    } catch { case _: Exception => (-1L, -1L) }
 }
 
 /** The machine-readable twin of BASELINE.md's recorded per-query bands:

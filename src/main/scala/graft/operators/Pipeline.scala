@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Constant cap on the contamination query's eval split (doc_id
+    * % 20 == 0 AND doc_id < EvalIdCap ⇒ ≤ 2048 eval docs at any corpus
+    * size) — the [[Similarity.QueryIdCap]] discipline: the eval-gram
+    * table rides a broadcast, so its size must not scale with the
+    * corpus. No-op at every test SF (max doc_id 4999). */
+  private[graft] val EvalIdCap = 20L * 2048L
+
   /** Content key for incremental dedup: md5 of the first 8 lowercased
     * whitespace tokens — a cheap prefix fingerprint that catches
     * boilerplate/near-duplicate re-crawls that exact full-text hashing
@@ -267,10 +274,16 @@ object Pipeline {
         FROM agg""")),
 
     // ----- train/eval n-gram contamination --------------------------------
-    // Eval set = doc_id % 20 == 0. A train doc is contaminated by an eval
-    // doc when they share a word 4-gram; eval_frac = shared / eval doc's
-    // distinct 4-grams. array_distinct runs BEFORE the explode so the
-    // (doc, gram) pairs are distinct without a global shuffle.
+    // Eval set = doc_id % 20 == 0 AND doc_id < EvalIdCap. The cap is the
+    // QueryIdCap discipline (Similarity.scala:623): the eval-gram table is
+    // BROADCAST below, so its size must be a CONSTANT — an eval benchmark
+    // is a fixed suite, not a corpus fraction. doc_id < 40960 keeps
+    // |eval| ≤ 2048 docs at ANY corpus size and is a no-op at every test
+    // SF (max doc_id 4999), so the oracles' row sets are unchanged.
+    // A train doc is contaminated by an eval doc when they share a word
+    // 4-gram; eval_frac = shared / eval doc's distinct 4-grams.
+    // array_distinct runs BEFORE the explode so the (doc, gram) pairs are
+    // distinct without a global shuffle.
     Q("pipeline_contamination",
       (s, d) => {
         import s.implicits._
@@ -282,7 +295,8 @@ object Pipeline {
             .as("g"))
         val train = grams.filter($"doc_id" % 20 =!= 0)
           .select($"doc_id".as("train_doc_id"), $"g")
-        val eval = grams.filter($"doc_id" % 20 === 0)
+        val eval = grams.filter($"doc_id" % 20 === 0 &&
+            $"doc_id" < EvalIdCap)
           .select($"doc_id".as("eval_doc_id"), $"g")
         val evalSizes = eval.groupBy($"eval_doc_id")
           .agg(count(lit(1)).as("n_eval_grams"))
@@ -300,7 +314,8 @@ object Pipeline {
           FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
                 FROM documents)
           WHERE len(ws) >= 4),
-        ev AS (SELECT doc_id AS eval_doc_id, g FROM sh WHERE doc_id % 20 = 0),
+        ev AS (SELECT doc_id AS eval_doc_id, g FROM sh
+               WHERE doc_id % 20 = 0 AND doc_id < 40960),
         tr AS (SELECT doc_id AS train_doc_id, g FROM sh WHERE doc_id % 20 <> 0),
         sizes AS (SELECT eval_doc_id, COUNT(*) AS n_eval_grams
                   FROM ev GROUP BY 1),

@@ -942,7 +942,7 @@ object Similarity {
         codes AS (
           SELECT vec_id, cl, list(code ORDER BY m) AS codes FROM enc
           GROUP BY 1, 2),
-        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < 102400),
         probes AS (
           SELECT qid, pl,
             [qv[i] - c[i] FOR i IN generate_series(1, len(qv))] AS qr
@@ -1345,7 +1345,7 @@ object Similarity {
             .otherwise(0L)).as("bucket"))
           .cache() // consumed twice (query + candidate sides)
         val withB = emb.join(buckets, "vec_id")
-        val q = withB.filter($"vec_id" % 50 === 0)
+        val q = withB.filter($"vec_id" % 50 === 0 && $"vec_id" < QueryIdCap)
           .select($"vec_id".as("qid"), $"embedding".as("qe"),
             $"bucket".as("qb"))
           .withColumn("qn", norm("qe"))
@@ -1388,7 +1388,7 @@ object Similarity {
               / (sqrt(list_sum([x * x FOR x IN qe])) *
                  sqrt(list_sum([x * x FOR x IN ce]))) AS cos
           FROM (SELECT vec_id, emb AS qe, bucket FROM wb
-                WHERE vec_id % 50 = 0) q
+                WHERE vec_id % 50 = 0 AND vec_id < 102400) q
           JOIN (SELECT vec_id, emb AS ce, bucket FROM wb) c
             ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
         SELECT qid, cid, cos, rn FROM (
@@ -1428,7 +1428,7 @@ object Similarity {
             expr("shiftleft(CAST(1 AS BIGINT), plane)"))
             .otherwise(0L)).as("bucket"))
         val withB = emb.join(buckets, "vec_id")
-        val q = withB.filter($"vec_id" % 50 === 0)
+        val q = withB.filter($"vec_id" % 50 === 0 && $"vec_id" < QueryIdCap)
           .select($"vec_id".as("qid"), $"embedding".as("qe"),
             $"bucket".as("qb"))
           .withColumn("qn", norm("qe"))
@@ -1472,7 +1472,7 @@ object Similarity {
               / (sqrt(list_sum([x * x FOR x IN qe])) *
                  sqrt(list_sum([x * x FOR x IN ce]))) AS cos
           FROM (SELECT vec_id, emb AS qe, bucket FROM wb
-                WHERE vec_id % 50 = 0) q
+                WHERE vec_id % 50 = 0 AND vec_id < 102400) q
           JOIN (SELECT vec_id, emb AS ce, bucket FROM wb
                 WHERE label % 3 = 1) c
             ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
@@ -1504,7 +1504,11 @@ object Similarity {
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-        val cents = emb.filter($"vec_id" % 31 === 0)
+        // centroid seed set: id-capped like the query block (an IVF
+        // index has a CONSTANT list count; 1/31 of the corpus would
+        // scale the broadcast with N). No-op at every test SF.
+        val cents = emb.filter($"vec_id" % 31 === 0 &&
+            $"vec_id" < 31L * MaxQueryBlock)
           .select($"vec_id".as("list_id"), $"embedding".as("cvec"))
         // inverted lists: nearest centroid per vector (cosine, ties ->
         // lowest list id; -list_id in the struct makes max_by pick it)
@@ -1516,7 +1520,7 @@ object Similarity {
           .agg(expr("max_by(list_id, struct(csim, -list_id))").as("list_id"))
         val withList = emb.join(assign, "vec_id")
           .withColumn("en", norm("embedding"))
-        val queries = emb.filter($"vec_id" % 50 === 0)
+        val queries = emb.filter($"vec_id" % 50 === 0 && $"vec_id" < QueryIdCap)
           .select($"vec_id".as("qid"), $"embedding".as("qe"))
           .withColumn("qn", norm("qe"))
         val wp = Window.partitionBy($"qid").orderBy($"csim".desc, $"list_id".asc)
@@ -1540,7 +1544,7 @@ object Similarity {
           SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
           FROM embeddings),
         cents AS (SELECT vec_id AS list_id, emb AS cvec
-                  FROM e WHERE vec_id % 31 = 0),
+                  FROM e WHERE vec_id % 31 = 0 AND vec_id < 63488),
         asg AS (
           SELECT vec_id, list_id FROM (
             SELECT e.vec_id, list_id,
@@ -1551,7 +1555,7 @@ object Similarity {
                      sqrt(list_sum([x * x FOR x IN cvec]))) DESC,
                 list_id ASC) AS rn
             FROM e, cents) WHERE rn = 1),
-        q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 50 = 0),
+        q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 50 = 0 AND vec_id < 102400),
         probes AS (
           SELECT qid, qe, list_id FROM (
             SELECT qid, qe, list_id,
@@ -1634,7 +1638,7 @@ object Similarity {
           .select($"vec_id", expr(subDists.format("v")).as("sds"))
           .select($"vec_id", expr("transform(sds, s -> " +
             "CAST(array_position(s, array_min(s)) - 1 AS INT))").as("codes"))
-        val qs = e.filter($"vec_id" % 50 === 0)
+        val qs = e.filter($"vec_id" % 50 === 0 && $"vec_id" < QueryIdCap)
           .select($"vec_id".as("qid"), $"v".as("qv"))
         // per-query LUT: 512 doubles in (m, code) order -> entry for
         // (m, code) sits at index m*32 + code + 1 (1-based)
@@ -1685,7 +1689,7 @@ object Similarity {
         codes AS (
           SELECT vec_id, list(code ORDER BY m) AS codes FROM enc
           GROUP BY 1),
-        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0 AND vec_id < 102400),
         lut AS (
           SELECT qid, list(sd ORDER BY m, code) AS lut FROM (
             SELECT qid, m, code,
@@ -1746,7 +1750,7 @@ object Similarity {
         val cbCol = typedLit(cbData).as("cb")
         val l2 = ivfL2
         val subDists = ivfSubDists
-        val qs = e.filter($"vec_id" % 50 === 0)
+        val qs = e.filter($"vec_id" % 50 === 0 && $"vec_id" < QueryIdCap)
           .select($"vec_id".as("qid"), $"v".as("qv"))
         // probe the 2 nearest lists; LUT is over the per-list residual
         val wp = Window.partitionBy($"qid").orderBy($"cd".asc, $"pl".asc)
@@ -1818,7 +1822,7 @@ object Similarity {
         val e = Tables.embeddings(s, d)
           .select($"vec_id",
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        val qs = e.filter($"vec_id" % 50 === 0)
+        val qs = e.filter($"vec_id" % 50 === 0 && $"vec_id" < QueryIdCap)
           .select($"vec_id".as("qid"), $"v".as("qv"))
         val topExact = udaf(new graft.functions.TopKByScore(5,
           ascending = true))

@@ -490,7 +490,7 @@ object TextAnalysis {
       val defaultPort = scheme match {
         case "http" => ":80"
         case "https" => ":443"
-        case _ => " "
+        case _ => "\u0000"
       }
       if (auth.endsWith(defaultPort))
         auth = auth.substring(0, auth.length - defaultPort.length)

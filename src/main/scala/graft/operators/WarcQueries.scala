@@ -389,7 +389,11 @@ object WarcQueries {
         val revisits = recs.filter($"rec_type" === "revisit")
           .select($"refers_to",
             octet_length($"payload").cast("long").as("revisit_bytes"))
-        revisits.join(broadcast(originals),
+        // no broadcast hint: at crawl scale BOTH sides are unbounded
+        // (originals is every response; a heavily-deduplicated crawl
+        // has revisit counts of the same order) — let AQE pick the
+        // join on the record_id equi-key
+        revisits.join(originals,
             revisits("refers_to") === originals("record_id"))
           .groupBy($"canonical_url")
           .agg(count(lit(1)).as("revisits"),
@@ -645,8 +649,12 @@ object WarcQueries {
         // (the persisted redirect map releases with the session — the
         // bounded-artifact discipline; at scale it would be an
         // Artifact-managed cache like the dedup indexes)
-        resolved
-          .join(broadcast(landings), resolved("cur") === landings("lp"))
+        // broadcast the RESOLVED side: it derives from the redirect
+        // map (3xx responses — a small fraction of the crawl), while
+        // `landings` is the full corpus-sized response scan and must
+        // never ride an exchange to every executor
+        broadcast(resolved)
+          .join(landings, resolved("cur") === landings("lp"))
           .select($"page", $"cur".as("final_page"),
             $"n_hops".cast("int").as("n_hops"),
             $"ls".cast("int").as("final_status"))

@@ -388,8 +388,13 @@ object QuicInitial {
 
   /** CRYPTO frame with explicit offset (2-byte varint length so split
     * points don't change framing size class). */
-  def cryptoFrame(offset: Long, data: Array[Byte]): Array[Byte] =
+  def cryptoFrame(offset: Long, data: Array[Byte]): Array[Byte] = {
+    // the 2-byte varint form carries at most 14 bits — fail loudly
+    // instead of emitting a misframed packet for an oversized payload
+    require(data.length <= 0x3FFF,
+      s"cryptoFrame: ${data.length} B exceeds the 2-byte varint cap (16383)")
     Array[Byte](0x06) ++ encodeVarint(offset) ++
       Array[Byte]((0x40 | (data.length >> 8)).toByte, (data.length & 0xFF).toByte) ++
       data
+  }
 }

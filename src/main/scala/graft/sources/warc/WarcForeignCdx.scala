@@ -165,10 +165,21 @@ object WarcForeignCdx {
     * like "https://example.com" also matches "https://example.communist
     * .org/…", whose SURT key lives in an unrelated index range — range
     * planning there would silently drop matching rows, so such
-    * prefixes stay on the full-load path. */
+    * prefixes stay on the full-load path.
+    *
+    * Prefixes extending into a QUERY STRING are also refused: this
+    * engine's surtKey canonicalizes host order and case only, but the
+    * canonicalizer that wrote a foreign cluster.idx (Common Crawl's)
+    * additionally SORTS query parameters and rewrites %-escapes, so a
+    * prefix like "http://h/p?b=" can have matching records keyed
+    * OUTSIDE [k, k+￿] in the authoritative index — range pruning
+    * would drop them silently. Path-only prefixes are order-stable
+    * under both canonicalizers; query-bearing ones take the full-load
+    * path. */
   def rangeablePrefix(urlPrefix: String): Boolean = {
     val s = urlPrefix.indexOf("://")
-    s >= 0 && urlPrefix.indexOf('/', s + 3) >= 0
+    s >= 0 && urlPrefix.indexOf('/', s + 3) >= 0 &&
+      urlPrefix.indexOf('?') < 0 && urlPrefix.indexOf('#') < 0
   }
 
   /** Point-lookup / prefix-range load through `cluster.idx`: for each

@@ -305,14 +305,25 @@ object ZipCentralDirectory {
       while (e >= 0 && u32(tail, e) != Eocd) e -= 1
       require(e >= 0, s"${st.getPath}: no end-of-central-directory " +
         "record — not a zip, or truncated")
-      require(u16(tail, e + 4) == 0 && u16(tail, e + 6) == 0,
+      // EOCD disk fields: 0 for plain single-disk zips; zip64 writers
+      // may put the 0xFFFF sentinels here (APPNOTE 4.4.19) with the
+      // real values in the EOCD64 — accept those and enforce
+      // single-disk from the EOCD64's own disk fields below
+      val eocdDisk = u16(tail, e + 4)
+      val eocdCdDisk = u16(tail, e + 6)
+      require((eocdDisk == 0 && eocdCdDisk == 0) ||
+          (eocdDisk == 0xFFFF && eocdCdDisk == 0xFFFF),
         s"${st.getPath}: multi-disk archives are not supported")
       var nEntries = u16(tail, e + 10).toLong
       var cdSize = u32(tail, e + 12)
       var cdOffset = u32(tail, e + 16)
       // zip64: locator sits immediately before the EOCD
       val locPos = e - 20
-      if (locPos >= 0 && u32(tail, locPos) == Eocd64Locator) {
+      val hasLocator = locPos >= 0 && u32(tail, locPos) == Eocd64Locator
+      require(eocdDisk != 0xFFFF || hasLocator,
+        s"${st.getPath}: EOCD carries zip64 disk sentinels but no " +
+          "EOCD64 locator precedes it")
+      if (hasLocator) {
         val eocd64Off = u64(tail, locPos + 8)
         require(eocd64Off >= 0 && eocd64Off + 56 <= len,
           s"${st.getPath}: zip64 locator offset $eocd64Off out of range")
@@ -320,6 +331,9 @@ object ZipCentralDirectory {
         in.readFully(eocd64Off, rec)
         require(u32(rec, 0) == Eocd64,
           s"${st.getPath}: zip64 locator points at a non-EOCD64 record")
+        require(u32(rec, 16) == 0 && u32(rec, 20) == 0,
+          s"${st.getPath}: multi-disk archives are not supported " +
+            "(EOCD64 disk fields nonzero)")
         nEntries = u64(rec, 32)
         cdSize = u64(rec, 40)
         cdOffset = u64(rec, 48)
@@ -375,8 +389,13 @@ object ZipCentralDirectory {
               var r = q + 4
               val needed = Seq(usize, csize, localOffset)
                 .count(_ == 0xFFFFFFFFL) * 8
-              require(r + needed <= qEnd && qEnd <= cd.length,
-                s"${st.getPath}: entry $name zip64 field truncated")
+              // bound by the FIELD's declared size, not the whole
+              // extra area: a short field must fail here, not read
+              // the next extra header's bytes as zip64 values
+              require(needed <= sz && r + needed <= qEnd &&
+                  qEnd <= cd.length,
+                s"${st.getPath}: entry $name zip64 field truncated " +
+                  s"(declares $sz B, needs $needed)")
               if (usize == 0xFFFFFFFFL) { usize = u64(cd, r); r += 8 }
               if (csize == 0xFFFFFFFFL) { csize = u64(cd, r); r += 8 }
               if (localOffset == 0xFFFFFFFFL) { localOffset = u64(cd, r); r += 8 }

@@ -40,7 +40,20 @@ class BenchBandsSpec extends AnyFunSuite {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")), "UTF-8")
     Seq("host_probe", "probe_start_s", "probe_end_s",
-        "loadavg_start", "loadavg_end")
+        "loadavg_start", "loadavg_end", "user_ticks", "steal_ticks")
       .foreach(k => assert(src.contains(k), s"bench JSON lost marker $k"))
+  }
+
+  test("cpuTicks reads plausible /proc/stat user+steal jiffies and the " +
+      "window delta is monotone (round-16 verdict #8)") {
+    val (u0, s0) = HostProbe.cpuTicks()
+    assert(u0 > 0, s"user ticks must be positive on linux, got $u0")
+    assert(s0 >= 0, s"steal ticks must be non-negative, got $s0")
+    // burn a little CPU so the second sample strictly advances user
+    var x = 1L; var i = 0
+    while (i < 20000000) { x ^= x << 13; x ^= x >>> 7; i += 1 }
+    if (x == 42L) System.err.println("improbable")
+    val (u1, s1) = HostProbe.cpuTicks()
+    assert(u1 >= u0 && s1 >= s0, s"ticks went backwards: $u0->$u1 $s0->$s1")
   }
 }

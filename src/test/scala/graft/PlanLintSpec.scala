@@ -56,6 +56,84 @@ class PlanLintSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("no explicit broadcast hint covers a corpus-sized relation " +
+      "(round-16 verdict #2: the class of bug where a broadcast side " +
+      "is fine at test scale and an executor OOM at 100 TB)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    // relations that are unbounded at production scale: every graft
+    // DSv2 corpus source, and the fact-table parquets (the TPC-H dims
+    // region/nation/supplier/customer/part are genuinely broadcast-able)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit}
+    val factTables = Set("lineitem", "orders", "events", "documents",
+      "embeddings")
+    // Corpus relations reachable from `p` WITHOUT crossing a bounding
+    // node. An Aggregate or GlobalLimit on the path bounds what the
+    // broadcast actually ships (a reduction/cap of the scan, not the
+    // scan) — the class this lint hunts is the raw scan-side broadcast
+    // (round-16 verdict #2/#3), which has neither. Known limitation:
+    // an Aggregate keyed on a corpus-cardinality column would slip
+    // through; those shapes are caught by the maxShuffles/plan audits.
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, Literal}
+    // a Filter containing `attr < literal` is the constant-id-cap
+    // pattern: with unique ids it bounds the row count independent of
+    // corpus size (QueryIdCap / EvalIdCap)
+    def constCapped(f: Filter): Boolean =
+      f.condition.exists {
+        case LessThan(_: AttributeReference, _: Literal) => true
+        case _ => false
+      }
+    def corpusRelations(p: LogicalPlan): Seq[String] = {
+      val here = p match {
+        case _: Aggregate | _: GlobalLimit => return Seq.empty
+        case f: Filter if constCapped(f) => return Seq.empty
+        case r: DataSourceV2Relation
+            if r.table.getClass.getName.startsWith("graft") =>
+          Seq(r.table.getClass.getSimpleName)
+        case lr: LogicalRelation =>
+          val paths = lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty
+          }
+          paths.flatMap(p => factTables.find(t => p.contains(t)))
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(corpusRelations) ++
+        p.subqueries.flatMap(corpusRelations)
+    }
+    def hintedCorpus(p: LogicalPlan): Seq[String] = {
+      val here = p match {
+        case h: ResolvedHint if h.hints.strategy.isDefined =>
+          corpusRelations(h.child)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(hintedCorpus) ++
+        p.subqueries.flatMap(hintedCorpus)
+    }
+    // Every remaining broadcast hint whose subtree reads an unreduced
+    // corpus relation is an explicit, justified decision. A constant
+    // id-cap filter (the QueryIdCap discipline, Similarity.scala:623)
+    // also bounds a broadcast side — recognized below as a Filter
+    // containing `attr < literal`.
+    val allowed = Map(
+      "warc_redirect_chains" -> "redirect map = 3xx-only slice of the crawl",
+      "sim_knn_graph" -> ("every vector is a query BY DEFINITION of a " +
+        "knn graph; guardExactScanFull refuses to launch past the flop " +
+        "cap — the scale path is the ANN family")
+    )
+    val offenders = SparkEntry.all.flatMap { q =>
+      val hinted = hintedCorpus(
+        q.fn(spark, sf).queryExecution.analyzed).distinct
+      if (hinted.nonEmpty && !allowed.contains(q.name))
+        Seq(s"${q.name}: broadcast hint over ${hinted.mkString(",")}")
+      else Nil
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("candidate-scan top-k runs as partial aggregation, not a window rank") {
     // queries whose ranked set is corpus-sized (the full Q×N pair set or
     // the full ADC code scan): a per-qid window sort there shuffles the
