@@ -9,23 +9,137 @@ package graft.operators
   * with 16/17 repeat accumulation, canonical assignment), block-type
   * switching in all three categories, context maps with RLE + inverse
   * move-to-front, the 704-symbol insert-and-copy command alphabet,
-  * the 4-slot distance ring with all 16 short codes, and
-  * NPOSTFIX/NDIRECT distance composition.
+  * the 4-slot distance ring with all 16 short codes,
+  * NPOSTFIX/NDIRECT distance composition, all four literal-context
+  * modes (LSB6/MSB6/UTF8/Signed via the §7.1 lookup tables), and
+  * static-dictionary references (§8) with the full Appendix A
+  * dictionary and all 121 Appendix B word transforms.
   *
-  * SUBSET — two honest rejections, never silent corruption:
-  *   - static-dictionary references (a backward distance past the
-  *     window): RFC 7932 Appendix A/B's 122 KB dictionary + 121
-  *     transforms are spec DATA this clean room does not carry;
-  *   - UTF8/Signed literal-context modes when the literal context
-  *     map actually discriminates (their 512-byte context tables are
-  *     likewise appendix data). LSB6/MSB6 are computed exactly, and
-  *     any mode passes when the map is uniform (NTREESL == 1 — every
-  *     stream our encoder or the golden vectors produce).
+  * The appendix/§7.1 DATA (the 122,784-byte dictionary, the
+  * transform table, the 2,048-byte context lookup table) is public
+  * spec content printed in RFC 7932 itself; it ships as resource
+  * files under graft/brotli/ (see tools/brotli_dict_extract.py for
+  * how the bytes were sourced offline and structurally verified
+  * against the RFC's SIZE_BITS/offset tables and §7.1 closed forms).
+  *
+  * Rejection discipline: malformed streams (framing, prefix-code,
+  * truncation, bad dictionary reference) throw
+  * IllegalArgumentException = data corruption, fail the record;
+  * VALID-but-outside-this-decoder constructs (the non-RFC
+  * large-window WBITS extension, outputs past the bomb cap) throw
+  * [[BrotliCodec.Unsupported]] so a scan can degrade to the raw body
+  * instead of failing the task (round-16 verdict #1).
   *
   * Reference: RFC 7932 §§2-10 (stream layout, prefix codes, context
-  * modeling, command alphabet, distance codes).
+  * modeling, command alphabet, distance codes, static dictionary).
   */
 object BrotliCodec extends Serializable {
+
+  /** Valid-but-out-of-subset input: the caller may degrade (keep the
+    * raw body and its `br` flag) instead of failing the task. Corrupt
+    * input throws IllegalArgumentException instead. */
+  final class Unsupported(msg: String) extends RuntimeException(msg)
+
+  private def loadRes(name: String, want: Int): Array[Byte] = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"missing resource $name")
+    try {
+      val b = in.readAllBytes()
+      require(b.length == want, s"$name: ${b.length} B, want $want")
+      b
+    } finally in.close()
+  }
+
+  // ---- RFC 7932 Appendix A: static dictionary ---------------------------
+  // words of length L (4..24) live at DictOffsets(L), 2^DictSizeBits(L)
+  // of them, concatenated without separators
+  private val DictSizeBits: Array[Int] =
+    Array(0, 0, 0, 0, 10, 10, 11, 11, 10, 10, 10, 10, 10, 9, 9, 8, 7,
+      7, 8, 7, 7, 6, 6, 5, 5)
+  private val DictOffsets: Array[Int] = {
+    val o = new Array[Int](26)
+    var l = 4
+    while (l < 25) { o(l + 1) = o(l) + (l << DictSizeBits(l)); l += 1 }
+    // offsets 0..3 unused (no words shorter than 4)
+    java.util.Arrays.copyOfRange(o, 0, 25)
+  }
+  private lazy val Dict: Array[Byte] =
+    loadRes("/graft/brotli/dictionary.bin", 122784)
+
+  // ---- RFC 7932 §7.1: literal context lookup tables ---------------------
+  // 512 bytes per mode (LSB6, MSB6, UTF8, Signed):
+  //   CONTEXT = lut(mode*512 + p1) | lut(mode*512 + 256 + p2)
+  private lazy val CtxLut: Array[Byte] =
+    loadRes("/graft/brotli/context_lut.bin", 2048)
+
+  // ---- RFC 7932 Appendix B: the 121 word transforms ---------------------
+  // ops: 0 identity, 1 ferment-first, 2 ferment-all,
+  //      10+n omit-first-n (1..9), 20+n omit-last-n (1..9)
+  private lazy val Transforms: Array[(Int, Array[Byte], Array[Byte])] = {
+    val in = getClass.getResourceAsStream("/graft/brotli/transforms.tsv")
+    require(in != null, "missing resource /graft/brotli/transforms.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val t = src.getLines().map { line =>
+        val Array(op, pre, suf) = line.split("\t", -1)
+        val code = op match {
+          case "identity" => 0
+          case "ferment_first" => 1
+          case "ferment_all" => 2
+          case s if s.startsWith("omit_first_") => 10 + s.substring(11).toInt
+          case s if s.startsWith("omit_last_") => 20 + s.substring(10).toInt
+        }
+        def hex(h: String): Array[Byte] =
+          h.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+        (code, hex(pre), hex(suf))
+      }.toArray
+      require(t.length == 121, s"${t.length} transforms, want 121")
+      t
+    } finally src.close()
+  }
+
+  /** UTF-8-aware uppercasing (§8): single ferment step at `i`,
+    * returning the width consumed. */
+  private def fermentAt(w: Array[Byte], i: Int): Int = {
+    val c = w(i) & 0xFF
+    if (c < 192) {
+      if (c >= 'a' && c <= 'z') w(i) = (c ^ 32).toByte
+      1
+    } else if (c < 224) {
+      if (i + 1 < w.length) w(i + 1) = (w(i + 1) ^ 32).toByte
+      2
+    } else {
+      if (i + 2 < w.length) w(i + 2) = (w(i + 2) ^ 5).toByte
+      3
+    }
+  }
+
+  /** Transformed dictionary word: prefix + op(word) + suffix. */
+  private def transformWord(wordOff: Int, wordLen: Int, id: Int)
+      : Array[Byte] = {
+    val (op, pre, suf) = Transforms(id)
+    val core: Array[Byte] = op match {
+      case 0 | 1 | 2 =>
+        val w = java.util.Arrays.copyOfRange(Dict, wordOff, wordOff + wordLen)
+        if (op == 1) fermentAt(w, 0)
+        else if (op == 2) {
+          var i = 0
+          while (i < w.length) i += fermentAt(w, i)
+        }
+        w
+      case n if n >= 10 && n < 20 => // omit first n-10
+        val k = math.min(n - 10, wordLen)
+        java.util.Arrays.copyOfRange(Dict, wordOff + k, wordOff + wordLen)
+      case n => // omit last n-20
+        val k = math.min(n - 20, wordLen)
+        java.util.Arrays.copyOfRange(Dict, wordOff, wordOff + wordLen - k)
+    }
+    val out = new Array[Byte](pre.length + core.length + suf.length)
+    System.arraycopy(pre, 0, out, 0, pre.length)
+    System.arraycopy(core, 0, out, pre.length, core.length)
+    System.arraycopy(suf, 0, out, pre.length + core.length, suf.length)
+    out
+  }
 
   /** LSB-first bit reader (the DEFLATE bit order brotli shares). */
   private final class BitReader(data: Array[Byte]) {
@@ -358,7 +472,11 @@ object BrotliCodec extends Serializable {
           val m = br.bits(3)
           if (m == 0) 17
           else {
-            require(m != 1, "invalid brotli WBITS")
+            // pattern 0100001: RFC-reserved, used by the non-RFC
+            // large-window extension (windows past 16 MiB) — valid
+            // data this decoder declines, not corruption
+            if (m == 1) throw new Unsupported(
+              "large-window brotli (non-RFC WBITS extension)")
             8 + m
           }
         }
@@ -376,9 +494,23 @@ object BrotliCodec extends Serializable {
       ensure(1)
       outBuf(outLen) = b
       outLen += 1
-      require(outLen <= maxOut,
+      if (outLen > maxOut) throw new Unsupported(
         s"brotli output exceeds $maxOut B — decompression bomb, refusing")
     }
+
+    // Distance ring buffer (§4): STREAM state, persisting across
+    // metablocks (the per-metablock resets are prefix codes, block
+    // types, and context maps only) — pinned by multi-metablock
+    // fixtures whose first distance in block 2 is short code 0
+    // referencing block 1's last distance. Initialized "with 16, 15,
+    // 11, 4" in INSERTION order: 4 was inserted last, so short code 0
+    // ("the last distance") resolves to 4, code 1 to 11, code 2 to 15,
+    // code 3 to 16 — pinned by the real-encoder fixtures in
+    // BrotliDictSpec (run streams open with code 8 = last-3 = 1).
+    var d1 = 4L
+    var d2 = 11L
+    var d3 = 15L
+    var d4 = 16L
 
     def decodeCompressedMetablock(r: BitReader, mlen: Long): Unit = {
       // three categories of block switching
@@ -408,28 +540,8 @@ object BrotliCodec extends Serializable {
       val cmdCodes = Array.fill(blockI.nTypes)(readPrefixCode(r, 704))
       val distAlpha = 16 + ndirect + (48 << npostfix)
       val distCodes = Array.fill(nTreesD)(readPrefixCode(r, distAlpha))
-      // UTF8/Signed context modes pass only where the map can't
-      // discriminate (uniform row) — their context tables are
-      // appendix data outside this clean room
-      def checkCtxMode(bt: Int): Unit = {
-        val mode = contextModes(bt)
-        if (mode >= 2 && nTreesL >= 2) {
-          val row0 = cmapL(64 * bt)
-          var c = 1
-          while (c < 64) {
-            require(cmapL(64 * bt + c) == row0,
-              "subset decoder: UTF8/Signed literal context with a " +
-                "discriminating context map (RFC 7932 appendix tables " +
-                "not carried)")
-            c += 1
-          }
-        }
-      }
+      val ctxLut = CtxLut // force the lazy load outside the hot loop
       // distance ring buffer (§4), initial values per the RFC
-      var d1 = 16L
-      var d2 = 15L
-      var d3 = 11L
-      var d4 = 4L
       var written = 0L
       while (written < mlen) {
         blockI.tick(r)
@@ -446,14 +558,13 @@ object BrotliCodec extends Serializable {
         while (i < insLen) {
           blockL.tick(r)
           val bt = blockL.btype
-          checkCtxMode(bt)
           val mode = contextModes(bt)
+          // §7.1: context from the last two output bytes through the
+          // mode's lookup tables (LSB6/MSB6/UTF8/Signed)
           val p1 = if (outLen > 0) outBuf(outLen - 1) & 0xFF else 0
-          val ctx = mode match {
-            case 0 => p1 & 0x3F                  // LSB6
-            case 1 => p1 >> 2                    // MSB6
-            case _ => 0 // uniform map, any index works
-          }
+          val p2 = if (outLen > 1) outBuf(outLen - 2) & 0xFF else 0
+          val ctx = (ctxLut(mode * 512 + p1) |
+            ctxLut(mode * 512 + 256 + p2)) & 0xFF
           val tree = cmapL(64 * bt + ctx)
           val lit = litCodes(tree).decode(r)
           push(lit.toByte)
@@ -462,7 +573,11 @@ object BrotliCodec extends Serializable {
         }
         require(written <= mlen, "brotli insert overruns MLEN")
         if (written < mlen) {
-          // distance
+          // distance; ringEligible = a freshly-computed distance (not
+          // short-code 0, not the implicit last distance) — it joins
+          // the ring ONLY if it lands inside the window (§4: static
+          // dictionary references never update the ring)
+          var ringEligible = false
           val dist: Long =
             if (implicitDist0) d1
             else {
@@ -500,23 +615,43 @@ object BrotliCodec extends Serializable {
                     ndirect + 1
                 }
               require(d > 0, s"invalid brotli distance $d")
-              // ring updates for every symbol except 0 (§4)
-              if (sym != 0) { d4 = d3; d3 = d2; d2 = d1; d1 = d }
+              ringEligible = sym != 0
               d
             }
           val maxBack = math.min(winSize, outLen.toLong)
-          require(dist <= maxBack,
-            "subset decoder: static-dictionary reference (backward " +
-              s"distance $dist beyond $maxBack window bytes) — " +
-              "RFC 7932 appendix dictionary not carried")
-          require(written + cpyLen <= mlen,
-            "brotli copy overruns MLEN")
-          var k = 0L
-          while (k < cpyLen) {
-            push(outBuf(outLen - dist.toInt))
-            k += 1
+          if (ringEligible && dist <= maxBack) { d4 = d3; d3 = d2; d2 = d1; d1 = dist }
+          if (dist <= maxBack) {
+            // backward reference within the window
+            require(written + cpyLen <= mlen,
+              "brotli copy overruns MLEN")
+            var k = 0L
+            while (k < cpyLen) {
+              push(outBuf(outLen - dist.toInt))
+              k += 1
+            }
+            written += cpyLen
+          } else {
+            // static dictionary reference (§8): word id encodes the
+            // word index (low SIZE_BITS bits) and the transform id
+            require(cpyLen >= 4 && cpyLen <= 24,
+              s"static-dictionary copy length $cpyLen outside 4..24")
+            val cl = cpyLen.toInt
+            val lenBits = DictSizeBits(cl)
+            val wordId = dist - maxBack - 1
+            val index = (wordId & ((1L << lenBits) - 1)).toInt
+            val tid = (wordId >> lenBits).toInt
+            require(tid < 121,
+              s"static-dictionary transform $tid out of range")
+            val word = transformWord(DictOffsets(cl) + index * cl, cl, tid)
+            require(written + word.length <= mlen,
+              "brotli dictionary word overruns MLEN")
+            var k = 0
+            while (k < word.length) {
+              push(word(k))
+              k += 1
+            }
+            written += word.length
           }
-          written += cpyLen
         }
       }
     }
@@ -553,7 +688,8 @@ object BrotliCodec extends Serializable {
           val uncompressed = !isLast && br.bit() == 1
           if (uncompressed) {
             br.alignByte()
-            require(outLen + mlen <= maxOut, "brotli output exceeds cap")
+            if (outLen + mlen > maxOut) throw new Unsupported(
+              s"brotli output exceeds $maxOut B — decompression bomb, refusing")
             ensure(mlen.toInt)
             val start = (br.pos >> 3).toInt
             require(start + mlen <= data.length,
@@ -596,6 +732,73 @@ object BrotliCodec extends Serializable {
     }
     def align(): Unit = if (nb != 0) { out.write(acc); acc = 0; nb = 0 }
     putBits(0, 1) // WBITS = 16
+    var off = 0
+    while (off < body.length) {
+      val n = math.min(1 << 16, body.length - off)
+      putBits(0, 1)               // ISLAST = 0
+      putBits(0, 2)               // MNIBBLES code 0 -> 4 nibbles
+      putBits(n.toLong - 1, 16)   // MLEN - 1
+      putBits(1, 1)               // ISUNCOMPRESSED
+      align()
+      out.write(body, off, n)
+      off += n
+    }
+    putBits(1, 1) // ISLAST
+    putBits(1, 1) // ISLASTEMPTY
+    align()
+    out.toByteArray
+  }
+
+  /** Valid RFC 7932 stream whose FIRST metablock is a §8
+    * static-dictionary reference — word 0 ("time") through Appendix B
+    * transform 4 (ferment-first + " " suffix), decoding to "Time " —
+    * followed by `body` in uncompressed metablocks. The synthetic
+    * crawls use it so every scan of a `br` page exercises the
+    * dictionary machinery against a closed-form oracle
+    * (md5('Time ' || page)). Wire documented bit by bit because the
+    * golden fixtures decode it against pinned output. */
+  def encodeWithDictPrefix(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 32)
+    var acc = 0
+    var nb = 0
+    def putBits(v: Long, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        acc |= (((v >> i) & 1L) << nb).toInt
+        nb += 1
+        if (nb == 8) { out.write(acc); acc = 0; nb = 0 }
+        i += 1
+      }
+    }
+    def putCode(c: Long, n: Int): Unit = { // prefix codes: MSB first
+      var k = n - 1
+      while (k >= 0) { putBits((c >> k) & 1L, 1); k -= 1 }
+    }
+    def align(): Unit = if (nb != 0) { out.write(acc); acc = 0; nb = 0 }
+    putBits(0, 1)      // WBITS = 16
+    // metablock 1: compressed, MLEN 5 ("Time ")
+    putBits(0, 1)      // ISLAST = 0
+    putBits(0, 2)      // MNIBBLES code 0 -> 4 nibbles
+    putBits(4, 16)     // MLEN - 1 = 4
+    putBits(0, 1)      // ISUNCOMPRESSED = 0
+    putBits(0, 1); putBits(0, 1); putBits(0, 1) // NBLTYPES L/I/D = 1
+    putBits(0, 2)      // NPOSTFIX = 0
+    putBits(0, 4)      // NDIRECT = 0
+    putBits(0, 2)      // literal context mode LSB6
+    putBits(0, 1)      // NTREESL = 1
+    putBits(0, 1)      // NTREESD = 1
+    // literal code: simple, 1 symbol ('x', unused) — zero-bit decode
+    putBits(1, 2); putBits(0, 2); putBits('x', 8)
+    // command code: simple, 1 symbol 130 (insert 0, copy 4, explicit)
+    putBits(1, 2); putBits(0, 2); putBits(130, 10)
+    // distance code: simple, 1 symbol 36 (offset 4092, 11 extra bits)
+    putBits(1, 2); putBits(0, 2); putBits(36, 6)
+    // the one command: zero-bit cmd + distance symbols; 11 extra bits
+    // of value 4 -> d = 4092 + 4 + 1 = 4097 at 0 written bytes ->
+    // word id 4096 = transform 4, word-0 of length 4
+    putBits(4, 11)
+    putCode(0, 0)      // (no bits: single-symbol codes)
+    // body in uncompressed metablocks
     var off = 0
     while (off < body.length) {
       val n = math.min(1 << 16, body.length - off)

@@ -107,7 +107,7 @@ class WarcWriteBuilder(options: CaseInsensitiveStringMap,
         .getOrElse(java.util.UUID.randomUUID().toString)
         .replaceAll("[^0-9a-fA-F]", "").take(8)
       new WarcBatchWrite(dir, cols, truncateFirst, gz, writeIndex,
-        date, ct, jobTag, dedup)
+        date, ct, jobTag, dedup, options.getBoolean("cdxj", false))
     }
 
     override def toStreaming
@@ -122,7 +122,7 @@ class WarcWriteBuilder(options: CaseInsensitiveStringMap,
         .getOrElse(java.util.UUID.randomUUID().toString)
         .replaceAll("[^0-9a-fA-F]", "").take(8)
       new WarcStreamingWrite(dir, cols, gz, writeIndex, date, ct,
-        jobTag, dedup)
+        jobTag, dedup, options.getBoolean("cdxj", false))
     }
   }
 }
@@ -140,7 +140,7 @@ class WarcWriteBuilder(options: CaseInsensitiveStringMap,
   * same empty outcome deterministically. */
 class WarcStreamingWrite(dir: String, cols: WarcWriteCols, gz: Boolean,
     writeIndex: Boolean, defaultDate: String, defaultContentType: String,
-    jobTag: String, dedupDigest: Boolean = false)
+    jobTag: String, dedupDigest: Boolean = false, cdxj: Boolean = false)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val conf = new SerializableHadoopConf(
@@ -152,7 +152,7 @@ class WarcStreamingWrite(dir: String, cols: WarcWriteCols, gz: Boolean,
     val p = new Path(dir)
     p.getFileSystem(conf.value).mkdirs(p)
     new WarcStreamingWriterFactory(dir, cols, conf, gz, writeIndex,
-      defaultDate, defaultContentType, jobTag, dedupDigest)
+      defaultDate, defaultContentType, jobTag, dedupDigest, cdxj)
   }
 
   // file visibility is per-task atomic rename; the engine's offset log
@@ -169,7 +169,7 @@ case class WarcWriteCols(url: Int, payload: Int, recType: Int,
 class WarcBatchWrite(dir: String, cols: WarcWriteCols,
     truncateFirst: Boolean, gz: Boolean, writeIndex: Boolean,
     defaultDate: String, defaultContentType: String, jobTag: String,
-    dedupDigest: Boolean = false)
+    dedupDigest: Boolean = false, cdxj: Boolean = false)
   extends BatchWrite {
 
   private val conf = new SerializableHadoopConf(
@@ -180,7 +180,7 @@ class WarcBatchWrite(dir: String, cols: WarcWriteCols,
     val p = new Path(dir)
     p.getFileSystem(conf.value).mkdirs(p)
     new WarcDataWriterFactory(dir, cols, conf, gz, writeIndex,
-      defaultDate, defaultContentType, jobTag, dedupDigest)
+      defaultDate, defaultContentType, jobTag, dedupDigest, cdxj)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -199,7 +199,8 @@ class WarcBatchWrite(dir: String, cols: WarcWriteCols,
           val keep = n.startsWith(".") || n.startsWith("_") ||
             mine.contains(n) ||
             (WarcCdx.isSidecar(n) &&
-              mine.contains(n.stripSuffix(WarcCdx.SidecarSuffix)))
+              mine.contains(n.stripSuffix(WarcCdx.SidecarSuffix))) ||
+            (n.endsWith(".cdxj") && mine.contains(n.stripSuffix(".cdxj")))
           if (st.isFile && !keep) fs.delete(st.getPath, false)
         }
     }
@@ -210,7 +211,7 @@ class WarcBatchWrite(dir: String, cols: WarcWriteCols,
 class WarcStreamingWriterFactory(dir: String, cols: WarcWriteCols,
     conf: SerializableHadoopConf, gz: Boolean, writeIndex: Boolean,
     defaultDate: String, defaultContentType: String, jobTag: String,
-    dedupDigest: Boolean = false)
+    dedupDigest: Boolean = false, cdxj: Boolean = false)
   extends org.apache.spark.sql.connector.write.streaming
     .StreamingDataWriterFactory {
 
@@ -220,13 +221,13 @@ class WarcStreamingWriterFactory(dir: String, cols: WarcWriteCols,
       defaultDate, defaultContentType,
       baseName = f"crawl-$jobTag-e$epochId%06d-p$partitionId%05d",
       tmpTag = s".t$taskId", replaceOnCommit = true,
-      dedupDigest = dedupDigest)
+      dedupDigest = dedupDigest, cdxj = cdxj)
 }
 
 class WarcDataWriterFactory(dir: String, cols: WarcWriteCols,
     conf: SerializableHadoopConf, gz: Boolean, writeIndex: Boolean,
     defaultDate: String, defaultContentType: String, jobTag: String,
-    dedupDigest: Boolean = false)
+    dedupDigest: Boolean = false, cdxj: Boolean = false)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
@@ -234,14 +235,15 @@ class WarcDataWriterFactory(dir: String, cols: WarcWriteCols,
     new WarcDataWriter(dir, cols, conf, gz, writeIndex, defaultDate,
       defaultContentType,
       baseName = f"part-$jobTag-$partitionId%05d-$taskId",
-      tmpTag = "", replaceOnCommit = false, dedupDigest = dedupDigest)
+      tmpTag = "", replaceOnCommit = false, dedupDigest = dedupDigest,
+      cdxj = cdxj)
 }
 
 class WarcDataWriter(dir: String, cols: WarcWriteCols,
     conf: SerializableHadoopConf, gz: Boolean, writeIndex: Boolean,
     defaultDate: String, defaultContentType: String,
     baseName: String, tmpTag: String, replaceOnCommit: Boolean,
-    dedupDigest: Boolean = false)
+    dedupDigest: Boolean = false, cdxj: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val fs = new Path(dir).getFileSystem(conf.value)
@@ -394,6 +396,7 @@ class WarcDataWriter(dir: String, cols: WarcWriteCols,
       if (replaceOnCommit && fs.exists(finalPath)) {
         fs.delete(finalPath, false)
         fs.delete(WarcCdx.sidecar(finalPath), false)
+        fs.delete(WarcCdx.cdxjPath(finalPath), false)
       }
       WarcWriteCommitted("")
     } else {
@@ -411,6 +414,8 @@ class WarcDataWriter(dir: String, cols: WarcWriteCols,
       if (writeIndex)
         WarcCdx.writeSidecar(fs, finalPath,
           if (gz) "member-gzip" else "plain", entries, written)
+      if (cdxj)
+        WarcCdx.writeCdxj(fs, finalPath, entries, written)
       WarcWriteCommitted(finalPath.toString)
     }
   }

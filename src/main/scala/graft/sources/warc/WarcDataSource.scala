@@ -80,6 +80,9 @@ object WarcTable {
     .add("rec_type", StringType, nullable = false)
     .add("record_id", StringType, nullable = true)
     .add("refers_to", StringType, nullable = true) // revisit -> original
+    // request -> the response captured in the same fetch (WARC 1.1
+    // §5.7 WARC-Concurrent-To) — the request/response pairing key
+    .add("concurrent_to", StringType, nullable = true)
     .add("url", StringType, nullable = true)
     .add("warc_date", StringType, nullable = true)
     .add("content_type", StringType, nullable = true)
@@ -116,13 +119,15 @@ object WarcTable {
       matches.flatMap { st =>
         // zero-length files carry no records and (when .gz) are not
         // even valid gzip streams — skip, never crash on them
+        def isIndex(n: String): Boolean =
+          WarcCdx.isSidecar(n) || n.endsWith(".cdxj")
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq.filter(_.isFile)
             .filter(s => !s.getPath.getName.startsWith("_") &&
               !s.getPath.getName.startsWith(".") &&
-              !WarcCdx.isSidecar(s.getPath.getName) && s.getLen > 0)
+              !isIndex(s.getPath.getName) && s.getLen > 0)
         else Seq(st).filter(s =>
-          !WarcCdx.isSidecar(s.getPath.getName) && s.getLen > 0)
+          !isIndex(s.getPath.getName) && s.getLen > 0)
       }
     }
   }
@@ -523,7 +528,17 @@ class WarcScan(requiredSchema: StructType,
                   maxBytes, mergeGap)))
         }.getOrElse {
           if (st.getLen > maxBytes)
-            WarcCdx.planRanges(fs, st, maxBytes).getOrElse(whole)
+            WarcCdx.planRanges(fs, st, maxBytes).getOrElse {
+              // no sidecar at all: an unindexed big `.warc.gz` still
+              // splits — raw ranges with reader-side member resync
+              // (WarcResync; option("resyncSplit","false") opts out)
+              val nm = st.getPath.getName.toLowerCase(java.util.Locale.ROOT)
+              if (nm.endsWith(".warc.gz") &&
+                  options.getBoolean("resyncSplit", true))
+                WarcResync.planRanges(st.getPath.toString, st.getLen,
+                  maxBytes)
+              else whole
+            }
           else whole
         }
       }
@@ -542,8 +557,12 @@ class WarcScan(requiredSchema: StructType,
 
 /** One read unit: `[start, start+length)` of a container file, where
   * `start` is 0 (whole file) or a record/member offset from the
-  * file's `.wcdx` — slices always cover whole records. */
-case class WarcFileSlice(path: String, start: Long, length: Long)
+  * file's `.wcdx` — slices always cover whole records. `resync`
+  * marks an UNALIGNED raw byte range of an unindexed `.warc.gz`: the
+  * reader scans it for the next gzip member boundary and owns the
+  * members STARTING inside it ([[WarcResync]]). */
+case class WarcFileSlice(path: String, start: Long, length: Long,
+    resync: Boolean = false)
 
 case class WarcInputPartition(slices: Seq[WarcFileSlice])
   extends InputPartition
@@ -603,6 +622,9 @@ object WarcFileOpener {
     * compressed streams), plain at any byte. length < 0 = to EOF. */
   def openSlice(conf: Configuration, slice: WarcFileSlice)
       : java.io.InputStream = {
+    if (slice.resync)
+      return new java.io.BufferedInputStream(
+        WarcResync.openSlice(conf, slice), 1 << 20)
     val path = new Path(slice.path)
     val fs = path.getFileSystem(conf)
     val raw = fs.open(path)
@@ -638,6 +660,7 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
   var recType: String = _
   var recordId: String = _
   var refersTo: String = _
+  var concurrentTo: String = _
   var url: String = _
   var warcDate: String = _
   var contentType: String = _
@@ -812,12 +835,17 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
 
   /** Decode a recognized content coding; unknown codings pass
     * through — `httpContentEncoding` lets the pipeline route them.
-    * `br` decodes through the clean-room RFC 7932 subset
-    * ([[graft.operators.BrotliCodec]]); its two documented
-    * out-of-subset shapes (static-dictionary references, UTF8/Signed
-    * context with a discriminating map) REJECT with the file name
-    * rather than emitting corrupt text. Multi-coding chains (rare,
-    * e.g. "gzip, gzip") are left raw rather than half-decoded. */
+    * `br` decodes through the clean-room full-RFC 7932 decoder
+    * ([[graft.operators.BrotliCodec]], static dictionary and all four
+    * context modes included). VALID-but-out-of-subset brotli (the
+    * non-RFC large-window extension, bodies past the bomb cap) throws
+    * [[graft.operators.BrotliCodec.Unsupported]] and degrades like an
+    * unknown coding — the body stays raw and `http_content_encoding`
+    * stays "br" so downstream filters can route it; one such page
+    * must not fail a 100 TB scan task (round-16 verdict #1). Genuinely
+    * CORRUPT streams still reject with the file name rather than
+    * emitting corrupt text. Multi-coding chains (rare, e.g.
+    * "gzip, gzip") are left raw rather than half-decoded. */
   private def decodeCoding(enc: String, body: Array[Byte])
       : Array[Byte] = {
     val token = enc.trim.toLowerCase(java.util.Locale.ROOT)
@@ -827,6 +855,7 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
       case "br" =>
         try graft.operators.BrotliCodec.decode(body)
         catch {
+          case _: graft.operators.BrotliCodec.Unsupported => body
           case e: Exception => throw new IllegalArgumentException(
             s"bad brotli Content-Encoding body in $fileName: " +
               e.getMessage)
@@ -861,6 +890,7 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
     // field (WARC 1.1 §4 — a folded WARC-Target-URI must not silently
     // drop its continuation text)
     recType = null; recordId = null; refersTo = null
+    concurrentTo = null
     url = null; warcDate = null
     contentType = null; contentLength = -1L
     httpStatus = -1; httpContentType = null; httpContentEncoding = null
@@ -872,6 +902,7 @@ final class WarcRecordWalk(in: java.io.InputStream, fileName: String,
       case "warc-type" => recType = value
       case "warc-record-id" => recordId = value
       case "warc-refers-to" => refersTo = value
+      case "warc-concurrent-to" => concurrentTo = value
       case "warc-target-uri" => url = value
       case "warc-date" => warcDate = value
       case "content-type" => contentType = value
@@ -1088,6 +1119,7 @@ class WarcPartitionReader(slices: Seq[WarcFileSlice],
     case "http_content_encoding" => 10
     case "http_headers" => 11
     case "payload" => 12
+    case "concurrent_to" => 13
     case other => throw new IllegalArgumentException(
       s"unknown warc column $other")
   }
@@ -1101,6 +1133,7 @@ class WarcPartitionReader(slices: Seq[WarcFileSlice],
         case 1 => utf8(walk.recType)
         case 2 => utf8(walk.recordId)
         case 3 => utf8(walk.refersTo)
+        case 13 => utf8(walk.concurrentTo)
         case 4 => utf8(walk.url)
         case 5 => utf8(walk.warcDate)
         case 6 => utf8(walk.contentType)

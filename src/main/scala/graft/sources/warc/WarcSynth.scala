@@ -129,6 +129,26 @@ object WarcSynth {
       "Content-Type" -> "application/http; msgtype=response"), block)
   }
 
+  /** A `request` record (WARC 1.1 §6.4) linked to its response by
+    * WARC-Concurrent-To (§5.7) — how real crawls store the fetch side
+    * of each capture. Deterministic User-Agent rotation (4 bots) so
+    * the pairing query's census has a closed form. (The plain
+    * [[requestRecord]] above predates the link header and stays
+    * byte-stable for the main fixture's formulas.) */
+  def pairedRequestRecord(i: Long): Array[Byte] = {
+    val head = (s"GET /p$i HTTP/1.1\r\n" +
+      s"Host: site${siteOf(i)}.example\r\n" +
+      s"User-Agent: graftbot/${1 + (i % 4)}.0\r\n" +
+      "Accept: text/html\r\n\r\n").getBytes("US-ASCII")
+    record(Seq(
+      "WARC-Type" -> "request",
+      "WARC-Record-ID" -> recordIdOf("req", i),
+      "WARC-Concurrent-To" -> recordIdOf("resp", i),
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> urlOf(i),
+      "Content-Type" -> "application/http; msgtype=request"), head)
+  }
+
   /** A `revisit` record (WARC 1.1 §6.7.2, identical-payload-digest
     * profile) — how real crawls record "this URL served bytes we
     * already stored": no body, `WARC-Refers-To` names the original
@@ -220,6 +240,70 @@ object WarcSynth {
 
   def ensureSitemapFixture(dir: String, n: Int): String =
     ensureGzOnlyFixture(dir, n, "smap", sitemapRecord)
+
+  /** Where site i really serves its sitemap: every third site uses a
+    * NON-default path discoverable only through robots.txt's
+    * `Sitemap:` directive (RFC 9309 §2.3) — the mechanism real
+    * crawlers use; the rest sit at the /sitemap.xml convention. */
+  def sitemapPath(i: Long): String =
+    if (i % 3 == 0) s"maps/urls-$i.xml" else "sitemap.xml"
+
+  private def urlsetBody(urls: String): Array[Byte] =
+    ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+      urls + "</urlset>").getBytes("UTF-8")
+
+  private def xmlResponse(kind: String, i: Long, uri: String,
+      body: Array[Byte]): Array[Byte] = {
+    val head = (s"HTTP/1.1 200 OK\r\nContent-Type: application/xml\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> recordIdOf(kind, i),
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> "application/http; msgtype=response"),
+      head ++ body)
+  }
+
+  /** robots.txt capture whose `Sitemap:` directive names the REAL
+    * sitemap location (RFC 9309 §2.3 cross-link). */
+  def robotsSitemapRecord(i: Long): Array[Byte] = {
+    val body = ("User-agent: *\r\nDisallow: /private/\r\n" +
+      s"Sitemap: http://site$i.example/${sitemapPath(i)}\r\n")
+      .getBytes("US-ASCII")
+    val head = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> recordIdOf("rob", i),
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> s"http://site$i.example/robots.txt",
+      "Content-Type" -> "application/http; msgtype=response"),
+      head ++ body)
+  }
+
+  /** Frontier fixture: per site, a robots.txt declaring the sitemap
+    * location, the sitemap AT that location, and — for the
+    * non-default sites — an UNDECLARED decoy at /sitemap.xml that
+    * path-convention discovery would wrongly count. */
+  def sitemapFrontierRecord(i: Long): Array[Byte] = {
+    val declared = xmlResponse("smapf", i,
+      s"http://site$i.example/${sitemapPath(i)}",
+      urlsetBody((0 until sitemapNUrls(i)).map { j =>
+        s"<url><loc>http://site$i.example/p$j</loc>" +
+          s"<lastmod>${sitemapLastmod(i, j)}</lastmod></url>"
+      }.mkString))
+    val decoy = if (i % 3 == 0)
+      xmlResponse("decoy", i, s"http://site$i.example/sitemap.xml",
+        urlsetBody(s"<url><loc>http://site$i.example/decoy</loc>" +
+          "<lastmod>2020-01-01</lastmod></url>"))
+    else Array.emptyByteArray
+    robotsSitemapRecord(i) ++ declared ++ decoy
+  }
+
+  def ensureSitemapFrontierFixture(dir: String, n: Int): String =
+    ensureGzOnlyFixture(dir, n, "smfr", sitemapFrontierRecord)
 
   /** Revisit-deduped crawl fixture: the FIRST occurrence of each dup
     * group (i < 700, so g == i) is a full response; every repeat is a
@@ -333,7 +417,10 @@ object WarcSynth {
     val coded = mode match {
       case 1 => zlibBytes(plain)
       case 3 => rawDeflateBytes(plain)
-      case 4 => graft.operators.BrotliCodec.encodeUncompressed(plain)
+      // a REAL dictionary-referencing stream (word 0 through Appendix
+      // B transform 4 -> "Time ", then the page): every scan of a br
+      // page now exercises the §8 dictionary machinery oracle-gated
+      case 4 => graft.operators.BrotliCodec.encodeWithDictPrefix(plain)
       case _ => gzipBytes(plain)
     }
     val chunked = mode == 2

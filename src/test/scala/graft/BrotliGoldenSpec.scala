@@ -14,10 +14,10 @@ import graft.operators.BrotliCodec
   * accumulation rule, insert+copy commands with extra bits, the
   * distance ring buffer (initial values AND post-update short codes),
   * and MLEN-exhausting insert commands whose copy part is skipped. */
-class BrotliGoldenSpec extends AnyFunSuite {
+object BrotliGoldenSpec {
 
   // ---- test-local LSB-first bit writer (the brotli bit order) ----
-  private final class BW {
+  private[graft] final class BW {
     private val out = new java.io.ByteArrayOutputStream()
     private var acc = 0
     private var n = 0
@@ -45,7 +45,7 @@ class BrotliGoldenSpec extends AnyFunSuite {
   }
 
   /** Simple prefix code header (§3.4): HSKIP=1, NSYM, symbols. */
-  private def simpleCode(w: BW, alphabetSize: Int, syms: Int*)
+  private[graft] def simpleCode(w: BW, alphabetSize: Int, syms: Int*)
       : Unit = {
     val alphaBits = 32 - Integer.numberOfLeadingZeros(alphabetSize - 1)
     w.bits(1, 2)                    // HSKIP = 1
@@ -58,7 +58,7 @@ class BrotliGoldenSpec extends AnyFunSuite {
     * bytes, one block type everywhere, NPOSTFIX=NDIRECT=0, LSB6
     * context mode, one literal tree and one distance tree. The caller
     * writes the literal/command/distance codes and the command data. */
-  private def scaffold(w: BW, mlen: Int): Unit = {
+  private[graft] def scaffold(w: BW, mlen: Int): Unit = {
     w.bit(0)              // WBITS = 16
     w.bit(1)              // ISLAST
     w.bit(0)              // not ISLASTEMPTY
@@ -71,6 +71,23 @@ class BrotliGoldenSpec extends AnyFunSuite {
     w.bit(0)              // NTREESL = 1
     w.bit(0)              // NTREESD = 1
   }
+
+  /** §8 static-dictionary reference wire: one copy-4 command whose
+    * explicit distance 1 at zero written bytes addresses word id 0 —
+    * the appendix dictionary's first 4-byte word, identity transform. */
+  private[graft] def wireWithDictRef(): Array[Byte] = {
+    val w = new BW
+    scaffold(w, 4)
+    simpleCode(w, 256, 'x')       // literal tree (unused)
+    simpleCode(w, 704, 130)       // insert 0, copy 4, explicit distance
+    simpleCode(w, 64, 16)         // distance symbol 16: d = 1 + extra
+    w.bit(0)                      // extra bit 0 -> d = 1
+    w.bytes
+  }
+}
+
+class BrotliGoldenSpec extends AnyFunSuite {
+  import BrotliGoldenSpec._
 
   test("golden 1: uncompressed metablock + empty-last terminator " +
       "round the raw bytes through (hand-assembled wire form)") {
@@ -122,8 +139,8 @@ class BrotliGoldenSpec extends AnyFunSuite {
   }
 
   test("golden 3: insert+copy commands with the distance ring — " +
-      "initial d4=4 via short code 3, then post-update d1-2 via " +
-      "short code 6") {
+      "initial LAST distance 4 via short code 0 (\"16, 15, 11, 4\" in " +
+      "insertion order, §4), then last-2 via short code 6") {
     val w = new BW
     scaffold(w, 13)
     // literal code: 4 symbols a,b,c,d at 2 bits each (tree-select 0)
@@ -133,18 +150,19 @@ class BrotliGoldenSpec extends AnyFunSuite {
     //   162 = 128 + 4*8 + 2: explicit, insert code 4, copy code 2
     //   138 = 128 + 1*8 + 2: explicit, insert code 1, copy code 2
     simpleCode(w, 704, 138, 162)
-    // distance code: {3, 6} at 1 bit (3 -> initial d4 = 4; 6 -> d1-2)
-    simpleCode(w, 64, 3, 6)
+    // distance code: {0, 6} at 1 bit (0 -> last = initial 4, no ring
+    // update; 6 -> last - 2)
+    simpleCode(w, 64, 0, 6)
     // cmd 162: insert "abcd" (code 4, 0 extra), copy 4 (code 2, 0
     // extra) at distance 4 -> "abcdabcd"
     w.code(1, 1)                    // command 162
     w.code(0, 2); w.code(1, 2); w.code(2, 2); w.code(3, 2) // a b c d
-    w.code(0, 1)                    // distance symbol 3 (ring d4 = 4)
-    // cmd 138: insert "a", copy 4 at distance d1-2 = 2 ->
+    w.code(0, 1)                    // distance symbol 0 (last = 4)
+    // cmd 138: insert "a", copy 4 at distance last-2 = 2 ->
     // "abcdabcda" + "dada"
     w.code(0, 1)                    // command 138
     w.code(0, 2)                    // literal a
-    w.code(1, 1)                    // distance symbol 6 (d1 - 2 = 2)
+    w.code(1, 1)                    // distance symbol 6 (last - 2 = 2)
     assert(new String(BrotliCodec.decode(w.bytes), "US-ASCII") ==
       "abcdabcdadada")
   }
@@ -210,22 +228,36 @@ class BrotliGoldenSpec extends AnyFunSuite {
     }
   }
 
-  test("out-of-subset shapes REJECT with clear messages; corrupt " +
-      "streams never loop or allocate unbounded") {
-    // static-dictionary reference: a copy command whose distance
-    // exceeds the written bytes
+  test("invalid static-dictionary references REJECT with clear " +
+      "messages; corrupt streams never loop or allocate unbounded") {
+    // transform id past 120: distance symbol 56 (nbits 21, offset
+    // 4194300) at zero written bytes -> word id 4194300, transform
+    // 4095 — invalid per §8
     val w = new BW
     scaffold(w, 8)
     simpleCode(w, 256, 'x')
-    // command 130 = 128 + 0*8 + 2: insert 0, copy 4, explicit
+    // command 130 = 2*64 + 0*8 + 2: insert 0, copy 4, explicit
     simpleCode(w, 704, 130)
-    // distance code: single direct... short code 15 = d2+3 = 18 > 0
-    // written bytes -> dictionary territory
-    simpleCode(w, 64, 15)
+    simpleCode(w, 64, 56)
+    w.bits(0, 21) // extra bits -> d = 4194301
     val ex = intercept[IllegalArgumentException] {
       BrotliCodec.decode(w.bytes)
     }
-    assert(ex.getMessage.contains("dictionary"), ex.getMessage)
+    assert(ex.getMessage.contains("transform"), ex.getMessage)
+    // dictionary-range distance with a copy length no dictionary
+    // word has (30) is likewise invalid
+    val w2 = new BW
+    scaffold(w2, 32)
+    simpleCode(w2, 256, 'x')
+    // command 197 = 3*64 + 0*8 + 5: insert 0, copy code 13 (base 30)
+    simpleCode(w2, 704, 197)
+    simpleCode(w2, 64, 16)
+    w2.bits(0, 3) // copy extra: 30
+    w2.bit(0)     // distance extra -> d = 1 > 0 written
+    val ex2 = intercept[IllegalArgumentException] {
+      BrotliCodec.decode(w2.bytes)
+    }
+    assert(ex2.getMessage.contains("4..24"), ex2.getMessage)
     // fuzz: random bytes either decode or reject — never hang/OOM
     val rnd = new scala.util.Random(99)
     var rejected = 0

@@ -29,32 +29,33 @@ class WarcSourceSpec extends AnyFunSuite {
     val dir = fixture(200)
     val df = spark.read.format("warc").load(dir)
     assert(df.columns.toSeq == Seq("file", "rec_type", "record_id",
-      "refers_to", "url", "warc_date", "content_type", "content_length",
-      "http_status", "http_content_type", "http_content_encoding",
-      "http_headers", "payload"))
+      "refers_to", "concurrent_to", "url", "warc_date", "content_type",
+      "content_length", "http_status", "http_content_type",
+      "http_content_encoding", "http_headers", "payload"))
     val rows = df.collect()
     val byType = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     assert(byType == Map("warcinfo" -> 4, "request" -> 200,
       "response" -> 200))
     // requests have no status line -> null status; responses do
+    // (ordinals: concurrent_to sits at 4, shifting url+ by one)
     assert(rows.filter(_.getString(1) == "request")
-      .forall(_.isNullAt(8)))
+      .forall(_.isNullAt(9)))
     val resp = rows.filter(_.getString(1) == "response")
-    assert(resp.count(r => r.getInt(8) == 404) == 200 / 17 + 1) // i%17==0
+    assert(resp.count(r => r.getInt(9) == 404) == 200 / 17 + 1) // i%17==0
     // html response payload is the body ONLY (headers split off)
-    val r42 = resp.find(_.getString(4) == WarcSynth.urlOf(42)).get
-    assert(r42.getString(9) == "text/html")
-    assert(r42.isNullAt(10)) // no Content-Encoding header captured
-    assert(r42.getAs[Map[String, String]](11) ==
+    val r42 = resp.find(_.getString(5) == WarcSynth.urlOf(42)).get
+    assert(r42.getString(10) == "text/html")
+    assert(r42.isNullAt(11)) // no Content-Encoding header captured
+    assert(r42.getAs[Map[String, String]](12) ==
       Map("content-type" -> "text/html",
         "content-length" -> WarcSynth.bodyOf(42).length.toString))
-    assert(new String(r42.getAs[Array[Byte]](12), "US-ASCII") ==
+    assert(new String(r42.getAs[Array[Byte]](13), "US-ASCII") ==
       WarcSynth.htmlOf(42))
     // non-http records carry the whole block
     val info = rows.filter(_.getString(1) == "warcinfo")
-    assert(info.forall(r => new String(r.getAs[Array[Byte]](12), "US-ASCII")
+    assert(info.forall(r => new String(r.getAs[Array[Byte]](13), "US-ASCII")
       .startsWith("software: graft-warc-synth")))
-    assert(info.forall(_.isNullAt(11)), "non-HTTP records carry no header map")
+    assert(info.forall(_.isNullAt(12)), "non-HTTP records carry no header map")
     // gzip and plain files both contributed
     val files = rows.map(_.getString(0)).toSet
     assert(files.exists(_.endsWith(".warc")) &&
@@ -310,7 +311,11 @@ class WarcSourceSpec extends AnyFunSuite {
       .toMap
     for (i <- 0L until 5L) {
       val (enc, body) = byUrl(WarcSynth.urlOf(i))
-      assert(body == WarcSynth.htmlOf(i), s"page $i decoded wrong")
+      // br pages (i % 5 == 4) open with a REAL §8 static-dictionary
+      // reference decoding to "Time " before the page bytes
+      val want_body =
+        (if (i % 5 == 4) "Time " else "") + WarcSynth.htmlOf(i)
+      assert(body == want_body, s"page $i decoded wrong")
       val want = (i % 5) match {
         case 1 | 3 => "deflate"
         case 4 => "br"
@@ -318,6 +323,44 @@ class WarcSourceSpec extends AnyFunSuite {
       }
       assert(enc == want, s"page $i encoding $enc != $want")
     }
+  }
+
+  test("a VALID-but-out-of-subset brotli body (large-window " +
+      "extension) degrades to the raw bytes with the br flag intact " +
+      "instead of failing the scan task (round-16 verdict #1); a " +
+      "CORRUPT brotli body still rejects") {
+    // large-window WBITS pattern (reserved in RFC 7932): header bits
+    // 1,000,001 -> first byte 0x11
+    val lwBody = Array[Byte](0x11, 0x22, 0x33, 0x44)
+    def ceRecord(id: String, body: Array[Byte]): Array[Byte] = {
+      val head = ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html\r\n" +
+        "Content-Encoding: br\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+      WarcSynth.record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:uuid:$id>",
+        "WARC-Date" -> WarcSynth.Date,
+        "WARC-Target-URI" -> s"http://ce.example/$id",
+        "Content-Type" -> "application/http; msgtype=response"),
+        head ++ body)
+    }
+    val d = Files.createTempDirectory("warc_ce_lw")
+    Files.write(d.resolve("lw.warc"), ceRecord("lw", lwBody))
+    val row = spark.read.format("warc").load(d.toString)
+      .select("http_content_encoding", "payload").collect()(0)
+    assert(row.getString(0) == "br")
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]](1), lwBody),
+      "body must pass through raw for downstream routing")
+    // corrupt (framing garbage after a valid RFC WBITS) still rejects
+    val d2 = Files.createTempDirectory("warc_ce_corrupt")
+    Files.write(d2.resolve("c.warc"),
+      ceRecord("c", Array[Byte](0x21, 0x7F, 0x7F, 0x7F)))
+    val ex = intercept[Exception] {
+      spark.read.format("warc").load(d2.toString)
+        .select("payload").collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("decodeContentEncoding=false passes the captured bytes through " +

@@ -8,6 +8,7 @@ The tarfile-interop pattern applied to the crawl format.
 Usage: warc_oracle.py <fixtureDir> <nPages>
        warc_oracle.py ce <fixtureDir> <nPages>   # Content-Encoding fixture
        warc_oracle.py cdxj <dir>  # write index.cdxj for every .warc.gz
+       warc_oracle.py cdxj-check <dir>  # validate engine-exported .cdxj twins
 """
 import sys, os, gzip, io, hashlib, zlib, json, struct
 
@@ -157,12 +158,16 @@ def dechunk(body):
 
 
 def brotli_uncompressed(data):
-    """Decode a brotli stream made ONLY of uncompressed metablocks —
-    the shape the fixture encoder emits (RFC 7932 §9.2: WBITS, then
-    per metablock ISLAST/[ISLASTEMPTY]/MNIBBLES/MLEN/[ISUNCOMPRESSED],
-    byte-aligned raw bytes). Compressed metablocks are out of scope
-    here (the engine's golden vectors pin those); this keeps the CE
-    oracle stdlib-only."""
+    """Decode the fixture's brotli shape: an optional leading
+    COMPRESSED metablock carrying the fixed §8 static-dictionary
+    reference (word 0 through Appendix B transform 4 -> b"Time "; the
+    field-by-field bit layout is asserted below, so a drifted encoder
+    fails loudly), followed by uncompressed metablocks (RFC 7932 §9.2:
+    WBITS, then per metablock ISLAST/[ISLASTEMPTY]/MNIBBLES/MLEN/
+    [ISUNCOMPRESSED], byte-aligned raw bytes). Full compressed-stream
+    independence lives elsewhere: BrotliDictSpec round-trips 80
+    brotlicffi-encoded fixtures; this keeps the CE oracle
+    stdlib-only."""
     pos = 0  # bit position
 
     def bits(n):
@@ -186,8 +191,23 @@ def brotli_uncompressed(data):
         mn = bits(2)
         assert mn != 3, "metadata blocks not expected in the fixture"
         mlen = bits(4 * (4 + mn)) + 1
-        assert not islast and bits(1) == 1, \
-            "fixture brotli must be uncompressed metablocks"
+        if islast or bits(1) != 1:
+            # compressed metablock: must be the fixed dict-ref wire
+            assert not islast and mlen == 5, "unexpected compressed block"
+            assert bits(3) == 0          # NBLTYPES L/I/D = 1
+            assert bits(2) == 0          # NPOSTFIX
+            assert bits(4) == 0          # NDIRECT
+            assert bits(2) == 0          # context mode LSB6
+            assert bits(2) == 0          # NTREESL=1, NTREESD=1
+            assert bits(2) == 1 and bits(2) == 0   # literal: simple, 1 sym
+            bits(8)                                # the unused literal
+            assert bits(2) == 1 and bits(2) == 0   # command: simple, 1 sym
+            assert bits(10) == 130       # insert 0, copy 4, explicit dist
+            assert bits(2) == 1 and bits(2) == 0   # distance: simple, 1 sym
+            assert bits(6) == 36         # offset 4092, 11 extra bits
+            assert bits(11) == 4         # d = 4097 -> word 0, transform 4
+            out += b"Time "
+            continue
         pos = (pos + 7) & ~7
         out += data[pos >> 3:(pos >> 3) + mlen]
         pos += mlen * 8
@@ -234,6 +254,8 @@ def main_ce(fixture_dir, n_pages):
         g = i % 700
         html = ("<html><title>t%d</title><body>warc document %d alpha "
                 "beta gamma %d</body></html>" % (g, g, (g * 37) % 1000))
+        if i % 5 == 4:
+            html = "Time " + html   # the br dictionary-reference prefix
         url = "http://site%d.example/p%d" % (i % 50, i)
         if got.get(url) != html.encode():
             ok = False
@@ -351,8 +373,84 @@ def main_cdxj(d, block_lines=0, shards=0):
     print("WARC_ORACLE cdxj PASS (%d lines -> %s)" % (len(lines), out))
 
 
+def main_cdxj_check(d):
+    """Validate ENGINE-exported `.cdxj` twins (option("cdxj","true"))
+    against the archive bytes — the independent-reader half of the
+    interop loop: every line's surt key, timestamp, status, digest,
+    member offset/length, and filename are recomputed from this walk
+    alone, and the line order must be (urlkey, timestamp)-sorted as
+    pywb requires."""
+    n_lines = 0
+    n_files = 0
+    ok = True
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".warc.gz"):
+            continue
+        twin = os.path.join(d, name + ".cdxj")
+        if not os.path.exists(twin):
+            print("FAIL %s: no .cdxj twin" % name)
+            ok = False
+            continue
+        n_files += 1
+        expect = {}
+        for off, ln, payload in gzip_members(os.path.join(d, name)):
+            f = io.BytesIO(payload)
+            for fields, block in records(f, name):
+                url = fields.get("warc-target-uri")
+                if url is None:
+                    continue  # warcinfo etc. — not a capture
+                rt = fields.get("warc-type")
+                status, ctype, body = http_split(block)
+                ts = fields.get("warc-date", "1970-01-01T00:00:00Z")
+                ts14 = "".join(c for c in ts if c.isdigit())[:14]
+                expect[off] = (ln, url, ts14, status, ctype, rt,
+                               hashlib.md5(body).hexdigest())
+        lines = [l for l in open(twin).read().splitlines() if l]
+        if lines != sorted(lines):
+            print("FAIL %s: lines not (urlkey, ts)-sorted" % twin)
+            ok = False
+        if len(lines) != len(expect):
+            print("FAIL %s: %d lines vs %d captures in the archive"
+                  % (twin, len(lines), len(expect)))
+            ok = False
+        for l in lines:
+            key, ts14, js = l.split(" ", 2)
+            j = json.loads(js)
+            off = int(j["offset"])
+            exp = expect.get(off)
+            if exp is None:
+                print("FAIL %s: offset %d not a member start" % (twin, off))
+                ok = False
+                continue
+            ln, url, ets, status, ctype, rt, digest = exp
+            checks = [
+                (key == surt(url), "surt key"),
+                (ts14 == ets, "timestamp"),
+                (int(j["length"]) == ln, "member length"),
+                (j["filename"] == name, "filename"),
+                (j["url"] == url, "url"),
+            ]
+            if rt == "revisit":
+                checks.append((j["mime"] == "warc/revisit", "revisit mime"))
+                checks.append((bool(j.get("digest")), "revisit digest"))
+            else:
+                checks.append((j.get("status") == str(status), "status"))
+                checks.append((j.get("digest") == digest, "digest"))
+            for cond, what in checks:
+                if not cond:
+                    print("FAIL %s offset %d: %s mismatch (%r)"
+                          % (twin, off, what, l[:100]))
+                    ok = False
+            n_lines += 1
+    print("WARC_ORACLE cdxj-check %s (%d lines over %d archives)"
+          % ("PASS" if ok else "FAIL", n_lines, n_files))
+    sys.exit(0 if ok else 1)
+
+
 if __name__ == "__main__":
-    if sys.argv[1] == "ce":
+    if sys.argv[1] == "cdxj-check":
+        main_cdxj_check(sys.argv[2])
+    elif sys.argv[1] == "ce":
         main_ce(sys.argv[2], int(sys.argv[3]))
     elif sys.argv[1] == "cdxj":
         main_cdxj(sys.argv[2],
