@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "nfc_normalize(str) - Unicode NFC normalization (UAX #15)"),
       (exprs: Seq[Expression]) => functions.NfcNormalize(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("brotli_decode"),
+      info("brotli_decode",
+        "brotli_decode(bin) - full RFC 7932 decode (static dictionary " +
+          "included); NULL for valid-but-out-of-scope streams, error " +
+          "on corrupt bytes"),
+      (exprs: Seq[Expression]) => functions.BrotliDecode(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("tls_client_hello"),
       info("tls_client_hello",
         "tls_client_hello(bin) - parse a TLS ClientHello payload to a " +

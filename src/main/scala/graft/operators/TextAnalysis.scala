@@ -1430,6 +1430,42 @@ object TextAnalysis {
         FROM (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS dt
               FROM documents)""")),
 
+    // ----- brotli blob decode at the SQL surface ---------------------------
+    // Compressed document lakes store brotli blobs in COLUMNS (not
+    // behind a Content-Encoding header); `brotli_decode` is the full
+    // RFC 7932 clean-room decoder (static dictionary included) as a
+    // native codegen'd Expression. The fixture side builds each blob
+    // in-query with the deterministic dict-prefix encoder (every blob
+    // OPENS with a real §8 static-dictionary reference resolving to
+    // "Time "), so the oracle knows the decoded bytes in closed form —
+    // md5('Time ' || text) — and a decoder that mishandles the
+    // dictionary, transforms, or framing mismatches every row. Rows
+    // ≡ 0 (mod 11) carry a large-window header instead: the documented
+    // valid-but-out-of-scope shape must decode to NULL (route, don't
+    // fail the task) — the same scale rule the warc walk applies.
+    // Scale: pure per-row map, zero shuffles.
+    Q("text_brotli_decode",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.BrotliDecode.brotli_decode
+        val enc = udf((t: String) => graft.operators.BrotliCodec
+          .encodeWithDictPrefix(t.getBytes("UTF-8")))
+        Tables.documents(s, d)
+          .select($"doc_id",
+            when($"doc_id" % 11 === 0,
+              lit(Array[Byte](0x11, 0x22, 0x33))) // large-window header
+              .otherwise(enc($"text")).as("blob"))
+          .select($"doc_id", brotli_decode($"blob").as("dec"))
+          .select($"doc_id",
+            md5($"dec").as("dec_md5"),
+            $"dec".isNull.as("unsupported"))
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0 THEN NULL
+               ELSE md5('Time ' || text) END AS dec_md5,
+          doc_id % 11 = 0 AS unsupported
+        FROM documents""")),
+
     // ----- homoglyph folding (confusable-normalized dedup keys) -----------
     // The spoofing-resistant dedup key: visually-identical text whose
     // Latin letters were swapped for Cyrillic or Greek lookalikes (the

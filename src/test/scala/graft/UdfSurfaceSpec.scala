@@ -85,4 +85,26 @@ class UdfSurfaceSpec extends AnyFunSuite {
     assert(r.getString(2) == "Fragment")
     assert(r.getString(3) == "4142")
   }
+
+  test("brotli_decode: SQL registration, dictionary-referencing " +
+      "round-trip, NULL on out-of-scope, error on corrupt") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "brotli_decode",
+      exprs => graft.functions.BrotliDecode(exprs.head), "scala_udf")
+    import spark.implicits._
+    val blob = graft.operators.BrotliCodec
+      .encodeWithDictPrefix("hello".getBytes("UTF-8"))
+    val got = Seq(Tuple1(blob)).toDF("b")
+      .selectExpr("CAST(brotli_decode(b) AS STRING) AS s").head().getString(0)
+    assert(got == "Time hello")
+    // large-window header (valid, out of scope) -> NULL, not a task kill
+    val lw = Seq(Tuple1(Array[Byte](0x11, 0x22))).toDF("b")
+      .selectExpr("brotli_decode(b) AS d").head()
+    assert(lw.isNullAt(0))
+    // corrupt bytes still error (silent nulls would hide corruption)
+    intercept[Exception] {
+      Seq(Tuple1(Array[Byte](0x21, 0x7F, 0x7F, 0x7F))).toDF("b")
+        .selectExpr("brotli_decode(b)").collect()
+    }
+  }
 }
