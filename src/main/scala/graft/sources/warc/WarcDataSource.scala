@@ -529,11 +529,13 @@ class WarcScan(requiredSchema: StructType,
         }.getOrElse {
           if (st.getLen > maxBytes)
             WarcCdx.planRanges(fs, st, maxBytes).getOrElse {
-              // no sidecar at all: an unindexed big `.warc.gz` still
-              // splits — raw ranges with reader-side member resync
-              // (WarcResync; option("resyncSplit","false") opts out)
+              // no sidecar at all: an unindexed big `.warc.gz` /
+              // `.warc.zst` still splits — raw ranges with reader-side
+              // unit resync (WarcResync; option("resyncSplit","false")
+              // opts out)
               val nm = st.getPath.getName.toLowerCase(java.util.Locale.ROOT)
-              if (nm.endsWith(".warc.gz") &&
+              if ((nm.endsWith(".warc.gz") || nm.endsWith(".warc.zst") ||
+                  nm.endsWith(".warc.zstd")) &&
                   options.getBoolean("resyncSplit", true))
                 WarcResync.planRanges(st.getPath.toString, st.getLen,
                   maxBytes)

@@ -3,37 +3,40 @@ package graft.sources.warc
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
-/** Split-anywhere reading of UNINDEXED `.warc.gz` (round-16 verdict,
-  * "What's missing #2"): a multi-GB member-per-record gzip crawl with
-  * no `.wcdx` sidecar and no foreign CDX used to scan as ONE task —
-  * the straggler that caps a 100 TB job at the size of its biggest
-  * file. These are raw byte-range slices with reader-side MEMBER
-  * RESYNC, the same recovery the pcap chunker uses for its framing:
+/** Split-anywhere reading of UNINDEXED `.warc.gz` AND `.warc.zst`
+  * (round-16 verdict, "What's missing #2"): a multi-GB record-per-unit
+  * crawl with no `.wcdx` sidecar and no foreign CDX used to scan as
+  * ONE task — the straggler that caps a 100 TB job at the size of its
+  * biggest file. These are raw byte-range slices with reader-side
+  * UNIT RESYNC, the same recovery the pcap chunker uses for its
+  * framing:
   *
   *   - the planner cuts `[k*maxBytes, (k+1)*maxBytes)` ranges with no
   *     index at all;
-  *   - each reader scans its range for the next gzip member magic
-  *     (1F 8B 08, RFC 1952) whose header parses and whose inflated
-  *     payload begins with `WARC/1.` — a false sync on payload bytes
-  *     must pass all three gates, and the first gate alone has
-  *     ~2^-24 density on random data;
-  *   - a member belongs to the slice that contains its FIRST byte
-  *     (the standard Hadoop split contract): the reader inflates
-  *     members past its range end until one STARTS at/after the end,
-  *     so every member is read exactly once and no split point can
+  *   - each reader scans its range for the next unit magic — gzip
+  *     member (1F 8B 08, RFC 1952) or zstd frame (28 B5 2F FD,
+  *     RFC 8878) — whose framing parses and whose decompressed
+  *     payload begins with `WARC/1.`; a false sync on payload bytes
+  *     must pass all gates (for zstd the validator resolves and
+  *     decodes the WHOLE candidate frame through the frame grammar);
+  *   - a unit belongs to the slice that contains its FIRST byte
+  *     (the standard Hadoop split contract): the reader decompresses
+  *     units past its range end until one STARTS at/after the end,
+  *     so every unit is read exactly once and no split point can
   *     cut a record.
   *
   * Caveat (inherent to any resync heuristic, documented not hidden):
   * a crawl whose captured PAYLOAD embeds a byte-identical well-formed
-  * `WARC/1.` gzip member (a crawl of a crawl) can yield a spurious
-  * sync inside that payload. The `.wcdx`/CDX paths stay authoritative
-  * — this is the no-index fallback only.
+  * `WARC/1.` compression unit (a crawl of a crawl) can yield a
+  * spurious sync inside that payload. The `.wcdx`/CDX paths stay
+  * authoritative — this is the no-index fallback only.
   */
 private[warc] object WarcResync {
 
-  /** Raw byte-range slices for an unindexed member-gzip file. The
-    * first slice starts at 0 (its scan accepts offset 0 immediately);
-    * every slice resyncs because a range cut can land mid-member. */
+  /** Raw byte-range slices for an unindexed member-gzip or
+    * frame-zstd file. The first slice starts at 0 (its scan accepts
+    * offset 0 immediately); every slice resyncs because a range cut
+    * can land mid-unit. */
   def planRanges(path: String, fileLen: Long, maxBytes: Long)
       : Seq[WarcFileSlice] = {
     val n = ((fileLen + maxBytes - 1) / maxBytes).toInt
@@ -44,7 +47,15 @@ private[warc] object WarcResync {
     }
   }
 
-  /** Inflated bytes of the members starting in `[start, start+len)`,
+  /** One (unitStart, payload) step of a compression-unit walk — the
+    * gzip member and zstd frame walkers behind one face. */
+  private trait UnitWalk {
+    def next(): Boolean
+    def unitStart: Long
+    def payload: Array[Byte]
+  }
+
+  /** Decompressed bytes of the units starting in `[start, start+len)`,
     * as a stream the ordinary WARC record walk consumes. */
   def openSlice(conf: Configuration, slice: WarcFileSlice)
       : java.io.InputStream = {
@@ -52,10 +63,31 @@ private[warc] object WarcResync {
     val fs = p.getFileSystem(conf)
     val raw = fs.open(p)
     val end = slice.start + slice.length
-    val syncAt = findSync(raw, slice.start, end)
+    val zst = {
+      val n = p.getName.toLowerCase(java.util.Locale.ROOT)
+      n.endsWith(".zst") || n.endsWith(".zstd")
+    }
+    val syncAt =
+      if (zst) findSyncZst(raw, slice.start, end)
+      else findSync(raw, slice.start, end)
     if (syncAt < 0) { raw.close(); return emptyStream }
     raw.seek(syncAt)
-    val walker = new WarcCdx.MemberGzipWalker(raw)
+    val walker: UnitWalk =
+      if (zst) {
+        val w = new WarcCdx.ZstdFrameWalker(raw)
+        new UnitWalk {
+          def next(): Boolean = w.next()
+          def unitStart: Long = w.frameStart
+          def payload: Array[Byte] = w.payload
+        }
+      } else {
+        val w = new WarcCdx.MemberGzipWalker(raw)
+        new UnitWalk {
+          def next(): Boolean = w.next()
+          def unitStart: Long = w.memberStart
+          def payload: Array[Byte] = w.payload
+        }
+      }
     new java.io.InputStream {
       private var cur: Array[Byte] = Array.emptyByteArray
       private var pos = 0
@@ -64,9 +96,9 @@ private[warc] object WarcResync {
       private def advance(): Boolean = {
         if (done) return false
         if (!walker.next()) { done = true; return false }
-        // members are addressed by their absolute first byte; the
+        // units are addressed by their absolute first byte; the
         // walker counts from the sync point
-        if (syncAt + walker.memberStart >= end) { done = true; return false }
+        if (syncAt + walker.unitStart >= end) { done = true; return false }
         cur = walker.payload
         pos = 0
         true
@@ -91,6 +123,66 @@ private[warc] object WarcResync {
       override def close(): Unit = raw.close()
     }
   }
+
+  /** First offset in `[from, end)` where a zstd frame whose
+    * decompressed payload starts with `WARC/1.` begins; -1 if none.
+    * Validation is the FULL frame grammar: the candidate frame must
+    * resolve through findFrameCompressedSize, decode, and open with
+    * the record magic — so the scan never misses a true frame whose
+    * first block is large, and a payload-embedded magic has to carry
+    * an entire well-formed WARC frame to false-sync. */
+  private[warc] def findSyncZst(
+      raw: org.apache.hadoop.fs.FSDataInputStream,
+      from: Long, end: Long): Long = {
+    val bufLen = 1 << 20
+    val buf = new Array[Byte](bufLen)
+    var base = from
+    var have = 0
+    var scanned = 0
+    raw.seek(from)
+    while (base + scanned < end) {
+      if (scanned >= have - 3) {
+        val keep = have - scanned
+        System.arraycopy(buf, scanned, buf, 0, keep)
+        base += scanned
+        have = keep
+        scanned = 0
+        val n = raw.read(buf, have, bufLen - have)
+        if (n <= 0 && have < 4) return -1
+        if (n > 0) have += n
+      }
+      var i = scanned
+      val limit = math.min(have - 3, (end - base).toInt)
+      var found = -1
+      while (found < 0 && i < limit) {
+        if (buf(i) == 0x28 && buf(i + 1) == 0xB5.toByte &&
+            buf(i + 2) == 0x2F && buf(i + 3) == 0xFD.toByte)
+          found = i
+        else i += 1
+      }
+      if (found < 0) {
+        scanned = math.max(limit, 0)
+        if (base + scanned >= end || (have < 4 && scanned == 0)) return -1
+      } else {
+        val cand = base + found
+        if (validatesZst(raw, cand)) { raw.seek(cand); return cand }
+        raw.seek(base + have) // validator moved the stream; restore
+        scanned = found + 1
+      }
+    }
+    -1
+  }
+
+  private def validatesZst(raw: org.apache.hadoop.fs.FSDataInputStream,
+      cand: Long): Boolean =
+    try {
+      raw.seek(cand)
+      val w = new WarcCdx.ZstdFrameWalker(raw)
+      w.next() && w.payload.length >= 7 &&
+        w.payload(0) == 'W' && w.payload(1) == 'A' &&
+        w.payload(2) == 'R' && w.payload(3) == 'C' &&
+        w.payload(4) == '/' && w.payload(5) == '1' && w.payload(6) == '.'
+    } catch { case _: Exception => false }
 
   private def emptyStream: java.io.InputStream =
     new java.io.ByteArrayInputStream(Array.emptyByteArray)
@@ -132,6 +224,7 @@ private[warc] object WarcResync {
       } else {
         val cand = base + found
         if (validates(raw, cand)) { raw.seek(cand); return cand }
+        raw.seek(base + have) // validator moved the stream; restore
         scanned = found + 1
       }
     }

@@ -411,9 +411,31 @@ class WdsScan(requiredSchema: StructType,
       .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
       .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
     val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
-    val files = listedFiles.map(f => f.getPath.toString -> f.getLen)
-    graft.sources.BinPack.pack(files, maxBytes, openCost)
-      .map(b => WdsInputPartition(b): InputPartition).toArray
+    // OPT-IN byte-range splitting of big PLAIN .tar shards with
+    // reader-side 512-block header resync (WdsResync). Opt-in, not
+    // default: tar's framing cannot distinguish an embedded tar
+    // payload (a sample whose data IS a tar) from the outer stream
+    // with certainty — a shard lake that stores tar blobs as samples
+    // must stay on whole-file planning. Compressed shards cannot
+    // split regardless (single-stream codecs).
+    val resync = options.getBoolean("resyncSplit", false)
+    val (big, packable) = listedFiles.partition { f =>
+      resync && f.getLen > maxBytes &&
+        f.getPath.getName.toLowerCase(java.util.Locale.ROOT)
+          .endsWith(".tar")
+    }
+    val ranged = big.flatMap { f =>
+      val n = ((f.getLen + maxBytes - 1) / maxBytes).toInt
+      (0 until n).map { k =>
+        val start = k * maxBytes
+        WdsInputPartition(Seq(WdsSlice(f.getPath.toString, start,
+          math.min(maxBytes, f.getLen - start)))): InputPartition
+      }
+    }
+    val files = packable.map(f => f.getPath.toString -> f.getLen)
+    (graft.sources.BinPack.pack(files, maxBytes, openCost)
+      .map(b => WdsInputPartition(b.map(p => WdsSlice(p, 0L, -1L)))
+        : InputPartition) ++ ranged).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -423,8 +445,13 @@ class WdsScan(requiredSchema: StructType,
       pushedFilters)
 }
 
-/** Shards of one task. Serialized to executors; paths only. */
-case class WdsInputPartition(files: Seq[String]) extends InputPartition
+/** One read unit of a shard: whole file (start 0, length -1) or a
+  * raw byte range of a plain .tar that the reader resyncs
+  * ([[WdsResync]]). */
+case class WdsSlice(path: String, start: Long, length: Long)
+
+/** Shards of one task. Serialized to executors; paths + ranges only. */
+case class WdsInputPartition(slices: Seq[WdsSlice]) extends InputPartition
 
 class WdsReaderFactory(conf: SerializableHadoopConf, schema: StructType,
     maxEntryBytes: Long,
@@ -434,7 +461,7 @@ class WdsReaderFactory(conf: SerializableHadoopConf, schema: StructType,
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new WdsPartitionReader(
-      partition.asInstanceOf[WdsInputPartition].files, conf.value, schema,
+      partition.asInstanceOf[WdsInputPartition].slices, conf.value, schema,
       maxEntryBytes, WdsEntryFilter.compile(pushedFilters))
 }
 
@@ -589,7 +616,7 @@ final class WdsTarWalk(in: java.io.InputStream, shardName: String,
 /** Per-task reader: the streaming walk over each bin-packed shard —
   * constant memory per task regardless of shard size (the whole-shard
   * buffering this replaced peaked at ~2× shard size). */
-class WdsPartitionReader(files: Seq[String], conf: Configuration,
+class WdsPartitionReader(slices: Seq[WdsSlice], conf: Configuration,
     schema: StructType, maxEntryBytes: Long,
     pred: WdsEntryFilter.Predicate = WdsEntryFilter.acceptAll)
   extends PartitionReader[InternalRow] {
@@ -605,9 +632,12 @@ class WdsPartitionReader(files: Seq[String], conf: Configuration,
   override def next(): Boolean = {
     while (true) {
       if (in == null) {
-        if (fileIdx >= files.length) return false
-        shardName = new Path(files(fileIdx)).getName
-        in = WdsShardOpener.open(conf, files(fileIdx))
+        if (fileIdx >= slices.length) return false
+        val slice = slices(fileIdx)
+        shardName = new Path(slice.path).getName
+        in =
+          if (slice.length < 0) WdsShardOpener.open(conf, slice.path)
+          else WdsResync.openSlice(conf, slice)
         walk = new WdsTarWalk(in, shardName, needData, maxEntryBytes, pred)
       }
       if (walk.next()) return true

@@ -97,6 +97,59 @@ class WarcResyncSpec extends AnyFunSuite {
     Files.delete(d)
   }
 
+  test("a sidecar-less FRAME-ZSTD file splits with cuts landing " +
+      "mid-frame — no lost or duplicated records, rows match the " +
+      "whole-file walk") {
+    val d = Files.createTempDirectory("warc_resync_zst")
+    val os = Files.newOutputStream(d.resolve("big.warc.zst"))
+    try {
+      os.write(com.github.luben.zstd.Zstd.compress(
+        WarcSynth.warcinfoRecord(0), 3))
+      for (i <- 0 until 300)
+        os.write(com.github.luben.zstd.Zstd.compress(
+          WarcSynth.responseRecord(i.toLong), 3))
+    } finally os.close()
+    def scan(resync: Boolean) = spark.read.format("warc")
+      .option("maxBytesPerPartition", "8k")
+      .option("resyncSplit", resync.toString)
+      .load(d.toString)
+    val split = scan(resync = true)
+    assert(split.rdd.getNumPartitions > 4,
+      s"got ${split.rdd.getNumPartitions} partitions")
+    def key(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions._
+      df.select(col("record_id"), md5(col("payload")).as("m"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val a = key(split)
+    assert(a.length == 301 && a.distinct.length == 301)
+    assert(a == key(scan(resync = false)))
+  }
+
+  test("zst resync skips a payload-embedded frame magic (full-frame " +
+      "validation gate)") {
+    val d = Files.createTempDirectory("warc_resync_zstfake")
+    val fake = WarcSynth.record(Seq(
+      "WARC-Type" -> "resource",
+      "WARC-Record-ID" -> "<urn:uuid:zfake>",
+      "WARC-Date" -> WarcSynth.Date,
+      "WARC-Target-URI" -> "http://x.example/zfake",
+      "Content-Type" -> "application/octet-stream"),
+      Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte, 9, 9, 9, 9))
+    val os = Files.newOutputStream(d.resolve("f.warc.zst"))
+    try {
+      os.write(com.github.luben.zstd.Zstd.compress(fake, 1))
+      for (i <- 0 until 60)
+        os.write(com.github.luben.zstd.Zstd.compress(
+          WarcSynth.responseRecord(i.toLong), 1))
+    } finally os.close()
+    val df = spark.read.format("warc")
+      .option("maxBytesPerPartition", "2k").load(d.toString)
+    assert(df.rdd.getNumPartitions >= 2)
+    assert(df.count() == 61)
+    assert(df.filter("record_id = '<urn:uuid:zfake>'").count() == 1)
+  }
+
   test("findSync rejects payload bytes that merely contain the gzip " +
       "magic (gate 2/3: header parse + WARC/1. inflate)") {
     // a record whose BODY embeds 1F 8B 08 garbage: the scan must skip
