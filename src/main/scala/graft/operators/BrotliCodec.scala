@@ -141,33 +141,74 @@ object BrotliCodec extends Serializable {
     out
   }
 
-  /** LSB-first bit reader (the DEFLATE bit order brotli shares). */
+  /** LSB-first bit reader (the DEFLATE bit order brotli shares) over
+    * a 64-bit accumulator — bytes load 8 at a time off the hot path,
+    * `bits(n)` is a mask+shift. The accumulator form is what takes
+    * the decoder from ~30 MB/s (bit-at-a-time array walks) into the
+    * hundreds: CE decode of a crawl runs this loop per PAGE BYTE. */
   private final class BitReader(data: Array[Byte]) {
-    var pos = 0L // bit position
-    private val nbits = data.length.toLong * 8
+    private val n = data.length
+    private var bytePos = 0 // next byte to load into the accumulator
+    private var acc = 0L    // LSB-first pending bits
+    private var accBits = 0
 
-    def bit(): Int = {
-      require(pos < nbits, "brotli stream truncated")
-      val b = (data((pos >> 3).toInt) >> (pos & 7).toInt) & 1
-      pos += 1
-      b
+    private def refill(): Unit = {
+      while (accBits <= 56 && bytePos < n) {
+        acc |= (data(bytePos) & 0xFFL) << accBits
+        accBits += 8
+        bytePos += 1
+      }
     }
 
-    def bits(n: Int): Int = {
-      var v = 0
-      var i = 0
-      while (i < n) { v |= bit() << i; i += 1 }
+    def bits(nb: Int): Int = {
+      if (accBits < nb) {
+        refill()
+        require(accBits >= nb, "brotli stream truncated")
+      }
+      val v = (acc & ((1L << nb) - 1)).toInt
+      acc >>>= nb
+      accBits -= nb
       v
+    }
+
+    def bit(): Int = bits(1)
+
+    /** Next 15 stream bits, LSB-first, zero-padded past EOF (padding
+      * can only select a SHORTER valid code, never lengthen one — see
+      * PrefixCode.decode). */
+    def peek15(): Int = {
+      if (accBits < 15) refill()
+      (acc & 0x7FFF).toInt
+    }
+
+    /** Drop `nb` bits previously peeked. */
+    def consume(nb: Int): Unit = {
+      require(accBits >= nb, "brotli stream truncated")
+      acc >>>= nb
+      accBits -= nb
     }
 
     /** Byte alignment before uncompressed/metadata payloads — the
       * skipped bits are ignored (RFC 7932 §9.2). */
-    def alignByte(): Unit = pos = (pos + 7) & ~7L
+    def alignByte(): Unit = {
+      val drop = accBits & 7
+      acc >>>= drop
+      accBits -= drop
+    }
 
-    def skipBytes(n: Int): Unit = {
-      require((pos & 7) == 0, "unaligned skip")
-      require((pos >> 3) + n <= data.length, "brotli metadata truncated")
-      pos += n.toLong * 8
+    /** Byte offset of the next unread bit; callable only at byte
+      * alignment (after [[alignByte]]). */
+    def byteOffset: Int = {
+      require((accBits & 7) == 0, "unaligned byteOffset")
+      bytePos - (accBits >> 3)
+    }
+
+    def skipBytes(m: Int): Unit = {
+      val cur = byteOffset
+      require(cur + m <= n, "brotli metadata truncated")
+      bytePos = cur + m
+      acc = 0L
+      accBits = 0
     }
   }
 
@@ -176,7 +217,18 @@ object BrotliCodec extends Serializable {
     * order per length — RFC 7932 §3.2), read MSB-of-code-first via
     * tree walk. A single-symbol code reads ZERO bits. */
   private final class PrefixCode(lengths: Array[Int]) {
-    private val maxLen = lengths.max
+    // constructed once PER METABLOCK per tree — collection ops here
+    // (boxed .max/.foreach) dominated whole-stream profiles on
+    // many-metablock q0/q1 streams; everything is while-loops
+    private val maxLen = {
+      var m = 0
+      var i = 0
+      while (i < lengths.length) {
+        if (lengths(i) > m) m = lengths(i)
+        i += 1
+      }
+      m
+    }
     private val single: Int = {
       var s = -1
       var n = 0
@@ -194,7 +246,11 @@ object BrotliCodec extends Serializable {
     private var symbols: Array[Int] = _
     if (single < 0) {
       counts = new Array[Int](maxLen + 1)
-      lengths.foreach(l => if (l > 0) counts(l) += 1)
+      var li = 0
+      while (li < lengths.length) {
+        if (lengths(li) > 0) counts(lengths(li)) += 1
+        li += 1
+      }
       // completeness: Σ 2^(maxLen - len) must be exactly 2^maxLen
       var space = 0L
       var l = 1
@@ -227,8 +283,43 @@ object BrotliCodec extends Serializable {
       }
     }
 
+    // one-level fast table over the first 8 code bits: entry =
+    // (len << 16) | sym for codes of length <= 8 (which carry nearly
+    // all the probability mass in real streams); 0 = longer code,
+    // fall back to the canonical walk. Indexed by the MSB-first code
+    // prefix — Rev8 of the LSB-first peeked byte.
+    private val table: Array[Int] =
+      if (single >= 0) null
+      else {
+        val t = new Array[Int](256)
+        var l = 1
+        while (l <= math.min(maxLen, 8)) {
+          var k = 0
+          while (k < counts(l)) {
+            val code = firstCode(l) + k
+            val sym = symbols(offsets(l) + k)
+            val base = code << (8 - l)
+            var s = 0
+            while (s < (1 << (8 - l))) {
+              t(base | s) = (l << 16) | sym
+              s += 1
+            }
+            k += 1
+          }
+          l += 1
+        }
+        t
+      }
+
     def decode(br: BitReader): Int = {
       if (single >= 0) return single
+      val e = table(Rev8(br.peek15() & 0xFF))
+      if (e != 0) {
+        br.consume(e >>> 16)
+        return e & 0xFFFF
+      }
+      // long code (> 8 bits): canonical walk from the start — only the
+      // non-consuming peek happened above
       var code = 0
       var len = 0
       while (len < maxLen) {
@@ -242,6 +333,11 @@ object BrotliCodec extends Serializable {
         "invalid brotli prefix code word")
     }
   }
+
+  /** Bit-order reversal of a byte (stream LSB-first -> code
+    * MSB-first indexing). */
+  private val Rev8: Array[Int] =
+    Array.tabulate(256)(i => Integer.reverse(i) >>> 24)
 
   // fixed code for the code-length alphabet {0..5}: lengths 2,4,3,2,2,4
   private val CodeLenCode = new PrefixCode(Array(2, 4, 3, 2, 2, 4))
@@ -410,7 +506,8 @@ object BrotliCodec extends Serializable {
           case 1 => (btype + 1) % nTypes
           case _ => s - 2
         }
-        require(next < nTypes, s"block type $next out of range")
+        if (next >= nTypes) throw new IllegalArgumentException(
+          "block type " + next + " out of range")
         prevType = btype
         btype = next
         remaining = readBlockLen(r)
@@ -460,10 +557,17 @@ object BrotliCodec extends Serializable {
 
   /** Decode a complete brotli stream; `maxOut` caps the output (bomb
     * guard — same discipline as the gzip/zstd walkers). */
-  def decode(data: Array[Byte], maxOut: Long = 1L << 30): Array[Byte] = {
-    val br = new BitReader(data)
+  def decode(data: Array[Byte], maxOut: Long = 1L << 30): Array[Byte] =
+    new Decoder(data, maxOut).run()
+
+  /** One stream's decode state as CLASS FIELDS, not closure-captured
+    * locals: Scala closures box captured vars (ObjectRef/IntRef), and
+    * the output cursor + ring + buffer live in the per-byte hot loop —
+    * the field form is what lets the JIT keep them in registers. */
+  private final class Decoder(data: Array[Byte], maxOut: Long) {
+    private val br = new BitReader(data)
     // WBITS (§9.1)
-    val wbits =
+    private val wbits =
       if (br.bit() == 0) 16
       else {
         val n = br.bits(3)
@@ -481,16 +585,16 @@ object BrotliCodec extends Serializable {
           }
         }
       }
-    val winSize = (1L << wbits) - 16
-    var outBuf = new Array[Byte](math.max(64, data.length * 2))
-    var outLen = 0
-    def ensure(n: Int): Unit =
+    private val winSize = (1L << wbits) - 16
+    private var outBuf = new Array[Byte](math.max(64, data.length * 2))
+    private var outLen = 0
+    private def ensure(n: Int): Unit =
       if (outLen + n > outBuf.length) {
         var cap = outBuf.length
         while (cap < outLen + n) cap *= 2
         outBuf = java.util.Arrays.copyOf(outBuf, cap)
       }
-    def push(b: Byte): Unit = {
+    private def push(b: Byte): Unit = {
       ensure(1)
       outBuf(outLen) = b
       outLen += 1
@@ -507,12 +611,13 @@ object BrotliCodec extends Serializable {
     // ("the last distance") resolves to 4, code 1 to 11, code 2 to 15,
     // code 3 to 16 — pinned by the real-encoder fixtures in
     // BrotliDictSpec (run streams open with code 8 = last-3 = 1).
-    var d1 = 4L
-    var d2 = 11L
-    var d3 = 15L
-    var d4 = 16L
+    private var d1 = 4L
+    private var d2 = 11L
+    private var d3 = 15L
+    private var d4 = 16L
 
-    def decodeCompressedMetablock(r: BitReader, mlen: Long): Unit = {
+    private def decodeCompressedMetablock(r: BitReader, mlen: Long)
+        : Unit = {
       // three categories of block switching
       def category(): BlockState = {
         val n = readVarCount(r)
@@ -537,6 +642,10 @@ object BrotliCodec extends Serializable {
         if (nTreesD >= 2) readContextMap(r, 4 * blockD.nTypes, nTreesD)
         else new Array[Int](4 * blockD.nTypes)
       val litCodes = Array.fill(nTreesL)(readPrefixCode(r, 256))
+      // context modeling is a no-op when one block type carries one
+      // tree: mode only selects WHICH tree via the (uniform) map
+      val singleLitTree: PrefixCode =
+        if (blockL.nTypes == 1 && nTreesL == 1) litCodes(0) else null
       val cmdCodes = Array.fill(blockI.nTypes)(readPrefixCode(r, 704))
       val distAlpha = 16 + ndirect + (48 << npostfix)
       val distCodes = Array.fill(nTreesD)(readPrefixCode(r, distAlpha))
@@ -555,6 +664,25 @@ object BrotliCodec extends Serializable {
           (if (CopyExtra(cpyCode) <= 24) r.bits(CopyExtra(cpyCode)) else 0)
         // literals
         var i = 0
+        // batch the insert: one capacity/bomb check for the whole run,
+        // then direct array writes — push()-per-byte dominated the
+        // profile at crawl-decode rates
+        if (insLen > 0) {
+          ensure(insLen)
+          if (outLen + insLen > maxOut) throw new Unsupported(
+            s"brotli output exceeds $maxOut B — decompression bomb, refusing")
+        }
+        if (singleLitTree != null) {
+          // the dominant stream shape (one literal block type, one
+          // literal tree): no block ticking, no context modeling —
+          // the specialized loop is a straight decode-and-store
+          while (i < insLen) {
+            outBuf(outLen) = singleLitTree.decode(r).toByte
+            outLen += 1
+            i += 1
+          }
+          written += insLen
+        } else
         while (i < insLen) {
           blockL.tick(r)
           val bt = blockL.btype
@@ -567,7 +695,8 @@ object BrotliCodec extends Serializable {
             ctxLut(mode * 512 + 256 + p2)) & 0xFF
           val tree = cmapL(64 * bt + ctx)
           val lit = litCodes(tree).decode(r)
-          push(lit.toByte)
+          outBuf(outLen) = lit.toByte
+          outLen += 1
           written += 1
           i += 1
         }
@@ -614,7 +743,8 @@ object BrotliCodec extends Serializable {
                   ((offset + r.bits(nbits)) << npostfix) + postfix +
                     ndirect + 1
                 }
-              require(d > 0, s"invalid brotli distance $d")
+              if (d <= 0) throw new IllegalArgumentException(
+                "invalid brotli distance " + d)
               ringEligible = sym != 0
               d
             }
@@ -624,38 +754,56 @@ object BrotliCodec extends Serializable {
             // backward reference within the window
             require(written + cpyLen <= mlen,
               "brotli copy overruns MLEN")
-            var k = 0L
-            while (k < cpyLen) {
-              push(outBuf(outLen - dist.toInt))
-              k += 1
+            // batch the copy: one capacity/bomb check; arraycopy when
+            // source and destination cannot overlap, else the
+            // overlap-replicating byte loop (dist < cpyLen is the
+            // run-expansion case and MUST copy forward byte-wise)
+            val cl = cpyLen.toInt
+            ensure(cl)
+            if (outLen + cl > maxOut) throw new Unsupported(
+              s"brotli output exceeds $maxOut B — decompression bomb, refusing")
+            val di = dist.toInt
+            if (di >= cl) {
+              System.arraycopy(outBuf, outLen - di, outBuf, outLen, cl)
+              outLen += cl
+            } else {
+              var k = 0
+              while (k < cl) {
+                outBuf(outLen) = outBuf(outLen - di)
+                outLen += 1
+                k += 1
+              }
             }
             written += cpyLen
           } else {
             // static dictionary reference (§8): word id encodes the
             // word index (low SIZE_BITS bits) and the transform id
-            require(cpyLen >= 4 && cpyLen <= 24,
-              s"static-dictionary copy length $cpyLen outside 4..24")
+            if (cpyLen < 4 || cpyLen > 24)
+              throw new IllegalArgumentException(
+                "static-dictionary copy length " + cpyLen +
+                  " outside 4..24")
             val cl = cpyLen.toInt
             val lenBits = DictSizeBits(cl)
             val wordId = dist - maxBack - 1
             val index = (wordId & ((1L << lenBits) - 1)).toInt
             val tid = (wordId >> lenBits).toInt
-            require(tid < 121,
-              s"static-dictionary transform $tid out of range")
+            if (tid >= 121) throw new IllegalArgumentException(
+              "static-dictionary transform " + tid + " out of range")
             val word = transformWord(DictOffsets(cl) + index * cl, cl, tid)
             require(written + word.length <= mlen,
               "brotli dictionary word overruns MLEN")
-            var k = 0
-            while (k < word.length) {
-              push(word(k))
-              k += 1
-            }
+            ensure(word.length)
+            if (outLen + word.length > maxOut) throw new Unsupported(
+              s"brotli output exceeds $maxOut B — decompression bomb, refusing")
+            System.arraycopy(word, 0, outBuf, outLen, word.length)
+            outLen += word.length
             written += word.length
           }
         }
       }
     }
 
+    def run(): Array[Byte] = {
     var isLast = false
     while (!isLast) {
       isLast = br.bit() == 1
@@ -691,21 +839,20 @@ object BrotliCodec extends Serializable {
             if (outLen + mlen > maxOut) throw new Unsupported(
               s"brotli output exceeds $maxOut B — decompression bomb, refusing")
             ensure(mlen.toInt)
-            val start = (br.pos >> 3).toInt
+            val start = br.byteOffset
             require(start + mlen <= data.length,
               "uncompressed metablock truncated")
             System.arraycopy(data, start, outBuf, outLen, mlen.toInt)
             outLen += mlen.toInt
-            br.pos += mlen * 8
+            br.skipBytes(mlen.toInt)
           } else {
             decodeCompressedMetablock(br, mlen)
           }
         }
       }
     }
-
-
     java.util.Arrays.copyOf(outBuf, outLen)
+    }
   }
 
   // -------------------------------------------------------------------------
