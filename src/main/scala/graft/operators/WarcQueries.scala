@@ -880,6 +880,81 @@ object WarcQueries {
           MAX(lastmod) AS last_lastmod
         FROM rows_ GROUP BY i""")),
 
+    // ----- nested sitemapindex traversal (sitemaps.org index form) ----------
+    // Big sites don't serve one urlset — they serve a <sitemapindex>
+    // whose children carry the entries (the 50k-url/50MB caps force
+    // it), and robots.txt declares the INDEX. Two frontier hops, both
+    // with host-cardinality broadcast sides (Aggregate-bounded like
+    // warc_sitemap_frontier): robots -> declared docs, index children
+    // -> child urlsets; direct urlsets from hop 1 and child urlsets
+    // from hop 2 union into one per-site rollup. A parser that
+    // confuses the two root elements, drops a child, or double-counts
+    // a urlset breaks n_urls or n_docs. Scale: two bounded broadcasts,
+    // one tiny-key shuffle.
+    Q("warc_sitemap_index",
+      (s, _) => {
+        import s.implicits._
+        val dir = graft.sources.warc.WarcSynth
+          .ensureSitemapIndexFixture("/tmp/graft_warc_smindex", 120)
+        val scan = s.read.format("warc").load(dir)
+          .filter($"rec_type" === "response")
+        val declared = scan.filter($"url".endsWith("/robots.txt"))
+          .select(explode(split($"payload".cast("string"), "\\r?\\n"))
+            .as("line"))
+          .filter(lower(trim($"line")).startsWith("sitemap:"))
+          .select(trim(expr("substring(trim(line), 9)")).as("sm_url"))
+          .groupBy($"sm_url").agg(count(lit(1)).as("n_decl"))
+        // the xpath argument is guarded BEFORE the join: the optimizer
+        // is free to evaluate projections early (and real crawls serve
+        // garbage at declared urls) — a non-XML body becomes an empty
+        // document instead of a parse crash, and the join/rollup math
+        // is unchanged
+        val caps = scan
+          .select($"url",
+            when(substring($"payload".cast("string"), 1, 1) === "<",
+              $"payload".cast("string")).otherwise("<x/>").as("xml"))
+        val hop1 = broadcast(declared)
+          .join(caps, declared("sm_url") === caps("url"))
+          .select($"sm_url",
+            expr("xpath(xml, '//*[local-name()=\"sitemap\"]/*[local-name()=\"loc\"]/text()')")
+              .as("kids"),
+            expr("xpath(xml, '//*[local-name()=\"url\"]/*[local-name()=\"loc\"]/text()')")
+              .as("locs"))
+        val children = hop1
+          .select(explode($"kids").as("child_url"))
+          .groupBy($"child_url").agg(count(lit(1)).as("n_ref"))
+        // hop 2 re-reads the captures under FRESH attribute names: a
+        // second join against the same `caps` plan is a self-join on
+        // shared attribute ids, and the resolver can pick the wrong
+        // side (robots.txt rows reached the XML parse here)
+        val caps2 = scan
+          .select($"url".as("url2"),
+            when(substring($"payload".cast("string"), 1, 1) === "<",
+              $"payload".cast("string")).otherwise("<x/>").as("xml2"))
+        val hop2 = broadcast(children)
+          .join(caps2, children("child_url") === caps2("url2"))
+          .select($"child_url".as("src"),
+            explode(expr("xpath(xml2, '//*[local-name()=\"url\"]/*[local-name()=\"loc\"]/text()')"))
+              .as("loc"))
+        val direct = hop1.filter(size($"locs") > 0)
+          .select($"sm_url".as("src"), explode($"locs").as("loc"))
+        direct.unionByName(hop2)
+          .select(
+            regexp_extract($"loc", "site(\\d+)\\.example", 1).cast("long")
+              .as("site"),
+            $"src".contains("/maps/part-").as("from_index"),
+            $"src")
+          .groupBy($"site")
+          .agg(max($"from_index").as("nested"),
+            count(lit(1)).as("n_urls"),
+            countDistinct($"src").as("n_docs"))
+      },
+      Some("""SELECT i AS site, i % 4 = 0 AS nested,
+          CAST(CASE WHEN i % 4 = 0 THEN (2 + i % 3) + (2 + (i + 1) % 3)
+               ELSE 3 + i % 4 END AS BIGINT) AS n_urls,
+          CAST(CASE WHEN i % 4 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_docs
+        FROM (SELECT unnest(generate_series(0, 119)) AS i)""")),
+
     // ----- CDX dedup survey (digests off the index, zero page bytes) --------
     // The v2 sidecar carries the CDX digest column (md5 of the payload
     // as the scan returns it), so crawl-wide dedup ACCOUNTING — how

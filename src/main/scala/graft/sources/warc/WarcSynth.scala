@@ -305,6 +305,62 @@ object WarcSynth {
   def ensureSitemapFrontierFixture(dir: String, n: Int): String =
     ensureGzOnlyFixture(dir, n, "smfr", sitemapFrontierRecord)
 
+  // ---- sitemapindex fixture (sitemaps.org nested-index form) -------------
+  // Every fourth site declares a <sitemapindex> in robots.txt whose 2
+  // child sitemaps carry the url entries; the rest declare a direct
+  // urlset. Closed forms: child k of site i has 2 + (i + k) % 3 urls.
+
+  def smIndexIsNested(i: Long): Boolean = i % 4 == 0
+  /** urls in child k of a nested site (k = 0, 1). */
+  def smIndexUrlsOf(i: Long, k: Int): Int = 2 + ((i + k) % 3).toInt
+
+  def sitemapIndexRecord(i: Long): Array[Byte] = {
+    val host = s"http://site$i.example"
+    val declared =
+      if (smIndexIsNested(i)) s"$host/maps/index-$i.xml"
+      else s"$host/sitemap.xml"
+    val robotsBody = ("User-agent: *\r\n" +
+      s"Sitemap: $declared\r\n").getBytes("US-ASCII")
+    val robotsHead = (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      s"Content-Length: ${robotsBody.length}\r\n\r\n").getBytes("US-ASCII")
+    val robots = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> recordIdOf("xrob", i),
+      "WARC-Date" -> Date,
+      "WARC-Target-URI" -> s"$host/robots.txt",
+      "Content-Type" -> "application/http; msgtype=response"),
+      robotsHead ++ robotsBody)
+    def urlset(nUrls: Int, tag: Int): Array[Byte] =
+      urlsetBody((0 until nUrls).map { j =>
+        s"<url><loc>$host/p$tag-$j</loc>" +
+          s"<lastmod>${sitemapLastmod(i, tag * 10 + j)}</lastmod></url>"
+      }.mkString)
+    if (smIndexIsNested(i)) {
+      val index = xmlResponse("smidx", i, declared,
+        ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          (0 until 2).map(k =>
+            s"<sitemap><loc>$host/maps/part-$i-$k.xml</loc></sitemap>")
+            .mkString + "</sitemapindex>").getBytes("UTF-8"))
+      val kids = (0 until 2).map(k => record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> recordIdOf(s"smpart$k", i),
+        "WARC-Date" -> Date,
+        "WARC-Target-URI" -> s"$host/maps/part-$i-$k.xml",
+        "Content-Type" -> "application/http; msgtype=response"), {
+          val b = urlset(smIndexUrlsOf(i, k), k)
+          (s"HTTP/1.1 200 OK\r\nContent-Type: application/xml\r\n" +
+            s"Content-Length: ${b.length}\r\n\r\n").getBytes("US-ASCII") ++ b
+        }))
+      robots ++ index ++ kids(0) ++ kids(1)
+    } else
+      robots ++ xmlResponse("smflat", i, declared,
+        urlset(sitemapNUrls(i), 9))
+  }
+
+  def ensureSitemapIndexFixture(dir: String, n: Int): String =
+    ensureGzOnlyFixture(dir, n, "smidx", sitemapIndexRecord)
+
   /** Revisit-deduped crawl fixture: the FIRST occurrence of each dup
     * group (i < 700, so g == i) is a full response; every repeat is a
     * revisit record pointing at it. Two files, one plain + one
