@@ -242,11 +242,16 @@ object Bench {
     // hand; carrying them in the artifact makes every future band
     // question mechanically decidable from BENCH_r{N}.json alone
     val (userEnd, stealEnd) = HostProbe.cpuTicks()
+    // -1 on either side = /proc/stat unavailable; a half-failed pair
+    // must emit the sentinel, not a garbage since-boot delta
+    val (userDelta, stealDelta) =
+      if (userStart < 0 || userEnd < 0) (-1L, -1L)
+      else (userEnd - userStart, stealEnd - stealStart)
     val hostJson = s"""{"probe_start_s":${j(probeStart)},""" +
       s""""probe_end_s":${j(probeEnd)},"loadavg_start":${j(loadStart)},""" +
       s""""loadavg_end":${j(loadEnd)},""" +
-      s""""user_ticks":${userEnd - userStart},""" +
-      s""""steal_ticks":${stealEnd - stealStart}}"""
+      s""""user_ticks":$userDelta,""" +
+      s""""steal_ticks":$stealDelta}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"n_reps":5,"subtotals":{"relational":$subRel,"extension":$subExt,"graph":$subGraph},"sf":"$sfDir","pcap_decode_mb_s":$mbpsStr,"sim_ann_ivfpq_cold":${j(ivfpqCold)},"pcap_count_meta_s":${j(cntMeta)},"pcap_count_scan_s":${j(cntScan)},"band_tolerance":$bandTol,"band_fails":$bandJson,"host_probe":$hostJson}""")
     spark.stop()
   }

@@ -594,13 +594,6 @@ object BrotliCodec extends Serializable {
         while (cap < outLen + n) cap *= 2
         outBuf = java.util.Arrays.copyOf(outBuf, cap)
       }
-    private def push(b: Byte): Unit = {
-      ensure(1)
-      outBuf(outLen) = b
-      outLen += 1
-      if (outLen > maxOut) throw new Unsupported(
-        s"brotli output exceeds $maxOut B — decompression bomb, refusing")
-    }
 
     // Distance ring buffer (§4): STREAM state, persisting across
     // metablocks (the per-metablock resets are prefix codes, block

@@ -532,11 +532,14 @@ class WarcScan(requiredSchema: StructType,
               // no sidecar at all: an unindexed big `.warc.gz` /
               // `.warc.zst` still splits — raw ranges with reader-side
               // unit resync (WarcResync; option("resyncSplit","false")
-              // opts out)
+              // opts out). The unitPerRecord probe keeps
+              // whole-file-compressed archives (one jumbo unit) on the
+              // streaming whole-file plan, where they belong.
               val nm = st.getPath.getName.toLowerCase(java.util.Locale.ROOT)
               if ((nm.endsWith(".warc.gz") || nm.endsWith(".warc.zst") ||
                   nm.endsWith(".warc.zstd")) &&
-                  options.getBoolean("resyncSplit", true))
+                  options.getBoolean("resyncSplit", true) &&
+                  WarcResync.unitPerRecord(conf, st.getPath))
                 WarcResync.planRanges(st.getPath.toString, st.getLen,
                   maxBytes)
               else whole

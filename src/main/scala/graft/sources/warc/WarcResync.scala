@@ -133,45 +133,11 @@ private[warc] object WarcResync {
     * an entire well-formed WARC frame to false-sync. */
   private[warc] def findSyncZst(
       raw: org.apache.hadoop.fs.FSDataInputStream,
-      from: Long, end: Long): Long = {
-    val bufLen = 1 << 20
-    val buf = new Array[Byte](bufLen)
-    var base = from
-    var have = 0
-    var scanned = 0
-    raw.seek(from)
-    while (base + scanned < end) {
-      if (scanned >= have - 3) {
-        val keep = have - scanned
-        System.arraycopy(buf, scanned, buf, 0, keep)
-        base += scanned
-        have = keep
-        scanned = 0
-        val n = raw.read(buf, have, bufLen - have)
-        if (n <= 0 && have < 4) return -1
-        if (n > 0) have += n
-      }
-      var i = scanned
-      val limit = math.min(have - 3, (end - base).toInt)
-      var found = -1
-      while (found < 0 && i < limit) {
-        if (buf(i) == 0x28 && buf(i + 1) == 0xB5.toByte &&
-            buf(i + 2) == 0x2F && buf(i + 3) == 0xFD.toByte)
-          found = i
-        else i += 1
-      }
-      if (found < 0) {
-        scanned = math.max(limit, 0)
-        if (base + scanned >= end || (have < 4 && scanned == 0)) return -1
-      } else {
-        val cand = base + found
-        if (validatesZst(raw, cand)) { raw.seek(cand); return cand }
-        raw.seek(base + have) // validator moved the stream; restore
-        scanned = found + 1
-      }
-    }
-    -1
-  }
+      from: Long, end: Long): Long =
+    scanForUnit(raw, from, end, magicLen = 4,
+      (buf, i) => buf(i) == 0x28 && buf(i + 1) == 0xB5.toByte &&
+        buf(i + 2) == 0x2F && buf(i + 3) == 0xFD.toByte,
+      validatesZst)
 
   private def validatesZst(raw: org.apache.hadoop.fs.FSDataInputStream,
       cand: Long): Boolean =
@@ -184,52 +150,132 @@ private[warc] object WarcResync {
         w.payload(4) == '/' && w.payload(5) == '1' && w.payload(6) == '.'
     } catch { case _: Exception => false }
 
-  private def emptyStream: java.io.InputStream =
-    new java.io.ByteArrayInputStream(Array.emptyByteArray)
-
-  /** First offset in `[from, end)` where a gzip member whose inflated
-    * payload starts with `WARC/1.` begins; -1 if none. */
-  private[warc] def findSync(raw: org.apache.hadoop.fs.FSDataInputStream,
-      from: Long, end: Long): Long = {
+  /** Shared magic scanner: first offset in `[from, end)` where
+    * `matches` hits AND `validate` accepts; -1 if none. One
+    * implementation so boundary/overflow fixes are single-site
+    * (review: the per-format copies each carried an
+    * `(end - base).toInt` overflow that spun forever on >= 2 GiB
+    * slices). */
+  private def scanForUnit(raw: org.apache.hadoop.fs.FSDataInputStream,
+      from: Long, end: Long, magicLen: Int,
+      matches: (Array[Byte], Int) => Boolean,
+      validate: (org.apache.hadoop.fs.FSDataInputStream, Long) => Boolean)
+      : Long = {
     val bufLen = 1 << 20
     val buf = new Array[Byte](bufLen)
     var base = from
     var have = 0
     var scanned = 0 // bytes of buf already rejected
+    val spare = magicLen - 1 // so the magic never straddles a refill
     raw.seek(from)
     while (base + scanned < end) {
-      // top up the buffer (keep 2 spare bytes so the 3-byte magic
-      // never straddles a refill boundary)
-      if (scanned >= have - 2) {
+      if (scanned >= have - spare) {
         val keep = have - scanned
         System.arraycopy(buf, scanned, buf, 0, keep)
         base += scanned
         have = keep
         scanned = 0
         val n = raw.read(buf, have, bufLen - have)
-        if (n <= 0 && have < 3) return -1
+        if (n <= 0 && have < magicLen) return -1
         if (n > 0) have += n
       }
       var i = scanned
-      val limit = math.min(have - 2, (end - base).toInt)
+      // have <= 1 MiB bounds the long min back into Int range — the
+      // slice length itself can exceed Int.MaxValue
+      val limit = math.min((have - spare).toLong, end - base).toInt
       var found = -1
       while (found < 0 && i < limit) {
-        if (buf(i) == 0x1f && buf(i + 1) == 0x8b.toByte && buf(i + 2) == 8)
-          found = i
+        if (matches(buf, i)) found = i
         else i += 1
       }
       if (found < 0) {
         scanned = math.max(limit, 0)
-        if (base + scanned >= end || (have < 3 && scanned == 0)) return -1
+        if (base + scanned >= end ||
+            (have < magicLen && scanned == 0)) return -1
       } else {
         val cand = base + found
-        if (validates(raw, cand)) { raw.seek(cand); return cand }
+        if (validate(raw, cand)) { raw.seek(cand); return cand }
         raw.seek(base + have) // validator moved the stream; restore
         scanned = found + 1
       }
     }
     -1
   }
+
+  private def emptyStream: java.io.InputStream =
+    new java.io.ByteArrayInputStream(Array.emptyByteArray)
+
+  /** Planning-time gate for resync ranges: true when the file LOOKS
+    * member-per-record / frame-per-record — its FIRST compression
+    * unit ends within `probe` compressed bytes. A whole-file-gzipped
+    * (or single-frame-zstd) archive must KEEP the streaming
+    * whole-file plan: the resync reader materializes one unit at a
+    * time, which is exactly wrong when the "unit" is the entire
+    * archive (review finding — a valid 3 GB single-member file would
+    * have hit the 1 GiB unit bomb cap instead of streaming). One
+    * bounded head read per big unindexed file, driver-side, only on
+    * the straggler path. Mixed archives with a later jumbo unit
+    * remain bounded by the walkers' unit cap and fail loud, not
+    * silent. */
+  private[warc] def unitPerRecord(conf: Configuration, p: Path,
+      probe: Int = 4 << 20): Boolean = {
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val want = math.min(probe.toLong,
+        fs.getFileStatus(p).getLen).toInt
+      val buf = new Array[Byte](want)
+      var have = 0
+      var r = in.read(buf, 0, want)
+      while (r > 0 && have + r < want) {
+        have += r
+        r = in.read(buf, have, want - have)
+      }
+      if (r > 0) have += r
+      val lower = p.getName.toLowerCase(java.util.Locale.ROOT)
+      if (lower.endsWith(".zst") || lower.endsWith(".zstd")) {
+        val sz = com.github.luben.zstd.Zstd
+          .findFrameCompressedSize(buf, 0, have)
+        !com.github.luben.zstd.Zstd.isError(sz) && sz > 0 && sz <= have
+      } else {
+        // gzip: skip the header, then inflate-and-discard from the
+        // probe buffer; the member ends in-probe iff finished()
+        var q = 10
+        if (have < q + 8 || buf(0) != 0x1f || buf(1) != 0x8b.toByte ||
+            buf(2) != 8) return false
+        val flg = buf(3) & 0xFF
+        if ((flg & 4) != 0) {
+          if (q + 2 > have) return false
+          q += 2 + ((buf(q) & 0xFF) | ((buf(q + 1) & 0xFF) << 8))
+        }
+        if ((flg & 8) != 0) { while (q < have && buf(q) != 0) q += 1; q += 1 }
+        if ((flg & 16) != 0) { while (q < have && buf(q) != 0) q += 1; q += 1 }
+        if ((flg & 2) != 0) q += 2
+        if (q >= have) return false
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(buf, q, have - q)
+          val sink = new Array[Byte](1 << 16)
+          while (!inf.finished() && !inf.needsInput())
+            if (inf.inflate(sink) == 0 && inf.needsDictionary()) return false
+          inf.finished()
+        } catch {
+          case _: java.util.zip.DataFormatException => false
+        } finally inf.end()
+      }
+    } catch {
+      case _: java.io.IOException => false
+    } finally in.close()
+  }
+
+  /** First offset in `[from, end)` where a gzip member whose inflated
+    * payload starts with `WARC/1.` begins; -1 if none. */
+  private[warc] def findSync(raw: org.apache.hadoop.fs.FSDataInputStream,
+      from: Long, end: Long): Long =
+    scanForUnit(raw, from, end, magicLen = 3,
+      (buf, i) => buf(i) == 0x1f && buf(i + 1) == 0x8b.toByte &&
+        buf(i + 2) == 8,
+      validates)
 
   /** Gate 2+3 at a magic candidate: the gzip header parses and the
     * member's first inflated bytes are `WARC/1.` — checked on a

@@ -95,15 +95,22 @@ private[wds] object WdsResync {
 
       private def advance(): Boolean = {
         if (done) return false
-        if (at >= end || !readBlockAt(at) || hdr(0) == 0 ||
-            !validHeader(hdr)) {
-          // range exhausted, real end marker, or trailing garbage the
-          // walk would reject anyway: close out with a clean marker
+        if (at >= end || !readBlockAt(at) || hdr(0) == 0) {
+          // range exhausted, file end, or the real end-of-archive
+          // marker: close out with a clean synthetic marker
           done = true
           cur = endMark
           curPos = 0
           return true
         }
+        // an INVALID non-zero header mid-chain is corruption (or a
+        // false initial sync): fail LOUD like the whole-file walk —
+        // treating it as end-of-archive would silently drop the
+        // slice's remaining entries (review finding)
+        require(validHeader(hdr),
+          s"not a valid ustar header at $at in ${p.getName} — " +
+            "corrupt shard or tar-in-tar payload false sync; read " +
+            "whole-file (resyncSplit=false) to localize")
         val padded = (entrySize(hdr) + 511) / 512 * 512
         val total = 512L + padded
         require(total <= Int.MaxValue && at + total <= fileLen,

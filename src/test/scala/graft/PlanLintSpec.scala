@@ -77,12 +77,16 @@ class PlanLintSpec extends AnyFunSuite {
     // through; those shapes are caught by the maxShuffles/plan audits.
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, Literal}
-    // a Filter containing `attr < literal` is the constant-id-cap
-    // pattern: with unique ids it bounds the row count independent of
-    // corpus size (QueryIdCap / EvalIdCap)
+    // a Filter containing `<unique id column> < literal` is the
+    // constant-id-cap pattern: with unique ids it bounds the row
+    // count independent of corpus size (QueryIdCap / EvalIdCap).
+    // Restricted to id-convention columns — `http_status < 400` or
+    // `body_bytes < 1000` bound NOTHING and must not satisfy the lint
     def constCapped(f: Filter): Boolean =
       f.condition.exists {
-        case LessThan(_: AttributeReference, _: Literal) => true
+        case LessThan(a: AttributeReference, _: Literal)
+            if a.name == "vec_id" || a.name == "doc_id" ||
+              a.name.endsWith("_id") => true
         case _ => false
       }
     def corpusRelations(p: LogicalPlan): Seq[String] = {

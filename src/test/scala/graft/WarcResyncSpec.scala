@@ -150,6 +150,25 @@ class WarcResyncSpec extends AnyFunSuite {
     assert(df.filter("record_id = '<urn:uuid:zfake>'").count() == 1)
   }
 
+  test("a WHOLE-FILE-gzipped archive (one jumbo member) keeps the " +
+      "streaming whole-file plan — the unitPerRecord probe, not the " +
+      "resync ranges (review finding: resync would have bombed on it)") {
+    val d = Files.createTempDirectory("warc_resync_whole")
+    val os = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(d.resolve("whole.warc.gz")), 1 << 16)
+    try {
+      os.write(WarcSynth.warcinfoRecord(0))
+      for (i <- 0 until 500) os.write(WarcSynth.responseRecord(i.toLong))
+    } finally os.close()
+    val df = spark.read.format("warc")
+      .option("maxBytesPerPartition", "16k") // far below the file size
+      .load(d.toString)
+    assert(df.rdd.getNumPartitions == 1,
+      s"single-member archives must not range-split, got " +
+        s"${df.rdd.getNumPartitions}")
+    assert(df.count() == 501)
+  }
+
   test("findSync rejects payload bytes that merely contain the gzip " +
       "magic (gate 2/3: header parse + WARC/1. inflate)") {
     // a record whose BODY embeds 1F 8B 08 garbage: the scan must skip
