@@ -111,7 +111,10 @@ object Dedup {
   private def shinglesOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs
+    // spread before the shingle explode + per-shingle md5 (Spread doc):
+    // the downstream signature pass hashes ~|words| shingles per doc,
+    // which otherwise serializes on the single-file scan partition
+    Spread.byKey(docs, "doc_id")
       .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
       .filter(size($"ws") >= 3)
       .select($"doc_id", explode(array_distinct(expr(

@@ -147,6 +147,31 @@ object MediaDedup {
     groupedDhashesOf(Tables.documents(s, d).select($"doc_id").as[Long])
   }
 
+  /** Spread a CPU-amplifying id list across the cluster, keeping
+    * fixture groups co-located (round-17 optimization, guide §2.5
+    * "input skew"): the documents table is a single small parquet file
+    * at bench scale, so every decode-heavy mapPartitions below
+    * otherwise runs as ONE task (measured: the whole MJPEG decode of
+    * mm_video_overlap_mjpeg serialized on one core). When the upstream
+    * scan has fewer partitions than defaultParallelism,
+    * hash-repartition on the fixture group id (so members of a group
+    * stay in one partition for the single-entry decode caches), then
+    * sort each partition by id so group members are adjacent. At 100 TB
+    * the scan already has >= parallelism partitions and the repartition
+    * is skipped; the per-partition id sort keeps the caches effective
+    * on the natural parquet row order. */
+  private def spreadSorted(ids: org.apache.spark.sql.Dataset[Long],
+      gidSql: String): org.apache.spark.sql.Dataset[Long] = {
+    val s = ids.sparkSession
+    import s.implicits._
+    val par = s.sparkContext.defaultParallelism
+    val df = ids.toDF("id")
+    val spread =
+      if (df.rdd.getNumPartitions >= par) df
+      else df.repartition(par, expr(gidSql))
+    spread.sortWithinPartitions(col("id")).as[Long]
+  }
+
   /** The fixture hash of an arbitrary id slice — shared by the full
     * relation, the persisted band index's build and DELTA paths (a
     * delivery's hashes are computed from its own ids only), and the
@@ -155,10 +180,32 @@ object MediaDedup {
       ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
-    ids.mapPartitions(_.map(id => {
-      val (hi, lo) = fixtureDhash(id)
-      (id, hi, lo)
-    })).toDF("media_id", "dhash_hi", "dhash_lo")
+    // group-base decode cache: members of a group (gid = (id/4)*4)
+    // arrive adjacent (spreadSorted), so the base image is decoded once
+    // per group instead of once per member; non-base members hash a
+    // cloned pixel buffer (whiteout mutates), the base hashes the
+    // cached image directly (dhashOf only reads). O(1) state per task.
+    spreadSorted(ids, "(id div 4) * 4")
+      .mapPartitions { it =>
+        var cachedGid = Long.MinValue
+        var base: Multimodal.BmpCodec.Image = null
+        it.map { id =>
+          val gid = (id / 4) * 4
+          if (gid != cachedGid) {
+            base = Multimodal.BmpCodec.decode(Multimodal.BmpCodec.encode(gid))
+            cachedGid = gid
+          }
+          val q = (id % 4).toInt
+          val (hi, lo) =
+            if (q == 0) Multimodal.dhashOf(base)
+            else {
+              val img = base.copy(px = base.px.clone)
+              whiteoutGridSample(img, 2 * q)
+              Multimodal.dhashOf(img)
+            }
+          (id, hi, lo)
+        }
+      }.toDF("media_id", "dhash_hi", "dhash_lo")
   }
 
   /** The (dhash_hi, dhash_lo) of fixture image `imgId` — decode the
@@ -267,8 +314,13 @@ object MediaDedup {
           Seq(col(s"${idCol}_2")) ++ passthrough.map(c => col(s"${c}_2")) ++
           Seq((bit_count($"hi1".bitwiseXOR($"hi2"))
             + bit_count($"lo1".bitwiseXOR($"lo2"))).as("hamming"))): _*)
-      .distinct()
+      // verify BEFORE the distinct: hamming is a function of the pair,
+      // so filter-then-distinct is row-identical to distinct-then-filter
+      // but the distinct's exchange now carries only verified pairs,
+      // not every chance band collision (guide §2.3: shuffle fewer
+      // bytes — drop rows before the exchange)
       .filter($"hamming" <= HammingT)
+      .distinct()
   }
 
   /** The banded-Hamming image pair relation (m1, m2, hamming); the hash
@@ -393,14 +445,27 @@ object MediaDedup {
     import s.implicits._
     val vids = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
       .select($"doc_id").as[Long]
-    vids.mapPartitions { it =>
+    // members of a group share one base clip (gid): decode it once per
+    // group (spreadSorted co-locates + orders members), clone only the
+    // frames a non-base member mutates via whiteout
+    spreadSorted(vids, "2 + 9 * (((id - 2) div 3) div 3)")
+      .mapPartitions { it =>
+      var cachedGid = Long.MinValue
+      var base: Multimodal.AviCodec.Video = null
       it.flatMap { id =>
         val t = (id - 2) / 3
         val gid = 2 + 9 * (t / 3)
         val m = (t % 3).toInt
-        val vid = Multimodal.AviCodec.decode(Multimodal.AviCodec.encode(gid))
-        vid.frames.zipWithIndex.drop(m).map { case (img, j) =>
-          if (m != 0) whiteoutGridSample(img, 2 * m)
+        if (gid != cachedGid) {
+          base = Multimodal.AviCodec.decode(Multimodal.AviCodec.encode(gid))
+          cachedGid = gid
+        }
+        base.frames.zipWithIndex.drop(m).map { case (img0, j) =>
+          val img = if (m != 0) {
+            val c = img0.copy(px = img0.px.clone)
+            whiteoutGridSample(c, 2 * m)
+            c
+          } else img0
           val (hi, lo) = Multimodal.dhashOf(img)
           (id, j - m, hi, lo)
         }
@@ -422,15 +487,28 @@ object MediaDedup {
     import s.implicits._
     val vids = Tables.documents(s, d).filter($"doc_id" % 3 === 0)
       .select($"doc_id").as[Long]
-    vids.mapPartitions { it =>
+    // the JPEG entropy encode+decode of the shared base clip is by far
+    // the dominant cost of this relation (measured round 17: ~2 s
+    // single-task at sf0.1): decode once per group, not once per member
+    spreadSorted(vids, "9 * ((id div 3) div 3)")
+      .mapPartitions { it =>
+      var cachedGid = Long.MinValue
+      var base: Multimodal.AviCodec.Video = null
       it.flatMap { id =>
         val t = id / 3
         val gid = 9 * (t / 3)
         val m = (t % 3).toInt
-        val vid = Multimodal.AviCodec.decode(
-          Multimodal.AviCodec.encodeMjpeg(gid))
-        vid.frames.zipWithIndex.drop(m).map { case (img, j) =>
-          if (m != 0) whiteoutGridSample(img, 2 * m)
+        if (gid != cachedGid) {
+          base = Multimodal.AviCodec.decode(
+            Multimodal.AviCodec.encodeMjpeg(gid))
+          cachedGid = gid
+        }
+        base.frames.zipWithIndex.drop(m).map { case (img0, j) =>
+          val img = if (m != 0) {
+            val c = img0.copy(px = img0.px.clone)
+            whiteoutGridSample(c, 2 * m)
+            c
+          } else img0
           val (hi, lo) = Multimodal.dhashOf(img)
           (id, j - m, hi, lo)
         }
@@ -449,22 +527,34 @@ object MediaDedup {
     import s.implicits._
     val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
       .select($"doc_id").as[Long]
-    ids.mapPartitions { it =>
+    // members of a group are window-aligned trims of ONE base WAV: the
+    // decode + window-energy pass depends only on gid, so compute it
+    // once per group (spreadSorted co-locates + orders members); the
+    // per-member work below is integer contour/word math over `en`
+    spreadSorted(ids, "1 + 9 * (((id - 1) div 3) div 3)")
+      .mapPartitions { it =>
+      var cachedGid = Long.MinValue
+      var cachedEn: Array[Long] = null
       it.flatMap { id =>
         val t = (id - 1) / 3
         val gid = 1 + 9 * (t / 3)
         val m = (t % 3).toInt
-        val a = Multimodal.WavCodec.decode(Multimodal.WavCodec.encode(gid))
-        val W = 5
-        val nw = a.samples.length / W
-        val en = Array.tabulate(nw) { w =>
-          var acc = 0L
-          var i = 0
-          while (i < W) {
-            acc += math.abs(a.samples(w * W + i).toInt); i += 1
+        if (gid != cachedGid) {
+          val a = Multimodal.WavCodec.decode(Multimodal.WavCodec.encode(gid))
+          val W = 5
+          val nw = a.samples.length / W
+          cachedEn = Array.tabulate(nw) { w =>
+            var acc = 0L
+            var i = 0
+            while (i < W) {
+              acc += math.abs(a.samples(w * W + i).toInt); i += 1
+            }
+            acc
           }
-          acc
+          cachedGid = gid
         }
+        val en = cachedEn
+        val nw = en.length
         // member m's contour = the base contour from boundary m on
         val bits = Array.tabulate(math.max(nw - 1 - m, 0))(k =>
           if (en(m + k + 1) > en(m + k)) 1 else 0)
@@ -535,7 +625,10 @@ object MediaDedup {
       import s.implicits._
       val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 2)
         .select($"doc_id").as[Long]
-      ids.mapPartitions { it =>
+      // no cross-id sharing here (every frame renders its own fid), so
+      // this is spread-only: the decode fans out instead of serializing
+      // on the single-file scan partition
+      spreadSorted(ids, "id").mapPartitions { it =>
         it.flatMap { id =>
           val nf = Multimodal.AviCodec.nFrames(id)
           (0 until nf).map { j =>

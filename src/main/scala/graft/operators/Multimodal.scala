@@ -4717,15 +4717,29 @@ object Multimodal {
         val fs = new org.apache.hadoop.fs.Path(outDir)
           .getFileSystem(s.sessionState.newHadoopConf())
         fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+        // repartition BEFORE the JPEG-encode map (round 17): the shard
+        // count is unchanged (8), but the shuffle now carries the raw
+        // (doc_id, text) rows instead of encoded JPEGs — fewer bytes
+        // through the exchange (guide §2.3) — and the encode runs on 8
+        // tasks instead of serializing on the single-file scan partition
         Tables.documents(s, d).select($"doc_id", $"text")
+          .repartition(8)
           .as[(Long, String)]
           .map { case (id, text) =>
             (id.toString, JpegCodec.encode(id), text.getBytes("UTF-8"))
           }
           .toDF("key", "jpg", "txt")
-          .repartition(8)
           .write.format("wds").mode("append").save(outDir)
-        s.read.format("wds").load(outDir)
+        // explicit key repartition (not bare groupBy): the decode map
+        // below is CPU-amplifying, and AQE's byte-targeted coalescing
+        // would shrink this small shuffle to one partition and serialize
+        // the JPEG decode; a user repartition pins the parallelism and
+        // the groupBy reuses its partitioning (no extra exchange).
+        // Scale-aware count: never below the scan's own parallelism.
+        val back = s.read.format("wds").load(outDir)
+        back
+          .repartition(math.max(s.sparkContext.defaultParallelism,
+            back.rdd.getNumPartitions), $"key")
           .groupBy($"key")
           .agg(max(when($"ext" === "jpg", $"data")).as("jpg"),
             max(when($"ext" === "txt", $"data")).as("txt"))

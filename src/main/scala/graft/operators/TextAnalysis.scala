@@ -167,7 +167,11 @@ object TextAnalysis {
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val L = RepeatSpanL
-    Tables.documents(s, d)
+    // Spread.byKey: the per-position md5 gram explode amplifies each
+    // document ~|text| times; without the spread it serializes on the
+    // single-file scan partition (round-17 measurement: 2.8 s of the
+    // 4.2 s query on one task)
+    Spread.byKey(Tables.documents(s, d), "doc_id")
       // guard: Spark's sequence(1, 0) DESCENDS, so sub-L-char docs
       // must be dropped before the position explode
       .filter(length($"text") >= L)
@@ -277,7 +281,8 @@ object TextAnalysis {
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(s, d)
+    // spread before the per-gram md5 explode (see Spread doc)
+    val grams = Spread.byKey(Tables.documents(s, d), "doc_id")
       .select($"doc_id", split(lower($"text"), "\\s+").as("t"))
       // guard: Spark's sequence(1, 0) DESCENDS, so sub-3-token docs
       // must yield an empty gram list explicitly

@@ -13,6 +13,22 @@ package graft.sources
   */
 object BinPack {
 
+  /** Scale-adaptive per-partition byte target, mirroring Spark core's
+    * own `FilePartition.maxSplitBytes` formula for file sources:
+    * `min(confMax, max(openCost, totalBytes / parallelism))`. With the
+    * previous fixed default (filesMaxPartitionBytes = 128 MB) a small
+    * lake — the bench fixtures, a dev checkout — bin-packed into ONE
+    * partition and every decode serialized on one core (round-17
+    * measurement: warc_crawl_pipeline spent 1.8 s of its 1.9 s in a
+    * single scan task); at 100 TB `totalBytes / parallelism` is far
+    * above 128 MB so the target stays the configured maximum and
+    * nothing changes. An explicit `maxBytesPerPartition` option still
+    * overrides in all sources. */
+  def adaptiveTarget(confMax: Long, openCost: Long, totalBytes: Long,
+      parallelism: Int): Long =
+    math.min(confMax,
+      math.max(openCost, totalBytes / math.max(parallelism, 1)))
+
   /** Pack `items` (payload, sizeBytes) into bins of at most `maxBytes`
     * counting `openCost` per file; an item larger than the target gets
     * its own bin. Returns the bins' payload lists. */

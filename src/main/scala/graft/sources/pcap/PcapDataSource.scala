@@ -395,11 +395,14 @@ class PcapScan(requiredSchema: StructType, options: CaseInsensitiveStringMap,
   override def planInputPartitions(): Array[InputPartition] = {
     // source option override, e.g. .option("maxBytesPerPartition", "16m"),
     // for decode-bound workloads where smaller tasks beat fewer tasks
-    val maxBytes = Option(options.get("maxBytesPerPartition"))
-      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
-      .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
     val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
     val files = prunedFilesMemo.map(f => f.getPath.toString -> f.getLen)
+    val maxBytes = Option(options.get("maxBytesPerPartition"))
+      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+      .getOrElse(graft.sources.BinPack.adaptiveTarget(
+        sparkSession.sessionState.conf.filesMaxPartitionBytes, openCost,
+        files.map(_._2).sum,
+        sparkSession.sparkContext.defaultParallelism))
     graft.sources.BinPack.pack(files, maxBytes, openCost)
       .map(b => PcapInputPartition(b): InputPartition).toArray
   }

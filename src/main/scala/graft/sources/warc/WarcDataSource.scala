@@ -456,10 +456,13 @@ class WarcScan(requiredSchema: StructType,
     sparkSession.sessionState.newHadoopConf()
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
     val maxBytes = Option(options.get("maxBytesPerPartition"))
       .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
-      .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
-    val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
+      .getOrElse(graft.sources.BinPack.adaptiveTarget(
+        sparkSession.sessionState.conf.filesMaxPartitionBytes, openCost,
+        listedFiles.map(_.getLen).sum,
+        sparkSession.sparkContext.defaultParallelism))
     val conf = hadoopConf
     val useWcdx = options.getBoolean("useWcdx", true)
     // index-aware planning, in preference order per file:

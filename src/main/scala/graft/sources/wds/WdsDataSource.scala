@@ -407,10 +407,13 @@ class WdsScan(requiredSchema: StructType,
     * into balanced tasks; a shard larger than the target gets its own
     * task. */
   override def planInputPartitions(): Array[InputPartition] = {
+    val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
     val maxBytes = Option(options.get("maxBytesPerPartition"))
       .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
-      .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
-    val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
+      .getOrElse(graft.sources.BinPack.adaptiveTarget(
+        sparkSession.sessionState.conf.filesMaxPartitionBytes, openCost,
+        listedFiles.map(_.getLen).sum,
+        sparkSession.sparkContext.defaultParallelism))
     // OPT-IN byte-range splitting of big PLAIN .tar shards with
     // reader-side 512-block header resync (WdsResync). Opt-in, not
     // default: tar's framing cannot distinguish an embedded tar

@@ -174,10 +174,13 @@ class ZipScan(requiredSchema: StructType,
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
     val maxBytes = Option(options.get("maxPartitionBytes"))
       .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
-      .getOrElse(sparkSession.sessionState.conf.filesMaxPartitionBytes)
-    val openCost = sparkSession.sessionState.conf.filesOpenCostInBytes
+      .getOrElse(graft.sources.BinPack.adaptiveTarget(
+        sparkSession.sessionState.conf.filesMaxPartitionBytes, openCost,
+        listedFiles.map(_.getLen).sum,
+        sparkSession.sparkContext.defaultParallelism))
     val conf = hadoopConf
     val wantData = requiredSchema.fieldNames.contains("data")
     val units = listedFiles.flatMap { st =>

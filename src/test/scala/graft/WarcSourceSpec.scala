@@ -113,10 +113,21 @@ class WarcSourceSpec extends AnyFunSuite {
       Files.write(Paths.get(dir, f"part-$f%02d.warc"),
         recs.reduce(_ ++ _))
     }
-    val df = spark.read.format("warc").load(dir)
+    // explicit 128 MB target = the million-file-lake packing shape
+    val df = spark.read.format("warc")
+      .option("maxBytesPerPartition", "128m").load(dir)
     assert(df.rdd.getNumPartitions <= 2,
       s"12 tiny files should pack, got ${df.rdd.getNumPartitions}")
     assert(df.count() == 60)
+    // the no-option default is scale-adaptive (BinPack.adaptiveTarget):
+    // a tiny lake spreads toward cluster parallelism instead of
+    // serializing on 1-2 decode tasks, bounded by one file per task
+    val adaptive = spark.read.format("warc").load(dir)
+    assert(adaptive.rdd.getNumPartitions > 2 &&
+      adaptive.rdd.getNumPartitions <= 12,
+      s"adaptive default should spread a tiny lake: " +
+        s"got ${adaptive.rdd.getNumPartitions}")
+    assert(adaptive.count() == 60)
   }
 
   test("the fixture re-parses under a CPython stdlib decoder " +

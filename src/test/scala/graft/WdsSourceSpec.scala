@@ -210,13 +210,25 @@ class WdsSourceSpec extends AnyFunSuite {
     val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
       .count(_.endsWith(".tar"))
     assert(files == 20, s"expected 20 shards, got $files")
-    // default maxPartitionBytes (128 MB) packs all 20 tiny shards into
-    // far fewer tasks than one-per-shard
-    val packed = spark.read.format("wds").load(dir)
+    // an explicit 128 MB target packs all 20 tiny shards into far
+    // fewer tasks than one-per-shard (the million-shard-lake shape)
+    val packed = spark.read.format("wds")
+      .option("maxBytesPerPartition", "128m").load(dir)
     assert(packed.rdd.getNumPartitions <= 2,
       s"bin-packing must combine small shards: " +
         s"${packed.rdd.getNumPartitions} partitions for 20 tiny shards")
     assert(packed.count() == 60)
+    // the no-option default is scale-adaptive (BinPack.adaptiveTarget,
+    // the FilePartition.maxSplitBytes formula): a lake far smaller than
+    // cores x 128 MB spreads toward the cluster's parallelism instead
+    // of serializing the decode on 1-2 tasks, and never exceeds
+    // one-file-per-task
+    val adaptive = spark.read.format("wds").load(dir)
+    assert(adaptive.rdd.getNumPartitions > 2 &&
+      adaptive.rdd.getNumPartitions <= 20,
+      s"adaptive default should spread a tiny lake: " +
+        s"got ${adaptive.rdd.getNumPartitions}")
+    assert(adaptive.count() == 60)
     // a shard far above a tiny per-partition target gets its own task
     // and reads fine — there is no buffering ceiling to trip
     val single = spark.read.format("wds")

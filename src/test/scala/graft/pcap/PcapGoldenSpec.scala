@@ -196,9 +196,18 @@ class PcapGoldenSpec extends AnyFunSuite {
     (1 to 20).foreach { i =>
       java.nio.file.Files.write(tmp.resolve(f"f$i%02d.pcap"), bytes)
     }
-    val df = spark.read.format("pcap").load(tmp.toString)
+    // explicit 128 MB target = the million-file-lake packing shape
+    val df = spark.read.format("pcap")
+      .option("maxBytesPerPartition", "128m").load(tmp.toString)
     assert(df.count() == 40)
     assert(df.rdd.getNumPartitions == 1) // 20 tiny files pack into one task
+    // the no-option default is scale-adaptive (BinPack.adaptiveTarget):
+    // a tiny lake spreads toward cluster parallelism rather than
+    // serializing the decode, bounded by one file per task
+    val adaptive = spark.read.format("pcap").load(tmp.toString)
+    assert(adaptive.count() == 40)
+    assert(adaptive.rdd.getNumPartitions > 1 &&
+      adaptive.rdd.getNumPartitions <= 20)
   }
 
   test("synthesized IPv6 pcap end-to-end through the Spark source") {
