@@ -238,9 +238,19 @@ object Dedup {
     * cluster-level consumers lose nothing — a mega-bucket IS one dedup
     * cluster, and its star is the cluster's spanning representation.
     * Per join key the output is now bounded by max(bucketCap², n). */
+  /** Memoized cached band-stats relation: the (band, x, y) window
+    * output feeds BOTH sides of the small self-join AND the star
+    * branch (and the star-edge consumers), so without a cache the
+    * union + window subtree executes once per consumer branch
+    * (round-17 profiling: three executions per minhashPairs call).
+    * bucketCap does not enter the stats, so one relation serves any
+    * cap. */
+  private def bandStatsRel(s: SparkSession, d: String): DataFrame =
+    memoizedRel("bandstats", d)(bandStats(bandsOf(signatures(s, d))))
+
   private[graft] def minhashPairs(s: SparkSession, d: String,
       bucketCap: Int = BucketCap): DataFrame = {
-    val bb = bandStats(bandsOf(signatures(s, d)))
+    val bb = bandStatsRel(s, d)
     val small = bb.filter(col("bsz") <= bucketCap)
     val smallPairs = small.as("l")
       .join(small.as("r"),
@@ -268,7 +278,7 @@ object Dedup {
     * oracles below stay the UNCAPPED full-pair recursive CTE — the
     * hash match is the independent proof of the equivalence. */
   private[graft] def minhashStarEdges(s: SparkSession, d: String): DataFrame = {
-    bandStats(bandsOf(signatures(s, d)))
+    bandStatsRel(s, d)
       .filter(col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("doc1"), col("doc_id").as("doc2"))
       .distinct()

@@ -68,6 +68,22 @@ object Multimodal {
         struct($"width", $"height", $"sample_rate", $"n_frames").as("meta"))
   }
 
+  /** Round-17 optimization: spread a decode-heavy id list across the
+    * cluster before its mapPartitions decode (the [[graft.operators
+    * .Spread]] rationale — at bench scale the documents scan is one
+    * small parquet file, so these per-id codec sweeps otherwise
+    * serialize on a single task; at production scale the scan already
+    * has >= parallelism partitions and this is a no-op). */
+  private def spreadIds(ids: org.apache.spark.sql.Dataset[Long])
+      : org.apache.spark.sql.Dataset[Long] = {
+    val s = ids.sparkSession
+    import s.implicits._
+    val par = s.sparkContext.defaultParallelism
+    val df = ids.toDF("id")
+    (if (df.rdd.getNumPartitions >= par) df
+     else df.repartition(par, col("id"))).as[Long]
+  }
+
   /** Container sniffing + decode for the generic ops: dispatch on magic
     * bytes (never the kind/meta columns — those are untrusted metadata)
     * and return modality-normalized features. */
@@ -3435,7 +3451,7 @@ object Multimodal {
         import s.implicits._
         val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
           .select($"doc_id").as[Long]
-        ids.mapPartitions { it =>
+        spreadIds(ids).mapPartitions { it =>
           it.flatMap { id =>
             val frames = GifCodec.decodeFrames(GifCodec.encodeAnimated(id))
             frames.zipWithIndex.map { case ((img, delay), f) =>
@@ -3492,7 +3508,7 @@ object Multimodal {
         import s.implicits._
         val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 0)
           .select($"doc_id").as[Long]
-        imgs.mapPartitions { it =>
+        spreadIds(imgs).mapPartitions { it =>
           it.map { id =>
             val img = PngCodec.decode(PngCodec.encodeInterlaced(id))
             (id, img.w, img.h, weightedPxSum(img))
@@ -3562,7 +3578,7 @@ object Multimodal {
       (s, d) => {
         import s.implicits._
         val imgs = Tables.documents(s, d).select($"doc_id").as[Long]
-        imgs.mapPartitions { it =>
+        spreadIds(imgs).mapPartitions { it =>
           it.map { id =>
             val bytes = JpegCodec.encode(id)
             val img = sniffKind(bytes) match {
@@ -3624,7 +3640,7 @@ object Multimodal {
         import s.implicits._
         val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
           .select($"doc_id").as[Long]
-        imgs.mapPartitions { it =>
+        spreadIds(imgs).mapPartitions { it =>
           it.map { id =>
             val bytes = JpegCodec.encodeProgressive(id)
             val img = sniffKind(bytes) match {
@@ -3968,7 +3984,7 @@ object Multimodal {
         import s.implicits._
         val imgs = Tables.documents(s, d).filter($"doc_id" % 3 === 0)
           .select($"doc_id").as[Long]
-        imgs.mapPartitions { it =>
+        spreadIds(imgs).mapPartitions { it =>
           it.map { id =>
             val dims = (75 + (id % 21).toInt, 66 + (id % 13).toInt)
             val bytes =
@@ -4300,7 +4316,7 @@ object Multimodal {
         import s.implicits._
         val ids = Tables.documents(s, d).filter($"doc_id" % 3 === 1)
           .select($"doc_id").as[Long]
-        ids.mapPartitions { it =>
+        spreadIds(ids).mapPartitions { it =>
           it.flatMap { id =>
             val bytes = AviCodec.encodeMjpeg(id)
             val vid = sniffKind(bytes) match {

@@ -215,7 +215,11 @@ object Similarity {
       .flatMap(o => parseModel(o).map((_, codesDirOf(o))))
       .flatMap { case ((cents, cb), cdir) =>
         try {
-          val codes = s.read.parquet(dir.resolve(cdir).toString).cache()
+          // Spread before caching (round 17): the codes parquet is one
+          // small file at bench scale, so the ADC probe scan otherwise
+          // serializes on a single-partition cache; no-op at scale
+          val codes = Spread.byKey(
+            s.read.parquet(dir.resolve(cdir).toString), "vec_id").cache()
           codes.count()
           Some((cents, cb, codes))
         } catch { case _: Exception => None }
@@ -265,7 +269,9 @@ object Similarity {
           trainCodebooks(subVectors(
             asgAll.filter($"arank" === 0).select($"vec_id", $"r"), "r")))
         val codes = memoCodes(d, () => {
-          val c = encodeAssigned(asgAll, cb).cache()
+          // spread before caching — the encode chain rides the
+          // single-file embeddings scan partition (Spread doc)
+          val c = Spread.byKey(encodeAssigned(asgAll, cb), "vec_id").cache()
           c.count() // materialize the index once, off the probe path
           c
         })
@@ -436,7 +442,8 @@ object Similarity {
         c
       }
     commitSidecar(s, d, rows, cents, cb, mq, appends + 1, newCdir)
-    val codes = s.read.parquet(dir.resolve(newCdir).toString).cache()
+    val codes = Spread.byKey(
+      s.read.parquet(dir.resolve(newCdir).toString), "vec_id").cache()
     codes.count()
     ivfpqCentMemo.put(d, cents)
     ivfpqCbMemo.put(d, cb)

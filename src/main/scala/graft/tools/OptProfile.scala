@@ -21,6 +21,8 @@ object OptProfile {
     var name = ""
     var durMs = 0L        // wall (submission -> completion)
     var taskMs = 0L       // sum of task executor run time
+    var gcMs = 0L         // sum of task JVM GC time
+    var cpuMs = 0L        // sum of task executor CPU time
     var shufReadB = 0L
     var shufWriteB = 0L
     var inputB = 0L
@@ -57,6 +59,8 @@ object OptProfile {
           val m = si.taskMetrics
           if (m != null) {
             a.taskMs += m.executorRunTime
+            a.gcMs += m.jvmGCTime
+            a.cpuMs += m.executorCpuTime / 1000000L
             a.shufReadB += m.shuffleReadMetrics.totalBytesRead
             a.shufWriteB += m.shuffleWriteMetrics.bytesWritten
             a.inputB += m.inputMetrics.bytesRead
@@ -100,7 +104,7 @@ object OptProfile {
       println(s"\n########## $n  walls=${walls.map(w => f"$w%.3f").mkString(",")} min=${f"${walls.min}%.3f"}")
       val top = stages.values.toSeq.sortBy(-_.taskMs).take(18)
       top.foreach { a =>
-        println(f"  task=${a.taskMs / 1000.0}%8.2fs wall=${a.durMs / 1000.0}%7.2fs tasks=${a.nTasks}%4d in=${a.inputB / 1e6}%8.1fMB sr=${a.shufReadB / 1e6}%8.1fMB sw=${a.shufWriteB / 1e6}%8.1fMB  ${a.name.take(110)}")
+        println(f"  task=${a.taskMs / 1000.0}%8.2fs cpu=${a.cpuMs / 1000.0}%7.2fs gc=${a.gcMs / 1000.0}%6.2fs wall=${a.durMs / 1000.0}%7.2fs tasks=${a.nTasks}%4d in=${a.inputB / 1e6}%8.1fMB sr=${a.shufReadB / 1e6}%8.1fMB sw=${a.shufWriteB / 1e6}%8.1fMB  ${a.name.take(90)}")
       }
       val totTask = stages.values.map(_.taskMs).sum / 1000.0
       println(f"  TOTAL task=${totTask}%.2fs over ${stages.size} stages (3 reps)")

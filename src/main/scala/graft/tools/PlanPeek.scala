@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch: A/B iteration shapes for the pagerank loop over the real
-  * cached co-purchase artifact. */
+  * cached co-purchase adjacency (round-17 wave 2: does forcing SMJ on
+  * a sorted adjacency cache beat AQE's per-iteration broadcast of the
+  * rank side?). */
 object PlanPeek {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -17,13 +19,13 @@ object PlanPeek {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val e = graft.operators.Graph.coPurchaseEdges(spark, sfDir)
-      .select($"src", $"dst")
-    e.count() // materialize cache
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("od"))
-      .sortWithinPartitions($"src").cache()
-    val n = deg.count()
-    val r0 = deg.select($"src".as("node"), (lit(1.0) / n.toDouble).as("r"))
+    val adj = graft.operators.Graph.coPurchaseAdjacency(spark, sfDir, 1L)
+    adj.count()
+    val adjS = adj.sortWithinPartitions($"src").cache()
+    adjS.count()
+    val nodes = adj.select($"src").distinct().localCheckpoint()
+    val n = nodes.count()
+    val r0 = nodes.select($"src".as("node"), (lit(1.0) / n.toDouble).as("r"))
       .localCheckpoint()
 
     def time(label: String)(f: => Unit): Unit = {
@@ -34,38 +36,15 @@ object PlanPeek {
       println(f"$label: min ${ts.min}%.3f  (${ts.map(t => f"$t%.3f").mkString(",")})")
     }
 
-    // A: current shape (e BHJ r BHJ deg -> agg)
-    def iterA(r: DataFrame): DataFrame =
-      e.join(r, e("src") === r("node"))
-        .join(deg, "src")
-        .select($"dst",
-          expr("cast(floor(r * 1000000000000.0) as bigint) div od").as("contrib"))
-        .groupBy($"dst").agg(sum($"contrib").as("m"))
-        .select($"dst".as("node"),
-          (lit(0.15) / n.toDouble + lit(0.85) * ($"m".cast("double") / lit(1e12))).as("r"))
-
-    // B: pre-divided rank side (rv = r x deg), one BHJ on the big side
-    def iterB(r: DataFrame): DataFrame =
-      e.join(
-          r.join(deg, r("node") === deg("src"))
-            .select($"node",
-              expr("cast(floor(r * 1000000000000.0) as bigint) div od").as("out")),
-          e("src") === col("node"))
-        .groupBy($"dst").agg(sum($"out").as("m"))
-        .select($"dst".as("node"),
-          (lit(0.15) / n.toDouble + lit(0.85) * ($"m".cast("double") / lit(1e12))).as("r"))
-
-    // C: adjacency-array form
-    val adj = e.groupBy($"src").agg(collect_list($"dst").as("dsts"),
-      count(lit(1)).as("od")).cache()
-    adj.count()
-    def iterC(r: DataFrame): DataFrame =
-      adj.join(r, adj("src") === r("node"))
+    def iterOf(a: DataFrame, hint: String)(r: DataFrame): DataFrame = {
+      val rr = if (hint.isEmpty) r else r.hint(hint)
+      a.join(rr, a("src") === rr("node"))
         .select(explode($"dsts").as("dst"),
           expr("cast(floor(r * 1000000000000.0) as bigint) div od").as("contrib"))
         .groupBy($"dst").agg(sum($"contrib").as("m"))
         .select($"dst".as("node"),
           (lit(0.15) / n.toDouble + lit(0.85) * ($"m".cast("double") / lit(1e12))).as("r"))
+    }
 
     def loop(iter: DataFrame => DataFrame, ckptEvery: Int): Unit = {
       var r = r0
@@ -75,22 +54,12 @@ object PlanPeek {
       }
       r.orderBy(desc("r"), asc("node")).limit(20).count()
     }
-    def iterCm(r: DataFrame): DataFrame =
-      adj.join(r.hint("merge"), adj("src") === r("node"))
-        .select(explode($"dsts").as("dst"),
-          expr("cast(floor(r * 1000000000000.0) as bigint) div od").as("contrib"))
-        .groupBy($"dst").agg(sum($"contrib").as("m"))
-        .select($"dst".as("node"),
-          (lit(0.15) / n.toDouble + lit(0.85) * ($"m".cast("double") / lit(1e12))).as("r"))
 
-    time("A  ck4  (current)  ")(loop(iterA, 4))
-    time("B  ck4             ")(loop(iterB, 4))
-    time("C  ck4             ")(loop(iterC, 4))
-    time("C  ck7             ")(loop(iterC, 7))
-    time("C  ck21 (no ckpt)  ")(loop(iterC, 21))
-    time("Cm ck7 (merge hint)")(loop(iterCm, 7))
-    time("A  ck7             ")(loop(iterA, 7))
-    time("A  ck21            ")(loop(iterA, 21))
+    time("C  ck4 (wave1)      ")(loop(iterOf(adj, ""), 4))
+    time("Cs ck4 sorted+merge ")(loop(iterOf(adjS, "merge"), 4))
+    time("Cs ck5 sorted+merge ")(loop(iterOf(adjS, "merge"), 5))
+    time("Cb ck4 sorted (AQE) ")(loop(iterOf(adjS, ""), 4))
+    time("C  ck5 (wave1)      ")(loop(iterOf(adj, ""), 5))
     spark.stop()
   }
 }
